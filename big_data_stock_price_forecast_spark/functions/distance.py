@@ -1,0 +1,81 @@
+"""Vector distance expressions over ``array<float|double>`` columns.
+
+Reference parity: the k-NN comparators in notebooks/test.ipynb cell 17/21
+(torch.cdist p=1/p=2, cosine_similarity, and the mu/logvar-weighted
+variants). Implemented as pure Catalyst expressions (``zip_with`` +
+``aggregate``) so distance computation stays inside whole-stage codegen —
+no Python/Arrow boundary in the k-NN hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _to_col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dist_l1(a: Column | str, b: Column | str) -> Column:
+    """Sum of absolute elementwise differences (torch.cdist p=1)."""
+    a, b = _to_col(a), _to_col(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.abs(x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def dist_l2sq(a: Column | str, b: Column | str) -> Column:
+    a, b = _to_col(a), _to_col(b)
+    d = F.zip_with(a, b, lambda x, y: x - y)
+    return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v * v)
+
+
+def dist_l2(a: Column | str, b: Column | str) -> Column:
+    """Euclidean distance (torch.cdist p=2)."""
+    return F.sqrt(dist_l2sq(a, b))
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    a, b = _to_col(a), _to_col(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    a = _to_col(a)
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cos_sim(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity (higher = closer; callers order DESC)."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+METRICS_ORDER_DESC = {"l1": False, "l2": False, "cosine": True}
+
+
+def metric_expr(metric: str, a: Column | str, b: Column | str) -> tuple[Column, bool]:
+    """(distance-or-similarity expression, order-descending?) for a
+    metric name. Cosine ranks descending (higher = closer)."""
+    fns = {"l1": dist_l1, "l2": dist_l2, "cosine": cos_sim}
+    if metric not in fns:
+        raise ValueError(f"metric must be one of {sorted(fns)}")
+    return fns[metric](a, b), METRICS_ORDER_DESC[metric]
+
+
+def weighted_dist(
+    a: Column | str, b: Column | str, split: int, dist=dist_l2
+) -> Column:
+    """The reference's mu/logvar-weighted distance: full weight on the
+    first ``split`` components, half weight on the rest
+    (notebooks/test.ipynb cell 21 ``cdist_w_cmp``).
+    """
+    a, b = _to_col(a), _to_col(b)
+    head_a, head_b = F.slice(a, 1, split), F.slice(b, 1, split)
+    tail_a = F.slice(a, split + 1, F.size(a) - split)
+    tail_b = F.slice(b, split + 1, F.size(b) - split)
+    return dist(head_a, head_b) + dist(tail_a, tail_b) / F.lit(2.0)

@@ -1,0 +1,130 @@
+"""Analogical forecast + sliding evaluation (SURVEY.md §2.3 J3, §2.4
+A6-A8, §3.3).
+
+Reference semantics (notebooks/test.ipynb cell 20, README.md:74):
+for each query window, find the k nearest historical windows in
+embedding space, take the top-2, gather the raw values that FOLLOW each
+match, re-standardize them by the match's own (center, scale), average
+the two forecasts elementwise (truncated to the common length — a no-op
+here because futures are fixed length P), and score MAE against the
+query's realized future normalized by the query's (center, scale).
+
+Spark shape: the "gather the following window" as-of join (J3) is
+pre-materialized as the ``future`` array column by
+``sliding_windows(pred_window=P)`` — same sort, no extra join. The
+search join is either per-symbol (equi-join on symbol, co-partitioned,
+linear scale-out) or global (broadcast the strided query set). The
+ensemble is a (query, step) hash aggregate after ``posexplode`` and MAE
+folds back per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.distance import METRICS_ORDER_DESC, metric_expr
+from ..functions.normalize import EPS, zscore_array
+
+
+def forecast_evaluate(
+    train_w: DataFrame,
+    val_w: DataFrame,
+    pred_window: int,
+    k: int = 5,
+    ensemble: int = 2,
+    metric: str = "l2",
+    within_symbol: bool = True,
+    eps: float = EPS,
+) -> DataFrame:
+    """Both inputs are ``sliding_windows(..., pred_window=P)`` outputs
+    (symbol, window_id, center, scale, xs, future). Windows whose future
+    is not fully realized are excluded on BOTH sides (the reference
+    trims ``embeddings[:-P]``, cell 16). Returns one row per query:
+    (symbol, window_id, mae).
+
+    ``within_symbol=True`` searches matches only in the query's own
+    symbol (the reference's single-symbol notebook setup; a
+    co-partitioned equi-join that scales linearly with symbols).
+    ``False`` searches globally (ConcatDataset-style; broadcast
+    nested-loop of the small query set against all windows).
+    """
+    train = train_w.filter(F.size("future") == pred_window).select(
+        F.col("symbol").alias("m_symbol"),
+        F.col("window_id").alias("m_window_id"),
+        F.col("center").alias("m_center"),
+        F.col("scale").alias("m_scale"),
+        F.col("xs").alias("m_xs"),
+        F.col("future").alias("m_future"),
+    )
+    queries = val_w.filter(F.size("future") == pred_window).select(
+        F.col("symbol").alias("q_symbol"),
+        F.col("window_id").alias("q_window_id"),
+        F.col("center").alias("q_center"),
+        F.col("scale").alias("q_scale"),
+        F.col("xs").alias("q_xs"),
+        F.col("future").alias("q_future"),
+    )
+
+    if within_symbol:
+        joined = train.join(
+            queries, train.m_symbol == queries.q_symbol, "inner"
+        )
+    else:
+        joined = train.join(F.broadcast(queries))
+
+    dist, desc = metric_expr(metric, F.col("m_xs"), F.col("q_xs"))
+    joined = joined.withColumn("dist", dist)
+    order = [
+        F.col("dist").desc() if desc else F.col("dist").asc(),
+        F.col("m_symbol").asc(),
+        F.col("m_window_id").asc(),
+    ]
+    w = Window.partitionBy("q_symbol", "q_window_id").orderBy(*order)
+    top = joined.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= ensemble
+    )
+
+    # re-standardize each match's future by the MATCH's stats, explode
+    # to (query, step) and ensemble-average
+    pred_steps = top.select(
+        "q_symbol",
+        "q_window_id",
+        F.posexplode(
+            zscore_array(
+                F.col("m_future"), F.col("m_center"), F.col("m_scale"), eps
+            )
+        ).alias("step", "p"),
+    )
+    ens = pred_steps.groupBy("q_symbol", "q_window_id", "step").agg(
+        F.avg("p").alias("pred")
+    )
+
+    target_steps = queries.select(
+        "q_symbol",
+        "q_window_id",
+        F.posexplode(
+            zscore_array(
+                F.col("q_future"), F.col("q_center"), F.col("q_scale"), eps
+            )
+        ).alias("step", "target"),
+    )
+    return (
+        ens.join(target_steps, ["q_symbol", "q_window_id", "step"])
+        .groupBy("q_symbol", "q_window_id")
+        .agg(F.avg(F.abs(F.col("pred") - F.col("target"))).alias("mae"))
+        .select(
+            F.col("q_symbol").alias("symbol"),
+            F.col("q_window_id").alias("window_id"),
+            "mae",
+        )
+    )
+
+
+def error_summary(per_query_mae: DataFrame) -> DataFrame:
+    """mean/stddev_pop over per-query MAEs (test.ipynb cell 20 return)."""
+    return per_query_mae.agg(
+        F.avg("mae").alias("mae_mean"),
+        F.stddev_pop("mae").alias("mae_std"),
+        F.count(F.lit(1)).alias("n_queries"),
+    )

@@ -1,0 +1,122 @@
+"""The flagship end-to-end pipeline (SURVEY.md §3.3 restated in Spark).
+
+events → dedup keep-last → 6h OHLC resample → time_idx → warmup skip →
+time-ordered split → per-split gap fill → sliding windows + z-score →
+k-NN search → analogical forecast → per-query MAE.
+
+This is ONE lazy DataFrame plan end-to-end; Catalyst prunes the events
+scan down to (user_id, ts, value, event_id) and AQE sizes every
+exchange. Embedding = the z-scored window itself (the reference's VAE
+latent is an offline-trained artifact; the engine's contract is the
+search/forecast query shape — see SURVEY.md §7 "out of scope").
+
+Deliberate deviations from the notebook (documented; the DuckDB oracle
+in __spark_entry__ mirrors THESE semantics exactly):
+- search is within-symbol (the notebook's store is single-symbol
+  anyway); global search is exposed via operators.knn.
+- the last valid query position is included (the notebook's
+  ``range(0, len-P-1, stride)`` drops one extra trailing position).
+- gap fill reconstructs timestamps from time_idx instead of
+  forward-filling them verbatim.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.calendar import add_time_idx
+from ..operators.cleaning import (
+    dedup_keep_last,
+    positional_skip_frac,
+    positional_split,
+)
+from ..operators.forecast import error_summary, forecast_evaluate
+from ..operators.gapfill import fill_missing_time_idx
+from ..operators.resample import resample_ohlcv
+from ..operators.windows import sliding_windows
+from ..sources.tables import events_series
+
+
+@dataclass(frozen=True)
+class FlagshipParams:
+    """Smoke-scale analogs of the reference config (seq_len=256,
+    pred_window=192, k=5, top-2 ensemble, stride=seq_len//4, skip 10%,
+    val 15%) sized for the ~120-bucket-per-symbol events series."""
+
+    resample_every: str = "6 hours"
+    step_seconds: int = 6 * 3600
+    L: int = 8
+    pred_window: int = 4
+    k: int = 5
+    ensemble: int = 2
+    stride: int = 2
+    skip_frac: float = 0.1
+    val_ratio: float = 0.15
+    metric: str = "l2"
+    within_symbol: bool = True
+
+
+def _windows_of(split: DataFrame, p: FlagshipParams) -> DataFrame:
+    filled = fill_missing_time_idx(
+        split,
+        part_col="symbol",
+        idx_col="time_idx",
+        ts_col="datetime",
+        step_seconds=p.step_seconds,
+        fill_cols=["close"],
+    ).select("symbol", "time_idx", "close")
+    return sliding_windows(
+        filled,
+        value_col="close",
+        L=p.L,
+        pred_window=p.pred_window,
+        part_col="symbol",
+        idx_col="time_idx",
+    )
+
+
+def flagship_per_query_mae(
+    spark: SparkSession, sf_dir: str, p: FlagshipParams = FlagshipParams()
+) -> DataFrame:
+    series = dedup_keep_last(
+        events_series(spark, sf_dir), ["symbol", "datetime"], "event_id"
+    )
+    res = resample_ohlcv(
+        series.select("symbol", "datetime", "close"),
+        every=p.resample_every,
+        ts_col="datetime",
+        part_col="symbol",
+    ).select("symbol", "datetime", "close")
+    res = add_time_idx(res, "datetime", p.step_seconds)
+    res = positional_skip_frac(res, "symbol", "time_idx", p.skip_frac)
+    train_rows, val_rows = positional_split(
+        res, "symbol", "time_idx", p.val_ratio
+    )
+    train_w = _windows_of(train_rows, p)
+    val_w = _windows_of(val_rows, p)
+    # strided evaluation cursor (W11): every `stride`-th window position
+    # per symbol, position 0 = the symbol's first val window
+    mins = val_w.groupBy("symbol").agg(F.min("window_id").alias("__w0"))
+    val_w = (
+        val_w.join(F.broadcast(mins), "symbol")
+        .filter((F.col("window_id") - F.col("__w0")) % p.stride == 0)
+        .drop("__w0")
+    )
+    return forecast_evaluate(
+        train_w,
+        val_w,
+        pred_window=p.pred_window,
+        k=p.k,
+        ensemble=p.ensemble,
+        metric=p.metric,
+        within_symbol=p.within_symbol,
+    )
+
+
+def flagship_summary(
+    spark: SparkSession, sf_dir: str, p: FlagshipParams = FlagshipParams()
+) -> DataFrame:
+    return error_summary(flagship_per_query_mae(spark, sf_dir, p))

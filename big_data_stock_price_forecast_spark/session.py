@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults chosen for the driver's harness (local[$SPARK_GRAFT_CPUS],
+single JVM) but expressed so the same settings scale to a real cluster:
+
+- AQE on (runtime coalescing + skew-join splitting) — at 100 TB the
+  static shuffle-partition count is always wrong for some stage; AQE
+  re-plans from actual map output sizes.
+- ``spark.sql.shuffle.partitions`` small-ish locally; on a cluster this
+  is the AQE *initial* partition number and should be ~2-3x total cores.
+- Session timezone pinned UTC so timestamp arithmetic (epoch anchors,
+  calendar projections) is deterministic and matches the DuckDB oracle.
+- Arrow enabled for the few pandas-UDF escape hatches (EMA, savgol,
+  model inference) — everything else stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "bdspf-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "12g",
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("BDSPF_SHUFFLE_PARTITIONS", "32")
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the driver's testdata parquet carries TIMESTAMP(NANOS) which the
+        # vectorized reader rejects; read as long and convert in the loader
+        # (sources/tables.py) — DuckDB truncates nanos→micros the same way
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
