@@ -1,0 +1,680 @@
+"""Query registry: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable PLUS an ANSI-SQL DuckDB oracle
+computing the same result on the same parquet tables.
+
+Numeric-reproducibility strategy (the driver hash-compares values):
+- Array folds: Spark ``aggregate(arr, 0.0, acc+f(x))`` is a sequential
+  left fold; DuckDB ``list_reduce``/``list_sum``/``list_distance`` are
+  too (verified) — so z-scores, distances and window stats are BITWISE
+  identical between engine and oracle.
+- Money sums: per-row cast to DECIMAL, exact decimal sum, cast back to
+  double (exact: magnitudes < 2^53 in decimal units) — immune to
+  addition order.
+- Join/group-order-dependent double sums (MAE averages, SMA): rounded
+  on BOTH sides to a precision far coarser than the worst-case
+  accumulation error.
+- Small-int outputs cast to the same width on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.calendar import ANCHOR_EPOCH, add_calendar, add_time_idx, weekday_mon0
+from ..functions.distance import cos_sim, dist_l2
+from ..operators.cleaning import dedup_keep_last, time_range_filter
+from ..operators.gapfill import fill_missing_time_idx
+from ..operators.resample import resample_ohlcv
+from ..operators.windows import sliding_windows
+from ..sources.tables import events_series, load_table
+from .flagship import FlagshipParams, flagship_per_query_mae
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# --------------------------------------------------------------------------
+# shared building blocks
+# --------------------------------------------------------------------------
+
+STEP_6H = 6 * 3600
+
+# DuckDB CTE: events -> deduped (symbol, ts, close) series
+SQL_SERIES = """
+series AS (
+  SELECT user_id AS symbol, ts, value AS close
+  FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS __rn
+    FROM events)
+  WHERE __rn = 1
+)"""
+
+# DuckDB CTE chain: series -> right-closed 6h resample -> time_idx
+SQL_RES6H = f"""
+res AS (
+  SELECT symbol,
+         time_bucket(INTERVAL '6 hours', ts - INTERVAL '1 microsecond')
+           + INTERVAL '6 hours' AS datetime,
+         arg_min(close, ts) AS open,
+         max(close) AS high,
+         min(close) AS low,
+         arg_max(close, ts) AS close,
+         count(*) AS n_rows
+  FROM series GROUP BY 1, 2
+),
+idx AS (
+  SELECT symbol, datetime,
+         CAST(floor((epoch(datetime) - {ANCHOR_EPOCH}) / {STEP_6H}) AS BIGINT) AS time_idx,
+         open, high, low, close, n_rows
+  FROM res
+)"""
+
+# DuckDB CTE: idx -> dense per-symbol grid with ffilled close
+SQL_FILLED = """
+grid AS (
+  SELECT symbol, unnest(generate_series(mn, mx)) AS time_idx
+  FROM (SELECT symbol, min(time_idx) AS mn, max(time_idx) AS mx FROM idx GROUP BY 1)
+),
+filled AS (
+  SELECT g.symbol, g.time_idx,
+         (i.close IS NULL)::INT AS is_gap,
+         last_value(i.close IGNORE NULLS) OVER (
+           PARTITION BY g.symbol ORDER BY g.time_idx
+           ROWS UNBOUNDED PRECEDING) AS close
+  FROM grid g LEFT JOIN idx i ON g.symbol = i.symbol AND g.time_idx = i.time_idx
+)"""
+
+
+def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduped (symbol, datetime, close) from events."""
+    return dedup_keep_last(
+        events_series(spark, sf_dir), ["symbol", "datetime"], "event_id"
+    ).select("symbol", "datetime", "close")
+
+
+def _resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = resample_ohlcv(_series(spark, sf_dir), "6 hours")
+    return add_time_idx(r, "datetime", STEP_6H)
+
+
+def _filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fill_missing_time_idx(
+        _resampled(spark, sf_dir).select("symbol", "time_idx", "close"),
+        ts_col="__none__",
+        fill_cols=["close"],
+    ).select("symbol", "time_idx", "is_gap", "close")
+
+
+# DuckDB sequential-fold L2 distance between two list expressions
+def _sql_l2(a: str, b: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform(list_zip({a}, {b}),"
+        f" p -> (p[1]-p[2])*(p[1]-p[2])), (x,y) -> x+y))"
+    )
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        f" p -> p[1]*p[2]), (x,y) -> x+y)"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt(list_reduce(list_transform({a}, x -> x*x), (x,y) -> x+y))"
+
+
+# --------------------------------------------------------------------------
+# time-series operator queries (events table)
+# --------------------------------------------------------------------------
+
+
+def q_ts_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _series(spark, sf_dir).select(
+        "symbol", F.col("datetime").alias("ts"), "close"
+    )
+
+
+SQL_TS_DEDUP = f"WITH {SQL_SERIES} SELECT symbol, ts, close FROM series"
+
+
+def q_ts_time_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return time_range_filter(
+        _series(spark, sf_dir), "datetime", "symbol", "7 days"
+    ).select("symbol", F.col("datetime").alias("ts"), "close")
+
+
+SQL_TS_TIME_FILTER = f"""WITH {SQL_SERIES}
+SELECT s.symbol, s.ts, s.close
+FROM series s
+JOIN (SELECT symbol, min(ts) AS mn FROM series GROUP BY 1) m
+  ON s.symbol = m.symbol
+WHERE s.ts >= m.mn + INTERVAL '7 days'"""
+
+
+def q_ts_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    df = add_calendar(add_time_idx(ev, "ts", 3600), "ts")
+    return df.select(
+        "event_id", "hour", "day", "dayofweek", "month", "week", "year", "time_idx"
+    )
+
+
+SQL_TS_CALENDAR = f"""
+SELECT event_id,
+       hour(ts)::INT AS hour,
+       day(ts)::INT AS day,
+       (isodow(ts) - 1)::INT AS dayofweek,
+       month(ts)::INT AS month,
+       weekofyear(ts)::INT AS week,
+       year(ts)::INT AS year,
+       CAST(floor((epoch(ts) - {ANCHOR_EPOCH}) / 3600) AS BIGINT) AS time_idx
+FROM events"""
+
+
+def q_ts_resample_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _resampled(spark, sf_dir).select(
+        "symbol", "datetime", "open", "high", "low", "close", "n_rows"
+    )
+
+
+SQL_TS_RESAMPLE = f"""WITH {SQL_SERIES}, {SQL_RES6H}
+SELECT symbol, datetime, open, high, low, close, n_rows FROM idx"""
+
+
+def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _filled(spark, sf_dir)
+
+
+SQL_TS_GAP_FILL = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED}
+SELECT symbol, time_idx, is_gap, close FROM filled"""
+
+
+def q_ts_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _filled(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    out = df.withColumn("__rn", F.row_number().over(w))
+    for n in (5, 20):
+        frame = w.rowsBetween(-(n - 1), 0)
+        out = out.withColumn(
+            f"sma{n}",
+            F.when(
+                F.col("__rn") >= n, F.round(F.avg("close").over(frame), 6)
+            ),
+        )
+    return out.select("symbol", "time_idx", "sma5", "sma20")
+
+
+SQL_TS_SMA = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED}
+SELECT symbol, time_idx,
+  CASE WHEN row_number() OVER w >= 5
+       THEN round(avg(close) OVER (PARTITION BY symbol ORDER BY time_idx
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) END AS sma5,
+  CASE WHEN row_number() OVER w >= 20
+       THEN round(avg(close) OVER (PARTITION BY symbol ORDER BY time_idx
+            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) END AS sma20
+FROM filled
+WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)"""
+
+
+def q_ts_delta_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return (
+        ev.withColumn(
+            "delta_min",
+            F.floor(
+                (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+                / F.lit(60_000_000)
+            ),
+        )
+        .filter(F.col("delta_min").isNotNull())
+        .groupBy("delta_min")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+SQL_TS_DELTA_HIST = """
+SELECT delta_min, count(*) AS cnt FROM (
+  SELECT CAST(floor((epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts)) / 60000000) AS BIGINT) AS delta_min
+  FROM events)
+WHERE delta_min IS NOT NULL
+GROUP BY delta_min"""
+
+
+def q_ts_windows_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = sliding_windows(
+        _filled(spark, sf_dir).select("symbol", "time_idx", "close"), L=8
+    )
+    return w.select(
+        "symbol",
+        "window_id",
+        F.round("center", 6).alias("center"),
+        F.round("scale", 6).alias("scale"),
+        F.round(F.element_at("xs", 1), 6).alias("z_first"),
+        F.round(F.element_at("xs", 8), 6).alias("z_last"),
+    )
+
+
+SQL_TS_WINDOWS_STATS = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+win AS (
+  SELECT symbol, time_idx AS window_id,
+         list(close) OVER (PARTITION BY symbol ORDER BY time_idx
+           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS raw
+  FROM filled
+),
+stats AS (
+  SELECT symbol, window_id, raw,
+         list_reduce(raw, (a,b) -> a+b) / 8.0 AS center
+  FROM win WHERE len(raw) = 8
+),
+zs AS (
+  SELECT symbol, window_id, raw, center,
+         sqrt(list_reduce(list_transform(raw, x -> (x-center)*(x-center)),
+              (a,b) -> a+b) / 8.0) AS scale
+  FROM stats
+)
+SELECT symbol, window_id, round(center, 6) AS center, round(scale, 6) AS scale,
+       round((raw[1] - center) / (scale + 1e-8), 6) AS z_first,
+       round((raw[8] - center) / (scale + 1e-8), 6) AS z_last
+FROM zs"""
+
+
+# --------------------------------------------------------------------------
+# k-NN / embedding queries (embeddings table)
+# --------------------------------------------------------------------------
+
+KNN_QUERY_MOD = 199
+KNN_K = 5
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+
+
+def _knn_query(spark, sf_dir, metric: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    dist = (
+        cos_sim(F.col("v"), F.col("qv"))
+        if metric == "cosine"
+        else dist_l2(F.col("v"), F.col("qv"))
+    )
+    cand = (
+        emb.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", dist.alias("dist"))
+    )
+    order = (
+        [F.col("dist").desc(), F.col("vec_id").asc()]
+        if metric == "cosine"
+        else [F.col("dist").asc(), F.col("vec_id").asc()]
+    )
+    w = Window.partitionBy("q_id").orderBy(*order)
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("q_id", "vec_id", "rank", F.round("dist", 6).alias("dist"))
+    )
+
+
+def q_knn_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_query(spark, sf_dir, "l2")
+
+
+def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_query(spark, sf_dir, "cosine")
+
+
+def _sql_knn(metric: str) -> str:
+    if metric == "cosine":
+        d = f"{_sql_dot('e.v', 'q.qv')} / ({_sql_norm('e.v')} * {_sql_norm('q.qv')})"
+        order = "dist DESC, vec_id ASC"
+    else:
+        d = _sql_l2("e.v", "q.qv")
+        order = "dist ASC, vec_id ASC"
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % {KNN_QUERY_MOD} = 0),
+cand AS (
+  SELECT q.q_id, e.vec_id, {d} AS dist
+  FROM emb e CROSS JOIN q
+  WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, dist,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY {order}) AS INT) AS rank
+  FROM cand
+)
+SELECT q_id, vec_id, rank, round(dist, 6) AS dist FROM ranked WHERE rank <= {KNN_K}"""
+
+
+def q_emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", F.posexplode("v").alias("pos0", "x"))
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(F.round(F.avg("x"), 6).alias("centroid"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_EMB_CENTROID = """
+SELECT label, i::INT AS pos, round(avg(v[i]), 6) AS centroid, count(*) AS n
+FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+     LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
+GROUP BY label, pos"""
+
+
+# --------------------------------------------------------------------------
+# relational queries (TPC-H-shaped tables)
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary. Money sums via exact DECIMAL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c, p=18, s=2: F.col(c).cast(f"decimal({p},{s})")  # noqa: E731
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount", 3, 2)))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                dec("l_extendedprice")
+                * (one - dec("l_discount", 3, 2))
+                * (one + dec("l_tax", 3, 2))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) *
+                (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
+         AS sum_charge,
+       count(*) AS count_order,
+       sum(l_quantity) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation: fact table joined to broadcast dims."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (one - F.col("l_discount").cast("decimal(3,2)")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+SQL_TOP_REVENUE_NATIONS = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name"""
+
+
+# --------------------------------------------------------------------------
+# document/text queries (documents table)
+# --------------------------------------------------------------------------
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nonws = F.length(F.regexp_replace("text", r"\s+", ""))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+        (nonws / F.size(toks)).alias("avg_token_len"),
+    )
+
+
+SQL_DOC_TOKEN_STATS = r"""
+SELECT doc_id, lang,
+       len(string_split_regex(trim(text), '\s+'))::INT AS n_tokens,
+       length(text)::INT AS len_chars,
+       length(regexp_replace(text, '\s+', '', 'g')) /
+         len(string_split_regex(trim(text), '\s+')) AS avg_token_len
+FROM documents"""
+
+
+def q_doc_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text_hash", F.md5("text"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+SQL_DOC_EXACT_DUP = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1"""
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
+
+
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = flagship_per_query_mae(spark, sf_dir, FlagshipParams())
+    return df.select("symbol", "window_id", F.round("mae", 4).alias("mae"))
+
+
+def _flagship_oracle(p: FlagshipParams = FlagshipParams()) -> str:
+    L, P, stride = p.L, p.pred_window, p.stride
+    step = p.step_seconds
+    return f"""WITH {SQL_SERIES},
+res AS (
+  SELECT symbol,
+         time_bucket(INTERVAL '6 hours', ts - INTERVAL '1 microsecond')
+           + INTERVAL '6 hours' AS datetime,
+         arg_max(close, ts) AS close
+  FROM series GROUP BY 1, 2
+),
+idx AS (
+  SELECT symbol,
+         CAST(floor((epoch(datetime) - {ANCHOR_EPOCH}) / {step}) AS BIGINT) AS time_idx,
+         close
+  FROM res
+),
+pos AS (
+  SELECT symbol, time_idx, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) AS rn,
+         count(*) OVER (PARTITION BY symbol) AS cnt
+  FROM idx
+),
+skipped AS (
+  SELECT symbol, time_idx, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) AS rn2,
+         count(*) OVER (PARTITION BY symbol) AS cnt2
+  FROM pos WHERE rn > floor(cnt * {p.skip_frac})
+),
+labeled AS (
+  SELECT symbol, time_idx, close,
+         CASE WHEN rn2 <= cnt2 - floor(cnt2 * {p.val_ratio})
+              THEN 'train' ELSE 'val' END AS split
+  FROM skipped
+),
+grid AS (
+  SELECT symbol, split, unnest(generate_series(mn, mx)) AS time_idx
+  FROM (SELECT symbol, split, min(time_idx) AS mn, max(time_idx) AS mx
+        FROM labeled GROUP BY 1, 2)
+),
+filled AS (
+  SELECT g.symbol, g.split, g.time_idx,
+         last_value(l.close IGNORE NULLS) OVER (
+           PARTITION BY g.symbol, g.split ORDER BY g.time_idx
+           ROWS UNBOUNDED PRECEDING) AS close
+  FROM grid g LEFT JOIN labeled l
+    ON g.symbol = l.symbol AND g.split = l.split AND g.time_idx = l.time_idx
+),
+win AS (
+  SELECT symbol, split, time_idx AS window_id,
+         list(close) OVER (PARTITION BY symbol, split ORDER BY time_idx
+           ROWS BETWEEN CURRENT ROW AND {L - 1} FOLLOWING) AS raw,
+         list(close) OVER (PARTITION BY symbol, split ORDER BY time_idx
+           ROWS BETWEEN {L} FOLLOWING AND {L + P - 1} FOLLOWING) AS future
+  FROM filled
+),
+stats AS (
+  SELECT symbol, split, window_id, raw, future,
+         list_reduce(raw, (a,b) -> a+b) / {float(L)} AS center
+  FROM win WHERE len(raw) = {L}
+),
+zz AS (
+  SELECT symbol, split, window_id, center, future,
+         sqrt(list_reduce(list_transform(raw, x -> (x-center)*(x-center)),
+              (a,b) -> a+b) / {float(L)}) AS scale,
+         raw
+  FROM stats
+),
+zz2 AS (
+  SELECT symbol, split, window_id, center, scale, future,
+         list_transform(raw, x -> (x - center) / (scale + 1e-8)) AS xs
+  FROM zz
+),
+train_w AS (
+  SELECT * FROM zz2 WHERE split = 'train' AND len(future) = {P}
+),
+val_base AS (SELECT * FROM zz2 WHERE split = 'val'),
+w0 AS (SELECT symbol, min(window_id) AS w0 FROM val_base GROUP BY 1),
+val_w AS (
+  SELECT v.* FROM val_base v JOIN w0 USING (symbol)
+  WHERE (v.window_id - w0.w0) % {stride} = 0 AND len(v.future) = {P}
+),
+cand AS (
+  SELECT q.symbol AS q_symbol, q.window_id AS q_window_id,
+         q.center AS q_center, q.scale AS q_scale, q.future AS q_future,
+         t.window_id AS m_window_id, t.center AS m_center,
+         t.scale AS m_scale, t.future AS m_future,
+         {_sql_l2('t.xs', 'q.xs')} AS dist
+  FROM val_w q JOIN train_w t ON q.symbol = t.symbol
+),
+top2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_symbol, q_window_id
+              ORDER BY dist ASC, m_window_id ASC) AS rank
+    FROM cand)
+  WHERE rank <= {p.ensemble}
+),
+pred_steps AS (
+  SELECT q_symbol, q_window_id, i AS step,
+         (m_future[i] - m_center) / (m_scale + 1e-8) AS p
+  FROM top2, LATERAL (SELECT unnest(generate_series(1, {P})) AS i)
+),
+ens AS (
+  SELECT q_symbol, q_window_id, step, avg(p) AS pred
+  FROM pred_steps GROUP BY 1, 2, 3
+),
+target_steps AS (
+  SELECT symbol AS q_symbol, window_id AS q_window_id, i AS step,
+         (future[i] - center) / (scale + 1e-8) AS target
+  FROM val_w, LATERAL (SELECT unnest(generate_series(1, {P})) AS i)
+)
+SELECT q_symbol AS symbol, q_window_id AS window_id,
+       round(avg(abs(pred - target)), 4) AS mae
+FROM ens JOIN target_steps USING (q_symbol, q_window_id, step)
+GROUP BY 1, 2"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {
+        "flagship_forecast_mae": q_flagship,
+        "ts_dedup_keep_last": q_ts_dedup_keep_last,
+        "ts_time_filter_7d": q_ts_time_filter,
+        "ts_calendar_time_idx": q_ts_calendar,
+        "ts_resample_6h": q_ts_resample_6h,
+        "ts_gap_fill": q_ts_gap_fill,
+        "ts_sma": q_ts_sma,
+        "ts_delta_hist": q_ts_delta_hist,
+        "ts_windows_stats": q_ts_windows_stats,
+        "knn_l2_topk": q_knn_l2_topk,
+        "knn_cosine_topk": q_knn_cosine_topk,
+        "emb_centroid_by_label": q_emb_centroid_by_label,
+        "tpch_q1_pricing_summary": q_tpch_q1,
+        "top_revenue_nations": q_top_revenue_nations,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_exact_dup_groups": q_doc_exact_dup_groups,
+    }
+
+
+def all_oracles() -> dict[str, str]:
+    return {
+        "flagship_forecast_mae": _flagship_oracle(),
+        "ts_dedup_keep_last": SQL_TS_DEDUP,
+        "ts_time_filter_7d": SQL_TS_TIME_FILTER,
+        "ts_calendar_time_idx": SQL_TS_CALENDAR,
+        "ts_resample_6h": SQL_TS_RESAMPLE,
+        "ts_gap_fill": SQL_TS_GAP_FILL,
+        "ts_sma": SQL_TS_SMA,
+        "ts_delta_hist": SQL_TS_DELTA_HIST,
+        "ts_windows_stats": SQL_TS_WINDOWS_STATS,
+        "knn_l2_topk": _sql_knn("l2"),
+        "knn_cosine_topk": _sql_knn("cosine"),
+        "emb_centroid_by_label": SQL_EMB_CENTROID,
+        "tpch_q1_pricing_summary": SQL_TPCH_Q1,
+        "top_revenue_nations": SQL_TOP_REVENUE_NATIONS,
+        "doc_token_stats": SQL_DOC_TOKEN_STATS,
+        "doc_exact_dup_groups": SQL_DOC_EXACT_DUP,
+    }

@@ -42,8 +42,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANO_TS_COLS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            # integer division: nanos exceed 2^53, double math would
+            # round the low digits
             df = df.withColumn(
-                c, F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long"))
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
             )
     return df
 
