@@ -30,6 +30,17 @@ def main() -> None:
     spark = get_spark(app_name="bdspf-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm up the JVM (whole-stage codegen compilation, parquet reader
+    # classes, shuffle machinery) so per-query timings measure the
+    # engine, not one-time class loading billed to whichever query
+    # happens to run first
+    from pyspark.sql import functions as F
+
+    warm = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    warm.groupBy("user_id").agg(F.count(F.lit(1))).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in all_queries().items():

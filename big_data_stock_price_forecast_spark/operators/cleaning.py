@@ -77,11 +77,26 @@ def drop_nulls(df: DataFrame) -> DataFrame:
     return df.na.drop()
 
 
-def _with_pos(df: DataFrame, part_col: str, order_col: str) -> DataFrame:
+def _with_pos(
+    df: DataFrame, part_col: str, order_col: str, use_window: bool = False
+) -> DataFrame:
     """Attach per-partition row_number ``__rn`` (1-based) and count
-    ``__cnt``. One shuffle on ``part_col``; the count is an aggregate
-    joined broadcast (symbol cardinality << row count)."""
+    ``__cnt``.
+
+    ``use_window=False`` (standalone use): the count is a tiny
+    aggregate joined broadcast, so the big table is never shuffled
+    beyond the row_number's own exchange.
+    ``use_window=True`` (pipeline use): the count is a window function
+    over the SAME partitioning as the row_number — when the plan is
+    already hash-partitioned on ``part_col`` this adds NO exchange and
+    no extra jobs, which matters when the flagship chains a dozen
+    per-symbol operators.
+    """
     w = Window.partitionBy(part_col).orderBy(order_col)
+    if use_window:
+        return df.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__cnt", F.count(F.lit(1)).over(Window.partitionBy(part_col))
+        )
     cnts = df.groupBy(part_col).agg(F.count(F.lit(1)).alias("__cnt"))
     return df.withColumn("__rn", F.row_number().over(w)).join(
         F.broadcast(cnts), part_col
@@ -89,25 +104,51 @@ def _with_pos(df: DataFrame, part_col: str, order_col: str) -> DataFrame:
 
 
 def positional_skip_frac(
-    df: DataFrame, part_col: str, order_col: str, frac: float = 0.1
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    frac: float = 0.1,
+    use_window: bool = False,
 ) -> DataFrame:
     """Drop the first ``floor(n*frac)`` rows per partition — the
     reference's ``df.iloc[len(df)//10:]`` warmup skip (train.py:32)."""
     return (
-        _with_pos(df, part_col, order_col)
+        _with_pos(df, part_col, order_col, use_window)
         .filter(F.col("__rn") > F.floor(F.col("__cnt") * F.lit(frac)))
         .drop("__rn", "__cnt")
     )
 
 
 def positional_split(
-    df: DataFrame, part_col: str, order_col: str, val_ratio: float = 0.15
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    val_ratio: float = 0.15,
+    use_window: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Time-ordered tail split: val = last ``floor(n*val_ratio)`` rows
     per partition, train = the rest (train.py:35-38). NOT randomSplit —
     the split must respect time order."""
-    pos = _with_pos(df, part_col, order_col)
+    pos = _with_pos(df, part_col, order_col, use_window)
     boundary = F.col("__cnt") - F.floor(F.col("__cnt") * F.lit(val_ratio))
     train = pos.filter(F.col("__rn") <= boundary).drop("__rn", "__cnt")
     val = pos.filter(F.col("__rn") > boundary).drop("__rn", "__cnt")
     return train, val
+
+
+def positional_split_labeled(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    val_ratio: float = 0.15,
+    use_window: bool = False,
+) -> DataFrame:
+    """Same split as :func:`positional_split` but as ONE DataFrame with
+    a ``split`` label column ('train'/'val') — keeps downstream
+    per-symbol pipelines single-branch (one scan, one lineage) until a
+    consumer actually needs the two sides apart."""
+    pos = _with_pos(df, part_col, order_col, use_window)
+    boundary = F.col("__cnt") - F.floor(F.col("__cnt") * F.lit(val_ratio))
+    return pos.withColumn(
+        "split", F.when(F.col("__rn") <= boundary, "train").otherwise("val")
+    ).drop("__rn", "__cnt")

@@ -85,33 +85,30 @@ def forecast_evaluate(
         F.col("rank") <= ensemble
     )
 
-    # re-standardize each match's future by the MATCH's stats, explode
-    # to (query, step) and ensemble-average
-    pred_steps = top.select(
+    # re-standardize each match's future by the MATCH's stats and the
+    # query's future by the QUERY's stats; explode both together so the
+    # target rides along and no second join/branch over the query set is
+    # needed (it is constant per (query, step) -> F.first in the agg)
+    steps = top.select(
         "q_symbol",
         "q_window_id",
         F.posexplode(
-            zscore_array(
-                F.col("m_future"), F.col("m_center"), F.col("m_scale"), eps
+            F.arrays_zip(
+                zscore_array(
+                    F.col("m_future"), F.col("m_center"), F.col("m_scale"), eps
+                ).alias("p"),
+                zscore_array(
+                    F.col("q_future"), F.col("q_center"), F.col("q_scale"), eps
+                ).alias("t"),
             )
-        ).alias("step", "p"),
+        ).alias("step", "pt"),
     )
-    ens = pred_steps.groupBy("q_symbol", "q_window_id", "step").agg(
-        F.avg("p").alias("pred")
-    )
-
-    target_steps = queries.select(
-        "q_symbol",
-        "q_window_id",
-        F.posexplode(
-            zscore_array(
-                F.col("q_future"), F.col("q_center"), F.col("q_scale"), eps
-            )
-        ).alias("step", "target"),
+    ens = steps.groupBy("q_symbol", "q_window_id", "step").agg(
+        F.avg(F.col("pt.p")).alias("pred"),
+        F.first(F.col("pt.t")).alias("target"),
     )
     return (
-        ens.join(target_steps, ["q_symbol", "q_window_id", "step"])
-        .groupBy("q_symbol", "q_window_id")
+        ens.groupBy("q_symbol", "q_window_id")
         .agg(F.avg(F.abs(F.col("pred") - F.col("target"))).alias("mae"))
         .select(
             F.col("q_symbol").alias("symbol"),

@@ -26,35 +26,36 @@ from ..functions.calendar import ANCHOR_EPOCH
 
 def fill_missing_time_idx(
     df: DataFrame,
-    part_col: str = "symbol",
+    part_col: str | list[str] = "symbol",
     idx_col: str = "time_idx",
     ts_col: str = "datetime",
     step_seconds: int = 3600,
     fill_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Densify ``idx_col`` to every integer in [min, max] per symbol and
-    forward-fill ``fill_cols`` (default: all non-key columns). Adds
-    ``is_gap`` (1 for synthesized rows)."""
+    """Densify ``idx_col`` to every integer in [min, max] per partition
+    key and forward-fill ``fill_cols`` (default: all non-key columns).
+    Adds ``is_gap`` (1 for synthesized rows)."""
+    parts = [part_col] if isinstance(part_col, str) else list(part_col)
     if fill_cols is None:
         fill_cols = [
-            c for c in df.columns if c not in (part_col, idx_col, ts_col)
+            c for c in df.columns if c not in (*parts, idx_col, ts_col)
         ]
 
     grid = (
-        df.groupBy(part_col)
+        df.groupBy(*parts)
         .agg(F.min(idx_col).alias("__mn"), F.max(idx_col).alias("__mx"))
         .select(
-            part_col,
+            *parts,
             F.explode(F.sequence(F.col("__mn"), F.col("__mx"))).alias(idx_col),
         )
     )
-    joined = grid.join(df, [part_col, idx_col], "left").withColumn(
+    joined = grid.join(df, [*parts, idx_col], "left").withColumn(
         "is_gap", F.col(fill_cols[0]).isNull().cast("int")
         if fill_cols
         else F.lit(0),
     )
     w = (
-        Window.partitionBy(part_col)
+        Window.partitionBy(*parts)
         .orderBy(idx_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -34,22 +34,23 @@ def sliding_windows(
     value_col: str = "close",
     L: int = 256,
     pred_window: int = 0,
-    part_col: str = "symbol",
+    part_col: str | list[str] = "symbol",
     idx_col: str = "time_idx",
     eps: float = EPS,
 ) -> DataFrame:
-    """Returns (symbol, window_id, center, scale, xs[, future]).
+    """Returns (*part_cols, window_id, center, scale, xs[, future]).
 
     xs = z-scored L-length window (array<double>);
     center/scale = pre-normalization mean / stddev_pop;
     future = the P raw values following the window (if pred_window>0).
     """
-    base = Window.partitionBy(part_col).orderBy(idx_col)
+    parts = [part_col] if isinstance(part_col, str) else list(part_col)
+    base = Window.partitionBy(*parts).orderBy(idx_col)
     w_cur = base.rowsBetween(Window.currentRow, L - 1)
     v = F.col(value_col)
 
     out = df.select(
-        F.col(part_col),
+        *[F.col(c) for c in parts],
         F.col(idx_col).alias("window_id"),
         F.collect_list(v).over(w_cur).alias("__raw"),
         *(
@@ -79,7 +80,7 @@ def sliding_windows(
     out = out.withColumn(
         "xs", zscore_array(F.col("__raw"), F.col("center"), F.col("scale"), eps)
     ).drop("__raw")
-    cols = [part_col, "window_id", "center", "scale", "xs"]
+    cols = [*parts, "window_id", "center", "scale", "xs"]
     if pred_window:
         cols.append("future")
     return out.select(*cols)

@@ -24,11 +24,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.calendar import add_time_idx
 from ..operators.cleaning import (
+    positional_split_labeled,
     dedup_keep_last,
     positional_skip_frac,
     positional_split,
@@ -59,30 +60,22 @@ class FlagshipParams:
     within_symbol: bool = True
 
 
-def _windows_of(split: DataFrame, p: FlagshipParams) -> DataFrame:
-    filled = fill_missing_time_idx(
-        split,
-        part_col="symbol",
-        idx_col="time_idx",
-        ts_col="datetime",
-        step_seconds=p.step_seconds,
-        fill_cols=["close"],
-    ).select("symbol", "time_idx", "close")
-    return sliding_windows(
-        filled,
-        value_col="close",
-        L=p.L,
-        pred_window=p.pred_window,
-        part_col="symbol",
-        idx_col="time_idx",
-    )
-
-
-def flagship_per_query_mae(
+def flagship_windows(
     spark: SparkSession, sf_dir: str, p: FlagshipParams = FlagshipParams()
 ) -> DataFrame:
+    """events -> split-labeled, gap-filled, z-scored sliding windows.
+
+    Single-lineage plan: ONE wide exchange up front (hash by symbol);
+    every per-symbol operator after it (dedup, resample, positional
+    skip/split as window functions, per-(symbol,split) gap fill,
+    window build) satisfies its required distribution from that same
+    partitioning, so the whole chain is exchange-free — stage count
+    stays flat no matter how many operators stack.
+    """
     series = dedup_keep_last(
-        events_series(spark, sf_dir), ["symbol", "datetime"], "event_id"
+        events_series(spark, sf_dir).repartition("symbol"),
+        ["symbol", "datetime"],
+        "event_id",
     )
     res = resample_ohlcv(
         series.select("symbol", "datetime", "close"),
@@ -91,17 +84,45 @@ def flagship_per_query_mae(
         part_col="symbol",
     ).select("symbol", "datetime", "close")
     res = add_time_idx(res, "datetime", p.step_seconds)
-    res = positional_skip_frac(res, "symbol", "time_idx", p.skip_frac)
-    train_rows, val_rows = positional_split(
-        res, "symbol", "time_idx", p.val_ratio
+    res = positional_skip_frac(
+        res, "symbol", "time_idx", p.skip_frac, use_window=True
     )
-    train_w = _windows_of(train_rows, p)
-    val_w = _windows_of(val_rows, p)
+    labeled = positional_split_labeled(
+        res, "symbol", "time_idx", p.val_ratio, use_window=True
+    )
+    filled = fill_missing_time_idx(
+        labeled.select("symbol", "split", "time_idx", "close"),
+        part_col=["symbol", "split"],
+        idx_col="time_idx",
+        ts_col="__none__",
+        fill_cols=["close"],
+    ).select("symbol", "split", "time_idx", "close")
+    return sliding_windows(
+        filled,
+        value_col="close",
+        L=p.L,
+        pred_window=p.pred_window,
+        part_col=["symbol", "split"],
+        idx_col="time_idx",
+    )
+
+
+def flagship_per_query_mae(
+    spark: SparkSession, sf_dir: str, p: FlagshipParams = FlagshipParams()
+) -> DataFrame:
+    # repartition here is deliberate: it materializes the windows table
+    # behind an exchange whose subtree is IDENTICAL for the train and
+    # val branches of the self-join below, so Spark's ReuseExchange
+    # computes the whole upstream pipeline once instead of twice
+    windows = flagship_windows(spark, sf_dir, p).repartition("symbol")
+    train_w = windows.filter(F.col("split") == "train").drop("split")
+    val_w = windows.filter(F.col("split") == "val").drop("split")
     # strided evaluation cursor (W11): every `stride`-th window position
     # per symbol, position 0 = the symbol's first val window
-    mins = val_w.groupBy("symbol").agg(F.min("window_id").alias("__w0"))
     val_w = (
-        val_w.join(F.broadcast(mins), "symbol")
+        val_w.withColumn(
+            "__w0", F.min("window_id").over(Window.partitionBy("symbol"))
+        )
         .filter((F.col("window_id") - F.col("__w0")) % p.stride == 0)
         .drop("__w0")
     )
