@@ -1,0 +1,253 @@
+"""Rolling / technical-analysis indicators (SURVEY.md §2.5 W3/W4/W12).
+
+The reference pulls ~85 indicators from the `ta` package
+(core/data/preprocess.py:11-16, optional surface) plus explicit SMA
+50/100/200 (preprocess.py:46-51) and EMA (preprocess.py:52-54). Here a
+curated subset is implemented natively as window expressions (JVM-side,
+one shared partition spec → no extra shuffle when the plan is already
+hash-partitioned on the series key), and the genuinely-recursive
+EMA family (EMA, MACD, RSI, ATR-Wilder) goes through ONE Arrow
+``applyInPandas`` pass per series — the documented escape hatch for
+infinite-frame recursions no SQL window can express.
+
+Numeric contracts:
+- EMA: pandas ``ewm(span, adjust=False)`` recursion
+  ``y_t = (1-a)*y_{t-1} + a*x_t`` seeded ``y_0 = x_0``; evaluated in
+  exactly that operand order so the DuckDB oracle (sequential
+  ``list_reduce`` over a prefix list) reproduces it bitwise.
+- Rolling stddev is population (ddof=0), matching the reference's
+  z-score convention.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+
+def _base(part_col: str, idx_col: str) -> Window:
+    return Window.partitionBy(part_col).orderBy(idx_col)
+
+
+def sma(
+    df: DataFrame,
+    value_col: str = "close",
+    n: int = 20,
+    out_col: str | None = None,
+    part_col: str = "symbol",
+    idx_col: str = "time_idx",
+) -> DataFrame:
+    """Simple moving average, null for the first n-1 rows (W3)."""
+    w = _base(part_col, idx_col)
+    frame = w.rowsBetween(-(n - 1), 0)
+    rn = F.row_number().over(w)
+    return df.withColumn(
+        out_col or f"sma{n}",
+        F.when(rn >= n, F.avg(value_col).over(frame)),
+    )
+
+
+def add_indicators(
+    df: DataFrame,
+    part_col: str = "symbol",
+    idx_col: str = "time_idx",
+    close_col: str = "close",
+    high_col: str = "high",
+    low_col: str = "low",
+    volume_col: str = "volume",
+    bb_n: int = 20,
+    roc_n: int = 12,
+    willr_n: int = 14,
+    don_n: int = 20,
+    vwap_n: int = 20,
+) -> DataFrame:
+    """One-pass battery of frame-expressible indicators. All columns
+    share one Window spec (same partitioning + ordering), so Catalyst
+    plans a single sort and zero additional exchanges:
+
+    - ``ret`` / ``logret``: simple and log returns
+    - ``sma{bb_n}``, ``bb_upper``/``bb_lower``: Bollinger bands
+      (SMA ± 2·stddev_pop)
+    - ``roc{roc_n}``: rate of change, percent
+    - ``obv``: on-balance volume (cumulative signed volume)
+    - ``vwap{vwap_n}``: rolling volume-weighted average price
+    - ``willr{willr_n}``: Williams %R
+    - ``don_upper``/``don_lower``/``don_mid``: Donchian channel
+    """
+    w = _base(part_col, idx_col)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    rn = F.row_number().over(w)
+    c, h, lo, v = (F.col(x) for x in (close_col, high_col, low_col, volume_col))
+    prev = F.lag(c).over(w)
+
+    bb_frame = w.rowsBetween(-(bb_n - 1), 0)
+    mid = F.avg(c).over(bb_frame)
+    sd = F.stddev_pop(c).over(bb_frame)
+    will_frame = w.rowsBetween(-(willr_n - 1), 0)
+    hh, ll = F.max(h).over(will_frame), F.min(lo).over(will_frame)
+    don_frame = w.rowsBetween(-(don_n - 1), 0)
+    du, dl = F.max(h).over(don_frame), F.min(lo).over(don_frame)
+
+    # zero-guards (nullif) keep ANSI mode happy and define semantics on
+    # degenerate inputs: flat ranges / zero prices yield NULL, not error
+    prev_nz = F.nullif(prev, F.lit(0.0))
+    lag_n_nz = F.nullif(F.lag(c, roc_n).over(w), F.lit(0.0))
+    # VWAP over a sliding frame. Spark recomputes sliding-frame
+    # aggregates sequentially left-to-right (no retraction), so the
+    # DuckDB oracle reproduces it bitwise with a list_reduce fold over
+    # the same frame
+    vnz = F.coalesce(v, F.lit(1.0))
+    vwap_frame = w.rowsBetween(-(vwap_n - 1), 0)
+    vwap = F.sum(c * vnz).over(vwap_frame) / F.sum(vnz).over(vwap_frame)
+    return df.withColumns(
+        {
+            "ret": c / prev_nz - 1,
+            "logret": F.when((c > 0) & (prev > 0), F.log(c / prev)),
+            f"sma{bb_n}": F.when(rn >= bb_n, mid),
+            "bb_upper": F.when(rn >= bb_n, mid + 2 * sd),
+            "bb_lower": F.when(rn >= bb_n, mid - 2 * sd),
+            f"roc{roc_n}": 100 * (c / lag_n_nz - 1),
+            "obv": F.sum(F.signum(c - prev) * vnz).over(cum),
+            f"vwap{vwap_n}": vwap,
+            f"willr{willr_n}": F.when(
+                rn >= willr_n,
+                -100 * (hh - c) / F.nullif(hh - ll, F.lit(0.0)),
+            ),
+            "don_upper": F.when(rn >= don_n, du),
+            "don_lower": F.when(rn >= don_n, dl),
+            "don_mid": F.when(rn >= don_n, (du + dl) / 2),
+        }
+    )
+
+
+def ewm_smooth(
+    df: DataFrame,
+    alphas: dict[str, tuple[str, float]],
+    part_col: str = "symbol",
+    idx_col: str = "time_idx",
+) -> DataFrame:
+    """Exponential smoothing of one or more columns in ONE Arrow pass.
+
+    ``alphas`` maps output column -> (input column, alpha). Recursion
+    ``y = (1-a)*y + a*x`` seeded with the first non-null input value;
+    output is null until the input has a value (W4 escape hatch —
+    SURVEY.md §2.5: not expressible as a finite-frame window).
+    """
+    fields = list(df.schema.fields) + [
+        StructField(out, DoubleType()) for out in alphas
+    ]
+    schema = StructType(fields)
+    items = [(out, src, float(a)) for out, (src, a) in alphas.items()]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(idx_col)
+        for out, src, a in items:
+            xs = pdf[src].to_numpy()
+            ys = [None] * len(xs)
+            y = None
+            for i, x in enumerate(xs):
+                if x != x or x is None:  # NaN/null: carry state, emit null
+                    ys[i] = None
+                    continue
+                y = float(x) if y is None else (1.0 - a) * y + a * float(x)
+                ys[i] = y
+            pdf[out] = ys
+        return pdf
+
+    return df.groupBy(part_col).applyInPandas(fn, schema)
+
+
+def ema(
+    df: DataFrame,
+    value_col: str = "close",
+    span: int = 20,
+    out_col: str | None = None,
+    part_col: str = "symbol",
+    idx_col: str = "time_idx",
+) -> DataFrame:
+    """EMA with pandas ``span`` convention: alpha = 2/(span+1)."""
+    return ewm_smooth(
+        df,
+        {out_col or f"ema{span}": (value_col, 2.0 / (span + 1))},
+        part_col,
+        idx_col,
+    )
+
+
+def macd(
+    df: DataFrame,
+    value_col: str = "close",
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    part_col: str = "symbol",
+    idx_col: str = "time_idx",
+) -> DataFrame:
+    """MACD line, signal line, histogram (classic 12/26/9)."""
+    out = ewm_smooth(
+        df,
+        {
+            f"ema{fast}": (value_col, 2.0 / (fast + 1)),
+            f"ema{slow}": (value_col, 2.0 / (slow + 1)),
+        },
+        part_col,
+        idx_col,
+    ).withColumn("macd", F.col(f"ema{fast}") - F.col(f"ema{slow}"))
+    out = ewm_smooth(
+        out, {"macd_signal": ("macd", 2.0 / (signal + 1))}, part_col, idx_col
+    )
+    return out.withColumn("macd_hist", F.col("macd") - F.col("macd_signal"))
+
+
+def rsi(
+    df: DataFrame,
+    value_col: str = "close",
+    n: int = 14,
+    part_col: str = "symbol",
+    idx_col: str = "time_idx",
+) -> DataFrame:
+    """RSI with Wilder smoothing (ewm alpha=1/n over gains/losses),
+    100 - 100/(1+rs); 100 when the loss average is zero."""
+    w = _base(part_col, idx_col)
+    d = F.col(value_col) - F.lag(value_col).over(w)
+    out = df.withColumn("__gain", F.greatest(d, F.lit(0.0))).withColumn(
+        "__loss", F.greatest(-d, F.lit(0.0))
+    )
+    out = ewm_smooth(
+        out,
+        {"__ag": ("__gain", 1.0 / n), "__al": ("__loss", 1.0 / n)},
+        part_col,
+        idx_col,
+    )
+    rsi_col = F.when(F.col("__al") == 0.0, F.lit(100.0)).otherwise(
+        100.0 - 100.0 / (1.0 + F.col("__ag") / F.col("__al"))
+    )
+    return out.withColumn(f"rsi{n}", rsi_col).drop(
+        "__gain", "__loss", "__ag", "__al"
+    )
+
+
+def atr(
+    df: DataFrame,
+    n: int = 14,
+    high_col: str = "high",
+    low_col: str = "low",
+    close_col: str = "close",
+    part_col: str = "symbol",
+    idx_col: str = "time_idx",
+) -> DataFrame:
+    """Average True Range: Wilder ewm (alpha=1/n) over the true range
+    ``max(h-l, |h-prev_c|, |l-prev_c|)`` (greatest skips the null
+    prev_c on the first row)."""
+    w = _base(part_col, idx_col)
+    pc = F.lag(close_col).over(w)
+    tr = F.greatest(
+        F.col(high_col) - F.col(low_col),
+        F.abs(F.col(high_col) - pc),
+        F.abs(F.col(low_col) - pc),
+    )
+    out = df.withColumn("__tr", tr)
+    out = ewm_smooth(out, {f"atr{n}": ("__tr", 1.0 / n)}, part_col, idx_col)
+    return out.drop("__tr")

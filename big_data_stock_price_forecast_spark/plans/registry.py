@@ -28,6 +28,7 @@ from ..functions.distance import cos_sim, dist_l2
 from ..operators.cleaning import dedup_keep_last, time_range_filter
 from ..operators.gapfill import fill_missing_time_idx
 from ..operators.resample import resample_ohlcv
+from ..operators.rolling import add_indicators, atr, macd, rsi
 from ..operators.windows import sliding_windows
 from ..sources.tables import events_series, load_table
 from .flagship import FlagshipParams, flagship_per_query_mae
@@ -87,6 +88,25 @@ filled AS (
 )"""
 
 
+# DuckDB CTE: idx -> dense grid with ALL OHLC columns ffilled (the
+# volume proxy is the per-bucket row count)
+SQL_FILLED_OHLC = """
+grid AS (
+  SELECT symbol, unnest(generate_series(mn, mx)) AS time_idx
+  FROM (SELECT symbol, min(time_idx) AS mn, max(time_idx) AS mx FROM idx GROUP BY 1)
+),
+filled AS (
+  SELECT g.symbol, g.time_idx,
+         last_value(i.open IGNORE NULLS) OVER wf AS open,
+         last_value(i.high IGNORE NULLS) OVER wf AS high,
+         last_value(i.low IGNORE NULLS) OVER wf AS low,
+         last_value(i.close IGNORE NULLS) OVER wf AS close,
+         last_value(i.n_rows IGNORE NULLS) OVER wf::DOUBLE AS volume
+  FROM grid g LEFT JOIN idx i ON g.symbol = i.symbol AND g.time_idx = i.time_idx
+  WINDOW wf AS (PARTITION BY g.symbol ORDER BY g.time_idx ROWS UNBOUNDED PRECEDING)
+)"""
+
+
 def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deduped (symbol, datetime, close) from events."""
     return dedup_keep_last(
@@ -105,6 +125,20 @@ def _filled(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="__none__",
         fill_cols=["close"],
     ).select("symbol", "time_idx", "is_gap", "close")
+
+
+def _filled_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        fill_missing_time_idx(
+            _resampled(spark, sf_dir).select(
+                "symbol", "time_idx", "open", "high", "low", "close", "n_rows"
+            ),
+            ts_col="__none__",
+            fill_cols=["open", "high", "low", "close", "n_rows"],
+        )
+        .withColumn("volume", F.col("n_rows").cast("double"))
+        .select("symbol", "time_idx", "open", "high", "low", "close", "volume")
+    )
 
 
 # DuckDB sequential-fold L2 distance between two list expressions
@@ -281,6 +315,195 @@ SELECT symbol, window_id, round(center, 6) AS center, round(scale, 6) AS scale,
        round((raw[1] - center) / (scale + 1e-8), 6) AS z_first,
        round((raw[8] - center) / (scale + 1e-8), 6) AS z_last
 FROM zs"""
+
+
+# Engine-independent 6-decimal rounding: floor(x*1e6 + 0.5)/1e6 is pure
+# IEEE-754 ops so Spark and DuckDB produce bitwise-identical doubles.
+# Built-in round() differs between engines on half-boundary values
+# (Spark rounds the shortest decimal repr via Java BigDecimal.valueOf,
+# DuckDB rounds the true binary value). Trailing +0.0 folds -0.0.
+def _r6(c):
+    return (F.floor(F.col(c) * 1e6 + F.lit(0.5)) / 1e6 + F.lit(0.0)).alias(c)
+
+
+def _sql_r6(c: str) -> str:
+    return f"floor({c} * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS {c}"
+
+
+def _sql_r6_wrap(body: str, keys: list[str], cols: list[str]) -> str:
+    """Wrap an unrounded oracle body with the same explicit rounding."""
+    sel = ", ".join(keys) + ", " + ", ".join(_sql_r6(c) for c in cols)
+    return f"SELECT {sel} FROM ({body})"
+
+
+def q_ts_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = add_indicators(_filled_ohlc(spark, sf_dir))
+    r6 = _r6
+    return df.select(
+        "symbol", "time_idx",
+        r6("ret"), r6("logret"), r6("sma20"), r6("bb_upper"), r6("bb_lower"),
+        r6("roc12"), r6("obv"), r6("vwap20"), r6("willr14"),
+        r6("don_upper"), r6("don_lower"), r6("don_mid"),
+    )
+
+
+_SQL_TS_INDICATORS_BODY = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED_OHLC},
+pfx AS (
+  SELECT symbol, time_idx, high, low, close, volume,
+         lag(close) OVER w AS prev,
+         lag(close, 12) OVER w AS prev12,
+         row_number() OVER w AS rn,
+         list(close * volume) OVER f20 AS pvl,
+         list(volume) OVER f20 AS vvl
+  FROM filled
+  WINDOW w AS (PARTITION BY symbol ORDER BY time_idx),
+         f20 AS (PARTITION BY symbol ORDER BY time_idx ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+),
+lagged AS (
+  -- sequential left-to-right fold == Spark's sliding-frame recompute
+  SELECT * EXCLUDE (pvl, vvl),
+         list_reduce(pvl, (a, b) -> a + b) AS pv_f,
+         list_reduce(vvl, (a, b) -> a + b) AS vv_f
+  FROM pfx
+)
+SELECT symbol, time_idx,
+  close / nullif(prev, 0.0) - 1 AS ret,
+  CASE WHEN close > 0 AND prev > 0 THEN ln(close / prev) END AS logret,
+  CASE WHEN rn >= 20 THEN avg(close) OVER f20 END AS sma20,
+  CASE WHEN rn >= 20
+        THEN avg(close) OVER f20 + 2 * stddev_pop(close) OVER f20 END AS bb_upper,
+  CASE WHEN rn >= 20
+        THEN avg(close) OVER f20 - 2 * stddev_pop(close) OVER f20 END AS bb_lower,
+  100 * (close / nullif(prev12, 0.0) - 1) AS roc12,
+  sum(sign(close - prev) * volume) OVER cum AS obv,
+  pv_f / vv_f AS vwap20,
+  CASE WHEN rn >= 14
+        THEN -100 * (max(high) OVER f14 - close)
+             / nullif(max(high) OVER f14 - min(low) OVER f14, 0.0) END AS willr14,
+  CASE WHEN rn >= 20 THEN max(high) OVER f20 END AS don_upper,
+  CASE WHEN rn >= 20 THEN min(low) OVER f20 END AS don_lower,
+  CASE WHEN rn >= 20
+        THEN (max(high) OVER f20 + min(low) OVER f20) / 2 END AS don_mid
+FROM lagged
+WINDOW f20 AS (PARTITION BY symbol ORDER BY time_idx ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+       f14 AS (PARTITION BY symbol ORDER BY time_idx ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+       cum AS (PARTITION BY symbol ORDER BY time_idx ROWS UNBOUNDED PRECEDING)"""
+
+SQL_TS_INDICATORS = _sql_r6_wrap(
+    _SQL_TS_INDICATORS_BODY,
+    ["symbol", "time_idx"],
+    ["ret", "logret", "sma20", "bb_upper", "bb_lower", "roc12", "obv",
+     "vwap20", "willr14", "don_upper", "don_lower", "don_mid"],
+)
+
+
+def q_ts_ema_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = macd(_filled(spark, sf_dir).select("symbol", "time_idx", "close"))
+    r6 = _r6
+    return df.select(
+        "symbol", "time_idx", r6("ema12"), r6("ema26"), r6("macd"),
+        r6("macd_signal"), r6("macd_hist"),
+    )
+
+
+def _sql_ewm(prefix_list: str, alpha_expr: str) -> str:
+    """Sequential ewm recursion y=(1-a)*y+a*x over a prefix list —
+    bitwise-identical to the Arrow UDF's loop."""
+    return (
+        f"list_reduce({prefix_list}, (acc, x) ->"
+        f" (1.0 - {alpha_expr}) * acc + {alpha_expr} * x)"
+    )
+
+
+SQL_TS_EMA_MACD = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+pre AS (
+  SELECT symbol, time_idx,
+         list(close) OVER (PARTITION BY symbol ORDER BY time_idx
+           ROWS UNBOUNDED PRECEDING) AS pfx
+  FROM filled
+),
+e AS (
+  SELECT symbol, time_idx,
+         {_sql_ewm('pfx', '2.0/13.0')} AS ema12,
+         {_sql_ewm('pfx', '2.0/27.0')} AS ema26
+  FROM pre
+),
+m AS (SELECT *, ema12 - ema26 AS macd FROM e),
+mp AS (
+  SELECT symbol, time_idx, ema12, ema26, macd,
+         list(macd) OVER (PARTITION BY symbol ORDER BY time_idx
+           ROWS UNBOUNDED PRECEDING) AS mpfx
+  FROM m
+),
+s AS (SELECT *, {_sql_ewm('mpfx', '2.0/10.0')} AS macd_signal FROM mp)
+SELECT symbol, time_idx, ema12, ema26, macd, macd_signal,
+       macd - macd_signal AS macd_hist
+FROM s"""
+
+SQL_TS_EMA_MACD = _sql_r6_wrap(
+    SQL_TS_EMA_MACD,
+    ["symbol", "time_idx"],
+    ["ema12", "ema26", "macd", "macd_signal", "macd_hist"],
+)
+
+
+def q_ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = rsi(_filled(spark, sf_dir).select("symbol", "time_idx", "close"))
+    return df.select("symbol", "time_idx", _r6("rsi14"))
+
+
+SQL_TS_RSI = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+d AS (
+  SELECT symbol, time_idx,
+         greatest(close - lag(close) OVER w, 0.0) AS gain,
+         greatest(-(close - lag(close) OVER w), 0.0) AS loss
+  FROM filled
+  WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)
+),
+pre AS (
+  SELECT symbol, time_idx,
+         list(gain) OVER wc AS gpfx, list(loss) OVER wc AS lpfx
+  FROM d
+  WINDOW wc AS (PARTITION BY symbol ORDER BY time_idx ROWS UNBOUNDED PRECEDING)
+),
+sm AS (
+  SELECT symbol, time_idx,
+         {_sql_ewm('gpfx', '1.0/14.0')} AS ag,
+         {_sql_ewm('lpfx', '1.0/14.0')} AS al
+  FROM pre
+)
+SELECT symbol, time_idx,
+       CASE WHEN al = 0.0 THEN 100.0
+            ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsi14
+FROM sm"""
+
+SQL_TS_RSI = _sql_r6_wrap(SQL_TS_RSI, ["symbol", "time_idx"], ["rsi14"])
+
+
+def q_ts_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = atr(_filled_ohlc(spark, sf_dir))
+    return df.select("symbol", "time_idx", _r6("atr14"))
+
+
+SQL_TS_ATR = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED_OHLC},
+tr AS (
+  SELECT symbol, time_idx,
+         greatest(high - low,
+                  abs(high - lag(close) OVER w),
+                  abs(low - lag(close) OVER w)) AS tr
+  FROM filled
+  WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)
+),
+pre AS (
+  SELECT symbol, time_idx,
+         list(tr) OVER (PARTITION BY symbol ORDER BY time_idx
+           ROWS UNBOUNDED PRECEDING) AS pfx
+  FROM tr
+)
+SELECT symbol, time_idx, {_sql_ewm('pfx', '1.0/14.0')} AS atr14
+FROM pre"""
+
+SQL_TS_ATR = _sql_r6_wrap(SQL_TS_ATR, ["symbol", "time_idx"], ["atr14"])
 
 
 # --------------------------------------------------------------------------
@@ -649,6 +872,10 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_sma": q_ts_sma,
         "ts_delta_hist": q_ts_delta_hist,
         "ts_windows_stats": q_ts_windows_stats,
+        "ts_indicators": q_ts_indicators,
+        "ts_ema_macd": q_ts_ema_macd,
+        "ts_rsi14": q_ts_rsi,
+        "ts_atr14": q_ts_atr,
         "knn_l2_topk": q_knn_l2_topk,
         "knn_cosine_topk": q_knn_cosine_topk,
         "emb_centroid_by_label": q_emb_centroid_by_label,
@@ -670,6 +897,10 @@ def all_oracles() -> dict[str, str]:
         "ts_sma": SQL_TS_SMA,
         "ts_delta_hist": SQL_TS_DELTA_HIST,
         "ts_windows_stats": SQL_TS_WINDOWS_STATS,
+        "ts_indicators": SQL_TS_INDICATORS,
+        "ts_ema_macd": SQL_TS_EMA_MACD,
+        "ts_rsi14": SQL_TS_RSI,
+        "ts_atr14": SQL_TS_ATR,
         "knn_l2_topk": _sql_knn("l2"),
         "knn_cosine_topk": _sql_knn("cosine"),
         "emb_centroid_by_label": SQL_EMB_CENTROID,

@@ -48,7 +48,11 @@ def canon(v):
 
 
 def _sort_key(row):
-    return tuple((v is None, str(type(v)), str(v)) for v in row)
+    # +0.0 collapses -0.0/0.0 so row alignment is zero-sign-insensitive
+    return tuple(
+        (v is None, str(type(v)), str(v + 0.0) if isinstance(v, float) else str(v))
+        for v in row
+    )
 
 
 def main():
