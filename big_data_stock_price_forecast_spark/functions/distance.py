@@ -55,6 +55,30 @@ def cos_sim(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
+    """Dot product as a FLAT left-associated sum of ``dim`` products.
+
+    Bitwise-identical to the sequential ``aggregate`` fold (0.0 + p1 ==
+    p1), but a flat expression compiles under whole-stage codegen while
+    higher-order lambdas are interpreted per row — ~10x faster in
+    pair-join hot paths. Requires a statically known dimension."""
+    a, b = _to_col(a), _to_col(b)
+    out = F.element_at(a, 1) * F.element_at(b, 1)
+    for i in range(2, dim + 1):
+        out = out + F.element_at(a, i) * F.element_at(b, i)
+    return out
+
+
+def l2_norm_fixed(a: Column | str, dim: int) -> Column:
+    """Flat-codegen L2 norm; bitwise equal to ``l2_norm`` (see
+    ``dot_fixed``)."""
+    a = _to_col(a)
+    out = F.element_at(a, 1) * F.element_at(a, 1)
+    for i in range(2, dim + 1):
+        out = out + F.element_at(a, i) * F.element_at(a, i)
+    return F.sqrt(out)
+
+
 METRICS_ORDER_DESC = {"l1": False, "l2": False, "cosine": True}
 
 

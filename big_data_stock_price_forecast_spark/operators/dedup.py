@@ -1,0 +1,376 @@
+"""Document deduplication operators (training-data pipeline surface).
+
+Four dedup families over a documents table, all expressed as native
+DataFrame plans (no Python UDFs anywhere):
+
+- exact: hash-groupBy on text (or its fingerprint) — one shuffle.
+- MinHash + LSH: shingle -> 60-bit hash -> k permuted mins -> band keys
+  -> bucket self-join -> exact-Jaccard verify of candidates only.
+- SimHash: 60-bit signature per doc; near-dup pairs via pigeonhole
+  banding (distance <= h implies >= 1 of h+1 chunks equal) + exact
+  Hamming verify. Banding makes the join an equi-join on chunk value —
+  no O(n^2) cross product at any scale.
+- n-gram Jaccard: brute-force pairwise on distinct shingle sets — the
+  exact baseline the sketches are verified against (quadratic; only for
+  oracle-scale data or within-bucket verification).
+
+Scale design: every pair-generating step is an equi-join on a sketch
+bucket (shuffle partitioned by bucket key); the quadratic work happens
+only inside buckets, whose size is controlled by the sketch parameters
+(bands*rows for MinHash, chunk width for SimHash). Candidate
+verification touches only the joined pairs. All sketch arithmetic is
+integer (md5-derived 60-bit hashes, mod-2^31-1 affine permutations), so
+results are reproducible across engines and partitionings bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import hash60, shingles, tokens
+
+MH_PRIME = 2147483647  # 2^31 - 1: keeps a*h + b within signed 64-bit
+MH_PERMS = 64
+MH_BANDS = 16
+MH_ROWS = 4
+
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4  # pigeonhole: catches all pairs with distance <= 3
+SIMHASH_MAX_DIST = SIMHASH_CHUNKS - 1
+
+
+def minhash_coeffs(k: int = MH_PERMS) -> tuple[list[int], list[int]]:
+    """Deterministic affine-permutation coefficients (a*h + b) mod P.
+    Fixed multipliers (Knuth/Numerical-Recipes LCG constants) so the
+    DuckDB oracle can inline the same values."""
+    a = [(2654435761 * (i + 1)) % MH_PRIME or 1 for i in range(k)]
+    b = [(1013904223 * (i + 1)) % MH_PRIME for i in range(k)]
+    return a, b
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, out: str = "sh"
+) -> DataFrame:
+    """Distinct word n-gram shingles of the tokenized text."""
+    return df.withColumn(out, shingles(tokens(F.col(text_col)), n))
+
+
+def minhash_signature(
+    df: DataFrame,
+    shingle_col: str = "sh",
+    k: int = MH_PERMS,
+    out: str = "sig",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """k-permutation MinHash signature per id as an array<long> column.
+
+    Plan shape: explode (id, shingle-hash) postings, then ONE hash
+    aggregation with k `min` columns — everything stays inside
+    whole-stage codegen (array lambdas would be interpreted per row and
+    dominate runtime at scale). min() is order-independent, so the
+    result is identical to folding the shingle array. Docs with no
+    shingles (< n tokens) produce no postings and drop out.
+    """
+    a, b = minhash_coeffs(k)
+    ex = df.select(
+        id_col,
+        F.explode(
+            F.transform(F.col(shingle_col), lambda s: hash60(s) % MH_PRIME)
+        ).alias("__h"),
+    )
+    aggs = [
+        F.min((F.col("__h") * ai + bi) % MH_PRIME).alias(f"__s{i}")
+        for i, (ai, bi) in enumerate(zip(a, b))
+    ]
+    sigs = ex.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        id_col, F.array(*[f"__s{i}" for i in range(k)]).alias(out)
+    )
+
+
+def lsh_band_keys(
+    sig_col: str = "sig", bands: int = MH_BANDS, rows: int = MH_ROWS
+) -> Column:
+    """Array of (band_id, key) structs: key = '_'-joined signature slice.
+    Equal key within a band <=> the rows of that band collide."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.element_at(F.col(sig_col), bi * rows + j + 1).cast(
+                            "string"
+                        )
+                        for j in range(rows)
+                    ],
+                ).alias("key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two DISTINCT-element arrays via the inclusion-
+    exclusion identity |A∩B| = |A|+|B|-|A∪B| — integer sizes, one
+    double division, engine-independent."""
+    union = F.size(F.array_distinct(F.concat(a, b)))
+    inter = F.size(a) + F.size(b) - union
+    return inter.cast("double") / F.nullif(union, F.lit(0)).cast("double")
+
+
+def _ordered_bucket_pairs(ps: Column) -> Column:
+    """All unordered element pairs of an array<struct> (structs must
+    have an ``id`` field), each emitted as struct(a, b) with a.id <
+    b.id. Used to expand grouped LSH buckets into candidate pairs
+    without a self-join — a self-join would recompute the whole sketch
+    lineage once per side."""
+
+    def _with_rest(x, i):
+        rest = F.slice(ps, i + 2, F.size(ps))
+        return F.transform(
+            rest,
+            lambda y: F.struct(
+                F.when(x["id"] < y["id"], x).otherwise(y).alias("a"),
+                F.when(x["id"] < y["id"], y).otherwise(x).alias("b"),
+            ),
+        )
+
+    return F.flatten(F.transform(ps, _with_rest))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    k: int = MH_PERMS,
+    bands: int = MH_BANDS,
+    rows: int = MH_ROWS,
+) -> DataFrame:
+    """Near-duplicate pairs (i < j, exact shingle-Jaccard >= threshold)
+    among LSH candidates. Returns (id_i, id_j, jac).
+
+    Plan shape: explode postings -> ONE codegen hash-agg builds the
+    signatures; band keys group docs into buckets; pairs expand inside
+    each bucket (groupBy + collect_list, never a self-join, so the
+    sketch lineage runs once); distinct collapses multi-band hits; two
+    hash joins re-attach shingle sets for the exact-Jaccard verify of
+    the (tiny) candidate set.
+    """
+    # persist: the shingle lineage feeds the signature build AND both
+    # sides of the verify join — without it Spark recomputes the
+    # tokenize+shingle+hash pipeline three times
+    base = (
+        with_shingles(docs.select(id_col, text_col), text_col, n)
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    sh = base.select(F.col(id_col).alias("id"), "sh")
+    sigs = minhash_signature(base, k=k, id_col=id_col)
+
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.explode(lsh_band_keys("sig", bands, rows)).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.collect_list(F.struct("id")).alias("ps"))
+        .filter(F.size("ps") > 1)
+    )
+    cand = (
+        buckets.select(
+            F.explode(_ordered_bucket_pairs(F.col("ps"))).alias("p")
+        )
+        .select(
+            F.col("p.a.id").alias("id_i"), F.col("p.b.id").alias("id_j")
+        )
+        .distinct()
+    )
+
+    verified = (
+        cand.join(sh.withColumnsRenamed({"id": "id_i", "sh": "sh_i"}), "id_i")
+        .join(sh.withColumnsRenamed({"id": "id_j", "sh": "sh_j"}), "id_j")
+        .withColumn("jac", jaccard(F.col("sh_i"), F.col("sh_j")))
+        .filter(F.col("jac") >= threshold)
+        .select("id_i", "id_j", "jac")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact all-pairs shingle-Jaccard >= threshold via an inverted
+    index — NOT a cross product. Explode (doc, shingle-hash), self-
+    equi-join on the hash, count shared shingles per pair (inter), then
+    jac = inter / (|A| + |B| - inter). Any pair with jac >= tau > 0
+    shares a shingle, so nothing is missed; work scales with
+    sum(df(shingle)^2) — near-linear when shingles are rare — instead
+    of n^2. Shingles join as 60-bit integer hashes (cheap shuffle keys;
+    md5-collision odds are negligible).
+    """
+    sh = (
+        with_shingles(docs.select(id_col, text_col), text_col, n)
+        .filter(F.size("sh") > 0)
+        .select(F.col(id_col).alias("id"), "sh")
+    )
+    ex = sh.select(
+        "id",
+        F.size("sh").alias("cnt"),
+        F.explode(F.transform("sh", lambda s: hash60(s))).alias("h"),
+    )
+    buckets = (
+        ex.groupBy("h")
+        .agg(F.collect_list(F.struct("id", "cnt")).alias("ps"))
+        .filter(F.size("ps") > 1)
+    )
+    inter = (
+        buckets.select(
+            F.explode(_ordered_bucket_pairs(F.col("ps"))).alias("p")
+        )
+        .groupBy(
+            F.col("p.a.id").alias("id_i"),
+            F.col("p.a.cnt").alias("cnt_i"),
+            F.col("p.b.id").alias("id_j"),
+            F.col("p.b.cnt").alias("cnt_j"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("cnt_i") + F.col("cnt_j") - F.col("inter")
+    ).cast("double")
+    return inter.select(
+        "id_i", "id_j", jac.alias("jac")
+    ).filter(F.col("jac") >= threshold)
+
+
+_POWS = [1 << j for j in range(SIMHASH_BITS)]
+
+
+def simhash(tok: Column) -> Column:
+    """60-bit SimHash of a token array: each token occurrence votes
+    +1/-1 per bit of its 60-bit hash; bit j of the result is set when
+    votes[j] >= 0. Pure integer folds — order-independent and exact."""
+    pows = F.array(*[F.lit(p) for p in _POWS])
+    bitlists = F.transform(
+        tok,
+        lambda t: F.transform(
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+            lambda j: F.when(
+                hash60(t).bitwiseAND(F.element_at(pows, j + 1)) != 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        ),
+    )
+    votes = F.aggregate(
+        bitlists,
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, pows, lambda vt, p: F.when(vt >= 0, p).otherwise(F.lit(0))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "simhash",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, simhash) via explode + ONE codegen hash-agg: each token
+    occurrence becomes a row (occurrences weight the vote — classic
+    SimHash uses term frequency), 60 conditional-sum columns accumulate
+    the bit votes, and a flat 60-term expression assembles the
+    signature. Integer sums are order-independent, so this equals the
+    per-row array fold bit-for-bit while staying inside whole-stage
+    codegen. Docs with no tokens produce no rows."""
+    ex = df.select(
+        id_col, F.explode(tokens(F.col(text_col))).alias("__t")
+    ).select(id_col, hash60(F.col("__t")).alias("__h"))
+    aggs = [
+        F.sum(
+            F.when(
+                F.col("__h").bitwiseAND(F.lit(_POWS[j])) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"__v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    votes = ex.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        sim = sim + F.when(
+            F.col(f"__v{j}") >= 0, F.lit(_POWS[j])
+        ).otherwise(F.lit(0))
+    return votes.select(id_col, sim.alias(out))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = SIMHASH_MAX_DIST,
+    chunks: int = SIMHASH_CHUNKS,
+) -> DataFrame:
+    """Pairs (i < j) with SimHash Hamming distance <= max_dist.
+
+    Pigeonhole banding: split the 60 bits into ``chunks`` equal chunks;
+    any pair within distance chunks-1 must agree on >= 1 chunk, so an
+    equi-join on (chunk_idx, chunk_value) finds ALL such pairs — the
+    result equals brute force exactly, at equi-join cost.
+    """
+    if max_dist >= chunks:
+        raise ValueError("need chunks > max_dist for exact pigeonhole")
+    width = SIMHASH_BITS // chunks
+    base = with_simhash(
+        docs.select(id_col, text_col), text_col, id_col=id_col
+    ).select(F.col(id_col).alias("id"), "simhash")
+    chunked = base.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("v"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "simhash", "ck.c", "ck.v")
+    buckets = (
+        chunked.groupBy("c", "v")
+        .agg(F.collect_list(F.struct("id", "simhash")).alias("ps"))
+        .filter(F.size("ps") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(_ordered_bucket_pairs(F.col("ps"))).alias("p")
+    ).select(
+        F.col("p.a.id").alias("id_i"),
+        F.col("p.b.id").alias("id_j"),
+        F.bit_count(
+            F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
+        ).alias("hamming"),
+    )
+    # filter BEFORE distinct: correlated signatures make chunk buckets
+    # large, and deduplicating the full candidate set would shuffle
+    # orders of magnitude more rows than the survivors
+    return pairs.filter(F.col("hamming") <= max_dist).distinct()

@@ -25,10 +25,39 @@ from pyspark.sql import functions as F
 
 from ..functions.calendar import ANCHOR_EPOCH, add_calendar, add_time_idx, weekday_mon0
 from ..functions.distance import cos_sim, dist_l2
+from ..functions.text import (
+    EN_STOPWORDS,
+    fingerprint,
+    predicted_lang,
+    sql_fingerprint,
+    sql_hash60,
+    sql_lang_case,
+    sql_shingles,
+    sql_tokens,
+    tokens,
+)
 from ..operators.cleaning import dedup_keep_last, time_range_filter
+from ..operators.dedup import (
+    MH_BANDS,
+    MH_PRIME,
+    MH_ROWS,
+    SIMHASH_BITS,
+    SIMHASH_CHUNKS,
+    SIMHASH_MAX_DIST,
+    minhash_coeffs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
 from ..operators.gapfill import fill_missing_time_idx
 from ..operators.resample import resample_ohlcv
 from ..operators.rolling import add_indicators, atr, macd, rsi
+from ..operators.similarity import (
+    ANN_PLANES,
+    ann_lsh_topk,
+    embedding_near_dup_pairs,
+    sign_planes,
+)
 from ..operators.windows import sliding_windows
 from ..sources.tables import events_series, load_table
 from .flagship import FlagshipParams, flagship_per_query_mae
@@ -730,6 +759,369 @@ FROM documents GROUP BY 1"""
 
 
 # --------------------------------------------------------------------------
+# text analysis: quality, language-ID, fingerprint (documents table)
+# --------------------------------------------------------------------------
+
+SQL_TOKS = f"""toks AS (
+  SELECT doc_id, lang, text, {sql_tokens('text')} AS tok FROM documents
+)"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token stats, punctuation/stopword ratios, and a
+    0-4 integer quality flag count — the filter features an LLM-data
+    pipeline keys pretraining-mix decisions on."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("tok", tokens(F.col("text")))
+    n_tok = F.size("tok")
+    tok_chars = F.aggregate(
+        F.transform(F.col("tok"), lambda t: F.length(t)),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    punct = F.length(F.regexp_replace("text", "[a-z0-9 ]", ""))
+    stop_hits = F.size(
+        F.filter(F.col("tok"), lambda t: t.isin(*EN_STOPWORDS))
+    )
+    d = d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (tok_chars.cast("double") / F.nullif(n_tok, F.lit(0))).alias(
+            "mean_tok_len"
+        ),
+        (punct.cast("double") / F.length("text")).alias("punct_ratio"),
+        (stop_hits.cast("double") / F.nullif(n_tok, F.lit(0))).alias(
+            "stop_ratio"
+        ),
+    )
+    quality = (
+        F.when(F.col("n_tokens") >= 10, 1).otherwise(0)
+        + F.when(F.col("mean_tok_len").between(3.0, 10.0), 1).otherwise(0)
+        + F.when(F.col("punct_ratio") < 0.1, 1).otherwise(0)
+        + F.when(F.col("stop_ratio") > 0.05, 1).otherwise(0)
+    )
+    return d.select(
+        "doc_id", "n_tokens", _r6("mean_tok_len"), _r6("punct_ratio"),
+        _r6("stop_ratio"), quality.cast("int").alias("quality"),
+    )
+
+
+_SQL_DOC_QUALITY_BODY = f"""WITH {SQL_TOKS},
+m AS (
+  SELECT doc_id,
+    len(tok) AS n_tokens,
+    list_reduce(list_prepend(0, list_transform(tok, t -> length(t))),
+      (a, x) -> a + x)::DOUBLE / nullif(len(tok), 0) AS mean_tok_len,
+    length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+      / length(text) AS punct_ratio,
+    len(list_filter(tok, t -> t IN ({", ".join(f"'{w}'" for w in EN_STOPWORDS)})))::DOUBLE
+      / nullif(len(tok), 0) AS stop_ratio
+  FROM toks
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, mean_tok_len, punct_ratio, stop_ratio,
+  CAST((CASE WHEN n_tokens >= 10 THEN 1 ELSE 0 END
+      + CASE WHEN mean_tok_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END
+      + CASE WHEN punct_ratio < 0.1 THEN 1 ELSE 0 END
+      + CASE WHEN stop_ratio > 0.05 THEN 1 ELSE 0 END) AS INT) AS quality
+FROM m"""
+
+SQL_DOC_QUALITY = _sql_r6_wrap(
+    _SQL_DOC_QUALITY_BODY,
+    ["doc_id", "n_tokens", "quality"],
+    ["mean_tok_len", "punct_ratio", "stop_ratio"],
+)
+
+
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-profile language-ID; `hit` compares against
+    the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("tok", tokens(F.col("text")))
+    return d.select(
+        "doc_id",
+        "lang",
+        predicted_lang(F.col("tok")).alias("pred_lang"),
+    ).withColumn(
+        "hit", (F.col("pred_lang") == F.col("lang")).cast("int")
+    )
+
+
+SQL_DOC_LANGID = f"""WITH {SQL_TOKS}
+SELECT doc_id, lang, {sql_lang_case('tok')} AS pred_lang,
+       CAST({sql_lang_case('tok')} = lang AS INT) AS hit
+FROM toks"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash content fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id, {sql_fingerprint('text')} AS fp FROM documents"""
+
+
+# --------------------------------------------------------------------------
+# near-duplicate detection: MinHash-LSH, SimHash, n-gram Jaccard
+# --------------------------------------------------------------------------
+
+NEAR_DUP_TAU = 0.2
+
+
+def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(docs, threshold=NEAR_DUP_TAU)
+    return out.select("id_i", "id_j", _r6("jac"))
+
+
+def _sql_minhash_sig() -> str:
+    a, b = minhash_coeffs()
+    mins = ", ".join(
+        f"list_min(list_transform(h, x -> ({ai} * x + {bi}) % {MH_PRIME}))"
+        for ai, bi in zip(a, b)
+    )
+    return f"[{mins}]"
+
+
+def _sql_band_arms(table: str, bands: int = MH_BANDS, rows: int = MH_ROWS) -> str:
+    arms = []
+    for bi in range(bands):
+        key = " || '_' || ".join(
+            f"sig[{bi * rows + j + 1}]::VARCHAR" for j in range(rows)
+        )
+        arms.append(
+            f"SELECT doc_id, {bi} AS band, {key} AS key FROM {table}"
+        )
+    return " UNION ALL ".join(arms)
+
+
+def _sql_jaccard(a: str, b: str) -> str:
+    union = f"len(list_distinct(list_concat({a}, {b})))"
+    return (
+        f"(len({a}) + len({b}) - {union})::DOUBLE"
+        f" / nullif({union}, 0)::DOUBLE"
+    )
+
+
+_SQL_DOC_MINHASH_BODY = f"""WITH {SQL_TOKS},
+s AS (SELECT doc_id, {sql_shingles('tok', 3)} AS sh FROM toks),
+sf AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+hs AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> {sql_hash60('s')} % {MH_PRIME}) AS h
+  FROM sf
+),
+sigs AS (SELECT doc_id, {_sql_minhash_sig()} AS sig FROM hs),
+banded AS ({_sql_band_arms('sigs')}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_i, b.doc_id AS id_j
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT c.id_i, c.id_j, {_sql_jaccard('x.sh', 'y.sh')} AS jac
+  FROM cand c
+  JOIN sf x ON x.doc_id = c.id_i
+  JOIN sf y ON y.doc_id = c.id_j
+)
+SELECT id_i, id_j, jac FROM ver WHERE jac >= {NEAR_DUP_TAU}"""
+
+SQL_DOC_MINHASH = _sql_r6_wrap(
+    _SQL_DOC_MINHASH_BODY, ["id_i", "id_j"], ["jac"]
+)
+
+
+def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, threshold=NEAR_DUP_TAU)
+    return out.select("id_i", "id_j", _r6("jac"))
+
+
+_SQL_DOC_NGRAM_BODY = f"""WITH {SQL_TOKS},
+s AS (SELECT doc_id, {sql_shingles('tok', 3)} AS sh FROM toks),
+sf AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+e AS (
+  SELECT doc_id, len(sh) AS cnt,
+         unnest(list_transform(sh, s -> {sql_hash60('s')})) AS h
+  FROM sf
+),
+p AS (
+  SELECT a.doc_id AS id_i, a.cnt AS cnt_i, b.doc_id AS id_j,
+         b.cnt AS cnt_j, count(*) AS inter
+  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_i, id_j,
+       inter::DOUBLE / (cnt_i + cnt_j - inter)::DOUBLE AS jac
+FROM p WHERE inter::DOUBLE / (cnt_i + cnt_j - inter)::DOUBLE >= {NEAR_DUP_TAU}"""
+
+SQL_DOC_NGRAM = _sql_r6_wrap(_SQL_DOC_NGRAM_BODY, ["id_i", "id_j"], ["jac"])
+
+
+def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs).select(
+        "id_i", "id_j", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _sql_simhash_pairs() -> str:
+    pows = ", ".join(f"{1 << j}::BIGINT" for j in range(SIMHASH_BITS))
+    width = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << width) - 1
+    arms = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS c,"
+        f" (simhash >> {c * width}) & {mask} AS v FROM sim"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    return f"""WITH {SQL_TOKS},
+hs AS (
+  SELECT doc_id, list_transform(tok, t -> {sql_hash60('t')}) AS h
+  FROM toks WHERE len(tok) > 0
+),
+bl AS (
+  SELECT doc_id,
+    list_transform(h, x -> list_transform(range(0, {SIMHASH_BITS}),
+      j -> CASE WHEN (x & (1::BIGINT << CAST(j AS INT))) <> 0
+           THEN 1 ELSE -1 END)) AS bitlists
+  FROM hs
+),
+v AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(list_transform(range(0, {SIMHASH_BITS}), j -> 0), bitlists),
+      (acc, x) -> list_transform(list_zip(acc, x), z -> z[1] + z[2])
+    ) AS votes
+  FROM bl
+),
+sim AS (
+  SELECT doc_id,
+    list_reduce(list_transform(list_zip(votes, [{pows}]),
+      z -> CASE WHEN z[1] >= 0 THEN z[2] ELSE 0::BIGINT END),
+      (a, b) -> a + b) AS simhash
+  FROM v
+),
+chunked AS ({arms}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_i, b.doc_id AS id_j,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM chunked a JOIN chunked b
+    ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
+)
+SELECT id_i, id_j, hamming FROM cand WHERE hamming <= {SIMHASH_MAX_DIST}"""
+
+
+SQL_DOC_SIMHASH = _sql_simhash_pairs()
+
+
+# --------------------------------------------------------------------------
+# embedding near-dup + ANN (embeddings table)
+# --------------------------------------------------------------------------
+
+EMB_NEAR_DUP_TAU = 0.4
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=EMB_NEAR_DUP_TAU
+    )
+    return out.select("id_i", "id_j", _r6("cos"))
+
+
+_SQL_EMB_NEAR_DUP_BODY = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (
+  SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
+  FROM (SELECT vec_id, v, {_sql_norm('v')} AS nrm FROM emb)
+),
+p AS (
+  SELECT a.vec_id AS id_i, b.vec_id AS id_j,
+         {_sql_dot('a.vn', 'b.vn')} AS cos
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_i, id_j, cos FROM p WHERE cos >= {EMB_NEAR_DUP_TAU}"""
+
+SQL_EMB_NEAR_DUP = _sql_r6_wrap(
+    _SQL_EMB_NEAR_DUP_BODY, ["id_i", "id_j"], ["cos"]
+)
+
+
+def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = ann_lsh_topk(emb, queries, k=KNN_K)
+    return out.select("q_id", "id", "rank", _r6("cos"))
+
+
+def _sql_ann_lsh() -> str:
+    planes = sign_planes(ANN_PLANES, 64)
+    parts = []
+    for k, row in enumerate(planes):
+        lits = ", ".join(f"{s!r}" for s in row)
+        dot = (
+            f"list_reduce(list_prepend(0.0, "
+            f"list_transform(list_zip(v, [{lits}]), z -> z[1] * z[2])),"
+            f" (a, b) -> a + b)"
+        )
+        parts.append(f"CASE WHEN {dot} >= 0 THEN {1 << k} ELSE 0 END")
+    bucket = " + ".join(parts)
+    cos = f"{_sql_dot('e.v', 'q.qv')} / ({_sql_norm('e.v')} * {_sql_norm('q.qv')})"
+    body = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM emb),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id % 100 = 0),
+cand AS (
+  SELECT q.q_id, e.vec_id AS id, {cos} AS cos
+  FROM b e JOIN q ON e.bucket = q.bucket
+  WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, id ASC) AS INT) AS rank
+  FROM cand
+)
+SELECT q_id, id, rank, cos FROM ranked WHERE rank <= {KNN_K}"""
+    return _sql_r6_wrap(body, ["q_id", "id", "rank"], ["cos"])
+
+
+SQL_EMB_ANN_LSH = _sql_ann_lsh()
+
+
+# --------------------------------------------------------------------------
+# semi-structured: JSON props on the events stream
+# --------------------------------------------------------------------------
+
+
+def q_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract a JSON property and aggregate by (event_type, decile
+    bucket). Average computed as exact integer sum / count so the value
+    is group-order independent."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") - F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+        )
+        .withColumn(
+            "k_avg", F.col("k_sum").cast("double") / F.col("n")
+        )
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type, k - k % 10 AS k_bucket, count(*) AS n,
+       sum(k) AS k_sum, sum(k)::DOUBLE / count(*) AS k_avg
+FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events)
+GROUP BY 1, 2"""
+
+
+# --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
 
@@ -883,6 +1275,15 @@ def all_queries() -> dict[str, QueryFn]:
         "top_revenue_nations": q_top_revenue_nations,
         "doc_token_stats": q_doc_token_stats,
         "doc_exact_dup_groups": q_doc_exact_dup_groups,
+        "doc_quality": q_doc_quality,
+        "doc_langid": q_doc_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_minhash_lsh_pairs": q_doc_minhash_pairs,
+        "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        "emb_near_dup_pairs": q_emb_near_dup,
+        "emb_ann_lsh_topk": q_emb_ann_lsh,
+        "events_json_agg": q_events_json_agg,
     }
 
 
@@ -908,4 +1309,13 @@ def all_oracles() -> dict[str, str]:
         "top_revenue_nations": SQL_TOP_REVENUE_NATIONS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_exact_dup_groups": SQL_DOC_EXACT_DUP,
+        "doc_quality": SQL_DOC_QUALITY,
+        "doc_langid": SQL_DOC_LANGID,
+        "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "doc_minhash_lsh_pairs": SQL_DOC_MINHASH,
+        "doc_ngram_jaccard_pairs": SQL_DOC_NGRAM,
+        "doc_simhash_pairs": SQL_DOC_SIMHASH,
+        "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
+        "emb_ann_lsh_topk": SQL_EMB_ANN_LSH,
+        "events_json_agg": SQL_EVENTS_JSON,
     }

@@ -1,0 +1,228 @@
+"""Contracts for the text-analysis and dedup operator stack.
+
+Pins the portable-hash definition (md5-prefix 60-bit), sketch
+reproducibility (MinHash/SimHash pure-integer math), pigeonhole
+exactness of the banded joins, and the ±1-plane LSH bucketing."""
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from big_data_stock_price_forecast_spark.functions.text import (
+    fingerprint,
+    hash60,
+    predicted_lang,
+    shingles,
+    tokens,
+)
+from big_data_stock_price_forecast_spark.operators.dedup import (
+    MH_PERMS,
+    jaccard,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    with_shingles,
+    with_simhash,
+)
+from big_data_stock_price_forecast_spark.operators.similarity import (
+    ann_lsh_topk,
+    embedding_near_dup_pairs,
+    sign_lsh_bucket,
+    sign_planes,
+)
+
+
+def _py_h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_hash60_matches_md5_prefix(spark):
+    df = spark.createDataFrame([("hello",), ("spark sql",)], ["s"])
+    got = {r["s"]: r["h"] for r in df.select("s", hash60(F.col("s")).alias("h")).collect()}
+    assert got == {s: _py_h60(s) for s in got}
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([("The cat, the CAT sat!",)], ["text"])
+    row = df.select(
+        tokens(F.col("text")).alias("tok"),
+        shingles(tokens(F.col("text")), 2).alias("sh"),
+    ).collect()[0]
+    assert row["tok"] == ["the", "cat", "the", "cat", "sat"]
+    # distinct bigrams only
+    assert sorted(row["sh"]) == ["cat sat", "cat the", "the cat"]
+
+
+def test_short_doc_has_no_shingles(spark):
+    df = spark.createDataFrame([("one two",)], ["text"])
+    assert df.select(shingles(tokens(F.col("text")), 3).alias("sh")).collect()[0][
+        "sh"
+    ] == []
+
+
+def test_jaccard_identity_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [Row(a=["x", "y"], b=["x", "y"]), Row(a=["x"], b=["y"])]
+    )
+    vals = [r["j"] for r in df.select(jaccard(F.col("a"), F.col("b")).alias("j")).collect()]
+    assert vals == [1.0, 0.0]
+
+
+def test_fingerprint_matches_python_reference(spark):
+    texts = ["abc", "a b c!", ""]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [r["fp"] for r in df.select(fingerprint(F.col("text")).alias("fp")).collect()]
+
+    def ref(t):
+        h = 0
+        for ch in t:
+            h = (h * 257 + ord(ch)) % 2147483647
+        return h
+
+    assert got == [ref(t) for t in texts]
+
+
+def test_langid_real_sentences(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog sat in a box",),
+            ("der hund und die katze ist nicht da",),
+            ("el perro y la casa es un lugar",),
+            ("zzz qqq www",),
+        ],
+        ["text"],
+    )
+    got = [
+        r["p"]
+        for r in df.select(
+            predicted_lang(tokens(F.col("text"))).alias("p")
+        ).collect()
+    ]
+    assert got == ["en", "de", "es", "und"]
+
+
+def test_minhash_identical_docs_collide(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "totally different words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signature(with_shingles(docs)).select("doc_id", "sig").collect()
+    by_id = {r["doc_id"]: r["sig"] for r in sigs}
+    assert len(by_id[1]) == MH_PERMS
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+
+    pairs = minhash_lsh_pairs(docs, threshold=0.9).collect()
+    assert [(p["id_i"], p["id_j"], p["jac"]) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_simhash_banding_equals_brute_force(spark, sf_dir):
+    """Pigeonhole banding must find EXACTLY the brute-force pair set."""
+    from big_data_stock_price_forecast_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(120).cache()
+    banded = {
+        (r["id_i"], r["id_j"], r["hamming"])
+        for r in simhash_pairs(docs).collect()
+    }
+    sims = with_simhash(docs).select(F.col("doc_id").alias("id"), "simhash")
+    brute = (
+        sims.alias("a")
+        .join(sims.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_i"),
+            F.col("b.id").alias("id_j"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    assert banded == {
+        (r["id_i"], r["id_j"], r["hamming"]) for r in brute.collect()
+    }
+    docs.unpersist()
+
+
+def test_simhash_python_reference(spark):
+    text = "key agg row scan slow fast table"
+    df = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+    got = with_simhash(df).collect()[0]["simhash"]
+
+    toks = [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+    votes = [0] * 60
+    for t in toks:
+        h = _py_h60(t)
+        for j in range(60):
+            votes[j] += 1 if (h >> j) & 1 else -1
+    want = sum(1 << j for j in range(60) if votes[j] >= 0)
+    assert got == want
+
+
+def test_ngram_jaccard_bounds(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e g"),
+            (3, "q r s t u v"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_i"], r["id_j"]): r["jac"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    # docs 1,2 share 3 of their 4+4 trigrams -> jac = 3/5; docs with no
+    # shared shingle never pair (inverted index: tau must be > 0)
+    assert pairs == {(1, 2): pytest.approx(3 / 5)}
+
+
+def test_sign_lsh_bucket_range_and_determinism(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    b = emb.select(sign_lsh_bucket(F.col("v")).alias("b"))
+    lo, hi = b.agg(F.min("b"), F.max("b")).collect()[0]
+    assert 0 <= lo and hi < 64
+    # determinism: same plane matrix on recompute
+    assert sign_planes(2, 4) == sign_planes(2, 4)
+
+
+def test_ann_topk_is_bucket_local_and_ranked(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = ann_lsh_topk(emb, queries, k=3).collect()
+    assert out, "expected non-empty ANN results"
+    by_q = {}
+    for r in out:
+        assert r["rank"] <= 3 and r["id"] != r["q_id"]
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["cos"]))
+    for ranks in by_q.values():
+        ranks.sort()
+        cos_vals = [c for _, c in ranks]
+        assert cos_vals == sorted(cos_vals, reverse=True)
+
+
+def test_embedding_near_dup_threshold(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    out = embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    for r in out:
+        assert r["cos"] >= 0.4 and r["id_i"] < r["id_j"]
