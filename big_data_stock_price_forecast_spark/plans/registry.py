@@ -1249,6 +1249,83 @@ GROUP BY 1, 2"""
 
 
 # --------------------------------------------------------------------------
+# Structured Streaming queries (SURVEY.md §2.9) — each runs a REAL
+# incremental streaming plan (file source -> watermarked stateful op ->
+# memory sink) drained with Trigger.AvailableNow, so the result is
+# finite and oracle-checkable while the execution path is the one a
+# 24/7 deployment would use.
+# --------------------------------------------------------------------------
+
+
+def q_stream_resample_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import resample_stream, run_available_now, stream_events
+
+    out = run_available_now(
+        resample_stream(stream_events(spark, sf_dir), "6 hours"), "append"
+    )
+    return out.select("symbol", "datetime", "high", "low", "n_rows")
+
+
+# append mode emits a bucket exactly when the watermark (max event time)
+# passes its end: every right-labeled bucket strictly before the bucket
+# holding the global max ts — the stream's trailing partial bucket stays
+# open in state, the streaming analog of the reference's `drop_ends`
+# trim (core/data/preprocess.py:118-119)
+SQL_STREAM_RESAMPLE = """WITH b AS (
+  SELECT user_id AS symbol,
+         time_bucket(INTERVAL '6 hours', ts - INTERVAL '1 microsecond')
+           + INTERVAL '6 hours' AS datetime,
+         max(value) AS high, min(value) AS low, count(*) AS n_rows
+  FROM events GROUP BY 1, 2
+),
+mx AS (
+  SELECT time_bucket(INTERVAL '6 hours', max(ts) - INTERVAL '1 microsecond')
+           + INTERVAL '6 hours' AS m
+  FROM events
+)
+SELECT symbol, datetime, high, low, n_rows FROM b, mx WHERE b.datetime < mx.m"""
+
+
+def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import distinct_keys_stream, run_available_now, stream_events
+
+    return run_available_now(
+        distinct_keys_stream(
+            stream_events(spark, sf_dir), ["symbol", "datetime"], "datetime"
+        ),
+        "append",
+    )
+
+
+SQL_STREAM_DEDUP = "SELECT DISTINCT user_id AS symbol, ts AS datetime FROM events"
+
+
+def q_stream_ema_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import ema_state_stream, run_available_now, stream_events
+
+    out = run_available_now(
+        ema_state_stream(stream_events(spark, sf_dir), span=12), "append"
+    )
+    return out.select("symbol", "n_rows", _r6("ema"))
+
+
+# same sequential fold as the stateful operator: rows sorted by
+# (ts, event_id), y = (1-a)*y + a*x with a = 2/(span+1)
+SQL_STREAM_EMA = _sql_r6_wrap(
+    f"""WITH lst AS (
+  SELECT user_id AS symbol, count(*) AS n_rows,
+         list(value ORDER BY ts, event_id) AS vs
+  FROM events GROUP BY 1
+)
+SELECT symbol, n_rows,
+       {_sql_ewm('vs', '2.0/13.0')} AS ema
+FROM lst""",
+    ["symbol", "n_rows"],
+    ["ema"],
+)
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1284,6 +1361,9 @@ def all_queries() -> dict[str, QueryFn]:
         "emb_near_dup_pairs": q_emb_near_dup,
         "emb_ann_lsh_topk": q_emb_ann_lsh,
         "events_json_agg": q_events_json_agg,
+        "stream_resample_6h": q_stream_resample_6h,
+        "stream_dedup_keys": q_stream_dedup_keys,
+        "stream_ema_state": q_stream_ema_state,
     }
 
 
@@ -1318,4 +1398,7 @@ def all_oracles() -> dict[str, str]:
         "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
         "emb_ann_lsh_topk": SQL_EMB_ANN_LSH,
         "events_json_agg": SQL_EVENTS_JSON,
+        "stream_resample_6h": SQL_STREAM_RESAMPLE,
+        "stream_dedup_keys": SQL_STREAM_DEDUP,
+        "stream_ema_state": SQL_STREAM_EMA,
     }

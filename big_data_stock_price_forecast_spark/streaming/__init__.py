@@ -1,0 +1,15 @@
+from .ops import (
+    distinct_keys_stream,
+    ema_state_stream,
+    resample_stream,
+    run_available_now,
+    stream_events,
+)
+
+__all__ = [
+    "distinct_keys_stream",
+    "ema_state_stream",
+    "resample_stream",
+    "run_available_now",
+    "stream_events",
+]

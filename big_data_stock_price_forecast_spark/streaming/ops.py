@@ -1,0 +1,197 @@
+"""Structured Streaming surface (SURVEY.md §2.9).
+
+The reference has no streaming runtime; its incremental-ingest design
+(core/data/cdd.py:101-110 — append new candles, dedup on datetime) and
+event-time resample (core/data/preprocess.py:99-122) are the natural
+streaming story. Implemented here as genuinely incremental plans:
+
+- file source over the parquet landing dir (pagination ≈ one file per
+  fetched page; ``maxFilesPerTrigger`` bounds micro-batch size),
+- event-time watermark + windowed aggregation for the OHLCV resample
+  (late candles within the watermark re-bucket correctly; append mode
+  emits a bucket exactly once, when the watermark passes its end),
+- ``dropDuplicatesWithinWatermark`` for the ingest dedup,
+- ``applyInPandasWithState`` for sequential-recursive indicators (EMA)
+  that row-frame window functions cannot express — per-symbol state
+  carries the running value across micro-batches.
+
+At 100 TB scale the same plans run unchanged against a real landing
+bucket: state is partitioned by (symbol | key) across executors, the
+watermark bounds state size, and RocksDB state store handles the rest.
+Tests drive them with ``Trigger.AvailableNow`` so the result is a
+finite, oracle-checkable DataFrame.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_SINK_IDS = itertools.count()
+
+
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """``events.parquet`` as a streaming source with the same schema
+    normalization as the batch loader (sources/tables.py): nanos-as-long
+    ``ts`` -> microsecond timestamp, series column names.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file stream source wants a directory to monitor (a landing dir
+    # in production); scope it to the events file(s) with a glob filter
+    reader = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    sdf = reader.load(sf_dir)
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf.select(
+        F.col("user_id").alias("symbol"),
+        F.col("ts").alias("datetime"),
+        F.col("value").alias("close"),
+        F.col("event_id"),
+    )
+
+
+def resample_stream(
+    sdf: DataFrame, every: str = "6 hours", watermark: str = "0 seconds"
+) -> DataFrame:
+    """Event-time OHLCV-style resample over a stream — the streaming
+    flavor of operators/resample.py (right-closed, right-labeled buckets
+    per the reference's ``resample(label="right", closed="right")``,
+    core/data/preprocess.py:110).
+
+    Only order-insensitive aggregates (max / min / count) so the result
+    is bitwise deterministic regardless of micro-batch partitioning.
+    In append mode a bucket is emitted exactly once, when the watermark
+    passes its end — i.e. the stream's trailing partial bucket stays in
+    state, which is precisely the reference's ``drop_ends`` trim of the
+    unfinished last bucket.
+    """
+    shifted = sdf.withColumn(
+        "__evt", F.col("datetime") - F.expr("INTERVAL 1 MICROSECOND")
+    ).withWatermark("__evt", watermark)
+    return shifted.groupBy(
+        F.col("symbol"), F.window(F.col("__evt"), every).alias("__w")
+    ).agg(
+        F.max("close").alias("high"),
+        F.min("close").alias("low"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).select(
+        "symbol", F.col("__w.end").alias("datetime"), "high", "low", "n_rows"
+    )
+
+
+def distinct_keys_stream(
+    sdf: DataFrame, keys: list[str], event_time: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming ingest dedup (reference S7, core/data/cdd.py:101-110):
+    duplicate (symbol, datetime) arrivals within the watermark are
+    dropped, state for keys older than the watermark is evicted. Emits
+    key columns only so output is deterministic under any arrival order.
+    """
+    return (
+        sdf.withWatermark(event_time, watermark)
+        .select(*keys)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+
+
+_EMA_OUT = StructType(
+    [
+        StructField("symbol", LongType()),
+        StructField("n_rows", LongType()),
+        StructField("ema", DoubleType()),
+    ]
+)
+_EMA_STATE = StructType(
+    [StructField("n", LongType()), StructField("ema", DoubleType())]
+)
+
+
+def _ema_state_fn(span: int):
+    alpha = 2.0 / (span + 1.0)
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs)).sort_values(["datetime", "event_id"])
+        n, ema = state.get if state.exists else (0, None)
+        for x in pdf["close"].to_numpy():
+            x = float(x)
+            ema = x if ema is None else (1.0 - alpha) * ema + alpha * x
+            n += 1
+        state.update((n, ema))
+        yield pd.DataFrame({"symbol": [key[0]], "n_rows": [n], "ema": [ema]})
+
+    return fn
+
+
+def ema_state_stream(sdf: DataFrame, span: int = 12) -> DataFrame:
+    """Per-symbol EMA as a custom stateful streaming operator
+    (``applyInPandasWithState``): the recursion y = (1-a)·y + a·x
+    (reference W4, pandas ``ewm(span, adjust=False)``,
+    core/data/preprocess.py:52-54) cannot be a row-frame window
+    function; here the running (count, ema) lives in per-key state and
+    each micro-batch folds its — deterministically (datetime, event_id)
+    sorted — rows into it, emitting the updated running value.
+    """
+    return (
+        sdf.withWatermark("datetime", "1 hour")
+        .groupBy("symbol")
+        .applyInPandasWithState(
+            _ema_state_fn(span),
+            outputStructType=_EMA_OUT,
+            stateStructType=_EMA_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(
+    sdf: DataFrame, output_mode: str = "append", name: str | None = None
+) -> DataFrame:
+    """Drain a streaming DataFrame to completion (Trigger.AvailableNow)
+    through a memory sink and return the materialized result. Finite
+    answer, real incremental execution — micro-batches, state store,
+    watermark advancement (including the final no-data flush batch that
+    emits closed windows) all run exactly as they would 24/7.
+    """
+    name = name or f"bdspf_stream_sink_{next(_SINK_IDS)}"
+    ckpt = tempfile.mkdtemp(prefix="bdspf-ckpt-")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)

@@ -1,0 +1,138 @@
+"""Structured Streaming surface (SURVEY.md §2.9): real incremental
+plans (file source -> watermark -> stateful op -> memory sink) drained
+with Trigger.AvailableNow and checked against their batch equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from big_data_stock_price_forecast_spark.sources.tables import load_table
+from big_data_stock_price_forecast_spark.streaming import (
+    distinct_keys_stream,
+    ema_state_stream,
+    resample_stream,
+    run_available_now,
+    stream_events,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_dedup_matches_batch_distinct(spark):
+    out = run_available_now(
+        distinct_keys_stream(
+            stream_events(spark, SF), ["symbol", "datetime"], "datetime"
+        ),
+        "append",
+    )
+    batch = (
+        load_table(spark, SF, "events")
+        .select(F.col("user_id").alias("symbol"), F.col("ts").alias("datetime"))
+        .distinct()
+    )
+    assert out.count() == batch.count()
+    assert out.exceptAll(batch).count() == 0
+
+
+def test_stream_resample_append_emits_closed_buckets_only(spark):
+    """Append mode + watermark: exactly the buckets whose end the final
+    watermark passed — everything strictly before the bucket holding the
+    global max event time (trailing partial bucket stays in state)."""
+    out = run_available_now(
+        resample_stream(stream_events(spark, SF), "6 hours"), "append"
+    )
+    ev = load_table(spark, SF, "events")
+    bucket = F.window(
+        F.col("ts") - F.expr("INTERVAL 1 MICROSECOND"), "6 hours"
+    )["end"]
+    batch = (
+        ev.groupBy(F.col("user_id").alias("symbol"), bucket.alias("datetime"))
+        .agg(
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    max_label = (
+        ev.select(F.max(bucket).alias("m")).collect()[0]["m"]
+    )
+    closed = batch.filter(F.col("datetime") < F.lit(max_label))
+    assert out.count() == closed.count()
+    assert out.exceptAll(closed).count() == 0
+
+
+def test_stream_ema_state_matches_pandas_ewm(spark):
+    """The applyInPandasWithState EMA over the whole stream equals
+    pandas ewm(span, adjust=False) on the (ts, event_id)-sorted series —
+    the reference's W4 recursion (core/data/preprocess.py:52-54)."""
+    out = (
+        run_available_now(ema_state_stream(stream_events(spark, SF), span=12))
+        .toPandas()
+        .set_index("symbol")
+        .sort_index()
+    )
+    ev = (
+        load_table(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    for sym, g in ev.groupby("user_id"):
+        expect = g["value"].ewm(span=12, adjust=False).mean().iloc[-1]
+        assert abs(out.loc[sym, "ema"] - expect) < 1e-9
+        assert out.loc[sym, "n_rows"] == len(g)
+
+
+def test_stream_multi_batch_incremental(spark, tmp_path):
+    """State carries across micro-batches: feeding the same rows in two
+    files/batches (maxFilesPerTrigger=1) yields the same final EMA as
+    one batch — the operator is genuinely incremental."""
+    ev = load_table(spark, SF, "events").filter(F.col("user_id") < 3)
+    pdf = ev.select("event_id", "ts", "user_id", "value").toPandas()
+    pdf = pdf.sort_values(["ts", "event_id"])
+    # micros, not pandas-default nanos: the session reads TIMESTAMP(NANOS)
+    # as long (nanosAsLong), which is the testdata quirk, not this test's
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    half = len(pdf) // 2
+    land = tmp_path / "land"
+    land.mkdir()
+    # two files split by time so batch 1 strictly precedes batch 2
+    pdf.iloc[:half].to_parquet(land / "events_page_0.parquet", index=False)
+    pdf.iloc[half:].to_parquet(land / "events_page_1.parquet", index=False)
+
+    schema = spark.read.parquet(str(land)).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(land))
+        .select(
+            F.col("user_id").alias("symbol"),
+            # parquet-from-pandas is TIMESTAMP_NTZ; watermarks need LTZ
+            # (session TZ is pinned UTC so the instant is unchanged)
+            F.col("ts").cast("timestamp").alias("datetime"),
+            F.col("value").alias("close"),
+            "event_id",
+        )
+    )
+    out = run_available_now(ema_state_stream(sdf, span=12))
+    # each symbol emits one row per micro-batch it appears in; the last
+    # (max n_rows) row per symbol is the final running state
+    final = (
+        out.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("symbol").orderBy(F.col("n_rows").desc())
+            ),
+        )
+        .filter("rk = 1")
+        .toPandas()
+        .set_index("symbol")
+    )
+    for sym, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        expect = g["value"].ewm(span=12, adjust=False).mean().iloc[-1]
+        assert abs(final.loc[sym, "ema"] - expect) < 1e-9
+        assert final.loc[sym, "n_rows"] == len(g)
