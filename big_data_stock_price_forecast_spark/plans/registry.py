@@ -1249,6 +1249,42 @@ GROUP BY 1, 2"""
 
 
 # --------------------------------------------------------------------------
+# Savitzky–Golay smoothing (reference W9, core/data/preprocess.py:77-96)
+# --------------------------------------------------------------------------
+
+
+def q_ts_savgol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.smoothing import savgol_smooth_native
+
+    df = savgol_smooth_native(
+        _filled(spark, sf_dir).select("symbol", "time_idx", "close"), "close"
+    )
+    return df.filter(F.col("close_sg").isNotNull()).select(
+        "symbol", "time_idx", _r6("close_sg")
+    )
+
+
+def _sql_savgol() -> str:
+    from ..operators.smoothing import savgol_kernel
+
+    taps = ", ".join(repr(float(c)) for c in savgol_kernel())
+    dot = (
+        f"list_reduce(list_transform(list_zip(vs, [{taps}]),"
+        " p -> p[1]*p[2]), (a,b) -> a+b)"
+    )
+    body = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+fr AS (
+  SELECT symbol, time_idx,
+         list(close) OVER (PARTITION BY symbol ORDER BY time_idx
+           ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING) AS vs
+  FROM filled
+)
+SELECT symbol, time_idx, {dot} AS close_sg
+FROM fr WHERE len(vs) = 21"""
+    return _sql_r6_wrap(body, ["symbol", "time_idx"], ["close_sg"])
+
+
+# --------------------------------------------------------------------------
 # Structured Streaming queries (SURVEY.md §2.9) — each runs a REAL
 # incremental streaming plan (file source -> watermarked stateful op ->
 # memory sink) drained with Trigger.AvailableNow, so the result is
@@ -1361,6 +1397,7 @@ def all_queries() -> dict[str, QueryFn]:
         "emb_near_dup_pairs": q_emb_near_dup,
         "emb_ann_lsh_topk": q_emb_ann_lsh,
         "events_json_agg": q_events_json_agg,
+        "ts_savgol": q_ts_savgol,
         "stream_resample_6h": q_stream_resample_6h,
         "stream_dedup_keys": q_stream_dedup_keys,
         "stream_ema_state": q_stream_ema_state,
@@ -1398,6 +1435,7 @@ def all_oracles() -> dict[str, str]:
         "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
         "emb_ann_lsh_topk": SQL_EMB_ANN_LSH,
         "events_json_agg": SQL_EVENTS_JSON,
+        "ts_savgol": _sql_savgol(),
         "stream_resample_6h": SQL_STREAM_RESAMPLE,
         "stream_dedup_keys": SQL_STREAM_DEDUP,
         "stream_ema_state": SQL_STREAM_EMA,
