@@ -1249,6 +1249,181 @@ GROUP BY 1, 2"""
 
 
 # --------------------------------------------------------------------------
+# cleaning-pipeline queries (reference P4-P7, O3, S7)
+# --------------------------------------------------------------------------
+
+_FEATURE_SMAS = (10, 30, 50)
+
+
+def _feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's feature frame right before pruning: series +
+    moving averages whose first w-1 rows are null (preprocess.py:46-51
+    into preprocess.py:71-73)."""
+    from ..operators.rolling import sma
+
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    for n in _FEATURE_SMAS:
+        df = sma(df, "close", n)
+    return df
+
+
+_SQL_FEATURE_FRAME = f"""fr AS (
+  SELECT symbol, time_idx, close,
+    CASE WHEN row_number() OVER w >= 10 THEN avg(close) OVER (
+      PARTITION BY symbol ORDER BY time_idx
+      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) END AS sma10,
+    CASE WHEN row_number() OVER w >= 30 THEN avg(close) OVER (
+      PARTITION BY symbol ORDER BY time_idx
+      ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) END AS sma30,
+    CASE WHEN row_number() OVER w >= 50 THEN avg(close) OVER (
+      PARTITION BY symbol ORDER BY time_idx
+      ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) END AS sma50
+  FROM filled
+  WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)
+)"""
+
+
+def q_ts_feature_null_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-ratio column pruning (P6, ``df.loc[:, df.notnull().mean() >
+    .85]``) with the *decision exposed as data*: one aggregate pass
+    computes every column's non-null fraction (exact integer counts,
+    divided once), the keep/drop verdict is the >0.85 threshold."""
+    frame = _feature_frame(spark, sf_dir)
+    cols = ["close", *(f"sma{n}" for n in _FEATURE_SMAS)]
+    agg = frame.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.count(c).alias(c) for c in cols],
+    )
+    stack_args = []
+    for c in cols:
+        stack_args += [F.lit(c), F.col(c)]
+    return (
+        agg.select(
+            F.col("__n"),
+            F.stack(F.lit(len(cols)), *stack_args).alias("feature", "nonnull"),
+        )
+        .withColumn("nonnull_ratio", F.col("nonnull").cast("double") / F.col("__n"))
+        .withColumn("kept", (F.col("nonnull_ratio") > 0.85).cast("int"))
+        .select("feature", _r6("nonnull_ratio"), "kept")
+    )
+
+
+SQL_TS_FEATURE_NULL_RATIO = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+{_SQL_FEATURE_FRAME},
+agg AS (
+  SELECT count(*) AS n, count(close) AS c_close, count(sma10) AS c10,
+         count(sma30) AS c30, count(sma50) AS c50
+  FROM fr
+),
+un AS (
+  SELECT 'close' AS feature, c_close::DOUBLE / n AS nonnull_ratio FROM agg
+  UNION ALL SELECT 'sma10', c10::DOUBLE / n FROM agg
+  UNION ALL SELECT 'sma30', c30::DOUBLE / n FROM agg
+  UNION ALL SELECT 'sma50', c50::DOUBLE / n FROM agg
+)
+SELECT feature, {_sql_r6('nonnull_ratio')},
+       (nonnull_ratio > 0.85)::INT AS kept
+FROM un"""
+
+
+def q_ts_dropna_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.dropna()`` after feature building (P7): order-insensitive
+    per-symbol summary of the surviving frame."""
+    from ..operators.cleaning import drop_nulls
+
+    return (
+        drop_nulls(_feature_frame(spark, sf_dir))
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("sma50").alias("sma50_min"),
+            F.max("sma50").alias("sma50_max"),
+        )
+        .select("symbol", "n_rows", _r6("sma50_min"), _r6("sma50_max"))
+    )
+
+
+SQL_TS_DROPNA = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+{_SQL_FEATURE_FRAME}
+SELECT symbol, count(*) AS n_rows,
+       floor(min(sma50) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS sma50_min,
+       floor(max(sma50) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS sma50_max
+FROM fr
+WHERE close IS NOT NULL AND sma10 IS NOT NULL
+  AND sma30 IS NOT NULL AND sma50 IS NOT NULL
+GROUP BY symbol"""
+
+
+def q_ts_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-ordered positional split (O3, train.py:35-38) as one labeled
+    frame: val = last floor(n*0.15) rows per symbol."""
+    from ..operators.cleaning import positional_split_labeled
+
+    return positional_split_labeled(
+        _series(spark, sf_dir), "symbol", "datetime", val_ratio=0.15
+    ).select("symbol", F.col("datetime").alias("ts"), "close", "split")
+
+
+SQL_TS_SPLIT = f"""WITH {SQL_SERIES},
+pos AS (
+  SELECT symbol, ts, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn,
+         count(*) OVER (PARTITION BY symbol) AS cnt
+  FROM series
+)
+SELECT symbol, ts, close,
+       CASE WHEN rn <= cnt - floor(cnt * 0.15) THEN 'train' ELSE 'val' END AS split
+FROM pos"""
+
+
+def q_ts_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cache merge (S7, core/data/cdd.py:101-110): the
+    cached history (ts < cutoff) is unioned with a re-fetch that
+    overlaps the tail (ts >= cutoff - 2 days); duplicate (symbol, ts)
+    rows resolve keep-last by (arrival, event_id). The cutoff derives
+    from max(ts) inside the plan (broadcast scalar, no driver collect).
+    """
+    ev = events_series(spark, sf_dir)
+    mx = ev.agg(F.max("datetime").alias("__mx"))
+    ev = ev.crossJoin(F.broadcast(mx))
+    cutoff = F.col("__mx") - F.expr("INTERVAL 14 DAYS")
+    old = ev.filter(F.col("datetime") < cutoff).withColumn("src", F.lit(0))
+    new = ev.filter(
+        F.col("datetime") >= cutoff - F.expr("INTERVAL 2 DAYS")
+    ).withColumn("src", F.lit(1))
+    merged = old.unionByName(new)
+    w = Window.partitionBy("symbol", "datetime").orderBy(
+        F.col("src").desc(), F.col("event_id").desc()
+    )
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("symbol", F.col("datetime").alias("ts"), "close", "src")
+    )
+
+
+SQL_TS_UPSERT = """WITH ev AS (
+  SELECT user_id AS symbol, ts AS datetime, value AS close, event_id,
+         (SELECT max(ts) FROM events) AS mx
+  FROM events
+),
+unioned AS (
+  SELECT symbol, datetime, close, event_id, 0 AS src
+  FROM ev WHERE datetime < mx - INTERVAL 14 DAY
+  UNION ALL
+  SELECT symbol, datetime, close, event_id, 1 AS src
+  FROM ev WHERE datetime >= mx - INTERVAL 14 DAY - INTERVAL 2 DAY
+),
+ranked AS (
+  SELECT symbol, datetime, close, src,
+         row_number() OVER (PARTITION BY symbol, datetime
+           ORDER BY src DESC, event_id DESC) AS rn
+  FROM unioned
+)
+SELECT symbol, datetime AS ts, close, src FROM ranked WHERE rn = 1"""
+
+
+# --------------------------------------------------------------------------
 # Savitzky–Golay smoothing (reference W9, core/data/preprocess.py:77-96)
 # --------------------------------------------------------------------------
 
@@ -1397,6 +1572,10 @@ def all_queries() -> dict[str, QueryFn]:
         "emb_near_dup_pairs": q_emb_near_dup,
         "emb_ann_lsh_topk": q_emb_ann_lsh,
         "events_json_agg": q_events_json_agg,
+        "ts_feature_null_ratio": q_ts_feature_null_ratio,
+        "ts_dropna_features": q_ts_dropna_features,
+        "ts_train_val_split": q_ts_train_val_split,
+        "ts_incremental_upsert": q_ts_incremental_upsert,
         "ts_savgol": q_ts_savgol,
         "stream_resample_6h": q_stream_resample_6h,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -1435,6 +1614,10 @@ def all_oracles() -> dict[str, str]:
         "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
         "emb_ann_lsh_topk": SQL_EMB_ANN_LSH,
         "events_json_agg": SQL_EVENTS_JSON,
+        "ts_feature_null_ratio": SQL_TS_FEATURE_NULL_RATIO,
+        "ts_dropna_features": SQL_TS_DROPNA,
+        "ts_train_val_split": SQL_TS_SPLIT,
+        "ts_incremental_upsert": SQL_TS_UPSERT,
         "ts_savgol": _sql_savgol(),
         "stream_resample_6h": SQL_STREAM_RESAMPLE,
         "stream_dedup_keys": SQL_STREAM_DEDUP,
