@@ -1,0 +1,169 @@
+"""Multimodal (image/audio/video) column handling for training-data
+pipelines.
+
+Media lives in the lake as an opaque ``binary`` payload column plus a
+typed metadata struct — the layout every large multimodal corpus uses
+(payload bytes + width/height/duration sidecar). The engine's job at
+100 TB is the *plumbing*: schema, partition-friendly operators,
+Arrow-batched UDF boundaries. Codec work (JPEG decode, audio resample,
+video frame extraction) is a library call per element; the decode
+libraries are not installed in this environment, so the real decoders
+are stubbed behind ``NotImplementedError`` while every Spark-side
+surface (schemas, batch shapes, operators) is real and tested with a
+deterministic byte-level fake.
+
+Scale notes: metadata projection and frame slicing are pure JVM
+expressions (binary ``substring``/``sha2``/``length`` inside
+whole-stage codegen — no Python in the hot path); only the feature
+extractor crosses into Arrow, batch-at-a-time via ``mapInPandas``,
+which is exactly where a torch/PIL decoder would sit on a GPU
+executor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_TYPES = ["image", "audio", "video"]
+
+#: bytes per sampled "frame" and stride between frame starts — stands in
+#: for (frame pixel buffer, frame interval) of a real video pipeline
+FRAME_BYTES = 64
+FRAME_STRIDE = 128
+
+FEATURE_DIM = 8
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Real decoder slot (PIL/torchvision territory). Not available in
+    this environment — see module docstring."""
+    raise NotImplementedError(
+        "image codec libraries are not installed; use byte_features() "
+        "for the deterministic fake-decode path"
+    )
+
+
+def decode_audio(payload: bytes) -> "np.ndarray":
+    """Real decoder slot (soundfile/torchaudio territory)."""
+    raise NotImplementedError(
+        "audio codec libraries are not installed; use byte_features() "
+        "for the deterministic fake-decode path"
+    )
+
+
+def to_media_table(documents: DataFrame) -> DataFrame:
+    """Derive a media-shaped table from the ``documents`` corpus: the
+    UTF-8 text bytes stand in for the codec payload. Metadata is a
+    typed struct computed from the payload itself, so it is
+    deterministic at any scale factor.
+    """
+    payload = F.encode(F.col("text"), "UTF-8")
+    media_type = F.element_at(
+        F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    n = F.length(payload)
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        media_type.alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            n.alias("n_bytes"),
+            # fake "dimensions": a real pipeline reads these from the
+            # container header; deterministic stand-ins keep the schema
+            (n % 640 + 1).alias("width"),
+            (n % 480 + 1).alias("height"),
+            (n % 48000 + 1).alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def media_meta(media: DataFrame) -> DataFrame:
+    """Metadata projection — pure JVM expressions (codegen), the query
+    a catalog scan runs over petabytes without touching Python."""
+    return media.select(
+        "media_id",
+        "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.sha2("payload", 256).alias("payload_sha"),
+    )
+
+
+def frame_sample(
+    media: DataFrame,
+    frame_bytes: int = FRAME_BYTES,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """Sample fixed-size "frames" from each video payload — the byte-
+    level stand-in for every-Nth-frame extraction. Pure JVM: a
+    ``sequence`` of frame offsets exploded per row, then binary
+    ``substring``; no shuffle, no Python, output rows stream straight
+    out of the scan.
+    """
+    n = F.col("meta.n_bytes")
+    n_frames = F.floor((n - F.lit(frame_bytes)) / F.lit(stride)) + 1
+    return (
+        media.filter(F.col("media_type") == "video")
+        .filter(n >= frame_bytes)
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), (n_frames - 1).cast("long"))
+            ).alias("frame_no"),
+            F.col("payload"),
+        )
+        .select(
+            "media_id",
+            "frame_no",
+            F.expr(
+                f"substring(payload, cast(frame_no * {stride} + 1 as int),"
+                f" {frame_bytes})"
+            ).alias("frame"),
+        )
+    )
+
+
+def byte_histogram_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic fake decode: L1-normalized histogram of bytes
+    bucketed into ``dim`` classes — the stand-in for a real
+    decode→embed step, shaped like one (fixed-dim float vector per
+    item)."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return np.zeros(dim)
+    hist = np.bincount(arr >> 5, minlength=dim)[:dim]
+    return hist / arr.size
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Arrow-batched feature extraction over payload bytes
+    (``mapInPandas``): the slot where a real pipeline decodes and runs
+    a vision/audio encoder per batch on the executor. Deterministic
+    byte-histogram fake keeps the full batch shape
+    (iterator-of-DataFrames in, fixed-dim vector column out) testable.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                byte_histogram_features(p, dim).tolist()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(
+        run, schema="media_id long, media_type string, features array<double>"
+    )

@@ -1460,6 +1460,84 @@ FROM fr WHERE len(vs) = 21"""
 
 
 # --------------------------------------------------------------------------
+# multimodal binary-column queries (training-data pipeline extension):
+# payload bytes + typed metadata, JVM-native projections/slicing; the
+# Arrow decode slot is rows-only (no SQL-expressible oracle)
+# --------------------------------------------------------------------------
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import to_media_table
+
+    return to_media_table(load_table(spark, sf_dir, "documents"))
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import media_meta
+
+    m = media_meta(_media(spark, sf_dir))
+    return m.select(
+        "media_id",
+        "media_type",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "payload_sha",
+    )
+
+
+# sha256(text) over the VARCHAR hashes its UTF-8 bytes — identical to
+# Spark's sha2(encode(text,'UTF-8')); strlen is the UTF-8 byte length
+SQL_MEDIA_META = """
+SELECT doc_id AS media_id,
+       list_extract(['image', 'audio', 'video'], (doc_id % 3 + 1)::INT)
+         AS media_type,
+       strlen(text)::BIGINT AS n_bytes,
+       (strlen(text) % 640 + 1)::BIGINT AS width,
+       (strlen(text) % 480 + 1)::BIGINT AS height,
+       sha256(text) AS payload_sha
+FROM documents"""
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import frame_sample
+
+    fr = frame_sample(_media(spark, sf_dir))
+    return fr.select(
+        "media_id",
+        "frame_no",
+        F.length("frame").cast("long").alias("n_bytes"),
+        F.hex("frame").alias("frame_hex"),
+    )
+
+
+# byte slicing checked through the hex codec: character-substring of
+# hex(blob) at 2x the byte offsets equals Spark's binary substring
+SQL_MEDIA_FRAMES = """WITH vids AS (
+  SELECT doc_id AS media_id, text, strlen(text) AS n
+  FROM documents
+  WHERE doc_id % 3 = 2 AND strlen(text) >= 64
+),
+fr AS (
+  SELECT media_id, text,
+         unnest(generate_series(0, ((n - 64) // 128)::BIGINT)) AS frame_no
+  FROM vids
+)
+SELECT media_id, frame_no, 64::BIGINT AS n_bytes,
+       substring(hex(encode(text)), (frame_no * 256 + 1)::BIGINT, 128)
+         AS frame_hex
+FROM fr"""
+
+
+def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow mapInPandas decode slot — rows-only check (the byte
+    histogram is not reasonably SQL-expressible in the oracle)."""
+    from ..operators.multimodal import extract_features
+
+    return extract_features(_media(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
 # Structured Streaming queries (SURVEY.md §2.9) — each runs a REAL
 # incremental streaming plan (file source -> watermarked stateful op ->
 # memory sink) drained with Trigger.AvailableNow, so the result is
@@ -1577,6 +1655,9 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_train_val_split": q_ts_train_val_split,
         "ts_incremental_upsert": q_ts_incremental_upsert,
         "ts_savgol": q_ts_savgol,
+        "media_meta": q_media_meta,
+        "media_frame_sample": q_media_frames,
+        "media_byte_features": q_media_byte_features,
         "stream_resample_6h": q_stream_resample_6h,
         "stream_dedup_keys": q_stream_dedup_keys,
         "stream_ema_state": q_stream_ema_state,
@@ -1619,6 +1700,10 @@ def all_oracles() -> dict[str, str]:
         "ts_train_val_split": SQL_TS_SPLIT,
         "ts_incremental_upsert": SQL_TS_UPSERT,
         "ts_savgol": _sql_savgol(),
+        "media_meta": SQL_MEDIA_META,
+        "media_frame_sample": SQL_MEDIA_FRAMES,
+        # media_byte_features intentionally has NO oracle entry: the
+        # Arrow decode slot gets the driver's rows-only check
         "stream_resample_6h": SQL_STREAM_RESAMPLE,
         "stream_dedup_keys": SQL_STREAM_DEDUP,
         "stream_ema_state": SQL_STREAM_EMA,
