@@ -1,0 +1,111 @@
+"""IVF (inverted-file) approximate nearest neighbor — the scale path
+for the reference's brute-force k-NN (notebooks/test.ipynb cell 17;
+README.md:155 lists "optimized K-NN in O(logn)" as future work).
+
+Structure of a classical IVF index, expressed relationally:
+
+1. **coarse quantizer**: a small centroid table (here: per-label mean
+   vectors — a deterministic, already-meaningful partitioning of the
+   corpus; a KMeans fit would slot in identically),
+2. **lists**: every vector assigned to its nearest centroid
+   (broadcast the tiny centroid table, fold-based L2, argmin),
+3. **probe**: each query ranks centroids, keeps ``nprobe`` lists,
+4. **rerank**: exact distance only against vectors in probed lists.
+
+At 100 TB the corpus would be written bucketed/partitioned BY list_id
+so a probe prunes partitions at the scan; locally the probe is a
+broadcast semi-join on list_id. Centroids are rounded to 6 decimals
+before any distance so quantizer assignment is bitwise reproducible
+across engines (the fold distances then see identical inputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.distance import dist_l2
+
+
+def label_centroids(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """(label, cvec: array<double>[dim]) — per-label mean, each
+    coordinate rounded via floor(x*1e6+0.5)/1e6 for cross-engine
+    bitwise reproducibility."""
+    exploded = emb.select("label", F.posexplode("v").alias("pos", "x"))
+    per_dim = exploded.groupBy("label", "pos").agg(
+        (F.floor(F.avg("x") * 1e6 + F.lit(0.5)) / 1e6 + F.lit(0.0)).alias("c")
+    )
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cvec")
+    )
+
+
+def assign_lists(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the centroid table, rank
+    by (distance, label) — a map-side-only operation on the big side."""
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__cdist").asc(), F.col("label_c").asc()
+    )
+    return (
+        emb.crossJoin(
+            F.broadcast(
+                centroids.select(
+                    F.col("label").alias("label_c"), F.col("cvec")
+                )
+            )
+        )
+        .withColumn("__cdist", dist_l2(F.col("v"), F.col("cvec")))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "vec_id", "v", "label", F.col("label_c").alias("list_id")
+        )
+    )
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    query_mod: int,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Queries = vec_id % query_mod == 0 (matching the brute-force
+    suite's convention). Returns (q_id, vec_id, rank, dist, list_id):
+    top-k by exact L2 among vectors whose list is one of the query's
+    ``nprobe`` nearest centroids, self excluded.
+    """
+    centroids = label_centroids(emb)
+    assigned = assign_lists(emb, centroids)
+
+    queries = assigned.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("__cdist").asc(), F.col("label_c").asc()
+    )
+    probes = (
+        queries.crossJoin(
+            F.broadcast(
+                centroids.select(F.col("label").alias("label_c"), "cvec")
+            )
+        )
+        .withColumn("__cdist", dist_l2(F.col("qv"), F.col("cvec")))
+        .withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= nprobe)
+        .select("q_id", "qv", F.col("label_c").alias("list_id"))
+    )
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("dist", dist_l2(F.col("v"), F.col("qv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "dist", "list_id")
+    )

@@ -1460,6 +1460,138 @@ FROM fr WHERE len(vs) = 21"""
 
 
 # --------------------------------------------------------------------------
+# window -> latent embedding (reference M7) and IVF ANN (scale path for
+# J2's brute-force k-NN; README.md:155 "optimized K-NN" future work)
+# --------------------------------------------------------------------------
+
+_DCT_L, _DCT_K = 8, 4
+
+
+def q_win_dct_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-embed the windows table through the Arrow mapInPandas
+    inference slot (DCT-II codec standing in for the VAE encoder)."""
+    from ..operators.embed import embed_windows
+
+    w = sliding_windows(
+        _filled(spark, sf_dir).select("symbol", "time_idx", "close"), L=_DCT_L
+    )
+    out = embed_windows(w, L=_DCT_L, k=_DCT_K)
+    return out.select(
+        "symbol",
+        "window_id",
+        *[
+            (
+                F.floor(F.element_at("emb", d + 1) * 1e6 + F.lit(0.5)) / 1e6
+                + F.lit(0.0)
+            ).alias(f"e{d}")
+            for d in range(_DCT_K)
+        ],
+    )
+
+
+def _sql_dct_embed() -> str:
+    from ..operators.embed import dct_basis
+
+    basis = dct_basis(_DCT_L, _DCT_K)
+    coefs = []
+    for d in range(_DCT_K):
+        taps = ", ".join(repr(float(c)) for c in basis[d])
+        coefs.append(
+            f"list_reduce(list_transform(list_zip(xs, [{taps}]),"
+            f" p -> p[1]*p[2]), (a,b) -> a+b) AS e{d}"
+        )
+    sel = ",\n       ".join(coefs)
+    body = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+win AS (
+  SELECT symbol, time_idx AS window_id,
+         list(close) OVER (PARTITION BY symbol ORDER BY time_idx
+           ROWS BETWEEN CURRENT ROW AND {_DCT_L - 1} FOLLOWING) AS raw
+  FROM filled
+),
+stats AS (
+  SELECT symbol, window_id, raw,
+         list_reduce(raw, (a,b) -> a+b) / {float(_DCT_L)} AS center
+  FROM win WHERE len(raw) = {_DCT_L}
+),
+zs AS (
+  SELECT symbol, window_id, center,
+         sqrt(list_reduce(list_transform(raw, x -> (x-center)*(x-center)),
+              (a,b) -> a+b) / {float(_DCT_L)}) AS scale,
+         raw
+  FROM stats
+),
+zz AS (
+  SELECT symbol, window_id,
+         list_transform(raw, x -> (x - center) / (scale + 1e-8)) AS xs
+  FROM zs
+)
+SELECT symbol, window_id,
+       {sel}
+FROM zz"""
+    return _sql_r6_wrap(
+        body, ["symbol", "window_id"], [f"e{d}" for d in range(_DCT_K)]
+    )
+
+
+IVF_NPROBE = 2
+
+
+def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivf import ivf_ann_topk
+
+    out = ivf_ann_topk(
+        _emb(spark, sf_dir), query_mod=KNN_QUERY_MOD, k=KNN_K, nprobe=IVF_NPROBE
+    )
+    return out.select("q_id", "vec_id", "rank", _r6("dist"), "list_id")
+
+
+def _sql_ivf_ann() -> str:
+    l2_ec = _sql_l2("e.v", "c.cvec")
+    l2_qc = _sql_l2("q.qv", "c.cvec")
+    l2_aq = _sql_l2("a.v", "p.qv")
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+cent_dims AS (
+  SELECT label, i AS pos,
+         floor(avg(v[i]) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS c
+  FROM emb, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
+  GROUP BY label, pos
+),
+cent AS (SELECT label, list(c ORDER BY pos) AS cvec FROM cent_dims GROUP BY label),
+assigned AS (
+  SELECT vec_id, v, list_id FROM (
+    SELECT e.vec_id, e.v, c.label AS list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {l2_ec} ASC, c.label ASC) AS rk
+    FROM emb e CROSS JOIN cent c)
+  WHERE rk = 1
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % {KNN_QUERY_MOD} = 0),
+probes AS (
+  SELECT q_id, qv, list_id FROM (
+    SELECT q.q_id, q.qv, c.label AS list_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY {l2_qc} ASC, c.label ASC) AS rk
+    FROM q CROSS JOIN cent c)
+  WHERE rk <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.q_id, a.vec_id, a.list_id, {l2_aq} AS dist
+  FROM assigned a JOIN probes p USING (list_id)
+  WHERE a.vec_id <> p.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, list_id, dist,
+         CAST(row_number() OVER (PARTITION BY q_id
+           ORDER BY dist ASC, vec_id ASC) AS INT) AS rank
+  FROM cand
+)
+SELECT q_id, vec_id, rank,
+       floor(dist * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS dist, list_id
+FROM ranked WHERE rank <= {KNN_K}"""
+
+
+# --------------------------------------------------------------------------
 # multimodal binary-column queries (training-data pipeline extension):
 # payload bytes + typed metadata, JVM-native projections/slicing; the
 # Arrow decode slot is rows-only (no SQL-expressible oracle)
@@ -1655,6 +1787,8 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_train_val_split": q_ts_train_val_split,
         "ts_incremental_upsert": q_ts_incremental_upsert,
         "ts_savgol": q_ts_savgol,
+        "win_dct_embed": q_win_dct_embed,
+        "emb_ivf_ann_topk": q_emb_ivf_ann,
         "media_meta": q_media_meta,
         "media_frame_sample": q_media_frames,
         "media_byte_features": q_media_byte_features,
@@ -1700,6 +1834,8 @@ def all_oracles() -> dict[str, str]:
         "ts_train_val_split": SQL_TS_SPLIT,
         "ts_incremental_upsert": SQL_TS_UPSERT,
         "ts_savgol": _sql_savgol(),
+        "win_dct_embed": _sql_dct_embed(),
+        "emb_ivf_ann_topk": _sql_ivf_ann(),
         "media_meta": SQL_MEDIA_META,
         "media_frame_sample": SQL_MEDIA_FRAMES,
         # media_byte_features intentionally has NO oracle entry: the
