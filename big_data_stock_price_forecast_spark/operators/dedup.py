@@ -49,6 +49,18 @@ def minhash_coeffs(k: int = MH_PERMS) -> tuple[list[int], list[int]]:
     return a, b
 
 
+
+def _parallelize_texts(docs: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition by id before the CPU-heavy tokenize/shingle/
+    sketch expressions. A small corpus often arrives as ONE input split
+    (single parquet file, or post-filter residue), which would run the
+    entire per-document compute on one core; shuffling the raw text
+    first costs MBs and buys full-cluster parallelism for the sketch
+    math. At real scale (many splits) the exchange is AQE-coalesced or
+    a no-op relative to compute."""
+    return docs.repartition(F.col(id_col))
+
+
 def with_shingles(
     df: DataFrame, text_col: str = "text", n: int = 3, out: str = "sh"
 ) -> DataFrame:
@@ -65,28 +77,38 @@ def minhash_signature(
 ) -> DataFrame:
     """k-permutation MinHash signature per id as an array<long> column.
 
-    Plan shape: explode (id, shingle-hash) postings, then ONE hash
-    aggregation with k `min` columns — everything stays inside
-    whole-stage codegen (array lambdas would be interpreted per row and
-    dominate runtime at scale). min() is order-independent, so the
-    result is identical to folding the shingle array. Docs with no
-    shingles (< n tokens) produce no postings and drop out.
+    Shingle hashing (md5-derived, oracle-matched) stays JVM-side; the
+    k permuted minimums are one vectorized Arrow pass: per document an
+    (n_shingles x k) int64 ``(h*a + b) mod P`` block min-reduced along
+    the shingle axis. Exact integer arithmetic (products < 2^62, no
+    float rounding), so results are identical to a per-permutation
+    ``min()`` aggregate — but with no explode, no shuffle, and none of
+    the k-column codegen that dominates compile time. min() is
+    order-independent; docs with no shingles are filtered upstream.
     """
-    a, b = minhash_coeffs(k)
-    ex = df.select(
+    import numpy as np
+    import pandas as pd
+
+    a_np = np.array(minhash_coeffs(k)[0], dtype=np.int64)
+    b_np = np.array(minhash_coeffs(k)[1], dtype=np.int64)
+
+    hashed = df.select(
         id_col,
-        F.explode(
-            F.transform(F.col(shingle_col), lambda s: hash60(s) % MH_PRIME)
-        ).alias("__h"),
+        F.transform(F.col(shingle_col), lambda s: hash60(s) % MH_PRIME).alias(
+            "__hs"
+        ),
     )
-    aggs = [
-        F.min((F.col("__h") * ai + bi) % MH_PRIME).alias(f"__s{i}")
-        for i, (ai, bi) in enumerate(zip(a, b))
-    ]
-    sigs = ex.groupBy(id_col).agg(*aggs)
-    return sigs.select(
-        id_col, F.array(*[f"__s{i}" for i in range(k)]).alias(out)
-    )
+
+    def sign(batches):
+        for pdf in batches:
+            sigs = [
+                ((np.asarray(hs, dtype=np.int64)[:, None] * a_np[None, :]
+                  + b_np[None, :]) % MH_PRIME).min(axis=0).tolist()
+                for hs in pdf["__hs"]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], out: sigs})
+
+    return hashed.mapInPandas(sign, schema=f"`{id_col}` long, `{out}` array<long>")
 
 
 def lsh_band_keys(
@@ -166,7 +188,11 @@ def minhash_lsh_pairs(
     # sides of the verify join — without it Spark recomputes the
     # tokenize+shingle+hash pipeline three times
     base = (
-        with_shingles(docs.select(id_col, text_col), text_col, n)
+        with_shingles(
+            _parallelize_texts(docs.select(id_col, text_col), id_col),
+            text_col,
+            n,
+        )
         .filter(F.size("sh") > 0)
         .persist()
     )
@@ -220,7 +246,11 @@ def ngram_jaccard_pairs(
     md5-collision odds are negligible).
     """
     sh = (
-        with_shingles(docs.select(id_col, text_col), text_col, n)
+        with_shingles(
+            _parallelize_texts(docs.select(id_col, text_col), id_col),
+            text_col,
+            n,
+        )
         .filter(F.size("sh") > 0)
         .select(F.col(id_col).alias("id"), "sh")
     )
@@ -337,7 +367,9 @@ def simhash_pairs(
         raise ValueError("need chunks > max_dist for exact pigeonhole")
     width = SIMHASH_BITS // chunks
     base = with_simhash(
-        docs.select(id_col, text_col), text_col, id_col=id_col
+        _parallelize_texts(docs.select(id_col, text_col), id_col),
+        text_col,
+        id_col=id_col,
     ).select(F.col(id_col).alias("id"), "simhash")
     chunked = base.select(
         "id",

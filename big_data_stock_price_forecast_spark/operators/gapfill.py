@@ -7,13 +7,17 @@ data, sort, forward-fill every column. (The reference ffills the
 timestamp from ``time_idx`` instead, which is strictly more correct and
 documented as a deliberate deviation.)
 
-Spark shape: per-symbol ``sequence()`` + ``explode`` builds the dense
-axis WITHOUT a driver-side loop (one row per symbol explodes to the full
-grid on executors), left-join the observed rows, then
-``last(col, ignorenulls=True)`` over an unbounded-preceding row frame
-per symbol. Both the join and the window hash on the same key
-(symbol), so AQE can reuse one exchange; rows-unbounded-preceding ffill
-is a linear scan per partition — no amplification.
+Spark shape — SINGLE-PASS, no self-join: each observed row looks at the
+next observed index (``lead``) and explodes ``sequence(idx, next-1)``;
+every synthesized row inherits the source row's values, which IS the
+forward fill. Compared to the grid+left-join+last(ignorenulls)
+formulation this reads the input once (the aggregate/grid branch would
+otherwise duplicate the entire upstream lineage — dedup, resample —
+because DataFrame reuse is plan-tree duplication, not a shared CTE),
+performs no join, and needs one window (lead) over the same (key, idx)
+sort the downstream operators already require. Row amplification equals
+exactly the gap count; at 100 TB the explode streams — nothing is
+buffered per key.
 """
 
 from __future__ import annotations
@@ -33,42 +37,46 @@ def fill_missing_time_idx(
     fill_cols: list[str] | None = None,
 ) -> DataFrame:
     """Densify ``idx_col`` to every integer in [min, max] per partition
-    key and forward-fill ``fill_cols`` (default: all non-key columns).
-    Adds ``is_gap`` (1 for synthesized rows)."""
+    key, forward-filling ``fill_cols`` (default: all non-key columns).
+    Adds ``is_gap`` (1 for synthesized rows). Columns NOT in
+    ``fill_cols`` (and not key/ts) are nulled on synthesized rows,
+    matching the left-join formulation this replaces.
+    """
     parts = [part_col] if isinstance(part_col, str) else list(part_col)
     if fill_cols is None:
         fill_cols = [
             c for c in df.columns if c not in (*parts, idx_col, ts_col)
         ]
+    other_cols = [
+        c
+        for c in df.columns
+        if c not in (*parts, idx_col, ts_col) and c not in fill_cols
+    ]
 
-    grid = (
-        df.groupBy(*parts)
-        .agg(F.min(idx_col).alias("__mn"), F.max(idx_col).alias("__mx"))
-        .select(
-            *parts,
-            F.explode(F.sequence(F.col("__mn"), F.col("__mx"))).alias(idx_col),
-        )
-    )
-    joined = grid.join(df, [*parts, idx_col], "left").withColumn(
-        "is_gap", F.col(fill_cols[0]).isNull().cast("int")
-        if fill_cols
-        else F.lit(0),
-    )
-    w = (
-        Window.partitionBy(*parts)
-        .orderBy(idx_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = joined.withColumns(
-        {c: F.last(c, ignorenulls=True).over(w) for c in fill_cols}
-    )
+    w = Window.partitionBy(*parts).orderBy(idx_col)
+    dense = df.withColumn("__nxt", F.lead(idx_col).over(w)).withColumn(
+        "__idx2",
+        F.explode(
+            F.sequence(
+                F.col(idx_col),
+                F.coalesce(F.col("__nxt") - 1, F.col(idx_col)),
+            )
+        ),
+    ).drop("__nxt")
+    is_gap = (F.col("__idx2") != F.col(idx_col)).cast("int")
+    out = dense.withColumn("is_gap", is_gap)
+    # synthesized rows: filled columns inherit the source row (= ffill);
+    # all other payload columns go null, as an outer join would leave them
+    for c in other_cols:
+        out = out.withColumn(c, F.when(F.col("is_gap") == 0, F.col(c)))
+    out = out.withColumn(idx_col, F.col("__idx2")).drop("__idx2")
     if ts_col in df.columns:
         # reconstruct timestamp from the dense index (deviation from the
         # reference's ffill-the-timestamp; see module docstring)
-        filled = filled.withColumn(
+        out = out.withColumn(
             ts_col,
             F.timestamp_seconds(
                 F.col(idx_col) * F.lit(step_seconds) + F.lit(ANCHOR_EPOCH)
             ),
         )
-    return filled
+    return out

@@ -185,20 +185,54 @@ def macd(
     part_col: str = "symbol",
     idx_col: str = "time_idx",
 ) -> DataFrame:
-    """MACD line, signal line, histogram (classic 12/26/9)."""
-    out = ewm_smooth(
-        df,
-        {
-            f"ema{fast}": (value_col, 2.0 / (fast + 1)),
-            f"ema{slow}": (value_col, 2.0 / (slow + 1)),
-        },
-        part_col,
-        idx_col,
-    ).withColumn("macd", F.col(f"ema{fast}") - F.col(f"ema{slow}"))
-    out = ewm_smooth(
-        out, {"macd_signal": ("macd", 2.0 / (signal + 1))}, part_col, idx_col
+    """MACD line, signal line, histogram (classic 12/26/9).
+
+    The signal line is an EMA *of the macd line*, i.e. a chained
+    recursion — computed in the SAME Arrow pass as the two price EMAs
+    (one shuffle, one Python stage) rather than as a second
+    applyInPandas round-trip: per element, macd_t is already available
+    when the signal recursion consumes it, and the operand order
+    matches the oracle's two-stage fold exactly.
+    """
+    a_f, a_s, a_sig = (
+        2.0 / (fast + 1),
+        2.0 / (slow + 1),
+        2.0 / (signal + 1),
     )
-    return out.withColumn("macd_hist", F.col("macd") - F.col("macd_signal"))
+    fields = list(df.schema.fields) + [
+        StructField(c, DoubleType())
+        for c in (f"ema{fast}", f"ema{slow}", "macd", "macd_signal", "macd_hist")
+    ]
+    schema = StructType(fields)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(idx_col)
+        xs = pdf[value_col].to_numpy()
+        n = len(xs)
+        ef = [None] * n
+        es = [None] * n
+        md = [None] * n
+        sig = [None] * n
+        hist = [None] * n
+        yf = ys = ysig = None
+        for i in range(n):
+            x = xs[i]
+            if x != x or x is None:
+                continue
+            x = float(x)
+            yf = x if yf is None else (1.0 - a_f) * yf + a_f * x
+            ys = x if ys is None else (1.0 - a_s) * ys + a_s * x
+            m = yf - ys
+            ysig = m if ysig is None else (1.0 - a_sig) * ysig + a_sig * m
+            ef[i], es[i], md[i], sig[i], hist[i] = yf, ys, m, ysig, m - ysig
+        pdf[f"ema{fast}"] = ef
+        pdf[f"ema{slow}"] = es
+        pdf["macd"] = md
+        pdf["macd_signal"] = sig
+        pdf["macd_hist"] = hist
+        return pdf
+
+    return df.groupBy(part_col).applyInPandas(fn, schema)
 
 
 def rsi(

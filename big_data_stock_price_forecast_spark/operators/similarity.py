@@ -125,6 +125,49 @@ def embedding_near_dup_pairs(
     return emb.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
+def with_sign_bucket_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = ANN_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, v, bucket) with the sign-LSH bucket computed in one Arrow
+    pass: the per-plane dot accumulates SEQUENTIALLY OVER DIMENSIONS
+    (vectorized over rows), the same left-associated order as the
+    codegen expression in :func:`sign_lsh_bucket` and the DuckDB
+    oracle's fold — bitwise-identical signs, none of the
+    (planes x dim)-term codegen compile cost."""
+    import numpy as np
+    import pandas as pd
+
+    pl = np.array(sign_planes(n_planes, dim))  # k x dim
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vm = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            d = np.zeros((len(vm), n_planes))
+            for j in range(dim):
+                d = d + vm[:, j][:, None] * pl[None, :, j]
+            bucket = (
+                (d >= 0).astype("int64")
+                * (1 << np.arange(n_planes, dtype="int64"))[None, :]
+            ).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "v": pdf[vec_col],
+                    "bucket": bucket.astype("int64"),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, schema="id long, v array<double>, bucket long"
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -137,14 +180,14 @@ def ann_lsh_topk(
     """Approximate top-k neighbors: candidates share the query's sign-
     LSH bucket; exact cosine ranks within the bucket. Equi-join on the
     bucket id — shuffle by a single int key, no cross product."""
-    bucketed = emb.withColumn(
-        "bucket", sign_lsh_bucket(F.col(vec_col), n_planes, dim)
-    ).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket")
-    qb = queries.withColumn(
-        "bucket", sign_lsh_bucket(F.col(vec_col), n_planes, dim)
-    ).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), "bucket"
+    # repartition by id first: a single-file corpus is one input split,
+    # which would run every hyperplane dot on one core
+    bucketed = with_sign_bucket_arrow(
+        emb.repartition(F.col(id_col)), id_col, vec_col, n_planes, dim
     )
+    qb = with_sign_bucket_arrow(
+        queries, id_col, vec_col, n_planes, dim
+    ).withColumnsRenamed({"id": "q_id", "v": "qv"})
     from pyspark.sql import Window
 
     from ..functions.distance import dot_fixed, l2_norm_fixed

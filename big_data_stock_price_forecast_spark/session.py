@@ -39,6 +39,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's parallelism-first coalescing merges shuffle reads down
+        # to minPartitionSize (default 1 MiB); for MB-scale interactive
+        # inputs that serializes whole pipelines onto one core. A 64 KiB
+        # floor keeps small stages parallel; at cluster scale coalescing
+        # only ever MERGES map outputs, so a lower floor just means
+        # "don't merge tiny stages to death" — large shuffles still
+        # target the advisory size.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
