@@ -1533,6 +1533,27 @@ FROM zz"""
     )
 
 
+def q_win_pca_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib PipelineModel (StandardScaler -> PCA) fitted on the
+    windows table, then applied — the M1/M7 checkpointable embedder.
+    Rows-only check: an MLlib fit is not SQL-expressible."""
+    from ..operators.mlpipe import fit_embedder, transform_windows
+
+    w = sliding_windows(
+        _filled(spark, sf_dir).select("symbol", "time_idx", "close"), L=_DCT_L
+    )
+    model = fit_embedder(w, k=_DCT_K)
+    out = transform_windows(model, w)
+    return out.select(
+        "symbol",
+        "window_id",
+        *[
+            F.element_at("emb", d + 1).alias(f"p{d}")
+            for d in range(_DCT_K)
+        ],
+    )
+
+
 IVF_NPROBE = 2
 
 
@@ -1788,6 +1809,7 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_incremental_upsert": q_ts_incremental_upsert,
         "ts_savgol": q_ts_savgol,
         "win_dct_embed": q_win_dct_embed,
+        "win_pca_embed": q_win_pca_embed,
         "emb_ivf_ann_topk": q_emb_ivf_ann,
         "media_meta": q_media_meta,
         "media_frame_sample": q_media_frames,
