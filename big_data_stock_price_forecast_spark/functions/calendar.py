@@ -50,3 +50,28 @@ def add_time_idx(
     df: DataFrame, ts_col: str = "datetime", step_seconds: int = 3600
 ) -> DataFrame:
     return df.withColumn("time_idx", time_idx_col(ts_col, step_seconds))
+
+
+# F1 (core/data/utils.py:7-22): "<count><unit>" timeframe strings with
+# units m/h/d/w/M/y. Calendar units (M, y) have no fixed second length;
+# the reference approximates M=30d and y=365d — reproduced exactly.
+_TIMEFRAME_UNIT_SECONDS = {
+    "m": 60,
+    "h": 3600,
+    "d": 86400,
+    "w": 7 * 86400,
+    "M": 30 * 86400,
+    "y": 365 * 86400,
+}
+
+
+def parse_timeframe(timeframe: str) -> int:
+    """``"1h" -> 3600``: regex ``([0-9]+)([a-zA-Z])``, case-sensitive
+    unit (m=minute, M=month). Raises on anything else — the reference's
+    timeframe validation surface (S2) for arbitrary exchanges."""
+    import re
+
+    m = re.fullmatch(r"([0-9]+)([a-zA-Z])", timeframe)
+    if not m or m.group(2) not in _TIMEFRAME_UNIT_SECONDS:
+        raise ValueError(f"unparseable timeframe {timeframe!r}")
+    return int(m.group(1)) * _TIMEFRAME_UNIT_SECONDS[m.group(2)]

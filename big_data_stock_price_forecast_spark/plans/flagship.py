@@ -110,10 +110,12 @@ def flagship_windows(
 def flagship_per_query_mae(
     spark: SparkSession, sf_dir: str, p: FlagshipParams = FlagshipParams()
 ) -> DataFrame:
-    # repartition here is deliberate: it materializes the windows table
-    # behind an exchange whose subtree is IDENTICAL for the train and
-    # val branches of the self-join below, so Spark's ReuseExchange
-    # computes the whole upstream pipeline once instead of twice
+    # repartition keeps the search join co-partitioned on symbol. The
+    # val branch rides a BroadcastExchange locally (small strided query
+    # set), which recomputes the upstream pipeline for that side; past
+    # the broadcast threshold Spark falls back to a sort-merge join
+    # whose two shuffle subtrees are identical, so at scale the
+    # pipeline is computed once and reused (ReuseExchange).
     windows = flagship_windows(spark, sf_dir, p).repartition("symbol")
     train_w = windows.filter(F.col("split") == "train").drop("split")
     val_w = windows.filter(F.col("split") == "val").drop("split")

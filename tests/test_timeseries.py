@@ -112,3 +112,23 @@ def test_calendar_weekday_mon0_and_time_idx_anchor(spark):
     assert out[0].hour == 5
     hours_2000_to_2024 = (dt.datetime(2024, 1, 1, 5) - dt.datetime(2000, 1, 1)).total_seconds() / 3600
     assert out[0].time_idx == int(hours_2000_to_2024)
+
+
+def test_parse_timeframe_contract():
+    """F1 (core/data/utils.py:7-22): count+unit, case-sensitive m/M,
+    month=30d and year=365d approximations."""
+    import pytest
+
+    from big_data_stock_price_forecast_spark.functions.calendar import (
+        parse_timeframe,
+    )
+
+    assert parse_timeframe("1m") == 60
+    assert parse_timeframe("4h") == 4 * 3600
+    assert parse_timeframe("1d") == 86400
+    assert parse_timeframe("2w") == 14 * 86400
+    assert parse_timeframe("1M") == 30 * 86400
+    assert parse_timeframe("1y") == 365 * 86400
+    for bad in ("1x", "h", "1.5h", "", "h1"):
+        with pytest.raises(ValueError):
+            parse_timeframe(bad)
