@@ -103,3 +103,42 @@ def weighted_dist(
     tail_a = F.slice(a, split + 1, F.size(a) - split)
     tail_b = F.slice(b, split + 1, F.size(b) - split)
     return dist(head_a, head_b) + dist(tail_a, tail_b) / F.lit(2.0)
+
+
+def dist_l1_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
+    """Flat-codegen L1 (see ``dot_fixed`` for why); bitwise equal to
+    ``dist_l1``'s sequential fold."""
+    a, b = _to_col(a), _to_col(b)
+    out = F.abs(F.element_at(a, 1) - F.element_at(b, 1))
+    for i in range(2, dim + 1):
+        out = out + F.abs(F.element_at(a, i) - F.element_at(b, i))
+    return out
+
+
+def dist_l2_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
+    """Flat-codegen L2; bitwise equal to ``dist_l2``."""
+    a, b = _to_col(a), _to_col(b)
+    d = F.element_at(a, 1) - F.element_at(b, 1)
+    out = d * d
+    for i in range(2, dim + 1):
+        d = F.element_at(a, i) - F.element_at(b, i)
+        out = out + d * d
+    return F.sqrt(out)
+
+
+def metric_expr_fixed(
+    metric: str, a: Column | str, b: Column | str, dim: int
+) -> tuple[Column, bool]:
+    """Like :func:`metric_expr` but with flat fixed-dimension
+    expressions that stay inside whole-stage codegen — the form to use
+    in wide pair joins (global k-NN search), where interpreted lambda
+    folds dominate runtime."""
+    fns = {
+        "l1": lambda: dist_l1_fixed(a, b, dim),
+        "l2": lambda: dist_l2_fixed(a, b, dim),
+        "cosine": lambda: dot_fixed(a, b, dim)
+        / (l2_norm_fixed(a, dim) * l2_norm_fixed(b, dim)),
+    }
+    if metric not in fns:
+        raise ValueError(f"metric must be one of {sorted(fns)}")
+    return fns[metric](), METRICS_ORDER_DESC[metric]

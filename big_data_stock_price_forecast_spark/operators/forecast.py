@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.distance import METRICS_ORDER_DESC, metric_expr
+from ..functions.distance import (
+    METRICS_ORDER_DESC,
+    metric_expr,
+    metric_expr_fixed,
+)
 from ..functions.normalize import EPS, zscore_array
 
 
@@ -36,6 +40,7 @@ def forecast_evaluate(
     metric: str = "l2",
     within_symbol: bool = True,
     eps: float = EPS,
+    dim: int | None = None,
 ) -> DataFrame:
     """Both inputs are ``sliding_windows(..., pred_window=P)`` outputs
     (symbol, window_id, center, scale, xs, future). Windows whose future
@@ -73,7 +78,14 @@ def forecast_evaluate(
     else:
         joined = train.join(F.broadcast(queries))
 
-    dist, desc = metric_expr(metric, F.col("m_xs"), F.col("q_xs"))
+    # dim given -> flat codegen distance (bitwise equal to the fold);
+    # essential for the global search where the pair join is wide
+    if dim is not None:
+        dist, desc = metric_expr_fixed(
+            metric, F.col("m_xs"), F.col("q_xs"), dim
+        )
+    else:
+        dist, desc = metric_expr(metric, F.col("m_xs"), F.col("q_xs"))
     joined = joined.withColumn("dist", dist)
     order = [
         F.col("dist").desc() if desc else F.col("dist").asc(),

@@ -136,6 +136,7 @@ def flagship_per_query_mae(
         ensemble=p.ensemble,
         metric=p.metric,
         within_symbol=p.within_symbol,
+        dim=p.L,
     )
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.calendar import ANCHOR_EPOCH, add_calendar, add_time_idx, weekday_mon0
-from ..functions.distance import cos_sim, dist_l2
+from ..functions.distance import cos_sim, dist_l1, dist_l2, weighted_dist
 from ..functions.text import (
     EN_STOPWORDS,
     fingerprint,
@@ -554,11 +554,17 @@ def _knn_query(spark, sf_dir, metric: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
-    dist = (
-        cos_sim(F.col("v"), F.col("qv"))
-        if metric == "cosine"
-        else dist_l2(F.col("v"), F.col("qv"))
-    )
+    dists = {
+        "cosine": lambda: cos_sim(F.col("v"), F.col("qv")),
+        "l2": lambda: dist_l2(F.col("v"), F.col("qv")),
+        "l1": lambda: dist_l1(F.col("v"), F.col("qv")),
+        # the reference's mu/logvar weighting: full weight on the first
+        # 32 dims, half on the rest (test.ipynb cell 21 cdist_w_cmp)
+        "weighted_l2": lambda: weighted_dist(
+            F.col("v"), F.col("qv"), split=32, dist=dist_l2
+        ),
+    }
+    dist = dists[metric]()
     cand = (
         emb.join(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -585,13 +591,35 @@ def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_query(spark, sf_dir, "cosine")
 
 
+def q_knn_l1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_query(spark, sf_dir, "l1")
+
+
+def q_knn_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_query(spark, sf_dir, "weighted_l2")
+
+
+def _sql_l1(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        f" p -> abs(p[1]-p[2])), (x,y) -> x+y)"
+    )
+
+
 def _sql_knn(metric: str) -> str:
+    order = "dist ASC, vec_id ASC"
     if metric == "cosine":
         d = f"{_sql_dot('e.v', 'q.qv')} / ({_sql_norm('e.v')} * {_sql_norm('q.qv')})"
         order = "dist DESC, vec_id ASC"
+    elif metric == "l1":
+        d = _sql_l1("e.v", "q.qv")
+    elif metric == "weighted_l2":
+        d = (
+            f"{_sql_l2('e.v[1:32]', 'q.qv[1:32]')}"
+            f" + {_sql_l2('e.v[33:64]', 'q.qv[33:64]')} / 2.0"
+        )
     else:
         d = _sql_l2("e.v", "q.qv")
-        order = "dist ASC, vec_id ASC"
     return f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % {KNN_QUERY_MOD} = 0),
@@ -1131,6 +1159,17 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("symbol", "window_id", F.round("mae", 4).alias("mae"))
 
 
+def q_flagship_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-symbol search (the reference's ConcatDataset pooling, J5):
+    every query ranks candidates from ALL symbols. The small strided
+    query set broadcasts; distances are flat fixed-dim codegen."""
+    df = flagship_per_query_mae(spark, sf_dir, GLOBAL_PARAMS)
+    return df.select("symbol", "window_id", F.round("mae", 4).alias("mae"))
+
+
+GLOBAL_PARAMS = FlagshipParams(within_symbol=False, stride=4)
+
+
 def _flagship_oracle(p: FlagshipParams = FlagshipParams()) -> str:
     L, P, stride = p.L, p.pred_window, p.stride
     step = p.step_seconds
@@ -1216,15 +1255,16 @@ val_w AS (
 cand AS (
   SELECT q.symbol AS q_symbol, q.window_id AS q_window_id,
          q.center AS q_center, q.scale AS q_scale, q.future AS q_future,
-         t.window_id AS m_window_id, t.center AS m_center,
+         t.symbol AS m_symbol, t.window_id AS m_window_id,
+         t.center AS m_center,
          t.scale AS m_scale, t.future AS m_future,
          {_sql_l2('t.xs', 'q.xs')} AS dist
-  FROM val_w q JOIN train_w t ON q.symbol = t.symbol
+  FROM val_w q JOIN train_w t ON {"q.symbol = t.symbol" if p.within_symbol else "TRUE"}
 ),
 top2 AS (
   SELECT * FROM (
     SELECT *, row_number() OVER (PARTITION BY q_symbol, q_window_id
-              ORDER BY dist ASC, m_window_id ASC) AS rank
+              ORDER BY dist ASC, m_symbol ASC, m_window_id ASC) AS rank
     FROM cand)
   WHERE rank <= {p.ensemble}
 ),
@@ -1775,6 +1815,7 @@ FROM lst""",
 def all_queries() -> dict[str, QueryFn]:
     return {
         "flagship_forecast_mae": q_flagship,
+        "flagship_global_mae": q_flagship_global,
         "ts_dedup_keep_last": q_ts_dedup_keep_last,
         "ts_time_filter_7d": q_ts_time_filter,
         "ts_calendar_time_idx": q_ts_calendar,
@@ -1789,6 +1830,8 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_atr14": q_ts_atr,
         "knn_l2_topk": q_knn_l2_topk,
         "knn_cosine_topk": q_knn_cosine_topk,
+        "knn_l1_topk": q_knn_l1_topk,
+        "knn_weighted_l2_topk": q_knn_weighted_topk,
         "emb_centroid_by_label": q_emb_centroid_by_label,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "top_revenue_nations": q_top_revenue_nations,
@@ -1823,6 +1866,7 @@ def all_queries() -> dict[str, QueryFn]:
 def all_oracles() -> dict[str, str]:
     return {
         "flagship_forecast_mae": _flagship_oracle(),
+        "flagship_global_mae": _flagship_oracle(GLOBAL_PARAMS),
         "ts_dedup_keep_last": SQL_TS_DEDUP,
         "ts_time_filter_7d": SQL_TS_TIME_FILTER,
         "ts_calendar_time_idx": SQL_TS_CALENDAR,
@@ -1837,6 +1881,8 @@ def all_oracles() -> dict[str, str]:
         "ts_atr14": SQL_TS_ATR,
         "knn_l2_topk": _sql_knn("l2"),
         "knn_cosine_topk": _sql_knn("cosine"),
+        "knn_l1_topk": _sql_knn("l1"),
+        "knn_weighted_l2_topk": _sql_knn("weighted_l2"),
         "emb_centroid_by_label": SQL_EMB_CENTROID,
         "tpch_q1_pricing_summary": SQL_TPCH_Q1,
         "top_revenue_nations": SQL_TOP_REVENUE_NATIONS,
