@@ -285,3 +285,191 @@ def atr(
     out = df.withColumn("__tr", tr)
     out = ewm_smooth(out, {f"atr{n}": ("__tr", 1.0 / n)}, part_col, idx_col)
     return out.drop("__tr")
+
+
+def add_indicators2(
+    df: DataFrame,
+    part_col: str = "symbol",
+    idx_col: str = "time_idx",
+    close_col: str = "close",
+    high_col: str = "high",
+    low_col: str = "low",
+    volume_col: str = "volume",
+    stoch_n: int = 14,
+    stoch_d: int = 3,
+    cci_n: int = 20,
+    mfi_n: int = 14,
+    ichi_conv: int = 9,
+    ichi_base: int = 26,
+) -> DataFrame:
+    """Second frame-expressible battery, one shared Window spec:
+
+    - ``stoch_k``/``stoch_d``: Stochastic oscillator %K (close within
+      the n-period high/low range) and its ``stoch_d``-SMA signal
+    - ``cci{cci_n}``: Commodity Channel Index —
+      (tp − SMA(tp)) / (0.015 · mean |tp − SMA(tp)| over the window);
+      the mean absolute deviation is around the CURRENT window's SMA,
+      which no plain window aggregate expresses — computed as a
+      sequential fold over the collected frame (oracle-matched)
+    - ``mfi{mfi_n}``: Money Flow Index — ratio of up-flow to down-flow
+      typical-price·volume sums over the window
+    - ``ichi_conv``/``ichi_base``: Ichimoku conversion/base lines —
+      midpoints of the n-period high/low range
+    """
+    w = _base(part_col, idx_col)
+    rn = F.row_number().over(w)
+    c, h, lo, v = (F.col(x) for x in (close_col, high_col, low_col, volume_col))
+    tp = (h + lo + c) / 3.0
+
+    st_frame = w.rowsBetween(-(stoch_n - 1), 0)
+    hh, ll = F.max(h).over(st_frame), F.min(lo).over(st_frame)
+    k_raw = 100.0 * (c - ll) / F.nullif(hh - ll, F.lit(0.0))
+
+    out = df.withColumn("__k", F.when(rn >= stoch_n, k_raw))
+    wd = _base(part_col, idx_col).rowsBetween(-(stoch_d - 1), 0)
+
+    cci_frame = w.rowsBetween(-(cci_n - 1), 0)
+    # window expressions can't live inside higher-order-function
+    # lambdas: materialize the frame list and its SMA as columns first,
+    # fold over plain columns in the next projection
+    out = out.withColumn("__tp", tp).withColumn(
+        "__tp_sma", F.avg(tp).over(cci_frame)
+    ).withColumn("__tps", F.collect_list(tp).over(cci_frame))
+    mad = F.aggregate(
+        F.col("__tps"),
+        F.lit(0.0),
+        lambda acc, x: acc + F.abs(x - F.col("__tp_sma")),
+    ) / F.size("__tps")
+    cci = (F.col("__tp") - F.col("__tp_sma")) / F.nullif(
+        0.015 * mad, F.lit(0.0)
+    )
+
+    prev_tp = F.lag(tp).over(w)
+    pos_flow = F.when(tp > prev_tp, tp * v).otherwise(F.lit(0.0))
+    neg_flow = F.when(tp < prev_tp, tp * v).otherwise(F.lit(0.0))
+    out = out.withColumn("__pf", pos_flow).withColumn("__nf", neg_flow)
+    mfi_frame = _base(part_col, idx_col).rowsBetween(-(mfi_n - 1), 0)
+    pf_sum = F.sum("__pf").over(mfi_frame)
+    nf_sum = F.sum("__nf").over(mfi_frame)
+    mfi = F.when(nf_sum == 0.0, F.lit(100.0)).otherwise(
+        100.0 - 100.0 / (1.0 + pf_sum / nf_sum)
+    )
+
+    conv_frame = w.rowsBetween(-(ichi_conv - 1), 0)
+    base_frame = w.rowsBetween(-(ichi_base - 1), 0)
+
+    return (
+        out.withColumns(
+            {
+                "stoch_k": F.col("__k"),
+                "stoch_d": F.when(
+                    rn >= stoch_n + stoch_d - 1,
+                    F.avg("__k").over(wd),
+                ),
+                f"cci{cci_n}": F.when(rn >= cci_n, cci),
+                f"mfi{mfi_n}": F.when(rn >= mfi_n + 1, mfi),
+                "ichi_conv": F.when(
+                    rn >= ichi_conv,
+                    (F.max(h).over(conv_frame) + F.min(lo).over(conv_frame))
+                    / 2.0,
+                ),
+                "ichi_base": F.when(
+                    rn >= ichi_base,
+                    (F.max(h).over(base_frame) + F.min(lo).over(base_frame))
+                    / 2.0,
+                ),
+            }
+        )
+        .drop("__k", "__pf", "__nf", "__tp", "__tp_sma", "__tps")
+    )
+
+
+def trend_battery_arrow(
+    df: DataFrame,
+    close_col: str = "close",
+    trix_n: int = 15,
+    ppo_fast: int = 12,
+    ppo_slow: int = 26,
+    kelt_n: int = 20,
+    kelt_atr: int = 10,
+    kelt_mult: float = 2.0,
+    high_col: str = "high",
+    low_col: str = "low",
+    part_col: str = "symbol",
+    idx_col: str = "time_idx",
+) -> DataFrame:
+    """Chained-recursion trend indicators in ONE Arrow pass per series:
+
+    - ``trix{trix_n}``: 100 · 1-step %change of EMA(EMA(EMA(close)))
+    - ``ppo``: 100 · (EMA_fast − EMA_slow) / EMA_slow
+    - ``kelt_mid``/``kelt_upper``/``kelt_lower``: Keltner channel —
+      EMA(close, kelt_n) ± mult · Wilder-ATR(kelt_atr)
+
+    The true range is computed natively upstream (lag is a plain window
+    function); only the recursions live in Python, and every recursion
+    advances in the same loop so state chains (EMA of EMA) cost nothing
+    extra.
+    """
+    w = _base(part_col, idx_col)
+    pc = F.lag(close_col).over(w)
+    tr = F.greatest(
+        F.col(high_col) - F.col(low_col),
+        F.abs(F.col(high_col) - pc),
+        F.abs(F.col(low_col) - pc),
+    )
+    src = df.withColumn("__tr", tr)
+
+    a3 = 2.0 / (trix_n + 1.0)
+    af, asl = 2.0 / (ppo_fast + 1.0), 2.0 / (ppo_slow + 1.0)
+    ak, aa = 2.0 / (kelt_n + 1.0), 1.0 / kelt_atr
+
+    fields = list(src.schema.fields) + [
+        StructField(c, DoubleType())
+        for c in (f"trix{trix_n}", "ppo", "kelt_mid", "kelt_upper", "kelt_lower")
+    ]
+    schema = StructType(fields)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(idx_col)
+        xs = pdf[close_col].to_numpy()
+        trs = pdf["__tr"].to_numpy()
+        n = len(xs)
+        trix = [None] * n
+        ppo = [None] * n
+        km = [None] * n
+        ku = [None] * n
+        kl = [None] * n
+        e1 = e2 = e3 = prev_e3 = None
+        yf = ys = ek = eatr = None
+        for i in range(n):
+            x = xs[i]
+            if x == x and x is not None:
+                x = float(x)
+                e1 = x if e1 is None else (1.0 - a3) * e1 + a3 * x
+                e2 = e1 if e2 is None else (1.0 - a3) * e2 + a3 * e1
+                prev_e3 = e3
+                e3 = e2 if e3 is None else (1.0 - a3) * e3 + a3 * e2
+                if prev_e3 is not None and prev_e3 != 0.0:
+                    trix[i] = 100.0 * (e3 - prev_e3) / prev_e3
+                yf = x if yf is None else (1.0 - af) * yf + af * x
+                ys = x if ys is None else (1.0 - asl) * ys + asl * x
+                if ys != 0.0:
+                    ppo[i] = 100.0 * (yf - ys) / ys
+                ek = x if ek is None else (1.0 - ak) * ek + ak * x
+            t = trs[i]
+            if t == t and t is not None:
+                t = float(t)
+                eatr = t if eatr is None else (1.0 - aa) * eatr + aa * t
+            if ek is not None:
+                km[i] = ek
+                if eatr is not None:
+                    ku[i] = ek + kelt_mult * eatr
+                    kl[i] = ek - kelt_mult * eatr
+        pdf[f"trix{trix_n}"] = trix
+        pdf["ppo"] = ppo
+        pdf["kelt_mid"] = km
+        pdf["kelt_upper"] = ku
+        pdf["kelt_lower"] = kl
+        return pdf
+
+    return src.groupBy(part_col).applyInPandas(fn, schema).drop("__tr")

@@ -1288,6 +1288,147 @@ FROM ens JOIN target_steps USING (q_symbol, q_window_id, step)
 GROUP BY 1, 2"""
 
 
+def q_ts_indicators2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second frame-expressible battery: Stochastic %K/%D, CCI, MFI,
+    Ichimoku conversion/base (W12 widening)."""
+    from ..operators.rolling import add_indicators2
+
+    df = add_indicators2(_filled_ohlc(spark, sf_dir))
+    r6 = _r6
+    return df.select(
+        "symbol", "time_idx",
+        r6("stoch_k"), r6("stoch_d"), r6("cci20"), r6("mfi14"),
+        r6("ichi_conv"), r6("ichi_base"),
+    )
+
+
+SQL_TS_INDICATORS2 = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED_OHLC},
+base AS (
+  SELECT symbol, time_idx, close, high, low, volume,
+         (high + low + close) / 3.0 AS tp,
+         row_number() OVER w AS rn
+  FROM filled
+  WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)
+),
+fr AS (
+  SELECT symbol, time_idx, rn, tp,
+         CASE WHEN rn >= 14 THEN
+           100.0 * (close - min(low) OVER w14) /
+           nullif(max(high) OVER w14 - min(low) OVER w14, 0.0)
+         END AS k,
+         avg(tp) OVER w20 AS tp_sma,
+         list(tp) OVER w20 AS tps,
+         CASE WHEN tp > lag(tp) OVER wo THEN tp * volume ELSE 0.0 END AS pf,
+         CASE WHEN tp < lag(tp) OVER wo THEN tp * volume ELSE 0.0 END AS nf,
+         max(high) OVER w9 AS hh9, min(low) OVER w9 AS ll9,
+         max(high) OVER w26 AS hh26, min(low) OVER w26 AS ll26
+  FROM base
+  WINDOW wo AS (PARTITION BY symbol ORDER BY time_idx),
+         w14 AS (PARTITION BY symbol ORDER BY time_idx
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+         w20 AS (PARTITION BY symbol ORDER BY time_idx
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         w9 AS (PARTITION BY symbol ORDER BY time_idx
+                ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+         w26 AS (PARTITION BY symbol ORDER BY time_idx
+                 ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)
+),
+agg2 AS (
+  SELECT symbol, time_idx, rn, k, tp, tp_sma, hh9, ll9, hh26, ll26,
+         list_reduce(list_prepend(0.0, tps), (acc, x) -> acc + abs(x - tp_sma))
+           / len(tps) AS mad,
+         CASE WHEN rn >= 16 THEN avg(k) OVER (
+           PARTITION BY symbol ORDER BY time_idx
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) END AS d,
+         sum(pf) OVER w14 AS pf14, sum(nf) OVER w14 AS nf14
+  FROM fr
+  WINDOW w14 AS (PARTITION BY symbol ORDER BY time_idx
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, time_idx, k AS stoch_k, d AS stoch_d,
+       CASE WHEN rn >= 20 THEN
+         (tp - tp_sma) / nullif(0.015 * mad, 0.0) END AS cci20,
+       CASE WHEN rn >= 15 THEN
+         CASE WHEN nf14 = 0.0 THEN 100.0
+              ELSE 100.0 - 100.0 / (1.0 + pf14 / nf14) END END AS mfi14,
+       CASE WHEN rn >= 9 THEN (hh9 + ll9) / 2.0 END AS ichi_conv,
+       CASE WHEN rn >= 26 THEN (hh26 + ll26) / 2.0 END AS ichi_base
+FROM agg2"""
+
+SQL_TS_INDICATORS2 = _sql_r6_wrap(
+    SQL_TS_INDICATORS2,
+    ["symbol", "time_idx"],
+    ["stoch_k", "stoch_d", "cci20", "mfi14", "ichi_conv", "ichi_base"],
+)
+
+
+def q_ts_trend_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPO + Keltner channel — single-level EMA recursions in the
+    shared Arrow pass; every output oracle-checked via prefix folds."""
+    from ..operators.rolling import trend_battery_arrow
+
+    df = trend_battery_arrow(_filled_ohlc(spark, sf_dir))
+    r6 = _r6
+    return df.select(
+        "symbol", "time_idx",
+        r6("ppo"), r6("kelt_mid"), r6("kelt_upper"), r6("kelt_lower"),
+    )
+
+
+def q_ts_trix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIX (EMA of EMA of EMA, 1-step %change). The TRIPLE-chained
+    recursion has no faithful single-fold SQL form (each stage consumes
+    the previous stage's running sequence), so this query is rows-only:
+    the numeric contract is pinned by tests/test_timeseries.py against
+    a pandas ewm chain instead."""
+    from ..operators.rolling import trend_battery_arrow
+
+    df = trend_battery_arrow(_filled_ohlc(spark, sf_dir))
+    return df.filter(F.col("trix15").isNotNull()).select(
+        "symbol", "time_idx", _r6("trix15")
+    )
+
+
+def _sql_trend_arrow() -> str:
+    ppo_f = _sql_ewm("pfx", "2.0/13.0")
+    ppo_s = _sql_ewm("pfx", "2.0/27.0")
+    kelt = _sql_ewm("pfx", "2.0/21.0")
+    atr = _sql_ewm("trpfx", "1.0/10.0")
+    body = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED_OHLC},
+wtr AS (
+  SELECT symbol, time_idx, close,
+         greatest(high - low,
+                  abs(high - lag(close) OVER wo),
+                  abs(low - lag(close) OVER wo)) AS tr
+  FROM filled
+  WINDOW wo AS (PARTITION BY symbol ORDER BY time_idx)
+),
+pre AS (
+  SELECT symbol, time_idx,
+         list(close) OVER wc AS pfx,
+         list(tr) OVER wc AS trpfx
+  FROM wtr
+  WINDOW wc AS (PARTITION BY symbol ORDER BY time_idx
+                ROWS UNBOUNDED PRECEDING)
+),
+e AS (
+  SELECT symbol, time_idx,
+         {ppo_f} AS yf, {ppo_s} AS ys, {kelt} AS ek, {atr} AS eatr
+  FROM pre
+)
+SELECT symbol, time_idx,
+       CASE WHEN ys <> 0.0 THEN 100.0 * (yf - ys) / ys END AS ppo,
+       ek AS kelt_mid,
+       ek + 2.0 * eatr AS kelt_upper,
+       ek - 2.0 * eatr AS kelt_lower
+FROM e"""
+    return _sql_r6_wrap(
+        body,
+        ["symbol", "time_idx"],
+        ["ppo", "kelt_mid", "kelt_upper", "kelt_lower"],
+    )
+
+
 # --------------------------------------------------------------------------
 # cleaning-pipeline queries (reference P4-P7, O3, S7)
 # --------------------------------------------------------------------------
@@ -1851,6 +1992,9 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_train_val_split": q_ts_train_val_split,
         "ts_incremental_upsert": q_ts_incremental_upsert,
         "ts_savgol": q_ts_savgol,
+        "ts_indicators2": q_ts_indicators2,
+        "ts_trend_arrow": q_ts_trend_arrow,
+        "ts_trix15": q_ts_trix,
         "win_dct_embed": q_win_dct_embed,
         "win_pca_embed": q_win_pca_embed,
         "emb_ivf_ann_topk": q_emb_ivf_ann,
@@ -1902,6 +2046,10 @@ def all_oracles() -> dict[str, str]:
         "ts_train_val_split": SQL_TS_SPLIT,
         "ts_incremental_upsert": SQL_TS_UPSERT,
         "ts_savgol": _sql_savgol(),
+        "ts_indicators2": SQL_TS_INDICATORS2,
+        "ts_trend_arrow": _sql_trend_arrow(),
+        # ts_trix15 has NO oracle: triple-chained EMA recursion is not
+        # faithfully single-fold SQL-expressible (rows-only check)
         "win_dct_embed": _sql_dct_embed(),
         "emb_ivf_ann_topk": _sql_ivf_ann(),
         "media_meta": SQL_MEDIA_META,
