@@ -1167,7 +1167,16 @@ def q_flagship_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("symbol", "window_id", F.round("mae", 4).alias("mae"))
 
 
-GLOBAL_PARAMS = FlagshipParams(within_symbol=False, stride=4)
+# exact global search is inherently quadratic (every query scores the
+# whole cross-symbol store) — demonstrated at daily granularity with a
+# wide evaluation stride so the candidate space stays bounded; the
+# sub-quadratic global paths are the ANN queries (sign-LSH, IVF)
+GLOBAL_PARAMS = FlagshipParams(
+    within_symbol=False,
+    stride=8,
+    resample_every="24 hours",
+    step_seconds=86400,
+)
 
 
 def _flagship_oracle(p: FlagshipParams = FlagshipParams()) -> str:
