@@ -111,6 +111,53 @@ def minhash_signature(
     return hashed.mapInPandas(sign, schema=f"`{id_col}` long, `{out}` array<long>")
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    shingle_col: str = "sh",
+    k: int = MH_PERMS,
+    bands: int = MH_BANDS,
+    rows: int = MH_ROWS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, key) LSH bucket rows straight out of the signature's
+    Arrow pass — same exact arithmetic as :func:`minhash_signature`,
+    but the banding (signature slice -> '_'-joined key string) happens
+    in the same numpy step, skipping the (bands x rows)-term band-key
+    expression and its explode entirely. Output is n_docs x bands rows
+    — the natural shuffle granularity for the bucket join at any scale.
+    """
+    import numpy as np
+    import pandas as pd
+
+    a_np = np.array(minhash_coeffs(k)[0], dtype=np.int64)
+    b_np = np.array(minhash_coeffs(k)[1], dtype=np.int64)
+
+    hashed = df.select(
+        id_col,
+        F.transform(F.col(shingle_col), lambda s: hash60(s) % MH_PRIME).alias(
+            "__hs"
+        ),
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, band_ids, keys = [], [], []
+            for i, hs in enumerate(pdf["__hs"]):
+                sig = (
+                    (np.asarray(hs, dtype=np.int64)[:, None] * a_np[None, :]
+                     + b_np[None, :]) % MH_PRIME
+                ).min(axis=0)
+                doc = pdf[id_col].iloc[i]
+                for b in range(bands):
+                    chunk = sig[b * rows : (b + 1) * rows]
+                    ids.append(doc)
+                    band_ids.append(b)
+                    keys.append("_".join(str(int(x)) for x in chunk))
+            yield pd.DataFrame({"id": ids, "band": band_ids, "key": keys})
+
+    return hashed.mapInPandas(gen, schema="id long, band int, key string")
+
+
 def lsh_band_keys(
     sig_col: str = "sig", bands: int = MH_BANDS, rows: int = MH_ROWS
 ) -> Column:
@@ -197,12 +244,9 @@ def minhash_lsh_pairs(
         .persist()
     )
     sh = base.select(F.col(id_col).alias("id"), "sh")
-    sigs = minhash_signature(base, k=k, id_col=id_col)
-
-    banded = sigs.select(
-        F.col(id_col).alias("id"),
-        F.explode(lsh_band_keys("sig", bands, rows)).alias("bk"),
-    ).select("id", "bk.band", "bk.key")
+    banded = minhash_band_rows(
+        base, k=k, bands=bands, rows=rows, id_col=id_col
+    )
 
     buckets = (
         banded.groupBy("band", "key")

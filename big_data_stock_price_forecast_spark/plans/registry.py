@@ -704,6 +704,115 @@ WHERE l_shipdate <= TIMESTAMP '2024-01-20 00:00:00'
 GROUP BY l_returnflag, l_linestatus"""
 
 
+def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: top-10 unshipped orders by revenue for one
+    market segment. 3-way join — customer broadcast-prunes orders,
+    lineitem joins on the order key; exact DECIMAL revenue; total
+    (revenue DESC, orderkey) order makes the limit deterministic."""
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    dec = lambda c, p=18, s=2: F.col(c).cast(f"decimal({p},{s})")  # noqa: E731
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+            ).select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount", 3, 2)))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+            AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10"""
+
+
+def q_tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: order counts per priority where at least one
+    line shipped >30 days after the order date — a LEFT SEMI join with
+    a non-equi condition (EXISTS pushdown shape)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment counts of customers with no orders SINCE 2000-01-01 —
+    LEFT ANTI join (NOT EXISTS shape)."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    return (
+        cust.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+SQL_CUSTOMERS_NO_ORDERS = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_mktsegment"""
+
+
 def q_top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue per nation: fact table joined to broadcast dims."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -1984,6 +2093,9 @@ def all_queries() -> dict[str, QueryFn]:
         "knn_weighted_l2_topk": q_knn_weighted_topk,
         "emb_centroid_by_label": q_emb_centroid_by_label,
         "tpch_q1_pricing_summary": q_tpch_q1,
+        "tpch_q3_shipping": q_tpch_q3_shipping,
+        "tpch_q4_priority": q_tpch_q4_priority,
+        "customers_without_orders": q_customers_without_orders,
         "top_revenue_nations": q_top_revenue_nations,
         "doc_token_stats": q_doc_token_stats,
         "doc_exact_dup_groups": q_doc_exact_dup_groups,
@@ -2038,6 +2150,9 @@ def all_oracles() -> dict[str, str]:
         "knn_weighted_l2_topk": _sql_knn("weighted_l2"),
         "emb_centroid_by_label": SQL_EMB_CENTROID,
         "tpch_q1_pricing_summary": SQL_TPCH_Q1,
+        "tpch_q3_shipping": SQL_TPCH_Q3,
+        "tpch_q4_priority": SQL_TPCH_Q4,
+        "customers_without_orders": SQL_CUSTOMERS_NO_ORDERS,
         "top_revenue_nations": SQL_TOP_REVENUE_NATIONS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_exact_dup_groups": SQL_DOC_EXACT_DUP,

@@ -94,3 +94,43 @@ def test_ingest_end_to_end(spark, tmp_path):
     # typed schema out of silver
     assert dict(silver.dtypes)["datetime"] == "timestamp"
     assert dict(silver.dtypes)["close"] == "double"
+
+
+def test_bronze_landing_feeds_streaming_source(spark, tmp_path):
+    """The file-per-page bronze layout IS the streaming contract: a
+    readStream over the landing dir with maxFilesPerTrigger=1 replays
+    the pages as micro-batches; a streaming keep-first dedup on
+    (symbol, ts) yields exactly the distinct candle keys."""
+    from pyspark.sql import functions as F
+
+    from big_data_stock_price_forecast_spark.streaming import (
+        distinct_keys_stream,
+        run_available_now,
+    )
+
+    bronze = str(tmp_path / "bronze")
+    fetch = synthetic_exchange()
+    start = 1_577_836_800_000
+    rows, _ = fetch_paginated(fetch, "BTC/USD", start, 600)
+    land_pages(spark, bronze, "BTC/USD", rows, fetch_seq=0, page_rows=200)
+    # overlapping refetch generation -> duplicate keys across batches
+    rows2, _ = fetch_paginated(fetch, "BTC/USD", rows[-200][0], 250)
+    land_pages(spark, bronze, "BTC/USD", rows2, fetch_seq=1, page_rows=200)
+
+    schema = spark.read.parquet(bronze + "/*.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(bronze + "/*.parquet")
+        .select(
+            F.col("symbol"),
+            F.timestamp_millis(F.col("ts_ms")).alias("datetime"),
+        )
+    )
+    out = run_available_now(
+        distinct_keys_stream(sdf, ["symbol", "datetime"], "datetime"),
+        "append",
+    )
+    distinct_keys = {r[0] for r in rows} | {r[0] for r in rows2}
+    assert out.count() == len(distinct_keys)
