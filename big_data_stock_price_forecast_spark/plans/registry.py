@@ -247,6 +247,23 @@ SQL_TS_RESAMPLE = f"""WITH {SQL_SERIES}, {SQL_RES6H}
 SELECT symbol, datetime, open, high, low, close, n_rows FROM idx"""
 
 
+def q_ts_resample_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1's ``drop_ends`` option: trim each symbol's first and last
+    (potentially partial) bucket (core/data/preprocess.py:118-119)."""
+    r = resample_ohlcv(_series(spark, sf_dir), "6 hours", drop_ends=True)
+    return r.select("symbol", "datetime", "open", "high", "low", "close", "n_rows")
+
+
+SQL_TS_RESAMPLE_TRIM = f"""WITH {SQL_SERIES}, {SQL_RES6H},
+ext AS (
+  SELECT symbol, min(datetime) AS mn, max(datetime) AS mx
+  FROM res GROUP BY 1
+)
+SELECT r.symbol, r.datetime, r.open, r.high, r.low, r.close, r.n_rows
+FROM res r JOIN ext USING (symbol)
+WHERE r.datetime > ext.mn AND r.datetime < ext.mx"""
+
+
 def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _filled(spark, sf_dir)
 
@@ -1268,6 +1285,18 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("symbol", "window_id", F.round("mae", 4).alias("mae"))
 
 
+def q_flagship_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: the reference evaluate() return — MAE mean/std/count over
+    all queries (summary over the 4-decimal per-query MAEs so the
+    join-order-dependent average is stable on both engines)."""
+    df = flagship_per_query_mae(spark, sf_dir, FlagshipParams())
+    return df.select(F.round("mae", 4).alias("mae")).agg(
+        F.round(F.avg("mae"), 4).alias("mae_mean"),
+        F.round(F.stddev_pop("mae"), 4).alias("mae_std"),
+        F.count(F.lit(1)).alias("n_queries"),
+    )
+
+
 def q_flagship_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-symbol search (the reference's ConcatDataset pooling, J5):
     every query ranks candidates from ALL symbols. The small strided
@@ -2074,11 +2103,13 @@ FROM lst""",
 def all_queries() -> dict[str, QueryFn]:
     return {
         "flagship_forecast_mae": q_flagship,
+        "flagship_summary": q_flagship_summary,
         "flagship_global_mae": q_flagship_global,
         "ts_dedup_keep_last": q_ts_dedup_keep_last,
         "ts_time_filter_7d": q_ts_time_filter,
         "ts_calendar_time_idx": q_ts_calendar,
         "ts_resample_6h": q_ts_resample_6h,
+        "ts_resample_6h_trimmed": q_ts_resample_trimmed,
         "ts_gap_fill": q_ts_gap_fill,
         "ts_sma": q_ts_sma,
         "ts_delta_hist": q_ts_delta_hist,
@@ -2131,11 +2162,18 @@ def all_queries() -> dict[str, QueryFn]:
 def all_oracles() -> dict[str, str]:
     return {
         "flagship_forecast_mae": _flagship_oracle(),
+        "flagship_summary": (
+            f"WITH base AS ({_flagship_oracle()}) "
+            "SELECT round(avg(mae), 4) AS mae_mean, "
+            "round(stddev_pop(mae), 4) AS mae_std, "
+            "count(*) AS n_queries FROM base"
+        ),
         "flagship_global_mae": _flagship_oracle(GLOBAL_PARAMS),
         "ts_dedup_keep_last": SQL_TS_DEDUP,
         "ts_time_filter_7d": SQL_TS_TIME_FILTER,
         "ts_calendar_time_idx": SQL_TS_CALENDAR,
         "ts_resample_6h": SQL_TS_RESAMPLE,
+        "ts_resample_6h_trimmed": SQL_TS_RESAMPLE_TRIM,
         "ts_gap_fill": SQL_TS_GAP_FILL,
         "ts_sma": SQL_TS_SMA,
         "ts_delta_hist": SQL_TS_DELTA_HIST,
