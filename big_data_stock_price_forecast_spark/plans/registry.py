@@ -580,6 +580,9 @@ def _knn_query(spark, sf_dir, metric: str) -> DataFrame:
         "weighted_l2": lambda: weighted_dist(
             F.col("v"), F.col("qv"), split=32, dist=dist_l2
         ),
+        "weighted_cosine": lambda: weighted_dist(
+            F.col("v"), F.col("qv"), split=32, dist=cos_sim
+        ),
     }
     dist = dists[metric]()
     cand = (
@@ -589,7 +592,7 @@ def _knn_query(spark, sf_dir, metric: str) -> DataFrame:
     )
     order = (
         [F.col("dist").desc(), F.col("vec_id").asc()]
-        if metric == "cosine"
+        if metric in ("cosine", "weighted_cosine")
         else [F.col("dist").asc(), F.col("vec_id").asc()]
     )
     w = Window.partitionBy("q_id").orderBy(*order)
@@ -616,6 +619,10 @@ def q_knn_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_query(spark, sf_dir, "weighted_l2")
 
 
+def q_knn_weighted_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_query(spark, sf_dir, "weighted_cosine")
+
+
 def _sql_l1(a: str, b: str) -> str:
     return (
         f"list_reduce(list_transform(list_zip({a}, {b}),"
@@ -635,6 +642,17 @@ def _sql_knn(metric: str) -> str:
             f"{_sql_l2('e.v[1:32]', 'q.qv[1:32]')}"
             f" + {_sql_l2('e.v[33:64]', 'q.qv[33:64]')} / 2.0"
         )
+    elif metric == "weighted_cosine":
+        cos_h = (
+            f"{_sql_dot('e.v[1:32]', 'q.qv[1:32]')}"
+            f" / ({_sql_norm('e.v[1:32]')} * {_sql_norm('q.qv[1:32]')})"
+        )
+        cos_t = (
+            f"{_sql_dot('e.v[33:64]', 'q.qv[33:64]')}"
+            f" / ({_sql_norm('e.v[33:64]')} * {_sql_norm('q.qv[33:64]')})"
+        )
+        d = f"{cos_h} + {cos_t} / 2.0"
+        order = "dist DESC, vec_id ASC"
     else:
         d = _sql_l2("e.v", "q.qv")
     return f"""
@@ -1751,6 +1769,38 @@ ranked AS (
 SELECT symbol, datetime AS ts, close, src FROM ranked WHERE rn = 1"""
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup: event counts + exact value sums per (event_type,
+    day) with subtotal and grand-total levels — Spark ROLLUP vs the
+    oracle's GROUPING SETS. Sums go through DECIMAL so subtotal
+    accumulation order can't smear doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts"))
+    return (
+        ev.select(
+            F.col("event_type"),
+            day.alias("day"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("double").alias("value_sum"),
+            F.grouping("event_type").cast("int").alias("lvl_type"),
+            F.grouping("day").cast("int").alias("lvl_day"),
+        )
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT event_type, day, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+       CASE WHEN GROUPING(event_type) THEN 1 ELSE 0 END AS lvl_type,
+       CASE WHEN GROUPING(day) THEN 1 ELSE 0 END AS lvl_day
+FROM (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
+GROUP BY ROLLUP (event_type, day)"""
+
+
 # --------------------------------------------------------------------------
 # Savitzky–Golay smoothing (reference W9, core/data/preprocess.py:77-96)
 # --------------------------------------------------------------------------
@@ -2122,6 +2172,7 @@ def all_queries() -> dict[str, QueryFn]:
         "knn_cosine_topk": q_knn_cosine_topk,
         "knn_l1_topk": q_knn_l1_topk,
         "knn_weighted_l2_topk": q_knn_weighted_topk,
+        "knn_weighted_cosine_topk": q_knn_weighted_cosine_topk,
         "emb_centroid_by_label": q_emb_centroid_by_label,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping": q_tpch_q3_shipping,
@@ -2139,6 +2190,7 @@ def all_queries() -> dict[str, QueryFn]:
         "emb_near_dup_pairs": q_emb_near_dup,
         "emb_ann_lsh_topk": q_emb_ann_lsh,
         "events_json_agg": q_events_json_agg,
+        "events_rollup": q_events_rollup,
         "ts_feature_null_ratio": q_ts_feature_null_ratio,
         "ts_dropna_features": q_ts_dropna_features,
         "ts_train_val_split": q_ts_train_val_split,
@@ -2186,6 +2238,7 @@ def all_oracles() -> dict[str, str]:
         "knn_cosine_topk": _sql_knn("cosine"),
         "knn_l1_topk": _sql_knn("l1"),
         "knn_weighted_l2_topk": _sql_knn("weighted_l2"),
+        "knn_weighted_cosine_topk": _sql_knn("weighted_cosine"),
         "emb_centroid_by_label": SQL_EMB_CENTROID,
         "tpch_q1_pricing_summary": SQL_TPCH_Q1,
         "tpch_q3_shipping": SQL_TPCH_Q3,
@@ -2203,6 +2256,7 @@ def all_oracles() -> dict[str, str]:
         "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
         "emb_ann_lsh_topk": SQL_EMB_ANN_LSH,
         "events_json_agg": SQL_EVENTS_JSON,
+        "events_rollup": SQL_EVENTS_ROLLUP,
         "ts_feature_null_ratio": SQL_TS_FEATURE_NULL_RATIO,
         "ts_dropna_features": SQL_TS_DROPNA,
         "ts_train_val_split": SQL_TS_SPLIT,
