@@ -1769,6 +1769,34 @@ ranked AS (
 SELECT symbol, datetime AS ts, close, src FROM ranked WHERE rn = 1"""
 
 
+def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 terms via an EXPLICIT two-phase aggregate:
+    partial counts per (term, physical partition) first, then the final
+    sum per term — the salting pattern that keeps a skewed hot key
+    (stopwords here; a viral doc id at 100 TB) from funneling through
+    one reducer. Counts are exact ints, so the salt never changes the
+    answer; top-20 is total-ordered (n DESC, term ASC)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    partial = toks.withColumn("salt", F.spark_partition_id()).groupBy(
+        "term", "salt"
+    ).agg(F.count(F.lit(1)).alias("pn"))
+    return (
+        partial.groupBy("term")
+        .agg(F.sum("pn").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+SQL_DOC_TOP_TERMS = f"""
+SELECT term, count(*) AS n
+FROM (SELECT unnest({sql_tokens('text')}) AS term FROM documents)
+GROUP BY term
+ORDER BY n DESC, term ASC
+LIMIT 20"""
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLAP rollup: event counts + exact value sums per (event_type,
     day) with subtotal and grand-total levels — Spark ROLLUP vs the
@@ -2191,6 +2219,7 @@ def all_queries() -> dict[str, QueryFn]:
         "emb_ann_lsh_topk": q_emb_ann_lsh,
         "events_json_agg": q_events_json_agg,
         "events_rollup": q_events_rollup,
+        "doc_top_terms": q_doc_top_terms,
         "ts_feature_null_ratio": q_ts_feature_null_ratio,
         "ts_dropna_features": q_ts_dropna_features,
         "ts_train_val_split": q_ts_train_val_split,
@@ -2257,6 +2286,7 @@ def all_oracles() -> dict[str, str]:
         "emb_ann_lsh_topk": SQL_EMB_ANN_LSH,
         "events_json_agg": SQL_EVENTS_JSON,
         "events_rollup": SQL_EVENTS_ROLLUP,
+        "doc_top_terms": SQL_DOC_TOP_TERMS,
         "ts_feature_null_ratio": SQL_TS_FEATURE_NULL_RATIO,
         "ts_dropna_features": SQL_TS_DROPNA,
         "ts_train_val_split": SQL_TS_SPLIT,
