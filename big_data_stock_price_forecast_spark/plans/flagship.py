@@ -58,6 +58,13 @@ class FlagshipParams:
     val_ratio: float = 0.15
     metric: str = "l2"
     within_symbol: bool = True
+    # global-search cost bounds (exact cross-symbol search is O(Q*C);
+    # both knobs keep the pair count explicit instead of letting the
+    # BNLJ grow quadratically with symbols):
+    # query panel = symbols where symbol % query_symbol_mod == 0
+    query_symbol_mod: int | None = None
+    # candidate store strided per symbol like the W11 query cursor
+    cand_stride: int = 1
 
 
 def flagship_windows(
@@ -119,6 +126,16 @@ def flagship_per_query_mae(
     windows = flagship_windows(spark, sf_dir, p).repartition("symbol")
     train_w = windows.filter(F.col("split") == "train").drop("split")
     val_w = windows.filter(F.col("split") == "val").drop("split")
+    if p.query_symbol_mod is not None:
+        val_w = val_w.filter(F.col("symbol") % p.query_symbol_mod == 0)
+    if p.cand_stride > 1:
+        train_w = (
+            train_w.withColumn(
+                "__t0", F.min("window_id").over(Window.partitionBy("symbol"))
+            )
+            .filter((F.col("window_id") - F.col("__t0")) % p.cand_stride == 0)
+            .drop("__t0")
+        )
     # strided evaluation cursor (W11): every `stride`-th window position
     # per symbol, position 0 = the symbol's first val window
     val_w = (

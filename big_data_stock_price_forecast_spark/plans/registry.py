@@ -281,7 +281,8 @@ def q_ts_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.withColumn(
             f"sma{n}",
             F.when(
-                F.col("__rn") >= n, F.round(F.avg("close").over(frame), 6)
+                F.col("__rn") >= n,
+                _rne(F.avg("close").over(frame), f"sma{n}", 6),
             ),
         )
     return out.select("symbol", "time_idx", "sma5", "sma20")
@@ -290,11 +291,13 @@ def q_ts_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TS_SMA = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED}
 SELECT symbol, time_idx,
   CASE WHEN row_number() OVER w >= 5
-       THEN round(avg(close) OVER (PARTITION BY symbol ORDER BY time_idx
-            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) END AS sma5,
+       THEN floor((avg(close) OVER (PARTITION BY symbol ORDER BY time_idx
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) * 1000000.0 + 0.5)
+            / 1000000.0 + 0.0 END AS sma5,
   CASE WHEN row_number() OVER w >= 20
-       THEN round(avg(close) OVER (PARTITION BY symbol ORDER BY time_idx
-            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) END AS sma20
+       THEN floor((avg(close) OVER (PARTITION BY symbol ORDER BY time_idx
+            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) * 1000000.0 + 0.5)
+            / 1000000.0 + 0.0 END AS sma20
 FROM filled
 WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)"""
 
@@ -325,6 +328,45 @@ WHERE delta_min IS NOT NULL
 GROUP BY delta_min"""
 
 
+# Engine-independent 6-decimal rounding: floor(x*1e6 + 0.5)/1e6 is pure
+# IEEE-754 ops so Spark and DuckDB produce bitwise-identical doubles.
+# Built-in round() differs between engines on half-boundary values
+# (Spark rounds the shortest decimal repr via Java BigDecimal.valueOf,
+# DuckDB rounds the true binary value). Trailing +0.0 folds -0.0.
+def _rne(expr, name: str, n: int = 6):
+    """Engine-safe half-up rounding of any Column at ``n`` decimals."""
+    s = float(10**n)
+    return (F.floor(expr * F.lit(s) + F.lit(0.5)) / F.lit(s) + F.lit(0.0)).alias(name)
+
+
+def _r6(c):
+    return _rne(F.col(c), c, 6)
+
+
+def _r6e(expr, name: str):
+    """Expression form of :func:`_r6` (engine-safe rounding of any Column)."""
+    return _rne(expr, name, 6)
+
+
+def _sql_rne(expr: str, name: str, n: int = 6) -> str:
+    s = "1" + "0" * n + ".0"
+    return f"floor(({expr}) * {s} + 0.5) / {s} + 0.0 AS {name}"
+
+
+def _sql_r6(c: str) -> str:
+    return _sql_rne(c, c, 6)
+
+
+def _sql_r6e(expr: str, name: str) -> str:
+    return _sql_rne(expr, name, 6)
+
+
+def _sql_r6_wrap(body: str, keys: list[str], cols: list[str]) -> str:
+    """Wrap an unrounded oracle body with the same explicit rounding."""
+    sel = ", ".join(keys) + ", " + ", ".join(_sql_r6(c) for c in cols)
+    return f"SELECT {sel} FROM ({body})"
+
+
 def q_ts_windows_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = sliding_windows(
         _filled(spark, sf_dir).select("symbol", "time_idx", "close"), L=8
@@ -332,10 +374,10 @@ def q_ts_windows_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         "symbol",
         "window_id",
-        F.round("center", 6).alias("center"),
-        F.round("scale", 6).alias("scale"),
-        F.round(F.element_at("xs", 1), 6).alias("z_first"),
-        F.round(F.element_at("xs", 8), 6).alias("z_last"),
+        _r6("center"),
+        _r6("scale"),
+        _r6e(F.element_at("xs", 1), "z_first"),
+        _r6e(F.element_at("xs", 8), "z_last"),
     )
 
 
@@ -357,29 +399,10 @@ zs AS (
               (a,b) -> a+b) / 8.0) AS scale
   FROM stats
 )
-SELECT symbol, window_id, round(center, 6) AS center, round(scale, 6) AS scale,
-       round((raw[1] - center) / (scale + 1e-8), 6) AS z_first,
-       round((raw[8] - center) / (scale + 1e-8), 6) AS z_last
+SELECT symbol, window_id, {_sql_r6('center')}, {_sql_r6('scale')},
+       {_sql_r6e('(raw[1] - center) / (scale + 1e-8)', 'z_first')},
+       {_sql_r6e('(raw[8] - center) / (scale + 1e-8)', 'z_last')}
 FROM zs"""
-
-
-# Engine-independent 6-decimal rounding: floor(x*1e6 + 0.5)/1e6 is pure
-# IEEE-754 ops so Spark and DuckDB produce bitwise-identical doubles.
-# Built-in round() differs between engines on half-boundary values
-# (Spark rounds the shortest decimal repr via Java BigDecimal.valueOf,
-# DuckDB rounds the true binary value). Trailing +0.0 folds -0.0.
-def _r6(c):
-    return (F.floor(F.col(c) * 1e6 + F.lit(0.5)) / 1e6 + F.lit(0.0)).alias(c)
-
-
-def _sql_r6(c: str) -> str:
-    return f"floor({c} * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS {c}"
-
-
-def _sql_r6_wrap(body: str, keys: list[str], cols: list[str]) -> str:
-    """Wrap an unrounded oracle body with the same explicit rounding."""
-    sel = ", ".join(keys) + ", " + ", ".join(_sql_r6(c) for c in cols)
-    return f"SELECT {sel} FROM ({body})"
 
 
 def q_ts_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -599,7 +622,7 @@ def _knn_query(spark, sf_dir, metric: str) -> DataFrame:
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= KNN_K)
-        .select("q_id", "vec_id", "rank", F.round("dist", 6).alias("dist"))
+        .select("q_id", "vec_id", "rank", _r6("dist"))
     )
 
 
@@ -668,7 +691,7 @@ ranked AS (
          CAST(row_number() OVER (PARTITION BY q_id ORDER BY {order}) AS INT) AS rank
   FROM cand
 )
-SELECT q_id, vec_id, rank, round(dist, 6) AS dist FROM ranked WHERE rank <= {KNN_K}"""
+SELECT q_id, vec_id, rank, {_sql_r6('dist')} FROM ranked WHERE rank <= {KNN_K}"""
 
 
 def q_emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -676,12 +699,14 @@ def q_emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select("label", F.posexplode("v").alias("pos0", "x"))
         .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
-        .agg(F.round(F.avg("x"), 6).alias("centroid"), F.count(F.lit(1)).alias("n"))
+        .agg(_r6e(F.avg("x"), "centroid"), F.count(F.lit(1)).alias("n"))
     )
 
 
 SQL_EMB_CENTROID = """
-SELECT label, i::INT AS pos, round(avg(v[i]), 6) AS centroid, count(*) AS n
+SELECT label, i::INT AS pos,
+       floor(avg(v[i]) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS centroid,
+       count(*) AS n
 FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
      LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
 GROUP BY label, pos"""
@@ -1272,6 +1297,9 @@ def q_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket). Average computed as exact integer sum / count so the value
     is group-order independent."""
     ev = load_table(spark, sf_dir, "events")
+    # string-extraction then strict BIGINT cast on BOTH engines (no JSON
+    # intermediate type), and the average rounded through the engine-safe
+    # _r6 so the quotient is canonical even on half-boundary doubles
     k = F.get_json_object("props", "$.k").cast("long")
     return (
         ev.select("event_type", k.alias("k"))
@@ -1281,15 +1309,16 @@ def q_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("k_sum"),
         )
         .withColumn(
-            "k_avg", F.col("k_sum").cast("double") / F.col("n")
+            "k_avg",
+            _rne(F.col("k_sum").cast("double") / F.col("n"), "k_avg", 6),
         )
     )
 
 
 SQL_EVENTS_JSON = """
-SELECT event_type, k - k % 10 AS k_bucket, count(*) AS n,
-       sum(k) AS k_sum, sum(k)::DOUBLE / count(*) AS k_avg
-FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events)
+SELECT event_type, k - k % 10 AS k_bucket, count(*) AS n, sum(k) AS k_sum,
+       floor((sum(k)::DOUBLE / count(*)) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS k_avg
+FROM (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k FROM events)
 GROUP BY 1, 2"""
 
 
@@ -1300,7 +1329,7 @@ GROUP BY 1, 2"""
 
 def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = flagship_per_query_mae(spark, sf_dir, FlagshipParams())
-    return df.select("symbol", "window_id", F.round("mae", 4).alias("mae"))
+    return df.select("symbol", "window_id", _rne(F.col("mae"), "mae", 4))
 
 
 def q_flagship_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1308,9 +1337,9 @@ def q_flagship_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     all queries (summary over the 4-decimal per-query MAEs so the
     join-order-dependent average is stable on both engines)."""
     df = flagship_per_query_mae(spark, sf_dir, FlagshipParams())
-    return df.select(F.round("mae", 4).alias("mae")).agg(
-        F.round(F.avg("mae"), 4).alias("mae_mean"),
-        F.round(F.stddev_pop("mae"), 4).alias("mae_std"),
+    return df.select(_rne(F.col("mae"), "mae", 4)).agg(
+        _rne(F.avg("mae"), "mae_mean", 4),
+        _rne(F.stddev_pop("mae"), "mae_std", 4),
         F.count(F.lit(1)).alias("n_queries"),
     )
 
@@ -1320,29 +1349,36 @@ def q_flagship_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     every query ranks candidates from ALL symbols. The small strided
     query set broadcasts; distances are flat fixed-dim codegen."""
     df = flagship_per_query_mae(spark, sf_dir, GLOBAL_PARAMS)
-    return df.select("symbol", "window_id", F.round("mae", 4).alias("mae"))
+    return df.select("symbol", "window_id", _rne(F.col("mae"), "mae", 4))
 
 
 # exact global search is inherently quadratic (every query scores the
-# whole cross-symbol store) — demonstrated at daily granularity with a
-# wide evaluation stride so the candidate space stays bounded; the
-# sub-quadratic global paths are the ANN queries (sign-LSH, IVF)
+# whole cross-symbol store), so BOTH sides are bounded explicitly: the
+# query panel is every 10th symbol and the candidate store is strided
+# per symbol (pair count = Q*C stays ~2M at sf0.1 instead of 170M+).
+# Sub-quadratic global paths are the ANN queries (sign-LSH, IVF).
 GLOBAL_PARAMS = FlagshipParams(
     within_symbol=False,
     stride=8,
-    resample_every="24 hours",
-    step_seconds=86400,
+    query_symbol_mod=10,
+    cand_stride=8,
 )
 
 
 def _flagship_oracle(p: FlagshipParams = FlagshipParams()) -> str:
     L, P, stride = p.L, p.pred_window, p.stride
     step = p.step_seconds
+    every = p.resample_every
+    q_filter = (
+        f" AND symbol % {p.query_symbol_mod} = 0"
+        if p.query_symbol_mod is not None
+        else ""
+    )
     return f"""WITH {SQL_SERIES},
 res AS (
   SELECT symbol,
-         time_bucket(INTERVAL '6 hours', ts - INTERVAL '1 microsecond')
-           + INTERVAL '6 hours' AS datetime,
+         time_bucket(INTERVAL '{every}', ts - INTERVAL '1 microsecond')
+           + INTERVAL '{every}' AS datetime,
          arg_max(close, ts) AS close
   FROM series GROUP BY 1, 2
 ),
@@ -1408,10 +1444,13 @@ zz2 AS (
          list_transform(raw, x -> (x - center) / (scale + 1e-8)) AS xs
   FROM zz
 ),
+train_base AS (SELECT * FROM zz2 WHERE split = 'train'),
+t0 AS (SELECT symbol, min(window_id) AS t0 FROM train_base GROUP BY 1),
 train_w AS (
-  SELECT * FROM zz2 WHERE split = 'train' AND len(future) = {P}
+  SELECT t.* FROM train_base t JOIN t0 USING (symbol)
+  WHERE (t.window_id - t0.t0) % {p.cand_stride} = 0 AND len(t.future) = {P}
 ),
-val_base AS (SELECT * FROM zz2 WHERE split = 'val'),
+val_base AS (SELECT * FROM zz2 WHERE split = 'val'{q_filter}),
 w0 AS (SELECT symbol, min(window_id) AS w0 FROM val_base GROUP BY 1),
 val_w AS (
   SELECT v.* FROM val_base v JOIN w0 USING (symbol)
@@ -1448,7 +1487,7 @@ target_steps AS (
   FROM val_w, LATERAL (SELECT unnest(generate_series(1, {P})) AS i)
 )
 SELECT q_symbol AS symbol, q_window_id AS window_id,
-       round(avg(abs(pred - target)), 4) AS mae
+       {_sql_rne('avg(abs(pred - target))', 'mae', 4)}
 FROM ens JOIN target_steps USING (q_symbol, q_window_id, step)
 GROUP BY 1, 2"""
 
@@ -2245,8 +2284,8 @@ def all_oracles() -> dict[str, str]:
         "flagship_forecast_mae": _flagship_oracle(),
         "flagship_summary": (
             f"WITH base AS ({_flagship_oracle()}) "
-            "SELECT round(avg(mae), 4) AS mae_mean, "
-            "round(stddev_pop(mae), 4) AS mae_std, "
+            f"SELECT {_sql_rne('avg(mae)', 'mae_mean', 4)}, "
+            f"{_sql_rne('stddev_pop(mae)', 'mae_std', 4)}, "
             "count(*) AS n_queries FROM base"
         ),
         "flagship_global_mae": _flagship_oracle(GLOBAL_PARAMS),
