@@ -874,7 +874,10 @@ GROUP BY c_mktsegment"""
 
 
 def q_top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue per nation: fact table joined to broadcast dims."""
+    """Revenue per nation. Only the 25-row `nation` dim is broadcast;
+    lineitem⋈orders⋈customer scale with the fact side, so they are left
+    to AQE (shuffle/sort-merge, or runtime broadcast when a side turns
+    out small) — an explicit broadcast there OOMs executors at 100x."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -882,9 +885,9 @@ def q_top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     one = F.lit(1).cast("decimal(3,2)")
     return (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        li.join(orders.select("o_orderkey", "o_custkey"),
                 li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        .join(cust.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")),
               F.col("c_nationkey") == F.col("n_nationkey"))
@@ -1219,6 +1222,22 @@ SQL_DOC_SIMHASH = _sql_simhash_pairs()
 EMB_NEAR_DUP_TAU = 0.4
 
 
+def _sql_sign_bucket(band: int = 0) -> str:
+    """The sign-LSH bucket id as a DuckDB expression over column ``v`` —
+    exact ±1.0 plane sums, bitwise-identical to the Arrow pass."""
+    planes = sign_planes(ANN_PLANES, 64, band)
+    parts = []
+    for k, row in enumerate(planes):
+        lits = ", ".join(f"{s!r}" for s in row)
+        dot = (
+            f"list_reduce(list_prepend(0.0, "
+            f"list_transform(list_zip(v, [{lits}]), z -> z[1] * z[2])),"
+            f" (a, b) -> a + b)"
+        )
+        parts.append(f"CASE WHEN {dot} >= 0 THEN {1 << k} ELSE 0 END")
+    return " + ".join(parts)
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = embedding_near_dup_pairs(
         _emb(spark, sf_dir), threshold=EMB_NEAR_DUP_TAU
@@ -1226,22 +1245,29 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_i", "id_j", _r6("cos"))
 
 
-_SQL_EMB_NEAR_DUP_BODY = f"""
+def _sql_emb_near_dup(n_bands: int = 4) -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, v, {b} AS band, {_sql_sign_bucket(b)} AS bucket FROM emb"
+        for b in range(n_bands)
+    )
+    body = f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bb AS ({bands}),
 n AS (
-  SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
-  FROM (SELECT vec_id, v, {_sql_norm('v')} AS nrm FROM emb)
+  SELECT vec_id, band, bucket, list_transform(v, x -> x / nrm) AS vn
+  FROM (SELECT vec_id, band, bucket, v, {_sql_norm('v')} AS nrm FROM bb)
 ),
 p AS (
-  SELECT a.vec_id AS id_i, b.vec_id AS id_j,
+  SELECT DISTINCT a.vec_id AS id_i, b.vec_id AS id_j,
          {_sql_dot('a.vn', 'b.vn')} AS cos
-  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  FROM n a JOIN n b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.vec_id < b.vec_id
 )
 SELECT id_i, id_j, cos FROM p WHERE cos >= {EMB_NEAR_DUP_TAU}"""
+    return _sql_r6_wrap(body, ["id_i", "id_j"], ["cos"])
 
-SQL_EMB_NEAR_DUP = _sql_r6_wrap(
-    _SQL_EMB_NEAR_DUP_BODY, ["id_i", "id_j"], ["cos"]
-)
+
+SQL_EMB_NEAR_DUP = _sql_emb_near_dup()
 
 
 def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1252,17 +1278,7 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_ann_lsh() -> str:
-    planes = sign_planes(ANN_PLANES, 64)
-    parts = []
-    for k, row in enumerate(planes):
-        lits = ", ".join(f"{s!r}" for s in row)
-        dot = (
-            f"list_reduce(list_prepend(0.0, "
-            f"list_transform(list_zip(v, [{lits}]), z -> z[1] * z[2])),"
-            f" (a, b) -> a + b)"
-        )
-        parts.append(f"CASE WHEN {dot} >= 0 THEN {1 << k} ELSE 0 END")
-    bucket = " + ".join(parts)
+    bucket = _sql_sign_bucket()
     cos = f"{_sql_dot('e.v', 'q.qv')} / ({_sql_norm('e.v')} * {_sql_norm('q.qv')})"
     body = f"""
 WITH emb AS (
