@@ -211,6 +211,76 @@ def _ordered_bucket_pairs(ps: Column) -> Column:
     return F.flatten(F.transform(ps, _with_rest))
 
 
+# per-side member bound for one bucket-expansion task; a bucket larger
+# than this is triangle-chunked so no single task materializes it
+BUCKET_CHUNK_TARGET = 256
+
+
+def bucket_pairs_skew_safe(
+    df: DataFrame,
+    bucket_cols: list[str],
+    payload: list[str],
+    chunk_target: int = BUCKET_CHUNK_TARGET,
+) -> DataFrame:
+    """All unordered member pairs per bucket as column ``p`` =
+    struct(a, b) with a.id < b.id — hot-bucket safe.
+
+    Buckets up to ``chunk_target`` members expand exactly as before
+    (one collect_list row, one task). A larger bucket — e.g. a huge
+    identical-template cluster landing in one LSH key — is hash-split
+    into nc = ceil(n / chunk_target) chunks and every chunk pair runs
+    as its OWN task (triangle scheme): a member of chunk c joins the nc
+    groups (min(c, p), max(c, p)); off-diagonal groups emit only
+    cross-chunk pairs and the diagonal group emits within-chunk pairs,
+    so every bucket pair appears exactly once and per-task memory is
+    bounded by 2 * chunk_target members regardless of bucket size. The
+    pair SET is identical to the unchunked expansion — results are
+    unchanged, only the task decomposition differs.
+
+    ``payload`` columns must include ``id`` (the pair ordering key).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*bucket_cols)
+    sized = df.withColumn(
+        "__nc",
+        F.greatest(
+            F.ceil(F.count(F.lit(1)).over(w) / F.lit(chunk_target)),
+            F.lit(1),
+        ).cast("int"),
+    ).withColumn(
+        "__c", F.pmod(F.xxhash64(F.col("id")), F.col("__nc")).cast("int")
+    )
+    rep = sized.withColumn(
+        "__p", F.explode(F.sequence(F.lit(0), F.col("__nc") - F.lit(1)))
+    )
+    grouped = (
+        rep.groupBy(
+            *bucket_cols,
+            F.least("__c", "__p").alias("__g1"),
+            F.greatest("__c", "__p").alias("__g2"),
+        )
+        .agg(
+            F.collect_list(
+                F.struct(*payload, F.col("__c"))
+            ).alias("ps")
+        )
+        .filter(F.size("ps") > 1)
+    )
+    return (
+        grouped.select(
+            "__g1",
+            "__g2",
+            F.explode(_ordered_bucket_pairs(F.col("ps"))).alias("p"),
+        )
+        .filter(
+            (F.col("__g1") == F.col("__g2"))
+            | (F.col("p.a.__c") != F.col("p.b.__c"))
+        )
+        .select("p")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -248,15 +318,8 @@ def minhash_lsh_pairs(
         base, k=k, bands=bands, rows=rows, id_col=id_col
     )
 
-    buckets = (
-        banded.groupBy("band", "key")
-        .agg(F.collect_list(F.struct("id")).alias("ps"))
-        .filter(F.size("ps") > 1)
-    )
     cand = (
-        buckets.select(
-            F.explode(_ordered_bucket_pairs(F.col("ps"))).alias("p")
-        )
+        bucket_pairs_skew_safe(banded, ["band", "key"], ["id"])
         .select(
             F.col("p.a.id").alias("id_i"), F.col("p.b.id").alias("id_j")
         )
@@ -432,13 +495,8 @@ def simhash_pairs(
             )
         ).alias("ck"),
     ).select("id", "simhash", "ck.c", "ck.v")
-    buckets = (
-        chunked.groupBy("c", "v")
-        .agg(F.collect_list(F.struct("id", "simhash")).alias("ps"))
-        .filter(F.size("ps") > 1)
-    )
-    pairs = buckets.select(
-        F.explode(_ordered_bucket_pairs(F.col("ps"))).alias("p")
+    pairs = bucket_pairs_skew_safe(
+        chunked, ["c", "v"], ["id", "simhash"]
     ).select(
         F.col("p.a.id").alias("id_i"),
         F.col("p.b.id").alias("id_j"),

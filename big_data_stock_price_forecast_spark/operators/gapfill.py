@@ -41,6 +41,18 @@ def fill_missing_time_idx(
     Adds ``is_gap`` (1 for synthesized rows). Columns NOT in
     ``fill_cols`` (and not key/ts) are nulled on synthesized rows,
     matching the left-join formulation this replaces.
+
+    Preconditions / deviations (deliberate, mirrored by the oracles):
+
+    - ``idx_col`` is expected unique per key (the upstream resample or
+      dedup guarantees it). Non-increasing neighbors (duplicate idx)
+      are guarded: the sequence end is taken only when ``next > idx``,
+      so duplicates pass through unchanged instead of synthesizing a
+      bogus descending "gap" (Spark's ``sequence`` would auto-negate
+      the step).
+    - Only MISSING indices are synthesized; a null inside an observed
+      row is NOT forward-filled (the reference's pandas ffill would
+      fill it). Observed rows pass through verbatim.
     """
     parts = [part_col] if isinstance(part_col, str) else list(part_col)
     if fill_cols is None:
@@ -59,7 +71,12 @@ def fill_missing_time_idx(
         F.explode(
             F.sequence(
                 F.col(idx_col),
-                F.coalesce(F.col("__nxt") - 1, F.col(idx_col)),
+                F.coalesce(
+                    F.when(
+                        F.col("__nxt") > F.col(idx_col), F.col("__nxt") - 1
+                    ),
+                    F.col(idx_col),
+                ),
             )
         ),
     ).drop("__nxt")

@@ -169,9 +169,20 @@ def read_bronze(spark: SparkSession, bronze_dir: str) -> DataFrame:
 def silver_series(bronze: DataFrame) -> DataFrame:
     """Bronze -> silver: S4 (wire rows -> typed table: ms epoch to
     timestamp) + S7 (keep-last across overlapping fetch generations:
-    later fetch_seq wins per (symbol, ts))."""
+    later fetch_seq wins per (symbol, ts); ties on fetch_seq — the same
+    generation landed twice, or overlapping pages within one fetch —
+    resolve deterministically by landing file (page files sort after
+    earlier pages for <10 pages, the ingest default) and finally by the
+    row payload itself, so re-running the read never flips the winner).
+    """
     w = Window.partitionBy("symbol", "ts_ms").orderBy(
-        F.col("fetch_seq").desc()
+        F.col("fetch_seq").desc(),
+        F.input_file_name().desc(),
+        F.col("open").desc(),
+        F.col("high").desc(),
+        F.col("low").desc(),
+        F.col("close").desc(),
+        F.col("volume").desc(),
     )
     return (
         bronze.withColumn("__rn", F.row_number().over(w))

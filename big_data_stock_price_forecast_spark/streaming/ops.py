@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import shutil
 import tempfile
 from collections.abc import Iterator
 from typing import Any
@@ -112,6 +113,16 @@ def distinct_keys_stream(
     duplicate (symbol, datetime) arrivals within the watermark are
     dropped, state for keys older than the watermark is evicted. Emits
     key columns only so output is deterministic under any arrival order.
+
+    Oracle-equivalence precondition: the batch oracle is a global
+    SELECT DISTINCT, but this operator only dedups arrivals that land
+    within the watermark of each other — a duplicate arriving after its
+    key's state was evicted is re-emitted. The equivalence holds when
+    the source delivers rows in (approximately) event-time order with
+    duplicate arrivals separated by less than the watermark — true for
+    the landing layout the engine's ingest writes (time-ordered files,
+    duplicates adjacent by construction). For an out-of-order source,
+    widen ``watermark`` to the source's duplicate-arrival horizon.
     """
     return (
         sdf.withWatermark(event_time, watermark)
@@ -160,6 +171,15 @@ def ema_state_stream(sdf: DataFrame, span: int = 12) -> DataFrame:
     function; here the running (count, ema) lives in per-key state and
     each micro-batch folds its — deterministically (datetime, event_id)
     sorted — rows into it, emitting the updated running value.
+
+    Oracle-equivalence precondition: rows are sorted within a
+    micro-batch, but state folds batches in ARRIVAL order — the batch
+    oracle (one global time-ordered fold per key) matches only when
+    batches arrive in event-time order, as they do for the engine's
+    time-ordered landing files (AvailableNow drains them in order). A
+    late row spanning batches would fold out of order; unbounded exact
+    ordering would need the raw rows kept in state until the watermark
+    closes.
     """
     return (
         sdf.withWatermark("datetime", "1 hour")
@@ -185,6 +205,7 @@ def run_available_now(
     """
     name = name or f"bdspf_stream_sink_{next(_SINK_IDS)}"
     ckpt = tempfile.mkdtemp(prefix="bdspf-ckpt-")
+    spark = sdf.sparkSession
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
@@ -193,5 +214,15 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    try:
+        q.awaitTermination()
+        # pin the result independently of the memory sink, then release
+        # the per-run resources (sink registration + checkpoint dir) so
+        # repeated driver calls don't accumulate them
+        out = spark.table(name).persist()
+        out.count()
+        return out
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -226,3 +226,39 @@ def test_embedding_near_dup_threshold(spark, sf_dir):
     out = embedding_near_dup_pairs(emb, threshold=0.4).collect()
     for r in out:
         assert r["cos"] >= 0.4 and r["id_i"] < r["id_j"]
+
+
+def test_bucket_pairs_skew_safe_chunking_preserves_pairs(spark):
+    """A hot bucket forced through triangle chunking must yield exactly
+    the unchunked pair set (and exactly the brute-force expectation)."""
+    import itertools
+
+    from big_data_stock_price_forecast_spark.operators.dedup import (
+        bucket_pairs_skew_safe,
+    )
+
+    rows = [
+        (b, i)
+        for b in range(3)
+        for i in range(b * 100, b * 100 + (40 if b == 0 else 5))
+    ]
+    df = spark.createDataFrame(rows, ["key", "id"])
+
+    def pair_set(ct):
+        out = bucket_pairs_skew_safe(df, ["key"], ["id"], chunk_target=ct)
+        return {
+            (r["p"]["a"]["id"], r["p"]["b"]["id"]) for r in out.collect()
+        }
+
+    big = pair_set(10**6)  # single-task path
+    small = pair_set(4)  # forced triangle chunking (bucket of 40 -> 10 chunks)
+    assert small == big
+
+    expected = set()
+    for b in range(3):
+        ids = [i for (k, i) in rows if k == b]
+        expected |= {
+            (min(x, y), max(x, y))
+            for x, y in itertools.combinations(ids, 2)
+        }
+    assert big == expected
