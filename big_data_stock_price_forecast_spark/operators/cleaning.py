@@ -152,3 +152,25 @@ def positional_split_labeled(
     return pos.withColumn(
         "split", F.when(F.col("__rn") <= boundary, "train").otherwise("val")
     ).drop("__rn", "__cnt")
+
+
+def numeric_columns(df: DataFrame) -> list[str]:
+    """P9 (reference core/data/dataset.py:9 ``select_dtypes("number")``):
+    names of every numeric-typed column, in schema order. Pure schema
+    reflection — metadata on the driver, no data movement."""
+    from pyspark.sql.types import NumericType
+
+    return [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, NumericType)
+    ]
+
+
+def select_numeric(df: DataFrame, keep: list[str] | None = None) -> DataFrame:
+    """Project to the numeric columns (plus explicitly kept key
+    columns) — the Spark form of the reference's dtype-driven feature
+    projection. The projection prunes the scan down to the selected
+    columns (check ReadSchema in .explain)."""
+    keep = [c for c in (keep or []) if c in df.columns]
+    nums = [c for c in numeric_columns(df) if c not in keep]
+    return df.select(*keep, *nums)

@@ -384,6 +384,335 @@ def add_indicators2(
     )
 
 
+def add_indicators3(
+    df: DataFrame,
+    part_col: str = "symbol",
+    idx_col: str = "time_idx",
+    close_col: str = "close",
+    high_col: str = "high",
+    low_col: str = "low",
+    volume_col: str = "volume",
+    aroon_n: int = 25,
+    vortex_n: int = 14,
+    cmf_n: int = 20,
+    eom_n: int = 14,
+    dpo_n: int = 20,
+) -> DataFrame:
+    """Third frame-expressible battery (W12 long tail), one shared
+    Window spec — all JVM window expressions, no Python:
+
+    - ``aroon_up``/``aroon_down``: 100·pos-of-extreme/(n−1) over the
+      n-bar frame (first occurrence of the extreme, both engines'
+      array-position semantics)
+    - ``vortex_pos``/``vortex_neg``: n-bar sums of |h−prev_l| resp.
+      |l−prev_h| over the true-range sum
+    - ``cmf{cmf_n}``: Chaikin Money Flow — money-flow-volume sum over
+      volume sum
+    - ``adi``: Accumulation/Distribution Index (cumulative money-flow
+      volume)
+    - ``eom{eom_n}``: SMA of the Ease-of-Movement value
+      (mid-point move · range / volume; first move taken as 0)
+    - ``uo``: Ultimate Oscillator 7/14/28 (buying-pressure ratios
+      weighted 4/2/1)
+    - ``dpo{dpo_n}``: close displaced n/2+1 back minus the n-SMA
+    - ``kst``/``kst_sig``: Know-Sure-Thing — weighted sum of smoothed
+      ROC(10/15/20/30) and its 9-SMA signal
+    - ``ichi_span_a``/``ichi_span_b``: Ichimoku leading spans plotted
+      26 forward (values from 26 bars back); ``ichi_lagging``: close
+      plotted 26 back (value from 26 bars ahead, null at the tail)
+    """
+    w = _base(part_col, idx_col)
+    rn = F.row_number().over(w)
+    c, h, lo = F.col(close_col), F.col(high_col), F.col(low_col)
+    v = F.col(volume_col)
+    pc, ph, pl = F.lag(c).over(w), F.lag(h).over(w), F.lag(lo).over(w)
+
+    def frame(n):
+        return w.rowsBetween(-(n - 1), 0)
+
+    # aroon: position (0-based) of the first occurrence of the frame
+    # extreme, scaled; ta convention "bars since" is (n-1) - pos, we
+    # keep pos-based which is its mirror — documented engine semantics
+    highs = F.collect_list(h).over(frame(aroon_n))
+    lows = F.collect_list(lo).over(frame(aroon_n))
+    aroon_up = (
+        100.0
+        * (F.array_position(highs, F.array_max(highs)) - 1)
+        / (aroon_n - 1)
+    )
+    aroon_down = (
+        100.0
+        * (F.array_position(lows, F.array_min(lows)) - 1)
+        / (aroon_n - 1)
+    )
+
+    tr = F.greatest(h - lo, F.abs(h - pc), F.abs(lo - pc))
+    vm_pos = F.coalesce(F.abs(h - pl), F.lit(0.0))
+    vm_neg = F.coalesce(F.abs(lo - ph), F.lit(0.0))
+
+    # money-flow volume; flat bars contribute 0
+    mfv = F.when(
+        h != lo, ((c - lo) - (h - c)) / (h - lo) * v
+    ).otherwise(F.lit(0.0))
+
+    emv = F.coalesce(
+        ((h + lo) / 2.0 - (ph + pl) / 2.0) * (h - lo)
+        / F.nullif(v, F.lit(0.0)),
+        F.lit(0.0),
+    )
+
+    bp = c - F.least(lo, pc)
+    tr_uo = F.greatest(h, pc) - F.least(lo, pc)
+
+    out = df.withColumns(
+        {
+            "__tr3": tr,
+            "__vp": vm_pos,
+            "__vn": vm_neg,
+            "__mfv": mfv,
+            "__emv": emv,
+            "__bp": bp,
+            "__truo": tr_uo,
+        }
+    )
+    w2 = _base(part_col, idx_col)
+    rn2 = F.row_number().over(w2)
+
+    def f2(n):
+        return w2.rowsBetween(-(n - 1), 0)
+
+    def s(col, n):
+        return F.sum(col).over(f2(n))
+
+    uo_a7 = s("__bp", 7) / F.nullif(s("__truo", 7), F.lit(0.0))
+    uo_a14 = s("__bp", 14) / F.nullif(s("__truo", 14), F.lit(0.0))
+    uo_a28 = s("__bp", 28) / F.nullif(s("__truo", 28), F.lit(0.0))
+
+    roc = {
+        n: 100.0
+        * (c / F.nullif(F.lag(c, n).over(w2), F.lit(0.0)) - 1.0)
+        for n in (10, 15, 20, 30)
+    }
+    out = out.withColumns(
+        {
+            "aroon_up": F.when(rn2 >= aroon_n, aroon_up),
+            "aroon_down": F.when(rn2 >= aroon_n, aroon_down),
+            "vortex_pos": F.when(
+                rn2 >= vortex_n + 1,
+                s("__vp", vortex_n)
+                / F.nullif(s("__tr3", vortex_n), F.lit(0.0)),
+            ),
+            "vortex_neg": F.when(
+                rn2 >= vortex_n + 1,
+                s("__vn", vortex_n)
+                / F.nullif(s("__tr3", vortex_n), F.lit(0.0)),
+            ),
+            f"cmf{cmf_n}": F.when(
+                rn2 >= cmf_n,
+                s("__mfv", cmf_n) / F.nullif(s(volume_col, cmf_n), F.lit(0.0)),
+            ),
+            "adi": F.sum("__mfv").over(
+                w2.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            f"eom{eom_n}": F.when(
+                rn2 >= eom_n + 1, F.avg("__emv").over(f2(eom_n))
+            ),
+            "uo": F.when(
+                rn2 >= 28,
+                100.0 * (4.0 * uo_a7 + 2.0 * uo_a14 + uo_a28) / 7.0,
+            ),
+            f"dpo{dpo_n}": F.when(
+                rn2 >= dpo_n,
+                F.lag(c, dpo_n // 2 + 1).over(w2)
+                - F.avg(c).over(f2(dpo_n)),
+            ),
+            "__r10": roc[10],
+            "__r15": roc[15],
+            "__r20": roc[20],
+            "__r30": roc[30],
+            "ichi_span_a": F.lag(
+                (F.max(h).over(f2(9)) + F.min(lo).over(f2(9))) / 2.0 / 2.0
+                + (F.max(h).over(f2(26)) + F.min(lo).over(f2(26))) / 2.0 / 2.0,
+                26,
+            ).over(w2),
+            "ichi_span_b": F.when(
+                rn2 >= 52 + 26,
+                F.lag(
+                    (F.max(h).over(f2(52)) + F.min(lo).over(f2(52))) / 2.0, 26
+                ).over(w2),
+            ),
+            "ichi_lagging": F.lead(c, 26).over(w2),
+        }
+    )
+    w3 = _base(part_col, idx_col)
+    rn3 = F.row_number().over(w3)
+
+    def f3(n):
+        return w3.rowsBetween(-(n - 1), 0)
+
+    kst = (
+        1.0 * F.avg("__r10").over(f3(10))
+        + 2.0 * F.avg("__r15").over(f3(10))
+        + 3.0 * F.avg("__r20").over(f3(10))
+        + 4.0 * F.avg("__r30").over(f3(15))
+    )
+    out = out.withColumn("kst", F.when(rn3 >= 45, kst))
+    w4 = _base(part_col, idx_col)
+    out = out.withColumn(
+        "kst_sig",
+        F.when(
+            F.row_number().over(w4) >= 53,
+            F.avg("kst").over(w4.rowsBetween(-8, 0)),
+        ),
+    )
+    # span_a guard: conv needs 9 bars, base 26, displaced 26
+    out = out.withColumn(
+        "ichi_span_a",
+        F.when(F.row_number().over(w4) >= 26 + 26, F.col("ichi_span_a")),
+    )
+    return out.drop(
+        "__tr3", "__vp", "__vn", "__mfv", "__emv", "__bp", "__truo",
+        "__r10", "__r15", "__r20", "__r30",
+    )
+
+
+def recursive_battery_arrow(
+    df: DataFrame,
+    close_col: str = "close",
+    high_col: str = "high",
+    low_col: str = "low",
+    volume_col: str = "volume",
+    part_col: str = "symbol",
+    idx_col: str = "time_idx",
+) -> DataFrame:
+    """EVERY recursive (infinite-memory) indicator in ONE Arrow pass per
+    series — each extra applyInPandas round-trip costs a shuffle plus an
+    Arrow serialization, so all the chained recursions advance together
+    in a single Python loop:
+
+    - ``ema12``/``ema26``/``macd``/``macd_signal``/``macd_hist``
+    - ``rsi14`` (Wilder ewm over gains/losses)
+    - ``atr14`` (Wilder ewm over true range)
+    - ``trix15`` (EMA of EMA of EMA, 1-step %change)
+    - ``ppo`` (100·(ema12−ema26)/ema26)
+    - ``kelt_mid``/``kelt_upper``/``kelt_lower`` (EMA20 ± 2·ATR10)
+    - ``adx14``/``di_pos14``/``di_neg14`` (Wilder ±DM/TR smoothing; the
+      warm-up is the pure seeded-ewm recursion, a documented deviation
+      from ta's n-bar-sum warm-up, so the staged-fold oracle matches)
+    - ``force13`` (EMA-13 of (Δclose)·volume, first Δ taken as 0)
+
+    Inputs must be gap-filled (null-free close/high/low/volume). The
+    lag-derived inputs (true range, gains, ±DM, raw force) are computed
+    NATIVELY with window functions before the pass — only the
+    recursions live in Python. Every recursion is ``y=(1-a)y+ax``
+    seeded with its input's first value, operand order identical to the
+    DuckDB oracle's staged sequential folds (bitwise-reproducible).
+    """
+    w = _base(part_col, idx_col)
+    c = F.col(close_col)
+    h, lo, v = F.col(high_col), F.col(low_col), F.col(volume_col)
+    pc = F.lag(c).over(w)
+    d = c - pc
+    up = h - F.lag(h).over(w)
+    dn = F.lag(lo).over(w) - lo
+    src = df.withColumns(
+        {
+            "__tr": F.greatest(h - lo, F.abs(h - pc), F.abs(lo - pc)),
+            "__gain": F.greatest(d, F.lit(0.0)),
+            "__loss": F.greatest(-d, F.lit(0.0)),
+            "__pdm": F.when((up > dn) & (up > 0), up).otherwise(F.lit(0.0)),
+            "__ndm": F.when((dn > up) & (dn > 0), dn).otherwise(F.lit(0.0)),
+            "__fi": F.coalesce(d * v, F.lit(0.0)),
+        }
+    )
+
+    out_cols = (
+        "ema12", "ema26", "macd", "macd_signal", "macd_hist", "rsi14",
+        "atr14", "trix15", "ppo", "kelt_mid", "kelt_upper", "kelt_lower",
+        "adx14", "di_pos14", "di_neg14", "force13",
+    )
+    fields = list(src.schema.fields) + [
+        StructField(cn, DoubleType()) for cn in out_cols
+    ]
+    schema = StructType(fields)
+
+    a12, a26, a9 = 2.0 / 13.0, 2.0 / 27.0, 2.0 / 10.0
+    aw = 1.0 / 14.0
+    a15 = 2.0 / 16.0
+    ak, aka = 2.0 / 21.0, 1.0 / 10.0
+    af = 2.0 / 14.0
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(idx_col)
+        xs = pdf[close_col].to_numpy()
+        trs = pdf["__tr"].to_numpy()
+        gains = pdf["__gain"].to_numpy()
+        losses = pdf["__loss"].to_numpy()
+        pdms = pdf["__pdm"].to_numpy()
+        ndms = pdf["__ndm"].to_numpy()
+        fis = pdf["__fi"].to_numpy()
+        n = len(xs)
+        res = {cn: [None] * n for cn in out_cols}
+        e12 = e26 = sig = ag = al = eatr = None
+        e1 = e2 = e3 = None
+        ekel = ekatr = spdm = sndm = adx = efi = None
+        for i in range(n):
+            x = float(xs[i])
+            t = float(trs[i])
+            e12 = x if e12 is None else (1.0 - a12) * e12 + a12 * x
+            e26 = x if e26 is None else (1.0 - a26) * e26 + a26 * x
+            m = e12 - e26
+            sig = m if sig is None else (1.0 - a9) * sig + a9 * m
+            g, ls = float(gains[i]), float(losses[i])
+            ag = g if ag is None else (1.0 - aw) * ag + aw * g
+            al = ls if al is None else (1.0 - aw) * al + aw * ls
+            eatr = t if eatr is None else (1.0 - aw) * eatr + aw * t
+            e1 = x if e1 is None else (1.0 - a15) * e1 + a15 * x
+            e2 = e1 if e2 is None else (1.0 - a15) * e2 + a15 * e1
+            prev_e3 = e3
+            e3 = e2 if e3 is None else (1.0 - a15) * e3 + a15 * e2
+            ekel = x if ekel is None else (1.0 - ak) * ekel + ak * x
+            ekatr = t if ekatr is None else (1.0 - aka) * ekatr + aka * t
+            p, q = float(pdms[i]), float(ndms[i])
+            spdm = p if spdm is None else (1.0 - aw) * spdm + aw * p
+            sndm = q if sndm is None else (1.0 - aw) * sndm + aw * q
+            dp = 100.0 * spdm / eatr if eatr != 0.0 else 0.0
+            dq = 100.0 * sndm / eatr if eatr != 0.0 else 0.0
+            dx = 100.0 * abs(dp - dq) / (dp + dq) if dp + dq != 0.0 else 0.0
+            adx = dx if adx is None else (1.0 - aw) * adx + aw * dx
+            fi = float(fis[i])
+            efi = fi if efi is None else (1.0 - af) * efi + af * fi
+            res["ema12"][i] = e12
+            res["ema26"][i] = e26
+            res["macd"][i] = m
+            res["macd_signal"][i] = sig
+            res["macd_hist"][i] = m - sig
+            res["rsi14"][i] = (
+                100.0 if al == 0.0 else 100.0 - 100.0 / (1.0 + ag / al)
+            )
+            res["atr14"][i] = eatr
+            if prev_e3 is not None and prev_e3 != 0.0:
+                res["trix15"][i] = 100.0 * (e3 - prev_e3) / prev_e3
+            if e26 != 0.0:
+                res["ppo"][i] = 100.0 * (e12 - e26) / e26
+            res["kelt_mid"][i] = ekel
+            res["kelt_upper"][i] = ekel + 2.0 * ekatr
+            res["kelt_lower"][i] = ekel - 2.0 * ekatr
+            res["adx14"][i] = adx
+            res["di_pos14"][i] = dp
+            res["di_neg14"][i] = dq
+            res["force13"][i] = efi
+        for cn in out_cols:
+            pdf[cn] = res[cn]
+        return pdf
+
+    return (
+        src.groupBy(part_col)
+        .applyInPandas(fn, schema)
+        .drop("__tr", "__gain", "__loss", "__pdm", "__ndm", "__fi")
+    )
+
+
 def trend_battery_arrow(
     df: DataFrame,
     close_col: str = "close",
