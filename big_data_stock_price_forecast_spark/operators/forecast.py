@@ -41,6 +41,7 @@ def forecast_evaluate(
     within_symbol: bool = True,
     eps: float = EPS,
     dim: int | None = None,
+    return_steps: bool = False,
 ) -> DataFrame:
     """Both inputs are ``sliding_windows(..., pred_window=P)`` outputs
     (symbol, window_id, center, scale, xs, future). Windows whose future
@@ -119,6 +120,16 @@ def forecast_evaluate(
         F.avg(F.col("pt.p")).alias("pred"),
         F.first(F.col("pt.t")).alias("target"),
     )
+    if return_steps:
+        # per-step (pred, target) pairs — the surface A9's loss math
+        # aggregates over (reference train.py loss terms)
+        return ens.select(
+            F.col("q_symbol").alias("symbol"),
+            F.col("q_window_id").alias("window_id"),
+            "step",
+            "pred",
+            "target",
+        )
     return (
         ens.groupBy("q_symbol", "q_window_id")
         .agg(F.avg(F.abs(F.col("pred") - F.col("target"))).alias("mae"))

@@ -802,3 +802,61 @@ def trend_battery_arrow(
         return pdf
 
     return src.groupBy(part_col).applyInPandas(fn, schema).drop("__tr")
+
+
+def apply_ta_battery(
+    df: DataFrame,
+    feature_cols: list[str],
+    open_col: str = "open",
+    high_col: str = "high",
+    low_col: str = "low",
+    close_col: str = "close",
+    volume_col: str = "volume",
+    part_col: str = "symbol",
+    idx_col: str = "time_idx",
+) -> DataFrame:
+    """W12 escape hatch: run the full `ta` package battery
+    (reference core/data/preprocess.py:11-16 ``add_all_ta_features``)
+    per series in one Arrow pass, keeping only ``feature_cols`` of the
+    ~85 generated columns (declared up front because Spark needs the
+    output schema before execution).
+
+    The `ta` package is optional; without it this raises
+    NotImplementedError at call time — the native batteries
+    (:func:`add_indicators` /2/3 and :func:`recursive_battery_arrow`,
+    ~40 indicators) are the supported built-in path and are what the
+    oracle-checked queries use. ta's pandas kernels are also not
+    bitwise-reproducible against a SQL oracle (rolling implementations
+    differ), so escape-hatch outputs get rows-only checks by design.
+    """
+    try:
+        import ta  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env without `ta`
+        raise NotImplementedError(
+            "apply_ta_battery needs the optional `ta` package "
+            "(pip install ta); the built-in batteries in "
+            "operators/rolling.py cover the curated ~40-indicator "
+            "subset without it"
+        ) from exc
+
+    fields = list(df.schema.fields) + [
+        StructField(c, DoubleType()) for c in feature_cols
+    ]
+    schema = StructType(fields)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(idx_col)
+        feat = ta.add_all_ta_features(
+            pdf[[open_col, high_col, low_col, close_col, volume_col]].copy(),
+            open=open_col,
+            high=high_col,
+            low=low_col,
+            close=close_col,
+            volume=volume_col,
+            fillna=False,
+        )
+        for c in feature_cols:
+            pdf[c] = feat[c].astype("float64").to_numpy()
+        return pdf
+
+    return df.groupBy(part_col).applyInPandas(fn, schema)

@@ -114,9 +114,28 @@ def flagship_windows(
     )
 
 
-def flagship_per_query_mae(
+def flagship_step_errors(
     spark: SparkSession, sf_dir: str, p: FlagshipParams = FlagshipParams()
 ) -> DataFrame:
+    """Per-step (pred, target) pairs of the flagship evaluation — the
+    surface the A9 loss-math query aggregates (MAE/MSE/Huber)."""
+    train_w, val_w = _flagship_train_val(spark, sf_dir, p)
+    return forecast_evaluate(
+        train_w,
+        val_w,
+        pred_window=p.pred_window,
+        k=p.k,
+        ensemble=p.ensemble,
+        metric=p.metric,
+        within_symbol=p.within_symbol,
+        dim=p.L,
+        return_steps=True,
+    )
+
+
+def _flagship_train_val(
+    spark: SparkSession, sf_dir: str, p: FlagshipParams
+) -> tuple[DataFrame, DataFrame]:
     # repartition keeps the search join co-partitioned on symbol. The
     # val branch rides a BroadcastExchange locally (small strided query
     # set), which recomputes the upstream pipeline for that side; past
@@ -145,6 +164,13 @@ def flagship_per_query_mae(
         .filter((F.col("window_id") - F.col("__w0")) % p.stride == 0)
         .drop("__w0")
     )
+    return train_w, val_w
+
+
+def flagship_per_query_mae(
+    spark: SparkSession, sf_dir: str, p: FlagshipParams = FlagshipParams()
+) -> DataFrame:
+    train_w, val_w = _flagship_train_val(spark, sf_dir, p)
     return forecast_evaluate(
         train_w,
         val_w,

@@ -334,9 +334,16 @@ GROUP BY delta_min"""
 # (Spark rounds the shortest decimal repr via Java BigDecimal.valueOf,
 # DuckDB rounds the true binary value). Trailing +0.0 folds -0.0.
 def _rne(expr, name: str, n: int = 6):
-    """Engine-safe half-up rounding of any Column at ``n`` decimals."""
+    """Engine-safe half-up rounding of any Column at ``n`` decimals.
+    Above |x| >= 1e9 the value passes through unrounded: sub-decimal
+    rounding is meaningless there, and Spark's ``floor`` returns LONG,
+    which would overflow (DuckDB's stays DOUBLE) — the guard is applied
+    symmetrically in :func:`_sql_rne` so both engines agree."""
     s = float(10**n)
-    return (F.floor(expr * F.lit(s) + F.lit(0.5)) / F.lit(s) + F.lit(0.0)).alias(name)
+    rounded = F.floor(expr * F.lit(s) + F.lit(0.5)) / F.lit(s) + F.lit(0.0)
+    return (
+        F.when(F.abs(expr) < F.lit(1e9), rounded).otherwise(expr + F.lit(0.0))
+    ).alias(name)
 
 
 def _r6(c):
@@ -350,7 +357,11 @@ def _r6e(expr, name: str):
 
 def _sql_rne(expr: str, name: str, n: int = 6) -> str:
     s = "1" + "0" * n + ".0"
-    return f"floor(({expr}) * {s} + 0.5) / {s} + 0.0 AS {name}"
+    return (
+        f"CASE WHEN abs({expr}) < 1000000000.0 "
+        f"THEN floor(({expr}) * {s} + 0.5) / {s} + 0.0 "
+        f"ELSE ({expr}) + 0.0 END AS {name}"
+    )
 
 
 def _sql_r6(c: str) -> str:
@@ -1381,7 +1392,7 @@ GLOBAL_PARAMS = FlagshipParams(
 )
 
 
-def _flagship_oracle(p: FlagshipParams = FlagshipParams()) -> str:
+def _flagship_oracle_ctes(p: FlagshipParams = FlagshipParams()) -> str:
     L, P, stride = p.L, p.pred_window, p.stride
     step = p.step_seconds
     every = p.resample_every
@@ -1501,7 +1512,11 @@ target_steps AS (
   SELECT symbol AS q_symbol, window_id AS q_window_id, i AS step,
          (future[i] - center) / (scale + 1e-8) AS target
   FROM val_w, LATERAL (SELECT unnest(generate_series(1, {P})) AS i)
-)
+)"""
+
+
+def _flagship_oracle(p: FlagshipParams = FlagshipParams()) -> str:
+    return f"""{_flagship_oracle_ctes(p)}
 SELECT q_symbol AS symbol, q_window_id AS window_id,
        {_sql_rne('avg(abs(pred - target))', 'mae', 4)}
 FROM ens JOIN target_steps USING (q_symbol, q_window_id, step)
@@ -2717,6 +2732,77 @@ SQL_TS_NUMERIC_PROFILE = (
 )
 
 
+def q_flagship_loss_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (reference train.py loss terms as a QUERY): per-symbol
+    MAE/MSE/Huber(δ=1) over the flagship per-step forecast errors.
+    Degenerate flat windows make the z-errors huge (scale+1e-8), so
+    decimal sums would overflow; instead each symbol's errors are
+    collected in a canonical (window_id, step) order and folded
+    SEQUENTIALLY — the same order the oracle's ordered list_reduce
+    uses, so the double sums are bitwise reproducible at any magnitude.
+    Per-symbol step counts are bounded by the strided query cursor, so
+    the collect stays small at scale (it is per GROUP, not a driver
+    collect)."""
+    from ..plans.flagship import flagship_step_errors
+
+    steps = flagship_step_errors(spark, sf_dir, FlagshipParams())
+    d = F.col("pred") - F.col("target")
+    grouped = steps.groupBy("symbol").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("window_id", "step", d.alias("d"))
+            )
+        ).alias("arr")
+    )
+
+    def fold(term):
+        return F.aggregate(
+            F.transform(F.col("arr"), term), F.lit(0.0), lambda a, x: a + x
+        )
+
+    n = F.size("arr")
+    huber = lambda x: F.when(  # noqa: E731
+        F.abs(x["d"]) <= 1.0, 0.5 * x["d"] * x["d"]
+    ).otherwise(F.abs(x["d"]) - 0.5)
+    return grouped.select(
+        "symbol",
+        n.alias("n_steps"),
+        _r6e(fold(lambda x: F.abs(x["d"])) / n, "mae"),
+        _r6e(fold(lambda x: x["d"] * x["d"]) / n, "mse"),
+        _r6e(fold(huber) / n, "huber1"),
+    )
+
+
+def _sql_flagship_loss() -> str:
+    return f"""{_flagship_oracle_ctes(FlagshipParams())},
+errs AS (
+  SELECT q_symbol AS symbol, q_window_id AS window_id, step,
+         pred - target AS d
+  FROM ens JOIN target_steps USING (q_symbol, q_window_id, step)
+),
+arrs AS (
+  SELECT symbol, list(d ORDER BY window_id, step) AS arr
+  FROM errs GROUP BY 1
+),
+sums AS (
+  SELECT symbol, len(arr) AS n_steps,
+         list_reduce(list_prepend(0.0, list_transform(arr, x -> abs(x))),
+                     (a, b) -> a + b) AS sa,
+         list_reduce(list_prepend(0.0, list_transform(arr, x -> x * x)),
+                     (a, b) -> a + b) AS ss,
+         list_reduce(list_prepend(0.0, list_transform(arr,
+                     x -> CASE WHEN abs(x) <= 1.0 THEN 0.5 * x * x
+                               ELSE abs(x) - 0.5 END)),
+                     (a, b) -> a + b) AS sh
+  FROM arrs
+)
+SELECT symbol, CAST(n_steps AS INT) AS n_steps,
+       {_sql_r6e('sa / n_steps', 'mae')},
+       {_sql_r6e('ss / n_steps', 'mse')},
+       {_sql_r6e('sh / n_steps', 'huber1')}
+FROM sums"""
+
+
 def q_ts_dup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 (reference core/data/preprocess.py:42 duplicate assertion) as
     a data-quality QUERY: per symbol, total rows vs distinct timestamps
@@ -2761,6 +2847,7 @@ def all_queries() -> dict[str, QueryFn]:
         "flagship_forecast_mae": q_flagship,
         "flagship_summary": q_flagship_summary,
         "flagship_global_mae": q_flagship_global,
+        "flagship_loss_math": q_flagship_loss_math,
         "ts_dedup_keep_last": q_ts_dedup_keep_last,
         "ts_time_filter_7d": q_ts_time_filter,
         "ts_calendar_time_idx": q_ts_calendar,
@@ -2820,6 +2907,7 @@ def all_oracles() -> dict[str, str]:
             "count(*) AS n_queries FROM base"
         ),
         "flagship_global_mae": _flagship_oracle(GLOBAL_PARAMS),
+        "flagship_loss_math": _sql_flagship_loss(),
         "ts_dedup_keep_last": SQL_TS_DEDUP,
         "ts_time_filter_7d": SQL_TS_TIME_FILTER,
         "ts_calendar_time_idx": SQL_TS_CALENDAR,

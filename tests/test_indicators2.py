@@ -117,3 +117,28 @@ def test_trix_ppo_keltner_match_pandas(spark):
             np.testing.assert_allclose(
                 gv[mask], rv[mask], atol=1e-8, err_msg=col
             )
+
+
+def test_apply_ta_battery_gate(spark):
+    """Without the optional `ta` package the escape hatch must fail
+    loudly at call time (and work when the package exists)."""
+    import pytest
+
+    from big_data_stock_price_forecast_spark.operators.rolling import (
+        apply_ta_battery,
+    )
+
+    df = spark.createDataFrame(
+        [(1, i, 1.0 + i, 2.0 + i, 0.5 + i, 1.5 + i, 100.0)
+         for i in range(30)],
+        ["symbol", "time_idx", "open", "high", "low", "close", "volume"],
+    )
+    try:
+        import ta  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="ta"):
+            apply_ta_battery(df, ["momentum_rsi"])
+        return
+    out = apply_ta_battery(df, ["momentum_rsi"])
+    assert "momentum_rsi" in out.columns
+    assert out.count() == 30
