@@ -69,3 +69,63 @@ def embed_windows(
     return windows.mapInPandas(
         run, schema=f"{keep_schema}, emb array<double>"
     )
+
+
+def embed_windows_torch(
+    windows: DataFrame,
+    state_dict_path: str,
+    encoder_factory,
+    k: int,
+    xs_col: str = "xs",
+    keep_cols: tuple[str, ...] = ("symbol", "window_id"),
+) -> DataFrame:
+    """The reference's actual checkpoint-inference flow (M1/M7,
+    notebooks/test.ipynb cells 12-14: load state dict, ``encode`` each
+    batch) in the same mapInPandas slot as :func:`embed_windows`.
+
+    ``encoder_factory()`` must return an un-initialized torch module
+    whose ``encode(Tensor[B, L]) -> Tensor[B, k]`` matches the
+    checkpoint; the state dict loads ONCE PER PYTHON WORKER (inside the
+    generator, before the batch loop), not per batch — on a GPU cluster
+    this is where the model pins to the executor's device.
+
+    torch is optional (out of engine scope, SURVEY.md §2.8): without it
+    this raises NotImplementedError at call time, and the DCT codec in
+    :func:`embed_windows` remains the deterministic, oracle-checkable
+    stand-in with the identical query shape.
+    """
+    try:
+        import torch
+    except ImportError as exc:  # pragma: no cover - env without torch
+        raise NotImplementedError(
+            "embed_windows_torch needs the optional torch package; use "
+            "embed_windows (DCT codec) for the torch-free engine path"
+        ) from exc
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = encoder_factory()
+        model.load_state_dict(
+            torch.load(state_dict_path, map_location="cpu")
+        )
+        model.eval()
+        with torch.no_grad():
+            for pdf in batches:
+                xs = np.stack(pdf[xs_col].to_numpy())
+                emb = (
+                    model.encode(torch.from_numpy(xs).float())
+                    .cpu()
+                    .numpy()
+                    .astype(np.float64)
+                )
+                out = {c: pdf[c] for c in keep_cols}
+                out["emb"] = list(emb)
+                yield pd.DataFrame(out)
+
+    keep_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in windows.schema.fields
+        if f.name in keep_cols
+    )
+    return windows.mapInPandas(
+        run, schema=f"{keep_schema}, emb array<double>"
+    )

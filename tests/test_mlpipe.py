@@ -75,3 +75,42 @@ def test_variance_concentrates_in_leading_components(spark):
     ev = model.stages[-1].explainedVariance.toArray()
     assert ev[0] >= ev[1] >= ev[2] > 0
     assert ev.sum() > 0.9  # 3 planted factors dominate
+
+
+def test_embed_windows_torch_gate(spark):
+    """The torch-checkpoint slot must fail loudly without torch and
+    run the checkpoint when it exists."""
+    import pytest
+
+    from big_data_stock_price_forecast_spark.operators.embed import (
+        embed_windows_torch,
+    )
+
+    df = spark.createDataFrame(
+        [(1, i, [float(j) for j in range(8)]) for i in range(4)],
+        "symbol long, window_id long, xs array<double>",
+    )
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="torch"):
+            embed_windows_torch(df, "/tmp/none.pt", lambda: None, k=4)
+        return
+    # torch available: run a linear encoder checkpoint end-to-end
+    import tempfile
+
+    import torch.nn as nn
+
+    class Enc(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lin = nn.Linear(8, 4, bias=False)
+
+        def encode(self, x):
+            return self.lin(x)
+
+    m = Enc()
+    path = tempfile.mktemp(suffix=".pt")
+    torch.save(m.state_dict(), path)
+    out = embed_windows_torch(df, path, Enc, k=4).collect()
+    assert len(out) == 4 and len(out[0]["emb"]) == 4
