@@ -137,9 +137,19 @@ filled AS (
 
 
 def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deduped (symbol, datetime, close) from events."""
+    """Deduped (symbol, datetime, close) from events.
+
+    ONE wide exchange up front (hash by symbol): every downstream
+    per-symbol operator — dedup window, (symbol, bucket) resample
+    aggregate, gap-fill window, indicator windows — satisfies its
+    required distribution from this partitioning (hash(symbol) clusters
+    any (symbol, …) key), so the whole ts_* family runs exchange-free
+    after this point instead of reshuffling at each operator boundary.
+    """
     return dedup_keep_last(
-        events_series(spark, sf_dir), ["symbol", "datetime"], "event_id"
+        events_series(spark, sf_dir).repartition("symbol"),
+        ["symbol", "datetime"],
+        "event_id",
     ).select("symbol", "datetime", "close")
 
 
@@ -2015,9 +2025,12 @@ def q_win_pca_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only check: an MLlib fit is not SQL-expressible."""
     from ..operators.mlpipe import fit_embedder, transform_windows
 
+    # persist: the fit runs TWO eager passes (scaler stats, PCA
+    # covariance) and the transform a third — without this the whole
+    # resample/gap-fill/window lineage recomputes each time
     w = sliding_windows(
         _filled(spark, sf_dir).select("symbol", "time_idx", "close"), L=_DCT_L
-    )
+    ).persist()
     model = fit_embedder(w, k=_DCT_K)
     out = transform_windows(model, w)
     return out.select(
