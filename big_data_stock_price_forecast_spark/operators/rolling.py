@@ -488,9 +488,16 @@ def add_indicators3(
     uo_a14 = s("__bp", 14) / F.nullif(s("__truo", 14), F.lit(0.0))
     uo_a28 = s("__bp", 28) / F.nullif(s("__truo", 28), F.lit(0.0))
 
+    # zero-denominator ROC taken as 0.0 (not NULL): the KST smoothing
+    # windows must stay null-free so the engine's windowed avg and the
+    # oracle's sequential fold see the same element set (Spark's avg
+    # would skip a NULL, a fold would propagate it)
     roc = {
-        n: 100.0
-        * (c / F.nullif(F.lag(c, n).over(w2), F.lit(0.0)) - 1.0)
+        n: F.coalesce(
+            100.0
+            * (c / F.nullif(F.lag(c, n).over(w2), F.lit(0.0)) - 1.0),
+            F.lit(0.0),
+        )
         for n in (10, 15, 20, 30)
     }
     out = out.withColumns(

@@ -345,14 +345,18 @@ GROUP BY delta_min"""
 # DuckDB rounds the true binary value). Trailing +0.0 folds -0.0.
 def _rne(expr, name: str, n: int = 6):
     """Engine-safe half-up rounding of any Column at ``n`` decimals.
-    Above |x| >= 1e9 the value passes through unrounded: sub-decimal
-    rounding is meaningless there, and Spark's ``floor`` returns LONG,
-    which would overflow (DuckDB's stays DOUBLE) — the guard is applied
-    symmetrically in :func:`_sql_rne` so both engines agree."""
+    Above |x| >= 1e12 the value passes through unrounded: Spark's
+    ``floor`` returns LONG and overflows past |x|*10^n > 9.2e18
+    (DuckDB's stays DOUBLE) — the guard is applied symmetrically in
+    :func:`_sql_rne` so both engines agree. Below the guard the
+    rounding is required: aggregation-order ULP drift is real at e9
+    magnitudes and the rounding collapses it."""
     s = float(10**n)
     rounded = F.floor(expr * F.lit(s) + F.lit(0.5)) / F.lit(s) + F.lit(0.0)
     return (
-        F.when(F.abs(expr) < F.lit(1e9), rounded).otherwise(expr + F.lit(0.0))
+        F.when(F.abs(expr) < F.lit(1e12), rounded).otherwise(
+            expr + F.lit(0.0)
+        )
     ).alias(name)
 
 
@@ -368,7 +372,7 @@ def _r6e(expr, name: str):
 def _sql_rne(expr: str, name: str, n: int = 6) -> str:
     s = "1" + "0" * n + ".0"
     return (
-        f"CASE WHEN abs({expr}) < 1000000000.0 "
+        f"CASE WHEN abs({expr}) < 1000000000000.0 "
         f"THEN floor(({expr}) * {s} + 0.5) / {s} + 0.0 "
         f"ELSE ({expr}) + 0.0 END AS {name}"
     )
@@ -2468,10 +2472,14 @@ pre AS (
          close - least(low, lag(close) OVER wo) AS bp,
          greatest(high, lag(close) OVER wo)
            - least(low, lag(close) OVER wo) AS truo,
-         100.0 * (close / nullif(lag(close, 10) OVER wo, 0.0) - 1.0) AS r10,
-         100.0 * (close / nullif(lag(close, 15) OVER wo, 0.0) - 1.0) AS r15,
-         100.0 * (close / nullif(lag(close, 20) OVER wo, 0.0) - 1.0) AS r20,
-         100.0 * (close / nullif(lag(close, 30) OVER wo, 0.0) - 1.0) AS r30,
+         coalesce(100.0 * (close / nullif(lag(close, 10) OVER wo, 0.0) - 1.0),
+                  0.0) AS r10,
+         coalesce(100.0 * (close / nullif(lag(close, 15) OVER wo, 0.0) - 1.0),
+                  0.0) AS r15,
+         coalesce(100.0 * (close / nullif(lag(close, 20) OVER wo, 0.0) - 1.0),
+                  0.0) AS r20,
+         coalesce(100.0 * (close / nullif(lag(close, 30) OVER wo, 0.0) - 1.0),
+                  0.0) AS r30,
          lag(close, 11) OVER wo AS c11,
          lead(close, 26) OVER wo AS ichi_lagging
   FROM filled
