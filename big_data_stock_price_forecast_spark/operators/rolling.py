@@ -420,6 +420,13 @@ def add_indicators3(
     - ``ichi_span_a``/``ichi_span_b``: Ichimoku leading spans plotted
       26 forward (values from 26 bars back); ``ichi_lagging``: close
       plotted 26 back (value from 26 bars ahead, null at the tail)
+    - ``ao``: Awesome Oscillator — SMA(5) − SMA(34) of the bar midpoint
+    - ``wma9``: linearly-weighted moving average (weights 9..1)
+    - ``vpt``: Volume-Price Trend (cumulative volume · pct-change;
+      first move taken as 0)
+    - ``cret``: cumulative return vs the series' first close, percent
+    - ``ui14``: Ulcer Index — RMS of the 14-bar percent drawdown from
+      the 14-bar high
     """
     w = _base(part_col, idx_col)
     rn = F.row_number().over(w)
@@ -473,6 +480,10 @@ def add_indicators3(
             "__emv": emv,
             "__bp": bp,
             "__truo": tr_uo,
+            "__mid": (h + lo) / 2.0,
+            "__vr": F.coalesce(
+                (c - pc) / F.nullif(pc, F.lit(0.0)) * v, F.lit(0.0)
+            ),
         }
     )
     w2 = _base(part_col, idx_col)
@@ -537,6 +548,56 @@ def add_indicators3(
             "__r15": roc[15],
             "__r20": roc[20],
             "__r30": roc[30],
+            "ao": F.when(
+                rn2 >= 34, s("__mid", 5) / 5.0 - s("__mid", 34) / 34.0
+            ),
+            # flat weighted sum (not a fold): identical left-associated
+            # expression on the DuckDB side → bitwise
+            "wma9": F.when(
+                rn2 >= 9,
+                (
+                    9.0 * c
+                    + 8.0 * F.lag(c, 1).over(w2)
+                    + 7.0 * F.lag(c, 2).over(w2)
+                    + 6.0 * F.lag(c, 3).over(w2)
+                    + 5.0 * F.lag(c, 4).over(w2)
+                    + 4.0 * F.lag(c, 5).over(w2)
+                    + 3.0 * F.lag(c, 6).over(w2)
+                    + 2.0 * F.lag(c, 7).over(w2)
+                    + 1.0 * F.lag(c, 8).over(w2)
+                )
+                / 45.0,
+            ),
+            "vpt": F.sum("__vr").over(
+                w2.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            "cret": 100.0
+            * (
+                c
+                / F.nullif(
+                    F.first(c).over(
+                        w2.rowsBetween(Window.unboundedPreceding, 0)
+                    ),
+                    F.lit(0.0),
+                )
+                - 1.0
+            ),
+            # squared pct drawdown vs the 14-bar high; coalesce keeps the
+            # column null-free so the engine's frame sum and the oracle's
+            # fold see the same element set
+            "__uir2": F.coalesce(
+                (
+                    100.0
+                    * (c - F.max(c).over(f2(14)))
+                    / F.nullif(F.max(c).over(f2(14)), F.lit(0.0))
+                )
+                * (
+                    100.0
+                    * (c - F.max(c).over(f2(14)))
+                    / F.nullif(F.max(c).over(f2(14)), F.lit(0.0))
+                ),
+                F.lit(0.0),
+            ),
             "ichi_span_a": F.lag(
                 (F.max(h).over(f2(9)) + F.min(lo).over(f2(9))) / 2.0 / 2.0
                 + (F.max(h).over(f2(26)) + F.min(lo).over(f2(26))) / 2.0 / 2.0,
@@ -564,6 +625,10 @@ def add_indicators3(
         + 4.0 * F.avg("__r30").over(f3(15))
     )
     out = out.withColumn("kst", F.when(rn3 >= 45, kst))
+    out = out.withColumn(
+        "ui14",
+        F.when(rn3 >= 14, F.sqrt(F.sum("__uir2").over(f3(14)) / 14.0)),
+    )
     w4 = _base(part_col, idx_col)
     out = out.withColumn(
         "kst_sig",
@@ -579,7 +644,7 @@ def add_indicators3(
     )
     return out.drop(
         "__tr3", "__vp", "__vn", "__mfv", "__emv", "__bp", "__truo",
-        "__r10", "__r15", "__r20", "__r30",
+        "__r10", "__r15", "__r20", "__r30", "__mid", "__vr", "__uir2",
     )
 
 
@@ -607,6 +672,19 @@ def recursive_battery_arrow(
       warm-up is the pure seeded-ewm recursion, a documented deviation
       from ta's n-bar-sum warm-up, so the staged-fold oracle matches)
     - ``force13`` (EMA-13 of (Δclose)·volume, first Δ taken as 0)
+    - ``tsi`` (True Strength Index — EMA-13 of EMA-25 of momentum over
+      the same double-smoothing of |momentum|, ×100)
+    - ``pvo`` (Percentage Volume Oscillator — 100·(EMA12−EMA26)/EMA26
+      of volume)
+    - ``mass_idx`` (Mass Index — 25-bar sum of EMA9(high−low) /
+      EMA9(EMA9(high−low)); partial frames emit from the first bar)
+    - ``kama`` (Kaufman adaptive MA 10/2/30 — per-step smoothing
+      constant from the efficiency ratio, computed natively; only the
+      recursion lives in Python; er taken as 0 for the first 10 bars)
+    - ``nvi`` (Negative Volume Index, base 1000 — compounds pct-change
+      only on volume-down bars)
+    - ``stoch_rsi`` (Stochastic RSI — position of RSI-14 in its 14-bar
+      min/max range; null until 14 RSI values exist or on a flat range)
 
     Inputs must be gap-filled (null-free close/high/low/volume). The
     lag-derived inputs (true range, gains, ±DM, raw force) are computed
@@ -622,6 +700,7 @@ def recursive_battery_arrow(
     d = c - pc
     up = h - F.lag(h).over(w)
     dn = F.lag(lo).over(w) - lo
+    rn = F.row_number().over(w)
     src = df.withColumns(
         {
             "__tr": F.greatest(h - lo, F.abs(h - pc), F.abs(lo - pc)),
@@ -630,13 +709,33 @@ def recursive_battery_arrow(
             "__pdm": F.when((up > dn) & (up > 0), up).otherwise(F.lit(0.0)),
             "__ndm": F.when((dn > up) & (dn > 0), dn).otherwise(F.lit(0.0)),
             "__fi": F.coalesce(d * v, F.lit(0.0)),
+            "__mom": F.coalesce(d, F.lit(0.0)),
+            "__amom": F.abs(F.coalesce(d, F.lit(0.0))),
+            "__hl": h - lo,
+            "__nvif": F.coalesce(v < F.lag(v).over(w), F.lit(False)),
+            "__nvir": F.coalesce(
+                (c - pc) / F.nullif(pc, F.lit(0.0)), F.lit(0.0)
+            ),
+            "__rn": rn,
+            "__k10": F.abs(c - F.lag(c, 10).over(w)),
         }
     )
+    # KAMA smoothing constant, fully native: efficiency ratio over the
+    # 10-bar abs-move sum, squared-blended between the fast (2/3) and
+    # slow (2/31) constants; er is 0 for the first 10 bars so the seeded
+    # recursion warms up at the slow constant on both engines
+    kden = F.sum("__amom").over(w.rowsBetween(-9, 0))
+    er = F.when(
+        (F.col("__rn") > 10) & (kden != 0.0), F.col("__k10") / kden
+    ).otherwise(F.lit(0.0))
+    sc_b = er * (2.0 / 3.0 - 2.0 / 31.0) + 2.0 / 31.0
+    src = src.withColumn("__sc", sc_b * sc_b)
 
     out_cols = (
         "ema12", "ema26", "macd", "macd_signal", "macd_hist", "rsi14",
         "atr14", "trix15", "ppo", "kelt_mid", "kelt_upper", "kelt_lower",
         "adx14", "di_pos14", "di_neg14", "force13",
+        "tsi", "pvo", "mass_idx", "kama", "nvi", "stoch_rsi",
     )
     fields = list(src.schema.fields) + [
         StructField(cn, DoubleType()) for cn in out_cols
@@ -648,6 +747,8 @@ def recursive_battery_arrow(
     a15 = 2.0 / 16.0
     ak, aka = 2.0 / 21.0, 1.0 / 10.0
     af = 2.0 / 14.0
+    a25t, a13t = 2.0 / 26.0, 2.0 / 14.0
+    am9 = 2.0 / 10.0
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(idx_col)
@@ -658,11 +759,22 @@ def recursive_battery_arrow(
         pdms = pdf["__pdm"].to_numpy()
         ndms = pdf["__ndm"].to_numpy()
         fis = pdf["__fi"].to_numpy()
+        moms = pdf["__mom"].to_numpy()
+        amoms = pdf["__amom"].to_numpy()
+        hls = pdf["__hl"].to_numpy()
+        vols = pdf[volume_col].to_numpy()
+        nvifs = pdf["__nvif"].to_numpy()
+        nvirs = pdf["__nvir"].to_numpy()
+        scs = pdf["__sc"].to_numpy()
         n = len(xs)
         res = {cn: [None] * n for cn in out_cols}
         e12 = e26 = sig = ag = al = eatr = None
         e1 = e2 = e3 = None
         ekel = ekatr = spdm = sndm = adx = efi = None
+        ms1 = ms2 = as1 = as2 = None
+        ev12 = ev26 = meh = mehh = kama = nvi = None
+        ratios: list[float] = []
+        rsis: list[float] = []
         for i in range(n):
             x = float(xs[i])
             t = float(trs[i])
@@ -689,6 +801,27 @@ def recursive_battery_arrow(
             adx = dx if adx is None else (1.0 - aw) * adx + aw * dx
             fi = float(fis[i])
             efi = fi if efi is None else (1.0 - af) * efi + af * fi
+            mo, am = float(moms[i]), float(amoms[i])
+            ms1 = mo if ms1 is None else (1.0 - a25t) * ms1 + a25t * mo
+            as1 = am if as1 is None else (1.0 - a25t) * as1 + a25t * am
+            ms2 = ms1 if ms2 is None else (1.0 - a13t) * ms2 + a13t * ms1
+            as2 = as1 if as2 is None else (1.0 - a13t) * as2 + a13t * as1
+            vo = float(vols[i])
+            ev12 = vo if ev12 is None else (1.0 - a12) * ev12 + a12 * vo
+            ev26 = vo if ev26 is None else (1.0 - a26) * ev26 + a26 * vo
+            hlv = float(hls[i])
+            meh = hlv if meh is None else (1.0 - am9) * meh + am9 * hlv
+            mehh = meh if mehh is None else (1.0 - am9) * mehh + am9 * meh
+            ratios.append(meh / mehh if mehh != 0.0 else 0.0)
+            acc = 0.0
+            for r in ratios[max(0, i - 24) : i + 1]:
+                acc = acc + r
+            sc = float(scs[i])
+            kama = x if kama is None else kama + sc * (x - kama)
+            if nvi is None:
+                nvi = 1000.0
+            elif bool(nvifs[i]):
+                nvi = nvi * (1.0 + float(nvirs[i]))
             res["ema12"][i] = e12
             res["ema26"][i] = e26
             res["macd"][i] = m
@@ -709,6 +842,20 @@ def recursive_battery_arrow(
             res["di_pos14"][i] = dp
             res["di_neg14"][i] = dq
             res["force13"][i] = efi
+            if as2 != 0.0:
+                res["tsi"][i] = 100.0 * ms2 / as2
+            if ev26 != 0.0:
+                res["pvo"][i] = 100.0 * (ev12 - ev26) / ev26
+            res["mass_idx"][i] = acc
+            res["kama"][i] = kama
+            res["nvi"][i] = nvi
+            cur_rsi = res["rsi14"][i]
+            rsis.append(cur_rsi)
+            if i >= 13:
+                win = rsis[i - 13 : i + 1]
+                mn, mx = min(win), max(win)
+                if mx != mn:
+                    res["stoch_rsi"][i] = (cur_rsi - mn) / (mx - mn)
         for cn in out_cols:
             pdf[cn] = res[cn]
         return pdf
@@ -716,7 +863,11 @@ def recursive_battery_arrow(
     return (
         src.groupBy(part_col)
         .applyInPandas(fn, schema)
-        .drop("__tr", "__gain", "__loss", "__pdm", "__ndm", "__fi")
+        .drop(
+            "__tr", "__gain", "__loss", "__pdm", "__ndm", "__fi",
+            "__mom", "__amom", "__hl", "__nvif", "__nvir", "__rn",
+            "__k10", "__sc",
+        )
     )
 
 

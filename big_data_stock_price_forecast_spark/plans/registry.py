@@ -2308,11 +2308,13 @@ def _sql_indicators_all() -> str:
 
 
 def q_ts_recursive_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EMA/MACD/RSI/ATR/TRIX/PPO/Keltner/ADX(±DI)/Force — every
-    recursive indicator in ONE Arrow pass (operators/rolling.py
-    ``recursive_battery_arrow``); the oracle reproduces each recursion
-    as staged sequential prefix folds, including the triple-chained
-    TRIX (each EMA stage materialized as a column, then re-folded)."""
+    """EMA/MACD/RSI/ATR/TRIX/PPO/Keltner/ADX(±DI)/Force/TSI/PVO/
+    MassIndex/KAMA/NVI/StochRSI — every recursive indicator in ONE
+    Arrow pass (operators/rolling.py ``recursive_battery_arrow``); the
+    oracle reproduces each recursion as staged sequential prefix folds
+    (each EMA stage materialized as a column, then re-folded); the
+    per-step-coefficient recursions (KAMA, NVI) fold over struct
+    elements carrying the native-computed coefficients."""
     from ..operators.rolling import recursive_battery_arrow
 
     df = recursive_battery_arrow(_filled_ohlc(spark, sf_dir))
@@ -2323,6 +2325,8 @@ def q_ts_recursive_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6("macd_hist"), r6("rsi14"), r6("atr14"), r6("trix15"),
         r6("ppo"), r6("kelt_mid"), r6("kelt_upper"), r6("kelt_lower"),
         r6("adx14"), r6("di_pos14"), r6("di_neg14"), r6("force13"),
+        r6("tsi"), r6("pvo"), r6("mass_idx"), r6("kama"), r6("nvi"),
+        r6("stoch_rsi"),
     )
 
 
@@ -2331,7 +2335,8 @@ def _sql_recursive_battery() -> str:
     body = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED_OHLC},
 pre AS (
   SELECT symbol, time_idx,
-         close,
+         close, volume,
+         row_number() OVER wo AS rn,
          greatest(high - low, abs(high - lag(close) OVER wo),
                   abs(low - lag(close) OVER wo)) AS tr,
          greatest(close - lag(close) OVER wo, 0.0) AS gain,
@@ -2342,28 +2347,64 @@ pre AS (
          CASE WHEN (lag(low) OVER wo - low) > (high - lag(high) OVER wo)
                AND (lag(low) OVER wo - low) > 0
               THEN lag(low) OVER wo - low ELSE 0.0 END AS ndm,
-         coalesce((close - lag(close) OVER wo) * volume, 0.0) AS fi
+         coalesce((close - lag(close) OVER wo) * volume, 0.0) AS fi,
+         coalesce(close - lag(close) OVER wo, 0.0) AS mom,
+         abs(coalesce(close - lag(close) OVER wo, 0.0)) AS amom,
+         high - low AS hl,
+         coalesce(volume < lag(volume) OVER wo, false) AS nvif,
+         coalesce((close - lag(close) OVER wo)
+                  / nullif(lag(close) OVER wo, 0.0), 0.0) AS nvir,
+         abs(close - lag(close, 10) OVER wo) AS k10n
   FROM filled
   WINDOW wo AS (PARTITION BY symbol ORDER BY time_idx)
 ),
+pre2 AS (
+  SELECT *, {_sql_fold_sum('list(amom) OVER f10')} AS kden
+  FROM pre
+  WINDOW f10 AS (PARTITION BY symbol ORDER BY time_idx
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+),
+pre3 AS (
+  SELECT *, CASE WHEN rn > 10 AND kden <> 0.0
+                 THEN k10n / kden ELSE 0.0 END AS er
+  FROM pre2
+),
 l1 AS (
-  SELECT symbol, time_idx,
+  SELECT symbol, time_idx, rn,
          list(close) OVER wc AS cpfx, list(tr) OVER wc AS trpfx,
          list(gain) OVER wc AS gpfx, list(loss) OVER wc AS lpfx,
          list(pdm) OVER wc AS ppfx, list(ndm) OVER wc AS npfx,
-         list(fi) OVER wc AS fpfx
-  FROM pre
+         list(fi) OVER wc AS fpfx,
+         list(mom) OVER wc AS mopfx, list(amom) OVER wc AS aopfx,
+         list(volume) OVER wc AS vpfx, list(hl) OVER wc AS hlpfx,
+         list(struct_pack(x := close,
+              s := (er * (2.0/3.0 - 2.0/31.0) + 2.0/31.0)
+                   * (er * (2.0/3.0 - 2.0/31.0) + 2.0/31.0)))
+           OVER wc AS kpfx,
+         list(struct_pack(
+              x := (CASE WHEN rn = 1 THEN 1000.0 ELSE 0.0 END)::DOUBLE,
+              f := nvif, r := nvir)) OVER wc AS nvpfx
+  FROM pre3
   WINDOW wc AS (PARTITION BY symbol ORDER BY time_idx
                 ROWS UNBOUNDED PRECEDING)
 ),
 e1s AS (
-  SELECT symbol, time_idx,
+  SELECT symbol, time_idx, rn,
          {e('cpfx', '2.0/13.0')} AS ema12, {e('cpfx', '2.0/27.0')} AS ema26,
          {e('cpfx', '2.0/16.0')} AS te1, {e('cpfx', '2.0/21.0')} AS ekel,
          {e('trpfx', '1.0/14.0')} AS atr14, {e('trpfx', '1.0/10.0')} AS ekatr,
          {e('gpfx', '1.0/14.0')} AS ag, {e('lpfx', '1.0/14.0')} AS al,
          {e('ppfx', '1.0/14.0')} AS spdm, {e('npfx', '1.0/14.0')} AS sndm,
-         {e('fpfx', '2.0/14.0')} AS force13
+         {e('fpfx', '2.0/14.0')} AS force13,
+         {e('mopfx', '2.0/26.0')} AS tse1, {e('aopfx', '2.0/26.0')} AS tae1,
+         {e('vpfx', '2.0/13.0')} AS ev12, {e('vpfx', '2.0/27.0')} AS ev26,
+         {e('hlpfx', '2.0/10.0')} AS meh,
+         list_reduce(kpfx, (acc, el) -> struct_pack(
+             x := acc.x + el.s * (el.x - acc.x), s := el.s)).x AS kama,
+         list_reduce(nvpfx, (acc, el) -> struct_pack(
+             x := acc.x * (CASE WHEN el.f THEN 1.0 + el.r
+                           ELSE 1.0::DOUBLE END),
+             f := el.f, r := el.r)).x AS nvi
   FROM l1
 ),
 e2s AS (
@@ -2371,38 +2412,52 @@ e2s AS (
          CASE WHEN atr14 <> 0.0 THEN 100.0 * spdm / atr14 ELSE 0.0 END
            AS di_pos14,
          CASE WHEN atr14 <> 0.0 THEN 100.0 * sndm / atr14 ELSE 0.0 END
-           AS di_neg14
+           AS di_neg14,
+         CASE WHEN al = 0.0 THEN 100.0
+              ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsinow
   FROM e1s
 ),
 e3s AS (
   SELECT *, CASE WHEN di_pos14 + di_neg14 <> 0.0
                  THEN 100.0 * abs(di_pos14 - di_neg14)
                       / (di_pos14 + di_neg14)
-                 ELSE 0.0 END AS dx
+                 ELSE 0.0 END AS dx,
+         min(rsinow) OVER f14s AS mn14, max(rsinow) OVER f14s AS mx14
   FROM e2s
+  WINDOW f14s AS (PARTITION BY symbol ORDER BY time_idx
+                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
 ),
 l2 AS (
   SELECT *, list(macd) OVER wc AS mpfx, list(te1) OVER wc AS e1pfx,
-            list(dx) OVER wc AS dxpfx
+            list(dx) OVER wc AS dxpfx, list(tse1) OVER wc AS ts1pfx,
+            list(tae1) OVER wc AS ta1pfx, list(meh) OVER wc AS mehpfx
   FROM e3s
   WINDOW wc AS (PARTITION BY symbol ORDER BY time_idx
                 ROWS UNBOUNDED PRECEDING)
 ),
 f2 AS (
-  SELECT * EXCLUDE (mpfx, e1pfx, dxpfx),
+  SELECT * EXCLUDE (mpfx, e1pfx, dxpfx, ts1pfx, ta1pfx, mehpfx),
          {e('mpfx', '2.0/10.0')} AS macd_signal,
          {e('e1pfx', '2.0/16.0')} AS te2,
-         {e('dxpfx', '1.0/14.0')} AS adx14
+         {e('dxpfx', '1.0/14.0')} AS adx14,
+         {e('ts1pfx', '2.0/14.0')} AS tse2,
+         {e('ta1pfx', '2.0/14.0')} AS tae2,
+         {e('mehpfx', '2.0/10.0')} AS mehh
   FROM l2
 ),
 l3 AS (
-  SELECT *, list(te2) OVER wc AS e2pfx
+  SELECT *, list(te2) OVER wc AS e2pfx,
+         CASE WHEN mehh <> 0.0 THEN meh / mehh ELSE 0.0 END AS mratio
   FROM f2
   WINDOW wc AS (PARTITION BY symbol ORDER BY time_idx
                 ROWS UNBOUNDED PRECEDING)
 ),
 f3 AS (
-  SELECT * EXCLUDE (e2pfx), {e('e2pfx', '2.0/16.0')} AS te3 FROM l3
+  SELECT * EXCLUDE (e2pfx), {e('e2pfx', '2.0/16.0')} AS te3,
+         {_sql_fold_sum('list(mratio) OVER f25')} AS mass_idx
+  FROM l3
+  WINDOW f25 AS (PARTITION BY symbol ORDER BY time_idx
+                 ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
 ),
 fin AS (
   SELECT *, lag(te3) OVER (PARTITION BY symbol ORDER BY time_idx) AS pe3
@@ -2410,8 +2465,7 @@ fin AS (
 )
 SELECT symbol, time_idx, ema12, ema26, macd, macd_signal,
        macd - macd_signal AS macd_hist,
-       CASE WHEN al = 0.0 THEN 100.0
-            ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsi14,
+       rsinow AS rsi14,
        atr14,
        CASE WHEN pe3 IS NOT NULL AND pe3 <> 0.0
             THEN 100.0 * (te3 - pe3) / pe3 END AS trix15,
@@ -2419,21 +2473,29 @@ SELECT symbol, time_idx, ema12, ema26, macd, macd_signal,
             THEN 100.0 * (ema12 - ema26) / ema26 END AS ppo,
        ekel AS kelt_mid, ekel + 2.0 * ekatr AS kelt_upper,
        ekel - 2.0 * ekatr AS kelt_lower,
-       adx14, di_pos14, di_neg14, force13
+       adx14, di_pos14, di_neg14, force13,
+       CASE WHEN tae2 <> 0.0 THEN 100.0 * tse2 / tae2 END AS tsi,
+       CASE WHEN ev26 <> 0.0
+            THEN 100.0 * (ev12 - ev26) / ev26 END AS pvo,
+       mass_idx, kama, nvi,
+       CASE WHEN rn >= 14 AND mx14 <> mn14
+            THEN (rsinow - mn14) / (mx14 - mn14) END AS stoch_rsi
 FROM fin"""
     return _sql_r6_wrap(
         body,
         ["symbol", "time_idx"],
         ["ema12", "ema26", "macd", "macd_signal", "macd_hist", "rsi14",
          "atr14", "trix15", "ppo", "kelt_mid", "kelt_upper", "kelt_lower",
-         "adx14", "di_pos14", "di_neg14", "force13"],
+         "adx14", "di_pos14", "di_neg14", "force13",
+         "tsi", "pvo", "mass_idx", "kama", "nvi", "stoch_rsi"],
     )
 
 
 def q_ts_indicators3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W12 long tail, all native frame expressions: Aroon, Vortex, CMF,
     ADI, EOM, Ultimate Oscillator, DPO, KST(+signal), full Ichimoku
-    (leading spans A/B + lagging)."""
+    (leading spans A/B + lagging), Awesome Oscillator, WMA,
+    Volume-Price Trend, cumulative return, Ulcer Index."""
     from ..operators.rolling import add_indicators3
 
     df = add_indicators3(_filled_ohlc(spark, sf_dir))
@@ -2444,6 +2506,7 @@ def q_ts_indicators3(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6("cmf20"), r6("adi"), r6("eom14"), r6("uo"), r6("dpo20"),
         r6("kst"), r6("kst_sig"),
         r6("ichi_span_a"), r6("ichi_span_b"), r6("ichi_lagging"),
+        r6("ao"), r6("wma9"), r6("vpt"), r6("cret"), r6("ui14"),
     )
 
 
@@ -2481,12 +2544,24 @@ pre AS (
          coalesce(100.0 * (close / nullif(lag(close, 30) OVER wo, 0.0) - 1.0),
                   0.0) AS r30,
          lag(close, 11) OVER wo AS c11,
-         lead(close, 26) OVER wo AS ichi_lagging
+         lead(close, 26) OVER wo AS ichi_lagging,
+         (high + low) / 2.0 AS midp,
+         coalesce((close - lag(close) OVER wo)
+                  / nullif(lag(close) OVER wo, 0.0) * volume, 0.0) AS vr,
+         (9.0 * close
+          + 8.0 * lag(close, 1) OVER wo
+          + 7.0 * lag(close, 2) OVER wo
+          + 6.0 * lag(close, 3) OVER wo
+          + 5.0 * lag(close, 4) OVER wo
+          + 4.0 * lag(close, 5) OVER wo
+          + 3.0 * lag(close, 6) OVER wo
+          + 2.0 * lag(close, 7) OVER wo
+          + 1.0 * lag(close, 8) OVER wo) / 45.0 AS wma9raw
   FROM filled
   WINDOW wo AS (PARTITION BY symbol ORDER BY time_idx)
 ),
 fr AS (
-  SELECT symbol, time_idx, rn, volume, ichi_lagging, c11,
+  SELECT symbol, time_idx, rn, volume, ichi_lagging, c11, close, wma9raw,
          list(high) OVER a25 AS hl25, list(low) OVER a25 AS ll25,
          {fs('list(vp) OVER f14')} AS vp14,
          {fs('list(vn) OVER f14')} AS vn14,
@@ -2507,10 +2582,20 @@ fr AS (
          {fs('list(r30) OVER f15')} AS r30s,
          (max(high) OVER f9 + min(low) OVER f9) / 2.0 / 2.0
            + (max(high) OVER f26 + min(low) OVER f26) / 2.0 / 2.0 AS span_a_raw,
-         (max(high) OVER f52 + min(low) OVER f52) / 2.0 AS span_b_raw
+         (max(high) OVER f52 + min(low) OVER f52) / 2.0 AS span_b_raw,
+         {fs('list(midp) OVER f5')} AS ao5,
+         {fs('list(midp) OVER f34')} AS ao34,
+         {fs('list(vr) OVER cum')} AS vpt,
+         100.0 * (close / nullif(first_value(close) OVER cum, 0.0) - 1.0)
+           AS cret,
+         max(close) OVER f14 AS mx14
   FROM pre
   WINDOW a25 AS (PARTITION BY symbol ORDER BY time_idx
                  ROWS BETWEEN 24 PRECEDING AND CURRENT ROW),
+         f5 AS (PARTITION BY symbol ORDER BY time_idx
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         f34 AS (PARTITION BY symbol ORDER BY time_idx
+                 ROWS BETWEEN 33 PRECEDING AND CURRENT ROW),
          f7 AS (PARTITION BY symbol ORDER BY time_idx
                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
          f9 AS (PARTITION BY symbol ORDER BY time_idx
@@ -2532,8 +2617,18 @@ fr AS (
          cum AS (PARTITION BY symbol ORDER BY time_idx
                  ROWS UNBOUNDED PRECEDING)
 ),
+fr2 AS (
+  SELECT *, coalesce(
+           (100.0 * (close - mx14) / nullif(mx14, 0.0))
+           * (100.0 * (close - mx14) / nullif(mx14, 0.0)), 0.0) AS uir2
+  FROM fr
+),
 kk AS (
-  SELECT symbol, time_idx, rn, ichi_lagging, adi,
+  SELECT symbol, time_idx, rn, ichi_lagging, adi, vpt, cret,
+         CASE WHEN rn >= 34 THEN ao5 / 5.0 - ao34 / 34.0 END AS ao,
+         CASE WHEN rn >= 9 THEN wma9raw END AS wma9,
+         CASE WHEN rn >= 14
+              THEN sqrt({fs('list(uir2) OVER f14k')} / 14.0) END AS ui14,
          CASE WHEN rn >= 25 THEN 100.0
            * (list_position(hl25, list_aggregate(hl25, 'max')) - 1) / 24.0
          END AS aroon_up,
@@ -2552,8 +2647,10 @@ kk AS (
               + 3.0 * r20s / 10.0 + 4.0 * r30s / 15.0 END AS kst,
          CASE WHEN rn >= 52 THEN lag(span_a_raw, 26) OVER wo END AS span_a,
          CASE WHEN rn >= 78 THEN lag(span_b_raw, 26) OVER wo END AS span_b
-  FROM fr
-  WINDOW wo AS (PARTITION BY symbol ORDER BY time_idx)
+  FROM fr2
+  WINDOW wo AS (PARTITION BY symbol ORDER BY time_idx),
+         f14k AS (PARTITION BY symbol ORDER BY time_idx
+                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
 ),
 k2 AS (
   SELECT *, CASE WHEN rn >= 53 THEN
@@ -2564,14 +2661,16 @@ k2 AS (
 )
 SELECT symbol, time_idx, aroon_up, aroon_down, vortex_pos, vortex_neg,
        cmf20, adi, eom14, uo, dpo20, kst, kst_sig,
-       span_a AS ichi_span_a, span_b AS ichi_span_b, ichi_lagging
+       span_a AS ichi_span_a, span_b AS ichi_span_b, ichi_lagging,
+       ao, wma9, vpt, cret, ui14
 FROM k2"""
     return _sql_r6_wrap(
         body,
         ["symbol", "time_idx"],
         ["aroon_up", "aroon_down", "vortex_pos", "vortex_neg", "cmf20",
          "adi", "eom14", "uo", "dpo20", "kst", "kst_sig",
-         "ichi_span_a", "ichi_span_b", "ichi_lagging"],
+         "ichi_span_a", "ichi_span_b", "ichi_lagging",
+         "ao", "wma9", "vpt", "cret", "ui14"],
     )
 
 

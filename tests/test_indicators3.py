@@ -1,0 +1,147 @@
+"""Round-2 W12 widening contracts: the TSI/PVO/MassIndex/KAMA/NVI/
+StochRSI additions to the Arrow recursive battery and the AO/WMA/VPT/
+cum-return/Ulcer additions to the native frame battery, pinned against
+pandas reference computations plus degenerate-input guards."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from big_data_stock_price_forecast_spark.operators.rolling import (
+    add_indicators3,
+    recursive_battery_arrow,
+)
+
+
+def _ohlcv_df(spark, n=90, seed=11):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for s in range(2):
+        close = np.cumsum(rng.normal(0, 1, n)) + 100
+        high = close + np.abs(rng.normal(0, 0.5, n))
+        low = close - np.abs(rng.normal(0, 0.5, n))
+        vol = rng.integers(1, 100, n).astype(float)
+        rows += [
+            (s, int(i), float(close[i]), float(high[i]), float(low[i]),
+             float(vol[i]))
+            for i in range(n)
+        ]
+    return spark.createDataFrame(
+        rows,
+        "symbol int, time_idx int, close double, high double, low double,"
+        " volume double",
+    )
+
+
+def _assert_col(g, col, ref, atol=1e-8):
+    gv = g[col].to_numpy()
+    rv = np.asarray(ref, dtype=float)
+    mask = ~np.isnan(gv)
+    assert mask.any(), col
+    np.testing.assert_allclose(gv[mask], rv[mask], atol=atol, err_msg=col)
+
+
+def test_recursive_battery_new_columns_match_pandas(spark):
+    df = _ohlcv_df(spark)
+    got = (
+        recursive_battery_arrow(df)
+        .toPandas()
+        .sort_values(["symbol", "time_idx"])
+    )
+    for _, g in got.groupby("symbol"):
+        g = g.reset_index(drop=True)
+        c, h, lo, v = g["close"], g["high"], g["low"], g["volume"]
+        mom = c.diff().fillna(0.0)
+        ms2 = (
+            mom.ewm(alpha=2.0 / 26.0, adjust=False).mean()
+            .ewm(alpha=2.0 / 14.0, adjust=False).mean()
+        )
+        as2 = (
+            mom.abs().ewm(alpha=2.0 / 26.0, adjust=False).mean()
+            .ewm(alpha=2.0 / 14.0, adjust=False).mean()
+        )
+        tsi = 100.0 * ms2 / as2
+        ev12 = v.ewm(alpha=2.0 / 13.0, adjust=False).mean()
+        ev26 = v.ewm(alpha=2.0 / 27.0, adjust=False).mean()
+        pvo = 100.0 * (ev12 - ev26) / ev26
+        meh = (h - lo).ewm(alpha=2.0 / 10.0, adjust=False).mean()
+        mehh = meh.ewm(alpha=2.0 / 10.0, adjust=False).mean()
+        mass = (meh / mehh).rolling(25, min_periods=1).sum()
+        # KAMA 10/2/30 with er=0 for the first 10 bars
+        cv = c.to_numpy()
+        ad = np.abs(np.diff(cv, prepend=cv[0]))
+        kama = np.empty(len(cv))
+        kama[0] = cv[0]
+        for i in range(1, len(cv)):
+            den = ad[max(0, i - 9) : i + 1].sum()
+            er = abs(cv[i] - cv[i - 10]) / den if i >= 10 and den else 0.0
+            sc = (er * (2.0 / 3.0 - 2.0 / 31.0) + 2.0 / 31.0) ** 2
+            kama[i] = kama[i - 1] + sc * (cv[i] - kama[i - 1])
+        vv = v.to_numpy()
+        nvi = np.empty(len(cv))
+        nvi[0] = 1000.0
+        for i in range(1, len(cv)):
+            nvi[i] = nvi[i - 1]
+            if vv[i] < vv[i - 1] and cv[i - 1] != 0.0:
+                nvi[i] *= 1.0 + (cv[i] - cv[i - 1]) / cv[i - 1]
+        rsi = g["rsi14"]
+        mn = rsi.rolling(14).min()
+        mx = rsi.rolling(14).max()
+        srsi = (rsi - mn) / (mx - mn)
+        for col, ref in [
+            ("tsi", tsi), ("pvo", pvo), ("mass_idx", mass),
+            ("kama", kama), ("nvi", nvi), ("stoch_rsi", srsi),
+        ]:
+            _assert_col(g, col, ref)
+
+
+def test_recursive_battery_degenerate_series(spark):
+    """Flat price + zero volume: every guard path (zero denominators in
+    TSI/PVO/Mass/StochRSI, zero efficiency ratio) must yield nulls or
+    stable values, never NaN/inf or an exception."""
+    df = spark.createDataFrame(
+        [(1, i, 5.0, 5.0, 5.0, 0.0) for i in range(40)],
+        ["symbol", "time_idx", "close", "high", "low", "volume"],
+    )
+    g = (
+        recursive_battery_arrow(df)
+        .toPandas()
+        .sort_values("time_idx")
+        .reset_index(drop=True)
+    )
+    assert (g["kama"] == 5.0).all()
+    assert (g["nvi"] == 1000.0).all()
+    assert (g["mass_idx"] == 0.0).all()  # 0/0-guarded ratio -> 0
+    assert g["tsi"].isna().all()  # |momentum| smooth == 0
+    assert g["pvo"].isna().all()  # EMA26(volume) == 0
+    assert g["stoch_rsi"].isna().all()  # flat RSI range
+    assert not np.isinf(g.select_dtypes(float).to_numpy()).any()
+
+
+def test_native_additions_match_pandas(spark):
+    df = _ohlcv_df(spark, seed=13)
+    got = (
+        add_indicators3(df)
+        .toPandas()
+        .sort_values(["symbol", "time_idx"])
+    )
+    for _, g in got.groupby("symbol"):
+        g = g.reset_index(drop=True)
+        c, h, lo, v = g["close"], g["high"], g["low"], g["volume"]
+        mid = (h + lo) / 2.0
+        ao = mid.rolling(5).mean() - mid.rolling(34).mean()
+        # weights 1..9 oldest->newest: the current bar carries weight 9
+        wma = c.rolling(9).apply(
+            lambda w: (w * np.arange(1, 10)).sum() / 45.0, raw=True
+        )
+        vpt = (v * c.pct_change().fillna(0.0)).cumsum()
+        cret = 100.0 * (c / c.iloc[0] - 1.0)
+        mx = c.rolling(14, min_periods=1).max()
+        dd = 100.0 * (c - mx) / mx
+        ui = np.sqrt((dd * dd).rolling(14).sum() / 14.0)
+        for col, ref in [
+            ("ao", ao), ("wma9", wma), ("vpt", vpt),
+            ("cret", cret), ("ui14", ui),
+        ]:
+            _assert_col(g, col, ref)
