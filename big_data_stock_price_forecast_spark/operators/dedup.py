@@ -508,3 +508,105 @@ def simhash_pairs(
     # large, and deduplicating the full candidate set would shuffle
     # orders of magnitude more rows than the survivors
     return pairs.filter(F.col("hamming") <= max_dist).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_i",
+    dst_col: str = "id_j",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Hash-min connected components over an undirected edge list —
+    the cluster-resolution step that turns near-duplicate PAIRS into
+    dedup decisions (reference has no equivalent; this is the
+    training-data-pipeline completion of doc_minhash/simhash_pairs).
+
+    Label propagation: every node starts labeled with its own id; each
+    round every node takes the min of its own and its neighbors'
+    labels; stop when no label changes. Rounds = component diameter
+    (near-dup clusters are shallow — a handful), and each round is one
+    shuffle join + partial min-agg of the edge list, the same plan
+    GraphX Pregel runs for CC at cluster scale. The per-round
+    driver-side action is iteration CONTROL (it reads one aggregate,
+    the label-sum, which strictly decreases until convergence), not
+    data movement.
+
+    Returns (node, component) where component = min reachable node id.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(
+            edges.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint (not persist): ``labels`` appears TWICE in each
+    # round's plan (directly and through the neighbor-min), so without
+    # lineage truncation the logical plan doubles per round and kills
+    # the analyzer around round ~15. Checkpointing pins each round to
+    # its materialized result — constant plan size at any iteration
+    # count. (On a real cluster prefer reliable checkpoint() to a
+    # fault-tolerant store; localCheckpoint trades executor-loss
+    # recovery for speed.)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    # decimal(38,0) so the convergence checksum cannot overflow at any
+    # node-id magnitude
+    prev_sum = labels.agg(
+        F.sum(F.col("component").cast("decimal(38,0)"))
+    ).first()[0]
+    for _ in range(max_iters):
+        prop = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        nxt = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_min", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = nxt.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).first()[0]
+        labels = nxt
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sym.unpersist()
+    return labels
+
+
+def dup_clusters(
+    pairs: DataFrame, src_col: str = "id_i", dst_col: str = "id_j"
+) -> DataFrame:
+    """Near-dup clusters from a pair list: (doc_id, cluster_id,
+    cluster_size, is_canonical) for every doc in >= 1 pair. The
+    canonical survivor per cluster is the min doc_id — the
+    deterministic keep-one-drop-rest policy a dedup pipeline applies
+    after pair generation."""
+    from pyspark.sql import Window
+
+    cc = connected_components(pairs, src_col, dst_col)
+    w = Window.partitionBy("component")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("node") == F.col("component")).cast("int").alias(
+            "is_canonical"
+        ),
+    )

@@ -1191,7 +1191,10 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_simhash_pairs() -> str:
+def _sql_simhash_cte() -> str:
+    """The simhash pipeline as a reusable CTE chain (ends at
+    ``spairs`` = verified near-dup pairs) — shared by the pairs query
+    and the cluster-resolution query."""
     pows = ", ".join(f"{1 << j}::BIGINT" for j in range(SIMHASH_BITS))
     width = SIMHASH_BITS // SIMHASH_CHUNKS
     mask = (1 << width) - 1
@@ -1200,7 +1203,7 @@ def _sql_simhash_pairs() -> str:
         f" (simhash >> {c * width}) & {mask} AS v FROM sim"
         for c in range(SIMHASH_CHUNKS)
     )
-    return f"""WITH {SQL_TOKS},
+    return f"""{SQL_TOKS},
 hs AS (
   SELECT doc_id, list_transform(tok, t -> {sql_hash60('t')}) AS h
   FROM toks WHERE len(tok) > 0
@@ -1233,11 +1236,49 @@ cand AS (
          CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
   FROM chunked a JOIN chunked b
     ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
-)
-SELECT id_i, id_j, hamming FROM cand WHERE hamming <= {SIMHASH_MAX_DIST}"""
+),
+spairs AS (
+  SELECT id_i, id_j, hamming FROM cand WHERE hamming <= {SIMHASH_MAX_DIST}
+)"""
+
+
+def _sql_simhash_pairs() -> str:
+    return f"WITH {_sql_simhash_cte()}\nSELECT id_i, id_j, hamming FROM spairs"
 
 
 SQL_DOC_SIMHASH = _sql_simhash_pairs()
+
+
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution over the SimHash near-dup pairs: hash-min
+    connected components (operators/dedup.py ``connected_components``,
+    the GraphX-Pregel-shaped iterative plan), min-id canonical per
+    cluster. This is the keep-one-drop-rest decision step a 100-TB
+    dedup pipeline runs after pair generation; the oracle labels
+    components with a recursive transitive-closure CTE."""
+    from ..operators.dedup import dup_clusters, simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_clusters(simhash_pairs(docs))
+
+
+def _sql_dup_clusters() -> str:
+    return f"""WITH RECURSIVE {_sql_simhash_cte()},
+edges AS (
+  SELECT id_i AS src, id_j AS dst FROM spairs
+  UNION
+  SELECT id_j AS src, id_i AS dst FROM spairs
+),
+r AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.dst AS node, r.lbl AS lbl FROM r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM r GROUP BY node)
+SELECT node AS doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       (node = cluster_id)::INT AS is_canonical
+FROM comp"""
 
 
 # --------------------------------------------------------------------------
@@ -2964,6 +3005,7 @@ def all_queries() -> dict[str, QueryFn]:
         "media_frame_sample": q_media_frames,
         "media_byte_features": q_media_byte_features,
         "emb_ivf_ann_topk": q_emb_ivf_ann,
+        "doc_dup_clusters": q_doc_dup_clusters,
         "flagship_forecast_mae": q_flagship,
         "flagship_summary": q_flagship_summary,
         "flagship_global_mae": q_flagship_global,
@@ -3019,6 +3061,7 @@ def all_oracles() -> dict[str, str]:
         # media_byte_features intentionally has NO oracle entry: the
         # Arrow decode slot gets the driver's rows-only check
         "emb_ivf_ann_topk": _sql_ivf_ann(),
+        "doc_dup_clusters": _sql_dup_clusters(),
         "flagship_forecast_mae": _flagship_oracle(),
         "flagship_summary": (
             f"WITH base AS ({_flagship_oracle()}) "

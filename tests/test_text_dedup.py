@@ -262,3 +262,24 @@ def test_bucket_pairs_skew_safe_chunking_preserves_pairs(spark):
             for x, y in itertools.combinations(ids, 2)
         }
     assert big == expected
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain must collapse to one component (propagation
+    crosses the full diameter) and disjoint pairs must stay separate;
+    canonical = min id."""
+    from big_data_stock_price_forecast_spark.operators.dedup import (
+        dup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 9), (9, 4), (4, 7), (20, 21)], ["id_i", "id_j"]
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in dup_clusters(pairs).collect()
+    }
+    assert got == {
+        2: (2, 4, 1), 9: (2, 4, 0), 4: (2, 4, 0), 7: (2, 4, 0),
+        20: (20, 2, 1), 21: (20, 2, 0),
+    }
