@@ -521,18 +521,31 @@ def connected_components(
     dedup decisions (reference has no equivalent; this is the
     training-data-pipeline completion of doc_minhash/simhash_pairs).
 
-    Label propagation: every node starts labeled with its own id; each
-    round every node takes the min of its own and its neighbors'
-    labels; stop when no label changes. Rounds = component diameter
-    (near-dup clusters are shallow — a handful), and each round is one
-    shuffle join + partial min-agg of the edge list, the same plan
-    GraphX Pregel runs for CC at cluster scale. The per-round
-    driver-side action is iteration CONTROL (it reads one aggregate,
-    the label-sum, which strictly decreases until convergence), not
-    data movement.
+    Label propagation with shortcut edges (pointer doubling): every
+    node starts labeled min(self, min neighbor); each round the current
+    node<->label mapping is unioned into the edge set, so a node sees
+    its label's label through the shortcut — label paths halve per
+    round and convergence needs O(log diameter) rounds rather than
+    O(diameter). (The shortcut is expressed as EXTRA EDGES, not a
+    label-table self-join: a self-join of the evolving frame is both
+    ambiguous to resolve and was measured to blow up the optimizer.)
+    Each round is one shuffle join + partial min-agg of the edge+star
+    list, the plan GraphX Pregel runs for CC at cluster scale. The
+    per-round driver-side action is iteration CONTROL (it reads one
+    aggregate, the label-sum, which strictly decreases until
+    convergence), not data movement.
 
     Returns (node, component) where component = min reachable node id.
     """
+    # localCheckpoint everywhere (not persist): persist caches DATA but
+    # every reference still carries — and re-analyzes — the full
+    # upstream logical plan (here: the whole near-dup pipeline), and
+    # ``labels``/``cand`` appear several times per round, so the plan
+    # tree multiplies per round and the analyzer dies long before the
+    # data does. Checkpointing pins each step to its materialized
+    # result — constant plan size at any iteration count. (On a real
+    # cluster prefer reliable checkpoint() to a fault-tolerant store;
+    # localCheckpoint trades executor-loss recovery for speed.)
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(
@@ -541,20 +554,16 @@ def connected_components(
             )
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    # localCheckpoint (not persist): ``labels`` appears TWICE in each
-    # round's plan (directly and through the neighbor-min), so without
-    # lineage truncation the logical plan doubles per round and kills
-    # the analyzer around round ~15. Checkpointing pins each round to
-    # its materialized result — constant plan size at any iteration
-    # count. (On a real cluster prefer reliable checkpoint() to a
-    # fault-tolerant store; localCheckpoint trades executor-loss
-    # recovery for speed.)
+    # seed with min(self, min neighbor): one propagation round folded
+    # into initialization
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            "node", F.least(F.col("node"), F.col("mn")).alias("component")
+        )
         .localCheckpoint(eager=True)
     )
     # decimal(38,0) so the convergence checksum cannot overflow at any
@@ -563,8 +572,18 @@ def connected_components(
         F.sum(F.col("component").cast("decimal(38,0)"))
     ).first()[0]
     for _ in range(max_iters):
+        star = labels.filter(F.col("node") != F.col("component"))
+        symr = sym.union(
+            star.select(
+                F.col("node").alias("src"), F.col("component").alias("dst")
+            )
+        ).union(
+            star.select(
+                F.col("component").alias("src"), F.col("node").alias("dst")
+            )
+        )
         prop = (
-            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            symr.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
@@ -586,7 +605,6 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    sym.unpersist()
     return labels
 
 

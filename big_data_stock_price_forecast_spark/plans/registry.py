@@ -2745,7 +2745,11 @@ def q_doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass (previously four queries scanning the table four times):
     whitespace-token stats, quality scoring, heuristic language-ID, and
     the rolling-hash fingerprint. ``n_ws_tokens`` is the
-    whitespace-split count; ``n_tokens`` the normalized-token count."""
+    whitespace-split count; ``n_tokens`` the normalized-token count;
+    ``n_bpe_tokens`` a BPE-ish piece count (GPT-2-style word /
+    number / punctuation-run splits — the cheap estimator for "how many
+    subword tokens will this document cost", verified to split
+    identically under Java regex and RE2)."""
     docs = load_table(spark, sf_dir, "documents")
     ws_toks = F.split(F.trim(F.col("text")), r"\s+")
     nonws = F.length(F.regexp_replace("text", r"\s+", ""))
@@ -2764,6 +2768,11 @@ def q_doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.size(ws_toks).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"), 0
+            )
+        ).alias("n_bpe_tokens"),
         F.length("text").alias("len_chars"),
         (nonws / F.size(ws_toks)).alias("avg_token_len"),
         n_tok.alias("n_tokens"),
@@ -2784,8 +2793,9 @@ def q_doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("stop_ratio") > 0.05, 1).otherwise(0)
     )
     return d.select(
-        "doc_id", "lang", "n_ws_tokens", "len_chars", "avg_token_len",
-        "n_tokens", _r6("mean_tok_len"), _r6("punct_ratio"),
+        "doc_id", "lang", "n_ws_tokens", "n_bpe_tokens", "len_chars",
+        "avg_token_len", "n_tokens", _r6("mean_tok_len"),
+        _r6("punct_ratio"),
         _r6("stop_ratio"), quality.cast("int").alias("quality"),
         "pred_lang",
         (F.col("pred_lang") == F.col("lang")).cast("int").alias("hit"),
@@ -2799,6 +2809,8 @@ def _sql_doc_text_profile() -> str:
 m AS (
   SELECT doc_id, lang, text, tok,
     len(string_split_regex(trim(text), '\s+'))::INT AS n_ws_tokens,
+    len(regexp_extract_all(text,
+        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))::INT AS n_bpe_tokens,
     length(text)::INT AS len_chars,
     length(regexp_replace(text, '\s+', '', 'g')) /
       len(string_split_regex(trim(text), '\s+')) AS avg_token_len,
@@ -2811,7 +2823,7 @@ m AS (
       / nullif(len(tok), 0) AS stop_ratio
   FROM toks
 )
-SELECT doc_id, lang, n_ws_tokens, len_chars, avg_token_len,
+SELECT doc_id, lang, n_ws_tokens, n_bpe_tokens, len_chars, avg_token_len,
   CAST(n_tokens AS INT) AS n_tokens,
   {_sql_r6('mean_tok_len')}, {_sql_r6('punct_ratio')},
   {_sql_r6('stop_ratio')},
