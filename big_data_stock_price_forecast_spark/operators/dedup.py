@@ -546,6 +546,10 @@ def connected_components(
     # result — constant plan size at any iteration count. (On a real
     # cluster prefer reliable checkpoint() to a fault-tolerant store;
     # localCheckpoint trades executor-loss recovery for speed.)
+    # materialize the pair list ONCE before symmetrizing — the union
+    # references ``edges`` twice, which would run the whole upstream
+    # pair-generation pipeline twice
+    edges = edges.localCheckpoint(eager=True)
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(
