@@ -283,3 +283,42 @@ def test_connected_components_chain_and_islands(spark):
         2: (2, 4, 1), 9: (2, 4, 0), 4: (2, 4, 0), 7: (2, 4, 0),
         20: (20, 2, 1), 21: (20, 2, 0),
     }
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Distributed CC vs a pure-Python union-find on random graphs —
+    same partition into components, canonical = min id."""
+    import numpy as np
+
+    from big_data_stock_price_forecast_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = np.random.default_rng(7)
+    for n_nodes, n_edges in [(60, 40), (120, 150)]:
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n_nodes, size=(n_edges, 2))
+            if a != b
+        ]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {a for e in edges for a in e}
+        expect = {x: find(x) for x in touched}
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                spark.createDataFrame(edges, ["id_i", "id_j"])
+            ).collect()
+        }
+        assert got == expect
