@@ -619,15 +619,21 @@ def dup_clusters(
     cluster_size, is_canonical) for every doc in >= 1 pair. The
     canonical survivor per cluster is the min doc_id — the
     deterministic keep-one-drop-rest policy a dedup pipeline applies
-    after pair generation."""
-    from pyspark.sql import Window
+    after pair generation.
 
+    cluster_size goes through groupBy + join rather than a
+    count-over-window: a window partitioned by component puts an
+    entire cluster's membership in ONE task (a near-all-duplicates
+    corpus = one giant partition), while the aggregate gets map-side
+    combine and the join gets AQE skew splitting."""
     cc = connected_components(pairs, src_col, dst_col)
-    w = Window.partitionBy("component")
-    return cc.select(
+    sizes = cc.groupBy(F.col("component").alias("__c")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return cc.join(sizes, cc.component == sizes.__c).select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("cluster_id"),
-        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        "cluster_size",
         (F.col("node") == F.col("component")).cast("int").alias(
             "is_canonical"
         ),
