@@ -536,6 +536,11 @@ def connected_components(
     convergence), not data movement.
 
     Returns (node, component) where component = min reachable node id.
+
+    ``max_iters`` is a backstop, not a truncation risk: with pointer
+    doubling the reachable-label distance halves per round, so 50
+    rounds cover any component of diameter < 2**50 — convergence (and
+    the early break) always wins first on real data.
     """
     # localCheckpoint everywhere (not persist): persist caches DATA but
     # every reference still carries — and re-analyzes — the full
