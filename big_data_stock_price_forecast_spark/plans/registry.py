@@ -2217,11 +2217,48 @@ FROM fr"""
 
 
 def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow mapInPandas decode slot — rows-only check (the byte
-    histogram is not reasonably SQL-expressible in the oracle)."""
-    from ..operators.multimodal import extract_features
+    """Arrow mapInPandas decode slot, fully oracle-checked: the
+    deterministic fake decode (L1-normalized byte-bucket histogram) is
+    reproduced in SQL through the hex codec — bucket = first hex
+    nibble >> 1 — so the Arrow batch path itself gets a bitwise value
+    check, not just a row count."""
+    from ..operators.multimodal import FEATURE_DIM, extract_features
 
-    return extract_features(_media(spark, sf_dir))
+    feats = extract_features(_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "media_type",
+        *[
+            F.element_at("features", j + 1).alias(f"f{j}")
+            for j in range(FEATURE_DIM)
+        ],
+    )
+
+
+def _sql_media_byte_features() -> str:
+    cols = ",\n  ".join(
+        f"CASE WHEN n = 0 THEN 0.0"
+        f" ELSE len(list_filter(bk, x -> x = {j})) / n END AS f{j}"
+        for j in range(8)
+    )
+    return f"""WITH m AS (
+  SELECT doc_id AS media_id,
+         list_extract(['image', 'audio', 'video'], (doc_id % 3 + 1)::INT)
+           AS media_type,
+         hex(encode(text)) AS hx, strlen(text) AS n
+  FROM documents
+),
+d AS (
+  SELECT media_id, media_type, n,
+         list_transform(range(0, n::BIGINT),
+           i -> (strpos('0123456789ABCDEF',
+                        substring(hx, (2 * i + 1)::BIGINT, 1)) - 1) // 2
+         ) AS bk
+  FROM m
+)
+SELECT media_id, media_type,
+  {cols}
+FROM d"""
 
 
 # --------------------------------------------------------------------------
@@ -3070,8 +3107,7 @@ def all_oracles() -> dict[str, str]:
         "stream_ema_state": SQL_STREAM_EMA,
         "media_meta": SQL_MEDIA_META,
         "media_frame_sample": SQL_MEDIA_FRAMES,
-        # media_byte_features intentionally has NO oracle entry: the
-        # Arrow decode slot gets the driver's rows-only check
+        "media_byte_features": _sql_media_byte_features(),
         "emb_ivf_ann_topk": _sql_ivf_ann(),
         "doc_dup_clusters": _sql_dup_clusters(),
         "flagship_forecast_mae": _flagship_oracle(),
