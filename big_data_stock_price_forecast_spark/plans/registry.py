@@ -2236,10 +2236,12 @@ def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_media_byte_features() -> str:
+    from ..operators.multimodal import FEATURE_DIM
+
     cols = ",\n  ".join(
         f"CASE WHEN n = 0 THEN 0.0"
         f" ELSE len(list_filter(bk, x -> x = {j})) / n END AS f{j}"
-        for j in range(8)
+        for j in range(FEATURE_DIM)
     )
     return f"""WITH m AS (
   SELECT doc_id AS media_id,
