@@ -145,3 +145,41 @@ def test_native_additions_match_pandas(spark):
             ("cret", cret), ("ui14", ui),
         ]:
             _assert_col(g, col, ref)
+
+
+def test_native_additions_invariants(spark):
+    """Closed-form edge cases: constant series -> WMA equals the
+    constant, VPT/cret are 0, AO is 0; monotonically rising close ->
+    Ulcer Index 0 (price always at its 14-bar high)."""
+    n = 60
+    const = spark.createDataFrame(
+        [(1, i, 5.0, 5.5, 4.5, 10.0) for i in range(n)],
+        ["symbol", "time_idx", "close", "high", "low", "volume"],
+    )
+    g = (
+        add_indicators3(const)
+        .toPandas()
+        .sort_values("time_idx")
+        .reset_index(drop=True)
+    )
+    assert (g["wma9"].dropna() == 5.0).all()
+    assert (g["vpt"] == 0.0).all()
+    assert (g["cret"] == 0.0).all()
+    assert (g["ao"].dropna() == 0.0).all()
+    assert (g["ui14"].dropna() == 0.0).all()
+
+    rising = spark.createDataFrame(
+        [(1, i, 10.0 + i, 11.0 + i, 9.0 + i, 10.0) for i in range(n)],
+        ["symbol", "time_idx", "close", "high", "low", "volume"],
+    )
+    r = (
+        add_indicators3(rising)
+        .toPandas()
+        .sort_values("time_idx")
+        .reset_index(drop=True)
+    )
+    # close is always the running 14-bar max -> zero drawdown
+    assert (r["ui14"].dropna() == 0.0).all()
+    # cumulative return grows monotonically
+    cr = r["cret"].to_numpy()
+    assert (cr[1:] > cr[:-1]).all()
