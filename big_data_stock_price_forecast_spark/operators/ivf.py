@@ -44,11 +44,14 @@ def label_centroids(emb: DataFrame, dim: int = 64) -> DataFrame:
 
 
 def assign_lists(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the centroid table, rank
-    by (distance, label) — a map-side-only operation on the big side."""
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("__cdist").asc(), F.col("label_c").asc()
-    )
+    """Nearest-centroid assignment: broadcast the centroid table; the
+    argmin is a ``groupBy`` + ``min_by`` aggregate, so the N x C
+    crossed rows partially aggregate MAP-SIDE (a C-fold reduction
+    before the shuffle) instead of shuffling the full crossed table
+    through a row_number window. The ordering struct
+    (distance, centroid label) is total — centroid labels are unique —
+    so the assignment is deterministic, matching the oracle's
+    (distance, label) rank tie-break."""
     return (
         emb.crossJoin(
             F.broadcast(
@@ -58,10 +61,13 @@ def assign_lists(emb: DataFrame, centroids: DataFrame) -> DataFrame:
             )
         )
         .withColumn("__cdist", dist_l2(F.col("v"), F.col("cvec")))
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select(
-            "vec_id", "v", "label", F.col("label_c").alias("list_id")
+        .groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),
+            F.first("label").alias("label"),
+            F.min_by(
+                "label_c", F.struct(F.col("__cdist"), F.col("label_c"))
+            ).alias("list_id"),
         )
     )
 
