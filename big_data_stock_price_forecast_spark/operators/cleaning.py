@@ -25,6 +25,14 @@ def dedup_keep_last(
 
     max_by-style dedup via row_number keeps exactly one row per key and
     is a single hash shuffle on the key columns.
+
+    Deliberately a window, NOT groupBy+max_by: the family plan holds a
+    single up-front hash(symbol) exchange, and the window's clustering
+    requirement (a superset of the partition column) reuses it, while
+    the max_by aggregate was measured to re-exchange on the full key —
+    exchange reuse beats map-side combine when duplicates are rare.
+    The duplicate-heavy ingest path (sources/ingest.py silver merge)
+    has its own keep-last with an explicit arrival tiebreaker.
     """
     w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
     return (
