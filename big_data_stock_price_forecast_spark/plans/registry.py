@@ -199,6 +199,66 @@ def _sql_norm(a: str) -> str:
     return f"sqrt(list_reduce(list_transform({a}, x -> x*x), (x,y) -> x+y))"
 
 
+# Engine-independent 6-decimal rounding: floor(x*1e6 + 0.5)/1e6 is pure
+# IEEE-754 ops so Spark and DuckDB produce bitwise-identical doubles.
+# Built-in round() differs between engines on half-boundary values
+# (Spark rounds the shortest decimal repr via Java BigDecimal.valueOf,
+# DuckDB rounds the true binary value). Trailing +0.0 folds -0.0.
+def _rne(expr, name: str, n: int = 6):
+    """Engine-safe half-up rounding of any Column at ``n`` decimals.
+    Above |x| >= 1e12 the value passes through unrounded: Spark's
+    ``floor`` returns LONG and overflows past |x|*10^n > 9.2e18
+    (DuckDB's stays DOUBLE) — the guard is applied symmetrically in
+    :func:`_sql_rne` so both engines agree. Below the guard the
+    rounding is required: aggregation-order ULP drift is real at e9
+    magnitudes and the rounding collapses it."""
+    s = float(10**n)
+    rounded = F.floor(expr * F.lit(s) + F.lit(0.5)) / F.lit(s) + F.lit(0.0)
+    return (
+        F.when(F.abs(expr) < F.lit(1e12), rounded).otherwise(
+            expr + F.lit(0.0)
+        )
+    ).alias(name)
+
+
+def _r6(c):
+    return _rne(F.col(c), c, 6)
+
+
+def _r6e(expr, name: str):
+    """Expression form of :func:`_r6` (engine-safe rounding of any Column)."""
+    return _rne(expr, name, 6)
+
+
+def _sql_rne_expr(expr: str, n: int = 6) -> str:
+    """Unaliased SQL form of the guard+round — for embedding inside a
+    larger expression (e.g. a CASE arm) where ``AS name`` can't go."""
+    s = "1" + "0" * n + ".0"
+    return (
+        f"CASE WHEN abs({expr}) < 1000000000000.0 "
+        f"THEN floor(({expr}) * {s} + 0.5) / {s} + 0.0 "
+        f"ELSE ({expr}) + 0.0 END"
+    )
+
+
+def _sql_rne(expr: str, name: str, n: int = 6) -> str:
+    return f"{_sql_rne_expr(expr, n)} AS {name}"
+
+
+def _sql_r6(c: str) -> str:
+    return _sql_rne(c, c, 6)
+
+
+def _sql_r6e(expr: str, name: str) -> str:
+    return _sql_rne(expr, name, 6)
+
+
+def _sql_r6_wrap(body: str, keys: list[str], cols: list[str]) -> str:
+    """Wrap an unrounded oracle body with the same explicit rounding."""
+    sel = ", ".join(keys) + ", " + ", ".join(_sql_r6(c) for c in cols)
+    return f"SELECT {sel} FROM ({body})"
+
+
 # --------------------------------------------------------------------------
 # time-series operator queries (events table)
 # --------------------------------------------------------------------------
@@ -298,18 +358,26 @@ def q_ts_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("symbol", "time_idx", "sma5", "sma20")
 
 
-SQL_TS_SMA = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED}
-SELECT symbol, time_idx,
-  CASE WHEN row_number() OVER w >= 5
-       THEN floor((avg(close) OVER (PARTITION BY symbol ORDER BY time_idx
-            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) * 1000000.0 + 0.5)
-            / 1000000.0 + 0.0 END AS sma5,
-  CASE WHEN row_number() OVER w >= 20
-       THEN floor((avg(close) OVER (PARTITION BY symbol ORDER BY time_idx
-            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) * 1000000.0 + 0.5)
-            / 1000000.0 + 0.0 END AS sma20
+def _sql_ts_sma() -> str:
+    # route each CASE arm through the guarded rounding so the |x|>=1e12
+    # passthrough matches the Spark-side _rne exactly
+    def arm(n: int) -> str:
+        avg = (
+            f"avg(close) OVER (PARTITION BY symbol ORDER BY time_idx "
+            f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
+        )
+        return (
+            f"CASE WHEN row_number() OVER w >= {n} "
+            f"THEN {_sql_rne_expr(avg)} END AS sma{n}"
+        )
+
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED}
+SELECT symbol, time_idx, {arm(5)}, {arm(20)}
 FROM filled
 WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)"""
+
+
+SQL_TS_SMA = _sql_ts_sma()
 
 
 def q_ts_delta_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,60 +404,6 @@ SELECT delta_min, count(*) AS cnt FROM (
   FROM events)
 WHERE delta_min IS NOT NULL
 GROUP BY delta_min"""
-
-
-# Engine-independent 6-decimal rounding: floor(x*1e6 + 0.5)/1e6 is pure
-# IEEE-754 ops so Spark and DuckDB produce bitwise-identical doubles.
-# Built-in round() differs between engines on half-boundary values
-# (Spark rounds the shortest decimal repr via Java BigDecimal.valueOf,
-# DuckDB rounds the true binary value). Trailing +0.0 folds -0.0.
-def _rne(expr, name: str, n: int = 6):
-    """Engine-safe half-up rounding of any Column at ``n`` decimals.
-    Above |x| >= 1e12 the value passes through unrounded: Spark's
-    ``floor`` returns LONG and overflows past |x|*10^n > 9.2e18
-    (DuckDB's stays DOUBLE) — the guard is applied symmetrically in
-    :func:`_sql_rne` so both engines agree. Below the guard the
-    rounding is required: aggregation-order ULP drift is real at e9
-    magnitudes and the rounding collapses it."""
-    s = float(10**n)
-    rounded = F.floor(expr * F.lit(s) + F.lit(0.5)) / F.lit(s) + F.lit(0.0)
-    return (
-        F.when(F.abs(expr) < F.lit(1e12), rounded).otherwise(
-            expr + F.lit(0.0)
-        )
-    ).alias(name)
-
-
-def _r6(c):
-    return _rne(F.col(c), c, 6)
-
-
-def _r6e(expr, name: str):
-    """Expression form of :func:`_r6` (engine-safe rounding of any Column)."""
-    return _rne(expr, name, 6)
-
-
-def _sql_rne(expr: str, name: str, n: int = 6) -> str:
-    s = "1" + "0" * n + ".0"
-    return (
-        f"CASE WHEN abs({expr}) < 1000000000000.0 "
-        f"THEN floor(({expr}) * {s} + 0.5) / {s} + 0.0 "
-        f"ELSE ({expr}) + 0.0 END AS {name}"
-    )
-
-
-def _sql_r6(c: str) -> str:
-    return _sql_rne(c, c, 6)
-
-
-def _sql_r6e(expr: str, name: str) -> str:
-    return _sql_rne(expr, name, 6)
-
-
-def _sql_r6_wrap(body: str, keys: list[str], cols: list[str]) -> str:
-    """Wrap an unrounded oracle body with the same explicit rounding."""
-    sel = ", ".join(keys) + ", " + ", ".join(_sql_r6(c) for c in cols)
-    return f"SELECT {sel} FROM ({body})"
 
 
 def q_ts_windows_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -728,9 +742,9 @@ def q_emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EMB_CENTROID = """
+SQL_EMB_CENTROID = f"""
 SELECT label, i::INT AS pos,
-       floor(avg(v[i]) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS centroid,
+       {_sql_rne('avg(v[i])', 'centroid')},
        count(*) AS n
 FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
      LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
@@ -1376,12 +1390,16 @@ SQL_EMB_ANN_LSH = _sql_ann_lsh()
 
 def q_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extract a JSON property and aggregate by (event_type, decile
-    bucket). Average computed as exact integer sum / count so the value
-    is group-order independent."""
+    bucket). Average emitted as integer MICRO-units (``k_avg_micros``
+    BIGINT), not a rounded double: the per-group sum/count are exact
+    integers, the single division + floor is deterministic IEEE-754, and
+    an integer column hashes identically under any harness
+    canonicalization (rounds 1-2 validated the rounded-double variant
+    bitwise-exact locally at every SF while the driver's float hash
+    still differed — integers take that variable off the table)."""
     ev = load_table(spark, sf_dir, "events")
     # string-extraction then strict BIGINT cast on BOTH engines (no JSON
-    # intermediate type), and the average rounded through the engine-safe
-    # _r6 so the quotient is canonical even on half-boundary doubles
+    # intermediate type)
     k = F.get_json_object("props", "$.k").cast("long")
     return (
         ev.select("event_type", k.alias("k"))
@@ -1391,15 +1409,19 @@ def q_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("k_sum"),
         )
         .withColumn(
-            "k_avg",
-            _rne(F.col("k_sum").cast("double") / F.col("n"), "k_avg", 6),
+            "k_avg_micros",
+            F.floor(
+                F.col("k_sum").cast("double") / F.col("n") * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long"),
         )
     )
 
 
 SQL_EVENTS_JSON = """
 SELECT event_type, k - k % 10 AS k_bucket, count(*) AS n, sum(k) AS k_sum,
-       floor((sum(k)::DOUBLE / count(*)) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS k_avg
+       CAST(floor((sum(k)::DOUBLE / count(*)) * 1000000.0 + 0.5) AS BIGINT)
+         AS k_avg_micros
 FROM (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k FROM events)
 GROUP BY 1, 2"""
 
