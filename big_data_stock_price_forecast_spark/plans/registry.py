@@ -2088,9 +2088,26 @@ FROM zz"""
 
 def q_win_pca_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib PipelineModel (StandardScaler -> PCA) fitted on the
-    windows table, then applied — the M1/M7 checkpointable embedder.
-    Rows-only check: an MLlib fit is not SQL-expressible."""
-    from ..operators.mlpipe import fit_embedder, transform_windows
+    windows table, then applied — the M1/M7 checkpointable embedder
+    (reference analog: notebooks/test.ipynb cells 12-14, where the
+    trained encoder's embedding is likewise a checked artifact).
+
+    Oracle design: an eigensolve is not SQL-expressible and MLlib's
+    eigenvector sign/order is indeterminate, so the checked output
+    quotients that out. The pipeline runs at FULL rank (k = L): the PCA
+    projection is then an orthonormal rotation, so per window
+    ``||latent||^2 == ||scaled||^2`` must hold, and the scaler output
+    itself is plain per-position mean/stddev_samp aggregates DuckDB
+    computes independently. Emitting the scaled coordinates (exact
+    StandardScaler check) plus the latent norm (PCA orthonormality +
+    transform-plumbing check) makes every column hash-verifiable while
+    still exercising the whole fitted PipelineModel. The k<L
+    dimensionality-reduction path (and save/load checkpointing) is
+    covered by tests/test_mlpipe.py, where sign-normalized comparison
+    against a local eigensolve is possible."""
+    from pyspark.ml.functions import vector_to_array
+
+    from ..operators.mlpipe import fit_embedder, window_feature_frame
 
     # persist: the fit runs TWO eager passes (scaler stats, PCA
     # covariance) and the transform a third — without this the whole
@@ -2098,15 +2115,74 @@ def q_win_pca_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = sliding_windows(
         _filled(spark, sf_dir).select("symbol", "time_idx", "close"), L=_DCT_L
     ).persist()
-    model = fit_embedder(w, k=_DCT_K)
-    out = transform_windows(model, w)
+    model = fit_embedder(w, k=_DCT_L)
+    out = model.transform(window_feature_frame(w))
+    scaled = vector_to_array(F.col("scaled"))
+    latent = vector_to_array(F.col("latent"))
+    norm2 = F.aggregate(latent, F.lit(0.0), lambda a, x: a + x * x)
     return out.select(
         "symbol",
         "window_id",
         *[
-            F.element_at("emb", d + 1).alias(f"p{d}")
-            for d in range(_DCT_K)
+            _rne(F.element_at(scaled, d + 1), f"s{d}", 6)
+            for d in range(_DCT_L)
         ],
+        _rne(norm2, "latent_norm2", 6),
+    )
+
+
+def _sql_win_pca() -> str:
+    """Oracle for q_win_pca_embed: per-position standardization of the
+    per-window z-scored arrays (MLlib StandardScaler uses the UNBIASED
+    sample std -> stddev_samp) and the rotation-invariant norm."""
+    L = _DCT_L
+    cases = ",\n         ".join(
+        f"max(CASE WHEN i = {d + 1} THEN z END) AS s{d}" for d in range(L)
+    )
+    body = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+win AS (
+  SELECT symbol, time_idx AS window_id,
+         list(close) OVER (PARTITION BY symbol ORDER BY time_idx
+           ROWS BETWEEN CURRENT ROW AND {L - 1} FOLLOWING) AS raw
+  FROM filled
+),
+stats AS (
+  SELECT symbol, window_id, raw,
+         list_reduce(raw, (a,b) -> a+b) / {float(L)} AS center
+  FROM win WHERE len(raw) = {L}
+),
+zs AS (
+  SELECT symbol, window_id, center,
+         sqrt(list_reduce(list_transform(raw, x -> (x-center)*(x-center)),
+              (a,b) -> a+b) / {float(L)}) AS scale,
+         raw
+  FROM stats
+),
+zz AS (
+  SELECT symbol, window_id,
+         list_transform(raw, x -> (x - center) / (scale + 1e-8)) AS xs
+  FROM zs
+),
+ex AS (
+  SELECT symbol, window_id, i, xs[i] AS v
+  FROM zz, LATERAL (SELECT unnest(generate_series(1, {L})) AS i)
+),
+st AS (SELECT i, avg(v) AS m, stddev_samp(v) AS s FROM ex GROUP BY i),
+sc AS (
+  SELECT symbol, window_id, i, (v - m) / s AS z
+  FROM ex JOIN st USING (i)
+),
+agg AS (
+  SELECT symbol, window_id,
+         {cases},
+         sum(z*z) AS latent_norm2
+  FROM sc GROUP BY symbol, window_id
+)
+SELECT * FROM agg"""
+    return _sql_r6_wrap(
+        body,
+        ["symbol", "window_id"],
+        [f"s{d}" for d in range(L)] + ["latent_norm2"],
     )
 
 
@@ -3180,4 +3256,5 @@ def all_oracles() -> dict[str, str]:
         "ts_incremental_upsert": SQL_TS_UPSERT,
         "ts_savgol": _sql_savgol(),
         "win_dct_embed": _sql_dct_embed(),
+        "win_pca_embed": _sql_win_pca(),
     }
