@@ -23,6 +23,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     from big_data_stock_price_forecast_spark.plans.registry import q_flagship
 
     return q_flagship(spark, SF_SMOKE)
@@ -36,6 +37,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # the testdata parquet stores TIMESTAMP(NANOS); this must be
             # set before any scan (no-op if the session already has it)
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # timestamps are stored NTZ; every NTZ->instant cast
+            # (streaming watermarks, unix_micros, timestamp literals)
+            # must interpret them as UTC to match the DuckDB oracle's
+            # naive read regardless of the harness session's zone
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             return fn(spark, sf_dir)
 
         return run

@@ -382,12 +382,20 @@ SQL_TS_SMA = _sql_ts_sma()
 
 def q_ts_delta_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # unix_micros requires an instant (LTZ) timestamp; the testdata's
+    # ts is TIMESTAMP_NTZ — pin the session to UTC so the NTZ->LTZ cast
+    # preserves the stored micros bitwise (and deltas are exact either
+    # way), matching DuckDB's epoch_us over the same naive values
+    ts = F.col("ts")
+    if dict(ev.dtypes)["ts"] == "timestamp_ntz":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ts = ts.cast("timestamp")
     w = Window.partitionBy("user_id").orderBy("ts")
     return (
         ev.withColumn(
             "delta_min",
             F.floor(
-                (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+                (F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w)))
                 / F.lit(60_000_000)
             ),
         )
@@ -805,9 +813,15 @@ GROUP BY l_returnflag, l_linestatus"""
 
 def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped: top-10 unshipped orders by revenue for one
-    market segment. 3-way join — customer broadcast-prunes orders,
-    lineitem joins on the order key; exact DECIMAL revenue; total
-    (revenue DESC, orderkey) order makes the limit deterministic."""
+    market segment. 3-way join — the segment-filtered customer side
+    prunes orders, lineitem joins on the order key; exact DECIMAL
+    revenue; total (revenue DESC, orderkey) order makes the limit
+    deterministic. No broadcast hint: customer is a filtered fraction
+    of a table that grows with SF, so the choice is left to AQE, which
+    broadcasts it at small scale (observed runtime size under the
+    threshold) and falls back to shuffle join when it outgrows that —
+    a hardcoded hint would pin the 100x-scale plan to the toy-scale
+    decision."""
     cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -823,7 +837,7 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(
             orders.join(
-                F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+                cust, F.col("o_custkey") == F.col("c_custkey")
             ).select("o_orderkey", "o_orderdate"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
@@ -1396,7 +1410,14 @@ def q_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     an integer column hashes identically under any harness
     canonicalization (rounds 1-2 validated the rounded-double variant
     bitwise-exact locally at every SF while the driver's float hash
-    still differed — integers take that variable off the table)."""
+    still differed — integers take that variable off the table).
+
+    Root cause of the rounds 1-4 hash mismatch, finally identified:
+    DuckDB's ``sum(BIGINT)`` returns HUGEINT (int128), which a
+    pandas-based harness converts to float64 (``12740.0``) while Spark
+    emits int64 (``12740``) — value-equal, repr/dtype-unequal. The
+    oracle now CASTs the sum back to BIGINT so both engines hand the
+    harness an int64 column."""
     ev = load_table(spark, sf_dir, "events")
     # string-extraction then strict BIGINT cast on BOTH engines (no JSON
     # intermediate type)
@@ -1419,7 +1440,8 @@ def q_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EVENTS_JSON = """
-SELECT event_type, k - k % 10 AS k_bucket, count(*) AS n, sum(k) AS k_sum,
+SELECT event_type, k - k % 10 AS k_bucket, count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS k_sum,
        CAST(floor((sum(k)::DOUBLE / count(*)) * 1000000.0 + 0.5) AS BIGINT)
          AS k_avg_micros
 FROM (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k FROM events)
@@ -2042,6 +2064,37 @@ def q_win_dct_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_zz_windows(L: int) -> str:
+    """Shared oracle CTE prefix: L-row sliding windows over the filled
+    series, per-window z-scored (population std, +1e-8 eps) into ``xs``
+    — the SQL twin of operators/windows.py sliding_windows + the W2
+    normalization contract. Used by BOTH the DCT and PCA embed oracles
+    so the window/z-score contract can never silently desync."""
+    return f"""win AS (
+  SELECT symbol, time_idx AS window_id,
+         list(close) OVER (PARTITION BY symbol ORDER BY time_idx
+           ROWS BETWEEN CURRENT ROW AND {L - 1} FOLLOWING) AS raw
+  FROM filled
+),
+stats AS (
+  SELECT symbol, window_id, raw,
+         list_reduce(raw, (a,b) -> a+b) / {float(L)} AS center
+  FROM win WHERE len(raw) = {L}
+),
+zs AS (
+  SELECT symbol, window_id, center,
+         sqrt(list_reduce(list_transform(raw, x -> (x-center)*(x-center)),
+              (a,b) -> a+b) / {float(L)}) AS scale,
+         raw
+  FROM stats
+),
+zz AS (
+  SELECT symbol, window_id,
+         list_transform(raw, x -> (x - center) / (scale + 1e-8)) AS xs
+  FROM zs
+)"""
+
+
 def _sql_dct_embed() -> str:
     from ..operators.embed import dct_basis
 
@@ -2055,29 +2108,7 @@ def _sql_dct_embed() -> str:
         )
     sel = ",\n       ".join(coefs)
     body = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-win AS (
-  SELECT symbol, time_idx AS window_id,
-         list(close) OVER (PARTITION BY symbol ORDER BY time_idx
-           ROWS BETWEEN CURRENT ROW AND {_DCT_L - 1} FOLLOWING) AS raw
-  FROM filled
-),
-stats AS (
-  SELECT symbol, window_id, raw,
-         list_reduce(raw, (a,b) -> a+b) / {float(_DCT_L)} AS center
-  FROM win WHERE len(raw) = {_DCT_L}
-),
-zs AS (
-  SELECT symbol, window_id, center,
-         sqrt(list_reduce(list_transform(raw, x -> (x-center)*(x-center)),
-              (a,b) -> a+b) / {float(_DCT_L)}) AS scale,
-         raw
-  FROM stats
-),
-zz AS (
-  SELECT symbol, window_id,
-         list_transform(raw, x -> (x - center) / (scale + 1e-8)) AS xs
-  FROM zs
-)
+{_sql_zz_windows(_DCT_L)}
 SELECT symbol, window_id,
        {sel}
 FROM zz"""
@@ -2140,36 +2171,18 @@ def _sql_win_pca() -> str:
         f"max(CASE WHEN i = {d + 1} THEN z END) AS s{d}" for d in range(L)
     )
     body = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-win AS (
-  SELECT symbol, time_idx AS window_id,
-         list(close) OVER (PARTITION BY symbol ORDER BY time_idx
-           ROWS BETWEEN CURRENT ROW AND {L - 1} FOLLOWING) AS raw
-  FROM filled
-),
-stats AS (
-  SELECT symbol, window_id, raw,
-         list_reduce(raw, (a,b) -> a+b) / {float(L)} AS center
-  FROM win WHERE len(raw) = {L}
-),
-zs AS (
-  SELECT symbol, window_id, center,
-         sqrt(list_reduce(list_transform(raw, x -> (x-center)*(x-center)),
-              (a,b) -> a+b) / {float(L)}) AS scale,
-         raw
-  FROM stats
-),
-zz AS (
-  SELECT symbol, window_id,
-         list_transform(raw, x -> (x - center) / (scale + 1e-8)) AS xs
-  FROM zs
-),
+{_sql_zz_windows(L)},
 ex AS (
   SELECT symbol, window_id, i, xs[i] AS v
   FROM zz, LATERAL (SELECT unnest(generate_series(1, {L})) AS i)
 ),
 st AS (SELECT i, avg(v) AS m, stddev_samp(v) AS s FROM ex GROUP BY i),
 sc AS (
-  SELECT symbol, window_id, i, (v - m) / s AS z
+  -- MLlib StandardScaler emits 0.0 for zero-std features; DuckDB's
+  -- (v-m)/s would be NULL there (and stddev_samp of a single window is
+  -- NULL) — mirror the scaler so degenerate fixtures can't desync
+  SELECT symbol, window_id, i,
+         CASE WHEN s IS NULL OR s = 0 THEN 0.0 ELSE (v - m) / s END AS z
   FROM ex JOIN st USING (i)
 ),
 agg AS (
@@ -2376,7 +2389,15 @@ def q_stream_resample_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(
         resample_stream(stream_events(spark, sf_dir), "6 hours"), "append"
     )
-    return out.select("symbol", "datetime", "high", "low", "n_rows")
+    # the stream watermarks on an LTZ event time (UTC session, see
+    # stream_events); emit NTZ so the result matches DuckDB's naive read
+    return out.select(
+        "symbol",
+        F.col("datetime").cast("timestamp_ntz").alias("datetime"),
+        "high",
+        "low",
+        "n_rows",
+    )
 
 
 # append mode emits a bucket exactly when the watermark (max event time)
@@ -2402,11 +2423,14 @@ SELECT symbol, datetime, high, low, n_rows FROM b, mx WHERE b.datetime < mx.m"""
 def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import distinct_keys_stream, run_available_now, stream_events
 
-    return run_available_now(
+    out = run_available_now(
         distinct_keys_stream(
             stream_events(spark, sf_dir), ["symbol", "datetime"], "datetime"
         ),
         "append",
+    )
+    return out.select(
+        "symbol", F.col("datetime").cast("timestamp_ntz").alias("datetime")
     )
 
 

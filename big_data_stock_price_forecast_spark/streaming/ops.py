@@ -69,6 +69,13 @@ def stream_events(
     sdf = reader.load(sf_dir)
     if dict(sdf.dtypes).get("ts") == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(sdf.dtypes).get("ts") == "timestamp_ntz":
+        # event-time watermarks require an instant (LTZ) timestamp;
+        # pin the session to UTC so the NTZ->LTZ cast preserves the
+        # stored micros bitwise (queries cast outputs back to NTZ so
+        # results match the naive timestamps the batch oracle sees)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     return sdf.select(
         F.col("user_id").alias("symbol"),
         F.col("ts").alias("datetime"),

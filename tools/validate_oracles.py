@@ -90,6 +90,23 @@ def main():
             continue
         try:
             ddf = con.sql(os_[name])
+            # the driver canonicalizes through pandas, where DuckDB's
+            # HUGEINT (e.g. sum(BIGINT)) lands as float64 while Spark
+            # emits int64 — value-equal rows that hash differently.
+            # fetchall() below hides that (Python ints), so flag the
+            # type directly. (This was events_json_agg's r1-r4 fail.)
+            huge = [
+                c
+                for c, t in zip(ddf.columns, ddf.types)
+                if str(t) == "HUGEINT"
+            ]
+            if huge:
+                failures.append(name)
+                print(
+                    f"FAIL  {name}: oracle emits HUGEINT column(s) "
+                    f"{huge} — cast to BIGINT/DOUBLE in the SQL"
+                )
+                continue
             dcols_raw = ddf.columns
             dcols = sorted(dcols_raw)
             idx = [dcols_raw.index(c) for c in dcols]
