@@ -685,6 +685,15 @@ def recursive_battery_arrow(
       only on volume-down bars)
     - ``stoch_rsi`` (Stochastic RSI — position of RSI-14 in its 14-bar
       min/max range; null until 14 RSI values exist or on a flat range)
+    - ``psar``/``psar_dir`` (Parabolic SAR, 0.02/0.02/0.2 — Wilder's
+      trend-following stop-and-reverse state machine: SAR steps toward
+      the extreme point by the accelerating factor, clamped to the two
+      prior lows (uptrend) / highs (downtrend); price crossing the SAR
+      flips the trend, resetting SAR to the prior extreme. Seeded at
+      the first bar as an uptrend with SAR=low, EP=high. dir is +-1.0)
+    - ``stc`` (Schaff Trend Cycle over the battery's 12/26 MACD —
+      10-bar stochastic of MACD, EMA(alpha=.5)-smoothed, re-stochastic,
+      re-smoothed; flat stochastic ranges emit the 50.0 midpoint)
 
     Inputs must be gap-filled (null-free close/high/low/volume). The
     lag-derived inputs (true range, gains, ±DM, raw force) are computed
@@ -736,6 +745,7 @@ def recursive_battery_arrow(
         "atr14", "trix15", "ppo", "kelt_mid", "kelt_upper", "kelt_lower",
         "adx14", "di_pos14", "di_neg14", "force13",
         "tsi", "pvo", "mass_idx", "kama", "nvi", "stoch_rsi",
+        "psar", "psar_dir", "stc",
     )
     fields = list(src.schema.fields) + [
         StructField(cn, DoubleType()) for cn in out_cols
@@ -753,6 +763,8 @@ def recursive_battery_arrow(
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(idx_col)
         xs = pdf[close_col].to_numpy()
+        highs = pdf[high_col].to_numpy()
+        lows = pdf[low_col].to_numpy()
         trs = pdf["__tr"].to_numpy()
         gains = pdf["__gain"].to_numpy()
         losses = pdf["__loss"].to_numpy()
@@ -773,8 +785,13 @@ def recursive_battery_arrow(
         ekel = ekatr = spdm = sndm = adx = efi = None
         ms1 = ms2 = as1 = as2 = None
         ev12 = ev26 = meh = mehh = kama = nvi = None
+        p_sar = p_ep = p_af = None
+        p_up = True
+        d1 = stc = None
         ratios: list[float] = []
         rsis: list[float] = []
+        macds: list[float] = []
+        d1s: list[float] = []
         for i in range(n):
             x = float(xs[i])
             t = float(trs[i])
@@ -822,6 +839,46 @@ def recursive_battery_arrow(
                 nvi = 1000.0
             elif bool(nvifs[i]):
                 nvi = nvi * (1.0 + float(nvirs[i]))
+            # Parabolic SAR state machine — arithmetic written in the
+            # exact operand order of the oracle's struct fold so the
+            # floats match bitwise
+            hi, lw = float(highs[i]), float(lows[i])
+            if p_sar is None:
+                p_sar, p_ep, p_af, p_up = lw, hi, 0.02, True
+            else:
+                base = p_sar + p_af * (p_ep - p_sar)
+                if p_up:
+                    pl1 = float(lows[i - 1])
+                    pl2 = float(lows[i - 2]) if i >= 2 else pl1
+                    s1 = min(base, pl1, pl2)
+                    if lw < s1:
+                        p_sar, p_ep, p_af, p_up = p_ep, lw, 0.02, False
+                    else:
+                        if hi > p_ep:
+                            p_af = min(p_af + 0.02, 0.2)
+                        p_sar, p_ep = s1, max(p_ep, hi)
+                else:
+                    ph1 = float(highs[i - 1])
+                    ph2 = float(highs[i - 2]) if i >= 2 else ph1
+                    s1 = max(base, ph1, ph2)
+                    if hi > s1:
+                        p_sar, p_ep, p_af, p_up = p_ep, hi, 0.02, True
+                    else:
+                        if lw < p_ep:
+                            p_af = min(p_af + 0.02, 0.2)
+                        p_sar, p_ep = s1, min(p_ep, lw)
+            # Schaff Trend Cycle over the battery's 12/26 MACD:
+            # stoch(10) -> ema(.5) -> stoch(10) -> ema(.5)
+            macds.append(m)
+            w10 = macds[max(0, i - 9) : i + 1]
+            mnm, mxm = min(w10), max(w10)
+            k1 = 100.0 * (m - mnm) / (mxm - mnm) if mxm != mnm else 50.0
+            d1 = k1 if d1 is None else (1.0 - 0.5) * d1 + 0.5 * k1
+            d1s.append(d1)
+            w10d = d1s[max(0, i - 9) : i + 1]
+            mnd, mxd = min(w10d), max(w10d)
+            k2 = 100.0 * (d1 - mnd) / (mxd - mnd) if mxd != mnd else 50.0
+            stc = k2 if stc is None else (1.0 - 0.5) * stc + 0.5 * k2
             res["ema12"][i] = e12
             res["ema26"][i] = e26
             res["macd"][i] = m
@@ -849,6 +906,9 @@ def recursive_battery_arrow(
             res["mass_idx"][i] = acc
             res["kama"][i] = kama
             res["nvi"][i] = nvi
+            res["psar"][i] = p_sar
+            res["psar_dir"][i] = 1.0 if p_up else -1.0
+            res["stc"][i] = stc
             cur_rsi = res["rsi14"][i]
             rsis.append(cur_rsi)
             if i >= 13:

@@ -2511,12 +2511,13 @@ def _sql_indicators_all() -> str:
 
 def q_ts_recursive_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMA/MACD/RSI/ATR/TRIX/PPO/Keltner/ADX(±DI)/Force/TSI/PVO/
-    MassIndex/KAMA/NVI/StochRSI — every recursive indicator in ONE
-    Arrow pass (operators/rolling.py ``recursive_battery_arrow``); the
-    oracle reproduces each recursion as staged sequential prefix folds
-    (each EMA stage materialized as a column, then re-folded); the
-    per-step-coefficient recursions (KAMA, NVI) fold over struct
-    elements carrying the native-computed coefficients."""
+    MassIndex/KAMA/NVI/StochRSI/PSAR/STC — every recursive indicator in
+    ONE Arrow pass (operators/rolling.py ``recursive_battery_arrow``);
+    the oracle reproduces each recursion as staged sequential prefix
+    folds (each EMA stage materialized as a column, then re-folded);
+    the per-step-coefficient / state-machine recursions (KAMA, NVI,
+    PSAR) fold over struct elements carrying the native-computed
+    inputs."""
     from ..operators.rolling import recursive_battery_arrow
 
     df = recursive_battery_arrow(_filled_ohlc(spark, sf_dir))
@@ -2528,16 +2529,68 @@ def q_ts_recursive_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6("ppo"), r6("kelt_mid"), r6("kelt_upper"), r6("kelt_lower"),
         r6("adx14"), r6("di_pos14"), r6("di_neg14"), r6("force13"),
         r6("tsi"), r6("pvo"), r6("mass_idx"), r6("kama"), r6("nvi"),
-        r6("stoch_rsi"),
+        r6("stoch_rsi"), r6("psar"), r6("psar_dir"), r6("stc"),
     )
 
 
 def _sql_recursive_battery() -> str:
     e = _sql_ewm
+    # Parabolic SAR as a RECURSIVE CTE stepping every symbol forward one
+    # bar per iteration: sar advances toward the extreme point by the
+    # accelerating factor, clamps to the two prior lows/highs, and
+    # flips the trend when price crosses it. A struct-fold formulation
+    # (like KAMA/NVI) would be natural, but DuckDB v1.0.0 miscomputes
+    # large struct lambdas in list_reduce (verified: fold of a 40-list
+    # disagrees with single-stepping its own step function), so plain
+    # scalar join expressions it is. Operand order matches the Arrow
+    # pass's Python loop exactly.
+    s1u = (
+        "least(p.sar + p.af * (p.ep - p.sar),"
+        " r.pl1, coalesce(r.pl2, r.pl1))"
+    )
+    s1d = (
+        "greatest(p.sar + p.af * (p.ep - p.sar),"
+        " r.ph1, coalesce(r.ph2, r.ph1))"
+    )
+    psar_cte = f"""psrc AS (
+  SELECT symbol, time_idx, rn, high, low, pl1, pl2, ph1, ph2 FROM pre
+),
+psr AS (
+  SELECT symbol, time_idx, rn, low AS sar, high AS ep,
+         0.02::DOUBLE AS af, true AS up
+  FROM psrc WHERE rn = 1
+  UNION ALL
+  SELECT r.symbol, r.time_idx, r.rn,
+         CASE WHEN p.up
+              THEN CASE WHEN r.low < {s1u} THEN p.ep ELSE {s1u} END
+              ELSE CASE WHEN r.high > {s1d} THEN p.ep ELSE {s1d} END
+              END AS sar,
+         CASE WHEN p.up
+              THEN CASE WHEN r.low < {s1u} THEN r.low
+                   ELSE greatest(p.ep, r.high) END
+              ELSE CASE WHEN r.high > {s1d} THEN r.high
+                   ELSE least(p.ep, r.low) END
+              END AS ep,
+         CASE WHEN p.up
+              THEN CASE WHEN r.low < {s1u} THEN 0.02::DOUBLE
+                   WHEN r.high > p.ep
+                     THEN least(p.af + 0.02::DOUBLE, 0.2::DOUBLE)
+                   ELSE p.af END
+              ELSE CASE WHEN r.high > {s1d} THEN 0.02::DOUBLE
+                   WHEN r.low < p.ep
+                     THEN least(p.af + 0.02::DOUBLE, 0.2::DOUBLE)
+                   ELSE p.af END
+              END AS af,
+         CASE WHEN p.up THEN NOT (r.low < {s1u})
+              ELSE r.high > {s1d} END AS up
+  FROM psr p JOIN psrc r ON r.symbol = p.symbol AND r.rn = p.rn + 1
+)"""
     body = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED_OHLC},
 pre AS (
   SELECT symbol, time_idx,
-         close, volume,
+         close, volume, high, low,
+         lag(low) OVER wo AS pl1, lag(low, 2) OVER wo AS pl2,
+         lag(high) OVER wo AS ph1, lag(high, 2) OVER wo AS ph2,
          row_number() OVER wo AS rn,
          greatest(high - low, abs(high - lag(close) OVER wo),
                   abs(low - lag(close) OVER wo)) AS tr,
@@ -2624,15 +2677,21 @@ e3s AS (
                  THEN 100.0 * abs(di_pos14 - di_neg14)
                       / (di_pos14 + di_neg14)
                  ELSE 0.0 END AS dx,
-         min(rsinow) OVER f14s AS mn14, max(rsinow) OVER f14s AS mx14
+         min(rsinow) OVER f14s AS mn14, max(rsinow) OVER f14s AS mx14,
+         min(macd) OVER f10m AS mnm, max(macd) OVER f10m AS mxm
   FROM e2s
   WINDOW f14s AS (PARTITION BY symbol ORDER BY time_idx
-                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+         f10m AS (PARTITION BY symbol ORDER BY time_idx
+                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
 ),
 l2 AS (
   SELECT *, list(macd) OVER wc AS mpfx, list(te1) OVER wc AS e1pfx,
             list(dx) OVER wc AS dxpfx, list(tse1) OVER wc AS ts1pfx,
-            list(tae1) OVER wc AS ta1pfx, list(meh) OVER wc AS mehpfx
+            list(tae1) OVER wc AS ta1pfx, list(meh) OVER wc AS mehpfx,
+            CASE WHEN mxm <> mnm
+                 THEN 100.0 * (macd - mnm) / (mxm - mnm)
+                 ELSE 50.0 END AS k1
   FROM e3s
   WINDOW wc AS (PARTITION BY symbol ORDER BY time_idx
                 ROWS UNBOUNDED PRECEDING)
@@ -2644,26 +2703,42 @@ f2 AS (
          {e('dxpfx', '1.0/14.0')} AS adx14,
          {e('ts1pfx', '2.0/14.0')} AS tse2,
          {e('ta1pfx', '2.0/14.0')} AS tae2,
-         {e('mehpfx', '2.0/10.0')} AS mehh
+         {e('mehpfx', '2.0/10.0')} AS mehh,
+         list(k1) OVER wc AS k1pfx
   FROM l2
+  WINDOW wc AS (PARTITION BY symbol ORDER BY time_idx
+                ROWS UNBOUNDED PRECEDING)
 ),
 l3 AS (
   SELECT *, list(te2) OVER wc AS e2pfx,
-         CASE WHEN mehh <> 0.0 THEN meh / mehh ELSE 0.0 END AS mratio
+         CASE WHEN mehh <> 0.0 THEN meh / mehh ELSE 0.0 END AS mratio,
+         {e('k1pfx', '0.5')} AS d1
   FROM f2
   WINDOW wc AS (PARTITION BY symbol ORDER BY time_idx
                 ROWS UNBOUNDED PRECEDING)
 ),
 f3 AS (
   SELECT * EXCLUDE (e2pfx), {e('e2pfx', '2.0/16.0')} AS te3,
-         {_sql_fold_sum('list(mratio) OVER f25')} AS mass_idx
+         {_sql_fold_sum('list(mratio) OVER f25')} AS mass_idx,
+         min(d1) OVER f10d AS mnd, max(d1) OVER f10d AS mxd
   FROM l3
   WINDOW f25 AS (PARTITION BY symbol ORDER BY time_idx
-                 ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+                 ROWS BETWEEN 24 PRECEDING AND CURRENT ROW),
+         f10d AS (PARTITION BY symbol ORDER BY time_idx
+                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
 ),
 fin AS (
-  SELECT *, lag(te3) OVER (PARTITION BY symbol ORDER BY time_idx) AS pe3
+  SELECT *, lag(te3) OVER (PARTITION BY symbol ORDER BY time_idx) AS pe3,
+         CASE WHEN mxd <> mnd
+              THEN 100.0 * (d1 - mnd) / (mxd - mnd)
+              ELSE 50.0 END AS k2
   FROM f3
+),
+fin2 AS (
+  SELECT *, list(k2) OVER wc AS k2pfx
+  FROM fin
+  WINDOW wc AS (PARTITION BY symbol ORDER BY time_idx
+                ROWS UNBOUNDED PRECEDING)
 )
 SELECT symbol, time_idx, ema12, ema26, macd, macd_signal,
        macd - macd_signal AS macd_hist,
@@ -2681,15 +2756,25 @@ SELECT symbol, time_idx, ema12, ema26, macd, macd_signal,
             THEN 100.0 * (ev12 - ev26) / ev26 END AS pvo,
        mass_idx, kama, nvi,
        CASE WHEN rn >= 14 AND mx14 <> mn14
-            THEN (rsinow - mn14) / (mx14 - mn14) END AS stoch_rsi
-FROM fin"""
+            THEN (rsinow - mn14) / (mx14 - mn14) END AS stoch_rsi,
+       psr.sar AS psar,
+       CASE WHEN psr.up THEN 1.0 ELSE -1.0 END AS psar_dir,
+       {e('k2pfx', '0.5')} AS stc
+FROM fin2 JOIN (
+  -- WITH RECURSIVE scoped to a derived table: in DuckDB v1.0 a
+  -- top-level WITH RECURSIVE makes every CTE's named-WINDOW clause
+  -- share one namespace, colliding the per-stage `wc` definitions
+  WITH RECURSIVE {psar_cte}
+  SELECT symbol, time_idx, sar, up FROM psr
+) psr USING (symbol, time_idx)"""
     return _sql_r6_wrap(
         body,
         ["symbol", "time_idx"],
         ["ema12", "ema26", "macd", "macd_signal", "macd_hist", "rsi14",
          "atr14", "trix15", "ppo", "kelt_mid", "kelt_upper", "kelt_lower",
          "adx14", "di_pos14", "di_neg14", "force13",
-         "tsi", "pvo", "mass_idx", "kama", "nvi", "stoch_rsi"],
+         "tsi", "pvo", "mass_idx", "kama", "nvi", "stoch_rsi",
+         "psar", "psar_dir", "stc"],
     )
 
 

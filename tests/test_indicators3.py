@@ -183,3 +183,55 @@ def test_native_additions_invariants(spark):
     # cumulative return grows monotonically
     cr = r["cret"].to_numpy()
     assert (cr[1:] > cr[:-1]).all()
+
+def test_psar_stc_invariants(spark):
+    """PSAR/STC closed forms: a monotonically rising series never
+    reverses (dir stays +1, SAR stays strictly below the low, SAR is
+    non-decreasing); a monotonically falling series mirrors that after
+    the first bar; STC saturates to ~100 in an ACCELERATING uptrend
+    (MACD keeps making new 10-bar highs; a linear ramp would flatten
+    MACD and pin the flat-range stochastic at 50) and stays within
+    [0, 100]."""
+    n = 80
+    rising = spark.createDataFrame(
+        [(1, i, 10.0 * 1.05 ** i, 10.1 * 1.05 ** i, 9.9 * 1.05 ** i, 10.0)
+         for i in range(n)],
+        ["symbol", "time_idx", "close", "high", "low", "volume"],
+    )
+    r = (
+        recursive_battery_arrow(rising)
+        .toPandas()
+        .sort_values("time_idx")
+        .reset_index(drop=True)
+    )
+    assert (r["psar_dir"] == 1.0).all()
+    sar = r["psar"].to_numpy()
+    assert (sar[1:] >= sar[:-1] - 1e-12).all()
+    assert (sar < r["low"].to_numpy() + 1e-12).all()
+    stc = r["stc"].to_numpy()
+    assert ((stc >= 0.0) & (stc <= 100.0)).all()
+    # exponential growth keeps MACD at its rolling max -> both
+    # stochastic stages pin at 100 while the smoothed stage still
+    # rises; once it float-saturates at 100 the flat-range rule (50)
+    # takes over, so assert the peak, not the endpoint
+    assert stc.max() > 99.0
+
+    falling = spark.createDataFrame(
+        [(1, i, 200.0 * 0.95 ** i, 202.0 * 0.95 ** i, 198.0 * 0.95 ** i,
+          10.0) for i in range(n)],
+        ["symbol", "time_idx", "close", "high", "low", "volume"],
+    )
+    f = (
+        recursive_battery_arrow(falling)
+        .toPandas()
+        .sort_values("time_idx")
+        .reset_index(drop=True)
+    )
+    # seeded as an uptrend at bar 0; price crossing flips it immediately
+    assert (f["psar_dir"].to_numpy()[2:] == -1.0).all()
+    fsar = f["psar"].to_numpy()
+    assert (fsar[3:] <= fsar[2:-1] + 1e-12).all()
+    assert (fsar[2:] > f["high"].to_numpy()[2:] - 1e-12).all()
+    fstc = f["stc"].to_numpy()
+    assert ((fstc >= 0.0) & (fstc <= 100.0)).all()
+    assert fstc.min() < 1.0
