@@ -538,9 +538,10 @@ def connected_components(
     Returns (node, component) where component = min reachable node id.
 
     ``max_iters`` is a backstop, not a truncation risk: with pointer
-    doubling the reachable-label distance halves per round, so 50
-    rounds cover any component of diameter < 2**50 — convergence (and
-    the early break) always wins first on real data.
+    doubling and two propagation steps per checkpointed round the
+    reachable-label distance at least quarters per round, so 50 rounds
+    cover any component of diameter < 4**50 — convergence (and the
+    early break) always wins first on real data.
     """
     # localCheckpoint everywhere (not persist): persist caches DATA but
     # every reference still carries — and re-analyzes — the full
@@ -577,10 +578,7 @@ def connected_components(
     )
     # decimal(38,0) so the convergence checksum cannot overflow at any
     # node-id magnitude
-    prev_sum = labels.agg(
-        F.sum(F.col("component").cast("decimal(38,0)"))
-    ).first()[0]
-    for _ in range(max_iters):
+    def _prop_once(labels: DataFrame) -> DataFrame:
         star = labels.filter(F.col("node") != F.col("component"))
         symr = sym.union(
             star.select(
@@ -596,17 +594,40 @@ def connected_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        nxt = (
-            labels.join(prop, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("nbr_min", F.col("component")),
-                ).alias("component"),
-            )
-            .localCheckpoint(eager=True)
+        return labels.join(prop, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"),
+                F.coalesce("nbr_min", F.col("component")),
+            ).alias("component"),
         )
+
+    prev_sum = labels.agg(
+        F.sum(F.col("component").cast("decimal(38,0)"))
+    ).first()[0]
+    for rnd in range(max_iters):
+        # Adaptive step batching: near-dup graphs are almost always
+        # shallow (seed + one round reaches the fixpoint, a second
+        # confirms), so the first two rounds run ONE propagation step —
+        # the cheapest possible confirm. A graph still unconverged
+        # after that has real diameter, and from then on each
+        # checkpointed round applies TWO steps: the dominant per-round
+        # cost at scale is the fixed overhead of the checkpoint
+        # materialization + convergence read (a cluster barrier +
+        # state write on a real cluster), while an extra monotone
+        # propagation join is cheap and can never change the
+        # min-reachable fixpoint. The intermediate is persist()ed —
+        # not checkpointed — so the second step's references to it
+        # compute it once inside the round's single job; lineage depth
+        # stays bounded because the round output is checkpointed.
+        if rnd < 2:
+            nxt = _prop_once(labels).localCheckpoint(eager=True)
+            mid = None
+        else:
+            mid = _prop_once(labels).persist()
+            nxt = _prop_once(mid).localCheckpoint(eager=True)
+        if mid is not None:
+            mid.unpersist()
         cur_sum = nxt.agg(
             F.sum(F.col("component").cast("decimal(38,0)"))
         ).first()[0]

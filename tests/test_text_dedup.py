@@ -322,3 +322,22 @@ def test_connected_components_random_graphs_match_union_find(spark):
             ).collect()
         }
         assert got == expect
+
+
+def test_connected_components_long_chain_double_step(spark):
+    """A 64-node path graph needs several pointer-doubling rounds, so
+    it exercises the adaptive two-steps-per-checkpoint path (rounds 2+)
+    that shallow near-dup graphs never reach. Every node must collapse
+    to component 0."""
+    from big_data_stock_price_forecast_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = [(i, i + 1) for i in range(63)]
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(edges, ["id_i", "id_j"])
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(64)}
