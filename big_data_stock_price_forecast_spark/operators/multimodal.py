@@ -6,11 +6,12 @@ typed metadata struct — the layout every large multimodal corpus uses
 (payload bytes + width/height/duration sidecar). The engine's job at
 100 TB is the *plumbing*: schema, partition-friendly operators,
 Arrow-batched UDF boundaries. Codec work (JPEG decode, audio resample,
-video frame extraction) is a library call per element; the decode
-libraries are not installed in this environment, so the real decoders
-are stubbed behind ``NotImplementedError`` while every Spark-side
-surface (schemas, batch shapes, operators) is real and tested with a
-deterministic byte-level fake.
+video frame extraction) is a library call per element; the real
+decoders (Pillow / soundfile) are import-gated — used when the library
+is present, ``NotImplementedError`` when absent (the same optional
+pattern as torch in embed.py and ta in rolling.py) — while every
+Spark-side surface (schemas, batch shapes, operators) is real and
+tested with a deterministic byte-level fake.
 
 Scale notes: metadata projection and frame slicing are pure JVM
 expressions (binary ``substring``/``sha2``/``length`` inside
@@ -40,20 +41,40 @@ FEATURE_DIM = 8
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real decoder slot (PIL/torchvision territory). Not available in
-    this environment — see module docstring."""
-    raise NotImplementedError(
-        "image codec libraries are not installed; use byte_features() "
-        "for the deterministic fake-decode path"
-    )
+    """Decode an image payload to a pixel array via Pillow when it is
+    importable (the import is inside the call so a worker-side install
+    is picked up and tests can inject a stub); otherwise raise
+    NotImplementedError — the documented optional-dependency contract
+    shared with torch (embed.py) and ta (rolling.py). The
+    oracle-checked engine path (byte_histogram_features) never needs
+    it."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "Pillow is not installed; use byte_histogram_features() "
+            "for the deterministic fake-decode path"
+        ) from exc
+    return np.asarray(Image.open(io.BytesIO(payload)))
 
 
 def decode_audio(payload: bytes) -> "np.ndarray":
-    """Real decoder slot (soundfile/torchaudio territory)."""
-    raise NotImplementedError(
-        "audio codec libraries are not installed; use byte_features() "
-        "for the deterministic fake-decode path"
-    )
+    """Decode an audio payload to a sample array via soundfile when it
+    is importable; otherwise raise NotImplementedError (same optional
+    pattern as decode_image)."""
+    try:
+        import io
+
+        import soundfile
+    except ImportError as exc:
+        raise NotImplementedError(
+            "soundfile is not installed; use byte_histogram_features() "
+            "for the deterministic fake-decode path"
+        ) from exc
+    samples, _rate = soundfile.read(io.BytesIO(payload))
+    return np.asarray(samples)
 
 
 def to_media_table(documents: DataFrame) -> DataFrame:
@@ -142,20 +163,56 @@ def byte_histogram_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarra
     return hist / arr.size
 
 
-def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+def decoded_histogram_features(
+    payload: bytes, media_type: str, dim: int = FEATURE_DIM
+) -> np.ndarray:
+    """Feature vector from a REAL decode: images histogram their pixel
+    intensities, audio histograms its [-1, 1] samples, anything else
+    falls back to the byte histogram. Output shape is identical to the
+    fake path so the two are drop-in interchangeable downstream."""
+    if media_type == "image":
+        px = decode_image(payload).ravel()
+        if px.size == 0:
+            return np.zeros(dim)
+        hist = np.bincount(
+            np.clip(px, 0, 255).astype(np.uint8) >> 5, minlength=dim
+        )[:dim]
+        return hist / px.size
+    if media_type == "audio":
+        wav = decode_audio(payload).ravel()
+        if wav.size == 0:
+            return np.zeros(dim)
+        idx = np.clip(((wav + 1.0) / 2.0 * dim).astype(int), 0, dim - 1)
+        hist = np.bincount(idx, minlength=dim)[:dim]
+        return hist / wav.size
+    return byte_histogram_features(payload, dim)
+
+
+def extract_features(
+    media: DataFrame, dim: int = FEATURE_DIM, decode: bool = False
+) -> DataFrame:
     """Arrow-batched feature extraction over payload bytes
     (``mapInPandas``): the slot where a real pipeline decodes and runs
-    a vision/audio encoder per batch on the executor. Deterministic
-    byte-histogram fake keeps the full batch shape
-    (iterator-of-DataFrames in, fixed-dim vector column out) testable.
+    a vision/audio encoder per batch on the executor. The default
+    deterministic byte-histogram fake keeps the full batch shape
+    (iterator-of-DataFrames in, fixed-dim vector column out) testable
+    and oracle-checkable; ``decode=True`` routes image/audio payloads
+    through the optional real decoders (NotImplementedError per row
+    type if the codec library is absent — same schema either way).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                byte_histogram_features(p, dim).tolist()
-                for p in pdf["payload"]
-            ]
+            if decode:
+                feats = [
+                    decoded_histogram_features(p, t, dim).tolist()
+                    for p, t in zip(pdf["payload"], pdf["media_type"])
+                ]
+            else:
+                feats = [
+                    byte_histogram_features(p, dim).tolist()
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -105,3 +105,69 @@ def test_byte_features_match_numpy(spark):
         np.testing.assert_allclose(feats[r["media_id"]], expect, atol=1e-12)
         assert len(feats[r["media_id"]]) == FEATURE_DIM
         assert abs(feats[r["media_id"]].sum() - 1.0) < 1e-9
+
+
+def test_real_decoders_optional_contract(monkeypatch):
+    """Without Pillow/soundfile the decode slots raise
+    NotImplementedError (never a bare ImportError); with the library
+    importable, decode_image/decode_audio dispatch into it and
+    decoded_histogram_features keeps the fake path's shape contract."""
+    import importlib
+    import sys
+
+    from big_data_stock_price_forecast_spark.operators import multimodal as M
+
+    have_pil = importlib.util.find_spec("PIL") is not None
+    have_sf = importlib.util.find_spec("soundfile") is not None
+
+    if not have_pil:
+        try:
+            M.decode_image(b"\x00\x01")
+            raise AssertionError("expected NotImplementedError")
+        except NotImplementedError:
+            pass
+    if not have_sf:
+        try:
+            M.decode_audio(b"\x00\x01")
+            raise AssertionError("expected NotImplementedError")
+        except NotImplementedError:
+            pass
+
+    # inject stub codec modules: dispatch + feature shape are ours to
+    # test; the pixels/samples come from whatever library is present
+    class _FakeImg:
+        def __init__(self, payload):
+            self._p = payload
+
+        def __array__(self, dtype=None, copy=None):
+            return np.frombuffer(self._p, dtype=np.uint8).reshape(-1, 2)
+
+    fake_pil_image = type(sys)("PIL.Image")
+    fake_pil_image.open = lambda buf: _FakeImg(buf.read())
+    fake_pil = type(sys)("PIL")
+    fake_pil.Image = fake_pil_image
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_pil_image)
+
+    fake_sf = type(sys)("soundfile")
+    fake_sf.read = lambda buf: (
+        np.frombuffer(buf.read(), dtype=np.uint8) / 255.0 * 2.0 - 1.0,
+        16000,
+    )
+    monkeypatch.setitem(sys.modules, "soundfile", fake_sf)
+
+    payload = bytes(range(64)) * 2
+    img = M.decode_image(payload)
+    assert img.shape == (64, 2)
+    wav = M.decode_audio(payload)
+    assert wav.min() >= -1.0 and wav.max() <= 1.0
+
+    for mt in ["image", "audio", "video"]:
+        f = M.decoded_histogram_features(payload, mt)
+        assert f.shape == (M.FEATURE_DIM,)
+        assert abs(f.sum() - 1.0) < 1e-9
+    # video falls back to the byte histogram == fake path
+    np.testing.assert_allclose(
+        M.decoded_histogram_features(payload, "video"),
+        M.byte_histogram_features(payload),
+    )
