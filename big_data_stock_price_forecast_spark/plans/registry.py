@@ -1448,6 +1448,100 @@ FROM (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k FROM eve
 GROUP BY 1, 2"""
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity splits a session) —
+    the canonical large-scale event-pipeline operator. One shuffle
+    total: the lag window, the cumulative session counter, and the
+    final per-session aggregate all cluster on user_id, so Catalyst
+    reuses a single hash exchange (HashPartitioning(user_id) satisfies
+    the (user_id, session_no) clustering requirement).
+
+    Timestamps are NTZ in the lake; the gap arithmetic casts through
+    LTZ under a UTC-pinned session so unix_micros is exact (same
+    contract as q_ts_delta_hist)."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    if dict(ev.dtypes)["ts"] == "timestamp_ntz":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ts = ts.cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w))
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    s = (
+        ev.withColumn("__m", F.unix_micros(ts))
+        .withColumn("__new", is_new)
+        .withColumn("session_no", F.sum("__new").over(wc))
+    )
+    return s.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.expr("(max(__m) - min(__m)) div 1000000").alias("duration_sec"),
+    )
+
+
+# windowed sum(int) is HUGEINT in DuckDB -> CAST to BIGINT so the
+# session key hashes as int64 on both engines (the events_json_agg
+# lesson); integer floor-division on both sides for the duration
+SQL_EVENTS_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS m,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, m,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM o
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       (max(m) - min(m)) // 1000000 AS duration_sec
+FROM s GROUP BY 1, 2"""
+
+
+def q_events_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified Bernoulli sample (~5%) via the portable
+    md5-based hash60 on the event key — reproducible across engines,
+    runs, partitionings, and cluster sizes, which is the property a
+    training-data sampling stage needs (rand()-based sampling is none
+    of those). The filter is a pure JVM expression evaluated at the
+    scan, so at 100 TB the sample never materializes the full table
+    past the filter; per-stratum stats aggregate with map-side combine.
+    Money-style DECIMAL sum keeps the per-group total order-independent
+    and bitwise (the tpch_q1 pattern)."""
+    from ..functions.text import hash60
+
+    ev = load_table(spark, sf_dir, "events")
+    sampled = ev.filter(hash60(F.col("event_id").cast("string")) % 20 == 0)
+    return sampled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("value_sum"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+def _sql_events_hash_sample() -> str:
+    from ..functions.text import sql_hash60
+
+    h = sql_hash60("CAST(event_id AS VARCHAR)")
+    return f"""
+SELECT event_type, count(*) AS n_sampled,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+       min(event_id) AS min_event_id, max(event_id) AS max_event_id
+FROM events
+WHERE {h} % 20 = 0
+GROUP BY 1"""
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -3297,6 +3391,8 @@ def all_queries() -> dict[str, QueryFn]:
         "emb_near_dup_pairs": q_emb_near_dup,
         "emb_ann_lsh_topk": q_emb_ann_lsh,
         "events_json_agg": q_events_json_agg,
+        "events_sessionize": q_events_sessionize,
+        "events_hash_sample": q_events_hash_sample,
         "events_rollup": q_events_rollup,
         "doc_top_terms": q_doc_top_terms,
         "ts_feature_null_ratio": q_ts_feature_null_ratio,
@@ -3357,6 +3453,8 @@ def all_oracles() -> dict[str, str]:
         "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
         "emb_ann_lsh_topk": SQL_EMB_ANN_LSH,
         "events_json_agg": SQL_EVENTS_JSON,
+        "events_sessionize": SQL_EVENTS_SESSIONS,
+        "events_hash_sample": _sql_events_hash_sample(),
         "events_rollup": SQL_EVENTS_ROLLUP,
         "doc_top_terms": SQL_DOC_TOP_TERMS,
         "ts_feature_null_ratio": SQL_TS_FEATURE_NULL_RATIO,
