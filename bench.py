@@ -57,6 +57,25 @@ def main() -> None:
             spark.read.parquet(td).schema
         ).parquet(td)
         run_available_now(sdf.groupBy("user_id").count(), "complete")
+        # the stateful/watermark machinery (applyInPandasWithState
+        # Python workers, state store providers, event-time tracking)
+        # loads lazily on first use and costs several seconds — warm it
+        # too, or the first stream_* query gets billed for it
+        from big_data_stock_price_forecast_spark.streaming.ops import (
+            ema_state_stream,
+        )
+
+        state_in = (
+            spark.readStream.schema(spark.read.parquet(td).schema)
+            .parquet(td)
+            .select(
+                F.col("user_id").alias("symbol"),
+                F.col("ts").cast("timestamp").alias("datetime"),
+                F.col("value").alias("close"),
+                F.col("event_id"),
+            )
+        )
+        run_available_now(ema_state_stream(state_in), "append")
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

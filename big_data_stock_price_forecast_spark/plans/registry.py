@@ -1542,6 +1542,41 @@ WHERE {h} % 20 = 0
 GROUP BY 1"""
 
 
+def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation quantiles of ``value`` per stratum —
+    the data-profiling query a pipeline runs before choosing filter
+    thresholds. Spark's ``percentile`` is the exact sort-based
+    aggregate (rank p*(n-1), linear interpolation — the same contract
+    as DuckDB's quantile_cont); at 100 TB swap in ``percentile_approx``
+    (t-digest, single pass, mergeable) when approximation is
+    acceptable — same query shape."""
+    ev = load_table(spark, sf_dir, "events")
+    q = F.expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.9D))")
+    return ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        _rne(F.element_at(q, 1), "p25"),
+        _rne(F.element_at(q, 2), "p50"),
+        _rne(F.element_at(q, 3), "p75"),
+        _rne(F.element_at(q, 4), "p90"),
+    )
+
+
+SQL_EVENTS_QUANTILES = _sql_r6_wrap(
+    """SELECT event_type, n, v_min, v_max,
+       qs[1] AS p25, qs[2] AS p50, qs[3] AS p75, qs[4] AS p90
+FROM (
+  SELECT event_type, count(value) AS n,
+         min(value) AS v_min, max(value) AS v_max,
+         quantile_cont(value, [0.25, 0.5, 0.75, 0.9]) AS qs
+  FROM events GROUP BY 1
+)""",
+    ["event_type", "n", "v_min", "v_max"],
+    ["p25", "p50", "p75", "p90"],
+)
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -3393,6 +3428,7 @@ def all_queries() -> dict[str, QueryFn]:
         "events_json_agg": q_events_json_agg,
         "events_sessionize": q_events_sessionize,
         "events_hash_sample": q_events_hash_sample,
+        "events_value_quantiles": q_events_value_quantiles,
         "events_rollup": q_events_rollup,
         "doc_top_terms": q_doc_top_terms,
         "ts_feature_null_ratio": q_ts_feature_null_ratio,
@@ -3455,6 +3491,7 @@ def all_oracles() -> dict[str, str]:
         "events_json_agg": SQL_EVENTS_JSON,
         "events_sessionize": SQL_EVENTS_SESSIONS,
         "events_hash_sample": _sql_events_hash_sample(),
+        "events_value_quantiles": SQL_EVENTS_QUANTILES,
         "events_rollup": SQL_EVENTS_ROLLUP,
         "doc_top_terms": SQL_DOC_TOP_TERMS,
         "ts_feature_null_ratio": SQL_TS_FEATURE_NULL_RATIO,
