@@ -1563,6 +1563,79 @@ def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_sq8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (the standard ANN
+    compression step: per-vector min/max range, 255 levels) with
+    per-label reconstruction-error stats — the quality gate a pipeline
+    runs before switching its similarity index to quantized codes.
+    Everything is a JVM array expression (transform + sequential
+    aggregate fold, matching the oracle's list_reduce operand order
+    bitwise); codes checksum as exact integers, the mean absolute
+    error goes through shared rounding."""
+    emb = _emb(spark, sf_dir)
+    mn = F.array_min("v")
+    sc = (F.array_max("v") - mn) / F.lit(255.0)
+    code = lambda x: F.floor((x - mn) / sc + F.lit(0.5))  # noqa: E731
+    err_sum = F.when(sc == 0.0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.transform(
+                F.col("v"), lambda x: F.abs(x - (mn + code(x) * sc))
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    code_sum = F.when(sc == 0.0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.transform(F.col("v"), code),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x.cast("long"),
+        )
+    )
+    per_vec = emb.select(
+        "label",
+        err_sum.alias("e"),
+        code_sum.alias("cs"),
+        F.size("v").alias("d"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("cs").alias("code_checksum"),
+        _rne(F.avg(F.col("e") / F.col("d")), "mean_abs_err"),
+    )
+
+
+def _sql_emb_sq8() -> str:
+    code = "floor((x - mn) / sc + 0.5)"
+    body = f"""WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id, label, v, list_min(v) AS mn,
+         (list_max(v) - list_min(v)) / 255.0 AS sc
+  FROM e
+),
+c AS (
+  SELECT label, len(v) AS d,
+         CASE WHEN sc = 0 THEN 0.0 ELSE
+           list_reduce(list_prepend(0.0, list_transform(v,
+             x -> abs(x - (mn + {code} * sc)))), (a, b) -> a + b)
+         END AS e,
+         CASE WHEN sc = 0 THEN 0 ELSE
+           CAST(list_reduce(list_prepend(0.0, list_transform(v,
+             x -> {code})), (a, b) -> a + b) AS BIGINT)
+         END AS cs
+  FROM q
+)
+SELECT label, count(*) AS n_vecs,
+       CAST(sum(cs) AS BIGINT) AS code_checksum,
+       avg(e / d) AS mean_abs_err
+FROM c GROUP BY 1"""
+    return _sql_r6_wrap(
+        body, ["label", "n_vecs", "code_checksum"], ["mean_abs_err"]
+    )
+
+
 SQL_EVENTS_QUANTILES = _sql_r6_wrap(
     """SELECT event_type, n, v_min, v_max,
        qs[1] AS p25, qs[2] AS p50, qs[3] AS p75, qs[4] AS p90
@@ -3429,6 +3502,7 @@ def all_queries() -> dict[str, QueryFn]:
         "events_sessionize": q_events_sessionize,
         "events_hash_sample": q_events_hash_sample,
         "events_value_quantiles": q_events_value_quantiles,
+        "emb_sq8_stats": q_emb_sq8_stats,
         "events_rollup": q_events_rollup,
         "doc_top_terms": q_doc_top_terms,
         "ts_feature_null_ratio": q_ts_feature_null_ratio,
@@ -3492,6 +3566,7 @@ def all_oracles() -> dict[str, str]:
         "events_sessionize": SQL_EVENTS_SESSIONS,
         "events_hash_sample": _sql_events_hash_sample(),
         "events_value_quantiles": SQL_EVENTS_QUANTILES,
+        "emb_sq8_stats": _sql_emb_sq8(),
         "events_rollup": SQL_EVENTS_ROLLUP,
         "doc_top_terms": SQL_DOC_TOP_TERMS,
         "ts_feature_null_ratio": SQL_TS_FEATURE_NULL_RATIO,
