@@ -2639,6 +2639,49 @@ def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_DEDUP = "SELECT DISTINCT user_id AS symbol, ts AS datetime FROM events"
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import run_available_now, session_stream, stream_events
+
+    out = run_available_now(
+        session_stream(stream_events(spark, sf_dir), "30 minutes"), "append"
+    )
+    return out.select(
+        "symbol",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
+
+
+# a session's window is [first_event, last_event + gap); append mode
+# emits it once the watermark (global max ts after the drain) passes
+# its end — i.e. every session except the per-user trailing ones still
+# inside their gap at end-of-data
+SQL_STREAM_SESSIONS = """
+WITH o AS (
+  SELECT user_id AS symbol, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT symbol, ts,
+         CAST(sum(is_new) OVER (PARTITION BY symbol ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM o
+),
+g AS (
+  SELECT symbol, session_no, min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         count(*) AS n_events
+  FROM s GROUP BY 1, 2
+)
+SELECT symbol, session_start, session_end, n_events
+FROM g WHERE session_end <= (SELECT max(ts) FROM events)"""
+
+
 def q_stream_ema_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import ema_state_stream, run_available_now, stream_events
 
@@ -3460,6 +3503,7 @@ def all_queries() -> dict[str, QueryFn]:
     return {
         "stream_resample_6h": q_stream_resample_6h,
         "stream_dedup_keys": q_stream_dedup_keys,
+        "stream_sessionize": q_stream_sessionize,
         "stream_ema_state": q_stream_ema_state,
         "media_meta": q_media_meta,
         "media_frame_sample": q_media_frames,
@@ -3519,6 +3563,7 @@ def all_oracles() -> dict[str, str]:
     return {
         "stream_resample_6h": SQL_STREAM_RESAMPLE,
         "stream_dedup_keys": SQL_STREAM_DEDUP,
+        "stream_sessionize": SQL_STREAM_SESSIONS,
         "stream_ema_state": SQL_STREAM_EMA,
         "media_meta": SQL_MEDIA_META,
         "media_frame_sample": SQL_MEDIA_FRAMES,

@@ -3,6 +3,7 @@ from .ops import (
     ema_state_stream,
     resample_stream,
     run_available_now,
+    session_stream,
     stream_events,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "ema_state_stream",
     "resample_stream",
     "run_available_now",
+    "session_stream",
     "stream_events",
 ]

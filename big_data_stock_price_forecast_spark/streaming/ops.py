@@ -113,6 +113,39 @@ def resample_stream(
     )
 
 
+def session_stream(
+    sdf: DataFrame, gap: str = "30 minutes", watermark: str = "0 seconds"
+) -> DataFrame:
+    """Streaming sessionization with Spark's native ``session_window``
+    — the streaming twin of the batch gap-based sessionize query.
+    Events within ``gap`` of each other merge into one session whose
+    window is [first_event, last_event + gap); state per (symbol,
+    open session) lives in the state store and is emitted exactly once
+    in append mode, when the watermark passes the session's end.
+
+    Oracle equivalence: after an AvailableNow drain the watermark sits
+    at the global max event time, so exactly the sessions with
+    ``last_event + gap <= max(ts)`` have closed — the batch twin
+    filters on the same bound. The trailing still-open sessions
+    remaining in state are the streaming analog of the resample
+    operator's unfinished last bucket.
+    """
+    return (
+        sdf.withWatermark("datetime", watermark)
+        .groupBy(
+            F.col("symbol"),
+            F.session_window(F.col("datetime"), gap).alias("__w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "symbol",
+            F.col("__w.start").alias("session_start"),
+            F.col("__w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def distinct_keys_stream(
     sdf: DataFrame, keys: list[str], event_time: str, watermark: str = "1 hour"
 ) -> DataFrame:

@@ -136,3 +136,50 @@ def test_stream_multi_batch_incremental(spark, tmp_path):
         expect = g["value"].ewm(span=12, adjust=False).mean().iloc[-1]
         assert abs(final.loc[sym, "ema"] - expect) < 1e-9
         assert final.loc[sym, "n_rows"] == len(g)
+
+
+def test_stream_sessionize_emits_closed_sessions_only(spark, tmp_path):
+    """session_window semantics on crafted data: events within the gap
+    merge; a session emits once the watermark (max event time after
+    the drain) passes last_event + gap; the trailing open session
+    stays in state."""
+    import datetime as dt
+
+    from big_data_stock_price_forecast_spark.streaming import (
+        run_available_now,
+        session_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # symbol 7: two events 10 min apart (one session), then a gap
+        # of 50 min -> second session holding the global max ts
+        (7, m(0), 1.0, 1),
+        (7, m(10), 2.0, 2),
+        (7, m(60), 3.0, 3),
+        # symbol 8: single early event, closed by symbol 7's later data
+        (8, m(1), 4.0, 4),
+    ]
+    src = str(tmp_path / "sess-src")
+    spark.createDataFrame(
+        rows, "symbol long, datetime timestamp, close double, event_id long"
+    ).write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = run_available_now(
+        session_stream(sdf, "30 minutes"), "append"
+    ).collect()
+    got = {
+        (r["symbol"], r["session_start"], r["session_end"], r["n_events"])
+        for r in out
+    }
+    # watermark after drain = m(60); closed sessions have end <= m(60)
+    assert got == {
+        (7, m(0), m(40), 2),   # [0, 10] + 30min gap -> end 40
+        (8, m(1), m(31), 1),
+    }
