@@ -579,27 +579,35 @@ def connected_components(
     # decimal(38,0) so the convergence checksum cannot overflow at any
     # node-id magnitude
     def _prop_once(labels: DataFrame) -> DataFrame:
+        # self-loops make the propagation aggregate ITSELF the next
+        # label table: every node appears as a dst with (at least) its
+        # own component, so min-over-incoming == least(own, neighbor
+        # mins) and the former labels-join-back (two more exchanges
+        # per round) disappears
         star = labels.filter(F.col("node") != F.col("component"))
-        symr = sym.union(
-            star.select(
-                F.col("node").alias("src"), F.col("component").alias("dst")
+        symr = (
+            sym.union(
+                star.select(
+                    F.col("node").alias("src"),
+                    F.col("component").alias("dst"),
+                )
             )
-        ).union(
-            star.select(
-                F.col("component").alias("src"), F.col("node").alias("dst")
+            .union(
+                star.select(
+                    F.col("component").alias("src"),
+                    F.col("node").alias("dst"),
+                )
+            )
+            .union(
+                labels.select(
+                    F.col("node").alias("src"), F.col("node").alias("dst")
+                )
             )
         )
-        prop = (
+        return (
             symr.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        return labels.join(prop, "node", "left").select(
-            "node",
-            F.least(
-                F.col("component"),
-                F.coalesce("nbr_min", F.col("component")),
-            ).alias("component"),
+            .agg(F.min("component").alias("component"))
         )
 
     prev_sum = labels.agg(
