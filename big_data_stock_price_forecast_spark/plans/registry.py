@@ -1563,6 +1563,64 @@ def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document — the classic text-pipeline
+    relevance feature. TF and DF are exact integer aggregates; the
+    corpus size joins in as a broadcast scalar (no collect); ranking is
+    by the INTEGER key (tf DESC, df ASC, term ASC) so the result set is
+    bitwise deterministic even though the attached smoothed-idf score
+    is float (ln differs in the last ulp across libm implementations —
+    it is emitted through shared rounding, never used to rank)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfx, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (
+                F.log(
+                    (F.col("n_docs") + F.lit(1.0))
+                    / (F.col("df") + F.lit(1.0))
+                )
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "rank", "term", "tf", "df", _r6("tfidf"))
+    )
+
+
+def _sql_doc_tfidf() -> str:
+    body = f"""WITH toks AS (
+  SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+j AS (
+  SELECT doc_id, term, tf, df,
+         tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY tf DESC, df ASC, term ASC) AS INT) AS rank
+  FROM tf JOIN dfx USING (term), n
+)
+SELECT doc_id, rank, term, tf, df, tfidf FROM j WHERE rank <= 5"""
+    return _sql_r6_wrap(
+        body, ["doc_id", "rank", "term", "tf", "df"], ["tfidf"]
+    )
+
+
 def q_emb_sq8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 scalar quantization (the standard ANN
     compression step: per-vector min/max range, 255 levels) with
@@ -3547,6 +3605,7 @@ def all_queries() -> dict[str, QueryFn]:
         "events_hash_sample": q_events_hash_sample,
         "events_value_quantiles": q_events_value_quantiles,
         "emb_sq8_stats": q_emb_sq8_stats,
+        "doc_tfidf_topk": q_doc_tfidf_topk,
         "events_rollup": q_events_rollup,
         "doc_top_terms": q_doc_top_terms,
         "ts_feature_null_ratio": q_ts_feature_null_ratio,
@@ -3612,6 +3671,7 @@ def all_oracles() -> dict[str, str]:
         "events_hash_sample": _sql_events_hash_sample(),
         "events_value_quantiles": SQL_EVENTS_QUANTILES,
         "emb_sq8_stats": _sql_emb_sq8(),
+        "doc_tfidf_topk": _sql_doc_tfidf(),
         "events_rollup": SQL_EVENTS_ROLLUP,
         "doc_top_terms": SQL_DOC_TOP_TERMS,
         "ts_feature_null_ratio": SQL_TS_FEATURE_NULL_RATIO,
