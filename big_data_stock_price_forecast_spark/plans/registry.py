@@ -2740,6 +2740,51 @@ SELECT symbol, session_start, session_end, n_events
 FROM g WHERE session_end <= (SELECT max(ts) FROM events)"""
 
 
+def q_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the standard streaming pattern
+    of joining arriving facts against a slowly-changing dimension. The
+    static side (per-user lifetime stats, batch-computed) broadcasts
+    into every micro-batch; the streaming side never shuffles for the
+    join. Output: per event_type, how many events came from
+    above-median-activity users vs not."""
+    from ..streaming import run_available_now, stream_events
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.col("user_id").alias("symbol")).agg(
+        F.count(F.lit(1)).alias("user_n")
+    )
+    med = counts.agg(
+        F.expr("percentile(user_n, 0.5D)").alias("m")
+    )
+    static = counts.crossJoin(F.broadcast(med)).select(
+        "symbol", (F.col("user_n") > F.col("m")).alias("heavy_user")
+    )
+    stream = stream_events(spark, sf_dir).join(F.broadcast(static), "symbol")
+    # streaming state: exactly two groups — integer count/checksum
+    # aggregates are order-free across micro-batches
+    return run_available_now(
+        stream.groupBy("heavy_user").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("event_id")).alias("event_id_checksum"),
+        ),
+        "complete",
+    )
+
+
+SQL_STREAM_ENRICH = """
+WITH counts AS (
+  SELECT user_id, count(*) AS user_n FROM events GROUP BY 1
+),
+med AS (SELECT quantile_cont(user_n, 0.5) AS m FROM counts),
+static AS (
+  SELECT user_id, user_n > m AS heavy_user FROM counts, med
+)
+SELECT heavy_user, count(*) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS event_id_checksum
+FROM events JOIN static USING (user_id)
+GROUP BY 1"""
+
+
 def q_stream_ema_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import ema_state_stream, run_available_now, stream_events
 
@@ -3562,6 +3607,7 @@ def all_queries() -> dict[str, QueryFn]:
         "stream_resample_6h": q_stream_resample_6h,
         "stream_dedup_keys": q_stream_dedup_keys,
         "stream_sessionize": q_stream_sessionize,
+        "stream_enrich_join": q_stream_enrich_join,
         "stream_ema_state": q_stream_ema_state,
         "media_meta": q_media_meta,
         "media_frame_sample": q_media_frames,
@@ -3623,6 +3669,7 @@ def all_oracles() -> dict[str, str]:
         "stream_resample_6h": SQL_STREAM_RESAMPLE,
         "stream_dedup_keys": SQL_STREAM_DEDUP,
         "stream_sessionize": SQL_STREAM_SESSIONS,
+        "stream_enrich_join": SQL_STREAM_ENRICH,
         "stream_ema_state": SQL_STREAM_EMA,
         "media_meta": SQL_MEDIA_META,
         "media_frame_sample": SQL_MEDIA_FRAMES,
