@@ -183,3 +183,52 @@ def test_stream_sessionize_emits_closed_sessions_only(spark, tmp_path):
         (7, m(0), m(40), 2),   # [0, 10] + 30min gap -> end 40
         (8, m(1), m(31), 1),
     }
+
+
+def test_foreach_batch_gold_sink_matches_batch(spark, tmp_path):
+    """Streaming S5 twin: drain the event stream through foreachBatch
+    into an append-only parquet gold table (one deterministic file set
+    per micro-batch id — the idempotent-on-retry layout), then verify
+    the gold table equals the batch computation."""
+    import os
+
+    src = load_table(spark, SF, "events")
+    gold = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ckpt")
+
+    sdf = stream_events(spark, SF, max_files_per_trigger=1)
+
+    def sink(batch_df, batch_id: int):
+        # partition dir keyed by batch id: a retried micro-batch
+        # overwrites its own output instead of duplicating it
+        (
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(gold, f"batch_id={batch_id}")
+            )
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    back = spark.read.option("basePath", gold).parquet(gold)
+    assert back.count() == src.count()
+    batch = src.select(
+        F.col("user_id").alias("symbol"),
+        F.col("ts").alias("datetime"),
+        F.col("value").alias("close"),
+        "event_id",
+    )
+    got = back.select("symbol", "datetime", "close", "event_id")
+    assert got.exceptAll(
+        batch.select(
+            "symbol",
+            F.col("datetime").cast("timestamp").alias("datetime"),
+            "close",
+            "event_id",
+        )
+    ).count() == 0
