@@ -29,6 +29,7 @@ from ..functions.text import (
     EN_STOPWORDS,
     fingerprint,
     predicted_lang,
+    shingles,
     sql_fingerprint,
     sql_hash60,
     sql_lang_case,
@@ -1560,6 +1561,80 @@ def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rne(F.element_at(q, 2), "p50"),
         _rne(F.element_at(q, 3), "p75"),
         _rne(F.element_at(q, 4), "p90"),
+    )
+
+
+DECONTAM_N = 5
+DECONTAM_BENCH_MAX = 10
+
+
+def q_doc_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination: exact word-5-gram overlap of
+    every training document against the benchmark set (here: doc_id <
+    10 stands in for the held-out eval suite) — the eval-leakage check
+    a pretraining pipeline runs before mixing data. The benchmark
+    shingle set is tiny by construction and BROADCASTS; the training
+    side streams through the join at scan parallelism, so the plan is
+    one broadcast join + one aggregate regardless of corpus size.
+    Emits per-doc totals, hit counts, the touched-benchmark count, and
+    the contamination ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(shingles(tokens(F.col("text")), DECONTAM_N)).alias("sh"),
+    )
+    bench = sh.filter(F.col("doc_id") < DECONTAM_BENCH_MAX).select(
+        F.col("doc_id").alias("bench_id"), "sh"
+    )
+    train = sh.filter(F.col("doc_id") >= DECONTAM_BENCH_MAX)
+    hits = (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_hit"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+    tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return tot.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        F.coalesce("n_bench_docs", F.lit(0)).alias("n_bench_docs"),
+        _rne(
+            F.coalesce("n_hit", F.lit(0)).cast("double")
+            / F.col("n_shingles"),
+            "contam_ratio",
+        ),
+    )
+
+
+def _sql_doc_decontam() -> str:
+    body = f"""WITH t AS (
+  SELECT doc_id, {sql_tokens('text')} AS tok FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest({sql_shingles('tok', DECONTAM_N)}) AS sh FROM t
+),
+bench AS (
+  SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id < {DECONTAM_BENCH_MAX}
+),
+train AS (SELECT * FROM sh WHERE doc_id >= {DECONTAM_BENCH_MAX}),
+hits AS (
+  SELECT tr.doc_id, count(DISTINCT tr.sh) AS n_hit,
+         count(DISTINCT b.bench_id) AS n_bench_docs
+  FROM train tr JOIN bench b USING (sh) GROUP BY 1
+),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY 1)
+SELECT tot.doc_id, n_shingles,
+       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(coalesce(n_bench_docs, 0) AS BIGINT) AS n_bench_docs,
+       coalesce(n_hit, 0)::DOUBLE / n_shingles AS contam_ratio
+FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id"""
+    return _sql_r6_wrap(
+        body,
+        ["doc_id", "n_shingles", "n_hit", "n_bench_docs"],
+        ["contam_ratio"],
     )
 
 
@@ -3652,6 +3727,7 @@ def all_queries() -> dict[str, QueryFn]:
         "events_value_quantiles": q_events_value_quantiles,
         "emb_sq8_stats": q_emb_sq8_stats,
         "doc_tfidf_topk": q_doc_tfidf_topk,
+        "doc_decontam_overlap": q_doc_decontam_overlap,
         "events_rollup": q_events_rollup,
         "doc_top_terms": q_doc_top_terms,
         "ts_feature_null_ratio": q_ts_feature_null_ratio,
@@ -3719,6 +3795,7 @@ def all_oracles() -> dict[str, str]:
         "events_value_quantiles": SQL_EVENTS_QUANTILES,
         "emb_sq8_stats": _sql_emb_sq8(),
         "doc_tfidf_topk": _sql_doc_tfidf(),
+        "doc_decontam_overlap": _sql_doc_decontam(),
         "events_rollup": SQL_EVENTS_ROLLUP,
         "doc_top_terms": SQL_DOC_TOP_TERMS,
         "ts_feature_null_ratio": SQL_TS_FEATURE_NULL_RATIO,
