@@ -1564,6 +1564,43 @@ def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: fraction of duplicated word
+    3-grams (1 - distinct/total) — the boilerplate/spam signal quality
+    filters threshold on. Pure JVM array expressions; integer counts
+    plus one shared-rounded ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    n3 = F.greatest(F.size(tok) - F.lit(2), F.lit(0))
+    d3 = F.size(shingles(tok, 3))
+    rep = F.when(
+        n3 > 0, F.lit(1.0) - d3.cast("double") / n3
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n3.alias("n_trigrams"),
+        d3.alias("n_distinct"),
+        _rne(rep, "rep_ratio"),
+    )
+
+
+def _sql_doc_repetition() -> str:
+    body = f"""WITH t AS (
+  SELECT doc_id, {sql_tokens('text')} AS tok FROM documents
+)
+SELECT doc_id,
+       CAST(greatest(len(tok) - 2, 0) AS INT) AS n_trigrams,
+       CAST(len({sql_shingles('tok', 3)}) AS INT) AS n_distinct,
+       CASE WHEN greatest(len(tok) - 2, 0) > 0
+            THEN 1.0 - len({sql_shingles('tok', 3)})::DOUBLE
+                 / greatest(len(tok) - 2, 0)
+            ELSE 0.0 END AS rep_ratio
+FROM t"""
+    return _sql_r6_wrap(
+        body, ["doc_id", "n_trigrams", "n_distinct"], ["rep_ratio"]
+    )
+
+
 DECONTAM_N = 5
 DECONTAM_BENCH_MAX = 10
 
@@ -3728,6 +3765,7 @@ def all_queries() -> dict[str, QueryFn]:
         "emb_sq8_stats": q_emb_sq8_stats,
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "doc_decontam_overlap": q_doc_decontam_overlap,
+        "doc_repetition": q_doc_repetition,
         "events_rollup": q_events_rollup,
         "doc_top_terms": q_doc_top_terms,
         "ts_feature_null_ratio": q_ts_feature_null_ratio,
@@ -3796,6 +3834,7 @@ def all_oracles() -> dict[str, str]:
         "emb_sq8_stats": _sql_emb_sq8(),
         "doc_tfidf_topk": _sql_doc_tfidf(),
         "doc_decontam_overlap": _sql_doc_decontam(),
+        "doc_repetition": _sql_doc_repetition(),
         "events_rollup": SQL_EVENTS_ROLLUP,
         "doc_top_terms": SQL_DOC_TOP_TERMS,
         "ts_feature_null_ratio": SQL_TS_FEATURE_NULL_RATIO,
