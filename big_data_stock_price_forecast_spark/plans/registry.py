@@ -899,6 +899,78 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
 GROUP BY o_orderpriority"""
 
 
+def q_tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total quantity exceeds a
+    threshold — an aggregate-subquery SEMI join. The inner aggregate
+    shuffles once on l_orderkey; the qualifying key set is tiny (the
+    whole point of the HAVING) and semi-joins back into the same
+    aggregate's output, so Catalyst reuses the exchange. Quantities
+    are exact DECIMAL sums cast to double only for emission."""
+    li = load_table(spark, sf_dir, "lineitem")
+    totals = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty")
+    )
+    big = totals.filter(F.col("sum_qty") > 400)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            F.col("sum_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+SQL_TPCH_Q18 = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum_qty AS DOUBLE) AS total_qty
+FROM orders JOIN (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+  FROM lineitem GROUP BY 1
+) ON o_orderkey = l_orderkey
+WHERE sum_qty > 400"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by exact DECIMAL order value — the
+    canonical top-N-per-group window pattern (rank inside the
+    customer partition after one keyed aggregate; total ordering via
+    the orderkey tie-break keeps the cut deterministic)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("val").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("val"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_custkey",
+            "rank",
+            "o_orderkey",
+            F.col("val").cast("double").alias("order_value"),
+        )
+    )
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, rank, o_orderkey, CAST(val AS DOUBLE) AS order_value
+FROM (
+  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS val,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
+                       o_orderkey ASC) AS INT) AS rank
+  FROM orders
+)
+WHERE rank <= 3"""
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment counts of customers with no orders SINCE 2000-01-01 —
     LEFT ANTI join (NOT EXISTS shape)."""
@@ -3749,6 +3821,8 @@ def all_queries() -> dict[str, QueryFn]:
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q4_priority": q_tpch_q4_priority,
+        "tpch_q18_big_orders": q_tpch_q18_big_orders,
+        "top_orders_per_customer": q_top_orders_per_customer,
         "customers_without_orders": q_customers_without_orders,
         "top_revenue_nations": q_top_revenue_nations,
         "doc_text_profile": q_doc_text_profile,
@@ -3818,6 +3892,8 @@ def all_oracles() -> dict[str, str]:
         "tpch_q1_pricing_summary": SQL_TPCH_Q1,
         "tpch_q3_shipping": SQL_TPCH_Q3,
         "tpch_q4_priority": SQL_TPCH_Q4,
+        "tpch_q18_big_orders": SQL_TPCH_Q18,
+        "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
         "customers_without_orders": SQL_CUSTOMERS_NO_ORDERS,
         "top_revenue_nations": SQL_TOP_REVENUE_NATIONS,
         "doc_text_profile": _sql_doc_text_profile(),
