@@ -1615,6 +1615,72 @@ WHERE {h} % 20 = 0
 GROUP BY 1"""
 
 
+def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user-decile event counts, one column per event type
+    — the wide-format report shape. The pivot values are declared
+    explicitly (never inferred at plan time: inference is an extra
+    distinct scan AND makes the schema data-dependent, which breaks at
+    100 TB); the aggregate is a plain count with map-side combine."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_decile"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+def _sql_events_type_pivot() -> str:
+    arms = ", ".join(
+        f"count(*) FILTER (event_type = '{t}') AS {t}"
+        for t in ["click", "view", "purchase", "signup", "error"]
+    )
+    return f"""
+SELECT user_id % 10 AS user_decile, {arms}
+FROM events GROUP BY 1"""
+
+
+def q_events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations as a retention report: users active in the first
+    week, the second week, both (INTERSECT), and only the first
+    (EXCEPT) — counted. Set ops hash-dedup on the key; both engines
+    reduce to the same semi/anti joins."""
+    ev = load_table(spark, sf_dir, "events")
+    lo = F.lit("2024-01-08 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    w1 = ev.filter(F.col("ts") < lo).select("user_id")
+    w2 = ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).select(
+        "user_id"
+    )
+    return (
+        w1.intersect(w2)
+        .agg(F.count(F.lit(1)).alias("retained"))
+        .crossJoin(
+            w1.distinct()
+            .exceptAll(w2.distinct())
+            .agg(F.count(F.lit(1)).alias("churned"))
+        )
+        .crossJoin(w1.distinct().agg(F.count(F.lit(1)).alias("week1")))
+        .crossJoin(w2.distinct().agg(F.count(F.lit(1)).alias("week2")))
+        .select("week1", "week2", "retained", "churned")
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH w1 AS (SELECT DISTINCT user_id FROM events
+            WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+w2 AS (SELECT DISTINCT user_id FROM events
+       WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+         AND ts < TIMESTAMP '2024-01-15 00:00:00')
+SELECT (SELECT count(*) FROM w1) AS week1,
+       (SELECT count(*) FROM w2) AS week2,
+       (SELECT count(*) FROM (SELECT * FROM w1 INTERSECT SELECT * FROM w2))
+         AS retained,
+       (SELECT count(*) FROM (SELECT * FROM w1 EXCEPT SELECT * FROM w2))
+         AS churned"""
+
+
 def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation quantiles of ``value`` per stratum —
     the data-profiling query a pipeline runs before choosing filter
@@ -3836,6 +3902,8 @@ def all_queries() -> dict[str, QueryFn]:
         "events_sessionize": q_events_sessionize,
         "events_hash_sample": q_events_hash_sample,
         "events_value_quantiles": q_events_value_quantiles,
+        "events_type_pivot": q_events_type_pivot,
+        "events_user_retention": q_events_user_retention,
         "emb_sq8_stats": q_emb_sq8_stats,
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "doc_decontam_overlap": q_doc_decontam_overlap,
@@ -3907,6 +3975,8 @@ def all_oracles() -> dict[str, str]:
         "events_sessionize": SQL_EVENTS_SESSIONS,
         "events_hash_sample": _sql_events_hash_sample(),
         "events_value_quantiles": SQL_EVENTS_QUANTILES,
+        "events_type_pivot": _sql_events_type_pivot(),
+        "events_user_retention": SQL_EVENTS_RETENTION,
         "emb_sq8_stats": _sql_emb_sq8(),
         "doc_tfidf_topk": _sql_doc_tfidf(),
         "doc_decontam_overlap": _sql_doc_decontam(),
