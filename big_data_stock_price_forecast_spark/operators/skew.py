@@ -1,0 +1,53 @@
+"""Skew mitigation for joins: explicit key salting.
+
+AQE's skew-join splitting (enabled in session.py) handles most skew at
+runtime by splitting oversized shuffle partitions, but it only applies
+to sort-merge joins and only after the skewed map output exists. When
+a join key's distribution is KNOWN to be pathological (one tenant, one
+null-bucket, one hot symbol holding half the table), salting fixes the
+layout at plan time: the fact side scatters each hot key across S
+sub-keys with a deterministic salt, the dim side replicates each row S
+times, and the join runs on (key, salt) with no partition ever larger
+than 1/S of the hot key.
+
+The salt is derived from a hash of the fact row's OTHER columns — not
+rand() — so results are reproducible run-to-run and retry-safe
+(a recomputed task re-derives the same salts; rand() would make
+shuffle retries nondeterministic, which Spark flags as a correctness
+hazard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_from: list[str] | None = None,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``fact`` with ``dim`` on ``key`` with the fact side salted
+    across ``num_salts`` sub-partitions per key. ``salt_from`` names
+    the fact columns the deterministic salt hashes (default: all
+    non-key columns). Result equals ``fact.join(dim, key, how)``
+    row-for-row; only the shuffle layout differs."""
+    salt_cols: list[Column] = [
+        F.col(c) for c in (salt_from or fact.columns) if c != key
+    ]
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(*salt_cols), F.lit(num_salts))
+    )
+    replicated_dim = dim.withColumn(
+        "__salt",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(num_salts - 1)).cast("array<long>")
+        ),
+    )
+    return salted_fact.join(replicated_dim, [key, "__salt"], how).drop(
+        "__salt"
+    )

@@ -1702,6 +1702,73 @@ def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_W, CHUNK_S = 64, 48
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 64, stride 48) — the
+    LLM-data-prep staple that turns long documents into training
+    sequences. Pure JVM: one ``sequence`` of chunk starts exploded per
+    document, token-array slices re-joined; rows stream out of the
+    scan with no shuffle. The trailing partial chunk is kept when it
+    has at least stride-overlap-free content (start < n), matching
+    the oracle exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    d = docs.select("doc_id", tok.alias("tok"), F.size(tok).alias("n"))
+    n_chunks = F.when(
+        F.col("n") <= CHUNK_W, F.lit(1)
+    ).otherwise(
+        F.ceil((F.col("n") - F.lit(CHUNK_W)) / F.lit(CHUNK_S)) + 1
+    )
+    return (
+        d.filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+            ).alias("chunk_id"),
+            "tok",
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "tok", F.col("chunk_id") * CHUNK_S + 1, CHUNK_W
+                ),
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(CHUNK_W), F.col("n") - F.col("chunk_id") * CHUNK_S
+            ).alias("n_tokens"),
+        )
+    )
+
+
+def _sql_doc_chunks() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, {sql_tokens('text')} AS tok FROM documents
+),
+d AS (SELECT doc_id, tok, len(tok) AS n FROM t WHERE len(tok) > 0),
+c AS (
+  SELECT doc_id, n, tok,
+         unnest(generate_series(0,
+           CASE WHEN n <= {CHUNK_W} THEN 0
+                ELSE CAST(ceil((n - {CHUNK_W}) / {CHUNK_S}.0) AS INT)
+           END)) AS chunk_id
+  FROM d
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       array_to_string(list_slice(tok, chunk_id * {CHUNK_S} + 1,
+                                  chunk_id * {CHUNK_S} + {CHUNK_W}), ' ')
+         AS chunk_text,
+       CAST(least({CHUNK_W}, n - chunk_id * {CHUNK_S}) AS INT) AS n_tokens
+FROM c"""
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition: fraction of duplicated word
     3-grams (1 - distinct/total) — the boilerplate/spam signal quality
@@ -3908,6 +3975,7 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "doc_decontam_overlap": q_doc_decontam_overlap,
         "doc_repetition": q_doc_repetition,
+        "doc_chunks": q_doc_chunks,
         "events_rollup": q_events_rollup,
         "doc_top_terms": q_doc_top_terms,
         "ts_feature_null_ratio": q_ts_feature_null_ratio,
@@ -3981,6 +4049,7 @@ def all_oracles() -> dict[str, str]:
         "doc_tfidf_topk": _sql_doc_tfidf(),
         "doc_decontam_overlap": _sql_doc_decontam(),
         "doc_repetition": _sql_doc_repetition(),
+        "doc_chunks": _sql_doc_chunks(),
         "events_rollup": SQL_EVENTS_ROLLUP,
         "doc_top_terms": SQL_DOC_TOP_TERMS,
         "ts_feature_null_ratio": SQL_TS_FEATURE_NULL_RATIO,
