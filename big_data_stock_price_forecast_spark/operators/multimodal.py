@@ -151,6 +151,36 @@ def frame_sample(
     )
 
 
+THUMB_BYTES = 16
+
+
+def thumbnail(media: DataFrame, out_bytes: int = THUMB_BYTES) -> DataFrame:
+    """Byte-stride downsample of each image payload to a fixed
+    ``out_bytes`` "thumbnail" — the resize analog at the byte level
+    (a real pipeline would decode and bilinear-resample; the stride
+    sample keeps the exact operator shape: fixed-size output per item,
+    pure JVM substring arithmetic, no Python, no shuffle)."""
+    n = F.col("meta.n_bytes")
+    step = F.expr(f"meta.n_bytes div {out_bytes}")
+    picks = [
+        F.expr(
+            f"substring(payload, cast(meta.n_bytes div {out_bytes}"
+            f" * {i} + 1 as int), 1)"
+        )
+        for i in range(out_bytes)
+    ]
+    return (
+        media.filter(F.col("media_type") == "image")
+        .filter(n >= out_bytes)
+        .select(
+            "media_id",
+            n.alias("n_bytes"),
+            (step * 1).alias("stride"),
+            F.concat(*picks).alias("thumb"),
+        )
+    )
+
+
 def byte_histogram_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic fake decode: L1-normalized histogram of bytes
     bucketed into ``dim`` classes — the stand-in for a real

@@ -2874,6 +2874,33 @@ SELECT doc_id AS media_id,
 FROM documents"""
 
 
+def q_media_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-stride 16-byte thumbnail per image payload (the resize
+    analog — operators/multimodal.py thumbnail); emitted as hex for
+    the cross-engine hash."""
+    from ..operators.multimodal import thumbnail
+
+    out = thumbnail(_media(spark, sf_dir))
+    return out.select(
+        "media_id", "n_bytes", "stride", F.hex("thumb").alias("thumb_hex")
+    )
+
+
+def _sql_media_thumbnail(out_bytes: int = 16) -> str:
+    picks = " || ".join(
+        f"substring(hx, 2 * ((n // {out_bytes}) * {i}) + 1, 2)"
+        for i in range(out_bytes)
+    )
+    return f"""WITH m AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         strlen(text)::BIGINT AS n
+  FROM documents WHERE (doc_id % 3 + 1)::INT = 1
+)
+SELECT media_id, n AS n_bytes, (n // {out_bytes})::BIGINT AS stride,
+       {picks} AS thumb_hex
+FROM m WHERE n >= {out_bytes}"""
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import frame_sample
 
@@ -3928,6 +3955,7 @@ def all_queries() -> dict[str, QueryFn]:
         "stream_ema_state": q_stream_ema_state,
         "media_meta": q_media_meta,
         "media_frame_sample": q_media_frames,
+        "media_thumbnail": q_media_thumbnail,
         "media_byte_features": q_media_byte_features,
         "emb_ivf_ann_topk": q_emb_ivf_ann,
         "doc_dup_clusters": q_doc_dup_clusters,
@@ -3997,6 +4025,7 @@ def all_oracles() -> dict[str, str]:
         "stream_ema_state": SQL_STREAM_EMA,
         "media_meta": SQL_MEDIA_META,
         "media_frame_sample": SQL_MEDIA_FRAMES,
+        "media_thumbnail": _sql_media_thumbnail(),
         "media_byte_features": _sql_media_byte_features(),
         "emb_ivf_ann_topk": _sql_ivf_ann(),
         "doc_dup_clusters": _sql_dup_clusters(),

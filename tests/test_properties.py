@@ -152,3 +152,47 @@ def test_gap_fill_densifies_exactly(spark):
     ).collect()
     for r in per:
         assert r["n"] == r["d"] == r["span"]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=100_000),  # offsets in seconds
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_sessionize_invariants(offsets):
+    """Pure-Python twin of the sessionize rule over arbitrary event
+    times: within a session every consecutive gap <= 30 min; between
+    consecutive sessions the gap > 30 min; sessions partition the
+    events; durations are end - start."""
+    gap_s = 1800
+    ts = sorted(offsets)
+    # reference sessionization
+    sessions = [[ts[0]]]
+    for a, b in zip(ts, ts[1:]):
+        if b - a > gap_s:
+            sessions.append([b])
+        else:
+            sessions[-1].append(b)
+
+    # invariants the engine's windowed formulation relies on
+    assert sum(len(s) for s in sessions) == len(ts)
+    for s in sessions:
+        for a, b in zip(s, s[1:]):
+            assert b - a <= gap_s
+    for s1, s2 in zip(sessions, sessions[1:]):
+        assert s2[0] - s1[-1] > gap_s
+
+    # the engine rule (cumulative sum of gap-breaks) produces the same
+    # partition
+    import itertools
+
+    breaks = [1] + [1 if b - a > gap_s else 0 for a, b in zip(ts, ts[1:])]
+    ids = list(itertools.accumulate(breaks))
+    by_id = {}
+    for t, i in zip(ts, ids):
+        by_id.setdefault(i, []).append(t)
+    assert [by_id[k] for k in sorted(by_id)] == sessions
