@@ -1045,28 +1045,6 @@ GROUP BY n_name"""
 # --------------------------------------------------------------------------
 
 
-def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    nonws = F.length(F.regexp_replace("text", r"\s+", ""))
-    return docs.select(
-        "doc_id",
-        "lang",
-        F.size(toks).alias("n_tokens"),
-        F.length("text").alias("len_chars"),
-        (nonws / F.size(toks)).alias("avg_token_len"),
-    )
-
-
-SQL_DOC_TOKEN_STATS = r"""
-SELECT doc_id, lang,
-       len(string_split_regex(trim(text), '\s+'))::INT AS n_tokens,
-       length(text)::INT AS len_chars,
-       length(regexp_replace(text, '\s+', '', 'g')) /
-         len(string_split_regex(trim(text), '\s+')) AS avg_token_len
-FROM documents"""
-
-
 def q_doc_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
@@ -1091,101 +1069,6 @@ FROM documents GROUP BY 1"""
 SQL_TOKS = f"""toks AS (
   SELECT doc_id, lang, text, {sql_tokens('text')} AS tok FROM documents
 )"""
-
-
-def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: token stats, punctuation/stopword ratios, and a
-    0-4 integer quality flag count — the filter features an LLM-data
-    pipeline keys pretraining-mix decisions on."""
-    docs = load_table(spark, sf_dir, "documents")
-    d = docs.withColumn("tok", tokens(F.col("text")))
-    n_tok = F.size("tok")
-    tok_chars = F.aggregate(
-        F.transform(F.col("tok"), lambda t: F.length(t)),
-        F.lit(0),
-        lambda a, x: a + x,
-    )
-    punct = F.length(F.regexp_replace("text", "[a-z0-9 ]", ""))
-    stop_hits = F.size(
-        F.filter(F.col("tok"), lambda t: t.isin(*EN_STOPWORDS))
-    )
-    d = d.select(
-        "doc_id",
-        n_tok.alias("n_tokens"),
-        (tok_chars.cast("double") / F.nullif(n_tok, F.lit(0))).alias(
-            "mean_tok_len"
-        ),
-        (punct.cast("double") / F.length("text")).alias("punct_ratio"),
-        (stop_hits.cast("double") / F.nullif(n_tok, F.lit(0))).alias(
-            "stop_ratio"
-        ),
-    )
-    quality = (
-        F.when(F.col("n_tokens") >= 10, 1).otherwise(0)
-        + F.when(F.col("mean_tok_len").between(3.0, 10.0), 1).otherwise(0)
-        + F.when(F.col("punct_ratio") < 0.1, 1).otherwise(0)
-        + F.when(F.col("stop_ratio") > 0.05, 1).otherwise(0)
-    )
-    return d.select(
-        "doc_id", "n_tokens", _r6("mean_tok_len"), _r6("punct_ratio"),
-        _r6("stop_ratio"), quality.cast("int").alias("quality"),
-    )
-
-
-_SQL_DOC_QUALITY_BODY = f"""WITH {SQL_TOKS},
-m AS (
-  SELECT doc_id,
-    len(tok) AS n_tokens,
-    list_reduce(list_prepend(0, list_transform(tok, t -> length(t))),
-      (a, x) -> a + x)::DOUBLE / nullif(len(tok), 0) AS mean_tok_len,
-    length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
-      / length(text) AS punct_ratio,
-    len(list_filter(tok, t -> t IN ({", ".join(f"'{w}'" for w in EN_STOPWORDS)})))::DOUBLE
-      / nullif(len(tok), 0) AS stop_ratio
-  FROM toks
-)
-SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, mean_tok_len, punct_ratio, stop_ratio,
-  CAST((CASE WHEN n_tokens >= 10 THEN 1 ELSE 0 END
-      + CASE WHEN mean_tok_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END
-      + CASE WHEN punct_ratio < 0.1 THEN 1 ELSE 0 END
-      + CASE WHEN stop_ratio > 0.05 THEN 1 ELSE 0 END) AS INT) AS quality
-FROM m"""
-
-SQL_DOC_QUALITY = _sql_r6_wrap(
-    _SQL_DOC_QUALITY_BODY,
-    ["doc_id", "n_tokens", "quality"],
-    ["mean_tok_len", "punct_ratio", "stop_ratio"],
-)
-
-
-def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic stopword-profile language-ID; `hit` compares against
-    the labeled lang column."""
-    docs = load_table(spark, sf_dir, "documents")
-    d = docs.withColumn("tok", tokens(F.col("text")))
-    return d.select(
-        "doc_id",
-        "lang",
-        predicted_lang(F.col("tok")).alias("pred_lang"),
-    ).withColumn(
-        "hit", (F.col("pred_lang") == F.col("lang")).cast("int")
-    )
-
-
-SQL_DOC_LANGID = f"""WITH {SQL_TOKS}
-SELECT doc_id, lang, {sql_lang_case('tok')} AS pred_lang,
-       CAST({sql_lang_case('tok')} = lang AS INT) AS hit
-FROM toks"""
-
-
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polynomial rolling-hash content fingerprint per document."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
-
-
-SQL_DOC_FINGERPRINT = f"""
-SELECT doc_id, {sql_fingerprint('text')} AS fp FROM documents"""
 
 
 # --------------------------------------------------------------------------
