@@ -336,6 +336,77 @@ def minhash_lsh_pairs(
     return verified
 
 
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    k: int = MH_PERMS,
+    bands: int = MH_BANDS,
+    rows: int = MH_ROWS,
+) -> DataFrame:
+    """Incremental near-dup check: every pair touching a NEW document
+    (new x seen and new x new), WITHOUT recomputing seen x seen — the
+    shape of a daily-ingest dedup stage, where the corpus is 100 TB
+    and the batch is a sliver. The new batch's band rows broadcast
+    into the bucket join against the full banded set (drop the
+    broadcast for batch sizes past the broadcast threshold — AQE picks
+    the join side); candidates touching a new doc are EXACTLY the
+    corresponding subset of the full run's candidates, so results
+    match a full-run filter bitwise. Returns (id_i, id_j, jac) with
+    exact-Jaccard verification.
+    """
+    newb = (
+        with_shingles(
+            _parallelize_texts(new_docs.select(id_col, text_col), id_col),
+            text_col,
+            n,
+        )
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    seenb = (
+        with_shingles(
+            _parallelize_texts(seen_docs.select(id_col, text_col), id_col),
+            text_col,
+            n,
+        )
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    nb = minhash_band_rows(newb, k=k, bands=bands, rows=rows, id_col=id_col)
+    sb = minhash_band_rows(seenb, k=k, bands=bands, rows=rows, id_col=id_col)
+    all_b = nb.union(sb)
+    cand = (
+        F.broadcast(
+            nb.withColumnRenamed("id", "nid")
+        )
+        .join(all_b, ["band", "key"])
+        .filter(F.col("nid") != F.col("id"))
+        .select(
+            F.least("nid", "id").alias("id_i"),
+            F.greatest("nid", "id").alias("id_j"),
+        )
+        .distinct()
+    )
+    sh_all = newb.select(F.col(id_col).alias("id"), "sh").union(
+        seenb.select(F.col(id_col).alias("id"), "sh")
+    )
+    return (
+        cand.join(
+            sh_all.withColumnsRenamed({"id": "id_i", "sh": "sh_i"}), "id_i"
+        )
+        .join(
+            sh_all.withColumnsRenamed({"id": "id_j", "sh": "sh_j"}), "id_j"
+        )
+        .withColumn("jac", jaccard(F.col("sh_i"), F.col("sh_j")))
+        .filter(F.col("jac") >= threshold)
+        .select("id_i", "id_j", "jac")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1141,6 +1141,35 @@ SQL_DOC_MINHASH = _sql_r6_wrap(
 )
 
 
+INCR_NEW_MIN = 400
+
+
+def q_doc_incremental_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup shape: near-dup pairs touching the NEW batch
+    (doc_id >= 400) against the seen corpus, computed WITHOUT the
+    seen x seen work (operators/dedup.py
+    ``minhash_lsh_pairs_incremental``). The oracle is the full-run
+    pair set filtered to new-touching pairs — the incremental
+    candidate set is exactly that subset."""
+    from ..operators.dedup import minhash_lsh_pairs_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs_incremental(
+        docs.filter(F.col("doc_id") >= INCR_NEW_MIN),
+        docs.filter(F.col("doc_id") < INCR_NEW_MIN),
+        threshold=NEAR_DUP_TAU,
+    )
+    return out.select("id_i", "id_j", _r6("jac"))
+
+
+SQL_DOC_INCR = _sql_r6_wrap(
+    f"""SELECT * FROM ({_SQL_DOC_MINHASH_BODY})
+WHERE id_i >= {INCR_NEW_MIN} OR id_j >= {INCR_NEW_MIN}""",
+    ["id_i", "id_j"],
+    ["jac"],
+)
+
+
 def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = ngram_jaccard_pairs(docs, threshold=NEAR_DUP_TAU)
@@ -3872,6 +3901,7 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_text_profile": q_doc_text_profile,
         "doc_exact_dup_groups": q_doc_exact_dup_groups,
         "doc_minhash_lsh_pairs": q_doc_minhash_pairs,
+        "doc_incremental_dups": q_doc_incremental_dups,
         "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_near_dup_pairs": q_emb_near_dup,
@@ -3947,6 +3977,7 @@ def all_oracles() -> dict[str, str]:
         "doc_text_profile": _sql_doc_text_profile(),
         "doc_exact_dup_groups": SQL_DOC_EXACT_DUP,
         "doc_minhash_lsh_pairs": SQL_DOC_MINHASH,
+        "doc_incremental_dups": SQL_DOC_INCR,
         "doc_ngram_jaccard_pairs": SQL_DOC_NGRAM,
         "doc_simhash_pairs": SQL_DOC_SIMHASH,
         "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
