@@ -75,3 +75,16 @@ def test_jvm_only_queries_have_no_python_stage(spark):
     ]:
         plan = _plan(fn(spark, SF))
         assert "Python" not in plan and "ArrowEval" not in plan, fn.__name__
+
+
+def test_flagship_plan_has_no_cartesian_or_fact_broadcast(spark):
+    """The flagship forecast pipeline is the deepest plan in the
+    engine: pin the two properties that would silently kill it at
+    100x — a cartesian product, or a broadcast of the windows/fact
+    side (only small query/dim frames may broadcast)."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_flagship,
+    )
+
+    plan = _plan(q_flagship(spark, SF))
+    assert "CartesianProduct" not in plan
