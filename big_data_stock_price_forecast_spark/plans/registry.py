@@ -1593,6 +1593,59 @@ SELECT (SELECT count(*) FROM w1) AS week1,
          AS churned"""
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER their
+    first view, then purchased AFTER that click — the classic
+    event-analytics query. Three keyed aggregates chained by
+    strictly-after conditions; every stage clusters on user_id so the
+    exchanges reuse, and the final counts are order-free integers."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    tv = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("tv")
+    )
+    tc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(tv, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    tp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(tc, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        tv.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(tc.agg(F.count(F.lit(1)).alias("n_clicked_after")))
+        .crossJoin(tp.agg(F.count(F.lit(1)).alias("n_purchased_after")))
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH tv AS (
+  SELECT user_id, min(ts) AS tv FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+tc AS (
+  SELECT e.user_id, min(ts) AS tc
+  FROM events e JOIN tv ON e.user_id = tv.user_id
+  WHERE e.event_type = 'click' AND e.ts > tv.tv GROUP BY 1
+),
+tp AS (
+  SELECT e.user_id, min(ts) AS tp
+  FROM events e JOIN tc ON e.user_id = tc.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > tc.tc GROUP BY 1
+)
+SELECT (SELECT count(*) FROM tv) AS n_viewed,
+       (SELECT count(*) FROM tc) AS n_clicked_after,
+       (SELECT count(*) FROM tp) AS n_purchased_after"""
+
+
 def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation quantiles of ``value`` per stratum —
     the data-profiling query a pipeline runs before choosing filter
@@ -3910,6 +3963,7 @@ def all_queries() -> dict[str, QueryFn]:
         "events_sessionize": q_events_sessionize,
         "events_hash_sample": q_events_hash_sample,
         "events_value_quantiles": q_events_value_quantiles,
+        "events_funnel": q_events_funnel,
         "events_type_pivot": q_events_type_pivot,
         "events_user_retention": q_events_user_retention,
         "emb_sq8_stats": q_emb_sq8_stats,
@@ -3986,6 +4040,7 @@ def all_oracles() -> dict[str, str]:
         "events_sessionize": SQL_EVENTS_SESSIONS,
         "events_hash_sample": _sql_events_hash_sample(),
         "events_value_quantiles": SQL_EVENTS_QUANTILES,
+        "events_funnel": SQL_EVENTS_FUNNEL,
         "events_type_pivot": _sql_events_type_pivot(),
         "events_user_retention": SQL_EVENTS_RETENTION,
         "emb_sq8_stats": _sql_emb_sq8(),
