@@ -57,9 +57,20 @@ def _sort_key(row):
 
 def main():
     from __spark_entry__ import oracle_sql, queries
-    from big_data_stock_price_forecast_spark.session import get_spark
 
-    spark = get_spark(app_name="oracle-validate", cpus=16, shuffle_partitions=16)
+    if os.environ.get("BDSPF_PLAIN_SESSION"):
+        # emulate the driver's gate exactly: a bare session with none
+        # of our configs — every query must self-provision (timezone,
+        # nanos flag) through the __spark_entry__ wrappers
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[16]").getOrCreate()
+    else:
+        from big_data_stock_price_forecast_spark.session import get_spark
+
+        spark = get_spark(
+            app_name="oracle-validate", cpus=16, shuffle_partitions=16
+        )
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_con(SF_DIR)
 
