@@ -1667,6 +1667,19 @@ def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the scan fanned out across the cluster: the
+    corpus lands as few (locally: one) small parquet files, so a
+    single task would otherwise evaluate every expression-heavy
+    per-document projection (tokenize, shingle, chunk) serially. One
+    tiny up-front shuffle buys full parallelism for everything
+    downstream — the same contract as dedup's _parallelize_texts."""
+    return load_table(spark, sf_dir, "documents").repartition(
+        F.col("doc_id")
+    )
+
+
 CHUNK_W, CHUNK_S = 64, 48
 
 
@@ -1678,7 +1691,7 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan with no shuffle. The trailing partial chunk is kept when it
     has at least stride-overlap-free content (start < n), matching
     the oracle exactly."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     tok = tokens(F.col("text"))
     d = docs.select("doc_id", tok.alias("tok"), F.size(tok).alias("n"))
     n_chunks = F.when(
@@ -1739,7 +1752,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-grams (1 - distinct/total) — the boilerplate/spam signal quality
     filters threshold on. Pure JVM array expressions; integer counts
     plus one shared-rounded ratio."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     tok = tokens(F.col("text"))
     n3 = F.greatest(F.size(tok) - F.lit(2), F.lit(0))
     d3 = F.size(shingles(tok, 3))
@@ -1785,7 +1798,7 @@ def q_doc_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     one broadcast join + one aggregate regardless of corpus size.
     Emits per-doc totals, hit counts, the touched-benchmark count, and
     the contamination ratio."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     sh = docs.select(
         "doc_id",
         F.explode(shingles(tokens(F.col("text")), DECONTAM_N)).alias("sh"),
@@ -1853,7 +1866,7 @@ def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitwise deterministic even though the attached smoothed-idf score
     is float (ln differs in the last ulp across libm implementations —
     it is emitted through shared rounding, never used to rank)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
@@ -3653,7 +3666,7 @@ def q_doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     number / punctuation-run splits — the cheap estimator for "how many
     subword tokens will this document cost", verified to split
     identically under Java regex and RE2)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     ws_toks = F.split(F.trim(F.col("text")), r"\s+")
     nonws = F.length(F.regexp_replace("text", r"\s+", ""))
     d = docs.withColumn("tok", tokens(F.col("text")))
