@@ -358,31 +358,28 @@ def minhash_lsh_pairs_incremental(
     match a full-run filter bitwise. Returns (id_i, id_j, jac) with
     exact-Jaccard verification.
     """
-    newb = (
-        with_shingles(
-            _parallelize_texts(new_docs.select(id_col, text_col), id_col),
-            text_col,
-            n,
-        )
+    # ONE shingle + banding pass over the union, flagged by side: the
+    # batch and the corpus share the tokenizer/signature lineage, and
+    # the new-side band rows are just a filter of it
+    tagged = new_docs.select(
+        id_col, text_col, F.lit(True).alias("__new")
+    ).unionByName(
+        seen_docs.select(id_col, text_col, F.lit(False).alias("__new"))
+    )
+    base = (
+        with_shingles(_parallelize_texts(tagged, id_col), text_col, n)
         .filter(F.size("sh") > 0)
         .persist()
     )
-    seenb = (
-        with_shingles(
-            _parallelize_texts(seen_docs.select(id_col, text_col), id_col),
-            text_col,
-            n,
-        )
-        .filter(F.size("sh") > 0)
-        .persist()
+    flags = base.select(F.col(id_col).alias("id"), "__new")
+    all_b = minhash_band_rows(
+        base, k=k, bands=bands, rows=rows, id_col=id_col
+    ).join(flags, "id")
+    nb = all_b.filter(F.col("__new")).select(
+        F.col("id").alias("nid"), "band", "key"
     )
-    nb = minhash_band_rows(newb, k=k, bands=bands, rows=rows, id_col=id_col)
-    sb = minhash_band_rows(seenb, k=k, bands=bands, rows=rows, id_col=id_col)
-    all_b = nb.union(sb)
     cand = (
-        F.broadcast(
-            nb.withColumnRenamed("id", "nid")
-        )
+        F.broadcast(nb)
         .join(all_b, ["band", "key"])
         .filter(F.col("nid") != F.col("id"))
         .select(
@@ -391,9 +388,7 @@ def minhash_lsh_pairs_incremental(
         )
         .distinct()
     )
-    sh_all = newb.select(F.col(id_col).alias("id"), "sh").union(
-        seenb.select(F.col(id_col).alias("id"), "sh")
-    )
+    sh_all = base.select(F.col(id_col).alias("id"), "sh")
     return (
         cand.join(
             sh_all.withColumnsRenamed({"id": "id_i", "sh": "sh_i"}), "id_i"
