@@ -39,6 +39,11 @@ def salted_join(
     salt_cols: list[Column] = [
         F.col(c) for c in (salt_from or fact.columns) if c != key
     ]
+    if not salt_cols:
+        # key-only fact frame: no other columns to derive a salt from —
+        # hash the key itself (degenerate but correct: every row of a
+        # hot key lands in one salt, i.e. behaves like the plain join)
+        salt_cols = [F.col(key)]
     salted_fact = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(*salt_cols), F.lit(num_salts))
     )

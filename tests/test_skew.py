@@ -42,3 +42,12 @@ def test_salt_is_deterministic_across_runs(spark):
     a = salted_join(fact, dim, "k").orderBy("payload").collect()
     b = salted_join(fact, dim, "k").orderBy("payload").collect()
     assert a == b
+
+
+def test_salted_join_key_only_fact(spark):
+    fact = spark.range(100).select((F.col("id") % 3).alias("k"))
+    dim = spark.createDataFrame([(0, "a"), (1, "b")], ["k", "name"])
+    got = salted_join(fact, dim, "k")
+    plain = fact.join(dim, "k")
+    assert got.count() == plain.count()
+    assert got.exceptAll(plain).count() == 0
