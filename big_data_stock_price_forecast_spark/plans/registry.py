@@ -381,6 +381,84 @@ WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)"""
 SQL_TS_SMA = _sql_ts_sma()
 
 
+def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-bar z-score anomaly flags per symbol — the
+    monitoring query a data pipeline runs over every series. Variance
+    comes from the explicit avg(x^2) - avg(x)^2 identity on BOTH
+    engines (never the built-in stddev aggregate, whose accumulation
+    algebra differs between engines); the anomaly threshold compares
+    the SHARED-ROUNDED z so a last-ulp difference at the 3.0 boundary
+    cannot flip the flag."""
+    df = _filled(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    w20 = w.rowsBetween(-19, 0)
+    m = F.avg("close").over(w20)
+    m2 = F.avg(F.col("close") * F.col("close")).over(w20)
+    var = m2 - m * m
+    zr = F.when(
+        var > 0, (F.col("close") - m) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    # z must be computed BEFORE the warm-up filter: window expressions
+    # evaluate over the frame they are selected from, and filtering
+    # first would re-anchor every symbol's 20-row window on the
+    # filtered rows
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("z", _rne(zr, "z"))
+        .filter(F.col("__rn") >= 20)
+        .select(
+            "symbol",
+            "time_idx",
+            "z",
+            (F.abs(F.col("z")) > 3.0).cast("int").alias("is_anomaly"),
+        )
+    )
+
+
+def _sql_ts_anomaly() -> str:
+    guarded = (
+        "CASE WHEN m2 - m * m > 0"
+        " THEN (close - m) / sqrt(m2 - m * m) ELSE 0.0 END"
+    )
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+s AS (
+  SELECT symbol, time_idx, close,
+         avg(close) OVER w20 AS m,
+         avg(close * close) OVER w20 AS m2,
+         row_number() OVER wo AS rn
+  FROM filled
+  WINDOW w20 AS (PARTITION BY symbol ORDER BY time_idx
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         wo AS (PARTITION BY symbol ORDER BY time_idx)
+),
+z AS (
+  SELECT symbol, time_idx, {_sql_rne_expr(guarded)} AS z
+  FROM s WHERE rn >= 20
+)
+SELECT symbol, time_idx, z, (abs(z) > 3.0)::INT AS is_anomaly FROM z"""
+
+
+def q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length distribution: how many sessions have N events,
+    with total duration per bucket — the report downstream of the
+    sessionize operator (same single-exchange lineage plus one more
+    aggregate)."""
+    s = q_events_sessionize(spark, sf_dir)
+    return s.groupBy("n_events").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("duration_sec").alias("total_duration_sec"),
+    )
+
+
+def _sql_events_session_stats() -> str:
+    # lazy: SQL_EVENTS_SESSIONS is defined later in the module
+    return f"""
+SELECT n_events, count(*) AS n_sessions,
+       CAST(sum(duration_sec) AS BIGINT) AS total_duration_sec
+FROM ({SQL_EVENTS_SESSIONS})
+GROUP BY 1"""
+
+
 def q_ts_delta_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # unix_micros requires an instant (LTZ) timestamp; the testdata's
@@ -3977,6 +4055,8 @@ def all_queries() -> dict[str, QueryFn]:
         "events_hash_sample": q_events_hash_sample,
         "events_value_quantiles": q_events_value_quantiles,
         "events_funnel": q_events_funnel,
+        "events_session_stats": q_events_session_stats,
+        "ts_anomaly_zscore": q_ts_anomaly_zscore,
         "events_type_pivot": q_events_type_pivot,
         "events_user_retention": q_events_user_retention,
         "emb_sq8_stats": q_emb_sq8_stats,
@@ -4054,6 +4134,8 @@ def all_oracles() -> dict[str, str]:
         "events_hash_sample": _sql_events_hash_sample(),
         "events_value_quantiles": SQL_EVENTS_QUANTILES,
         "events_funnel": SQL_EVENTS_FUNNEL,
+        "events_session_stats": _sql_events_session_stats(),
+        "ts_anomaly_zscore": _sql_ts_anomaly(),
         "events_type_pivot": _sql_events_type_pivot(),
         "events_user_retention": SQL_EVENTS_RETENTION,
         "emb_sq8_stats": _sql_emb_sq8(),
