@@ -189,7 +189,9 @@ def byte_histogram_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarra
     arr = np.frombuffer(payload, dtype=np.uint8)
     if arr.size == 0:
         return np.zeros(dim)
-    hist = np.bincount(arr >> 5, minlength=dim)[:dim]
+    # bucket = value * dim // 256 covers [0, 255] for ANY dim <= 256
+    # (for dim=8 this is exactly the old `>> 5`)
+    hist = np.bincount(arr.astype(np.int64) * dim // 256, minlength=dim)[:dim]
     return hist / arr.size
 
 
@@ -205,7 +207,7 @@ def decoded_histogram_features(
         if px.size == 0:
             return np.zeros(dim)
         hist = np.bincount(
-            np.clip(px, 0, 255).astype(np.uint8) >> 5, minlength=dim
+            np.clip(px, 0, 255).astype(np.int64) * dim // 256, minlength=dim
         )[:dim]
         return hist / px.size
     if media_type == "audio":

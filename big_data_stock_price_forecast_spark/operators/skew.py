@@ -35,7 +35,20 @@ def salted_join(
     across ``num_salts`` sub-partitions per key. ``salt_from`` names
     the fact columns the deterministic salt hashes (default: all
     non-key columns). Result equals ``fact.join(dim, key, how)``
-    row-for-row; only the shuffle layout differs."""
+    row-for-row; only the shuffle layout differs.
+
+    ``how`` is restricted to fact-side-preserving joins: a right/full/
+    outer join would emit each UNMATCHED dim row once per salt replica
+    (num_salts times instead of once). Those shapes don't need fact-side
+    salting anyway — the unmatched-dim tail is dim-sized, not hot-key
+    sized."""
+    how_norm = how.replace("_", "").lower()
+    if how_norm not in {"inner", "left", "leftouter", "leftsemi", "leftanti"}:
+        raise ValueError(
+            "salted_join supports how in (inner, left, left_semi, "
+            f"left_anti); got {how!r} — a {how} join would duplicate "
+            "unmatched dim rows once per salt replica"
+        )
     salt_cols: list[Column] = [
         F.col(c) for c in (salt_from or fact.columns) if c != key
     ]

@@ -61,3 +61,22 @@ def get_spark(
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def require_utc(spark: SparkSession) -> None:
+    """Assert the session timezone is UTC instead of silently setting it.
+
+    NTZ->LTZ timestamp casts (unix_micros, watermarks) preserve the
+    stored micros bitwise only under UTC. The pin lives in exactly two
+    places — :func:`get_spark` and the ``__spark_entry__`` wrappers (the
+    driver's bare-session path); query builders must not mutate global
+    session state at plan-construction time, because a lazy plan built
+    under one zone and executed under another would silently shift
+    every timestamp."""
+    tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if tz != "UTC":
+        raise RuntimeError(
+            f"session timezone must be UTC for exact NTZ casts (got {tz!r});"
+            " build the session via big_data_stock_price_forecast_spark."
+            "session.get_spark or pin spark.sql.session.timeZone=UTC"
+        )

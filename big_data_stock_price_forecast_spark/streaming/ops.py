@@ -34,6 +34,8 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..session import require_utc
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -71,10 +73,11 @@ def stream_events(
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif dict(sdf.dtypes).get("ts") == "timestamp_ntz":
         # event-time watermarks require an instant (LTZ) timestamp;
-        # pin the session to UTC so the NTZ->LTZ cast preserves the
-        # stored micros bitwise (queries cast outputs back to NTZ so
-        # results match the naive timestamps the batch oracle sees)
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # the NTZ->LTZ cast preserves the stored micros bitwise only
+        # under UTC — asserted, not set (the session factory and the
+        # __spark_entry__ wrappers own the pin; queries cast outputs
+        # back to NTZ so results match the batch oracle's naive values)
+        require_utc(spark)
         sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     return sdf.select(
         F.col("user_id").alias("symbol"),

@@ -51,3 +51,16 @@ def test_salted_join_key_only_fact(spark):
     plain = fact.join(dim, "k")
     assert got.count() == plain.count()
     assert got.exceptAll(plain).count() == 0
+
+
+def test_salted_join_rejects_dim_preserving_how(spark):
+    import pytest
+
+    fact = spark.range(10).select((F.col("id") % 3).alias("k"))
+    dim = spark.createDataFrame([(0, "a")], ["k", "name"])
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(fact, dim, "k", how=how)
+    # semi/anti are fact-side-preserving and stay allowed
+    assert salted_join(fact, dim, "k", how="left_semi").count() == 4
+    assert salted_join(fact, dim, "k", how="left_anti").count() == 6
