@@ -336,9 +336,71 @@ def minhash_lsh_pairs(
     return verified
 
 
-def minhash_lsh_pairs_incremental(
+def minhash_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = MH_PERMS,
+    bands: int = MH_BANDS,
+    rows: int = MH_ROWS,
+) -> tuple[DataFrame, DataFrame]:
+    """The corpus's dedup sketch as two reusable frames:
+    ``(band_rows, shingle_sets)`` with schemas (id, band, key) and
+    (id, sh array<string>). This is the ONE-TIME work of near-dup
+    ingest — the analog of the reference's don't-refetch CSV cache
+    (core/data/cdd.py:88-100): sketch the corpus once, persist the
+    sketch, and every later batch checks against it without touching
+    the corpus text again. Write with :func:`write_minhash_index`
+    (bucketed by bucket key, so the daily batch join needs no
+    corpus-side shuffle)."""
+    base = with_shingles(
+        _parallelize_texts(docs.select(id_col, text_col), id_col),
+        text_col,
+        n,
+    ).filter(F.size("sh") > 0)
+    banded = minhash_band_rows(
+        base, k=k, bands=bands, rows=rows, id_col=id_col
+    )
+    shing = base.select(F.col(id_col).alias("id"), "sh")
+    return banded, shing
+
+
+def write_minhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = MH_PERMS,
+    bands: int = MH_BANDS,
+    rows: int = MH_ROWS,
+) -> None:
+    """Materialize :func:`minhash_index` under ``path`` as
+    ``{path}/bands`` and ``{path}/shingles`` parquet. Band rows are
+    hash-clustered by (band, key) at write time and shingle sets by id
+    — the verify joins and the batch bucket join then read
+    pre-clustered data, so the corpus side of the daily run never
+    re-shuffles. (On a warehouse with a catalog, write these via
+    sources/bucketed.py ``write_bucketed`` instead to get the
+    Exchange elided by the bucket spec; plain repartitioned parquet
+    keeps this path catalog-free.)"""
+    banded, shing = minhash_index(
+        docs, id_col=id_col, text_col=text_col, n=n, k=k, bands=bands,
+        rows=rows,
+    )
+    banded.repartition("band", "key").write.mode("overwrite").parquet(
+        f"{path}/bands"
+    )
+    shing.repartition("id").write.mode("overwrite").parquet(
+        f"{path}/shingles"
+    )
+
+
+def minhash_lsh_pairs_vs_index(
     new_docs: DataFrame,
-    seen_docs: DataFrame,
+    seen_bands: DataFrame,
+    seen_shingles: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
@@ -346,41 +408,49 @@ def minhash_lsh_pairs_incremental(
     k: int = MH_PERMS,
     bands: int = MH_BANDS,
     rows: int = MH_ROWS,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
-    """Incremental near-dup check: every pair touching a NEW document
-    (new x seen and new x new), WITHOUT recomputing seen x seen — the
-    shape of a daily-ingest dedup stage, where the corpus is 100 TB
-    and the batch is a sliver. The new batch's band rows broadcast
-    into the bucket join against the full banded set (drop the
-    broadcast for batch sizes past the broadcast threshold — AQE picks
-    the join side); candidates touching a new doc are EXACTLY the
-    corresponding subset of the full run's candidates, so results
-    match a full-run filter bitwise. Returns (id_i, id_j, jac) with
-    exact-Jaccard verification.
+    """Incremental near-dup check against a PRE-SKETCHED corpus: every
+    pair touching a NEW document (new x seen and new x new), with
+    sketch work proportional to the BATCH only — the daily-ingest
+    shape where the corpus is 100 TB and the batch is a sliver.
+
+    ``seen_bands`` (id, band, key) and ``seen_shingles`` (id, sh) come
+    from :func:`minhash_index` / :func:`write_minhash_index`; nothing
+    here re-reads corpus text. Candidates touching a new doc are
+    EXACTLY the corresponding subset of a full run's candidates, so
+    results match a full-run filter bitwise. Returns (id_i, id_j, jac)
+    with exact-Jaccard verification (seen-side sets come from the
+    index, new-side from the batch sketch).
+
+    ``broadcast_batch`` hints the batch's band rows broadcast into the
+    bucket join — right when the batch fits the driver (the usual
+    case). Spark honors the hint regardless of size, so pass False for
+    a bulk backfill and let AQE pick the join strategy.
     """
-    # ONE shingle + banding pass over the union, flagged by side: the
-    # batch and the corpus share the tokenizer/signature lineage, and
-    # the new-side band rows are just a filter of it
-    tagged = new_docs.select(
-        id_col, text_col, F.lit(True).alias("__new")
-    ).unionByName(
-        seen_docs.select(id_col, text_col, F.lit(False).alias("__new"))
-    )
-    base = (
-        with_shingles(_parallelize_texts(tagged, id_col), text_col, n)
+    new_base = (
+        with_shingles(
+            _parallelize_texts(new_docs.select(id_col, text_col), id_col),
+            text_col,
+            n,
+        )
         .filter(F.size("sh") > 0)
-        .persist()
+        .persist()  # batch-sized (NOT corpus-sized): feeds the banding
+        # pass and the new-side verify join
     )
-    flags = base.select(F.col(id_col).alias("id"), "__new")
-    all_b = minhash_band_rows(
-        base, k=k, bands=bands, rows=rows, id_col=id_col
-    ).join(flags, "id")
-    nb = all_b.filter(F.col("__new")).select(
-        F.col("id").alias("nid"), "band", "key"
+    nb = minhash_band_rows(
+        new_base, k=k, bands=bands, rows=rows, id_col=id_col
     )
+    new_sh = new_base.select(F.col(id_col).alias("id"), "sh")
+
+    # probe side: corpus bands plus the batch's own bands, so new x new
+    # pairs surface in the same join as new x seen
+    probe = seen_bands.select("id", "band", "key").unionByName(nb)
+    nbq = nb.select(F.col("id").alias("nid"), "band", "key")
+    if broadcast_batch:
+        nbq = F.broadcast(nbq)
     cand = (
-        F.broadcast(nb)
-        .join(all_b, ["band", "key"])
+        nbq.join(probe, ["band", "key"])
         .filter(F.col("nid") != F.col("id"))
         .select(
             F.least("nid", "id").alias("id_i"),
@@ -388,7 +458,10 @@ def minhash_lsh_pairs_incremental(
         )
         .distinct()
     )
-    sh_all = base.select(F.col(id_col).alias("id"), "sh")
+    # verify joins read shingle sets from the index for seen docs and
+    # from the (persisted, batch-sized) sketch for new docs; a doc id
+    # appears in exactly one side, so the union is disjoint
+    sh_all = seen_shingles.select("id", "sh").unionByName(new_sh)
     return (
         cand.join(
             sh_all.withColumnsRenamed({"id": "id_i", "sh": "sh_i"}), "id_i"
@@ -399,6 +472,43 @@ def minhash_lsh_pairs_incremental(
         .withColumn("jac", jaccard(F.col("sh_i"), F.col("sh_j")))
         .filter(F.col("jac") >= threshold)
         .select("id_i", "id_j", "jac")
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    k: int = MH_PERMS,
+    bands: int = MH_BANDS,
+    rows: int = MH_ROWS,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Bootstrap flavor of :func:`minhash_lsh_pairs_vs_index` taking
+    the seen corpus as RAW TEXT: sketches the corpus inline (one
+    banding + one shingle pass) and delegates. Use only when no
+    persisted index exists yet — for recurring ingest, build the index
+    once with :func:`write_minhash_index` and call the vs_index form,
+    whose per-run cost is proportional to the batch."""
+    seen_bands, seen_sh = minhash_index(
+        seen_docs, id_col=id_col, text_col=text_col, n=n, k=k,
+        bands=bands, rows=rows,
+    )
+    return minhash_lsh_pairs_vs_index(
+        new_docs,
+        seen_bands,
+        seen_sh,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        threshold=threshold,
+        k=k,
+        bands=bands,
+        rows=rows,
+        broadcast_batch=broadcast_batch,
     )
 
 

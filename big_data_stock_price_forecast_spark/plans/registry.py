@@ -1225,19 +1225,60 @@ SQL_DOC_MINHASH = _sql_r6_wrap(
 INCR_NEW_MIN = 400
 
 
+def _minhash_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Resolve (building on first use) the persisted sketch index of
+    the SEEN corpus — the one-time cost of incremental dedup, amortized
+    across every later batch exactly like the reference's don't-refetch
+    CSV cache (core/data/cdd.py:88-100). Keyed by the documents table's
+    identity (path + size + mtime) and the sketch parameters, so a
+    changed input or contract can never serve a stale index."""
+    import hashlib
+    import os
+
+    from ..operators.dedup import MH_BANDS, MH_PERMS, MH_ROWS
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|"
+        f"{INCR_NEW_MIN}|{MH_PERMS}|{MH_BANDS}|{MH_ROWS}|v1".encode()
+    ).hexdigest()[:16]
+    root = os.environ.get(
+        "BDSPF_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".cache"),
+    )
+    idx = os.path.join(root, "minhash_index", key)
+    if not (
+        os.path.exists(os.path.join(idx, "bands", "_SUCCESS"))
+        and os.path.exists(os.path.join(idx, "shingles", "_SUCCESS"))
+    ):
+        from ..operators.dedup import write_minhash_index
+
+        docs = load_table(spark, sf_dir, "documents")
+        write_minhash_index(
+            docs.filter(F.col("doc_id") < INCR_NEW_MIN), idx
+        )
+    return idx
+
+
 def q_doc_incremental_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-ingest dedup shape: near-dup pairs touching the NEW batch
-    (doc_id >= 400) against the seen corpus, computed WITHOUT the
-    seen x seen work (operators/dedup.py
-    ``minhash_lsh_pairs_incremental``). The oracle is the full-run
-    pair set filtered to new-touching pairs — the incremental
-    candidate set is exactly that subset."""
-    from ..operators.dedup import minhash_lsh_pairs_incremental
+    (doc_id >= 400) against the seen corpus, with per-run sketch work
+    proportional to the BATCH — the corpus's band rows and shingle
+    sets come from the persisted index (built on first use, reused
+    after; operators/dedup.py ``write_minhash_index`` /
+    ``minhash_lsh_pairs_vs_index``). The oracle is the full-run pair
+    set filtered to new-touching pairs — the incremental candidate set
+    is exactly that subset."""
+    from ..operators.dedup import minhash_lsh_pairs_vs_index
 
     docs = load_table(spark, sf_dir, "documents")
-    out = minhash_lsh_pairs_incremental(
+    idx = _minhash_index_path(spark, sf_dir)
+    out = minhash_lsh_pairs_vs_index(
         docs.filter(F.col("doc_id") >= INCR_NEW_MIN),
-        docs.filter(F.col("doc_id") < INCR_NEW_MIN),
+        spark.read.parquet(f"{idx}/bands"),
+        spark.read.parquet(f"{idx}/shingles"),
         threshold=NEAR_DUP_TAU,
     )
     return out.select("id_i", "id_j", _r6("jac"))

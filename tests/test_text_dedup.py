@@ -341,3 +341,48 @@ def test_connected_components_long_chain_double_step(spark):
         ).collect()
     }
     assert got == {i: 0 for i in range(64)}
+
+
+def test_incremental_vs_index_matches_full_run_subset(spark, sf_dir, tmp_path):
+    """The persisted-index incremental path must emit EXACTLY the
+    full-run pairs that touch a new doc — and the bootstrap (raw-text)
+    flavor must agree with it."""
+    from big_data_stock_price_forecast_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+        minhash_lsh_pairs_vs_index,
+        write_minhash_index,
+    )
+    from big_data_stock_price_forecast_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = 400
+    new = docs.filter(F.col("doc_id") >= split)
+    seen = docs.filter(F.col("doc_id") < split)
+
+    full = {
+        (r["id_i"], r["id_j"], r["jac"])
+        for r in minhash_lsh_pairs(docs, threshold=0.2).collect()
+        if r["id_i"] >= split or r["id_j"] >= split
+    }
+
+    idx = str(tmp_path / "mh_index")
+    write_minhash_index(seen, idx)
+    got_idx = {
+        (r["id_i"], r["id_j"], r["jac"])
+        for r in minhash_lsh_pairs_vs_index(
+            new,
+            spark.read.parquet(f"{idx}/bands"),
+            spark.read.parquet(f"{idx}/shingles"),
+            threshold=0.2,
+        ).collect()
+    }
+    assert got_idx == full
+
+    got_boot = {
+        (r["id_i"], r["id_j"], r["jac"])
+        for r in minhash_lsh_pairs_incremental(
+            new, seen, threshold=0.2, broadcast_batch=False
+        ).collect()
+    }
+    assert got_boot == full
