@@ -94,6 +94,11 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        # per-query isolation: several queries persist() intermediates
+        # (dedup shingle sets, window frames for the MLlib fit); without
+        # this, pinned storage memory accumulates across the run and
+        # late-position queries measure GC pressure, not their plan
+        spark.catalog.clearCache()
 
     out = {
         "metric": "total_query_wall_seconds",

@@ -384,16 +384,22 @@ def write_minhash_index(
     re-shuffles. (On a warehouse with a catalog, write these via
     sources/bucketed.py ``write_bucketed`` instead to get the
     Exchange elided by the bucket spec; plain repartitioned parquet
-    keeps this path catalog-free.)"""
+    keeps this path catalog-free.)
+
+    Each table is seeded as a ``batch=seed`` partition so streaming
+    ingest (streaming/ops.py ``dedup_ingest_stream``) can grow the
+    index one ``batch=N`` partition per micro-batch in the same
+    directory; readers see one extra ``batch`` partition column, which
+    the join core ignores."""
     banded, shing = minhash_index(
         docs, id_col=id_col, text_col=text_col, n=n, k=k, bands=bands,
         rows=rows,
     )
     banded.repartition("band", "key").write.mode("overwrite").parquet(
-        f"{path}/bands"
+        f"{path}/bands/batch=seed"
     )
     shing.repartition("id").write.mode("overwrite").parquet(
-        f"{path}/shingles"
+        f"{path}/shingles/batch=seed"
     )
 
 
@@ -442,10 +448,28 @@ def minhash_lsh_pairs_vs_index(
         new_base, k=k, bands=bands, rows=rows, id_col=id_col
     )
     new_sh = new_base.select(F.col(id_col).alias("id"), "sh")
+    return _pairs_from_sketches(
+        nb, new_sh, seen_bands, seen_shingles, threshold, broadcast_batch
+    )
 
+
+def _pairs_from_sketches(
+    nb: DataFrame,
+    new_sh: DataFrame,
+    seen_bands: DataFrame,
+    seen_shingles: DataFrame,
+    threshold: float,
+    broadcast_batch: bool,
+) -> DataFrame:
+    """Candidate generation + exact-Jaccard verify given the BATCH's
+    sketch frames (nb: (id, band, key), new_sh: (id, sh)) and the
+    corpus index — the join core shared by the batch and streaming
+    incremental paths."""
     # probe side: corpus bands plus the batch's own bands, so new x new
     # pairs surface in the same join as new x seen
-    probe = seen_bands.select("id", "band", "key").unionByName(nb)
+    probe = seen_bands.select("id", "band", "key").unionByName(
+        nb.select("id", "band", "key")
+    )
     nbq = nb.select(F.col("id").alias("nid"), "band", "key")
     if broadcast_batch:
         nbq = F.broadcast(nbq)
@@ -459,8 +483,8 @@ def minhash_lsh_pairs_vs_index(
         .distinct()
     )
     # verify joins read shingle sets from the index for seen docs and
-    # from the (persisted, batch-sized) sketch for new docs; a doc id
-    # appears in exactly one side, so the union is disjoint
+    # from the (batch-sized) sketch for new docs; a doc id appears in
+    # exactly one side, so the union is disjoint
     sh_all = seen_shingles.select("id", "sh").unionByName(new_sh)
     return (
         cand.join(
@@ -686,11 +710,59 @@ def simhash_pairs(
     return pairs.filter(F.col("hamming") <= max_dist).distinct()
 
 
+# below this many edges the whole graph is one task's worth of work:
+# skip the iterative rounds (each one a checkpoint barrier + a
+# convergence read — fixed cost that dominates at small scale) and
+# union-find the edge list in a single executor task
+CC_SMALL_GRAPH_EDGES = 100_000
+
+
+def _cc_single_task(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Connected components of an edge list small enough for one task:
+    coalesce to a single partition and union-find it in one Arrow pass
+    ON THE EXECUTOR (no driver collect). Components are labeled by
+    their minimum node id — identical semantics to the hash-min
+    iterative path."""
+    import pandas as pd
+
+    def run(batches):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pdf in batches:
+            for a, b in zip(pdf["src"], pdf["dst"]):
+                a, b = int(a), int(b)
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        comp = {n: find(n) for n in parent}
+        # with min-root unions the root IS the minimum member id
+        yield pd.DataFrame(
+            {"node": list(comp), "component": list(comp.values())}
+        )
+
+    return (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .coalesce(1)
+        .mapInPandas(run, schema="node long, component long")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_i",
     dst_col: str = "id_j",
     max_iters: int = 50,
+    small_graph_edges: int = CC_SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Hash-min connected components over an undirected edge list —
     the cluster-resolution step that turns near-duplicate PAIRS into
@@ -732,6 +804,13 @@ def connected_components(
     # references ``edges`` twice, which would run the whole upstream
     # pair-generation pipeline twice
     edges = edges.localCheckpoint(eager=True)
+    # the count is a cheap scan of the checkpointed list and decides
+    # the execution strategy, not the result: small graphs collapse to
+    # a single union-find task (saving 2-3 checkpoint barriers +
+    # convergence reads), everything else takes the iterative
+    # O(log diameter) rounds
+    if edges.count() <= small_graph_edges:
+        return _cc_single_task(edges, src_col, dst_col)
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(

@@ -1241,7 +1241,7 @@ def _minhash_index_path(spark: SparkSession, sf_dir: str) -> str:
     st = os.stat(src)
     key = hashlib.md5(
         f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|"
-        f"{INCR_NEW_MIN}|{MH_PERMS}|{MH_BANDS}|{MH_ROWS}|v1".encode()
+        f"{INCR_NEW_MIN}|{MH_PERMS}|{MH_BANDS}|{MH_ROWS}|v2".encode()
     ).hexdigest()[:16]
     root = os.environ.get(
         "BDSPF_CACHE_DIR",
@@ -1250,8 +1250,10 @@ def _minhash_index_path(spark: SparkSession, sf_dir: str) -> str:
     )
     idx = os.path.join(root, "minhash_index", key)
     if not (
-        os.path.exists(os.path.join(idx, "bands", "_SUCCESS"))
-        and os.path.exists(os.path.join(idx, "shingles", "_SUCCESS"))
+        os.path.exists(os.path.join(idx, "bands", "batch=seed", "_SUCCESS"))
+        and os.path.exists(
+            os.path.join(idx, "shingles", "batch=seed", "_SUCCESS")
+        )
     ):
         from ..operators.dedup import write_minhash_index
 

@@ -1,4 +1,5 @@
 from .ops import (
+    dedup_ingest_stream,
     distinct_keys_stream,
     ema_state_stream,
     resample_stream,
@@ -8,6 +9,7 @@ from .ops import (
 )
 
 __all__ = [
+    "dedup_ingest_stream",
     "distinct_keys_stream",
     "ema_state_stream",
     "resample_stream",

@@ -237,6 +237,72 @@ def ema_state_stream(sdf: DataFrame, span: int = 12) -> DataFrame:
     )
 
 
+def dedup_ingest_stream(
+    docs_sdf: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+    broadcast_batch: bool = True,
+):
+    """Streaming near-dup ingest over the persisted sketch index — the
+    true daily-ingest shape: each micro-batch of new documents is
+    (1) sketched ONCE (shingles + band rows, batch-sized work),
+    (2) checked against the corpus index for pairs touching the batch
+    (new x seen and new x new via operators/dedup.py
+    ``_pairs_from_sketches``), and (3) folded INTO the index, so the
+    next batch — in this run or after a checkpoint resume — dedups
+    against everything that came before.
+
+    Bootstrap the index with ``write_minhash_index`` over the seed
+    corpus; ``index_path`` then grows by one ``batch=N`` partition per
+    micro-batch. Both the pairs output and the index fold-in write
+    ``batch=N`` partition dirs with overwrite, so a replayed micro-batch
+    (foreachBatch's at-least-once contract) lands idempotently instead
+    of duplicating rows. Returns the started StreamingQuery.
+    """
+    from ..operators.dedup import _pairs_from_sketches, minhash_index
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        nb, new_sh = minhash_index(
+            batch_df.select(id_col, text_col), id_col=id_col,
+            text_col=text_col,
+        )
+        nb = nb.persist()
+        new_sh = new_sh.persist()
+        try:
+            seen_bands = spark.read.parquet(f"{index_path}/bands")
+            seen_sh = spark.read.parquet(f"{index_path}/shingles")
+            pairs = _pairs_from_sketches(
+                nb, new_sh, seen_bands, seen_sh, threshold, broadcast_batch
+            )
+            pairs.write.mode("overwrite").parquet(
+                f"{pairs_path}/batch={batch_id}"
+            )
+            nb.write.mode("overwrite").parquet(
+                f"{index_path}/bands/batch={batch_id}"
+            )
+            new_sh.write.mode("overwrite").parquet(
+                f"{index_path}/shingles/batch={batch_id}"
+            )
+        finally:
+            nb.unpersist()
+            new_sh.unpersist()
+
+    return (
+        docs_sdf.writeStream.foreachBatch(handle)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     sdf: DataFrame, output_mode: str = "append", name: str | None = None
 ) -> DataFrame:

@@ -305,3 +305,69 @@ def test_stateful_stream_resumes_from_checkpoint(spark, tmp_path):
         ema = x if ema is None else (1.0 - alpha) * ema + alpha * x
     got = {r["ema"] for r in second if r["n_rows"] == 5}
     assert got == {ema}
+
+
+def test_dedup_ingest_stream_folds_batches_into_index(spark, tmp_path):
+    """Streaming incremental dedup: batch 1 must pair against the SEED
+    corpus, and batch 2 — arriving after a stream restart from the same
+    checkpoint — must pair against a batch-1 doc, proving each
+    micro-batch's sketch was folded into the persisted index."""
+    import glob
+    import os
+
+    from big_data_stock_price_forecast_spark.operators.dedup import (
+        write_minhash_index,
+    )
+    from big_data_stock_price_forecast_spark.streaming import (
+        dedup_ingest_stream,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated words that do not repeat")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "idx")
+    write_minhash_index(corpus, idx)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+
+    def land(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / ("stage_" + name)))
+        part = glob.glob(str(tmp_path / ("stage_" + name) / "part-*"))[0]
+        os.rename(part, os.path.join(src, name + ".parquet"))
+
+    pairs_path = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        sdf = spark.readStream.schema(schema).parquet(src)
+        q = dedup_ingest_stream(
+            sdf, idx, pairs_path, ckpt, threshold=0.9
+        )
+        q.awaitTermination()
+        q.stop()
+
+    # batch 1: doc 10 duplicates seed doc 1; doc 11 is novel
+    land([(10, base), (11, "eleven distinct tokens nothing shared here")],
+         "b0")
+    drain()
+    got1 = {
+        (r["id_i"], r["id_j"])
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    assert got1 == {(1, 10)}
+
+    # batch 2 (same checkpoint => resume): doc 20 duplicates BATCH-1
+    # doc 11 — only findable if batch 1 was folded into the index
+    land([(20, "eleven distinct tokens nothing shared here")], "b1")
+    drain()
+    got2 = {
+        (r["id_i"], r["id_j"])
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    assert got2 == {(1, 10), (11, 20)}

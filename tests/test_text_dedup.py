@@ -315,13 +315,18 @@ def test_connected_components_random_graphs_match_union_find(spark):
                 parent[max(ra, rb)] = min(ra, rb)
         touched = {a for e in edges for a in e}
         expect = {x: find(x) for x in touched}
-        got = {
-            r["node"]: r["component"]
-            for r in connected_components(
-                spark.createDataFrame(edges, ["id_i", "id_j"])
-            ).collect()
-        }
-        assert got == expect
+        # both strategies must agree with the reference: the single-task
+        # union-find fast path (default at this size) and the iterative
+        # hash-min rounds (forced with small_graph_edges=0)
+        for threshold in (None, 0):
+            kw = {} if threshold is None else {"small_graph_edges": threshold}
+            got = {
+                r["node"]: r["component"]
+                for r in connected_components(
+                    spark.createDataFrame(edges, ["id_i", "id_j"]), **kw
+                ).collect()
+            }
+            assert got == expect
 
 
 def test_connected_components_long_chain_double_step(spark):
@@ -337,7 +342,10 @@ def test_connected_components_long_chain_double_step(spark):
     got = {
         r["node"]: r["component"]
         for r in connected_components(
-            spark.createDataFrame(edges, ["id_i", "id_j"])
+            spark.createDataFrame(edges, ["id_i", "id_j"]),
+            # force the iterative path — at this size the default would
+            # take the single-task union-find shortcut
+            small_graph_edges=0,
         ).collect()
     }
     assert got == {i: 0 for i in range(64)}
