@@ -1222,7 +1222,25 @@ SQL_DOC_MINHASH = _sql_r6_wrap(
 )
 
 
-INCR_NEW_MIN = 400
+# the "new batch" is the top tenth of the id space — RELATIVE to the
+# corpus, so the daily-ingest shape (small batch vs big seen corpus)
+# holds at every scale factor; an absolute cutoff inverted the cost
+# model at sf0.1 (92% of docs counted as "new"). Integer arithmetic
+# ((max+1)*9)//10 is bitwise-identical in Python and DuckDB.
+INCR_NEW_NUM, INCR_NEW_DEN = 9, 10
+SQL_INCR_SPLIT = (
+    f"(SELECT ((max(doc_id)+1)*{INCR_NEW_NUM})//{INCR_NEW_DEN}"
+    " FROM documents)"
+)
+
+
+def _incr_split_id(spark: SparkSession, sf_dir: str) -> int:
+    mx = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.max("doc_id"))
+        .first()[0]
+    )
+    return (int(mx) + 1) * INCR_NEW_NUM // INCR_NEW_DEN
 
 
 def _minhash_index_path(spark: SparkSession, sf_dir: str) -> str:
@@ -1237,11 +1255,12 @@ def _minhash_index_path(spark: SparkSession, sf_dir: str) -> str:
 
     from ..operators.dedup import MH_BANDS, MH_PERMS, MH_ROWS
 
+    split = _incr_split_id(spark, sf_dir)
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     key = hashlib.md5(
         f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|"
-        f"{INCR_NEW_MIN}|{MH_PERMS}|{MH_BANDS}|{MH_ROWS}|v2".encode()
+        f"{split}|{MH_PERMS}|{MH_BANDS}|{MH_ROWS}|v2".encode()
     ).hexdigest()[:16]
     root = os.environ.get(
         "BDSPF_CACHE_DIR",
@@ -1258,27 +1277,26 @@ def _minhash_index_path(spark: SparkSession, sf_dir: str) -> str:
         from ..operators.dedup import write_minhash_index
 
         docs = load_table(spark, sf_dir, "documents")
-        write_minhash_index(
-            docs.filter(F.col("doc_id") < INCR_NEW_MIN), idx
-        )
+        write_minhash_index(docs.filter(F.col("doc_id") < split), idx)
     return idx
 
 
 def q_doc_incremental_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-ingest dedup shape: near-dup pairs touching the NEW batch
-    (doc_id >= 400) against the seen corpus, with per-run sketch work
-    proportional to the BATCH — the corpus's band rows and shingle
-    sets come from the persisted index (built on first use, reused
-    after; operators/dedup.py ``write_minhash_index`` /
-    ``minhash_lsh_pairs_vs_index``). The oracle is the full-run pair
+    (the top tenth of the id space) against the seen corpus, with
+    per-run sketch work proportional to the BATCH — the corpus's band
+    rows and shingle sets come from the persisted index (built on
+    first use, reused after; operators/dedup.py ``write_minhash_index``
+    / ``minhash_lsh_pairs_vs_index``). The oracle is the full-run pair
     set filtered to new-touching pairs — the incremental candidate set
     is exactly that subset."""
     from ..operators.dedup import minhash_lsh_pairs_vs_index
 
     docs = load_table(spark, sf_dir, "documents")
+    split = _incr_split_id(spark, sf_dir)
     idx = _minhash_index_path(spark, sf_dir)
     out = minhash_lsh_pairs_vs_index(
-        docs.filter(F.col("doc_id") >= INCR_NEW_MIN),
+        docs.filter(F.col("doc_id") >= split),
         spark.read.parquet(f"{idx}/bands"),
         spark.read.parquet(f"{idx}/shingles"),
         threshold=NEAR_DUP_TAU,
@@ -1288,7 +1306,7 @@ def q_doc_incremental_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_INCR = _sql_r6_wrap(
     f"""SELECT * FROM ({_SQL_DOC_MINHASH_BODY})
-WHERE id_i >= {INCR_NEW_MIN} OR id_j >= {INCR_NEW_MIN}""",
+WHERE id_i >= {SQL_INCR_SPLIT} OR id_j >= {SQL_INCR_SPLIT}""",
     ["id_i", "id_j"],
     ["jac"],
 )
