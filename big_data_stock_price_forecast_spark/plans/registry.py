@@ -1939,35 +1939,45 @@ def q_doc_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     side streams through the join at scan parallelism, so the plan is
     one broadcast join + one aggregate regardless of corpus size.
     Emits per-doc totals, hit counts, the touched-benchmark count, and
-    the contamination ratio."""
-    docs = _docs_parallel(spark, sf_dir)
-    sh = docs.select(
-        "doc_id",
-        F.explode(shingles(tokens(F.col("text")), DECONTAM_N)).alias("sh"),
+    the contamination ratio.
+
+    Plan shape: ONE Arrow shingle pass (operators/dedup.py
+    shingle_sets — per-doc distinct 5-grams, so count(*) ==
+    countDistinct within a doc), one broadcast LEFT join, one
+    aggregate. The left join multiplies a train shingle by its bench
+    matches, so every measure is a count-DISTINCT; totals and hits
+    come out of the same grouped pass instead of two lineage
+    evaluations + a re-join."""
+    from ..operators.dedup import shingle_sets
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_sets(docs, n=DECONTAM_N).select(
+        "doc_id", F.explode("sh").alias("sh")
     )
     bench = sh.filter(F.col("doc_id") < DECONTAM_BENCH_MAX).select(
         F.col("doc_id").alias("bench_id"), "sh"
     )
     train = sh.filter(F.col("doc_id") >= DECONTAM_BENCH_MAX)
-    hits = (
-        train.join(F.broadcast(bench), "sh")
+    return (
+        train.join(F.broadcast(bench), "sh", "left")
         .groupBy("doc_id")
         .agg(
-            F.countDistinct("sh").alias("n_hit"),
+            F.countDistinct("sh").alias("n_shingles"),
+            F.countDistinct(
+                F.when(F.col("bench_id").isNotNull(), F.col("sh"))
+            ).alias("n_hit"),
             F.countDistinct("bench_id").alias("n_bench_docs"),
         )
-    )
-    tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    return tot.join(hits, "doc_id", "left").select(
-        "doc_id",
-        "n_shingles",
-        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-        F.coalesce("n_bench_docs", F.lit(0)).alias("n_bench_docs"),
-        _rne(
-            F.coalesce("n_hit", F.lit(0)).cast("double")
-            / F.col("n_shingles"),
-            "contam_ratio",
-        ),
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hit",
+            "n_bench_docs",
+            _rne(
+                F.col("n_hit").cast("double") / F.col("n_shingles"),
+                "contam_ratio",
+            ),
+        )
     )
 
 
