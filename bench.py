@@ -40,6 +40,21 @@ def main() -> None:
     warm.groupBy("user_id").agg(F.count(F.lit(1))).write.format(
         "noop"
     ).mode("overwrite").save()
+    # window-function exec path (sort-based window operators) — the
+    # first registry queries are window-heavy event analytics and would
+    # otherwise be billed for this one-time machinery
+    from pyspark.sql import Window
+
+    warm.select(
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("event_id"))
+        .alias("rn")
+    ).write.format("noop").mode("overwrite").save()
+    # Python-worker pool + Arrow serialization (mapInPandas queries):
+    # worker fork + pandas import costs ~1-2s once per session
+    warm.limit(64).mapInPandas(
+        lambda it: it, schema=warm.schema
+    ).write.format("noop").mode("overwrite").save()
 
     # streaming machinery warmup (micro-batch executor, state store,
     # memory sink classes) — a one-row stream through a memory sink, so

@@ -1267,6 +1267,16 @@ def _minhash_index_path(spark: SparkSession, sf_dir: str) -> str:
         os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), ".cache"),
     )
+    try:
+        os.makedirs(root, exist_ok=True)
+        writable = os.access(root, os.W_OK)
+    except OSError:
+        writable = False
+    if not writable:
+        import tempfile
+
+        root = os.path.join(tempfile.gettempdir(), "bdspf-cache")
+        os.makedirs(root, exist_ok=True)
     idx = os.path.join(root, "minhash_index", key)
     if not (
         os.path.exists(os.path.join(idx, "bands", "batch=seed", "_SUCCESS"))

@@ -394,3 +394,36 @@ def test_incremental_vs_index_matches_full_run_subset(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got_boot == full
+
+
+def test_shingle_sets_matches_jvm_expression(spark):
+    """The Arrow shingler must be value-identical to the JVM
+    with_shingles(tokens(...)) expression it replaces — same lowercase,
+    same [^a-z0-9]+ split, same space-joined n-grams, same
+    first-occurrence distinct, same empty-set drop."""
+    from big_data_stock_price_forecast_spark.operators.dedup import (
+        shingle_sets,
+        with_shingles,
+    )
+
+    texts = [
+        (0, "The quick brown fox jumps over the lazy dog"),
+        (1, "a b"),                      # < n tokens -> dropped
+        (2, ""),                         # empty -> dropped
+        (3, "  Mixed   CASE    and 123 numbers-with-dashes  "),
+        (4, "dup dup dup dup dup"),      # collapses to one shingle
+        (5, "x!y@z#w$v%u"),              # punctuation-only separators
+        (6, "tab\tand\nnewline separated tokens here"),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    via_jvm = {
+        r["doc_id"]: r["sh"]
+        for r in with_shingles(docs)
+        .filter(F.size("sh") > 0)
+        .select("doc_id", "sh")
+        .collect()
+    }
+    via_arrow = {
+        r["doc_id"]: r["sh"] for r in shingle_sets(docs).collect()
+    }
+    assert via_arrow == via_jvm
