@@ -122,6 +122,49 @@ def shingle_sets(
     ).mapInPandas(run, schema=f"`{id_col}` long, `{out}` array<string>")
 
 
+def ngram_count_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, n_ngrams, n_distinct) per document in one Arrow pass —
+    total word n-gram occurrences (max(tokens-n+1, 0)) and distinct
+    n-grams. Emits a row for EVERY doc (zero counts for short docs),
+    unlike :func:`shingle_sets`. Feeds repetition-ratio quality
+    scoring without materializing the n-gram arrays at all."""
+    import re
+
+    import pandas as pd
+
+    tok_re = re.compile(TOKEN_SPLIT_RE)
+
+    def run(batches):
+        for pdf in batches:
+            ids, tots, dists = [], [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in tok_re.split(str(txt).lower()) if t]
+                total = max(len(toks) - n + 1, 0)
+                distinct = len(
+                    {
+                        " ".join(toks[j : j + n])
+                        for j in range(total)
+                    }
+                )
+                ids.append(i)
+                tots.append(total)
+                dists.append(distinct)
+            yield pd.DataFrame(
+                {id_col: ids, "n_ngrams": tots, "n_distinct": dists}
+            )
+
+    return _parallelize_texts(
+        docs.select(id_col, text_col), id_col
+    ).mapInPandas(
+        run, schema=f"`{id_col}` long, n_ngrams int, n_distinct int"
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     shingle_col: str = "sh",
@@ -686,6 +729,54 @@ def with_simhash(
     return votes.select(id_col, sim.alias(out))
 
 
+def simhash_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out: str = "simhash",
+) -> DataFrame:
+    """(id, simhash) in one Arrow pass — tokenize, one md5 per token
+    occurrence, numpy bit votes. Bitwise-identical to
+    :func:`with_simhash` (the codegen explode+aggregate twin, which
+    the brute-force banding test cross-checks against this path), but
+    skips the 60-conditional-sum aggregate and its codegen compile —
+    the same interpreted-HOF/codegen-weight boundary rule as
+    :func:`shingle_sets`."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    tok_re = re.compile(TOKEN_SPLIT_RE)
+    jbits = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    def run(batches):
+        for pdf in batches:
+            ids, sims = [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in tok_re.split(str(txt).lower()) if t]
+                if not toks:
+                    continue  # matches with_simhash: no rows, no group
+                hs = np.array(
+                    [
+                        int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                        for t in toks
+                    ],
+                    dtype=np.int64,
+                )
+                bits = (hs[:, None] >> jbits[None, :]) & 1
+                votes = (2 * bits - 1).sum(axis=0)
+                sim = int(((votes >= 0).astype(np.int64) << jbits).sum())
+                ids.append(i)
+                sims.append(sim)
+            yield pd.DataFrame({id_col: ids, out: sims})
+
+    return _parallelize_texts(
+        docs.select(id_col, text_col), id_col
+    ).mapInPandas(run, schema=f"`{id_col}` long, `{out}` long")
+
+
 def simhash_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -703,11 +794,9 @@ def simhash_pairs(
     if max_dist >= chunks:
         raise ValueError("need chunks > max_dist for exact pigeonhole")
     width = SIMHASH_BITS // chunks
-    base = with_simhash(
-        _parallelize_texts(docs.select(id_col, text_col), id_col),
-        text_col,
-        id_col=id_col,
-    ).select(F.col(id_col).alias("id"), "simhash")
+    base = simhash_frame(docs, id_col=id_col, text_col=text_col).select(
+        F.col(id_col).alias("id"), "simhash"
+    )
     chunked = base.select(
         "id",
         "simhash",

@@ -1902,19 +1902,22 @@ FROM c"""
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition: fraction of duplicated word
     3-grams (1 - distinct/total) — the boilerplate/spam signal quality
-    filters threshold on. Pure JVM array expressions; integer counts
-    plus one shared-rounded ratio."""
-    docs = _docs_parallel(spark, sf_dir)
-    tok = tokens(F.col("text"))
-    n3 = F.greatest(F.size(tok) - F.lit(2), F.lit(0))
-    d3 = F.size(shingles(tok, 3))
+    filters threshold on. Counts come from one Arrow pass
+    (operators/dedup.py ngram_count_frame — the n-gram arrays are
+    never materialized); the ratio stays a JVM expression."""
+    from ..operators.dedup import ngram_count_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = ngram_count_frame(docs, n=3)
+    n3 = F.col("n_ngrams")
+    d3 = F.col("n_distinct")
     rep = F.when(
         n3 > 0, F.lit(1.0) - d3.cast("double") / n3
     ).otherwise(F.lit(0.0))
-    return docs.select(
+    return counts.select(
         "doc_id",
         n3.alias("n_trigrams"),
-        d3.alias("n_distinct"),
+        F.col("n_distinct"),
         _rne(rep, "rep_ratio"),
     )
 
