@@ -2035,7 +2035,13 @@ def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # persist: tf feeds BOTH the df aggregate and the scoring join —
+    # without it the tokenize+explode+count lineage runs twice
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(
