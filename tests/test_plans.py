@@ -88,3 +88,46 @@ def test_flagship_plan_has_no_cartesian_or_fact_broadcast(spark):
 
     plan = _plan(q_flagship(spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_matches_theta_join_and_stays_equi(spark):
+    """Bucketized range join must equal the naive theta join row-for-row
+    and must execute as a hash/sort-merge EQUI join (no
+    BroadcastNestedLoop / cartesian, which is what a non-equi condition
+    degenerates to)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from big_data_stock_price_forecast_spark.operators.rangejoin import (
+        range_join,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (u, i, rng.randrange(0, 500))
+        for i, u in enumerate(rng.choices(range(5), k=300))
+    ]
+    df = spark.createDataFrame(rows, ["k", "rid", "ts"])
+    left = df.select("k", F.col("rid").alias("lid"), F.col("ts").alias("__lts"))
+    right = df.select("k", F.col("rid").alias("rid2"), F.col("ts").alias("__rts"))
+    H = 37
+    got = {
+        (r["k"], r["lid"], r["rid2"])
+        for r in range_join(left, right, ["k"], H).collect()
+    }
+    want = {
+        (r["k"], r["lid"], r["rid2"])
+        for r in left.join(
+            right,
+            (left.k == right.k)
+            & (right.__rts > left.__lts)
+            & (right.__rts <= left.__lts + H),
+        )
+        .select(left.k, "lid", "rid2")
+        .collect()
+    }
+    assert got == want and got
+
+    plan = range_join(left, right, ["k"], H)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
