@@ -1587,6 +1587,98 @@ GROUP BY 1, 2"""
 
 RANGE_JOIN_HORIZON_US = 3_600_000_000  # 1 hour
 
+# hypertable rollup grains; each coarser grain is an integer multiple
+# of the previous so levels re-aggregate from one another
+ROLLUP_GRAINS_US = (
+    ("1h", 3_600_000_000),
+    ("6h", 21_600_000_000),
+    ("1d", 86_400_000_000),
+)
+
+
+def q_ts_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: per-symbol OHLC + row
+    count at 1h/6h/1d grains in ONE pass family — the finest grain
+    aggregates the (deduped) series, every coarser grain re-aggregates
+    the PREVIOUS level (open = min_by over the finer buckets' opens,
+    close = max_by, high/low = max/min, n = sum), and the levels union
+    under a ``grain`` label. The fact table is scanned once; the 6h
+    and 1d exchanges move only aggregate rows — the TimescaleDB
+    continuous-aggregate / Druid-rollup cascade, which at 100 TB is
+    the difference between one fact scan and three. Buckets are
+    left-closed epoch-floor; all outputs are picked or min/max values
+    (no float accumulation), so the hash needs no rounding."""
+    s = _series(spark, sf_dir)
+    dt = F.col("datetime")
+    if dict(s.dtypes)["datetime"] == "timestamp_ntz":
+        require_utc(spark)
+        dt = dt.cast("timestamp")
+    ts = F.unix_micros(dt)
+    g1 = ROLLUP_GRAINS_US[0][1]
+    # integer bucket math (ts - ts % g): double division would round
+    # near bucket boundaries where the oracle's `//` does not
+    lvl = (
+        s.groupBy(
+            "symbol", (ts - F.pmod(ts, F.lit(g1))).alias("bucket_us")
+        )
+        .agg(
+            F.min_by("close", "datetime").alias("open"),
+            F.max("close").alias("high"),
+            F.min("close").alias("low"),
+            F.max_by("close", "datetime").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    out = lvl.select(F.lit("1h").alias("grain"), "*")
+    for name, g in ROLLUP_GRAINS_US[1:]:
+        lvl = (
+            lvl.groupBy(
+                "symbol",
+                (
+                    F.col("bucket_us")
+                    - F.pmod(F.col("bucket_us"), F.lit(g))
+                ).alias("bucket_us"),
+            )
+            .agg(
+                F.min_by("open", "bucket_us").alias("open"),
+                F.max("high").alias("high"),
+                F.min("low").alias("low"),
+                F.max_by("close", "bucket_us").alias("close"),
+                F.sum("n").alias("n"),
+            )
+        )
+        out = out.unionByName(lvl.select(F.lit(name).alias("grain"), "*"))
+    return out
+
+
+def _sql_hypertable_rollup() -> str:
+    g1, g6, gd = (g for _, g in ROLLUP_GRAINS_US)
+    return f"""WITH {SQL_SERIES},
+l1 AS (
+  SELECT symbol, (epoch_us(ts) // {g1}) * {g1} AS bucket_us,
+         arg_min(close, ts) AS open, max(close) AS high,
+         min(close) AS low, arg_max(close, ts) AS close,
+         count(*) AS n
+  FROM series GROUP BY 1, 2
+),
+l6 AS (
+  SELECT symbol, (bucket_us // {g6}) * {g6} AS bucket_us,
+         arg_min(open, bucket_us) AS open, max(high) AS high,
+         min(low) AS low, arg_max(close, bucket_us) AS close,
+         CAST(sum(n) AS BIGINT) AS n
+  FROM l1 GROUP BY 1, 2
+),
+ld AS (
+  SELECT symbol, (bucket_us // {gd}) * {gd} AS bucket_us,
+         arg_min(open, bucket_us) AS open, max(high) AS high,
+         min(low) AS low, arg_max(close, bucket_us) AS close,
+         CAST(sum(n) AS BIGINT) AS n
+  FROM l6 GROUP BY 1, 2
+)
+SELECT '1h' AS grain, * FROM l1
+UNION ALL SELECT '6h' AS grain, * FROM l6
+UNION ALL SELECT '1d' AS grain, * FROM ld"""
+
 
 def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event 1-hour lookahead density: for every event, how many
@@ -4196,11 +4288,12 @@ def all_queries() -> dict[str, QueryFn]:
         "emb_near_dup_pairs": q_emb_near_dup,
         "emb_ann_lsh_topk": q_emb_ann_lsh,
         "events_json_agg": q_events_json_agg,
-        "events_sessionize": q_events_sessionize,
+        "ts_hypertable_rollup": q_ts_hypertable_rollup,
         "events_range_join": q_events_range_join,
         "events_value_quantiles": q_events_value_quantiles,
         # -- position > 50: rotated out this round (driver-green in
         # multiple prior rounds; see CORRECTNESS_r01..r05) --
+        "events_sessionize": q_events_sessionize,
         "events_hash_sample": q_events_hash_sample,
         "stream_dedup_keys": q_stream_dedup_keys,
         "stream_sessionize": q_stream_sessionize,
@@ -4286,6 +4379,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "emb_ann_lsh_topk": SQL_EMB_ANN_LSH,
         "events_json_agg": SQL_EVENTS_JSON,
         "events_sessionize": SQL_EVENTS_SESSIONS,
+        "ts_hypertable_rollup": _sql_hypertable_rollup(),
         "events_range_join": SQL_EVENTS_RANGE_JOIN,
         "events_hash_sample": _sql_events_hash_sample(),
         "events_value_quantiles": SQL_EVENTS_QUANTILES,
