@@ -3077,6 +3077,76 @@ def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "vec_id", "rank", _r6("dist"), "list_id")
 
 
+def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured ANN quality: recall@k of the IVF index against the
+    exact L2 top-k, per query point — the approximate path's accuracy
+    is a NUMBER the pipeline checks, not a hope. Both rankings break
+    distance ties on vec_id and both engines compute L2 as the same
+    sequential fold, so the top-k sets (and hence recall) are
+    bitwise-deterministic. Brute force broadcasts the tiny strided
+    query side, exactly like the knn suite."""
+    from ..operators.ivf import ivf_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    bf = (
+        emb.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", dist_l2(F.col("v"), F.col("qv")).alias("dist")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("dist").asc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= KNN_K)
+        .select("q_id", "vec_id")
+    )
+    ivf = ivf_ann_topk(
+        emb, query_mod=KNN_QUERY_MOD, k=KNN_K, nprobe=IVF_NPROBE
+    ).select("q_id", "vec_id")
+    hits = bf.join(ivf, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return q.select("q_id").join(hits, "q_id", "left").select(
+        "q_id",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        (
+            F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(float(KNN_K))
+        ).alias("recall"),
+    )
+
+
+def _sql_ivf_recall() -> str:
+    l2 = _sql_l2("e.v", "q.qv")
+    return f"""
+WITH ivf AS (SELECT q_id, vec_id FROM ({_sql_ivf_ann()})),
+emb2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q2 AS (SELECT vec_id AS q_id, v AS qv FROM emb2
+       WHERE vec_id % {KNN_QUERY_MOD} = 0),
+bf AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY {l2} ASC, e.vec_id ASC) AS rn
+    FROM emb2 e JOIN q2 q ON e.vec_id <> q.q_id)
+  WHERE rn <= {KNN_K}
+),
+hits AS (
+  SELECT q_id, count(*) AS n_hit
+  FROM bf JOIN ivf USING (q_id, vec_id) GROUP BY 1
+)
+SELECT q2.q_id, COALESCE(n_hit, 0) AS n_hit,
+       COALESCE(n_hit, 0)::DOUBLE / {float(KNN_K)} AS recall
+FROM q2 LEFT JOIN hits ON q2.q_id = hits.q_id"""
+
+
 def _sql_ivf_ann() -> str:
     l2_ec = _sql_l2("e.v", "c.cvec")
     l2_qc = _sql_l2("q.qv", "c.cvec")
@@ -4270,7 +4340,7 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_resample_6h": q_ts_resample_6h,
         "ts_gap_fill": q_ts_gap_fill,
         "ts_windows_stats": q_ts_windows_stats,
-        "ts_indicators": q_ts_indicators_all,
+        "emb_ivf_recall": q_emb_ivf_recall,
         "ts_indicators3": q_ts_indicators3,
         "ts_recursive_battery": q_ts_recursive_battery,
         "ts_numeric_profile": q_ts_numeric_profile,
@@ -4295,6 +4365,7 @@ def all_queries() -> dict[str, QueryFn]:
         # multiple prior rounds; see CORRECTNESS_r01..r05) --
         "events_sessionize": q_events_sessionize,
         "events_hash_sample": q_events_hash_sample,
+        "ts_indicators": q_ts_indicators_all,
         "stream_dedup_keys": q_stream_dedup_keys,
         "stream_sessionize": q_stream_sessionize,
         "stream_enrich_join": q_stream_enrich_join,
@@ -4336,6 +4407,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "media_thumbnail": _sql_media_thumbnail(),
         "media_byte_features": _sql_media_byte_features(),
         "emb_ivf_ann_topk": _sql_ivf_ann(),
+        "emb_ivf_recall": _sql_ivf_recall(),
         "doc_dup_clusters": _sql_dup_clusters(),
         "flagship_forecast_mae": _flagship_oracle(),
         "flagship_summary": (
