@@ -2163,6 +2163,75 @@ FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id"""
     )
 
 
+CMS_HH_DEN = 200  # heavy hitter = est count >= total_tokens / 200
+
+
+def q_doc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter terms via a Count-Min sketch (operators/sketch.py):
+    build the D x W sparse cell frame in one map-side-combined groupBy,
+    estimate every candidate term as the min over its D cells, and keep
+    terms whose ESTIMATE clears 0.5% of total token mass. Emits the
+    exact count beside the estimate, so the sketch's one-sided error
+    (est >= true, inflated only by collisions) is a measured column.
+    The hash family is the MinHash affine permutation over the md5
+    60-bit term hash — fully deterministic, so the oracle rebuilds the
+    identical sketch."""
+    from ..operators.sketch import cms_cells, cms_estimate
+
+    docs = _docs_parallel(spark, sf_dir)
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    cells = cms_cells(toks)
+    # exact counts double as the candidate set and the error reference
+    cand = toks.groupBy("term").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_estimate(cand.select("term"), cells)
+    thresh = toks.agg(
+        (F.count(F.lit(1)) / F.lit(CMS_HH_DEN)).alias("__t")
+    )
+    return (
+        cand.join(est, "term")
+        .crossJoin(F.broadcast(thresh))
+        .filter(F.col("est_cnt") >= F.col("__t"))
+        .select("term", "true_cnt", "est_cnt")
+    )
+
+
+def _sql_cms_heavy_hitters() -> str:
+    from ..operators.dedup import MH_PRIME, minhash_coeffs
+    from ..operators.sketch import CMS_DEPTH, CMS_WIDTH
+
+    a, b = minhash_coeffs(CMS_DEPTH)
+    coeff_rows = ", ".join(
+        f"({d}, {a[d]}, {b[d]})" for d in range(CMS_DEPTH)
+    )
+    return f"""
+WITH t AS (
+  SELECT unnest({sql_tokens('text')}) AS term FROM documents
+),
+h AS (SELECT term, {sql_hash60('term')} % {MH_PRIME} AS h FROM t),
+coeff(d, a, b) AS (VALUES {coeff_rows}),
+cells AS (
+  SELECT c.d, ((h.h * c.a + c.b) % {MH_PRIME}) % {CMS_WIDTH} AS cell,
+         count(*) AS cnt
+  FROM h CROSS JOIN coeff c GROUP BY 1, 2
+),
+cand AS (
+  SELECT term, count(*) AS true_cnt, any_value(h) AS h
+  FROM h GROUP BY term
+),
+est AS (
+  SELECT p.term, min(cells.cnt) AS est_cnt
+  FROM (
+    SELECT cand.term, c.d,
+           ((cand.h * c.a + c.b) % {MH_PRIME}) % {CMS_WIDTH} AS cell
+    FROM cand CROSS JOIN coeff c) p
+  JOIN cells USING (d, cell) GROUP BY 1
+)
+SELECT cand.term, CAST(true_cnt AS BIGINT) AS true_cnt,
+       CAST(est_cnt AS BIGINT) AS est_cnt
+FROM cand JOIN est USING (term)
+WHERE est_cnt >= (SELECT count(*) FROM t) / {CMS_HH_DEN}.0"""
+
+
 def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document — the classic text-pipeline
     relevance feature. TF and DF are exact integer aggregates; the
@@ -4344,7 +4413,7 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_indicators3": q_ts_indicators3,
         "ts_recursive_battery": q_ts_recursive_battery,
         "ts_numeric_profile": q_ts_numeric_profile,
-        "ts_dup_quality": q_ts_dup_quality,
+        "doc_cms_heavy_hitters": q_doc_cms_heavy_hitters,
         "knn_topk_metrics": q_knn_topk_metrics,
         "emb_centroid_by_label": q_emb_centroid_by_label,
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -4365,6 +4434,7 @@ def all_queries() -> dict[str, QueryFn]:
         # multiple prior rounds; see CORRECTNESS_r01..r05) --
         "events_sessionize": q_events_sessionize,
         "events_hash_sample": q_events_hash_sample,
+        "ts_dup_quality": q_ts_dup_quality,
         "ts_indicators": q_ts_indicators_all,
         "stream_dedup_keys": q_stream_dedup_keys,
         "stream_sessionize": q_stream_sessionize,
@@ -4461,6 +4531,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "events_type_pivot": _sql_events_type_pivot(),
         "events_user_retention": SQL_EVENTS_RETENTION,
         "emb_sq8_stats": _sql_emb_sq8(),
+        "doc_cms_heavy_hitters": _sql_cms_heavy_hitters(),
         "doc_tfidf_topk": _sql_doc_tfidf(),
         "doc_decontam_overlap": _sql_doc_decontam(),
         "doc_repetition": _sql_doc_repetition(),

@@ -427,3 +427,29 @@ def test_shingle_sets_matches_jvm_expression(spark):
         r["doc_id"]: r["sh"] for r in shingle_sets(docs).collect()
     }
     assert via_arrow == via_jvm
+
+
+def test_cms_estimate_upper_bounds_and_converges(spark):
+    """Count-Min invariants: est >= true for every term (one-sided
+    error), and with a wide-enough table (no collisions at this
+    vocabulary) est == true exactly."""
+    from big_data_stock_price_forecast_spark.operators.sketch import (
+        cms_cells,
+        cms_estimate,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    rows = [(w,) for i, w in enumerate(words) for _ in range(i + 1)]
+    toks = spark.createDataFrame(rows * 3, ["term"])  # counts 3,6,9,12,15
+    truth = {w: 3 * (i + 1) for i, w in enumerate(words)}
+    cand = toks.distinct()
+
+    wide = cms_estimate(
+        cand, cms_cells(toks, width=1 << 16), width=1 << 16
+    ).collect()
+    assert {r["term"]: r["est_cnt"] for r in wide} == truth
+
+    # a 2-cell table forces collisions: estimates must only inflate
+    tiny = cms_estimate(cand, cms_cells(toks, width=2), width=2).collect()
+    for r in tiny:
+        assert r["est_cnt"] >= truth[r["term"]]
