@@ -33,6 +33,70 @@ from .dedup import MH_PRIME, minhash_coeffs
 CMS_DEPTH = 4
 CMS_WIDTH = 1024
 
+HLL_BUCKET_BITS = 6            # m = 64 registers
+HLL_M = 1 << HLL_BUCKET_BITS
+HLL_W_BITS = 60 - HLL_BUCKET_BITS  # 54-bit rank window
+# alpha_m for m = 64 (Flajolet et al. 2007); computed once in Python
+# and inlined as the SAME double literal on both engines
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HyperLogLog registers (bucket, max rank) from the
+    md5-derived 60-bit key hash: bucket = low 6 bits, rank = leftmost
+    1-bit position of the remaining 54 (via the bin()-string length,
+    which Spark and DuckDB define identically — no float log2 anywhere,
+    so registers are bit-deterministic). ONE map-side-combined groupBy;
+    registers merge across partitions/batches by re-maxing, the HLL
+    mergeability property."""
+    h = hash60(F.col(key_col).cast("string"))
+    w = F.shiftright(h, HLL_BUCKET_BITS)
+    rank = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(
+            *group_cols,
+            F.pmod(h, F.lit(HLL_M)).alias("bucket"),
+            rank.alias("rank"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").alias("m_rank"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Distinct-count estimate per group from the register frame.
+
+    The harmonic sum is computed as the INTEGER sum(2^(P - M_j))
+    (P = 55) including 2^P per empty register — exact in int64, so no
+    float accumulation order can perturb the estimate; the only float
+    ops are one division and (in the small-range linear-counting
+    branch) one ln, both over identical integers on every engine.
+    Returns (*group_cols, n_buckets, hll_est)."""
+    p = HLL_W_BITS + 1  # 55
+    term = F.pow(F.lit(2.0), F.lit(p) - F.col("m_rank")).cast("long")
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(term).alias("__s_present"),
+    )
+    s_int = F.col("__s_present") + (
+        F.lit(HLL_M) - F.col("n_buckets")
+    ) * F.lit(1 << p)
+    raw = (
+        F.lit(HLL_ALPHA * HLL_M * HLL_M) * F.lit(float(1 << p)) / s_int
+    )
+    v = F.lit(HLL_M) - F.col("n_buckets")  # empty registers
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols, "n_buckets", est.alias("hll_est")
+    )
+
 
 def _cell(h, d: int, a: list[int], b: list[int], width: int):
     return F.pmod(

@@ -2163,6 +2163,81 @@ FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id"""
     )
 
 
+def q_events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via a DETERMINISTIC HyperLogLog
+    (operators/sketch.py) with the exact countDistinct beside it — the
+    cardinality sketch a 100 TB pipeline uses instead of shuffling
+    every distinct key, with its error measured rather than assumed.
+    Registers come from the md5 60-bit hash (no float log2 — rank via
+    the bin()-string length both engines define identically) and the
+    harmonic sum is integer, so the oracle reproduces the estimate to
+    the shared rounding."""
+    from ..operators.sketch import hll_estimate, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(
+        ev.select("event_type", "user_id"), "user_id", ["event_type"]
+    )
+    est = hll_estimate(regs, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "n_exact", "n_buckets", _r6("hll_est")
+    )
+
+
+def _sql_events_hll() -> str:
+    from ..operators.sketch import HLL_ALPHA, HLL_M, HLL_W_BITS
+
+    p = HLL_W_BITS + 1
+    alpha_mm = HLL_ALPHA * HLL_M * HLL_M
+    body = f"""WITH h AS (
+  SELECT event_type, {sql_hash60('CAST(user_id AS VARCHAR)')} AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h % {HLL_M} AS bucket,
+         CASE WHEN (h >> {HLL_M.bit_length() - 1}) = 0 THEN {p}
+              ELSE {p} - length(bin(h >> {HLL_M.bit_length() - 1})) END
+           AS rank
+  FROM h
+),
+regs AS (
+  SELECT event_type, bucket, max(rank) AS m FROM r GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type, count(*) AS n_buckets,
+         CAST(sum(CAST(power(2.0, {p} - m) AS BIGINT)) AS BIGINT)
+           AS s_present
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT event_type, n_buckets,
+         {alpha_mm!r} * {float(1 << p)!r}
+           / (s_present + ({HLL_M} - n_buckets) * {1 << p}) AS raw,
+         {HLL_M} - n_buckets AS v
+  FROM agg
+),
+fin AS (
+  SELECT event_type, n_buckets,
+         CASE WHEN raw <= {2.5 * HLL_M} AND v > 0
+              THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v)
+              ELSE raw END AS hll_est
+  FROM est
+),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT ex.event_type, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_buckets AS BIGINT) AS n_buckets, hll_est
+FROM ex JOIN fin ON ex.event_type = fin.event_type"""
+    return _sql_r6_wrap(
+        body, ["event_type", "n_exact", "n_buckets"], ["hll_est"]
+    )
+
+
 CMS_HH_DEN = 200  # heavy hitter = est count >= total_tokens / 200
 
 
@@ -4415,7 +4490,7 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_numeric_profile": q_ts_numeric_profile,
         "doc_cms_heavy_hitters": q_doc_cms_heavy_hitters,
         "knn_topk_metrics": q_knn_topk_metrics,
-        "emb_centroid_by_label": q_emb_centroid_by_label,
+        "events_hll_users": q_events_hll_users,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "top_revenue_nations": q_top_revenue_nations,
         "doc_text_profile": q_doc_text_profile,
@@ -4435,6 +4510,7 @@ def all_queries() -> dict[str, QueryFn]:
         "events_sessionize": q_events_sessionize,
         "events_hash_sample": q_events_hash_sample,
         "ts_dup_quality": q_ts_dup_quality,
+        "emb_centroid_by_label": q_emb_centroid_by_label,
         "ts_indicators": q_ts_indicators_all,
         "stream_dedup_keys": q_stream_dedup_keys,
         "stream_sessionize": q_stream_sessionize,
@@ -4532,6 +4608,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "events_user_retention": SQL_EVENTS_RETENTION,
         "emb_sq8_stats": _sql_emb_sq8(),
         "doc_cms_heavy_hitters": _sql_cms_heavy_hitters(),
+        "events_hll_users": _sql_events_hll(),
         "doc_tfidf_topk": _sql_doc_tfidf(),
         "doc_decontam_overlap": _sql_doc_decontam(),
         "doc_repetition": _sql_doc_repetition(),

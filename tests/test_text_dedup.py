@@ -453,3 +453,36 @@ def test_cms_estimate_upper_bounds_and_converges(spark):
     tiny = cms_estimate(cand, cms_cells(toks, width=2), width=2).collect()
     for r in tiny:
         assert r["est_cnt"] >= truth[r["term"]]
+
+
+def test_hll_estimate_accuracy_and_mergeability(spark):
+    """HLL invariants: the estimate lands within ~3 standard errors
+    (1.04/sqrt(64) ~ 13%) of the true cardinality, and registers built
+    from two halves of the data merge (re-max) to the registers of the
+    whole — the property that makes the sketch distributable."""
+    from big_data_stock_price_forecast_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 3000
+    df = spark.createDataFrame(
+        [("g", i) for i in range(n)], ["g", "uid"]
+    )
+    regs = hll_registers(df, "uid", ["g"])
+    est = hll_estimate(regs, ["g"]).collect()[0]["hll_est"]
+    assert abs(est - n) / n < 0.40  # 3 sigma at m=64
+
+    half1 = hll_registers(df.filter(F.col("uid") < n // 2), "uid", ["g"])
+    half2 = hll_registers(df.filter(F.col("uid") >= n // 2), "uid", ["g"])
+    merged = (
+        half1.unionByName(half2)
+        .groupBy("g", "bucket")
+        .agg(F.max("m_rank").alias("m_rank"))
+    )
+    whole = {
+        (r["bucket"], r["m_rank"]) for r in regs.collect()
+    }
+    assert {
+        (r["bucket"], r["m_rank"]) for r in merged.collect()
+    } == whole
