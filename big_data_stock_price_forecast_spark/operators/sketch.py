@@ -33,6 +33,47 @@ from .dedup import MH_PRIME, minhash_coeffs
 CMS_DEPTH = 4
 CMS_WIDTH = 1024
 
+BLOOM_K = 4
+BLOOM_M_BITS = 4096
+
+
+def bloom_positions(
+    df: DataFrame,
+    hash_col: str = "h",
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_M_BITS,
+) -> DataFrame:
+    """Explode each row into its k Bloom bit positions (d, pos) —
+    the MinHash affine family over the 60-bit hash again, so both
+    engines and the build/probe sides derive identical bits. The
+    relational form (a distinct-position frame instead of a packed
+    bitmap) is what makes the filter oracle-checkable; a cluster
+    deployment packs the same positions into a broadcast bitmask."""
+    a, b = minhash_coeffs(k)
+    # reduce the 60-bit hash mod P FIRST: h*a must stay under 2^62
+    h = F.pmod(F.col(hash_col), F.lit(MH_PRIME))
+    return df.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            F.pmod(
+                                h * F.lit(a[d]) + F.lit(b[d]),
+                                F.lit(MH_PRIME),
+                            ),
+                            F.lit(m_bits),
+                        ).alias("pos"),
+                    )
+                    for d in range(k)
+                ]
+            )
+        ).alias("dp"),
+    ).select("*", "dp.d", "dp.pos").drop("dp")
+
+
 HLL_BUCKET_BITS = 6            # m = 64 registers
 HLL_M = 1 << HLL_BUCKET_BITS
 HLL_W_BITS = 60 - HLL_BUCKET_BITS  # 54-bit rank window

@@ -28,6 +28,7 @@ from ..functions.distance import cos_sim, dist_l1, dist_l2, weighted_dist
 from ..functions.text import (
     EN_STOPWORDS,
     fingerprint,
+    hash60,
     predicted_lang,
     shingles,
     sql_fingerprint,
@@ -2236,6 +2237,114 @@ FROM ex JOIN fin ON ex.event_type = fin.event_type"""
     return _sql_r6_wrap(
         body, ["event_type", "n_exact", "n_buckets"], ["hll_est"]
     )
+
+
+def q_doc_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: probe every training 5-gram
+    against a Bloom filter of the benchmark set and report, per doc,
+    the filter's hit count NEXT TO the exact overlap — so the
+    false-positive rate (the filter's one price) is a measured column,
+    not an assumption. A shingle "hits" when ALL k of its bit
+    positions are set (countDistinct(d) == k against the benchmark's
+    distinct-position frame); at cluster scale the position frame
+    packs into a broadcast bitmask and the probe is a map-side bit
+    test with no shuffle at all — the standard pre-join pruning
+    filter."""
+    from ..operators.dedup import shingle_sets
+    from ..operators.sketch import BLOOM_K, bloom_positions
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_sets(docs, n=DECONTAM_N).select(
+        "doc_id", F.explode("sh").alias("__s")
+    ).select("doc_id", hash60(F.col("__s")).alias("h"))
+    bench_h = (
+        sh.filter(F.col("doc_id") < DECONTAM_BENCH_MAX)
+        .select("h")
+        .distinct()
+    )
+    bench_bits = bloom_positions(bench_h).select("pos").distinct()
+    train = sh.filter(F.col("doc_id") >= DECONTAM_BENCH_MAX)
+    probe = bloom_positions(train)
+    full_hits = (
+        probe.join(F.broadcast(bench_bits), "pos")
+        .groupBy("doc_id", "h")
+        .agg(F.countDistinct("d").alias("__k"))
+        .filter(F.col("__k") == BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_bloom_hits"))
+    )
+    exact_hits = (
+        train.join(F.broadcast(bench_h), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_exact_hits"))
+    )
+    totals = train.groupBy("doc_id").agg(
+        F.countDistinct("h").alias("n_shingles")
+    )
+    return (
+        totals.join(full_hits, "doc_id", "left")
+        .join(exact_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
+            F.coalesce("n_exact_hits", F.lit(0)).alias("n_exact_hits"),
+        )
+    )
+
+
+def _sql_bloom_decontam() -> str:
+    from ..operators.dedup import MH_PRIME, minhash_coeffs
+    from ..operators.sketch import BLOOM_K, BLOOM_M_BITS
+
+    a, b = minhash_coeffs(BLOOM_K)
+    coeff_rows = ", ".join(
+        f"({d}, {a[d]}, {b[d]})" for d in range(BLOOM_K)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {sql_tokens('text')} AS tok FROM documents
+),
+s AS (
+  SELECT doc_id,
+         unnest(list_transform({sql_shingles('tok', DECONTAM_N)},
+                x -> {sql_hash60('x')})) AS h
+  FROM t
+),
+sd AS (SELECT DISTINCT doc_id, h FROM s),
+coeff(d, a, b) AS (VALUES {coeff_rows}),
+bench_h AS (
+  SELECT DISTINCT h FROM sd WHERE doc_id < {DECONTAM_BENCH_MAX}
+),
+bench_bits AS (
+  SELECT DISTINCT (((h % {MH_PRIME}) * c.a + c.b) % {MH_PRIME})
+           % {BLOOM_M_BITS} AS pos
+  FROM bench_h CROSS JOIN coeff c
+),
+train AS (SELECT doc_id, h FROM sd WHERE doc_id >= {DECONTAM_BENCH_MAX}),
+probe AS (
+  SELECT train.doc_id, train.h, c.d,
+         (((train.h % {MH_PRIME}) * c.a + c.b) % {MH_PRIME})
+           % {BLOOM_M_BITS} AS pos
+  FROM train CROSS JOIN coeff c
+),
+full_hits AS (
+  SELECT doc_id, count(*) AS n_bloom_hits FROM (
+    SELECT doc_id, h, count(DISTINCT d) AS kk
+    FROM probe JOIN bench_bits USING (pos)
+    GROUP BY 1, 2) WHERE kk = {BLOOM_K}
+  GROUP BY 1
+),
+exact_hits AS (
+  SELECT doc_id, count(*) AS n_exact_hits
+  FROM train WHERE h IN (SELECT h FROM bench_h) GROUP BY 1
+),
+totals AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY 1)
+SELECT totals.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
+       CAST(COALESCE(n_exact_hits, 0) AS BIGINT) AS n_exact_hits
+FROM totals LEFT JOIN full_hits USING (doc_id)
+LEFT JOIN exact_hits USING (doc_id)"""
 
 
 CMS_HH_DEN = 200  # heavy hitter = est count >= total_tokens / 200
@@ -4463,6 +4572,7 @@ def all_queries() -> dict[str, QueryFn]:
         "emb_sq8_stats": q_emb_sq8_stats,
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "doc_decontam_overlap": q_doc_decontam_overlap,
+        "doc_bloom_decontam": q_doc_bloom_decontam,
         "doc_repetition": q_doc_repetition,
         "doc_chunks": q_doc_chunks,
         "ts_feature_null_ratio": q_ts_feature_null_ratio,
@@ -4611,6 +4721,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "events_hll_users": _sql_events_hll(),
         "doc_tfidf_topk": _sql_doc_tfidf(),
         "doc_decontam_overlap": _sql_doc_decontam(),
+        "doc_bloom_decontam": _sql_bloom_decontam(),
         "doc_repetition": _sql_doc_repetition(),
         "doc_chunks": _sql_doc_chunks(),
         "events_rollup": SQL_EVENTS_ROLLUP,

@@ -486,3 +486,19 @@ def test_hll_estimate_accuracy_and_mergeability(spark):
     assert {
         (r["bucket"], r["m_rank"]) for r in merged.collect()
     } == whole
+
+
+def test_bloom_hits_superset_of_exact(spark, sf_dir):
+    """Bloom membership can only over-report (no false negatives):
+    per doc, n_bloom_hits >= n_exact_hits, and every exact hit's
+    positions are all set."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_bloom_decontam,
+    )
+
+    rows = q_doc_bloom_decontam(spark, sf_dir).collect()
+    assert rows
+    assert any(r["n_exact_hits"] > 0 for r in rows)
+    for r in rows:
+        assert r["n_bloom_hits"] >= r["n_exact_hits"]
+        assert r["n_shingles"] >= r["n_bloom_hits"]
