@@ -72,6 +72,66 @@ def assign_lists(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def write_ivf_layout(
+    emb: DataFrame, path: str, centroids: DataFrame | None = None
+) -> None:
+    """Materialize the corpus partitioned BY list_id — the 100 TB IVF
+    layout: a probe then reads ONLY its nprobe list directories
+    (partition pruning at the scan, verified by the plan test) instead
+    of scanning the corpus and semi-joining. One assignment pass + one
+    write; the index is append-friendly (new vectors assign against
+    the same persisted centroids and land in their list's directory).
+    Centroids persist beside the lists so probes quantize against
+    EXACTLY the index's quantizer, not a recomputed one."""
+    centroids = centroids if centroids is not None else label_centroids(emb)
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = assign_lists(emb, centroids)
+    (
+        assigned.repartition("list_id")
+        .write.partitionBy("list_id")
+        .mode("overwrite")
+        .parquet(f"{path}/lists")
+    )
+
+
+def ivf_probe_layout(
+    spark, path: str, queries: DataFrame, k: int = 5, nprobe: int = 2
+) -> DataFrame:
+    """Top-k against a :func:`write_ivf_layout` index: rank the
+    persisted centroids per query, keep ``nprobe`` list_ids, and scan
+    ONLY those partitions (the list_id filter is a partition filter —
+    the scan never opens other lists' files). Returns
+    (q_id, vec_id, rank, dist, list_id) with the same ordering
+    contract as :func:`ivf_ann_topk`."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("__cdist").asc(), F.col("label_c").asc()
+    )
+    probes = (
+        queries.crossJoin(
+            F.broadcast(
+                centroids.select(F.col("label").alias("label_c"), "cvec")
+            )
+        )
+        .withColumn("__cdist", dist_l2(F.col("qv"), F.col("cvec")))
+        .withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= nprobe)
+        .select("q_id", "qv", F.col("label_c").alias("list_id"))
+    )
+    lists = spark.read.parquet(f"{path}/lists")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        lists.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("dist", dist_l2(F.col("v"), F.col("qv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "dist", "list_id")
+    )
+
+
 def ivf_ann_topk(
     emb: DataFrame,
     query_mod: int,

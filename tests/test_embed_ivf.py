@@ -108,3 +108,40 @@ def test_ivf_topk_is_exact_within_probed_lists(spark):
         for r in rows:
             expect = float(np.sqrt(((vecs[r["vec_id"]] - vecs[q_id]) ** 2).sum()))
             assert abs(r["dist"] - expect) < 1e-6
+
+
+def test_ivf_layout_probe_matches_inmemory_and_prunes(spark, tmp_path):
+    """The persisted bucket-by-list layout must return the same top-k
+    as the in-memory IVF path, and the probe's scan of the lists table
+    must carry a dynamic partition-pruning filter on list_id — only
+    probed list directories are read."""
+    from big_data_stock_price_forecast_spark.operators.ivf import (
+        ivf_probe_layout,
+        write_ivf_layout,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"),
+        "label",
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_layout(emb, path)
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    via_layout = ivf_probe_layout(spark, path, queries, k=3, nprobe=2)
+    got = {
+        (r["q_id"], r["vec_id"], r["rank"], r["list_id"])
+        for r in via_layout.collect()
+    }
+    want = {
+        (r["q_id"], r["vec_id"], r["rank"], r["list_id"])
+        for r in ivf_ann_topk(emb, query_mod=50, k=3, nprobe=2).collect()
+    }
+    assert got == want and got
+
+    plan = (
+        via_layout._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "dynamicpruning" in plan.lower()
