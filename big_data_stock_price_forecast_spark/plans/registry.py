@@ -1122,6 +1122,132 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name"""
 
 
+def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: revenue per nation where the customer and the
+    line's supplier share a nation inside one region — the classic
+    6-table snowflake join. Join strategy by size class: `region` and
+    `nation` are constant-size dims (5/25 rows at every SF) and are
+    broadcast EXPLICITLY — their filter (`r_name`, and transitively
+    the region's nation set) then prunes the supplier/customer sides
+    at the scan instead of after a shuffle. supplier/customer/orders/
+    lineitem all grow with SF, so their joins are left to AQE. The
+    c_nationkey = s_nationkey condition rides the customer⋈supplier
+    equi-join keys instead of a post-join filter, keeping every join
+    an equi-join (no nested-loop anywhere)."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    asia_nations = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "ASIA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(asia_nations),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c, p=18, s=2: F.col(c).cast(f"decimal({p},{s})")  # noqa: E731
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp.select("s_suppkey", "s_nationkey", "n_name"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            cust.select("c_custkey", "c_nationkey"),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount", 3, 2)))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name"""
+
+
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: top-20 customers by revenue lost to returned
+    lineitems in one quarter. The returnflag + date filters reach the
+    scans (pushdown), the l⋈o⋈c joins are AQE-planned, `nation` is an
+    explicit broadcast; exact DECIMAL revenue makes the DESC sort —
+    and therefore the LIMIT cut (c_custkey tie-break) —
+    deterministic."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    dec = lambda c, p=18, s=2: F.col(c).cast(f"decimal({p},{s})")  # noqa: E731
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount", 3, 2)))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+            AS DOUBLE) AS revenue,
+       c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20"""
+
+
 # --------------------------------------------------------------------------
 # document/text queries (documents table)
 # --------------------------------------------------------------------------
@@ -4575,9 +4701,9 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_bloom_decontam": q_doc_bloom_decontam,
         "doc_repetition": q_doc_repetition,
         "doc_chunks": q_doc_chunks,
+        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
         "ts_feature_null_ratio": q_ts_feature_null_ratio,
-        "ts_dropna_features": q_ts_dropna_features,
-        "ts_train_val_split": q_ts_train_val_split,
         "ts_incremental_upsert": q_ts_incremental_upsert,
         "ts_savgol": q_ts_savgol,
         "win_dct_embed": q_win_dct_embed,
@@ -4636,6 +4762,8 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_resample_6h_trimmed": q_ts_resample_trimmed,
         "ts_sma": q_ts_sma,
         "ts_delta_hist": q_ts_delta_hist,
+        "ts_dropna_features": q_ts_dropna_features,
+        "ts_train_val_split": q_ts_train_val_split,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q18_big_orders": q_tpch_q18_big_orders,
@@ -4691,6 +4819,8 @@ def _oracle_sql_map() -> dict[str, str]:
         "knn_topk_metrics": _sql_knn_metrics(),
         "emb_centroid_by_label": SQL_EMB_CENTROID,
         "tpch_q1_pricing_summary": SQL_TPCH_Q1,
+        "tpch_q5_local_supplier": SQL_TPCH_Q5,
+        "tpch_q10_returned_items": SQL_TPCH_Q10,
         "tpch_q3_shipping": SQL_TPCH_Q3,
         "tpch_q4_priority": SQL_TPCH_Q4,
         "tpch_q18_big_orders": SQL_TPCH_Q18,
