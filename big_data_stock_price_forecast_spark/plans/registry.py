@@ -1946,6 +1946,87 @@ WHERE {h} % 20 = 0
 GROUP BY 1"""
 
 
+# per-stratum sampling denominators: keep 1/denom of each event type.
+# The denominators differ on purpose — rebalancing a skewed class mix
+# (keep most of the rare strata, downsample the common ones) is the
+# canonical training-data sampling stage.
+STRATA_DENOMS: dict[str, int] = {
+    "click": 20,
+    "view": 20,
+    "error": 10,
+    "signup": 4,
+    "purchase": 2,
+}
+
+
+def q_events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: a per-stratum rate table
+    drives a Bernoulli keep-decision computed from the portable
+    ``hash60`` of the row key — reproducible across engines, runs, and
+    partitionings, unlike ``rand()``/``sample()``. The rate table is a
+    BROADCAST dim (here 5 rows; the same plan carries thousands of
+    strata), so the keep-filter evaluates streaming at the scan with
+    no shuffle before the filter; at 100 TB only the sampled fraction
+    survives into the aggregate. One conditional-aggregation pass
+    emits sampled and total counts together (no second scan), so the
+    achieved rate is measured beside the configured one."""
+    ev = load_table(spark, sf_dir, "events")
+    rates = spark.createDataFrame(
+        [(t, d) for t, d in STRATA_DENOMS.items()],
+        ["event_type", "denom"],
+    )
+    keep = hash60(F.col("event_id").cast("string")) % F.col("denom") == 0
+    return (
+        ev.join(F.broadcast(rates), "event_type")
+        .withColumn("__keep", keep)
+        .groupBy("event_type", "denom")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("__keep").cast("bigint")).alias("n_sampled"),
+            F.round(
+                F.sum(F.col("__keep").cast("bigint"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("rate_achieved"),
+            F.sum(
+                F.when(F.col("__keep"), F.col("value"))
+                .otherwise(F.lit(None))
+                .cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("value_sum"),
+            F.min(F.when(F.col("__keep"), F.col("event_id"))).alias(
+                "min_event_id"
+            ),
+        )
+    )
+
+
+def _sql_events_stratified_sample() -> str:
+    from ..functions.text import sql_hash60
+
+    h = sql_hash60("CAST(event_id AS VARCHAR)")
+    vals = ", ".join(
+        f"('{t}', {d})" for t, d in STRATA_DENOMS.items()
+    )
+    return f"""
+WITH rates(event_type, denom) AS (VALUES {vals}),
+tagged AS (
+  SELECT e.event_type, r.denom, e.event_id, e.value,
+         {h} % r.denom = 0 AS keep
+  FROM events e JOIN rates r USING (event_type)
+)
+SELECT event_type, denom, count(*) AS n_total,
+       CAST(sum(CAST(keep AS BIGINT)) AS BIGINT) AS n_sampled,
+       round(sum(CAST(keep AS BIGINT))::DOUBLE / count(*), 6)
+         AS rate_achieved,
+       CAST(sum(CASE WHEN keep THEN CAST(value AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS value_sum,
+       min(CASE WHEN keep THEN event_id END) AS min_event_id
+FROM tagged
+GROUP BY 1, 2"""
+
+
 def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: per-user-decile event counts, one column per event type
     — the wide-format report shape. The pivot values are declared
@@ -4703,6 +4784,7 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_chunks": q_doc_chunks,
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "events_stratified_sample": q_events_stratified_sample,
         "ts_feature_null_ratio": q_ts_feature_null_ratio,
         "ts_incremental_upsert": q_ts_incremental_upsert,
         "ts_savgol": q_ts_savgol,
@@ -4733,7 +4815,6 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_exact_dup_groups": q_doc_exact_dup_groups,
         "doc_minhash_lsh_pairs": q_doc_minhash_pairs,
         "doc_incremental_dups": q_doc_incremental_dups,
-        "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_near_dup_pairs": q_emb_near_dup,
         "emb_ann_lsh_topk": q_emb_ann_lsh,
@@ -4764,6 +4845,7 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_delta_hist": q_ts_delta_hist,
         "ts_dropna_features": q_ts_dropna_features,
         "ts_train_val_split": q_ts_train_val_split,
+        "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q18_big_orders": q_tpch_q18_big_orders,
@@ -4840,6 +4922,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "ts_hypertable_rollup": _sql_hypertable_rollup(),
         "events_range_join": SQL_EVENTS_RANGE_JOIN,
         "events_hash_sample": _sql_events_hash_sample(),
+        "events_stratified_sample": _sql_events_stratified_sample(),
         "events_value_quantiles": SQL_EVENTS_QUANTILES,
         "events_funnel": SQL_EVENTS_FUNNEL,
         "events_session_stats": _sql_events_session_stats(),
