@@ -2687,6 +2687,95 @@ SELECT doc_id, rank, term, tf, df, tfidf FROM j WHERE rank <= 5"""
     )
 
 
+PMI_MIN_SUPPORT = 5
+PMI_TOPK = 30
+
+
+def q_doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top adjacent-bigram phrases by count with
+    pointwise mutual information — the phrase-discovery stage of a
+    corpus analysis pipeline (PMI >> 0 = a real phrase, PMI ~ 0 =
+    words co-occurring by chance). One tokenize pass feeds both the
+    unigram and the bigram counts; the min-support filter prunes the
+    bigram table BEFORE the two vocabulary joins (at 100 TB the
+    singleton-bigram tail is most of the table, so filtering first is
+    the difference between joining a long tail and joining the head);
+    corpus totals ride in as a broadcast one-row frame. Ordering and
+    the top-k cut use only exact integers and ASCII tokens
+    (c_ab DESC, w1, w2); the float PMI is emitted through the shared
+    floor-rounding, never ranked on (ln differs in the last ulp
+    across libm implementations)."""
+    docs = _docs_parallel(spark, sf_dir)
+    toks = docs.select(tokens(F.col("text")).alias("tok")).persist()
+    uni = toks.select(F.explode("tok").alias("term"))
+    uc = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    bigrams = F.when(
+        F.size("tok") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tok") - 1),
+            lambda i: F.struct(
+                F.element_at("tok", i).alias("w1"),
+                F.element_at("tok", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = toks.select(F.explode(bigrams).alias("bg")).select(
+        "bg.w1", "bg.w2"
+    )
+    bc = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_SUPPORT)
+    )
+    totals = uni.agg(F.count(F.lit(1)).alias("n_tok")).crossJoin(
+        bi.agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    pmi = F.log(
+        (F.col("c_ab") * 1.0 / F.col("n_big"))
+        / (
+            (F.col("c_a") * 1.0 / F.col("n_tok"))
+            * (F.col("c_b") * 1.0 / F.col("n_tok"))
+        )
+    )
+    return (
+        bc.join(uc.select(F.col("term").alias("w1"),
+                          F.col("c").alias("c_a")), "w1")
+        .join(uc.select(F.col("term").alias("w2"),
+                        F.col("c").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .orderBy(F.col("c_ab").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(PMI_TOPK)
+        .select("w1", "w2", "c_ab", "c_a", "c_b", _r6e(pmi, "pmi"))
+    )
+
+
+def _sql_doc_bigram_pmi() -> str:
+    pmi = (
+        "ln((c_ab * 1.0 / n_big) / "
+        "((c_a * 1.0 / n_tok) * (c_b * 1.0 / n_tok)))"
+    )
+    return f"""
+WITH toks AS (SELECT {sql_tokens('text')} AS tok FROM documents),
+uni AS (SELECT unnest(tok) AS term FROM toks),
+uc AS (SELECT term, count(*) AS c FROM uni GROUP BY 1),
+bi AS (
+  SELECT tok[i] AS w1, tok[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tok) - 1)) AS i)
+  WHERE len(tok) >= 2
+),
+bc AS (
+  SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY 1, 2
+  HAVING count(*) >= {PMI_MIN_SUPPORT}
+),
+nt AS (SELECT count(*) AS n_tok FROM uni),
+nb AS (SELECT count(*) AS n_big FROM bi)
+SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b,
+       {_sql_rne(pmi, 'pmi')}
+FROM bc JOIN uc a ON w1 = a.term JOIN uc b ON w2 = b.term, nt, nb
+ORDER BY c_ab DESC, w1 ASC, w2 ASC
+LIMIT {PMI_TOPK}"""
+
+
 def q_emb_sq8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 scalar quantization (the standard ANN
     compression step: per-vector min/max range, 255 levels) with
@@ -4778,6 +4867,7 @@ def all_queries() -> dict[str, QueryFn]:
         "events_user_retention": q_events_user_retention,
         "emb_sq8_stats": q_emb_sq8_stats,
         "doc_tfidf_topk": q_doc_tfidf_topk,
+        "doc_bigram_pmi": q_doc_bigram_pmi,
         "doc_decontam_overlap": q_doc_decontam_overlap,
         "doc_bloom_decontam": q_doc_bloom_decontam,
         "doc_repetition": q_doc_repetition,
@@ -4801,7 +4891,6 @@ def all_queries() -> dict[str, QueryFn]:
         "flagship_global_mae": q_flagship_global,
         "ts_resample_6h": q_ts_resample_6h,
         "ts_gap_fill": q_ts_gap_fill,
-        "ts_windows_stats": q_ts_windows_stats,
         "emb_ivf_recall": q_emb_ivf_recall,
         "ts_indicators3": q_ts_indicators3,
         "ts_recursive_battery": q_ts_recursive_battery,
@@ -4846,6 +4935,7 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_dropna_features": q_ts_dropna_features,
         "ts_train_val_split": q_ts_train_val_split,
         "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
+        "ts_windows_stats": q_ts_windows_stats,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q18_big_orders": q_tpch_q18_big_orders,
@@ -4933,6 +5023,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "doc_cms_heavy_hitters": _sql_cms_heavy_hitters(),
         "events_hll_users": _sql_events_hll(),
         "doc_tfidf_topk": _sql_doc_tfidf(),
+        "doc_bigram_pmi": _sql_doc_bigram_pmi(),
         "doc_decontam_overlap": _sql_doc_decontam(),
         "doc_bloom_decontam": _sql_bloom_decontam(),
         "doc_repetition": _sql_doc_repetition(),
