@@ -175,3 +175,46 @@ def ivf_ann_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "rank", "dist", "list_id")
     )
+
+
+def list_representatives(
+    emb: DataFrame, centroids: DataFrame | None = None
+) -> DataFrame:
+    """Semantic dedup, keep-one-per-cluster: collapse each coarse
+    cluster (IVF list) to its medoid-like representative — the member
+    nearest the centroid — plus cluster size and mean member-centroid
+    distance (the compactness diagnostic a semantic-dedup stage
+    reports beside its keep set).
+
+    Plan shape: one nearest-centroid assignment pass
+    (:func:`assign_lists` — broadcast centroids, map-side-combined
+    argmin), then ONE groupBy(list_id) whose representative argmin is a
+    ``min(struct(dist, vec_id))`` aggregate — again partially
+    aggregated map-side, so per-cluster membership never shuffles as
+    raw vectors more than once and no window sort materializes the
+    cluster. The (dist, vec_id) struct ordering is total, so the
+    representative is deterministic under ties, matching the oracle's
+    (d, vec_id) row_number contract.
+
+    Reference parity: the reference dedups only exactly (drop_duplicates
+    on candle rows, core/data/preprocess.py); semantic collapse of
+    near-identical windows is the embedding-side analog at corpus
+    scale.
+    """
+    centroids = centroids if centroids is not None else label_centroids(emb)
+    assigned = assign_lists(emb, centroids)
+    withc = assigned.join(
+        F.broadcast(
+            centroids.select(F.col("label").alias("list_id"), "cvec")
+        ),
+        "list_id",
+    ).withColumn("__d", dist_l2(F.col("v"), F.col("cvec")))
+    best = F.min(
+        F.struct(F.col("__d").alias("d"), F.col("vec_id").alias("vid"))
+    )
+    return withc.groupBy("list_id").agg(
+        best.getField("vid").alias("rep_vec_id"),
+        best.getField("d").alias("rep_dist"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.avg("__d").alias("mean_dist"),
+    )

@@ -3696,12 +3696,56 @@ SELECT q2.q_id, COALESCE(n_hit, 0) AS n_hit,
 FROM q2 LEFT JOIN hits ON q2.q_id = hits.q_id"""
 
 
-def _sql_ivf_ann() -> str:
-    l2_ec = _sql_l2("e.v", "c.cvec")
-    l2_qc = _sql_l2("q.qv", "c.cvec")
-    l2_aq = _sql_l2("a.v", "p.qv")
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup: keep one representative per coarse cluster —
+    see operators/ivf.py:list_representatives for the plan shape
+    (assignment + single map-side-combined argmin aggregate). The
+    representative's distance is fold-exact on both engines (r6); the
+    cluster's mean distance is a group-order-dependent double sum and
+    goes through the coarse shared rounding (r4, the avg(mae)
+    convention)."""
+    from ..operators.ivf import list_representatives
+
+    out = list_representatives(_emb(spark, sf_dir))
+    return out.select(
+        "list_id",
+        "rep_vec_id",
+        _r6("rep_dist"),
+        "n_members",
+        _rne(F.col("mean_dist"), "mean_dist", 4),
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    l2_ac = _sql_l2("a.v", "c.cvec")
     return f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+WITH {_sql_ivf_base()},
+d AS (
+  SELECT a.list_id, a.vec_id, {l2_ac} AS d
+  FROM assigned a JOIN cent c ON a.list_id = c.label
+),
+g AS (
+  SELECT list_id, vec_id, d,
+         row_number() OVER (PARTITION BY list_id
+           ORDER BY d ASC, vec_id ASC) AS rn
+  FROM d
+),
+s AS (
+  SELECT list_id, count(*) AS n_members, avg(d) AS mean_dist
+  FROM d GROUP BY 1
+)
+SELECT g.list_id, g.vec_id AS rep_vec_id, {_sql_rne('g.d', 'rep_dist')},
+       s.n_members, {_sql_rne('s.mean_dist', 'mean_dist', 4)}
+FROM g JOIN s ON g.list_id = s.list_id WHERE rn = 1"""
+
+
+def _sql_ivf_base() -> str:
+    """Shared oracle CTE prefix — centroid build + nearest-centroid
+    assignment. ONE definition feeds every IVF-family oracle
+    (ann/recall/semantic-dedup) so a quantizer-contract edit can't
+    silently desync them."""
+    l2_ec = _sql_l2("e.v", "c.cvec")
+    return f"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
 cent_dims AS (
   SELECT label, i AS pos,
          floor(avg(v[i]) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS c
@@ -3716,7 +3760,14 @@ assigned AS (
              ORDER BY {l2_ec} ASC, c.label ASC) AS rk
     FROM emb e CROSS JOIN cent c)
   WHERE rk = 1
-),
+)"""
+
+
+def _sql_ivf_ann() -> str:
+    l2_qc = _sql_l2("q.qv", "c.cvec")
+    l2_aq = _sql_l2("a.v", "p.qv")
+    return f"""
+WITH {_sql_ivf_base()},
 q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % {KNN_QUERY_MOD} = 0),
 probes AS (
   SELECT q_id, qv, list_id FROM (
@@ -4866,6 +4917,7 @@ def all_queries() -> dict[str, QueryFn]:
         "events_type_pivot": q_events_type_pivot,
         "events_user_retention": q_events_user_retention,
         "emb_sq8_stats": q_emb_sq8_stats,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "doc_bigram_pmi": q_doc_bigram_pmi,
         "doc_decontam_overlap": q_doc_decontam_overlap,
@@ -4889,7 +4941,6 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_dup_clusters": q_doc_dup_clusters,
         "flagship_forecast_mae": q_flagship,
         "flagship_global_mae": q_flagship_global,
-        "ts_resample_6h": q_ts_resample_6h,
         "ts_gap_fill": q_ts_gap_fill,
         "emb_ivf_recall": q_emb_ivf_recall,
         "ts_indicators3": q_ts_indicators3,
@@ -4936,6 +4987,7 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_train_val_split": q_ts_train_val_split,
         "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
         "ts_windows_stats": q_ts_windows_stats,
+        "ts_resample_6h": q_ts_resample_6h,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q18_big_orders": q_tpch_q18_big_orders,
@@ -5020,6 +5072,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "events_type_pivot": _sql_events_type_pivot(),
         "events_user_retention": SQL_EVENTS_RETENTION,
         "emb_sq8_stats": _sql_emb_sq8(),
+        "emb_semantic_dedup": _sql_semantic_dedup(),
         "doc_cms_heavy_hitters": _sql_cms_heavy_hitters(),
         "events_hll_users": _sql_events_hll(),
         "doc_tfidf_topk": _sql_doc_tfidf(),
