@@ -4088,6 +4088,48 @@ FROM events JOIN static USING (user_id)
 GROUP BY 1"""
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution via stream-stream interval join: every purchase
+    within 1 hour after a click by the same user, both sides live
+    streams (see streaming/ops.py:interval_join_stream for the state
+    bound). The pair set — ids and the exact microsecond delta —
+    equals the batch range-join oracle."""
+    from ..streaming import interval_join_stream, run_available_now, stream_events
+
+    ev = stream_events(spark, sf_dir, keep_type=True)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "symbol", "datetime", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "symbol", "datetime", "event_id"
+    )
+    joined = interval_join_stream(clicks, purchases)
+    out = run_available_now(
+        joined.select(
+            F.col("l.symbol").alias("symbol"),
+            F.col("l.event_id").alias("click_event_id"),
+            F.col("r.event_id").alias("purchase_event_id"),
+            (
+                F.unix_micros(F.col("r.datetime"))
+                - F.unix_micros(F.col("l.datetime"))
+            ).alias("delta_us"),
+        ),
+        "append",
+    )
+    return out
+
+
+SQL_STREAM_INTERVAL_JOIN = """
+SELECT c.user_id AS symbol,
+       c.event_id AS click_event_id,
+       p.event_id AS purchase_event_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'"""
+
+
 def q_stream_ema_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import ema_state_stream, run_available_now, stream_events
 
@@ -4935,13 +4977,13 @@ def all_queries() -> dict[str, QueryFn]:
         "events_rollup": q_events_rollup,
         "doc_top_terms": q_doc_top_terms,
         "stream_resample_6h": q_stream_resample_6h,
+        "stream_interval_join": q_stream_interval_join,
         "stream_ema_state": q_stream_ema_state,
         "media_byte_features": q_media_byte_features,
         "emb_ivf_ann_topk": q_emb_ivf_ann,
         "doc_dup_clusters": q_doc_dup_clusters,
         "flagship_forecast_mae": q_flagship,
         "flagship_global_mae": q_flagship_global,
-        "ts_gap_fill": q_ts_gap_fill,
         "emb_ivf_recall": q_emb_ivf_recall,
         "ts_indicators3": q_ts_indicators3,
         "ts_recursive_battery": q_ts_recursive_battery,
@@ -4988,6 +5030,7 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
         "ts_windows_stats": q_ts_windows_stats,
         "ts_resample_6h": q_ts_resample_6h,
+        "ts_gap_fill": q_ts_gap_fill,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q18_big_orders": q_tpch_q18_big_orders,
@@ -5009,6 +5052,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "stream_dedup_keys": SQL_STREAM_DEDUP,
         "stream_sessionize": SQL_STREAM_SESSIONS,
         "stream_enrich_join": SQL_STREAM_ENRICH,
+        "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,
         "stream_ema_state": SQL_STREAM_EMA,
         "media_meta": SQL_MEDIA_META,
         "media_frame_sample": SQL_MEDIA_FRAMES,

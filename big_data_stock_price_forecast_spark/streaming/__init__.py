@@ -2,6 +2,7 @@ from .ops import (
     dedup_ingest_stream,
     distinct_keys_stream,
     ema_state_stream,
+    interval_join_stream,
     resample_stream,
     run_available_now,
     session_stream,
@@ -12,6 +13,7 @@ __all__ = [
     "dedup_ingest_stream",
     "distinct_keys_stream",
     "ema_state_stream",
+    "interval_join_stream",
     "resample_stream",
     "run_available_now",
     "session_stream",

@@ -52,6 +52,7 @@ def stream_events(
     spark: SparkSession,
     sf_dir: str,
     max_files_per_trigger: int | None = None,
+    keep_type: bool = False,
 ) -> DataFrame:
     """``events.parquet`` as a streaming source with the same schema
     normalization as the batch loader (sources/tables.py): nanos-as-long
@@ -79,12 +80,15 @@ def stream_events(
         # back to NTZ so results match the batch oracle's naive values)
         require_utc(spark)
         sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
-    return sdf.select(
+    cols = [
         F.col("user_id").alias("symbol"),
         F.col("ts").alias("datetime"),
         F.col("value").alias("close"),
         F.col("event_id"),
-    )
+    ]
+    if keep_type:
+        cols.append(F.col("event_type"))
+    return sdf.select(*cols)
 
 
 def resample_stream(
@@ -235,6 +239,48 @@ def ema_state_stream(sdf: DataFrame, span: int = 12) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "symbol",
+    time_col: str = "datetime",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream event-time INTERVAL join: pair each left row with
+    the right rows for the same key whose event time falls in
+    [left.t, left.t + horizon] — the attribution-window shape
+    (click -> purchase within the hour) that a static range join
+    cannot run 24/7.
+
+    Both sides carry a watermark and the join condition bounds BOTH
+    event times, so Spark derives a state-retention horizon: a buffered
+    left row is dropped once the right watermark passes
+    ``left.t + horizon``, a right row once the left watermark passes
+    ``right.t``. State is therefore bounded by
+    rate x (horizon + watermark) PER SIDE regardless of uptime —
+    the property that makes this runnable against an unbounded stream,
+    where the batch range join would need the full history resident.
+
+    Determinism for the oracle comparison: an INNER interval join
+    emits exactly the matched pairs; the watermark only evicts state
+    AFTER the micro-batch that advanced it, so with an AvailableNow
+    drain every cross-batch match within the horizon is emitted before
+    eviction. The result set equals the batch SQL range join.
+    """
+    lw = left.withWatermark(time_col, watermark).alias("l")
+    rw = right.withWatermark(time_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{time_col}") >= F.col(f"l.{time_col}"))
+        & (
+            F.col(f"r.{time_col}")
+            <= F.col(f"l.{time_col}") + F.expr(f"INTERVAL {horizon}")
+        )
+    )
+    return lw.join(rw, cond, "inner")
 
 
 def dedup_ingest_stream(
