@@ -2027,6 +2027,67 @@ FROM tagged
 GROUP BY 1, 2"""
 
 
+ZORDER_BITS = 10
+
+
+def q_events_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering audit: Morton-interleave (user bucket, day
+    index) — the key sources/layout.py:write_zorder_layout range-
+    partitions on — and aggregate per 256-key super-cell. Exercises
+    the exact bit-interleave expression (one shared generator string
+    for both engines, sources/layout.py:zorder_terms) the clustered
+    write uses, so the layout's key math is itself oracle-checked;
+    the write path's file-level clustering is pinned by the layout
+    pytest. All integer math; one shuffle (the cell groupBy)."""
+    from ..sources.layout import zorder_terms
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "user_id",
+        (F.col("user_id") % 1024).alias("xb"),
+        (
+            (
+                (
+                    F.datediff(
+                        F.col("ts").cast("date"),
+                        F.lit("2024-01-01").cast("date"),
+                    )
+                    % 1024
+                )
+                + 1024
+            )
+            % 1024
+        ).alias("yb"),
+    ).withColumn("z", F.expr(zorder_terms("xb", "yb", ZORDER_BITS)))
+    return keyed.groupBy(
+        F.shiftright(F.col("z"), 8).alias("cell")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("z").alias("z_min"),
+        F.max("z").alias("z_max"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def _sql_events_zorder_cells() -> str:
+    from ..sources.layout import zorder_terms
+
+    z = zorder_terms("xb", "yb", ZORDER_BITS)
+    return f"""
+WITH keyed AS (
+  SELECT user_id,
+         user_id % 1024 AS xb,
+         (((date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 1024)
+           + 1024) % 1024) AS yb
+  FROM events
+),
+zk AS (SELECT user_id, {z} AS z FROM keyed)
+SELECT z >> 8 AS cell, count(*) AS n_events,
+       min(z) AS z_min, max(z) AS z_max,
+       count(DISTINCT user_id) AS n_users
+FROM zk GROUP BY 1"""
+
+
 def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: per-user-decile event counts, one column per event type
     — the wide-format report shape. The pivot values are declared
@@ -4969,6 +5030,7 @@ def all_queries() -> dict[str, QueryFn]:
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
         "events_stratified_sample": q_events_stratified_sample,
+        "events_zorder_cells": q_events_zorder_cells,
         "ts_feature_null_ratio": q_ts_feature_null_ratio,
         "ts_incremental_upsert": q_ts_incremental_upsert,
         "ts_savgol": q_ts_savgol,
@@ -4987,7 +5049,6 @@ def all_queries() -> dict[str, QueryFn]:
         "emb_ivf_recall": q_emb_ivf_recall,
         "ts_indicators3": q_ts_indicators3,
         "ts_recursive_battery": q_ts_recursive_battery,
-        "ts_numeric_profile": q_ts_numeric_profile,
         "doc_cms_heavy_hitters": q_doc_cms_heavy_hitters,
         "knn_topk_metrics": q_knn_topk_metrics,
         "events_hll_users": q_events_hll_users,
@@ -5031,6 +5092,7 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_windows_stats": q_ts_windows_stats,
         "ts_resample_6h": q_ts_resample_6h,
         "ts_gap_fill": q_ts_gap_fill,
+        "ts_numeric_profile": q_ts_numeric_profile,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q18_big_orders": q_tpch_q18_big_orders,
@@ -5109,6 +5171,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "events_range_join": SQL_EVENTS_RANGE_JOIN,
         "events_hash_sample": _sql_events_hash_sample(),
         "events_stratified_sample": _sql_events_stratified_sample(),
+        "events_zorder_cells": _sql_events_zorder_cells(),
         "events_value_quantiles": SQL_EVENTS_QUANTILES,
         "events_funnel": SQL_EVENTS_FUNNEL,
         "events_session_stats": _sql_events_session_stats(),

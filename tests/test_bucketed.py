@@ -81,3 +81,71 @@ def test_date_partitioned_write_prunes_partitions(spark, tmp_path):
     # and the pruned read returns exactly that day's rows
     expect = ev.filter(F.to_date("ts") == F.lit(dates[0])).count()
     assert one_day.count() == expect
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
+    """write_zorder_layout range-partitions on the Morton key, so each
+    file covers a compact 2-D region: per-file parquet footer min/max
+    boxes must average well under the global (xb, yb) bounding area
+    (the property row-group pruning on EITHER predicate relies on),
+    and the __z ranges must be disjoint (range partitioning did the
+    clustering, not luck)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from big_data_stock_price_forecast_spark.sources.layout import (
+        write_zorder_layout,
+    )
+    from big_data_stock_price_forecast_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    keyed = ev.select(
+        (F.col("user_id") % 1024).alias("xb"),
+        (
+            (
+                F.datediff(
+                    F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+                )
+                % 1024
+                + 1024
+            )
+            % 1024
+        ).alias("yb"),
+        "event_id",
+    )
+    path = str(tmp_path / "zorder")
+    write_zorder_layout(keyed, path, "xb", "yb", num_files=8)
+
+    boxes = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        cols = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.num_columns)
+        }
+        mins: dict = {}
+        maxs: dict = {}
+        for rg in range(md.num_row_groups):
+            for name, i in cols.items():
+                st = md.row_group(rg).column(i).statistics
+                mins[name] = min(mins.get(name, st.min), st.min)
+                maxs[name] = max(maxs.get(name, st.max), st.max)
+        boxes.append((mins, maxs))
+    assert len(boxes) >= 4  # range partitioner actually split the data
+
+    gx = (min(b[0]["xb"] for b in boxes), max(b[1]["xb"] for b in boxes))
+    gy = (min(b[0]["yb"] for b in boxes), max(b[1]["yb"] for b in boxes))
+    global_area = (gx[1] - gx[0] + 1) * (gy[1] - gy[0] + 1)
+    ratios = [
+        (mx["xb"] - mn["xb"] + 1) * (mx["yb"] - mn["yb"] + 1) / global_area
+        for mn, mx in boxes
+    ]
+    # measured ~0.25 at sf0.001; a single-column sort gives ~1.0 on the
+    # trailing dimension's files
+    assert sum(ratios) / len(ratios) < 0.5
+
+    zs = sorted((b[0]["__z"], b[1]["__z"]) for b in boxes)
+    for (lo1, hi1), (lo2, _hi2) in zip(zs, zs[1:]):
+        assert hi1 < lo2  # disjoint z ranges

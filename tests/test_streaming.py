@@ -371,3 +371,75 @@ def test_dedup_ingest_stream_folds_batches_into_index(spark, tmp_path):
         for r in spark.read.parquet(pairs_path).collect()
     }
     assert got2 == {(1, 10), (11, 20)}
+
+
+def test_interval_join_state_carries_across_micro_batches(spark, tmp_path):
+    """Cross-batch matching: clicks arrive in micro-batch 1, purchases
+    in micro-batch 2 (maxFilesPerTrigger=1). The buffered click state
+    must survive into batch 2 and emit exactly the pairs the batch
+    range join produces — including dropping the purchase outside the
+    1-hour horizon."""
+    import pandas as pd
+
+    from big_data_stock_price_forecast_spark.streaming import (
+        interval_join_stream,
+        run_available_now,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    clicks = pd.DataFrame(
+        {
+            "user_id": [1, 2],
+            "ts": [t0, t0 + pd.Timedelta(minutes=10)],
+            "event_type": ["click", "click"],
+            "event_id": [100, 101],
+        }
+    )
+    purchases = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 3],
+            "ts": [
+                t0 + pd.Timedelta(minutes=30),   # match (100, 200)
+                t0 + pd.Timedelta(hours=2),      # outside horizon
+                t0 + pd.Timedelta(minutes=50),   # match (101, 202)
+                t0 + pd.Timedelta(minutes=5),    # no click for user 3
+            ],
+            "event_type": ["purchase"] * 4,
+            "event_id": [200, 201, 202, 203],
+        }
+    )
+    for df in (clicks, purchases):
+        df["ts"] = df["ts"].astype("datetime64[us]")
+    land = tmp_path / "land"
+    land.mkdir()
+    clicks.to_parquet(land / "page_0.parquet", index=False)
+    purchases.to_parquet(land / "page_1.parquet", index=False)
+
+    schema = spark.read.parquet(str(land)).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(land))
+        .select(
+            F.col("user_id").alias("symbol"),
+            F.col("ts").cast("timestamp").alias("datetime"),
+            "event_type",
+            "event_id",
+        )
+    )
+    c = sdf.filter(F.col("event_type") == "click").select(
+        "symbol", "datetime", "event_id"
+    )
+    p = sdf.filter(F.col("event_type") == "purchase").select(
+        "symbol", "datetime", "event_id"
+    )
+    out = run_available_now(
+        interval_join_stream(c, p).select(
+            F.col("l.event_id").alias("click_id"),
+            F.col("r.event_id").alias("purchase_id"),
+        ),
+        "append",
+    )
+    pairs = sorted(map(tuple, out.collect()))
+    assert pairs == [(100, 200), (101, 202)]
