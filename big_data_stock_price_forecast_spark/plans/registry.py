@@ -4191,6 +4191,78 @@ FROM events c JOIN events p
 WHERE c.event_type = 'click' AND p.event_type = 'purchase'"""
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF enrichment: each purchase gets the user's most recent
+    at-or-before view (id, value, microsecond lag) — see
+    operators/asof.py for the one-shuffle union-tag plan. The right
+    side is deduped to one row per (user, ts) keep-max-event_id first,
+    because DuckDB's ASOF tie rule at equal timestamps is unspecified;
+    with unique right timestamps both engines' picks coincide
+    exactly."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    wv = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_event_id"),
+            F.col("value").alias("view_value"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_event_id")
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_tiebreak="view_event_id",
+    )
+    # unix_micros needs an instant; NTZ->LTZ cast is micros-preserving
+    # only under UTC (asserted, the q_ts_delta_hist convention)
+    lts, rts = F.col("ts"), F.col("view_ts")
+    if dict(ev.dtypes)["ts"] == "timestamp_ntz":
+        require_utc(spark)
+        lts, rts = lts.cast("timestamp"), rts.cast("timestamp")
+    return out.select(
+        "purchase_event_id",
+        F.col("user_id").alias("symbol"),
+        "view_event_id",
+        (F.unix_micros(lts) - F.unix_micros(rts)).alias("lag_us"),
+        "view_value",
+    )
+
+
+SQL_EVENTS_ASOF_JOIN = """
+WITH v0 AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, ts
+           ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'view'
+),
+v AS (SELECT user_id, ts, event_id AS view_event_id,
+             value AS view_value
+      FROM v0 WHERE rn = 1),
+p AS (SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'purchase')
+SELECT p.event_id AS purchase_event_id, p.user_id AS symbol,
+       v.view_event_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS lag_us,
+       v.view_value
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND v.ts <= p.ts"""
+
+
 def q_stream_ema_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import ema_state_stream, run_available_now, stream_events
 
@@ -5031,6 +5103,7 @@ def all_queries() -> dict[str, QueryFn]:
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
         "events_stratified_sample": q_events_stratified_sample,
         "events_zorder_cells": q_events_zorder_cells,
+        "events_asof_join": q_events_asof_join,
         "ts_feature_null_ratio": q_ts_feature_null_ratio,
         "ts_incremental_upsert": q_ts_incremental_upsert,
         "ts_savgol": q_ts_savgol,
@@ -5060,7 +5133,6 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_incremental_dups": q_doc_incremental_dups,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_near_dup_pairs": q_emb_near_dup,
-        "emb_ann_lsh_topk": q_emb_ann_lsh,
         "events_json_agg": q_events_json_agg,
         "ts_hypertable_rollup": q_ts_hypertable_rollup,
         "events_range_join": q_events_range_join,
@@ -5093,6 +5165,7 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_resample_6h": q_ts_resample_6h,
         "ts_gap_fill": q_ts_gap_fill,
         "ts_numeric_profile": q_ts_numeric_profile,
+        "emb_ann_lsh_topk": q_emb_ann_lsh,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q18_big_orders": q_tpch_q18_big_orders,
@@ -5115,6 +5188,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "stream_sessionize": SQL_STREAM_SESSIONS,
         "stream_enrich_join": SQL_STREAM_ENRICH,
         "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,
+        "events_asof_join": SQL_EVENTS_ASOF_JOIN,
         "stream_ema_state": SQL_STREAM_EMA,
         "media_meta": SQL_MEDIA_META,
         "media_frame_sample": SQL_MEDIA_FRAMES,

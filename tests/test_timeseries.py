@@ -132,3 +132,61 @@ def test_parse_timeframe_contract():
     for bad in ("1x", "h", "1.5h", "", "h1"):
         with pytest.raises(ValueError):
             parse_timeframe(bad)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """asof_join (union-tag single-shuffle plan) == pandas merge_asof
+    backward-inclusive semantics, including the no-match NULL row and
+    the at-same-timestamp inclusive pick."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from big_data_stock_price_forecast_spark.operators.asof import asof_join
+
+    t0 = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 3],
+            "lts": [
+                t0,                              # exact tie with right @t0
+                t0 + pd.Timedelta(minutes=5),
+                t0 + pd.Timedelta(minutes=30),
+                t0 + pd.Timedelta(minutes=1),
+                t0,                              # key with no right rows
+            ],
+            "lid": [10, 11, 12, 20, 30],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [1, 1, 2],
+            "rts": [t0, t0 + pd.Timedelta(minutes=10), t0 + pd.Timedelta(minutes=2)],
+            "rv": [100.0, 200.0, 300.0],
+            "rid": [1, 2, 3],
+        }
+    )
+    for df, c in ((left, "lts"), (right, "rts")):
+        df[c] = df[c].astype("datetime64[us]")
+    out = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on=["k"],
+        left_ts="lts",
+        right_ts="rts",
+        right_tiebreak="rid",
+    ).toPandas().sort_values("lid").reset_index(drop=True)
+
+    expect = pd.merge_asof(
+        left.sort_values("lts"),
+        right.sort_values("rts"),
+        left_on="lts",
+        right_on="rts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    ).sort_values("lid").reset_index(drop=True)
+    assert list(out["lid"]) == list(expect["lid"])
+    for a, b in zip(out["rv"], expect["rv"]):
+        assert (pd.isna(a) and pd.isna(b)) or a == b
+    for a, b in zip(out["rid"], expect["rid"]):
+        assert (pd.isna(a) and pd.isna(b)) or a == b
