@@ -206,3 +206,44 @@ def cms_estimate(
         .groupBy(term_col)
         .agg(F.min("cnt").alias("est_cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# equi-width histogram quantile sketch
+# --------------------------------------------------------------------------
+
+HIST_BUCKETS = 128
+
+
+def hist_bucket_expr(
+    value: str, lo: str, hi: str, buckets: int = HIST_BUCKETS
+) -> str:
+    """Equi-width bucket index as a shared Spark/DuckDB SQL string.
+    ``floor`` before the INT cast matters: DuckDB CASTs doubles by
+    rounding while Spark truncates — an integral double casts
+    identically in both."""
+    return (
+        f"LEAST({buckets - 1}, GREATEST(0, "
+        f"CAST(floor(((({value}) - ({lo})) / (({hi}) - ({lo}))) "
+        f"* {buckets}.0) AS INT)))"
+    )
+
+
+def hist_quantile_est_expr(
+    b: str = "b",
+    c: str = "c",
+    cum: str = "cum",
+    lo: str = "lo",
+    hi: str = "hi",
+    q: str = "q",
+    n: str = "n",
+    buckets: int = HIST_BUCKETS,
+) -> str:
+    """Linear interpolation inside the bucket where the cumulative
+    count crosses the target rank q*n — one shared expression string so
+    engine and oracle run the identical IEEE operation sequence."""
+    return (
+        f"({lo}) + ((CAST({b} AS DOUBLE) + "
+        f"((({q}) * ({n})) - CAST(({cum}) - ({c}) AS DOUBLE)) "
+        f"/ CAST({c} AS DOUBLE)) * ((({hi}) - ({lo})) / {buckets}.0))"
+    )

@@ -2229,6 +2229,148 @@ def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+HQ_QUANTILES = [0.5, 0.9, 0.99]
+
+
+def q_events_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch: equi-width bucket counts (mergeable —
+    cells sum, the CM-sketch property) estimate p50/p90/p99 per
+    stratum by interpolating inside the bucket where the cumulative
+    count crosses q*n; the EXACT sort-based percentile rides beside it
+    so the approximation error is a measured column (the sketch-suite
+    contract). The sketch path is the 100 TB shape: one bucket-count
+    groupBy with map-side combine and a B-row-per-stratum cumulative
+    window — the exact column is the toy-scale reference and the first
+    thing to drop at scale. Both engines evaluate the SAME bucket and
+    interpolation expression strings (operators/sketch.py), so
+    estimates match bitwise before the shared rounding."""
+    from ..operators.sketch import (
+        HIST_BUCKETS,
+        hist_bucket_expr,
+        hist_quantile_est_expr,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    fracs = ", ".join(f"{q}D" for q in HQ_QUANTILES)
+    stats = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.expr(f"percentile(value, array({fracs}))").alias("qs"),
+    )
+    bucketed = ev.join(
+        F.broadcast(stats.select("event_type", "lo", "hi")), "event_type"
+    ).withColumn("b", F.expr(hist_bucket_expr("value", "lo", "hi")))
+    hist = bucketed.groupBy("event_type", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wcum))
+    targets = (
+        stats.select(
+            "event_type",
+            "n",
+            "lo",
+            "hi",
+            "qs",
+            F.posexplode(
+                F.array(*[F.lit(q) for q in HQ_QUANTILES])
+            ).alias("qi", "q"),
+        )
+        .withColumn("exact", F.element_at("qs", F.col("qi") + 1))
+        .drop("qs", "qi")
+    )
+    cand = cum.join(F.broadcast(targets), "event_type").filter(
+        F.col("cum") >= F.col("q") * F.col("n")
+    )
+    pick = (
+        cand.groupBy("event_type", "q")
+        .agg(
+            F.min_by(F.struct("b", "c", "cum"), F.col("b")).alias("s"),
+            F.min("n").alias("n"),
+            F.min("lo").alias("lo"),
+            F.min("hi").alias("hi"),
+            F.min("exact").alias("exact"),
+        )
+        .select(
+            "event_type",
+            "q",
+            "n",
+            "lo",
+            "hi",
+            "exact",
+            F.col("s.b").alias("b"),
+            F.col("s.c").alias("c"),
+            F.col("s.cum").alias("cum"),
+        )
+        .withColumn(
+            "est",
+            F.expr(hist_quantile_est_expr(buckets=HIST_BUCKETS)),
+        )
+    )
+    return pick.select(
+        "event_type",
+        "q",
+        "n",
+        _r6("est"),
+        _r6("exact"),
+        _r6e(F.abs(F.col("est") - F.col("exact")), "abs_err"),
+    )
+
+
+def _sql_events_hist_quantiles() -> str:
+    from ..operators.sketch import (
+        HIST_BUCKETS,
+        hist_bucket_expr,
+        hist_quantile_est_expr,
+    )
+
+    fracs = ", ".join(str(q) for q in HQ_QUANTILES)
+    vals = ", ".join(
+        f"({i + 1}, CAST({q} AS DOUBLE))"
+        for i, q in enumerate(HQ_QUANTILES)
+    )
+    bexpr = hist_bucket_expr("e.value", "s.lo", "s.hi", HIST_BUCKETS)
+    est = hist_quantile_est_expr(buckets=HIST_BUCKETS)
+    return f"""
+WITH ev AS (SELECT event_type, value FROM events),
+stats AS (
+  SELECT event_type, count(value) AS n, min(value) AS lo,
+         max(value) AS hi,
+         quantile_cont(value, [{fracs}]) AS qs
+  FROM ev GROUP BY 1
+),
+bucketed AS (
+  SELECT e.event_type, {bexpr} AS b
+  FROM ev e JOIN stats s USING (event_type)
+),
+hist AS (SELECT event_type, b, count(*) AS c FROM bucketed GROUP BY 1, 2),
+cum AS (
+  SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cum
+  FROM hist
+),
+targets AS (
+  SELECT event_type, n, lo, hi, qs[qi] AS exact, qv AS q
+  FROM stats, (VALUES {vals}) AS t(qi, qv)
+),
+cand AS (
+  SELECT c2.event_type, t.q, t.n, t.lo, t.hi, t.exact,
+         c2.b, c2.c, c2.cum,
+         row_number() OVER (PARTITION BY c2.event_type, t.q
+           ORDER BY c2.b) AS rn
+  FROM cum c2 JOIN targets t USING (event_type)
+  WHERE c2.cum >= t.q * t.n
+),
+pick AS (SELECT *, {est} AS est FROM cand WHERE rn = 1)
+SELECT event_type, q, n, {_sql_r6('est')}, {_sql_r6('exact')},
+       {_sql_rne('abs(est - exact)', 'abs_err')}
+FROM pick"""
+
+
 def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with the scan fanned out across the cluster: the
     corpus lands as few (locally: one) small parquet files, so a
@@ -5125,9 +5267,9 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_cms_heavy_hitters": q_doc_cms_heavy_hitters,
         "knn_topk_metrics": q_knn_topk_metrics,
         "events_hll_users": q_events_hll_users,
+        "events_hist_quantiles": q_events_hist_quantiles,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "top_revenue_nations": q_top_revenue_nations,
-        "doc_text_profile": q_doc_text_profile,
         "doc_exact_dup_groups": q_doc_exact_dup_groups,
         "doc_minhash_lsh_pairs": q_doc_minhash_pairs,
         "doc_incremental_dups": q_doc_incremental_dups,
@@ -5166,6 +5308,7 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_gap_fill": q_ts_gap_fill,
         "ts_numeric_profile": q_ts_numeric_profile,
         "emb_ann_lsh_topk": q_emb_ann_lsh,
+        "doc_text_profile": q_doc_text_profile,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q18_big_orders": q_tpch_q18_big_orders,
@@ -5256,6 +5399,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "emb_semantic_dedup": _sql_semantic_dedup(),
         "doc_cms_heavy_hitters": _sql_cms_heavy_hitters(),
         "events_hll_users": _sql_events_hll(),
+        "events_hist_quantiles": _sql_events_hist_quantiles(),
         "doc_tfidf_topk": _sql_doc_tfidf(),
         "doc_bigram_pmi": _sql_doc_bigram_pmi(),
         "doc_decontam_overlap": _sql_doc_decontam(),
