@@ -1248,6 +1248,169 @@ ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20"""
 
 
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: single-table filter + aggregate. The whole
+    query is scan-side: all three predicates push down to the parquet
+    scan (range on shipdate, range on discount, bound on quantity),
+    the projection prunes to three columns, and the DECIMAL
+    revenue/count partially aggregate map-side — at 100 TB this query
+    is I/O-bound by exactly the rows and bytes it needs and nothing
+    else. The canonical pushdown/pruning probe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c, p=18, s=2: F.col(c).cast(f"decimal({p},{s})")  # noqa: E731
+    out = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return out.agg(
+        F.sum(dec("l_extendedprice") * dec("l_discount", 3, 2))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24"""
+
+
+def q_tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: promo revenue share for one month — a
+    conditional aggregate over a fact⋈dim join. ``part`` grows with SF
+    so the join is AQE-planned (broadcast at toy scale, shuffle at
+    100x); the date filter prunes lineitem at the scan BEFORE the
+    join. DECIMAL sums make both the numerator and denominator exact,
+    so the ratio is one double division — identical in both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    dec = lambda c, p=18, s=2: F.col(c).cast(f"decimal({p},{s})")  # noqa: E731
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = dec("l_extendedprice") * (one - dec("l_discount", 3, 2))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(
+            F.lit(0).cast("decimal(19,4)")
+        )).alias("promo"),
+        F.sum(rev).alias("total"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+    return agg.select(
+        _r6e(
+            F.lit(100.0) * F.col("promo").cast("double")
+            / F.col("total").cast("double"),
+            "promo_revenue_pct",
+        ),
+        F.col("promo").cast("double").alias("promo_revenue"),
+        F.col("total").cast("double").alias("total_revenue"),
+        "n_lineitems",
+    )
+
+
+SQL_TPCH_Q14 = f"""
+WITH j AS (
+  SELECT p_type,
+         CAST(l_extendedprice AS DECIMAL(18,2)) *
+         (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+),
+agg AS (
+  SELECT sum(CASE WHEN p_type = 'PROMO' THEN rev
+             ELSE CAST(0 AS DECIMAL(19,4)) END) AS promo,
+         sum(rev) AS total, count(*) AS n_lineitems
+  FROM j
+)
+SELECT {_sql_rne("100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE)",
+                 "promo_revenue_pct")},
+       CAST(promo AS DOUBLE) AS promo_revenue,
+       CAST(total AS DOUBLE) AS total_revenue, n_lineitems
+FROM agg"""
+
+
+SCD2_TIER_DIV = 100.0
+
+
+def q_events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 temporal-dimension build (gaps-and-islands): each user's
+    signup events define a tier; consecutive same-tier signups
+    collapse and each island becomes a validity interval
+    [valid_from, valid_to) with an is_current flag — the
+    slowly-changing-dimension type-2 table every warehouse maintains.
+    Plan: ONE shuffle on user_id reused by all three windows (dedup
+    row_number, change-detect lag, interval-close lead) — Catalyst
+    collapses same-partitioning windows into one sort, no second
+    exchange. At 100 TB this is a single keyed sort per user
+    partition; the dimension output is tiny relative to the event
+    scan."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(f"CAST(floor(value / {SCD2_TIER_DIV}) AS INT)").alias("tier"),
+    )
+    wd = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    dedup = (
+        s.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = dedup.withColumn(
+        "prev_tier", F.lag("tier").over(wu)
+    ).filter(
+        F.col("prev_tier").isNull() | (F.col("prev_tier") != F.col("tier"))
+    )
+    wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        F.col("user_id").alias("symbol"),
+        "tier",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wv).alias("valid_to"),
+        F.lead("ts").over(wv).isNull().alias("is_current"),
+    )
+
+
+SQL_EVENTS_SCD2 = f"""
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value / {SCD2_TIER_DIV}) AS INT) AS tier,
+         row_number() OVER (PARTITION BY user_id, ts
+           ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'signup'
+),
+d AS (SELECT user_id, ts, event_id, tier FROM s WHERE rn = 1),
+c AS (
+  SELECT *, lag(tier) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev_tier
+  FROM d
+),
+isl AS (
+  SELECT user_id, ts, event_id, tier FROM c
+  WHERE prev_tier IS NULL OR prev_tier <> tier
+)
+SELECT user_id AS symbol, tier, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM isl
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+
 # --------------------------------------------------------------------------
 # document/text queries (documents table)
 # --------------------------------------------------------------------------
@@ -5243,12 +5406,13 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_chunks": q_doc_chunks,
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "tpch_q14_promo_effect": q_tpch_q14_promo_effect,
+        "events_scd2_intervals": q_events_scd2_intervals,
         "events_stratified_sample": q_events_stratified_sample,
         "events_zorder_cells": q_events_zorder_cells,
         "events_asof_join": q_events_asof_join,
         "ts_feature_null_ratio": q_ts_feature_null_ratio,
-        "ts_incremental_upsert": q_ts_incremental_upsert,
-        "ts_savgol": q_ts_savgol,
         "win_dct_embed": q_win_dct_embed,
         "win_pca_embed": q_win_pca_embed,
         "events_rollup": q_events_rollup,
@@ -5309,6 +5473,8 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_numeric_profile": q_ts_numeric_profile,
         "emb_ann_lsh_topk": q_emb_ann_lsh,
         "doc_text_profile": q_doc_text_profile,
+        "ts_incremental_upsert": q_ts_incremental_upsert,
+        "ts_savgol": q_ts_savgol,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q18_big_orders": q_tpch_q18_big_orders,
@@ -5368,6 +5534,9 @@ def _oracle_sql_map() -> dict[str, str]:
         "tpch_q1_pricing_summary": SQL_TPCH_Q1,
         "tpch_q5_local_supplier": SQL_TPCH_Q5,
         "tpch_q10_returned_items": SQL_TPCH_Q10,
+        "tpch_q6_forecast_revenue": SQL_TPCH_Q6,
+        "tpch_q14_promo_effect": SQL_TPCH_Q14,
+        "events_scd2_intervals": SQL_EVENTS_SCD2,
         "tpch_q3_shipping": SQL_TPCH_Q3,
         "tpch_q4_priority": SQL_TPCH_Q4,
         "tpch_q18_big_orders": SQL_TPCH_Q18,
