@@ -1364,11 +1364,17 @@ def q_events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.expr(f"CAST(floor(value / {SCD2_TIER_DIV}) AS INT)").alias("tier"),
     )
-    wd = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    # dedup WITHOUT a (user_id, ts) exchange: ordered (ts, event_id
+    # DESC) per user, the first row of each ts-run is the max-event_id
+    # keeper — same user_id partitioning as the windows below, so the
+    # whole query rides one exchange
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").desc()
+    )
     dedup = (
-        s.withColumn("rn", F.row_number().over(wd))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        s.withColumn("prev_ts", F.lag("ts").over(wd))
+        .filter(F.col("prev_ts").isNull() | (F.col("prev_ts") != F.col("ts")))
+        .drop("prev_ts")
     )
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = dedup.withColumn(
