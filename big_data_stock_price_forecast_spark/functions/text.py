@@ -99,6 +99,55 @@ def sql_fingerprint(expr: str) -> str:
     )
 
 
+# PII / denylist scrub rules: (name, regex, replacement). Regexes are
+# restricted to the syntax subset Java regex (Spark) and RE2 (DuckDB)
+# interpret identically: character classes, \d, \b, bounded repetition,
+# top-level alternation — no lookaround, no backrefs. Counts are taken
+# per-rule on the ORIGINAL text (rules are independent detectors);
+# replacement is applied sequentially in list order. The replacement
+# tokens contain no digits/@ so later rules never re-match an earlier
+# rule's output.
+SCRUB_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # denylist stand-in: a real pipeline loads these from config
+    ("denied", r"\b(customer|vector)\b", "<TERM>"),
+]
+
+
+def scrub_col(col: Column) -> Column:
+    """Text with every SCRUB_RULES pattern replaced, in rule order.
+    Pure JVM expression (chained regexp_replace) — the scan streams
+    through codegen with no Python in the loop."""
+    out = col
+    for _, pat, rep in SCRUB_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def scrub_counts(col: Column) -> dict[str, Column]:
+    """Per-rule match counts on the original text."""
+    return {
+        name: F.regexp_count(col, F.lit(pat)).cast("int")
+        for name, pat, _ in SCRUB_RULES
+    }
+
+
+def sql_scrub(expr: str) -> str:
+    out = expr
+    for _, pat, rep in SCRUB_RULES:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return out
+
+
+def sql_scrub_counts(expr: str) -> dict[str, str]:
+    return {
+        name: f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS INT)"
+        for name, pat, _ in SCRUB_RULES
+    }
+
+
 def lang_scores(tok: Column) -> dict[str, Column]:
     """Per-language stopword-hit counts (duplicates count — frequency
     matters for short texts)."""

@@ -1,0 +1,144 @@
+"""Contracts for the training-data pipeline operators added in round 6:
+PII/denylist scrub, deterministic shard assignment, language-mixture
+rebalancing, concat-and-chunk sequence packing, normalization-aware
+exact dedup, and the Q13/Q22-shaped join aggregates.
+
+Each contract checks the operator's algebraic invariants against a
+Python reference on crafted rows — the registry oracle already pins the
+full-table result against DuckDB, so these focus on edge semantics."""
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from big_data_stock_price_forecast_spark.functions.text import (
+    SCRUB_RULES,
+    hash60,
+    scrub_col,
+    scrub_counts,
+)
+from big_data_stock_price_forecast_spark.plans.registry import (
+    MIX_PPM,
+    N_DOC_SHARDS,
+    PACK_BUDGET,
+    PACK_SHARDS,
+    q_doc_lang_mixture_sample,
+    q_doc_pack_sequences,
+    q_doc_shard_assign,
+    q_tpch_q13_custdist,
+    q_tpch_q22_idle_balances,
+)
+
+
+def _py_h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_scrub_rules_match_python_reference(spark):
+    texts = [
+        "mail bob@x-mail.co.uk and ALICE@SITE.ORG now",
+        "call 555-123-4567 or ping 10.0.0.1 twice 10.0.0.2",
+        "the customer bought a vector of customers",
+        "nothing sensitive here",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    cnt = scrub_counts(F.col("text"))
+    rows = df.select(
+        "text",
+        scrub_col(F.col("text")).alias("scrubbed"),
+        *[c.alias(name) for name, c in cnt.items()],
+    ).collect()
+    for r in rows:
+        expect = r["text"]
+        for name, pat, rep in SCRUB_RULES:
+            assert r[name] == len(re.findall(pat, r["text"])), (name, r["text"])
+            expect = re.sub(pat, rep, expect)
+        assert r["scrubbed"] == expect
+
+
+def test_scrub_replacement_is_fixed_point(spark):
+    # scrubbed text must not re-match any rule (replacement tokens are
+    # inert) — scrubbing twice equals scrubbing once
+    df = spark.createDataFrame(
+        [("a@b.io 1.2.3.4 555-123-4567 customer vector",)], ["text"]
+    )
+    once = df.select(scrub_col(F.col("text")).alias("t"))
+    twice = once.select(scrub_col(F.col("t")).alias("t"))
+    assert once.collect() == twice.collect()
+
+
+def test_shard_assign_partitions_and_positions(spark, sf_dir):
+    out = q_doc_shard_assign(spark, sf_dir).collect()
+    assert all(0 <= r["shard_id"] < N_DOC_SHARDS for r in out)
+    # expected shard from the python hash reference
+    for r in out[:50]:
+        assert r["shard_id"] == _py_h60(str(r["doc_id"])) % N_DOC_SHARDS
+    # positions are a contiguous 1..n ranking inside each shard
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r["pos"])
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # deterministic: a second run yields the identical assignment
+    again = q_doc_shard_assign(spark, sf_dir).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_lang_mixture_downsamples_to_rarest(spark, sf_dir):
+    rows = {r["lang"]: r for r in q_doc_lang_mixture_sample(spark, sf_dir).collect()}
+    n_min = min(r["n_total"] for r in rows.values())
+    for r in rows.values():
+        assert r["n_kept"] <= r["n_total"]
+        assert r["keep_ppm"] == MIX_PPM * n_min // r["n_total"]
+        if r["n_total"] == n_min:
+            # rarest language: rate is exactly 1.0 -> keeps everything
+            assert r["keep_ppm"] == MIX_PPM
+            assert r["n_kept"] == r["n_total"]
+
+
+def test_pack_sequences_conserves_tokens_and_orders_packs(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.functions.text import tokens
+    from big_data_stock_price_forecast_spark.sources.tables import load_table
+
+    out = q_doc_pack_sequences(spark, sf_dir).collect()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n_tok"))
+        .collect()
+    )
+    total = sum(r["n_tok"] for r in docs)
+    assert sum(r["n_tokens"] for r in out) == total
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    assert set(by_shard) <= set(range(PACK_SHARDS))
+    for packs in by_shard.values():
+        packs.sort(key=lambda r: r["pack_id"])
+        # pack ids are contiguous from 0 and doc ranges never interleave
+        assert [p["pack_id"] for p in packs] == list(range(len(packs)))
+        for a, b in zip(packs, packs[1:]):
+            assert a["last_doc_id"] < b["first_doc_id"]
+        # every pack but the last starts before the budget boundary of
+        # the next: cumulative starts reproduce the python packing
+        offset = 0
+        for p in packs:
+            assert offset // PACK_BUDGET == p["pack_id"]
+            offset += p["n_tokens"]
+
+
+def test_q13_distribution_accounts_every_customer(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.sources.tables import load_table
+
+    out = q_tpch_q13_custdist(spark, sf_dir).collect()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["custdist"] for r in out) == n_cust
+    assert all(r["c_count"] >= 0 and r["custdist"] >= 1 for r in out)
+
+
+def test_q22_idle_subset_of_high_balance(spark, sf_dir):
+    out = q_tpch_q22_idle_balances(spark, sf_dir).collect()
+    assert out, "high-balance rollup must be non-empty"
+    for r in out:
+        assert 0 <= r["n_idle"] <= r["n_custs"]
+        assert r["total_acctbal"] > 0
