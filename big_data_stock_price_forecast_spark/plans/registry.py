@@ -5702,6 +5702,383 @@ JOIN nation ON hi.c_nationkey = n_nationkey
 GROUP BY 1"""
 
 
+# a small nation GROUP rather than the classic two: the synthetic data
+# at sf0.001 has too few suppliers for any single ordered pair to
+# produce rows, and a query whose toy-scale answer is empty can't be
+# hash-verified meaningfully. Same Q7 shape (two independent nation
+# dims, directed pairs) at every SF.
+Q7_NATIONS = [f"NATION_{i}" for i in range(5)]
+
+
+def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: shipping volume between two nations by year
+    and direction — the canonical snowflake with TWO independent
+    nation lookups (supplier's and customer's). Both nation arms are
+    broadcast (fixed 25 rows at any SF) and their filters prune the
+    supplier/customer sides BEFORE the big fact joins; lineitem⋈orders
+    shuffles on the order key under AQE. Revenue is the exact DECIMAL
+    sum; the year comes from the shipdate so the group-by is a pure
+    scan expression."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = F.broadcast(
+        n.filter(F.col("n_name").isin(Q7_NATIONS)).select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    cn = F.broadcast(
+        n.filter(F.col("n_name").isin(Q7_NATIONS)).select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    dec = lambda col, p=18, sc=2: F.col(col).cast(f"decimal({p},{sc})")  # noqa: E731
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount", 3, 2)))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def _sql_q7_nations() -> str:
+    return ", ".join(f"'{n}'" for n in Q7_NATIONS)
+
+
+SQL_TPCH_Q7 = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ({_sql_q7_nations()})
+  AND cn.n_name IN ({_sql_q7_nations()})
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3"""
+
+
+Q8_NATION, Q8_REGION, Q8_TYPE = "NATION_3", "EUROPE", "PROMO"
+
+
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped: one nation's market share of a part type's
+    sales volume inside a region, by order year. The share is a ratio
+    of two exact DECIMAL sums (conditional numerator via a CASE arm)
+    converted to DOUBLE only for the final division, then rounded at
+    1e-6 on both engines. part is the probe-side filter (AQE decides
+    broadcast by runtime size); region⋈nation collapses to a broadcast
+    customer-side prune; supplier's nation only labels the numerator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == Q8_TYPE
+    ).select("p_partkey")
+    region_nations = F.broadcast(
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("r_name") == Q8_REGION)
+        .select(F.col("n_nationkey").alias("rn_key"))
+    )
+    supp_n = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    dec = lambda col, pr=18, sc=2: F.col(col).cast(f"decimal({pr},{sc})")  # noqa: E731
+    one = F.lit(1).cast("decimal(3,2)")
+    vol = dec("l_extendedprice") * (one - dec("l_discount", 3, 2))
+    zero = F.lit(0).cast("decimal(21,4)")
+    base = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(region_nations, F.col("c_nationkey") == F.col("rn_key"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_n, F.col("s_nationkey") == F.col("sn_key"))
+    )
+    agg = base.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == Q8_NATION, vol).otherwise(zero)
+        ).alias("nation_vol"),
+        F.sum(vol).alias("total_vol"),
+    )
+    share = F.col("nation_vol").cast("double") / F.col("total_vol").cast(
+        "double"
+    )
+    return agg.select(
+        "o_year",
+        F.col("nation_vol").cast("double").alias("nation_volume"),
+        F.col("total_vol").cast("double").alias("total_volume"),
+        _rne(share, "mkt_share", 6),
+    )
+
+
+SQL_TPCH_Q8 = f"""
+WITH base AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) *
+         (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS vol,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = '{Q8_TYPE}'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = '{Q8_REGION}'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey),
+agg AS (
+  SELECT o_year,
+         sum(CASE WHEN supp_nation = '{Q8_NATION}' THEN vol
+                  ELSE CAST(0 AS DECIMAL(21,4)) END) AS nation_vol,
+         sum(vol) AS total_vol
+  FROM base GROUP BY 1)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       CAST(nation_vol AS DOUBLE) AS nation_volume,
+       CAST(total_vol AS DOUBLE) AS total_volume,
+       {_sql_rne('CAST(nation_vol AS DOUBLE) / CAST(total_vol AS DOUBLE)',
+                 'mkt_share', 6)}
+FROM agg"""
+
+
+Q15_START, Q15_END = "1997-01-01 00:00:00", "1997-04-01 00:00:00"
+
+
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: supplier(s) with the maximum quarterly
+    revenue — the view-plus-scalar-max pattern. Per-supplier revenue
+    is one map-side-combined DECIMAL aggregate over the date-pruned
+    scan; the global max is a one-row broadcast joined back, so the
+    equality test compares exact decimals (no float threshold). Ties
+    all surface (deterministic without a limit)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_END).cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    dec = lambda col, p=18, sc=2: F.col(col).cast(f"decimal({p},{sc})")  # noqa: E731
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(dec("l_extendedprice") * (one - dec("l_discount", 3, 2))).alias(
+            "rev"
+        )
+    )
+    mx = rev.agg(F.max("rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("rev") == F.col("max_rev"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+SQL_TPCH_Q15 = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+           AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
+    AND l_shipdate < TIMESTAMP '{Q15_END}'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = (SELECT max(rev) FROM rev)"""
+
+
+Q17_BRAND = "Brand#1"
+
+
+def q_tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: revenue lost to small-quantity orders of one
+    brand — the correlated-scalar-subquery pattern (per-part average
+    quantity) as a self-join of the brand-pruned lineitem against its
+    own per-part aggregate. The 0.2·avg threshold is evaluated in
+    cross-multiplied DECIMAL form (qty·5·n < sum_qty) so neither
+    engine divides; the brand filter broadcasts into both arms and
+    prunes at the scan. Output is the classic sum/7.0 plus the
+    matched-line count so the row is non-degenerate even when no line
+    qualifies."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == Q17_BRAND
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    br = li.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    qdec = F.col("l_quantity").cast("decimal(18,2)")
+    stats = br.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.sum(qdec).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return (
+        br.join(stats, F.col("l_partkey") == F.col("agg_partkey"))
+        .filter(
+            qdec * F.lit(5) * F.col("n_lines") < F.col("sum_qty")
+        )
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+SQL_TPCH_Q17 = f"""
+WITH br AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{Q17_BRAND}'),
+stats AS (
+  SELECT l_partkey AS agg_partkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         count(*) AS n_lines
+  FROM br GROUP BY 1)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       count(*) AS n_small_lines
+FROM br JOIN stats ON l_partkey = agg_partkey
+WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n_lines < sum_qty"""
+
+
+def q_doc_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch accuracy as a measured column — for every LSH
+    candidate pair, the signature-agreement Jaccard estimate
+    (matching positions / k) next to the exact shingle Jaccard and
+    their absolute error. Same philosophy as the CMS/HLL/Bloom/IVF
+    entries: the approximation's quality is a NUMBER the pipeline
+    monitors, not a hope. One Arrow signature pass feeds BOTH the
+    banding (JVM band-key explode) and the estimate; the exact side
+    touches candidates only. k=64 keeps the estimate an exact binary
+    fraction, so no rounding is needed on the estimate itself."""
+    from ..operators.dedup import (
+        MH_PERMS,
+        bucket_pairs_skew_safe,
+        jaccard,
+        lsh_band_keys,
+        minhash_signature,
+        shingle_sets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = shingle_sets(docs).persist()
+    sig = minhash_signature(base).persist()
+    banded = sig.select(
+        F.col("doc_id").alias("id"),
+        F.explode(lsh_band_keys("sig")).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        bucket_pairs_skew_safe(banded, ["band", "key"], ["id"])
+        .select(F.col("p.a.id").alias("id_i"), F.col("p.b.id").alias("id_j"))
+        .distinct()
+    )
+    sh = base.select(F.col("doc_id").alias("id"), "sh")
+    sg = sig.select(F.col("doc_id").alias("id"), "sig")
+    n_eq = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_i"), F.col("sig_j"), lambda x, y: x == y),
+            lambda b: b,
+        )
+    )
+    return (
+        cand.join(sh.withColumnsRenamed({"id": "id_i", "sh": "sh_i"}), "id_i")
+        .join(sh.withColumnsRenamed({"id": "id_j", "sh": "sh_j"}), "id_j")
+        .join(sg.withColumnsRenamed({"id": "id_i", "sig": "sig_i"}), "id_i")
+        .join(sg.withColumnsRenamed({"id": "id_j", "sig": "sig_j"}), "id_j")
+        .withColumn("n_eq", n_eq)
+        .withColumn(
+            "jac_est",
+            F.col("n_eq").cast("double") / F.lit(float(MH_PERMS)),
+        )
+        .withColumn("jac_exact", jaccard(F.col("sh_i"), F.col("sh_j")))
+        .select(
+            "id_i",
+            "id_j",
+            "n_eq",
+            "jac_est",
+            _r6("jac_exact"),
+            _rne(F.abs(F.col("jac_est") - F.col("jac_exact")), "abs_err", 6),
+        )
+    )
+
+
+def _sql_minhash_est_error() -> str:
+    from ..operators.dedup import MH_PERMS
+
+    eq = (
+        f"len(list_filter(range(1, {MH_PERMS} + 1),"
+        f" i -> x.sig[i] = y.sig[i]))"
+    )
+    return f"""WITH {SQL_TOKS},
+s AS (SELECT doc_id, {sql_shingles('tok', 3)} AS sh FROM toks),
+sf AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+hs AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> {sql_hash60('s')} % {MH_PRIME}) AS h
+  FROM sf
+),
+sigs AS (SELECT doc_id, sh, {_sql_minhash_sig()} AS sig FROM hs),
+banded AS ({_sql_band_arms('sigs')}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_i, b.doc_id AS id_j
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.id_i, c.id_j,
+       CAST({eq} AS INT) AS n_eq,
+       CAST({eq} AS DOUBLE) / {float(MH_PERMS)} AS jac_est,
+       {_sql_rne(_sql_jaccard('x.sh', 'y.sh'), 'jac_exact', 6)},
+       {_sql_rne(f'abs(CAST({eq} AS DOUBLE) / {float(MH_PERMS)}'
+                 f' - ({_sql_jaccard("x.sh", "y.sh")}))', 'abs_err', 6)}
+FROM cand c
+JOIN sigs x ON x.doc_id = c.id_i
+JOIN sigs y ON y.doc_id = c.id_j"""
+
+
 def all_queries() -> dict[str, QueryFn]:
     # ORDER MATTERS: the driver's correctness gate checks entries in
     # registration order (observed cutoff: 50). Round-6 rotation: every
@@ -5742,9 +6119,12 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_normalized_dedup": q_doc_normalized_dedup,
         "tpch_q13_custdist": q_tpch_q13_custdist,
         "tpch_q22_idle_balances": q_tpch_q22_idle_balances,
+        "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
+        "doc_minhash_est_error": q_doc_minhash_est_error,
         "win_dct_embed": q_win_dct_embed,
-        "events_rollup": q_events_rollup,
-        "doc_top_terms": q_doc_top_terms,
         "stream_resample_6h": q_stream_resample_6h,
         "stream_interval_join": q_stream_interval_join,
         "media_byte_features": q_media_byte_features,
@@ -5752,7 +6132,6 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_dup_clusters": q_doc_dup_clusters,
         "flagship_forecast_mae": q_flagship,
         "emb_ivf_recall": q_emb_ivf_recall,
-        "ts_recursive_battery": q_ts_recursive_battery,
         "doc_cms_heavy_hitters": q_doc_cms_heavy_hitters,
         "knn_topk_metrics": q_knn_topk_metrics,
         "events_hll_users": q_events_hll_users,
@@ -5760,8 +6139,6 @@ def all_queries() -> dict[str, QueryFn]:
         "tpch_q1_pricing_summary": q_tpch_q1,
         "doc_minhash_lsh_pairs": q_doc_minhash_pairs,
         "doc_incremental_dups": q_doc_incremental_dups,
-        "emb_near_dup_pairs": q_emb_near_dup,
-        "events_json_agg": q_events_json_agg,
         "ts_hypertable_rollup": q_ts_hypertable_rollup,
         "events_range_join": q_events_range_join,
         "events_value_quantiles": q_events_value_quantiles,
@@ -5774,6 +6151,11 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_indicators3": q_ts_indicators3,
         "top_revenue_nations": q_top_revenue_nations,
         "doc_exact_dup_groups": q_doc_exact_dup_groups,
+        "events_rollup": q_events_rollup,
+        "doc_top_terms": q_doc_top_terms,
+        "ts_recursive_battery": q_ts_recursive_battery,
+        "emb_near_dup_pairs": q_emb_near_dup,
+        "events_json_agg": q_events_json_agg,
         "events_sessionize": q_events_sessionize,
         "events_hash_sample": q_events_hash_sample,
         "ts_dup_quality": q_ts_dup_quality,
@@ -5882,6 +6264,11 @@ def _oracle_sql_map() -> dict[str, str]:
         "doc_normalized_dedup": _sql_doc_normalized_dedup(),
         "tpch_q13_custdist": SQL_TPCH_Q13,
         "tpch_q22_idle_balances": SQL_TPCH_Q22,
+        "tpch_q7_nation_volume": SQL_TPCH_Q7,
+        "tpch_q8_market_share": SQL_TPCH_Q8,
+        "tpch_q15_top_supplier": SQL_TPCH_Q15,
+        "tpch_q17_small_qty_revenue": SQL_TPCH_Q17,
+        "doc_minhash_est_error": _sql_minhash_est_error(),
         "doc_minhash_lsh_pairs": SQL_DOC_MINHASH,
         "doc_incremental_dups": SQL_DOC_INCR,
         "doc_ngram_jaccard_pairs": SQL_DOC_NGRAM,

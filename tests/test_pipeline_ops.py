@@ -142,3 +142,74 @@ def test_q22_idle_subset_of_high_balance(spark, sf_dir):
     for r in out:
         assert 0 <= r["n_idle"] <= r["n_custs"]
         assert r["total_acctbal"] > 0
+
+
+def test_q7_directions_and_positive_revenue(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_tpch_q7_nation_volume,
+    )
+
+    out = q_tpch_q7_nation_volume(spark, sf_dir).collect()
+    assert out
+    dirs = {(r["supp_nation"], r["cust_nation"]) for r in out}
+    assert all(a != b for a, b in dirs)
+    assert all(r["revenue"] > 0 and r["n_lineitems"] > 0 for r in out)
+
+
+def test_q8_share_bounded_by_total(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_tpch_q8_market_share,
+    )
+
+    out = q_tpch_q8_market_share(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert 0.0 <= r["mkt_share"] <= 1.0
+        assert r["nation_volume"] <= r["total_volume"]
+
+
+def test_q15_returns_the_actual_max(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        Q15_END,
+        Q15_START,
+        q_tpch_q15_top_supplier,
+    )
+    from big_data_stock_price_forecast_spark.sources.tables import load_table
+
+    out = q_tpch_q15_top_supplier(spark, sf_dir).collect()
+    assert len(out) >= 1
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_END).cast("timestamp"))
+    )
+    best = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit(1).cast("decimal(3,2)")
+                    - F.col("l_discount").cast("decimal(3,2)")
+                )
+            ).alias("rev")
+        )
+        .agg(F.max(F.col("rev").cast("double")))
+        .first()[0]
+    )
+    assert all(abs(r["total_revenue"] - best) < 1e-6 for r in out)
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.operators.dedup import MH_PERMS
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_minhash_est_error,
+    )
+
+    out = q_doc_minhash_est_error(spark, sf_dir).collect()
+    assert out, "sf0.001 corpus has near-dup candidates"
+    for r in out:
+        assert 0 <= r["n_eq"] <= MH_PERMS
+        assert abs(r["jac_est"] - r["n_eq"] / MH_PERMS) < 1e-12
+        assert abs(abs(r["jac_est"] - r["jac_exact"]) - r["abs_err"]) < 1e-6
+    mean_err = sum(r["abs_err"] for r in out) / len(out)
+    assert mean_err < 0.15, f"sketch error implausibly high: {mean_err}"
