@@ -213,3 +213,46 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
         assert abs(abs(r["jac_est"] - r["jac_exact"]) - r["abs_err"]) < 1e-6
     mean_err = sum(r["abs_err"] for r in out) / len(out)
     assert mean_err < 0.15, f"sketch error implausibly high: {mean_err}"
+
+
+def test_dedup_decisions_cover_corpus_one_kept_per_cluster(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_dedup_decisions,
+    )
+    from big_data_stock_price_forecast_spark.sources.tables import load_table
+
+    out = q_doc_dedup_decisions(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(out) == n_docs
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, rows in by_cluster.items():
+        kept = [r for r in rows if r["is_kept"] == 1]
+        # min-id canonical: exactly the cluster_id doc is kept
+        assert len(kept) == 1 and kept[0]["doc_id"] == cid
+    assert all(
+        r["reason"] in ("kept", "exact_dup", "near_dup") for r in out
+    )
+
+
+def test_pq_codes_shape_and_error_bounds(spark, sf_dir):
+    import math
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        PQ_M,
+        _emb,
+        q_emb_pq_codes,
+    )
+
+    out = {r["vec_id"]: r for r in q_emb_pq_codes(spark, sf_dir).collect()}
+    emb = {r["vec_id"]: r["v"] for r in _emb(spark, sf_dir).collect()}
+    assert set(out) == set(emb)
+    for vid, r in out.items():
+        assert len(r["codes"]) == PQ_M
+        assert all(isinstance(c, int) for c in r["codes"])
+        assert r["recon_err"] >= 0.0
+        # quantizing to the nearest codeword can never be worse than
+        # the zero vector codeword bound: ||v - c|| <= ||v|| + max||c||
+        norm = math.sqrt(sum(x * x for x in emb[vid]))
+        assert r["recon_err"] < 4 * (norm + 1.0)
