@@ -256,3 +256,63 @@ def test_pq_codes_shape_and_error_bounds(spark, sf_dir):
         # the zero vector codeword bound: ||v - c|| <= ||v|| + max||c||
         norm = math.sqrt(sum(x * x for x in emb[vid]))
         assert r["recon_err"] < 4 * (norm + 1.0)
+
+
+def test_cube_margins_are_consistent(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import q_events_cube
+
+    rows = q_events_cube(spark, sf_dir).collect()
+    cells = [r for r in rows if r["gid"] == 0]
+    total = [r for r in rows if r["gid"] == 3]
+    by_type = [r for r in rows if r["gid"] == 1]  # dow rolled up
+    by_dow = [r for r in rows if r["gid"] == 2]   # event_type rolled up
+    assert len(total) == 1
+    assert total[0]["event_type"] is None and total[0]["dow"] is None
+    n_cells = sum(r["n_events"] for r in cells)
+    assert n_cells == total[0]["n_events"]
+    assert sum(r["n_events"] for r in by_type) == total[0]["n_events"]
+    assert sum(r["n_events"] for r in by_dow) == total[0]["n_events"]
+    # margin value sums reconcile exactly (DECIMAL-backed)
+    assert abs(sum(r["value_sum"] for r in cells) - total[0]["value_sum"]) < 1e-6
+
+
+def test_range_window_matches_python_replay(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        RANGE_WIN_S,
+        q_ts_range_window_avg,
+    )
+
+    out = q_ts_range_window_avg(spark, sf_dir).collect()
+    by_symbol: dict = {}
+    for r in out:
+        by_symbol.setdefault(r["symbol"], []).append(r)
+    some = 0
+    for sym, rows in list(by_symbol.items())[:3]:
+        rows.sort(key=lambda r: r["ts"])
+        epochs = [int(r["ts"].timestamp()) for r in rows]
+        for i, r in enumerate(rows):
+            lo = epochs[i] - RANGE_WIN_S
+            n = sum(1 for e in epochs if lo <= e <= epochs[i])
+            assert r["n_6h"] == n
+            some += 1
+    assert some > 0
+    # variable frame width is the point: at least one row must differ
+    widths = {r["n_6h"] for r in out}
+    assert len(widths) > 1
+
+
+def test_dq_suite_reports_known_clean_table(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_events_dq_suite,
+    )
+
+    rows = {r["check_name"]: r for r in q_events_dq_suite(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "unique_event_id", "ts_complete", "value_nonnegative",
+        "event_type_in_domain", "user_id_positive",
+    }
+    for r in rows.values():
+        assert (r["violations"] == 0) == (r["passed"] == 1)
+    # the synthetic events table is clean on id uniqueness and ts
+    assert rows["unique_event_id"]["passed"] == 1
+    assert rows["ts_complete"]["passed"] == 1
