@@ -316,3 +316,48 @@ def test_dq_suite_reports_known_clean_table(spark, sf_dir):
     # the synthetic events table is clean on id uniqueness and ts
     assert rows["unique_event_id"]["passed"] == 1
     assert rows["ts_complete"]["passed"] == 1
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q19_pushes_each_sides_disjunction_to_its_scan(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_tpch_q19_disjunctive,
+    )
+
+    plan = q_tpch_q19_disjunctive(spark, sf_dir)._jdf.queryExecution()
+    s = plan.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    # the quantity-only disjunction reaches the lineitem scan and the
+    # brand/size-only disjunction reaches the part scan (constraint
+    # propagation) — neither scan reads rows no arm could match
+    li_scans = [
+        l for l in s.splitlines() if "FileScan" in l and "l_quantity" in l
+    ]
+    assert li_scans and "l_quantity" in li_scans[0].split("DataFilters")[-1]
+    p_scans = [
+        l for l in s.splitlines() if "FileScan" in l and "p_brand" in l
+    ]
+    assert p_scans and "p_brand" in p_scans[0].split("DataFilters")[-1]
+
+
+def test_shard_assign_is_one_exchange_and_pruned_scan(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_shard_assign,
+    )
+
+    df = q_doc_shard_assign(spark, sf_dir)
+    s = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert s.count("Exchange") == 1, s
+    # column pruning: the scan reads only doc_id
+    scan = [l for l in s.splitlines() if "FileScan" in l][0]
+    assert "struct<doc_id:bigint>" in scan
