@@ -4328,7 +4328,9 @@ def q_stream_resample_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import resample_stream, run_available_now, stream_events
 
     out = run_available_now(
-        resample_stream(stream_events(spark, sf_dir), "6 hours"), "append"
+        resample_stream(stream_events(spark, sf_dir), "6 hours"),
+        "append",
+        state_partitions=8,
     )
     # the stream watermarks on an LTZ event time (UTC session, see
     # stream_events); emit NTZ so the result matches DuckDB's naive read
@@ -4369,6 +4371,7 @@ def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream_events(spark, sf_dir), ["symbol", "datetime"], "datetime"
         ),
         "append",
+        state_partitions=8,
     )
     return out.select(
         "symbol", F.col("datetime").cast("timestamp_ntz").alias("datetime")
@@ -4382,7 +4385,9 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import run_available_now, session_stream, stream_events
 
     out = run_available_now(
-        session_stream(stream_events(spark, sf_dir), "30 minutes"), "append"
+        session_stream(stream_events(spark, sf_dir), "30 minutes"),
+        "append",
+        state_partitions=8,
     )
     return out.select(
         "symbol",
@@ -4449,6 +4454,7 @@ def q_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("event_id")).alias("event_id_checksum"),
         ),
         "complete",
+        state_partitions=8,
     )
 
 
@@ -4493,6 +4499,11 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("delta_us"),
         ),
         "append",
+        # 8 state partitions: a stream-stream join runs FOUR state
+        # stores per partition and this stream's keyspace is tiny; at
+        # production rate the same knob is sized to throughput (it is
+        # checkpoint-persisted, deliberately not AQE's call)
+        state_partitions=8,
     )
     return out
 
@@ -4584,7 +4595,9 @@ def q_stream_ema_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import ema_state_stream, run_available_now, stream_events
 
     out = run_available_now(
-        ema_state_stream(stream_events(spark, sf_dir), span=12), "append"
+        ema_state_stream(stream_events(spark, sf_dir), span=12),
+        "append",
+        state_partitions=8,
     )
     return out.select("symbol", "n_rows", _r6("ema"))
 

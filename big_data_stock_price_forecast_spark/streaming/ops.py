@@ -350,25 +350,47 @@ def dedup_ingest_stream(
 
 
 def run_available_now(
-    sdf: DataFrame, output_mode: str = "append", name: str | None = None
+    sdf: DataFrame,
+    output_mode: str = "append",
+    name: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a streaming DataFrame to completion (Trigger.AvailableNow)
     through a memory sink and return the materialized result. Finite
     answer, real incremental execution — micro-batches, state store,
     watermark advancement (including the final no-data flush batch that
     emits closed windows) all run exactly as they would 24/7.
+
+    ``state_partitions`` sizes the stateful-operator partitioning for
+    THIS query only. Unlike batch shuffles, streaming state
+    partitioning is not AQE-tunable — it is fixed by the first run and
+    persisted in the checkpoint — so it is a per-query capacity
+    decision (Spark's own tuning guidance): a stream-stream join
+    carries four state stores per partition, and a per-partition
+    fixed cost times the default 32 dwarfs toy-scale data. The
+    override rides the session clone StreamExecution takes at
+    ``start()``; the caller's session conf is restored immediately,
+    so concurrent/later batch plans never see it.
     """
     name = name or f"bdspf_stream_sink_{next(_SINK_IDS)}"
     ckpt = tempfile.mkdtemp(prefix="bdspf-ckpt-")
     spark = sdf.sparkSession
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(shuffle_key)
+    if state_partitions is not None:
+        spark.conf.set(shuffle_key, str(state_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if state_partitions is not None:
+            spark.conf.set(shuffle_key, prev)
     try:
         q.awaitTermination()
         # pin the result independently of the memory sink, then release
