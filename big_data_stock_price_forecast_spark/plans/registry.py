@@ -1496,7 +1496,11 @@ def _sql_jaccard(a: str, b: str) -> str:
     )
 
 
-_SQL_DOC_MINHASH_BODY = f"""WITH {SQL_TOKS},
+# shared CTE prefix: tokenize -> shingle -> hash -> signatures ->
+# banded bucket rows -> candidate pairs. ONE definition feeds the
+# pairs oracle AND the estimate-error oracle so a sketch-contract edit
+# can't silently desync them (the same rule as _sql_ivf_base).
+_SQL_MINHASH_CAND_CTES = f"""{SQL_TOKS},
 s AS (SELECT doc_id, {sql_shingles('tok', 3)} AS sh FROM toks),
 sf AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
 hs AS (
@@ -1504,13 +1508,15 @@ hs AS (
          list_transform(sh, s -> {sql_hash60('s')} % {MH_PRIME}) AS h
   FROM sf
 ),
-sigs AS (SELECT doc_id, {_sql_minhash_sig()} AS sig FROM hs),
+sigs AS (SELECT doc_id, sh, {_sql_minhash_sig()} AS sig FROM hs),
 banded AS ({_sql_band_arms('sigs')}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_i, b.doc_id AS id_j
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-),
+)"""
+
+_SQL_DOC_MINHASH_BODY = f"""WITH {_SQL_MINHASH_CAND_CTES},
 ver AS (
   SELECT c.id_i, c.id_j, {_sql_jaccard('x.sh', 'y.sh')} AS jac
   FROM cand c
@@ -6072,21 +6078,7 @@ def _sql_minhash_est_error() -> str:
         f"len(list_filter(range(1, {MH_PERMS} + 1),"
         f" i -> x.sig[i] = y.sig[i]))"
     )
-    return f"""WITH {SQL_TOKS},
-s AS (SELECT doc_id, {sql_shingles('tok', 3)} AS sh FROM toks),
-sf AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
-hs AS (
-  SELECT doc_id, sh,
-         list_transform(sh, s -> {sql_hash60('s')} % {MH_PRIME}) AS h
-  FROM sf
-),
-sigs AS (SELECT doc_id, sh, {_sql_minhash_sig()} AS sig FROM hs),
-banded AS ({_sql_band_arms('sigs')}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_i, b.doc_id AS id_j
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-)
+    return f"""WITH {_SQL_MINHASH_CAND_CTES}
 SELECT c.id_i, c.id_j,
        CAST({eq} AS INT) AS n_eq,
        CAST({eq} AS DOUBLE) / {float(MH_PERMS)} AS jac_est,
