@@ -361,3 +361,62 @@ def test_shard_assign_is_one_exchange_and_pruned_scan(spark, sf_dir):
     # column pruning: the scan reads only doc_id
     scan = [l for l in s.splitlines() if "FileScan" in l][0]
     assert "struct<doc_id:bigint>" in scan
+
+
+def test_search_and_requires_every_term(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.functions.text import tokens
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        SEARCH_TERMS,
+        q_doc_search_and,
+    )
+    from big_data_stock_price_forecast_spark.sources.tables import load_table
+
+    out = {r["doc_id"]: r for r in q_doc_search_and(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("tok")
+    ).collect()
+    for d in docs:
+        toks = d["tok"]
+        tfs = {t: toks.count(t) for t in SEARCH_TERMS}
+        if all(v > 0 for v in tfs.values()):
+            r = out[d["doc_id"]]
+            for t in SEARCH_TERMS:
+                assert r[f"tf_{t}"] == tfs[t]
+            assert r["score"] == sum(tfs.values())
+        else:
+            assert d["doc_id"] not in out
+
+
+def test_kmeans_refine_covers_corpus_and_reduces_inertia(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.operators.ivf import (
+        assign_lists,
+        label_centroids,
+    )
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        _emb,
+        q_emb_kmeans_refine,
+    )
+
+    out = q_emb_kmeans_refine(spark, sf_dir).collect()
+    emb = _emb(spark, sf_dir)
+    assert sum(r["n_members"] for r in out) == emb.count()
+    assert all(r["inertia"] >= 0 for r in out)
+    # Lloyd's monotonicity: total inertia after the refinement step is
+    # no worse than assigning against the seed centroids
+    from pyspark.sql import functions as SF
+    from big_data_stock_price_forecast_spark.functions.distance import dist_l2
+
+    cent0 = label_centroids(emb)
+    a0 = assign_lists(emb, cent0)
+    d0 = (
+        a0.join(
+            SF.broadcast(
+                cent0.select(SF.col("label").alias("list_id"), "cvec")
+            ),
+            "list_id",
+        )
+        .select(dist_l2(SF.col("v"), SF.col("cvec")).alias("d"))
+        .agg(SF.sum("d"))
+        .first()[0]
+    )
+    assert sum(r["inertia"] for r in out) <= d0 + 1e-6
