@@ -49,6 +49,58 @@ def sma(
     )
 
 
+def rolling_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n: int = 20,
+    out_col: str | None = None,
+    part_col: str = "symbol",
+    idx_col: str = "time_idx",
+    var_floor: float = 1e-12,
+) -> DataFrame:
+    """Rolling Pearson correlation between two series over the trailing
+    ``n`` rows — the pairwise-comovement window a quant pipeline runs
+    beside the indicator battery (the reference's `ta` surface has
+    rolling correlation via pandas `rolling().corr()`).
+
+    Numeric contract: the five frame sums (Σx, Σy, Σxy, Σx², Σy²) are
+    SEQUENTIAL LEFT FOLDS over the collected frame list — not engine
+    window-sum accumulators, whose add/remove sliding optimizations
+    drift for floats — so the DuckDB oracle (``list_reduce`` over
+    ``list(...) OVER frame``) reproduces every sum bitwise, and the
+    closed-form correlation computed from identical doubles is
+    identical. Null until the frame is full or while either variance
+    sits below ``var_floor`` (constant series)."""
+    w = _base(part_col, idx_col)
+    frame = w.rowsBetween(-(n - 1), 0)
+    rn = F.row_number().over(w)
+    out = df.withColumn(
+        "__cxs", F.collect_list(F.col(x_col)).over(frame)
+    ).withColumn("__cys", F.collect_list(F.col(y_col)).over(frame))
+    add = lambda a, v: a + v  # noqa: E731
+    sx = F.aggregate(F.col("__cxs"), F.lit(0.0), add)
+    sy = F.aggregate(F.col("__cys"), F.lit(0.0), add)
+    sxx = F.aggregate(F.col("__cxs"), F.lit(0.0), lambda a, v: a + v * v)
+    syy = F.aggregate(F.col("__cys"), F.lit(0.0), lambda a, v: a + v * v)
+    sxy = F.aggregate(
+        F.zip_with("__cxs", "__cys", lambda x, y: x * y),
+        F.lit(0.0),
+        add,
+    )
+    nn = F.lit(float(n))
+    cov = nn * sxy - sx * sy
+    vx = nn * sxx - sx * sx
+    vy = nn * syy - sy * sy
+    corr = F.when(
+        (rn >= n) & (vx > var_floor) & (vy > var_floor),
+        cov / F.sqrt(vx * vy),
+    )
+    return out.withColumn(out_col or f"corr{n}", corr).drop(
+        "__cxs", "__cys"
+    )
+
+
 def add_indicators(
     df: DataFrame,
     part_col: str = "symbol",

@@ -59,7 +59,7 @@ from ..operators.dedup import (
 )
 from ..operators.gapfill import fill_missing_time_idx
 from ..operators.resample import resample_ohlcv
-from ..operators.rolling import add_indicators, atr, macd, rsi
+from ..operators.rolling import add_indicators, atr, macd, rolling_corr, rsi
 from ..operators.similarity import (
     ANN_PLANES,
     ann_lsh_topk,
@@ -6992,6 +6992,241 @@ def q_tpch_q21_waiting_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-bucket Pearson correlation of close vs volume per
+    symbol (operators/rolling.py rolling_corr) on the gap-filled OHLCV
+    grid — rides the ts family's single up-front symbol exchange like
+    every other window operator. The five frame sums are sequential
+    list folds (see rolling_corr's numeric contract), so the oracle
+    reproduces them bitwise and only the final closed form needs the
+    engine-safe 1e-6 rounding."""
+    df = rolling_corr(_filled_ohlc(spark, sf_dir), "close", "volume", n=20)
+    return df.select(
+        "symbol", "time_idx", _rne(F.col("corr20"), "corr20", 6)
+    )
+
+
+def _sql_ts_rolling_corr() -> str:
+    fold = "(a, b) -> a + b"
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED_OHLC},
+lists AS (
+  SELECT symbol, time_idx,
+         row_number() OVER w AS rn,
+         list(close) OVER f20 AS xs,
+         list(volume) OVER f20 AS ys,
+         list(close * volume) OVER f20 AS xys,
+         list(close * close) OVER f20 AS xxs,
+         list(volume * volume) OVER f20 AS yys
+  FROM filled
+  WINDOW w AS (PARTITION BY symbol ORDER BY time_idx),
+         f20 AS (PARTITION BY symbol ORDER BY time_idx
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+),
+sums AS (
+  -- sequential left folds; 0.0-seeded to mirror Spark's aggregate init
+  SELECT symbol, time_idx, rn,
+         list_reduce(list_prepend(0.0, xs), {fold}) AS sx,
+         list_reduce(list_prepend(0.0, ys), {fold}) AS sy,
+         list_reduce(list_prepend(0.0, xys), {fold}) AS sxy,
+         list_reduce(list_prepend(0.0, xxs), {fold}) AS sxx,
+         list_reduce(list_prepend(0.0, yys), {fold}) AS syy
+  FROM lists
+),
+calc AS (
+  SELECT symbol, time_idx, rn,
+         20.0 * sxy - sx * sy AS cov,
+         20.0 * sxx - sx * sx AS vx,
+         20.0 * syy - sy * sy AS vy
+  FROM sums
+)
+SELECT symbol, time_idx,
+       CASE WHEN rn >= 20 AND vx > 1e-12 AND vy > 1e-12
+            THEN {_sql_rne_expr('cov / sqrt(vx * vy)')} END AS corr20
+FROM calc"""
+
+
+CORR_MATRIX_TOP_K = 8
+
+
+def q_ts_symbol_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of 6h returns across the
+    top-k most-liquid symbols — the portfolio-comovement query beside
+    the per-symbol indicator battery. Scale design: the top-k cut (an
+    aggregate + deterministic limit) broadcasts into the resampled
+    series, so the all-pairs self-join is k-bounded per time bucket
+    (k²/2 rows per bucket, never corpus²); returns snap to the 1e-6
+    grid and the five pair moments accumulate in EXACT DECIMAL, so the
+    per-pair aggregation is partitioning-independent and only the
+    closed-form division runs in (identical-input) floating point."""
+    r = _resampled(spark, sf_dir).select("symbol", "time_idx", "close")
+    top = (
+        r.groupBy("symbol")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("symbol").asc())
+        .limit(CORR_MATRIX_TOP_K)
+        .select("symbol")
+    )
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    ret_raw = (
+        F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1
+    )
+    rets = (
+        r.join(F.broadcast(top), "symbol")
+        .withColumn(
+            "ret", F.floor(ret_raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        )
+        .filter(F.col("ret").isNotNull())
+        .select(
+            "symbol", "time_idx", F.col("ret").cast("decimal(18,6)").alias("ret")
+        )
+    )
+    a = rets.select(
+        F.col("symbol").alias("sym_a"), "time_idx", F.col("ret").alias("x")
+    )
+    b = rets.select(
+        F.col("symbol").alias("sym_b"), "time_idx", F.col("ret").alias("y")
+    )
+    agg = (
+        a.join(b, "time_idx")
+        .filter(F.col("sym_a") < F.col("sym_b"))
+        .groupBy("sym_a", "sym_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    nn = F.col("n_obs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov = nn * sxy - sx * sy
+    vx = nn * sxx - sx * sx
+    vy = nn * syy - sy * sy
+    corr = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    return agg.select("sym_a", "sym_b", "n_obs", _rne(corr, "corr", 6))
+
+
+def _sql_ts_symbol_corr_matrix() -> str:
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H},
+top AS (
+  SELECT symbol FROM (
+    SELECT symbol, count(*) AS n FROM idx GROUP BY 1
+    ORDER BY n DESC, symbol ASC LIMIT {CORR_MATRIX_TOP_K})),
+rets AS (
+  SELECT symbol, time_idx,
+         CAST(floor((close / nullif(lag(close) OVER (
+                PARTITION BY symbol ORDER BY time_idx), 0.0) - 1)
+              * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS ret
+  FROM idx WHERE symbol IN (SELECT symbol FROM top)),
+rets2 AS (SELECT * FROM rets WHERE ret IS NOT NULL),
+agg AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, count(*) AS n_obs,
+         CAST(sum(a.ret) AS DOUBLE) AS sx,
+         CAST(sum(b.ret) AS DOUBLE) AS sy,
+         CAST(sum(a.ret * b.ret) AS DOUBLE) AS sxy,
+         CAST(sum(a.ret * a.ret) AS DOUBLE) AS sxx,
+         CAST(sum(b.ret * b.ret) AS DOUBLE) AS syy
+  FROM rets2 a JOIN rets2 b
+    ON a.time_idx = b.time_idx AND a.symbol < b.symbol
+  GROUP BY 1, 2),
+calc AS (
+  SELECT sym_a, sym_b, n_obs,
+         CAST(n_obs AS DOUBLE) * sxy - sx * sy AS cov,
+         CAST(n_obs AS DOUBLE) * sxx - sx * sx AS vx,
+         CAST(n_obs AS DOUBLE) * syy - sy * sy AS vy
+  FROM agg)
+SELECT sym_a, sym_b, n_obs,
+       CASE WHEN vx > 0 AND vy > 0
+            THEN {_sql_rne_expr('cov / sqrt(vx * vy)')} END AS corr
+FROM calc"""
+
+
+def q_doc_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first scan of BPE tokenizer training: adjacent character
+    pairs inside word tokens, weighted by token frequency — the
+    pair-count table whose argmax is BPE's first merge. Computed over
+    the VOCABULARY (distinct tokens + counts), not the token stream:
+    by Heaps' law the vocab is sublinear in corpus size, so the
+    character-pair explosion — the expensive step — runs on the small
+    frame while the corpus contributes only a map-side-combined token
+    count. All integer arithmetic; top-20 with pair tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.length("tok") >= 2)
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("weight"))
+        .orderBy(F.col("weight").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+SQL_DOC_BPE_MERGES = f"""
+WITH tok AS (
+  SELECT unnest({sql_tokens('text')}) AS tok FROM documents),
+vocab AS (
+  SELECT tok, count(*) AS cnt FROM tok GROUP BY 1 HAVING length(tok) >= 2),
+pairs AS (
+  SELECT substr(tok, i, 2) AS pair, cnt
+  FROM vocab, LATERAL (
+    SELECT unnest(generate_series(1, length(tok) - 1)) AS i))
+SELECT pair, CAST(sum(cnt) AS BIGINT) AS weight
+FROM pairs GROUP BY 1
+ORDER BY weight DESC, pair ASC LIMIT 20"""
+
+
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming last-touch attribution (streaming/ops.py
+    attribution_state_stream): per-purchase rows with the crediting
+    channel, produced by the stateful per-user operator under
+    AvailableNow — the second custom applyInPandasWithState operator
+    beside the EMA state fold. The batch oracle is the same
+    conditional-LAST window the batch attribution query uses, emitted
+    per purchase instead of per channel."""
+    from ..streaming import attribution_state_stream, run_available_now, stream_events
+
+    out = run_available_now(
+        attribution_state_stream(
+            stream_events(spark, sf_dir, keep_type=True)
+        ),
+        "append",
+        state_partitions=8,
+    )
+    return out.select(
+        F.col("symbol").alias("user_id"), "event_id", "channel", "value"
+    )
+
+
+SQL_STREAM_ATTRIBUTION = """
+WITH tagged AS (
+  SELECT user_id, event_id, event_type, value,
+         coalesce(last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  'none') AS channel
+  FROM events)
+SELECT user_id, event_id, channel, value
+FROM tagged WHERE event_type = 'purchase'"""
+
+
 def q_graph_hits_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two HITS power iterations over the supplier↔part bipartite graph
     derived from lineitem — the iterative graph-algebra probe (beside
@@ -7381,6 +7616,10 @@ def all_queries() -> dict[str, QueryFn]:
         "tpch_q20_promotion_supp": q_tpch_q20_promotion_supp,
         "tpch_q21_waiting_supp": q_tpch_q21_waiting_supp,
         "graph_hits_parts": q_graph_hits_parts,
+        "ts_rolling_corr": q_ts_rolling_corr,
+        "ts_symbol_corr_matrix": q_ts_symbol_corr_matrix,
+        "doc_bpe_first_merges": q_doc_bpe_first_merges,
+        "stream_attribution": q_stream_attribution,
         "events_attribution": q_events_attribution,
         "events_cumulative_users": q_events_cumulative_users,
         "doc_unigram_ppl": q_doc_unigram_ppl,
@@ -7517,6 +7756,10 @@ def _oracle_sql_map() -> dict[str, str]:
         "tpch_q20_promotion_supp": SQL_TPCH_Q20,
         "tpch_q21_waiting_supp": SQL_TPCH_Q21,
         "graph_hits_parts": SQL_GRAPH_HITS,
+        "ts_rolling_corr": _sql_ts_rolling_corr(),
+        "ts_symbol_corr_matrix": _sql_ts_symbol_corr_matrix(),
+        "doc_bpe_first_merges": SQL_DOC_BPE_MERGES,
+        "stream_attribution": SQL_STREAM_ATTRIBUTION,
         "events_attribution": SQL_EVENTS_ATTRIBUTION,
         "events_cumulative_users": SQL_EVENTS_CUMULATIVE_USERS,
         "doc_unigram_ppl": SQL_DOC_UNIGRAM_PPL,

@@ -1,4 +1,5 @@
 from .ops import (
+    attribution_state_stream,
     dedup_ingest_stream,
     distinct_keys_stream,
     ema_state_stream,
@@ -10,6 +11,7 @@ from .ops import (
 )
 
 __all__ = [
+    "attribution_state_stream",
     "dedup_ingest_stream",
     "distinct_keys_stream",
     "ema_state_stream",

@@ -241,6 +241,82 @@ def ema_state_stream(sdf: DataFrame, span: int = 12) -> DataFrame:
     )
 
 
+_ATTR_OUT = StructType(
+    [
+        StructField("symbol", LongType()),
+        StructField("event_id", LongType()),
+        StructField("channel", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+_ATTR_STATE = StructType([StructField("last_touch", StringType())])
+
+
+def _attrib_state_fn(touches: tuple[str, ...], purchase: str):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs)).sort_values(["datetime", "event_id"])
+        (last,) = state.get if state.exists else (None,)
+        ids: list[int] = []
+        chans: list[str] = []
+        vals: list[float] = []
+        for r in pdf.itertuples():
+            if r.event_type == purchase:
+                ids.append(int(r.event_id))
+                chans.append(last or "none")
+                vals.append(float(r.close))
+            if r.event_type in touches:
+                last = r.event_type
+        state.update((last,))
+        if ids:
+            yield pd.DataFrame(
+                {
+                    "symbol": [key[0]] * len(ids),
+                    "event_id": ids,
+                    "channel": chans,
+                    "value": vals,
+                }
+            )
+
+    return fn
+
+
+def attribution_state_stream(
+    sdf: DataFrame,
+    touches: tuple[str, ...] = ("view", "click"),
+    purchase: str = "purchase",
+) -> DataFrame:
+    """Streaming last-touch attribution as a custom stateful operator
+    (``applyInPandasWithState``): per-user state carries the most
+    recent touch (view/click) across micro-batches; each purchase is
+    emitted exactly once, credited to the touch in effect when it
+    happened — the 24/7 form of the batch ``events_attribution``
+    window query. State is one string per user (bounded by the user
+    population, not the event volume) and partitions by the group key
+    across executors.
+
+    Oracle-equivalence precondition: same as the EMA state fold —
+    micro-batches fold in arrival order (rows within a batch sorted by
+    (datetime, event_id)), matching the batch window oracle when the
+    source delivers time-ordered files, as the engine's landing layout
+    does.
+    """
+    return (
+        sdf.withWatermark("datetime", "1 hour")
+        .groupBy("symbol")
+        .applyInPandasWithState(
+            _attrib_state_fn(tuple(touches), purchase),
+            outputStructType=_ATTR_OUT,
+            stateStructType=_ATTR_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,

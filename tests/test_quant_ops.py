@@ -1,0 +1,128 @@
+"""Contracts for the quant/tokenizer additions: rolling correlation,
+the top-k symbol correlation matrix, the BPE first-merge scan, and the
+streaming attribution operator."""
+
+import math
+import re
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from big_data_stock_price_forecast_spark.functions.text import TOKEN_SPLIT_RE
+from big_data_stock_price_forecast_spark.operators.rolling import rolling_corr
+from big_data_stock_price_forecast_spark.plans.registry import (
+    q_doc_bpe_first_merges,
+    q_events_attribution,
+    q_stream_attribution,
+    q_ts_rolling_corr,
+    q_ts_symbol_corr_matrix,
+)
+from big_data_stock_price_forecast_spark.sources.tables import load_table
+
+
+def test_rolling_corr_matches_python_reference(spark):
+    rows = [
+        (1, i, float(x), float(y))
+        for i, (x, y) in enumerate(
+            zip(
+                [1, 2, 3, 4, 5, 6, 5, 4, 3, 2, 1, 2],
+                [2, 4, 5, 9, 10, 13, 11, 8, 6, 5, 1, 3],
+            )
+        )
+    ]
+    df = spark.createDataFrame(rows, ["symbol", "time_idx", "x", "y"])
+    out = {
+        r["time_idx"]: r["corr5"]
+        for r in rolling_corr(df, "x", "y", n=5, out_col="corr5").collect()
+    }
+    xs = [r[2] for r in rows]
+    ys = [r[3] for r in rows]
+    for t in range(len(rows)):
+        if t < 4:
+            assert out[t] is None
+            continue
+        wx, wy = xs[t - 4 : t + 1], ys[t - 4 : t + 1]
+        n = 5.0
+        sx, sy = sum(wx), sum(wy)
+        sxy = sum(a * b for a, b in zip(wx, wy))
+        sxx, syy = sum(a * a for a in wx), sum(b * b for b in wy)
+        cov = n * sxy - sx * sy
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        expect = cov / math.sqrt(vx * vy)
+        assert abs(out[t] - expect) < 1e-9
+        assert -1.0 - 1e-12 <= out[t] <= 1.0 + 1e-12
+
+
+def test_rolling_corr_constant_series_is_null(spark):
+    rows = [(1, i, float(i), 7.0) for i in range(10)]
+    df = spark.createDataFrame(rows, ["symbol", "time_idx", "x", "y"])
+    out = rolling_corr(df, "x", "y", n=5, out_col="c").collect()
+    assert all(r["c"] is None for r in out)
+
+
+def test_ts_rolling_corr_bounded_and_warmup_null(spark, sf_dir):
+    out = q_ts_rolling_corr(spark, sf_dir).collect()
+    assert out
+    by_sym = defaultdict(list)
+    for r in out:
+        by_sym[r["symbol"]].append(r)
+    for rows in by_sym.values():
+        rows.sort(key=lambda r: r["time_idx"])
+        for i, r in enumerate(rows[:19]):
+            assert r["corr20"] is None, (i, r)
+        for r in rows:
+            if r["corr20"] is not None:
+                assert -1.0 - 1e-9 <= r["corr20"] <= 1.0 + 1e-9
+
+
+def test_symbol_corr_matrix_pairs_and_bounds(spark, sf_dir):
+    out = q_ts_symbol_corr_matrix(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["sym_a"] < r["sym_b"]
+        assert r["n_obs"] >= 1
+        if r["corr"] is not None:
+            assert -1.0 - 1e-9 <= r["corr"] <= 1.0 + 1e-9
+    pairs = {(r["sym_a"], r["sym_b"]) for r in out}
+    assert len(pairs) == len(out)
+
+
+def test_bpe_merges_match_python_counter(spark, sf_dir):
+    out = [(r["pair"], r["weight"]) for r in
+           q_doc_bpe_first_merges(spark, sf_dir).collect()]
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    cnt: Counter = Counter()
+    for d in docs:
+        for t in re.split(TOKEN_SPLIT_RE, d["text"].lower()):
+            if t:
+                cnt[t] += 1
+    pair_w: Counter = Counter()
+    for t, c in cnt.items():
+        for i in range(len(t) - 1):
+            pair_w[t[i : i + 2]] += c
+    expect = sorted(pair_w.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert out == expect
+
+
+def test_stream_attribution_reconciles_with_batch_query(spark, sf_dir):
+    stream_rows = q_stream_attribution(spark, sf_dir).collect()
+    batch = {r["channel"]: r for r in
+             q_events_attribution(spark, sf_dir).collect()}
+    by_chan = defaultdict(list)
+    for r in stream_rows:
+        by_chan[r["channel"]].append(r)
+    assert set(by_chan) == set(batch)
+    for ch, rows in by_chan.items():
+        assert len(rows) == batch[ch]["n_purchases"]
+        assert abs(
+            sum(round(r["value"], 2) for r in rows) - batch[ch]["revenue"]
+        ) < 1e-6
+    # every purchase appears exactly once
+    ids = [r["event_id"] for r in stream_rows]
+    assert len(ids) == len(set(ids))
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert len(ids) == n_purchases
