@@ -6992,6 +6992,433 @@ def q_tpch_q21_waiting_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week
+    (the cohort), counted as distinct actives in each subsequent week
+    offset — the full product-analytics generalization of the two-week
+    retention query. Two aggregates: first-touch per user (one user
+    exchange), then distinct users per (cohort_week, offset); the
+    distinct collapses at the user grain BEFORE the matrix aggregate,
+    so the second shuffle moves at most users × weeks rows. All
+    integer week arithmetic from the epoch-day quotient."""
+    ev = load_table(spark, sf_dir, "events")
+    week = lambda c: F.floor(  # noqa: E731
+        (
+            F.floor(F.unix_micros(c.cast("timestamp")) / F.lit(86_400_000_000))
+            - F.lit(19723)
+        )
+        / 7
+    ).cast("int")
+    require_utc(spark)
+    acts = ev.select(
+        "user_id", week(F.col("ts")).alias("act_week")
+    ).distinct()
+    cohorts = acts.groupBy("user_id").agg(
+        F.min("act_week").alias("cohort_week")
+    )
+    return (
+        acts.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("act_week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+SQL_EVENTS_COHORT = """
+WITH acts AS (
+  SELECT DISTINCT user_id,
+         CAST(floor((floor(epoch_us(ts::TIMESTAMP) / 86400000000.0)
+                     - 19723) / 7) AS INT) AS act_week
+  FROM events),
+cohorts AS (
+  SELECT user_id, min(act_week) AS cohort_week FROM acts GROUP BY 1)
+SELECT cohort_week, act_week - cohort_week AS week_offset,
+       count(*) AS n_users
+FROM acts JOIN cohorts USING (user_id)
+GROUP BY 1, 2"""
+
+
+ASSOC_MIN_USERS = 5
+
+
+def q_events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over per-user event-type sets:
+    support, confidence, and lift for every type pair with at least
+    ``ASSOC_MIN_USERS`` co-occurring users — the first level of an
+    FP-growth-style frequent-itemset mine. The basket distinct
+    collapses to user × type (≤ 5 rows/user) before the pair
+    self-join, per-item counts broadcast (the item vocabulary is tiny
+    by construction), and the user total rides a broadcast scalar.
+    The emitted ratios are double quotients of identical integers on
+    both engines — no rounding needed anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select("user_id", "event_type").distinct()
+    item_counts = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    n_users = baskets.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    a = baskets.select("user_id", F.col("event_type").alias("ante"))
+    b = baskets.select("user_id", F.col("event_type").alias("cons"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("ante") < F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= ASSOC_MIN_USERS)
+    )
+    na = item_counts.select(
+        F.col("event_type").alias("ante"), F.col("n_item").alias("n_ante")
+    )
+    nc = item_counts.select(
+        F.col("event_type").alias("cons"), F.col("n_item").alias("n_cons")
+    )
+    return (
+        pairs.join(F.broadcast(na), "ante")
+        .join(F.broadcast(nc), "cons")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "ante",
+            "cons",
+            "n_both",
+            (F.col("n_both") / F.col("n_users")).alias("support"),
+            (F.col("n_both") / F.col("n_ante")).alias("confidence"),
+            (
+                F.col("n_both")
+                * F.col("n_users")
+                / (F.col("n_ante") * F.col("n_cons"))
+            ).alias("lift"),
+        )
+    )
+
+
+SQL_EVENTS_ASSOC = f"""
+WITH baskets AS (SELECT DISTINCT user_id, event_type FROM events),
+item_counts AS (
+  SELECT event_type, count(*) AS n_item FROM baskets GROUP BY 1),
+total AS (SELECT count(DISTINCT user_id) AS n_users FROM baskets),
+pairs AS (
+  SELECT a.event_type AS ante, b.event_type AS cons, count(*) AS n_both
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2 HAVING count(*) >= {ASSOC_MIN_USERS})
+SELECT ante, cons, n_both,
+       n_both / n_users AS support,
+       n_both / na.n_item AS confidence,
+       n_both * n_users / (na.n_item * nc.n_item) AS lift
+FROM pairs
+JOIN item_counts na ON na.event_type = ante
+JOIN item_counts nc ON nc.event_type = cons
+CROSS JOIN total"""
+
+
+def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per symbol — the canonical risk metric: the
+    deepest peak-to-trough fall of the gap-filled close, as a fraction
+    of the running peak. Two stacked windows on the ts family's single
+    symbol exchange: a running max (rows unbounded preceding) and a
+    per-symbol min aggregate of the per-row drawdown. The division
+    happens per-row on identical doubles; only the final min is
+    emitted (rounded on the shared 1e-6 grid), with the trough's
+    time_idx via min_by for audit."""
+    df = _filled(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("time_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = df.withColumn(
+        "ddraw",
+        (F.col("close") - F.max("close").over(w))
+        / F.nullif(F.max("close").over(w), F.lit(0.0)),
+    )
+    # deterministic trough: EARLIEST time_idx achieving the per-symbol
+    # minimum (equal drawdowns are common across ffilled gap runs, so a
+    # bare min_by tie-breaks arbitrarily)
+    mn = F.min("ddraw").over(Window.partitionBy("symbol"))
+    return (
+        dd.withColumn("__mn", mn)
+        .filter(F.col("ddraw") == F.col("__mn"))
+        .groupBy("symbol")
+        .agg(
+            _rne(F.min("ddraw"), "max_drawdown", 6),
+            F.min("time_idx").alias("trough_time_idx"),
+        )
+    )
+
+
+SQL_TS_DRAWDOWN = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+dd AS (
+  SELECT symbol, time_idx,
+         (close - max(close) OVER rm) / nullif(max(close) OVER rm, 0.0)
+           AS ddraw
+  FROM filled
+  WINDOW rm AS (PARTITION BY symbol ORDER BY time_idx
+                ROWS UNBOUNDED PRECEDING))
+SELECT symbol, {_sql_rne('min(ddraw)', 'max_drawdown')},
+       min(time_idx) AS trough_time_idx
+FROM (SELECT *, min(ddraw) OVER (PARTITION BY symbol) AS mn FROM dd)
+WHERE ddraw = mn
+GROUP BY 1"""
+
+
+FC_SEASON = 4  # 6h buckets -> daily seasonality
+FC_TRAIN_FRAC = 0.8
+
+
+def q_ts_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation per symbol — naive (last value),
+    drift (first-to-last line), and seasonal-naive (last season
+    repeated) forecasts over each symbol's 20% holdout tail, scored
+    with MAE, sMAPE, and MASE (scaled by the train-set one-step naive
+    MAE, Hyndman's convention; the reference's headline metric is
+    forecast MAE — BASELINE.md). Everything rides the ts family's
+    symbol exchange: the train scalars (n, first/last close, last
+    season, in-sample naive MAE) reduce per symbol and join back to
+    the test rows; per-row error terms snap to the 1e-6 grid and the
+    per-(symbol, method) means sum in exact DECIMAL, so aggregation
+    order cannot perturb the scores."""
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    rows = df.withColumn("rn", F.row_number().over(w)).withColumn(
+        "prev", F.lag("close").over(w)
+    )
+    counts = rows.groupBy("symbol").agg(F.max("rn").alias("n_rows"))
+    counts = counts.withColumn(
+        "n_train",
+        F.greatest(
+            F.floor(F.col("n_rows") * F.lit(FC_TRAIN_FRAC)).cast("int"),
+            F.lit(FC_SEASON + 1),
+        ),
+    )
+    tagged = rows.join(counts, "symbol")
+    train = tagged.filter(F.col("rn") <= F.col("n_train"))
+    grid = F.lit(1e6)
+    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
+    train_stats = train.groupBy("symbol").agg(
+        F.max("n_train").alias("n_train"),
+        F.min_by("close", "rn").alias("first_close"),
+        F.max_by("close", "rn").alias("last_close"),
+        F.sum(
+            F.when(
+                F.col("rn") > 1,
+                snap(F.abs(F.col("close") - F.col("prev"))).cast(
+                    "decimal(18,6)"
+                ),
+            )
+        ).alias("sum_naive_err"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("rn") > F.col("n_train") - FC_SEASON,
+                    F.struct("rn", "close"),
+                )
+            )
+        ).alias("season_tail"),
+    )
+    train_stats = train_stats.select(
+        "symbol",
+        "n_train",
+        "first_close",
+        "last_close",
+        (
+            F.col("sum_naive_err").cast("double")
+            / (F.col("n_train") - 1)
+        ).alias("mase_scale"),
+        F.col("season_tail.close").alias("season"),
+    )
+    test = (
+        tagged.filter(F.col("rn") > F.col("n_train"))
+        .select("symbol", "rn", "close")
+        .join(train_stats, "symbol")
+    )
+    h = F.col("rn") - F.col("n_train")
+    drift_slope = (F.col("last_close") - F.col("first_close")) / (
+        F.col("n_train") - 1
+    )
+    fc = test.select(
+        "symbol",
+        "close",
+        "mase_scale",
+        F.col("last_close").alias("naive"),
+        (F.col("last_close") + h * drift_slope).alias("drift"),
+        F.element_at(
+            "season", ((h - 1) % FC_SEASON + 1).cast("int")
+        ).alias("seasonal"),
+    )
+    methods = []
+    for m in ("naive", "drift", "seasonal"):
+        err = F.abs(F.col(m) - F.col("close"))
+        denom = F.abs(F.col(m)) + F.abs(F.col("close"))
+        methods.append(
+            fc.select(
+                "symbol",
+                F.lit(m).alias("method"),
+                snap(err).cast("decimal(18,6)").alias("abs_err"),
+                F.when(
+                    denom > 0, snap(2 * err / denom)
+                ).otherwise(F.lit(0.0)).cast("decimal(18,6)").alias("sm"),
+                "mase_scale",
+            )
+        )
+    union = methods[0].unionByName(methods[1]).unionByName(methods[2])
+    agg = union.groupBy("symbol", "method").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum("abs_err").alias("sae"),
+        F.sum("sm").alias("ssm"),
+        F.max("mase_scale").alias("mase_scale"),
+    )
+    mae = F.col("sae").cast("double") / F.col("n_test")
+    return agg.select(
+        "symbol",
+        "method",
+        "n_test",
+        _rne(mae, "mae", 6),
+        _rne(F.col("ssm").cast("double") / F.col("n_test"), "smape", 6),
+        _rne(mae / F.nullif(F.col("mase_scale"), F.lit(0.0)), "mase", 6),
+    )
+
+
+def _sql_ts_forecast_baselines() -> str:
+    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+rows_ AS (
+  SELECT symbol, time_idx, close,
+         row_number() OVER w AS rn, lag(close) OVER w AS prev
+  FROM filled
+  WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)),
+counts AS (
+  SELECT symbol,
+         greatest(CAST(floor(max(rn) * {FC_TRAIN_FRAC}) AS INT),
+                  {FC_SEASON + 1}) AS n_train
+  FROM rows_ GROUP BY 1),
+train AS (
+  SELECT r.* , c.n_train FROM rows_ r JOIN counts c USING (symbol)
+  WHERE rn <= n_train),
+train_stats AS (
+  SELECT symbol, max(n_train) AS n_train,
+         arg_min(close, rn) AS first_close,
+         arg_max(close, rn) AS last_close,
+         CAST(sum(CASE WHEN rn > 1 THEN
+             CAST({snap('abs(close - prev)')} AS DECIMAL(18,6)) END)
+           AS DOUBLE) / (max(n_train) - 1) AS mase_scale,
+         list(close ORDER BY rn)
+           FILTER (rn > n_train - {FC_SEASON}) AS season
+  FROM train GROUP BY 1),
+test AS (
+  SELECT r.symbol, r.close, r.rn - s.n_train AS h,
+         s.mase_scale, s.last_close,
+         s.last_close + (r.rn - s.n_train)
+           * (s.last_close - s.first_close) / (s.n_train - 1) AS drift,
+         s.season[CAST((r.rn - s.n_train - 1) % {FC_SEASON} + 1 AS INT)]
+           AS seasonal
+  FROM rows_ r
+  JOIN counts c USING (symbol)
+  JOIN train_stats s USING (symbol)
+  WHERE r.rn > c.n_train),
+long AS (
+  SELECT symbol, 'naive' AS method, close, last_close AS fc, mase_scale
+  FROM test
+  UNION ALL
+  SELECT symbol, 'drift', close, drift, mase_scale FROM test
+  UNION ALL
+  SELECT symbol, 'seasonal', close, seasonal, mase_scale FROM test),
+terms AS (
+  SELECT symbol, method, mase_scale,
+         CAST({snap('abs(fc - close)')} AS DECIMAL(18,6)) AS abs_err,
+         CAST(CASE WHEN abs(fc) + abs(close) > 0
+              THEN {snap('2 * abs(fc - close) / (abs(fc) + abs(close))')}
+              ELSE 0.0 END AS DECIMAL(18,6)) AS sm
+  FROM long),
+agg AS (
+  SELECT symbol, method, count(*) AS n_test,
+         CAST(sum(abs_err) AS DOUBLE) AS sae,
+         CAST(sum(sm) AS DOUBLE) AS ssm,
+         max(mase_scale) AS mase_scale
+  FROM terms GROUP BY 1, 2)
+SELECT symbol, method, n_test,
+       {_sql_rne('sae / n_test', 'mae')},
+       {_sql_rne('ssm / n_test', 'smape')},
+       {_sql_rne('(sae / n_test) / nullif(mase_scale, 0.0)', 'mase')}
+FROM agg"""
+
+
+TRIANGLE_TOP_EDGES = 300
+
+
+def q_graph_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the supplier co-purchase graph — the
+    standard distributed-graph benchmark beside HITS and connected
+    components. The graph: the ``TRIANGLE_TOP_EDGES`` strongest
+    co-occurrence pairs of the bipartite part↔supplier projection
+    (ranked by shared-part count with a key tie-break — an adaptive
+    cut that stays non-degenerate at every SF where a fixed absolute
+    threshold collapses to empty or complete). Triangles enumerate via
+    the oriented two-path join (a<b<c ordering finds each triangle
+    exactly once, the standard dedup-free formulation; the third edge
+    closes as a LEFT SEMI probe); output is per-supplier triangle
+    membership counts. At corpus scale the projection fanout is
+    bounded by the usual df-cap on hub parts, and the top-K cut keeps
+    the triangle join edge-bounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    s1 = ps.select("l_partkey", F.col("l_suppkey").alias("sa"))
+    s2 = ps.select("l_partkey", F.col("l_suppkey").alias("sb"))
+    edges = (
+        s1.join(s2, "l_partkey")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy(
+            F.col("n_shared").desc(), F.col("sa").asc(), F.col("sb").asc()
+        )
+        .limit(TRIANGLE_TOP_EDGES)
+        .select("sa", "sb")
+    )
+    e1 = edges.select(F.col("sa").alias("a"), F.col("sb").alias("b"))
+    e2 = edges.select(F.col("sa").alias("b2"), F.col("sb").alias("c"))
+    e3 = edges.select(F.col("sa").alias("a3"), F.col("sb").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("s_suppkey"))
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node
+
+
+SQL_GRAPH_TRIANGLES = f"""
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+edges AS (
+  SELECT sa, sb FROM (
+    SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS n_shared
+    FROM ps a JOIN ps b
+      ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+    ORDER BY n_shared DESC, sa ASC, sb ASC LIMIT {TRIANGLE_TOP_EDGES})),
+tri AS (
+  SELECT e1.sa AS a, e1.sb AS b, e2.sb AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.sb = e2.sa
+  JOIN edges e3 ON e3.sa = e1.sa AND e3.sb = e2.sb),
+members AS (
+  SELECT a AS s_suppkey FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT s_suppkey, count(*) AS n_triangles FROM members GROUP BY 1"""
+
+
 def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 20-bucket Pearson correlation of close vs volume per
     symbol (operators/rolling.py rolling_corr) on the gap-filled OHLCV
@@ -7624,6 +8051,11 @@ def all_queries() -> dict[str, QueryFn]:
         "events_cumulative_users": q_events_cumulative_users,
         "doc_unigram_ppl": q_doc_unigram_ppl,
         "events_k_anonymity": q_events_k_anonymity,
+        "events_cohort_matrix": q_events_cohort_matrix,
+        "events_assoc_rules": q_events_assoc_rules,
+        "ts_drawdown": q_ts_drawdown,
+        "ts_forecast_baselines": q_ts_forecast_baselines,
+        "graph_supplier_triangles": q_graph_supplier_triangles,
     }
 
 
@@ -7764,4 +8196,9 @@ def _oracle_sql_map() -> dict[str, str]:
         "events_cumulative_users": SQL_EVENTS_CUMULATIVE_USERS,
         "doc_unigram_ppl": SQL_DOC_UNIGRAM_PPL,
         "events_k_anonymity": SQL_EVENTS_K_ANONYMITY,
+        "events_cohort_matrix": SQL_EVENTS_COHORT,
+        "events_assoc_rules": SQL_EVENTS_ASSOC,
+        "ts_drawdown": SQL_TS_DRAWDOWN,
+        "ts_forecast_baselines": _sql_ts_forecast_baselines(),
+        "graph_supplier_triangles": SQL_GRAPH_TRIANGLES,
     }
