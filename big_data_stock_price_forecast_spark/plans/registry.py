@@ -6992,6 +6992,303 @@ def q_tpch_q21_waiting_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CUSUM_K_SIGMA = 0.5
+CUSUM_H_SIGMA = 4.0
+
+
+def q_ts_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point alarms per symbol (upward and downward
+    shifts, k = 0.5σ slack, h = 4σ threshold — the standard tuning).
+    The textbook statistic s_t = max(0, s_{t-1} + (x_t − μ − k)) looks
+    recursive, but the NON-RESET one-sided CUSUM has a closed window
+    form: s_t = q_t − min_{j≤t} q_j with q_t = Σ(x_i − μ − k) — a
+    running sum minus a running min, two ordinary cumulative windows on
+    the ts family's symbol exchange, no Python recursion and no state.
+    μ and σ come from a two-pass per-symbol aggregate whose sums run in
+    exact DECIMAL (grid-snapped terms), broadcast back to the series.
+    Emits only the alarm CROSSINGS (s passes h from below), so output
+    is alarm-sized, not series-sized."""
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    grid = F.lit(1e6)
+    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
+    stats = df.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(snap(F.col("close")).cast("decimal(18,6)")).alias("sx"),
+        F.sum(
+            snap(F.col("close") * F.col("close")).cast("decimal(18,6)")
+        ).alias("sxx"),
+    )
+    stats = stats.select(
+        "symbol",
+        (F.col("sx").cast("double") / F.col("n")).alias("mu"),
+        F.sqrt(
+            F.col("sxx").cast("double") / F.col("n")
+            - (F.col("sx").cast("double") / F.col("n"))
+            * (F.col("sx").cast("double") / F.col("n"))
+        ).alias("sigma"),
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("time_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ws = Window.partitionBy("symbol").orderBy("time_idx")
+    d = df.join(F.broadcast(stats), "symbol")
+    d = d.withColumn(
+        "qup",
+        F.sum(
+            F.col("close") - F.col("mu") - CUSUM_K_SIGMA * F.col("sigma")
+        ).over(w),
+    ).withColumn(
+        "qdn",
+        F.sum(
+            F.col("mu") - CUSUM_K_SIGMA * F.col("sigma") - F.col("close")
+        ).over(w),
+    )
+    d = d.withColumn(
+        "s_up", F.col("qup") - F.min("qup").over(w)
+    ).withColumn("s_dn", F.col("qdn") - F.min("qdn").over(w))
+    h = CUSUM_H_SIGMA * F.col("sigma")
+    d = d.withColumn("pup", F.lag("s_up").over(ws)).withColumn(
+        "pdn", F.lag("s_dn").over(ws)
+    )
+    up_cross = (F.col("s_up") > h) & (
+        F.coalesce(F.col("pup") <= h, F.lit(True))
+    )
+    dn_cross = (F.col("s_dn") > h) & (
+        F.coalesce(F.col("pdn") <= h, F.lit(True))
+    )
+    ups = d.filter(up_cross).select(
+        "symbol",
+        "time_idx",
+        F.lit("up").alias("direction"),
+        _rne(F.col("s_up") / F.nullif(F.col("sigma"), F.lit(0.0)),
+             "stat_sigmas", 6),
+    )
+    dns = d.filter(dn_cross).select(
+        "symbol",
+        "time_idx",
+        F.lit("down").alias("direction"),
+        _rne(F.col("s_dn") / F.nullif(F.col("sigma"), F.lit(0.0)),
+             "stat_sigmas", 6),
+    )
+    return ups.unionByName(dns)
+
+
+def _sql_ts_cusum() -> str:
+    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+stats AS (
+  SELECT symbol,
+         CAST(sum(CAST({snap('close')} AS DECIMAL(18,6))) AS DOUBLE)
+           / count(*) AS mu,
+         sqrt(CAST(sum(CAST({snap('close * close')} AS DECIMAL(18,6)))
+                AS DOUBLE) / count(*)
+              - (CAST(sum(CAST({snap('close')} AS DECIMAL(18,6)))
+                   AS DOUBLE) / count(*))
+              * (CAST(sum(CAST({snap('close')} AS DECIMAL(18,6)))
+                   AS DOUBLE) / count(*))) AS sigma
+  FROM filled GROUP BY 1),
+q AS (
+  SELECT f.symbol, f.time_idx, s.sigma,
+         sum(f.close - s.mu - {CUSUM_K_SIGMA} * s.sigma) OVER cum AS qup,
+         sum(s.mu - {CUSUM_K_SIGMA} * s.sigma - f.close) OVER cum AS qdn
+  FROM filled f JOIN stats s USING (symbol)
+  WINDOW cum AS (PARTITION BY f.symbol ORDER BY f.time_idx
+                 ROWS UNBOUNDED PRECEDING)),
+s AS (
+  SELECT symbol, time_idx, sigma,
+         qup - min(qup) OVER cum AS s_up,
+         qdn - min(qdn) OVER cum AS s_dn
+  FROM q
+  WINDOW cum AS (PARTITION BY symbol ORDER BY time_idx
+                 ROWS UNBOUNDED PRECEDING)),
+x AS (
+  SELECT *, {CUSUM_H_SIGMA} * sigma AS h,
+         lag(s_up) OVER w AS pup, lag(s_dn) OVER w AS pdn
+  FROM s
+  WINDOW w AS (PARTITION BY symbol ORDER BY time_idx))
+SELECT symbol, time_idx, 'up' AS direction,
+       {_sql_rne('s_up / nullif(sigma, 0.0)', 'stat_sigmas')}
+FROM x WHERE s_up > h AND coalesce(pup <= h, TRUE)
+UNION ALL
+SELECT symbol, time_idx, 'down' AS direction,
+       {_sql_rne('s_dn / nullif(sigma, 0.0)', 'stat_sigmas')}
+FROM x WHERE s_dn > h AND coalesce(pdn <= h, TRUE)"""
+
+
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts: minimize retail price,
+    maximize size — the classic non-dominated-set operator. Collapses
+    to the (price → best size) grain first (one aggregate), then one
+    running-max window over prices sorted ascending keeps a price point
+    iff its best size strictly beats every cheaper price's best — the
+    O(n log n) sweep formulation, not the O(n²) dominance self-join.
+    Frontier parts are those matching a surviving (price, best-size)
+    pair; ties (same price and size) all belong to the frontier."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    per_price = p.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("best_size")
+    )
+    wprev = (
+        Window.orderBy(F.col("p_retailprice").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        per_price.withColumn(
+            "prev_best", F.max("best_size").over(wprev)
+        )
+        .filter(
+            F.col("prev_best").isNull()
+            | (F.col("best_size") > F.col("prev_best"))
+        )
+        .select(
+            F.col("p_retailprice").alias("f_price"),
+            F.col("best_size").alias("f_size"),
+        )
+    )
+    return p.join(
+        frontier,
+        (F.col("p_retailprice") == F.col("f_price"))
+        & (F.col("p_size") == F.col("f_size")),
+    ).select("p_partkey", "p_retailprice", "p_size")
+
+
+SQL_PART_SKYLINE = """
+WITH per_price AS (
+  SELECT p_retailprice, max(p_size) AS best_size FROM part GROUP BY 1),
+frontier AS (
+  SELECT p_retailprice, best_size,
+         max(best_size) OVER (ORDER BY p_retailprice ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+  FROM per_price)
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p JOIN frontier f
+  ON p.p_retailprice = f.p_retailprice AND p.p_size = f.best_size
+WHERE f.prev_best IS NULL OR f.best_size > f.prev_best"""
+
+
+PATH_TOP_N = 15
+
+
+def q_events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type paths: the most frequent 3-step sequences of a
+    user's consecutive events — the path-analysis query behind journey
+    funnels. Two LEAD windows on the user exchange (ordered by
+    (ts, event_id), the engine's deterministic event order), a filter
+    to complete trigrams, and a map-side-combined count; the top-N cut
+    is fully tie-broken on the three step names."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    tri = ev.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    ).filter(F.col("step2").isNotNull() & F.col("step3").isNotNull())
+    return (
+        tri.groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(
+            F.col("n_paths").desc(),
+            F.col("step1").asc(),
+            F.col("step2").asc(),
+            F.col("step3").asc(),
+        )
+        .limit(PATH_TOP_N)
+    )
+
+
+SQL_EVENTS_PATH_TRIGRAMS = f"""
+WITH tri AS (
+  SELECT event_type AS step1,
+         lead(event_type, 1) OVER w AS step2,
+         lead(event_type, 2) OVER w AS step3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+SELECT step1, step2, step3, count(*) AS n_paths
+FROM tri WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
+LIMIT {PATH_TOP_N}"""
+
+
+def q_ts_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-weighted average price per symbol over the RAW
+    irregular series — each observation weighted by how long it was
+    the live value (micros until the next observation, within the
+    day; the day's last observation carries to midnight). TWAP is the
+    duration-weighted complement of the battery's volume-weighted
+    VWAP and the standard aggregate for irregular sensor/tick data.
+    One symbol-keyed LEAD window then a (symbol, day) aggregate;
+    weights are exact integer micros, weighted terms snap to the 1e-6
+    grid and sum in exact DECIMAL, so the aggregate is
+    partitioning-independent."""
+    require_utc(spark)
+    s = _series(spark, sf_dir)
+    ts = F.col("datetime").cast("timestamp")
+    base = s.select(
+        "symbol", F.to_date(ts).alias("day"), ts.alias("tsi"), "close"
+    )
+    w = Window.partitionBy("symbol", "day").orderBy(F.col("tsi").asc())
+    day_end = F.unix_micros(
+        F.date_add(F.col("day"), 1).cast("timestamp")
+    )
+    wt_us = (
+        F.coalesce(F.unix_micros(F.lead("tsi").over(w)), day_end)
+        - F.unix_micros(F.col("tsi"))
+    )
+    grid = F.lit(1e6)
+    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
+    rows = base.select(
+        "symbol", "day", "close", (wt_us / F.lit(1e6)).alias("wt_s")
+    )
+    return (
+        rows.groupBy("symbol", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(
+                snap(F.col("close") * F.col("wt_s")).cast("decimal(18,6)")
+            ).alias("swx"),
+            F.sum(snap(F.col("wt_s")).cast("decimal(18,6)")).alias("sw"),
+        )
+        .select(
+            "symbol",
+            "day",
+            "n_obs",
+            _rne(
+                F.col("swx").cast("double")
+                / F.nullif(F.col("sw").cast("double"), F.lit(0.0)),
+                "twap",
+                6,
+            ),
+        )
+    )
+
+
+def _sql_ts_twap() -> str:
+    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    return f"""WITH {SQL_SERIES},
+rows_ AS (
+  SELECT symbol, CAST(ts AS DATE) AS day, close,
+         (coalesce(epoch_us(lead(ts) OVER w),
+                   epoch_us((CAST(ts AS DATE) + INTERVAL 1 DAY)::TIMESTAMP))
+          - epoch_us(ts)) / 1000000.0 AS wt_s
+  FROM series
+  WINDOW w AS (PARTITION BY symbol, CAST(ts AS DATE) ORDER BY ts ASC))
+SELECT symbol, day, count(*) AS n_obs,
+       {_sql_rne(
+           'CAST(sum(CAST(' + snap('close * wt_s') + ' AS DECIMAL(18,6))) '
+           'AS DOUBLE) / nullif(CAST(sum(CAST(' + snap('wt_s')
+           + ' AS DECIMAL(18,6))) AS DOUBLE), 0.0)',
+           'twap',
+       )}
+FROM rows_ GROUP BY 1, 2"""
+
+
 def q_events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users bucketed by first-activity week
     (the cohort), counted as distinct actives in each subsequent week
@@ -8056,6 +8353,10 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_drawdown": q_ts_drawdown,
         "ts_forecast_baselines": q_ts_forecast_baselines,
         "graph_supplier_triangles": q_graph_supplier_triangles,
+        "ts_cusum_alarms": q_ts_cusum_alarms,
+        "part_skyline": q_part_skyline,
+        "events_path_trigrams": q_events_path_trigrams,
+        "ts_twap_daily": q_ts_twap_daily,
     }
 
 
@@ -8201,4 +8502,8 @@ def _oracle_sql_map() -> dict[str, str]:
         "ts_drawdown": SQL_TS_DRAWDOWN,
         "ts_forecast_baselines": _sql_ts_forecast_baselines(),
         "graph_supplier_triangles": SQL_GRAPH_TRIANGLES,
+        "ts_cusum_alarms": _sql_ts_cusum(),
+        "part_skyline": SQL_PART_SKYLINE,
+        "events_path_trigrams": SQL_EVENTS_PATH_TRIGRAMS,
+        "ts_twap_daily": _sql_ts_twap(),
     }
