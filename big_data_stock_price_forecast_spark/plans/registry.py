@@ -7216,6 +7216,47 @@ ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
 LIMIT {PATH_TOP_N}"""
 
 
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams:
+    P(next event type | current) with transition counts — the model
+    behind next-action prediction and journey simulation. One LEAD
+    window on the user exchange, a (cur, next) count, and a window-sum
+    normalizer per current state; probabilities are double quotients
+    of identical integers on both engines (no rounding). The matrix is
+    states², tiny at any corpus scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    trans = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    counts = trans.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    row_tot = Window.partitionBy("cur")
+    return counts.select(
+        "cur",
+        "nxt",
+        "n_trans",
+        (F.col("n_trans") / F.sum("n_trans").over(row_tot)).alias("p"),
+    )
+
+
+SQL_EVENTS_MARKOV = """
+WITH trans AS (
+  SELECT event_type AS cur, lead(event_type) OVER w AS nxt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+counts AS (
+  SELECT cur, nxt, count(*) AS n_trans FROM trans
+  WHERE nxt IS NOT NULL GROUP BY 1, 2)
+SELECT cur, nxt, n_trans,
+       n_trans / sum(n_trans) OVER (PARTITION BY cur) AS p
+FROM counts"""
+
+
 def q_ts_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily time-weighted average price per symbol over the RAW
     irregular series — each observation weighted by how long it was
@@ -8357,6 +8398,7 @@ def all_queries() -> dict[str, QueryFn]:
         "part_skyline": q_part_skyline,
         "events_path_trigrams": q_events_path_trigrams,
         "ts_twap_daily": q_ts_twap_daily,
+        "events_markov_transitions": q_events_markov_transitions,
     }
 
 
@@ -8506,4 +8548,5 @@ def _oracle_sql_map() -> dict[str, str]:
         "part_skyline": SQL_PART_SKYLINE,
         "events_path_trigrams": SQL_EVENTS_PATH_TRIGRAMS,
         "ts_twap_daily": _sql_ts_twap(),
+        "events_markov_transitions": SQL_EVENTS_MARKOV,
     }

@@ -137,3 +137,32 @@ def test_twap_replays_duration_weights(spark, sf_dir):
         assert lo - 1e-9 <= got["twap"] <= hi + 1e-9
         checked += 1
     assert checked
+
+
+def test_markov_rows_are_probability_distributions(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_events_markov_transitions,
+    )
+
+    out = q_events_markov_transitions(spark, sf_dir).collect()
+    assert out
+    by_cur = defaultdict(float)
+    for r in out:
+        assert 0.0 < r["p"] <= 1.0 and r["n_trans"] >= 1
+        by_cur[r["cur"]] += r["p"]
+    for cur, total in by_cur.items():
+        assert abs(total - 1.0) < 1e-9, cur
+    # replay one current state against the raw timelines
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    cnt = Counter()
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for a, b in zip(rows, rows[1:]):
+            cnt[(a["event_type"], b["event_type"])] += 1
+    got = {(r["cur"], r["nxt"]): r["n_trans"] for r in out}
+    assert got == dict(cnt)
