@@ -8260,7 +8260,10 @@ def all_queries() -> dict[str, QueryFn]:
     # quantiles) — sits in positions 1-50, alongside ~20 multi-round-
     # green canaries covering every family (ts/win/stream/media/emb/
     # dedup/flagship/knn/tpch/json). Entries past 50 are redundant
-    # family members, all driver-green in multiple prior rounds.
+    # family members, all driver-green in multiple prior rounds —
+    # EXCEPT the session-4 block (TPC-H tail, graph, quant/analytics,
+    # LLM additions) appended at the end: locally driver-emulation
+    # exact, round-7 window candidates.
     return {
         "events_funnel": q_events_funnel,
         "events_session_stats": q_events_session_stats,

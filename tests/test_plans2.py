@@ -1,0 +1,116 @@
+"""Physical-plan contracts for the round-6 session-4 queries: the
+properties that keep them 100 TB-shaped — dim-only broadcasts on the
+TPC-H tail, no cartesian/nested-loop joins in the pair-heavy graph and
+correlation queries, single-exchange window families, and pure-JVM hot
+paths."""
+
+from __future__ import annotations
+
+from big_data_stock_price_forecast_spark.plans.registry import (
+    q_events_assoc_rules,
+    q_events_attribution,
+    q_events_cohort_matrix,
+    q_events_markov_transitions,
+    q_events_path_trigrams,
+    q_graph_hits_parts,
+    q_graph_supplier_triangles,
+    q_part_skyline,
+    q_ts_cusum_alarms,
+    q_ts_drawdown,
+    q_ts_symbol_corr_matrix,
+    q_tpch_q2_min_cost_supplier,
+    q_tpch_q9_product_profit,
+    q_tpch_q16_supplier_cnt,
+    q_tpch_q20_promotion_supp,
+    q_tpch_q21_waiting_supp,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _no_fact_broadcast(plan: str, fact: str = "lineitem") -> None:
+    """No broadcast side may contain RAW fact rows. A fact scan under a
+    broadcast is allowed only when an aggregate reduces it first (Q20's
+    HAVING-cut key set: output bounded by the key domain, not the
+    fact)."""
+    for frag in plan.split("BroadcastExchange")[1:]:
+        scan_src = frag.split("Scan parquet", 1)
+        if len(scan_src) > 1 and fact in scan_src[1].split("\n", 1)[0]:
+            assert "HashAggregate" in scan_src[0]
+
+
+def test_tpch_tail_never_broadcasts_the_fact(spark):
+    """Q2/Q9/Q16/Q20 broadcast dims (part/supplier/nation/region) into
+    the lineitem scan; the fact side itself must never sit under a
+    BroadcastExchange."""
+    for fn in (
+        q_tpch_q2_min_cost_supplier,
+        q_tpch_q9_product_profit,
+        q_tpch_q16_supplier_cnt,
+        q_tpch_q20_promotion_supp,
+    ):
+        plan = _plan(fn(spark, SF))
+        _no_fact_broadcast(plan)
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def test_q21_is_one_fact_aggregate_not_self_joins(spark):
+    """The EXISTS/NOT-EXISTS correlation must run as the collapsed
+    orderkey-grouped aggregate: lineitem is scanned at most twice (the
+    late-line set and the per-order aggregate share the join), never
+    the textbook four times, and no nested-loop join appears."""
+    plan = _plan(q_tpch_q21_waiting_supp(spark, SF))
+    assert plan.count("lineitem.parquet") == 2
+    assert plan.count("orders.parquet") == 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_graph_queries_stay_equi_join(spark):
+    """HITS and triangle counting are join-heavy by nature; they must
+    execute as hash/sort-merge EQUI joins — a nested-loop join here is
+    quadratic at corpus scale."""
+    for fn in (q_graph_hits_parts, q_graph_supplier_triangles):
+        plan = _plan(fn(spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_corr_matrix_join_is_equi_on_time(spark):
+    """The all-pairs correlation join must be an equi-join on
+    time_idx (k-bounded per bucket), never a cartesian pairing."""
+    plan = _plan(q_ts_symbol_corr_matrix(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_window_analytics_are_pure_jvm(spark):
+    """The new window/aggregate analytics must stay out of
+    Python/Arrow — they are documented JVM-only paths."""
+    for fn in (
+        q_events_attribution,
+        q_events_cohort_matrix,
+        q_events_assoc_rules,
+        q_events_markov_transitions,
+        q_events_path_trigrams,
+        q_ts_drawdown,
+        q_ts_cusum_alarms,
+        q_part_skyline,
+    ):
+        plan = _plan(fn(spark, SF))
+        assert "Python" not in plan and "ArrowEval" not in plan, fn.__name__
+
+
+def test_attribution_and_paths_single_user_exchange(spark):
+    """The attribution window and the trigram LEADs each cluster on
+    user_id: one hash exchange before the (tiny) report aggregate."""
+    plan = _plan(q_events_attribution(spark, SF))
+    # one exchange for the user window + one for the 3-row channel agg
+    assert plan.count("Exchange hashpartitioning") <= 2
+    plan = _plan(q_events_markov_transitions(spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 3
