@@ -101,6 +101,59 @@ def rolling_corr(
     )
 
 
+def holt_linear(
+    df: DataFrame,
+    value_col: str = "close",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    part_col: str = "symbol",
+    idx_col: str = "time_idx",
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing, fit per series: the
+    coupled recursion l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}),
+    b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}, seeded l₁=x₁, b₁=x₂−x₁ —
+    the classic double-smoothing forecaster (ŷ_{n+h} = l_n + h·b_n)
+    one tier up from the reference's EMA family. Two coupled
+    recursions cannot be window functions; ONE Arrow pass per series
+    carries both, evaluated in exactly the operand order above so the
+    DuckDB recursive-CTE oracle reproduces the floats bitwise. Emits
+    one (level, trend, n_fit) row per series — scalars, not rows — so
+    the output is series-count-sized."""
+    from pyspark.sql.types import LongType
+
+    out_schema = StructType(
+        [
+            StructField(part_col, df.schema[part_col].dataType),
+            StructField("n_fit", LongType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+        ]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(idx_col)
+        xs = pdf[value_col].to_numpy()
+        key = pdf[part_col].iloc[0]
+        if len(xs) < 2:
+            lvl = float(xs[0]) if len(xs) else None
+            return pd.DataFrame(
+                {part_col: [key], "n_fit": [len(xs)],
+                 "level": [lvl], "trend": [0.0 if len(xs) else None]}
+            )
+        lvl, b = float(xs[0]), float(xs[1]) - float(xs[0])
+        for x in xs[1:]:
+            x = float(x)
+            new_l = alpha * x + (1.0 - alpha) * (lvl + b)
+            b = beta * (new_l - lvl) + (1.0 - beta) * b
+            lvl = new_l
+        return pd.DataFrame(
+            {part_col: [key], "n_fit": [len(xs)],
+             "level": [lvl], "trend": [b]}
+        )
+
+    return df.groupBy(part_col).applyInPandas(fn, schema=out_schema)
+
+
 def add_indicators(
     df: DataFrame,
     part_col: str = "symbol",

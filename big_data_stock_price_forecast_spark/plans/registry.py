@@ -59,7 +59,14 @@ from ..operators.dedup import (
 )
 from ..operators.gapfill import fill_missing_time_idx
 from ..operators.resample import resample_ohlcv
-from ..operators.rolling import add_indicators, atr, macd, rolling_corr, rsi
+from ..operators.rolling import (
+    add_indicators,
+    atr,
+    holt_linear,
+    macd,
+    rolling_corr,
+    rsi,
+)
 from ..operators.similarity import (
     ANN_PLANES,
     ann_lsh_topk,
@@ -7216,6 +7223,244 @@ ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
 LIMIT {PATH_TOP_N}"""
 
 
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.1
+
+
+def q_ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast per symbol (operators/rolling.py
+    holt_linear): fit on the 80% head, forecast the holdout as
+    level + h·trend, scored with grid-snapped exact-DECIMAL MAE — the
+    exponential-smoothing forecaster beside the kNN flagship and the
+    naive/drift/seasonal baselines. The fit emits per-symbol SCALARS
+    from one Arrow pass (series-count-sized, never row-sized), joined
+    back to the holdout; the coupled recursion is evaluated in the
+    precise operand order the DuckDB recursive-CTE oracle uses, so
+    level/trend match bitwise before the final rounding."""
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    rows = df.withColumn("rn", F.row_number().over(w))
+    counts = rows.groupBy("symbol").agg(
+        F.greatest(
+            F.floor(F.max("rn") * F.lit(FC_TRAIN_FRAC)).cast("int"),
+            F.lit(FC_SEASON + 1),
+        ).alias("n_train")
+    )
+    tagged = rows.join(counts, "symbol")
+    train = tagged.filter(F.col("rn") <= F.col("n_train")).select(
+        "symbol", "time_idx", "close"
+    )
+    fit = holt_linear(train, "close", HOLT_ALPHA, HOLT_BETA)
+    test = tagged.filter(F.col("rn") > F.col("n_train")).select(
+        "symbol", "rn", "close",
+        F.col("n_train").alias("nt"),
+    )
+    grid = F.lit(1e6)
+    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
+    fc = test.join(fit, "symbol").withColumn(
+        "yhat",
+        F.col("level") + (F.col("rn") - F.col("nt")) * F.col("trend"),
+    )
+    return (
+        fc.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.max("n_fit").alias("n_fit"),
+            F.max("level").alias("level"),
+            F.max("trend").alias("trend"),
+            F.sum(
+                snap(F.abs(F.col("yhat") - F.col("close"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("sae"),
+        )
+        .select(
+            "symbol",
+            "n_fit",
+            "n_test",
+            _rne(F.col("level"), "level", 6),
+            _rne(F.col("trend"), "trend", 6),
+            _rne(
+                F.col("sae").cast("double") / F.col("n_test"), "mae", 6
+            ),
+        )
+    )
+
+
+def _sql_ts_holt() -> str:
+    a, b = HOLT_ALPHA, HOLT_BETA
+    new_l = f"{a} * r.close + (1.0 - {a}) * (h.l + h.b)"
+    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    return f"""WITH RECURSIVE {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+rows_ AS (
+  SELECT symbol, close, row_number() OVER (
+    PARTITION BY symbol ORDER BY time_idx) AS rn
+  FROM filled),
+counts AS (
+  SELECT symbol,
+         greatest(CAST(floor(max(rn) * {FC_TRAIN_FRAC}) AS INT),
+                  {FC_SEASON + 1}) AS n_train
+  FROM rows_ GROUP BY 1),
+train AS (
+  SELECT r.symbol, r.close, r.rn, c.n_train
+  FROM rows_ r JOIN counts c USING (symbol) WHERE r.rn <= c.n_train),
+holt(symbol, t, l, b) AS (
+  SELECT r1.symbol, 1, r1.close, r2.close - r1.close
+  FROM train r1 JOIN train r2
+    ON r1.symbol = r2.symbol AND r1.rn = 1 AND r2.rn = 2
+  UNION ALL
+  SELECT h.symbol, h.t + 1,
+         {new_l},
+         {b} * ({new_l} - h.l) + (1.0 - {b}) * h.b
+  FROM holt h JOIN train r
+    ON r.symbol = h.symbol AND r.rn = h.t + 1),
+fit AS (
+  SELECT h.symbol, h.l AS level, h.b AS trend, c.n_train AS n_fit
+  FROM holt h JOIN counts c ON h.symbol = c.symbol AND h.t = c.n_train),
+test AS (
+  SELECT r.symbol, r.close, r.rn - c.n_train AS h
+  FROM rows_ r JOIN counts c USING (symbol) WHERE r.rn > c.n_train),
+scored AS (
+  SELECT t.symbol, f.n_fit, f.level, f.trend,
+         CAST({snap('abs(f.level + t.h * f.trend - t.close)')}
+              AS DECIMAL(18,6)) AS abs_err
+  FROM test t JOIN fit f USING (symbol))
+SELECT symbol, CAST(n_fit AS BIGINT) AS n_fit, count(*) AS n_test,
+       {_sql_rne('level', 'level')},
+       {_sql_rne('trend', 'trend')},
+       {_sql_rne('CAST(sum(abs_err) AS DOUBLE) / count(*)', 'mae')}
+FROM scored GROUP BY symbol, n_fit, level, trend"""
+
+
+BFS_MAX_HOPS = 6
+
+
+def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest hop distances over the supplier
+    co-purchase graph (same top-K edge cut as the triangle query),
+    seeded at the smallest supplier key — the BFS/shortest-path member
+    of the graph family. Engine side: frontier-expansion rounds (each
+    one equi-join + min-aggregate, the CC machinery's shape) up to
+    ``BFS_MAX_HOPS``; the toy-scale oracle is DuckDB's recursive CTE
+    walk with the same cap. At 100 TB the frontier form is the only
+    viable one — the CTE walk enumerates paths, not nodes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    s1 = ps.select("l_partkey", F.col("l_suppkey").alias("sa"))
+    s2 = ps.select("l_partkey", F.col("l_suppkey").alias("sb"))
+    edges = (
+        s1.join(s2, "l_partkey")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy(
+            F.col("n_shared").desc(), F.col("sa").asc(), F.col("sb").asc()
+        )
+        .limit(TRIANGLE_TOP_EDGES)
+        .select("sa", "sb")
+    )
+    und = edges.select(
+        F.col("sa").alias("u"), F.col("sb").alias("v")
+    ).unionByName(
+        edges.select(F.col("sb").alias("u"), F.col("sa").alias("v"))
+    )
+    und = und.persist()
+    seed = edges.agg(F.min("sa").alias("u")).withColumn(
+        "dist", F.lit(0)
+    )
+    dist = seed
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        frontier = dist.filter(F.col("dist") == hop - 1)
+        nxt = (
+            frontier.join(und, "u")
+            .select(F.col("v").alias("u"), F.lit(hop).alias("dist"))
+            .distinct()
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("u")
+            .agg(F.min("dist").alias("dist"))
+        )
+        dist = dist.localCheckpoint(eager=True)
+    und.unpersist()
+    return dist.select(F.col("u").alias("s_suppkey"), "dist")
+
+
+def _sql_graph_bfs() -> str:
+    return f"""WITH RECURSIVE
+ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+edges AS (
+  SELECT sa, sb FROM (
+    SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS n_shared
+    FROM ps a JOIN ps b
+      ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+    ORDER BY n_shared DESC, sa ASC, sb ASC LIMIT {TRIANGLE_TOP_EDGES})),
+und AS (
+  SELECT sa AS u, sb AS v FROM edges
+  UNION ALL SELECT sb, sa FROM edges),
+walk(u, dist) AS (
+  SELECT (SELECT min(sa) FROM edges), 0
+  UNION ALL
+  SELECT e.v, w.dist + 1
+  FROM walk w JOIN und e ON e.u = w.u
+  WHERE w.dist < {BFS_MAX_HOPS})
+SELECT u AS s_suppkey, CAST(min(dist) AS INT) AS dist
+FROM walk GROUP BY 1"""
+
+
+DECILE_PS = [i / 10 for i in range(1, 10)]
+
+
+def q_events_conditional_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact conditional deciles of value per event type — the
+    distribution profile behind outlier thresholds and per-segment
+    SLOs. Discrete (type-7-lower) quantiles picked EXPLICITLY: rank
+    rows per type ordered by (value, event_id) and keep ranks
+    floor((n−1)p)+1 — the same definition spelled out in both engines,
+    so no reliance on either engine's quantile interpolation
+    arithmetic. One user exchange, output is types × 9 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    n = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(n).alias("n"),
+    )
+    picks = None
+    for p in DECILE_PS:
+        sel = ranked.filter(
+            F.col("rn")
+            == F.floor((F.col("n") - 1) * F.lit(p)).cast("long") + 1
+        ).select(
+            "event_type",
+            F.lit(int(round(p * 100))).alias("pct"),
+            F.col("value").alias("decile_value"),
+        )
+        picks = sel if picks is None else picks.unionByName(sel)
+    return picks
+
+
+def _sql_events_deciles() -> str:
+    arms = " UNION ALL ".join(
+        f"""SELECT event_type, {int(round(p * 100))} AS pct,
+value AS decile_value
+FROM ranked WHERE rn = CAST(floor((n - 1) * {p}) AS BIGINT) + 1"""
+        for p in DECILE_PS
+    )
+    return f"""WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+           ORDER BY value ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+{arms}"""
+
+
 def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over user event streams:
     P(next event type | current) with transition counts — the model
@@ -8402,6 +8647,9 @@ def all_queries() -> dict[str, QueryFn]:
         "events_path_trigrams": q_events_path_trigrams,
         "ts_twap_daily": q_ts_twap_daily,
         "events_markov_transitions": q_events_markov_transitions,
+        "ts_holt_forecast": q_ts_holt_forecast,
+        "graph_bfs_hops": q_graph_bfs_hops,
+        "events_conditional_deciles": q_events_conditional_deciles,
     }
 
 
@@ -8552,4 +8800,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "events_path_trigrams": SQL_EVENTS_PATH_TRIGRAMS,
         "ts_twap_daily": _sql_ts_twap(),
         "events_markov_transitions": SQL_EVENTS_MARKOV,
+        "ts_holt_forecast": _sql_ts_holt(),
+        "graph_bfs_hops": _sql_graph_bfs(),
+        "events_conditional_deciles": _sql_events_deciles(),
     }

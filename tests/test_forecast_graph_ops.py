@@ -1,0 +1,115 @@
+"""Contracts for Holt linear-trend forecasting, BFS hop distances, and
+exact conditional deciles."""
+
+import math
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from big_data_stock_price_forecast_spark.operators.rolling import holt_linear
+from big_data_stock_price_forecast_spark.plans.registry import (
+    BFS_MAX_HOPS,
+    DECILE_PS,
+    HOLT_ALPHA,
+    HOLT_BETA,
+    TRIANGLE_TOP_EDGES,
+    q_events_conditional_deciles,
+    q_graph_bfs_hops,
+    q_ts_holt_forecast,
+)
+from big_data_stock_price_forecast_spark.sources.tables import load_table
+
+
+def test_holt_linear_matches_python_recursion(spark):
+    xs = [10.0, 12.0, 11.0, 14.0, 16.0, 15.0, 18.0, 21.0]
+    df = spark.createDataFrame(
+        [(1, i, x) for i, x in enumerate(xs)], ["symbol", "time_idx", "close"]
+    )
+    out = holt_linear(df, "close", HOLT_ALPHA, HOLT_BETA).collect()[0]
+    lvl, b = xs[0], xs[1] - xs[0]
+    for x in xs[1:]:
+        new_l = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * (lvl + b)
+        b = HOLT_BETA * (new_l - lvl) + (1.0 - HOLT_BETA) * b
+        lvl = new_l
+    assert out["n_fit"] == len(xs)
+    assert out["level"] == lvl  # bitwise: same operand order
+    assert out["trend"] == b
+
+
+def test_holt_on_linear_series_learns_the_slope(spark):
+    # a perfectly linear series: trend converges to the slope and the
+    # h-step forecast is exact
+    xs = [5.0 + 2.0 * i for i in range(40)]
+    df = spark.createDataFrame(
+        [(1, i, x) for i, x in enumerate(xs)], ["symbol", "time_idx", "close"]
+    )
+    out = holt_linear(df, "close", HOLT_ALPHA, HOLT_BETA).collect()[0]
+    assert abs(out["trend"] - 2.0) < 1e-6
+    assert abs(out["level"] - xs[-1]) < 1e-6
+
+
+def test_holt_forecast_query_shapes(spark, sf_dir):
+    out = q_ts_holt_forecast(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["n_fit"] >= 5 and r["n_test"] >= 1
+        assert r["mae"] >= 0.0
+
+
+def test_bfs_distances_match_python_bfs(spark, sf_dir):
+    out = {r["s_suppkey"]: r["dist"] for r in
+           q_graph_bfs_hops(spark, sf_dir).collect()}
+    ps = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    ).distinct().collect()
+    from collections import Counter, deque
+
+    by_part = defaultdict(set)
+    for r in ps:
+        by_part[r["l_partkey"]].add(r["l_suppkey"])
+    shared: Counter = Counter()
+    for supps in by_part.values():
+        ss = sorted(supps)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1 :]:
+                shared[(a, b)] += 1
+    ranked = sorted(shared.items(), key=lambda kv: (-kv[1], kv[0]))
+    edges = [k for k, _ in ranked[:TRIANGLE_TOP_EDGES]]
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    seed = min(a for a, _ in edges)
+    dist = {seed: 0}
+    dq = deque([seed])
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= BFS_MAX_HOPS:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    assert out == dist
+
+
+def test_conditional_deciles_are_monotone_and_exact(spark, sf_dir):
+    out = q_events_conditional_deciles(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    ).collect()
+    by_type = defaultdict(list)
+    for r in ev:
+        by_type[r["event_type"]].append((r["value"], r["event_id"]))
+    got = defaultdict(dict)
+    for r in out:
+        got[r["event_type"]][r["pct"]] = r["decile_value"]
+    for t, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        for p in DECILE_PS:
+            expect = vals[int(math.floor((n - 1) * p))][0]
+            assert got[t][int(round(p * 100))] == expect
+        # monotone across the decile grid
+        seq = [got[t][int(round(p * 100))] for p in DECILE_PS]
+        assert seq == sorted(seq)
