@@ -7223,6 +7223,260 @@ ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
 LIMIT {PATH_TOP_N}"""
 
 
+def q_events_scd2_pit_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 dimension: every purchase
+    is attributed to the tier that was VALID AT ITS TIMESTAMP (the
+    temporal-warehouse query the SCD2 table exists to answer), then
+    revenue rolls up per tier. The validity lookup is the backward
+    ASOF shape — latest tier change at-or-before the purchase — so it
+    reuses the engine's union-tag single-shuffle asof_join instead of
+    an interval theta-join; purchases before any tier change land in
+    the NULL tier. Output is tiers+1 rows."""
+    from ..operators.asof import asof_join
+
+    dim = q_events_scd2_intervals(spark, sf_dir).select(
+        F.col("symbol").alias("user_id"),
+        F.col("valid_from"),
+        "tier",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        purchases,
+        dim,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="valid_from",
+        right_tiebreak="tier",
+    )
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+SQL_EVENTS_SCD2_PIT = f"""
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value / {SCD2_TIER_DIV}) AS INT) AS tier,
+         row_number() OVER (PARTITION BY user_id, ts
+           ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'signup'),
+d AS (SELECT user_id, ts, event_id, tier FROM s WHERE rn = 1),
+c AS (
+  SELECT *, lag(tier) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev_tier
+  FROM d),
+isl AS (
+  SELECT user_id, ts AS valid_from, tier FROM c
+  WHERE prev_tier IS NULL OR prev_tier <> tier),
+p AS (SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase')
+SELECT i.tier, count(*) AS n_purchases,
+       CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM p ASOF LEFT JOIN isl i
+  ON p.user_id = i.user_id AND i.valid_from <= p.ts
+GROUP BY 1"""
+
+
+def q_events_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema profiling: key frequency and inferred
+    value-type distribution across the events ``props`` JSON column —
+    the discovery query a lake pipeline runs before declaring a
+    schema. JVM-side json parsing (from_json to map<string,string>),
+    one explode + map-side-combined count; type inference is a regex
+    class over the raw value text (int / float / bool / string),
+    identical under Java regex and RE2."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(
+            F.from_json(F.col("props"), "map<string,string>")
+        ).alias("k", "v")
+    )
+    vtype = (
+        F.when(F.col("v").rlike("^-?[0-9]+$"), "int")
+        .when(F.col("v").rlike("^-?[0-9]+\\.[0-9]+$"), "float")
+        .when(F.col("v").isin("true", "false"), "bool")
+        .otherwise("string")
+    )
+    return (
+        kv.groupBy(F.col("k").alias("key"), vtype.alias("vtype"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("v").alias("n_distinct"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+    )
+
+
+SQL_EVENTS_JSON_SCHEMA = """
+WITH kv AS (
+  SELECT k.key AS key,
+         json_extract_string(props, '$.' || k.key) AS v
+  FROM events, LATERAL (
+    SELECT unnest(json_keys(props::JSON)) AS key) k)
+SELECT key,
+       CASE WHEN regexp_full_match(v, '-?[0-9]+') THEN 'int'
+            WHEN regexp_full_match(v, '-?[0-9]+\\.[0-9]+') THEN 'float'
+            WHEN v IN ('true', 'false') THEN 'bool'
+            ELSE 'string' END AS vtype,
+       count(*) AS n,
+       count(DISTINCT v) AS n_distinct,
+       min(v) AS min_v, max(v) AS max_v
+FROM kv GROUP BY 1, 2"""
+
+
+SKEW_TOP_K = 10
+
+
+def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key skew report for the user_id key: the top-K
+    heaviest keys with their share of total rows in parts-per-million
+    (integer-exact) — the diagnostic that decides whether a key needs
+    the salted-join path (operators/skew.py) before a 100 TB run. One
+    map-side-combined count + a broadcast total; deterministic top-K."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_rows",
+            (F.col("n_rows") * F.lit(1_000_000) / F.col("total"))
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("user_id").asc())
+        .limit(SKEW_TOP_K)
+    )
+
+
+SQL_EVENTS_SKEW = f"""
+WITH counts AS (
+  SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
+total AS (SELECT sum(n_rows) AS total FROM counts)
+SELECT user_id, n_rows,
+       CAST(n_rows * 1000000 / total AS BIGINT) AS share_ppm
+FROM counts CROSS JOIN total
+ORDER BY n_rows DESC, user_id ASC LIMIT {SKEW_TOP_K}"""
+
+
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+def q_ts_winsorize_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust feature scaling per symbol: winsorize close at the
+    explicit p1/p99 rank picks, then robust-z against the median/MAD
+    (both exact rank statistics) — the outlier-resistant
+    normalization a feature pipeline prefers over mean/std when fat
+    tails are real. All cut points are EXPLICIT row picks (the decile
+    query's convention), so no engine interpolation arithmetic is
+    load-bearing; the per-row transform is pure projection. Emits the
+    per-symbol stats table (symbol, p1, p99, median, mad) — the
+    artifact the transform broadcasts at apply time."""
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    w = Window.partitionBy("symbol").orderBy(
+        F.col("close").asc(), F.col("time_idx").asc()
+    )
+    n = Window.partitionBy("symbol")
+    ranked = df.select(
+        "symbol",
+        "close",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(n).alias("n"),
+    )
+    pick = lambda p: (  # noqa: E731
+        F.floor((F.col("n") - 1) * F.lit(p)).cast("long") + 1
+    )
+    stats = (
+        ranked.groupBy("symbol")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == pick(WINSOR_LO), F.col("close"))
+            ).alias("p1"),
+            F.max(
+                F.when(F.col("rn") == pick(WINSOR_HI), F.col("close"))
+            ).alias("p99"),
+            F.max(
+                F.when(F.col("rn") == pick(0.5), F.col("close"))
+            ).alias("median"),
+        )
+    )
+    dev = (
+        df.join(stats.select("symbol", "median"), "symbol")
+        .select(
+            "symbol",
+            F.abs(F.col("close") - F.col("median")).alias("adev"),
+            "time_idx",
+        )
+    )
+    wd = Window.partitionBy("symbol").orderBy(
+        F.col("adev").asc(), F.col("time_idx").asc()
+    )
+    mad = (
+        dev.select(
+            "symbol",
+            "adev",
+            F.row_number().over(wd).alias("rn"),
+            F.count(F.lit(1)).over(n).alias("n"),
+        )
+        .filter(F.col("rn") == pick(0.5))
+        .groupBy("symbol")
+        .agg(F.max("adev").alias("mad"))
+    )
+    return stats.join(mad, "symbol").select(
+        "symbol",
+        _rne(F.col("p1"), "p1", 6),
+        _rne(F.col("p99"), "p99", 6),
+        _rne(F.col("median"), "median", 6),
+        _rne(F.col("mad"), "mad", 6),
+    )
+
+
+def _sql_ts_winsorize() -> str:
+    def pick(p: float) -> str:
+        return f"CAST(floor((n - 1) * {p}) AS BIGINT) + 1"
+
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+ranked AS (
+  SELECT symbol, close,
+         row_number() OVER (PARTITION BY symbol
+           ORDER BY close ASC, time_idx ASC) AS rn,
+         count(*) OVER (PARTITION BY symbol) AS n
+  FROM filled),
+stats AS (
+  SELECT symbol,
+         max(CASE WHEN rn = {pick(WINSOR_LO)} THEN close END) AS p1,
+         max(CASE WHEN rn = {pick(WINSOR_HI)} THEN close END) AS p99,
+         max(CASE WHEN rn = {pick(0.5)} THEN close END) AS median
+  FROM ranked GROUP BY 1),
+dev AS (
+  SELECT f.symbol, abs(f.close - s.median) AS adev, f.time_idx
+  FROM filled f JOIN stats s USING (symbol)),
+dranked AS (
+  SELECT symbol, adev,
+         row_number() OVER (PARTITION BY symbol
+           ORDER BY adev ASC, time_idx ASC) AS rn,
+         count(*) OVER (PARTITION BY symbol) AS n
+  FROM dev),
+mad AS (
+  SELECT symbol, max(CASE WHEN rn = {pick(0.5)} THEN adev END) AS mad
+  FROM dranked GROUP BY 1)
+SELECT s.symbol, {_sql_rne('s.p1', 'p1')}, {_sql_rne('s.p99', 'p99')},
+       {_sql_rne('s.median', 'median')}, {_sql_rne('m.mad', 'mad')}
+FROM stats s JOIN mad m USING (symbol)"""
+
+
 HOLT_ALPHA = 0.3
 HOLT_BETA = 0.1
 
@@ -8650,6 +8904,10 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_holt_forecast": q_ts_holt_forecast,
         "graph_bfs_hops": q_graph_bfs_hops,
         "events_conditional_deciles": q_events_conditional_deciles,
+        "events_scd2_pit_revenue": q_events_scd2_pit_revenue,
+        "events_json_schema_profile": q_events_json_schema_profile,
+        "events_skew_report": q_events_skew_report,
+        "ts_winsorize_robust": q_ts_winsorize_robust,
     }
 
 
@@ -8803,4 +9061,8 @@ def _oracle_sql_map() -> dict[str, str]:
         "ts_holt_forecast": _sql_ts_holt(),
         "graph_bfs_hops": _sql_graph_bfs(),
         "events_conditional_deciles": _sql_events_deciles(),
+        "events_scd2_pit_revenue": SQL_EVENTS_SCD2_PIT,
+        "events_json_schema_profile": SQL_EVENTS_JSON_SCHEMA,
+        "events_skew_report": SQL_EVENTS_SKEW,
+        "ts_winsorize_robust": _sql_ts_winsorize(),
     }
