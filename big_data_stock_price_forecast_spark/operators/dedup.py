@@ -686,6 +686,53 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jac") >= threshold)
 
 
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric near-dup: max containment inter/min(|A|,|B|) over
+    shingle sets — catches a short document quoted inside a long one,
+    which symmetric Jaccard structurally misses (jac ≈ |A|/|B| → 0 as
+    B grows while containment stays 1). Same inverted-index cost model
+    as :func:`ngram_jaccard_pairs` (work ∝ Σ df(shingle)², never n²);
+    the ratio is a double quotient of identical integers on both
+    engines, so no rounding is needed."""
+    sh = shingle_sets(docs, id_col=id_col, text_col=text_col, n=n).select(
+        F.col(id_col).alias("id"), "sh"
+    )
+    ex = sh.select(
+        "id",
+        F.size("sh").alias("cnt"),
+        F.explode(F.transform("sh", lambda s: hash60(s))).alias("h"),
+    )
+    buckets = (
+        ex.groupBy("h")
+        .agg(F.collect_list(F.struct("id", "cnt")).alias("ps"))
+        .filter(F.size("ps") > 1)
+    )
+    inter = (
+        buckets.select(
+            F.explode(_ordered_bucket_pairs(F.col("ps"))).alias("p")
+        )
+        .groupBy(
+            F.col("p.a.id").alias("id_i"),
+            F.col("p.a.cnt").alias("cnt_i"),
+            F.col("p.b.id").alias("id_j"),
+            F.col("p.b.cnt").alias("cnt_j"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cmax = F.col("inter").cast("double") / F.least(
+        "cnt_i", "cnt_j"
+    ).cast("double")
+    return inter.select(
+        "id_i", "id_j", "inter", cmax.alias("containment")
+    ).filter(F.col("containment") >= threshold)
+
+
 _POWS = [1 << j for j in range(SIMHASH_BITS)]
 
 

@@ -7052,9 +7052,14 @@ def q_ts_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mu") - CUSUM_K_SIGMA * F.col("sigma") - F.col("close")
         ).over(w),
     )
+    # the prefix min must include the EMPTY prefix (q_0 = 0): an
+    # all-positive run of q would otherwise be measured against its own
+    # minimum instead of the 0 start, understating s_t
     d = d.withColumn(
-        "s_up", F.col("qup") - F.min("qup").over(w)
-    ).withColumn("s_dn", F.col("qdn") - F.min("qdn").over(w))
+        "s_up", F.col("qup") - F.least(F.min("qup").over(w), F.lit(0.0))
+    ).withColumn(
+        "s_dn", F.col("qdn") - F.least(F.min("qdn").over(w), F.lit(0.0))
+    )
     h = CUSUM_H_SIGMA * F.col("sigma")
     d = d.withColumn("pup", F.lag("s_up").over(ws)).withColumn(
         "pdn", F.lag("s_dn").over(ws)
@@ -7105,8 +7110,8 @@ q AS (
                  ROWS UNBOUNDED PRECEDING)),
 s AS (
   SELECT symbol, time_idx, sigma,
-         qup - min(qup) OVER cum AS s_up,
-         qdn - min(qdn) OVER cum AS s_dn
+         qup - least(min(qup) OVER cum, 0.0) AS s_up,
+         qdn - least(min(qdn) OVER cum, 0.0) AS s_dn
   FROM q
   WINDOW cum AS (PARTITION BY symbol ORDER BY time_idx
                  ROWS UNBOUNDED PRECEDING)),
@@ -7221,6 +7226,214 @@ FROM tri WHERE step2 IS NOT NULL AND step3 IS NOT NULL
 GROUP BY 1, 2, 3
 ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
 LIMIT {PATH_TOP_N}"""
+
+
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM change-point monitor (streaming/ops.py
+    cusum_state_stream): per-symbol batch-calibrated (μ, σ) joined
+    stream-static into the live event stream, the textbook recursion
+    in four doubles of per-key state, alarms emitted exactly once at
+    the crossing. The oracle is the closed window form over the same
+    raw series — recursion and closed form agree to far below the
+    1e-6 emission grid."""
+    from ..streaming import cusum_state_stream, run_available_now, stream_events
+
+    ev = load_table(spark, sf_dir, "events")
+    grid = F.lit(1e6)
+    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
+    raw = ev.select(F.col("user_id").alias("symbol"), "value")
+    stats = (
+        raw.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(snap(F.col("value")).cast("decimal(18,6)")).alias("sx"),
+            F.sum(
+                snap(F.col("value") * F.col("value")).cast("decimal(18,6)")
+            ).alias("sxx"),
+        )
+        .select(
+            "symbol",
+            (F.col("sx").cast("double") / F.col("n")).alias("mu"),
+            F.sqrt(
+                F.col("sxx").cast("double") / F.col("n")
+                - (F.col("sx").cast("double") / F.col("n"))
+                * (F.col("sx").cast("double") / F.col("n"))
+            ).alias("sigma"),
+        )
+    )
+    out = run_available_now(
+        cusum_state_stream(
+            stream_events(spark, sf_dir), stats,
+            CUSUM_K_SIGMA, CUSUM_H_SIGMA,
+        ),
+        "append",
+        state_partitions=8,
+    )
+    return out.select(
+        "symbol", "event_id", "direction",
+        _rne(F.col("stat_sigmas"), "stat_sigmas", 6),
+    )
+
+
+def _sql_stream_cusum() -> str:
+    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    return f"""WITH stats AS (
+  SELECT user_id AS symbol,
+         CAST(sum(CAST({snap('value')} AS DECIMAL(18,6))) AS DOUBLE)
+           / count(*) AS mu,
+         sqrt(CAST(sum(CAST({snap('value * value')} AS DECIMAL(18,6)))
+                AS DOUBLE) / count(*)
+              - (CAST(sum(CAST({snap('value')} AS DECIMAL(18,6)))
+                   AS DOUBLE) / count(*))
+              * (CAST(sum(CAST({snap('value')} AS DECIMAL(18,6)))
+                   AS DOUBLE) / count(*))) AS sigma
+  FROM events GROUP BY 1),
+q AS (
+  SELECT e.user_id AS symbol, e.event_id, e.ts, s.sigma,
+         sum(e.value - s.mu - {CUSUM_K_SIGMA} * s.sigma) OVER cum AS qup,
+         sum(s.mu - {CUSUM_K_SIGMA} * s.sigma - e.value) OVER cum AS qdn
+  FROM events e JOIN stats s ON e.user_id = s.symbol
+  WINDOW cum AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                 ROWS UNBOUNDED PRECEDING)),
+s AS (
+  SELECT symbol, event_id, ts, sigma,
+         qup - least(min(qup) OVER cum, 0.0) AS s_up,
+         qdn - least(min(qdn) OVER cum, 0.0) AS s_dn
+  FROM q
+  WINDOW cum AS (PARTITION BY symbol ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)),
+x AS (
+  SELECT *, {CUSUM_H_SIGMA} * sigma AS h,
+         lag(s_up) OVER w AS pup, lag(s_dn) OVER w AS pdn
+  FROM s
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id))
+SELECT symbol, event_id, 'up' AS direction,
+       {_sql_rne('s_up / nullif(sigma, 0.0)', 'stat_sigmas')}
+FROM x WHERE s_up > h AND coalesce(pup <= h, TRUE)
+UNION ALL
+SELECT symbol, event_id, 'down' AS direction,
+       {_sql_rne('s_dn / nullif(sigma, 0.0)', 'stat_sigmas')}
+FROM x WHERE s_dn > h AND coalesce(pdn <= h, TRUE)"""
+
+
+PHRASE = ("table", "hash")
+
+
+def q_doc_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search: documents containing the exact token
+    sequence — the positional-index shape a search engine uses beyond
+    bag-of-words AND. Tokens posexplode with their positions, the
+    scan-side term filter keeps the posting frame phrase-sized, and
+    adjacency is an equi-join on (doc, pos+1) — never a string scan of
+    the whole corpus per query. Emits doc_id + match count."""
+    docs = load_table(spark, sf_dir, "documents")
+    w1, w2 = PHRASE
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "term"),
+    ).filter(F.col("term").isin(w1, w2))
+    a = pos.filter(F.col("term") == w1).select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    b = pos.filter(F.col("term") == w2).select(
+        "doc_id", F.col("pos").alias("p2")
+    )
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("p2") == F.col("p1") + 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+SQL_DOC_SEARCH_PHRASE = f"""
+WITH pos AS (
+  SELECT doc_id, u.term, u.pos
+  FROM documents, LATERAL (
+    SELECT unnest({sql_tokens('text')}) AS term,
+           generate_subscripts({sql_tokens('text')}, 1) AS pos) u
+  WHERE u.term IN ('{PHRASE[0]}', '{PHRASE[1]}'))
+SELECT a.doc_id, count(*) AS n_matches
+FROM pos a JOIN pos b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+GROUP BY 1"""
+
+
+CONTAIN_TAU = 0.5
+
+
+def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (operators/dedup.py
+    containment_pairs): inter/min(|A|,|B|) ≥ 0.5 — the
+    quote/subset-duplication detector symmetric Jaccard misses."""
+    from ..operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=CONTAIN_TAU)
+
+
+SQL_DOC_CONTAINMENT = f"""WITH {{toks}},
+s AS (SELECT doc_id, {{shingles}} AS sh FROM toks),
+sf AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+e AS (
+  SELECT doc_id, len(sh) AS cnt,
+         unnest(list_transform(sh, s -> {{h60}})) AS h
+  FROM sf),
+p AS (
+  SELECT a.doc_id AS id_i, a.cnt AS cnt_i, b.doc_id AS id_j,
+         b.cnt AS cnt_j, count(*) AS inter
+  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_i, id_j, inter,
+       inter::DOUBLE / least(cnt_i, cnt_j)::DOUBLE AS containment
+FROM p
+WHERE inter::DOUBLE / least(cnt_i, cnt_j)::DOUBLE >= {CONTAIN_TAU}"""
+
+
+def q_events_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksum: XOR of canonical per-row
+    60-bit hashes, per event type plus the grand total (one ROLLUP) —
+    the cross-replica parity check a 100 TB migration runs instead of
+    row-by-row diffs. Canonicalization avoids engine float/timestamp
+    formatting: timestamps as integer micros, values as integer
+    cents, then one md5-based hash per row; XOR is associative and
+    commutative, so the signature is partitioning- and
+    order-independent by construction."""
+    require_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        .cast("string"),
+        F.col("props"),
+    )
+    h = ev.select("event_type", hash60(canon).alias("h"))
+    return (
+        h.rollup("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("xor_sig"),
+        )
+        .select("event_type", "n_rows", "xor_sig")
+    )
+
+
+SQL_EVENTS_CHECKSUM = f"""
+WITH h AS (
+  SELECT event_type,
+         {sql_hash60("concat_ws('|', CAST(event_id AS VARCHAR), "
+                     "CAST(epoch_us(ts::TIMESTAMP) AS VARCHAR), "
+                     "CAST(user_id AS VARCHAR), event_type, "
+                     "CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) "
+                     "AS VARCHAR), props)")} AS h
+  FROM events)
+SELECT event_type, count(*) AS n_rows, bit_xor(h) AS xor_sig
+FROM h GROUP BY ROLLUP (event_type)"""
 
 
 def q_events_scd2_pit_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8908,6 +9121,10 @@ def all_queries() -> dict[str, QueryFn]:
         "events_json_schema_profile": q_events_json_schema_profile,
         "events_skew_report": q_events_skew_report,
         "ts_winsorize_robust": q_ts_winsorize_robust,
+        "doc_search_phrase": q_doc_search_phrase,
+        "doc_containment_pairs": q_doc_containment_pairs,
+        "events_table_checksum": q_events_table_checksum,
+        "stream_cusum": q_stream_cusum,
     }
 
 
@@ -9065,4 +9282,12 @@ def _oracle_sql_map() -> dict[str, str]:
         "events_json_schema_profile": SQL_EVENTS_JSON_SCHEMA,
         "events_skew_report": SQL_EVENTS_SKEW,
         "ts_winsorize_robust": _sql_ts_winsorize(),
+        "doc_search_phrase": SQL_DOC_SEARCH_PHRASE,
+        "doc_containment_pairs": SQL_DOC_CONTAINMENT.format(
+            toks=SQL_TOKS,
+            shingles=sql_shingles("tok", 3),
+            h60=sql_hash60("s"),
+        ),
+        "events_table_checksum": SQL_EVENTS_CHECKSUM,
+        "stream_cusum": _sql_stream_cusum(),
     }

@@ -1,5 +1,6 @@
 from .ops import (
     attribution_state_stream,
+    cusum_state_stream,
     dedup_ingest_stream,
     distinct_keys_stream,
     ema_state_stream,
@@ -12,6 +13,7 @@ from .ops import (
 
 __all__ = [
     "attribution_state_stream",
+    "cusum_state_stream",
     "dedup_ingest_stream",
     "distinct_keys_stream",
     "ema_state_stream",

@@ -317,6 +317,95 @@ def attribution_state_stream(
     )
 
 
+_CUSUM_OUT = StructType(
+    [
+        StructField("symbol", LongType()),
+        StructField("event_id", LongType()),
+        StructField("direction", StringType()),
+        StructField("stat_sigmas", DoubleType()),
+    ]
+)
+_CUSUM_STATE = StructType(
+    [
+        StructField("s_up", DoubleType()),
+        StructField("s_dn", DoubleType()),
+        StructField("pup", DoubleType()),
+        StructField("pdn", DoubleType()),
+    ]
+)
+
+
+def _cusum_state_fn(k_sigma: float, h_sigma: float):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs)).sort_values(["datetime", "event_id"])
+        s_up, s_dn, pup, pdn = (
+            state.get if state.exists else (0.0, 0.0, None, None)
+        )
+        mu = float(pdf["mu"].iloc[0])
+        sigma = float(pdf["sigma"].iloc[0])
+        k, h = k_sigma * sigma, h_sigma * sigma
+        ids, dirs, stats = [], [], []
+        for r in pdf.itertuples():
+            x = float(r.close)
+            s_up = max(0.0, s_up + (x - mu - k))
+            s_dn = max(0.0, s_dn + (mu - k - x))
+            if s_up > h and (pup is None or pup <= h):
+                ids.append(int(r.event_id))
+                dirs.append("up")
+                stats.append(s_up / sigma if sigma else None)
+            if s_dn > h and (pdn is None or pdn <= h):
+                ids.append(int(r.event_id))
+                dirs.append("down")
+                stats.append(s_dn / sigma if sigma else None)
+            pup, pdn = s_up, s_dn
+        state.update((s_up, s_dn, pup, pdn))
+        if ids:
+            yield pd.DataFrame(
+                {
+                    "symbol": [key[0]] * len(ids),
+                    "event_id": ids,
+                    "direction": dirs,
+                    "stat_sigmas": stats,
+                }
+            )
+
+    return fn
+
+
+def cusum_state_stream(
+    sdf: DataFrame,
+    stats: DataFrame,
+    k_sigma: float = 0.5,
+    h_sigma: float = 4.0,
+) -> DataFrame:
+    """Streaming CUSUM change-point monitor: the textbook recursion
+    s_t = max(0, s_{t-1} + dev_t) lives in per-symbol state (four
+    doubles — bounded by the symbol population), calibrated against a
+    batch-computed per-symbol (μ, σ) baseline joined STREAM-STATIC
+    into each micro-batch — the monitor shape a 24/7 deployment runs:
+    calibrate on history, detect on the live stream. Alarm crossings
+    emit exactly once (the previous-value guard spans micro-batches
+    through state). The batch window-form query (ts_cusum_alarms) is
+    the closed-form twin; this is its incremental form for data that
+    arrives rather than sits."""
+    enriched = sdf.join(F.broadcast(stats), "symbol")
+    return (
+        enriched.withWatermark("datetime", "1 hour")
+        .groupBy("symbol")
+        .applyInPandasWithState(
+            _cusum_state_fn(k_sigma, h_sigma),
+            outputStructType=_CUSUM_OUT,
+            stateStructType=_CUSUM_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,

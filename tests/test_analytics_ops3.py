@@ -26,38 +26,40 @@ def test_cusum_window_form_matches_recursion(spark, sf_dir):
     the textbook recursion s_t = max(0, s_{t-1} + dev_t)."""
     out = q_ts_cusum_alarms(spark, sf_dir).collect()
     assert out
-    sym = out[0]["symbol"]
-    rows = sorted(
-        _filled(spark, sf_dir).filter(F.col("symbol") == sym).collect(),
-        key=lambda r: r["time_idx"],
-    )
-    xs = [r["close"] for r in rows]
+    all_rows = _filled(spark, sf_dir).collect()
+    by_sym = defaultdict(list)
+    for r in all_rows:
+        by_sym[r["symbol"]].append(r)
 
     def g(v):
         import math
 
         return math.floor(v * 1e6 + 0.5) / 1e6
 
-    n = len(xs)
-    mu = sum(g(x) for x in xs) / n
-    var = sum(g(x * x) for x in xs) / n - mu * mu
-    sigma = var**0.5
-    k = CUSUM_K_SIGMA * sigma
-    h = CUSUM_H_SIGMA * sigma
-    s_up, s_dn, alarms = 0.0, 0.0, []
-    pup, pdn = None, None
-    for r, x in zip(rows, xs):
-        s_up = max(0.0, s_up + (x - mu - k))
-        s_dn = max(0.0, s_dn + (mu - k - x))
-        if s_up > h and (pup is None or pup <= h):
-            alarms.append((r["time_idx"], "up"))
-        if s_dn > h and (pdn is None or pdn <= h):
-            alarms.append((r["time_idx"], "down"))
-        pup, pdn = s_up, s_dn
+    expect = []
+    for sym, rows in by_sym.items():
+        rows.sort(key=lambda r: r["time_idx"])
+        xs = [r["close"] for r in rows]
+        n = len(xs)
+        mu = sum(g(x) for x in xs) / n
+        var = sum(g(x * x) for x in xs) / n - mu * mu
+        sigma = var**0.5
+        k = CUSUM_K_SIGMA * sigma
+        h = CUSUM_H_SIGMA * sigma
+        s_up, s_dn = 0.0, 0.0
+        pup, pdn = None, None
+        for r, x in zip(rows, xs):
+            s_up = max(0.0, s_up + (x - mu - k))
+            s_dn = max(0.0, s_dn + (mu - k - x))
+            if s_up > h and (pup is None or pup <= h):
+                expect.append((sym, r["time_idx"], "up"))
+            if s_dn > h and (pdn is None or pdn <= h):
+                expect.append((sym, r["time_idx"], "down"))
+            pup, pdn = s_up, s_dn
     got = sorted(
-        (r["time_idx"], r["direction"]) for r in out if r["symbol"] == sym
+        (r["symbol"], r["time_idx"], r["direction"]) for r in out
     )
-    assert got == sorted(alarms)
+    assert got == sorted(expect)
     for r in out:
         assert r["stat_sigmas"] > CUSUM_H_SIGMA - 1e-6
 
