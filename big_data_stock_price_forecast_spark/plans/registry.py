@@ -6175,6 +6175,39 @@ FROM dec"""
 PQ_M, PQ_DSUB = 4, 16  # 4 subspaces x 16 dims over the 64-dim vectors
 
 
+def _pq_codebook(emb: DataFrame) -> DataFrame:
+    """Label-grouped sub-vector mean codebook (code, s, cvec) on the
+    shared 1e-6 grid — the deterministic quantizer both PQ queries and
+    both engines rebuild identically."""
+    ex = emb.select("label", F.posexplode("v").alias("pos", "x"))
+    per_dim = ex.groupBy(
+        "label",
+        (F.col("pos") / PQ_DSUB).cast("int").alias("s"),
+        "pos",
+    ).agg((F.floor(F.avg("x") * 1e6 + F.lit(0.5)) / 1e6 + F.lit(0.0)).alias("c"))
+    return per_dim.groupBy(F.col("label").alias("code"), "s").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda z: z["c"],
+        ).alias("cvec")
+    )
+
+
+def _pq_assignments(emb: DataFrame, cb: DataFrame) -> DataFrame:
+    """Per (vector, subspace) best code: broadcast codebook cross join
+    collapsed map-side by min(struct) — returns (vec_id, s, m) with
+    m = (err2, code)."""
+    cand = emb.crossJoin(F.broadcast(cb)).withColumn(
+        "err2",
+        dist_l2sq(
+            F.slice("v", F.col("s") * PQ_DSUB + 1, PQ_DSUB), F.col("cvec")
+        ),
+    )
+    return cand.groupBy("vec_id", "s").agg(
+        F.min(F.struct("err2", "code")).alias("m")
+    )
+
+
 def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization — the memory-side companion to IVF: each
     vector compresses to PQ_M sub-space code bytes, with the
@@ -6188,27 +6221,8 @@ def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossed rows never shuffle — and the per-vector fold orders
     subspaces explicitly so the error sum is sequence-exact."""
     emb = _emb(spark, sf_dir)
-    ex = emb.select("label", F.posexplode("v").alias("pos", "x"))
-    per_dim = ex.groupBy(
-        "label",
-        (F.col("pos") / PQ_DSUB).cast("int").alias("s"),
-        "pos",
-    ).agg((F.floor(F.avg("x") * 1e6 + F.lit(0.5)) / 1e6 + F.lit(0.0)).alias("c"))
-    cb = per_dim.groupBy(F.col("label").alias("code"), "s").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))),
-            lambda z: z["c"],
-        ).alias("cvec")
-    )
-    cand = emb.crossJoin(F.broadcast(cb)).withColumn(
-        "err2",
-        dist_l2sq(
-            F.slice("v", F.col("s") * PQ_DSUB + 1, PQ_DSUB), F.col("cvec")
-        ),
-    )
-    best = cand.groupBy("vec_id", "s").agg(
-        F.min(F.struct("err2", "code")).alias("m")
-    )
+    cb = _pq_codebook(emb)
+    best = _pq_assignments(emb, cb)
     per_vec = best.groupBy("vec_id").agg(
         F.array_sort(
             F.collect_list(F.struct("s", F.col("m.code").alias("code")))
@@ -7226,6 +7240,217 @@ FROM tri WHERE step2 IS NOT NULL AND step3 IS NOT NULL
 GROUP BY 1, 2, 3
 ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
 LIMIT {PATH_TOP_N}"""
+
+
+PQ_ADC_K = 5
+
+
+def q_emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search — the query-side
+    payoff of the PQ codes: per query, a (subspace × code) lookup
+    table of exact sub-distances (queries × codebook, both tiny,
+    broadcast), then each database vector's approximate distance is
+    FOUR LUT adds over its codes — no full-vector math per candidate,
+    which is the entire point of PQ at 100 TB (the scan touches 4
+    bytes + 4 adds per vector instead of 64 floats). Exact distances
+    are recomputed ONLY for the reported top-k rows, emitting the
+    approximation error as a measured column (the engine's standard
+    sketch contract)."""
+    emb = _emb(spark, sf_dir)
+    cb = _pq_codebook(emb)
+    codes = _pq_assignments(emb, cb).select(
+        "vec_id", "s", F.col("m.code").alias("code")
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    lut = queries.crossJoin(F.broadcast(cb)).select(
+        "q_id",
+        "s",
+        "code",
+        dist_l2sq(
+            F.slice("qv", F.col("s") * PQ_DSUB + 1, PQ_DSUB), F.col("cvec")
+        ).alias("d2"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "d2"))),
+                    lambda z: z["d2"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc2")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc2").asc(), F.col("vec_id").asc()
+    )
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= PQ_ADC_K
+    )
+    qv = emb.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    dv = emb.select("vec_id", "v")
+    return (
+        top.join(F.broadcast(qv), "q_id")
+        .join(dv, "vec_id")
+        .select(
+            "q_id",
+            "rank",
+            "vec_id",
+            _rne(F.sqrt(F.col("adc2")), "adc_dist", 6),
+            _rne(F.sqrt(dist_l2sq(F.col("qv"), F.col("v"))), "l2_dist", 6),
+        )
+    )
+
+
+def _sql_pq_adc() -> str:
+    sl = f"list_slice(e.v, cb.s * {PQ_DSUB} + 1, cb.s * {PQ_DSUB} + {PQ_DSUB})"
+    err2 = (
+        f"list_reduce(list_prepend(0.0, list_transform("
+        f"list_zip({sl}, cb.cvec), p -> (p[1]-p[2])*(p[1]-p[2]))),"
+        f" (x, y) -> x + y)"
+    )
+    qsl = f"list_slice(q.qv, cb.s * {PQ_DSUB} + 1, cb.s * {PQ_DSUB} + {PQ_DSUB})"
+    qd2 = (
+        f"list_reduce(list_prepend(0.0, list_transform("
+        f"list_zip({qsl}, cb.cvec), p -> (p[1]-p[2])*(p[1]-p[2]))),"
+        f" (x, y) -> x + y)"
+    )
+    exact = (
+        "list_reduce(list_prepend(0.0, list_transform("
+        "list_zip(qq.qv, dv.v), p -> (p[1]-p[2])*(p[1]-p[2]))),"
+        " (x, y) -> x + y)"
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+cb_dims AS (
+  SELECT label, CAST((i - 1) // {PQ_DSUB} AS INT) AS s, i AS pos,
+         floor(avg(v[i]) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS c
+  FROM emb, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
+  GROUP BY 1, 2, 3),
+cb AS (SELECT label AS code, s, list(c ORDER BY pos) AS cvec
+       FROM cb_dims GROUP BY 1, 2),
+cand AS (
+  SELECT e.vec_id, cb.s, cb.code, {err2} AS err2
+  FROM emb e CROSS JOIN cb),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+      ORDER BY err2 ASC, code ASC) AS rn
+    FROM cand)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 100 = 0),
+lut AS (
+  SELECT q.q_id, cb.s, cb.code, {qd2} AS d2
+  FROM q CROSS JOIN cb),
+scored AS (
+  SELECT l.q_id, c.vec_id,
+         list_reduce(list_prepend(0.0, list(l.d2 ORDER BY c.s)),
+                     (x, y) -> x + y) AS adc2
+  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+  WHERE l.q_id <> c.vec_id
+  GROUP BY 1, 2),
+top AS (
+  SELECT q_id, vec_id, adc2,
+         row_number() OVER (PARTITION BY q_id
+           ORDER BY adc2 ASC, vec_id ASC) AS rank
+  FROM scored QUALIFY rank <= {PQ_ADC_K})
+SELECT t.q_id, t.rank, t.vec_id,
+       {_sql_rne('sqrt(t.adc2)', 'adc_dist')},
+       {_sql_rne('sqrt(' + exact + ')', 'l2_dist')}
+FROM top t
+JOIN (SELECT vec_id AS q_id, v AS qv FROM emb) qq ON t.q_id = qq.q_id
+JOIN (SELECT vec_id, v FROM emb) dv ON t.vec_id = dv.vec_id"""
+
+
+def q_events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder audit per user: how far events arrive out
+    of order relative to arrival sequence (event_id) — the measurement
+    that SIZES a streaming watermark instead of guessing it. Lateness
+    of an event = running-max event time so far minus its own time
+    (exact integer micros); per user: inversion count, max lateness,
+    and total events. One user-keyed window ordered by arrival."""
+    require_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = ev.select("user_id", "event_id", us.alias("t_us")).withColumn(
+        "late_us", F.max("t_us").over(w) - F.col("t_us")
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(F.col("late_us") > 0).alias("n_inversions"),
+        F.max("late_us").alias("max_late_us"),
+    )
+
+
+SQL_EVENTS_LATENESS = """
+WITH d AS (
+  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS t_us,
+         max(epoch_us(ts::TIMESTAMP)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS UNBOUNDED PRECEDING) - epoch_us(ts::TIMESTAMP) AS late_us
+  FROM events)
+SELECT user_id, count(*) AS n_events,
+       CAST(count(*) FILTER (late_us > 0) AS BIGINT) AS n_inversions,
+       max(late_us) AS max_late_us
+FROM d GROUP BY 1"""
+
+
+PARTITION_MIN_ROWS = 100
+
+
+def q_events_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-completeness audit: every calendar day in the table's
+    range vs actual row counts, flagging missing or thin days — the
+    backfill planner's input. The expected day grid generates from the
+    global min/max (a broadcast one-row frame exploded with
+    ``sequence``), left-joins the per-day counts, and emits status
+    ('missing' / 'thin' / 'ok') — so absent partitions appear as rows,
+    which a plain GROUP BY can never show."""
+    ev = load_table(spark, sf_dir, "events")
+    per_day = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    joined = grid.join(per_day, "day", "left").select(
+        "day", F.coalesce("n_rows", F.lit(0)).alias("n_rows")
+    )
+    status = (
+        F.when(F.col("n_rows") == 0, "missing")
+        .when(F.col("n_rows") < PARTITION_MIN_ROWS, "thin")
+        .otherwise("ok")
+    )
+    return joined.select("day", "n_rows", status.alias("status"))
+
+
+SQL_EVENTS_PARTITION_AUDIT = f"""
+WITH per_day AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows
+  FROM events GROUP BY 1),
+bounds AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+           FROM events),
+grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+         FROM bounds)
+SELECT g.day, coalesce(p.n_rows, 0) AS n_rows,
+       CASE WHEN coalesce(p.n_rows, 0) = 0 THEN 'missing'
+            WHEN coalesce(p.n_rows, 0) < {PARTITION_MIN_ROWS} THEN 'thin'
+            ELSE 'ok' END AS status
+FROM grid g LEFT JOIN per_day p USING (day)"""
 
 
 def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9125,6 +9350,9 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_containment_pairs": q_doc_containment_pairs,
         "events_table_checksum": q_events_table_checksum,
         "stream_cusum": q_stream_cusum,
+        "emb_pq_adc_topk": q_emb_pq_adc_topk,
+        "events_lateness_audit": q_events_lateness_audit,
+        "events_partition_audit": q_events_partition_audit,
     }
 
 
@@ -9290,4 +9518,7 @@ def _oracle_sql_map() -> dict[str, str]:
         ),
         "events_table_checksum": SQL_EVENTS_CHECKSUM,
         "stream_cusum": _sql_stream_cusum(),
+        "emb_pq_adc_topk": _sql_pq_adc(),
+        "events_lateness_audit": SQL_EVENTS_LATENESS,
+        "events_partition_audit": SQL_EVENTS_PARTITION_AUDIT,
     }
