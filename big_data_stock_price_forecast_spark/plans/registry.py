@@ -7242,6 +7242,152 @@ ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
 LIMIT {PATH_TOP_N}"""
 
 
+def q_events_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation by sketch inner product — the
+    AMS/Count-Min classic an optimizer uses before committing to a
+    join strategy: |A ⋈ B| on a key is Σ_k c_A(k)·c_B(k), estimated as
+    the MIN over depth rows of the cellwise product of the two CMS
+    sketches (here A = B = events.user_id, so the estimate bounds the
+    self-join size Σ c²). Sketch cells come from the engine's
+    deterministic CMS (operators/sketch.py), so the estimate — like
+    every sketch in the suite — sits beside its exact value as a
+    measured number. At 100 TB the sketches are KBs per side and the
+    estimate costs one scan each, vs actually running the join."""
+    from ..operators.sketch import CMS_DEPTH, CMS_WIDTH, cms_cells
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select(F.col("user_id").cast("string").alias("term"))
+    cells = cms_cells(keys, depth=CMS_DEPTH, width=CMS_WIDTH)
+    est = (
+        cells.groupBy("d")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("ip"))
+        .agg(F.min("ip").alias("est_size"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("exact_size"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_size",
+        "est_size",
+        (F.col("est_size") / F.col("exact_size")).alias("overestimate"),
+    )
+
+
+def _sql_join_size_est() -> str:
+    from ..operators.dedup import MH_PRIME as P
+    from ..operators.sketch import CMS_DEPTH, CMS_WIDTH
+
+    a, b = minhash_coeffs(CMS_DEPTH)
+    coeff_rows = ", ".join(
+        f"({d}, {a[d]}, {b[d]})" for d in range(CMS_DEPTH)
+    )
+    return f"""
+WITH h AS (
+  SELECT {sql_hash60('CAST(user_id AS VARCHAR)')} % {P} AS h FROM events),
+coeff(d, a, b) AS (VALUES {coeff_rows}),
+cells AS (
+  SELECT c.d, ((h.h * c.a + c.b) % {P}) % {CMS_WIDTH} AS cell,
+         count(*) AS cnt
+  FROM h CROSS JOIN coeff c GROUP BY 1, 2),
+est AS (
+  SELECT min(ip) AS est_size FROM (
+    SELECT d, sum(cnt * cnt) AS ip FROM cells GROUP BY 1)),
+exact AS (
+  SELECT sum(c * c) AS exact_size FROM (
+    SELECT count(*) AS c FROM events GROUP BY user_id))
+SELECT CAST(exact_size AS BIGINT) AS exact_size,
+       CAST(est_size AS BIGINT) AS est_size,
+       CAST(est_size AS DOUBLE) / CAST(exact_size AS DOUBLE)
+         AS overestimate
+FROM exact CROSS JOIN est"""
+
+
+PSI_SPLIT_TS = "2024-01-16 00:00:00"
+
+
+def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the month's
+    two halves — the ML-ops drift metric a feature pipeline monitors
+    (PSI < 0.1 stable, > 0.25 action). Fixed integer value buckets
+    (floor(value/10)) with Laplace smoothing over the observed bucket
+    union, so empty bins never produce ±∞ terms; per-bin terms
+    (p₂−p₁)·ln(p₂/p₁) snap to the 1e-6 grid before the exact DECIMAL
+    sum — ln() last-ulp differences between engines collapse under
+    the grid. Two map-side-combined aggregates, output is one row per
+    event type."""
+    ev = load_table(spark, sf_dir, "events")
+    half = F.when(
+        F.col("ts") < F.lit(PSI_SPLIT_TS).cast("timestamp_ntz"), 1
+    ).otherwise(2)
+    binned = ev.select(
+        "event_type",
+        F.floor(F.col("value") / 10).cast("int").alias("vbucket"),
+        half.alias("half"),
+    )
+    per_bin = binned.groupBy("event_type", "vbucket").agg(
+        F.count_if(F.col("half") == 1).alias("n1"),
+        F.count_if(F.col("half") == 2).alias("n2"),
+    )
+    tot = per_bin.groupBy("event_type").agg(
+        F.sum("n1").alias("t1"),
+        F.sum("n2").alias("t2"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    grid = F.lit(1e6)
+    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
+    j = per_bin.join(F.broadcast(tot), "event_type")
+    p1 = (F.col("n1") + 1) / (F.col("t1") + F.col("n_bins"))
+    p2 = (F.col("n2") + 1) / (F.col("t2") + F.col("n_bins"))
+    term = snap((p2 - p1) * F.log(p2 / p1)).cast("decimal(18,6)")
+    return (
+        j.select("event_type", term.alias("term"), "t1", "t2")
+        .groupBy("event_type")
+        .agg(
+            F.max("t1").alias("n_first_half"),
+            F.max("t2").alias("n_second_half"),
+            F.sum("term").cast("double").alias("psi_raw"),
+        )
+        .select(
+            "event_type",
+            "n_first_half",
+            "n_second_half",
+            _rne(F.col("psi_raw"), "psi", 6),
+        )
+    )
+
+
+def _sql_psi_drift() -> str:
+    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    term = snap(
+        "((n2 + 1) / (t2 + n_bins) - (n1 + 1) / (t1 + n_bins))"
+        " * ln(((n2 + 1) / (t2 + n_bins)) / ((n1 + 1) / (t1 + n_bins)))"
+    )
+    return f"""
+WITH binned AS (
+  SELECT event_type, CAST(floor(value / 10) AS INT) AS vbucket,
+         CASE WHEN ts < TIMESTAMP '{PSI_SPLIT_TS}' THEN 1 ELSE 2 END AS half
+  FROM events),
+per_bin AS (
+  SELECT event_type, vbucket,
+         CAST(count(*) FILTER (half = 1) AS BIGINT) AS n1,
+         CAST(count(*) FILTER (half = 2) AS BIGINT) AS n2
+  FROM binned GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, sum(n1) AS t1, sum(n2) AS t2,
+         count(*) AS n_bins
+  FROM per_bin GROUP BY 1)
+SELECT p.event_type,
+       CAST(max(t1) AS BIGINT) AS n_first_half,
+       CAST(max(t2) AS BIGINT) AS n_second_half,
+       {_sql_rne(
+           'CAST(sum(CAST(' + term + ' AS DECIMAL(18,6))) AS DOUBLE)',
+           'psi')}
+FROM per_bin p JOIN tot USING (event_type)
+GROUP BY 1"""
+
+
 PQ_ADC_K = 5
 
 
@@ -9353,6 +9499,8 @@ def all_queries() -> dict[str, QueryFn]:
         "emb_pq_adc_topk": q_emb_pq_adc_topk,
         "events_lateness_audit": q_events_lateness_audit,
         "events_partition_audit": q_events_partition_audit,
+        "events_join_size_estimate": q_events_join_size_estimate,
+        "events_psi_drift": q_events_psi_drift,
     }
 
 
@@ -9521,4 +9669,6 @@ def _oracle_sql_map() -> dict[str, str]:
         "emb_pq_adc_topk": _sql_pq_adc(),
         "events_lateness_audit": SQL_EVENTS_LATENESS,
         "events_partition_audit": SQL_EVENTS_PARTITION_AUDIT,
+        "events_join_size_estimate": _sql_join_size_est(),
+        "events_psi_drift": _sql_psi_drift(),
     }

@@ -97,3 +97,65 @@ def test_partition_audit_covers_the_full_range(spark, sf_dir):
             assert r["status"] == "thin"
         else:
             assert r["status"] == "ok"
+
+
+def test_join_size_estimate_bounds_exact_from_above(spark, sf_dir):
+    from collections import Counter
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_events_join_size_estimate,
+    )
+
+    r = q_events_join_size_estimate(spark, sf_dir).collect()[0]
+    cnt = Counter(
+        row["user_id"]
+        for row in load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .collect()
+    )
+    exact = sum(c * c for c in cnt.values())
+    assert r["exact_size"] == exact
+    # CMS inner product overestimates (hash collisions only add mass)
+    assert r["est_size"] >= r["exact_size"]
+    assert r["overestimate"] >= 1.0
+
+
+def test_psi_is_zero_for_identical_halves_and_replays(spark, sf_dir):
+    import math
+    from collections import defaultdict
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        PSI_SPLIT_TS,
+        q_events_psi_drift,
+    )
+
+    out = {r["event_type"]: r for r in
+           q_events_psi_drift(spark, sf_dir).collect()}
+    assert out
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    from datetime import datetime
+
+    split = datetime.fromisoformat(PSI_SPLIT_TS)
+    bins = defaultdict(lambda: [0, 0])
+    for r in ev:
+        h = 0 if r["ts"] < split else 1
+        bins[(r["event_type"], math.floor(r["value"] / 10))][h] += 1
+    per_type = defaultdict(dict)
+    for (t, b), (n1, n2) in bins.items():
+        per_type[t][b] = (n1, n2)
+    for t, bmap in per_type.items():
+        t1 = sum(v[0] for v in bmap.values())
+        t2 = sum(v[1] for v in bmap.values())
+        nb = len(bmap)
+        psi = 0.0
+        for n1, n2 in bmap.values():
+            p1 = (n1 + 1) / (t1 + nb)
+            p2 = (n2 + 1) / (t2 + nb)
+            term = (p2 - p1) * math.log(p2 / p1)
+            psi += math.floor(term * 1e6 + 0.5) / 1e6
+        r = out[t]
+        assert r["n_first_half"] == t1 and r["n_second_half"] == t2
+        assert abs(r["psi"] - psi) < 2e-6
+        assert r["psi"] >= 0.0 or abs(r["psi"]) < 1e-3
