@@ -7242,6 +7242,117 @@ ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
 LIMIT {PATH_TOP_N}"""
 
 
+SEAS_M = 4  # 6h buckets -> daily season
+
+
+def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition (classical, period 4 = daily on
+    the 6h grid): trend = centered 2×m moving average (the textbook
+    half-weighted 5-term window), seasonal = phase means of the
+    detrended series re-centered to sum to zero, residual = the rest —
+    the decomposition behind seasonal-adjustment and anomaly baselines.
+    Numerics: the trend is a FIXED 5-term expression (lag/lead — no
+    frame-sum accumulation at all), phase means go through
+    grid-snapped DECIMAL sums, and the 4-phase centering folds in
+    phase order — nothing order-sensitive survives to the hash."""
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    x = F.col("close")
+    trend = (
+        0.5 * F.lag("close", 2).over(w)
+        + F.lag("close", 1).over(w)
+        + x
+        + F.lead("close", 1).over(w)
+        + 0.5 * F.lead("close", 2).over(w)
+    ) / SEAS_M
+    d = df.withColumn("trend", trend).withColumn(
+        "phase", (F.col("time_idx") % SEAS_M).cast("int")
+    )
+    grid = F.lit(1e6)
+    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
+    phase_means = (
+        d.filter(F.col("trend").isNotNull())
+        .groupBy("symbol", "phase")
+        .agg(
+            (
+                F.sum(snap(x - F.col("trend")).cast("decimal(18,6)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("pm")
+        )
+    )
+    centered = (
+        phase_means.groupBy("symbol")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("phase", "pm"))),
+                    lambda z: z["pm"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("pm_sum")
+        )
+    )
+    seas = (
+        phase_means.join(centered, "symbol")
+        .select(
+            "symbol",
+            "phase",
+            (F.col("pm") - F.col("pm_sum") / SEAS_M).alias("seasonal"),
+        )
+    )
+    return (
+        d.join(seas, ["symbol", "phase"])
+        .select(
+            "symbol",
+            "time_idx",
+            _rne(F.col("trend"), "trend", 6),
+            _rne(F.col("seasonal"), "seasonal", 6),
+            _rne(
+                F.when(
+                    F.col("trend").isNotNull(),
+                    x - F.col("trend") - F.col("seasonal"),
+                ),
+                "residual",
+                6,
+            ),
+        )
+    )
+
+
+def _sql_ts_seasonal() -> str:
+    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+t AS (
+  SELECT symbol, time_idx, close,
+         (0.5 * lag(close, 2) OVER w + lag(close, 1) OVER w + close
+          + lead(close, 1) OVER w + 0.5 * lead(close, 2) OVER w)
+           / {SEAS_M} AS trend,
+         CAST(time_idx % {SEAS_M} AS INT) AS phase
+  FROM filled
+  WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)),
+pm AS (
+  SELECT symbol, phase,
+         CAST(sum(CAST({snap('close - trend')} AS DECIMAL(18,6)))
+              AS DOUBLE) / count(*) AS pm
+  FROM t WHERE trend IS NOT NULL GROUP BY 1, 2),
+ctr AS (
+  SELECT symbol,
+         list_reduce(list_prepend(0.0, list(pm ORDER BY phase)),
+                     (x, y) -> x + y) AS pm_sum
+  FROM pm GROUP BY 1),
+seas AS (
+  SELECT pm.symbol, pm.phase, pm.pm - ctr.pm_sum / {SEAS_M} AS seasonal
+  FROM pm JOIN ctr USING (symbol))
+SELECT t.symbol, t.time_idx,
+       {_sql_rne('t.trend', 'trend')},
+       {_sql_rne('s.seasonal', 'seasonal')},
+       {_sql_rne('CASE WHEN t.trend IS NOT NULL '
+                 'THEN t.close - t.trend - s.seasonal END', 'residual')}
+FROM t JOIN seas s ON t.symbol = s.symbol AND t.phase = s.phase"""
+
+
 def q_events_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality estimation by sketch inner product — the
     AMS/Count-Min classic an optimizer uses before committing to a
@@ -8203,23 +8314,33 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("sb").alias("u"), F.col("sa").alias("v"))
     )
     und = und.persist()
-    seed = edges.agg(F.min("sa").alias("u")).withColumn(
-        "dist", F.lit(0)
+    # seed at the max-degree node (key tie-break): a min-key seed can
+    # land in a tiny island of the top-K cut at larger SFs, making the
+    # traversal degenerate
+    seed = (
+        und.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.col("deg").desc(), F.col("u").asc())
+        .limit(1)
+        .select("u", F.lit(0).alias("dist"))
     )
-    dist = seed
+    dist = seed.localCheckpoint(eager=True)
     for hop in range(1, BFS_MAX_HOPS + 1):
         frontier = dist.filter(F.col("dist") == hop - 1)
         nxt = (
             frontier.join(und, "u")
             .select(F.col("v").alias("u"), F.lit(hop).alias("dist"))
             .distinct()
+            .join(dist.select("u"), "u", "left_anti")
+            .localCheckpoint(eager=True)
         )
-        dist = (
-            dist.unionByName(nxt)
-            .groupBy("u")
-            .agg(F.min("dist").alias("dist"))
-        )
-        dist = dist.localCheckpoint(eager=True)
+        # early exit: an empty frontier means every reachable node has
+        # its final distance — rounds past the eccentricity are pure
+        # checkpoint overhead (the driver reads one scalar per round,
+        # the CC operator's convergence contract)
+        if not nxt.take(1):
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
     und.unpersist()
     return dist.select(F.col("u").alias("s_suppkey"), "dist")
 
@@ -8238,7 +8359,8 @@ und AS (
   SELECT sa AS u, sb AS v FROM edges
   UNION ALL SELECT sb, sa FROM edges),
 walk(u, dist) AS (
-  SELECT (SELECT min(sa) FROM edges), 0
+  SELECT (SELECT u FROM (SELECT u, count(*) AS n FROM und GROUP BY 1
+          ORDER BY n DESC, u ASC LIMIT 1)), 0
   UNION ALL
   SELECT e.v, w.dist + 1
   FROM walk w JOIN und e ON e.u = w.u
@@ -9501,6 +9623,7 @@ def all_queries() -> dict[str, QueryFn]:
         "events_partition_audit": q_events_partition_audit,
         "events_join_size_estimate": q_events_join_size_estimate,
         "events_psi_drift": q_events_psi_drift,
+        "ts_seasonal_decompose": q_ts_seasonal_decompose,
     }
 
 
@@ -9671,4 +9794,5 @@ def _oracle_sql_map() -> dict[str, str]:
         "events_partition_audit": SQL_EVENTS_PARTITION_AUDIT,
         "events_join_size_estimate": _sql_join_size_est(),
         "events_psi_drift": _sql_psi_drift(),
+        "ts_seasonal_decompose": _sql_ts_seasonal(),
     }

@@ -79,7 +79,11 @@ def test_bfs_distances_match_python_bfs(spark, sf_dir):
     for a, b in edges:
         adj[a].add(b)
         adj[b].add(a)
-    seed = min(a for a, _ in edges)
+    # max-degree seed, key tie-break (matches the query's seed rule);
+    # degree counts directed copies, i.e. the undirected degree
+    seed = min(
+        adj, key=lambda u: (-len(adj[u]), u)
+    )
     dist = {seed: 0}
     dq = deque([seed])
     while dq:
@@ -113,3 +117,38 @@ def test_conditional_deciles_are_monotone_and_exact(spark, sf_dir):
         # monotone across the decile grid
         seq = [got[t][int(round(p * 100))] for p in DECILE_PS]
         assert seq == sorted(seq)
+
+
+def test_seasonal_decompose_reconstructs_the_series(spark, sf_dir):
+    import math
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        SEAS_M,
+        _filled,
+        q_ts_seasonal_decompose,
+    )
+
+    out = q_ts_seasonal_decompose(spark, sf_dir).collect()
+    assert out
+    closes = {
+        (r["symbol"], r["time_idx"]): r["close"]
+        for r in _filled(spark, sf_dir).collect()
+    }
+    by_sym = defaultdict(list)
+    for r in out:
+        by_sym[r["symbol"]].append(r)
+        # additive identity where the trend exists
+        if r["trend"] is not None:
+            x = closes[(r["symbol"], r["time_idx"])]
+            assert abs(
+                (r["trend"] + r["seasonal"] + r["residual"]) - x
+            ) < 5e-6
+        else:
+            assert r["residual"] is None
+    # seasonal components are phase-periodic and centered
+    for sym, rows in list(by_sym.items())[:20]:
+        phases = defaultdict(set)
+        for r in rows:
+            phases[r["time_idx"] % SEAS_M].add(r["seasonal"])
+        assert all(len(v) == 1 for v in phases.values())
+        assert abs(sum(next(iter(v)) for v in phases.values())) < 1e-4
