@@ -7242,6 +7242,255 @@ ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
 LIMIT {PATH_TOP_N}"""
 
 
+ACF_MAX_LAG = 8
+
+
+def q_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function per symbol for lags 1..8 — the
+    Box-Jenkins diagnostic behind ARIMA order selection and the
+    seasonal-period check for the decomposition query. One symbol
+    window computes all lag columns in a single projection, the lag
+    dimension explodes from an in-row array (no per-lag scan), and
+    numerator/denominator products snap to the 1e-6 grid before exact
+    DECIMAL sums — the ACF ratio is the only float division."""
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    grid = F.lit(1e6)
+    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
+    mu_t = df.groupBy("symbol").agg(
+        (
+            F.sum(snap(F.col("close")).cast("decimal(18,6)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    lagged = df.join(F.broadcast(mu_t), "symbol").withColumns(
+        {
+            f"__xl{lg}": F.lag("close", lg).over(w)
+            for lg in range(1, ACF_MAX_LAG + 1)
+        }
+    )
+    lag_arr = F.array(
+        *[
+            F.struct(
+                F.lit(lg).alias("lag"), F.col(f"__xl{lg}").alias("xl")
+            )
+            for lg in range(1, ACF_MAX_LAG + 1)
+        ]
+    )
+    d = lagged.select(
+        "symbol", "close", "mu", F.explode(lag_arr).alias("z")
+    )
+    num = (
+        d.filter(F.col("z.xl").isNotNull())
+        .groupBy("symbol", F.col("z.lag").alias("lag"))
+        .agg(
+            F.sum(
+                snap(
+                    (F.col("close") - F.col("mu"))
+                    * (F.col("z.xl") - F.col("mu"))
+                ).cast("decimal(18,6)")
+            ).alias("num")
+        )
+    )
+    den = df.join(F.broadcast(mu_t), "symbol").groupBy("symbol").agg(
+        F.sum(
+            snap(
+                (F.col("close") - F.col("mu"))
+                * (F.col("close") - F.col("mu"))
+            ).cast("decimal(18,6)")
+        ).alias("den")
+    )
+    return num.join(den, "symbol").select(
+        "symbol",
+        "lag",
+        _rne(
+            F.col("num").cast("double")
+            / F.nullif(F.col("den").cast("double"), F.lit(0.0)),
+            "acf",
+            6,
+        ),
+    )
+
+
+def _sql_ts_acf() -> str:
+    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    lag_cols = ", ".join(
+        f"lag(close, {lg}) OVER w AS xl{lg}"
+        for lg in range(1, ACF_MAX_LAG + 1)
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT symbol, mu, close, {lg} AS lag, xl{lg} AS xl FROM lagged"
+        for lg in range(1, ACF_MAX_LAG + 1)
+    )
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+mu_t AS (
+  SELECT symbol,
+         CAST(sum(CAST({snap('close')} AS DECIMAL(18,6))) AS DOUBLE)
+           / count(*) AS mu
+  FROM filled GROUP BY 1),
+lagged AS (
+  SELECT f.symbol, f.close, m.mu, {lag_cols}
+  FROM filled f JOIN mu_t m USING (symbol)
+  WINDOW w AS (PARTITION BY f.symbol ORDER BY f.time_idx)),
+long AS ({arms}),
+num AS (
+  SELECT symbol, lag,
+         sum(CAST({snap('(close - mu) * (xl - mu)')}
+                  AS DECIMAL(18,6))) AS num
+  FROM long WHERE xl IS NOT NULL GROUP BY 1, 2),
+den AS (
+  SELECT symbol,
+         sum(CAST({snap('(close - mu) * (close - mu)')}
+                  AS DECIMAL(18,6))) AS den
+  FROM lagged GROUP BY 1)
+SELECT n.symbol, n.lag,
+       {_sql_rne(
+           'CAST(n.num AS DOUBLE) / nullif(CAST(d.den AS DOUBLE), 0.0)',
+           'acf')}
+FROM num n JOIN den d ON n.symbol = d.symbol"""
+
+
+def q_events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit per event type — the fraud/anomaly
+    screen an auditor runs over monetary columns: observed
+    first-significant-digit counts vs the Benford expectation
+    n·log₁₀(1+1/d), with each digit's χ² contribution emitted
+    (grid-snapped so the term is engine-reproducible). Values < 1 are
+    excluded (no stable first digit); the digit extraction is integer
+    arithmetic on floor(log10(value))."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") >= 1)
+    digit = F.floor(
+        F.col("value") / F.pow(F.lit(10.0), F.floor(F.log10("value")))
+    ).cast("int")
+    obs = ev.groupBy("event_type", digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    tot = obs.groupBy("event_type").agg(F.sum("n_obs").alias("n"))
+    grid = F.lit(1e6)
+    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
+    j = obs.join(F.broadcast(tot), "event_type")
+    expected = F.col("n") * F.log10(1 + 1 / F.col("digit").cast("double"))
+    chi = (
+        (F.col("n_obs") - expected)
+        * (F.col("n_obs") - expected)
+        / expected
+    )
+    return j.select(
+        "event_type",
+        "digit",
+        "n_obs",
+        _rne(expected, "n_expected", 6),
+        _rne(snap(chi), "chi2_term", 6),
+    )
+
+
+def _sql_events_benford() -> str:
+    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    return f"""
+WITH f AS (SELECT event_type, value FROM events WHERE value >= 1),
+obs AS (
+  SELECT event_type,
+         CAST(floor(value / pow(10.0, floor(log10(value)))) AS INT)
+           AS digit,
+         count(*) AS n_obs
+  FROM f GROUP BY 1, 2),
+tot AS (SELECT event_type, sum(n_obs) AS n FROM obs GROUP BY 1),
+calc AS (
+  SELECT o.event_type, o.digit, o.n_obs,
+         n * log10(1 + 1 / CAST(digit AS DOUBLE)) AS expected
+  FROM obs o JOIN tot USING (event_type))
+SELECT event_type, digit, CAST(n_obs AS BIGINT) AS n_obs,
+       {_sql_rne('expected', 'n_expected')},
+       {_sql_rne(
+           snap('(n_obs - expected) * (n_obs - expected) / expected'),
+           'chi2_term')}
+FROM calc"""
+
+
+ZIPF_TOP_N = 100
+
+
+def q_doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope
+    of ln(frequency) against ln(rank) for the top-100 terms — the
+    corpus-statistics sanity check (natural language sits near −1;
+    boilerplate-heavy or synthetic corpora drift). Ranking is fully
+    tie-broken (count desc, term asc); regression terms snap to the
+    1e-6 grid before exact DECIMAL sums, so only the closed-form
+    division runs in float."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    ranked = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(ZIPF_TOP_N)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+            ),
+        )
+    )
+    grid = F.lit(1e6)
+    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
+    terms = ranked.select(
+        snap(F.log(F.col("rank").cast("double"))).alias("x"),
+        snap(F.log(F.col("cnt").cast("double"))).alias("y"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(18,6)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,6)")).alias("sy"),
+        F.sum(
+            snap(F.col("x") * F.col("y")).cast("decimal(18,6)")
+        ).alias("sxy"),
+        F.sum(
+            snap(F.col("x") * F.col("x")).cast("decimal(18,6)")
+        ).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return agg.select(
+        F.col("n").alias("n_terms"),
+        _rne(slope, "zipf_slope", 6),
+        _rne(intercept, "zipf_intercept", 6),
+    )
+
+
+def _sql_doc_zipf() -> str:
+    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    return f"""
+WITH tok AS (
+  SELECT unnest({sql_tokens('text')}) AS tok FROM documents),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+  FROM (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1)
+  ORDER BY cnt DESC, tok ASC LIMIT {ZIPF_TOP_N}),
+terms AS (
+  SELECT {snap('ln(CAST(rank AS DOUBLE))')} AS x,
+         {snap('ln(CAST(cnt AS DOUBLE))')} AS y
+  FROM ranked),
+agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST({snap('x * y')} AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST({snap('x * x')} AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+  FROM terms)
+SELECT n AS n_terms,
+       {_sql_rne(
+           '(n * sxy - sx * sy) / (n * sxx - sx * sx)', 'zipf_slope')},
+       {_sql_rne(
+           '(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n',
+           'zipf_intercept')}
+FROM agg"""
+
+
 SEAS_M = 4  # 6h buckets -> daily season
 
 
@@ -9624,6 +9873,9 @@ def all_queries() -> dict[str, QueryFn]:
         "events_join_size_estimate": q_events_join_size_estimate,
         "events_psi_drift": q_events_psi_drift,
         "ts_seasonal_decompose": q_ts_seasonal_decompose,
+        "ts_autocorrelation": q_ts_autocorrelation,
+        "events_benford_audit": q_events_benford_audit,
+        "doc_zipf_fit": q_doc_zipf_fit,
     }
 
 
@@ -9795,4 +10047,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "events_join_size_estimate": _sql_join_size_est(),
         "events_psi_drift": _sql_psi_drift(),
         "ts_seasonal_decompose": _sql_ts_seasonal(),
+        "ts_autocorrelation": _sql_ts_acf(),
+        "events_benford_audit": _sql_events_benford(),
+        "doc_zipf_fit": _sql_doc_zipf(),
     }

@@ -152,3 +152,87 @@ def test_seasonal_decompose_reconstructs_the_series(spark, sf_dir):
             phases[r["time_idx"] % SEAS_M].add(r["seasonal"])
         assert all(len(v) == 1 for v in phases.values())
         assert abs(sum(next(iter(v)) for v in phases.values())) < 1e-4
+
+
+def test_acf_lag_zero_normalization_and_replay(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        ACF_MAX_LAG,
+        q_ts_autocorrelation,
+    )
+
+    out = q_ts_autocorrelation(spark, sf_dir).collect()
+    assert out
+    by_sym = defaultdict(dict)
+    for r in out:
+        by_sym[r["symbol"]][r["lag"]] = r["acf"]
+        assert -1.0 - 1e-6 <= r["acf"] <= 1.0 + 1e-6
+    # python replay for one symbol
+    from big_data_stock_price_forecast_spark.plans.registry import _filled
+
+    sym = out[0]["symbol"]
+    xs = [
+        r["close"]
+        for r in sorted(
+            _filled(spark, sf_dir)
+            .filter(F.col("symbol") == sym)
+            .collect(),
+            key=lambda r: r["time_idx"],
+        )
+    ]
+
+    def g(v):
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    mu = sum(g(x) for x in xs) / len(xs)
+    den = sum(g((x - mu) * (x - mu)) for x in xs)
+    for lg in range(1, ACF_MAX_LAG + 1):
+        num = sum(
+            g((xs[i] - mu) * (xs[i - lg] - mu))
+            for i in range(lg, len(xs))
+        )
+        assert abs(by_sym[sym][lg] - num / den) < 2e-6
+
+
+def test_benford_terms_reconcile(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_events_benford_audit,
+    )
+
+    out = q_events_benford_audit(spark, sf_dir).collect()
+    assert out
+    by_type = defaultdict(list)
+    for r in out:
+        assert 1 <= r["digit"] <= 9
+        assert r["chi2_term"] >= 0
+        by_type[r["event_type"]].append(r)
+    for t, rows in by_type.items():
+        n = sum(r["n_obs"] for r in rows)
+        # Benford expectations over present digits sum to <= n (all 9
+        # digits would sum to exactly n)
+        exp_sum = sum(r["n_expected"] for r in rows)
+        assert exp_sum <= n + 1e-4  # 9 grid-rounded terms
+        if len(rows) == 9:
+            assert abs(exp_sum - n) < 1e-3
+
+
+def test_zipf_slope_is_negative_and_sane(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        ZIPF_TOP_N,
+        q_doc_zipf_fit,
+    )
+
+    r = q_doc_zipf_fit(spark, sf_dir).collect()[0]
+    import re
+
+    from big_data_stock_price_forecast_spark.functions.text import (
+        TOKEN_SPLIT_RE,
+    )
+
+    vocab = set()
+    for d in load_table(spark, sf_dir, "documents").select("text").collect():
+        vocab.update(
+            t for t in re.split(TOKEN_SPLIT_RE, d["text"].lower()) if t
+        )
+    assert r["n_terms"] == min(ZIPF_TOP_N, len(vocab))
+    assert r["zipf_slope"] < 0  # frequency decreases with rank
+    assert r["zipf_intercept"] > 0
