@@ -7242,6 +7242,185 @@ ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
 LIMIT {PATH_TOP_N}"""
 
 
+VAR_P = 0.05
+
+
+def q_ts_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and Expected Shortfall per symbol at the 95%
+    level over 6h returns — the regulatory risk pair beside max
+    drawdown. VaR is the EXPLICIT rank pick at floor((n−1)·0.05)+1 of
+    the return order (the engine's quantile convention — no
+    interpolation arithmetic); ES is the exact mean of the tail at or
+    below the pick (grid-snapped DECIMAL sum / integer count). One
+    symbol exchange end to end."""
+    r = _resampled(spark, sf_dir).select("symbol", "time_idx", "close")
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    rets = (
+        r.withColumn(
+            "ret",
+            F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0))
+            - 1,
+        )
+        .filter(F.col("ret").isNotNull())
+        .select("symbol", "time_idx", "ret")
+    )
+    ws = Window.partitionBy("symbol").orderBy(
+        F.col("ret").asc(), F.col("time_idx").asc()
+    )
+    n = Window.partitionBy("symbol")
+    ranked = rets.select(
+        "symbol",
+        "ret",
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1)).over(n).alias("n"),
+    )
+    cut = F.floor((F.col("n") - 1) * F.lit(VAR_P)).cast("long") + 1
+    grid = F.lit(1e6)
+    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
+    return (
+        ranked.withColumn("cut", cut)
+        .groupBy("symbol")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.col("cut"), F.col("ret"))
+            ).alias("var_ret"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("rn") <= F.col("cut"),
+                        snap(F.col("ret")).cast("decimal(18,6)"),
+                    )
+                )
+                .cast("double")
+                / F.max("cut")
+            ).alias("es_raw"),
+            F.max("n").alias("n_rets"),
+        )
+        .select(
+            "symbol",
+            "n_rets",
+            _rne(F.col("var_ret"), "var95", 6),
+            _rne(F.col("es_raw"), "es95", 6),
+        )
+    )
+
+
+def _sql_ts_var_es() -> str:
+    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H},
+rets AS (
+  SELECT symbol, time_idx,
+         close / nullif(lag(close) OVER (
+           PARTITION BY symbol ORDER BY time_idx), 0.0) - 1 AS ret
+  FROM idx),
+ranked AS (
+  SELECT symbol, ret, time_idx,
+         row_number() OVER (PARTITION BY symbol
+           ORDER BY ret ASC, time_idx ASC) AS rn,
+         count(*) OVER (PARTITION BY symbol) AS n
+  FROM rets WHERE ret IS NOT NULL),
+cuts AS (
+  SELECT *, CAST(floor((n - 1) * {VAR_P}) AS BIGINT) + 1 AS cut
+  FROM ranked)
+SELECT symbol, CAST(max(n) AS BIGINT) AS n_rets,
+       {_sql_rne('max(CASE WHEN rn = cut THEN ret END)', 'var95')},
+       {_sql_rne(
+           'CAST(sum(CASE WHEN rn <= cut THEN CAST(' + snap('ret')
+           + ' AS DECIMAL(18,6)) END) AS DOUBLE) / max(cut)', 'es95')}
+FROM cuts GROUP BY 1"""
+
+
+def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity concentration (events and
+    exact DECIMAL value volume) — the inequality measure behind
+    engagement-concentration dashboards, computed by the sorted-rank
+    closed form G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n. Both numerator and
+    denominator are exact integers (counts; value in integer cents),
+    so the only float is the final division of identical integers on
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents"),
+    )
+
+    def gini(col: str, tiebreak: str):
+        w = Window.orderBy(F.col(col).asc(), F.col(tiebreak).asc())
+        ranked = per_user.select(
+            F.col(col).alias("x"), F.row_number().over(w).alias("i")
+        )
+        return ranked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("i") * F.col("x")).alias("six"),
+        ).select(
+            (
+                F.lit(2.0) * F.col("six") / (F.col("n") * F.col("sx"))
+                - (F.col("n") + 1) / F.col("n").cast("double")
+            ).alias("g")
+        )
+
+    ge = gini("n_events", "user_id").select(
+        F.col("g").alias("gini_events")
+    )
+    gv = gini("cents", "user_id").select(F.col("g").alias("gini_value"))
+    return ge.crossJoin(gv)
+
+
+SQL_EVENTS_GINI = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS n_events,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events GROUP BY 1),
+re AS (
+  SELECT n_events AS x,
+         row_number() OVER (ORDER BY n_events ASC, user_id ASC) AS i
+  FROM per_user),
+rv AS (
+  SELECT cents AS x,
+         row_number() OVER (ORDER BY cents ASC, user_id ASC) AS i
+  FROM per_user),
+ge AS (
+  SELECT 2.0 * sum(i * x) / (count(*) * sum(x))
+         - (count(*) + 1) / CAST(count(*) AS DOUBLE) AS gini_events
+  FROM re),
+gv AS (
+  SELECT 2.0 * sum(i * x) / (count(*) * sum(x))
+         - (count(*) + 1) / CAST(count(*) AS DOUBLE) AS gini_value
+  FROM rv)
+SELECT gini_events, gini_value FROM ge CROSS JOIN gv"""
+
+
+def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the engine's
+    stopword-profile language heuristic (functions/text.py
+    predicted_lang) against the labeled lang column, with per-cell
+    counts — the eval artifact that justifies (or retires) a
+    heuristic classifier in the pipeline. One scan, one
+    map-side-combined count; the prediction expression is shared
+    verbatim with the text-profile query."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("label"),
+            predicted_lang(tokens(F.col("text"))).alias("predicted"),
+        )
+        .groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _sql_doc_lang_confusion() -> str:
+    return f"""
+WITH t AS (
+  SELECT lang AS label, {sql_lang_case(sql_tokens('text'))} AS predicted
+  FROM documents)
+SELECT label, predicted, count(*) AS n
+FROM t GROUP BY 1, 2"""
+
+
 ACF_MAX_LAG = 8
 
 
@@ -9876,6 +10055,9 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_autocorrelation": q_ts_autocorrelation,
         "events_benford_audit": q_events_benford_audit,
         "doc_zipf_fit": q_doc_zipf_fit,
+        "ts_var_es": q_ts_var_es,
+        "events_gini": q_events_gini,
+        "doc_lang_confusion": q_doc_lang_confusion,
     }
 
 
@@ -10050,4 +10232,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "ts_autocorrelation": _sql_ts_acf(),
         "events_benford_audit": _sql_events_benford(),
         "doc_zipf_fit": _sql_doc_zipf(),
+        "ts_var_es": _sql_ts_var_es(),
+        "events_gini": SQL_EVENTS_GINI,
+        "doc_lang_confusion": _sql_doc_lang_confusion(),
     }

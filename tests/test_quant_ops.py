@@ -126,3 +126,78 @@ def test_stream_attribution_reconciles_with_batch_query(spark, sf_dir):
         .count()
     )
     assert len(ids) == n_purchases
+
+
+def test_var_es_rank_picks_and_tail_mean(spark, sf_dir):
+    import math as _math
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        VAR_P,
+        _resampled,
+        q_ts_var_es,
+    )
+
+    out = {r["symbol"]: r for r in q_ts_var_es(spark, sf_dir).collect()}
+    assert out
+    sym = next(iter(out))
+    rows = sorted(
+        _resampled(spark, sf_dir)
+        .filter(F.col("symbol") == sym)
+        .select("time_idx", "close")
+        .collect(),
+        key=lambda r: r["time_idx"],
+    )
+    rets = [
+        (rows[i]["close"] / rows[i - 1]["close"] - 1, rows[i]["time_idx"])
+        for i in range(1, len(rows))
+        if rows[i - 1]["close"] != 0
+    ]
+    rets.sort()
+    n = len(rets)
+    cut = int(_math.floor((n - 1) * VAR_P)) + 1
+    var = rets[cut - 1][0]
+    tail = [r for r, _ in rets[:cut]]
+    es = sum(
+        _math.floor(r * 1e6 + 0.5) / 1e6 for r in tail
+    ) / cut
+    r = out[sym]
+    assert r["n_rets"] == n
+    assert abs(r["var95"] - var) < 2e-6
+    assert abs(r["es95"] - es) < 2e-6
+    assert r["es95"] <= r["var95"] + 1e-9  # tail mean <= the cut point
+
+
+def test_gini_bounds_and_replay(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_events_gini,
+    )
+
+    r = q_events_gini(spark, sf_dir).collect()[0]
+    for g in (r["gini_events"], r["gini_value"]):
+        assert -0.01 <= g <= 1.0
+    from collections import Counter
+
+    cnt = Counter(
+        row["user_id"]
+        for row in load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .collect()
+    )
+    xs = sorted(cnt.values())
+    n = len(xs)
+    six = sum((i + 1) * x for i, x in enumerate(xs))
+    g = 2.0 * six / (n * sum(xs)) - (n + 1) / n
+    assert abs(r["gini_events"] - g) < 1e-9
+
+
+def test_lang_confusion_covers_corpus_and_diagonal_dominates(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_lang_confusion,
+    )
+
+    out = q_doc_lang_confusion(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n"] for r in out) == n_docs
+    correct = sum(r["n"] for r in out if r["label"] == r["predicted"])
+    # the stopword heuristic must beat random guessing on this corpus
+    assert correct > n_docs / 5
