@@ -131,3 +131,62 @@ def savgol_smooth_native(
         )
         .drop("__xs")
     )
+
+
+def kalman_local_level(
+    df: DataFrame,
+    value_col: str = "close",
+    q_col: str = "q_var",
+    r_col: str = "r_var",
+    part_col: str = "symbol",
+    idx_col: str = "time_idx",
+) -> DataFrame:
+    """Local-level Kalman filter per series: the two-line recursion
+    P⁻ = P + Q;  K = P⁻/(P⁻ + R);  l += K(x − l);  P = (1−K)P⁻
+    seeded l₁ = x₁, P₁ = R — the optimal online smoother one tier up
+    from EMA (whose gain is fixed; Kalman's adapts until P converges).
+    Q/R ride as per-series columns so calibration joins in from any
+    batch statistic. One Arrow pass per series; the recursion is
+    evaluated in exactly the operand order above so a recursive-CTE
+    oracle reproduces every float bitwise. Emits per-row (level,
+    gain)."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(part_col, df.schema[part_col].dataType),
+            StructField(idx_col, LongType()),
+            StructField("level", DoubleType()),
+            StructField("gain", DoubleType()),
+        ]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(idx_col)
+        xs = pdf[value_col].to_numpy()
+        qv = float(pdf[q_col].iloc[0])
+        rv = float(pdf[r_col].iloc[0])
+        key = pdf[part_col].iloc[0]
+        levels, gains = [], []
+        lvl, p = None, rv
+        for x in xs:
+            x = float(x)
+            if lvl is None:
+                lvl, k = x, 1.0
+            else:
+                p_pred = p + qv
+                k = p_pred / (p_pred + rv)
+                lvl = lvl + k * (x - lvl)
+                p = (1.0 - k) * p_pred
+            levels.append(lvl)
+            gains.append(k)
+        return pd.DataFrame(
+            {
+                part_col: pdf[part_col].to_numpy(),
+                idx_col: pdf[idx_col].to_numpy(),
+                "level": levels,
+                "gain": gains,
+            }
+        )
+
+    return df.groupBy(part_col).applyInPandas(fn, schema=out_schema)

@@ -7242,6 +7242,168 @@ ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
 LIMIT {PATH_TOP_N}"""
 
 
+KALMAN_Q_FRAC = 0.05
+KALMAN_R_FRAC = 0.5
+
+
+def q_ts_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-level Kalman smoothing per symbol (operators/smoothing.py
+    kalman_local_level), calibrated per symbol from the series
+    variance (Q = 0.05σ², R = 0.5σ², the same grid-snapped DECIMAL
+    two-pass the CUSUM family uses, floored at 1e-6 so constant
+    series stay finite) — the adaptive-gain smoother one tier above
+    the EMA battery. Emits every 4th grid row (the smoothed-series
+    sample a dashboard reads); the DuckDB oracle is a recursive CTE
+    replaying the recursion in the identical operand order, so levels
+    and gains match bitwise before the 1e-6 emission rounding."""
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    grid = F.lit(1e6)
+    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
+    stats = (
+        df.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(snap(F.col("close")).cast("decimal(18,6)")).alias("sx"),
+            F.sum(
+                snap(F.col("close") * F.col("close")).cast("decimal(18,6)")
+            ).alias("sxx"),
+        )
+        .select(
+            "symbol",
+            (
+                F.col("sxx").cast("double") / F.col("n")
+                - (F.col("sx").cast("double") / F.col("n"))
+                * (F.col("sx").cast("double") / F.col("n"))
+            ).alias("var"),
+        )
+        .select(
+            "symbol",
+            (F.lit(KALMAN_Q_FRAC) * F.col("var")).alias("q_var"),
+            F.greatest(
+                F.lit(KALMAN_R_FRAC) * F.col("var"), F.lit(1e-6)
+            ).alias("r_var"),
+        )
+    )
+    from ..operators.smoothing import kalman_local_level
+
+    smoothed = kalman_local_level(
+        df.join(F.broadcast(stats), "symbol"), "close"
+    )
+    return smoothed.filter(F.col("time_idx") % 4 == 0).select(
+        "symbol",
+        "time_idx",
+        _rne(F.col("level"), "level", 6),
+        _rne(F.col("gain"), "gain", 6),
+    )
+
+
+def _sql_ts_kalman() -> str:
+    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    return f"""WITH RECURSIVE {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+rows_ AS (
+  SELECT symbol, time_idx, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) AS rn
+  FROM filled),
+stats AS (
+  SELECT symbol,
+         {KALMAN_Q_FRAC} * (
+           CAST(sum(CAST({snap('close * close')} AS DECIMAL(18,6)))
+                AS DOUBLE) / count(*)
+           - (CAST(sum(CAST({snap('close')} AS DECIMAL(18,6)))
+                AS DOUBLE) / count(*))
+           * (CAST(sum(CAST({snap('close')} AS DECIMAL(18,6)))
+                AS DOUBLE) / count(*))) AS q_var,
+         greatest({KALMAN_R_FRAC} * (
+           CAST(sum(CAST({snap('close * close')} AS DECIMAL(18,6)))
+                AS DOUBLE) / count(*)
+           - (CAST(sum(CAST({snap('close')} AS DECIMAL(18,6)))
+                AS DOUBLE) / count(*))
+           * (CAST(sum(CAST({snap('close')} AS DECIMAL(18,6)))
+                AS DOUBLE) / count(*))), 1e-6) AS r_var
+  FROM filled GROUP BY 1),
+kal(symbol, rn, time_idx, l, p, k) AS (
+  -- seed k must be CAST to DOUBLE: a bare 1.0 literal types the
+  -- recursion's k column as DECIMAL(2,1) and truncates every gain
+  SELECT r.symbol, 1, r.time_idx, r.close, s.r_var,
+         CAST(1.0 AS DOUBLE)
+  FROM rows_ r JOIN stats s USING (symbol) WHERE r.rn = 1
+  UNION ALL
+  SELECT h.symbol, h.rn + 1, r.time_idx,
+         h.l + ((h.p + s.q_var) / ((h.p + s.q_var) + s.r_var))
+             * (r.close - h.l),
+         (1.0 - ((h.p + s.q_var) / ((h.p + s.q_var) + s.r_var)))
+             * (h.p + s.q_var),
+         (h.p + s.q_var) / ((h.p + s.q_var) + s.r_var)
+  FROM kal h
+  JOIN rows_ r ON r.symbol = h.symbol AND r.rn = h.rn + 1
+  JOIN stats s ON s.symbol = h.symbol)
+SELECT symbol, time_idx,
+       {_sql_rne('l', 'level')}, {_sql_rne('k', 'gain')}
+FROM kal WHERE time_idx % 4 = 0"""
+
+
+TEXTRANK_TOP_N = 20
+
+
+def q_doc_textrank_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank-style keyword ranking: the word co-occurrence graph
+    (adjacent token pairs, weighted by count) scored with two
+    unnormalized power iterations — score₁ = weighted degree,
+    score₂(w) = Σ_{u∈N(w)} weight(u,w)·score₁(u) — the same
+    all-integer iteration algebra as the HITS query, applied to the
+    keyword-extraction task. Top-20 terms, fully tie-broken."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(tokens(F.col("text")).alias("ts"))
+    pairs = tok.select(
+        F.explode(
+            F.zip_with(
+                F.slice("ts", 1, F.size("ts") - 1),
+                F.slice("ts", 2, F.size("ts") - 1),
+                lambda a, b: F.struct(a.alias("u"), b.alias("v")),
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    und = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    edges = und.groupBy("u", "v").agg(F.count(F.lit(1)).alias("wt"))
+    s1 = edges.groupBy("u").agg(F.sum("wt").alias("s1"))
+    s2 = (
+        edges.join(s1.select(F.col("u").alias("v"), "s1"), "v")
+        .groupBy("u")
+        .agg(F.sum(F.col("wt") * F.col("s1")).alias("s2"))
+    )
+    return (
+        s2.join(s1, "u")
+        .select(
+            F.col("u").alias("term"),
+            F.col("s1").alias("degree_score"),
+            F.col("s2").alias("textrank_score"),
+        )
+        .orderBy(F.col("textrank_score").desc(), F.col("term").asc())
+        .limit(TEXTRANK_TOP_N)
+    )
+
+
+def _sql_doc_textrank() -> str:
+    return f"""
+WITH toks AS (SELECT {sql_tokens('text')} AS ts FROM documents),
+pairs AS (
+  SELECT ts[i] AS u, ts[i + 1] AS v
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(ts) - 1)) AS i)),
+und AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+edges AS (SELECT u, v, count(*) AS wt FROM und GROUP BY 1, 2),
+s1 AS (SELECT u, sum(wt) AS s1 FROM edges GROUP BY 1),
+s2 AS (
+  SELECT e.u, sum(e.wt * n.s1) AS s2
+  FROM edges e JOIN s1 n ON e.v = n.u GROUP BY 1)
+SELECT s2.u AS term, CAST(s1.s1 AS BIGINT) AS degree_score,
+       CAST(s2.s2 AS BIGINT) AS textrank_score
+FROM s2 JOIN s1 ON s2.u = s1.u
+ORDER BY textrank_score DESC, term ASC LIMIT {TEXTRANK_TOP_N}"""
+
+
 VAR_P = 0.05
 
 
@@ -10058,6 +10220,8 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_var_es": q_ts_var_es,
         "events_gini": q_events_gini,
         "doc_lang_confusion": q_doc_lang_confusion,
+        "ts_kalman_level": q_ts_kalman_level,
+        "doc_textrank_terms": q_doc_textrank_terms,
     }
 
 
@@ -10235,4 +10399,6 @@ def _oracle_sql_map() -> dict[str, str]:
         "ts_var_es": _sql_ts_var_es(),
         "events_gini": SQL_EVENTS_GINI,
         "doc_lang_confusion": _sql_doc_lang_confusion(),
+        "ts_kalman_level": _sql_ts_kalman(),
+        "doc_textrank_terms": _sql_doc_textrank(),
     }

@@ -236,3 +236,89 @@ def test_zipf_slope_is_negative_and_sane(spark, sf_dir):
     assert r["n_terms"] == min(ZIPF_TOP_N, len(vocab))
     assert r["zipf_slope"] < 0  # frequency decreases with rank
     assert r["zipf_intercept"] > 0
+
+
+def test_kalman_matches_python_recursion_bitwise(spark):
+    from big_data_stock_price_forecast_spark.operators.smoothing import (
+        kalman_local_level,
+    )
+
+    xs = [10.0, 14.0, 9.0, 11.0, 15.0, 13.0, 12.0, 16.0]
+    qv, rv = 0.5, 2.0
+    df = spark.createDataFrame(
+        [(1, i, x, qv, rv) for i, x in enumerate(xs)],
+        ["symbol", "time_idx", "close", "q_var", "r_var"],
+    )
+    out = sorted(
+        kalman_local_level(df).collect(), key=lambda r: r["time_idx"]
+    )
+    lvl, p = None, rv
+    for r, x in zip(out, xs):
+        if lvl is None:
+            lvl, k = x, 1.0
+        else:
+            pp = p + qv
+            k = pp / (pp + rv)
+            lvl = lvl + k * (x - lvl)
+            p = (1.0 - k) * pp
+        assert r["level"] == lvl  # bitwise
+        assert r["gain"] == k
+
+
+def test_kalman_gain_decreases_toward_steady_state(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        KALMAN_Q_FRAC,
+        KALMAN_R_FRAC,
+        q_ts_kalman_level,
+    )
+
+    out = q_ts_kalman_level(spark, sf_dir).collect()
+    assert out
+    # steady-state gain from the Riccati fixed point (sigma^2 cancels)
+    q, r = KALMAN_Q_FRAC, KALMAN_R_FRAC
+    p_ss = (-q + math.sqrt(q * q + 4 * q * r)) / 2
+    k_ss = (p_ss + q) / (p_ss + q + r)
+    by_sym = defaultdict(list)
+    for rr in out:
+        by_sym[rr["symbol"]].append(rr)
+    for rows in by_sym.values():
+        rows.sort(key=lambda rr: rr["time_idx"])
+        if len(rows) >= 5:
+            assert abs(rows[-1]["gain"] - k_ss) < 1e-3
+
+
+def test_textrank_matches_python_iteration(spark, sf_dir):
+    import re
+    from collections import Counter as C
+
+    from big_data_stock_price_forecast_spark.functions.text import (
+        TOKEN_SPLIT_RE,
+    )
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        TEXTRANK_TOP_N,
+        q_doc_textrank_terms,
+    )
+
+    out = [
+        (r["term"], r["degree_score"], r["textrank_score"])
+        for r in q_doc_textrank_terms(spark, sf_dir).collect()
+    ]
+    wt: C = C()
+    for d in load_table(spark, sf_dir, "documents").select("text").collect():
+        toks = [
+            t for t in re.split(TOKEN_SPLIT_RE, d["text"].lower()) if t
+        ]
+        for a, b in zip(toks, toks[1:]):
+            wt[(a, b)] += 1
+            wt[(b, a)] += 1
+    s1: C = C()
+    for (u, _v), w in wt.items():
+        s1[u] += w
+    s2: C = C()
+    for (u, v), w in wt.items():
+        s2[u] += w * s1[v]
+    expect = sorted(
+        ((t, s1[t], s2[t]) for t in s2),
+        key=lambda z: (-z[2], z[0]),
+    )[:TEXTRANK_TOP_N]
+    assert out == expect
