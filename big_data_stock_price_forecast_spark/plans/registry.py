@@ -7242,6 +7242,197 @@ ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
 LIMIT {PATH_TOP_N}"""
 
 
+MMR_LAMBDA = 0.7
+MMR_K = 5
+
+
+def q_emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified reranking — the
+    retrieval-pipeline step between ANN and the consumer: greedily
+    pick K results maximizing λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s),
+    trading relevance against redundancy. Each greedy round is one
+    candidate×selected similarity aggregate + a per-query argmax —
+    selected is ≤K rows per query, so round cost is candidate-sized
+    and the driver only orchestrates K rounds (the loop the unrolled
+    oracle replays as K CTE steps). All similarities snap to the 1e-6
+    grid BEFORE the score arithmetic, so the greedy argmax tie-breaks
+    identically in both engines."""
+    from ..functions.distance import cos_sim
+
+    emb = _emb(spark, sf_dir)
+    grid = F.lit(1e6)
+    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    cand = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("id"),
+            "v",
+            snap(cos_sim("v", "qv")).alias("simq"),
+        )
+        .persist()
+    )
+    lam = F.lit(MMR_LAMBDA)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    sel = (
+        cand.withColumn("score", lam * F.col("simq"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("q_id", "id", F.lit(1).alias("rank"), "score")
+        .localCheckpoint(eager=True)
+    )
+    for i in range(2, MMR_K + 1):
+        sel_v = sel.join(
+            emb.select(F.col("vec_id").alias("id"), F.col("v").alias("sv")),
+            "id",
+        ).select("q_id", F.col("id").alias("sid"), "sv")
+        remaining = cand.join(
+            sel.select("q_id", "id"), ["q_id", "id"], "left_anti"
+        )
+        ms = (
+            remaining.join(sel_v, "q_id")
+            .withColumn("ps", snap(cos_sim("v", "sv")))
+            .groupBy("q_id", "id", "simq")
+            .agg(F.max("ps").alias("ms"))
+        )
+        pick = (
+            ms.withColumn(
+                "score", lam * F.col("simq") - (1 - lam) * F.col("ms")
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("q_id", "id", F.lit(i).alias("rank"), "score")
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    cand.unpersist()
+    return sel.select(
+        "q_id", "rank", F.col("id").alias("vec_id"), _rne(F.col("score"), "score", 6)
+    )
+
+
+def _sql_emb_mmr() -> str:
+    cos = lambda a, b: (  # noqa: E731
+        f"{_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)})"
+    )
+    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    lam, mu = MMR_LAMBDA, 1 - MMR_LAMBDA
+    steps = []
+    prev = "sel1"
+    steps.append(f"""sel1 AS (
+  SELECT q_id, id, 1 AS rank, {lam} * simq AS score
+  FROM cand
+  QUALIFY row_number() OVER (PARTITION BY q_id
+    ORDER BY {lam} * simq DESC, id ASC) = 1)""")
+    for i in range(2, MMR_K + 1):
+        steps.append(f"""m{i} AS (
+  SELECT c.q_id, c.id, c.simq,
+         max({snap(cos('c.v', 'ev.v'))}) AS ms
+  FROM cand c
+  JOIN {prev} s ON s.q_id = c.q_id
+  JOIN emb ev ON ev.vec_id = s.id
+  LEFT JOIN {prev} x ON x.q_id = c.q_id AND x.id = c.id
+  WHERE x.id IS NULL
+  GROUP BY 1, 2, 3),
+p{i} AS (
+  SELECT q_id, id, {i} AS rank,
+         {lam} * simq - {mu} * ms AS score
+  FROM m{i}
+  QUALIFY row_number() OVER (PARTITION BY q_id
+    ORDER BY {lam} * simq - {mu} * ms DESC, id ASC) = 1),
+sel{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM p{i})""")
+        prev = f"sel{i}"
+    body = ",\n".join(steps)
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 100 = 0),
+cand AS (
+  SELECT q.q_id, e.vec_id AS id, e.v,
+         {snap(cos('e.v', 'q.qv'))} AS simq
+  FROM emb e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+{body}
+SELECT q_id, rank, id AS vec_id,
+       {_sql_rne('score', 'score')}
+FROM {prev}"""
+
+
+RFM_BUCKETS = 5
+
+
+def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the CRM classic: recency (days
+    since last order, anchored at the table's max date), frequency
+    (order count), monetary (exact DECIMAL spend) per customer,
+    bucketed into quintiles by NTILE over fully tie-broken orders
+    (metric, custkey — ntile's even-split rule is deterministic given
+    a total order, identical in both engines), then counted per
+    (r, f, m) cell with the cell's exact total spend. One custkey
+    aggregate + three cheap customer-sized windows."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "monetary"
+            ),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("mx"), F.col("last_order")).alias("recency"),
+            "frequency",
+            "monetary",
+        )
+    )
+    nt = lambda col, asc: F.ntile(RFM_BUCKETS).over(  # noqa: E731
+        Window.orderBy(
+            F.col(col).asc() if asc else F.col(col).desc(),
+            F.col("o_custkey").asc(),
+        )
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary",
+        nt("recency", True).alias("r_bucket"),
+        nt("frequency", False).alias("f_bucket"),
+        nt("monetary", False).alias("m_bucket"),
+    )
+    return scored.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary").cast("double").alias("cell_spend"),
+    )
+
+
+SQL_ORDERS_RFM = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate),
+                   (SELECT max(o_orderdate) FROM orders)) AS recency,
+         count(*) AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY 1),
+scored AS (
+  SELECT o_custkey, monetary,
+         ntile({RFM_BUCKETS}) OVER (ORDER BY recency ASC, o_custkey ASC)
+           AS r_bucket,
+         ntile({RFM_BUCKETS}) OVER (ORDER BY frequency DESC, o_custkey ASC)
+           AS f_bucket,
+         ntile({RFM_BUCKETS}) OVER (ORDER BY monetary DESC, o_custkey ASC)
+           AS m_bucket
+  FROM per_cust)
+SELECT r_bucket, f_bucket, m_bucket, count(*) AS n_customers,
+       CAST(sum(monetary) AS DOUBLE) AS cell_spend
+FROM scored GROUP BY 1, 2, 3"""
+
+
 KALMAN_Q_FRAC = 0.05
 KALMAN_R_FRAC = 0.5
 
@@ -10222,6 +10413,8 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_lang_confusion": q_doc_lang_confusion,
         "ts_kalman_level": q_ts_kalman_level,
         "doc_textrank_terms": q_doc_textrank_terms,
+        "orders_rfm_segments": q_orders_rfm_segments,
+        "emb_mmr_rerank": q_emb_mmr_rerank,
     }
 
 
@@ -10401,4 +10594,6 @@ def _oracle_sql_map() -> dict[str, str]:
         "doc_lang_confusion": _sql_doc_lang_confusion(),
         "ts_kalman_level": _sql_ts_kalman(),
         "doc_textrank_terms": _sql_doc_textrank(),
+        "orders_rfm_segments": SQL_ORDERS_RFM,
+        "emb_mmr_rerank": _sql_emb_mmr(),
     }

@@ -1,0 +1,98 @@
+"""Contracts for RFM segmentation and MMR diversified reranking."""
+
+import math
+from collections import defaultdict
+
+from big_data_stock_price_forecast_spark.plans.registry import (
+    MMR_K,
+    MMR_LAMBDA,
+    RFM_BUCKETS,
+    _emb,
+    q_emb_mmr_rerank,
+    q_orders_rfm_segments,
+)
+from big_data_stock_price_forecast_spark.sources.tables import load_table
+
+
+def test_rfm_cells_partition_customers(spark, sf_dir):
+    out = q_orders_rfm_segments(spark, sf_dir).collect()
+    assert out
+    n_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_customers"] for r in out) == n_cust
+    for r in out:
+        for b in (r["r_bucket"], r["f_bucket"], r["m_bucket"]):
+            assert 1 <= b <= RFM_BUCKETS
+        assert r["cell_spend"] > 0
+
+
+def test_rfm_bucket_sizes_follow_ntile_rule(spark, sf_dir):
+    out = q_orders_rfm_segments(spark, sf_dir).collect()
+    n = sum(r["n_customers"] for r in out)
+    # ntile splits n into RFM_BUCKETS groups: n%B groups of n//B+1 then
+    # groups of n//B — check the marginal distribution of r_bucket
+    sizes = defaultdict(int)
+    for r in out:
+        sizes[r["r_bucket"]] += r["n_customers"]
+    big, small = n // RFM_BUCKETS + 1, n // RFM_BUCKETS
+    n_big = n % RFM_BUCKETS
+    for b in range(1, RFM_BUCKETS + 1):
+        assert sizes[b] == (big if b <= n_big else small)
+
+
+def test_mmr_replays_python_greedy(spark, sf_dir):
+    out = sorted(
+        q_emb_mmr_rerank(spark, sf_dir).collect(),
+        key=lambda r: (r["q_id"], r["rank"]),
+    )
+    assert out
+    vecs = {r["vec_id"]: r["v"] for r in _emb(spark, sf_dir).collect()}
+
+    def g(v):
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb)
+
+    lam = MMR_LAMBDA
+    expect = []
+    for q_id in sorted(v for v in vecs if v % 100 == 0):
+        qv = vecs[q_id]
+        simq = {
+            d: g(cos(vecs[d], qv)) for d in vecs if d != q_id
+        }
+        sel = []
+        for rank in range(1, MMR_K + 1):
+            best = None
+            for d, sq in simq.items():
+                if d in sel:
+                    continue
+                if rank == 1:
+                    score = lam * sq
+                else:
+                    ms = max(g(cos(vecs[d], vecs[s])) for s in sel)
+                    score = lam * sq - (1 - lam) * ms
+                key = (-score, d)
+                if best is None or key < best[0]:
+                    best = (key, d, score)
+            sel.append(best[1])
+            expect.append((q_id, rank, best[1]))
+    got = [(r["q_id"], r["rank"], r["vec_id"]) for r in out]
+    assert got == expect
+    # diversity: the MMR list never contains near-identical pairs
+    # unless relevance dominates; scores are monotone within a query
+    by_q = defaultdict(list)
+    for r in out:
+        by_q[r["q_id"]].append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert len({r["vec_id"] for r in rows}) == MMR_K
