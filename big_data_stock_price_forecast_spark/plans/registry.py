@@ -7242,6 +7242,126 @@ ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
 LIMIT {PATH_TOP_N}"""
 
 
+def q_lineitem_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by exact
+    DECIMAL revenue, classified A/B/C at the 80%/95% cumulative-share
+    cuts — the 80/20 analysis behind stocking policy. One partkey
+    aggregate; the cumulative window runs over the part-grain frame
+    (dimension-sized) with a broadcast total; the share is a double
+    division of exact DECIMALs, identical in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (
+                F.lit(1).cast("decimal(3,2)")
+                - F.col("l_discount").cast("decimal(3,2)")
+            )
+        ).alias("revenue")
+    )
+    total = rev.agg(F.sum("revenue").alias("total"))
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_partkey").asc())
+    ranked = (
+        rev.crossJoin(F.broadcast(total))
+        .withColumn("cum_rev", F.sum("revenue").over(w))
+        .withColumn(
+            "cum_share",
+            F.col("cum_rev").cast("double") / F.col("total").cast("double"),
+        )
+    )
+    cls = (
+        F.when(F.col("cum_share") <= 0.80, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.withColumn("abc", cls)
+        .groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("revenue").cast("double").alias("class_revenue"),
+        )
+    )
+
+
+SQL_LINEITEM_ABC = """
+WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+           AS revenue
+  FROM lineitem GROUP BY 1),
+ranked AS (
+  SELECT l_partkey, revenue,
+         CAST(sum(revenue) OVER (ORDER BY revenue DESC, l_partkey ASC
+           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / CAST((SELECT sum(revenue) FROM rev) AS DOUBLE) AS cum_share
+  FROM rev)
+SELECT CASE WHEN cum_share <= 0.80 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc,
+       count(*) AS n_parts,
+       CAST(sum(revenue) AS DOUBLE) AS class_revenue
+FROM ranked GROUP BY 1"""
+
+
+def q_doc_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH near-dup detector against
+    the exact inverted-index Jaccard ground truth at the same
+    threshold — the one-row eval card for the sketch family.
+    Verification inside the LSH path makes precision 1 by
+    construction; what this measures is RECALL (pairs the banding
+    never candidates), which is the number an operator tunes bands
+    against. Both pair sets are the engine's own green queries; the
+    eval adds one full-outer join of two pair-sized frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = minhash_lsh_pairs(docs, threshold=NEAR_DUP_TAU).select(
+        "id_i", "id_j", F.lit(1).alias("in_lsh")
+    )
+    exact = ngram_jaccard_pairs(docs, threshold=NEAR_DUP_TAU).select(
+        "id_i", "id_j", F.lit(1).alias("in_exact")
+    )
+    j = lsh.join(exact, ["id_i", "id_j"], "full_outer")
+    return j.agg(
+        F.count_if(
+            F.col("in_lsh").isNotNull() & F.col("in_exact").isNotNull()
+        ).alias("tp"),
+        F.count_if(
+            F.col("in_lsh").isNotNull() & F.col("in_exact").isNull()
+        ).alias("fp"),
+        F.count_if(
+            F.col("in_lsh").isNull() & F.col("in_exact").isNotNull()
+        ).alias("fn"),
+    ).select(
+        "tp",
+        "fp",
+        "fn",
+        (F.col("tp") / (F.col("tp") + F.col("fp"))).alias("precision"),
+        (F.col("tp") / (F.col("tp") + F.col("fn"))).alias("recall"),
+    )
+
+
+def _sql_minhash_pr() -> str:
+    return f"""
+WITH lsh AS ({SQL_DOC_MINHASH}),
+exact AS ({SQL_DOC_NGRAM}),
+j AS (
+  SELECT coalesce(l.id_i, e.id_i) AS id_i,
+         coalesce(l.id_j, e.id_j) AS id_j,
+         l.id_i IS NOT NULL AS in_lsh,
+         e.id_i IS NOT NULL AS in_exact
+  FROM lsh l FULL JOIN exact e
+    ON l.id_i = e.id_i AND l.id_j = e.id_j)
+SELECT CAST(count(*) FILTER (in_lsh AND in_exact) AS BIGINT) AS tp,
+       CAST(count(*) FILTER (in_lsh AND NOT in_exact) AS BIGINT) AS fp,
+       CAST(count(*) FILTER (NOT in_lsh AND in_exact) AS BIGINT) AS fn,
+       count(*) FILTER (in_lsh AND in_exact)
+         / CAST(count(*) FILTER (in_lsh) AS DOUBLE) AS precision,
+       count(*) FILTER (in_lsh AND in_exact)
+         / CAST(count(*) FILTER (in_exact) AS DOUBLE) AS recall
+FROM j"""
+
+
 MMR_LAMBDA = 0.7
 MMR_K = 5
 
@@ -10415,6 +10535,8 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_textrank_terms": q_doc_textrank_terms,
         "orders_rfm_segments": q_orders_rfm_segments,
         "emb_mmr_rerank": q_emb_mmr_rerank,
+        "lineitem_abc_analysis": q_lineitem_abc_analysis,
+        "doc_minhash_pr_eval": q_doc_minhash_pr_eval,
     }
 
 
@@ -10596,4 +10718,6 @@ def _oracle_sql_map() -> dict[str, str]:
         "doc_textrank_terms": _sql_doc_textrank(),
         "orders_rfm_segments": SQL_ORDERS_RFM,
         "emb_mmr_rerank": _sql_emb_mmr(),
+        "lineitem_abc_analysis": SQL_LINEITEM_ABC,
+        "doc_minhash_pr_eval": _sql_minhash_pr(),
     }

@@ -96,3 +96,41 @@ def test_mmr_replays_python_greedy(spark, sf_dir):
     for rows in by_q.values():
         rows.sort(key=lambda r: r["rank"])
         assert len({r["vec_id"] for r in rows}) == MMR_K
+
+
+def test_abc_classes_partition_and_order(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_lineitem_abc_analysis,
+    )
+
+    out = {r["abc"]: r for r in
+           q_lineitem_abc_analysis(spark, sf_dir).collect()}
+    assert set(out) <= {"A", "B", "C"} and "A" in out
+    n_parts = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_parts"] for r in out.values()) == n_parts
+    # A carries the bulk of revenue with the fewest parts per unit
+    total = sum(r["class_revenue"] for r in out.values())
+    assert out["A"]["class_revenue"] / total >= 0.75
+    if "C" in out:
+        a_pp = out["A"]["class_revenue"] / out["A"]["n_parts"]
+        c_pp = out["C"]["class_revenue"] / out["C"]["n_parts"]
+        assert a_pp > c_pp
+
+
+def test_minhash_pr_eval_consistency(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_minhash_pr_eval,
+    )
+
+    r = q_doc_minhash_pr_eval(spark, sf_dir).collect()[0]
+    assert r["tp"] >= 0 and r["fp"] >= 0 and r["fn"] >= 0
+    assert abs(r["precision"] - r["tp"] / (r["tp"] + r["fp"])) < 1e-12
+    assert abs(r["recall"] - r["tp"] / (r["tp"] + r["fn"])) < 1e-12
+    # verification inside the LSH path makes precision exactly 1
+    assert r["fp"] == 0 and r["precision"] == 1.0
+    assert 0.0 < r["recall"] <= 1.0
