@@ -7897,14 +7897,10 @@ FROM t GROUP BY 1, 2"""
 ACF_MAX_LAG = 8
 
 
-def q_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Autocorrelation function per symbol for lags 1..8 — the
-    Box-Jenkins diagnostic behind ARIMA order selection and the
-    seasonal-period check for the decomposition query. One symbol
-    window computes all lag columns in a single projection, the lag
-    dimension explodes from an in-row array (no per-lag scan), and
-    numerator/denominator products snap to the 1e-6 grid before exact
-    DECIMAL sums — the ACF ratio is the only float division."""
+def _ts_acf_parts(spark: SparkSession, sf_dir: str):
+    """Shared ACF plumbing: per-(symbol, lag) exact-DECIMAL numerator
+    plus the per-symbol denominator/count frame — consumed by the ACF
+    query and the Ljung-Box statistic."""
     df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
     grid = F.lit(1e6)
     snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
@@ -7951,8 +7947,193 @@ def q_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("close") - F.col("mu"))
                 * (F.col("close") - F.col("mu"))
             ).cast("decimal(18,6)")
-        ).alias("den")
+        ).alias("den"),
+        F.count(F.lit(1)).alias("n"),
     )
+    return num, den
+
+
+def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau statistic per symbol over ACF lags 1-8 —
+    the whiteness test (Q ~ χ²₈ under no autocorrelation) that turns
+    the ACF from a picture into a decision. r_k come from the shared
+    exact-DECIMAL ACF plumbing; the Q fold runs in lag order over a
+    sorted in-row array, so no aggregation-order float ambiguity."""
+    num, den = _ts_acf_parts(spark, sf_dir)
+    j = num.join(den, "symbol").select(
+        "symbol",
+        "n",
+        "lag",
+        (
+            F.col("num").cast("double") / F.col("den").cast("double")
+        ).alias("r"),
+    )
+    per_sym = j.groupBy("symbol", "n").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lag", "r"))),
+            F.lit(0.0),
+            lambda acc, z: acc
+            + z["r"] * z["r"] / (F.col("n").cast("double") - z["lag"]),
+        ).alias("s")
+    )
+    nn = F.col("n").cast("double")
+    return per_sym.select(
+        "symbol",
+        F.col("n").alias("n_obs"),
+        F.lit(ACF_MAX_LAG).alias("dof"),
+        _rne(nn * (nn + 2) * F.col("s"), "q_stat", 6),
+    )
+
+
+def _sql_ts_ljung_box() -> str:
+    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    lag_cols = ", ".join(
+        f"lag(close, {lg}) OVER w AS xl{lg}"
+        for lg in range(1, ACF_MAX_LAG + 1)
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT symbol, mu, close, {lg} AS lag, xl{lg} AS xl FROM lagged"
+        for lg in range(1, ACF_MAX_LAG + 1)
+    )
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+mu_t AS (
+  SELECT symbol,
+         CAST(sum(CAST({snap('close')} AS DECIMAL(18,6))) AS DOUBLE)
+           / count(*) AS mu
+  FROM filled GROUP BY 1),
+lagged AS (
+  SELECT f.symbol, f.close, m.mu, {lag_cols}
+  FROM filled f JOIN mu_t m USING (symbol)
+  WINDOW w AS (PARTITION BY f.symbol ORDER BY f.time_idx)),
+long AS ({arms}),
+num AS (
+  SELECT symbol, lag,
+         sum(CAST({snap('(close - mu) * (xl - mu)')}
+                  AS DECIMAL(18,6))) AS num
+  FROM long WHERE xl IS NOT NULL GROUP BY 1, 2),
+den AS (
+  SELECT symbol,
+         sum(CAST({snap('(close - mu) * (close - mu)')}
+                  AS DECIMAL(18,6))) AS den,
+         count(*) AS n
+  FROM lagged GROUP BY 1),
+rs AS (
+  SELECT n.symbol, d.n,
+         list_reduce(list_prepend(0.0, list(
+           (CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE))
+           * (CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE))
+           / (CAST(d.n AS DOUBLE) - n.lag) ORDER BY n.lag)),
+           (x, y) -> x + y) AS s
+  FROM num n JOIN den d ON n.symbol = d.symbol
+  GROUP BY 1, 2)
+SELECT symbol, CAST(n AS BIGINT) AS n_obs,
+       {ACF_MAX_LAG} AS dof,
+       {_sql_rne(
+           'CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2) * s', 'q_stat')}
+FROM rs"""
+
+
+def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog distinct-user counts per day — the
+    mergeability property doing real work: registers are a
+    max-aggregate, so a plain streaming groupBy MAX in complete mode
+    maintains the sketch across micro-batches with (days × 64)-row
+    state, and the estimate is computed once from the final register
+    frame. The exact per-day distinct count joins in batch-side, so
+    the approximation error stays a measured column (the sketch
+    family's contract)."""
+    from ..operators.sketch import (
+        HLL_BUCKET_BITS,
+        HLL_M,
+        HLL_W_BITS,
+        hll_estimate,
+    )
+    from ..streaming import run_available_now, stream_events
+
+    sdf = stream_events(spark, sf_dir)
+    h = hash60(F.col("symbol").cast("string"))
+    w = F.shiftright(h, HLL_BUCKET_BITS)
+    rank = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+    regs_stream = (
+        sdf.select(
+            F.to_date("datetime").alias("day"),
+            F.pmod(h, F.lit(HLL_M)).alias("bucket"),
+            rank.alias("rank"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rank").alias("m_rank"))
+    )
+    regs = run_available_now(regs_stream, "complete", state_partitions=8)
+    est = hll_estimate(regs, ["day"])
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "day").select(
+        "day", "n_exact", _rne(F.col("hll_est"), "hll_est", 6)
+    )
+
+
+def _sql_stream_hll() -> str:
+    from ..operators.sketch import (
+        HLL_ALPHA,
+        HLL_BUCKET_BITS,
+        HLL_M,
+        HLL_W_BITS,
+    )
+
+    p = HLL_W_BITS + 1
+    return f"""
+WITH h AS (
+  SELECT CAST(ts AS DATE) AS day,
+         {sql_hash60('CAST(user_id AS VARCHAR)')} AS h
+  FROM events),
+br AS (
+  SELECT day, h % {HLL_M} AS bucket,
+         CASE WHEN (h >> {HLL_BUCKET_BITS}) = 0 THEN {p}
+              ELSE {p} - length(bin(h >> {HLL_BUCKET_BITS})) END
+           AS rank
+  FROM h),
+regs AS (
+  SELECT day, bucket, max(rank) AS m_rank FROM br GROUP BY 1, 2),
+agg AS (
+  SELECT day, count(*) AS n_buckets,
+         CAST(sum(CAST(power(2.0, {p} - m_rank) AS BIGINT)) AS BIGINT)
+           AS s_present
+  FROM regs GROUP BY 1),
+est AS (
+  SELECT day, n_buckets,
+         {HLL_ALPHA * HLL_M * HLL_M!r} * {float(1 << p)!r}
+           / (s_present + ({HLL_M} - n_buckets) * {1 << p}) AS raw,
+         {HLL_M} - n_buckets AS v
+  FROM agg),
+fin AS (
+  SELECT day,
+         CASE WHEN raw <= {2.5 * HLL_M} AND v > 0
+              THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v)
+              ELSE raw END AS hll_est
+  FROM est),
+exact AS (
+  SELECT CAST(ts AS DATE) AS day,
+         count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY 1)
+SELECT f.day, CAST(e.n_exact AS BIGINT) AS n_exact,
+       {_sql_rne('f.hll_est', 'hll_est')}
+FROM fin f JOIN exact e USING (day)"""
+
+
+def q_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function per symbol for lags 1..8 — the
+    Box-Jenkins diagnostic behind ARIMA order selection and the
+    seasonal-period check for the decomposition query. One symbol
+    window computes all lag columns in a single projection, the lag
+    dimension explodes from an in-row array (no per-lag scan), and
+    numerator/denominator products snap to the 1e-6 grid before exact
+    DECIMAL sums — the ACF ratio is the only float division. Shares
+    its plumbing (_ts_acf_parts) with the Ljung-Box statistic."""
+    num, den = _ts_acf_parts(spark, sf_dir)
     return num.join(den, "symbol").select(
         "symbol",
         "lag",
@@ -10537,6 +10718,8 @@ def all_queries() -> dict[str, QueryFn]:
         "emb_mmr_rerank": q_emb_mmr_rerank,
         "lineitem_abc_analysis": q_lineitem_abc_analysis,
         "doc_minhash_pr_eval": q_doc_minhash_pr_eval,
+        "ts_ljung_box": q_ts_ljung_box,
+        "stream_hll_users": q_stream_hll_users,
     }
 
 
@@ -10720,4 +10903,6 @@ def _oracle_sql_map() -> dict[str, str]:
         "emb_mmr_rerank": _sql_emb_mmr(),
         "lineitem_abc_analysis": SQL_LINEITEM_ABC,
         "doc_minhash_pr_eval": _sql_minhash_pr(),
+        "ts_ljung_box": _sql_ts_ljung_box(),
+        "stream_hll_users": _sql_stream_hll(),
     }

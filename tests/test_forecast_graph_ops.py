@@ -322,3 +322,41 @@ def test_textrank_matches_python_iteration(spark, sf_dir):
         key=lambda z: (-z[2], z[0]),
     )[:TEXTRANK_TOP_N]
     assert out == expect
+
+
+def test_ljung_box_composes_acf(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        ACF_MAX_LAG,
+        q_ts_autocorrelation,
+        q_ts_ljung_box,
+    )
+
+    acf = defaultdict(dict)
+    for r in q_ts_autocorrelation(spark, sf_dir).collect():
+        acf[r["symbol"]][r["lag"]] = r["acf"]
+    out = {r["symbol"]: r for r in q_ts_ljung_box(spark, sf_dir).collect()}
+    assert out
+    for sym, r in out.items():
+        n = r["n_obs"]
+        q = n * (n + 2) * sum(
+            acf[sym][k] ** 2 / (n - k) for k in range(1, ACF_MAX_LAG + 1)
+        )
+        # acf values are emission-rounded; Q recomposed from them must
+        # agree to the induced tolerance
+        assert abs(r["q_stat"] - q) < max(1e-3, 1e-4 * abs(q))
+        assert r["q_stat"] >= 0 and r["dof"] == ACF_MAX_LAG
+
+
+def test_stream_hll_tracks_exact_within_hll_error(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_stream_hll_users,
+    )
+
+    out = q_stream_hll_users(spark, sf_dir).collect()
+    assert out
+    # m = 64 registers -> ~13% standard error; allow 4 sigma
+    for r in out:
+        assert r["n_exact"] >= 1
+        assert abs(r["hll_est"] - r["n_exact"]) <= max(
+            6, 0.52 * r["n_exact"]
+        )
