@@ -8124,6 +8124,99 @@ SELECT f.day, CAST(e.n_exact AS BIGINT) AS n_exact,
 FROM fin f JOIN exact e USING (day)"""
 
 
+CMS_STREAM_TOP = 10
+
+
+def q_stream_cms_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min maintenance — the sum-mergeable sketch
+    beside the max-mergeable streaming HLL: per-micro-batch cell
+    counts fold into (depth × width)-row state via a plain streaming
+    groupBy SUM in complete mode; the top-10 heaviest users (exact
+    counts from the batch side, the measured-error contract) probe the
+    final sketch for their Count-Min upper bounds. At 100 TB the
+    sketch state is KBs regardless of user cardinality — the entire
+    point of maintaining the sketch instead of the counts."""
+    from ..operators.dedup import MH_PRIME as P
+    from ..operators.sketch import CMS_DEPTH, CMS_WIDTH, cms_estimate
+    from ..streaming import run_available_now, stream_events
+
+    a, b = minhash_coeffs(CMS_DEPTH)
+    sdf = stream_events(spark, sf_dir)
+    h = hash60(F.col("symbol").cast("string")) % F.lit(P)
+    cells_stream = (
+        sdf.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            F.pmod(
+                                F.pmod(
+                                    h * F.lit(a[d]) + F.lit(b[d]),
+                                    F.lit(P),
+                                ),
+                                F.lit(CMS_WIDTH),
+                            ).alias("cell"),
+                        )
+                        for d in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("dc")
+        )
+        .groupBy("dc.d", "dc.cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cells = run_available_now(cells_stream, "complete", state_partitions=8)
+    ev = load_table(spark, sf_dir, "events")
+    top = (
+        ev.groupBy(F.col("user_id").cast("string").alias("term"))
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("term").asc())
+        .limit(CMS_STREAM_TOP)
+    )
+    est = cms_estimate(top.select("term"), cells)
+    return top.join(est, "term").select(
+        F.col("term").cast("long").alias("user_id"),
+        "true_cnt",
+        F.col("est_cnt").alias("cms_cnt"),
+    )
+
+
+def _sql_stream_cms() -> str:
+    from ..operators.dedup import MH_PRIME as P
+    from ..operators.sketch import CMS_DEPTH, CMS_WIDTH
+
+    a, b = minhash_coeffs(CMS_DEPTH)
+    coeff_rows = ", ".join(
+        f"({d}, {a[d]}, {b[d]})" for d in range(CMS_DEPTH)
+    )
+    return f"""
+WITH h AS (
+  SELECT {sql_hash60('CAST(user_id AS VARCHAR)')} % {P} AS h,
+         user_id
+  FROM events),
+coeff(d, a, b) AS (VALUES {coeff_rows}),
+cells AS (
+  SELECT c.d, ((h.h * c.a + c.b) % {P}) % {CMS_WIDTH} AS cell,
+         count(*) AS cnt
+  FROM h CROSS JOIN coeff c GROUP BY 1, 2),
+top AS (
+  SELECT user_id, any_value(h) AS h, count(*) AS true_cnt
+  FROM h GROUP BY user_id
+  ORDER BY true_cnt DESC, CAST(user_id AS VARCHAR) ASC
+  LIMIT {CMS_STREAM_TOP}),
+est AS (
+  SELECT p.user_id, min(cells.cnt) AS est_cnt
+  FROM (
+    SELECT t.user_id, c.d,
+           ((t.h * c.a + c.b) % {P}) % {CMS_WIDTH} AS cell
+    FROM top t CROSS JOIN coeff c) p
+  JOIN cells USING (d, cell) GROUP BY 1)
+SELECT t.user_id, CAST(t.true_cnt AS BIGINT) AS true_cnt,
+       CAST(e.est_cnt AS BIGINT) AS cms_cnt
+FROM top t JOIN est e USING (user_id)"""
+
+
 def q_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation function per symbol for lags 1..8 — the
     Box-Jenkins diagnostic behind ARIMA order selection and the
@@ -10720,6 +10813,7 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_minhash_pr_eval": q_doc_minhash_pr_eval,
         "ts_ljung_box": q_ts_ljung_box,
         "stream_hll_users": q_stream_hll_users,
+        "stream_cms_top_users": q_stream_cms_top_users,
     }
 
 
@@ -10905,4 +10999,5 @@ def _oracle_sql_map() -> dict[str, str]:
         "doc_minhash_pr_eval": _sql_minhash_pr(),
         "ts_ljung_box": _sql_ts_ljung_box(),
         "stream_hll_users": _sql_stream_hll(),
+        "stream_cms_top_users": _sql_stream_cms(),
     }

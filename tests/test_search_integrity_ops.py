@@ -128,3 +128,19 @@ def test_stream_cusum_matches_batch_closed_form(spark, sf_dir):
     assert set(stream_rows) == set(expect)
     for key, v in stream_rows.items():
         assert abs(v - expect[key]) < 2e-6
+
+
+def test_stream_cms_bounds_true_counts_from_above(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        CMS_STREAM_TOP,
+        q_stream_cms_top_users,
+    )
+
+    out = q_stream_cms_top_users(spark, sf_dir).collect()
+    assert len(out) == CMS_STREAM_TOP
+    for r in out:
+        # Count-Min never undercounts
+        assert r["cms_cnt"] >= r["true_cnt"]
+    # the heaviest user's estimate is tight at this width
+    heaviest = max(out, key=lambda r: r["true_cnt"])
+    assert heaviest["cms_cnt"] <= 2 * heaviest["true_cnt"]
