@@ -201,3 +201,43 @@ def test_lang_confusion_covers_corpus_and_diagonal_dominates(spark, sf_dir):
     correct = sum(r["n"] for r in out if r["label"] == r["predicted"])
     # the stopword heuristic must beat random guessing on this corpus
     assert correct > n_docs / 5
+
+
+def test_rolling_corr_is_affine_invariant(spark):
+    # corr(a*x + b, y) == corr(x, y) for a > 0 — the scale-freeness
+    # that makes the operator usable on unnormalized features
+    rows = [(1, i, float(x), float(y)) for i, (x, y) in enumerate(
+        zip([3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5], [2, 7, 1, 8, 2, 8, 1, 8, 2, 8, 4])
+    )]
+    df = spark.createDataFrame(rows, ["symbol", "time_idx", "x", "y"])
+    base = {r["time_idx"]: r["c"] for r in
+            rolling_corr(df, "x", "y", n=5, out_col="c").collect()}
+    scaled = df.withColumn("x", 7.0 * F.col("x") + 100.0)
+    got = {r["time_idx"]: r["c"] for r in
+           rolling_corr(scaled, "x", "y", n=5, out_col="c").collect()}
+    for t, c in base.items():
+        if c is None:
+            assert got[t] is None
+        else:
+            assert abs(got[t] - c) < 1e-9
+
+
+def test_holt_is_shift_equivariant(spark):
+    # holt(x + c): level shifts by c, trend unchanged
+    from big_data_stock_price_forecast_spark.operators.rolling import (
+        holt_linear,
+    )
+
+    xs = [10.0, 12.0, 11.0, 14.0, 16.0, 15.0, 18.0, 21.0, 19.0]
+    df1 = spark.createDataFrame(
+        [(1, i, x) for i, x in enumerate(xs)],
+        ["symbol", "time_idx", "close"],
+    )
+    df2 = spark.createDataFrame(
+        [(1, i, x + 1000.0) for i, x in enumerate(xs)],
+        ["symbol", "time_idx", "close"],
+    )
+    a = holt_linear(df1).collect()[0]
+    b = holt_linear(df2).collect()[0]
+    assert abs((b["level"] - a["level"]) - 1000.0) < 1e-9
+    assert abs(b["trend"] - a["trend"]) < 1e-9
