@@ -443,3 +443,130 @@ def test_interval_join_state_carries_across_micro_batches(spark, tmp_path):
     )
     pairs = sorted(map(tuple, out.collect()))
     assert pairs == [(100, 200), (101, 202)]
+
+
+def test_attribution_state_carries_across_micro_batches(spark, tmp_path):
+    """Last-touch state survives the batch boundary: a touch landing in
+    micro-batch 1 credits a purchase that arrives in micro-batch 2, and
+    feeding the split stream equals one continuous timeline."""
+    from big_data_stock_price_forecast_spark.streaming import (
+        attribution_state_stream,
+    )
+
+    ev = load_table(spark, SF, "events").filter(F.col("user_id") < 5)
+    pdf = ev.select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).toPandas()
+    pdf = pdf.sort_values(["ts", "event_id"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    half = len(pdf) // 2
+    land = tmp_path / "land"
+    land.mkdir()
+    pdf.iloc[:half].to_parquet(land / "events_page_0.parquet", index=False)
+    pdf.iloc[half:].to_parquet(land / "events_page_1.parquet", index=False)
+    schema = spark.read.parquet(str(land)).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(land))
+        .select(
+            F.col("user_id").alias("symbol"),
+            F.col("ts").cast("timestamp").alias("datetime"),
+            F.col("value").alias("close"),
+            "event_id",
+            "event_type",
+        )
+    )
+    out = run_available_now(attribution_state_stream(sdf)).toPandas()
+    # python replay over the continuous timeline
+    expect = {}
+    for sym, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        last = None
+        for r in g.itertuples():
+            if r.event_type == "purchase":
+                expect[int(r.event_id)] = last or "none"
+            if r.event_type in ("view", "click"):
+                last = r.event_type
+    got = dict(zip(out["event_id"].astype(int), out["channel"]))
+    assert got == expect
+    # at least one purchase must have been credited to a touch from the
+    # EARLIER batch (the cross-boundary case this test exists for)
+    batch1_touch_users = set(
+        pdf.iloc[:half][
+            pdf.iloc[:half]["event_type"].isin(["view", "click"])
+        ]["user_id"]
+    )
+    batch2 = pdf.iloc[half:]
+    crossers = batch2[
+        (batch2["event_type"] == "purchase")
+        & batch2["user_id"].isin(batch1_touch_users)
+    ]
+    assert len(crossers) > 0
+
+
+def test_cusum_state_carries_across_micro_batches(spark, tmp_path):
+    """The CUSUM statistic folds across the batch boundary: splitting
+    the stream in two equals the single-batch run (alarm sets and
+    statistics identical)."""
+    from big_data_stock_price_forecast_spark.streaming import (
+        cusum_state_stream,
+    )
+
+    ev = load_table(spark, SF, "events").filter(F.col("user_id") < 5)
+    pdf = ev.select("event_id", "ts", "user_id", "value").toPandas()
+    pdf = pdf.sort_values(["ts", "event_id"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    half = len(pdf) // 2
+    land = tmp_path / "land"
+    land.mkdir()
+    pdf.iloc[:half].to_parquet(land / "events_page_0.parquet", index=False)
+    pdf.iloc[half:].to_parquet(land / "events_page_1.parquet", index=False)
+    schema = spark.read.parquet(str(land)).schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(land))
+            .select(
+                F.col("user_id").alias("symbol"),
+                F.col("ts").cast("timestamp").alias("datetime"),
+                F.col("value").alias("close"),
+                "event_id",
+            )
+        )
+
+    stats = spark.createDataFrame(
+        [(int(u), 5.0, 2.0) for u in sorted(pdf["user_id"].unique())],
+        ["symbol", "mu", "sigma"],
+    )
+    split = run_available_now(
+        cusum_state_stream(stream(), stats)
+    ).toPandas()
+    # python replay over the continuous series with the same recursion
+    expect = {}
+    for sym, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        mu, sigma = 5.0, 2.0
+        k, h = 0.5 * sigma, 4.0 * sigma
+        s_up = s_dn = 0.0
+        pup = pdn = None
+        for r in g.itertuples():
+            x = float(r.value)
+            s_up = max(0.0, s_up + (x - mu - k))
+            s_dn = max(0.0, s_dn + (mu - k - x))
+            if s_up > h and (pup is None or pup <= h):
+                expect[(int(r.event_id), "up")] = s_up / sigma
+            if s_dn > h and (pdn is None or pdn <= h):
+                expect[(int(r.event_id), "down")] = s_dn / sigma
+            pup, pdn = s_up, s_dn
+    got = {
+        (int(r.event_id), r.direction): r.stat_sigmas
+        for r in split.itertuples()
+    }
+    assert set(got) == set(expect)
+    for key in got:
+        assert abs(got[key] - expect[key]) < 1e-9
