@@ -114,3 +114,28 @@ def test_attribution_and_paths_single_user_exchange(spark):
     assert plan.count("Exchange hashpartitioning") <= 2
     plan = _plan(q_events_markov_transitions(spark, SF))
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_new_ts_family_exchange_budget(spark):
+    """Single-pass window operators stay at ONE symbol exchange;
+    two-pass (calibrate-then-score) operators get at most four —
+    a regression here means a lost exchange reuse."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_autocorrelation,
+        q_ts_cusum_alarms,
+        q_ts_drawdown,
+        q_ts_rolling_corr,
+        q_ts_seasonal_decompose,
+        q_ts_var_es,
+    )
+
+    one_pass = (q_ts_drawdown, q_ts_var_es, q_ts_rolling_corr)
+    two_pass = (q_ts_cusum_alarms, q_ts_autocorrelation, q_ts_seasonal_decompose)
+    for fn in one_pass:
+        plan = _plan(fn(spark, SF))
+        assert plan.count("Exchange hashpartitioning") <= 1, fn.__name__
+        assert "Python" not in plan and "CartesianProduct" not in plan
+    for fn in two_pass:
+        plan = _plan(fn(spark, SF))
+        assert plan.count("Exchange hashpartitioning") <= 4, fn.__name__
+        assert "Python" not in plan and "CartesianProduct" not in plan
