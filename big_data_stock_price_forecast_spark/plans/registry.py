@@ -8124,6 +8124,106 @@ SELECT f.day, CAST(e.n_exact AS BIGINT) AS n_exact,
 FROM fin f JOIN exact e USING (day)"""
 
 
+DROPOUT_KEEP_MOD = 10  # keep 9/10 tokens
+SPAN_LEN = 8
+SPAN_MASK_MOD = 5  # mask 1/5 spans
+
+
+def q_doc_augment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-data augmentation as engine transforms:
+    hash-keyed token dropout (keep a token iff
+    hash(doc_id|pos) % 10 < 9) and T5-style span corruption (mask
+    every token whose 8-token span hashes to 0 mod 5) — reproducible
+    across runs, partitions, and engines because the randomness IS the
+    portable hash, never rand(). Emits per-doc counts plus the md5 of
+    each augmented token stream, so the downstream pipeline can verify
+    byte-identical augmentation without shipping the text."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "tok"),
+    )
+    keep = (
+        hash60(
+            F.concat_ws("|", F.col("doc_id").cast("string"),
+                        F.col("pos").cast("string"))
+        )
+        % DROPOUT_KEEP_MOD
+        < DROPOUT_KEEP_MOD - 1
+    )
+    span = (F.col("pos") / SPAN_LEN).cast("long")
+    masked = (
+        hash60(
+            F.concat_ws("#", F.col("doc_id").cast("string"),
+                        span.cast("string"))
+        )
+        % SPAN_MASK_MOD
+        == 0
+    )
+    d = tok.withColumn("keep", keep).withColumn("masked", masked)
+    return d.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.count_if(F.col("keep")).alias("n_kept"),
+        F.count_if(F.col("masked")).alias("n_masked"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct("pos", "tok"),
+                            )
+                        )
+                    ),
+                    lambda z: z["tok"],
+                ),
+            )
+        ).alias("dropout_md5"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok", "masked"))),
+                    lambda z: F.when(z["masked"], F.lit("<X>")).otherwise(
+                        z["tok"]
+                    ),
+                ),
+            )
+        ).alias("corrupt_md5"),
+    )
+
+
+def _sql_doc_augment() -> str:
+    keep_h = sql_hash60(
+        "concat_ws('|', CAST(doc_id AS VARCHAR), CAST(pos AS VARCHAR))"
+    )
+    span_h = sql_hash60(
+        f"concat_ws('#', CAST(doc_id AS VARCHAR),"
+        f" CAST(CAST(floor(pos / {SPAN_LEN}) AS BIGINT) AS VARCHAR))"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, u.pos, u.tok
+  FROM documents, LATERAL (
+    SELECT unnest({sql_tokens('text')}) AS tok,
+           generate_subscripts({sql_tokens('text')}, 1) - 1 AS pos) u),
+d AS (
+  SELECT doc_id, pos, tok,
+         {keep_h} % {DROPOUT_KEEP_MOD} < {DROPOUT_KEEP_MOD - 1} AS keep,
+         {span_h} % {SPAN_MASK_MOD} = 0 AS masked
+  FROM tok)
+SELECT doc_id, count(*) AS n_tok,
+       CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (masked) AS BIGINT) AS n_masked,
+       md5(string_agg(tok, ' ' ORDER BY pos) FILTER (keep))
+         AS dropout_md5,
+       md5(string_agg(CASE WHEN masked THEN '<X>' ELSE tok END,
+                      ' ' ORDER BY pos)) AS corrupt_md5
+FROM d GROUP BY 1"""
+
+
 CMS_STREAM_TOP = 10
 
 
@@ -10814,6 +10914,7 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_ljung_box": q_ts_ljung_box,
         "stream_hll_users": q_stream_hll_users,
         "stream_cms_top_users": q_stream_cms_top_users,
+        "doc_augment_stats": q_doc_augment_stats,
     }
 
 
@@ -11000,4 +11101,5 @@ def _oracle_sql_map() -> dict[str, str]:
         "ts_ljung_box": _sql_ts_ljung_box(),
         "stream_hll_users": _sql_stream_hll(),
         "stream_cms_top_users": _sql_stream_cms(),
+        "doc_augment_stats": _sql_doc_augment(),
     }

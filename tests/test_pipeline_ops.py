@@ -420,3 +420,60 @@ def test_kmeans_refine_covers_corpus_and_reduces_inertia(spark, sf_dir):
         .first()[0]
     )
     assert sum(r["inertia"] for r in out) <= d0 + 1e-6
+
+
+def test_augmentation_is_deterministic_and_hash_keyed(spark, sf_dir):
+    import hashlib
+    import re
+
+    from big_data_stock_price_forecast_spark.functions.text import (
+        TOKEN_SPLIT_RE,
+    )
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        DROPOUT_KEEP_MOD,
+        SPAN_LEN,
+        SPAN_MASK_MOD,
+        q_doc_augment_stats,
+    )
+    from big_data_stock_price_forecast_spark.sources.tables import load_table
+
+    out = {r["doc_id"]: r for r in
+           q_doc_augment_stats(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for d in docs[:40]:
+        toks = [
+            t for t in re.split(TOKEN_SPLIT_RE, d["text"].lower()) if t
+        ]
+        kept, corrupted, n_masked = [], [], 0
+        for p, t in enumerate(toks):
+            if h60(f"{d['doc_id']}|{p}") % DROPOUT_KEEP_MOD < (
+                DROPOUT_KEEP_MOD - 1
+            ):
+                kept.append(t)
+            if h60(f"{d['doc_id']}#{p // SPAN_LEN}") % SPAN_MASK_MOD == 0:
+                corrupted.append("<X>")
+                n_masked += 1
+            else:
+                corrupted.append(t)
+        r = out[d["doc_id"]]
+        assert r["n_tok"] == len(toks)
+        assert r["n_kept"] == len(kept)
+        assert r["n_masked"] == n_masked
+        assert r["dropout_md5"] == hashlib.md5(
+            " ".join(kept).encode()
+        ).hexdigest()
+        assert r["corrupt_md5"] == hashlib.md5(
+            " ".join(corrupted).encode()
+        ).hexdigest()
+    # augmentation drops roughly 1/10 and masks roughly 1/5 overall
+    n_tok = sum(r["n_tok"] for r in out.values())
+    n_kept = sum(r["n_kept"] for r in out.values())
+    n_masked = sum(r["n_masked"] for r in out.values())
+    assert 0.85 <= n_kept / n_tok <= 0.95
+    assert 0.1 <= n_masked / n_tok <= 0.3
