@@ -8124,6 +8124,134 @@ SELECT f.day, CAST(e.n_exact AS BIGINT) AS n_exact,
 FROM fin f JOIN exact e USING (day)"""
 
 
+def q_orders_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap statistics per customer (order cadence: the
+    input to churn-risk and replenishment models): day gaps from one
+    LAG over the (date, orderkey)-ordered history, exact integer day
+    arithmetic, mean as a double quotient of identical integers. One
+    custkey exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    )
+    return gaps.groupBy("o_custkey").agg(
+        (F.count(F.lit(1))).alias("n_orders"),
+        F.count("gap_days").alias("n_gaps"),
+        F.max("gap_days").alias("max_gap_days"),
+        (
+            F.sum("gap_days") / F.nullif(F.count("gap_days"), F.lit(0))
+        ).alias("mean_gap_days"),
+    )
+
+
+SQL_ORDERS_GAP = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC),
+                   o_orderdate) AS gap_days
+  FROM orders)
+SELECT o_custkey, count(*) AS n_orders,
+       count(gap_days) AS n_gaps,
+       CAST(max(gap_days) AS BIGINT) AS max_gap_days,
+       CAST(sum(gap_days) AS BIGINT)
+         / CAST(nullif(count(gap_days), 0) AS DOUBLE) AS mean_gap_days
+FROM gaps GROUP BY 1"""
+
+
+def q_part_supply_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source supply-risk report: parts bucketed by their
+    distinct supplier count, with part counts and the exact DECIMAL
+    revenue exposed at each redundancy level — the n_suppliers = 1 row
+    is the procurement risk register. One distinct projection + two
+    map-side-combined aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+            "revenue"
+        ),
+    )
+    return per_part.groupBy("n_suppliers").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("revenue").cast("double").alias("revenue_at_risk"),
+    )
+
+
+SQL_PART_SUPPLY_RISK = """
+WITH per_part AS (
+  SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+  FROM lineitem GROUP BY 1)
+SELECT n_suppliers, count(*) AS n_parts,
+       CAST(sum(revenue) AS DOUBLE) AS revenue_at_risk
+FROM per_part GROUP BY 1"""
+
+
+def q_ts_updown_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz-style runs summary per symbol: consecutive
+    up/down move runs over the resampled closes (flat moves dropped),
+    with run count, longest run, and its direction — the
+    trend-persistence diagnostic beside Ljung-Box. The run id is the
+    gaps-and-islands difference of two row_numbers (all integers);
+    everything rides the symbol exchange."""
+    r = _resampled(spark, sf_dir).select("symbol", "time_idx", "close")
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    moves = (
+        r.withColumn(
+            "dir", F.signum(F.col("close") - F.lag("close").over(w))
+        )
+        .filter(F.col("dir").isin(1.0, -1.0))
+        .withColumn("dir", F.col("dir").cast("int"))
+    )
+    wm = Window.partitionBy("symbol").orderBy("time_idx")
+    wd = Window.partitionBy("symbol", "dir").orderBy("time_idx")
+    runs = moves.withColumn(
+        "run_id", F.row_number().over(wm) - F.row_number().over(wd)
+    )
+    per_run = runs.groupBy("symbol", "dir", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return per_run.groupBy("symbol").agg(
+        F.sum("run_len").alias("n_moves"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("run_len").alias("longest_run"),
+        F.max_by(
+            "dir", F.col("run_len") * 10 + (F.col("dir") + 1)
+        ).alias("longest_dir"),
+    )
+
+
+SQL_TS_UPDOWN_RUNS = f"""WITH {SQL_SERIES}, {SQL_RES6H},
+moves AS (
+  SELECT symbol, time_idx,
+         CAST(sign(close - lag(close) OVER (PARTITION BY symbol
+           ORDER BY time_idx)) AS INT) AS dir
+  FROM idx
+  QUALIFY dir IN (1, -1)),
+runs AS (
+  SELECT symbol, dir,
+         row_number() OVER (PARTITION BY symbol ORDER BY time_idx)
+           - row_number() OVER (PARTITION BY symbol, dir
+               ORDER BY time_idx) AS run_id
+  FROM moves),
+per_run AS (
+  SELECT symbol, dir, run_id, count(*) AS run_len
+  FROM runs GROUP BY 1, 2, 3)
+SELECT symbol, CAST(sum(run_len) AS BIGINT) AS n_moves,
+       count(*) AS n_runs,
+       CAST(max(run_len) AS BIGINT) AS longest_run,
+       arg_max(dir, run_len * 10 + (dir + 1)) AS longest_dir
+FROM per_run GROUP BY 1"""
+
+
 DROPOUT_KEEP_MOD = 10  # keep 9/10 tokens
 SPAN_LEN = 8
 SPAN_MASK_MOD = 5  # mask 1/5 spans
@@ -10915,6 +11043,9 @@ def all_queries() -> dict[str, QueryFn]:
         "stream_hll_users": q_stream_hll_users,
         "stream_cms_top_users": q_stream_cms_top_users,
         "doc_augment_stats": q_doc_augment_stats,
+        "orders_gap_stats": q_orders_gap_stats,
+        "part_supply_risk": q_part_supply_risk,
+        "ts_updown_runs": q_ts_updown_runs,
     }
 
 
@@ -11102,4 +11233,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "stream_hll_users": _sql_stream_hll(),
         "stream_cms_top_users": _sql_stream_cms(),
         "doc_augment_stats": _sql_doc_augment(),
+        "orders_gap_stats": SQL_ORDERS_GAP,
+        "part_supply_risk": SQL_PART_SUPPLY_RISK,
+        "ts_updown_runs": SQL_TS_UPDOWN_RUNS,
     }

@@ -169,3 +169,87 @@ def test_triangles_match_python_enumeration(spark, sf_dir):
                 tri_count[b] += 1
                 tri_count[c] += 1
     assert out == dict(tri_count)
+
+
+def test_order_gaps_replay(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_orders_gap_stats,
+    )
+
+    out = {r["o_custkey"]: r for r in
+           q_orders_gap_stats(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    ).collect()
+    by_cust = defaultdict(list)
+    for r in orders:
+        by_cust[r["o_custkey"]].append(r)
+    for cust, rows in list(by_cust.items())[:50]:
+        rows.sort(key=lambda r: (r["o_orderdate"], r["o_orderkey"]))
+        gaps = [
+            (b["o_orderdate"] - a["o_orderdate"]).days
+            for a, b in zip(rows, rows[1:])
+        ]
+        r = out[cust]
+        assert r["n_orders"] == len(rows)
+        assert r["n_gaps"] == len(gaps)
+        if gaps:
+            assert r["max_gap_days"] == max(gaps)
+            assert abs(r["mean_gap_days"] - sum(gaps) / len(gaps)) < 1e-9
+        else:
+            assert r["max_gap_days"] is None and r["mean_gap_days"] is None
+
+
+def test_supply_risk_partitions_parts(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_part_supply_risk,
+    )
+
+    out = q_part_supply_risk(spark, sf_dir).collect()
+    n_parts = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_parts"] for r in out) == n_parts
+    for r in out:
+        assert r["n_suppliers"] >= 1 and r["revenue_at_risk"] > 0
+
+
+def test_updown_runs_replay(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        _resampled,
+        q_ts_updown_runs,
+    )
+    from pyspark.sql import functions as F
+
+    out = {r["symbol"]: r for r in q_ts_updown_runs(spark, sf_dir).collect()}
+    sym = next(iter(out))
+    rows = sorted(
+        _resampled(spark, sf_dir)
+        .filter(F.col("symbol") == sym)
+        .select("time_idx", "close")
+        .collect(),
+        key=lambda r: r["time_idx"],
+    )
+    dirs = []
+    for a, b in zip(rows, rows[1:]):
+        d = b["close"] - a["close"]
+        if d > 0:
+            dirs.append(1)
+        elif d < 0:
+            dirs.append(-1)
+    runs = []
+    for d in dirs:
+        if runs and runs[-1][0] == d:
+            runs[-1][1] += 1
+        else:
+            runs.append([d, 1])
+    r = out[sym]
+    assert r["n_moves"] == len(dirs)
+    assert r["n_runs"] == len(runs)
+    longest = max(x[1] for x in runs)
+    assert r["longest_run"] == longest
+    best = max(runs, key=lambda x: (x[1], x[0]))
+    assert r["longest_dir"] == best[0]
