@@ -7400,11 +7400,15 @@ def q_emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(
         F.col("score").desc(), F.col("id").asc()
     )
+    # sel is <= queries×K rows: collapse to one partition before each
+    # checkpoint so per-round overhead is one task, not one per shuffle
+    # partition
     sel = (
         cand.withColumn("score", lam * F.col("simq"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select("q_id", "id", F.lit(1).alias("rank"), "score")
+        .coalesce(1)
         .localCheckpoint(eager=True)
     )
     for i in range(2, MMR_K + 1):
@@ -7429,7 +7433,9 @@ def q_emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == 1)
             .select("q_id", "id", F.lit(i).alias("rank"), "score")
         )
-        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+        sel = (
+            sel.unionByName(pick).coalesce(1).localCheckpoint(eager=True)
+        )
     cand.unpersist()
     return sel.select(
         "q_id", "rank", F.col("id").alias("vec_id"), _rne(F.col("score"), "score", 6)
