@@ -8130,6 +8130,190 @@ SELECT f.day, CAST(e.n_exact AS BIGINT) AS n_exact,
 FROM fin f JOIN exact e USING (day)"""
 
 
+PAIRS_Z_ENTRY = 2.0
+
+
+def q_ts_pairs_trading_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs-trading entry signals — the strategy capstone composing
+    the correlation matrix with the z-score contract: pick the single
+    most-return-correlated symbol pair (deterministic argmax over the
+    same DECIMAL pair moments as ts_symbol_corr_matrix), z-score their
+    aligned price spread (grid-snapped DECIMAL mean/std), and emit the
+    buckets where |z| > 2 — the classic mean-reversion entry. The pair
+    pick is a broadcast one-row frame; everything else rides the
+    time_idx-aligned join the matrix already uses."""
+    r = _resampled(spark, sf_dir).select("symbol", "time_idx", "close")
+    top = (
+        r.groupBy("symbol")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("symbol").asc())
+        .limit(CORR_MATRIX_TOP_K)
+        .select("symbol")
+    )
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    ret_raw = (
+        F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1
+    )
+    rets = (
+        r.join(F.broadcast(top), "symbol")
+        .withColumn(
+            "ret", F.floor(ret_raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        )
+        .filter(F.col("ret").isNotNull())
+        .select(
+            "symbol",
+            "time_idx",
+            "close",
+            F.col("ret").cast("decimal(18,6)").alias("ret"),
+        )
+    )
+    a = rets.select(
+        F.col("symbol").alias("sym_a"),
+        "time_idx",
+        F.col("ret").alias("x"),
+        F.col("close").alias("ca"),
+    )
+    b = rets.select(
+        F.col("symbol").alias("sym_b"),
+        "time_idx",
+        F.col("ret").alias("y"),
+        F.col("close").alias("cb"),
+    )
+    agg = (
+        a.join(b, "time_idx")
+        .filter(F.col("sym_a") < F.col("sym_b"))
+        .groupBy("sym_a", "sym_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    nn = F.col("n_obs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov = nn * sxy - sx * sy
+    vx = nn * sxx - sx * sx
+    vy = nn * syy - sy * sy
+    corr = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    best = (
+        agg.select("sym_a", "sym_b", corr.alias("corr"))
+        .filter(F.col("corr").isNotNull())
+        .orderBy(
+            F.col("corr").desc(), F.col("sym_a").asc(), F.col("sym_b").asc()
+        )
+        .limit(1)
+    )
+    pair = (
+        a.join(b, "time_idx")
+        .join(F.broadcast(best), ["sym_a", "sym_b"])
+        .select(
+            "sym_a", "sym_b", "time_idx",
+            (F.col("ca") - F.col("cb")).alias("spread"),
+        )
+    )
+    grid = F.lit(1e6)
+    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
+    stats = pair.groupBy("sym_a", "sym_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(snap(F.col("spread")).cast("decimal(18,6)")).alias("ss"),
+        F.sum(
+            snap(F.col("spread") * F.col("spread")).cast("decimal(18,6)")
+        ).alias("sss"),
+    )
+    stats = stats.select(
+        "sym_a",
+        "sym_b",
+        (F.col("ss").cast("double") / F.col("n")).alias("mu"),
+        F.sqrt(
+            F.col("sss").cast("double") / F.col("n")
+            - (F.col("ss").cast("double") / F.col("n"))
+            * (F.col("ss").cast("double") / F.col("n"))
+        ).alias("sigma"),
+    )
+    z = (F.col("spread") - F.col("mu")) / F.nullif(
+        F.col("sigma"), F.lit(0.0)
+    )
+    return (
+        pair.join(F.broadcast(stats), ["sym_a", "sym_b"])
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > PAIRS_Z_ENTRY)
+        .select(
+            "sym_a",
+            "sym_b",
+            "time_idx",
+            _rne(F.col("spread"), "spread", 6),
+            _rne(F.col("z"), "zscore", 6),
+            F.when(F.col("z") > 0, "short_spread")
+            .otherwise("long_spread")
+            .alias("signal"),
+        )
+    )
+
+
+def _sql_ts_pairs_signal() -> str:
+    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H},
+top AS (
+  SELECT symbol FROM (
+    SELECT symbol, count(*) AS n FROM idx GROUP BY 1
+    ORDER BY n DESC, symbol ASC LIMIT {CORR_MATRIX_TOP_K})),
+rets AS (
+  SELECT symbol, time_idx, close,
+         CAST(floor((close / nullif(lag(close) OVER (
+                PARTITION BY symbol ORDER BY time_idx), 0.0) - 1)
+              * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS ret
+  FROM idx WHERE symbol IN (SELECT symbol FROM top)),
+rets2 AS (SELECT * FROM rets WHERE ret IS NOT NULL),
+agg AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, count(*) AS n_obs,
+         CAST(sum(a.ret) AS DOUBLE) AS sx,
+         CAST(sum(b.ret) AS DOUBLE) AS sy,
+         CAST(sum(a.ret * b.ret) AS DOUBLE) AS sxy,
+         CAST(sum(a.ret * a.ret) AS DOUBLE) AS sxx,
+         CAST(sum(b.ret * b.ret) AS DOUBLE) AS syy
+  FROM rets2 a JOIN rets2 b
+    ON a.time_idx = b.time_idx AND a.symbol < b.symbol
+  GROUP BY 1, 2),
+best AS (
+  SELECT sym_a, sym_b FROM (
+    SELECT sym_a, sym_b,
+           (CAST(n_obs AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n_obs AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n_obs AS DOUBLE) * syy - sy * sy)) AS corr
+    FROM agg
+    WHERE CAST(n_obs AS DOUBLE) * sxx - sx * sx > 0
+      AND CAST(n_obs AS DOUBLE) * syy - sy * sy > 0)
+  ORDER BY corr DESC, sym_a ASC, sym_b ASC LIMIT 1),
+pair AS (
+  SELECT b.sym_a, b.sym_b, a.time_idx, a.close - c.close AS spread
+  FROM rets2 a
+  JOIN rets2 c ON a.time_idx = c.time_idx
+  JOIN best b ON a.symbol = b.sym_a AND c.symbol = b.sym_b),
+stats AS (
+  SELECT sym_a, sym_b,
+         CAST(sum(CAST({snap('spread')} AS DECIMAL(18,6))) AS DOUBLE)
+           / count(*) AS mu,
+         sqrt(CAST(sum(CAST({snap('spread * spread')} AS DECIMAL(18,6)))
+                AS DOUBLE) / count(*)
+              - (CAST(sum(CAST({snap('spread')} AS DECIMAL(18,6)))
+                   AS DOUBLE) / count(*))
+              * (CAST(sum(CAST({snap('spread')} AS DECIMAL(18,6)))
+                   AS DOUBLE) / count(*))) AS sigma
+  FROM pair GROUP BY 1, 2)
+SELECT p.sym_a, p.sym_b, p.time_idx,
+       {_sql_rne('p.spread', 'spread')},
+       {_sql_rne('(p.spread - s.mu) / nullif(s.sigma, 0.0)', 'zscore')},
+       CASE WHEN (p.spread - s.mu) / nullif(s.sigma, 0.0) > 0
+            THEN 'short_spread' ELSE 'long_spread' END AS signal
+FROM pair p JOIN stats s USING (sym_a, sym_b)
+WHERE abs((p.spread - s.mu) / nullif(s.sigma, 0.0)) > {PAIRS_Z_ENTRY}"""
+
+
 def q_orders_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-order gap statistics per customer (order cadence: the
     input to churn-risk and replenishment models): day gaps from one
@@ -11052,6 +11236,7 @@ def all_queries() -> dict[str, QueryFn]:
         "orders_gap_stats": q_orders_gap_stats,
         "part_supply_risk": q_part_supply_risk,
         "ts_updown_runs": q_ts_updown_runs,
+        "ts_pairs_trading_signal": q_ts_pairs_trading_signal,
     }
 
 
@@ -11242,4 +11427,5 @@ def _oracle_sql_map() -> dict[str, str]:
         "orders_gap_stats": SQL_ORDERS_GAP,
         "part_supply_risk": SQL_PART_SUPPLY_RISK,
         "ts_updown_runs": SQL_TS_UPDOWN_RUNS,
+        "ts_pairs_trading_signal": _sql_ts_pairs_signal(),
     }

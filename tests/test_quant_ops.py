@@ -241,3 +241,28 @@ def test_holt_is_shift_equivariant(spark):
     b = holt_linear(df2).collect()[0]
     assert abs((b["level"] - a["level"]) - 1000.0) < 1e-9
     assert abs(b["trend"] - a["trend"]) < 1e-9
+
+
+def test_pairs_signal_z_threshold_and_pair_is_argmax(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        PAIRS_Z_ENTRY,
+        q_ts_pairs_trading_signal,
+        q_ts_symbol_corr_matrix,
+    )
+
+    out = q_ts_pairs_trading_signal(spark, sf_dir).collect()
+    assert out
+    pair = {(r["sym_a"], r["sym_b"]) for r in out}
+    assert len(pair) == 1
+    for r in out:
+        assert abs(r["zscore"]) > PAIRS_Z_ENTRY - 1e-6
+        assert r["signal"] == (
+            "short_spread" if r["zscore"] > 0 else "long_spread"
+        )
+    # the traded pair is the correlation-matrix argmax
+    mat = q_ts_symbol_corr_matrix(spark, sf_dir).collect()
+    best = max(
+        (r for r in mat if r["corr"] is not None),
+        key=lambda r: (r["corr"], -r["sym_a"], -r["sym_b"]),
+    )
+    assert pair == {(best["sym_a"], best["sym_b"])}
