@@ -118,7 +118,10 @@ def holt_linear(
     carries both, evaluated in exactly the operand order above so the
     DuckDB recursive-CTE oracle reproduces the floats bitwise. Emits
     one (level, trend, n_fit) row per series — scalars, not rows — so
-    the output is series-count-sized."""
+    the output is series-count-sized. Series with fewer than 2 points
+    emit NO row (the trend seed b₁=x₂−x₁ needs two observations —
+    the same convention as the recursive-CTE oracle, whose seed joins
+    rn=1 to rn=2)."""
     from pyspark.sql.types import LongType
 
     out_schema = StructType(
@@ -135,10 +138,14 @@ def holt_linear(
         xs = pdf[value_col].to_numpy()
         key = pdf[part_col].iloc[0]
         if len(xs) < 2:
-            lvl = float(xs[0]) if len(xs) else None
+            # no fit row for degenerate series: the oracle's
+            # recursive-CTE seed requires rn=2, so a (x1, 0.0) row
+            # here would be an engine-only invention
             return pd.DataFrame(
-                {part_col: [key], "n_fit": [len(xs)],
-                 "level": [lvl], "trend": [0.0 if len(xs) else None]}
+                {part_col: pd.Series([], dtype=pdf[part_col].dtype),
+                 "n_fit": pd.Series([], dtype="int64"),
+                 "level": pd.Series([], dtype="float64"),
+                 "trend": pd.Series([], dtype="float64")}
             )
         lvl, b = float(xs[0]), float(xs[1]) - float(xs[0])
         for x in xs[1:]:

@@ -6219,7 +6219,10 @@ def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is a broadcast codebook cross join collapsed by a
     map-side-combined min(struct) per (vector, subspace) — the
     crossed rows never shuffle — and the per-vector fold orders
-    subspaces explicitly so the error sum is sequence-exact."""
+    subspaces explicitly so the error sum is sequence-exact. The code
+    sequence is emitted as a '-'-joined string (not ARRAY) so the
+    output schema stays atomic — nested output columns are banned
+    registry-wide (see tests/test_registry_contracts.py)."""
     emb = _emb(spark, sf_dir)
     cb = _pq_codebook(emb)
     best = _pq_assignments(emb, cb)
@@ -6233,7 +6236,10 @@ def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_vec.select(
         "vec_id",
-        F.transform("sc", lambda z: z["code"]).alias("codes"),
+        F.concat_ws(
+            "-",
+            F.transform("sc", lambda z: z["code"].cast("string")),
+        ).alias("codes"),
         _rne(
             F.sqrt(
                 F.aggregate(
@@ -6274,7 +6280,7 @@ best AS (
     FROM cand)
   WHERE rn = 1
 )
-SELECT vec_id, list(code ORDER BY s) AS codes,
+SELECT vec_id, array_to_string(list(code ORDER BY s), '-') AS codes,
        {_sql_rne(
            'sqrt(list_reduce(list_prepend(0.0, list(err2 ORDER BY s)),'
            ' (x, y) -> x + y))',
@@ -7364,6 +7370,8 @@ FROM j"""
 
 MMR_LAMBDA = 0.7
 MMR_K = 5
+MMR_CAND_N = 30  # ANN-fed candidate pool per query
+MMR_NPROBE = 2  # IVF lists probed per query for the candidate pool
 
 
 def q_emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7376,17 +7384,46 @@ def q_emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the driver only orchestrates K rounds (the loop the unrolled
     oracle replays as K CTE steps). All similarities snap to the 1e-6
     grid BEFORE the score arithmetic, so the greedy argmax tie-breaks
-    identically in both engines."""
-    from ..functions.distance import cos_sim
+    identically in both engines.
+
+    Candidate generation rides the IVF ANN index, not brute force:
+    each query probes its ``MMR_NPROBE`` nearest coarse lists and
+    keeps the ``MMR_CAND_N`` most-similar vectors from those lists
+    (equi-join on list_id — no corpus-sized broadcast anywhere), so
+    the candidate frame is queries × N and the greedy rounds stay
+    candidate-sized at any corpus scale. The oracle replays the same
+    quantizer (shared _sql_ivf_base CTEs) so the pools are identical
+    row sets in both engines."""
+    from ..functions.distance import cos_sim, dist_l2
+    from ..operators.ivf import assign_lists, label_centroids
 
     emb = _emb(spark, sf_dir)
     grid = F.lit(1e6)
     snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
-    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+    cent = label_centroids(emb)
+    assigned = assign_lists(emb, cent)
+    queries = assigned.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("__cdist").asc(), F.col("label_c").asc()
+    )
+    probes = (
+        queries.crossJoin(
+            F.broadcast(
+                cent.select(F.col("label").alias("label_c"), "cvec")
+            )
+        )
+        .withColumn("__cdist", dist_l2(F.col("qv"), F.col("cvec")))
+        .withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= MMR_NPROBE)
+        .select("q_id", "qv", F.col("label_c").alias("list_id"))
+    )
+    wc = Window.partitionBy("q_id").orderBy(
+        F.col("simq").desc(), F.col("id").asc()
+    )
     cand = (
-        emb.crossJoin(F.broadcast(q))
+        assigned.join(probes, "list_id")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -7394,6 +7431,9 @@ def q_emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v",
             snap(cos_sim("v", "qv")).alias("simq"),
         )
+        .withColumn("__crk", F.row_number().over(wc))
+        .filter(F.col("__crk") <= MMR_CAND_N)
+        .drop("__crk")
         .persist()
     )
     lam = F.lit(MMR_LAMBDA)
@@ -7474,13 +7514,28 @@ p{i} AS (
 sel{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM p{i})""")
         prev = f"sel{i}"
     body = ",\n".join(steps)
+    l2_qc = _sql_l2("q.qv", "c.cvec")
     return f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH {_sql_ivf_base()},
 q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 100 = 0),
+probes AS (
+  SELECT q_id, qv, list_id FROM (
+    SELECT q.q_id, q.qv, c.label AS list_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY {l2_qc} ASC, c.label ASC) AS rk
+    FROM q CROSS JOIN cent c)
+  WHERE rk <= {MMR_NPROBE}),
+cand_pool AS (
+  SELECT p.q_id, a.vec_id AS id, a.v,
+         {snap(cos('a.v', 'p.qv'))} AS simq
+  FROM assigned a JOIN probes p USING (list_id)
+  WHERE a.vec_id <> p.q_id),
 cand AS (
-  SELECT q.q_id, e.vec_id AS id, e.v,
-         {snap(cos('e.v', 'q.qv'))} AS simq
-  FROM emb e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+  SELECT q_id, id, v, simq FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY simq DESC, id ASC) AS crk
+    FROM cand_pool)
+  WHERE crk <= {MMR_CAND_N}),
 {body}
 SELECT q_id, rank, id AS vec_id,
        {_sql_rne('score', 'score')}
@@ -8701,11 +8756,14 @@ def q_events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-significant-digit counts vs the Benford expectation
     n·log₁₀(1+1/d), with each digit's χ² contribution emitted
     (grid-snapped so the term is engine-reproducible). Values < 1 are
-    excluded (no stable first digit); the digit extraction is integer
-    arithmetic on floor(log10(value))."""
+    excluded (no stable first digit); the digit is read off the
+    integer part's decimal string — for value ≥ 1 the leading digit
+    of floor(value) IS the first significant digit, and a string read
+    cannot be flipped by a last-ulp libm difference the way
+    floor(log10/pow) can on near-power-of-ten values."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") >= 1)
-    digit = F.floor(
-        F.col("value") / F.pow(F.lit(10.0), F.floor(F.log10("value")))
+    digit = F.substring(
+        F.floor("value").cast("bigint").cast("string"), 1, 1
     ).cast("int")
     obs = ev.groupBy("event_type", digit.alias("digit")).agg(
         F.count(F.lit(1)).alias("n_obs")
@@ -8735,8 +8793,8 @@ def _sql_events_benford() -> str:
 WITH f AS (SELECT event_type, value FROM events WHERE value >= 1),
 obs AS (
   SELECT event_type,
-         CAST(floor(value / pow(10.0, floor(log10(value)))) AS INT)
-           AS digit,
+         CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit,
          count(*) AS n_obs
   FROM f GROUP BY 1, 2),
 tot AS (SELECT event_type, sum(n_obs) AS n FROM obs GROUP BY 1),
@@ -9880,14 +9938,16 @@ BFS_MAX_HOPS = 6
 def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-source shortest hop distances over the supplier
     co-purchase graph (same top-K edge cut as the triangle query),
-    seeded at the smallest supplier key — the BFS/shortest-path member
-    of the graph family. Engine side: frontier-expansion rounds (each
+    seeded at the max-degree node (ties broken toward the smaller
+    key) — the BFS/shortest-path member of the graph family. Engine side: frontier-expansion rounds (each
     one equi-join + min-aggregate, the CC machinery's shape) up to
     ``BFS_MAX_HOPS``; the toy-scale oracle is DuckDB's recursive CTE
     walk with the same cap. At 100 TB the frontier form is the only
-    viable one — the CTE walk enumerates paths, not nodes."""
+    viable one — the CTE walk enumerates paths, not nodes. Hub parts
+    above ``HUB_PART_MAX_DEGREE`` are dropped before the pair join
+    (_cap_part_degree) so the projection fanout is bounded per key."""
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
+    ps = _cap_part_degree(li.select("l_partkey", "l_suppkey").distinct())
     s1 = ps.select("l_partkey", F.col("l_suppkey").alias("sa"))
     s2 = ps.select("l_partkey", F.col("l_suppkey").alias("sb"))
     edges = (
@@ -9941,10 +10001,11 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_graph_bfs() -> str:
     return f"""WITH RECURSIVE
 ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+psc AS ({SQL_PS_CAPPED}),
 edges AS (
   SELECT sa, sb FROM (
     SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS n_shared
-    FROM ps a JOIN ps b
+    FROM psc a JOIN psc b
       ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
     GROUP BY 1, 2
     ORDER BY n_shared DESC, sa ASC, sb ASC LIMIT {TRIANGLE_TOP_EDGES})),
@@ -10484,6 +10545,35 @@ FROM agg"""
 
 TRIANGLE_TOP_EDGES = 300
 
+# df-cap on the bipartite projection: parts with more than this many
+# distinct suppliers are dropped before the supplier-pair self-join —
+# the same stopword discipline the n-gram inverted index applies
+# (operators/dedup.py). A hub part with degree d yields d²/2 pairs
+# from ONE join key; the cap bounds that to CAP²/2 per key at any
+# scale. At the test SFs the max degree is 52 (sf0.1), so a 256 cap
+# excludes nothing and the oracle hashes are insensitive to it.
+HUB_PART_MAX_DEGREE = 256
+
+
+def _cap_part_degree(ps: DataFrame, cap: int = HUB_PART_MAX_DEGREE) -> DataFrame:
+    """Drop hub parts (degree > cap) from the (l_partkey, l_suppkey)
+    projection. One window count over l_partkey — the same shuffle key
+    the downstream pair self-join uses, so the exchange is reused and
+    the cap costs no extra shuffle."""
+    w = Window.partitionBy("l_partkey")
+    return (
+        ps.withColumn("part_deg", F.count(F.lit(1)).over(w))
+        .filter(F.col("part_deg") <= cap)
+        .drop("part_deg")
+    )
+
+
+# oracle twin of _cap_part_degree — splice after a `ps` CTE
+SQL_PS_CAPPED = f"""
+  SELECT l_partkey, l_suppkey FROM (
+    SELECT *, count(*) OVER (PARTITION BY l_partkey) AS part_deg FROM ps)
+  WHERE part_deg <= {HUB_PART_MAX_DEGREE}"""
+
 
 def q_graph_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting on the supplier co-purchase graph — the
@@ -10497,10 +10587,11 @@ def q_graph_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once, the standard dedup-free formulation; the third edge
     closes as a LEFT SEMI probe); output is per-supplier triangle
     membership counts. At corpus scale the projection fanout is
-    bounded by the usual df-cap on hub parts, and the top-K cut keeps
-    the triangle join edge-bounded."""
+    bounded by the ``HUB_PART_MAX_DEGREE`` df-cap (applied BEFORE the
+    pair join — see _cap_part_degree), and the top-K cut keeps the
+    triangle join edge-bounded."""
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
+    ps = _cap_part_degree(li.select("l_partkey", "l_suppkey").distinct())
     s1 = ps.select("l_partkey", F.col("l_suppkey").alias("sa"))
     s2 = ps.select("l_partkey", F.col("l_suppkey").alias("sb"))
     edges = (
@@ -10536,10 +10627,11 @@ def q_graph_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_GRAPH_TRIANGLES = f"""
 WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+psc AS ({SQL_PS_CAPPED}),
 edges AS (
   SELECT sa, sb FROM (
     SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS n_shared
-    FROM ps a JOIN ps b
+    FROM psc a JOIN psc b
       ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
     GROUP BY 1, 2
     ORDER BY n_shared DESC, sa ASC, sb ASC LIMIT {TRIANGLE_TOP_EDGES})),

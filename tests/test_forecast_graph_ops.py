@@ -360,3 +360,38 @@ def test_stream_hll_tracks_exact_within_hll_error(spark, sf_dir):
         assert abs(r["hll_est"] - r["n_exact"]) <= max(
             6, 0.52 * r["n_exact"]
         )
+
+
+def test_holt_degenerate_series_emits_no_row(spark):
+    # n<2: the trend seed needs two observations; the operator emits
+    # no fit row, matching the recursive-CTE oracle (seed joins rn=2)
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (2, 0, 5.0), (2, 1, 6.0)],
+        ["symbol", "time_idx", "close"],
+    )
+    rows = {r["symbol"]: r for r in holt_linear(df, "close").collect()}
+    assert 1 not in rows  # 1-point series dropped
+    assert rows[2]["n_fit"] == 2
+
+
+def test_cap_part_degree_bounds_pair_fanout(spark):
+    # a hub part with degree > cap is dropped entirely; normal parts
+    # survive untouched — so the pair self-join's per-key fanout is
+    # bounded by cap² regardless of skew (the graph family's df-cap)
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        _cap_part_degree,
+    )
+
+    rows = [(1, s) for s in range(10)]          # hub part, degree 10
+    rows += [(2, 100), (2, 101), (3, 200)]      # normal parts
+    ps = spark.createDataFrame(rows, ["l_partkey", "l_suppkey"])
+    capped = _cap_part_degree(ps, cap=4)
+    keys = {r["l_partkey"] for r in capped.collect()}
+    assert keys == {2, 3}  # hub gone, others intact
+    assert capped.count() == 3
+    # fanout bound: the worst surviving key pairs at most cap²/2 rows
+    s1 = capped.select("l_partkey", F.col("l_suppkey").alias("sa"))
+    s2 = capped.select("l_partkey", F.col("l_suppkey").alias("sb"))
+    pairs = s1.join(s2, "l_partkey").filter(F.col("sa") < F.col("sb"))
+    per_key = pairs.groupBy("l_partkey").count().collect()
+    assert all(r["count"] <= 4 * 4 // 2 for r in per_key)

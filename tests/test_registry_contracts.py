@@ -1,0 +1,34 @@
+"""Registry-wide output-shape contracts.
+
+The driver's correctness gate canonicalizes every query's result
+through pandas ``sort_values`` — which crashes with ``unhashable
+type: 'list'`` on any Array/Map/Struct-typed output column (the
+emb_pq_codes red row in CORRECTNESS_r06). This contract makes that
+failure class structurally impossible: every ``queries()`` entry must
+emit only atomic top-level column types.
+
+Building the DataFrame is enough — schemas resolve at plan time, so
+lazy queries cost analysis only.  Queries that execute eagerly inside
+their builder (streaming drains, iterative driver loops) run at
+sf0.001, which keeps the whole sweep fast.
+"""
+
+import pytest
+
+from big_data_stock_price_forecast_spark.plans.registry import all_queries
+
+NESTED = ("array", "map", "struct")
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_output_schema_is_atomic(spark, sf_dir, name):
+    df = all_queries()[name](spark, sf_dir)
+    nested = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.dataType.typeName() in NESTED
+    ]
+    assert not nested, (
+        f"{name} emits nested output column(s) {nested}; the driver "
+        f"gate cannot canonicalize them — serialize to atomic columns"
+    )

@@ -90,6 +90,23 @@ def main():
             continue
         try:
             sdf = fn(spark, SF_DIR)
+            # the driver's pandas canonicalizer crashes on non-atomic
+            # output columns (sort_values → unhashable 'list'); the
+            # old tuple-izing canon() masked that (emb_pq_codes, r6).
+            # Mirror the driver: reject nested top-level types.
+            nested = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if nested:
+                failures.append(name)
+                print(
+                    f"FAIL  {name}: nested output column(s) {nested} — "
+                    f"the driver gate cannot canonicalize Array/Map/"
+                    f"Struct; serialize to an atomic column"
+                )
+                continue
             scols = sorted(sdf.columns)
             srows = sorted(
                 (tuple(canon(r[c]) for c in scols) for r in sdf.collect()),
