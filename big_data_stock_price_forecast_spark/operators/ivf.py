@@ -8,7 +8,9 @@ Structure of a classical IVF index, expressed relationally:
    vectors — a deterministic, already-meaningful partitioning of the
    corpus; a KMeans fit would slot in identically),
 2. **lists**: every vector assigned to its nearest centroid
-   (broadcast the tiny centroid table, fold-based L2, argmin),
+   (broadcast the tiny centroid table, flat fixed-dim codegen L2 —
+   bitwise-equal to the sequential fold, see functions/distance.py
+   ``dist_l2_fixed`` — argmin),
 3. **probe**: each query ranks centroids, keeps ``nprobe`` lists,
 4. **rerank**: exact distance only against vectors in probed lists.
 
@@ -24,7 +26,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.distance import dist_l2
+from ..functions.distance import dist_l2_fixed
+
+EMB_DIM = 64  # embeddings table dimension; flat codegen distances
 
 
 def label_centroids(emb: DataFrame, dim: int = 64) -> DataFrame:
@@ -60,7 +64,9 @@ def assign_lists(emb: DataFrame, centroids: DataFrame) -> DataFrame:
                 )
             )
         )
-        .withColumn("__cdist", dist_l2(F.col("v"), F.col("cvec")))
+        .withColumn(
+            "__cdist", dist_l2_fixed(F.col("v"), F.col("cvec"), EMB_DIM)
+        )
         .groupBy("vec_id")
         .agg(
             F.first("v").alias("v"),
@@ -113,7 +119,9 @@ def ivf_probe_layout(
                 centroids.select(F.col("label").alias("label_c"), "cvec")
             )
         )
-        .withColumn("__cdist", dist_l2(F.col("qv"), F.col("cvec")))
+        .withColumn(
+            "__cdist", dist_l2_fixed(F.col("qv"), F.col("cvec"), EMB_DIM)
+        )
         .withColumn("__rk", F.row_number().over(wq))
         .filter(F.col("__rk") <= nprobe)
         .select("q_id", "qv", F.col("label_c").alias("list_id"))
@@ -125,7 +133,7 @@ def ivf_probe_layout(
     return (
         lists.join(F.broadcast(probes), "list_id")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("dist", dist_l2(F.col("v"), F.col("qv")))
+        .withColumn("dist", dist_l2_fixed(F.col("v"), F.col("qv"), EMB_DIM))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "rank", "dist", "list_id")
@@ -158,7 +166,9 @@ def ivf_ann_topk(
                 centroids.select(F.col("label").alias("label_c"), "cvec")
             )
         )
-        .withColumn("__cdist", dist_l2(F.col("qv"), F.col("cvec")))
+        .withColumn(
+            "__cdist", dist_l2_fixed(F.col("qv"), F.col("cvec"), EMB_DIM)
+        )
         .withColumn("__rk", F.row_number().over(wq))
         .filter(F.col("__rk") <= nprobe)
         .select("q_id", "qv", F.col("label_c").alias("list_id"))
@@ -170,7 +180,7 @@ def ivf_ann_topk(
     return (
         assigned.join(F.broadcast(probes), "list_id")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("dist", dist_l2(F.col("v"), F.col("qv")))
+        .withColumn("dist", dist_l2_fixed(F.col("v"), F.col("qv"), EMB_DIM))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "rank", "dist", "list_id")
@@ -208,7 +218,7 @@ def list_representatives(
             centroids.select(F.col("label").alias("list_id"), "cvec")
         ),
         "list_id",
-    ).withColumn("__d", dist_l2(F.col("v"), F.col("cvec")))
+    ).withColumn("__d", dist_l2_fixed(F.col("v"), F.col("cvec"), EMB_DIM))
     best = F.min(
         F.struct(F.col("__d").alias("d"), F.col("vec_id").alias("vid"))
     )

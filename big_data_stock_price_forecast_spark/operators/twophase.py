@@ -1,0 +1,102 @@
+"""Two-phase (bucketed) global-order prefix aggregates.
+
+``Window.orderBy(...)`` with no ``partitionBy`` collapses the whole
+frame into ONE task — the classic global-sort straggler. When the
+prefix aggregate's ordering key is a value (not an arbitrary rank),
+the standard distributed form is range-partitioned two-phase:
+
+1. bucket every row by a MONOTONIC function of the leading order key
+   (e.g. ``floor(log2(x))`` — bucket count bounded by the value
+   range, not the row count),
+2. compute the prefix aggregate WITHIN each bucket in parallel
+   (``Window.partitionBy(bucket)`` — many tasks),
+3. aggregate one total per bucket, run the global prefix over the
+   bucket-count-sized frame (a window over ≤~2k rows — driver-safe),
+4. join the prior-bucket prefix back (broadcast — tiny) and combine.
+
+The result is bitwise-identical to the single-task global window
+(same total ordering — equal keys land in the same bucket, so the
+within-bucket tie-break is the global tie-break), which is why the
+DuckDB oracles keep the plain global-window formulation.
+
+Used by the registry's part_skyline / lineitem_abc_analysis /
+events_gini plans (the round-6 verdict's "single-task global sort"
+scale holes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_BUCKET = "__tp_bucket"
+_LOCAL = "__tp_local"
+_PRIOR = "__tp_prior"
+_BTOTAL = "__tp_btotal"
+
+
+def log2_bucket(col: Column) -> Column:
+    """Monotonic non-decreasing bucket id for positive-ish values:
+    floor(log2(max(x, 1))). Values ≤ 1 share bucket 0 (monotonicity
+    holds — they are all ≤ every bucket-1 value). Bucket count is
+    bounded by the VALUE range (≤ ~2100 for doubles), independent of
+    row count."""
+    return F.floor(F.log2(F.greatest(col.cast("double"), F.lit(1.0))))
+
+
+def prefix_agg(
+    df: DataFrame,
+    value: Column,
+    bucket: Column,
+    order_by: list[Column],
+    *,
+    agg: str = "sum",
+    bucket_asc: bool = True,
+    strict: bool = True,
+    out_col: str = "prefix",
+) -> DataFrame:
+    """Add ``out_col`` = AGG(value) over all rows before the current
+    one in the global ordering, computed two-phase (no single-task
+    global sort).
+
+    ``bucket`` MUST be monotonic (non-decreasing if ``bucket_asc``,
+    non-increasing otherwise) in the global ordering's leading key —
+    equal leading keys must share a bucket so the within-bucket
+    tie-break IS the global tie-break. ``strict`` excludes the current
+    row (rowsBetween(unboundedPreceding, -1)); an empty frame yields
+    NULL, matching the plain global window.
+
+    agg ∈ {"sum", "max", "count"}; for "count" the prefix is the
+    number of earlier rows (value ignored), i.e. rank−1 when strict.
+    """
+    aggf = {"sum": F.sum, "max": F.max, "count": F.count}[agg]
+    v = F.lit(1) if agg == "count" else value
+    df2 = df.withColumn(_BUCKET, bucket)
+    end = -1 if strict else 0
+    wloc = (
+        Window.partitionBy(_BUCKET)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    df2 = df2.withColumn(_LOCAL, aggf(v).over(wloc))
+    btotals = df2.groupBy(_BUCKET).agg(aggf(v).alias(_BTOTAL))
+    border = F.col(_BUCKET).asc() if bucket_asc else F.col(_BUCKET).desc()
+    wb = Window.orderBy(border).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prior = btotals.select(
+        _BUCKET, F.sum(_BTOTAL).over(wb).alias(_PRIOR)
+        if agg in ("sum", "count")
+        else F.max(_BTOTAL).over(wb).alias(_PRIOR),
+    )
+    out = df2.join(F.broadcast(prior), _BUCKET)
+    if agg == "max":
+        # greatest() skips NULLs; NULL only when both sides are NULL —
+        # exactly the empty-prefix-frame semantics of the plain window
+        combined = F.greatest(F.col(_LOCAL), F.col(_PRIOR))
+    else:
+        combined = F.when(
+            F.col(_LOCAL).isNull() & F.col(_PRIOR).isNull(), F.lit(None)
+        ).otherwise(
+            F.coalesce(F.col(_LOCAL), F.lit(0)) + F.coalesce(F.col(_PRIOR), F.lit(0))
+        )
+    return out.withColumn(out_col, combined).drop(_BUCKET, _LOCAL, _PRIOR)

@@ -249,8 +249,10 @@ def test_pq_codes_shape_and_error_bounds(spark, sf_dir):
     emb = {r["vec_id"]: r["v"] for r in _emb(spark, sf_dir).collect()}
     assert set(out) == set(emb)
     for vid, r in out.items():
-        assert len(r["codes"]) == PQ_M
-        assert all(isinstance(c, int) for c in r["codes"])
+        # codes is a '-'-joined string (atomic output-schema contract)
+        parts = r["codes"].split("-")
+        assert len(parts) == PQ_M
+        assert all(p.isdigit() for p in parts)
         assert r["recon_err"] >= 0.0
         # quantizing to the nearest codeword can never be worse than
         # the zero vector codeword bound: ||v - c|| <= ||v|| + max||c||

@@ -4,8 +4,10 @@ import math
 from collections import defaultdict
 
 from big_data_stock_price_forecast_spark.plans.registry import (
+    MMR_CAND_N,
     MMR_K,
     MMR_LAMBDA,
+    MMR_NPROBE,
     RFM_BUCKETS,
     _emb,
     q_emb_mmr_rerank,
@@ -50,7 +52,9 @@ def test_mmr_replays_python_greedy(spark, sf_dir):
         key=lambda r: (r["q_id"], r["rank"]),
     )
     assert out
-    vecs = {r["vec_id"]: r["v"] for r in _emb(spark, sf_dir).collect()}
+    emb_rows = _emb(spark, sf_dir).collect()
+    vecs = {r["vec_id"]: r["v"] for r in emb_rows}
+    labels = {r["vec_id"]: r["label"] for r in emb_rows}
 
     def g(v):
         return math.floor(v * 1e6 + 0.5) / 1e6
@@ -63,13 +67,39 @@ def test_mmr_replays_python_greedy(spark, sf_dir):
         nb = math.sqrt(sum(y * y for y in b))
         return dot / (na * nb)
 
+    def l2(a, b):
+        # sequential left fold then sqrt — dist_l2's numeric contract
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return math.sqrt(s)
+
+    # replay the IVF candidate pool: per-label rounded-mean centroids,
+    # nearest-centroid assignment, per-query nprobe lists, top-N simq
+    dim = len(next(iter(vecs.values())))
+    cents = {}
+    for lbl in sorted(set(labels.values())):
+        members = [vecs[i] for i in vecs if labels[i] == lbl]
+        cents[lbl] = [
+            g(sum(v[d] for v in members) / len(members)) for d in range(dim)
+        ]
+    assign = {
+        i: min(cents, key=lambda c: (l2(vecs[i], cents[c]), c))
+        for i in vecs
+    }
     lam = MMR_LAMBDA
     expect = []
     for q_id in sorted(v for v in vecs if v % 100 == 0):
         qv = vecs[q_id]
-        simq = {
-            d: g(cos(vecs[d], qv)) for d in vecs if d != q_id
-        }
+        probed = sorted(cents, key=lambda c: (l2(qv, cents[c]), c))[
+            :MMR_NPROBE
+        ]
+        pool = [
+            d for d in vecs if d != q_id and assign[d] in probed
+        ]
+        pool_simq = {d: g(cos(vecs[d], qv)) for d in pool}
+        top = sorted(pool, key=lambda d: (-pool_simq[d], d))[:MMR_CAND_N]
+        simq = {d: pool_simq[d] for d in top}
         sel = []
         for rank in range(1, MMR_K + 1):
             best = None

@@ -1,0 +1,211 @@
+"""Contracts for the round-7 operators: embedding decontamination,
+weighted priority sampling, realized volatility, Matryoshka recall,
+DSIR importance weights."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from big_data_stock_price_forecast_spark.plans.registry import (
+    EMB_BENCH_MOD,
+    KNN_K,
+    WSAMPLE_K,
+    q_doc_dsir_importance,
+    q_doc_weighted_sample,
+    q_emb_bench_decontam,
+    q_emb_matryoshka_recall,
+    q_ts_realized_vol,
+)
+
+
+def test_bench_decontam_excludes_benchmark_and_bounds_cos(spark, sf_dir):
+    rows = q_emb_bench_decontam(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["vec_id"] % EMB_BENCH_MOD != 0  # corpus only
+        assert -1.0 - 1e-9 <= r["best_cos"] <= 1.0 + 1e-9
+        assert r["is_contaminated"] == (r["best_cos"] >= 0.8)
+
+
+def test_weighted_sample_is_deterministic_and_k_sized(spark, sf_dir):
+    a = q_doc_weighted_sample(spark, sf_dir).collect()
+    b = q_doc_weighted_sample(spark, sf_dir).collect()
+    assert len(a) == WSAMPLE_K
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    # keys are ln(u)/w with u in (0,1]: never positive
+    assert all(r["skey"] <= 0.0 for r in a)
+
+
+def test_weighted_sample_key_matches_python_formula(spark, sf_dir):
+    import hashlib
+
+    rows = q_doc_weighted_sample(spark, sf_dir).collect()
+    for r in rows[:5]:
+        h = int(hashlib.md5(f"ws:{r['doc_id']}".encode()).hexdigest()[:15], 16)
+        u = (h % 2**53 + 1) / 9007199254740993.0
+        key = math.floor(math.log(u) / r["n_chars"] * 1e6 + 0.5) / 1e6
+        assert r["skey"] == key + 0.0
+
+
+def test_realized_vol_nonnegative_and_replayable(spark, sf_dir):
+    rows = q_ts_realized_vol(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["rv"] >= 0.0
+        assert r["n_rets"] >= 1
+
+
+def test_matryoshka_recall_bounds(spark, sf_dir):
+    rows = q_emb_matryoshka_recall(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= KNN_K
+        assert abs(r["recall_at_k"] - r["n_overlap"] / KNN_K) < 1e-12
+        assert r["k"] == KNN_K
+
+
+def test_dsir_scores_separate_distinct_vocabularies(spark):
+    # two sources with disjoint vocabularies: target-source docs must
+    # score strictly higher than off-target docs (the resampling
+    # signal DSIR exists to produce)
+    import pandas as pd
+
+    from big_data_stock_price_forecast_spark.plans import registry as R
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "text": [
+                    "alpha beta gamma alpha beta",
+                    "beta alpha alpha gamma gamma",
+                    "gamma alpha beta beta alpha",
+                    "delta epsilon zeta delta zeta",
+                    "zeta delta epsilon epsilon",
+                    "epsilon zeta delta delta",
+                ],
+                "lang": ["en"] * 6,
+                "source": ["src0"] * 3 + ["src1"] * 3,
+                "n_chars": [27, 28, 28, 29, 26, 25],
+            }
+        )
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = {
+            r["doc_id"]: r["dsir_logratio"]
+            for r in R.q_doc_dsir_importance(spark, d).collect()
+        }
+    target = [out[i] for i in range(3)]
+    off = [out[i] for i in range(3, 6)]
+    assert min(target) > max(off)
+
+
+def test_ewma_vol_replays_python_recursion(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        EWMA_VOL_LAMBDA,
+        _filled,
+        q_ts_ewma_vol,
+    )
+
+    out = q_ts_ewma_vol(spark, sf_dir).collect()
+    assert out
+    base = sorted(
+        _filled(spark, sf_dir).collect(),
+        key=lambda r: (r["symbol"], r["time_idx"]),
+    )
+    # replay one symbol bitwise
+    sym = base[0]["symbol"]
+    xs = [r["close"] for r in base if r["symbol"] == sym]
+    a = 1.0 - EWMA_VOL_LAMBDA
+    v = None
+    expect = {}
+    for i in range(1, len(xs)):
+        lr = math.log(xs[i] / xs[i - 1])
+        r2 = math.floor(lr * lr * 1e12 + 0.5) / 1e12
+        v = r2 if v is None else (1.0 - a) * v + a * r2
+        expect[i] = math.floor(math.sqrt(v) * 1e8 + 0.5) / 1e8
+    got = {
+        r["time_idx"]: r["ewma_vol"] for r in out if r["symbol"] == sym
+    }
+    tis = sorted(got)
+    assert len(tis) == len(expect)
+    for k, ti in enumerate(tis, start=1):
+        assert got[ti] == expect[k] + 0.0
+
+
+def test_open_concurrency_is_a_closed_step_function(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_orders_open_concurrency,
+    )
+
+    rows = sorted(
+        q_orders_open_concurrency(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    assert sum(r["delta"] for r in rows) == 0  # every order closes
+    run = 0
+    for r in rows:
+        run += r["delta"]
+        assert r["n_open"] == run
+        assert run >= 0
+    assert rows[-1]["n_open"] == 0
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_ngram_novelty,
+    )
+
+    rows = {r["doc_id"]: r for r in
+            q_doc_ngram_novelty(spark, sf_dir).collect()}
+    assert rows
+    first = min(rows)
+    assert rows[first]["novelty"] == 1.0
+    for r in rows.values():
+        assert 0.0 <= r["novelty"] <= 1.0
+        assert r["n_novel"] <= r["n_shingles"]
+
+
+def test_cohort_ltv_is_monotone_per_cohort(spark, sf_dir):
+    from collections import defaultdict
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_orders_cohort_ltv,
+    )
+
+    rows = q_orders_cohort_ltv(spark, sf_dir).collect()
+    assert rows
+    by_c = defaultdict(list)
+    for r in rows:
+        by_c[r["cohort_month"]].append(r)
+    for c, rs in by_c.items():
+        rs.sort(key=lambda r: r["m"])
+        assert rs[0]["m"] >= 0
+        # cumulative revenue never decreases; ltv tracks it
+        for a, b in zip(rs, rs[1:]):
+            assert b["cum_cents"] >= a["cum_cents"]
+            assert b["ltv_per_customer"] >= a["ltv_per_customer"]
+
+
+def test_ood_flags_respect_the_p95_pick(spark, sf_dir):
+    from collections import defaultdict
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_emb_ood_score,
+    )
+
+    rows = q_emb_ood_score(spark, sf_dir).collect()
+    assert rows
+    by_l = defaultdict(list)
+    for r in rows:
+        by_l[r["list_id"]].append(r)
+    for lst, rs in by_l.items():
+        n_ood = sum(r["is_ood"] for r in rs)
+        # at most 5% of a list sits above its p95 pick
+        assert n_ood <= max(1, int(0.05 * len(rs)) + 1)
+        thr = rs[0]["p95_dist"]
+        assert all(r["p95_dist"] == thr for r in rs)

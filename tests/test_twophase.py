@@ -1,0 +1,73 @@
+"""Contracts for the two-phase bucketed prefix aggregate — it must be
+bitwise-identical to the single-task global window it replaces, across
+agg kinds, directions, strictness, and bucket-boundary ties."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from big_data_stock_price_forecast_spark.operators.twophase import (
+    log2_bucket,
+    prefix_agg,
+)
+
+
+def _frame(spark):
+    # values straddling log2 bucket boundaries (1, 2, 4, 8...) with
+    # duplicates ON the boundary so bucket-edge ties are exercised
+    vals = [0.5, 1.0, 1.0, 1.9, 2.0, 2.0, 3.5, 4.0, 7.9, 8.0, 8.0, 100.0]
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["id", "x"]
+    )
+
+
+@pytest.mark.parametrize("agg", ["sum", "max", "count"])
+@pytest.mark.parametrize("strict", [True, False])
+@pytest.mark.parametrize("asc", [True, False])
+def test_prefix_agg_matches_global_window(spark, agg, strict, asc):
+    df = _frame(spark)
+    order = [F.col("x").asc(), F.col("id").asc()] if asc else [
+        F.col("x").desc(), F.col("id").asc()
+    ]
+    got = prefix_agg(
+        df,
+        F.col("x"),
+        log2_bucket(F.col("x")),
+        order,
+        agg=agg,
+        bucket_asc=asc,
+        strict=strict,
+        out_col="p",
+    )
+    end = -1 if strict else 0
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, end)
+    aggf = {"sum": F.sum, "max": F.max, "count": F.count}[agg]
+    v = F.lit(1) if agg == "count" else F.col("x")
+    want = df.withColumn("p", aggf(v).over(w))
+    g = {r["id"]: r["p"] for r in got.collect()}
+    e = {r["id"]: r["p"] for r in want.collect()}
+    assert g == e, f"agg={agg} strict={strict} asc={asc}: {g} != {e}"
+
+
+def test_prefix_agg_has_no_unpartitioned_row_window(spark):
+    # the scale contract: the plan's only unpartitioned window runs
+    # over the bucket-total frame (bucket-count-sized), never over the
+    # row frame — assert the row-frame window carries a partition key
+    df = _frame(spark)
+    out = prefix_agg(
+        df,
+        F.col("x"),
+        log2_bucket(F.col("x")),
+        [F.col("x").asc(), F.col("id").asc()],
+        agg="max",
+        out_col="p",
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    windows = re.findall(r"Window \[.*?\]", plan)
+    # exactly one window may be unpartitioned — the bucket-level one,
+    # identifiable by its input being an Aggregate over the bucket col
+    unpart = [w for w in windows if "windowspecdefinition(" in w
+              and "__tp_bucket" not in w.split("windowspecdefinition")[1][:200]]
+    assert not unpart, f"row-frame window lost its partition key: {unpart}"
