@@ -25,9 +25,6 @@ from pyspark.sql import functions as F
 
 from ..functions.calendar import ANCHOR_EPOCH, add_calendar, add_time_idx, weekday_mon0
 from ..functions.distance import (
-    cos_sim,
-    dist_l1,
-    dist_l2,
     dist_l2sq,
     weighted_dist,
 )
@@ -732,22 +729,48 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dist_l2_fixed64(a, b):
+    """Flat-codegen 64-dim L2 (bitwise-equal to the dist_l2 fold) for
+    the embeddings table's pair joins."""
+    from ..functions.distance import dist_l2_fixed
+
+    return dist_l2_fixed(a, b, 64)
+
+
 def _knn_query(spark, sf_dir, metric: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
+    # flat fixed-dim expressions (bitwise-equal to the sequential
+    # folds, functions/distance.py) so the corpus x queries pair join
+    # stays inside whole-stage codegen — the folds are interpreted
+    # per row, the dominant cost of wide pair joins at scale
+    from ..functions.distance import (
+        dist_l1_fixed,
+        dist_l2_fixed,
+        dot_fixed,
+        l2_norm_fixed,
+    )
+
+    def cos_fixed(a, b, dim):
+        return dot_fixed(a, b, dim) / (
+            l2_norm_fixed(a, dim) * l2_norm_fixed(b, dim)
+        )
+
     dists = {
-        "cosine": lambda: cos_sim(F.col("v"), F.col("qv")),
-        "l2": lambda: dist_l2(F.col("v"), F.col("qv")),
-        "l1": lambda: dist_l1(F.col("v"), F.col("qv")),
+        "cosine": lambda: cos_fixed(F.col("v"), F.col("qv"), 64),
+        "l2": lambda: dist_l2_fixed(F.col("v"), F.col("qv"), 64),
+        "l1": lambda: dist_l1_fixed(F.col("v"), F.col("qv"), 64),
         # the reference's mu/logvar weighting: full weight on the first
         # 32 dims, half on the rest (test.ipynb cell 21 cdist_w_cmp)
         "weighted_l2": lambda: weighted_dist(
-            F.col("v"), F.col("qv"), split=32, dist=dist_l2
+            F.col("v"), F.col("qv"), split=32,
+            dist=lambda a, b: dist_l2_fixed(a, b, 32),
         ),
         "weighted_cosine": lambda: weighted_dist(
-            F.col("v"), F.col("qv"), split=32, dist=cos_sim
+            F.col("v"), F.col("qv"), split=32,
+            dist=lambda a, b: cos_fixed(a, b, 32),
         ),
     }
     dist = dists[metric]()
@@ -4035,7 +4058,9 @@ def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.join(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
-            "q_id", "vec_id", dist_l2(F.col("v"), F.col("qv")).alias("dist")
+            "q_id",
+            "vec_id",
+            dist_l2_fixed64(F.col("v"), F.col("qv")).alias("dist"),
         )
         .withColumn(
             "rn",
@@ -6619,7 +6644,7 @@ def q_emb_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cent1.select(F.col("label").alias("label_c"), "cvec")
             )
         )
-        .withColumn("d", dist_l2(F.col("v"), F.col("cvec")))
+        .withColumn("d", dist_l2_fixed64(F.col("v"), F.col("cvec")))
         .groupBy("vec_id")
         .agg(F.min(F.struct(F.col("d"), F.col("label_c"))).alias("m"))
         .select(
@@ -11236,7 +11261,7 @@ def q_emb_bench_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     any corpus size. Similarities snap to the 1e-6 grid before the
     argmax so the (cos desc, bench_id asc) tie-break is engine-exact.
     """
-    from ..functions.distance import cos_sim
+    from ..functions.distance import dot_fixed, l2_norm_fixed
 
     emb = _emb(spark, sf_dir)
     grid = F.lit(1e6)
@@ -11248,7 +11273,10 @@ def q_emb_bench_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = corpus.crossJoin(F.broadcast(bench)).select(
         "vec_id",
         "bench_id",
-        snap(cos_sim("v", "bv")).alias("cs"),
+        snap(
+            dot_fixed("v", "bv", 64)
+            / (l2_norm_fixed("v", 64) * l2_norm_fixed("bv", 64))
+        ).alias("cs"),
     )
     m = F.max(
         F.struct(
@@ -11394,7 +11422,7 @@ def q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline the k-NN family uses); at corpus scale the truncated
     ranking would ride the IVF index and this card measures what that
     buys."""
-    from ..functions.distance import cos_sim
+    from ..functions.distance import dot_fixed, l2_norm_fixed
 
     emb = _emb(spark, sf_dir)
     grid = F.lit(1e6)
@@ -11408,9 +11436,20 @@ def q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            snap(cos_sim("v", "qv")).alias("cs_full"),
             snap(
-                cos_sim(F.slice("v", 1, MRL_DIM), F.slice("qv", 1, MRL_DIM))
+                dot_fixed("v", "qv", 64)
+                / (l2_norm_fixed("v", 64) * l2_norm_fixed("qv", 64))
+            ).alias("cs_full"),
+            snap(
+                dot_fixed(
+                    F.slice("v", 1, MRL_DIM),
+                    F.slice("qv", 1, MRL_DIM),
+                    MRL_DIM,
+                )
+                / (
+                    l2_norm_fixed(F.slice("v", 1, MRL_DIM), MRL_DIM)
+                    * l2_norm_fixed(F.slice("qv", 1, MRL_DIM), MRL_DIM)
+                )
             ).alias("cs_trunc"),
         )
     )

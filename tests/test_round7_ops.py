@@ -209,3 +209,20 @@ def test_ood_flags_respect_the_p95_pick(spark, sf_dir):
         assert n_ood <= max(1, int(0.05 * len(rs)) + 1)
         thr = rs[0]["p95_dist"]
         assert all(r["p95_dist"] == thr for r in rs)
+
+
+def test_pair_join_distances_stay_in_codegen(spark, sf_dir):
+    # the corpus×queries / corpus×benchmark pair joins must carry FLAT
+    # fixed-dim distance expressions — a single interpreted
+    # higher-order lambda in these plans puts the whole hot path back
+    # on the per-row interpreter (the r6 Arrow-shingler lesson)
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        all_queries,
+    )
+
+    for name in ("knn_topk_metrics", "emb_bench_decontam"):
+        df = all_queries()[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "lambdafunction" not in plan, (
+            f"{name}: interpreted HOF lambda in the pair-join plan"
+        )
