@@ -226,3 +226,33 @@ def test_pair_join_distances_stay_in_codegen(spark, sf_dir):
         assert "lambdafunction" not in plan, (
             f"{name}: interpreted HOF lambda in the pair-join plan"
         )
+
+
+def test_quality_filter_keep_is_conjunction_and_non_degenerate(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_quality_filter,
+    )
+
+    rows = q_doc_quality_filter(spark, sf_dir).collect()
+    assert rows
+    rules = ["rule_wordcount", "rule_mean_tok_len", "rule_punct",
+             "rule_stopwords", "rule_dominance"]
+    for r in rows:
+        assert r["keep"] == all(r[k] for k in rules)
+    keeps = {r["keep"] for r in rows}
+    assert keeps == {True, False}  # thresholds actually bind
+
+
+def test_hard_negatives_margin_and_label_contract(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        _emb,
+        q_emb_hard_negatives,
+    )
+
+    rows = q_emb_hard_negatives(spark, sf_dir).collect()
+    assert rows
+    labels = {r["vec_id"]: r["label"] for r in _emb(spark, sf_dir).collect()}
+    for r in rows:
+        assert labels[r["pos_id"]] == labels[r["q_id"]]
+        assert labels[r["neg_id"]] != labels[r["q_id"]]
+        assert abs(r["margin"] - (r["neg_dist"] - r["pos_dist"])) < 2e-6
