@@ -12261,6 +12261,124 @@ FROM pos p JOIN neg n USING (q_id)"""
 
 
 
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, ``PR_ITERS`` unrolled power iterations)
+    over the capped supplier co-purchase graph — the canonical
+    distributed-graph benchmark beside HITS/triangles/BFS/CC. Each
+    iteration is one equi-join + one keyed aggregate (the CC/BFS
+    shape); the graph is the same ``HUB_PART_MAX_DEGREE``-capped
+    top-K edge cut as the rest of the family. Float discipline: every
+    per-edge contribution pr(u)/deg(u) snaps to the 1e-9 grid and
+    sums in exact DECIMAL(28,9) (summation order cannot perturb it);
+    the damped combine then re-snaps, so both engines walk identical
+    score sequences with no tolerance anywhere. Iterations are
+    unrolled into the one lazy plan — at this depth no checkpoint is
+    needed, and at cluster scale each round reuses the node-key
+    exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = _cap_part_degree(li.select("l_partkey", "l_suppkey").distinct())
+    s1 = ps.select("l_partkey", F.col("l_suppkey").alias("sa"))
+    s2 = ps.select("l_partkey", F.col("l_suppkey").alias("sb"))
+    edges = (
+        s1.join(s2, "l_partkey")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy(
+            F.col("n_shared").desc(), F.col("sa").asc(), F.col("sb").asc()
+        )
+        .limit(TRIANGLE_TOP_EDGES)
+        .select("sa", "sb")
+    )
+    und = edges.select(
+        F.col("sa").alias("u"), F.col("sb").alias("v")
+    ).unionByName(
+        edges.select(F.col("sb").alias("u"), F.col("sa").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
+    snap9 = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    d = PR_DAMPING
+    # pr frame: (u, pr); seed 1/N
+    pr = deg.crossJoin(F.broadcast(n_nodes)).select(
+        "u", snap9(F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            und.join(pr, "u")
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("u"),
+                snap9(F.col("pr") / F.col("deg"))
+                .cast("decimal(28,9)")
+                .alias("c"),
+            )
+        )
+        sums = contrib.groupBy("u").agg(F.sum("c").alias("s"))
+        # dangling-free by construction (every node in und has deg>=1),
+        # but nodes receiving no contribution this round still need a
+        # row: rebuild from deg with a left join
+        pr = (
+            deg.join(sums, "u", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "u",
+                snap9(
+                    (1.0 - d) / F.col("n")
+                    + d * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return pr.select(F.col("u").alias("s_suppkey"), _rne(F.col("pr"), "pagerank", 9))
+
+
+def _sql_graph_pagerank() -> str:
+    d = PR_DAMPING
+    snap9 = lambda e: f"floor(({e}) * 1000000000.0 + 0.5) / 1000000000.0"  # noqa: E731
+    steps = []
+    prev = "pr0"
+    for i in range(1, PR_ITERS + 1):
+        steps.append(f"""c{i} AS (
+  SELECT e.v AS u,
+         CAST({snap9(f'p.pr / dg.deg')} AS DECIMAL(28,9)) AS c
+  FROM und e JOIN {prev} p ON p.u = e.u JOIN deg dg ON dg.u = e.u),
+s{i} AS (SELECT u, sum(c) AS s FROM c{i} GROUP BY 1),
+pr{i} AS (
+  SELECT dg.u,
+         {snap9(
+             f'(1.0 - {d}) / nn.n + {d} * '
+             f'coalesce(CAST(s.s AS DOUBLE), 0.0)'
+         )} AS pr
+  FROM deg dg LEFT JOIN s{i} s ON s.u = dg.u CROSS JOIN nn)""")
+        prev = f"pr{i}"
+    body = ",\n".join(steps)
+    return f"""
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+psc AS ({SQL_PS_CAPPED}),
+edges AS (
+  SELECT sa, sb FROM (
+    SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS n_shared
+    FROM psc a JOIN psc b
+      ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+    ORDER BY n_shared DESC, sa ASC, sb ASC LIMIT {TRIANGLE_TOP_EDGES})),
+und AS (
+  SELECT sa AS u, sb AS v FROM edges
+  UNION ALL SELECT sb, sa FROM edges),
+deg AS (SELECT u, count(*) AS deg FROM und GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM deg),
+pr0 AS (SELECT u, {snap9('1.0 / nn.n')} AS pr FROM deg CROSS JOIN nn),
+{body}
+SELECT u AS s_suppkey,
+       {_sql_rne(f'{prev}.pr', 'pagerank', 9)}
+FROM {prev}"""
+
+
+
 def all_queries() -> dict[str, QueryFn]:
     # ORDER MATTERS: the driver's correctness gate checks entries in
     # registration order (observed cutoff: 50). Round-7 rotation per
@@ -12466,6 +12584,7 @@ def all_queries() -> dict[str, QueryFn]:
         "emb_ood_score": q_emb_ood_score,  # never
         "doc_quality_filter": q_doc_quality_filter,  # never
         "emb_hard_negatives": q_emb_hard_negatives,  # never
+        "graph_pagerank": q_graph_pagerank,  # never
     }
 
 
@@ -12671,4 +12790,5 @@ def _oracle_sql_map() -> dict[str, str]:
         "emb_ood_score": _sql_emb_ood(),
         "doc_quality_filter": _sql_doc_quality_filter(),
         "emb_hard_negatives": _sql_emb_hard_negatives(),
+        "graph_pagerank": _sql_graph_pagerank(),
     }

@@ -256,3 +256,16 @@ def test_hard_negatives_margin_and_label_contract(spark, sf_dir):
         assert labels[r["pos_id"]] == labels[r["q_id"]]
         assert labels[r["neg_id"]] != labels[r["q_id"]]
         assert abs(r["margin"] - (r["neg_dist"] - r["pos_dist"])) < 2e-6
+
+
+def test_pagerank_sums_to_one_and_ranks_degree(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_graph_pagerank,
+    )
+
+    rows = q_graph_pagerank(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["pagerank"] for r in rows)
+    # probability mass is conserved up to the per-round snapping
+    assert abs(total - 1.0) < 1e-4
+    assert all(r["pagerank"] > 0 for r in rows)
