@@ -12379,6 +12379,64 @@ FROM {prev}"""
 
 
 
+def q_doc_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline's per-document verdict — the
+    capstone that composes the dedup tiers (exact ▸ near), the
+    Gopher-rules quality filter, and the embedding OOD screen into
+    ONE keep/drop table with an auditable reason per drop, in fixed
+    precedence: exact_dup > near_dup > quality_fail > ood_embedding >
+    kept. This is the table a pretraining-data pipeline actually
+    ships: every upstream signal stays independently queryable (each
+    is its own oracle-checked query), and this join-of-verdicts costs
+    three doc-grain hash joins on top of them. Embeddings pair 1:1
+    with documents by id in the synthetic corpus (vec_id = doc_id) —
+    the production analog is the doc's stored embedding column."""
+    dd = q_doc_dedup_decisions(spark, sf_dir).select(
+        "doc_id", F.col("reason").alias("dd_reason")
+    )
+    qf = q_doc_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("q_keep")
+    )
+    od = q_emb_ood_score(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "is_ood"
+    )
+    j = dd.join(qf, "doc_id", "left").join(od, "doc_id", "left")
+    reason = (
+        F.when(F.col("dd_reason") != "kept", F.col("dd_reason"))
+        .when(~F.coalesce(F.col("q_keep"), F.lit(True)), "quality_fail")
+        .when(F.coalesce(F.col("is_ood"), F.lit(False)), "ood_embedding")
+        .otherwise("kept")
+    )
+    return j.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "kept").cast("int").alias("is_kept"),
+    )
+
+
+def _sql_doc_curation_decisions() -> str:
+    return f"""
+WITH dd AS (SELECT doc_id, reason AS dd_reason FROM (
+  {_sql_doc_dedup_decisions()})),
+qf AS (SELECT doc_id, keep AS q_keep FROM (
+  {_sql_doc_quality_filter()})),
+od AS (SELECT vec_id AS doc_id, is_ood FROM ({_sql_emb_ood()})),
+j AS (
+  SELECT dd.doc_id, dd.dd_reason, qf.q_keep, od.is_ood
+  FROM dd LEFT JOIN qf USING (doc_id) LEFT JOIN od USING (doc_id)),
+verdict AS (
+  SELECT doc_id,
+         CASE WHEN dd_reason <> 'kept' THEN dd_reason
+              WHEN NOT coalesce(q_keep, TRUE) THEN 'quality_fail'
+              WHEN coalesce(is_ood, FALSE) THEN 'ood_embedding'
+              ELSE 'kept' END AS reason
+  FROM j)
+SELECT doc_id, reason,
+       CAST(reason = 'kept' AS INT) AS is_kept
+FROM verdict"""
+
+
+
 def all_queries() -> dict[str, QueryFn]:
     # ORDER MATTERS: the driver's correctness gate checks entries in
     # registration order (observed cutoff: 50). Round-7 rotation per
@@ -12585,6 +12643,7 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_quality_filter": q_doc_quality_filter,  # never
         "emb_hard_negatives": q_emb_hard_negatives,  # never
         "graph_pagerank": q_graph_pagerank,  # never
+        "doc_curation_decisions": q_doc_curation_decisions,  # never
     }
 
 
@@ -12791,4 +12850,5 @@ def _oracle_sql_map() -> dict[str, str]:
         "doc_quality_filter": _sql_doc_quality_filter(),
         "emb_hard_negatives": _sql_emb_hard_negatives(),
         "graph_pagerank": _sql_graph_pagerank(),
+        "doc_curation_decisions": _sql_doc_curation_decisions(),
     }

@@ -269,3 +269,32 @@ def test_pagerank_sums_to_one_and_ranks_degree(spark, sf_dir):
     # probability mass is conserved up to the per-round snapping
     assert abs(total - 1.0) < 1e-4
     assert all(r["pagerank"] > 0 for r in rows)
+
+
+def test_curation_decisions_precedence_and_partition(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_curation_decisions,
+        q_doc_dedup_decisions,
+        q_doc_quality_filter,
+    )
+
+    rows = {r["doc_id"]: r for r in
+            q_doc_curation_decisions(spark, sf_dir).collect()}
+    assert rows
+    allowed = {"exact_dup", "near_dup", "quality_fail",
+               "ood_embedding", "kept"}
+    assert {r["reason"] for r in rows.values()} <= allowed
+    # dedup verdicts dominate: any doc the dedup table drops is
+    # dropped here with the same reason
+    dd = {r["doc_id"]: r["reason"] for r in
+          q_doc_dedup_decisions(spark, sf_dir).collect()}
+    for d, reason in dd.items():
+        if reason != "kept":
+            assert rows[d]["reason"] == reason
+    # quality failures surface only for dedup-kept docs
+    qf = {r["doc_id"]: r["keep"] for r in
+          q_doc_quality_filter(spark, sf_dir).collect()}
+    for d, r in rows.items():
+        if r["reason"] == "quality_fail":
+            assert dd[d] == "kept" and qf[d] is False
+        assert r["is_kept"] == (1 if r["reason"] == "kept" else 0)
