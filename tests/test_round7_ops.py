@@ -315,3 +315,64 @@ def test_ivfpq_candidates_come_from_probed_lists(spark, sf_dir):
         assert r["adc_dist"] >= 0.0 and r["l2_dist"] >= 0.0
         # sane approximation: ADC within 3x of exact at toy scale
         assert r["adc_dist"] < 3 * r["l2_dist"] + 1.0
+
+
+def test_hurst_in_range_and_random_walk_near_half(spark):
+    # a hash-driven pseudo-random walk must land near H = 0.5; a
+    # strongly trending series must land clearly above it
+    from big_data_stock_price_forecast_spark.plans import registry as R
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    n = 1024
+    walk = np.cumsum(rng.choice([-1.0, 1.0], size=n) * 0.01) + 50
+    # persistent series: AR(1) increments (phi=0.9) — R/S analysis
+    # works on INCREMENTS, so persistence must live in the increments
+    # themselves (a deterministic linear trend's increments are
+    # MA(1)-anti-persistent after differencing, H < 0.5 — the
+    # textbook subtlety, not a bug)
+    eps = rng.randn(n) * 0.01
+    inc = np.zeros(n)
+    for i in range(1, n):
+        inc[i] = 0.9 * inc[i - 1] + eps[i]
+    persistent = 50 + np.cumsum(inc)
+    frames = []
+    for sym, xs in ((1, walk), (2, persistent)):
+        ts = pd.date_range("2024-01-01", periods=n, freq="6h")
+        frames.append(pd.DataFrame({
+            "event_id": range(len(frames) * n, len(frames) * n + n),
+            "ts": ts,
+            "user_id": sym,
+            "event_type": "tick",
+            "value": xs,
+            "props": "{}",
+        }))
+    ev = spark.createDataFrame(pd.concat(frames))
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        out = {r["symbol"]: r["hurst"]
+               for r in R.q_ts_hurst(spark, d).collect()}
+    assert 0.3 < out[1] < 0.75          # random walk ~ 0.5
+    assert out[2] > out[1]              # trend is more persistent
+    assert out[2] > 0.8
+
+
+def test_pinball_median_is_half_mae_consistent(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_pinball_loss,
+    )
+
+    rows = q_ts_pinball_loss(spark, sf_dir).collect()
+    assert rows
+    by_sym = {}
+    for r in rows:
+        by_sym.setdefault(r["symbol"], {})[r["q"]] = r
+    for sym, d in by_sym.items():
+        assert set(d) == {0.1, 0.5, 0.9}
+        # quantile forecasts are monotone in q
+        assert d[0.1]["qhat"] <= d[0.5]["qhat"] <= d[0.9]["qhat"]
+        for r in d.values():
+            assert r["pinball"] >= 0.0
