@@ -376,3 +376,31 @@ def test_pinball_median_is_half_mae_consistent(spark, sf_dir):
         assert d[0.1]["qhat"] <= d[0.5]["qhat"] <= d[0.9]["qhat"]
         for r in d.values():
             assert r["pinball"] >= 0.0
+
+
+def test_split_payments_only_multi_order_days(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_orders_split_payments,
+    )
+
+    rows = q_orders_split_payments(spark, sf_dir).collect()
+    assert rows  # non-degenerate at sf0.001+
+    for r in rows:
+        assert r["n_orders"] >= 2
+        assert r["max_single_cents"] <= r["total_cents"]
+        assert 0.0 < r["split_ratio"] < 1.0
+
+
+def test_cluster_purity_bounds_and_reconciliation(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        _emb,
+        q_emb_cluster_purity,
+    )
+
+    rows = q_emb_cluster_purity(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_members"] for r in rows)
+    assert total == _emb(spark, sf_dir).count()
+    for r in rows:
+        assert 0.0 < r["purity"] <= 1.0
+        assert r["n_majority"] <= r["n_members"]
