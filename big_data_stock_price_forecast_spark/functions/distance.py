@@ -142,3 +142,48 @@ def metric_expr_fixed(
     if metric not in fns:
         raise ValueError(f"metric must be one of {sorted(fns)}")
     return fns[metric](), METRICS_ORDER_DESC[metric]
+
+
+def dot_fixed_range(
+    a: Column | str, b: Column | str, start: int, end: int
+) -> Column:
+    """Flat dot product over elements ``start..end`` (1-based,
+    inclusive) of the ORIGINAL arrays — the slice-free form of
+    ``dot_fixed(slice(a, start, n), ...)``. ``element_at(slice(...))``
+    re-materializes the slice per element (O(dim²) per row, the
+    measured 2× regression in the 5-metric k-NN union); indexing with
+    an offset is the same doubles in the same fold order at O(dim)."""
+    a, b = _to_col(a), _to_col(b)
+    out = F.element_at(a, start) * F.element_at(b, start)
+    for i in range(start + 1, end + 1):
+        out = out + F.element_at(a, i) * F.element_at(b, i)
+    return out
+
+
+def l2_norm_fixed_range(a: Column | str, start: int, end: int) -> Column:
+    a = _to_col(a)
+    out = F.element_at(a, start) * F.element_at(a, start)
+    for i in range(start + 1, end + 1):
+        out = out + F.element_at(a, i) * F.element_at(a, i)
+    return F.sqrt(out)
+
+
+def dist_l2_fixed_range(
+    a: Column | str, b: Column | str, start: int, end: int
+) -> Column:
+    a, b = _to_col(a), _to_col(b)
+    d = F.element_at(a, start) - F.element_at(b, start)
+    out = d * d
+    for i in range(start + 1, end + 1):
+        d = F.element_at(a, i) - F.element_at(b, i)
+        out = out + d * d
+    return F.sqrt(out)
+
+
+def cos_fixed_range(
+    a: Column | str, b: Column | str, start: int, end: int
+) -> Column:
+    return dot_fixed_range(a, b, start, end) / (
+        l2_norm_fixed_range(a, start, end)
+        * l2_norm_fixed_range(b, start, end)
+    )

@@ -746,31 +746,29 @@ def _knn_query(spark, sf_dir, metric: str) -> DataFrame:
     # folds, functions/distance.py) so the corpus x queries pair join
     # stays inside whole-stage codegen — the folds are interpreted
     # per row, the dominant cost of wide pair joins at scale
-    from ..functions.distance import (
-        dist_l1_fixed,
-        dist_l2_fixed,
-        dot_fixed,
-        l2_norm_fixed,
-    )
+    # the 5-metric union keeps the SEQUENTIAL-FOLD distance forms on
+    # purpose: five 64-dim flat expressions in one query quintuple the
+    # whole-stage-codegen compile cost, which dominates this
+    # brute-force BASELINE at every measured scale (A/B at sf0.1:
+    # fold union 2.5s vs flat union 5.4s warm, while a SINGLE flat
+    # expression beats its fold 0.4s vs 0.65s — flat stays in the
+    # one-expression hot paths: IVF, decontam, matryoshka, hard
+    # negatives). The scale path for k-NN is the IVF/LSH family, not
+    # this union.
+    from ..functions.distance import cos_sim, dist_l1, dist_l2
 
-    def cos_fixed(a, b, dim):
-        return dot_fixed(a, b, dim) / (
-            l2_norm_fixed(a, dim) * l2_norm_fixed(b, dim)
-        )
-
+    v, qv = F.col("v"), F.col("qv")
     dists = {
-        "cosine": lambda: cos_fixed(F.col("v"), F.col("qv"), 64),
-        "l2": lambda: dist_l2_fixed(F.col("v"), F.col("qv"), 64),
-        "l1": lambda: dist_l1_fixed(F.col("v"), F.col("qv"), 64),
+        "cosine": lambda: cos_sim(v, qv),
+        "l2": lambda: dist_l2(v, qv),
+        "l1": lambda: dist_l1(v, qv),
         # the reference's mu/logvar weighting: full weight on the first
         # 32 dims, half on the rest (test.ipynb cell 21 cdist_w_cmp)
         "weighted_l2": lambda: weighted_dist(
-            F.col("v"), F.col("qv"), split=32,
-            dist=lambda a, b: dist_l2_fixed(a, b, 32),
+            v, qv, split=32, dist=dist_l2
         ),
         "weighted_cosine": lambda: weighted_dist(
-            F.col("v"), F.col("qv"), split=32,
-            dist=lambda a, b: cos_fixed(a, b, 32),
+            v, qv, split=32, dist=cos_sim
         ),
     }
     dist = dists[metric]()
@@ -11422,7 +11420,11 @@ def q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline the k-NN family uses); at corpus scale the truncated
     ranking would ride the IVF index and this card measures what that
     buys."""
-    from ..functions.distance import dot_fixed, l2_norm_fixed
+    from ..functions.distance import (
+        cos_fixed_range,
+        dot_fixed,
+        l2_norm_fixed,
+    )
 
     emb = _emb(spark, sf_dir)
     grid = F.lit(1e6)
@@ -11440,17 +11442,11 @@ def q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dot_fixed("v", "qv", 64)
                 / (l2_norm_fixed("v", 64) * l2_norm_fixed("qv", 64))
             ).alias("cs_full"),
-            snap(
-                dot_fixed(
-                    F.slice("v", 1, MRL_DIM),
-                    F.slice("qv", 1, MRL_DIM),
-                    MRL_DIM,
-                )
-                / (
-                    l2_norm_fixed(F.slice("v", 1, MRL_DIM), MRL_DIM)
-                    * l2_norm_fixed(F.slice("qv", 1, MRL_DIM), MRL_DIM)
-                )
-            ).alias("cs_trunc"),
+            # range-offset form, not element_at(slice(...)) — the
+            # slice would re-materialize per element (O(dim²)/row)
+            snap(cos_fixed_range("v", "qv", 1, MRL_DIM)).alias(
+                "cs_trunc"
+            ),
         )
     )
     wf = Window.partitionBy("q_id").orderBy(
@@ -12294,6 +12290,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TRIANGLE_TOP_EDGES)
         .select("sa", "sb")
     )
+    # materialize the (top-K, tiny) edge list once: the unrolled
+    # rounds reference it 2x each, and without the checkpoint every
+    # reference replays the full bipartite projection + top-K cut
+    edges = edges.coalesce(1).localCheckpoint(eager=True)
     und = edges.select(
         F.col("sa").alias("u"), F.col("sb").alias("v")
     ).unionByName(
@@ -12627,7 +12627,11 @@ def q_ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
         "time_idx",
         snap(F.col("close") - F.lag("close", 1).over(w)).alias("x"),
     ).filter(F.col("x").isNotNull())
-    dx = dx.withColumn("rn", F.row_number().over(w) - 1)
+    # materialize the delta frame once: each of the 4 block sizes
+    # replays the resample→gap-fill→lag lineage otherwise
+    dx = dx.withColumn("rn", F.row_number().over(w) - 1).localCheckpoint(
+        eager=True
+    )
     per_size = []
     for n in HURST_SIZES:
         blk = dx.select(
