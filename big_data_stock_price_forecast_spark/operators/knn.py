@@ -6,8 +6,9 @@ Reference: brute-force ``torch.topk(torch.cdist(train_emb, q), k)``
 Physical strategy:
 - ``knn_bruteforce`` — exact. Broadcast the (small) query set against
   the (large) vector store: a broadcast nested-loop join with the
-  distance evaluated in codegen, then per-query top-k via
-  ``row_number``. Spark ≥3.5's ``InferWindowGroupLimit`` pushes the
+  distance as a sequential-fold expression (see
+  plans/registry.py _knn_query for the measured fold-vs-flat-codegen
+  trade), then per-query top-k via ``row_number``. Spark ≥3.5's ``InferWindowGroupLimit`` pushes the
   rank filter into the sort, so each partition keeps only k candidates
   per query (partial top-k map-side) — no global sort of N·Q rows.
   Right side stays partitioned: scales linearly in vectors × queries
