@@ -196,3 +196,64 @@ def test_sessionize_invariants(offsets):
     for t, i in zip(ts, ids):
         by_id.setdefault(i, []).append(t)
     assert [by_id[k] for k in sorted(by_id)] == sessions
+
+
+def _events_from_prices(spark, prices_by_sym):
+    import pandas as pd
+
+    frames = []
+    eid = 0
+    for sym, xs in prices_by_sym.items():
+        ts = pd.date_range("2024-01-01", periods=len(xs), freq="6h")
+        frames.append(
+            pd.DataFrame(
+                {
+                    "event_id": range(eid, eid + len(xs)),
+                    "ts": ts,
+                    "user_id": sym,
+                    "event_type": "tick",
+                    "value": xs,
+                    "props": "{}",
+                }
+            )
+        )
+        eid += len(xs)
+    return spark.createDataFrame(pd.concat(frames))
+
+
+def test_vol_family_is_scale_invariant(spark):
+    """Realized vol and EWMA vol depend on prices only through LOG
+    returns, so scaling every price by a constant must leave both
+    unchanged (up to the emission grid) — the invariance that makes
+    them comparable across symbols of very different price levels."""
+    import tempfile
+
+    import numpy as np
+
+    from big_data_stock_price_forecast_spark.plans import registry as R
+
+    rng = np.random.RandomState(3)
+    base = 50 * np.exp(np.cumsum(rng.randn(257) * 0.01))
+
+    def run(scale):
+        with tempfile.TemporaryDirectory() as d:
+            _events_from_prices(spark, {1: base * scale}).write.parquet(
+                f"{d}/events.parquet"
+            )
+            rv = {
+                (r["symbol"], r["day"]): r["rv"]
+                for r in R.q_ts_realized_vol(spark, d).collect()
+            }
+            ev = {
+                (r["symbol"], r["time_idx"]): r["ewma_vol"]
+                for r in R.q_ts_ewma_vol(spark, d).collect()
+            }
+        return rv, ev
+
+    rv1, ev1 = run(1.0)
+    rv4, ev4 = run(4.0)
+    assert rv1.keys() == rv4.keys() and ev1.keys() == ev4.keys()
+    for k in rv1:
+        assert abs(rv1[k] - rv4[k]) < 1e-6  # grid-level equality
+    for k in ev1:
+        assert abs(ev1[k] - ev4[k]) < 1e-6

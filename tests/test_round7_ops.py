@@ -409,3 +409,24 @@ def test_cluster_purity_bounds_and_reconciliation(spark, sf_dir):
     for r in rows:
         assert 0.0 < r["purity"] <= 1.0
         assert r["n_majority"] <= r["n_members"]
+
+
+def test_backtest_folds_expand_and_cover(spark, sf_dir):
+    from collections import defaultdict
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        BT_FOLDS,
+        q_ts_backtest_folds,
+    )
+
+    rows = q_ts_backtest_folds(spark, sf_dir).collect()
+    assert rows
+    by_sym = defaultdict(dict)
+    for r in rows:
+        by_sym[r["symbol"]][r["fold"]] = r
+    for sym, folds in by_sym.items():
+        assert set(folds) == set(range(BT_FOLDS))
+        trains = [folds[f]["n_train"] for f in range(BT_FOLDS)]
+        assert trains == sorted(trains)  # expanding windows
+        assert all(folds[f]["n_test"] >= 1 for f in folds)
+        assert all(folds[f]["naive_mae"] >= 0.0 for f in folds)
