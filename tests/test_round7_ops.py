@@ -430,3 +430,24 @@ def test_backtest_folds_expand_and_cover(spark, sf_dir):
         assert trains == sorted(trains)  # expanding windows
         assert all(folds[f]["n_test"] >= 1 for f in folds)
         assert all(folds[f]["naive_mae"] >= 0.0 for f in folds)
+
+
+def test_round7_relational_plans_have_no_cartesian(spark, sf_dir):
+    # every round-7 relational/graph/ts addition must join on keys —
+    # a CartesianProduct in any of these plans is a scale bug (the
+    # only sanctioned BroadcastNestedLoop sites are one-row/scalar
+    # broadcasts: pagerank's n_nodes, purity's centroid table)
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        all_queries,
+    )
+
+    names = [
+        "orders_cohort_ltv", "orders_split_payments",
+        "orders_open_concurrency", "doc_quality_filter",
+        "doc_ngram_novelty", "graph_pagerank", "ts_hurst",
+        "ts_pinball_loss", "ts_backtest_folds", "emb_cluster_purity",
+    ]
+    for name in names:
+        df = all_queries()[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
