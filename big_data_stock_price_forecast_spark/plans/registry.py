@@ -13095,6 +13095,376 @@ ranked AS (
 
 
 
+def q_orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-next-order — the
+    repeat-purchase analysis done properly: every order contributes
+    either an EVENT (the observed gap to the customer's next order,
+    in days) or a CENSORED observation (no next order yet — time from
+    the last order to the dataset snapshot), and S(t) multiplies
+    (1 − d_t/n_t) over event times. Censoring is what the naive
+    gap-histogram gets wrong. Distributed shape: day-grain counts,
+    at-risk via total − exclusive prefix (two-phase bucketed — no
+    single-task sort), and the product as exp of a prefix sum of
+    1e-9-snapped logs in exact DECIMAL, so the curve is
+    order-insensitive and engine-exact."""
+    from ..operators.twophase import log2_bucket, prefix_agg
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_custkey")
+    # per order: next order date (same customer); dataset snapshot
+    nxt = o.withColumn("d_next", F.lead("d", 1).over(
+        Window.partitionBy("o_custkey").orderBy("d")
+    ))
+    snapshot = o.agg(F.max("d").alias("snap"))
+    obs = nxt.crossJoin(F.broadcast(snapshot)).select(
+        F.when(
+            F.col("d_next").isNotNull(), F.datediff("d_next", "d")
+        )
+        .otherwise(F.datediff("snap", "d"))
+        .cast("long")
+        .alias("t"),
+        F.col("d_next").isNotNull().alias("is_event"),
+    ).filter(F.col("t") > 0)
+    per_t = obs.groupBy("t").agg(
+        F.count_if(F.col("is_event")).alias("d_events"),
+        F.count_if(~F.col("is_event")).alias("d_censored"),
+    )
+    total = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    # n_at_risk(t) = total - (# observations with time < t)
+    pre = prefix_agg(
+        per_t.withColumn(
+            "w", F.col("d_events") + F.col("d_censored")
+        ),
+        F.col("w"),
+        log2_bucket(F.col("t")),
+        [F.col("t").asc()],
+        agg="sum",
+        strict=True,
+        out_col="n_before",
+    ).crossJoin(F.broadcast(total))
+    risk = pre.select(
+        "t",
+        "d_events",
+        "d_censored",
+        (
+            F.col("n_total") - F.coalesce(F.col("n_before"), F.lit(0))
+        ).alias("n_risk"),
+    )
+    # the terminal event time can have d == n (everyone remaining
+    # events) — S drops to exactly 0 there; ln is undefined, so the
+    # term is NULL (excluded from the DECIMAL sum in both engines)
+    # and the survival emission overrides to 0.0
+    lnterm = F.when(
+        F.col("d_events") < F.col("n_risk"),
+        F.floor(
+            F.log(
+                1.0
+                - F.col("d_events") / F.col("n_risk").cast("double")
+            )
+            * 1e9
+            + F.lit(0.5)
+        )
+        / 1e9,
+    )
+    terms = risk.filter(F.col("d_events") > 0).withColumn(
+        "lnr", lnterm.cast("decimal(28,9)")
+    )
+    surv = prefix_agg(
+        terms,
+        F.col("lnr"),
+        log2_bucket(F.col("t")),
+        [F.col("t").asc()],
+        agg="sum",
+        strict=False,
+        out_col="cumln",
+    )
+    return surv.select(
+        "t",
+        "n_risk",
+        "d_events",
+        "d_censored",
+        _rne(
+            F.when(
+                F.col("d_events") == F.col("n_risk"), F.lit(0.0)
+            ).otherwise(
+                F.exp(F.coalesce(F.col("cumln").cast("double"), F.lit(0.0)))
+            ),
+            "survival",
+            6,
+        ),
+    )
+
+
+def _sql_orders_survival_km() -> str:
+    return f"""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+nxt AS (
+  SELECT o_custkey, d,
+         lead(d) OVER (PARTITION BY o_custkey ORDER BY d) AS d_next
+  FROM o),
+snap AS (SELECT max(d) AS snap FROM o),
+obs AS (
+  SELECT CASE WHEN d_next IS NOT NULL
+              THEN datediff('day', d, d_next)
+              ELSE datediff('day', d, snap) END AS t,
+         d_next IS NOT NULL AS is_event
+  FROM nxt CROSS JOIN snap
+  WHERE CASE WHEN d_next IS NOT NULL
+             THEN datediff('day', d, d_next)
+             ELSE datediff('day', d, snap) END > 0),
+per_t AS (
+  SELECT t, CAST(count(*) FILTER (is_event) AS BIGINT) AS d_events,
+         CAST(count(*) FILTER (NOT is_event) AS BIGINT) AS d_censored
+  FROM obs GROUP BY 1),
+total AS (SELECT count(*) AS n_total FROM obs),
+risk AS (
+  SELECT t, d_events, d_censored,
+         n_total - coalesce(sum(d_events + d_censored) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS n_risk
+  FROM per_t CROSS JOIN total),
+terms AS (
+  SELECT t, n_risk, d_events, d_censored,
+         CASE WHEN d_events < n_risk THEN
+           CAST(floor(ln(1.0 - CAST(d_events AS DOUBLE) / n_risk)
+                  * 1000000000.0 + 0.5) / 1000000000.0
+                AS DECIMAL(28,9)) END AS lnr
+  FROM risk WHERE d_events > 0)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d_events, d_censored,
+       {_sql_rne(
+           "CASE WHEN d_events = n_risk THEN 0.0 ELSE "
+           "exp(coalesce(CAST(sum(lnr) OVER ("
+           "ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE), 0.0)) END",
+           'survival')}
+FROM terms"""
+
+
+BOT_MIN_GAPS = 20
+BOT_REGULARITY_TAU = 0.05
+
+
+def q_events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation screen on event cadence: humans emit events with
+    high gap dispersion, schedulers with near-constant gaps — flag
+    users whose MAD/median inter-event gap falls below
+    ``BOT_REGULARITY_TAU`` (with ≥ ``BOT_MIN_GAPS`` gaps). Gaps are
+    exact integer microseconds; median and MAD are explicit rank
+    picks (no quantile interpolation); the regularity score is one
+    float division of deterministic integers. One user exchange
+    end-to-end."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").alias("ts"), "event_id"
+    )
+    # NTZ->LTZ cast preserves stored micros only under UTC (asserted,
+    # never set — the ts_delta_hist convention)
+    ts = F.col("ts")
+    if dict(ev.dtypes)["ts"] == "timestamp_ntz":
+        require_utc(spark)
+        ts = ts.cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev", F.lag(ts, 1).over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "user_id",
+            (
+                F.unix_micros(ts) - F.unix_micros(F.col("prev"))
+            ).alias("gap"),
+        )
+    )
+    wg = Window.partitionBy("user_id").orderBy(
+        F.col("gap").asc(), F.col("gap").asc()
+    )
+    wn = Window.partitionBy("user_id")
+    ranked = gaps.select(
+        "user_id",
+        "gap",
+        F.row_number().over(wg).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med_pick = F.floor((F.col("n") - 1) * 0.5).cast("int") + 1
+    med = ranked.filter(F.col("rn") == med_pick).select(
+        "user_id", F.col("gap").alias("med"), "n"
+    )
+    dev = gaps.join(med, "user_id").select(
+        "user_id", F.abs(F.col("gap") - F.col("med")).alias("ad"),
+        "med", "n",
+    )
+    wd = Window.partitionBy("user_id").orderBy(F.col("ad").asc())
+    dranked = dev.select(
+        "user_id", "ad", "med", "n",
+        F.row_number().over(wd).alias("rn"),
+    )
+    mad = dranked.filter(
+        F.col("rn") == F.floor((F.col("n") - 1) * 0.5).cast("int") + 1
+    ).select("user_id", F.col("ad").alias("mad"), "med", "n")
+    reg = F.col("mad") / F.col("med").cast("double")
+    return mad.select(
+        "user_id",
+        F.col("n").alias("n_gaps"),
+        F.col("med").alias("median_gap_us"),
+        F.col("mad").alias("mad_gap_us"),
+        _rne(reg, "regularity", 6),
+        (
+            (reg < BOT_REGULARITY_TAU) & (F.col("n") >= BOT_MIN_GAPS)
+        ).alias("is_bot_like"),
+    )
+
+
+def _sql_events_bot_detection() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id FROM events),
+gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM ev QUALIFY gap IS NOT NULL),
+ranked AS (
+  SELECT user_id, gap,
+         row_number() OVER (PARTITION BY user_id ORDER BY gap ASC)
+           AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM gaps),
+med AS (
+  SELECT user_id, gap AS med, n FROM ranked
+  WHERE rn = CAST(floor((n - 1) * 0.5) AS INT) + 1),
+dev AS (
+  SELECT g.user_id, abs(g.gap - m.med) AS ad, m.med, m.n
+  FROM gaps g JOIN med m USING (user_id)),
+dranked AS (
+  SELECT user_id, ad, med, n,
+         row_number() OVER (PARTITION BY user_id ORDER BY ad ASC)
+           AS rn
+  FROM dev),
+mad AS (
+  SELECT user_id, ad AS mad, med, n FROM dranked
+  WHERE rn = CAST(floor((n - 1) * 0.5) AS INT) + 1)
+SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+       CAST(med AS BIGINT) AS median_gap_us,
+       CAST(mad AS BIGINT) AS mad_gap_us,
+       {_sql_rne('CAST(mad AS DOUBLE) / med', 'regularity')},
+       CAST(mad AS DOUBLE) / med < {BOT_REGULARITY_TAU}
+         AND n >= {BOT_MIN_GAPS} AS is_bot_like
+FROM mad"""
+
+
+def q_events_ab_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B uplift readout with a deterministic hash split: users
+    assign to treatment by the portable hash60 (reproducible across
+    engines/runs — the same reason every sampler here avoids rand()),
+    and each event type reports group means in exact integer cents,
+    the uplift, and the Welch t statistic (two-pass variance with
+    grid-snapped squared deviations in DECIMAL — no engine variance
+    formula is load-bearing). The expected readout on hash-split
+    uniform data is uplift ≈ 0 — this query is the HARNESS, and its
+    null behavior is the calibration check."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    grp = (
+        hash60(F.concat(F.lit("ab:"), F.col("user_id").cast("string")))
+        % 2
+    ).cast("int")
+    t = ev.withColumn("g", grp)
+    means = t.groupBy("event_type", "g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sc"),
+    ).withColumn(
+        "mean_c", F.col("sc").cast("double") / F.col("n")
+    )
+    withm = t.join(means, ["event_type", "g"]).select(
+        "event_type",
+        "g",
+        "n",
+        "mean_c",
+        (
+            F.floor(
+                (F.col("cents") - F.col("mean_c"))
+                * (F.col("cents") - F.col("mean_c"))
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).cast("decimal(28,4)").alias("sq"),
+    )
+    var = withm.groupBy("event_type", "g", "n", "mean_c").agg(
+        (
+            F.sum("sq").cast("double")
+            / (F.col("n") - 1).cast("double")
+        ).alias("s2")
+    )
+    a = var.filter(F.col("g") == 1).select(
+        "event_type",
+        F.col("n").alias("n_t"),
+        F.col("mean_c").alias("mean_t"),
+        F.col("s2").alias("s2_t"),
+    )
+    b = var.filter(F.col("g") == 0).select(
+        "event_type",
+        F.col("n").alias("n_c"),
+        F.col("mean_c").alias("mean_c"),
+        F.col("s2").alias("s2_c"),
+    )
+    j = a.join(b, "event_type")
+    uplift = F.col("mean_t") - F.col("mean_c")
+    se = F.sqrt(
+        F.col("s2_t") / F.col("n_t") + F.col("s2_c") / F.col("n_c")
+    )
+    return j.select(
+        "event_type",
+        "n_t",
+        "n_c",
+        _rne(F.col("mean_t") / 100.0, "mean_treat", 6),
+        _rne(F.col("mean_c") / 100.0, "mean_ctrl", 6),
+        _rne(uplift / 100.0, "uplift", 6),
+        _rne(uplift / se, "t_stat", 6),
+    )
+
+
+def _sql_events_ab_uplift() -> str:
+    h = sql_hash60("'ab:' || CAST(user_id AS VARCHAR)")
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(({h}) % 2 AS INT) AS g,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+means AS (
+  SELECT event_type, g, count(*) AS n,
+         CAST(sum(cents) AS DOUBLE) / count(*) AS mean_c
+  FROM ev GROUP BY 1, 2),
+sq AS (
+  SELECT e.event_type, e.g, m.n, m.mean_c,
+         CAST(floor((e.cents - m.mean_c) * (e.cents - m.mean_c)
+                * 10000.0 + 0.5) / 10000.0 AS DECIMAL(28,4)) AS sq
+  FROM ev e JOIN means m USING (event_type, g)),
+var_ AS (
+  SELECT event_type, g, n, mean_c,
+         CAST(sum(sq) AS DOUBLE) / (n - 1) AS s2
+  FROM sq GROUP BY 1, 2, 3, 4),
+j AS (
+  SELECT a.event_type, a.n AS n_t, a.mean_c AS mean_t, a.s2 AS s2_t,
+         b.n AS n_c, b.mean_c AS mean_ctl, b.s2 AS s2_c
+  FROM var_ a JOIN var_ b
+    ON a.event_type = b.event_type AND a.g = 1 AND b.g = 0)
+SELECT event_type, CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+       {_sql_rne('mean_t / 100.0', 'mean_treat')},
+       {_sql_rne('mean_ctl / 100.0', 'mean_ctrl')},
+       {_sql_rne('(mean_t - mean_ctl) / 100.0', 'uplift')},
+       {_sql_rne(
+           '(mean_t - mean_ctl)'
+           ' / sqrt(s2_t / n_t + s2_c / n_c)', 't_stat')}
+FROM j"""
+
+
+
 def all_queries() -> dict[str, QueryFn]:
     # ORDER MATTERS: the driver's correctness gate checks entries in
     # registration order (observed cutoff: 50). Round-7 rotation per
@@ -13308,6 +13678,9 @@ def all_queries() -> dict[str, QueryFn]:
         "orders_split_payments": q_orders_split_payments,  # never
         "emb_cluster_purity": q_emb_cluster_purity,  # never
         "ts_backtest_folds": q_ts_backtest_folds,  # never
+        "orders_survival_km": q_orders_survival_km,  # never
+        "events_bot_detection": q_events_bot_detection,  # never
+        "events_ab_uplift": q_events_ab_uplift,  # never
     }
 
 
@@ -13521,4 +13894,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "orders_split_payments": SQL_ORDERS_SPLIT_PAYMENTS,
         "emb_cluster_purity": _sql_emb_cluster_purity(),
         "ts_backtest_folds": _sql_ts_backtest(),
+        "orders_survival_km": _sql_orders_survival_km(),
+        "events_bot_detection": _sql_events_bot_detection(),
+        "events_ab_uplift": _sql_events_ab_uplift(),
     }

@@ -451,3 +451,59 @@ def test_round7_relational_plans_have_no_cartesian(spark, sf_dir):
         df = all_queries()[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
+
+
+def test_survival_curve_is_monotone_from_one_to_terminal(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_orders_survival_km,
+    )
+
+    rows = sorted(
+        q_orders_survival_km(spark, sf_dir).collect(),
+        key=lambda r: r["t"],
+    )
+    assert rows
+    prev = 1.0
+    for r in rows:
+        assert 0.0 <= r["survival"] <= prev + 1e-9  # non-increasing
+        assert r["d_events"] >= 1
+        assert r["n_risk"] >= r["d_events"]
+        prev = r["survival"]
+    # at-risk counts are non-increasing in t
+    risks = [r["n_risk"] for r in rows]
+    assert risks == sorted(risks, reverse=True)
+
+
+def test_bot_detection_scores_and_flags(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        BOT_MIN_GAPS,
+        BOT_REGULARITY_TAU,
+        q_events_bot_detection,
+    )
+
+    rows = q_events_bot_detection(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["median_gap_us"] > 0
+        assert r["mad_gap_us"] >= 0
+        assert r["is_bot_like"] == (
+            r["mad_gap_us"] / r["median_gap_us"] < BOT_REGULARITY_TAU
+            and r["n_gaps"] >= BOT_MIN_GAPS
+        )
+
+
+def test_ab_uplift_is_null_calibrated_on_hash_split(spark, sf_dir):
+    # hash-split uniform data: uplift should be small relative to the
+    # group means and |t| modest — the harness's null calibration
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_events_ab_uplift,
+    )
+
+    rows = q_events_ab_uplift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_t"] > 0 and r["n_c"] > 0
+        assert abs(r["uplift"]) < 0.5 * max(
+            abs(r["mean_treat"]), abs(r["mean_ctrl"]), 1e-9
+        )
+        assert abs(r["t_stat"]) < 6.0
