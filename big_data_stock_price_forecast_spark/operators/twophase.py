@@ -16,12 +16,18 @@ the standard distributed form is range-partitioned two-phase:
 
 The result is bitwise-identical to the single-task global window
 (same total ordering — equal keys land in the same bucket, so the
-within-bucket tie-break is the global tie-break), which is why the
-DuckDB oracles keep the plain global-window formulation.
+within-bucket tie-break is the global tie-break) — PROVIDED the
+aggregate is association-exact: integer/DECIMAL sums, counts, min/
+max. A raw float/double SUM is NOT (the two-phase combine groups the
+additions differently, and IEEE addition is non-associative — found
+by the hypothesis test at values straddling a bucket boundary);
+every registry call site therefore sums exact types only (the
+engine-wide snap-to-grid → DECIMAL discipline), which is also what
+makes the DuckDB oracles' plain global-window formulation match.
 
 Used by the registry's part_skyline / lineitem_abc_analysis /
-events_gini plans (the round-6 verdict's "single-task global sort"
-scale holes)."""
+events_gini / orders_open_concurrency / orders_survival_km plans
+(the round-6 verdict's "single-task global sort" scale holes)."""
 
 from __future__ import annotations
 

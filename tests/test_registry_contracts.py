@@ -32,3 +32,29 @@ def test_output_schema_is_atomic(spark, sf_dir, name):
         f"{name} emits nested output column(s) {nested}; the driver "
         f"gate cannot canonicalize them — serialize to atomic columns"
     )
+
+
+def test_gate_window_composition():
+    """Positions 1-50 are the driver's correctness-gate window: they
+    must hold the canaries plus never-verified entries ONLY — a
+    careless registration-order edit silently unverifies a rotation.
+    (Tags are maintained by hand; this guards the structure, the
+    CORRECTNESS files guard the truth.)"""
+    names = list(all_queries())
+    window = names[:50]
+    canaries = {
+        "flagship_forecast_mae",
+        "ts_indicators",
+        "doc_minhash_lsh_pairs",
+    }
+    assert canaries <= set(window)
+    assert len(names) == len(set(names))  # no duplicate registrations
+
+
+def test_every_query_has_an_oracle_entry():
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        all_oracles,
+    )
+
+    qs, os_ = all_queries(), all_oracles()
+    assert list(qs) == list(os_)  # same names, same order

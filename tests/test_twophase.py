@@ -71,3 +71,76 @@ def test_prefix_agg_has_no_unpartitioned_row_window(spark):
     unpart = [w for w in windows if "windowspecdefinition(" in w
               and "__tp_bucket" not in w.split("windowspecdefinition")[1][:200]]
     assert not unpart, f"row-frame window lost its partition key: {unpart}"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**12),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_prefix_agg_randomized_matches_global_window(spark, xs):
+    # randomized INTEGER frames incl. duplicates and bucket-boundary
+    # values: the two-phase prefix must equal the single-task global
+    # window exactly. (Association-exact types only — a raw DOUBLE sum
+    # re-associates additions across the bucket combine and CAN differ
+    # in the last ulp; hypothesis found the counterexample
+    # [1.249…, 262144.076…, 262145.0, 0.0, 262144.0], which is why
+    # prefix_agg's contract and every registry call site restrict
+    # float sums to the snap-to-grid → DECIMAL form.)
+    df = spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(xs)], ["id", "x"]
+    )
+    got = prefix_agg(
+        df,
+        F.col("x"),
+        log2_bucket(F.col("x")),
+        [F.col("x").asc(), F.col("id").asc()],
+        agg="sum",
+        strict=True,
+        out_col="p",
+    )
+    w = Window.orderBy(F.col("x").asc(), F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    want = df.withColumn("p", F.sum("x").over(w))
+    g = {r["id"]: r["p"] for r in got.collect()}
+    e = {r["id"]: r["p"] for r in want.collect()}
+    assert g == e
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_prefix_agg_randomized_float_max_matches(spark, xs):
+    # max IS association-exact for floats — randomized check
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(xs)], ["id", "x"]
+    )
+    got = prefix_agg(
+        df,
+        F.col("x"),
+        log2_bucket(F.col("x")),
+        [F.col("x").asc(), F.col("id").asc()],
+        agg="max",
+        strict=True,
+        out_col="p",
+    )
+    w = Window.orderBy(F.col("x").asc(), F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    want = df.withColumn("p", F.max("x").over(w))
+    g = {r["id"]: r["p"] for r in got.collect()}
+    e = {r["id"]: r["p"] for r in want.collect()}
+    assert g == e
