@@ -507,3 +507,58 @@ def test_ab_uplift_is_null_calibrated_on_hash_split(spark, sf_dir):
             abs(r["mean_treat"]), abs(r["mean_ctrl"]), 1e-9
         )
         assert abs(r["t_stat"]) < 6.0
+
+
+def test_decontam_flags_exact_copy_of_benchmark(spark):
+    # a corpus vector that IS a benchmark vector must flag at cos=1
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from big_data_stock_price_forecast_spark.plans import registry as R
+
+    rng = np.random.RandomState(11)
+    n, dim = 300, 64
+    vecs = rng.randn(n, dim).astype("float32")
+    mod = R.EMB_BENCH_MOD
+    # vec 1 (corpus) copies vec 0 (benchmark, 0 % mod == 0)
+    vecs[1] = vecs[0]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(n),
+            "embedding": [v.tolist() for v in vecs],
+            "label": [int(i % 10) for i in range(n)],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(pdf).write.parquet(f"{d}/embeddings.parquet")
+        rows = {r["vec_id"]: r for r in
+                R.q_emb_bench_decontam(spark, d).collect()}
+    assert rows[1]["is_contaminated"]
+    assert rows[1]["best_bench_id"] == 0
+    assert abs(rows[1]["best_cos"] - 1.0) < 1e-6
+
+
+def test_quality_filter_skips_tokenless_docs(spark):
+    import tempfile
+
+    import pandas as pd
+
+    from big_data_stock_price_forecast_spark.plans import registry as R
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["...!!!???", "the quick brown fox " * 10],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [9, 200],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(docs).write.parquet(f"{d}/documents.parquet")
+        rows = {r["doc_id"]: r for r in
+                R.q_doc_quality_filter(spark, d).collect()}
+    assert 0 not in rows  # no tokens -> no rule row (both engines)
+    assert 1 in rows
