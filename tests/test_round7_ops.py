@@ -562,3 +562,51 @@ def test_quality_filter_skips_tokenless_docs(spark):
                 R.q_doc_quality_filter(spark, d).collect()}
     assert 0 not in rows  # no tokens -> no rule row (both engines)
     assert 1 in rows
+
+
+def test_stickiness_bounds(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_events_stickiness,
+    )
+
+    rows = q_events_stickiness(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["stickiness"] <= 1.0
+        assert r["mean_dau"] <= r["mean_wau"] + 1e-9 or r["n_active_days"] <= 7
+        assert r["mean_wau"] <= r["mau"] + 1e-9
+
+
+def test_seasonality_strength_bounds_and_signal(spark, sf_dir):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_seasonality_strength,
+    )
+
+    rows = q_ts_seasonality_strength(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["seasonal_strength"] <= 1.0 + 1e-9
+        assert 0.0 <= r["trend_strength"] <= 1.0 + 1e-9
+
+
+def test_funnel_latency_quartiles_are_monotone(spark, sf_dir):
+    from collections import defaultdict
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_events_funnel_latency,
+    )
+
+    rows = q_events_funnel_latency(spark, sf_dir).collect()
+    assert rows
+    by_stage = defaultdict(dict)
+    for r in rows:
+        by_stage[r["stage"]][r["q"]] = r
+    assert set(by_stage) == {"view_to_click", "click_to_purchase"}
+    for stage, qs in by_stage.items():
+        assert set(qs) == {0.25, 0.5, 0.75}
+        assert (
+            qs[0.25]["gap_seconds"]
+            <= qs[0.5]["gap_seconds"]
+            <= qs[0.75]["gap_seconds"]
+        )
+        assert qs[0.5]["n_converted"] >= 1
