@@ -106,3 +106,68 @@ def prefix_agg(
             F.coalesce(F.col(_LOCAL), F.lit(0)) + F.coalesce(F.col(_PRIOR), F.lit(0))
         )
     return out.withColumn(out_col, combined).drop(_BUCKET, _LOCAL, _PRIOR)
+
+
+def ntile_from_rank(
+    rank: Column, n_total: Column, n_buckets: int
+) -> Column:
+    """NTILE(n) as a pure function of the 1-based global rank and the
+    total row count — Spark and DuckDB share the even-split rule: the
+    first (N mod n) buckets hold floor(N/n)+1 rows, the rest
+    floor(N/n). Expressing NTILE this way is what lets it ride the
+    two-phase prefix rank instead of a single-task global sort.
+    Integer arithmetic throughout (counts are exact longs)."""
+    n = n_total.cast("long")
+    b = F.lit(int(n_buckets)).cast("long")
+    q = F.floor(n / b).cast("long")
+    rem = (n % b).cast("long")
+    boundary = rem * (q + F.lit(1))
+    # q = 0 (N < n) never reaches the otherwise-branch: boundary = N
+    # covers every rank, and CASE branches evaluate lazily.
+    return F.when(
+        rank <= boundary,
+        (F.floor((rank - F.lit(1)) / (q + F.lit(1))) + F.lit(1)).cast(
+            "int"
+        ),
+    ).otherwise(
+        (
+            rem
+            + F.floor((rank - boundary - F.lit(1)) / q)
+            + F.lit(1)
+        ).cast("int")
+    )
+
+
+def ntile_two_phase(
+    df: DataFrame,
+    order_by: list[Column],
+    bucket: Column,
+    n_buckets: int,
+    *,
+    bucket_asc: bool = True,
+    out_col: str = "ntile",
+) -> DataFrame:
+    """Add ``out_col`` = NTILE(n_buckets) over the global ordering,
+    computed two-phase: global rank via the bucketed strict prefix
+    COUNT (+1), total count via one broadcast scalar, then
+    ``ntile_from_rank``. ``order_by`` MUST be a total order (fully
+    tie-broken) — NTILE over ties is otherwise nondeterministic in
+    any engine — and ``bucket`` must be monotonic in its leading key
+    (see ``prefix_agg``). No data-sized single-task sort anywhere:
+    the only unpartitioned window runs over the bucket-count frame."""
+    ranked = prefix_agg(
+        df,
+        F.lit(1),
+        bucket,
+        order_by,
+        agg="count",
+        bucket_asc=bucket_asc,
+        strict=True,
+        out_col="__tp_rank0",
+    )
+    total = df.agg(F.count(F.lit(1)).alias("__tp_n"))
+    out = ranked.crossJoin(F.broadcast(total))
+    rank = F.col("__tp_rank0") + F.lit(1)
+    return out.withColumn(
+        out_col, ntile_from_rank(rank, F.col("__tp_n"), n_buckets)
+    ).drop("__tp_rank0", "__tp_n")

@@ -7636,8 +7636,14 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed into quintiles by NTILE over fully tie-broken orders
     (metric, custkey — ntile's even-split rule is deterministic given
     a total order, identical in both engines), then counted per
-    (r, f, m) cell with the cell's exact total spend. One custkey
-    aggregate + three cheap customer-sized windows."""
+    (r, f, m) cell with the cell's exact total spend. The customer
+    dimension GROWS with the fact table, so the three NTILEs run
+    two-phase (operators/twophase.py ntile_two_phase: bucketed prefix
+    rank + the rank→tile closed form) — no data-sized single-task
+    global sort; the oracle keeps DuckDB's plain ntile() windows,
+    which is the cross-engine proof the closed form matches."""
+    from ..operators.twophase import log2_bucket, ntile_two_phase
+
     o = load_table(spark, sf_dir, "orders")
     anchor = o.agg(F.max("o_orderdate").alias("mx"))
     per_cust = (
@@ -7657,18 +7663,26 @@ def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    nt = lambda col, asc: F.ntile(RFM_BUCKETS).over(  # noqa: E731
-        Window.orderBy(
+    scored = per_cust
+    for col, asc, out in (
+        ("recency", True, "r_bucket"),
+        ("frequency", False, "f_bucket"),
+        ("monetary", False, "m_bucket"),
+    ):
+        order = [
             F.col(col).asc() if asc else F.col(col).desc(),
             F.col("o_custkey").asc(),
+        ]
+        scored = ntile_two_phase(
+            scored,
+            order,
+            log2_bucket(F.col(col)),
+            RFM_BUCKETS,
+            bucket_asc=asc,
+            out_col=out,
         )
-    )
-    scored = per_cust.select(
-        "o_custkey",
-        "monetary",
-        nt("recency", True).alias("r_bucket"),
-        nt("frequency", False).alias("f_bucket"),
-        nt("monetary", False).alias("m_bucket"),
+    scored = scored.select(
+        "o_custkey", "monetary", "r_bucket", "f_bucket", "m_bucket"
     )
     return scored.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -9300,7 +9314,12 @@ def q_emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= PQ_ADC_K
     )
-    qv = emb.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    # queries-sized by construction: filter to the query stride
+    # BEFORE broadcasting (a corpus-sized broadcast here would
+    # defeat the pruned-scan design this query demonstrates).
+    qv = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
     dv = emb.select("vec_id", "v")
     return (
         top.join(F.broadcast(qv), "q_id")
@@ -11332,8 +11351,12 @@ def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.floor(
         F.log(u) / F.col("n_chars") * 1e6 + F.lit(0.5)
     ) / 1e6 + F.lit(0.0)
+    # w = 0 docs carry key = -inf under A-ES (never sampled), but the
+    # division itself diverges across engines (Spark NULL vs DuckDB
+    # -inf), so exclude them BEFORE dividing — mirrored in the oracle.
     return (
-        docs.select("doc_id", "n_chars", key.alias("skey"))
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "n_chars", key.alias("skey"))
         .orderBy(F.col("skey").desc(), F.col("doc_id").asc())
         .limit(WSAMPLE_K)
     )
@@ -11346,6 +11369,7 @@ SELECT doc_id, n_chars,
        floor(ln((({h}) % 9007199254740992 + 1) / 9007199254740993.0)
              / n_chars * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS skey
 FROM documents
+WHERE n_chars > 0
 ORDER BY skey DESC, doc_id ASC LIMIT {WSAMPLE_K}"""
 
 
@@ -11649,14 +11673,16 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             sdf, idx, pairs_path, ckpt, threshold=NEAR_DUP_TAU
         )
         q.awaitTermination()
-        out = (
+        # localCheckpoint(eager) truncates lineage — persist() alone
+        # keeps a plan rooted at the scratch parquet that the finally
+        # block deletes, so any cache eviction after return would
+        # recompute from dead paths.
+        return (
             spark.read.option("basePath", pairs_path)
             .parquet(pairs_path)
             .select("id_i", "id_j", _r6("jac"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        out.count()
-        return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -11694,7 +11720,9 @@ def q_stream_gold_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         back = spark.read.option("basePath", gold).parquet(gold)
-        out = (
+        # localCheckpoint(eager) truncates lineage — see
+        # q_stream_dedup_ingest (same scratch-dir-deletion hazard).
+        return (
             back.groupBy("symbol")
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
@@ -11702,10 +11730,8 @@ def q_stream_gold_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor(F.col("close") * 100 + F.lit(0.5)).cast("long")
                 ).alias("cents"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        out.count()
-        return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -12513,7 +12539,12 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= PQ_ADC_K
     )
-    qv = emb.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    # queries-sized by construction: filter to the query stride
+    # BEFORE broadcasting (a corpus-sized broadcast here would
+    # defeat the pruned-scan design this query demonstrates).
+    qv = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
     dv = emb.select("vec_id", "v")
     return (
         top.join(F.broadcast(qv), "q_id")
@@ -13112,7 +13143,6 @@ def q_orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", F.to_date("o_orderdate").alias("d")
     )
-    w = Window.partitionBy("o_custkey").orderBy("d", "o_custkey")
     # per order: next order date (same customer); dataset snapshot
     nxt = o.withColumn("d_next", F.lead("d", 1).over(
         Window.partitionBy("o_custkey").orderBy("d")
@@ -13275,9 +13305,7 @@ def q_events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap"),
         )
     )
-    wg = Window.partitionBy("user_id").orderBy(
-        F.col("gap").asc(), F.col("gap").asc()
-    )
+    wg = Window.partitionBy("user_id").orderBy(F.col("gap").asc())
     wn = Window.partitionBy("user_id")
     ranked = gaps.select(
         "user_id",
@@ -13301,7 +13329,15 @@ def q_events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = dranked.filter(
         F.col("rn") == F.floor((F.col("n") - 1) * 0.5).cast("int") + 1
     ).select("user_id", F.col("ad").alias("mad"), "med", "n")
-    reg = F.col("mad") / F.col("med").cast("double")
+    # med = 0 (all-identical timestamps) → define regularity as 0.0
+    # (perfectly regular) instead of dividing: Spark's Divide yields
+    # NULL on a zero divisor while DuckDB yields inf for doubles, so
+    # an unguarded division diverges across engines the first time a
+    # user's gaps are all zero. The CASE below is mirrored in the
+    # oracle so both engines agree by construction.
+    reg = F.when(
+        F.col("med") > 0, F.col("mad") / F.col("med").cast("double")
+    ).otherwise(F.lit(0.0))
     return mad.select(
         "user_id",
         F.col("n").alias("n_gaps"),
@@ -13346,8 +13382,11 @@ mad AS (
 SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
        CAST(med AS BIGINT) AS median_gap_us,
        CAST(mad AS BIGINT) AS mad_gap_us,
-       {_sql_rne('CAST(mad AS DOUBLE) / med', 'regularity')},
-       CAST(mad AS DOUBLE) / med < {BOT_REGULARITY_TAU}
+       {_sql_rne(
+           'CASE WHEN med > 0 THEN CAST(mad AS DOUBLE) / med'
+           ' ELSE 0.0 END', 'regularity')},
+       (CASE WHEN med > 0 THEN CAST(mad AS DOUBLE) / med
+         ELSE 0.0 END) < {BOT_REGULARITY_TAU}
          AND n >= {BOT_MIN_GAPS} AS is_bot_like
 FROM mad"""
 
@@ -13395,11 +13434,19 @@ def q_events_ab_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4
         ).cast("decimal(28,4)").alias("sq"),
     )
-    var = withm.groupBy("event_type", "g", "n", "mean_c").agg(
-        (
-            F.sum("sq").cast("double")
-            / (F.col("n") - 1).cast("double")
-        ).alias("s2")
+    # n = 1 groups are excluded BEFORE the (n - 1) variance divisor:
+    # Spark's Divide yields NULL on zero while DuckDB yields inf, so
+    # a singleton group would diverge across engines. Mirrored in the
+    # oracle (WHERE n >= 2) so both agree by construction.
+    var = (
+        withm.filter(F.col("n") >= 2)
+        .groupBy("event_type", "g", "n", "mean_c")
+        .agg(
+            (
+                F.sum("sq").cast("double")
+                / (F.col("n") - 1).cast("double")
+            ).alias("s2")
+        )
     )
     a = var.filter(F.col("g") == 1).select(
         "event_type",
@@ -13448,7 +13495,7 @@ sq AS (
 var_ AS (
   SELECT event_type, g, n, mean_c,
          CAST(sum(sq) AS DOUBLE) / (n - 1) AS s2
-  FROM sq GROUP BY 1, 2, 3, 4),
+  FROM sq WHERE n >= 2 GROUP BY 1, 2, 3, 4),
 j AS (
   SELECT a.event_type, a.n AS n_t, a.mean_c AS mean_t, a.s2 AS s2_t,
          b.n AS n_c, b.mean_c AS mean_ctl, b.s2 AS s2_c
@@ -13565,15 +13612,6 @@ def q_ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     sr = (F.col("seasonal") + F.col("residual")).alias("sr")
     tr = (F.col("trend") + F.col("residual")).alias("tr")
     base = dec.select("symbol", F.col("residual").alias("r"), sr, tr)
-
-    def var_of(col):
-        mu = F.sum(F.col(col).cast("decimal(28,6)")).over(
-            Window.partitionBy("symbol")
-        ).cast("double") / F.count(F.lit(1)).over(
-            Window.partitionBy("symbol")
-        )
-        return mu
-
     # two-pass per column: mean via DECIMAL sums, then snapped squared
     # deviations in DECIMAL
     means = base.groupBy("symbol").agg(
@@ -13610,6 +13648,11 @@ def q_ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_tr"
         ),
     )
+    # Intentional: a constant series makes var_sr/var_tr = 0, so the
+    # DOUBLE division yields -Inf (no ANSI throw — operands are
+    # DOUBLE) and the greatest() clamp maps it to 0.0, identically in
+    # both engines. Do NOT "fix" the division with a WHEN guard — the
+    # clamp IS the guard, and changing it would alter the emitted 0.0.
     fs = F.greatest(
         F.lit(0.0), 1.0 - F.col("var_r") / F.col("var_sr")
     )
@@ -13713,9 +13756,7 @@ def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("click_to_purchase_s").alias("gap_s"),
         )
     )
-    wr = Window.partitionBy("stage").orderBy(
-        F.col("gap_s").asc(), F.col("gap_s").asc()
-    )
+    wr = Window.partitionBy("stage").orderBy(F.col("gap_s").asc())
     wn = Window.partitionBy("stage")
     ranked = long.select(
         "stage",

@@ -144,3 +144,92 @@ def test_prefix_agg_randomized_float_max_matches(spark, xs):
     g = {r["id"]: r["p"] for r in got.collect()}
     e = {r["id"]: r["p"] for r in want.collect()}
     assert g == e
+
+
+from big_data_stock_price_forecast_spark.operators.twophase import (  # noqa: E402
+    ntile_two_phase,
+)
+
+
+@pytest.mark.parametrize("buckets", [2, 5])
+@pytest.mark.parametrize("asc", [True, False])
+def test_ntile_two_phase_matches_global_ntile(spark, buckets, asc):
+    df = _frame(spark)
+    order = [F.col("x").asc(), F.col("id").asc()] if asc else [
+        F.col("x").desc(), F.col("id").asc()
+    ]
+    got = ntile_two_phase(
+        df,
+        order,
+        log2_bucket(F.col("x")),
+        buckets,
+        bucket_asc=asc,
+        out_col="t",
+    )
+    want = df.withColumn(
+        "t", F.ntile(buckets).over(Window.orderBy(*order))
+    )
+    g = {r["id"]: r["t"] for r in got.collect()}
+    e = {r["id"]: r["t"] for r in want.collect()}
+    assert g == e, f"buckets={buckets} asc={asc}: {g} != {e}"
+
+
+def test_ntile_two_phase_fewer_rows_than_buckets(spark):
+    # N < n: ntile gives each row its own bucket (rank itself); the
+    # closed form's otherwise-branch (q=0 divisor) must never fire
+    df = spark.createDataFrame([(0, 3.0), (1, 1.0)], ["id", "x"])
+    got = ntile_two_phase(
+        df,
+        [F.col("x").asc(), F.col("id").asc()],
+        log2_bucket(F.col("x")),
+        5,
+        out_col="t",
+    )
+    assert {r["id"]: r["t"] for r in got.collect()} == {0: 2, 1: 1}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**9),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_ntile_two_phase_randomized(spark, xs, buckets):
+    # randomized incl. duplicate values (tie-broken by id) and
+    # N % buckets != 0 splits — must equal the single-task ntile
+    df = spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(xs)], ["id", "x"]
+    )
+    order = [F.col("x").asc(), F.col("id").asc()]
+    got = ntile_two_phase(
+        df, order, log2_bucket(F.col("x")), buckets, out_col="t"
+    )
+    want = df.withColumn(
+        "t", F.ntile(buckets).over(Window.orderBy(*order))
+    )
+    g = {r["id"]: r["t"] for r in got.collect()}
+    e = {r["id"]: r["t"] for r in want.collect()}
+    assert g == e
+
+
+def test_ntile_two_phase_has_no_unpartitioned_row_window(spark):
+    # same scale contract as prefix_agg: the only unpartitioned
+    # window may be the bucket-total one
+    df = _frame(spark)
+    out = ntile_two_phase(
+        df,
+        [F.col("x").asc(), F.col("id").asc()],
+        log2_bucket(F.col("x")),
+        5,
+        out_col="t",
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    windows = re.findall(r"Window \[.*?\]", plan)
+    unpart = [w for w in windows if "windowspecdefinition(" in w
+              and "__tp_bucket" not in w.split("windowspecdefinition")[1][:200]]
+    assert not unpart, f"row-frame window lost its partition key: {unpart}"
