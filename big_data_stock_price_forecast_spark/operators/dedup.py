@@ -39,6 +39,28 @@ SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 4  # pigeonhole: catches all pairs with distance <= 3
 SIMHASH_MAX_DIST = SIMHASH_CHUNKS - 1
 
+# Persisted-index partition fanout: the bands table partitions by a
+# hash bucket of the (band, key) LSH bucket key, shingles by a hash
+# bucket of the doc id. A probe joining on the partition column with
+# the batch side broadcast gets DYNAMIC PARTITION PRUNING at the scan
+# — per-batch cost O(batch x matching buckets), not O(index) — the
+# same discipline operators/ivf.py write_ivf_layout proves for ANN.
+# 32 buckets: small micro-batches prune hard (a 1-file trigger's band
+# rows hit a strict subset), while a bulk backfill (which hits all
+# buckets) writes at most 32 dirs per fold-in batch.
+IDX_BUCKETS = 32
+
+
+def band_bucket(band: Column, key: Column) -> Column:
+    """Partition bucket of an LSH (band, key) bucket key — Spark-side
+    layout only (never oracle-visible), so xxhash64 is fine."""
+    return F.pmod(F.xxhash64(band, key), F.lit(IDX_BUCKETS)).cast("int")
+
+
+def id_bucket(idc: Column) -> Column:
+    """Partition bucket of a doc id for the shingles index."""
+    return F.pmod(F.xxhash64(idc), F.lit(IDX_BUCKETS)).cast("int")
+
 
 def minhash_coeffs(k: int = MH_PERMS) -> tuple[list[int], list[int]]:
     """Deterministic affine-permutation coefficients (a*h + b) mod P.
@@ -484,29 +506,44 @@ def write_minhash_index(
     rows: int = MH_ROWS,
 ) -> None:
     """Materialize :func:`minhash_index` under ``path`` as
-    ``{path}/bands`` and ``{path}/shingles`` parquet. Band rows are
-    hash-clustered by (band, key) at write time and shingle sets by id
-    — the verify joins and the batch bucket join then read
-    pre-clustered data, so the corpus side of the daily run never
-    re-shuffles. (On a warehouse with a catalog, write these via
-    sources/bucketed.py ``write_bucketed`` instead to get the
-    Exchange elided by the bucket spec; plain repartitioned parquet
-    keeps this path catalog-free.)
+    ``{path}/bands`` and ``{path}/shingles`` parquet, PARTITIONED by
+    ``kb`` (hash bucket of the (band, key) LSH key) and ``ib`` (hash
+    bucket of the doc id) respectively, files clustered by (band, key)
+    / id within each bucket. A probe that joins on the partition
+    column with the batch side broadcast then reads ONLY the batch's
+    matching bucket directories (dynamic partition pruning at the
+    scan — the plan test pins it), so the per-batch cost of the daily
+    / streaming incremental run is O(batch x matching buckets), never
+    O(index). (On a warehouse with a catalog, write these via
+    sources/bucketed.py ``write_bucketed`` instead to also elide the
+    probe-side Exchange; plain partitioned parquet keeps this path
+    catalog-free.)
 
     Each table is seeded as a ``batch=seed`` partition so streaming
     ingest (streaming/ops.py ``dedup_ingest_stream``) can grow the
     index one ``batch=N`` partition per micro-batch in the same
-    directory; readers see one extra ``batch`` partition column, which
-    the join core ignores."""
+    directory; readers see the extra ``batch``/``kb``/``ib`` partition
+    columns, which the join core detects (kb/ib → pruned probe path)
+    or ignores."""
     banded, shing = minhash_index(
         docs, id_col=id_col, text_col=text_col, n=n, k=k, bands=bands,
         rows=rows,
     )
-    banded.repartition("band", "key").write.mode("overwrite").parquet(
-        f"{path}/bands/batch=seed"
+    (
+        banded.withColumn("kb", band_bucket(F.col("band"), F.col("key")))
+        .repartition("kb")
+        .sortWithinPartitions("band", "key")
+        .write.partitionBy("kb")
+        .mode("overwrite")
+        .parquet(f"{path}/bands/batch=seed")
     )
-    shing.repartition("id").write.mode("overwrite").parquet(
-        f"{path}/shingles/batch=seed"
+    (
+        shing.withColumn("ib", id_bucket(F.col("id")))
+        .repartition("ib")
+        .sortWithinPartitions("id")
+        .write.partitionBy("ib")
+        .mode("overwrite")
+        .parquet(f"{path}/shingles/batch=seed")
     )
 
 
@@ -565,28 +602,90 @@ def _pairs_from_sketches(
     """Candidate generation + exact-Jaccard verify given the BATCH's
     sketch frames (nb: (id, band, key), new_sh: (id, sh)) and the
     corpus index — the join core shared by the batch and streaming
-    incremental paths."""
-    # probe side: corpus bands plus the batch's own bands, so new x new
-    # pairs surface in the same join as new x seen
-    probe = seen_bands.select("id", "band", "key").unionByName(
-        nb.select("id", "band", "key")
-    )
+    incremental paths.
+
+    When the index carries the ``kb``/``ib`` partition columns
+    (:func:`write_minhash_index` layout), the probe joins INCLUDE the
+    partition column with the batch side broadcast, so the scans get
+    dynamic partition pruning — per-batch cost O(batch x matching
+    buckets), not a full index scan per micro-batch. Pair set is
+    identical either way (the bucket is a pure function of the join
+    key, so adding it to the equi-join filters nothing)."""
+    pruned_bands = "kb" in seen_bands.columns
     nbq = nb.select(F.col("id").alias("nid"), "band", "key")
     if broadcast_batch:
         nbq = F.broadcast(nbq)
+    if pruned_bands:
+        # new x seen rides the kb-partitioned scan (DPP); new x new is
+        # a batch x batch join — together exactly the old probe union
+        # the trailing kb >= 0 is semantically a no-op (pmod range) but
+        # load-bearing: the batch frame is typically CACHED, which
+        # hides any upstream selective predicate from Catalyst's
+        # PartitionPruning rule — without a visible selective filter
+        # on this side the rule skips DPP entirely. Pinned by the
+        # plan test (test_text_dedup.py::test_index_probe_prunes...).
+        nbk = nbq.withColumn(
+            "kb", band_bucket(F.col("band"), F.col("key"))
+        ).filter(F.col("kb") >= 0)
+        raw = (
+            seen_bands.select("kb", "band", "key", "id")
+            .join(nbk, ["kb", "band", "key"])
+            .select("nid", "id")
+            .unionByName(
+                nb.select("id", "band", "key")
+                .join(nbq, ["band", "key"])
+                .select("nid", "id")
+            )
+        )
+    else:
+        # probe side: corpus bands plus the batch's own bands, so
+        # new x new pairs surface in the same join as new x seen
+        probe = seen_bands.select("id", "band", "key").unionByName(
+            nb.select("id", "band", "key")
+        )
+        raw = nbq.join(probe, ["band", "key"]).select("nid", "id")
     cand = (
-        nbq.join(probe, ["band", "key"])
-        .filter(F.col("nid") != F.col("id"))
+        raw.filter(F.col("nid") != F.col("id"))
         .select(
             F.least("nid", "id").alias("id_i"),
             F.greatest("nid", "id").alias("id_j"),
         )
         .distinct()
     )
+    if pruned_bands:
+        # the candidate set feeds THREE plan references below (the
+        # verify chain plus `need` inside each sh_all occurrence);
+        # without materialization the pruned bands join re-executes
+        # per reference. cand is candidate-pair-sized (batch-scale) —
+        # an eager localCheckpoint is tiny and cuts steady-state
+        # micro-batch time ~3x (measured at sf0.1).
+        cand = cand.localCheckpoint(eager=True)
     # verify joins read shingle sets from the index for seen docs and
     # from the (batch-sized) sketch for new docs; a doc id appears in
     # exactly one side, so the union is disjoint
-    sh_all = seen_shingles.select("id", "sh").unionByName(new_sh)
+    if "ib" in seen_shingles.columns:
+        # restrict the index scan to the candidates' bucket dirs: the
+        # needed-id frame is candidate-sized (broadcast), its join
+        # carries the ib partition column → DPP prunes the scan. The
+        # candidate subtree feeds both `need` and the final joins —
+        # one shuffle, reused (ReusedExchange), not recomputed.
+        # ib >= 0: same DPP-visibility no-op as the kb filter above
+        need = F.broadcast(
+            cand.select(
+                F.explode(F.array("id_i", "id_j")).alias("id")
+            )
+            .distinct()
+            .withColumn("ib", id_bucket(F.col("id")))
+            .filter(F.col("ib") >= 0)
+        )
+        seen_needed = (
+            seen_shingles.select("ib", "id", "sh")
+            .join(need, ["ib", "id"])
+            .select("id", "sh")
+        )
+        sh_all = seen_needed.unionByName(new_sh.select("id", "sh"))
+    else:
+        sh_all = seen_shingles.select("id", "sh").unionByName(new_sh)
     return (
         cand.join(
             sh_all.withColumnsRenamed({"id": "id_i", "sh": "sh_i"}), "id_i"

@@ -1596,7 +1596,7 @@ def _minhash_index_path(spark: SparkSession, sf_dir: str) -> str:
     st = os.stat(src)
     key = hashlib.md5(
         f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|"
-        f"{split}|{MH_PERMS}|{MH_BANDS}|{MH_ROWS}|v2".encode()
+        f"{split}|{MH_PERMS}|{MH_BANDS}|{MH_ROWS}|v3".encode()
     ).hexdigest()[:16]
     root = os.environ.get(
         "BDSPF_CACHE_DIR",

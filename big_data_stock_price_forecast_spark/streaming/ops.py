@@ -474,7 +474,12 @@ def dedup_ingest_stream(
     (foreachBatch's at-least-once contract) lands idempotently instead
     of duplicating rows. Returns the started StreamingQuery.
     """
-    from ..operators.dedup import _pairs_from_sketches, minhash_index
+    from ..operators.dedup import (
+        _pairs_from_sketches,
+        band_bucket,
+        id_bucket,
+        minhash_index,
+    )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -487,6 +492,11 @@ def dedup_ingest_stream(
         nb = nb.persist()
         new_sh = new_sh.persist()
         try:
+            # the index is kb/ib-partitioned (write_minhash_index
+            # layout): the probe join carries the partition column and
+            # the batch side broadcasts, so the scans below prune to
+            # the batch's matching bucket dirs (DPP) — per-micro-batch
+            # cost O(batch x matching buckets), not O(corpus index)
             seen_bands = spark.read.parquet(f"{index_path}/bands")
             seen_sh = spark.read.parquet(f"{index_path}/shingles")
             pairs = _pairs_from_sketches(
@@ -495,11 +505,25 @@ def dedup_ingest_stream(
             pairs.write.mode("overwrite").parquet(
                 f"{pairs_path}/batch={batch_id}"
             )
-            nb.write.mode("overwrite").parquet(
-                f"{index_path}/bands/batch={batch_id}"
+            # fold-in writes keep the seed's partition layout so later
+            # batches' probes prune over the grown index too
+            # repartition by the partition column first: partitionBy
+            # alone writes (tasks x dirs) files — up to 32x32 tiny
+            # files per fold-in batch; repartitioned it is one file
+            # per touched bucket dir
+            (
+                nb.withColumn("kb", band_bucket(F.col("band"), F.col("key")))
+                .repartition("kb")
+                .write.partitionBy("kb")
+                .mode("overwrite")
+                .parquet(f"{index_path}/bands/batch={batch_id}")
             )
-            new_sh.write.mode("overwrite").parquet(
-                f"{index_path}/shingles/batch={batch_id}"
+            (
+                new_sh.withColumn("ib", id_bucket(F.col("id")))
+                .repartition("ib")
+                .write.partitionBy("ib")
+                .mode("overwrite")
+                .parquet(f"{index_path}/shingles/batch={batch_id}")
             )
         finally:
             nb.unpersist()

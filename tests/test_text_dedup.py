@@ -502,3 +502,36 @@ def test_bloom_hits_superset_of_exact(spark, sf_dir):
     for r in rows:
         assert r["n_bloom_hits"] >= r["n_exact_hits"]
         assert r["n_shingles"] >= r["n_bloom_hits"]
+
+
+def test_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """Scale contract of the persisted-index layout: the bands and
+    shingles scans must carry dynamic partition-pruning filters (the
+    probe reads only the batch's matching kb/ib bucket dirs, never the
+    whole index), and the layout must actually be partitioned."""
+    import os
+
+    from big_data_stock_price_forecast_spark.operators.dedup import (
+        IDX_BUCKETS,
+        minhash_lsh_pairs_vs_index,
+        write_minhash_index,
+    )
+    from big_data_stock_price_forecast_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "mh_index")
+    write_minhash_index(docs.filter(F.col("doc_id") < 400), idx)
+    kb_dirs = [
+        d for d in os.listdir(os.path.join(idx, "bands", "batch=seed"))
+        if d.startswith("kb=")
+    ]
+    assert 1 < len(kb_dirs) <= IDX_BUCKETS
+    out = minhash_lsh_pairs_vs_index(
+        docs.filter(F.col("doc_id") >= 400),
+        spark.read.parquet(f"{idx}/bands"),
+        spark.read.parquet(f"{idx}/shingles"),
+        threshold=0.2,
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("dynamicpruning") >= 2, plan[:2000]
