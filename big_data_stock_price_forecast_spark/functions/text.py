@@ -58,16 +58,25 @@ def sql_hash60(expr: str) -> str:
 def shingles(tok: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from a token array (space-joined).
     Docs shorter than n tokens yield an empty array (guarded: Spark's
-    ``sequence(1, 0)`` counts DOWN instead of producing empty)."""
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(tok) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
-    )
-    return F.array_distinct(
-        F.when(F.size(tok) >= n, sh).otherwise(
-            F.array().cast("array<string>")
+    ``sequence(1, 0)`` counts DOWN instead of producing empty).
+    ``tok`` is let-bound before the per-position lambda: composed
+    directly over ``tokens(...)`` (as :func:`~..operators.dedup.
+    with_shingles` does) the raw expression would re-tokenize the
+    document once per shingle — O(tokens²) per doc (see expr.let_)."""
+    from .expr import let_
+
+    def _sh(t: Column) -> Column:
+        sh = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
         )
-    )
+        return F.array_distinct(
+            F.when(F.size(t) >= n, sh).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+
+    return let_(tok, _sh)
 
 
 def sql_shingles(tok_expr: str, n: int = 3) -> str:

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.expr import let_ as _let
 from ..functions.text import TOKEN_SPLIT_RE, hash60, shingles, tokens
 
 MH_PRIME = 2147483647  # 2^31 - 1: keeps a*h + b within signed 64-bit
@@ -830,6 +831,121 @@ def containment_pairs(
     return inter.select(
         "id_i", "id_j", "inter", cmax.alias("containment")
     ).filter(F.col("containment") >= threshold)
+
+
+WINNOW_K = 8  # char k-gram length over the normalized text
+WINNOW_W = 4  # winnowing window: any match >= w+k-1 chars is guaranteed
+WINNOW_DF_CAP = 64  # drop fingerprints shared by more docs (boilerplate)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every char ``k``-gram of the
+    normalized text (lowercased, non-alnum stripped), then keep the
+    MINIMUM hash of each sliding window of ``w`` consecutive grams.
+    The selected set is content-defined — insertions/deletions only
+    perturb fingerprints near the edit — and carries the guarantee
+    that any shared substring of length >= w+k-1 chars contributes at
+    least one shared fingerprint, a positional promise MinHash (a
+    whole-document sample) cannot make.
+
+    Everything is ONE per-row array expression — NO shuffle and no
+    explode happens here; density is ~2/(w+1) fingerprints per gram,
+    so downstream joins see a ~(w+1)/2-fold smaller posting list than
+    full k-gram indexing. The normalized text and the gram-hash array
+    are :func:`_let`-bound so each is computed once per row even after
+    Catalyst collapses this projection into downstream explodes (see
+    ``_let`` for the O(n²) failure mode this prevents). Docs with
+    fewer than ``w`` grams degrade gracefully to min-of-all-grams
+    (one fingerprint); docs shorter than ``k`` normalized chars yield
+    an empty set. Hashes are the portable 60-bit md5 ints
+    (functions/text.py), so the DuckDB oracle reproduces the
+    selection bitwise. Returns (id, fps).
+    """
+    empty = F.array().cast("array<long>")
+
+    def _grams(nrm: Column) -> Column:
+        return F.when(
+            F.length(nrm) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.length(nrm) - (k - 1)),
+                lambda i: hash60(F.substr(nrm, i, F.lit(k))),
+            ),
+        ).otherwise(empty)
+
+    def _winnow(g: Column) -> Column:
+        return F.when(
+            F.size(g) >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(g) - (w - 1), F.lit(1))
+                    ),
+                    lambda j: F.array_min(
+                        F.slice(g, j, F.least(F.lit(w), F.size(g)))
+                    ),
+                )
+            ),
+        ).otherwise(empty)
+
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    fps = _let(norm, lambda nrm: _let(_grams(nrm), _winnow))
+    return docs.select(F.col(id_col).alias("id"), fps.alias("fps"))
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    threshold: float = 0.15,
+    df_cap: int = WINNOW_DF_CAP,
+) -> DataFrame:
+    """Near-dup pairs over winnowing fingerprints via the same
+    inverted-index shape as :func:`ngram_jaccard_pairs`: explode
+    (doc, fingerprint), group by fingerprint, expand in-bucket pairs,
+    count shared fingerprints, score jac = shared/(|A|+|B|-shared).
+    Work ∝ Σ df(fp)² with df capped at ``df_cap`` — a fingerprint
+    selected by more than ``df_cap`` docs is boilerplate (MOSS's
+    "ignore ubiquitous code" rule) and is dropped BEFORE pair
+    expansion, which both bounds the hottest bucket and removes the
+    quadratic blowup a viral n-gram would cause at corpus scale. The
+    score is a double quotient of identical integers on both engines
+    — no rounding needed."""
+    fp = winnow_fingerprints(docs, id_col, text_col, k, w)
+    ex = fp.select(
+        "id", F.size("fps").alias("cnt"), F.explode("fps").alias("h")
+    )
+    buckets = (
+        ex.groupBy("h")
+        .agg(F.collect_list(F.struct("id", "cnt")).alias("ps"))
+        .filter((F.size("ps") > 1) & (F.size("ps") <= df_cap))
+    )
+    inter = (
+        buckets.select(
+            F.explode(_ordered_bucket_pairs(F.col("ps"))).alias("p")
+        )
+        .groupBy(
+            F.col("p.a.id").alias("id_i"),
+            F.col("p.a.cnt").alias("cnt_i"),
+            F.col("p.b.id").alias("id_j"),
+            F.col("p.b.cnt").alias("cnt_j"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    wj = F.col("shared").cast("double") / (
+        F.col("cnt_i") + F.col("cnt_j") - F.col("shared")
+    ).cast("double")
+    return inter.select(
+        "id_i", "id_j", "shared", wj.alias("winnow_jac")
+    ).filter(F.col("winnow_jac") >= threshold)
 
 
 _POWS = [1 << j for j in range(SIMHASH_BITS)]

@@ -177,6 +177,105 @@ def with_sign_bucket_arrow(
     )
 
 
+def binary_quantize(vec: Column, dim: int = 64) -> Column:
+    """1-bit-per-dimension binary quantization: bit ``d`` of the packed
+    64-bit code is set when ``vec[d] > 0``. A 64-dim float64 vector
+    (512 B) compresses to ONE long (8 B) — the 64x shrink that makes
+    exhaustive candidate generation affordable at corpus scale (the
+    whole-corpus code column of a 10^9-vector index is 8 GB, a
+    broadcast-side or cached-scan size; the float vectors never move).
+    Pure integer expression, engine-exact: the sign rule is strict
+    ``> 0`` on both engines and bit 63 is the long's sign bit (shift
+    semantics, no overflow check applies)."""
+    code = F.lit(0).cast("long")
+    for d in range(dim):
+        code = code.bitwiseOR(
+            F.when(
+                F.element_at(vec, d + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), d),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return code
+
+
+def bq_hamming_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    k: int = 5,
+    rerank: int = 32,
+    radius: int = 31,
+    dim: int = 64,
+) -> DataFrame:
+    """Two-stage binary-quantization ANN (the modern low-memory scale
+    pattern, cf. FAISS IndexBinaryFlat + refine / Cohere int1 embeddings):
+
+    1. **Hamming scan** — every corpus code XORs against each broadcast
+       query code; ``bit_count`` gives the Hamming distance. The scan
+       frame carries ONLY ``(id, code)`` (16 B/row): the float vectors
+       are projected away before the join, so the full-corpus pass
+       touches 64x less data than a float cosine scan.
+    2. **Radius cut** — candidates with ``hamming > radius`` drop
+       map-side, BEFORE the per-query top-R shuffle. For random unit
+       vectors E[hamming] = dim/2 with sd = 4 at dim 64, so
+       ``radius = dim/2 - 1`` discards the unrelated half of the corpus
+       while true neighbors (hamming << 32) always survive — the skinny
+       shuffle is the only exchange and it is half-corpus-sized at
+       worst, candidate-sized in practice.
+    3. **Exact re-rank** — the per-query top-``rerank`` Hamming
+       survivors (a queries x rerank frame, tiny by construction) join
+       back to the float vectors — broadcast of the CANDIDATE list into
+       the corpus scan, never the reverse — and exact cosine
+       (sequential fold, bitwise engine-equal) picks the final top-k.
+
+    Ties break by id at both stages, so the result is deterministic and
+    oracle-exact."""
+    from pyspark.sql import Window
+
+    from ..functions.distance import dot_fixed, l2_norm_fixed
+
+    codes = emb.select(
+        F.col(id_col).alias("id"),
+        binary_quantize(F.col(vec_col), dim).alias("code"),
+    )
+    qcodes = queries.select(
+        F.col(id_col).alias("q_id"),
+        binary_quantize(F.col(vec_col), dim).alias("qcode"),
+    )
+    ham = F.bit_count(F.col("code").bitwiseXOR(F.col("qcode")))
+    cand = (
+        codes.crossJoin(F.broadcast(qcodes))
+        .filter(F.col("id") != F.col("q_id"))
+        .select("q_id", "id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= radius)
+    )
+    wh = Window.partitionBy("q_id").orderBy(
+        F.col("hamming").asc(), F.col("id").asc()
+    )
+    topr = cand.withColumn("rr", F.row_number().over(wh)).filter(
+        F.col("rr") <= rerank
+    )
+    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    qvecs = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
+    )
+    cos = dot_fixed(F.col("v"), F.col("qv"), dim) / (
+        l2_norm_fixed(F.col("v"), dim) * l2_norm_fixed(F.col("qv"), dim)
+    )
+    rer = (
+        vecs.join(F.broadcast(topr.select("q_id", "id", "hamming")), "id")
+        .join(F.broadcast(qvecs), "q_id")
+        .select("q_id", "id", "hamming", cos.alias("cos"))
+    )
+    wk = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("id").asc()
+    )
+    return rer.withColumn(
+        "rank", F.row_number().over(wk).cast("int")
+    ).filter(F.col("rank") <= k)
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -535,3 +535,21 @@ def test_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.lower().count("dynamicpruning") >= 2, plan[:2000]
+
+
+def test_shingles_let_binding_tokenizes_once(spark):
+    # Regression pin (r8): shingles(tokens(col)) composed as a raw
+    # expression used to place the filter(split(lower)) tokenizer
+    # INSIDE the per-shingle slice lambda — re-tokenizing the document
+    # once per shingle, O(tokens²) per doc. The let_ binding keeps
+    # exactly one split site in the plan regardless of projection
+    # collapsing; the slice inside the lambda must reference a lambda
+    # variable, never the tokenizer.
+    df = spark.createDataFrame([("a b c d e f",)], ["text"])
+    plan = (
+        df.select(shingles(tokens(F.col("text")), 3).alias("sh"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(") == 1, plan
