@@ -899,6 +899,66 @@ def winnow_fingerprints(
     return docs.select(F.col(id_col).alias("id"), fps.alias("fps"))
 
 
+def winnow_sets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    out: str = "fps",
+) -> DataFrame:
+    """(id, fps) winnowing fingerprint sets — one Arrow pass.
+
+    Semantically identical to :func:`winnow_fingerprints` (same
+    ``[^a-z0-9]``-strip normalization, 60-bit md5 gram hashes,
+    min-per-window selection, first-occurrence distinct; bitwise-equal
+    for ASCII text, which the normalization alphabet effectively
+    enforces), but the fast path for the same reason as
+    :func:`shingle_sets`: Spark evaluates nested higher-order-function
+    lambdas interpreted, outside whole-stage codegen, and the
+    fingerprint column gets inlined up to 3x through the downstream
+    explode — measured 5.4 s for 5000 sf0.1 docs on ONE task (a single
+    parquet split serializes the whole pass). Batched Python through
+    Arrow plus the :func:`_parallelize_texts` repartition turns that
+    into a full-width sub-second stage. Rows with an empty fingerprint
+    set (< k normalized chars) are dropped, matching the callers'
+    needs (they contribute no pairs)."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    strip_re = re.compile("[^a-z0-9]")
+
+    def run(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                nrm = strip_re.sub("", str(txt).lower())
+                grams = [
+                    int(
+                        hashlib.md5(
+                            nrm[j : j + k].encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    for j in range(len(nrm) - k + 1)
+                ]
+                if not grams:
+                    continue
+                n_win = max(len(grams) - w + 1, 1)
+                sel = dict.fromkeys(
+                    min(grams[j : j + w]) for j in range(n_win)
+                )
+                ids.append(i)
+                fps.append(list(sel))
+            yield pd.DataFrame({"id": ids, out: fps})
+
+    return _parallelize_texts(
+        docs.select(id_col, text_col), id_col
+    ).mapInPandas(run, schema=f"id long, `{out}` array<long>")
+
+
 def winnow_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -918,8 +978,10 @@ def winnow_pairs(
     expansion, which both bounds the hottest bucket and removes the
     quadratic blowup a viral n-gram would cause at corpus scale. The
     score is a double quotient of identical integers on both engines
-    — no rounding needed."""
-    fp = winnow_fingerprints(docs, id_col, text_col, k, w)
+    — no rounding needed. Fingerprints ride the Arrow fast path
+    (:func:`winnow_sets`); :func:`winnow_fingerprints` is the
+    oracle-documented JVM-expression twin the equality test pins."""
+    fp = winnow_sets(docs, id_col, text_col, k, w)
     ex = fp.select(
         "id", F.size("fps").alias("cnt"), F.explode("fps").alias("h")
     )

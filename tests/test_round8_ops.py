@@ -18,6 +18,7 @@ from big_data_stock_price_forecast_spark.operators.dedup import (
     WINNOW_W,
     winnow_fingerprints,
     winnow_pairs,
+    winnow_sets,
 )
 from big_data_stock_price_forecast_spark.operators.similarity import (
     binary_quantize,
@@ -100,6 +101,22 @@ def test_winnow_is_shuffle_free_fingerprinting(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="abcdefghijklmno")])
     plan = winnow_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_winnow_sets_matches_jvm_expression(spark, sf_dir):
+    # The Arrow fast path (winnow_sets, what winnow_pairs runs) must
+    # select EXACTLY the fingerprints of the oracle-documented JVM
+    # expression (winnow_fingerprints) on real corpus text — same
+    # normalization, gram hashes, and min-per-window rule. Rows whose
+    # set is empty are dropped by the Arrow path.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    jvm = {
+        r["id"]: set(r["fps"])
+        for r in winnow_fingerprints(docs).collect()
+        if r["fps"]
+    }
+    arrow = {r["id"]: set(r["fps"]) for r in winnow_sets(docs).collect()}
+    assert arrow == jvm
 
 
 def test_winnow_let_binding_survives_explode(spark):
