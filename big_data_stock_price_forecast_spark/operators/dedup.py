@@ -443,10 +443,16 @@ def minhash_lsh_pairs(
     hash joins re-attach shingle sets for the exact-Jaccard verify of
     the (tiny) candidate set.
     """
-    # persist: the shingle lineage feeds the signature build AND both
-    # sides of the verify join — without it Spark recomputes the
-    # tokenize+shingle+hash pipeline three times
-    base = shingle_sets(docs, id_col=id_col, text_col=text_col, n=n).persist()
+    # localCheckpoint (not persist): the shingle lineage feeds the
+    # signature build AND both sides of the verify join — without
+    # pinning Spark recomputes the tokenize+shingle+hash pipeline three
+    # times. Checkpoint blocks are reclaimed by the ContextCleaner when
+    # this frame is GC'd; a persist() would stay pinned in the
+    # CacheManager until an explicit unpersist that no caller of a
+    # lazily-returned pair list can reasonably place.
+    base = shingle_sets(
+        docs, id_col=id_col, text_col=text_col, n=n
+    ).localCheckpoint(eager=True)
     sh = base.select(F.col(id_col).alias("id"), "sh")
     banded = minhash_band_rows(
         base, k=k, bands=bands, rows=rows, id_col=id_col
@@ -581,8 +587,11 @@ def minhash_lsh_pairs_vs_index(
     """
     new_base = shingle_sets(
         new_docs, id_col=id_col, text_col=text_col, n=n
-    ).persist()  # batch-sized (NOT corpus-sized): feeds the banding
-    # pass and the new-side verify join
+    ).localCheckpoint(eager=True)
+    # ^ batch-sized (NOT corpus-sized): feeds the banding pass and the
+    # new-side verify join; localCheckpoint so the per-batch blocks are
+    # GC-reclaimed between micro-batches instead of accumulating in the
+    # CacheManager for the stream's lifetime
     nb = minhash_band_rows(
         new_base, k=k, bands=bands, rows=rows, id_col=id_col
     )

@@ -205,7 +205,7 @@ def bq_hamming_topk(
     vec_col: str = "v",
     k: int = 5,
     rerank: int = 32,
-    radius: int = 31,
+    radius: int | None = None,
     dim: int = 64,
 ) -> DataFrame:
     """Two-stage binary-quantization ANN (the modern low-memory scale
@@ -230,8 +230,13 @@ def bq_hamming_topk(
        (sequential fold, bitwise engine-equal) picks the final top-k.
 
     Ties break by id at both stages, so the result is deterministic and
-    oracle-exact."""
+    oracle-exact. ``radius=None`` (default) derives ``dim // 2 - 1`` so
+    the cut tracks a caller-supplied ``dim`` — a hardcoded 31 would
+    silently over-prune at dim 128 (E[hamming] = 64 there)."""
     from pyspark.sql import Window
+
+    if radius is None:
+        radius = dim // 2 - 1
 
     from ..functions.distance import dot_fixed, l2_norm_fixed
 

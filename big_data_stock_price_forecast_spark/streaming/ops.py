@@ -584,10 +584,11 @@ def run_available_now(
         q.awaitTermination()
         # pin the result independently of the memory sink, then release
         # the per-run resources (sink registration + checkpoint dir) so
-        # repeated driver calls don't accumulate them
-        out = spark.table(name).persist()
-        out.count()
-        return out
+        # repeated driver calls don't accumulate them. localCheckpoint
+        # (eager) rather than persist: the pinned blocks are
+        # GC-reclaimed once the caller drops the frame — persist()ed
+        # results accumulated in the CacheManager across driver calls.
+        return spark.table(name).localCheckpoint(eager=True)
     finally:
         q.stop()
         spark.catalog.dropTempView(name)

@@ -114,3 +114,12 @@ def test_embed_windows_torch_gate(spark):
     torch.save(m.state_dict(), path)
     out = embed_windows_torch(df, path, Enc, k=4).collect()
     assert len(out) == 4 and len(out[0]["emb"]) == 4
+    # the checkpoint must actually LOAD on the worker (not a fresh
+    # random init): emb == xs @ W.T for the saved weight matrix
+    import numpy as np
+
+    w = m.lin.weight.detach().numpy()
+    xs = np.arange(8, dtype=np.float32)
+    expect = (xs @ w.T).astype(np.float64)
+    got = np.array(sorted(out, key=lambda r: r["window_id"])[0]["emb"])
+    assert np.allclose(got, expect, atol=1e-6)

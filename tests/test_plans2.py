@@ -139,3 +139,36 @@ def test_new_ts_family_exchange_budget(spark):
         plan = _plan(fn(spark, SF))
         assert plan.count("Exchange hashpartitioning") <= 4, fn.__name__
         assert "Python" not in plan and "CartesianProduct" not in plan
+
+
+def test_topk_window_group_limit_is_pushed_below_exchange(spark):
+    """Pin the map-side partial top-k both brute-force k-NN and the
+    BQ Hamming scan depend on (r8 verdict): Spark >= 3.5's
+    InferWindowGroupLimit must insert a WindowGroupLimit BELOW the
+    per-query exchange, so each task keeps only k (resp. rerank)
+    candidates per query instead of shipping the full N x Q rank
+    input through the shuffle. If a Spark upgrade or a conf change
+    (spark.sql.optimizer.windowGroupLimitThreshold = -1) silently
+    drops the rewrite, these queries degrade from a skinny top-k
+    shuffle to a full sort of the candidate set — this test makes
+    that failure loud."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_emb_bq_hamming_topk,
+        q_knn_topk_metrics,
+    )
+
+    for fn in (q_knn_topk_metrics, q_emb_bq_hamming_topk):
+        plan = _plan(fn(spark, SF))
+        assert "WindowGroupLimit" in plan, fn.__name__
+        # the PARTIAL (pre-shuffle, map-side) instance must sit below
+        # the exchange: in executedPlan text the Partial-mode node
+        # appears as a separate WindowGroupLimit under the Exchange
+        # subtree, i.e. after the Exchange line in tree order
+        for frag in plan.split("Exchange hashpartitioning")[1:]:
+            if "row_number" in frag and "WindowGroupLimit" in frag:
+                break
+        else:
+            raise AssertionError(
+                f"{fn.__name__}: no map-side (below-exchange) "
+                "WindowGroupLimit — partial top-k rewrite is gone"
+            )

@@ -570,3 +570,68 @@ def test_cusum_state_carries_across_micro_batches(spark, tmp_path):
     assert set(got) == set(expect)
     for key in got:
         assert abs(got[key] - expect[key]) < 1e-9
+
+
+def test_gold_sink_idempotent_under_midbatch_crash(spark, tmp_path):
+    """Exactly-once under failure injection (the one streaming failure
+    mode the resume test doesn't exercise): the sink CRASHES between
+    writing a micro-batch's output and Spark committing the batch to
+    the offset log. On restart from the same checkpoint Spark replays
+    that batch; because each batch overwrites its own batch_id=N
+    directory, the replay replaces the orphaned files instead of
+    duplicating them — the gold table still equals the batch
+    computation exactly."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from big_data_stock_price_forecast_spark.streaming import stream_events
+
+    src = load_table(spark, SF, "events")
+    gold = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ckpt")
+
+    def make_sink(crash_on: set[int]):
+        def sink(batch_df, batch_id: int):
+            # write FIRST, then crash: simulates dying after the side
+            # effect but before the checkpoint commit — the replayed
+            # batch must overwrite these exact files
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(gold, f"batch_id={batch_id}")
+            )
+            if batch_id in crash_on:
+                crash_on.remove(batch_id)
+                raise RuntimeError("injected crash after write")
+
+        return sink
+
+    q = (
+        stream_events(spark, SF, max_files_per_trigger=1)
+        .writeStream.foreachBatch(make_sink({0}))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        raise AssertionError("injected crash did not propagate")
+    except StreamingQueryException:
+        pass  # batch 0's files are on disk but batch 0 is uncommitted
+
+    # restart from the SAME checkpoint: batch 0 replays (overwriting
+    # its orphaned output), the rest drains normally
+    q2 = (
+        stream_events(spark, SF, max_files_per_trigger=1)
+        .writeStream.foreachBatch(make_sink(set()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    back = spark.read.option("basePath", gold).parquet(gold)
+    assert back.count() == src.count()
+    assert (
+        back.groupBy("event_id").count().filter(F.col("count") > 1).count()
+        == 0
+    )
