@@ -2,7 +2,9 @@
 
 ``entry(spark)`` runs the flagship analogical-forecast pipeline
 (SURVEY.md §3.3) on sf0.001. ``queries()`` / ``oracle_sql()`` expose
-every implemented operator from SURVEY.md §2 with DuckDB oracles; see
+every implemented operator from SURVEY.md §2 with DuckDB oracles
+(every query except win_vae_embed, whose iterative training loop is
+non-SQL-expressible and takes the driver's rows-only check); see
 ``big_data_stock_price_forecast_spark/plans/registry.py``.
 """
 
