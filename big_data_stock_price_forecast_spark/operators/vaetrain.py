@@ -231,6 +231,21 @@ def _forward_backward(
     return grads.sum(axis=0), float(r_row.sum()), float(kl_row.sum())
 
 
+def minibatch_filter(
+    uid: "F.Column | str", step: int, frac: float
+) -> "F.Column":
+    """Deterministic per-step mini-batch membership: splitmix64-style
+    hash of (uid, step) against a ppm threshold — same machinery as
+    the engine's hash60 samplers (reproducible across runs, engines,
+    and cluster sizes; no rand()). Pure JVM expression, so the scan
+    filter prunes rows BEFORE the gradient UDF — a step touches
+    ~frac of the corpus I/O, not all of it."""
+    ppm = int(round(frac * 1_000_000))
+    h = F.xxhash64(F.col(uid) if isinstance(uid, str) else uid,
+                   F.lit(int(step)))
+    return F.pmod(h, F.lit(1_000_000)) < F.lit(ppm)
+
+
 def _grad_epoch(
     windows: DataFrame, p: VaeParams, epoch: int, kl_beta: float,
     xs_col: str, uid_col: str,
@@ -305,23 +320,41 @@ def train_vae(
     kl_beta: float = 5e-4,
     weight_decay: float = 1e-4,
     seed: int = 7,
+    minibatch_frac: float | None = None,
 ) -> tuple[VaeParams, list[dict]]:
     """Fit the MLP VAE by full-batch AdamW over ``windows``
     (one scan + one ~500-key aggregate per epoch; kl_beta/weight_decay
     defaults are the reference's train.py:67-68 values). Returns the
     trained parameters and the per-epoch loss history (r, kl, loss —
-    the reference's loss_r / -loss_kl / loss log dict)."""
+    the reference's loss_r / -loss_kl / loss log dict).
+
+    ``minibatch_frac`` switches each step to a deterministic
+    hash-selected subset (:func:`minibatch_filter`) — the 100 TB mode
+    where a full-corpus scan per step is too much I/O. The step's
+    member set is a pure function of (uid, step), so runs remain
+    bit-reproducible; the loss history then reports the per-step
+    subset's loss."""
     p = VaeParams.init(L, hidden, k, seed)
     m = np.zeros_like(p.vec)
     v = np.zeros_like(p.vec)
     b1, b2, eps_o = 0.9, 0.999, 1e-8
     history = []
     for ep in range(epochs):
+        step_df = windows
+        if minibatch_frac is not None:
+            step_df = windows.filter(
+                minibatch_filter(uid_col, ep, minibatch_frac)
+            )
         grad, r_tot, kl_tot, n = _grad_epoch(
-            windows, p, ep, kl_beta, xs_col, uid_col
+            step_df, p, ep, kl_beta, xs_col, uid_col
         )
         if n == 0:
-            raise ValueError("train_vae: empty window frame")
+            raise ValueError(
+                "train_vae: empty window frame"
+                if minibatch_frac is None
+                else f"train_vae: step {ep} mini-batch selected 0 rows "
+                     f"(frac={minibatch_frac}); raise the fraction"
+            )
         g = grad / n
         r = r_tot / n
         kl = kl_tot / n

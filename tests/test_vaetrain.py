@@ -147,3 +147,34 @@ def test_vae_encode_shape_and_determinism(spark, toy_df):
     out2 = vae_encode(df.repartition(5), p).orderBy("window_id").collect()
     for a, b in zip(out, out2):
         assert a["emb"] == b["emb"]
+
+
+def test_minibatch_mode_is_deterministic_and_subsets(spark, toy_df):
+    """100 TB mode: each step trains on a hash-selected subset. The
+    member set is a pure function of (uid, step) — two runs agree
+    bit-for-bit and differ from the full-batch fit; the scan-side
+    filter selects roughly the requested fraction."""
+    from big_data_stock_price_forecast_spark.operators.vaetrain import (
+        minibatch_filter,
+    )
+
+    pa, ha = train_vae(
+        toy_df, L=L, hidden=H, k=K, epochs=3, minibatch_frac=0.6
+    )
+    pb, hb = train_vae(
+        toy_df.repartition(5), L=L, hidden=H, k=K, epochs=3,
+        minibatch_frac=0.6,
+    )
+    assert np.array_equal(pa.vec, pb.vec)
+    assert ha == hb
+    pf, _ = train_vae(toy_df, L=L, hidden=H, k=K, epochs=3)
+    assert not np.array_equal(pa.vec, pf.vec)
+    n0 = toy_df.filter(minibatch_filter("uid", 0, 0.6)).count()
+    n1 = toy_df.filter(minibatch_filter("uid", 1, 0.6)).count()
+    assert 10 <= n0 <= 38 and 10 <= n1 <= 38
+    # different steps select different subsets
+    s0 = {r["uid"] for r in
+          toy_df.filter(minibatch_filter("uid", 0, 0.6)).collect()}
+    s1 = {r["uid"] for r in
+          toy_df.filter(minibatch_filter("uid", 1, 0.6)).collect()}
+    assert s0 != s1
