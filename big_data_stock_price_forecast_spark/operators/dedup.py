@@ -423,6 +423,34 @@ def bucket_pairs_skew_safe(
     )
 
 
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = MH_PERMS,
+    bands: int = MH_BANDS,
+    rows: int = MH_ROWS,
+) -> DataFrame:
+    """LSH candidate pairs only (id_i < id_j), no exact verify: the
+    front half of :func:`minhash_lsh_pairs`, reusable by verifiers
+    that score candidates with a different exact metric (edit
+    distance, containment) — the candidate-only-expensive-verify
+    pattern with the sketch stage shared. The shingle lineage is
+    consumed once here, so no pinning is needed."""
+    base = shingle_sets(docs, id_col=id_col, text_col=text_col, n=n)
+    banded = minhash_band_rows(
+        base, k=k, bands=bands, rows=rows, id_col=id_col
+    )
+    return (
+        bucket_pairs_skew_safe(banded, ["band", "key"], ["id"])
+        .select(
+            F.col("p.a.id").alias("id_i"), F.col("p.b.id").alias("id_j")
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -4,7 +4,6 @@ save/load roundtrip (S9), agreement with a numpy PCA reference."""
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import functions as F
 
 from big_data_stock_price_forecast_spark.operators.mlpipe import (
     fit_embedder,

@@ -51,10 +51,21 @@ def test_gate_window_composition():
     assert len(names) == len(set(names))  # no duplicate registrations
 
 
+# Queries with no DuckDB-SQL oracle by design: the driver records a
+# weaker rows-only check for these; exactness is test-pinned instead
+# (win_vae_embed: iterative VAE training, non-SQL-expressible —
+# bit-identical-under-repartitioning + numpy-replay tests in
+# tests/test_vaetrain.py).
+ROWS_ONLY = {"win_vae_embed"}
+
+
 def test_every_query_has_an_oracle_entry():
     from big_data_stock_price_forecast_spark.plans.registry import (
         all_oracles,
     )
 
     qs, os_ = all_queries(), all_oracles()
-    assert list(qs) == list(os_)  # same names, same order
+    # every oracle-less query must be on the documented rows-only list,
+    # and the oracle map preserves registration order over the rest
+    assert set(qs) - set(os_) == ROWS_ONLY
+    assert list(os_) == [n for n in qs if n not in ROWS_ONLY]

@@ -1,0 +1,196 @@
+"""Round-9 operator contracts: Okapi BM25 retrieval and per-document
+token entropy (lexical-diversity quality signal).
+
+BM25 reference: Robertson/Zaragoza, "The Probabilistic Relevance
+Framework: BM25 and Beyond" (2009), with the Lucene non-negative idf
+variant ln(1 + (N - df + 0.5)/(df + 0.5)). The tests replay the exact
+scoring pipeline — including the shared 1e-6 grid-snap-then-exact-sum
+determinism device — in plain Python and assert the Spark plan
+reproduces it bit-for-bit.
+"""
+
+import math
+import re
+from collections import Counter
+
+from pyspark.sql import Row, functions as F
+
+from big_data_stock_price_forecast_spark.plans.registry import (
+    BM25_B,
+    BM25_K1,
+    BM25_TERMS,
+    BM25_TOPK,
+    q_doc_bm25_topk,
+    q_doc_edit_sim_pairs,
+    q_doc_token_entropy,
+)
+
+
+def _toks(text: str) -> list:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _snap6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _py_bm25(docs: dict) -> list:
+    """(rank, doc_id, score, n_terms, total_tf) rows, the query's exact
+    contract: per-(doc,term) contribution snapped to the 1e-6 grid,
+    per-doc sum exact (ints of micro-units), rank on the exact sum."""
+    toked = {d: _toks(t) for d, t in docs.items()}
+    n_docs = len(toked)
+    avgdl = sum(len(v) for v in toked.values()) / n_docs
+    tf = {
+        d: Counter(t for t in v if t in BM25_TERMS)
+        for d, v in toked.items()
+    }
+    df = Counter(t for c in tf.values() for t in c)
+    rows = []
+    for d, c in tf.items():
+        if not c:
+            continue
+        micro = 0
+        for t, f in c.items():
+            idf = math.log(
+                1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5)
+            )
+            tfp = (f * (BM25_K1 + 1.0)) / (
+                f
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * len(toked[d]) / avgdl)
+            )
+            micro += round(_snap6(idf * tfp) * 1e6)
+        rows.append((d, micro, len(c), sum(c.values())))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return [
+        (i + 1, d, _snap6(micro / 1e6), nt, tt)
+        for i, (d, micro, nt, tt) in enumerate(rows[:BM25_TOPK])
+    ]
+
+
+def test_bm25_matches_python_reference(spark, tmp_path):
+    docs = {
+        0: "spark merge spark table dup",  # all three terms, short
+        1: "dup dup dup filter row",  # rare term repeated
+        2: "spark spark spark spark merge " + "pad " * 40,  # long doc
+        3: "table row filter scan",  # no query terms -> absent
+        4: "merge",  # single-term, shortest doc
+        5: "spark merge dup " + "x " * 10,
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=d, text=t, lang="en", source="s", n_chars=len(t))
+         for d, t in docs.items()]
+    )
+    p = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = [
+        (r["rank"], r["doc_id"], r["score"], r["n_terms"], r["total_tf"])
+        for r in q_doc_bm25_topk(spark, str(tmp_path)).collect()
+    ]
+    got.sort()
+    assert got == _py_bm25(docs)
+    # doc 3 has no query term: must not appear at all
+    assert 3 not in {r[1] for r in got}
+
+
+def test_bm25_partition_invariant(spark, sf_dir):
+    a = sorted(map(tuple, q_doc_bm25_topk(spark, sf_dir).collect()))
+    assert len(a) == BM25_TOPK
+    ranks = sorted(r[0] for r in a)
+    assert ranks == list(range(1, BM25_TOPK + 1))
+    # exact-decimal ranking: scores are non-increasing in rank order
+    by_rank = sorted(a)
+    scores = [r[2] for r in by_rank]
+    assert scores == sorted(scores, reverse=True)
+
+
+def _py_entropy(docs: dict) -> dict:
+    out = {}
+    for d, t in docs.items():
+        c = Counter(_toks(t))
+        n = sum(c.values())
+        if n == 0:
+            continue
+        micro = sum(
+            round(_snap6(f * math.log2(f)) * 1e6) for f in c.values()
+        )
+        ent = _snap6(math.log2(n) - (micro / 1e6) / n)
+        out[d] = (n, len(c), ent, _snap6(len(c) / n))
+    return out
+
+
+def test_token_entropy_matches_python_reference(spark, tmp_path):
+    docs = {
+        0: "a a a a a a",  # zero entropy: one type
+        1: "a b c d e f g h",  # uniform: log2(8) = 3 bits exactly
+        2: "a a a a b",  # skewed
+        3: "Mixed CASE, punct!! and   spacing — ok?",
+        4: "",  # token-less: must be absent from the output
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=d, text=t, lang="en", source="s", n_chars=len(t))
+         for d, t in docs.items()]
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (
+            r["n_tok"], r["n_types"], r["entropy_bits"], r["ttr"]
+        )
+        for r in q_doc_token_entropy(spark, str(tmp_path)).collect()
+    }
+    assert got == _py_entropy(docs)
+    assert got[0][2] == 0.0
+    assert got[1][2] == 3.0
+    assert 4 not in got
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)
+            ))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_levenshtein_engine_matches_python_dp(spark):
+    """doc_edit_sim_pairs rides on F.levenshtein: pin Spark's kernel to
+    the textbook DP (unit-cost insert/delete/substitute) on the edge
+    shapes — empty, equal, prefix, transposition (cost 2 under
+    Levenshtein, unlike Damerau), repeats, and case sensitivity."""
+    cases = [
+        ("", ""), ("", "abc"), ("abc", ""), ("abc", "abc"),
+        ("kitten", "sitting"), ("abcdef", "abcdefgh"),
+        ("ab", "ba"), ("aaaa", "aabaa"), ("Spark", "spark"),
+        ("the quick brown fox", "the quick brawn fax"),
+    ]
+    df = spark.createDataFrame(
+        [Row(a=a, b=b) for a, b in cases]
+    ).select("a", "b", F.levenshtein("a", "b").alias("ed"))
+    for r in df.collect():
+        assert r["ed"] == _py_lev(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_edit_sim_pairs_end_to_end(spark, tmp_path):
+    """Two near-identical docs must band together and survive the sim
+    threshold with the exact hand-computed edit distance; an unrelated
+    doc must not pair with them."""
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a[:-10] + "cat again "  # small tail edit of a
+    c = "completely different content about spark shuffles " * 5
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+         for i, t in enumerate([a, b, c])]
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = q_doc_edit_sim_pairs(spark, str(tmp_path)).collect()
+    assert [(r["id_i"], r["id_j"]) for r in rows] == [(0, 1)]
+    r = rows[0]
+    assert r["ed"] == _py_lev(a, b)
+    assert r["len_i"] == len(a) and r["len_j"] == len(b)
+    expect = 1.0 - r["ed"] / max(len(a), len(b))
+    assert abs(r["sim"] - expect) < 1e-6
