@@ -1043,6 +1043,113 @@ def recursive_battery_arrow(
     )
 
 
+def add_indicators4(
+    df: DataFrame,
+    part_col: str = "symbol",
+    idx_col: str = "time_idx",
+    close_col: str = "close",
+    high_col: str = "high",
+    low_col: str = "low",
+    volume_col: str = "volume",
+    bb_n: int = 20,
+    don_n: int = 20,
+    aroon_n: int = 25,
+    vortex_n: int = 14,
+) -> DataFrame:
+    """Fourth frame-expressible battery — the ``ta`` package's
+    derived-column tail (reference core/data/preprocess.py:11-16
+    ``add_all_ta_features`` emits these beside the bases the earlier
+    batteries cover): band width / %B / band-cross indicators, channel
+    width/percent, oscillator differentials, the raw ease-of-movement
+    value, and percent returns. One shared Window spec (same
+    partitioning + ordering as add_indicators/3 — a composed pipeline
+    still plans a single sort); every column is arithmetic over the
+    SAME base expression trees the green batteries use, so
+    engine/oracle parity carries over unchanged:
+
+    - ``dr`` / ``dlr``: percent daily return / log return
+    - ``em``: raw ease-of-movement (``eom14`` is its 14-SMA)
+    - ``bb_width``: (upper−lower)/mid·100; ``bb_pband``: %B;
+      ``bb_hi``/``bb_li``: close-above-upper / below-lower (1.0/0.0)
+    - ``don_width`` / ``don_pband``: Donchian channel analogues
+    - ``aroon_ind``: aroon_up − aroon_down
+    - ``vortex_diff``: vortex_pos − vortex_neg
+    """
+    w = _base(part_col, idx_col)
+    rn = F.row_number().over(w)
+    c, h, lo, v = (
+        F.col(x) for x in (close_col, high_col, low_col, volume_col)
+    )
+    prev = F.lag(c).over(w)
+    ph, pl = F.lag(h).over(w), F.lag(lo).over(w)
+
+    bb_frame = w.rowsBetween(-(bb_n - 1), 0)
+    mid = F.avg(c).over(bb_frame)
+    sd = F.stddev_pop(c).over(bb_frame)
+    up, lb = mid + 2 * sd, mid - 2 * sd
+    don_frame = w.rowsBetween(-(don_n - 1), 0)
+    du, dl = F.max(h).over(don_frame), F.min(lo).over(don_frame)
+
+    ar_frame = w.rowsBetween(-(aroon_n - 1), 0)
+    highs = F.collect_list(h).over(ar_frame)
+    lows = F.collect_list(lo).over(ar_frame)
+    a_up = (
+        100.0
+        * (F.array_position(highs, F.array_max(highs)) - 1)
+        / (aroon_n - 1)
+    )
+    a_dn = (
+        100.0
+        * (F.array_position(lows, F.array_min(lows)) - 1)
+        / (aroon_n - 1)
+    )
+
+    tr = F.greatest(h - lo, F.abs(h - prev), F.abs(lo - prev))
+    vp = F.coalesce(F.abs(h - pl), F.lit(0.0))
+    vn = F.coalesce(F.abs(lo - ph), F.lit(0.0))
+    em = (
+        ((h + lo) / 2.0 - (ph + pl) / 2.0)
+        * (h - lo)
+        / F.nullif(v, F.lit(0.0))
+    )
+    out = df.withColumns({"__tr4": tr, "__vp4": vp, "__vn4": vn})
+    w2 = _base(part_col, idx_col)
+    rn2 = F.row_number().over(w2)
+    vf = w2.rowsBetween(-(vortex_n - 1), 0)
+    trs = F.nullif(F.sum("__tr4").over(vf), F.lit(0.0))
+    vpos = F.sum("__vp4").over(vf) / trs
+    vneg = F.sum("__vn4").over(vf) / trs
+    prev_nz = F.nullif(prev, F.lit(0.0))
+    return out.withColumns(
+        {
+            "dr": 100.0 * (c / prev_nz - 1.0),
+            "dlr": F.when((c > 0) & (prev > 0), 100.0 * F.log(c / prev)),
+            "em": F.when(rn >= 2, em),
+            "bb_width": F.when(
+                rn >= bb_n, (up - lb) / F.nullif(mid, F.lit(0.0)) * 100.0
+            ),
+            "bb_pband": F.when(
+                rn >= bb_n, (c - lb) / F.nullif(up - lb, F.lit(0.0))
+            ),
+            "bb_hi": F.when(
+                rn >= bb_n, F.when(c > up, 1.0).otherwise(0.0)
+            ),
+            "bb_li": F.when(
+                rn >= bb_n, F.when(c < lb, 1.0).otherwise(0.0)
+            ),
+            "don_width": F.when(
+                rn >= don_n,
+                (du - dl) / F.nullif((du + dl) / 2.0, F.lit(0.0)) * 100.0,
+            ),
+            "don_pband": F.when(
+                rn >= don_n, (c - dl) / F.nullif(du - dl, F.lit(0.0))
+            ),
+            "aroon_ind": F.when(rn >= aroon_n, a_up - a_dn),
+            "vortex_diff": F.when(rn2 >= vortex_n + 1, vpos - vneg),
+        }
+    ).drop("__tr4", "__vp4", "__vn4")
+
+
 def trend_battery_arrow(
     df: DataFrame,
     close_col: str = "close",

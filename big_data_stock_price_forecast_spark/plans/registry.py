@@ -5547,6 +5547,93 @@ FROM k2"""
     )
 
 
+def q_ts_indicators4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12 derived-column tail, completing the ta-battery surface
+    natively (reference core/data/preprocess.py:11-16): band width /
+    %B / band-cross indicators, Donchian width/percent, Aroon and
+    Vortex differentials, raw ease-of-movement, percent returns. Every
+    expression tree is IDENTICAL to the green base batteries', so the
+    oracle parity argument is inherited, and all columns ride the one
+    shared sort."""
+    from ..operators.rolling import add_indicators4
+
+    df = add_indicators4(_filled_ohlc(spark, sf_dir))
+    r6 = _r6
+    return df.select(
+        "symbol", "time_idx",
+        r6("dr"), r6("dlr"), r6("em"),
+        r6("bb_width"), r6("bb_pband"), r6("bb_hi"), r6("bb_li"),
+        r6("don_width"), r6("don_pband"),
+        r6("aroon_ind"), r6("vortex_diff"),
+    )
+
+
+def _sql_indicators4() -> str:
+    fs = _sql_fold_sum
+    body = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED_OHLC},
+pre AS (
+  SELECT symbol, time_idx, close, high, low, volume,
+         row_number() OVER wo AS rn,
+         lag(close) OVER wo AS prev,
+         greatest(high - low, abs(high - lag(close) OVER wo),
+                  abs(low - lag(close) OVER wo)) AS tr3,
+         coalesce(abs(high - lag(low) OVER wo), 0.0) AS vp,
+         coalesce(abs(low - lag(high) OVER wo), 0.0) AS vn,
+         ((high + low) / 2.0
+          - (lag(high) OVER wo + lag(low) OVER wo) / 2.0)
+           * (high - low) / nullif(volume, 0.0) AS emraw
+  FROM filled
+  WINDOW wo AS (PARTITION BY symbol ORDER BY time_idx)
+),
+fr AS (
+  SELECT symbol, time_idx, rn, close, prev, emraw,
+         avg(close) OVER f20 AS mid,
+         stddev_pop(close) OVER f20 AS sd,
+         max(high) OVER f20 AS du, min(low) OVER f20 AS dl,
+         list(high) OVER a25 AS hl25, list(low) OVER a25 AS ll25,
+         {fs('list(vp) OVER f14')} AS vp14,
+         {fs('list(vn) OVER f14')} AS vn14,
+         {fs('list(tr3) OVER f14')} AS tr14
+  FROM pre
+  WINDOW f20 AS (PARTITION BY symbol ORDER BY time_idx
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         a25 AS (PARTITION BY symbol ORDER BY time_idx
+                 ROWS BETWEEN 24 PRECEDING AND CURRENT ROW),
+         f14 AS (PARTITION BY symbol ORDER BY time_idx
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, time_idx,
+  100.0 * (close / nullif(prev, 0.0) - 1.0) AS dr,
+  CASE WHEN close > 0 AND prev > 0
+       THEN 100.0 * ln(close / prev) END AS dlr,
+  CASE WHEN rn >= 2 THEN emraw END AS em,
+  CASE WHEN rn >= 20 THEN ((mid + 2 * sd) - (mid - 2 * sd))
+       / nullif(mid, 0.0) * 100.0 END AS bb_width,
+  CASE WHEN rn >= 20 THEN (close - (mid - 2 * sd))
+       / nullif((mid + 2 * sd) - (mid - 2 * sd), 0.0) END AS bb_pband,
+  CASE WHEN rn >= 20 THEN
+       CASE WHEN close > mid + 2 * sd THEN 1.0 ELSE 0.0 END END AS bb_hi,
+  CASE WHEN rn >= 20 THEN
+       CASE WHEN close < mid - 2 * sd THEN 1.0 ELSE 0.0 END END AS bb_li,
+  CASE WHEN rn >= 20 THEN (du - dl)
+       / nullif((du + dl) / 2.0, 0.0) * 100.0 END AS don_width,
+  CASE WHEN rn >= 20 THEN (close - dl)
+       / nullif(du - dl, 0.0) END AS don_pband,
+  CASE WHEN rn >= 25 THEN
+       100.0 * (list_position(hl25, list_aggregate(hl25, 'max')) - 1) / 24.0
+     - 100.0 * (list_position(ll25, list_aggregate(ll25, 'min')) - 1) / 24.0
+  END AS aroon_ind,
+  CASE WHEN rn >= 15 THEN vp14 / nullif(tr14, 0.0)
+       - vn14 / nullif(tr14, 0.0) END AS vortex_diff
+FROM fr"""
+    return _sql_r6_wrap(
+        body,
+        ["symbol", "time_idx"],
+        ["dr", "dlr", "em", "bb_width", "bb_pband", "bb_hi", "bb_li",
+         "don_width", "don_pband", "aroon_ind", "vortex_diff"],
+    )
+
+
 KNN_METRICS = ("l1", "l2", "cosine", "weighted_l2", "weighted_cosine")
 
 
@@ -14433,12 +14520,12 @@ def all_queries() -> dict[str, QueryFn]:
     # registration order (observed cutoff: 50). Round-9 rotation per
     # the r8 verdict: positions 1-2 = the two round-8 additions
     # (emb_bq_hamming_topk, doc_winnow_pairs), the only prior
-    # entries without a driver CORRECTNESS row; positions 3-6 = the
-    # four round-9 additions (win_vae_embed rows-only, doc_bm25_topk,
-    # doc_token_entropy, doc_edit_sim_pairs); positions 7-50 = 44
-    # r8-green canaries (the first rows of the r8 window,
-    # CORRECTNESS_r08 = 50/50 pass).
-    # After this window runs green, all 205 registry queries are
+    # entries without a driver CORRECTNESS row; positions 3-7 = the
+    # five round-9 additions (win_vae_embed rows-only, doc_bm25_topk,
+    # doc_token_entropy, doc_edit_sim_pairs, ts_indicators4);
+    # positions 8-50 = 43 r8-green canaries (the first rows of the r8
+    # window, CORRECTNESS_r08 = 50/50 pass).
+    # After this window runs green, all 206 registry queries are
     # driver-proven. Every entry carries a "last driver-green round"
     # tag so any future rotation stays mechanical.
     return {
@@ -14461,6 +14548,7 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_bm25_topk": q_doc_bm25_topk,  # never
         "doc_token_entropy": q_doc_token_entropy,  # never
         "doc_edit_sim_pairs": q_doc_edit_sim_pairs,  # never
+        "ts_indicators4": q_ts_indicators4,  # never
         "flagship_forecast_mae": q_flagship,  # r8
         "ts_indicators": q_ts_indicators_all,  # r8
         "doc_minhash_lsh_pairs": q_doc_minhash_pairs,  # r8
@@ -14694,6 +14782,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "doc_bm25_topk": _sql_doc_bm25(),
         "doc_token_entropy": _sql_doc_token_entropy(),
         "doc_edit_sim_pairs": _sql_edit_sim_pairs(),
+        "ts_indicators4": _sql_indicators4(),
         "flagship_forecast_mae": _flagship_oracle(),
         "flagship_summary": (
             f"WITH base AS ({_flagship_oracle()}) "
