@@ -768,6 +768,7 @@ def recursive_battery_arrow(
     volume_col: str = "volume",
     part_col: str = "symbol",
     idx_col: str = "time_idx",
+    derived_tail: bool = False,
 ) -> DataFrame:
     """EVERY recursive (infinite-memory) indicator in ONE Arrow pass per
     series — each extra applyInPandas round-trip costs a shuffle plus an
@@ -806,6 +807,25 @@ def recursive_battery_arrow(
     - ``stc`` (Schaff Trend Cycle over the battery's 12/26 MACD —
       10-bar stochastic of MACD, EMA(alpha=.5)-smoothed, re-stochastic,
       re-smoothed; flat stochastic ranges emit the 50.0 midpoint)
+    - ``ppo_signal``/``pvo_signal`` (EMA-9 of the PPO / PVO lines —
+      the ``ta`` signal columns; the recursion input falls back to 0.0
+      on a zero EMA-26 denominator so the seeded fold stays defined,
+      while the emitted ``ppo``/``pvo`` stay null there, matching the
+      oracle's CASE arms exactly)
+
+    With ``derived_tail=True`` the pass ALSO emits the ta derived-
+    column tail (``ppo_hist``/``pvo_hist``, ``kc_width``/``kc_pband``,
+    ``stochrsi_k``/``stochrsi_d``, ``psar_up``/``psar_down`` +
+    flip indicators). These are frame-expressible (see
+    :func:`add_indicators5`, the composable native twin, cross-pinned
+    equal in tests), but an ``applyInPandas`` output carries no
+    partitioning metadata, so a downstream Window re-shuffles the
+    whole battery frame just to re-group what this loop already holds
+    sorted in memory — in-pass emission keeps the entire indicator
+    pipeline at ONE shuffle. Arithmetic matches the native twin
+    bitwise (the 3-SMAs fold ``((0+x1)+x2)+x3`` in frame order,
+    exactly Spark's no-retraction sliding-sum order and the oracle's
+    ``list_reduce`` fold).
 
     Inputs must be gap-filled (null-free close/high/low/volume). The
     lag-derived inputs (true range, gains, ±DM, raw force) are computed
@@ -857,8 +877,14 @@ def recursive_battery_arrow(
         "atr14", "trix15", "ppo", "kelt_mid", "kelt_upper", "kelt_lower",
         "adx14", "di_pos14", "di_neg14", "force13",
         "tsi", "pvo", "mass_idx", "kama", "nvi", "stoch_rsi",
-        "psar", "psar_dir", "stc",
+        "psar", "psar_dir", "stc", "ppo_signal", "pvo_signal",
     )
+    if derived_tail:
+        out_cols = out_cols + (
+            "ppo_hist", "pvo_hist", "kc_width", "kc_pband",
+            "stochrsi_k", "stochrsi_d", "psar_up", "psar_down",
+            "psar_up_ind", "psar_down_ind",
+        )
     fields = list(src.schema.fields) + [
         StructField(cn, DoubleType()) for cn in out_cols
     ]
@@ -900,6 +926,9 @@ def recursive_battery_arrow(
         p_sar = p_ep = p_af = None
         p_up = True
         d1 = stc = None
+        pposig = pvosig = None
+        last_up = None
+        ks: list = []
         ratios: list[float] = []
         rsis: list[float] = []
         macds: list[float] = []
@@ -938,6 +967,14 @@ def recursive_battery_arrow(
             vo = float(vols[i])
             ev12 = vo if ev12 is None else (1.0 - a12) * ev12 + a12 * vo
             ev26 = vo if ev26 is None else (1.0 - a26) * ev26 + a26 * vo
+            ppov = 100.0 * (e12 - e26) / e26 if e26 != 0.0 else 0.0
+            pposig = (
+                ppov if pposig is None else (1.0 - a9) * pposig + a9 * ppov
+            )
+            pvov = 100.0 * (ev12 - ev26) / ev26 if ev26 != 0.0 else 0.0
+            pvosig = (
+                pvov if pvosig is None else (1.0 - a9) * pvosig + a9 * pvov
+            )
             hlv = float(hls[i])
             meh = hlv if meh is None else (1.0 - am9) * meh + am9 * hlv
             mehh = meh if mehh is None else (1.0 - am9) * mehh + am9 * meh
@@ -1003,7 +1040,8 @@ def recursive_battery_arrow(
             if prev_e3 is not None and prev_e3 != 0.0:
                 res["trix15"][i] = 100.0 * (e3 - prev_e3) / prev_e3
             if e26 != 0.0:
-                res["ppo"][i] = 100.0 * (e12 - e26) / e26
+                res["ppo"][i] = ppov
+            res["ppo_signal"][i] = pposig
             res["kelt_mid"][i] = ekel
             res["kelt_upper"][i] = ekel + 2.0 * ekatr
             res["kelt_lower"][i] = ekel - 2.0 * ekatr
@@ -1014,7 +1052,8 @@ def recursive_battery_arrow(
             if as2 != 0.0:
                 res["tsi"][i] = 100.0 * ms2 / as2
             if ev26 != 0.0:
-                res["pvo"][i] = 100.0 * (ev12 - ev26) / ev26
+                res["pvo"][i] = pvov
+            res["pvo_signal"][i] = pvosig
             res["mass_idx"][i] = acc
             res["kama"][i] = kama
             res["nvi"][i] = nvi
@@ -1028,6 +1067,42 @@ def recursive_battery_arrow(
                 mn, mx = min(win), max(win)
                 if mx != mn:
                     res["stoch_rsi"][i] = (cur_rsi - mn) / (mx - mn)
+            if derived_tail:
+                # frame-order 3-SMA folds + channel/split arithmetic,
+                # bitwise-equal to the native add_indicators5 twin
+                sr3 = res["stoch_rsi"][max(0, i - 2) : i + 1]
+                if i >= 2 and all(s is not None for s in sr3):
+                    res["stochrsi_k"][i] = (
+                        ((0.0 + sr3[0]) + sr3[1]) + sr3[2]
+                    ) / 3.0
+                ks.append(res["stochrsi_k"][i])
+                k3 = ks[max(0, i - 2) : i + 1]
+                if i >= 2 and all(s is not None for s in k3):
+                    res["stochrsi_d"][i] = (
+                        ((0.0 + k3[0]) + k3[1]) + k3[2]
+                    ) / 3.0
+                kub = ekel + 2.0 * ekatr
+                klb = ekel - 2.0 * ekatr
+                kw4 = kub - klb
+                if ekel != 0.0:
+                    res["kc_width"][i] = kw4 / ekel * 100.0
+                if kw4 != 0.0:
+                    res["kc_pband"][i] = (x - klb) / kw4
+                if p_up:
+                    res["psar_up"][i] = p_sar
+                else:
+                    res["psar_down"][i] = p_sar
+                res["psar_up_ind"][i] = (
+                    1.0 if (p_up and last_up is False) else 0.0
+                )
+                res["psar_down_ind"][i] = (
+                    1.0 if ((not p_up) and last_up is True) else 0.0
+                )
+                if e26 != 0.0:
+                    res["ppo_hist"][i] = ppov - pposig
+                if ev26 != 0.0:
+                    res["pvo_hist"][i] = pvov - pvosig
+            last_up = p_up
         for cn in out_cols:
             pdf[cn] = res[cn]
         return pdf
@@ -1148,6 +1223,78 @@ def add_indicators4(
             "vortex_diff": F.when(rn2 >= vortex_n + 1, vpos - vneg),
         }
     ).drop("__tr4", "__vp4", "__vn4")
+
+
+def add_indicators5(
+    df: DataFrame,
+    part_col: str = "symbol",
+    idx_col: str = "time_idx",
+    close_col: str = "close",
+) -> DataFrame:
+    """Fifth battery — the ``ta`` package's recursive-base derived
+    columns (reference core/data/preprocess.py:11-16), computed
+    NATIVELY over :func:`recursive_battery_arrow` output so the
+    recursions themselves never leave the one Arrow pass:
+
+    - ``ppo_hist`` / ``pvo_hist``: oscillator − its EMA-9 signal
+      (the signals ride the battery's Arrow loop; the hists are pure
+      arithmetic here)
+    - ``kc_width``: Keltner (upper−lower)/mid·100; ``kc_pband``:
+      channel %B — same shapes as the Bollinger columns in battery 4
+    - ``stochrsi_k``: 3-SMA of ``stoch_rsi``; ``stochrsi_d``: 3-SMA of
+      k. Null until three non-null inputs exist in the frame (pandas
+      ``rolling(3).mean()`` NaN-propagation semantics, expressed as a
+      count guard that is identical in both engines)
+    - ``psar_up`` / ``psar_down``: the SAR value during up / down
+      trends, null otherwise; ``psar_up_ind`` / ``psar_down_ind``:
+      1.0 on the trend-flip bar, else 0.0
+
+    Every column is arithmetic over battery columns already pinned
+    bitwise against the staged-fold oracle, so parity is inherited.
+    All frames share one Window spec — a single sort.
+
+    This is the COMPOSABLE twin: use it when a battery-shaped frame is
+    already materialized (e.g. read back from a parquet indicator
+    store, where a shuffle for the Window is unavoidable anyway). When
+    the battery runs in the same plan, prefer
+    ``recursive_battery_arrow(df, derived_tail=True)`` — the
+    applyInPandas output carries no partitioning metadata, so the
+    Window here would re-shuffle the whole frame that the Arrow pass
+    already held sorted per symbol. Both paths are cross-pinned
+    bitwise-equal in tests/test_indicators5.py.
+    """
+    w = _base(part_col, idx_col)
+    f3 = w.rowsBetween(-2, 0)
+    c = F.col(close_col)
+    up, lb, mid = (
+        F.col("kelt_upper"), F.col("kelt_lower"), F.col("kelt_mid")
+    )
+    sr = F.col("stoch_rsi")
+    pd_, ppd = F.col("psar_dir"), F.lag(F.col("psar_dir")).over(w)
+    out = df.withColumns(
+        {
+            "ppo_hist": F.col("ppo") - F.col("ppo_signal"),
+            "pvo_hist": F.col("pvo") - F.col("pvo_signal"),
+            "kc_width": (up - lb) / F.nullif(mid, F.lit(0.0)) * 100.0,
+            "kc_pband": (c - lb) / F.nullif(up - lb, F.lit(0.0)),
+            "stochrsi_k": F.when(
+                F.count(sr).over(f3) == 3, F.sum(sr).over(f3) / 3.0
+            ),
+            "psar_up": F.when(pd_ == 1.0, F.col("psar")),
+            "psar_down": F.when(pd_ == -1.0, F.col("psar")),
+            "psar_up_ind": F.when(
+                (pd_ == 1.0) & (ppd == -1.0), 1.0
+            ).otherwise(0.0),
+            "psar_down_ind": F.when(
+                (pd_ == -1.0) & (ppd == 1.0), 1.0
+            ).otherwise(0.0),
+        }
+    )
+    kk = F.col("stochrsi_k")
+    return out.withColumn(
+        "stochrsi_d",
+        F.when(F.count(kk).over(f3) == 3, F.sum(kk).over(f3) / 3.0),
+    )
 
 
 def trend_battery_arrow(

@@ -5119,17 +5119,18 @@ def q_ts_recursive_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_recursive_battery() -> str:
-    e = _sql_ewm
-    # Parabolic SAR as a RECURSIVE CTE stepping every symbol forward one
-    # bar per iteration: sar advances toward the extreme point by the
-    # accelerating factor, clamps to the two prior lows/highs, and
-    # flips the trend when price crosses it. A struct-fold formulation
-    # (like KAMA/NVI) would be natural, but DuckDB v1.0.0 miscomputes
-    # large struct lambdas in list_reduce (verified: fold of a 40-list
-    # disagrees with single-stepping its own step function), so plain
-    # scalar join expressions it is. Operand order matches the Arrow
-    # pass's Python loop exactly.
+def _sql_psar_cte() -> str:
+    """Parabolic SAR as a RECURSIVE CTE stepping every symbol forward
+    one bar per iteration: sar advances toward the extreme point by the
+    accelerating factor, clamps to the two prior lows/highs, and flips
+    the trend when price crosses it. A struct-fold formulation (like
+    KAMA/NVI) would be natural, but DuckDB v1.0.0 miscomputes large
+    struct lambdas in list_reduce (verified: fold of a 40-list
+    disagrees with single-stepping its own step function), so plain
+    scalar join expressions it is. Operand order matches the Arrow
+    pass's Python loop exactly. References a ``pre`` CTE providing
+    (symbol, time_idx, rn, high, low, pl1, pl2, ph1, ph2); shared by
+    the recursive-battery and indicators5 oracles."""
     s1u = (
         "least(p.sar + p.af * (p.ep - p.sar),"
         " r.pl1, coalesce(r.pl2, r.pl1))"
@@ -5138,7 +5139,7 @@ def _sql_recursive_battery() -> str:
         "greatest(p.sar + p.af * (p.ep - p.sar),"
         " r.ph1, coalesce(r.ph2, r.ph1))"
     )
-    psar_cte = f"""psrc AS (
+    return f"""psrc AS (
   SELECT symbol, time_idx, rn, high, low, pl1, pl2, ph1, ph2 FROM pre
 ),
 psr AS (
@@ -5171,6 +5172,11 @@ psr AS (
               ELSE r.high > {s1d} END AS up
   FROM psr p JOIN psrc r ON r.symbol = p.symbol AND r.rn = p.rn + 1
 )"""
+
+
+def _sql_recursive_battery() -> str:
+    e = _sql_ewm
+    psar_cte = _sql_psar_cte()
     body = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED_OHLC},
 pre AS (
   SELECT symbol, time_idx,
@@ -5631,6 +5637,147 @@ FROM fr"""
         ["symbol", "time_idx"],
         ["dr", "dlr", "em", "bb_width", "bb_pband", "bb_hi", "bb_li",
          "don_width", "don_pband", "aroon_ind", "vortex_diff"],
+    )
+
+
+def q_ts_indicators5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12 recursive-base derived tail, finishing the ta-battery
+    surface natively (reference core/data/preprocess.py:11-16): PPO /
+    PVO signal lines (EMA-9, ridden inside the battery's single Arrow
+    pass) and histograms, Keltner channel width / %B, Stochastic-RSI
+    %K / %D (3-SMAs), and the PSAR up/down value splits + trend-flip
+    indicators. Emitted IN the battery's single Arrow pass
+    (``derived_tail=True``): an ``applyInPandas`` output carries no
+    partitioning metadata, so the composable native twin
+    (``add_indicators5``, cross-pinned bitwise-equal in tests) would
+    re-shuffle the whole battery frame for its Window — in-pass
+    emission keeps the full indicator pipeline at ONE shuffle."""
+    from ..operators.rolling import recursive_battery_arrow
+
+    df = recursive_battery_arrow(
+        _filled_ohlc(spark, sf_dir), derived_tail=True
+    )
+    r6 = _r6
+    return df.select(
+        "symbol", "time_idx",
+        r6("ppo_signal"), r6("ppo_hist"),
+        r6("pvo_signal"), r6("pvo_hist"),
+        r6("kc_width"), r6("kc_pband"),
+        r6("stochrsi_k"), r6("stochrsi_d"),
+        r6("psar_up"), r6("psar_down"),
+        r6("psar_up_ind"), r6("psar_down_ind"),
+    )
+
+
+def _sql_indicators5() -> str:
+    e = _sql_ewm
+    fs = _sql_fold_sum
+    # Trimmed replica of the recursive-battery staged-fold chain — only
+    # the stages the derived tail needs (ema12/26 -> ppo -> EMA9 fold,
+    # ev12/26 -> pvo -> EMA9 fold, Keltner EMAs, RSI -> stoch_rsi ->
+    # two 3-SMA count-guarded fold stages, shared PSAR recursive CTE).
+    body = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED_OHLC},
+pre AS (
+  SELECT symbol, time_idx, close, volume, high, low,
+         row_number() OVER wo AS rn,
+         lag(low) OVER wo AS pl1, lag(low, 2) OVER wo AS pl2,
+         lag(high) OVER wo AS ph1, lag(high, 2) OVER wo AS ph2,
+         greatest(high - low, abs(high - lag(close) OVER wo),
+                  abs(low - lag(close) OVER wo)) AS tr,
+         greatest(close - lag(close) OVER wo, 0.0) AS gain,
+         greatest(-(close - lag(close) OVER wo), 0.0) AS loss
+  FROM filled
+  WINDOW wo AS (PARTITION BY symbol ORDER BY time_idx)
+),
+l1 AS (
+  SELECT symbol, time_idx, rn, close,
+         list(close) OVER wc AS cpfx, list(tr) OVER wc AS trpfx,
+         list(gain) OVER wc AS gpfx, list(loss) OVER wc AS lpfx,
+         list(volume) OVER wc AS vpfx
+  FROM pre
+  WINDOW wc AS (PARTITION BY symbol ORDER BY time_idx
+                ROWS UNBOUNDED PRECEDING)
+),
+e1s AS (
+  SELECT symbol, time_idx, rn, close,
+         {e('cpfx', '2.0/13.0')} AS ema12, {e('cpfx', '2.0/27.0')} AS ema26,
+         {e('cpfx', '2.0/21.0')} AS ekel, {e('trpfx', '1.0/10.0')} AS ekatr,
+         {e('gpfx', '1.0/14.0')} AS ag, {e('lpfx', '1.0/14.0')} AS al,
+         {e('vpfx', '2.0/13.0')} AS ev12, {e('vpfx', '2.0/27.0')} AS ev26
+  FROM l1
+),
+e2s AS (
+  SELECT *,
+         CASE WHEN al = 0.0 THEN 100.0
+              ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsinow,
+         CASE WHEN ema26 <> 0.0
+              THEN 100.0 * (ema12 - ema26) / ema26 ELSE 0.0 END AS ppov,
+         CASE WHEN ev26 <> 0.0
+              THEN 100.0 * (ev12 - ev26) / ev26 ELSE 0.0 END AS pvov
+  FROM e1s
+),
+e3s AS (
+  SELECT *, min(rsinow) OVER f14s AS mn14, max(rsinow) OVER f14s AS mx14,
+         list(ppov) OVER wc AS popfx, list(pvov) OVER wc AS pvpfx
+  FROM e2s
+  WINDOW f14s AS (PARTITION BY symbol ORDER BY time_idx
+                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+         wc AS (PARTITION BY symbol ORDER BY time_idx
+                ROWS UNBOUNDED PRECEDING)
+),
+e4s AS (
+  SELECT * EXCLUDE (popfx, pvpfx),
+         {e('popfx', '2.0/10.0')} AS ppo_signal,
+         {e('pvpfx', '2.0/10.0')} AS pvo_signal,
+         CASE WHEN rn >= 14 AND mx14 <> mn14
+              THEN (rsinow - mn14) / (mx14 - mn14) END AS stoch_rsi
+  FROM e3s
+),
+e5s AS (
+  SELECT *, CASE WHEN count(stoch_rsi) OVER f3 = 3
+                 THEN {fs('list(stoch_rsi) OVER f3')} / 3.0
+            END AS stochrsi_k
+  FROM e4s
+  WINDOW f3 AS (PARTITION BY symbol ORDER BY time_idx
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+),
+e6s AS (
+  SELECT *, CASE WHEN count(stochrsi_k) OVER f3 = 3
+                 THEN {fs('list(stochrsi_k) OVER f3')} / 3.0
+            END AS stochrsi_d
+  FROM e5s
+  WINDOW f3 AS (PARTITION BY symbol ORDER BY time_idx
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+),
+psj AS (
+  SELECT e6s.*, psr.sar, psr.up,
+         lag(psr.up) OVER (PARTITION BY symbol ORDER BY time_idx) AS pup
+  FROM e6s JOIN (
+    WITH RECURSIVE {_sql_psar_cte()}
+    SELECT symbol, time_idx, sar, up FROM psr
+  ) psr USING (symbol, time_idx)
+)
+SELECT symbol, time_idx,
+  ppo_signal,
+  CASE WHEN ema26 <> 0.0 THEN ppov - ppo_signal END AS ppo_hist,
+  pvo_signal,
+  CASE WHEN ev26 <> 0.0 THEN pvov - pvo_signal END AS pvo_hist,
+  ((ekel + 2.0 * ekatr) - (ekel - 2.0 * ekatr))
+    / nullif(ekel, 0.0) * 100.0 AS kc_width,
+  (close - (ekel - 2.0 * ekatr))
+    / nullif((ekel + 2.0 * ekatr) - (ekel - 2.0 * ekatr), 0.0) AS kc_pband,
+  stochrsi_k, stochrsi_d,
+  CASE WHEN up THEN sar END AS psar_up,
+  CASE WHEN NOT up THEN sar END AS psar_down,
+  CASE WHEN up AND NOT pup THEN 1.0 ELSE 0.0 END AS psar_up_ind,
+  CASE WHEN (NOT up) AND pup THEN 1.0 ELSE 0.0 END AS psar_down_ind
+FROM psj"""
+    return _sql_r6_wrap(
+        body,
+        ["symbol", "time_idx"],
+        ["ppo_signal", "ppo_hist", "pvo_signal", "pvo_hist",
+         "kc_width", "kc_pband", "stochrsi_k", "stochrsi_d",
+         "psar_up", "psar_down", "psar_up_ind", "psar_down_ind"],
     )
 
 
@@ -14520,18 +14667,18 @@ def all_queries() -> dict[str, QueryFn]:
     # registration order (observed cutoff: 50). Round-9 rotation per
     # the r8 verdict: positions 1-2 = the two round-8 additions
     # (emb_bq_hamming_topk, doc_winnow_pairs), the only prior
-    # entries without a driver CORRECTNESS row; positions 3-7 = the
-    # five round-9 additions (win_vae_embed rows-only, doc_bm25_topk,
-    # doc_token_entropy, doc_edit_sim_pairs, ts_indicators4);
-    # positions 8-50 = 43 r8-green canaries (the first rows of the r8
-    # window, CORRECTNESS_r08 = 50/50 pass).
-    # After this window runs green, all 206 registry queries are
+    # entries without a driver CORRECTNESS row; positions 3-8 = the
+    # six round-9 additions (win_vae_embed rows-only, doc_bm25_topk,
+    # doc_token_entropy, doc_edit_sim_pairs, ts_indicators4,
+    # ts_indicators5); positions 9-50 = 42 r8-green canaries (the
+    # first rows of the r8 window, CORRECTNESS_r08 = 50/50 pass).
+    # After this window runs green, all 207 registry queries are
     # driver-proven. Every entry carries a "last driver-green round"
     # tag so any future rotation stays mechanical.
     return {
         # ---- gate window (positions 1-50): round-9 rotation ----
         # never-driver-verified entries first (the two r8 stragglers,
-        # then this round's additions), then 45 r8-green canaries.
+        # then this round's additions), then 42 r8-green canaries.
         # tag = last driver-green round; 'never' = local driver-
         # emulation proof only.
         "emb_bq_hamming_topk": q_emb_bq_hamming_topk,  # never
@@ -14549,6 +14696,7 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_token_entropy": q_doc_token_entropy,  # never
         "doc_edit_sim_pairs": q_doc_edit_sim_pairs,  # never
         "ts_indicators4": q_ts_indicators4,  # never
+        "ts_indicators5": q_ts_indicators5,  # never
         "flagship_forecast_mae": q_flagship,  # r8
         "ts_indicators": q_ts_indicators_all,  # r8
         "doc_minhash_lsh_pairs": q_doc_minhash_pairs,  # r8
@@ -14783,6 +14931,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "doc_token_entropy": _sql_doc_token_entropy(),
         "doc_edit_sim_pairs": _sql_edit_sim_pairs(),
         "ts_indicators4": _sql_indicators4(),
+        "ts_indicators5": _sql_indicators5(),
         "flagship_forecast_mae": _flagship_oracle(),
         "flagship_summary": (
             f"WITH base AS ({_flagship_oracle()}) "
