@@ -87,6 +87,36 @@ def sql_shingles(tok_expr: str, n: int = 3) -> str:
     )
 
 
+def pos_shingles(tok: Column, n: int = 3) -> Column:
+    """POSITIONAL word n-gram shingles — like :func:`shingles` but
+    without the distinct, so element ``i`` (0-based) is exactly the
+    n-gram starting at token ``i``. Required by span-level operators
+    (``doc_dup_ngram_spans``) where array index IS the token offset;
+    the distinct in :func:`shingles` re-orders repeated shingles
+    differently per engine. Same ``let_`` binding (O(tokens) per doc,
+    not O(tokens²)) and same short-doc empty-array guard."""
+    from .expr import let_
+
+    def _sh(t: Column) -> Column:
+        sh = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
+        return F.when(F.size(t) >= n, sh).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let_(tok, _sh)
+
+
+def sql_pos_shingles(tok_expr: str, n: int = 3) -> str:
+    parts = " || ' ' || ".join(f"({tok_expr})[i+{j}]" for j in range(n))
+    return (
+        f"list_transform("
+        f"range(1, greatest(len({tok_expr}) - {n - 1}, 0) + 1), i -> {parts})"
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Polynomial rolling-hash document fingerprint over UTF-8-ish chars:
     ``h = (h*257 + code) mod (2^31-1)`` folded left-to-right — integer

@@ -32,11 +32,13 @@ from ..functions.text import (
     EN_STOPWORDS,
     fingerprint,
     hash60,
+    pos_shingles,
     predicted_lang,
     shingles,
     sql_fingerprint,
     sql_hash60,
     sql_lang_case,
+    sql_pos_shingles,
     sql_shingles,
     sql_tokens,
     tokens,
@@ -12569,6 +12571,79 @@ FROM e JOIN first_ f USING (h) GROUP BY 1"""
 
 
 
+def q_doc_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact duplicate detection (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better"
+    substring-dedup shape): maximal runs of consecutive 8-gram
+    shingles that appear in ≥ 2 distinct documents — the spans a
+    training pipeline would cut, where doc-level dedup keeps both
+    docs. One inverted-index distinct-doc count per shingle (map-side
+    combined, shuffle keyed on the 60-bit hash — uniformly
+    distributed), joined back co-partitioned on the same key, then a
+    per-doc ``pos − row_number()`` run-merge window. Work is Σ
+    positions — NEVER pairwise, no suffix array materialization; the
+    span report is integers end-to-end (no float hashing concerns).
+    Docs with < 8 tokens have no shingles and emit nothing in either
+    engine; within-doc repetition (ndocs = 1) is excluded by design —
+    that is ``doc_repetition``'s domain. Uses POSITIONAL (non-distinct)
+    shingles — array index must be the token offset, which the
+    dedup-family ``shingles()`` breaks by design."""
+    n = 8
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+    e = (
+        tok.select(
+            "doc_id",
+            F.posexplode(pos_shingles(F.col("tok"), n)).alias("pos", "s"),
+        )
+        .select("doc_id", "pos", hash60(F.col("s")).alias("h"))
+    )
+    dfh = e.groupBy("h").agg(F.count_distinct("doc_id").alias("ndocs"))
+    dup = e.join(dfh.filter(F.col("ndocs") >= 2), "h").select(
+        "doc_id", "pos", "ndocs"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + F.lit(n))
+            .cast("long")
+            .alias("span_len_tokens"),
+            F.count(F.lit(1)).alias("n_dup_shingles"),
+            F.max("ndocs").alias("max_df"),
+        )
+        .select(
+            "doc_id", "span_start", "span_len_tokens",
+            "n_dup_shingles", "max_df",
+        )
+    )
+
+
+def _sql_doc_dup_ngram_spans() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {sql_tokens('text')} AS tok FROM documents),
+s AS (SELECT doc_id, {sql_pos_shingles('tok', 8)} AS sh FROM toks),
+e AS (
+  SELECT doc_id,
+         unnest(list_transform(sh, x -> {sql_hash60('x')})) AS h,
+         unnest(range(len(sh))) AS pos
+  FROM s WHERE len(sh) > 0),
+dfh AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM e GROUP BY 1),
+dup AS (SELECT e.doc_id, e.pos, d.ndocs
+        FROM e JOIN dfh d USING (h) WHERE d.ndocs >= 2),
+runs AS (
+  SELECT doc_id, pos, ndocs,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS grp
+  FROM dup)
+SELECT doc_id, min(pos) AS span_start,
+       max(pos) - min(pos) + 8 AS span_len_tokens,
+       count(*) AS n_dup_shingles, max(ndocs) AS max_df
+FROM runs GROUP BY doc_id, grp"""
+
+
 def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value curve: customers grouped by first-order
     month, revenue accumulated by months-since-first-order — the
@@ -14667,18 +14742,19 @@ def all_queries() -> dict[str, QueryFn]:
     # registration order (observed cutoff: 50). Round-9 rotation per
     # the r8 verdict: positions 1-2 = the two round-8 additions
     # (emb_bq_hamming_topk, doc_winnow_pairs), the only prior
-    # entries without a driver CORRECTNESS row; positions 3-8 = the
-    # six round-9 additions (win_vae_embed rows-only, doc_bm25_topk,
+    # entries without a driver CORRECTNESS row; positions 3-9 = the
+    # seven round-9 additions (win_vae_embed rows-only, doc_bm25_topk,
     # doc_token_entropy, doc_edit_sim_pairs, ts_indicators4,
-    # ts_indicators5); positions 9-50 = 42 r8-green canaries (the
-    # first rows of the r8 window, CORRECTNESS_r08 = 50/50 pass).
-    # After this window runs green, all 207 registry queries are
+    # ts_indicators5, doc_dup_ngram_spans); positions 10-50 = 41
+    # r8-green canaries (the first rows of the r8 window,
+    # CORRECTNESS_r08 = 50/50 pass).
+    # After this window runs green, all 208 registry queries are
     # driver-proven. Every entry carries a "last driver-green round"
     # tag so any future rotation stays mechanical.
     return {
         # ---- gate window (positions 1-50): round-9 rotation ----
         # never-driver-verified entries first (the two r8 stragglers,
-        # then this round's additions), then 42 r8-green canaries.
+        # then this round's additions), then 41 r8-green canaries.
         # tag = last driver-green round; 'never' = local driver-
         # emulation proof only.
         "emb_bq_hamming_topk": q_emb_bq_hamming_topk,  # never
@@ -14697,6 +14773,7 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_edit_sim_pairs": q_doc_edit_sim_pairs,  # never
         "ts_indicators4": q_ts_indicators4,  # never
         "ts_indicators5": q_ts_indicators5,  # never
+        "doc_dup_ngram_spans": q_doc_dup_ngram_spans,  # never
         "flagship_forecast_mae": q_flagship,  # r8
         "ts_indicators": q_ts_indicators_all,  # r8
         "doc_minhash_lsh_pairs": q_doc_minhash_pairs,  # r8
@@ -14932,6 +15009,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "doc_edit_sim_pairs": _sql_edit_sim_pairs(),
         "ts_indicators4": _sql_indicators4(),
         "ts_indicators5": _sql_indicators5(),
+        "doc_dup_ngram_spans": _sql_doc_dup_ngram_spans(),
         "flagship_forecast_mae": _flagship_oracle(),
         "flagship_summary": (
             f"WITH base AS ({_flagship_oracle()}) "

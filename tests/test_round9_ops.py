@@ -194,3 +194,40 @@ def test_edit_sim_pairs_end_to_end(spark, tmp_path):
     assert r["len_i"] == len(a) and r["len_j"] == len(b)
     expect = 1.0 - r["ed"] / max(len(a), len(b))
     assert abs(r["sim"] - expect) < 1e-6
+
+
+def test_dup_ngram_spans_end_to_end(spark, tmp_path):
+    """Span-level exact-dup detection: maximal runs of 8-gram shingles
+    shared across >= 2 docs, with token-offset starts. Covers multi-span
+    docs, sub-8-token docs (no shingles), and the within-doc-repetition
+    exclusion (ndocs = 1 is doc_repetition's domain, not a span)."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_dup_ngram_spans,
+    )
+
+    phrase = ("alpha beta gamma delta epsilon zeta eta theta iota"
+              " kappa lambda mu")                       # 12 tokens
+    phrase2 = "p q r s t u v w y z"                     # 10 tokens
+    docs = {
+        0: "one two three " + phrase + " four " + phrase2,
+        1: phrase + " six seven eight",
+        2: "nine ten eleven twelve",                    # < 8 tokens
+        3: ("rep1 rep2 rep3 rep4 rep5 rep6 rep7 rep8 filler "
+            "rep1 rep2 rep3 rep4 rep5 rep6 rep7 rep8"),  # within-doc only
+        4: "x1 x2 " + phrase2 + " x3",
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=d, text=t, lang="en", source="s", n_chars=len(t))
+         for d, t in docs.items()]
+    )
+    p = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = sorted(
+        map(tuple, q_doc_dup_ngram_spans(spark, str(tmp_path)).collect())
+    )
+    assert got == [
+        (0, 3, 12, 5, 2),   # phrase at token 3, 5 dup shingles
+        (0, 16, 10, 3, 2),  # phrase2 at token 16 — second span same doc
+        (1, 0, 12, 5, 2),
+        (4, 2, 10, 3, 2),
+    ]
