@@ -1407,11 +1407,15 @@ def apply_ta_battery(
 
     The `ta` package is optional; without it this raises
     NotImplementedError at call time — the native batteries
-    (:func:`add_indicators` /2/3 and :func:`recursive_battery_arrow`,
-    ~40 indicators) are the supported built-in path and are what the
-    oracle-checked queries use. ta's pandas kernels are also not
-    bitwise-reproducible against a SQL oracle (rolling implementations
-    differ), so escape-hatch outputs get rows-only checks by design.
+    (:func:`add_indicators` /2/3/4/5 and
+    :func:`recursive_battery_arrow` with ``derived_tail=True``, ~85
+    columns, the full add_all_ta_features surface) are the supported
+    built-in path and are what the oracle-checked queries use. ta's
+    pandas kernels are also not bitwise-reproducible against a SQL
+    oracle (rolling implementations differ), so escape-hatch outputs
+    get rows-only checks by design; the hatch remains for users who
+    want ta's exact warm-up conventions instead of the documented
+    seeded-recursion ones.
     """
     try:
         import ta  # noqa: F401
@@ -1419,8 +1423,8 @@ def apply_ta_battery(
         raise NotImplementedError(
             "apply_ta_battery needs the optional `ta` package "
             "(pip install ta); the built-in batteries in "
-            "operators/rolling.py cover the curated ~40-indicator "
-            "subset without it"
+            "operators/rolling.py cover the full ~85-column "
+            "add_all_ta_features surface natively without it"
         ) from exc
 
     fields = list(df.schema.fields) + [
