@@ -172,3 +172,24 @@ def test_topk_window_group_limit_is_pushed_below_exchange(spark):
                 f"{fn.__name__}: no map-side (below-exchange) "
                 "WindowGroupLimit — partial top-k rewrite is gone"
             )
+
+
+def test_indicators5_stays_single_shuffle(spark):
+    """The in-pass derived tail exists precisely so the full ~85-column
+    indicator pipeline keeps ONE data exchange (the battery's groupBy):
+    an applyInPandas output carries no partitioning metadata, so any
+    post-battery Window would re-shuffle the whole frame. Pin it: a
+    regression (someone 'simplifying' back to the native twin in the
+    registry query) doubles the pipeline's shuffle bytes."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_indicators5,
+        q_ts_recursive_battery,
+    )
+
+    base = _plan(q_ts_recursive_battery(spark, SF)).count(
+        "Exchange hashpartitioning"
+    )
+    tail = _plan(q_ts_indicators5(spark, SF)).count(
+        "Exchange hashpartitioning"
+    )
+    assert tail == base == 1
