@@ -100,20 +100,40 @@ def write_ivf_layout(
     )
 
 
-def ivf_probe_layout(
-    spark, path: str, queries: DataFrame, k: int = 5, nprobe: int = 2
+def write_ivf_stream_layout(emb: DataFrame, path: str) -> None:
+    """Seed a streaming-growable IVF layout: same quantizer + lists as
+    :func:`write_ivf_layout` but with a ``batch=`` partition level
+    (seed lands as ``batch=-1``) so micro-batch fold-ins
+    (``batch=N``, see streaming/ops.py ``ann_ingest_stream``) keep one
+    consistent partition depth, and an empty ``probes`` seed dir so
+    the first micro-batch's earlier-queries read has a schema."""
+    centroids = label_centroids(emb)
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = assign_lists(emb, centroids)
+    (
+        assigned.repartition("list_id")
+        .write.partitionBy("list_id")
+        .mode("overwrite")
+        .parquet(f"{path}/lists/batch=-1")
+    )
+    spark = emb.sparkSession
+    empty = spark.createDataFrame(
+        [], "q_id bigint, qv array<double>, list_id int"
+    )
+    empty.write.mode("overwrite").parquet(f"{path}/probes/batch=-1")
+
+
+def ivf_query_probes(
+    centroids: DataFrame, queries: DataFrame, nprobe: int = 2
 ) -> DataFrame:
-    """Top-k against a :func:`write_ivf_layout` index: rank the
-    persisted centroids per query, keep ``nprobe`` list_ids, and scan
-    ONLY those partitions (the list_id filter is a partition filter —
-    the scan never opens other lists' files). Returns
-    (q_id, vec_id, rank, dist, list_id) with the same ordering
-    contract as :func:`ivf_ann_topk`."""
-    centroids = spark.read.parquet(f"{path}/centroids")
+    """(q_id, qv, list_id): each query's ``nprobe`` nearest centroid
+    lists — the coarse-quantization half of a probe, against the
+    EXACT persisted quantizer. Deterministic (distance, label)
+    tie-break, same as :func:`assign_lists`."""
     wq = Window.partitionBy("q_id").orderBy(
         F.col("__cdist").asc(), F.col("label_c").asc()
     )
-    probes = (
+    return (
         queries.crossJoin(
             F.broadcast(
                 centroids.select(F.col("label").alias("label_c"), "cvec")
@@ -126,14 +146,42 @@ def ivf_probe_layout(
         .filter(F.col("__rk") <= nprobe)
         .select("q_id", "qv", F.col("label_c").alias("list_id"))
     )
+
+
+def ivf_probe_candidates(
+    spark, path: str, probes: DataFrame
+) -> DataFrame:
+    """ALL exact-distance candidates in the probed lists — no top-k
+    cut: (q_id, vec_id, dist, list_id), self excluded. The list_id
+    join key is a partition filter on the layout scan (only probed
+    list directories are read). Callers that want a final answer rank
+    afterwards; streaming ingest emits candidates unranked because a
+    later batch can still displace a neighbor."""
     lists = spark.read.parquet(f"{path}/lists")
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("dist").asc(), F.col("vec_id").asc()
-    )
     return (
         lists.join(F.broadcast(probes), "list_id")
         .filter(F.col("vec_id") != F.col("q_id"))
         .withColumn("dist", dist_l2_fixed(F.col("v"), F.col("qv"), EMB_DIM))
+        .select("q_id", "vec_id", "dist", "list_id")
+    )
+
+
+def ivf_probe_layout(
+    spark, path: str, queries: DataFrame, k: int = 5, nprobe: int = 2
+) -> DataFrame:
+    """Top-k against a :func:`write_ivf_layout` index: rank the
+    persisted centroids per query, keep ``nprobe`` list_ids, and scan
+    ONLY those partitions (the list_id filter is a partition filter —
+    the scan never opens other lists' files). Returns
+    (q_id, vec_id, rank, dist, list_id) with the same ordering
+    contract as :func:`ivf_ann_topk`."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    probes = ivf_query_probes(centroids, queries, nprobe)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        ivf_probe_candidates(spark, path, probes)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "rank", "dist", "list_id")

@@ -4433,17 +4433,21 @@ SELECT g.list_id, g.vec_id AS rep_vec_id, {_sql_rne('g.d', 'rep_dist')},
 FROM g JOIN s ON g.list_id = s.list_id WHERE rn = 1"""
 
 
-def _sql_ivf_base() -> str:
+def _sql_ivf_base(cent_src: str = "emb", pre: str = "") -> str:
     """Shared oracle CTE prefix — centroid build + nearest-centroid
     assignment. ONE definition feeds every IVF-family oracle
-    (ann/recall/semantic-dedup) so a quantizer-contract edit can't
-    silently desync them."""
+    (ann/recall/semantic-dedup/streaming-ingest) so a quantizer-
+    contract edit can't silently desync them. ``cent_src``/``pre``
+    let the streaming-ingest oracle build the quantizer from the SEED
+    split only (matching write_ivf_stream_layout) while ``assigned``
+    still covers every vector; defaults reproduce the original text
+    byte-for-byte."""
     l2_ec = _sql_l2("e.v", "c.cvec")
     return f"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-cent_dims AS (
+{pre}cent_dims AS (
   SELECT label, i AS pos,
          floor(avg(v[i]) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS c
-  FROM emb, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
+  FROM {cent_src}, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
   GROUP BY label, pos
 ),
 cent AS (SELECT label, list(c ORDER BY pos) AS cvec FROM cent_dims GROUP BY label),
@@ -12333,6 +12337,96 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous k-NN over a GROWING IVF index as a driver-checkable
+    query: the new split (vec_id % 10 == 7) lands as files and streams
+    through streaming/ops.py ``ann_ingest_stream`` in micro-batches —
+    each batch emits candidate rows for earlier queries it could
+    displace, folds into the layout's list dirs, then probes the grown
+    index as queries. The emitted union is batch-order-independent
+    (every (query, candidate) pair once, by its LATER member's batch),
+    so the read-time top-k equals the batch IVF answer with queries =
+    new split, candidates = everything, quantizer = SEED centroids —
+    which is exactly the oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.ivf import write_ivf_stream_layout
+    from ..streaming.ops import ann_ingest_stream
+
+    emb = _emb(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="bdspf-sai-")
+    try:
+        idx = os.path.join(work, "index")
+        write_ivf_stream_layout(emb.filter(F.col("vec_id") % 10 != 7), idx)
+        landing = os.path.join(work, "landing")
+        (
+            emb.filter(F.col("vec_id") % 10 == 7)
+            .repartition(2)
+            .write.parquet(landing)
+        )
+        schema = spark.read.parquet(landing).schema
+        sdf = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .load(landing)
+        )
+        results = os.path.join(work, "results")
+        ckpt = os.path.join(work, "ckpt")
+        q = ann_ingest_stream(sdf, idx, results, ckpt, nprobe=IVF_NPROBE)
+        q.awaitTermination()
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("dist").asc(), F.col("vec_id").asc()
+        )
+        return (
+            spark.read.option("basePath", results)
+            .parquet(results)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= KNN_K)
+            .select("q_id", "vec_id", "rank", _r6("dist"), "list_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _sql_stream_ann_ingest() -> str:
+    l2_qc = _sql_l2("q.qv", "c.cvec")
+    l2_aq = _sql_l2("a.v", "p.qv")
+    base = _sql_ivf_base(
+        cent_src="seed",
+        pre="seed AS (SELECT * FROM emb WHERE vec_id % 10 <> 7),\n",
+    )
+    return f"""
+WITH {base},
+q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 10 = 7),
+probes AS (
+  SELECT q_id, qv, list_id FROM (
+    SELECT q.q_id, q.qv, c.label AS list_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY {l2_qc} ASC, c.label ASC) AS rk
+    FROM q CROSS JOIN cent c)
+  WHERE rk <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.q_id, a.vec_id, a.list_id, {l2_aq} AS dist
+  FROM assigned a JOIN probes p USING (list_id)
+  WHERE a.vec_id <> p.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, list_id, dist,
+         CAST(row_number() OVER (PARTITION BY q_id
+           ORDER BY dist ASC, vec_id ASC) AS INT) AS rank
+  FROM cand
+)
+SELECT q_id, vec_id, rank,
+       floor(dist * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS dist, list_id
+FROM ranked WHERE rank <= {KNN_K}"""
+
+
 def q_stream_gold_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The foreachBatch gold-table sink as a driver-checkable query:
     drain the event stream through a foreachBatch parquet sink writing
@@ -14742,19 +14836,19 @@ def all_queries() -> dict[str, QueryFn]:
     # registration order (observed cutoff: 50). Round-9 rotation per
     # the r8 verdict: positions 1-2 = the two round-8 additions
     # (emb_bq_hamming_topk, doc_winnow_pairs), the only prior
-    # entries without a driver CORRECTNESS row; positions 3-9 = the
-    # seven round-9 additions (win_vae_embed rows-only, doc_bm25_topk,
+    # entries without a driver CORRECTNESS row; positions 3-10 = the
+    # eight round-9 additions (win_vae_embed rows-only, doc_bm25_topk,
     # doc_token_entropy, doc_edit_sim_pairs, ts_indicators4,
-    # ts_indicators5, doc_dup_ngram_spans); positions 10-50 = 41
-    # r8-green canaries (the first rows of the r8 window,
-    # CORRECTNESS_r08 = 50/50 pass).
-    # After this window runs green, all 208 registry queries are
+    # ts_indicators5, doc_dup_ngram_spans, stream_ann_ingest);
+    # positions 11-50 = 40 r8-green canaries (the first rows of the
+    # r8 window, CORRECTNESS_r08 = 50/50 pass).
+    # After this window runs green, all 209 registry queries are
     # driver-proven. Every entry carries a "last driver-green round"
     # tag so any future rotation stays mechanical.
     return {
         # ---- gate window (positions 1-50): round-9 rotation ----
         # never-driver-verified entries first (the two r8 stragglers,
-        # then this round's additions), then 41 r8-green canaries.
+        # then this round's additions), then 40 r8-green canaries.
         # tag = last driver-green round; 'never' = local driver-
         # emulation proof only.
         "emb_bq_hamming_topk": q_emb_bq_hamming_topk,  # never
@@ -14774,6 +14868,7 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_indicators4": q_ts_indicators4,  # never
         "ts_indicators5": q_ts_indicators5,  # never
         "doc_dup_ngram_spans": q_doc_dup_ngram_spans,  # never
+        "stream_ann_ingest": q_stream_ann_ingest,  # never
         "flagship_forecast_mae": q_flagship,  # r8
         "ts_indicators": q_ts_indicators_all,  # r8
         "doc_minhash_lsh_pairs": q_doc_minhash_pairs,  # r8
@@ -15010,6 +15105,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "ts_indicators4": _sql_indicators4(),
         "ts_indicators5": _sql_indicators5(),
         "doc_dup_ngram_spans": _sql_doc_dup_ngram_spans(),
+        "stream_ann_ingest": _sql_stream_ann_ingest(),
         "flagship_forecast_mae": _flagship_oracle(),
         "flagship_summary": (
             f"WITH base AS ({_flagship_oracle()}) "

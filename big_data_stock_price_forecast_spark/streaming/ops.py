@@ -538,6 +538,117 @@ def dedup_ingest_stream(
     )
 
 
+def ann_ingest_stream(
+    emb_sdf: DataFrame,
+    index_path: str,
+    results_path: str,
+    checkpoint: str,
+    nprobe: int = 2,
+    on_batch_end=None,
+):
+    """Continuous k-NN ingest over a growing IVF layout — the vector-
+    corpus twin of :func:`dedup_ingest_stream`: each micro-batch of
+    new embeddings is
+
+    1. joined (as CANDIDATES) against every EARLIER batch's persisted
+       query probes — a later arrival can still displace an old
+       query's neighbor, so its candidate row must be emitted,
+    2. folded INTO the layout's ``lists/batch=N`` partition dirs
+       (same append-only growth as the MinHash index), then
+    3. probed (as QUERIES) against the grown index — seed + all folded
+       batches INCLUDING its own (self-pairs excluded) — reading only
+       its ``nprobe`` list directories, with the probe assignments
+       saved to ``probes/batch=N`` for step 1 of later batches.
+
+    The per-batch candidate rows are emitted UNRANKED: top-k is a
+    read-time rank, because the final neighbor set of a query is only
+    known once ingest stops. The union over batches is exactly
+    {(q, c): q new, c in seed ∪ new, c ≠ q, list(c) ∈ q's nprobe
+    lists} — each pair once, by the LATER member's batch — so the
+    result is deterministic regardless of how arrivals split into
+    micro-batches (the same batch-order-independence device as the
+    dedup ingest's pair union). Replay-safe: every write is a
+    ``batch=N``-dir overwrite, and step 1 filters out this batch's own
+    probes left by a failed earlier attempt.
+
+    Per-batch cost: O(batch × centroids) for quantization + scans of
+    only the matched list/probe partitions — never O(corpus).
+    Bootstrap with ``write_ivf_stream_layout`` over the seed corpus.
+    """
+    from ..functions.distance import dist_l2_fixed
+    from ..operators.ivf import (
+        EMB_DIM,
+        assign_lists,
+        ivf_probe_candidates,
+        ivf_query_probes,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        cent = spark.read.parquet(f"{index_path}/centroids")
+        # small (one micro-batch); pinned once, feeds steps 1-3
+        assigned = assign_lists(batch_df, cent).localCheckpoint(eager=True)
+        # (1) new vectors as candidates for EARLIER queries; the
+        # partition filter both prunes probe dirs and drops this
+        # batch's own probes if a failed attempt already wrote them
+        probes_prev = (
+            spark.read.option("basePath", f"{index_path}/probes")
+            .parquet(f"{index_path}/probes")
+            .filter(F.col("batch") != batch_id)
+            .select("q_id", "qv", "list_id")
+        )
+        late = (
+            assigned.select("vec_id", "v", "list_id")
+            .join(F.broadcast(probes_prev), "list_id")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .withColumn(
+                "dist", dist_l2_fixed(F.col("v"), F.col("qv"), EMB_DIM)
+            )
+            .select("q_id", "vec_id", "dist", "list_id")
+        )
+        # (2) fold the batch into the layout BEFORE probing, so
+        # same-batch neighbors surface in step 3 (not a second path)
+        (
+            assigned.repartition("list_id")
+            .write.partitionBy("list_id")
+            .mode("overwrite")
+            .parquet(f"{index_path}/lists/batch={batch_id}")
+        )
+        # (3) new vectors as queries against the grown index
+        probes_new = ivf_query_probes(
+            cent,
+            batch_df.select(
+                F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+            ),
+            nprobe,
+        ).localCheckpoint(eager=True)
+        probes_new.write.mode("overwrite").parquet(
+            f"{index_path}/probes/batch={batch_id}"
+        )
+        fresh = ivf_probe_candidates(spark, index_path, probes_new)
+        (
+            fresh.unionByName(late)
+            .write.mode("overwrite")
+            .parquet(f"{results_path}/batch={batch_id}")
+        )
+        if on_batch_end is not None:
+            # failure-injection surface: called after the batch's side
+            # effects but before Spark commits the offset log — a raise
+            # here simulates the crash window the batch=N-overwrite
+            # layout must survive (tests/test_streaming.py)
+            on_batch_end(batch_id)
+
+    return (
+        emb_sdf.writeStream.foreachBatch(handle)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     sdf: DataFrame,
     output_mode: str = "append",

@@ -635,3 +635,114 @@ def test_gold_sink_idempotent_under_midbatch_crash(spark, tmp_path):
         back.groupBy("event_id").count().filter(F.col("count") > 1).count()
         == 0
     )
+
+
+def _toy_emb(spark, n=80, seed=5):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(0, 1, 64)], int(i % 4))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, v array<double>, label int"
+    )
+
+
+def _run_ann_ingest(spark, emb, root, n_files, on_batch_end=None,
+                    resume=False):
+    import os
+
+    from big_data_stock_price_forecast_spark.operators.ivf import (
+        write_ivf_stream_layout,
+    )
+    from big_data_stock_price_forecast_spark.streaming.ops import (
+        ann_ingest_stream,
+    )
+
+    idx = os.path.join(root, "index")
+    landing = os.path.join(root, "landing")
+    if not resume:
+        write_ivf_stream_layout(
+            emb.filter(F.col("vec_id") % 10 != 7), idx
+        )
+        (
+            emb.filter(F.col("vec_id") % 10 == 7)
+            .repartition(n_files)
+            .write.parquet(landing)
+        )
+    schema = spark.read.parquet(landing).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .load(landing)
+    )
+    q = ann_ingest_stream(
+        sdf, idx, os.path.join(root, "results"),
+        os.path.join(root, "ckpt"), on_batch_end=on_batch_end,
+    )
+    q.awaitTermination()
+    return (
+        spark.read.option("basePath", os.path.join(root, "results"))
+        .parquet(os.path.join(root, "results"))
+    )
+
+
+def _ann_rows(res_df):
+    return sorted(
+        (r["q_id"], r["vec_id"], round(r["dist"], 9), r["list_id"])
+        for r in res_df.collect()
+    )
+
+
+def test_ann_ingest_batch_order_independent(spark, tmp_path):
+    """The emitted candidate union must be identical whether the new
+    vectors arrive in one micro-batch or three — the pair (q, c) is
+    emitted exactly once by its LATER member's batch, so the read-time
+    top-k cannot depend on how ingest was chunked."""
+    emb = _toy_emb(spark)
+    one = _run_ann_ingest(spark, emb, str(tmp_path / "one"), 1)
+    three = _run_ann_ingest(spark, emb, str(tmp_path / "three"), 3)
+    rows_one, rows_three = _ann_rows(one), _ann_rows(three)
+    assert rows_one == rows_three
+    # each (query, candidate) pair exactly once
+    pairs = [(a, b) for a, b, _, _ in rows_three]
+    assert len(pairs) == len(set(pairs))
+    # every new vector queried, no self-pairs
+    qids = {a for a, _ in pairs}
+    assert qids == {
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") % 10 == 7).collect()
+    }
+    assert all(a != b for a, b in pairs)
+
+
+def test_ann_ingest_idempotent_under_midbatch_crash(spark, tmp_path):
+    """Crash injected AFTER batch 0's fold-in + probe writes but
+    BEFORE the offset-log commit: the restart replays batch 0, whose
+    batch=N-dir overwrites (and the probes batch != batch_id filter,
+    which must ignore the crashed attempt's own probes) make the
+    replay land identically — final result equals an uncrashed run."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    emb = _toy_emb(spark, seed=7)
+    ref = _run_ann_ingest(spark, emb, str(tmp_path / "ref"), 3)
+
+    crash_on = {0}
+
+    def crasher(batch_id: int) -> None:
+        if batch_id in crash_on:
+            crash_on.remove(batch_id)
+            raise RuntimeError("injected crash after writes")
+
+    root = str(tmp_path / "crash")
+    try:
+        _run_ann_ingest(spark, emb, root, 3, on_batch_end=crasher)
+        raise AssertionError("injected crash did not propagate")
+    except StreamingQueryException:
+        pass
+    back = _run_ann_ingest(spark, emb, root, 3, resume=True)
+    assert _ann_rows(back) == _ann_rows(ref)
