@@ -181,6 +181,34 @@ def thumbnail(media: DataFrame, out_bytes: int = THUMB_BYTES) -> DataFrame:
     )
 
 
+def payload_signature(
+    media: DataFrame, out_bytes: int = THUMB_BYTES
+) -> DataFrame:
+    """Per-payload dedup keys for a multimodal corpus, one JVM-only
+    projection pass (no Python, no shuffle): the exact content hash
+    (sha256) plus the byte-stride signature (the :func:`thumbnail`
+    sample as a hex key, computed for EVERY media type) — the
+    "tiny-thumbnail hash" first-pass grouping practice for image/video
+    dedup: near-identical payloads of equal stride collide on the
+    signature even when their full hashes differ. Payloads shorter
+    than ``out_bytes`` have no stride sample and are dropped, matching
+    :func:`thumbnail`."""
+    n = F.col("meta.n_bytes")
+    picks = [
+        F.expr(
+            f"substring(payload, cast(meta.n_bytes div {out_bytes}"
+            f" * {i} + 1 as int), 1)"
+        )
+        for i in range(out_bytes)
+    ]
+    return media.filter(n >= out_bytes).select(
+        "media_id",
+        "media_type",
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+        F.hex(F.concat(*picks)).alias("sig"),
+    )
+
+
 def byte_histogram_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic fake decode: L1-normalized histogram of bytes
     bucketed into ``dim`` classes — the stand-in for a real

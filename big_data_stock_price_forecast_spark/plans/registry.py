@@ -4543,6 +4543,53 @@ def q_media_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal dedup groups — the binary-column analog of the text
+    dedup family: payloads grouped per media type by the byte-stride
+    signature ("tiny-thumbnail hash" grouping — near-identical
+    payloads with equal stride collide), with the distinct-sha count
+    separating exact duplicates from near-duplicates inside each
+    group. One projection pass + one map-side-combined groupBy on
+    (type, signature); the payloads themselves never shuffle — only
+    32-byte keys do."""
+    from ..operators.multimodal import payload_signature
+
+    sig = payload_signature(_media(spark, sf_dir))
+    return (
+        sig.groupBy("media_type", "sig")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("media_id").alias("canonical_id"),
+            F.count_distinct("payload_sha").alias("n_payloads"),
+        )
+        .filter(F.col("n_items") >= 2)
+        .select("media_type", "sig", "n_items", "canonical_id", "n_payloads")
+    )
+
+
+def _sql_media_dup_groups(out_bytes: int = 16) -> str:
+    picks = " || ".join(
+        f"substring(hx, 2 * ((n // {out_bytes}) * {i}) + 1, 2)"
+        for i in range(out_bytes)
+    )
+    return f"""WITH m AS (
+  SELECT doc_id AS media_id,
+         list_extract(['image', 'audio', 'video'], (doc_id % 3 + 1)::INT)
+           AS media_type,
+         hex(encode(text)) AS hx, strlen(text)::BIGINT AS n,
+         sha256(text) AS payload_sha
+  FROM documents
+),
+s AS (
+  SELECT media_id, media_type, payload_sha, {picks} AS sig
+  FROM m WHERE n >= {out_bytes}
+)
+SELECT media_type, sig, count(*) AS n_items,
+       min(media_id) AS canonical_id,
+       count(DISTINCT payload_sha) AS n_payloads
+FROM s GROUP BY 1, 2 HAVING count(*) >= 2"""
+
+
 def _sql_media_thumbnail(out_bytes: int = 16) -> str:
     picks = " || ".join(
         f"substring(hx, 2 * ((n // {out_bytes}) * {i}) + 1, 2)"
@@ -14836,19 +14883,19 @@ def all_queries() -> dict[str, QueryFn]:
     # registration order (observed cutoff: 50). Round-9 rotation per
     # the r8 verdict: positions 1-2 = the two round-8 additions
     # (emb_bq_hamming_topk, doc_winnow_pairs), the only prior
-    # entries without a driver CORRECTNESS row; positions 3-10 = the
-    # eight round-9 additions (win_vae_embed rows-only, doc_bm25_topk,
+    # entries without a driver CORRECTNESS row; positions 3-11 = the
+    # nine round-9 additions (win_vae_embed rows-only, doc_bm25_topk,
     # doc_token_entropy, doc_edit_sim_pairs, ts_indicators4,
-    # ts_indicators5, doc_dup_ngram_spans, stream_ann_ingest);
-    # positions 11-50 = 40 r8-green canaries (the first rows of the
-    # r8 window, CORRECTNESS_r08 = 50/50 pass).
-    # After this window runs green, all 209 registry queries are
+    # ts_indicators5, doc_dup_ngram_spans, stream_ann_ingest,
+    # media_dup_groups); positions 12-50 = 39 r8-green canaries (the
+    # first rows of the r8 window, CORRECTNESS_r08 = 50/50 pass).
+    # After this window runs green, all 210 registry queries are
     # driver-proven. Every entry carries a "last driver-green round"
     # tag so any future rotation stays mechanical.
     return {
         # ---- gate window (positions 1-50): round-9 rotation ----
         # never-driver-verified entries first (the two r8 stragglers,
-        # then this round's additions), then 40 r8-green canaries.
+        # then this round's additions), then 39 r8-green canaries.
         # tag = last driver-green round; 'never' = local driver-
         # emulation proof only.
         "emb_bq_hamming_topk": q_emb_bq_hamming_topk,  # never
@@ -14869,6 +14916,7 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_indicators5": q_ts_indicators5,  # never
         "doc_dup_ngram_spans": q_doc_dup_ngram_spans,  # never
         "stream_ann_ingest": q_stream_ann_ingest,  # never
+        "media_dup_groups": q_media_dup_groups,  # never
         "flagship_forecast_mae": q_flagship,  # r8
         "ts_indicators": q_ts_indicators_all,  # r8
         "doc_minhash_lsh_pairs": q_doc_minhash_pairs,  # r8
@@ -15106,6 +15154,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "ts_indicators5": _sql_indicators5(),
         "doc_dup_ngram_spans": _sql_doc_dup_ngram_spans(),
         "stream_ann_ingest": _sql_stream_ann_ingest(),
+        "media_dup_groups": _sql_media_dup_groups(),
         "flagship_forecast_mae": _flagship_oracle(),
         "flagship_summary": (
             f"WITH base AS ({_flagship_oracle()}) "

@@ -171,3 +171,48 @@ def test_real_decoders_optional_contract(monkeypatch):
         M.decoded_histogram_features(payload, "video"),
         M.byte_histogram_features(payload),
     )
+
+
+def test_payload_signature_dup_groups(spark):
+    """media_dup_groups contract on planted payloads: exact duplicates
+    share signature AND sha (n_payloads=1); near-duplicates differing
+    only at a non-sampled byte share the stride signature but not the
+    sha (n_payloads=2); unique and sub-16-byte payloads emit no
+    group. All planted ids are = 0 mod 3 so they land in one media
+    type."""
+    from pyspark.sql import Row, functions as F
+
+    from big_data_stock_price_forecast_spark.operators.multimodal import (
+        payload_signature,
+        to_media_table,
+    )
+
+    base = "abcdefghijklmnopqrstuvwxyzABCDEF"  # 32 chars -> stride 2
+    near = base[0] + "#" + base[2:]  # position 2 (1-based) is unsampled
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="A" * 32),
+            Row(doc_id=3, text="A" * 32),   # exact dup of 0
+            Row(doc_id=6, text=base),
+            Row(doc_id=9, text=near),       # near dup of 6
+            Row(doc_id=12, text="B" * 32),  # unique
+            Row(doc_id=15, text="short"),   # < 16 bytes: dropped
+        ]
+    )
+    sig = payload_signature(to_media_table(docs))
+    assert sig.filter(F.col("media_id") == 15).count() == 0
+    groups = (
+        sig.groupBy("media_type", "sig")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("media_id").alias("canonical_id"),
+            F.count_distinct("payload_sha").alias("n_payloads"),
+        )
+        .filter(F.col("n_items") >= 2)
+        .collect()
+    )
+    got = sorted(
+        (r["canonical_id"], r["n_items"], r["n_payloads"]) for r in groups
+    )
+    assert got == [(0, 2, 1), (6, 2, 2)]
+    assert all(r["media_type"] == "image" for r in groups)
