@@ -12073,6 +12073,189 @@ ORDER BY skey DESC, doc_id ASC LIMIT {WSAMPLE_K}"""
 RV_BUCKETS_PER_DAY = 4  # 6h grid -> 4 buckets/day
 
 
+def q_ts_ar2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) fit by Yule-Walker per symbol over the 6h log returns,
+    with the one-step-ahead forecast and residual variance — the
+    classical linear baseline beside the Holt / Kalman / analogical
+    forecasters. Determinism by construction: returns snap to the 1e-6
+    grid, every moment (Σx, Σx², Σx·x_lag1, Σx·x_lag2 and the lag-
+    range sums) accumulates as EXACT DECIMAL(38,0) integers — so the
+    autocovariances come out of the computational formula
+    γ_k = (P_k − m·A_k − m·B_k + (n−k)·m²)/n as identical doubles in
+    both engines regardless of aggregation order — and the float tail
+    (ρ, φ via the 2×2 Yule-Walker solve, forecast, σ²) is the same
+    expression tree on identical inputs. One lag window + one
+    map-side-combined groupBy; guards: n ≥ 5, γ₀ > 0 (constant series
+    → null fit), 1 − ρ₁² ≠ 0."""
+    df = _filled(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    prev = F.lag("close", 1).over(w)
+    lr = F.when(
+        (F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)
+    )
+    base = (
+        df.select("symbol", "time_idx", lr.alias("lr"))
+        .filter(F.col("lr").isNotNull())
+        .select(
+            "symbol",
+            "time_idx",
+            F.floor(F.col("lr") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    b = (
+        base.withColumn("q1", F.lag("q", 1).over(w))
+        .withColumn("q2", F.lag("q", 2).over(w))
+        .withColumn(
+            "rnd",
+            F.row_number().over(
+                Window.partitionBy("symbol").orderBy(
+                    F.col("time_idx").desc()
+                )
+            ),
+        )
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    agg = b.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(dec(F.col("q"))).alias("s"),
+        F.sum(dec(F.col("q") * F.col("q"))).alias("p0"),
+        F.sum(dec(F.col("q") * F.col("q1"))).alias("p1"),
+        F.sum(F.when(F.col("q1").isNotNull(), dec(F.col("q")))).alias("a1"),
+        F.sum(dec(F.col("q1"))).alias("b1"),
+        F.sum(dec(F.col("q") * F.col("q2"))).alias("p2"),
+        F.sum(F.when(F.col("q2").isNotNull(), dec(F.col("q")))).alias("a2"),
+        F.sum(dec(F.col("q2"))).alias("b2"),
+        F.max(F.when(F.col("rnd") == 1, F.col("q"))).alias("xl1"),
+        F.max(F.when(F.col("rnd") == 2, F.col("q"))).alias("xl2"),
+    )
+    n = F.col("n_obs").cast("double")
+    m = F.col("s").cast("double") / n
+
+    def gam(p, a, bb, k):
+        return (
+            F.col(p).cast("double")
+            - m * F.col(a).cast("double")
+            - m * F.col(bb).cast("double")
+            + (n - F.lit(float(k))) * m * m
+        ) / n
+
+    g0, g1, g2 = gam("p0", "s", "s", 0), gam("p1", "a1", "b1", 1), gam(
+        "p2", "a2", "b2", 2
+    )
+    fit = agg.select(
+        "symbol", "n_obs", "xl1", "xl2",
+        m.alias("m"), g0.alias("g0"), g1.alias("g1"), g2.alias("g2"),
+    ).select(
+        "symbol", "n_obs", "m", "g0", "xl1", "xl2",
+        F.when(
+            (F.col("n_obs") >= 5) & (F.col("g0") > 0),
+            F.col("g1") / F.col("g0"),
+        ).alias("rho1"),
+        F.when(
+            (F.col("n_obs") >= 5) & (F.col("g0") > 0),
+            F.col("g2") / F.col("g0"),
+        ).alias("rho2"),
+    )
+    den = 1.0 - F.col("rho1") * F.col("rho1")
+    fit = fit.select(
+        "symbol", "n_obs", "m", "g0", "xl1", "xl2", "rho1", "rho2",
+        F.when(den != 0.0, F.col("rho1") * (1.0 - F.col("rho2")) / den)
+        .alias("phi1"),
+        F.when(den != 0.0, (F.col("rho2") - F.col("rho1") * F.col("rho1")) / den)
+        .alias("phi2"),
+    )
+    next_hat = (
+        F.col("m")
+        + F.col("phi1") * (F.col("xl1").cast("double") - F.col("m"))
+        + F.col("phi2") * (F.col("xl2").cast("double") - F.col("m"))
+    ) / 1e6
+    sigma2 = (
+        F.col("g0")
+        * (
+            1.0
+            - F.col("phi1") * F.col("rho1")
+            - F.col("phi2") * F.col("rho2")
+        )
+        / 1e12
+    )
+    return fit.select(
+        "symbol",
+        "n_obs",
+        _rne(F.col("phi1"), "phi1", 6),
+        _rne(F.col("phi2"), "phi2", 6),
+        _rne(next_hat, "next_ret_hat", 8),
+        _rne(sigma2, "sigma2_resid", 10),
+    )
+
+
+def _sql_ts_ar2_forecast() -> str:
+    gam = (
+        lambda p, a, bb, k: f"(({p})::DOUBLE - m * ({a})::DOUBLE"
+        f" - m * ({bb})::DOUBLE + (n_d - {float(k)}) * m * m) / n_d"
+    )
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+lagged AS (
+  SELECT symbol, time_idx, close,
+         lag(close) OVER (PARTITION BY symbol ORDER BY time_idx) AS prev
+  FROM filled),
+rets AS (
+  SELECT symbol, time_idx,
+         floor(ln(close / prev) * 1000000.0 + 0.5)::BIGINT AS q
+  FROM lagged WHERE close > 0 AND prev > 0),
+lags AS (
+  SELECT symbol, q,
+         lag(q, 1) OVER wo AS q1, lag(q, 2) OVER wo AS q2,
+         row_number() OVER (PARTITION BY symbol
+                            ORDER BY time_idx DESC) AS rnd
+  FROM rets
+  WINDOW wo AS (PARTITION BY symbol ORDER BY time_idx)),
+agg AS (
+  SELECT symbol, count(*) AS n_obs,
+         sum(q::DECIMAL(38,0)) AS s,
+         sum((q * q)::DECIMAL(38,0)) AS p0,
+         sum((q * q1)::DECIMAL(38,0)) AS p1,
+         sum(CASE WHEN q1 IS NOT NULL THEN q::DECIMAL(38,0) END) AS a1,
+         sum(q1::DECIMAL(38,0)) AS b1,
+         sum((q * q2)::DECIMAL(38,0)) AS p2,
+         sum(CASE WHEN q2 IS NOT NULL THEN q::DECIMAL(38,0) END) AS a2,
+         sum(q2::DECIMAL(38,0)) AS b2,
+         max(CASE WHEN rnd = 1 THEN q END) AS xl1,
+         max(CASE WHEN rnd = 2 THEN q END) AS xl2
+  FROM lags GROUP BY symbol),
+gams AS (
+  SELECT symbol, n_obs, xl1, xl2, m, g0,
+         CASE WHEN n_obs >= 5 AND g0 > 0 THEN g1 / g0 END AS rho1,
+         CASE WHEN n_obs >= 5 AND g0 > 0 THEN g2 / g0 END AS rho2
+  FROM (
+    SELECT *, {gam('p0', 's', 's', 0)} AS g0,
+           {gam('p1', 'a1', 'b1', 1)} AS g1,
+           {gam('p2', 'a2', 'b2', 2)} AS g2
+    FROM (SELECT *, n_obs::DOUBLE AS n_d,
+                 s::DOUBLE / n_obs::DOUBLE AS m FROM agg))),
+phis AS (
+  SELECT symbol, n_obs, m, g0, xl1, xl2, rho1, rho2,
+         CASE WHEN 1.0 - rho1 * rho1 <> 0.0
+              THEN rho1 * (1.0 - rho2) / (1.0 - rho1 * rho1) END AS phi1,
+         CASE WHEN 1.0 - rho1 * rho1 <> 0.0
+              THEN (rho2 - rho1 * rho1) / (1.0 - rho1 * rho1) END AS phi2
+  FROM gams)
+SELECT symbol, n_obs,
+       {_sql_rne('phi1', 'phi1', 6)},
+       {_sql_rne('phi2', 'phi2', 6)},
+       {_sql_rne(
+           '(m + phi1 * (xl1::DOUBLE - m) + phi2 * (xl2::DOUBLE - m))'
+           ' / 1000000.0', 'next_ret_hat', 8)},
+       {_sql_rne(
+           'g0 * (1.0 - phi1 * rho1 - phi2 * rho2) / 1000000000000.0',
+           'sigma2_resid', 10)}
+FROM phis"""
+
+
 def q_ts_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily realized volatility per symbol — sqrt of the sum of
     squared log returns within each day, the standard high-frequency
@@ -14883,19 +15066,20 @@ def all_queries() -> dict[str, QueryFn]:
     # registration order (observed cutoff: 50). Round-9 rotation per
     # the r8 verdict: positions 1-2 = the two round-8 additions
     # (emb_bq_hamming_topk, doc_winnow_pairs), the only prior
-    # entries without a driver CORRECTNESS row; positions 3-11 = the
-    # nine round-9 additions (win_vae_embed rows-only, doc_bm25_topk,
+    # entries without a driver CORRECTNESS row; positions 3-12 = the
+    # ten round-9 additions (win_vae_embed rows-only, doc_bm25_topk,
     # doc_token_entropy, doc_edit_sim_pairs, ts_indicators4,
     # ts_indicators5, doc_dup_ngram_spans, stream_ann_ingest,
-    # media_dup_groups); positions 12-50 = 39 r8-green canaries (the
-    # first rows of the r8 window, CORRECTNESS_r08 = 50/50 pass).
-    # After this window runs green, all 210 registry queries are
+    # media_dup_groups, ts_ar2_forecast); positions 13-50 = 38
+    # r8-green canaries (the first rows of the r8 window,
+    # CORRECTNESS_r08 = 50/50 pass).
+    # After this window runs green, all 211 registry queries are
     # driver-proven. Every entry carries a "last driver-green round"
     # tag so any future rotation stays mechanical.
     return {
         # ---- gate window (positions 1-50): round-9 rotation ----
         # never-driver-verified entries first (the two r8 stragglers,
-        # then this round's additions), then 39 r8-green canaries.
+        # then this round's additions), then 38 r8-green canaries.
         # tag = last driver-green round; 'never' = local driver-
         # emulation proof only.
         "emb_bq_hamming_topk": q_emb_bq_hamming_topk,  # never
@@ -14917,6 +15101,7 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_dup_ngram_spans": q_doc_dup_ngram_spans,  # never
         "stream_ann_ingest": q_stream_ann_ingest,  # never
         "media_dup_groups": q_media_dup_groups,  # never
+        "ts_ar2_forecast": q_ts_ar2_forecast,  # never
         "flagship_forecast_mae": q_flagship,  # r8
         "ts_indicators": q_ts_indicators_all,  # r8
         "doc_minhash_lsh_pairs": q_doc_minhash_pairs,  # r8
@@ -15155,6 +15340,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "doc_dup_ngram_spans": _sql_doc_dup_ngram_spans(),
         "stream_ann_ingest": _sql_stream_ann_ingest(),
         "media_dup_groups": _sql_media_dup_groups(),
+        "ts_ar2_forecast": _sql_ts_ar2_forecast(),
         "flagship_forecast_mae": _flagship_oracle(),
         "flagship_summary": (
             f"WITH base AS ({_flagship_oracle()}) "

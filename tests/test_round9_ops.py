@@ -231,3 +231,54 @@ def test_dup_ngram_spans_end_to_end(spark, tmp_path):
         (1, 0, 12, 5, 2),
         (4, 2, 10, 3, 2),
     ]
+
+
+def test_ar2_yule_walker_device_recovers_coefficients():
+    """Semantic check for ts_ar2_forecast's math (the oracle pins
+    engine parity, not AR(2)-ness): the exact-integer computational-
+    formula device, replayed in python on a simulated AR(2) process,
+    must (a) equal the textbook mean-centered Yule-Walker solve to
+    float precision and (b) recover the true coefficients."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    phi1_true, phi2_true, n = 0.55, -0.25, 200_000
+    x = np.zeros(n)
+    eps = rng.normal(0, 0.01, n)
+    for t in range(2, n):
+        x[t] = phi1_true * x[t - 1] + phi2_true * x[t - 2] + eps[t]
+
+    # the query's device: snap to 1e-6 grid, exact integer moments
+    q = np.floor(x * 1e6 + 0.5).astype(np.int64)
+    nn = float(len(q))
+    s = int(q.sum())
+    m = s / nn
+    p0, p1, p2 = (
+        int((q * q).sum()),
+        int((q[1:] * q[:-1]).sum()),
+        int((q[2:] * q[:-2]).sum()),
+    )
+    a1, b1 = int(q[1:].sum()), int(q[:-1].sum())
+    a2, b2 = int(q[2:].sum()), int(q[:-2].sum())
+    g = lambda p, a, b, k: (p - m * a - m * b + (nn - k) * m * m) / nn
+    g0, g1, g2 = g(p0, s, s, 0), g(p1, a1, b1, 1), g(p2, a2, b2, 2)
+    rho1, rho2 = g1 / g0, g2 / g0
+    den = 1.0 - rho1 * rho1
+    phi1 = rho1 * (1.0 - rho2) / den
+    phi2 = (rho2 - rho1 * rho1) / den
+
+    # (a) equals the textbook estimator on the snapped series
+    xs = q / 1e6
+    xc = xs - xs.mean()
+    gam = [float((xc[k:] * xc[: len(xc) - k]).sum() / len(xc))
+           for k in (0, 1, 2)]
+    r1, r2 = gam[1] / gam[0], gam[2] / gam[0]
+    ref1 = r1 * (1.0 - r2) / (1.0 - r1 * r1)
+    ref2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    assert abs(phi1 - ref1) < 1e-9 and abs(phi2 - ref2) < 1e-9
+    # (b) recovers the simulated process
+    assert abs(phi1 - phi1_true) < 0.02
+    assert abs(phi2 - phi2_true) < 0.02
+    # residual variance ~ innovation variance
+    sig2 = g0 * (1.0 - phi1 * rho1 - phi2 * rho2) / 1e12
+    assert abs(sig2 - 0.01**2) / 0.01**2 < 0.05
