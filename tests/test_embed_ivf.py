@@ -145,3 +145,33 @@ def test_ivf_layout_probe_matches_inmemory_and_prunes(spark, tmp_path):
         via_layout._jdf.queryExecution().executedPlan().toString()
     )
     assert "dynamicpruning" in plan.lower()
+
+
+def test_ivf_stream_layout_probe_prunes(spark, tmp_path):
+    """The streaming-growable layout adds a batch= partition level;
+    the candidate probe's scan must STILL carry the dynamic
+    partition-pruning filter on list_id — the stream's per-batch cost
+    contract (read only probed list dirs, never O(corpus)) depends on
+    it."""
+    from big_data_stock_price_forecast_spark.operators.ivf import (
+        ivf_probe_candidates,
+        ivf_query_probes,
+        write_ivf_stream_layout,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"),
+        "label",
+    )
+    path = str(tmp_path / "ivfs")
+    write_ivf_stream_layout(emb, path)
+    cent = spark.read.parquet(path + "/centroids")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    cands = ivf_probe_candidates(
+        spark, path, ivf_query_probes(cent, queries, 2)
+    )
+    assert cands.count() > 0
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
