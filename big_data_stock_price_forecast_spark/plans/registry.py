@@ -14560,6 +14560,184 @@ SELECT event_type, CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
 FROM j"""
 
 
+# Poisson(1) CDF literals for the deterministic bootstrap weights —
+# the SAME literals are pasted into the Spark CASE chain and the SQL
+# oracle, so no cross-engine exp/factorial computation is load-bearing
+_BOOT_POIS_CDF = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712,
+)
+BOOT_B = 32
+
+
+def q_events_ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric bootstrap CI for the A/B uplift — the resampling
+    companion to ``events_ab_uplift``'s Welch t: B=32 Poisson(1)
+    bootstrap replicates (Efron's Poisson-weight approximation, THE
+    stream/scale-friendly bootstrap — weights are independent per row,
+    so no N-sized resample index is ever materialized), each weight
+    derived from the portable hash60(b, event_id) through the
+    Poisson CDF as pasted literals — deterministic across engines,
+    runs, and partitionings, like every sampler here. Per replicate
+    and arm the weighted mean rides exact integer sums (weight ×
+    cents in DECIMAL); the CI is the [1/32, 31/32] empirical interval
+    of the replicate uplifts, tie-broken by replicate id. One 32×
+    row expansion collapsed map-side to (event_type × arm × B)
+    groups — the blowup never crosses the shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    grp = (
+        hash60(F.concat(F.lit("ab:"), F.col("user_id").cast("string")))
+        % 2
+    ).cast("int")
+    t = ev.withColumn("g", grp)
+    # point estimate: plain mean difference on exact integer sums
+    pt = (
+        t.groupBy("event_type", "g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sc"))
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("g") == 1,
+                    F.col("sc").cast("double") / F.col("n"),
+                )
+            ).alias("m1"),
+            F.max(
+                F.when(
+                    F.col("g") == 0,
+                    F.col("sc").cast("double") / F.col("n"),
+                )
+            ).alias("m0"),
+        )
+        .select(
+            "event_type", (F.col("m1") - F.col("m0")).alias("uplift")
+        )
+    )
+    b_ = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
+    u = hash60(
+        F.concat(
+            F.lit("bs:"),
+            F.col("b").cast("string"),
+            F.lit(":"),
+            F.col("event_id").cast("string"),
+        )
+    ).cast("double") / float(1 << 60)
+    w = F.lit(len(_BOOT_POIS_CDF))
+    for j in range(len(_BOOT_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_BOOT_POIS_CDF[j]), F.lit(j)).otherwise(w)
+    rep = (
+        t.select("event_type", "g", "cents", "event_id", b_)
+        .withColumn("w", w.cast("long"))
+        .groupBy("event_type", "g", "b")
+        .agg(
+            F.sum(
+                (F.col("w") * F.col("cents")).cast("decimal(38,0)")
+            ).alias("swc"),
+            F.sum("w").alias("sw"),
+        )
+    )
+    arm = (
+        rep.groupBy("event_type", "b")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("g") == 1) & (F.col("sw") > 0),
+                    F.col("swc").cast("double") / F.col("sw").cast("double"),
+                )
+            ).alias("m1"),
+            F.max(
+                F.when(
+                    (F.col("g") == 0) & (F.col("sw") > 0),
+                    F.col("swc").cast("double") / F.col("sw").cast("double"),
+                )
+            ).alias("m0"),
+        )
+        .select(
+            "event_type", "b", (F.col("m1") - F.col("m0")).alias("ub")
+        )
+        .filter(F.col("ub").isNotNull())
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("ub").asc(), F.col("b").asc()
+    )
+    ranked = arm.withColumn("rk", F.row_number().over(wr))
+    ci = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_boot"),
+        F.max(F.when(F.col("rk") == 2, F.col("ub"))).alias("lo"),
+        F.max(F.when(F.col("rk") == BOOT_B - 1, F.col("ub"))).alias("hi"),
+    )
+    return pt.join(ci, "event_type").select(
+        "event_type",
+        "n_boot",
+        _rne(F.col("uplift"), "uplift", 6),
+        _rne(F.col("lo"), "ci_lo", 6),
+        _rne(F.col("hi"), "ci_hi", 6),
+    )
+
+
+def _sql_events_ab_bootstrap_ci() -> str:
+    h = sql_hash60("'ab:' || CAST(user_id AS VARCHAR)")
+    hb = sql_hash60(
+        "'bs:' || CAST(b AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)"
+    )
+    wcase = "CASE " + " ".join(
+        f"WHEN u < {_BOOT_POIS_CDF[j]!r} THEN {j}"
+        for j in range(len(_BOOT_POIS_CDF))
+    ) + f" ELSE {len(_BOOT_POIS_CDF)} END"
+    return f"""
+WITH ev AS (
+  SELECT event_type, event_id, CAST(({h}) % 2 AS INT) AS g,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+pt AS (
+  SELECT event_type,
+         max(CASE WHEN g = 1 THEN sc / n END)
+           - max(CASE WHEN g = 0 THEN sc / n END) AS uplift
+  FROM (SELECT event_type, g, count(*)::DOUBLE AS n,
+               sum(cents)::DOUBLE AS sc
+        FROM ev GROUP BY 1, 2)
+  GROUP BY 1),
+reps AS (
+  SELECT event_type, g, b,
+         sum((w * cents)::DECIMAL(38,0)) AS swc, sum(w) AS sw
+  FROM (
+    SELECT event_type, g, cents, b, {wcase} AS w
+    FROM (
+      SELECT e.event_type, e.g, e.cents, r.b,
+             ({hb})::DOUBLE / 1152921504606846976.0 AS u
+      FROM ev e, LATERAL (SELECT unnest(range(0, {BOOT_B})) AS b) r))
+  GROUP BY 1, 2, 3),
+arm AS (
+  SELECT event_type, b,
+         max(CASE WHEN g = 1 AND sw > 0
+                  THEN swc::DOUBLE / sw::DOUBLE END)
+           - max(CASE WHEN g = 0 AND sw > 0
+                      THEN swc::DOUBLE / sw::DOUBLE END) AS ub
+  FROM reps GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, b, ub,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ub ASC, b ASC) AS rk
+  FROM arm WHERE ub IS NOT NULL),
+ci AS (
+  SELECT event_type, count(*) AS n_boot,
+         max(CASE WHEN rk = 2 THEN ub END) AS lo,
+         max(CASE WHEN rk = {BOOT_B - 1} THEN ub END) AS hi
+  FROM ranked GROUP BY 1)
+SELECT event_type, n_boot,
+       {_sql_rne('uplift', 'uplift', 6)},
+       {_sql_rne('lo', 'ci_lo', 6)},
+       {_sql_rne('hi', 'ci_hi', 6)}
+FROM pt JOIN ci USING (event_type)"""
+
 
 def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/WAU/MAU stickiness per calendar month — the product-health
@@ -15066,20 +15244,20 @@ def all_queries() -> dict[str, QueryFn]:
     # registration order (observed cutoff: 50). Round-9 rotation per
     # the r8 verdict: positions 1-2 = the two round-8 additions
     # (emb_bq_hamming_topk, doc_winnow_pairs), the only prior
-    # entries without a driver CORRECTNESS row; positions 3-12 = the
-    # ten round-9 additions (win_vae_embed rows-only, doc_bm25_topk,
+    # entries without a driver CORRECTNESS row; positions 3-13 = the
+    # eleven round-9 additions (win_vae_embed rows-only, doc_bm25_topk,
     # doc_token_entropy, doc_edit_sim_pairs, ts_indicators4,
     # ts_indicators5, doc_dup_ngram_spans, stream_ann_ingest,
-    # media_dup_groups, ts_ar2_forecast); positions 13-50 = 38
-    # r8-green canaries (the first rows of the r8 window,
-    # CORRECTNESS_r08 = 50/50 pass).
-    # After this window runs green, all 211 registry queries are
+    # media_dup_groups, ts_ar2_forecast, events_ab_bootstrap_ci);
+    # positions 14-50 = 37 r8-green canaries (the first rows of the
+    # r8 window, CORRECTNESS_r08 = 50/50 pass).
+    # After this window runs green, all 212 registry queries are
     # driver-proven. Every entry carries a "last driver-green round"
     # tag so any future rotation stays mechanical.
     return {
         # ---- gate window (positions 1-50): round-9 rotation ----
         # never-driver-verified entries first (the two r8 stragglers,
-        # then this round's additions), then 38 r8-green canaries.
+        # then this round's additions), then 37 r8-green canaries.
         # tag = last driver-green round; 'never' = local driver-
         # emulation proof only.
         "emb_bq_hamming_topk": q_emb_bq_hamming_topk,  # never
@@ -15102,6 +15280,7 @@ def all_queries() -> dict[str, QueryFn]:
         "stream_ann_ingest": q_stream_ann_ingest,  # never
         "media_dup_groups": q_media_dup_groups,  # never
         "ts_ar2_forecast": q_ts_ar2_forecast,  # never
+        "events_ab_bootstrap_ci": q_events_ab_bootstrap_ci,  # never
         "flagship_forecast_mae": q_flagship,  # r8
         "ts_indicators": q_ts_indicators_all,  # r8
         "doc_minhash_lsh_pairs": q_doc_minhash_pairs,  # r8
@@ -15341,6 +15520,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "stream_ann_ingest": _sql_stream_ann_ingest(),
         "media_dup_groups": _sql_media_dup_groups(),
         "ts_ar2_forecast": _sql_ts_ar2_forecast(),
+        "events_ab_bootstrap_ci": _sql_events_ab_bootstrap_ci(),
         "flagship_forecast_mae": _flagship_oracle(),
         "flagship_summary": (
             f"WITH base AS ({_flagship_oracle()}) "

@@ -282,3 +282,52 @@ def test_ar2_yule_walker_device_recovers_coefficients():
     # residual variance ~ innovation variance
     sig2 = g0 * (1.0 - phi1 * rho1 - phi2 * rho2) / 1e12
     assert abs(sig2 - 0.01**2) / 0.01**2 < 0.05
+
+
+def test_ab_bootstrap_ci_null_calibration(spark, sf_dir):
+    """On the hash-split null (both arms drawn from the same
+    distribution), the bootstrap interval must behave like one:
+    lo <= hi per event type, the point uplift inside its own interval,
+    and 0 covered for most types (the split is null, so a ~94%
+    interval missing zero in more than one of five types would flag a
+    broken resampler)."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_events_ab_bootstrap_ci,
+    )
+
+    rows = q_events_ab_bootstrap_ci(spark, sf_dir).collect()
+    assert len(rows) == 5
+    covered = 0
+    for r in rows:
+        assert r["n_boot"] == 32
+        assert r["ci_lo"] <= r["ci_hi"]
+        assert r["ci_lo"] <= r["uplift"] <= r["ci_hi"]
+        if r["ci_lo"] <= 0.0 <= r["ci_hi"]:
+            covered += 1
+    assert covered >= 4
+
+
+def test_poisson_weight_device_matches_python():
+    """The Poisson(1) CDF chain over the hash-uniform must reproduce a
+    direct python evaluation — and its weights must average ~1 (the
+    bootstrap's resample-size preservation)."""
+    import numpy as np
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        _BOOT_POIS_CDF,
+    )
+
+    rng = np.random.default_rng(11)
+    us = rng.random(200_000)
+    ws = np.searchsorted(np.asarray(_BOOT_POIS_CDF), us, side="right")
+    # mean ~ 1, var ~ 1 (Poisson(1) moments within sampling error)
+    assert abs(ws.mean() - 1.0) < 0.01
+    assert abs(ws.var() - 1.0) < 0.02
+    # CASE chain semantics: first threshold GREATER than u wins
+    for u, w in [(0.0, 0), (0.36787944117144233, 1), (0.99, 4),
+                 (0.9999999, 7)]:
+        expect = next(
+            (j for j, c in enumerate(_BOOT_POIS_CDF) if u < c),
+            len(_BOOT_POIS_CDF),
+        )
+        assert expect == w
