@@ -12256,6 +12256,118 @@ SELECT symbol, n_obs,
 FROM phis"""
 
 
+def q_ts_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single mean-shift changepoint per symbol (binary segmentation,
+    depth 1 — the CUSUM-style two-sample scan): the split t* maximizing
+    |mean(r[1..t]) − mean(r[t+1..n])| · sqrt(t·(n−t)/n) over the 6h log
+    returns, with the segment means. Determinism: returns snap to the
+    1e-6 grid and the per-candidate statistic is a float formula over
+    EXACT integer prefix sums (integer addition is associative — the
+    running cumsum is exact under any plan), so every candidate's
+    statistic is bit-identical in both engines and the argmax
+    (tie-broken by earlier split) cannot flip. Scale shape: one
+    symbol-partitioned cumsum window + one argmax window — both ride
+    the ts family's single symbol exchange; no cross-row float
+    accumulation anywhere. Segments shorter than 5 are not considered
+    (min-segment rule); symbols with n < 10 emit nothing."""
+    minseg = 5
+    df = _filled(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    prev = F.lag("close", 1).over(w)
+    lr = F.when(
+        (F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)
+    )
+    base = (
+        df.select("symbol", "time_idx", lr.alias("lr"))
+        .filter(F.col("lr").isNotNull())
+        .select(
+            "symbol",
+            "time_idx",
+            F.floor(F.col("lr") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    b = base.select(
+        "symbol",
+        "time_idx",
+        F.row_number().over(w).alias("t"),
+        F.sum("q").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("pfx"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("symbol"))
+        .alias("n"),
+        F.sum("q").over(Window.partitionBy("symbol")).alias("s"),
+    ).filter(
+        (F.col("t") >= minseg) & (F.col("t") <= F.col("n") - minseg)
+    )
+    n1 = F.col("t").cast("double")
+    n2 = (F.col("n") - F.col("t")).cast("double")
+    nn = F.col("n").cast("double")
+    m1 = F.col("pfx").cast("double") / n1
+    m2 = (F.col("s") - F.col("pfx")).cast("double") / n2
+    stat = F.abs(m1 - m2) * F.sqrt(n1 * n2 / nn)
+    cand = b.select(
+        "symbol", "time_idx", "t", "n",
+        m1.alias("m1"), m2.alias("m2"), stat.alias("stat"),
+    )
+    wr = Window.partitionBy("symbol").orderBy(
+        F.col("stat").desc(), F.col("t").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "symbol",
+            F.col("n").alias("n_obs"),
+            F.col("t").cast("long").alias("t_star"),
+            F.col("time_idx").alias("split_time_idx"),
+            _rne(F.col("stat") / 1e6, "shift_stat", 8),
+            _rne(F.col("m1") / 1e6, "mean_before", 8),
+            _rne(F.col("m2") / 1e6, "mean_after", 8),
+        )
+    )
+
+
+def _sql_ts_changepoint_meanshift() -> str:
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+lagged AS (
+  SELECT symbol, time_idx, close,
+         lag(close) OVER (PARTITION BY symbol ORDER BY time_idx) AS prev
+  FROM filled),
+rets AS (
+  SELECT symbol, time_idx,
+         floor(ln(close / prev) * 1000000.0 + 0.5)::BIGINT AS q
+  FROM lagged WHERE close > 0 AND prev > 0),
+cands AS (
+  SELECT symbol, time_idx,
+         row_number() OVER wo AS t,
+         sum(q) OVER (PARTITION BY symbol ORDER BY time_idx
+                      ROWS UNBOUNDED PRECEDING) AS pfx,
+         count(*) OVER (PARTITION BY symbol) AS n,
+         sum(q) OVER (PARTITION BY symbol) AS s
+  FROM rets
+  WINDOW wo AS (PARTITION BY symbol ORDER BY time_idx)),
+stats AS (
+  SELECT symbol, time_idx, t, n,
+         pfx::DOUBLE / t::DOUBLE AS m1,
+         (s - pfx)::DOUBLE / (n - t)::DOUBLE AS m2,
+         abs(pfx::DOUBLE / t::DOUBLE
+             - (s - pfx)::DOUBLE / (n - t)::DOUBLE)
+           * sqrt(t::DOUBLE * (n - t)::DOUBLE / n::DOUBLE) AS stat
+  FROM cands WHERE t >= 5 AND t <= n - 5),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY symbol
+                               ORDER BY stat DESC, t ASC) AS rk
+  FROM stats)
+SELECT symbol, n AS n_obs, t::BIGINT AS t_star,
+       time_idx AS split_time_idx,
+       {_sql_rne('stat / 1000000.0', 'shift_stat', 8)},
+       {_sql_rne('m1 / 1000000.0', 'mean_before', 8)},
+       {_sql_rne('m2 / 1000000.0', 'mean_after', 8)}
+FROM ranked WHERE rk = 1"""
+
+
 def q_ts_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily realized volatility per symbol — sqrt of the sum of
     squared log returns within each day, the standard high-frequency
@@ -15244,20 +15356,21 @@ def all_queries() -> dict[str, QueryFn]:
     # registration order (observed cutoff: 50). Round-9 rotation per
     # the r8 verdict: positions 1-2 = the two round-8 additions
     # (emb_bq_hamming_topk, doc_winnow_pairs), the only prior
-    # entries without a driver CORRECTNESS row; positions 3-13 = the
-    # eleven round-9 additions (win_vae_embed rows-only, doc_bm25_topk,
+    # entries without a driver CORRECTNESS row; positions 3-14 = the
+    # twelve round-9 additions (win_vae_embed rows-only, doc_bm25_topk,
     # doc_token_entropy, doc_edit_sim_pairs, ts_indicators4,
     # ts_indicators5, doc_dup_ngram_spans, stream_ann_ingest,
-    # media_dup_groups, ts_ar2_forecast, events_ab_bootstrap_ci);
-    # positions 14-50 = 37 r8-green canaries (the first rows of the
-    # r8 window, CORRECTNESS_r08 = 50/50 pass).
-    # After this window runs green, all 212 registry queries are
+    # media_dup_groups, ts_ar2_forecast, events_ab_bootstrap_ci,
+    # ts_changepoint_meanshift); positions 15-50 = 36 r8-green
+    # canaries (the first rows of the r8 window, CORRECTNESS_r08 =
+    # 50/50 pass).
+    # After this window runs green, all 213 registry queries are
     # driver-proven. Every entry carries a "last driver-green round"
     # tag so any future rotation stays mechanical.
     return {
         # ---- gate window (positions 1-50): round-9 rotation ----
         # never-driver-verified entries first (the two r8 stragglers,
-        # then this round's additions), then 37 r8-green canaries.
+        # then this round's additions), then 36 r8-green canaries.
         # tag = last driver-green round; 'never' = local driver-
         # emulation proof only.
         "emb_bq_hamming_topk": q_emb_bq_hamming_topk,  # never
@@ -15281,6 +15394,7 @@ def all_queries() -> dict[str, QueryFn]:
         "media_dup_groups": q_media_dup_groups,  # never
         "ts_ar2_forecast": q_ts_ar2_forecast,  # never
         "events_ab_bootstrap_ci": q_events_ab_bootstrap_ci,  # never
+        "ts_changepoint_meanshift": q_ts_changepoint_meanshift,  # never
         "flagship_forecast_mae": q_flagship,  # r8
         "ts_indicators": q_ts_indicators_all,  # r8
         "doc_minhash_lsh_pairs": q_doc_minhash_pairs,  # r8
@@ -15521,6 +15635,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "media_dup_groups": _sql_media_dup_groups(),
         "ts_ar2_forecast": _sql_ts_ar2_forecast(),
         "events_ab_bootstrap_ci": _sql_events_ab_bootstrap_ci(),
+        "ts_changepoint_meanshift": _sql_ts_changepoint_meanshift(),
         "flagship_forecast_mae": _flagship_oracle(),
         "flagship_summary": (
             f"WITH base AS ({_flagship_oracle()}) "

