@@ -12256,6 +12256,68 @@ SELECT symbol, n_obs,
 FROM phis"""
 
 
+def _fracdiff_weights(d: float = 0.4, k: int = 20) -> list[float]:
+    """Truncated fractional-differencing weights w_0=1,
+    w_j = -w_{j-1}(d-j+1)/j (Hosking; López de Prado ch.5). Computed
+    once in python and pasted as the SAME double literals into the
+    Spark expression and the SQL oracle — no cross-engine recurrence
+    is load-bearing."""
+    w = [1.0]
+    for j in range(1, k):
+        w.append(-w[-1] * (d - j + 1) / j)
+    return w
+
+
+def q_ts_fracdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional differentiation of log price (d=0.4, 20-lag
+    truncation) — the quant feature-engineering classic: stationary
+    like a return series but retaining long memory the integer diff
+    destroys. A fixed 20-term linear combination of lags — no
+    cross-row float accumulation at all, so parity needs nothing but
+    identical weight literals and the same left-associated sum chain;
+    one lag window riding the ts family's symbol exchange. Emitted
+    from the 20th bar (every lag defined); ln guarded on positive
+    closes."""
+    k = 20
+    ws = _fracdiff_weights(0.4, k)
+    df = _filled(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    x = F.when(F.col("close") > 0, F.log("close"))
+    b = df.select(
+        "symbol", "time_idx", x.alias("x"),
+        F.row_number().over(w).alias("rn"),
+    )
+    acc = F.lit(ws[0]) * F.col("x")
+    for j in range(1, k):
+        acc = acc + F.lit(ws[j]) * F.lag("x", j).over(w)
+    return (
+        b.withColumn("fd", acc)
+        .filter(F.col("rn") >= k)
+        .select("symbol", "time_idx", _rne(F.col("fd"), "fracdiff", 8))
+    )
+
+
+def _sql_ts_fracdiff() -> str:
+    ws = _fracdiff_weights(0.4, 20)
+    terms = " + ".join(
+        f"{w!r} * lag(x, {j}) OVER wo" if j else f"{ws[0]!r} * x"
+        for j, w in enumerate(ws)
+    )
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+xs AS (
+  SELECT symbol, time_idx,
+         CASE WHEN close > 0 THEN ln(close) END AS x
+  FROM filled),
+fd AS (
+  SELECT symbol, time_idx,
+         row_number() OVER wo AS rn,
+         {terms} AS fdv
+  FROM xs
+  WINDOW wo AS (PARTITION BY symbol ORDER BY time_idx))
+SELECT symbol, time_idx, {_sql_rne('fdv', 'fracdiff', 8)}
+FROM fd WHERE rn >= 20"""
+
+
 def q_ts_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single mean-shift changepoint per symbol (binary segmentation,
     depth 1 — the CUSUM-style two-sample scan): the split t* maximizing
@@ -15356,21 +15418,21 @@ def all_queries() -> dict[str, QueryFn]:
     # registration order (observed cutoff: 50). Round-9 rotation per
     # the r8 verdict: positions 1-2 = the two round-8 additions
     # (emb_bq_hamming_topk, doc_winnow_pairs), the only prior
-    # entries without a driver CORRECTNESS row; positions 3-14 = the
-    # twelve round-9 additions (win_vae_embed rows-only, doc_bm25_topk,
-    # doc_token_entropy, doc_edit_sim_pairs, ts_indicators4,
-    # ts_indicators5, doc_dup_ngram_spans, stream_ann_ingest,
-    # media_dup_groups, ts_ar2_forecast, events_ab_bootstrap_ci,
-    # ts_changepoint_meanshift); positions 15-50 = 36 r8-green
-    # canaries (the first rows of the r8 window, CORRECTNESS_r08 =
-    # 50/50 pass).
-    # After this window runs green, all 213 registry queries are
+    # entries without a driver CORRECTNESS row; positions 3-15 = the
+    # thirteen round-9 additions (win_vae_embed rows-only,
+    # doc_bm25_topk, doc_token_entropy, doc_edit_sim_pairs,
+    # ts_indicators4, ts_indicators5, doc_dup_ngram_spans,
+    # stream_ann_ingest, media_dup_groups, ts_ar2_forecast,
+    # events_ab_bootstrap_ci, ts_changepoint_meanshift, ts_fracdiff);
+    # positions 16-50 = 35 r8-green canaries (the first rows of the
+    # r8 window, CORRECTNESS_r08 = 50/50 pass).
+    # After this window runs green, all 214 registry queries are
     # driver-proven. Every entry carries a "last driver-green round"
     # tag so any future rotation stays mechanical.
     return {
         # ---- gate window (positions 1-50): round-9 rotation ----
         # never-driver-verified entries first (the two r8 stragglers,
-        # then this round's additions), then 36 r8-green canaries.
+        # then this round's additions), then 35 r8-green canaries.
         # tag = last driver-green round; 'never' = local driver-
         # emulation proof only.
         "emb_bq_hamming_topk": q_emb_bq_hamming_topk,  # never
@@ -15395,6 +15457,7 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_ar2_forecast": q_ts_ar2_forecast,  # never
         "events_ab_bootstrap_ci": q_events_ab_bootstrap_ci,  # never
         "ts_changepoint_meanshift": q_ts_changepoint_meanshift,  # never
+        "ts_fracdiff": q_ts_fracdiff,  # never
         "flagship_forecast_mae": q_flagship,  # r8
         "ts_indicators": q_ts_indicators_all,  # r8
         "doc_minhash_lsh_pairs": q_doc_minhash_pairs,  # r8
@@ -15636,6 +15699,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "ts_ar2_forecast": _sql_ts_ar2_forecast(),
         "events_ab_bootstrap_ci": _sql_events_ab_bootstrap_ci(),
         "ts_changepoint_meanshift": _sql_ts_changepoint_meanshift(),
+        "ts_fracdiff": _sql_ts_fracdiff(),
         "flagship_forecast_mae": _flagship_oracle(),
         "flagship_summary": (
             f"WITH base AS ({_flagship_oracle()}) "

@@ -360,3 +360,34 @@ def test_changepoint_device_finds_planted_shift():
     m1 = pfx[t - 1] / t / 1e6
     m2 = (s - pfx[t - 1]) / (n - t) / 1e6
     assert abs(m1 - 0.0) < 3e-4 and abs(m2 - delta) < 3e-4
+
+
+def test_fracdiff_weights_properties():
+    """d=1 must degenerate to the first difference (w=[1,-1,0,...]);
+    d=0 to the identity; and the d=0.4 truncated kernel applied by
+    convolution must match the query's left-associated sum chain."""
+    import numpy as np
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        _fracdiff_weights,
+    )
+
+    w1 = _fracdiff_weights(1.0, 5)
+    assert w1[0] == 1.0 and w1[1] == -1.0 and all(x == 0.0 for x in w1[2:])
+    w0 = _fracdiff_weights(0.0, 5)
+    assert w0[0] == 1.0 and all(x == 0.0 for x in w0[1:])
+    ws = _fracdiff_weights(0.4, 20)
+    # alternating-sign decay after w0: all negative, shrinking
+    assert all(ws[j] < 0 for j in range(1, 20))
+    assert all(abs(ws[j + 1]) < abs(ws[j]) for j in range(1, 19))
+    rng = np.random.default_rng(17)
+    x = np.cumsum(rng.normal(0, 0.01, 100)) + 4.0
+    # left-associated chain, exactly as the engines evaluate it
+    got = []
+    for t in range(19, 100):
+        acc = ws[0] * x[t]
+        for j in range(1, 20):
+            acc = acc + ws[j] * x[t - j]
+        got.append(acc)
+    conv = np.convolve(x, ws, mode="valid")
+    np.testing.assert_allclose(got, conv, rtol=1e-12)
