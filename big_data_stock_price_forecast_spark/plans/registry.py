@@ -18,6 +18,7 @@ Numeric-reproducibility strategy (the driver hash-compares values):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -12256,6 +12257,128 @@ SELECT symbol, n_obs,
 FROM phis"""
 
 
+CYCLE_PERIODS = (4, 28, 120)  # 6h bars: daily, weekly, ~monthly
+
+
+def _cycle_angle_rows() -> list[tuple[int, int, float, float]]:
+    """(period, phase, cos, sin) literal table for the cycle-power
+    scan — trig evaluated ONCE in python and pasted into BOTH engines
+    (JVM Math.cos and DuckDB's libm are not bitwise-contracted to
+    agree, so neither engine's trig is load-bearing)."""
+    rows = []
+    for p in CYCLE_PERIODS:
+        for r in range(p):
+            th = 2.0 * math.pi * r / p
+            rows.append((p, r, math.cos(th), math.sin(th)))
+    return rows
+
+
+def q_ts_cycle_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodic-energy scan per symbol: the DFT-bin amplitude of the
+    daily / weekly / monthly cycle (periods 4 / 28 / 120 at 6h bars)
+    in the log returns, plus its ratio to the series RMS — the
+    seasonality-detection readout (a calendar-cycle periodogram
+    restricted to the named periods). Determinism: returns snap to
+    the 1e-6 grid; the cos/sin table is pasted literals (one python
+    evaluation — neither engine's trig is trusted); each q·cos term
+    snaps to a 1e-3 grid and sums in exact DECIMAL, so the (a, b)
+    accumulators are aggregation-order-free; Σq² is an exact integer
+    sum. One lag window + a 3× period explode joined to the broadcast
+    152-row angle table, collapsed map-side to (symbol, period)."""
+    df = _filled(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    prev = F.lag("close", 1).over(w)
+    lr = F.when(
+        (F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)
+    )
+    base = (
+        df.select("symbol", "time_idx", lr.alias("lr"))
+        .filter(F.col("lr").isNotNull())
+        .select(
+            "symbol",
+            "time_idx",
+            F.floor(F.col("lr") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    angles = spark.createDataFrame(
+        _cycle_angle_rows(), "p int, r int, c double, s double"
+    )
+    e = (
+        base.select(
+            "symbol",
+            "time_idx",
+            "q",
+            F.explode(
+                F.array(*[F.lit(p) for p in CYCLE_PERIODS])
+            ).alias("p"),
+        )
+        .withColumn("r", (F.col("time_idx") % F.col("p")).cast("int"))
+        .join(F.broadcast(angles), ["p", "r"])
+    )
+
+    def snap3(col):
+        return F.floor(col * 1e3 + F.lit(0.5)).cast("decimal(38,0)")
+
+    agg = e.groupBy("symbol", "p").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(snap3(F.col("q") * F.col("c"))).alias("sa"),
+        F.sum(snap3(F.col("q") * F.col("s"))).alias("sb"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("sq2"),
+    )
+    nn = F.col("n_obs").cast("double")
+    a = F.col("sa").cast("double") / 1e3
+    b = F.col("sb").cast("double") / 1e3
+    amp = 2.0 * F.sqrt(a * a + b * b) / nn / 1e6
+    rms = F.sqrt(F.col("sq2").cast("double") / nn) / 1e6
+    return agg.select(
+        "symbol",
+        F.col("p").cast("long").alias("period_bars"),
+        "n_obs",
+        _rne(amp, "cycle_amp", 10),
+        _rne(F.when(rms > 0, amp / rms), "cycle_ratio", 6),
+    )
+
+
+def _sql_ts_cycle_power() -> str:
+    vals = ", ".join(
+        f"({p}, {r}, {c!r}, {s!r})" for p, r, c, s in _cycle_angle_rows()
+    )
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+lagged AS (
+  SELECT symbol, time_idx, close,
+         lag(close) OVER (PARTITION BY symbol ORDER BY time_idx) AS prev
+  FROM filled),
+rets AS (
+  SELECT symbol, time_idx,
+         floor(ln(close / prev) * 1000000.0 + 0.5)::BIGINT AS q
+  FROM lagged WHERE close > 0 AND prev > 0),
+ang(p, r, c, s) AS (VALUES {vals}),
+e AS (
+  SELECT t.symbol, t.q, a.p, a.c, a.s
+  FROM rets t JOIN ang a ON a.r = (t.time_idx % a.p)),
+agg AS (
+  SELECT symbol, p, count(*) AS n_obs,
+         sum(floor(q * c * 1000.0 + 0.5)::DECIMAL(38,0)) AS sa,
+         sum(floor(q * s * 1000.0 + 0.5)::DECIMAL(38,0)) AS sb,
+         sum((q * q)::DECIMAL(38,0)) AS sq2
+  FROM e GROUP BY 1, 2)
+SELECT symbol, p::BIGINT AS period_bars, n_obs,
+       {_sql_rne(
+           '2.0 * sqrt((sa::DOUBLE / 1000.0) * (sa::DOUBLE / 1000.0)'
+           ' + (sb::DOUBLE / 1000.0) * (sb::DOUBLE / 1000.0))'
+           ' / n_obs::DOUBLE / 1000000.0', 'cycle_amp', 10)},
+       {_sql_rne(
+           'CASE WHEN sqrt(sq2::DOUBLE / n_obs::DOUBLE) / 1000000.0 > 0'
+           ' THEN (2.0 * sqrt((sa::DOUBLE / 1000.0) * (sa::DOUBLE / 1000.0)'
+           ' + (sb::DOUBLE / 1000.0) * (sb::DOUBLE / 1000.0))'
+           ' / n_obs::DOUBLE / 1000000.0)'
+           ' / (sqrt(sq2::DOUBLE / n_obs::DOUBLE) / 1000000.0) END',
+           'cycle_ratio', 6)}
+FROM agg"""
+
+
 def _fracdiff_weights(d: float = 0.4, k: int = 20) -> list[float]:
     """Truncated fractional-differencing weights w_0=1,
     w_j = -w_{j-1}(d-j+1)/j (Hosking; López de Prado ch.5). Computed
@@ -15418,21 +15541,21 @@ def all_queries() -> dict[str, QueryFn]:
     # registration order (observed cutoff: 50). Round-9 rotation per
     # the r8 verdict: positions 1-2 = the two round-8 additions
     # (emb_bq_hamming_topk, doc_winnow_pairs), the only prior
-    # entries without a driver CORRECTNESS row; positions 3-15 = the
-    # thirteen round-9 additions (win_vae_embed rows-only,
+    # entries without a driver CORRECTNESS row; positions 3-16 = the
+    # fourteen round-9 additions (win_vae_embed rows-only,
     # doc_bm25_topk, doc_token_entropy, doc_edit_sim_pairs,
     # ts_indicators4, ts_indicators5, doc_dup_ngram_spans,
     # stream_ann_ingest, media_dup_groups, ts_ar2_forecast,
-    # events_ab_bootstrap_ci, ts_changepoint_meanshift, ts_fracdiff);
-    # positions 16-50 = 35 r8-green canaries (the first rows of the
-    # r8 window, CORRECTNESS_r08 = 50/50 pass).
-    # After this window runs green, all 214 registry queries are
+    # events_ab_bootstrap_ci, ts_changepoint_meanshift, ts_fracdiff,
+    # ts_cycle_power); positions 17-50 = 34 r8-green canaries (the
+    # first rows of the r8 window, CORRECTNESS_r08 = 50/50 pass).
+    # After this window runs green, all 215 registry queries are
     # driver-proven. Every entry carries a "last driver-green round"
     # tag so any future rotation stays mechanical.
     return {
         # ---- gate window (positions 1-50): round-9 rotation ----
         # never-driver-verified entries first (the two r8 stragglers,
-        # then this round's additions), then 35 r8-green canaries.
+        # then this round's additions), then 34 r8-green canaries.
         # tag = last driver-green round; 'never' = local driver-
         # emulation proof only.
         "emb_bq_hamming_topk": q_emb_bq_hamming_topk,  # never
@@ -15458,6 +15581,7 @@ def all_queries() -> dict[str, QueryFn]:
         "events_ab_bootstrap_ci": q_events_ab_bootstrap_ci,  # never
         "ts_changepoint_meanshift": q_ts_changepoint_meanshift,  # never
         "ts_fracdiff": q_ts_fracdiff,  # never
+        "ts_cycle_power": q_ts_cycle_power,  # never
         "flagship_forecast_mae": q_flagship,  # r8
         "ts_indicators": q_ts_indicators_all,  # r8
         "doc_minhash_lsh_pairs": q_doc_minhash_pairs,  # r8
@@ -15700,6 +15824,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "events_ab_bootstrap_ci": _sql_events_ab_bootstrap_ci(),
         "ts_changepoint_meanshift": _sql_ts_changepoint_meanshift(),
         "ts_fracdiff": _sql_ts_fracdiff(),
+        "ts_cycle_power": _sql_ts_cycle_power(),
         "flagship_forecast_mae": _flagship_oracle(),
         "flagship_summary": (
             f"WITH base AS ({_flagship_oracle()}) "

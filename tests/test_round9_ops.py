@@ -391,3 +391,38 @@ def test_fracdiff_weights_properties():
         got.append(acc)
     conv = np.convolve(x, ws, mode="valid")
     np.testing.assert_allclose(got, conv, rtol=1e-12)
+
+
+def test_cycle_power_device_detects_planted_cycle():
+    """Semantic check for ts_cycle_power: the snap-then-exact-sum DFT
+    bin, replayed in python, must read a planted period-28 cycle far
+    above noise at period 28 and near-noise at the other bins — and
+    recover the planted amplitude."""
+    import math
+
+    import numpy as np
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        CYCLE_PERIODS,
+        _cycle_angle_rows,
+    )
+
+    rng = np.random.default_rng(19)
+    n, amp_true, p_true = 20_000, 0.004, 28
+    t = np.arange(n)
+    x = amp_true * np.cos(2 * math.pi * t / p_true) + rng.normal(
+        0, 0.001, n
+    )
+    q = np.floor(x * 1e6 + 0.5).astype(np.int64)
+    tab = {(p, r): (c, s) for p, r, c, s in _cycle_angle_rows()}
+    amps = {}
+    for p in CYCLE_PERIODS:
+        cs = np.array([tab[(p, int(r))] for r in t % p])
+        sa = int(np.floor(q * cs[:, 0] * 1e3 + 0.5).sum())
+        sb = int(np.floor(q * cs[:, 1] * 1e3 + 0.5).sum())
+        a, b = sa / 1e3, sb / 1e3
+        amps[p] = 2.0 * math.sqrt(a * a + b * b) / n / 1e6
+    assert abs(amps[p_true] - amp_true) / amp_true < 0.02
+    for p in CYCLE_PERIODS:
+        if p != p_true:
+            assert amps[p] < amp_true / 10
