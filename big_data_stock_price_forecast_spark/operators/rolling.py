@@ -161,6 +161,75 @@ def holt_linear(
     return df.groupBy(part_col).applyInPandas(fn, schema=out_schema)
 
 
+def holt_winters_arrow(
+    df: DataFrame,
+    value_col: str = "close",
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    gamma: float = 0.3,
+    period: int = 4,
+    part_col: str = "symbol",
+    idx_col: str = "time_idx",
+) -> DataFrame:
+    """Additive Holt-Winters per series — the seasonal tier above
+    :func:`holt_linear`: level/trend/seasonal triple smoothing
+    l_t = α(x_t − s_{t−p}) + (1−α)(l_{t−1}+b_{t−1}),
+    b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1},
+    s_t = γ(x_t − l_t) + (1−γ)s_{t−p}, seeded l₁=x₁, b₁=0, s≡0 (the
+    zero-seasonal seed keeps the first cycle defined and is mirrored
+    in the recursive-CTE oracle's base row). Emits the FULL fitted
+    series: per row the updated level/trend, this bar's seasonal, and
+    the one-step-ahead in-sample forecast
+    ŷ_t = l_{t−1} + b_{t−1} + s_{t−p} (null on the seed row). Three
+    coupled recursions with a lag-p state ring cannot be window
+    functions; one Arrow pass per series carries all p+2 states in
+    exactly the oracle's operand order."""
+    out_schema = StructType(
+        [
+            StructField(part_col, df.schema[part_col].dataType),
+            StructField(idx_col, df.schema[idx_col].dataType),
+            StructField("hw_level", DoubleType()),
+            StructField("hw_trend", DoubleType()),
+            StructField("hw_seasonal", DoubleType()),
+            StructField("hw_fitted", DoubleType()),
+        ]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(idx_col)
+        xs = pdf[value_col].to_numpy()
+        n = len(xs)
+        lv = [0.0] * n
+        tr = [0.0] * n
+        se = [0.0] * n
+        ft: list = [None] * n
+        lvl, b = float(xs[0]), 0.0
+        s = [0.0] * period
+        lv[0], tr[0], se[0] = lvl, b, s[0]
+        for i in range(1, n):
+            x = float(xs[i])
+            ph = i % period
+            sold = s[ph]
+            ft[i] = lvl + b + sold
+            new_l = alpha * (x - sold) + (1.0 - alpha) * (lvl + b)
+            b = beta * (new_l - lvl) + (1.0 - beta) * b
+            s[ph] = gamma * (x - new_l) + (1.0 - gamma) * sold
+            lvl = new_l
+            lv[i], tr[i], se[i] = lvl, b, s[ph]
+        return pd.DataFrame(
+            {
+                part_col: pdf[part_col].to_numpy(),
+                idx_col: pdf[idx_col].to_numpy(),
+                "hw_level": lv,
+                "hw_trend": tr,
+                "hw_seasonal": se,
+                "hw_fitted": ft,
+            }
+        )
+
+    return df.groupBy(part_col).applyInPandas(fn, schema=out_schema)
+
+
 def add_indicators(
     df: DataFrame,
     part_col: str = "symbol",

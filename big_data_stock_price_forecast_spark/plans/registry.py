@@ -12441,6 +12441,70 @@ SELECT symbol, time_idx, {_sql_rne('fdv', 'fracdiff', 8)}
 FROM fd WHERE rn >= 20"""
 
 
+def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (α=0.2, β=0.1, γ=0.3, period=4 — the
+    daily cycle at 6h bars) per symbol over close, emitting the full
+    fitted series: level, trend, this bar's seasonal, and the
+    one-step-ahead in-sample forecast. Completes the classical
+    forecasting ladder (naive/SES → Holt → Holt-Winters → AR(2) →
+    Kalman → analogical/VAE). Three coupled recursions with a lag-p
+    seasonal ring ride ONE Arrow pass per series
+    (operators/rolling.py ``holt_winters_arrow``); the oracle is a
+    recursive CTE stepping each symbol one bar per iteration with the
+    p+2 states as scalar columns, operand order identical."""
+    from ..operators.rolling import holt_winters_arrow
+
+    df = holt_winters_arrow(_filled(spark, sf_dir))
+    return df.select(
+        "symbol", "time_idx",
+        _r6("hw_level"), _r6("hw_trend"),
+        _r6("hw_seasonal"), _r6("hw_fitted"),
+    )
+
+
+def _sql_ts_holt_winters() -> str:
+    a, bt, g = 0.2, 0.1, 0.3
+    sold = (
+        "(CASE (r.rn - 1) % 4 WHEN 0 THEN p.s0 WHEN 1 THEN p.s1"
+        " WHEN 2 THEN p.s2 ELSE p.s3 END)"
+    )
+    nl = f"({a} * (r.close - {sold}) + (1.0 - {a}) * (p.l + p.b))"
+    snew = f"({g} * (r.close - {nl}) + (1.0 - {g}) * {sold})"
+    body = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+pre AS (
+  SELECT symbol, time_idx, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) AS rn
+  FROM filled)
+SELECT symbol, time_idx, l AS hw_level, b AS hw_trend,
+       seas AS hw_seasonal, fitted AS hw_fitted
+FROM (
+  WITH RECURSIVE hw AS (
+    SELECT symbol, time_idx, rn, close AS l, 0.0::DOUBLE AS b,
+           0.0::DOUBLE AS s0, 0.0::DOUBLE AS s1,
+           0.0::DOUBLE AS s2, 0.0::DOUBLE AS s3,
+           0.0::DOUBLE AS seas, NULL::DOUBLE AS fitted
+    FROM pre WHERE rn = 1
+    UNION ALL
+    SELECT r.symbol, r.time_idx, r.rn,
+           {nl} AS l,
+           ({bt} * ({nl} - p.l) + (1.0 - {bt}) * p.b) AS b,
+           CASE WHEN (r.rn - 1) % 4 = 0 THEN {snew} ELSE p.s0 END AS s0,
+           CASE WHEN (r.rn - 1) % 4 = 1 THEN {snew} ELSE p.s1 END AS s1,
+           CASE WHEN (r.rn - 1) % 4 = 2 THEN {snew} ELSE p.s2 END AS s2,
+           CASE WHEN (r.rn - 1) % 4 = 3 THEN {snew} ELSE p.s3 END AS s3,
+           {snew} AS seas,
+           (p.l + p.b + {sold}) AS fitted
+    FROM hw p JOIN pre r ON r.symbol = p.symbol AND r.rn = p.rn + 1
+  )
+  SELECT * FROM hw
+) h"""
+    return _sql_r6_wrap(
+        body,
+        ["symbol", "time_idx"],
+        ["hw_level", "hw_trend", "hw_seasonal", "hw_fitted"],
+    )
+
+
 def q_ts_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single mean-shift changepoint per symbol (binary segmentation,
     depth 1 — the CUSUM-style two-sample scan): the split t* maximizing
@@ -15541,21 +15605,22 @@ def all_queries() -> dict[str, QueryFn]:
     # registration order (observed cutoff: 50). Round-9 rotation per
     # the r8 verdict: positions 1-2 = the two round-8 additions
     # (emb_bq_hamming_topk, doc_winnow_pairs), the only prior
-    # entries without a driver CORRECTNESS row; positions 3-16 = the
-    # fourteen round-9 additions (win_vae_embed rows-only,
+    # entries without a driver CORRECTNESS row; positions 3-17 = the
+    # fifteen round-9 additions (win_vae_embed rows-only,
     # doc_bm25_topk, doc_token_entropy, doc_edit_sim_pairs,
     # ts_indicators4, ts_indicators5, doc_dup_ngram_spans,
     # stream_ann_ingest, media_dup_groups, ts_ar2_forecast,
     # events_ab_bootstrap_ci, ts_changepoint_meanshift, ts_fracdiff,
-    # ts_cycle_power); positions 17-50 = 34 r8-green canaries (the
-    # first rows of the r8 window, CORRECTNESS_r08 = 50/50 pass).
-    # After this window runs green, all 215 registry queries are
+    # ts_cycle_power, ts_holt_winters); positions 18-50 = 33
+    # r8-green canaries (the first rows of the r8 window,
+    # CORRECTNESS_r08 = 50/50 pass).
+    # After this window runs green, all 216 registry queries are
     # driver-proven. Every entry carries a "last driver-green round"
     # tag so any future rotation stays mechanical.
     return {
         # ---- gate window (positions 1-50): round-9 rotation ----
         # never-driver-verified entries first (the two r8 stragglers,
-        # then this round's additions), then 34 r8-green canaries.
+        # then this round's additions), then 33 r8-green canaries.
         # tag = last driver-green round; 'never' = local driver-
         # emulation proof only.
         "emb_bq_hamming_topk": q_emb_bq_hamming_topk,  # never
@@ -15582,6 +15647,7 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_changepoint_meanshift": q_ts_changepoint_meanshift,  # never
         "ts_fracdiff": q_ts_fracdiff,  # never
         "ts_cycle_power": q_ts_cycle_power,  # never
+        "ts_holt_winters": q_ts_holt_winters,  # never
         "flagship_forecast_mae": q_flagship,  # r8
         "ts_indicators": q_ts_indicators_all,  # r8
         "doc_minhash_lsh_pairs": q_doc_minhash_pairs,  # r8
@@ -15825,6 +15891,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "ts_changepoint_meanshift": _sql_ts_changepoint_meanshift(),
         "ts_fracdiff": _sql_ts_fracdiff(),
         "ts_cycle_power": _sql_ts_cycle_power(),
+        "ts_holt_winters": _sql_ts_holt_winters(),
         "flagship_forecast_mae": _flagship_oracle(),
         "flagship_summary": (
             f"WITH base AS ({_flagship_oracle()}) "

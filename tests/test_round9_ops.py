@@ -426,3 +426,46 @@ def test_cycle_power_device_detects_planted_cycle():
     for p in CYCLE_PERIODS:
         if p != p_true:
             assert amps[p] < amp_true / 10
+
+
+def test_holt_winters_tracks_planted_seasonality(spark):
+    """holt_winters_arrow on a trend + period-4 seasonal signal: the
+    late-series seasonal states must approach the planted offsets
+    (zero-mean), the level must track the trend line, and the
+    one-step fitted error must be far below the seasonal amplitude
+    (i.e. the model actually absorbed the cycle)."""
+    import numpy as np
+
+    from big_data_stock_price_forecast_spark.operators.rolling import (
+        holt_winters_arrow,
+    )
+
+    n = 400
+    seas = [2.0, -1.0, -2.0, 1.0]  # zero-mean period-4 pattern
+    rows = [
+        (1, i, 100.0 + 0.05 * i + seas[i % 4]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "symbol int, time_idx int, close double")
+    g = (
+        holt_winters_arrow(df)
+        .toPandas()
+        .sort_values("time_idx")
+        .reset_index(drop=True)
+    )
+    assert g["hw_fitted"].isna().sum() == 1  # seed row only
+    tail = g.iloc[-40:]
+    # late fitted error << seasonal amplitude (2.0)
+    actual = np.array([100.0 + 0.05 * i + seas[i % 4]
+                       for i in tail["time_idx"]])
+    err = np.abs(tail["hw_fitted"].to_numpy() - actual)
+    assert err.mean() < 0.2
+    # seasonal states converge to the planted offsets
+    for ph in range(4):
+        got = tail[tail["time_idx"] % 4 == ph]["hw_seasonal"].mean()
+        assert abs(got - seas[ph]) < 0.3, ph
+    # level tracks the trend line (seasonal removed)
+    lvl_err = np.abs(
+        tail["hw_level"].to_numpy()
+        - (100.0 + 0.05 * tail["time_idx"].to_numpy())
+    )
+    assert lvl_err.mean() < 0.3
