@@ -10385,6 +10385,97 @@ SELECT event_type, count(*) AS n_rows, bit_xor(h) AS xor_sig
 FROM h GROUP BY ROLLUP (event_type)"""
 
 
+def q_src_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format breadth with a LOSSLESS-content proof: the events
+    table written to CSV and JSONL and read back through the engine's
+    text readers (explicit schema — no inference scan), each replica
+    checksummed with the same canonical XOR signature as
+    ``events_table_checksum``. A format that corrupts ONE value (CSV
+    quoting of the JSON props column, timestamp precision, integer
+    width) breaks its row, and XOR is order/partitioning-independent,
+    so the three signatures must be byte-equal. The oracle computes
+    the signature once from the parquet truth and expects it under
+    every format label — text readers that silently drop or mangle
+    rows cannot pass. Timestamps ride as integer micros (the text
+    formats carry no TIMESTAMP(NANOS) type)."""
+    import os
+    import shutil
+    import tempfile
+
+    require_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        "props",
+    )
+    work = tempfile.mkdtemp(prefix="bdspf-fmt-")
+    try:
+        csvp = os.path.join(work, "csv")
+        jsonp = os.path.join(work, "jsonl")
+        (
+            ev.write.option("header", True)
+            .option("escape", '"')
+            .csv(csvp)
+        )
+        ev.write.json(jsonp)
+        schema = ev.schema
+        frames = {
+            "parquet": ev,
+            "csv": (
+                spark.read.schema(schema)
+                .option("header", True)
+                .option("escape", '"')
+                .csv(csvp)
+            ),
+            "jsonl": spark.read.schema(schema).json(jsonp),
+        }
+        canon = F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.col("ts_us").cast("string"),
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .cast("string"),
+            F.col("props"),
+        )
+        parts = [
+            df.select(hash60(canon).alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr("bit_xor(h)").alias("xor_sig"),
+            )
+            .select(F.lit(fmt).alias("format"), "n_rows", "xor_sig")
+            for fmt, df in frames.items()
+        ]
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _sql_src_formats_roundtrip() -> str:
+    h = sql_hash60(
+        "concat_ws('|', CAST(event_id AS VARCHAR), "
+        "CAST(epoch_us(ts::TIMESTAMP) AS VARCHAR), "
+        "CAST(user_id AS VARCHAR), event_type, "
+        "CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR), "
+        "props)"
+    )
+    return f"""
+WITH sig AS (
+  SELECT count(*) AS n_rows, bit_xor({h}) AS xor_sig FROM events)
+SELECT f.format, s.n_rows, s.xor_sig
+FROM sig s CROSS JOIN (
+  VALUES ('parquet'), ('csv'), ('jsonl')) f(format)"""
+
+
 def q_events_scd2_pit_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join against the SCD2 dimension: every purchase
     is attributed to the tier that was VALID AT ITS TIMESTAMP (the
@@ -15605,22 +15696,22 @@ def all_queries() -> dict[str, QueryFn]:
     # registration order (observed cutoff: 50). Round-9 rotation per
     # the r8 verdict: positions 1-2 = the two round-8 additions
     # (emb_bq_hamming_topk, doc_winnow_pairs), the only prior
-    # entries without a driver CORRECTNESS row; positions 3-17 = the
-    # fifteen round-9 additions (win_vae_embed rows-only,
+    # entries without a driver CORRECTNESS row; positions 3-18 = the
+    # sixteen round-9 additions (win_vae_embed rows-only,
     # doc_bm25_topk, doc_token_entropy, doc_edit_sim_pairs,
     # ts_indicators4, ts_indicators5, doc_dup_ngram_spans,
     # stream_ann_ingest, media_dup_groups, ts_ar2_forecast,
     # events_ab_bootstrap_ci, ts_changepoint_meanshift, ts_fracdiff,
-    # ts_cycle_power, ts_holt_winters); positions 18-50 = 33
-    # r8-green canaries (the first rows of the r8 window,
-    # CORRECTNESS_r08 = 50/50 pass).
-    # After this window runs green, all 216 registry queries are
+    # ts_cycle_power, ts_holt_winters, src_formats_roundtrip);
+    # positions 18-50 = 32 r8-green canaries (the first rows of the
+    # r8 window, CORRECTNESS_r08 = 50/50 pass).
+    # After this window runs green, all 217 registry queries are
     # driver-proven. Every entry carries a "last driver-green round"
     # tag so any future rotation stays mechanical.
     return {
         # ---- gate window (positions 1-50): round-9 rotation ----
         # never-driver-verified entries first (the two r8 stragglers,
-        # then this round's additions), then 33 r8-green canaries.
+        # then this round's additions), then 32 r8-green canaries.
         # tag = last driver-green round; 'never' = local driver-
         # emulation proof only.
         "emb_bq_hamming_topk": q_emb_bq_hamming_topk,  # never
@@ -15648,6 +15739,7 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_fracdiff": q_ts_fracdiff,  # never
         "ts_cycle_power": q_ts_cycle_power,  # never
         "ts_holt_winters": q_ts_holt_winters,  # never
+        "src_formats_roundtrip": q_src_formats_roundtrip,  # never
         "flagship_forecast_mae": q_flagship,  # r8
         "ts_indicators": q_ts_indicators_all,  # r8
         "doc_minhash_lsh_pairs": q_doc_minhash_pairs,  # r8
@@ -15892,6 +15984,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "ts_fracdiff": _sql_ts_fracdiff(),
         "ts_cycle_power": _sql_ts_cycle_power(),
         "ts_holt_winters": _sql_ts_holt_winters(),
+        "src_formats_roundtrip": _sql_src_formats_roundtrip(),
         "flagship_forecast_mae": _flagship_oracle(),
         "flagship_summary": (
             f"WITH base AS ({_flagship_oracle()}) "

@@ -469,3 +469,57 @@ def test_holt_winters_tracks_planted_seasonality(spark):
         - (100.0 + 0.05 * tail["time_idx"].to_numpy())
     )
     assert lvl_err.mean() < 0.3
+
+
+def test_format_roundtrip_checksum_detects_corruption(spark, tmp_path):
+    """The XOR row-signature must actually have detection power: after
+    corrupting a single value in one CSV part file, the re-read
+    replica's signature must differ from the original's (count
+    unchanged — corruption, not loss)."""
+    import glob
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        hash60,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"u{i % 7}", float(i) / 3.0) for i in range(500)],
+        "id bigint, name string, v double",
+    )
+    p = str(tmp_path / "csv")
+    df.coalesce(1).write.option("header", True).csv(p)
+
+    def sig(frame):
+        canon = F.concat_ws(
+            "|", F.col("id").cast("string"), F.col("name"),
+            F.floor(F.col("v") * 100 + F.lit(0.5)).cast("bigint")
+            .cast("string"),
+        )
+        row = (
+            frame.select(hash60(canon).alias("h"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("bit_xor(h)").alias("x"))
+            .first()
+        )
+        return row["n"], row["x"]
+
+    def rd(path):
+        return spark.read.schema(df.schema).option(
+            "header", True
+        ).csv(path)
+
+    n0, x0 = sig(rd(p))
+    assert n0 == 500
+    # corrupt ONE cell into a fresh directory (in-place edits trip
+    # Spark's file-change detection, which is not what's under test)
+    import os
+
+    p2 = str(tmp_path / "csv2")
+    os.makedirs(p2)
+    part = glob.glob(p + "/part-*.csv")[0]
+    txt = open(part).read()
+    assert "u3" in txt
+    with open(os.path.join(p2, "part-0.csv"), "w") as f:
+        f.write(txt.replace("u3", "u9", 1))
+    n1, x1 = sig(rd(p2))
+    assert n1 == 500 and x1 != x0
