@@ -1565,6 +1565,148 @@ SQL_DOC_MINHASH = _sql_r6_wrap(
 EDIT_SIM_TAU = 0.4
 
 
+def q_doc_overlap_eval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation-eval metrics over the near-dup candidate pairs:
+    BLEU-2 (clipped 1/2-gram precisions, geometric mean, brevity
+    penalty; Papineni et al. 2002) and ROUGE-1 recall (Lin 2004),
+    treating the lower doc_id as reference and the higher as
+    candidate — the eval-metric family a training pipeline runs over
+    (reference, generation) pairs, here driven by the MinHash sketch
+    so the pair set is candidate-sized, never all-pairs. Clipped
+    multiset overlaps are integer sums over a (doc, gram) count frame
+    joined pair-wise (grams use the positional bigram builder — order
+    matters for BLEU); only the final ratios / exp / sqrt run in
+    float, identically shaped in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(docs)
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+    uni = (
+        tok.select("doc_id", F.explode("tok").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        tok.select(
+            "doc_id", F.explode(pos_shingles(F.col("tok"), 2)).alias("g")
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lens = tok.select("doc_id", F.size("tok").cast("long").alias("n_tok"))
+
+    def clipped(counts, n):
+        cd = counts.withColumnsRenamed({"doc_id": "id_j", "c": "cc"})
+        rf = counts.withColumnsRenamed({"doc_id": "id_i", "c": "cr"})
+        return (
+            cand.join(cd, "id_j")
+            .join(rf, ["id_i", "g"], "left")
+            .groupBy("id_i", "id_j")
+            .agg(
+                F.sum(
+                    F.least(F.col("cc"), F.coalesce(F.col("cr"), F.lit(0)))
+                ).alias(f"ov{n}"),
+                F.sum("cc").alias(f"tot{n}"),
+            )
+        )
+
+    j = (
+        cand.join(clipped(uni, 1), ["id_i", "id_j"])
+        .join(clipped(big, 2), ["id_i", "id_j"], "left")
+        .join(
+            lens.withColumnsRenamed(
+                {"doc_id": "id_i", "n_tok": "len_r"}
+            ),
+            "id_i",
+        )
+        .join(
+            lens.withColumnsRenamed(
+                {"doc_id": "id_j", "n_tok": "len_c"}
+            ),
+            "id_j",
+        )
+    )
+    p1 = F.col("ov1").cast("double") / F.col("tot1").cast("double")
+    p2 = F.when(
+        F.col("tot2") > 0,
+        F.col("ov2").cast("double") / F.col("tot2").cast("double"),
+    )
+    rouge1 = F.when(
+        F.col("len_r") > 0,
+        F.col("ov1").cast("double") / F.col("len_r").cast("double"),
+    )
+    bp = F.when(F.col("len_c") >= F.col("len_r"), F.lit(1.0)).otherwise(
+        F.exp(
+            1.0
+            - F.col("len_r").cast("double") / F.col("len_c").cast("double")
+        )
+    )
+    x = j.select(
+        "id_i", "id_j", "ov1", "ov2", "len_r", "len_c",
+        p1.alias("p1"), p2.alias("p2"),
+        rouge1.alias("rouge1"), bp.alias("bp"),
+    )
+    bleu2 = F.when(
+        (F.col("p1") > 0) & (F.col("p2") > 0),
+        F.col("bp") * F.sqrt(F.col("p1") * F.col("p2")),
+    ).otherwise(0.0)
+    return x.select(
+        "id_i", "id_j", "ov1", "ov2", "len_r", "len_c",
+        _rne(F.col("p1"), "p1", 6),
+        _rne(F.col("p2"), "p2", 6),
+        _rne(F.col("rouge1"), "rouge1", 6),
+        _rne(bleu2, "bleu2", 6),
+    )
+
+
+def _sql_doc_overlap_eval_pairs() -> str:
+    body = f"""WITH {_SQL_MINHASH_CAND_CTES},
+unic AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(tok) AS g FROM toks) GROUP BY 1, 2),
+bigc AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest({sql_pos_shingles('tok', 2)}) AS g
+        FROM toks) GROUP BY 1, 2),
+lens AS (SELECT doc_id, len(tok)::BIGINT AS n_tok FROM toks),
+u AS (
+  SELECT c.id_i, c.id_j,
+         CAST(sum(least(cd.c, coalesce(rf.c, 0))) AS BIGINT) AS ov1,
+         CAST(sum(cd.c) AS BIGINT) AS tot1
+  FROM cand c JOIN unic cd ON cd.doc_id = c.id_j
+  LEFT JOIN unic rf ON rf.doc_id = c.id_i AND rf.g = cd.g
+  GROUP BY 1, 2),
+b AS (
+  SELECT c.id_i, c.id_j,
+         CAST(sum(least(cd.c, coalesce(rf.c, 0))) AS BIGINT) AS ov2,
+         CAST(sum(cd.c) AS BIGINT) AS tot2
+  FROM cand c JOIN bigc cd ON cd.doc_id = c.id_j
+  LEFT JOIN bigc rf ON rf.doc_id = c.id_i AND rf.g = cd.g
+  GROUP BY 1, 2),
+x AS (
+  SELECT c.id_i, c.id_j, u.ov1, b.ov2, lr.n_tok AS len_r,
+         lc.n_tok AS len_c,
+         u.ov1::DOUBLE / u.tot1::DOUBLE AS p1,
+         CASE WHEN b.tot2 > 0
+              THEN b.ov2::DOUBLE / b.tot2::DOUBLE END AS p2,
+         CASE WHEN lr.n_tok > 0
+              THEN u.ov1::DOUBLE / lr.n_tok::DOUBLE END AS rouge1,
+         CASE WHEN lc.n_tok >= lr.n_tok THEN 1.0
+              ELSE exp(1.0 - lr.n_tok::DOUBLE / lc.n_tok::DOUBLE)
+              END AS bp
+  FROM cand c JOIN u USING (id_i, id_j)
+  LEFT JOIN b USING (id_i, id_j)
+  JOIN lens lr ON lr.doc_id = c.id_i
+  JOIN lens lc ON lc.doc_id = c.id_j)
+SELECT id_i, id_j, ov1, ov2, len_r, len_c, p1, p2, rouge1,
+       CASE WHEN p1 > 0 AND p2 > 0 THEN bp * sqrt(p1 * p2)
+            ELSE 0.0 END AS bleu2
+FROM x"""
+    return _sql_r6_wrap(
+        body, ["id_i", "id_j", "ov1", "ov2", "len_r", "len_c"],
+        ["p1", "p2", "rouge1", "bleu2"],
+    )
+
+
 def q_doc_edit_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs verified by EXACT edit distance: MinHash-
     LSH proposes candidates, Levenshtein scores them, sim = 1 -
@@ -15696,22 +15838,22 @@ def all_queries() -> dict[str, QueryFn]:
     # registration order (observed cutoff: 50). Round-9 rotation per
     # the r8 verdict: positions 1-2 = the two round-8 additions
     # (emb_bq_hamming_topk, doc_winnow_pairs), the only prior
-    # entries without a driver CORRECTNESS row; positions 3-18 = the
-    # sixteen round-9 additions (win_vae_embed rows-only,
+    # entries without a driver CORRECTNESS row; positions 3-19 = the
+    # seventeen round-9 additions (win_vae_embed rows-only,
     # doc_bm25_topk, doc_token_entropy, doc_edit_sim_pairs,
     # ts_indicators4, ts_indicators5, doc_dup_ngram_spans,
     # stream_ann_ingest, media_dup_groups, ts_ar2_forecast,
     # events_ab_bootstrap_ci, ts_changepoint_meanshift, ts_fracdiff,
-    # ts_cycle_power, ts_holt_winters, src_formats_roundtrip);
-    # positions 18-50 = 32 r8-green canaries (the first rows of the
-    # r8 window, CORRECTNESS_r08 = 50/50 pass).
-    # After this window runs green, all 217 registry queries are
+    # ts_cycle_power, ts_holt_winters, src_formats_roundtrip,
+    # doc_overlap_eval_pairs); positions 19-50 = 31 r8-green canaries
+    # (the first rows of the r8 window, CORRECTNESS_r08 = 50/50 pass).
+    # After this window runs green, all 218 registry queries are
     # driver-proven. Every entry carries a "last driver-green round"
     # tag so any future rotation stays mechanical.
     return {
         # ---- gate window (positions 1-50): round-9 rotation ----
         # never-driver-verified entries first (the two r8 stragglers,
-        # then this round's additions), then 32 r8-green canaries.
+        # then this round's additions), then 31 r8-green canaries.
         # tag = last driver-green round; 'never' = local driver-
         # emulation proof only.
         "emb_bq_hamming_topk": q_emb_bq_hamming_topk,  # never
@@ -15740,6 +15882,7 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_cycle_power": q_ts_cycle_power,  # never
         "ts_holt_winters": q_ts_holt_winters,  # never
         "src_formats_roundtrip": q_src_formats_roundtrip,  # never
+        "doc_overlap_eval_pairs": q_doc_overlap_eval_pairs,  # never
         "flagship_forecast_mae": q_flagship,  # r8
         "ts_indicators": q_ts_indicators_all,  # r8
         "doc_minhash_lsh_pairs": q_doc_minhash_pairs,  # r8
@@ -15985,6 +16128,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "ts_cycle_power": _sql_ts_cycle_power(),
         "ts_holt_winters": _sql_ts_holt_winters(),
         "src_formats_roundtrip": _sql_src_formats_roundtrip(),
+        "doc_overlap_eval_pairs": _sql_doc_overlap_eval_pairs(),
         "flagship_forecast_mae": _flagship_oracle(),
         "flagship_summary": (
             f"WITH base AS ({_flagship_oracle()}) "

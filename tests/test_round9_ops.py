@@ -523,3 +523,50 @@ def test_format_roundtrip_checksum_detects_corruption(spark, tmp_path):
         f.write(txt.replace("u3", "u9", 1))
     n1, x1 = sig(rd(p2))
     assert n1 == 500 and x1 != x0
+
+
+def test_overlap_eval_pairs_hand_computed(spark, tmp_path):
+    """BLEU-2 / ROUGE-1 against hand-computed values on planted pairs:
+    an exact duplicate must score 1.0 everywhere; a one-token edit of
+    a 20-token doc must score exactly p1=19/20, p2=17/19 (the two
+    bigrams through the edited position break), rouge1=19/20,
+    bleu2=sqrt(p1*p2) with brevity penalty 1 (equal lengths)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_overlap_eval_pairs,
+    )
+
+    base = [f"w{i}" for i in range(20)]
+    edited = base[:10] + ["zz"] + base[11:]
+    docs = {
+        0: " ".join(base),
+        1: " ".join(base),      # exact dup of 0
+        6: " ".join(base),      # third copy — also pairs with 0 and 1
+        9: " ".join(edited),    # one-token edit
+        12: "totally different words entirely here now",
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=d, text=t, lang="en", source="s", n_chars=len(t))
+         for d, t in docs.items()]
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        (r["id_i"], r["id_j"]): r
+        for r in q_doc_overlap_eval_pairs(spark, str(tmp_path)).collect()
+    }
+    r01 = rows[(0, 1)]
+    assert (r01["p1"], r01["p2"], r01["rouge1"], r01["bleu2"]) == (
+        1.0, 1.0, 1.0, 1.0,
+    )
+    r09 = rows[(0, 9)]
+    assert r09["ov1"] == 19 and r09["ov2"] == 17
+    assert r09["p1"] == round(19 / 20, 6)
+    assert r09["p2"] == round(math.floor(17 / 19 * 1e6 + 0.5) / 1e6, 6)
+    assert r09["rouge1"] == round(19 / 20, 6)
+    expect_bleu = math.sqrt((19 / 20) * (17 / 19))
+    assert abs(r09["bleu2"] - expect_bleu) < 2e-6
+    # the unrelated doc must not appear in any pair
+    assert all(12 not in k for k in rows)
