@@ -10527,6 +10527,73 @@ SELECT event_type, count(*) AS n_rows, bit_xor(h) AS xor_sig
 FROM h GROUP BY ROLLUP (event_type)"""
 
 
+def q_emb_dim_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor — the check a pipeline
+    runs when the encoder (or the corpus) changes under a vector
+    index: per dimension, the reference-vs-current mean shift between
+    the two hash-split halves of the corpus, plus each half's mean.
+    At the null (random split of one distribution) shifts are small;
+    a re-encoded or re-weighted corpus shows per-dim displacement long
+    before recall collapses. Determinism: each coordinate snaps to
+    the 1e-9 grid and the per-(half, dim) sums ride exact
+    DECIMAL(38,0) — order-free; one explode + one map-side-combined
+    groupBy on (dim), 64 output rows."""
+    emb = _emb(spark, sf_dir)
+    half = (F.col("vec_id") % 2 == 0).cast("int")
+    e = emb.select(
+        half.alias("ref"),
+        F.posexplode("v").alias("dim", "x"),
+    ).select(
+        "ref",
+        "dim",
+        F.floor(F.col("x") * 1e9 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    agg = e.groupBy("dim").agg(
+        F.sum(F.when(F.col("ref") == 1, F.col("q"))).alias("sr"),
+        F.sum(F.when(F.col("ref") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .alias("nr"),
+        F.sum(F.when(F.col("ref") == 0, F.col("q"))).alias("sc"),
+        F.sum(F.when(F.col("ref") == 0, F.lit(1)).otherwise(F.lit(0)))
+        .alias("nc"),
+    )
+    mr = F.col("sr").cast("double") / F.col("nr").cast("double") / 1e9
+    mc = F.col("sc").cast("double") / F.col("nc").cast("double") / 1e9
+    return agg.select(
+        F.col("dim").cast("long").alias("dim"),
+        F.col("nr").cast("long").alias("n_ref"),
+        F.col("nc").cast("long").alias("n_cur"),
+        _rne(mr, "mean_ref", 8),
+        _rne(mc, "mean_cur", 8),
+        _rne(F.abs(mr - mc), "abs_shift", 8),
+    )
+
+
+def _sql_emb_dim_drift() -> str:
+    mr = "sr::DOUBLE / nr::DOUBLE / 1000000000.0"
+    mc = "sc::DOUBLE / nc::DOUBLE / 1000000000.0"
+    return f"""
+WITH e AS (
+  SELECT CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS ref,
+         i - 1 AS dim,
+         floor(embedding[i]::DOUBLE * 1000000000.0 + 0.5)
+           ::DECIMAL(38,0) AS q
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)),
+agg AS (
+  SELECT dim,
+         sum(CASE WHEN ref = 1 THEN q END) AS sr,
+         sum(CASE WHEN ref = 1 THEN 1 ELSE 0 END) AS nr,
+         sum(CASE WHEN ref = 0 THEN q END) AS sc,
+         sum(CASE WHEN ref = 0 THEN 1 ELSE 0 END) AS nc
+  FROM e GROUP BY 1)
+SELECT dim::BIGINT AS dim, nr::BIGINT AS n_ref, nc::BIGINT AS n_cur,
+       {_sql_rne(mr, 'mean_ref', 8)},
+       {_sql_rne(mc, 'mean_cur', 8)},
+       {_sql_rne(f'abs({mr} - {mc})', 'abs_shift', 8)}
+FROM agg"""
+
+
 def q_src_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-format breadth with a LOSSLESS-content proof: the events
     table written to CSV and JSONL and read back through the engine's
@@ -15838,22 +15905,23 @@ def all_queries() -> dict[str, QueryFn]:
     # registration order (observed cutoff: 50). Round-9 rotation per
     # the r8 verdict: positions 1-2 = the two round-8 additions
     # (emb_bq_hamming_topk, doc_winnow_pairs), the only prior
-    # entries without a driver CORRECTNESS row; positions 3-19 = the
-    # seventeen round-9 additions (win_vae_embed rows-only,
+    # entries without a driver CORRECTNESS row; positions 3-20 = the
+    # eighteen round-9 additions (win_vae_embed rows-only,
     # doc_bm25_topk, doc_token_entropy, doc_edit_sim_pairs,
     # ts_indicators4, ts_indicators5, doc_dup_ngram_spans,
     # stream_ann_ingest, media_dup_groups, ts_ar2_forecast,
     # events_ab_bootstrap_ci, ts_changepoint_meanshift, ts_fracdiff,
     # ts_cycle_power, ts_holt_winters, src_formats_roundtrip,
-    # doc_overlap_eval_pairs); positions 19-50 = 31 r8-green canaries
-    # (the first rows of the r8 window, CORRECTNESS_r08 = 50/50 pass).
-    # After this window runs green, all 218 registry queries are
+    # doc_overlap_eval_pairs, emb_dim_drift); positions 20-50 = 30
+    # r8-green canaries (the first rows of the r8 window,
+    # CORRECTNESS_r08 = 50/50 pass).
+    # After this window runs green, all 219 registry queries are
     # driver-proven. Every entry carries a "last driver-green round"
     # tag so any future rotation stays mechanical.
     return {
         # ---- gate window (positions 1-50): round-9 rotation ----
         # never-driver-verified entries first (the two r8 stragglers,
-        # then this round's additions), then 31 r8-green canaries.
+        # then this round's additions), then 30 r8-green canaries.
         # tag = last driver-green round; 'never' = local driver-
         # emulation proof only.
         "emb_bq_hamming_topk": q_emb_bq_hamming_topk,  # never
@@ -15883,6 +15951,7 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_holt_winters": q_ts_holt_winters,  # never
         "src_formats_roundtrip": q_src_formats_roundtrip,  # never
         "doc_overlap_eval_pairs": q_doc_overlap_eval_pairs,  # never
+        "emb_dim_drift": q_emb_dim_drift,  # never
         "flagship_forecast_mae": q_flagship,  # r8
         "ts_indicators": q_ts_indicators_all,  # r8
         "doc_minhash_lsh_pairs": q_doc_minhash_pairs,  # r8
@@ -16129,6 +16198,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "ts_holt_winters": _sql_ts_holt_winters(),
         "src_formats_roundtrip": _sql_src_formats_roundtrip(),
         "doc_overlap_eval_pairs": _sql_doc_overlap_eval_pairs(),
+        "emb_dim_drift": _sql_emb_dim_drift(),
         "flagship_forecast_mae": _flagship_oracle(),
         "flagship_summary": (
             f"WITH base AS ({_flagship_oracle()}) "

@@ -570,3 +570,33 @@ def test_overlap_eval_pairs_hand_computed(spark, tmp_path):
     assert abs(r09["bleu2"] - expect_bleu) < 2e-6
     # the unrelated doc must not appear in any pair
     assert all(12 not in k for k in rows)
+
+
+def test_emb_dim_drift_detects_planted_shift(spark, tmp_path):
+    """Drift monitor semantics: on a corpus where the odd half is the
+    even half shifted by +0.5 in dims 0-2, those dims' abs_shift must
+    read ~0.5 and all other dims ~0."""
+    import numpy as np
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_emb_dim_drift,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(400):
+        v = rng.normal(0, 0.1, 64)
+        if i % 2 == 1:  # "current" half: planted encoder shift
+            v[:3] += 0.5
+        rows.append((i, [float(x) for x in v.astype(np.float32)], i % 10))
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = {r["dim"]: r for r in q_emb_dim_drift(spark, str(tmp_path)).collect()}
+    assert len(got) == 64
+    assert all(r["n_ref"] == 200 and r["n_cur"] == 200
+               for r in got.values())
+    for d in range(3):
+        assert abs(got[d]["abs_shift"] - 0.5) < 0.05, d
+    for d in range(3, 64):
+        assert got[d]["abs_shift"] < 0.05, d
