@@ -105,8 +105,10 @@ def write_ivf_stream_layout(emb: DataFrame, path: str) -> None:
     :func:`write_ivf_layout` but with a ``batch=`` partition level
     (seed lands as ``batch=-1``) so micro-batch fold-ins
     (``batch=N``, see streaming/ops.py ``ann_ingest_stream``) keep one
-    consistent partition depth, and an empty ``probes`` seed dir so
-    the first micro-batch's earlier-queries read has a schema."""
+    consistent partition depth, and an empty ``probes`` seed dir
+    (``partitionBy(list_id)`` like every later probe write, so the
+    layout has one depth; the stream read supplies the schema
+    explicitly because the seed dir holds no data files)."""
     centroids = label_centroids(emb)
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     assigned = assign_lists(emb, centroids)
@@ -120,7 +122,9 @@ def write_ivf_stream_layout(emb: DataFrame, path: str) -> None:
     empty = spark.createDataFrame(
         [], "q_id bigint, qv array<double>, list_id int"
     )
-    empty.write.mode("overwrite").parquet(f"{path}/probes/batch=-1")
+    empty.write.partitionBy("list_id").mode("overwrite").parquet(
+        f"{path}/probes/batch=-1"
+    )
 
 
 def ivf_query_probes(

@@ -180,8 +180,8 @@ def _forward_backward_rows(
 
     h1 = np.tanh(xs @ W1.T + b1)
     mu = h1 @ W2.T + b2
-    lv = h1 @ W3.T + b3
-    lv = np.clip(lv, -30.0, 30.0)
+    lv_pre = h1 @ W3.T + b3
+    lv = np.clip(lv_pre, -30.0, 30.0)
     std = np.exp(0.5 * lv)
     eps = _eps_for(uid, epoch, k)
     z = mu + eps * std
@@ -200,6 +200,11 @@ def _forward_backward_rows(
     dz = da2 @ W4
     dmu = dz + kl_beta * mu
     dlv = dz * eps * 0.5 * std + kl_beta * 0.5 * (np.exp(lv) - 1.0)
+    # the clamp is NOT identity where it saturates: d(clip)/d(lv_pre)
+    # is 0 outside [-30, 30] (inclusive boundary passes, torch.clamp
+    # convention), so zero those rows' dlv before it backpropagates
+    # into W3/b3 and dh1
+    dlv = np.where((lv_pre >= -30.0) & (lv_pre <= 30.0), dlv, 0.0)
     dh1 = dmu @ W2 + dlv @ W3
     da1 = dh1 * (1.0 - h1 * h1)
 

@@ -571,8 +571,14 @@ def ann_ingest_stream(
     ``batch=N``-dir overwrite, and step 1 filters out this batch's own
     probes left by a failed earlier attempt.
 
-    Per-batch cost: O(batch × centroids) for quantization + scans of
-    only the matched list/probe partitions — never O(corpus).
+    Per-batch cost: O(batch × centroids) for quantization, plus scans
+    of only the matched list/probe PARTITION DIRECTORIES — the probe
+    history is partitioned by ``list_id`` inside each ``batch=N`` dir,
+    so step 1 reads only the history rows whose list one of this
+    batch's vectors landed in, and the join broadcasts the BOUNDED
+    micro-batch side (the history side streams). Per-batch memory is
+    O(batch); per-batch I/O grows only with the matched slice of the
+    probe history, never the whole corpus of past queries.
     Bootstrap with ``write_ivf_stream_layout`` over the seed corpus.
     """
     from ..functions.distance import dist_l2_fixed
@@ -590,18 +596,33 @@ def ann_ingest_stream(
         cent = spark.read.parquet(f"{index_path}/centroids")
         # small (one micro-batch); pinned once, feeds steps 1-3
         assigned = assign_lists(batch_df, cent).localCheckpoint(eager=True)
-        # (1) new vectors as candidates for EARLIER queries; the
-        # partition filter both prunes probe dirs and drops this
-        # batch's own probes if a failed attempt already wrote them
+        # (1) new vectors as candidates for EARLIER queries. Both
+        # partition filters prune directories: batch != N drops this
+        # batch's own probes if a failed attempt already wrote them,
+        # and list_id ∈ (this batch's lists) — bounded by the
+        # centroid count — skips every unmatched probe dir, so the
+        # scan is the matched SLICE of the history, not all of it.
+        # The explicit schema covers the seed's data-file-free
+        # probes/batch=-1 dir.
+        batch_lists = [
+            r["list_id"]
+            for r in assigned.select("list_id").distinct().collect()
+        ]
         probes_prev = (
             spark.read.option("basePath", f"{index_path}/probes")
+            .schema("q_id bigint, qv array<double>, list_id int, batch int")
             .parquet(f"{index_path}/probes")
             .filter(F.col("batch") != batch_id)
+            .filter(F.col("list_id").isin(batch_lists))
             .select("q_id", "qv", "list_id")
         )
+        # broadcast the BOUNDED side (one micro-batch); the probe
+        # history grows for the stream's lifetime and must stream
         late = (
-            assigned.select("vec_id", "v", "list_id")
-            .join(F.broadcast(probes_prev), "list_id")
+            probes_prev.join(
+                F.broadcast(assigned.select("vec_id", "v", "list_id")),
+                "list_id",
+            )
             .filter(F.col("vec_id") != F.col("q_id"))
             .withColumn(
                 "dist", dist_l2_fixed(F.col("v"), F.col("qv"), EMB_DIM)
@@ -624,8 +645,11 @@ def ann_ingest_stream(
             ),
             nprobe,
         ).localCheckpoint(eager=True)
-        probes_new.write.mode("overwrite").parquet(
-            f"{index_path}/probes/batch={batch_id}"
+        (
+            probes_new.repartition("list_id")
+            .write.partitionBy("list_id")
+            .mode("overwrite")
+            .parquet(f"{index_path}/probes/batch={batch_id}")
         )
         fresh = ivf_probe_candidates(spark, index_path, probes_new)
         (

@@ -66,6 +66,48 @@ def test_gradient_matches_finite_differences():
         assert abs(num - g[i]) < 1e-5 * max(1.0, abs(num)), i
 
 
+def test_gradient_matches_finite_differences_at_logvar_clamp():
+    """Saturate the logvar clamp (b3 pushed below -30: std → ~0 so
+    the loss stays O(1) and finite differences stay numerically
+    meaningful, unlike the +30 side where exp(lv) ≈ 1e13 swamps FD)
+    and re-check the analytic gradient against finite differences on
+    the W3/b3 slices AND on W1/b1 (which dlv contaminates through
+    dh1 if the clamp is wrongly treated as identity). Guards the
+    np.clip backward: dlv must be zeroed where |lv_pre| > 30."""
+    rows = _toy_rows(10, seed=5)
+    xs = np.array([r[1] for r in rows])
+    uid = np.array([r[0] for r in rows], np.int64)
+    p = VaeParams.init(L, H, K, seed=11)
+    o3, n3, _ = p.slices["b3"]
+    p.vec[o3:o3 + n3] = -40.0  # lv_pre << -30 for every row/dim
+    kl_beta = 5e-4
+    grad, _, _ = _forward_backward(xs, uid, p, epoch=2, kl_beta=kl_beta)
+    g = grad / xs.shape[0]
+    h = 1e-6
+    ow3, nw3, _ = p.slices["W3"]
+    ow1, nw1, _ = p.slices["W1"]
+    ob1, nb1, _ = p.slices["b1"]
+    probe = (
+        list(range(ow3, ow3 + min(6, nw3)))
+        + list(range(o3, o3 + n3))
+        + list(range(ow1, ow1 + min(6, nw1)))
+        + list(range(ob1, ob1 + min(3, nb1)))
+    )
+    for i in probe:
+        vp = p.vec.copy()
+        vm = p.vec.copy()
+        vp[i] += h
+        vm[i] -= h
+        num = (
+            _loss_at(vp, xs, uid, 2, kl_beta)
+            - _loss_at(vm, xs, uid, 2, kl_beta)
+        ) / (2 * h)
+        assert abs(num - g[i]) < 1e-5 * max(1.0, abs(num)), i
+    # the saturated W3/b3 slices get exactly zero gradient
+    assert np.all(g[ow3:ow3 + nw3] == 0.0)
+    assert np.all(g[o3:o3 + n3] == 0.0)
+
+
 def test_training_is_partition_independent(spark, toy_df):
     """The determinism contract: int-snapped per-row gradients summed
     exactly mean the trained parameters are BIT-IDENTICAL under any
