@@ -181,6 +181,68 @@ def thumbnail(media: DataFrame, out_bytes: int = THUMB_BYTES) -> DataFrame:
     )
 
 
+AHASH_BANDS = 8
+AHASH_BAND_BITS = 8
+
+
+def ahash_bands(media: DataFrame) -> DataFrame:
+    """Average-hash (aHash) of each image payload as 8×8-bit band
+    values — the perceptual-hash near-dup key (a real pipeline
+    computes it over the decoded 8×8 gray thumbnail; the byte-level
+    stand-in keeps the exact operator shape): the payload is
+    byte-stride "resized" to 64 cells (cell i = bytes j with
+    (j*64) div n = i), bit_i = (cell mean > global mean), evaluated
+    as the EXACT integer cross-product s_i·n > S·c_i — no float
+    enters the hash. The 64 bits pack into 8 8-bit bands that double
+    as the LSH blocking keys: by pigeonhole, any pair at hamming ≤ 7
+    shares at least one identical band, so band-equality candidate
+    generation is EXHAUSTIVE up to distance 7 and best-effort beyond
+    (the standard banded-LSH recall contract). One JVM-only
+    projection pass: hex codec + in-row list folds, no Python, no
+    shuffle."""
+    n = F.col("meta.n_bytes")
+    b = (
+        media.filter(F.col("media_type") == "image")
+        .filter(n >= 1)
+        .select(
+            "media_id",
+            n.alias("n"),
+            F.hex(F.col("payload")).alias("hx"),
+        )
+        .withColumn(
+            "bytes",
+            F.expr(
+                "transform(sequence(0, cast(n - 1 as int)),"
+                " j -> cast(conv(substring(hx, 2 * j + 1, 2), 16, 10)"
+                " as bigint))"
+            ),
+        )
+        .withColumn(
+            "S", F.expr("aggregate(bytes, 0L, (acc, x) -> acc + x)")
+        )
+        .withColumn(
+            "bits",
+            F.expr(
+                "transform(sequence(0, 63), i -> if("
+                " aggregate(slice(bytes, cast(i * n div 64 as int) + 1,"
+                "   cast((i + 1) * n div 64 - i * n div 64 as int)),"
+                "   0L, (acc, x) -> acc + x) * n"
+                " > S * ((i + 1) * n div 64 - i * n div 64),"
+                " 1L, 0L))"
+            ),
+        )
+    )
+    bands = [
+        F.expr(
+            f"aggregate(sequence(0, {AHASH_BAND_BITS - 1}), 0L,"
+            f" (acc, t) -> acc + bits[{k} * {AHASH_BAND_BITS} + t]"
+            f" * shiftleft(1L, t))"
+        ).alias(f"band{k}")
+        for k in range(AHASH_BANDS)
+    ]
+    return b.select("media_id", *bands)
+
+
 def payload_signature(
     media: DataFrame, out_bytes: int = THUMB_BYTES
 ) -> DataFrame:

@@ -340,6 +340,46 @@ def ewm_smooth(
     return df.groupBy(part_col).applyInPandas(fn, schema)
 
 
+def garch_filter(
+    df: DataFrame,
+    r2_col: str = "r2",
+    out_col: str = "v",
+    omega: float = 1e-6,
+    alpha: float = 0.05,
+    beta: float = 0.90,
+    part_col: str = "symbol",
+    idx_col: str = "time_idx",
+) -> DataFrame:
+    """GARCH(1,1) conditional-variance filter (fixed parameters, no
+    fitting): ``v_t = omega + alpha*r2_t + beta*v_{t-1}`` seeded with
+    the first non-null squared return (``v = r2``, the same
+    RiskMetrics-style seed as the EWMA vol twin). One Arrow pass per
+    series — the affine recursion's infinite memory is the same W4
+    escape-hatch shape as :func:`ewm_smooth`; evaluated in exactly the
+    operand order written above so a DuckDB recursive CTE consuming
+    the same grid-snapped ``r2`` reproduces ``v`` bitwise. Null input
+    carries state and emits null."""
+    fields = list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    schema = StructType(fields)
+    o, a, b = float(omega), float(alpha), float(beta)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(idx_col)
+        xs = pdf[r2_col].to_numpy()
+        ys = [None] * len(xs)
+        y = None
+        for i, x in enumerate(xs):
+            if x != x or x is None:  # NaN/null: carry state, emit null
+                ys[i] = None
+                continue
+            y = float(x) if y is None else o + a * float(x) + b * y
+            ys[i] = y
+        pdf[out_col] = ys
+        return pdf
+
+    return df.groupBy(part_col).applyInPandas(fn, schema)
+
+
 def ema(
     df: DataFrame,
     value_col: str = "close",

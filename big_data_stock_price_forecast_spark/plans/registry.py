@@ -15900,58 +15900,944 @@ def q_win_vae_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# round-10 additions
+# --------------------------------------------------------------------------
+
+GARCH_OMEGA = 1e-6
+GARCH_ALPHA = 0.05
+GARCH_BETA = 0.90
+
+
+def q_ts_garch_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARCH(1,1) conditional volatility per symbol (fixed ω/α/β —
+    the filtering pass a risk engine runs between refits):
+    v_t = ω + α·r²_t + β·v_{t−1}, σ_t = √v_t, seeded v = r² at the
+    first return like the EWMA twin. Squared returns snap to the
+    1e-12 grid BEFORE the recursion so the Arrow pass
+    (operators/rolling.py garch_filter) and the DuckDB recursive CTE
+    consume identical inputs and reproduce v bitwise; only the final
+    √ rounds (r8). Rides the ts family's single symbol exchange; a
+    non-positive close on either side of a return contributes r² = 0
+    (flat tick) so the recursion stays TOTAL after rn=1."""
+    from ..operators.rolling import garch_filter
+
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    prev = F.lag("close", 1).over(w)
+    lr = F.when(
+        (F.col("close") > 0) & (prev > 0),
+        F.log(F.col("close") / prev),
+    ).otherwise(
+        F.when(prev.isNotNull(), F.lit(0.0))  # rn=1 stays NULL
+    )
+    base = df.withColumn(
+        "r2", F.floor(lr * lr * 1e12 + F.lit(0.5)) / 1e12
+    )
+    g = garch_filter(
+        base, "r2", "v",
+        omega=GARCH_OMEGA, alpha=GARCH_ALPHA, beta=GARCH_BETA,
+    )
+    return g.filter(F.col("v").isNotNull()).select(
+        "symbol", "time_idx", _rne(F.sqrt(F.col("v")), "garch_vol", 8)
+    )
+
+
+def _sql_ts_garch_vol() -> str:
+    return f"""WITH RECURSIVE {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+lagged AS (
+  SELECT symbol, time_idx, close,
+         lag(close) OVER (PARTITION BY symbol ORDER BY time_idx) AS prev,
+         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) AS rn
+  FROM filled),
+rr AS (
+  SELECT symbol, time_idx, rn,
+         floor(pow(CASE WHEN close > 0 AND prev > 0
+                        THEN ln(close / prev) ELSE 0.0 END, 2)
+               * 1000000000000.0 + 0.5) / 1000000000000.0 AS r2
+  FROM lagged),
+rec(symbol, rn, time_idx, v) AS (
+  SELECT symbol, rn, time_idx, r2 FROM rr WHERE rn = 2
+  UNION ALL
+  SELECT r.symbol, r.rn, r.time_idx,
+         {GARCH_OMEGA} + {GARCH_ALPHA} * r.r2 + {GARCH_BETA} * rec.v
+  FROM rec JOIN rr r ON r.symbol = rec.symbol AND r.rn = rec.rn + 1)
+SELECT symbol, time_idx, {_sql_rne('sqrt(v)', 'garch_vol', 8)}
+FROM rec"""
+
+
+CONFORMAL_ALPHA = 0.1  # 90% nominal coverage
+CONFORMAL_CAL_FRAC = 0.7
+
+
+def q_ts_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the one-step naive
+    forecast (ŷ_t = y_{t−1}), the distribution-free uncertainty wrap
+    a forecasting engine puts around ANY point model: per symbol,
+    the first 70% of residual rows (time order) are calibration, the
+    conformal radius q̂ is the ⌈(n_cal+1)·(1−α)⌉-th smallest absolute
+    residual (clamped to n_cal when the finite-sample index exceeds
+    it), and the reported coverage is the fraction of TEST residuals
+    ≤ q̂ — finite-sample-valid ≥ 1−α regardless of the error
+    distribution. The k-th order statistic is tie-order-free, so the
+    only rounding is q̂ (r8) and the coverage ratio (r6). Windows +
+    one groupBy per symbol — rides the ts family's single exchange."""
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    res = (
+        df.withColumn("prev", F.lag("close", 1).over(w))
+        .filter(F.col("prev").isNotNull())
+        .withColumn("aresid", F.abs(F.col("close") - F.col("prev")))
+    )
+    res = res.withColumn("rn", F.row_number().over(w)).withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy("symbol"))
+    )
+    res = res.withColumn(
+        "n_cal", F.floor(F.col("m") * F.lit(CONFORMAL_CAL_FRAC))
+    )
+    cal = res.filter(F.col("rn") <= F.col("n_cal"))
+    test = res.filter(F.col("rn") > F.col("n_cal"))
+    k = F.least(
+        F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - CONFORMAL_ALPHA)),
+        F.col("n_cal"),
+    )
+    wq = Window.partitionBy("symbol").orderBy(
+        F.col("aresid").asc(), F.col("time_idx").asc()
+    )
+    qhat = (
+        cal.withColumn("qrn", F.row_number().over(wq))
+        .filter(F.col("qrn") == k)
+        .select("symbol", F.col("aresid").alias("q_hat"), "n_cal")
+    )
+    cov = (
+        test.join(qhat.select("symbol", "q_hat"), "symbol")
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                (F.col("aresid") <= F.col("q_hat")).cast("long")
+            ).alias("n_covered"),
+        )
+    )
+    return (
+        qhat.join(cov, "symbol")
+        .select(
+            "symbol",
+            F.col("n_cal").cast("long").alias("n_cal"),
+            F.col("n_test").cast("long").alias("n_test"),
+            _rne(F.col("q_hat"), "q_hat", 8),
+            _rne(F.col("n_covered") / F.col("n_test"), "coverage", 6),
+        )
+    )
+
+
+def _sql_ts_conformal_interval() -> str:
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+resid AS (
+  SELECT symbol, time_idx,
+         abs(close - lag(close) OVER (PARTITION BY symbol ORDER BY time_idx))
+           AS aresid
+  FROM filled
+  QUALIFY aresid IS NOT NULL),
+rr AS (
+  SELECT symbol, time_idx, aresid,
+         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) AS rn,
+         count(*) OVER (PARTITION BY symbol) AS m
+  FROM resid),
+rc AS (
+  SELECT *, CAST(floor(m * {CONFORMAL_CAL_FRAC}) AS BIGINT) AS n_cal
+  FROM rr),
+qhat AS (
+  SELECT symbol, aresid AS q_hat, n_cal
+  FROM (
+    SELECT symbol, aresid, n_cal,
+           row_number() OVER (PARTITION BY symbol
+                              ORDER BY aresid ASC, time_idx ASC) AS qrn
+    FROM rc WHERE rn <= n_cal)
+  WHERE qrn = least(CAST(ceil((n_cal + 1) * {1.0 - CONFORMAL_ALPHA}) AS BIGINT),
+                    n_cal)),
+cov AS (
+  SELECT t.symbol, count(*) AS n_test,
+         sum((t.aresid <= q.q_hat)::BIGINT) AS n_covered
+  FROM rc t JOIN qhat q ON t.symbol = q.symbol
+  WHERE t.rn > t.n_cal
+  GROUP BY 1)
+SELECT q.symbol, q.n_cal, c.n_test,
+       {_sql_rne('q.q_hat', 'q_hat', 8)},
+       {_sql_rne('c.n_covered::DOUBLE / c.n_test', 'coverage', 6)}
+FROM qhat q JOIN cov c ON q.symbol = c.symbol"""
+
+
+def q_ts_topdown_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical forecast reconciliation (grouped time series):
+    the aggregate (sum-over-symbols) series is forecast ONCE with a
+    trailing SMA-8 and split back to symbols by their calibration-
+    period share of the total (top-down proportional), compared
+    against each symbol's DIRECT SMA-8 — the classic
+    coherency-vs-accuracy trade every hierarchical forecaster
+    measures. Restricted to the time window where EVERY symbol's
+    filled grid is dense (max of mins .. min of maxes) so the total
+    is well-defined at each step; calibration = first 70% of that
+    window, test = rest; forecasts use ROWS 8..1 PRECEDING (past
+    only, full frames). Determinism: closes snap to the 1e-6 grid
+    and every sum (totals, shares, SMA numerators) rides exact
+    DECIMAL; shares and forecasts come from identical snapped sums
+    in both engines, abs errors snap to 1e-9 before the exact MAE
+    sum. The total series is calendar-bounded (one row per 6h
+    bucket) so its unpartitioned window is NOT a scale risk; the
+    symbol-level windows ride the ts family's symbol exchange."""
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    q = df.select(
+        "symbol",
+        "time_idx",
+        F.floor(F.col("close") * 1e6 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("qc"),
+    )
+    bounds = (
+        q.groupBy("symbol")
+        .agg(F.min("time_idx").alias("mn"), F.max("time_idx").alias("mx"))
+        .agg(F.max("mn").alias("lo"), F.min("mx").alias("hi"))
+        .withColumn(
+            "cut",
+            F.col("lo")
+            + F.floor((F.col("hi") - F.col("lo")) * F.lit(0.7)),
+        )
+    )
+    qb = q.join(F.broadcast(bounds), on=F.expr("time_idx BETWEEN lo AND hi"))
+    tot = qb.groupBy("time_idx", "cut").agg(F.sum("qc").alias("qt"))
+    # calibration shares: exact DECIMAL sums, one double division
+    cal_sym = (
+        qb.filter(F.col("time_idx") <= F.col("cut"))
+        .groupBy("symbol")
+        .agg(F.sum("qc").alias("qs_cal"))
+    )
+    cal_tot = (
+        tot.filter(F.col("time_idx") <= F.col("cut"))
+        .agg(F.sum("qt").alias("qt_cal"))
+    )
+    # NULL share (→ symbol dropped) when the calibration total is 0:
+    # a double 0-division would be Inf/NaN poison downstream
+    share = cal_sym.crossJoin(F.broadcast(cal_tot)).select(
+        "symbol",
+        F.when(
+            F.col("qt_cal") != 0,
+            F.col("qs_cal").cast("double") / F.col("qt_cal").cast("double"),
+        ).alias("p"),
+    )
+    fr = (
+        Window.orderBy("time_idx").rowsBetween(-8, -1)
+    )
+    tot_fc = tot.select(
+        "time_idx",
+        "cut",
+        (
+            F.sum("qt").over(fr).cast("double")
+            / F.lit(8.0) / F.lit(1e6)
+        ).alias("fc_total"),
+        F.count(F.lit(1)).over(fr).alias("nf_t"),
+    )
+    frs = (
+        Window.partitionBy("symbol").orderBy("time_idx").rowsBetween(-8, -1)
+    )
+    sym_fc = qb.select(
+        "symbol",
+        "time_idx",
+        "cut",
+        (F.col("qc").cast("double") / F.lit(1e6)).alias("actual"),
+        (
+            F.sum("qc").over(frs).cast("double") / F.lit(8.0) / F.lit(1e6)
+        ).alias("fc_direct"),
+        F.count(F.lit(1)).over(frs).alias("nf_s"),
+    )
+    test = (
+        sym_fc.filter(
+            (F.col("time_idx") > F.col("cut")) & (F.col("nf_s") == 8)
+        )
+        .join(
+            tot_fc.filter(F.col("nf_t") == 8).select(
+                "time_idx", "fc_total"
+            ),
+            "time_idx",
+        )
+        .join(F.broadcast(share), "symbol")
+        .withColumn("fc_topdown", F.col("p") * F.col("fc_total"))
+    )
+    snap = lambda c: F.floor(F.abs(c) * 1e9 + F.lit(0.5)).cast(  # noqa: E731
+        "decimal(38,0)"
+    )
+    out = test.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(snap(F.col("actual") - F.col("fc_direct"))).alias("ed"),
+        F.sum(snap(F.col("actual") - F.col("fc_topdown"))).alias("et"),
+        F.first("p").alias("p"),
+    )
+    return out.select(
+        "symbol",
+        F.col("n_test").cast("long").alias("n_test"),
+        _rne(F.col("p"), "share", 8),
+        _rne(
+            F.col("ed").cast("double") / F.col("n_test") / F.lit(1e9),
+            "mae_direct",
+            8,
+        ),
+        _rne(
+            F.col("et").cast("double") / F.col("n_test") / F.lit(1e9),
+            "mae_topdown",
+            8,
+        ),
+    )
+
+
+def _sql_ts_topdown_reconcile() -> str:
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+q AS (
+  SELECT symbol, time_idx,
+         floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
+  FROM filled),
+bounds AS (
+  SELECT max(mn) AS lo, min(mx) AS hi,
+         max(mn) + CAST(floor((min(mx) - max(mn)) * 0.7) AS BIGINT) AS cut
+  FROM (SELECT symbol, min(time_idx) AS mn, max(time_idx) AS mx
+        FROM q GROUP BY 1)),
+qb AS (
+  SELECT q.*, b.cut FROM q, bounds b
+  WHERE q.time_idx BETWEEN b.lo AND b.hi),
+tot AS (
+  SELECT time_idx, cut, sum(qc) AS qt FROM qb GROUP BY 1, 2),
+share AS (
+  SELECT symbol,
+         CASE WHEN (SELECT sum(qt) FROM tot WHERE time_idx <= cut) <> 0
+              THEN (SELECT sum(qc) FROM qb s
+                    WHERE s.symbol = c.symbol AND s.time_idx <= s.cut)
+                     ::DOUBLE
+                   / (SELECT sum(qt) FROM tot
+                      WHERE time_idx <= cut)::DOUBLE
+         END AS p
+  FROM (SELECT DISTINCT symbol FROM qb) c),
+tot_fc AS (
+  SELECT time_idx, cut,
+         (sum(qt) OVER w)::DOUBLE / 8.0 / 1000000.0 AS fc_total,
+         count(*) OVER w AS nf_t
+  FROM tot
+  WINDOW w AS (ORDER BY time_idx ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+sym_fc AS (
+  SELECT symbol, time_idx, cut,
+         qc::DOUBLE / 1000000.0 AS actual,
+         (sum(qc) OVER ws)::DOUBLE / 8.0 / 1000000.0 AS fc_direct,
+         count(*) OVER ws AS nf_s
+  FROM qb
+  WINDOW ws AS (PARTITION BY symbol ORDER BY time_idx
+                ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+test AS (
+  SELECT s.symbol, s.actual, s.fc_direct, sh.p,
+         sh.p * t.fc_total AS fc_topdown
+  FROM sym_fc s
+  JOIN tot_fc t ON s.time_idx = t.time_idx AND t.nf_t = 8
+  JOIN share sh ON s.symbol = sh.symbol
+  WHERE s.time_idx > s.cut AND s.nf_s = 8),
+agg AS (
+  SELECT symbol, count(*) AS n_test, any_value(p) AS p,
+         sum(floor(abs(actual - fc_direct) * 1000000000.0 + 0.5)
+             ::DECIMAL(38,0)) AS ed,
+         sum(floor(abs(actual - fc_topdown) * 1000000000.0 + 0.5)
+             ::DECIMAL(38,0)) AS et
+  FROM test GROUP BY 1)
+SELECT symbol, n_test::BIGINT AS n_test,
+       {_sql_rne('p', 'share', 8)},
+       {_sql_rne('ed::DOUBLE / n_test / 1000000000.0', 'mae_direct', 8)},
+       {_sql_rne('et::DOUBLE / n_test / 1000000000.0', 'mae_topdown', 8)}
+FROM agg"""
+
+
+AA_DF_MAX = 16  # Adamic-Adar item df cap (hub cut)
+
+
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the user–item bipartite graph
+    (item = (event_type, day, ⌊value⌋) co-attendance — fine enough
+    that item degree stays bounded as the corpus grows, the property
+    any blocking key needs at scale): for user pairs sharing items,
+    AA = Σ_shared 1/ln(df_item) — the inverted-log-degree
+    common-neighbor score. Hub items (df > 16) are cut BEFORE pair
+    expansion — the same df-cap discipline as the MinHash inverted
+    index (work ∝ Σ df² stays bounded; hubs contribute the least AA
+    weight by construction, 1/ln(df)) — and singleton items (df < 2)
+    produce no pairs. Determinism: each item weight snaps to the
+    1e-12 grid and per-pair sums ride exact DECIMAL, so the top-25
+    ranking (aa DESC, u1, u2) is order-free; ln(integer df) is one
+    identical IEEE op in both engines. One distinct + one windowed
+    df + one self-join on item (shuffle key = item, skew bounded by
+    the cap)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            # F.concat (not concat_ws): null event_type/ts/value must
+            # yield a NULL item exactly like SQL ||, so both engines
+            # drop the same rows at the item-equality join
+            F.concat(
+                F.col("event_type"),
+                F.lit(":"),
+                F.to_date("ts").cast("string"),
+                F.lit(":"),
+                F.floor("value").cast("string"),
+            ).alias("item"),
+        )
+        .distinct()
+    )
+    d = ev.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("item"))
+    ).filter((F.col("df") >= 2) & (F.col("df") <= AA_DF_MAX))
+    d = d.withColumn(
+        "wq",
+        F.floor(F.lit(1e12) / F.log(F.col("df").cast("double")) + F.lit(0.5))
+        .cast("decimal(38,0)"),
+    )
+    a = d.select(
+        F.col("user_id").alias("u1"), "item", "wq"
+    )
+    b = d.select(F.col("user_id").alias("u2"), "item")
+    pairs = a.join(b, "item").filter(F.col("u1") < F.col("u2"))
+    aa = pairs.groupBy("u1", "u2").agg(
+        F.sum("wq").alias("aaq"),
+        F.count(F.lit(1)).alias("n_shared"),
+    )
+    top = (
+        aa.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("aaq").desc(), F.col("u1").asc(), F.col("u2").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 25)
+    )
+    return top.select(
+        "rank",
+        "u1",
+        "u2",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        _rne(F.col("aaq").cast("double") / F.lit(1e12), "aa", 8),
+    )
+
+
+def _sql_graph_adamic_adar() -> str:
+    return f"""
+WITH ev AS (
+  SELECT DISTINCT user_id,
+         event_type || ':' || CAST(ts::DATE AS VARCHAR) || ':'
+           || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS item
+  FROM events),
+d AS (
+  SELECT user_id, item,
+         floor(1000000000000.0 / ln(df::DOUBLE) + 0.5)::DECIMAL(38,0) AS wq
+  FROM (SELECT user_id, item,
+               count(*) OVER (PARTITION BY item) AS df
+        FROM ev)
+  WHERE df BETWEEN 2 AND {AA_DF_MAX}),
+aa AS (
+  SELECT a.user_id AS u1, b.user_id AS u2,
+         sum(a.wq) AS aaq, count(*) AS n_shared
+  FROM d a JOIN d b ON a.item = b.item AND a.user_id < b.user_id
+  GROUP BY 1, 2),
+top AS (
+  SELECT row_number() OVER (ORDER BY aaq DESC, u1 ASC, u2 ASC) AS rank,
+         u1, u2, n_shared, aaq
+  FROM aa)
+SELECT rank, u1, u2, n_shared::BIGINT AS n_shared,
+       {_sql_rne('aaq::DOUBLE / 1000000000000.0', 'aa', 8)}
+FROM top WHERE rank <= 25"""
+
+
+BIGRAM_LM_K = 0.5  # add-k smoothing
+
+
+def q_doc_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model perplexity with a PROPER train/eval
+    split (train = doc_id % 5 != 0, eval = the rest) — the held-out
+    fluency score the unigram filter can't give (it ignores word
+    order): P(b|a) = (c(a,b)+k)/(c(a·)+k·V) with add-k smoothing
+    k=0.5, V = train unigram vocabulary, unseen contexts fall back
+    to the uniform k/(kV) floor. Per eval doc: ppl =
+    exp(Σ −ln P / n). Bigrams come from an in-row transform+explode
+    (NO per-doc window exchange — the pair stream is scan-shaped);
+    eval bigrams pre-aggregate to (doc, a, b, count) before joining
+    the count tables, so the join input is type-sized, not
+    token-sized. Determinism: each surprisal snaps to the 1e-9 grid,
+    per-doc sums ride exact DECIMAL — summation order cannot perturb
+    ppl (r6)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 5 == 0).alias("is_eval"),
+        tokens(F.col("text")).alias("toks"),
+    )
+    # size>=2 filter BEFORE sequence(): Spark's sequence(1, 0) is the
+    # descending [1, 0], not empty
+    big = (
+        base.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "is_eval",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS a, toks[i] AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "is_eval", "p.a", "p.b")
+    )
+    train_big = big.filter(~F.col("is_eval"))
+    c2 = train_big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = train_big.groupBy("a").agg(F.count(F.lit(1)).alias("c1"))
+    vsize = (
+        base.filter(~F.col("is_eval"))
+        .select(F.explode("toks").alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    ev = (
+        big.filter(F.col("is_eval"))
+        .groupBy("doc_id", "a", "b")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    k = F.lit(BIGRAM_LM_K)
+    joined = (
+        ev.join(c2, ["a", "b"], "left")
+        .join(c1, ["a"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "doc_id",
+            "m",
+            F.floor(
+                -F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + k)
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + k * F.col("v"))
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            .cast("decimal(38,0)")
+            .alias("sq"),
+        )
+    )
+    agg = joined.groupBy("doc_id").agg(
+        F.sum("m").alias("n_bigrams"),
+        F.sum(F.col("sq") * F.col("m")).alias("sumq"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        _rne(
+            F.exp(
+                F.col("sumq").cast("double")
+                / F.col("n_bigrams")
+                / F.lit(1e9)
+            ),
+            "ppl",
+            6,
+        ),
+    )
+
+
+def _sql_doc_bigram_lm_ppl() -> str:
+    k = BIGRAM_LM_K
+    return f"""
+WITH base AS (
+  SELECT doc_id, doc_id % 5 = 0 AS is_eval,
+         {sql_tokens('text')} AS toks
+  FROM documents),
+big AS (
+  SELECT doc_id, is_eval,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                               i -> toks[i])) AS a,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                               i -> toks[i + 1])) AS b
+  FROM base),
+c2 AS (
+  SELECT a, b, count(*) AS c2 FROM big WHERE NOT is_eval GROUP BY 1, 2),
+c1 AS (
+  SELECT a, count(*) AS c1 FROM big WHERE NOT is_eval GROUP BY 1),
+vsize AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(toks) AS tok FROM base WHERE NOT is_eval)),
+ev AS (
+  SELECT doc_id, a, b, count(*) AS m
+  FROM big WHERE is_eval GROUP BY 1, 2, 3),
+joined AS (
+  SELECT doc_id, m,
+         floor(-ln((coalesce(c2, 0) + {k})
+                   / (coalesce(c1, 0) + {k} * v))
+               * 1000000000.0 + 0.5)::DECIMAL(38,0) AS sq
+  FROM ev
+  LEFT JOIN c2 USING (a, b)
+  LEFT JOIN c1 USING (a)
+  CROSS JOIN vsize),
+agg AS (
+  SELECT doc_id, sum(m) AS n_bigrams, sum(sq * m) AS sumq
+  FROM joined GROUP BY 1)
+SELECT doc_id, n_bigrams::BIGINT AS n_bigrams,
+       {_sql_rne('exp(sumq::DOUBLE / n_bigrams / 1000000000.0)', 'ppl', 6)}
+FROM agg"""
+
+
+def q_stream_garch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ts_garch_vol: the GARCH(1,1) recursion as a
+    custom stateful operator (streaming/ops.py garch_state_stream,
+    applyInPandasWithState) folding the RAW event feed per symbol —
+    state is one (count, last close, variance) cell per key, emitted
+    as the running vol after the AvailableNow drain. The oracle is
+    the same fold expressed as a DuckDB list_reduce over the
+    (ts, event_id)-ordered squared-return list: list_reduce's
+    seed-with-first-element IS the recursion's seed-v-with-first-r²
+    convention, so the two are bitwise equal given the grid-snapped
+    r² inputs (snap 1e-12 before the fold, r8 on the final √)."""
+    from ..streaming import garch_state_stream, run_available_now, stream_events
+
+    out = run_available_now(
+        garch_state_stream(
+            stream_events(spark, sf_dir),
+            omega=GARCH_OMEGA, alpha=GARCH_ALPHA, beta=GARCH_BETA,
+        ),
+        "append",
+        state_partitions=8,
+    )
+    return out.select(
+        "symbol", "n_rows", _rne(F.col("garch_vol"), "garch_vol", 8)
+    )
+
+
+def _sql_stream_garch_state() -> str:
+    return f"""
+WITH rr AS (
+  SELECT user_id AS symbol, ts, event_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events),
+r2s AS (
+  SELECT symbol, ts, event_id,
+         floor(pow(CASE WHEN value > 0 AND prev > 0
+                        THEN ln(value / prev) ELSE 0.0 END, 2)
+               * 1000000000000.0 + 0.5) / 1000000000000.0 AS r2
+  FROM rr WHERE prev IS NOT NULL),
+lst AS (
+  SELECT symbol, list(r2 ORDER BY ts, event_id) AS rs FROM r2s GROUP BY 1),
+cnt AS (
+  SELECT user_id AS symbol, count(*) AS n_rows FROM events GROUP BY 1)
+SELECT c.symbol, c.n_rows,
+       {_sql_rne(
+           "sqrt(list_reduce(l.rs, (acc, x) -> "
+           f"{GARCH_OMEGA} + {GARCH_ALPHA} * x + {GARCH_BETA} * acc))",
+           "garch_vol", 8)}
+FROM cnt c LEFT JOIN lst l ON c.symbol = l.symbol"""
+
+
+THETA_ALPHA = 0.2  # fixed SES smoothing for the theta level
+
+
+def q_ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast backtest (Assimakopoulos &
+    Nikolopoulos / the M4 benchmark convention with FIXED smoothing):
+    per symbol, fit on the first 70% of the filled grid — level ℓ =
+    SES(α=0.2) fold over the calibration closes, drift b = OLS slope
+    of close on the row index — then the fixed-origin h-step forecast
+    ŷ(h) = ℓ + (b/2)·((h−1) + 1/α) is scored against the test rows.
+    Determinism: closes snap to the 1e-6 grid first; the SES fold is
+    a sequential left fold over the ordered calibration array
+    (Spark ``aggregate`` ≡ DuckDB ``list_reduce`` seeded with the
+    first element — bitwise); the OLS slope is one double division
+    of exact DECIMAL sums; abs errors snap 1e-9 before the exact MAE
+    sum. Symbols need ≥ 4 grid rows (slope needs 2 calibration
+    points and 1 test row). One groupBy per symbol — rides the ts
+    family's symbol exchange; per-symbol state is one (level, slope)
+    pair, never the series."""
+    a = THETA_ALPHA
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    base = (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("symbol"))
+        )
+        .filter(F.col("n") >= 4)
+        .withColumn("n_cal", F.floor(F.col("n") * F.lit(0.7)))
+        .withColumn(
+            "qc",
+            F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            ),
+        )
+    )
+    cal = base.filter(F.col("rn") <= F.col("n_cal"))
+    fit = cal.groupBy("symbol").agg(
+        F.max("n_cal").alias("n_cal"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("rn"),
+                    (F.col("qc").cast("double") / F.lit(1e6)).alias("y"),
+                )
+            )
+        ).alias("vs0"),
+        F.sum("rn").cast("decimal(38,0)").alias("sx"),
+        F.sum("qc").alias("sy"),
+        F.sum(F.col("qc") * F.col("rn")).alias("sxy"),
+        F.sum(F.col("rn") * F.col("rn")).cast("decimal(38,0)").alias("sxx"),
+    )
+    fit = fit.withColumn("vs", F.expr("transform(vs0, s -> s.y)")).select(
+        "symbol",
+        "n_cal",
+        F.expr(
+            f"aggregate(slice(vs, 2, size(vs) - 1), vs[0],"
+            f" (acc, x) -> (1.0D - {a}D) * acc + {a}D * x)"
+        ).alias("level"),
+        (
+            (
+                F.col("n_cal").cast("decimal(38,0)") * F.col("sxy")
+                - F.col("sx") * F.col("sy")
+            ).cast("double")
+            / (
+                F.col("n_cal").cast("decimal(38,0)") * F.col("sxx")
+                - F.col("sx") * F.col("sx")
+            ).cast("double")
+            / F.lit(1e6)  # sy/sxy are in 1e-6 close units
+        ).alias("slope"),
+    )
+    test = base.filter(F.col("rn") > F.col("n_cal")).select(
+        "symbol",
+        (F.col("rn") - F.col("n_cal")).alias("h"),
+        (F.col("qc").cast("double") / F.lit(1e6)).alias("actual"),
+    )
+    j = test.join(fit, "symbol").withColumn(
+        "fc",
+        F.col("level")
+        + (F.col("slope") * F.lit(0.5))
+        * ((F.col("h") - 1).cast("double") + F.lit(1.0 / a)),
+    )
+    out = j.groupBy("symbol").agg(
+        F.max("n_cal").cast("long").alias("n_cal"),
+        F.count(F.lit(1)).alias("n_test"),
+        F.first("level").alias("level"),
+        F.first("slope").alias("slope"),
+        F.sum(
+            F.floor(F.abs(F.col("actual") - F.col("fc")) * 1e9 + F.lit(0.5))
+            .cast("decimal(38,0)")
+        ).alias("eq"),
+    )
+    return out.select(
+        "symbol",
+        "n_cal",
+        F.col("n_test").cast("long").alias("n_test"),
+        _rne(F.col("level"), "level", 8),
+        _rne(F.col("slope"), "slope", 8),
+        _rne(
+            F.col("eq").cast("double") / F.col("n_test") / F.lit(1e9),
+            "mae",
+            8,
+        ),
+    )
+
+
+def _sql_ts_theta_forecast() -> str:
+    a = THETA_ALPHA
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+base AS (
+  SELECT symbol, time_idx,
+         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) AS rn,
+         count(*) OVER (PARTITION BY symbol) AS n,
+         floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
+  FROM filled QUALIFY n >= 4),
+b2 AS (
+  SELECT *, CAST(floor(n * 0.7) AS BIGINT) AS n_cal FROM base),
+fit AS (
+  SELECT symbol, max(n_cal) AS n_cal,
+         list(qc::DOUBLE / 1000000.0 ORDER BY rn) AS vs,
+         sum(rn)::DECIMAL(38,0) AS sx, sum(qc) AS sy,
+         sum(qc * rn) AS sxy, sum(rn * rn)::DECIMAL(38,0) AS sxx
+  FROM b2 WHERE rn <= n_cal GROUP BY 1),
+fs AS (
+  SELECT symbol, n_cal,
+         list_reduce(vs, (acc, x) -> (1.0 - {a}) * acc + {a} * x)
+           AS level,
+         (n_cal::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE
+           / (n_cal::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE
+           / 1000000.0 AS slope
+  FROM fit),
+test AS (
+  SELECT symbol, rn - n_cal AS h, qc::DOUBLE / 1000000.0 AS actual
+  FROM b2 WHERE rn > n_cal),
+j AS (
+  SELECT t.symbol, f.n_cal, f.level, f.slope, t.actual,
+         f.level + (f.slope * 0.5)
+           * ((t.h - 1)::DOUBLE + {1.0 / a}) AS fc
+  FROM test t JOIN fs f ON t.symbol = f.symbol),
+agg AS (
+  SELECT symbol, max(n_cal) AS n_cal, count(*) AS n_test,
+         any_value(level) AS level, any_value(slope) AS slope,
+         sum(floor(abs(actual - fc) * 1000000000.0 + 0.5)
+             ::DECIMAL(38,0)) AS eq
+  FROM j GROUP BY 1)
+SELECT symbol, n_cal::BIGINT AS n_cal, n_test::BIGINT AS n_test,
+       {_sql_rne('level', 'level', 8)},
+       {_sql_rne('slope', 'slope', 8)},
+       {_sql_rne('eq::DOUBLE / n_test / 1000000000.0', 'mae', 8)}
+FROM agg"""
+
+
+AHASH_MAX_DIST = 7  # pigeonhole-exhaustive for 8 bands
+
+
+def q_media_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over the image corpus:
+    64-bit average-hash per payload (operators/multimodal.py
+    ahash_bands — integer-exact, one JVM projection pass), pairs at
+    hamming ≤ 7. The 8 8-bit bands double as LSH blocking keys, and
+    by pigeonhole ANY pair at hamming ≤ 7 shares an identical band —
+    so the banded candidate join is EXHAUSTIVE at this threshold and
+    the engine's bucket-join answer equals the oracle's brute-force
+    all-pairs answer exactly (the oracle deliberately brute-forces to
+    prove the banding loses nothing). Engine cost: candidates ∝
+    Σ per-band-bucket df², never all-pairs; hamming is 8 xor+popcount
+    ops on 8-byte codes — the payload bytes never join."""
+    from ..operators.multimodal import AHASH_BANDS, ahash_bands
+
+    h = ahash_bands(_media(spark, sf_dir))
+    h = h.localCheckpoint(eager=True)  # 3 consumers: cand x2 + rejoin
+    cand = None
+    for k in range(AHASH_BANDS):
+        c = h.select(
+            "media_id", F.lit(k).alias("bi"), F.col(f"band{k}").alias("bv")
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    pairs = (
+        cand.alias("a")
+        .join(cand.alias("b"), ["bi", "bv"])
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("id_i"),
+            F.col("b.media_id").alias("id_j"),
+        )
+        .distinct()
+    )
+    ha = h.select(
+        F.col("media_id").alias("id_i"),
+        *[F.col(f"band{k}").alias(f"a{k}") for k in range(AHASH_BANDS)],
+    )
+    hb = h.select(
+        F.col("media_id").alias("id_j"),
+        *[F.col(f"band{k}").alias(f"b{k}") for k in range(AHASH_BANDS)],
+    )
+    ham = sum(
+        F.expr(f"bit_count(a{k} ^ b{k})") for k in range(AHASH_BANDS)
+    )
+    return (
+        pairs.join(ha, "id_i")
+        .join(hb, "id_j")
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= AHASH_MAX_DIST)
+        .select("id_i", "id_j", "hamming")
+    )
+
+
+def _sql_media_ahash_near_dup() -> str:
+    from ..operators.multimodal import AHASH_BAND_BITS, AHASH_BANDS
+
+    hexpos = "strpos('0123456789ABCDEF', substring(hx, ({pos})::BIGINT, 1))"
+    byte_hi = hexpos.format(pos="2 * j + 1")
+    byte_lo = hexpos.format(pos="2 * j + 2")
+    w = AHASH_BAND_BITS
+    band_cols = ",\n         ".join(
+        f"list_sum(list_transform(range(0, {w}),"
+        f" t -> bt[({k * w} + t + 1)::BIGINT]"
+        f" * (1::BIGINT << t)))::BIGINT AS a{k}"
+        for k in range(AHASH_BANDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.a{k}, b.a{k}))" for k in range(AHASH_BANDS)
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         strlen(text)::BIGINT AS n
+  FROM documents WHERE doc_id % 3 = 0 AND strlen(text) >= 1),
+d AS (
+  SELECT media_id, n,
+         list_transform(range(0, n),
+           j -> ({byte_hi} - 1) * 16 + ({byte_lo} - 1)) AS bytes
+  FROM m),
+s AS (SELECT media_id, n, bytes, list_sum(bytes) AS S FROM d),
+bits AS (
+  SELECT media_id,
+         list_transform(range(0, 64), i -> CASE WHEN
+             coalesce(list_sum(
+               bytes[((i * n) // 64 + 1)::BIGINT
+                     : (((i + 1) * n) // 64)::BIGINT]), 0) * n
+             > S * (((i + 1) * n) // 64 - (i * n) // 64)
+           THEN 1::BIGINT ELSE 0::BIGINT END) AS bt
+  FROM s),
+bands AS (
+  SELECT media_id,
+         {band_cols}
+  FROM bits)
+SELECT * FROM (
+  SELECT a.media_id AS id_i, b.media_id AS id_j,
+         ({ham})::BIGINT AS hamming
+  FROM bands a JOIN bands b ON a.media_id < b.media_id)
+WHERE hamming <= {AHASH_MAX_DIST}"""
+
+
 def all_queries() -> dict[str, QueryFn]:
     # ORDER MATTERS: the driver's correctness gate checks entries in
-    # registration order (observed cutoff: 50). Round-9 rotation per
-    # the r8 verdict: positions 1-2 = the two round-8 additions
-    # (emb_bq_hamming_topk, doc_winnow_pairs), the only prior
-    # entries without a driver CORRECTNESS row; positions 3-20 = the
-    # eighteen round-9 additions (win_vae_embed rows-only,
-    # doc_bm25_topk, doc_token_entropy, doc_edit_sim_pairs,
-    # ts_indicators4, ts_indicators5, doc_dup_ngram_spans,
-    # stream_ann_ingest, media_dup_groups, ts_ar2_forecast,
-    # events_ab_bootstrap_ci, ts_changepoint_meanshift, ts_fracdiff,
-    # ts_cycle_power, ts_holt_winters, src_formats_roundtrip,
-    # doc_overlap_eval_pairs, emb_dim_drift); positions 20-50 = 30
-    # r8-green canaries (the first rows of the r8 window,
-    # CORRECTNESS_r08 = 50/50 pass).
-    # After this window runs green, all 219 registry queries are
-    # driver-proven. Every entry carries a "last driver-green round"
-    # tag so any future rotation stays mechanical.
+    # registration order (observed cutoff: 50). CORRECTNESS_r09 was
+    # 50/50 green, so every r8/r9 addition now has a driver row and
+    # ALL queries registered before round 10 are driver-proven.
+    # Round-10 rotation: positions 1-8 = the eight round-10 additions
+    # (ts_garch_vol, ts_conformal_interval, ts_topdown_reconcile,
+    # graph_adamic_adar, doc_bigram_lm_ppl, stream_garch_state,
+    # ts_theta_forecast, media_ahash_near_dup), registered INSIDE the
+    # window so this round's driver gate proves them; the rest of the
+    # window keeps the r9 entries (now canaries) in their r9 order.
+    # Every entry carries a "last driver-green round" tag so any
+    # future rotation stays mechanical.
     return {
-        # ---- gate window (positions 1-50): round-9 rotation ----
-        # never-driver-verified entries first (the two r8 stragglers,
-        # then this round's additions), then 30 r8-green canaries.
-        # tag = last driver-green round; 'never' = local driver-
-        # emulation proof only.
-        "emb_bq_hamming_topk": q_emb_bq_hamming_topk,  # never
-        "doc_winnow_pairs": q_doc_winnow_pairs,  # never
-        # round-9 addition: in-engine VAE training (M2-M6). Iterative
-        # training has no SQL oracle — the driver records the weaker
-        # rows-only check here; bit-exactness is pinned by the
-        # numpy-replay + partition-independence tests instead.
-        "win_vae_embed": q_win_vae_embed,  # never (rows-only)
-        # round-9 additions, registered INSIDE the window so the same
-        # round's driver gate proves them (the r8 additions landed
-        # past the cutoff and needed the r9 rotation to get a row —
-        # don't repeat that):
-        "doc_bm25_topk": q_doc_bm25_topk,  # never
-        "doc_token_entropy": q_doc_token_entropy,  # never
-        "doc_edit_sim_pairs": q_doc_edit_sim_pairs,  # never
-        "ts_indicators4": q_ts_indicators4,  # never
-        "ts_indicators5": q_ts_indicators5,  # never
-        "doc_dup_ngram_spans": q_doc_dup_ngram_spans,  # never
-        "stream_ann_ingest": q_stream_ann_ingest,  # never
-        "media_dup_groups": q_media_dup_groups,  # never
-        "ts_ar2_forecast": q_ts_ar2_forecast,  # never
-        "events_ab_bootstrap_ci": q_events_ab_bootstrap_ci,  # never
-        "ts_changepoint_meanshift": q_ts_changepoint_meanshift,  # never
-        "ts_fracdiff": q_ts_fracdiff,  # never
-        "ts_cycle_power": q_ts_cycle_power,  # never
-        "ts_holt_winters": q_ts_holt_winters,  # never
-        "src_formats_roundtrip": q_src_formats_roundtrip,  # never
-        "doc_overlap_eval_pairs": q_doc_overlap_eval_pairs,  # never
-        "emb_dim_drift": q_emb_dim_drift,  # never
+        # ---- gate window (positions 1-50): round-10 rotation ----
+        # never-driver-verified round-10 additions first, then r9/r8
+        # green canaries. tag = last driver-green round; 'never' =
+        # local driver-emulation proof only.
+        "ts_garch_vol": q_ts_garch_vol,  # never
+        "ts_conformal_interval": q_ts_conformal_interval,  # never
+        "ts_topdown_reconcile": q_ts_topdown_reconcile,  # never
+        "graph_adamic_adar": q_graph_adamic_adar,  # never
+        "doc_bigram_lm_ppl": q_doc_bigram_lm_ppl,  # never
+        "stream_garch_state": q_stream_garch_state,  # never
+        "ts_theta_forecast": q_ts_theta_forecast,  # never
+        "media_ahash_near_dup": q_media_ahash_near_dup,  # never
+        "emb_bq_hamming_topk": q_emb_bq_hamming_topk,  # r9
+        "doc_winnow_pairs": q_doc_winnow_pairs,  # r9
+        # in-engine VAE training (M2-M6). Iterative training has no
+        # SQL oracle — the driver records the weaker rows-only check
+        # here; bit-exactness is pinned by the numpy-replay +
+        # partition-independence tests instead.
+        "win_vae_embed": q_win_vae_embed,  # r9 (rows-only)
+        "doc_bm25_topk": q_doc_bm25_topk,  # r9
+        "doc_token_entropy": q_doc_token_entropy,  # r9
+        "doc_edit_sim_pairs": q_doc_edit_sim_pairs,  # r9
+        "ts_indicators4": q_ts_indicators4,  # r9
+        "ts_indicators5": q_ts_indicators5,  # r9
+        "doc_dup_ngram_spans": q_doc_dup_ngram_spans,  # r9
+        "stream_ann_ingest": q_stream_ann_ingest,  # r9
+        "media_dup_groups": q_media_dup_groups,  # r9
+        "ts_ar2_forecast": q_ts_ar2_forecast,  # r9
+        "events_ab_bootstrap_ci": q_events_ab_bootstrap_ci,  # r9
+        "ts_changepoint_meanshift": q_ts_changepoint_meanshift,  # r9
+        "ts_fracdiff": q_ts_fracdiff,  # r9
+        "ts_cycle_power": q_ts_cycle_power,  # r9
+        "ts_holt_winters": q_ts_holt_winters,  # r9
+        "src_formats_roundtrip": q_src_formats_roundtrip,  # r9
+        "doc_overlap_eval_pairs": q_doc_overlap_eval_pairs,  # r9
+        "emb_dim_drift": q_emb_dim_drift,  # r9
         "flagship_forecast_mae": q_flagship,  # r8
         "ts_indicators": q_ts_indicators_all,  # r8
         "doc_minhash_lsh_pairs": q_doc_minhash_pairs,  # r8
@@ -16199,6 +17085,14 @@ def _oracle_sql_map() -> dict[str, str]:
         "src_formats_roundtrip": _sql_src_formats_roundtrip(),
         "doc_overlap_eval_pairs": _sql_doc_overlap_eval_pairs(),
         "emb_dim_drift": _sql_emb_dim_drift(),
+        "ts_garch_vol": _sql_ts_garch_vol(),
+        "ts_conformal_interval": _sql_ts_conformal_interval(),
+        "ts_topdown_reconcile": _sql_ts_topdown_reconcile(),
+        "graph_adamic_adar": _sql_graph_adamic_adar(),
+        "doc_bigram_lm_ppl": _sql_doc_bigram_lm_ppl(),
+        "stream_garch_state": _sql_stream_garch_state(),
+        "ts_theta_forecast": _sql_ts_theta_forecast(),
+        "media_ahash_near_dup": _sql_media_ahash_near_dup(),
         "flagship_forecast_mae": _flagship_oracle(),
         "flagship_summary": (
             f"WITH base AS ({_flagship_oracle()}) "

@@ -4,6 +4,7 @@ from .ops import (
     dedup_ingest_stream,
     distinct_keys_stream,
     ema_state_stream,
+    garch_state_stream,
     interval_join_stream,
     resample_stream,
     run_available_now,
@@ -17,6 +18,7 @@ __all__ = [
     "dedup_ingest_stream",
     "distinct_keys_stream",
     "ema_state_stream",
+    "garch_state_stream",
     "interval_join_stream",
     "resample_stream",
     "run_available_now",

@@ -25,6 +25,7 @@ finite, oracle-checkable DataFrame.
 from __future__ import annotations
 
 import itertools
+import math
 import os
 import shutil
 import tempfile
@@ -235,6 +236,78 @@ def ema_state_stream(sdf: DataFrame, span: int = 12) -> DataFrame:
             _ema_state_fn(span),
             outputStructType=_EMA_OUT,
             stateStructType=_EMA_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_GARCH_OUT = StructType(
+    [
+        StructField("symbol", LongType()),
+        StructField("n_rows", LongType()),
+        StructField("garch_vol", DoubleType()),
+    ]
+)
+_GARCH_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("prev", DoubleType()),
+        StructField("v", DoubleType()),
+    ]
+)
+
+
+def _garch_state_fn(omega: float, alpha: float, beta: float):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs)).sort_values(["datetime", "event_id"])
+        n, prev, v = state.get if state.exists else (0, None, None)
+        for x in pdf["close"].to_numpy():
+            x = float(x)
+            if prev is not None:
+                if x > 0 and prev > 0:
+                    r = math.log(x / prev)
+                else:
+                    r = 0.0  # flat tick: recursion stays total
+                r2 = math.floor(r * r * 1e12 + 0.5) / 1e12
+                v = r2 if v is None else omega + alpha * r2 + beta * v
+            prev = x
+            n += 1
+        state.update((n, prev, v))
+        vol = math.sqrt(v) if v is not None else None
+        yield pd.DataFrame(
+            {"symbol": [key[0]], "n_rows": [n], "garch_vol": [vol]}
+        )
+
+    return fn
+
+
+def garch_state_stream(
+    sdf: DataFrame,
+    omega: float = 1e-6,
+    alpha: float = 0.05,
+    beta: float = 0.90,
+) -> DataFrame:
+    """Per-symbol GARCH(1,1) variance as a custom stateful streaming
+    operator — the streaming twin of the batch ``garch_filter``
+    (operators/rolling.py): state carries (count, last close,
+    conditional variance); each micro-batch folds its
+    (datetime, event_id)-sorted rows through the same grid-snapped
+    recursion v = ω + α·r² + β·v (seed v = first r², flat tick on
+    non-positive closes) and emits the updated running vol. Same
+    arrival-order oracle-equivalence precondition as
+    :func:`ema_state_stream` (time-ordered landing files)."""
+    return (
+        sdf.withWatermark("datetime", "1 hour")
+        .groupBy("symbol")
+        .applyInPandasWithState(
+            _garch_state_fn(float(omega), float(alpha), float(beta)),
+            outputStructType=_GARCH_OUT,
+            stateStructType=_GARCH_STATE,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -1,0 +1,452 @@
+"""Round-10 operator contracts: GARCH(1,1) vol filter, split-conformal
+intervals, top-down hierarchical reconciliation, Adamic-Adar link
+prediction, and bigram-LM held-out perplexity.
+
+Each test replays the query's exact numeric contract (grid snaps,
+exact DECIMAL sums, deterministic tie-breaks) in plain Python over a
+tiny synthetic table and asserts the Spark plan reproduces it
+bit-for-bit.
+"""
+
+import math
+import re
+from collections import Counter, defaultdict
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from big_data_stock_price_forecast_spark.plans.registry import (
+    AA_DF_MAX,
+    AHASH_MAX_DIST,
+    BIGRAM_LM_K,
+    CONFORMAL_ALPHA,
+    CONFORMAL_CAL_FRAC,
+    GARCH_ALPHA,
+    GARCH_BETA,
+    GARCH_OMEGA,
+    THETA_ALPHA,
+    q_doc_bigram_lm_ppl,
+    q_graph_adamic_adar,
+    q_media_ahash_near_dup,
+    q_stream_garch_state,
+    q_ts_conformal_interval,
+    q_ts_garch_vol,
+    q_ts_theta_forecast,
+    q_ts_topdown_reconcile,
+)
+
+
+def _snap(x: float, n: int) -> float:
+    return math.floor(x * 10**n + 0.5) / 10**n
+
+
+BASE_TS = datetime(2024, 1, 1, 6, 0, 0)  # 6h-boundary aligned
+
+
+def _write_events(spark, path: str, series: dict) -> None:
+    """series: symbol -> list of close values, one per consecutive 6h
+    bucket (boundary-aligned, so resample+fill are identity)."""
+    rows = []
+    eid = 0
+    for sym, closes in series.items():
+        for i, c in enumerate(closes):
+            rows.append(
+                (eid, BASE_TS + timedelta(hours=6 * i), sym, "tick",
+                 float(c), "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{path}/events.parquet")
+
+
+# ---------------------------------------------------------------- garch
+
+
+def test_garch_filter_recursion_and_null_carry(spark):
+    from big_data_stock_price_forecast_spark.operators.rolling import (
+        garch_filter,
+    )
+
+    rows = [
+        (1, 0, None), (1, 1, 4.0), (1, 2, None), (1, 3, 1.0), (1, 4, 9.0),
+        (2, 0, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol long, time_idx long, r2 double"
+    )
+    got = {
+        (r["symbol"], r["time_idx"]): r["v"]
+        for r in garch_filter(
+            df, omega=0.5, alpha=0.1, beta=0.8
+        ).collect()
+    }
+    # seed v = first non-null r2; null rows emit null but CARRY state
+    v1 = 4.0
+    v3 = 0.5 + 0.1 * 1.0 + 0.8 * v1
+    v4 = 0.5 + 0.1 * 9.0 + 0.8 * v3
+    assert got[(1, 0)] is None and got[(1, 2)] is None
+    assert got[(1, 1)] == v1 and got[(1, 3)] == v3 and got[(1, 4)] == v4
+    assert got[(2, 0)] == 2.0
+
+
+def test_garch_vol_query_matches_python_replay(spark, tmp_path):
+    closes = [100.0, 101.0, 99.5, 99.5, 103.0, 102.0, 101.5]
+    _write_events(spark, str(tmp_path), {7: closes})
+    got = {
+        r["time_idx"]: r["garch_vol"]
+        for r in q_ts_garch_vol(spark, str(tmp_path)).collect()
+    }
+    # replay: snapped r2, seeded affine recursion, r8 sqrt
+    v = None
+    exp = {}
+    t0 = got and min(got) - 1  # first grid row has no return
+    for i in range(1, len(closes)):
+        r = math.log(closes[i] / closes[i - 1])
+        r2 = math.floor(r * r * 1e12 + 0.5) / 1e12
+        v = r2 if v is None else GARCH_OMEGA + GARCH_ALPHA * r2 + GARCH_BETA * v
+        exp[t0 + i] = _snap(math.sqrt(v), 8)
+    assert got == exp
+
+
+# ------------------------------------------------------------ conformal
+
+
+def test_conformal_interval_matches_python_replay(spark, tmp_path):
+    closes = [100.0 + d for d in
+              [0, 1, -2, 4, -1, 3, -5, 2, 6, -3, 1, -1, 2, -2, 8,
+               -9, 1, 12, -1, 2]]
+    _write_events(spark, str(tmp_path), {3: closes})
+    rows = q_ts_conformal_interval(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    ares = [abs(closes[i] - closes[i - 1]) for i in range(1, len(closes))]
+    m = len(ares)
+    n_cal = math.floor(m * CONFORMAL_CAL_FRAC)
+    k = min(math.ceil((n_cal + 1) * (1.0 - CONFORMAL_ALPHA)), n_cal)
+    q_hat = sorted(ares[:n_cal])[k - 1]
+    test = ares[n_cal:]
+    cov = sum(1 for a in test if a <= q_hat) / len(test)
+    assert r["n_cal"] == n_cal and r["n_test"] == m - n_cal
+    assert r["q_hat"] == _snap(q_hat, 8)
+    assert r["coverage"] == _snap(cov, 6)
+    # the chosen data must exercise BOTH covered and uncovered rows
+    assert 0.0 < cov < 1.0
+
+
+# ------------------------------------------------------- reconciliation
+
+
+def test_topdown_reconcile_matches_python_replay(spark, tmp_path):
+    import random
+
+    rng = random.Random(11)
+    n = 30
+    series = {
+        1: [100.0 + rng.randint(-30, 30) / 4.0 for _ in range(n)],
+        2: [40.0 + rng.randint(-20, 20) / 4.0 for _ in range(n)],
+    }
+    _write_events(spark, str(tmp_path), series)
+    got = {
+        r["symbol"]: (r["n_test"], r["share"], r["mae_direct"],
+                      r["mae_topdown"])
+        for r in q_ts_topdown_reconcile(spark, str(tmp_path)).collect()
+    }
+
+    q = {s: [round(c * 1e6) for c in cs] for s, cs in series.items()}
+    qt = [sum(q[s][i] for s in q) for i in range(n)]
+    cut = math.floor((n - 1) * 0.7)  # lo=0 offset
+    share = {
+        s: sum(q[s][: cut + 1]) / sum(qt[: cut + 1]) for s in q
+    }
+    exp = {}
+    for s in q:
+        errs_d, errs_t = [], []
+        for i in range(cut + 1, n):
+            if i < 8:
+                continue
+            fc_d = sum(q[s][i - 8: i]) / 8.0 / 1e6
+            fc_t = share[s] * (sum(qt[i - 8: i]) / 8.0 / 1e6)
+            actual = q[s][i] / 1e6
+            errs_d.append(round(abs(actual - fc_d) * 1e9))
+            errs_t.append(round(abs(actual - fc_t) * 1e9))
+        exp[s] = (
+            len(errs_d),
+            _snap(share[s], 8),
+            _snap(sum(errs_d) / len(errs_d) / 1e9, 8),
+            _snap(sum(errs_t) / len(errs_t) / 1e9, 8),
+        )
+    assert got == exp
+    # top-down and direct must actually differ (nonlinear split)
+    assert any(got[s][2] != got[s][3] for s in got)
+
+
+# ---------------------------------------------------------- adamic-adar
+
+
+def test_adamic_adar_matches_python_replay(spark, tmp_path):
+    # users co-attending (event_type, day, floor(value)) items; user 9
+    # attends a hub item shared with 20 others -> the hub is df-cut
+    rows = []
+    eid = 0
+
+    def ev(uid, day, etype, value):
+        nonlocal eid
+        rows.append(
+            (eid, datetime(2024, 3, day, 12, 0), uid, etype,
+             value, "{}")
+        )
+        eid += 1
+
+    for u in (1, 2, 3):
+        ev(u, 1, "buy", 5.2)  # item A: df=3
+    for u in (1, 2):
+        ev(u, 2, "sell", 7.9)  # item B: df=2
+    for u in (2, 3):
+        ev(u, 3, "buy", 1.0)  # item C: df=2
+    for u in range(9, 9 + AA_DF_MAX + 5):
+        ev(u, 4, "buy", 2.0)  # hub: df=21 > cap, cut entirely
+    ev(5, 5, "sell", 3.3)  # singleton: df=1, no pairs
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+
+    got = [
+        (r["rank"], r["u1"], r["u2"], r["n_shared"], r["aa"])
+        for r in q_graph_adamic_adar(spark, str(tmp_path)).collect()
+    ]
+
+    items = {"A": [1, 2, 3], "B": [1, 2], "C": [2, 3]}
+    aaq = defaultdict(int)
+    nsh = defaultdict(int)
+    for users in items.values():
+        w = math.floor(1e12 / math.log(len(users)) + 0.5)
+        for i, u1 in enumerate(users):
+            for u2 in users[i + 1:]:
+                aaq[(u1, u2)] += w
+                nsh[(u1, u2)] += 1
+    ranked = sorted(aaq, key=lambda p: (-aaq[p], p))
+    exp = [
+        (i + 1, p[0], p[1], nsh[p], _snap(aaq[p] / 1e12, 8))
+        for i, p in enumerate(ranked[:25])
+    ]
+    assert sorted(got) == sorted(exp)
+    # hub users and the singleton never appear
+    flat = {u for _, u1, u2, _, _ in got for u in (u1, u2)}
+    assert flat == {1, 2, 3}
+
+
+# ------------------------------------------------------------ bigram LM
+
+
+def _toks(text: str) -> list:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def test_bigram_lm_ppl_matches_python_replay(spark, tmp_path):
+    docs = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the rug",
+        3: "a cat and a dog",
+        4: "the cat sat",
+        5: "purple monkey dishwasher",  # eval: all-unseen bigrams
+        10: "the cat sat on the mat again",  # eval: mostly seen
+        6: "one",  # train, single token: no bigrams
+        15: "xy",  # eval, single token: no bigrams -> no output row
+    }
+    spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in docs.items()],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["ppl"])
+        for r in q_doc_bigram_lm_ppl(spark, str(tmp_path)).collect()
+    }
+
+    train = {d: _toks(t) for d, t in docs.items() if d % 5 != 0}
+    ev = {d: _toks(t) for d, t in docs.items() if d % 5 == 0}
+    c2 = Counter(
+        (ts[i], ts[i + 1]) for ts in train.values()
+        for i in range(len(ts) - 1)
+    )
+    c1 = Counter(
+        ts[i] for ts in train.values() for i in range(len(ts) - 1)
+    )
+    v = len({t for ts in train.values() for t in ts})
+    k = BIGRAM_LM_K
+    exp = {}
+    for d, ts in ev.items():
+        bigs = [(ts[i], ts[i + 1]) for i in range(len(ts) - 1)]
+        if not bigs:
+            continue
+        sq = sum(
+            math.floor(
+                -math.log((c2.get(b, 0) + k) / (c1.get(b[0], 0) + k * v))
+                * 1e9 + 0.5
+            )
+            for b in bigs
+        )
+        exp[d] = (len(bigs), _snap(math.exp(sq / len(bigs) / 1e9), 6))
+    assert got == exp
+    assert set(got) == {5, 10}
+    # unseen-everything doc must score strictly worse (higher ppl)
+    assert got[5][1] > got[10][1]
+
+
+# --------------------------------------------------------- stream garch
+
+
+def test_stream_garch_state_matches_python_fold(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    series = {
+        1: [100.0, 101.0, 0.0, 99.0, 102.5],  # zero close: flat tick
+        2: [50.0],  # single event: no return, vol NULL
+    }
+    # stream_events monitors sf_dir with pathGlobFilter=events.parquet,
+    # so the table must be ONE FILE of that name (like the testdata),
+    # not a Spark-written directory
+    rows, eid = [], 0
+    for sym, closes in series.items():
+        for i, c in enumerate(closes):
+            rows.append(
+                (eid, BASE_TS + timedelta(hours=6 * i), sym, "tick",
+                 float(c), "{}")
+            )
+            eid += 1
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(cols[0], pa.int64()),
+                "ts": pa.array(cols[1], pa.timestamp("us")),
+                "user_id": pa.array(cols[2], pa.int64()),
+                "event_type": pa.array(cols[3], pa.string()),
+                "value": pa.array(cols[4], pa.float64()),
+                "props": pa.array(cols[5], pa.string()),
+            }
+        ),
+        f"{tmp_path}/events.parquet",
+    )
+    got = {
+        r["symbol"]: (r["n_rows"], r["garch_vol"])
+        for r in q_stream_garch_state(spark, str(tmp_path)).collect()
+    }
+    exp = {}
+    for sym, closes in series.items():
+        v, prev = None, None
+        for x in closes:
+            if prev is not None:
+                r = math.log(x / prev) if x > 0 and prev > 0 else 0.0
+                r2 = math.floor(r * r * 1e12 + 0.5) / 1e12
+                v = (
+                    r2
+                    if v is None
+                    else GARCH_OMEGA + GARCH_ALPHA * r2 + GARCH_BETA * v
+                )
+            prev = x
+        exp[sym] = (
+            len(closes),
+            _snap(math.sqrt(v), 8) if v is not None else None,
+        )
+    assert got == exp
+    assert got[2][1] is None
+
+
+# ---------------------------------------------------------------- theta
+
+
+def test_theta_forecast_matches_python_replay(spark, tmp_path):
+    import random
+
+    rng = random.Random(5)
+    closes = [100.0 + i * 0.5 + rng.randint(-8, 8) / 4.0
+              for i in range(20)]
+    _write_events(spark, str(tmp_path), {4: closes})
+    rows = q_ts_theta_forecast(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    a = THETA_ALPHA
+    n = len(closes)
+    n_cal = math.floor(n * 0.7)
+    ys = [math.floor(c * 1e6 + 0.5) / 1e6 for c in closes]
+    level = ys[0]
+    for x in ys[1:n_cal]:
+        level = (1.0 - a) * level + a * x
+    sx = sum(range(1, n_cal + 1))
+    syq = sum(round(c * 1e6) for c in closes[:n_cal])
+    sxy = sum(round(c * 1e6) * (i + 1) for i, c in enumerate(closes[:n_cal]))
+    sxx = sum(x * x for x in range(1, n_cal + 1))
+    slope = (
+        float(n_cal * sxy - sx * syq) / float(n_cal * sxx - sx * sx) / 1e6
+    )
+    eq = 0
+    for h in range(1, n - n_cal + 1):
+        fc = level + (slope * 0.5) * ((h - 1) + 1.0 / a)
+        eq += round(abs(ys[n_cal + h - 1] - fc) * 1e9)
+    assert r["n_cal"] == n_cal and r["n_test"] == n - n_cal
+    assert r["level"] == _snap(level, 8)
+    assert r["slope"] == _snap(slope, 8)
+    assert r["mae"] == _snap(eq / (n - n_cal) / 1e9, 8)
+    # the trend must be picked up: slope near the planted 0.5/step
+    assert 0.2 < r["slope"] < 0.8
+
+
+# ---------------------------------------------------------------- ahash
+
+
+def _py_ahash(text: str) -> list:
+    """64-bit average hash as 8 byte-band values, integer-exact."""
+    bs = text.encode("utf-8")
+    n = len(bs)
+    S = sum(bs)
+    bits = []
+    for i in range(64):
+        lo, hi = i * n // 64, (i + 1) * n // 64
+        s, c = sum(bs[lo:hi]), hi - lo
+        bits.append(1 if s * n > S * c else 0)
+    return [
+        sum(bits[k * 8 + t] << t for t in range(8)) for k in range(8)
+    ]
+
+
+def test_media_ahash_near_dup_matches_python_replay(spark, tmp_path):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    texts = {
+        0: base,
+        3: base,  # exact dup of 0 -> hamming 0
+        6: base[:-6] + "cats!!",  # small tail edit -> small hamming
+        9: "".join(chr(97 + (i * 7) % 26) for i in range(300)),
+        12: "completely different payload " + "zz" * 100,
+        2: base,  # NOT image-typed (doc_id % 3 != 0): must be ignored
+    }
+    spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in texts.items()],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = sorted(
+        (r["id_i"], r["id_j"], r["hamming"])
+        for r in q_media_ahash_near_dup(spark, str(tmp_path)).collect()
+    )
+    hs = {d: _py_ahash(t) for d, t in texts.items() if d % 3 == 0}
+    exp = []
+    ids = sorted(hs)
+    for x, i in enumerate(ids):
+        for j in ids[x + 1:]:
+            ham = sum(
+                bin(a ^ b).count("1") for a, b in zip(hs[i], hs[j])
+            )
+            if ham <= AHASH_MAX_DIST:
+                exp.append((i, j, ham))
+    assert got == sorted(exp)
+    assert (0, 3, 0) in got  # the exact dup pair
+    assert all(u % 3 == 0 and v % 3 == 0 for u, v, _ in got)
