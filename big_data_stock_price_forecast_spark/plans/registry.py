@@ -16788,17 +16788,319 @@ SELECT * FROM (
 WHERE hamming <= {AHASH_MAX_DIST}"""
 
 
+LPA_ROUNDS = 3
+
+
+def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (3 unrolled rounds) over the same
+    degree-bounded co-attendance graph as graph_adamic_adar — the
+    cheap community detector a graph pipeline runs before anything
+    spectral: labels start as user ids; each round every node adopts
+    the most frequent label among its NEIGHBORS (tie-break: count
+    desc, label asc — fully deterministic, no self-vote). Each round
+    is one edge-label join + one (node, label) count + one windowed
+    argmax — three rounds unrolled as shuffles on the node key; state
+    per node is ONE label, never the history. The oracle unrolls the
+    identical three rounds as chained CTEs."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.concat(
+                F.col("event_type"),
+                F.lit(":"),
+                F.to_date("ts").cast("string"),
+                F.lit(":"),
+                F.floor("value").cast("string"),
+            ).alias("item"),
+        )
+        .distinct()
+    )
+    d = ev.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("item"))
+    ).filter((F.col("df") >= 2) & (F.col("df") <= AA_DF_MAX))
+    a = d.select(F.col("user_id").alias("u"), "item")
+    b = d.select(F.col("user_id").alias("v"), "item")
+    und = (
+        a.join(b, "item")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    und = und.localCheckpoint(eager=True)  # consumed once per round
+    lab = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    wpick = Window.partitionBy("dst").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(LPA_ROUNDS):
+        msgs = und.join(lab, F.col("u") == F.col("node")).select(
+            F.col("v").alias("dst"), "label"
+        )
+        cnt = msgs.groupBy("dst", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        lab = (
+            cnt.withColumn("rk", F.row_number().over(wpick))
+            .filter(F.col("rk") == 1)
+            .select(F.col("dst").alias("node"), "label")
+        )
+    return lab.select(
+        F.col("node").alias("user_id"), F.col("label").alias("community")
+    )
+
+
+def _sql_graph_lpa_communities() -> str:
+    rounds = []
+    prev = "l0"
+    for r in range(1, LPA_ROUNDS + 1):
+        rounds.append(f"""
+m{r} AS (
+  SELECT e.v AS dst, l.label, count(*) AS cnt
+  FROM e JOIN {prev} l ON e.u = l.node GROUP BY 1, 2),
+l{r} AS (
+  SELECT dst AS node, label FROM (
+    SELECT dst, label,
+           row_number() OVER (PARTITION BY dst
+                              ORDER BY cnt DESC, label ASC) AS rk
+    FROM m{r})
+  WHERE rk = 1)""")
+        prev = f"l{r}"
+    body = ",".join(rounds)
+    return f"""
+WITH ev AS (
+  SELECT DISTINCT user_id,
+         event_type || ':' || CAST(ts::DATE AS VARCHAR) || ':'
+           || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS item
+  FROM events),
+d AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item, count(*) OVER (PARTITION BY item) AS df
+    FROM ev)
+  WHERE df BETWEEN 2 AND {AA_DF_MAX}),
+e AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM d a JOIN d b ON a.item = b.item AND a.user_id <> b.user_id),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),{body}
+SELECT node AS user_id, label AS community FROM l{LPA_ROUNDS}"""
+
+
+def q_ts_ou_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ornstein-Uhlenbeck mean-reversion half-life per symbol — the
+    quant screen for tradeable mean reversion: regress
+    Δx_t = a + b·x_{t−1} over the filled grid (closes snapped to the
+    1e-6 grid, so Δ and the OLS moments are exact DECIMAL integers;
+    b is unitless — the micro units cancel in the moment ratio),
+    half-life = −ln 2 / ln(1+b) for −1 < b < 0, NULL otherwise
+    (non-mean-reverting). One lag window + one map-side groupBy
+    riding the ts family's symbol exchange; per-symbol state is five
+    moment cells."""
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    q = df.withColumn(
+        "qc",
+        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
+    )
+    q = q.withColumn("qp", F.lag("qc", 1).over(w)).filter(
+        F.col("qp").isNotNull()
+    )
+    q = q.withColumn("dy", F.col("qc") - F.col("qp"))
+    agg = q.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qp").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("qp") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("qp") * F.col("qp")).alias("sxx"),
+    )
+    agg = agg.filter(F.col("n") >= 3)
+    nn = F.col("n").cast("decimal(38,0)")
+    b = (nn * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    agg = agg.withColumn("b", b)
+    hl = F.when(
+        (F.col("b") > -1.0) & (F.col("b") < 0.0),
+        -F.log(F.lit(2.0)) / F.log(F.lit(1.0) + F.col("b")),
+    )
+    return agg.select(
+        "symbol",
+        F.col("n").cast("long").alias("n"),
+        _rne(F.col("b"), "b", 8),
+        _rne(hl, "halflife", 8),
+    )
+
+
+def _sql_ts_ou_halflife() -> str:
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+q AS (
+  SELECT symbol, time_idx,
+         floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
+  FROM filled),
+lagd AS (
+  SELECT symbol, qc,
+         lag(qc) OVER (PARTITION BY symbol ORDER BY time_idx) AS qp
+  FROM q QUALIFY qp IS NOT NULL),
+agg AS (
+  SELECT symbol, count(*) AS n, sum(qp) AS sx, sum(qc - qp) AS sy,
+         sum(qp * (qc - qp)) AS sxy, sum(qp * qp) AS sxx
+  FROM lagd GROUP BY 1 HAVING count(*) >= 3),
+fit AS (
+  SELECT symbol, n,
+         (n::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE
+           / (n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE AS b
+  FROM agg)
+SELECT symbol, n::BIGINT AS n, {_sql_rne('b', 'b', 8)},
+       {_sql_rne(
+           'CASE WHEN b > -1.0 AND b < 0.0 '
+           'THEN -ln(2.0) / ln(1.0 + b) END',
+           'halflife', 8)}
+FROM fit"""
+
+
+RAKE_MAX_PHRASE = 3
+RAKE_TOPK = 25
+
+
+def q_doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction at corpus level (Rose et al. 2010):
+    candidate phrases are maximal stopword-free token runs (capped at
+    3 tokens for boundedness), word score = degree/frequency over the
+    candidate set (degree counts phrase-length co-occurrence,
+    frequency counts occurrences), phrase score = Σ member word
+    scores with multiplicity (computed once per DISTINCT phrase text
+    — instances share the score exactly); top-25 distinct phrases by
+    the exact-DECIMAL score. Run extraction is the established
+    pos − row_number() run-merge device (one doc-keyed window); word
+    stats are one map-side groupBy; per-word scores snap to the 1e-9
+    grid before the exact phrase sum, so the (score desc, phrase asc)
+    ranking is order-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    ).filter(~F.col("tok").isin(*EN_STOPWORDS))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    runs = tok.withColumn(
+        "run_id", F.col("pos") - F.row_number().over(wd)
+    )
+    ph = (
+        runs.groupBy("doc_id", "run_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .filter(F.col("plen") <= RAKE_MAX_PHRASE)
+    )
+    ph = ph.localCheckpoint(eager=True)  # feeds word stats + occ + rejoin
+    words = ph.select(
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"), "plen"
+    )
+    stats = words.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    )
+    wscore = stats.select(
+        "w",
+        F.floor(
+            F.col("deg").cast("double") / F.col("freq") * 1e9 + F.lit(0.5)
+        )
+        .cast("decimal(38,0)")
+        .alias("wq"),
+    )
+    pw = (
+        ph.select("phrase")
+        .distinct()
+        .select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+    )
+    pscore = pw.join(wscore, "w").groupBy("phrase").agg(
+        F.sum("wq").alias("sq")
+    )
+    occ = ph.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    top = (
+        pscore.join(occ, "phrase")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("sq").desc(), F.col("phrase").asc())
+            ),
+        )
+        .filter(F.col("rank") <= RAKE_TOPK)
+    )
+    return top.select(
+        "rank",
+        "phrase",
+        F.col("n_occ").cast("long").alias("n_occ"),
+        _rne(F.col("sq").cast("double") / F.lit(1e9), "score", 8),
+    )
+
+
+def _sql_doc_rake_keyphrases() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, pos, tok FROM (
+    SELECT doc_id,
+           unnest(range(0, len(toks))) AS pos,
+           unnest(toks) AS tok
+    FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents))
+  WHERE tok NOT IN ({stop_list})),
+runs AS (
+  SELECT doc_id, pos, tok,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS run_id
+  FROM tok),
+ph AS (
+  SELECT doc_id, run_id,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         count(*) AS plen
+  FROM runs GROUP BY 1, 2 HAVING count(*) <= {RAKE_MAX_PHRASE}),
+words AS (
+  SELECT unnest(string_split(phrase, ' ')) AS w, plen FROM ph),
+stats AS (
+  SELECT w, count(*) AS freq, sum(plen) AS deg FROM words GROUP BY 1),
+wscore AS (
+  SELECT w, floor(deg::DOUBLE / freq * 1000000000.0 + 0.5)
+               ::DECIMAL(38,0) AS wq
+  FROM stats),
+pw AS (
+  SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+  FROM (SELECT DISTINCT phrase FROM ph)),
+pscore AS (
+  SELECT phrase, sum(wq) AS sq
+  FROM pw JOIN wscore USING (w) GROUP BY 1),
+occ AS (SELECT phrase, count(*) AS n_occ FROM ph GROUP BY 1),
+top AS (
+  SELECT row_number() OVER (ORDER BY sq DESC, phrase ASC) AS rank,
+         phrase, n_occ, sq
+  FROM pscore JOIN occ USING (phrase))
+SELECT rank, phrase, n_occ::BIGINT AS n_occ,
+       {_sql_rne('sq::DOUBLE / 1000000000.0', 'score', 8)}
+FROM top WHERE rank <= {RAKE_TOPK}"""
+
+
 def all_queries() -> dict[str, QueryFn]:
     # ORDER MATTERS: the driver's correctness gate checks entries in
     # registration order (observed cutoff: 50). CORRECTNESS_r09 was
     # 50/50 green, so every r8/r9 addition now has a driver row and
     # ALL queries registered before round 10 are driver-proven.
-    # Round-10 rotation: positions 1-8 = the eight round-10 additions
-    # (ts_garch_vol, ts_conformal_interval, ts_topdown_reconcile,
-    # graph_adamic_adar, doc_bigram_lm_ppl, stream_garch_state,
-    # ts_theta_forecast, media_ahash_near_dup), registered INSIDE the
-    # window so this round's driver gate proves them; the rest of the
-    # window keeps the r9 entries (now canaries) in their r9 order.
+    # Round-10 rotation: positions 1-11 = the eleven round-10
+    # additions (ts_garch_vol, ts_conformal_interval,
+    # ts_topdown_reconcile, graph_adamic_adar, doc_bigram_lm_ppl,
+    # stream_garch_state, ts_theta_forecast, media_ahash_near_dup,
+    # graph_lpa_communities, ts_ou_halflife, doc_rake_keyphrases),
+    # registered INSIDE the window so this round's driver gate proves
+    # them; the rest of the window keeps the r9 entries (now
+    # canaries) in their r9 order.
     # Every entry carries a "last driver-green round" tag so any
     # future rotation stays mechanical.
     return {
@@ -16814,6 +17116,9 @@ def all_queries() -> dict[str, QueryFn]:
         "stream_garch_state": q_stream_garch_state,  # never
         "ts_theta_forecast": q_ts_theta_forecast,  # never
         "media_ahash_near_dup": q_media_ahash_near_dup,  # never
+        "graph_lpa_communities": q_graph_lpa_communities,  # never
+        "ts_ou_halflife": q_ts_ou_halflife,  # never
+        "doc_rake_keyphrases": q_doc_rake_keyphrases,  # never
         "emb_bq_hamming_topk": q_emb_bq_hamming_topk,  # r9
         "doc_winnow_pairs": q_doc_winnow_pairs,  # r9
         # in-engine VAE training (M2-M6). Iterative training has no
@@ -17093,6 +17398,9 @@ def _oracle_sql_map() -> dict[str, str]:
         "stream_garch_state": _sql_stream_garch_state(),
         "ts_theta_forecast": _sql_ts_theta_forecast(),
         "media_ahash_near_dup": _sql_media_ahash_near_dup(),
+        "graph_lpa_communities": _sql_graph_lpa_communities(),
+        "ts_ou_halflife": _sql_ts_ou_halflife(),
+        "doc_rake_keyphrases": _sql_doc_rake_keyphrases(),
         "flagship_forecast_mae": _flagship_oracle(),
         "flagship_summary": (
             f"WITH base AS ({_flagship_oracle()}) "

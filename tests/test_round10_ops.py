@@ -450,3 +450,155 @@ def test_media_ahash_near_dup_matches_python_replay(spark, tmp_path):
     assert got == sorted(exp)
     assert (0, 3, 0) in got  # the exact dup pair
     assert all(u % 3 == 0 and v % 3 == 0 for u, v, _ in got)
+
+
+# ------------------------------------------------------------------ lpa
+
+
+def test_lpa_communities_matches_python_replay(spark, tmp_path):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        LPA_ROUNDS,
+        q_graph_lpa_communities,
+    )
+
+    rows, eid = [], 0
+
+    def ev(uid, day, value):
+        nonlocal eid
+        rows.append(
+            (eid, datetime(2024, 3, day, 12, 0), uid, "buy", value, "{}")
+        )
+        eid += 1
+
+    # community A: triangle 1-2-3; community B: path 7-8-9; both built
+    # from small co-attendance items (df 2..3, inside the cap)
+    for day, us in [(1, (1, 2)), (2, (2, 3)), (3, (1, 3)),
+                    (4, (7, 8)), (5, (8, 9))]:
+        for u in us:
+            ev(u, day, 5.0)
+    ev(42, 6, 9.0)  # isolated: no co-attendance, excluded from output
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        r["user_id"]: r["community"]
+        for r in q_graph_lpa_communities(spark, str(tmp_path)).collect()
+    }
+
+    adj = {1: [2, 3], 2: [1, 3], 3: [1, 2], 7: [8], 8: [7, 9], 9: [8]}
+    lab = {u: u for u in adj}
+    for _ in range(LPA_ROUNDS):
+        nxt = {}
+        for u, ns in adj.items():
+            c = Counter(lab[v] for v in ns)
+            best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            nxt[u] = best
+        lab = nxt
+    assert got == lab
+    assert 42 not in got
+    # the triangle converges to one community; the path to another
+    assert len({got[1], got[2], got[3]}) == 1
+    assert len({got[u] for u in (7, 8, 9)} & {got[1]}) == 0
+
+
+# --------------------------------------------------------------- ou
+
+
+def test_ou_halflife_matches_python_replay(spark, tmp_path):
+    import random
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_ou_halflife,
+    )
+
+    rng = random.Random(3)
+    xs = [100.0]
+    for _ in range(39):
+        # AR(1) with phi=0.5 around 100 -> b = phi-1 = -0.5, hl = 1
+        xs.append(
+            round(100.0 + 0.5 * (xs[-1] - 100.0)
+                  + rng.randint(-4, 4) / 2.0, 4)
+        )
+    _write_events(spark, str(tmp_path), {6: xs})
+    rows = q_ts_ou_halflife(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    q = [round(x * 1e6) for x in xs]
+    n = len(q) - 1
+    xp = q[:-1]
+    dy = [q[i + 1] - q[i] for i in range(n)]
+    sx, sy = sum(xp), sum(dy)
+    sxy = sum(a * b for a, b in zip(xp, dy))
+    sxx = sum(a * a for a in xp)
+    b = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    hl = -math.log(2.0) / math.log(1.0 + b)
+    assert r["n"] == n
+    assert r["b"] == _snap(b, 8)
+    assert r["halflife"] == _snap(hl, 8)
+    assert -0.8 < r["b"] < -0.2  # the planted phi=0.5 is recovered
+    # non-mean-reverting series: halflife NULL
+    _write_events(
+        spark, f"{tmp_path}/up", {6: [100.0 + 3 * i for i in range(12)]}
+    )
+    r2 = q_ts_ou_halflife(spark, f"{tmp_path}/up").collect()[0]
+    assert r2["halflife"] is None
+
+
+# ----------------------------------------------------------------- rake
+
+
+def test_rake_keyphrases_matches_python_replay(spark, tmp_path):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        RAKE_MAX_PHRASE,
+        RAKE_TOPK,
+        q_doc_rake_keyphrases,
+    )
+
+    docs = {
+        1: "deep learning models and deep learning systems",
+        2: "the quick brown fox in a deep forest",
+        3: "learning is fun and learning is deep",
+        4: "quick brown fox quick brown fox",
+    }
+    spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in docs.items()],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = [
+        (r["rank"], r["phrase"], r["n_occ"], r["score"])
+        for r in q_doc_rake_keyphrases(spark, str(tmp_path)).collect()
+    ]
+
+    stop = {"the", "a", "of", "and", "to", "in", "is", "it", "that"}
+    phrases = []
+    for t in docs.values():
+        run = []
+        for w in _toks(t) + ["\x00"]:
+            if w in stop or w == "\x00":
+                if run and len(run) <= RAKE_MAX_PHRASE:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(w)
+    freq, deg = Counter(), Counter()
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    wq = {w: math.floor(deg[w] / freq[w] * 1e9 + 0.5) for w in freq}
+    occ = Counter(" ".join(p) for p in phrases)
+    sq = {ph: sum(wq[w] for w in ph.split(" ")) for ph in occ}
+    ranked = sorted(occ, key=lambda p: (-sq[p], p))[:RAKE_TOPK]
+    exp = [
+        (i + 1, p, occ[p], _snap(sq[p] / 1e9, 8))
+        for i, p in enumerate(ranked)
+    ]
+    assert got == exp
+    # multi-word phrases must outrank their member words (RAKE's point)
+    top_phrase = got[0][1]
+    assert " " in top_phrase
