@@ -17088,19 +17088,218 @@ SELECT rank, phrase, n_occ::BIGINT AS n_occ,
 FROM top WHERE rank <= {RAKE_TOPK}"""
 
 
+def q_events_did_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences uplift per event type — the causal
+    readout the plain A/B harness (events_ab_uplift) can't give when
+    groups start from different baselines: users hash-split into
+    treat/control (same portable hash60 device as the A/B family),
+    time split pre/post at the 2/3 point of the observed window
+    (integer-micros cut — exact), and
+    DiD = (treat_post − treat_pre) − (ctrl_post − ctrl_pre) over
+    exact integer-cents means. On hash-split uniform data the
+    expected readout is ≈ 0 — like the A/B harness, the null
+    behavior IS the calibration check. One conditional aggregate per
+    event type (8 cells in one map-side-combined pass); any empty
+    cell propagates NULL identically in both engines."""
+    raw = load_table(spark, sf_dir, "events")
+    # NTZ->LTZ cast preserves stored micros only under UTC (see
+    # q_ts_delta_hist); assert, never set
+    ts = F.col("ts")
+    if dict(raw.dtypes)["ts"] == "timestamp_ntz":
+        require_utc(spark)
+        ts = ts.cast("timestamp")
+    ev = raw.select(
+        "event_type",
+        "user_id",
+        F.unix_micros(ts).alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("cents"),
+    )
+    bounds = ev.agg(
+        F.min("us").alias("mn"),
+        F.max("us").alias("mx"),
+    ).select(
+        # integer div on BOTH sides: Spark double->long cast truncates,
+        # DuckDB ::BIGINT rounds -- float division would diverge
+        F.expr("mn + (mx - mn) * 2 div 3").alias("cut")
+    )
+    g = (
+        hash60(F.concat(F.lit("ab:"), F.col("user_id").cast("string")))
+        % 2
+    ).cast("int")
+    t = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        g.alias("g"),
+        (F.col("us") >= F.col("cut")).cast("int").alias("post"),
+        "cents",
+    )
+
+    def cell(gv: int, pv: int, what: str):
+        cond = (F.col("g") == gv) & (F.col("post") == pv)
+        if what == "n":
+            return F.sum(F.when(cond, 1).otherwise(0))
+        return F.sum(F.when(cond, F.col("cents")))
+
+    agg = t.groupBy("event_type").agg(
+        cell(1, 0, "n").alias("n_tp"),
+        cell(1, 0, "s").alias("s_tp"),
+        cell(1, 1, "n").alias("n_tq"),
+        cell(1, 1, "s").alias("s_tq"),
+        cell(0, 0, "n").alias("n_cp"),
+        cell(0, 0, "s").alias("s_cp"),
+        cell(0, 1, "n").alias("n_cq"),
+        cell(0, 1, "s").alias("s_cq"),
+    )
+    m = lambda s, n: F.col(s).cast("double") / F.col(n) / F.lit(100.0)  # noqa: E731
+    did = (m("s_tq", "n_tq") - m("s_tp", "n_tp")) - (
+        m("s_cq", "n_cq") - m("s_cp", "n_cp")
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_tp").cast("long").alias("n_treat_pre"),
+        F.col("n_tq").cast("long").alias("n_treat_post"),
+        F.col("n_cp").cast("long").alias("n_ctrl_pre"),
+        F.col("n_cq").cast("long").alias("n_ctrl_post"),
+        _rne(m("s_tq", "n_tq") - m("s_tp", "n_tp"), "delta_treat", 8),
+        _rne(m("s_cq", "n_cq") - m("s_cp", "n_cp"), "delta_ctrl", 8),
+        _rne(did, "did", 8),
+    )
+
+
+def _sql_events_did_uplift() -> str:
+    m = lambda s, n: f"{s}::DOUBLE / {n} / 100.0"  # noqa: E731
+    dt = f"({m('s_tq', 'n_tq')} - {m('s_tp', 'n_tp')})"
+    dc = f"({m('s_cq', 'n_cq')} - {m('s_cp', 'n_cp')})"
+    return f"""
+WITH bounds AS (
+  SELECT min(epoch_us(ts))
+          + (max(epoch_us(ts)) - min(epoch_us(ts))) * 2 // 3 AS cut
+  FROM events),
+t AS (
+  SELECT event_type,
+         ({sql_hash60("'ab:' || CAST(user_id AS VARCHAR)")} % 2)::INT AS g,
+         (epoch_us(ts) >= cut)::INT AS post,
+         floor(value * 100 + 0.5)::DECIMAL(38,0) AS cents
+  FROM events CROSS JOIN bounds),
+agg AS (
+  SELECT event_type,
+         sum(CASE WHEN g = 1 AND post = 0 THEN 1 ELSE 0 END) AS n_tp,
+         sum(CASE WHEN g = 1 AND post = 0 THEN cents END) AS s_tp,
+         sum(CASE WHEN g = 1 AND post = 1 THEN 1 ELSE 0 END) AS n_tq,
+         sum(CASE WHEN g = 1 AND post = 1 THEN cents END) AS s_tq,
+         sum(CASE WHEN g = 0 AND post = 0 THEN 1 ELSE 0 END) AS n_cp,
+         sum(CASE WHEN g = 0 AND post = 0 THEN cents END) AS s_cp,
+         sum(CASE WHEN g = 0 AND post = 1 THEN 1 ELSE 0 END) AS n_cq,
+         sum(CASE WHEN g = 0 AND post = 1 THEN cents END) AS s_cq
+  FROM t GROUP BY 1)
+SELECT event_type,
+       n_tp::BIGINT AS n_treat_pre, n_tq::BIGINT AS n_treat_post,
+       n_cp::BIGINT AS n_ctrl_pre, n_cq::BIGINT AS n_ctrl_post,
+       {_sql_rne(dt, 'delta_treat', 8)},
+       {_sql_rne(dc, 'delta_ctrl', 8)},
+       {_sql_rne(f'{dt} - {dc}', 'did', 8)}
+FROM agg"""
+
+
+CTFIDF_TOPK = 5
+
+
+def q_doc_ctfidf_class_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based TF-IDF (the BERTopic c-TF-IDF labeling device —
+    Grootendorst 2022): classes are (lang, source) strata, term score
+    within a class = (tf_{t,c} / total_c) · ln(1 + A / f_t) with A =
+    average class token mass and f_t = corpus frequency — the terms
+    that DESCRIBE a cluster rather than merely occur in it. Top-5
+    terms per class ranked on the 1e-9-snapped score (exact tie-break
+    term asc). One token aggregate keyed (class, term) + one
+    broadcast of the term totals — scan-shaped, no per-doc state."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias("cls"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    tfc = tok.groupBy("cls", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    totc = tfc.groupBy("cls").agg(F.sum("tf").alias("total_c"))
+    ft = tfc.groupBy("tok").agg(F.sum("tf").alias("f_t"))
+    av = totc.agg(
+        (
+            F.sum("total_c").cast("double") / F.count(F.lit(1))
+        ).alias("a")
+    )
+    scored = (
+        tfc.join(totc, "cls")
+        .join(ft, "tok")
+        .crossJoin(F.broadcast(av))
+        .select(
+            "cls",
+            "tok",
+            "tf",
+            F.floor(
+                (F.col("tf").cast("double") / F.col("total_c"))
+                * F.log(F.lit(1.0) + F.col("a") / F.col("f_t"))
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            .cast("decimal(38,0)")
+            .alias("q"),
+        )
+    )
+    w = Window.partitionBy("cls").orderBy(
+        F.col("q").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= CTFIDF_TOPK)
+        .select(
+            "cls",
+            "rank",
+            F.col("tok").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            _rne(F.col("q").cast("double") / F.lit(1e9), "score", 8),
+        )
+    )
+
+
+def _sql_doc_ctfidf_class_terms() -> str:
+    return f"""
+WITH tok AS (
+  SELECT lang || ':' || source AS cls,
+         unnest({sql_tokens('text')}) AS tok
+  FROM documents),
+tfc AS (SELECT cls, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+totc AS (SELECT cls, sum(tf) AS total_c FROM tfc GROUP BY 1),
+ft AS (SELECT tok, sum(tf) AS f_t FROM tfc GROUP BY 1),
+av AS (SELECT sum(total_c)::DOUBLE / count(*) AS a FROM totc),
+scored AS (
+  SELECT cls, tok, tf,
+         floor((tf::DOUBLE / total_c) * ln(1.0 + a / f_t)
+               * 1000000000.0 + 0.5)::DECIMAL(38,0) AS q
+  FROM tfc JOIN totc USING (cls) JOIN ft USING (tok) CROSS JOIN av),
+ranked AS (
+  SELECT cls, tok, tf, q,
+         row_number() OVER (PARTITION BY cls
+                            ORDER BY q DESC, tok ASC) AS rank
+  FROM scored)
+SELECT cls, rank, tok AS term, tf::BIGINT AS tf,
+       {_sql_rne('q::DOUBLE / 1000000000.0', 'score', 8)}
+FROM ranked WHERE rank <= {CTFIDF_TOPK}"""
+
+
 def all_queries() -> dict[str, QueryFn]:
     # ORDER MATTERS: the driver's correctness gate checks entries in
     # registration order (observed cutoff: 50). CORRECTNESS_r09 was
     # 50/50 green, so every r8/r9 addition now has a driver row and
     # ALL queries registered before round 10 are driver-proven.
-    # Round-10 rotation: positions 1-11 = the eleven round-10
+    # Round-10 rotation: positions 1-13 = the thirteen round-10
     # additions (ts_garch_vol, ts_conformal_interval,
     # ts_topdown_reconcile, graph_adamic_adar, doc_bigram_lm_ppl,
     # stream_garch_state, ts_theta_forecast, media_ahash_near_dup,
-    # graph_lpa_communities, ts_ou_halflife, doc_rake_keyphrases),
-    # registered INSIDE the window so this round's driver gate proves
-    # them; the rest of the window keeps the r9 entries (now
-    # canaries) in their r9 order.
+    # graph_lpa_communities, ts_ou_halflife, doc_rake_keyphrases,
+    # events_did_uplift, doc_ctfidf_class_terms), registered INSIDE
+    # the window so this round's driver gate proves them; the rest of
+    # the window keeps the r9 entries (now canaries) in their r9
+    # order.
     # Every entry carries a "last driver-green round" tag so any
     # future rotation stays mechanical.
     return {
@@ -17119,6 +17318,8 @@ def all_queries() -> dict[str, QueryFn]:
         "graph_lpa_communities": q_graph_lpa_communities,  # never
         "ts_ou_halflife": q_ts_ou_halflife,  # never
         "doc_rake_keyphrases": q_doc_rake_keyphrases,  # never
+        "events_did_uplift": q_events_did_uplift,  # never
+        "doc_ctfidf_class_terms": q_doc_ctfidf_class_terms,  # never
         "emb_bq_hamming_topk": q_emb_bq_hamming_topk,  # r9
         "doc_winnow_pairs": q_doc_winnow_pairs,  # r9
         # in-engine VAE training (M2-M6). Iterative training has no
@@ -17401,6 +17602,8 @@ def _oracle_sql_map() -> dict[str, str]:
         "graph_lpa_communities": _sql_graph_lpa_communities(),
         "ts_ou_halflife": _sql_ts_ou_halflife(),
         "doc_rake_keyphrases": _sql_doc_rake_keyphrases(),
+        "events_did_uplift": _sql_events_did_uplift(),
+        "doc_ctfidf_class_terms": _sql_doc_ctfidf_class_terms(),
         "flagship_forecast_mae": _flagship_oracle(),
         "flagship_summary": (
             f"WITH base AS ({_flagship_oracle()}) "

@@ -602,3 +602,121 @@ def test_rake_keyphrases_matches_python_replay(spark, tmp_path):
     # multi-word phrases must outrank their member words (RAKE's point)
     top_phrase = got[0][1]
     assert " " in top_phrase
+
+
+# ------------------------------------------------------------------ did
+
+
+def _h60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_did_uplift_matches_python_replay(spark, tmp_path):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_events_did_uplift,
+    )
+
+    rows, eid = [], 0
+    base = datetime(2024, 5, 1, 0, 0)
+    # 30 days of one event type; treated users gain +10 after the cut
+    for day in range(30):
+        for uid in range(8):
+            treated = _h60(f"ab:{uid}") % 2 == 1
+            post = day >= 20  # the 2/3 cut of a 30-day window
+            v = 50.0 + uid + (10.0 if treated and post else 0.0)
+            rows.append(
+                (eid, base + timedelta(days=day), uid, "buy", v, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = q_events_did_uplift(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    mn = min(x[1] for x in rows)
+    mx = max(x[1] for x in rows)
+    cut_us = int(mn.timestamp() * 1e6) + (
+        int(mx.timestamp() * 1e6) - int(mn.timestamp() * 1e6)
+    ) * 2 // 3
+    cells = {(g, p): [] for g in (0, 1) for p in (0, 1)}
+    for _, ts, uid, _, v, _ in rows:
+        g = _h60(f"ab:{uid}") % 2
+        p = int(int(ts.timestamp() * 1e6) >= cut_us)
+        cells[(g, p)].append(round(v * 100))
+    m = {k: sum(v) / len(v) / 100.0 for k, v in cells.items()}
+    dt = m[(1, 1)] - m[(1, 0)]
+    dc = m[(0, 1)] - m[(0, 0)]
+    assert r["n_treat_pre"] == len(cells[(1, 0)])
+    assert r["delta_treat"] == _snap(dt, 8)
+    assert r["delta_ctrl"] == _snap(dc, 8)
+    assert r["did"] == _snap(dt - dc, 8)
+    # the planted +10 post-cut treatment effect is recovered
+    assert 9.0 < r["did"] < 11.0
+    assert abs(r["delta_ctrl"]) < 1.0
+
+
+# --------------------------------------------------------------- ctfidf
+
+
+def test_ctfidf_class_terms_matches_python_replay(spark, tmp_path):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        CTFIDF_TOPK,
+        q_doc_ctfidf_class_terms,
+    )
+
+    docs = [
+        (1, "stocks stocks bonds yield curve", "en", "finance"),
+        (2, "yield stocks market crash", "en", "finance"),
+        (3, "neural network training loss", "en", "ml"),
+        (4, "training data network weights", "en", "ml"),
+        (5, "il marche les stocks", "fr", "finance"),
+    ]
+    spark.createDataFrame(
+        [(d, t, lg, src, len(t)) for d, t, lg, src in docs],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = sorted(
+        (r["cls"], r["rank"], r["term"], r["tf"], r["score"])
+        for r in q_doc_ctfidf_class_terms(spark, str(tmp_path)).collect()
+    )
+
+    tfc = Counter()
+    for _, t, lg, src in docs:
+        for w in _toks(t):
+            tfc[(f"{lg}:{src}", w)] += 1
+    totc = Counter()
+    ft = Counter()
+    for (c, w), n in tfc.items():
+        totc[c] += n
+        ft[w] += n
+    a = sum(totc.values()) / len(totc)
+    q = {
+        (c, w): math.floor(
+            (n / totc[c]) * math.log(1.0 + a / ft[w]) * 1e9 + 0.5
+        )
+        for (c, w), n in tfc.items()
+    }
+    exp = []
+    for c in totc:
+        terms = sorted(
+            (w for cc, w in q if cc == c),
+            key=lambda w: (-q[(c, w)], w),
+        )[:CTFIDF_TOPK]
+        for i, w in enumerate(terms):
+            exp.append(
+                (c, i + 1, w, tfc[(c, w)], _snap(q[(c, w)] / 1e9, 8))
+            )
+    assert got == sorted(exp)
+    # class-discriminative terms rank top in their class
+    top_ml = [t for c, rk, t, _, _ in got if c == "en:ml" and rk <= 2]
+    assert set(top_ml) <= {"network", "training", "neural", "weights",
+                           "loss", "data"}
