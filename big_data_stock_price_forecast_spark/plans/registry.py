@@ -16303,16 +16303,22 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("wq").alias("aaq"),
         F.count(F.lit(1)).alias("n_shared"),
     )
-    top = (
-        aa.withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(
-                    F.col("aaq").desc(), F.col("u1").asc(), F.col("u2").asc()
-                )
-            ),
-        )
-        .filter(F.col("rank") <= 25)
+    # global top-k via orderBy+limit → TakeOrderedAndProject (map-side
+    # partial top-k per input partition, then one k-row merge); an
+    # unpartitioned row_number window would sort EVERY pair in one
+    # task — InferWindowGroupLimit doesn't fire on an empty partition
+    # spec (plan-pinned in tests/test_plans2.py). The rank window then
+    # runs over 25 rows.
+    top = aa.orderBy(
+        F.col("aaq").desc(), F.col("u1").asc(), F.col("u2").asc()
+    ).limit(25)
+    top = top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(
+                F.col("aaq").desc(), F.col("u1").asc(), F.col("u2").asc()
+            )
+        ),
     )
     return top.select(
         "rank",
@@ -17026,15 +17032,18 @@ def q_doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("wq").alias("sq")
     )
     occ = ph.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    # global top-k via orderBy+limit → TakeOrderedAndProject (see
+    # q_graph_adamic_adar); the rank window then runs over 25 rows
     top = (
         pscore.join(occ, "phrase")
+        .orderBy(F.col("sq").desc(), F.col("phrase").asc())
+        .limit(RAKE_TOPK)
         .withColumn(
             "rank",
             F.row_number().over(
                 Window.orderBy(F.col("sq").desc(), F.col("phrase").asc())
             ),
         )
-        .filter(F.col("rank") <= RAKE_TOPK)
     )
     return top.select(
         "rank",
@@ -17286,20 +17295,285 @@ SELECT cls, rank, tok AS term, tf::BIGINT AS tf,
 FROM ranked WHERE rank <= {CTFIDF_TOPK}"""
 
 
+RQ_ORTH_DIMS = 4  # level-2 codebook: one centroid per sign-orthant
+
+
+def q_emb_rq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level residual quantization (the RQ sibling of the PQ/BQ
+    family): level 1 is the IVF label-mean quantizer (the exact
+    persisted-quantizer contract every IVF-family query shares);
+    level 2 quantizes the RESIDUAL v − c1 against 16 centroids
+    trained as sign-orthant means of the first four residual dims —
+    the deterministic stand-in for a residual k-means, same device as
+    the PQ codebook's label-grouped means. Assignment is the
+    broadcast-cross-join + map-side min_by argmin (crossed rows never
+    shuffle); distances snap to 1e-6 before the argmin so the
+    (dist, code) tie-break is engine-exact; residual coordinates snap
+    to 1e-9 before the codebook's exact DECIMAL mean. Emits both
+    codes and the final reconstruction error — approximation is a
+    measured number, like every sketch here."""
+    from ..functions.distance import dist_l2_fixed
+    from ..operators.ivf import EMB_DIM, assign_lists, label_centroids
+
+    emb = _emb(spark, sf_dir)
+    cent = label_centroids(emb).localCheckpoint(eager=True)
+    asg = assign_lists(emb, cent)
+    res = asg.join(
+        F.broadcast(
+            cent.select(F.col("label").alias("list_id"), "cvec")
+        ),
+        "list_id",
+    ).select(
+        "vec_id",
+        "list_id",
+        F.expr("zip_with(v, cvec, (a, b) -> a - b)").alias("r"),
+    )
+    orth = sum(
+        (F.element_at("r", d + 1) > 0).cast("int") * F.lit(2**d)
+        for d in range(RQ_ORTH_DIMS)
+    )
+    res = res.withColumn("orth", orth).localCheckpoint(eager=True)
+    ex = res.select(
+        "orth", F.posexplode("r").alias("pos", "x")
+    ).select(
+        "orth",
+        "pos",
+        F.floor(F.col("x") * 1e9 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    cb2d = (
+        ex.groupBy("orth", "pos")
+        .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "orth",
+            "pos",
+            (
+                F.floor(
+                    F.col("sq").cast("double")
+                    / F.col("cnt")
+                    / F.lit(1e9)
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+                + F.lit(0.0)
+            ).alias("c"),
+        )
+    )
+    cb2 = cb2d.groupBy("orth").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("c2")
+    )
+    cand = res.crossJoin(
+        F.broadcast(cb2.select(F.col("orth").alias("code2"), "c2"))
+    ).withColumn(
+        "d2s",
+        F.floor(
+            dist_l2_fixed(F.col("r"), F.col("c2"), EMB_DIM) * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6,
+    )
+    best = cand.groupBy("vec_id").agg(
+        F.first("list_id").alias("code1"),
+        F.first("r").alias("r"),
+        F.min_by(
+            F.struct(F.col("code2"), F.col("c2")),
+            F.struct(F.col("d2s"), F.col("code2")),
+        ).alias("m"),
+    )
+    return best.select(
+        "vec_id",
+        F.col("code1").cast("int").alias("code1"),
+        F.col("m.code2").cast("int").alias("code2"),
+        _rne(
+            dist_l2_fixed(F.col("r"), F.col("m.c2"), EMB_DIM),
+            "recon_err",
+            6,
+        ),
+    )
+
+
+def _sql_emb_rq_codes() -> str:
+    l2_rc = _sql_l2("o.r", "b.c2")
+    orth_bits = " + ".join(
+        f"{2**d} * (r[{d + 1}] > 0)::INT" for d in range(RQ_ORTH_DIMS)
+    )
+    return f"""
+WITH {_sql_ivf_base()},
+wc AS (
+  SELECT a.vec_id, a.list_id,
+         list_transform(range(1, 65), i -> a.v[i] - c.cvec[i]) AS r
+  FROM assigned a JOIN cent c ON a.list_id = c.label),
+orth AS (SELECT *, {orth_bits} AS orth FROM wc),
+ex AS (
+  SELECT orth AS o, i AS pos,
+         floor(r[i] * 1000000000.0 + 0.5)::DECIMAL(38,0) AS q
+  FROM orth, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)),
+cb2d AS (
+  SELECT o, pos,
+         floor(sum(q)::DOUBLE / count(*) / 1000000000.0
+               * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS c
+  FROM ex GROUP BY 1, 2),
+cb2 AS (SELECT o, list(c ORDER BY pos) AS c2 FROM cb2d GROUP BY 1),
+cand AS (
+  SELECT o.vec_id, o.list_id, o.r, b.o AS code2, b.c2,
+         floor({l2_rc} * 1000000.0 + 0.5) / 1000000.0 AS d2s
+  FROM orth o CROSS JOIN cb2 b),
+best AS (
+  SELECT vec_id, list_id, r, code2, c2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY d2s ASC, code2 ASC) AS rk
+    FROM cand)
+  WHERE rk = 1)
+SELECT vec_id, list_id::INT AS code1, code2::INT AS code2,
+       {_sql_rne(_sql_l2('r', 'c2'), 'recon_err', 6)}
+FROM best"""
+
+
+VAR_BT_P = 0.05  # VaR tail probability
+
+
+def q_ts_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VaR backtest with the Kupiec proportion-of-failures test — the
+    regulatory check beside the point estimate (ts_var_es): per
+    symbol, the 95% historical VaR is the ⌈0.05·n_cal⌉-th smallest
+    log return of the FIRST 70% of the filled grid (an order
+    statistic over 1e-9-snapped returns — tie-order-free), then the
+    held-out 30% counts exceedances (r < −VaR) and
+    LR_pof = −2[(n−x)ln(1−p) + x·ln p − (n−x)ln(1−x/n) − x·ln(x/n)]
+    measures whether the observed failure rate is consistent with
+    p = 5% (x = 0 and x = n use the 0·ln 0 = 0 convention,
+    CASE-guarded identically in both engines; ln p constants are
+    Python-computed literals shared verbatim). Windows + one groupBy
+    per symbol — rides the ts family's symbol exchange."""
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    prev = F.lag("close", 1).over(w)
+    lr = F.when(
+        (F.col("close") > 0) & (prev > 0),
+        F.log(F.col("close") / prev),
+    ).otherwise(F.when(prev.isNotNull(), F.lit(0.0)))
+    base = (
+        df.withColumn("r", F.floor(lr * 1e9 + F.lit(0.5)) / 1e9)
+        .filter(F.col("r").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "m", F.count(F.lit(1)).over(Window.partitionBy("symbol"))
+        )
+        .filter(F.col("m") >= 30)
+        .withColumn("n_cal", F.floor(F.col("m") * F.lit(0.7)))
+    )
+    cal = base.filter(F.col("rn") <= F.col("n_cal"))
+    k = F.ceil(F.col("n_cal") * F.lit(VAR_BT_P))
+    wq = Window.partitionBy("symbol").orderBy(
+        F.col("r").asc(), F.col("time_idx").asc()
+    )
+    var = (
+        cal.withColumn("qrn", F.row_number().over(wq))
+        .filter(F.col("qrn") == k)
+        .select("symbol", (-F.col("r")).alias("var95"), "n_cal")
+    )
+    test = base.filter(F.col("rn") > F.col("n_cal")).select("symbol", "r")
+    cnt = (
+        test.join(var, "symbol")
+        .groupBy("symbol")
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.max("var95").alias("var95"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("r") < -F.col("var95")).cast("long")
+            ).alias("x"),
+        )
+    )
+    lnp = math.log(VAR_BT_P)
+    ln1p = math.log(1.0 - VAR_BT_P)
+    n, x = F.col("n").cast("double"), F.col("x").cast("double")
+    t_obs = F.when(F.col("x") == 0, F.lit(0.0)).otherwise(
+        x * F.log(x / n)
+    ) + F.when(F.col("x") == F.col("n"), F.lit(0.0)).otherwise(
+        (n - x) * F.log(F.lit(1.0) - x / n)
+    )
+    lr_pof = F.lit(-2.0) * (
+        (n - x) * F.lit(ln1p) + x * F.lit(lnp) - t_obs
+    )
+    return cnt.select(
+        "symbol",
+        F.col("n_cal").cast("long").alias("n_cal"),
+        F.col("n").cast("long").alias("n_test"),
+        F.col("x").cast("long").alias("n_exceed"),
+        _rne(F.col("var95"), "var95", 8),
+        _rne(lr_pof, "kupiec_lr", 8),
+    )
+
+
+def _sql_ts_var_backtest() -> str:
+    lnp = math.log(VAR_BT_P)
+    ln1p = math.log(1.0 - VAR_BT_P)
+    t_obs = (
+        "(CASE WHEN x = 0 THEN 0.0"
+        " ELSE x::DOUBLE * ln(x::DOUBLE / n::DOUBLE) END"
+        " + CASE WHEN x = n THEN 0.0"
+        " ELSE (n - x)::DOUBLE * ln(1.0 - x::DOUBLE / n::DOUBLE) END)"
+    )
+    lr_pof = (
+        f"-2.0 * ((n - x)::DOUBLE * {ln1p!r} + x::DOUBLE * {lnp!r}"
+        f" - {t_obs})"
+    )
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+lagged AS (
+  SELECT symbol, time_idx, close,
+         lag(close) OVER (PARTITION BY symbol ORDER BY time_idx) AS prev
+  FROM filled),
+rets AS (
+  SELECT symbol, time_idx,
+         floor(CASE WHEN close > 0 AND prev > 0
+                    THEN ln(close / prev) ELSE 0.0 END
+               * 1000000000.0 + 0.5) / 1000000000.0 AS r
+  FROM lagged WHERE prev IS NOT NULL),
+base AS (
+  SELECT symbol, time_idx, r,
+         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) AS rn,
+         count(*) OVER (PARTITION BY symbol) AS m
+  FROM rets QUALIFY m >= 30),
+b2 AS (SELECT *, CAST(floor(m * 0.7) AS BIGINT) AS n_cal FROM base),
+var AS (
+  SELECT symbol, -r AS var95, n_cal FROM (
+    SELECT symbol, r, n_cal,
+           row_number() OVER (PARTITION BY symbol
+                              ORDER BY r ASC, time_idx ASC) AS qrn
+    FROM b2 WHERE rn <= n_cal)
+  WHERE qrn = CAST(ceil(n_cal * {VAR_BT_P}) AS BIGINT)),
+cnt AS (
+  SELECT t.symbol, max(v.n_cal) AS n_cal, max(v.var95) AS var95,
+         count(*) AS n, sum((t.r < -v.var95)::BIGINT) AS x
+  FROM b2 t JOIN var v ON t.symbol = v.symbol
+  WHERE t.rn > t.n_cal GROUP BY 1)
+SELECT symbol, n_cal::BIGINT AS n_cal, n::BIGINT AS n_test,
+       x::BIGINT AS n_exceed,
+       {_sql_rne('var95', 'var95', 8)},
+       {_sql_rne(lr_pof, 'kupiec_lr', 8)}
+FROM cnt"""
+
+
 def all_queries() -> dict[str, QueryFn]:
     # ORDER MATTERS: the driver's correctness gate checks entries in
     # registration order (observed cutoff: 50). CORRECTNESS_r09 was
     # 50/50 green, so every r8/r9 addition now has a driver row and
     # ALL queries registered before round 10 are driver-proven.
-    # Round-10 rotation: positions 1-13 = the thirteen round-10
+    # Round-10 rotation: positions 1-15 = the fifteen round-10
     # additions (ts_garch_vol, ts_conformal_interval,
     # ts_topdown_reconcile, graph_adamic_adar, doc_bigram_lm_ppl,
     # stream_garch_state, ts_theta_forecast, media_ahash_near_dup,
     # graph_lpa_communities, ts_ou_halflife, doc_rake_keyphrases,
-    # events_did_uplift, doc_ctfidf_class_terms), registered INSIDE
-    # the window so this round's driver gate proves them; the rest of
-    # the window keeps the r9 entries (now canaries) in their r9
-    # order.
+    # events_did_uplift, doc_ctfidf_class_terms, emb_rq_codes,
+    # ts_var_backtest), registered INSIDE the window so this round's
+    # driver gate proves them; the rest of the window keeps the r9
+    # entries (now canaries) in their r9 order.
     # Every entry carries a "last driver-green round" tag so any
     # future rotation stays mechanical.
     return {
@@ -17320,6 +17594,8 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_rake_keyphrases": q_doc_rake_keyphrases,  # never
         "events_did_uplift": q_events_did_uplift,  # never
         "doc_ctfidf_class_terms": q_doc_ctfidf_class_terms,  # never
+        "emb_rq_codes": q_emb_rq_codes,  # never
+        "ts_var_backtest": q_ts_var_backtest,  # never
         "emb_bq_hamming_topk": q_emb_bq_hamming_topk,  # r9
         "doc_winnow_pairs": q_doc_winnow_pairs,  # r9
         # in-engine VAE training (M2-M6). Iterative training has no
@@ -17604,6 +17880,8 @@ def _oracle_sql_map() -> dict[str, str]:
         "doc_rake_keyphrases": _sql_doc_rake_keyphrases(),
         "events_did_uplift": _sql_events_did_uplift(),
         "doc_ctfidf_class_terms": _sql_doc_ctfidf_class_terms(),
+        "emb_rq_codes": _sql_emb_rq_codes(),
+        "ts_var_backtest": _sql_ts_var_backtest(),
         "flagship_forecast_mae": _flagship_oracle(),
         "flagship_summary": (
             f"WITH base AS ({_flagship_oracle()}) "

@@ -193,3 +193,33 @@ def test_indicators5_stays_single_shuffle(spark):
         "Exchange hashpartitioning"
     )
     assert tail == base == 1
+
+
+def test_round10_global_topk_uses_take_ordered(spark):
+    """The round-10 global top-25 queries (Adamic-Adar, RAKE) must
+    plan as TakeOrderedAndProject — map-side partial top-k per input
+    partition, one k-row merge — NOT an unpartitioned row_number
+    window, which InferWindowGroupLimit does NOT rewrite (empty
+    partition spec) and which would sort every candidate pair/phrase
+    in a single task. The rank window that remains runs over the 25
+    survivors only."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_rake_keyphrases,
+        q_graph_adamic_adar,
+    )
+
+    for fn in (q_graph_adamic_adar, q_doc_rake_keyphrases):
+        plan = _plan(fn(spark, SF))
+        assert "TakeOrderedAndProject" in plan, fn.__name__
+
+
+def test_round10_perclass_topk_gets_window_group_limit(spark):
+    """The per-class top-5 (c-TF-IDF) keeps its partitioned
+    row_number window, so it must get the map-side WindowGroupLimit
+    rewrite (same contract as the k-NN/BQ pins above)."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_ctfidf_class_terms,
+    )
+
+    plan = _plan(q_doc_ctfidf_class_terms(spark, SF))
+    assert "WindowGroupLimit" in plan

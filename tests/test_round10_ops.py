@@ -720,3 +720,139 @@ def test_ctfidf_class_terms_matches_python_replay(spark, tmp_path):
     top_ml = [t for c, rk, t, _, _ in got if c == "en:ml" and rk <= 2]
     assert set(top_ml) <= {"network", "training", "neural", "weights",
                            "loss", "data"}
+
+
+# ------------------------------------------------------------------- rq
+
+
+def test_rq_codes_matches_python_replay(spark, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        RQ_ORTH_DIMS,
+        q_emb_rq_codes,
+    )
+
+    rng = np.random.RandomState(7)
+    n, dim = 48, 64
+    labels = rng.randint(0, 3, size=n)
+    centers = rng.randn(3, dim) * 2.0
+    vecs = (centers[labels] + rng.randn(n, dim) * 0.5).round(3)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        f"{tmp_path}/embeddings.parquet",
+    )
+
+    got = {
+        r["vec_id"]: (r["code1"], r["code2"], r["recon_err"])
+        for r in q_emb_rq_codes(spark, str(tmp_path)).collect()
+    }
+
+    # replay: float32 storage -> double, label means snapped 1e-6
+    v64 = vecs.astype(np.float32).astype(np.float64)
+    snap = lambda a, g: np.floor(a * g + 0.5) / g  # noqa: E731
+    cent = {
+        lb: snap(v64[labels == lb].mean(axis=0), 1e6)
+        for lb in set(labels)
+    }
+    exp = {}
+    assign1, residuals, orths = {}, {}, {}
+    for i in range(n):
+        best = min(
+            cent,
+            key=lambda lb: (np.sum((v64[i] - cent[lb]) ** 2), lb),
+        )
+        assign1[i] = best
+        r = v64[i] - cent[best]
+        residuals[i] = r
+        orths[i] = sum(
+            (1 << d) for d in range(RQ_ORTH_DIMS) if r[d] > 0
+        )
+    cb2 = {}
+    for o in set(orths.values()):
+        rs = np.array([residuals[i] for i in orths if orths[i] == o])
+        qs = np.floor(rs * 1e9 + 0.5)
+        mean = qs.sum(axis=0) / len(rs) / 1e9
+        cb2[o] = snap(mean, 1e6)
+    for i in range(n):
+        r = residuals[i]
+        best2 = min(
+            cb2,
+            key=lambda o: (
+                math.floor(
+                    math.sqrt(np.sum((r - cb2[o]) ** 2)) * 1e6 + 0.5
+                )
+                / 1e6,
+                o,
+            ),
+        )
+        err = math.sqrt(np.sum((r - cb2[best2]) ** 2))
+        exp[i] = (assign1[i], best2, _snap(err, 6))
+    # codes must match exactly; errors to the rounded grid
+    assert {k: v[:2] for k, v in got.items()} == {
+        k: v[:2] for k, v in exp.items()
+    }
+    for i in range(n):
+        assert abs(got[i][2] - exp[i][2]) < 2e-6, i
+    # 2-level reconstruction must beat level-1 alone on average
+    lvl1 = sum(
+        math.sqrt(np.sum(residuals[i] ** 2)) for i in range(n)
+    ) / n
+    lvl2 = sum(v[2] for v in got.values()) / n
+    assert lvl2 < lvl1
+
+
+# ------------------------------------------------------------- var bt
+
+
+def test_var_backtest_matches_python_replay(spark, tmp_path):
+    import random
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        VAR_BT_P,
+        q_ts_var_backtest,
+    )
+
+    rng = random.Random(17)
+    closes = [100.0]
+    for _ in range(59):
+        closes.append(
+            round(closes[-1] * (1.0 + rng.randint(-40, 40) / 1000.0), 6)
+        )
+    _write_events(spark, str(tmp_path), {2: closes})
+    rows = q_ts_var_backtest(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+
+    rets = [
+        math.floor(math.log(closes[i] / closes[i - 1]) * 1e9 + 0.5) / 1e9
+        for i in range(1, len(closes))
+    ]
+    m = len(rets)
+    n_cal = math.floor(m * 0.7)
+    k = math.ceil(n_cal * VAR_BT_P)
+    var95 = -sorted(rets[:n_cal])[k - 1]
+    test = rets[n_cal:]
+    x = sum(1 for t in test if t < -var95)
+    nn = len(test)
+    p, q = VAR_BT_P, 1.0 - VAR_BT_P
+    t_obs = (0.0 if x == 0 else x * math.log(x / nn)) + (
+        0.0 if x == nn else (nn - x) * math.log(1.0 - x / nn)
+    )
+    lr = -2.0 * ((nn - x) * math.log(q) + x * math.log(p) - t_obs)
+    assert r["n_cal"] == n_cal and r["n_test"] == nn
+    assert r["n_exceed"] == x
+    assert r["var95"] == _snap(var95, 8)
+    assert r["kupiec_lr"] == _snap(lr, 8)
+    assert x >= 1  # the fixture must exercise real exceedances
