@@ -17560,20 +17560,151 @@ SELECT symbol, n_cal::BIGINT AS n_cal, n::BIGINT AS n_test,
 FROM cnt"""
 
 
+def q_ts_macd_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD signal-cross strategy backtest — the capstone that turns
+    the indicator battery into a measured trading readout: position
+    at t is long (+1) iff macd > signal at t−1 (else short), strategy
+    return = position · log-return, emitting per symbol the total
+    return, unannualized Sharpe (exact-moment population variance),
+    and the trade count (position flips). Determinism: the MACD/
+    signal chained recursions are the W4 Arrow pass (bitwise vs the
+    oracle's two-stage prefix folds — same contract as ts_ema_macd);
+    log returns snap to 1e-9 so strategy returns live on the grid
+    exactly, and Σsr / Σsr² ride exact DECIMAL (the ar2
+    computational-formula device) — aggregation order cannot perturb
+    the Sharpe. One symbol exchange + one Arrow pass."""
+    from ..operators.rolling import macd
+
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    m = macd(df)
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    prev = F.lag("close", 1).over(w)
+    lr = F.when(
+        (F.col("close") > 0) & (prev > 0),
+        F.log(F.col("close") / prev),
+    ).otherwise(F.when(prev.isNotNull(), F.lit(0.0)))
+    base = (
+        m.withColumn("r", F.floor(lr * 1e9 + F.lit(0.5)) / 1e9)
+        .withColumn(
+            "pos",
+            F.when(
+                F.lag("macd", 1).over(w) > F.lag("macd_signal", 1).over(w),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        .filter(F.col("r").isNotNull())
+        .withColumn("pos_prev", F.lag("pos", 1).over(w))
+        .withColumn("sr", F.col("pos").cast("double") * F.col("r"))
+    )
+    agg = base.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("sr") * 1e9 + F.lit(0.5)).cast("decimal(38,0)")
+        ).alias("sq"),
+        F.sum(
+            F.floor(F.col("sr") * F.col("sr") * 1e12 + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sq2"),
+        F.sum(
+            (
+                F.col("pos_prev").isNotNull()
+                & (F.col("pos") != F.col("pos_prev"))
+            ).cast("long")
+        ).alias("n_trades"),
+    )
+    mean = F.col("sq").cast("double") / F.col("n") / F.lit(1e9)
+    ex2 = F.col("sq2").cast("double") / F.col("n") / F.lit(1e12)
+    var = ex2 - mean * mean
+    return agg.select(
+        "symbol",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_trades").cast("long").alias("n_trades"),
+        _rne(F.col("sq").cast("double") / F.lit(1e9), "total_return", 8),
+        _rne(
+            F.when(var > 0, mean / F.sqrt(var)),
+            "sharpe",
+            6,
+        ),
+    )
+
+
+def _sql_ts_macd_backtest() -> str:
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+pre AS (
+  SELECT symbol, time_idx, close,
+         list(close) OVER (PARTITION BY symbol ORDER BY time_idx
+           ROWS UNBOUNDED PRECEDING) AS pfx
+  FROM filled),
+e AS (
+  SELECT symbol, time_idx, close,
+         {_sql_ewm('pfx', '2.0/13.0')} AS ema12,
+         {_sql_ewm('pfx', '2.0/27.0')} AS ema26
+  FROM pre),
+m AS (SELECT symbol, time_idx, close, ema12 - ema26 AS macd FROM e),
+mp AS (
+  SELECT symbol, time_idx, close, macd,
+         list(macd) OVER (PARTITION BY symbol ORDER BY time_idx
+           ROWS UNBOUNDED PRECEDING) AS mpfx
+  FROM m),
+s AS (SELECT symbol, time_idx, close, macd,
+             {_sql_ewm('mpfx', '2.0/10.0')} AS sig
+      FROM mp),
+lagd AS (
+  SELECT symbol, time_idx, close,
+         lag(close) OVER wsym AS cprev,
+         lag(macd) OVER wsym AS mprev,
+         lag(sig) OVER wsym AS sprev
+  FROM s
+  WINDOW wsym AS (PARTITION BY symbol ORDER BY time_idx)),
+rows_ AS (
+  SELECT symbol, time_idx,
+         floor(CASE WHEN close > 0 AND cprev > 0
+                    THEN ln(close / cprev) ELSE 0.0 END
+               * 1000000000.0 + 0.5) / 1000000000.0 AS r,
+         CASE WHEN mprev > sprev THEN 1 ELSE -1 END AS pos
+  FROM lagd WHERE cprev IS NOT NULL),
+sr_ AS (
+  SELECT symbol, pos::DOUBLE * r AS sr,
+         lag(pos) OVER (PARTITION BY symbol ORDER BY time_idx)
+           AS pos_prev, pos
+  FROM rows_),
+agg AS (
+  SELECT symbol, count(*) AS n,
+         sum(floor(sr * 1000000000.0 + 0.5)::DECIMAL(38,0)) AS sq,
+         sum(floor(sr * sr * 1000000000000.0 + 0.5)::DECIMAL(38,0))
+           AS sq2,
+         sum((pos_prev IS NOT NULL AND pos <> pos_prev)::BIGINT)
+           AS n_trades
+  FROM sr_ GROUP BY 1)
+SELECT symbol, n::BIGINT AS n, n_trades::BIGINT AS n_trades,
+       {_sql_rne('sq::DOUBLE / 1000000000.0', 'total_return', 8)},
+       {_sql_rne(
+           'CASE WHEN (sq2::DOUBLE / n / 1000000000000.0)'
+           ' - (sq::DOUBLE / n / 1000000000.0)'
+           ' * (sq::DOUBLE / n / 1000000000.0) > 0'
+           ' THEN (sq::DOUBLE / n / 1000000000.0)'
+           ' / sqrt((sq2::DOUBLE / n / 1000000000000.0)'
+           ' - (sq::DOUBLE / n / 1000000000.0)'
+           ' * (sq::DOUBLE / n / 1000000000.0)) END',
+           'sharpe', 6)}
+FROM agg"""
+
+
 def all_queries() -> dict[str, QueryFn]:
     # ORDER MATTERS: the driver's correctness gate checks entries in
     # registration order (observed cutoff: 50). CORRECTNESS_r09 was
     # 50/50 green, so every r8/r9 addition now has a driver row and
     # ALL queries registered before round 10 are driver-proven.
-    # Round-10 rotation: positions 1-15 = the fifteen round-10
+    # Round-10 rotation: positions 1-16 = the sixteen round-10
     # additions (ts_garch_vol, ts_conformal_interval,
     # ts_topdown_reconcile, graph_adamic_adar, doc_bigram_lm_ppl,
     # stream_garch_state, ts_theta_forecast, media_ahash_near_dup,
     # graph_lpa_communities, ts_ou_halflife, doc_rake_keyphrases,
     # events_did_uplift, doc_ctfidf_class_terms, emb_rq_codes,
-    # ts_var_backtest), registered INSIDE the window so this round's
-    # driver gate proves them; the rest of the window keeps the r9
-    # entries (now canaries) in their r9 order.
+    # ts_var_backtest, ts_macd_backtest), registered INSIDE the
+    # window so this round's driver gate proves them; the rest of the
+    # window keeps the r9 entries (now canaries) in their r9 order.
     # Every entry carries a "last driver-green round" tag so any
     # future rotation stays mechanical.
     return {
@@ -17596,6 +17727,7 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_ctfidf_class_terms": q_doc_ctfidf_class_terms,  # never
         "emb_rq_codes": q_emb_rq_codes,  # never
         "ts_var_backtest": q_ts_var_backtest,  # never
+        "ts_macd_backtest": q_ts_macd_backtest,  # never
         "emb_bq_hamming_topk": q_emb_bq_hamming_topk,  # r9
         "doc_winnow_pairs": q_doc_winnow_pairs,  # r9
         # in-engine VAE training (M2-M6). Iterative training has no
@@ -17882,6 +18014,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "doc_ctfidf_class_terms": _sql_doc_ctfidf_class_terms(),
         "emb_rq_codes": _sql_emb_rq_codes(),
         "ts_var_backtest": _sql_ts_var_backtest(),
+        "ts_macd_backtest": _sql_ts_macd_backtest(),
         "flagship_forecast_mae": _flagship_oracle(),
         "flagship_summary": (
             f"WITH base AS ({_flagship_oracle()}) "

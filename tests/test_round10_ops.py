@@ -856,3 +856,59 @@ def test_var_backtest_matches_python_replay(spark, tmp_path):
     assert r["var95"] == _snap(var95, 8)
     assert r["kupiec_lr"] == _snap(lr, 8)
     assert x >= 1  # the fixture must exercise real exceedances
+
+
+# ------------------------------------------------------------- macd bt
+
+
+def test_macd_backtest_matches_python_replay(spark, tmp_path):
+    import random
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_macd_backtest,
+    )
+
+    rng = random.Random(23)
+    closes = [100.0]
+    for i in range(49):
+        trend = 0.4 if (i // 12) % 2 == 0 else -0.4  # regime flips
+        closes.append(
+            round(closes[-1] + trend + rng.randint(-3, 3) / 10.0, 4)
+        )
+    _write_events(spark, str(tmp_path), {8: closes})
+    rows = q_ts_macd_backtest(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+
+    af, asl, asg = 2.0 / 13.0, 2.0 / 27.0, 2.0 / 10.0
+    yf = ys = ysig = None
+    macd, sig = [], []
+    for x in closes:
+        yf = x if yf is None else (1.0 - af) * yf + af * x
+        ys = x if ys is None else (1.0 - asl) * ys + asl * x
+        mv = yf - ys
+        ysig = mv if ysig is None else (1.0 - asg) * ysig + asg * mv
+        macd.append(mv)
+        sig.append(ysig)
+    sq = sq2 = trades = 0
+    pos_prev = None
+    n = 0
+    for t in range(1, len(closes)):
+        rr = math.floor(
+            math.log(closes[t] / closes[t - 1]) * 1e9 + 0.5
+        ) / 1e9
+        pos = 1 if macd[t - 1] > sig[t - 1] else -1
+        sr = pos * rr
+        sq += math.floor(sr * 1e9 + 0.5)
+        sq2 += math.floor(sr * sr * 1e12 + 0.5)
+        if pos_prev is not None and pos != pos_prev:
+            trades += 1
+        pos_prev = pos
+        n += 1
+    mean = sq / n / 1e9
+    var = sq2 / n / 1e12 - mean * mean
+    assert r["n"] == n and r["n_trades"] == trades
+    assert r["total_return"] == _snap(sq / 1e9, 8)
+    assert r["sharpe"] == _snap(mean / math.sqrt(var), 6)
+    # the regime-flip fixture must actually trade both directions
+    assert trades >= 2
