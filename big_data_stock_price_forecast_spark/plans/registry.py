@@ -16417,16 +16417,24 @@ def q_doc_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "m",
-            F.floor(
-                -F.log(
-                    (F.coalesce(F.col("c2"), F.lit(0)) + k)
-                    / (F.coalesce(F.col("c1"), F.lit(0)) + k * F.col("v"))
-                )
-                * F.lit(1e9)
-                + F.lit(0.5)
-            )
-            .cast("decimal(38,0)")
-            .alias("sq"),
+            # v >= 1 guard: an all-eval corpus (empty train split)
+            # would put ln(x/0)=Inf through floor, where Spark's
+            # DECIMAL cast nulls and DuckDB's errors — NULL the
+            # surprisal identically instead
+            F.when(
+                F.col("v") >= 1,
+                F.floor(
+                    -F.log(
+                        (F.coalesce(F.col("c2"), F.lit(0)) + k)
+                        / (
+                            F.coalesce(F.col("c1"), F.lit(0))
+                            + k * F.col("v")
+                        )
+                    )
+                    * F.lit(1e9)
+                    + F.lit(0.5)
+                ).cast("decimal(38,0)"),
+            ).alias("sq"),
         )
     )
     agg = joined.groupBy("doc_id").agg(
@@ -16474,9 +16482,11 @@ ev AS (
   FROM big WHERE is_eval GROUP BY 1, 2, 3),
 joined AS (
   SELECT doc_id, m,
-         floor(-ln((coalesce(c2, 0) + {k})
-                   / (coalesce(c1, 0) + {k} * v))
-               * 1000000000.0 + 0.5)::DECIMAL(38,0) AS sq
+         CASE WHEN v >= 1 THEN
+           floor(-ln((coalesce(c2, 0) + {k})
+                     / (coalesce(c1, 0) + {k} * v))
+                 * 1000000000.0 + 0.5)::DECIMAL(38,0)
+         END AS sq
   FROM ev
   LEFT JOIN c2 USING (a, b)
   LEFT JOIN c1 USING (a)
