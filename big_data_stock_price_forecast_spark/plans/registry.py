@@ -17701,20 +17701,107 @@ SELECT symbol, n::BIGINT AS n, n_trades::BIGINT AS n_trades,
 FROM agg"""
 
 
+def q_ts_underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown DURATION analysis — the time dimension ts_drawdown's
+    depth readout lacks: per symbol, the longest underwater spell
+    (consecutive grid rows strictly below the running peak), its start
+    time_idx (earliest among ties), and the length of the CURRENT
+    trailing spell. Underwater flags come from one running-max window;
+    spells from the established rn − row_number() run-merge device —
+    every output is an exact integer, so nothing rounds. The first
+    grid row is never underwater (close == peak), so the trailing-
+    spell subtraction always has an anchor. Two windows + one groupBy
+    riding the ts family's symbol exchange."""
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    base = df.withColumn(
+        "peak",
+        F.max("close").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("rn", F.row_number().over(w))
+    uw = base.withColumn("under", (F.col("close") < F.col("peak")))
+    runs = uw.filter(F.col("under")).withColumn(
+        "run_id",
+        F.col("rn")
+        - F.row_number().over(Window.partitionBy("symbol").orderBy("rn")),
+    )
+    per_run = runs.groupBy("symbol", "run_id").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("time_idx").alias("start"),
+        F.max("rn").alias("last_rn"),
+    )
+    tot = uw.groupBy("symbol").agg(
+        F.max("rn").alias("m"),
+        F.max(F.when(~F.col("under"), F.col("rn"))).alias("last_dry"),
+    )
+    best = per_run.groupBy("symbol").agg(
+        F.max(
+            F.struct(
+                F.col("len"),
+                (-F.col("start")).alias("neg_start"),
+            )
+        ).alias("b"),
+    )
+    out = tot.join(best, "symbol", "left")
+    return out.select(
+        "symbol",
+        F.coalesce(F.col("b.len"), F.lit(0)).cast("long").alias(
+            "longest_uw"
+        ),
+        (-F.col("b.neg_start")).cast("long").alias("longest_uw_start"),
+        (F.col("m") - F.col("last_dry")).cast("long").alias("current_uw"),
+    )
+
+
+def _sql_ts_underwater_duration() -> str:
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+base AS (
+  SELECT symbol, time_idx, close,
+         max(close) OVER (PARTITION BY symbol ORDER BY time_idx
+           ROWS UNBOUNDED PRECEDING) AS peak,
+         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) AS rn
+  FROM filled),
+uw AS (SELECT *, close < peak AS under FROM base),
+runs AS (
+  SELECT symbol, time_idx, rn,
+         rn - row_number() OVER (PARTITION BY symbol ORDER BY rn)
+           AS run_id
+  FROM uw WHERE under),
+per_run AS (
+  SELECT symbol, run_id, count(*) AS len, min(time_idx) AS start
+  FROM runs GROUP BY 1, 2),
+best AS (
+  SELECT symbol, len, start FROM (
+    SELECT symbol, len, start,
+           row_number() OVER (PARTITION BY symbol
+                              ORDER BY len DESC, start ASC) AS rk
+    FROM per_run)
+  WHERE rk = 1),
+tot AS (
+  SELECT symbol, max(rn) AS m,
+         max(CASE WHEN NOT under THEN rn END) AS last_dry
+  FROM uw GROUP BY 1)
+SELECT t.symbol,
+       coalesce(b.len, 0)::BIGINT AS longest_uw,
+       b.start::BIGINT AS longest_uw_start,
+       (t.m - t.last_dry)::BIGINT AS current_uw
+FROM tot t LEFT JOIN best b ON t.symbol = b.symbol"""
+
+
 def all_queries() -> dict[str, QueryFn]:
     # ORDER MATTERS: the driver's correctness gate checks entries in
     # registration order (observed cutoff: 50). CORRECTNESS_r09 was
     # 50/50 green, so every r8/r9 addition now has a driver row and
     # ALL queries registered before round 10 are driver-proven.
-    # Round-10 rotation: positions 1-16 = the sixteen round-10
+    # Round-10 rotation: positions 1-17 = the seventeen round-10
     # additions (ts_garch_vol, ts_conformal_interval,
     # ts_topdown_reconcile, graph_adamic_adar, doc_bigram_lm_ppl,
     # stream_garch_state, ts_theta_forecast, media_ahash_near_dup,
     # graph_lpa_communities, ts_ou_halflife, doc_rake_keyphrases,
     # events_did_uplift, doc_ctfidf_class_terms, emb_rq_codes,
-    # ts_var_backtest, ts_macd_backtest), registered INSIDE the
-    # window so this round's driver gate proves them; the rest of the
-    # window keeps the r9 entries (now canaries) in their r9 order.
+    # ts_var_backtest, ts_macd_backtest, ts_underwater_duration),
+    # registered INSIDE the window so this round's driver gate proves
+    # them; the rest of the window keeps the r9 entries (now
+    # canaries) in their r9 order.
     # Every entry carries a "last driver-green round" tag so any
     # future rotation stays mechanical.
     return {
@@ -17738,6 +17825,7 @@ def all_queries() -> dict[str, QueryFn]:
         "emb_rq_codes": q_emb_rq_codes,  # never
         "ts_var_backtest": q_ts_var_backtest,  # never
         "ts_macd_backtest": q_ts_macd_backtest,  # never
+        "ts_underwater_duration": q_ts_underwater_duration,  # never
         "emb_bq_hamming_topk": q_emb_bq_hamming_topk,  # r9
         "doc_winnow_pairs": q_doc_winnow_pairs,  # r9
         # in-engine VAE training (M2-M6). Iterative training has no
@@ -18025,6 +18113,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "emb_rq_codes": _sql_emb_rq_codes(),
         "ts_var_backtest": _sql_ts_var_backtest(),
         "ts_macd_backtest": _sql_ts_macd_backtest(),
+        "ts_underwater_duration": _sql_ts_underwater_duration(),
         "flagship_forecast_mae": _flagship_oracle(),
         "flagship_summary": (
             f"WITH base AS ({_flagship_oracle()}) "

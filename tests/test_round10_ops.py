@@ -912,3 +912,71 @@ def test_macd_backtest_matches_python_replay(spark, tmp_path):
     assert r["sharpe"] == _snap(mean / math.sqrt(var), 6)
     # the regime-flip fixture must actually trade both directions
     assert trades >= 2
+
+
+# ------------------------------------------------------------ underwater
+
+
+def test_underwater_duration_matches_python_replay(spark, tmp_path):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_underwater_duration,
+    )
+
+    series = {
+        # peak 105 at i=2; underwater spells: [3..5] len 3, new peak
+        # at 6, then [7..9] len 3 (tie -> earliest start wins), ends
+        # underwater so current_uw = 3
+        1: [100, 104, 105, 101, 103, 104, 106, 105, 104, 105],
+        # monotone up: never underwater
+        2: [50, 51, 52, 53],
+    }
+    series = {k: [float(x) for x in v] for k, v in series.items()}
+    _write_events(spark, str(tmp_path), series)
+    got = {
+        r["symbol"]: (
+            r["longest_uw"], r["longest_uw_start"], r["current_uw"]
+        )
+        for r in q_ts_underwater_duration(spark, str(tmp_path)).collect()
+    }
+    t0 = {
+        s: min(
+            rr["time_idx"]
+            for rr in spark.read.parquet(f"{tmp_path}/events.parquet")
+            .selectExpr(
+                "user_id",
+                "cast(floor((unix_micros(cast(ts as timestamp))"
+                " - 946684800000000) / 21600000000) as long) as ti",
+            )
+            .filter(F.col("user_id") == s)
+            .selectExpr("ti as time_idx")
+            .collect()
+        )
+        for s in series
+    }
+    # replay
+    exp = {}
+    for s, cs in series.items():
+        peak, spells, cur = float("-inf"), [], 0
+        run = 0
+        starts = []
+        for i, c in enumerate(cs):
+            peak = max(peak, c)
+            if c < peak:
+                if run == 0:
+                    starts.append(i)
+                run += 1
+            else:
+                if run:
+                    spells.append((run, starts[-1]))
+                run = 0
+        if run:
+            spells.append((run, starts[-1]))
+        cur = run
+        if spells:
+            ln, st = max(spells, key=lambda p: (p[0], -p[1]))
+            exp[s] = (ln, t0[s] + st, cur)
+        else:
+            exp[s] = (0, None, 0)
+    assert got == exp
+    assert got[1][0] == 3 and got[1][2] == 3
+    assert got[2] == (0, None, 0)
