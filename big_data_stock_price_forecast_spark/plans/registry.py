@@ -3407,10 +3407,18 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_terms"),
         F.sum("tf").alias("total_tf"),
     )
+    # global top-k via orderBy+limit → TakeOrderedAndProject (map-side
+    # partial top-k per input partition, then one k-row merge); the
+    # previous unpartitioned row_number window sorted EVERY matching
+    # doc in one task — InferWindowGroupLimit doesn't fire on an empty
+    # partition spec (plan-pinned in tests/test_plans2.py). The rank
+    # window then runs over the BM25_TOPK survivors only.
+    top = agg.orderBy(
+        F.col("score_dec").desc(), F.col("doc_id").asc()
+    ).limit(BM25_TOPK)
     w = Window.orderBy(F.col("score_dec").desc(), F.col("doc_id").asc())
     return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= BM25_TOPK)
+        top.withColumn("rank", F.row_number().over(w))
         .select(
             "rank",
             "doc_id",

@@ -213,6 +213,31 @@ def test_round10_global_topk_uses_take_ordered(spark):
         assert "TakeOrderedAndProject" in plan, fn.__name__
 
 
+def test_global_topk_audit_uses_take_ordered(spark):
+    """Round-11 sweep of every PRE-round-10 query whose output is a
+    globally ranked/limited frame (r10 verdict finding #1): each must
+    plan its global cut as TakeOrderedAndProject, never an
+    unpartitioned row_number over a data-sized frame. BM25 was the one
+    offender (fixed r11); the rest were already orderBy+limit shaped —
+    this pin keeps them that way."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_bm25_topk,
+        q_doc_textrank_terms,
+        q_doc_zipf_fit,
+        q_events_skew_report,
+    )
+
+    for fn in (
+        q_doc_bm25_topk,
+        q_doc_textrank_terms,
+        q_doc_zipf_fit,
+        q_events_skew_report,
+        q_graph_hits_parts,
+    ):
+        plan = _plan(fn(spark, SF))
+        assert "TakeOrderedAndProject" in plan, fn.__name__
+
+
 def test_round10_perclass_topk_gets_window_group_limit(spark):
     """The per-class top-5 (c-TF-IDF) keeps its partitioned
     row_number window, so it must get the map-side WindowGroupLimit
