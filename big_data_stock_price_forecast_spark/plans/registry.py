@@ -16724,7 +16724,17 @@ def q_media_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs answer exactly (the oracle deliberately brute-forces to
     prove the banding loses nothing). Engine cost: candidates ∝
     Σ per-band-bucket df², never all-pairs; hamming is 8 xor+popcount
-    ops on 8-byte codes — the payload bytes never join."""
+    ops on 8-byte codes — the payload bytes never join.
+
+    Output is two row kinds in one frame (kind, k1, k2, v):
+    ``('band', bi, n_buckets, cand_pairs)`` — one row per LSH band
+    with its bucket count and Σ df·(df−1)/2 candidate-pair mass — and
+    ``('pair', id_i, id_j, hamming)`` for each near-dup pair. The band
+    tier is non-empty at EVERY scale factor, so the driver's oracle
+    hash always covers real rows (r10 verdict: the pair-only output
+    was vacuously green at SFs where the corpus has no near-dups),
+    and it doubles as the banding-cost audit a 100 TB run would read
+    before launching the candidate join."""
     from ..operators.multimodal import AHASH_BANDS, ahash_bands
 
     h = ahash_bands(_media(spark, sf_dir))
@@ -16756,13 +16766,34 @@ def q_media_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham = sum(
         F.expr(f"bit_count(a{k} ^ b{k})") for k in range(AHASH_BANDS)
     )
-    return (
+    pair_rows = (
         pairs.join(ha, "id_i")
         .join(hb, "id_j")
         .withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= AHASH_MAX_DIST)
-        .select("id_i", "id_j", "hamming")
+        .select(
+            F.lit("pair").alias("kind"),
+            F.col("id_i").alias("k1"),
+            F.col("id_j").alias("k2"),
+            F.col("hamming").alias("v"),
+        )
     )
+    band_rows = (
+        cand.groupBy("bi", "bv")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .groupBy("bi")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.expr("df * (df - 1) div 2")).alias("cand_pairs"),
+        )
+        .select(
+            F.lit("band").alias("kind"),
+            F.col("bi").cast("long").alias("k1"),
+            F.col("n_buckets").cast("long").alias("k2"),
+            F.col("cand_pairs").cast("long").alias("v"),
+        )
+    )
+    return band_rows.unionByName(pair_rows)
 
 
 def _sql_media_ahash_near_dup() -> str:
@@ -16780,6 +16811,10 @@ def _sql_media_ahash_near_dup() -> str:
     )
     ham = " + ".join(
         f"bit_count(xor(a.a{k}, b.a{k}))" for k in range(AHASH_BANDS)
+    )
+    band_unpivot = "\n  UNION ALL ".join(
+        f"SELECT media_id, {k} AS bi, a{k} AS bv FROM bands"
+        for k in range(AHASH_BANDS)
     )
     return f"""
 WITH m AS (
@@ -16804,12 +16839,21 @@ bits AS (
 bands AS (
   SELECT media_id,
          {band_cols}
-  FROM bits)
-SELECT * FROM (
-  SELECT a.media_id AS id_i, b.media_id AS id_j,
-         ({ham})::BIGINT AS hamming
-  FROM bands a JOIN bands b ON a.media_id < b.media_id)
-WHERE hamming <= {AHASH_MAX_DIST}"""
+  FROM bits),
+ub AS (
+  {band_unpivot}),
+bstats AS (SELECT bi, bv, count(*) AS df FROM ub GROUP BY 1, 2),
+brows AS (
+  SELECT 'band' AS kind, bi::BIGINT AS k1, count(*)::BIGINT AS k2,
+         sum(df * (df - 1) // 2)::BIGINT AS v
+  FROM bstats GROUP BY bi),
+prows AS (
+  SELECT 'pair' AS kind, id_i AS k1, id_j AS k2, hamming AS v FROM (
+    SELECT a.media_id AS id_i, b.media_id AS id_j,
+           ({ham})::BIGINT AS hamming
+    FROM bands a JOIN bands b ON a.media_id < b.media_id)
+  WHERE hamming <= {AHASH_MAX_DIST})
+SELECT * FROM brows UNION ALL SELECT * FROM prows"""
 
 
 LPA_ROUNDS = 3

@@ -433,9 +433,9 @@ def test_media_ahash_near_dup_matches_python_replay(spark, tmp_path):
         " n_chars long",
     ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
 
+    rows = q_media_ahash_near_dup(spark, str(tmp_path)).collect()
     got = sorted(
-        (r["id_i"], r["id_j"], r["hamming"])
-        for r in q_media_ahash_near_dup(spark, str(tmp_path)).collect()
+        (r["k1"], r["k2"], r["v"]) for r in rows if r["kind"] == "pair"
     )
     hs = {d: _py_ahash(t) for d, t in texts.items() if d % 3 == 0}
     exp = []
@@ -450,6 +450,65 @@ def test_media_ahash_near_dup_matches_python_replay(spark, tmp_path):
     assert got == sorted(exp)
     assert (0, 3, 0) in got  # the exact dup pair
     assert all(u % 3 == 0 and v % 3 == 0 for u, v, _ in got)
+    # the band tier (r11: the always-non-empty companion) replays too:
+    # per band bi, bucket count and sum of df*(df-1)/2 over bucket sizes
+    bands_got = sorted(
+        (r["k1"], r["k2"], r["v"]) for r in rows if r["kind"] == "band"
+    )
+    bexp = []
+    for bi in range(8):
+        from collections import Counter
+
+        c = Counter(hs[i][bi] for i in ids)
+        bexp.append(
+            (bi, len(c), sum(d * (d - 1) // 2 for d in c.values()))
+        )
+    assert bands_got == bexp
+
+
+def test_media_ahash_oracle_sql_matches_spark_on_planted_corpus(
+    spark, tmp_path
+):
+    """r10 verdict/advice: the driver gate saw 0 rows at its SF, so the
+    oracle's hex-decode/band-derivation SQL was never exercised on a
+    non-empty frame. Run the SAME DuckDB oracle SQL against the planted
+    near-dup corpus and require exact equality with the Spark side —
+    including the near-dup pairs that the fixture corpus lacks."""
+    import duckdb
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        _sql_media_ahash_near_dup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    texts = {
+        0: base,
+        3: base,
+        6: base[:-6] + "cats!!",
+        9: "".join(chr(97 + (i * 7) % 26) for i in range(300)),
+        12: "completely different payload " + "zz" * 100,
+        2: base,
+    }
+    spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in texts.items()],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = sorted(
+        tuple(r) for r in
+        q_media_ahash_near_dup(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = sorted(tuple(r) for r in
+                    con.sql(_sql_media_ahash_near_dup()).fetchall())
+    assert got == oracle
+    assert any(k == "pair" for k, *_ in got)  # non-vacuous pair tier
+    assert sum(1 for k, *_ in got if k == "band") == 8
 
 
 # ------------------------------------------------------------------ lpa
