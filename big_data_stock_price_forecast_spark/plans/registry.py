@@ -16574,9 +16574,15 @@ def q_ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     first element — bitwise); the OLS slope is one double division
     of exact DECIMAL sums; abs errors snap 1e-9 before the exact MAE
     sum. Symbols need ≥ 4 grid rows (slope needs 2 calibration
-    points and 1 test row). One groupBy per symbol — rides the ts
-    family's symbol exchange; per-symbol state is one (level, slope)
-    pair, never the series."""
+    points and 1 test row). The SES level runs as the W4 ``ewm_smooth``
+    Arrow pass (same recurrence, same seed — bitwise equal to the
+    oracle's ``list_reduce`` fold) and the level is read off the LAST
+    calibration row, so no aggregate ever materializes the series in
+    a single row (r10 advice: the previous ``collect_list`` fold held
+    the whole calibration series in one aggregate buffer); the OLS
+    sums ride the same per-symbol exchange."""
+    from ..operators.rolling import ewm_smooth
+
     a = THETA_ALPHA
     df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
     w = Window.partitionBy("symbol").orderBy("time_idx")
@@ -16595,28 +16601,30 @@ def q_ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cal = base.filter(F.col("rn") <= F.col("n_cal"))
-    fit = cal.groupBy("symbol").agg(
+    lev = ewm_smooth(
+        cal.select(
+            "symbol",
+            "time_idx",
+            "rn",
+            "n_cal",
+            (F.col("qc").cast("double") / F.lit(1e6)).alias("y"),
+        ),
+        {"level": ("y", a)},
+    )
+    lev_last = lev.filter(F.col("rn") == F.col("n_cal")).select(
+        "symbol", "level"
+    )
+    sums = cal.groupBy("symbol").agg(
         F.max("n_cal").alias("n_cal"),
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("rn"),
-                    (F.col("qc").cast("double") / F.lit(1e6)).alias("y"),
-                )
-            )
-        ).alias("vs0"),
         F.sum("rn").cast("decimal(38,0)").alias("sx"),
         F.sum("qc").alias("sy"),
         F.sum(F.col("qc") * F.col("rn")).alias("sxy"),
         F.sum(F.col("rn") * F.col("rn")).cast("decimal(38,0)").alias("sxx"),
     )
-    fit = fit.withColumn("vs", F.expr("transform(vs0, s -> s.y)")).select(
+    fit = sums.join(lev_last, "symbol").select(
         "symbol",
         "n_cal",
-        F.expr(
-            f"aggregate(slice(vs, 2, size(vs) - 1), vs[0],"
-            f" (acc, x) -> (1.0D - {a}D) * acc + {a}D * x)"
-        ).alias("level"),
+        "level",
         (
             (
                 F.col("n_cal").cast("decimal(38,0)") * F.col("sxy")
