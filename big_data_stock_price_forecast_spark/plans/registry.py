@@ -16258,25 +16258,20 @@ SELECT symbol, n_test::BIGINT AS n_test,
 FROM agg"""
 
 
-AA_DF_MAX = 16  # Adamic-Adar item df cap (hub cut)
+AA_DF_MAX = 16  # co-attendance item df cap (hub cut), shared graph family
 
 
-def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adamic–Adar link prediction over the user–item bipartite graph
-    (item = (event_type, day, ⌊value⌋) co-attendance — fine enough
-    that item degree stays bounded as the corpus grows, the property
-    any blocking key needs at scale): for user pairs sharing items,
-    AA = Σ_shared 1/ln(df_item) — the inverted-log-degree
-    common-neighbor score. Hub items (df > 16) are cut BEFORE pair
-    expansion — the same df-cap discipline as the MinHash inverted
-    index (work ∝ Σ df² stays bounded; hubs contribute the least AA
-    weight by construction, 1/ln(df)) — and singleton items (df < 2)
-    produce no pairs. Determinism: each item weight snaps to the
-    1e-12 grid and per-pair sums ride exact DECIMAL, so the top-25
-    ranking (aa DESC, u1, u2) is order-free; ln(integer df) is one
-    identical IEEE op in both engines. One distinct + one windowed
-    df + one self-join on item (shuffle key = item, skew bounded by
-    the cap)."""
+def _coattendance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared df-capped user–item co-attendance frame for the graph
+    family (adamic_adar / lpa_communities / jaccard_links): item =
+    (event_type, day, ⌊value⌋) — fine enough that item degree stays
+    bounded as the corpus grows, the property any blocking key needs
+    at scale. Hub items (df > AA_DF_MAX) are cut BEFORE any pair
+    expansion (work ∝ Σ df² stays bounded) and singleton items
+    (df < 2) produce no pairs. Returns (user_id, item, df). The
+    oracle twin is ``SQL_COATTEND`` — one definition per engine, so
+    a blocking-key change (cap, NULL-concat convention) edits exactly
+    two sites (r10 advice)."""
     ev = (
         load_table(spark, sf_dir, "events")
         .select(
@@ -16294,10 +16289,41 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    d = ev.withColumn(
+    return ev.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("item"))
     ).filter((F.col("df") >= 2) & (F.col("df") <= AA_DF_MAX))
-    d = d.withColumn(
+
+
+SQL_COATTEND = f"""ev AS (
+  SELECT DISTINCT user_id,
+         event_type || ':' || CAST(ts::DATE AS VARCHAR) || ':'
+           || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS item
+  FROM events),
+dca AS (
+  SELECT user_id, item, df FROM (
+    SELECT user_id, item, count(*) OVER (PARTITION BY item) AS df
+    FROM ev)
+  WHERE df BETWEEN 2 AND {AA_DF_MAX})"""
+
+
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the user–item bipartite graph
+    (item = (event_type, day, ⌊value⌋) co-attendance — fine enough
+    that item degree stays bounded as the corpus grows, the property
+    any blocking key needs at scale): for user pairs sharing items,
+    AA = Σ_shared 1/ln(df_item) — the inverted-log-degree
+    common-neighbor score. Hub items (df > 16) are cut BEFORE pair
+    expansion — the same df-cap discipline as the MinHash inverted
+    index (work ∝ Σ df² stays bounded; hubs contribute the least AA
+    weight by construction, 1/ln(df)) — and singleton items (df < 2)
+    produce no pairs. Determinism: each item weight snaps to the
+    1e-12 grid and per-pair sums ride exact DECIMAL, so the top-25
+    ranking (aa DESC, u1, u2) is order-free; ln(integer df) is one
+    identical IEEE op in both engines. One distinct + one windowed
+    df + one self-join on item (shuffle key = item, skew bounded by
+    the cap). Item construction + df cap live in ``_coattendance``
+    (shared with the LPA/Jaccard queries)."""
+    d = _coattendance(spark, sf_dir).withColumn(
         "wq",
         F.floor(F.lit(1e12) / F.log(F.col("df").cast("double")) + F.lit(0.5))
         .cast("decimal(38,0)"),
@@ -16339,18 +16365,11 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_graph_adamic_adar() -> str:
     return f"""
-WITH ev AS (
-  SELECT DISTINCT user_id,
-         event_type || ':' || CAST(ts::DATE AS VARCHAR) || ':'
-           || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS item
-  FROM events),
+WITH {SQL_COATTEND},
 d AS (
   SELECT user_id, item,
          floor(1000000000000.0 / ln(df::DOUBLE) + 0.5)::DECIMAL(38,0) AS wq
-  FROM (SELECT user_id, item,
-               count(*) OVER (PARTITION BY item) AS df
-        FROM ev)
-  WHERE df BETWEEN 2 AND {AA_DF_MAX}),
+  FROM dca),
 aa AS (
   SELECT a.user_id AS u1, b.user_id AS u2,
          sum(a.wq) AS aaq, count(*) AS n_shared
@@ -16877,24 +16896,9 @@ def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one edge-label join + one (node, label) count + one windowed
     argmax — three rounds unrolled as shuffles on the node key; state
     per node is ONE label, never the history. The oracle unrolls the
-    identical three rounds as chained CTEs."""
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select(
-            "user_id",
-            F.concat(
-                F.col("event_type"),
-                F.lit(":"),
-                F.to_date("ts").cast("string"),
-                F.lit(":"),
-                F.floor("value").cast("string"),
-            ).alias("item"),
-        )
-        .distinct()
-    )
-    d = ev.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("item"))
-    ).filter((F.col("df") >= 2) & (F.col("df") <= AA_DF_MAX))
+    identical three rounds as chained CTEs. Item construction + df
+    cap live in ``_coattendance`` (shared with adamic_adar/jaccard)."""
+    d = _coattendance(spark, sf_dir)
     a = d.select(F.col("user_id").alias("u"), "item")
     b = d.select(F.col("user_id").alias("v"), "item")
     und = (
@@ -16947,19 +16951,10 @@ l{r} AS (
         prev = f"l{r}"
     body = ",".join(rounds)
     return f"""
-WITH ev AS (
-  SELECT DISTINCT user_id,
-         event_type || ':' || CAST(ts::DATE AS VARCHAR) || ':'
-           || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS item
-  FROM events),
-d AS (
-  SELECT user_id, item FROM (
-    SELECT user_id, item, count(*) OVER (PARTITION BY item) AS df
-    FROM ev)
-  WHERE df BETWEEN 2 AND {AA_DF_MAX}),
+WITH {SQL_COATTEND},
 e AS (
   SELECT DISTINCT a.user_id AS u, b.user_id AS v
-  FROM d a JOIN d b ON a.item = b.item AND a.user_id <> b.user_id),
+  FROM dca a JOIN dca b ON a.item = b.item AND a.user_id <> b.user_id),
 l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),{body}
 SELECT node AS user_id, label AS community FROM l{LPA_ROUNDS}"""
 
