@@ -115,6 +115,41 @@ def main() -> None:
         # late-position queries measure GC pressure, not their plan
         spark.catalog.clearCache()
 
+    # BENCH-only: the reference's REAL window config (seq_len=256,
+    # pred_window=192, k=5, stride=seq_len//4=64 — core/data/
+    # dataset.py:16) on a 10-minute grid (~4.3k buckets/symbol at
+    # sf0.1, the scale where val splits clear L+P=448 rows), so W1's
+    # 256x window-materialization cost is MEASURED per round instead
+    # of asserted (r10 verdict item 2). Not in all_queries(): the
+    # oracle-gate twin stays the smoke-scale config; this line exists
+    # for the per-row-cost comparison in NOTES_r{N}.
+    try:
+        from big_data_stock_price_forecast_spark.plans.flagship import (
+            FlagshipParams,
+            flagship_summary,
+        )
+
+        pfs = FlagshipParams(
+            resample_every="10 minutes",
+            step_seconds=600,
+            L=256,
+            pred_window=192,
+            k=5,
+            ensemble=2,
+            stride=64,
+        )
+        t0 = time.perf_counter()
+        flagship_summary(spark, sf_dir, pfs).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        timings["flagship_fullscale"] = round(dt, 3)
+        total += dt
+        print(f"# flagship_fullscale: {dt:.3f}s", file=sys.stderr)
+        spark.catalog.clearCache()
+    except Exception as e:  # noqa: BLE001
+        errors["flagship_fullscale"] = f"{type(e).__name__}: {str(e)[:300]}"
+
     out = {
         "metric": "total_query_wall_seconds",
         "value": round(total, 3),
