@@ -171,3 +171,96 @@ def ntile_two_phase(
     return out.withColumn(
         out_col, ntile_from_rank(rank, F.col("__tp_n"), n_buckets)
     ).drop("__tp_rank0", "__tp_n")
+
+
+def affine_ema_scan(
+    df: DataFrame,
+    value_col: str,
+    part_col: str = "symbol",
+    idx_col: str = "time_idx",
+    *,
+    alpha: float = 0.5,
+    seg_len: int = 256,
+    term_scale: float = 1e12,
+) -> DataFrame:
+    """Per-partition EMA final state via a two-phase SEGMENT-COMPOSED
+    scan — the parallel-prefix form of the W4 affine recursion
+    ``v ← (1−α)·v + α·x`` (seeded with the first value), lifting the
+    one-task-per-symbol constraint of the sequential Arrow pass
+    (SCALE.md "inherent to recursion" — no longer inherent):
+
+    1. rows bucket into fixed-length segments (``seg = (rn−1) div
+       seg_len``); within a segment of length ``len`` the fold is the
+       affine map ``v_out = c^len·v_in + B`` with
+       ``B = Σ_i m_i·c^(len−i)·x_i`` (``c = 1−α``; ``m_i`` is 1 for
+       the global seed row, α otherwise) — B is a plain per-segment
+       aggregate, computed MAP-SIDE in parallel with no ordering
+       dependence because each term is snapped to the ``1/term_scale``
+       grid and summed in exact DECIMAL (``term_scale`` must keep
+       ``|value|·term_scale`` inside long range — Spark's
+       ``floor(double)`` returns LONG — so 1e12 bounds values at
+       ~9e6; the snap truncates the geometric tail identically in
+       both engines and costs ≤ seg_len/(2·term_scale) ≈ 1.3e-10
+       absolute vs the unsnapped fold),
+    2. one per-partition fold over the n/seg_len segment summaries
+       (an in-row array aggregate ~seg_len× smaller than the series;
+       for series beyond ~10⁸ rows, apply the same device
+       hierarchically — segments of segments).
+
+    Cross-engine bitwise parity holds when ``c`` is a power of two
+    (α = 0.5 → every ``c^k`` and ``m_i`` multiplication is an exact
+    exponent shift; the only rounded float ops are the term-grid snap
+    and the fold's one add per segment, identical single IEEE ops in
+    both engines). For non-dyadic α the scan is still deterministic
+    per engine but agrees with a sequential fold only to fp tolerance
+    (pytest pins 1e-9 vs ``ewm_smooth``).
+
+    Returns one row per partition: (part_col, n, n_seg, ema_last).
+    """
+    c = 1.0 - alpha
+    w = Window.partitionBy(part_col).orderBy(idx_col)
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__seg", F.expr(f"(__rn - 1) div {seg_len}"))
+        .withColumn("__i", F.expr(f"(__rn - 1) % {seg_len} + 1"))
+    )
+    wseg = Window.partitionBy(part_col, "__seg")
+    d = d.withColumn("__len", F.count(F.lit(1)).over(wseg))
+    m = F.when(F.col("__rn") == 1, F.lit(1.0)).otherwise(F.lit(alpha))
+    term = (
+        F.col(value_col).cast("double")
+        * m
+        * F.pow(F.lit(c), (F.col("__len") - F.col("__i")).cast("double"))
+    )
+    tq = F.floor(term * F.lit(term_scale) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    segs = (
+        d.withColumn("__tq", tq)
+        .groupBy(part_col, "__seg")
+        .agg(
+            F.max("__len").alias("__len"),
+            F.sum("__tq").alias("__bq"),
+        )
+        .withColumn(
+            "__B", F.col("__bq").cast("double") / F.lit(term_scale)
+        )
+    )
+    per = segs.groupBy(part_col).agg(
+        F.sum("__len").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_seg"),
+        F.sort_array(
+            F.collect_list(F.struct("__seg", "__len", "__B"))
+        ).alias("__arr"),
+    )
+    fold = F.aggregate(
+        F.expr("slice(__arr, 2, size(__arr) - 1)"),
+        F.element_at("__arr", 1).getField("__B"),
+        lambda acc, s: F.pow(F.lit(c), s.getField("__len").cast("double"))
+        * acc
+        + s.getField("__B"),
+    )
+    return per.select(
+        part_col, "n", "n_seg", fold.alias("ema_last")
+    )

@@ -17842,6 +17842,88 @@ SELECT t.symbol,
 FROM tot t LEFT JOIN best b ON t.symbol = b.symbol"""
 
 
+# ---------------------------------------------------------------- round 11
+
+EMA_SCAN_ALPHA = 0.5  # dyadic: c = 1−α is a power of two → bitwise scan
+# 32 (not the operator's 256 default): the 6h fixture grid is ~116
+# rows/symbol at EVERY sf, so a 256-row segment would leave the
+# recursive segment-composition path — the point of the operator —
+# driver-unexercised (the ahash vacuous-fixture lesson); 32 gives a
+# 4-segment chain incl. a partial tail at all scale factors
+EMA_SCAN_SEG = 32
+
+
+def q_ts_ema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA final state per symbol via the two-phase SEGMENT-COMPOSED
+    affine scan (operators/twophase.py affine_ema_scan) — the
+    parallel-prefix answer to the W4 recursion constraint: instead of
+    one sequential Arrow task per symbol (ewm_smooth), each 32-row
+    segment reduces MAP-SIDE to its affine map (c^len, B) and the
+    per-symbol fold runs over n/32 segment summaries. α = 0.5 makes
+    every c^k and m_i multiplication an exact exponent shift, so the
+    scan is cross-engine BITWISE against the oracle's recursive-CTE
+    segment chain — and agrees with the sequential ewm_smooth fold to
+    <1e-8 (pytest-pinned; the only divergence is the 1e-12 term-grid
+    snap and per-segment add reassociation). Per-symbol driver-side
+    state: none; per-symbol in-row state: n/32 structs. This is the
+    scale path for recursions over very long series — the sequential
+    pass keeps last-ulp parity with pandas replays, the scan keeps
+    the cluster busy."""
+    from ..operators.twophase import affine_ema_scan
+
+    out = affine_ema_scan(
+        _filled(spark, sf_dir).select("symbol", "time_idx", "close"),
+        "close",
+        "symbol",
+        "time_idx",
+        alpha=EMA_SCAN_ALPHA,
+        seg_len=EMA_SCAN_SEG,
+    )
+    return out.select(
+        "symbol", "n", "n_seg", _rne(F.col("ema_last"), "ema_last", 8)
+    )
+
+
+def _sql_ts_ema_scan() -> str:
+    a, c, seg, ts = (
+        EMA_SCAN_ALPHA,
+        1.0 - EMA_SCAN_ALPHA,
+        EMA_SCAN_SEG,
+        "1e12",
+    )
+    return f"""WITH RECURSIVE {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+rows_ AS (
+  SELECT symbol, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) AS rn
+  FROM filled WHERE close IS NOT NULL),
+segrows AS (
+  SELECT symbol, close, rn,
+         (rn - 1) // {seg} AS seg, (rn - 1) % {seg} + 1 AS i
+  FROM rows_),
+withlen AS (
+  SELECT *, count(*) OVER (PARTITION BY symbol, seg) AS len
+  FROM segrows),
+segs AS (
+  SELECT symbol, seg, max(len) AS len,
+         sum(floor(close * (CASE WHEN rn = 1 THEN 1.0 ELSE {a} END)
+             * pow({c}, (len - i)) * {ts} + 0.5)::DECIMAL(38,0)) AS bq
+  FROM withlen GROUP BY 1, 2),
+sb AS (SELECT symbol, seg, len, bq::DOUBLE / {ts} AS B FROM segs),
+scan AS (
+  SELECT symbol, seg, v FROM (SELECT symbol, seg, B AS v FROM sb WHERE seg = 0)
+  UNION ALL
+  SELECT s.symbol, s.seg, pow({c}, s.len) * scan.v + s.B AS v
+  FROM sb s JOIN scan ON s.symbol = scan.symbol AND s.seg = scan.seg + 1),
+lastv AS (
+  SELECT symbol, v FROM scan
+  QUALIFY row_number() OVER (PARTITION BY symbol ORDER BY seg DESC) = 1),
+agg AS (
+  SELECT symbol, sum(len)::BIGINT AS n, count(*)::BIGINT AS n_seg
+  FROM sb GROUP BY 1)
+SELECT agg.symbol, n, n_seg, {_sql_rne('v', 'ema_last', 8)}
+FROM agg JOIN lastv ON agg.symbol = lastv.symbol"""
+
+
 def all_queries() -> dict[str, QueryFn]:
     # ORDER MATTERS: the driver's correctness gate checks entries in
     # registration order (observed cutoff: 50). CORRECTNESS_r09 was
@@ -17864,6 +17946,7 @@ def all_queries() -> dict[str, QueryFn]:
         # never-driver-verified round-10 additions first, then r9/r8
         # green canaries. tag = last driver-green round; 'never' =
         # local driver-emulation proof only.
+        "ts_ema_scan": q_ts_ema_scan,  # never (r11)
         "ts_garch_vol": q_ts_garch_vol,  # never
         "ts_conformal_interval": q_ts_conformal_interval,  # never
         "ts_topdown_reconcile": q_ts_topdown_reconcile,  # never
@@ -18152,6 +18235,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "src_formats_roundtrip": _sql_src_formats_roundtrip(),
         "doc_overlap_eval_pairs": _sql_doc_overlap_eval_pairs(),
         "emb_dim_drift": _sql_emb_dim_drift(),
+        "ts_ema_scan": _sql_ts_ema_scan(),
         "ts_garch_vol": _sql_ts_garch_vol(),
         "ts_conformal_interval": _sql_ts_conformal_interval(),
         "ts_topdown_reconcile": _sql_ts_topdown_reconcile(),
