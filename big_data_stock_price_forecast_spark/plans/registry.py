@@ -17924,6 +17924,292 @@ SELECT agg.symbol, n, n_seg, {_sql_rne('v', 'ema_last', 8)}
 FROM agg JOIN lastv ON agg.symbol = lastv.symbol"""
 
 
+JACCARD_TOPK = 25
+
+
+def q_graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor Jaccard link prediction over the shared
+    df-capped co-attendance graph (``_coattendance`` — same blocking
+    key and hub cut as adamic_adar/lpa, one definition per engine):
+    J(u1,u2) = |items∩| / |items∪| for user pairs sharing ≥1 item,
+    union = deg(u1) + deg(u2) − inter over the CAPPED item set (the
+    only set the pair join can see — stated, not hidden). All-integer
+    inputs; the ranking key is one IEEE division of exact longs,
+    identical in both engines; global top-25 via orderBy+limit →
+    TakeOrderedAndProject (the r10/r11 top-k discipline), rank window
+    over the survivors only."""
+    d = _coattendance(spark, sf_dir)
+    deg = d.groupBy("user_id").agg(F.count(F.lit(1)).alias("deg"))
+    a = d.select(F.col("user_id").alias("u1"), "item")
+    b = d.select(F.col("user_id").alias("u2"), "item")
+    inter = (
+        a.join(b, "item")
+        .filter(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        inter.join(deg.withColumnRenamed("user_id", "u1"), "u1")
+        .withColumnRenamed("deg", "deg1")
+        .join(deg.withColumnRenamed("user_id", "u2"), "u2")
+        .withColumnRenamed("deg", "deg2")
+        .withColumn(
+            "un", F.col("deg1") + F.col("deg2") - F.col("inter")
+        )
+        .withColumn(
+            "jac",
+            F.col("inter").cast("double") / F.col("un").cast("double"),
+        )
+    )
+    top = j.orderBy(
+        F.col("jac").desc(), F.col("u1").asc(), F.col("u2").asc()
+    ).limit(JACCARD_TOPK)
+    w = Window.orderBy(
+        F.col("jac").desc(), F.col("u1").asc(), F.col("u2").asc()
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "u1",
+            "u2",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("un").cast("long").alias("un"),
+            _rne(F.col("jac"), "jaccard", 8),
+        )
+    )
+
+
+def _sql_graph_jaccard_links() -> str:
+    return f"""
+WITH {SQL_COATTEND},
+deg AS (SELECT user_id, count(*) AS deg FROM dca GROUP BY 1),
+inter AS (
+  SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS inter
+  FROM dca a JOIN dca b ON a.item = b.item AND a.user_id < b.user_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT u1, u2, inter, d1.deg + d2.deg - inter AS un,
+         inter::DOUBLE / (d1.deg + d2.deg - inter)::DOUBLE AS jac
+  FROM inter
+  JOIN deg d1 ON d1.user_id = u1
+  JOIN deg d2 ON d2.user_id = u2),
+top AS (
+  SELECT row_number() OVER (ORDER BY jac DESC, u1 ASC, u2 ASC) AS rank,
+         u1, u2, inter, un, jac
+  FROM j)
+SELECT rank, u1, u2, inter::BIGINT AS inter, un::BIGINT AS un,
+       {_sql_rne('jac', 'jaccard', 8)}
+FROM top WHERE rank <= {JACCARD_TOPK}"""
+
+
+VR_Q = 4  # variance-ratio horizon
+
+
+def q_ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo–MacKinlay variance-ratio test per symbol — the classic
+    random-walk screen (VR(q) = Var of overlapping q-period price
+    changes / (q · Var of 1-period changes); VR < 1 → mean reversion,
+    > 1 → momentum): both change series are integer diffs of the
+    1e-6-snapped close (the q-period sum telescopes to qc_t −
+    qc_{t−q}, so ONE lag window yields both), population variances
+    ride the exact-DECIMAL moment identity n·Σx² − (Σx)², and the
+    only float ops are the final ratio and the homoskedastic z-stat —
+    identical IEEE expressions in both engines. One window + one
+    map-side groupBy on the ts family's symbol exchange; per-symbol
+    state is six moment cells."""
+    q = VR_Q
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    d = df.withColumn(
+        "qc",
+        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
+    )
+    d = d.withColumn("x", F.col("qc") - F.lag("qc", 1).over(w)).withColumn(
+        "y", F.col("qc") - F.lag("qc", q).over(w)
+    )
+    agg = d.groupBy("symbol").agg(
+        F.count("x").alias("n1"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.count("y").alias("nq"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    agg = agg.filter((F.col("n1") >= q + 2) & (F.col("nq") >= 2))
+    n1d = F.col("n1").cast("decimal(38,0)")
+    nqd = F.col("nq").cast("decimal(38,0)")
+    var1_num = (n1d * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    varq_num = (nqd * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    n1sq = (n1d * n1d).cast("double")
+    nqsq = (nqd * nqd).cast("double")
+    vr = F.when(
+        var1_num > 0,
+        (varq_num / nqsq) / (F.lit(float(q)) * (var1_num / n1sq)),
+    )
+    z = (vr - F.lit(1.0)) / F.sqrt(
+        F.lit(2.0 * (2 * q - 1) * (q - 1) / (3.0 * q))
+        / F.col("nq").cast("double")
+    )
+    return agg.select(
+        "symbol",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("nq").cast("long").alias("nq"),
+        _rne(vr, "vr", 8),
+        _rne(z, "z", 8),
+    )
+
+
+def _sql_ts_variance_ratio() -> str:
+    q = VR_Q
+    zden = 2.0 * (2 * q - 1) * (q - 1) / (3.0 * q)
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+d AS (
+  SELECT symbol,
+         floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc,
+         lag(floor(close * 1000000.0 + 0.5)::DECIMAL(38,0), 1)
+           OVER (PARTITION BY symbol ORDER BY time_idx) AS l1,
+         lag(floor(close * 1000000.0 + 0.5)::DECIMAL(38,0), {q})
+           OVER (PARTITION BY symbol ORDER BY time_idx) AS lq
+  FROM filled),
+dd AS (SELECT symbol, qc - l1 AS x, qc - lq AS y FROM d),
+agg AS (
+  SELECT symbol, count(x) AS n1, sum(x) AS sx, sum(x * x) AS sxx,
+         count(y) AS nq, sum(y) AS sy, sum(y * y) AS syy
+  FROM dd GROUP BY 1
+  HAVING count(x) >= {q + 2} AND count(y) >= 2),
+fit AS (
+  SELECT symbol, n1, nq,
+         CASE WHEN (n1::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE > 0 THEN
+           ((nq::DECIMAL(38,0) * syy - sy * sy)::DOUBLE
+              / (nq::DECIMAL(38,0) * nq::DECIMAL(38,0))::DOUBLE)
+           / ({q}.0 * ((n1::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE
+              / (n1::DECIMAL(38,0) * n1::DECIMAL(38,0))::DOUBLE))
+         END AS vr
+  FROM agg)
+SELECT symbol, n1::BIGINT AS n1, nq::BIGINT AS nq,
+       {_sql_rne('vr', 'vr', 8)},
+       {_sql_rne(f'(vr - 1.0) / sqrt({zden!r} / nq::DOUBLE)', 'z', 8)}
+FROM fit"""
+
+
+def q_ts_capm_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPM beta/alpha/R² per symbol against the equal-weight market
+    index — the cross-sectional factor regression every risk model
+    starts with. The index close at each grid time is the mean of the
+    1e-6-snapped member closes (exact DECIMAL sum, ONE division,
+    re-snapped to the 1e-6 grid → integer market series, so all OLS
+    moments are exact integer products); member and market returns
+    are integer diffs over each symbol's own contiguous grid (one lag
+    window each). The market frame is CALENDAR-BOUNDED (one row per
+    grid bucket regardless of symbol count) and broadcasts to the
+    member join — the only data-sized shuffles are the per-time
+    aggregate and the ts family's symbol window. β = exact-DECIMAL
+    normal-equation ratio; α and R² are the standard identities,
+    identical IEEE expressions in both engines."""
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    d = df.withColumn(
+        "qc",
+        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
+    )
+    mkt = d.groupBy("time_idx").agg(
+        F.floor(
+            F.sum("qc").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+        )
+        .cast("decimal(38,0)")
+        .alias("mq")
+    )
+    j = d.join(F.broadcast(mkt), "time_idx")
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    r = (
+        j.withColumn("x", F.col("qc") - F.lag("qc", 1).over(w))
+        .withColumn("m", F.col("mq") - F.lag("mq", 1).over(w))
+        .filter(F.col("x").isNotNull())
+    )
+    agg = r.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("x") * F.col("m")).alias("sxm"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    agg = agg.filter(F.col("n") >= 3)
+    nd = F.col("n").cast("decimal(38,0)")
+    cov_n = nd * F.col("sxm") - F.col("sx") * F.col("sm")
+    varm_n = nd * F.col("smm") - F.col("sm") * F.col("sm")
+    varx_n = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = F.when(
+        varm_n.cast("double") > 0,
+        cov_n.cast("double") / varm_n.cast("double"),
+    )
+    alpha = (
+        F.col("sx").cast("double") / F.col("n").cast("double")
+        - beta * (F.col("sm").cast("double") / F.col("n").cast("double"))
+    ) / F.lit(1e6)
+    r2 = F.when(
+        (varm_n.cast("double") > 0) & (varx_n.cast("double") > 0),
+        (cov_n.cast("double") * cov_n.cast("double"))
+        / (varm_n.cast("double") * varx_n.cast("double")),
+    )
+    return agg.select(
+        "symbol",
+        F.col("n").cast("long").alias("n"),
+        _rne(beta, "beta", 8),
+        _rne(alpha, "alpha", 8),
+        _rne(r2, "r2", 8),
+    )
+
+
+def _sql_ts_capm_beta() -> str:
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+d AS (
+  SELECT symbol, time_idx,
+         floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
+  FROM filled),
+mkt AS (
+  SELECT time_idx,
+         floor(sum(qc)::DOUBLE / count(*) + 0.5)::DECIMAL(38,0) AS mq
+  FROM d GROUP BY 1),
+r AS (
+  SELECT symbol,
+         qc - lag(qc, 1) OVER (PARTITION BY symbol ORDER BY d.time_idx)
+           AS x,
+         mq - lag(mq, 1) OVER (PARTITION BY symbol ORDER BY d.time_idx)
+           AS m
+  FROM d JOIN mkt ON d.time_idx = mkt.time_idx
+  QUALIFY x IS NOT NULL),
+agg AS (
+  SELECT symbol, count(*) AS n, sum(x) AS sx, sum(m) AS sm,
+         sum(x * m) AS sxm, sum(m * m) AS smm, sum(x * x) AS sxx
+  FROM r GROUP BY 1 HAVING count(*) >= 3),
+fit AS (
+  SELECT symbol, n,
+         CASE WHEN (n::DECIMAL(38,0) * smm - sm * sm)::DOUBLE > 0 THEN
+           (n::DECIMAL(38,0) * sxm - sx * sm)::DOUBLE
+             / (n::DECIMAL(38,0) * smm - sm * sm)::DOUBLE
+         END AS beta,
+         (n::DECIMAL(38,0) * sxm - sx * sm)::DOUBLE AS cov_n,
+         (n::DECIMAL(38,0) * smm - sm * sm)::DOUBLE AS varm_n,
+         (n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE AS varx_n,
+         sx::DOUBLE AS sxd, sm::DOUBLE AS smd
+  FROM agg)
+SELECT symbol, n::BIGINT AS n,
+       {_sql_rne('beta', 'beta', 8)},
+       {_sql_rne(
+           '(sxd / n::DOUBLE - beta * (smd / n::DOUBLE)) / 1000000.0',
+           'alpha', 8)},
+       {_sql_rne(
+           'CASE WHEN varm_n > 0 AND varx_n > 0 '
+           'THEN (cov_n * cov_n) / (varm_n * varx_n) END',
+           'r2', 8)}
+FROM fit"""
+
+
 def all_queries() -> dict[str, QueryFn]:
     # ORDER MATTERS: the driver's correctness gate checks entries in
     # registration order (observed cutoff: 50). CORRECTNESS_r09 was
@@ -17947,6 +18233,9 @@ def all_queries() -> dict[str, QueryFn]:
         # green canaries. tag = last driver-green round; 'never' =
         # local driver-emulation proof only.
         "ts_ema_scan": q_ts_ema_scan,  # never (r11)
+        "graph_jaccard_links": q_graph_jaccard_links,  # never (r11)
+        "ts_variance_ratio": q_ts_variance_ratio,  # never (r11)
+        "ts_capm_beta": q_ts_capm_beta,  # never (r11)
         "ts_garch_vol": q_ts_garch_vol,  # never
         "ts_conformal_interval": q_ts_conformal_interval,  # never
         "ts_topdown_reconcile": q_ts_topdown_reconcile,  # never
@@ -18236,6 +18525,9 @@ def _oracle_sql_map() -> dict[str, str]:
         "doc_overlap_eval_pairs": _sql_doc_overlap_eval_pairs(),
         "emb_dim_drift": _sql_emb_dim_drift(),
         "ts_ema_scan": _sql_ts_ema_scan(),
+        "graph_jaccard_links": _sql_graph_jaccard_links(),
+        "ts_variance_ratio": _sql_ts_variance_ratio(),
+        "ts_capm_beta": _sql_ts_capm_beta(),
         "ts_garch_vol": _sql_ts_garch_vol(),
         "ts_conformal_interval": _sql_ts_conformal_interval(),
         "ts_topdown_reconcile": _sql_ts_topdown_reconcile(),
