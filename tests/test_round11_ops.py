@@ -105,3 +105,259 @@ def test_affine_scan_plan_has_no_python_and_bounded_exchanges(spark):
     assert "FlatMapGroupsInPandas" not in plan
     assert "Python" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+# ---------------------------------------------- round-11 second batch
+
+import re
+from collections import Counter
+from datetime import datetime, timedelta
+
+BASE_TS = datetime(2024, 1, 1, 6, 0, 0)  # 6h-boundary aligned
+
+
+def _snap(x: float, n: int) -> float:
+    return math.floor(x * 10**n + 0.5) / 10**n
+
+
+def _write_event_rows(spark, path: str, rows) -> None:
+    """rows: (event_id, ts, user_id, event_type, value, props)."""
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{path}/events.parquet")
+
+
+def _write_series(spark, path: str, series: dict) -> None:
+    """series: symbol -> list of per-6h-bucket event lists, each a
+    (back_off_h, value) pair list. Resample is right-closed, so
+    bucket i's events sit AT or BEFORE the boundary BASE_TS + 6h*i:
+    ts = boundary - back_off_h hours (back_off_h in [0, 6)).
+    back_off 0 is the LAST tick (arg_max ts -> close); the largest
+    back-offset is the first tick (arg_min ts -> open).
+    n_rows per bucket = len(list)."""
+    rows, eid = [], 0
+    for sym, buckets in series.items():
+        for i, evs in enumerate(buckets):
+            for back_h, c in evs:
+                assert 0 <= back_h < 6
+                rows.append(
+                    (eid,
+                     BASE_TS + timedelta(hours=6 * i) - timedelta(
+                         hours=back_h),
+                     sym, "tick", float(c), "{}")
+                )
+                eid += 1
+    _write_event_rows(spark, path, rows)
+
+
+# ------------------------------------------------------- kyle lambda
+
+
+def test_kyle_lambda_recovers_planted_impact(spark, tmp_path):
+    """|Δclose| planted exactly proportional to the bucket trade count
+    -> OLS slope recovers the impact coefficient and alpha -> 0."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_kyle_lambda,
+    )
+
+    lam = 0.25  # price units per trade
+    vols = [1, 3, 2, 5, 4, 2, 6, 1, 3]
+    closes, c = [], 100.0
+    buckets = []
+    for i, v in enumerate(vols):
+        # v trades in the bucket; the LAST one (arg_max ts) sets close
+        c = c + lam * v if i > 0 else c
+        evs = [(0.5 * k, c) for k in range(v)]
+        buckets.append(evs)
+        closes.append(c)
+    _write_series(spark, str(tmp_path), {3: buckets})
+    got = q_ts_kyle_lambda(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n"] == len(vols) - 1
+    # replay the exact-integer normal equations
+    qcs = [math.floor(x * 1e6 + 0.5) for x in closes]
+    ys = [abs(qcs[i] - qcs[i - 1]) for i in range(1, len(qcs))]
+    xs = vols[1:]
+    n = len(ys)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    lam_q = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert r["lam"] == _snap(lam_q / 1e6, 12)
+    assert abs(r["lam"] - lam) < 1e-9
+    alpha = (sy / n - lam_q * (sx / n)) / 1e6
+    assert r["alpha"] == _snap(alpha, 8)
+    assert abs(r["alpha"]) < 1e-6
+
+
+# ------------------------------------------------- garman-klass vols
+
+
+def test_garman_klass_flat_bars_zero_and_replay(spark, tmp_path):
+    """Flat bars -> all three estimators exactly 0; a shaped series
+    replays the snapped-term DECIMAL means bit-for-bit."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_garman_klass_vol,
+    )
+
+    flat = [[(0, 50.0)] for _ in range(5)]
+    shaped = []
+    bars = [
+        (100.0, 104.0, 99.0, 102.0),
+        (102.0, 103.0, 97.0, 98.0),
+        (98.0, 106.0, 98.0, 105.0),
+    ]
+    for o, h, lo, cl in bars:
+        # ts order: open first (largest back-offset), then low, high,
+        # close last (back-offset 0)
+        shaped.append([(3.0, o), (2.0, lo), (1.0, h), (0.0, cl)])
+    _write_series(spark, str(tmp_path), {1: flat, 2: shaped})
+    got = {r["symbol"]: r for r in
+           q_ts_garman_klass_vol(spark, str(tmp_path)).collect()}
+    assert got[1]["parkinson"] == 0.0
+    assert got[1]["garman_klass"] == 0.0
+    assert got[1]["rogers_satchell"] == 0.0
+    # replay symbol 2
+    k = 2.0 * math.log(2.0) - 1.0
+    spk = sgk = srs = 0
+    for o, h, lo, cl in bars:
+        u = math.log(h / lo)
+        cc = math.log(cl / o)
+        rs = (math.log(h / cl) * math.log(h / o)
+              + math.log(lo / cl) * math.log(lo / o))
+        spk += math.floor(u * u * 1e12 + 0.5)
+        sgk += math.floor((0.5 * u * u - k * cc * cc) * 1e12 + 0.5)
+        srs += math.floor(rs * 1e12 + 0.5)
+    n = len(bars)
+    r2 = got[2]
+    assert r2["parkinson"] == _snap(
+        math.sqrt(spk / 1e12 / (4.0 * math.log(2.0) * n)), 8)
+    assert r2["garman_klass"] == _snap(math.sqrt(sgk / 1e12 / n), 8)
+    assert r2["rogers_satchell"] == _snap(math.sqrt(srs / 1e12 / n), 8)
+
+
+# -------------------------------------------- permutation entropy
+
+
+def test_permutation_entropy_monotone_and_replay(spark, tmp_path):
+    """A strictly increasing series collapses to ONE ordinal pattern
+    (entropy exactly 0); a wiggly series replays the tie-toward-
+    earlier-index coding and snapped entropy terms exactly."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        PE_MIN_N,
+        q_ts_permutation_entropy,
+    )
+
+    up = [[(0, 100.0 + i)] for i in range(PE_MIN_N + 2)]
+    ys = [100.0, 102.0, 101.0, 101.0, 103.0, 99.0, 99.0, 99.0,
+          104.0, 100.0, 101.0, 105.0]
+    wig = [[(0, y)] for y in ys]
+    _write_series(spark, str(tmp_path), {1: up, 2: wig})
+    got = {r["symbol"]: r for r in
+           q_ts_permutation_entropy(spark, str(tmp_path)).collect()}
+    assert got[1]["n_patterns"] == 1
+    assert got[1]["perm_entropy"] == 0.0
+    # replay symbol 2
+    qs = [math.floor(y * 1e6 + 0.5) for y in ys]
+    codes = []
+    for a, b, c in zip(qs, qs[1:], qs[2:]):
+        code = (((b < a) + (c < a)) * 9
+                + ((a <= b) + (c < b)) * 3
+                + ((a <= c) + (b <= c)))
+        codes.append(code)
+    cnt = Counter(codes)
+    n = len(codes)
+    sh = sum(
+        math.floor(-(c / n) * math.log(c / n) * 1e12 + 0.5)
+        for c in cnt.values()
+    ) / 1e12
+    assert got[2]["n"] == n
+    assert got[2]["n_patterns"] == len(cnt)
+    assert got[2]["perm_entropy"] == _snap(sh / math.log(6.0), 8)
+
+
+# ------------------------------------------------ triangle census
+
+
+def test_triangle_count_planted_clique_and_df_cap(spark, tmp_path):
+    """Users 1-2-3 share one item -> one triangle, cc = 1.0 each;
+    a 20-user hub item (df > AA_DF_MAX) contributes NO edges."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        AA_DF_MAX,
+        q_graph_triangle_count,
+    )
+
+    rows, eid = [], 0
+    ts = BASE_TS
+    for u in (1, 2, 3):  # item A: clique
+        rows.append((eid, ts, u, "buy", 7.0, "{}")); eid += 1
+    for u in (1, 2):  # item B: extra edge weight only
+        rows.append((eid, ts, u, "view", 3.0, "{}")); eid += 1
+    for u in range(100, 100 + AA_DF_MAX + 4):  # hub item, capped out
+        rows.append((eid, ts, u, "spam", 1.0, "{}")); eid += 1
+    _write_event_rows(spark, str(tmp_path), rows)
+    got = {r["user_id"]: r for r in
+           q_graph_triangle_count(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2, 3}
+    for u in (1, 2, 3):
+        assert got[u]["tri"] == 1 and got[u]["deg"] == 2
+        assert got[u]["cc"] == 1.0
+
+
+def test_triangle_count_topk_plan_is_take_ordered(spark):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_graph_triangle_count,
+    )
+
+    plan = _plan(q_graph_triangle_count(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------------------------- js divergence
+
+
+def test_js_divergence_single_source_zero_and_replay(spark, tmp_path):
+    """One source -> p == q -> JSD exactly 0; two sources replay the
+    per-term snapped mixture sum exactly."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_js_divergence,
+    )
+
+    docs = [
+        (1, "alpha beta beta gamma", "en", "one", 21),
+        (2, "alpha gamma delta", "en", "one", 17),
+        (3, "epsilon zeta zeta", "en", "two", 17),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r["source"]: r for r in
+           q_doc_js_divergence(spark, str(tmp_path)).collect()}
+    # replay
+    tf = Counter()
+    for _, text, _, src, _ in docs:
+        for t in re.split(r"[^a-z0-9]+", text.lower()):
+            if t:
+                tf[(src, t)] += 1
+    gtf = Counter()
+    for (s, t), c in tf.items():
+        gtf[t] += c
+    ng = sum(gtf.values())
+    for src in ("one", "two"):
+        ns = sum(c for (s, t), c in tf.items() if s == src)
+        sj = 0
+        for t, g in gtf.items():
+            p = tf.get((src, t), 0) / ns
+            q = g / ng
+            m = (p + q) / 2.0
+            contrib = (0.5 * p * math.log(p / m) if p > 0 else 0.0) \
+                + 0.5 * q * math.log(q / m)
+            sj += math.floor(contrib * 1e12 + 0.5)
+        sj /= 1e12
+        assert got[src]["n_tokens"] == ns
+        assert got[src]["jsd"] == _snap(sj, 8)
+        assert got[src]["jsd_norm"] == _snap(sj / math.log(2.0), 8)
