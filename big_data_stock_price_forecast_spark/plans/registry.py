@@ -18881,6 +18881,285 @@ SELECT source, ns::BIGINT AS n_tokens,
 FROM terms GROUP BY source, ns"""
 
 
+COINT_TOP_PAIRS = 5  # Engle-Granger: pairs ranked by |level corr|
+
+
+def q_ts_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle–Granger two-step cointegration card — the statistical
+    backbone under ts_pairs_trading_signal's spread z-score: for the
+    top-|corr| symbol pairs, fit the hedge ratio y = α + β·x by OLS on
+    the aligned snapped closes, then run the lag-0 Dickey–Fuller test
+    on the residual (Δe_t = φ·e_{t−1}: φ < 0 and a large-negative t
+    ⇒ the spread mean-reverts ⇒ the pair is tradeable). Candidate
+    universe is the same bounded top-``CORR_MATRIX_TOP_K``-symbol cut
+    as the corr matrix (pair frame ≤ K²/2 · buckets rows at ANY corpus
+    scale); the ``COINT_TOP_PAIRS`` selection is a
+    TakeOrderedAndProject over the 28-row pair-moment frame, broadcast
+    back to the aligned series. Determinism: closes snap to 1e-6
+    integers so the OLS moments are exact DECIMAL products; β/α are
+    single IEEE expressions; the residual e_t (one float expression of
+    identical per-row scalars) re-snaps to the integer grid, so the DF
+    moments are exact again; φ, its standard error, and the t-stat are
+    closed-form combinations of those exact moments."""
+    r = _resampled(spark, sf_dir).select("symbol", "time_idx", "close")
+    top = (
+        r.groupBy("symbol")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("symbol").asc())
+        .limit(CORR_MATRIX_TOP_K)
+        .select("symbol")
+    )
+    d = r.join(F.broadcast(top), "symbol").withColumn(
+        "qc",
+        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
+    )
+    a = d.select(
+        F.col("symbol").alias("sym_a"), "time_idx", F.col("qc").alias("xq")
+    )
+    b = d.select(
+        F.col("symbol").alias("sym_b"), "time_idx", F.col("qc").alias("yq")
+    )
+    pairs = a.join(b, "time_idx").filter(F.col("sym_a") < F.col("sym_b"))
+    mom = pairs.groupBy("sym_a", "sym_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
+    ).filter(F.col("n") >= 8)
+    nd = F.col("n").cast("decimal(38,0)")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (varx_n.cast("double") > 0) & (vary_n.cast("double") > 0),
+        cov_n.cast("double")
+        / F.sqrt(varx_n.cast("double") * vary_n.cast("double")),
+    )
+    beta = F.when(
+        varx_n.cast("double") > 0,
+        cov_n.cast("double") / varx_n.cast("double"),
+    )
+    alpha_q = (
+        F.col("sy").cast("double") / F.col("n").cast("double")
+        - beta * (F.col("sx").cast("double") / F.col("n").cast("double"))
+    )
+    sel = (
+        mom.select(
+            "sym_a",
+            "sym_b",
+            "n",
+            corr.alias("corr"),
+            beta.alias("beta"),
+            alpha_q.alias("alpha_q"),
+        )
+        .filter(F.col("beta").isNotNull())
+        .orderBy(F.abs(F.col("corr")).desc(), "sym_a", "sym_b")
+        .limit(COINT_TOP_PAIRS)
+    )
+    al = pairs.join(F.broadcast(sel), ["sym_a", "sym_b"])
+    e = (
+        F.col("yq").cast("double")
+        - F.col("alpha_q")
+        - F.col("beta") * F.col("xq").cast("double")
+    )
+    al = al.withColumn(
+        "eq", F.floor(e + F.lit(0.5)).cast("decimal(38,0)")
+    )
+    w = Window.partitionBy("sym_a", "sym_b").orderBy("time_idx")
+    al = (
+        al.withColumn("el", F.lag("eq", 1).over(w))
+        .withColumn("de", F.col("eq") - F.col("el"))
+        .filter(F.col("el").isNotNull())
+    )
+    df_mom = al.groupBy(
+        "sym_a", "sym_b", "n", "corr", "beta", "alpha_q"
+    ).agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("el") * F.col("el")).alias("see"),
+        F.sum(F.col("el") * F.col("de")).alias("sed"),
+        F.sum(F.col("de") * F.col("de")).alias("sdd"),
+    ).filter((F.col("m") >= 8) & (F.col("see").cast("double") > 0))
+    seed = F.col("see").cast("double")
+    sedd = F.col("sed").cast("double")
+    sddd = F.col("sdd").cast("double")
+    md = F.col("m").cast("double")
+    phi = sedd / seed
+    sse = sddd - F.lit(2.0) * phi * sedd + phi * phi * seed
+    se = F.sqrt((sse / (md - F.lit(1.0))) / seed)
+    adf_t = F.when(se > 0, phi / se)
+    return df_mom.select(
+        "sym_a",
+        "sym_b",
+        F.col("n").cast("long").alias("n"),
+        _rne(F.col("corr"), "corr", 8),
+        _rne(F.col("beta"), "beta", 8),
+        _rne(F.col("alpha_q") / F.lit(1e6), "alpha", 8),
+        F.col("m").cast("long").alias("m"),
+        _rne(phi, "phi", 8),
+        _rne(adf_t, "adf_t", 8),
+    )
+
+
+def _sql_ts_engle_granger() -> str:
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H},
+top AS (
+  SELECT symbol FROM (
+    SELECT symbol, count(*) AS n FROM idx GROUP BY 1
+    ORDER BY n DESC, symbol ASC LIMIT {CORR_MATRIX_TOP_K})),
+d AS (
+  SELECT idx.symbol, time_idx,
+         floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
+  FROM idx JOIN top ON idx.symbol = top.symbol),
+pairs AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.time_idx,
+         a.qc AS xq, b.qc AS yq
+  FROM d a JOIN d b ON a.time_idx = b.time_idx AND a.symbol < b.symbol),
+mom AS (
+  SELECT sym_a, sym_b, count(*) AS n, sum(xq) AS sx, sum(yq) AS sy,
+         sum(xq * yq) AS sxy, sum(xq * xq) AS sxx, sum(yq * yq) AS syy
+  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 8),
+fit AS (
+  SELECT sym_a, sym_b, n,
+         CASE WHEN (n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE > 0
+                AND (n::DECIMAL(38,0) * syy - sy * sy)::DOUBLE > 0 THEN
+           (n::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE
+             / sqrt((n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE
+                    * (n::DECIMAL(38,0) * syy - sy * sy)::DOUBLE)
+         END AS corr,
+         CASE WHEN (n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE > 0 THEN
+           (n::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE
+             / (n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE
+         END AS beta,
+         sx::DOUBLE AS sxd, sy::DOUBLE AS syd
+  FROM mom),
+sel AS (
+  SELECT sym_a, sym_b, n, corr, beta,
+         syd / n::DOUBLE - beta * (sxd / n::DOUBLE) AS alpha_q
+  FROM fit WHERE beta IS NOT NULL
+  ORDER BY abs(corr) DESC, sym_a ASC, sym_b ASC
+  LIMIT {COINT_TOP_PAIRS}),
+resid AS (
+  SELECT p.sym_a, p.sym_b, s.n, s.corr, s.beta, s.alpha_q, p.time_idx,
+         floor(p.yq::DOUBLE - s.alpha_q - s.beta * p.xq::DOUBLE
+               + 0.5)::DECIMAL(38,0) AS eq
+  FROM pairs p JOIN sel s ON p.sym_a = s.sym_a AND p.sym_b = s.sym_b),
+lagged AS (
+  SELECT sym_a, sym_b, n, corr, beta, alpha_q, eq,
+         lag(eq, 1) OVER (
+           PARTITION BY sym_a, sym_b ORDER BY time_idx) AS el
+  FROM resid QUALIFY el IS NOT NULL),
+dfm AS (
+  SELECT sym_a, sym_b, n, corr, beta, alpha_q, count(*) AS m,
+         sum(el * el) AS see, sum(el * (eq - el)) AS sed,
+         sum((eq - el) * (eq - el)) AS sdd
+  FROM lagged GROUP BY 1, 2, 3, 4, 5, 6
+  HAVING count(*) >= 8 AND sum(el * el)::DOUBLE > 0),
+stat AS (
+  SELECT sym_a, sym_b, n, corr, beta, alpha_q, m,
+         sed::DOUBLE / see::DOUBLE AS phi,
+         sqrt(((sdd::DOUBLE
+                - 2.0 * (sed::DOUBLE / see::DOUBLE) * sed::DOUBLE
+                + (sed::DOUBLE / see::DOUBLE)
+                  * (sed::DOUBLE / see::DOUBLE) * see::DOUBLE)
+               / (m::DOUBLE - 1.0)) / see::DOUBLE) AS se
+  FROM dfm)
+SELECT sym_a, sym_b, n::BIGINT AS n,
+       {_sql_rne('corr', 'corr', 8)},
+       {_sql_rne('beta', 'beta', 8)},
+       {_sql_rne('alpha_q / 1000000.0', 'alpha', 8)},
+       m::BIGINT AS m,
+       {_sql_rne('phi', 'phi', 8)},
+       {_sql_rne('CASE WHEN se > 0 THEN phi / se END', 'adf_t', 8)}
+FROM stat"""
+
+
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per event type — Goh–Barabási
+    B = (σ−μ)/(σ+μ) over the gaps between consecutive events of the
+    same type (B → −1 periodic, 0 Poisson, → 1 bursty), plus the
+    coefficient of variation. The card event-pipeline teams read to
+    size stream buffers and pick watermark slack (bursty types need
+    both). Gaps are exact integer microseconds off one lag window per
+    type ((ts, event_id) total order — simultaneous events break ties
+    deterministically); μ and σ ride exact DECIMAL sums with the
+    computational-variance identity n·Σx²−(Σx)², so only the final
+    sqrt and the two ratios run in float — identical expressions both
+    engines. Output is |event types| rows at any corpus scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id"
+    )
+    # unix_micros requires an instant (LTZ) timestamp; the testdata's
+    # ts is TIMESTAMP_NTZ — the NTZ->LTZ cast preserves the stored
+    # micros bitwise only under UTC (asserted, never set — the
+    # ts_delta_hist convention)
+    ts = F.col("ts")
+    if dict(ev.dtypes)["ts"] == "timestamp_ntz":
+        require_utc(spark)
+        ts = ts.cast("timestamp")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = (
+        ev.withColumn("us", F.unix_micros(ts).cast("decimal(38,0)"))
+        .withColumn("gap", F.col("us") - F.lag("us", 1).over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    agg = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap").alias("sg"),
+        F.sum(F.col("gap") * F.col("gap")).alias("sgg"),
+    ).filter(F.col("n") >= 2)
+    nd = F.col("n").cast("decimal(38,0)")
+    var_n2 = nd * F.col("sgg") - F.col("sg") * F.col("sg")  # n² · σ²
+    mu = F.col("sg").cast("double") / F.col("n").cast("double")
+    sigma = F.sqrt(
+        F.greatest(var_n2.cast("double"), F.lit(0.0))
+    ) / F.col("n").cast("double")
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        _rne(mu / F.lit(1e6), "mean_gap_s", 8),
+        _rne(sigma / F.lit(1e6), "std_gap_s", 8),
+        _rne(F.when(mu > 0, sigma / mu), "cv", 8),
+        _rne(
+            F.when(sigma + mu > 0, (sigma - mu) / (sigma + mu)),
+            "burstiness",
+            8,
+        ),
+    )
+
+
+def _sql_events_burstiness() -> str:
+    return f"""
+WITH g AS (
+  SELECT event_type,
+         us - lag(us, 1) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id) AS gap
+  FROM (SELECT event_type, ts, event_id,
+               epoch_us(ts)::DECIMAL(38,0) AS us
+        FROM events)
+  QUALIFY gap IS NOT NULL),
+agg AS (
+  SELECT event_type, count(*) AS n, sum(gap) AS sg,
+         sum(gap * gap) AS sgg
+  FROM g GROUP BY 1 HAVING count(*) >= 2),
+st AS (
+  SELECT event_type, n,
+         sg::DOUBLE / n::DOUBLE AS mu,
+         sqrt(greatest((n::DECIMAL(38,0) * sgg - sg * sg)::DOUBLE, 0.0))
+           / n::DOUBLE AS sigma
+  FROM agg)
+SELECT event_type, n::BIGINT AS n,
+       {_sql_rne('mu / 1000000.0', 'mean_gap_s', 8)},
+       {_sql_rne('sigma / 1000000.0', 'std_gap_s', 8)},
+       {_sql_rne('CASE WHEN mu > 0 THEN sigma / mu END', 'cv', 8)},
+       {_sql_rne(
+           'CASE WHEN sigma + mu > 0 '
+           'THEN (sigma - mu) / (sigma + mu) END',
+           'burstiness', 8)}
+FROM st"""
+
+
 def all_queries() -> dict[str, QueryFn]:
     # ORDER MATTERS: the driver's correctness gate checks entries in
     # registration order (observed cutoff: 50). CORRECTNESS_r10 was
@@ -18920,6 +19199,15 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_garman_klass_vol": q_ts_garman_klass_vol,  # never (r11)
         "ts_permutation_entropy": q_ts_permutation_entropy,  # never (r11)
         "doc_js_divergence": q_doc_js_divergence,  # never (r11)
+        "ts_engle_granger": q_ts_engle_granger,  # never (r11)
+        "events_burstiness": q_events_burstiness,  # never (r11)
+        # the three STRUCTURAL canaries stay inside the window
+        # (test_gate_window_composition): one flagship, one wide
+        # indicator battery, one LSH pair query — if the driver
+        # environment regresses, these catch it before the tail
+        "flagship_forecast_mae": q_flagship,  # r8
+        "ts_indicators": q_ts_indicators_all,  # r8
+        "doc_minhash_lsh_pairs": q_doc_minhash_pairs,  # r8
         "ts_garch_vol": q_ts_garch_vol,  # r10
         "ts_conformal_interval": q_ts_conformal_interval,  # r10
         "ts_topdown_reconcile": q_ts_topdown_reconcile,  # r10
@@ -18961,9 +19249,6 @@ def all_queries() -> dict[str, QueryFn]:
         "src_formats_roundtrip": q_src_formats_roundtrip,  # r9
         "doc_overlap_eval_pairs": q_doc_overlap_eval_pairs,  # r9
         "emb_dim_drift": q_emb_dim_drift,  # r9
-        "flagship_forecast_mae": q_flagship,  # r8
-        "ts_indicators": q_ts_indicators_all,  # r8
-        "doc_minhash_lsh_pairs": q_doc_minhash_pairs,  # r8
         "stream_resume_delta": q_stream_resume_delta,  # r8
         "tpch_q1_pricing_summary": q_tpch_q1,  # r8
         "stream_resample_6h": q_stream_resample_6h,  # r8
@@ -19220,6 +19505,8 @@ def _oracle_sql_map() -> dict[str, str]:
         "ts_garman_klass_vol": _sql_ts_garman_klass_vol(),
         "ts_permutation_entropy": _sql_ts_permutation_entropy(),
         "doc_js_divergence": _sql_doc_js_divergence(),
+        "ts_engle_granger": _sql_ts_engle_granger(),
+        "events_burstiness": _sql_events_burstiness(),
         "ts_garch_vol": _sql_ts_garch_vol(),
         "ts_conformal_interval": _sql_ts_conformal_interval(),
         "ts_topdown_reconcile": _sql_ts_topdown_reconcile(),

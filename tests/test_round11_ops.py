@@ -361,3 +361,100 @@ def test_js_divergence_single_source_zero_and_replay(spark, tmp_path):
         assert got[src]["n_tokens"] == ns
         assert got[src]["jsd"] == _snap(sj, 8)
         assert got[src]["jsd_norm"] == _snap(sj / math.log(2.0), 8)
+
+
+# ------------------------------------------------- engle-granger
+
+
+def test_engle_granger_planted_cointegrated_pair(spark, tmp_path):
+    """y tracks 2x + a mean-reverting wiggle -> beta ~ 2, phi < 0,
+    adf_t < 0; full generic replay of the two-step snapped algebra."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_engle_granger,
+    )
+
+    xs = [100.0, 101.0, 99.0, 102.0, 103.0, 101.0, 104.0, 105.0,
+          103.0, 106.0, 107.0, 105.0]
+    wig = [0.4, -0.3, 0.2, -0.5, 0.1, 0.3, -0.2, 0.5, -0.4, 0.2,
+           -0.1, -0.2]
+    ys = [2 * x + 5 + w for x, w in zip(xs, wig)]
+    _write_series(spark, str(tmp_path), {
+        1: [[(0, x)] for x in xs],
+        2: [[(0, y)] for y in ys],
+    })
+    got = q_ts_engle_granger(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["sym_a"], r["sym_b"]) == (1, 2)
+    # generic replay
+    xq = [math.floor(x * 1e6 + 0.5) for x in xs]
+    yq = [math.floor(y * 1e6 + 0.5) for y in ys]
+    n = len(xq)
+    sx, sy = sum(xq), sum(yq)
+    sxy = sum(a * b for a, b in zip(xq, yq))
+    sxx = sum(a * a for a in xq)
+    syy = sum(b * b for b in yq)
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    corr = cov_n / math.sqrt(varx_n * vary_n)
+    beta = cov_n / varx_n
+    alpha_q = sy / n - beta * (sx / n)
+    eq = [math.floor(y - alpha_q - beta * x + 0.5)
+          for x, y in zip(xq, yq)]
+    els = eq[:-1]
+    des = [b - a for a, b in zip(eq, eq[1:])]
+    m = len(els)
+    see = sum(e * e for e in els)
+    sed = sum(e * d for e, d in zip(els, des))
+    sdd = sum(d * d for d in des)
+    phi = sed / see
+    sse = sdd - 2.0 * phi * sed + phi * phi * see
+    se = math.sqrt((sse / (m - 1)) / see)
+    assert r["n"] == n and r["m"] == m
+    assert r["corr"] == _snap(corr, 8)
+    assert r["beta"] == _snap(beta, 8)
+    assert abs(r["beta"] - 2.0) < 0.05
+    assert r["alpha"] == _snap(alpha_q / 1e6, 8)
+    assert r["phi"] == _snap(phi, 8)
+    assert r["adf_t"] == _snap(phi / se, 8)
+    assert r["phi"] < 0 and r["adf_t"] < 0  # mean-reverting spread
+
+
+# -------------------------------------------------- burstiness
+
+
+def test_burstiness_periodic_vs_bursty(spark, tmp_path):
+    """Perfectly regular gaps -> B = -1 exactly; a bursty pattern
+    replays the exact-integer-micros moment algebra."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_events_burstiness,
+    )
+
+    rows, eid = [], 0
+    for i in range(10):  # regular: every 3600 s
+        rows.append((eid, BASE_TS + timedelta(seconds=3600 * i),
+                     1, "steady", 1.0, "{}")); eid += 1
+    offs = [0, 10, 25, 30, 3000, 3010, 3015, 9000]  # bursty, seconds
+    for o in offs:
+        rows.append((eid, BASE_TS + timedelta(seconds=o),
+                     2, "bursty", 1.0, "{}")); eid += 1
+    _write_event_rows(spark, str(tmp_path), rows)
+    got = {r["event_type"]: r for r in
+           q_events_burstiness(spark, str(tmp_path)).collect()}
+    assert got["steady"]["std_gap_s"] == 0.0
+    assert got["steady"]["cv"] == 0.0
+    assert got["steady"]["burstiness"] == -1.0
+    assert got["steady"]["mean_gap_s"] == 3600.0
+    gaps = [(b - a) * 1_000_000 for a, b in zip(offs, offs[1:])]
+    n = len(gaps)
+    sg, sgg = sum(gaps), sum(g * g for g in gaps)
+    mu = sg / n
+    sigma = math.sqrt(max(n * sgg - sg * sg, 0)) / n
+    r = got["bursty"]
+    assert r["n"] == n
+    assert r["mean_gap_s"] == _snap(mu / 1e6, 8)
+    assert r["std_gap_s"] == _snap(sigma / 1e6, 8)
+    assert r["cv"] == _snap(sigma / mu, 8)
+    assert r["burstiness"] == _snap((sigma - mu) / (sigma + mu), 8)
+    assert r["burstiness"] > 0  # bursty side of the scale
