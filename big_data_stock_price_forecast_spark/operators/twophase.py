@@ -218,20 +218,66 @@ def affine_ema_scan(
     Returns one row per partition: (part_col, n, n_seg, ema_last).
     """
     c = 1.0 - alpha
+    d = df.filter(F.col(value_col).isNotNull())
+    b = (F.col(value_col).cast("double") * F.lit(alpha)).alias("__b")
+    bs = F.col(value_col).cast("double").alias("__b_seed")
+    return affine_scan(
+        d.select(part_col, idx_col, F.col(value_col), b, bs),
+        "__b",
+        "__b_seed",
+        part_col,
+        idx_col,
+        mult=c,
+        seg_len=seg_len,
+        term_scale=term_scale,
+        out_col="ema_last",
+    )
+
+
+def affine_scan(
+    df: DataFrame,
+    b_col: str,
+    b_seed_col: str,
+    part_col: str = "symbol",
+    idx_col: str = "time_idx",
+    *,
+    mult: float,
+    seg_len: int = 256,
+    term_scale: float = 1e12,
+    out_col: str = "v_last",
+) -> DataFrame:
+    """General two-phase segment-composed scan for ANY per-partition
+    affine recurrence ``v_t = mult·v_{t−1} + b_t`` with seed
+    ``v_1 = b_seed_1`` — the EMA scan's algebra with the intercept
+    freed: EMA is ``b = α·x`` (seed x), GARCH(1,1) is
+    ``b = ω + α·r²`` (seed r², mult β), EWMA-vol is EMA on r².
+    Same device: each fixed-length segment reduces MAP-SIDE to its
+    composed map ``v_out = mult^len·v_in + B`` with
+    ``B = Σ_i b'_i·mult^(len−i)`` (``b'`` = b_seed on the global
+    first row, b otherwise), each term snapped to the
+    ``1/term_scale`` grid and summed in exact DECIMAL (order-free);
+    then one per-partition fold over the n/seg_len segment
+    summaries. Bitwise cross-engine when ``mult`` is a power of two
+    and b itself is a single identical IEEE expression per row.
+    Rows where ``b_col`` is NULL are dropped before numbering (the
+    caller decides what is a tick).
+
+    Returns one row per partition: (part_col, n, n_seg, out_col).
+    """
     w = Window.partitionBy(part_col).orderBy(idx_col)
     d = (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(F.col(b_col).isNotNull())
         .withColumn("__rn", F.row_number().over(w))
         .withColumn("__seg", F.expr(f"(__rn - 1) div {seg_len}"))
         .withColumn("__i", F.expr(f"(__rn - 1) % {seg_len} + 1"))
     )
     wseg = Window.partitionBy(part_col, "__seg")
     d = d.withColumn("__len", F.count(F.lit(1)).over(wseg))
-    m = F.when(F.col("__rn") == 1, F.lit(1.0)).otherwise(F.lit(alpha))
-    term = (
-        F.col(value_col).cast("double")
-        * m
-        * F.pow(F.lit(c), (F.col("__len") - F.col("__i")).cast("double"))
+    bp = F.when(F.col("__rn") == 1, F.col(b_seed_col)).otherwise(
+        F.col(b_col)
+    )
+    term = bp * F.pow(
+        F.lit(mult), (F.col("__len") - F.col("__i")).cast("double")
     )
     tq = F.floor(term * F.lit(term_scale) + F.lit(0.5)).cast(
         "decimal(38,0)"
@@ -257,10 +303,10 @@ def affine_ema_scan(
     fold = F.aggregate(
         F.expr("slice(__arr, 2, size(__arr) - 1)"),
         F.element_at("__arr", 1).getField("__B"),
-        lambda acc, s: F.pow(F.lit(c), s.getField("__len").cast("double"))
+        lambda acc, s: F.pow(
+            F.lit(mult), s.getField("__len").cast("double")
+        )
         * acc
         + s.getField("__B"),
     )
-    return per.select(
-        part_col, "n", "n_seg", fold.alias("ema_last")
-    )
+    return per.select(part_col, "n", "n_seg", fold.alias(out_col))

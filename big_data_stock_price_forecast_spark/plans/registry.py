@@ -18881,6 +18881,127 @@ SELECT source, ns::BIGINT AS n_tokens,
 FROM terms GROUP BY source, ns"""
 
 
+# dyadic GARCH-scan parameters: β and α are powers of two (exact
+# exponent shifts), ω = 2^-10 — so every scan term is a single
+# identical IEEE expression in both engines and the segment-composed
+# scan is cross-engine BITWISE (the ts_ema_scan discipline)
+GARCH_SCAN_OMEGA = 0.0009765625  # 2^-10
+GARCH_SCAN_ALPHA = 0.25
+GARCH_SCAN_BETA = 0.5
+GARCH_SCAN_SEG = 32
+
+
+def q_ts_garch_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARCH(1,1) final filter state per symbol via the SEGMENT-
+    COMPOSED affine scan — the proof that ts_ema_scan's parallel-
+    prefix device lifts the per-symbol recursion constraint for the
+    WHOLE affine family, not just EMA: v_t = ω + α·r²_t + β·v_{t−1}
+    is affine with constant multiplier β and varying intercept
+    b_t = ω + α·r²_t (seed v₁ = r²₁, the garch_filter convention), so
+    each 32-row segment reduces map-side to (β^len, B) and the per-
+    symbol fold runs over n/32 summaries — NO applyInPandas, no
+    single task per symbol. Dyadic β/α and ω = 2⁻¹⁰ make every term a
+    single identical IEEE expression → cross-engine bitwise vs the
+    oracle's recursive-CTE segment chain. Squared returns snap to the
+    1e-12 grid first (the garch_vol convention: non-positive closes →
+    flat tick r² = 0 after rn 1)."""
+    from ..operators.twophase import affine_scan
+
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    prev = F.lag("close", 1).over(w)
+    lr = F.when(
+        (F.col("close") > 0) & (prev > 0),
+        F.log(F.col("close") / prev),
+    ).otherwise(
+        F.when(prev.isNotNull(), F.lit(0.0))  # rn=1 stays NULL
+    )
+    base = df.withColumn(
+        "r2", F.floor(lr * lr * 1e12 + F.lit(0.5)) / 1e12
+    )
+    base = base.withColumn(
+        "b",
+        F.lit(GARCH_SCAN_OMEGA)
+        + F.lit(GARCH_SCAN_ALPHA) * F.col("r2"),
+    ).withColumn("b_seed", F.col("r2"))
+    out = affine_scan(
+        base.select("symbol", "time_idx", "b", "b_seed"),
+        "b",
+        "b_seed",
+        "symbol",
+        "time_idx",
+        mult=GARCH_SCAN_BETA,
+        seg_len=GARCH_SCAN_SEG,
+        out_col="v_last",
+    )
+    return out.select(
+        "symbol",
+        "n",
+        "n_seg",
+        _rne(
+            F.when(F.col("v_last") >= 0, F.sqrt(F.col("v_last"))),
+            "garch_vol_last",
+            8,
+        ),
+    )
+
+
+def _sql_ts_garch_scan() -> str:
+    om, al, be, seg, ts = (
+        GARCH_SCAN_OMEGA,
+        GARCH_SCAN_ALPHA,
+        GARCH_SCAN_BETA,
+        GARCH_SCAN_SEG,
+        "1e12",
+    )
+    return f"""WITH RECURSIVE {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+lagged AS (
+  SELECT symbol, time_idx, close,
+         lag(close) OVER (PARTITION BY symbol ORDER BY time_idx) AS prev
+  FROM filled),
+rr AS (
+  SELECT symbol, time_idx,
+         CASE WHEN prev IS NOT NULL THEN
+           floor(pow(CASE WHEN close > 0 AND prev > 0
+                          THEN ln(close / prev) ELSE 0.0 END, 2)
+                 * 1000000000000.0 + 0.5) / 1000000000000.0
+         END AS r2
+  FROM lagged),
+rows_ AS (
+  SELECT symbol, r2,
+         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) AS rn
+  FROM rr WHERE r2 IS NOT NULL),
+segrows AS (
+  SELECT symbol, rn,
+         CASE WHEN rn = 1 THEN r2 ELSE {om} + {al} * r2 END AS b,
+         (rn - 1) // {seg} AS seg, (rn - 1) % {seg} + 1 AS i
+  FROM rows_),
+withlen AS (
+  SELECT *, count(*) OVER (PARTITION BY symbol, seg) AS len
+  FROM segrows),
+segs AS (
+  SELECT symbol, seg, max(len) AS len,
+         sum(floor(b * pow({be}, (len - i)) * {ts}
+             + 0.5)::DECIMAL(38,0)) AS bq
+  FROM withlen GROUP BY 1, 2),
+sb AS (SELECT symbol, seg, len, bq::DOUBLE / {ts} AS B FROM segs),
+scan AS (
+  SELECT symbol, seg, v FROM (SELECT symbol, seg, B AS v FROM sb WHERE seg = 0)
+  UNION ALL
+  SELECT s.symbol, s.seg, pow({be}, s.len) * scan.v + s.B AS v
+  FROM sb s JOIN scan ON s.symbol = scan.symbol AND s.seg = scan.seg + 1),
+lastv AS (
+  SELECT symbol, v FROM scan
+  QUALIFY row_number() OVER (PARTITION BY symbol ORDER BY seg DESC) = 1),
+agg AS (
+  SELECT symbol, sum(len)::BIGINT AS n, count(*)::BIGINT AS n_seg
+  FROM sb GROUP BY 1)
+SELECT agg.symbol, n, n_seg,
+       {_sql_rne('CASE WHEN v >= 0 THEN sqrt(v) END',
+                 'garch_vol_last', 8)}
+FROM agg JOIN lastv ON agg.symbol = lastv.symbol"""
+
+
 COINT_TOP_PAIRS = 5  # Engle-Granger: pairs ranked by |level corr|
 
 
@@ -19201,6 +19322,7 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_js_divergence": q_doc_js_divergence,  # never (r11)
         "ts_engle_granger": q_ts_engle_granger,  # never (r11)
         "events_burstiness": q_events_burstiness,  # never (r11)
+        "ts_garch_scan": q_ts_garch_scan,  # never (r11)
         # the three STRUCTURAL canaries stay inside the window
         # (test_gate_window_composition): one flagship, one wide
         # indicator battery, one LSH pair query — if the driver
@@ -19507,6 +19629,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "doc_js_divergence": _sql_doc_js_divergence(),
         "ts_engle_granger": _sql_ts_engle_granger(),
         "events_burstiness": _sql_events_burstiness(),
+        "ts_garch_scan": _sql_ts_garch_scan(),
         "ts_garch_vol": _sql_ts_garch_vol(),
         "ts_conformal_interval": _sql_ts_conformal_interval(),
         "ts_topdown_reconcile": _sql_ts_topdown_reconcile(),

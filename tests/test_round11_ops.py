@@ -458,3 +458,70 @@ def test_burstiness_periodic_vs_bursty(spark, tmp_path):
     assert r["cv"] == _snap(sigma / mu, 8)
     assert r["burstiness"] == _snap((sigma - mu) / (sigma + mu), 8)
     assert r["burstiness"] > 0  # bursty side of the scale
+
+
+# ------------------------------------------------- garch scan
+
+
+def test_garch_scan_matches_sequential_arrow_pass(spark):
+    """The generalized affine scan on GARCH(1,1) must agree with the
+    sequential garch_filter fold to <1e-8 on the fixture series
+    (divergence only the term-grid snap + per-segment
+    reassociation), with real multi-segment composition."""
+    from big_data_stock_price_forecast_spark.operators.rolling import (
+        garch_filter,
+    )
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        GARCH_SCAN_ALPHA,
+        GARCH_SCAN_BETA,
+        GARCH_SCAN_OMEGA,
+        _filled,
+        q_ts_garch_scan,
+    )
+
+    got = {
+        r["symbol"]: (r["n"], r["n_seg"], r["garch_vol_last"])
+        for r in q_ts_garch_scan(spark, SF).collect()
+    }
+    assert got and all(v[1] > 1 for v in got.values())
+    df = _filled(spark, SF).select("symbol", "time_idx", "close")
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    prev = F.lag("close", 1).over(w)
+    lr = F.when(
+        (F.col("close") > 0) & (prev > 0),
+        F.log(F.col("close") / prev),
+    ).otherwise(F.when(prev.isNotNull(), F.lit(0.0)))
+    base = df.withColumn(
+        "r2", F.floor(lr * lr * 1e12 + F.lit(0.5)) / 1e12
+    )
+    seq = garch_filter(
+        base, "r2", "v",
+        omega=GARCH_SCAN_OMEGA, alpha=GARCH_SCAN_ALPHA,
+        beta=GARCH_SCAN_BETA,
+    )
+    last = {
+        r["symbol"]: r["v"]
+        for r in seq.filter(F.col("v").isNotNull())
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("symbol").orderBy(
+                    F.col("time_idx").desc()
+                )
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    for s, (n, n_seg, vol) in got.items():
+        assert abs(vol - math.sqrt(last[s])) < 1e-8, (s, vol, last[s])
+
+
+def test_garch_scan_plan_has_no_python(spark):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_garch_scan,
+    )
+
+    plan = _plan(q_ts_garch_scan(spark, SF))
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "Python" not in plan
