@@ -525,3 +525,125 @@ def test_garch_scan_plan_has_no_python(spark):
     plan = _plan(q_ts_garch_scan(spark, SF))
     assert "FlatMapGroupsInPandas" not in plan
     assert "Python" not in plan
+
+
+# ---------------------------------------------- entropy rate
+
+
+def test_entropy_rate_deterministic_and_uniform_chains(spark, tmp_path):
+    """A deterministic chain (A->B always) has H(next|A) = 0; a
+    uniform 2-way split has exactly ln 2; pi shares replay."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_events_entropy_rate,
+    )
+
+    rows, eid = [], 0
+    # user 1: A B A B A B  -> A->B x3? sequence A,B,A,B,A,B:
+    # transitions A->B, B->A, A->B, B->A, A->B  (det both ways)
+    for i, t in enumerate(["A", "B", "A", "B", "A", "B"]):
+        rows.append((eid, BASE_TS + timedelta(seconds=i), 1, t,
+                     1.0, "{}")); eid += 1
+    # user 2: C->D, C->E (uniform 2-way from C)
+    for i, t in enumerate(["C", "D"]):
+        rows.append((eid, BASE_TS + timedelta(seconds=i), 2, t,
+                     1.0, "{}")); eid += 1
+    for i, t in enumerate(["C", "E"]):
+        rows.append((eid, BASE_TS + timedelta(seconds=i), 3, t,
+                     1.0, "{}")); eid += 1
+    _write_event_rows(spark, str(tmp_path), rows)
+    got = {r["cur"]: r for r in
+           q_events_entropy_rate(spark, str(tmp_path)).collect()}
+    # totals: A->B x3, B->A x2, C->D, C->E => N = 7
+    assert got["A"]["h_cond"] == 0.0 and got["B"]["h_cond"] == 0.0
+    assert got["A"]["n_from"] == 3 and got["B"]["n_from"] == 2
+    assert got["A"]["pi"] == _snap(3 / 7, 8)
+    two = math.floor(0.5 * math.log(2.0) * 1e12 + 0.5) / 1e12 * 2
+    assert got["C"]["h_cond"] == _snap(two, 8)
+    assert got["C"]["rate_contrib"] == _snap((2 / 7) * two, 8)
+
+
+# ------------------------------------------- price elasticity
+
+
+def test_price_elasticity_planted_power_law(spark, tmp_path):
+    """Demand planted exactly q = k * price^-2 -> elasticity -2,
+    r2 = 1 (log-log line is exact)."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_part_price_elasticity,
+    )
+
+    parts = [(i, f"part{i}", "BRAND#11", "t", 1, 10.0) for i in
+             range(1, 7)]
+    spark.createDataFrame(
+        parts, "p_partkey long, p_name string, p_brand string,"
+        " p_type string, p_size int, p_retailprice double"
+    ).coalesce(1).write.parquet(f"{tmp_path}/part.parquet")
+    rows = []
+    prices = [1.0, 2.0, 4.0, 8.0, 16.0, 32.0]
+    for i, price in enumerate(prices, start=1):
+        qty = 64.0 / (price * price)  # q = 64 p^-2
+        rows.append((i, i, 1, 1, qty, qty * price, 0.0, 0.0,
+                     "N", "O", BASE_TS))
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp"
+    ).coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+    got = q_part_price_elasticity(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n"] == len(prices)
+    assert abs(r["elasticity"] + 2.0) < 1e-6
+    assert abs(r["r2"] - 1.0) < 1e-9
+
+
+# ------------------------------------------------- heaps law
+
+
+def test_heaps_law_replay_on_planted_corpus(spark, tmp_path):
+    """Generic replay of the cumulative (N, V) checkpoints and the
+    snapped log-log OLS over a hand-built corpus, including a doc
+    with zero new types."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_heaps_law,
+    )
+
+    texts = [
+        "alpha beta gamma",          # 3 new
+        "alpha beta",                # 0 new
+        "delta epsilon alpha zeta",  # 3 new
+        "zeta eta",                  # 1 new
+        "theta",                     # 1 new
+    ]
+    docs = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    got = q_doc_heaps_law(spark, str(tmp_path)).collect()[0]
+    # replay
+    seen, pts, N = set(), [], 0
+    for t in texts:
+        toks = t.split()
+        N += len(toks)
+        seen |= set(toks)
+        pts.append((N, len(seen)))
+    xs = [math.floor(math.log(n) * 1e9 + 0.5) for n, v in pts]
+    ys = [math.floor(math.log(v) * 1e9 + 0.5) for n, v in pts]
+    n = len(pts)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    b = cov_n / varx_n
+    ln_k = (sy / n - b * (sx / n)) / 1e9
+    r2 = (cov_n * cov_n) / (varx_n * vary_n)
+    assert got["n_docs"] == n
+    assert got["heaps_b"] == _snap(b, 8)
+    assert got["heaps_k"] == _snap(math.exp(ln_k), 8)
+    assert got["r2"] == _snap(r2, 8)
+    assert 0 < got["heaps_b"] < 1  # sublinear vocabulary growth
