@@ -647,3 +647,29 @@ def test_heaps_law_replay_on_planted_corpus(spark, tmp_path):
     assert got["heaps_k"] == _snap(math.exp(ln_k), 8)
     assert got["r2"] == _snap(r2, 8)
     assert 0 < got["heaps_b"] < 1  # sublinear vocabulary growth
+
+
+# --------------------------------------------- ivf probe curve
+
+
+def test_ivf_probe_curve_monotone_in_nprobe(spark):
+    """More probes can only add candidates: mean_scanned strictly
+    grows and mean_recall is non-decreasing in nprobe; recall is a
+    valid fraction; the exact-integer identities hold."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        KNN_K,
+        q_emb_ivf_probe_curve,
+    )
+
+    rows = {r["nprobe"]: r for r in
+            q_emb_ivf_probe_curve(spark, SF).collect()}
+    assert sorted(rows) == [1, 2, 4]
+    prev_r, prev_s = -1.0, -1.0
+    for np_ in (1, 2, 4):
+        r = rows[np_]
+        assert 0.0 <= r["mean_recall"] <= 1.0
+        assert r["mean_recall"] >= prev_r
+        assert r["mean_scanned"] > prev_s
+        assert r["total_hits"] <= r["n_queries"] * KNN_K
+        prev_r, prev_s = r["mean_recall"], r["mean_scanned"]
+    assert rows[4]["mean_recall"] > 0.5  # 4 of 10 lists probed
