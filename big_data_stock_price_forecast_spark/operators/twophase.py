@@ -245,6 +245,7 @@ def affine_scan(
     seg_len: int = 256,
     term_scale: float = 1e12,
     out_col: str = "v_last",
+    levels: int = 1,
 ) -> DataFrame:
     """General two-phase segment-composed scan for ANY per-partition
     affine recurrence ``v_t = mult·v_{t−1} + b_t`` with seed
@@ -262,7 +263,20 @@ def affine_scan(
     Rows where ``b_col`` is NULL are dropped before numbering (the
     caller decides what is a tick).
 
-    Returns one row per partition: (part_col, n, n_seg, out_col).
+    ``levels`` — the HIERARCHICAL form for very long series: each
+    extra level composes ``seg_len`` adjacent segment maps into one
+    super-segment map ((c^l1,B1)∘(c^l2,B2) = (c^(l1+l2),
+    c^l2·B1 + B2) — affine maps are closed under composition) via a
+    bounded in-group fold, so the final per-partition array holds
+    n/seg_len^levels structs instead of n/seg_len. levels=2 with
+    seg_len=256 bounds the final fold at 256 structs up to ~16.7M
+    rows per partition; levels=3 to ~4.3B. The composed fold
+    reassociates float adds, so hierarchical results match levels=1
+    to fp tolerance (pytest-pinned), not bitwise — use levels=1
+    where an oracle pins bitwise parity.
+
+    Returns one row per partition: (part_col, n, n_seg, out_col) —
+    n_seg counts FINAL-level segments.
     """
     w = Window.partitionBy(part_col).orderBy(idx_col)
     d = (
@@ -293,6 +307,40 @@ def affine_scan(
             "__B", F.col("__bq").cast("double") / F.lit(term_scale)
         )
     )
+    def _compose_fold(arr):
+        """Fold a __seg-sorted struct array of affine maps into the
+        composed (B, len): v_out = mult^len_total·v_in + B."""
+        return F.aggregate(
+            F.expr(f"slice({arr}, 2, size({arr}) - 1)"),
+            F.element_at(arr, 1).getField("__B"),
+            lambda acc, s: F.pow(
+                F.lit(mult), s.getField("__len").cast("double")
+            )
+            * acc
+            + s.getField("__B"),
+        )
+
+    for _ in range(levels - 1):
+        segs = (
+            segs.withColumn(
+                "__sseg", F.expr(f"__seg div {seg_len}")
+            )
+            .groupBy(part_col, "__sseg")
+            .agg(
+                F.sum("__len").alias("__len"),
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("__seg", "__len", "__B")
+                    )
+                ).alias("__sarr"),
+            )
+            .select(
+                part_col,
+                F.col("__sseg").alias("__seg"),
+                "__len",
+                _compose_fold("__sarr").alias("__B"),
+            )
+        )
     per = segs.groupBy(part_col).agg(
         F.sum("__len").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("n_seg"),
@@ -300,13 +348,6 @@ def affine_scan(
             F.collect_list(F.struct("__seg", "__len", "__B"))
         ).alias("__arr"),
     )
-    fold = F.aggregate(
-        F.expr("slice(__arr, 2, size(__arr) - 1)"),
-        F.element_at("__arr", 1).getField("__B"),
-        lambda acc, s: F.pow(
-            F.lit(mult), s.getField("__len").cast("double")
-        )
-        * acc
-        + s.getField("__B"),
+    return per.select(
+        part_col, "n", "n_seg", _compose_fold("__arr").alias(out_col)
     )
-    return per.select(part_col, "n", "n_seg", fold.alias(out_col))

@@ -673,3 +673,39 @@ def test_ivf_probe_curve_monotone_in_nprobe(spark):
         assert r["total_hits"] <= r["n_queries"] * KNN_K
         prev_r, prev_s = r["mean_recall"], r["mean_scanned"]
     assert rows[4]["mean_recall"] > 0.5  # 4 of 10 lists probed
+
+
+# ------------------------------------------ hierarchical scan
+
+
+def test_affine_scan_hierarchical_matches_flat(spark):
+    """levels=2 (segments-of-segments composition) must agree with
+    the flat levels=1 scan to fp tolerance on a series long enough
+    for several SUPER-segments, and report the composed n_seg."""
+    import pandas as pd
+
+    n = 210
+    ys = [100.0 + math.sin(i * 0.31) * 40.0 + (i % 11) for i in range(n)]
+    pdf = pd.DataFrame({"symbol": 1, "time_idx": range(n), "close": ys})
+    df = spark.createDataFrame(pdf)
+    flat = affine_ema_scan(
+        df, "close", "symbol", "time_idx", alpha=0.5, seg_len=8
+    ).collect()[0]
+    from big_data_stock_price_forecast_spark.operators.twophase import (
+        affine_scan,
+    )
+    from pyspark.sql import functions as FF
+
+    d = df.select(
+        "symbol", "time_idx",
+        (FF.col("close") * FF.lit(0.5)).alias("b"),
+        FF.col("close").alias("b_seed"),
+    )
+    hier = affine_scan(
+        d, "b", "b_seed", "symbol", "time_idx",
+        mult=0.5, seg_len=8, levels=2, out_col="ema_last",
+    ).collect()[0]
+    assert flat["n"] == hier["n"] == n
+    assert flat["n_seg"] == math.ceil(n / 8)          # 27 segments
+    assert hier["n_seg"] == math.ceil(n / 64)         # 4 super-segments
+    assert abs(flat["ema_last"] - hier["ema_last"]) < 1e-9
