@@ -709,3 +709,43 @@ def test_affine_scan_hierarchical_matches_flat(spark):
     assert flat["n_seg"] == math.ceil(n / 8)          # 27 segments
     assert hier["n_seg"] == math.ceil(n / 64)         # 4 super-segments
     assert abs(flat["ema_last"] - hier["ema_last"]) < 1e-9
+
+
+# ------------------------------------------------- r11 plan pins
+
+
+def test_r11_market_cards_single_exchange(spark):
+    """kyle/garman ride the ts family's one symbol exchange — no
+    extra shuffle sneaks in as the cards evolve."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_garman_klass_vol,
+        q_ts_kyle_lambda,
+    )
+
+    for fn in (q_ts_kyle_lambda, q_ts_garman_klass_vol):
+        plan = _plan(fn(spark, SF))
+        assert plan.count("Exchange hashpartitioning") <= 1, fn.__name__
+        assert "Python" not in plan, fn.__name__
+
+
+def test_r11_no_python_and_no_cartesian(spark):
+    """None of the round-11 additions may regress to a Python stage
+    or a real cartesian product (crossJoin only against broadcast
+    one-row/scalar frames shows as BroadcastNestedLoopJoin over a
+    SinglePartition broadcast — permitted; CartesianProduct is not)."""
+    from big_data_stock_price_forecast_spark.plans import registry as R
+
+    names = [
+        "ts_ema_scan", "graph_jaccard_links", "ts_variance_ratio",
+        "ts_capm_beta", "ts_amihud_illiq", "doc_lexical_diversity",
+        "emb_ivf_balance", "graph_triangle_count", "ts_kyle_lambda",
+        "ts_garman_klass_vol", "ts_permutation_entropy",
+        "doc_js_divergence", "ts_engle_granger", "events_burstiness",
+        "ts_garch_scan", "events_entropy_rate",
+        "part_price_elasticity", "doc_heaps_law", "emb_ivf_probe_curve",
+    ]
+    qs = R.all_queries()
+    for n in names:
+        plan = _plan(qs[n](spark, SF))
+        assert "Python" not in plan, n
+        assert "CartesianProduct" not in plan, n
