@@ -18230,7 +18230,13 @@ def q_ts_amihud_illiq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
     ).withColumn("vq", F.col("volume").cast("decimal(38,0)"))
     d = d.withColumn("x", F.col("qc") - F.lag("qc", 1).over(w)).filter(
-        F.col("x").isNotNull()
+        # a bucket with a non-positive (zero) price has no dollar
+        # volume — the ratio is undefined there, and under ANSI the
+        # unguarded division THROWS (zero closes exist in the raw
+        # feed at sf0.1 — caught by the bench noop pass, r11); the
+        # row leaves count and sum identically in both engines, the
+        # realized-vol convention
+        F.col("x").isNotNull() & (F.col("qc") > 0) & (F.col("vq") > 0)
     )
     ratio = F.abs(F.col("x")).cast("double") / (
         F.col("qc") * F.col("vq")
@@ -18261,7 +18267,7 @@ d AS (
          floor(close * 1000000.0 + 0.5)::DECIMAL(38,0)
            - lag(floor(close * 1000000.0 + 0.5)::DECIMAL(38,0), 1)
              OVER (PARTITION BY symbol ORDER BY time_idx) AS x
-  FROM filled QUALIFY x IS NOT NULL),
+  FROM filled QUALIFY x IS NOT NULL AND qc > 0 AND vq > 0),
 r AS (
   SELECT symbol,
          floor(abs(x)::DOUBLE / (qc * vq)::DOUBLE * 1e12

@@ -749,3 +749,32 @@ def test_r11_no_python_and_no_cartesian(spark):
         plan = _plan(qs[n](spark, SF))
         assert "Python" not in plan, n
         assert "CartesianProduct" not in plan, n
+
+
+# --------------------------------------- amihud zero-close guard
+
+
+def test_amihud_zero_close_buckets_are_excluded(spark, tmp_path):
+    """A zero close on the grid must not blow up the dollar-volume
+    division (ANSI throws on the unguarded form — sf0.1 regression,
+    r11) and must leave count and mean identically."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_amihud_illiq,
+    )
+
+    closes = [100.0, 101.0, 0.0, 102.0, 103.0]
+    _write_series(spark, str(tmp_path),
+                  {1: [[(0, c)] for c in closes]})
+    got = q_ts_amihud_illiq(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    # rows excluded: rn=1 (no lag) and the qc=0 bucket -> n = 3
+    assert r["n"] == 3
+    qcs = [math.floor(c * 1e6 + 0.5) for c in closes]
+    rqs = [
+        math.floor(abs(qcs[i] - qcs[i - 1]) / (qcs[i] * 1.0) * 1e12
+                   + 0.5)
+        for i in range(1, len(qcs)) if qcs[i] > 0
+    ]
+    illiq = sum(rqs) / len(rqs) / 1e12 * 1e6
+    assert r["illiq_x1e6"] == _snap(illiq, 8)
