@@ -205,7 +205,22 @@ def ivf_ann_topk(
     """
     centroids = label_centroids(emb)
     assigned = assign_lists(emb, centroids)
+    return ivf_topk_from_assigned(
+        assigned, centroids, query_mod, k=k, nprobe=nprobe
+    )
 
+
+def ivf_topk_from_assigned(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query_mod: int,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """:func:`ivf_ann_topk` against a PRE-BUILT (and possibly
+    checkpointed) assignment + centroid pair — callers that sweep a
+    parameter (the nprobe recall/cost curve) build the quantizer once
+    instead of re-deriving it per branch."""
     queries = assigned.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
