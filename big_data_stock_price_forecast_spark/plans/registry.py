@@ -19747,14 +19747,15 @@ def all_queries() -> dict[str, QueryFn]:
     # closed the loop: every one of the pre-r11 236 registry queries
     # now has a driver-green row somewhere in CORRECTNESS_r01-r10
     # (judge-verified by set difference, VERDICT r10).
-    # Round-11 rotation: positions 1-18 = the eighteen round-11
+    # Round-11 rotation: positions 1-19 = the nineteen round-11
     # additions (ts_ema_scan, graph_jaccard_links, ts_variance_ratio,
     # ts_capm_beta, ts_amihud_illiq, doc_lexical_diversity,
     # emb_ivf_balance, graph_triangle_count, ts_kyle_lambda,
     # ts_garman_klass_vol, ts_permutation_entropy, doc_js_divergence,
     # ts_engle_granger, events_burstiness, ts_garch_scan,
-    # events_entropy_rate, part_price_elasticity, doc_heaps_law —
-    # plus the three structural canaries held at 19-21 by
+    # events_entropy_rate, part_price_elasticity, doc_heaps_law,
+    # emb_ivf_probe_curve —
+    # plus the three structural canaries held at 20-22 by
     # test_gate_window_composition), registered INSIDE the window so this round's
     # driver gate proves them; the rest of the window keeps the r10
     # entries (now driver-green canaries) in their r10 order. Three
