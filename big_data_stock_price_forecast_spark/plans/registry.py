@@ -19755,15 +19755,17 @@ def all_queries() -> dict[str, QueryFn]:
     # ts_engle_granger, events_burstiness, ts_garch_scan,
     # events_entropy_rate, part_price_elasticity, doc_heaps_law,
     # emb_ivf_probe_curve —
-    # plus the three structural canaries held at 20-22 by
-    # test_gate_window_composition), registered INSIDE the window so this round's
-    # driver gate proves them; the rest of the window keeps the r10
-    # entries (now driver-green canaries) in their r10 order. Three
-    # r10-green queries were EDITED in r11 and sit in the window for
-    # re-proof: media_ahash_near_dup (widened band+pair output),
-    # ts_theta_forecast (SES level via Arrow pass), doc_bm25_topk
-    # (TakeOrderedAndProject top-k; r9 tag, outside window — its
-    # oracle hash is unchanged and locally re-validated at 3 SFs).
+    # plus the three structural canaries right after them —
+    # test_gate_window_composition pins their MEMBERSHIP in the
+    # 50-entry window, not their exact slots), registered INSIDE the
+    # window so this round's driver gate proves them; the rest of the
+    # window keeps the r10 entries (now driver-green canaries) in
+    # their r10 order. Three r10-green queries were EDITED in r11 and
+    # are re-proved: media_ahash_near_dup (widened band+pair output)
+    # and ts_theta_forecast (SES level via Arrow pass) at their r10
+    # slots, doc_bm25_topk (TakeOrderedAndProject top-k, r9 tag) at
+    # position ~43 — also inside the window — with its oracle hash
+    # unchanged and locally re-validated at 3 SFs.
     # Every entry carries a "last driver-green round" tag so any
     # future rotation stays mechanical.
     return {

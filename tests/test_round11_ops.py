@@ -778,3 +778,170 @@ def test_amihud_zero_close_buckets_are_excluded(spark, tmp_path):
     ]
     illiq = sum(rqs) / len(rqs) / 1e12 * 1e6
     assert r["illiq_x1e6"] == _snap(illiq, 8)
+
+
+# ------------------- value-level contracts for the first batch
+# (review finding: these five shipped with plan pins only)
+
+
+def test_variance_ratio_momentum_vs_reversion_replay(spark, tmp_path):
+    """Smooth positively-autocorrelated changes -> VR > 1 (momentum);
+    an alternating zigzag (changes cancel over q periods) -> VR < 1;
+    the snapped moment algebra replays exactly on both."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        VR_Q,
+        q_ts_variance_ratio,
+    )
+
+    smooth = [100.0 + 50.0 * math.sin(i * 0.2) for i in range(20)]
+    zigzag = [100.0 + (1.0 if i % 2 == 0 else -1.0) for i in range(20)]
+    _write_series(spark, str(tmp_path), {
+        1: [[(0, y)] for y in smooth],
+        2: [[(0, y)] for y in zigzag],
+    })
+    got = {r["symbol"]: r for r in
+           q_ts_variance_ratio(spark, str(tmp_path)).collect()}
+    q = VR_Q
+    for sym, ys in ((1, smooth), (2, zigzag)):
+        qs = [math.floor(y * 1e6 + 0.5) for y in ys]
+        xs = [b - a for a, b in zip(qs, qs[1:])]
+        yq = [qs[i] - qs[i - q] for i in range(q, len(qs))]
+        n1, nq = len(xs), len(yq)
+        sx, sxx = sum(xs), sum(v * v for v in xs)
+        sy, syy = sum(yq), sum(v * v for v in yq)
+        var1 = (n1 * sxx - sx * sx) / (n1 * n1)
+        varq = (nq * syy - sy * sy) / (nq * nq)
+        vr = varq / (q * var1)
+        z = (vr - 1.0) / math.sqrt(
+            2.0 * (2 * q - 1) * (q - 1) / (3.0 * q) / nq
+        )
+        r = got[sym]
+        assert (r["n1"], r["nq"]) == (n1, nq)
+        assert r["vr"] == _snap(vr, 8)
+        assert r["z"] == _snap(z, 8)
+    assert got[1]["vr"] > 1.0  # persistent changes -> momentum
+    assert got[2]["vr"] < 1.0  # q=4 telescopes the zigzag away
+
+
+def test_capm_beta_planted_two_symbol_market(spark, tmp_path):
+    """Symbol 2 moves 3x symbol 1 -> beta2 > 1 > beta1 against the
+    equal-weight index; full generic replay of the snapped
+    normal-equation algebra including the index construction."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_capm_beta,
+    )
+
+    moves = [0.0, 1.0, -0.5, 2.0, -1.0, 1.5, 0.5, -2.0, 1.0, 0.75]
+    s1 = [100.0]
+    for m in moves[1:]:
+        s1.append(s1[-1] + m)
+    s2 = [200.0]
+    for m in moves[1:]:
+        s2.append(s2[-1] + 3.0 * m)
+    _write_series(spark, str(tmp_path), {
+        1: [[(0, y)] for y in s1],
+        2: [[(0, y)] for y in s2],
+    })
+    got = {r["symbol"]: r for r in
+           q_ts_capm_beta(spark, str(tmp_path)).collect()}
+    q1 = [math.floor(y * 1e6 + 0.5) for y in s1]
+    q2 = [math.floor(y * 1e6 + 0.5) for y in s2]
+    mq = [math.floor((a + b) / 2 + 0.5) for a, b in zip(q1, q2)]
+    for sym, qs in ((1, q1), (2, q2)):
+        xs = [b - a for a, b in zip(qs, qs[1:])]
+        ms = [b - a for a, b in zip(mq, mq[1:])]
+        n = len(xs)
+        sx, sm = sum(xs), sum(ms)
+        sxm = sum(a * b for a, b in zip(xs, ms))
+        smm = sum(b * b for b in ms)
+        sxx = sum(a * a for a in xs)
+        cov_n = n * sxm - sx * sm
+        varm_n = n * smm - sm * sm
+        varx_n = n * sxx - sx * sx
+        beta = cov_n / varm_n
+        alpha = (sx / n - beta * (sm / n)) / 1e6
+        r2 = (cov_n * cov_n) / (varm_n * varx_n)
+        r = got[sym]
+        assert r["n"] == n
+        assert r["beta"] == _snap(beta, 8)
+        assert r["alpha"] == _snap(alpha, 8)
+        assert r["r2"] == _snap(r2, 8)
+    assert got[2]["beta"] > 1.0 > got[1]["beta"]
+
+
+def test_jaccard_links_planted_overlap(spark, tmp_path):
+    """Users 1/2 share two items out of three -> J = 2/3 at rank 1;
+    the deg/union integers and the (jac, u1, u2) tie-break replay."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_graph_jaccard_links,
+    )
+
+    rows, eid = [], 0
+    # items are (event_type, day, floor(value)); df >= 2 required
+    plant = [
+        ("i1", [1, 2]), ("i2", [1, 2]), ("i3", [1, 3]),
+        ("i4", [2, 3]),
+    ]
+    for item, users in plant:
+        for u in users:
+            rows.append((eid, BASE_TS, u, item, 1.0, "{}")); eid += 1
+    _write_event_rows(spark, str(tmp_path), rows)
+    got = {(r["u1"], r["u2"]): r for r in
+           q_graph_jaccard_links(spark, str(tmp_path)).collect()}
+    # deg: 1 -> {i1,i2,i3}=3, 2 -> {i1,i2,i4}=3, 3 -> {i3,i4}=2
+    r12 = got[(1, 2)]
+    assert (r12["inter"], r12["un"]) == (2, 4)
+    assert r12["jaccard"] == _snap(2 / 4, 8)
+    assert r12["rank"] == 1
+    r13 = got[(1, 3)]
+    assert (r13["inter"], r13["un"]) == (1, 4)
+    r23 = got[(2, 3)]
+    assert (r23["inter"], r23["un"]) == (1, 4)
+    # tie between (1,3) and (2,3) at jac=0.25 -> u1 breaks it
+    assert r13["rank"] == 2 and r23["rank"] == 3
+
+
+def test_lexical_diversity_replay(spark, tmp_path):
+    """TTR / hapax fraction / Herdan's C replay exactly on a planted
+    two-source corpus; a one-token source is filtered (n >= 2)."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_lexical_diversity,
+    )
+
+    docs = [
+        (1, "a b b c c c", "en", "rich", 11),
+        (2, "d d d d", "en", "rich", 7),
+        (3, "x", "en", "tiny", 1),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r["source"]: r for r in
+           q_doc_lexical_diversity(spark, str(tmp_path)).collect()}
+    assert "tiny" not in got  # n_tokens = 1 < 2 filtered
+    r = got["rich"]
+    # rich: tokens a b b c c c d d d d -> n=10, types {a,b,c,d}=4,
+    # hapax {a}=1
+    assert (r["n_tokens"], r["n_types"], r["n_hapax"]) == (10, 4, 1)
+    assert r["ttr"] == _snap(4 / 10, 8)
+    assert r["hapax_frac"] == _snap(1 / 4, 8)
+    assert r["herdan_c"] == _snap(math.log(4) / math.log(10), 8)
+
+
+def test_ivf_balance_invariants(spark):
+    """On the fixture index: K lists = label count, sizes sum to the
+    corpus, imbalance >= 1 (Cauchy-Schwarz, = 1 iff perfectly
+    balanced), and the empty count is consistent with min_sz."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        _emb,
+        q_emb_ivf_balance,
+    )
+
+    r = q_emb_ivf_balance(spark, SF).collect()[0]
+    n_emb = _emb(spark, SF).count()
+    assert r["n_vecs"] == n_emb
+    assert r["k_lists"] == 10
+    assert r["min_sz"] <= n_emb / r["k_lists"] <= r["max_sz"]
+    assert r["imbalance"] >= 1.0 - 1e-9
+    assert (r["n_empty"] > 0) == (r["min_sz"] == 0)
