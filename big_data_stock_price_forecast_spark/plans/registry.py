@@ -19740,6 +19740,267 @@ SELECT nprobe, n_queries, total_hits, total_scanned,
 FROM curve"""
 
 
+def q_ts_runs_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs TEST per symbol — the inferential stat on
+    top of ts_updown_runs' descriptive summary: same move
+    classification (sign of the close diff, flat moves dropped), but
+    reporting R (runs), n_up/n_down, E[R] = 2·n₁n₂/(n₁+n₂)+1,
+    Var[R], and z = (R−E)/√Var — |z| ≥ 2 rejects randomness (z < 0 =
+    trending/clustered, z > 0 = oscillating). R and the counts are
+    exact integers off one lag window (runs = 1 + sign changes); E,
+    Var, z are single IEEE expressions of those integers, identical
+    in both engines. Rides the symbol exchange; one map-side
+    groupBy."""
+    r = _resampled(spark, sf_dir).select("symbol", "time_idx", "close")
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    moves = (
+        r.withColumn(
+            "dir", F.signum(F.col("close") - F.lag("close").over(w))
+        )
+        .filter(F.col("dir").isin(1.0, -1.0))
+        .withColumn("dir", F.col("dir").cast("int"))
+    )
+    wm = Window.partitionBy("symbol").orderBy("time_idx")
+    m = moves.withColumn(
+        "chg",
+        F.when(
+            F.lag("dir").over(wm).isNull()
+            | (F.col("dir") != F.lag("dir").over(wm)),
+            1,
+        ).otherwise(0),
+    )
+    agg = m.groupBy("symbol").agg(
+        F.sum(F.when(F.col("dir") == 1, 1).otherwise(0)).alias("n_up"),
+        F.sum(F.when(F.col("dir") == -1, 1).otherwise(0)).alias(
+            "n_down"
+        ),
+        F.sum("chg").alias("runs"),
+    ).filter((F.col("n_up") >= 1) & (F.col("n_down") >= 1))
+    n1 = F.col("n_up").cast("double")
+    n2 = F.col("n_down").cast("double")
+    nn = n1 + n2
+    e_r = F.lit(2.0) * n1 * n2 / nn + F.lit(1.0)
+    var_r = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - nn)
+        / (nn * nn * (nn - F.lit(1.0)))
+    )
+    z = F.when(
+        var_r > 0, (F.col("runs").cast("double") - e_r) / F.sqrt(var_r)
+    )
+    return agg.select(
+        "symbol",
+        F.col("n_up").cast("long").alias("n_up"),
+        F.col("n_down").cast("long").alias("n_down"),
+        F.col("runs").cast("long").alias("runs"),
+        _rne(e_r, "e_runs", 8),
+        _rne(z, "z", 8),
+    )
+
+
+def _sql_ts_runs_ztest() -> str:
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H},
+moves AS (
+  SELECT symbol, time_idx,
+         CAST(sign(close - lag(close) OVER w) AS INT) AS dir
+  FROM idx WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)
+  QUALIFY dir IN (1, -1)),
+m AS (
+  SELECT symbol, dir,
+         CASE WHEN lag(dir) OVER w2 IS NULL
+                OR dir <> lag(dir) OVER w2 THEN 1 ELSE 0 END AS chg
+  FROM moves WINDOW w2 AS (PARTITION BY symbol ORDER BY time_idx)),
+agg AS (
+  SELECT symbol,
+         sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END) AS n_up,
+         sum(CASE WHEN dir = -1 THEN 1 ELSE 0 END) AS n_down,
+         sum(chg) AS runs
+  FROM m GROUP BY 1
+  HAVING sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END) >= 1
+     AND sum(CASE WHEN dir = -1 THEN 1 ELSE 0 END) >= 1),
+st AS (
+  SELECT symbol, n_up, n_down, runs,
+         2.0 * n_up::DOUBLE * n_down::DOUBLE
+           / (n_up::DOUBLE + n_down::DOUBLE) + 1.0 AS e_r,
+         2.0 * n_up::DOUBLE * n_down::DOUBLE
+           * (2.0 * n_up::DOUBLE * n_down::DOUBLE
+              - (n_up::DOUBLE + n_down::DOUBLE))
+           / ((n_up::DOUBLE + n_down::DOUBLE)
+              * (n_up::DOUBLE + n_down::DOUBLE)
+              * (n_up::DOUBLE + n_down::DOUBLE - 1.0)) AS var_r
+  FROM agg)
+SELECT symbol, n_up::BIGINT AS n_up, n_down::BIGINT AS n_down,
+       runs::BIGINT AS runs,
+       {_sql_rne('e_r', 'e_runs', 8)},
+       {_sql_rne(
+           'CASE WHEN var_r > 0 '
+           'THEN (runs::DOUBLE - e_r) / sqrt(var_r) END',
+           'z', 8)}
+FROM st"""
+
+
+VOCAB_COVERAGE_KS = (100, 1000, 10000)
+
+
+def q_doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget coverage curve — for vocabulary sizes
+    K ∈ {100, 1k, 10k}: what fraction of all corpus tokens the top-K
+    most frequent terms cover (the number that decides a vocab/BPE
+    budget, read next to doc_heaps_law's growth exponent and
+    doc_zipf_fit's slope). One tokenize+count pass; each K's top set
+    is a TakeOrderedAndProject over the vocabulary-sized frame
+    ((cnt DESC, term ASC) total order — deterministic under count
+    ties); covered/total are exact integers, coverage is ONE
+    division. Output is |Ks| rows at any corpus scale."""
+    docs = _docs_parallel(spark, sf_dir)
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = tf.agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    out = None
+    for k in VOCAB_COVERAGE_KS:
+        top = tf.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(
+            k
+        )
+        cov = top.agg(F.sum("cnt").alias("covered"))
+        row = (
+            tot.crossJoin(cov)
+            .select(
+                F.lit(k).cast("long").alias("vocab_k"),
+                F.col("n_types").cast("long").alias("n_types"),
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                F.coalesce(F.col("covered"), F.lit(0))
+                .cast("long")
+                .alias("covered_tokens"),
+                _rne(
+                    F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+                    / F.col("n_tokens").cast("double"),
+                    "coverage",
+                    8,
+                ),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _sql_doc_vocab_coverage() -> str:
+    blocks = []
+    for k in VOCAB_COVERAGE_KS:
+        blocks.append(f"""
+SELECT {k}::BIGINT AS vocab_k,
+       (SELECT count(*) FROM tf)::BIGINT AS n_types,
+       (SELECT sum(cnt) FROM tf)::BIGINT AS n_tokens,
+       coalesce((SELECT sum(cnt) FROM (
+          SELECT cnt FROM tf
+          ORDER BY cnt DESC, term ASC LIMIT {k})), 0)::BIGINT
+         AS covered_tokens""")
+    sels = " UNION ALL ".join(blocks)
+    return f"""
+WITH t AS (
+  SELECT unnest({sql_tokens('text')}) AS term FROM documents
+),
+tf AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+curve AS ({sels})
+SELECT vocab_k, n_types, n_tokens, covered_tokens,
+       {_sql_rne('covered_tokens::DOUBLE / n_tokens::DOUBLE',
+                 'coverage', 8)}
+FROM curve"""
+
+
+def q_emb_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-confidence card per IVF list: the margin between
+    each vector's nearest and second-nearest centroid distances
+    (d₂ − d₁ — small margins mean boundary vectors whose neighbors
+    live in the UNPROBED list, the per-list predictor of where
+    nprobe=1 recall is lost; read next to emb_ivf_balance and the
+    probe curve). Distances are the shared fold-exact flat-codegen
+    L2 against the broadcast centroids; the two nearest ranks break
+    ties on the centroid label; per-row margins snap to the 1e-12
+    grid and sum in exact DECIMAL. One broadcast join + two windows
+    on the vector key + one map-side groupBy."""
+    from ..functions.distance import dist_l2_fixed
+    from ..operators.ivf import EMB_DIM, label_centroids
+
+    emb = _emb(spark, sf_dir)
+    cent = label_centroids(emb)
+    d = emb.crossJoin(
+        F.broadcast(cent.select(F.col("label").alias("clabel"), "cvec"))
+    ).select(
+        "vec_id",
+        "clabel",
+        dist_l2_fixed(F.col("v"), F.col("cvec"), EMB_DIM).alias("cd"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("cd").asc(), F.col("clabel").asc()
+    )
+    two = d.withColumn("rk", F.row_number().over(wv)).filter(
+        F.col("rk") <= 2
+    )
+    piv = two.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("clabel"))).alias(
+            "list_id"
+        ),
+        F.max(F.when(F.col("rk") == 1, F.col("cd"))).alias("d1"),
+        F.max(F.when(F.col("rk") == 2, F.col("cd"))).alias("d2"),
+    ).filter(F.col("d2").isNotNull())
+    mq = (
+        F.floor((F.col("d2") - F.col("d1")) * 1e12 + F.lit(0.5)) / 1e12
+    ).cast("decimal(30,12)")
+    agg = piv.withColumn("mq", mq).groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mq").alias("sm"),
+        F.min("mq").alias("min_m"),
+    )
+    return agg.select(
+        F.col("list_id").cast("long").alias("list_id"),
+        F.col("n").cast("long").alias("n"),
+        _rne(
+            F.col("sm").cast("double") / F.col("n").cast("double"),
+            "mean_margin",
+            8,
+        ),
+        _rne(F.col("min_m").cast("double"), "min_margin", 8),
+    )
+
+
+def _sql_emb_centroid_margin() -> str:
+    l2_ec = _sql_l2("e.v", "c.cvec")
+    return f"""
+WITH {_sql_ivf_base()},
+d AS (
+  SELECT e.vec_id, c.label AS clabel, {l2_ec} AS cd
+  FROM emb e CROSS JOIN cent c),
+two AS (
+  SELECT vec_id, clabel, cd,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY cd ASC, clabel ASC) AS rk
+  FROM d QUALIFY rk <= 2),
+piv AS (
+  SELECT vec_id,
+         max(CASE WHEN rk = 1 THEN clabel END) AS list_id,
+         max(CASE WHEN rk = 1 THEN cd END) AS d1,
+         max(CASE WHEN rk = 2 THEN cd END) AS d2
+  FROM two GROUP BY 1
+  HAVING max(CASE WHEN rk = 2 THEN cd END) IS NOT NULL),
+m AS (
+  SELECT list_id,
+         CAST(floor((d2 - d1) * 1000000000000.0 + 0.5)
+              / 1000000000000.0 AS DECIMAL(30,12)) AS mq
+  FROM piv),
+agg AS (
+  SELECT list_id, count(*) AS n, sum(mq) AS sm, min(mq) AS min_m
+  FROM m GROUP BY 1)
+SELECT list_id::BIGINT AS list_id, n::BIGINT AS n,
+       {_sql_rne('sm::DOUBLE / n::DOUBLE', 'mean_margin', 8)},
+       {_sql_rne('min_m::DOUBLE', 'min_margin', 8)}
+FROM agg"""
+
+
 def all_queries() -> dict[str, QueryFn]:
     # ORDER MATTERS: the driver's correctness gate checks entries in
     # registration order (observed cutoff: 50). CORRECTNESS_r10 was
@@ -19747,14 +20008,15 @@ def all_queries() -> dict[str, QueryFn]:
     # closed the loop: every one of the pre-r11 236 registry queries
     # now has a driver-green row somewhere in CORRECTNESS_r01-r10
     # (judge-verified by set difference, VERDICT r10).
-    # Round-11 rotation: positions 1-19 = the nineteen round-11
+    # Round-11 rotation: positions 1-22 = the twenty-two round-11
     # additions (ts_ema_scan, graph_jaccard_links, ts_variance_ratio,
     # ts_capm_beta, ts_amihud_illiq, doc_lexical_diversity,
     # emb_ivf_balance, graph_triangle_count, ts_kyle_lambda,
     # ts_garman_klass_vol, ts_permutation_entropy, doc_js_divergence,
     # ts_engle_granger, events_burstiness, ts_garch_scan,
     # events_entropy_rate, part_price_elasticity, doc_heaps_law,
-    # emb_ivf_probe_curve —
+    # emb_ivf_probe_curve, ts_runs_ztest, doc_vocab_coverage,
+    # emb_centroid_margin —
     # plus the three structural canaries right after them —
     # test_gate_window_composition pins their MEMBERSHIP in the
     # 50-entry window, not their exact slots), registered INSIDE the
@@ -19792,6 +20054,9 @@ def all_queries() -> dict[str, QueryFn]:
         "part_price_elasticity": q_part_price_elasticity,  # never (r11)
         "doc_heaps_law": q_doc_heaps_law,  # never (r11)
         "emb_ivf_probe_curve": q_emb_ivf_probe_curve,  # never (r11)
+        "ts_runs_ztest": q_ts_runs_ztest,  # never (r11)
+        "doc_vocab_coverage": q_doc_vocab_coverage,  # never (r11)
+        "emb_centroid_margin": q_emb_centroid_margin,  # never (r11)
         # the three STRUCTURAL canaries stay inside the window
         # (test_gate_window_composition): one flagship, one wide
         # indicator battery, one LSH pair query — if the driver
@@ -20103,6 +20368,9 @@ def _oracle_sql_map() -> dict[str, str]:
         "part_price_elasticity": _sql_part_price_elasticity(),
         "doc_heaps_law": _sql_doc_heaps_law(),
         "emb_ivf_probe_curve": _sql_emb_ivf_probe_curve(),
+        "ts_runs_ztest": _sql_ts_runs_ztest(),
+        "doc_vocab_coverage": _sql_doc_vocab_coverage(),
+        "emb_centroid_margin": _sql_emb_centroid_margin(),
         "ts_garch_vol": _sql_ts_garch_vol(),
         "ts_conformal_interval": _sql_ts_conformal_interval(),
         "ts_topdown_reconcile": _sql_ts_topdown_reconcile(),

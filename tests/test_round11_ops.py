@@ -945,3 +945,99 @@ def test_ivf_balance_invariants(spark):
     assert r["min_sz"] <= n_emb / r["k_lists"] <= r["max_sz"]
     assert r["imbalance"] >= 1.0 - 1e-9
     assert (r["n_empty"] > 0) == (r["min_sz"] == 0)
+
+
+# -------------------------------------------------- runs z-test
+
+
+def test_runs_ztest_oscillating_vs_trending(spark, tmp_path):
+    """A perfect zigzag maximizes runs (z > 0); a two-block trend
+    minimizes them (z < 0); counts and the closed-form z replay."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_runs_ztest,
+    )
+
+    zig = [100.0 + (1.0 if i % 2 == 0 else -1.0) for i in range(13)]
+    trend = [100.0 + (i if i < 6 else 12 - i) for i in range(13)]
+    _write_series(spark, str(tmp_path), {
+        1: [[(0, y)] for y in zig],
+        2: [[(0, y)] for y in trend],
+    })
+    got = {r["symbol"]: r for r in
+           q_ts_runs_ztest(spark, str(tmp_path)).collect()}
+
+    def replay(ys):
+        dirs = [1 if b > a else -1 for a, b in zip(ys, ys[1:]) if b != a]
+        n1 = sum(1 for d in dirs if d == 1)
+        n2 = len(dirs) - n1
+        runs = 1 + sum(1 for a, b in zip(dirs, dirs[1:]) if a != b)
+        nn = n1 + n2
+        e = 2.0 * n1 * n2 / nn + 1.0
+        var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - nn)
+               / (nn * nn * (nn - 1.0)))
+        return n1, n2, runs, e, (runs - e) / math.sqrt(var)
+
+    for sym, ys in ((1, zig), (2, trend)):
+        n1, n2, runs, e, z = replay(ys)
+        r = got[sym]
+        assert (r["n_up"], r["n_down"], r["runs"]) == (n1, n2, runs)
+        assert r["e_runs"] == _snap(e, 8)
+        assert r["z"] == _snap(z, 8)
+    assert got[1]["z"] > 0 > got[2]["z"]
+
+
+# ---------------------------------------------- vocab coverage
+
+
+def test_vocab_coverage_monotone_and_replay(spark, tmp_path):
+    """Coverage is non-decreasing in K and hits 1.0 once K >= vocab;
+    the exact-integer covered counts replay with the (cnt DESC, term)
+    tie-break."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        VOCAB_COVERAGE_KS,
+        q_doc_vocab_coverage,
+    )
+
+    docs = [(i, " ".join(f"w{j}" for j in range(i + 1)), "en", "s", 10)
+            for i in range(30)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = {r["vocab_k"]: r for r in
+            q_doc_vocab_coverage(spark, str(tmp_path)).collect()}
+    cnt = Counter()
+    for _, text, _, _, _ in docs:
+        cnt.update(text.split())
+    total = sum(cnt.values())
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    prev = -1.0
+    for k in VOCAB_COVERAGE_KS:
+        covered = sum(c for _, c in ranked[:k])
+        r = rows[k]
+        assert r["n_types"] == len(cnt) and r["n_tokens"] == total
+        assert r["covered_tokens"] == covered
+        assert r["coverage"] == _snap(covered / total, 8)
+        assert r["coverage"] >= prev
+        prev = r["coverage"]
+    assert rows[max(VOCAB_COVERAGE_KS)]["coverage"] == 1.0  # K > vocab
+
+
+# ------------------------------------------- centroid margins
+
+
+def test_centroid_margin_invariants(spark):
+    """Margins are non-negative, every list with members appears,
+    min <= mean, and the per-list vector counts sum to the corpus."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        _emb,
+        q_emb_centroid_margin,
+    )
+
+    rows = q_emb_centroid_margin(spark, SF).collect()
+    assert rows
+    n_total = sum(r["n"] for r in rows)
+    assert n_total == _emb(spark, SF).count()
+    for r in rows:
+        assert r["min_margin"] >= 0.0
+        assert r["mean_margin"] >= r["min_margin"]
