@@ -20001,6 +20001,116 @@ SELECT list_id::BIGINT AS list_id, n::BIGINT AS n,
 FROM agg"""
 
 
+def q_ts_adf_unit_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey–Fuller unit-root screen per symbol (with intercept):
+    Δy_t = a + b·y_{t−1} + ε — the stationarity test a forecasting
+    pipeline runs BEFORE differencing/fracdiff decisions (b ≈ 0 →
+    random walk, keep differencing; large-negative t → already
+    mean-reverting). The per-pair Engle–Granger card runs this on
+    SPREAD residuals; this is the univariate screen on each symbol's
+    own snapped closes. Two-regressor OLS entirely from six exact
+    DECIMAL moments of integer inputs (one lag window); b̂, â, SSE,
+    se(b̂) and the t-stat are closed-form float combinations of those
+    moments — identical IEEE expressions in both engines. One window
+    + one map-side groupBy on the symbol exchange."""
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    d = df.withColumn(
+        "qc",
+        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
+    )
+    d = (
+        d.withColumn("xl", F.lag("qc", 1).over(w))
+        .withColumn("dy", F.col("qc") - F.col("xl"))
+        .filter(F.col("xl").isNotNull())
+    )
+    agg = d.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xl").alias("sx"),
+        F.sum("dy").alias("sd"),
+        F.sum(F.col("xl") * F.col("dy")).alias("sxd"),
+        F.sum(F.col("xl") * F.col("xl")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("sdd"),
+    ).filter(F.col("n") >= 8)
+    nd = F.col("n").cast("decimal(38,0)")
+    varx_n = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    cov_n = (nd * F.col("sxd") - F.col("sx") * F.col("sd")).cast(
+        "double"
+    )
+    n_ = F.col("n").cast("double")
+    sx_ = F.col("sx").cast("double")
+    sd_ = F.col("sd").cast("double")
+    sxd_ = F.col("sxd").cast("double")
+    sxx_ = F.col("sxx").cast("double")
+    sdd_ = F.col("sdd").cast("double")
+    b = F.when(varx_n > 0, cov_n / varx_n)
+    a = (sd_ - b * sx_) / n_
+    sse = (
+        sdd_
+        + n_ * a * a
+        + b * b * sxx_
+        - F.lit(2.0) * a * sd_
+        - F.lit(2.0) * b * sxd_
+        + F.lit(2.0) * a * b * sx_
+    )
+    se = F.sqrt(
+        F.greatest(sse, F.lit(0.0)) / (n_ - F.lit(2.0)) * n_ / varx_n
+    )
+    t = F.when(se > 0, b / se)
+    return agg.select(
+        "symbol",
+        F.col("n").cast("long").alias("n"),
+        _rne(b, "phi", 10),
+        _rne(a / F.lit(1e6), "drift", 8),
+        _rne(t, "adf_t", 8),
+    )
+
+
+def _sql_ts_adf_unit_root() -> str:
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+d AS (
+  SELECT symbol,
+         lag(qc, 1) OVER (PARTITION BY symbol ORDER BY time_idx) AS xl,
+         qc - lag(qc, 1) OVER (PARTITION BY symbol ORDER BY time_idx)
+           AS dy
+  FROM (SELECT symbol, time_idx,
+               floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
+        FROM filled)
+  QUALIFY xl IS NOT NULL),
+agg AS (
+  SELECT symbol, count(*) AS n, sum(xl) AS sx, sum(dy) AS sd,
+         sum(xl * dy) AS sxd, sum(xl * xl) AS sxx, sum(dy * dy) AS sdd
+  FROM d GROUP BY 1 HAVING count(*) >= 8),
+fit AS (
+  SELECT symbol, n,
+         n::DOUBLE AS n_, sx::DOUBLE AS sx_, sd::DOUBLE AS sd_,
+         sxd::DOUBLE AS sxd_, sxx::DOUBLE AS sxx_, sdd::DOUBLE AS sdd_,
+         (n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE AS varx_n,
+         CASE WHEN (n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE > 0 THEN
+           (n::DECIMAL(38,0) * sxd - sx * sd)::DOUBLE
+             / (n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE
+         END AS b
+  FROM agg),
+st AS (
+  SELECT symbol, n, b,
+         (sd_ - b * sx_) / n_ AS a,
+         sqrt(greatest(
+           sdd_ + n_ * ((sd_ - b * sx_) / n_) * ((sd_ - b * sx_) / n_)
+           + b * b * sxx_
+           - 2.0 * ((sd_ - b * sx_) / n_) * sd_
+           - 2.0 * b * sxd_
+           + 2.0 * ((sd_ - b * sx_) / n_) * b * sx_, 0.0)
+           / (n_ - 2.0) * n_ / varx_n) AS se
+  FROM fit)
+SELECT symbol, n::BIGINT AS n,
+       {_sql_rne('b', 'phi', 10)},
+       {_sql_rne('a / 1000000.0', 'drift', 8)},
+       {_sql_rne('CASE WHEN se > 0 THEN b / se END', 'adf_t', 8)}
+FROM st"""
+
+
 def all_queries() -> dict[str, QueryFn]:
     # ORDER MATTERS: the driver's correctness gate checks entries in
     # registration order (observed cutoff: 50). CORRECTNESS_r10 was
@@ -20008,7 +20118,7 @@ def all_queries() -> dict[str, QueryFn]:
     # closed the loop: every one of the pre-r11 236 registry queries
     # now has a driver-green row somewhere in CORRECTNESS_r01-r10
     # (judge-verified by set difference, VERDICT r10).
-    # Round-11 rotation: positions 1-22 = the twenty-two round-11
+    # Round-11 rotation: positions 1-23 = the twenty-three round-11
     # additions (ts_ema_scan, graph_jaccard_links, ts_variance_ratio,
     # ts_capm_beta, ts_amihud_illiq, doc_lexical_diversity,
     # emb_ivf_balance, graph_triangle_count, ts_kyle_lambda,
@@ -20016,7 +20126,7 @@ def all_queries() -> dict[str, QueryFn]:
     # ts_engle_granger, events_burstiness, ts_garch_scan,
     # events_entropy_rate, part_price_elasticity, doc_heaps_law,
     # emb_ivf_probe_curve, ts_runs_ztest, doc_vocab_coverage,
-    # emb_centroid_margin —
+    # emb_centroid_margin, ts_adf_unit_root —
     # plus the three structural canaries right after them —
     # test_gate_window_composition pins their MEMBERSHIP in the
     # 50-entry window, not their exact slots), registered INSIDE the
@@ -20057,6 +20167,7 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_runs_ztest": q_ts_runs_ztest,  # never (r11)
         "doc_vocab_coverage": q_doc_vocab_coverage,  # never (r11)
         "emb_centroid_margin": q_emb_centroid_margin,  # never (r11)
+        "ts_adf_unit_root": q_ts_adf_unit_root,  # never (r11)
         # the three STRUCTURAL canaries stay inside the window
         # (test_gate_window_composition): one flagship, one wide
         # indicator battery, one LSH pair query — if the driver
@@ -20371,6 +20482,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "ts_runs_ztest": _sql_ts_runs_ztest(),
         "doc_vocab_coverage": _sql_doc_vocab_coverage(),
         "emb_centroid_margin": _sql_emb_centroid_margin(),
+        "ts_adf_unit_root": _sql_ts_adf_unit_root(),
         "ts_garch_vol": _sql_ts_garch_vol(),
         "ts_conformal_interval": _sql_ts_conformal_interval(),
         "ts_topdown_reconcile": _sql_ts_topdown_reconcile(),

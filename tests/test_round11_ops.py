@@ -1041,3 +1041,58 @@ def test_centroid_margin_invariants(spark):
     for r in rows:
         assert r["min_margin"] >= 0.0
         assert r["mean_margin"] >= r["min_margin"]
+
+
+# ----------------------------------------------- adf unit root
+
+
+def test_adf_unit_root_stationary_vs_walk(spark, tmp_path):
+    """A strongly mean-reverting series gives a large-negative ADF t;
+    a near-deterministic trend (unit-root-ish, changes independent of
+    level) gives |phi| near 0; the two-regressor moment algebra
+    replays exactly."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_adf_unit_root,
+    )
+
+    # OU-ish: y pulls hard toward 100 from alternating displacements
+    revert = [100.0]
+    for i in range(15):
+        shock = 4.0 if i % 2 == 0 else -3.0
+        revert.append(100.0 + 0.2 * (revert[-1] - 100.0) + shock)
+    walkish = [100.0 + 1.0 * i + (0.3 if i % 2 == 0 else -0.2)
+               for i in range(16)]
+    _write_series(spark, str(tmp_path), {
+        1: [[(0, y)] for y in revert],
+        2: [[(0, y)] for y in walkish],
+    })
+    got = {r["symbol"]: r for r in
+           q_ts_adf_unit_root(spark, str(tmp_path)).collect()}
+
+    def replay(ys):
+        qs = [math.floor(y * 1e6 + 0.5) for y in ys]
+        xl = qs[:-1]
+        dy = [b - a for a, b in zip(qs, qs[1:])]
+        n = len(dy)
+        sx, sd = sum(xl), sum(dy)
+        sxd = sum(a * b for a, b in zip(xl, dy))
+        sxx = sum(a * a for a in xl)
+        sdd = sum(b * b for b in dy)
+        varx_n = n * sxx - sx * sx
+        b = (n * sxd - sx * sd) / varx_n
+        a = (sd - b * sx) / n
+        sse = (sdd + n * a * a + b * b * sxx
+               - 2.0 * a * sd - 2.0 * b * sxd + 2.0 * a * b * sx)
+        se = math.sqrt(max(sse, 0.0) / (n - 2) * n / varx_n)
+        return n, b, a, b / se
+
+    for sym, ys in ((1, revert), (2, walkish)):
+        n, b, a, t = replay(ys)
+        r = got[sym]
+        assert r["n"] == n
+        assert r["phi"] == _snap(b, 10)
+        assert r["drift"] == _snap(a / 1e6, 8)
+        assert r["adf_t"] == _snap(t, 8)
+    assert got[1]["adf_t"] < -3.0   # strong mean reversion
+    assert got[1]["phi"] < -0.5
+    assert abs(got[2]["phi"]) < 0.2  # level doesn't predict change
