@@ -20111,6 +20111,93 @@ SELECT symbol, n::BIGINT AS n,
 FROM st"""
 
 
+HAAR_LEVELS = (1, 2, 3)  # block sizes 2, 4, 8 grid steps
+
+
+def q_ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy spectrum per symbol — multiresolution
+    variance decomposition (which time scale carries the movement:
+    level 1 = bucket-to-bucket noise, level 3 = 8-bucket swings; the
+    scale-localized complement of ts_cycle_power's frequency view).
+    At level k the contiguous grid splits into 2^k-row blocks; the
+    detail coefficient is (Σleft − Σright)/2^k and the level energy
+    is Σ d² = (Σ (Σleft − Σright)²)/4^k — the numerators are exact
+    DECIMAL integer sums of snapped closes, so the ONLY float op per
+    level is the final 4^k division (no per-row snapping needed at
+    all). Partial trailing blocks drop identically in both engines.
+    One row_number window + one groupBy per level, all riding the
+    symbol exchange; output is |symbols|·|levels| rows."""
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    d = df.withColumn(
+        "qc",
+        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
+    ).withColumn("rn0", F.row_number().over(w) - F.lit(1))
+    out = None
+    for k in HAAR_LEVELS:
+        blk = 1 << k
+        half = blk >> 1
+        sgn = F.when(
+            (F.col("rn0") % blk) < half, F.lit(1)
+        ).otherwise(F.lit(-1))
+        lvl = (
+            d.withColumn("bid", F.expr(f"rn0 div {blk}"))
+            .groupBy("symbol", "bid")
+            .agg(
+                F.count(F.lit(1)).alias("bn"),
+                F.sum(sgn * F.col("qc")).alias("num"),
+            )
+            .filter(F.col("bn") == blk)  # full blocks only
+            .groupBy("symbol")
+            .agg(
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.sum(F.col("num") * F.col("num")).alias("ssq"),
+            )
+            .select(
+                "symbol",
+                F.lit(k).cast("long").alias("level"),
+                F.col("n_blocks").cast("long").alias("n_blocks"),
+                _rne(
+                    F.col("ssq").cast("double")
+                    / F.lit(float(4 ** k))
+                    / F.lit(1e12),
+                    "energy",
+                    6,
+                ),
+            )
+        )
+        out = lvl if out is None else out.unionAll(lvl)
+    return out
+
+
+def _sql_ts_haar_energy() -> str:
+    blocks = []
+    for k in HAAR_LEVELS:
+        blk = 1 << k
+        half = blk >> 1
+        blocks.append(f"""
+SELECT symbol, {k}::BIGINT AS level,
+       count(*)::BIGINT AS n_blocks,
+       {_sql_rne(
+           f'sum(num * num)::DOUBLE / {float(4 ** k)} / 1e12',
+           'energy', 6)}
+FROM (
+  SELECT symbol, rn0 // {blk} AS bid, count(*) AS bn,
+         sum(CASE WHEN rn0 % {blk} < {half} THEN qc ELSE -qc END)
+           AS num
+  FROM base GROUP BY 1, 2)
+WHERE bn = {blk} GROUP BY symbol""")
+    sels = " UNION ALL ".join(blocks)
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+base AS (
+  SELECT symbol,
+         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) - 1
+           AS rn0,
+         floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
+  FROM filled)
+{sels}"""
+
+
 def all_queries() -> dict[str, QueryFn]:
     # ORDER MATTERS: the driver's correctness gate checks entries in
     # registration order (observed cutoff: 50). CORRECTNESS_r10 was
@@ -20118,7 +20205,7 @@ def all_queries() -> dict[str, QueryFn]:
     # closed the loop: every one of the pre-r11 236 registry queries
     # now has a driver-green row somewhere in CORRECTNESS_r01-r10
     # (judge-verified by set difference, VERDICT r10).
-    # Round-11 rotation: positions 1-23 = the twenty-three round-11
+    # Round-11 rotation: positions 1-24 = the twenty-four round-11
     # additions (ts_ema_scan, graph_jaccard_links, ts_variance_ratio,
     # ts_capm_beta, ts_amihud_illiq, doc_lexical_diversity,
     # emb_ivf_balance, graph_triangle_count, ts_kyle_lambda,
@@ -20126,7 +20213,7 @@ def all_queries() -> dict[str, QueryFn]:
     # ts_engle_granger, events_burstiness, ts_garch_scan,
     # events_entropy_rate, part_price_elasticity, doc_heaps_law,
     # emb_ivf_probe_curve, ts_runs_ztest, doc_vocab_coverage,
-    # emb_centroid_margin, ts_adf_unit_root —
+    # emb_centroid_margin, ts_adf_unit_root, ts_haar_energy —
     # plus the three structural canaries right after them —
     # test_gate_window_composition pins their MEMBERSHIP in the
     # 50-entry window, not their exact slots), registered INSIDE the
@@ -20168,6 +20255,7 @@ def all_queries() -> dict[str, QueryFn]:
         "doc_vocab_coverage": q_doc_vocab_coverage,  # never (r11)
         "emb_centroid_margin": q_emb_centroid_margin,  # never (r11)
         "ts_adf_unit_root": q_ts_adf_unit_root,  # never (r11)
+        "ts_haar_energy": q_ts_haar_energy,  # never (r11)
         # the three STRUCTURAL canaries stay inside the window
         # (test_gate_window_composition): one flagship, one wide
         # indicator battery, one LSH pair query — if the driver
@@ -20483,6 +20571,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "doc_vocab_coverage": _sql_doc_vocab_coverage(),
         "emb_centroid_margin": _sql_emb_centroid_margin(),
         "ts_adf_unit_root": _sql_ts_adf_unit_root(),
+        "ts_haar_energy": _sql_ts_haar_energy(),
         "ts_garch_vol": _sql_ts_garch_vol(),
         "ts_conformal_interval": _sql_ts_conformal_interval(),
         "ts_topdown_reconcile": _sql_ts_topdown_reconcile(),

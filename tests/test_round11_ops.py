@@ -1096,3 +1096,43 @@ def test_adf_unit_root_stationary_vs_walk(spark, tmp_path):
     assert got[1]["adf_t"] < -3.0   # strong mean reversion
     assert got[1]["phi"] < -0.5
     assert abs(got[2]["phi"]) < 0.2  # level doesn't predict change
+
+
+# ------------------------------------------------- haar energy
+
+
+def test_haar_energy_replay_and_scale_localization(spark, tmp_path):
+    """A pure 2-bucket alternation puts ALL its energy at level 1
+    (levels 2-3 exactly 0); a planted series replays the exact
+    block-sum algebra including partial-trailing-block drops."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        HAAR_LEVELS,
+        q_ts_haar_energy,
+    )
+
+    alt = [100.0 + (1.0 if i % 2 == 0 else -1.0) for i in range(16)]
+    ys = [100.0 + math.sin(i * 0.5) * 10.0 + i * 0.3 for i in range(13)]
+    _write_series(spark, str(tmp_path), {
+        1: [[(0, y)] for y in alt],
+        2: [[(0, y)] for y in ys],
+    })
+    got = {(r["symbol"], r["level"]): r for r in
+           q_ts_haar_energy(spark, str(tmp_path)).collect()}
+    # symbol 1: d at level 1 = (a-b)/2 = 1 per block -> E1 = 8 blocks * 1
+    assert got[(1, 1)]["energy"] == 8.0
+    assert got[(1, 2)]["energy"] == 0.0
+    assert got[(1, 3)]["energy"] == 0.0
+    # symbol 2 (13 rows): full blocks 6/3/1, trailing partials drop
+    for k in HAAR_LEVELS:
+        blk = 1 << k
+        qs = [math.floor(y * 1e6 + 0.5) for y in ys]
+        nb = len(qs) // blk
+        ssq = 0
+        for b in range(nb):
+            seg = qs[b * blk:(b + 1) * blk]
+            num = sum(seg[: blk // 2]) - sum(seg[blk // 2:])
+            ssq += num * num
+        r = got[(2, k)]
+        assert r["n_blocks"] == nb
+        exp = ssq / float(4 ** k) / 1e12
+        assert r["energy"] == _snap(exp, 6)
