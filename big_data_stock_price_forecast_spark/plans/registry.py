@@ -20198,6 +20198,592 @@ base AS (
 {sels}"""
 
 
+JB_RET_CAP = 100.0  # |return| above 10000% per bucket = data error, cut
+JB_MIN_N = 8
+
+
+def _rel_returns(spark: SparkSession, sf_dir: str, scale: float):
+    """Shared snapped-relative-return frame for the moment-card family
+    (jarque_bera / risk_ratios): r_t = (qc_t − qc_{t−1}) / qc_{t−1} on
+    the 1e-6-snapped ffilled close — the division is ONE deterministic
+    IEEE double op on exact integers, then the return snaps to the
+    1/``scale`` grid so every downstream moment rides exact DECIMAL.
+    Buckets with a non-positive previous close drop (the raw feed DOES
+    contain zero closes at sf0.1 — the Amihud lesson), and |r| ≥
+    JB_RET_CAP rows are cut identically in both engines so 4th-power
+    DECIMAL sums stay far inside 38 digits."""
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    d = df.withColumn(
+        "qc",
+        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
+    )
+    d = d.withColumn("l1", F.lag("qc", 1).over(w)).filter(
+        F.col("l1").isNotNull() & (F.col("l1") > 0)
+    )
+    r = (F.col("qc") - F.col("l1")).cast("double") / F.col("l1").cast(
+        "double"
+    )
+    return (
+        d.withColumn(
+            "rq",
+            F.floor(r * F.lit(scale) + F.lit(0.5)).cast("decimal(38,0)"),
+        )
+        .filter(F.abs(r) < F.lit(JB_RET_CAP))
+        .select("symbol", "rq")
+    )
+
+
+def _sql_rel_returns(scale: str) -> str:
+    """Oracle CTE twin of :func:`_rel_returns` — emits ``ret(symbol,
+    rq)``; compose after SQL_FILLED."""
+    return f"""d AS (
+  SELECT symbol, qc,
+         lag(qc, 1) OVER (PARTITION BY symbol ORDER BY time_idx) AS l1
+  FROM (SELECT symbol, time_idx,
+               floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
+        FROM filled)),
+ret AS (
+  SELECT symbol,
+         floor(((qc - l1)::DOUBLE / l1::DOUBLE) * {scale} + 0.5)
+           ::DECIMAL(38,0) AS rq
+  FROM d
+  WHERE l1 IS NOT NULL AND l1 > 0
+    AND abs((qc - l1)::DOUBLE / l1::DOUBLE) < {JB_RET_CAP})"""
+
+
+def q_ts_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality screen per symbol — the distributional
+    gate a risk model runs before assuming Gaussian returns (fat tails
+    → VaR underestimates; the JB stat is n/6·(S² + (K−3)²/4) ~ χ²(2)).
+    Returns are 1e-6-snapped relative changes of the snapped close
+    (``_rel_returns``), so all four raw moments are exact DECIMAL
+    integer sums; skewness / kurtosis / JB are closed-form float
+    combinations of those sums (central moments via the raw-moment
+    identities, m2^1.5 as m2·√m2 — sqrt is correctly-rounded IEEE,
+    pow is not) — identical expressions in both engines. One lag
+    window + one map-side groupBy on the ts family's symbol
+    exchange."""
+    d = _rel_returns(spark, sf_dir, 1e6)
+    r2 = (F.col("rq") * F.col("rq")).alias("r2")
+    agg = (
+        d.select("symbol", "rq", r2)
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rq").alias("s1"),
+            F.sum("r2").alias("s2"),
+            F.sum(F.col("r2") * F.col("rq")).alias("s3"),
+            F.sum(F.col("r2") * F.col("r2")).alias("s4"),
+        )
+        .filter(F.col("n") >= JB_MIN_N)
+    )
+    n_ = F.col("n").cast("double")
+    s1_ = F.col("s1").cast("double")
+    s2_ = F.col("s2").cast("double")
+    s3_ = F.col("s3").cast("double")
+    s4_ = F.col("s4").cast("double")
+    m = s1_ / n_
+    m2 = s2_ / n_ - m * m
+    m3 = s3_ / n_ - F.lit(3.0) * m * (s2_ / n_) + F.lit(2.0) * m * m * m
+    m4 = (
+        s4_ / n_
+        - F.lit(4.0) * m * (s3_ / n_)
+        + F.lit(6.0) * m * m * (s2_ / n_)
+        - F.lit(3.0) * m * m * m * m
+    )
+    skew = F.when(m2 > 0, m3 / (m2 * F.sqrt(m2)))
+    kurt = F.when(m2 > 0, m4 / (m2 * m2))
+    jb = (
+        n_
+        / F.lit(6.0)
+        * (
+            skew * skew
+            + (kurt - F.lit(3.0)) * (kurt - F.lit(3.0)) / F.lit(4.0)
+        )
+    )
+    return agg.select(
+        "symbol",
+        F.col("n").cast("long").alias("n"),
+        _rne(m / F.lit(1e6), "mean_ret", 10),
+        _rne(skew, "skew", 8),
+        _rne(kurt, "kurt", 8),
+        _rne(jb, "jb", 6),
+    )
+
+
+def _sql_ts_jarque_bera() -> str:
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+{_sql_rel_returns('1000000.0')},
+agg AS (
+  SELECT symbol, count(*) AS n, sum(rq) AS s1, sum(rq * rq) AS s2,
+         sum((rq * rq) * rq) AS s3, sum((rq * rq) * (rq * rq)) AS s4
+  FROM ret GROUP BY 1 HAVING count(*) >= {JB_MIN_N}),
+mom AS (
+  SELECT symbol, n, n::DOUBLE AS n_,
+         s1::DOUBLE / n::DOUBLE AS m,
+         s2::DOUBLE / n::DOUBLE - (s1::DOUBLE / n::DOUBLE)
+           * (s1::DOUBLE / n::DOUBLE) AS m2,
+         s3::DOUBLE / n::DOUBLE
+           - 3.0 * (s1::DOUBLE / n::DOUBLE) * (s2::DOUBLE / n::DOUBLE)
+           + 2.0 * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
+             * (s1::DOUBLE / n::DOUBLE) AS m3,
+         s4::DOUBLE / n::DOUBLE
+           - 4.0 * (s1::DOUBLE / n::DOUBLE) * (s3::DOUBLE / n::DOUBLE)
+           + 6.0 * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
+             * (s2::DOUBLE / n::DOUBLE)
+           - 3.0 * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
+             * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE) AS m4
+  FROM agg),
+st AS (
+  SELECT symbol, n, n_, m,
+         CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END AS skew,
+         CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END AS kurt
+  FROM mom)
+SELECT symbol, n::BIGINT AS n,
+       {_sql_rne('m / 1000000.0', 'mean_ret', 10)},
+       {_sql_rne('skew', 'skew', 8)},
+       {_sql_rne('kurt', 'kurt', 8)},
+       {_sql_rne(
+           'n_ / 6.0 * (skew * skew'
+           ' + (kurt - 3.0) * (kurt - 3.0) / 4.0)', 'jb', 6)}
+FROM st"""
+
+
+RISK_MIN_N = 8
+BARS_PER_YEAR = 1460.0  # 6h grid: 4 bars/day * 365
+
+
+def q_ts_risk_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharpe / Sortino / hit-rate card per symbol — the risk-adjusted
+    summary next to ts_var_es and ts_drawdown (Sharpe = mean/σ of
+    per-bucket returns, Sortino divides by downside deviation only,
+    both population; the annualized column scales by √1460 for the 6h
+    grid). Returns are 1e-8-snapped relative changes (``_rel_returns``
+    — only squares here, so the finer grid is safe), and every moment
+    (n, Σr, Σr², Σ_{r<0} r², #r>0) is an exact DECIMAL/integer sum; the
+    ratios are final float combinations — identical IEEE expressions in
+    both engines. One lag window + one map-side groupBy on the symbol
+    exchange."""
+    d = _rel_returns(spark, sf_dir, 1e8)
+    agg = (
+        d.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rq").alias("s1"),
+            F.sum(F.col("rq") * F.col("rq")).alias("s2"),
+            F.sum(
+                F.when(F.col("rq") < 0, F.col("rq") * F.col("rq")).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            ).alias("sneg2"),
+            F.sum(F.when(F.col("rq") > 0, 1).otherwise(0)).alias("npos"),
+        )
+        .filter(F.col("n") >= RISK_MIN_N)
+    )
+    n_ = F.col("n").cast("double")
+    s1_ = F.col("s1").cast("double")
+    s2_ = F.col("s2").cast("double")
+    sneg_ = F.col("sneg2").cast("double")
+    mean = s1_ / n_ / F.lit(1e8)
+    var = (
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("s2")
+            - F.col("s1") * F.col("s1")
+        ).cast("double")
+        / (n_ * n_)
+        / F.lit(1e16)
+    )
+    vol = F.sqrt(F.greatest(var, F.lit(0.0)))
+    downside = F.sqrt(sneg_ / n_) / F.lit(1e8)
+    sharpe = F.when(vol > 0, mean / vol)
+    sortino = F.when(downside > 0, mean / downside)
+    return agg.select(
+        "symbol",
+        F.col("n").cast("long").alias("n"),
+        _rne(mean, "mean_ret", 10),
+        _rne(vol, "vol", 10),
+        _rne(sharpe, "sharpe", 8),
+        _rne(sortino, "sortino", 8),
+        _rne(
+            sharpe * F.lit(math.sqrt(BARS_PER_YEAR)), "sharpe_ann", 8
+        ),
+        _rne(
+            F.col("npos").cast("double") / n_, "hit_rate", 8
+        ),
+    )
+
+
+def _sql_ts_risk_ratios() -> str:
+    mean = "s1::DOUBLE / n::DOUBLE / 100000000.0"
+    var = (
+        "(n::DECIMAL(38,0) * s2 - s1 * s1)::DOUBLE"
+        " / (n::DOUBLE * n::DOUBLE) / 1e16"
+    )
+    vol = f"sqrt(greatest({var}, 0.0))"
+    downside = "sqrt(sneg2::DOUBLE / n::DOUBLE) / 100000000.0"
+    sharpe = f"CASE WHEN {vol} > 0 THEN ({mean}) / {vol} END"
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+{_sql_rel_returns('100000000.0')},
+agg AS (
+  SELECT symbol, count(*) AS n, sum(rq) AS s1, sum(rq * rq) AS s2,
+         sum(CASE WHEN rq < 0 THEN rq * rq
+                  ELSE 0::DECIMAL(38,0) END) AS sneg2,
+         sum(CASE WHEN rq > 0 THEN 1 ELSE 0 END) AS npos
+  FROM ret GROUP BY 1 HAVING count(*) >= {RISK_MIN_N})
+SELECT symbol, n::BIGINT AS n,
+       {_sql_rne(mean, 'mean_ret', 10)},
+       {_sql_rne(vol, 'vol', 10)},
+       {_sql_rne(sharpe, 'sharpe', 8)},
+       {_sql_rne(
+           f'CASE WHEN {downside} > 0 THEN ({mean}) / ({downside}) END',
+           'sortino', 8)},
+       {_sql_rne(
+           f'({sharpe}) * {math.sqrt(BARS_PER_YEAR)!r}',
+           'sharpe_ann', 8)},
+       {_sql_rne('npos::DOUBLE / n::DOUBLE', 'hit_rate', 8)}
+FROM agg"""
+
+
+HILL_K = 20
+
+
+def q_ts_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator per symbol — the heavy-tail
+    complement of ts_jarque_bera (α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the
+    k largest |price changes|; α < 2 means infinite variance, α < 4
+    invalidates kurtosis — exactly the regime JB flags). |Δqc| is an
+    exact integer, the top-(k+1) order statistics come from ONE
+    per-symbol rank window that the optimizer runs as WindowGroupLimit
+    (per-partition top-k, never a full sort), the (k+1)-th value
+    broadcasts back to the k tail rows, and each ln term — one IEEE op
+    on an exact-integer ratio — snaps to the 1e-12 grid before an
+    exact DECIMAL sum (the garman_klass ln device). Symbols with fewer
+    than k+1 nonzero changes drop in both engines."""
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    d = df.withColumn(
+        "qc",
+        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
+    )
+    d = d.withColumn(
+        "absx", F.abs(F.col("qc") - F.lag("qc", 1).over(w))
+    ).filter(F.col("absx").isNotNull() & (F.col("absx") > 0))
+    wr = Window.partitionBy("symbol").orderBy(
+        F.col("absx").desc(), F.col("time_idx").asc()
+    )
+    r = d.withColumn("rn", F.row_number().over(wr)).filter(
+        F.col("rn") <= HILL_K + 1
+    )
+    thr = r.filter(F.col("rn") == HILL_K + 1).select(
+        "symbol", F.col("absx").alias("xk")
+    )
+    tail = r.filter(F.col("rn") <= HILL_K).join(
+        F.broadcast(thr), "symbol"
+    )
+    tq = F.floor(
+        F.log(F.col("absx").cast("double") / F.col("xk").cast("double"))
+        * F.lit(1e12)
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    agg = tail.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.sum(tq).alias("sq"),
+        F.max("xk").alias("xk"),
+    ).filter(F.col("n_tail") == HILL_K)
+    alpha = F.when(
+        F.col("sq") > 0,
+        F.lit(float(HILL_K)) * F.lit(1e12) / F.col("sq").cast("double"),
+    )
+    return agg.select(
+        "symbol",
+        F.lit(HILL_K).cast("long").alias("k"),
+        _rne(F.col("xk").cast("double") / F.lit(1e6), "threshold", 8),
+        _rne(alpha, "hill_alpha", 8),
+    )
+
+
+def _sql_ts_hill_tail() -> str:
+    k = HILL_K
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+d AS (
+  SELECT symbol, time_idx,
+         abs(qc - lag(qc, 1) OVER (PARTITION BY symbol ORDER BY time_idx))
+           AS absx
+  FROM (SELECT symbol, time_idx,
+               floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
+        FROM filled)
+  QUALIFY absx IS NOT NULL AND absx > 0),
+r AS (
+  SELECT symbol, absx,
+         row_number() OVER (PARTITION BY symbol
+                            ORDER BY absx DESC, time_idx) AS rn
+  FROM d QUALIFY rn <= {k + 1}),
+thr AS (SELECT symbol, absx AS xk FROM r WHERE rn = {k + 1}),
+agg AS (
+  SELECT r.symbol, count(*) AS n_tail, max(t.xk) AS xk,
+         sum(floor(ln(r.absx::DOUBLE / t.xk::DOUBLE)
+                   * 1000000000000.0 + 0.5)::DECIMAL(38,0)) AS sq
+  FROM r JOIN thr t ON r.symbol = t.symbol
+  WHERE r.rn <= {k}
+  GROUP BY 1 HAVING count(*) = {k})
+SELECT symbol, {k}::BIGINT AS k,
+       {_sql_rne('xk::DOUBLE / 1000000.0', 'threshold', 8)},
+       {_sql_rne(
+           f'CASE WHEN sq > 0 THEN {float(k)!r} * 1000000000000.0'
+           ' / sq::DOUBLE END', 'hill_alpha', 8)}
+FROM agg"""
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the user co-attendance graph — the
+    one-number mixing summary (r > 0: hubs attach to hubs, the
+    resilient-core topology; r < 0: hub-and-spoke, the topology where
+    hub loss partitions the graph) next to the per-node triangle /
+    Jaccard / AA cards on the SAME ``_coattendance`` projection.
+    Edges come from the df-capped item self-join (work ∝ Σ df²,
+    bounded); each undirected edge appears in both orientations so
+    deg(u) is ONE count window per orientation (no node-table join),
+    and Pearson's r over the (deg_u, deg_v) edge ends rides exact
+    DECIMAL moments of integers — the only float ops are the final
+    ratio and mean. Output is a single row."""
+    d = _coattendance(spark, sf_dir)
+    a = d.select(F.col("user_id").alias("u1"), "item")
+    b = d.select(F.col("user_id").alias("u2"), "item")
+    edges = (
+        a.join(b, "item")
+        .filter(F.col("u1") != F.col("u2"))
+        .select("u1", "u2")
+        .distinct()
+    )
+    dx = F.count(F.lit(1)).over(Window.partitionBy("u1"))
+    dy = F.count(F.lit(1)).over(Window.partitionBy("u2"))
+    e = edges.select(
+        dx.cast("decimal(38,0)").alias("dx"),
+        dy.cast("decimal(38,0)").alias("dy"),
+        F.col("u1"),
+    )
+    agg = e.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.countDistinct("u1").alias("n_nodes"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    md = F.col("m2").cast("decimal(38,0)")
+    covn = (md * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vxn = (md * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vyn = (md * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    r = F.when(
+        (vxn > 0) & (vyn > 0), covn / F.sqrt(vxn) / F.sqrt(vyn)
+    )
+    return agg.select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        (F.col("m2") / F.lit(2)).cast("long").alias("n_edges"),
+        _rne(
+            F.col("sx").cast("double") / F.col("m2").cast("double"),
+            "mean_deg",
+            8,
+        ),
+        _rne(r, "assortativity", 8),
+    )
+
+
+def _sql_graph_assortativity() -> str:
+    return f"""WITH {SQL_COATTEND},
+edges AS (
+  SELECT DISTINCT a.user_id AS u1, b.user_id AS u2
+  FROM dca a JOIN dca b ON a.item = b.item AND a.user_id <> b.user_id),
+e AS (
+  SELECT u1,
+         count(*) OVER (PARTITION BY u1)::DECIMAL(38,0) AS dx,
+         count(*) OVER (PARTITION BY u2)::DECIMAL(38,0) AS dy
+  FROM edges),
+agg AS (
+  SELECT count(*) AS m2, count(DISTINCT u1) AS n_nodes,
+         sum(dx) AS sx, sum(dy) AS sy, sum(dx * dx) AS sxx,
+         sum(dy * dy) AS syy, sum(dx * dy) AS sxy
+  FROM e)
+SELECT n_nodes::BIGINT AS n_nodes, (m2 // 2)::BIGINT AS n_edges,
+       {_sql_rne('sx::DOUBLE / m2::DOUBLE', 'mean_deg', 8)},
+       {_sql_rne(
+           'CASE WHEN (m2::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE > 0'
+           ' AND (m2::DECIMAL(38,0) * syy - sy * sy)::DOUBLE > 0 THEN'
+           ' (m2::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE'
+           ' / sqrt((m2::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE)'
+           ' / sqrt((m2::DECIMAL(38,0) * syy - sy * sy)::DOUBLE) END',
+           'assortativity', 8)}
+FROM agg"""
+
+
+def q_events_chisq_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence audit: is event_type volume independent of
+    day-of-week? The seasonality screen a pipeline runs before
+    trusting a daily-aggregated metric (a type that clusters on
+    weekends biases any day-sampled train split). Day-of-week is
+    computed engine-neutrally as (days-since-epoch + 3) mod 7 (Mon=0 —
+    the W7 calendar convention; Spark's dayofweek() and DuckDB's
+    disagree on numbering). Observed counts are exact; row/column/
+    grand totals ride windows over the CELL frame (|types|·7 rows —
+    calendar-bounded, never data-sized); expected = rt·ct/N and the
+    per-cell contribution are final float ops. Output is one row per
+    cell; Σcontrib ~ χ²((R−1)(C−1))."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts")
+        .filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+    )
+    dow = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")) + F.lit(3)
+    ) % 7
+    cells = ev.groupBy(
+        "event_type", dow.alias("dow")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    rt = F.sum("obs").over(Window.partitionBy("event_type"))
+    ct = F.sum("obs").over(Window.partitionBy("dow"))
+    nn = F.sum("obs").over(Window.partitionBy())
+    c = cells.select(
+        "event_type",
+        F.col("dow").cast("long").alias("dow"),
+        "obs",
+        rt.alias("rt"),
+        ct.alias("ct"),
+        nn.alias("nn"),
+    )
+    e = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("nn").cast("double")
+    )
+    o = F.col("obs").cast("double")
+    return c.select(
+        "event_type",
+        "dow",
+        F.col("obs").cast("long").alias("observed"),
+        _rne(e, "expected", 6),
+        _rne((o - e) * (o - e) / e, "contrib", 8),
+    )
+
+
+def _sql_events_chisq_type_dow() -> str:
+    e = "rt::DOUBLE * ct::DOUBLE / nn::DOUBLE"
+    return f"""
+WITH cells AS (
+  SELECT event_type,
+         ((ts::DATE - DATE '1970-01-01') + 3) % 7 AS dow,
+         count(*) AS obs
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, dow, obs,
+         sum(obs) OVER (PARTITION BY event_type) AS rt,
+         sum(obs) OVER (PARTITION BY dow) AS ct,
+         sum(obs) OVER () AS nn
+  FROM cells)
+SELECT event_type, dow::BIGINT AS dow, obs::BIGINT AS observed,
+       {_sql_rne(e, 'expected', 6)},
+       {_sql_rne(
+           f'(obs::DOUBLE - ({e})) * (obs::DOUBLE - ({e})) / ({e})',
+           'contrib', 8)}
+FROM tot"""
+
+
+EMB_DIM = 64
+
+
+def q_emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-isotropy card per label — the geometry check under
+    every cosine-based retrieval/dedup stage (anisotropic embeddings —
+    all vectors sharing a dominant direction — inflate every cosine
+    and defeat threshold-based near-dup cuts; the fix literature:
+    mean-centering / whitening). Per label over L2-normalized vectors:
+    mean pairwise cosine via the exact identity (‖Σu‖² − Σ‖u‖²) /
+    (n(n−1)) — NO pair expansion, one explode + one (label, dim)
+    map-side-combined aggregate — and the mean-vector norm ‖Σu‖/n
+    (→0 for isotropic clouds). Each normalized coordinate snaps to
+    the 1e-6 grid so the per-dim sums and both Σ-terms ride exact
+    DECIMAL; the per-vector norm is one sequential left-fold +
+    sqrt + divide, deterministic IEEE in both engines (the _sql_norm
+    device). Zero vectors drop identically."""
+    emb = _emb(spark, sf_dir)
+    nrm = F.sqrt(
+        F.aggregate(
+            "v", F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    base = emb.select("label", "v", nrm.alias("nrm")).filter(
+        F.col("nrm") > 0
+    )
+    cnt = base.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    e = base.select(
+        "label", "nrm", F.posexplode("v").alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("x") / F.col("nrm") * F.lit(1e6) + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    dims = e.groupBy("label", "dim").agg(
+        F.sum("q").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).alias("q2"),
+    )
+    lab = dims.groupBy("label").agg(
+        F.sum(F.col("sd") * F.col("sd")).alias("s2s"),
+        F.sum("q2").alias("sq2"),
+    )
+    j = lab.join(F.broadcast(cnt), "label")
+    n_ = F.col("n").cast("double")
+    avg_cos = F.when(
+        F.col("n") >= 2,
+        (F.col("s2s") - F.col("sq2")).cast("double")
+        / (n_ * (n_ - F.lit(1.0)))
+        / F.lit(1e12),
+    )
+    mean_norm = (
+        F.sqrt(F.col("s2s").cast("double")) / n_ / F.lit(1e6)
+    )
+    return j.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n").cast("long").alias("n"),
+        _rne(avg_cos, "avg_pairwise_cos", 8),
+        _rne(mean_norm, "mean_vec_norm", 8),
+    )
+
+
+def _sql_emb_isotropy() -> str:
+    return f"""
+WITH v AS (
+  SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+b AS (
+  SELECT label, v, {_sql_norm('v')} AS nrm FROM v
+  WHERE {_sql_norm('v')} > 0),
+e AS (
+  SELECT label, i - 1 AS dim,
+         floor(v[i] / nrm * 1000000.0 + 0.5)::DECIMAL(38,0) AS q
+  FROM b, LATERAL (SELECT unnest(generate_series(1, {EMB_DIM})) AS i)),
+dims AS (
+  SELECT label, dim, sum(q) AS sd, sum(q * q) AS q2
+  FROM e GROUP BY 1, 2),
+lab AS (
+  SELECT label, sum(sd * sd) AS s2s, sum(q2) AS sq2
+  FROM dims GROUP BY 1),
+cnt AS (SELECT label, count(*) AS n FROM b GROUP BY 1)
+SELECT lab.label::BIGINT AS label, n::BIGINT AS n,
+       {_sql_rne(
+           'CASE WHEN n >= 2 THEN (s2s - sq2)::DOUBLE'
+           ' / (n::DOUBLE * (n::DOUBLE - 1.0)) / 1e12 END',
+           'avg_pairwise_cos', 8)},
+       {_sql_rne(
+           'sqrt(s2s::DOUBLE) / n::DOUBLE / 1000000.0',
+           'mean_vec_norm', 8)}
+FROM lab JOIN cnt ON lab.label = cnt.label"""
+
+
 def all_queries() -> dict[str, QueryFn]:
     # ORDER MATTERS: the driver's correctness gate checks entries in
     # registration order (observed cutoff: 50). CORRECTNESS_r10 was
@@ -20232,6 +20818,12 @@ def all_queries() -> dict[str, QueryFn]:
         # never-driver-verified round-11 additions first, then r10/r9
         # green canaries. tag = last driver-green round; 'never' =
         # local driver-emulation proof only.
+        "ts_jarque_bera": q_ts_jarque_bera,  # never (r11)
+        "ts_risk_ratios": q_ts_risk_ratios,  # never (r11)
+        "ts_hill_tail": q_ts_hill_tail,  # never (r11)
+        "graph_assortativity": q_graph_assortativity,  # never (r11)
+        "events_chisq_type_dow": q_events_chisq_type_dow,  # never (r11)
+        "emb_isotropy": q_emb_isotropy,  # never (r11)
         "ts_ema_scan": q_ts_ema_scan,  # never (r11)
         "graph_jaccard_links": q_graph_jaccard_links,  # never (r11)
         "ts_variance_ratio": q_ts_variance_ratio,  # never (r11)
@@ -20572,6 +21164,12 @@ def _oracle_sql_map() -> dict[str, str]:
         "emb_centroid_margin": _sql_emb_centroid_margin(),
         "ts_adf_unit_root": _sql_ts_adf_unit_root(),
         "ts_haar_energy": _sql_ts_haar_energy(),
+        "ts_jarque_bera": _sql_ts_jarque_bera(),
+        "ts_risk_ratios": _sql_ts_risk_ratios(),
+        "ts_hill_tail": _sql_ts_hill_tail(),
+        "graph_assortativity": _sql_graph_assortativity(),
+        "events_chisq_type_dow": _sql_events_chisq_type_dow(),
+        "emb_isotropy": _sql_emb_isotropy(),
         "ts_garch_vol": _sql_ts_garch_vol(),
         "ts_conformal_interval": _sql_ts_conformal_interval(),
         "ts_topdown_reconcile": _sql_ts_topdown_reconcile(),
