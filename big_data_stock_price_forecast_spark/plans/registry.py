@@ -20784,6 +20784,608 @@ SELECT lab.label::BIGINT AS label, n::BIGINT AS n,
 FROM lab JOIN cnt ON lab.label = cnt.label"""
 
 
+MW_MIN_GROUP = 1
+
+
+def q_events_mw_utest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U test per event_type on the hash60 A/B split —
+    the NONPARAMETRIC twin of events_ab_uplift's Welch t (rank-based:
+    immune to the heavy tails ts_jarque_bera just flagged; U/(nA·nB)
+    is the common-language effect size = P(A-draw > B-draw)). Values
+    ride exact integer cents; the rank sum uses average ranks in
+    DOUBLED units (2·rankavg = 2·below + cnt + 1 — all integers) with
+    'below' computed TWO-PHASE per type: strict prefix within
+    (type, log2-bucket) partitions + a per-type prefix over the
+    ≤~60-row bucket frame joined back broadcast — never a data-sized
+    single-task per-type sort (the BM25 lesson, grouped variant of
+    operators/twophase.py). Tie variance uses Σ(t³−t) exact; z and
+    the AUC are the only float ops. Output is |types| rows."""
+    from ..operators.twophase import log2_bucket
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "user_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .filter(F.col("event_type").isNotNull() & F.col("cents").isNotNull())
+    )
+    g = (
+        hash60(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))) % 2
+    ).cast("int")
+    vals = (
+        ev.withColumn("g", g)
+        .groupBy("event_type", "cents")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("g")).alias("ca"),
+        )
+    )
+    vals = vals.withColumn("bkt", log2_bucket(F.col("cents")))
+    wloc = (
+        Window.partitionBy("event_type", "bkt")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vals = vals.withColumn("loc", F.sum("cnt").over(wloc))
+    btot = vals.groupBy("event_type", "bkt").agg(
+        F.sum("cnt").alias("bt")
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = btot.select(
+        "event_type", "bkt", F.sum("bt").over(wb).alias("pri")
+    )
+    d = vals.join(F.broadcast(prior), ["event_type", "bkt"])
+    below = F.coalesce(F.col("loc"), F.lit(0)) + F.coalesce(
+        F.col("pri"), F.lit(0)
+    )
+    cd = F.col("cnt").cast("decimal(38,0)")
+    r2a = F.col("ca").cast("decimal(38,0)") * (
+        F.lit(2).cast("decimal(38,0)") * below.cast("decimal(38,0)")
+        + cd
+        + F.lit(1).cast("decimal(38,0)")
+    )
+    tie = cd * cd * cd - cd
+    agg = d.groupBy("event_type").agg(
+        F.sum("ca").alias("na"),
+        F.sum(F.col("cnt") - F.col("ca")).alias("nb"),
+        F.sum(r2a).alias("s2r"),
+        F.sum(tie).alias("st"),
+    ).filter((F.col("na") >= MW_MIN_GROUP) & (F.col("nb") >= MW_MIN_GROUP))
+    nad = F.col("na").cast("decimal(38,0)")
+    u2 = F.col("s2r") - nad * (nad + F.lit(1).cast("decimal(38,0)"))
+    na_ = F.col("na").cast("double")
+    nb_ = F.col("nb").cast("double")
+    n_ = na_ + nb_
+    st_ = F.col("st").cast("double")
+    u2_ = u2.cast("double")
+    varu = (
+        na_
+        * nb_
+        / F.lit(12.0)
+        * ((n_ + F.lit(1.0)) - st_ / (n_ * (n_ - F.lit(1.0))))
+    )
+    z = F.when(varu > 0, (u2_ - na_ * nb_) / (F.lit(2.0) * F.sqrt(varu)))
+    return agg.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        _rne(u2_ / F.lit(2.0), "u", 4),
+        _rne(u2_ / (F.lit(2.0) * na_ * nb_), "auc", 8),
+        _rne(z, "z", 8),
+    )
+
+
+def _sql_events_mw_utest() -> str:
+    # the oracle states the prefix as ONE plain per-type cumulative
+    # window — DuckDB is single-node; the two-phase Spark form is
+    # bitwise-identical by the association-exactness argument
+    # (integer counts) documented in operators/twophase.py
+    varu = (
+        "na::DOUBLE * nb::DOUBLE / 12.0 * ((na::DOUBLE + nb::DOUBLE + 1.0)"
+        " - st::DOUBLE / ((na::DOUBLE + nb::DOUBLE)"
+        " * (na::DOUBLE + nb::DOUBLE - 1.0)))"
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type,
+         floor(value * 100 + 0.5)::BIGINT AS cents,
+         ({sql_hash60("'ab:' || CAST(user_id AS VARCHAR)")}) % 2 AS g
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+vals AS (
+  SELECT event_type, cents, count(*) AS cnt, sum(g) AS ca
+  FROM ev GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, cents, cnt, ca,
+         coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM vals),
+agg AS (
+  SELECT event_type, sum(ca) AS na, sum(cnt - ca) AS nb,
+         sum(ca::DECIMAL(38,0) * (2::DECIMAL(38,0) * below::DECIMAL(38,0)
+             + cnt::DECIMAL(38,0) + 1::DECIMAL(38,0))) AS s2r,
+         sum(cnt::DECIMAL(38,0) * cnt::DECIMAL(38,0) * cnt::DECIMAL(38,0)
+             - cnt::DECIMAL(38,0)) AS st
+  FROM cum GROUP BY 1
+  HAVING sum(ca) >= {MW_MIN_GROUP} AND sum(cnt - ca) >= {MW_MIN_GROUP}),
+fit AS (
+  SELECT event_type, na, nb, st,
+         (s2r - na::DECIMAL(38,0) * (na::DECIMAL(38,0)
+            + 1::DECIMAL(38,0)))::DOUBLE AS u2_
+  FROM agg)
+SELECT event_type, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       {_sql_rne('u2_ / 2.0', 'u', 4)},
+       {_sql_rne('u2_ / (2.0 * na::DOUBLE * nb::DOUBLE)', 'auc', 8)},
+       {_sql_rne(
+           f'CASE WHEN {varu} > 0 THEN (u2_ - na::DOUBLE * nb::DOUBLE)'
+           f' / (2.0 * sqrt({varu})) END', 'z', 8)}
+FROM fit"""
+
+
+def q_ts_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank-correlation matrix over the top-k most-liquid
+    symbols — the outlier-robust twin of ts_symbol_corr_matrix (a
+    single fat-tailed bucket, which ts_jarque_bera shows these feeds
+    have, can dominate a Pearson estimate; ranks bound its
+    influence). Ranks are per symbol over its full resampled return
+    series (the streaming-friendly definition — re-ranking per pair
+    would be O(pairs·n)) with average-rank ties in DOUBLED integer
+    units (2·rankavg = 2·rank(min) + ties − 1, rank() and one
+    (symbol, ret) count window — both integers), so the five pair
+    moments ride exact DECIMAL and only the closed-form ratio is
+    float. The top-k cut broadcasts; the pair join is k-bounded per
+    time bucket, never corpus²."""
+    r = _resampled(spark, sf_dir).select("symbol", "time_idx", "close")
+    top = (
+        r.groupBy("symbol")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("symbol").asc())
+        .limit(CORR_MATRIX_TOP_K)
+        .select("symbol")
+    )
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    ret_raw = (
+        F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1
+    )
+    rets = (
+        r.join(F.broadcast(top), "symbol")
+        .withColumn(
+            "ret", F.floor(ret_raw * F.lit(1e6) + F.lit(0.5))
+        )
+        .filter(F.col("ret").isNotNull())
+        .select("symbol", "time_idx", "ret")
+    )
+    wrk = Window.partitionBy("symbol").orderBy("ret")
+    weq = Window.partitionBy("symbol", "ret")
+    dr = (
+        F.lit(2) * F.rank().over(wrk)
+        + F.count(F.lit(1)).over(weq)
+        - F.lit(1)
+    ).cast("decimal(38,0)")
+    rk = rets.select("symbol", "time_idx", dr.alias("dr"))
+    a = rk.select(
+        F.col("symbol").alias("sym_a"), "time_idx", F.col("dr").alias("x")
+    )
+    b = rk.select(
+        F.col("symbol").alias("sym_b"), "time_idx", F.col("dr").alias("y")
+    )
+    agg = (
+        a.join(b, "time_idx")
+        .filter(F.col("sym_a") < F.col("sym_b"))
+        .groupBy("sym_a", "sym_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    nd = F.col("n_obs").cast("decimal(38,0)")
+    cov = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    rho = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx) / F.sqrt(vy))
+    return agg.select(
+        "sym_a", "sym_b", "n_obs", _rne(rho, "spearman", 6)
+    )
+
+
+def _sql_ts_spearman_corr() -> str:
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H},
+top AS (
+  SELECT symbol FROM (
+    SELECT symbol, count(*) AS n FROM idx GROUP BY 1
+    ORDER BY n DESC, symbol ASC LIMIT {CORR_MATRIX_TOP_K})),
+rets AS (
+  SELECT symbol, time_idx,
+         floor((close / nullif(lag(close) OVER (
+                PARTITION BY symbol ORDER BY time_idx), 0.0) - 1)
+              * 1000000.0 + 0.5) AS ret
+  FROM idx WHERE symbol IN (SELECT symbol FROM top)
+  QUALIFY ret IS NOT NULL),
+rk AS (
+  SELECT symbol, time_idx,
+         (2 * rank() OVER (PARTITION BY symbol ORDER BY ret)
+          + count(*) OVER (PARTITION BY symbol, ret)
+          - 1)::DECIMAL(38,0) AS dr
+  FROM rets),
+agg AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, count(*) AS n_obs,
+         sum(a.dr) AS sx, sum(b.dr) AS sy, sum(a.dr * b.dr) AS sxy,
+         sum(a.dr * a.dr) AS sxx, sum(b.dr * b.dr) AS syy
+  FROM rk a JOIN rk b ON a.time_idx = b.time_idx
+    AND a.symbol < b.symbol
+  GROUP BY 1, 2)
+SELECT sym_a, sym_b, n_obs,
+       {_sql_rne(
+           'CASE WHEN (n_obs::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE > 0'
+           ' AND (n_obs::DECIMAL(38,0) * syy - sy * sy)::DOUBLE > 0 THEN'
+           ' (n_obs::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE'
+           ' / sqrt((n_obs::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE)'
+           ' / sqrt((n_obs::DECIMAL(38,0) * syy - sy * sy)::DOUBLE) END',
+           'spearman', 6)}
+FROM agg"""
+
+
+def q_doc_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov length-drift audit per source: the max CDF
+    gap between a source's doc-length distribution and the REST of
+    the corpus — the distribution-shift screen a curation pipeline
+    runs per ingest feed (a feed whose length profile walks away from
+    the corpus needs its quality thresholds re-tuned; the PSI/JS
+    cards are binned, KS is bin-free). The evaluation grid is
+    (source × distinct n_chars) — bounded by the LENGTH DOMAIN, not
+    the corpus (the log2-bucket argument, uncoarsened) — both CDFs
+    ride cumulative integer counts over that grid, and the KS gap
+    compares cross-multiplied integers |cum_s·n_rest − cum_rest·n_s|
+    EXACTLY (no float CDFs); the statistic's single division is the
+    only float op. The argmax length reports where the distributions
+    split (ties → smallest length, deterministically)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.col("n_chars").cast("long").alias("len"))
+        .filter(F.col("source").isNotNull() & F.col("len").isNotNull())
+    )
+    per = docs.groupBy("source", "len").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lens = docs.groupBy("len").agg(F.count(F.lit(1)).alias("gc"))
+    srcs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    ntot = docs.agg(F.count(F.lit(1)).alias("nt"))
+    grid = (
+        srcs.crossJoin(F.broadcast(lens))
+        .join(per, ["source", "len"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .crossJoin(F.broadcast(ntot))
+    )
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = grid.withColumn("cs", F.sum("c").over(wc)).withColumn(
+        "cg", F.sum("gc").over(wc)
+    )
+    nr = F.col("nt") - F.col("ns")
+    diffnum = F.abs(
+        F.col("cs").cast("decimal(38,0)") * nr.cast("decimal(38,0)")
+        - (F.col("cg") - F.col("cs")).cast("decimal(38,0)")
+        * F.col("ns").cast("decimal(38,0)")
+    )
+    g = g.withColumn("dn", diffnum).filter(nr > 0)
+    mx = g.groupBy("source", "ns", "nt").agg(F.max("dn").alias("mxd"))
+    loc = (
+        g.join(
+            F.broadcast(mx.select("source", "mxd")),
+            ["source"],
+        )
+        .filter(F.col("dn") == F.col("mxd"))
+        .groupBy("source")
+        .agg(F.min("len").alias("ks_len"))
+    )
+    out = mx.join(F.broadcast(loc), "source")
+    ks = F.col("mxd").cast("double") / (
+        F.col("ns").cast("double")
+        * (F.col("nt") - F.col("ns")).cast("double")
+    )
+    return out.select(
+        "source",
+        F.col("ns").cast("long").alias("n_docs"),
+        _rne(ks, "ks", 8),
+        F.col("ks_len").cast("long").alias("ks_len"),
+    )
+
+
+def _sql_doc_ks_length_drift() -> str:
+    return """
+WITH d AS (
+  SELECT source, n_chars::BIGINT AS len FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+per AS (SELECT source, len, count(*) AS c FROM d GROUP BY 1, 2),
+lens AS (SELECT len, count(*) AS gc FROM d GROUP BY 1),
+srcs AS (SELECT source, count(*) AS ns FROM d GROUP BY 1),
+nt AS (SELECT count(*) AS nt FROM d),
+grid AS (
+  SELECT s.source, l.len, s.ns, nt.nt, l.gc,
+         coalesce(p.c, 0) AS c
+  FROM srcs s CROSS JOIN lens l CROSS JOIN nt
+  LEFT JOIN per p ON p.source = s.source AND p.len = l.len),
+g AS (
+  SELECT source, len, ns, nt,
+         sum(c) OVER (PARTITION BY source ORDER BY len
+           ROWS UNBOUNDED PRECEDING) AS cs,
+         sum(gc) OVER (PARTITION BY source ORDER BY len
+           ROWS UNBOUNDED PRECEDING) AS cg
+  FROM grid),
+dn AS (
+  SELECT source, len, ns, nt,
+         abs(cs::DECIMAL(38,0) * (nt - ns)::DECIMAL(38,0)
+             - (cg - cs)::DECIMAL(38,0) * ns::DECIMAL(38,0)) AS dn
+  FROM g WHERE nt - ns > 0),
+mx AS (SELECT source, ns, nt, max(dn) AS mxd FROM dn GROUP BY 1, 2, 3),
+loc AS (
+  SELECT dn.source, min(dn.len) AS ks_len
+  FROM dn JOIN mx ON dn.source = mx.source AND dn.dn = mx.mxd
+  GROUP BY 1)
+SELECT mx.source, ns::BIGINT AS n_docs,
+       CASE WHEN abs(mxd::DOUBLE / (ns::DOUBLE * (nt - ns)::DOUBLE))
+              < 1000000000000.0
+            THEN floor(mxd::DOUBLE / (ns::DOUBLE * (nt - ns)::DOUBLE)
+              * 100000000.0 + 0.5) / 100000000.0 + 0.0
+            ELSE mxd::DOUBLE / (ns::DOUBLE * (nt - ns)::DOUBLE) + 0.0
+       END AS ks,
+       ks_len::BIGINT AS ks_len
+FROM mx JOIN loc ON mx.source = loc.source"""
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core peel (k=3, 3 rounds) of the co-attendance
+    projection — the density filter that separates a cohesive core
+    from hangers-on before any community/centrality pass (LPA on the
+    full graph wastes its rounds on degree-1 fringe). Each round
+    recomputes degrees with ONE count window per orientation (the
+    edge list carries both, so no node-table join — the
+    assortativity device) and drops edges with an under-k end;
+    3 rounds is a FIXED bound (the full fixpoint is data-dependent —
+    same bounded-unroll convention as LPA/PageRank), and nodes are
+    labeled with their round-0 degree, post-peel degree, and core
+    membership. Work per round is edge-list-sized and shrinks
+    monotonically; df-capped items bound the starting size."""
+    d = _coattendance(spark, sf_dir)
+    a = d.select(F.col("user_id").alias("u1"), "item")
+    b = d.select(F.col("user_id").alias("u2"), "item")
+    edges = (
+        a.join(b, "item")
+        .filter(F.col("u1") != F.col("u2"))
+        .select("u1", "u2")
+        .distinct()
+    )
+    deg0 = edges.withColumn(
+        "deg0", F.count(F.lit(1)).over(Window.partitionBy("u1"))
+    ).select("u1", "deg0").distinct()
+    e = edges
+    for _ in range(KCORE_ROUNDS):
+        e = (
+            e.withColumn(
+                "d1", F.count(F.lit(1)).over(Window.partitionBy("u1"))
+            )
+            .withColumn(
+                "d2", F.count(F.lit(1)).over(Window.partitionBy("u2"))
+            )
+            .filter(
+                (F.col("d1") >= KCORE_K) & (F.col("d2") >= KCORE_K)
+            )
+            .select("u1", "u2")
+        )
+    deg3 = e.groupBy("u1").agg(F.count(F.lit(1)).alias("deg_final"))
+    out = deg0.join(deg3, "u1", "left")
+    return out.select(
+        F.col("u1").alias("user_id"),
+        F.col("deg0").cast("long").alias("deg0"),
+        F.coalesce(F.col("deg_final"), F.lit(0))
+        .cast("long")
+        .alias("deg_final"),
+        (F.col("deg_final").isNotNull()).cast("int").alias("in_core"),
+    )
+
+
+def _sql_graph_kcore() -> str:
+    k = KCORE_K
+    rounds = []
+    prev = "edges"
+    for i in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""e{i} AS (
+  SELECT u1, u2 FROM (
+    SELECT u1, u2,
+           count(*) OVER (PARTITION BY u1) AS d1,
+           count(*) OVER (PARTITION BY u2) AS d2
+    FROM {prev})
+  WHERE d1 >= {k} AND d2 >= {k})""")
+        prev = f"e{i}"
+    chain = ",\n".join(rounds)
+    return f"""WITH {SQL_COATTEND},
+edges AS (
+  SELECT DISTINCT a.user_id AS u1, b.user_id AS u2
+  FROM dca a JOIN dca b ON a.item = b.item AND a.user_id <> b.user_id),
+deg0 AS (
+  SELECT DISTINCT u1, count(*) OVER (PARTITION BY u1) AS deg0
+  FROM edges),
+{chain},
+degf AS (SELECT u1, count(*) AS deg_final FROM {prev} GROUP BY 1)
+SELECT deg0.u1 AS user_id, deg0::BIGINT AS deg0,
+       coalesce(deg_final, 0)::BIGINT AS deg_final,
+       (deg_final IS NOT NULL)::INT AS in_core
+FROM deg0 LEFT JOIN degf ON deg0.u1 = degf.u1"""
+
+
+def q_ts_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer index per symbol — RMS percentage drawdown (Martin's
+    downside-pain measure: unlike max-drawdown it weighs DURATION,
+    unlike σ it ignores upside), next to ts_drawdown /
+    ts_underwater_duration. The running peak is an exact integer
+    cummax window over the snapped close; each drawdown ratio is one
+    IEEE division snapped to the 1e-9 grid so the squared sum rides
+    exact DECIMAL; sqrt/percent are final ops. Rows before the first
+    positive peak drop identically in both engines (zero closes
+    exist in the raw feed at sf0.1 — the Amihud lesson). One window
+    + one map-side groupBy on the symbol exchange."""
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("time_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = df.withColumn(
+        "qc",
+        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
+    ).withColumn("pk", F.max("qc").over(w)).filter(F.col("pk") > 0)
+    dd = (F.col("qc") - F.col("pk")).cast("double") / F.col("pk").cast(
+        "double"
+    )
+    d = d.withColumn(
+        "ddq",
+        F.floor(dd * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)"),
+    )
+    agg = d.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("ddq") * F.col("ddq")).alias("sq2"),
+        F.min("ddq").alias("mndd"),
+        F.sum(
+            F.when(F.col("qc") < F.col("pk"), 1).otherwise(0)
+        ).alias("nuw"),
+    )
+    n_ = F.col("n").cast("double")
+    ulcer = (
+        F.sqrt(F.col("sq2").cast("double") / n_) / F.lit(1e9) * F.lit(100.0)
+    )
+    return agg.select(
+        "symbol",
+        F.col("n").cast("long").alias("n"),
+        _rne(ulcer, "ulcer", 8),
+        _rne(
+            -F.col("mndd").cast("double") / F.lit(1e9) * F.lit(100.0),
+            "max_dd_pct",
+            8,
+        ),
+        _rne(F.col("nuw").cast("double") / n_, "pct_underwater", 8),
+    )
+
+
+def _sql_ts_ulcer_index() -> str:
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+d AS (
+  SELECT symbol, qc,
+         max(qc) OVER (PARTITION BY symbol ORDER BY time_idx
+           ROWS UNBOUNDED PRECEDING) AS pk
+  FROM (SELECT symbol, time_idx,
+               floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
+        FROM filled)
+  QUALIFY pk > 0),
+dq AS (
+  SELECT symbol, qc, pk,
+         floor((qc - pk)::DOUBLE / pk::DOUBLE * 1000000000.0 + 0.5)
+           ::DECIMAL(38,0) AS ddq
+  FROM d),
+agg AS (
+  SELECT symbol, count(*) AS n, sum(ddq * ddq) AS sq2, min(ddq) AS mndd,
+         sum(CASE WHEN qc < pk THEN 1 ELSE 0 END) AS nuw
+  FROM dq GROUP BY 1)
+SELECT symbol, n::BIGINT AS n,
+       {_sql_rne(
+           'sqrt(sq2::DOUBLE / n::DOUBLE) / 1000000000.0 * 100.0',
+           'ulcer', 8)},
+       {_sql_rne(
+           '-(mndd::DOUBLE) / 1000000000.0 * 100.0', 'max_dd_pct', 8)},
+       {_sql_rne('nuw::DOUBLE / n::DOUBLE', 'pct_underwater', 8)}
+FROM agg"""
+
+
+BURST_TOP_K = 25
+
+
+def q_doc_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness card — variance-to-mean ratio (index of
+    dispersion) of per-doc counts for the top-25 corpus terms: a
+    Poisson-scattered term has VMR ≈ 1, a topical/bursty term
+    (Church–Gale) concentrates in few docs with VMR ≫ 1 — the signal
+    that separates content words from function words ABOVE the df
+    cut, complementing zipf/heaps (which see only totals). All
+    moments are exact integers per (term, doc) — zero-docs enter the
+    mean through N, not through rows — and the top-k cut is
+    TakeOrderedAndProject on the term-aggregate frame BEFORE any
+    float; VMR / mean-tf-when-present are final ops. One explode +
+    two map-side-combined aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntot = docs.agg(F.count(F.lit(1)).alias("nt"))
+    td = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = td.groupBy("term").agg(
+        F.sum("c").alias("tf"),
+        F.count(F.lit(1)).alias("df"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")
+        ).alias("sc2"),
+    )
+    top = per.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(
+        BURST_TOP_K
+    )
+    j = top.crossJoin(F.broadcast(ntot))
+    tf_ = F.col("tf").cast("double")
+    nt_ = F.col("nt").cast("double")
+    sc2_ = F.col("sc2").cast("double")
+    mean = tf_ / nt_
+    var = sc2_ / nt_ - mean * mean
+    return j.select(
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        _rne(var / mean, "vmr", 8),
+        _rne(tf_ / F.col("df").cast("double"), "tf_when_present", 8),
+    )
+
+
+def _sql_doc_term_burstiness() -> str:
+    return f"""
+WITH nt AS (SELECT count(*) AS nt FROM documents),
+td AS (
+  SELECT term, doc_id, count(*) AS c
+  FROM (SELECT doc_id, unnest({sql_tokens('text')}) AS term
+        FROM documents)
+  GROUP BY 1, 2),
+per AS (
+  SELECT term, sum(c) AS tf, count(*) AS df,
+         sum(c::DECIMAL(38,0) * c::DECIMAL(38,0)) AS sc2
+  FROM td GROUP BY 1),
+top AS (
+  SELECT * FROM per ORDER BY tf DESC, term ASC LIMIT {BURST_TOP_K})
+SELECT term, tf::BIGINT AS tf, df::BIGINT AS df,
+       {_sql_rne(
+           '(sc2::DOUBLE / nt::DOUBLE - (tf::DOUBLE / nt::DOUBLE)'
+           ' * (tf::DOUBLE / nt::DOUBLE))'
+           ' / (tf::DOUBLE / nt::DOUBLE)', 'vmr', 8)},
+       {_sql_rne('tf::DOUBLE / df::DOUBLE', 'tf_when_present', 8)}
+FROM top CROSS JOIN nt"""
+
+
 def all_queries() -> dict[str, QueryFn]:
     # ORDER MATTERS: the driver's correctness gate checks entries in
     # registration order (observed cutoff: 50). CORRECTNESS_r10 was
@@ -20791,8 +21393,13 @@ def all_queries() -> dict[str, QueryFn]:
     # closed the loop: every one of the pre-r11 236 registry queries
     # now has a driver-green row somewhere in CORRECTNESS_r01-r10
     # (judge-verified by set difference, VERDICT r10).
-    # Round-11 rotation: positions 1-24 = the twenty-four round-11
-    # additions (ts_ema_scan, graph_jaccard_links, ts_variance_ratio,
+    # Round-11 rotation: positions 1-36 = the thirty-six round-11
+    # additions (batch 8 first: events_mw_utest, ts_spearman_corr,
+    # doc_ks_length_drift, graph_kcore, ts_ulcer_index,
+    # doc_term_burstiness; then batch 7: ts_jarque_bera,
+    # ts_risk_ratios, ts_hill_tail, graph_assortativity,
+    # events_chisq_type_dow, emb_isotropy; then batches 1-6:
+    # ts_ema_scan, graph_jaccard_links, ts_variance_ratio,
     # ts_capm_beta, ts_amihud_illiq, doc_lexical_diversity,
     # emb_ivf_balance, graph_triangle_count, ts_kyle_lambda,
     # ts_garman_klass_vol, ts_permutation_entropy, doc_js_divergence,
@@ -20818,6 +21425,12 @@ def all_queries() -> dict[str, QueryFn]:
         # never-driver-verified round-11 additions first, then r10/r9
         # green canaries. tag = last driver-green round; 'never' =
         # local driver-emulation proof only.
+        "events_mw_utest": q_events_mw_utest,  # never (r11)
+        "ts_spearman_corr": q_ts_spearman_corr,  # never (r11)
+        "doc_ks_length_drift": q_doc_ks_length_drift,  # never (r11)
+        "graph_kcore": q_graph_kcore,  # never (r11)
+        "ts_ulcer_index": q_ts_ulcer_index,  # never (r11)
+        "doc_term_burstiness": q_doc_term_burstiness,  # never (r11)
         "ts_jarque_bera": q_ts_jarque_bera,  # never (r11)
         "ts_risk_ratios": q_ts_risk_ratios,  # never (r11)
         "ts_hill_tail": q_ts_hill_tail,  # never (r11)
@@ -21164,6 +21777,12 @@ def _oracle_sql_map() -> dict[str, str]:
         "emb_centroid_margin": _sql_emb_centroid_margin(),
         "ts_adf_unit_root": _sql_ts_adf_unit_root(),
         "ts_haar_energy": _sql_ts_haar_energy(),
+        "events_mw_utest": _sql_events_mw_utest(),
+        "ts_spearman_corr": _sql_ts_spearman_corr(),
+        "doc_ks_length_drift": _sql_doc_ks_length_drift(),
+        "graph_kcore": _sql_graph_kcore(),
+        "ts_ulcer_index": _sql_ts_ulcer_index(),
+        "doc_term_burstiness": _sql_doc_term_burstiness(),
         "ts_jarque_bera": _sql_ts_jarque_bera(),
         "ts_risk_ratios": _sql_ts_risk_ratios(),
         "ts_hill_tail": _sql_ts_hill_tail(),

@@ -372,3 +372,300 @@ def test_round11b_no_python_no_cartesian(spark):
         assert "FlatMapGroupsInPandas" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+# ================================================== round-11 batch 8
+
+
+def _h60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_mw_utest_planted_shift_replay(spark, tmp_path):
+    """A value distribution shifted up for the hash-group-1 users
+    gives AUC > 0.5 and a positive z; the doubled-average-rank / tie
+    algebra replays exactly against a pure-python Mann-Whitney."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_events_mw_utest,
+    )
+
+    # pick users deterministically split by the engine's hash
+    g1 = [u for u in range(1, 200) if _h60(f"ab:{u}") % 2 == 1][:8]
+    g0 = [u for u in range(1, 200) if _h60(f"ab:{u}") % 2 == 0][:8]
+    rows, eid = [], 0
+    vals = {}
+    for i, u in enumerate(g0):
+        v = 10.0 + i  # group 0: 10..17
+        rows.append((eid, BASE_TS, u, "buy", v, "{}")); eid += 1
+        vals[(0, u)] = v
+    for i, u in enumerate(g1):
+        v = 14.0 + i  # group 1: 14..21 (overlaps 14..17 -> ties)
+        rows.append((eid, BASE_TS, u, "buy", v, "{}")); eid += 1
+        vals[(1, u)] = v
+    _write_event_rows(spark, str(tmp_path), rows)
+    r = q_events_mw_utest(spark, str(tmp_path)).collect()[0]
+
+    # pure-python replay with average ranks
+    a = sorted(int(v * 100 + 0.5) for (g, _), v in vals.items() if g == 1)
+    b = sorted(int(v * 100 + 0.5) for (g, _), v in vals.items() if g == 0)
+    pool = sorted(a + b)
+    import collections
+
+    cnt = collections.Counter(pool)
+    below, ranks2 = {}, {}
+    c = 0
+    for v in sorted(cnt):
+        below[v] = c
+        ranks2[v] = 2 * c + cnt[v] + 1
+        c += cnt[v]
+    s2r = sum(ranks2[v] for v in a)
+    na, nb = len(a), len(b)
+    u2 = s2r - na * (na + 1)
+    n = na + nb
+    st = sum(t**3 - t for t in cnt.values())
+    varu = na * nb / 12.0 * ((n + 1.0) - st / (n * (n - 1.0)))
+    z = (u2 - na * nb) / (2.0 * math.sqrt(varu))
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["u"] == _snap(u2 / 2.0, 4)
+    assert r["auc"] == _snap(u2 / (2.0 * na * nb), 8)
+    assert r["z"] == _snap(z, 8)
+    assert r["auc"] > 0.6 and r["z"] > 1.0
+
+
+def test_mw_utest_identical_groups_auc_half(spark, tmp_path):
+    """Identical value multisets in both groups -> U = nA*nB/2
+    exactly, AUC = 0.5, z = 0."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_events_mw_utest,
+    )
+
+    g1 = [u for u in range(1, 300) if _h60(f"ab:{u}") % 2 == 1][:6]
+    g0 = [u for u in range(1, 300) if _h60(f"ab:{u}") % 2 == 0][:6]
+    rows, eid = [], 0
+    for i in range(6):
+        for u in (g0[i], g1[i]):
+            rows.append((eid, BASE_TS, u, "buy", 5.0 + i, "{}")); eid += 1
+    _write_event_rows(spark, str(tmp_path), rows)
+    r = q_events_mw_utest(spark, str(tmp_path)).collect()[0]
+    assert r["auc"] == 0.5
+    assert r["z"] == 0.0
+
+
+def test_spearman_monotone_nonlinear_is_one(spark, tmp_path):
+    """An exponentially-scaled twin of a series has Pearson < 1 but
+    Spearman exactly 1 (identical return ORDERINGS); an anti-monotone
+    twin gives -1."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_spearman_corr,
+        q_ts_symbol_corr_matrix,
+    )
+
+    # symbol 1: varied returns; symbol 2: cube of the same growth
+    # factors (order-preserving); symbol 3: reciprocal (order-flip)
+    facs = [1.01, 0.98, 1.05, 0.99, 1.03, 0.97, 1.04, 1.02, 0.96, 1.06,
+            1.001, 0.995]
+    s1, s2, s3 = [100.0], [100.0], [100.0]
+    for f in facs:
+        s1.append(s1[-1] * f)
+        s2.append(s2[-1] * f**3)
+        s3.append(s3[-1] / f)
+    _write_series(spark, str(tmp_path), {
+        1: [[(0, y)] for y in s1],
+        2: [[(0, y)] for y in s2],
+        3: [[(0, y)] for y in s3],
+    })
+    rho = {(r["sym_a"], r["sym_b"]): r["spearman"] for r in
+           q_ts_spearman_corr(spark, str(tmp_path)).collect()}
+    assert rho[(1, 2)] == 1.0
+    assert rho[(1, 3)] == -1.0
+    pea = {(r["sym_a"], r["sym_b"]): r["corr"] for r in
+           q_ts_symbol_corr_matrix(spark, str(tmp_path)).collect()}
+    assert pea[(1, 2)] < 1.0  # nonlinear -> Pearson strictly below
+
+
+def test_spearman_tie_handling_replay(spark, tmp_path):
+    """Flat stretches (ffill ties at snapped ret = 0) exercise the
+    doubled-average-rank algebra; replay against scipy-free python."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_spearman_corr,
+    )
+
+    s1 = [100, 101, 101, 103, 103, 103, 104, 102, 102, 105]
+    s2 = [200, 203, 203, 204, 204, 204, 210, 205, 205, 211]
+    _write_series(spark, str(tmp_path), {
+        1: [[(0, float(y))] for y in s1],
+        2: [[(0, float(y))] for y in s2],
+    })
+    got = q_ts_spearman_corr(spark, str(tmp_path)).collect()[0]
+
+    def rets(ys):
+        return [math.floor((b / a - 1) * 1e6 + 0.5)
+                for a, b in zip(ys, ys[1:])]
+
+    def dranks(xs):
+        out = []
+        for x in xs:
+            less = sum(1 for o in xs if o < x)
+            eq = sum(1 for o in xs if o == x)
+            out.append(2 * (less + 1) + eq - 1)  # 2*rank() + cnt - 1
+        return out
+
+    xa, xb = dranks(rets(s1)), dranks(rets(s2))
+    n = len(xa)
+    sx, sy = sum(xa), sum(xb)
+    sxy = sum(a * b for a, b in zip(xa, xb))
+    sxx = sum(a * a for a in xa)
+    syy = sum(b * b for b in xb)
+    rho = ((n * sxy - sx * sy)
+           / math.sqrt(n * sxx - sx * sx) / math.sqrt(n * syy - sy * sy))
+    assert got["n_obs"] == n
+    assert got["spearman"] == _snap(rho, 6)
+
+
+def test_ks_length_drift_disjoint_and_replay(spark, tmp_path):
+    """A source whose lengths sit entirely above the rest's has
+    KS = 1.0 at the rest's max length; a same-distribution source has
+    a small KS; the cross-multiplied integer algebra replays."""
+    import pandas as pd
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_ks_length_drift,
+    )
+
+    rows = []
+    did = 0
+    for ln in (10, 20, 30, 40):          # source A: short docs
+        rows.append((did, "x" * ln, "en", "A", ln)); did += 1
+    for ln in (100, 200, 300, 400):      # source B: long docs
+        rows.append((did, "x" * ln, "en", "B", ln)); did += 1
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    spark.createDataFrame(pdf).write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {r["source"]: r for r in
+           q_doc_ks_length_drift(spark, str(tmp_path)).collect()}
+    assert got["A"]["ks"] == 1.0 and got["B"]["ks"] == 1.0
+    # A's CDF hits 1 at len 40 while rest is 0 -> argmax at 40
+    assert got["A"]["ks_len"] == 40
+    assert got["B"]["ks_len"] == 40  # gap maximal from 40 up to 99
+
+
+def test_kcore_clique_survives_pendants_peel(spark, tmp_path):
+    """A K4 (one shared item among 4 users) is its own 3-core; leaves
+    hanging off it peel in round 1 and their removal cannot peel the
+    clique (deg drops 3->3)."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_graph_kcore,
+    )
+
+    rows, eid = [], 0
+    for u in (1, 2, 3, 4):  # clique item: all four co-attend value 1
+        rows.append((eid, BASE_TS, u, "tick", 1.0, "{}")); eid += 1
+    for leaf, v in ((10, 2.0), (11, 3.0)):  # leaf items: pair with u=1
+        for u in (1, leaf):
+            rows.append((eid, BASE_TS, u, "tick", v, "{}")); eid += 1
+    _write_event_rows(spark, str(tmp_path), rows)
+    got = {r["user_id"]: r for r in
+           q_graph_kcore(spark, str(tmp_path)).collect()}
+    assert got[1]["deg0"] == 5          # 3 clique + 2 leaves
+    assert got[1]["in_core"] == 1 and got[1]["deg_final"] == 3
+    for u in (2, 3, 4):
+        assert got[u]["in_core"] == 1 and got[u]["deg_final"] == 3
+    for leaf in (10, 11):
+        assert got[leaf]["in_core"] == 0 and got[leaf]["deg_final"] == 0
+
+
+def test_ulcer_index_replay_and_flat(spark, tmp_path):
+    """A flat series has ulcer 0 / 0% underwater; a drawdown path
+    replays the exact snapped-ratio algebra."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_ulcer_index,
+    )
+
+    ys = [100.0, 110.0, 99.0, 104.5, 121.0, 115.5, 93.5, 126.5]
+    _write_series(spark, str(tmp_path), {
+        1: [[(0, 50.0)] for _ in range(8)],
+        2: [[(0, y)] for y in ys],
+    })
+    got = {r["symbol"]: r for r in
+           q_ts_ulcer_index(spark, str(tmp_path)).collect()}
+    assert got[1]["ulcer"] == 0.0
+    assert got[1]["pct_underwater"] == 0.0
+    assert got[1]["max_dd_pct"] == 0.0
+    qs = [math.floor(y * 1e6 + 0.5) for y in ys]
+    pk, ddqs, nuw = 0, [], 0
+    for q in qs:
+        pk = max(pk, q)
+        ddqs.append(math.floor((q - pk) / pk * 1e9 + 0.5))
+        if q < pk:
+            nuw += 1
+    n = len(qs)
+    ulcer = math.sqrt(sum(d * d for d in ddqs) / n) / 1e9 * 100.0
+    r = got[2]
+    assert r["n"] == n
+    assert r["ulcer"] == _snap(ulcer, 8)
+    assert r["max_dd_pct"] == _snap(-min(ddqs) / 1e9 * 100.0, 8)
+    assert r["pct_underwater"] == _snap(nuw / n, 8)
+
+
+def test_term_burstiness_concentrated_vs_spread(spark, tmp_path):
+    """A term spread one-per-doc has VMR < 1 (sub-Poisson); the same
+    total concentrated in one doc has VMR near the total; the integer
+    moment algebra replays."""
+    import pandas as pd
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_term_burstiness,
+    )
+
+    n_docs = 10
+    rows = []
+    for i in range(n_docs):
+        text = "spread"  # one per doc
+        if i == 0:
+            text += " bursty" * 10  # all 10 in doc 0
+        rows.append((i, text, "en", "S", len(text)))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    spark.createDataFrame(pdf).write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {r["term"]: r for r in
+           q_doc_term_burstiness(spark, str(tmp_path)).collect()}
+    s, b = got["spread"], got["bursty"]
+    assert (s["tf"], s["df"]) == (10, 10)
+    assert (b["tf"], b["df"]) == (10, 1)
+
+    def vmr(counts, n):
+        tf = sum(counts)
+        sc2 = sum(c * c for c in counts)
+        mean = tf / n
+        return (sc2 / n - mean * mean) / mean
+
+    assert s["vmr"] == _snap(vmr([1] * 10, n_docs), 8)
+    assert b["vmr"] == _snap(vmr([10], n_docs), 8)
+    assert b["vmr"] > 5.0 > 1.0 > s["vmr"]
+    assert b["tf_when_present"] == 10.0
+
+
+def test_round11_batch8_no_python_no_cartesian(spark):
+    """Batch-8 plan hygiene on the real fixture (the two scalar
+    broadcast-of-one-row joins in ks/burstiness are BNLJ by design —
+    assert no CartesianProduct and no Python instead)."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        all_queries,
+    )
+
+    qs = all_queries()
+    for name in ("events_mw_utest", "ts_spearman_corr",
+                 "doc_ks_length_drift", "graph_kcore",
+                 "ts_ulcer_index", "doc_term_burstiness"):
+        plan = _plan(qs[name](spark, SF))
+        assert "Python" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+        assert "CartesianProduct" not in plan, name
