@@ -20202,7 +20202,9 @@ JB_RET_CAP = 100.0  # |return| above 10000% per bucket = data error, cut
 JB_MIN_N = 8
 
 
-def _rel_returns(spark: SparkSession, sf_dir: str, scale: float):
+def _rel_returns(
+    spark: SparkSession, sf_dir: str, scale: float, with_idx: bool = False
+):
     """Shared snapped-relative-return frame for the moment-card family
     (jarque_bera / risk_ratios): r_t = (qc_t − qc_{t−1}) / qc_{t−1} on
     the 1e-6-snapped ffilled close — the division is ONE deterministic
@@ -20224,27 +20226,25 @@ def _rel_returns(spark: SparkSession, sf_dir: str, scale: float):
     r = (F.col("qc") - F.col("l1")).cast("double") / F.col("l1").cast(
         "double"
     )
-    return (
-        d.withColumn(
-            "rq",
-            F.floor(r * F.lit(scale) + F.lit(0.5)).cast("decimal(38,0)"),
-        )
-        .filter(F.abs(r) < F.lit(JB_RET_CAP))
-        .select("symbol", "rq")
-    )
+    out = d.withColumn(
+        "rq",
+        F.floor(r * F.lit(scale) + F.lit(0.5)).cast("decimal(38,0)"),
+    ).filter(F.abs(r) < F.lit(JB_RET_CAP))
+    cols = ["symbol", "time_idx", "rq"] if with_idx else ["symbol", "rq"]
+    return out.select(*cols)
 
 
 def _sql_rel_returns(scale: str) -> str:
     """Oracle CTE twin of :func:`_rel_returns` — emits ``ret(symbol,
     rq)``; compose after SQL_FILLED."""
     return f"""d AS (
-  SELECT symbol, qc,
+  SELECT symbol, time_idx, qc,
          lag(qc, 1) OVER (PARTITION BY symbol ORDER BY time_idx) AS l1
   FROM (SELECT symbol, time_idx,
                floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
         FROM filled)),
 ret AS (
-  SELECT symbol,
+  SELECT symbol, time_idx,
          floor(((qc - l1)::DOUBLE / l1::DOUBLE) * {scale} + 0.5)
            ::DECIMAL(38,0) AS rq
   FROM d
@@ -21386,6 +21386,581 @@ SELECT term, tf::BIGINT AS tf, df::BIGINT AS df,
 FROM top CROSS JOIN nt"""
 
 
+PACF_MIN_N = 12
+
+
+def q_ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation screen per symbol (lags 1–3, Durbin–
+    Levinson) — the AR-order selector that completes the Box–Jenkins
+    pair with ts_autocorrelation (ACF tails off for AR processes;
+    the PACF CUTS OFF at the true order — the diagnostic that picks
+    p for ts_ar2_forecast). Computed on the 1e-6-snapped relative
+    returns (``_rel_returns``): the three lag products, head/tail
+    sums and squares are exact DECIMAL integer moments (full-series-
+    mean ACF convention, mean folded in algebraically in float);
+    ρ₁..ρ₃ and the Durbin–Levinson ratios are identical closed-form
+    IEEE expressions in both engines. Three lag columns in ONE window
+    projection + one map-side groupBy on the symbol exchange."""
+    d = _rel_returns(spark, sf_dir, 1e6, with_idx=True)
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    for k in (1, 2, 3):
+        d = d.withColumn(f"l{k}", F.lag("rq", k).over(w))
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rq").alias("s1"),
+        F.sum(F.col("rq") * F.col("rq")).alias("s2"),
+    ]
+    for k in (1, 2, 3):
+        lk = F.col(f"l{k}")
+        valid = lk.isNotNull()
+        aggs += [
+            F.sum(F.when(valid, 1).otherwise(0)).alias(f"nk{k}"),
+            F.sum(F.when(valid, F.col("rq") * lk)).alias(f"pk{k}"),
+            F.sum(F.when(valid, F.col("rq"))).alias(f"hk{k}"),
+            F.sum(F.when(valid, lk)).alias(f"tk{k}"),
+        ]
+    agg = d.groupBy("symbol").agg(*aggs).filter(F.col("n") >= PACF_MIN_N)
+    n_ = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / n_
+    den = F.col("s2").cast("double") - F.col("s1").cast("double") * mu
+    rho = {}
+    for k in (1, 2, 3):
+        num = (
+            F.col(f"pk{k}").cast("double")
+            - mu
+            * (F.col(f"hk{k}").cast("double") + F.col(f"tk{k}").cast("double"))
+            + F.col(f"nk{k}").cast("double") * mu * mu
+        )
+        rho[k] = F.when(den > 0, num / den)
+    d2 = F.lit(1.0) - rho[1] * rho[1]
+    phi22 = F.when(d2 > 0, (rho[2] - rho[1] * rho[1]) / d2)
+    phi21 = F.when(d2 > 0, rho[1] * (F.lit(1.0) - rho[2]) / d2)
+    d3 = F.lit(1.0) - phi21 * rho[1] - phi22 * rho[2]
+    phi33 = F.when(
+        d3 != 0, (rho[3] - phi21 * rho[2] - phi22 * rho[1]) / d3
+    )
+    return agg.select(
+        "symbol",
+        F.col("n").cast("long").alias("n"),
+        _rne(rho[1], "acf1", 8),
+        _rne(rho[2], "acf2", 8),
+        _rne(rho[3], "acf3", 8),
+        _rne(phi22, "pacf2", 8),
+        _rne(phi33, "pacf3", 8),
+    )
+
+
+def _sql_ts_pacf() -> str:
+    mu = "s1::DOUBLE / n::DOUBLE"
+    den = f"s2::DOUBLE - s1::DOUBLE * ({mu})"
+    rho = {
+        k: (
+            f"CASE WHEN {den} > 0 THEN (pk{k}::DOUBLE - ({mu})"
+            f" * (hk{k}::DOUBLE + tk{k}::DOUBLE)"
+            f" + nk{k}::DOUBLE * ({mu}) * ({mu})) / ({den}) END"
+        )
+        for k in (1, 2, 3)
+    }
+    lag_cols = ",\n         ".join(
+        f"lag(rq, {k}) OVER (PARTITION BY symbol ORDER BY time_idx)"
+        f" AS l{k}"
+        for k in (1, 2, 3)
+    )
+    mom_cols = ",\n         ".join(
+        f"sum(CASE WHEN l{k} IS NOT NULL THEN 1 ELSE 0 END) AS nk{k},"
+        f" sum(CASE WHEN l{k} IS NOT NULL THEN rq * l{k} END) AS pk{k},"
+        f" sum(CASE WHEN l{k} IS NOT NULL THEN rq END) AS hk{k},"
+        f" sum(CASE WHEN l{k} IS NOT NULL THEN l{k} END) AS tk{k}"
+        for k in (1, 2, 3)
+    )
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+{_sql_rel_returns('1000000.0')},
+lagged AS (
+  SELECT symbol, rq,
+         {lag_cols}
+  FROM ret),
+agg AS (
+  SELECT symbol, count(*) AS n, sum(rq) AS s1, sum(rq * rq) AS s2,
+         {mom_cols}
+  FROM lagged GROUP BY 1 HAVING count(*) >= {PACF_MIN_N}),
+rhos AS (
+  SELECT symbol, n,
+         {rho[1]} AS r1, {rho[2]} AS r2, {rho[3]} AS r3
+  FROM agg),
+dl AS (
+  SELECT symbol, n, r1, r2, r3,
+         CASE WHEN 1.0 - r1 * r1 > 0
+              THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS phi22,
+         CASE WHEN 1.0 - r1 * r1 > 0
+              THEN r1 * (1.0 - r2) / (1.0 - r1 * r1) END AS phi21
+  FROM rhos)
+SELECT symbol, n::BIGINT AS n,
+       {_sql_rne('r1', 'acf1', 8)},
+       {_sql_rne('r2', 'acf2', 8)},
+       {_sql_rne('r3', 'acf3', 8)},
+       {_sql_rne('phi22', 'pacf2', 8)},
+       {_sql_rne(
+           'CASE WHEN 1.0 - phi21 * r1 - phi22 * r2 <> 0 THEN'
+           ' (r3 - phi21 * r2 - phi22 * r1)'
+           ' / (1.0 - phi21 * r1 - phi22 * r2) END', 'pacf3', 8)}
+FROM dl"""
+
+
+KNN_RECIP_K = 5
+KNN_RECIP_MOD = 7
+
+
+def q_emb_knn_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph reciprocity card — the fraction of directed top-k
+    edges whose reverse edge also exists: the hubness diagnostic for
+    a vector corpus (high-dimensional anisotropy creates hub vectors
+    that appear in everyone's top-k without reciprocating — low
+    reciprocity predicts poor kNN-graph clustering and inflated ANN
+    recall variance; reads next to emb_isotropy). Runs on a
+    deterministic arithmetic sample (vec_id % 7 == 0 — no rand(),
+    the engine-wide sampling rule) so the pair frame is sample²,
+    never corpus²; distances are the flat-codegen L2 (bitwise equal
+    to the oracle's sequential fold), the per-query top-k rank runs
+    as WindowGroupLimit, and the reverse-edge probe is one self-join
+    on the (lo, hi) edge key. Output: one row per label + the
+    corpus-level row (label = -1)."""
+    emb = _emb(spark, sf_dir).filter(
+        F.col("vec_id") % KNN_RECIP_MOD == 0
+    )
+    a = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    b = emb.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"))
+    pairs = a.join(b, F.col("qid") != F.col("nid")).select(
+        "qid",
+        "qlabel",
+        "nid",
+        dist_l2_fixed64(F.col("qv"), F.col("nv")).alias("d"),
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("d").asc(), F.col("nid").asc()
+    )
+    topk = pairs.withColumn("rn", F.row_number().over(wq)).filter(
+        F.col("rn") <= KNN_RECIP_K
+    )
+    fwd = topk.select("qid", "qlabel", "nid")
+    rev = topk.select(
+        F.col("nid").alias("qid"), F.col("qid").alias("nid")
+    )
+    marked = fwd.join(rev, ["qid", "nid"], "left_semi").select(
+        "qid", "qlabel"
+    )
+    recip = marked.groupBy("qlabel").agg(
+        F.count(F.lit(1)).alias("n_recip")
+    )
+    tot = fwd.groupBy("qlabel").agg(F.count(F.lit(1)).alias("n_edges"))
+    per = tot.join(recip, "qlabel", "left").select(
+        F.col("qlabel").cast("long").alias("label"),
+        "n_edges",
+        F.coalesce(F.col("n_recip"), F.lit(0)).alias("n_recip"),
+    )
+    allrow = per.groupBy().agg(
+        F.lit(-1).cast("long").alias("label"),
+        F.sum("n_edges").alias("n_edges"),
+        F.sum("n_recip").alias("n_recip"),
+    )
+    out = per.unionAll(allrow)
+    return out.select(
+        "label",
+        F.col("n_edges").cast("long").alias("n_edges"),
+        _rne(
+            F.col("n_recip").cast("double")
+            / F.col("n_edges").cast("double"),
+            "reciprocity",
+            8,
+        ),
+    )
+
+
+def _sql_emb_knn_reciprocity() -> str:
+    return f"""
+WITH s AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v, label
+  FROM embeddings WHERE vec_id % {KNN_RECIP_MOD} = 0),
+pairs AS (
+  SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS nid,
+         {_sql_l2('a.v', 'b.v')} AS d
+  FROM s a JOIN s b ON a.vec_id <> b.vec_id),
+topk AS (
+  SELECT qid, qlabel, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rn
+  FROM pairs QUALIFY rn <= {KNN_RECIP_K}),
+marked AS (
+  SELECT f.qid, f.qlabel
+  FROM topk f
+  WHERE EXISTS (SELECT 1 FROM topk r
+                WHERE r.qid = f.nid AND r.nid = f.qid)),
+per AS (
+  SELECT t.qlabel AS label, count(*) AS n_edges,
+         (SELECT count(*) FROM marked m WHERE m.qlabel = t.qlabel)
+           AS n_recip
+  FROM topk t GROUP BY 1),
+unioned AS (
+  SELECT label, n_edges, n_recip FROM per
+  UNION ALL
+  SELECT -1 AS label, sum(n_edges), sum(n_recip) FROM per)
+SELECT label::BIGINT AS label, n_edges::BIGINT AS n_edges,
+       {_sql_rne('n_recip::DOUBLE / n_edges::DOUBLE',
+                 'reciprocity', 8)}
+FROM unioned"""
+
+
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier market concentration per nation — Herfindahl–
+    Hirschman index of lineitem revenue shares (the supply-risk
+    summary statistic next to part_supply_risk's per-part view: HHI >
+    0.25 is the antitrust red line; 1/HHI is the 'effective supplier
+    count'). Per-supplier revenue rides the TPC-H money device
+    (DECIMAL(18,2) × DECIMAL(3,2), exact), converts to exact integer
+    1e-4-currency units, and HHI = Σrev²/(Σrev)² is computed from
+    exact DECIMAL squares — one float division at the end. nation is
+    a constant-size dim, broadcast; the only data-sized shuffle is
+    the (supplier) revenue aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    dec = lambda c, p=18, s=2: F.col(c).cast(f"decimal({p},{s})")  # noqa: E731
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = (
+        li.select("l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name", "l_suppkey")
+        .agg(
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount", 3, 2)))
+            .alias("rev")
+        )
+    )
+    revu = (F.col("rev") * F.lit(10000)).cast("decimal(38,0)")
+    per = rev.select("n_name", revu.alias("u"))
+    agg = per.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("u").alias("su"),
+        F.sum(F.col("u") * F.col("u")).alias("su2"),
+    )
+    tot = F.col("su").cast("double")
+    hhi = F.when(
+        F.col("su") > 0,
+        F.col("su2").cast("double") / (tot * tot),
+    )
+    return agg.select(
+        F.col("n_name").alias("nation"),
+        F.col("n_suppliers").cast("long").alias("n_suppliers"),
+        _rne(tot / F.lit(1e4), "revenue", 2),
+        _rne(hhi, "hhi", 10),
+        _rne(F.lit(1.0) / hhi, "effective_n", 6),
+    )
+
+
+def _sql_supplier_hhi() -> str:
+    return f"""
+WITH rev AS (
+  SELECT n.n_name, l.l_suppkey,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(3,2))
+                - CAST(l.l_discount AS DECIMAL(3,2)))) AS rev
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2),
+per AS (
+  SELECT n_name, (rev * 10000)::DECIMAL(38,0) AS u FROM rev),
+agg AS (
+  SELECT n_name, count(*) AS n_suppliers, sum(u) AS su,
+         sum(u * u) AS su2
+  FROM per GROUP BY 1)
+SELECT n_name AS nation, n_suppliers::BIGINT AS n_suppliers,
+       {_sql_rne('su::DOUBLE / 10000.0', 'revenue', 2)},
+       {_sql_rne(
+           'CASE WHEN su > 0 THEN su2::DOUBLE'
+           ' / (su::DOUBLE * su::DOUBLE) END', 'hhi', 10)},
+       {_sql_rne(
+           'CASE WHEN su > 0 THEN 1.0 / (su2::DOUBLE'
+           ' / (su::DOUBLE * su::DOUBLE)) END', 'effective_n', 6)}
+FROM agg"""
+
+
+XSEC_TRAIL_W = 28  # 7 days of 6h buckets
+XSEC_FWD_W = 4  # 1 day forward
+XSEC_N_Q = 5
+
+
+def q_ts_xsec_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional momentum card — quintile portfolios formed on
+    trailing 7-day return, evaluated on next-day forward return (the
+    Jegadeesh–Titman sort; a monotone quintile→forward-return profile
+    is THE cross-sectional momentum signal, the portfolio-level
+    complement of the per-symbol ts_macd_backtest). Trailing/forward
+    returns are IEEE divisions of exact integer closes; the
+    per-rebalance quintile assignment ranks (trail DESC, symbol) —
+    a total order — INSIDE each time bucket (partition size = the
+    symbol cross-section, never data-sized) and uses the engine-
+    neutral even-split ntile_from_rank; forward returns snap to the
+    1e-8 grid so quintile means ride exact DECIMAL. Output: 5
+    rows."""
+    from ..operators.twophase import ntile_from_rank
+
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    d = df.withColumn(
+        "qc",
+        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
+    )
+    d = (
+        d.withColumn("bk", F.lag("qc", XSEC_TRAIL_W).over(w))
+        .withColumn("fw", F.lead("qc", XSEC_FWD_W).over(w))
+        .filter(
+            F.col("bk").isNotNull()
+            & (F.col("bk") > 0)
+            & (F.col("qc") > 0)
+            & F.col("fw").isNotNull()
+        )
+    )
+    tr = (F.col("qc") - F.col("bk")).cast("double") / F.col("bk").cast(
+        "double"
+    )
+    fw = (F.col("fw") - F.col("qc")).cast("double") / F.col("qc").cast(
+        "double"
+    )
+    d = d.select(
+        "time_idx",
+        "symbol",
+        tr.alias("tr"),
+        F.floor(fw * F.lit(1e8) + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("fwq"),
+        F.floor(tr * F.lit(1e8) + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("trq"),
+    )
+    wt = Window.partitionBy("time_idx").orderBy(
+        F.col("tr").desc(), F.col("symbol").asc()
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("time_idx"))
+    d = d.withColumn(
+        "q",
+        ntile_from_rank(F.row_number().over(wt), cnt, XSEC_N_Q),
+    )
+    agg = d.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("fwq").alias("sf"),
+        F.sum("trq").alias("st"),
+    )
+    n_ = F.col("n_obs").cast("double")
+    return agg.select(
+        F.col("q").cast("long").alias("quintile"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        _rne(F.col("st").cast("double") / n_ / F.lit(1e8),
+             "mean_trail_ret", 10),
+        _rne(F.col("sf").cast("double") / n_ / F.lit(1e8),
+             "mean_fwd_ret", 10),
+    )
+
+
+def _sql_ts_xsec_momentum() -> str:
+    wq, fq = XSEC_TRAIL_W, XSEC_FWD_W
+    nq = XSEC_N_Q
+    # ntile_from_rank's even-split rule, verbatim in SQL
+    ntile = f"""CASE WHEN rnk <= (cnt % {nq}) * (cnt // {nq} + 1)
+         THEN (rnk - 1) // (cnt // {nq} + 1) + 1
+         ELSE (cnt % {nq})
+              + (rnk - (cnt % {nq}) * (cnt // {nq} + 1) - 1)
+                // (cnt // {nq}) + 1 END"""
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+d AS (
+  SELECT symbol, time_idx, qc,
+         lag(qc, {wq}) OVER (PARTITION BY symbol ORDER BY time_idx)
+           AS bk,
+         lead(qc, {fq}) OVER (PARTITION BY symbol ORDER BY time_idx)
+           AS fw
+  FROM (SELECT symbol, time_idx,
+               floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
+        FROM filled)
+  QUALIFY bk IS NOT NULL AND bk > 0 AND qc > 0 AND fw IS NOT NULL),
+r AS (
+  SELECT time_idx, symbol,
+         (qc - bk)::DOUBLE / bk::DOUBLE AS tr,
+         floor((fw - qc)::DOUBLE / qc::DOUBLE * 100000000.0 + 0.5)
+           ::DECIMAL(38,0) AS fwq,
+         floor((qc - bk)::DOUBLE / bk::DOUBLE * 100000000.0 + 0.5)
+           ::DECIMAL(38,0) AS trq
+  FROM d),
+rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY time_idx
+                            ORDER BY tr DESC, symbol) AS rnk,
+         count(*) OVER (PARTITION BY time_idx) AS cnt
+  FROM r),
+qd AS (SELECT *, {ntile} AS q FROM rk),
+agg AS (
+  SELECT q, count(*) AS n_obs, sum(fwq) AS sf, sum(trq) AS st
+  FROM qd GROUP BY 1)
+SELECT q::BIGINT AS quintile, n_obs::BIGINT AS n_obs,
+       {_sql_rne('st::DOUBLE / n_obs::DOUBLE / 100000000.0',
+                 'mean_trail_ret', 10)},
+       {_sql_rne('sf::DOUBLE / n_obs::DOUBLE / 100000000.0',
+                 'mean_fwd_ret', 10)}
+FROM agg"""
+
+
+def q_doc_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini–Simpson lexical concentration per source — the
+    probability two random tokens differ (1 − Σc(c−1)/(T(T−1)),
+    unbiased form) plus the effective vocabulary T²/Σc² (inverse
+    Simpson): the repetition-collapse screen that catches template/
+    boilerplate feeds which pass mean-based quality checks
+    (complements doc_lexical_diversity's TTR — TTR is length-biased,
+    Simpson is not). ALL moments are exact integers per (source,
+    term) with map-side combine; two final float divisions. One
+    explode + two aggregates."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    tc = (
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    agg = tc.groupBy("source").agg(
+        F.sum("c").alias("t"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum(cd * (cd - F.lit(1).cast("decimal(38,0)"))).alias("sp"),
+        F.sum(cd * cd).alias("sc2"),
+    ).filter(F.col("t") >= 2)
+    t_ = F.col("t").cast("double")
+    gini = F.lit(1.0) - F.col("sp").cast("double") / (
+        t_ * (t_ - F.lit(1.0))
+    )
+    eff = t_ * t_ / F.col("sc2").cast("double")
+    return agg.select(
+        "source",
+        F.col("t").cast("long").alias("n_tokens"),
+        F.col("v").cast("long").alias("vocab"),
+        _rne(gini, "gini_simpson", 10),
+        _rne(eff, "eff_vocab", 6),
+    )
+
+
+def _sql_doc_simpson_diversity() -> str:
+    return f"""
+WITH tc AS (
+  SELECT source, term, count(*) AS c
+  FROM (SELECT source, unnest({sql_tokens('text')}) AS term
+        FROM documents WHERE source IS NOT NULL)
+  GROUP BY 1, 2),
+agg AS (
+  SELECT source, sum(c) AS t, count(*) AS v,
+         sum(c::DECIMAL(38,0) * (c::DECIMAL(38,0)
+             - 1::DECIMAL(38,0))) AS sp,
+         sum(c::DECIMAL(38,0) * c::DECIMAL(38,0)) AS sc2
+  FROM tc GROUP BY 1 HAVING sum(c) >= 2)
+SELECT source, t::BIGINT AS n_tokens, v::BIGINT AS vocab,
+       {_sql_rne(
+           '1.0 - sp::DOUBLE / (t::DOUBLE * (t::DOUBLE - 1.0))',
+           'gini_simpson', 10)},
+       {_sql_rne('t::DOUBLE * t::DOUBLE / sc2::DOUBLE',
+                 'eff_vocab', 6)}
+FROM agg"""
+
+
+def q_orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order seasonality card: per-month order count + exact DECIMAL
+    revenue with month-over-month and year-over-year growth — the
+    calendar-trend readout under every cohort/LTV analysis (a
+    retention dip reads differently when the whole book is
+    seasonal). Months are a CALENDAR-BOUNDED frame, so the two lag
+    windows run over ≤ a few hundred rows; counts and money sums are
+    exact (cents DECIMAL), growth ratios are final float ops,
+    first/gap months yield NULL growth identically in both
+    engines."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    m = o.groupBy(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("cents"),
+    )
+    wm = Window.partitionBy().orderBy("month")
+    prev = F.lag("cents", 1).over(wm)
+    yoy = F.lag("cents", 12).over(wm)
+    prev_m = F.lag("month", 1).over(wm)
+    yoy_m = F.lag("month", 12).over(wm)
+    d = m.select(
+        "month",
+        "n_orders",
+        "cents",
+        # growth only against the ADJACENT calendar month/year — a
+        # gap month must not silently compare against an older one
+        F.when(
+            prev_m == F.add_months(F.col("month"), -1), prev
+        ).alias("prev"),
+        F.when(
+            yoy_m == F.add_months(F.col("month"), -12), yoy
+        ).alias("pyoy"),
+    )
+    g = lambda cur, base: F.when(  # noqa: E731
+        base > 0,
+        (cur.cast("double") - base.cast("double")) / base.cast("double"),
+    )
+    return d.select(
+        "month",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        _rne(F.col("cents").cast("double") / F.lit(100.0), "revenue", 2),
+        _rne(g(F.col("cents"), F.col("prev")) * F.lit(100.0),
+             "mom_pct", 6),
+        _rne(g(F.col("cents"), F.col("pyoy")) * F.lit(100.0),
+             "yoy_pct", 6),
+    )
+
+
+def _sql_orders_monthly_growth() -> str:
+    return f"""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate)::DATE AS month,
+         count(*) AS n_orders,
+         sum(floor(o_totalprice * 100 + 0.5)::DECIMAL(38,0)) AS cents
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY 1),
+lagged AS (
+  SELECT month, n_orders, cents,
+         CASE WHEN lag(month, 1) OVER w = month - INTERVAL 1 MONTH
+              THEN lag(cents, 1) OVER w END AS prev,
+         CASE WHEN lag(month, 12) OVER w = month - INTERVAL 12 MONTH
+              THEN lag(cents, 12) OVER w END AS pyoy
+  FROM m WINDOW w AS (ORDER BY month))
+SELECT month, n_orders::BIGINT AS n_orders,
+       {_sql_rne('cents::DOUBLE / 100.0', 'revenue', 2)},
+       {_sql_rne(
+           'CASE WHEN prev > 0 THEN (cents::DOUBLE - prev::DOUBLE)'
+           ' / prev::DOUBLE * 100.0 END', 'mom_pct', 6)},
+       {_sql_rne(
+           'CASE WHEN pyoy > 0 THEN (cents::DOUBLE - pyoy::DOUBLE)'
+           ' / pyoy::DOUBLE * 100.0 END', 'yoy_pct', 6)}
+FROM lagged"""
+
+
 def all_queries() -> dict[str, QueryFn]:
     # ORDER MATTERS: the driver's correctness gate checks entries in
     # registration order (observed cutoff: 50). CORRECTNESS_r10 was
@@ -21393,8 +21968,10 @@ def all_queries() -> dict[str, QueryFn]:
     # closed the loop: every one of the pre-r11 236 registry queries
     # now has a driver-green row somewhere in CORRECTNESS_r01-r10
     # (judge-verified by set difference, VERDICT r10).
-    # Round-11 rotation: positions 1-36 = the thirty-six round-11
-    # additions (batch 8 first: events_mw_utest, ts_spearman_corr,
+    # Round-11 rotation: positions 1-42 = the forty-two round-11
+    # additions (batch 9 first: ts_pacf, emb_knn_reciprocity,
+    # supplier_hhi, ts_xsec_momentum, doc_simpson_diversity,
+    # orders_monthly_growth; then batch 8: events_mw_utest, ts_spearman_corr,
     # doc_ks_length_drift, graph_kcore, ts_ulcer_index,
     # doc_term_burstiness; then batch 7: ts_jarque_bera,
     # ts_risk_ratios, ts_hill_tail, graph_assortativity,
@@ -21425,6 +22002,12 @@ def all_queries() -> dict[str, QueryFn]:
         # never-driver-verified round-11 additions first, then r10/r9
         # green canaries. tag = last driver-green round; 'never' =
         # local driver-emulation proof only.
+        "ts_pacf": q_ts_pacf,  # never (r11)
+        "emb_knn_reciprocity": q_emb_knn_reciprocity,  # never (r11)
+        "supplier_hhi": q_supplier_hhi,  # never (r11)
+        "ts_xsec_momentum": q_ts_xsec_momentum,  # never (r11)
+        "doc_simpson_diversity": q_doc_simpson_diversity,  # never (r11)
+        "orders_monthly_growth": q_orders_monthly_growth,  # never (r11)
         "events_mw_utest": q_events_mw_utest,  # never (r11)
         "ts_spearman_corr": q_ts_spearman_corr,  # never (r11)
         "doc_ks_length_drift": q_doc_ks_length_drift,  # never (r11)
@@ -21777,6 +22360,12 @@ def _oracle_sql_map() -> dict[str, str]:
         "emb_centroid_margin": _sql_emb_centroid_margin(),
         "ts_adf_unit_root": _sql_ts_adf_unit_root(),
         "ts_haar_energy": _sql_ts_haar_energy(),
+        "ts_pacf": _sql_ts_pacf(),
+        "emb_knn_reciprocity": _sql_emb_knn_reciprocity(),
+        "supplier_hhi": _sql_supplier_hhi(),
+        "ts_xsec_momentum": _sql_ts_xsec_momentum(),
+        "doc_simpson_diversity": _sql_doc_simpson_diversity(),
+        "orders_monthly_growth": _sql_orders_monthly_growth(),
         "events_mw_utest": _sql_events_mw_utest(),
         "ts_spearman_corr": _sql_ts_spearman_corr(),
         "doc_ks_length_drift": _sql_doc_ks_length_drift(),

@@ -669,3 +669,267 @@ def test_round11_batch8_no_python_no_cartesian(spark):
         assert "Python" not in plan, name
         assert "FlatMapGroupsInPandas" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+# ================================================== round-11 batch 9
+
+
+def test_pacf_replay_and_alternation(spark, tmp_path):
+    """A strongly alternating return series has acf1 near -1; the
+    lag-moment / Durbin-Levinson algebra replays exactly against
+    pure python."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_pacf,
+    )
+
+    ys, p = [100.0], 100.0
+    for i in range(30):
+        p = p * (1.02 if i % 2 == 0 else 1.0 / 1.015)
+        ys.append(p)
+    _write_series(spark, str(tmp_path), {1: [[(0, y)] for y in ys]})
+    r = q_ts_pacf(spark, str(tmp_path)).collect()[0]
+
+    rq = _rel_rets(ys, 1e6)
+    n = len(rq)
+    s1, s2 = sum(rq), sum(x * x for x in rq)
+    mu = s1 / n
+    den = s2 - s1 * mu
+    rho = {}
+    for k in (1, 2, 3):
+        pairs = list(zip(rq[k:], rq[:-k]))
+        pk = sum(a * b for a, b in pairs)
+        hk = sum(a for a, _ in pairs)
+        tk = sum(b for _, b in pairs)
+        rho[k] = (pk - mu * (hk + tk) + len(pairs) * mu * mu) / den
+    d2 = 1.0 - rho[1] * rho[1]
+    phi22 = (rho[2] - rho[1] * rho[1]) / d2
+    phi21 = rho[1] * (1.0 - rho[2]) / d2
+    d3 = 1.0 - phi21 * rho[1] - phi22 * rho[2]
+    phi33 = (rho[3] - phi21 * rho[2] - phi22 * rho[1]) / d3
+    assert r["n"] == n
+    assert r["acf1"] == _snap(rho[1], 8)
+    assert r["acf2"] == _snap(rho[2], 8)
+    assert r["acf3"] == _snap(rho[3], 8)
+    assert r["pacf2"] == _snap(phi22, 8)
+    assert r["pacf3"] == _snap(phi33, 8)
+    assert r["acf1"] < -0.8  # alternation
+
+
+def test_knn_reciprocity_two_clusters_replay(spark, tmp_path):
+    """Two tight 4-point clusters with k=5: within-cluster edges
+    reciprocate, the 2 cross-cluster picks mostly don't; replay the
+    exact top-5 graph in python."""
+    import pandas as pd
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        KNN_RECIP_K,
+        KNN_RECIP_MOD,
+        q_emb_knn_reciprocity,
+    )
+
+    dim = 64
+    rows = []
+    pts = {}
+    for i in range(4):  # cluster A (label 0) near +e1
+        vid = KNN_RECIP_MOD * (i + 1)
+        v = [0.0] * dim
+        v[0], v[1] = 1.0, 0.01 * (i + 1)
+        rows.append((vid, v, 0)); pts[vid] = v
+    for i in range(4):  # cluster B (label 1) near -e1
+        vid = KNN_RECIP_MOD * (i + 10)
+        v = [0.0] * dim
+        v[0], v[1] = -1.0, 0.013 * (i + 1)
+        rows.append((vid, v, 1)); pts[vid] = v
+    # a non-sampled decoy (vec_id not divisible by the sample mod)
+    rows.append((3, [5.0] + [0.0] * (dim - 1), 9))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    spark.createDataFrame(pdf).write.parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    got = {r["label"]: r for r in
+           q_emb_knn_reciprocity(spark, str(tmp_path)).collect()}
+    assert 9 not in got  # decoy not sampled
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    edges = set()
+    for q, qv in pts.items():
+        nb = sorted(
+            ((d2(qv, nv), nid) for nid, nv in pts.items() if nid != q)
+        )[:KNN_RECIP_K]
+        for _, nid in nb:
+            edges.add((q, nid))
+    recip = sum(1 for (a, b) in edges if (b, a) in edges)
+    assert got[-1]["n_edges"] == len(edges)
+    assert got[-1]["reciprocity"] == _snap(recip / len(edges), 8)
+
+
+def test_supplier_hhi_monopoly_vs_duopoly(spark, tmp_path):
+    """One-supplier nation -> HHI 1 / effective_n 1; two equal
+    suppliers -> HHI 0.5 / effective_n 2; revenue replays the TPC-H
+    money device exactly."""
+    import pandas as pd
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_supplier_hhi,
+    )
+
+    sup = pd.DataFrame(
+        [(1, "s1", 100, 0.0), (2, "s2", 200, 0.0), (3, "s3", 200, 0.0)],
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+    nat = pd.DataFrame(
+        [(100, "MONO", 1), (200, "DUO", 1)],
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    li = pd.DataFrame(
+        [
+            (1, 1, 1, 1, 1.0, 1000.0, 0.10, 0.0, "N", "O", BASE_TS),
+            (2, 1, 2, 1, 1.0, 500.0, 0.00, 0.0, "N", "O", BASE_TS),
+            (3, 1, 3, 1, 1.0, 250.0, 0.00, 0.0, "N", "O", BASE_TS),
+            (4, 1, 3, 2, 1.0, 250.0, 0.00, 0.0, "N", "O", BASE_TS),
+        ],
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    )
+    for name, pdf in (("supplier", sup), ("nation", nat),
+                      ("lineitem", li)):
+        spark.createDataFrame(pdf).write.parquet(
+            f"{tmp_path}/{name}.parquet"
+        )
+    got = {r["nation"]: r for r in
+           q_supplier_hhi(spark, str(tmp_path)).collect()}
+    assert got["MONO"]["n_suppliers"] == 1
+    assert got["MONO"]["hhi"] == 1.0
+    assert got["MONO"]["effective_n"] == 1.0
+    assert got["MONO"]["revenue"] == 900.0  # 1000 * (1 - 0.10)
+    assert got["DUO"]["n_suppliers"] == 2
+    assert got["DUO"]["hhi"] == 0.5
+    assert got["DUO"]["effective_n"] == 2.0
+
+
+def test_xsec_momentum_ordered_growth(spark, tmp_path):
+    """Ten symbols with strictly ordered constant growth rates: the
+    quintile sort is the symbol order at every rebalance, so mean
+    forward return decreases monotonically from quintile 1 to 5; the
+    snapped-mean algebra replays exactly."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        XSEC_FWD_W,
+        XSEC_N_Q,
+        XSEC_TRAIL_W,
+        q_ts_xsec_momentum,
+    )
+
+    n_buckets = 40
+    growths = {s: 0.0005 * s for s in range(1, 11)}
+    series = {}
+    for s, g in growths.items():
+        p, ys = 100.0, []
+        for _ in range(n_buckets):
+            ys.append(p)
+            p = p * (1 + g)
+        series[s] = [[(0, y)] for y in ys]
+    _write_series(spark, str(tmp_path), series)
+    got = {r["quintile"]: r for r in
+           q_ts_xsec_momentum(spark, str(tmp_path)).collect()}
+    assert set(got) == set(range(1, XSEC_N_Q + 1))
+    means = [got[q]["mean_fwd_ret"] for q in range(1, XSEC_N_Q + 1)]
+    assert all(a > b for a, b in zip(means, means[1:]))  # monotone
+
+    # replay quintile 1 (two fastest growers: symbols 10, 9)
+    def fwd_snap(s):
+        qs = [math.floor(100.0 * (1 + growths[s]) ** i * 1e6 + 0.5)
+              for i in range(n_buckets)]
+        out = []
+        for t in range(XSEC_TRAIL_W, n_buckets - XSEC_FWD_W):
+            out.append(math.floor(
+                (qs[t + XSEC_FWD_W] - qs[t]) / qs[t] * 1e8 + 0.5))
+        return out
+    f10, f9 = fwd_snap(10), fwd_snap(9)
+    exp = sum(f10 + f9) / len(f10 + f9) / 1e8
+    assert got[1]["n_obs"] == len(f10) + len(f9)
+    assert got[1]["mean_fwd_ret"] == _snap(exp, 10)
+
+
+def test_simpson_diversity_mono_vs_uniform(spark, tmp_path):
+    """A one-token-repeated source has Gini-Simpson 0 and effective
+    vocab 1; an all-distinct source has Gini-Simpson 1 and effective
+    vocab = its token count."""
+    import pandas as pd
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_simpson_diversity,
+    )
+
+    rows = [
+        (0, "spam " * 20, "en", "mono", 100),
+        (1, " ".join(f"tok{i}" for i in range(30)), "en", "uni", 150),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    spark.createDataFrame(pdf).write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {r["source"]: r for r in
+           q_doc_simpson_diversity(spark, str(tmp_path)).collect()}
+    assert got["mono"]["gini_simpson"] == 0.0
+    assert got["mono"]["eff_vocab"] == 1.0
+    assert got["mono"]["vocab"] == 1
+    assert got["uni"]["gini_simpson"] == 1.0
+    assert got["uni"]["eff_vocab"] == 30.0
+    assert got["uni"]["n_tokens"] == 30
+
+
+def test_monthly_growth_gap_month_null(spark, tmp_path):
+    """MoM compares only ADJACENT calendar months: a gap month's
+    growth is NULL (not growth vs the pre-gap month); YoY lines up
+    across exactly 12 months."""
+    import pandas as pd
+    from datetime import datetime
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_orders_monthly_growth,
+    )
+
+    def o(k, month_dt, price):
+        return (k, 1, "F", price, month_dt, "1-URGENT")
+
+    rows = [
+        o(1, datetime(2023, 1, 15), 100.0),
+        o(2, datetime(2023, 2, 15), 110.0),
+        # March missing (gap)
+        o(3, datetime(2023, 4, 15), 121.0),
+        o(4, datetime(2024, 1, 15), 150.0),  # YoY vs 2023-01
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                       "o_totalprice", "o_orderdate", "o_orderpriority"],
+    )
+    spark.createDataFrame(pdf).write.parquet(
+        f"{tmp_path}/orders.parquet"
+    )
+    got = {str(r["month"]): r for r in
+           q_orders_monthly_growth(spark, str(tmp_path)).collect()}
+    assert got["2023-02-01"]["mom_pct"] == _snap(10.0, 6)
+    assert got["2023-04-01"]["mom_pct"] is None      # gap month
+    assert got["2023-01-01"]["mom_pct"] is None      # first month
+    assert got["2024-01-01"]["yoy_pct"] is None      # only 4 rows back
+    assert got["2024-01-01"]["revenue"] == 150.0
+
+
+def test_round11_batch9_no_python_no_cartesian(spark):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        all_queries,
+    )
+
+    qs = all_queries()
+    for name in ("ts_pacf", "emb_knn_reciprocity", "supplier_hhi",
+                 "ts_xsec_momentum", "doc_simpson_diversity",
+                 "orders_monthly_growth"):
+        plan = _plan(qs[name](spark, SF))
+        assert "Python" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+        assert "CartesianProduct" not in plan, name
