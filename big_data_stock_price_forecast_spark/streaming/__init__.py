@@ -9,6 +9,7 @@ from .ops import (
     resample_stream,
     run_available_now,
     session_stream,
+    sliding_count_stream,
     stream_events,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "resample_stream",
     "run_available_now",
     "session_stream",
+    "sliding_count_stream",
     "stream_events",
 ]

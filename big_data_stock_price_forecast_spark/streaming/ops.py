@@ -121,6 +121,45 @@ def resample_stream(
     )
 
 
+def sliding_count_stream(
+    sdf: DataFrame,
+    duration: str = "24 hours",
+    slide: str = "6 hours",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """SLIDING-window per-symbol activity counts — the one windowing
+    mode the streaming family didn't yet exercise (resample_stream is
+    tumbling, session_stream is gap-based). Every event lands in
+    duration/slide overlapping windows (4 here), each a separate state
+    row; in append mode a window emits exactly once when the watermark
+    passes its END — so after an AvailableNow drain exactly the windows
+    with end <= max(event time) have fired, which is the batch oracle's
+    bound. The right-closed −1µs shift matches resample_stream; only
+    order-insensitive aggregates (count / max / min), so the emitted
+    rows are bitwise deterministic under any micro-batch partitioning."""
+    shifted = sdf.withColumn(
+        "__evt", F.col("datetime") - F.expr("INTERVAL 1 MICROSECOND")
+    ).withWatermark("__evt", watermark)
+    return (
+        shifted.groupBy(
+            F.col("symbol"),
+            F.window(F.col("__evt"), duration, slide).alias("__w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("close").alias("high"),
+            F.min("close").alias("low"),
+        )
+        .select(
+            "symbol",
+            F.col("__w.end").alias("window_end"),
+            "n_rows",
+            "high",
+            "low",
+        )
+    )
+
+
 def session_stream(
     sdf: DataFrame, gap: str = "30 minutes", watermark: str = "0 seconds"
 ) -> DataFrame:

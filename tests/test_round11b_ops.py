@@ -933,3 +933,302 @@ def test_round11_batch9_no_python_no_cartesian(spark):
         assert "Python" not in plan, name
         assert "FlatMapGroupsInPandas" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+# ================================================= round-11 batch 10
+
+
+def test_sliding_topn_window_assignment_and_emission(spark, tmp_path):
+    """Every event lands in 4 overlapping 24h/6h windows; only
+    windows whose end <= max event time emit (append-mode watermark
+    semantics); ranking is per window (n DESC, symbol ASC). Replay
+    the full window algebra in python."""
+    from datetime import timedelta
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_stream_sliding_topn,
+    )
+
+    # three symbols with distinct per-bucket activity over 3 days
+    rows, eid = [], 0
+    for d in range(12):  # 12 six-hour buckets
+        ts = BASE_TS + timedelta(hours=6 * d)
+        for sym, k in ((1, 3), (2, 2), (3, 1)):
+            for j in range(k if d % 2 == 0 else 1):
+                rows.append((eid, ts - timedelta(minutes=j + 1),
+                             sym, "tick", 100.0 + sym, "{}"))
+                eid += 1
+    # the file-stream source globs for the single FILE events.parquet
+    # (the real testdata layout); the batch writer's directory layout
+    # would be filtered out, so plant a single file
+    import glob
+    import shutil
+
+    tmpdir = f"{tmp_path}/__evtmp"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(tmpdir)
+    shutil.move(
+        glob.glob(f"{tmpdir}/part-*.parquet")[0],
+        f"{tmp_path}/events.parquet",
+    )
+    shutil.rmtree(tmpdir)
+    got = q_stream_sliding_topn(spark, str(tmp_path)).collect()
+
+    # python replay: right-closed shift, 4 windows per event
+    from collections import defaultdict
+
+    SIX_H = timedelta(hours=6)
+    counts = defaultdict(int)
+    max_te = None
+    for (_, ts, sym, _t, _v, _p) in rows:
+        te = ts - timedelta(microseconds=1)
+        max_te = te if max_te is None or te > max_te else max_te
+        base = datetime_floor_6h(te)
+        for k in range(4):
+            wend = base - k * SIX_H + timedelta(hours=24)
+            counts[(sym, wend)] += 1
+    emitted = {(s, w): n for (s, w), n in counts.items() if w <= max_te}
+    exp_top = {}
+    for (s, w), n in emitted.items():
+        exp_top.setdefault(w, []).append((-n, s))
+    expected = set()
+    for w, lst in exp_top.items():
+        for rank, (negn, s) in enumerate(sorted(lst)[:3], start=1):
+            expected.add((w, rank, s, -negn))
+    assert {(r["window_end"], r["rank"], r["symbol"], r["n_rows"])
+            for r in got} == expected
+    # at least one trailing window was withheld (still-open state)
+    all_wins = {w for (_, w) in counts}
+    assert any(w > max_te for w in all_wins)
+
+
+def datetime_floor_6h(t):
+    from datetime import datetime
+
+    secs = (t - datetime(1970, 1, 1)).total_seconds()
+    return datetime(1970, 1, 1) + __import__("datetime").timedelta(
+        seconds=(secs // 21600) * 21600
+    )
+
+
+def test_triplet_margin_clusters_and_mislabel(spark, tmp_path):
+    """Well-separated label clusters give violation_rate 0 and a
+    positive margin (exact replay); a mislabeled point makes its
+    anchor's nearest neighbor cross the boundary -> violation."""
+    import pandas as pd
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        TRIPLET_MOD,
+        q_emb_triplet_margin,
+    )
+
+    dim = 64
+
+    def vec(x0, x1):
+        v = [0.0] * dim
+        v[0], v[1] = x0, x1
+        return v
+
+    rows = []
+    # label 0: cluster at +e1 (anchor = id 7, sampled)
+    rows.append((TRIPLET_MOD, vec(1.0, 0.0), 0))
+    rows.append((1, vec(1.0, 0.05), 0))
+    rows.append((2, vec(1.0, 0.10), 0))
+    # label 1: cluster at -e1 (anchor = id 14)
+    rows.append((2 * TRIPLET_MOD, vec(-1.0, 0.0), 1))
+    rows.append((4, vec(-1.0, 0.05), 1))
+    # label 2: anchor id 21 whose nearest SAME-label mate is far,
+    # while a label-0 point sits close -> violation
+    rows.append((3 * TRIPLET_MOD, vec(1.0, 0.2), 2))
+    rows.append((6, vec(-3.0, 0.0), 2))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    spark.createDataFrame(pdf).write.parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    got = {r["label"]: r for r in
+           q_emb_triplet_margin(spark, str(tmp_path)).collect()}
+    assert got[0]["violation_rate"] == 0.0
+    # replay label 0's margin: dpos = 0.05 (nearest same-label), dneg
+    # = 0.2 — the MISLABELED label-2 point at (1, 0.2) is the nearest
+    # other-label vector, closer than the -e1 cluster
+    exp = math.floor((0.2 - 0.05) * 1e9 + 0.5) / 1e9
+    assert got[0]["mean_margin"] == _snap(exp, 8)
+    assert got[1]["violation_rate"] == 0.0
+    assert got[2]["violation_rate"] == 1.0   # mislabeled cluster
+    assert got[2]["mean_margin"] < 0
+
+
+def test_dow_seasonality_planted_monday_effect(spark, tmp_path):
+    """BASE_TS (2024-01-01) is a Monday: a series that only moves on
+    Monday buckets concentrates nonzero mean returns at dow 0; the
+    integer dow mapping ((idx div 4 + 5) mod 7) hits the real
+    calendar."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_dow_seasonality,
+    )
+
+    # 21 days x 4 buckets; +1% on each Monday bucket, flat otherwise
+    from big_data_stock_price_forecast_spark.functions.calendar import (
+        ANCHOR_EPOCH,
+    )
+
+    buckets = []
+    p = 100.0
+    closes = []
+    for d in range(21):
+        for b in range(4):
+            if d % 7 == 0:
+                p = p * 1.01
+            buckets.append([(0, p)])
+            closes.append(p)
+    _write_series(spark, str(tmp_path), {1: buckets})
+    got = {r["dow"]: r for r in
+           q_ts_dow_seasonality(spark, str(tmp_path)).collect()}
+    assert set(got) == set(range(7))
+
+    # replay: bucket j's time_idx = base + j; its return attributes
+    # to dow((idx div 4 + 5) mod 7); a Monday's midnight-end bucket
+    # lands on Tuesday by the right-closed convention
+    from datetime import datetime
+
+    base_idx = int(
+        ((BASE_TS - datetime(1970, 1, 1)).total_seconds() - ANCHOR_EPOCH)
+        // 21600
+    )
+    qs = [math.floor(y * 1e6 + 0.5) for y in closes]
+    by_dow = {}
+    for j in range(1, len(qs)):
+        rq = math.floor((qs[j] - qs[j - 1]) / qs[j - 1] * 1e8 + 0.5)
+        dow = ((base_idx + j) // 4 + 5) % 7
+        by_dow.setdefault(dow, []).append(rq)
+    for d in range(7):
+        rqs = by_dow[d]
+        assert got[d]["n"] == len(rqs)
+        assert got[d]["mean_ret"] == _snap(
+            sum(rqs) / len(rqs) / 1e8, 10
+        )
+    # Monday carries the bulk; Tuesday gets only the midnight spill
+    assert got[0]["mean_ret"] > got[1]["mean_ret"] > 0.0
+    for d in range(2, 7):
+        assert got[d]["mean_ret"] == 0.0
+
+
+def test_new_vs_returning_split(spark, tmp_path):
+    """User A active on day 1 and 2, user B only day 2: day 1 = 1
+    new; day 2 = 1 new + 1 returning."""
+    from datetime import timedelta
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_events_new_vs_returning,
+    )
+
+    d1, d2 = BASE_TS, BASE_TS + timedelta(days=1)
+    rows = [
+        (0, d1, 1, "x", 1.0, "{}"),
+        (1, d1 + timedelta(hours=1), 1, "x", 1.0, "{}"),  # same day dup
+        (2, d2, 1, "x", 1.0, "{}"),
+        (3, d2, 2, "x", 1.0, "{}"),
+    ]
+    _write_event_rows(spark, str(tmp_path), rows)
+    got = {str(r["day"]): r for r in
+           q_events_new_vs_returning(spark, str(tmp_path)).collect()}
+    assert got["2024-01-01"]["n_active"] == 1
+    assert got["2024-01-01"]["n_new"] == 1
+    assert got["2024-01-01"]["n_returning"] == 0
+    assert got["2024-01-02"]["n_active"] == 2
+    assert got["2024-01-02"]["n_new"] == 1
+    assert got["2024-01-02"]["n_returning"] == 1
+
+
+def test_vol_of_vol_alternating_days_replay(spark, tmp_path):
+    """Alternating calm/wild days give a large vol-of-vol; constant
+    daily vol gives ~0; the two-level exact algebra replays."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_vol_of_vol,
+    )
+
+    buckets, p = [], 100.0
+    moves = []
+    for d in range(8):
+        step = 1.03 if d % 2 == 0 else 1.001  # wild vs calm day
+        for b in range(4):
+            f = step if b % 2 == 0 else 1.0 / step
+            p = p * f
+            buckets.append([(0, p)])
+            moves.append(p)
+    _write_series(spark, str(tmp_path), {1: buckets})
+    r = q_ts_vol_of_vol(spark, str(tmp_path)).collect()[0]
+
+    from datetime import datetime
+
+    from big_data_stock_price_forecast_spark.functions.calendar import (
+        ANCHOR_EPOCH,
+    )
+
+    base_idx = int(
+        ((BASE_TS - datetime(1970, 1, 1)).total_seconds() - ANCHOR_EPOCH)
+        // 21600
+    )
+    qs = [math.floor(y * 1e6 + 0.5) for y in moves]
+    days = {}
+    for j in range(1, len(qs)):
+        rq = math.floor((qs[j] - qs[j - 1]) / qs[j - 1] * 1e8 + 0.5)
+        days.setdefault((base_idx + j) // 4, []).append(rq)
+    rvqs = []
+    for _, lst in sorted(days.items()):
+        if len(lst) >= 2:
+            s2 = sum(x * x for x in lst)
+            rvqs.append(math.floor(math.sqrt(s2) / 1e8 * 1e9 + 0.5))
+    n = len(rvqs)
+    s1, s2s = sum(rvqs), sum(x * x for x in rvqs)
+    mean = s1 / n / 1e9
+    var = (n * s2s - s1 * s1) / (n * n) / 1e18
+    assert r["n_days"] == n
+    assert r["mean_rv"] == _snap(mean, 10)
+    assert r["vol_of_vol"] == _snap(math.sqrt(max(var, 0.0)), 10)
+    assert r["vol_of_vol"] > 0.005  # alternation is visible
+
+
+def test_user_lifespan_buckets(spark, tmp_path):
+    """Spans 0, 1, 5 and 100 days land in buckets 0, 1, 4, 64; the
+    per-bucket means replay exactly."""
+    from datetime import timedelta
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_events_user_lifespan,
+    )
+
+    rows, eid = [], 0
+    spans = {1: 0, 2: 1, 3: 5, 4: 100}
+    for uid, span in spans.items():
+        rows.append((eid, BASE_TS, uid, "x", 1.0, "{}")); eid += 1
+        if span:
+            rows.append((eid, BASE_TS + timedelta(days=span), uid,
+                         "x", 1.0, "{}")); eid += 1
+    _write_event_rows(spark, str(tmp_path), rows)
+    got = {r["span_bucket"]: r for r in
+           q_events_user_lifespan(spark, str(tmp_path)).collect()}
+    assert set(got) == {0, 1, 4, 64}
+    assert got[0]["n_users"] == 1 and got[0]["mean_events"] == 1.0
+    assert got[1]["mean_span_days"] == 1.0
+    assert got[4]["mean_span_days"] == 5.0
+    assert got[64]["mean_span_days"] == 100.0
+    assert got[64]["mean_events"] == 2.0
+
+
+def test_round11_batch10_no_python_no_cartesian(spark):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        all_queries,
+    )
+
+    qs = all_queries()
+    for name in ("emb_triplet_margin", "ts_dow_seasonality",
+                 "events_new_vs_returning", "ts_vol_of_vol",
+                 "events_user_lifespan"):
+        plan = _plan(qs[name](spark, SF))
+        assert "Python" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+        assert "CartesianProduct" not in plan, name
