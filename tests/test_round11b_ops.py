@@ -1454,3 +1454,230 @@ def test_round11_batch11_no_python_no_cartesian(spark):
         assert "Python" not in plan, name
         assert "FlatMapGroupsInPandas" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+# ================================================= round-11 batch 12
+
+
+def test_volatility_clustering_planted_regimes(spark, tmp_path):
+    """Alternating calm/wild 4-bucket regimes make |r| strongly
+    autocorrelated at lags 1-3 while a constant-|move| alternating
+    series has |r|-ACF ~ degenerate-flat; replay the moment algebra
+    on the regime series."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_volatility_clustering,
+    )
+
+    ys, p = [100.0], 100.0
+    mags = []
+    for d in range(10):
+        mag = 0.03 if d % 2 == 0 else 0.002
+        for b in range(4):
+            f = (1 + mag) if b % 2 == 0 else 1.0 / (1 + mag)
+            p *= f
+            ys.append(p)
+            mags.append(mag)
+    _write_series(spark, str(tmp_path), {1: [[(0, y)] for y in ys]})
+    r = q_ts_volatility_clustering(spark, str(tmp_path)).collect()[0]
+
+    aq = [abs(x) for x in _rel_rets(ys, 1e6)]
+    n = len(aq)
+    s1, s2 = sum(aq), sum(x * x for x in aq)
+    mu = s1 / n
+    den = s2 - s1 * mu
+    for k, col in ((1, "acf1_abs"), (2, "acf2_abs"), (3, "acf3_abs")):
+        pairs = list(zip(aq[k:], aq[:-k]))
+        pk = sum(a * b for a, b in pairs)
+        hk = sum(a for a, _ in pairs)
+        tk = sum(b for _, b in pairs)
+        rho = (pk - mu * (hk + tk) + len(pairs) * mu * mu) / den
+        assert r[col] == _snap(rho, 8)
+    # 4-bucket regimes: lags 1-3 stay inside a regime most of the time
+    assert r["acf1_abs"] > 0.4
+
+
+def test_fisher_ratio_separated_vs_mixed(spark, tmp_path):
+    """Two tight, well-separated label clusters give a huge Fisher F;
+    interleaved identical clouds give ~0. Exact scatter replay on the
+    separated case."""
+    import pandas as pd
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_emb_fisher_ratio,
+    )
+
+    dim = 64
+
+    def vec(x0, eps):
+        v = [0.0] * dim
+        v[0], v[1] = x0, eps
+        return v
+
+    rows = []
+    for i in range(4):
+        rows.append((i, vec(1.0, 0.01 * i), 0))
+        rows.append((10 + i, vec(-1.0, 0.01 * i), 1))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    spark.createDataFrame(pdf).write.parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    r = q_emb_fisher_ratio(spark, str(tmp_path)).collect()[0]
+    assert r["n_vectors"] == 8 and r["n_labels"] == 2
+    assert r["fisher_f"] > 100.0
+    # replay: snapped coords q, scatter identities with term snapping
+    qs = {}
+    for vid, v, lab in rows:
+        qs[vid] = ([math.floor(x * 1e6 + 0.5) for x in v], lab)
+    labels = {0: [v for v, l in qs.values() if l == 0],
+              1: [v for v, l in qs.values() if l == 1]}
+    sq2 = sum(q * q for v, _ in qs.values() for q in v)
+    stl = 0
+    for lab, vecs in labels.items():
+        for d in range(dim):
+            s = sum(v[d] for v in vecs)
+            stl += math.floor(s * s / len(vecs) / 1e12 * 1e6 + 0.5)
+    stg = 0
+    for d in range(dim):
+        s = sum(v[d] for v, _ in qs.values())
+        stg += math.floor(s * s / 8 / 1e12 * 1e6 + 0.5)
+    within = sq2 / 1e12 - stl / 1e6
+    between = (stl - stg) / 1e6
+    fisher = (between / 1.0) / (within / 6.0)
+    assert r["between_scatter"] == _snap(between, 6)
+    assert r["within_scatter"] == _snap(within, 6)
+    assert r["fisher_f"] == _snap(fisher, 8)
+
+
+def test_tail_dependence_cocrash_vs_independent(spark, tmp_path):
+    """Two symbols that crash on the same buckets have tail lambda
+    near 1; a pair whose crashes never align has lambda 0."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_tail_dependence,
+    )
+
+    def series(crash_days):
+        ys, p = [100.0], 100.0
+        for i in range(40):
+            f = 0.90 if i in crash_days else (1.002 if i % 2 == 0
+                                              else 1.0 / 1.001)
+            p *= f
+            ys.append(p)
+        return ys
+
+    crashes_a = {5, 15, 25, 35}
+    _write_series(spark, str(tmp_path), {
+        1: [[(0, y)] for y in series(crashes_a)],
+        2: [[(0, y)] for y in series(crashes_a)],        # co-crash
+        3: [[(0, y)] for y in series({7, 17, 27, 37})],  # disjoint
+    })
+    got = {(r["sym_a"], r["sym_b"]): r for r in
+           q_ts_tail_dependence(spark, str(tmp_path)).collect()}
+    assert got[(1, 2)]["tail_lambda"] == 1.0
+    assert got[(1, 3)]["tail_lambda"] == 0.0
+    assert got[(1, 2)]["tail_lift"] > 5.0
+
+
+def test_brand_price_spread_replay(spark, tmp_path):
+    """Exact moments + interpolated median replay on a planted
+    two-brand catalog."""
+    import pandas as pd
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_part_brand_price_spread,
+    )
+
+    prices = {"B1": [10.0, 20.0, 30.0, 100.0], "B2": [50.0, 50.0]}
+    rows, pk = [], 0
+    for b, ps in prices.items():
+        for p in ps:
+            rows.append((pk, f"part{pk}", b, "T", 1, p)); pk += 1
+    pdf = pd.DataFrame(rows, columns=[
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice"])
+    spark.createDataFrame(pdf).write.parquet(f"{tmp_path}/part.parquet")
+    got = {r["brand"]: r for r in
+           q_part_brand_price_spread(spark, str(tmp_path)).collect()}
+    cents = [1000, 2000, 3000, 10000]
+    n = 4
+    s1, s2 = sum(cents), sum(c * c for c in cents)
+    mean = s1 / n / 100.0
+    var = (n * s2 - s1 * s1) / (n * n) / 1e4
+    assert got["B1"]["mean_price"] == _snap(mean, 6)
+    assert got["B1"]["cv"] == _snap(math.sqrt(var) / mean, 8)
+    assert got["B1"]["median_price"] == 25.0  # (2000+3000)/2 cents
+    assert got["B1"]["max_price"] == 100.0
+    assert got["B2"]["cv"] == 0.0
+
+
+def test_balance_profile_planted(spark, tmp_path):
+    """Negative share and exact percentiles on a planted segment."""
+    import pandas as pd
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_customer_balance_profile,
+    )
+
+    bals = [-100.0, 0.0, 50.0, 100.0, 200.0]
+    rows = [(i, f"c{i}", 0, b, "SEG") for i, b in enumerate(bals)]
+    pdf = pd.DataFrame(rows, columns=[
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment"])
+    spark.createDataFrame(pdf).write.parquet(
+        f"{tmp_path}/customer.parquet")
+    r = q_customer_balance_profile(spark, str(tmp_path)).collect()[0]
+    import numpy as np
+
+    cents = [int(b * 100) for b in bals]
+    assert r["n"] == 5
+    assert r["pct_negative"] == 0.2
+    assert r["mean_bal"] == _snap(sum(cents) / 5 / 100.0, 6)
+    assert r["p50"] == 50.0
+    assert r["p10"] == _snap(
+        float(np.percentile(cents, 10, method="linear")) / 100.0, 6)
+
+
+def test_prefix_boilerplate_template_group(spark, tmp_path):
+    """Docs sharing a 64-char header group together (case-folded);
+    unique-prefix docs don't appear; share divides by the FULL corpus
+    count."""
+    import pandas as pd
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_prefix_boilerplate,
+    )
+
+    header = ("subject: weekly newsletter please do not reply to this "
+              "address x")
+    assert len(header) >= 64
+    rows = [
+        (0, header + " body one", "en", "A", 80),
+        (1, header.upper() + " body two", "en", "B", 80),
+        (2, header + " body three", "en", "A", 80),
+        (3, "totally unique document text", "en", "A", 28),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang",
+                                      "source", "n_chars"])
+    spark.createDataFrame(pdf).write.parquet(
+        f"{tmp_path}/documents.parquet")
+    got = q_doc_prefix_boilerplate(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["prefix"] == header.lower()[:64]
+    assert r["n_docs"] == 3
+    assert r["n_sources"] == 2
+    assert r["share"] == 0.75
+
+
+def test_round11_batch12_no_python_no_cartesian(spark):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        all_queries,
+    )
+
+    qs = all_queries()
+    for name in ("ts_volatility_clustering", "emb_fisher_ratio",
+                 "ts_tail_dependence", "part_brand_price_spread",
+                 "customer_balance_profile", "doc_prefix_boilerplate"):
+        plan = _plan(qs[name](spark, SF))
+        assert "Python" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+        assert "CartesianProduct" not in plan, name
