@@ -23504,6 +23504,596 @@ SELECT prefix, n_docs::BIGINT AS n_docs, n_sources::BIGINT AS n_sources,
 FROM top CROSS JOIN nt"""
 
 
+def q_ts_month_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year return seasonality pooled across symbols — the
+    annual-calendar twin of ts_dow_seasonality ('sell in May',
+    January-effect class screens; a month whose |t| clears ~2 is a
+    candidate seasonal regressor). The bucket's calendar month comes
+    from one engine-neutral date construction (anchor date + integer
+    day index — month() numbering is 1–12 in both engines, unlike
+    dayofweek); returns ride the shared 1e-8-snapped `_rel_returns`
+    frame with exact DECIMAL moments; ≤12 output rows."""
+    d = _rel_returns(spark, sf_dir, 1e8, with_idx=True)
+    day_idx = F.expr("time_idx div 4").cast("int")
+    mon = F.month(F.date_add(F.lit("2000-01-01").cast("date"), day_idx))
+    agg = (
+        d.select(mon.alias("month"), "rq")
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rq").alias("s1"),
+            F.sum(F.col("rq") * F.col("rq")).alias("s2"),
+        )
+    )
+    n_ = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n_ / F.lit(1e8)
+    var = (
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("s2")
+            - F.col("s1") * F.col("s1")
+        ).cast("double")
+        / (n_ * n_)
+        / F.lit(1e16)
+    )
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    t = F.when(sd > 0, mean / (sd / F.sqrt(n_)))
+    return agg.select(
+        F.col("month").cast("long").alias("month"),
+        F.col("n").cast("long").alias("n"),
+        _rne(mean, "mean_ret", 10),
+        _rne(t, "t_stat", 8),
+    )
+
+
+def _sql_ts_month_seasonality() -> str:
+    mean = "s1::DOUBLE / n::DOUBLE / 100000000.0"
+    var = (
+        "(n::DECIMAL(38,0) * s2 - s1 * s1)::DOUBLE"
+        " / (n::DOUBLE * n::DOUBLE) / 1e16"
+    )
+    sd = f"sqrt(greatest({var}, 0.0))"
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+{_sql_rel_returns('100000000.0')},
+agg AS (
+  SELECT month(DATE '2000-01-01'
+               + CAST(time_idx // 4 AS INT)) AS month,
+         count(*) AS n, sum(rq) AS s1, sum(rq * rq) AS s2
+  FROM ret GROUP BY 1)
+SELECT month::BIGINT AS month, n::BIGINT AS n,
+       {_sql_rne(mean, 'mean_ret', 10)},
+       {_sql_rne(
+           f'CASE WHEN {sd} > 0 THEN ({mean})'
+           f' / ({sd} / sqrt(n::DOUBLE)) END', 't_stat', 8)}
+FROM agg"""
+
+
+def q_ts_leverage_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leverage-effect screen per symbol — corr(r_t, |r|_{t+1}):
+    negative in equity-like markets (down moves raise NEXT-period
+    volatility more than up moves — the asymmetry that motivates
+    EGARCH/GJR over plain GARCH; the signed complement of
+    ts_volatility_clustering's |r|-ACF). One lead window on the
+    shared 1e-6-snapped return frame; five exact DECIMAL pair
+    moments; corr and its t are final IEEE expressions."""
+    d = _rel_returns(spark, sf_dir, 1e6, with_idx=True)
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    d = d.withColumn("y", F.abs(F.lead("rq", 1).over(w))).filter(
+        F.col("y").isNotNull()
+    )
+    agg = d.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rq").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("rq") * F.col("y")).alias("sxy"),
+        F.sum(F.col("rq") * F.col("rq")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).filter(F.col("n") >= PACF_MIN_N)
+    nd = F.col("n").cast("decimal(38,0)")
+    cov = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    rho = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx) / F.sqrt(vy))
+    n_ = F.col("n").cast("double")
+    t = F.when(
+        F.lit(1.0) - rho * rho > 0,
+        rho * F.sqrt((n_ - F.lit(2.0)) / (F.lit(1.0) - rho * rho)),
+    )
+    return agg.select(
+        "symbol",
+        F.col("n").cast("long").alias("n"),
+        _rne(rho, "leverage_corr", 8),
+        _rne(t, "t_stat", 8),
+    )
+
+
+def _sql_ts_leverage_effect() -> str:
+    cov = "(n::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE"
+    vx = "(n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE"
+    vy = "(n::DECIMAL(38,0) * syy - sy * sy)::DOUBLE"
+    rho = (
+        f"CASE WHEN {vx} > 0 AND {vy} > 0 THEN {cov}"
+        f" / sqrt({vx}) / sqrt({vy}) END"
+    )
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+{_sql_rel_returns('1000000.0')},
+dl AS (
+  SELECT symbol, rq,
+         abs(lead(rq, 1) OVER (PARTITION BY symbol ORDER BY time_idx))
+           AS y
+  FROM ret QUALIFY y IS NOT NULL),
+agg AS (
+  SELECT symbol, count(*) AS n, sum(rq) AS sx, sum(y) AS sy,
+         sum(rq * y) AS sxy, sum(rq * rq) AS sxx, sum(y * y) AS syy
+  FROM dl GROUP BY 1 HAVING count(*) >= {PACF_MIN_N}),
+rh AS (SELECT symbol, n, {rho} AS rho FROM agg)
+SELECT symbol, n::BIGINT AS n,
+       {_sql_rne('rho', 'leverage_corr', 8)},
+       {_sql_rne(
+           'CASE WHEN 1.0 - rho * rho > 0 THEN rho'
+           ' * sqrt((n::DOUBLE - 2.0) / (1.0 - rho * rho)) END',
+           't_stat', 8)}
+FROM rh"""
+
+
+def q_emb_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate embedding groups — vectors identical on the
+    1e-6 grid, keyed by a portable signature hash of the snapped
+    coordinates: the cheap FIRST tier of the vector-dedup cascade
+    (emb_near_dup_pairs' LSH spends banding on pairs this groupBy
+    removes for free; the doc-side twin is doc_exact_dup_groups).
+    One in-row transform (snap → string-join → hash60, no explode)
+    + one groupBy. The output is the ALWAYS-NON-EMPTY summary row
+    (the media_ahash lesson: a fixture with zero dups must still
+    exercise the signature derivation in the cross-engine gate) —
+    total vectors, distinct signatures, dup groups/vectors, largest
+    group, and an XOR checksum of ALL signatures (order-free; a
+    one-bit divergence in either engine's snap→join→hash chain flips
+    it) — plus one row per dup group when they exist."""
+    emb = _emb(spark, sf_dir)
+    sig_str = F.concat_ws(
+        ",",
+        F.transform(
+            "v",
+            lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .cast("string"),
+        ),
+    )
+    d = emb.select(
+        "vec_id", "label", hash60(sig_str).alias("sig")
+    )
+    grp = d.groupBy("sig").agg(
+        F.count(F.lit(1)).alias("gs"),
+        F.min("vec_id").alias("keeper"),
+        F.countDistinct("label").alias("nl"),
+    )
+    dups = grp.filter(F.col("gs") >= 2).select(
+        F.lit("group").alias("row_type"),
+        F.col("sig").cast("long").alias("sig"),
+        F.col("gs").cast("long").alias("group_size"),
+        F.col("keeper").cast("long").alias("keeper_id"),
+        F.col("nl").cast("long").alias("n_labels"),
+    )
+    summary = grp.agg(
+        F.lit("summary").alias("row_type"),
+        # XOR-fold of signatures: order/partitioning-free
+        F.expr("bit_xor(sig)").cast("long").alias("sig"),
+        F.sum("gs").cast("long").alias("group_size"),
+        F.count(F.lit(1)).cast("long").alias("keeper_id"),
+        F.sum(F.when(F.col("gs") >= 2, F.col("gs")).otherwise(0))
+        .cast("long")
+        .alias("n_labels"),
+    )
+    return dups.unionAll(summary).select(
+        "row_type",
+        "sig",
+        "group_size",
+        "keeper_id",
+        "n_labels",
+    )
+
+
+def _sql_emb_exact_dup_groups() -> str:
+    sig = sql_hash60(
+        "array_to_string(list_transform(embedding,"
+        " x -> CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS BIGINT)"
+        "::VARCHAR), ',')"
+    )
+    return f"""
+WITH grp AS (
+  SELECT {sig} AS sig, count(*) AS gs, min(vec_id) AS keeper,
+         count(DISTINCT label) AS nl
+  FROM embeddings GROUP BY 1)
+SELECT 'group' AS row_type, sig::BIGINT AS sig,
+       gs::BIGINT AS group_size, keeper::BIGINT AS keeper_id,
+       nl::BIGINT AS n_labels
+FROM grp WHERE gs >= 2
+UNION ALL
+SELECT 'summary' AS row_type, bit_xor(sig)::BIGINT AS sig,
+       sum(gs)::BIGINT AS group_size, count(*)::BIGINT AS keeper_id,
+       sum(CASE WHEN gs >= 2 THEN gs ELSE 0 END)::BIGINT AS n_labels
+FROM grp"""
+
+
+def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability profile per source — mean words/sentence, mean
+    chars/word, and a deterministic Flesch-style score (206.835 −
+    1.015·wps − 84.6·(cpw/3) — chars-per-word/3 standing in for
+    syllables-per-word: a monotone proxy that needs no dictionary
+    and no regex dialect): the fluency screen between
+    doc_text_profile's raw counts and the LM-perplexity cards.
+    Sentences are counted with the replace-length trick on .!? (the
+    char-entropy device — no regex, engine-neutral); words/chars
+    come from the shared tokenizer. All sums exact integers; the
+    score is one final expression; docs with zero sentences count as
+    one sentence in both engines (greatest guard)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    toks = tokens(F.col("text"))
+    sent = None
+    for ch in ".!?":
+        c = F.length(F.col("text")) - F.length(
+            F.replace(F.col("text"), F.lit(ch))
+        )
+        sent = c if sent is None else sent + c
+    per = docs.select(
+        "source",
+        F.size(toks).alias("w"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("wc"),
+        F.greatest(sent, F.lit(1)).alias("s"),
+    ).filter(F.col("w") > 0)
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("tw"),
+        F.sum("wc").alias("twc"),
+        F.sum("s").alias("ts"),
+    )
+    wps = F.col("tw").cast("double") / F.col("ts").cast("double")
+    cpw = F.col("twc").cast("double") / F.col("tw").cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * wps
+        - F.lit(84.6) * (cpw / F.lit(3.0))
+    )
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        _rne(wps, "words_per_sentence", 6),
+        _rne(cpw, "chars_per_word", 6),
+        _rne(flesch, "flesch_proxy", 6),
+    )
+
+
+def _sql_doc_readability() -> str:
+    sent = " + ".join(
+        f"(length(text) - length(replace(text, '{ch}', '')))"
+        for ch in ".!?"
+    )
+    return f"""
+WITH per AS (
+  SELECT source,
+         length({sql_tokens('text')}) AS w,
+         list_reduce(list_transform({sql_tokens('text')},
+                                    t -> length(t)),
+                     (a, b) -> a + b) AS wc,
+         greatest({sent}, 1) AS s
+  FROM documents WHERE source IS NOT NULL),
+agg AS (
+  SELECT source, count(*) AS n_docs, sum(w) AS tw, sum(wc) AS twc,
+         sum(s) AS ts
+  FROM per WHERE w > 0 GROUP BY 1)
+SELECT source, n_docs::BIGINT AS n_docs,
+       {_sql_rne('tw::DOUBLE / ts::DOUBLE', 'words_per_sentence', 6)},
+       {_sql_rne('twc::DOUBLE / tw::DOUBLE', 'chars_per_word', 6)},
+       {_sql_rne(
+           '206.835 - 1.015 * (tw::DOUBLE / ts::DOUBLE)'
+           ' - 84.6 * ((twc::DOUBLE / tw::DOUBLE) / 3.0)',
+           'flesch_proxy', 6)}
+FROM agg"""
+
+
+RET_DECAY_MAX_K = 14
+
+
+def q_events_retention_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-decay fit — pooled day-k retention rates for k =
+    1..14 with an exponential fit ln(r_k) = a + b·k → half-life =
+    −ln2/b: the one-number engagement summary on top of the cohort
+    matrix (and the principled way to size streaming state TTLs —
+    the half-life IS the state-retention knob). Only FULLY OBSERVABLE
+    users enter (first day ≤ max day − 14, one broadcast scalar) so
+    late cohorts can't bias the tail; rates are exact integer ratios,
+    their lns snap to the 1e-12 grid, and the OLS runs over a ≤14-row
+    frame. Output is one row."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .filter(F.col("user_id").isNotNull() & F.col("day").isNotNull())
+        .distinct()
+    )
+    mx = ev.agg(F.max("day").alias("mxd"))
+    first = ev.groupBy("user_id").agg(F.min("day").alias("fd"))
+    obs = first.crossJoin(F.broadcast(mx)).filter(
+        F.col("fd") <= F.date_sub(F.col("mxd"), RET_DECAY_MAX_K)
+    ).select("user_id", "fd")
+    nobs = obs.agg(F.count(F.lit(1)).alias("nu"))
+    act = ev.join(obs, "user_id").select(
+        "user_id", F.datediff(F.col("day"), F.col("fd")).alias("k")
+    ).filter((F.col("k") >= 1) & (F.col("k") <= RET_DECAY_MAX_K))
+    byk = act.groupBy("k").agg(
+        F.countDistinct("user_id").alias("uk")
+    ).crossJoin(F.broadcast(nobs))
+    lr = F.log(
+        F.col("uk").cast("double") / F.col("nu").cast("double")
+    )
+    pts = byk.filter(F.col("uk") > 0).select(
+        F.col("k").cast("decimal(38,0)").alias("x"),
+        F.floor(lr * F.lit(1e12) + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("yq"),
+        "nu",
+    )
+    agg = pts.groupBy("nu").agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("x") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
+    ).filter(F.col("np") >= 3)
+    nd = F.col("np").cast("decimal(38,0)")
+    vx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cov = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    b = F.when(vx > 0, cov / vx / F.lit(1e12))
+    r2 = F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy))
+    half = F.when(b < 0, F.lit(-math.log(2.0)) / b)
+    return agg.select(
+        F.col("nu").cast("long").alias("n_users"),
+        F.col("np").cast("long").alias("k_points"),
+        _rne(b, "decay_rate", 10),
+        _rne(half, "halflife_days", 6),
+        _rne(r2, "r2", 8),
+    )
+
+
+def _sql_events_retention_decay() -> str:
+    k = RET_DECAY_MAX_K
+    vx = "(np::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE"
+    vy = "(np::DECIMAL(38,0) * syy - sy * sy)::DOUBLE"
+    cov = "(np::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE"
+    b = f"CASE WHEN {vx} > 0 THEN {cov} / {vx} / 1e12 END"
+    return f"""
+WITH a AS (
+  SELECT DISTINCT user_id, ts::DATE AS day FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+mx AS (SELECT max(day) AS mxd FROM a),
+first AS (SELECT user_id, min(day) AS fd FROM a GROUP BY 1),
+obs AS (
+  SELECT user_id, fd FROM first, mx
+  WHERE fd <= mxd - INTERVAL {k} DAY),
+nobs AS (SELECT count(*) AS nu FROM obs),
+act AS (
+  SELECT a.user_id, (a.day - o.fd) AS kk
+  FROM a JOIN obs o ON a.user_id = o.user_id
+  WHERE (a.day - o.fd) BETWEEN 1 AND {k}),
+byk AS (
+  SELECT kk, count(DISTINCT user_id) AS uk FROM act GROUP BY 1),
+pts AS (
+  SELECT kk::DECIMAL(38,0) AS x,
+         floor(ln(uk::DOUBLE / nu::DOUBLE) * 1000000000000.0 + 0.5)
+           ::DECIMAL(38,0) AS yq,
+         nu
+  FROM byk, nobs WHERE uk > 0),
+agg AS (
+  SELECT nu, count(*) AS np, sum(x) AS sx, sum(yq) AS sy,
+         sum(x * yq) AS sxy, sum(x * x) AS sxx, sum(yq * yq) AS syy
+  FROM pts GROUP BY 1 HAVING count(*) >= 3)
+SELECT nu::BIGINT AS n_users, np::BIGINT AS k_points,
+       {_sql_rne(b, 'decay_rate', 10)},
+       {_sql_rne(
+           f'CASE WHEN ({b}) < 0 THEN {-math.log(2.0)!r} / ({b}) END',
+           'halflife_days', 6)},
+       {_sql_rne(
+           f'CASE WHEN {vx} > 0 AND {vy} > 0 THEN ({cov}) * ({cov})'
+           f' / (({vx}) * ({vy})) END', 'r2', 8)}
+FROM agg"""
+
+
+STRESS_Q = 0.9
+
+
+def q_ts_stress_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation breakdown under stress — pair correlations of the
+    top-k symbols computed SEPARATELY inside high-|market-move|
+    buckets (top decile of |equal-weight index return|) vs calm
+    buckets: diversification that exists in the calm regime and
+    vanishes under stress is THE classic portfolio failure, invisible
+    to the unconditional ts_symbol_corr_matrix. The market series is
+    the capm_beta device (exact DECIMAL mean of member closes,
+    calendar-bounded frame); the stress threshold is the exact
+    percentile of |market return|; per-(pair, regime) moments ride
+    exact DECIMAL through the k-bounded time join. Output: one row
+    per pair with both regime correlations and the difference."""
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    d = df.withColumn(
+        "qc",
+        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
+    )
+    top = (
+        d.groupBy("symbol")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("symbol").asc())
+        .limit(CORR_MATRIX_TOP_K)
+        .select("symbol")
+    )
+    # equal-weight market index over ALL symbols (calendar-bounded)
+    mkt = d.groupBy("time_idx").agg(
+        F.sum("qc").alias("sq"), F.count(F.lit(1)).alias("nm")
+    )
+    mq = F.floor(
+        F.col("sq").cast("double") / F.col("nm").cast("double")
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    mkt = mkt.select("time_idx", mq.alias("mq"))
+    wm = Window.orderBy("time_idx")  # calendar-bounded frame
+    mret = (
+        (F.col("mq") - F.lag("mq", 1).over(wm)).cast("double")
+        / F.lag("mq", 1).over(wm).cast("double")
+    )
+    mkt = mkt.withColumn("mret", mret).filter(
+        F.col("mret").isNotNull()
+    )
+    thr = mkt.agg(
+        F.expr(f"percentile(abs(mret), {STRESS_Q}D)").alias("thr")
+    )
+    flags = mkt.crossJoin(F.broadcast(thr)).select(
+        "time_idx",
+        (F.abs(F.col("mret")) >= F.col("thr")).cast("int").alias(
+            "stress"
+        ),
+    )
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    rets = (
+        d.join(F.broadcast(top), "symbol")
+        .withColumn("l1", F.lag("qc", 1).over(w))
+        .filter(F.col("l1").isNotNull() & (F.col("l1") > 0))
+        .withColumn(
+            "rq",
+            F.floor(
+                (F.col("qc") - F.col("l1")).cast("double")
+                / F.col("l1").cast("double")
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("decimal(38,0)"),
+        )
+        .join(flags, "time_idx")
+        .select("symbol", "time_idx", "rq", "stress")
+    )
+    a = rets.select(
+        F.col("symbol").alias("sym_a"),
+        "time_idx",
+        F.col("rq").alias("x"),
+        "stress",
+    )
+    b = rets.select(
+        F.col("symbol").alias("sym_b"), "time_idx", F.col("rq").alias("y")
+    )
+    agg = (
+        a.join(b, "time_idx")
+        .filter(F.col("sym_a") < F.col("sym_b"))
+        .groupBy("sym_a", "sym_b", "stress")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        .filter(F.col("n") >= 4)
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    cov = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    rho = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx) / F.sqrt(vy))
+    per = agg.select("sym_a", "sym_b", "stress", "n", rho.alias("rho"))
+    out = per.groupBy("sym_a", "sym_b").agg(
+        F.sum(F.when(F.col("stress") == 1, F.col("n"))).alias(
+            "n_stress"
+        ),
+        F.sum(F.when(F.col("stress") == 0, F.col("n"))).alias("n_calm"),
+        F.max(F.when(F.col("stress") == 1, F.col("rho"))).alias(
+            "corr_stress"
+        ),
+        F.max(F.when(F.col("stress") == 0, F.col("rho"))).alias(
+            "corr_calm"
+        ),
+    )
+    return out.select(
+        "sym_a",
+        "sym_b",
+        F.col("n_stress").cast("long").alias("n_stress"),
+        F.col("n_calm").cast("long").alias("n_calm"),
+        _rne(F.col("corr_stress"), "corr_stress", 8),
+        _rne(F.col("corr_calm"), "corr_calm", 8),
+        _rne(
+            F.col("corr_stress") - F.col("corr_calm"), "corr_shift", 8
+        ),
+    )
+
+
+def _sql_ts_stress_corr() -> str:
+    rho = (
+        "CASE WHEN (n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE > 0"
+        " AND (n::DECIMAL(38,0) * syy - sy * sy)::DOUBLE > 0 THEN"
+        " (n::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE"
+        " / sqrt((n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE)"
+        " / sqrt((n::DECIMAL(38,0) * syy - sy * sy)::DOUBLE) END"
+    )
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+q AS (
+  SELECT symbol, time_idx,
+         floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
+  FROM filled),
+top AS (
+  SELECT symbol FROM (
+    SELECT symbol, count(*) AS n FROM q GROUP BY 1
+    ORDER BY n DESC, symbol ASC LIMIT {CORR_MATRIX_TOP_K})),
+mkt AS (
+  SELECT time_idx,
+         floor(sum(qc)::DOUBLE / count(*)::DOUBLE + 0.5)
+           ::DECIMAL(38,0) AS mq
+  FROM q GROUP BY 1),
+mret AS (
+  SELECT time_idx,
+         (mq - lag(mq) OVER (ORDER BY time_idx))::DOUBLE
+           / (lag(mq) OVER (ORDER BY time_idx))::DOUBLE AS mret
+  FROM mkt QUALIFY mret IS NOT NULL),
+thr AS (SELECT quantile_cont(abs(mret), {STRESS_Q}) AS thr FROM mret),
+flags AS (
+  SELECT time_idx, (abs(mret) >= thr)::INT AS stress
+  FROM mret, thr),
+rets AS (
+  SELECT q.symbol, q.time_idx,
+         floor((qc - l1)::DOUBLE / l1::DOUBLE * 1000000.0 + 0.5)
+           ::DECIMAL(38,0) AS rq,
+         f.stress
+  FROM (SELECT symbol, time_idx, qc,
+               lag(qc, 1) OVER (PARTITION BY symbol ORDER BY time_idx)
+                 AS l1
+        FROM q WHERE symbol IN (SELECT symbol FROM top)) q
+  JOIN flags f ON q.time_idx = f.time_idx
+  WHERE l1 IS NOT NULL AND l1 > 0),
+agg AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.stress,
+         count(*) AS n, sum(a.rq) AS sx, sum(b.rq) AS sy,
+         sum(a.rq * b.rq) AS sxy, sum(a.rq * a.rq) AS sxx,
+         sum(b.rq * b.rq) AS syy
+  FROM rets a JOIN rets b
+    ON a.time_idx = b.time_idx AND a.symbol < b.symbol
+  GROUP BY 1, 2, 3 HAVING count(*) >= 4),
+per AS (SELECT sym_a, sym_b, stress, n, {rho} AS rho FROM agg)
+SELECT sym_a, sym_b,
+       sum(CASE WHEN stress = 1 THEN n END)::BIGINT AS n_stress,
+       sum(CASE WHEN stress = 0 THEN n END)::BIGINT AS n_calm,
+       {_sql_rne(
+           'max(CASE WHEN stress = 1 THEN rho END)', 'corr_stress', 8)},
+       {_sql_rne(
+           'max(CASE WHEN stress = 0 THEN rho END)', 'corr_calm', 8)},
+       {_sql_rne(
+           'max(CASE WHEN stress = 1 THEN rho END)'
+           ' - max(CASE WHEN stress = 0 THEN rho END)',
+           'corr_shift', 8)}
+FROM per GROUP BY 1, 2"""
+
+
 def all_queries() -> dict[str, QueryFn]:
     # ORDER MATTERS: the driver's correctness gate checks entries in
     # registration order (observed cutoff: 50). CORRECTNESS_r10 was
@@ -23511,8 +24101,11 @@ def all_queries() -> dict[str, QueryFn]:
     # closed the loop: every one of the pre-r11 236 registry queries
     # now has a driver-green row somewhere in CORRECTNESS_r01-r10
     # (judge-verified by set difference, VERDICT r10).
-    # Round-11 rotation: positions 1-47 + 51-63 = the sixty round-11
-    # additions (batch 12 first: ts_volatility_clustering,
+    # Round-11 rotation: positions 1-47 + 51-69 = the sixty-six
+    # round-11 additions (batch 13 first: ts_month_seasonality,
+    # ts_leverage_effect, emb_exact_dup_groups, doc_readability,
+    # events_retention_decay, ts_stress_corr; then batch 12:
+    # ts_volatility_clustering,
     # emb_fisher_ratio, ts_tail_dependence, part_brand_price_spread,
     # customer_balance_profile, doc_prefix_boilerplate; then batch
     # 11: ts_granger_screen,
@@ -23553,6 +24146,12 @@ def all_queries() -> dict[str, QueryFn]:
         # never-driver-verified round-11 additions first, then r10/r9
         # green canaries. tag = last driver-green round; 'never' =
         # local driver-emulation proof only.
+        "ts_month_seasonality": q_ts_month_seasonality,  # never (r11)
+        "ts_leverage_effect": q_ts_leverage_effect,  # never (r11)
+        "emb_exact_dup_groups": q_emb_exact_dup_groups,  # never (r11)
+        "doc_readability": q_doc_readability,  # never (r11)
+        "events_retention_decay": q_events_retention_decay,  # never (r11)
+        "ts_stress_corr": q_ts_stress_corr,  # never (r11)
         "ts_volatility_clustering": q_ts_volatility_clustering,  # never (r11)
         "emb_fisher_ratio": q_emb_fisher_ratio,  # never (r11)
         "ts_tail_dependence": q_ts_tail_dependence,  # never (r11)
@@ -23594,12 +24193,6 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_variance_ratio": q_ts_variance_ratio,  # never (r11)
         "ts_capm_beta": q_ts_capm_beta,  # never (r11)
         "ts_amihud_illiq": q_ts_amihud_illiq,  # never (r11)
-        "doc_lexical_diversity": q_doc_lexical_diversity,  # never (r11)
-        "emb_ivf_balance": q_emb_ivf_balance,  # never (r11)
-        "graph_triangle_count": q_graph_triangle_count,  # never (r11)
-        "ts_kyle_lambda": q_ts_kyle_lambda,  # never (r11)
-        "ts_garman_klass_vol": q_ts_garman_klass_vol,  # never (r11)
-        "ts_permutation_entropy": q_ts_permutation_entropy,  # never (r11)
         # the three STRUCTURAL canaries stay inside the window
         # (test_gate_window_composition): one flagship, one wide
         # indicator battery, one LSH pair query — if the driver
@@ -23607,11 +24200,17 @@ def all_queries() -> dict[str, QueryFn]:
         "flagship_forecast_mae": q_flagship,  # r8
         "ts_indicators": q_ts_indicators_all,  # r8
         "doc_minhash_lsh_pairs": q_doc_minhash_pairs,  # r8
-        # 60 r11 additions + 3 canaries exceed the 50-slot window by
-        # 13: the thirteen below (each locally oracle-exact at 3 SFs +
+        # 66 r11 additions + 3 canaries exceed the 50-slot window by
+        # 19: the nineteen below (each locally oracle-exact at 3 SFs +
         # replay-pytest-pinned, the oldest and lowest-risk r11
-        # additions) are DEFERRED to positions 51-63 — they rotate
+        # additions) are DEFERRED to positions 51-69 — they rotate
         # into the r12 gate window for their driver proof
+        "doc_lexical_diversity": q_doc_lexical_diversity,  # never (r11, deferred)
+        "emb_ivf_balance": q_emb_ivf_balance,  # never (r11, deferred)
+        "graph_triangle_count": q_graph_triangle_count,  # never (r11, deferred)
+        "ts_kyle_lambda": q_ts_kyle_lambda,  # never (r11, deferred)
+        "ts_garman_klass_vol": q_ts_garman_klass_vol,  # never (r11, deferred)
+        "ts_permutation_entropy": q_ts_permutation_entropy,  # never (r11, deferred)
         "doc_js_divergence": q_doc_js_divergence,  # never (r11, deferred)
         "ts_engle_granger": q_ts_engle_granger,  # never (r11, deferred)
         "events_burstiness": q_events_burstiness,  # never (r11, deferred)
@@ -23934,6 +24533,12 @@ def _oracle_sql_map() -> dict[str, str]:
         "emb_centroid_margin": _sql_emb_centroid_margin(),
         "ts_adf_unit_root": _sql_ts_adf_unit_root(),
         "ts_haar_energy": _sql_ts_haar_energy(),
+        "ts_month_seasonality": _sql_ts_month_seasonality(),
+        "ts_leverage_effect": _sql_ts_leverage_effect(),
+        "emb_exact_dup_groups": _sql_emb_exact_dup_groups(),
+        "doc_readability": _sql_doc_readability(),
+        "events_retention_decay": _sql_events_retention_decay(),
+        "ts_stress_corr": _sql_ts_stress_corr(),
         "ts_volatility_clustering": _sql_ts_volatility_clustering(),
         "emb_fisher_ratio": _sql_emb_fisher_ratio(),
         "ts_tail_dependence": _sql_ts_tail_dependence(),

@@ -1681,3 +1681,247 @@ def test_round11_batch12_no_python_no_cartesian(spark):
         assert "Python" not in plan, name
         assert "FlatMapGroupsInPandas" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+# ================================================= round-11 batch 13
+
+
+def test_month_seasonality_planted_replay(spark, tmp_path):
+    """A 3-month series with all movement in the middle month: month
+    grouping uses the real calendar (anchor-date + day-index) and the
+    moment algebra replays."""
+    from big_data_stock_price_forecast_spark.functions.calendar import (
+        ANCHOR_EPOCH,
+    )
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_month_seasonality,
+    )
+    from datetime import datetime, date, timedelta
+
+    buckets, p = [], 100.0
+    closes = []
+    for d in range(90):
+        month = (BASE_TS + timedelta(days=d)).month
+        for b in range(4):
+            if month == 2:
+                p *= 1.005
+            buckets.append([(0, p)])
+            closes.append(p)
+    _write_series(spark, str(tmp_path), {1: buckets})
+    got = {r["month"]: r for r in
+           q_ts_month_seasonality(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2, 3}
+
+    base_idx = int(
+        ((BASE_TS - datetime(1970, 1, 1)).total_seconds() - ANCHOR_EPOCH)
+        // 21600
+    )
+    qs = [__import__("math").floor(y * 1e6 + 0.5) for y in closes]
+    by_m = {}
+    for j in range(1, len(qs)):
+        rq = math.floor((qs[j] - qs[j - 1]) / qs[j - 1] * 1e8 + 0.5)
+        day_idx = (base_idx + j) // 4
+        m = (date(2000, 1, 1) + timedelta(days=day_idx)).month
+        by_m.setdefault(m, []).append(rq)
+    for m, rqs in by_m.items():
+        assert got[m]["n"] == len(rqs)
+        assert got[m]["mean_ret"] == _snap(
+            sum(rqs) / len(rqs) / 1e8, 10)
+    assert got[2]["mean_ret"] > got[1]["mean_ret"]
+
+
+def test_leverage_effect_planted_asymmetry(spark, tmp_path):
+    """A series where every down move is followed by a LARGE move and
+    every up move by a small one has negative corr(r_t, |r|_{t+1});
+    the moment algebra replays."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_leverage_effect,
+    )
+
+    ys, p = [100.0], 100.0
+    down_next = False
+    for i in range(40):
+        if down_next:
+            mag = 0.04  # big move after a down day
+            down_next = False
+        else:
+            mag = 0.005
+        up = (i % 3) != 0
+        f = (1 + mag) if up else 1.0 / (1 + mag)
+        if not up:
+            down_next = True
+        p *= f
+        ys.append(p)
+    _write_series(spark, str(tmp_path), {1: [[(0, y)] for y in ys]})
+    r = q_ts_leverage_effect(spark, str(tmp_path)).collect()[0]
+
+    rq = _rel_rets(ys, 1e6)
+    xs = rq[:-1]
+    yv = [abs(x) for x in rq[1:]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(yv)
+    sxy = sum(a * b for a, b in zip(xs, yv))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in yv)
+    rho = ((n * sxy - sx * sy)
+           / math.sqrt(n * sxx - sx * sx)
+           / math.sqrt(n * syy - sy * sy))
+    assert r["n"] == n
+    assert r["leverage_corr"] == _snap(rho, 8)
+    assert r["leverage_corr"] < -0.3  # planted leverage asymmetry
+
+
+def test_exact_dup_embeddings_groups_and_checksum(spark, tmp_path):
+    """Two planted identical vectors (one with a sub-snap epsilon
+    difference) group; a distinct vector doesn't; the summary row's
+    XOR checksum replays the snap->join->hash chain exactly."""
+    import hashlib
+
+    import pandas as pd
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_emb_exact_dup_groups,
+    )
+
+    dim = 64
+    a = [0.5] * dim
+    a_eps = [0.5 + 4e-8] + [0.5] * (dim - 1)  # same on the 1e-6 grid
+    c = [0.25] * dim
+    rows = [(1, a, 0), (2, a_eps, 1), (3, c, 0)]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    spark.createDataFrame(pdf).write.parquet(
+        f"{tmp_path}/embeddings.parquet")
+    got = q_emb_exact_dup_groups(spark, str(tmp_path)).collect()
+    groups = [r for r in got if r["row_type"] == "group"]
+    summary = [r for r in got if r["row_type"] == "summary"][0]
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["group_size"] == 2 and g["keeper_id"] == 1
+    assert g["n_labels"] == 2  # cross-label exact dup = label noise
+
+    def sig(vec):
+        s = ",".join(str(math.floor(x * 1e6 + 0.5)) for x in vec)
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sigs = {sig(a), sig(c)}  # distinct signatures
+    xor = 0
+    for s in sigs:
+        xor ^= s
+    assert summary["sig"] == xor
+    assert summary["keeper_id"] == 2   # distinct signatures
+    assert summary["group_size"] == 3  # total vectors
+    assert summary["n_labels"] == 2    # vectors in dup groups
+
+
+def test_readability_simple_vs_long(spark, tmp_path):
+    """Short words / short sentences score higher than long-word
+    run-ons; the exact count algebra replays."""
+    import pandas as pd
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_readability,
+    )
+
+    simple = "the cat sat. the dog ran. we go now."
+    dense = ("multidimensional considerations notwithstanding "
+             "the interdepartmental reorganization proceeded "
+             "irrespective of contemporaneous objections")
+    rows = [(0, simple, "en", "simple", len(simple)),
+            (1, dense, "en", "dense", len(dense))]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang",
+                                      "source", "n_chars"])
+    spark.createDataFrame(pdf).write.parquet(
+        f"{tmp_path}/documents.parquet")
+    got = {r["source"]: r for r in
+           q_doc_readability(spark, str(tmp_path)).collect()}
+    s, d = got["simple"], got["dense"]
+    assert s["flesch_proxy"] > d["flesch_proxy"]
+    # replay 'simple': 9 words, 3 sentences, word chars
+    words = simple.replace(".", " ").split()
+    wc = sum(len(w) for w in words)
+    wps = len(words) / 3.0
+    cpw = wc / len(words)
+    assert s["words_per_sentence"] == _snap(wps, 6)
+    assert s["chars_per_word"] == _snap(cpw, 6)
+    assert s["flesch_proxy"] == _snap(
+        206.835 - 1.015 * wps - 84.6 * (cpw / 3.0), 6)
+    # zero .!? -> greatest-guard counts ONE sentence
+    assert d["words_per_sentence"] == float(len(dense.split()))
+
+
+def test_retention_decay_planted_halflife(spark, tmp_path):
+    """Users active on a geometric-decay schedule recover the planted
+    half-life; only fully observable users (first day <= max - 14)
+    enter."""
+    from datetime import timedelta
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_events_retention_decay,
+    )
+
+    rows, eid = [], 0
+    n_users = 64
+    # user u active on day k (k=1..14) iff u < 64 * 2^(-k/3):
+    # exact halflife = 3 days in user-count space
+    for u in range(n_users):
+        rows.append((eid, BASE_TS, u, "x", 1.0, "{}")); eid += 1
+        for k in range(1, 15):
+            if u < n_users * 2 ** (-k / 3.0):
+                rows.append((eid, BASE_TS + timedelta(days=k), u,
+                             "x", 1.0, "{}")); eid += 1
+    # one late user (first day > max-14) must be EXCLUDED
+    rows.append((eid, BASE_TS + timedelta(days=13), 999, "x", 1.0,
+                 "{}")); eid += 1
+    _write_event_rows(spark, str(tmp_path), rows)
+    r = q_events_retention_decay(spark, str(tmp_path)).collect()[0]
+    assert r["n_users"] == n_users      # late user excluded
+    assert r["k_points"] == 14
+    assert 2.0 < r["halflife_days"] < 4.5   # planted ~3 (floor steps)
+    assert r["r2"] > 0.9
+
+
+def test_stress_corr_planted_breakdown(spark, tmp_path):
+    """Two symbols independent in calm buckets but crashing together
+    on market-stress buckets: corr_stress >> corr_calm."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_stress_corr,
+    )
+
+    # crash magnitudes VARY (identical crashes would give zero
+    # stress-regime variance and a NULL-guarded correlation)
+    crash = {7: 0.90, 15: 0.85, 23: 0.92, 31: 0.88}
+    s1, s2 = [100.0], [200.0]
+    for i in range(40):
+        if i in crash:
+            f1 = f2 = crash[i]  # joint crash -> market moves big
+        else:
+            # small idiosyncratic wiggles, deliberately unaligned
+            f1 = 1.003 if i % 2 == 0 else 1.0 / 1.003
+            f2 = 1.002 if i % 3 == 0 else 1.0 / 1.002
+        s1.append(s1[-1] * f1)
+        s2.append(s2[-1] * f2)
+    _write_series(spark, str(tmp_path), {
+        1: [[(0, y)] for y in s1],
+        2: [[(0, y)] for y in s2],
+    })
+    r = q_ts_stress_corr(spark, str(tmp_path)).collect()[0]
+    assert (r["sym_a"], r["sym_b"]) == (1, 2)
+    assert r["corr_stress"] > 0.95
+    assert abs(r["corr_calm"]) < 0.5
+    assert r["corr_shift"] == _snap(
+        r["corr_stress"] - r["corr_calm"], 8)
+
+
+def test_round11_batch13_no_python_no_cartesian(spark):
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        all_queries,
+    )
+
+    qs = all_queries()
+    for name in ("ts_month_seasonality", "ts_leverage_effect",
+                 "emb_exact_dup_groups", "doc_readability",
+                 "events_retention_decay", "ts_stress_corr"):
+        plan = _plan(qs[name](spark, SF))
+        assert "Python" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+        assert "CartesianProduct" not in plan, name
