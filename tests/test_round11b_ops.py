@@ -1925,3 +1925,216 @@ def test_round11_batch13_no_python_no_cartesian(spark):
         assert "Python" not in plan, name
         assert "FlatMapGroupsInPandas" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+# ================================================= round-11 batch 14
+
+
+def test_cc_sizes_two_islands(spark, tmp_path):
+    """Two co-attendance islands (a triangle and a pair) yield the
+    size histogram {3: 1, 2: 1} with node shares 0.6 / 0.4."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_graph_cc_sizes,
+    )
+
+    rows, eid = [], 0
+    for u in (1, 2, 3):   # island A: one shared item
+        rows.append((eid, BASE_TS, u, "tick", 1.0, "{}")); eid += 1
+    for u in (10, 11):    # island B: another item
+        rows.append((eid, BASE_TS, u, "tick", 2.0, "{}")); eid += 1
+    _write_event_rows(spark, str(tmp_path), rows)
+    got = {r["component_size"]: r for r in
+           q_graph_cc_sizes(spark, str(tmp_path)).collect()}
+    assert set(got) == {3, 2}
+    assert got[3]["n_components"] == 1
+    assert got[2]["n_components"] == 1
+    assert got[3]["node_share"] == 0.6
+    assert got[2]["node_share"] == 0.4
+
+
+def test_dup_source_matrix_cross_feed(spark, tmp_path):
+    """Near-identical docs planted across two sources dominate the
+    (A, B) cell; the within-feed pair lands on the diagonal."""
+    import pandas as pd
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_dup_source_matrix,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again while the band plays on " * 3)
+    rows = [
+        (0, base + "alpha", "A", "A-feed"),
+        (1, base + "beta", "B", "B-feed"),   # cross-source near-dup
+        (2, base + "gamma", "A", "A-feed"),  # within-A near-dup
+        (3, "совершенно другой текст " * 10, "C", "C-feed"),
+    ]
+    pdf = pd.DataFrame(
+        [(i, t, "en", s, len(t)) for (i, t, s, _) in rows],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    spark.createDataFrame(pdf).write.parquet(
+        f"{tmp_path}/documents.parquet")
+    got = {(r["source_a"], r["source_b"]): r for r in
+           q_doc_dup_source_matrix(spark, str(tmp_path)).collect()}
+    assert got[("A", "B")]["n_pairs"] == 2  # doc1 pairs with 0 and 2
+    assert got[("A", "A")]["n_pairs"] == 1
+    assert ("C", "C") not in got
+    total = sum(r["n_pairs"] for r in got.values())
+    for r in got.values():
+        assert r["pair_share"] == _snap(r["n_pairs"] / total, 8)
+
+
+def test_round_price_bias_planted_clustering(spark, tmp_path):
+    """Prices quoted only at .00 and .50 concentrate the digit
+    histogram on 0 and 50 with exact chi-square contributions."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_round_price_bias,
+    )
+
+    rows, eid = [], 0
+    for i in range(60):
+        v = 100.0 + (i % 3)          # .00 digits
+        rows.append((eid, BASE_TS, 1, "tick", v, "{}")); eid += 1
+    for i in range(40):
+        v = 200.5 + (i % 2)          # .50 digits
+        rows.append((eid, BASE_TS, 1, "tick", v, "{}")); eid += 1
+    _write_event_rows(spark, str(tmp_path), rows)
+    got = {r["digit"]: r for r in
+           q_ts_round_price_bias(spark, str(tmp_path)).collect()}
+    assert set(got) == {0, 50}
+    assert got[0]["observed"] == 60 and got[50]["observed"] == 40
+    e = 100 / 100.0
+    assert got[0]["expected"] == _snap(e, 6)
+    assert got[0]["chi2_contrib"] == _snap((60 - e) ** 2 / e, 8)
+    assert got[0]["share"] == 0.6
+
+
+def test_brand_returns_wilson_orders_small_n(spark, tmp_path):
+    """A 1/1 brand has a raw rate of 1.0 but a Wilson lower bound far
+    below a 90/100 brand — the ranking statistic the card exists
+    for; exact replay."""
+    import pandas as pd
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_lineitem_brand_returns,
+    )
+
+    parts = pd.DataFrame(
+        [(1, "p1", "BIG", "T", 1, 1.0), (2, "p2", "TINY", "T", 1, 1.0)],
+        columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                 "p_retailprice"],
+    )
+    li_rows = []
+    for i in range(100):
+        li_rows.append((i, 1, 1, 1, 1.0, 10.0, 0.0, 0.0,
+                        "R" if i < 90 else "N", "O", BASE_TS))
+    li_rows.append((1000, 2, 1, 1, 1.0, 10.0, 0.0, 0.0, "R", "O",
+                    BASE_TS))
+    li = pd.DataFrame(li_rows, columns=[
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate"])
+    spark.createDataFrame(parts).write.parquet(f"{tmp_path}/part.parquet")
+    spark.createDataFrame(li).write.parquet(
+        f"{tmp_path}/lineitem.parquet")
+    got = {r["brand"]: r for r in
+           q_lineitem_brand_returns(spark, str(tmp_path)).collect()}
+    assert got["TINY"]["return_rate"] == 1.0
+    assert got["BIG"]["return_rate"] == 0.9
+    assert got["TINY"]["wilson_lb"] < got["BIG"]["wilson_lb"]
+
+    z2 = 1.959963984540054 ** 2
+    ph, n = 0.9, 100.0
+    wl = ((ph + z2 / (2 * n)
+           - math.sqrt(z2) * math.sqrt(ph * (1 - ph) / n
+                                       + z2 / (4 * n * n)))
+          / (1 + z2 / n))
+    assert got["BIG"]["wilson_lb"] == _snap(wl, 8)
+
+
+def test_vocab_overlap_disjoint_vs_identical(spark, tmp_path):
+    """Identical-vocabulary sources have Jaccard 1; disjoint ones
+    don't appear (no shared term -> no pair row); partial overlap
+    replays the exact |A|+|B|-|A∩B| identity."""
+    import pandas as pd
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_source_vocab_overlap,
+    )
+
+    rows = [
+        (0, "alpha beta gamma", "en", "S1", 17),
+        (1, "alpha beta gamma", "en", "S2", 17),     # same vocab
+        (2, "alpha delta", "en", "S3", 11),          # overlap 1 of 4
+        (3, "omega psi", "en", "S4", 9),             # disjoint
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang",
+                                      "source", "n_chars"])
+    spark.createDataFrame(pdf).write.parquet(
+        f"{tmp_path}/documents.parquet")
+    got = {(r["source_a"], r["source_b"]): r for r in
+           q_doc_source_vocab_overlap(spark, str(tmp_path)).collect()}
+    assert got[("S1", "S2")]["jaccard"] == 1.0
+    assert got[("S1", "S3")]["n_shared"] == 1
+    assert got[("S1", "S3")]["jaccard"] == _snap(1 / (3 + 2 - 1), 8)
+    assert ("S1", "S4") not in got
+
+
+def test_intraday_vol_profile_planted_clock(spark, tmp_path):
+    """All movement planted in bucket-of-day 2: that bucket carries
+    ~all the movement share; counts and means replay exactly."""
+    from big_data_stock_price_forecast_spark.functions.calendar import (
+        ANCHOR_EPOCH,
+    )
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_intraday_vol_profile,
+    )
+    from datetime import datetime
+
+    base_idx = int(
+        ((BASE_TS - datetime(1970, 1, 1)).total_seconds() - ANCHOR_EPOCH)
+        // 21600
+    )
+    buckets, p = [], 100.0
+    closes = []
+    for j in range(40):
+        # bucket j has time_idx = base_idx + j; move iff idx % 4 == 2
+        if (base_idx + j) % 4 == 2:
+            p = p * (1.02 if (j // 4) % 2 == 0 else 1.0 / 1.02)
+        buckets.append([(0, p)])
+        closes.append(p)
+    _write_series(spark, str(tmp_path), {1: buckets})
+    got = {r["bucket_of_day"]: r for r in
+           q_ts_intraday_vol_profile(spark, str(tmp_path)).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[2]["movement_share"] == 1.0
+    for b in (0, 1, 3):
+        assert got[b]["mean_abs_ret"] == 0.0
+    qs = [math.floor(y * 1e6 + 0.5) for y in closes]
+    aqs = [abs(math.floor((b - a) / a * 1e8 + 0.5))
+           for a, b in zip(qs, qs[1:])
+           if True]
+    moved = [aq for j, aq in enumerate(aqs, start=1)
+             if (base_idx + j) % 4 == 2]
+    assert got[2]["n"] == len(moved)
+    assert got[2]["mean_abs_ret"] == _snap(
+        sum(moved) / len(moved) / 1e8, 10)
+
+
+def test_round11_batch14_plan_hygiene(spark):
+    """graph_cc_sizes is excluded from the no-Python sweep: the CC
+    operator's single-task union-find fast path is a documented Arrow
+    pass behind a localCheckpoint (the doc_dup_clusters precedent)."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        all_queries,
+    )
+
+    qs = all_queries()
+    for name in ("doc_dup_source_matrix", "ts_round_price_bias",
+                 "lineitem_brand_returns", "doc_source_vocab_overlap",
+                 "ts_intraday_vol_profile"):
+        plan = _plan(qs[name](spark, SF))
+        assert "Python" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+        assert "CartesianProduct" not in plan, name
