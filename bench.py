@@ -116,13 +116,19 @@ def main() -> None:
         spark.catalog.clearCache()
 
     # BENCH-only: the reference's REAL window config (seq_len=256,
-    # pred_window=192, k=5, stride=seq_len//4=64 — core/data/
-    # dataset.py:16) on a 10-minute grid (~4.3k buckets/symbol at
-    # sf0.1, the scale where val splits clear L+P=448 rows), so W1's
-    # 256x window-materialization cost is MEASURED per round instead
-    # of asserted (r10 verdict item 2). Not in all_queries(): the
-    # oracle-gate twin stays the smoke-scale config; this line exists
-    # for the per-row-cost comparison in NOTES_r{N}.
+    # pred_window=192, k=5, stride=seq_len//4=64 — the notebooks/
+    # test.ipynb evaluate(256, 192, ...) call; core/data/dataset.py
+    # only defines the stride-1 __getitem__) on a 10-minute grid
+    # (~4.3k buckets/symbol at sf0.1, the scale where val splits
+    # clear L+P=448 rows), so W1's 256x window-materialization cost
+    # is MEASURED per round instead of asserted (r10 verdict item 2).
+    # Not in all_queries() and recorded under extra_timings, NOT the
+    # per-query timings map, so sum(timings.values()) stays equal to
+    # the headline total (BENCH_r01-r11 comparability). Run 3x —
+    # NOTES_r11 measured a 104-197s band on identical code (GC/
+    # page-cache noise on this shared box) — so the line carries a
+    # representative min plus the observed band.
+    extra_timings: dict[str, object] = {}
     try:
         from big_data_stock_price_forecast_spark.plans.flagship import (
             FlagshipParams,
@@ -138,18 +144,23 @@ def main() -> None:
             ensemble=2,
             stride=64,
         )
-        t0 = time.perf_counter()
-        flagship_summary(spark, sf_dir, pfs).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        dt = time.perf_counter() - t0
-        timings["flagship_fullscale"] = round(dt, 3)
-        # NOT added to total: the headline metric sums all_queries()
-        # timings only (BENCH_r01-r10 comparability); this BENCH-only
-        # measured line lives in timings/stderr for the NOTES
-        # per-row-cost comparison
-        print(f"# flagship_fullscale: {dt:.3f}s", file=sys.stderr)
-        spark.catalog.clearCache()
+        runs = []
+        n_runs = int(os.environ.get("SPARK_GRAFT_FULLSCALE_RUNS", "3"))
+        for i in range(n_runs):
+            t0 = time.perf_counter()
+            flagship_summary(spark, sf_dir, pfs).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            runs.append(round(dt, 3))
+            print(
+                f"# flagship_fullscale run {i + 1}/{n_runs}: {dt:.3f}s",
+                file=sys.stderr,
+            )
+            spark.catalog.clearCache()
+        if runs:
+            extra_timings["flagship_fullscale"] = min(runs)
+            extra_timings["flagship_fullscale_runs"] = runs
     except Exception as e:  # noqa: BLE001
         errors["flagship_fullscale"] = f"{type(e).__name__}: {str(e)[:300]}"
 
@@ -160,9 +171,19 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if extra_timings:
+        out["extra_timings"] = extra_timings
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # the driver keeps only a 2000-char tail of stdout; persist the
+    # full per-query dict when asked so round-over-round comparison
+    # covers every query (VERDICT r11 item 6)
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

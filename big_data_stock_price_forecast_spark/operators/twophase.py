@@ -293,9 +293,22 @@ def affine_scan(
     term = bp * F.pow(
         F.lit(mult), (F.col("__len") - F.col("__i")).cast("double")
     )
-    tq = F.floor(term * F.lit(term_scale) + F.lit(0.5)).cast(
-        "decimal(38,0)"
-    )
+    # guard the documented precondition instead of trusting it:
+    # floor(double) returns LONG, so |term|*term_scale beyond long
+    # range would silently wrap into garbage. Fail loudly per-row
+    # (lazy CaseWhen branch — zero cost on the valid path).
+    tq_raw = term * F.lit(term_scale) + F.lit(0.5)
+    tq = F.floor(
+        F.when(
+            F.abs(tq_raw) > F.lit(9.2e18),
+            F.raise_error(
+                F.lit(
+                    "affine_scan: |b|*term_scale exceeds long range "
+                    "(~9.2e18) — lower term_scale or rescale the input"
+                )
+            ).cast("double"),
+        ).otherwise(tq_raw)
+    ).cast("decimal(38,0)")
     segs = (
         d.withColumn("__tq", tq)
         .groupBy(part_col, "__seg")

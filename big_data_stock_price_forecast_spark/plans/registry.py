@@ -3747,7 +3747,12 @@ GLOBAL_PARAMS = FlagshipParams(
 )
 
 
-def _flagship_oracle_ctes(p: FlagshipParams = FlagshipParams()) -> str:
+def _flagship_oracle_ctes(
+    p: FlagshipParams = FlagshipParams(), val_extra: str = ""
+) -> str:
+    """``val_extra``: additional AND-predicate on the val_w CTE (the
+    streaming twin bounds queries away from the in-flight trailing
+    bucket); empty for the batch flagship oracles."""
     L, P, stride = p.L, p.pred_window, p.stride
     step = p.step_seconds
     every = p.resample_every
@@ -3836,7 +3841,7 @@ val_base AS (SELECT * FROM zz2 WHERE split = 'val'{q_filter}),
 w0 AS (SELECT symbol, min(window_id) AS w0 FROM val_base GROUP BY 1),
 val_w AS (
   SELECT v.* FROM val_base v JOIN w0 USING (symbol)
-  WHERE (v.window_id - w0.w0) % {stride} = 0 AND len(v.future) = {P}
+  WHERE (v.window_id - w0.w0) % {stride} = 0 AND len(v.future) = {P}{val_extra}
 ),
 cand AS (
   SELECT q.symbol AS q_symbol, q.window_id AS q_window_id,
@@ -3872,6 +3877,106 @@ target_steps AS (
 
 def _flagship_oracle(p: FlagshipParams = FlagshipParams()) -> str:
     return f"""{_flagship_oracle_ctes(p)}
+SELECT q_symbol AS symbol, q_window_id AS window_id,
+       {_sql_rne('avg(abs(pred - target))', 'mae', 4)}
+FROM ens JOIN target_steps USING (q_symbol, q_window_id, step)
+GROUP BY 1, 2"""
+
+
+def q_stream_flagship_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the flagship (VERDICT r11 item 2; the one
+    reference-derived surface that had no streaming form — reference
+    batch shape: notebooks/test.ipynb cell 20): candles append ->
+    per-symbol stateful resample + val-suffix window assembly
+    (streaming/ops.py flagship_window_stream; state bounded by
+    symbols x (L+P)) -> each strided query window emits the moment its
+    last future bucket closes -> AFTER the AvailableNow drain, plain
+    batch expressions z-score the emissions with sliding_windows'
+    exact fold and search the BATCH-BUILT train store (k-NN + top-2
+    ensemble + renormalized MAE — the serving split a 24/7 deployment
+    runs: store built offline, queries scored as they complete).
+
+    ``val_starts`` is the deploy-time split cutoff collected when the
+    train store is built (one row per symbol). The trailing in-flight
+    bucket never finalizes (the reference's drop_ends trim), so
+    queries touching a symbol's final val bucket are excluded — the
+    oracle twin carries the same bound; everything else is bitwise
+    the batch flagship's semantics."""
+    from ..functions.normalize import zscore_array
+    from ..operators.forecast import forecast_evaluate
+    from ..streaming import (
+        flagship_window_stream,
+        run_available_now,
+        stream_events,
+    )
+    from .flagship import flagship_train_store, flagship_val_starts
+
+    p = FlagshipParams()
+    val_starts = {
+        int(r["symbol"]): int(r["val_start"])
+        for r in flagship_val_starts(spark, sf_dir, p).collect()
+    }
+    out = run_available_now(
+        flagship_window_stream(
+            stream_events(spark, sf_dir),
+            val_starts,
+            L=p.L,
+            pred_window=p.pred_window,
+            stride=p.stride,
+            step_seconds=p.step_seconds,
+        ),
+        "append",
+        state_partitions=8,
+    )
+    # z-score with the SAME left-fold expressions as sliding_windows
+    # (operators/windows.py) so streamed query windows are bitwise the
+    # batch val windows
+    L = float(p.L)
+    val_w = out.withColumn(
+        "center",
+        F.aggregate("raw", F.lit(0.0), lambda a, x: a + x) / F.lit(L),
+    )
+    val_w = val_w.withColumn(
+        "scale",
+        F.sqrt(
+            F.aggregate(
+                "raw",
+                F.lit(0.0),
+                lambda a, x: a
+                + (x - F.col("center")) * (x - F.col("center")),
+            )
+            / F.lit(L)
+        ),
+    )
+    val_w = val_w.withColumn(
+        "xs", zscore_array(F.col("raw"), F.col("center"), F.col("scale"))
+    ).select("symbol", "window_id", "center", "scale", "xs", "future")
+    res = forecast_evaluate(
+        flagship_train_store(spark, sf_dir, p),
+        val_w,
+        pred_window=p.pred_window,
+        k=p.k,
+        ensemble=p.ensemble,
+        metric=p.metric,
+        within_symbol=True,
+        dim=p.L,
+    )
+    return res.select("symbol", "window_id", _rne(F.col("mae"), "mae", 4))
+
+
+def _sql_stream_flagship() -> str:
+    # the batch flagship oracle with ONE extra bound: the stream's
+    # trailing in-flight bucket never finalizes, so queries whose
+    # [window, future] range touches the symbol's last val bucket are
+    # excluded (w + L + P - 1 < max val time_idx)
+    p = FlagshipParams()
+    cut = p.L + p.pred_window - 1
+    extra = (
+        f" AND v.window_id + {cut} < "
+        "(SELECT max(f.time_idx) FROM filled f "
+        "WHERE f.split = 'val' AND f.symbol = v.symbol)"
+    )
+    return f"""{_flagship_oracle_ctes(p, val_extra=extra)}
 SELECT q_symbol AS symbol, q_window_id AS window_id,
        {_sql_rne('avg(abs(pred - target))', 'mae', 4)}
 FROM ens JOIN target_steps USING (q_symbol, q_window_id, step)
@@ -24483,138 +24588,106 @@ def all_queries() -> dict[str, QueryFn]:
     # closed the loop: every one of the pre-r11 236 registry queries
     # now has a driver-green row somewhere in CORRECTNESS_r01-r10
     # (judge-verified by set difference, VERDICT r10).
-    # Round-11 rotation: positions 1-47 + 51-75 = the seventy-two
-    # round-11 additions (batch 14 first: graph_cc_sizes,
-    # doc_dup_source_matrix, ts_round_price_bias,
-    # lineitem_brand_returns, doc_source_vocab_overlap,
-    # ts_intraday_vol_profile; then batch 13: ts_month_seasonality,
-    # ts_leverage_effect, emb_exact_dup_groups, doc_readability,
-    # events_retention_decay, ts_stress_corr; then batch 12:
-    # ts_volatility_clustering,
-    # emb_fisher_ratio, ts_tail_dependence, part_brand_price_spread,
-    # customer_balance_profile, doc_prefix_boilerplate; then batch
-    # 11: ts_granger_screen,
-    # doc_char_entropy, events_iqr_outliers, events_type_lift,
-    # ts_trend_ols, ts_drawdown_episodes; then batch 10: stream_sliding_topn,
-    # emb_triplet_margin, ts_dow_seasonality, events_new_vs_returning,
-    # ts_vol_of_vol, events_user_lifespan; then batch 9: ts_pacf,
-    # emb_knn_reciprocity,
-    # supplier_hhi, ts_xsec_momentum, doc_simpson_diversity,
-    # orders_monthly_growth; then batch 8: events_mw_utest, ts_spearman_corr,
-    # doc_ks_length_drift, graph_kcore, ts_ulcer_index,
-    # doc_term_burstiness; then batch 7: ts_jarque_bera,
-    # ts_risk_ratios, ts_hill_tail, graph_assortativity,
-    # events_chisq_type_dow, emb_isotropy; then batches 1-6:
-    # ts_ema_scan, graph_jaccard_links, ts_variance_ratio,
-    # ts_capm_beta, ts_amihud_illiq, doc_lexical_diversity,
-    # emb_ivf_balance, graph_triangle_count, ts_kyle_lambda,
-    # ts_garman_klass_vol, ts_permutation_entropy, doc_js_divergence,
-    # ts_engle_granger, events_burstiness, ts_garch_scan,
-    # events_entropy_rate, part_price_elasticity, doc_heaps_law,
-    # emb_ivf_probe_curve, ts_runs_ztest, doc_vocab_coverage,
-    # emb_centroid_margin, ts_adf_unit_root, ts_haar_energy —
-    # plus the three structural canaries right after them —
-    # test_gate_window_composition pins their MEMBERSHIP in the
-    # 50-entry window, not their exact slots), registered INSIDE the
-    # window so this round's driver gate proves them; the rest of the
-    # window keeps the r10 entries (now driver-green canaries) in
-    # their r10 order. Three r10-green queries were EDITED in r11 and
-    # are re-proved: media_ahash_near_dup (widened band+pair output)
-    # and ts_theta_forecast (SES level via Arrow pass) at their r10
-    # slots, doc_bm25_topk (TakeOrderedAndProject top-k, r9 tag) at
-    # position ~43 — also inside the window — with its oracle hash
-    # unchanged and locally re-validated at 3 SFs.
+    # Round-12 rotation (VERDICT r11 item 1): the 25 round-11
+    # additions deferred past the r11 gate window (positions 51-75
+    # last round; judge-verified oracle-exact at sf0.01 in VERDICT
+    # r11 but never driver-hashed) move to positions 1-25 so
+    # CORRECTNESS_r12 proves them. New r12 additions register right
+    # after them (positions 26-47 at most), then the three structural
+    # canaries. The 47 r11 batch-7-14 additions that CORRECTNESS_r11
+    # hash-proved (50/50 green) rotate out past the window with an
+    # r11 tag. test_gate_window_composition pins canary MEMBERSHIP in
+    # the 50-entry window, not exact slots.
     # Every entry carries a "last driver-green round" tag so any
     # future rotation stays mechanical.
     return {
-        # ---- gate window (positions 1-50): round-11 rotation ----
-        # never-driver-verified round-11 additions first, then r10/r9
-        # green canaries. tag = last driver-green round; 'never' =
-        # local driver-emulation proof only.
-        "graph_cc_sizes": q_graph_cc_sizes,  # never (r11)
-        "doc_dup_source_matrix": q_doc_dup_source_matrix,  # never (r11)
-        "ts_round_price_bias": q_ts_round_price_bias,  # never (r11)
-        "lineitem_brand_returns": q_lineitem_brand_returns,  # never (r11)
-        "doc_source_vocab_overlap": q_doc_source_vocab_overlap,  # never (r11)
-        "ts_intraday_vol_profile": q_ts_intraday_vol_profile,  # never (r11)
-        "ts_month_seasonality": q_ts_month_seasonality,  # never (r11)
-        "ts_leverage_effect": q_ts_leverage_effect,  # never (r11)
-        "emb_exact_dup_groups": q_emb_exact_dup_groups,  # never (r11)
-        "doc_readability": q_doc_readability,  # never (r11)
-        "events_retention_decay": q_events_retention_decay,  # never (r11)
-        "ts_stress_corr": q_ts_stress_corr,  # never (r11)
-        "ts_volatility_clustering": q_ts_volatility_clustering,  # never (r11)
-        "emb_fisher_ratio": q_emb_fisher_ratio,  # never (r11)
-        "ts_tail_dependence": q_ts_tail_dependence,  # never (r11)
-        "part_brand_price_spread": q_part_brand_price_spread,  # never (r11)
-        "customer_balance_profile": q_customer_balance_profile,  # never (r11)
-        "doc_prefix_boilerplate": q_doc_prefix_boilerplate,  # never (r11)
-        "ts_granger_screen": q_ts_granger_screen,  # never (r11)
-        "doc_char_entropy": q_doc_char_entropy,  # never (r11)
-        "events_iqr_outliers": q_events_iqr_outliers,  # never (r11)
-        "events_type_lift": q_events_type_lift,  # never (r11)
-        "ts_trend_ols": q_ts_trend_ols,  # never (r11)
-        "ts_drawdown_episodes": q_ts_drawdown_episodes,  # never (r11)
-        "stream_sliding_topn": q_stream_sliding_topn,  # never (r11)
-        "emb_triplet_margin": q_emb_triplet_margin,  # never (r11)
-        "ts_dow_seasonality": q_ts_dow_seasonality,  # never (r11)
-        "events_new_vs_returning": q_events_new_vs_returning,  # never (r11)
-        "ts_vol_of_vol": q_ts_vol_of_vol,  # never (r11)
-        "events_user_lifespan": q_events_user_lifespan,  # never (r11)
-        "ts_pacf": q_ts_pacf,  # never (r11)
-        "emb_knn_reciprocity": q_emb_knn_reciprocity,  # never (r11)
-        "supplier_hhi": q_supplier_hhi,  # never (r11)
-        "ts_xsec_momentum": q_ts_xsec_momentum,  # never (r11)
-        "doc_simpson_diversity": q_doc_simpson_diversity,  # never (r11)
-        "orders_monthly_growth": q_orders_monthly_growth,  # never (r11)
-        "events_mw_utest": q_events_mw_utest,  # never (r11)
-        "ts_spearman_corr": q_ts_spearman_corr,  # never (r11)
-        "doc_ks_length_drift": q_doc_ks_length_drift,  # never (r11)
-        "graph_kcore": q_graph_kcore,  # never (r11)
-        "ts_ulcer_index": q_ts_ulcer_index,  # never (r11)
-        "doc_term_burstiness": q_doc_term_burstiness,  # never (r11)
-        "ts_jarque_bera": q_ts_jarque_bera,  # never (r11)
-        "ts_risk_ratios": q_ts_risk_ratios,  # never (r11)
-        "ts_hill_tail": q_ts_hill_tail,  # never (r11)
-        "graph_assortativity": q_graph_assortativity,  # never (r11)
-        "events_chisq_type_dow": q_events_chisq_type_dow,  # never (r11)
+        # ---- gate window (positions 1-50): round-12 rotation ----
+        # the 25 r11-deferred entries first ('never' = no driver hash
+        # yet; judge-verified oracle-exact at sf0.01 in VERDICT r11),
+        # then new r12 additions, then the canaries.
+        "emb_isotropy": q_emb_isotropy,  # never (r11 deferred -> r12 window)
+        "ts_ema_scan": q_ts_ema_scan,  # never (r11 deferred -> r12 window)
+        "graph_jaccard_links": q_graph_jaccard_links,  # never (r11 deferred -> r12 window)
+        "ts_variance_ratio": q_ts_variance_ratio,  # never (r11 deferred -> r12 window)
+        "ts_capm_beta": q_ts_capm_beta,  # never (r11 deferred -> r12 window)
+        "ts_amihud_illiq": q_ts_amihud_illiq,  # never (r11 deferred -> r12 window)
+        "doc_lexical_diversity": q_doc_lexical_diversity,  # never (r11 deferred -> r12 window)
+        "emb_ivf_balance": q_emb_ivf_balance,  # never (r11 deferred -> r12 window)
+        "graph_triangle_count": q_graph_triangle_count,  # never (r11 deferred -> r12 window)
+        "ts_kyle_lambda": q_ts_kyle_lambda,  # never (r11 deferred -> r12 window)
+        "ts_garman_klass_vol": q_ts_garman_klass_vol,  # never (r11 deferred -> r12 window)
+        "ts_permutation_entropy": q_ts_permutation_entropy,  # never (r11 deferred -> r12 window)
+        "doc_js_divergence": q_doc_js_divergence,  # never (r11 deferred -> r12 window)
+        "ts_engle_granger": q_ts_engle_granger,  # never (r11 deferred -> r12 window)
+        "events_burstiness": q_events_burstiness,  # never (r11 deferred -> r12 window)
+        "ts_garch_scan": q_ts_garch_scan,  # never (r11 deferred -> r12 window)
+        "events_entropy_rate": q_events_entropy_rate,  # never (r11 deferred -> r12 window)
+        "part_price_elasticity": q_part_price_elasticity,  # never (r11 deferred -> r12 window)
+        "doc_heaps_law": q_doc_heaps_law,  # never (r11 deferred -> r12 window)
+        "emb_ivf_probe_curve": q_emb_ivf_probe_curve,  # never (r11 deferred -> r12 window)
+        "ts_runs_ztest": q_ts_runs_ztest,  # never (r11 deferred -> r12 window)
+        "doc_vocab_coverage": q_doc_vocab_coverage,  # never (r11 deferred -> r12 window)
+        "emb_centroid_margin": q_emb_centroid_margin,  # never (r11 deferred -> r12 window)
+        "ts_adf_unit_root": q_ts_adf_unit_root,  # never (r11 deferred -> r12 window)
+        "ts_haar_energy": q_ts_haar_energy,  # never (r11 deferred -> r12 window)
+        # ---- new r12 additions land here (positions 26-47) ----
+        "stream_flagship_forecast": q_stream_flagship_forecast,  # never (r12)
         # the three STRUCTURAL canaries stay inside the window
         # (test_gate_window_composition): one flagship, one wide
         # indicator battery, one LSH pair query — if the driver
         # environment regresses, these catch it before the tail
-        "flagship_forecast_mae": q_flagship,  # r8
-        "ts_indicators": q_ts_indicators_all,  # r8
-        "doc_minhash_lsh_pairs": q_doc_minhash_pairs,  # r8
-        # 72 r11 additions + 3 canaries exceed the 50-slot window by
-        # 25: the twenty-five below (each locally oracle-exact at 3
-        # SFs + replay-pytest-pinned, the oldest and lowest-risk r11
-        # additions) are DEFERRED to positions 51-75 — they rotate
-        # into the r12 gate window for their driver proof
-        "emb_isotropy": q_emb_isotropy,  # never (r11, deferred)
-        "ts_ema_scan": q_ts_ema_scan,  # never (r11, deferred)
-        "graph_jaccard_links": q_graph_jaccard_links,  # never (r11, deferred)
-        "ts_variance_ratio": q_ts_variance_ratio,  # never (r11, deferred)
-        "ts_capm_beta": q_ts_capm_beta,  # never (r11, deferred)
-        "ts_amihud_illiq": q_ts_amihud_illiq,  # never (r11, deferred)
-        "doc_lexical_diversity": q_doc_lexical_diversity,  # never (r11, deferred)
-        "emb_ivf_balance": q_emb_ivf_balance,  # never (r11, deferred)
-        "graph_triangle_count": q_graph_triangle_count,  # never (r11, deferred)
-        "ts_kyle_lambda": q_ts_kyle_lambda,  # never (r11, deferred)
-        "ts_garman_klass_vol": q_ts_garman_klass_vol,  # never (r11, deferred)
-        "ts_permutation_entropy": q_ts_permutation_entropy,  # never (r11, deferred)
-        "doc_js_divergence": q_doc_js_divergence,  # never (r11, deferred)
-        "ts_engle_granger": q_ts_engle_granger,  # never (r11, deferred)
-        "events_burstiness": q_events_burstiness,  # never (r11, deferred)
-        "ts_garch_scan": q_ts_garch_scan,  # never (r11, deferred)
-        "events_entropy_rate": q_events_entropy_rate,  # never (r11, deferred)
-        "part_price_elasticity": q_part_price_elasticity,  # never (r11, deferred)
-        "doc_heaps_law": q_doc_heaps_law,  # never (r11, deferred)
-        "emb_ivf_probe_curve": q_emb_ivf_probe_curve,  # never (r11, deferred)
-        "ts_runs_ztest": q_ts_runs_ztest,  # never (r11, deferred)
-        "doc_vocab_coverage": q_doc_vocab_coverage,  # never (r11, deferred)
-        "emb_centroid_margin": q_emb_centroid_margin,  # never (r11, deferred)
-        "ts_adf_unit_root": q_ts_adf_unit_root,  # never (r11, deferred)
-        "ts_haar_energy": q_ts_haar_energy,  # never (r11, deferred)
+        "flagship_forecast_mae": q_flagship,  # r11
+        "ts_indicators": q_ts_indicators_all,  # r11
+        "doc_minhash_lsh_pairs": q_doc_minhash_pairs,  # r11
+        # ---- past the gate window: the 47 r11 batch-7-14 additions
+        # CORRECTNESS_r11 hash-proved (50/50 green), in r11 order ----
+        "graph_cc_sizes": q_graph_cc_sizes,  # r11
+        "doc_dup_source_matrix": q_doc_dup_source_matrix,  # r11
+        "ts_round_price_bias": q_ts_round_price_bias,  # r11
+        "lineitem_brand_returns": q_lineitem_brand_returns,  # r11
+        "doc_source_vocab_overlap": q_doc_source_vocab_overlap,  # r11
+        "ts_intraday_vol_profile": q_ts_intraday_vol_profile,  # r11
+        "ts_month_seasonality": q_ts_month_seasonality,  # r11
+        "ts_leverage_effect": q_ts_leverage_effect,  # r11
+        "emb_exact_dup_groups": q_emb_exact_dup_groups,  # r11
+        "doc_readability": q_doc_readability,  # r11
+        "events_retention_decay": q_events_retention_decay,  # r11
+        "ts_stress_corr": q_ts_stress_corr,  # r11
+        "ts_volatility_clustering": q_ts_volatility_clustering,  # r11
+        "emb_fisher_ratio": q_emb_fisher_ratio,  # r11
+        "ts_tail_dependence": q_ts_tail_dependence,  # r11
+        "part_brand_price_spread": q_part_brand_price_spread,  # r11
+        "customer_balance_profile": q_customer_balance_profile,  # r11
+        "doc_prefix_boilerplate": q_doc_prefix_boilerplate,  # r11
+        "ts_granger_screen": q_ts_granger_screen,  # r11
+        "doc_char_entropy": q_doc_char_entropy,  # r11
+        "events_iqr_outliers": q_events_iqr_outliers,  # r11
+        "events_type_lift": q_events_type_lift,  # r11
+        "ts_trend_ols": q_ts_trend_ols,  # r11
+        "ts_drawdown_episodes": q_ts_drawdown_episodes,  # r11
+        "stream_sliding_topn": q_stream_sliding_topn,  # r11
+        "emb_triplet_margin": q_emb_triplet_margin,  # r11
+        "ts_dow_seasonality": q_ts_dow_seasonality,  # r11
+        "events_new_vs_returning": q_events_new_vs_returning,  # r11
+        "ts_vol_of_vol": q_ts_vol_of_vol,  # r11
+        "events_user_lifespan": q_events_user_lifespan,  # r11
+        "ts_pacf": q_ts_pacf,  # r11
+        "emb_knn_reciprocity": q_emb_knn_reciprocity,  # r11
+        "supplier_hhi": q_supplier_hhi,  # r11
+        "ts_xsec_momentum": q_ts_xsec_momentum,  # r11
+        "doc_simpson_diversity": q_doc_simpson_diversity,  # r11
+        "orders_monthly_growth": q_orders_monthly_growth,  # r11
+        "events_mw_utest": q_events_mw_utest,  # r11
+        "ts_spearman_corr": q_ts_spearman_corr,  # r11
+        "doc_ks_length_drift": q_doc_ks_length_drift,  # r11
+        "graph_kcore": q_graph_kcore,  # r11
+        "ts_ulcer_index": q_ts_ulcer_index,  # r11
+        "doc_term_burstiness": q_doc_term_burstiness,  # r11
+        "ts_jarque_bera": q_ts_jarque_bera,  # r11
+        "ts_risk_ratios": q_ts_risk_ratios,  # r11
+        "ts_hill_tail": q_ts_hill_tail,  # r11
+        "graph_assortativity": q_graph_assortativity,  # r11
+        "events_chisq_type_dow": q_events_chisq_type_dow,  # r11
         "ts_garch_vol": q_ts_garch_vol,  # r10
         "ts_conformal_interval": q_ts_conformal_interval,  # r10
         "ts_topdown_reconcile": q_ts_topdown_reconcile,  # r10
@@ -24978,6 +25051,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "graph_adamic_adar": _sql_graph_adamic_adar(),
         "doc_bigram_lm_ppl": _sql_doc_bigram_lm_ppl(),
         "stream_garch_state": _sql_stream_garch_state(),
+        "stream_flagship_forecast": _sql_stream_flagship(),
         "ts_theta_forecast": _sql_ts_theta_forecast(),
         "media_ahash_near_dup": _sql_media_ahash_near_dup(),
         "graph_lpa_communities": _sql_graph_lpa_communities(),
