@@ -67,18 +67,14 @@ class FlagshipParams:
     cand_stride: int = 1
 
 
-def flagship_windows(
+def flagship_labeled(
     spark: SparkSession, sf_dir: str, p: FlagshipParams = FlagshipParams()
 ) -> DataFrame:
-    """events -> split-labeled, gap-filled, z-scored sliding windows.
-
-    Single-lineage plan: ONE wide exchange up front (hash by symbol);
-    every per-symbol operator after it (dedup, resample, positional
-    skip/split as window functions, per-(symbol,split) gap fill,
-    window build) satisfies its required distribution from that same
-    partitioning, so the whole chain is exchange-free — stage count
-    stays flat no matter how many operators stack.
-    """
+    """events -> dedup keep-last -> resample -> time_idx -> warmup skip
+    -> split-labeled rows (symbol, split, time_idx, close) — the
+    pre-fill half of :func:`flagship_windows`, exposed so serving-side
+    consumers (the streaming flagship's deploy-time split boundary)
+    share one definition."""
     series = dedup_keep_last(
         events_series(spark, sf_dir).repartition("symbol"),
         ["symbol", "datetime"],
@@ -94,9 +90,53 @@ def flagship_windows(
     res = positional_skip_frac(
         res, "symbol", "time_idx", p.skip_frac, use_window=True
     )
-    labeled = positional_split_labeled(
+    return positional_split_labeled(
         res, "symbol", "time_idx", p.val_ratio, use_window=True
     )
+
+
+def flagship_val_starts(
+    spark: SparkSession, sf_dir: str, p: FlagshipParams = FlagshipParams()
+) -> DataFrame:
+    """(symbol, val_start): each symbol's first val-split time_idx —
+    the deploy-time cutoff a streaming serving path is configured
+    with when the train store is built (the split is a suffix in
+    time, so ``time_idx >= val_start`` IS the val membership test)."""
+    return (
+        flagship_labeled(spark, sf_dir, p)
+        .filter(F.col("split") == "val")
+        .groupBy("symbol")
+        .agg(F.min("time_idx").alias("val_start"))
+    )
+
+
+def flagship_train_store(
+    spark: SparkSession, sf_dir: str, p: FlagshipParams = FlagshipParams()
+) -> DataFrame:
+    """The batch-built candidate store: train-split windows only —
+    what a serving deployment materializes offline and the streaming
+    flagship searches against."""
+    return (
+        flagship_windows(spark, sf_dir, p)
+        .repartition("symbol")
+        .filter(F.col("split") == "train")
+        .drop("split")
+    )
+
+
+def flagship_windows(
+    spark: SparkSession, sf_dir: str, p: FlagshipParams = FlagshipParams()
+) -> DataFrame:
+    """events -> split-labeled, gap-filled, z-scored sliding windows.
+
+    Single-lineage plan: ONE wide exchange up front (hash by symbol);
+    every per-symbol operator after it (dedup, resample, positional
+    skip/split as window functions, per-(symbol,split) gap fill,
+    window build) satisfies its required distribution from that same
+    partitioning, so the whole chain is exchange-free — stage count
+    stays flat no matter how many operators stack.
+    """
+    labeled = flagship_labeled(spark, sf_dir, p)
     filled = fill_missing_time_idx(
         labeled.select("symbol", "split", "time_idx", "close"),
         part_col=["symbol", "split"],

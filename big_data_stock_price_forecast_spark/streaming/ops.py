@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from ..session import require_utc
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -512,6 +513,176 @@ def cusum_state_stream(
             _cusum_state_fn(k_sigma, h_sigma),
             outputStructType=_CUSUM_OUT,
             stateStructType=_CUSUM_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_FLAGW_OUT = StructType(
+    [
+        StructField("symbol", LongType()),
+        StructField("window_id", LongType()),
+        StructField("raw", ArrayType(DoubleType())),
+        StructField("future", ArrayType(DoubleType())),
+    ]
+)
+_FLAGW_STATE = StructType(
+    [
+        StructField("cur_end", LongType()),  # open bucket end, epoch µs
+        StructField("cur_dt", LongType()),  # keep-last cursor in bucket
+        StructField("cur_eid", LongType()),
+        StructField("cur_close", DoubleType()),
+        StructField("last_idx", LongType()),  # last finalized val idx
+        StructField("last_close", DoubleType()),
+        StructField("ring", ArrayType(DoubleType())),  # last L+P closes
+    ]
+)
+
+
+def _flagship_window_state_fn(
+    val_starts: dict, L: int, P: int, stride: int, step_seconds: int
+):
+    need = L + P
+    step_us = step_seconds * 1_000_000
+    anchor_us = 946_684_800 * 1_000_000  # calendar.ANCHOR_EPOCH in µs
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        sym = key[0]
+        vs = val_starts.get(sym)
+        pdf = pd.concat(list(pdfs)).sort_values(["datetime", "event_id"])
+        if state.exists:
+            (cur_end, cur_dt, cur_eid, cur_close, last_idx, last_close,
+             ring) = state.get
+            ring = list(ring) if ring is not None else []
+        else:
+            cur_end = cur_dt = cur_eid = last_idx = None
+            cur_close = last_close = None
+            ring = []
+        outs: list[tuple] = []
+
+        def push(idx: int, close: float) -> None:
+            # one gap-filled val bucket enters the ring; a query window
+            # completes when its last future value (idx) lands on a
+            # strided cursor position
+            nonlocal ring
+            ring.append(close)
+            if len(ring) > need:
+                ring = ring[-need:]
+            w = idx - need + 1
+            if len(ring) == need and w >= vs and (w - vs) % stride == 0:
+                outs.append((sym, w, ring[:L], ring[L:]))
+
+        def finalize(end_us: int, close: float) -> None:
+            # a closed bucket: index it, keep only the val suffix, and
+            # gap-fill (previous close) exactly like the batch
+            # fill_missing_time_idx within the val split
+            nonlocal last_idx, last_close
+            idx = (end_us - anchor_us) // step_us
+            if vs is None or idx < vs:
+                return
+            if last_idx is not None:
+                for j in range(last_idx + 1, idx):
+                    push(j, last_close)
+            push(idx, close)
+            last_idx, last_close = idx, close
+
+        def fill_to(idx_excl: int) -> None:
+            # eager gap fill: once a NEW bucket opens, every missing
+            # bucket strictly before it is determined (ffill of the
+            # last closed value) — emit those windows now instead of
+            # waiting for the open bucket to close (lower latency, and
+            # the emitted set becomes exactly "everything before the
+            # in-flight bucket", which is what the oracle twin bounds)
+            nonlocal last_idx
+            if vs is None or last_idx is None:
+                return
+            for j in range(last_idx + 1, idx_excl):
+                push(j, last_close)
+                last_idx = j
+
+        dt = pdf["datetime"]
+        if getattr(dt.dtype, "tz", None) is not None:
+            dt = dt.dt.tz_convert("UTC").dt.tz_localize(None)
+        t_us = dt.to_numpy(dtype="datetime64[us]").astype("int64")
+        eids = pdf["event_id"].to_numpy()
+        closes = pdf["close"].to_numpy()
+        for t, eid, x in zip(t_us, eids, closes):
+            t, eid, x = int(t), int(eid), float(x)
+            # right-closed, right-labeled bucket (reference resample
+            # convention): end = floor((ts - 1µs)/every)*every + every
+            b_end = ((t - 1) // step_us + 1) * step_us
+            if cur_end is None or b_end > cur_end:
+                if cur_end is not None:
+                    finalize(cur_end, cur_close)
+                fill_to((b_end - anchor_us) // step_us)
+                cur_end, cur_dt, cur_eid, cur_close = b_end, t, eid, x
+            elif b_end == cur_end:
+                # dedup keep-last + bucket-last in one: the max
+                # (datetime, event_id) row owns the bucket close
+                if (t, eid) >= (cur_dt, cur_eid):
+                    cur_dt, cur_eid, cur_close = t, eid, x
+            # b_end < cur_end cannot happen under the documented
+            # arrival-order precondition (time-ordered landing files)
+        state.update(
+            (cur_end, cur_dt, cur_eid, cur_close, last_idx, last_close,
+             ring)
+        )
+        if outs:
+            yield pd.DataFrame(
+                outs, columns=["symbol", "window_id", "raw", "future"]
+            )
+
+    return fn
+
+
+def flagship_window_stream(
+    sdf: DataFrame,
+    val_starts: dict,
+    L: int = 8,
+    pred_window: int = 4,
+    stride: int = 2,
+    step_seconds: int = 6 * 3600,
+) -> DataFrame:
+    """The streaming half of the flagship serving path (SURVEY.md §3.3
+    as a 24/7 deployment; reference batch form: notebooks/test.ipynb
+    cell 20): raw candles append -> per-symbol state resamples them
+    into right-closed buckets (keep-last within bucket = the batch
+    dedup-keep-last + close-of-bucket), keeps only the val suffix
+    (``val_starts`` = the deploy-time split cutoffs computed when the
+    batch train store was built — plans/flagship.py
+    ``flagship_val_starts``), gap-fills missing buckets with the
+    previous close, and emits each STRIDED query window the moment its
+    last future bucket closes: (symbol, window_id, raw[L], future[P]).
+
+    State per symbol = the open bucket + a ring of the last L+P
+    gap-filled closes — bounded by symbols x (L+P) regardless of
+    uptime. The trailing in-flight bucket never finalizes (exactly the
+    reference's ``drop_ends`` trim of the unfinished last bucket), so
+    windows touching a symbol's final bucket are not emitted; the
+    batch oracle twin mirrors that bound. Same arrival-order
+    precondition as :func:`ema_state_stream` (time-ordered landing
+    files; AvailableNow drains them in order).
+
+    The downstream half — z-score, k-NN against the batch-built train
+    store, ensemble forecast — happens AFTER this operator in plain
+    batch expressions over the drained emissions (plans/registry.py
+    ``q_stream_flagship_forecast``), keeping every float op bitwise
+    identical to the batch flagship.
+    """
+    return (
+        sdf.withWatermark("datetime", "1 hour")
+        .groupBy("symbol")
+        .applyInPandasWithState(
+            _flagship_window_state_fn(
+                dict(val_starts), L, pred_window, stride, step_seconds
+            ),
+            outputStructType=_FLAGW_OUT,
+            stateStructType=_FLAGW_STATE,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

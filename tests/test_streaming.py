@@ -746,3 +746,102 @@ def test_ann_ingest_idempotent_under_midbatch_crash(spark, tmp_path):
         pass
     back = _run_ann_ingest(spark, emb, root, 3, resume=True)
     assert _ann_rows(back) == _ann_rows(ref)
+
+
+def test_flagship_window_stream_resumes_and_dedups_across_batches(
+    spark, tmp_path
+):
+    """Cross-batch contracts of the streaming flagship's window
+    assembler (VERDICT r11 item 2): (1) a ring built in drain 1
+    completes and emits in the resumed drain 2 (state carry through
+    the checkpoint); (2) keep-last resample dedup spans batches (a
+    later-ts row in drain 2 owns a bucket opened in drain 1; an
+    equal-ts row with higher event_id wins); (3) gap fill + the eager
+    fill-to-open-bucket emit exactly the windows strictly before the
+    in-flight bucket."""
+    import datetime as dt
+    import glob
+    import os
+
+    from big_data_stock_price_forecast_spark.streaming import (
+        flagship_window_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1)
+    base = (1704067200 - 946684800) // 60  # bucket idx anchor (60s step)
+    in_schema = "symbol long, datetime timestamp, close double, event_id long"
+    out_schema = (
+        "symbol long, window_id long, raw array<double>, "
+        "future array<double>"
+    )
+
+    def land(rows, name):
+        spark.createDataFrame(rows, in_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / ("stage_" + name)))
+        part = glob.glob(str(tmp_path / ("stage_" + name) / "part-*"))[0]
+        os.rename(part, os.path.join(src, name + ".parquet"))
+
+    def drain():
+        sdf = spark.readStream.schema(in_schema).parquet(src)
+        q = (
+            flagship_window_stream(
+                sdf,
+                {1: base + 2},  # deploy-time val cutoff: bucket 2 on
+                L=3,
+                pred_window=2,
+                stride=2,
+                step_seconds=60,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        return spark.read.schema(out_schema).parquet(out_dir).collect()
+
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    # chunk A: buckets 1,2,3, gap at 4, two ticks in bucket 5
+    land(
+        [
+            (1, s(30), 10.0, 1),
+            (1, s(90), 20.0, 2),
+            (1, s(150), 30.0, 3),
+            (1, s(270), 50.0, 4),
+            (1, s(280), 50.5, 5),
+        ],
+        "b0",
+    )
+    assert drain() == []  # ring (need L+P=5) not yet full
+
+    # chunk B: a LATER tick re-owns bucket 5 (cross-batch keep-last),
+    # bucket 7 has an equal-ts event_id tie, gap at 8, open bucket 10
+    land(
+        [
+            (1, s(290), 55.0, 6),
+            (1, s(350), 60.0, 7),
+            (1, s(410), 69.0, 8),
+            (1, s(410), 70.0, 9),
+            (1, s(530), 90.0, 10),
+            (1, s(590), 99.0, 11),
+        ],
+        "b1",
+    )
+    got = {
+        r["window_id"]: (list(r["raw"]), list(r["future"]))
+        for r in drain()
+    }
+    # filled val series: b2=20 b3=30 b4=30(fill) b5=55 b6=60 b7=70
+    # b8=70(fill) b9=90; b10 stays in-flight. strided cursor = b2, b4
+    assert got == {
+        base + 2: ([20.0, 30.0, 30.0], [55.0, 60.0]),
+        base + 4: ([30.0, 55.0, 60.0], [70.0, 70.0]),
+    }
