@@ -18,24567 +18,967 @@ Numeric-reproducibility strategy (the driver hash-compares values):
 
 from __future__ import annotations
 
-import math
-from collections.abc import Callable
+from collections.abc import Callable  # noqa: F401
 
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 
-from ..functions.calendar import ANCHOR_EPOCH, add_calendar, add_time_idx, weekday_mon0
-from ..functions.distance import (
-    dist_l2sq,
-    weighted_dist,
-)
-from ..functions.text import (
+from .registry_common import (  # noqa: F401
+    AA_DF_MAX,
+    ACF_MAX_LAG,
+    AHASH_MAX_DIST,
+    ANCHOR_EPOCH,
+    ANN_PLANES,
+    ASSOC_MIN_USERS,
+    ATTRIB_TOUCHES,
+    BARS_PER_YEAR,
+    BFS_MAX_HOPS,
+    BIGRAM_LM_K,
+    BM25_B,
+    BM25_K1,
+    BM25_TERMS,
+    BM25_TOPK,
+    BOOT_B,
+    BOT_MIN_GAPS,
+    BOT_REGULARITY_TAU,
+    BQ_RADIUS,
+    BQ_RERANK,
+    BT_BASE_FRAC,
+    BT_FOLDS,
+    BT_STEP_FRAC,
+    BURST_TOP_K,
+    CHAR_DOMAIN,
+    CHUNK_S,
+    CHUNK_W,
+    CMS_HH_DEN,
+    CMS_STREAM_TOP,
+    COINT_TOP_PAIRS,
+    CONFORMAL_ALPHA,
+    CONFORMAL_CAL_FRAC,
+    CONTAIN_TAU,
+    CORR_MATRIX_TOP_K,
+    CTFIDF_TOPK,
+    CUSUM_H_SIGMA,
+    CUSUM_K_SIGMA,
+    CYCLE_PERIODS,
+    Callable,
+    DECILE_PS,
+    DECONTAM_BENCH_MAX,
+    DECONTAM_N,
+    DOW_ANCHOR,
+    DQ_EVENT_TYPES,
+    DROPOUT_KEEP_MOD,
+    DSIR_TARGET_SOURCE,
+    DataFrame,
+    EDIT_SIM_TAU,
+    EMA_SCAN_ALPHA,
+    EMA_SCAN_SEG,
     EN_STOPWORDS,
+    EWMA_VOL_LAMBDA,
+    F,
+    FC_SEASON,
+    FC_TRAIN_FRAC,
+    FlagshipParams,
+    GARCH_ALPHA,
+    GARCH_BETA,
+    GARCH_OMEGA,
+    GARCH_SCAN_ALPHA,
+    GARCH_SCAN_BETA,
+    GARCH_SCAN_OMEGA,
+    GARCH_SCAN_SEG,
+    GLOBAL_PARAMS,
+    GRANGER_MIN_N,
+    HAAR_LEVELS,
+    HILL_K,
+    HOLT_ALPHA,
+    HOLT_BETA,
+    HQ_QUANTILES,
+    HUB_PART_MAX_DEGREE,
+    HURST_SIZES,
+    INCR_NEW_DEN,
+    INCR_NEW_NUM,
+    IVFPQ_NPROBE,
+    IVF_CURVE_NPROBES,
+    IVF_NPROBE,
+    JACCARD_TOPK,
+    JB_MIN_N,
+    JB_RET_CAP,
+    KALMAN_Q_FRAC,
+    KALMAN_R_FRAC,
+    KCORE_K,
+    KCORE_ROUNDS,
+    KNN_K,
+    KNN_QUERY_MOD,
+    K_ANON_THRESHOLD,
+    LIFESPAN_BOUNDS,
+    LPA_ROUNDS,
+    MH_BANDS,
+    MH_PRIME,
+    MH_ROWS,
+    MIX_PPM,
+    MMR_CAND_N,
+    MMR_K,
+    MMR_LAMBDA,
+    MMR_NPROBE,
+    MRL_DIM,
+    MW_MIN_GROUP,
+    NEAR_DUP_TAU,
+    N_DOC_SHARDS,
+    OOD_QUANTILE,
+    PACF_MIN_N,
+    PACK_BUDGET,
+    PACK_SHARDS,
+    PAIRS_Z_ENTRY,
+    PARTITION_MIN_ROWS,
+    PATH_TOP_N,
+    PE_MIN_N,
+    PHRASE,
+    PINBALL_QS,
+    PMI_MIN_SUPPORT,
+    PMI_TOPK,
+    PQ_ADC_K,
+    PQ_DSUB,
+    PQ_M,
+    PREFIX_LEN,
+    PREFIX_TOP_K,
+    PR_DAMPING,
+    PR_ITERS,
+    PSI_SPLIT_TS,
+    Q12_LATE_DAYS,
+    Q15_END,
+    Q15_START,
+    Q17_BRAND,
+    Q19_ARMS,
+    Q21_LATE_DAYS,
+    Q7_NATIONS,
+    Q8_NATION,
+    Q8_REGION,
+    Q8_TYPE,
+    QF_MAX_MTL,
+    QF_MAX_PUNCT,
+    QF_MAX_TOKENS,
+    QF_MAX_TOP_SHARE,
+    QF_MIN_MTL,
+    QF_MIN_STOP,
+    QF_MIN_TOKENS,
+    QueryFn,
+    RAKE_MAX_PHRASE,
+    RAKE_TOPK,
+    RANGE_JOIN_HORIZON_US,
+    RANGE_WIN_S,
+    RET_DECAY_MAX_K,
+    RFM_BUCKETS,
+    RISK_MIN_N,
+    ROLLUP_GRAINS_US,
+    RQ_ORTH_DIMS,
+    RV_BUCKETS_PER_DAY,
+    SCD2_TIER_DIV,
+    SEARCH_TERMS,
+    SEAS_M,
+    SIMHASH_BITS,
+    SIMHASH_CHUNKS,
+    SIMHASH_MAX_DIST,
+    SKEW_TOP_K,
+    SLIDE_TOPN,
+    SPAN_LEN,
+    SPAN_MASK_MOD,
+    SQL_COATTEND,
+    SQL_DOC_MINHASH,
+    SQL_DOC_NGRAM,
+    SQL_FILLED,
+    SQL_FILLED_OHLC,
+    SQL_INCR_SPLIT,
+    SQL_PS_CAPPED,
+    SQL_RES6H,
+    SQL_SERIES,
+    SQL_TOKS,
+    SQL_TS_INDICATORS,
+    SQL_TS_INDICATORS2,
+    STEP_6H,
+    STRATA_DENOMS,
+    STRESS_Q,
+    SparkSession,
+    TAIL_Q,
+    TEXTRANK_TOP_N,
+    THETA_ALPHA,
+    TREND_MIN_N,
+    TRIANGLE_TOP_EDGES,
+    TRIPLET_MOD,
+    TRI_TOPK,
+    VAR_BT_P,
+    VAR_P,
+    VOCAB_COVERAGE_KS,
+    VOLVOL_MIN_DAYS,
+    VR_Q,
+    WINNOW_TAU,
+    WINSOR_HI,
+    WINSOR_LO,
+    WSAMPLE_K,
+    Window,
+    XSEC_FWD_W,
+    XSEC_N_Q,
+    XSEC_TRAIL_W,
+    ZIPF_TOP_N,
+    ZORDER_BITS,
+    _BOOT_POIS_CDF,
+    _DCT_K,
+    _DCT_L,
+    _FEATURE_SMAS,
+    _IND1_COLS,
+    _IND2_COLS,
+    _SQL_DOC_MINHASH_BODY,
+    _SQL_DOC_NGRAM_BODY,
+    _SQL_FEATURE_FRAME,
+    _SQL_MINHASH_CAND_CTES,
+    _SQL_TS_INDICATORS_BODY,
+    _cap_part_degree,
+    _coattendance,
+    _cycle_angle_rows,
+    _docs_parallel,
+    _emb,
+    _feature_frame,
+    _filled,
+    _filled_ohlc,
+    _fracdiff_weights,
+    _incr_split_id,
+    _media,
+    _minhash_index_path,
+    _pq_assignments,
+    _pq_codebook,
+    _r6,
+    _r6e,
+    _rel_returns,
+    _resampled,
+    _rne,
+    _series,
+    _snap6_dec,
+    _sql_ann_lsh,
+    _sql_band_arms,
+    _sql_bloom_decontam,
+    _sql_bq_code,
+    _sql_bq_hamming,
+    _sql_cms_heavy_hitters,
+    _sql_dct_embed,
+    _sql_dot,
+    _sql_dup_clusters,
+    _sql_edit_sim_pairs,
+    _sql_ewm,
+    _sql_fold_sum,
+    _sql_hypertable_rollup,
+    _sql_indicators3,
+    _sql_indicators4,
+    _sql_indicators5,
+    _sql_indicators_all,
+    _sql_ivf_ann,
+    _sql_ivf_base,
+    _sql_ivf_recall,
+    _sql_jaccard,
+    _sql_join_size_est,
+    _sql_knn,
+    _sql_l1,
+    _sql_l2,
+    _sql_minhash_est_error,
+    _sql_minhash_pr,
+    _sql_minhash_sig,
+    _sql_norm,
+    _sql_numeric_profile_branch,
+    _sql_pq_adc,
+    _sql_psar_cte,
+    _sql_psi_drift,
+    _sql_q7_nations,
+    _sql_r6,
+    _sql_r6_wrap,
+    _sql_r6e,
+    _sql_recursive_battery,
+    _sql_rel_returns,
+    _sql_rne,
+    _sql_rne_expr,
+    _sql_savgol,
+    _sql_semantic_dedup,
+    _sql_sign_bucket,
+    _sql_simhash_cte,
+    _sql_simhash_pairs,
+    _sql_snap6_dec,
+    _sql_src_formats_roundtrip,
+    _sql_trend_arrow,
+    _sql_winnow_pairs,
+    _sql_zz_windows,
+    add_calendar,
+    add_indicators,
+    add_time_idx,
+    ann_lsh_topk,
+    atr,
+    dedup_keep_last,
+    dist_l2_fixed64,
+    dist_l2sq,
+    embedding_near_dup_pairs,
+    events_series,
+    fill_missing_time_idx,
     fingerprint,
+    flagship_per_query_mae,
     hash60,
+    holt_linear,
+    load_table,
+    macd,
+    math,
+    minhash_candidate_pairs,
+    minhash_coeffs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
     pos_shingles,
     predicted_lang,
+    q_src_formats_roundtrip,
+    require_utc,
+    resample_ohlcv,
+    rolling_corr,
+    rsi,
     shingles,
+    sign_planes,
+    simhash_pairs,
+    sliding_windows,
     sql_fingerprint,
     sql_hash60,
     sql_lang_case,
     sql_pos_shingles,
     sql_shingles,
     sql_tokens,
+    time_range_filter,
     tokens,
+    weekday_mon0,
+    weighted_dist,
 )
-from ..operators.cleaning import dedup_keep_last, time_range_filter
-from ..operators.dedup import (
-    MH_BANDS,
-    MH_PRIME,
-    MH_ROWS,
-    SIMHASH_BITS,
-    SIMHASH_CHUNKS,
-    SIMHASH_MAX_DIST,
-    minhash_candidate_pairs,
-    minhash_coeffs,
-    minhash_lsh_pairs,
-    ngram_jaccard_pairs,
-    simhash_pairs,
+from .registry_emb import (  # noqa: F401
+    EMB_BENCH_MOD,
+    EMB_DECONTAM_TAU,
+    EMB_DIM,
+    EMB_NEAR_DUP_TAU,
+    KNN_METRICS,
+    KNN_RECIP_K,
+    KNN_RECIP_MOD,
+    SQL_EMB_ANN_LSH,
+    SQL_EMB_BQ_HAMMING,
+    SQL_EMB_CENTROID,
+    SQL_EMB_NEAR_DUP,
+    SQL_MEDIA_FRAMES,
+    SQL_MEDIA_META,
+    _knn_query,
+    _sql_emb_bench_decontam,
+    _sql_emb_centroid_margin,
+    _sql_emb_cluster_purity,
+    _sql_emb_dim_drift,
+    _sql_emb_exact_dup_groups,
+    _sql_emb_fisher_ratio,
+    _sql_emb_hard_negatives,
+    _sql_emb_isotropy,
+    _sql_emb_ivf_balance,
+    _sql_emb_ivf_probe_curve,
+    _sql_emb_ivfpq,
+    _sql_emb_kmeans_refine,
+    _sql_emb_knn_reciprocity,
+    _sql_emb_matryoshka,
+    _sql_emb_mmr,
+    _sql_emb_near_dup,
+    _sql_emb_ood,
+    _sql_emb_pq_codes,
+    _sql_emb_rq_codes,
+    _sql_emb_sq8,
+    _sql_emb_triplet_margin,
+    _sql_knn_metrics,
+    _sql_media_ahash_near_dup,
+    _sql_media_byte_features,
+    _sql_media_dup_groups,
+    _sql_media_thumbnail,
+    _sql_win_pca,
+    q_emb_ann_lsh,
+    q_emb_bench_decontam,
+    q_emb_bq_hamming_topk,
+    q_emb_centroid_by_label,
+    q_emb_centroid_margin,
+    q_emb_cluster_purity,
+    q_emb_dim_drift,
+    q_emb_exact_dup_groups,
+    q_emb_fisher_ratio,
+    q_emb_hard_negatives,
+    q_emb_isotropy,
+    q_emb_ivf_ann,
+    q_emb_ivf_balance,
+    q_emb_ivf_probe_curve,
+    q_emb_ivf_recall,
+    q_emb_ivfpq_topk,
+    q_emb_kmeans_refine,
+    q_emb_knn_reciprocity,
+    q_emb_matryoshka_recall,
+    q_emb_mmr_rerank,
+    q_emb_near_dup,
+    q_emb_ood_score,
+    q_emb_pq_adc_topk,
+    q_emb_pq_codes,
+    q_emb_rq_codes,
+    q_emb_semantic_dedup,
+    q_emb_sq8_stats,
+    q_emb_triplet_margin,
+    q_knn_cosine_topk,
+    q_knn_l1_topk,
+    q_knn_l2_topk,
+    q_knn_topk_metrics,
+    q_knn_weighted_cosine_topk,
+    q_knn_weighted_topk,
+    q_media_ahash_near_dup,
+    q_media_byte_features,
+    q_media_dup_groups,
+    q_media_frames,
+    q_media_meta,
+    q_media_thumbnail,
+    q_win_dct_embed,
+    q_win_pca_embed,
+    q_win_vae_embed,
 )
-from ..operators.gapfill import fill_missing_time_idx
-from ..operators.resample import resample_ohlcv
-from ..operators.rolling import (
-    add_indicators,
-    atr,
-    holt_linear,
-    macd,
-    rolling_corr,
-    rsi,
+from .registry_events import (  # noqa: F401
+    SQL_EVENTS_ASOF_JOIN,
+    SQL_EVENTS_ASSOC,
+    SQL_EVENTS_ATTRIBUTION,
+    SQL_EVENTS_CHECKSUM,
+    SQL_EVENTS_COHORT,
+    SQL_EVENTS_CUBE,
+    SQL_EVENTS_CUMULATIVE_USERS,
+    SQL_EVENTS_FUNNEL,
+    SQL_EVENTS_GINI,
+    SQL_EVENTS_JSON,
+    SQL_EVENTS_JSON_SCHEMA,
+    SQL_EVENTS_K_ANONYMITY,
+    SQL_EVENTS_LATENESS,
+    SQL_EVENTS_MARKOV,
+    SQL_EVENTS_PARTITION_AUDIT,
+    SQL_EVENTS_PATH_TRIGRAMS,
+    SQL_EVENTS_QUANTILES,
+    SQL_EVENTS_RANGE_JOIN,
+    SQL_EVENTS_RETENTION,
+    SQL_EVENTS_ROLLUP,
+    SQL_EVENTS_SCD2,
+    SQL_EVENTS_SCD2_PIT,
+    SQL_EVENTS_SESSIONS,
+    SQL_EVENTS_SKEW,
+    SQL_EVENTS_STICKINESS,
+    _sql_events_ab_bootstrap_ci,
+    _sql_events_ab_uplift,
+    _sql_events_benford,
+    _sql_events_bot_detection,
+    _sql_events_burstiness,
+    _sql_events_chisq_type_dow,
+    _sql_events_deciles,
+    _sql_events_did_uplift,
+    _sql_events_dq_suite,
+    _sql_events_entropy_rate,
+    _sql_events_funnel_latency,
+    _sql_events_hash_sample,
+    _sql_events_hist_quantiles,
+    _sql_events_hll,
+    _sql_events_iqr_outliers,
+    _sql_events_mw_utest,
+    _sql_events_new_vs_returning,
+    _sql_events_retention_decay,
+    _sql_events_session_stats,
+    _sql_events_stratified_sample,
+    _sql_events_type_lift,
+    _sql_events_type_pivot,
+    _sql_events_user_lifespan,
+    _sql_events_zorder_cells,
+    q_events_ab_bootstrap_ci,
+    q_events_ab_uplift,
+    q_events_asof_join,
+    q_events_assoc_rules,
+    q_events_attribution,
+    q_events_benford_audit,
+    q_events_bot_detection,
+    q_events_burstiness,
+    q_events_chisq_type_dow,
+    q_events_cohort_matrix,
+    q_events_conditional_deciles,
+    q_events_cube,
+    q_events_cumulative_users,
+    q_events_did_uplift,
+    q_events_dq_suite,
+    q_events_entropy_rate,
+    q_events_funnel,
+    q_events_funnel_latency,
+    q_events_gini,
+    q_events_hash_sample,
+    q_events_hist_quantiles,
+    q_events_hll_users,
+    q_events_iqr_outliers,
+    q_events_join_size_estimate,
+    q_events_json_agg,
+    q_events_json_schema_profile,
+    q_events_k_anonymity,
+    q_events_lateness_audit,
+    q_events_markov_transitions,
+    q_events_mw_utest,
+    q_events_new_vs_returning,
+    q_events_partition_audit,
+    q_events_path_trigrams,
+    q_events_psi_drift,
+    q_events_range_join,
+    q_events_retention_decay,
+    q_events_rollup,
+    q_events_scd2_intervals,
+    q_events_scd2_pit_revenue,
+    q_events_session_stats,
+    q_events_sessionize,
+    q_events_skew_report,
+    q_events_stickiness,
+    q_events_stratified_sample,
+    q_events_table_checksum,
+    q_events_type_lift,
+    q_events_type_pivot,
+    q_events_user_lifespan,
+    q_events_user_retention,
+    q_events_value_quantiles,
+    q_events_zorder_cells,
 )
-from ..operators.similarity import (
-    ANN_PLANES,
-    ann_lsh_topk,
-    embedding_near_dup_pairs,
-    sign_planes,
+from .registry_graph import (  # noqa: F401
+    SQL_GRAPH_HITS,
+    SQL_GRAPH_TRIANGLES,
+    _sql_graph_adamic_adar,
+    _sql_graph_assortativity,
+    _sql_graph_bfs,
+    _sql_graph_cc_sizes,
+    _sql_graph_jaccard_links,
+    _sql_graph_kcore,
+    _sql_graph_lpa_communities,
+    _sql_graph_pagerank,
+    _sql_graph_triangle_count,
+    q_graph_adamic_adar,
+    q_graph_assortativity,
+    q_graph_bfs_hops,
+    q_graph_cc_sizes,
+    q_graph_hits_parts,
+    q_graph_jaccard_links,
+    q_graph_kcore,
+    q_graph_lpa_communities,
+    q_graph_pagerank,
+    q_graph_supplier_triangles,
+    q_graph_triangle_count,
 )
-from ..operators.windows import sliding_windows
-from ..session import require_utc
-from ..sources.tables import events_series, load_table
-from .flagship import FlagshipParams, flagship_per_query_mae
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-# --------------------------------------------------------------------------
-# shared building blocks
-# --------------------------------------------------------------------------
-
-STEP_6H = 6 * 3600
-
-# DuckDB CTE: events -> deduped (symbol, ts, close) series
-SQL_SERIES = """
-series AS (
-  SELECT user_id AS symbol, ts, value AS close
-  FROM (
-    SELECT user_id, ts, value,
-           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS __rn
-    FROM events)
-  WHERE __rn = 1
-)"""
-
-# DuckDB CTE chain: series -> right-closed 6h resample -> time_idx
-SQL_RES6H = f"""
-res AS (
-  SELECT symbol,
-         time_bucket(INTERVAL '6 hours', ts - INTERVAL '1 microsecond')
-           + INTERVAL '6 hours' AS datetime,
-         arg_min(close, ts) AS open,
-         max(close) AS high,
-         min(close) AS low,
-         arg_max(close, ts) AS close,
-         count(*) AS n_rows
-  FROM series GROUP BY 1, 2
-),
-idx AS (
-  SELECT symbol, datetime,
-         CAST(floor((epoch(datetime) - {ANCHOR_EPOCH}) / {STEP_6H}) AS BIGINT) AS time_idx,
-         open, high, low, close, n_rows
-  FROM res
-)"""
-
-# DuckDB CTE: idx -> dense per-symbol grid with ffilled close
-SQL_FILLED = """
-grid AS (
-  SELECT symbol, unnest(generate_series(mn, mx)) AS time_idx
-  FROM (SELECT symbol, min(time_idx) AS mn, max(time_idx) AS mx FROM idx GROUP BY 1)
-),
-filled AS (
-  SELECT g.symbol, g.time_idx,
-         (i.close IS NULL)::INT AS is_gap,
-         last_value(i.close IGNORE NULLS) OVER (
-           PARTITION BY g.symbol ORDER BY g.time_idx
-           ROWS UNBOUNDED PRECEDING) AS close
-  FROM grid g LEFT JOIN idx i ON g.symbol = i.symbol AND g.time_idx = i.time_idx
-)"""
-
-
-# DuckDB CTE: idx -> dense grid with ALL OHLC columns ffilled (the
-# volume proxy is the per-bucket row count)
-SQL_FILLED_OHLC = """
-grid AS (
-  SELECT symbol, unnest(generate_series(mn, mx)) AS time_idx
-  FROM (SELECT symbol, min(time_idx) AS mn, max(time_idx) AS mx FROM idx GROUP BY 1)
-),
-filled AS (
-  SELECT g.symbol, g.time_idx,
-         last_value(i.open IGNORE NULLS) OVER wf AS open,
-         last_value(i.high IGNORE NULLS) OVER wf AS high,
-         last_value(i.low IGNORE NULLS) OVER wf AS low,
-         last_value(i.close IGNORE NULLS) OVER wf AS close,
-         last_value(i.n_rows IGNORE NULLS) OVER wf::DOUBLE AS volume
-  FROM grid g LEFT JOIN idx i ON g.symbol = i.symbol AND g.time_idx = i.time_idx
-  WINDOW wf AS (PARTITION BY g.symbol ORDER BY g.time_idx ROWS UNBOUNDED PRECEDING)
-)"""
-
-
-def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deduped (symbol, datetime, close) from events.
-
-    ONE wide exchange up front (hash by symbol): every downstream
-    per-symbol operator — dedup window, (symbol, bucket) resample
-    aggregate, gap-fill window, indicator windows — satisfies its
-    required distribution from this partitioning (hash(symbol) clusters
-    any (symbol, …) key), so the whole ts_* family runs exchange-free
-    after this point instead of reshuffling at each operator boundary.
-    """
-    return dedup_keep_last(
-        events_series(spark, sf_dir).repartition("symbol"),
-        ["symbol", "datetime"],
-        "event_id",
-    ).select("symbol", "datetime", "close")
-
-
-def _resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    r = resample_ohlcv(_series(spark, sf_dir), "6 hours")
-    return add_time_idx(r, "datetime", STEP_6H)
-
-
-def _filled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fill_missing_time_idx(
-        _resampled(spark, sf_dir).select("symbol", "time_idx", "close"),
-        ts_col="__none__",
-        fill_cols=["close"],
-    ).select("symbol", "time_idx", "is_gap", "close")
-
-
-def _filled_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        fill_missing_time_idx(
-            _resampled(spark, sf_dir).select(
-                "symbol", "time_idx", "open", "high", "low", "close", "n_rows"
-            ),
-            ts_col="__none__",
-            fill_cols=["open", "high", "low", "close", "n_rows"],
-        )
-        .withColumn("volume", F.col("n_rows").cast("double"))
-        .select("symbol", "time_idx", "open", "high", "low", "close", "volume")
-    )
-
-
-# DuckDB sequential-fold L2 distance between two list expressions
-def _sql_l2(a: str, b: str) -> str:
-    return (
-        f"sqrt(list_reduce(list_transform(list_zip({a}, {b}),"
-        f" p -> (p[1]-p[2])*(p[1]-p[2])), (x,y) -> x+y))"
-    )
-
-
-def _sql_dot(a: str, b: str) -> str:
-    return (
-        f"list_reduce(list_transform(list_zip({a}, {b}),"
-        f" p -> p[1]*p[2]), (x,y) -> x+y)"
-    )
-
-
-def _sql_norm(a: str) -> str:
-    return f"sqrt(list_reduce(list_transform({a}, x -> x*x), (x,y) -> x+y))"
-
-
-# Engine-independent 6-decimal rounding: floor(x*1e6 + 0.5)/1e6 is pure
-# IEEE-754 ops so Spark and DuckDB produce bitwise-identical doubles.
-# Built-in round() differs between engines on half-boundary values
-# (Spark rounds the shortest decimal repr via Java BigDecimal.valueOf,
-# DuckDB rounds the true binary value). Trailing +0.0 folds -0.0.
-def _rne(expr, name: str, n: int = 6):
-    """Engine-safe half-up rounding of any Column at ``n`` decimals.
-    Above |x| >= 1e12 the value passes through unrounded: Spark's
-    ``floor`` returns LONG and overflows past |x|*10^n > 9.2e18
-    (DuckDB's stays DOUBLE) — the guard is applied symmetrically in
-    :func:`_sql_rne` so both engines agree. Below the guard the
-    rounding is required: aggregation-order ULP drift is real at e9
-    magnitudes and the rounding collapses it."""
-    s = float(10**n)
-    rounded = F.floor(expr * F.lit(s) + F.lit(0.5)) / F.lit(s) + F.lit(0.0)
-    return (
-        F.when(F.abs(expr) < F.lit(1e12), rounded).otherwise(
-            expr + F.lit(0.0)
-        )
-    ).alias(name)
-
-
-def _r6(c):
-    return _rne(F.col(c), c, 6)
-
-
-def _r6e(expr, name: str):
-    """Expression form of :func:`_r6` (engine-safe rounding of any Column)."""
-    return _rne(expr, name, 6)
-
-
-def _sql_rne_expr(expr: str, n: int = 6) -> str:
-    """Unaliased SQL form of the guard+round — for embedding inside a
-    larger expression (e.g. a CASE arm) where ``AS name`` can't go."""
-    s = "1" + "0" * n + ".0"
-    return (
-        f"CASE WHEN abs({expr}) < 1000000000000.0 "
-        f"THEN floor(({expr}) * {s} + 0.5) / {s} + 0.0 "
-        f"ELSE ({expr}) + 0.0 END"
-    )
-
-
-def _sql_rne(expr: str, name: str, n: int = 6) -> str:
-    return f"{_sql_rne_expr(expr, n)} AS {name}"
-
-
-def _sql_r6(c: str) -> str:
-    return _sql_rne(c, c, 6)
-
-
-def _sql_r6e(expr: str, name: str) -> str:
-    return _sql_rne(expr, name, 6)
-
-
-def _sql_r6_wrap(body: str, keys: list[str], cols: list[str]) -> str:
-    """Wrap an unrounded oracle body with the same explicit rounding."""
-    sel = ", ".join(keys) + ", " + ", ".join(_sql_r6(c) for c in cols)
-    return f"SELECT {sel} FROM ({body})"
-
-
-# --------------------------------------------------------------------------
-# time-series operator queries (events table)
-# --------------------------------------------------------------------------
-
-
-def q_ts_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _series(spark, sf_dir).select(
-        "symbol", F.col("datetime").alias("ts"), "close"
-    )
-
-
-SQL_TS_DEDUP = f"WITH {SQL_SERIES} SELECT symbol, ts, close FROM series"
-
-
-def q_ts_time_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return time_range_filter(
-        _series(spark, sf_dir), "datetime", "symbol", "7 days"
-    ).select("symbol", F.col("datetime").alias("ts"), "close")
-
-
-SQL_TS_TIME_FILTER = f"""WITH {SQL_SERIES}
-SELECT s.symbol, s.ts, s.close
-FROM series s
-JOIN (SELECT symbol, min(ts) AS mn FROM series GROUP BY 1) m
-  ON s.symbol = m.symbol
-WHERE s.ts >= m.mn + INTERVAL '7 days'"""
-
-
-def q_ts_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    df = add_calendar(add_time_idx(ev, "ts", 3600), "ts")
-    return df.select(
-        "event_id", "hour", "day", "dayofweek", "month", "week", "year", "time_idx"
-    )
-
-
-SQL_TS_CALENDAR = f"""
-SELECT event_id,
-       hour(ts)::INT AS hour,
-       day(ts)::INT AS day,
-       (isodow(ts) - 1)::INT AS dayofweek,
-       month(ts)::INT AS month,
-       weekofyear(ts)::INT AS week,
-       year(ts)::INT AS year,
-       CAST(floor((epoch(ts) - {ANCHOR_EPOCH}) / 3600) AS BIGINT) AS time_idx
-FROM events"""
-
-
-def q_ts_resample_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _resampled(spark, sf_dir).select(
-        "symbol", "datetime", "open", "high", "low", "close", "n_rows"
-    )
-
-
-SQL_TS_RESAMPLE = f"""WITH {SQL_SERIES}, {SQL_RES6H}
-SELECT symbol, datetime, open, high, low, close, n_rows FROM idx"""
-
-
-def q_ts_resample_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1's ``drop_ends`` option: trim each symbol's first and last
-    (potentially partial) bucket (core/data/preprocess.py:118-119)."""
-    r = resample_ohlcv(_series(spark, sf_dir), "6 hours", drop_ends=True)
-    return r.select("symbol", "datetime", "open", "high", "low", "close", "n_rows")
-
-
-SQL_TS_RESAMPLE_TRIM = f"""WITH {SQL_SERIES}, {SQL_RES6H},
-ext AS (
-  SELECT symbol, min(datetime) AS mn, max(datetime) AS mx
-  FROM res GROUP BY 1
+from .registry_tpch import (  # noqa: F401
+    SQL_CUSTOMERS_NO_ORDERS,
+    SQL_LINEITEM_ABC,
+    SQL_ORDERS_COHORT_LTV,
+    SQL_ORDERS_GAP,
+    SQL_ORDERS_OPEN_CONCURRENCY,
+    SQL_ORDERS_RFM,
+    SQL_ORDERS_SPLIT_PAYMENTS,
+    SQL_PART_SKYLINE,
+    SQL_PART_SUPPLY_RISK,
+    SQL_TOP_ORDERS_PER_CUSTOMER,
+    SQL_TOP_REVENUE_NATIONS,
+    SQL_TPCH_Q1,
+    SQL_TPCH_Q10,
+    SQL_TPCH_Q11,
+    SQL_TPCH_Q12,
+    SQL_TPCH_Q13,
+    SQL_TPCH_Q14,
+    SQL_TPCH_Q15,
+    SQL_TPCH_Q16,
+    SQL_TPCH_Q17,
+    SQL_TPCH_Q18,
+    SQL_TPCH_Q2,
+    SQL_TPCH_Q20,
+    SQL_TPCH_Q21,
+    SQL_TPCH_Q22,
+    SQL_TPCH_Q3,
+    SQL_TPCH_Q4,
+    SQL_TPCH_Q5,
+    SQL_TPCH_Q6,
+    SQL_TPCH_Q7,
+    SQL_TPCH_Q8,
+    SQL_TPCH_Q9,
+    _sql_customer_balance_profile,
+    _sql_lineitem_brand_returns,
+    _sql_orders_monthly_growth,
+    _sql_orders_survival_km,
+    _sql_part_brand_price_spread,
+    _sql_part_price_elasticity,
+    _sql_supplier_hhi,
+    _sql_tpch_q19,
+    q_customer_balance_profile,
+    q_customers_without_orders,
+    q_lineitem_abc_analysis,
+    q_lineitem_brand_returns,
+    q_orders_cohort_ltv,
+    q_orders_gap_stats,
+    q_orders_monthly_growth,
+    q_orders_open_concurrency,
+    q_orders_rfm_segments,
+    q_orders_split_payments,
+    q_orders_survival_km,
+    q_part_brand_price_spread,
+    q_part_price_elasticity,
+    q_part_skyline,
+    q_part_supply_risk,
+    q_supplier_hhi,
+    q_top_orders_per_customer,
+    q_top_revenue_nations,
+    q_tpch_q1,
+    q_tpch_q10_returned_items,
+    q_tpch_q11_important_parts,
+    q_tpch_q12_late_lines,
+    q_tpch_q13_custdist,
+    q_tpch_q14_promo_effect,
+    q_tpch_q15_top_supplier,
+    q_tpch_q16_supplier_cnt,
+    q_tpch_q17_small_qty_revenue,
+    q_tpch_q18_big_orders,
+    q_tpch_q19_disjunctive,
+    q_tpch_q20_promotion_supp,
+    q_tpch_q21_waiting_supp,
+    q_tpch_q22_idle_balances,
+    q_tpch_q2_min_cost_supplier,
+    q_tpch_q3_shipping,
+    q_tpch_q4_priority,
+    q_tpch_q5_local_supplier,
+    q_tpch_q6_forecast_revenue,
+    q_tpch_q7_nation_volume,
+    q_tpch_q8_market_share,
+    q_tpch_q9_product_profit,
 )
-SELECT r.symbol, r.datetime, r.open, r.high, r.low, r.close, r.n_rows
-FROM res r JOIN ext USING (symbol)
-WHERE r.datetime > ext.mn AND r.datetime < ext.mx"""
-
-
-def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _filled(spark, sf_dir)
-
-
-SQL_TS_GAP_FILL = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED}
-SELECT symbol, time_idx, is_gap, close FROM filled"""
-
-
-def q_ts_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _filled(spark, sf_dir)
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    out = df.withColumn("__rn", F.row_number().over(w))
-    for n in (5, 20):
-        frame = w.rowsBetween(-(n - 1), 0)
-        out = out.withColumn(
-            f"sma{n}",
-            F.when(
-                F.col("__rn") >= n,
-                _rne(F.avg("close").over(frame), f"sma{n}", 6),
-            ),
-        )
-    return out.select("symbol", "time_idx", "sma5", "sma20")
-
-
-def _sql_ts_sma() -> str:
-    # route each CASE arm through the guarded rounding so the |x|>=1e12
-    # passthrough matches the Spark-side _rne exactly
-    def arm(n: int) -> str:
-        avg = (
-            f"avg(close) OVER (PARTITION BY symbol ORDER BY time_idx "
-            f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
-        )
-        return (
-            f"CASE WHEN row_number() OVER w >= {n} "
-            f"THEN {_sql_rne_expr(avg)} END AS sma{n}"
-        )
-
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED}
-SELECT symbol, time_idx, {arm(5)}, {arm(20)}
-FROM filled
-WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)"""
-
-
-SQL_TS_SMA = _sql_ts_sma()
-
-
-def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 20-bar z-score anomaly flags per symbol — the
-    monitoring query a data pipeline runs over every series. Variance
-    comes from the explicit avg(x^2) - avg(x)^2 identity on BOTH
-    engines (never the built-in stddev aggregate, whose accumulation
-    algebra differs between engines); the anomaly threshold compares
-    the SHARED-ROUNDED z so a last-ulp difference at the 3.0 boundary
-    cannot flip the flag."""
-    df = _filled(spark, sf_dir)
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    w20 = w.rowsBetween(-19, 0)
-    m = F.avg("close").over(w20)
-    m2 = F.avg(F.col("close") * F.col("close")).over(w20)
-    var = m2 - m * m
-    zr = F.when(
-        var > 0, (F.col("close") - m) / F.sqrt(var)
-    ).otherwise(F.lit(0.0))
-    # z must be computed BEFORE the warm-up filter: window expressions
-    # evaluate over the frame they are selected from, and filtering
-    # first would re-anchor every symbol's 20-row window on the
-    # filtered rows
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .withColumn("z", _rne(zr, "z"))
-        .filter(F.col("__rn") >= 20)
-        .select(
-            "symbol",
-            "time_idx",
-            "z",
-            (F.abs(F.col("z")) > 3.0).cast("int").alias("is_anomaly"),
-        )
-    )
-
-
-def _sql_ts_anomaly() -> str:
-    guarded = (
-        "CASE WHEN m2 - m * m > 0"
-        " THEN (close - m) / sqrt(m2 - m * m) ELSE 0.0 END"
-    )
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-s AS (
-  SELECT symbol, time_idx, close,
-         avg(close) OVER w20 AS m,
-         avg(close * close) OVER w20 AS m2,
-         row_number() OVER wo AS rn
-  FROM filled
-  WINDOW w20 AS (PARTITION BY symbol ORDER BY time_idx
-                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
-         wo AS (PARTITION BY symbol ORDER BY time_idx)
-),
-z AS (
-  SELECT symbol, time_idx, {_sql_rne_expr(guarded)} AS z
-  FROM s WHERE rn >= 20
-)
-SELECT symbol, time_idx, z, (abs(z) > 3.0)::INT AS is_anomaly FROM z"""
-
-
-def q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-length distribution: how many sessions have N events,
-    with total duration per bucket — the report downstream of the
-    sessionize operator (same single-exchange lineage plus one more
-    aggregate)."""
-    s = q_events_sessionize(spark, sf_dir)
-    return s.groupBy("n_events").agg(
-        F.count(F.lit(1)).alias("n_sessions"),
-        F.sum("duration_sec").alias("total_duration_sec"),
-    )
-
-
-def _sql_events_session_stats() -> str:
-    # lazy: SQL_EVENTS_SESSIONS is defined later in the module
-    return f"""
-SELECT n_events, count(*) AS n_sessions,
-       CAST(sum(duration_sec) AS BIGINT) AS total_duration_sec
-FROM ({SQL_EVENTS_SESSIONS})
-GROUP BY 1"""
-
-
-def q_ts_delta_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    # unix_micros requires an instant (LTZ) timestamp; the testdata's
-    # ts is TIMESTAMP_NTZ — the NTZ->LTZ cast preserves the stored
-    # micros bitwise only under UTC, which the session factory and the
-    # __spark_entry__ wrappers pin (asserted here, never set: mutating
-    # global session state at plan-construction time would retroactively
-    # change other lazy plans)
-    ts = F.col("ts")
-    if dict(ev.dtypes)["ts"] == "timestamp_ntz":
-        require_utc(spark)
-        ts = ts.cast("timestamp")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    return (
-        ev.withColumn(
-            "delta_min",
-            F.floor(
-                (F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w)))
-                / F.lit(60_000_000)
-            ),
-        )
-        .filter(F.col("delta_min").isNotNull())
-        .groupBy("delta_min")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-
-
-SQL_TS_DELTA_HIST = """
-SELECT delta_min, count(*) AS cnt FROM (
-  SELECT CAST(floor((epoch_us(ts) - lag(epoch_us(ts)) OVER (
-           PARTITION BY user_id ORDER BY ts)) / 60000000) AS BIGINT) AS delta_min
-  FROM events)
-WHERE delta_min IS NOT NULL
-GROUP BY delta_min"""
-
-
-def q_ts_windows_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = sliding_windows(
-        _filled(spark, sf_dir).select("symbol", "time_idx", "close"), L=8
-    )
-    return w.select(
-        "symbol",
-        "window_id",
-        _r6("center"),
-        _r6("scale"),
-        _r6e(F.element_at("xs", 1), "z_first"),
-        _r6e(F.element_at("xs", 8), "z_last"),
-    )
-
-
-SQL_TS_WINDOWS_STATS = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-win AS (
-  SELECT symbol, time_idx AS window_id,
-         list(close) OVER (PARTITION BY symbol ORDER BY time_idx
-           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS raw
-  FROM filled
-),
-stats AS (
-  SELECT symbol, window_id, raw,
-         list_reduce(raw, (a,b) -> a+b) / 8.0 AS center
-  FROM win WHERE len(raw) = 8
-),
-zs AS (
-  SELECT symbol, window_id, raw, center,
-         sqrt(list_reduce(list_transform(raw, x -> (x-center)*(x-center)),
-              (a,b) -> a+b) / 8.0) AS scale
-  FROM stats
-)
-SELECT symbol, window_id, {_sql_r6('center')}, {_sql_r6('scale')},
-       {_sql_r6e('(raw[1] - center) / (scale + 1e-8)', 'z_first')},
-       {_sql_r6e('(raw[8] - center) / (scale + 1e-8)', 'z_last')}
-FROM zs"""
-
-
-def q_ts_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = add_indicators(_filled_ohlc(spark, sf_dir))
-    r6 = _r6
-    return df.select(
-        "symbol", "time_idx",
-        r6("ret"), r6("logret"), r6("sma20"), r6("bb_upper"), r6("bb_lower"),
-        r6("roc12"), r6("obv"), r6("vwap20"), r6("willr14"),
-        r6("don_upper"), r6("don_lower"), r6("don_mid"),
-    )
-
-
-_SQL_TS_INDICATORS_BODY = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED_OHLC},
-pfx AS (
-  SELECT symbol, time_idx, high, low, close, volume,
-         lag(close) OVER w AS prev,
-         lag(close, 12) OVER w AS prev12,
-         row_number() OVER w AS rn,
-         list(close * volume) OVER f20 AS pvl,
-         list(volume) OVER f20 AS vvl
-  FROM filled
-  WINDOW w AS (PARTITION BY symbol ORDER BY time_idx),
-         f20 AS (PARTITION BY symbol ORDER BY time_idx ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
-),
-lagged AS (
-  -- sequential left-to-right fold == Spark's sliding-frame recompute
-  SELECT * EXCLUDE (pvl, vvl),
-         list_reduce(pvl, (a, b) -> a + b) AS pv_f,
-         list_reduce(vvl, (a, b) -> a + b) AS vv_f
-  FROM pfx
-)
-SELECT symbol, time_idx,
-  close / nullif(prev, 0.0) - 1 AS ret,
-  CASE WHEN close > 0 AND prev > 0 THEN ln(close / prev) END AS logret,
-  CASE WHEN rn >= 20 THEN avg(close) OVER f20 END AS sma20,
-  CASE WHEN rn >= 20
-        THEN avg(close) OVER f20 + 2 * stddev_pop(close) OVER f20 END AS bb_upper,
-  CASE WHEN rn >= 20
-        THEN avg(close) OVER f20 - 2 * stddev_pop(close) OVER f20 END AS bb_lower,
-  100 * (close / nullif(prev12, 0.0) - 1) AS roc12,
-  sum(sign(close - prev) * volume) OVER cum AS obv,
-  pv_f / vv_f AS vwap20,
-  CASE WHEN rn >= 14
-        THEN -100 * (max(high) OVER f14 - close)
-             / nullif(max(high) OVER f14 - min(low) OVER f14, 0.0) END AS willr14,
-  CASE WHEN rn >= 20 THEN max(high) OVER f20 END AS don_upper,
-  CASE WHEN rn >= 20 THEN min(low) OVER f20 END AS don_lower,
-  CASE WHEN rn >= 20
-        THEN (max(high) OVER f20 + min(low) OVER f20) / 2 END AS don_mid
-FROM lagged
-WINDOW f20 AS (PARTITION BY symbol ORDER BY time_idx ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
-       f14 AS (PARTITION BY symbol ORDER BY time_idx ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
-       cum AS (PARTITION BY symbol ORDER BY time_idx ROWS UNBOUNDED PRECEDING)"""
-
-SQL_TS_INDICATORS = _sql_r6_wrap(
-    _SQL_TS_INDICATORS_BODY,
-    ["symbol", "time_idx"],
-    ["ret", "logret", "sma20", "bb_upper", "bb_lower", "roc12", "obv",
-     "vwap20", "willr14", "don_upper", "don_lower", "don_mid"],
-)
-
-
-def q_ts_ema_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = macd(_filled(spark, sf_dir).select("symbol", "time_idx", "close"))
-    r6 = _r6
-    return df.select(
-        "symbol", "time_idx", r6("ema12"), r6("ema26"), r6("macd"),
-        r6("macd_signal"), r6("macd_hist"),
-    )
-
-
-def _sql_ewm(prefix_list: str, alpha_expr: str) -> str:
-    """Sequential ewm recursion y=(1-a)*y+a*x over a prefix list —
-    bitwise-identical to the Arrow UDF's loop."""
-    return (
-        f"list_reduce({prefix_list}, (acc, x) ->"
-        f" (1.0 - {alpha_expr}) * acc + {alpha_expr} * x)"
-    )
-
-
-SQL_TS_EMA_MACD = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-pre AS (
-  SELECT symbol, time_idx,
-         list(close) OVER (PARTITION BY symbol ORDER BY time_idx
-           ROWS UNBOUNDED PRECEDING) AS pfx
-  FROM filled
-),
-e AS (
-  SELECT symbol, time_idx,
-         {_sql_ewm('pfx', '2.0/13.0')} AS ema12,
-         {_sql_ewm('pfx', '2.0/27.0')} AS ema26
-  FROM pre
-),
-m AS (SELECT *, ema12 - ema26 AS macd FROM e),
-mp AS (
-  SELECT symbol, time_idx, ema12, ema26, macd,
-         list(macd) OVER (PARTITION BY symbol ORDER BY time_idx
-           ROWS UNBOUNDED PRECEDING) AS mpfx
-  FROM m
-),
-s AS (SELECT *, {_sql_ewm('mpfx', '2.0/10.0')} AS macd_signal FROM mp)
-SELECT symbol, time_idx, ema12, ema26, macd, macd_signal,
-       macd - macd_signal AS macd_hist
-FROM s"""
-
-SQL_TS_EMA_MACD = _sql_r6_wrap(
+from .registry_ts import (  # noqa: F401
+    SQL_TS_ATR,
+    SQL_TS_CALENDAR,
+    SQL_TS_DEDUP,
+    SQL_TS_DELTA_HIST,
+    SQL_TS_DRAWDOWN,
+    SQL_TS_DROPNA,
+    SQL_TS_DUP_QUALITY,
     SQL_TS_EMA_MACD,
-    ["symbol", "time_idx"],
-    ["ema12", "ema26", "macd", "macd_signal", "macd_hist"],
+    SQL_TS_FEATURE_NULL_RATIO,
+    SQL_TS_GAP_FILL,
+    SQL_TS_NUMERIC_PROFILE,
+    SQL_TS_RESAMPLE,
+    SQL_TS_RESAMPLE_TRIM,
+    SQL_TS_RSI,
+    SQL_TS_SMA,
+    SQL_TS_SPLIT,
+    SQL_TS_TIME_FILTER,
+    SQL_TS_UPDOWN_RUNS,
+    SQL_TS_UPSERT,
+    SQL_TS_WINDOWS_STATS,
+    _flagship_oracle,
+    _flagship_oracle_ctes,
+    _sql_flagship_loss,
+    _sql_ts_acf,
+    _sql_ts_adf_unit_root,
+    _sql_ts_amihud_illiq,
+    _sql_ts_anomaly,
+    _sql_ts_ar2_forecast,
+    _sql_ts_backtest,
+    _sql_ts_capm_beta,
+    _sql_ts_changepoint_meanshift,
+    _sql_ts_conformal_interval,
+    _sql_ts_cusum,
+    _sql_ts_cycle_power,
+    _sql_ts_dow_seasonality,
+    _sql_ts_drawdown_episodes,
+    _sql_ts_ema_scan,
+    _sql_ts_engle_granger,
+    _sql_ts_ewma_vol,
+    _sql_ts_forecast_baselines,
+    _sql_ts_fracdiff,
+    _sql_ts_garch_scan,
+    _sql_ts_garch_vol,
+    _sql_ts_garman_klass_vol,
+    _sql_ts_granger_screen,
+    _sql_ts_haar_energy,
+    _sql_ts_hill_tail,
+    _sql_ts_holt,
+    _sql_ts_holt_winters,
+    _sql_ts_hurst,
+    _sql_ts_intraday_vol_profile,
+    _sql_ts_jarque_bera,
+    _sql_ts_kalman,
+    _sql_ts_kyle_lambda,
+    _sql_ts_leverage_effect,
+    _sql_ts_ljung_box,
+    _sql_ts_macd_backtest,
+    _sql_ts_month_seasonality,
+    _sql_ts_ou_halflife,
+    _sql_ts_pacf,
+    _sql_ts_pairs_signal,
+    _sql_ts_permutation_entropy,
+    _sql_ts_pinball,
+    _sql_ts_range_window_avg,
+    _sql_ts_realized_vol,
+    _sql_ts_risk_ratios,
+    _sql_ts_rolling_corr,
+    _sql_ts_round_price_bias,
+    _sql_ts_runs_ztest,
+    _sql_ts_seasonal,
+    _sql_ts_seasonality_strength,
+    _sql_ts_sma,
+    _sql_ts_spearman_corr,
+    _sql_ts_stress_corr,
+    _sql_ts_symbol_corr_matrix,
+    _sql_ts_tail_dependence,
+    _sql_ts_theta_forecast,
+    _sql_ts_topdown_reconcile,
+    _sql_ts_trend_ols,
+    _sql_ts_twap,
+    _sql_ts_ulcer_index,
+    _sql_ts_underwater_duration,
+    _sql_ts_var_backtest,
+    _sql_ts_var_es,
+    _sql_ts_variance_ratio,
+    _sql_ts_vol_of_vol,
+    _sql_ts_volatility_clustering,
+    _sql_ts_winsorize,
+    _sql_ts_xsec_momentum,
+    _ts_acf_parts,
+    q_flagship,
+    q_flagship_global,
+    q_flagship_loss_math,
+    q_flagship_summary,
+    q_ts_adf_unit_root,
+    q_ts_amihud_illiq,
+    q_ts_anomaly_zscore,
+    q_ts_ar2_forecast,
+    q_ts_atr,
+    q_ts_autocorrelation,
+    q_ts_backtest_folds,
+    q_ts_calendar,
+    q_ts_capm_beta,
+    q_ts_changepoint_meanshift,
+    q_ts_conformal_interval,
+    q_ts_cusum_alarms,
+    q_ts_cycle_power,
+    q_ts_dedup_keep_last,
+    q_ts_delta_hist,
+    q_ts_dow_seasonality,
+    q_ts_drawdown,
+    q_ts_drawdown_episodes,
+    q_ts_dropna_features,
+    q_ts_dup_quality,
+    q_ts_ema_macd,
+    q_ts_ema_scan,
+    q_ts_engle_granger,
+    q_ts_ewma_vol,
+    q_ts_feature_null_ratio,
+    q_ts_forecast_baselines,
+    q_ts_fracdiff,
+    q_ts_gap_fill,
+    q_ts_garch_scan,
+    q_ts_garch_vol,
+    q_ts_garman_klass_vol,
+    q_ts_granger_screen,
+    q_ts_haar_energy,
+    q_ts_hill_tail,
+    q_ts_holt_forecast,
+    q_ts_holt_winters,
+    q_ts_hurst,
+    q_ts_hypertable_rollup,
+    q_ts_incremental_upsert,
+    q_ts_indicators,
+    q_ts_indicators2,
+    q_ts_indicators3,
+    q_ts_indicators4,
+    q_ts_indicators5,
+    q_ts_indicators_all,
+    q_ts_intraday_vol_profile,
+    q_ts_jarque_bera,
+    q_ts_kalman_level,
+    q_ts_kyle_lambda,
+    q_ts_leverage_effect,
+    q_ts_ljung_box,
+    q_ts_macd_backtest,
+    q_ts_month_seasonality,
+    q_ts_numeric_profile,
+    q_ts_ou_halflife,
+    q_ts_pacf,
+    q_ts_pairs_trading_signal,
+    q_ts_permutation_entropy,
+    q_ts_pinball_loss,
+    q_ts_range_window_avg,
+    q_ts_realized_vol,
+    q_ts_recursive_battery,
+    q_ts_resample_6h,
+    q_ts_resample_trimmed,
+    q_ts_risk_ratios,
+    q_ts_rolling_corr,
+    q_ts_round_price_bias,
+    q_ts_rsi,
+    q_ts_runs_ztest,
+    q_ts_savgol,
+    q_ts_seasonal_decompose,
+    q_ts_seasonality_strength,
+    q_ts_sma,
+    q_ts_spearman_corr,
+    q_ts_stress_corr,
+    q_ts_symbol_corr_matrix,
+    q_ts_tail_dependence,
+    q_ts_theta_forecast,
+    q_ts_time_filter,
+    q_ts_topdown_reconcile,
+    q_ts_train_val_split,
+    q_ts_trend_arrow,
+    q_ts_trend_ols,
+    q_ts_trix,
+    q_ts_twap_daily,
+    q_ts_ulcer_index,
+    q_ts_underwater_duration,
+    q_ts_updown_runs,
+    q_ts_var_backtest,
+    q_ts_var_es,
+    q_ts_variance_ratio,
+    q_ts_vol_of_vol,
+    q_ts_volatility_clustering,
+    q_ts_windows_stats,
+    q_ts_winsorize_robust,
+    q_ts_xsec_momentum,
 )
-
-
-def q_ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = rsi(_filled(spark, sf_dir).select("symbol", "time_idx", "close"))
-    return df.select("symbol", "time_idx", _r6("rsi14"))
-
-
-SQL_TS_RSI = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-d AS (
-  SELECT symbol, time_idx,
-         greatest(close - lag(close) OVER w, 0.0) AS gain,
-         greatest(-(close - lag(close) OVER w), 0.0) AS loss
-  FROM filled
-  WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)
-),
-pre AS (
-  SELECT symbol, time_idx,
-         list(gain) OVER wc AS gpfx, list(loss) OVER wc AS lpfx
-  FROM d
-  WINDOW wc AS (PARTITION BY symbol ORDER BY time_idx ROWS UNBOUNDED PRECEDING)
-),
-sm AS (
-  SELECT symbol, time_idx,
-         {_sql_ewm('gpfx', '1.0/14.0')} AS ag,
-         {_sql_ewm('lpfx', '1.0/14.0')} AS al
-  FROM pre
+from .registry_doc import (  # noqa: F401
+    SQL_DOC_BPE_MERGES,
+    _sql_doc_bpe_merges,
+    q_doc_bpe_merges,
+    SQL_DOC_CONTAINMENT,
+    SQL_DOC_EXACT_DUP,
+    SQL_DOC_INCR,
+    SQL_DOC_SEARCH_PHRASE,
+    SQL_DOC_SIMHASH,
+    SQL_DOC_TOP_TERMS,
+    SQL_DOC_UNIGRAM_PPL,
+    SQL_DOC_WINNOW,
+    _sql_doc_augment,
+    _sql_doc_bigram_lm_ppl,
+    _sql_doc_bigram_pmi,
+    _sql_doc_bm25,
+    _sql_doc_char_entropy,
+    _sql_doc_chunks,
+    _sql_doc_ctfidf_class_terms,
+    _sql_doc_curation_decisions,
+    _sql_doc_decontam,
+    _sql_doc_dedup_decisions,
+    _sql_doc_dsir,
+    _sql_doc_dup_ngram_spans,
+    _sql_doc_dup_source_matrix,
+    _sql_doc_heaps_law,
+    _sql_doc_js_divergence,
+    _sql_doc_ks_length_drift,
+    _sql_doc_lang_confusion,
+    _sql_doc_lang_mixture,
+    _sql_doc_lexical_diversity,
+    _sql_doc_ngram_novelty,
+    _sql_doc_normalized_dedup,
+    _sql_doc_overlap_eval_pairs,
+    _sql_doc_pack_sequences,
+    _sql_doc_pii_scrub,
+    _sql_doc_prefix_boilerplate,
+    _sql_doc_quality_filter,
+    _sql_doc_rake_keyphrases,
+    _sql_doc_readability,
+    _sql_doc_repetition,
+    _sql_doc_search_and,
+    _sql_doc_shard_assign,
+    _sql_doc_simpson_diversity,
+    _sql_doc_source_vocab_overlap,
+    _sql_doc_term_burstiness,
+    _sql_doc_text_profile,
+    _sql_doc_textrank,
+    _sql_doc_tfidf,
+    _sql_doc_token_entropy,
+    _sql_doc_vocab_coverage,
+    _sql_doc_weighted_sample,
+    _sql_doc_zipf,
+    q_doc_augment_stats,
+    q_doc_bigram_lm_ppl,
+    q_doc_bigram_pmi,
+    q_doc_bloom_decontam,
+    q_doc_bm25_topk,
+    q_doc_bpe_first_merges,
+    q_doc_char_entropy,
+    q_doc_chunks,
+    q_doc_cms_heavy_hitters,
+    q_doc_containment_pairs,
+    q_doc_ctfidf_class_terms,
+    q_doc_curation_decisions,
+    q_doc_decontam_overlap,
+    q_doc_dedup_decisions,
+    q_doc_dsir_importance,
+    q_doc_dup_clusters,
+    q_doc_dup_ngram_spans,
+    q_doc_dup_source_matrix,
+    q_doc_edit_sim_pairs,
+    q_doc_exact_dup_groups,
+    q_doc_heaps_law,
+    q_doc_incremental_dups,
+    q_doc_js_divergence,
+    q_doc_ks_length_drift,
+    q_doc_lang_confusion,
+    q_doc_lang_mixture_sample,
+    q_doc_lexical_diversity,
+    q_doc_minhash_est_error,
+    q_doc_minhash_pairs,
+    q_doc_minhash_pr_eval,
+    q_doc_ngram_jaccard_pairs,
+    q_doc_ngram_novelty,
+    q_doc_normalized_dedup,
+    q_doc_overlap_eval_pairs,
+    q_doc_pack_sequences,
+    q_doc_pii_scrub,
+    q_doc_prefix_boilerplate,
+    q_doc_quality_filter,
+    q_doc_rake_keyphrases,
+    q_doc_readability,
+    q_doc_repetition,
+    q_doc_search_and,
+    q_doc_search_phrase,
+    q_doc_shard_assign,
+    q_doc_simhash_pairs,
+    q_doc_simpson_diversity,
+    q_doc_source_vocab_overlap,
+    q_doc_term_burstiness,
+    q_doc_text_profile,
+    q_doc_textrank_terms,
+    q_doc_tfidf_topk,
+    q_doc_token_entropy,
+    q_doc_top_terms,
+    q_doc_unigram_ppl,
+    q_doc_vocab_coverage,
+    q_doc_weighted_sample,
+    q_doc_winnow_pairs,
+    q_doc_zipf_fit,
 )
-SELECT symbol, time_idx,
-       CASE WHEN al = 0.0 THEN 100.0
-            ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsi14
-FROM sm"""
-
-SQL_TS_RSI = _sql_r6_wrap(SQL_TS_RSI, ["symbol", "time_idx"], ["rsi14"])
-
-
-def q_ts_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = atr(_filled_ohlc(spark, sf_dir))
-    return df.select("symbol", "time_idx", _r6("atr14"))
-
-
-SQL_TS_ATR = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED_OHLC},
-tr AS (
-  SELECT symbol, time_idx,
-         greatest(high - low,
-                  abs(high - lag(close) OVER w),
-                  abs(low - lag(close) OVER w)) AS tr
-  FROM filled
-  WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)
-),
-pre AS (
-  SELECT symbol, time_idx,
-         list(tr) OVER (PARTITION BY symbol ORDER BY time_idx
-           ROWS UNBOUNDED PRECEDING) AS pfx
-  FROM tr
+from .registry_stream import (  # noqa: F401
+    SQL_STREAM_ATTRIBUTION,
+    SQL_STREAM_DEDUP,
+    SQL_STREAM_EMA,
+    SQL_STREAM_ENRICH,
+    SQL_STREAM_GOLD_SINK,
+    SQL_STREAM_INTERVAL_JOIN,
+    SQL_STREAM_RESAMPLE,
+    SQL_STREAM_RESUME_DELTA,
+    SQL_STREAM_SESSIONS,
+    _sql_stream_ann_ingest,
+    _sql_stream_cms,
+    _sql_stream_cusum,
+    _sql_stream_flagship,
+    _sql_stream_garch_state,
+    _sql_stream_hll,
+    _sql_stream_sliding_topn,
+    q_stream_ann_ingest,
+    q_stream_attribution,
+    q_stream_cms_top_users,
+    q_stream_cusum,
+    q_stream_dedup_ingest,
+    q_stream_dedup_keys,
+    q_stream_ema_state,
+    q_stream_enrich_join,
+    q_stream_flagship_forecast,
+    q_stream_garch_state,
+    q_stream_gold_sink,
+    q_stream_hll_users,
+    q_stream_interval_join,
+    q_stream_resample_6h,
+    q_stream_resume_delta,
+    q_stream_sessionize,
+    q_stream_sliding_topn,
 )
-SELECT symbol, time_idx, {_sql_ewm('pfx', '1.0/14.0')} AS atr14
-FROM pre"""
-
-SQL_TS_ATR = _sql_r6_wrap(SQL_TS_ATR, ["symbol", "time_idx"], ["atr14"])
-
-
-# --------------------------------------------------------------------------
-# k-NN / embedding queries (embeddings table)
-# --------------------------------------------------------------------------
-
-KNN_QUERY_MOD = 199
-KNN_K = 5
-
-
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
-    )
-
-
-def dist_l2_fixed64(a, b):
-    """Flat-codegen 64-dim L2 (bitwise-equal to the dist_l2 fold) for
-    the embeddings table's pair joins."""
-    from ..functions.distance import dist_l2_fixed
-
-    return dist_l2_fixed(a, b, 64)
-
-
-def _knn_query(spark, sf_dir, metric: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    )
-    # flat fixed-dim expressions (bitwise-equal to the sequential
-    # folds, functions/distance.py) so the corpus x queries pair join
-    # stays inside whole-stage codegen — the folds are interpreted
-    # per row, the dominant cost of wide pair joins at scale
-    # the 5-metric union keeps the SEQUENTIAL-FOLD distance forms on
-    # purpose: five 64-dim flat expressions in one query quintuple the
-    # whole-stage-codegen compile cost, which dominates this
-    # brute-force BASELINE at every measured scale (A/B at sf0.1:
-    # fold union 2.5s vs flat union 5.4s warm, while a SINGLE flat
-    # expression beats its fold 0.4s vs 0.65s — flat stays in the
-    # one-expression hot paths: IVF, decontam, matryoshka, hard
-    # negatives). The scale path for k-NN is the IVF/LSH family, not
-    # this union.
-    from ..functions.distance import cos_sim, dist_l1, dist_l2
-
-    v, qv = F.col("v"), F.col("qv")
-    dists = {
-        "cosine": lambda: cos_sim(v, qv),
-        "l2": lambda: dist_l2(v, qv),
-        "l1": lambda: dist_l1(v, qv),
-        # the reference's mu/logvar weighting: full weight on the first
-        # 32 dims, half on the rest (test.ipynb cell 21 cdist_w_cmp)
-        "weighted_l2": lambda: weighted_dist(
-            v, qv, split=32, dist=dist_l2
-        ),
-        "weighted_cosine": lambda: weighted_dist(
-            v, qv, split=32, dist=cos_sim
-        ),
-    }
-    dist = dists[metric]()
-    cand = (
-        emb.join(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", dist.alias("dist"))
-    )
-    order = (
-        [F.col("dist").desc(), F.col("vec_id").asc()]
-        if metric in ("cosine", "weighted_cosine")
-        else [F.col("dist").asc(), F.col("vec_id").asc()]
-    )
-    w = Window.partitionBy("q_id").orderBy(*order)
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KNN_K)
-        .select("q_id", "vec_id", "rank", _r6("dist"))
-    )
-
-
-def q_knn_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _knn_query(spark, sf_dir, "l2")
-
-
-def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _knn_query(spark, sf_dir, "cosine")
-
-
-def q_knn_l1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _knn_query(spark, sf_dir, "l1")
-
-
-def q_knn_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _knn_query(spark, sf_dir, "weighted_l2")
-
-
-def q_knn_weighted_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _knn_query(spark, sf_dir, "weighted_cosine")
-
-
-def _sql_l1(a: str, b: str) -> str:
-    return (
-        f"list_reduce(list_transform(list_zip({a}, {b}),"
-        f" p -> abs(p[1]-p[2])), (x,y) -> x+y)"
-    )
-
-
-def _sql_knn(metric: str) -> str:
-    order = "dist ASC, vec_id ASC"
-    if metric == "cosine":
-        d = f"{_sql_dot('e.v', 'q.qv')} / ({_sql_norm('e.v')} * {_sql_norm('q.qv')})"
-        order = "dist DESC, vec_id ASC"
-    elif metric == "l1":
-        d = _sql_l1("e.v", "q.qv")
-    elif metric == "weighted_l2":
-        d = (
-            f"{_sql_l2('e.v[1:32]', 'q.qv[1:32]')}"
-            f" + {_sql_l2('e.v[33:64]', 'q.qv[33:64]')} / 2.0"
-        )
-    elif metric == "weighted_cosine":
-        cos_h = (
-            f"{_sql_dot('e.v[1:32]', 'q.qv[1:32]')}"
-            f" / ({_sql_norm('e.v[1:32]')} * {_sql_norm('q.qv[1:32]')})"
-        )
-        cos_t = (
-            f"{_sql_dot('e.v[33:64]', 'q.qv[33:64]')}"
-            f" / ({_sql_norm('e.v[33:64]')} * {_sql_norm('q.qv[33:64]')})"
-        )
-        d = f"{cos_h} + {cos_t} / 2.0"
-        order = "dist DESC, vec_id ASC"
-    else:
-        d = _sql_l2("e.v", "q.qv")
-    return f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % {KNN_QUERY_MOD} = 0),
-cand AS (
-  SELECT q.q_id, e.vec_id, {d} AS dist
-  FROM emb e CROSS JOIN q
-  WHERE e.vec_id <> q.q_id
-),
-ranked AS (
-  SELECT q_id, vec_id, dist,
-         CAST(row_number() OVER (PARTITION BY q_id ORDER BY {order}) AS INT) AS rank
-  FROM cand
-)
-SELECT q_id, vec_id, rank, {_sql_r6('dist')} FROM ranked WHERE rank <= {KNN_K}"""
-
-
-def q_emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    return (
-        emb.select("label", F.posexplode("v").alias("pos0", "x"))
-        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
-        .agg(_r6e(F.avg("x"), "centroid"), F.count(F.lit(1)).alias("n"))
-    )
-
-
-SQL_EMB_CENTROID = f"""
-SELECT label, i::INT AS pos,
-       {_sql_rne('avg(v[i])', 'centroid')},
-       count(*) AS n
-FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
-     LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
-GROUP BY label, pos"""
-
-
-# --------------------------------------------------------------------------
-# relational queries (TPC-H-shaped tables)
-# --------------------------------------------------------------------------
-
-
-def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-shaped pricing summary. Money sums via exact DECIMAL."""
-    li = load_table(spark, sf_dir, "lineitem")
-    dec = lambda c, p=18, s=2: F.col(c).cast(f"decimal({p},{s})")  # noqa: E731
-    one = F.lit(1).cast("decimal(3,2)")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2024-01-20 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(dec("l_extendedprice") * (one - dec("l_discount", 3, 2)))
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.sum(
-                dec("l_extendedprice")
-                * (one - dec("l_discount", 3, 2))
-                * (one + dec("l_tax", 3, 2))
-            )
-            .cast("double")
-            .alias("sum_charge"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
-        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
-    )
-
-
-SQL_TPCH_Q1 = """
-SELECT l_returnflag, l_linestatus,
-       sum(l_quantity) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
-         AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) *
-                (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
-         AS sum_charge,
-       count(*) AS count_order,
-       sum(l_quantity) / count(*) AS avg_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2024-01-20 00:00:00'
-GROUP BY l_returnflag, l_linestatus"""
-
-
-def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-shaped: top-10 unshipped orders by revenue for one
-    market segment. 3-way join — the segment-filtered customer side
-    prunes orders, lineitem joins on the order key; exact DECIMAL
-    revenue; total (revenue DESC, orderkey) order makes the limit
-    deterministic. No broadcast hint: customer is a filtered fraction
-    of a table that grows with SF, so the choice is left to AQE, which
-    broadcasts it at small scale (observed runtime size under the
-    threshold) and falls back to shuffle join when it outgrows that —
-    a hardcoded hint would pin the 100x-scale plan to the toy-scale
-    decision."""
-    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
-    cust = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < cutoff
-    )
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > cutoff
-    )
-    dec = lambda c, p=18, s=2: F.col(c).cast(f"decimal({p},{s})")  # noqa: E731
-    one = F.lit(1).cast("decimal(3,2)")
-    return (
-        li.join(
-            orders.join(
-                cust, F.col("o_custkey") == F.col("c_custkey")
-            ).select("o_orderkey", "o_orderdate"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.sum(dec("l_extendedprice") * (one - dec("l_discount", 3, 2)))
-            .cast("double")
-            .alias("revenue")
-        )
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
-        .limit(10)
-    )
-
-
-SQL_TPCH_Q3 = """
-SELECT l_orderkey, o_orderdate,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
-            AS DOUBLE) AS revenue
-FROM customer, orders, lineitem
-WHERE c_mktsegment = 'BUILDING'
-  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
-  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
-  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
-GROUP BY l_orderkey, o_orderdate
-ORDER BY revenue DESC, l_orderkey ASC
-LIMIT 10"""
-
-
-def q_tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4-shaped: order counts per priority where at least one
-    line shipped >30 days after the order date — a LEFT SEMI join with
-    a non-equi condition (EXISTS pushdown shape)."""
-    orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-    )
-    li = load_table(spark, sf_dir, "lineitem")
-    late = orders.join(
-        li,
-        (F.col("l_orderkey") == F.col("o_orderkey"))
-        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
-        "left_semi",
-    )
-    return late.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("order_count")
-    )
-
-
-SQL_TPCH_Q4 = """
-SELECT o_orderpriority, count(*) AS order_count
-FROM orders
-WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-  AND EXISTS (SELECT 1 FROM lineitem
-              WHERE l_orderkey = o_orderkey
-                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
-GROUP BY o_orderpriority"""
-
-
-def q_tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18-shaped: orders whose total quantity exceeds a
-    threshold — an aggregate-subquery SEMI join. The inner aggregate
-    shuffles once on l_orderkey; the qualifying key set is tiny (the
-    whole point of the HAVING) and semi-joins back into the same
-    aggregate's output, so Catalyst reuses the exchange. Quantities
-    are exact DECIMAL sums cast to double only for emission."""
-    li = load_table(spark, sf_dir, "lineitem")
-    totals = li.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty")
-    )
-    big = totals.filter(F.col("sum_qty") > 400)
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(
-            "o_orderkey",
-            "o_orderdate",
-            "o_orderpriority",
-            F.col("sum_qty").cast("double").alias("total_qty"),
-        )
-    )
-
-
-SQL_TPCH_Q18 = """
-SELECT o_orderkey, o_orderdate, o_orderpriority,
-       CAST(sum_qty AS DOUBLE) AS total_qty
-FROM orders JOIN (
-  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
-  FROM lineitem GROUP BY 1
-) ON o_orderkey = l_orderkey
-WHERE sum_qty > 400"""
-
-
-def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer by exact DECIMAL order value — the
-    canonical top-N-per-group window pattern (rank inside the
-    customer partition after one keyed aggregate; total ordering via
-    the orderkey tie-break keeps the cut deterministic)."""
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("val").desc(), F.col("o_orderkey").asc()
-    )
-    return (
-        orders.select(
-            "o_custkey",
-            "o_orderkey",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("val"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select(
-            "o_custkey",
-            "rank",
-            "o_orderkey",
-            F.col("val").cast("double").alias("order_value"),
-        )
-    )
-
-
-SQL_TOP_ORDERS_PER_CUSTOMER = """
-SELECT o_custkey, rank, o_orderkey, CAST(val AS DOUBLE) AS order_value
-FROM (
-  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS val,
-         CAST(row_number() OVER (PARTITION BY o_custkey
-              ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
-                       o_orderkey ASC) AS INT) AS rank
-  FROM orders
-)
-WHERE rank <= 3"""
-
-
-def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Segment counts of customers with no orders SINCE 2000-01-01 —
-    LEFT ANTI join (NOT EXISTS shape)."""
-    cust = load_table(spark, sf_dir, "customer")
-    recent = (
-        load_table(spark, sf_dir, "orders")
-        .filter(
-            F.col("o_orderdate")
-            >= F.lit("2000-01-01 00:00:00").cast("timestamp")
-        )
-        .select("o_custkey")
-    )
-    return (
-        cust.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-    )
-
-
-SQL_CUSTOMERS_NO_ORDERS = """
-SELECT c_mktsegment, count(*) AS n_customers
-FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders
-                  WHERE o_custkey = c_custkey
-                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
-GROUP BY c_mktsegment"""
-
-
-def q_top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue per nation. Only the 25-row `nation` dim is broadcast;
-    lineitem⋈orders⋈customer scale with the fact side, so they are left
-    to AQE (shuffle/sort-merge, or runtime broadcast when a side turns
-    out small) — an explicit broadcast there OOMs executors at 100x."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
-    one = F.lit(1).cast("decimal(3,2)")
-    return (
-        li.join(orders.select("o_orderkey", "o_custkey"),
-                li.l_orderkey == F.col("o_orderkey"))
-        .join(cust.select("c_custkey", "c_nationkey"),
-              F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
-              F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("n_name")
-        .agg(
-            F.sum(dec("l_extendedprice") * (one - F.col("l_discount").cast("decimal(3,2)")))
-            .cast("double")
-            .alias("revenue"),
-            F.count(F.lit(1)).alias("n_lineitems"),
-        )
-    )
-
-
-SQL_TOP_REVENUE_NATIONS = """
-SELECT n_name,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
-         AS revenue,
-       count(*) AS n_lineitems
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-GROUP BY n_name"""
-
-
-def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-shaped: revenue per nation where the customer and the
-    line's supplier share a nation inside one region — the classic
-    6-table snowflake join. Join strategy by size class: `region` and
-    `nation` are constant-size dims (5/25 rows at every SF) and are
-    broadcast EXPLICITLY — their filter (`r_name`, and transitively
-    the region's nation set) then prunes the supplier/customer sides
-    at the scan instead of after a shuffle. supplier/customer/orders/
-    lineitem all grow with SF, so their joins are left to AQE. The
-    c_nationkey = s_nationkey condition rides the customer⋈supplier
-    equi-join keys instead of a post-join filter, keeping every join
-    an equi-join (no nested-loop anywhere)."""
-    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
-    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
-    asia_nations = (
-        load_table(spark, sf_dir, "nation")
-        .join(
-            F.broadcast(
-                load_table(spark, sf_dir, "region").filter(
-                    F.col("r_name") == "ASIA"
-                )
-            ),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-        .select("n_nationkey", "n_name")
-    )
-    supp = load_table(spark, sf_dir, "supplier").join(
-        F.broadcast(asia_nations),
-        F.col("s_nationkey") == F.col("n_nationkey"),
-    )
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
-    )
-    li = load_table(spark, sf_dir, "lineitem")
-    dec = lambda c, p=18, s=2: F.col(c).cast(f"decimal({p},{s})")  # noqa: E731
-    one = F.lit(1).cast("decimal(3,2)")
-    return (
-        li.join(orders.select("o_orderkey", "o_custkey"),
-                F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(supp.select("s_suppkey", "s_nationkey", "n_name"),
-              F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(
-            cust.select("c_custkey", "c_nationkey"),
-            (F.col("o_custkey") == F.col("c_custkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .groupBy("n_name")
-        .agg(
-            F.sum(dec("l_extendedprice") * (one - dec("l_discount", 3, 2)))
-            .cast("double")
-            .alias("revenue"),
-            F.count(F.lit(1)).alias("n_lineitems"),
-        )
-    )
-
-
-SQL_TPCH_Q5 = """
-SELECT n_name,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
-            AS DOUBLE) AS revenue,
-       count(*) AS n_lineitems
-FROM customer, orders, lineitem, supplier, nation, region
-WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-  AND r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-GROUP BY n_name"""
-
-
-def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10-shaped: top-20 customers by revenue lost to returned
-    lineitems in one quarter. The returnflag + date filters reach the
-    scans (pushdown), the l⋈o⋈c joins are AQE-planned, `nation` is an
-    explicit broadcast; exact DECIMAL revenue makes the DESC sort —
-    and therefore the LIMIT cut (c_custkey tie-break) —
-    deterministic."""
-    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
-    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_returnflag") == "R"
-    )
-    orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
-    )
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    dec = lambda c, p=18, s=2: F.col(c).cast(f"decimal({p},{s})")  # noqa: E731
-    one = F.lit(1).cast("decimal(3,2)")
-    return (
-        li.join(orders.select("o_orderkey", "o_custkey"),
-                F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
-              F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(
-            F.sum(dec("l_extendedprice") * (one - dec("l_discount", 3, 2)))
-            .cast("double")
-            .alias("revenue")
-        )
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-        .limit(20)
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
-    )
-
-
-SQL_TPCH_Q10 = """
-SELECT c_custkey, c_name,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
-            AS DOUBLE) AS revenue,
-       c_acctbal, n_name
-FROM customer, orders, lineitem, nation
-WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
-  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
-GROUP BY c_custkey, c_name, c_acctbal, n_name
-ORDER BY revenue DESC, c_custkey ASC
-LIMIT 20"""
-
-
-def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6-shaped: single-table filter + aggregate. The whole
-    query is scan-side: all three predicates push down to the parquet
-    scan (range on shipdate, range on discount, bound on quantity),
-    the projection prunes to three columns, and the DECIMAL
-    revenue/count partially aggregate map-side — at 100 TB this query
-    is I/O-bound by exactly the rows and bytes it needs and nothing
-    else. The canonical pushdown/pruning probe."""
-    li = load_table(spark, sf_dir, "lineitem")
-    dec = lambda c, p=18, s=2: F.col(c).cast(f"decimal({p},{s})")  # noqa: E731
-    out = li.filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_discount") >= 0.05)
-        & (F.col("l_discount") <= 0.07)
-        & (F.col("l_quantity") < 24)
-    )
-    return out.agg(
-        F.sum(dec("l_extendedprice") * dec("l_discount", 3, 2))
-        .cast("double")
-        .alias("revenue"),
-        F.count(F.lit(1)).alias("n_lineitems"),
-    )
-
-
-SQL_TPCH_Q6 = """
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
-       count(*) AS n_lineitems
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-  AND l_discount >= 0.05 AND l_discount <= 0.07
-  AND l_quantity < 24"""
-
-
-def q_tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14-shaped: promo revenue share for one month — a
-    conditional aggregate over a fact⋈dim join. ``part`` grows with SF
-    so the join is AQE-planned (broadcast at toy scale, shuffle at
-    100x); the date filter prunes lineitem at the scan BEFORE the
-    join. DECIMAL sums make both the numerator and denominator exact,
-    so the ratio is one double division — identical in both
-    engines."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
-    )
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    dec = lambda c, p=18, s=2: F.col(c).cast(f"decimal({p},{s})")  # noqa: E731
-    one = F.lit(1).cast("decimal(3,2)")
-    rev = dec("l_extendedprice") * (one - dec("l_discount", 3, 2))
-    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
-    agg = joined.agg(
-        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(
-            F.lit(0).cast("decimal(19,4)")
-        )).alias("promo"),
-        F.sum(rev).alias("total"),
-        F.count(F.lit(1)).alias("n_lineitems"),
-    )
-    return agg.select(
-        _r6e(
-            F.lit(100.0) * F.col("promo").cast("double")
-            / F.col("total").cast("double"),
-            "promo_revenue_pct",
-        ),
-        F.col("promo").cast("double").alias("promo_revenue"),
-        F.col("total").cast("double").alias("total_revenue"),
-        "n_lineitems",
-    )
-
-
-SQL_TPCH_Q14 = f"""
-WITH j AS (
-  SELECT p_type,
-         CAST(l_extendedprice AS DECIMAL(18,2)) *
-         (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS rev
-  FROM lineitem JOIN part ON l_partkey = p_partkey
-  WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
-    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
-),
-agg AS (
-  SELECT sum(CASE WHEN p_type = 'PROMO' THEN rev
-             ELSE CAST(0 AS DECIMAL(19,4)) END) AS promo,
-         sum(rev) AS total, count(*) AS n_lineitems
-  FROM j
-)
-SELECT {_sql_rne("100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE)",
-                 "promo_revenue_pct")},
-       CAST(promo AS DOUBLE) AS promo_revenue,
-       CAST(total AS DOUBLE) AS total_revenue, n_lineitems
-FROM agg"""
-
-
-SCD2_TIER_DIV = 100.0
-
-
-def q_events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 temporal-dimension build (gaps-and-islands): each user's
-    signup events define a tier; consecutive same-tier signups
-    collapse and each island becomes a validity interval
-    [valid_from, valid_to) with an is_current flag — the
-    slowly-changing-dimension type-2 table every warehouse maintains.
-    Plan: ONE shuffle on user_id reused by all three windows (dedup
-    row_number, change-detect lag, interval-close lead) — Catalyst
-    collapses same-partitioning windows into one sort, no second
-    exchange. At 100 TB this is a single keyed sort per user
-    partition; the dimension output is tiny relative to the event
-    scan."""
-    ev = load_table(spark, sf_dir, "events")
-    s = ev.filter(F.col("event_type") == "signup").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.expr(f"CAST(floor(value / {SCD2_TIER_DIV}) AS INT)").alias("tier"),
-    )
-    # dedup WITHOUT a (user_id, ts) exchange: ordered (ts, event_id
-    # DESC) per user, the first row of each ts-run is the max-event_id
-    # keeper — same user_id partitioning as the windows below, so the
-    # whole query rides one exchange
-    wd = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").desc()
-    )
-    dedup = (
-        s.withColumn("prev_ts", F.lag("ts").over(wd))
-        .filter(F.col("prev_ts").isNull() | (F.col("prev_ts") != F.col("ts")))
-        .drop("prev_ts")
-    )
-    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = dedup.withColumn(
-        "prev_tier", F.lag("tier").over(wu)
-    ).filter(
-        F.col("prev_tier").isNull() | (F.col("prev_tier") != F.col("tier"))
-    )
-    wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return changes.select(
-        F.col("user_id").alias("symbol"),
-        "tier",
-        F.col("ts").alias("valid_from"),
-        F.lead("ts").over(wv).alias("valid_to"),
-        F.lead("ts").over(wv).isNull().alias("is_current"),
-    )
-
-
-SQL_EVENTS_SCD2 = f"""
-WITH s AS (
-  SELECT user_id, ts, event_id,
-         CAST(floor(value / {SCD2_TIER_DIV}) AS INT) AS tier,
-         row_number() OVER (PARTITION BY user_id, ts
-           ORDER BY event_id DESC) AS rn
-  FROM events WHERE event_type = 'signup'
-),
-d AS (SELECT user_id, ts, event_id, tier FROM s WHERE rn = 1),
-c AS (
-  SELECT *, lag(tier) OVER (PARTITION BY user_id
-              ORDER BY ts, event_id) AS prev_tier
-  FROM d
-),
-isl AS (
-  SELECT user_id, ts, event_id, tier FROM c
-  WHERE prev_tier IS NULL OR prev_tier <> tier
-)
-SELECT user_id AS symbol, tier, ts AS valid_from,
-       lead(ts) OVER w AS valid_to,
-       lead(ts) OVER w IS NULL AS is_current
-FROM isl
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
-
-
-# --------------------------------------------------------------------------
-# document/text queries (documents table)
-# --------------------------------------------------------------------------
-
-
-def q_doc_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.withColumn("text_hash", F.md5("text"))
-        .groupBy("text_hash")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("keep_doc_id"),
-        )
-    )
-
-
-SQL_DOC_EXACT_DUP = """
-SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
-FROM documents GROUP BY 1"""
-
-
-# --------------------------------------------------------------------------
-# text analysis: quality, language-ID, fingerprint (documents table)
-# --------------------------------------------------------------------------
-
-SQL_TOKS = f"""toks AS (
-  SELECT doc_id, lang, text, {sql_tokens('text')} AS tok FROM documents
-)"""
-
-
-# --------------------------------------------------------------------------
-# near-duplicate detection: MinHash-LSH, SimHash, n-gram Jaccard
-# --------------------------------------------------------------------------
-
-NEAR_DUP_TAU = 0.2
-
-
-def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    out = minhash_lsh_pairs(docs, threshold=NEAR_DUP_TAU)
-    return out.select("id_i", "id_j", _r6("jac"))
-
-
-def _sql_minhash_sig() -> str:
-    a, b = minhash_coeffs()
-    mins = ", ".join(
-        f"list_min(list_transform(h, x -> ({ai} * x + {bi}) % {MH_PRIME}))"
-        for ai, bi in zip(a, b)
-    )
-    return f"[{mins}]"
-
-
-def _sql_band_arms(table: str, bands: int = MH_BANDS, rows: int = MH_ROWS) -> str:
-    arms = []
-    for bi in range(bands):
-        key = " || '_' || ".join(
-            f"sig[{bi * rows + j + 1}]::VARCHAR" for j in range(rows)
-        )
-        arms.append(
-            f"SELECT doc_id, {bi} AS band, {key} AS key FROM {table}"
-        )
-    return " UNION ALL ".join(arms)
-
-
-def _sql_jaccard(a: str, b: str) -> str:
-    union = f"len(list_distinct(list_concat({a}, {b})))"
-    return (
-        f"(len({a}) + len({b}) - {union})::DOUBLE"
-        f" / nullif({union}, 0)::DOUBLE"
-    )
-
-
-# shared CTE prefix: tokenize -> shingle -> hash -> signatures ->
-# banded bucket rows -> candidate pairs. ONE definition feeds the
-# pairs oracle AND the estimate-error oracle so a sketch-contract edit
-# can't silently desync them (the same rule as _sql_ivf_base).
-_SQL_MINHASH_CAND_CTES = f"""{SQL_TOKS},
-s AS (SELECT doc_id, {sql_shingles('tok', 3)} AS sh FROM toks),
-sf AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
-hs AS (
-  SELECT doc_id, sh,
-         list_transform(sh, s -> {sql_hash60('s')} % {MH_PRIME}) AS h
-  FROM sf
-),
-sigs AS (SELECT doc_id, sh, {_sql_minhash_sig()} AS sig FROM hs),
-banded AS ({_sql_band_arms('sigs')}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_i, b.doc_id AS id_j
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-)"""
-
-_SQL_DOC_MINHASH_BODY = f"""WITH {_SQL_MINHASH_CAND_CTES},
-ver AS (
-  SELECT c.id_i, c.id_j, {_sql_jaccard('x.sh', 'y.sh')} AS jac
-  FROM cand c
-  JOIN sf x ON x.doc_id = c.id_i
-  JOIN sf y ON y.doc_id = c.id_j
-)
-SELECT id_i, id_j, jac FROM ver WHERE jac >= {NEAR_DUP_TAU}"""
-
-SQL_DOC_MINHASH = _sql_r6_wrap(
-    _SQL_DOC_MINHASH_BODY, ["id_i", "id_j"], ["jac"]
-)
-
-
-EDIT_SIM_TAU = 0.4
-
-
-def q_doc_overlap_eval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Generation-eval metrics over the near-dup candidate pairs:
-    BLEU-2 (clipped 1/2-gram precisions, geometric mean, brevity
-    penalty; Papineni et al. 2002) and ROUGE-1 recall (Lin 2004),
-    treating the lower doc_id as reference and the higher as
-    candidate — the eval-metric family a training pipeline runs over
-    (reference, generation) pairs, here driven by the MinHash sketch
-    so the pair set is candidate-sized, never all-pairs. Clipped
-    multiset overlaps are integer sums over a (doc, gram) count frame
-    joined pair-wise (grams use the positional bigram builder — order
-    matters for BLEU); only the final ratios / exp / sqrt run in
-    float, identically shaped in both engines."""
-    docs = load_table(spark, sf_dir, "documents")
-    cand = minhash_candidate_pairs(docs)
-    tok = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
-    uni = (
-        tok.select("doc_id", F.explode("tok").alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    big = (
-        tok.select(
-            "doc_id", F.explode(pos_shingles(F.col("tok"), 2)).alias("g")
-        )
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    lens = tok.select("doc_id", F.size("tok").cast("long").alias("n_tok"))
-
-    def clipped(counts, n):
-        cd = counts.withColumnsRenamed({"doc_id": "id_j", "c": "cc"})
-        rf = counts.withColumnsRenamed({"doc_id": "id_i", "c": "cr"})
-        return (
-            cand.join(cd, "id_j")
-            .join(rf, ["id_i", "g"], "left")
-            .groupBy("id_i", "id_j")
-            .agg(
-                F.sum(
-                    F.least(F.col("cc"), F.coalesce(F.col("cr"), F.lit(0)))
-                ).alias(f"ov{n}"),
-                F.sum("cc").alias(f"tot{n}"),
-            )
-        )
-
-    j = (
-        cand.join(clipped(uni, 1), ["id_i", "id_j"])
-        .join(clipped(big, 2), ["id_i", "id_j"], "left")
-        .join(
-            lens.withColumnsRenamed(
-                {"doc_id": "id_i", "n_tok": "len_r"}
-            ),
-            "id_i",
-        )
-        .join(
-            lens.withColumnsRenamed(
-                {"doc_id": "id_j", "n_tok": "len_c"}
-            ),
-            "id_j",
-        )
-    )
-    p1 = F.col("ov1").cast("double") / F.col("tot1").cast("double")
-    p2 = F.when(
-        F.col("tot2") > 0,
-        F.col("ov2").cast("double") / F.col("tot2").cast("double"),
-    )
-    rouge1 = F.when(
-        F.col("len_r") > 0,
-        F.col("ov1").cast("double") / F.col("len_r").cast("double"),
-    )
-    bp = F.when(F.col("len_c") >= F.col("len_r"), F.lit(1.0)).otherwise(
-        F.exp(
-            1.0
-            - F.col("len_r").cast("double") / F.col("len_c").cast("double")
-        )
-    )
-    x = j.select(
-        "id_i", "id_j", "ov1", "ov2", "len_r", "len_c",
-        p1.alias("p1"), p2.alias("p2"),
-        rouge1.alias("rouge1"), bp.alias("bp"),
-    )
-    bleu2 = F.when(
-        (F.col("p1") > 0) & (F.col("p2") > 0),
-        F.col("bp") * F.sqrt(F.col("p1") * F.col("p2")),
-    ).otherwise(0.0)
-    return x.select(
-        "id_i", "id_j", "ov1", "ov2", "len_r", "len_c",
-        _rne(F.col("p1"), "p1", 6),
-        _rne(F.col("p2"), "p2", 6),
-        _rne(F.col("rouge1"), "rouge1", 6),
-        _rne(bleu2, "bleu2", 6),
-    )
-
-
-def _sql_doc_overlap_eval_pairs() -> str:
-    body = f"""WITH {_SQL_MINHASH_CAND_CTES},
-unic AS (
-  SELECT doc_id, g, count(*) AS c
-  FROM (SELECT doc_id, unnest(tok) AS g FROM toks) GROUP BY 1, 2),
-bigc AS (
-  SELECT doc_id, g, count(*) AS c
-  FROM (SELECT doc_id, unnest({sql_pos_shingles('tok', 2)}) AS g
-        FROM toks) GROUP BY 1, 2),
-lens AS (SELECT doc_id, len(tok)::BIGINT AS n_tok FROM toks),
-u AS (
-  SELECT c.id_i, c.id_j,
-         CAST(sum(least(cd.c, coalesce(rf.c, 0))) AS BIGINT) AS ov1,
-         CAST(sum(cd.c) AS BIGINT) AS tot1
-  FROM cand c JOIN unic cd ON cd.doc_id = c.id_j
-  LEFT JOIN unic rf ON rf.doc_id = c.id_i AND rf.g = cd.g
-  GROUP BY 1, 2),
-b AS (
-  SELECT c.id_i, c.id_j,
-         CAST(sum(least(cd.c, coalesce(rf.c, 0))) AS BIGINT) AS ov2,
-         CAST(sum(cd.c) AS BIGINT) AS tot2
-  FROM cand c JOIN bigc cd ON cd.doc_id = c.id_j
-  LEFT JOIN bigc rf ON rf.doc_id = c.id_i AND rf.g = cd.g
-  GROUP BY 1, 2),
-x AS (
-  SELECT c.id_i, c.id_j, u.ov1, b.ov2, lr.n_tok AS len_r,
-         lc.n_tok AS len_c,
-         u.ov1::DOUBLE / u.tot1::DOUBLE AS p1,
-         CASE WHEN b.tot2 > 0
-              THEN b.ov2::DOUBLE / b.tot2::DOUBLE END AS p2,
-         CASE WHEN lr.n_tok > 0
-              THEN u.ov1::DOUBLE / lr.n_tok::DOUBLE END AS rouge1,
-         CASE WHEN lc.n_tok >= lr.n_tok THEN 1.0
-              ELSE exp(1.0 - lr.n_tok::DOUBLE / lc.n_tok::DOUBLE)
-              END AS bp
-  FROM cand c JOIN u USING (id_i, id_j)
-  LEFT JOIN b USING (id_i, id_j)
-  JOIN lens lr ON lr.doc_id = c.id_i
-  JOIN lens lc ON lc.doc_id = c.id_j)
-SELECT id_i, id_j, ov1, ov2, len_r, len_c, p1, p2, rouge1,
-       CASE WHEN p1 > 0 AND p2 > 0 THEN bp * sqrt(p1 * p2)
-            ELSE 0.0 END AS bleu2
-FROM x"""
-    return _sql_r6_wrap(
-        body, ["id_i", "id_j", "ov1", "ov2", "len_r", "len_c"],
-        ["p1", "p2", "rouge1", "bleu2"],
-    )
-
-
-def q_doc_edit_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs verified by EXACT edit distance: MinHash-
-    LSH proposes candidates, Levenshtein scores them, sim = 1 -
-    ed/max(len) thresholds at 0.4 — the candidate-only-expensive-
-    verify pattern with a true string metric (shingle Jaccard can
-    score reordered-but-distinct docs high; edit distance cannot).
-    Scale: Levenshtein is O(len²) per pair, so all-pairs is impossible
-    at corpus scale — the sketch restricts DP work to candidate
-    buckets, and a LOSSLESS length-gap prefilter (ed >= |len_i-len_j|,
-    so |Δlen| > (1-τ)·maxlen already caps sim below τ) skips the DP
-    for hopeless candidates before it runs. Deterministic end to end:
-    integer ed, single-division sim."""
-    docs = load_table(spark, sf_dir, "documents")
-    cand = minhash_candidate_pairs(docs)
-    t = docs.select(
-        "doc_id", "text", F.length("text").cast("int").alias("len")
-    )
-    j = cand.join(
-        t.withColumnsRenamed(
-            {"doc_id": "id_i", "text": "text_i", "len": "len_i"}
-        ),
-        "id_i",
-    ).join(
-        t.withColumnsRenamed(
-            {"doc_id": "id_j", "text": "text_j", "len": "len_j"}
-        ),
-        "id_j",
-    )
-    maxlen = F.greatest("len_i", "len_j")
-    pre = j.filter(
-        F.abs(F.col("len_i") - F.col("len_j"))
-        <= F.lit(1.0 - EDIT_SIM_TAU) * maxlen
-    )
-    out = (
-        pre.withColumn("ed", F.levenshtein("text_i", "text_j"))
-        .withColumn(
-            "sim", F.lit(1.0) - F.col("ed") / maxlen.cast("double")
-        )
-        .filter(F.col("sim") >= F.lit(EDIT_SIM_TAU))
-    )
-    return out.select("id_i", "id_j", "ed", "len_i", "len_j", _r6("sim"))
-
-
-def _sql_edit_sim_pairs() -> str:
-    # the Spark side's length-gap prefilter is a lossless cost cut
-    # (implied by the final sim filter), so the oracle omits it
-    body = f"""WITH {_SQL_MINHASH_CAND_CTES},
-ver AS (
-  SELECT c.id_i, c.id_j,
-         CAST(levenshtein(x.text, y.text) AS INT) AS ed,
-         CAST(length(x.text) AS INT) AS len_i,
-         CAST(length(y.text) AS INT) AS len_j
-  FROM cand c
-  JOIN documents x ON x.doc_id = c.id_i
-  JOIN documents y ON y.doc_id = c.id_j
-),
-scored AS (
-  SELECT id_i, id_j, ed, len_i, len_j,
-         1.0 - CAST(ed AS DOUBLE) / greatest(len_i, len_j) AS sim
-  FROM ver
-)
-SELECT id_i, id_j, ed, len_i, len_j, sim
-FROM scored WHERE sim >= {EDIT_SIM_TAU}"""
-    return _sql_r6_wrap(
-        body, ["id_i", "id_j", "ed", "len_i", "len_j"], ["sim"]
-    )
-
-
-# the "new batch" is the top tenth of the id space — RELATIVE to the
-# corpus, so the daily-ingest shape (small batch vs big seen corpus)
-# holds at every scale factor; an absolute cutoff inverted the cost
-# model at sf0.1 (92% of docs counted as "new"). Integer arithmetic
-# ((max+1)*9)//10 is bitwise-identical in Python and DuckDB.
-INCR_NEW_NUM, INCR_NEW_DEN = 9, 10
-SQL_INCR_SPLIT = (
-    f"(SELECT ((max(doc_id)+1)*{INCR_NEW_NUM})//{INCR_NEW_DEN}"
-    " FROM documents)"
-)
-
-
-def _incr_split_id(spark: SparkSession, sf_dir: str) -> int:
-    mx = (
-        load_table(spark, sf_dir, "documents")
-        .agg(F.max("doc_id"))
-        .first()[0]
-    )
-    return (int(mx) + 1) * INCR_NEW_NUM // INCR_NEW_DEN
-
-
-def _minhash_index_path(spark: SparkSession, sf_dir: str) -> str:
-    """Resolve (building on first use) the persisted sketch index of
-    the SEEN corpus — the one-time cost of incremental dedup, amortized
-    across every later batch exactly like the reference's don't-refetch
-    CSV cache (core/data/cdd.py:88-100). Keyed by the documents table's
-    identity (path + size + mtime) and the sketch parameters, so a
-    changed input or contract can never serve a stale index."""
-    import hashlib
-    import os
-
-    from ..operators.dedup import MH_BANDS, MH_PERMS, MH_ROWS
-
-    split = _incr_split_id(spark, sf_dir)
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|"
-        f"{split}|{MH_PERMS}|{MH_BANDS}|{MH_ROWS}|v3".encode()
-    ).hexdigest()[:16]
-    root = os.environ.get(
-        "BDSPF_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), ".cache"),
-    )
-    try:
-        os.makedirs(root, exist_ok=True)
-        writable = os.access(root, os.W_OK)
-    except OSError:
-        writable = False
-    if not writable:
-        import tempfile
-
-        root = os.path.join(tempfile.gettempdir(), "bdspf-cache")
-        os.makedirs(root, exist_ok=True)
-    idx = os.path.join(root, "minhash_index", key)
-    if not (
-        os.path.exists(os.path.join(idx, "bands", "batch=seed", "_SUCCESS"))
-        and os.path.exists(
-            os.path.join(idx, "shingles", "batch=seed", "_SUCCESS")
-        )
-    ):
-        from ..operators.dedup import write_minhash_index
-
-        docs = load_table(spark, sf_dir, "documents")
-        write_minhash_index(docs.filter(F.col("doc_id") < split), idx)
-    return idx
-
-
-def q_doc_incremental_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily-ingest dedup shape: near-dup pairs touching the NEW batch
-    (the top tenth of the id space) against the seen corpus, with
-    per-run sketch work proportional to the BATCH — the corpus's band
-    rows and shingle sets come from the persisted index (built on
-    first use, reused after; operators/dedup.py ``write_minhash_index``
-    / ``minhash_lsh_pairs_vs_index``). The oracle is the full-run pair
-    set filtered to new-touching pairs — the incremental candidate set
-    is exactly that subset."""
-    from ..operators.dedup import minhash_lsh_pairs_vs_index
-
-    docs = load_table(spark, sf_dir, "documents")
-    split = _incr_split_id(spark, sf_dir)
-    idx = _minhash_index_path(spark, sf_dir)
-    out = minhash_lsh_pairs_vs_index(
-        docs.filter(F.col("doc_id") >= split),
-        spark.read.parquet(f"{idx}/bands"),
-        spark.read.parquet(f"{idx}/shingles"),
-        threshold=NEAR_DUP_TAU,
-    )
-    return out.select("id_i", "id_j", _r6("jac"))
-
-
-SQL_DOC_INCR = _sql_r6_wrap(
-    f"""SELECT * FROM ({_SQL_DOC_MINHASH_BODY})
-WHERE id_i >= {SQL_INCR_SPLIT} OR id_j >= {SQL_INCR_SPLIT}""",
-    ["id_i", "id_j"],
-    ["jac"],
-)
-
-
-def q_doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(docs, threshold=NEAR_DUP_TAU)
-    return out.select("id_i", "id_j", _r6("jac"))
-
-
-_SQL_DOC_NGRAM_BODY = f"""WITH {SQL_TOKS},
-s AS (SELECT doc_id, {sql_shingles('tok', 3)} AS sh FROM toks),
-sf AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
-e AS (
-  SELECT doc_id, len(sh) AS cnt,
-         unnest(list_transform(sh, s -> {sql_hash60('s')})) AS h
-  FROM sf
-),
-p AS (
-  SELECT a.doc_id AS id_i, a.cnt AS cnt_i, b.doc_id AS id_j,
-         b.cnt AS cnt_j, count(*) AS inter
-  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4
-)
-SELECT id_i, id_j,
-       inter::DOUBLE / (cnt_i + cnt_j - inter)::DOUBLE AS jac
-FROM p WHERE inter::DOUBLE / (cnt_i + cnt_j - inter)::DOUBLE >= {NEAR_DUP_TAU}"""
-
-SQL_DOC_NGRAM = _sql_r6_wrap(_SQL_DOC_NGRAM_BODY, ["id_i", "id_j"], ["jac"])
-
-
-def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs).select(
-        "id_i", "id_j", F.col("hamming").cast("int").alias("hamming")
-    )
-
-
-def _sql_simhash_cte() -> str:
-    """The simhash pipeline as a reusable CTE chain (ends at
-    ``spairs`` = verified near-dup pairs) — shared by the pairs query
-    and the cluster-resolution query."""
-    pows = ", ".join(f"{1 << j}::BIGINT" for j in range(SIMHASH_BITS))
-    width = SIMHASH_BITS // SIMHASH_CHUNKS
-    mask = (1 << width) - 1
-    arms = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {c} AS c,"
-        f" (simhash >> {c * width}) & {mask} AS v FROM sim"
-        for c in range(SIMHASH_CHUNKS)
-    )
-    return f"""{SQL_TOKS},
-hs AS (
-  SELECT doc_id, list_transform(tok, t -> {sql_hash60('t')}) AS h
-  FROM toks WHERE len(tok) > 0
-),
-bl AS (
-  SELECT doc_id,
-    list_transform(h, x -> list_transform(range(0, {SIMHASH_BITS}),
-      j -> CASE WHEN (x & (1::BIGINT << CAST(j AS INT))) <> 0
-           THEN 1 ELSE -1 END)) AS bitlists
-  FROM hs
-),
-v AS (
-  SELECT doc_id,
-    list_reduce(
-      list_prepend(list_transform(range(0, {SIMHASH_BITS}), j -> 0), bitlists),
-      (acc, x) -> list_transform(list_zip(acc, x), z -> z[1] + z[2])
-    ) AS votes
-  FROM bl
-),
-sim AS (
-  SELECT doc_id,
-    list_reduce(list_transform(list_zip(votes, [{pows}]),
-      z -> CASE WHEN z[1] >= 0 THEN z[2] ELSE 0::BIGINT END),
-      (a, b) -> a + b) AS simhash
-  FROM v
-),
-chunked AS ({arms}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_i, b.doc_id AS id_j,
-         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-  FROM chunked a JOIN chunked b
-    ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
-),
-spairs AS (
-  SELECT id_i, id_j, hamming FROM cand WHERE hamming <= {SIMHASH_MAX_DIST}
-)"""
-
-
-def _sql_simhash_pairs() -> str:
-    return f"WITH {_sql_simhash_cte()}\nSELECT id_i, id_j, hamming FROM spairs"
-
-
-SQL_DOC_SIMHASH = _sql_simhash_pairs()
-
-
-def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster resolution over the SimHash near-dup pairs: hash-min
-    connected components (operators/dedup.py ``connected_components``,
-    the GraphX-Pregel-shaped iterative plan), min-id canonical per
-    cluster. This is the keep-one-drop-rest decision step a 100-TB
-    dedup pipeline runs after pair generation; the oracle labels
-    components with a recursive transitive-closure CTE."""
-    from ..operators.dedup import dup_clusters, simhash_pairs
-
-    docs = load_table(spark, sf_dir, "documents")
-    return dup_clusters(simhash_pairs(docs))
-
-
-def _sql_dup_clusters() -> str:
-    return f"""WITH RECURSIVE {_sql_simhash_cte()},
-edges AS (
-  SELECT id_i AS src, id_j AS dst FROM spairs
-  UNION
-  SELECT id_j AS src, id_i AS dst FROM spairs
-),
-r AS (
-  SELECT src AS node, src AS lbl FROM edges
-  UNION
-  SELECT e.dst AS node, r.lbl AS lbl FROM r JOIN edges e ON e.src = r.node
-),
-comp AS (SELECT node, min(lbl) AS cluster_id FROM r GROUP BY node)
-SELECT node AS doc_id, cluster_id,
-       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-       (node = cluster_id)::INT AS is_canonical
-FROM comp"""
-
-
-# --------------------------------------------------------------------------
-# embedding near-dup + ANN (embeddings table)
-# --------------------------------------------------------------------------
-
-EMB_NEAR_DUP_TAU = 0.4
-
-
-def _sql_sign_bucket(band: int = 0) -> str:
-    """The sign-LSH bucket id as a DuckDB expression over column ``v`` —
-    exact ±1.0 plane sums, bitwise-identical to the Arrow pass."""
-    planes = sign_planes(ANN_PLANES, 64, band)
-    parts = []
-    for k, row in enumerate(planes):
-        lits = ", ".join(f"{s!r}" for s in row)
-        dot = (
-            f"list_reduce(list_prepend(0.0, "
-            f"list_transform(list_zip(v, [{lits}]), z -> z[1] * z[2])),"
-            f" (a, b) -> a + b)"
-        )
-        parts.append(f"CASE WHEN {dot} >= 0 THEN {1 << k} ELSE 0 END")
-    return " + ".join(parts)
-
-
-def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = embedding_near_dup_pairs(
-        _emb(spark, sf_dir), threshold=EMB_NEAR_DUP_TAU
-    )
-    return out.select("id_i", "id_j", _r6("cos"))
-
-
-def _sql_emb_near_dup(n_bands: int = 4) -> str:
-    bands = " UNION ALL ".join(
-        f"SELECT vec_id, v, {b} AS band, {_sql_sign_bucket(b)} AS bucket FROM emb"
-        for b in range(n_bands)
-    )
-    body = f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-bb AS ({bands}),
-n AS (
-  SELECT vec_id, band, bucket, list_transform(v, x -> x / nrm) AS vn
-  FROM (SELECT vec_id, band, bucket, v, {_sql_norm('v')} AS nrm FROM bb)
-),
-p AS (
-  SELECT DISTINCT a.vec_id AS id_i, b.vec_id AS id_j,
-         {_sql_dot('a.vn', 'b.vn')} AS cos
-  FROM n a JOIN n b ON a.band = b.band AND a.bucket = b.bucket
-                   AND a.vec_id < b.vec_id
-)
-SELECT id_i, id_j, cos FROM p WHERE cos >= {EMB_NEAR_DUP_TAU}"""
-    return _sql_r6_wrap(body, ["id_i", "id_j"], ["cos"])
-
-
-SQL_EMB_NEAR_DUP = _sql_emb_near_dup()
-
-
-def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") % 100 == 0)
-    out = ann_lsh_topk(emb, queries, k=KNN_K)
-    return out.select("q_id", "id", "rank", _r6("cos"))
-
-
-def _sql_ann_lsh() -> str:
-    bucket = _sql_sign_bucket()
-    cos = f"{_sql_dot('e.v', 'q.qv')} / ({_sql_norm('e.v')} * {_sql_norm('q.qv')})"
-    body = f"""
-WITH emb AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-),
-b AS (SELECT vec_id, v, {bucket} AS bucket FROM emb),
-q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id % 100 = 0),
-cand AS (
-  SELECT q.q_id, e.vec_id AS id, {cos} AS cos
-  FROM b e JOIN q ON e.bucket = q.bucket
-  WHERE e.vec_id <> q.q_id
-),
-ranked AS (
-  SELECT q_id, id, cos,
-         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, id ASC) AS INT) AS rank
-  FROM cand
-)
-SELECT q_id, id, rank, cos FROM ranked WHERE rank <= {KNN_K}"""
-    return _sql_r6_wrap(body, ["q_id", "id", "rank"], ["cos"])
-
-
-SQL_EMB_ANN_LSH = _sql_ann_lsh()
-
-
-# --------------------------------------------------------------------------
-# semi-structured: JSON props on the events stream
-# --------------------------------------------------------------------------
-
-
-def q_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extract a JSON property and aggregate by (event_type, decile
-    bucket). Average emitted as integer MICRO-units (``k_avg_micros``
-    BIGINT), not a rounded double: the per-group sum/count are exact
-    integers, the single division + floor is deterministic IEEE-754, and
-    an integer column hashes identically under any harness
-    canonicalization (rounds 1-2 validated the rounded-double variant
-    bitwise-exact locally at every SF while the driver's float hash
-    still differed — integers take that variable off the table).
-
-    Root cause of the rounds 1-4 hash mismatch, finally identified:
-    DuckDB's ``sum(BIGINT)`` returns HUGEINT (int128), which a
-    pandas-based harness converts to float64 (``12740.0``) while Spark
-    emits int64 (``12740``) — value-equal, repr/dtype-unequal. The
-    oracle now CASTs the sum back to BIGINT so both engines hand the
-    harness an int64 column."""
-    ev = load_table(spark, sf_dir, "events")
-    # string-extraction then strict BIGINT cast on BOTH engines (no JSON
-    # intermediate type)
-    k = F.get_json_object("props", "$.k").cast("long")
-    return (
-        ev.select("event_type", k.alias("k"))
-        .groupBy("event_type", (F.col("k") - F.col("k") % 10).alias("k_bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("k").alias("k_sum"),
-        )
-        .withColumn(
-            "k_avg_micros",
-            F.floor(
-                F.col("k_sum").cast("double") / F.col("n") * F.lit(1e6)
-                + F.lit(0.5)
-            ).cast("long"),
-        )
-    )
-
-
-SQL_EVENTS_JSON = """
-SELECT event_type, k - k % 10 AS k_bucket, count(*) AS n,
-       CAST(sum(k) AS BIGINT) AS k_sum,
-       CAST(floor((sum(k)::DOUBLE / count(*)) * 1000000.0 + 0.5) AS BIGINT)
-         AS k_avg_micros
-FROM (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k FROM events)
-GROUP BY 1, 2"""
-
-
-RANGE_JOIN_HORIZON_US = 3_600_000_000  # 1 hour
-
-# hypertable rollup grains; each coarser grain is an integer multiple
-# of the previous so levels re-aggregate from one another
-ROLLUP_GRAINS_US = (
-    ("1h", 3_600_000_000),
-    ("6h", 21_600_000_000),
-    ("1d", 86_400_000_000),
-)
-
-
-def q_ts_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable-style continuous aggregate: per-symbol OHLC + row
-    count at 1h/6h/1d grains in ONE pass family — the finest grain
-    aggregates the (deduped) series, every coarser grain re-aggregates
-    the PREVIOUS level (open = min_by over the finer buckets' opens,
-    close = max_by, high/low = max/min, n = sum), and the levels union
-    under a ``grain`` label. The fact table is scanned once; the 6h
-    and 1d exchanges move only aggregate rows — the TimescaleDB
-    continuous-aggregate / Druid-rollup cascade, which at 100 TB is
-    the difference between one fact scan and three. Buckets are
-    left-closed epoch-floor; all outputs are picked or min/max values
-    (no float accumulation), so the hash needs no rounding."""
-    s = _series(spark, sf_dir)
-    dt = F.col("datetime")
-    if dict(s.dtypes)["datetime"] == "timestamp_ntz":
-        require_utc(spark)
-        dt = dt.cast("timestamp")
-    ts = F.unix_micros(dt)
-    g1 = ROLLUP_GRAINS_US[0][1]
-    # integer bucket math (ts - ts % g): double division would round
-    # near bucket boundaries where the oracle's `//` does not
-    lvl = (
-        s.groupBy(
-            "symbol", (ts - F.pmod(ts, F.lit(g1))).alias("bucket_us")
-        )
-        .agg(
-            F.min_by("close", "datetime").alias("open"),
-            F.max("close").alias("high"),
-            F.min("close").alias("low"),
-            F.max_by("close", "datetime").alias("close"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
-    out = lvl.select(F.lit("1h").alias("grain"), "*")
-    for name, g in ROLLUP_GRAINS_US[1:]:
-        lvl = (
-            lvl.groupBy(
-                "symbol",
-                (
-                    F.col("bucket_us")
-                    - F.pmod(F.col("bucket_us"), F.lit(g))
-                ).alias("bucket_us"),
-            )
-            .agg(
-                F.min_by("open", "bucket_us").alias("open"),
-                F.max("high").alias("high"),
-                F.min("low").alias("low"),
-                F.max_by("close", "bucket_us").alias("close"),
-                F.sum("n").alias("n"),
-            )
-        )
-        out = out.unionByName(lvl.select(F.lit(name).alias("grain"), "*"))
-    return out
-
-
-def _sql_hypertable_rollup() -> str:
-    g1, g6, gd = (g for _, g in ROLLUP_GRAINS_US)
-    return f"""WITH {SQL_SERIES},
-l1 AS (
-  SELECT symbol, (epoch_us(ts) // {g1}) * {g1} AS bucket_us,
-         arg_min(close, ts) AS open, max(close) AS high,
-         min(close) AS low, arg_max(close, ts) AS close,
-         count(*) AS n
-  FROM series GROUP BY 1, 2
-),
-l6 AS (
-  SELECT symbol, (bucket_us // {g6}) * {g6} AS bucket_us,
-         arg_min(open, bucket_us) AS open, max(high) AS high,
-         min(low) AS low, arg_max(close, bucket_us) AS close,
-         CAST(sum(n) AS BIGINT) AS n
-  FROM l1 GROUP BY 1, 2
-),
-ld AS (
-  SELECT symbol, (bucket_us // {gd}) * {gd} AS bucket_us,
-         arg_min(open, bucket_us) AS open, max(high) AS high,
-         min(low) AS low, arg_max(close, bucket_us) AS close,
-         CAST(sum(n) AS BIGINT) AS n
-  FROM l6 GROUP BY 1, 2
-)
-SELECT '1h' AS grain, * FROM l1
-UNION ALL SELECT '6h' AS grain, * FROM l6
-UNION ALL SELECT '1d' AS grain, * FROM ld"""
-
-
-def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event 1-hour lookahead density: for every event, how many
-    SAME-USER events land in (ts, ts + 1h] — the range-join operator
-    (operators/rangejoin.py) driving a burst/velocity feature. The
-    bucketized equi-join replaces the theta-join a naive translation
-    would produce; events with an empty window keep a zero via the
-    left join back to the base."""
-    from ..operators.rangejoin import range_join
-
-    ev = load_table(spark, sf_dir, "events")
-    ts = F.col("ts")
-    if dict(ev.dtypes)["ts"] == "timestamp_ntz":
-        require_utc(spark)
-        ts = ts.cast("timestamp")
-    base = ev.select(
-        "user_id", "event_id", F.unix_micros(ts).alias("__lts")
-    )
-    right = ev.select(
-        F.col("user_id"),
-        F.col("event_id").alias("__rid"),
-        F.unix_micros(ts).alias("__rts"),
-    )
-    counts = (
-        range_join(base, right, ["user_id"], RANGE_JOIN_HORIZON_US)
-        .groupBy("user_id", "event_id")
-        .agg(F.count(F.lit(1)).alias("n_next_1h"))
-    )
-    return base.select("user_id", "event_id").join(
-        counts, ["user_id", "event_id"], "left"
-    ).select(
-        "user_id",
-        "event_id",
-        F.coalesce("n_next_1h", F.lit(0)).alias("n_next_1h"),
-    )
-
-
-SQL_EVENTS_RANGE_JOIN = f"""
-SELECT a.user_id, a.event_id, count(b.event_id) AS n_next_1h
-FROM events a LEFT JOIN events b
-  ON b.user_id = a.user_id
- AND epoch_us(b.ts) > epoch_us(a.ts)
- AND epoch_us(b.ts) <= epoch_us(a.ts) + {RANGE_JOIN_HORIZON_US}
-GROUP BY 1, 2"""
-
-
-def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min inactivity splits a session) —
-    the canonical large-scale event-pipeline operator. One shuffle
-    total: the lag window, the cumulative session counter, and the
-    final per-session aggregate all cluster on user_id, so Catalyst
-    reuses a single hash exchange (HashPartitioning(user_id) satisfies
-    the (user_id, session_no) clustering requirement).
-
-    Timestamps are NTZ in the lake; the gap arithmetic casts through
-    LTZ under a UTC-pinned session so unix_micros is exact (same
-    contract as q_ts_delta_hist)."""
-    ev = load_table(spark, sf_dir, "events")
-    ts = F.col("ts")
-    if dict(ev.dtypes)["ts"] == "timestamp_ntz":
-        require_utc(spark)
-        ts = ts.cast("timestamp")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wc = w.rowsBetween(Window.unboundedPreceding, 0)
-    gap = F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w))
-    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
-    s = (
-        ev.withColumn("__m", F.unix_micros(ts))
-        .withColumn("__new", is_new)
-        .withColumn("session_no", F.sum("__new").over(wc))
-    )
-    return s.groupBy("user_id", "session_no").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-        F.expr("(max(__m) - min(__m)) div 1000000").alias("duration_sec"),
-    )
-
-
-# windowed sum(int) is HUGEINT in DuckDB -> CAST to BIGINT so the
-# session key hashes as int64 on both engines (the events_json_agg
-# lesson); integer floor-division on both sides for the duration
-SQL_EVENTS_SESSIONS = """
-WITH o AS (
-  SELECT user_id, ts, event_id, epoch_us(ts) AS m,
-         CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-              THEN 1 ELSE 0 END AS is_new
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-s AS (
-  SELECT user_id, ts, m,
-         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
-  FROM o
-)
-SELECT user_id, session_no, count(*) AS n_events,
-       min(ts) AS session_start, max(ts) AS session_end,
-       (max(m) - min(m)) // 1000000 AS duration_sec
-FROM s GROUP BY 1, 2"""
-
-
-def q_events_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified Bernoulli sample (~5%) via the portable
-    md5-based hash60 on the event key — reproducible across engines,
-    runs, partitionings, and cluster sizes, which is the property a
-    training-data sampling stage needs (rand()-based sampling is none
-    of those). The filter is a pure JVM expression evaluated at the
-    scan, so at 100 TB the sample never materializes the full table
-    past the filter; per-stratum stats aggregate with map-side combine.
-    Money-style DECIMAL sum keeps the per-group total order-independent
-    and bitwise (the tpch_q1 pattern)."""
-    from ..functions.text import hash60
-
-    ev = load_table(spark, sf_dir, "events")
-    sampled = ev.filter(hash60(F.col("event_id").cast("string")) % 20 == 0)
-    return sampled.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        F.sum(F.col("value").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("value_sum"),
-        F.min("event_id").alias("min_event_id"),
-        F.max("event_id").alias("max_event_id"),
-    )
-
-
-def _sql_events_hash_sample() -> str:
-    from ..functions.text import sql_hash60
-
-    h = sql_hash60("CAST(event_id AS VARCHAR)")
-    return f"""
-SELECT event_type, count(*) AS n_sampled,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
-       min(event_id) AS min_event_id, max(event_id) AS max_event_id
-FROM events
-WHERE {h} % 20 = 0
-GROUP BY 1"""
-
-
-# per-stratum sampling denominators: keep 1/denom of each event type.
-# The denominators differ on purpose — rebalancing a skewed class mix
-# (keep most of the rare strata, downsample the common ones) is the
-# canonical training-data sampling stage.
-STRATA_DENOMS: dict[str, int] = {
-    "click": 20,
-    "view": 20,
-    "error": 10,
-    "signup": 4,
-    "purchase": 2,
-}
-
-
-def q_events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified deterministic sampling: a per-stratum rate table
-    drives a Bernoulli keep-decision computed from the portable
-    ``hash60`` of the row key — reproducible across engines, runs, and
-    partitionings, unlike ``rand()``/``sample()``. The rate table is a
-    BROADCAST dim (here 5 rows; the same plan carries thousands of
-    strata), so the keep-filter evaluates streaming at the scan with
-    no shuffle before the filter; at 100 TB only the sampled fraction
-    survives into the aggregate. One conditional-aggregation pass
-    emits sampled and total counts together (no second scan), so the
-    achieved rate is measured beside the configured one."""
-    ev = load_table(spark, sf_dir, "events")
-    rates = spark.createDataFrame(
-        [(t, d) for t, d in STRATA_DENOMS.items()],
-        ["event_type", "denom"],
-    )
-    keep = hash60(F.col("event_id").cast("string")) % F.col("denom") == 0
-    return (
-        ev.join(F.broadcast(rates), "event_type")
-        .withColumn("__keep", keep)
-        .groupBy("event_type", "denom")
-        .agg(
-            F.count(F.lit(1)).alias("n_total"),
-            F.sum(F.col("__keep").cast("bigint")).alias("n_sampled"),
-            F.round(
-                F.sum(F.col("__keep").cast("bigint"))
-                / F.count(F.lit(1)),
-                6,
-            ).alias("rate_achieved"),
-            F.sum(
-                F.when(F.col("__keep"), F.col("value"))
-                .otherwise(F.lit(None))
-                .cast("decimal(18,2)")
-            )
-            .cast("double")
-            .alias("value_sum"),
-            F.min(F.when(F.col("__keep"), F.col("event_id"))).alias(
-                "min_event_id"
-            ),
-        )
-    )
-
-
-def _sql_events_stratified_sample() -> str:
-    from ..functions.text import sql_hash60
-
-    h = sql_hash60("CAST(event_id AS VARCHAR)")
-    vals = ", ".join(
-        f"('{t}', {d})" for t, d in STRATA_DENOMS.items()
-    )
-    return f"""
-WITH rates(event_type, denom) AS (VALUES {vals}),
-tagged AS (
-  SELECT e.event_type, r.denom, e.event_id, e.value,
-         {h} % r.denom = 0 AS keep
-  FROM events e JOIN rates r USING (event_type)
-)
-SELECT event_type, denom, count(*) AS n_total,
-       CAST(sum(CAST(keep AS BIGINT)) AS BIGINT) AS n_sampled,
-       round(sum(CAST(keep AS BIGINT))::DOUBLE / count(*), 6)
-         AS rate_achieved,
-       CAST(sum(CASE WHEN keep THEN CAST(value AS DECIMAL(18,2)) END)
-            AS DOUBLE) AS value_sum,
-       min(CASE WHEN keep THEN event_id END) AS min_event_id
-FROM tagged
-GROUP BY 1, 2"""
-
-
-ZORDER_BITS = 10
-
-
-def q_events_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order clustering audit: Morton-interleave (user bucket, day
-    index) — the key sources/layout.py:write_zorder_layout range-
-    partitions on — and aggregate per 256-key super-cell. Exercises
-    the exact bit-interleave expression (one shared generator string
-    for both engines, sources/layout.py:zorder_terms) the clustered
-    write uses, so the layout's key math is itself oracle-checked;
-    the write path's file-level clustering is pinned by the layout
-    pytest. All integer math; one shuffle (the cell groupBy)."""
-    from ..sources.layout import zorder_terms
-
-    ev = load_table(spark, sf_dir, "events")
-    keyed = ev.select(
-        "user_id",
-        (F.col("user_id") % 1024).alias("xb"),
-        (
-            (
-                (
-                    F.datediff(
-                        F.col("ts").cast("date"),
-                        F.lit("2024-01-01").cast("date"),
-                    )
-                    % 1024
-                )
-                + 1024
-            )
-            % 1024
-        ).alias("yb"),
-    ).withColumn("z", F.expr(zorder_terms("xb", "yb", ZORDER_BITS)))
-    return keyed.groupBy(
-        F.shiftright(F.col("z"), 8).alias("cell")
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("z").alias("z_min"),
-        F.max("z").alias("z_max"),
-        F.countDistinct("user_id").alias("n_users"),
-    )
-
-
-def _sql_events_zorder_cells() -> str:
-    from ..sources.layout import zorder_terms
-
-    z = zorder_terms("xb", "yb", ZORDER_BITS)
-    return f"""
-WITH keyed AS (
-  SELECT user_id,
-         user_id % 1024 AS xb,
-         (((date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 1024)
-           + 1024) % 1024) AS yb
-  FROM events
-),
-zk AS (SELECT user_id, {z} AS z FROM keyed)
-SELECT z >> 8 AS cell, count(*) AS n_events,
-       min(z) AS z_min, max(z) AS z_max,
-       count(DISTINCT user_id) AS n_users
-FROM zk GROUP BY 1"""
-
-
-def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIVOT: per-user-decile event counts, one column per event type
-    — the wide-format report shape. The pivot values are declared
-    explicitly (never inferred at plan time: inference is an extra
-    distinct scan AND makes the schema data-dependent, which breaks at
-    100 TB); the aggregate is a plain count with map-side combine."""
-    ev = load_table(spark, sf_dir, "events")
-    types = ["click", "view", "purchase", "signup", "error"]
-    return (
-        ev.groupBy((F.col("user_id") % 10).alias("user_decile"))
-        .pivot("event_type", types)
-        .agg(F.count(F.lit(1)))
-        .na.fill(0, types)
-    )
-
-
-def _sql_events_type_pivot() -> str:
-    arms = ", ".join(
-        f"count(*) FILTER (event_type = '{t}') AS {t}"
-        for t in ["click", "view", "purchase", "signup", "error"]
-    )
-    return f"""
-SELECT user_id % 10 AS user_decile, {arms}
-FROM events GROUP BY 1"""
-
-
-def q_events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operations as a retention report: users active in the first
-    week, the second week, both (INTERSECT), and only the first
-    (EXCEPT) — counted. Set ops hash-dedup on the key; both engines
-    reduce to the same semi/anti joins."""
-    ev = load_table(spark, sf_dir, "events")
-    lo = F.lit("2024-01-08 00:00:00").cast("timestamp_ntz")
-    hi = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
-    w1 = ev.filter(F.col("ts") < lo).select("user_id")
-    w2 = ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).select(
-        "user_id"
-    )
-    return (
-        w1.intersect(w2)
-        .agg(F.count(F.lit(1)).alias("retained"))
-        .crossJoin(
-            w1.distinct()
-            .exceptAll(w2.distinct())
-            .agg(F.count(F.lit(1)).alias("churned"))
-        )
-        .crossJoin(w1.distinct().agg(F.count(F.lit(1)).alias("week1")))
-        .crossJoin(w2.distinct().agg(F.count(F.lit(1)).alias("week2")))
-        .select("week1", "week2", "retained", "churned")
-    )
-
-
-SQL_EVENTS_RETENTION = """
-WITH w1 AS (SELECT DISTINCT user_id FROM events
-            WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
-w2 AS (SELECT DISTINCT user_id FROM events
-       WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
-         AND ts < TIMESTAMP '2024-01-15 00:00:00')
-SELECT (SELECT count(*) FROM w1) AS week1,
-       (SELECT count(*) FROM w2) AS week2,
-       (SELECT count(*) FROM (SELECT * FROM w1 INTERSECT SELECT * FROM w2))
-         AS retained,
-       (SELECT count(*) FROM (SELECT * FROM w1 EXCEPT SELECT * FROM w2))
-         AS churned"""
-
-
-def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel: users who viewed, then clicked AFTER their
-    first view, then purchased AFTER that click — the classic
-    event-analytics query. Three keyed aggregates chained by
-    strictly-after conditions; every stage clusters on user_id so the
-    exchanges reuse, and the final counts are order-free integers."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts"
-    )
-    tv = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts").alias("tv")
-    )
-    tc = (
-        ev.filter(F.col("event_type") == "click")
-        .join(tv, "user_id")
-        .filter(F.col("ts") > F.col("tv"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tc"))
-    )
-    tp = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(tc, "user_id")
-        .filter(F.col("ts") > F.col("tc"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tp"))
-    )
-    return (
-        tv.agg(F.count(F.lit(1)).alias("n_viewed"))
-        .crossJoin(tc.agg(F.count(F.lit(1)).alias("n_clicked_after")))
-        .crossJoin(tp.agg(F.count(F.lit(1)).alias("n_purchased_after")))
-    )
-
-
-SQL_EVENTS_FUNNEL = """
-WITH tv AS (
-  SELECT user_id, min(ts) AS tv FROM events
-  WHERE event_type = 'view' GROUP BY 1
-),
-tc AS (
-  SELECT e.user_id, min(ts) AS tc
-  FROM events e JOIN tv ON e.user_id = tv.user_id
-  WHERE e.event_type = 'click' AND e.ts > tv.tv GROUP BY 1
-),
-tp AS (
-  SELECT e.user_id, min(ts) AS tp
-  FROM events e JOIN tc ON e.user_id = tc.user_id
-  WHERE e.event_type = 'purchase' AND e.ts > tc.tc GROUP BY 1
-)
-SELECT (SELECT count(*) FROM tv) AS n_viewed,
-       (SELECT count(*) FROM tc) AS n_clicked_after,
-       (SELECT count(*) FROM tp) AS n_purchased_after"""
-
-
-def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolation quantiles of ``value`` per stratum —
-    the data-profiling query a pipeline runs before choosing filter
-    thresholds. Spark's ``percentile`` is the exact sort-based
-    aggregate (rank p*(n-1), linear interpolation — the same contract
-    as DuckDB's quantile_cont); at 100 TB swap in ``percentile_approx``
-    (t-digest, single pass, mergeable) when approximation is
-    acceptable — same query shape."""
-    ev = load_table(spark, sf_dir, "events")
-    q = F.expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.9D))")
-    return ev.groupBy("event_type").agg(
-        F.count("value").alias("n"),
-        F.min("value").alias("v_min"),
-        F.max("value").alias("v_max"),
-        _rne(F.element_at(q, 1), "p25"),
-        _rne(F.element_at(q, 2), "p50"),
-        _rne(F.element_at(q, 3), "p75"),
-        _rne(F.element_at(q, 4), "p90"),
-    )
-
-
-
-HQ_QUANTILES = [0.5, 0.9, 0.99]
-
-
-def q_events_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Histogram quantile sketch: equi-width bucket counts (mergeable —
-    cells sum, the CM-sketch property) estimate p50/p90/p99 per
-    stratum by interpolating inside the bucket where the cumulative
-    count crosses q*n; the EXACT sort-based percentile rides beside it
-    so the approximation error is a measured column (the sketch-suite
-    contract). The sketch path is the 100 TB shape: one bucket-count
-    groupBy with map-side combine and a B-row-per-stratum cumulative
-    window — the exact column is the toy-scale reference and the first
-    thing to drop at scale. Both engines evaluate the SAME bucket and
-    interpolation expression strings (operators/sketch.py), so
-    estimates match bitwise before the shared rounding."""
-    from ..operators.sketch import (
-        HIST_BUCKETS,
-        hist_bucket_expr,
-        hist_quantile_est_expr,
-    )
-
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    fracs = ", ".join(f"{q}D" for q in HQ_QUANTILES)
-    stats = ev.groupBy("event_type").agg(
-        F.count("value").alias("n"),
-        F.min("value").alias("lo"),
-        F.max("value").alias("hi"),
-        F.expr(f"percentile(value, array({fracs}))").alias("qs"),
-    )
-    bucketed = ev.join(
-        F.broadcast(stats.select("event_type", "lo", "hi")), "event_type"
-    ).withColumn("b", F.expr(hist_bucket_expr("value", "lo", "hi")))
-    hist = bucketed.groupBy("event_type", "b").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    wcum = (
-        Window.partitionBy("event_type")
-        .orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = hist.withColumn("cum", F.sum("c").over(wcum))
-    targets = (
-        stats.select(
-            "event_type",
-            "n",
-            "lo",
-            "hi",
-            "qs",
-            F.posexplode(
-                F.array(*[F.lit(q) for q in HQ_QUANTILES])
-            ).alias("qi", "q"),
-        )
-        .withColumn("exact", F.element_at("qs", F.col("qi") + 1))
-        .drop("qs", "qi")
-    )
-    cand = cum.join(F.broadcast(targets), "event_type").filter(
-        F.col("cum") >= F.col("q") * F.col("n")
-    )
-    pick = (
-        cand.groupBy("event_type", "q")
-        .agg(
-            F.min_by(F.struct("b", "c", "cum"), F.col("b")).alias("s"),
-            F.min("n").alias("n"),
-            F.min("lo").alias("lo"),
-            F.min("hi").alias("hi"),
-            F.min("exact").alias("exact"),
-        )
-        .select(
-            "event_type",
-            "q",
-            "n",
-            "lo",
-            "hi",
-            "exact",
-            F.col("s.b").alias("b"),
-            F.col("s.c").alias("c"),
-            F.col("s.cum").alias("cum"),
-        )
-        .withColumn(
-            "est",
-            F.expr(hist_quantile_est_expr(buckets=HIST_BUCKETS)),
-        )
-    )
-    return pick.select(
-        "event_type",
-        "q",
-        "n",
-        _r6("est"),
-        _r6("exact"),
-        _r6e(F.abs(F.col("est") - F.col("exact")), "abs_err"),
-    )
-
-
-def _sql_events_hist_quantiles() -> str:
-    from ..operators.sketch import (
-        HIST_BUCKETS,
-        hist_bucket_expr,
-        hist_quantile_est_expr,
-    )
-
-    fracs = ", ".join(str(q) for q in HQ_QUANTILES)
-    vals = ", ".join(
-        f"({i + 1}, CAST({q} AS DOUBLE))"
-        for i, q in enumerate(HQ_QUANTILES)
-    )
-    bexpr = hist_bucket_expr("e.value", "s.lo", "s.hi", HIST_BUCKETS)
-    est = hist_quantile_est_expr(buckets=HIST_BUCKETS)
-    return f"""
-WITH ev AS (SELECT event_type, value FROM events),
-stats AS (
-  SELECT event_type, count(value) AS n, min(value) AS lo,
-         max(value) AS hi,
-         quantile_cont(value, [{fracs}]) AS qs
-  FROM ev GROUP BY 1
-),
-bucketed AS (
-  SELECT e.event_type, {bexpr} AS b
-  FROM ev e JOIN stats s USING (event_type)
-),
-hist AS (SELECT event_type, b, count(*) AS c FROM bucketed GROUP BY 1, 2),
-cum AS (
-  SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cum
-  FROM hist
-),
-targets AS (
-  SELECT event_type, n, lo, hi, qs[qi] AS exact, qv AS q
-  FROM stats, (VALUES {vals}) AS t(qi, qv)
-),
-cand AS (
-  SELECT c2.event_type, t.q, t.n, t.lo, t.hi, t.exact,
-         c2.b, c2.c, c2.cum,
-         row_number() OVER (PARTITION BY c2.event_type, t.q
-           ORDER BY c2.b) AS rn
-  FROM cum c2 JOIN targets t USING (event_type)
-  WHERE c2.cum >= t.q * t.n
-),
-pick AS (SELECT *, {est} AS est FROM cand WHERE rn = 1)
-SELECT event_type, q, n, {_sql_r6('est')}, {_sql_r6('exact')},
-       {_sql_rne('abs(est - exact)', 'abs_err')}
-FROM pick"""
-
-
-def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents with the scan fanned out across the cluster: the
-    corpus lands as few (locally: one) small parquet files, so a
-    single task would otherwise evaluate every expression-heavy
-    per-document projection (tokenize, shingle, chunk) serially. One
-    tiny up-front shuffle buys full parallelism for everything
-    downstream — the same contract as dedup's _parallelize_texts."""
-    return load_table(spark, sf_dir, "documents").repartition(
-        F.col("doc_id")
-    )
-
-
-CHUNK_W, CHUNK_S = 64, 48
-
-
-def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping token-window chunking (window 64, stride 48) — the
-    LLM-data-prep staple that turns long documents into training
-    sequences. Pure JVM: one ``sequence`` of chunk starts exploded per
-    document, token-array slices re-joined; rows stream out of the
-    scan with no shuffle. The trailing partial chunk is kept when it
-    has at least stride-overlap-free content (start < n), matching
-    the oracle exactly."""
-    docs = _docs_parallel(spark, sf_dir)
-    tok = tokens(F.col("text"))
-    d = docs.select("doc_id", tok.alias("tok"), F.size(tok).alias("n"))
-    n_chunks = F.when(
-        F.col("n") <= CHUNK_W, F.lit(1)
-    ).otherwise(
-        F.ceil((F.col("n") - F.lit(CHUNK_W)) / F.lit(CHUNK_S)) + 1
-    )
-    return (
-        d.filter(F.col("n") > 0)
-        .select(
-            "doc_id",
-            "n",
-            F.explode(
-                F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
-            ).alias("chunk_id"),
-            "tok",
-        )
-        .select(
-            "doc_id",
-            "chunk_id",
-            F.concat_ws(
-                " ",
-                F.slice(
-                    "tok", F.col("chunk_id") * CHUNK_S + 1, CHUNK_W
-                ),
-            ).alias("chunk_text"),
-            F.least(
-                F.lit(CHUNK_W), F.col("n") - F.col("chunk_id") * CHUNK_S
-            ).alias("n_tokens"),
-        )
-    )
-
-
-def _sql_doc_chunks() -> str:
-    return f"""
-WITH t AS (
-  SELECT doc_id, {sql_tokens('text')} AS tok FROM documents
-),
-d AS (SELECT doc_id, tok, len(tok) AS n FROM t WHERE len(tok) > 0),
-c AS (
-  SELECT doc_id, n, tok,
-         unnest(generate_series(0,
-           CASE WHEN n <= {CHUNK_W} THEN 0
-                ELSE CAST(ceil((n - {CHUNK_W}) / {CHUNK_S}.0) AS INT)
-           END)) AS chunk_id
-  FROM d
-)
-SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
-       array_to_string(list_slice(tok, chunk_id * {CHUNK_S} + 1,
-                                  chunk_id * {CHUNK_S} + {CHUNK_W}), ' ')
-         AS chunk_text,
-       CAST(least({CHUNK_W}, n - chunk_id * {CHUNK_S}) AS INT) AS n_tokens
-FROM c"""
-
-
-def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Within-document repetition: fraction of duplicated word
-    3-grams (1 - distinct/total) — the boilerplate/spam signal quality
-    filters threshold on. Counts come from one Arrow pass
-    (operators/dedup.py ngram_count_frame — the n-gram arrays are
-    never materialized); the ratio stays a JVM expression."""
-    from ..operators.dedup import ngram_count_frame
-
-    docs = load_table(spark, sf_dir, "documents")
-    counts = ngram_count_frame(docs, n=3)
-    n3 = F.col("n_ngrams")
-    d3 = F.col("n_distinct")
-    rep = F.when(
-        n3 > 0, F.lit(1.0) - d3.cast("double") / n3
-    ).otherwise(F.lit(0.0))
-    return counts.select(
-        "doc_id",
-        n3.alias("n_trigrams"),
-        F.col("n_distinct"),
-        _rne(rep, "rep_ratio"),
-    )
-
-
-def _sql_doc_repetition() -> str:
-    body = f"""WITH t AS (
-  SELECT doc_id, {sql_tokens('text')} AS tok FROM documents
-)
-SELECT doc_id,
-       CAST(greatest(len(tok) - 2, 0) AS INT) AS n_trigrams,
-       CAST(len({sql_shingles('tok', 3)}) AS INT) AS n_distinct,
-       CASE WHEN greatest(len(tok) - 2, 0) > 0
-            THEN 1.0 - len({sql_shingles('tok', 3)})::DOUBLE
-                 / greatest(len(tok) - 2, 0)
-            ELSE 0.0 END AS rep_ratio
-FROM t"""
-    return _sql_r6_wrap(
-        body, ["doc_id", "n_trigrams", "n_distinct"], ["rep_ratio"]
-    )
-
-
-DECONTAM_N = 5
-DECONTAM_BENCH_MAX = 10
-
-
-def q_doc_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-data decontamination: exact word-5-gram overlap of
-    every training document against the benchmark set (here: doc_id <
-    10 stands in for the held-out eval suite) — the eval-leakage check
-    a pretraining pipeline runs before mixing data. The benchmark
-    shingle set is tiny by construction and BROADCASTS; the training
-    side streams through the join at scan parallelism, so the plan is
-    one broadcast join + one aggregate regardless of corpus size.
-    Emits per-doc totals, hit counts, the touched-benchmark count, and
-    the contamination ratio.
-
-    Plan shape: ONE Arrow shingle pass (operators/dedup.py
-    shingle_sets — per-doc distinct 5-grams, so count(*) ==
-    countDistinct within a doc), one broadcast LEFT join, one
-    aggregate. The left join multiplies a train shingle by its bench
-    matches, so every measure is a count-DISTINCT; totals and hits
-    come out of the same grouped pass instead of two lineage
-    evaluations + a re-join."""
-    from ..operators.dedup import shingle_sets
-
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_sets(docs, n=DECONTAM_N).select(
-        "doc_id", F.explode("sh").alias("sh")
-    )
-    bench = sh.filter(F.col("doc_id") < DECONTAM_BENCH_MAX).select(
-        F.col("doc_id").alias("bench_id"), "sh"
-    )
-    train = sh.filter(F.col("doc_id") >= DECONTAM_BENCH_MAX)
-    return (
-        train.join(F.broadcast(bench), "sh", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.countDistinct("sh").alias("n_shingles"),
-            F.countDistinct(
-                F.when(F.col("bench_id").isNotNull(), F.col("sh"))
-            ).alias("n_hit"),
-            F.countDistinct("bench_id").alias("n_bench_docs"),
-        )
-        .select(
-            "doc_id",
-            "n_shingles",
-            "n_hit",
-            "n_bench_docs",
-            _rne(
-                F.col("n_hit").cast("double") / F.col("n_shingles"),
-                "contam_ratio",
-            ),
-        )
-    )
-
-
-def _sql_doc_decontam() -> str:
-    body = f"""WITH t AS (
-  SELECT doc_id, {sql_tokens('text')} AS tok FROM documents
-),
-sh AS (
-  SELECT doc_id, unnest({sql_shingles('tok', DECONTAM_N)}) AS sh FROM t
-),
-bench AS (
-  SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id < {DECONTAM_BENCH_MAX}
-),
-train AS (SELECT * FROM sh WHERE doc_id >= {DECONTAM_BENCH_MAX}),
-hits AS (
-  SELECT tr.doc_id, count(DISTINCT tr.sh) AS n_hit,
-         count(DISTINCT b.bench_id) AS n_bench_docs
-  FROM train tr JOIN bench b USING (sh) GROUP BY 1
-),
-tot AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY 1)
-SELECT tot.doc_id, n_shingles,
-       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
-       CAST(coalesce(n_bench_docs, 0) AS BIGINT) AS n_bench_docs,
-       coalesce(n_hit, 0)::DOUBLE / n_shingles AS contam_ratio
-FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id"""
-    return _sql_r6_wrap(
-        body,
-        ["doc_id", "n_shingles", "n_hit", "n_bench_docs"],
-        ["contam_ratio"],
-    )
-
-
-def q_events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct users per event type via a DETERMINISTIC HyperLogLog
-    (operators/sketch.py) with the exact countDistinct beside it — the
-    cardinality sketch a 100 TB pipeline uses instead of shuffling
-    every distinct key, with its error measured rather than assumed.
-    Registers come from the md5 60-bit hash (no float log2 — rank via
-    the bin()-string length both engines define identically) and the
-    harmonic sum is integer, so the oracle reproduces the estimate to
-    the shared rounding."""
-    from ..operators.sketch import hll_estimate, hll_registers
-
-    ev = load_table(spark, sf_dir, "events")
-    regs = hll_registers(
-        ev.select("event_type", "user_id"), "user_id", ["event_type"]
-    )
-    est = hll_estimate(regs, ["event_type"])
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact")
-    )
-    return exact.join(est, "event_type").select(
-        "event_type", "n_exact", "n_buckets", _r6("hll_est")
-    )
-
-
-def _sql_events_hll() -> str:
-    from ..operators.sketch import HLL_ALPHA, HLL_M, HLL_W_BITS
-
-    p = HLL_W_BITS + 1
-    alpha_mm = HLL_ALPHA * HLL_M * HLL_M
-    body = f"""WITH h AS (
-  SELECT event_type, {sql_hash60('CAST(user_id AS VARCHAR)')} AS h
-  FROM events
-),
-r AS (
-  SELECT event_type, h % {HLL_M} AS bucket,
-         CASE WHEN (h >> {HLL_M.bit_length() - 1}) = 0 THEN {p}
-              ELSE {p} - length(bin(h >> {HLL_M.bit_length() - 1})) END
-           AS rank
-  FROM h
-),
-regs AS (
-  SELECT event_type, bucket, max(rank) AS m FROM r GROUP BY 1, 2
-),
-agg AS (
-  SELECT event_type, count(*) AS n_buckets,
-         CAST(sum(CAST(power(2.0, {p} - m) AS BIGINT)) AS BIGINT)
-           AS s_present
-  FROM regs GROUP BY 1
-),
-est AS (
-  SELECT event_type, n_buckets,
-         {alpha_mm!r} * {float(1 << p)!r}
-           / (s_present + ({HLL_M} - n_buckets) * {1 << p}) AS raw,
-         {HLL_M} - n_buckets AS v
-  FROM agg
-),
-fin AS (
-  SELECT event_type, n_buckets,
-         CASE WHEN raw <= {2.5 * HLL_M} AND v > 0
-              THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v)
-              ELSE raw END AS hll_est
-  FROM est
-),
-ex AS (
-  SELECT event_type, count(DISTINCT user_id) AS n_exact
-  FROM events GROUP BY 1
-)
-SELECT ex.event_type, CAST(n_exact AS BIGINT) AS n_exact,
-       CAST(n_buckets AS BIGINT) AS n_buckets, hll_est
-FROM ex JOIN fin ON ex.event_type = fin.event_type"""
-    return _sql_r6_wrap(
-        body, ["event_type", "n_exact", "n_buckets"], ["hll_est"]
-    )
-
-
-def q_doc_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-filter decontamination: probe every training 5-gram
-    against a Bloom filter of the benchmark set and report, per doc,
-    the filter's hit count NEXT TO the exact overlap — so the
-    false-positive rate (the filter's one price) is a measured column,
-    not an assumption. A shingle "hits" when ALL k of its bit
-    positions are set (countDistinct(d) == k against the benchmark's
-    distinct-position frame); at cluster scale the position frame
-    packs into a broadcast bitmask and the probe is a map-side bit
-    test with no shuffle at all — the standard pre-join pruning
-    filter."""
-    from ..operators.dedup import shingle_sets
-    from ..operators.sketch import BLOOM_K, bloom_positions
-
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_sets(docs, n=DECONTAM_N).select(
-        "doc_id", F.explode("sh").alias("__s")
-    ).select("doc_id", hash60(F.col("__s")).alias("h"))
-    bench_h = (
-        sh.filter(F.col("doc_id") < DECONTAM_BENCH_MAX)
-        .select("h")
-        .distinct()
-    )
-    bench_bits = bloom_positions(bench_h).select("pos").distinct()
-    train = sh.filter(F.col("doc_id") >= DECONTAM_BENCH_MAX)
-    probe = bloom_positions(train)
-    full_hits = (
-        probe.join(F.broadcast(bench_bits), "pos")
-        .groupBy("doc_id", "h")
-        .agg(F.countDistinct("d").alias("__k"))
-        .filter(F.col("__k") == BLOOM_K)
-        .groupBy("doc_id")
-        .agg(F.countDistinct("h").alias("n_bloom_hits"))
-    )
-    exact_hits = (
-        train.join(F.broadcast(bench_h), "h", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("h").alias("n_exact_hits"))
-    )
-    totals = train.groupBy("doc_id").agg(
-        F.countDistinct("h").alias("n_shingles")
-    )
-    return (
-        totals.join(full_hits, "doc_id", "left")
-        .join(exact_hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
-            F.coalesce("n_exact_hits", F.lit(0)).alias("n_exact_hits"),
-        )
-    )
-
-
-def _sql_bloom_decontam() -> str:
-    from ..operators.dedup import MH_PRIME, minhash_coeffs
-    from ..operators.sketch import BLOOM_K, BLOOM_M_BITS
-
-    a, b = minhash_coeffs(BLOOM_K)
-    coeff_rows = ", ".join(
-        f"({d}, {a[d]}, {b[d]})" for d in range(BLOOM_K)
-    )
-    return f"""
-WITH t AS (
-  SELECT doc_id, {sql_tokens('text')} AS tok FROM documents
-),
-s AS (
-  SELECT doc_id,
-         unnest(list_transform({sql_shingles('tok', DECONTAM_N)},
-                x -> {sql_hash60('x')})) AS h
-  FROM t
-),
-sd AS (SELECT DISTINCT doc_id, h FROM s),
-coeff(d, a, b) AS (VALUES {coeff_rows}),
-bench_h AS (
-  SELECT DISTINCT h FROM sd WHERE doc_id < {DECONTAM_BENCH_MAX}
-),
-bench_bits AS (
-  SELECT DISTINCT (((h % {MH_PRIME}) * c.a + c.b) % {MH_PRIME})
-           % {BLOOM_M_BITS} AS pos
-  FROM bench_h CROSS JOIN coeff c
-),
-train AS (SELECT doc_id, h FROM sd WHERE doc_id >= {DECONTAM_BENCH_MAX}),
-probe AS (
-  SELECT train.doc_id, train.h, c.d,
-         (((train.h % {MH_PRIME}) * c.a + c.b) % {MH_PRIME})
-           % {BLOOM_M_BITS} AS pos
-  FROM train CROSS JOIN coeff c
-),
-full_hits AS (
-  SELECT doc_id, count(*) AS n_bloom_hits FROM (
-    SELECT doc_id, h, count(DISTINCT d) AS kk
-    FROM probe JOIN bench_bits USING (pos)
-    GROUP BY 1, 2) WHERE kk = {BLOOM_K}
-  GROUP BY 1
-),
-exact_hits AS (
-  SELECT doc_id, count(*) AS n_exact_hits
-  FROM train WHERE h IN (SELECT h FROM bench_h) GROUP BY 1
-),
-totals AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY 1)
-SELECT totals.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
-       CAST(COALESCE(n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
-       CAST(COALESCE(n_exact_hits, 0) AS BIGINT) AS n_exact_hits
-FROM totals LEFT JOIN full_hits USING (doc_id)
-LEFT JOIN exact_hits USING (doc_id)"""
-
-
-CMS_HH_DEN = 200  # heavy hitter = est count >= total_tokens / 200
-
-
-def q_doc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy-hitter terms via a Count-Min sketch (operators/sketch.py):
-    build the D x W sparse cell frame in one map-side-combined groupBy,
-    estimate every candidate term as the min over its D cells, and keep
-    terms whose ESTIMATE clears 0.5% of total token mass. Emits the
-    exact count beside the estimate, so the sketch's one-sided error
-    (est >= true, inflated only by collisions) is a measured column.
-    The hash family is the MinHash affine permutation over the md5
-    60-bit term hash — fully deterministic, so the oracle rebuilds the
-    identical sketch."""
-    from ..operators.sketch import cms_cells, cms_estimate
-
-    docs = _docs_parallel(spark, sf_dir)
-    toks = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
-    cells = cms_cells(toks)
-    # exact counts double as the candidate set and the error reference
-    cand = toks.groupBy("term").agg(F.count(F.lit(1)).alias("true_cnt"))
-    est = cms_estimate(cand.select("term"), cells)
-    thresh = toks.agg(
-        (F.count(F.lit(1)) / F.lit(CMS_HH_DEN)).alias("__t")
-    )
-    return (
-        cand.join(est, "term")
-        .crossJoin(F.broadcast(thresh))
-        .filter(F.col("est_cnt") >= F.col("__t"))
-        .select("term", "true_cnt", "est_cnt")
-    )
-
-
-def _sql_cms_heavy_hitters() -> str:
-    from ..operators.dedup import MH_PRIME, minhash_coeffs
-    from ..operators.sketch import CMS_DEPTH, CMS_WIDTH
-
-    a, b = minhash_coeffs(CMS_DEPTH)
-    coeff_rows = ", ".join(
-        f"({d}, {a[d]}, {b[d]})" for d in range(CMS_DEPTH)
-    )
-    return f"""
-WITH t AS (
-  SELECT unnest({sql_tokens('text')}) AS term FROM documents
-),
-h AS (SELECT term, {sql_hash60('term')} % {MH_PRIME} AS h FROM t),
-coeff(d, a, b) AS (VALUES {coeff_rows}),
-cells AS (
-  SELECT c.d, ((h.h * c.a + c.b) % {MH_PRIME}) % {CMS_WIDTH} AS cell,
-         count(*) AS cnt
-  FROM h CROSS JOIN coeff c GROUP BY 1, 2
-),
-cand AS (
-  SELECT term, count(*) AS true_cnt, any_value(h) AS h
-  FROM h GROUP BY term
-),
-est AS (
-  SELECT p.term, min(cells.cnt) AS est_cnt
-  FROM (
-    SELECT cand.term, c.d,
-           ((cand.h * c.a + c.b) % {MH_PRIME}) % {CMS_WIDTH} AS cell
-    FROM cand CROSS JOIN coeff c) p
-  JOIN cells USING (d, cell) GROUP BY 1
-)
-SELECT cand.term, CAST(true_cnt AS BIGINT) AS true_cnt,
-       CAST(est_cnt AS BIGINT) AS est_cnt
-FROM cand JOIN est USING (term)
-WHERE est_cnt >= (SELECT count(*) FROM t) / {CMS_HH_DEN}.0"""
-
-
-def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 TF-IDF terms per document — the classic text-pipeline
-    relevance feature. TF and DF are exact integer aggregates; the
-    corpus size joins in as a broadcast scalar (no collect); ranking is
-    by the INTEGER key (tf DESC, df ASC, term ASC) so the result set is
-    bitwise deterministic even though the attached smoothed-idf score
-    is float (ln differs in the last ulp across libm implementations —
-    it is emitted through shared rounding, never used to rank)."""
-    docs = _docs_parallel(spark, sf_dir)
-    toks = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
-    )
-    # localCheckpoint (not persist): tf feeds BOTH the df aggregate and
-    # the scoring join — without pinning, the tokenize+explode+count
-    # lineage runs twice. localCheckpoint blocks are reclaimed by the
-    # ContextCleaner once this frame is GC'd; persist() would stay
-    # pinned in the CacheManager for the session's lifetime (storage
-    # leak across a 201-query run).
-    tf = (
-        toks.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
-    )
-    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
-    )
-    return (
-        tf.join(dfx, "term")
-        .crossJoin(F.broadcast(n))
-        .withColumn(
-            "tfidf",
-            F.col("tf")
-            * (
-                F.log(
-                    (F.col("n_docs") + F.lit(1.0))
-                    / (F.col("df") + F.lit(1.0))
-                )
-                + F.lit(1.0)
-            ),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("doc_id", "rank", "term", "tf", "df", _r6("tfidf"))
-    )
-
-
-def _sql_doc_tfidf() -> str:
-    body = f"""WITH toks AS (
-  SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
-),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-j AS (
-  SELECT doc_id, term, tf, df,
-         tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS tfidf,
-         CAST(row_number() OVER (PARTITION BY doc_id
-              ORDER BY tf DESC, df ASC, term ASC) AS INT) AS rank
-  FROM tf JOIN dfx USING (term), n
-)
-SELECT doc_id, rank, term, tf, df, tfidf FROM j WHERE rank <= 5"""
-    return _sql_r6_wrap(
-        body, ["doc_id", "rank", "term", "tf", "df"], ["tfidf"]
-    )
-
-
-BM25_TERMS = ("dup", "spark", "merge")
-BM25_K1 = 1.2
-BM25_B = 0.75
-BM25_TOPK = 10
-
-
-def _snap6_dec(expr):
-    """Snap a double expression to the 1e-6 grid and cast to exact
-    DECIMAL(18,6) — the shared determinism device (doc_unigram_ppl):
-    per-row float terms snap BEFORE the group sum, which then runs in
-    exact decimal arithmetic, so aggregation order cannot perturb the
-    result in either engine."""
-    return (F.floor(expr * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast(
-        "decimal(18,6)"
-    )
-
-
-def _sql_snap6_dec(expr: str) -> str:
-    return f"CAST(floor(({expr}) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))"
-
-
-def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 retrieval (Lucene idf variant): top-10 documents for
-    a fixed multi-term query — the ranking function every search /
-    RAG retrieval stage runs, completing the text-retrieval family
-    (doc_search_and is boolean AND, doc_tfidf_topk is per-doc term
-    weighting; this is corpus-ranked retrieval with document-length
-    normalization). Scale shape: the scan-side token filter keeps only
-    query-term tokens, so the posting frame entering the shuffle is
-    query-sized, not corpus-sized; doc lengths come from a second
-    map-side-only ``size(tokens(text))`` pass (no explode, no
-    shuffle — tokenizing twice beats shuffling the exploded corpus);
-    corpus stats (N, avgdl) ride in as a broadcast one-row frame.
-    Determinism: each (doc, term) BM25 contribution snaps to the 1e-6
-    grid and the per-doc sum runs in exact DECIMAL; the top-k ranks on
-    that exact decimal (score DESC, doc_id ASC) — float summation
-    order cannot reorder the cutoff."""
-    docs = _docs_parallel(spark, sf_dir)
-    tok = tokens(F.col("text"))
-    terms = list(BM25_TERMS)
-    # dl feeds BOTH the corpus-stats aggregate and the scoring join;
-    # localCheckpoint pins the ~16 B/row (doc_id, dl) frame so the
-    # full-text tokenize pass doesn't rerun per consumer (and the
-    # blocks are GC-reclaimed, unlike a session-pinned persist). The
-    # join with tf then runs on the co-partitioned doc_id layout both
-    # sides inherit from _docs_parallel — no extra shuffle at scale.
-    dl = docs.select("doc_id", F.size(tok).alias("dl")).localCheckpoint(
-        eager=True
-    )
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    hits = docs.select(
-        "doc_id",
-        F.explode(F.filter(tok, lambda t: t.isin(*terms))).alias("term"),
-    )
-    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    j = (
-        tf.join(F.broadcast(dfx), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
-    tfp = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(BM25_K1)
-        * (
-            F.lit(1.0 - BM25_B)
-            + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
-        )
-    )
-    scored = j.select(
-        "doc_id",
-        "tf",
-        _snap6_dec(idf * tfp).alias("contrib"),
-    )
-    agg = scored.groupBy("doc_id").agg(
-        F.sum("contrib").alias("score_dec"),
-        F.count(F.lit(1)).alias("n_terms"),
-        F.sum("tf").alias("total_tf"),
-    )
-    # global top-k via orderBy+limit → TakeOrderedAndProject (map-side
-    # partial top-k per input partition, then one k-row merge); the
-    # previous unpartitioned row_number window sorted EVERY matching
-    # doc in one task — InferWindowGroupLimit doesn't fire on an empty
-    # partition spec (plan-pinned in tests/test_plans2.py). The rank
-    # window then runs over the BM25_TOPK survivors only.
-    top = agg.orderBy(
-        F.col("score_dec").desc(), F.col("doc_id").asc()
-    ).limit(BM25_TOPK)
-    w = Window.orderBy(F.col("score_dec").desc(), F.col("doc_id").asc())
-    return (
-        top.withColumn("rank", F.row_number().over(w))
-        .select(
-            "rank",
-            "doc_id",
-            _r6e(F.col("score_dec").cast("double"), "score"),
-            "n_terms",
-            "total_tf",
-        )
-    )
-
-
-def _sql_doc_bm25() -> str:
-    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
-    contrib = (
-        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
-        f" * (tf * {BM25_K1 + 1.0}) / (tf + {BM25_K1}"
-        f" * ({1.0 - BM25_B} + {BM25_B} * dl / avgdl))"
-    )
-    body = f"""WITH tok AS (
-  SELECT doc_id, {sql_tokens('text')} AS tok FROM documents
-),
-dl AS (SELECT doc_id, len(tok) AS dl FROM tok),
-st AS (SELECT count(*) AS n_docs,
-              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-hits AS (SELECT doc_id, unnest(tok) AS term FROM tok),
-tf AS (
-  SELECT doc_id, term, count(*) AS tf FROM hits
-  WHERE term IN ({terms}) GROUP BY 1, 2
-),
-dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-sc AS (
-  SELECT doc_id,
-         sum({_sql_snap6_dec(contrib)}) AS score_dec,
-         count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS total_tf
-  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id), st
-  GROUP BY 1
-),
-r AS (
-  SELECT CAST(row_number() OVER (ORDER BY score_dec DESC, doc_id ASC)
-         AS INT) AS rank,
-         doc_id, CAST(score_dec AS DOUBLE) AS score,
-         n_terms, total_tf
-  FROM sc
-)
-SELECT rank, doc_id, score, n_terms, total_tf
-FROM r WHERE rank <= {BM25_TOPK}"""
-    return _sql_r6_wrap(
-        body, ["rank", "doc_id", "n_terms", "total_tf"], ["score"]
-    )
-
-
-def q_doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token-entropy quality signal: Shannon entropy of
-    the document's unigram distribution (bits) plus the type/token
-    ratio — the lexical-diversity filter a pretraining pipeline runs
-    beside the Gopher rules (low entropy = template/boilerplate/
-    repetition; doc_repetition catches LOCAL loops, entropy catches
-    GLOBAL skew). H = log2(n) - (Σ tf·log2 tf)/n over the per-doc term
-    counts, so one tokenize+explode pass and one doc-keyed combine
-    compute it — no per-doc distribution materializes. Determinism:
-    the tf·log2(tf) terms snap to the 1e-6 grid and sum in exact
-    DECIMAL (shared device with doc_unigram_ppl), so summation order
-    cannot perturb the hash."""
-    docs = _docs_parallel(spark, sf_dir)
-    tok = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
-    )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    agg = tf.groupBy("doc_id").agg(
-        F.sum("tf").alias("n_tok"),
-        F.count(F.lit(1)).alias("n_types"),
-        F.sum(
-            _snap6_dec(F.col("tf") * F.log2(F.col("tf")))
-        ).alias("sum_bits"),
-    )
-    ent = F.log2(F.col("n_tok")) - F.col("sum_bits").cast("double") / F.col(
-        "n_tok"
-    )
-    return agg.select(
-        "doc_id",
-        "n_tok",
-        "n_types",
-        _r6e(ent, "entropy_bits"),
-        _r6e(F.col("n_types") / F.col("n_tok"), "ttr"),
-    )
-
-
-def _sql_doc_token_entropy() -> str:
-    body = f"""WITH toks AS (
-  SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
-),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-agg AS (
-  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok, count(*) AS n_types,
-         sum({_sql_snap6_dec('tf * log2(tf)')}) AS sum_bits
-  FROM tf GROUP BY 1
-)
-SELECT doc_id, n_tok, n_types,
-       log2(n_tok) - CAST(sum_bits AS DOUBLE) / n_tok AS entropy_bits,
-       CAST(n_types AS DOUBLE) / n_tok AS ttr
-FROM agg"""
-    return _sql_r6_wrap(
-        body, ["doc_id", "n_tok", "n_types"], ["entropy_bits", "ttr"]
-    )
-
-
-PMI_MIN_SUPPORT = 5
-PMI_TOPK = 30
-
-
-def q_doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collocation mining: top adjacent-bigram phrases by count with
-    pointwise mutual information — the phrase-discovery stage of a
-    corpus analysis pipeline (PMI >> 0 = a real phrase, PMI ~ 0 =
-    words co-occurring by chance). One tokenize pass feeds both the
-    unigram and the bigram counts; the min-support filter prunes the
-    bigram table BEFORE the two vocabulary joins (at 100 TB the
-    singleton-bigram tail is most of the table, so filtering first is
-    the difference between joining a long tail and joining the head);
-    corpus totals ride in as a broadcast one-row frame. Ordering and
-    the top-k cut use only exact integers and ASCII tokens
-    (c_ab DESC, w1, w2); the float PMI is emitted through the shared
-    floor-rounding, never ranked on (ln differs in the last ulp
-    across libm implementations)."""
-    docs = _docs_parallel(spark, sf_dir)
-    # localCheckpoint (not persist): one tokenize pass feeds unigram
-    # and bigram counts; GC-reclaimable, unlike a session-pinned cache
-    toks = docs.select(tokens(F.col("text")).alias("tok")).localCheckpoint(
-        eager=True
-    )
-    uni = toks.select(F.explode("tok").alias("term"))
-    uc = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    bigrams = F.when(
-        F.size("tok") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("tok") - 1),
-            lambda i: F.struct(
-                F.element_at("tok", i).alias("w1"),
-                F.element_at("tok", i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bi = toks.select(F.explode(bigrams).alias("bg")).select(
-        "bg.w1", "bg.w2"
-    )
-    bc = (
-        bi.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
-        .filter(F.col("c_ab") >= PMI_MIN_SUPPORT)
-    )
-    totals = uni.agg(F.count(F.lit(1)).alias("n_tok")).crossJoin(
-        bi.agg(F.count(F.lit(1)).alias("n_big"))
-    )
-    pmi = F.log(
-        (F.col("c_ab") * 1.0 / F.col("n_big"))
-        / (
-            (F.col("c_a") * 1.0 / F.col("n_tok"))
-            * (F.col("c_b") * 1.0 / F.col("n_tok"))
-        )
-    )
-    return (
-        bc.join(uc.select(F.col("term").alias("w1"),
-                          F.col("c").alias("c_a")), "w1")
-        .join(uc.select(F.col("term").alias("w2"),
-                        F.col("c").alias("c_b")), "w2")
-        .crossJoin(F.broadcast(totals))
-        .orderBy(F.col("c_ab").desc(), F.col("w1").asc(), F.col("w2").asc())
-        .limit(PMI_TOPK)
-        .select("w1", "w2", "c_ab", "c_a", "c_b", _r6e(pmi, "pmi"))
-    )
-
-
-def _sql_doc_bigram_pmi() -> str:
-    pmi = (
-        "ln((c_ab * 1.0 / n_big) / "
-        "((c_a * 1.0 / n_tok) * (c_b * 1.0 / n_tok)))"
-    )
-    return f"""
-WITH toks AS (SELECT {sql_tokens('text')} AS tok FROM documents),
-uni AS (SELECT unnest(tok) AS term FROM toks),
-uc AS (SELECT term, count(*) AS c FROM uni GROUP BY 1),
-bi AS (
-  SELECT tok[i] AS w1, tok[i + 1] AS w2
-  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tok) - 1)) AS i)
-  WHERE len(tok) >= 2
-),
-bc AS (
-  SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY 1, 2
-  HAVING count(*) >= {PMI_MIN_SUPPORT}
-),
-nt AS (SELECT count(*) AS n_tok FROM uni),
-nb AS (SELECT count(*) AS n_big FROM bi)
-SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b,
-       {_sql_rne(pmi, 'pmi')}
-FROM bc JOIN uc a ON w1 = a.term JOIN uc b ON w2 = b.term, nt, nb
-ORDER BY c_ab DESC, w1 ASC, w2 ASC
-LIMIT {PMI_TOPK}"""
-
-
-def q_emb_sq8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector int8 scalar quantization (the standard ANN
-    compression step: per-vector min/max range, 255 levels) with
-    per-label reconstruction-error stats — the quality gate a pipeline
-    runs before switching its similarity index to quantized codes.
-    Everything is a JVM array expression (transform + sequential
-    aggregate fold, matching the oracle's list_reduce operand order
-    bitwise); codes checksum as exact integers, the mean absolute
-    error goes through shared rounding."""
-    emb = _emb(spark, sf_dir)
-    mn = F.array_min("v")
-    sc = (F.array_max("v") - mn) / F.lit(255.0)
-    code = lambda x: F.floor((x - mn) / sc + F.lit(0.5))  # noqa: E731
-    err_sum = F.when(sc == 0.0, F.lit(0.0)).otherwise(
-        F.aggregate(
-            F.transform(
-                F.col("v"), lambda x: F.abs(x - (mn + code(x) * sc))
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-    )
-    code_sum = F.when(sc == 0.0, F.lit(0).cast("long")).otherwise(
-        F.aggregate(
-            F.transform(F.col("v"), code),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x.cast("long"),
-        )
-    )
-    per_vec = emb.select(
-        "label",
-        err_sum.alias("e"),
-        code_sum.alias("cs"),
-        F.size("v").alias("d"),
-    )
-    return per_vec.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.sum("cs").alias("code_checksum"),
-        _rne(F.avg(F.col("e") / F.col("d")), "mean_abs_err"),
-    )
-
-
-def _sql_emb_sq8() -> str:
-    code = "floor((x - mn) / sc + 0.5)"
-    body = f"""WITH e AS (
-  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-),
-q AS (
-  SELECT vec_id, label, v, list_min(v) AS mn,
-         (list_max(v) - list_min(v)) / 255.0 AS sc
-  FROM e
-),
-c AS (
-  SELECT label, len(v) AS d,
-         CASE WHEN sc = 0 THEN 0.0 ELSE
-           list_reduce(list_prepend(0.0, list_transform(v,
-             x -> abs(x - (mn + {code} * sc)))), (a, b) -> a + b)
-         END AS e,
-         CASE WHEN sc = 0 THEN 0 ELSE
-           CAST(list_reduce(list_prepend(0.0, list_transform(v,
-             x -> {code})), (a, b) -> a + b) AS BIGINT)
-         END AS cs
-  FROM q
-)
-SELECT label, count(*) AS n_vecs,
-       CAST(sum(cs) AS BIGINT) AS code_checksum,
-       avg(e / d) AS mean_abs_err
-FROM c GROUP BY 1"""
-    return _sql_r6_wrap(
-        body, ["label", "n_vecs", "code_checksum"], ["mean_abs_err"]
-    )
-
-
-SQL_EVENTS_QUANTILES = _sql_r6_wrap(
-    """SELECT event_type, n, v_min, v_max,
-       qs[1] AS p25, qs[2] AS p50, qs[3] AS p75, qs[4] AS p90
-FROM (
-  SELECT event_type, count(value) AS n,
-         min(value) AS v_min, max(value) AS v_max,
-         quantile_cont(value, [0.25, 0.5, 0.75, 0.9]) AS qs
-  FROM events GROUP BY 1
-)""",
-    ["event_type", "n", "v_min", "v_max"],
-    ["p25", "p50", "p75", "p90"],
-)
-
-
-# --------------------------------------------------------------------------
-# flagship
-# --------------------------------------------------------------------------
-
-
-def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = flagship_per_query_mae(spark, sf_dir, FlagshipParams())
-    return df.select("symbol", "window_id", _rne(F.col("mae"), "mae", 4))
-
-
-def q_flagship_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6: the reference evaluate() return — MAE mean/std/count over
-    all queries (summary over the 4-decimal per-query MAEs so the
-    join-order-dependent average is stable on both engines)."""
-    df = flagship_per_query_mae(spark, sf_dir, FlagshipParams())
-    return df.select(_rne(F.col("mae"), "mae", 4)).agg(
-        _rne(F.avg("mae"), "mae_mean", 4),
-        _rne(F.stddev_pop("mae"), "mae_std", 4),
-        F.count(F.lit(1)).alias("n_queries"),
-    )
-
-
-def q_flagship_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-symbol search (the reference's ConcatDataset pooling, J5):
-    every query ranks candidates from ALL symbols. The small strided
-    query set broadcasts; distances are flat fixed-dim codegen."""
-    df = flagship_per_query_mae(spark, sf_dir, GLOBAL_PARAMS)
-    return df.select("symbol", "window_id", _rne(F.col("mae"), "mae", 4))
-
-
-# exact global search is inherently quadratic (every query scores the
-# whole cross-symbol store), so BOTH sides are bounded explicitly: the
-# query panel is every 10th symbol and the candidate store is strided
-# per symbol (pair count = Q*C stays ~2M at sf0.1 instead of 170M+).
-# Sub-quadratic global paths are the ANN queries (sign-LSH, IVF).
-GLOBAL_PARAMS = FlagshipParams(
-    within_symbol=False,
-    stride=8,
-    query_symbol_mod=10,
-    cand_stride=8,
-)
-
-
-def _flagship_oracle_ctes(
-    p: FlagshipParams = FlagshipParams(), val_extra: str = ""
-) -> str:
-    """``val_extra``: additional AND-predicate on the val_w CTE (the
-    streaming twin bounds queries away from the in-flight trailing
-    bucket); empty for the batch flagship oracles."""
-    L, P, stride = p.L, p.pred_window, p.stride
-    step = p.step_seconds
-    every = p.resample_every
-    q_filter = (
-        f" AND symbol % {p.query_symbol_mod} = 0"
-        if p.query_symbol_mod is not None
-        else ""
-    )
-    return f"""WITH {SQL_SERIES},
-res AS (
-  SELECT symbol,
-         time_bucket(INTERVAL '{every}', ts - INTERVAL '1 microsecond')
-           + INTERVAL '{every}' AS datetime,
-         arg_max(close, ts) AS close
-  FROM series GROUP BY 1, 2
-),
-idx AS (
-  SELECT symbol,
-         CAST(floor((epoch(datetime) - {ANCHOR_EPOCH}) / {step}) AS BIGINT) AS time_idx,
-         close
-  FROM res
-),
-pos AS (
-  SELECT symbol, time_idx, close,
-         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) AS rn,
-         count(*) OVER (PARTITION BY symbol) AS cnt
-  FROM idx
-),
-skipped AS (
-  SELECT symbol, time_idx, close,
-         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) AS rn2,
-         count(*) OVER (PARTITION BY symbol) AS cnt2
-  FROM pos WHERE rn > floor(cnt * {p.skip_frac})
-),
-labeled AS (
-  SELECT symbol, time_idx, close,
-         CASE WHEN rn2 <= cnt2 - floor(cnt2 * {p.val_ratio})
-              THEN 'train' ELSE 'val' END AS split
-  FROM skipped
-),
-grid AS (
-  SELECT symbol, split, unnest(generate_series(mn, mx)) AS time_idx
-  FROM (SELECT symbol, split, min(time_idx) AS mn, max(time_idx) AS mx
-        FROM labeled GROUP BY 1, 2)
-),
-filled AS (
-  SELECT g.symbol, g.split, g.time_idx,
-         last_value(l.close IGNORE NULLS) OVER (
-           PARTITION BY g.symbol, g.split ORDER BY g.time_idx
-           ROWS UNBOUNDED PRECEDING) AS close
-  FROM grid g LEFT JOIN labeled l
-    ON g.symbol = l.symbol AND g.split = l.split AND g.time_idx = l.time_idx
-),
-win AS (
-  SELECT symbol, split, time_idx AS window_id,
-         list(close) OVER (PARTITION BY symbol, split ORDER BY time_idx
-           ROWS BETWEEN CURRENT ROW AND {L - 1} FOLLOWING) AS raw,
-         list(close) OVER (PARTITION BY symbol, split ORDER BY time_idx
-           ROWS BETWEEN {L} FOLLOWING AND {L + P - 1} FOLLOWING) AS future
-  FROM filled
-),
-stats AS (
-  SELECT symbol, split, window_id, raw, future,
-         list_reduce(raw, (a,b) -> a+b) / {float(L)} AS center
-  FROM win WHERE len(raw) = {L}
-),
-zz AS (
-  SELECT symbol, split, window_id, center, future,
-         sqrt(list_reduce(list_transform(raw, x -> (x-center)*(x-center)),
-              (a,b) -> a+b) / {float(L)}) AS scale,
-         raw
-  FROM stats
-),
-zz2 AS (
-  SELECT symbol, split, window_id, center, scale, future,
-         list_transform(raw, x -> (x - center) / (scale + 1e-8)) AS xs
-  FROM zz
-),
-train_base AS (SELECT * FROM zz2 WHERE split = 'train'),
-t0 AS (SELECT symbol, min(window_id) AS t0 FROM train_base GROUP BY 1),
-train_w AS (
-  SELECT t.* FROM train_base t JOIN t0 USING (symbol)
-  WHERE (t.window_id - t0.t0) % {p.cand_stride} = 0 AND len(t.future) = {P}
-),
-val_base AS (SELECT * FROM zz2 WHERE split = 'val'{q_filter}),
-w0 AS (SELECT symbol, min(window_id) AS w0 FROM val_base GROUP BY 1),
-val_w AS (
-  SELECT v.* FROM val_base v JOIN w0 USING (symbol)
-  WHERE (v.window_id - w0.w0) % {stride} = 0 AND len(v.future) = {P}{val_extra}
-),
-cand AS (
-  SELECT q.symbol AS q_symbol, q.window_id AS q_window_id,
-         q.center AS q_center, q.scale AS q_scale, q.future AS q_future,
-         t.symbol AS m_symbol, t.window_id AS m_window_id,
-         t.center AS m_center,
-         t.scale AS m_scale, t.future AS m_future,
-         {_sql_l2('t.xs', 'q.xs')} AS dist
-  FROM val_w q JOIN train_w t ON {"q.symbol = t.symbol" if p.within_symbol else "TRUE"}
-),
-top2 AS (
-  SELECT * FROM (
-    SELECT *, row_number() OVER (PARTITION BY q_symbol, q_window_id
-              ORDER BY dist ASC, m_symbol ASC, m_window_id ASC) AS rank
-    FROM cand)
-  WHERE rank <= {p.ensemble}
-),
-pred_steps AS (
-  SELECT q_symbol, q_window_id, i AS step,
-         (m_future[i] - m_center) / (m_scale + 1e-8) AS p
-  FROM top2, LATERAL (SELECT unnest(generate_series(1, {P})) AS i)
-),
-ens AS (
-  SELECT q_symbol, q_window_id, step, avg(p) AS pred
-  FROM pred_steps GROUP BY 1, 2, 3
-),
-target_steps AS (
-  SELECT symbol AS q_symbol, window_id AS q_window_id, i AS step,
-         (future[i] - center) / (scale + 1e-8) AS target
-  FROM val_w, LATERAL (SELECT unnest(generate_series(1, {P})) AS i)
-)"""
-
-
-def _flagship_oracle(p: FlagshipParams = FlagshipParams()) -> str:
-    return f"""{_flagship_oracle_ctes(p)}
-SELECT q_symbol AS symbol, q_window_id AS window_id,
-       {_sql_rne('avg(abs(pred - target))', 'mae', 4)}
-FROM ens JOIN target_steps USING (q_symbol, q_window_id, step)
-GROUP BY 1, 2"""
-
-
-def q_stream_flagship_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of the flagship (VERDICT r11 item 2; the one
-    reference-derived surface that had no streaming form — reference
-    batch shape: notebooks/test.ipynb cell 20): candles append ->
-    per-symbol stateful resample + val-suffix window assembly
-    (streaming/ops.py flagship_window_stream; state bounded by
-    symbols x (L+P)) -> each strided query window emits the moment its
-    last future bucket closes -> AFTER the AvailableNow drain, plain
-    batch expressions z-score the emissions with sliding_windows'
-    exact fold and search the BATCH-BUILT train store (k-NN + top-2
-    ensemble + renormalized MAE — the serving split a 24/7 deployment
-    runs: store built offline, queries scored as they complete).
-
-    ``val_starts`` is the deploy-time split cutoff collected when the
-    train store is built (one row per symbol). The trailing in-flight
-    bucket never finalizes (the reference's drop_ends trim), so
-    queries touching a symbol's final val bucket are excluded — the
-    oracle twin carries the same bound; everything else is bitwise
-    the batch flagship's semantics."""
-    from ..functions.normalize import zscore_array
-    from ..operators.forecast import forecast_evaluate
-    from ..streaming import (
-        flagship_window_stream,
-        run_available_now,
-        stream_events,
-    )
-    from .flagship import flagship_train_store, flagship_val_starts
-
-    p = FlagshipParams()
-    val_starts = {
-        int(r["symbol"]): int(r["val_start"])
-        for r in flagship_val_starts(spark, sf_dir, p).collect()
-    }
-    out = run_available_now(
-        flagship_window_stream(
-            stream_events(spark, sf_dir),
-            val_starts,
-            L=p.L,
-            pred_window=p.pred_window,
-            stride=p.stride,
-            step_seconds=p.step_seconds,
-        ),
-        "append",
-        state_partitions=8,
-    )
-    # z-score with the SAME left-fold expressions as sliding_windows
-    # (operators/windows.py) so streamed query windows are bitwise the
-    # batch val windows
-    L = float(p.L)
-    val_w = out.withColumn(
-        "center",
-        F.aggregate("raw", F.lit(0.0), lambda a, x: a + x) / F.lit(L),
-    )
-    val_w = val_w.withColumn(
-        "scale",
-        F.sqrt(
-            F.aggregate(
-                "raw",
-                F.lit(0.0),
-                lambda a, x: a
-                + (x - F.col("center")) * (x - F.col("center")),
-            )
-            / F.lit(L)
-        ),
-    )
-    val_w = val_w.withColumn(
-        "xs", zscore_array(F.col("raw"), F.col("center"), F.col("scale"))
-    ).select("symbol", "window_id", "center", "scale", "xs", "future")
-    res = forecast_evaluate(
-        flagship_train_store(spark, sf_dir, p),
-        val_w,
-        pred_window=p.pred_window,
-        k=p.k,
-        ensemble=p.ensemble,
-        metric=p.metric,
-        within_symbol=True,
-        dim=p.L,
-    )
-    return res.select("symbol", "window_id", _rne(F.col("mae"), "mae", 4))
-
-
-def _sql_stream_flagship() -> str:
-    # the batch flagship oracle with ONE extra bound: the stream's
-    # trailing in-flight bucket never finalizes, so queries whose
-    # [window, future] range touches the symbol's last val bucket are
-    # excluded (w + L + P - 1 < max val time_idx)
-    p = FlagshipParams()
-    cut = p.L + p.pred_window - 1
-    extra = (
-        f" AND v.window_id + {cut} < "
-        "(SELECT max(f.time_idx) FROM filled f "
-        "WHERE f.split = 'val' AND f.symbol = v.symbol)"
-    )
-    return f"""{_flagship_oracle_ctes(p, val_extra=extra)}
-SELECT q_symbol AS symbol, q_window_id AS window_id,
-       {_sql_rne('avg(abs(pred - target))', 'mae', 4)}
-FROM ens JOIN target_steps USING (q_symbol, q_window_id, step)
-GROUP BY 1, 2"""
-
-
-def q_ts_indicators2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second frame-expressible battery: Stochastic %K/%D, CCI, MFI,
-    Ichimoku conversion/base (W12 widening)."""
-    from ..operators.rolling import add_indicators2
-
-    df = add_indicators2(_filled_ohlc(spark, sf_dir))
-    r6 = _r6
-    return df.select(
-        "symbol", "time_idx",
-        r6("stoch_k"), r6("stoch_d"), r6("cci20"), r6("mfi14"),
-        r6("ichi_conv"), r6("ichi_base"),
-    )
-
-
-SQL_TS_INDICATORS2 = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED_OHLC},
-base AS (
-  SELECT symbol, time_idx, close, high, low, volume,
-         (high + low + close) / 3.0 AS tp,
-         row_number() OVER w AS rn
-  FROM filled
-  WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)
-),
-fr AS (
-  SELECT symbol, time_idx, rn, tp,
-         CASE WHEN rn >= 14 THEN
-           100.0 * (close - min(low) OVER w14) /
-           nullif(max(high) OVER w14 - min(low) OVER w14, 0.0)
-         END AS k,
-         avg(tp) OVER w20 AS tp_sma,
-         list(tp) OVER w20 AS tps,
-         CASE WHEN tp > lag(tp) OVER wo THEN tp * volume ELSE 0.0 END AS pf,
-         CASE WHEN tp < lag(tp) OVER wo THEN tp * volume ELSE 0.0 END AS nf,
-         max(high) OVER w9 AS hh9, min(low) OVER w9 AS ll9,
-         max(high) OVER w26 AS hh26, min(low) OVER w26 AS ll26
-  FROM base
-  WINDOW wo AS (PARTITION BY symbol ORDER BY time_idx),
-         w14 AS (PARTITION BY symbol ORDER BY time_idx
-                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
-         w20 AS (PARTITION BY symbol ORDER BY time_idx
-                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
-         w9 AS (PARTITION BY symbol ORDER BY time_idx
-                ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
-         w26 AS (PARTITION BY symbol ORDER BY time_idx
-                 ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)
-),
-agg2 AS (
-  SELECT symbol, time_idx, rn, k, tp, tp_sma, hh9, ll9, hh26, ll26,
-         list_reduce(list_prepend(0.0, tps), (acc, x) -> acc + abs(x - tp_sma))
-           / len(tps) AS mad,
-         CASE WHEN rn >= 16 THEN avg(k) OVER (
-           PARTITION BY symbol ORDER BY time_idx
-           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) END AS d,
-         sum(pf) OVER w14 AS pf14, sum(nf) OVER w14 AS nf14
-  FROM fr
-  WINDOW w14 AS (PARTITION BY symbol ORDER BY time_idx
-                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
-)
-SELECT symbol, time_idx, k AS stoch_k, d AS stoch_d,
-       CASE WHEN rn >= 20 THEN
-         (tp - tp_sma) / nullif(0.015 * mad, 0.0) END AS cci20,
-       CASE WHEN rn >= 15 THEN
-         CASE WHEN nf14 = 0.0 THEN 100.0
-              ELSE 100.0 - 100.0 / (1.0 + pf14 / nf14) END END AS mfi14,
-       CASE WHEN rn >= 9 THEN (hh9 + ll9) / 2.0 END AS ichi_conv,
-       CASE WHEN rn >= 26 THEN (hh26 + ll26) / 2.0 END AS ichi_base
-FROM agg2"""
-
-SQL_TS_INDICATORS2 = _sql_r6_wrap(
-    SQL_TS_INDICATORS2,
-    ["symbol", "time_idx"],
-    ["stoch_k", "stoch_d", "cci20", "mfi14", "ichi_conv", "ichi_base"],
-)
-
-
-def q_ts_trend_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PPO + Keltner channel — single-level EMA recursions in the
-    shared Arrow pass; every output oracle-checked via prefix folds."""
-    from ..operators.rolling import trend_battery_arrow
-
-    df = trend_battery_arrow(_filled_ohlc(spark, sf_dir))
-    r6 = _r6
-    return df.select(
-        "symbol", "time_idx",
-        r6("ppo"), r6("kelt_mid"), r6("kelt_upper"), r6("kelt_lower"),
-    )
-
-
-def q_ts_trix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRIX (EMA of EMA of EMA, 1-step %change). The TRIPLE-chained
-    recursion has no faithful single-fold SQL form (each stage consumes
-    the previous stage's running sequence), so this query is rows-only:
-    the numeric contract is pinned by tests/test_timeseries.py against
-    a pandas ewm chain instead."""
-    from ..operators.rolling import trend_battery_arrow
-
-    df = trend_battery_arrow(_filled_ohlc(spark, sf_dir))
-    return df.filter(F.col("trix15").isNotNull()).select(
-        "symbol", "time_idx", _r6("trix15")
-    )
-
-
-def _sql_trend_arrow() -> str:
-    ppo_f = _sql_ewm("pfx", "2.0/13.0")
-    ppo_s = _sql_ewm("pfx", "2.0/27.0")
-    kelt = _sql_ewm("pfx", "2.0/21.0")
-    atr = _sql_ewm("trpfx", "1.0/10.0")
-    body = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED_OHLC},
-wtr AS (
-  SELECT symbol, time_idx, close,
-         greatest(high - low,
-                  abs(high - lag(close) OVER wo),
-                  abs(low - lag(close) OVER wo)) AS tr
-  FROM filled
-  WINDOW wo AS (PARTITION BY symbol ORDER BY time_idx)
-),
-pre AS (
-  SELECT symbol, time_idx,
-         list(close) OVER wc AS pfx,
-         list(tr) OVER wc AS trpfx
-  FROM wtr
-  WINDOW wc AS (PARTITION BY symbol ORDER BY time_idx
-                ROWS UNBOUNDED PRECEDING)
-),
-e AS (
-  SELECT symbol, time_idx,
-         {ppo_f} AS yf, {ppo_s} AS ys, {kelt} AS ek, {atr} AS eatr
-  FROM pre
-)
-SELECT symbol, time_idx,
-       CASE WHEN ys <> 0.0 THEN 100.0 * (yf - ys) / ys END AS ppo,
-       ek AS kelt_mid,
-       ek + 2.0 * eatr AS kelt_upper,
-       ek - 2.0 * eatr AS kelt_lower
-FROM e"""
-    return _sql_r6_wrap(
-        body,
-        ["symbol", "time_idx"],
-        ["ppo", "kelt_mid", "kelt_upper", "kelt_lower"],
-    )
-
-
-# --------------------------------------------------------------------------
-# cleaning-pipeline queries (reference P4-P7, O3, S7)
-# --------------------------------------------------------------------------
-
-_FEATURE_SMAS = (10, 30, 50)
-
-
-def _feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's feature frame right before pruning: series +
-    moving averages whose first w-1 rows are null (preprocess.py:46-51
-    into preprocess.py:71-73)."""
-    from ..operators.rolling import sma
-
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    for n in _FEATURE_SMAS:
-        df = sma(df, "close", n)
-    return df
-
-
-_SQL_FEATURE_FRAME = f"""fr AS (
-  SELECT symbol, time_idx, close,
-    CASE WHEN row_number() OVER w >= 10 THEN avg(close) OVER (
-      PARTITION BY symbol ORDER BY time_idx
-      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) END AS sma10,
-    CASE WHEN row_number() OVER w >= 30 THEN avg(close) OVER (
-      PARTITION BY symbol ORDER BY time_idx
-      ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) END AS sma30,
-    CASE WHEN row_number() OVER w >= 50 THEN avg(close) OVER (
-      PARTITION BY symbol ORDER BY time_idx
-      ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) END AS sma50
-  FROM filled
-  WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)
-)"""
-
-
-def q_ts_feature_null_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Null-ratio column pruning (P6, ``df.loc[:, df.notnull().mean() >
-    .85]``) with the *decision exposed as data*: one aggregate pass
-    computes every column's non-null fraction (exact integer counts,
-    divided once), the keep/drop verdict is the >0.85 threshold."""
-    frame = _feature_frame(spark, sf_dir)
-    cols = ["close", *(f"sma{n}" for n in _FEATURE_SMAS)]
-    agg = frame.agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[F.count(c).alias(c) for c in cols],
-    )
-    stack_args = []
-    for c in cols:
-        stack_args += [F.lit(c), F.col(c)]
-    return (
-        agg.select(
-            F.col("__n"),
-            F.stack(F.lit(len(cols)), *stack_args).alias("feature", "nonnull"),
-        )
-        .withColumn("nonnull_ratio", F.col("nonnull").cast("double") / F.col("__n"))
-        .withColumn("kept", (F.col("nonnull_ratio") > 0.85).cast("int"))
-        .select("feature", _r6("nonnull_ratio"), "kept")
-    )
-
-
-SQL_TS_FEATURE_NULL_RATIO = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-{_SQL_FEATURE_FRAME},
-agg AS (
-  SELECT count(*) AS n, count(close) AS c_close, count(sma10) AS c10,
-         count(sma30) AS c30, count(sma50) AS c50
-  FROM fr
-),
-un AS (
-  SELECT 'close' AS feature, c_close::DOUBLE / n AS nonnull_ratio FROM agg
-  UNION ALL SELECT 'sma10', c10::DOUBLE / n FROM agg
-  UNION ALL SELECT 'sma30', c30::DOUBLE / n FROM agg
-  UNION ALL SELECT 'sma50', c50::DOUBLE / n FROM agg
-)
-SELECT feature, {_sql_r6('nonnull_ratio')},
-       (nonnull_ratio > 0.85)::INT AS kept
-FROM un"""
-
-
-def q_ts_dropna_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``df.dropna()`` after feature building (P7): order-insensitive
-    per-symbol summary of the surviving frame."""
-    from ..operators.cleaning import drop_nulls
-
-    return (
-        drop_nulls(_feature_frame(spark, sf_dir))
-        .groupBy("symbol")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("sma50").alias("sma50_min"),
-            F.max("sma50").alias("sma50_max"),
-        )
-        .select("symbol", "n_rows", _r6("sma50_min"), _r6("sma50_max"))
-    )
-
-
-SQL_TS_DROPNA = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-{_SQL_FEATURE_FRAME}
-SELECT symbol, count(*) AS n_rows,
-       floor(min(sma50) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS sma50_min,
-       floor(max(sma50) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS sma50_max
-FROM fr
-WHERE close IS NOT NULL AND sma10 IS NOT NULL
-  AND sma30 IS NOT NULL AND sma50 IS NOT NULL
-GROUP BY symbol"""
-
-
-def q_ts_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-ordered positional split (O3, train.py:35-38) as one labeled
-    frame: val = last floor(n*0.15) rows per symbol."""
-    from ..operators.cleaning import positional_split_labeled
-
-    return positional_split_labeled(
-        _series(spark, sf_dir), "symbol", "datetime", val_ratio=0.15
-    ).select("symbol", F.col("datetime").alias("ts"), "close", "split")
-
-
-SQL_TS_SPLIT = f"""WITH {SQL_SERIES},
-pos AS (
-  SELECT symbol, ts, close,
-         row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn,
-         count(*) OVER (PARTITION BY symbol) AS cnt
-  FROM series
-)
-SELECT symbol, ts, close,
-       CASE WHEN rn <= cnt - floor(cnt * 0.15) THEN 'train' ELSE 'val' END AS split
-FROM pos"""
-
-
-def q_ts_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental cache merge (S7, core/data/cdd.py:101-110): the
-    cached history (ts < cutoff) is unioned with a re-fetch that
-    overlaps the tail (ts >= cutoff - 2 days); duplicate (symbol, ts)
-    rows resolve keep-last by (arrival, event_id). The cutoff derives
-    from max(ts) inside the plan (broadcast scalar, no driver collect).
-    """
-    ev = events_series(spark, sf_dir)
-    mx = ev.agg(F.max("datetime").alias("__mx"))
-    ev = ev.crossJoin(F.broadcast(mx))
-    cutoff = F.col("__mx") - F.expr("INTERVAL 14 DAYS")
-    old = ev.filter(F.col("datetime") < cutoff).withColumn("src", F.lit(0))
-    new = ev.filter(
-        F.col("datetime") >= cutoff - F.expr("INTERVAL 2 DAYS")
-    ).withColumn("src", F.lit(1))
-    merged = old.unionByName(new)
-    w = Window.partitionBy("symbol", "datetime").orderBy(
-        F.col("src").desc(), F.col("event_id").desc()
-    )
-    return (
-        merged.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("symbol", F.col("datetime").alias("ts"), "close", "src")
-    )
-
-
-SQL_TS_UPSERT = """WITH ev AS (
-  SELECT user_id AS symbol, ts AS datetime, value AS close, event_id,
-         (SELECT max(ts) FROM events) AS mx
-  FROM events
-),
-unioned AS (
-  SELECT symbol, datetime, close, event_id, 0 AS src
-  FROM ev WHERE datetime < mx - INTERVAL 14 DAY
-  UNION ALL
-  SELECT symbol, datetime, close, event_id, 1 AS src
-  FROM ev WHERE datetime >= mx - INTERVAL 14 DAY - INTERVAL 2 DAY
-),
-ranked AS (
-  SELECT symbol, datetime, close, src,
-         row_number() OVER (PARTITION BY symbol, datetime
-           ORDER BY src DESC, event_id DESC) AS rn
-  FROM unioned
-)
-SELECT symbol, datetime AS ts, close, src FROM ranked WHERE rn = 1"""
-
-
-def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide top-20 terms via an EXPLICIT two-phase aggregate:
-    partial counts per (term, physical partition) first, then the final
-    sum per term — the salting pattern that keeps a skewed hot key
-    (stopwords here; a viral doc id at 100 TB) from funneling through
-    one reducer. Counts are exact ints, so the salt never changes the
-    answer; top-20 is total-ordered (n DESC, term ASC)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
-    partial = toks.withColumn("salt", F.spark_partition_id()).groupBy(
-        "term", "salt"
-    ).agg(F.count(F.lit(1)).alias("pn"))
-    return (
-        partial.groupBy("term")
-        .agg(F.sum("pn").alias("n"))
-        .orderBy(F.col("n").desc(), F.col("term").asc())
-        .limit(20)
-    )
-
-
-SQL_DOC_TOP_TERMS = f"""
-SELECT term, count(*) AS n
-FROM (SELECT unnest({sql_tokens('text')}) AS term FROM documents)
-GROUP BY term
-ORDER BY n DESC, term ASC
-LIMIT 20"""
-
-
-def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OLAP rollup: event counts + exact value sums per (event_type,
-    day) with subtotal and grand-total levels — Spark ROLLUP vs the
-    oracle's GROUPING SETS. Sums go through DECIMAL so subtotal
-    accumulation order can't smear doubles."""
-    ev = load_table(spark, sf_dir, "events")
-    day = F.to_date(F.col("ts"))
-    return (
-        ev.select(
-            F.col("event_type"),
-            day.alias("day"),
-            F.col("value").cast("decimal(18,6)").alias("v"),
-        )
-        .rollup("event_type", "day")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("v").cast("double").alias("value_sum"),
-            F.grouping("event_type").cast("int").alias("lvl_type"),
-            F.grouping("day").cast("int").alias("lvl_day"),
-        )
-    )
-
-
-SQL_EVENTS_ROLLUP = """
-SELECT event_type, day, count(*) AS n,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
-       CASE WHEN GROUPING(event_type) THEN 1 ELSE 0 END AS lvl_type,
-       CASE WHEN GROUPING(day) THEN 1 ELSE 0 END AS lvl_day
-FROM (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
-GROUP BY ROLLUP (event_type, day)"""
-
-
-# --------------------------------------------------------------------------
-# Savitzky–Golay smoothing (reference W9, core/data/preprocess.py:77-96)
-# --------------------------------------------------------------------------
-
-
-def q_ts_savgol(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.smoothing import savgol_smooth_native
-
-    df = savgol_smooth_native(
-        _filled(spark, sf_dir).select("symbol", "time_idx", "close"), "close"
-    )
-    return df.filter(F.col("close_sg").isNotNull()).select(
-        "symbol", "time_idx", _r6("close_sg")
-    )
-
-
-def _sql_savgol() -> str:
-    from ..operators.smoothing import savgol_kernel
-
-    taps = ", ".join(repr(float(c)) for c in savgol_kernel())
-    dot = (
-        f"list_reduce(list_transform(list_zip(vs, [{taps}]),"
-        " p -> p[1]*p[2]), (a,b) -> a+b)"
-    )
-    body = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-fr AS (
-  SELECT symbol, time_idx,
-         list(close) OVER (PARTITION BY symbol ORDER BY time_idx
-           ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING) AS vs
-  FROM filled
-)
-SELECT symbol, time_idx, {dot} AS close_sg
-FROM fr WHERE len(vs) = 21"""
-    return _sql_r6_wrap(body, ["symbol", "time_idx"], ["close_sg"])
-
-
-# --------------------------------------------------------------------------
-# window -> latent embedding (reference M7) and IVF ANN (scale path for
-# J2's brute-force k-NN; README.md:155 "optimized K-NN" future work)
-# --------------------------------------------------------------------------
-
-_DCT_L, _DCT_K = 8, 4
-
-
-def q_win_dct_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch-embed the windows table through the Arrow mapInPandas
-    inference slot (DCT-II codec standing in for the VAE encoder)."""
-    from ..operators.embed import embed_windows
-
-    w = sliding_windows(
-        _filled(spark, sf_dir).select("symbol", "time_idx", "close"), L=_DCT_L
-    )
-    out = embed_windows(w, L=_DCT_L, k=_DCT_K)
-    return out.select(
-        "symbol",
-        "window_id",
-        *[
-            (
-                F.floor(F.element_at("emb", d + 1) * 1e6 + F.lit(0.5)) / 1e6
-                + F.lit(0.0)
-            ).alias(f"e{d}")
-            for d in range(_DCT_K)
-        ],
-    )
-
-
-def _sql_zz_windows(L: int) -> str:
-    """Shared oracle CTE prefix: L-row sliding windows over the filled
-    series, per-window z-scored (population std, +1e-8 eps) into ``xs``
-    — the SQL twin of operators/windows.py sliding_windows + the W2
-    normalization contract. Used by BOTH the DCT and PCA embed oracles
-    so the window/z-score contract can never silently desync."""
-    return f"""win AS (
-  SELECT symbol, time_idx AS window_id,
-         list(close) OVER (PARTITION BY symbol ORDER BY time_idx
-           ROWS BETWEEN CURRENT ROW AND {L - 1} FOLLOWING) AS raw
-  FROM filled
-),
-stats AS (
-  SELECT symbol, window_id, raw,
-         list_reduce(raw, (a,b) -> a+b) / {float(L)} AS center
-  FROM win WHERE len(raw) = {L}
-),
-zs AS (
-  SELECT symbol, window_id, center,
-         sqrt(list_reduce(list_transform(raw, x -> (x-center)*(x-center)),
-              (a,b) -> a+b) / {float(L)}) AS scale,
-         raw
-  FROM stats
-),
-zz AS (
-  SELECT symbol, window_id,
-         list_transform(raw, x -> (x - center) / (scale + 1e-8)) AS xs
-  FROM zs
-)"""
-
-
-def _sql_dct_embed() -> str:
-    from ..operators.embed import dct_basis
-
-    basis = dct_basis(_DCT_L, _DCT_K)
-    coefs = []
-    for d in range(_DCT_K):
-        taps = ", ".join(repr(float(c)) for c in basis[d])
-        coefs.append(
-            f"list_reduce(list_transform(list_zip(xs, [{taps}]),"
-            f" p -> p[1]*p[2]), (a,b) -> a+b) AS e{d}"
-        )
-    sel = ",\n       ".join(coefs)
-    body = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-{_sql_zz_windows(_DCT_L)}
-SELECT symbol, window_id,
-       {sel}
-FROM zz"""
-    return _sql_r6_wrap(
-        body, ["symbol", "window_id"], [f"e{d}" for d in range(_DCT_K)]
-    )
-
-
-def q_win_pca_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib PipelineModel (StandardScaler -> PCA) fitted on the
-    windows table, then applied — the M1/M7 checkpointable embedder
-    (reference analog: notebooks/test.ipynb cells 12-14, where the
-    trained encoder's embedding is likewise a checked artifact).
-
-    Oracle design: an eigensolve is not SQL-expressible and MLlib's
-    eigenvector sign/order is indeterminate, so the checked output
-    quotients that out. The pipeline runs at FULL rank (k = L): the PCA
-    projection is then an orthonormal rotation, so per window
-    ``||latent||^2 == ||scaled||^2`` must hold, and the scaler output
-    itself is plain per-position mean/stddev_samp aggregates DuckDB
-    computes independently. Emitting the scaled coordinates (exact
-    StandardScaler check) plus the latent norm (PCA orthonormality +
-    transform-plumbing check) makes every column hash-verifiable while
-    still exercising the whole fitted PipelineModel. The k<L
-    dimensionality-reduction path (and save/load checkpointing) is
-    covered by tests/test_mlpipe.py, where sign-normalized comparison
-    against a local eigensolve is possible."""
-    from pyspark.ml.functions import vector_to_array
-
-    from ..operators.mlpipe import fit_embedder, window_feature_frame
-
-    # localCheckpoint (not persist): the fit runs TWO eager passes
-    # (scaler stats, PCA covariance) and the transform a third —
-    # without pinning, the whole resample/gap-fill/window lineage
-    # recomputes each time. Checkpoint blocks are GC-reclaimed after
-    # the query; a persist() would pin them for the session.
-    w = sliding_windows(
-        _filled(spark, sf_dir).select("symbol", "time_idx", "close"), L=_DCT_L
-    ).localCheckpoint(eager=True)
-    model = fit_embedder(w, k=_DCT_L)
-    out = model.transform(window_feature_frame(w))
-    scaled = vector_to_array(F.col("scaled"))
-    latent = vector_to_array(F.col("latent"))
-    norm2 = F.aggregate(latent, F.lit(0.0), lambda a, x: a + x * x)
-    return out.select(
-        "symbol",
-        "window_id",
-        *[
-            _rne(F.element_at(scaled, d + 1), f"s{d}", 6)
-            for d in range(_DCT_L)
-        ],
-        _rne(norm2, "latent_norm2", 6),
-    )
-
-
-def _sql_win_pca() -> str:
-    """Oracle for q_win_pca_embed: per-position standardization of the
-    per-window z-scored arrays (MLlib StandardScaler uses the UNBIASED
-    sample std -> stddev_samp) and the rotation-invariant norm."""
-    L = _DCT_L
-    cases = ",\n         ".join(
-        f"max(CASE WHEN i = {d + 1} THEN z END) AS s{d}" for d in range(L)
-    )
-    body = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-{_sql_zz_windows(L)},
-ex AS (
-  SELECT symbol, window_id, i, xs[i] AS v
-  FROM zz, LATERAL (SELECT unnest(generate_series(1, {L})) AS i)
-),
-st AS (SELECT i, avg(v) AS m, stddev_samp(v) AS s FROM ex GROUP BY i),
-sc AS (
-  -- MLlib StandardScaler emits 0.0 for zero-std features; DuckDB's
-  -- (v-m)/s would be NULL there (and stddev_samp of a single window is
-  -- NULL) — mirror the scaler so degenerate fixtures can't desync
-  SELECT symbol, window_id, i,
-         CASE WHEN s IS NULL OR s = 0 THEN 0.0 ELSE (v - m) / s END AS z
-  FROM ex JOIN st USING (i)
-),
-agg AS (
-  SELECT symbol, window_id,
-         {cases},
-         sum(z*z) AS latent_norm2
-  FROM sc GROUP BY symbol, window_id
-)
-SELECT * FROM agg"""
-    return _sql_r6_wrap(
-        body,
-        ["symbol", "window_id"],
-        [f"s{d}" for d in range(L)] + ["latent_norm2"],
-    )
-
-
-IVF_NPROBE = 2
-
-
-def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.ivf import ivf_ann_topk
-
-    out = ivf_ann_topk(
-        _emb(spark, sf_dir), query_mod=KNN_QUERY_MOD, k=KNN_K, nprobe=IVF_NPROBE
-    )
-    return out.select("q_id", "vec_id", "rank", _r6("dist"), "list_id")
-
-
-def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured ANN quality: recall@k of the IVF index against the
-    exact L2 top-k, per query point — the approximate path's accuracy
-    is a NUMBER the pipeline checks, not a hope. Both rankings break
-    distance ties on vec_id and both engines compute L2 as the same
-    sequential fold, so the top-k sets (and hence recall) are
-    bitwise-deterministic. Brute force broadcasts the tiny strided
-    query side, exactly like the knn suite."""
-    from ..operators.ivf import ivf_ann_topk
-
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    )
-    bf = (
-        emb.join(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            dist_l2_fixed64(F.col("v"), F.col("qv")).alias("dist"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("q_id").orderBy(
-                    F.col("dist").asc(), F.col("vec_id").asc()
-                )
-            ),
-        )
-        .filter(F.col("rn") <= KNN_K)
-        .select("q_id", "vec_id")
-    )
-    ivf = ivf_ann_topk(
-        emb, query_mod=KNN_QUERY_MOD, k=KNN_K, nprobe=IVF_NPROBE
-    ).select("q_id", "vec_id")
-    hits = bf.join(ivf, ["q_id", "vec_id"]).groupBy("q_id").agg(
-        F.count(F.lit(1)).alias("n_hit")
-    )
-    return q.select("q_id").join(hits, "q_id", "left").select(
-        "q_id",
-        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-        (
-            F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(float(KNN_K))
-        ).alias("recall"),
-    )
-
-
-def _sql_ivf_recall() -> str:
-    l2 = _sql_l2("e.v", "q.qv")
-    return f"""
-WITH ivf AS (SELECT q_id, vec_id FROM ({_sql_ivf_ann()})),
-emb2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q2 AS (SELECT vec_id AS q_id, v AS qv FROM emb2
-       WHERE vec_id % {KNN_QUERY_MOD} = 0),
-bf AS (
-  SELECT q_id, vec_id FROM (
-    SELECT q.q_id, e.vec_id,
-           row_number() OVER (PARTITION BY q.q_id
-             ORDER BY {l2} ASC, e.vec_id ASC) AS rn
-    FROM emb2 e JOIN q2 q ON e.vec_id <> q.q_id)
-  WHERE rn <= {KNN_K}
-),
-hits AS (
-  SELECT q_id, count(*) AS n_hit
-  FROM bf JOIN ivf USING (q_id, vec_id) GROUP BY 1
-)
-SELECT q2.q_id, COALESCE(n_hit, 0) AS n_hit,
-       COALESCE(n_hit, 0)::DOUBLE / {float(KNN_K)} AS recall
-FROM q2 LEFT JOIN hits ON q2.q_id = hits.q_id"""
-
-
-def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic dedup: keep one representative per coarse cluster —
-    see operators/ivf.py:list_representatives for the plan shape
-    (assignment + single map-side-combined argmin aggregate). The
-    representative's distance is fold-exact on both engines (r6); the
-    cluster's mean distance is a group-order-dependent double sum and
-    goes through the coarse shared rounding (r4, the avg(mae)
-    convention)."""
-    from ..operators.ivf import list_representatives
-
-    out = list_representatives(_emb(spark, sf_dir))
-    return out.select(
-        "list_id",
-        "rep_vec_id",
-        _r6("rep_dist"),
-        "n_members",
-        _rne(F.col("mean_dist"), "mean_dist", 4),
-    )
-
-
-def _sql_semantic_dedup() -> str:
-    l2_ac = _sql_l2("a.v", "c.cvec")
-    return f"""
-WITH {_sql_ivf_base()},
-d AS (
-  SELECT a.list_id, a.vec_id, {l2_ac} AS d
-  FROM assigned a JOIN cent c ON a.list_id = c.label
-),
-g AS (
-  SELECT list_id, vec_id, d,
-         row_number() OVER (PARTITION BY list_id
-           ORDER BY d ASC, vec_id ASC) AS rn
-  FROM d
-),
-s AS (
-  SELECT list_id, count(*) AS n_members, avg(d) AS mean_dist
-  FROM d GROUP BY 1
-)
-SELECT g.list_id, g.vec_id AS rep_vec_id, {_sql_rne('g.d', 'rep_dist')},
-       s.n_members, {_sql_rne('s.mean_dist', 'mean_dist', 4)}
-FROM g JOIN s ON g.list_id = s.list_id WHERE rn = 1"""
-
-
-def _sql_ivf_base(cent_src: str = "emb", pre: str = "") -> str:
-    """Shared oracle CTE prefix — centroid build + nearest-centroid
-    assignment. ONE definition feeds every IVF-family oracle
-    (ann/recall/semantic-dedup/streaming-ingest) so a quantizer-
-    contract edit can't silently desync them. ``cent_src``/``pre``
-    let the streaming-ingest oracle build the quantizer from the SEED
-    split only (matching write_ivf_stream_layout) while ``assigned``
-    still covers every vector; defaults reproduce the original text
-    byte-for-byte."""
-    l2_ec = _sql_l2("e.v", "c.cvec")
-    return f"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-{pre}cent_dims AS (
-  SELECT label, i AS pos,
-         floor(avg(v[i]) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS c
-  FROM {cent_src}, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
-  GROUP BY label, pos
-),
-cent AS (SELECT label, list(c ORDER BY pos) AS cvec FROM cent_dims GROUP BY label),
-assigned AS (
-  SELECT vec_id, v, list_id FROM (
-    SELECT e.vec_id, e.v, c.label AS list_id,
-           row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY {l2_ec} ASC, c.label ASC) AS rk
-    FROM emb e CROSS JOIN cent c)
-  WHERE rk = 1
-)"""
-
-
-def _sql_ivf_ann() -> str:
-    l2_qc = _sql_l2("q.qv", "c.cvec")
-    l2_aq = _sql_l2("a.v", "p.qv")
-    return f"""
-WITH {_sql_ivf_base()},
-q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % {KNN_QUERY_MOD} = 0),
-probes AS (
-  SELECT q_id, qv, list_id FROM (
-    SELECT q.q_id, q.qv, c.label AS list_id,
-           row_number() OVER (PARTITION BY q.q_id
-             ORDER BY {l2_qc} ASC, c.label ASC) AS rk
-    FROM q CROSS JOIN cent c)
-  WHERE rk <= {IVF_NPROBE}
-),
-cand AS (
-  SELECT p.q_id, a.vec_id, a.list_id, {l2_aq} AS dist
-  FROM assigned a JOIN probes p USING (list_id)
-  WHERE a.vec_id <> p.q_id
-),
-ranked AS (
-  SELECT q_id, vec_id, list_id, dist,
-         CAST(row_number() OVER (PARTITION BY q_id
-           ORDER BY dist ASC, vec_id ASC) AS INT) AS rank
-  FROM cand
-)
-SELECT q_id, vec_id, rank,
-       floor(dist * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS dist, list_id
-FROM ranked WHERE rank <= {KNN_K}"""
-
-
-# --------------------------------------------------------------------------
-# multimodal binary-column queries (training-data pipeline extension):
-# payload bytes + typed metadata, JVM-native projections/slicing; the
-# Arrow decode slot is rows-only (no SQL-expressible oracle)
-# --------------------------------------------------------------------------
-
-
-def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import to_media_table
-
-    return to_media_table(load_table(spark, sf_dir, "documents"))
-
-
-def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import media_meta
-
-    m = media_meta(_media(spark, sf_dir))
-    return m.select(
-        "media_id",
-        "media_type",
-        F.col("n_bytes").cast("long").alias("n_bytes"),
-        F.col("width").cast("long").alias("width"),
-        F.col("height").cast("long").alias("height"),
-        "payload_sha",
-    )
-
-
-# sha256(text) over the VARCHAR hashes its UTF-8 bytes — identical to
-# Spark's sha2(encode(text,'UTF-8')); strlen is the UTF-8 byte length
-SQL_MEDIA_META = """
-SELECT doc_id AS media_id,
-       list_extract(['image', 'audio', 'video'], (doc_id % 3 + 1)::INT)
-         AS media_type,
-       strlen(text)::BIGINT AS n_bytes,
-       (strlen(text) % 640 + 1)::BIGINT AS width,
-       (strlen(text) % 480 + 1)::BIGINT AS height,
-       sha256(text) AS payload_sha
-FROM documents"""
-
-
-def q_media_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-stride 16-byte thumbnail per image payload (the resize
-    analog — operators/multimodal.py thumbnail); emitted as hex for
-    the cross-engine hash."""
-    from ..operators.multimodal import thumbnail
-
-    out = thumbnail(_media(spark, sf_dir))
-    return out.select(
-        "media_id", "n_bytes", "stride", F.hex("thumb").alias("thumb_hex")
-    )
-
-
-def q_media_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal dedup groups — the binary-column analog of the text
-    dedup family: payloads grouped per media type by the byte-stride
-    signature ("tiny-thumbnail hash" grouping — near-identical
-    payloads with equal stride collide), with the distinct-sha count
-    separating exact duplicates from near-duplicates inside each
-    group. One projection pass + one map-side-combined groupBy on
-    (type, signature); the payloads themselves never shuffle — only
-    32-byte keys do."""
-    from ..operators.multimodal import payload_signature
-
-    sig = payload_signature(_media(spark, sf_dir))
-    return (
-        sig.groupBy("media_type", "sig")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.min("media_id").alias("canonical_id"),
-            F.count_distinct("payload_sha").alias("n_payloads"),
-        )
-        .filter(F.col("n_items") >= 2)
-        .select("media_type", "sig", "n_items", "canonical_id", "n_payloads")
-    )
-
-
-def _sql_media_dup_groups(out_bytes: int = 16) -> str:
-    picks = " || ".join(
-        f"substring(hx, 2 * ((n // {out_bytes}) * {i}) + 1, 2)"
-        for i in range(out_bytes)
-    )
-    return f"""WITH m AS (
-  SELECT doc_id AS media_id,
-         list_extract(['image', 'audio', 'video'], (doc_id % 3 + 1)::INT)
-           AS media_type,
-         hex(encode(text)) AS hx, strlen(text)::BIGINT AS n,
-         sha256(text) AS payload_sha
-  FROM documents
-),
-s AS (
-  SELECT media_id, media_type, payload_sha, {picks} AS sig
-  FROM m WHERE n >= {out_bytes}
-)
-SELECT media_type, sig, count(*) AS n_items,
-       min(media_id) AS canonical_id,
-       count(DISTINCT payload_sha) AS n_payloads
-FROM s GROUP BY 1, 2 HAVING count(*) >= 2"""
-
-
-def _sql_media_thumbnail(out_bytes: int = 16) -> str:
-    picks = " || ".join(
-        f"substring(hx, 2 * ((n // {out_bytes}) * {i}) + 1, 2)"
-        for i in range(out_bytes)
-    )
-    return f"""WITH m AS (
-  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-         strlen(text)::BIGINT AS n
-  FROM documents WHERE (doc_id % 3 + 1)::INT = 1
-)
-SELECT media_id, n AS n_bytes, (n // {out_bytes})::BIGINT AS stride,
-       {picks} AS thumb_hex
-FROM m WHERE n >= {out_bytes}"""
-
-
-def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import frame_sample
-
-    fr = frame_sample(_media(spark, sf_dir))
-    return fr.select(
-        "media_id",
-        "frame_no",
-        F.length("frame").cast("long").alias("n_bytes"),
-        F.hex("frame").alias("frame_hex"),
-    )
-
-
-# byte slicing checked through the hex codec: character-substring of
-# hex(blob) at 2x the byte offsets equals Spark's binary substring
-SQL_MEDIA_FRAMES = """WITH vids AS (
-  SELECT doc_id AS media_id, text, strlen(text) AS n
-  FROM documents
-  WHERE doc_id % 3 = 2 AND strlen(text) >= 64
-),
-fr AS (
-  SELECT media_id, text,
-         unnest(generate_series(0, ((n - 64) // 128)::BIGINT)) AS frame_no
-  FROM vids
-)
-SELECT media_id, frame_no, 64::BIGINT AS n_bytes,
-       substring(hex(encode(text)), (frame_no * 256 + 1)::BIGINT, 128)
-         AS frame_hex
-FROM fr"""
-
-
-def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow mapInPandas decode slot, fully oracle-checked: the
-    deterministic fake decode (L1-normalized byte-bucket histogram) is
-    reproduced in SQL through the hex codec — bucket = first hex
-    nibble >> 1 — so the Arrow batch path itself gets a bitwise value
-    check, not just a row count."""
-    from ..operators.multimodal import FEATURE_DIM, extract_features
-
-    feats = extract_features(_media(spark, sf_dir))
-    return feats.select(
-        "media_id",
-        "media_type",
-        *[
-            F.element_at("features", j + 1).alias(f"f{j}")
-            for j in range(FEATURE_DIM)
-        ],
-    )
-
-
-def _sql_media_byte_features() -> str:
-    from ..operators.multimodal import FEATURE_DIM
-
-    cols = ",\n  ".join(
-        f"CASE WHEN n = 0 THEN 0.0"
-        f" ELSE len(list_filter(bk, x -> x = {j})) / n END AS f{j}"
-        for j in range(FEATURE_DIM)
-    )
-    return f"""WITH m AS (
-  SELECT doc_id AS media_id,
-         list_extract(['image', 'audio', 'video'], (doc_id % 3 + 1)::INT)
-           AS media_type,
-         hex(encode(text)) AS hx, strlen(text) AS n
-  FROM documents
-),
-d AS (
-  SELECT media_id, media_type, n,
-         list_transform(range(0, n::BIGINT),
-           i -> (strpos('0123456789ABCDEF',
-                        substring(hx, (2 * i + 1)::BIGINT, 1)) - 1) // 2
-         ) AS bk
-  FROM m
-)
-SELECT media_id, media_type,
-  {cols}
-FROM d"""
-
-
-# --------------------------------------------------------------------------
-# Structured Streaming queries (SURVEY.md §2.9) — each runs a REAL
-# incremental streaming plan (file source -> watermarked stateful op ->
-# memory sink) drained with Trigger.AvailableNow, so the result is
-# finite and oracle-checkable while the execution path is the one a
-# 24/7 deployment would use.
-# --------------------------------------------------------------------------
-
-
-def q_stream_resample_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming import resample_stream, run_available_now, stream_events
-
-    out = run_available_now(
-        resample_stream(stream_events(spark, sf_dir), "6 hours"),
-        "append",
-        state_partitions=8,
-    )
-    # the stream watermarks on an LTZ event time (UTC session, see
-    # stream_events); emit NTZ so the result matches DuckDB's naive read
-    return out.select(
-        "symbol",
-        F.col("datetime").cast("timestamp_ntz").alias("datetime"),
-        "high",
-        "low",
-        "n_rows",
-    )
-
-
-# append mode emits a bucket exactly when the watermark (max event time)
-# passes its end: every right-labeled bucket strictly before the bucket
-# holding the global max ts — the stream's trailing partial bucket stays
-# open in state, the streaming analog of the reference's `drop_ends`
-# trim (core/data/preprocess.py:118-119)
-SQL_STREAM_RESAMPLE = """WITH b AS (
-  SELECT user_id AS symbol,
-         time_bucket(INTERVAL '6 hours', ts - INTERVAL '1 microsecond')
-           + INTERVAL '6 hours' AS datetime,
-         max(value) AS high, min(value) AS low, count(*) AS n_rows
-  FROM events GROUP BY 1, 2
-),
-mx AS (
-  SELECT time_bucket(INTERVAL '6 hours', max(ts) - INTERVAL '1 microsecond')
-           + INTERVAL '6 hours' AS m
-  FROM events
-)
-SELECT symbol, datetime, high, low, n_rows FROM b, mx WHERE b.datetime < mx.m"""
-
-
-def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming import distinct_keys_stream, run_available_now, stream_events
-
-    out = run_available_now(
-        distinct_keys_stream(
-            stream_events(spark, sf_dir), ["symbol", "datetime"], "datetime"
-        ),
-        "append",
-        state_partitions=8,
-    )
-    return out.select(
-        "symbol", F.col("datetime").cast("timestamp_ntz").alias("datetime")
-    )
-
-
-SQL_STREAM_DEDUP = "SELECT DISTINCT user_id AS symbol, ts AS datetime FROM events"
-
-
-def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming import run_available_now, session_stream, stream_events
-
-    out = run_available_now(
-        session_stream(stream_events(spark, sf_dir), "30 minutes"),
-        "append",
-        state_partitions=8,
-    )
-    return out.select(
-        "symbol",
-        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
-        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
-        "n_events",
-    )
-
-
-# a session's window is [first_event, last_event + gap); append mode
-# emits it once the watermark (global max ts after the drain) passes
-# its end — i.e. every session except the per-user trailing ones still
-# inside their gap at end-of-data
-SQL_STREAM_SESSIONS = """
-WITH o AS (
-  SELECT user_id AS symbol, ts,
-         CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-              THEN 1 ELSE 0 END AS is_new
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-s AS (
-  SELECT symbol, ts,
-         CAST(sum(is_new) OVER (PARTITION BY symbol ORDER BY ts
-              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
-  FROM o
-),
-g AS (
-  SELECT symbol, session_no, min(ts) AS session_start,
-         max(ts) + INTERVAL 30 MINUTE AS session_end,
-         count(*) AS n_events
-  FROM s GROUP BY 1, 2
-)
-SELECT symbol, session_start, session_end, n_events
-FROM g WHERE session_end <= (SELECT max(ts) FROM events)"""
-
-
-def q_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-static enrichment join — the standard streaming pattern
-    of joining arriving facts against a slowly-changing dimension. The
-    static side (per-user lifetime stats, batch-computed) broadcasts
-    into every micro-batch; the streaming side never shuffles for the
-    join. Output: per event_type, how many events came from
-    above-median-activity users vs not."""
-    from ..streaming import run_available_now, stream_events
-
-    ev = load_table(spark, sf_dir, "events")
-    counts = ev.groupBy(F.col("user_id").alias("symbol")).agg(
-        F.count(F.lit(1)).alias("user_n")
-    )
-    med = counts.agg(
-        F.expr("percentile(user_n, 0.5D)").alias("m")
-    )
-    static = counts.crossJoin(F.broadcast(med)).select(
-        "symbol", (F.col("user_n") > F.col("m")).alias("heavy_user")
-    )
-    stream = stream_events(spark, sf_dir).join(F.broadcast(static), "symbol")
-    # streaming state: exactly two groups — integer count/checksum
-    # aggregates are order-free across micro-batches
-    return run_available_now(
-        stream.groupBy("heavy_user").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("event_id")).alias("event_id_checksum"),
-        ),
-        "complete",
-        state_partitions=8,
-    )
-
-
-SQL_STREAM_ENRICH = """
-WITH counts AS (
-  SELECT user_id, count(*) AS user_n FROM events GROUP BY 1
-),
-med AS (SELECT quantile_cont(user_n, 0.5) AS m FROM counts),
-static AS (
-  SELECT user_id, user_n > m AS heavy_user FROM counts, med
-)
-SELECT heavy_user, count(*) AS n_events,
-       CAST(sum(event_id) AS BIGINT) AS event_id_checksum
-FROM events JOIN static USING (user_id)
-GROUP BY 1"""
-
-
-def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Attribution via stream-stream interval join: every purchase
-    within 1 hour after a click by the same user, both sides live
-    streams (see streaming/ops.py:interval_join_stream for the state
-    bound). The pair set — ids and the exact microsecond delta —
-    equals the batch range-join oracle."""
-    from ..streaming import interval_join_stream, run_available_now, stream_events
-
-    ev = stream_events(spark, sf_dir, keep_type=True)
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "symbol", "datetime", "event_id"
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "symbol", "datetime", "event_id"
-    )
-    joined = interval_join_stream(clicks, purchases)
-    out = run_available_now(
-        joined.select(
-            F.col("l.symbol").alias("symbol"),
-            F.col("l.event_id").alias("click_event_id"),
-            F.col("r.event_id").alias("purchase_event_id"),
-            (
-                F.unix_micros(F.col("r.datetime"))
-                - F.unix_micros(F.col("l.datetime"))
-            ).alias("delta_us"),
-        ),
-        "append",
-        # 8 state partitions: a stream-stream join runs FOUR state
-        # stores per partition and this stream's keyspace is tiny; at
-        # production rate the same knob is sized to throughput (it is
-        # checkpoint-persisted, deliberately not AQE's call)
-        state_partitions=8,
-    )
-    return out
-
-
-SQL_STREAM_INTERVAL_JOIN = """
-SELECT c.user_id AS symbol,
-       c.event_id AS click_event_id,
-       p.event_id AS purchase_event_id,
-       epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
-FROM events c JOIN events p
-  ON c.user_id = p.user_id
- AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
-WHERE c.event_type = 'click' AND p.event_type = 'purchase'"""
-
-
-def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ASOF enrichment: each purchase gets the user's most recent
-    at-or-before view (id, value, microsecond lag) — see
-    operators/asof.py for the one-shuffle union-tag plan. The right
-    side is deduped to one row per (user, ts) keep-max-event_id first,
-    because DuckDB's ASOF tie rule at equal timestamps is unspecified;
-    with unique right timestamps both engines' picks coincide
-    exactly."""
-    from ..operators.asof import asof_join
-
-    ev = load_table(spark, sf_dir, "events")
-    wv = Window.partitionBy("user_id", "ts").orderBy(
-        F.col("event_id").desc()
-    )
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            "ts",
-            F.col("ts").alias("view_ts"),
-            F.col("event_id").alias("view_event_id"),
-            F.col("value").alias("view_value"),
-        )
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("event_id").alias("purchase_event_id")
-    )
-    out = asof_join(
-        purchases,
-        views,
-        on=["user_id"],
-        left_ts="ts",
-        right_ts="ts",
-        right_tiebreak="view_event_id",
-    )
-    # unix_micros needs an instant; NTZ->LTZ cast is micros-preserving
-    # only under UTC (asserted, the q_ts_delta_hist convention)
-    lts, rts = F.col("ts"), F.col("view_ts")
-    if dict(ev.dtypes)["ts"] == "timestamp_ntz":
-        require_utc(spark)
-        lts, rts = lts.cast("timestamp"), rts.cast("timestamp")
-    return out.select(
-        "purchase_event_id",
-        F.col("user_id").alias("symbol"),
-        "view_event_id",
-        (F.unix_micros(lts) - F.unix_micros(rts)).alias("lag_us"),
-        "view_value",
-    )
-
-
-SQL_EVENTS_ASOF_JOIN = """
-WITH v0 AS (
-  SELECT user_id, ts, event_id, value,
-         row_number() OVER (PARTITION BY user_id, ts
-           ORDER BY event_id DESC) AS rn
-  FROM events WHERE event_type = 'view'
-),
-v AS (SELECT user_id, ts, event_id AS view_event_id,
-             value AS view_value
-      FROM v0 WHERE rn = 1),
-p AS (SELECT user_id, ts, event_id FROM events
-      WHERE event_type = 'purchase')
-SELECT p.event_id AS purchase_event_id, p.user_id AS symbol,
-       v.view_event_id,
-       epoch_us(p.ts) - epoch_us(v.ts) AS lag_us,
-       v.view_value
-FROM p ASOF LEFT JOIN v
-  ON p.user_id = v.user_id AND v.ts <= p.ts"""
-
-
-def q_stream_ema_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming import ema_state_stream, run_available_now, stream_events
-
-    out = run_available_now(
-        ema_state_stream(stream_events(spark, sf_dir), span=12),
-        "append",
-        state_partitions=8,
-    )
-    return out.select("symbol", "n_rows", _r6("ema"))
-
-
-# same sequential fold as the stateful operator: rows sorted by
-# (ts, event_id), y = (1-a)*y + a*x with a = 2/(span+1)
-SQL_STREAM_EMA = _sql_r6_wrap(
-    f"""WITH lst AS (
-  SELECT user_id AS symbol, count(*) AS n_rows,
-         list(value ORDER BY ts, event_id) AS vs
-  FROM events GROUP BY 1
-)
-SELECT symbol, n_rows,
-       {_sql_ewm('vs', '2.0/13.0')} AS ema
-FROM lst""",
-    ["symbol", "n_rows"],
-    ["ema"],
-)
-
-
-def q_stream_resume_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Checkpoint-resume delta reprocessing as a driver-checkable
-    query — the 24/7-restart contract: chunk A of the event feed
-    (event time below the 2/3 cut) lands and drains through the
-    stateful EMA operator (streaming/ops.py ema_state_stream) into a
-    parquet sink; then chunk B lands and a SECOND drain restarts from
-    the SAME checkpoint — the file source's checkpoint proves only
-    the delta is reprocessed, and the carried per-key state proves
-    the resumed fold continues where drain 1 stopped. The sink then
-    holds per symbol the drain-1 emission (fold over chunk A) and the
-    drain-2 emission (fold over the FULL feed — bitwise equal to one
-    continuous run, which is what the oracle computes two ways).
-    Scale shape: state is one (count, ema) cell per key, chunks land
-    as time-ordered files (the operator's documented arrival-order
-    precondition), and the sink is append-only parquet."""
-    import os
-    import shutil
-    import tempfile
-
-    from ..streaming.ops import ema_state_stream
-
-    ev = load_table(spark, sf_dir, "events")
-    ts = F.col("ts")
-    if dict(ev.dtypes)["ts"] == "timestamp_ntz":
-        require_utc(spark)
-        ts = ts.cast("timestamp")
-    norm = ev.select(
-        F.col("user_id").alias("symbol"),
-        ts.alias("datetime"),
-        F.col("value").alias("close"),
-        "event_id",
-    )
-    b = norm.agg(
-        F.min(F.unix_micros("datetime")).alias("mn"),
-        F.max(F.unix_micros("datetime")).alias("mx"),
-    ).first()
-    # positive integers: Python // matches DuckDB's // bitwise
-    cut_us = int(b["mn"]) + (int(b["mx"]) - int(b["mn"])) * 2 // 3
-    work = tempfile.mkdtemp(prefix="bdspf-resume-")
-    try:
-        landing = os.path.join(work, "landing")
-        sink = os.path.join(work, "sink")
-        ckpt = os.path.join(work, "ckpt")
-        os.makedirs(landing)
-
-        def land(df: DataFrame, name: str) -> None:
-            stage = os.path.join(work, "stage_" + name)
-            df.coalesce(1).write.parquet(stage)
-            import glob
-
-            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-            os.rename(part, os.path.join(landing, name + ".parquet"))
-
-        def drain() -> None:
-            schema = spark.read.parquet(
-                os.path.join(landing, "a.parquet")
-            ).schema
-            sdf = (
-                spark.readStream.schema(schema)
-                .option("pathGlobFilter", "*.parquet")
-                .parquet(landing)
-            )
-            q = (
-                ema_state_stream(sdf, span=12)
-                .writeStream.format("parquet")
-                .option("path", sink)
-                .outputMode("append")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-            q.stop()
-
-        land(norm.filter(F.unix_micros("datetime") < cut_us), "a")
-        drain()
-        land(norm.filter(F.unix_micros("datetime") >= cut_us), "b")
-        drain()
-        # localCheckpoint(eager) truncates lineage before the scratch
-        # dir is deleted (same hazard as q_stream_dedup_ingest)
-        return (
-            spark.read.parquet(sink)
-            .select("symbol", "n_rows", _r6("ema"))
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-
-
-# drain-1 rows = fold over chunk A (users active before the cut);
-# drain-2 rows = fold over the FULL feed (users active after the cut)
-# — the resumed recursion must equal one continuous fold
-SQL_STREAM_RESUME_DELTA = _sql_r6_wrap(
-    f"""WITH bnd AS (
-  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
-cut AS (SELECT mn + (mx - mn) * 2 // 3 AS c FROM bnd),
-a_rows AS (
-  SELECT user_id AS symbol, count(*) AS n_rows,
-         list(value ORDER BY ts, event_id) AS vs
-  FROM events, cut WHERE epoch_us(ts) < c GROUP BY 1),
-all_rows AS (
-  SELECT user_id AS symbol, count(*) AS n_rows,
-         list(value ORDER BY ts, event_id) AS vs
-  FROM events GROUP BY 1),
-b_users AS (
-  SELECT DISTINCT user_id AS symbol
-  FROM events, cut WHERE epoch_us(ts) >= c)
-SELECT symbol, n_rows, {_sql_ewm('vs', '2.0/13.0')} AS ema FROM a_rows
-UNION ALL
-SELECT r.symbol, r.n_rows, {_sql_ewm('vs', '2.0/13.0')} AS ema
-FROM all_rows r JOIN b_users USING (symbol)""",
-    ["symbol", "n_rows"],
-    ["ema"],
-)
-
-
-# --------------------------------------------------------------------------
-# registry
-# --------------------------------------------------------------------------
-
-
-# --------------------------------------------------------------------------
-# merged batteries + W12 long tail + data-quality surfaces (round 2)
-# --------------------------------------------------------------------------
-
-
-def q_ts_indicators_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-expressible indicator battery — batteries 1+2 on ONE
-    lineage (every window shares the same partition spec, so Catalyst
-    plans a single sort and zero extra exchanges; previously two
-    queries scanning the pipeline twice)."""
-    from ..operators.rolling import add_indicators, add_indicators2
-
-    df = add_indicators2(add_indicators(_filled_ohlc(spark, sf_dir)))
-    r6 = _r6
-    return df.select(
-        "symbol", "time_idx",
-        r6("ret"), r6("logret"), r6("sma20"), r6("bb_upper"), r6("bb_lower"),
-        r6("roc12"), r6("obv"), r6("vwap20"), r6("willr14"),
-        r6("don_upper"), r6("don_lower"), r6("don_mid"),
-        r6("stoch_k"), r6("stoch_d"), r6("cci20"), r6("mfi14"),
-        r6("ichi_conv"), r6("ichi_base"),
-    )
-
-
-_IND1_COLS = [
-    "ret", "logret", "sma20", "bb_upper", "bb_lower", "roc12", "obv",
-    "vwap20", "willr14", "don_upper", "don_lower", "don_mid",
-]
-_IND2_COLS = ["stoch_k", "stoch_d", "cci20", "mfi14", "ichi_conv", "ichi_base"]
-
-
-def _sql_indicators_all() -> str:
-    cols = ", ".join(
-        [f"a.{c}" for c in _IND1_COLS] + [f"b.{c}" for c in _IND2_COLS]
-    )
-    return (
-        f"SELECT a.symbol, a.time_idx, {cols} "
-        f"FROM ({SQL_TS_INDICATORS}) a "
-        f"JOIN ({SQL_TS_INDICATORS2}) b USING (symbol, time_idx)"
-    )
-
-
-def q_ts_recursive_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EMA/MACD/RSI/ATR/TRIX/PPO/Keltner/ADX(±DI)/Force/TSI/PVO/
-    MassIndex/KAMA/NVI/StochRSI/PSAR/STC — every recursive indicator in
-    ONE Arrow pass (operators/rolling.py ``recursive_battery_arrow``);
-    the oracle reproduces each recursion as staged sequential prefix
-    folds (each EMA stage materialized as a column, then re-folded);
-    the per-step-coefficient / state-machine recursions (KAMA, NVI,
-    PSAR) fold over struct elements carrying the native-computed
-    inputs."""
-    from ..operators.rolling import recursive_battery_arrow
-
-    df = recursive_battery_arrow(_filled_ohlc(spark, sf_dir))
-    r6 = _r6
-    return df.select(
-        "symbol", "time_idx",
-        r6("ema12"), r6("ema26"), r6("macd"), r6("macd_signal"),
-        r6("macd_hist"), r6("rsi14"), r6("atr14"), r6("trix15"),
-        r6("ppo"), r6("kelt_mid"), r6("kelt_upper"), r6("kelt_lower"),
-        r6("adx14"), r6("di_pos14"), r6("di_neg14"), r6("force13"),
-        r6("tsi"), r6("pvo"), r6("mass_idx"), r6("kama"), r6("nvi"),
-        r6("stoch_rsi"), r6("psar"), r6("psar_dir"), r6("stc"),
-    )
-
-
-def _sql_psar_cte() -> str:
-    """Parabolic SAR as a RECURSIVE CTE stepping every symbol forward
-    one bar per iteration: sar advances toward the extreme point by the
-    accelerating factor, clamps to the two prior lows/highs, and flips
-    the trend when price crosses it. A struct-fold formulation (like
-    KAMA/NVI) would be natural, but DuckDB v1.0.0 miscomputes large
-    struct lambdas in list_reduce (verified: fold of a 40-list
-    disagrees with single-stepping its own step function), so plain
-    scalar join expressions it is. Operand order matches the Arrow
-    pass's Python loop exactly. References a ``pre`` CTE providing
-    (symbol, time_idx, rn, high, low, pl1, pl2, ph1, ph2); shared by
-    the recursive-battery and indicators5 oracles."""
-    s1u = (
-        "least(p.sar + p.af * (p.ep - p.sar),"
-        " r.pl1, coalesce(r.pl2, r.pl1))"
-    )
-    s1d = (
-        "greatest(p.sar + p.af * (p.ep - p.sar),"
-        " r.ph1, coalesce(r.ph2, r.ph1))"
-    )
-    return f"""psrc AS (
-  SELECT symbol, time_idx, rn, high, low, pl1, pl2, ph1, ph2 FROM pre
-),
-psr AS (
-  SELECT symbol, time_idx, rn, low AS sar, high AS ep,
-         0.02::DOUBLE AS af, true AS up
-  FROM psrc WHERE rn = 1
-  UNION ALL
-  SELECT r.symbol, r.time_idx, r.rn,
-         CASE WHEN p.up
-              THEN CASE WHEN r.low < {s1u} THEN p.ep ELSE {s1u} END
-              ELSE CASE WHEN r.high > {s1d} THEN p.ep ELSE {s1d} END
-              END AS sar,
-         CASE WHEN p.up
-              THEN CASE WHEN r.low < {s1u} THEN r.low
-                   ELSE greatest(p.ep, r.high) END
-              ELSE CASE WHEN r.high > {s1d} THEN r.high
-                   ELSE least(p.ep, r.low) END
-              END AS ep,
-         CASE WHEN p.up
-              THEN CASE WHEN r.low < {s1u} THEN 0.02::DOUBLE
-                   WHEN r.high > p.ep
-                     THEN least(p.af + 0.02::DOUBLE, 0.2::DOUBLE)
-                   ELSE p.af END
-              ELSE CASE WHEN r.high > {s1d} THEN 0.02::DOUBLE
-                   WHEN r.low < p.ep
-                     THEN least(p.af + 0.02::DOUBLE, 0.2::DOUBLE)
-                   ELSE p.af END
-              END AS af,
-         CASE WHEN p.up THEN NOT (r.low < {s1u})
-              ELSE r.high > {s1d} END AS up
-  FROM psr p JOIN psrc r ON r.symbol = p.symbol AND r.rn = p.rn + 1
-)"""
-
-
-def _sql_recursive_battery() -> str:
-    e = _sql_ewm
-    psar_cte = _sql_psar_cte()
-    body = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED_OHLC},
-pre AS (
-  SELECT symbol, time_idx,
-         close, volume, high, low,
-         lag(low) OVER wo AS pl1, lag(low, 2) OVER wo AS pl2,
-         lag(high) OVER wo AS ph1, lag(high, 2) OVER wo AS ph2,
-         row_number() OVER wo AS rn,
-         greatest(high - low, abs(high - lag(close) OVER wo),
-                  abs(low - lag(close) OVER wo)) AS tr,
-         greatest(close - lag(close) OVER wo, 0.0) AS gain,
-         greatest(-(close - lag(close) OVER wo), 0.0) AS loss,
-         CASE WHEN (high - lag(high) OVER wo) > (lag(low) OVER wo - low)
-               AND (high - lag(high) OVER wo) > 0
-              THEN high - lag(high) OVER wo ELSE 0.0 END AS pdm,
-         CASE WHEN (lag(low) OVER wo - low) > (high - lag(high) OVER wo)
-               AND (lag(low) OVER wo - low) > 0
-              THEN lag(low) OVER wo - low ELSE 0.0 END AS ndm,
-         coalesce((close - lag(close) OVER wo) * volume, 0.0) AS fi,
-         coalesce(close - lag(close) OVER wo, 0.0) AS mom,
-         abs(coalesce(close - lag(close) OVER wo, 0.0)) AS amom,
-         high - low AS hl,
-         coalesce(volume < lag(volume) OVER wo, false) AS nvif,
-         coalesce((close - lag(close) OVER wo)
-                  / nullif(lag(close) OVER wo, 0.0), 0.0) AS nvir,
-         abs(close - lag(close, 10) OVER wo) AS k10n
-  FROM filled
-  WINDOW wo AS (PARTITION BY symbol ORDER BY time_idx)
-),
-pre2 AS (
-  SELECT *, {_sql_fold_sum('list(amom) OVER f10')} AS kden
-  FROM pre
-  WINDOW f10 AS (PARTITION BY symbol ORDER BY time_idx
-                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
-),
-pre3 AS (
-  SELECT *, CASE WHEN rn > 10 AND kden <> 0.0
-                 THEN k10n / kden ELSE 0.0 END AS er
-  FROM pre2
-),
-l1 AS (
-  SELECT symbol, time_idx, rn,
-         list(close) OVER wc AS cpfx, list(tr) OVER wc AS trpfx,
-         list(gain) OVER wc AS gpfx, list(loss) OVER wc AS lpfx,
-         list(pdm) OVER wc AS ppfx, list(ndm) OVER wc AS npfx,
-         list(fi) OVER wc AS fpfx,
-         list(mom) OVER wc AS mopfx, list(amom) OVER wc AS aopfx,
-         list(volume) OVER wc AS vpfx, list(hl) OVER wc AS hlpfx,
-         list(struct_pack(x := close,
-              s := (er * (2.0/3.0 - 2.0/31.0) + 2.0/31.0)
-                   * (er * (2.0/3.0 - 2.0/31.0) + 2.0/31.0)))
-           OVER wc AS kpfx,
-         list(struct_pack(
-              x := (CASE WHEN rn = 1 THEN 1000.0 ELSE 0.0 END)::DOUBLE,
-              f := nvif, r := nvir)) OVER wc AS nvpfx
-  FROM pre3
-  WINDOW wc AS (PARTITION BY symbol ORDER BY time_idx
-                ROWS UNBOUNDED PRECEDING)
-),
-e1s AS (
-  SELECT symbol, time_idx, rn,
-         {e('cpfx', '2.0/13.0')} AS ema12, {e('cpfx', '2.0/27.0')} AS ema26,
-         {e('cpfx', '2.0/16.0')} AS te1, {e('cpfx', '2.0/21.0')} AS ekel,
-         {e('trpfx', '1.0/14.0')} AS atr14, {e('trpfx', '1.0/10.0')} AS ekatr,
-         {e('gpfx', '1.0/14.0')} AS ag, {e('lpfx', '1.0/14.0')} AS al,
-         {e('ppfx', '1.0/14.0')} AS spdm, {e('npfx', '1.0/14.0')} AS sndm,
-         {e('fpfx', '2.0/14.0')} AS force13,
-         {e('mopfx', '2.0/26.0')} AS tse1, {e('aopfx', '2.0/26.0')} AS tae1,
-         {e('vpfx', '2.0/13.0')} AS ev12, {e('vpfx', '2.0/27.0')} AS ev26,
-         {e('hlpfx', '2.0/10.0')} AS meh,
-         list_reduce(kpfx, (acc, el) -> struct_pack(
-             x := acc.x + el.s * (el.x - acc.x), s := el.s)).x AS kama,
-         list_reduce(nvpfx, (acc, el) -> struct_pack(
-             x := acc.x * (CASE WHEN el.f THEN 1.0 + el.r
-                           ELSE 1.0::DOUBLE END),
-             f := el.f, r := el.r)).x AS nvi
-  FROM l1
-),
-e2s AS (
-  SELECT *, ema12 - ema26 AS macd,
-         CASE WHEN atr14 <> 0.0 THEN 100.0 * spdm / atr14 ELSE 0.0 END
-           AS di_pos14,
-         CASE WHEN atr14 <> 0.0 THEN 100.0 * sndm / atr14 ELSE 0.0 END
-           AS di_neg14,
-         CASE WHEN al = 0.0 THEN 100.0
-              ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsinow
-  FROM e1s
-),
-e3s AS (
-  SELECT *, CASE WHEN di_pos14 + di_neg14 <> 0.0
-                 THEN 100.0 * abs(di_pos14 - di_neg14)
-                      / (di_pos14 + di_neg14)
-                 ELSE 0.0 END AS dx,
-         min(rsinow) OVER f14s AS mn14, max(rsinow) OVER f14s AS mx14,
-         min(macd) OVER f10m AS mnm, max(macd) OVER f10m AS mxm
-  FROM e2s
-  WINDOW f14s AS (PARTITION BY symbol ORDER BY time_idx
-                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
-         f10m AS (PARTITION BY symbol ORDER BY time_idx
-                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
-),
-l2 AS (
-  SELECT *, list(macd) OVER wc AS mpfx, list(te1) OVER wc AS e1pfx,
-            list(dx) OVER wc AS dxpfx, list(tse1) OVER wc AS ts1pfx,
-            list(tae1) OVER wc AS ta1pfx, list(meh) OVER wc AS mehpfx,
-            CASE WHEN mxm <> mnm
-                 THEN 100.0 * (macd - mnm) / (mxm - mnm)
-                 ELSE 50.0 END AS k1
-  FROM e3s
-  WINDOW wc AS (PARTITION BY symbol ORDER BY time_idx
-                ROWS UNBOUNDED PRECEDING)
-),
-f2 AS (
-  SELECT * EXCLUDE (mpfx, e1pfx, dxpfx, ts1pfx, ta1pfx, mehpfx),
-         {e('mpfx', '2.0/10.0')} AS macd_signal,
-         {e('e1pfx', '2.0/16.0')} AS te2,
-         {e('dxpfx', '1.0/14.0')} AS adx14,
-         {e('ts1pfx', '2.0/14.0')} AS tse2,
-         {e('ta1pfx', '2.0/14.0')} AS tae2,
-         {e('mehpfx', '2.0/10.0')} AS mehh,
-         list(k1) OVER wc AS k1pfx
-  FROM l2
-  WINDOW wc AS (PARTITION BY symbol ORDER BY time_idx
-                ROWS UNBOUNDED PRECEDING)
-),
-l3 AS (
-  SELECT *, list(te2) OVER wc AS e2pfx,
-         CASE WHEN mehh <> 0.0 THEN meh / mehh ELSE 0.0 END AS mratio,
-         {e('k1pfx', '0.5')} AS d1
-  FROM f2
-  WINDOW wc AS (PARTITION BY symbol ORDER BY time_idx
-                ROWS UNBOUNDED PRECEDING)
-),
-f3 AS (
-  SELECT * EXCLUDE (e2pfx), {e('e2pfx', '2.0/16.0')} AS te3,
-         {_sql_fold_sum('list(mratio) OVER f25')} AS mass_idx,
-         min(d1) OVER f10d AS mnd, max(d1) OVER f10d AS mxd
-  FROM l3
-  WINDOW f25 AS (PARTITION BY symbol ORDER BY time_idx
-                 ROWS BETWEEN 24 PRECEDING AND CURRENT ROW),
-         f10d AS (PARTITION BY symbol ORDER BY time_idx
-                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
-),
-fin AS (
-  SELECT *, lag(te3) OVER (PARTITION BY symbol ORDER BY time_idx) AS pe3,
-         CASE WHEN mxd <> mnd
-              THEN 100.0 * (d1 - mnd) / (mxd - mnd)
-              ELSE 50.0 END AS k2
-  FROM f3
-),
-fin2 AS (
-  SELECT *, list(k2) OVER wc AS k2pfx
-  FROM fin
-  WINDOW wc AS (PARTITION BY symbol ORDER BY time_idx
-                ROWS UNBOUNDED PRECEDING)
-)
-SELECT symbol, time_idx, ema12, ema26, macd, macd_signal,
-       macd - macd_signal AS macd_hist,
-       rsinow AS rsi14,
-       atr14,
-       CASE WHEN pe3 IS NOT NULL AND pe3 <> 0.0
-            THEN 100.0 * (te3 - pe3) / pe3 END AS trix15,
-       CASE WHEN ema26 <> 0.0
-            THEN 100.0 * (ema12 - ema26) / ema26 END AS ppo,
-       ekel AS kelt_mid, ekel + 2.0 * ekatr AS kelt_upper,
-       ekel - 2.0 * ekatr AS kelt_lower,
-       adx14, di_pos14, di_neg14, force13,
-       CASE WHEN tae2 <> 0.0 THEN 100.0 * tse2 / tae2 END AS tsi,
-       CASE WHEN ev26 <> 0.0
-            THEN 100.0 * (ev12 - ev26) / ev26 END AS pvo,
-       mass_idx, kama, nvi,
-       CASE WHEN rn >= 14 AND mx14 <> mn14
-            THEN (rsinow - mn14) / (mx14 - mn14) END AS stoch_rsi,
-       psr.sar AS psar,
-       CASE WHEN psr.up THEN 1.0 ELSE -1.0 END AS psar_dir,
-       {e('k2pfx', '0.5')} AS stc
-FROM fin2 JOIN (
-  -- WITH RECURSIVE scoped to a derived table: in DuckDB v1.0 a
-  -- top-level WITH RECURSIVE makes every CTE's named-WINDOW clause
-  -- share one namespace, colliding the per-stage `wc` definitions
-  WITH RECURSIVE {psar_cte}
-  SELECT symbol, time_idx, sar, up FROM psr
-) psr USING (symbol, time_idx)"""
-    return _sql_r6_wrap(
-        body,
-        ["symbol", "time_idx"],
-        ["ema12", "ema26", "macd", "macd_signal", "macd_hist", "rsi14",
-         "atr14", "trix15", "ppo", "kelt_mid", "kelt_upper", "kelt_lower",
-         "adx14", "di_pos14", "di_neg14", "force13",
-         "tsi", "pvo", "mass_idx", "kama", "nvi", "stoch_rsi",
-         "psar", "psar_dir", "stc"],
-    )
-
-
-def q_ts_indicators3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W12 long tail, all native frame expressions: Aroon, Vortex, CMF,
-    ADI, EOM, Ultimate Oscillator, DPO, KST(+signal), full Ichimoku
-    (leading spans A/B + lagging), Awesome Oscillator, WMA,
-    Volume-Price Trend, cumulative return, Ulcer Index."""
-    from ..operators.rolling import add_indicators3
-
-    df = add_indicators3(_filled_ohlc(spark, sf_dir))
-    r6 = _r6
-    return df.select(
-        "symbol", "time_idx",
-        r6("aroon_up"), r6("aroon_down"), r6("vortex_pos"), r6("vortex_neg"),
-        r6("cmf20"), r6("adi"), r6("eom14"), r6("uo"), r6("dpo20"),
-        r6("kst"), r6("kst_sig"),
-        r6("ichi_span_a"), r6("ichi_span_b"), r6("ichi_lagging"),
-        r6("ao"), r6("wma9"), r6("vpt"), r6("cret"), r6("ui14"),
-    )
-
-
-def _sql_fold_sum(lst: str) -> str:
-    """Sequential left fold over a window-frame list — matches Spark's
-    no-retraction sliding-frame recompute bitwise."""
-    return f"list_reduce(list_prepend(0.0, {lst}), (a, x) -> a + x)"
-
-
-def _sql_indicators3() -> str:
-    fs = _sql_fold_sum
-    body = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED_OHLC},
-pre AS (
-  SELECT symbol, time_idx, close, high, low, volume,
-         row_number() OVER wo AS rn,
-         greatest(high - low, abs(high - lag(close) OVER wo),
-                  abs(low - lag(close) OVER wo)) AS tr3,
-         coalesce(abs(high - lag(low) OVER wo), 0.0) AS vp,
-         coalesce(abs(low - lag(high) OVER wo), 0.0) AS vn,
-         CASE WHEN high <> low
-              THEN ((close - low) - (high - close)) / (high - low) * volume
-              ELSE 0.0 END AS mfv,
-         coalesce(((high + low) / 2.0
-                   - (lag(high) OVER wo + lag(low) OVER wo) / 2.0)
-                  * (high - low) / nullif(volume, 0.0), 0.0) AS emv,
-         close - least(low, lag(close) OVER wo) AS bp,
-         greatest(high, lag(close) OVER wo)
-           - least(low, lag(close) OVER wo) AS truo,
-         coalesce(100.0 * (close / nullif(lag(close, 10) OVER wo, 0.0) - 1.0),
-                  0.0) AS r10,
-         coalesce(100.0 * (close / nullif(lag(close, 15) OVER wo, 0.0) - 1.0),
-                  0.0) AS r15,
-         coalesce(100.0 * (close / nullif(lag(close, 20) OVER wo, 0.0) - 1.0),
-                  0.0) AS r20,
-         coalesce(100.0 * (close / nullif(lag(close, 30) OVER wo, 0.0) - 1.0),
-                  0.0) AS r30,
-         lag(close, 11) OVER wo AS c11,
-         lead(close, 26) OVER wo AS ichi_lagging,
-         (high + low) / 2.0 AS midp,
-         coalesce((close - lag(close) OVER wo)
-                  / nullif(lag(close) OVER wo, 0.0) * volume, 0.0) AS vr,
-         (9.0 * close
-          + 8.0 * lag(close, 1) OVER wo
-          + 7.0 * lag(close, 2) OVER wo
-          + 6.0 * lag(close, 3) OVER wo
-          + 5.0 * lag(close, 4) OVER wo
-          + 4.0 * lag(close, 5) OVER wo
-          + 3.0 * lag(close, 6) OVER wo
-          + 2.0 * lag(close, 7) OVER wo
-          + 1.0 * lag(close, 8) OVER wo) / 45.0 AS wma9raw
-  FROM filled
-  WINDOW wo AS (PARTITION BY symbol ORDER BY time_idx)
-),
-fr AS (
-  SELECT symbol, time_idx, rn, volume, ichi_lagging, c11, close, wma9raw,
-         list(high) OVER a25 AS hl25, list(low) OVER a25 AS ll25,
-         {fs('list(vp) OVER f14')} AS vp14,
-         {fs('list(vn) OVER f14')} AS vn14,
-         {fs('list(tr3) OVER f14')} AS tr14,
-         {fs('list(mfv) OVER f20')} AS mfv20,
-         {fs('list(volume) OVER f20')} AS vol20,
-         {fs('list(mfv) OVER cum')} AS adi,
-         {fs('list(emv) OVER f14')} AS emv14,
-         {fs('list(bp) OVER f7')} AS bp7, {fs('list(truo) OVER f7')} AS tr7,
-         {fs('list(bp) OVER f14')} AS bp14,
-         {fs('list(truo) OVER f14')} AS truo14,
-         {fs('list(bp) OVER f28')} AS bp28,
-         {fs('list(truo) OVER f28')} AS truo28,
-         {fs('list(close) OVER f20')} AS csum20,
-         {fs('list(r10) OVER f10')} AS r10s,
-         {fs('list(r15) OVER f10')} AS r15s,
-         {fs('list(r20) OVER f10')} AS r20s,
-         {fs('list(r30) OVER f15')} AS r30s,
-         (max(high) OVER f9 + min(low) OVER f9) / 2.0 / 2.0
-           + (max(high) OVER f26 + min(low) OVER f26) / 2.0 / 2.0 AS span_a_raw,
-         (max(high) OVER f52 + min(low) OVER f52) / 2.0 AS span_b_raw,
-         {fs('list(midp) OVER f5')} AS ao5,
-         {fs('list(midp) OVER f34')} AS ao34,
-         {fs('list(vr) OVER cum')} AS vpt,
-         100.0 * (close / nullif(first_value(close) OVER cum, 0.0) - 1.0)
-           AS cret,
-         max(close) OVER f14 AS mx14
-  FROM pre
-  WINDOW a25 AS (PARTITION BY symbol ORDER BY time_idx
-                 ROWS BETWEEN 24 PRECEDING AND CURRENT ROW),
-         f5 AS (PARTITION BY symbol ORDER BY time_idx
-                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
-         f34 AS (PARTITION BY symbol ORDER BY time_idx
-                 ROWS BETWEEN 33 PRECEDING AND CURRENT ROW),
-         f7 AS (PARTITION BY symbol ORDER BY time_idx
-                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
-         f9 AS (PARTITION BY symbol ORDER BY time_idx
-                ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
-         f10 AS (PARTITION BY symbol ORDER BY time_idx
-                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
-         f14 AS (PARTITION BY symbol ORDER BY time_idx
-                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
-         f15 AS (PARTITION BY symbol ORDER BY time_idx
-                 ROWS BETWEEN 14 PRECEDING AND CURRENT ROW),
-         f20 AS (PARTITION BY symbol ORDER BY time_idx
-                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
-         f26 AS (PARTITION BY symbol ORDER BY time_idx
-                 ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
-         f28 AS (PARTITION BY symbol ORDER BY time_idx
-                 ROWS BETWEEN 27 PRECEDING AND CURRENT ROW),
-         f52 AS (PARTITION BY symbol ORDER BY time_idx
-                 ROWS BETWEEN 51 PRECEDING AND CURRENT ROW),
-         cum AS (PARTITION BY symbol ORDER BY time_idx
-                 ROWS UNBOUNDED PRECEDING)
-),
-fr2 AS (
-  SELECT *, coalesce(
-           (100.0 * (close - mx14) / nullif(mx14, 0.0))
-           * (100.0 * (close - mx14) / nullif(mx14, 0.0)), 0.0) AS uir2
-  FROM fr
-),
-kk AS (
-  SELECT symbol, time_idx, rn, ichi_lagging, adi, vpt, cret,
-         CASE WHEN rn >= 34 THEN ao5 / 5.0 - ao34 / 34.0 END AS ao,
-         CASE WHEN rn >= 9 THEN wma9raw END AS wma9,
-         CASE WHEN rn >= 14
-              THEN sqrt({fs('list(uir2) OVER f14k')} / 14.0) END AS ui14,
-         CASE WHEN rn >= 25 THEN 100.0
-           * (list_position(hl25, list_aggregate(hl25, 'max')) - 1) / 24.0
-         END AS aroon_up,
-         CASE WHEN rn >= 25 THEN 100.0
-           * (list_position(ll25, list_aggregate(ll25, 'min')) - 1) / 24.0
-         END AS aroon_down,
-         CASE WHEN rn >= 15 THEN vp14 / nullif(tr14, 0.0) END AS vortex_pos,
-         CASE WHEN rn >= 15 THEN vn14 / nullif(tr14, 0.0) END AS vortex_neg,
-         CASE WHEN rn >= 20 THEN mfv20 / nullif(vol20, 0.0) END AS cmf20,
-         CASE WHEN rn >= 15 THEN emv14 / 14.0 END AS eom14,
-         CASE WHEN rn >= 28 THEN 100.0 * (4.0 * bp7 / nullif(tr7, 0.0)
-              + 2.0 * bp14 / nullif(truo14, 0.0)
-              + bp28 / nullif(truo28, 0.0)) / 7.0 END AS uo,
-         CASE WHEN rn >= 20 THEN c11 - csum20 / 20.0 END AS dpo20,
-         CASE WHEN rn >= 45 THEN 1.0 * r10s / 10.0 + 2.0 * r15s / 10.0
-              + 3.0 * r20s / 10.0 + 4.0 * r30s / 15.0 END AS kst,
-         CASE WHEN rn >= 52 THEN lag(span_a_raw, 26) OVER wo END AS span_a,
-         CASE WHEN rn >= 78 THEN lag(span_b_raw, 26) OVER wo END AS span_b
-  FROM fr2
-  WINDOW wo AS (PARTITION BY symbol ORDER BY time_idx),
-         f14k AS (PARTITION BY symbol ORDER BY time_idx
-                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
-),
-k2 AS (
-  SELECT *, CASE WHEN rn >= 53 THEN
-              {fs('list(kst) OVER k9')} / 9.0 END AS kst_sig
-  FROM kk
-  WINDOW k9 AS (PARTITION BY symbol ORDER BY time_idx
-                ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
-)
-SELECT symbol, time_idx, aroon_up, aroon_down, vortex_pos, vortex_neg,
-       cmf20, adi, eom14, uo, dpo20, kst, kst_sig,
-       span_a AS ichi_span_a, span_b AS ichi_span_b, ichi_lagging,
-       ao, wma9, vpt, cret, ui14
-FROM k2"""
-    return _sql_r6_wrap(
-        body,
-        ["symbol", "time_idx"],
-        ["aroon_up", "aroon_down", "vortex_pos", "vortex_neg", "cmf20",
-         "adi", "eom14", "uo", "dpo20", "kst", "kst_sig",
-         "ichi_span_a", "ichi_span_b", "ichi_lagging",
-         "ao", "wma9", "vpt", "cret", "ui14"],
-    )
-
-
-def q_ts_indicators4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W12 derived-column tail, completing the ta-battery surface
-    natively (reference core/data/preprocess.py:11-16): band width /
-    %B / band-cross indicators, Donchian width/percent, Aroon and
-    Vortex differentials, raw ease-of-movement, percent returns. Every
-    expression tree is IDENTICAL to the green base batteries', so the
-    oracle parity argument is inherited, and all columns ride the one
-    shared sort."""
-    from ..operators.rolling import add_indicators4
-
-    df = add_indicators4(_filled_ohlc(spark, sf_dir))
-    r6 = _r6
-    return df.select(
-        "symbol", "time_idx",
-        r6("dr"), r6("dlr"), r6("em"),
-        r6("bb_width"), r6("bb_pband"), r6("bb_hi"), r6("bb_li"),
-        r6("don_width"), r6("don_pband"),
-        r6("aroon_ind"), r6("vortex_diff"),
-    )
-
-
-def _sql_indicators4() -> str:
-    fs = _sql_fold_sum
-    body = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED_OHLC},
-pre AS (
-  SELECT symbol, time_idx, close, high, low, volume,
-         row_number() OVER wo AS rn,
-         lag(close) OVER wo AS prev,
-         greatest(high - low, abs(high - lag(close) OVER wo),
-                  abs(low - lag(close) OVER wo)) AS tr3,
-         coalesce(abs(high - lag(low) OVER wo), 0.0) AS vp,
-         coalesce(abs(low - lag(high) OVER wo), 0.0) AS vn,
-         ((high + low) / 2.0
-          - (lag(high) OVER wo + lag(low) OVER wo) / 2.0)
-           * (high - low) / nullif(volume, 0.0) AS emraw
-  FROM filled
-  WINDOW wo AS (PARTITION BY symbol ORDER BY time_idx)
-),
-fr AS (
-  SELECT symbol, time_idx, rn, close, prev, emraw,
-         avg(close) OVER f20 AS mid,
-         stddev_pop(close) OVER f20 AS sd,
-         max(high) OVER f20 AS du, min(low) OVER f20 AS dl,
-         list(high) OVER a25 AS hl25, list(low) OVER a25 AS ll25,
-         {fs('list(vp) OVER f14')} AS vp14,
-         {fs('list(vn) OVER f14')} AS vn14,
-         {fs('list(tr3) OVER f14')} AS tr14
-  FROM pre
-  WINDOW f20 AS (PARTITION BY symbol ORDER BY time_idx
-                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
-         a25 AS (PARTITION BY symbol ORDER BY time_idx
-                 ROWS BETWEEN 24 PRECEDING AND CURRENT ROW),
-         f14 AS (PARTITION BY symbol ORDER BY time_idx
-                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
-)
-SELECT symbol, time_idx,
-  100.0 * (close / nullif(prev, 0.0) - 1.0) AS dr,
-  CASE WHEN close > 0 AND prev > 0
-       THEN 100.0 * ln(close / prev) END AS dlr,
-  CASE WHEN rn >= 2 THEN emraw END AS em,
-  CASE WHEN rn >= 20 THEN ((mid + 2 * sd) - (mid - 2 * sd))
-       / nullif(mid, 0.0) * 100.0 END AS bb_width,
-  CASE WHEN rn >= 20 THEN (close - (mid - 2 * sd))
-       / nullif((mid + 2 * sd) - (mid - 2 * sd), 0.0) END AS bb_pband,
-  CASE WHEN rn >= 20 THEN
-       CASE WHEN close > mid + 2 * sd THEN 1.0 ELSE 0.0 END END AS bb_hi,
-  CASE WHEN rn >= 20 THEN
-       CASE WHEN close < mid - 2 * sd THEN 1.0 ELSE 0.0 END END AS bb_li,
-  CASE WHEN rn >= 20 THEN (du - dl)
-       / nullif((du + dl) / 2.0, 0.0) * 100.0 END AS don_width,
-  CASE WHEN rn >= 20 THEN (close - dl)
-       / nullif(du - dl, 0.0) END AS don_pband,
-  CASE WHEN rn >= 25 THEN
-       100.0 * (list_position(hl25, list_aggregate(hl25, 'max')) - 1) / 24.0
-     - 100.0 * (list_position(ll25, list_aggregate(ll25, 'min')) - 1) / 24.0
-  END AS aroon_ind,
-  CASE WHEN rn >= 15 THEN vp14 / nullif(tr14, 0.0)
-       - vn14 / nullif(tr14, 0.0) END AS vortex_diff
-FROM fr"""
-    return _sql_r6_wrap(
-        body,
-        ["symbol", "time_idx"],
-        ["dr", "dlr", "em", "bb_width", "bb_pband", "bb_hi", "bb_li",
-         "don_width", "don_pband", "aroon_ind", "vortex_diff"],
-    )
-
-
-def q_ts_indicators5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W12 recursive-base derived tail, finishing the ta-battery
-    surface natively (reference core/data/preprocess.py:11-16): PPO /
-    PVO signal lines (EMA-9, ridden inside the battery's single Arrow
-    pass) and histograms, Keltner channel width / %B, Stochastic-RSI
-    %K / %D (3-SMAs), and the PSAR up/down value splits + trend-flip
-    indicators. Emitted IN the battery's single Arrow pass
-    (``derived_tail=True``): an ``applyInPandas`` output carries no
-    partitioning metadata, so the composable native twin
-    (``add_indicators5``, cross-pinned bitwise-equal in tests) would
-    re-shuffle the whole battery frame for its Window — in-pass
-    emission keeps the full indicator pipeline at ONE shuffle."""
-    from ..operators.rolling import recursive_battery_arrow
-
-    df = recursive_battery_arrow(
-        _filled_ohlc(spark, sf_dir), derived_tail=True
-    )
-    r6 = _r6
-    return df.select(
-        "symbol", "time_idx",
-        r6("ppo_signal"), r6("ppo_hist"),
-        r6("pvo_signal"), r6("pvo_hist"),
-        r6("kc_width"), r6("kc_pband"),
-        r6("stochrsi_k"), r6("stochrsi_d"),
-        r6("psar_up"), r6("psar_down"),
-        r6("psar_up_ind"), r6("psar_down_ind"),
-    )
-
-
-def _sql_indicators5() -> str:
-    e = _sql_ewm
-    fs = _sql_fold_sum
-    # Trimmed replica of the recursive-battery staged-fold chain — only
-    # the stages the derived tail needs (ema12/26 -> ppo -> EMA9 fold,
-    # ev12/26 -> pvo -> EMA9 fold, Keltner EMAs, RSI -> stoch_rsi ->
-    # two 3-SMA count-guarded fold stages, shared PSAR recursive CTE).
-    body = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED_OHLC},
-pre AS (
-  SELECT symbol, time_idx, close, volume, high, low,
-         row_number() OVER wo AS rn,
-         lag(low) OVER wo AS pl1, lag(low, 2) OVER wo AS pl2,
-         lag(high) OVER wo AS ph1, lag(high, 2) OVER wo AS ph2,
-         greatest(high - low, abs(high - lag(close) OVER wo),
-                  abs(low - lag(close) OVER wo)) AS tr,
-         greatest(close - lag(close) OVER wo, 0.0) AS gain,
-         greatest(-(close - lag(close) OVER wo), 0.0) AS loss
-  FROM filled
-  WINDOW wo AS (PARTITION BY symbol ORDER BY time_idx)
-),
-l1 AS (
-  SELECT symbol, time_idx, rn, close,
-         list(close) OVER wc AS cpfx, list(tr) OVER wc AS trpfx,
-         list(gain) OVER wc AS gpfx, list(loss) OVER wc AS lpfx,
-         list(volume) OVER wc AS vpfx
-  FROM pre
-  WINDOW wc AS (PARTITION BY symbol ORDER BY time_idx
-                ROWS UNBOUNDED PRECEDING)
-),
-e1s AS (
-  SELECT symbol, time_idx, rn, close,
-         {e('cpfx', '2.0/13.0')} AS ema12, {e('cpfx', '2.0/27.0')} AS ema26,
-         {e('cpfx', '2.0/21.0')} AS ekel, {e('trpfx', '1.0/10.0')} AS ekatr,
-         {e('gpfx', '1.0/14.0')} AS ag, {e('lpfx', '1.0/14.0')} AS al,
-         {e('vpfx', '2.0/13.0')} AS ev12, {e('vpfx', '2.0/27.0')} AS ev26
-  FROM l1
-),
-e2s AS (
-  SELECT *,
-         CASE WHEN al = 0.0 THEN 100.0
-              ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsinow,
-         CASE WHEN ema26 <> 0.0
-              THEN 100.0 * (ema12 - ema26) / ema26 ELSE 0.0 END AS ppov,
-         CASE WHEN ev26 <> 0.0
-              THEN 100.0 * (ev12 - ev26) / ev26 ELSE 0.0 END AS pvov
-  FROM e1s
-),
-e3s AS (
-  SELECT *, min(rsinow) OVER f14s AS mn14, max(rsinow) OVER f14s AS mx14,
-         list(ppov) OVER wc AS popfx, list(pvov) OVER wc AS pvpfx
-  FROM e2s
-  WINDOW f14s AS (PARTITION BY symbol ORDER BY time_idx
-                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
-         wc AS (PARTITION BY symbol ORDER BY time_idx
-                ROWS UNBOUNDED PRECEDING)
-),
-e4s AS (
-  SELECT * EXCLUDE (popfx, pvpfx),
-         {e('popfx', '2.0/10.0')} AS ppo_signal,
-         {e('pvpfx', '2.0/10.0')} AS pvo_signal,
-         CASE WHEN rn >= 14 AND mx14 <> mn14
-              THEN (rsinow - mn14) / (mx14 - mn14) END AS stoch_rsi
-  FROM e3s
-),
-e5s AS (
-  SELECT *, CASE WHEN count(stoch_rsi) OVER f3 = 3
-                 THEN {fs('list(stoch_rsi) OVER f3')} / 3.0
-            END AS stochrsi_k
-  FROM e4s
-  WINDOW f3 AS (PARTITION BY symbol ORDER BY time_idx
-                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-),
-e6s AS (
-  SELECT *, CASE WHEN count(stochrsi_k) OVER f3 = 3
-                 THEN {fs('list(stochrsi_k) OVER f3')} / 3.0
-            END AS stochrsi_d
-  FROM e5s
-  WINDOW f3 AS (PARTITION BY symbol ORDER BY time_idx
-                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-),
-psj AS (
-  SELECT e6s.*, psr.sar, psr.up,
-         lag(psr.up) OVER (PARTITION BY symbol ORDER BY time_idx) AS pup
-  FROM e6s JOIN (
-    WITH RECURSIVE {_sql_psar_cte()}
-    SELECT symbol, time_idx, sar, up FROM psr
-  ) psr USING (symbol, time_idx)
-)
-SELECT symbol, time_idx,
-  ppo_signal,
-  CASE WHEN ema26 <> 0.0 THEN ppov - ppo_signal END AS ppo_hist,
-  pvo_signal,
-  CASE WHEN ev26 <> 0.0 THEN pvov - pvo_signal END AS pvo_hist,
-  ((ekel + 2.0 * ekatr) - (ekel - 2.0 * ekatr))
-    / nullif(ekel, 0.0) * 100.0 AS kc_width,
-  (close - (ekel - 2.0 * ekatr))
-    / nullif((ekel + 2.0 * ekatr) - (ekel - 2.0 * ekatr), 0.0) AS kc_pband,
-  stochrsi_k, stochrsi_d,
-  CASE WHEN up THEN sar END AS psar_up,
-  CASE WHEN NOT up THEN sar END AS psar_down,
-  CASE WHEN up AND NOT pup THEN 1.0 ELSE 0.0 END AS psar_up_ind,
-  CASE WHEN (NOT up) AND pup THEN 1.0 ELSE 0.0 END AS psar_down_ind
-FROM psj"""
-    return _sql_r6_wrap(
-        body,
-        ["symbol", "time_idx"],
-        ["ppo_signal", "ppo_hist", "pvo_signal", "pvo_hist",
-         "kc_width", "kc_pband", "stochrsi_k", "stochrsi_d",
-         "psar_up", "psar_down", "psar_up_ind", "psar_down_ind"],
-    )
-
-
-KNN_METRICS = ("l1", "l2", "cosine", "weighted_l2", "weighted_cosine")
-
-
-def q_knn_topk_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All five distance metrics' exact top-k in one result, tagged by
-    ``metric`` (J2/F5/W10). Each branch is the same broadcast-query
-    codegen-distance InferWindowGroupLimit plan as before; the union is
-    branch-parallel."""
-    parts = [
-        _knn_query(spark, sf_dir, m).withColumn("metric", F.lit(m))
-        for m in KNN_METRICS
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
-
-
-def _sql_knn_metrics() -> str:
-    return "\nUNION ALL\n".join(
-        f"SELECT q_id, vec_id, rank, dist, '{m}' AS metric FROM ({_sql_knn(m)})"
-        for m in KNN_METRICS
-    )
-
-
-def q_doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full per-document text-analysis profile in ONE projection
-    pass (previously four queries scanning the table four times):
-    whitespace-token stats, quality scoring, heuristic language-ID, and
-    the rolling-hash fingerprint. ``n_ws_tokens`` is the
-    whitespace-split count; ``n_tokens`` the normalized-token count;
-    ``n_bpe_tokens`` a BPE-ish piece count (GPT-2-style word /
-    number / punctuation-run splits — the cheap estimator for "how many
-    subword tokens will this document cost", verified to split
-    identically under Java regex and RE2)."""
-    docs = _docs_parallel(spark, sf_dir)
-    ws_toks = F.split(F.trim(F.col("text")), r"\s+")
-    nonws = F.length(F.regexp_replace("text", r"\s+", ""))
-    d = docs.withColumn("tok", tokens(F.col("text")))
-    n_tok = F.size("tok")
-    tok_chars = F.aggregate(
-        F.transform(F.col("tok"), lambda t: F.length(t)),
-        F.lit(0),
-        lambda a, x: a + x,
-    )
-    punct = F.length(F.regexp_replace("text", "[a-z0-9 ]", ""))
-    stop_hits = F.size(
-        F.filter(F.col("tok"), lambda t: t.isin(*EN_STOPWORDS))
-    )
-    d = d.select(
-        "doc_id",
-        "lang",
-        F.size(ws_toks).alias("n_ws_tokens"),
-        F.size(
-            F.regexp_extract_all(
-                "text", F.lit(r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"), 0
-            )
-        ).alias("n_bpe_tokens"),
-        F.length("text").alias("len_chars"),
-        (nonws / F.size(ws_toks)).alias("avg_token_len"),
-        n_tok.alias("n_tokens"),
-        (tok_chars.cast("double") / F.nullif(n_tok, F.lit(0))).alias(
-            "mean_tok_len"
-        ),
-        (punct.cast("double") / F.length("text")).alias("punct_ratio"),
-        (stop_hits.cast("double") / F.nullif(n_tok, F.lit(0))).alias(
-            "stop_ratio"
-        ),
-        predicted_lang(F.col("tok")).alias("pred_lang"),
-        fingerprint(F.col("text")).alias("fp"),
-    )
-    quality = (
-        F.when(F.col("n_tokens") >= 10, 1).otherwise(0)
-        + F.when(F.col("mean_tok_len").between(3.0, 10.0), 1).otherwise(0)
-        + F.when(F.col("punct_ratio") < 0.1, 1).otherwise(0)
-        + F.when(F.col("stop_ratio") > 0.05, 1).otherwise(0)
-    )
-    return d.select(
-        "doc_id", "lang", "n_ws_tokens", "n_bpe_tokens", "len_chars",
-        "avg_token_len", "n_tokens", _r6("mean_tok_len"),
-        _r6("punct_ratio"),
-        _r6("stop_ratio"), quality.cast("int").alias("quality"),
-        "pred_lang",
-        (F.col("pred_lang") == F.col("lang")).cast("int").alias("hit"),
-        "fp",
-    )
-
-
-def _sql_doc_text_profile() -> str:
-    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
-    return rf"""WITH {SQL_TOKS},
-m AS (
-  SELECT doc_id, lang, text, tok,
-    len(string_split_regex(trim(text), '\s+'))::INT AS n_ws_tokens,
-    len(regexp_extract_all(text,
-        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))::INT AS n_bpe_tokens,
-    length(text)::INT AS len_chars,
-    length(regexp_replace(text, '\s+', '', 'g')) /
-      len(string_split_regex(trim(text), '\s+')) AS avg_token_len,
-    len(tok) AS n_tokens,
-    list_reduce(list_prepend(0, list_transform(tok, t -> length(t))),
-      (a, x) -> a + x)::DOUBLE / nullif(len(tok), 0) AS mean_tok_len,
-    length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
-      / length(text) AS punct_ratio,
-    len(list_filter(tok, t -> t IN ({stop_list})))::DOUBLE
-      / nullif(len(tok), 0) AS stop_ratio
-  FROM toks
-)
-SELECT doc_id, lang, n_ws_tokens, n_bpe_tokens, len_chars, avg_token_len,
-  CAST(n_tokens AS INT) AS n_tokens,
-  {_sql_r6('mean_tok_len')}, {_sql_r6('punct_ratio')},
-  {_sql_r6('stop_ratio')},
-  CAST((CASE WHEN n_tokens >= 10 THEN 1 ELSE 0 END
-      + CASE WHEN mean_tok_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END
-      + CASE WHEN punct_ratio < 0.1 THEN 1 ELSE 0 END
-      + CASE WHEN stop_ratio > 0.05 THEN 1 ELSE 0 END) AS INT) AS quality,
-  {sql_lang_case('tok')} AS pred_lang,
-  CAST({sql_lang_case('tok')} = lang AS INT) AS hit,
-  {sql_fingerprint('text')} AS fp
-FROM m"""
-
-
-def q_ts_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P9 (reference core/data/dataset.py:9 ``select_dtypes("number")``):
-    the dtype-driven numeric projection, then a per-column profile.
-    Column selection is schema reflection (metadata on the driver, not
-    data), so the query stays fully distributed; the unpivot is a
-    single-pass aggregate of every numeric column at once."""
-    from ..operators.cleaning import numeric_columns
-
-    ev = load_table(spark, sf_dir, "events")
-    cols = numeric_columns(ev)
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.count(F.col(c)).alias(f"__n_{c}"),
-            # exact decimal sum -> the mean is partition-order
-            # independent (a double sum would drift under parallel
-            # partial aggregation)
-            F.sum(F.col(c).cast("decimal(28,10)")).alias(f"__sum_{c}"),
-            F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
-            F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
-        ]
-    wide = ev.agg(*aggs)
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("column"),
-                F.col(f"__n_{c}").alias("n_nonnull"),
-                (
-                    F.col(f"__sum_{c}").cast("double")
-                    / F.col(f"__n_{c}")
-                ).alias("mean"),
-                F.col(f"__min_{c}").alias("min_val"),
-                F.col(f"__max_{c}").alias("max_val"),
-            )
-            for c in cols
-        ]
-    )
-    return (
-        wide.select(F.explode(pairs).alias("p"))
-        .select("p.column", "p.n_nonnull", "p.mean", "p.min_val", "p.max_val")
-        .select(
-            "column", "n_nonnull", _r6("mean"), "min_val", "max_val"
-        )
-    )
-
-
-def _sql_numeric_profile_branch(c: str, first: bool = False) -> str:
-    names = (
-        ' AS "column", count({c}) AS n_nonnull, {m}, '
-        "min({c}::DOUBLE) AS min_val, max({c}::DOUBLE) AS max_val"
-        if first
-        else ", count({c}), {m}, min({c}::DOUBLE), max({c}::DOUBLE)"
-    )
-    m = _sql_r6e(f"sum({c}::DECIMAL(28,10))::DOUBLE / count({c})", "mean")
-    return f"SELECT '{c}'" + names.format(c=c, m=m) + " FROM events"
-
-
-SQL_TS_NUMERIC_PROFILE = (
-    "SELECT * FROM (\n"
-    + _sql_numeric_profile_branch("user_id", first=True)
-    + "\nUNION ALL\n"
-    + _sql_numeric_profile_branch("value")
-    + "\nUNION ALL\n"
-    + _sql_numeric_profile_branch("event_id")
-    + "\n)"
-)
-
-
-def q_flagship_loss_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9 (reference train.py loss terms as a QUERY): per-symbol
-    MAE/MSE/Huber(δ=1) over the flagship per-step forecast errors.
-    Degenerate flat windows make the z-errors huge (scale+1e-8), so
-    decimal sums would overflow; instead each symbol's errors are
-    collected in a canonical (window_id, step) order and folded
-    SEQUENTIALLY — the same order the oracle's ordered list_reduce
-    uses, so the double sums are bitwise reproducible at any magnitude.
-    Per-symbol step counts are bounded by the strided query cursor, so
-    the collect stays small at scale (it is per GROUP, not a driver
-    collect)."""
-    from ..plans.flagship import flagship_step_errors
-
-    steps = flagship_step_errors(spark, sf_dir, FlagshipParams())
-    d = F.col("pred") - F.col("target")
-    grouped = steps.groupBy("symbol").agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct("window_id", "step", d.alias("d"))
-            )
-        ).alias("arr")
-    )
-
-    def fold(term):
-        return F.aggregate(
-            F.transform(F.col("arr"), term), F.lit(0.0), lambda a, x: a + x
-        )
-
-    n = F.size("arr")
-    huber = lambda x: F.when(  # noqa: E731
-        F.abs(x["d"]) <= 1.0, 0.5 * x["d"] * x["d"]
-    ).otherwise(F.abs(x["d"]) - 0.5)
-    return grouped.select(
-        "symbol",
-        n.alias("n_steps"),
-        _r6e(fold(lambda x: F.abs(x["d"])) / n, "mae"),
-        _r6e(fold(lambda x: x["d"] * x["d"]) / n, "mse"),
-        _r6e(fold(huber) / n, "huber1"),
-    )
-
-
-def _sql_flagship_loss() -> str:
-    return f"""{_flagship_oracle_ctes(FlagshipParams())},
-errs AS (
-  SELECT q_symbol AS symbol, q_window_id AS window_id, step,
-         pred - target AS d
-  FROM ens JOIN target_steps USING (q_symbol, q_window_id, step)
-),
-arrs AS (
-  SELECT symbol, list(d ORDER BY window_id, step) AS arr
-  FROM errs GROUP BY 1
-),
-sums AS (
-  SELECT symbol, len(arr) AS n_steps,
-         list_reduce(list_prepend(0.0, list_transform(arr, x -> abs(x))),
-                     (a, b) -> a + b) AS sa,
-         list_reduce(list_prepend(0.0, list_transform(arr, x -> x * x)),
-                     (a, b) -> a + b) AS ss,
-         list_reduce(list_prepend(0.0, list_transform(arr,
-                     x -> CASE WHEN abs(x) <= 1.0 THEN 0.5 * x * x
-                               ELSE abs(x) - 0.5 END)),
-                     (a, b) -> a + b) AS sh
-  FROM arrs
-)
-SELECT symbol, CAST(n_steps AS INT) AS n_steps,
-       {_sql_r6e('sa / n_steps', 'mae')},
-       {_sql_r6e('ss / n_steps', 'mse')},
-       {_sql_r6e('sh / n_steps', 'huber1')}
-FROM sums"""
-
-
-def q_ts_dup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 (reference core/data/preprocess.py:42 duplicate assertion) as
-    a data-quality QUERY: per symbol, total rows vs distinct timestamps
-    and the violation count — the engine-side form of the reference's
-    ``assert len == nunique``."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.col("user_id").alias("symbol"))
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct("ts").alias("n_distinct_ts"),
-        )
-        .withColumn(
-            "n_dup_ts", (F.col("n_rows") - F.col("n_distinct_ts"))
-        )
-        .withColumn("ok", (F.col("n_dup_ts") == 0).cast("int"))
-    )
-
-
-SQL_TS_DUP_QUALITY = """
-SELECT user_id AS symbol, count(*) AS n_rows,
-       count(DISTINCT ts) AS n_distinct_ts,
-       count(*) - count(DISTINCT ts) AS n_dup_ts,
-       CAST(count(*) - count(DISTINCT ts) = 0 AS INT) AS ok
-FROM events GROUP BY 1"""
-
-
-# --------------------------------------------------------------------------
-# training-data pipeline: PII scrub, sharding, mixture sampling, packing
-# --------------------------------------------------------------------------
-
-N_DOC_SHARDS = 16
-PACK_BUDGET = 256
-PACK_SHARDS = 8
-MIX_PPM = 1_000_000
-
-
-def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII / denylist redaction — the scrub stage every training-data
-    pipeline runs before tokenization. Rule set (functions/text.py
-    SCRUB_RULES): email, phone, IPv4, term denylist — regexes kept to
-    the Java∩RE2-identical subset so engine and oracle agree bitwise.
-    Everything is a chained ``regexp_replace``/``regexp_count`` JVM
-    expression evaluated at the scan: at 100 TB this is a pure map
-    stage — no shuffle, no Python, whole-stage codegen end to end.
-    Counts are per-rule on the original text; the scrubbed text is
-    carried as an md5 signature plus before/after lengths so the full
-    redacted corpus never has to flow through the comparison."""
-    from ..functions.text import scrub_col, scrub_counts
-
-    docs = load_table(spark, sf_dir, "documents")
-    cnt = scrub_counts(F.col("text"))
-    scrubbed = scrub_col(F.col("text"))
-    return docs.select(
-        "doc_id",
-        *[c.alias(f"n_{name}") for name, c in cnt.items()],
-        F.md5(scrubbed).alias("scrub_sig"),
-        F.length("text").cast("int").alias("len_before"),
-        F.length(scrubbed).cast("int").alias("len_after"),
-    )
-
-
-def _sql_doc_pii_scrub() -> str:
-    from ..functions.text import sql_scrub, sql_scrub_counts
-
-    cnt = sql_scrub_counts("text")
-    counts = ", ".join(f"{e} AS n_{name}" for name, e in cnt.items())
-    sc = sql_scrub("text")
-    return f"""
-SELECT doc_id, {counts},
-       md5({sc}) AS scrub_sig,
-       CAST(length(text) AS INT) AS len_before,
-       CAST(length({sc}) AS INT) AS len_after
-FROM documents"""
-
-
-def q_doc_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic global shuffle for training-shard writing: every
-    doc gets a shard via the portable hash60 (reproducible across
-    engines, runs, and cluster sizes — ``rand()`` is none of those)
-    and a within-shard position by hash order. At 100 TB this is one
-    hash-partition exchange + a per-shard sort — exactly the plan a
-    shard writer wants: shards are written in parallel, each task
-    sorts only its own shard, and re-running the job yields the same
-    shard layout byte for byte."""
-    docs = load_table(spark, sf_dir, "documents")
-    h = hash60(F.col("doc_id").cast("string"))
-    d = docs.select(
-        "doc_id",
-        (h % F.lit(N_DOC_SHARDS)).cast("int").alias("shard_id"),
-        h.alias("h"),
-    )
-    w = Window.partitionBy("shard_id").orderBy(
-        F.col("h").asc(), F.col("doc_id").asc()
-    )
-    return d.select(
-        "doc_id", "shard_id", F.row_number().over(w).alias("pos")
-    )
-
-
-def _sql_doc_shard_assign() -> str:
-    h = sql_hash60("CAST(doc_id AS VARCHAR)")
-    return f"""
-SELECT doc_id, CAST(h % {N_DOC_SHARDS} AS INT) AS shard_id,
-       CAST(row_number() OVER (
-         PARTITION BY h % {N_DOC_SHARDS} ORDER BY h, doc_id) AS INT) AS pos
-FROM (SELECT doc_id, {h} AS h FROM documents)"""
-
-
-def q_doc_lang_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-mixture rebalancing — downsample every language to the
-    rarest language's volume (the 'data mixing' stage that keeps one
-    domain from swamping the training mix). The per-language rate
-    table is a tiny two-level aggregate broadcast back onto the scan;
-    the keep-decision is the deterministic hash60 Bernoulli thresholded
-    in integer ppm so both engines make bit-identical choices. At
-    100 TB: one map-side-combined agg for the rates, then a pure scan
-    filter — the dropped rows never leave the scan stage."""
-    docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
-    nmin = counts.agg(F.min("n_total").alias("n_min"))
-    rates = counts.join(F.broadcast(nmin)).withColumn(
-        "keep_ppm",
-        F.floor(F.lit(MIX_PPM) * F.col("n_min") / F.col("n_total")).cast(
-            "long"
-        ),
-    )
-    kept = (
-        docs.join(F.broadcast(rates.select("lang", "keep_ppm")), "lang")
-        .filter(
-            hash60(F.col("doc_id").cast("string")) % MIX_PPM
-            < F.col("keep_ppm")
-        )
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.min("doc_id").alias("min_kept_id"),
-            F.max("doc_id").alias("max_kept_id"),
-        )
-    )
-    return (
-        rates.join(kept, "lang", "left")
-        .select(
-            "lang",
-            "n_total",
-            "keep_ppm",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            "min_kept_id",
-            "max_kept_id",
-        )
-    )
-
-
-def _sql_doc_lang_mixture() -> str:
-    h = sql_hash60("CAST(doc_id AS VARCHAR)")
-    return f"""
-WITH counts AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1),
-rates AS (
-  SELECT lang, n_total,
-         CAST(floor({MIX_PPM} * (SELECT min(n_total) FROM counts)
-                    / n_total) AS BIGINT) AS keep_ppm
-  FROM counts),
-kept AS (
-  SELECT d.lang, count(*) AS n_kept,
-         min(doc_id) AS min_kept_id, max(doc_id) AS max_kept_id
-  FROM documents d JOIN rates r ON d.lang = r.lang
-  WHERE {h} % {MIX_PPM} < r.keep_ppm
-  GROUP BY 1)
-SELECT r.lang, r.n_total, r.keep_ppm,
-       COALESCE(k.n_kept, 0) AS n_kept, k.min_kept_id, k.max_kept_id
-FROM rates r LEFT JOIN kept k ON r.lang = k.lang"""
-
-
-def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk sequence packing — documents are laid head to
-    tail in deterministic order and cut into fixed token budgets (the
-    GPT-style packing that turns ragged docs into dense training
-    sequences; a doc straddling a boundary belongs to the pack where
-    it starts). Packing runs independently inside each hash shard so
-    the running-offset window parallelizes across the cluster instead
-    of serializing on one global cumsum — the per-shard plan is one
-    exchange + one sort, and shards stream independently at 100 TB."""
-    docs = _docs_parallel(spark, sf_dir)
-    tok = tokens(F.col("text"))
-    d = docs.select(
-        "doc_id",
-        (hash60(F.col("doc_id").cast("string")) % F.lit(PACK_SHARDS))
-        .cast("int")
-        .alias("shard_id"),
-        F.size(tok).alias("n_tok"),
-    )
-    w = (
-        Window.partitionBy("shard_id")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    start = F.sum("n_tok").over(w) - F.col("n_tok")
-    return (
-        d.withColumn(
-            "pack_id", F.floor(start / F.lit(PACK_BUDGET)).cast("int")
-        )
-        .groupBy("shard_id", "pack_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").alias("n_tokens"),
-            F.min("doc_id").alias("first_doc_id"),
-            F.max("doc_id").alias("last_doc_id"),
-        )
-    )
-
-
-def _sql_doc_pack_sequences() -> str:
-    h = sql_hash60("CAST(doc_id AS VARCHAR)")
-    return f"""
-WITH d AS (
-  SELECT doc_id, CAST({h} % {PACK_SHARDS} AS INT) AS shard_id,
-         len({sql_tokens('text')}) AS n_tok
-  FROM documents),
-o AS (
-  SELECT doc_id, shard_id, n_tok,
-         sum(n_tok) OVER (PARTITION BY shard_id ORDER BY doc_id
-           ROWS UNBOUNDED PRECEDING) - n_tok AS start
-  FROM d)
-SELECT shard_id, CAST(floor(start / {PACK_BUDGET}) AS INT) AS pack_id,
-       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-       min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
-FROM o GROUP BY 1, 2"""
-
-
-def q_doc_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalization-aware exact dedup: group on the md5 of the
-    canonical token stream (lowercase, punctuation/whitespace
-    collapsed) so case/formatting variants of the same content land in
-    one group — the cheap dedup tier between byte-exact and MinHash.
-    ``n_raw_variants`` counts distinct raw byte forms inside each
-    canonical group, i.e. exactly what normalization bought. One
-    map-side-combined aggregate; the canonical string never shuffles
-    (only its hash does)."""
-    docs = _docs_parallel(spark, sf_dir)
-    sig = F.md5(F.concat_ws(" ", tokens(F.col("text"))))
-    return (
-        docs.select("doc_id", sig.alias("canon_sig"), F.md5("text").alias("raw_sig"))
-        .groupBy("canon_sig")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("raw_sig").alias("n_raw_variants"),
-            F.min("doc_id").alias("keep_doc_id"),
-        )
-    )
-
-
-def _sql_doc_normalized_dedup() -> str:
-    return f"""
-SELECT md5(array_to_string({sql_tokens('text')}, ' ')) AS canon_sig,
-       count(*) AS n_docs,
-       count(DISTINCT md5(text)) AS n_raw_variants,
-       min(doc_id) AS keep_doc_id
-FROM documents GROUP BY 1"""
-
-
-def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13-shaped: order-count distribution over ALL customers —
-    the canonical outer-join-then-double-aggregate. The first agg
-    shuffles on custkey (AQE plans the customer⋈orders exchange; both
-    sides grow with SF so no broadcast); the second groups a
-    customer-cardinality frame down to a handful of distribution rows
-    with map-side combine. Zero-order customers survive via the left
-    join + count(o_orderkey) null semantics."""
-    c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
-    per_cust = (
-        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return per_cust.groupBy("c_count").agg(
-        F.count(F.lit(1)).alias("custdist")
-    )
-
-
-SQL_TPCH_Q13 = """
-SELECT c_count, count(*) AS custdist
-FROM (
-  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
-  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-  GROUP BY 1)
-GROUP BY 1"""
-
-
-def q_tpch_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22-shaped: per-nation profile of high-balance customers
-    and how many of them never ordered. The global positive-balance
-    average arrives as a broadcast one-row frame and the comparison is
-    done in exact DECIMAL cross-multiplied form (bal·n > total) so
-    neither engine divides — no float threshold ambiguity. The
-    no-orders condition is a left join against the per-customer order
-    counts with a null-flag count_if (the aggregate form of NOT
-    EXISTS); the final rollup is a tiny nation-keyed aggregate with
-    the money sum in DECIMAL."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    n = load_table(spark, sf_dir, "nation")
-    dec = F.col("c_acctbal").cast("decimal(18,2)")
-    pos = c.filter(F.col("c_acctbal") > 0).agg(
-        F.sum(dec).alias("total"), F.count(F.lit(1)).alias("n_pos")
-    )
-    hi = c.join(F.broadcast(pos)).filter(
-        dec * F.col("n_pos") > F.col("total")
-    )
-    ocust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_ord"))
-    flagged = hi.join(
-        ocust, hi["c_custkey"] == ocust["o_custkey"], "left"
-    )
-    return (
-        flagged.join(
-            F.broadcast(n), flagged["c_nationkey"] == n["n_nationkey"]
-        )
-        .groupBy("n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_custs"),
-            F.count_if(F.col("o_custkey").isNull()).alias("n_idle"),
-            F.sum(dec).cast("double").alias("total_acctbal"),
-        )
-    )
-
-
-SQL_TPCH_Q22 = """
-WITH pos AS (
-  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total,
-         count(*) AS n_pos
-  FROM customer WHERE c_acctbal > 0),
-hi AS (
-  SELECT c.* FROM customer c, pos
-  WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > total),
-oc AS (SELECT o_custkey, count(*) AS n_ord FROM orders GROUP BY 1)
-SELECT n_name, count(*) AS n_custs,
-       CAST(count(*) FILTER (oc.o_custkey IS NULL) AS BIGINT) AS n_idle,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
-FROM hi LEFT JOIN oc ON hi.c_custkey = oc.o_custkey
-JOIN nation ON hi.c_nationkey = n_nationkey
-GROUP BY 1"""
-
-
-# a small nation GROUP rather than the classic two: the synthetic data
-# at sf0.001 has too few suppliers for any single ordered pair to
-# produce rows, and a query whose toy-scale answer is empty can't be
-# hash-verified meaningfully. Same Q7 shape (two independent nation
-# dims, directed pairs) at every SF.
-Q7_NATIONS = [f"NATION_{i}" for i in range(5)]
-
-
-def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7-shaped: shipping volume between two nations by year
-    and direction — the canonical snowflake with TWO independent
-    nation lookups (supplier's and customer's). Both nation arms are
-    broadcast (fixed 25 rows at any SF) and their filters prune the
-    supplier/customer sides BEFORE the big fact joins; lineitem⋈orders
-    shuffles on the order key under AQE. Revenue is the exact DECIMAL
-    sum; the year comes from the shipdate so the group-by is a pure
-    scan expression."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    sn = F.broadcast(
-        n.filter(F.col("n_name").isin(Q7_NATIONS)).select(
-            F.col("n_nationkey").alias("sn_key"),
-            F.col("n_name").alias("supp_nation"),
-        )
-    )
-    cn = F.broadcast(
-        n.filter(F.col("n_name").isin(Q7_NATIONS)).select(
-            F.col("n_nationkey").alias("cn_key"),
-            F.col("n_name").alias("cust_nation"),
-        )
-    )
-    dec = lambda col, p=18, sc=2: F.col(col).cast(f"decimal({p},{sc})")  # noqa: E731
-    one = F.lit(1).cast("decimal(3,2)")
-    return (
-        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
-        .filter(F.col("supp_nation") != F.col("cust_nation"))
-        .groupBy(
-            "supp_nation",
-            "cust_nation",
-            F.year("l_shipdate").cast("long").alias("l_year"),
-        )
-        .agg(
-            F.sum(dec("l_extendedprice") * (one - dec("l_discount", 3, 2)))
-            .cast("double")
-            .alias("revenue"),
-            F.count(F.lit(1)).alias("n_lineitems"),
-        )
-    )
-
-
-def _sql_q7_nations() -> str:
-    return ", ".join(f"'{n}'" for n in Q7_NATIONS)
-
-
-SQL_TPCH_Q7 = f"""
-SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-       CAST(year(l_shipdate) AS BIGINT) AS l_year,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
-            AS DOUBLE) AS revenue,
-       count(*) AS n_lineitems
-FROM lineitem
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation sn ON s_nationkey = sn.n_nationkey
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation cn ON c_nationkey = cn.n_nationkey
-WHERE sn.n_name IN ({_sql_q7_nations()})
-  AND cn.n_name IN ({_sql_q7_nations()})
-  AND sn.n_name <> cn.n_name
-GROUP BY 1, 2, 3"""
-
-
-Q8_NATION, Q8_REGION, Q8_TYPE = "NATION_3", "EUROPE", "PROMO"
-
-
-def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8-shaped: one nation's market share of a part type's
-    sales volume inside a region, by order year. The share is a ratio
-    of two exact DECIMAL sums (conditional numerator via a CASE arm)
-    converted to DOUBLE only for the final division, then rounded at
-    1e-6 on both engines. part is the probe-side filter (AQE decides
-    broadcast by runtime size); region⋈nation collapses to a broadcast
-    customer-side prune; supplier's nation only labels the numerator."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
-    )
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
-    p = load_table(spark, sf_dir, "part").filter(
-        F.col("p_type") == Q8_TYPE
-    ).select("p_partkey")
-    region_nations = F.broadcast(
-        n.join(r, n["n_regionkey"] == r["r_regionkey"])
-        .filter(F.col("r_name") == Q8_REGION)
-        .select(F.col("n_nationkey").alias("rn_key"))
-    )
-    supp_n = F.broadcast(
-        n.select(
-            F.col("n_nationkey").alias("sn_key"),
-            F.col("n_name").alias("supp_nation"),
-        )
-    )
-    dec = lambda col, pr=18, sc=2: F.col(col).cast(f"decimal({pr},{sc})")  # noqa: E731
-    one = F.lit(1).cast("decimal(3,2)")
-    vol = dec("l_extendedprice") * (one - dec("l_discount", 3, 2))
-    zero = F.lit(0).cast("decimal(21,4)")
-    base = (
-        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(region_nations, F.col("c_nationkey") == F.col("rn_key"))
-        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(supp_n, F.col("s_nationkey") == F.col("sn_key"))
-    )
-    agg = base.groupBy(
-        F.year("o_orderdate").cast("long").alias("o_year")
-    ).agg(
-        F.sum(
-            F.when(F.col("supp_nation") == Q8_NATION, vol).otherwise(zero)
-        ).alias("nation_vol"),
-        F.sum(vol).alias("total_vol"),
-    )
-    share = F.col("nation_vol").cast("double") / F.col("total_vol").cast(
-        "double"
-    )
-    return agg.select(
-        "o_year",
-        F.col("nation_vol").cast("double").alias("nation_volume"),
-        F.col("total_vol").cast("double").alias("total_volume"),
-        _rne(share, "mkt_share", 6),
-    )
-
-
-SQL_TPCH_Q8 = f"""
-WITH base AS (
-  SELECT year(o_orderdate) AS o_year,
-         CAST(l_extendedprice AS DECIMAL(18,2)) *
-         (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS vol,
-         sn.n_name AS supp_nation
-  FROM lineitem
-  JOIN part ON l_partkey = p_partkey AND p_type = '{Q8_TYPE}'
-  JOIN orders ON l_orderkey = o_orderkey
-  JOIN customer ON o_custkey = c_custkey
-  JOIN nation cn ON c_nationkey = cn.n_nationkey
-  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = '{Q8_REGION}'
-  JOIN supplier ON l_suppkey = s_suppkey
-  JOIN nation sn ON s_nationkey = sn.n_nationkey),
-agg AS (
-  SELECT o_year,
-         sum(CASE WHEN supp_nation = '{Q8_NATION}' THEN vol
-                  ELSE CAST(0 AS DECIMAL(21,4)) END) AS nation_vol,
-         sum(vol) AS total_vol
-  FROM base GROUP BY 1)
-SELECT CAST(o_year AS BIGINT) AS o_year,
-       CAST(nation_vol AS DOUBLE) AS nation_volume,
-       CAST(total_vol AS DOUBLE) AS total_volume,
-       {_sql_rne('CAST(nation_vol AS DOUBLE) / CAST(total_vol AS DOUBLE)',
-                 'mkt_share', 6)}
-FROM agg"""
-
-
-Q15_START, Q15_END = "1997-01-01 00:00:00", "1997-04-01 00:00:00"
-
-
-def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15-shaped: supplier(s) with the maximum quarterly
-    revenue — the view-plus-scalar-max pattern. Per-supplier revenue
-    is one map-side-combined DECIMAL aggregate over the date-pruned
-    scan; the global max is a one-row broadcast joined back, so the
-    equality test compares exact decimals (no float threshold). Ties
-    all surface (deterministic without a limit)."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit(Q15_START).cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit(Q15_END).cast("timestamp"))
-    )
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    dec = lambda col, p=18, sc=2: F.col(col).cast(f"decimal({p},{sc})")  # noqa: E731
-    one = F.lit(1).cast("decimal(3,2)")
-    rev = li.groupBy("l_suppkey").agg(
-        F.sum(dec("l_extendedprice") * (one - dec("l_discount", 3, 2))).alias(
-            "rev"
-        )
-    )
-    mx = rev.agg(F.max("rev").alias("max_rev"))
-    return (
-        rev.join(F.broadcast(mx))
-        .filter(F.col("rev") == F.col("max_rev"))
-        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
-        .select(
-            "s_suppkey",
-            "s_name",
-            F.col("rev").cast("double").alias("total_revenue"),
-        )
-    )
-
-
-SQL_TPCH_Q15 = f"""
-WITH rev AS (
-  SELECT l_suppkey,
-         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
-           AS rev
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
-    AND l_shipdate < TIMESTAMP '{Q15_END}'
-  GROUP BY 1)
-SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
-FROM rev JOIN supplier ON l_suppkey = s_suppkey
-WHERE rev = (SELECT max(rev) FROM rev)"""
-
-
-Q17_BRAND = "Brand#1"
-
-
-def q_tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17-shaped: revenue lost to small-quantity orders of one
-    brand — the correlated-scalar-subquery pattern (per-part average
-    quantity) as a self-join of the brand-pruned lineitem against its
-    own per-part aggregate. The 0.2·avg threshold is evaluated in
-    cross-multiplied DECIMAL form (qty·5·n < sum_qty) so neither
-    engine divides; the brand filter broadcasts into both arms and
-    prunes at the scan. Output is the classic sum/7.0 plus the
-    matched-line count so the row is non-degenerate even when no line
-    qualifies."""
-    p = load_table(spark, sf_dir, "part").filter(
-        F.col("p_brand") == Q17_BRAND
-    ).select("p_partkey")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice"
-    )
-    br = li.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
-        "l_partkey", "l_quantity", "l_extendedprice"
-    )
-    qdec = F.col("l_quantity").cast("decimal(18,2)")
-    stats = br.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
-        F.sum(qdec).alias("sum_qty"),
-        F.count(F.lit(1)).alias("n_lines"),
-    )
-    return (
-        br.join(stats, F.col("l_partkey") == F.col("agg_partkey"))
-        .filter(
-            qdec * F.lit(5) * F.col("n_lines") < F.col("sum_qty")
-        )
-        .agg(
-            (
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
-                    "double"
-                )
-                / F.lit(7.0)
-            ).alias("avg_yearly"),
-            F.count(F.lit(1)).alias("n_small_lines"),
-        )
-    )
-
-
-SQL_TPCH_Q17 = f"""
-WITH br AS (
-  SELECT l_partkey, l_quantity, l_extendedprice
-  FROM lineitem JOIN part ON l_partkey = p_partkey
-  WHERE p_brand = '{Q17_BRAND}'),
-stats AS (
-  SELECT l_partkey AS agg_partkey,
-         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-         count(*) AS n_lines
-  FROM br GROUP BY 1)
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
-         AS avg_yearly,
-       count(*) AS n_small_lines
-FROM br JOIN stats ON l_partkey = agg_partkey
-WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n_lines < sum_qty"""
-
-
-def q_doc_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash sketch accuracy as a measured column — for every LSH
-    candidate pair, the signature-agreement Jaccard estimate
-    (matching positions / k) next to the exact shingle Jaccard and
-    their absolute error. Same philosophy as the CMS/HLL/Bloom/IVF
-    entries: the approximation's quality is a NUMBER the pipeline
-    monitors, not a hope. One Arrow signature pass feeds BOTH the
-    banding (JVM band-key explode) and the estimate; the exact side
-    touches candidates only. k=64 keeps the estimate an exact binary
-    fraction, so no rounding is needed on the estimate itself."""
-    from ..operators.dedup import (
-        MH_PERMS,
-        bucket_pairs_skew_safe,
-        jaccard,
-        lsh_band_keys,
-        minhash_signature,
-        shingle_sets,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    # localCheckpoint (not persist): base feeds the signature build AND
-    # the exact-Jaccard verify; sig feeds the banding AND the estimate.
-    # Blocks are GC-reclaimed after the query — persist() here leaked
-    # two corpus-sized cached frames per run (r8 verdict nit).
-    base = shingle_sets(docs).localCheckpoint(eager=True)
-    sig = minhash_signature(base).localCheckpoint(eager=True)
-    banded = sig.select(
-        F.col("doc_id").alias("id"),
-        F.explode(lsh_band_keys("sig")).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    cand = (
-        bucket_pairs_skew_safe(banded, ["band", "key"], ["id"])
-        .select(F.col("p.a.id").alias("id_i"), F.col("p.b.id").alias("id_j"))
-        .distinct()
-    )
-    sh = base.select(F.col("doc_id").alias("id"), "sh")
-    sg = sig.select(F.col("doc_id").alias("id"), "sig")
-    n_eq = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_i"), F.col("sig_j"), lambda x, y: x == y),
-            lambda b: b,
-        )
-    )
-    return (
-        cand.join(sh.withColumnsRenamed({"id": "id_i", "sh": "sh_i"}), "id_i")
-        .join(sh.withColumnsRenamed({"id": "id_j", "sh": "sh_j"}), "id_j")
-        .join(sg.withColumnsRenamed({"id": "id_i", "sig": "sig_i"}), "id_i")
-        .join(sg.withColumnsRenamed({"id": "id_j", "sig": "sig_j"}), "id_j")
-        .withColumn("n_eq", n_eq)
-        .withColumn(
-            "jac_est",
-            F.col("n_eq").cast("double") / F.lit(float(MH_PERMS)),
-        )
-        .withColumn("jac_exact", jaccard(F.col("sh_i"), F.col("sh_j")))
-        .select(
-            "id_i",
-            "id_j",
-            "n_eq",
-            "jac_est",
-            _r6("jac_exact"),
-            _rne(F.abs(F.col("jac_est") - F.col("jac_exact")), "abs_err", 6),
-        )
-    )
-
-
-def _sql_minhash_est_error() -> str:
-    from ..operators.dedup import MH_PERMS
-
-    eq = (
-        f"len(list_filter(range(1, {MH_PERMS} + 1),"
-        f" i -> x.sig[i] = y.sig[i]))"
-    )
-    return f"""WITH {_SQL_MINHASH_CAND_CTES}
-SELECT c.id_i, c.id_j,
-       CAST({eq} AS INT) AS n_eq,
-       CAST({eq} AS DOUBLE) / {float(MH_PERMS)} AS jac_est,
-       {_sql_rne(_sql_jaccard('x.sh', 'y.sh'), 'jac_exact', 6)},
-       {_sql_rne(f'abs(CAST({eq} AS DOUBLE) / {float(MH_PERMS)}'
-                 f' - ({_sql_jaccard("x.sh", "y.sh")}))', 'abs_err', 6)}
-FROM cand c
-JOIN sigs x ON x.doc_id = c.id_i
-JOIN sigs y ON y.doc_id = c.id_j"""
-
-
-def q_doc_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end dedup verdict table — what a production pipeline
-    actually emits: one row per document with its resolved cluster,
-    keep/drop decision, and the reason tier (exact_dup beats near_dup
-    beats kept). Composes the exact-hash groups with the SimHash
-    connected-components clusters; the keep rule is min-id-canonical
-    at both tiers, so the verdict is deterministic and the exact tier
-    can never disagree with the cluster tier (identical text implies
-    same sketch implies same cluster). One hash aggregate + the CC
-    lineage + two broadcast-scale joins back onto the doc list."""
-    from ..operators.dedup import dup_clusters, simhash_pairs
-
-    docs = load_table(spark, sf_dir, "documents")
-    clusters = dup_clusters(simhash_pairs(docs)).select(
-        F.col("doc_id").alias("c_doc"), "cluster_id"
-    )
-    raw = docs.select("doc_id", F.md5("text").alias("raw_sig"))
-    eg = raw.groupBy("raw_sig").agg(
-        F.min("doc_id").alias("exact_keep"),
-        F.count(F.lit(1)).alias("exact_n"),
-    )
-    j = raw.join(eg, "raw_sig").join(
-        clusters, raw["doc_id"] == clusters["c_doc"], "left"
-    )
-    reason = (
-        F.when(
-            (F.col("exact_n") > 1) & (F.col("doc_id") != F.col("exact_keep")),
-            F.lit("exact_dup"),
-        )
-        .when(
-            F.col("cluster_id").isNotNull()
-            & (F.col("doc_id") != F.col("cluster_id")),
-            F.lit("near_dup"),
-        )
-        .otherwise(F.lit("kept"))
-    )
-    return j.select(
-        "doc_id",
-        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
-        reason.alias("reason"),
-        (reason == "kept").cast("int").alias("is_kept"),
-    )
-
-
-def _sql_doc_dedup_decisions() -> str:
-    return f"""WITH RECURSIVE {_sql_simhash_cte()},
-edges AS (
-  SELECT id_i AS src, id_j AS dst FROM spairs
-  UNION
-  SELECT id_j AS src, id_i AS dst FROM spairs
-),
-r AS (
-  SELECT src AS node, src AS lbl FROM edges
-  UNION
-  SELECT e.dst AS node, r.lbl AS lbl FROM r JOIN edges e ON e.src = r.node
-),
-comp AS (SELECT node, min(lbl) AS cluster_id FROM r GROUP BY node),
-ex AS (SELECT doc_id, md5(text) AS raw_sig FROM documents),
-eg AS (SELECT raw_sig, min(doc_id) AS exact_keep, count(*) AS exact_n
-       FROM ex GROUP BY 1),
-dec AS (
-  SELECT d.doc_id,
-         COALESCE(comp.cluster_id, d.doc_id) AS cluster_id,
-         CASE WHEN eg.exact_n > 1 AND d.doc_id <> eg.exact_keep
-                THEN 'exact_dup'
-              WHEN comp.cluster_id IS NOT NULL
-                   AND d.doc_id <> comp.cluster_id THEN 'near_dup'
-              ELSE 'kept' END AS reason
-  FROM ex d JOIN eg USING (raw_sig)
-  LEFT JOIN comp ON d.doc_id = comp.node)
-SELECT doc_id, cluster_id, reason,
-       CAST(reason = 'kept' AS INT) AS is_kept
-FROM dec"""
-
-
-PQ_M, PQ_DSUB = 4, 16  # 4 subspaces x 16 dims over the 64-dim vectors
-
-
-def _pq_codebook(emb: DataFrame) -> DataFrame:
-    """Label-grouped sub-vector mean codebook (code, s, cvec) on the
-    shared 1e-6 grid — the deterministic quantizer both PQ queries and
-    both engines rebuild identically."""
-    ex = emb.select("label", F.posexplode("v").alias("pos", "x"))
-    per_dim = ex.groupBy(
-        "label",
-        (F.col("pos") / PQ_DSUB).cast("int").alias("s"),
-        "pos",
-    ).agg((F.floor(F.avg("x") * 1e6 + F.lit(0.5)) / 1e6 + F.lit(0.0)).alias("c"))
-    return per_dim.groupBy(F.col("label").alias("code"), "s").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))),
-            lambda z: z["c"],
-        ).alias("cvec")
-    )
-
-
-def _pq_assignments(emb: DataFrame, cb: DataFrame) -> DataFrame:
-    """Per (vector, subspace) best code: broadcast codebook cross join
-    collapsed map-side by min(struct) — returns (vec_id, s, m) with
-    m = (err2, code)."""
-    cand = emb.crossJoin(F.broadcast(cb)).withColumn(
-        "err2",
-        dist_l2sq(
-            F.slice("v", F.col("s") * PQ_DSUB + 1, PQ_DSUB), F.col("cvec")
-        ),
-    )
-    return cand.groupBy("vec_id", "s").agg(
-        F.min(F.struct("err2", "code")).alias("m")
-    )
-
-
-def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization — the memory-side companion to IVF: each
-    vector compresses to PQ_M sub-space code bytes, with the
-    reconstruction error emitted per vector (the same
-    approximation-is-a-measured-number contract as sq8/CMS/HLL). The
-    codebook reuses the IVF trick: label-grouped sub-vector means
-    (deterministic, no iterative k-means), rounded through the shared
-    1e-6 grid so both engines build the identical quantizer. The
-    assignment is a broadcast codebook cross join collapsed by a
-    map-side-combined min(struct) per (vector, subspace) — the
-    crossed rows never shuffle — and the per-vector fold orders
-    subspaces explicitly so the error sum is sequence-exact. The code
-    sequence is emitted as a '-'-joined string (not ARRAY) so the
-    output schema stays atomic — nested output columns are banned
-    registry-wide (see tests/test_registry_contracts.py)."""
-    emb = _emb(spark, sf_dir)
-    cb = _pq_codebook(emb)
-    best = _pq_assignments(emb, cb)
-    per_vec = best.groupBy("vec_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct("s", F.col("m.code").alias("code")))
-        ).alias("sc"),
-        F.array_sort(
-            F.collect_list(F.struct("s", F.col("m.err2").alias("err2")))
-        ).alias("se"),
-    )
-    return per_vec.select(
-        "vec_id",
-        F.concat_ws(
-            "-",
-            F.transform("sc", lambda z: z["code"].cast("string")),
-        ).alias("codes"),
-        _rne(
-            F.sqrt(
-                F.aggregate(
-                    "se", F.lit(0.0), lambda acc, z: acc + z["err2"]
-                )
-            ),
-            "recon_err",
-            6,
-        ),
-    )
-
-
-def _sql_emb_pq_codes() -> str:
-    sl = f"list_slice(e.v, cb.s * {PQ_DSUB} + 1, cb.s * {PQ_DSUB} + {PQ_DSUB})"
-    err2 = (
-        f"list_reduce(list_prepend(0.0, list_transform("
-        f"list_zip({sl}, cb.cvec), p -> (p[1]-p[2])*(p[1]-p[2]))),"
-        f" (x, y) -> x + y)"
-    )
-    return f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-cb_dims AS (
-  SELECT label, CAST((i - 1) // {PQ_DSUB} AS INT) AS s, i AS pos,
-         floor(avg(v[i]) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS c
-  FROM emb, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
-  GROUP BY 1, 2, 3
-),
-cb AS (SELECT label AS code, s, list(c ORDER BY pos) AS cvec
-       FROM cb_dims GROUP BY 1, 2),
-cand AS (
-  SELECT e.vec_id, cb.s, cb.code, {err2} AS err2
-  FROM emb e CROSS JOIN cb
-),
-best AS (
-  SELECT vec_id, s, code, err2 FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id, s
-      ORDER BY err2 ASC, code ASC) AS rn
-    FROM cand)
-  WHERE rn = 1
-)
-SELECT vec_id, array_to_string(list(code ORDER BY s), '-') AS codes,
-       {_sql_rne(
-           'sqrt(list_reduce(list_prepend(0.0, list(err2 ORDER BY s)),'
-           ' (x, y) -> x + y))',
-           'recon_err', 6)}
-FROM best GROUP BY vec_id"""
-
-
-Q12_LATE_DAYS = 60
-
-
-def q_tpch_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12-shaped: late-shipment counts by order priority (the
-    synthetic schema has no shipmode, so priority is the reporting
-    dimension; the date-arithmetic join predicate is the point). One
-    fact⋈fact equi-join on the order key under AQE; the late flag is a
-    pure timestamp comparison computed in the join's output projection
-    and the two counts partially aggregate map-side into 5 rows."""
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate", "o_orderpriority"
-    )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_shipdate"
-    )
-    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
-        f"INTERVAL {Q12_LATE_DAYS} DAYS"
-    )
-    return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.count_if(late).alias("n_late"),
-        )
-    )
-
-
-SQL_TPCH_Q12 = f"""
-SELECT o_orderpriority, count(*) AS n_lines,
-       CAST(count(*) FILTER (l_shipdate > o_orderdate
-         + INTERVAL {Q12_LATE_DAYS} DAY) AS BIGINT) AS n_late
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-GROUP BY 1"""
-
-
-Q19_ARMS = [
-    ("Brand#1", 1, 15, 1, 11),
-    ("Brand#2", 10, 30, 10, 20),
-    ("Brand#3", 20, 50, 20, 30),
-]
-
-
-def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19-shaped: revenue under an OR-of-ANDs predicate mixing
-    part attributes (brand, size) with lineitem attributes (quantity)
-    — the disjunctive-pushdown probe. Catalyst extracts the
-    brand/size disjunction as a part-scan filter and the quantity
-    bounds as a lineitem-scan filter (constraint propagation), leaving
-    only the cross-table residual on the join — the optimizer
-    behavior Q19 exists to test. Exact DECIMAL revenue."""
-    p = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_brand", "p_size"
-    )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
-    )
-    arm = None
-    for brand, s_lo, s_hi, q_lo, q_hi in Q19_ARMS:
-        a = (
-            (F.col("p_brand") == brand)
-            & F.col("p_size").between(s_lo, s_hi)
-            & F.col("l_quantity").between(q_lo, q_hi)
-        )
-        arm = a if arm is None else (arm | a)
-    dec = lambda col, pr=18, sc=2: F.col(col).cast(f"decimal({pr},{sc})")  # noqa: E731
-    one = F.lit(1).cast("decimal(3,2)")
-    return (
-        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
-        .filter(arm)
-        .agg(
-            F.sum(dec("l_extendedprice") * (one - dec("l_discount", 3, 2)))
-            .cast("double")
-            .alias("revenue"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
-
-
-def _sql_tpch_q19() -> str:
-    arms = " OR ".join(
-        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
-        f" AND l_quantity BETWEEN {qlo} AND {qhi})"
-        for b, slo, shi, qlo, qhi in Q19_ARMS
-    )
-    return f"""
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
-            AS DOUBLE) AS revenue,
-       count(*) AS n_lines
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE {arms}"""
-
-
-def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-dimensional CUBE aggregate: counts and exact DECIMAL
-    value totals for every (event_type × weekday) combination plus
-    all three rollup margins and the grand total, labeled by
-    grouping_id so a report layer can tell margins from cells. CUBE
-    is one shuffle producing all 2^d grouping sets via partial
-    aggregation — not 4 separate queries — which is exactly the
-    at-scale reason the operator exists."""
-    ev = load_table(spark, sf_dir, "events")
-    dow = weekday_mon0(F.col("ts")).cast("int").alias("dow")
-    return (
-        ev.select("event_type", dow, "value")
-        .cube("event_type", "dow")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("value_sum"),
-            F.grouping_id().cast("int").alias("gid"),
-        )
-    )
-
-
-SQL_EVENTS_CUBE = """
-SELECT event_type, (isodow(ts) - 1)::INT AS dow,
-       count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
-       CAST(GROUPING(event_type, (isodow(ts) - 1)::INT) AS INT) AS gid
-FROM events
-GROUP BY CUBE (1, 2)"""
-
-
-RANGE_WIN_S = 6 * 3600
-
-
-def q_ts_range_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE-frame window: trailing 6-HOUR average price per symbol,
-    framed by event-TIME distance, not row count — the irregular-
-    series rolling statistic a row frame cannot express (gaps and
-    bursts change how many rows 6 hours holds; n_6h emits that
-    variable width). The frame sum is an exact DECIMAL so the
-    result is independent of how either engine walks the frame; one
-    symbol-keyed exchange, window sorts locally per symbol."""
-    series = events_series(spark, sf_dir)
-    # TIMESTAMP_NTZ has no direct long cast; with the session pinned
-    # UTC the NTZ->TZ hop is the identity and the long is epoch seconds
-    epoch = F.col("datetime").cast("timestamp").cast("long")
-    w = (
-        Window.partitionBy("symbol")
-        .orderBy(epoch)
-        .rangeBetween(-RANGE_WIN_S, 0)
-    )
-    sum_dec = F.sum(F.col("close").cast("decimal(18,6)")).over(w)
-    n = F.count(F.lit(1)).over(w)
-    return series.select(
-        "symbol",
-        F.col("datetime").alias("ts"),
-        n.alias("n_6h"),
-        (sum_dec.cast("double") / n).alias("avg_6h"),
-    )
-
-
-def _sql_ts_range_window_avg() -> str:
-    return f"""
-WITH {SQL_SERIES}
-SELECT symbol, ts,
-       count(*) OVER w AS n_6h,
-       CAST(sum(CAST(close AS DECIMAL(18,6))) OVER w AS DOUBLE)
-         / count(*) OVER w AS avg_6h
-FROM series
-WINDOW w AS (PARTITION BY symbol
-             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-             RANGE BETWEEN {RANGE_WIN_S} PRECEDING AND CURRENT ROW)"""
-
-
-DQ_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
-
-
-def q_events_dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-quality expectation suite (the Deequ/Great-Expectations
-    shape): one scan computes every metric as a conditional aggregate,
-    then the single metrics row unpivots into one row per constraint
-    with its violation count and pass flag. At 100 TB this is ONE
-    map-side-combined pass over the table — never one scan per check —
-    and the output is the tiny audit artifact a pipeline gates on."""
-    ev = load_table(spark, sf_dir, "events")
-    m = ev.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("event_id").alias("n_ids"),
-        F.count_if(F.col("ts").isNull()).alias("ts_nulls"),
-        F.count_if(F.col("value") < 0).alias("neg_values"),
-        F.count_if(~F.col("event_type").isin(DQ_EVENT_TYPES)).alias(
-            "bad_types"
-        ),
-        F.count_if(F.col("user_id") <= 0).alias("bad_users"),
-    )
-    checks = [
-        ("unique_event_id", F.col("n") - F.col("n_ids")),
-        ("ts_complete", F.col("ts_nulls")),
-        ("value_nonnegative", F.col("neg_values")),
-        ("event_type_in_domain", F.col("bad_types")),
-        ("user_id_positive", F.col("bad_users")),
-    ]
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(name).alias("check_name"),
-                v.cast("long").alias("violations"),
-            )
-            for name, v in checks
-        ]
-    )
-    return (
-        m.select(F.explode(rows).alias("c"))
-        .select("c.check_name", "c.violations")
-        .withColumn("passed", (F.col("violations") == 0).cast("int"))
-    )
-
-
-def _sql_events_dq_suite() -> str:
-    types = ", ".join(f"'{t}'" for t in DQ_EVENT_TYPES)
-    return f"""
-WITH m AS (
-  SELECT count(*) AS n, count(DISTINCT event_id) AS n_ids,
-         count(*) FILTER (ts IS NULL) AS ts_nulls,
-         count(*) FILTER (value < 0) AS neg_values,
-         count(*) FILTER (event_type NOT IN ({types})) AS bad_types,
-         count(*) FILTER (user_id <= 0) AS bad_users
-  FROM events),
-u AS (
-  SELECT 'unique_event_id' AS check_name, n - n_ids AS violations FROM m
-  UNION ALL SELECT 'ts_complete', ts_nulls FROM m
-  UNION ALL SELECT 'value_nonnegative', neg_values FROM m
-  UNION ALL SELECT 'event_type_in_domain', bad_types FROM m
-  UNION ALL SELECT 'user_id_positive', bad_users FROM m)
-SELECT check_name, CAST(violations AS BIGINT) AS violations,
-       CAST(violations = 0 AS INT) AS passed
-FROM u"""
-
-
-SEARCH_TERMS = ("spark", "customer")
-
-
-def q_doc_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index conjunctive (AND) search: documents containing
-    EVERY query term, with per-term frequencies and a combined score —
-    the posting-list-intersection shape. The scan-side filter keeps
-    only query-term tokens, so the posting frame entering the shuffle
-    is query-sized, not corpus-sized; the intersection is a count
-    of distinct matched terms (no self-join of postings)."""
-    docs = _docs_parallel(spark, sf_dir)
-    tok = tokens(F.col("text"))
-    terms = list(SEARCH_TERMS)
-    hits = docs.select(
-        "doc_id",
-        F.explode(F.filter(tok, lambda t: t.isin(*terms))).alias("term"),
-    )
-    per_term = hits.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    agg = per_term.groupBy("doc_id").agg(
-        F.countDistinct("term").alias("n_terms"),
-        F.sum("tf").alias("score"),
-        *[
-            F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0))
-            .alias(f"tf_{t}")
-            for t in terms
-        ],
-    )
-    return agg.filter(F.col("n_terms") == len(terms)).select(
-        "doc_id", "score", *[f"tf_{t}" for t in terms]
-    )
-
-
-def _sql_doc_search_and() -> str:
-    terms = list(SEARCH_TERMS)
-    in_list = ", ".join(f"'{t}'" for t in terms)
-    tf_cols = ", ".join(
-        f"CAST(sum(CASE WHEN term = '{t}' THEN tf ELSE 0 END) AS BIGINT)"
-        f" AS tf_{t}"
-        for t in terms
-    )
-    return f"""
-WITH {SQL_TOKS},
-hits AS (
-  SELECT doc_id, unnest(list_filter(tok, t -> t IN ({in_list}))) AS term
-  FROM toks),
-per_term AS (
-  SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2)
-SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score, {tf_cols}
-FROM per_term GROUP BY doc_id
-HAVING count(DISTINCT term) = {len(terms)}"""
-
-
-def q_emb_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One Lloyd iteration of k-means in pure DataFrames — the
-    iterative-refinement pattern beyond connected components:
-    label-mean seeds -> nearest-centroid assignment -> recomputed
-    means -> re-assignment -> per-cluster inertia. Cross-engine
-    determinism at every step: centroid means round through the
-    shared 1e-6 grid (exactly the IVF quantizer contract), the argmin
-    tie-breaks on (distance, label), and the inertia is a DECIMAL sum
-    of per-member distances rounded at 1e-6 — so the float
-    accumulation order that plagues naive k-means comparisons never
-    enters. At scale each iteration is one assignment pass (broadcast
-    centroids, map-side-combined min-struct) plus one explode+mean
-    shuffle — the canonical distributed Lloyd cost shape."""
-    from ..operators.ivf import assign_lists, label_centroids
-
-    emb = _emb(spark, sf_dir)
-    cent0 = label_centroids(emb)
-    a0 = assign_lists(emb, cent0).select(
-        "vec_id", "v", F.col("list_id").alias("c0")
-    )
-    ex = a0.select("c0", F.posexplode("v").alias("pos", "x"))
-    cent1 = (
-        ex.groupBy("c0", "pos")
-        .agg(
-            (F.floor(F.avg("x") * 1e6 + F.lit(0.5)) / 1e6 + F.lit(0.0)).alias(
-                "c"
-            )
-        )
-        .groupBy(F.col("c0").alias("label"))
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda z: z["c"],
-            ).alias("cvec")
-        )
-    )
-    a1 = (
-        emb.crossJoin(
-            F.broadcast(
-                cent1.select(F.col("label").alias("label_c"), "cvec")
-            )
-        )
-        .withColumn("d", dist_l2_fixed64(F.col("v"), F.col("cvec")))
-        .groupBy("vec_id")
-        .agg(F.min(F.struct(F.col("d"), F.col("label_c"))).alias("m"))
-        .select(
-            "vec_id",
-            F.col("m.label_c").alias("cluster"),
-            F.col("m.d").alias("d"),
-        )
-    )
-    d6 = (F.floor(F.col("d") * 1e6 + F.lit(0.5)) / 1e6 + F.lit(0.0)).cast(
-        "decimal(18,6)"
-    )
-    return a1.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.sum(d6).cast("double").alias("inertia"),
-    )
-
-
-def _sql_emb_kmeans_refine() -> str:
-    l2_ec = _sql_l2("e.v", "c.cvec")
-    return f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-cent0_dims AS (
-  SELECT label, i AS pos,
-         floor(avg(v[i]) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS c
-  FROM emb, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
-  GROUP BY 1, 2),
-cent0 AS (SELECT label, list(c ORDER BY pos) AS cvec
-          FROM cent0_dims GROUP BY 1),
-a0 AS (
-  SELECT vec_id, v, c0 FROM (
-    SELECT e.vec_id, e.v, c.label AS c0,
-           row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY {l2_ec} ASC, c.label ASC) AS rn
-    FROM emb e CROSS JOIN cent0 c)
-  WHERE rn = 1),
-cent1_dims AS (
-  SELECT c0, i AS pos,
-         floor(avg(v[i]) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS c
-  FROM a0, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
-  GROUP BY 1, 2),
-cent1 AS (SELECT c0 AS label, list(c ORDER BY pos) AS cvec
-          FROM cent1_dims GROUP BY 1),
-a1 AS (
-  SELECT vec_id, cluster, d FROM (
-    SELECT e.vec_id, c.label AS cluster, {l2_ec} AS d,
-           row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY {l2_ec} ASC, c.label ASC) AS rn
-    FROM emb e CROSS JOIN cent1 c)
-  WHERE rn = 1)
-SELECT cluster, count(*) AS n_members,
-       CAST(sum(CAST(floor(d * 1000000.0 + 0.5) / 1000000.0 + 0.0
-                     AS DECIMAL(18,6))) AS DOUBLE) AS inertia
-FROM a1 GROUP BY 1"""
-
-
-def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2-shaped: for each qualifying part, the EUROPE supplier(s)
-    offering the minimum cost — the correlated-MIN-subquery probe over a
-    4-table snowflake (reference core/data/cdd.py has no relational tier;
-    this extends the engine's TPC-H surface). The synthetic schema has no
-    partsupp, so the supply relation is derived: cost(part, supp) =
-    min line price over lineitem, one shuffle on (partkey, suppkey) with
-    map-side combine. The correlated min is a window MIN over the part
-    partition — the partkey exchange is shared between the cost aggregate
-    and the window, so the whole correlation costs one extra sort, not a
-    self-join. part/supplier/nation/region dims all broadcast."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey", "l_extendedprice"
-    )
-    p = load_table(spark, sf_dir, "part").filter(
-        F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
-    ).select("p_partkey", "p_brand")
-    s = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
-    )
-    n = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name", "n_regionkey"
-    )
-    r = load_table(spark, sf_dir, "region").filter(
-        F.col("r_name") == "EUROPE"
-    ).select("r_regionkey")
-    eu_supp = F.broadcast(
-        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    )
-    cost = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(eu_supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name",
-                 "s_acctbal", "n_name")
-        .agg(
-            F.min(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .alias("cost")
-        )
-    )
-    w = Window.partitionBy("p_partkey")
-    return (
-        cost.withColumn("min_cost", F.min("cost").over(w))
-        .filter(F.col("cost") == F.col("min_cost"))
-        .select(
-            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
-            F.col("cost").cast("double").alias("supply_cost"),
-        )
-    )
-
-
-SQL_TPCH_Q2 = """
-WITH eu_supp AS (
-  SELECT s_suppkey, s_name, s_acctbal, n_name
-  FROM supplier JOIN nation ON s_nationkey = n_nationkey
-  JOIN region ON n_regionkey = r_regionkey
-  WHERE r_name = 'EUROPE'),
-cost AS (
-  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
-         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
-  FROM lineitem
-  JOIN part ON l_partkey = p_partkey
-  JOIN eu_supp ON l_suppkey = s_suppkey
-  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
-  GROUP BY 1, 2, 3, 4, 5, 6)
-SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
-       CAST(cost AS DOUBLE) AS supply_cost
-FROM cost
-WHERE cost = (SELECT min(c2.cost) FROM cost c2
-              WHERE c2.p_partkey = cost.p_partkey)"""
-
-
-def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9-shaped: profit per supplier nation per order year for
-    parts whose name carries a color token. No partsupp in the synthetic
-    schema, so line cost = p_retailprice × l_quantity (deterministic
-    stand-in for ps_supplycost × l_quantity). All three dims (filtered
-    part, supplier, nation) broadcast into the lineitem scan; the only
-    shuffle is the fact⋈fact orderkey join to fetch the order year,
-    then a 2-level groupBy that partially aggregates map-side into
-    nations × years rows. Line profit is exact at DECIMAL(18,4):
-    both products have scale ≤ 4, so the subtraction never rounds."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey",
-        "l_quantity", "l_extendedprice", "l_discount",
-    )
-    p = load_table(spark, sf_dir, "part").filter(
-        F.col("p_name").like("%red%")
-    ).select("p_partkey", "p_retailprice")
-    s = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_nationkey"
-    )
-    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", F.year("o_orderdate").alias("o_year")
-    )
-    dec = lambda c, pr, sc: F.col(c).cast(f"decimal({pr},{sc})")  # noqa: E731
-    one = F.lit(1).cast("decimal(3,2)")
-    revenue = (dec("l_extendedprice", 18, 2) * (one - dec("l_discount", 3, 2))
-               ).cast("decimal(18,4)")
-    supp_cost = (dec("p_retailprice", 18, 2) * dec("l_quantity", 18, 2)
-                 ).cast("decimal(18,4)")
-    return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .withColumn("profit", revenue - supp_cost)
-        .groupBy(F.col("n_name").alias("nation"), "o_year")
-        .agg(F.sum("profit").cast("double").alias("profit"))
-    )
-
-
-SQL_TPCH_Q9 = """
-SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                     (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
-                     AS DECIMAL(18,4)) -
-                CAST(CAST(p_retailprice AS DECIMAL(18,2)) *
-                     CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4)))
-            AS DOUBLE) AS profit
-FROM lineitem
-JOIN part ON l_partkey = p_partkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation ON s_nationkey = n_nationkey
-JOIN orders ON l_orderkey = o_orderkey
-WHERE p_name LIKE '%red%'
-GROUP BY 1, 2"""
-
-
-def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11-shaped: parts whose inventory value held by one
-    nation's suppliers exceeds a fraction of that nation's total — the
-    scalar-subquery-HAVING probe. Derived supply value (no partsupp):
-    sum of line prices per part over NATION_7 suppliers. One shuffle on
-    partkey builds the per-part aggregate; the grand total re-reduces
-    that same aggregate (Catalyst reuses the exchange) into a one-row
-    frame that broadcast-cross-joins back as the threshold. The
-    fraction compare is integer-exact: value × 1000 > total, both
-    DECIMAL, so no float epsilon in the cut."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey", "l_extendedprice"
-    )
-    s = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_nationkey"
-    )
-    n = load_table(spark, sf_dir, "nation").filter(
-        F.col("n_name") == "NATION_7"
-    ).select("n_nationkey")
-    nat_supp = F.broadcast(
-        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey")
-    )
-    per_part = (
-        li.join(nat_supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy("l_partkey")
-        .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .alias("val")
-        )
-    )
-    total = per_part.agg(F.sum("val").alias("total"))
-    return (
-        per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("val") * F.lit(1000) > F.col("total"))
-        .select(
-            F.col("l_partkey").alias("p_partkey"),
-            F.col("val").cast("double").alias("part_value"),
-        )
-    )
-
-
-SQL_TPCH_Q11 = """
-WITH per_part AS (
-  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
-  FROM lineitem
-  JOIN supplier ON l_suppkey = s_suppkey
-  JOIN nation ON s_nationkey = n_nationkey
-  WHERE n_name = 'NATION_7'
-  GROUP BY 1)
-SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
-FROM per_part
-WHERE val * 1000 > (SELECT sum(val) FROM per_part)"""
-
-
-def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16-shaped: distinct-supplier counts per (brand, type,
-    size) for non-excluded parts, excluding flagged suppliers — the
-    NOT-IN-subquery + COUNT DISTINCT probe. The part↔supplier relation
-    is the distinct (l_partkey, l_suppkey) projection of lineitem (no
-    partsupp in the synthetic schema); the complaint set stand-in is
-    suppliers with negative account balance, applied as a broadcast
-    LEFT ANTI join (the NULL-safe way Catalyst compiles NOT IN when
-    keys are non-null). One partkey-side shuffle for the pair distinct,
-    then the count-distinct re-shuffles on the 3 grouping columns —
-    both exchanges partial-aggregate map-side."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey"
-    )
-    p = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#5")
-        & (F.col("p_type") != "PROMO")
-        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
-    ).select("p_partkey", "p_brand", "p_type", "p_size")
-    flagged = load_table(spark, sf_dir, "supplier").filter(
-        F.col("s_acctbal") < 0
-    ).select("s_suppkey")
-    return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(flagged),
-              F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
-    )
-
-
-SQL_TPCH_Q16 = """
-SELECT p_brand, p_type, p_size,
-       count(DISTINCT l_suppkey) AS supplier_cnt
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
-  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
-  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-GROUP BY 1, 2, 3"""
-
-
-def q_tpch_q20_promotion_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20-shaped: ASIA suppliers who moved a significant volume
-    of 'small' parts in 1997 — the nested-IN-subquery chain compiled as
-    LEFT SEMI joins. Innermost: the part-name filter broadcasts into
-    the date-pruned lineitem scan; the (suppkey, partkey) volume
-    aggregate shuffles once with map-side combine; the HAVING-style
-    volume cut produces a tiny key set that broadcast-SEMI-joins into
-    the region-filtered supplier dim. No distinct needed after the
-    semi join — semi emits each supplier at most once."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-    ).select("l_partkey", "l_suppkey", "l_quantity")
-    p = load_table(spark, sf_dir, "part").filter(
-        F.col("p_name").like("small%")
-    ).select("p_partkey")
-    big_movers = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum("l_quantity").alias("qty"))
-        .filter(F.col("qty") > 30)
-        .select("l_suppkey")
-    )
-    s = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
-    )
-    n = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name", "n_regionkey"
-    )
-    r = load_table(spark, sf_dir, "region").filter(
-        F.col("r_name") == "ASIA"
-    ).select("r_regionkey")
-    return (
-        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(F.broadcast(big_movers),
-              F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
-        .select("s_name", "s_acctbal", "n_name")
-    )
-
-
-SQL_TPCH_Q20 = """
-SELECT s_name, s_acctbal, n_name
-FROM supplier
-JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-WHERE r_name = 'ASIA'
-  AND s_suppkey IN (
-    SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE p_name LIKE 'small%'
-      AND l_shipdate >= TIMESTAMP '1997-01-01'
-      AND l_shipdate < TIMESTAMP '1998-01-01'
-    GROUP BY l_suppkey, l_partkey
-    HAVING sum(l_quantity) > 30)"""
-
-
-Q21_LATE_DAYS = 60
-
-
-def q_tpch_q21_waiting_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21-shaped: AMERICA suppliers who were the SOLE late
-    shipper on finished multi-supplier orders — the EXISTS +
-    NOT-EXISTS double-correlated probe. Late = shipped > 60 days after
-    the order date (the synthetic schema has no receipt/commit dates).
-    Instead of Q21's textbook two extra self-joins of lineitem, the
-    correlation collapses into ONE orderkey-grouped aggregate computing
-    (distinct suppliers, distinct late suppliers) per order — EXISTS
-    other-supplier ⟺ n_supp > 1, NOT EXISTS other-late-supplier ⟺
-    n_late_supp = 1 given this supplier is late. The late-line supplier
-    set rides the same orderkey exchange; the status filter pushes to
-    the orders scan, supplier/nation/region dims broadcast."""
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderstatus") == "F"
-    ).select("o_orderkey", "o_orderdate")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
-    )
-    joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
-        f"INTERVAL {Q21_LATE_DAYS} DAYS"
-    )
-    per_order = joined.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
-    )
-    sole_late = (
-        joined.filter(late)
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-        .join(
-            per_order.filter(
-                (F.col("n_supp") > 1) & (F.col("n_late") == 1)
-            ).select("l_orderkey").withColumnRenamed("l_orderkey", "qok"),
-            F.col("l_orderkey") == F.col("qok"),
-        )
-    )
-    s = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name", "s_nationkey"
-    )
-    n = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_regionkey"
-    )
-    r = load_table(spark, sf_dir, "region").filter(
-        F.col("r_name") == "AMERICA"
-    ).select("r_regionkey")
-    am_supp = F.broadcast(
-        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("s_suppkey", "s_name")
-    )
-    return (
-        sole_late.join(am_supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-    )
-
-
-CUSUM_K_SIGMA = 0.5
-CUSUM_H_SIGMA = 4.0
-
-
-def q_ts_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSUM change-point alarms per symbol (upward and downward
-    shifts, k = 0.5σ slack, h = 4σ threshold — the standard tuning).
-    The textbook statistic s_t = max(0, s_{t-1} + (x_t − μ − k)) looks
-    recursive, but the NON-RESET one-sided CUSUM has a closed window
-    form: s_t = q_t − min_{j≤t} q_j with q_t = Σ(x_i − μ − k) — a
-    running sum minus a running min, two ordinary cumulative windows on
-    the ts family's symbol exchange, no Python recursion and no state.
-    μ and σ come from a two-pass per-symbol aggregate whose sums run in
-    exact DECIMAL (grid-snapped terms), broadcast back to the series.
-    Emits only the alarm CROSSINGS (s passes h from below), so output
-    is alarm-sized, not series-sized."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    grid = F.lit(1e6)
-    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
-    stats = df.groupBy("symbol").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(snap(F.col("close")).cast("decimal(18,6)")).alias("sx"),
-        F.sum(
-            snap(F.col("close") * F.col("close")).cast("decimal(18,6)")
-        ).alias("sxx"),
-    )
-    stats = stats.select(
-        "symbol",
-        (F.col("sx").cast("double") / F.col("n")).alias("mu"),
-        F.sqrt(
-            F.col("sxx").cast("double") / F.col("n")
-            - (F.col("sx").cast("double") / F.col("n"))
-            * (F.col("sx").cast("double") / F.col("n"))
-        ).alias("sigma"),
-    )
-    w = (
-        Window.partitionBy("symbol")
-        .orderBy("time_idx")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    ws = Window.partitionBy("symbol").orderBy("time_idx")
-    d = df.join(F.broadcast(stats), "symbol")
-    d = d.withColumn(
-        "qup",
-        F.sum(
-            F.col("close") - F.col("mu") - CUSUM_K_SIGMA * F.col("sigma")
-        ).over(w),
-    ).withColumn(
-        "qdn",
-        F.sum(
-            F.col("mu") - CUSUM_K_SIGMA * F.col("sigma") - F.col("close")
-        ).over(w),
-    )
-    # the prefix min must include the EMPTY prefix (q_0 = 0): an
-    # all-positive run of q would otherwise be measured against its own
-    # minimum instead of the 0 start, understating s_t
-    d = d.withColumn(
-        "s_up", F.col("qup") - F.least(F.min("qup").over(w), F.lit(0.0))
-    ).withColumn(
-        "s_dn", F.col("qdn") - F.least(F.min("qdn").over(w), F.lit(0.0))
-    )
-    h = CUSUM_H_SIGMA * F.col("sigma")
-    d = d.withColumn("pup", F.lag("s_up").over(ws)).withColumn(
-        "pdn", F.lag("s_dn").over(ws)
-    )
-    up_cross = (F.col("s_up") > h) & (
-        F.coalesce(F.col("pup") <= h, F.lit(True))
-    )
-    dn_cross = (F.col("s_dn") > h) & (
-        F.coalesce(F.col("pdn") <= h, F.lit(True))
-    )
-    ups = d.filter(up_cross).select(
-        "symbol",
-        "time_idx",
-        F.lit("up").alias("direction"),
-        _rne(F.col("s_up") / F.nullif(F.col("sigma"), F.lit(0.0)),
-             "stat_sigmas", 6),
-    )
-    dns = d.filter(dn_cross).select(
-        "symbol",
-        "time_idx",
-        F.lit("down").alias("direction"),
-        _rne(F.col("s_dn") / F.nullif(F.col("sigma"), F.lit(0.0)),
-             "stat_sigmas", 6),
-    )
-    return ups.unionByName(dns)
-
-
-def _sql_ts_cusum() -> str:
-    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-stats AS (
-  SELECT symbol,
-         CAST(sum(CAST({snap('close')} AS DECIMAL(18,6))) AS DOUBLE)
-           / count(*) AS mu,
-         sqrt(CAST(sum(CAST({snap('close * close')} AS DECIMAL(18,6)))
-                AS DOUBLE) / count(*)
-              - (CAST(sum(CAST({snap('close')} AS DECIMAL(18,6)))
-                   AS DOUBLE) / count(*))
-              * (CAST(sum(CAST({snap('close')} AS DECIMAL(18,6)))
-                   AS DOUBLE) / count(*))) AS sigma
-  FROM filled GROUP BY 1),
-q AS (
-  SELECT f.symbol, f.time_idx, s.sigma,
-         sum(f.close - s.mu - {CUSUM_K_SIGMA} * s.sigma) OVER cum AS qup,
-         sum(s.mu - {CUSUM_K_SIGMA} * s.sigma - f.close) OVER cum AS qdn
-  FROM filled f JOIN stats s USING (symbol)
-  WINDOW cum AS (PARTITION BY f.symbol ORDER BY f.time_idx
-                 ROWS UNBOUNDED PRECEDING)),
-s AS (
-  SELECT symbol, time_idx, sigma,
-         qup - least(min(qup) OVER cum, 0.0) AS s_up,
-         qdn - least(min(qdn) OVER cum, 0.0) AS s_dn
-  FROM q
-  WINDOW cum AS (PARTITION BY symbol ORDER BY time_idx
-                 ROWS UNBOUNDED PRECEDING)),
-x AS (
-  SELECT *, {CUSUM_H_SIGMA} * sigma AS h,
-         lag(s_up) OVER w AS pup, lag(s_dn) OVER w AS pdn
-  FROM s
-  WINDOW w AS (PARTITION BY symbol ORDER BY time_idx))
-SELECT symbol, time_idx, 'up' AS direction,
-       {_sql_rne('s_up / nullif(sigma, 0.0)', 'stat_sigmas')}
-FROM x WHERE s_up > h AND coalesce(pup <= h, TRUE)
-UNION ALL
-SELECT symbol, time_idx, 'down' AS direction,
-       {_sql_rne('s_dn / nullif(sigma, 0.0)', 'stat_sigmas')}
-FROM x WHERE s_dn > h AND coalesce(pdn <= h, TRUE)"""
-
-
-def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-D skyline (Pareto frontier) of parts: minimize retail price,
-    maximize size — the classic non-dominated-set operator. Collapses
-    to the (price → best size) grain first (one aggregate), then one
-    running-max window over prices sorted ascending keeps a price point
-    iff its best size strictly beats every cheaper price's best — the
-    O(n log n) sweep formulation, not the O(n²) dominance self-join.
-    Frontier parts are those matching a surviving (price, best-size)
-    pair; ties (same price and size) all belong to the frontier. The
-    running max is the two-phase bucketed prefix (operators/twophase)
-    — no single-task global sort even at billion-part scale."""
-    from ..operators.twophase import log2_bucket, prefix_agg
-
-    p = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_retailprice", "p_size"
-    )
-    per_price = p.groupBy("p_retailprice").agg(
-        F.max("p_size").alias("best_size")
-    )
-    frontier = (
-        prefix_agg(
-            per_price,
-            F.col("best_size"),
-            log2_bucket(F.col("p_retailprice")),
-            [F.col("p_retailprice").asc()],
-            agg="max",
-            out_col="prev_best",
-        )
-        .filter(
-            F.col("prev_best").isNull()
-            | (F.col("best_size") > F.col("prev_best"))
-        )
-        .select(
-            F.col("p_retailprice").alias("f_price"),
-            F.col("best_size").alias("f_size"),
-        )
-    )
-    return p.join(
-        frontier,
-        (F.col("p_retailprice") == F.col("f_price"))
-        & (F.col("p_size") == F.col("f_size")),
-    ).select("p_partkey", "p_retailprice", "p_size")
-
-
-SQL_PART_SKYLINE = """
-WITH per_price AS (
-  SELECT p_retailprice, max(p_size) AS best_size FROM part GROUP BY 1),
-frontier AS (
-  SELECT p_retailprice, best_size,
-         max(best_size) OVER (ORDER BY p_retailprice ASC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
-  FROM per_price)
-SELECT p.p_partkey, p.p_retailprice, p.p_size
-FROM part p JOIN frontier f
-  ON p.p_retailprice = f.p_retailprice AND p.p_size = f.best_size
-WHERE f.prev_best IS NULL OR f.best_size > f.prev_best"""
-
-
-PATH_TOP_N = 15
-
-
-def q_events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top event-type paths: the most frequent 3-step sequences of a
-    user's consecutive events — the path-analysis query behind journey
-    funnels. Two LEAD windows on the user exchange (ordered by
-    (ts, event_id), the engine's deterministic event order), a filter
-    to complete trigrams, and a map-side-combined count; the top-N cut
-    is fully tie-broken on the three step names."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    tri = ev.select(
-        F.col("event_type").alias("step1"),
-        F.lead("event_type", 1).over(w).alias("step2"),
-        F.lead("event_type", 2).over(w).alias("step3"),
-    ).filter(F.col("step2").isNotNull() & F.col("step3").isNotNull())
-    return (
-        tri.groupBy("step1", "step2", "step3")
-        .agg(F.count(F.lit(1)).alias("n_paths"))
-        .orderBy(
-            F.col("n_paths").desc(),
-            F.col("step1").asc(),
-            F.col("step2").asc(),
-            F.col("step3").asc(),
-        )
-        .limit(PATH_TOP_N)
-    )
-
-
-SQL_EVENTS_PATH_TRIGRAMS = f"""
-WITH tri AS (
-  SELECT event_type AS step1,
-         lead(event_type, 1) OVER w AS step2,
-         lead(event_type, 2) OVER w AS step3
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
-SELECT step1, step2, step3, count(*) AS n_paths
-FROM tri WHERE step2 IS NOT NULL AND step3 IS NOT NULL
-GROUP BY 1, 2, 3
-ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
-LIMIT {PATH_TOP_N}"""
-
-
-def q_lineitem_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ABC (Pareto) inventory classification: parts ranked by exact
-    DECIMAL revenue, classified A/B/C at the 80%/95% cumulative-share
-    cuts — the 80/20 analysis behind stocking policy. One partkey
-    aggregate; the cumulative sum is the two-phase bucketed prefix
-    (operators/twophase — range-bucket by log2(revenue), parallel
-    within-bucket windows, bucket-count-sized global pass) so no
-    single task ever sorts the whole part grain; the share is a
-    double division of exact DECIMALs, identical in both engines."""
-    from ..operators.twophase import log2_bucket, prefix_agg
-
-    li = load_table(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_partkey").agg(
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(18,2)")
-            * (
-                F.lit(1).cast("decimal(3,2)")
-                - F.col("l_discount").cast("decimal(3,2)")
-            )
-        ).alias("revenue")
-    )
-    total = rev.agg(F.sum("revenue").alias("total"))
-    ranked = (
-        prefix_agg(
-            rev.crossJoin(F.broadcast(total)),
-            F.col("revenue"),
-            log2_bucket(F.col("revenue")),
-            [F.col("revenue").desc(), F.col("l_partkey").asc()],
-            agg="sum",
-            bucket_asc=False,
-            strict=False,
-            out_col="cum_rev",
-        )
-        .withColumn(
-            "cum_share",
-            F.col("cum_rev").cast("double") / F.col("total").cast("double"),
-        )
-    )
-    cls = (
-        F.when(F.col("cum_share") <= 0.80, "A")
-        .when(F.col("cum_share") <= 0.95, "B")
-        .otherwise("C")
-    )
-    return (
-        ranked.withColumn("abc", cls)
-        .groupBy("abc")
-        .agg(
-            F.count(F.lit(1)).alias("n_parts"),
-            F.sum("revenue").cast("double").alias("class_revenue"),
-        )
-    )
-
-
-SQL_LINEITEM_ABC = """
-WITH rev AS (
-  SELECT l_partkey,
-         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
-           AS revenue
-  FROM lineitem GROUP BY 1),
-ranked AS (
-  SELECT l_partkey, revenue,
-         CAST(sum(revenue) OVER (ORDER BY revenue DESC, l_partkey ASC
-           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-           / CAST((SELECT sum(revenue) FROM rev) AS DOUBLE) AS cum_share
-  FROM rev)
-SELECT CASE WHEN cum_share <= 0.80 THEN 'A'
-            WHEN cum_share <= 0.95 THEN 'B'
-            ELSE 'C' END AS abc,
-       count(*) AS n_parts,
-       CAST(sum(revenue) AS DOUBLE) AS class_revenue
-FROM ranked GROUP BY 1"""
-
-
-def q_doc_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Precision/recall of the MinHash-LSH near-dup detector against
-    the exact inverted-index Jaccard ground truth at the same
-    threshold — the one-row eval card for the sketch family.
-    Verification inside the LSH path makes precision 1 by
-    construction; what this measures is RECALL (pairs the banding
-    never candidates), which is the number an operator tunes bands
-    against. Both pair sets are the engine's own green queries; the
-    eval adds one full-outer join of two pair-sized frames."""
-    docs = load_table(spark, sf_dir, "documents")
-    lsh = minhash_lsh_pairs(docs, threshold=NEAR_DUP_TAU).select(
-        "id_i", "id_j", F.lit(1).alias("in_lsh")
-    )
-    exact = ngram_jaccard_pairs(docs, threshold=NEAR_DUP_TAU).select(
-        "id_i", "id_j", F.lit(1).alias("in_exact")
-    )
-    j = lsh.join(exact, ["id_i", "id_j"], "full_outer")
-    return j.agg(
-        F.count_if(
-            F.col("in_lsh").isNotNull() & F.col("in_exact").isNotNull()
-        ).alias("tp"),
-        F.count_if(
-            F.col("in_lsh").isNotNull() & F.col("in_exact").isNull()
-        ).alias("fp"),
-        F.count_if(
-            F.col("in_lsh").isNull() & F.col("in_exact").isNotNull()
-        ).alias("fn"),
-    ).select(
-        "tp",
-        "fp",
-        "fn",
-        # an empty candidate (or truth) set makes the denominator 0:
-        # Spark's Divide yields NULL there but DuckDB's double
-        # division yields nan (0/0) — emit NULL in both engines by
-        # construction (CASE WHEN mirrored in the oracle)
-        F.when(
-            F.col("tp") + F.col("fp") > 0,
-            F.col("tp") / (F.col("tp") + F.col("fp")),
-        ).alias("precision"),
-        F.when(
-            F.col("tp") + F.col("fn") > 0,
-            F.col("tp") / (F.col("tp") + F.col("fn")),
-        ).alias("recall"),
-    )
-
-
-def _sql_minhash_pr() -> str:
-    return f"""
-WITH lsh AS ({SQL_DOC_MINHASH}),
-exact AS ({SQL_DOC_NGRAM}),
-j AS (
-  SELECT coalesce(l.id_i, e.id_i) AS id_i,
-         coalesce(l.id_j, e.id_j) AS id_j,
-         l.id_i IS NOT NULL AS in_lsh,
-         e.id_i IS NOT NULL AS in_exact
-  FROM lsh l FULL JOIN exact e
-    ON l.id_i = e.id_i AND l.id_j = e.id_j)
-SELECT CAST(count(*) FILTER (in_lsh AND in_exact) AS BIGINT) AS tp,
-       CAST(count(*) FILTER (in_lsh AND NOT in_exact) AS BIGINT) AS fp,
-       CAST(count(*) FILTER (NOT in_lsh AND in_exact) AS BIGINT) AS fn,
-       CASE WHEN count(*) FILTER (in_lsh) > 0 THEN
-         count(*) FILTER (in_lsh AND in_exact)
-           / CAST(count(*) FILTER (in_lsh) AS DOUBLE) END AS precision,
-       CASE WHEN count(*) FILTER (in_exact) > 0 THEN
-         count(*) FILTER (in_lsh AND in_exact)
-           / CAST(count(*) FILTER (in_exact) AS DOUBLE) END AS recall
-FROM j"""
-
-
-MMR_LAMBDA = 0.7
-MMR_K = 5
-MMR_CAND_N = 30  # ANN-fed candidate pool per query
-MMR_NPROBE = 2  # IVF lists probed per query for the candidate pool
-
-
-def q_emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal-Marginal-Relevance diversified reranking — the
-    retrieval-pipeline step between ANN and the consumer: greedily
-    pick K results maximizing λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s),
-    trading relevance against redundancy. Each greedy round is one
-    candidate×selected similarity aggregate + a per-query argmax —
-    selected is ≤K rows per query, so round cost is candidate-sized
-    and the driver only orchestrates K rounds (the loop the unrolled
-    oracle replays as K CTE steps). All similarities snap to the 1e-6
-    grid BEFORE the score arithmetic, so the greedy argmax tie-breaks
-    identically in both engines.
-
-    Candidate generation rides the IVF ANN index, not brute force:
-    each query probes its ``MMR_NPROBE`` nearest coarse lists and
-    keeps the ``MMR_CAND_N`` most-similar vectors from those lists
-    (equi-join on list_id — no corpus-sized broadcast anywhere), so
-    the candidate frame is queries × N and the greedy rounds stay
-    candidate-sized at any corpus scale. The oracle replays the same
-    quantizer (shared _sql_ivf_base CTEs) so the pools are identical
-    row sets in both engines."""
-    from ..functions.distance import (
-        dist_l2_fixed,
-        dot_fixed,
-        l2_norm_fixed,
-    )
-    from ..operators.ivf import EMB_DIM, assign_lists, label_centroids
-
-    emb = _emb(spark, sf_dir)
-    grid = F.lit(1e6)
-    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
-    cent = label_centroids(emb)
-    assigned = assign_lists(emb, cent)
-    queries = assigned.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    )
-    wq = Window.partitionBy("q_id").orderBy(
-        F.col("__cdist").asc(), F.col("label_c").asc()
-    )
-    probes = (
-        queries.crossJoin(
-            F.broadcast(
-                cent.select(F.col("label").alias("label_c"), "cvec")
-            )
-        )
-        .withColumn(
-            "__cdist", dist_l2_fixed(F.col("qv"), F.col("cvec"), EMB_DIM)
-        )
-        .withColumn("__rk", F.row_number().over(wq))
-        .filter(F.col("__rk") <= MMR_NPROBE)
-        .select("q_id", "qv", F.col("label_c").alias("list_id"))
-    )
-    wc = Window.partitionBy("q_id").orderBy(
-        F.col("simq").desc(), F.col("id").asc()
-    )
-    cand = (
-        assigned.join(probes, "list_id")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("id"),
-            "v",
-            snap(
-                dot_fixed("v", "qv", EMB_DIM)
-                / (
-                    l2_norm_fixed("v", EMB_DIM)
-                    * l2_norm_fixed("qv", EMB_DIM)
-                )
-            ).alias("simq"),
-        )
-        .withColumn("__crk", F.row_number().over(wc))
-        .filter(F.col("__crk") <= MMR_CAND_N)
-        .drop("__crk")
-    )
-    # the greedy K rounds run PER QUERY inside one Arrow pass: the
-    # candidate pool is bounded (≤ MMR_CAND_N rows per q_id by
-    # construction), so the loop is group-local work — fully
-    # distributed across queries, zero driver rounds / checkpoints
-    # (the previous K-round driver loop spent its whole wall time on
-    # per-round scheduling at any SF). The python arithmetic replays
-    # the JVM fold order exactly (sequential left folds for dot/norm,
-    # lam*simq − (1−lam)*ms with the same double constants), and every
-    # similarity snaps to the 1e-6 grid before scoring, so the oracle's
-    # unrolled-CTE greedy still matches bitwise.
-    import math
-
-    import pandas as pd
-    from pyspark.sql.types import (
-        DoubleType,
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
-    )
-
-    lam = MMR_LAMBDA
-    out_schema = StructType(
-        [
-            StructField("q_id", LongType()),
-            StructField("rank", IntegerType()),
-            StructField("id", LongType()),
-            StructField("score", DoubleType()),
-        ]
-    )
-
-    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
-        def g(x: float) -> float:
-            return math.floor(x * 1e6 + 0.5) / 1e6
-
-        def cosv(a, b) -> float:
-            dot = 0.0
-            for x, y in zip(a, b):
-                dot = dot + x * y
-            na = 0.0
-            for x in a:
-                na = na + x * x
-            nb = 0.0
-            for y in b:
-                nb = nb + y * y
-            return dot / (math.sqrt(na) * math.sqrt(nb))
-
-        ids = [int(i) for i in pdf["id"]]
-        vs = dict(zip(ids, pdf["v"]))
-        simq = dict(zip(ids, (float(s) for s in pdf["simq"])))
-        qid = int(pdf["q_id"].iloc[0])
-        sel: list[int] = []
-        out = []
-        for rank in range(1, MMR_K + 1):
-            best = None
-            for d in sorted(vs):
-                if d in sel:
-                    continue
-                if rank == 1:
-                    score = lam * simq[d]
-                else:
-                    ms = max(g(cosv(vs[d], vs[s])) for s in sel)
-                    score = lam * simq[d] - (1 - lam) * ms
-                key = (-score, d)
-                if best is None or key < best[0]:
-                    best = (key, d, score)
-            if best is None:
-                break
-            sel.append(best[1])
-            out.append((qid, rank, best[1], best[2]))
-        return pd.DataFrame(
-            out, columns=["q_id", "rank", "id", "score"]
-        )
-
-    sel = cand.groupBy("q_id").applyInPandas(greedy, schema=out_schema)
-    return sel.select(
-        "q_id", "rank", F.col("id").alias("vec_id"), _rne(F.col("score"), "score", 6)
-    )
-
-
-def _sql_emb_mmr() -> str:
-    cos = lambda a, b: (  # noqa: E731
-        f"{_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)})"
-    )
-    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
-    lam, mu = MMR_LAMBDA, 1 - MMR_LAMBDA
-    steps = []
-    prev = "sel1"
-    steps.append(f"""sel1 AS (
-  SELECT q_id, id, 1 AS rank, {lam} * simq AS score
-  FROM cand
-  QUALIFY row_number() OVER (PARTITION BY q_id
-    ORDER BY {lam} * simq DESC, id ASC) = 1)""")
-    for i in range(2, MMR_K + 1):
-        steps.append(f"""m{i} AS (
-  SELECT c.q_id, c.id, c.simq,
-         max({snap(cos('c.v', 'ev.v'))}) AS ms
-  FROM cand c
-  JOIN {prev} s ON s.q_id = c.q_id
-  JOIN emb ev ON ev.vec_id = s.id
-  LEFT JOIN {prev} x ON x.q_id = c.q_id AND x.id = c.id
-  WHERE x.id IS NULL
-  GROUP BY 1, 2, 3),
-p{i} AS (
-  SELECT q_id, id, {i} AS rank,
-         {lam} * simq - {mu} * ms AS score
-  FROM m{i}
-  QUALIFY row_number() OVER (PARTITION BY q_id
-    ORDER BY {lam} * simq - {mu} * ms DESC, id ASC) = 1),
-sel{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM p{i})""")
-        prev = f"sel{i}"
-    body = ",\n".join(steps)
-    l2_qc = _sql_l2("q.qv", "c.cvec")
-    return f"""
-WITH {_sql_ivf_base()},
-q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 100 = 0),
-probes AS (
-  SELECT q_id, qv, list_id FROM (
-    SELECT q.q_id, q.qv, c.label AS list_id,
-           row_number() OVER (PARTITION BY q.q_id
-             ORDER BY {l2_qc} ASC, c.label ASC) AS rk
-    FROM q CROSS JOIN cent c)
-  WHERE rk <= {MMR_NPROBE}),
-cand_pool AS (
-  SELECT p.q_id, a.vec_id AS id, a.v,
-         {snap(cos('a.v', 'p.qv'))} AS simq
-  FROM assigned a JOIN probes p USING (list_id)
-  WHERE a.vec_id <> p.q_id),
-cand AS (
-  SELECT q_id, id, v, simq FROM (
-    SELECT *, row_number() OVER (PARTITION BY q_id
-      ORDER BY simq DESC, id ASC) AS crk
-    FROM cand_pool)
-  WHERE crk <= {MMR_CAND_N}),
-{body}
-SELECT q_id, rank, id AS vec_id,
-       {_sql_rne('score', 'score')}
-FROM {prev}"""
-
-
-RFM_BUCKETS = 5
-
-
-def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM customer segmentation — the CRM classic: recency (days
-    since last order, anchored at the table's max date), frequency
-    (order count), monetary (exact DECIMAL spend) per customer,
-    bucketed into quintiles by NTILE over fully tie-broken orders
-    (metric, custkey — ntile's even-split rule is deterministic given
-    a total order, identical in both engines), then counted per
-    (r, f, m) cell with the cell's exact total spend. The customer
-    dimension GROWS with the fact table, so the three NTILEs run
-    two-phase (operators/twophase.py ntile_two_phase: bucketed prefix
-    rank + the rank→tile closed form) — no data-sized single-task
-    global sort; the oracle keeps DuckDB's plain ntile() windows,
-    which is the cross-engine proof the closed form matches."""
-    from ..operators.twophase import log2_bucket, ntile_two_phase
-
-    o = load_table(spark, sf_dir, "orders")
-    anchor = o.agg(F.max("o_orderdate").alias("mx"))
-    per_cust = (
-        o.groupBy("o_custkey")
-        .agg(
-            F.max("o_orderdate").alias("last_order"),
-            F.count(F.lit(1)).alias("frequency"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
-                "monetary"
-            ),
-        )
-        .crossJoin(F.broadcast(anchor))
-        .select(
-            "o_custkey",
-            F.datediff(F.col("mx"), F.col("last_order")).alias("recency"),
-            "frequency",
-            "monetary",
-        )
-    )
-    scored = per_cust
-    for col, asc, out in (
-        ("recency", True, "r_bucket"),
-        ("frequency", False, "f_bucket"),
-        ("monetary", False, "m_bucket"),
-    ):
-        order = [
-            F.col(col).asc() if asc else F.col(col).desc(),
-            F.col("o_custkey").asc(),
-        ]
-        scored = ntile_two_phase(
-            scored,
-            order,
-            log2_bucket(F.col(col)),
-            RFM_BUCKETS,
-            bucket_asc=asc,
-            out_col=out,
-        )
-    scored = scored.select(
-        "o_custkey", "monetary", "r_bucket", "f_bucket", "m_bucket"
-    )
-    return scored.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.sum("monetary").cast("double").alias("cell_spend"),
-    )
-
-
-SQL_ORDERS_RFM = f"""
-WITH per_cust AS (
-  SELECT o_custkey,
-         date_diff('day', max(o_orderdate),
-                   (SELECT max(o_orderdate) FROM orders)) AS recency,
-         count(*) AS frequency,
-         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
-  FROM orders GROUP BY 1),
-scored AS (
-  SELECT o_custkey, monetary,
-         ntile({RFM_BUCKETS}) OVER (ORDER BY recency ASC, o_custkey ASC)
-           AS r_bucket,
-         ntile({RFM_BUCKETS}) OVER (ORDER BY frequency DESC, o_custkey ASC)
-           AS f_bucket,
-         ntile({RFM_BUCKETS}) OVER (ORDER BY monetary DESC, o_custkey ASC)
-           AS m_bucket
-  FROM per_cust)
-SELECT r_bucket, f_bucket, m_bucket, count(*) AS n_customers,
-       CAST(sum(monetary) AS DOUBLE) AS cell_spend
-FROM scored GROUP BY 1, 2, 3"""
-
-
-KALMAN_Q_FRAC = 0.05
-KALMAN_R_FRAC = 0.5
-
-
-def q_ts_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Local-level Kalman smoothing per symbol (operators/smoothing.py
-    kalman_local_level), calibrated per symbol from the series
-    variance (Q = 0.05σ², R = 0.5σ², the same grid-snapped DECIMAL
-    two-pass the CUSUM family uses, floored at 1e-6 so constant
-    series stay finite) — the adaptive-gain smoother one tier above
-    the EMA battery. Emits every 4th grid row (the smoothed-series
-    sample a dashboard reads); the DuckDB oracle is a recursive CTE
-    replaying the recursion in the identical operand order, so levels
-    and gains match bitwise before the 1e-6 emission rounding."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    grid = F.lit(1e6)
-    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
-    stats = (
-        df.groupBy("symbol")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(snap(F.col("close")).cast("decimal(18,6)")).alias("sx"),
-            F.sum(
-                snap(F.col("close") * F.col("close")).cast("decimal(18,6)")
-            ).alias("sxx"),
-        )
-        .select(
-            "symbol",
-            (
-                F.col("sxx").cast("double") / F.col("n")
-                - (F.col("sx").cast("double") / F.col("n"))
-                * (F.col("sx").cast("double") / F.col("n"))
-            ).alias("var"),
-        )
-        .select(
-            "symbol",
-            (F.lit(KALMAN_Q_FRAC) * F.col("var")).alias("q_var"),
-            F.greatest(
-                F.lit(KALMAN_R_FRAC) * F.col("var"), F.lit(1e-6)
-            ).alias("r_var"),
-        )
-    )
-    from ..operators.smoothing import kalman_local_level
-
-    smoothed = kalman_local_level(
-        df.join(F.broadcast(stats), "symbol"), "close"
-    )
-    return smoothed.filter(F.col("time_idx") % 4 == 0).select(
-        "symbol",
-        "time_idx",
-        _rne(F.col("level"), "level", 6),
-        _rne(F.col("gain"), "gain", 6),
-    )
-
-
-def _sql_ts_kalman() -> str:
-    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
-    return f"""WITH RECURSIVE {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-rows_ AS (
-  SELECT symbol, time_idx, close,
-         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) AS rn
-  FROM filled),
-stats AS (
-  SELECT symbol,
-         {KALMAN_Q_FRAC} * (
-           CAST(sum(CAST({snap('close * close')} AS DECIMAL(18,6)))
-                AS DOUBLE) / count(*)
-           - (CAST(sum(CAST({snap('close')} AS DECIMAL(18,6)))
-                AS DOUBLE) / count(*))
-           * (CAST(sum(CAST({snap('close')} AS DECIMAL(18,6)))
-                AS DOUBLE) / count(*))) AS q_var,
-         greatest({KALMAN_R_FRAC} * (
-           CAST(sum(CAST({snap('close * close')} AS DECIMAL(18,6)))
-                AS DOUBLE) / count(*)
-           - (CAST(sum(CAST({snap('close')} AS DECIMAL(18,6)))
-                AS DOUBLE) / count(*))
-           * (CAST(sum(CAST({snap('close')} AS DECIMAL(18,6)))
-                AS DOUBLE) / count(*))), 1e-6) AS r_var
-  FROM filled GROUP BY 1),
-kal(symbol, rn, time_idx, l, p, k) AS (
-  -- seed k must be CAST to DOUBLE: a bare 1.0 literal types the
-  -- recursion's k column as DECIMAL(2,1) and truncates every gain
-  SELECT r.symbol, 1, r.time_idx, r.close, s.r_var,
-         CAST(1.0 AS DOUBLE)
-  FROM rows_ r JOIN stats s USING (symbol) WHERE r.rn = 1
-  UNION ALL
-  SELECT h.symbol, h.rn + 1, r.time_idx,
-         h.l + ((h.p + s.q_var) / ((h.p + s.q_var) + s.r_var))
-             * (r.close - h.l),
-         (1.0 - ((h.p + s.q_var) / ((h.p + s.q_var) + s.r_var)))
-             * (h.p + s.q_var),
-         (h.p + s.q_var) / ((h.p + s.q_var) + s.r_var)
-  FROM kal h
-  JOIN rows_ r ON r.symbol = h.symbol AND r.rn = h.rn + 1
-  JOIN stats s ON s.symbol = h.symbol)
-SELECT symbol, time_idx,
-       {_sql_rne('l', 'level')}, {_sql_rne('k', 'gain')}
-FROM kal WHERE time_idx % 4 = 0"""
-
-
-TEXTRANK_TOP_N = 20
-
-
-def q_doc_textrank_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TextRank-style keyword ranking: the word co-occurrence graph
-    (adjacent token pairs, weighted by count) scored with two
-    unnormalized power iterations — score₁ = weighted degree,
-    score₂(w) = Σ_{u∈N(w)} weight(u,w)·score₁(u) — the same
-    all-integer iteration algebra as the HITS query, applied to the
-    keyword-extraction task. Top-20 terms, fully tie-broken."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(tokens(F.col("text")).alias("ts"))
-    pairs = tok.select(
-        F.explode(
-            F.zip_with(
-                F.slice("ts", 1, F.size("ts") - 1),
-                F.slice("ts", 2, F.size("ts") - 1),
-                lambda a, b: F.struct(a.alias("u"), b.alias("v")),
-            )
-        ).alias("p")
-    ).select("p.u", "p.v")
-    und = pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    edges = und.groupBy("u", "v").agg(F.count(F.lit(1)).alias("wt"))
-    s1 = edges.groupBy("u").agg(F.sum("wt").alias("s1"))
-    s2 = (
-        edges.join(s1.select(F.col("u").alias("v"), "s1"), "v")
-        .groupBy("u")
-        .agg(F.sum(F.col("wt") * F.col("s1")).alias("s2"))
-    )
-    return (
-        s2.join(s1, "u")
-        .select(
-            F.col("u").alias("term"),
-            F.col("s1").alias("degree_score"),
-            F.col("s2").alias("textrank_score"),
-        )
-        .orderBy(F.col("textrank_score").desc(), F.col("term").asc())
-        .limit(TEXTRANK_TOP_N)
-    )
-
-
-def _sql_doc_textrank() -> str:
-    return f"""
-WITH toks AS (SELECT {sql_tokens('text')} AS ts FROM documents),
-pairs AS (
-  SELECT ts[i] AS u, ts[i + 1] AS v
-  FROM toks, LATERAL (
-    SELECT unnest(generate_series(1, len(ts) - 1)) AS i)),
-und AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
-edges AS (SELECT u, v, count(*) AS wt FROM und GROUP BY 1, 2),
-s1 AS (SELECT u, sum(wt) AS s1 FROM edges GROUP BY 1),
-s2 AS (
-  SELECT e.u, sum(e.wt * n.s1) AS s2
-  FROM edges e JOIN s1 n ON e.v = n.u GROUP BY 1)
-SELECT s2.u AS term, CAST(s1.s1 AS BIGINT) AS degree_score,
-       CAST(s2.s2 AS BIGINT) AS textrank_score
-FROM s2 JOIN s1 ON s2.u = s1.u
-ORDER BY textrank_score DESC, term ASC LIMIT {TEXTRANK_TOP_N}"""
-
-
-VAR_P = 0.05
-
-
-def q_ts_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-at-Risk and Expected Shortfall per symbol at the 95%
-    level over 6h returns — the regulatory risk pair beside max
-    drawdown. VaR is the EXPLICIT rank pick at floor((n−1)·0.05)+1 of
-    the return order (the engine's quantile convention — no
-    interpolation arithmetic); ES is the exact mean of the tail at or
-    below the pick (grid-snapped DECIMAL sum / integer count). One
-    symbol exchange end to end."""
-    r = _resampled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    rets = (
-        r.withColumn(
-            "ret",
-            F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0))
-            - 1,
-        )
-        .filter(F.col("ret").isNotNull())
-        .select("symbol", "time_idx", "ret")
-    )
-    ws = Window.partitionBy("symbol").orderBy(
-        F.col("ret").asc(), F.col("time_idx").asc()
-    )
-    n = Window.partitionBy("symbol")
-    ranked = rets.select(
-        "symbol",
-        "ret",
-        F.row_number().over(ws).alias("rn"),
-        F.count(F.lit(1)).over(n).alias("n"),
-    )
-    cut = F.floor((F.col("n") - 1) * F.lit(VAR_P)).cast("long") + 1
-    grid = F.lit(1e6)
-    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
-    return (
-        ranked.withColumn("cut", cut)
-        .groupBy("symbol")
-        .agg(
-            F.max(
-                F.when(F.col("rn") == F.col("cut"), F.col("ret"))
-            ).alias("var_ret"),
-            (
-                F.sum(
-                    F.when(
-                        F.col("rn") <= F.col("cut"),
-                        snap(F.col("ret")).cast("decimal(18,6)"),
-                    )
-                )
-                .cast("double")
-                / F.max("cut")
-            ).alias("es_raw"),
-            F.max("n").alias("n_rets"),
-        )
-        .select(
-            "symbol",
-            "n_rets",
-            _rne(F.col("var_ret"), "var95", 6),
-            _rne(F.col("es_raw"), "es95", 6),
-        )
-    )
-
-
-def _sql_ts_var_es() -> str:
-    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H},
-rets AS (
-  SELECT symbol, time_idx,
-         close / nullif(lag(close) OVER (
-           PARTITION BY symbol ORDER BY time_idx), 0.0) - 1 AS ret
-  FROM idx),
-ranked AS (
-  SELECT symbol, ret, time_idx,
-         row_number() OVER (PARTITION BY symbol
-           ORDER BY ret ASC, time_idx ASC) AS rn,
-         count(*) OVER (PARTITION BY symbol) AS n
-  FROM rets WHERE ret IS NOT NULL),
-cuts AS (
-  SELECT *, CAST(floor((n - 1) * {VAR_P}) AS BIGINT) + 1 AS cut
-  FROM ranked)
-SELECT symbol, CAST(max(n) AS BIGINT) AS n_rets,
-       {_sql_rne('max(CASE WHEN rn = cut THEN ret END)', 'var95')},
-       {_sql_rne(
-           'CAST(sum(CASE WHEN rn <= cut THEN CAST(' + snap('ret')
-           + ' AS DECIMAL(18,6)) END) AS DOUBLE) / max(cut)', 'es95')}
-FROM cuts GROUP BY 1"""
-
-
-def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gini coefficient of per-user activity concentration (events and
-    exact DECIMAL value volume) — the inequality measure behind
-    engagement-concentration dashboards, computed by the sorted-rank
-    closed form G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n. Both numerator and
-    denominator are exact integers (counts; value in integer cents),
-    so the only float is the final division of identical integers on
-    both engines. The global rank i is the two-phase bucketed prefix
-    count (operators/twophase): 1 + #earlier rows, computed with
-    parallel per-bucket windows — no single-task sort of the user
-    grain."""
-    from ..operators.twophase import log2_bucket, prefix_agg
-
-    ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(
-            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-        ).alias("cents"),
-    )
-
-    def gini(col: str, tiebreak: str):
-        ranked = prefix_agg(
-            per_user,
-            F.lit(1),
-            log2_bucket(F.col(col)),
-            [F.col(col).asc(), F.col(tiebreak).asc()],
-            agg="count",
-            out_col="__n_before",
-        ).select(
-            F.col(col).alias("x"),
-            (F.coalesce(F.col("__n_before"), F.lit(0)) + 1).alias("i"),
-        )
-        return ranked.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum(F.col("i") * F.col("x")).alias("six"),
-        ).select(
-            (
-                F.lit(2.0) * F.col("six") / (F.col("n") * F.col("sx"))
-                - (F.col("n") + 1) / F.col("n").cast("double")
-            ).alias("g")
-        )
-
-    ge = gini("n_events", "user_id").select(
-        F.col("g").alias("gini_events")
-    )
-    gv = gini("cents", "user_id").select(F.col("g").alias("gini_value"))
-    return ge.crossJoin(gv)
-
-
-SQL_EVENTS_GINI = """
-WITH per_user AS (
-  SELECT user_id, count(*) AS n_events,
-         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
-  FROM events GROUP BY 1),
-re AS (
-  SELECT n_events AS x,
-         row_number() OVER (ORDER BY n_events ASC, user_id ASC) AS i
-  FROM per_user),
-rv AS (
-  SELECT cents AS x,
-         row_number() OVER (ORDER BY cents ASC, user_id ASC) AS i
-  FROM per_user),
-ge AS (
-  SELECT 2.0 * sum(i * x) / (count(*) * sum(x))
-         - (count(*) + 1) / CAST(count(*) AS DOUBLE) AS gini_events
-  FROM re),
-gv AS (
-  SELECT 2.0 * sum(i * x) / (count(*) * sum(x))
-         - (count(*) + 1) / CAST(count(*) AS DOUBLE) AS gini_value
-  FROM rv)
-SELECT gini_events, gini_value FROM ge CROSS JOIN gv"""
-
-
-def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID evaluation: confusion matrix of the engine's
-    stopword-profile language heuristic (functions/text.py
-    predicted_lang) against the labeled lang column, with per-cell
-    counts — the eval artifact that justifies (or retires) a
-    heuristic classifier in the pipeline. One scan, one
-    map-side-combined count; the prediction expression is shared
-    verbatim with the text-profile query."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select(
-            F.col("lang").alias("label"),
-            predicted_lang(tokens(F.col("text"))).alias("predicted"),
-        )
-        .groupBy("label", "predicted")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-def _sql_doc_lang_confusion() -> str:
-    return f"""
-WITH t AS (
-  SELECT lang AS label, {sql_lang_case(sql_tokens('text'))} AS predicted
-  FROM documents)
-SELECT label, predicted, count(*) AS n
-FROM t GROUP BY 1, 2"""
-
-
-ACF_MAX_LAG = 8
-
-
-def _ts_acf_parts(spark: SparkSession, sf_dir: str):
-    """Shared ACF plumbing: per-(symbol, lag) exact-DECIMAL numerator
-    plus the per-symbol denominator/count frame — consumed by the ACF
-    query and the Ljung-Box statistic."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    grid = F.lit(1e6)
-    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
-    mu_t = df.groupBy("symbol").agg(
-        (
-            F.sum(snap(F.col("close")).cast("decimal(18,6)"))
-            .cast("double")
-            / F.count(F.lit(1))
-        ).alias("mu")
-    )
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    lagged = df.join(F.broadcast(mu_t), "symbol").withColumns(
-        {
-            f"__xl{lg}": F.lag("close", lg).over(w)
-            for lg in range(1, ACF_MAX_LAG + 1)
-        }
-    )
-    lag_arr = F.array(
-        *[
-            F.struct(
-                F.lit(lg).alias("lag"), F.col(f"__xl{lg}").alias("xl")
-            )
-            for lg in range(1, ACF_MAX_LAG + 1)
-        ]
-    )
-    d = lagged.select(
-        "symbol", "close", "mu", F.explode(lag_arr).alias("z")
-    )
-    num = (
-        d.filter(F.col("z.xl").isNotNull())
-        .groupBy("symbol", F.col("z.lag").alias("lag"))
-        .agg(
-            F.sum(
-                snap(
-                    (F.col("close") - F.col("mu"))
-                    * (F.col("z.xl") - F.col("mu"))
-                ).cast("decimal(18,6)")
-            ).alias("num")
-        )
-    )
-    den = df.join(F.broadcast(mu_t), "symbol").groupBy("symbol").agg(
-        F.sum(
-            snap(
-                (F.col("close") - F.col("mu"))
-                * (F.col("close") - F.col("mu"))
-            ).cast("decimal(18,6)")
-        ).alias("den"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    return num, den
-
-
-def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ljung-Box portmanteau statistic per symbol over ACF lags 1-8 —
-    the whiteness test (Q ~ χ²₈ under no autocorrelation) that turns
-    the ACF from a picture into a decision. r_k come from the shared
-    exact-DECIMAL ACF plumbing; the Q fold runs in lag order over a
-    sorted in-row array, so no aggregation-order float ambiguity."""
-    num, den = _ts_acf_parts(spark, sf_dir)
-    j = num.join(den, "symbol").select(
-        "symbol",
-        "n",
-        "lag",
-        (
-            F.col("num").cast("double") / F.col("den").cast("double")
-        ).alias("r"),
-    )
-    per_sym = j.groupBy("symbol", "n").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("lag", "r"))),
-            F.lit(0.0),
-            lambda acc, z: acc
-            + z["r"] * z["r"] / (F.col("n").cast("double") - z["lag"]),
-        ).alias("s")
-    )
-    nn = F.col("n").cast("double")
-    return per_sym.select(
-        "symbol",
-        F.col("n").alias("n_obs"),
-        F.lit(ACF_MAX_LAG).alias("dof"),
-        _rne(nn * (nn + 2) * F.col("s"), "q_stat", 6),
-    )
-
-
-def _sql_ts_ljung_box() -> str:
-    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
-    lag_cols = ", ".join(
-        f"lag(close, {lg}) OVER w AS xl{lg}"
-        for lg in range(1, ACF_MAX_LAG + 1)
-    )
-    arms = " UNION ALL ".join(
-        f"SELECT symbol, mu, close, {lg} AS lag, xl{lg} AS xl FROM lagged"
-        for lg in range(1, ACF_MAX_LAG + 1)
-    )
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-mu_t AS (
-  SELECT symbol,
-         CAST(sum(CAST({snap('close')} AS DECIMAL(18,6))) AS DOUBLE)
-           / count(*) AS mu
-  FROM filled GROUP BY 1),
-lagged AS (
-  SELECT f.symbol, f.close, m.mu, {lag_cols}
-  FROM filled f JOIN mu_t m USING (symbol)
-  WINDOW w AS (PARTITION BY f.symbol ORDER BY f.time_idx)),
-long AS ({arms}),
-num AS (
-  SELECT symbol, lag,
-         sum(CAST({snap('(close - mu) * (xl - mu)')}
-                  AS DECIMAL(18,6))) AS num
-  FROM long WHERE xl IS NOT NULL GROUP BY 1, 2),
-den AS (
-  SELECT symbol,
-         sum(CAST({snap('(close - mu) * (close - mu)')}
-                  AS DECIMAL(18,6))) AS den,
-         count(*) AS n
-  FROM lagged GROUP BY 1),
-rs AS (
-  SELECT n.symbol, d.n,
-         list_reduce(list_prepend(0.0, list(
-           (CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE))
-           * (CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE))
-           / (CAST(d.n AS DOUBLE) - n.lag) ORDER BY n.lag)),
-           (x, y) -> x + y) AS s
-  FROM num n JOIN den d ON n.symbol = d.symbol
-  GROUP BY 1, 2)
-SELECT symbol, CAST(n AS BIGINT) AS n_obs,
-       {ACF_MAX_LAG} AS dof,
-       {_sql_rne(
-           'CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2) * s', 'q_stat')}
-FROM rs"""
-
-
-def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming HyperLogLog distinct-user counts per day — the
-    mergeability property doing real work: registers are a
-    max-aggregate, so a plain streaming groupBy MAX in complete mode
-    maintains the sketch across micro-batches with (days × 64)-row
-    state, and the estimate is computed once from the final register
-    frame. The exact per-day distinct count joins in batch-side, so
-    the approximation error stays a measured column (the sketch
-    family's contract)."""
-    from ..operators.sketch import (
-        HLL_BUCKET_BITS,
-        HLL_M,
-        HLL_W_BITS,
-        hll_estimate,
-    )
-    from ..streaming import run_available_now, stream_events
-
-    sdf = stream_events(spark, sf_dir)
-    h = hash60(F.col("symbol").cast("string"))
-    w = F.shiftright(h, HLL_BUCKET_BITS)
-    rank = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
-        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
-    )
-    regs_stream = (
-        sdf.select(
-            F.to_date("datetime").alias("day"),
-            F.pmod(h, F.lit(HLL_M)).alias("bucket"),
-            rank.alias("rank"),
-        )
-        .groupBy("day", "bucket")
-        .agg(F.max("rank").alias("m_rank"))
-    )
-    regs = run_available_now(regs_stream, "complete", state_partitions=8)
-    est = hll_estimate(regs, ["day"])
-    ev = load_table(spark, sf_dir, "events")
-    exact = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count_distinct("user_id").alias("n_exact")
-    )
-    return est.join(exact, "day").select(
-        "day", "n_exact", _rne(F.col("hll_est"), "hll_est", 6)
-    )
-
-
-def _sql_stream_hll() -> str:
-    from ..operators.sketch import (
-        HLL_ALPHA,
-        HLL_BUCKET_BITS,
-        HLL_M,
-        HLL_W_BITS,
-    )
-
-    p = HLL_W_BITS + 1
-    return f"""
-WITH h AS (
-  SELECT CAST(ts AS DATE) AS day,
-         {sql_hash60('CAST(user_id AS VARCHAR)')} AS h
-  FROM events),
-br AS (
-  SELECT day, h % {HLL_M} AS bucket,
-         CASE WHEN (h >> {HLL_BUCKET_BITS}) = 0 THEN {p}
-              ELSE {p} - length(bin(h >> {HLL_BUCKET_BITS})) END
-           AS rank
-  FROM h),
-regs AS (
-  SELECT day, bucket, max(rank) AS m_rank FROM br GROUP BY 1, 2),
-agg AS (
-  SELECT day, count(*) AS n_buckets,
-         CAST(sum(CAST(power(2.0, {p} - m_rank) AS BIGINT)) AS BIGINT)
-           AS s_present
-  FROM regs GROUP BY 1),
-est AS (
-  SELECT day, n_buckets,
-         {HLL_ALPHA * HLL_M * HLL_M!r} * {float(1 << p)!r}
-           / (s_present + ({HLL_M} - n_buckets) * {1 << p}) AS raw,
-         {HLL_M} - n_buckets AS v
-  FROM agg),
-fin AS (
-  SELECT day,
-         CASE WHEN raw <= {2.5 * HLL_M} AND v > 0
-              THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v)
-              ELSE raw END AS hll_est
-  FROM est),
-exact AS (
-  SELECT CAST(ts AS DATE) AS day,
-         count(DISTINCT user_id) AS n_exact
-  FROM events GROUP BY 1)
-SELECT f.day, CAST(e.n_exact AS BIGINT) AS n_exact,
-       {_sql_rne('f.hll_est', 'hll_est')}
-FROM fin f JOIN exact e USING (day)"""
-
-
-PAIRS_Z_ENTRY = 2.0
-
-
-def q_ts_pairs_trading_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs-trading entry signals — the strategy capstone composing
-    the correlation matrix with the z-score contract: pick the single
-    most-return-correlated symbol pair (deterministic argmax over the
-    same DECIMAL pair moments as ts_symbol_corr_matrix), z-score their
-    aligned price spread (grid-snapped DECIMAL mean/std), and emit the
-    buckets where |z| > 2 — the classic mean-reversion entry. The pair
-    pick is a broadcast one-row frame; everything else rides the
-    time_idx-aligned join the matrix already uses."""
-    r = _resampled(spark, sf_dir).select("symbol", "time_idx", "close")
-    top = (
-        r.groupBy("symbol")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("symbol").asc())
-        .limit(CORR_MATRIX_TOP_K)
-        .select("symbol")
-    )
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    ret_raw = (
-        F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1
-    )
-    rets = (
-        r.join(F.broadcast(top), "symbol")
-        .withColumn(
-            "ret", F.floor(ret_raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-        )
-        .filter(F.col("ret").isNotNull())
-        .select(
-            "symbol",
-            "time_idx",
-            "close",
-            F.col("ret").cast("decimal(18,6)").alias("ret"),
-        )
-    )
-    a = rets.select(
-        F.col("symbol").alias("sym_a"),
-        "time_idx",
-        F.col("ret").alias("x"),
-        F.col("close").alias("ca"),
-    )
-    b = rets.select(
-        F.col("symbol").alias("sym_b"),
-        "time_idx",
-        F.col("ret").alias("y"),
-        F.col("close").alias("cb"),
-    )
-    agg = (
-        a.join(b, "time_idx")
-        .filter(F.col("sym_a") < F.col("sym_b"))
-        .groupBy("sym_a", "sym_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_obs"),
-            F.sum("x").alias("sx"),
-            F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("y") * F.col("y")).alias("syy"),
-        )
-    )
-    nn = F.col("n_obs").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    cov = nn * sxy - sx * sy
-    vx = nn * sxx - sx * sx
-    vy = nn * syy - sy * sy
-    corr = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
-    best = (
-        agg.select("sym_a", "sym_b", corr.alias("corr"))
-        .filter(F.col("corr").isNotNull())
-        .orderBy(
-            F.col("corr").desc(), F.col("sym_a").asc(), F.col("sym_b").asc()
-        )
-        .limit(1)
-    )
-    pair = (
-        a.join(b, "time_idx")
-        .join(F.broadcast(best), ["sym_a", "sym_b"])
-        .select(
-            "sym_a", "sym_b", "time_idx",
-            (F.col("ca") - F.col("cb")).alias("spread"),
-        )
-    )
-    grid = F.lit(1e6)
-    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
-    stats = pair.groupBy("sym_a", "sym_b").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(snap(F.col("spread")).cast("decimal(18,6)")).alias("ss"),
-        F.sum(
-            snap(F.col("spread") * F.col("spread")).cast("decimal(18,6)")
-        ).alias("sss"),
-    )
-    stats = stats.select(
-        "sym_a",
-        "sym_b",
-        (F.col("ss").cast("double") / F.col("n")).alias("mu"),
-        F.sqrt(
-            F.col("sss").cast("double") / F.col("n")
-            - (F.col("ss").cast("double") / F.col("n"))
-            * (F.col("ss").cast("double") / F.col("n"))
-        ).alias("sigma"),
-    )
-    z = (F.col("spread") - F.col("mu")) / F.nullif(
-        F.col("sigma"), F.lit(0.0)
-    )
-    return (
-        pair.join(F.broadcast(stats), ["sym_a", "sym_b"])
-        .withColumn("z", z)
-        .filter(F.abs(F.col("z")) > PAIRS_Z_ENTRY)
-        .select(
-            "sym_a",
-            "sym_b",
-            "time_idx",
-            _rne(F.col("spread"), "spread", 6),
-            _rne(F.col("z"), "zscore", 6),
-            F.when(F.col("z") > 0, "short_spread")
-            .otherwise("long_spread")
-            .alias("signal"),
-        )
-    )
-
-
-def _sql_ts_pairs_signal() -> str:
-    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H},
-top AS (
-  SELECT symbol FROM (
-    SELECT symbol, count(*) AS n FROM idx GROUP BY 1
-    ORDER BY n DESC, symbol ASC LIMIT {CORR_MATRIX_TOP_K})),
-rets AS (
-  SELECT symbol, time_idx, close,
-         CAST(floor((close / nullif(lag(close) OVER (
-                PARTITION BY symbol ORDER BY time_idx), 0.0) - 1)
-              * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS ret
-  FROM idx WHERE symbol IN (SELECT symbol FROM top)),
-rets2 AS (SELECT * FROM rets WHERE ret IS NOT NULL),
-agg AS (
-  SELECT a.symbol AS sym_a, b.symbol AS sym_b, count(*) AS n_obs,
-         CAST(sum(a.ret) AS DOUBLE) AS sx,
-         CAST(sum(b.ret) AS DOUBLE) AS sy,
-         CAST(sum(a.ret * b.ret) AS DOUBLE) AS sxy,
-         CAST(sum(a.ret * a.ret) AS DOUBLE) AS sxx,
-         CAST(sum(b.ret * b.ret) AS DOUBLE) AS syy
-  FROM rets2 a JOIN rets2 b
-    ON a.time_idx = b.time_idx AND a.symbol < b.symbol
-  GROUP BY 1, 2),
-best AS (
-  SELECT sym_a, sym_b FROM (
-    SELECT sym_a, sym_b,
-           (CAST(n_obs AS DOUBLE) * sxy - sx * sy)
-             / sqrt((CAST(n_obs AS DOUBLE) * sxx - sx * sx)
-                    * (CAST(n_obs AS DOUBLE) * syy - sy * sy)) AS corr
-    FROM agg
-    WHERE CAST(n_obs AS DOUBLE) * sxx - sx * sx > 0
-      AND CAST(n_obs AS DOUBLE) * syy - sy * sy > 0)
-  ORDER BY corr DESC, sym_a ASC, sym_b ASC LIMIT 1),
-pair AS (
-  SELECT b.sym_a, b.sym_b, a.time_idx, a.close - c.close AS spread
-  FROM rets2 a
-  JOIN rets2 c ON a.time_idx = c.time_idx
-  JOIN best b ON a.symbol = b.sym_a AND c.symbol = b.sym_b),
-stats AS (
-  SELECT sym_a, sym_b,
-         CAST(sum(CAST({snap('spread')} AS DECIMAL(18,6))) AS DOUBLE)
-           / count(*) AS mu,
-         sqrt(CAST(sum(CAST({snap('spread * spread')} AS DECIMAL(18,6)))
-                AS DOUBLE) / count(*)
-              - (CAST(sum(CAST({snap('spread')} AS DECIMAL(18,6)))
-                   AS DOUBLE) / count(*))
-              * (CAST(sum(CAST({snap('spread')} AS DECIMAL(18,6)))
-                   AS DOUBLE) / count(*))) AS sigma
-  FROM pair GROUP BY 1, 2)
-SELECT p.sym_a, p.sym_b, p.time_idx,
-       {_sql_rne('p.spread', 'spread')},
-       {_sql_rne('(p.spread - s.mu) / nullif(s.sigma, 0.0)', 'zscore')},
-       CASE WHEN (p.spread - s.mu) / nullif(s.sigma, 0.0) > 0
-            THEN 'short_spread' ELSE 'long_spread' END AS signal
-FROM pair p JOIN stats s USING (sym_a, sym_b)
-WHERE abs((p.spread - s.mu) / nullif(s.sigma, 0.0)) > {PAIRS_Z_ENTRY}"""
-
-
-def q_orders_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inter-order gap statistics per customer (order cadence: the
-    input to churn-risk and replenishment models): day gaps from one
-    LAG over the (date, orderkey)-ordered history, exact integer day
-    arithmetic, mean as a double quotient of identical integers. One
-    custkey exchange."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
-    )
-    gaps = o.select(
-        "o_custkey",
-        F.datediff(
-            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
-        ).alias("gap_days"),
-    )
-    return gaps.groupBy("o_custkey").agg(
-        (F.count(F.lit(1))).alias("n_orders"),
-        F.count("gap_days").alias("n_gaps"),
-        F.max("gap_days").alias("max_gap_days"),
-        (
-            F.sum("gap_days") / F.nullif(F.count("gap_days"), F.lit(0))
-        ).alias("mean_gap_days"),
-    )
-
-
-SQL_ORDERS_GAP = """
-WITH gaps AS (
-  SELECT o_custkey,
-         date_diff('day',
-                   lag(o_orderdate) OVER (PARTITION BY o_custkey
-                     ORDER BY o_orderdate ASC, o_orderkey ASC),
-                   o_orderdate) AS gap_days
-  FROM orders)
-SELECT o_custkey, count(*) AS n_orders,
-       count(gap_days) AS n_gaps,
-       CAST(max(gap_days) AS BIGINT) AS max_gap_days,
-       CAST(sum(gap_days) AS BIGINT)
-         / CAST(nullif(count(gap_days), 0) AS DOUBLE) AS mean_gap_days
-FROM gaps GROUP BY 1"""
-
-
-def q_part_supply_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-source supply-risk report: parts bucketed by their
-    distinct supplier count, with part counts and the exact DECIMAL
-    revenue exposed at each redundancy level — the n_suppliers = 1 row
-    is the procurement risk register. One distinct projection + two
-    map-side-combined aggregates."""
-    li = load_table(spark, sf_dir, "lineitem")
-    per_part = li.groupBy("l_partkey").agg(
-        F.count_distinct("l_suppkey").alias("n_suppliers"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
-            "revenue"
-        ),
-    )
-    return per_part.groupBy("n_suppliers").agg(
-        F.count(F.lit(1)).alias("n_parts"),
-        F.sum("revenue").cast("double").alias("revenue_at_risk"),
-    )
-
-
-SQL_PART_SUPPLY_RISK = """
-WITH per_part AS (
-  SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers,
-         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
-  FROM lineitem GROUP BY 1)
-SELECT n_suppliers, count(*) AS n_parts,
-       CAST(sum(revenue) AS DOUBLE) AS revenue_at_risk
-FROM per_part GROUP BY 1"""
-
-
-def q_ts_updown_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wald–Wolfowitz-style runs summary per symbol: consecutive
-    up/down move runs over the resampled closes (flat moves dropped),
-    with run count, longest run, and its direction — the
-    trend-persistence diagnostic beside Ljung-Box. The run id is the
-    gaps-and-islands difference of two row_numbers (all integers);
-    everything rides the symbol exchange."""
-    r = _resampled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    moves = (
-        r.withColumn(
-            "dir", F.signum(F.col("close") - F.lag("close").over(w))
-        )
-        .filter(F.col("dir").isin(1.0, -1.0))
-        .withColumn("dir", F.col("dir").cast("int"))
-    )
-    wm = Window.partitionBy("symbol").orderBy("time_idx")
-    wd = Window.partitionBy("symbol", "dir").orderBy("time_idx")
-    runs = moves.withColumn(
-        "run_id", F.row_number().over(wm) - F.row_number().over(wd)
-    )
-    per_run = runs.groupBy("symbol", "dir", "run_id").agg(
-        F.count(F.lit(1)).alias("run_len")
-    )
-    return per_run.groupBy("symbol").agg(
-        F.sum("run_len").alias("n_moves"),
-        F.count(F.lit(1)).alias("n_runs"),
-        F.max("run_len").alias("longest_run"),
-        F.max_by(
-            "dir", F.col("run_len") * 10 + (F.col("dir") + 1)
-        ).alias("longest_dir"),
-    )
-
-
-SQL_TS_UPDOWN_RUNS = f"""WITH {SQL_SERIES}, {SQL_RES6H},
-moves AS (
-  SELECT symbol, time_idx,
-         CAST(sign(close - lag(close) OVER (PARTITION BY symbol
-           ORDER BY time_idx)) AS INT) AS dir
-  FROM idx
-  QUALIFY dir IN (1, -1)),
-runs AS (
-  SELECT symbol, dir,
-         row_number() OVER (PARTITION BY symbol ORDER BY time_idx)
-           - row_number() OVER (PARTITION BY symbol, dir
-               ORDER BY time_idx) AS run_id
-  FROM moves),
-per_run AS (
-  SELECT symbol, dir, run_id, count(*) AS run_len
-  FROM runs GROUP BY 1, 2, 3)
-SELECT symbol, CAST(sum(run_len) AS BIGINT) AS n_moves,
-       count(*) AS n_runs,
-       CAST(max(run_len) AS BIGINT) AS longest_run,
-       arg_max(dir, run_len * 10 + (dir + 1)) AS longest_dir
-FROM per_run GROUP BY 1"""
-
-
-DROPOUT_KEEP_MOD = 10  # keep 9/10 tokens
-SPAN_LEN = 8
-SPAN_MASK_MOD = 5  # mask 1/5 spans
-
-
-def q_doc_augment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic training-data augmentation as engine transforms:
-    hash-keyed token dropout (keep a token iff
-    hash(doc_id|pos) % 10 < 9) and T5-style span corruption (mask
-    every token whose 8-token span hashes to 0 mod 5) — reproducible
-    across runs, partitions, and engines because the randomness IS the
-    portable hash, never rand(). Emits per-doc counts plus the md5 of
-    each augmented token stream, so the downstream pipeline can verify
-    byte-identical augmentation without shipping the text."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.posexplode(tokens(F.col("text"))).alias("pos", "tok"),
-    )
-    keep = (
-        hash60(
-            F.concat_ws("|", F.col("doc_id").cast("string"),
-                        F.col("pos").cast("string"))
-        )
-        % DROPOUT_KEEP_MOD
-        < DROPOUT_KEEP_MOD - 1
-    )
-    span = (F.col("pos") / SPAN_LEN).cast("long")
-    masked = (
-        hash60(
-            F.concat_ws("#", F.col("doc_id").cast("string"),
-                        span.cast("string"))
-        )
-        % SPAN_MASK_MOD
-        == 0
-    )
-    d = tok.withColumn("keep", keep).withColumn("masked", masked)
-    return d.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        F.count_if(F.col("keep")).alias("n_kept"),
-        F.count_if(F.col("masked")).alias("n_masked"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("keep"),
-                                F.struct("pos", "tok"),
-                            )
-                        )
-                    ),
-                    lambda z: z["tok"],
-                ),
-            )
-        ).alias("dropout_md5"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok", "masked"))),
-                    lambda z: F.when(z["masked"], F.lit("<X>")).otherwise(
-                        z["tok"]
-                    ),
-                ),
-            )
-        ).alias("corrupt_md5"),
-    )
-
-
-def _sql_doc_augment() -> str:
-    keep_h = sql_hash60(
-        "concat_ws('|', CAST(doc_id AS VARCHAR), CAST(pos AS VARCHAR))"
-    )
-    span_h = sql_hash60(
-        f"concat_ws('#', CAST(doc_id AS VARCHAR),"
-        f" CAST(CAST(floor(pos / {SPAN_LEN}) AS BIGINT) AS VARCHAR))"
-    )
-    return f"""
-WITH tok AS (
-  SELECT doc_id, u.pos, u.tok
-  FROM documents, LATERAL (
-    SELECT unnest({sql_tokens('text')}) AS tok,
-           generate_subscripts({sql_tokens('text')}, 1) - 1 AS pos) u),
-d AS (
-  SELECT doc_id, pos, tok,
-         {keep_h} % {DROPOUT_KEEP_MOD} < {DROPOUT_KEEP_MOD - 1} AS keep,
-         {span_h} % {SPAN_MASK_MOD} = 0 AS masked
-  FROM tok)
-SELECT doc_id, count(*) AS n_tok,
-       CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
-       CAST(count(*) FILTER (masked) AS BIGINT) AS n_masked,
-       md5(string_agg(tok, ' ' ORDER BY pos) FILTER (keep))
-         AS dropout_md5,
-       md5(string_agg(CASE WHEN masked THEN '<X>' ELSE tok END,
-                      ' ' ORDER BY pos)) AS corrupt_md5
-FROM d GROUP BY 1"""
-
-
-CMS_STREAM_TOP = 10
-
-
-def q_stream_cms_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming Count-Min maintenance — the sum-mergeable sketch
-    beside the max-mergeable streaming HLL: per-micro-batch cell
-    counts fold into (depth × width)-row state via a plain streaming
-    groupBy SUM in complete mode; the top-10 heaviest users (exact
-    counts from the batch side, the measured-error contract) probe the
-    final sketch for their Count-Min upper bounds. At 100 TB the
-    sketch state is KBs regardless of user cardinality — the entire
-    point of maintaining the sketch instead of the counts."""
-    from ..operators.dedup import MH_PRIME as P
-    from ..operators.sketch import CMS_DEPTH, CMS_WIDTH, cms_estimate
-    from ..streaming import run_available_now, stream_events
-
-    a, b = minhash_coeffs(CMS_DEPTH)
-    sdf = stream_events(spark, sf_dir)
-    h = hash60(F.col("symbol").cast("string")) % F.lit(P)
-    cells_stream = (
-        sdf.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(d).alias("d"),
-                            F.pmod(
-                                F.pmod(
-                                    h * F.lit(a[d]) + F.lit(b[d]),
-                                    F.lit(P),
-                                ),
-                                F.lit(CMS_WIDTH),
-                            ).alias("cell"),
-                        )
-                        for d in range(CMS_DEPTH)
-                    ]
-                )
-            ).alias("dc")
-        )
-        .groupBy("dc.d", "dc.cell")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    cells = run_available_now(cells_stream, "complete", state_partitions=8)
-    ev = load_table(spark, sf_dir, "events")
-    top = (
-        ev.groupBy(F.col("user_id").cast("string").alias("term"))
-        .agg(F.count(F.lit(1)).alias("true_cnt"))
-        .orderBy(F.col("true_cnt").desc(), F.col("term").asc())
-        .limit(CMS_STREAM_TOP)
-    )
-    est = cms_estimate(top.select("term"), cells)
-    return top.join(est, "term").select(
-        F.col("term").cast("long").alias("user_id"),
-        "true_cnt",
-        F.col("est_cnt").alias("cms_cnt"),
-    )
-
-
-def _sql_stream_cms() -> str:
-    from ..operators.dedup import MH_PRIME as P
-    from ..operators.sketch import CMS_DEPTH, CMS_WIDTH
-
-    a, b = minhash_coeffs(CMS_DEPTH)
-    coeff_rows = ", ".join(
-        f"({d}, {a[d]}, {b[d]})" for d in range(CMS_DEPTH)
-    )
-    return f"""
-WITH h AS (
-  SELECT {sql_hash60('CAST(user_id AS VARCHAR)')} % {P} AS h,
-         user_id
-  FROM events),
-coeff(d, a, b) AS (VALUES {coeff_rows}),
-cells AS (
-  SELECT c.d, ((h.h * c.a + c.b) % {P}) % {CMS_WIDTH} AS cell,
-         count(*) AS cnt
-  FROM h CROSS JOIN coeff c GROUP BY 1, 2),
-top AS (
-  SELECT user_id, any_value(h) AS h, count(*) AS true_cnt
-  FROM h GROUP BY user_id
-  ORDER BY true_cnt DESC, CAST(user_id AS VARCHAR) ASC
-  LIMIT {CMS_STREAM_TOP}),
-est AS (
-  SELECT p.user_id, min(cells.cnt) AS est_cnt
-  FROM (
-    SELECT t.user_id, c.d,
-           ((t.h * c.a + c.b) % {P}) % {CMS_WIDTH} AS cell
-    FROM top t CROSS JOIN coeff c) p
-  JOIN cells USING (d, cell) GROUP BY 1)
-SELECT t.user_id, CAST(t.true_cnt AS BIGINT) AS true_cnt,
-       CAST(e.est_cnt AS BIGINT) AS cms_cnt
-FROM top t JOIN est e USING (user_id)"""
-
-
-def q_ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Autocorrelation function per symbol for lags 1..8 — the
-    Box-Jenkins diagnostic behind ARIMA order selection and the
-    seasonal-period check for the decomposition query. One symbol
-    window computes all lag columns in a single projection, the lag
-    dimension explodes from an in-row array (no per-lag scan), and
-    numerator/denominator products snap to the 1e-6 grid before exact
-    DECIMAL sums — the ACF ratio is the only float division. Shares
-    its plumbing (_ts_acf_parts) with the Ljung-Box statistic."""
-    num, den = _ts_acf_parts(spark, sf_dir)
-    return num.join(den, "symbol").select(
-        "symbol",
-        "lag",
-        _rne(
-            F.col("num").cast("double")
-            / F.nullif(F.col("den").cast("double"), F.lit(0.0)),
-            "acf",
-            6,
-        ),
-    )
-
-
-def _sql_ts_acf() -> str:
-    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
-    lag_cols = ", ".join(
-        f"lag(close, {lg}) OVER w AS xl{lg}"
-        for lg in range(1, ACF_MAX_LAG + 1)
-    )
-    arms = " UNION ALL ".join(
-        f"SELECT symbol, mu, close, {lg} AS lag, xl{lg} AS xl FROM lagged"
-        for lg in range(1, ACF_MAX_LAG + 1)
-    )
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-mu_t AS (
-  SELECT symbol,
-         CAST(sum(CAST({snap('close')} AS DECIMAL(18,6))) AS DOUBLE)
-           / count(*) AS mu
-  FROM filled GROUP BY 1),
-lagged AS (
-  SELECT f.symbol, f.close, m.mu, {lag_cols}
-  FROM filled f JOIN mu_t m USING (symbol)
-  WINDOW w AS (PARTITION BY f.symbol ORDER BY f.time_idx)),
-long AS ({arms}),
-num AS (
-  SELECT symbol, lag,
-         sum(CAST({snap('(close - mu) * (xl - mu)')}
-                  AS DECIMAL(18,6))) AS num
-  FROM long WHERE xl IS NOT NULL GROUP BY 1, 2),
-den AS (
-  SELECT symbol,
-         sum(CAST({snap('(close - mu) * (close - mu)')}
-                  AS DECIMAL(18,6))) AS den
-  FROM lagged GROUP BY 1)
-SELECT n.symbol, n.lag,
-       {_sql_rne(
-           'CAST(n.num AS DOUBLE) / nullif(CAST(d.den AS DOUBLE), 0.0)',
-           'acf')}
-FROM num n JOIN den d ON n.symbol = d.symbol"""
-
-
-def q_events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford first-digit audit per event type — the fraud/anomaly
-    screen an auditor runs over monetary columns: observed
-    first-significant-digit counts vs the Benford expectation
-    n·log₁₀(1+1/d), with each digit's χ² contribution emitted
-    (grid-snapped so the term is engine-reproducible). Values < 1 are
-    excluded (no stable first digit); the digit is read off the
-    integer part's decimal string — for value ≥ 1 the leading digit
-    of floor(value) IS the first significant digit, and a string read
-    cannot be flipped by a last-ulp libm difference the way
-    floor(log10/pow) can on near-power-of-ten values."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value") >= 1)
-    digit = F.substring(
-        F.floor("value").cast("bigint").cast("string"), 1, 1
-    ).cast("int")
-    obs = ev.groupBy("event_type", digit.alias("digit")).agg(
-        F.count(F.lit(1)).alias("n_obs")
-    )
-    tot = obs.groupBy("event_type").agg(F.sum("n_obs").alias("n"))
-    grid = F.lit(1e6)
-    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
-    j = obs.join(F.broadcast(tot), "event_type")
-    expected = F.col("n") * F.log10(1 + 1 / F.col("digit").cast("double"))
-    chi = (
-        (F.col("n_obs") - expected)
-        * (F.col("n_obs") - expected)
-        / expected
-    )
-    return j.select(
-        "event_type",
-        "digit",
-        "n_obs",
-        _rne(expected, "n_expected", 6),
-        _rne(snap(chi), "chi2_term", 6),
-    )
-
-
-def _sql_events_benford() -> str:
-    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
-    return f"""
-WITH f AS (SELECT event_type, value FROM events WHERE value >= 1),
-obs AS (
-  SELECT event_type,
-         CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1)
-              AS INT) AS digit,
-         count(*) AS n_obs
-  FROM f GROUP BY 1, 2),
-tot AS (SELECT event_type, sum(n_obs) AS n FROM obs GROUP BY 1),
-calc AS (
-  SELECT o.event_type, o.digit, o.n_obs,
-         n * log10(1 + 1 / CAST(digit AS DOUBLE)) AS expected
-  FROM obs o JOIN tot USING (event_type))
-SELECT event_type, digit, CAST(n_obs AS BIGINT) AS n_obs,
-       {_sql_rne('expected', 'n_expected')},
-       {_sql_rne(
-           snap('(n_obs - expected) * (n_obs - expected) / expected'),
-           'chi2_term')}
-FROM calc"""
-
-
-ZIPF_TOP_N = 100
-
-
-def q_doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zipf's-law fit over the corpus vocabulary: least-squares slope
-    of ln(frequency) against ln(rank) for the top-100 terms — the
-    corpus-statistics sanity check (natural language sits near −1;
-    boilerplate-heavy or synthetic corpora drift). Ranking is fully
-    tie-broken (count desc, term asc); regression terms snap to the
-    1e-6 grid before exact DECIMAL sums, so only the closed-form
-    division runs in float."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
-    ranked = (
-        tok.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
-        .limit(ZIPF_TOP_N)
-        .withColumn(
-            "rank",
-            # global window is safe here: it runs over the post-limit
-            # frame (≤ ZIPF_TOP_N = 100 rows — constant, not
-            # data-sized), so the single task holds 100 rows at any SF
-            F.row_number().over(
-                Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
-            ),
-        )
-    )
-    grid = F.lit(1e6)
-    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
-    terms = ranked.select(
-        snap(F.log(F.col("rank").cast("double"))).alias("x"),
-        snap(F.log(F.col("cnt").cast("double"))).alias("y"),
-    )
-    agg = terms.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("x").cast("decimal(18,6)")).alias("sx"),
-        F.sum(F.col("y").cast("decimal(18,6)")).alias("sy"),
-        F.sum(
-            snap(F.col("x") * F.col("y")).cast("decimal(18,6)")
-        ).alias("sxy"),
-        F.sum(
-            snap(F.col("x") * F.col("x")).cast("decimal(18,6)")
-        ).alias("sxx"),
-    )
-    n = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    intercept = (sy - slope * sx) / n
-    return agg.select(
-        F.col("n").alias("n_terms"),
-        _rne(slope, "zipf_slope", 6),
-        _rne(intercept, "zipf_intercept", 6),
-    )
-
-
-def _sql_doc_zipf() -> str:
-    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
-    return f"""
-WITH tok AS (
-  SELECT unnest({sql_tokens('text')}) AS tok FROM documents),
-ranked AS (
-  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank
-  FROM (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1)
-  ORDER BY cnt DESC, tok ASC LIMIT {ZIPF_TOP_N}),
-terms AS (
-  SELECT {snap('ln(CAST(rank AS DOUBLE))')} AS x,
-         {snap('ln(CAST(cnt AS DOUBLE))')} AS y
-  FROM ranked),
-agg AS (
-  SELECT count(*) AS n,
-         CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-         CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-         CAST(sum(CAST({snap('x * y')} AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
-         CAST(sum(CAST({snap('x * x')} AS DECIMAL(18,6))) AS DOUBLE) AS sxx
-  FROM terms)
-SELECT n AS n_terms,
-       {_sql_rne(
-           '(n * sxy - sx * sy) / (n * sxx - sx * sx)', 'zipf_slope')},
-       {_sql_rne(
-           '(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n',
-           'zipf_intercept')}
-FROM agg"""
-
-
-SEAS_M = 4  # 6h buckets -> daily season
-
-
-def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Additive seasonal decomposition (classical, period 4 = daily on
-    the 6h grid): trend = centered 2×m moving average (the textbook
-    half-weighted 5-term window), seasonal = phase means of the
-    detrended series re-centered to sum to zero, residual = the rest —
-    the decomposition behind seasonal-adjustment and anomaly baselines.
-    Numerics: the trend is a FIXED 5-term expression (lag/lead — no
-    frame-sum accumulation at all), phase means go through
-    grid-snapped DECIMAL sums, and the 4-phase centering folds in
-    phase order — nothing order-sensitive survives to the hash."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    x = F.col("close")
-    trend = (
-        0.5 * F.lag("close", 2).over(w)
-        + F.lag("close", 1).over(w)
-        + x
-        + F.lead("close", 1).over(w)
-        + 0.5 * F.lead("close", 2).over(w)
-    ) / SEAS_M
-    d = df.withColumn("trend", trend).withColumn(
-        "phase", (F.col("time_idx") % SEAS_M).cast("int")
-    )
-    grid = F.lit(1e6)
-    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
-    phase_means = (
-        d.filter(F.col("trend").isNotNull())
-        .groupBy("symbol", "phase")
-        .agg(
-            (
-                F.sum(snap(x - F.col("trend")).cast("decimal(18,6)"))
-                .cast("double")
-                / F.count(F.lit(1))
-            ).alias("pm")
-        )
-    )
-    centered = (
-        phase_means.groupBy("symbol")
-        .agg(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("phase", "pm"))),
-                    lambda z: z["pm"],
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("pm_sum")
-        )
-    )
-    seas = (
-        phase_means.join(centered, "symbol")
-        .select(
-            "symbol",
-            "phase",
-            (F.col("pm") - F.col("pm_sum") / SEAS_M).alias("seasonal"),
-        )
-    )
-    return (
-        d.join(seas, ["symbol", "phase"])
-        .select(
-            "symbol",
-            "time_idx",
-            _rne(F.col("trend"), "trend", 6),
-            _rne(F.col("seasonal"), "seasonal", 6),
-            _rne(
-                F.when(
-                    F.col("trend").isNotNull(),
-                    x - F.col("trend") - F.col("seasonal"),
-                ),
-                "residual",
-                6,
-            ),
-        )
-    )
-
-
-def _sql_ts_seasonal() -> str:
-    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-t AS (
-  SELECT symbol, time_idx, close,
-         (0.5 * lag(close, 2) OVER w + lag(close, 1) OVER w + close
-          + lead(close, 1) OVER w + 0.5 * lead(close, 2) OVER w)
-           / {SEAS_M} AS trend,
-         CAST(time_idx % {SEAS_M} AS INT) AS phase
-  FROM filled
-  WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)),
-pm AS (
-  SELECT symbol, phase,
-         CAST(sum(CAST({snap('close - trend')} AS DECIMAL(18,6)))
-              AS DOUBLE) / count(*) AS pm
-  FROM t WHERE trend IS NOT NULL GROUP BY 1, 2),
-ctr AS (
-  SELECT symbol,
-         list_reduce(list_prepend(0.0, list(pm ORDER BY phase)),
-                     (x, y) -> x + y) AS pm_sum
-  FROM pm GROUP BY 1),
-seas AS (
-  SELECT pm.symbol, pm.phase, pm.pm - ctr.pm_sum / {SEAS_M} AS seasonal
-  FROM pm JOIN ctr USING (symbol))
-SELECT t.symbol, t.time_idx,
-       {_sql_rne('t.trend', 'trend')},
-       {_sql_rne('s.seasonal', 'seasonal')},
-       {_sql_rne('CASE WHEN t.trend IS NOT NULL '
-                 'THEN t.close - t.trend - s.seasonal END', 'residual')}
-FROM t JOIN seas s ON t.symbol = s.symbol AND t.phase = s.phase"""
-
-
-def q_events_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join-cardinality estimation by sketch inner product — the
-    AMS/Count-Min classic an optimizer uses before committing to a
-    join strategy: |A ⋈ B| on a key is Σ_k c_A(k)·c_B(k), estimated as
-    the MIN over depth rows of the cellwise product of the two CMS
-    sketches (here A = B = events.user_id, so the estimate bounds the
-    self-join size Σ c²). Sketch cells come from the engine's
-    deterministic CMS (operators/sketch.py), so the estimate — like
-    every sketch in the suite — sits beside its exact value as a
-    measured number. At 100 TB the sketches are KBs per side and the
-    estimate costs one scan each, vs actually running the join."""
-    from ..operators.sketch import CMS_DEPTH, CMS_WIDTH, cms_cells
-
-    ev = load_table(spark, sf_dir, "events")
-    keys = ev.select(F.col("user_id").cast("string").alias("term"))
-    cells = cms_cells(keys, depth=CMS_DEPTH, width=CMS_WIDTH)
-    est = (
-        cells.groupBy("d")
-        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("ip"))
-        .agg(F.min("ip").alias("est_size"))
-    )
-    exact = (
-        ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum(F.col("c") * F.col("c")).alias("exact_size"))
-    )
-    return exact.crossJoin(F.broadcast(est)).select(
-        "exact_size",
-        "est_size",
-        (F.col("est_size") / F.col("exact_size")).alias("overestimate"),
-    )
-
-
-def _sql_join_size_est() -> str:
-    from ..operators.dedup import MH_PRIME as P
-    from ..operators.sketch import CMS_DEPTH, CMS_WIDTH
-
-    a, b = minhash_coeffs(CMS_DEPTH)
-    coeff_rows = ", ".join(
-        f"({d}, {a[d]}, {b[d]})" for d in range(CMS_DEPTH)
-    )
-    return f"""
-WITH h AS (
-  SELECT {sql_hash60('CAST(user_id AS VARCHAR)')} % {P} AS h FROM events),
-coeff(d, a, b) AS (VALUES {coeff_rows}),
-cells AS (
-  SELECT c.d, ((h.h * c.a + c.b) % {P}) % {CMS_WIDTH} AS cell,
-         count(*) AS cnt
-  FROM h CROSS JOIN coeff c GROUP BY 1, 2),
-est AS (
-  SELECT min(ip) AS est_size FROM (
-    SELECT d, sum(cnt * cnt) AS ip FROM cells GROUP BY 1)),
-exact AS (
-  SELECT sum(c * c) AS exact_size FROM (
-    SELECT count(*) AS c FROM events GROUP BY user_id))
-SELECT CAST(exact_size AS BIGINT) AS exact_size,
-       CAST(est_size AS BIGINT) AS est_size,
-       CAST(est_size AS DOUBLE) / CAST(exact_size AS DOUBLE)
-         AS overestimate
-FROM exact CROSS JOIN est"""
-
-
-PSI_SPLIT_TS = "2024-01-16 00:00:00"
-
-
-def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population Stability Index per event type between the month's
-    two halves — the ML-ops drift metric a feature pipeline monitors
-    (PSI < 0.1 stable, > 0.25 action). Fixed integer value buckets
-    (floor(value/10)) with Laplace smoothing over the observed bucket
-    union, so empty bins never produce ±∞ terms; per-bin terms
-    (p₂−p₁)·ln(p₂/p₁) snap to the 1e-6 grid before the exact DECIMAL
-    sum — ln() last-ulp differences between engines collapse under
-    the grid. Two map-side-combined aggregates, output is one row per
-    event type."""
-    ev = load_table(spark, sf_dir, "events")
-    half = F.when(
-        F.col("ts") < F.lit(PSI_SPLIT_TS).cast("timestamp_ntz"), 1
-    ).otherwise(2)
-    binned = ev.select(
-        "event_type",
-        F.floor(F.col("value") / 10).cast("int").alias("vbucket"),
-        half.alias("half"),
-    )
-    per_bin = binned.groupBy("event_type", "vbucket").agg(
-        F.count_if(F.col("half") == 1).alias("n1"),
-        F.count_if(F.col("half") == 2).alias("n2"),
-    )
-    tot = per_bin.groupBy("event_type").agg(
-        F.sum("n1").alias("t1"),
-        F.sum("n2").alias("t2"),
-        F.count(F.lit(1)).alias("n_bins"),
-    )
-    grid = F.lit(1e6)
-    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
-    j = per_bin.join(F.broadcast(tot), "event_type")
-    p1 = (F.col("n1") + 1) / (F.col("t1") + F.col("n_bins"))
-    p2 = (F.col("n2") + 1) / (F.col("t2") + F.col("n_bins"))
-    term = snap((p2 - p1) * F.log(p2 / p1)).cast("decimal(18,6)")
-    return (
-        j.select("event_type", term.alias("term"), "t1", "t2")
-        .groupBy("event_type")
-        .agg(
-            F.max("t1").alias("n_first_half"),
-            F.max("t2").alias("n_second_half"),
-            F.sum("term").cast("double").alias("psi_raw"),
-        )
-        .select(
-            "event_type",
-            "n_first_half",
-            "n_second_half",
-            _rne(F.col("psi_raw"), "psi", 6),
-        )
-    )
-
-
-def _sql_psi_drift() -> str:
-    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
-    term = snap(
-        "((n2 + 1) / (t2 + n_bins) - (n1 + 1) / (t1 + n_bins))"
-        " * ln(((n2 + 1) / (t2 + n_bins)) / ((n1 + 1) / (t1 + n_bins)))"
-    )
-    return f"""
-WITH binned AS (
-  SELECT event_type, CAST(floor(value / 10) AS INT) AS vbucket,
-         CASE WHEN ts < TIMESTAMP '{PSI_SPLIT_TS}' THEN 1 ELSE 2 END AS half
-  FROM events),
-per_bin AS (
-  SELECT event_type, vbucket,
-         CAST(count(*) FILTER (half = 1) AS BIGINT) AS n1,
-         CAST(count(*) FILTER (half = 2) AS BIGINT) AS n2
-  FROM binned GROUP BY 1, 2),
-tot AS (
-  SELECT event_type, sum(n1) AS t1, sum(n2) AS t2,
-         count(*) AS n_bins
-  FROM per_bin GROUP BY 1)
-SELECT p.event_type,
-       CAST(max(t1) AS BIGINT) AS n_first_half,
-       CAST(max(t2) AS BIGINT) AS n_second_half,
-       {_sql_rne(
-           'CAST(sum(CAST(' + term + ' AS DECIMAL(18,6))) AS DOUBLE)',
-           'psi')}
-FROM per_bin p JOIN tot USING (event_type)
-GROUP BY 1"""
-
-
-PQ_ADC_K = 5
-
-
-def q_emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ asymmetric-distance (ADC) top-k search — the query-side
-    payoff of the PQ codes: per query, a (subspace × code) lookup
-    table of exact sub-distances (queries × codebook, both tiny,
-    broadcast), then each database vector's approximate distance is
-    FOUR LUT adds over its codes — no full-vector math per candidate,
-    which is the entire point of PQ at 100 TB (the scan touches 4
-    bytes + 4 adds per vector instead of 64 floats). Exact distances
-    are recomputed ONLY for the reported top-k rows, emitting the
-    approximation error as a measured column (the engine's standard
-    sketch contract)."""
-    emb = _emb(spark, sf_dir)
-    cb = _pq_codebook(emb)
-    codes = _pq_assignments(emb, cb).select(
-        "vec_id", "s", F.col("m.code").alias("code")
-    )
-    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    )
-    lut = queries.crossJoin(F.broadcast(cb)).select(
-        "q_id",
-        "s",
-        "code",
-        dist_l2sq(
-            F.slice("qv", F.col("s") * PQ_DSUB + 1, PQ_DSUB), F.col("cvec")
-        ).alias("d2"),
-    )
-    scored = (
-        codes.join(F.broadcast(lut), ["s", "code"])
-        .filter(F.col("q_id") != F.col("vec_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("s", "d2"))),
-                    lambda z: z["d2"],
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("adc2")
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("adc2").asc(), F.col("vec_id").asc()
-    )
-    top = scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= PQ_ADC_K
-    )
-    # queries-sized by construction: filter to the query stride
-    # BEFORE broadcasting (a corpus-sized broadcast here would
-    # defeat the pruned-scan design this query demonstrates).
-    qv = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    )
-    dv = emb.select("vec_id", "v")
-    return (
-        top.join(F.broadcast(qv), "q_id")
-        .join(dv, "vec_id")
-        .select(
-            "q_id",
-            "rank",
-            "vec_id",
-            _rne(F.sqrt(F.col("adc2")), "adc_dist", 6),
-            _rne(F.sqrt(dist_l2sq(F.col("qv"), F.col("v"))), "l2_dist", 6),
-        )
-    )
-
-
-def _sql_pq_adc() -> str:
-    sl = f"list_slice(e.v, cb.s * {PQ_DSUB} + 1, cb.s * {PQ_DSUB} + {PQ_DSUB})"
-    err2 = (
-        f"list_reduce(list_prepend(0.0, list_transform("
-        f"list_zip({sl}, cb.cvec), p -> (p[1]-p[2])*(p[1]-p[2]))),"
-        f" (x, y) -> x + y)"
-    )
-    qsl = f"list_slice(q.qv, cb.s * {PQ_DSUB} + 1, cb.s * {PQ_DSUB} + {PQ_DSUB})"
-    qd2 = (
-        f"list_reduce(list_prepend(0.0, list_transform("
-        f"list_zip({qsl}, cb.cvec), p -> (p[1]-p[2])*(p[1]-p[2]))),"
-        f" (x, y) -> x + y)"
-    )
-    exact = (
-        "list_reduce(list_prepend(0.0, list_transform("
-        "list_zip(qq.qv, dv.v), p -> (p[1]-p[2])*(p[1]-p[2]))),"
-        " (x, y) -> x + y)"
-    )
-    return f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-cb_dims AS (
-  SELECT label, CAST((i - 1) // {PQ_DSUB} AS INT) AS s, i AS pos,
-         floor(avg(v[i]) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS c
-  FROM emb, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
-  GROUP BY 1, 2, 3),
-cb AS (SELECT label AS code, s, list(c ORDER BY pos) AS cvec
-       FROM cb_dims GROUP BY 1, 2),
-cand AS (
-  SELECT e.vec_id, cb.s, cb.code, {err2} AS err2
-  FROM emb e CROSS JOIN cb),
-codes AS (
-  SELECT vec_id, s, code FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id, s
-      ORDER BY err2 ASC, code ASC) AS rn
-    FROM cand)
-  WHERE rn = 1),
-q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 100 = 0),
-lut AS (
-  SELECT q.q_id, cb.s, cb.code, {qd2} AS d2
-  FROM q CROSS JOIN cb),
-scored AS (
-  SELECT l.q_id, c.vec_id,
-         list_reduce(list_prepend(0.0, list(l.d2 ORDER BY c.s)),
-                     (x, y) -> x + y) AS adc2
-  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
-  WHERE l.q_id <> c.vec_id
-  GROUP BY 1, 2),
-top AS (
-  SELECT q_id, vec_id, adc2,
-         row_number() OVER (PARTITION BY q_id
-           ORDER BY adc2 ASC, vec_id ASC) AS rank
-  FROM scored QUALIFY rank <= {PQ_ADC_K})
-SELECT t.q_id, t.rank, t.vec_id,
-       {_sql_rne('sqrt(t.adc2)', 'adc_dist')},
-       {_sql_rne('sqrt(' + exact + ')', 'l2_dist')}
-FROM top t
-JOIN (SELECT vec_id AS q_id, v AS qv FROM emb) qq ON t.q_id = qq.q_id
-JOIN (SELECT vec_id, v FROM emb) dv ON t.vec_id = dv.vec_id"""
-
-
-def q_events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time disorder audit per user: how far events arrive out
-    of order relative to arrival sequence (event_id) — the measurement
-    that SIZES a streaming watermark instead of guessing it. Lateness
-    of an event = running-max event time so far minus its own time
-    (exact integer micros); per user: inversion count, max lateness,
-    and total events. One user-keyed window ordered by arrival."""
-    require_utc(spark)
-    ev = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    d = ev.select("user_id", "event_id", us.alias("t_us")).withColumn(
-        "late_us", F.max("t_us").over(w) - F.col("t_us")
-    )
-    return d.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.count_if(F.col("late_us") > 0).alias("n_inversions"),
-        F.max("late_us").alias("max_late_us"),
-    )
-
-
-SQL_EVENTS_LATENESS = """
-WITH d AS (
-  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS t_us,
-         max(epoch_us(ts::TIMESTAMP)) OVER (
-           PARTITION BY user_id ORDER BY event_id
-           ROWS UNBOUNDED PRECEDING) - epoch_us(ts::TIMESTAMP) AS late_us
-  FROM events)
-SELECT user_id, count(*) AS n_events,
-       CAST(count(*) FILTER (late_us > 0) AS BIGINT) AS n_inversions,
-       max(late_us) AS max_late_us
-FROM d GROUP BY 1"""
-
-
-PARTITION_MIN_ROWS = 100
-
-
-def q_events_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partition-completeness audit: every calendar day in the table's
-    range vs actual row counts, flagging missing or thin days — the
-    backfill planner's input. The expected day grid generates from the
-    global min/max (a broadcast one-row frame exploded with
-    ``sequence``), left-joins the per-day counts, and emits status
-    ('missing' / 'thin' / 'ok') — so absent partitions appear as rows,
-    which a plain GROUP BY can never show."""
-    ev = load_table(spark, sf_dir, "events")
-    per_day = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("n_rows")
-    )
-    bounds = ev.agg(
-        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
-    )
-    grid = bounds.select(
-        F.explode(F.sequence("lo", "hi")).alias("day")
-    )
-    joined = grid.join(per_day, "day", "left").select(
-        "day", F.coalesce("n_rows", F.lit(0)).alias("n_rows")
-    )
-    status = (
-        F.when(F.col("n_rows") == 0, "missing")
-        .when(F.col("n_rows") < PARTITION_MIN_ROWS, "thin")
-        .otherwise("ok")
-    )
-    return joined.select("day", "n_rows", status.alias("status"))
-
-
-SQL_EVENTS_PARTITION_AUDIT = f"""
-WITH per_day AS (
-  SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows
-  FROM events GROUP BY 1),
-bounds AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
-           FROM events),
-grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
-         FROM bounds)
-SELECT g.day, coalesce(p.n_rows, 0) AS n_rows,
-       CASE WHEN coalesce(p.n_rows, 0) = 0 THEN 'missing'
-            WHEN coalesce(p.n_rows, 0) < {PARTITION_MIN_ROWS} THEN 'thin'
-            ELSE 'ok' END AS status
-FROM grid g LEFT JOIN per_day p USING (day)"""
-
-
-def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming CUSUM change-point monitor (streaming/ops.py
-    cusum_state_stream): per-symbol batch-calibrated (μ, σ) joined
-    stream-static into the live event stream, the textbook recursion
-    in four doubles of per-key state, alarms emitted exactly once at
-    the crossing. The oracle is the closed window form over the same
-    raw series — recursion and closed form agree to far below the
-    1e-6 emission grid."""
-    from ..streaming import cusum_state_stream, run_available_now, stream_events
-
-    ev = load_table(spark, sf_dir, "events")
-    grid = F.lit(1e6)
-    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
-    raw = ev.select(F.col("user_id").alias("symbol"), "value")
-    stats = (
-        raw.groupBy("symbol")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(snap(F.col("value")).cast("decimal(18,6)")).alias("sx"),
-            F.sum(
-                snap(F.col("value") * F.col("value")).cast("decimal(18,6)")
-            ).alias("sxx"),
-        )
-        .select(
-            "symbol",
-            (F.col("sx").cast("double") / F.col("n")).alias("mu"),
-            F.sqrt(
-                F.col("sxx").cast("double") / F.col("n")
-                - (F.col("sx").cast("double") / F.col("n"))
-                * (F.col("sx").cast("double") / F.col("n"))
-            ).alias("sigma"),
-        )
-    )
-    out = run_available_now(
-        cusum_state_stream(
-            stream_events(spark, sf_dir), stats,
-            CUSUM_K_SIGMA, CUSUM_H_SIGMA,
-        ),
-        "append",
-        state_partitions=8,
-    )
-    return out.select(
-        "symbol", "event_id", "direction",
-        _rne(F.col("stat_sigmas"), "stat_sigmas", 6),
-    )
-
-
-def _sql_stream_cusum() -> str:
-    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
-    return f"""WITH stats AS (
-  SELECT user_id AS symbol,
-         CAST(sum(CAST({snap('value')} AS DECIMAL(18,6))) AS DOUBLE)
-           / count(*) AS mu,
-         sqrt(CAST(sum(CAST({snap('value * value')} AS DECIMAL(18,6)))
-                AS DOUBLE) / count(*)
-              - (CAST(sum(CAST({snap('value')} AS DECIMAL(18,6)))
-                   AS DOUBLE) / count(*))
-              * (CAST(sum(CAST({snap('value')} AS DECIMAL(18,6)))
-                   AS DOUBLE) / count(*))) AS sigma
-  FROM events GROUP BY 1),
-q AS (
-  SELECT e.user_id AS symbol, e.event_id, e.ts, s.sigma,
-         sum(e.value - s.mu - {CUSUM_K_SIGMA} * s.sigma) OVER cum AS qup,
-         sum(s.mu - {CUSUM_K_SIGMA} * s.sigma - e.value) OVER cum AS qdn
-  FROM events e JOIN stats s ON e.user_id = s.symbol
-  WINDOW cum AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
-                 ROWS UNBOUNDED PRECEDING)),
-s AS (
-  SELECT symbol, event_id, ts, sigma,
-         qup - least(min(qup) OVER cum, 0.0) AS s_up,
-         qdn - least(min(qdn) OVER cum, 0.0) AS s_dn
-  FROM q
-  WINDOW cum AS (PARTITION BY symbol ORDER BY ts, event_id
-                 ROWS UNBOUNDED PRECEDING)),
-x AS (
-  SELECT *, {CUSUM_H_SIGMA} * sigma AS h,
-         lag(s_up) OVER w AS pup, lag(s_dn) OVER w AS pdn
-  FROM s
-  WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id))
-SELECT symbol, event_id, 'up' AS direction,
-       {_sql_rne('s_up / nullif(sigma, 0.0)', 'stat_sigmas')}
-FROM x WHERE s_up > h AND coalesce(pup <= h, TRUE)
-UNION ALL
-SELECT symbol, event_id, 'down' AS direction,
-       {_sql_rne('s_dn / nullif(sigma, 0.0)', 'stat_sigmas')}
-FROM x WHERE s_dn > h AND coalesce(pdn <= h, TRUE)"""
-
-
-PHRASE = ("table", "hash")
-
-
-def q_doc_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Positional phrase search: documents containing the exact token
-    sequence — the positional-index shape a search engine uses beyond
-    bag-of-words AND. Tokens posexplode with their positions, the
-    scan-side term filter keeps the posting frame phrase-sized, and
-    adjacency is an equi-join on (doc, pos+1) — never a string scan of
-    the whole corpus per query. Emits doc_id + match count."""
-    docs = load_table(spark, sf_dir, "documents")
-    w1, w2 = PHRASE
-    pos = docs.select(
-        "doc_id",
-        F.posexplode(tokens(F.col("text"))).alias("pos", "term"),
-    ).filter(F.col("term").isin(w1, w2))
-    a = pos.filter(F.col("term") == w1).select(
-        "doc_id", F.col("pos").alias("p1")
-    )
-    b = pos.filter(F.col("term") == w2).select(
-        "doc_id", F.col("pos").alias("p2")
-    )
-    return (
-        a.join(b, "doc_id")
-        .filter(F.col("p2") == F.col("p1") + 1)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_matches"))
-    )
-
-
-SQL_DOC_SEARCH_PHRASE = f"""
-WITH pos AS (
-  SELECT doc_id, u.term, u.pos
-  FROM documents, LATERAL (
-    SELECT unnest({sql_tokens('text')}) AS term,
-           generate_subscripts({sql_tokens('text')}, 1) AS pos) u
-  WHERE u.term IN ('{PHRASE[0]}', '{PHRASE[1]}'))
-SELECT a.doc_id, count(*) AS n_matches
-FROM pos a JOIN pos b
-  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
-GROUP BY 1"""
-
-
-CONTAIN_TAU = 0.5
-
-
-def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric containment near-dup pairs (operators/dedup.py
-    containment_pairs): inter/min(|A|,|B|) ≥ 0.5 — the
-    quote/subset-duplication detector symmetric Jaccard misses."""
-    from ..operators.dedup import containment_pairs
-
-    docs = load_table(spark, sf_dir, "documents")
-    return containment_pairs(docs, threshold=CONTAIN_TAU)
-
-
-SQL_DOC_CONTAINMENT = f"""WITH {{toks}},
-s AS (SELECT doc_id, {{shingles}} AS sh FROM toks),
-sf AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
-e AS (
-  SELECT doc_id, len(sh) AS cnt,
-         unnest(list_transform(sh, s -> {{h60}})) AS h
-  FROM sf),
-p AS (
-  SELECT a.doc_id AS id_i, a.cnt AS cnt_i, b.doc_id AS id_j,
-         b.cnt AS cnt_j, count(*) AS inter
-  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4)
-SELECT id_i, id_j, inter,
-       inter::DOUBLE / least(cnt_i, cnt_j)::DOUBLE AS containment
-FROM p
-WHERE inter::DOUBLE / least(cnt_i, cnt_j)::DOUBLE >= {CONTAIN_TAU}"""
-
-
-def q_events_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-insensitive table checksum: XOR of canonical per-row
-    60-bit hashes, per event type plus the grand total (one ROLLUP) —
-    the cross-replica parity check a 100 TB migration runs instead of
-    row-by-row diffs. Canonicalization avoids engine float/timestamp
-    formatting: timestamps as integer micros, values as integer
-    cents, then one md5-based hash per row; XOR is associative and
-    commutative, so the signature is partitioning- and
-    order-independent by construction."""
-    require_utc(spark)
-    ev = load_table(spark, sf_dir, "events")
-    canon = F.concat_ws(
-        "|",
-        F.col("event_id").cast("string"),
-        F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
-        F.col("user_id").cast("string"),
-        F.col("event_type"),
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
-        .cast("string"),
-        F.col("props"),
-    )
-    h = ev.select("event_type", hash60(canon).alias("h"))
-    return (
-        h.rollup("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.expr("bit_xor(h)").alias("xor_sig"),
-        )
-        .select("event_type", "n_rows", "xor_sig")
-    )
-
-
-SQL_EVENTS_CHECKSUM = f"""
-WITH h AS (
-  SELECT event_type,
-         {sql_hash60("concat_ws('|', CAST(event_id AS VARCHAR), "
-                     "CAST(epoch_us(ts::TIMESTAMP) AS VARCHAR), "
-                     "CAST(user_id AS VARCHAR), event_type, "
-                     "CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) "
-                     "AS VARCHAR), props)")} AS h
-  FROM events)
-SELECT event_type, count(*) AS n_rows, bit_xor(h) AS xor_sig
-FROM h GROUP BY ROLLUP (event_type)"""
-
-
-def q_emb_dim_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-distribution drift monitor — the check a pipeline
-    runs when the encoder (or the corpus) changes under a vector
-    index: per dimension, the reference-vs-current mean shift between
-    the two hash-split halves of the corpus, plus each half's mean.
-    At the null (random split of one distribution) shifts are small;
-    a re-encoded or re-weighted corpus shows per-dim displacement long
-    before recall collapses. Determinism: each coordinate snaps to
-    the 1e-9 grid and the per-(half, dim) sums ride exact
-    DECIMAL(38,0) — order-free; one explode + one map-side-combined
-    groupBy on (dim), 64 output rows."""
-    emb = _emb(spark, sf_dir)
-    half = (F.col("vec_id") % 2 == 0).cast("int")
-    e = emb.select(
-        half.alias("ref"),
-        F.posexplode("v").alias("dim", "x"),
-    ).select(
-        "ref",
-        "dim",
-        F.floor(F.col("x") * 1e9 + F.lit(0.5))
-        .cast("decimal(38,0)")
-        .alias("q"),
-    )
-    agg = e.groupBy("dim").agg(
-        F.sum(F.when(F.col("ref") == 1, F.col("q"))).alias("sr"),
-        F.sum(F.when(F.col("ref") == 1, F.lit(1)).otherwise(F.lit(0)))
-        .alias("nr"),
-        F.sum(F.when(F.col("ref") == 0, F.col("q"))).alias("sc"),
-        F.sum(F.when(F.col("ref") == 0, F.lit(1)).otherwise(F.lit(0)))
-        .alias("nc"),
-    )
-    mr = F.col("sr").cast("double") / F.col("nr").cast("double") / 1e9
-    mc = F.col("sc").cast("double") / F.col("nc").cast("double") / 1e9
-    return agg.select(
-        F.col("dim").cast("long").alias("dim"),
-        F.col("nr").cast("long").alias("n_ref"),
-        F.col("nc").cast("long").alias("n_cur"),
-        _rne(mr, "mean_ref", 8),
-        _rne(mc, "mean_cur", 8),
-        _rne(F.abs(mr - mc), "abs_shift", 8),
-    )
-
-
-def _sql_emb_dim_drift() -> str:
-    mr = "sr::DOUBLE / nr::DOUBLE / 1000000000.0"
-    mc = "sc::DOUBLE / nc::DOUBLE / 1000000000.0"
-    return f"""
-WITH e AS (
-  SELECT CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS ref,
-         i - 1 AS dim,
-         floor(embedding[i]::DOUBLE * 1000000000.0 + 0.5)
-           ::DECIMAL(38,0) AS q
-  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)),
-agg AS (
-  SELECT dim,
-         sum(CASE WHEN ref = 1 THEN q END) AS sr,
-         sum(CASE WHEN ref = 1 THEN 1 ELSE 0 END) AS nr,
-         sum(CASE WHEN ref = 0 THEN q END) AS sc,
-         sum(CASE WHEN ref = 0 THEN 1 ELSE 0 END) AS nc
-  FROM e GROUP BY 1)
-SELECT dim::BIGINT AS dim, nr::BIGINT AS n_ref, nc::BIGINT AS n_cur,
-       {_sql_rne(mr, 'mean_ref', 8)},
-       {_sql_rne(mc, 'mean_cur', 8)},
-       {_sql_rne(f'abs({mr} - {mc})', 'abs_shift', 8)}
-FROM agg"""
-
-
-def q_src_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Source-format breadth with a LOSSLESS-content proof: the events
-    table written to CSV and JSONL and read back through the engine's
-    text readers (explicit schema — no inference scan), each replica
-    checksummed with the same canonical XOR signature as
-    ``events_table_checksum``. A format that corrupts ONE value (CSV
-    quoting of the JSON props column, timestamp precision, integer
-    width) breaks its row, and XOR is order/partitioning-independent,
-    so the three signatures must be byte-equal. The oracle computes
-    the signature once from the parquet truth and expects it under
-    every format label — text readers that silently drop or mangle
-    rows cannot pass. Timestamps ride as integer micros (the text
-    formats carry no TIMESTAMP(NANOS) type)."""
-    import os
-    import shutil
-    import tempfile
-
-    require_utc(spark)
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-        "user_id",
-        "event_type",
-        F.col("value").cast("double").alias("value"),
-        "props",
-    )
-    work = tempfile.mkdtemp(prefix="bdspf-fmt-")
-    try:
-        csvp = os.path.join(work, "csv")
-        jsonp = os.path.join(work, "jsonl")
-        (
-            ev.write.option("header", True)
-            .option("escape", '"')
-            .csv(csvp)
-        )
-        ev.write.json(jsonp)
-        schema = ev.schema
-        frames = {
-            "parquet": ev,
-            "csv": (
-                spark.read.schema(schema)
-                .option("header", True)
-                .option("escape", '"')
-                .csv(csvp)
-            ),
-            "jsonl": spark.read.schema(schema).json(jsonp),
-        }
-        canon = F.concat_ws(
-            "|",
-            F.col("event_id").cast("string"),
-            F.col("ts_us").cast("string"),
-            F.col("user_id").cast("string"),
-            F.col("event_type"),
-            F.floor(F.col("value") * 100 + F.lit(0.5))
-            .cast("bigint")
-            .cast("string"),
-            F.col("props"),
-        )
-        parts = [
-            df.select(hash60(canon).alias("h"))
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.expr("bit_xor(h)").alias("xor_sig"),
-            )
-            .select(F.lit(fmt).alias("format"), "n_rows", "xor_sig")
-            for fmt, df in frames.items()
-        ]
-        out = parts[0]
-        for p_ in parts[1:]:
-            out = out.unionByName(p_)
-        return out.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-
-
-def _sql_src_formats_roundtrip() -> str:
-    h = sql_hash60(
-        "concat_ws('|', CAST(event_id AS VARCHAR), "
-        "CAST(epoch_us(ts::TIMESTAMP) AS VARCHAR), "
-        "CAST(user_id AS VARCHAR), event_type, "
-        "CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR), "
-        "props)"
-    )
-    return f"""
-WITH sig AS (
-  SELECT count(*) AS n_rows, bit_xor({h}) AS xor_sig FROM events)
-SELECT f.format, s.n_rows, s.xor_sig
-FROM sig s CROSS JOIN (
-  VALUES ('parquet'), ('csv'), ('jsonl')) f(format)"""
-
-
-def q_events_scd2_pit_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-time join against the SCD2 dimension: every purchase
-    is attributed to the tier that was VALID AT ITS TIMESTAMP (the
-    temporal-warehouse query the SCD2 table exists to answer), then
-    revenue rolls up per tier. The validity lookup is the backward
-    ASOF shape — latest tier change at-or-before the purchase — so it
-    reuses the engine's union-tag single-shuffle asof_join instead of
-    an interval theta-join; purchases before any tier change land in
-    the NULL tier. Output is tiers+1 rows."""
-    from ..operators.asof import asof_join
-
-    dim = q_events_scd2_intervals(spark, sf_dir).select(
-        F.col("symbol").alias("user_id"),
-        F.col("valid_from"),
-        "tier",
-    )
-    ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", "value"
-    )
-    joined = asof_join(
-        purchases,
-        dim,
-        on=["user_id"],
-        left_ts="ts",
-        right_ts="valid_from",
-        right_tiebreak="tier",
-    )
-    return (
-        joined.groupBy("tier")
-        .agg(
-            F.count(F.lit(1)).alias("n_purchases"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("revenue"),
-        )
-    )
-
-
-SQL_EVENTS_SCD2_PIT = f"""
-WITH s AS (
-  SELECT user_id, ts, event_id,
-         CAST(floor(value / {SCD2_TIER_DIV}) AS INT) AS tier,
-         row_number() OVER (PARTITION BY user_id, ts
-           ORDER BY event_id DESC) AS rn
-  FROM events WHERE event_type = 'signup'),
-d AS (SELECT user_id, ts, event_id, tier FROM s WHERE rn = 1),
-c AS (
-  SELECT *, lag(tier) OVER (PARTITION BY user_id
-              ORDER BY ts, event_id) AS prev_tier
-  FROM d),
-isl AS (
-  SELECT user_id, ts AS valid_from, tier FROM c
-  WHERE prev_tier IS NULL OR prev_tier <> tier),
-p AS (SELECT user_id, ts, event_id, value FROM events
-      WHERE event_type = 'purchase')
-SELECT i.tier, count(*) AS n_purchases,
-       CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-FROM p ASOF LEFT JOIN isl i
-  ON p.user_id = i.user_id AND i.valid_from <= p.ts
-GROUP BY 1"""
-
-
-def q_events_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured schema profiling: key frequency and inferred
-    value-type distribution across the events ``props`` JSON column —
-    the discovery query a lake pipeline runs before declaring a
-    schema. JVM-side json parsing (from_json to map<string,string>),
-    one explode + map-side-combined count; type inference is a regex
-    class over the raw value text (int / float / bool / string),
-    identical under Java regex and RE2."""
-    ev = load_table(spark, sf_dir, "events")
-    kv = ev.select(
-        F.explode(
-            F.from_json(F.col("props"), "map<string,string>")
-        ).alias("k", "v")
-    )
-    vtype = (
-        F.when(F.col("v").rlike("^-?[0-9]+$"), "int")
-        .when(F.col("v").rlike("^-?[0-9]+\\.[0-9]+$"), "float")
-        .when(F.col("v").isin("true", "false"), "bool")
-        .otherwise("string")
-    )
-    return (
-        kv.groupBy(F.col("k").alias("key"), vtype.alias("vtype"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct("v").alias("n_distinct"),
-            F.min("v").alias("min_v"),
-            F.max("v").alias("max_v"),
-        )
-    )
-
-
-SQL_EVENTS_JSON_SCHEMA = """
-WITH kv AS (
-  SELECT k.key AS key,
-         json_extract_string(props, '$.' || k.key) AS v
-  FROM events, LATERAL (
-    SELECT unnest(json_keys(props::JSON)) AS key) k)
-SELECT key,
-       CASE WHEN regexp_full_match(v, '-?[0-9]+') THEN 'int'
-            WHEN regexp_full_match(v, '-?[0-9]+\\.[0-9]+') THEN 'float'
-            WHEN v IN ('true', 'false') THEN 'bool'
-            ELSE 'string' END AS vtype,
-       count(*) AS n,
-       count(DISTINCT v) AS n_distinct,
-       min(v) AS min_v, max(v) AS max_v
-FROM kv GROUP BY 1, 2"""
-
-
-SKEW_TOP_K = 10
-
-
-def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partition-key skew report for the user_id key: the top-K
-    heaviest keys with their share of total rows in parts-per-million
-    (integer-exact) — the diagnostic that decides whether a key needs
-    the salted-join path (operators/skew.py) before a 100 TB run. One
-    map-side-combined count + a broadcast total; deterministic top-K."""
-    ev = load_table(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
-    total = counts.agg(F.sum("n_rows").alias("total"))
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .select(
-            "user_id",
-            "n_rows",
-            (F.col("n_rows") * F.lit(1_000_000) / F.col("total"))
-            .cast("long")
-            .alias("share_ppm"),
-        )
-        .orderBy(F.col("n_rows").desc(), F.col("user_id").asc())
-        .limit(SKEW_TOP_K)
-    )
-
-
-SQL_EVENTS_SKEW = f"""
-WITH counts AS (
-  SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
-total AS (SELECT sum(n_rows) AS total FROM counts)
-SELECT user_id, n_rows,
-       CAST(n_rows * 1000000 / total AS BIGINT) AS share_ppm
-FROM counts CROSS JOIN total
-ORDER BY n_rows DESC, user_id ASC LIMIT {SKEW_TOP_K}"""
-
-
-WINSOR_LO = 0.01
-WINSOR_HI = 0.99
-
-
-def q_ts_winsorize_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust feature scaling per symbol: winsorize close at the
-    explicit p1/p99 rank picks, then robust-z against the median/MAD
-    (both exact rank statistics) — the outlier-resistant
-    normalization a feature pipeline prefers over mean/std when fat
-    tails are real. All cut points are EXPLICIT row picks (the decile
-    query's convention), so no engine interpolation arithmetic is
-    load-bearing; the per-row transform is pure projection. Emits the
-    per-symbol stats table (symbol, p1, p99, median, mad) — the
-    artifact the transform broadcasts at apply time."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = Window.partitionBy("symbol").orderBy(
-        F.col("close").asc(), F.col("time_idx").asc()
-    )
-    n = Window.partitionBy("symbol")
-    ranked = df.select(
-        "symbol",
-        "close",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(n).alias("n"),
-    )
-    pick = lambda p: (  # noqa: E731
-        F.floor((F.col("n") - 1) * F.lit(p)).cast("long") + 1
-    )
-    stats = (
-        ranked.groupBy("symbol")
-        .agg(
-            F.max(
-                F.when(F.col("rn") == pick(WINSOR_LO), F.col("close"))
-            ).alias("p1"),
-            F.max(
-                F.when(F.col("rn") == pick(WINSOR_HI), F.col("close"))
-            ).alias("p99"),
-            F.max(
-                F.when(F.col("rn") == pick(0.5), F.col("close"))
-            ).alias("median"),
-        )
-    )
-    dev = (
-        df.join(stats.select("symbol", "median"), "symbol")
-        .select(
-            "symbol",
-            F.abs(F.col("close") - F.col("median")).alias("adev"),
-            "time_idx",
-        )
-    )
-    wd = Window.partitionBy("symbol").orderBy(
-        F.col("adev").asc(), F.col("time_idx").asc()
-    )
-    mad = (
-        dev.select(
-            "symbol",
-            "adev",
-            F.row_number().over(wd).alias("rn"),
-            F.count(F.lit(1)).over(n).alias("n"),
-        )
-        .filter(F.col("rn") == pick(0.5))
-        .groupBy("symbol")
-        .agg(F.max("adev").alias("mad"))
-    )
-    return stats.join(mad, "symbol").select(
-        "symbol",
-        _rne(F.col("p1"), "p1", 6),
-        _rne(F.col("p99"), "p99", 6),
-        _rne(F.col("median"), "median", 6),
-        _rne(F.col("mad"), "mad", 6),
-    )
-
-
-def _sql_ts_winsorize() -> str:
-    def pick(p: float) -> str:
-        return f"CAST(floor((n - 1) * {p}) AS BIGINT) + 1"
-
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-ranked AS (
-  SELECT symbol, close,
-         row_number() OVER (PARTITION BY symbol
-           ORDER BY close ASC, time_idx ASC) AS rn,
-         count(*) OVER (PARTITION BY symbol) AS n
-  FROM filled),
-stats AS (
-  SELECT symbol,
-         max(CASE WHEN rn = {pick(WINSOR_LO)} THEN close END) AS p1,
-         max(CASE WHEN rn = {pick(WINSOR_HI)} THEN close END) AS p99,
-         max(CASE WHEN rn = {pick(0.5)} THEN close END) AS median
-  FROM ranked GROUP BY 1),
-dev AS (
-  SELECT f.symbol, abs(f.close - s.median) AS adev, f.time_idx
-  FROM filled f JOIN stats s USING (symbol)),
-dranked AS (
-  SELECT symbol, adev,
-         row_number() OVER (PARTITION BY symbol
-           ORDER BY adev ASC, time_idx ASC) AS rn,
-         count(*) OVER (PARTITION BY symbol) AS n
-  FROM dev),
-mad AS (
-  SELECT symbol, max(CASE WHEN rn = {pick(0.5)} THEN adev END) AS mad
-  FROM dranked GROUP BY 1)
-SELECT s.symbol, {_sql_rne('s.p1', 'p1')}, {_sql_rne('s.p99', 'p99')},
-       {_sql_rne('s.median', 'median')}, {_sql_rne('m.mad', 'mad')}
-FROM stats s JOIN mad m USING (symbol)"""
-
-
-HOLT_ALPHA = 0.3
-HOLT_BETA = 0.1
-
-
-def q_ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Holt linear-trend forecast per symbol (operators/rolling.py
-    holt_linear): fit on the 80% head, forecast the holdout as
-    level + h·trend, scored with grid-snapped exact-DECIMAL MAE — the
-    exponential-smoothing forecaster beside the kNN flagship and the
-    naive/drift/seasonal baselines. The fit emits per-symbol SCALARS
-    from one Arrow pass (series-count-sized, never row-sized), joined
-    back to the holdout; the coupled recursion is evaluated in the
-    precise operand order the DuckDB recursive-CTE oracle uses, so
-    level/trend match bitwise before the final rounding."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    rows = df.withColumn("rn", F.row_number().over(w))
-    counts = rows.groupBy("symbol").agg(
-        F.greatest(
-            F.floor(F.max("rn") * F.lit(FC_TRAIN_FRAC)).cast("int"),
-            F.lit(FC_SEASON + 1),
-        ).alias("n_train")
-    )
-    tagged = rows.join(counts, "symbol")
-    train = tagged.filter(F.col("rn") <= F.col("n_train")).select(
-        "symbol", "time_idx", "close"
-    )
-    fit = holt_linear(train, "close", HOLT_ALPHA, HOLT_BETA)
-    test = tagged.filter(F.col("rn") > F.col("n_train")).select(
-        "symbol", "rn", "close",
-        F.col("n_train").alias("nt"),
-    )
-    grid = F.lit(1e6)
-    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
-    fc = test.join(fit, "symbol").withColumn(
-        "yhat",
-        F.col("level") + (F.col("rn") - F.col("nt")) * F.col("trend"),
-    )
-    return (
-        fc.groupBy("symbol")
-        .agg(
-            F.count(F.lit(1)).alias("n_test"),
-            F.max("n_fit").alias("n_fit"),
-            F.max("level").alias("level"),
-            F.max("trend").alias("trend"),
-            F.sum(
-                snap(F.abs(F.col("yhat") - F.col("close"))).cast(
-                    "decimal(18,6)"
-                )
-            ).alias("sae"),
-        )
-        .select(
-            "symbol",
-            "n_fit",
-            "n_test",
-            _rne(F.col("level"), "level", 6),
-            _rne(F.col("trend"), "trend", 6),
-            _rne(
-                F.col("sae").cast("double") / F.col("n_test"), "mae", 6
-            ),
-        )
-    )
-
-
-def _sql_ts_holt() -> str:
-    a, b = HOLT_ALPHA, HOLT_BETA
-    new_l = f"{a} * r.close + (1.0 - {a}) * (h.l + h.b)"
-    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
-    return f"""WITH RECURSIVE {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-rows_ AS (
-  SELECT symbol, close, row_number() OVER (
-    PARTITION BY symbol ORDER BY time_idx) AS rn
-  FROM filled),
-counts AS (
-  SELECT symbol,
-         greatest(CAST(floor(max(rn) * {FC_TRAIN_FRAC}) AS INT),
-                  {FC_SEASON + 1}) AS n_train
-  FROM rows_ GROUP BY 1),
-train AS (
-  SELECT r.symbol, r.close, r.rn, c.n_train
-  FROM rows_ r JOIN counts c USING (symbol) WHERE r.rn <= c.n_train),
-holt(symbol, t, l, b) AS (
-  SELECT r1.symbol, 1, r1.close, r2.close - r1.close
-  FROM train r1 JOIN train r2
-    ON r1.symbol = r2.symbol AND r1.rn = 1 AND r2.rn = 2
-  UNION ALL
-  SELECT h.symbol, h.t + 1,
-         {new_l},
-         {b} * ({new_l} - h.l) + (1.0 - {b}) * h.b
-  FROM holt h JOIN train r
-    ON r.symbol = h.symbol AND r.rn = h.t + 1),
-fit AS (
-  SELECT h.symbol, h.l AS level, h.b AS trend, c.n_train AS n_fit
-  FROM holt h JOIN counts c ON h.symbol = c.symbol AND h.t = c.n_train),
-test AS (
-  SELECT r.symbol, r.close, r.rn - c.n_train AS h
-  FROM rows_ r JOIN counts c USING (symbol) WHERE r.rn > c.n_train),
-scored AS (
-  SELECT t.symbol, f.n_fit, f.level, f.trend,
-         CAST({snap('abs(f.level + t.h * f.trend - t.close)')}
-              AS DECIMAL(18,6)) AS abs_err
-  FROM test t JOIN fit f USING (symbol))
-SELECT symbol, CAST(n_fit AS BIGINT) AS n_fit, count(*) AS n_test,
-       {_sql_rne('level', 'level')},
-       {_sql_rne('trend', 'trend')},
-       {_sql_rne('CAST(sum(abs_err) AS DOUBLE) / count(*)', 'mae')}
-FROM scored GROUP BY symbol, n_fit, level, trend"""
-
-
-BFS_MAX_HOPS = 6
-
-
-def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-source shortest hop distances over the supplier
-    co-purchase graph (same top-K edge cut as the triangle query),
-    seeded at the max-degree node (ties broken toward the smaller
-    key) — the BFS/shortest-path member of the graph family. Engine side: frontier-expansion rounds (each
-    one equi-join + min-aggregate, the CC machinery's shape) up to
-    ``BFS_MAX_HOPS``; the toy-scale oracle is DuckDB's recursive CTE
-    walk with the same cap. At 100 TB the frontier form is the only
-    viable one — the CTE walk enumerates paths, not nodes. Hub parts
-    above ``HUB_PART_MAX_DEGREE`` are dropped before the pair join
-    (_cap_part_degree) so the projection fanout is bounded per key."""
-    li = load_table(spark, sf_dir, "lineitem")
-    ps = _cap_part_degree(li.select("l_partkey", "l_suppkey").distinct())
-    s1 = ps.select("l_partkey", F.col("l_suppkey").alias("sa"))
-    s2 = ps.select("l_partkey", F.col("l_suppkey").alias("sb"))
-    edges = (
-        s1.join(s2, "l_partkey")
-        .filter(F.col("sa") < F.col("sb"))
-        .groupBy("sa", "sb")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .orderBy(
-            F.col("n_shared").desc(), F.col("sa").asc(), F.col("sb").asc()
-        )
-        .limit(TRIANGLE_TOP_EDGES)
-        .select("sa", "sb")
-    )
-    und = edges.select(
-        F.col("sa").alias("u"), F.col("sb").alias("v")
-    ).unionByName(
-        edges.select(F.col("sb").alias("u"), F.col("sa").alias("v"))
-    )
-    und = und.persist()
-    # seed at the max-degree node (key tie-break): a min-key seed can
-    # land in a tiny island of the top-K cut at larger SFs, making the
-    # traversal degenerate
-    seed = (
-        und.groupBy("u")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .orderBy(F.col("deg").desc(), F.col("u").asc())
-        .limit(1)
-        .select("u", F.lit(0).alias("dist"))
-    )
-    dist = seed.localCheckpoint(eager=True)
-    for hop in range(1, BFS_MAX_HOPS + 1):
-        frontier = dist.filter(F.col("dist") == hop - 1)
-        nxt = (
-            frontier.join(und, "u")
-            .select(F.col("v").alias("u"), F.lit(hop).alias("dist"))
-            .distinct()
-            .join(dist.select("u"), "u", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        # early exit: an empty frontier means every reachable node has
-        # its final distance — rounds past the eccentricity are pure
-        # checkpoint overhead (the driver reads one scalar per round,
-        # the CC operator's convergence contract)
-        if not nxt.take(1):
-            break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
-    und.unpersist()
-    return dist.select(F.col("u").alias("s_suppkey"), "dist")
-
-
-def _sql_graph_bfs() -> str:
-    return f"""WITH RECURSIVE
-ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-psc AS ({SQL_PS_CAPPED}),
-edges AS (
-  SELECT sa, sb FROM (
-    SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS n_shared
-    FROM psc a JOIN psc b
-      ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
-    GROUP BY 1, 2
-    ORDER BY n_shared DESC, sa ASC, sb ASC LIMIT {TRIANGLE_TOP_EDGES})),
-und AS (
-  SELECT sa AS u, sb AS v FROM edges
-  UNION ALL SELECT sb, sa FROM edges),
-walk(u, dist) AS (
-  SELECT (SELECT u FROM (SELECT u, count(*) AS n FROM und GROUP BY 1
-          ORDER BY n DESC, u ASC LIMIT 1)), 0
-  UNION ALL
-  SELECT e.v, w.dist + 1
-  FROM walk w JOIN und e ON e.u = w.u
-  WHERE w.dist < {BFS_MAX_HOPS})
-SELECT u AS s_suppkey, CAST(min(dist) AS INT) AS dist
-FROM walk GROUP BY 1"""
-
-
-DECILE_PS = [i / 10 for i in range(1, 10)]
-
-
-def q_events_conditional_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact conditional deciles of value per event type — the
-    distribution profile behind outlier thresholds and per-segment
-    SLOs. Discrete (type-7-lower) quantiles picked EXPLICITLY: rank
-    rows per type ordered by (value, event_id) and keep ranks
-    floor((n−1)p)+1 — the same definition spelled out in both engines,
-    so no reliance on either engine's quantile interpolation
-    arithmetic. One user exchange, output is types × 9 rows."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc(), F.col("event_id").asc()
-    )
-    n = Window.partitionBy("event_type")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(n).alias("n"),
-    )
-    picks = None
-    for p in DECILE_PS:
-        sel = ranked.filter(
-            F.col("rn")
-            == F.floor((F.col("n") - 1) * F.lit(p)).cast("long") + 1
-        ).select(
-            "event_type",
-            F.lit(int(round(p * 100))).alias("pct"),
-            F.col("value").alias("decile_value"),
-        )
-        picks = sel if picks is None else picks.unionByName(sel)
-    return picks
-
-
-def _sql_events_deciles() -> str:
-    arms = " UNION ALL ".join(
-        f"""SELECT event_type, {int(round(p * 100))} AS pct,
-value AS decile_value
-FROM ranked WHERE rn = CAST(floor((n - 1) * {p}) AS BIGINT) + 1"""
-        for p in DECILE_PS
-    )
-    return f"""WITH ranked AS (
-  SELECT event_type, value,
-         row_number() OVER (PARTITION BY event_type
-           ORDER BY value ASC, event_id ASC) AS rn,
-         count(*) OVER (PARTITION BY event_type) AS n
-  FROM events)
-{arms}"""
-
-
-def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix over user event streams:
-    P(next event type | current) with transition counts — the model
-    behind next-action prediction and journey simulation. One LEAD
-    window on the user exchange, a (cur, next) count, and a window-sum
-    normalizer per current state; probabilities are double quotients
-    of identical integers on both engines (no rounding). The matrix is
-    states², tiny at any corpus scale."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    trans = ev.select(
-        F.col("event_type").alias("cur"),
-        F.lead("event_type").over(w).alias("nxt"),
-    ).filter(F.col("nxt").isNotNull())
-    counts = trans.groupBy("cur", "nxt").agg(
-        F.count(F.lit(1)).alias("n_trans")
-    )
-    row_tot = Window.partitionBy("cur")
-    return counts.select(
-        "cur",
-        "nxt",
-        "n_trans",
-        (F.col("n_trans") / F.sum("n_trans").over(row_tot)).alias("p"),
-    )
-
-
-SQL_EVENTS_MARKOV = """
-WITH trans AS (
-  SELECT event_type AS cur, lead(event_type) OVER w AS nxt
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
-counts AS (
-  SELECT cur, nxt, count(*) AS n_trans FROM trans
-  WHERE nxt IS NOT NULL GROUP BY 1, 2)
-SELECT cur, nxt, n_trans,
-       n_trans / sum(n_trans) OVER (PARTITION BY cur) AS p
-FROM counts"""
-
-
-def q_ts_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily time-weighted average price per symbol over the RAW
-    irregular series — each observation weighted by how long it was
-    the live value (micros until the next observation, within the
-    day; the day's last observation carries to midnight). TWAP is the
-    duration-weighted complement of the battery's volume-weighted
-    VWAP and the standard aggregate for irregular sensor/tick data.
-    One symbol-keyed LEAD window then a (symbol, day) aggregate;
-    weights are exact integer micros, weighted terms snap to the 1e-6
-    grid and sum in exact DECIMAL, so the aggregate is
-    partitioning-independent."""
-    require_utc(spark)
-    s = _series(spark, sf_dir)
-    ts = F.col("datetime").cast("timestamp")
-    base = s.select(
-        "symbol", F.to_date(ts).alias("day"), ts.alias("tsi"), "close"
-    )
-    w = Window.partitionBy("symbol", "day").orderBy(F.col("tsi").asc())
-    day_end = F.unix_micros(
-        F.date_add(F.col("day"), 1).cast("timestamp")
-    )
-    wt_us = (
-        F.coalesce(F.unix_micros(F.lead("tsi").over(w)), day_end)
-        - F.unix_micros(F.col("tsi"))
-    )
-    grid = F.lit(1e6)
-    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
-    rows = base.select(
-        "symbol", "day", "close", (wt_us / F.lit(1e6)).alias("wt_s")
-    )
-    return (
-        rows.groupBy("symbol", "day")
-        .agg(
-            F.count(F.lit(1)).alias("n_obs"),
-            F.sum(
-                snap(F.col("close") * F.col("wt_s")).cast("decimal(18,6)")
-            ).alias("swx"),
-            F.sum(snap(F.col("wt_s")).cast("decimal(18,6)")).alias("sw"),
-        )
-        .select(
-            "symbol",
-            "day",
-            "n_obs",
-            _rne(
-                F.col("swx").cast("double")
-                / F.nullif(F.col("sw").cast("double"), F.lit(0.0)),
-                "twap",
-                6,
-            ),
-        )
-    )
-
-
-def _sql_ts_twap() -> str:
-    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
-    return f"""WITH {SQL_SERIES},
-rows_ AS (
-  SELECT symbol, CAST(ts AS DATE) AS day, close,
-         (coalesce(epoch_us(lead(ts) OVER w),
-                   epoch_us((CAST(ts AS DATE) + INTERVAL 1 DAY)::TIMESTAMP))
-          - epoch_us(ts)) / 1000000.0 AS wt_s
-  FROM series
-  WINDOW w AS (PARTITION BY symbol, CAST(ts AS DATE) ORDER BY ts ASC))
-SELECT symbol, day, count(*) AS n_obs,
-       {_sql_rne(
-           'CAST(sum(CAST(' + snap('close * wt_s') + ' AS DECIMAL(18,6))) '
-           'AS DOUBLE) / nullif(CAST(sum(CAST(' + snap('wt_s')
-           + ' AS DECIMAL(18,6))) AS DOUBLE), 0.0)',
-           'twap',
-       )}
-FROM rows_ GROUP BY 1, 2"""
-
-
-def q_events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention matrix: users bucketed by first-activity week
-    (the cohort), counted as distinct actives in each subsequent week
-    offset — the full product-analytics generalization of the two-week
-    retention query. Two aggregates: first-touch per user (one user
-    exchange), then distinct users per (cohort_week, offset); the
-    distinct collapses at the user grain BEFORE the matrix aggregate,
-    so the second shuffle moves at most users × weeks rows. All
-    integer week arithmetic from the epoch-day quotient."""
-    ev = load_table(spark, sf_dir, "events")
-    week = lambda c: F.floor(  # noqa: E731
-        (
-            F.floor(F.unix_micros(c.cast("timestamp")) / F.lit(86_400_000_000))
-            - F.lit(19723)
-        )
-        / 7
-    ).cast("int")
-    require_utc(spark)
-    acts = ev.select(
-        "user_id", week(F.col("ts")).alias("act_week")
-    ).distinct()
-    cohorts = acts.groupBy("user_id").agg(
-        F.min("act_week").alias("cohort_week")
-    )
-    return (
-        acts.join(cohorts, "user_id")
-        .groupBy(
-            "cohort_week",
-            (F.col("act_week") - F.col("cohort_week")).alias("week_offset"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
-
-
-SQL_EVENTS_COHORT = """
-WITH acts AS (
-  SELECT DISTINCT user_id,
-         CAST(floor((floor(epoch_us(ts::TIMESTAMP) / 86400000000.0)
-                     - 19723) / 7) AS INT) AS act_week
-  FROM events),
-cohorts AS (
-  SELECT user_id, min(act_week) AS cohort_week FROM acts GROUP BY 1)
-SELECT cohort_week, act_week - cohort_week AS week_offset,
-       count(*) AS n_users
-FROM acts JOIN cohorts USING (user_id)
-GROUP BY 1, 2"""
-
-
-ASSOC_MIN_USERS = 5
-
-
-def q_events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket association rules over per-user event-type sets:
-    support, confidence, and lift for every type pair with at least
-    ``ASSOC_MIN_USERS`` co-occurring users — the first level of an
-    FP-growth-style frequent-itemset mine. The basket distinct
-    collapses to user × type (≤ 5 rows/user) before the pair
-    self-join, per-item counts broadcast (the item vocabulary is tiny
-    by construction), and the user total rides a broadcast scalar.
-    The emitted ratios are double quotients of identical integers on
-    both engines — no rounding needed anywhere."""
-    ev = load_table(spark, sf_dir, "events")
-    baskets = ev.select("user_id", "event_type").distinct()
-    item_counts = baskets.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_item")
-    )
-    n_users = baskets.select("user_id").distinct().agg(
-        F.count(F.lit(1)).alias("n_users")
-    )
-    a = baskets.select("user_id", F.col("event_type").alias("ante"))
-    b = baskets.select("user_id", F.col("event_type").alias("cons"))
-    pairs = (
-        a.join(b, "user_id")
-        .filter(F.col("ante") < F.col("cons"))
-        .groupBy("ante", "cons")
-        .agg(F.count(F.lit(1)).alias("n_both"))
-        .filter(F.col("n_both") >= ASSOC_MIN_USERS)
-    )
-    na = item_counts.select(
-        F.col("event_type").alias("ante"), F.col("n_item").alias("n_ante")
-    )
-    nc = item_counts.select(
-        F.col("event_type").alias("cons"), F.col("n_item").alias("n_cons")
-    )
-    return (
-        pairs.join(F.broadcast(na), "ante")
-        .join(F.broadcast(nc), "cons")
-        .crossJoin(F.broadcast(n_users))
-        .select(
-            "ante",
-            "cons",
-            "n_both",
-            (F.col("n_both") / F.col("n_users")).alias("support"),
-            (F.col("n_both") / F.col("n_ante")).alias("confidence"),
-            (
-                F.col("n_both")
-                * F.col("n_users")
-                / (F.col("n_ante") * F.col("n_cons"))
-            ).alias("lift"),
-        )
-    )
-
-
-SQL_EVENTS_ASSOC = f"""
-WITH baskets AS (SELECT DISTINCT user_id, event_type FROM events),
-item_counts AS (
-  SELECT event_type, count(*) AS n_item FROM baskets GROUP BY 1),
-total AS (SELECT count(DISTINCT user_id) AS n_users FROM baskets),
-pairs AS (
-  SELECT a.event_type AS ante, b.event_type AS cons, count(*) AS n_both
-  FROM baskets a JOIN baskets b
-    ON a.user_id = b.user_id AND a.event_type < b.event_type
-  GROUP BY 1, 2 HAVING count(*) >= {ASSOC_MIN_USERS})
-SELECT ante, cons, n_both,
-       n_both / n_users AS support,
-       n_both / na.n_item AS confidence,
-       n_both * n_users / (na.n_item * nc.n_item) AS lift
-FROM pairs
-JOIN item_counts na ON na.event_type = ante
-JOIN item_counts nc ON nc.event_type = cons
-CROSS JOIN total"""
-
-
-def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximum drawdown per symbol — the canonical risk metric: the
-    deepest peak-to-trough fall of the gap-filled close, as a fraction
-    of the running peak. Two stacked windows on the ts family's single
-    symbol exchange: a running max (rows unbounded preceding) and a
-    per-symbol min aggregate of the per-row drawdown. The division
-    happens per-row on identical doubles; only the final min is
-    emitted (rounded on the shared 1e-6 grid), with the trough's
-    time_idx via min_by for audit."""
-    df = _filled(spark, sf_dir)
-    w = (
-        Window.partitionBy("symbol")
-        .orderBy("time_idx")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    dd = df.withColumn(
-        "ddraw",
-        (F.col("close") - F.max("close").over(w))
-        / F.nullif(F.max("close").over(w), F.lit(0.0)),
-    )
-    # deterministic trough: EARLIEST time_idx achieving the per-symbol
-    # minimum (equal drawdowns are common across ffilled gap runs, so a
-    # bare min_by tie-breaks arbitrarily)
-    mn = F.min("ddraw").over(Window.partitionBy("symbol"))
-    return (
-        dd.withColumn("__mn", mn)
-        .filter(F.col("ddraw") == F.col("__mn"))
-        .groupBy("symbol")
-        .agg(
-            _rne(F.min("ddraw"), "max_drawdown", 6),
-            F.min("time_idx").alias("trough_time_idx"),
-        )
-    )
-
-
-SQL_TS_DRAWDOWN = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-dd AS (
-  SELECT symbol, time_idx,
-         (close - max(close) OVER rm) / nullif(max(close) OVER rm, 0.0)
-           AS ddraw
-  FROM filled
-  WINDOW rm AS (PARTITION BY symbol ORDER BY time_idx
-                ROWS UNBOUNDED PRECEDING))
-SELECT symbol, {_sql_rne('min(ddraw)', 'max_drawdown')},
-       min(time_idx) AS trough_time_idx
-FROM (SELECT *, min(ddraw) OVER (PARTITION BY symbol) AS mn FROM dd)
-WHERE ddraw = mn
-GROUP BY 1"""
-
-
-FC_SEASON = 4  # 6h buckets -> daily seasonality
-FC_TRAIN_FRAC = 0.8
-
-
-def q_ts_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forecast-baseline evaluation per symbol — naive (last value),
-    drift (first-to-last line), and seasonal-naive (last season
-    repeated) forecasts over each symbol's 20% holdout tail, scored
-    with MAE, sMAPE, and MASE (scaled by the train-set one-step naive
-    MAE, Hyndman's convention; the reference's headline metric is
-    forecast MAE — BASELINE.md). Everything rides the ts family's
-    symbol exchange: the train scalars (n, first/last close, last
-    season, in-sample naive MAE) reduce per symbol and join back to
-    the test rows; per-row error terms snap to the 1e-6 grid and the
-    per-(symbol, method) means sum in exact DECIMAL, so aggregation
-    order cannot perturb the scores."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    rows = df.withColumn("rn", F.row_number().over(w)).withColumn(
-        "prev", F.lag("close").over(w)
-    )
-    counts = rows.groupBy("symbol").agg(F.max("rn").alias("n_rows"))
-    counts = counts.withColumn(
-        "n_train",
-        F.greatest(
-            F.floor(F.col("n_rows") * F.lit(FC_TRAIN_FRAC)).cast("int"),
-            F.lit(FC_SEASON + 1),
-        ),
-    )
-    tagged = rows.join(counts, "symbol")
-    train = tagged.filter(F.col("rn") <= F.col("n_train"))
-    grid = F.lit(1e6)
-    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
-    train_stats = train.groupBy("symbol").agg(
-        F.max("n_train").alias("n_train"),
-        F.min_by("close", "rn").alias("first_close"),
-        F.max_by("close", "rn").alias("last_close"),
-        F.sum(
-            F.when(
-                F.col("rn") > 1,
-                snap(F.abs(F.col("close") - F.col("prev"))).cast(
-                    "decimal(18,6)"
-                ),
-            )
-        ).alias("sum_naive_err"),
-        F.sort_array(
-            F.collect_list(
-                F.when(
-                    F.col("rn") > F.col("n_train") - FC_SEASON,
-                    F.struct("rn", "close"),
-                )
-            )
-        ).alias("season_tail"),
-    )
-    train_stats = train_stats.select(
-        "symbol",
-        "n_train",
-        "first_close",
-        "last_close",
-        (
-            F.col("sum_naive_err").cast("double")
-            / (F.col("n_train") - 1)
-        ).alias("mase_scale"),
-        F.col("season_tail.close").alias("season"),
-    )
-    test = (
-        tagged.filter(F.col("rn") > F.col("n_train"))
-        .select("symbol", "rn", "close")
-        .join(train_stats, "symbol")
-    )
-    h = F.col("rn") - F.col("n_train")
-    drift_slope = (F.col("last_close") - F.col("first_close")) / (
-        F.col("n_train") - 1
-    )
-    fc = test.select(
-        "symbol",
-        "close",
-        "mase_scale",
-        F.col("last_close").alias("naive"),
-        (F.col("last_close") + h * drift_slope).alias("drift"),
-        F.element_at(
-            "season", ((h - 1) % FC_SEASON + 1).cast("int")
-        ).alias("seasonal"),
-    )
-    methods = []
-    for m in ("naive", "drift", "seasonal"):
-        err = F.abs(F.col(m) - F.col("close"))
-        denom = F.abs(F.col(m)) + F.abs(F.col("close"))
-        methods.append(
-            fc.select(
-                "symbol",
-                F.lit(m).alias("method"),
-                snap(err).cast("decimal(18,6)").alias("abs_err"),
-                F.when(
-                    denom > 0, snap(2 * err / denom)
-                ).otherwise(F.lit(0.0)).cast("decimal(18,6)").alias("sm"),
-                "mase_scale",
-            )
-        )
-    union = methods[0].unionByName(methods[1]).unionByName(methods[2])
-    agg = union.groupBy("symbol", "method").agg(
-        F.count(F.lit(1)).alias("n_test"),
-        F.sum("abs_err").alias("sae"),
-        F.sum("sm").alias("ssm"),
-        F.max("mase_scale").alias("mase_scale"),
-    )
-    mae = F.col("sae").cast("double") / F.col("n_test")
-    return agg.select(
-        "symbol",
-        "method",
-        "n_test",
-        _rne(mae, "mae", 6),
-        _rne(F.col("ssm").cast("double") / F.col("n_test"), "smape", 6),
-        _rne(mae / F.nullif(F.col("mase_scale"), F.lit(0.0)), "mase", 6),
-    )
-
-
-def _sql_ts_forecast_baselines() -> str:
-    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-rows_ AS (
-  SELECT symbol, time_idx, close,
-         row_number() OVER w AS rn, lag(close) OVER w AS prev
-  FROM filled
-  WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)),
-counts AS (
-  SELECT symbol,
-         greatest(CAST(floor(max(rn) * {FC_TRAIN_FRAC}) AS INT),
-                  {FC_SEASON + 1}) AS n_train
-  FROM rows_ GROUP BY 1),
-train AS (
-  SELECT r.* , c.n_train FROM rows_ r JOIN counts c USING (symbol)
-  WHERE rn <= n_train),
-train_stats AS (
-  SELECT symbol, max(n_train) AS n_train,
-         arg_min(close, rn) AS first_close,
-         arg_max(close, rn) AS last_close,
-         CAST(sum(CASE WHEN rn > 1 THEN
-             CAST({snap('abs(close - prev)')} AS DECIMAL(18,6)) END)
-           AS DOUBLE) / (max(n_train) - 1) AS mase_scale,
-         list(close ORDER BY rn)
-           FILTER (rn > n_train - {FC_SEASON}) AS season
-  FROM train GROUP BY 1),
-test AS (
-  SELECT r.symbol, r.close, r.rn - s.n_train AS h,
-         s.mase_scale, s.last_close,
-         s.last_close + (r.rn - s.n_train)
-           * (s.last_close - s.first_close) / (s.n_train - 1) AS drift,
-         s.season[CAST((r.rn - s.n_train - 1) % {FC_SEASON} + 1 AS INT)]
-           AS seasonal
-  FROM rows_ r
-  JOIN counts c USING (symbol)
-  JOIN train_stats s USING (symbol)
-  WHERE r.rn > c.n_train),
-long AS (
-  SELECT symbol, 'naive' AS method, close, last_close AS fc, mase_scale
-  FROM test
-  UNION ALL
-  SELECT symbol, 'drift', close, drift, mase_scale FROM test
-  UNION ALL
-  SELECT symbol, 'seasonal', close, seasonal, mase_scale FROM test),
-terms AS (
-  SELECT symbol, method, mase_scale,
-         CAST({snap('abs(fc - close)')} AS DECIMAL(18,6)) AS abs_err,
-         CAST(CASE WHEN abs(fc) + abs(close) > 0
-              THEN {snap('2 * abs(fc - close) / (abs(fc) + abs(close))')}
-              ELSE 0.0 END AS DECIMAL(18,6)) AS sm
-  FROM long),
-agg AS (
-  SELECT symbol, method, count(*) AS n_test,
-         CAST(sum(abs_err) AS DOUBLE) AS sae,
-         CAST(sum(sm) AS DOUBLE) AS ssm,
-         max(mase_scale) AS mase_scale
-  FROM terms GROUP BY 1, 2)
-SELECT symbol, method, n_test,
-       {_sql_rne('sae / n_test', 'mae')},
-       {_sql_rne('ssm / n_test', 'smape')},
-       {_sql_rne('(sae / n_test) / nullif(mase_scale, 0.0)', 'mase')}
-FROM agg"""
-
-
-TRIANGLE_TOP_EDGES = 300
-
-# df-cap on the bipartite projection: parts with more than this many
-# distinct suppliers are dropped before the supplier-pair self-join —
-# the same stopword discipline the n-gram inverted index applies
-# (operators/dedup.py). A hub part with degree d yields d²/2 pairs
-# from ONE join key; the cap bounds that to CAP²/2 per key at any
-# scale. At the test SFs the max degree is 52 (sf0.1), so a 256 cap
-# excludes nothing and the oracle hashes are insensitive to it.
-HUB_PART_MAX_DEGREE = 256
-
-
-def _cap_part_degree(ps: DataFrame, cap: int = HUB_PART_MAX_DEGREE) -> DataFrame:
-    """Drop hub parts (degree > cap) from the (l_partkey, l_suppkey)
-    projection. One window count over l_partkey — the same shuffle key
-    the downstream pair self-join uses, so the exchange is reused and
-    the cap costs no extra shuffle."""
-    w = Window.partitionBy("l_partkey")
-    return (
-        ps.withColumn("part_deg", F.count(F.lit(1)).over(w))
-        .filter(F.col("part_deg") <= cap)
-        .drop("part_deg")
-    )
-
-
-# oracle twin of _cap_part_degree — splice after a `ps` CTE
-SQL_PS_CAPPED = f"""
-  SELECT l_partkey, l_suppkey FROM (
-    SELECT *, count(*) OVER (PARTITION BY l_partkey) AS part_deg FROM ps)
-  WHERE part_deg <= {HUB_PART_MAX_DEGREE}"""
-
-
-def q_graph_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counting on the supplier co-purchase graph — the
-    standard distributed-graph benchmark beside HITS and connected
-    components. The graph: the ``TRIANGLE_TOP_EDGES`` strongest
-    co-occurrence pairs of the bipartite part↔supplier projection
-    (ranked by shared-part count with a key tie-break — an adaptive
-    cut that stays non-degenerate at every SF where a fixed absolute
-    threshold collapses to empty or complete). Triangles enumerate via
-    the oriented two-path join (a<b<c ordering finds each triangle
-    exactly once, the standard dedup-free formulation; the third edge
-    closes as a LEFT SEMI probe); output is per-supplier triangle
-    membership counts. At corpus scale the projection fanout is
-    bounded by the ``HUB_PART_MAX_DEGREE`` df-cap (applied BEFORE the
-    pair join — see _cap_part_degree), and the top-K cut keeps the
-    triangle join edge-bounded."""
-    li = load_table(spark, sf_dir, "lineitem")
-    ps = _cap_part_degree(li.select("l_partkey", "l_suppkey").distinct())
-    s1 = ps.select("l_partkey", F.col("l_suppkey").alias("sa"))
-    s2 = ps.select("l_partkey", F.col("l_suppkey").alias("sb"))
-    edges = (
-        s1.join(s2, "l_partkey")
-        .filter(F.col("sa") < F.col("sb"))
-        .groupBy("sa", "sb")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .orderBy(
-            F.col("n_shared").desc(), F.col("sa").asc(), F.col("sb").asc()
-        )
-        .limit(TRIANGLE_TOP_EDGES)
-        .select("sa", "sb")
-    )
-    e1 = edges.select(F.col("sa").alias("a"), F.col("sb").alias("b"))
-    e2 = edges.select(F.col("sa").alias("b2"), F.col("sb").alias("c"))
-    e3 = edges.select(F.col("sa").alias("a3"), F.col("sb").alias("c3"))
-    tri = (
-        e1.join(e2, F.col("b") == F.col("b2"))
-        .join(
-            e3,
-            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
-            "left_semi",
-        )
-        .select("a", "b", "c")
-    )
-    per_node = (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("s_suppkey"))
-        .groupBy("s_suppkey")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    return per_node
-
-
-SQL_GRAPH_TRIANGLES = f"""
-WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-psc AS ({SQL_PS_CAPPED}),
-edges AS (
-  SELECT sa, sb FROM (
-    SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS n_shared
-    FROM psc a JOIN psc b
-      ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
-    GROUP BY 1, 2
-    ORDER BY n_shared DESC, sa ASC, sb ASC LIMIT {TRIANGLE_TOP_EDGES})),
-tri AS (
-  SELECT e1.sa AS a, e1.sb AS b, e2.sb AS c
-  FROM edges e1
-  JOIN edges e2 ON e1.sb = e2.sa
-  JOIN edges e3 ON e3.sa = e1.sa AND e3.sb = e2.sb),
-members AS (
-  SELECT a AS s_suppkey FROM tri
-  UNION ALL SELECT b FROM tri
-  UNION ALL SELECT c FROM tri)
-SELECT s_suppkey, count(*) AS n_triangles FROM members GROUP BY 1"""
-
-
-def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 20-bucket Pearson correlation of close vs volume per
-    symbol (operators/rolling.py rolling_corr) on the gap-filled OHLCV
-    grid — rides the ts family's single up-front symbol exchange like
-    every other window operator. The five frame sums are sequential
-    list folds (see rolling_corr's numeric contract), so the oracle
-    reproduces them bitwise and only the final closed form needs the
-    engine-safe 1e-6 rounding."""
-    df = rolling_corr(_filled_ohlc(spark, sf_dir), "close", "volume", n=20)
-    return df.select(
-        "symbol", "time_idx", _rne(F.col("corr20"), "corr20", 6)
-    )
-
-
-def _sql_ts_rolling_corr() -> str:
-    fold = "(a, b) -> a + b"
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED_OHLC},
-lists AS (
-  SELECT symbol, time_idx,
-         row_number() OVER w AS rn,
-         list(close) OVER f20 AS xs,
-         list(volume) OVER f20 AS ys,
-         list(close * volume) OVER f20 AS xys,
-         list(close * close) OVER f20 AS xxs,
-         list(volume * volume) OVER f20 AS yys
-  FROM filled
-  WINDOW w AS (PARTITION BY symbol ORDER BY time_idx),
-         f20 AS (PARTITION BY symbol ORDER BY time_idx
-                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
-),
-sums AS (
-  -- sequential left folds; 0.0-seeded to mirror Spark's aggregate init
-  SELECT symbol, time_idx, rn,
-         list_reduce(list_prepend(0.0, xs), {fold}) AS sx,
-         list_reduce(list_prepend(0.0, ys), {fold}) AS sy,
-         list_reduce(list_prepend(0.0, xys), {fold}) AS sxy,
-         list_reduce(list_prepend(0.0, xxs), {fold}) AS sxx,
-         list_reduce(list_prepend(0.0, yys), {fold}) AS syy
-  FROM lists
-),
-calc AS (
-  SELECT symbol, time_idx, rn,
-         20.0 * sxy - sx * sy AS cov,
-         20.0 * sxx - sx * sx AS vx,
-         20.0 * syy - sy * sy AS vy
-  FROM sums
-)
-SELECT symbol, time_idx,
-       CASE WHEN rn >= 20 AND vx > 1e-12 AND vy > 1e-12
-            THEN {_sql_rne_expr('cov / sqrt(vx * vy)')} END AS corr20
-FROM calc"""
-
-
-CORR_MATRIX_TOP_K = 8
-
-
-def q_ts_symbol_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise Pearson correlation matrix of 6h returns across the
-    top-k most-liquid symbols — the portfolio-comovement query beside
-    the per-symbol indicator battery. Scale design: the top-k cut (an
-    aggregate + deterministic limit) broadcasts into the resampled
-    series, so the all-pairs self-join is k-bounded per time bucket
-    (k²/2 rows per bucket, never corpus²); returns snap to the 1e-6
-    grid and the five pair moments accumulate in EXACT DECIMAL, so the
-    per-pair aggregation is partitioning-independent and only the
-    closed-form division runs in (identical-input) floating point."""
-    r = _resampled(spark, sf_dir).select("symbol", "time_idx", "close")
-    top = (
-        r.groupBy("symbol")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("symbol").asc())
-        .limit(CORR_MATRIX_TOP_K)
-        .select("symbol")
-    )
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    ret_raw = (
-        F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1
-    )
-    rets = (
-        r.join(F.broadcast(top), "symbol")
-        .withColumn(
-            "ret", F.floor(ret_raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-        )
-        .filter(F.col("ret").isNotNull())
-        .select(
-            "symbol", "time_idx", F.col("ret").cast("decimal(18,6)").alias("ret")
-        )
-    )
-    a = rets.select(
-        F.col("symbol").alias("sym_a"), "time_idx", F.col("ret").alias("x")
-    )
-    b = rets.select(
-        F.col("symbol").alias("sym_b"), "time_idx", F.col("ret").alias("y")
-    )
-    agg = (
-        a.join(b, "time_idx")
-        .filter(F.col("sym_a") < F.col("sym_b"))
-        .groupBy("sym_a", "sym_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_obs"),
-            F.sum("x").alias("sx"),
-            F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("y") * F.col("y")).alias("syy"),
-        )
-    )
-    nn = F.col("n_obs").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    cov = nn * sxy - sx * sy
-    vx = nn * sxx - sx * sx
-    vy = nn * syy - sy * sy
-    corr = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
-    return agg.select("sym_a", "sym_b", "n_obs", _rne(corr, "corr", 6))
-
-
-def _sql_ts_symbol_corr_matrix() -> str:
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H},
-top AS (
-  SELECT symbol FROM (
-    SELECT symbol, count(*) AS n FROM idx GROUP BY 1
-    ORDER BY n DESC, symbol ASC LIMIT {CORR_MATRIX_TOP_K})),
-rets AS (
-  SELECT symbol, time_idx,
-         CAST(floor((close / nullif(lag(close) OVER (
-                PARTITION BY symbol ORDER BY time_idx), 0.0) - 1)
-              * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS ret
-  FROM idx WHERE symbol IN (SELECT symbol FROM top)),
-rets2 AS (SELECT * FROM rets WHERE ret IS NOT NULL),
-agg AS (
-  SELECT a.symbol AS sym_a, b.symbol AS sym_b, count(*) AS n_obs,
-         CAST(sum(a.ret) AS DOUBLE) AS sx,
-         CAST(sum(b.ret) AS DOUBLE) AS sy,
-         CAST(sum(a.ret * b.ret) AS DOUBLE) AS sxy,
-         CAST(sum(a.ret * a.ret) AS DOUBLE) AS sxx,
-         CAST(sum(b.ret * b.ret) AS DOUBLE) AS syy
-  FROM rets2 a JOIN rets2 b
-    ON a.time_idx = b.time_idx AND a.symbol < b.symbol
-  GROUP BY 1, 2),
-calc AS (
-  SELECT sym_a, sym_b, n_obs,
-         CAST(n_obs AS DOUBLE) * sxy - sx * sy AS cov,
-         CAST(n_obs AS DOUBLE) * sxx - sx * sx AS vx,
-         CAST(n_obs AS DOUBLE) * syy - sy * sy AS vy
-  FROM agg)
-SELECT sym_a, sym_b, n_obs,
-       CASE WHEN vx > 0 AND vy > 0
-            THEN {_sql_rne_expr('cov / sqrt(vx * vy)')} END AS corr
-FROM calc"""
-
-
-def q_doc_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The first scan of BPE tokenizer training: adjacent character
-    pairs inside word tokens, weighted by token frequency — the
-    pair-count table whose argmax is BPE's first merge. Computed over
-    the VOCABULARY (distinct tokens + counts), not the token stream:
-    by Heaps' law the vocab is sublinear in corpus size, so the
-    character-pair explosion — the expensive step — runs on the small
-    frame while the corpus contributes only a map-side-combined token
-    count. All integer arithmetic; top-20 with pair tie-break."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
-    vocab = (
-        tok.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.length("tok") >= 2)
-    )
-    pairs = vocab.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("tok") - 1),
-                lambda i: F.col("tok").substr(i, F.lit(2)),
-            )
-        ).alias("pair"),
-        "cnt",
-    )
-    return (
-        pairs.groupBy("pair")
-        .agg(F.sum("cnt").alias("weight"))
-        .orderBy(F.col("weight").desc(), F.col("pair").asc())
-        .limit(20)
-    )
-
-
-SQL_DOC_BPE_MERGES = f"""
-WITH tok AS (
-  SELECT unnest({sql_tokens('text')}) AS tok FROM documents),
-vocab AS (
-  SELECT tok, count(*) AS cnt FROM tok GROUP BY 1 HAVING length(tok) >= 2),
-pairs AS (
-  SELECT substr(tok, i, 2) AS pair, cnt
-  FROM vocab, LATERAL (
-    SELECT unnest(generate_series(1, length(tok) - 1)) AS i))
-SELECT pair, CAST(sum(cnt) AS BIGINT) AS weight
-FROM pairs GROUP BY 1
-ORDER BY weight DESC, pair ASC LIMIT 20"""
-
-
-def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming last-touch attribution (streaming/ops.py
-    attribution_state_stream): per-purchase rows with the crediting
-    channel, produced by the stateful per-user operator under
-    AvailableNow — the second custom applyInPandasWithState operator
-    beside the EMA state fold. The batch oracle is the same
-    conditional-LAST window the batch attribution query uses, emitted
-    per purchase instead of per channel."""
-    from ..streaming import attribution_state_stream, run_available_now, stream_events
-
-    out = run_available_now(
-        attribution_state_stream(
-            stream_events(spark, sf_dir, keep_type=True)
-        ),
-        "append",
-        state_partitions=8,
-    )
-    return out.select(
-        F.col("symbol").alias("user_id"), "event_id", "channel", "value"
-    )
-
-
-SQL_STREAM_ATTRIBUTION = """
-WITH tagged AS (
-  SELECT user_id, event_id, event_type, value,
-         coalesce(last_value(CASE WHEN event_type IN ('view', 'click')
-                             THEN event_type END IGNORE NULLS)
-                  OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                  'none') AS channel
-  FROM events)
-SELECT user_id, event_id, channel, value
-FROM tagged WHERE event_type = 'purchase'"""
-
-
-def q_graph_hits_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two HITS power iterations over the supplier↔part bipartite graph
-    derived from lineitem — the iterative graph-algebra probe (beside
-    the connected-components operator in operators/dedup.py). All
-    scores stay INTEGER: hub₀ = 1, auth₁(p) = degree, hub₁(s) =
-    Σ_p auth₁, auth₂(p) = Σ_s hub₁ — the unnormalized power-iteration
-    algebra, so no float normalization order can perturb the result.
-    The edge list dedups once on (part, supp); each half-iteration is
-    one keyed aggregate + one equi-join, alternating between the
-    partkey and suppkey exchanges (at cluster scale each re-use rides
-    AQE's shuffle reuse). Top-50 by final authority, partkey
-    tie-break."""
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = li.select("l_partkey", "l_suppkey").distinct()
-    auth1 = edges.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("a1")
-    )
-    hub1 = (
-        edges.join(auth1, "l_partkey")
-        .groupBy("l_suppkey")
-        .agg(F.sum("a1").alias("h1"))
-    )
-    auth2 = (
-        edges.join(hub1, "l_suppkey")
-        .groupBy("l_partkey")
-        .agg(F.sum("h1").alias("a2"))
-    )
-    return (
-        auth2.join(auth1, "l_partkey")
-        .select(
-            F.col("l_partkey").alias("p_partkey"),
-            F.col("a1").alias("degree"),
-            F.col("a2").alias("authority"),
-        )
-        .orderBy(F.col("authority").desc(), F.col("p_partkey").asc())
-        .limit(50)
-    )
-
-
-SQL_GRAPH_HITS = """
-WITH edges AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-auth1 AS (SELECT l_partkey, count(*) AS a1 FROM edges GROUP BY 1),
-hub1 AS (SELECT l_suppkey, sum(a1) AS h1
-         FROM edges JOIN auth1 USING (l_partkey) GROUP BY 1),
-auth2 AS (SELECT l_partkey, sum(h1) AS a2
-          FROM edges JOIN hub1 USING (l_suppkey) GROUP BY 1)
-SELECT l_partkey AS p_partkey, a1 AS degree,
-       CAST(a2 AS BIGINT) AS authority
-FROM auth2 JOIN auth1 USING (l_partkey)
-ORDER BY authority DESC, p_partkey ASC LIMIT 50"""
-
-
-ATTRIB_TOUCHES = ("view", "click")
-
-
-def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Last-touch marketing attribution: each purchase is credited to
-    the user's most recent preceding touch event (view or click), or
-    'none' if the purchase had no prior touch. One user-keyed window
-    (ordered by ts with the event_id tie-break) carries the
-    last-non-null touch type to every row — the classic
-    conditional-LAST(ignorenulls) frame — then purchases aggregate per
-    channel with exact DECIMAL revenue. One exchange on user_id; the
-    channel rollup partially aggregates map-side into ≤3 rows."""
-    ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    touch = F.last(
-        F.when(
-            F.col("event_type").isin(*ATTRIB_TOUCHES), F.col("event_type")
-        ),
-        ignorenulls=True,
-    ).over(w)
-    return (
-        ev.withColumn("channel", F.coalesce(touch, F.lit("none")))
-        .filter(F.col("event_type") == "purchase")
-        .groupBy("channel")
-        .agg(
-            F.count(F.lit(1)).alias("n_purchases"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("revenue"),
-        )
-    )
-
-
-SQL_EVENTS_ATTRIBUTION = """
-WITH tagged AS (
-  SELECT event_type, value,
-         coalesce(last_value(CASE WHEN event_type IN ('view', 'click')
-                             THEN event_type END IGNORE NULLS)
-                  OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                  'none') AS channel
-  FROM events)
-SELECT channel, count(*) AS n_purchases,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-FROM tagged WHERE event_type = 'purchase'
-GROUP BY 1"""
-
-
-def q_events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily new-user counts and the running distinct-user total — the
-    cumulative-COUNT-DISTINCT report, computed scalably via the
-    first-touch transform: a running distinct count over raw events
-    would hold per-key state in every frame, but each user's FIRST
-    event (one min-aggregate on user_id) contributes exactly one row,
-    after which the cumulative curve is an ordinary prefix sum over
-    the ~30 day-grain rows. The only full-sort window runs on the
-    day-grain frame (bounded by the calendar, not the data), which is
-    the documented at-scale contract."""
-    ev = load_table(spark, sf_dir, "events")
-    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
-    daily = (
-        first_seen.groupBy(F.to_date(F.col("first_ts")).alias("day"))
-        .agg(F.count(F.lit(1)).alias("n_new_users"))
-    )
-    w = Window.orderBy(F.col("day").asc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    return daily.select(
-        "day",
-        "n_new_users",
-        F.sum("n_new_users").over(w).alias("cum_users"),
-    )
-
-
-SQL_EVENTS_CUMULATIVE_USERS = """
-WITH first_seen AS (
-  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
-daily AS (
-  SELECT CAST(first_ts AS DATE) AS day, count(*) AS n_new_users
-  FROM first_seen GROUP BY 1)
-SELECT day, n_new_users,
-       CAST(sum(n_new_users) OVER (ORDER BY day ASC
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         AS cum_users
-FROM daily"""
-
-
-def q_doc_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style LM quality scoring: a unigram language model is fit
-    on the corpus itself (one token-count aggregate), then every
-    document is scored by its mean negative log₂ token probability
-    (bits/token) — the perplexity filter a pretraining pipeline runs
-    to rank documents by fluency. The vocabulary aggregate broadcasts
-    back into the exploded token stream (vocab ≪ corpus — the whole
-    point of a unigram LM), so the scoring pass is one doc_id-keyed
-    combine. Determinism: each token's surprisal snaps to the 1e-6
-    grid BEFORE the per-doc sum, which then runs in exact
-    DECIMAL(18,6) — summation order cannot perturb the result."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
-    )
-    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("total"))
-    bits = F.floor(
-        -F.log2(F.col("cnt") / F.col("total")) * 1e6 + F.lit(0.5)
-    ) / 1e6
-    scored = tok.join(F.broadcast(vocab.crossJoin(total)), "tok").select(
-        "doc_id", bits.cast("decimal(18,6)").alias("bits")
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.sum("bits").alias("sum_bits"),
-        )
-        .select(
-            "doc_id",
-            "n_tok",
-            (
-                F.floor(
-                    F.col("sum_bits").cast("double")
-                    / F.col("n_tok")
-                    * 1e6
-                    + F.lit(0.5)
-                )
-                / 1e6
-            ).alias("bits_per_token"),
-        )
-    )
-
-
-SQL_DOC_UNIGRAM_PPL = f"""
-WITH tok AS (
-  SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents),
-vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
-total AS (SELECT sum(cnt) AS total FROM vocab),
-scored AS (
-  SELECT doc_id,
-         CAST(floor(-log2(cnt / total) * 1000000.0 + 0.5) / 1000000.0
-              AS DECIMAL(18,6)) AS bits
-  FROM tok JOIN vocab USING (tok) CROSS JOIN total)
-SELECT doc_id, count(*) AS n_tok,
-       floor(CAST(sum(bits) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
-         / 1000000.0 AS bits_per_token
-FROM scored GROUP BY 1"""
-
-
-K_ANON_THRESHOLD = 10
-
-
-def q_events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymity audit over the quasi-identifier tuple (event_type,
-    weekday, value decile bucket): group sizes plus an at-risk flag for
-    groups smaller than k — the privacy check a data-release pipeline
-    runs before publishing. One map-side-combined aggregate; the value
-    bucket is integer floor(value/10) so the cut is exact (no
-    quantile estimation inside the audit)."""
-    ev = load_table(spark, sf_dir, "events")
-    dow = weekday_mon0(F.col("ts")).cast("int").alias("dow")
-    vbucket = F.floor(F.col("value") / 10).cast("int").alias("vbucket")
-    return (
-        ev.select("event_type", dow, vbucket)
-        .groupBy("event_type", "dow", "vbucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "at_risk", (F.col("n") < K_ANON_THRESHOLD).cast("boolean")
-        )
-    )
-
-
-SQL_EVENTS_K_ANONYMITY = f"""
-SELECT event_type, (isodow(ts) - 1)::INT AS dow,
-       CAST(floor(value / 10) AS INT) AS vbucket,
-       count(*) AS n,
-       count(*) < {K_ANON_THRESHOLD} AS at_risk
-FROM events GROUP BY 1, 2, 3"""
-
-
-SQL_TPCH_Q21 = f"""
-WITH joined AS (
-  SELECT l_orderkey, l_suppkey,
-         l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY AS late
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-  WHERE o_orderstatus = 'F'),
-per_order AS (
-  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
-         count(DISTINCT l_suppkey) FILTER (late) AS n_late
-  FROM joined GROUP BY 1),
-sole_late AS (
-  SELECT DISTINCT j.l_orderkey, j.l_suppkey
-  FROM joined j JOIN per_order p ON j.l_orderkey = p.l_orderkey
-  WHERE j.late AND p.n_supp > 1 AND p.n_late = 1)
-SELECT s_name, count(*) AS numwait
-FROM sole_late
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-WHERE r_name = 'AMERICA'
-GROUP BY 1"""
-
-
-# --------------------------------------------------------------------------
-# round-7 additions: training-data pipeline + quant extensions
-# --------------------------------------------------------------------------
-
-EMB_BENCH_MOD = 97
-EMB_DECONTAM_TAU = 0.8
-
-
-def q_emb_bench_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space decontamination — the semantic sibling of the
-    exact 5-gram / Bloom decontam pair: corpus vectors whose cosine to
-    ANY benchmark vector reaches ``EMB_DECONTAM_TAU`` are flagged
-    (paraphrased eval leakage that n-gram overlap misses). The
-    benchmark set (vec_id % EMB_BENCH_MOD == 0) is fixed-size by
-    construction and broadcasts; the corpus×benchmark crossed rows
-    collapse MAP-SIDE via a max(struct) argmax per corpus vector —
-    nothing bench-crossed ever shuffles, so the plan is scan-shaped at
-    any corpus size. Similarities snap to the 1e-6 grid before the
-    argmax so the (cos desc, bench_id asc) tie-break is engine-exact.
-    """
-    from ..functions.distance import dot_fixed, l2_norm_fixed
-
-    emb = _emb(spark, sf_dir)
-    grid = F.lit(1e6)
-    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
-    bench = emb.filter(F.col("vec_id") % EMB_BENCH_MOD == 0).select(
-        F.col("vec_id").alias("bench_id"), F.col("v").alias("bv")
-    )
-    corpus = emb.filter(F.col("vec_id") % EMB_BENCH_MOD != 0)
-    cand = corpus.crossJoin(F.broadcast(bench)).select(
-        "vec_id",
-        "bench_id",
-        snap(
-            dot_fixed("v", "bv", 64)
-            / (l2_norm_fixed("v", 64) * l2_norm_fixed("bv", 64))
-        ).alias("cs"),
-    )
-    m = F.max(
-        F.struct(
-            F.col("cs").alias("c"), (-F.col("bench_id")).alias("nb")
-        )
-    ).alias("m")
-    best = cand.groupBy("vec_id").agg(m)
-    return best.select(
-        "vec_id",
-        (-F.col("m.nb")).alias("best_bench_id"),
-        (F.col("m.c") + F.lit(0.0)).alias("best_cos"),
-        (F.col("m.c") >= EMB_DECONTAM_TAU).alias("is_contaminated"),
-    )
-
-
-def _sql_emb_bench_decontam() -> str:
-    cos = f"{_sql_dot('c.v', 'b.bv')} / ({_sql_norm('c.v')} * {_sql_norm('b.bv')})"
-    return f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-bench AS (SELECT vec_id AS bench_id, v AS bv FROM emb
-          WHERE vec_id % {EMB_BENCH_MOD} = 0),
-corpus AS (SELECT vec_id, v FROM emb WHERE vec_id % {EMB_BENCH_MOD} <> 0),
-cand AS (
-  SELECT c.vec_id, b.bench_id,
-         floor(({cos}) * 1000000.0 + 0.5) / 1000000.0 AS cs
-  FROM corpus c CROSS JOIN bench b),
-best AS (
-  SELECT vec_id, bench_id, cs FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id
-      ORDER BY cs DESC, bench_id ASC) AS rn FROM cand)
-  WHERE rn = 1)
-SELECT vec_id, bench_id AS best_bench_id, cs + 0.0 AS best_cos,
-       cs >= {EMB_DECONTAM_TAU} AS is_contaminated
-FROM best"""
-
-
-WSAMPLE_K = 50
-
-
-def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic weighted sampling without replacement
-    (Efraimidis–Spirakis A-ES): each doc draws u from the portable
-    hash60 (reproducible across engines/runs/cluster sizes — rand()
-    is none of those) and competes on key = ln(u)/w with w = n_chars;
-    the top-``WSAMPLE_K`` keys ARE a weight-proportional sample
-    without replacement. The selection is a distributed top-K
-    (orderBy+limit — per-partition heaps, no global window, no
-    shuffle of the losers), so the plan is one scan + one K-row
-    reduce at any corpus size. Keys snap to the 1e-6 grid with a
-    doc_id tie-break so the cut is engine-exact."""
-    docs = load_table(spark, sf_dir, "documents")
-    h = hash60(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
-    m53 = F.lit(9007199254740992)  # 2^53
-    u = (h % m53 + 1).cast("double") / F.lit(9007199254740993.0)
-    key = F.floor(
-        F.log(u) / F.col("n_chars") * 1e6 + F.lit(0.5)
-    ) / 1e6 + F.lit(0.0)
-    # w = 0 docs carry key = -inf under A-ES (never sampled), but the
-    # division itself diverges across engines (Spark NULL vs DuckDB
-    # -inf), so exclude them BEFORE dividing — mirrored in the oracle.
-    return (
-        docs.filter(F.col("n_chars") > 0)
-        .select("doc_id", "n_chars", key.alias("skey"))
-        .orderBy(F.col("skey").desc(), F.col("doc_id").asc())
-        .limit(WSAMPLE_K)
-    )
-
-
-def _sql_doc_weighted_sample() -> str:
-    h = sql_hash60("'ws:' || CAST(doc_id AS VARCHAR)")
-    return f"""
-SELECT doc_id, n_chars,
-       floor(ln((({h}) % 9007199254740992 + 1) / 9007199254740993.0)
-             / n_chars * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS skey
-FROM documents
-WHERE n_chars > 0
-ORDER BY skey DESC, doc_id ASC LIMIT {WSAMPLE_K}"""
-
-
-RV_BUCKETS_PER_DAY = 4  # 6h grid -> 4 buckets/day
-
-
-def q_ts_ar2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AR(2) fit by Yule-Walker per symbol over the 6h log returns,
-    with the one-step-ahead forecast and residual variance — the
-    classical linear baseline beside the Holt / Kalman / analogical
-    forecasters. Determinism by construction: returns snap to the 1e-6
-    grid, every moment (Σx, Σx², Σx·x_lag1, Σx·x_lag2 and the lag-
-    range sums) accumulates as EXACT DECIMAL(38,0) integers — so the
-    autocovariances come out of the computational formula
-    γ_k = (P_k − m·A_k − m·B_k + (n−k)·m²)/n as identical doubles in
-    both engines regardless of aggregation order — and the float tail
-    (ρ, φ via the 2×2 Yule-Walker solve, forecast, σ²) is the same
-    expression tree on identical inputs. One lag window + one
-    map-side-combined groupBy; guards: n ≥ 5, γ₀ > 0 (constant series
-    → null fit), 1 − ρ₁² ≠ 0."""
-    df = _filled(spark, sf_dir)
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    prev = F.lag("close", 1).over(w)
-    lr = F.when(
-        (F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)
-    )
-    base = (
-        df.select("symbol", "time_idx", lr.alias("lr"))
-        .filter(F.col("lr").isNotNull())
-        .select(
-            "symbol",
-            "time_idx",
-            F.floor(F.col("lr") * 1e6 + F.lit(0.5))
-            .cast("long")
-            .alias("q"),
-        )
-    )
-    b = (
-        base.withColumn("q1", F.lag("q", 1).over(w))
-        .withColumn("q2", F.lag("q", 2).over(w))
-        .withColumn(
-            "rnd",
-            F.row_number().over(
-                Window.partitionBy("symbol").orderBy(
-                    F.col("time_idx").desc()
-                )
-            ),
-        )
-    )
-
-    def dec(c):
-        return c.cast("decimal(38,0)")
-
-    agg = b.groupBy("symbol").agg(
-        F.count(F.lit(1)).alias("n_obs"),
-        F.sum(dec(F.col("q"))).alias("s"),
-        F.sum(dec(F.col("q") * F.col("q"))).alias("p0"),
-        F.sum(dec(F.col("q") * F.col("q1"))).alias("p1"),
-        F.sum(F.when(F.col("q1").isNotNull(), dec(F.col("q")))).alias("a1"),
-        F.sum(dec(F.col("q1"))).alias("b1"),
-        F.sum(dec(F.col("q") * F.col("q2"))).alias("p2"),
-        F.sum(F.when(F.col("q2").isNotNull(), dec(F.col("q")))).alias("a2"),
-        F.sum(dec(F.col("q2"))).alias("b2"),
-        F.max(F.when(F.col("rnd") == 1, F.col("q"))).alias("xl1"),
-        F.max(F.when(F.col("rnd") == 2, F.col("q"))).alias("xl2"),
-    )
-    n = F.col("n_obs").cast("double")
-    m = F.col("s").cast("double") / n
-
-    def gam(p, a, bb, k):
-        return (
-            F.col(p).cast("double")
-            - m * F.col(a).cast("double")
-            - m * F.col(bb).cast("double")
-            + (n - F.lit(float(k))) * m * m
-        ) / n
-
-    g0, g1, g2 = gam("p0", "s", "s", 0), gam("p1", "a1", "b1", 1), gam(
-        "p2", "a2", "b2", 2
-    )
-    fit = agg.select(
-        "symbol", "n_obs", "xl1", "xl2",
-        m.alias("m"), g0.alias("g0"), g1.alias("g1"), g2.alias("g2"),
-    ).select(
-        "symbol", "n_obs", "m", "g0", "xl1", "xl2",
-        F.when(
-            (F.col("n_obs") >= 5) & (F.col("g0") > 0),
-            F.col("g1") / F.col("g0"),
-        ).alias("rho1"),
-        F.when(
-            (F.col("n_obs") >= 5) & (F.col("g0") > 0),
-            F.col("g2") / F.col("g0"),
-        ).alias("rho2"),
-    )
-    den = 1.0 - F.col("rho1") * F.col("rho1")
-    fit = fit.select(
-        "symbol", "n_obs", "m", "g0", "xl1", "xl2", "rho1", "rho2",
-        F.when(den != 0.0, F.col("rho1") * (1.0 - F.col("rho2")) / den)
-        .alias("phi1"),
-        F.when(den != 0.0, (F.col("rho2") - F.col("rho1") * F.col("rho1")) / den)
-        .alias("phi2"),
-    )
-    next_hat = (
-        F.col("m")
-        + F.col("phi1") * (F.col("xl1").cast("double") - F.col("m"))
-        + F.col("phi2") * (F.col("xl2").cast("double") - F.col("m"))
-    ) / 1e6
-    sigma2 = (
-        F.col("g0")
-        * (
-            1.0
-            - F.col("phi1") * F.col("rho1")
-            - F.col("phi2") * F.col("rho2")
-        )
-        / 1e12
-    )
-    return fit.select(
-        "symbol",
-        "n_obs",
-        _rne(F.col("phi1"), "phi1", 6),
-        _rne(F.col("phi2"), "phi2", 6),
-        _rne(next_hat, "next_ret_hat", 8),
-        _rne(sigma2, "sigma2_resid", 10),
-    )
-
-
-def _sql_ts_ar2_forecast() -> str:
-    gam = (
-        lambda p, a, bb, k: f"(({p})::DOUBLE - m * ({a})::DOUBLE"
-        f" - m * ({bb})::DOUBLE + (n_d - {float(k)}) * m * m) / n_d"
-    )
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-lagged AS (
-  SELECT symbol, time_idx, close,
-         lag(close) OVER (PARTITION BY symbol ORDER BY time_idx) AS prev
-  FROM filled),
-rets AS (
-  SELECT symbol, time_idx,
-         floor(ln(close / prev) * 1000000.0 + 0.5)::BIGINT AS q
-  FROM lagged WHERE close > 0 AND prev > 0),
-lags AS (
-  SELECT symbol, q,
-         lag(q, 1) OVER wo AS q1, lag(q, 2) OVER wo AS q2,
-         row_number() OVER (PARTITION BY symbol
-                            ORDER BY time_idx DESC) AS rnd
-  FROM rets
-  WINDOW wo AS (PARTITION BY symbol ORDER BY time_idx)),
-agg AS (
-  SELECT symbol, count(*) AS n_obs,
-         sum(q::DECIMAL(38,0)) AS s,
-         sum((q * q)::DECIMAL(38,0)) AS p0,
-         sum((q * q1)::DECIMAL(38,0)) AS p1,
-         sum(CASE WHEN q1 IS NOT NULL THEN q::DECIMAL(38,0) END) AS a1,
-         sum(q1::DECIMAL(38,0)) AS b1,
-         sum((q * q2)::DECIMAL(38,0)) AS p2,
-         sum(CASE WHEN q2 IS NOT NULL THEN q::DECIMAL(38,0) END) AS a2,
-         sum(q2::DECIMAL(38,0)) AS b2,
-         max(CASE WHEN rnd = 1 THEN q END) AS xl1,
-         max(CASE WHEN rnd = 2 THEN q END) AS xl2
-  FROM lags GROUP BY symbol),
-gams AS (
-  SELECT symbol, n_obs, xl1, xl2, m, g0,
-         CASE WHEN n_obs >= 5 AND g0 > 0 THEN g1 / g0 END AS rho1,
-         CASE WHEN n_obs >= 5 AND g0 > 0 THEN g2 / g0 END AS rho2
-  FROM (
-    SELECT *, {gam('p0', 's', 's', 0)} AS g0,
-           {gam('p1', 'a1', 'b1', 1)} AS g1,
-           {gam('p2', 'a2', 'b2', 2)} AS g2
-    FROM (SELECT *, n_obs::DOUBLE AS n_d,
-                 s::DOUBLE / n_obs::DOUBLE AS m FROM agg))),
-phis AS (
-  SELECT symbol, n_obs, m, g0, xl1, xl2, rho1, rho2,
-         CASE WHEN 1.0 - rho1 * rho1 <> 0.0
-              THEN rho1 * (1.0 - rho2) / (1.0 - rho1 * rho1) END AS phi1,
-         CASE WHEN 1.0 - rho1 * rho1 <> 0.0
-              THEN (rho2 - rho1 * rho1) / (1.0 - rho1 * rho1) END AS phi2
-  FROM gams)
-SELECT symbol, n_obs,
-       {_sql_rne('phi1', 'phi1', 6)},
-       {_sql_rne('phi2', 'phi2', 6)},
-       {_sql_rne(
-           '(m + phi1 * (xl1::DOUBLE - m) + phi2 * (xl2::DOUBLE - m))'
-           ' / 1000000.0', 'next_ret_hat', 8)},
-       {_sql_rne(
-           'g0 * (1.0 - phi1 * rho1 - phi2 * rho2) / 1000000000000.0',
-           'sigma2_resid', 10)}
-FROM phis"""
-
-
-CYCLE_PERIODS = (4, 28, 120)  # 6h bars: daily, weekly, ~monthly
-
-
-def _cycle_angle_rows() -> list[tuple[int, int, float, float]]:
-    """(period, phase, cos, sin) literal table for the cycle-power
-    scan — trig evaluated ONCE in python and pasted into BOTH engines
-    (JVM Math.cos and DuckDB's libm are not bitwise-contracted to
-    agree, so neither engine's trig is load-bearing)."""
-    rows = []
-    for p in CYCLE_PERIODS:
-        for r in range(p):
-            th = 2.0 * math.pi * r / p
-            rows.append((p, r, math.cos(th), math.sin(th)))
-    return rows
-
-
-def q_ts_cycle_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Periodic-energy scan per symbol: the DFT-bin amplitude of the
-    daily / weekly / monthly cycle (periods 4 / 28 / 120 at 6h bars)
-    in the log returns, plus its ratio to the series RMS — the
-    seasonality-detection readout (a calendar-cycle periodogram
-    restricted to the named periods). Determinism: returns snap to
-    the 1e-6 grid; the cos/sin table is pasted literals (one python
-    evaluation — neither engine's trig is trusted); each q·cos term
-    snaps to a 1e-3 grid and sums in exact DECIMAL, so the (a, b)
-    accumulators are aggregation-order-free; Σq² is an exact integer
-    sum. One lag window + a 3× period explode joined to the broadcast
-    152-row angle table, collapsed map-side to (symbol, period)."""
-    df = _filled(spark, sf_dir)
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    prev = F.lag("close", 1).over(w)
-    lr = F.when(
-        (F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)
-    )
-    base = (
-        df.select("symbol", "time_idx", lr.alias("lr"))
-        .filter(F.col("lr").isNotNull())
-        .select(
-            "symbol",
-            "time_idx",
-            F.floor(F.col("lr") * 1e6 + F.lit(0.5))
-            .cast("long")
-            .alias("q"),
-        )
-    )
-    angles = spark.createDataFrame(
-        _cycle_angle_rows(), "p int, r int, c double, s double"
-    )
-    e = (
-        base.select(
-            "symbol",
-            "time_idx",
-            "q",
-            F.explode(
-                F.array(*[F.lit(p) for p in CYCLE_PERIODS])
-            ).alias("p"),
-        )
-        .withColumn("r", (F.col("time_idx") % F.col("p")).cast("int"))
-        .join(F.broadcast(angles), ["p", "r"])
-    )
-
-    def snap3(col):
-        return F.floor(col * 1e3 + F.lit(0.5)).cast("decimal(38,0)")
-
-    agg = e.groupBy("symbol", "p").agg(
-        F.count(F.lit(1)).alias("n_obs"),
-        F.sum(snap3(F.col("q") * F.col("c"))).alias("sa"),
-        F.sum(snap3(F.col("q") * F.col("s"))).alias("sb"),
-        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("sq2"),
-    )
-    nn = F.col("n_obs").cast("double")
-    a = F.col("sa").cast("double") / 1e3
-    b = F.col("sb").cast("double") / 1e3
-    amp = 2.0 * F.sqrt(a * a + b * b) / nn / 1e6
-    rms = F.sqrt(F.col("sq2").cast("double") / nn) / 1e6
-    return agg.select(
-        "symbol",
-        F.col("p").cast("long").alias("period_bars"),
-        "n_obs",
-        _rne(amp, "cycle_amp", 10),
-        _rne(F.when(rms > 0, amp / rms), "cycle_ratio", 6),
-    )
-
-
-def _sql_ts_cycle_power() -> str:
-    vals = ", ".join(
-        f"({p}, {r}, {c!r}, {s!r})" for p, r, c, s in _cycle_angle_rows()
-    )
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-lagged AS (
-  SELECT symbol, time_idx, close,
-         lag(close) OVER (PARTITION BY symbol ORDER BY time_idx) AS prev
-  FROM filled),
-rets AS (
-  SELECT symbol, time_idx,
-         floor(ln(close / prev) * 1000000.0 + 0.5)::BIGINT AS q
-  FROM lagged WHERE close > 0 AND prev > 0),
-ang(p, r, c, s) AS (VALUES {vals}),
-e AS (
-  SELECT t.symbol, t.q, a.p, a.c, a.s
-  FROM rets t JOIN ang a ON a.r = (t.time_idx % a.p)),
-agg AS (
-  SELECT symbol, p, count(*) AS n_obs,
-         sum(floor(q * c * 1000.0 + 0.5)::DECIMAL(38,0)) AS sa,
-         sum(floor(q * s * 1000.0 + 0.5)::DECIMAL(38,0)) AS sb,
-         sum((q * q)::DECIMAL(38,0)) AS sq2
-  FROM e GROUP BY 1, 2)
-SELECT symbol, p::BIGINT AS period_bars, n_obs,
-       {_sql_rne(
-           '2.0 * sqrt((sa::DOUBLE / 1000.0) * (sa::DOUBLE / 1000.0)'
-           ' + (sb::DOUBLE / 1000.0) * (sb::DOUBLE / 1000.0))'
-           ' / n_obs::DOUBLE / 1000000.0', 'cycle_amp', 10)},
-       {_sql_rne(
-           'CASE WHEN sqrt(sq2::DOUBLE / n_obs::DOUBLE) / 1000000.0 > 0'
-           ' THEN (2.0 * sqrt((sa::DOUBLE / 1000.0) * (sa::DOUBLE / 1000.0)'
-           ' + (sb::DOUBLE / 1000.0) * (sb::DOUBLE / 1000.0))'
-           ' / n_obs::DOUBLE / 1000000.0)'
-           ' / (sqrt(sq2::DOUBLE / n_obs::DOUBLE) / 1000000.0) END',
-           'cycle_ratio', 6)}
-FROM agg"""
-
-
-def _fracdiff_weights(d: float = 0.4, k: int = 20) -> list[float]:
-    """Truncated fractional-differencing weights w_0=1,
-    w_j = -w_{j-1}(d-j+1)/j (Hosking; López de Prado ch.5). Computed
-    once in python and pasted as the SAME double literals into the
-    Spark expression and the SQL oracle — no cross-engine recurrence
-    is load-bearing."""
-    w = [1.0]
-    for j in range(1, k):
-        w.append(-w[-1] * (d - j + 1) / j)
-    return w
-
-
-def q_ts_fracdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fractional differentiation of log price (d=0.4, 20-lag
-    truncation) — the quant feature-engineering classic: stationary
-    like a return series but retaining long memory the integer diff
-    destroys. A fixed 20-term linear combination of lags — no
-    cross-row float accumulation at all, so parity needs nothing but
-    identical weight literals and the same left-associated sum chain;
-    one lag window riding the ts family's symbol exchange. Emitted
-    from the 20th bar (every lag defined); ln guarded on positive
-    closes."""
-    k = 20
-    ws = _fracdiff_weights(0.4, k)
-    df = _filled(spark, sf_dir)
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    x = F.when(F.col("close") > 0, F.log("close"))
-    b = df.select(
-        "symbol", "time_idx", x.alias("x"),
-        F.row_number().over(w).alias("rn"),
-    )
-    acc = F.lit(ws[0]) * F.col("x")
-    for j in range(1, k):
-        acc = acc + F.lit(ws[j]) * F.lag("x", j).over(w)
-    return (
-        b.withColumn("fd", acc)
-        .filter(F.col("rn") >= k)
-        .select("symbol", "time_idx", _rne(F.col("fd"), "fracdiff", 8))
-    )
-
-
-def _sql_ts_fracdiff() -> str:
-    ws = _fracdiff_weights(0.4, 20)
-    terms = " + ".join(
-        f"{w!r} * lag(x, {j}) OVER wo" if j else f"{ws[0]!r} * x"
-        for j, w in enumerate(ws)
-    )
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-xs AS (
-  SELECT symbol, time_idx,
-         CASE WHEN close > 0 THEN ln(close) END AS x
-  FROM filled),
-fd AS (
-  SELECT symbol, time_idx,
-         row_number() OVER wo AS rn,
-         {terms} AS fdv
-  FROM xs
-  WINDOW wo AS (PARTITION BY symbol ORDER BY time_idx))
-SELECT symbol, time_idx, {_sql_rne('fdv', 'fracdiff', 8)}
-FROM fd WHERE rn >= 20"""
-
-
-def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Additive Holt-Winters (α=0.2, β=0.1, γ=0.3, period=4 — the
-    daily cycle at 6h bars) per symbol over close, emitting the full
-    fitted series: level, trend, this bar's seasonal, and the
-    one-step-ahead in-sample forecast. Completes the classical
-    forecasting ladder (naive/SES → Holt → Holt-Winters → AR(2) →
-    Kalman → analogical/VAE). Three coupled recursions with a lag-p
-    seasonal ring ride ONE Arrow pass per series
-    (operators/rolling.py ``holt_winters_arrow``); the oracle is a
-    recursive CTE stepping each symbol one bar per iteration with the
-    p+2 states as scalar columns, operand order identical."""
-    from ..operators.rolling import holt_winters_arrow
-
-    df = holt_winters_arrow(_filled(spark, sf_dir))
-    return df.select(
-        "symbol", "time_idx",
-        _r6("hw_level"), _r6("hw_trend"),
-        _r6("hw_seasonal"), _r6("hw_fitted"),
-    )
-
-
-def _sql_ts_holt_winters() -> str:
-    a, bt, g = 0.2, 0.1, 0.3
-    sold = (
-        "(CASE (r.rn - 1) % 4 WHEN 0 THEN p.s0 WHEN 1 THEN p.s1"
-        " WHEN 2 THEN p.s2 ELSE p.s3 END)"
-    )
-    nl = f"({a} * (r.close - {sold}) + (1.0 - {a}) * (p.l + p.b))"
-    snew = f"({g} * (r.close - {nl}) + (1.0 - {g}) * {sold})"
-    body = f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-pre AS (
-  SELECT symbol, time_idx, close,
-         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) AS rn
-  FROM filled)
-SELECT symbol, time_idx, l AS hw_level, b AS hw_trend,
-       seas AS hw_seasonal, fitted AS hw_fitted
-FROM (
-  WITH RECURSIVE hw AS (
-    SELECT symbol, time_idx, rn, close AS l, 0.0::DOUBLE AS b,
-           0.0::DOUBLE AS s0, 0.0::DOUBLE AS s1,
-           0.0::DOUBLE AS s2, 0.0::DOUBLE AS s3,
-           0.0::DOUBLE AS seas, NULL::DOUBLE AS fitted
-    FROM pre WHERE rn = 1
-    UNION ALL
-    SELECT r.symbol, r.time_idx, r.rn,
-           {nl} AS l,
-           ({bt} * ({nl} - p.l) + (1.0 - {bt}) * p.b) AS b,
-           CASE WHEN (r.rn - 1) % 4 = 0 THEN {snew} ELSE p.s0 END AS s0,
-           CASE WHEN (r.rn - 1) % 4 = 1 THEN {snew} ELSE p.s1 END AS s1,
-           CASE WHEN (r.rn - 1) % 4 = 2 THEN {snew} ELSE p.s2 END AS s2,
-           CASE WHEN (r.rn - 1) % 4 = 3 THEN {snew} ELSE p.s3 END AS s3,
-           {snew} AS seas,
-           (p.l + p.b + {sold}) AS fitted
-    FROM hw p JOIN pre r ON r.symbol = p.symbol AND r.rn = p.rn + 1
-  )
-  SELECT * FROM hw
-) h"""
-    return _sql_r6_wrap(
-        body,
-        ["symbol", "time_idx"],
-        ["hw_level", "hw_trend", "hw_seasonal", "hw_fitted"],
-    )
-
-
-def q_ts_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single mean-shift changepoint per symbol (binary segmentation,
-    depth 1 — the CUSUM-style two-sample scan): the split t* maximizing
-    |mean(r[1..t]) − mean(r[t+1..n])| · sqrt(t·(n−t)/n) over the 6h log
-    returns, with the segment means. Determinism: returns snap to the
-    1e-6 grid and the per-candidate statistic is a float formula over
-    EXACT integer prefix sums (integer addition is associative — the
-    running cumsum is exact under any plan), so every candidate's
-    statistic is bit-identical in both engines and the argmax
-    (tie-broken by earlier split) cannot flip. Scale shape: one
-    symbol-partitioned cumsum window + one argmax window — both ride
-    the ts family's single symbol exchange; no cross-row float
-    accumulation anywhere. Segments shorter than 5 are not considered
-    (min-segment rule); symbols with n < 10 emit nothing."""
-    minseg = 5
-    df = _filled(spark, sf_dir)
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    prev = F.lag("close", 1).over(w)
-    lr = F.when(
-        (F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)
-    )
-    base = (
-        df.select("symbol", "time_idx", lr.alias("lr"))
-        .filter(F.col("lr").isNotNull())
-        .select(
-            "symbol",
-            "time_idx",
-            F.floor(F.col("lr") * 1e6 + F.lit(0.5))
-            .cast("long")
-            .alias("q"),
-        )
-    )
-    b = base.select(
-        "symbol",
-        "time_idx",
-        F.row_number().over(w).alias("t"),
-        F.sum("q").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("pfx"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("symbol"))
-        .alias("n"),
-        F.sum("q").over(Window.partitionBy("symbol")).alias("s"),
-    ).filter(
-        (F.col("t") >= minseg) & (F.col("t") <= F.col("n") - minseg)
-    )
-    n1 = F.col("t").cast("double")
-    n2 = (F.col("n") - F.col("t")).cast("double")
-    nn = F.col("n").cast("double")
-    m1 = F.col("pfx").cast("double") / n1
-    m2 = (F.col("s") - F.col("pfx")).cast("double") / n2
-    stat = F.abs(m1 - m2) * F.sqrt(n1 * n2 / nn)
-    cand = b.select(
-        "symbol", "time_idx", "t", "n",
-        m1.alias("m1"), m2.alias("m2"), stat.alias("stat"),
-    )
-    wr = Window.partitionBy("symbol").orderBy(
-        F.col("stat").desc(), F.col("t").asc()
-    )
-    return (
-        cand.withColumn("rk", F.row_number().over(wr))
-        .filter(F.col("rk") == 1)
-        .select(
-            "symbol",
-            F.col("n").alias("n_obs"),
-            F.col("t").cast("long").alias("t_star"),
-            F.col("time_idx").alias("split_time_idx"),
-            _rne(F.col("stat") / 1e6, "shift_stat", 8),
-            _rne(F.col("m1") / 1e6, "mean_before", 8),
-            _rne(F.col("m2") / 1e6, "mean_after", 8),
-        )
-    )
-
-
-def _sql_ts_changepoint_meanshift() -> str:
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-lagged AS (
-  SELECT symbol, time_idx, close,
-         lag(close) OVER (PARTITION BY symbol ORDER BY time_idx) AS prev
-  FROM filled),
-rets AS (
-  SELECT symbol, time_idx,
-         floor(ln(close / prev) * 1000000.0 + 0.5)::BIGINT AS q
-  FROM lagged WHERE close > 0 AND prev > 0),
-cands AS (
-  SELECT symbol, time_idx,
-         row_number() OVER wo AS t,
-         sum(q) OVER (PARTITION BY symbol ORDER BY time_idx
-                      ROWS UNBOUNDED PRECEDING) AS pfx,
-         count(*) OVER (PARTITION BY symbol) AS n,
-         sum(q) OVER (PARTITION BY symbol) AS s
-  FROM rets
-  WINDOW wo AS (PARTITION BY symbol ORDER BY time_idx)),
-stats AS (
-  SELECT symbol, time_idx, t, n,
-         pfx::DOUBLE / t::DOUBLE AS m1,
-         (s - pfx)::DOUBLE / (n - t)::DOUBLE AS m2,
-         abs(pfx::DOUBLE / t::DOUBLE
-             - (s - pfx)::DOUBLE / (n - t)::DOUBLE)
-           * sqrt(t::DOUBLE * (n - t)::DOUBLE / n::DOUBLE) AS stat
-  FROM cands WHERE t >= 5 AND t <= n - 5),
-ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY symbol
-                               ORDER BY stat DESC, t ASC) AS rk
-  FROM stats)
-SELECT symbol, n AS n_obs, t::BIGINT AS t_star,
-       time_idx AS split_time_idx,
-       {_sql_rne('stat / 1000000.0', 'shift_stat', 8)},
-       {_sql_rne('m1 / 1000000.0', 'mean_before', 8)},
-       {_sql_rne('m2 / 1000000.0', 'mean_after', 8)}
-FROM ranked WHERE rk = 1"""
-
-
-def q_ts_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily realized volatility per symbol — sqrt of the sum of
-    squared log returns within each day, the standard high-frequency
-    vol estimator (RV converges to integrated variance as the grid
-    refines). Rides the ts family's single symbol exchange: one lag
-    window for the log return, then a (symbol, day) aggregate whose
-    squared terms snap to the 1e-12 grid and sum in exact
-    DECIMAL(30,12) — summation order cannot perturb the result; only
-    the final sqrt runs in float (rounded on the shared grid). A log
-    return is defined only when BOTH closes are positive (zero prices
-    occur in the raw feed; under ANSI mode an unguarded division
-    throws) — undefined returns are excluded from count and sum
-    identically in both engines."""
-    df = _filled(spark, sf_dir)
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    prev = F.lag("close", 1).over(w)
-    lr = F.when(
-        (F.col("close") > 0) & (prev > 0),
-        F.log(F.col("close") / prev),
-    )
-    r2 = (
-        F.floor(lr * lr * 1e12 + F.lit(0.5)) / 1e12
-    ).cast("decimal(30,12)")
-    day = F.floor(F.col("time_idx") / RV_BUCKETS_PER_DAY).cast("long")
-    return (
-        df.select("symbol", day.alias("day"), r2.alias("r2"))
-        .filter(F.col("r2").isNotNull())
-        .groupBy("symbol", "day")
-        .agg(
-            F.count(F.lit(1)).alias("n_rets"),
-            _rne(F.sqrt(F.sum("r2").cast("double")), "rv", 8),
-        )
-    )
-
-
-def _sql_ts_realized_vol() -> str:
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-lagged AS (
-  SELECT symbol, time_idx, close,
-         lag(close) OVER (PARTITION BY symbol ORDER BY time_idx) AS prev
-  FROM filled),
-lr AS (
-  SELECT symbol,
-         CAST(floor(time_idx / {RV_BUCKETS_PER_DAY}) AS BIGINT) AS day,
-         CAST(floor(pow(CASE WHEN close > 0 AND prev > 0
-                             THEN ln(close / prev) END, 2)
-                * 1000000000000.0 + 0.5) / 1000000000000.0
-              AS DECIMAL(30,12)) AS r2
-  FROM lagged)
-SELECT symbol, day, count(*) AS n_rets,
-       {_sql_rne('sqrt(CAST(sum(r2) AS DOUBLE))', 'rv', 8)}
-FROM lr WHERE r2 IS NOT NULL GROUP BY 1, 2"""
-
-
-MRL_DIM = 16
-
-
-def q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Matryoshka truncation eval card: how much ANN recall survives
-    keeping only the first ``MRL_DIM`` of 64 dims? Per query, top-k
-    by full-dim cosine (ground truth) vs top-k by truncated-dim
-    cosine, reporting the overlap — the measured-approximation
-    contract (sq8/CMS/HLL/PQ) applied to dimensionality truncation.
-    Both rankings read ONE crossed frame (queries are the strided
-    KNN_QUERY_MOD set, broadcast — the sanctioned brute-force eval
-    baseline the k-NN family uses); at corpus scale the truncated
-    ranking would ride the IVF index and this card measures what that
-    buys."""
-    from ..functions.distance import (
-        cos_fixed_range,
-        dot_fixed,
-        l2_norm_fixed,
-    )
-
-    emb = _emb(spark, sf_dir)
-    grid = F.lit(1e6)
-    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
-    q = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    )
-    cand = (
-        emb.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            snap(
-                dot_fixed("v", "qv", 64)
-                / (l2_norm_fixed("v", 64) * l2_norm_fixed("qv", 64))
-            ).alias("cs_full"),
-            # range-offset form, not element_at(slice(...)) — the
-            # slice would re-materialize per element (O(dim²)/row)
-            snap(cos_fixed_range("v", "qv", 1, MRL_DIM)).alias(
-                "cs_trunc"
-            ),
-        )
-    )
-    wf = Window.partitionBy("q_id").orderBy(
-        F.col("cs_full").desc(), F.col("vec_id").asc()
-    )
-    wt = Window.partitionBy("q_id").orderBy(
-        F.col("cs_trunc").desc(), F.col("vec_id").asc()
-    )
-    ranked = cand.select(
-        "q_id",
-        "vec_id",
-        F.row_number().over(wf).alias("rk_full"),
-        F.row_number().over(wt).alias("rk_trunc"),
-    )
-    return (
-        ranked.filter(
-            (F.col("rk_full") <= KNN_K) | (F.col("rk_trunc") <= KNN_K)
-        )
-        .groupBy("q_id")
-        .agg(
-            F.count_if(
-                (F.col("rk_full") <= KNN_K) & (F.col("rk_trunc") <= KNN_K)
-            ).alias("n_overlap")
-        )
-        .select(
-            "q_id",
-            F.lit(KNN_K).alias("k"),
-            "n_overlap",
-            (F.col("n_overlap") / F.lit(KNN_K)).alias("recall_at_k"),
-        )
-    )
-
-
-def _sql_emb_matryoshka() -> str:
-    cosf = f"{_sql_dot('e.v', 'q.qv')} / ({_sql_norm('e.v')} * {_sql_norm('q.qv')})"
-    tv = f"list_slice(e.v, 1, {MRL_DIM})"
-    tq = f"list_slice(q.qv, 1, {MRL_DIM})"
-    cost = f"{_sql_dot(tv, tq)} / ({_sql_norm(tv)} * {_sql_norm(tq)})"
-    return f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id AS q_id, v AS qv FROM emb
-      WHERE vec_id % {KNN_QUERY_MOD} = 0),
-cand AS (
-  SELECT q.q_id, e.vec_id,
-         floor(({cosf}) * 1000000.0 + 0.5) / 1000000.0 AS cs_full,
-         floor(({cost}) * 1000000.0 + 0.5) / 1000000.0 AS cs_trunc
-  FROM emb e CROSS JOIN q WHERE e.vec_id <> q.q_id),
-ranked AS (
-  SELECT q_id, vec_id,
-         row_number() OVER (PARTITION BY q_id
-           ORDER BY cs_full DESC, vec_id ASC) AS rk_full,
-         row_number() OVER (PARTITION BY q_id
-           ORDER BY cs_trunc DESC, vec_id ASC) AS rk_trunc
-  FROM cand)
-SELECT q_id, {KNN_K} AS k,
-       CAST(count(*) FILTER (rk_full <= {KNN_K} AND rk_trunc <= {KNN_K})
-            AS BIGINT) AS n_overlap,
-       CAST(count(*) FILTER (rk_full <= {KNN_K} AND rk_trunc <= {KNN_K})
-            AS DOUBLE) / {KNN_K} AS recall_at_k
-FROM ranked WHERE rk_full <= {KNN_K} OR rk_trunc <= {KNN_K}
-GROUP BY 1"""
-
-
-DSIR_TARGET_SOURCE = "src0"
-
-
-def q_doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR-style importance weighting (Data Selection via Importance
-    Resampling, Xie et al. 2023): score every document by the mean
-    per-token log-likelihood ratio between a TARGET unigram LM (docs
-    from ``DSIR_TARGET_SOURCE``) and the CORPUS LM, both
-    Laplace-smoothed over the shared corpus vocabulary — the signal a
-    pretraining pipeline resamples on to shift the mixture toward a
-    target domain. Same plumbing contract as the perplexity filter:
-    vocab aggregates broadcast back into the token stream (vocab ≪
-    corpus), each token's log-ratio snaps to the 1e-6 grid, per-doc
-    sums run in exact DECIMAL(18,6), and only the final mean divides
-    in float."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok")
-    )
-    vocab = tok.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("c_cnt"),
-        F.count_if(F.col("source") == DSIR_TARGET_SOURCE).alias("t_cnt"),
-    )
-    totals = vocab.agg(
-        F.sum("c_cnt").alias("c_total"),
-        F.sum("t_cnt").alias("t_total"),
-        F.count(F.lit(1)).alias("vsize"),
-    )
-    lam = F.floor(
-        (
-            F.log(
-                (F.col("t_cnt") + 1)
-                / (F.col("t_total") + F.col("vsize")).cast("double")
-            )
-            - F.log(
-                (F.col("c_cnt") + 1)
-                / (F.col("c_total") + F.col("vsize")).cast("double")
-            )
-        )
-        * 1e6
-        + F.lit(0.5)
-    ) / 1e6
-    scored = tok.join(
-        F.broadcast(vocab.crossJoin(totals)), "tok"
-    ).select("doc_id", lam.cast("decimal(18,6)").alias("lam"))
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.sum("lam").alias("sum_lam"),
-        )
-        .select(
-            "doc_id",
-            "n_tok",
-            _rne(
-                F.col("sum_lam").cast("double") / F.col("n_tok"),
-                "dsir_logratio",
-                6,
-            ),
-        )
-    )
-
-
-def _sql_doc_dsir() -> str:
-    return f"""
-WITH tok AS (
-  SELECT doc_id, source, unnest({sql_tokens('text')}) AS tok
-  FROM documents),
-vocab AS (
-  SELECT tok, count(*) AS c_cnt,
-         count(*) FILTER (source = '{DSIR_TARGET_SOURCE}') AS t_cnt
-  FROM tok GROUP BY 1),
-totals AS (
-  SELECT sum(c_cnt) AS c_total, sum(t_cnt) AS t_total,
-         count(*) AS vsize FROM vocab),
-scored AS (
-  SELECT doc_id,
-         CAST(floor((ln((t_cnt + 1) / CAST(t_total + vsize AS DOUBLE))
-                     - ln((c_cnt + 1) / CAST(c_total + vsize AS DOUBLE)))
-                * 1000000.0 + 0.5) / 1000000.0
-              AS DECIMAL(18,6)) AS lam
-  FROM tok JOIN vocab USING (tok) CROSS JOIN totals)
-SELECT doc_id, count(*) AS n_tok,
-       {_sql_rne('CAST(sum(lam) AS DOUBLE) / count(*)', 'dsir_logratio')}
-FROM scored GROUP BY 1"""
-
-
-
-def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup-ingest STREAM as a driver-checkable query: the new
-    batch (top tenth of the id space, the incremental-dedup split)
-    lands as files and streams through streaming/ops.py
-    ``dedup_ingest_stream`` in micro-batches — each one sketched once,
-    checked against the persisted corpus index, and folded in so later
-    micro-batches dedup against earlier ones. The union of per-batch
-    pair outputs is EXACTLY the batch incremental run's pair set
-    (every pair touches ≥1 new doc; the pair is emitted by the batch
-    of its LATER member, once), so the oracle is the same
-    new-touching filter of the full-run pairs as
-    ``doc_incremental_dups``. The cached corpus index is COPIED to a
-    scratch dir first — the stream mutates its index (that is the
-    point), and the shared cache must stay pristine."""
-    import os
-    import shutil
-    import tempfile
-
-    from ..streaming.ops import dedup_ingest_stream
-
-    docs = load_table(spark, sf_dir, "documents")
-    split = _incr_split_id(spark, sf_dir)
-    src_idx = _minhash_index_path(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="bdspf-sdi-")
-    try:
-        idx = os.path.join(work, "index")
-        # hardlink clone (same filesystem): instant regardless of index
-        # size; safe because the stream only ADDS batch=N dirs — the
-        # seed partitions' files are never modified in place
-        shutil.copytree(src_idx, idx, copy_function=os.link)
-        landing = os.path.join(work, "landing")
-        pairs_path = os.path.join(work, "pairs")
-        ckpt = os.path.join(work, "ckpt")
-        (
-            docs.filter(F.col("doc_id") >= split)
-            .select("doc_id", "text")
-            .repartition(2)
-            .write.parquet(landing)
-        )
-        schema = spark.read.parquet(landing).schema
-        sdf = (
-            spark.readStream.schema(schema)
-            .format("parquet")
-            .option("maxFilesPerTrigger", "1")
-            .option("pathGlobFilter", "*.parquet")
-            .load(landing)
-        )
-        q = dedup_ingest_stream(
-            sdf, idx, pairs_path, ckpt, threshold=NEAR_DUP_TAU
-        )
-        q.awaitTermination()
-        # localCheckpoint(eager) truncates lineage — persist() alone
-        # keeps a plan rooted at the scratch parquet that the finally
-        # block deletes, so any cache eviction after return would
-        # recompute from dead paths.
-        return (
-            spark.read.option("basePath", pairs_path)
-            .parquet(pairs_path)
-            .select("id_i", "id_j", _r6("jac"))
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-
-
-def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continuous k-NN over a GROWING IVF index as a driver-checkable
-    query: the new split (vec_id % 10 == 7) lands as files and streams
-    through streaming/ops.py ``ann_ingest_stream`` in micro-batches —
-    each batch emits candidate rows for earlier queries it could
-    displace, folds into the layout's list dirs, then probes the grown
-    index as queries. The emitted union is batch-order-independent
-    (every (query, candidate) pair once, by its LATER member's batch),
-    so the read-time top-k equals the batch IVF answer with queries =
-    new split, candidates = everything, quantizer = SEED centroids —
-    which is exactly the oracle."""
-    import os
-    import shutil
-    import tempfile
-
-    from ..operators.ivf import write_ivf_stream_layout
-    from ..streaming.ops import ann_ingest_stream
-
-    emb = _emb(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="bdspf-sai-")
-    try:
-        idx = os.path.join(work, "index")
-        write_ivf_stream_layout(emb.filter(F.col("vec_id") % 10 != 7), idx)
-        landing = os.path.join(work, "landing")
-        (
-            emb.filter(F.col("vec_id") % 10 == 7)
-            .repartition(2)
-            .write.parquet(landing)
-        )
-        schema = spark.read.parquet(landing).schema
-        sdf = (
-            spark.readStream.schema(schema)
-            .format("parquet")
-            .option("maxFilesPerTrigger", "1")
-            .option("pathGlobFilter", "*.parquet")
-            .load(landing)
-        )
-        results = os.path.join(work, "results")
-        ckpt = os.path.join(work, "ckpt")
-        q = ann_ingest_stream(sdf, idx, results, ckpt, nprobe=IVF_NPROBE)
-        q.awaitTermination()
-        w = Window.partitionBy("q_id").orderBy(
-            F.col("dist").asc(), F.col("vec_id").asc()
-        )
-        return (
-            spark.read.option("basePath", results)
-            .parquet(results)
-            .withColumn("rank", F.row_number().over(w).cast("int"))
-            .filter(F.col("rank") <= KNN_K)
-            .select("q_id", "vec_id", "rank", _r6("dist"), "list_id")
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-
-
-def _sql_stream_ann_ingest() -> str:
-    l2_qc = _sql_l2("q.qv", "c.cvec")
-    l2_aq = _sql_l2("a.v", "p.qv")
-    base = _sql_ivf_base(
-        cent_src="seed",
-        pre="seed AS (SELECT * FROM emb WHERE vec_id % 10 <> 7),\n",
-    )
-    return f"""
-WITH {base},
-q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 10 = 7),
-probes AS (
-  SELECT q_id, qv, list_id FROM (
-    SELECT q.q_id, q.qv, c.label AS list_id,
-           row_number() OVER (PARTITION BY q.q_id
-             ORDER BY {l2_qc} ASC, c.label ASC) AS rk
-    FROM q CROSS JOIN cent c)
-  WHERE rk <= {IVF_NPROBE}
-),
-cand AS (
-  SELECT p.q_id, a.vec_id, a.list_id, {l2_aq} AS dist
-  FROM assigned a JOIN probes p USING (list_id)
-  WHERE a.vec_id <> p.q_id
-),
-ranked AS (
-  SELECT q_id, vec_id, list_id, dist,
-         CAST(row_number() OVER (PARTITION BY q_id
-           ORDER BY dist ASC, vec_id ASC) AS INT) AS rank
-  FROM cand
-)
-SELECT q_id, vec_id, rank,
-       floor(dist * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS dist, list_id
-FROM ranked WHERE rank <= {KNN_K}"""
-
-
-def q_stream_gold_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The foreachBatch gold-table sink as a driver-checkable query:
-    drain the event stream through a foreachBatch parquet sink writing
-    one ``batch_id=N`` partition per micro-batch (overwrite — a
-    replayed micro-batch lands idempotently, the at-least-once →
-    exactly-once layout), then read the gold table back and aggregate
-    per symbol. Money sums ride integer cents so the result is
-    micro-batch-order-independent and engine-exact."""
-    import os
-    import shutil
-    import tempfile
-
-    from ..streaming.ops import stream_events
-
-    work = tempfile.mkdtemp(prefix="bdspf-gold-")
-    try:
-        gold = os.path.join(work, "gold")
-        ckpt = os.path.join(work, "ckpt")
-        sdf = stream_events(spark, sf_dir, max_files_per_trigger=1)
-
-        def sink(batch_df: DataFrame, batch_id: int) -> None:
-            batch_df.write.mode("overwrite").parquet(
-                os.path.join(gold, f"batch_id={batch_id}")
-            )
-
-        q = (
-            sdf.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        back = spark.read.option("basePath", gold).parquet(gold)
-        # localCheckpoint(eager) truncates lineage — see
-        # q_stream_dedup_ingest (same scratch-dir-deletion hazard).
-        return (
-            back.groupBy("symbol")
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(
-                    F.floor(F.col("close") * 100 + F.lit(0.5)).cast("long")
-                ).alias("cents"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-
-
-SQL_STREAM_GOLD_SINK = """
-SELECT user_id AS symbol, count(*) AS n_rows,
-       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-         AS cents
-FROM events GROUP BY 1"""
-
-
-
-EWMA_VOL_LAMBDA = 0.94  # RiskMetrics decay
-
-
-def q_ts_ewma_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RiskMetrics EWMA volatility per symbol: the recursion
-    v_t = λ·v_{t−1} + (1−λ)·r²_t over squared log returns, σ_t = √v_t
-    — the industry-standard decayed vol estimator beside the
-    window-sum realized vol. The squared return snaps to the 1e-12
-    grid BEFORE the recursion in both engines, so the Arrow-pass
-    recursion (operators/rolling.py ewm_smooth — the W4 EMA machinery
-    reused on r²) and the DuckDB recursive CTE consume identical
-    inputs and reproduce v bitwise; only the final √ rounds. Rides the
-    ts family's single symbol exchange; the first grid row (no lagged
-    close) emits no vol row, matching the CTE seed at rn=2. A return
-    with a non-positive close on either side (zero prices occur in
-    the raw feed; ANSI division would throw) contributes r² = 0 — a
-    flat tick — so the recursion stays TOTAL after rn=1 and the CTE
-    chain never hits a state-killing NULL."""
-    from ..operators.rolling import ewm_smooth
-
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    prev = F.lag("close", 1).over(w)
-    lr = F.when(
-        (F.col("close") > 0) & (prev > 0),
-        F.log(F.col("close") / prev),
-    ).otherwise(
-        F.when(prev.isNotNull(), F.lit(0.0))  # rn=1 stays NULL
-    )
-    base = df.withColumn(
-        "r2", F.floor(lr * lr * 1e12 + F.lit(0.5)) / 1e12
-    )
-    sm = ewm_smooth(base, {"v": ("r2", 1.0 - EWMA_VOL_LAMBDA)})
-    return sm.filter(F.col("v").isNotNull()).select(
-        "symbol", "time_idx", _rne(F.sqrt(F.col("v")), "ewma_vol", 8)
-    )
-
-
-def _sql_ts_ewma_vol() -> str:
-    a = 1.0 - EWMA_VOL_LAMBDA
-    return f"""WITH RECURSIVE {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-lagged AS (
-  SELECT symbol, time_idx, close,
-         lag(close) OVER (PARTITION BY symbol ORDER BY time_idx) AS prev,
-         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) AS rn
-  FROM filled),
-rr AS (
-  SELECT symbol, time_idx, rn,
-         floor(pow(CASE WHEN close > 0 AND prev > 0
-                        THEN ln(close / prev) ELSE 0.0 END, 2)
-               * 1000000000000.0 + 0.5) / 1000000000000.0 AS r2
-  FROM lagged),
-rec(symbol, rn, time_idx, v) AS (
-  SELECT symbol, rn, time_idx, r2 FROM rr WHERE rn = 2
-  UNION ALL
-  SELECT r.symbol, r.rn, r.time_idx,
-         (1.0 - {a}) * rec.v + {a} * r.r2
-  FROM rec JOIN rr r ON r.symbol = rec.symbol AND r.rn = rec.rn + 1)
-SELECT symbol, time_idx, {_sql_rne('sqrt(v)', 'ewma_vol', 8)}
-FROM rec"""
-
-
-def q_orders_open_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Open-order concurrency by day — the classic sweep-line interval
-    aggregation (how many orders are in flight on each change day):
-    each order contributes +1 at its order date and −1 the day after
-    its last shipment; the running sum of day-grouped deltas IS the
-    concurrency step function. The running sum uses the two-phase
-    bucketed prefix (operators/twophase, bucket = year) so no single
-    task ever sorts the full day grain — the same scale discipline as
-    ABC/gini — and the day grain itself is calendar-bounded. Output is
-    one row per change day (the step function's knots)."""
-    from ..operators.twophase import prefix_agg
-
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", F.to_date("o_orderdate").alias("d0")
-    )
-    ship = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.max(F.to_date("l_shipdate")).alias("d1"))
-    )
-    iv = o.join(ship, F.col("o_orderkey") == F.col("l_orderkey"))
-    deltas = (
-        iv.select(F.col("d0").alias("day"), F.lit(1).alias("delta"))
-        .unionByName(
-            iv.select(
-                F.date_add(F.col("d1"), 1).alias("day"),
-                F.lit(-1).alias("delta"),
-            )
-        )
-        .groupBy("day")
-        .agg(F.sum("delta").alias("delta"))
-    )
-    out = prefix_agg(
-        deltas,
-        F.col("delta"),
-        F.year(F.col("day")).cast("long"),
-        [F.col("day").asc()],
-        agg="sum",
-        strict=False,
-        out_col="n_open",
-    )
-    return out.select("day", "delta", "n_open")
-
-
-SQL_ORDERS_OPEN_CONCURRENCY = """
-WITH iv AS (
-  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS d0,
-         CAST(max(l.l_shipdate) AS DATE) AS d1
-  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-  GROUP BY 1, 2),
-deltas AS (
-  SELECT day, CAST(sum(delta) AS BIGINT) AS delta FROM (
-    SELECT d0 AS day, 1 AS delta FROM iv
-    UNION ALL
-    SELECT CAST(d1 + INTERVAL 1 DAY AS DATE), -1 FROM iv)
-  GROUP BY 1)
-SELECT day, delta,
-       CAST(sum(delta) OVER (ORDER BY day) AS BIGINT) AS n_open
-FROM deltas"""
-
-
-def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document n-gram novelty — what fraction of a doc's 3-gram
-    shingles appear in NO earlier document (by doc_id ingest order)?
-    The dataset-curation curve behind "is the tail of this crawl still
-    contributing new content": novelty decays as a corpus saturates,
-    and near-zero novelty docs are cheap near-dup suspects. One
-    inverted-index aggregate (min doc_id per shingle — map-side
-    combined) joined back to the doc-shingle stream: Σdf cost, never
-    pairwise. Shares the hash60-shingle plumbing (and hence the
-    df-cap discipline) with the Jaccard family; docs with < 3 tokens
-    have no shingles and emit no row in either engine."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
-    e = tok.select(
-        "doc_id",
-        F.explode(shingles(F.col("tok"), 3)).alias("s"),
-    ).select("doc_id", hash60(F.col("s")).alias("h"))
-    first = e.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        e.join(first, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.count_if(F.col("first_doc") == F.col("doc_id")).alias(
-                "n_novel"
-            ),
-        )
-    )
-    return per_doc.select(
-        "doc_id",
-        "n_shingles",
-        "n_novel",
-        _rne(
-            F.col("n_novel") / F.col("n_shingles").cast("double"),
-            "novelty",
-            6,
-        ),
-    )
-
-
-def _sql_doc_ngram_novelty() -> str:
-    return f"""
-WITH toks AS (SELECT doc_id, {sql_tokens('text')} AS tok FROM documents),
-s AS (SELECT doc_id, {sql_shingles('tok', 3)} AS sh FROM toks),
-e AS (
-  SELECT doc_id, unnest(list_transform(sh, x -> {sql_hash60('x')})) AS h
-  FROM s WHERE len(sh) > 0),
-first_ AS (SELECT h, min(doc_id) AS first_doc FROM e GROUP BY 1)
-SELECT e.doc_id, count(*) AS n_shingles,
-       CAST(count(*) FILTER (f.first_doc = e.doc_id) AS BIGINT)
-         AS n_novel,
-       {_sql_rne(
-           'CAST(count(*) FILTER (f.first_doc = e.doc_id) AS DOUBLE)'
-           ' / count(*)', 'novelty')}
-FROM e JOIN first_ f USING (h) GROUP BY 1"""
-
-
-
-def q_doc_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span-level exact duplicate detection (the Lee et al.
-    "Deduplicating Training Data Makes Language Models Better"
-    substring-dedup shape): maximal runs of consecutive 8-gram
-    shingles that appear in ≥ 2 distinct documents — the spans a
-    training pipeline would cut, where doc-level dedup keeps both
-    docs. One inverted-index distinct-doc count per shingle (map-side
-    combined, shuffle keyed on the 60-bit hash — uniformly
-    distributed), joined back co-partitioned on the same key, then a
-    per-doc ``pos − row_number()`` run-merge window. Work is Σ
-    positions — NEVER pairwise, no suffix array materialization; the
-    span report is integers end-to-end (no float hashing concerns).
-    Docs with < 8 tokens have no shingles and emit nothing in either
-    engine; within-doc repetition (ndocs = 1) is excluded by design —
-    that is ``doc_repetition``'s domain. Uses POSITIONAL (non-distinct)
-    shingles — array index must be the token offset, which the
-    dedup-family ``shingles()`` breaks by design."""
-    n = 8
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
-    e = (
-        tok.select(
-            "doc_id",
-            F.posexplode(pos_shingles(F.col("tok"), n)).alias("pos", "s"),
-        )
-        .select("doc_id", "pos", hash60(F.col("s")).alias("h"))
-    )
-    dfh = e.groupBy("h").agg(F.count_distinct("doc_id").alias("ndocs"))
-    dup = e.join(dfh.filter(F.col("ndocs") >= 2), "h").select(
-        "doc_id", "pos", "ndocs"
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    runs = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
-    return (
-        runs.groupBy("doc_id", "grp")
-        .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") - F.min("pos") + F.lit(n))
-            .cast("long")
-            .alias("span_len_tokens"),
-            F.count(F.lit(1)).alias("n_dup_shingles"),
-            F.max("ndocs").alias("max_df"),
-        )
-        .select(
-            "doc_id", "span_start", "span_len_tokens",
-            "n_dup_shingles", "max_df",
-        )
-    )
-
-
-def _sql_doc_dup_ngram_spans() -> str:
-    return f"""
-WITH toks AS (SELECT doc_id, {sql_tokens('text')} AS tok FROM documents),
-s AS (SELECT doc_id, {sql_pos_shingles('tok', 8)} AS sh FROM toks),
-e AS (
-  SELECT doc_id,
-         unnest(list_transform(sh, x -> {sql_hash60('x')})) AS h,
-         unnest(range(len(sh))) AS pos
-  FROM s WHERE len(sh) > 0),
-dfh AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM e GROUP BY 1),
-dup AS (SELECT e.doc_id, e.pos, d.ndocs
-        FROM e JOIN dfh d USING (h) WHERE d.ndocs >= 2),
-runs AS (
-  SELECT doc_id, pos, ndocs,
-         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-           AS grp
-  FROM dup)
-SELECT doc_id, min(pos) AS span_start,
-       max(pos) - min(pos) + 8 AS span_len_tokens,
-       count(*) AS n_dup_shingles, max(ndocs) AS max_df
-FROM runs GROUP BY doc_id, grp"""
-
-
-def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort lifetime-value curve: customers grouped by first-order
-    month, revenue accumulated by months-since-first-order — the
-    curve a growth team reads LTV/CAC off. Revenue rides integer
-    cents end-to-end (one float division at the very end), the month
-    index is exact integer year/month arithmetic (no engine
-    months_between conventions), and the cumulative sum runs in a
-    cohort-partitioned window whose frame is calendar-bounded
-    (months, not orders) — scale-safe without any global sort. Two
-    exchanges total: the per-customer first-order aggregate and the
-    (cohort, m) aggregate."""
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        "o_orderdate",
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents"),
-    )
-    first = o.groupBy("o_custkey").agg(
-        F.min(F.to_date(F.date_trunc("month", "o_orderdate"))).alias(
-            "cohort_month"
-        )
-    )
-    sizes = first.groupBy("cohort_month").agg(
-        F.count(F.lit(1)).alias("cohort_size")
-    )
-    j = o.join(first, "o_custkey")
-    m = (
-        (F.year("o_orderdate") - F.year("cohort_month")) * 12
-        + (F.month("o_orderdate") - F.month("cohort_month"))
-    ).cast("int")
-    per = (
-        j.select("cohort_month", m.alias("m"), "cents")
-        .groupBy("cohort_month", "m")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum("cents").alias("rev_cents"),
-        )
-    )
-    w = (
-        Window.partitionBy("cohort_month")
-        .orderBy("m")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        per.withColumn("cum_cents", F.sum("rev_cents").over(w))
-        .join(F.broadcast(sizes), "cohort_month")
-        .select(
-            "cohort_month",
-            "m",
-            "n_orders",
-            "cum_cents",
-            _rne(
-                F.col("cum_cents")
-                / F.lit(100.0)
-                / F.col("cohort_size").cast("double"),
-                "ltv_per_customer",
-                6,
-            ),
-        )
-    )
-
-
-SQL_ORDERS_COHORT_LTV = f"""
-WITH o AS (
-  SELECT o_custkey, o_orderdate,
-         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-  FROM orders),
-first_ AS (
-  SELECT o_custkey,
-         CAST(date_trunc('month', min(o_orderdate)) AS DATE)
-           AS cohort_month
-  FROM o GROUP BY 1),
-sizes AS (
-  SELECT cohort_month, count(*) AS cohort_size FROM first_ GROUP BY 1),
-per AS (
-  SELECT f.cohort_month,
-         CAST((year(o.o_orderdate) - year(f.cohort_month)) * 12
-              + (month(o.o_orderdate) - month(f.cohort_month)) AS INT)
-           AS m,
-         count(*) AS n_orders,
-         CAST(sum(o.cents) AS BIGINT) AS rev_cents
-  FROM o JOIN first_ f USING (o_custkey)
-  GROUP BY 1, 2)
-SELECT p.cohort_month, p.m, p.n_orders,
-       CAST(sum(p.rev_cents) OVER (PARTITION BY p.cohort_month
-         ORDER BY p.m ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
-       {_sql_rne(
-           'CAST(sum(p.rev_cents) OVER (PARTITION BY p.cohort_month'
-           ' ORDER BY p.m ROWS UNBOUNDED PRECEDING) AS DOUBLE)'
-           ' / 100.0 / s.cohort_size', 'ltv_per_customer')}
-FROM per p JOIN sizes s USING (cohort_month)"""
-
-
-OOD_QUANTILE = 0.95
-
-
-def q_emb_ood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Out-of-distribution scoring against the IVF coarse quantizer:
-    each vector's distance to its OWN nearest centroid, flagged
-    against its list's p95 distance (explicit rank pick — no engine
-    quantile interpolation is load-bearing) — the cheap OOD screen a
-    curation pipeline runs before admitting embeddings to an index
-    (far-from-every-centroid vectors are garbage, adversarial, or a
-    new mode the quantizer has not learned). One assignment pass
-    (broadcast centroids, map-side argmin) + one list-partitioned
-    rank window; the threshold compare uses the RAW distances (both
-    engines reproduce them bitwise via the sequential-fold contract),
-    rounding only the emitted columns."""
-    from ..operators.ivf import EMB_DIM, assign_lists, label_centroids
-
-    from ..functions.distance import dist_l2_fixed
-
-    emb = _emb(spark, sf_dir)
-    cent = label_centroids(emb)
-    assigned = assign_lists(emb, cent)
-    withd = assigned.join(
-        F.broadcast(cent.select(F.col("label").alias("list_id"), "cvec")),
-        "list_id",
-    ).select(
-        "vec_id",
-        "list_id",
-        dist_l2_fixed(F.col("v"), F.col("cvec"), EMB_DIM).alias("d"),
-    )
-    wr = Window.partitionBy("list_id").orderBy(
-        F.col("d").asc(), F.col("vec_id").asc()
-    )
-    wn = Window.partitionBy("list_id")
-    ranked = withd.select(
-        "vec_id",
-        "list_id",
-        "d",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
-    pick = F.floor((F.col("n") - 1) * F.lit(OOD_QUANTILE)).cast(
-        "int"
-    ) + F.lit(1)
-    thr = ranked.filter(F.col("rn") == pick).select(
-        "list_id", F.col("d").alias("thr")
-    )
-    return (
-        ranked.join(F.broadcast(thr), "list_id")
-        .select(
-            "vec_id",
-            "list_id",
-            _rne(F.col("d"), "dist", 6),
-            _rne(F.col("thr"), "p95_dist", 6),
-            (F.col("d") > F.col("thr")).alias("is_ood"),
-        )
-    )
-
-
-def _sql_emb_ood() -> str:
-    l2 = _sql_l2("a.v", "c.cvec")
-    return f"""
-WITH {_sql_ivf_base()},
-withd AS (
-  SELECT a.vec_id, a.list_id, {l2} AS d
-  FROM assigned a JOIN cent c ON c.label = a.list_id),
-ranked AS (
-  SELECT vec_id, list_id, d,
-         row_number() OVER (PARTITION BY list_id
-           ORDER BY d ASC, vec_id ASC) AS rn,
-         count(*) OVER (PARTITION BY list_id) AS n
-  FROM withd),
-thr AS (
-  SELECT list_id, d AS thr FROM ranked
-  WHERE rn = CAST(floor((n - 1) * {OOD_QUANTILE}) AS INT) + 1)
-SELECT r.vec_id, r.list_id,
-       {_sql_rne('r.d', 'dist')},
-       {_sql_rne('t.thr', 'p95_dist')},
-       r.d > t.thr AS is_ood
-FROM ranked r JOIN thr t USING (list_id)"""
-
-
-
-# Gopher/C4-shaped rule thresholds (tuned so the synthetic corpus is
-# non-degenerate: some docs fail, most pass)
-QF_MIN_TOKENS, QF_MAX_TOKENS = 20, 100_000
-QF_MIN_MTL, QF_MAX_MTL = 3.0, 10.0
-QF_MAX_PUNCT = 0.10
-QF_MIN_STOP = 0.01
-QF_MAX_TOP_SHARE = 0.20
-
-
-def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style composite quality DECISION per document — the
-    curation step downstream of the measurement profile
-    (doc_text_profile): five boolean rules (token-count window, mean
-    token length window, punctuation ratio cap, stopword-presence
-    floor, single-token dominance cap) and the conjunctive keep flag,
-    each emitted so rejected docs are auditable by reason. One
-    token-grain aggregate (map-side combined) joined back to the
-    doc-grain text metrics — all ratios are divisions of identical
-    integers, so the rule booleans are engine-exact with no grid
-    involved."""
-    docs = _docs_parallel(spark, sf_dir)
-    tokc = (
-        docs.select(
-            "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
-        )
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    tok_agg = tokc.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_tok"),
-        F.max("cnt").alias("max_cnt"),
-        F.sum(F.length("tok") * F.col("cnt")).alias("tok_chars"),
-        F.sum(
-            F.when(F.col("tok").isin(*EN_STOPWORDS), F.col("cnt")).otherwise(
-                F.lit(0)
-            )
-        ).alias("stop_hits"),
-    )
-    text_m = docs.select(
-        "doc_id",
-        F.length("text").alias("len_chars"),
-        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).alias(
-            "n_punct"
-        ),
-    )
-    j = tok_agg.join(text_m, "doc_id")
-    mtl = F.col("tok_chars").cast("double") / F.col("n_tok")
-    punct_ratio = F.col("n_punct").cast("double") / F.col("len_chars")
-    stop_ratio = F.col("stop_hits").cast("double") / F.col("n_tok")
-    top_share = F.col("max_cnt").cast("double") / F.col("n_tok")
-    r_wc = (F.col("n_tok") >= QF_MIN_TOKENS) & (
-        F.col("n_tok") <= QF_MAX_TOKENS
-    )
-    r_mtl = (mtl >= QF_MIN_MTL) & (mtl <= QF_MAX_MTL)
-    r_punct = punct_ratio <= QF_MAX_PUNCT
-    r_stop = stop_ratio >= QF_MIN_STOP
-    r_dom = top_share <= QF_MAX_TOP_SHARE
-    return j.select(
-        "doc_id",
-        "n_tok",
-        r_wc.alias("rule_wordcount"),
-        r_mtl.alias("rule_mean_tok_len"),
-        r_punct.alias("rule_punct"),
-        r_stop.alias("rule_stopwords"),
-        r_dom.alias("rule_dominance"),
-        (r_wc & r_mtl & r_punct & r_stop & r_dom).alias("keep"),
-    )
-
-
-def _sql_doc_quality_filter() -> str:
-    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
-    return f"""
-WITH tokc AS (
-  SELECT doc_id, tok, count(*) AS cnt FROM (
-    SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents)
-  GROUP BY 1, 2),
-tok_agg AS (
-  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok,
-         max(cnt) AS max_cnt,
-         CAST(sum(length(tok) * cnt) AS BIGINT) AS tok_chars,
-         CAST(sum(CASE WHEN tok IN ({stop_list}) THEN cnt ELSE 0 END)
-              AS BIGINT) AS stop_hits
-  FROM tokc GROUP BY 1),
-text_m AS (
-  SELECT doc_id, length(text) AS len_chars,
-         length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
-  FROM documents),
-j AS (SELECT * FROM tok_agg JOIN text_m USING (doc_id)),
-rules AS (
-  SELECT doc_id, n_tok,
-         n_tok >= {QF_MIN_TOKENS} AND n_tok <= {QF_MAX_TOKENS}
-           AS rule_wordcount,
-         CAST(tok_chars AS DOUBLE) / n_tok >= {QF_MIN_MTL}
-           AND CAST(tok_chars AS DOUBLE) / n_tok <= {QF_MAX_MTL}
-           AS rule_mean_tok_len,
-         CAST(n_punct AS DOUBLE) / len_chars <= {QF_MAX_PUNCT}
-           AS rule_punct,
-         CAST(stop_hits AS DOUBLE) / n_tok >= {QF_MIN_STOP}
-           AS rule_stopwords,
-         CAST(max_cnt AS DOUBLE) / n_tok <= {QF_MAX_TOP_SHARE}
-           AS rule_dominance
-  FROM j)
-SELECT doc_id, n_tok, rule_wordcount, rule_mean_tok_len, rule_punct,
-       rule_stopwords, rule_dominance,
-       rule_wordcount AND rule_mean_tok_len AND rule_punct
-         AND rule_stopwords AND rule_dominance AS keep
-FROM rules"""
-
-
-def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-negative mining for contrastive training: per query, the
-    nearest SAME-label vector (positive) and the nearest
-    DIFFERENT-label vector (hard negative), with the margin between
-    them — the pair-construction step of a retrieval-training
-    pipeline, where margin ≈ 0 marks the pairs worth training on.
-    Brute-force over the strided query set (the sanctioned eval-card
-    baseline; the production form probes the IVF index), flat
-    fixed-dim distances, ONE map-side-combined min(struct) aggregate
-    per side — the crossed rows never shuffle."""
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("label").alias("q_label"),
-    )
-    cand = (
-        emb.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "q_label",
-            "vec_id",
-            "label",
-            dist_l2_fixed64(F.col("v"), F.col("qv")).alias("d"),
-        )
-    )
-    pick = lambda cond: F.min(  # noqa: E731
-        F.when(cond, F.struct(F.col("d"), F.col("vec_id")))
-    )
-    best = cand.groupBy("q_id").agg(
-        pick(F.col("label") == F.col("q_label")).alias("pos"),
-        pick(F.col("label") != F.col("q_label")).alias("neg"),
-    )
-    return best.select(
-        "q_id",
-        F.col("pos.vec_id").alias("pos_id"),
-        F.col("neg.vec_id").alias("neg_id"),
-        _rne(F.col("pos.d"), "pos_dist", 6),
-        _rne(F.col("neg.d"), "neg_dist", 6),
-        _rne(F.col("neg.d") - F.col("pos.d"), "margin", 6),
-    )
-
-
-def _sql_emb_hard_negatives() -> str:
-    l2 = _sql_l2("e.v", "q.qv")
-    return f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
-             FROM embeddings),
-q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM emb
-      WHERE vec_id % {KNN_QUERY_MOD} = 0),
-cand AS (
-  SELECT q.q_id, q.q_label, e.vec_id, e.label, {l2} AS d
-  FROM emb e CROSS JOIN q WHERE e.vec_id <> q.q_id),
-pos AS (
-  SELECT q_id, vec_id AS pos_id, d AS pos_d FROM (
-    SELECT *, row_number() OVER (PARTITION BY q_id
-      ORDER BY d ASC, vec_id ASC) AS rn
-    FROM cand WHERE label = q_label) WHERE rn = 1),
-neg AS (
-  SELECT q_id, vec_id AS neg_id, d AS neg_d FROM (
-    SELECT *, row_number() OVER (PARTITION BY q_id
-      ORDER BY d ASC, vec_id ASC) AS rn
-    FROM cand WHERE label <> q_label) WHERE rn = 1)
-SELECT p.q_id, p.pos_id, n.neg_id,
-       {_sql_rne('p.pos_d', 'pos_dist')},
-       {_sql_rne('n.neg_d', 'neg_dist')},
-       {_sql_rne('n.neg_d - p.pos_d', 'margin')}
-FROM pos p JOIN neg n USING (q_id)"""
-
-
-
-PR_DAMPING = 0.85
-PR_ITERS = 3
-
-
-def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank (damping 0.85, ``PR_ITERS`` unrolled power iterations)
-    over the capped supplier co-purchase graph — the canonical
-    distributed-graph benchmark beside HITS/triangles/BFS/CC. Each
-    iteration is one equi-join + one keyed aggregate (the CC/BFS
-    shape); the graph is the same ``HUB_PART_MAX_DEGREE``-capped
-    top-K edge cut as the rest of the family. Float discipline: every
-    per-edge contribution pr(u)/deg(u) snaps to the 1e-9 grid and
-    sums in exact DECIMAL(28,9) (summation order cannot perturb it);
-    the damped combine then re-snaps, so both engines walk identical
-    score sequences with no tolerance anywhere. Iterations are
-    unrolled into the one lazy plan — at this depth no checkpoint is
-    needed, and at cluster scale each round reuses the node-key
-    exchange."""
-    li = load_table(spark, sf_dir, "lineitem")
-    ps = _cap_part_degree(li.select("l_partkey", "l_suppkey").distinct())
-    s1 = ps.select("l_partkey", F.col("l_suppkey").alias("sa"))
-    s2 = ps.select("l_partkey", F.col("l_suppkey").alias("sb"))
-    edges = (
-        s1.join(s2, "l_partkey")
-        .filter(F.col("sa") < F.col("sb"))
-        .groupBy("sa", "sb")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .orderBy(
-            F.col("n_shared").desc(), F.col("sa").asc(), F.col("sb").asc()
-        )
-        .limit(TRIANGLE_TOP_EDGES)
-        .select("sa", "sb")
-    )
-    # materialize the (top-K, tiny) edge list once: the unrolled
-    # rounds reference it 2x each, and without the checkpoint every
-    # reference replays the full bipartite projection + top-K cut
-    edges = edges.coalesce(1).localCheckpoint(eager=True)
-    und = edges.select(
-        F.col("sa").alias("u"), F.col("sb").alias("v")
-    ).unionByName(
-        edges.select(F.col("sb").alias("u"), F.col("sa").alias("v"))
-    )
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
-    snap9 = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
-    d = PR_DAMPING
-    # pr frame: (u, pr); seed 1/N
-    pr = deg.crossJoin(F.broadcast(n_nodes)).select(
-        "u", snap9(F.lit(1.0) / F.col("n")).alias("pr")
-    )
-    for _ in range(PR_ITERS):
-        contrib = (
-            und.join(pr, "u")
-            .join(deg, "u")
-            .select(
-                F.col("v").alias("u"),
-                snap9(F.col("pr") / F.col("deg"))
-                .cast("decimal(28,9)")
-                .alias("c"),
-            )
-        )
-        sums = contrib.groupBy("u").agg(F.sum("c").alias("s"))
-        # dangling-free by construction (every node in und has deg>=1),
-        # but nodes receiving no contribution this round still need a
-        # row: rebuild from deg with a left join
-        pr = (
-            deg.join(sums, "u", "left")
-            .crossJoin(F.broadcast(n_nodes))
-            .select(
-                "u",
-                snap9(
-                    (1.0 - d) / F.col("n")
-                    + d * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
-                ).alias("pr"),
-            )
-        )
-    return pr.select(F.col("u").alias("s_suppkey"), _rne(F.col("pr"), "pagerank", 9))
-
-
-def _sql_graph_pagerank() -> str:
-    d = PR_DAMPING
-    snap9 = lambda e: f"floor(({e}) * 1000000000.0 + 0.5) / 1000000000.0"  # noqa: E731
-    steps = []
-    prev = "pr0"
-    for i in range(1, PR_ITERS + 1):
-        steps.append(f"""c{i} AS (
-  SELECT e.v AS u,
-         CAST({snap9(f'p.pr / dg.deg')} AS DECIMAL(28,9)) AS c
-  FROM und e JOIN {prev} p ON p.u = e.u JOIN deg dg ON dg.u = e.u),
-s{i} AS (SELECT u, sum(c) AS s FROM c{i} GROUP BY 1),
-pr{i} AS (
-  SELECT dg.u,
-         {snap9(
-             f'(1.0 - {d}) / nn.n + {d} * '
-             f'coalesce(CAST(s.s AS DOUBLE), 0.0)'
-         )} AS pr
-  FROM deg dg LEFT JOIN s{i} s ON s.u = dg.u CROSS JOIN nn)""")
-        prev = f"pr{i}"
-    body = ",\n".join(steps)
-    return f"""
-WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-psc AS ({SQL_PS_CAPPED}),
-edges AS (
-  SELECT sa, sb FROM (
-    SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS n_shared
-    FROM psc a JOIN psc b
-      ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
-    GROUP BY 1, 2
-    ORDER BY n_shared DESC, sa ASC, sb ASC LIMIT {TRIANGLE_TOP_EDGES})),
-und AS (
-  SELECT sa AS u, sb AS v FROM edges
-  UNION ALL SELECT sb, sa FROM edges),
-deg AS (SELECT u, count(*) AS deg FROM und GROUP BY 1),
-nn AS (SELECT count(*) AS n FROM deg),
-pr0 AS (SELECT u, {snap9('1.0 / nn.n')} AS pr FROM deg CROSS JOIN nn),
-{body}
-SELECT u AS s_suppkey,
-       {_sql_rne(f'{prev}.pr', 'pagerank', 9)}
-FROM {prev}"""
-
-
-
-def q_doc_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full curation pipeline's per-document verdict — the
-    capstone that composes the dedup tiers (exact ▸ near), the
-    Gopher-rules quality filter, and the embedding OOD screen into
-    ONE keep/drop table with an auditable reason per drop, in fixed
-    precedence: exact_dup > near_dup > quality_fail > ood_embedding >
-    kept. This is the table a pretraining-data pipeline actually
-    ships: every upstream signal stays independently queryable (each
-    is its own oracle-checked query), and this join-of-verdicts costs
-    three doc-grain hash joins on top of them. Embeddings pair 1:1
-    with documents by id in the synthetic corpus (vec_id = doc_id) —
-    the production analog is the doc's stored embedding column."""
-    dd = q_doc_dedup_decisions(spark, sf_dir).select(
-        "doc_id", F.col("reason").alias("dd_reason")
-    )
-    qf = q_doc_quality_filter(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("q_keep")
-    )
-    od = q_emb_ood_score(spark, sf_dir).select(
-        F.col("vec_id").alias("doc_id"), "is_ood"
-    )
-    j = dd.join(qf, "doc_id", "left").join(od, "doc_id", "left")
-    reason = (
-        F.when(F.col("dd_reason") != "kept", F.col("dd_reason"))
-        .when(~F.coalesce(F.col("q_keep"), F.lit(True)), "quality_fail")
-        .when(F.coalesce(F.col("is_ood"), F.lit(False)), "ood_embedding")
-        .otherwise("kept")
-    )
-    return j.select(
-        "doc_id",
-        reason.alias("reason"),
-        (reason == "kept").cast("int").alias("is_kept"),
-    )
-
-
-def _sql_doc_curation_decisions() -> str:
-    return f"""
-WITH dd AS (SELECT doc_id, reason AS dd_reason FROM (
-  {_sql_doc_dedup_decisions()})),
-qf AS (SELECT doc_id, keep AS q_keep FROM (
-  {_sql_doc_quality_filter()})),
-od AS (SELECT vec_id AS doc_id, is_ood FROM ({_sql_emb_ood()})),
-j AS (
-  SELECT dd.doc_id, dd.dd_reason, qf.q_keep, od.is_ood
-  FROM dd LEFT JOIN qf USING (doc_id) LEFT JOIN od USING (doc_id)),
-verdict AS (
-  SELECT doc_id,
-         CASE WHEN dd_reason <> 'kept' THEN dd_reason
-              WHEN NOT coalesce(q_keep, TRUE) THEN 'quality_fail'
-              WHEN coalesce(is_ood, FALSE) THEN 'ood_embedding'
-              ELSE 'kept' END AS reason
-  FROM j)
-SELECT doc_id, reason,
-       CAST(reason = 'kept' AS INT) AS is_kept
-FROM verdict"""
-
-
-
-IVFPQ_NPROBE = 2
-
-
-def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ search — the composition that IS the standard
-    100 TB vector-index layout (FAISS's IVFADC): the coarse quantizer
-    prunes the corpus to ``IVFPQ_NPROBE`` probed lists, then PQ's ADC
-    lookup table scores ONLY those candidates at 4 LUT adds per
-    vector, and exact distances are recomputed just for the reported
-    top-k (approximation error as a measured column). Both halves are
-    the already-verified building blocks (emb_ivf_ann_topk's probe
-    pruning, emb_pq_adc_topk's LUT scan) joined at the candidate set:
-    scan cost = probed fraction × 4 adds, the product of the two
-    savings. Everything broadcast here (centroids, codebook, LUT) is
-    fixed-size by construction; the candidate join is equi on
-    list_id."""
-    from ..operators.ivf import assign_lists, label_centroids
-
-    emb = _emb(spark, sf_dir)
-    cent = label_centroids(emb)
-    assigned = assign_lists(emb, cent)
-    cb = _pq_codebook(emb)
-    codes = _pq_assignments(emb, cb).select(
-        "vec_id", "s", F.col("m.code").alias("code")
-    )
-    queries = assigned.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    )
-    wq = Window.partitionBy("q_id").orderBy(
-        F.col("__cdist").asc(), F.col("label_c").asc()
-    )
-    probes = (
-        queries.crossJoin(
-            F.broadcast(
-                cent.select(F.col("label").alias("label_c"), "cvec")
-            )
-        )
-        .withColumn("__cdist", dist_l2_fixed64(F.col("qv"), F.col("cvec")))
-        .withColumn("__rk", F.row_number().over(wq))
-        .filter(F.col("__rk") <= IVFPQ_NPROBE)
-        .select("q_id", F.col("label_c").alias("list_id"))
-    )
-    cand = (
-        assigned.join(probes, "list_id")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id")
-    )
-    lut = queries.crossJoin(F.broadcast(cb)).select(
-        "q_id",
-        "s",
-        "code",
-        dist_l2sq(
-            F.slice("qv", F.col("s") * PQ_DSUB + 1, PQ_DSUB), F.col("cvec")
-        ).alias("d2"),
-    )
-    scored = (
-        cand.join(codes, "vec_id")
-        .join(F.broadcast(lut), ["q_id", "s", "code"])
-        .groupBy("q_id", "vec_id")
-        .agg(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("s", "d2"))),
-                    lambda z: z["d2"],
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("adc2")
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("adc2").asc(), F.col("vec_id").asc()
-    )
-    top = scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= PQ_ADC_K
-    )
-    # queries-sized by construction: filter to the query stride
-    # BEFORE broadcasting (a corpus-sized broadcast here would
-    # defeat the pruned-scan design this query demonstrates).
-    qv = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    )
-    dv = emb.select("vec_id", "v")
-    return (
-        top.join(F.broadcast(qv), "q_id")
-        .join(dv, "vec_id")
-        .select(
-            "q_id",
-            "rank",
-            "vec_id",
-            _rne(F.sqrt(F.col("adc2")), "adc_dist", 6),
-            _rne(F.sqrt(dist_l2sq(F.col("qv"), F.col("v"))), "l2_dist", 6),
-        )
-    )
-
-
-def _sql_emb_ivfpq() -> str:
-    sl = f"list_slice(e.v, cb.s * {PQ_DSUB} + 1, cb.s * {PQ_DSUB} + {PQ_DSUB})"
-    err2 = (
-        f"list_reduce(list_prepend(0.0, list_transform("
-        f"list_zip({sl}, cb.cvec), p -> (p[1]-p[2])*(p[1]-p[2]))),"
-        f" (x, y) -> x + y)"
-    )
-    qsl = f"list_slice(q.qv, cb.s * {PQ_DSUB} + 1, cb.s * {PQ_DSUB} + {PQ_DSUB})"
-    qd2 = (
-        f"list_reduce(list_prepend(0.0, list_transform("
-        f"list_zip({qsl}, cb.cvec), p -> (p[1]-p[2])*(p[1]-p[2]))),"
-        f" (x, y) -> x + y)"
-    )
-    exact = (
-        "list_reduce(list_prepend(0.0, list_transform("
-        "list_zip(qq.qv, dv.v), p -> (p[1]-p[2])*(p[1]-p[2]))),"
-        " (x, y) -> x + y)"
-    )
-    l2_qc = _sql_l2("q.qv", "c.cvec")
-    return f"""
-WITH {_sql_ivf_base()},
-q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 100 = 0),
-probes AS (
-  SELECT q_id, list_id FROM (
-    SELECT q.q_id, c.label AS list_id,
-           row_number() OVER (PARTITION BY q.q_id
-             ORDER BY {l2_qc} ASC, c.label ASC) AS rk
-    FROM q CROSS JOIN cent c)
-  WHERE rk <= {IVFPQ_NPROBE}),
-cand_ids AS (
-  SELECT p.q_id, a.vec_id
-  FROM assigned a JOIN probes p USING (list_id)
-  WHERE a.vec_id <> p.q_id),
-pq_dims AS (
-  SELECT label, CAST((i - 1) // {PQ_DSUB} AS INT) AS s, i AS pos,
-         floor(avg(v[i]) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS c
-  FROM emb, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
-  GROUP BY 1, 2, 3),
-cb AS (SELECT label AS code, s, list(c ORDER BY pos) AS cvec
-       FROM pq_dims GROUP BY 1, 2),
-code_cand AS (
-  SELECT e.vec_id, cb.s, cb.code, {err2} AS err2
-  FROM emb e CROSS JOIN cb),
-codes AS (
-  SELECT vec_id, s, code FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id, s
-      ORDER BY err2 ASC, code ASC) AS rn
-    FROM code_cand)
-  WHERE rn = 1),
-lut AS (
-  SELECT q.q_id, cb.s, cb.code, {qd2} AS d2
-  FROM q CROSS JOIN cb),
-scored AS (
-  SELECT ci.q_id, ci.vec_id,
-         list_reduce(list_prepend(0.0, list(l.d2 ORDER BY c.s)),
-                     (x, y) -> x + y) AS adc2
-  FROM cand_ids ci
-  JOIN codes c ON c.vec_id = ci.vec_id
-  JOIN lut l ON l.q_id = ci.q_id AND l.s = c.s AND l.code = c.code
-  GROUP BY 1, 2),
-top AS (
-  SELECT q_id, vec_id, adc2,
-         row_number() OVER (PARTITION BY q_id
-           ORDER BY adc2 ASC, vec_id ASC) AS rank
-  FROM scored QUALIFY rank <= {PQ_ADC_K})
-SELECT t.q_id, t.rank, t.vec_id,
-       {_sql_rne('sqrt(t.adc2)', 'adc_dist')},
-       {_sql_rne('sqrt(' + exact + ')', 'l2_dist')}
-FROM top t
-JOIN (SELECT vec_id AS q_id, v AS qv FROM emb) qq ON t.q_id = qq.q_id
-JOIN (SELECT vec_id, v FROM emb) dv ON t.vec_id = dv.vec_id"""
-
-
-
-HURST_SIZES = [8, 16, 32, 64]
-
-
-def q_ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hurst exponent per symbol via classical rescaled-range (R/S)
-    analysis over dyadic block sizes {8,16,32,64}: H ≈ 0.5 for a
-    random walk, > 0.5 for trend persistence, < 0.5 for mean
-    reversion — the long-memory diagnostic beside the up/down runs
-    test and Ljung-Box. Per (symbol, size): full blocks of close
-    DELTAS, per-block two-pass mean/σ (grid-snapped terms in exact
-    DECIMAL — no engine stddev formula is load-bearing), range of the
-    ordered cumulative deviation (a deterministic left-to-right
-    running sum in both engines), mean R/S per size, then the
-    4-point log2-log2 least-squares slope. One symbol exchange per
-    size, unioned; blocks are row-number-derived so the frame never
-    sorts globally."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    grid = F.lit(1e6)
-    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
-    dx = df.select(
-        "symbol",
-        "time_idx",
-        snap(F.col("close") - F.lag("close", 1).over(w)).alias("x"),
-    ).filter(F.col("x").isNotNull())
-    # materialize the delta frame once: each of the 4 block sizes
-    # replays the resample→gap-fill→lag lineage otherwise
-    dx = dx.withColumn("rn", F.row_number().over(w) - 1).localCheckpoint(
-        eager=True
-    )
-    per_size = []
-    for n in HURST_SIZES:
-        blk = dx.select(
-            "symbol",
-            "time_idx",
-            "x",
-            F.floor(F.col("rn") / n).cast("long").alias("blk"),
-        )
-        wb = Window.partitionBy("symbol", "blk")
-        stats = (
-            blk.groupBy("symbol", "blk")
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.sum(F.col("x").cast("decimal(18,6)")).alias("sx"),
-            )
-            .filter(F.col("cnt") == n)
-            .select(
-                "symbol",
-                "blk",
-                (F.col("sx").cast("double") / n).alias("mu"),
-            )
-        )
-        j = blk.join(stats, ["symbol", "blk"])
-        wcum = (
-            Window.partitionBy("symbol", "blk")
-            .orderBy("time_idx")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        dev = j.select(
-            "symbol",
-            "blk",
-            (F.col("x") - F.col("mu")).alias("d"),
-            F.sum(F.col("x") - F.col("mu")).over(wcum).alias("z"),
-        )
-        rs = (
-            dev.groupBy("symbol", "blk")
-            .agg(
-                (F.max("z") - F.min("z")).alias("r"),
-                F.sqrt(
-                    F.sum(
-                        (
-                            F.floor(
-                                F.col("d") * F.col("d") * 1e12 + F.lit(0.5)
-                            )
-                            / 1e12
-                        ).cast("decimal(30,12)")
-                    ).cast("double")
-                    / n
-                ).alias("s"),
-            )
-            .filter(F.col("s") > 0)
-            .select(
-                "symbol", snap(F.col("r") / F.col("s")).alias("rs")
-            )
-        )
-        per_size.append(
-            rs.groupBy("symbol").agg(
-                F.lit(n).alias("n"),
-                F.count(F.lit(1)).alias("n_blocks"),
-                (
-                    F.sum(F.col("rs").cast("decimal(18,6)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("mean_rs"),
-            )
-        )
-    allsz = per_size[0]
-    for fr in per_size[1:]:
-        allsz = allsz.unionByName(fr)
-    pts = allsz.filter(F.col("mean_rs") > 0).select(
-        "symbol",
-        snap(F.log2(F.col("n").cast("double"))).alias("lx"),
-        snap(F.log2("mean_rs")).alias("ly"),
-    )
-    reg = pts.groupBy("symbol").agg(
-        F.count(F.lit(1)).alias("k"),
-        F.sum(F.col("lx").cast("decimal(18,6)")).alias("sx"),
-        F.sum(F.col("ly").cast("decimal(18,6)")).alias("sy"),
-        F.sum(
-            (F.col("lx") * F.col("ly")).cast("decimal(28,12)")
-        ).alias("sxy"),
-        F.sum((F.col("lx") * F.col("lx")).cast("decimal(28,12)")).alias(
-            "sxx"
-        ),
-    )
-    k = F.col("k").cast("double")
-    num = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
-        "sy"
-    ).cast("double") / k
-    den = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
-        "sx"
-    ).cast("double") / k
-    return reg.filter(F.col("k") >= 3).select(
-        "symbol", "k", _rne(num / den, "hurst", 6)
-    )
-
-
-def _sql_ts_hurst() -> str:
-    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
-    arms = "\nUNION ALL\n".join(
-        f"SELECT symbol, time_idx, x, {n} AS n, CAST(floor(rn / {n}) AS BIGINT) AS blk FROM dx"
-        for n in HURST_SIZES
-    )
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-dx0 AS (
-  SELECT symbol, time_idx,
-         {snap('close - lag(close) OVER (PARTITION BY symbol ORDER BY time_idx)')}
-           AS x
-  FROM filled),
-dx AS (
-  SELECT symbol, time_idx, x,
-         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) - 1
-           AS rn
-  FROM dx0 WHERE x IS NOT NULL),
-blocks AS ({arms}),
-stats AS (
-  SELECT symbol, n, blk, count(*) AS cnt,
-         CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / n AS mu
-  FROM blocks GROUP BY 1, 2, 3),
-j AS (
-  SELECT b.symbol, b.n, b.blk, b.time_idx, b.x - s.mu AS d,
-         sum(b.x - s.mu) OVER (PARTITION BY b.symbol, b.n, b.blk
-           ORDER BY b.time_idx ROWS UNBOUNDED PRECEDING) AS z
-  FROM blocks b JOIN stats s
-    ON s.symbol = b.symbol AND s.n = b.n AND s.blk = b.blk
-  WHERE s.cnt = s.n),
-rs AS (
-  SELECT symbol, n, blk,
-         {snap(
-             '(max(z) - min(z)) / sqrt(CAST(sum(CAST('
-             'floor(d * d * 1000000000000.0 + 0.5) / 1000000000000.0'
-             ' AS DECIMAL(30,12))) AS DOUBLE) / n)'
-         )} AS rs
-  FROM j GROUP BY 1, 2, 3
-  HAVING sqrt(CAST(sum(CAST(floor(d * d * 1000000000000.0 + 0.5)
-    / 1000000000000.0 AS DECIMAL(30,12))) AS DOUBLE) / n) > 0),
-msz AS (
-  SELECT symbol, n, count(*) AS n_blocks,
-         CAST(sum(CAST(rs AS DECIMAL(18,6))) AS DOUBLE) / count(*)
-           AS mean_rs
-  FROM rs GROUP BY 1, 2),
-pts AS (
-  SELECT symbol, {snap('log2(CAST(n AS DOUBLE))')} AS lx,
-         {snap('log2(mean_rs)')} AS ly
-  FROM msz WHERE mean_rs > 0),
-reg AS (
-  SELECT symbol, count(*) AS k,
-         CAST(sum(CAST(lx AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-         CAST(sum(CAST(ly AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-         CAST(sum(CAST(lx * ly AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
-         CAST(sum(CAST(lx * lx AS DECIMAL(28,12))) AS DOUBLE) AS sxx
-  FROM pts GROUP BY 1)
-SELECT symbol, k,
-       {_sql_rne(
-           '(sxy - sx * sy / CAST(k AS DOUBLE))'
-           ' / (sxx - sx * sx / CAST(k AS DOUBLE))', 'hurst')}
-FROM reg WHERE k >= 3"""
-
-
-PINBALL_QS = [0.1, 0.5, 0.9]
-
-
-def q_ts_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantile-forecast evaluation with pinball loss: the train
-    split's exact rank-picked quantiles (type-7-lower, the engine's
-    standard explicit pick) serve as constant q-quantile forecasts
-    for the holdout, scored with
-    L_q = mean(max(q·(y−ŷ), (q−1)·(y−ŷ))) — the metric that makes
-    quantile forecasts comparable (and the reference's MAE is exactly
-    2·L_{0.5}). Per-term losses snap to the 1e-6 grid and sum in
-    exact DECIMAL; the split mirrors the Holt/baselines 80% head."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    rows = df.withColumn("rn", F.row_number().over(w))
-    counts = rows.groupBy("symbol").agg(
-        F.floor(F.max("rn") * F.lit(FC_TRAIN_FRAC))
-        .cast("int")
-        .alias("n_train")
-    )
-    tagged = rows.join(counts, "symbol")
-    train = tagged.filter(F.col("rn") <= F.col("n_train"))
-    wv = Window.partitionBy("symbol").orderBy(
-        F.col("close").asc(), F.col("time_idx").asc()
-    )
-    ranked = train.select(
-        "symbol",
-        "close",
-        F.row_number().over(wv).alias("vrn"),
-        F.col("n_train"),
-    )
-    qs = None
-    for q in PINBALL_QS:
-        pick = F.floor((F.col("n_train") - 1) * F.lit(q)).cast(
-            "int"
-        ) + F.lit(1)
-        part = ranked.filter(F.col("vrn") == pick).select(
-            "symbol",
-            F.lit(q).alias("q"),
-            F.col("close").alias("qhat"),
-        )
-        qs = part if qs is None else qs.unionByName(part)
-    test = tagged.filter(F.col("rn") > F.col("n_train")).select(
-        "symbol", "close"
-    )
-    grid = F.lit(1e6)
-    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
-    e = F.col("close") - F.col("qhat")
-    loss = F.greatest(F.col("q") * e, (F.col("q") - 1) * e)
-    scored = test.join(qs, "symbol").select(
-        "symbol", "q", "qhat", snap(loss).cast("decimal(18,6)").alias("l")
-    )
-    return scored.groupBy("symbol", "q").agg(
-        F.count(F.lit(1)).alias("n_test"),
-        F.max("qhat").alias("qhat"),
-        _rne(
-            F.sum("l").cast("double") / F.count(F.lit(1)), "pinball", 6
-        ),
-    )
-
-
-def _sql_ts_pinball() -> str:
-    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
-    qarms = "\nUNION ALL\n".join(
-        f"""SELECT symbol, CAST({q} AS DOUBLE) AS q, close AS qhat FROM ranked
-  WHERE vrn = CAST(floor((n_train - 1) * {q}) AS INT) + 1"""
-        for q in PINBALL_QS
-    )
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-rows_ AS (
-  SELECT symbol, time_idx, close, row_number() OVER (
-    PARTITION BY symbol ORDER BY time_idx) AS rn
-  FROM filled),
-counts AS (
-  SELECT symbol, CAST(floor(max(rn) * {FC_TRAIN_FRAC}) AS INT)
-           AS n_train
-  FROM rows_ GROUP BY 1),
-ranked AS (
-  SELECT r.symbol, r.close, c.n_train,
-         row_number() OVER (PARTITION BY r.symbol
-           ORDER BY r.close ASC, r.time_idx ASC) AS vrn
-  FROM rows_ r JOIN counts c USING (symbol)
-  WHERE r.rn <= c.n_train),
-qs AS ({qarms}),
-test AS (
-  SELECT r.symbol, r.close FROM rows_ r JOIN counts c USING (symbol)
-  WHERE r.rn > c.n_train),
-scored AS (
-  SELECT t.symbol, q.q, q.qhat,
-         CAST({snap(
-             'greatest(q.q * (t.close - q.qhat),'
-             ' (q.q - 1) * (t.close - q.qhat))'
-         )} AS DECIMAL(18,6)) AS l
-  FROM test t JOIN qs q USING (symbol))
-SELECT symbol, q, count(*) AS n_test, max(qhat) AS qhat,
-       {_sql_rne('CAST(sum(l) AS DOUBLE) / count(*)', 'pinball')}
-FROM scored GROUP BY 1, 2"""
-
-
-
-def q_orders_split_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split-payment screen — the approval-threshold-evasion audit an
-    AP/fraud team runs: customers placing MULTIPLE orders on the same
-    day, with the day's combined amount and the largest single order
-    (a cluster of small orders summing to a large amount is the
-    signature). One (customer, day) aggregate, amounts in exact
-    integer cents; only multi-order days are emitted, so the output is
-    incident-sized. At warehouse scale this is a single
-    map-side-combined aggregate over the natural ingest partitioning."""
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        F.to_date("o_orderdate").alias("d"),
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents"),
-    )
-    return (
-        o.groupBy(F.col("o_custkey").alias("cust"), F.col("d").alias("day"))
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum("cents").alias("total_cents"),
-            F.max("cents").alias("max_single_cents"),
-        )
-        .filter(F.col("n_orders") >= 2)
-        .withColumn(
-            "split_ratio",
-            F.col("max_single_cents")
-            / F.col("total_cents").cast("double"),
-        )
-    )
-
-
-SQL_ORDERS_SPLIT_PAYMENTS = """
-WITH o AS (
-  SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS day,
-         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-  FROM orders),
-g AS (
-  SELECT cust, day, count(*) AS n_orders,
-         CAST(sum(cents) AS BIGINT) AS total_cents,
-         max(cents) AS max_single_cents
-  FROM o GROUP BY 1, 2)
-SELECT cust, day, n_orders, total_cents, max_single_cents,
-       CAST(max_single_cents AS DOUBLE) / total_cents AS split_ratio
-FROM g WHERE n_orders >= 2"""
-
-
-def q_emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Clustering-quality eval card for the IVF coarse quantizer:
-    per-list label purity (majority-label share) plus the list's
-    majority label and size — the diagnostic that says whether the
-    quantizer's lists are semantically coherent enough for
-    semantic-dedup / OOD decisions to mean anything. One assignment
-    pass + one (list, label) count aggregate; the majority pick is a
-    max(struct) with a label tie-break, engine-exact on integers."""
-    from ..operators.ivf import assign_lists, label_centroids
-
-    emb = _emb(spark, sf_dir)
-    assigned = assign_lists(emb, label_centroids(emb))
-    counts = assigned.groupBy("list_id", "label").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    m = F.max(
-        F.struct(F.col("n").alias("n"), (-F.col("label")).alias("nl"))
-    ).alias("m")
-    per_list = counts.groupBy("list_id").agg(
-        F.sum("n").alias("n_members"), m
-    )
-    return per_list.select(
-        "list_id",
-        "n_members",
-        (-F.col("m.nl")).cast("int").alias("majority_label"),
-        F.col("m.n").alias("n_majority"),
-        (F.col("m.n") / F.col("n_members").cast("double")).alias(
-            "purity"
-        ),
-    )
-
-
-def _sql_emb_cluster_purity() -> str:
-    return f"""
-WITH {_sql_ivf_base()},
-lab AS (
-  SELECT a.vec_id, a.list_id, e.label
-  FROM assigned a JOIN emb e USING (vec_id)),
-counts AS (
-  SELECT list_id, label, count(*) AS n FROM lab GROUP BY 1, 2),
-pick AS (
-  SELECT list_id, label, n FROM (
-    SELECT *, row_number() OVER (PARTITION BY list_id
-      ORDER BY n DESC, label ASC) AS rn
-    FROM counts)
-  WHERE rn = 1),
-tot AS (SELECT list_id, CAST(sum(n) AS BIGINT) AS n_members
-        FROM counts GROUP BY 1)
-SELECT t.list_id, t.n_members, p.label AS majority_label,
-       p.n AS n_majority,
-       CAST(p.n AS DOUBLE) / t.n_members AS purity
-FROM tot t JOIN pick p USING (list_id)"""
-
-
-
-BT_FOLDS = 3
-BT_BASE_FRAC = 0.6
-BT_STEP_FRAC = 0.1
-
-
-def q_ts_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-origin backtest harness — the evaluation scaffolding
-    every forecaster in the registry should be judged by (a single
-    80/20 split is ONE sample; rolling folds measure stability):
-    ``BT_FOLDS`` expanding-window folds per symbol, each training on
-    the first 60% + f·10% of the grid and scoring the naive
-    last-value forecast on the next 10%, MAE per (symbol, fold) in
-    grid-snapped exact DECIMAL. All boundaries are integer rank
-    arithmetic (floor of fractions of n) — no date math, no
-    engine-specific rounding. One symbol exchange; the fold dimension
-    unions three rank-window filters of the SAME ranked frame, so the
-    plan reuses one sort."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    rows = df.withColumn("rn", F.row_number().over(w))
-    n = rows.groupBy("symbol").agg(F.max("rn").alias("n"))
-    rows = rows.join(n, "symbol")
-    grid = F.lit(1e6)
-    snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
-    out = None
-    for f in range(BT_FOLDS):
-        train_end = (
-            F.floor(F.col("n") * BT_BASE_FRAC)
-            + F.lit(f) * F.floor(F.col("n") * BT_STEP_FRAC)
-        ).cast("int")
-        h = F.floor(F.col("n") * BT_STEP_FRAC).cast("int")
-        anchor = rows.filter(F.col("rn") == train_end).select(
-            "symbol",
-            F.col("close").alias("yhat"),
-            F.col("rn").alias("n_train"),
-        )
-        test = rows.filter(
-            (F.col("rn") > train_end) & (F.col("rn") <= train_end + h)
-        ).select("symbol", "close")
-        fold = (
-            test.join(anchor, "symbol")
-            .groupBy("symbol")
-            .agg(
-                F.max("n_train").alias("n_train"),
-                F.count(F.lit(1)).alias("n_test"),
-                F.sum(
-                    snap(F.abs(F.col("close") - F.col("yhat"))).cast(
-                        "decimal(18,6)"
-                    )
-                ).alias("sae"),
-            )
-            .select(
-                "symbol",
-                F.lit(f).alias("fold"),
-                "n_train",
-                "n_test",
-                _rne(
-                    F.col("sae").cast("double") / F.col("n_test"),
-                    "naive_mae",
-                    6,
-                ),
-            )
-        )
-        out = fold if out is None else out.unionByName(fold)
-    return out
-
-
-def _sql_ts_backtest() -> str:
-    snap = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
-    arms = []
-    for f in range(BT_FOLDS):
-        arms.append(f"""
-SELECT t.symbol, {f} AS fold, a.n_train, count(*) AS n_test,
-       {_sql_rne('CAST(sum(CAST(' + snap('abs(t.close - a.yhat)')
-                 + ' AS DECIMAL(18,6))) AS DOUBLE) / count(*)',
-                 'naive_mae')}
-FROM (
-  SELECT r.symbol, r.close FROM ranked r
-  WHERE r.rn > CAST(floor(r.n * {BT_BASE_FRAC}) AS INT)
-               + {f} * CAST(floor(r.n * {BT_STEP_FRAC}) AS INT)
-    AND r.rn <= CAST(floor(r.n * {BT_BASE_FRAC}) AS INT)
-               + {f + 1} * CAST(floor(r.n * {BT_STEP_FRAC}) AS INT)
-) t
-JOIN (
-  SELECT r.symbol, r.close AS yhat, r.rn AS n_train FROM ranked r
-  WHERE r.rn = CAST(floor(r.n * {BT_BASE_FRAC}) AS INT)
-               + {f} * CAST(floor(r.n * {BT_STEP_FRAC}) AS INT)
-) a USING (symbol)
-GROUP BY 1, 2, 3""")
-    body = "\nUNION ALL\n".join(arms)
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-rows_ AS (
-  SELECT symbol, time_idx, close, row_number() OVER (
-    PARTITION BY symbol ORDER BY time_idx) AS rn
-  FROM filled),
-ranked AS (
-  SELECT r.*, n.n FROM rows_ r
-  JOIN (SELECT symbol, max(rn) AS n FROM rows_ GROUP BY 1) n
-    USING (symbol))
-{body}"""
-
-
-
-def q_orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier survival curve for time-to-next-order — the
-    repeat-purchase analysis done properly: every order contributes
-    either an EVENT (the observed gap to the customer's next order,
-    in days) or a CENSORED observation (no next order yet — time from
-    the last order to the dataset snapshot), and S(t) multiplies
-    (1 − d_t/n_t) over event times. Censoring is what the naive
-    gap-histogram gets wrong. Distributed shape: day-grain counts,
-    at-risk via total − exclusive prefix (two-phase bucketed — no
-    single-task sort), and the product as exp of a prefix sum of
-    1e-9-snapped logs in exact DECIMAL, so the curve is
-    order-insensitive and engine-exact."""
-    from ..operators.twophase import log2_bucket, prefix_agg
-
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", F.to_date("o_orderdate").alias("d")
-    )
-    # per order: next order date (same customer); dataset snapshot
-    nxt = o.withColumn("d_next", F.lead("d", 1).over(
-        Window.partitionBy("o_custkey").orderBy("d")
-    ))
-    snapshot = o.agg(F.max("d").alias("snap"))
-    obs = nxt.crossJoin(F.broadcast(snapshot)).select(
-        F.when(
-            F.col("d_next").isNotNull(), F.datediff("d_next", "d")
-        )
-        .otherwise(F.datediff("snap", "d"))
-        .cast("long")
-        .alias("t"),
-        F.col("d_next").isNotNull().alias("is_event"),
-    ).filter(F.col("t") > 0)
-    per_t = obs.groupBy("t").agg(
-        F.count_if(F.col("is_event")).alias("d_events"),
-        F.count_if(~F.col("is_event")).alias("d_censored"),
-    )
-    total = obs.agg(F.count(F.lit(1)).alias("n_total"))
-    # n_at_risk(t) = total - (# observations with time < t)
-    pre = prefix_agg(
-        per_t.withColumn(
-            "w", F.col("d_events") + F.col("d_censored")
-        ),
-        F.col("w"),
-        log2_bucket(F.col("t")),
-        [F.col("t").asc()],
-        agg="sum",
-        strict=True,
-        out_col="n_before",
-    ).crossJoin(F.broadcast(total))
-    risk = pre.select(
-        "t",
-        "d_events",
-        "d_censored",
-        (
-            F.col("n_total") - F.coalesce(F.col("n_before"), F.lit(0))
-        ).alias("n_risk"),
-    )
-    # the terminal event time can have d == n (everyone remaining
-    # events) — S drops to exactly 0 there; ln is undefined, so the
-    # term is NULL (excluded from the DECIMAL sum in both engines)
-    # and the survival emission overrides to 0.0
-    lnterm = F.when(
-        F.col("d_events") < F.col("n_risk"),
-        F.floor(
-            F.log(
-                1.0
-                - F.col("d_events") / F.col("n_risk").cast("double")
-            )
-            * 1e9
-            + F.lit(0.5)
-        )
-        / 1e9,
-    )
-    terms = risk.filter(F.col("d_events") > 0).withColumn(
-        "lnr", lnterm.cast("decimal(28,9)")
-    )
-    surv = prefix_agg(
-        terms,
-        F.col("lnr"),
-        log2_bucket(F.col("t")),
-        [F.col("t").asc()],
-        agg="sum",
-        strict=False,
-        out_col="cumln",
-    )
-    return surv.select(
-        "t",
-        "n_risk",
-        "d_events",
-        "d_censored",
-        _rne(
-            F.when(
-                F.col("d_events") == F.col("n_risk"), F.lit(0.0)
-            ).otherwise(
-                F.exp(F.coalesce(F.col("cumln").cast("double"), F.lit(0.0)))
-            ),
-            "survival",
-            6,
-        ),
-    )
-
-
-def _sql_orders_survival_km() -> str:
-    return f"""
-WITH o AS (
-  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
-nxt AS (
-  SELECT o_custkey, d,
-         lead(d) OVER (PARTITION BY o_custkey ORDER BY d) AS d_next
-  FROM o),
-snap AS (SELECT max(d) AS snap FROM o),
-obs AS (
-  SELECT CASE WHEN d_next IS NOT NULL
-              THEN datediff('day', d, d_next)
-              ELSE datediff('day', d, snap) END AS t,
-         d_next IS NOT NULL AS is_event
-  FROM nxt CROSS JOIN snap
-  WHERE CASE WHEN d_next IS NOT NULL
-             THEN datediff('day', d, d_next)
-             ELSE datediff('day', d, snap) END > 0),
-per_t AS (
-  SELECT t, CAST(count(*) FILTER (is_event) AS BIGINT) AS d_events,
-         CAST(count(*) FILTER (NOT is_event) AS BIGINT) AS d_censored
-  FROM obs GROUP BY 1),
-total AS (SELECT count(*) AS n_total FROM obs),
-risk AS (
-  SELECT t, d_events, d_censored,
-         n_total - coalesce(sum(d_events + d_censored) OVER (
-           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-         ), 0) AS n_risk
-  FROM per_t CROSS JOIN total),
-terms AS (
-  SELECT t, n_risk, d_events, d_censored,
-         CASE WHEN d_events < n_risk THEN
-           CAST(floor(ln(1.0 - CAST(d_events AS DOUBLE) / n_risk)
-                  * 1000000000.0 + 0.5) / 1000000000.0
-                AS DECIMAL(28,9)) END AS lnr
-  FROM risk WHERE d_events > 0)
-SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d_events, d_censored,
-       {_sql_rne(
-           "CASE WHEN d_events = n_risk THEN 0.0 ELSE "
-           "exp(coalesce(CAST(sum(lnr) OVER ("
-           "ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE), 0.0)) END",
-           'survival')}
-FROM terms"""
-
-
-BOT_MIN_GAPS = 20
-BOT_REGULARITY_TAU = 0.05
-
-
-def q_events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bot/automation screen on event cadence: humans emit events with
-    high gap dispersion, schedulers with near-constant gaps — flag
-    users whose MAD/median inter-event gap falls below
-    ``BOT_REGULARITY_TAU`` (with ≥ ``BOT_MIN_GAPS`` gaps). Gaps are
-    exact integer microseconds; median and MAD are explicit rank
-    picks (no quantile interpolation); the regularity score is one
-    float division of deterministic integers. One user exchange
-    end-to-end."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.col("ts").alias("ts"), "event_id"
-    )
-    # NTZ->LTZ cast preserves stored micros only under UTC (asserted,
-    # never set — the ts_delta_hist convention)
-    ts = F.col("ts")
-    if dict(ev.dtypes)["ts"] == "timestamp_ntz":
-        require_utc(spark)
-        ts = ts.cast("timestamp")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = (
-        ev.withColumn("prev", F.lag(ts, 1).over(w))
-        .filter(F.col("prev").isNotNull())
-        .select(
-            "user_id",
-            (
-                F.unix_micros(ts) - F.unix_micros(F.col("prev"))
-            ).alias("gap"),
-        )
-    )
-    wg = Window.partitionBy("user_id").orderBy(F.col("gap").asc())
-    wn = Window.partitionBy("user_id")
-    ranked = gaps.select(
-        "user_id",
-        "gap",
-        F.row_number().over(wg).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
-    med_pick = F.floor((F.col("n") - 1) * 0.5).cast("int") + 1
-    med = ranked.filter(F.col("rn") == med_pick).select(
-        "user_id", F.col("gap").alias("med"), "n"
-    )
-    dev = gaps.join(med, "user_id").select(
-        "user_id", F.abs(F.col("gap") - F.col("med")).alias("ad"),
-        "med", "n",
-    )
-    wd = Window.partitionBy("user_id").orderBy(F.col("ad").asc())
-    dranked = dev.select(
-        "user_id", "ad", "med", "n",
-        F.row_number().over(wd).alias("rn"),
-    )
-    mad = dranked.filter(
-        F.col("rn") == F.floor((F.col("n") - 1) * 0.5).cast("int") + 1
-    ).select("user_id", F.col("ad").alias("mad"), "med", "n")
-    # med = 0 (all-identical timestamps) → define regularity as 0.0
-    # (perfectly regular) instead of dividing: Spark's Divide yields
-    # NULL on a zero divisor while DuckDB yields inf for doubles, so
-    # an unguarded division diverges across engines the first time a
-    # user's gaps are all zero. The CASE below is mirrored in the
-    # oracle so both engines agree by construction.
-    reg = F.when(
-        F.col("med") > 0, F.col("mad") / F.col("med").cast("double")
-    ).otherwise(F.lit(0.0))
-    return mad.select(
-        "user_id",
-        F.col("n").alias("n_gaps"),
-        F.col("med").alias("median_gap_us"),
-        F.col("mad").alias("mad_gap_us"),
-        _rne(reg, "regularity", 6),
-        (
-            (reg < BOT_REGULARITY_TAU) & (F.col("n") >= BOT_MIN_GAPS)
-        ).alias("is_bot_like"),
-    )
-
-
-def _sql_events_bot_detection() -> str:
-    return f"""
-WITH ev AS (
-  SELECT user_id, ts, event_id FROM events),
-gaps AS (
-  SELECT user_id,
-         epoch_us(ts) - epoch_us(lag(ts) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id)) AS gap
-  FROM ev QUALIFY gap IS NOT NULL),
-ranked AS (
-  SELECT user_id, gap,
-         row_number() OVER (PARTITION BY user_id ORDER BY gap ASC)
-           AS rn,
-         count(*) OVER (PARTITION BY user_id) AS n
-  FROM gaps),
-med AS (
-  SELECT user_id, gap AS med, n FROM ranked
-  WHERE rn = CAST(floor((n - 1) * 0.5) AS INT) + 1),
-dev AS (
-  SELECT g.user_id, abs(g.gap - m.med) AS ad, m.med, m.n
-  FROM gaps g JOIN med m USING (user_id)),
-dranked AS (
-  SELECT user_id, ad, med, n,
-         row_number() OVER (PARTITION BY user_id ORDER BY ad ASC)
-           AS rn
-  FROM dev),
-mad AS (
-  SELECT user_id, ad AS mad, med, n FROM dranked
-  WHERE rn = CAST(floor((n - 1) * 0.5) AS INT) + 1)
-SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
-       CAST(med AS BIGINT) AS median_gap_us,
-       CAST(mad AS BIGINT) AS mad_gap_us,
-       {_sql_rne(
-           'CASE WHEN med > 0 THEN CAST(mad AS DOUBLE) / med'
-           ' ELSE 0.0 END', 'regularity')},
-       (CASE WHEN med > 0 THEN CAST(mad AS DOUBLE) / med
-         ELSE 0.0 END) < {BOT_REGULARITY_TAU}
-         AND n >= {BOT_MIN_GAPS} AS is_bot_like
-FROM mad"""
-
-
-def q_events_ab_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A/B uplift readout with a deterministic hash split: users
-    assign to treatment by the portable hash60 (reproducible across
-    engines/runs — the same reason every sampler here avoids rand()),
-    and each event type reports group means in exact integer cents,
-    the uplift, and the Welch t statistic (two-pass variance with
-    grid-snapped squared deviations in DECIMAL — no engine variance
-    formula is load-bearing). The expected readout on hash-split
-    uniform data is uplift ≈ 0 — this query is the HARNESS, and its
-    null behavior is the calibration check."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        "user_id",
-        F.floor(F.col("value") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents"),
-    )
-    grp = (
-        hash60(F.concat(F.lit("ab:"), F.col("user_id").cast("string")))
-        % 2
-    ).cast("int")
-    t = ev.withColumn("g", grp)
-    means = t.groupBy("event_type", "g").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("sc"),
-    ).withColumn(
-        "mean_c", F.col("sc").cast("double") / F.col("n")
-    )
-    withm = t.join(means, ["event_type", "g"]).select(
-        "event_type",
-        "g",
-        "n",
-        "mean_c",
-        (
-            F.floor(
-                (F.col("cents") - F.col("mean_c"))
-                * (F.col("cents") - F.col("mean_c"))
-                * 1e4
-                + F.lit(0.5)
-            )
-            / 1e4
-        ).cast("decimal(28,4)").alias("sq"),
-    )
-    # n = 1 groups are excluded BEFORE the (n - 1) variance divisor:
-    # Spark's Divide yields NULL on zero while DuckDB yields inf, so
-    # a singleton group would diverge across engines. Mirrored in the
-    # oracle (WHERE n >= 2) so both agree by construction.
-    var = (
-        withm.filter(F.col("n") >= 2)
-        .groupBy("event_type", "g", "n", "mean_c")
-        .agg(
-            (
-                F.sum("sq").cast("double")
-                / (F.col("n") - 1).cast("double")
-            ).alias("s2")
-        )
-    )
-    a = var.filter(F.col("g") == 1).select(
-        "event_type",
-        F.col("n").alias("n_t"),
-        F.col("mean_c").alias("mean_t"),
-        F.col("s2").alias("s2_t"),
-    )
-    b = var.filter(F.col("g") == 0).select(
-        "event_type",
-        F.col("n").alias("n_c"),
-        F.col("mean_c").alias("mean_c"),
-        F.col("s2").alias("s2_c"),
-    )
-    j = a.join(b, "event_type")
-    uplift = F.col("mean_t") - F.col("mean_c")
-    se = F.sqrt(
-        F.col("s2_t") / F.col("n_t") + F.col("s2_c") / F.col("n_c")
-    )
-    # se = 0 (both arms constant) would diverge: Spark's Divide yields
-    # NULL on a zero divisor, DuckDB IEEE double division yields inf.
-    # Emit NULL in both engines by construction (CASE WHEN mirrored in
-    # the oracle) — a t statistic is undefined at zero variance anyway.
-    t_stat = F.when(se > 0, uplift / se)
-    return j.select(
-        "event_type",
-        "n_t",
-        "n_c",
-        _rne(F.col("mean_t") / 100.0, "mean_treat", 6),
-        _rne(F.col("mean_c") / 100.0, "mean_ctrl", 6),
-        _rne(uplift / 100.0, "uplift", 6),
-        _rne(t_stat, "t_stat", 6),
-    )
-
-
-def _sql_events_ab_uplift() -> str:
-    h = sql_hash60("'ab:' || CAST(user_id AS VARCHAR)")
-    return f"""
-WITH ev AS (
-  SELECT event_type, CAST(({h}) % 2 AS INT) AS g,
-         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-  FROM events),
-means AS (
-  SELECT event_type, g, count(*) AS n,
-         CAST(sum(cents) AS DOUBLE) / count(*) AS mean_c
-  FROM ev GROUP BY 1, 2),
-sq AS (
-  SELECT e.event_type, e.g, m.n, m.mean_c,
-         CAST(floor((e.cents - m.mean_c) * (e.cents - m.mean_c)
-                * 10000.0 + 0.5) / 10000.0 AS DECIMAL(28,4)) AS sq
-  FROM ev e JOIN means m USING (event_type, g)),
-var_ AS (
-  SELECT event_type, g, n, mean_c,
-         CAST(sum(sq) AS DOUBLE) / (n - 1) AS s2
-  FROM sq WHERE n >= 2 GROUP BY 1, 2, 3, 4),
-j AS (
-  SELECT a.event_type, a.n AS n_t, a.mean_c AS mean_t, a.s2 AS s2_t,
-         b.n AS n_c, b.mean_c AS mean_ctl, b.s2 AS s2_c
-  FROM var_ a JOIN var_ b
-    ON a.event_type = b.event_type AND a.g = 1 AND b.g = 0)
-SELECT event_type, CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
-       {_sql_rne('mean_t / 100.0', 'mean_treat')},
-       {_sql_rne('mean_ctl / 100.0', 'mean_ctrl')},
-       {_sql_rne('(mean_t - mean_ctl) / 100.0', 'uplift')},
-       {_sql_rne(
-           'CASE WHEN sqrt(s2_t / n_t + s2_c / n_c) > 0'
-           ' THEN (mean_t - mean_ctl)'
-           ' / sqrt(s2_t / n_t + s2_c / n_c) END', 't_stat')}
-FROM j"""
-
-
-# Poisson(1) CDF literals for the deterministic bootstrap weights —
-# the SAME literals are pasted into the Spark CASE chain and the SQL
-# oracle, so no cross-engine exp/factorial computation is load-bearing
-_BOOT_POIS_CDF = (
-    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
-    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
-    0.999916758850712,
-)
-BOOT_B = 32
-
-
-def q_events_ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nonparametric bootstrap CI for the A/B uplift — the resampling
-    companion to ``events_ab_uplift``'s Welch t: B=32 Poisson(1)
-    bootstrap replicates (Efron's Poisson-weight approximation, THE
-    stream/scale-friendly bootstrap — weights are independent per row,
-    so no N-sized resample index is ever materialized), each weight
-    derived from the portable hash60(b, event_id) through the
-    Poisson CDF as pasted literals — deterministic across engines,
-    runs, and partitionings, like every sampler here. Per replicate
-    and arm the weighted mean rides exact integer sums (weight ×
-    cents in DECIMAL); the CI is the [1/32, 31/32] empirical interval
-    of the replicate uplifts, tie-broken by replicate id. One 32×
-    row expansion collapsed map-side to (event_type × arm × B)
-    groups — the blowup never crosses the shuffle."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        "event_id",
-        "user_id",
-        F.floor(F.col("value") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents"),
-    )
-    grp = (
-        hash60(F.concat(F.lit("ab:"), F.col("user_id").cast("string")))
-        % 2
-    ).cast("int")
-    t = ev.withColumn("g", grp)
-    # point estimate: plain mean difference on exact integer sums
-    pt = (
-        t.groupBy("event_type", "g")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sc"))
-        .groupBy("event_type")
-        .agg(
-            F.max(
-                F.when(
-                    F.col("g") == 1,
-                    F.col("sc").cast("double") / F.col("n"),
-                )
-            ).alias("m1"),
-            F.max(
-                F.when(
-                    F.col("g") == 0,
-                    F.col("sc").cast("double") / F.col("n"),
-                )
-            ).alias("m0"),
-        )
-        .select(
-            "event_type", (F.col("m1") - F.col("m0")).alias("uplift")
-        )
-    )
-    b_ = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
-    u = hash60(
-        F.concat(
-            F.lit("bs:"),
-            F.col("b").cast("string"),
-            F.lit(":"),
-            F.col("event_id").cast("string"),
-        )
-    ).cast("double") / float(1 << 60)
-    w = F.lit(len(_BOOT_POIS_CDF))
-    for j in range(len(_BOOT_POIS_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(_BOOT_POIS_CDF[j]), F.lit(j)).otherwise(w)
-    rep = (
-        t.select("event_type", "g", "cents", "event_id", b_)
-        .withColumn("w", w.cast("long"))
-        .groupBy("event_type", "g", "b")
-        .agg(
-            F.sum(
-                (F.col("w") * F.col("cents")).cast("decimal(38,0)")
-            ).alias("swc"),
-            F.sum("w").alias("sw"),
-        )
-    )
-    arm = (
-        rep.groupBy("event_type", "b")
-        .agg(
-            F.max(
-                F.when(
-                    (F.col("g") == 1) & (F.col("sw") > 0),
-                    F.col("swc").cast("double") / F.col("sw").cast("double"),
-                )
-            ).alias("m1"),
-            F.max(
-                F.when(
-                    (F.col("g") == 0) & (F.col("sw") > 0),
-                    F.col("swc").cast("double") / F.col("sw").cast("double"),
-                )
-            ).alias("m0"),
-        )
-        .select(
-            "event_type", "b", (F.col("m1") - F.col("m0")).alias("ub")
-        )
-        .filter(F.col("ub").isNotNull())
-    )
-    wr = Window.partitionBy("event_type").orderBy(
-        F.col("ub").asc(), F.col("b").asc()
-    )
-    ranked = arm.withColumn("rk", F.row_number().over(wr))
-    ci = ranked.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_boot"),
-        F.max(F.when(F.col("rk") == 2, F.col("ub"))).alias("lo"),
-        F.max(F.when(F.col("rk") == BOOT_B - 1, F.col("ub"))).alias("hi"),
-    )
-    return pt.join(ci, "event_type").select(
-        "event_type",
-        "n_boot",
-        _rne(F.col("uplift"), "uplift", 6),
-        _rne(F.col("lo"), "ci_lo", 6),
-        _rne(F.col("hi"), "ci_hi", 6),
-    )
-
-
-def _sql_events_ab_bootstrap_ci() -> str:
-    h = sql_hash60("'ab:' || CAST(user_id AS VARCHAR)")
-    hb = sql_hash60(
-        "'bs:' || CAST(b AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)"
-    )
-    wcase = "CASE " + " ".join(
-        f"WHEN u < {_BOOT_POIS_CDF[j]!r} THEN {j}"
-        for j in range(len(_BOOT_POIS_CDF))
-    ) + f" ELSE {len(_BOOT_POIS_CDF)} END"
-    return f"""
-WITH ev AS (
-  SELECT event_type, event_id, CAST(({h}) % 2 AS INT) AS g,
-         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-  FROM events),
-pt AS (
-  SELECT event_type,
-         max(CASE WHEN g = 1 THEN sc / n END)
-           - max(CASE WHEN g = 0 THEN sc / n END) AS uplift
-  FROM (SELECT event_type, g, count(*)::DOUBLE AS n,
-               sum(cents)::DOUBLE AS sc
-        FROM ev GROUP BY 1, 2)
-  GROUP BY 1),
-reps AS (
-  SELECT event_type, g, b,
-         sum((w * cents)::DECIMAL(38,0)) AS swc, sum(w) AS sw
-  FROM (
-    SELECT event_type, g, cents, b, {wcase} AS w
-    FROM (
-      SELECT e.event_type, e.g, e.cents, r.b,
-             ({hb})::DOUBLE / 1152921504606846976.0 AS u
-      FROM ev e, LATERAL (SELECT unnest(range(0, {BOOT_B})) AS b) r))
-  GROUP BY 1, 2, 3),
-arm AS (
-  SELECT event_type, b,
-         max(CASE WHEN g = 1 AND sw > 0
-                  THEN swc::DOUBLE / sw::DOUBLE END)
-           - max(CASE WHEN g = 0 AND sw > 0
-                      THEN swc::DOUBLE / sw::DOUBLE END) AS ub
-  FROM reps GROUP BY 1, 2),
-ranked AS (
-  SELECT event_type, b, ub,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY ub ASC, b ASC) AS rk
-  FROM arm WHERE ub IS NOT NULL),
-ci AS (
-  SELECT event_type, count(*) AS n_boot,
-         max(CASE WHEN rk = 2 THEN ub END) AS lo,
-         max(CASE WHEN rk = {BOOT_B - 1} THEN ub END) AS hi
-  FROM ranked GROUP BY 1)
-SELECT event_type, n_boot,
-       {_sql_rne('uplift', 'uplift', 6)},
-       {_sql_rne('lo', 'ci_lo', 6)},
-       {_sql_rne('hi', 'ci_hi', 6)}
-FROM pt JOIN ci USING (event_type)"""
-
-
-def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DAU/WAU/MAU stickiness per calendar month — the product-health
-    metric suite: distinct active users at day/week/month grain with
-    stickiness = mean-DAU/MAU (how many of the month's users show up
-    on an average day). Exact distinct counts (the HLL family is the
-    approximate twin at extreme scale), month grain is calendar-
-    bounded, and the DAU mean is a DECIMAL-exact sum of integer daily
-    counts over an integer day count."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.to_date("ts").alias("day")
-    )
-    month = F.to_date(F.date_trunc("month", "day")).alias("month")
-    dau = ev.distinct().groupBy(month, F.col("day")).agg(
-        F.count(F.lit(1)).alias("dau")
-    )
-    per_month_dau = dau.groupBy("month").agg(
-        F.count(F.lit(1)).alias("n_active_days"),
-        F.sum("dau").alias("sum_dau"),
-    )
-    mau = (
-        ev.select(month, "user_id")
-        .distinct()
-        .groupBy("month")
-        .agg(F.count(F.lit(1)).alias("mau"))
-    )
-    wau = (
-        ev.select(
-            month,
-            F.weekofyear("day").alias("wk"),
-            "user_id",
-        )
-        .distinct()
-        .groupBy("month")
-        .agg(
-            (
-                F.count(F.lit(1))
-                / F.count_distinct(F.col("wk")).cast("double")
-            ).alias("mean_wau")
-        )
-    )
-    j = per_month_dau.join(mau, "month").join(wau, "month")
-    mean_dau = F.col("sum_dau").cast("double") / F.col("n_active_days")
-    return j.select(
-        "month",
-        "n_active_days",
-        "mau",
-        _rne(mean_dau, "mean_dau", 6),
-        _rne(F.col("mean_wau"), "mean_wau", 6),
-        _rne(mean_dau / F.col("mau"), "stickiness", 6),
-    )
-
-
-SQL_EVENTS_STICKINESS = f"""
-WITH ev AS (
-  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-m AS (
-  SELECT user_id, day, CAST(date_trunc('month', day) AS DATE) AS month
-  FROM ev),
-dau AS (
-  SELECT month, day, count(*) AS dau FROM m GROUP BY 1, 2),
-pmd AS (
-  SELECT month, count(*) AS n_active_days,
-         CAST(sum(dau) AS BIGINT) AS sum_dau
-  FROM dau GROUP BY 1),
-mau AS (
-  SELECT month, count(DISTINCT user_id) AS mau FROM m GROUP BY 1),
-wau AS (
-  SELECT month,
-         CAST(count(DISTINCT (weekofyear(day), user_id)) AS DOUBLE)
-           / count(DISTINCT weekofyear(day)) AS mean_wau
-  FROM m GROUP BY 1)
-SELECT p.month, p.n_active_days, CAST(mau.mau AS BIGINT) AS mau,
-       {_sql_rne('CAST(p.sum_dau AS DOUBLE) / p.n_active_days',
-                 'mean_dau')},
-       {_sql_rne('wau.mean_wau', 'mean_wau')},
-       {_sql_rne(
-           'CAST(p.sum_dau AS DOUBLE) / p.n_active_days / mau.mau',
-           'stickiness')}
-FROM pmd p JOIN mau USING (month) JOIN wau USING (month)"""
-
-
-def q_ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyndman's seasonality/trend strength per symbol, computed from
-    the classical decomposition's own components: F_s = max(0, 1 −
-    Var(resid)/Var(seasonal+resid)) and F_t likewise against
-    trend+resid — the one-number-per-series summary that ranks which
-    symbols have exploitable seasonal structure (feeds the
-    seasonal-naive forecaster choice). Composes q_ts_seasonal_decompose
-    verbatim; variances are two-pass with grid-snapped squared
-    deviations in exact DECIMAL — no engine variance formula involved."""
-    dec = q_ts_seasonal_decompose(spark, sf_dir).select(
-        "symbol",
-        "time_idx",
-        "seasonal",
-        "trend",
-        "residual",
-    ).filter(F.col("trend").isNotNull())
-    sr = (F.col("seasonal") + F.col("residual")).alias("sr")
-    tr = (F.col("trend") + F.col("residual")).alias("tr")
-    base = dec.select("symbol", F.col("residual").alias("r"), sr, tr)
-    # two-pass per column: mean via DECIMAL sums, then snapped squared
-    # deviations in DECIMAL
-    means = base.groupBy("symbol").agg(
-        F.count(F.lit(1)).alias("n"),
-        (
-            F.sum(F.col("r").cast("decimal(28,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mu_r"),
-        (
-            F.sum(F.col("sr").cast("decimal(28,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mu_sr"),
-        (
-            F.sum(F.col("tr").cast("decimal(28,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mu_tr"),
-    )
-    jj = base.join(means, "symbol")
-    sq = lambda c, mu: (  # noqa: E731
-        F.floor(
-            (F.col(c) - F.col(mu)) * (F.col(c) - F.col(mu)) * 1e6
-            + F.lit(0.5)
-        )
-        / 1e6
-    ).cast("decimal(28,6)")
-    vs = jj.groupBy("symbol", "n").agg(
-        (F.sum(sq("r", "mu_r")).cast("double") / F.col("n")).alias(
-            "var_r"
-        ),
-        (F.sum(sq("sr", "mu_sr")).cast("double") / F.col("n")).alias(
-            "var_sr"
-        ),
-        (F.sum(sq("tr", "mu_tr")).cast("double") / F.col("n")).alias(
-            "var_tr"
-        ),
-    )
-    # Intentional: a constant series makes var_sr/var_tr = 0, so the
-    # DOUBLE division yields -Inf (no ANSI throw — operands are
-    # DOUBLE) and the greatest() clamp maps it to 0.0, identically in
-    # both engines. Do NOT "fix" the division with a WHEN guard — the
-    # clamp IS the guard, and changing it would alter the emitted 0.0.
-    fs = F.greatest(
-        F.lit(0.0), 1.0 - F.col("var_r") / F.col("var_sr")
-    )
-    ft = F.greatest(
-        F.lit(0.0), 1.0 - F.col("var_r") / F.col("var_tr")
-    )
-    return vs.select(
-        "symbol",
-        F.col("n").alias("n_obs"),
-        _rne(fs, "seasonal_strength", 6),
-        _rne(ft, "trend_strength", 6),
-    )
-
-
-def _sql_ts_seasonality_strength() -> str:
-    dec = _sql_ts_seasonal()
-    sq = lambda c, mu: (  # noqa: E731
-        f"CAST(floor(({c} - {mu}) * ({c} - {mu}) * 1000000.0 + 0.5)"
-        f" / 1000000.0 AS DECIMAL(28,6))"
-    )
-    return f"""
-WITH dec AS ({dec}),
-base AS (
-  SELECT symbol, residual AS r, seasonal + residual AS sr,
-         trend + residual AS tr
-  FROM dec WHERE trend IS NOT NULL),
-means AS (
-  SELECT symbol, count(*) AS n,
-         CAST(sum(CAST(r AS DECIMAL(28,6))) AS DOUBLE) / count(*)
-           AS mu_r,
-         CAST(sum(CAST(sr AS DECIMAL(28,6))) AS DOUBLE) / count(*)
-           AS mu_sr,
-         CAST(sum(CAST(tr AS DECIMAL(28,6))) AS DOUBLE) / count(*)
-           AS mu_tr
-  FROM base GROUP BY 1),
-vs AS (
-  SELECT b.symbol, m.n,
-         CAST(sum({sq('b.r', 'm.mu_r')}) AS DOUBLE) / m.n AS var_r,
-         CAST(sum({sq('b.sr', 'm.mu_sr')}) AS DOUBLE) / m.n AS var_sr,
-         CAST(sum({sq('b.tr', 'm.mu_tr')}) AS DOUBLE) / m.n AS var_tr
-  FROM base b JOIN means m USING (symbol)
-  GROUP BY 1, 2)
-SELECT symbol, CAST(n AS BIGINT) AS n_obs,
-       {_sql_rne('greatest(0.0, 1.0 - var_r / var_sr)',
-                 'seasonal_strength')},
-       {_sql_rne('greatest(0.0, 1.0 - var_r / var_tr)',
-                 'trend_strength')}
-FROM vs"""
-
-
-def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Funnel conversion LATENCY — the companion the count-only funnel
-    lacks: among converting users, the distribution of time from
-    first view to first subsequent click and from that click to first
-    subsequent purchase, as exact rank-picked quartiles of integer
-    second gaps. Same strictly-after chaining as q_events_funnel (the
-    contracts stay consistent), one user exchange, output is
-    2 stages × 3 quartiles."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts"
-    )
-    tv = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts").alias("tv")
-    )
-    tc = (
-        ev.filter(F.col("event_type") == "click")
-        .join(tv, "user_id")
-        .filter(F.col("ts") > F.col("tv"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("tc"), F.min("tv").alias("tv"))
-    )
-    tp = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(tc, "user_id")
-        .filter(F.col("ts") > F.col("tc"))
-        .groupBy("user_id")
-        .agg(
-            F.min("ts").alias("tp"),
-            F.min("tc").alias("tc"),
-            F.min("tv").alias("tv"),
-        )
-    )
-    gaps = tp.select(
-        "user_id",
-        ((F.unix_micros(F.col("tc").cast("timestamp"))
-          - F.unix_micros(F.col("tv").cast("timestamp"))) / 1_000_000)
-        .cast("long")
-        .alias("view_to_click_s"),
-        ((F.unix_micros(F.col("tp").cast("timestamp"))
-          - F.unix_micros(F.col("tc").cast("timestamp"))) / 1_000_000)
-        .cast("long")
-        .alias("click_to_purchase_s"),
-    )
-    require_utc(spark)
-    long = gaps.select(
-        F.lit("view_to_click").alias("stage"),
-        F.col("view_to_click_s").alias("gap_s"),
-    ).unionByName(
-        gaps.select(
-            F.lit("click_to_purchase").alias("stage"),
-            F.col("click_to_purchase_s").alias("gap_s"),
-        )
-    )
-    wr = Window.partitionBy("stage").orderBy(F.col("gap_s").asc())
-    wn = Window.partitionBy("stage")
-    ranked = long.select(
-        "stage",
-        "gap_s",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
-    out = None
-    for q in (0.25, 0.5, 0.75):
-        pick = F.floor((F.col("n") - 1) * F.lit(q)).cast("int") + 1
-        part = ranked.filter(F.col("rn") == pick).select(
-            "stage",
-            F.lit(q).alias("q"),
-            F.col("gap_s").alias("gap_seconds"),
-            F.col("n").alias("n_converted"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
-
-
-def _sql_events_funnel_latency() -> str:
-    arms = "\nUNION ALL\n".join(
-        f"""SELECT stage, CAST({q} AS DOUBLE) AS q,
-       gap_s AS gap_seconds, CAST(n AS BIGINT) AS n_converted
-FROM ranked WHERE rn = CAST(floor((n - 1) * {q}) AS INT) + 1"""
-        for q in (0.25, 0.5, 0.75)
-    )
-    return f"""
-WITH tv AS (
-  SELECT user_id, min(ts) AS tv FROM events
-  WHERE event_type = 'view' GROUP BY 1),
-tc AS (
-  SELECT e.user_id, min(e.ts) AS tc, min(v.tv) AS tv
-  FROM events e JOIN tv v USING (user_id)
-  WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1),
-tp AS (
-  SELECT e.user_id, min(e.ts) AS tp, min(c.tc) AS tc, min(c.tv) AS tv
-  FROM events e JOIN tc c USING (user_id)
-  WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1),
-long AS (
-  SELECT 'view_to_click' AS stage,
-         CAST((epoch_us(tc) - epoch_us(tv)) // 1000000 AS BIGINT)
-           AS gap_s
-  FROM tp
-  UNION ALL
-  SELECT 'click_to_purchase',
-         CAST((epoch_us(tp) - epoch_us(tc)) // 1000000 AS BIGINT)
-  FROM tp),
-ranked AS (
-  SELECT stage, gap_s,
-         row_number() OVER (PARTITION BY stage ORDER BY gap_s ASC)
-           AS rn,
-         count(*) OVER (PARTITION BY stage) AS n
-  FROM long)
-{arms}"""
-
-
-
-# --------------------------------------------------------------------------
-# round-8 additions: binary-quantization ANN + winnowing fingerprints
-# --------------------------------------------------------------------------
-
-BQ_RERANK = 32
-BQ_RADIUS = 31  # dim/2 - 1: drops the unrelated half of a random corpus
-
-
-def q_emb_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage binary-quantization ANN: pack each 64-dim vector into
-    ONE 64-bit sign code (64x smaller than the float vector — the
-    representation a 10^9-vector corpus can afford to scan
-    exhaustively), Hamming-scan the codes against the broadcast query
-    codes with a map-side ``hamming <= dim/2 - 1`` radius cut, take
-    the per-query top-``BQ_RERANK`` Hamming survivors, and re-rank
-    those few by exact cosine over the float vectors (candidate list
-    broadcast into the corpus scan — the floats never shuffle).
-    Complements the PQ/IVF family with the third production
-    quantization regime (1-bit). All-integer first stage, so the
-    candidate set is engine-exact; the re-rank cosine is the
-    bitwise-reproducible sequential fold."""
-    from ..operators.similarity import bq_hamming_topk
-
-    emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") % 100 == 0)
-    out = bq_hamming_topk(
-        emb, queries, k=KNN_K, rerank=BQ_RERANK, radius=BQ_RADIUS
-    )
-    return out.select(
-        "q_id",
-        "id",
-        "rank",
-        F.col("hamming").cast("long").alias("hamming"),
-        _r6("cos"),
-    )
-
-
-def _sql_bq_code(v: str) -> str:
-    """The packed sign code as a DuckDB expression over a DOUBLE[]
-    column — bit 63 is the BIGINT sign bit, which DuckDB's checked
-    ``<<`` refuses to produce, so that one term is the literal."""
-    terms = []
-    for d in range(64):
-        lit = (
-            "(-9223372036854775808)::BIGINT"
-            if d == 63
-            else f"(1::BIGINT << {d})"
-        )
-        terms.append(f"(CASE WHEN {v}[{d + 1}] > 0 THEN {lit} ELSE 0::BIGINT END)")
-    return "(" + " | ".join(terms) + ")"
-
-
-def _sql_bq_hamming() -> str:
-    cos = (
-        f"{_sql_dot('e.v', 'q.qv')} / "
-        f"({_sql_norm('e.v')} * {_sql_norm('q.qv')})"
-    )
-    body = f"""
-WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id, v, {_sql_bq_code('v')} AS code FROM emb),
-q AS (SELECT vec_id AS q_id, v AS qv, code AS qcode FROM c
-      WHERE vec_id % 100 = 0),
-h AS (
-  SELECT q.q_id, e.vec_id AS id,
-         CAST(bit_count(xor(e.code, q.qcode)) AS BIGINT) AS hamming
-  FROM c e CROSS JOIN q
-  WHERE e.vec_id <> q.q_id
-),
-topr AS (
-  SELECT q_id, id, hamming,
-         row_number() OVER (
-           PARTITION BY q_id ORDER BY hamming ASC, id ASC) AS rr
-  FROM h WHERE hamming <= {BQ_RADIUS}
-),
-rer AS (
-  SELECT t.q_id, t.id, t.hamming, {cos} AS cos
-  FROM topr t
-  JOIN c e ON e.vec_id = t.id
-  JOIN q ON q.q_id = t.q_id
-  WHERE t.rr <= {BQ_RERANK}
-),
-ranked AS (
-  SELECT q_id, id, hamming, cos,
-         CAST(row_number() OVER (
-           PARTITION BY q_id ORDER BY cos DESC, id ASC) AS INT) AS rank
-  FROM rer
-)
-SELECT q_id, id, rank, hamming, cos FROM ranked WHERE rank <= {KNN_K}"""
-    return _sql_r6_wrap(body, ["q_id", "id", "rank", "hamming"], ["cos"])
-
-
-SQL_EMB_BQ_HAMMING = _sql_bq_hamming()
-
-WINNOW_TAU = 0.15
-
-
-def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (MOSS) fingerprint near-dup pairs: content-defined
-    min-hash-per-window selection over char 8-grams guarantees any
-    shared run >= w+k-1 chars yields a shared fingerprint — the
-    positional-match complement to MinHash's whole-document sample.
-    Pairs come from the df-capped inverted index (work ∝ Σ df², never
-    n²); score = shared/(|A|+|B|-shared), an exact integer quotient."""
-    from ..operators.dedup import winnow_pairs
-
-    docs = load_table(spark, sf_dir, "documents")
-    return winnow_pairs(docs, threshold=WINNOW_TAU).select(
-        "id_i", "id_j", "shared", "winnow_jac"
-    )
-
-
-def _sql_winnow_pairs() -> str:
-    from ..operators.dedup import WINNOW_DF_CAP, WINNOW_K, WINNOW_W
-
-    k, w, cap = WINNOW_K, WINNOW_W, WINNOW_DF_CAP
-    gram_hash = (
-        f"CAST('0x' || substr(md5(substr(nrm, i, {k})), 1, 15) AS BIGINT)"
-    )
-    return f"""
-WITH nd AS (
-  SELECT doc_id AS id,
-         regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nrm
-  FROM documents),
-g AS (
-  SELECT id,
-         list_transform(range(1, greatest(len(nrm) - {k - 1}, 0) + 1),
-                        i -> {gram_hash}) AS grams
-  FROM nd),
-f AS (
-  SELECT id, CASE WHEN len(grams) >= 1 THEN
-    list_distinct(list_transform(
-      range(1, greatest(len(grams) - {w - 1}, 1) + 1),
-      j -> list_min(grams[j : j + least({w}, len(grams)) - 1])))
-    ELSE []::BIGINT[] END AS fps
-  FROM g),
-e AS (SELECT id, len(fps) AS cnt, unnest(fps) AS h FROM f),
-b AS (SELECT h FROM e GROUP BY h HAVING count(*) BETWEEN 2 AND {cap}),
-pe AS (SELECT e.id, e.cnt, e.h FROM e JOIN b USING (h)),
-pairs AS (
-  SELECT a.id AS id_i, a.cnt AS cnt_i, b2.id AS id_j, b2.cnt AS cnt_j,
-         count(*) AS shared
-  FROM pe a JOIN pe b2 ON a.h = b2.h AND a.id < b2.id
-  GROUP BY 1, 2, 3, 4)
-SELECT id_i, id_j, shared,
-       shared::DOUBLE / (cnt_i + cnt_j - shared) AS winnow_jac
-FROM pairs
-WHERE shared::DOUBLE / (cnt_i + cnt_j - shared) >= {WINNOW_TAU}"""
-
-
-SQL_DOC_WINNOW = _sql_winnow_pairs()
-
-
-def q_win_vae_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M2-M6 in-engine VAE TRAINING (reference core/nn/vae.py:79-202 +
-    lit.py:84-92 criterion + train.py:96-108 data-parallel fit) — the
-    last reference capability, now on the cluster: fit the MLP VAE
-    over the flagship sliding windows by full-batch AdamW (3 epochs,
-    the reference's kl_beta = 5e-4 / weight_decay = 1e-4) with
-    grid-snapped exact-integer gradient reduction (bit-identical at
-    any partitioning — operators/vaetrain.py's determinism contract,
-    proven by tests/test_vaetrain.py), then emit each window's
-    posterior-mean embedding through the same Arrow encode slot as
-    the DCT/PCA twins. Training is iterative and non-SQL-expressible,
-    so this is the registry's one rows-only gate entry (no DuckDB
-    oracle); exactness is covered by the numpy-replay test instead.
-    Per epoch: ONE scan of the pinned window frame + a ~300-key exact
-    DECIMAL aggregate; shuffle bytes O(arrow_batches x params),
-    independent of row count."""
-    from ..operators.vaetrain import train_vae, vae_encode
-
-    w = sliding_windows(
-        _filled(spark, sf_dir).select("symbol", "time_idx", "close"),
-        L=_DCT_L,
-    ).select(
-        "symbol",
-        "window_id",
-        "xs",
-        F.xxhash64("symbol", "window_id").alias("uid"),
-    )
-    # 3 training epochs + encode = 4 scans: pin the window build once
-    # (localCheckpoint — GC-reclaimed, not session-pinned)
-    w = w.localCheckpoint(eager=True)
-    p, _hist = train_vae(
-        w, L=_DCT_L, hidden=16, k=_DCT_K, epochs=3, lr=1e-2,
-        kl_beta=5e-4, weight_decay=1e-4, seed=7,
-    )
-    out = vae_encode(w, p)
-    return out.select(
-        "symbol",
-        "window_id",
-        *[
-            _rne(F.element_at("emb", d + 1), f"e{d}", 6)
-            for d in range(_DCT_K)
-        ],
-    )
-
-
-# --------------------------------------------------------------------------
-# round-10 additions
-# --------------------------------------------------------------------------
-
-GARCH_OMEGA = 1e-6
-GARCH_ALPHA = 0.05
-GARCH_BETA = 0.90
-
-
-def q_ts_garch_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GARCH(1,1) conditional volatility per symbol (fixed ω/α/β —
-    the filtering pass a risk engine runs between refits):
-    v_t = ω + α·r²_t + β·v_{t−1}, σ_t = √v_t, seeded v = r² at the
-    first return like the EWMA twin. Squared returns snap to the
-    1e-12 grid BEFORE the recursion so the Arrow pass
-    (operators/rolling.py garch_filter) and the DuckDB recursive CTE
-    consume identical inputs and reproduce v bitwise; only the final
-    √ rounds (r8). Rides the ts family's single symbol exchange; a
-    non-positive close on either side of a return contributes r² = 0
-    (flat tick) so the recursion stays TOTAL after rn=1."""
-    from ..operators.rolling import garch_filter
-
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    prev = F.lag("close", 1).over(w)
-    lr = F.when(
-        (F.col("close") > 0) & (prev > 0),
-        F.log(F.col("close") / prev),
-    ).otherwise(
-        F.when(prev.isNotNull(), F.lit(0.0))  # rn=1 stays NULL
-    )
-    base = df.withColumn(
-        "r2", F.floor(lr * lr * 1e12 + F.lit(0.5)) / 1e12
-    )
-    g = garch_filter(
-        base, "r2", "v",
-        omega=GARCH_OMEGA, alpha=GARCH_ALPHA, beta=GARCH_BETA,
-    )
-    return g.filter(F.col("v").isNotNull()).select(
-        "symbol", "time_idx", _rne(F.sqrt(F.col("v")), "garch_vol", 8)
-    )
-
-
-def _sql_ts_garch_vol() -> str:
-    return f"""WITH RECURSIVE {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-lagged AS (
-  SELECT symbol, time_idx, close,
-         lag(close) OVER (PARTITION BY symbol ORDER BY time_idx) AS prev,
-         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) AS rn
-  FROM filled),
-rr AS (
-  SELECT symbol, time_idx, rn,
-         floor(pow(CASE WHEN close > 0 AND prev > 0
-                        THEN ln(close / prev) ELSE 0.0 END, 2)
-               * 1000000000000.0 + 0.5) / 1000000000000.0 AS r2
-  FROM lagged),
-rec(symbol, rn, time_idx, v) AS (
-  SELECT symbol, rn, time_idx, r2 FROM rr WHERE rn = 2
-  UNION ALL
-  SELECT r.symbol, r.rn, r.time_idx,
-         {GARCH_OMEGA} + {GARCH_ALPHA} * r.r2 + {GARCH_BETA} * rec.v
-  FROM rec JOIN rr r ON r.symbol = rec.symbol AND r.rn = rec.rn + 1)
-SELECT symbol, time_idx, {_sql_rne('sqrt(v)', 'garch_vol', 8)}
-FROM rec"""
-
-
-CONFORMAL_ALPHA = 0.1  # 90% nominal coverage
-CONFORMAL_CAL_FRAC = 0.7
-
-
-def q_ts_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split-conformal prediction interval for the one-step naive
-    forecast (ŷ_t = y_{t−1}), the distribution-free uncertainty wrap
-    a forecasting engine puts around ANY point model: per symbol,
-    the first 70% of residual rows (time order) are calibration, the
-    conformal radius q̂ is the ⌈(n_cal+1)·(1−α)⌉-th smallest absolute
-    residual (clamped to n_cal when the finite-sample index exceeds
-    it), and the reported coverage is the fraction of TEST residuals
-    ≤ q̂ — finite-sample-valid ≥ 1−α regardless of the error
-    distribution. The k-th order statistic is tie-order-free, so the
-    only rounding is q̂ (r8) and the coverage ratio (r6). Windows +
-    one groupBy per symbol — rides the ts family's single exchange."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    res = (
-        df.withColumn("prev", F.lag("close", 1).over(w))
-        .filter(F.col("prev").isNotNull())
-        .withColumn("aresid", F.abs(F.col("close") - F.col("prev")))
-    )
-    res = res.withColumn("rn", F.row_number().over(w)).withColumn(
-        "m", F.count(F.lit(1)).over(Window.partitionBy("symbol"))
-    )
-    res = res.withColumn(
-        "n_cal", F.floor(F.col("m") * F.lit(CONFORMAL_CAL_FRAC))
-    )
-    cal = res.filter(F.col("rn") <= F.col("n_cal"))
-    test = res.filter(F.col("rn") > F.col("n_cal"))
-    k = F.least(
-        F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - CONFORMAL_ALPHA)),
-        F.col("n_cal"),
-    )
-    wq = Window.partitionBy("symbol").orderBy(
-        F.col("aresid").asc(), F.col("time_idx").asc()
-    )
-    qhat = (
-        cal.withColumn("qrn", F.row_number().over(wq))
-        .filter(F.col("qrn") == k)
-        .select("symbol", F.col("aresid").alias("q_hat"), "n_cal")
-    )
-    cov = (
-        test.join(qhat.select("symbol", "q_hat"), "symbol")
-        .groupBy("symbol")
-        .agg(
-            F.count(F.lit(1)).alias("n_test"),
-            F.sum(
-                (F.col("aresid") <= F.col("q_hat")).cast("long")
-            ).alias("n_covered"),
-        )
-    )
-    return (
-        qhat.join(cov, "symbol")
-        .select(
-            "symbol",
-            F.col("n_cal").cast("long").alias("n_cal"),
-            F.col("n_test").cast("long").alias("n_test"),
-            _rne(F.col("q_hat"), "q_hat", 8),
-            _rne(F.col("n_covered") / F.col("n_test"), "coverage", 6),
-        )
-    )
-
-
-def _sql_ts_conformal_interval() -> str:
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-resid AS (
-  SELECT symbol, time_idx,
-         abs(close - lag(close) OVER (PARTITION BY symbol ORDER BY time_idx))
-           AS aresid
-  FROM filled
-  QUALIFY aresid IS NOT NULL),
-rr AS (
-  SELECT symbol, time_idx, aresid,
-         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) AS rn,
-         count(*) OVER (PARTITION BY symbol) AS m
-  FROM resid),
-rc AS (
-  SELECT *, CAST(floor(m * {CONFORMAL_CAL_FRAC}) AS BIGINT) AS n_cal
-  FROM rr),
-qhat AS (
-  SELECT symbol, aresid AS q_hat, n_cal
-  FROM (
-    SELECT symbol, aresid, n_cal,
-           row_number() OVER (PARTITION BY symbol
-                              ORDER BY aresid ASC, time_idx ASC) AS qrn
-    FROM rc WHERE rn <= n_cal)
-  WHERE qrn = least(CAST(ceil((n_cal + 1) * {1.0 - CONFORMAL_ALPHA}) AS BIGINT),
-                    n_cal)),
-cov AS (
-  SELECT t.symbol, count(*) AS n_test,
-         sum((t.aresid <= q.q_hat)::BIGINT) AS n_covered
-  FROM rc t JOIN qhat q ON t.symbol = q.symbol
-  WHERE t.rn > t.n_cal
-  GROUP BY 1)
-SELECT q.symbol, q.n_cal, c.n_test,
-       {_sql_rne('q.q_hat', 'q_hat', 8)},
-       {_sql_rne('c.n_covered::DOUBLE / c.n_test', 'coverage', 6)}
-FROM qhat q JOIN cov c ON q.symbol = c.symbol"""
-
-
-def q_ts_topdown_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical forecast reconciliation (grouped time series):
-    the aggregate (sum-over-symbols) series is forecast ONCE with a
-    trailing SMA-8 and split back to symbols by their calibration-
-    period share of the total (top-down proportional), compared
-    against each symbol's DIRECT SMA-8 — the classic
-    coherency-vs-accuracy trade every hierarchical forecaster
-    measures. Restricted to the time window where EVERY symbol's
-    filled grid is dense (max of mins .. min of maxes) so the total
-    is well-defined at each step; calibration = first 70% of that
-    window, test = rest; forecasts use ROWS 8..1 PRECEDING (past
-    only, full frames). Determinism: closes snap to the 1e-6 grid
-    and every sum (totals, shares, SMA numerators) rides exact
-    DECIMAL; shares and forecasts come from identical snapped sums
-    in both engines, abs errors snap to 1e-9 before the exact MAE
-    sum. The total series is calendar-bounded (one row per 6h
-    bucket) so its unpartitioned window is NOT a scale risk; the
-    symbol-level windows ride the ts family's symbol exchange."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    q = df.select(
-        "symbol",
-        "time_idx",
-        F.floor(F.col("close") * 1e6 + F.lit(0.5))
-        .cast("decimal(38,0)")
-        .alias("qc"),
-    )
-    bounds = (
-        q.groupBy("symbol")
-        .agg(F.min("time_idx").alias("mn"), F.max("time_idx").alias("mx"))
-        .agg(F.max("mn").alias("lo"), F.min("mx").alias("hi"))
-        .withColumn(
-            "cut",
-            F.col("lo")
-            + F.floor((F.col("hi") - F.col("lo")) * F.lit(0.7)),
-        )
-    )
-    qb = q.join(F.broadcast(bounds), on=F.expr("time_idx BETWEEN lo AND hi"))
-    tot = qb.groupBy("time_idx", "cut").agg(F.sum("qc").alias("qt"))
-    # calibration shares: exact DECIMAL sums, one double division
-    cal_sym = (
-        qb.filter(F.col("time_idx") <= F.col("cut"))
-        .groupBy("symbol")
-        .agg(F.sum("qc").alias("qs_cal"))
-    )
-    cal_tot = (
-        tot.filter(F.col("time_idx") <= F.col("cut"))
-        .agg(F.sum("qt").alias("qt_cal"))
-    )
-    # NULL share (→ symbol dropped) when the calibration total is 0:
-    # a double 0-division would be Inf/NaN poison downstream
-    share = cal_sym.crossJoin(F.broadcast(cal_tot)).select(
-        "symbol",
-        F.when(
-            F.col("qt_cal") != 0,
-            F.col("qs_cal").cast("double") / F.col("qt_cal").cast("double"),
-        ).alias("p"),
-    )
-    fr = (
-        Window.orderBy("time_idx").rowsBetween(-8, -1)
-    )
-    tot_fc = tot.select(
-        "time_idx",
-        "cut",
-        (
-            F.sum("qt").over(fr).cast("double")
-            / F.lit(8.0) / F.lit(1e6)
-        ).alias("fc_total"),
-        F.count(F.lit(1)).over(fr).alias("nf_t"),
-    )
-    frs = (
-        Window.partitionBy("symbol").orderBy("time_idx").rowsBetween(-8, -1)
-    )
-    sym_fc = qb.select(
-        "symbol",
-        "time_idx",
-        "cut",
-        (F.col("qc").cast("double") / F.lit(1e6)).alias("actual"),
-        (
-            F.sum("qc").over(frs).cast("double") / F.lit(8.0) / F.lit(1e6)
-        ).alias("fc_direct"),
-        F.count(F.lit(1)).over(frs).alias("nf_s"),
-    )
-    test = (
-        sym_fc.filter(
-            (F.col("time_idx") > F.col("cut")) & (F.col("nf_s") == 8)
-        )
-        .join(
-            tot_fc.filter(F.col("nf_t") == 8).select(
-                "time_idx", "fc_total"
-            ),
-            "time_idx",
-        )
-        .join(F.broadcast(share), "symbol")
-        .withColumn("fc_topdown", F.col("p") * F.col("fc_total"))
-    )
-    snap = lambda c: F.floor(F.abs(c) * 1e9 + F.lit(0.5)).cast(  # noqa: E731
-        "decimal(38,0)"
-    )
-    out = test.groupBy("symbol").agg(
-        F.count(F.lit(1)).alias("n_test"),
-        F.sum(snap(F.col("actual") - F.col("fc_direct"))).alias("ed"),
-        F.sum(snap(F.col("actual") - F.col("fc_topdown"))).alias("et"),
-        F.first("p").alias("p"),
-    )
-    return out.select(
-        "symbol",
-        F.col("n_test").cast("long").alias("n_test"),
-        _rne(F.col("p"), "share", 8),
-        _rne(
-            F.col("ed").cast("double") / F.col("n_test") / F.lit(1e9),
-            "mae_direct",
-            8,
-        ),
-        _rne(
-            F.col("et").cast("double") / F.col("n_test") / F.lit(1e9),
-            "mae_topdown",
-            8,
-        ),
-    )
-
-
-def _sql_ts_topdown_reconcile() -> str:
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-q AS (
-  SELECT symbol, time_idx,
-         floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
-  FROM filled),
-bounds AS (
-  SELECT max(mn) AS lo, min(mx) AS hi,
-         max(mn) + CAST(floor((min(mx) - max(mn)) * 0.7) AS BIGINT) AS cut
-  FROM (SELECT symbol, min(time_idx) AS mn, max(time_idx) AS mx
-        FROM q GROUP BY 1)),
-qb AS (
-  SELECT q.*, b.cut FROM q, bounds b
-  WHERE q.time_idx BETWEEN b.lo AND b.hi),
-tot AS (
-  SELECT time_idx, cut, sum(qc) AS qt FROM qb GROUP BY 1, 2),
-share AS (
-  SELECT symbol,
-         CASE WHEN (SELECT sum(qt) FROM tot WHERE time_idx <= cut) <> 0
-              THEN (SELECT sum(qc) FROM qb s
-                    WHERE s.symbol = c.symbol AND s.time_idx <= s.cut)
-                     ::DOUBLE
-                   / (SELECT sum(qt) FROM tot
-                      WHERE time_idx <= cut)::DOUBLE
-         END AS p
-  FROM (SELECT DISTINCT symbol FROM qb) c),
-tot_fc AS (
-  SELECT time_idx, cut,
-         (sum(qt) OVER w)::DOUBLE / 8.0 / 1000000.0 AS fc_total,
-         count(*) OVER w AS nf_t
-  FROM tot
-  WINDOW w AS (ORDER BY time_idx ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
-sym_fc AS (
-  SELECT symbol, time_idx, cut,
-         qc::DOUBLE / 1000000.0 AS actual,
-         (sum(qc) OVER ws)::DOUBLE / 8.0 / 1000000.0 AS fc_direct,
-         count(*) OVER ws AS nf_s
-  FROM qb
-  WINDOW ws AS (PARTITION BY symbol ORDER BY time_idx
-                ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
-test AS (
-  SELECT s.symbol, s.actual, s.fc_direct, sh.p,
-         sh.p * t.fc_total AS fc_topdown
-  FROM sym_fc s
-  JOIN tot_fc t ON s.time_idx = t.time_idx AND t.nf_t = 8
-  JOIN share sh ON s.symbol = sh.symbol
-  WHERE s.time_idx > s.cut AND s.nf_s = 8),
-agg AS (
-  SELECT symbol, count(*) AS n_test, any_value(p) AS p,
-         sum(floor(abs(actual - fc_direct) * 1000000000.0 + 0.5)
-             ::DECIMAL(38,0)) AS ed,
-         sum(floor(abs(actual - fc_topdown) * 1000000000.0 + 0.5)
-             ::DECIMAL(38,0)) AS et
-  FROM test GROUP BY 1)
-SELECT symbol, n_test::BIGINT AS n_test,
-       {_sql_rne('p', 'share', 8)},
-       {_sql_rne('ed::DOUBLE / n_test / 1000000000.0', 'mae_direct', 8)},
-       {_sql_rne('et::DOUBLE / n_test / 1000000000.0', 'mae_topdown', 8)}
-FROM agg"""
-
-
-AA_DF_MAX = 16  # co-attendance item df cap (hub cut), shared graph family
-
-
-def _coattendance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared df-capped user–item co-attendance frame for the graph
-    family (adamic_adar / lpa_communities / jaccard_links): item =
-    (event_type, day, ⌊value⌋) — fine enough that item degree stays
-    bounded as the corpus grows, the property any blocking key needs
-    at scale. Hub items (df > AA_DF_MAX) are cut BEFORE any pair
-    expansion (work ∝ Σ df² stays bounded) and singleton items
-    (df < 2) produce no pairs. Returns (user_id, item, df). The
-    oracle twin is ``SQL_COATTEND`` — one definition per engine, so
-    a blocking-key change (cap, NULL-concat convention) edits exactly
-    two sites (r10 advice)."""
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select(
-            "user_id",
-            # F.concat (not concat_ws): null event_type/ts/value must
-            # yield a NULL item exactly like SQL ||, so both engines
-            # drop the same rows at the item-equality join
-            F.concat(
-                F.col("event_type"),
-                F.lit(":"),
-                F.to_date("ts").cast("string"),
-                F.lit(":"),
-                F.floor("value").cast("string"),
-            ).alias("item"),
-        )
-        .distinct()
-    )
-    return ev.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("item"))
-    ).filter((F.col("df") >= 2) & (F.col("df") <= AA_DF_MAX))
-
-
-SQL_COATTEND = f"""ev AS (
-  SELECT DISTINCT user_id,
-         event_type || ':' || CAST(ts::DATE AS VARCHAR) || ':'
-           || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS item
-  FROM events),
-dca AS (
-  SELECT user_id, item, df FROM (
-    SELECT user_id, item, count(*) OVER (PARTITION BY item) AS df
-    FROM ev)
-  WHERE df BETWEEN 2 AND {AA_DF_MAX})"""
-
-
-def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adamic–Adar link prediction over the user–item bipartite graph
-    (item = (event_type, day, ⌊value⌋) co-attendance — fine enough
-    that item degree stays bounded as the corpus grows, the property
-    any blocking key needs at scale): for user pairs sharing items,
-    AA = Σ_shared 1/ln(df_item) — the inverted-log-degree
-    common-neighbor score. Hub items (df > 16) are cut BEFORE pair
-    expansion — the same df-cap discipline as the MinHash inverted
-    index (work ∝ Σ df² stays bounded; hubs contribute the least AA
-    weight by construction, 1/ln(df)) — and singleton items (df < 2)
-    produce no pairs. Determinism: each item weight snaps to the
-    1e-12 grid and per-pair sums ride exact DECIMAL, so the top-25
-    ranking (aa DESC, u1, u2) is order-free; ln(integer df) is one
-    identical IEEE op in both engines. One distinct + one windowed
-    df + one self-join on item (shuffle key = item, skew bounded by
-    the cap). Item construction + df cap live in ``_coattendance``
-    (shared with the LPA/Jaccard queries)."""
-    d = _coattendance(spark, sf_dir).withColumn(
-        "wq",
-        F.floor(F.lit(1e12) / F.log(F.col("df").cast("double")) + F.lit(0.5))
-        .cast("decimal(38,0)"),
-    )
-    a = d.select(
-        F.col("user_id").alias("u1"), "item", "wq"
-    )
-    b = d.select(F.col("user_id").alias("u2"), "item")
-    pairs = a.join(b, "item").filter(F.col("u1") < F.col("u2"))
-    aa = pairs.groupBy("u1", "u2").agg(
-        F.sum("wq").alias("aaq"),
-        F.count(F.lit(1)).alias("n_shared"),
-    )
-    # global top-k via orderBy+limit → TakeOrderedAndProject (map-side
-    # partial top-k per input partition, then one k-row merge); an
-    # unpartitioned row_number window would sort EVERY pair in one
-    # task — InferWindowGroupLimit doesn't fire on an empty partition
-    # spec (plan-pinned in tests/test_plans2.py). The rank window then
-    # runs over 25 rows.
-    top = aa.orderBy(
-        F.col("aaq").desc(), F.col("u1").asc(), F.col("u2").asc()
-    ).limit(25)
-    top = top.withColumn(
-        "rank",
-        F.row_number().over(
-            Window.orderBy(
-                F.col("aaq").desc(), F.col("u1").asc(), F.col("u2").asc()
-            )
-        ),
-    )
-    return top.select(
-        "rank",
-        "u1",
-        "u2",
-        F.col("n_shared").cast("long").alias("n_shared"),
-        _rne(F.col("aaq").cast("double") / F.lit(1e12), "aa", 8),
-    )
-
-
-def _sql_graph_adamic_adar() -> str:
-    return f"""
-WITH {SQL_COATTEND},
-d AS (
-  SELECT user_id, item,
-         floor(1000000000000.0 / ln(df::DOUBLE) + 0.5)::DECIMAL(38,0) AS wq
-  FROM dca),
-aa AS (
-  SELECT a.user_id AS u1, b.user_id AS u2,
-         sum(a.wq) AS aaq, count(*) AS n_shared
-  FROM d a JOIN d b ON a.item = b.item AND a.user_id < b.user_id
-  GROUP BY 1, 2),
-top AS (
-  SELECT row_number() OVER (ORDER BY aaq DESC, u1 ASC, u2 ASC) AS rank,
-         u1, u2, n_shared, aaq
-  FROM aa)
-SELECT rank, u1, u2, n_shared::BIGINT AS n_shared,
-       {_sql_rne('aaq::DOUBLE / 1000000000000.0', 'aa', 8)}
-FROM top WHERE rank <= 25"""
-
-
-BIGRAM_LM_K = 0.5  # add-k smoothing
-
-
-def q_doc_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram language-model perplexity with a PROPER train/eval
-    split (train = doc_id % 5 != 0, eval = the rest) — the held-out
-    fluency score the unigram filter can't give (it ignores word
-    order): P(b|a) = (c(a,b)+k)/(c(a·)+k·V) with add-k smoothing
-    k=0.5, V = train unigram vocabulary, unseen contexts fall back
-    to the uniform k/(kV) floor. Per eval doc: ppl =
-    exp(Σ −ln P / n). Bigrams come from an in-row transform+explode
-    (NO per-doc window exchange — the pair stream is scan-shaped);
-    eval bigrams pre-aggregate to (doc, a, b, count) before joining
-    the count tables, so the join input is type-sized, not
-    token-sized. Determinism: each surprisal snaps to the 1e-9 grid,
-    per-doc sums ride exact DECIMAL — summation order cannot perturb
-    ppl (r6)."""
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        (F.col("doc_id") % 5 == 0).alias("is_eval"),
-        tokens(F.col("text")).alias("toks"),
-    )
-    # size>=2 filter BEFORE sequence(): Spark's sequence(1, 0) is the
-    # descending [1, 0], not empty
-    big = (
-        base.filter(F.size("toks") >= 2)
-        .select(
-            "doc_id",
-            "is_eval",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 1),"
-                    " i -> struct(toks[i-1] AS a, toks[i] AS b))"
-                )
-            ).alias("p"),
-        )
-        .select("doc_id", "is_eval", "p.a", "p.b")
-    )
-    train_big = big.filter(~F.col("is_eval"))
-    c2 = train_big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = train_big.groupBy("a").agg(F.count(F.lit(1)).alias("c1"))
-    vsize = (
-        base.filter(~F.col("is_eval"))
-        .select(F.explode("toks").alias("tok"))
-        .agg(F.countDistinct("tok").alias("v"))
-    )
-    ev = (
-        big.filter(F.col("is_eval"))
-        .groupBy("doc_id", "a", "b")
-        .agg(F.count(F.lit(1)).alias("m"))
-    )
-    k = F.lit(BIGRAM_LM_K)
-    joined = (
-        ev.join(c2, ["a", "b"], "left")
-        .join(c1, ["a"], "left")
-        .crossJoin(F.broadcast(vsize))
-        .select(
-            "doc_id",
-            "m",
-            # v >= 1 guard: an all-eval corpus (empty train split)
-            # would put ln(x/0)=Inf through floor, where Spark's
-            # DECIMAL cast nulls and DuckDB's errors — NULL the
-            # surprisal identically instead
-            F.when(
-                F.col("v") >= 1,
-                F.floor(
-                    -F.log(
-                        (F.coalesce(F.col("c2"), F.lit(0)) + k)
-                        / (
-                            F.coalesce(F.col("c1"), F.lit(0))
-                            + k * F.col("v")
-                        )
-                    )
-                    * F.lit(1e9)
-                    + F.lit(0.5)
-                ).cast("decimal(38,0)"),
-            ).alias("sq"),
-        )
-    )
-    agg = joined.groupBy("doc_id").agg(
-        F.sum("m").alias("n_bigrams"),
-        F.sum(F.col("sq") * F.col("m")).alias("sumq"),
-    )
-    return agg.select(
-        "doc_id",
-        F.col("n_bigrams").cast("long").alias("n_bigrams"),
-        _rne(
-            F.exp(
-                F.col("sumq").cast("double")
-                / F.col("n_bigrams")
-                / F.lit(1e9)
-            ),
-            "ppl",
-            6,
-        ),
-    )
-
-
-def _sql_doc_bigram_lm_ppl() -> str:
-    k = BIGRAM_LM_K
-    return f"""
-WITH base AS (
-  SELECT doc_id, doc_id % 5 = 0 AS is_eval,
-         {sql_tokens('text')} AS toks
-  FROM documents),
-big AS (
-  SELECT doc_id, is_eval,
-         unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
-                               i -> toks[i])) AS a,
-         unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
-                               i -> toks[i + 1])) AS b
-  FROM base),
-c2 AS (
-  SELECT a, b, count(*) AS c2 FROM big WHERE NOT is_eval GROUP BY 1, 2),
-c1 AS (
-  SELECT a, count(*) AS c1 FROM big WHERE NOT is_eval GROUP BY 1),
-vsize AS (
-  SELECT count(DISTINCT tok) AS v
-  FROM (SELECT unnest(toks) AS tok FROM base WHERE NOT is_eval)),
-ev AS (
-  SELECT doc_id, a, b, count(*) AS m
-  FROM big WHERE is_eval GROUP BY 1, 2, 3),
-joined AS (
-  SELECT doc_id, m,
-         CASE WHEN v >= 1 THEN
-           floor(-ln((coalesce(c2, 0) + {k})
-                     / (coalesce(c1, 0) + {k} * v))
-                 * 1000000000.0 + 0.5)::DECIMAL(38,0)
-         END AS sq
-  FROM ev
-  LEFT JOIN c2 USING (a, b)
-  LEFT JOIN c1 USING (a)
-  CROSS JOIN vsize),
-agg AS (
-  SELECT doc_id, sum(m) AS n_bigrams, sum(sq * m) AS sumq
-  FROM joined GROUP BY 1)
-SELECT doc_id, n_bigrams::BIGINT AS n_bigrams,
-       {_sql_rne('exp(sumq::DOUBLE / n_bigrams / 1000000000.0)', 'ppl', 6)}
-FROM agg"""
-
-
-def q_stream_garch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of ts_garch_vol: the GARCH(1,1) recursion as a
-    custom stateful operator (streaming/ops.py garch_state_stream,
-    applyInPandasWithState) folding the RAW event feed per symbol —
-    state is one (count, last close, variance) cell per key, emitted
-    as the running vol after the AvailableNow drain. The oracle is
-    the same fold expressed as a DuckDB list_reduce over the
-    (ts, event_id)-ordered squared-return list: list_reduce's
-    seed-with-first-element IS the recursion's seed-v-with-first-r²
-    convention, so the two are bitwise equal given the grid-snapped
-    r² inputs (snap 1e-12 before the fold, r8 on the final √)."""
-    from ..streaming import garch_state_stream, run_available_now, stream_events
-
-    out = run_available_now(
-        garch_state_stream(
-            stream_events(spark, sf_dir),
-            omega=GARCH_OMEGA, alpha=GARCH_ALPHA, beta=GARCH_BETA,
-        ),
-        "append",
-        state_partitions=8,
-    )
-    return out.select(
-        "symbol", "n_rows", _rne(F.col("garch_vol"), "garch_vol", 8)
-    )
-
-
-def _sql_stream_garch_state() -> str:
-    return f"""
-WITH rr AS (
-  SELECT user_id AS symbol, ts, event_id, value,
-         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS prev
-  FROM events),
-r2s AS (
-  SELECT symbol, ts, event_id,
-         floor(pow(CASE WHEN value > 0 AND prev > 0
-                        THEN ln(value / prev) ELSE 0.0 END, 2)
-               * 1000000000000.0 + 0.5) / 1000000000000.0 AS r2
-  FROM rr WHERE prev IS NOT NULL),
-lst AS (
-  SELECT symbol, list(r2 ORDER BY ts, event_id) AS rs FROM r2s GROUP BY 1),
-cnt AS (
-  SELECT user_id AS symbol, count(*) AS n_rows FROM events GROUP BY 1)
-SELECT c.symbol, c.n_rows,
-       {_sql_rne(
-           "sqrt(list_reduce(l.rs, (acc, x) -> "
-           f"{GARCH_OMEGA} + {GARCH_ALPHA} * x + {GARCH_BETA} * acc))",
-           "garch_vol", 8)}
-FROM cnt c LEFT JOIN lst l ON c.symbol = l.symbol"""
-
-
-THETA_ALPHA = 0.2  # fixed SES smoothing for the theta level
-
-
-def q_ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta-method forecast backtest (Assimakopoulos &
-    Nikolopoulos / the M4 benchmark convention with FIXED smoothing):
-    per symbol, fit on the first 70% of the filled grid — level ℓ =
-    SES(α=0.2) fold over the calibration closes, drift b = OLS slope
-    of close on the row index — then the fixed-origin h-step forecast
-    ŷ(h) = ℓ + (b/2)·((h−1) + 1/α) is scored against the test rows.
-    Determinism: closes snap to the 1e-6 grid first; the SES fold is
-    a sequential left fold over the ordered calibration array
-    (Spark ``aggregate`` ≡ DuckDB ``list_reduce`` seeded with the
-    first element — bitwise); the OLS slope is one double division
-    of exact DECIMAL sums; abs errors snap 1e-9 before the exact MAE
-    sum. Symbols need ≥ 4 grid rows (slope needs 2 calibration
-    points and 1 test row). The SES level runs as the W4 ``ewm_smooth``
-    Arrow pass (same recurrence, same seed — bitwise equal to the
-    oracle's ``list_reduce`` fold) and the level is read off the LAST
-    calibration row, so no aggregate ever materializes the series in
-    a single row (r10 advice: the previous ``collect_list`` fold held
-    the whole calibration series in one aggregate buffer); the OLS
-    sums ride the same per-symbol exchange."""
-    from ..operators.rolling import ewm_smooth
-
-    a = THETA_ALPHA
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    base = (
-        df.withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "n", F.count(F.lit(1)).over(Window.partitionBy("symbol"))
-        )
-        .filter(F.col("n") >= 4)
-        .withColumn("n_cal", F.floor(F.col("n") * F.lit(0.7)))
-        .withColumn(
-            "qc",
-            F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast(
-                "decimal(38,0)"
-            ),
-        )
-    )
-    cal = base.filter(F.col("rn") <= F.col("n_cal"))
-    lev = ewm_smooth(
-        cal.select(
-            "symbol",
-            "time_idx",
-            "rn",
-            "n_cal",
-            (F.col("qc").cast("double") / F.lit(1e6)).alias("y"),
-        ),
-        {"level": ("y", a)},
-    )
-    lev_last = lev.filter(F.col("rn") == F.col("n_cal")).select(
-        "symbol", "level"
-    )
-    sums = cal.groupBy("symbol").agg(
-        F.max("n_cal").alias("n_cal"),
-        F.sum("rn").cast("decimal(38,0)").alias("sx"),
-        F.sum("qc").alias("sy"),
-        F.sum(F.col("qc") * F.col("rn")).alias("sxy"),
-        F.sum(F.col("rn") * F.col("rn")).cast("decimal(38,0)").alias("sxx"),
-    )
-    fit = sums.join(lev_last, "symbol").select(
-        "symbol",
-        "n_cal",
-        "level",
-        (
-            (
-                F.col("n_cal").cast("decimal(38,0)") * F.col("sxy")
-                - F.col("sx") * F.col("sy")
-            ).cast("double")
-            / (
-                F.col("n_cal").cast("decimal(38,0)") * F.col("sxx")
-                - F.col("sx") * F.col("sx")
-            ).cast("double")
-            / F.lit(1e6)  # sy/sxy are in 1e-6 close units
-        ).alias("slope"),
-    )
-    test = base.filter(F.col("rn") > F.col("n_cal")).select(
-        "symbol",
-        (F.col("rn") - F.col("n_cal")).alias("h"),
-        (F.col("qc").cast("double") / F.lit(1e6)).alias("actual"),
-    )
-    j = test.join(fit, "symbol").withColumn(
-        "fc",
-        F.col("level")
-        + (F.col("slope") * F.lit(0.5))
-        * ((F.col("h") - 1).cast("double") + F.lit(1.0 / a)),
-    )
-    out = j.groupBy("symbol").agg(
-        F.max("n_cal").cast("long").alias("n_cal"),
-        F.count(F.lit(1)).alias("n_test"),
-        F.first("level").alias("level"),
-        F.first("slope").alias("slope"),
-        F.sum(
-            F.floor(F.abs(F.col("actual") - F.col("fc")) * 1e9 + F.lit(0.5))
-            .cast("decimal(38,0)")
-        ).alias("eq"),
-    )
-    return out.select(
-        "symbol",
-        "n_cal",
-        F.col("n_test").cast("long").alias("n_test"),
-        _rne(F.col("level"), "level", 8),
-        _rne(F.col("slope"), "slope", 8),
-        _rne(
-            F.col("eq").cast("double") / F.col("n_test") / F.lit(1e9),
-            "mae",
-            8,
-        ),
-    )
-
-
-def _sql_ts_theta_forecast() -> str:
-    a = THETA_ALPHA
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-base AS (
-  SELECT symbol, time_idx,
-         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) AS rn,
-         count(*) OVER (PARTITION BY symbol) AS n,
-         floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
-  FROM filled QUALIFY n >= 4),
-b2 AS (
-  SELECT *, CAST(floor(n * 0.7) AS BIGINT) AS n_cal FROM base),
-fit AS (
-  SELECT symbol, max(n_cal) AS n_cal,
-         list(qc::DOUBLE / 1000000.0 ORDER BY rn) AS vs,
-         sum(rn)::DECIMAL(38,0) AS sx, sum(qc) AS sy,
-         sum(qc * rn) AS sxy, sum(rn * rn)::DECIMAL(38,0) AS sxx
-  FROM b2 WHERE rn <= n_cal GROUP BY 1),
-fs AS (
-  SELECT symbol, n_cal,
-         list_reduce(vs, (acc, x) -> (1.0 - {a}) * acc + {a} * x)
-           AS level,
-         (n_cal::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE
-           / (n_cal::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE
-           / 1000000.0 AS slope
-  FROM fit),
-test AS (
-  SELECT symbol, rn - n_cal AS h, qc::DOUBLE / 1000000.0 AS actual
-  FROM b2 WHERE rn > n_cal),
-j AS (
-  SELECT t.symbol, f.n_cal, f.level, f.slope, t.actual,
-         f.level + (f.slope * 0.5)
-           * ((t.h - 1)::DOUBLE + {1.0 / a}) AS fc
-  FROM test t JOIN fs f ON t.symbol = f.symbol),
-agg AS (
-  SELECT symbol, max(n_cal) AS n_cal, count(*) AS n_test,
-         any_value(level) AS level, any_value(slope) AS slope,
-         sum(floor(abs(actual - fc) * 1000000000.0 + 0.5)
-             ::DECIMAL(38,0)) AS eq
-  FROM j GROUP BY 1)
-SELECT symbol, n_cal::BIGINT AS n_cal, n_test::BIGINT AS n_test,
-       {_sql_rne('level', 'level', 8)},
-       {_sql_rne('slope', 'slope', 8)},
-       {_sql_rne('eq::DOUBLE / n_test / 1000000000.0', 'mae', 8)}
-FROM agg"""
-
-
-AHASH_MAX_DIST = 7  # pigeonhole-exhaustive for 8 bands
-
-
-def q_media_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash near-duplicate pairs over the image corpus:
-    64-bit average-hash per payload (operators/multimodal.py
-    ahash_bands — integer-exact, one JVM projection pass), pairs at
-    hamming ≤ 7. The 8 8-bit bands double as LSH blocking keys, and
-    by pigeonhole ANY pair at hamming ≤ 7 shares an identical band —
-    so the banded candidate join is EXHAUSTIVE at this threshold and
-    the engine's bucket-join answer equals the oracle's brute-force
-    all-pairs answer exactly (the oracle deliberately brute-forces to
-    prove the banding loses nothing). Engine cost: candidates ∝
-    Σ per-band-bucket df², never all-pairs; hamming is 8 xor+popcount
-    ops on 8-byte codes — the payload bytes never join.
-
-    Output is two row kinds in one frame (kind, k1, k2, v):
-    ``('band', bi, n_buckets, cand_pairs)`` — one row per LSH band
-    with its bucket count and Σ df·(df−1)/2 candidate-pair mass — and
-    ``('pair', id_i, id_j, hamming)`` for each near-dup pair. The band
-    tier is non-empty at EVERY scale factor, so the driver's oracle
-    hash always covers real rows (r10 verdict: the pair-only output
-    was vacuously green at SFs where the corpus has no near-dups),
-    and it doubles as the banding-cost audit a 100 TB run would read
-    before launching the candidate join."""
-    from ..operators.multimodal import AHASH_BANDS, ahash_bands
-
-    h = ahash_bands(_media(spark, sf_dir))
-    h = h.localCheckpoint(eager=True)  # 3 consumers: cand x2 + rejoin
-    cand = None
-    for k in range(AHASH_BANDS):
-        c = h.select(
-            "media_id", F.lit(k).alias("bi"), F.col(f"band{k}").alias("bv")
-        )
-        cand = c if cand is None else cand.unionByName(c)
-    pairs = (
-        cand.alias("a")
-        .join(cand.alias("b"), ["bi", "bv"])
-        .filter(F.col("a.media_id") < F.col("b.media_id"))
-        .select(
-            F.col("a.media_id").alias("id_i"),
-            F.col("b.media_id").alias("id_j"),
-        )
-        .distinct()
-    )
-    ha = h.select(
-        F.col("media_id").alias("id_i"),
-        *[F.col(f"band{k}").alias(f"a{k}") for k in range(AHASH_BANDS)],
-    )
-    hb = h.select(
-        F.col("media_id").alias("id_j"),
-        *[F.col(f"band{k}").alias(f"b{k}") for k in range(AHASH_BANDS)],
-    )
-    ham = sum(
-        F.expr(f"bit_count(a{k} ^ b{k})") for k in range(AHASH_BANDS)
-    )
-    pair_rows = (
-        pairs.join(ha, "id_i")
-        .join(hb, "id_j")
-        .withColumn("hamming", ham.cast("long"))
-        .filter(F.col("hamming") <= AHASH_MAX_DIST)
-        .select(
-            F.lit("pair").alias("kind"),
-            F.col("id_i").alias("k1"),
-            F.col("id_j").alias("k2"),
-            F.col("hamming").alias("v"),
-        )
-    )
-    band_rows = (
-        cand.groupBy("bi", "bv")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .groupBy("bi")
-        .agg(
-            F.count(F.lit(1)).alias("n_buckets"),
-            F.sum(F.expr("df * (df - 1) div 2")).alias("cand_pairs"),
-        )
-        .select(
-            F.lit("band").alias("kind"),
-            F.col("bi").cast("long").alias("k1"),
-            F.col("n_buckets").cast("long").alias("k2"),
-            F.col("cand_pairs").cast("long").alias("v"),
-        )
-    )
-    return band_rows.unionByName(pair_rows)
-
-
-def _sql_media_ahash_near_dup() -> str:
-    from ..operators.multimodal import AHASH_BAND_BITS, AHASH_BANDS
-
-    hexpos = "strpos('0123456789ABCDEF', substring(hx, ({pos})::BIGINT, 1))"
-    byte_hi = hexpos.format(pos="2 * j + 1")
-    byte_lo = hexpos.format(pos="2 * j + 2")
-    w = AHASH_BAND_BITS
-    band_cols = ",\n         ".join(
-        f"list_sum(list_transform(range(0, {w}),"
-        f" t -> bt[({k * w} + t + 1)::BIGINT]"
-        f" * (1::BIGINT << t)))::BIGINT AS a{k}"
-        for k in range(AHASH_BANDS)
-    )
-    ham = " + ".join(
-        f"bit_count(xor(a.a{k}, b.a{k}))" for k in range(AHASH_BANDS)
-    )
-    band_unpivot = "\n  UNION ALL ".join(
-        f"SELECT media_id, {k} AS bi, a{k} AS bv FROM bands"
-        for k in range(AHASH_BANDS)
-    )
-    return f"""
-WITH m AS (
-  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-         strlen(text)::BIGINT AS n
-  FROM documents WHERE doc_id % 3 = 0 AND strlen(text) >= 1),
-d AS (
-  SELECT media_id, n,
-         list_transform(range(0, n),
-           j -> ({byte_hi} - 1) * 16 + ({byte_lo} - 1)) AS bytes
-  FROM m),
-s AS (SELECT media_id, n, bytes, list_sum(bytes) AS S FROM d),
-bits AS (
-  SELECT media_id,
-         list_transform(range(0, 64), i -> CASE WHEN
-             coalesce(list_sum(
-               bytes[((i * n) // 64 + 1)::BIGINT
-                     : (((i + 1) * n) // 64)::BIGINT]), 0) * n
-             > S * (((i + 1) * n) // 64 - (i * n) // 64)
-           THEN 1::BIGINT ELSE 0::BIGINT END) AS bt
-  FROM s),
-bands AS (
-  SELECT media_id,
-         {band_cols}
-  FROM bits),
-ub AS (
-  {band_unpivot}),
-bstats AS (SELECT bi, bv, count(*) AS df FROM ub GROUP BY 1, 2),
-brows AS (
-  SELECT 'band' AS kind, bi::BIGINT AS k1, count(*)::BIGINT AS k2,
-         sum(df * (df - 1) // 2)::BIGINT AS v
-  FROM bstats GROUP BY bi),
-prows AS (
-  SELECT 'pair' AS kind, id_i AS k1, id_j AS k2, hamming AS v FROM (
-    SELECT a.media_id AS id_i, b.media_id AS id_j,
-           ({ham})::BIGINT AS hamming
-    FROM bands a JOIN bands b ON a.media_id < b.media_id)
-  WHERE hamming <= {AHASH_MAX_DIST})
-SELECT * FROM brows UNION ALL SELECT * FROM prows"""
-
-
-LPA_ROUNDS = 3
-
-
-def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synchronous label propagation (3 unrolled rounds) over the same
-    degree-bounded co-attendance graph as graph_adamic_adar — the
-    cheap community detector a graph pipeline runs before anything
-    spectral: labels start as user ids; each round every node adopts
-    the most frequent label among its NEIGHBORS (tie-break: count
-    desc, label asc — fully deterministic, no self-vote). Each round
-    is one edge-label join + one (node, label) count + one windowed
-    argmax — three rounds unrolled as shuffles on the node key; state
-    per node is ONE label, never the history. The oracle unrolls the
-    identical three rounds as chained CTEs. Item construction + df
-    cap live in ``_coattendance`` (shared with adamic_adar/jaccard)."""
-    d = _coattendance(spark, sf_dir)
-    a = d.select(F.col("user_id").alias("u"), "item")
-    b = d.select(F.col("user_id").alias("v"), "item")
-    und = (
-        a.join(b, "item")
-        .filter(F.col("u") != F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
-    und = und.localCheckpoint(eager=True)  # consumed once per round
-    lab = (
-        und.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-    )
-    wpick = Window.partitionBy("dst").orderBy(
-        F.col("cnt").desc(), F.col("label").asc()
-    )
-    for _ in range(LPA_ROUNDS):
-        msgs = und.join(lab, F.col("u") == F.col("node")).select(
-            F.col("v").alias("dst"), "label"
-        )
-        cnt = msgs.groupBy("dst", "label").agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        lab = (
-            cnt.withColumn("rk", F.row_number().over(wpick))
-            .filter(F.col("rk") == 1)
-            .select(F.col("dst").alias("node"), "label")
-        )
-    return lab.select(
-        F.col("node").alias("user_id"), F.col("label").alias("community")
-    )
-
-
-def _sql_graph_lpa_communities() -> str:
-    rounds = []
-    prev = "l0"
-    for r in range(1, LPA_ROUNDS + 1):
-        rounds.append(f"""
-m{r} AS (
-  SELECT e.v AS dst, l.label, count(*) AS cnt
-  FROM e JOIN {prev} l ON e.u = l.node GROUP BY 1, 2),
-l{r} AS (
-  SELECT dst AS node, label FROM (
-    SELECT dst, label,
-           row_number() OVER (PARTITION BY dst
-                              ORDER BY cnt DESC, label ASC) AS rk
-    FROM m{r})
-  WHERE rk = 1)""")
-        prev = f"l{r}"
-    body = ",".join(rounds)
-    return f"""
-WITH {SQL_COATTEND},
-e AS (
-  SELECT DISTINCT a.user_id AS u, b.user_id AS v
-  FROM dca a JOIN dca b ON a.item = b.item AND a.user_id <> b.user_id),
-l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),{body}
-SELECT node AS user_id, label AS community FROM l{LPA_ROUNDS}"""
-
-
-def q_ts_ou_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ornstein-Uhlenbeck mean-reversion half-life per symbol — the
-    quant screen for tradeable mean reversion: regress
-    Δx_t = a + b·x_{t−1} over the filled grid (closes snapped to the
-    1e-6 grid, so Δ and the OLS moments are exact DECIMAL integers;
-    b is unitless — the micro units cancel in the moment ratio),
-    half-life = −ln 2 / ln(1+b) for −1 < b < 0, NULL otherwise
-    (non-mean-reverting). One lag window + one map-side groupBy
-    riding the ts family's symbol exchange; per-symbol state is five
-    moment cells."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    q = df.withColumn(
-        "qc",
-        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
-    )
-    q = q.withColumn("qp", F.lag("qc", 1).over(w)).filter(
-        F.col("qp").isNotNull()
-    )
-    q = q.withColumn("dy", F.col("qc") - F.col("qp"))
-    agg = q.groupBy("symbol").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("qp").alias("sx"),
-        F.sum("dy").alias("sy"),
-        F.sum(F.col("qp") * F.col("dy")).alias("sxy"),
-        F.sum(F.col("qp") * F.col("qp")).alias("sxx"),
-    )
-    agg = agg.filter(F.col("n") >= 3)
-    nn = F.col("n").cast("decimal(38,0)")
-    b = (nn * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
-        nn * F.col("sxx") - F.col("sx") * F.col("sx")
-    ).cast("double")
-    agg = agg.withColumn("b", b)
-    hl = F.when(
-        (F.col("b") > -1.0) & (F.col("b") < 0.0),
-        -F.log(F.lit(2.0)) / F.log(F.lit(1.0) + F.col("b")),
-    )
-    return agg.select(
-        "symbol",
-        F.col("n").cast("long").alias("n"),
-        _rne(F.col("b"), "b", 8),
-        _rne(hl, "halflife", 8),
-    )
-
-
-def _sql_ts_ou_halflife() -> str:
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-q AS (
-  SELECT symbol, time_idx,
-         floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
-  FROM filled),
-lagd AS (
-  SELECT symbol, qc,
-         lag(qc) OVER (PARTITION BY symbol ORDER BY time_idx) AS qp
-  FROM q QUALIFY qp IS NOT NULL),
-agg AS (
-  SELECT symbol, count(*) AS n, sum(qp) AS sx, sum(qc - qp) AS sy,
-         sum(qp * (qc - qp)) AS sxy, sum(qp * qp) AS sxx
-  FROM lagd GROUP BY 1 HAVING count(*) >= 3),
-fit AS (
-  SELECT symbol, n,
-         (n::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE
-           / (n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE AS b
-  FROM agg)
-SELECT symbol, n::BIGINT AS n, {_sql_rne('b', 'b', 8)},
-       {_sql_rne(
-           'CASE WHEN b > -1.0 AND b < 0.0 '
-           'THEN -ln(2.0) / ln(1.0 + b) END',
-           'halflife', 8)}
-FROM fit"""
-
-
-RAKE_MAX_PHRASE = 3
-RAKE_TOPK = 25
-
-
-def q_doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RAKE keyphrase extraction at corpus level (Rose et al. 2010):
-    candidate phrases are maximal stopword-free token runs (capped at
-    3 tokens for boundedness), word score = degree/frequency over the
-    candidate set (degree counts phrase-length co-occurrence,
-    frequency counts occurrences), phrase score = Σ member word
-    scores with multiplicity (computed once per DISTINCT phrase text
-    — instances share the score exactly); top-25 distinct phrases by
-    the exact-DECIMAL score. Run extraction is the established
-    pos − row_number() run-merge device (one doc-keyed window); word
-    stats are one map-side groupBy; per-word scores snap to the 1e-9
-    grid before the exact phrase sum, so the (score desc, phrase asc)
-    ranking is order-free."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
-    ).filter(~F.col("tok").isin(*EN_STOPWORDS))
-    wd = Window.partitionBy("doc_id").orderBy("pos")
-    runs = tok.withColumn(
-        "run_id", F.col("pos") - F.row_number().over(wd)
-    )
-    ph = (
-        runs.groupBy("doc_id", "run_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
-                    ),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ).alias("phrase"),
-            F.count(F.lit(1)).alias("plen"),
-        )
-        .filter(F.col("plen") <= RAKE_MAX_PHRASE)
-    )
-    ph = ph.localCheckpoint(eager=True)  # feeds word stats + occ + rejoin
-    words = ph.select(
-        F.explode(F.split(F.col("phrase"), " ")).alias("w"), "plen"
-    )
-    stats = words.groupBy("w").agg(
-        F.count(F.lit(1)).alias("freq"),
-        F.sum("plen").alias("deg"),
-    )
-    wscore = stats.select(
-        "w",
-        F.floor(
-            F.col("deg").cast("double") / F.col("freq") * 1e9 + F.lit(0.5)
-        )
-        .cast("decimal(38,0)")
-        .alias("wq"),
-    )
-    pw = (
-        ph.select("phrase")
-        .distinct()
-        .select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
-    )
-    pscore = pw.join(wscore, "w").groupBy("phrase").agg(
-        F.sum("wq").alias("sq")
-    )
-    occ = ph.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
-    # global top-k via orderBy+limit → TakeOrderedAndProject (see
-    # q_graph_adamic_adar); the rank window then runs over 25 rows
-    top = (
-        pscore.join(occ, "phrase")
-        .orderBy(F.col("sq").desc(), F.col("phrase").asc())
-        .limit(RAKE_TOPK)
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.col("sq").desc(), F.col("phrase").asc())
-            ),
-        )
-    )
-    return top.select(
-        "rank",
-        "phrase",
-        F.col("n_occ").cast("long").alias("n_occ"),
-        _rne(F.col("sq").cast("double") / F.lit(1e9), "score", 8),
-    )
-
-
-def _sql_doc_rake_keyphrases() -> str:
-    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
-    return f"""
-WITH tok AS (
-  SELECT doc_id, pos, tok FROM (
-    SELECT doc_id,
-           unnest(range(0, len(toks))) AS pos,
-           unnest(toks) AS tok
-    FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents))
-  WHERE tok NOT IN ({stop_list})),
-runs AS (
-  SELECT doc_id, pos, tok,
-         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-           AS run_id
-  FROM tok),
-ph AS (
-  SELECT doc_id, run_id,
-         string_agg(tok, ' ' ORDER BY pos) AS phrase,
-         count(*) AS plen
-  FROM runs GROUP BY 1, 2 HAVING count(*) <= {RAKE_MAX_PHRASE}),
-words AS (
-  SELECT unnest(string_split(phrase, ' ')) AS w, plen FROM ph),
-stats AS (
-  SELECT w, count(*) AS freq, sum(plen) AS deg FROM words GROUP BY 1),
-wscore AS (
-  SELECT w, floor(deg::DOUBLE / freq * 1000000000.0 + 0.5)
-               ::DECIMAL(38,0) AS wq
-  FROM stats),
-pw AS (
-  SELECT phrase, unnest(string_split(phrase, ' ')) AS w
-  FROM (SELECT DISTINCT phrase FROM ph)),
-pscore AS (
-  SELECT phrase, sum(wq) AS sq
-  FROM pw JOIN wscore USING (w) GROUP BY 1),
-occ AS (SELECT phrase, count(*) AS n_occ FROM ph GROUP BY 1),
-top AS (
-  SELECT row_number() OVER (ORDER BY sq DESC, phrase ASC) AS rank,
-         phrase, n_occ, sq
-  FROM pscore JOIN occ USING (phrase))
-SELECT rank, phrase, n_occ::BIGINT AS n_occ,
-       {_sql_rne('sq::DOUBLE / 1000000000.0', 'score', 8)}
-FROM top WHERE rank <= {RAKE_TOPK}"""
-
-
-def q_events_did_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Difference-in-differences uplift per event type — the causal
-    readout the plain A/B harness (events_ab_uplift) can't give when
-    groups start from different baselines: users hash-split into
-    treat/control (same portable hash60 device as the A/B family),
-    time split pre/post at the 2/3 point of the observed window
-    (integer-micros cut — exact), and
-    DiD = (treat_post − treat_pre) − (ctrl_post − ctrl_pre) over
-    exact integer-cents means. On hash-split uniform data the
-    expected readout is ≈ 0 — like the A/B harness, the null
-    behavior IS the calibration check. One conditional aggregate per
-    event type (8 cells in one map-side-combined pass); any empty
-    cell propagates NULL identically in both engines."""
-    raw = load_table(spark, sf_dir, "events")
-    # NTZ->LTZ cast preserves stored micros only under UTC (see
-    # q_ts_delta_hist); assert, never set
-    ts = F.col("ts")
-    if dict(raw.dtypes)["ts"] == "timestamp_ntz":
-        require_utc(spark)
-        ts = ts.cast("timestamp")
-    ev = raw.select(
-        "event_type",
-        "user_id",
-        F.unix_micros(ts).alias("us"),
-        F.floor(F.col("value") * 100 + F.lit(0.5))
-        .cast("decimal(38,0)")
-        .alias("cents"),
-    )
-    bounds = ev.agg(
-        F.min("us").alias("mn"),
-        F.max("us").alias("mx"),
-    ).select(
-        # integer div on BOTH sides: Spark double->long cast truncates,
-        # DuckDB ::BIGINT rounds -- float division would diverge
-        F.expr("mn + (mx - mn) * 2 div 3").alias("cut")
-    )
-    g = (
-        hash60(F.concat(F.lit("ab:"), F.col("user_id").cast("string")))
-        % 2
-    ).cast("int")
-    t = ev.crossJoin(F.broadcast(bounds)).select(
-        "event_type",
-        g.alias("g"),
-        (F.col("us") >= F.col("cut")).cast("int").alias("post"),
-        "cents",
-    )
-
-    def cell(gv: int, pv: int, what: str):
-        cond = (F.col("g") == gv) & (F.col("post") == pv)
-        if what == "n":
-            return F.sum(F.when(cond, 1).otherwise(0))
-        return F.sum(F.when(cond, F.col("cents")))
-
-    agg = t.groupBy("event_type").agg(
-        cell(1, 0, "n").alias("n_tp"),
-        cell(1, 0, "s").alias("s_tp"),
-        cell(1, 1, "n").alias("n_tq"),
-        cell(1, 1, "s").alias("s_tq"),
-        cell(0, 0, "n").alias("n_cp"),
-        cell(0, 0, "s").alias("s_cp"),
-        cell(0, 1, "n").alias("n_cq"),
-        cell(0, 1, "s").alias("s_cq"),
-    )
-    m = lambda s, n: F.col(s).cast("double") / F.col(n) / F.lit(100.0)  # noqa: E731
-    did = (m("s_tq", "n_tq") - m("s_tp", "n_tp")) - (
-        m("s_cq", "n_cq") - m("s_cp", "n_cp")
-    )
-    return agg.select(
-        "event_type",
-        F.col("n_tp").cast("long").alias("n_treat_pre"),
-        F.col("n_tq").cast("long").alias("n_treat_post"),
-        F.col("n_cp").cast("long").alias("n_ctrl_pre"),
-        F.col("n_cq").cast("long").alias("n_ctrl_post"),
-        _rne(m("s_tq", "n_tq") - m("s_tp", "n_tp"), "delta_treat", 8),
-        _rne(m("s_cq", "n_cq") - m("s_cp", "n_cp"), "delta_ctrl", 8),
-        _rne(did, "did", 8),
-    )
-
-
-def _sql_events_did_uplift() -> str:
-    m = lambda s, n: f"{s}::DOUBLE / {n} / 100.0"  # noqa: E731
-    dt = f"({m('s_tq', 'n_tq')} - {m('s_tp', 'n_tp')})"
-    dc = f"({m('s_cq', 'n_cq')} - {m('s_cp', 'n_cp')})"
-    return f"""
-WITH bounds AS (
-  SELECT min(epoch_us(ts))
-          + (max(epoch_us(ts)) - min(epoch_us(ts))) * 2 // 3 AS cut
-  FROM events),
-t AS (
-  SELECT event_type,
-         ({sql_hash60("'ab:' || CAST(user_id AS VARCHAR)")} % 2)::INT AS g,
-         (epoch_us(ts) >= cut)::INT AS post,
-         floor(value * 100 + 0.5)::DECIMAL(38,0) AS cents
-  FROM events CROSS JOIN bounds),
-agg AS (
-  SELECT event_type,
-         sum(CASE WHEN g = 1 AND post = 0 THEN 1 ELSE 0 END) AS n_tp,
-         sum(CASE WHEN g = 1 AND post = 0 THEN cents END) AS s_tp,
-         sum(CASE WHEN g = 1 AND post = 1 THEN 1 ELSE 0 END) AS n_tq,
-         sum(CASE WHEN g = 1 AND post = 1 THEN cents END) AS s_tq,
-         sum(CASE WHEN g = 0 AND post = 0 THEN 1 ELSE 0 END) AS n_cp,
-         sum(CASE WHEN g = 0 AND post = 0 THEN cents END) AS s_cp,
-         sum(CASE WHEN g = 0 AND post = 1 THEN 1 ELSE 0 END) AS n_cq,
-         sum(CASE WHEN g = 0 AND post = 1 THEN cents END) AS s_cq
-  FROM t GROUP BY 1)
-SELECT event_type,
-       n_tp::BIGINT AS n_treat_pre, n_tq::BIGINT AS n_treat_post,
-       n_cp::BIGINT AS n_ctrl_pre, n_cq::BIGINT AS n_ctrl_post,
-       {_sql_rne(dt, 'delta_treat', 8)},
-       {_sql_rne(dc, 'delta_ctrl', 8)},
-       {_sql_rne(f'{dt} - {dc}', 'did', 8)}
-FROM agg"""
-
-
-CTFIDF_TOPK = 5
-
-
-def q_doc_ctfidf_class_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Class-based TF-IDF (the BERTopic c-TF-IDF labeling device —
-    Grootendorst 2022): classes are (lang, source) strata, term score
-    within a class = (tf_{t,c} / total_c) · ln(1 + A / f_t) with A =
-    average class token mass and f_t = corpus frequency — the terms
-    that DESCRIBE a cluster rather than merely occur in it. Top-5
-    terms per class ranked on the 1e-9-snapped score (exact tie-break
-    term asc). One token aggregate keyed (class, term) + one
-    broadcast of the term totals — scan-shaped, no per-doc state."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias("cls"),
-        F.explode(tokens(F.col("text"))).alias("tok"),
-    )
-    tfc = tok.groupBy("cls", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    totc = tfc.groupBy("cls").agg(F.sum("tf").alias("total_c"))
-    ft = tfc.groupBy("tok").agg(F.sum("tf").alias("f_t"))
-    av = totc.agg(
-        (
-            F.sum("total_c").cast("double") / F.count(F.lit(1))
-        ).alias("a")
-    )
-    scored = (
-        tfc.join(totc, "cls")
-        .join(ft, "tok")
-        .crossJoin(F.broadcast(av))
-        .select(
-            "cls",
-            "tok",
-            "tf",
-            F.floor(
-                (F.col("tf").cast("double") / F.col("total_c"))
-                * F.log(F.lit(1.0) + F.col("a") / F.col("f_t"))
-                * F.lit(1e9)
-                + F.lit(0.5)
-            )
-            .cast("decimal(38,0)")
-            .alias("q"),
-        )
-    )
-    w = Window.partitionBy("cls").orderBy(
-        F.col("q").desc(), F.col("tok").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= CTFIDF_TOPK)
-        .select(
-            "cls",
-            "rank",
-            F.col("tok").alias("term"),
-            F.col("tf").cast("long").alias("tf"),
-            _rne(F.col("q").cast("double") / F.lit(1e9), "score", 8),
-        )
-    )
-
-
-def _sql_doc_ctfidf_class_terms() -> str:
-    return f"""
-WITH tok AS (
-  SELECT lang || ':' || source AS cls,
-         unnest({sql_tokens('text')}) AS tok
-  FROM documents),
-tfc AS (SELECT cls, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
-totc AS (SELECT cls, sum(tf) AS total_c FROM tfc GROUP BY 1),
-ft AS (SELECT tok, sum(tf) AS f_t FROM tfc GROUP BY 1),
-av AS (SELECT sum(total_c)::DOUBLE / count(*) AS a FROM totc),
-scored AS (
-  SELECT cls, tok, tf,
-         floor((tf::DOUBLE / total_c) * ln(1.0 + a / f_t)
-               * 1000000000.0 + 0.5)::DECIMAL(38,0) AS q
-  FROM tfc JOIN totc USING (cls) JOIN ft USING (tok) CROSS JOIN av),
-ranked AS (
-  SELECT cls, tok, tf, q,
-         row_number() OVER (PARTITION BY cls
-                            ORDER BY q DESC, tok ASC) AS rank
-  FROM scored)
-SELECT cls, rank, tok AS term, tf::BIGINT AS tf,
-       {_sql_rne('q::DOUBLE / 1000000000.0', 'score', 8)}
-FROM ranked WHERE rank <= {CTFIDF_TOPK}"""
-
-
-RQ_ORTH_DIMS = 4  # level-2 codebook: one centroid per sign-orthant
-
-
-def q_emb_rq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-level residual quantization (the RQ sibling of the PQ/BQ
-    family): level 1 is the IVF label-mean quantizer (the exact
-    persisted-quantizer contract every IVF-family query shares);
-    level 2 quantizes the RESIDUAL v − c1 against 16 centroids
-    trained as sign-orthant means of the first four residual dims —
-    the deterministic stand-in for a residual k-means, same device as
-    the PQ codebook's label-grouped means. Assignment is the
-    broadcast-cross-join + map-side min_by argmin (crossed rows never
-    shuffle); distances snap to 1e-6 before the argmin so the
-    (dist, code) tie-break is engine-exact; residual coordinates snap
-    to 1e-9 before the codebook's exact DECIMAL mean. Emits both
-    codes and the final reconstruction error — approximation is a
-    measured number, like every sketch here."""
-    from ..functions.distance import dist_l2_fixed
-    from ..operators.ivf import EMB_DIM, assign_lists, label_centroids
-
-    emb = _emb(spark, sf_dir)
-    cent = label_centroids(emb).localCheckpoint(eager=True)
-    asg = assign_lists(emb, cent)
-    res = asg.join(
-        F.broadcast(
-            cent.select(F.col("label").alias("list_id"), "cvec")
-        ),
-        "list_id",
-    ).select(
-        "vec_id",
-        "list_id",
-        F.expr("zip_with(v, cvec, (a, b) -> a - b)").alias("r"),
-    )
-    orth = sum(
-        (F.element_at("r", d + 1) > 0).cast("int") * F.lit(2**d)
-        for d in range(RQ_ORTH_DIMS)
-    )
-    res = res.withColumn("orth", orth).localCheckpoint(eager=True)
-    ex = res.select(
-        "orth", F.posexplode("r").alias("pos", "x")
-    ).select(
-        "orth",
-        "pos",
-        F.floor(F.col("x") * 1e9 + F.lit(0.5))
-        .cast("decimal(38,0)")
-        .alias("q"),
-    )
-    cb2d = (
-        ex.groupBy("orth", "pos")
-        .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "orth",
-            "pos",
-            (
-                F.floor(
-                    F.col("sq").cast("double")
-                    / F.col("cnt")
-                    / F.lit(1e9)
-                    * F.lit(1e6)
-                    + F.lit(0.5)
-                )
-                / F.lit(1e6)
-                + F.lit(0.0)
-            ).alias("c"),
-        )
-    )
-    cb2 = cb2d.groupBy("orth").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))),
-            lambda s: s["c"],
-        ).alias("c2")
-    )
-    cand = res.crossJoin(
-        F.broadcast(cb2.select(F.col("orth").alias("code2"), "c2"))
-    ).withColumn(
-        "d2s",
-        F.floor(
-            dist_l2_fixed(F.col("r"), F.col("c2"), EMB_DIM) * 1e6
-            + F.lit(0.5)
-        )
-        / 1e6,
-    )
-    best = cand.groupBy("vec_id").agg(
-        F.first("list_id").alias("code1"),
-        F.first("r").alias("r"),
-        F.min_by(
-            F.struct(F.col("code2"), F.col("c2")),
-            F.struct(F.col("d2s"), F.col("code2")),
-        ).alias("m"),
-    )
-    return best.select(
-        "vec_id",
-        F.col("code1").cast("int").alias("code1"),
-        F.col("m.code2").cast("int").alias("code2"),
-        _rne(
-            dist_l2_fixed(F.col("r"), F.col("m.c2"), EMB_DIM),
-            "recon_err",
-            6,
-        ),
-    )
-
-
-def _sql_emb_rq_codes() -> str:
-    l2_rc = _sql_l2("o.r", "b.c2")
-    orth_bits = " + ".join(
-        f"{2**d} * (r[{d + 1}] > 0)::INT" for d in range(RQ_ORTH_DIMS)
-    )
-    return f"""
-WITH {_sql_ivf_base()},
-wc AS (
-  SELECT a.vec_id, a.list_id,
-         list_transform(range(1, 65), i -> a.v[i] - c.cvec[i]) AS r
-  FROM assigned a JOIN cent c ON a.list_id = c.label),
-orth AS (SELECT *, {orth_bits} AS orth FROM wc),
-ex AS (
-  SELECT orth AS o, i AS pos,
-         floor(r[i] * 1000000000.0 + 0.5)::DECIMAL(38,0) AS q
-  FROM orth, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)),
-cb2d AS (
-  SELECT o, pos,
-         floor(sum(q)::DOUBLE / count(*) / 1000000000.0
-               * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS c
-  FROM ex GROUP BY 1, 2),
-cb2 AS (SELECT o, list(c ORDER BY pos) AS c2 FROM cb2d GROUP BY 1),
-cand AS (
-  SELECT o.vec_id, o.list_id, o.r, b.o AS code2, b.c2,
-         floor({l2_rc} * 1000000.0 + 0.5) / 1000000.0 AS d2s
-  FROM orth o CROSS JOIN cb2 b),
-best AS (
-  SELECT vec_id, list_id, r, code2, c2 FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id
-               ORDER BY d2s ASC, code2 ASC) AS rk
-    FROM cand)
-  WHERE rk = 1)
-SELECT vec_id, list_id::INT AS code1, code2::INT AS code2,
-       {_sql_rne(_sql_l2('r', 'c2'), 'recon_err', 6)}
-FROM best"""
-
-
-VAR_BT_P = 0.05  # VaR tail probability
-
-
-def q_ts_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """VaR backtest with the Kupiec proportion-of-failures test — the
-    regulatory check beside the point estimate (ts_var_es): per
-    symbol, the 95% historical VaR is the ⌈0.05·n_cal⌉-th smallest
-    log return of the FIRST 70% of the filled grid (an order
-    statistic over 1e-9-snapped returns — tie-order-free), then the
-    held-out 30% counts exceedances (r < −VaR) and
-    LR_pof = −2[(n−x)ln(1−p) + x·ln p − (n−x)ln(1−x/n) − x·ln(x/n)]
-    measures whether the observed failure rate is consistent with
-    p = 5% (x = 0 and x = n use the 0·ln 0 = 0 convention,
-    CASE-guarded identically in both engines; ln p constants are
-    Python-computed literals shared verbatim). Windows + one groupBy
-    per symbol — rides the ts family's symbol exchange."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    prev = F.lag("close", 1).over(w)
-    lr = F.when(
-        (F.col("close") > 0) & (prev > 0),
-        F.log(F.col("close") / prev),
-    ).otherwise(F.when(prev.isNotNull(), F.lit(0.0)))
-    base = (
-        df.withColumn("r", F.floor(lr * 1e9 + F.lit(0.5)) / 1e9)
-        .filter(F.col("r").isNotNull())
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "m", F.count(F.lit(1)).over(Window.partitionBy("symbol"))
-        )
-        .filter(F.col("m") >= 30)
-        .withColumn("n_cal", F.floor(F.col("m") * F.lit(0.7)))
-    )
-    cal = base.filter(F.col("rn") <= F.col("n_cal"))
-    k = F.ceil(F.col("n_cal") * F.lit(VAR_BT_P))
-    wq = Window.partitionBy("symbol").orderBy(
-        F.col("r").asc(), F.col("time_idx").asc()
-    )
-    var = (
-        cal.withColumn("qrn", F.row_number().over(wq))
-        .filter(F.col("qrn") == k)
-        .select("symbol", (-F.col("r")).alias("var95"), "n_cal")
-    )
-    test = base.filter(F.col("rn") > F.col("n_cal")).select("symbol", "r")
-    cnt = (
-        test.join(var, "symbol")
-        .groupBy("symbol")
-        .agg(
-            F.max("n_cal").alias("n_cal"),
-            F.max("var95").alias("var95"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                (F.col("r") < -F.col("var95")).cast("long")
-            ).alias("x"),
-        )
-    )
-    lnp = math.log(VAR_BT_P)
-    ln1p = math.log(1.0 - VAR_BT_P)
-    n, x = F.col("n").cast("double"), F.col("x").cast("double")
-    t_obs = F.when(F.col("x") == 0, F.lit(0.0)).otherwise(
-        x * F.log(x / n)
-    ) + F.when(F.col("x") == F.col("n"), F.lit(0.0)).otherwise(
-        (n - x) * F.log(F.lit(1.0) - x / n)
-    )
-    lr_pof = F.lit(-2.0) * (
-        (n - x) * F.lit(ln1p) + x * F.lit(lnp) - t_obs
-    )
-    return cnt.select(
-        "symbol",
-        F.col("n_cal").cast("long").alias("n_cal"),
-        F.col("n").cast("long").alias("n_test"),
-        F.col("x").cast("long").alias("n_exceed"),
-        _rne(F.col("var95"), "var95", 8),
-        _rne(lr_pof, "kupiec_lr", 8),
-    )
-
-
-def _sql_ts_var_backtest() -> str:
-    lnp = math.log(VAR_BT_P)
-    ln1p = math.log(1.0 - VAR_BT_P)
-    t_obs = (
-        "(CASE WHEN x = 0 THEN 0.0"
-        " ELSE x::DOUBLE * ln(x::DOUBLE / n::DOUBLE) END"
-        " + CASE WHEN x = n THEN 0.0"
-        " ELSE (n - x)::DOUBLE * ln(1.0 - x::DOUBLE / n::DOUBLE) END)"
-    )
-    lr_pof = (
-        f"-2.0 * ((n - x)::DOUBLE * {ln1p!r} + x::DOUBLE * {lnp!r}"
-        f" - {t_obs})"
-    )
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-lagged AS (
-  SELECT symbol, time_idx, close,
-         lag(close) OVER (PARTITION BY symbol ORDER BY time_idx) AS prev
-  FROM filled),
-rets AS (
-  SELECT symbol, time_idx,
-         floor(CASE WHEN close > 0 AND prev > 0
-                    THEN ln(close / prev) ELSE 0.0 END
-               * 1000000000.0 + 0.5) / 1000000000.0 AS r
-  FROM lagged WHERE prev IS NOT NULL),
-base AS (
-  SELECT symbol, time_idx, r,
-         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) AS rn,
-         count(*) OVER (PARTITION BY symbol) AS m
-  FROM rets QUALIFY m >= 30),
-b2 AS (SELECT *, CAST(floor(m * 0.7) AS BIGINT) AS n_cal FROM base),
-var AS (
-  SELECT symbol, -r AS var95, n_cal FROM (
-    SELECT symbol, r, n_cal,
-           row_number() OVER (PARTITION BY symbol
-                              ORDER BY r ASC, time_idx ASC) AS qrn
-    FROM b2 WHERE rn <= n_cal)
-  WHERE qrn = CAST(ceil(n_cal * {VAR_BT_P}) AS BIGINT)),
-cnt AS (
-  SELECT t.symbol, max(v.n_cal) AS n_cal, max(v.var95) AS var95,
-         count(*) AS n, sum((t.r < -v.var95)::BIGINT) AS x
-  FROM b2 t JOIN var v ON t.symbol = v.symbol
-  WHERE t.rn > t.n_cal GROUP BY 1)
-SELECT symbol, n_cal::BIGINT AS n_cal, n::BIGINT AS n_test,
-       x::BIGINT AS n_exceed,
-       {_sql_rne('var95', 'var95', 8)},
-       {_sql_rne(lr_pof, 'kupiec_lr', 8)}
-FROM cnt"""
-
-
-def q_ts_macd_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MACD signal-cross strategy backtest — the capstone that turns
-    the indicator battery into a measured trading readout: position
-    at t is long (+1) iff macd > signal at t−1 (else short), strategy
-    return = position · log-return, emitting per symbol the total
-    return, unannualized Sharpe (exact-moment population variance),
-    and the trade count (position flips). Determinism: the MACD/
-    signal chained recursions are the W4 Arrow pass (bitwise vs the
-    oracle's two-stage prefix folds — same contract as ts_ema_macd);
-    log returns snap to 1e-9 so strategy returns live on the grid
-    exactly, and Σsr / Σsr² ride exact DECIMAL (the ar2
-    computational-formula device) — aggregation order cannot perturb
-    the Sharpe. One symbol exchange + one Arrow pass."""
-    from ..operators.rolling import macd
-
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    m = macd(df)
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    prev = F.lag("close", 1).over(w)
-    lr = F.when(
-        (F.col("close") > 0) & (prev > 0),
-        F.log(F.col("close") / prev),
-    ).otherwise(F.when(prev.isNotNull(), F.lit(0.0)))
-    base = (
-        m.withColumn("r", F.floor(lr * 1e9 + F.lit(0.5)) / 1e9)
-        .withColumn(
-            "pos",
-            F.when(
-                F.lag("macd", 1).over(w) > F.lag("macd_signal", 1).over(w),
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
-        )
-        .filter(F.col("r").isNotNull())
-        .withColumn("pos_prev", F.lag("pos", 1).over(w))
-        .withColumn("sr", F.col("pos").cast("double") * F.col("r"))
-    )
-    agg = base.groupBy("symbol").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.floor(F.col("sr") * 1e9 + F.lit(0.5)).cast("decimal(38,0)")
-        ).alias("sq"),
-        F.sum(
-            F.floor(F.col("sr") * F.col("sr") * 1e12 + F.lit(0.5)).cast(
-                "decimal(38,0)"
-            )
-        ).alias("sq2"),
-        F.sum(
-            (
-                F.col("pos_prev").isNotNull()
-                & (F.col("pos") != F.col("pos_prev"))
-            ).cast("long")
-        ).alias("n_trades"),
-    )
-    mean = F.col("sq").cast("double") / F.col("n") / F.lit(1e9)
-    ex2 = F.col("sq2").cast("double") / F.col("n") / F.lit(1e12)
-    var = ex2 - mean * mean
-    return agg.select(
-        "symbol",
-        F.col("n").cast("long").alias("n"),
-        F.col("n_trades").cast("long").alias("n_trades"),
-        _rne(F.col("sq").cast("double") / F.lit(1e9), "total_return", 8),
-        _rne(
-            F.when(var > 0, mean / F.sqrt(var)),
-            "sharpe",
-            6,
-        ),
-    )
-
-
-def _sql_ts_macd_backtest() -> str:
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-pre AS (
-  SELECT symbol, time_idx, close,
-         list(close) OVER (PARTITION BY symbol ORDER BY time_idx
-           ROWS UNBOUNDED PRECEDING) AS pfx
-  FROM filled),
-e AS (
-  SELECT symbol, time_idx, close,
-         {_sql_ewm('pfx', '2.0/13.0')} AS ema12,
-         {_sql_ewm('pfx', '2.0/27.0')} AS ema26
-  FROM pre),
-m AS (SELECT symbol, time_idx, close, ema12 - ema26 AS macd FROM e),
-mp AS (
-  SELECT symbol, time_idx, close, macd,
-         list(macd) OVER (PARTITION BY symbol ORDER BY time_idx
-           ROWS UNBOUNDED PRECEDING) AS mpfx
-  FROM m),
-s AS (SELECT symbol, time_idx, close, macd,
-             {_sql_ewm('mpfx', '2.0/10.0')} AS sig
-      FROM mp),
-lagd AS (
-  SELECT symbol, time_idx, close,
-         lag(close) OVER wsym AS cprev,
-         lag(macd) OVER wsym AS mprev,
-         lag(sig) OVER wsym AS sprev
-  FROM s
-  WINDOW wsym AS (PARTITION BY symbol ORDER BY time_idx)),
-rows_ AS (
-  SELECT symbol, time_idx,
-         floor(CASE WHEN close > 0 AND cprev > 0
-                    THEN ln(close / cprev) ELSE 0.0 END
-               * 1000000000.0 + 0.5) / 1000000000.0 AS r,
-         CASE WHEN mprev > sprev THEN 1 ELSE -1 END AS pos
-  FROM lagd WHERE cprev IS NOT NULL),
-sr_ AS (
-  SELECT symbol, pos::DOUBLE * r AS sr,
-         lag(pos) OVER (PARTITION BY symbol ORDER BY time_idx)
-           AS pos_prev, pos
-  FROM rows_),
-agg AS (
-  SELECT symbol, count(*) AS n,
-         sum(floor(sr * 1000000000.0 + 0.5)::DECIMAL(38,0)) AS sq,
-         sum(floor(sr * sr * 1000000000000.0 + 0.5)::DECIMAL(38,0))
-           AS sq2,
-         sum((pos_prev IS NOT NULL AND pos <> pos_prev)::BIGINT)
-           AS n_trades
-  FROM sr_ GROUP BY 1)
-SELECT symbol, n::BIGINT AS n, n_trades::BIGINT AS n_trades,
-       {_sql_rne('sq::DOUBLE / 1000000000.0', 'total_return', 8)},
-       {_sql_rne(
-           'CASE WHEN (sq2::DOUBLE / n / 1000000000000.0)'
-           ' - (sq::DOUBLE / n / 1000000000.0)'
-           ' * (sq::DOUBLE / n / 1000000000.0) > 0'
-           ' THEN (sq::DOUBLE / n / 1000000000.0)'
-           ' / sqrt((sq2::DOUBLE / n / 1000000000000.0)'
-           ' - (sq::DOUBLE / n / 1000000000.0)'
-           ' * (sq::DOUBLE / n / 1000000000.0)) END',
-           'sharpe', 6)}
-FROM agg"""
-
-
-def q_ts_underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drawdown DURATION analysis — the time dimension ts_drawdown's
-    depth readout lacks: per symbol, the longest underwater spell
-    (consecutive grid rows strictly below the running peak), its start
-    time_idx (earliest among ties), and the length of the CURRENT
-    trailing spell. Underwater flags come from one running-max window;
-    spells from the established rn − row_number() run-merge device —
-    every output is an exact integer, so nothing rounds. The first
-    grid row is never underwater (close == peak), so the trailing-
-    spell subtraction always has an anchor. Two windows + one groupBy
-    riding the ts family's symbol exchange."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    base = df.withColumn(
-        "peak",
-        F.max("close").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    ).withColumn("rn", F.row_number().over(w))
-    uw = base.withColumn("under", (F.col("close") < F.col("peak")))
-    runs = uw.filter(F.col("under")).withColumn(
-        "run_id",
-        F.col("rn")
-        - F.row_number().over(Window.partitionBy("symbol").orderBy("rn")),
-    )
-    per_run = runs.groupBy("symbol", "run_id").agg(
-        F.count(F.lit(1)).alias("len"),
-        F.min("time_idx").alias("start"),
-        F.max("rn").alias("last_rn"),
-    )
-    tot = uw.groupBy("symbol").agg(
-        F.max("rn").alias("m"),
-        F.max(F.when(~F.col("under"), F.col("rn"))).alias("last_dry"),
-    )
-    best = per_run.groupBy("symbol").agg(
-        F.max(
-            F.struct(
-                F.col("len"),
-                (-F.col("start")).alias("neg_start"),
-            )
-        ).alias("b"),
-    )
-    out = tot.join(best, "symbol", "left")
-    return out.select(
-        "symbol",
-        F.coalesce(F.col("b.len"), F.lit(0)).cast("long").alias(
-            "longest_uw"
-        ),
-        (-F.col("b.neg_start")).cast("long").alias("longest_uw_start"),
-        (F.col("m") - F.col("last_dry")).cast("long").alias("current_uw"),
-    )
-
-
-def _sql_ts_underwater_duration() -> str:
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-base AS (
-  SELECT symbol, time_idx, close,
-         max(close) OVER (PARTITION BY symbol ORDER BY time_idx
-           ROWS UNBOUNDED PRECEDING) AS peak,
-         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) AS rn
-  FROM filled),
-uw AS (SELECT *, close < peak AS under FROM base),
-runs AS (
-  SELECT symbol, time_idx, rn,
-         rn - row_number() OVER (PARTITION BY symbol ORDER BY rn)
-           AS run_id
-  FROM uw WHERE under),
-per_run AS (
-  SELECT symbol, run_id, count(*) AS len, min(time_idx) AS start
-  FROM runs GROUP BY 1, 2),
-best AS (
-  SELECT symbol, len, start FROM (
-    SELECT symbol, len, start,
-           row_number() OVER (PARTITION BY symbol
-                              ORDER BY len DESC, start ASC) AS rk
-    FROM per_run)
-  WHERE rk = 1),
-tot AS (
-  SELECT symbol, max(rn) AS m,
-         max(CASE WHEN NOT under THEN rn END) AS last_dry
-  FROM uw GROUP BY 1)
-SELECT t.symbol,
-       coalesce(b.len, 0)::BIGINT AS longest_uw,
-       b.start::BIGINT AS longest_uw_start,
-       (t.m - t.last_dry)::BIGINT AS current_uw
-FROM tot t LEFT JOIN best b ON t.symbol = b.symbol"""
-
-
-# ---------------------------------------------------------------- round 11
-
-EMA_SCAN_ALPHA = 0.5  # dyadic: c = 1−α is a power of two → bitwise scan
-# 32 (not the operator's 256 default): the 6h fixture grid is ~116
-# rows/symbol at EVERY sf, so a 256-row segment would leave the
-# recursive segment-composition path — the point of the operator —
-# driver-unexercised (the ahash vacuous-fixture lesson); 32 gives a
-# 4-segment chain incl. a partial tail at all scale factors
-EMA_SCAN_SEG = 32
-
-
-def q_ts_ema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EMA final state per symbol via the two-phase SEGMENT-COMPOSED
-    affine scan (operators/twophase.py affine_ema_scan) — the
-    parallel-prefix answer to the W4 recursion constraint: instead of
-    one sequential Arrow task per symbol (ewm_smooth), each 32-row
-    segment reduces MAP-SIDE to its affine map (c^len, B) and the
-    per-symbol fold runs over n/32 segment summaries. α = 0.5 makes
-    every c^k and m_i multiplication an exact exponent shift, so the
-    scan is cross-engine BITWISE against the oracle's recursive-CTE
-    segment chain — and agrees with the sequential ewm_smooth fold to
-    <1e-8 (pytest-pinned; the only divergence is the 1e-12 term-grid
-    snap and per-segment add reassociation). Per-symbol driver-side
-    state: none; per-symbol in-row state: n/32 structs. This is the
-    scale path for recursions over very long series — the sequential
-    pass keeps last-ulp parity with pandas replays, the scan keeps
-    the cluster busy."""
-    from ..operators.twophase import affine_ema_scan
-
-    out = affine_ema_scan(
-        _filled(spark, sf_dir).select("symbol", "time_idx", "close"),
-        "close",
-        "symbol",
-        "time_idx",
-        alpha=EMA_SCAN_ALPHA,
-        seg_len=EMA_SCAN_SEG,
-    )
-    return out.select(
-        "symbol", "n", "n_seg", _rne(F.col("ema_last"), "ema_last", 8)
-    )
-
-
-def _sql_ts_ema_scan() -> str:
-    a, c, seg, ts = (
-        EMA_SCAN_ALPHA,
-        1.0 - EMA_SCAN_ALPHA,
-        EMA_SCAN_SEG,
-        "1e12",
-    )
-    return f"""WITH RECURSIVE {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-rows_ AS (
-  SELECT symbol, close,
-         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) AS rn
-  FROM filled WHERE close IS NOT NULL),
-segrows AS (
-  SELECT symbol, close, rn,
-         (rn - 1) // {seg} AS seg, (rn - 1) % {seg} + 1 AS i
-  FROM rows_),
-withlen AS (
-  SELECT *, count(*) OVER (PARTITION BY symbol, seg) AS len
-  FROM segrows),
-segs AS (
-  SELECT symbol, seg, max(len) AS len,
-         sum(floor(close * (CASE WHEN rn = 1 THEN 1.0 ELSE {a} END)
-             * pow({c}, (len - i)) * {ts} + 0.5)::DECIMAL(38,0)) AS bq
-  FROM withlen GROUP BY 1, 2),
-sb AS (SELECT symbol, seg, len, bq::DOUBLE / {ts} AS B FROM segs),
-scan AS (
-  SELECT symbol, seg, v FROM (SELECT symbol, seg, B AS v FROM sb WHERE seg = 0)
-  UNION ALL
-  SELECT s.symbol, s.seg, pow({c}, s.len) * scan.v + s.B AS v
-  FROM sb s JOIN scan ON s.symbol = scan.symbol AND s.seg = scan.seg + 1),
-lastv AS (
-  SELECT symbol, v FROM scan
-  QUALIFY row_number() OVER (PARTITION BY symbol ORDER BY seg DESC) = 1),
-agg AS (
-  SELECT symbol, sum(len)::BIGINT AS n, count(*)::BIGINT AS n_seg
-  FROM sb GROUP BY 1)
-SELECT agg.symbol, n, n_seg, {_sql_rne('v', 'ema_last', 8)}
-FROM agg JOIN lastv ON agg.symbol = lastv.symbol"""
-
-
-JACCARD_TOPK = 25
-
-
-def q_graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Common-neighbor Jaccard link prediction over the shared
-    df-capped co-attendance graph (``_coattendance`` — same blocking
-    key and hub cut as adamic_adar/lpa, one definition per engine):
-    J(u1,u2) = |items∩| / |items∪| for user pairs sharing ≥1 item,
-    union = deg(u1) + deg(u2) − inter over the CAPPED item set (the
-    only set the pair join can see — stated, not hidden). All-integer
-    inputs; the ranking key is one IEEE division of exact longs,
-    identical in both engines; global top-25 via orderBy+limit →
-    TakeOrderedAndProject (the r10/r11 top-k discipline), rank window
-    over the survivors only."""
-    d = _coattendance(spark, sf_dir)
-    deg = d.groupBy("user_id").agg(F.count(F.lit(1)).alias("deg"))
-    a = d.select(F.col("user_id").alias("u1"), "item")
-    b = d.select(F.col("user_id").alias("u2"), "item")
-    inter = (
-        a.join(b, "item")
-        .filter(F.col("u1") < F.col("u2"))
-        .groupBy("u1", "u2")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    j = (
-        inter.join(deg.withColumnRenamed("user_id", "u1"), "u1")
-        .withColumnRenamed("deg", "deg1")
-        .join(deg.withColumnRenamed("user_id", "u2"), "u2")
-        .withColumnRenamed("deg", "deg2")
-        .withColumn(
-            "un", F.col("deg1") + F.col("deg2") - F.col("inter")
-        )
-        .withColumn(
-            "jac",
-            F.col("inter").cast("double") / F.col("un").cast("double"),
-        )
-    )
-    top = j.orderBy(
-        F.col("jac").desc(), F.col("u1").asc(), F.col("u2").asc()
-    ).limit(JACCARD_TOPK)
-    w = Window.orderBy(
-        F.col("jac").desc(), F.col("u1").asc(), F.col("u2").asc()
-    )
-    return (
-        top.withColumn("rank", F.row_number().over(w))
-        .select(
-            "rank",
-            "u1",
-            "u2",
-            F.col("inter").cast("long").alias("inter"),
-            F.col("un").cast("long").alias("un"),
-            _rne(F.col("jac"), "jaccard", 8),
-        )
-    )
-
-
-def _sql_graph_jaccard_links() -> str:
-    return f"""
-WITH {SQL_COATTEND},
-deg AS (SELECT user_id, count(*) AS deg FROM dca GROUP BY 1),
-inter AS (
-  SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS inter
-  FROM dca a JOIN dca b ON a.item = b.item AND a.user_id < b.user_id
-  GROUP BY 1, 2),
-j AS (
-  SELECT u1, u2, inter, d1.deg + d2.deg - inter AS un,
-         inter::DOUBLE / (d1.deg + d2.deg - inter)::DOUBLE AS jac
-  FROM inter
-  JOIN deg d1 ON d1.user_id = u1
-  JOIN deg d2 ON d2.user_id = u2),
-top AS (
-  SELECT row_number() OVER (ORDER BY jac DESC, u1 ASC, u2 ASC) AS rank,
-         u1, u2, inter, un, jac
-  FROM j)
-SELECT rank, u1, u2, inter::BIGINT AS inter, un::BIGINT AS un,
-       {_sql_rne('jac', 'jaccard', 8)}
-FROM top WHERE rank <= {JACCARD_TOPK}"""
-
-
-VR_Q = 4  # variance-ratio horizon
-
-
-def q_ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lo–MacKinlay variance-ratio test per symbol — the classic
-    random-walk screen (VR(q) = Var of overlapping q-period price
-    changes / (q · Var of 1-period changes); VR < 1 → mean reversion,
-    > 1 → momentum): both change series are integer diffs of the
-    1e-6-snapped close (the q-period sum telescopes to qc_t −
-    qc_{t−q}, so ONE lag window yields both), population variances
-    ride the exact-DECIMAL moment identity n·Σx² − (Σx)², and the
-    only float ops are the final ratio and the homoskedastic z-stat —
-    identical IEEE expressions in both engines. One window + one
-    map-side groupBy on the ts family's symbol exchange; per-symbol
-    state is six moment cells."""
-    q = VR_Q
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    d = df.withColumn(
-        "qc",
-        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
-    )
-    d = d.withColumn("x", F.col("qc") - F.lag("qc", 1).over(w)).withColumn(
-        "y", F.col("qc") - F.lag("qc", q).over(w)
-    )
-    agg = d.groupBy("symbol").agg(
-        F.count("x").alias("n1"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.count("y").alias("nq"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-    )
-    agg = agg.filter((F.col("n1") >= q + 2) & (F.col("nq") >= 2))
-    n1d = F.col("n1").cast("decimal(38,0)")
-    nqd = F.col("nq").cast("decimal(38,0)")
-    var1_num = (n1d * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-        "double"
-    )
-    varq_num = (nqd * F.col("syy") - F.col("sy") * F.col("sy")).cast(
-        "double"
-    )
-    n1sq = (n1d * n1d).cast("double")
-    nqsq = (nqd * nqd).cast("double")
-    vr = F.when(
-        var1_num > 0,
-        (varq_num / nqsq) / (F.lit(float(q)) * (var1_num / n1sq)),
-    )
-    z = (vr - F.lit(1.0)) / F.sqrt(
-        F.lit(2.0 * (2 * q - 1) * (q - 1) / (3.0 * q))
-        / F.col("nq").cast("double")
-    )
-    return agg.select(
-        "symbol",
-        F.col("n1").cast("long").alias("n1"),
-        F.col("nq").cast("long").alias("nq"),
-        _rne(vr, "vr", 8),
-        _rne(z, "z", 8),
-    )
-
-
-def _sql_ts_variance_ratio() -> str:
-    q = VR_Q
-    zden = 2.0 * (2 * q - 1) * (q - 1) / (3.0 * q)
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-d AS (
-  SELECT symbol,
-         floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc,
-         lag(floor(close * 1000000.0 + 0.5)::DECIMAL(38,0), 1)
-           OVER (PARTITION BY symbol ORDER BY time_idx) AS l1,
-         lag(floor(close * 1000000.0 + 0.5)::DECIMAL(38,0), {q})
-           OVER (PARTITION BY symbol ORDER BY time_idx) AS lq
-  FROM filled),
-dd AS (SELECT symbol, qc - l1 AS x, qc - lq AS y FROM d),
-agg AS (
-  SELECT symbol, count(x) AS n1, sum(x) AS sx, sum(x * x) AS sxx,
-         count(y) AS nq, sum(y) AS sy, sum(y * y) AS syy
-  FROM dd GROUP BY 1
-  HAVING count(x) >= {q + 2} AND count(y) >= 2),
-fit AS (
-  SELECT symbol, n1, nq,
-         CASE WHEN (n1::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE > 0 THEN
-           ((nq::DECIMAL(38,0) * syy - sy * sy)::DOUBLE
-              / (nq::DECIMAL(38,0) * nq::DECIMAL(38,0))::DOUBLE)
-           / ({q}.0 * ((n1::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE
-              / (n1::DECIMAL(38,0) * n1::DECIMAL(38,0))::DOUBLE))
-         END AS vr
-  FROM agg)
-SELECT symbol, n1::BIGINT AS n1, nq::BIGINT AS nq,
-       {_sql_rne('vr', 'vr', 8)},
-       {_sql_rne(f'(vr - 1.0) / sqrt({zden!r} / nq::DOUBLE)', 'z', 8)}
-FROM fit"""
-
-
-def q_ts_capm_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CAPM beta/alpha/R² per symbol against the equal-weight market
-    index — the cross-sectional factor regression every risk model
-    starts with. The index close at each grid time is the mean of the
-    1e-6-snapped member closes (exact DECIMAL sum, ONE division,
-    re-snapped to the 1e-6 grid → integer market series, so all OLS
-    moments are exact integer products); member and market returns
-    are integer diffs over each symbol's own contiguous grid (one lag
-    window each). The market frame is CALENDAR-BOUNDED (one row per
-    grid bucket regardless of symbol count) and broadcasts to the
-    member join — the only data-sized shuffles are the per-time
-    aggregate and the ts family's symbol window. β = exact-DECIMAL
-    normal-equation ratio; α and R² are the standard identities,
-    identical IEEE expressions in both engines."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    d = df.withColumn(
-        "qc",
-        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
-    )
-    mkt = d.groupBy("time_idx").agg(
-        F.floor(
-            F.sum("qc").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
-        )
-        .cast("decimal(38,0)")
-        .alias("mq")
-    )
-    j = d.join(F.broadcast(mkt), "time_idx")
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    r = (
-        j.withColumn("x", F.col("qc") - F.lag("qc", 1).over(w))
-        .withColumn("m", F.col("mq") - F.lag("mq", 1).over(w))
-        .filter(F.col("x").isNotNull())
-    )
-    agg = r.groupBy("symbol").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("m").alias("sm"),
-        F.sum(F.col("x") * F.col("m")).alias("sxm"),
-        F.sum(F.col("m") * F.col("m")).alias("smm"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-    )
-    agg = agg.filter(F.col("n") >= 3)
-    nd = F.col("n").cast("decimal(38,0)")
-    cov_n = nd * F.col("sxm") - F.col("sx") * F.col("sm")
-    varm_n = nd * F.col("smm") - F.col("sm") * F.col("sm")
-    varx_n = nd * F.col("sxx") - F.col("sx") * F.col("sx")
-    beta = F.when(
-        varm_n.cast("double") > 0,
-        cov_n.cast("double") / varm_n.cast("double"),
-    )
-    alpha = (
-        F.col("sx").cast("double") / F.col("n").cast("double")
-        - beta * (F.col("sm").cast("double") / F.col("n").cast("double"))
-    ) / F.lit(1e6)
-    r2 = F.when(
-        (varm_n.cast("double") > 0) & (varx_n.cast("double") > 0),
-        (cov_n.cast("double") * cov_n.cast("double"))
-        / (varm_n.cast("double") * varx_n.cast("double")),
-    )
-    return agg.select(
-        "symbol",
-        F.col("n").cast("long").alias("n"),
-        _rne(beta, "beta", 8),
-        _rne(alpha, "alpha", 8),
-        _rne(r2, "r2", 8),
-    )
-
-
-def _sql_ts_capm_beta() -> str:
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-d AS (
-  SELECT symbol, time_idx,
-         floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
-  FROM filled),
-mkt AS (
-  SELECT time_idx,
-         floor(sum(qc)::DOUBLE / count(*) + 0.5)::DECIMAL(38,0) AS mq
-  FROM d GROUP BY 1),
-r AS (
-  SELECT symbol,
-         qc - lag(qc, 1) OVER (PARTITION BY symbol ORDER BY d.time_idx)
-           AS x,
-         mq - lag(mq, 1) OVER (PARTITION BY symbol ORDER BY d.time_idx)
-           AS m
-  FROM d JOIN mkt ON d.time_idx = mkt.time_idx
-  QUALIFY x IS NOT NULL),
-agg AS (
-  SELECT symbol, count(*) AS n, sum(x) AS sx, sum(m) AS sm,
-         sum(x * m) AS sxm, sum(m * m) AS smm, sum(x * x) AS sxx
-  FROM r GROUP BY 1 HAVING count(*) >= 3),
-fit AS (
-  SELECT symbol, n,
-         CASE WHEN (n::DECIMAL(38,0) * smm - sm * sm)::DOUBLE > 0 THEN
-           (n::DECIMAL(38,0) * sxm - sx * sm)::DOUBLE
-             / (n::DECIMAL(38,0) * smm - sm * sm)::DOUBLE
-         END AS beta,
-         (n::DECIMAL(38,0) * sxm - sx * sm)::DOUBLE AS cov_n,
-         (n::DECIMAL(38,0) * smm - sm * sm)::DOUBLE AS varm_n,
-         (n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE AS varx_n,
-         sx::DOUBLE AS sxd, sm::DOUBLE AS smd
-  FROM agg)
-SELECT symbol, n::BIGINT AS n,
-       {_sql_rne('beta', 'beta', 8)},
-       {_sql_rne(
-           '(sxd / n::DOUBLE - beta * (smd / n::DOUBLE)) / 1000000.0',
-           'alpha', 8)},
-       {_sql_rne(
-           'CASE WHEN varm_n > 0 AND varx_n > 0 '
-           'THEN (cov_n * cov_n) / (varm_n * varx_n) END',
-           'r2', 8)}
-FROM fit"""
-
-
-def q_ts_amihud_illiq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Amihud illiquidity per symbol (×10⁶ convention) — the standard
-    price-impact proxy mean(|Δprice| / dollar volume) over the OHLCV
-    grid, with dollar volume = close × per-bucket trade count (the
-    fixture's volume column). Gap buckets carry a zero numerator
-    (ffilled close) and the ffilled volume — they dilute the mean
-    deterministically on both engines, like a no-trade interval.
-    Determinism: Δ is the integer diff of 1e-6-snapped closes; each
-    per-row ratio is ONE IEEE division then snapped to the 1e-12 grid;
-    the mean rides an exact DECIMAL sum. One lag window + one map-side
-    groupBy on the ts family's symbol exchange."""
-    df = _filled_ohlc(spark, sf_dir).select(
-        "symbol", "time_idx", "close", "volume"
-    )
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    d = df.withColumn(
-        "qc",
-        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
-    ).withColumn("vq", F.col("volume").cast("decimal(38,0)"))
-    d = d.withColumn("x", F.col("qc") - F.lag("qc", 1).over(w)).filter(
-        # a bucket with a non-positive (zero) price has no dollar
-        # volume — the ratio is undefined there, and under ANSI the
-        # unguarded division THROWS (zero closes exist in the raw
-        # feed at sf0.1 — caught by the bench noop pass, r11); the
-        # row leaves count and sum identically in both engines, the
-        # realized-vol convention
-        F.col("x").isNotNull() & (F.col("qc") > 0) & (F.col("vq") > 0)
-    )
-    ratio = F.abs(F.col("x")).cast("double") / (
-        F.col("qc") * F.col("vq")
-    ).cast("double")
-    rq = F.floor(ratio * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,0)")
-    agg = d.withColumn("rq", rq).groupBy("symbol").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("rq").alias("sq")
-    )
-    illiq = (
-        F.col("sq").cast("double")
-        / F.col("n").cast("double")
-        / F.lit(1e12)
-        * F.lit(1e6)
-    )
-    return agg.select(
-        "symbol",
-        F.col("n").cast("long").alias("n"),
-        _rne(illiq, "illiq_x1e6", 8),
-    )
-
-
-def _sql_ts_amihud_illiq() -> str:
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED_OHLC},
-d AS (
-  SELECT symbol,
-         floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc,
-         volume::DECIMAL(38,0) AS vq,
-         floor(close * 1000000.0 + 0.5)::DECIMAL(38,0)
-           - lag(floor(close * 1000000.0 + 0.5)::DECIMAL(38,0), 1)
-             OVER (PARTITION BY symbol ORDER BY time_idx) AS x
-  FROM filled QUALIFY x IS NOT NULL AND qc > 0 AND vq > 0),
-r AS (
-  SELECT symbol,
-         floor(abs(x)::DOUBLE / (qc * vq)::DOUBLE * 1e12
-               + 0.5)::DECIMAL(38,0) AS rq
-  FROM d),
-agg AS (SELECT symbol, count(*) AS n, sum(rq) AS sq FROM r GROUP BY 1)
-SELECT symbol, n::BIGINT AS n,
-       {_sql_rne('sq::DOUBLE / n::DOUBLE / 1e12 * 1e6',
-                 'illiq_x1e6', 8)}
-FROM agg"""
-
-
-def q_doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source lexical-diversity card — the corpus-health metrics a
-    curation pipeline reads next to the Gopher rules: type/token ratio,
-    hapax fraction (singleton vocabulary share — high = rich/noisy,
-    low = templated), and Herdan's C (log-vocab growth exponent, the
-    size-robust TTR). One explode + one (source, term) count + one
-    map-side rollup; every input to the three ratios is an exact
-    integer, each ratio/log is one identical IEEE expression in both
-    engines. At scale this is the same shuffle shape as doc_top_terms:
-    the (source, term) frame is vocabulary-sized, not token-sized,
-    after the map-side combine."""
-    docs = _docs_parallel(spark, sf_dir)
-    tf = (
-        docs.select(
-            "source", F.explode(tokens(F.col("text"))).alias("term")
-        )
-        .groupBy("source", "term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    agg = tf.groupBy("source").agg(
-        F.sum("cnt").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_types"),
-        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_hapax"),
-    )
-    nt = F.col("n_tokens").cast("double")
-    nv = F.col("n_types").cast("double")
-    return agg.filter(F.col("n_tokens") >= 2).select(
-        "source",
-        "n_tokens",
-        "n_types",
-        "n_hapax",
-        _rne(nv / nt, "ttr", 8),
-        _rne(F.col("n_hapax").cast("double") / nv, "hapax_frac", 8),
-        _rne(F.log(nv) / F.log(nt), "herdan_c", 8),
-    )
-
-
-def _sql_doc_lexical_diversity() -> str:
-    return f"""
-WITH t AS (
-  SELECT source, unnest({sql_tokens('text')}) AS term FROM documents
-),
-tf AS (SELECT source, term, count(*) AS cnt FROM t GROUP BY 1, 2),
-agg AS (
-  SELECT source, sum(cnt)::BIGINT AS n_tokens,
-         count(*)::BIGINT AS n_types,
-         sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
-  FROM tf GROUP BY 1)
-SELECT source, n_tokens, n_types, n_hapax,
-       {_sql_rne('n_types::DOUBLE / n_tokens::DOUBLE', 'ttr', 8)},
-       {_sql_rne('n_hapax::DOUBLE / n_types::DOUBLE', 'hapax_frac', 8)},
-       {_sql_rne('ln(n_types::DOUBLE) / ln(n_tokens::DOUBLE)',
-                 'herdan_c', 8)}
-FROM agg WHERE n_tokens >= 2"""
-
-
-def q_emb_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF index-health card — the balance audit an ANN operator reads
-    BEFORE trusting nprobe latency at scale: list-size min/max/empty
-    count and the FAISS imbalance factor K·Σ(size²)/N² (1.0 = perfectly
-    balanced; the expected per-query scan cost multiplier under
-    size-proportional probe hits). Reuses the exact shared quantizer
-    (label_centroids + assign_lists — same contract as every IVF-family
-    query, oracle twin _sql_ivf_base, so this audit measures the REAL
-    index layout, not a lookalike). Empty lists come from the
-    centroid-side LEFT join. All-integer inputs, one final division;
-    sums ride DECIMAL so the card survives 100 TB list sizes."""
-    from ..operators.ivf import assign_lists, label_centroids
-
-    emb = _emb(spark, sf_dir)
-    cent = label_centroids(emb)
-    sizes = (
-        assign_lists(emb, cent)
-        .groupBy("list_id")
-        .agg(F.count(F.lit(1)).alias("sz"))
-    )
-    per = (
-        cent.select(F.col("label").alias("list_id"))
-        .join(sizes, "list_id", "left")
-        .withColumn("sz", F.coalesce(F.col("sz"), F.lit(0)))
-    )
-    szd = F.col("sz").cast("decimal(38,0)")
-    card = per.agg(
-        F.count(F.lit(1)).cast("long").alias("k_lists"),
-        F.sum("sz").cast("long").alias("n_vecs"),
-        F.min("sz").cast("long").alias("min_sz"),
-        F.max("sz").cast("long").alias("max_sz"),
-        F.sum(F.when(F.col("sz") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("n_empty"),
-        F.sum(szd * szd).alias("ssq"),
-    )
-    kd = F.col("k_lists").cast("decimal(38,0)")
-    nd = F.col("n_vecs").cast("decimal(38,0)")
-    imb = F.when(
-        F.col("n_vecs") > 0,
-        (kd * F.col("ssq")).cast("double") / (nd * nd).cast("double"),
-    )
-    return card.select(
-        "k_lists",
-        "n_vecs",
-        "min_sz",
-        "max_sz",
-        "n_empty",
-        _rne(imb, "imbalance", 8),
-    )
-
-
-def _sql_emb_ivf_balance() -> str:
-    return f"""
-WITH {_sql_ivf_base()},
-sizes AS (SELECT list_id, count(*) AS sz FROM assigned GROUP BY 1),
-per AS (
-  SELECT c.label AS list_id, coalesce(s.sz, 0) AS sz
-  FROM cent c LEFT JOIN sizes s ON c.label = s.list_id),
-card AS (
-  SELECT count(*)::BIGINT AS k_lists, sum(sz)::BIGINT AS n_vecs,
-         min(sz)::BIGINT AS min_sz, max(sz)::BIGINT AS max_sz,
-         sum(CASE WHEN sz = 0 THEN 1 ELSE 0 END)::BIGINT AS n_empty,
-         sum(sz::DECIMAL(38,0) * sz::DECIMAL(38,0)) AS ssq
-  FROM per)
-SELECT k_lists, n_vecs, min_sz, max_sz, n_empty,
-       {_sql_rne(
-           'CASE WHEN n_vecs > 0 THEN '
-           '(k_lists::DECIMAL(38,0) * ssq)::DOUBLE '
-           '/ (n_vecs::DECIMAL(38,0) * n_vecs::DECIMAL(38,0))::DOUBLE END',
-           'imbalance', 8)}
-FROM card"""
-
-
-# --------------------------------------------------------------------------
-# round-11 additions, second batch
-# --------------------------------------------------------------------------
-
-TRI_TOPK = 25  # triangle-census top-k
-
-
-def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle census + local clustering coefficient over
-    the projected user–user graph induced by the shared df-capped
-    co-attendance frame (``_coattendance`` — same blocking key and
-    hub cut as adamic_adar/lpa/jaccard, one definition per engine).
-    Triangles are enumerated once each with the id-oriented wedge
-    join (a<b<c): wedge = E(a,b)⋈E(b,c) closed against E(a,c) — the
-    standard distributed triangle algorithm; because the item df cap
-    bounds the projected degree, the wedge expansion stays work-
-    bounded as the corpus grows (∝ Σ deg², deg ≤ Σ df per user's
-    capped items). cc(u) = 2·tri(u)/(deg(u)·(deg(u)−1)) — integer
-    inputs, one identical IEEE expression per engine. Global top-25
-    by (tri DESC, user_id) via orderBy+limit → TakeOrderedAndProject
-    (the r10/r11 top-k discipline), rank window over survivors only."""
-    d = _coattendance(spark, sf_dir)
-    a = d.select(F.col("user_id").alias("u1"), "item")
-    b = d.select(F.col("user_id").alias("u2"), "item")
-    edges = (
-        a.join(b, "item")
-        .filter(F.col("u1") < F.col("u2"))
-        .select("u1", "u2")
-        .distinct()
-    )
-    wedge = edges.select(
-        F.col("u1").alias("a"), F.col("u2").alias("b")
-    ).join(
-        edges.select(F.col("u1").alias("b"), F.col("u2").alias("c")),
-        "b",
-    )
-    tri = wedge.join(
-        edges.select(F.col("u1").alias("a"), F.col("u2").alias("c")),
-        ["a", "c"],
-    )
-    per = (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("user_id"))
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("tri"))
-    )
-    deg = (
-        edges.select(F.col("u1").alias("user_id"))
-        .unionAll(edges.select(F.col("u2").alias("user_id")))
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    dd = F.col("deg").cast("double")
-    j = per.join(deg, "user_id").withColumn(
-        "cc",
-        F.when(
-            F.col("deg") >= 2,
-            (F.lit(2.0) * F.col("tri").cast("double"))
-            / (dd * (dd - F.lit(1.0))),
-        ),
-    )
-    top = j.orderBy(F.col("tri").desc(), F.col("user_id").asc()).limit(
-        TRI_TOPK
-    )
-    w = Window.orderBy(F.col("tri").desc(), F.col("user_id").asc())
-    return top.withColumn("rank", F.row_number().over(w)).select(
-        "rank",
-        "user_id",
-        F.col("tri").cast("long").alias("tri"),
-        F.col("deg").cast("long").alias("deg"),
-        _rne(F.col("cc"), "cc", 8),
-    )
-
-
-def _sql_graph_triangle_count() -> str:
-    return f"""
-WITH {SQL_COATTEND},
-edges AS (
-  SELECT DISTINCT a.user_id AS u1, b.user_id AS u2
-  FROM dca a JOIN dca b ON a.item = b.item AND a.user_id < b.user_id),
-tri AS (
-  SELECT w.a, w.b, w.c
-  FROM (SELECT e1.u1 AS a, e1.u2 AS b, e2.u2 AS c
-        FROM edges e1 JOIN edges e2 ON e1.u2 = e2.u1) w
-  JOIN edges e3 ON e3.u1 = w.a AND e3.u2 = w.c),
-per AS (
-  SELECT user_id, count(*) AS tri FROM (
-    SELECT a AS user_id FROM tri
-    UNION ALL SELECT b AS user_id FROM tri
-    UNION ALL SELECT c AS user_id FROM tri)
-  GROUP BY 1),
-deg AS (
-  SELECT user_id, count(*) AS deg FROM (
-    SELECT u1 AS user_id FROM edges
-    UNION ALL SELECT u2 AS user_id FROM edges)
-  GROUP BY 1),
-j AS (
-  SELECT p.user_id, p.tri, d.deg,
-         CASE WHEN d.deg >= 2 THEN (2.0 * p.tri::DOUBLE)
-              / (d.deg::DOUBLE * (d.deg::DOUBLE - 1.0)) END AS cc
-  FROM per p JOIN deg d ON p.user_id = d.user_id),
-top AS (
-  SELECT row_number() OVER (ORDER BY tri DESC, user_id ASC) AS rank,
-         user_id, tri, deg, cc
-  FROM j)
-SELECT rank, user_id, tri::BIGINT AS tri, deg::BIGINT AS deg,
-       {_sql_rne('cc', 'cc', 8)}
-FROM top WHERE rank <= {TRI_TOPK}"""
-
-
-def q_ts_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kyle's lambda per symbol — the price-impact regression
-    |Δprice| = α + λ·volume the microstructure literature pairs with
-    Amihud's ratio (ts_amihud_illiq is the mean-ratio form; this is
-    the OLS form, so the two cards cross-check each other). Inputs
-    are exact integers (|Δ| of 1e-6-snapped closes; volume = the
-    per-bucket trade count), so the normal equations ride exact
-    DECIMAL products; λ and α are each ONE IEEE division/expression
-    identical in both engines, reported in price units (÷1e6). One
-    lag window + one map-side groupBy on the ts family's symbol
-    exchange — no extra shuffle at any scale."""
-    df = _filled_ohlc(spark, sf_dir).select(
-        "symbol", "time_idx", "close", "volume"
-    )
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    d = df.withColumn(
-        "qc",
-        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
-    ).withColumn("vq", F.col("volume").cast("decimal(38,0)"))
-    r = d.withColumn(
-        "y", F.abs(F.col("qc") - F.lag("qc", 1).over(w))
-    ).filter(F.col("y").isNotNull())
-    agg = r.groupBy("symbol").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("vq").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("vq") * F.col("y")).alias("sxy"),
-        F.sum(F.col("vq") * F.col("vq")).alias("sxx"),
-    ).filter(F.col("n") >= 3)
-    nd = F.col("n").cast("decimal(38,0)")
-    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = nd * F.col("sxx") - F.col("sx") * F.col("sx")
-    lam = F.when(
-        den.cast("double") > 0, num.cast("double") / den.cast("double")
-    )
-    alpha = (
-        F.col("sy").cast("double") / F.col("n").cast("double")
-        - lam * (F.col("sx").cast("double") / F.col("n").cast("double"))
-    ) / F.lit(1e6)
-    return agg.select(
-        "symbol",
-        F.col("n").cast("long").alias("n"),
-        _rne(lam / F.lit(1e6), "lam", 12),
-        _rne(alpha, "alpha", 8),
-    )
-
-
-def _sql_ts_kyle_lambda() -> str:
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED_OHLC},
-d AS (
-  SELECT symbol, time_idx,
-         floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc,
-         volume::DECIMAL(38,0) AS vq
-  FROM filled),
-r AS (
-  SELECT symbol, vq,
-         abs(qc - lag(qc, 1) OVER (PARTITION BY symbol ORDER BY time_idx))
-           AS y
-  FROM d QUALIFY y IS NOT NULL),
-agg AS (
-  SELECT symbol, count(*) AS n, sum(vq) AS sx, sum(y) AS sy,
-         sum(vq * y) AS sxy, sum(vq * vq) AS sxx
-  FROM r GROUP BY 1 HAVING count(*) >= 3),
-fit AS (
-  SELECT symbol, n,
-         CASE WHEN (n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE > 0 THEN
-           (n::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE
-             / (n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE
-         END AS lam,
-         sx::DOUBLE AS sxd, sy::DOUBLE AS syd
-  FROM agg)
-SELECT symbol, n::BIGINT AS n,
-       {_sql_rne('lam / 1000000.0', 'lam', 12)},
-       {_sql_rne(
-           '(syd / n::DOUBLE - lam * (sxd / n::DOUBLE)) / 1000000.0',
-           'alpha', 8)}
-FROM fit"""
-
-
-def q_ts_garman_klass_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range-based volatility card per symbol — Parkinson,
-    Garman–Klass, and Rogers–Satchell estimators over the REAL
-    resampled OHLC buckets (no gap-fill: a ffilled bar would re-count
-    a stale range, so this reads the resample output directly —
-    unlike the return-based ts_realized_vol, range estimators need
-    true bars). Each per-bar term (squared / cross products of lns of
-    positive-price ratios) snaps to the 1e-12 grid and sums in exact
-    DECIMAL — summation order cannot perturb the result (the
-    ts_realized_vol device); the estimator means and sqrts are single
-    IEEE expressions on the snapped sums. GK/RS can go negative on
-    pathological bars — negative means yield NULL vol identically in
-    both engines. One resample aggregate + one map-side groupBy on
-    the symbol exchange."""
-    r = _resampled(spark, sf_dir).select(
-        "symbol", "open", "high", "low", "close"
-    ).filter(
-        (F.col("open") > 0) & (F.col("high") > 0)
-        & (F.col("low") > 0) & (F.col("close") > 0)
-    )
-    u = F.log(F.col("high") / F.col("low"))
-    c = F.log(F.col("close") / F.col("open"))
-    k = F.lit(2.0) * F.log(F.lit(2.0)) - F.lit(1.0)
-    rs = (
-        F.log(F.col("high") / F.col("close"))
-        * F.log(F.col("high") / F.col("open"))
-        + F.log(F.col("low") / F.col("close"))
-        * F.log(F.col("low") / F.col("open"))
-    )
-    snap12 = lambda e: (  # noqa: E731
-        F.floor(e * 1e12 + F.lit(0.5)) / 1e12
-    ).cast("decimal(30,12)")
-    d = r.select(
-        "symbol",
-        snap12(u * u).alias("pk"),
-        snap12(F.lit(0.5) * u * u - k * c * c).alias("gk"),
-        snap12(rs).alias("rs"),
-    )
-    agg = d.groupBy("symbol").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("pk").alias("spk"),
-        F.sum("gk").alias("sgk"),
-        F.sum("rs").alias("srs"),
-    ).filter(F.col("n") >= 2)
-    nd = F.col("n").cast("double")
-    ln2x4 = F.lit(4.0) * F.log(F.lit(2.0))
-    park = F.sqrt(F.col("spk").cast("double") / (ln2x4 * nd))
-    mgk = F.col("sgk").cast("double") / nd
-    mrs = F.col("srs").cast("double") / nd
-    return agg.select(
-        "symbol",
-        F.col("n").cast("long").alias("n"),
-        _rne(park, "parkinson", 8),
-        _rne(F.when(mgk >= 0, F.sqrt(mgk)), "garman_klass", 8),
-        _rne(F.when(mrs >= 0, F.sqrt(mrs)), "rogers_satchell", 8),
-    )
-
-
-def _sql_ts_garman_klass_vol() -> str:
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H},
-bars AS (
-  SELECT symbol, open, high, low, close FROM idx
-  WHERE open > 0 AND high > 0 AND low > 0 AND close > 0),
-terms AS (
-  SELECT symbol,
-         CAST(floor(pow(ln(high / low), 2) * 1000000000000.0 + 0.5)
-              / 1000000000000.0 AS DECIMAL(30,12)) AS pk,
-         CAST(floor((0.5 * pow(ln(high / low), 2)
-                     - (2.0 * ln(2.0) - 1.0) * pow(ln(close / open), 2))
-                * 1000000000000.0 + 0.5)
-              / 1000000000000.0 AS DECIMAL(30,12)) AS gk,
-         CAST(floor((ln(high / close) * ln(high / open)
-                     + ln(low / close) * ln(low / open))
-                * 1000000000000.0 + 0.5)
-              / 1000000000000.0 AS DECIMAL(30,12)) AS rs
-  FROM bars),
-agg AS (
-  SELECT symbol, count(*) AS n, sum(pk) AS spk, sum(gk) AS sgk,
-         sum(rs) AS srs
-  FROM terms GROUP BY 1 HAVING count(*) >= 2)
-SELECT symbol, n::BIGINT AS n,
-       {_sql_rne(
-           'sqrt(spk::DOUBLE / (4.0 * ln(2.0) * n::DOUBLE))',
-           'parkinson', 8)},
-       {_sql_rne(
-           'CASE WHEN sgk::DOUBLE / n::DOUBLE >= 0 '
-           'THEN sqrt(sgk::DOUBLE / n::DOUBLE) END',
-           'garman_klass', 8)},
-       {_sql_rne(
-           'CASE WHEN srs::DOUBLE / n::DOUBLE >= 0 '
-           'THEN sqrt(srs::DOUBLE / n::DOUBLE) END',
-           'rogers_satchell', 8)}
-FROM agg"""
-
-
-PE_MIN_N = 10  # permutation-entropy minimum triple count
-
-
-def q_ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Permutation entropy (order m=3) per symbol — the
-    complexity/predictability measure of Bandt–Pompe: classify every
-    consecutive close triple into one of 6 ordinal patterns (ties
-    broken toward the EARLIER index, the stable-sort convention, so
-    the ffilled flat stretches map deterministically) and report the
-    Shannon entropy of the pattern distribution normalized by ln 6 —
-    1.0 = white noise, low = persistent structure. Patterns come from
-    two lead windows on the integer-snapped closes (pure integer
-    comparisons — no float anywhere until the entropy); pattern
-    counts are exact, each of the ≤6 entropy terms snaps to the 1e-12
-    grid and sums in DECIMAL. Rides the ts family's symbol exchange;
-    the per-symbol output is one row."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    d = df.withColumn(
-        "qa",
-        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("long"),
-    )
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    d = (
-        d.withColumn("qb", F.lead("qa", 1).over(w))
-        .withColumn("qc3", F.lead("qa", 2).over(w))
-        .filter(F.col("qc3").isNotNull())
-    )
-    lt = lambda x, y: F.when(F.col(x) < F.col(y), 1).otherwise(0)  # noqa: E731
-    le = lambda x, y: F.when(F.col(x) <= F.col(y), 1).otherwise(0)  # noqa: E731
-    code = (
-        (lt("qb", "qa") + lt("qc3", "qa")) * 9
-        + (le("qa", "qb") + lt("qc3", "qb")) * 3
-        + (le("qa", "qc3") + le("qb", "qc3"))
-    )
-    cnts = (
-        d.select("symbol", code.alias("code"))
-        .groupBy("symbol", "code")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    tot = cnts.groupBy("symbol").agg(
-        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("n_patterns")
-    )
-    jn = cnts.join(tot, "symbol").filter(F.col("n") >= PE_MIN_N)
-    p = F.col("cnt").cast("double") / F.col("n").cast("double")
-    term = (
-        F.floor(-p * F.log(p) * 1e12 + F.lit(0.5)) / 1e12
-    ).cast("decimal(30,12)")
-    h = jn.groupBy("symbol", "n", "n_patterns").agg(
-        F.sum(term).alias("sh")
-    )
-    return h.select(
-        "symbol",
-        F.col("n").cast("long").alias("n"),
-        F.col("n_patterns").cast("long").alias("n_patterns"),
-        _rne(
-            F.col("sh").cast("double") / F.log(F.lit(6.0)),
-            "perm_entropy",
-            8,
-        ),
-    )
-
-
-def _sql_ts_permutation_entropy() -> str:
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-q AS (
-  SELECT symbol, time_idx,
-         CAST(floor(close * 1000000.0 + 0.5) AS BIGINT) AS qa
-  FROM filled),
-trip AS (
-  SELECT symbol, qa,
-         lead(qa, 1) OVER w AS qb,
-         lead(qa, 2) OVER w AS qc3
-  FROM q WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)
-  QUALIFY qc3 IS NOT NULL),
-coded AS (
-  SELECT symbol,
-         ((qb < qa)::INT + (qc3 < qa)::INT) * 9
-         + ((qa <= qb)::INT + (qc3 < qb)::INT) * 3
-         + ((qa <= qc3)::INT + (qb <= qc3)::INT) AS code
-  FROM trip),
-cnts AS (
-  SELECT symbol, code, count(*) AS cnt FROM coded GROUP BY 1, 2),
-tot AS (
-  SELECT symbol, sum(cnt) AS n, count(*) AS n_patterns
-  FROM cnts GROUP BY 1),
-terms AS (
-  SELECT c.symbol, t.n, t.n_patterns,
-         CAST(floor(-(c.cnt::DOUBLE / t.n::DOUBLE)
-                    * ln(c.cnt::DOUBLE / t.n::DOUBLE)
-                * 1000000000000.0 + 0.5)
-              / 1000000000000.0 AS DECIMAL(30,12)) AS term
-  FROM cnts c JOIN tot t ON c.symbol = t.symbol
-  WHERE t.n >= {PE_MIN_N})
-SELECT symbol, n::BIGINT AS n, n_patterns::BIGINT AS n_patterns,
-       {_sql_rne('sum(term)::DOUBLE / ln(6.0)', 'perm_entropy', 8)}
-FROM terms GROUP BY symbol, n, n_patterns"""
-
-
-def q_doc_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Jensen–Shannon divergence of each source's unigram
-    distribution from the corpus-wide distribution — the standard
-    domain-shift card a curation pipeline reads next to DSIR weights
-    (JSD is DSIR's importance-weight denominator geometry; symmetric,
-    bounded by ln 2). Per (source, term) and global term counts are
-    exact integers off ONE tokenize+explode pass (the
-    doc_lexical_diversity shuffle shape — vocabulary-sized after the
-    map-side combine, never token-sized); each union-vocab term
-    contributes 0.5·p·ln(p/m) + 0.5·q·ln(q/m) (m the mixture),
-    snapped to the 1e-12 grid and summed in exact DECIMAL. jsd_norm
-    (÷ln 2) lands in [0,1]. At scale: one vocab-keyed join of the
-    per-source frame against the broadcast-able global frame."""
-    docs = _docs_parallel(spark, sf_dir)
-    tf = (
-        docs.select(
-            "source", F.explode(tokens(F.col("text"))).alias("term")
-        )
-        .groupBy("source", "term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    gtf = tf.groupBy("term").agg(F.sum("cnt").alias("gcnt"))
-    n_s = tf.groupBy("source").agg(F.sum("cnt").alias("ns"))
-    n_g = gtf.agg(F.sum("gcnt").alias("ng"))
-    # union vocab per source = global vocab (q > 0 everywhere; p = 0
-    # off-source terms contribute only the q-side term)
-    j = (
-        n_s.join(gtf, how="cross")
-        .join(
-            tf.withColumnRenamed("cnt", "scnt"), ["source", "term"], "left"
-        )
-        .crossJoin(F.broadcast(n_g))
-    )
-    p = F.coalesce(F.col("scnt"), F.lit(0)).cast("double") / F.col(
-        "ns"
-    ).cast("double")
-    q = F.col("gcnt").cast("double") / F.col("ng").cast("double")
-    m = (p + q) / F.lit(2.0)
-    contrib = (
-        F.when(p > 0, F.lit(0.5) * p * F.log(p / m)).otherwise(F.lit(0.0))
-        + F.lit(0.5) * q * F.log(q / m)
-    )
-    term = (
-        F.floor(contrib * 1e12 + F.lit(0.5)) / 1e12
-    ).cast("decimal(30,12)")
-    agg = j.groupBy("source", "ns").agg(F.sum(term).alias("sj"))
-    return agg.select(
-        "source",
-        F.col("ns").cast("long").alias("n_tokens"),
-        _rne(F.col("sj").cast("double"), "jsd", 8),
-        _rne(
-            F.col("sj").cast("double") / F.log(F.lit(2.0)),
-            "jsd_norm",
-            8,
-        ),
-    )
-
-
-def _sql_doc_js_divergence() -> str:
-    return f"""
-WITH t AS (
-  SELECT source, unnest({sql_tokens('text')}) AS term FROM documents
-),
-tf AS (SELECT source, term, count(*) AS cnt FROM t GROUP BY 1, 2),
-gtf AS (SELECT term, sum(cnt) AS gcnt FROM tf GROUP BY 1),
-ns AS (SELECT source, sum(cnt) AS ns FROM tf GROUP BY 1),
-ng AS (SELECT sum(gcnt) AS ng FROM gtf),
-j AS (
-  SELECT s.source, s.ns, g.term, g.gcnt, ng.ng,
-         coalesce(f.cnt, 0) AS scnt
-  FROM ns s CROSS JOIN gtf g CROSS JOIN ng
-  LEFT JOIN tf f ON f.source = s.source AND f.term = g.term),
-terms AS (
-  SELECT source, ns,
-         CAST(floor((
-           CASE WHEN scnt > 0 THEN
-             0.5 * (scnt::DOUBLE / ns::DOUBLE)
-             * ln((scnt::DOUBLE / ns::DOUBLE)
-                  / ((scnt::DOUBLE / ns::DOUBLE
-                      + gcnt::DOUBLE / ng::DOUBLE) / 2.0))
-           ELSE 0.0 END
-           + 0.5 * (gcnt::DOUBLE / ng::DOUBLE)
-           * ln((gcnt::DOUBLE / ng::DOUBLE)
-                / ((scnt::DOUBLE / ns::DOUBLE
-                    + gcnt::DOUBLE / ng::DOUBLE) / 2.0))
-         ) * 1000000000000.0 + 0.5)
-              / 1000000000000.0 AS DECIMAL(30,12)) AS term
-  FROM j)
-SELECT source, ns::BIGINT AS n_tokens,
-       {_sql_rne('sum(term)::DOUBLE', 'jsd', 8)},
-       {_sql_rne('sum(term)::DOUBLE / ln(2.0)', 'jsd_norm', 8)}
-FROM terms GROUP BY source, ns"""
-
-
-# dyadic GARCH-scan parameters: β and α are powers of two (exact
-# exponent shifts), ω = 2^-10 — so every scan term is a single
-# identical IEEE expression in both engines and the segment-composed
-# scan is cross-engine BITWISE (the ts_ema_scan discipline)
-GARCH_SCAN_OMEGA = 0.0009765625  # 2^-10
-GARCH_SCAN_ALPHA = 0.25
-GARCH_SCAN_BETA = 0.5
-GARCH_SCAN_SEG = 32
-
-
-def q_ts_garch_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GARCH(1,1) final filter state per symbol via the SEGMENT-
-    COMPOSED affine scan — the proof that ts_ema_scan's parallel-
-    prefix device lifts the per-symbol recursion constraint for the
-    WHOLE affine family, not just EMA: v_t = ω + α·r²_t + β·v_{t−1}
-    is affine with constant multiplier β and varying intercept
-    b_t = ω + α·r²_t (seed v₁ = r²₁, the garch_filter convention), so
-    each 32-row segment reduces map-side to (β^len, B) and the per-
-    symbol fold runs over n/32 summaries — NO applyInPandas, no
-    single task per symbol. Dyadic β/α and ω = 2⁻¹⁰ make every term a
-    single identical IEEE expression → cross-engine bitwise vs the
-    oracle's recursive-CTE segment chain. Squared returns snap to the
-    1e-12 grid first (the garch_vol convention: non-positive closes →
-    flat tick r² = 0 after rn 1)."""
-    from ..operators.twophase import affine_scan
-
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    prev = F.lag("close", 1).over(w)
-    lr = F.when(
-        (F.col("close") > 0) & (prev > 0),
-        F.log(F.col("close") / prev),
-    ).otherwise(
-        F.when(prev.isNotNull(), F.lit(0.0))  # rn=1 stays NULL
-    )
-    base = df.withColumn(
-        "r2", F.floor(lr * lr * 1e12 + F.lit(0.5)) / 1e12
-    )
-    base = base.withColumn(
-        "b",
-        F.lit(GARCH_SCAN_OMEGA)
-        + F.lit(GARCH_SCAN_ALPHA) * F.col("r2"),
-    ).withColumn("b_seed", F.col("r2"))
-    out = affine_scan(
-        base.select("symbol", "time_idx", "b", "b_seed"),
-        "b",
-        "b_seed",
-        "symbol",
-        "time_idx",
-        mult=GARCH_SCAN_BETA,
-        seg_len=GARCH_SCAN_SEG,
-        out_col="v_last",
-    )
-    return out.select(
-        "symbol",
-        "n",
-        "n_seg",
-        _rne(
-            F.when(F.col("v_last") >= 0, F.sqrt(F.col("v_last"))),
-            "garch_vol_last",
-            8,
-        ),
-    )
-
-
-def _sql_ts_garch_scan() -> str:
-    om, al, be, seg, ts = (
-        GARCH_SCAN_OMEGA,
-        GARCH_SCAN_ALPHA,
-        GARCH_SCAN_BETA,
-        GARCH_SCAN_SEG,
-        "1e12",
-    )
-    return f"""WITH RECURSIVE {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-lagged AS (
-  SELECT symbol, time_idx, close,
-         lag(close) OVER (PARTITION BY symbol ORDER BY time_idx) AS prev
-  FROM filled),
-rr AS (
-  SELECT symbol, time_idx,
-         CASE WHEN prev IS NOT NULL THEN
-           floor(pow(CASE WHEN close > 0 AND prev > 0
-                          THEN ln(close / prev) ELSE 0.0 END, 2)
-                 * 1000000000000.0 + 0.5) / 1000000000000.0
-         END AS r2
-  FROM lagged),
-rows_ AS (
-  SELECT symbol, r2,
-         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) AS rn
-  FROM rr WHERE r2 IS NOT NULL),
-segrows AS (
-  SELECT symbol, rn,
-         CASE WHEN rn = 1 THEN r2 ELSE {om} + {al} * r2 END AS b,
-         (rn - 1) // {seg} AS seg, (rn - 1) % {seg} + 1 AS i
-  FROM rows_),
-withlen AS (
-  SELECT *, count(*) OVER (PARTITION BY symbol, seg) AS len
-  FROM segrows),
-segs AS (
-  SELECT symbol, seg, max(len) AS len,
-         sum(floor(b * pow({be}, (len - i)) * {ts}
-             + 0.5)::DECIMAL(38,0)) AS bq
-  FROM withlen GROUP BY 1, 2),
-sb AS (SELECT symbol, seg, len, bq::DOUBLE / {ts} AS B FROM segs),
-scan AS (
-  SELECT symbol, seg, v FROM (SELECT symbol, seg, B AS v FROM sb WHERE seg = 0)
-  UNION ALL
-  SELECT s.symbol, s.seg, pow({be}, s.len) * scan.v + s.B AS v
-  FROM sb s JOIN scan ON s.symbol = scan.symbol AND s.seg = scan.seg + 1),
-lastv AS (
-  SELECT symbol, v FROM scan
-  QUALIFY row_number() OVER (PARTITION BY symbol ORDER BY seg DESC) = 1),
-agg AS (
-  SELECT symbol, sum(len)::BIGINT AS n, count(*)::BIGINT AS n_seg
-  FROM sb GROUP BY 1)
-SELECT agg.symbol, n, n_seg,
-       {_sql_rne('CASE WHEN v >= 0 THEN sqrt(v) END',
-                 'garch_vol_last', 8)}
-FROM agg JOIN lastv ON agg.symbol = lastv.symbol"""
-
-
-COINT_TOP_PAIRS = 5  # Engle-Granger: pairs ranked by |level corr|
-
-
-def q_ts_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engle–Granger two-step cointegration card — the statistical
-    backbone under ts_pairs_trading_signal's spread z-score: for the
-    top-|corr| symbol pairs, fit the hedge ratio y = α + β·x by OLS on
-    the aligned snapped closes, then run the lag-0 Dickey–Fuller test
-    on the residual (Δe_t = φ·e_{t−1}: φ < 0 and a large-negative t
-    ⇒ the spread mean-reverts ⇒ the pair is tradeable). Candidate
-    universe is the same bounded top-``CORR_MATRIX_TOP_K``-symbol cut
-    as the corr matrix (pair frame ≤ K²/2 · buckets rows at ANY corpus
-    scale); the ``COINT_TOP_PAIRS`` selection is a
-    TakeOrderedAndProject over the 28-row pair-moment frame, broadcast
-    back to the aligned series. Determinism: closes snap to 1e-6
-    integers so the OLS moments are exact DECIMAL products; β/α are
-    single IEEE expressions; the residual e_t (one float expression of
-    identical per-row scalars) re-snaps to the integer grid, so the DF
-    moments are exact again; φ, its standard error, and the t-stat are
-    closed-form combinations of those exact moments."""
-    r = _resampled(spark, sf_dir).select("symbol", "time_idx", "close")
-    top = (
-        r.groupBy("symbol")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("symbol").asc())
-        .limit(CORR_MATRIX_TOP_K)
-        .select("symbol")
-    )
-    d = r.join(F.broadcast(top), "symbol").withColumn(
-        "qc",
-        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
-    )
-    a = d.select(
-        F.col("symbol").alias("sym_a"), "time_idx", F.col("qc").alias("xq")
-    )
-    b = d.select(
-        F.col("symbol").alias("sym_b"), "time_idx", F.col("qc").alias("yq")
-    )
-    pairs = a.join(b, "time_idx").filter(F.col("sym_a") < F.col("sym_b"))
-    mom = pairs.groupBy("sym_a", "sym_b").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("xq").alias("sx"),
-        F.sum("yq").alias("sy"),
-        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
-        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
-        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
-    ).filter(F.col("n") >= 8)
-    nd = F.col("n").cast("decimal(38,0)")
-    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
-    varx_n = nd * F.col("sxx") - F.col("sx") * F.col("sx")
-    vary_n = nd * F.col("syy") - F.col("sy") * F.col("sy")
-    corr = F.when(
-        (varx_n.cast("double") > 0) & (vary_n.cast("double") > 0),
-        cov_n.cast("double")
-        / F.sqrt(varx_n.cast("double") * vary_n.cast("double")),
-    )
-    beta = F.when(
-        varx_n.cast("double") > 0,
-        cov_n.cast("double") / varx_n.cast("double"),
-    )
-    alpha_q = (
-        F.col("sy").cast("double") / F.col("n").cast("double")
-        - beta * (F.col("sx").cast("double") / F.col("n").cast("double"))
-    )
-    sel = (
-        mom.select(
-            "sym_a",
-            "sym_b",
-            "n",
-            corr.alias("corr"),
-            beta.alias("beta"),
-            alpha_q.alias("alpha_q"),
-        )
-        .filter(F.col("beta").isNotNull())
-        .orderBy(F.abs(F.col("corr")).desc(), "sym_a", "sym_b")
-        .limit(COINT_TOP_PAIRS)
-    )
-    al = pairs.join(F.broadcast(sel), ["sym_a", "sym_b"])
-    e = (
-        F.col("yq").cast("double")
-        - F.col("alpha_q")
-        - F.col("beta") * F.col("xq").cast("double")
-    )
-    al = al.withColumn(
-        "eq", F.floor(e + F.lit(0.5)).cast("decimal(38,0)")
-    )
-    w = Window.partitionBy("sym_a", "sym_b").orderBy("time_idx")
-    al = (
-        al.withColumn("el", F.lag("eq", 1).over(w))
-        .withColumn("de", F.col("eq") - F.col("el"))
-        .filter(F.col("el").isNotNull())
-    )
-    df_mom = al.groupBy(
-        "sym_a", "sym_b", "n", "corr", "beta", "alpha_q"
-    ).agg(
-        F.count(F.lit(1)).alias("m"),
-        F.sum(F.col("el") * F.col("el")).alias("see"),
-        F.sum(F.col("el") * F.col("de")).alias("sed"),
-        F.sum(F.col("de") * F.col("de")).alias("sdd"),
-    ).filter((F.col("m") >= 8) & (F.col("see").cast("double") > 0))
-    seed = F.col("see").cast("double")
-    sedd = F.col("sed").cast("double")
-    sddd = F.col("sdd").cast("double")
-    md = F.col("m").cast("double")
-    phi = sedd / seed
-    sse = sddd - F.lit(2.0) * phi * sedd + phi * phi * seed
-    se = F.sqrt((sse / (md - F.lit(1.0))) / seed)
-    adf_t = F.when(se > 0, phi / se)
-    return df_mom.select(
-        "sym_a",
-        "sym_b",
-        F.col("n").cast("long").alias("n"),
-        _rne(F.col("corr"), "corr", 8),
-        _rne(F.col("beta"), "beta", 8),
-        _rne(F.col("alpha_q") / F.lit(1e6), "alpha", 8),
-        F.col("m").cast("long").alias("m"),
-        _rne(phi, "phi", 8),
-        _rne(adf_t, "adf_t", 8),
-    )
-
-
-def _sql_ts_engle_granger() -> str:
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H},
-top AS (
-  SELECT symbol FROM (
-    SELECT symbol, count(*) AS n FROM idx GROUP BY 1
-    ORDER BY n DESC, symbol ASC LIMIT {CORR_MATRIX_TOP_K})),
-d AS (
-  SELECT idx.symbol, time_idx,
-         floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
-  FROM idx JOIN top ON idx.symbol = top.symbol),
-pairs AS (
-  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.time_idx,
-         a.qc AS xq, b.qc AS yq
-  FROM d a JOIN d b ON a.time_idx = b.time_idx AND a.symbol < b.symbol),
-mom AS (
-  SELECT sym_a, sym_b, count(*) AS n, sum(xq) AS sx, sum(yq) AS sy,
-         sum(xq * yq) AS sxy, sum(xq * xq) AS sxx, sum(yq * yq) AS syy
-  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 8),
-fit AS (
-  SELECT sym_a, sym_b, n,
-         CASE WHEN (n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE > 0
-                AND (n::DECIMAL(38,0) * syy - sy * sy)::DOUBLE > 0 THEN
-           (n::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE
-             / sqrt((n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE
-                    * (n::DECIMAL(38,0) * syy - sy * sy)::DOUBLE)
-         END AS corr,
-         CASE WHEN (n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE > 0 THEN
-           (n::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE
-             / (n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE
-         END AS beta,
-         sx::DOUBLE AS sxd, sy::DOUBLE AS syd
-  FROM mom),
-sel AS (
-  SELECT sym_a, sym_b, n, corr, beta,
-         syd / n::DOUBLE - beta * (sxd / n::DOUBLE) AS alpha_q
-  FROM fit WHERE beta IS NOT NULL
-  ORDER BY abs(corr) DESC, sym_a ASC, sym_b ASC
-  LIMIT {COINT_TOP_PAIRS}),
-resid AS (
-  SELECT p.sym_a, p.sym_b, s.n, s.corr, s.beta, s.alpha_q, p.time_idx,
-         floor(p.yq::DOUBLE - s.alpha_q - s.beta * p.xq::DOUBLE
-               + 0.5)::DECIMAL(38,0) AS eq
-  FROM pairs p JOIN sel s ON p.sym_a = s.sym_a AND p.sym_b = s.sym_b),
-lagged AS (
-  SELECT sym_a, sym_b, n, corr, beta, alpha_q, eq,
-         lag(eq, 1) OVER (
-           PARTITION BY sym_a, sym_b ORDER BY time_idx) AS el
-  FROM resid QUALIFY el IS NOT NULL),
-dfm AS (
-  SELECT sym_a, sym_b, n, corr, beta, alpha_q, count(*) AS m,
-         sum(el * el) AS see, sum(el * (eq - el)) AS sed,
-         sum((eq - el) * (eq - el)) AS sdd
-  FROM lagged GROUP BY 1, 2, 3, 4, 5, 6
-  HAVING count(*) >= 8 AND sum(el * el)::DOUBLE > 0),
-stat AS (
-  SELECT sym_a, sym_b, n, corr, beta, alpha_q, m,
-         sed::DOUBLE / see::DOUBLE AS phi,
-         sqrt(((sdd::DOUBLE
-                - 2.0 * (sed::DOUBLE / see::DOUBLE) * sed::DOUBLE
-                + (sed::DOUBLE / see::DOUBLE)
-                  * (sed::DOUBLE / see::DOUBLE) * see::DOUBLE)
-               / (m::DOUBLE - 1.0)) / see::DOUBLE) AS se
-  FROM dfm)
-SELECT sym_a, sym_b, n::BIGINT AS n,
-       {_sql_rne('corr', 'corr', 8)},
-       {_sql_rne('beta', 'beta', 8)},
-       {_sql_rne('alpha_q / 1000000.0', 'alpha', 8)},
-       m::BIGINT AS m,
-       {_sql_rne('phi', 'phi', 8)},
-       {_sql_rne('CASE WHEN se > 0 THEN phi / se END', 'adf_t', 8)}
-FROM stat"""
-
-
-def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inter-arrival burstiness per event type — Goh–Barabási
-    B = (σ−μ)/(σ+μ) over the gaps between consecutive events of the
-    same type (B → −1 periodic, 0 Poisson, → 1 bursty), plus the
-    coefficient of variation. The card event-pipeline teams read to
-    size stream buffers and pick watermark slack (bursty types need
-    both). Gaps are exact integer microseconds off one lag window per
-    type ((ts, event_id) total order — simultaneous events break ties
-    deterministically); μ and σ ride exact DECIMAL sums with the
-    computational-variance identity n·Σx²−(Σx)², so only the final
-    sqrt and the two ratios run in float — identical expressions both
-    engines. Output is |event types| rows at any corpus scale."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "ts", "event_id"
-    )
-    # unix_micros requires an instant (LTZ) timestamp; the testdata's
-    # ts is TIMESTAMP_NTZ — the NTZ->LTZ cast preserves the stored
-    # micros bitwise only under UTC (asserted, never set — the
-    # ts_delta_hist convention)
-    ts = F.col("ts")
-    if dict(ev.dtypes)["ts"] == "timestamp_ntz":
-        require_utc(spark)
-        ts = ts.cast("timestamp")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    g = (
-        ev.withColumn("us", F.unix_micros(ts).cast("decimal(38,0)"))
-        .withColumn("gap", F.col("us") - F.lag("us", 1).over(w))
-        .filter(F.col("gap").isNotNull())
-    )
-    agg = g.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("gap").alias("sg"),
-        F.sum(F.col("gap") * F.col("gap")).alias("sgg"),
-    ).filter(F.col("n") >= 2)
-    nd = F.col("n").cast("decimal(38,0)")
-    var_n2 = nd * F.col("sgg") - F.col("sg") * F.col("sg")  # n² · σ²
-    mu = F.col("sg").cast("double") / F.col("n").cast("double")
-    sigma = F.sqrt(
-        F.greatest(var_n2.cast("double"), F.lit(0.0))
-    ) / F.col("n").cast("double")
-    return agg.select(
-        "event_type",
-        F.col("n").cast("long").alias("n"),
-        _rne(mu / F.lit(1e6), "mean_gap_s", 8),
-        _rne(sigma / F.lit(1e6), "std_gap_s", 8),
-        _rne(F.when(mu > 0, sigma / mu), "cv", 8),
-        _rne(
-            F.when(sigma + mu > 0, (sigma - mu) / (sigma + mu)),
-            "burstiness",
-            8,
-        ),
-    )
-
-
-def _sql_events_burstiness() -> str:
-    return f"""
-WITH g AS (
-  SELECT event_type,
-         us - lag(us, 1) OVER (
-           PARTITION BY event_type ORDER BY ts, event_id) AS gap
-  FROM (SELECT event_type, ts, event_id,
-               epoch_us(ts)::DECIMAL(38,0) AS us
-        FROM events)
-  QUALIFY gap IS NOT NULL),
-agg AS (
-  SELECT event_type, count(*) AS n, sum(gap) AS sg,
-         sum(gap * gap) AS sgg
-  FROM g GROUP BY 1 HAVING count(*) >= 2),
-st AS (
-  SELECT event_type, n,
-         sg::DOUBLE / n::DOUBLE AS mu,
-         sqrt(greatest((n::DECIMAL(38,0) * sgg - sg * sg)::DOUBLE, 0.0))
-           / n::DOUBLE AS sigma
-  FROM agg)
-SELECT event_type, n::BIGINT AS n,
-       {_sql_rne('mu / 1000000.0', 'mean_gap_s', 8)},
-       {_sql_rne('sigma / 1000000.0', 'std_gap_s', 8)},
-       {_sql_rne('CASE WHEN mu > 0 THEN sigma / mu END', 'cv', 8)},
-       {_sql_rne(
-           'CASE WHEN sigma + mu > 0 '
-           'THEN (sigma - mu) / (sigma + mu) END',
-           'burstiness', 8)}
-FROM st"""
-
-
-def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entropy rate of the user-behavior Markov chain — the
-    information-theoretic ceiling on next-action predictability that
-    sits on top of events_markov_transitions: per current state,
-    H(next|cur) = −Σ p ln p over its outgoing transitions, π(cur) =
-    its empirical share of transitions, and the rate contribution
-    π·H. Σ contributions = the chain's entropy rate (the driver sums
-    rows; each row is one state). All counts are exact integers off
-    ONE lead window on the user exchange; each entropy term is a
-    single ln of an integer ratio snapped to the 1e-12 grid and
-    summed in DECIMAL; the |states|-sized output is dimension-bounded
-    at any corpus scale."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    trans = ev.select(
-        F.col("event_type").alias("cur"),
-        F.lead("event_type").over(w).alias("nxt"),
-    ).filter(F.col("nxt").isNotNull())
-    cnt = trans.groupBy("cur", "nxt").agg(
-        F.count(F.lit(1)).alias("ncn")
-    )
-    tot_c = cnt.groupBy("cur").agg(F.sum("ncn").alias("nc"))
-    total = cnt.agg(F.sum("ncn").alias("nn"))
-    j = cnt.join(tot_c, "cur").crossJoin(F.broadcast(total))
-    p_cond = F.col("ncn").cast("double") / F.col("nc").cast("double")
-    hterm = (
-        F.floor(-p_cond * F.log(p_cond) * 1e12 + F.lit(0.5)) / 1e12
-    ).cast("decimal(30,12)")
-    agg = j.groupBy("cur", "nc", "nn").agg(F.sum(hterm).alias("sh"))
-    pi = F.col("nc").cast("double") / F.col("nn").cast("double")
-    h_cond = F.col("sh").cast("double")
-    return agg.select(
-        "cur",
-        F.col("nc").cast("long").alias("n_from"),
-        _rne(pi, "pi", 8),
-        _rne(h_cond, "h_cond", 8),
-        _rne(pi * h_cond, "rate_contrib", 8),
-    )
-
-
-def _sql_events_entropy_rate() -> str:
-    return f"""
-WITH trans AS (
-  SELECT event_type AS cur, lead(event_type) OVER w AS nxt
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
-cnt AS (
-  SELECT cur, nxt, count(*) AS ncn FROM trans
-  WHERE nxt IS NOT NULL GROUP BY 1, 2),
-tot_c AS (SELECT cur, sum(ncn) AS nc FROM cnt GROUP BY 1),
-total AS (SELECT sum(ncn) AS nn FROM cnt),
-terms AS (
-  SELECT cnt.cur, tot_c.nc, total.nn,
-         CAST(floor(-(cnt.ncn::DOUBLE / tot_c.nc::DOUBLE)
-                    * ln(cnt.ncn::DOUBLE / tot_c.nc::DOUBLE)
-                * 1000000000000.0 + 0.5)
-              / 1000000000000.0 AS DECIMAL(30,12)) AS hterm
-  FROM cnt JOIN tot_c ON cnt.cur = tot_c.cur CROSS JOIN total),
-agg AS (
-  SELECT cur, nc, nn, sum(hterm)::DOUBLE AS h_cond
-  FROM terms GROUP BY 1, 2, 3)
-SELECT cur, nc::BIGINT AS n_from,
-       {_sql_rne('nc::DOUBLE / nn::DOUBLE', 'pi', 8)},
-       {_sql_rne('h_cond', 'h_cond', 8)},
-       {_sql_rne('(nc::DOUBLE / nn::DOUBLE) * h_cond',
-                 'rate_contrib', 8)}
-FROM agg"""
-
-
-def q_part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Log-log price elasticity of demand per brand — the pricing
-    card every retail warehouse computes: OLS slope of ln(quantity)
-    on ln(unit price) across a brand's line items (unit price =
-    extendedprice / quantity, the TPC-H convention). Each ln snaps to
-    an integer 1e-9 grid so the per-brand normal equations ride exact
-    DECIMAL products (the 1e-9 scale cancels in the slope; the
-    intercept rescales once); the lineitem→part attach is the
-    standard fact-to-dim key join (AQE picks broadcast when part
-    fits, shuffle-hash beyond — no plan pin needed: either is
-    correct), then ONE map-side-combined groupBy on the 25-brand
-    key. Elasticity < 0 = normal good; R² says how much of quantity
-    variance price explains."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice"
-    ).filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
-    pt = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("l_partkey"), "p_brand"
-    )
-    d = li.join(pt, "l_partkey")
-    unit = F.col("l_extendedprice") / F.col("l_quantity")
-    xq = F.floor(F.log(unit) * 1e9 + F.lit(0.5)).cast("decimal(38,0)")
-    yq = F.floor(
-        F.log(F.col("l_quantity")) * 1e9 + F.lit(0.5)
-    ).cast("decimal(38,0)")
-    d = d.select("p_brand", xq.alias("x"), yq.alias("y"))
-    agg = d.groupBy("p_brand").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-    ).filter(F.col("n") >= 3)
-    nd = F.col("n").cast("decimal(38,0)")
-    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
-    varx_n = nd * F.col("sxx") - F.col("sx") * F.col("sx")
-    vary_n = nd * F.col("syy") - F.col("sy") * F.col("sy")
-    el = F.when(
-        varx_n.cast("double") > 0,
-        cov_n.cast("double") / varx_n.cast("double"),
-    )
-    r2 = F.when(
-        (varx_n.cast("double") > 0) & (vary_n.cast("double") > 0),
-        (cov_n.cast("double") * cov_n.cast("double"))
-        / (varx_n.cast("double") * vary_n.cast("double")),
-    )
-    return agg.select(
-        "p_brand",
-        F.col("n").cast("long").alias("n"),
-        _rne(el, "elasticity", 8),
-        _rne(r2, "r2", 8),
-    )
-
-
-def _sql_part_price_elasticity() -> str:
-    return f"""
-WITH d AS (
-  SELECT p.p_brand,
-         floor(ln(l.l_extendedprice / l.l_quantity) * 1000000000.0
-               + 0.5)::DECIMAL(38,0) AS x,
-         floor(ln(l.l_quantity) * 1000000000.0
-               + 0.5)::DECIMAL(38,0) AS y
-  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-  WHERE l.l_quantity > 0 AND l.l_extendedprice > 0),
-agg AS (
-  SELECT p_brand, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
-  FROM d GROUP BY 1 HAVING count(*) >= 3),
-fit AS (
-  SELECT p_brand, n,
-         (n::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE AS cov_n,
-         (n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE AS varx_n,
-         (n::DECIMAL(38,0) * syy - sy * sy)::DOUBLE AS vary_n
-  FROM agg)
-SELECT p_brand, n::BIGINT AS n,
-       {_sql_rne('CASE WHEN varx_n > 0 THEN cov_n / varx_n END',
-                 'elasticity', 8)},
-       {_sql_rne(
-           'CASE WHEN varx_n > 0 AND vary_n > 0 '
-           'THEN (cov_n * cov_n) / (varx_n * vary_n) END',
-           'r2', 8)}
-FROM fit"""
-
-
-def q_doc_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heaps'-law fit over the corpus in doc_id order — V(N) ≈ k·N^b,
-    the vocabulary-growth exponent that predicts how big a tokenizer
-    vocabulary must grow with corpus size (the planning twin of
-    doc_zipf_fit). Per doc: token count and NEW-type count (a term
-    counts at its min-doc_id first occurrence); the cumulative (N, V)
-    checkpoints come from the TWO-PHASE bucketed prefix sum
-    (operators/twophase.py prefix_agg, log2(doc_id) buckets) — no
-    data-sized single-task global window (the doc-count frame grows
-    with the corpus). OLS of ln V on ln N over checkpoints with
-    V ≥ 1: each ln snaps to the integer 1e-9 grid, the normal
-    equations ride exact DECIMAL, b is the scale-free slope and
-    k = exp of the rescaled intercept."""
-    from ..operators.twophase import log2_bucket, prefix_agg
-
-    docs = _docs_parallel(spark, sf_dir)
-    tok = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
-    )
-    per_doc = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tok")
-    )
-    first = tok.groupBy("term").agg(F.min("doc_id").alias("doc_id"))
-    new_per_doc = first.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_new")
-    )
-    base = per_doc.join(new_per_doc, "doc_id", "left").select(
-        "doc_id",
-        "n_tok",
-        F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
-    )
-    b1 = prefix_agg(
-        base,
-        F.col("n_tok"),
-        log2_bucket(F.col("doc_id")),
-        [F.col("doc_id").asc()],
-        agg="sum",
-        strict=False,
-        out_col="N",
-    )
-    b2 = prefix_agg(
-        b1,
-        F.col("n_new"),
-        log2_bucket(F.col("doc_id")),
-        [F.col("doc_id").asc()],
-        agg="sum",
-        strict=False,
-        out_col="V",
-    )
-    pts = b2.filter((F.col("N") >= 1) & (F.col("V") >= 1)).select(
-        F.floor(F.log(F.col("N").cast("double")) * 1e9 + F.lit(0.5))
-        .cast("decimal(38,0)")
-        .alias("x"),
-        F.floor(F.log(F.col("V").cast("double")) * 1e9 + F.lit(0.5))
-        .cast("decimal(38,0)")
-        .alias("y"),
-    )
-    agg = pts.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-    ).filter(F.col("n") >= 3)
-    nd = F.col("n").cast("decimal(38,0)")
-    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
-    varx_n = nd * F.col("sxx") - F.col("sx") * F.col("sx")
-    vary_n = nd * F.col("syy") - F.col("sy") * F.col("sy")
-    b = F.when(
-        varx_n.cast("double") > 0,
-        cov_n.cast("double") / varx_n.cast("double"),
-    )
-    ln_k = (
-        F.col("sy").cast("double") / F.col("n").cast("double")
-        - b * (F.col("sx").cast("double") / F.col("n").cast("double"))
-    ) / F.lit(1e9)
-    r2 = F.when(
-        (varx_n.cast("double") > 0) & (vary_n.cast("double") > 0),
-        (cov_n.cast("double") * cov_n.cast("double"))
-        / (varx_n.cast("double") * vary_n.cast("double")),
-    )
-    return agg.select(
-        F.col("n").cast("long").alias("n_docs"),
-        _rne(b, "heaps_b", 8),
-        _rne(F.exp(ln_k), "heaps_k", 8),
-        _rne(r2, "r2", 8),
-    )
-
-
-def _sql_doc_heaps_law() -> str:
-    return f"""
-WITH tok AS (
-  SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
-),
-per_doc AS (
-  SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
-first_ AS (
-  SELECT term, min(doc_id) AS doc_id FROM tok GROUP BY 1),
-new_per_doc AS (
-  SELECT doc_id, count(*) AS n_new FROM first_ GROUP BY 1),
-base AS (
-  SELECT p.doc_id, p.n_tok, coalesce(np.n_new, 0) AS n_new
-  FROM per_doc p LEFT JOIN new_per_doc np ON p.doc_id = np.doc_id),
-cum AS (
-  SELECT doc_id,
-         sum(n_tok) OVER w AS N, sum(n_new) OVER w AS V
-  FROM base
-  WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)),
-pts AS (
-  SELECT floor(ln(N::DOUBLE) * 1000000000.0 + 0.5)::DECIMAL(38,0) AS x,
-         floor(ln(V::DOUBLE) * 1000000000.0 + 0.5)::DECIMAL(38,0) AS y
-  FROM cum WHERE N >= 1 AND V >= 1),
-agg AS (
-  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-         sum(x * x) AS sxx, sum(y * y) AS syy
-  FROM pts HAVING count(*) >= 3),
-fit AS (
-  SELECT n,
-         (n::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE AS cov_n,
-         (n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE AS varx_n,
-         (n::DECIMAL(38,0) * syy - sy * sy)::DOUBLE AS vary_n,
-         sx::DOUBLE AS sxd, sy::DOUBLE AS syd
-  FROM agg),
-st AS (
-  SELECT n,
-         CASE WHEN varx_n > 0 THEN cov_n / varx_n END AS b,
-         cov_n, varx_n, vary_n, sxd, syd
-  FROM fit)
-SELECT n::BIGINT AS n_docs,
-       {_sql_rne('b', 'heaps_b', 8)},
-       {_sql_rne(
-           'exp((syd / n::DOUBLE - b * (sxd / n::DOUBLE)) '
-           '/ 1000000000.0)',
-           'heaps_k', 8)},
-       {_sql_rne(
-           'CASE WHEN varx_n > 0 AND vary_n > 0 '
-           'THEN (cov_n * cov_n) / (varx_n * vary_n) END',
-           'r2', 8)}
-FROM st"""
-
-
-IVF_CURVE_NPROBES = (1, 2, 4)  # recall-vs-cost sweep
-
-
-def q_emb_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The IVF recall-vs-cost CURVE — the number that decides nprobe
-    in production: for nprobe ∈ {1, 2, 4}, mean recall@k against the
-    exact top-k AND the mean scanned-candidate count per query (the
-    price paid for that recall). emb_ivf_recall fixes nprobe and
-    reports per-query recall; this card sweeps it and aggregates, so
-    capacity planning reads one 3-row frame. Everything stays exact:
-    hit counts and candidate counts are integers (both rankings break
-    ties on vec_id over identical fold-exact distances), so
-    mean_recall = Σhits/(n_q·k) and mean_scanned = Σcand/n_q are
-    single divisions of exact integers. Per-nprobe work shares the
-    lineage (centroids/assignment recompute per branch — AQE reuses
-    the exchanges; at layout scale the probed-list partition pruning
-    of ivf_probe_layout replaces the assignment join)."""
-    from ..operators.ivf import (
-        assign_lists,
-        ivf_ann_topk,
-        ivf_query_probes,
-        label_centroids,
-    )
-
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    )
-    bf = (
-        emb.join(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            dist_l2_fixed64(F.col("v"), F.col("qv")).alias("dist"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("q_id").orderBy(
-                    F.col("dist").asc(), F.col("vec_id").asc()
-                )
-            ),
-        )
-        .filter(F.col("rn") <= KNN_K)
-        .select("q_id", "vec_id")
-    )
-    centroids = label_centroids(emb)
-    assigned = assign_lists(emb, centroids)
-    n_q = q.agg(F.count(F.lit(1)).alias("n_queries"))
-    out = None
-    for np_ in IVF_CURVE_NPROBES:
-        ivf = ivf_ann_topk(
-            emb, query_mod=KNN_QUERY_MOD, k=KNN_K, nprobe=np_
-        ).select("q_id", "vec_id")
-        hits = bf.join(ivf, ["q_id", "vec_id"]).agg(
-            F.count(F.lit(1)).alias("total_hits")
-        )
-        probes = ivf_query_probes(centroids, q, np_).select(
-            "q_id", "list_id"
-        )
-        cand = (
-            assigned.join(F.broadcast(probes), "list_id")
-            .filter(F.col("vec_id") != F.col("q_id"))
-            .agg(F.count(F.lit(1)).alias("total_scanned"))
-        )
-        row = (
-            n_q.crossJoin(hits)
-            .crossJoin(cand)
-            .select(
-                F.lit(np_).cast("long").alias("nprobe"),
-                F.col("n_queries").cast("long").alias("n_queries"),
-                F.col("total_hits").cast("long").alias("total_hits"),
-                F.col("total_scanned").cast("long").alias(
-                    "total_scanned"
-                ),
-                _rne(
-                    F.col("total_hits").cast("double")
-                    / (
-                        F.col("n_queries").cast("double")
-                        * F.lit(float(KNN_K))
-                    ),
-                    "mean_recall",
-                    8,
-                ),
-                _rne(
-                    F.col("total_scanned").cast("double")
-                    / F.col("n_queries").cast("double"),
-                    "mean_scanned",
-                    8,
-                ),
-            )
-        )
-        out = row if out is None else out.unionAll(row)
-    return out
-
-
-def _sql_emb_ivf_probe_curve() -> str:
-    l2_qc = _sql_l2("q.qv", "c.cvec")
-    l2_aq = _sql_l2("a.v", "p.qv")
-    l2_bf = _sql_l2("e.v", "q.qv")
-    blocks = []
-    for np_ in IVF_CURVE_NPROBES:
-        blocks.append(f"""
-SELECT {np_}::BIGINT AS nprobe,
-       (SELECT count(*) FROM q)::BIGINT AS n_queries,
-       (SELECT count(*) FROM (
-          SELECT b.q_id, b.vec_id FROM bf b
-          JOIN (SELECT q_id, vec_id FROM (
-                  SELECT p.q_id, a.vec_id,
-                         row_number() OVER (PARTITION BY p.q_id
-                           ORDER BY {l2_aq} ASC, a.vec_id ASC) AS rank
-                  FROM assigned a
-                  JOIN (SELECT q_id, qv, list_id FROM (
-                          SELECT q.q_id, q.qv, c.label AS list_id,
-                                 row_number() OVER (PARTITION BY q.q_id
-                                   ORDER BY {l2_qc} ASC, c.label ASC)
-                                   AS rk
-                          FROM q CROSS JOIN cent c)
-                        WHERE rk <= {np_}) p USING (list_id)
-                  WHERE a.vec_id <> p.q_id)
-                WHERE rank <= {KNN_K}) i
-          ON b.q_id = i.q_id AND b.vec_id = i.vec_id))::BIGINT
-         AS total_hits,
-       (SELECT count(*) FROM assigned a
-        JOIN (SELECT q_id, list_id FROM (
-                SELECT q.q_id, c.label AS list_id,
-                       row_number() OVER (PARTITION BY q.q_id
-                         ORDER BY {l2_qc} ASC, c.label ASC) AS rk
-                FROM q CROSS JOIN cent c)
-              WHERE rk <= {np_}) p USING (list_id)
-        WHERE a.vec_id <> p.q_id)::BIGINT AS total_scanned""")
-    sels = " UNION ALL ".join(blocks)
-    return f"""
-WITH {_sql_ivf_base()},
-q AS (SELECT vec_id AS q_id, v AS qv FROM emb
-      WHERE vec_id % {KNN_QUERY_MOD} = 0),
-bf AS (
-  SELECT q_id, vec_id FROM (
-    SELECT q.q_id, e.vec_id,
-           row_number() OVER (PARTITION BY q.q_id
-             ORDER BY {l2_bf} ASC, e.vec_id ASC) AS rn
-    FROM emb e JOIN q ON e.vec_id <> q.q_id)
-  WHERE rn <= {KNN_K}),
-curve AS ({sels})
-SELECT nprobe, n_queries, total_hits, total_scanned,
-       {_sql_rne(
-           'total_hits::DOUBLE / (n_queries::DOUBLE * ' +
-           str(float(KNN_K)) + ')',
-           'mean_recall', 8)},
-       {_sql_rne('total_scanned::DOUBLE / n_queries::DOUBLE',
-                 'mean_scanned', 8)}
-FROM curve"""
-
-
-def q_ts_runs_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wald–Wolfowitz runs TEST per symbol — the inferential stat on
-    top of ts_updown_runs' descriptive summary: same move
-    classification (sign of the close diff, flat moves dropped), but
-    reporting R (runs), n_up/n_down, E[R] = 2·n₁n₂/(n₁+n₂)+1,
-    Var[R], and z = (R−E)/√Var — |z| ≥ 2 rejects randomness (z < 0 =
-    trending/clustered, z > 0 = oscillating). R and the counts are
-    exact integers off one lag window (runs = 1 + sign changes); E,
-    Var, z are single IEEE expressions of those integers, identical
-    in both engines. Rides the symbol exchange; one map-side
-    groupBy."""
-    r = _resampled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    moves = (
-        r.withColumn(
-            "dir", F.signum(F.col("close") - F.lag("close").over(w))
-        )
-        .filter(F.col("dir").isin(1.0, -1.0))
-        .withColumn("dir", F.col("dir").cast("int"))
-    )
-    wm = Window.partitionBy("symbol").orderBy("time_idx")
-    m = moves.withColumn(
-        "chg",
-        F.when(
-            F.lag("dir").over(wm).isNull()
-            | (F.col("dir") != F.lag("dir").over(wm)),
-            1,
-        ).otherwise(0),
-    )
-    agg = m.groupBy("symbol").agg(
-        F.sum(F.when(F.col("dir") == 1, 1).otherwise(0)).alias("n_up"),
-        F.sum(F.when(F.col("dir") == -1, 1).otherwise(0)).alias(
-            "n_down"
-        ),
-        F.sum("chg").alias("runs"),
-    ).filter((F.col("n_up") >= 1) & (F.col("n_down") >= 1))
-    n1 = F.col("n_up").cast("double")
-    n2 = F.col("n_down").cast("double")
-    nn = n1 + n2
-    e_r = F.lit(2.0) * n1 * n2 / nn + F.lit(1.0)
-    var_r = (
-        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - nn)
-        / (nn * nn * (nn - F.lit(1.0)))
-    )
-    z = F.when(
-        var_r > 0, (F.col("runs").cast("double") - e_r) / F.sqrt(var_r)
-    )
-    return agg.select(
-        "symbol",
-        F.col("n_up").cast("long").alias("n_up"),
-        F.col("n_down").cast("long").alias("n_down"),
-        F.col("runs").cast("long").alias("runs"),
-        _rne(e_r, "e_runs", 8),
-        _rne(z, "z", 8),
-    )
-
-
-def _sql_ts_runs_ztest() -> str:
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H},
-moves AS (
-  SELECT symbol, time_idx,
-         CAST(sign(close - lag(close) OVER w) AS INT) AS dir
-  FROM idx WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)
-  QUALIFY dir IN (1, -1)),
-m AS (
-  SELECT symbol, dir,
-         CASE WHEN lag(dir) OVER w2 IS NULL
-                OR dir <> lag(dir) OVER w2 THEN 1 ELSE 0 END AS chg
-  FROM moves WINDOW w2 AS (PARTITION BY symbol ORDER BY time_idx)),
-agg AS (
-  SELECT symbol,
-         sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END) AS n_up,
-         sum(CASE WHEN dir = -1 THEN 1 ELSE 0 END) AS n_down,
-         sum(chg) AS runs
-  FROM m GROUP BY 1
-  HAVING sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END) >= 1
-     AND sum(CASE WHEN dir = -1 THEN 1 ELSE 0 END) >= 1),
-st AS (
-  SELECT symbol, n_up, n_down, runs,
-         2.0 * n_up::DOUBLE * n_down::DOUBLE
-           / (n_up::DOUBLE + n_down::DOUBLE) + 1.0 AS e_r,
-         2.0 * n_up::DOUBLE * n_down::DOUBLE
-           * (2.0 * n_up::DOUBLE * n_down::DOUBLE
-              - (n_up::DOUBLE + n_down::DOUBLE))
-           / ((n_up::DOUBLE + n_down::DOUBLE)
-              * (n_up::DOUBLE + n_down::DOUBLE)
-              * (n_up::DOUBLE + n_down::DOUBLE - 1.0)) AS var_r
-  FROM agg)
-SELECT symbol, n_up::BIGINT AS n_up, n_down::BIGINT AS n_down,
-       runs::BIGINT AS runs,
-       {_sql_rne('e_r', 'e_runs', 8)},
-       {_sql_rne(
-           'CASE WHEN var_r > 0 '
-           'THEN (runs::DOUBLE - e_r) / sqrt(var_r) END',
-           'z', 8)}
-FROM st"""
-
-
-VOCAB_COVERAGE_KS = (100, 1000, 10000)
-
-
-def q_doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer-budget coverage curve — for vocabulary sizes
-    K ∈ {100, 1k, 10k}: what fraction of all corpus tokens the top-K
-    most frequent terms cover (the number that decides a vocab/BPE
-    budget, read next to doc_heaps_law's growth exponent and
-    doc_zipf_fit's slope). One tokenize+count pass; each K's top set
-    is a TakeOrderedAndProject over the vocabulary-sized frame
-    ((cnt DESC, term ASC) total order — deterministic under count
-    ties); covered/total are exact integers, coverage is ONE
-    division. Output is |Ks| rows at any corpus scale."""
-    docs = _docs_parallel(spark, sf_dir)
-    tf = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    tot = tf.agg(
-        F.sum("cnt").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_types"),
-    )
-    out = None
-    for k in VOCAB_COVERAGE_KS:
-        top = tf.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(
-            k
-        )
-        cov = top.agg(F.sum("cnt").alias("covered"))
-        row = (
-            tot.crossJoin(cov)
-            .select(
-                F.lit(k).cast("long").alias("vocab_k"),
-                F.col("n_types").cast("long").alias("n_types"),
-                F.col("n_tokens").cast("long").alias("n_tokens"),
-                F.coalesce(F.col("covered"), F.lit(0))
-                .cast("long")
-                .alias("covered_tokens"),
-                _rne(
-                    F.coalesce(F.col("covered"), F.lit(0)).cast("double")
-                    / F.col("n_tokens").cast("double"),
-                    "coverage",
-                    8,
-                ),
-            )
-        )
-        out = row if out is None else out.unionAll(row)
-    return out
-
-
-def _sql_doc_vocab_coverage() -> str:
-    blocks = []
-    for k in VOCAB_COVERAGE_KS:
-        blocks.append(f"""
-SELECT {k}::BIGINT AS vocab_k,
-       (SELECT count(*) FROM tf)::BIGINT AS n_types,
-       (SELECT sum(cnt) FROM tf)::BIGINT AS n_tokens,
-       coalesce((SELECT sum(cnt) FROM (
-          SELECT cnt FROM tf
-          ORDER BY cnt DESC, term ASC LIMIT {k})), 0)::BIGINT
-         AS covered_tokens""")
-    sels = " UNION ALL ".join(blocks)
-    return f"""
-WITH t AS (
-  SELECT unnest({sql_tokens('text')}) AS term FROM documents
-),
-tf AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
-curve AS ({sels})
-SELECT vocab_k, n_types, n_tokens, covered_tokens,
-       {_sql_rne('covered_tokens::DOUBLE / n_tokens::DOUBLE',
-                 'coverage', 8)}
-FROM curve"""
-
-
-def q_emb_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantization-confidence card per IVF list: the margin between
-    each vector's nearest and second-nearest centroid distances
-    (d₂ − d₁ — small margins mean boundary vectors whose neighbors
-    live in the UNPROBED list, the per-list predictor of where
-    nprobe=1 recall is lost; read next to emb_ivf_balance and the
-    probe curve). Distances are the shared fold-exact flat-codegen
-    L2 against the broadcast centroids; the two nearest ranks break
-    ties on the centroid label; per-row margins snap to the 1e-12
-    grid and sum in exact DECIMAL. One broadcast join + two windows
-    on the vector key + one map-side groupBy."""
-    from ..functions.distance import dist_l2_fixed
-    from ..operators.ivf import EMB_DIM, label_centroids
-
-    emb = _emb(spark, sf_dir)
-    cent = label_centroids(emb)
-    d = emb.crossJoin(
-        F.broadcast(cent.select(F.col("label").alias("clabel"), "cvec"))
-    ).select(
-        "vec_id",
-        "clabel",
-        dist_l2_fixed(F.col("v"), F.col("cvec"), EMB_DIM).alias("cd"),
-    )
-    wv = Window.partitionBy("vec_id").orderBy(
-        F.col("cd").asc(), F.col("clabel").asc()
-    )
-    two = d.withColumn("rk", F.row_number().over(wv)).filter(
-        F.col("rk") <= 2
-    )
-    piv = two.groupBy("vec_id").agg(
-        F.max(F.when(F.col("rk") == 1, F.col("clabel"))).alias(
-            "list_id"
-        ),
-        F.max(F.when(F.col("rk") == 1, F.col("cd"))).alias("d1"),
-        F.max(F.when(F.col("rk") == 2, F.col("cd"))).alias("d2"),
-    ).filter(F.col("d2").isNotNull())
-    mq = (
-        F.floor((F.col("d2") - F.col("d1")) * 1e12 + F.lit(0.5)) / 1e12
-    ).cast("decimal(30,12)")
-    agg = piv.withColumn("mq", mq).groupBy("list_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("mq").alias("sm"),
-        F.min("mq").alias("min_m"),
-    )
-    return agg.select(
-        F.col("list_id").cast("long").alias("list_id"),
-        F.col("n").cast("long").alias("n"),
-        _rne(
-            F.col("sm").cast("double") / F.col("n").cast("double"),
-            "mean_margin",
-            8,
-        ),
-        _rne(F.col("min_m").cast("double"), "min_margin", 8),
-    )
-
-
-def _sql_emb_centroid_margin() -> str:
-    l2_ec = _sql_l2("e.v", "c.cvec")
-    return f"""
-WITH {_sql_ivf_base()},
-d AS (
-  SELECT e.vec_id, c.label AS clabel, {l2_ec} AS cd
-  FROM emb e CROSS JOIN cent c),
-two AS (
-  SELECT vec_id, clabel, cd,
-         row_number() OVER (PARTITION BY vec_id
-           ORDER BY cd ASC, clabel ASC) AS rk
-  FROM d QUALIFY rk <= 2),
-piv AS (
-  SELECT vec_id,
-         max(CASE WHEN rk = 1 THEN clabel END) AS list_id,
-         max(CASE WHEN rk = 1 THEN cd END) AS d1,
-         max(CASE WHEN rk = 2 THEN cd END) AS d2
-  FROM two GROUP BY 1
-  HAVING max(CASE WHEN rk = 2 THEN cd END) IS NOT NULL),
-m AS (
-  SELECT list_id,
-         CAST(floor((d2 - d1) * 1000000000000.0 + 0.5)
-              / 1000000000000.0 AS DECIMAL(30,12)) AS mq
-  FROM piv),
-agg AS (
-  SELECT list_id, count(*) AS n, sum(mq) AS sm, min(mq) AS min_m
-  FROM m GROUP BY 1)
-SELECT list_id::BIGINT AS list_id, n::BIGINT AS n,
-       {_sql_rne('sm::DOUBLE / n::DOUBLE', 'mean_margin', 8)},
-       {_sql_rne('min_m::DOUBLE', 'min_margin', 8)}
-FROM agg"""
-
-
-def q_ts_adf_unit_root(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dickey–Fuller unit-root screen per symbol (with intercept):
-    Δy_t = a + b·y_{t−1} + ε — the stationarity test a forecasting
-    pipeline runs BEFORE differencing/fracdiff decisions (b ≈ 0 →
-    random walk, keep differencing; large-negative t → already
-    mean-reverting). The per-pair Engle–Granger card runs this on
-    SPREAD residuals; this is the univariate screen on each symbol's
-    own snapped closes. Two-regressor OLS entirely from six exact
-    DECIMAL moments of integer inputs (one lag window); b̂, â, SSE,
-    se(b̂) and the t-stat are closed-form float combinations of those
-    moments — identical IEEE expressions in both engines. One window
-    + one map-side groupBy on the symbol exchange."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    d = df.withColumn(
-        "qc",
-        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
-    )
-    d = (
-        d.withColumn("xl", F.lag("qc", 1).over(w))
-        .withColumn("dy", F.col("qc") - F.col("xl"))
-        .filter(F.col("xl").isNotNull())
-    )
-    agg = d.groupBy("symbol").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("xl").alias("sx"),
-        F.sum("dy").alias("sd"),
-        F.sum(F.col("xl") * F.col("dy")).alias("sxd"),
-        F.sum(F.col("xl") * F.col("xl")).alias("sxx"),
-        F.sum(F.col("dy") * F.col("dy")).alias("sdd"),
-    ).filter(F.col("n") >= 8)
-    nd = F.col("n").cast("decimal(38,0)")
-    varx_n = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-        "double"
-    )
-    cov_n = (nd * F.col("sxd") - F.col("sx") * F.col("sd")).cast(
-        "double"
-    )
-    n_ = F.col("n").cast("double")
-    sx_ = F.col("sx").cast("double")
-    sd_ = F.col("sd").cast("double")
-    sxd_ = F.col("sxd").cast("double")
-    sxx_ = F.col("sxx").cast("double")
-    sdd_ = F.col("sdd").cast("double")
-    b = F.when(varx_n > 0, cov_n / varx_n)
-    a = (sd_ - b * sx_) / n_
-    sse = (
-        sdd_
-        + n_ * a * a
-        + b * b * sxx_
-        - F.lit(2.0) * a * sd_
-        - F.lit(2.0) * b * sxd_
-        + F.lit(2.0) * a * b * sx_
-    )
-    se = F.sqrt(
-        F.greatest(sse, F.lit(0.0)) / (n_ - F.lit(2.0)) * n_ / varx_n
-    )
-    t = F.when(se > 0, b / se)
-    return agg.select(
-        "symbol",
-        F.col("n").cast("long").alias("n"),
-        _rne(b, "phi", 10),
-        _rne(a / F.lit(1e6), "drift", 8),
-        _rne(t, "adf_t", 8),
-    )
-
-
-def _sql_ts_adf_unit_root() -> str:
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-d AS (
-  SELECT symbol,
-         lag(qc, 1) OVER (PARTITION BY symbol ORDER BY time_idx) AS xl,
-         qc - lag(qc, 1) OVER (PARTITION BY symbol ORDER BY time_idx)
-           AS dy
-  FROM (SELECT symbol, time_idx,
-               floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
-        FROM filled)
-  QUALIFY xl IS NOT NULL),
-agg AS (
-  SELECT symbol, count(*) AS n, sum(xl) AS sx, sum(dy) AS sd,
-         sum(xl * dy) AS sxd, sum(xl * xl) AS sxx, sum(dy * dy) AS sdd
-  FROM d GROUP BY 1 HAVING count(*) >= 8),
-fit AS (
-  SELECT symbol, n,
-         n::DOUBLE AS n_, sx::DOUBLE AS sx_, sd::DOUBLE AS sd_,
-         sxd::DOUBLE AS sxd_, sxx::DOUBLE AS sxx_, sdd::DOUBLE AS sdd_,
-         (n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE AS varx_n,
-         CASE WHEN (n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE > 0 THEN
-           (n::DECIMAL(38,0) * sxd - sx * sd)::DOUBLE
-             / (n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE
-         END AS b
-  FROM agg),
-st AS (
-  SELECT symbol, n, b,
-         (sd_ - b * sx_) / n_ AS a,
-         sqrt(greatest(
-           sdd_ + n_ * ((sd_ - b * sx_) / n_) * ((sd_ - b * sx_) / n_)
-           + b * b * sxx_
-           - 2.0 * ((sd_ - b * sx_) / n_) * sd_
-           - 2.0 * b * sxd_
-           + 2.0 * ((sd_ - b * sx_) / n_) * b * sx_, 0.0)
-           / (n_ - 2.0) * n_ / varx_n) AS se
-  FROM fit)
-SELECT symbol, n::BIGINT AS n,
-       {_sql_rne('b', 'phi', 10)},
-       {_sql_rne('a / 1000000.0', 'drift', 8)},
-       {_sql_rne('CASE WHEN se > 0 THEN b / se END', 'adf_t', 8)}
-FROM st"""
-
-
-HAAR_LEVELS = (1, 2, 3)  # block sizes 2, 4, 8 grid steps
-
-
-def q_ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Haar wavelet energy spectrum per symbol — multiresolution
-    variance decomposition (which time scale carries the movement:
-    level 1 = bucket-to-bucket noise, level 3 = 8-bucket swings; the
-    scale-localized complement of ts_cycle_power's frequency view).
-    At level k the contiguous grid splits into 2^k-row blocks; the
-    detail coefficient is (Σleft − Σright)/2^k and the level energy
-    is Σ d² = (Σ (Σleft − Σright)²)/4^k — the numerators are exact
-    DECIMAL integer sums of snapped closes, so the ONLY float op per
-    level is the final 4^k division (no per-row snapping needed at
-    all). Partial trailing blocks drop identically in both engines.
-    One row_number window + one groupBy per level, all riding the
-    symbol exchange; output is |symbols|·|levels| rows."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    d = df.withColumn(
-        "qc",
-        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
-    ).withColumn("rn0", F.row_number().over(w) - F.lit(1))
-    out = None
-    for k in HAAR_LEVELS:
-        blk = 1 << k
-        half = blk >> 1
-        sgn = F.when(
-            (F.col("rn0") % blk) < half, F.lit(1)
-        ).otherwise(F.lit(-1))
-        lvl = (
-            d.withColumn("bid", F.expr(f"rn0 div {blk}"))
-            .groupBy("symbol", "bid")
-            .agg(
-                F.count(F.lit(1)).alias("bn"),
-                F.sum(sgn * F.col("qc")).alias("num"),
-            )
-            .filter(F.col("bn") == blk)  # full blocks only
-            .groupBy("symbol")
-            .agg(
-                F.count(F.lit(1)).alias("n_blocks"),
-                F.sum(F.col("num") * F.col("num")).alias("ssq"),
-            )
-            .select(
-                "symbol",
-                F.lit(k).cast("long").alias("level"),
-                F.col("n_blocks").cast("long").alias("n_blocks"),
-                _rne(
-                    F.col("ssq").cast("double")
-                    / F.lit(float(4 ** k))
-                    / F.lit(1e12),
-                    "energy",
-                    6,
-                ),
-            )
-        )
-        out = lvl if out is None else out.unionAll(lvl)
-    return out
-
-
-def _sql_ts_haar_energy() -> str:
-    blocks = []
-    for k in HAAR_LEVELS:
-        blk = 1 << k
-        half = blk >> 1
-        blocks.append(f"""
-SELECT symbol, {k}::BIGINT AS level,
-       count(*)::BIGINT AS n_blocks,
-       {_sql_rne(
-           f'sum(num * num)::DOUBLE / {float(4 ** k)} / 1e12',
-           'energy', 6)}
-FROM (
-  SELECT symbol, rn0 // {blk} AS bid, count(*) AS bn,
-         sum(CASE WHEN rn0 % {blk} < {half} THEN qc ELSE -qc END)
-           AS num
-  FROM base GROUP BY 1, 2)
-WHERE bn = {blk} GROUP BY symbol""")
-    sels = " UNION ALL ".join(blocks)
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-base AS (
-  SELECT symbol,
-         row_number() OVER (PARTITION BY symbol ORDER BY time_idx) - 1
-           AS rn0,
-         floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
-  FROM filled)
-{sels}"""
-
-
-JB_RET_CAP = 100.0  # |return| above 10000% per bucket = data error, cut
-JB_MIN_N = 8
-
-
-def _rel_returns(
-    spark: SparkSession, sf_dir: str, scale: float, with_idx: bool = False
-):
-    """Shared snapped-relative-return frame for the moment-card family
-    (jarque_bera / risk_ratios): r_t = (qc_t − qc_{t−1}) / qc_{t−1} on
-    the 1e-6-snapped ffilled close — the division is ONE deterministic
-    IEEE double op on exact integers, then the return snaps to the
-    1/``scale`` grid so every downstream moment rides exact DECIMAL.
-    Buckets with a non-positive previous close drop (the raw feed DOES
-    contain zero closes at sf0.1 — the Amihud lesson), and |r| ≥
-    JB_RET_CAP rows are cut identically in both engines so 4th-power
-    DECIMAL sums stay far inside 38 digits."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    d = df.withColumn(
-        "qc",
-        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
-    )
-    d = d.withColumn("l1", F.lag("qc", 1).over(w)).filter(
-        F.col("l1").isNotNull() & (F.col("l1") > 0)
-    )
-    r = (F.col("qc") - F.col("l1")).cast("double") / F.col("l1").cast(
-        "double"
-    )
-    out = d.withColumn(
-        "rq",
-        F.floor(r * F.lit(scale) + F.lit(0.5)).cast("decimal(38,0)"),
-    ).filter(F.abs(r) < F.lit(JB_RET_CAP))
-    cols = ["symbol", "time_idx", "rq"] if with_idx else ["symbol", "rq"]
-    return out.select(*cols)
-
-
-def _sql_rel_returns(scale: str) -> str:
-    """Oracle CTE twin of :func:`_rel_returns` — emits ``ret(symbol,
-    rq)``; compose after SQL_FILLED."""
-    return f"""d AS (
-  SELECT symbol, time_idx, qc,
-         lag(qc, 1) OVER (PARTITION BY symbol ORDER BY time_idx) AS l1
-  FROM (SELECT symbol, time_idx,
-               floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
-        FROM filled)),
-ret AS (
-  SELECT symbol, time_idx,
-         floor(((qc - l1)::DOUBLE / l1::DOUBLE) * {scale} + 0.5)
-           ::DECIMAL(38,0) AS rq
-  FROM d
-  WHERE l1 IS NOT NULL AND l1 > 0
-    AND abs((qc - l1)::DOUBLE / l1::DOUBLE) < {JB_RET_CAP})"""
-
-
-def q_ts_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Jarque–Bera normality screen per symbol — the distributional
-    gate a risk model runs before assuming Gaussian returns (fat tails
-    → VaR underestimates; the JB stat is n/6·(S² + (K−3)²/4) ~ χ²(2)).
-    Returns are 1e-6-snapped relative changes of the snapped close
-    (``_rel_returns``), so all four raw moments are exact DECIMAL
-    integer sums; skewness / kurtosis / JB are closed-form float
-    combinations of those sums (central moments via the raw-moment
-    identities, m2^1.5 as m2·√m2 — sqrt is correctly-rounded IEEE,
-    pow is not) — identical expressions in both engines. One lag
-    window + one map-side groupBy on the ts family's symbol
-    exchange."""
-    d = _rel_returns(spark, sf_dir, 1e6)
-    r2 = (F.col("rq") * F.col("rq")).alias("r2")
-    agg = (
-        d.select("symbol", "rq", r2)
-        .groupBy("symbol")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("rq").alias("s1"),
-            F.sum("r2").alias("s2"),
-            F.sum(F.col("r2") * F.col("rq")).alias("s3"),
-            F.sum(F.col("r2") * F.col("r2")).alias("s4"),
-        )
-        .filter(F.col("n") >= JB_MIN_N)
-    )
-    n_ = F.col("n").cast("double")
-    s1_ = F.col("s1").cast("double")
-    s2_ = F.col("s2").cast("double")
-    s3_ = F.col("s3").cast("double")
-    s4_ = F.col("s4").cast("double")
-    m = s1_ / n_
-    m2 = s2_ / n_ - m * m
-    m3 = s3_ / n_ - F.lit(3.0) * m * (s2_ / n_) + F.lit(2.0) * m * m * m
-    m4 = (
-        s4_ / n_
-        - F.lit(4.0) * m * (s3_ / n_)
-        + F.lit(6.0) * m * m * (s2_ / n_)
-        - F.lit(3.0) * m * m * m * m
-    )
-    skew = F.when(m2 > 0, m3 / (m2 * F.sqrt(m2)))
-    kurt = F.when(m2 > 0, m4 / (m2 * m2))
-    jb = (
-        n_
-        / F.lit(6.0)
-        * (
-            skew * skew
-            + (kurt - F.lit(3.0)) * (kurt - F.lit(3.0)) / F.lit(4.0)
-        )
-    )
-    return agg.select(
-        "symbol",
-        F.col("n").cast("long").alias("n"),
-        _rne(m / F.lit(1e6), "mean_ret", 10),
-        _rne(skew, "skew", 8),
-        _rne(kurt, "kurt", 8),
-        _rne(jb, "jb", 6),
-    )
-
-
-def _sql_ts_jarque_bera() -> str:
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-{_sql_rel_returns('1000000.0')},
-agg AS (
-  SELECT symbol, count(*) AS n, sum(rq) AS s1, sum(rq * rq) AS s2,
-         sum((rq * rq) * rq) AS s3, sum((rq * rq) * (rq * rq)) AS s4
-  FROM ret GROUP BY 1 HAVING count(*) >= {JB_MIN_N}),
-mom AS (
-  SELECT symbol, n, n::DOUBLE AS n_,
-         s1::DOUBLE / n::DOUBLE AS m,
-         s2::DOUBLE / n::DOUBLE - (s1::DOUBLE / n::DOUBLE)
-           * (s1::DOUBLE / n::DOUBLE) AS m2,
-         s3::DOUBLE / n::DOUBLE
-           - 3.0 * (s1::DOUBLE / n::DOUBLE) * (s2::DOUBLE / n::DOUBLE)
-           + 2.0 * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
-             * (s1::DOUBLE / n::DOUBLE) AS m3,
-         s4::DOUBLE / n::DOUBLE
-           - 4.0 * (s1::DOUBLE / n::DOUBLE) * (s3::DOUBLE / n::DOUBLE)
-           + 6.0 * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
-             * (s2::DOUBLE / n::DOUBLE)
-           - 3.0 * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
-             * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE) AS m4
-  FROM agg),
-st AS (
-  SELECT symbol, n, n_, m,
-         CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END AS skew,
-         CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END AS kurt
-  FROM mom)
-SELECT symbol, n::BIGINT AS n,
-       {_sql_rne('m / 1000000.0', 'mean_ret', 10)},
-       {_sql_rne('skew', 'skew', 8)},
-       {_sql_rne('kurt', 'kurt', 8)},
-       {_sql_rne(
-           'n_ / 6.0 * (skew * skew'
-           ' + (kurt - 3.0) * (kurt - 3.0) / 4.0)', 'jb', 6)}
-FROM st"""
-
-
-RISK_MIN_N = 8
-BARS_PER_YEAR = 1460.0  # 6h grid: 4 bars/day * 365
-
-
-def q_ts_risk_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sharpe / Sortino / hit-rate card per symbol — the risk-adjusted
-    summary next to ts_var_es and ts_drawdown (Sharpe = mean/σ of
-    per-bucket returns, Sortino divides by downside deviation only,
-    both population; the annualized column scales by √1460 for the 6h
-    grid). Returns are 1e-8-snapped relative changes (``_rel_returns``
-    — only squares here, so the finer grid is safe), and every moment
-    (n, Σr, Σr², Σ_{r<0} r², #r>0) is an exact DECIMAL/integer sum; the
-    ratios are final float combinations — identical IEEE expressions in
-    both engines. One lag window + one map-side groupBy on the symbol
-    exchange."""
-    d = _rel_returns(spark, sf_dir, 1e8)
-    agg = (
-        d.groupBy("symbol")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("rq").alias("s1"),
-            F.sum(F.col("rq") * F.col("rq")).alias("s2"),
-            F.sum(
-                F.when(F.col("rq") < 0, F.col("rq") * F.col("rq")).otherwise(
-                    F.lit(0).cast("decimal(38,0)")
-                )
-            ).alias("sneg2"),
-            F.sum(F.when(F.col("rq") > 0, 1).otherwise(0)).alias("npos"),
-        )
-        .filter(F.col("n") >= RISK_MIN_N)
-    )
-    n_ = F.col("n").cast("double")
-    s1_ = F.col("s1").cast("double")
-    s2_ = F.col("s2").cast("double")
-    sneg_ = F.col("sneg2").cast("double")
-    mean = s1_ / n_ / F.lit(1e8)
-    var = (
-        (
-            F.col("n").cast("decimal(38,0)") * F.col("s2")
-            - F.col("s1") * F.col("s1")
-        ).cast("double")
-        / (n_ * n_)
-        / F.lit(1e16)
-    )
-    vol = F.sqrt(F.greatest(var, F.lit(0.0)))
-    downside = F.sqrt(sneg_ / n_) / F.lit(1e8)
-    sharpe = F.when(vol > 0, mean / vol)
-    sortino = F.when(downside > 0, mean / downside)
-    return agg.select(
-        "symbol",
-        F.col("n").cast("long").alias("n"),
-        _rne(mean, "mean_ret", 10),
-        _rne(vol, "vol", 10),
-        _rne(sharpe, "sharpe", 8),
-        _rne(sortino, "sortino", 8),
-        _rne(
-            sharpe * F.lit(math.sqrt(BARS_PER_YEAR)), "sharpe_ann", 8
-        ),
-        _rne(
-            F.col("npos").cast("double") / n_, "hit_rate", 8
-        ),
-    )
-
-
-def _sql_ts_risk_ratios() -> str:
-    mean = "s1::DOUBLE / n::DOUBLE / 100000000.0"
-    var = (
-        "(n::DECIMAL(38,0) * s2 - s1 * s1)::DOUBLE"
-        " / (n::DOUBLE * n::DOUBLE) / 1e16"
-    )
-    vol = f"sqrt(greatest({var}, 0.0))"
-    downside = "sqrt(sneg2::DOUBLE / n::DOUBLE) / 100000000.0"
-    sharpe = f"CASE WHEN {vol} > 0 THEN ({mean}) / {vol} END"
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-{_sql_rel_returns('100000000.0')},
-agg AS (
-  SELECT symbol, count(*) AS n, sum(rq) AS s1, sum(rq * rq) AS s2,
-         sum(CASE WHEN rq < 0 THEN rq * rq
-                  ELSE 0::DECIMAL(38,0) END) AS sneg2,
-         sum(CASE WHEN rq > 0 THEN 1 ELSE 0 END) AS npos
-  FROM ret GROUP BY 1 HAVING count(*) >= {RISK_MIN_N})
-SELECT symbol, n::BIGINT AS n,
-       {_sql_rne(mean, 'mean_ret', 10)},
-       {_sql_rne(vol, 'vol', 10)},
-       {_sql_rne(sharpe, 'sharpe', 8)},
-       {_sql_rne(
-           f'CASE WHEN {downside} > 0 THEN ({mean}) / ({downside}) END',
-           'sortino', 8)},
-       {_sql_rne(
-           f'({sharpe}) * {math.sqrt(BARS_PER_YEAR)!r}',
-           'sharpe_ann', 8)},
-       {_sql_rne('npos::DOUBLE / n::DOUBLE', 'hit_rate', 8)}
-FROM agg"""
-
-
-HILL_K = 20
-
-
-def q_ts_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hill tail-index estimator per symbol — the heavy-tail
-    complement of ts_jarque_bera (α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the
-    k largest |price changes|; α < 2 means infinite variance, α < 4
-    invalidates kurtosis — exactly the regime JB flags). |Δqc| is an
-    exact integer, the top-(k+1) order statistics come from ONE
-    per-symbol rank window that the optimizer runs as WindowGroupLimit
-    (per-partition top-k, never a full sort), the (k+1)-th value
-    broadcasts back to the k tail rows, and each ln term — one IEEE op
-    on an exact-integer ratio — snaps to the 1e-12 grid before an
-    exact DECIMAL sum (the garman_klass ln device). Symbols with fewer
-    than k+1 nonzero changes drop in both engines."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    d = df.withColumn(
-        "qc",
-        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
-    )
-    d = d.withColumn(
-        "absx", F.abs(F.col("qc") - F.lag("qc", 1).over(w))
-    ).filter(F.col("absx").isNotNull() & (F.col("absx") > 0))
-    wr = Window.partitionBy("symbol").orderBy(
-        F.col("absx").desc(), F.col("time_idx").asc()
-    )
-    r = d.withColumn("rn", F.row_number().over(wr)).filter(
-        F.col("rn") <= HILL_K + 1
-    )
-    thr = r.filter(F.col("rn") == HILL_K + 1).select(
-        "symbol", F.col("absx").alias("xk")
-    )
-    tail = r.filter(F.col("rn") <= HILL_K).join(
-        F.broadcast(thr), "symbol"
-    )
-    tq = F.floor(
-        F.log(F.col("absx").cast("double") / F.col("xk").cast("double"))
-        * F.lit(1e12)
-        + F.lit(0.5)
-    ).cast("decimal(38,0)")
-    agg = tail.groupBy("symbol").agg(
-        F.count(F.lit(1)).alias("n_tail"),
-        F.sum(tq).alias("sq"),
-        F.max("xk").alias("xk"),
-    ).filter(F.col("n_tail") == HILL_K)
-    alpha = F.when(
-        F.col("sq") > 0,
-        F.lit(float(HILL_K)) * F.lit(1e12) / F.col("sq").cast("double"),
-    )
-    return agg.select(
-        "symbol",
-        F.lit(HILL_K).cast("long").alias("k"),
-        _rne(F.col("xk").cast("double") / F.lit(1e6), "threshold", 8),
-        _rne(alpha, "hill_alpha", 8),
-    )
-
-
-def _sql_ts_hill_tail() -> str:
-    k = HILL_K
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-d AS (
-  SELECT symbol, time_idx,
-         abs(qc - lag(qc, 1) OVER (PARTITION BY symbol ORDER BY time_idx))
-           AS absx
-  FROM (SELECT symbol, time_idx,
-               floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
-        FROM filled)
-  QUALIFY absx IS NOT NULL AND absx > 0),
-r AS (
-  SELECT symbol, absx,
-         row_number() OVER (PARTITION BY symbol
-                            ORDER BY absx DESC, time_idx) AS rn
-  FROM d QUALIFY rn <= {k + 1}),
-thr AS (SELECT symbol, absx AS xk FROM r WHERE rn = {k + 1}),
-agg AS (
-  SELECT r.symbol, count(*) AS n_tail, max(t.xk) AS xk,
-         sum(floor(ln(r.absx::DOUBLE / t.xk::DOUBLE)
-                   * 1000000000000.0 + 0.5)::DECIMAL(38,0)) AS sq
-  FROM r JOIN thr t ON r.symbol = t.symbol
-  WHERE r.rn <= {k}
-  GROUP BY 1 HAVING count(*) = {k})
-SELECT symbol, {k}::BIGINT AS k,
-       {_sql_rne('xk::DOUBLE / 1000000.0', 'threshold', 8)},
-       {_sql_rne(
-           f'CASE WHEN sq > 0 THEN {float(k)!r} * 1000000000000.0'
-           ' / sq::DOUBLE END', 'hill_alpha', 8)}
-FROM agg"""
-
-
-def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree assortativity of the user co-attendance graph — the
-    one-number mixing summary (r > 0: hubs attach to hubs, the
-    resilient-core topology; r < 0: hub-and-spoke, the topology where
-    hub loss partitions the graph) next to the per-node triangle /
-    Jaccard / AA cards on the SAME ``_coattendance`` projection.
-    Edges come from the df-capped item self-join (work ∝ Σ df²,
-    bounded); each undirected edge appears in both orientations so
-    deg(u) is ONE count window per orientation (no node-table join),
-    and Pearson's r over the (deg_u, deg_v) edge ends rides exact
-    DECIMAL moments of integers — the only float ops are the final
-    ratio and mean. Output is a single row."""
-    d = _coattendance(spark, sf_dir)
-    a = d.select(F.col("user_id").alias("u1"), "item")
-    b = d.select(F.col("user_id").alias("u2"), "item")
-    edges = (
-        a.join(b, "item")
-        .filter(F.col("u1") != F.col("u2"))
-        .select("u1", "u2")
-        .distinct()
-    )
-    dx = F.count(F.lit(1)).over(Window.partitionBy("u1"))
-    dy = F.count(F.lit(1)).over(Window.partitionBy("u2"))
-    e = edges.select(
-        dx.cast("decimal(38,0)").alias("dx"),
-        dy.cast("decimal(38,0)").alias("dy"),
-        F.col("u1"),
-    )
-    agg = e.agg(
-        F.count(F.lit(1)).alias("m2"),
-        F.countDistinct("u1").alias("n_nodes"),
-        F.sum("dx").alias("sx"),
-        F.sum("dy").alias("sy"),
-        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
-        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
-        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
-    )
-    md = F.col("m2").cast("decimal(38,0)")
-    covn = (md * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    vxn = (md * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    vyn = (md * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    r = F.when(
-        (vxn > 0) & (vyn > 0), covn / F.sqrt(vxn) / F.sqrt(vyn)
-    )
-    return agg.select(
-        F.col("n_nodes").cast("long").alias("n_nodes"),
-        (F.col("m2") / F.lit(2)).cast("long").alias("n_edges"),
-        _rne(
-            F.col("sx").cast("double") / F.col("m2").cast("double"),
-            "mean_deg",
-            8,
-        ),
-        _rne(r, "assortativity", 8),
-    )
-
-
-def _sql_graph_assortativity() -> str:
-    return f"""WITH {SQL_COATTEND},
-edges AS (
-  SELECT DISTINCT a.user_id AS u1, b.user_id AS u2
-  FROM dca a JOIN dca b ON a.item = b.item AND a.user_id <> b.user_id),
-e AS (
-  SELECT u1,
-         count(*) OVER (PARTITION BY u1)::DECIMAL(38,0) AS dx,
-         count(*) OVER (PARTITION BY u2)::DECIMAL(38,0) AS dy
-  FROM edges),
-agg AS (
-  SELECT count(*) AS m2, count(DISTINCT u1) AS n_nodes,
-         sum(dx) AS sx, sum(dy) AS sy, sum(dx * dx) AS sxx,
-         sum(dy * dy) AS syy, sum(dx * dy) AS sxy
-  FROM e)
-SELECT n_nodes::BIGINT AS n_nodes, (m2 // 2)::BIGINT AS n_edges,
-       {_sql_rne('sx::DOUBLE / m2::DOUBLE', 'mean_deg', 8)},
-       {_sql_rne(
-           'CASE WHEN (m2::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE > 0'
-           ' AND (m2::DECIMAL(38,0) * syy - sy * sy)::DOUBLE > 0 THEN'
-           ' (m2::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE'
-           ' / sqrt((m2::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE)'
-           ' / sqrt((m2::DECIMAL(38,0) * syy - sy * sy)::DOUBLE) END',
-           'assortativity', 8)}
-FROM agg"""
-
-
-def q_events_chisq_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """χ² independence audit: is event_type volume independent of
-    day-of-week? The seasonality screen a pipeline runs before
-    trusting a daily-aggregated metric (a type that clusters on
-    weekends biases any day-sampled train split). Day-of-week is
-    computed engine-neutrally as (days-since-epoch + 3) mod 7 (Mon=0 —
-    the W7 calendar convention; Spark's dayofweek() and DuckDB's
-    disagree on numbering). Observed counts are exact; row/column/
-    grand totals ride windows over the CELL frame (|types|·7 rows —
-    calendar-bounded, never data-sized); expected = rt·ct/N and the
-    per-cell contribution are final float ops. Output is one row per
-    cell; Σcontrib ~ χ²((R−1)(C−1))."""
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select("event_type", "ts")
-        .filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
-    )
-    dow = (
-        F.datediff(F.to_date("ts"), F.lit("1970-01-01")) + F.lit(3)
-    ) % 7
-    cells = ev.groupBy(
-        "event_type", dow.alias("dow")
-    ).agg(F.count(F.lit(1)).alias("obs"))
-    rt = F.sum("obs").over(Window.partitionBy("event_type"))
-    ct = F.sum("obs").over(Window.partitionBy("dow"))
-    nn = F.sum("obs").over(Window.partitionBy())
-    c = cells.select(
-        "event_type",
-        F.col("dow").cast("long").alias("dow"),
-        "obs",
-        rt.alias("rt"),
-        ct.alias("ct"),
-        nn.alias("nn"),
-    )
-    e = (
-        F.col("rt").cast("double")
-        * F.col("ct").cast("double")
-        / F.col("nn").cast("double")
-    )
-    o = F.col("obs").cast("double")
-    return c.select(
-        "event_type",
-        "dow",
-        F.col("obs").cast("long").alias("observed"),
-        _rne(e, "expected", 6),
-        _rne((o - e) * (o - e) / e, "contrib", 8),
-    )
-
-
-def _sql_events_chisq_type_dow() -> str:
-    e = "rt::DOUBLE * ct::DOUBLE / nn::DOUBLE"
-    return f"""
-WITH cells AS (
-  SELECT event_type,
-         ((ts::DATE - DATE '1970-01-01') + 3) % 7 AS dow,
-         count(*) AS obs
-  FROM events
-  WHERE event_type IS NOT NULL AND ts IS NOT NULL
-  GROUP BY 1, 2),
-tot AS (
-  SELECT event_type, dow, obs,
-         sum(obs) OVER (PARTITION BY event_type) AS rt,
-         sum(obs) OVER (PARTITION BY dow) AS ct,
-         sum(obs) OVER () AS nn
-  FROM cells)
-SELECT event_type, dow::BIGINT AS dow, obs::BIGINT AS observed,
-       {_sql_rne(e, 'expected', 6)},
-       {_sql_rne(
-           f'(obs::DOUBLE - ({e})) * (obs::DOUBLE - ({e})) / ({e})',
-           'contrib', 8)}
-FROM tot"""
-
-
-EMB_DIM = 64
-
-
-def q_emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-isotropy card per label — the geometry check under
-    every cosine-based retrieval/dedup stage (anisotropic embeddings —
-    all vectors sharing a dominant direction — inflate every cosine
-    and defeat threshold-based near-dup cuts; the fix literature:
-    mean-centering / whitening). Per label over L2-normalized vectors:
-    mean pairwise cosine via the exact identity (‖Σu‖² − Σ‖u‖²) /
-    (n(n−1)) — NO pair expansion, one explode + one (label, dim)
-    map-side-combined aggregate — and the mean-vector norm ‖Σu‖/n
-    (→0 for isotropic clouds). Each normalized coordinate snaps to
-    the 1e-6 grid so the per-dim sums and both Σ-terms ride exact
-    DECIMAL; the per-vector norm is one sequential left-fold +
-    sqrt + divide, deterministic IEEE in both engines (the _sql_norm
-    device). Zero vectors drop identically."""
-    emb = _emb(spark, sf_dir)
-    nrm = F.sqrt(
-        F.aggregate(
-            "v", F.lit(0.0), lambda acc, x: acc + x * x
-        )
-    )
-    base = emb.select("label", "v", nrm.alias("nrm")).filter(
-        F.col("nrm") > 0
-    )
-    cnt = base.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-    e = base.select(
-        "label", "nrm", F.posexplode("v").alias("dim", "x")
-    ).select(
-        "label",
-        "dim",
-        F.floor(F.col("x") / F.col("nrm") * F.lit(1e6) + F.lit(0.5))
-        .cast("decimal(38,0)")
-        .alias("q"),
-    )
-    dims = e.groupBy("label", "dim").agg(
-        F.sum("q").alias("sd"),
-        F.sum(F.col("q") * F.col("q")).alias("q2"),
-    )
-    lab = dims.groupBy("label").agg(
-        F.sum(F.col("sd") * F.col("sd")).alias("s2s"),
-        F.sum("q2").alias("sq2"),
-    )
-    j = lab.join(F.broadcast(cnt), "label")
-    n_ = F.col("n").cast("double")
-    avg_cos = F.when(
-        F.col("n") >= 2,
-        (F.col("s2s") - F.col("sq2")).cast("double")
-        / (n_ * (n_ - F.lit(1.0)))
-        / F.lit(1e12),
-    )
-    mean_norm = (
-        F.sqrt(F.col("s2s").cast("double")) / n_ / F.lit(1e6)
-    )
-    return j.select(
-        F.col("label").cast("long").alias("label"),
-        F.col("n").cast("long").alias("n"),
-        _rne(avg_cos, "avg_pairwise_cos", 8),
-        _rne(mean_norm, "mean_vec_norm", 8),
-    )
-
-
-def _sql_emb_isotropy() -> str:
-    return f"""
-WITH v AS (
-  SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v
-  FROM embeddings),
-b AS (
-  SELECT label, v, {_sql_norm('v')} AS nrm FROM v
-  WHERE {_sql_norm('v')} > 0),
-e AS (
-  SELECT label, i - 1 AS dim,
-         floor(v[i] / nrm * 1000000.0 + 0.5)::DECIMAL(38,0) AS q
-  FROM b, LATERAL (SELECT unnest(generate_series(1, {EMB_DIM})) AS i)),
-dims AS (
-  SELECT label, dim, sum(q) AS sd, sum(q * q) AS q2
-  FROM e GROUP BY 1, 2),
-lab AS (
-  SELECT label, sum(sd * sd) AS s2s, sum(q2) AS sq2
-  FROM dims GROUP BY 1),
-cnt AS (SELECT label, count(*) AS n FROM b GROUP BY 1)
-SELECT lab.label::BIGINT AS label, n::BIGINT AS n,
-       {_sql_rne(
-           'CASE WHEN n >= 2 THEN (s2s - sq2)::DOUBLE'
-           ' / (n::DOUBLE * (n::DOUBLE - 1.0)) / 1e12 END',
-           'avg_pairwise_cos', 8)},
-       {_sql_rne(
-           'sqrt(s2s::DOUBLE) / n::DOUBLE / 1000000.0',
-           'mean_vec_norm', 8)}
-FROM lab JOIN cnt ON lab.label = cnt.label"""
-
-
-MW_MIN_GROUP = 1
-
-
-def q_events_mw_utest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mann–Whitney U test per event_type on the hash60 A/B split —
-    the NONPARAMETRIC twin of events_ab_uplift's Welch t (rank-based:
-    immune to the heavy tails ts_jarque_bera just flagged; U/(nA·nB)
-    is the common-language effect size = P(A-draw > B-draw)). Values
-    ride exact integer cents; the rank sum uses average ranks in
-    DOUBLED units (2·rankavg = 2·below + cnt + 1 — all integers) with
-    'below' computed TWO-PHASE per type: strict prefix within
-    (type, log2-bucket) partitions + a per-type prefix over the
-    ≤~60-row bucket frame joined back broadcast — never a data-sized
-    single-task per-type sort (the BM25 lesson, grouped variant of
-    operators/twophase.py). Tie variance uses Σ(t³−t) exact; z and
-    the AUC are the only float ops. Output is |types| rows."""
-    from ..operators.twophase import log2_bucket
-
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select(
-            "event_type",
-            "user_id",
-            F.floor(F.col("value") * 100 + F.lit(0.5))
-            .cast("long")
-            .alias("cents"),
-        )
-        .filter(F.col("event_type").isNotNull() & F.col("cents").isNotNull())
-    )
-    g = (
-        hash60(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))) % 2
-    ).cast("int")
-    vals = (
-        ev.withColumn("g", g)
-        .groupBy("event_type", "cents")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("g")).alias("ca"),
-        )
-    )
-    vals = vals.withColumn("bkt", log2_bucket(F.col("cents")))
-    wloc = (
-        Window.partitionBy("event_type", "bkt")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    vals = vals.withColumn("loc", F.sum("cnt").over(wloc))
-    btot = vals.groupBy("event_type", "bkt").agg(
-        F.sum("cnt").alias("bt")
-    )
-    wb = (
-        Window.partitionBy("event_type")
-        .orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prior = btot.select(
-        "event_type", "bkt", F.sum("bt").over(wb).alias("pri")
-    )
-    d = vals.join(F.broadcast(prior), ["event_type", "bkt"])
-    below = F.coalesce(F.col("loc"), F.lit(0)) + F.coalesce(
-        F.col("pri"), F.lit(0)
-    )
-    cd = F.col("cnt").cast("decimal(38,0)")
-    r2a = F.col("ca").cast("decimal(38,0)") * (
-        F.lit(2).cast("decimal(38,0)") * below.cast("decimal(38,0)")
-        + cd
-        + F.lit(1).cast("decimal(38,0)")
-    )
-    tie = cd * cd * cd - cd
-    agg = d.groupBy("event_type").agg(
-        F.sum("ca").alias("na"),
-        F.sum(F.col("cnt") - F.col("ca")).alias("nb"),
-        F.sum(r2a).alias("s2r"),
-        F.sum(tie).alias("st"),
-    ).filter((F.col("na") >= MW_MIN_GROUP) & (F.col("nb") >= MW_MIN_GROUP))
-    nad = F.col("na").cast("decimal(38,0)")
-    u2 = F.col("s2r") - nad * (nad + F.lit(1).cast("decimal(38,0)"))
-    na_ = F.col("na").cast("double")
-    nb_ = F.col("nb").cast("double")
-    n_ = na_ + nb_
-    st_ = F.col("st").cast("double")
-    u2_ = u2.cast("double")
-    varu = (
-        na_
-        * nb_
-        / F.lit(12.0)
-        * ((n_ + F.lit(1.0)) - st_ / (n_ * (n_ - F.lit(1.0))))
-    )
-    z = F.when(varu > 0, (u2_ - na_ * nb_) / (F.lit(2.0) * F.sqrt(varu)))
-    return agg.select(
-        "event_type",
-        F.col("na").cast("long").alias("n_a"),
-        F.col("nb").cast("long").alias("n_b"),
-        _rne(u2_ / F.lit(2.0), "u", 4),
-        _rne(u2_ / (F.lit(2.0) * na_ * nb_), "auc", 8),
-        _rne(z, "z", 8),
-    )
-
-
-def _sql_events_mw_utest() -> str:
-    # the oracle states the prefix as ONE plain per-type cumulative
-    # window — DuckDB is single-node; the two-phase Spark form is
-    # bitwise-identical by the association-exactness argument
-    # (integer counts) documented in operators/twophase.py
-    varu = (
-        "na::DOUBLE * nb::DOUBLE / 12.0 * ((na::DOUBLE + nb::DOUBLE + 1.0)"
-        " - st::DOUBLE / ((na::DOUBLE + nb::DOUBLE)"
-        " * (na::DOUBLE + nb::DOUBLE - 1.0)))"
-    )
-    return f"""
-WITH ev AS (
-  SELECT event_type,
-         floor(value * 100 + 0.5)::BIGINT AS cents,
-         ({sql_hash60("'ab:' || CAST(user_id AS VARCHAR)")}) % 2 AS g
-  FROM events
-  WHERE event_type IS NOT NULL AND value IS NOT NULL),
-vals AS (
-  SELECT event_type, cents, count(*) AS cnt, sum(g) AS ca
-  FROM ev GROUP BY 1, 2),
-cum AS (
-  SELECT event_type, cents, cnt, ca,
-         coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
-  FROM vals),
-agg AS (
-  SELECT event_type, sum(ca) AS na, sum(cnt - ca) AS nb,
-         sum(ca::DECIMAL(38,0) * (2::DECIMAL(38,0) * below::DECIMAL(38,0)
-             + cnt::DECIMAL(38,0) + 1::DECIMAL(38,0))) AS s2r,
-         sum(cnt::DECIMAL(38,0) * cnt::DECIMAL(38,0) * cnt::DECIMAL(38,0)
-             - cnt::DECIMAL(38,0)) AS st
-  FROM cum GROUP BY 1
-  HAVING sum(ca) >= {MW_MIN_GROUP} AND sum(cnt - ca) >= {MW_MIN_GROUP}),
-fit AS (
-  SELECT event_type, na, nb, st,
-         (s2r - na::DECIMAL(38,0) * (na::DECIMAL(38,0)
-            + 1::DECIMAL(38,0)))::DOUBLE AS u2_
-  FROM agg)
-SELECT event_type, na::BIGINT AS n_a, nb::BIGINT AS n_b,
-       {_sql_rne('u2_ / 2.0', 'u', 4)},
-       {_sql_rne('u2_ / (2.0 * na::DOUBLE * nb::DOUBLE)', 'auc', 8)},
-       {_sql_rne(
-           f'CASE WHEN {varu} > 0 THEN (u2_ - na::DOUBLE * nb::DOUBLE)'
-           f' / (2.0 * sqrt({varu})) END', 'z', 8)}
-FROM fit"""
-
-
-def q_ts_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spearman rank-correlation matrix over the top-k most-liquid
-    symbols — the outlier-robust twin of ts_symbol_corr_matrix (a
-    single fat-tailed bucket, which ts_jarque_bera shows these feeds
-    have, can dominate a Pearson estimate; ranks bound its
-    influence). Ranks are per symbol over its full resampled return
-    series (the streaming-friendly definition — re-ranking per pair
-    would be O(pairs·n)) with average-rank ties in DOUBLED integer
-    units (2·rankavg = 2·rank(min) + ties − 1, rank() and one
-    (symbol, ret) count window — both integers), so the five pair
-    moments ride exact DECIMAL and only the closed-form ratio is
-    float. The top-k cut broadcasts; the pair join is k-bounded per
-    time bucket, never corpus²."""
-    r = _resampled(spark, sf_dir).select("symbol", "time_idx", "close")
-    top = (
-        r.groupBy("symbol")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("symbol").asc())
-        .limit(CORR_MATRIX_TOP_K)
-        .select("symbol")
-    )
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    ret_raw = (
-        F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1
-    )
-    rets = (
-        r.join(F.broadcast(top), "symbol")
-        .withColumn(
-            "ret", F.floor(ret_raw * F.lit(1e6) + F.lit(0.5))
-        )
-        .filter(F.col("ret").isNotNull())
-        .select("symbol", "time_idx", "ret")
-    )
-    wrk = Window.partitionBy("symbol").orderBy("ret")
-    weq = Window.partitionBy("symbol", "ret")
-    dr = (
-        F.lit(2) * F.rank().over(wrk)
-        + F.count(F.lit(1)).over(weq)
-        - F.lit(1)
-    ).cast("decimal(38,0)")
-    rk = rets.select("symbol", "time_idx", dr.alias("dr"))
-    a = rk.select(
-        F.col("symbol").alias("sym_a"), "time_idx", F.col("dr").alias("x")
-    )
-    b = rk.select(
-        F.col("symbol").alias("sym_b"), "time_idx", F.col("dr").alias("y")
-    )
-    agg = (
-        a.join(b, "time_idx")
-        .filter(F.col("sym_a") < F.col("sym_b"))
-        .groupBy("sym_a", "sym_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_obs"),
-            F.sum("x").alias("sx"),
-            F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("y") * F.col("y")).alias("syy"),
-        )
-    )
-    nd = F.col("n_obs").cast("decimal(38,0)")
-    cov = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    vx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    vy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    rho = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx) / F.sqrt(vy))
-    return agg.select(
-        "sym_a", "sym_b", "n_obs", _rne(rho, "spearman", 6)
-    )
-
-
-def _sql_ts_spearman_corr() -> str:
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H},
-top AS (
-  SELECT symbol FROM (
-    SELECT symbol, count(*) AS n FROM idx GROUP BY 1
-    ORDER BY n DESC, symbol ASC LIMIT {CORR_MATRIX_TOP_K})),
-rets AS (
-  SELECT symbol, time_idx,
-         floor((close / nullif(lag(close) OVER (
-                PARTITION BY symbol ORDER BY time_idx), 0.0) - 1)
-              * 1000000.0 + 0.5) AS ret
-  FROM idx WHERE symbol IN (SELECT symbol FROM top)
-  QUALIFY ret IS NOT NULL),
-rk AS (
-  SELECT symbol, time_idx,
-         (2 * rank() OVER (PARTITION BY symbol ORDER BY ret)
-          + count(*) OVER (PARTITION BY symbol, ret)
-          - 1)::DECIMAL(38,0) AS dr
-  FROM rets),
-agg AS (
-  SELECT a.symbol AS sym_a, b.symbol AS sym_b, count(*) AS n_obs,
-         sum(a.dr) AS sx, sum(b.dr) AS sy, sum(a.dr * b.dr) AS sxy,
-         sum(a.dr * a.dr) AS sxx, sum(b.dr * b.dr) AS syy
-  FROM rk a JOIN rk b ON a.time_idx = b.time_idx
-    AND a.symbol < b.symbol
-  GROUP BY 1, 2)
-SELECT sym_a, sym_b, n_obs,
-       {_sql_rne(
-           'CASE WHEN (n_obs::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE > 0'
-           ' AND (n_obs::DECIMAL(38,0) * syy - sy * sy)::DOUBLE > 0 THEN'
-           ' (n_obs::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE'
-           ' / sqrt((n_obs::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE)'
-           ' / sqrt((n_obs::DECIMAL(38,0) * syy - sy * sy)::DOUBLE) END',
-           'spearman', 6)}
-FROM agg"""
-
-
-def q_doc_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kolmogorov–Smirnov length-drift audit per source: the max CDF
-    gap between a source's doc-length distribution and the REST of
-    the corpus — the distribution-shift screen a curation pipeline
-    runs per ingest feed (a feed whose length profile walks away from
-    the corpus needs its quality thresholds re-tuned; the PSI/JS
-    cards are binned, KS is bin-free). The evaluation grid is
-    (source × distinct n_chars) — bounded by the LENGTH DOMAIN, not
-    the corpus (the log2-bucket argument, uncoarsened) — both CDFs
-    ride cumulative integer counts over that grid, and the KS gap
-    compares cross-multiplied integers |cum_s·n_rest − cum_rest·n_s|
-    EXACTLY (no float CDFs); the statistic's single division is the
-    only float op. The argmax length reports where the distributions
-    split (ties → smallest length, deterministically)."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("source", F.col("n_chars").cast("long").alias("len"))
-        .filter(F.col("source").isNotNull() & F.col("len").isNotNull())
-    )
-    per = docs.groupBy("source", "len").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    lens = docs.groupBy("len").agg(F.count(F.lit(1)).alias("gc"))
-    srcs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
-    ntot = docs.agg(F.count(F.lit(1)).alias("nt"))
-    grid = (
-        srcs.crossJoin(F.broadcast(lens))
-        .join(per, ["source", "len"], "left")
-        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
-        .crossJoin(F.broadcast(ntot))
-    )
-    wc = (
-        Window.partitionBy("source")
-        .orderBy("len")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    g = grid.withColumn("cs", F.sum("c").over(wc)).withColumn(
-        "cg", F.sum("gc").over(wc)
-    )
-    nr = F.col("nt") - F.col("ns")
-    diffnum = F.abs(
-        F.col("cs").cast("decimal(38,0)") * nr.cast("decimal(38,0)")
-        - (F.col("cg") - F.col("cs")).cast("decimal(38,0)")
-        * F.col("ns").cast("decimal(38,0)")
-    )
-    g = g.withColumn("dn", diffnum).filter(nr > 0)
-    mx = g.groupBy("source", "ns", "nt").agg(F.max("dn").alias("mxd"))
-    loc = (
-        g.join(
-            F.broadcast(mx.select("source", "mxd")),
-            ["source"],
-        )
-        .filter(F.col("dn") == F.col("mxd"))
-        .groupBy("source")
-        .agg(F.min("len").alias("ks_len"))
-    )
-    out = mx.join(F.broadcast(loc), "source")
-    ks = F.col("mxd").cast("double") / (
-        F.col("ns").cast("double")
-        * (F.col("nt") - F.col("ns")).cast("double")
-    )
-    return out.select(
-        "source",
-        F.col("ns").cast("long").alias("n_docs"),
-        _rne(ks, "ks", 8),
-        F.col("ks_len").cast("long").alias("ks_len"),
-    )
-
-
-def _sql_doc_ks_length_drift() -> str:
-    return """
-WITH d AS (
-  SELECT source, n_chars::BIGINT AS len FROM documents
-  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
-per AS (SELECT source, len, count(*) AS c FROM d GROUP BY 1, 2),
-lens AS (SELECT len, count(*) AS gc FROM d GROUP BY 1),
-srcs AS (SELECT source, count(*) AS ns FROM d GROUP BY 1),
-nt AS (SELECT count(*) AS nt FROM d),
-grid AS (
-  SELECT s.source, l.len, s.ns, nt.nt, l.gc,
-         coalesce(p.c, 0) AS c
-  FROM srcs s CROSS JOIN lens l CROSS JOIN nt
-  LEFT JOIN per p ON p.source = s.source AND p.len = l.len),
-g AS (
-  SELECT source, len, ns, nt,
-         sum(c) OVER (PARTITION BY source ORDER BY len
-           ROWS UNBOUNDED PRECEDING) AS cs,
-         sum(gc) OVER (PARTITION BY source ORDER BY len
-           ROWS UNBOUNDED PRECEDING) AS cg
-  FROM grid),
-dn AS (
-  SELECT source, len, ns, nt,
-         abs(cs::DECIMAL(38,0) * (nt - ns)::DECIMAL(38,0)
-             - (cg - cs)::DECIMAL(38,0) * ns::DECIMAL(38,0)) AS dn
-  FROM g WHERE nt - ns > 0),
-mx AS (SELECT source, ns, nt, max(dn) AS mxd FROM dn GROUP BY 1, 2, 3),
-loc AS (
-  SELECT dn.source, min(dn.len) AS ks_len
-  FROM dn JOIN mx ON dn.source = mx.source AND dn.dn = mx.mxd
-  GROUP BY 1)
-SELECT mx.source, ns::BIGINT AS n_docs,
-       CASE WHEN abs(mxd::DOUBLE / (ns::DOUBLE * (nt - ns)::DOUBLE))
-              < 1000000000000.0
-            THEN floor(mxd::DOUBLE / (ns::DOUBLE * (nt - ns)::DOUBLE)
-              * 100000000.0 + 0.5) / 100000000.0 + 0.0
-            ELSE mxd::DOUBLE / (ns::DOUBLE * (nt - ns)::DOUBLE) + 0.0
-       END AS ks,
-       ks_len::BIGINT AS ks_len
-FROM mx JOIN loc ON mx.source = loc.source"""
-
-
-KCORE_K = 3
-KCORE_ROUNDS = 3
-
-
-def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded-round k-core peel (k=3, 3 rounds) of the co-attendance
-    projection — the density filter that separates a cohesive core
-    from hangers-on before any community/centrality pass (LPA on the
-    full graph wastes its rounds on degree-1 fringe). Each round
-    recomputes degrees with ONE count window per orientation (the
-    edge list carries both, so no node-table join — the
-    assortativity device) and drops edges with an under-k end;
-    3 rounds is a FIXED bound (the full fixpoint is data-dependent —
-    same bounded-unroll convention as LPA/PageRank), and nodes are
-    labeled with their round-0 degree, post-peel degree, and core
-    membership. Work per round is edge-list-sized and shrinks
-    monotonically; df-capped items bound the starting size."""
-    d = _coattendance(spark, sf_dir)
-    a = d.select(F.col("user_id").alias("u1"), "item")
-    b = d.select(F.col("user_id").alias("u2"), "item")
-    edges = (
-        a.join(b, "item")
-        .filter(F.col("u1") != F.col("u2"))
-        .select("u1", "u2")
-        .distinct()
-    )
-    deg0 = edges.withColumn(
-        "deg0", F.count(F.lit(1)).over(Window.partitionBy("u1"))
-    ).select("u1", "deg0").distinct()
-    e = edges
-    for _ in range(KCORE_ROUNDS):
-        e = (
-            e.withColumn(
-                "d1", F.count(F.lit(1)).over(Window.partitionBy("u1"))
-            )
-            .withColumn(
-                "d2", F.count(F.lit(1)).over(Window.partitionBy("u2"))
-            )
-            .filter(
-                (F.col("d1") >= KCORE_K) & (F.col("d2") >= KCORE_K)
-            )
-            .select("u1", "u2")
-        )
-    deg3 = e.groupBy("u1").agg(F.count(F.lit(1)).alias("deg_final"))
-    out = deg0.join(deg3, "u1", "left")
-    return out.select(
-        F.col("u1").alias("user_id"),
-        F.col("deg0").cast("long").alias("deg0"),
-        F.coalesce(F.col("deg_final"), F.lit(0))
-        .cast("long")
-        .alias("deg_final"),
-        (F.col("deg_final").isNotNull()).cast("int").alias("in_core"),
-    )
-
-
-def _sql_graph_kcore() -> str:
-    k = KCORE_K
-    rounds = []
-    prev = "edges"
-    for i in range(1, KCORE_ROUNDS + 1):
-        rounds.append(f"""e{i} AS (
-  SELECT u1, u2 FROM (
-    SELECT u1, u2,
-           count(*) OVER (PARTITION BY u1) AS d1,
-           count(*) OVER (PARTITION BY u2) AS d2
-    FROM {prev})
-  WHERE d1 >= {k} AND d2 >= {k})""")
-        prev = f"e{i}"
-    chain = ",\n".join(rounds)
-    return f"""WITH {SQL_COATTEND},
-edges AS (
-  SELECT DISTINCT a.user_id AS u1, b.user_id AS u2
-  FROM dca a JOIN dca b ON a.item = b.item AND a.user_id <> b.user_id),
-deg0 AS (
-  SELECT DISTINCT u1, count(*) OVER (PARTITION BY u1) AS deg0
-  FROM edges),
-{chain},
-degf AS (SELECT u1, count(*) AS deg_final FROM {prev} GROUP BY 1)
-SELECT deg0.u1 AS user_id, deg0::BIGINT AS deg0,
-       coalesce(deg_final, 0)::BIGINT AS deg_final,
-       (deg_final IS NOT NULL)::INT AS in_core
-FROM deg0 LEFT JOIN degf ON deg0.u1 = degf.u1"""
-
-
-def q_ts_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ulcer index per symbol — RMS percentage drawdown (Martin's
-    downside-pain measure: unlike max-drawdown it weighs DURATION,
-    unlike σ it ignores upside), next to ts_drawdown /
-    ts_underwater_duration. The running peak is an exact integer
-    cummax window over the snapped close; each drawdown ratio is one
-    IEEE division snapped to the 1e-9 grid so the squared sum rides
-    exact DECIMAL; sqrt/percent are final ops. Rows before the first
-    positive peak drop identically in both engines (zero closes
-    exist in the raw feed at sf0.1 — the Amihud lesson). One window
-    + one map-side groupBy on the symbol exchange."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = (
-        Window.partitionBy("symbol")
-        .orderBy("time_idx")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    d = df.withColumn(
-        "qc",
-        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
-    ).withColumn("pk", F.max("qc").over(w)).filter(F.col("pk") > 0)
-    dd = (F.col("qc") - F.col("pk")).cast("double") / F.col("pk").cast(
-        "double"
-    )
-    d = d.withColumn(
-        "ddq",
-        F.floor(dd * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)"),
-    )
-    agg = d.groupBy("symbol").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("ddq") * F.col("ddq")).alias("sq2"),
-        F.min("ddq").alias("mndd"),
-        F.sum(
-            F.when(F.col("qc") < F.col("pk"), 1).otherwise(0)
-        ).alias("nuw"),
-    )
-    n_ = F.col("n").cast("double")
-    ulcer = (
-        F.sqrt(F.col("sq2").cast("double") / n_) / F.lit(1e9) * F.lit(100.0)
-    )
-    return agg.select(
-        "symbol",
-        F.col("n").cast("long").alias("n"),
-        _rne(ulcer, "ulcer", 8),
-        _rne(
-            -F.col("mndd").cast("double") / F.lit(1e9) * F.lit(100.0),
-            "max_dd_pct",
-            8,
-        ),
-        _rne(F.col("nuw").cast("double") / n_, "pct_underwater", 8),
-    )
-
-
-def _sql_ts_ulcer_index() -> str:
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-d AS (
-  SELECT symbol, qc,
-         max(qc) OVER (PARTITION BY symbol ORDER BY time_idx
-           ROWS UNBOUNDED PRECEDING) AS pk
-  FROM (SELECT symbol, time_idx,
-               floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
-        FROM filled)
-  QUALIFY pk > 0),
-dq AS (
-  SELECT symbol, qc, pk,
-         floor((qc - pk)::DOUBLE / pk::DOUBLE * 1000000000.0 + 0.5)
-           ::DECIMAL(38,0) AS ddq
-  FROM d),
-agg AS (
-  SELECT symbol, count(*) AS n, sum(ddq * ddq) AS sq2, min(ddq) AS mndd,
-         sum(CASE WHEN qc < pk THEN 1 ELSE 0 END) AS nuw
-  FROM dq GROUP BY 1)
-SELECT symbol, n::BIGINT AS n,
-       {_sql_rne(
-           'sqrt(sq2::DOUBLE / n::DOUBLE) / 1000000000.0 * 100.0',
-           'ulcer', 8)},
-       {_sql_rne(
-           '-(mndd::DOUBLE) / 1000000000.0 * 100.0', 'max_dd_pct', 8)},
-       {_sql_rne('nuw::DOUBLE / n::DOUBLE', 'pct_underwater', 8)}
-FROM agg"""
-
-
-BURST_TOP_K = 25
-
-
-def q_doc_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Term burstiness card — variance-to-mean ratio (index of
-    dispersion) of per-doc counts for the top-25 corpus terms: a
-    Poisson-scattered term has VMR ≈ 1, a topical/bursty term
-    (Church–Gale) concentrates in few docs with VMR ≫ 1 — the signal
-    that separates content words from function words ABOVE the df
-    cut, complementing zipf/heaps (which see only totals). All
-    moments are exact integers per (term, doc) — zero-docs enter the
-    mean through N, not through rows — and the top-k cut is
-    TakeOrderedAndProject on the term-aggregate frame BEFORE any
-    float; VMR / mean-tf-when-present are final ops. One explode +
-    two map-side-combined aggregates."""
-    docs = load_table(spark, sf_dir, "documents")
-    ntot = docs.agg(F.count(F.lit(1)).alias("nt"))
-    td = (
-        docs.select(
-            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
-        )
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    per = td.groupBy("term").agg(
-        F.sum("c").alias("tf"),
-        F.count(F.lit(1)).alias("df"),
-        F.sum(
-            F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")
-        ).alias("sc2"),
-    )
-    top = per.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(
-        BURST_TOP_K
-    )
-    j = top.crossJoin(F.broadcast(ntot))
-    tf_ = F.col("tf").cast("double")
-    nt_ = F.col("nt").cast("double")
-    sc2_ = F.col("sc2").cast("double")
-    mean = tf_ / nt_
-    var = sc2_ / nt_ - mean * mean
-    return j.select(
-        "term",
-        F.col("tf").cast("long").alias("tf"),
-        F.col("df").cast("long").alias("df"),
-        _rne(var / mean, "vmr", 8),
-        _rne(tf_ / F.col("df").cast("double"), "tf_when_present", 8),
-    )
-
-
-def _sql_doc_term_burstiness() -> str:
-    return f"""
-WITH nt AS (SELECT count(*) AS nt FROM documents),
-td AS (
-  SELECT term, doc_id, count(*) AS c
-  FROM (SELECT doc_id, unnest({sql_tokens('text')}) AS term
-        FROM documents)
-  GROUP BY 1, 2),
-per AS (
-  SELECT term, sum(c) AS tf, count(*) AS df,
-         sum(c::DECIMAL(38,0) * c::DECIMAL(38,0)) AS sc2
-  FROM td GROUP BY 1),
-top AS (
-  SELECT * FROM per ORDER BY tf DESC, term ASC LIMIT {BURST_TOP_K})
-SELECT term, tf::BIGINT AS tf, df::BIGINT AS df,
-       {_sql_rne(
-           '(sc2::DOUBLE / nt::DOUBLE - (tf::DOUBLE / nt::DOUBLE)'
-           ' * (tf::DOUBLE / nt::DOUBLE))'
-           ' / (tf::DOUBLE / nt::DOUBLE)', 'vmr', 8)},
-       {_sql_rne('tf::DOUBLE / df::DOUBLE', 'tf_when_present', 8)}
-FROM top CROSS JOIN nt"""
-
-
-PACF_MIN_N = 12
-
-
-def q_ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partial autocorrelation screen per symbol (lags 1–3, Durbin–
-    Levinson) — the AR-order selector that completes the Box–Jenkins
-    pair with ts_autocorrelation (ACF tails off for AR processes;
-    the PACF CUTS OFF at the true order — the diagnostic that picks
-    p for ts_ar2_forecast). Computed on the 1e-6-snapped relative
-    returns (``_rel_returns``): the three lag products, head/tail
-    sums and squares are exact DECIMAL integer moments (full-series-
-    mean ACF convention, mean folded in algebraically in float);
-    ρ₁..ρ₃ and the Durbin–Levinson ratios are identical closed-form
-    IEEE expressions in both engines. Three lag columns in ONE window
-    projection + one map-side groupBy on the symbol exchange."""
-    d = _rel_returns(spark, sf_dir, 1e6, with_idx=True)
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    for k in (1, 2, 3):
-        d = d.withColumn(f"l{k}", F.lag("rq", k).over(w))
-    aggs = [
-        F.count(F.lit(1)).alias("n"),
-        F.sum("rq").alias("s1"),
-        F.sum(F.col("rq") * F.col("rq")).alias("s2"),
-    ]
-    for k in (1, 2, 3):
-        lk = F.col(f"l{k}")
-        valid = lk.isNotNull()
-        aggs += [
-            F.sum(F.when(valid, 1).otherwise(0)).alias(f"nk{k}"),
-            F.sum(F.when(valid, F.col("rq") * lk)).alias(f"pk{k}"),
-            F.sum(F.when(valid, F.col("rq"))).alias(f"hk{k}"),
-            F.sum(F.when(valid, lk)).alias(f"tk{k}"),
-        ]
-    agg = d.groupBy("symbol").agg(*aggs).filter(F.col("n") >= PACF_MIN_N)
-    n_ = F.col("n").cast("double")
-    mu = F.col("s1").cast("double") / n_
-    den = F.col("s2").cast("double") - F.col("s1").cast("double") * mu
-    rho = {}
-    for k in (1, 2, 3):
-        num = (
-            F.col(f"pk{k}").cast("double")
-            - mu
-            * (F.col(f"hk{k}").cast("double") + F.col(f"tk{k}").cast("double"))
-            + F.col(f"nk{k}").cast("double") * mu * mu
-        )
-        rho[k] = F.when(den > 0, num / den)
-    d2 = F.lit(1.0) - rho[1] * rho[1]
-    phi22 = F.when(d2 > 0, (rho[2] - rho[1] * rho[1]) / d2)
-    phi21 = F.when(d2 > 0, rho[1] * (F.lit(1.0) - rho[2]) / d2)
-    d3 = F.lit(1.0) - phi21 * rho[1] - phi22 * rho[2]
-    phi33 = F.when(
-        d3 != 0, (rho[3] - phi21 * rho[2] - phi22 * rho[1]) / d3
-    )
-    return agg.select(
-        "symbol",
-        F.col("n").cast("long").alias("n"),
-        _rne(rho[1], "acf1", 8),
-        _rne(rho[2], "acf2", 8),
-        _rne(rho[3], "acf3", 8),
-        _rne(phi22, "pacf2", 8),
-        _rne(phi33, "pacf3", 8),
-    )
-
-
-def _sql_ts_pacf() -> str:
-    mu = "s1::DOUBLE / n::DOUBLE"
-    den = f"s2::DOUBLE - s1::DOUBLE * ({mu})"
-    rho = {
-        k: (
-            f"CASE WHEN {den} > 0 THEN (pk{k}::DOUBLE - ({mu})"
-            f" * (hk{k}::DOUBLE + tk{k}::DOUBLE)"
-            f" + nk{k}::DOUBLE * ({mu}) * ({mu})) / ({den}) END"
-        )
-        for k in (1, 2, 3)
-    }
-    lag_cols = ",\n         ".join(
-        f"lag(rq, {k}) OVER (PARTITION BY symbol ORDER BY time_idx)"
-        f" AS l{k}"
-        for k in (1, 2, 3)
-    )
-    mom_cols = ",\n         ".join(
-        f"sum(CASE WHEN l{k} IS NOT NULL THEN 1 ELSE 0 END) AS nk{k},"
-        f" sum(CASE WHEN l{k} IS NOT NULL THEN rq * l{k} END) AS pk{k},"
-        f" sum(CASE WHEN l{k} IS NOT NULL THEN rq END) AS hk{k},"
-        f" sum(CASE WHEN l{k} IS NOT NULL THEN l{k} END) AS tk{k}"
-        for k in (1, 2, 3)
-    )
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-{_sql_rel_returns('1000000.0')},
-lagged AS (
-  SELECT symbol, rq,
-         {lag_cols}
-  FROM ret),
-agg AS (
-  SELECT symbol, count(*) AS n, sum(rq) AS s1, sum(rq * rq) AS s2,
-         {mom_cols}
-  FROM lagged GROUP BY 1 HAVING count(*) >= {PACF_MIN_N}),
-rhos AS (
-  SELECT symbol, n,
-         {rho[1]} AS r1, {rho[2]} AS r2, {rho[3]} AS r3
-  FROM agg),
-dl AS (
-  SELECT symbol, n, r1, r2, r3,
-         CASE WHEN 1.0 - r1 * r1 > 0
-              THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS phi22,
-         CASE WHEN 1.0 - r1 * r1 > 0
-              THEN r1 * (1.0 - r2) / (1.0 - r1 * r1) END AS phi21
-  FROM rhos)
-SELECT symbol, n::BIGINT AS n,
-       {_sql_rne('r1', 'acf1', 8)},
-       {_sql_rne('r2', 'acf2', 8)},
-       {_sql_rne('r3', 'acf3', 8)},
-       {_sql_rne('phi22', 'pacf2', 8)},
-       {_sql_rne(
-           'CASE WHEN 1.0 - phi21 * r1 - phi22 * r2 <> 0 THEN'
-           ' (r3 - phi21 * r2 - phi22 * r1)'
-           ' / (1.0 - phi21 * r1 - phi22 * r2) END', 'pacf3', 8)}
-FROM dl"""
-
-
-KNN_RECIP_K = 5
-KNN_RECIP_MOD = 7
-
-
-def q_emb_knn_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN-graph reciprocity card — the fraction of directed top-k
-    edges whose reverse edge also exists: the hubness diagnostic for
-    a vector corpus (high-dimensional anisotropy creates hub vectors
-    that appear in everyone's top-k without reciprocating — low
-    reciprocity predicts poor kNN-graph clustering and inflated ANN
-    recall variance; reads next to emb_isotropy). Runs on a
-    deterministic arithmetic sample (vec_id % 7 == 0 — no rand(),
-    the engine-wide sampling rule) so the pair frame is sample²,
-    never corpus²; distances are the flat-codegen L2 (bitwise equal
-    to the oracle's sequential fold), the per-query top-k rank runs
-    as WindowGroupLimit, and the reverse-edge probe is one self-join
-    on the (lo, hi) edge key. Output: one row per label + the
-    corpus-level row (label = -1)."""
-    emb = _emb(spark, sf_dir).filter(
-        F.col("vec_id") % KNN_RECIP_MOD == 0
-    )
-    a = emb.select(
-        F.col("vec_id").alias("qid"),
-        F.col("v").alias("qv"),
-        F.col("label").alias("qlabel"),
-    )
-    b = emb.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"))
-    pairs = a.join(b, F.col("qid") != F.col("nid")).select(
-        "qid",
-        "qlabel",
-        "nid",
-        dist_l2_fixed64(F.col("qv"), F.col("nv")).alias("d"),
-    )
-    wq = Window.partitionBy("qid").orderBy(
-        F.col("d").asc(), F.col("nid").asc()
-    )
-    topk = pairs.withColumn("rn", F.row_number().over(wq)).filter(
-        F.col("rn") <= KNN_RECIP_K
-    )
-    fwd = topk.select("qid", "qlabel", "nid")
-    rev = topk.select(
-        F.col("nid").alias("qid"), F.col("qid").alias("nid")
-    )
-    marked = fwd.join(rev, ["qid", "nid"], "left_semi").select(
-        "qid", "qlabel"
-    )
-    recip = marked.groupBy("qlabel").agg(
-        F.count(F.lit(1)).alias("n_recip")
-    )
-    tot = fwd.groupBy("qlabel").agg(F.count(F.lit(1)).alias("n_edges"))
-    per = tot.join(recip, "qlabel", "left").select(
-        F.col("qlabel").cast("long").alias("label"),
-        "n_edges",
-        F.coalesce(F.col("n_recip"), F.lit(0)).alias("n_recip"),
-    )
-    allrow = per.groupBy().agg(
-        F.lit(-1).cast("long").alias("label"),
-        F.sum("n_edges").alias("n_edges"),
-        F.sum("n_recip").alias("n_recip"),
-    )
-    out = per.unionAll(allrow)
-    return out.select(
-        "label",
-        F.col("n_edges").cast("long").alias("n_edges"),
-        _rne(
-            F.col("n_recip").cast("double")
-            / F.col("n_edges").cast("double"),
-            "reciprocity",
-            8,
-        ),
-    )
-
-
-def _sql_emb_knn_reciprocity() -> str:
-    return f"""
-WITH s AS (
-  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v, label
-  FROM embeddings WHERE vec_id % {KNN_RECIP_MOD} = 0),
-pairs AS (
-  SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS nid,
-         {_sql_l2('a.v', 'b.v')} AS d
-  FROM s a JOIN s b ON a.vec_id <> b.vec_id),
-topk AS (
-  SELECT qid, qlabel, nid,
-         row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rn
-  FROM pairs QUALIFY rn <= {KNN_RECIP_K}),
-marked AS (
-  SELECT f.qid, f.qlabel
-  FROM topk f
-  WHERE EXISTS (SELECT 1 FROM topk r
-                WHERE r.qid = f.nid AND r.nid = f.qid)),
-per AS (
-  SELECT t.qlabel AS label, count(*) AS n_edges,
-         (SELECT count(*) FROM marked m WHERE m.qlabel = t.qlabel)
-           AS n_recip
-  FROM topk t GROUP BY 1),
-unioned AS (
-  SELECT label, n_edges, n_recip FROM per
-  UNION ALL
-  SELECT -1 AS label, sum(n_edges), sum(n_recip) FROM per)
-SELECT label::BIGINT AS label, n_edges::BIGINT AS n_edges,
-       {_sql_rne('n_recip::DOUBLE / n_edges::DOUBLE',
-                 'reciprocity', 8)}
-FROM unioned"""
-
-
-def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Supplier market concentration per nation — Herfindahl–
-    Hirschman index of lineitem revenue shares (the supply-risk
-    summary statistic next to part_supply_risk's per-part view: HHI >
-    0.25 is the antitrust red line; 1/HHI is the 'effective supplier
-    count'). Per-supplier revenue rides the TPC-H money device
-    (DECIMAL(18,2) × DECIMAL(3,2), exact), converts to exact integer
-    1e-4-currency units, and HHI = Σrev²/(Σrev)² is computed from
-    exact DECIMAL squares — one float division at the end. nation is
-    a constant-size dim, broadcast; the only data-sized shuffle is
-    the (supplier) revenue aggregate."""
-    li = load_table(spark, sf_dir, "lineitem")
-    supp = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_nationkey"
-    )
-    nat = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name"
-    )
-    dec = lambda c, p=18, s=2: F.col(c).cast(f"decimal({p},{s})")  # noqa: E731
-    one = F.lit(1).cast("decimal(3,2)")
-    rev = (
-        li.select("l_suppkey", "l_extendedprice", "l_discount")
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(
-            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
-        )
-        .groupBy("n_name", "l_suppkey")
-        .agg(
-            F.sum(dec("l_extendedprice") * (one - dec("l_discount", 3, 2)))
-            .alias("rev")
-        )
-    )
-    revu = (F.col("rev") * F.lit(10000)).cast("decimal(38,0)")
-    per = rev.select("n_name", revu.alias("u"))
-    agg = per.groupBy("n_name").agg(
-        F.count(F.lit(1)).alias("n_suppliers"),
-        F.sum("u").alias("su"),
-        F.sum(F.col("u") * F.col("u")).alias("su2"),
-    )
-    tot = F.col("su").cast("double")
-    hhi = F.when(
-        F.col("su") > 0,
-        F.col("su2").cast("double") / (tot * tot),
-    )
-    return agg.select(
-        F.col("n_name").alias("nation"),
-        F.col("n_suppliers").cast("long").alias("n_suppliers"),
-        _rne(tot / F.lit(1e4), "revenue", 2),
-        _rne(hhi, "hhi", 10),
-        _rne(F.lit(1.0) / hhi, "effective_n", 6),
-    )
-
-
-def _sql_supplier_hhi() -> str:
-    return f"""
-WITH rev AS (
-  SELECT n.n_name, l.l_suppkey,
-         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-             * (CAST(1 AS DECIMAL(3,2))
-                - CAST(l.l_discount AS DECIMAL(3,2)))) AS rev
-  FROM lineitem l
-  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-  JOIN nation n ON s.s_nationkey = n.n_nationkey
-  GROUP BY 1, 2),
-per AS (
-  SELECT n_name, (rev * 10000)::DECIMAL(38,0) AS u FROM rev),
-agg AS (
-  SELECT n_name, count(*) AS n_suppliers, sum(u) AS su,
-         sum(u * u) AS su2
-  FROM per GROUP BY 1)
-SELECT n_name AS nation, n_suppliers::BIGINT AS n_suppliers,
-       {_sql_rne('su::DOUBLE / 10000.0', 'revenue', 2)},
-       {_sql_rne(
-           'CASE WHEN su > 0 THEN su2::DOUBLE'
-           ' / (su::DOUBLE * su::DOUBLE) END', 'hhi', 10)},
-       {_sql_rne(
-           'CASE WHEN su > 0 THEN 1.0 / (su2::DOUBLE'
-           ' / (su::DOUBLE * su::DOUBLE)) END', 'effective_n', 6)}
-FROM agg"""
-
-
-XSEC_TRAIL_W = 28  # 7 days of 6h buckets
-XSEC_FWD_W = 4  # 1 day forward
-XSEC_N_Q = 5
-
-
-def q_ts_xsec_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-sectional momentum card — quintile portfolios formed on
-    trailing 7-day return, evaluated on next-day forward return (the
-    Jegadeesh–Titman sort; a monotone quintile→forward-return profile
-    is THE cross-sectional momentum signal, the portfolio-level
-    complement of the per-symbol ts_macd_backtest). Trailing/forward
-    returns are IEEE divisions of exact integer closes; the
-    per-rebalance quintile assignment ranks (trail DESC, symbol) —
-    a total order — INSIDE each time bucket (partition size = the
-    symbol cross-section, never data-sized) and uses the engine-
-    neutral even-split ntile_from_rank; forward returns snap to the
-    1e-8 grid so quintile means ride exact DECIMAL. Output: 5
-    rows."""
-    from ..operators.twophase import ntile_from_rank
-
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    d = df.withColumn(
-        "qc",
-        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
-    )
-    d = (
-        d.withColumn("bk", F.lag("qc", XSEC_TRAIL_W).over(w))
-        .withColumn("fw", F.lead("qc", XSEC_FWD_W).over(w))
-        .filter(
-            F.col("bk").isNotNull()
-            & (F.col("bk") > 0)
-            & (F.col("qc") > 0)
-            & F.col("fw").isNotNull()
-        )
-    )
-    tr = (F.col("qc") - F.col("bk")).cast("double") / F.col("bk").cast(
-        "double"
-    )
-    fw = (F.col("fw") - F.col("qc")).cast("double") / F.col("qc").cast(
-        "double"
-    )
-    d = d.select(
-        "time_idx",
-        "symbol",
-        tr.alias("tr"),
-        F.floor(fw * F.lit(1e8) + F.lit(0.5))
-        .cast("decimal(38,0)")
-        .alias("fwq"),
-        F.floor(tr * F.lit(1e8) + F.lit(0.5))
-        .cast("decimal(38,0)")
-        .alias("trq"),
-    )
-    wt = Window.partitionBy("time_idx").orderBy(
-        F.col("tr").desc(), F.col("symbol").asc()
-    )
-    cnt = F.count(F.lit(1)).over(Window.partitionBy("time_idx"))
-    d = d.withColumn(
-        "q",
-        ntile_from_rank(F.row_number().over(wt), cnt, XSEC_N_Q),
-    )
-    agg = d.groupBy("q").agg(
-        F.count(F.lit(1)).alias("n_obs"),
-        F.sum("fwq").alias("sf"),
-        F.sum("trq").alias("st"),
-    )
-    n_ = F.col("n_obs").cast("double")
-    return agg.select(
-        F.col("q").cast("long").alias("quintile"),
-        F.col("n_obs").cast("long").alias("n_obs"),
-        _rne(F.col("st").cast("double") / n_ / F.lit(1e8),
-             "mean_trail_ret", 10),
-        _rne(F.col("sf").cast("double") / n_ / F.lit(1e8),
-             "mean_fwd_ret", 10),
-    )
-
-
-def _sql_ts_xsec_momentum() -> str:
-    wq, fq = XSEC_TRAIL_W, XSEC_FWD_W
-    nq = XSEC_N_Q
-    # ntile_from_rank's even-split rule, verbatim in SQL
-    ntile = f"""CASE WHEN rnk <= (cnt % {nq}) * (cnt // {nq} + 1)
-         THEN (rnk - 1) // (cnt // {nq} + 1) + 1
-         ELSE (cnt % {nq})
-              + (rnk - (cnt % {nq}) * (cnt // {nq} + 1) - 1)
-                // (cnt // {nq}) + 1 END"""
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-d AS (
-  SELECT symbol, time_idx, qc,
-         lag(qc, {wq}) OVER (PARTITION BY symbol ORDER BY time_idx)
-           AS bk,
-         lead(qc, {fq}) OVER (PARTITION BY symbol ORDER BY time_idx)
-           AS fw
-  FROM (SELECT symbol, time_idx,
-               floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
-        FROM filled)
-  QUALIFY bk IS NOT NULL AND bk > 0 AND qc > 0 AND fw IS NOT NULL),
-r AS (
-  SELECT time_idx, symbol,
-         (qc - bk)::DOUBLE / bk::DOUBLE AS tr,
-         floor((fw - qc)::DOUBLE / qc::DOUBLE * 100000000.0 + 0.5)
-           ::DECIMAL(38,0) AS fwq,
-         floor((qc - bk)::DOUBLE / bk::DOUBLE * 100000000.0 + 0.5)
-           ::DECIMAL(38,0) AS trq
-  FROM d),
-rk AS (
-  SELECT *,
-         row_number() OVER (PARTITION BY time_idx
-                            ORDER BY tr DESC, symbol) AS rnk,
-         count(*) OVER (PARTITION BY time_idx) AS cnt
-  FROM r),
-qd AS (SELECT *, {ntile} AS q FROM rk),
-agg AS (
-  SELECT q, count(*) AS n_obs, sum(fwq) AS sf, sum(trq) AS st
-  FROM qd GROUP BY 1)
-SELECT q::BIGINT AS quintile, n_obs::BIGINT AS n_obs,
-       {_sql_rne('st::DOUBLE / n_obs::DOUBLE / 100000000.0',
-                 'mean_trail_ret', 10)},
-       {_sql_rne('sf::DOUBLE / n_obs::DOUBLE / 100000000.0',
-                 'mean_fwd_ret', 10)}
-FROM agg"""
-
-
-def q_doc_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gini–Simpson lexical concentration per source — the
-    probability two random tokens differ (1 − Σc(c−1)/(T(T−1)),
-    unbiased form) plus the effective vocabulary T²/Σc² (inverse
-    Simpson): the repetition-collapse screen that catches template/
-    boilerplate feeds which pass mean-based quality checks
-    (complements doc_lexical_diversity's TTR — TTR is length-biased,
-    Simpson is not). ALL moments are exact integers per (source,
-    term) with map-side combine; two final float divisions. One
-    explode + two aggregates."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("source").isNotNull()
-    )
-    tc = (
-        docs.select(
-            "source", F.explode(tokens(F.col("text"))).alias("term")
-        )
-        .groupBy("source", "term")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    cd = F.col("c").cast("decimal(38,0)")
-    agg = tc.groupBy("source").agg(
-        F.sum("c").alias("t"),
-        F.count(F.lit(1)).alias("v"),
-        F.sum(cd * (cd - F.lit(1).cast("decimal(38,0)"))).alias("sp"),
-        F.sum(cd * cd).alias("sc2"),
-    ).filter(F.col("t") >= 2)
-    t_ = F.col("t").cast("double")
-    gini = F.lit(1.0) - F.col("sp").cast("double") / (
-        t_ * (t_ - F.lit(1.0))
-    )
-    eff = t_ * t_ / F.col("sc2").cast("double")
-    return agg.select(
-        "source",
-        F.col("t").cast("long").alias("n_tokens"),
-        F.col("v").cast("long").alias("vocab"),
-        _rne(gini, "gini_simpson", 10),
-        _rne(eff, "eff_vocab", 6),
-    )
-
-
-def _sql_doc_simpson_diversity() -> str:
-    return f"""
-WITH tc AS (
-  SELECT source, term, count(*) AS c
-  FROM (SELECT source, unnest({sql_tokens('text')}) AS term
-        FROM documents WHERE source IS NOT NULL)
-  GROUP BY 1, 2),
-agg AS (
-  SELECT source, sum(c) AS t, count(*) AS v,
-         sum(c::DECIMAL(38,0) * (c::DECIMAL(38,0)
-             - 1::DECIMAL(38,0))) AS sp,
-         sum(c::DECIMAL(38,0) * c::DECIMAL(38,0)) AS sc2
-  FROM tc GROUP BY 1 HAVING sum(c) >= 2)
-SELECT source, t::BIGINT AS n_tokens, v::BIGINT AS vocab,
-       {_sql_rne(
-           '1.0 - sp::DOUBLE / (t::DOUBLE * (t::DOUBLE - 1.0))',
-           'gini_simpson', 10)},
-       {_sql_rne('t::DOUBLE * t::DOUBLE / sc2::DOUBLE',
-                 'eff_vocab', 6)}
-FROM agg"""
-
-
-def q_orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order seasonality card: per-month order count + exact DECIMAL
-    revenue with month-over-month and year-over-year growth — the
-    calendar-trend readout under every cohort/LTV analysis (a
-    retention dip reads differently when the whole book is
-    seasonal). Months are a CALENDAR-BOUNDED frame, so the two lag
-    windows run over ≤ a few hundred rows; counts and money sums are
-    exact (cents DECIMAL), growth ratios are final float ops,
-    first/gap months yield NULL growth identically in both
-    engines."""
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate").isNotNull()
-    )
-    m = o.groupBy(
-        F.trunc(F.to_date("o_orderdate"), "month").alias("month")
-    ).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(
-            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
-                "decimal(38,0)"
-            )
-        ).alias("cents"),
-    )
-    wm = Window.partitionBy().orderBy("month")
-    prev = F.lag("cents", 1).over(wm)
-    yoy = F.lag("cents", 12).over(wm)
-    prev_m = F.lag("month", 1).over(wm)
-    yoy_m = F.lag("month", 12).over(wm)
-    d = m.select(
-        "month",
-        "n_orders",
-        "cents",
-        # growth only against the ADJACENT calendar month/year — a
-        # gap month must not silently compare against an older one
-        F.when(
-            prev_m == F.add_months(F.col("month"), -1), prev
-        ).alias("prev"),
-        F.when(
-            yoy_m == F.add_months(F.col("month"), -12), yoy
-        ).alias("pyoy"),
-    )
-    g = lambda cur, base: F.when(  # noqa: E731
-        base > 0,
-        (cur.cast("double") - base.cast("double")) / base.cast("double"),
-    )
-    return d.select(
-        "month",
-        F.col("n_orders").cast("long").alias("n_orders"),
-        _rne(F.col("cents").cast("double") / F.lit(100.0), "revenue", 2),
-        _rne(g(F.col("cents"), F.col("prev")) * F.lit(100.0),
-             "mom_pct", 6),
-        _rne(g(F.col("cents"), F.col("pyoy")) * F.lit(100.0),
-             "yoy_pct", 6),
-    )
-
-
-def _sql_orders_monthly_growth() -> str:
-    return f"""
-WITH m AS (
-  SELECT date_trunc('month', o_orderdate)::DATE AS month,
-         count(*) AS n_orders,
-         sum(floor(o_totalprice * 100 + 0.5)::DECIMAL(38,0)) AS cents
-  FROM orders WHERE o_orderdate IS NOT NULL
-  GROUP BY 1),
-lagged AS (
-  SELECT month, n_orders, cents,
-         CASE WHEN lag(month, 1) OVER w = month - INTERVAL 1 MONTH
-              THEN lag(cents, 1) OVER w END AS prev,
-         CASE WHEN lag(month, 12) OVER w = month - INTERVAL 12 MONTH
-              THEN lag(cents, 12) OVER w END AS pyoy
-  FROM m WINDOW w AS (ORDER BY month))
-SELECT month, n_orders::BIGINT AS n_orders,
-       {_sql_rne('cents::DOUBLE / 100.0', 'revenue', 2)},
-       {_sql_rne(
-           'CASE WHEN prev > 0 THEN (cents::DOUBLE - prev::DOUBLE)'
-           ' / prev::DOUBLE * 100.0 END', 'mom_pct', 6)},
-       {_sql_rne(
-           'CASE WHEN pyoy > 0 THEN (cents::DOUBLE - pyoy::DOUBLE)'
-           ' / pyoy::DOUBLE * 100.0 END', 'yoy_pct', 6)}
-FROM lagged"""
-
-
-SLIDE_TOPN = 3
-
-
-def q_stream_sliding_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window leaderboard over the live stream — per 24h
-    window sliding every 6h, the top-3 most-active symbols: the
-    dashboard query every ops/trading screen runs, and the one
-    Structured Streaming WINDOW MODE the family didn't yet exercise
-    (resample = tumbling, sessions = gap-based; sliding multiplies
-    every event into duration/slide = 4 state rows — the state-cost
-    tradeoff this query demonstrates). The stream emits each window
-    exactly once when the watermark passes its end (AvailableNow
-    drain ⇒ windows with end ≤ max event time — the oracle's bound);
-    ranking runs AFTER the sink on the window-bounded emitted frame
-    (append mode forbids a post-aggregate rank inside the stream) as
-    a per-window WindowGroupLimit. Counts/extrema only —
-    order-insensitive, bitwise deterministic under any micro-batch
-    partitioning."""
-    from ..streaming import run_available_now, sliding_count_stream, stream_events
-
-    out = run_available_now(
-        sliding_count_stream(
-            stream_events(spark, sf_dir), "24 hours", "6 hours"
-        ),
-        "append",
-        state_partitions=8,
-    )
-    wr = Window.partitionBy("window_end").orderBy(
-        F.col("n_rows").desc(), F.col("symbol").asc()
-    )
-    return (
-        out.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= SLIDE_TOPN)
-        .select(
-            F.col("window_end").cast("timestamp_ntz").alias("window_end"),
-            F.col("rank").cast("long").alias("rank"),
-            "symbol",
-            "n_rows",
-            _rne(F.col("high"), "high", 8),
-            _rne(F.col("low"), "low", 8),
-        )
-    )
-
-
-def _sql_stream_sliding_topn() -> str:
-    # every event joins its 4 overlapping windows (k = 0..3 slides
-    # back); append mode emits windows with end <= max(shifted event
-    # time) — the same bound as the tumbling stream oracle
-    return f"""
-WITH e AS (
-  SELECT user_id AS symbol, value AS close,
-         ts - INTERVAL 1 MICROSECOND AS te
-  FROM events),
-asg AS (
-  SELECT symbol, close,
-         time_bucket(INTERVAL '6 hours', te)
-           - k * INTERVAL '6 hours' + INTERVAL '24 hours' AS window_end
-  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)),
-agg AS (
-  SELECT symbol, window_end, count(*) AS n_rows,
-         max(close) AS high, min(close) AS low
-  FROM asg
-  WHERE window_end <= (SELECT max(te) FROM e)
-  GROUP BY 1, 2),
-rk AS (
-  SELECT *, row_number() OVER (PARTITION BY window_end
-             ORDER BY n_rows DESC, symbol) AS rank
-  FROM agg QUALIFY rank <= {SLIDE_TOPN})
-SELECT window_end, rank::BIGINT AS rank, symbol, n_rows,
-       {_sql_rne('high', 'high', 8)},
-       {_sql_rne('low', 'low', 8)}
-FROM rk"""
-
-
-TRIPLET_MOD = 7
-
-
-def q_emb_triplet_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triplet-margin health card for labeled embeddings — for each
-    sampled anchor, the gap d(nearest OTHER-label) − d(nearest
-    SAME-label): the metric-learning objective read back as an eval
-    (violations = anchors whose nearest neighbor crosses the label
-    boundary — exactly what degrades kNN classification and
-    label-stratified retrieval; reads next to emb_cluster_purity /
-    emb_hard_negatives). Anchors ride the deterministic arithmetic
-    sample; candidates are the FULL corpus, so the frame is
-    sample×corpus (the knn_topk convention), reduced by ONE aggregate
-    per anchor (two conditional mins — no window, no pair
-    materialization); margins snap to the 1e-9 grid for exact DECIMAL
-    means. Anchors whose label has no second vector drop identically
-    in both engines."""
-    emb = _emb(spark, sf_dir)
-    anchors = emb.filter(F.col("vec_id") % TRIPLET_MOD == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("v").alias("qv"),
-        F.col("label").alias("qlabel"),
-    )
-    cands = emb.select(
-        F.col("vec_id").alias("nid"),
-        F.col("v").alias("nv"),
-        F.col("label").alias("nlabel"),
-    )
-    d = dist_l2_fixed64(F.col("qv"), F.col("nv"))
-    per = (
-        anchors.join(cands, F.col("qid") != F.col("nid"))
-        .groupBy("qid", "qlabel")
-        .agg(
-            F.min(F.when(F.col("nlabel") == F.col("qlabel"), d)).alias(
-                "dpos"
-            ),
-            F.min(F.when(F.col("nlabel") != F.col("qlabel"), d)).alias(
-                "dneg"
-            ),
-        )
-        .filter(F.col("dpos").isNotNull() & F.col("dneg").isNotNull())
-    )
-    mq = F.floor(
-        (F.col("dneg") - F.col("dpos")) * F.lit(1e9) + F.lit(0.5)
-    ).cast("decimal(38,0)")
-    agg = per.select("qlabel", mq.alias("mq")).groupBy("qlabel").agg(
-        F.count(F.lit(1)).alias("n_anchors"),
-        F.sum(F.when(F.col("mq") < 0, 1).otherwise(0)).alias("n_viol"),
-        F.sum("mq").alias("sm"),
-    )
-    n_ = F.col("n_anchors").cast("double")
-    return agg.select(
-        F.col("qlabel").cast("long").alias("label"),
-        F.col("n_anchors").cast("long").alias("n_anchors"),
-        _rne(F.col("n_viol").cast("double") / n_, "violation_rate", 8),
-        _rne(F.col("sm").cast("double") / n_ / F.lit(1e9),
-             "mean_margin", 8),
-    )
-
-
-def _sql_emb_triplet_margin() -> str:
-    return f"""
-WITH emb AS (
-  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v, label
-  FROM embeddings),
-per AS (
-  SELECT a.vec_id AS qid, a.label AS qlabel,
-         min(CASE WHEN b.label = a.label
-                  THEN {_sql_l2('a.v', 'b.v')} END) AS dpos,
-         min(CASE WHEN b.label <> a.label
-                  THEN {_sql_l2('a.v', 'b.v')} END) AS dneg
-  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
-  WHERE a.vec_id % {TRIPLET_MOD} = 0
-  GROUP BY 1, 2
-  HAVING dpos IS NOT NULL AND dneg IS NOT NULL),
-m AS (
-  SELECT qlabel,
-         floor((dneg - dpos) * 1000000000.0 + 0.5)::DECIMAL(38,0) AS mq
-  FROM per),
-agg AS (
-  SELECT qlabel, count(*) AS n_anchors,
-         sum(CASE WHEN mq < 0 THEN 1 ELSE 0 END) AS n_viol,
-         sum(mq) AS sm
-  FROM m GROUP BY 1)
-SELECT qlabel::BIGINT AS label, n_anchors::BIGINT AS n_anchors,
-       {_sql_rne('n_viol::DOUBLE / n_anchors::DOUBLE',
-                 'violation_rate', 8)},
-       {_sql_rne('sm::DOUBLE / n_anchors::DOUBLE / 1000000000.0',
-                 'mean_margin', 8)}
-FROM agg"""
-
-
-DOW_ANCHOR = 5  # 2000-01-01 (the time_idx anchor) is a Saturday, Mon=0
-
-
-def q_ts_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Day-of-week return seasonality, pooled across symbols — the
-    calendar-anomaly screen (the 'weekend effect' class; a dow whose
-    |t| clears ~2 is a candidate seasonal term for the forecast
-    ensemble, and the return-space twin of events_chisq_type_dow's
-    volume view). The dow of a bucket is pure integer arithmetic off
-    time_idx ((idx div 4 + 5) mod 7 — engine-neutral, no dayofweek()
-    numbering trap); returns ride the shared 1e-8-snapped
-    `_rel_returns` frame so per-dow mean/σ/t come from exact DECIMAL
-    moments; output is exactly 7 rows."""
-    d = _rel_returns(spark, sf_dir, 1e8, with_idx=True)
-    dow = (F.expr("time_idx div 4") + F.lit(DOW_ANCHOR)) % 7
-    agg = (
-        d.select(dow.alias("dow"), "rq")
-        .groupBy("dow")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("rq").alias("s1"),
-            F.sum(F.col("rq") * F.col("rq")).alias("s2"),
-            F.sum(F.abs(F.col("rq"))).alias("sa"),
-        )
-    )
-    n_ = F.col("n").cast("double")
-    mean = F.col("s1").cast("double") / n_ / F.lit(1e8)
-    var = (
-        (
-            F.col("n").cast("decimal(38,0)") * F.col("s2")
-            - F.col("s1") * F.col("s1")
-        ).cast("double")
-        / (n_ * n_)
-        / F.lit(1e16)
-    )
-    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
-    t = F.when(sd > 0, mean / (sd / F.sqrt(n_)))
-    return agg.select(
-        F.col("dow").cast("long").alias("dow"),
-        F.col("n").cast("long").alias("n"),
-        _rne(mean, "mean_ret", 10),
-        _rne(F.col("sa").cast("double") / n_ / F.lit(1e8),
-             "mean_abs_ret", 10),
-        _rne(t, "t_stat", 8),
-    )
-
-
-def _sql_ts_dow_seasonality() -> str:
-    mean = "s1::DOUBLE / n::DOUBLE / 100000000.0"
-    var = (
-        "(n::DECIMAL(38,0) * s2 - s1 * s1)::DOUBLE"
-        " / (n::DOUBLE * n::DOUBLE) / 1e16"
-    )
-    sd = f"sqrt(greatest({var}, 0.0))"
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-{_sql_rel_returns('100000000.0')},
-agg AS (
-  SELECT ((time_idx // 4) + {DOW_ANCHOR}) % 7 AS dow,
-         count(*) AS n, sum(rq) AS s1, sum(rq * rq) AS s2,
-         sum(abs(rq)) AS sa
-  FROM ret GROUP BY 1)
-SELECT dow::BIGINT AS dow, n::BIGINT AS n,
-       {_sql_rne(mean, 'mean_ret', 10)},
-       {_sql_rne('sa::DOUBLE / n::DOUBLE / 100000000.0',
-                 'mean_abs_ret', 10)},
-       {_sql_rne(
-           f'CASE WHEN {sd} > 0 THEN ({mean})'
-           f' / ({sd} / sqrt(n::DOUBLE)) END', 't_stat', 8)}
-FROM agg"""
-
-
-def q_events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """New-vs-returning daily active users — the growth-accounting
-    card under every retention analysis (DAU alone hides whether
-    growth is acquisition or habit; this splits it): a user is NEW on
-    their first active day, RETURNING on any later active day. One
-    (user, day) distinct, one per-user min-day aggregate, one
-    co-partitioned join back on user_id (both sides hash by user —
-    no extra exchange), one per-day count — all exact integers."""
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select("user_id", F.to_date("ts").alias("day"))
-        .filter(F.col("user_id").isNotNull() & F.col("day").isNotNull())
-        .distinct()
-    )
-    first = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
-    j = ev.join(first, "user_id")
-    agg = j.groupBy("day").agg(
-        F.count(F.lit(1)).alias("n_active"),
-        F.sum(
-            F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
-        ).alias("n_new"),
-    )
-    return agg.select(
-        "day",
-        F.col("n_active").cast("long").alias("n_active"),
-        F.col("n_new").cast("long").alias("n_new"),
-        (F.col("n_active") - F.col("n_new"))
-        .cast("long")
-        .alias("n_returning"),
-    )
-
-
-def _sql_events_new_vs_returning() -> str:
-    return """
-WITH a AS (
-  SELECT DISTINCT user_id, ts::DATE AS day FROM events
-  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-f AS (SELECT user_id, min(day) AS first_day FROM a GROUP BY 1)
-SELECT a.day, count(*)::BIGINT AS n_active,
-       sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END)::BIGINT
-         AS n_new,
-       (count(*) - sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0
-        END))::BIGINT AS n_returning
-FROM a JOIN f ON a.user_id = f.user_id
-GROUP BY 1"""
-
-
-VOLVOL_MIN_DAYS = 5
-
-
-def q_ts_vol_of_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vol-of-vol per symbol — the dispersion of DAILY realized
-    volatility (the quantity a GARCH/vol-targeting layer actually has
-    to track: two symbols with equal mean vol but different vol-of-vol
-    need very different risk buffers; reads next to ts_garch_vol /
-    ts_ewma_vol). Daily RV = √(Σr²) over each day's four 6h buckets —
-    the inner sum is an exact DECIMAL integer aggregate per (symbol,
-    day idx div 4), the √ is one IEEE op snapped to the 1e-9 grid —
-    and the across-day mean/σ ride exact DECIMAL moments of the
-    snapped RVs. Two map-side-combined aggregates on the symbol
-    exchange."""
-    d = _rel_returns(spark, sf_dir, 1e8, with_idx=True)
-    day = F.expr("time_idx div 4")
-    daily = (
-        d.select("symbol", day.alias("day"), "rq")
-        .groupBy("symbol", "day")
-        .agg(
-            F.count(F.lit(1)).alias("nb"),
-            F.sum(F.col("rq") * F.col("rq")).alias("s2"),
-        )
-        .filter(F.col("nb") >= 2)
-    )
-    rv = F.sqrt(F.col("s2").cast("double")) / F.lit(1e8)
-    rvq = F.floor(rv * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)")
-    agg = (
-        daily.select("symbol", rvq.alias("rvq"))
-        .groupBy("symbol")
-        .agg(
-            F.count(F.lit(1)).alias("n_days"),
-            F.sum("rvq").alias("s1"),
-            F.sum(F.col("rvq") * F.col("rvq")).alias("s2"),
-        )
-        .filter(F.col("n_days") >= VOLVOL_MIN_DAYS)
-    )
-    n_ = F.col("n_days").cast("double")
-    mean = F.col("s1").cast("double") / n_ / F.lit(1e9)
-    var = (
-        (
-            F.col("n_days").cast("decimal(38,0)") * F.col("s2")
-            - F.col("s1") * F.col("s1")
-        ).cast("double")
-        / (n_ * n_)
-        / F.lit(1e18)
-    )
-    return agg.select(
-        "symbol",
-        F.col("n_days").cast("long").alias("n_days"),
-        _rne(mean, "mean_rv", 10),
-        _rne(F.sqrt(F.greatest(var, F.lit(0.0))), "vol_of_vol", 10),
-    )
-
-
-def _sql_ts_vol_of_vol() -> str:
-    var = (
-        "(n_days::DECIMAL(38,0) * s2 - s1 * s1)::DOUBLE"
-        " / (n_days::DOUBLE * n_days::DOUBLE) / 1e18"
-    )
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-{_sql_rel_returns('100000000.0')},
-daily AS (
-  SELECT symbol, time_idx // 4 AS day, count(*) AS nb,
-         sum(rq * rq) AS s2
-  FROM ret GROUP BY 1, 2 HAVING count(*) >= 2),
-rvs AS (
-  SELECT symbol,
-         floor(sqrt(s2::DOUBLE) / 100000000.0 * 1000000000.0 + 0.5)
-           ::DECIMAL(38,0) AS rvq
-  FROM daily),
-agg AS (
-  SELECT symbol, count(*) AS n_days, sum(rvq) AS s1,
-         sum(rvq * rvq) AS s2
-  FROM rvs GROUP BY 1 HAVING count(*) >= {VOLVOL_MIN_DAYS})
-SELECT symbol, n_days::BIGINT AS n_days,
-       {_sql_rne('s1::DOUBLE / n_days::DOUBLE / 1000000000.0',
-                 'mean_rv', 10)},
-       {_sql_rne(f'sqrt(greatest({var}, 0.0))', 'vol_of_vol', 10)}
-FROM agg"""
-
-
-LIFESPAN_BOUNDS = (0, 1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
-
-
-def q_events_user_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """User-lifespan histogram — days between first and last activity,
-    bucketed on fixed power-of-two bounds (0, 1, 2–3, 4–7, …, 512+):
-    the engagement-depth summary that complements the per-cohort
-    retention matrix with one corpus-level distribution (and sizes
-    TTL/state-retention decisions: the watermark a streaming
-    attribution op needs IS a lifespan quantile). The bucket is a
-    generated CASE chain over integer day-diffs — NO float log2
-    (Math.log-based log2 can return 2.9999…96 at exact powers of two
-    and mis-bucket in exactly one engine). One per-user aggregate +
-    one |buckets|-row aggregate, exact integers throughout."""
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select("user_id", F.to_date("ts").alias("day"))
-        .filter(F.col("user_id").isNotNull() & F.col("day").isNotNull())
-    )
-    per = ev.groupBy("user_id").agg(
-        F.min("day").alias("first_day"),
-        F.max("day").alias("last_day"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    span = F.datediff(F.col("last_day"), F.col("first_day"))
-    bucket = F.lit(int(LIFESPAN_BOUNDS[-1]))
-    for lo in reversed(LIFESPAN_BOUNDS[:-1]):
-        nxt = LIFESPAN_BOUNDS[LIFESPAN_BOUNDS.index(lo) + 1]
-        bucket = F.when(span < nxt, F.lit(int(lo))).otherwise(bucket)
-    agg = per.select(
-        bucket.alias("span_bucket"),
-        span.alias("span"),
-        "n_events",
-    ).groupBy("span_bucket").agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum("n_events").alias("se"),
-        F.sum("span").alias("ss"),
-    )
-    n_ = F.col("n_users").cast("double")
-    return agg.select(
-        F.col("span_bucket").cast("long").alias("span_bucket"),
-        F.col("n_users").cast("long").alias("n_users"),
-        _rne(F.col("se").cast("double") / n_, "mean_events", 8),
-        _rne(F.col("ss").cast("double") / n_, "mean_span_days", 8),
-    )
-
-
-def _sql_events_user_lifespan() -> str:
-    arms = " ".join(
-        f"WHEN span < {LIFESPAN_BOUNDS[i + 1]} THEN {lo}"
-        for i, lo in enumerate(LIFESPAN_BOUNDS[:-1])
-    )
-    return f"""
-WITH per AS (
-  SELECT user_id, max(ts::DATE) - min(ts::DATE) AS span,
-         count(*) AS n_events
-  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-  GROUP BY 1),
-b AS (
-  SELECT CASE {arms} ELSE {LIFESPAN_BOUNDS[-1]} END AS span_bucket,
-         span, n_events
-  FROM per),
-agg AS (
-  SELECT span_bucket, count(*) AS n_users, sum(n_events) AS se,
-         sum(span) AS ss
-  FROM b GROUP BY 1)
-SELECT span_bucket::BIGINT AS span_bucket, n_users::BIGINT AS n_users,
-       {_sql_rne('se::DOUBLE / n_users::DOUBLE', 'mean_events', 8)},
-       {_sql_rne('ss::DOUBLE / n_users::DOUBLE', 'mean_span_days', 8)}
-FROM agg"""
-
-
-GRANGER_MIN_N = 16
-
-
-def q_ts_granger_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lag-1 Granger-causality screen over the top-k liquid symbols —
-    does B's LAGGED return predict A's return beyond A's own lag?
-    Stated as the PARTIAL correlation of (rA_t, rB_{t−1}) controlling
-    rA_{t−1} — algebraically the single-restriction Granger test, but
-    closed-form from three plain correlations (r_p = (r_xy −
-    r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)), t = r_p·√((n−3)/(1−r_p²))) so
-    no 3×3 normal-equation solve. Returns snap to the 1e-6 grid; all
-    nine pair moments ride exact DECIMAL through ONE k-bounded join
-    on time_idx (lags precomputed per symbol, so the join is
-    point-to-point, not lagged); correlations and t are identical
-    IEEE expressions in both engines. Both orientations emitted
-    (cause, effect): |pairs| = k(k−1) rows."""
-    r = _resampled(spark, sf_dir).select("symbol", "time_idx", "close")
-    top = (
-        r.groupBy("symbol")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("symbol").asc())
-        .limit(CORR_MATRIX_TOP_K)
-        .select("symbol")
-    )
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    ret_raw = (
-        F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1
-    )
-    rets = (
-        r.join(F.broadcast(top), "symbol")
-        .withColumn(
-            "ret",
-            F.floor(ret_raw * F.lit(1e6) + F.lit(0.5)).cast(
-                "decimal(38,0)"
-            ),
-        )
-        .withColumn("lret", F.lag("ret", 1).over(w))
-        .filter(F.col("ret").isNotNull() & F.col("lret").isNotNull())
-        .select("symbol", "time_idx", "ret", "lret")
-    )
-    a = rets.select(
-        F.col("symbol").alias("effect"),
-        "time_idx",
-        F.col("ret").alias("x"),   # rA_t
-        F.col("lret").alias("z"),  # rA_{t-1}
-    )
-    b = rets.select(
-        F.col("symbol").alias("cause"),
-        "time_idx",
-        F.col("lret").alias("y"),  # rB_{t-1}
-    )
-    j = a.join(b, "time_idx").filter(F.col("effect") != F.col("cause"))
-    agg = j.groupBy("cause", "effect").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum("z").alias("sz"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("z")).alias("sxz"),
-        F.sum(F.col("y") * F.col("z")).alias("syz"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("z") * F.col("z")).alias("szz"),
-    ).filter(F.col("n") >= GRANGER_MIN_N)
-    nd = F.col("n").cast("decimal(38,0)")
-
-    def corr(sab, sa, sb, saa, sbb):
-        cov = (nd * F.col(sab) - F.col(sa) * F.col(sb)).cast("double")
-        va = (nd * F.col(saa) - F.col(sa) * F.col(sa)).cast("double")
-        vb = (nd * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double")
-        return F.when((va > 0) & (vb > 0), cov / F.sqrt(va) / F.sqrt(vb))
-
-    rxy = corr("sxy", "sx", "sy", "sxx", "syy")
-    rxz = corr("sxz", "sx", "sz", "sxx", "szz")
-    ryz = corr("syz", "sy", "sz", "syy", "szz")
-    den = (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
-    rp = F.when(den > 0, (rxy - rxz * ryz) / F.sqrt(den))
-    n_ = F.col("n").cast("double")
-    t = F.when(
-        F.lit(1.0) - rp * rp > 0,
-        rp * F.sqrt((n_ - F.lit(3.0)) / (F.lit(1.0) - rp * rp)),
-    )
-    return agg.select(
-        "cause",
-        "effect",
-        F.col("n").cast("long").alias("n"),
-        _rne(rp, "partial_corr", 8),
-        _rne(t, "granger_t", 8),
-    )
-
-
-def _sql_ts_granger_screen() -> str:
-    def corr(sab, sa, sb, saa, sbb):
-        cov = f"(n::DECIMAL(38,0) * {sab} - {sa} * {sb})::DOUBLE"
-        va = f"(n::DECIMAL(38,0) * {saa} - {sa} * {sa})::DOUBLE"
-        vb = f"(n::DECIMAL(38,0) * {sbb} - {sb} * {sb})::DOUBLE"
-        return (
-            f"CASE WHEN {va} > 0 AND {vb} > 0 THEN {cov}"
-            f" / sqrt({va}) / sqrt({vb}) END"
-        )
-
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H},
-top AS (
-  SELECT symbol FROM (
-    SELECT symbol, count(*) AS n FROM idx GROUP BY 1
-    ORDER BY n DESC, symbol ASC LIMIT {CORR_MATRIX_TOP_K})),
-rets AS (
-  SELECT symbol, time_idx, ret,
-         lag(ret, 1) OVER (PARTITION BY symbol ORDER BY time_idx)
-           AS lret
-  FROM (
-    SELECT symbol, time_idx,
-           floor((close / nullif(lag(close) OVER (
-                  PARTITION BY symbol ORDER BY time_idx), 0.0) - 1)
-                * 1000000.0 + 0.5)::DECIMAL(38,0) AS ret
-    FROM idx WHERE symbol IN (SELECT symbol FROM top))
-  QUALIFY ret IS NOT NULL AND lret IS NOT NULL),
-agg AS (
-  SELECT b.symbol AS cause, a.symbol AS effect, count(*) AS n,
-         sum(a.ret) AS sx, sum(b.lret) AS sy, sum(a.lret) AS sz,
-         sum(a.ret * b.lret) AS sxy, sum(a.ret * a.lret) AS sxz,
-         sum(b.lret * a.lret) AS syz, sum(a.ret * a.ret) AS sxx,
-         sum(b.lret * b.lret) AS syy, sum(a.lret * a.lret) AS szz
-  FROM rets a JOIN rets b ON a.time_idx = b.time_idx
-    AND a.symbol <> b.symbol
-  GROUP BY 1, 2 HAVING count(*) >= {GRANGER_MIN_N}),
-pc AS (
-  SELECT cause, effect, n,
-         {corr('sxy', 'sx', 'sy', 'sxx', 'syy')} AS rxy,
-         {corr('sxz', 'sx', 'sz', 'sxx', 'szz')} AS rxz,
-         {corr('syz', 'sy', 'sz', 'syy', 'szz')} AS ryz
-  FROM agg),
-rp AS (
-  SELECT cause, effect, n,
-         CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0
-              THEN (rxy - rxz * ryz)
-                / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) END AS rp
-  FROM pc)
-SELECT cause, effect, n::BIGINT AS n,
-       {_sql_rne('rp', 'partial_corr', 8)},
-       {_sql_rne(
-           'CASE WHEN 1.0 - rp * rp > 0 THEN'
-           ' rp * sqrt((n::DOUBLE - 3.0) / (1.0 - rp * rp)) END',
-           'granger_t', 8)}
-FROM rp"""
-
-
-CHAR_DOMAIN = "abcdefghijklmnopqrstuvwxyz0123456789 "
-
-
-def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-distribution entropy per source over a FIXED 37-char
-    domain (a–z, 0–9, space; lowercased) — the encoding/garbage
-    screen below token level: mojibake, base64 blobs and
-    hex-dump-like feeds shift the char distribution long before
-    token-level quality scores move (reads next to doc_text_profile /
-    doc_token_entropy, which both tokenize first and so can't see
-    it). Counts come from the replace-length trick (len(text) −
-    len(replace(text, c))) — 37 expressions in ONE scan-shaped
-    projection, NO per-character explode (a char-explode multiplies
-    the scan by avg doc length); per-source sums are exact integers
-    and the entropy terms are an identical generated expression chain
-    in both engines."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("source").isNotNull()
-    )
-    lowered = F.lower(F.col("text"))
-    cnts = [
-        (
-            F.length(lowered)
-            - F.length(F.replace(lowered, F.lit(c)))
-        ).alias(f"c{i}")
-        for i, c in enumerate(CHAR_DOMAIN)
-    ]
-    per = docs.select("source", *cnts)
-    agg = per.groupBy("source").agg(
-        *[F.sum(f"c{i}").alias(f"c{i}") for i in range(len(CHAR_DOMAIN))]
-    )
-    total = None
-    for i in range(len(CHAR_DOMAIN)):
-        total = F.col(f"c{i}") if total is None else total + F.col(f"c{i}")
-    agg = agg.withColumn("nt", total).filter(F.col("nt") > 0)
-    n_ = F.col("nt").cast("double")
-    ent = None
-    for i in range(len(CHAR_DOMAIN)):
-        p = F.col(f"c{i}").cast("double") / n_
-        term = F.when(F.col(f"c{i}") > 0, -p * F.log(p)).otherwise(
-            F.lit(0.0)
-        )
-        ent = term if ent is None else ent + term
-    return agg.select(
-        "source",
-        F.col("nt").cast("long").alias("n_chars"),
-        _rne(ent, "char_entropy", 8),
-        _rne(ent / F.lit(math.log(len(CHAR_DOMAIN))), "entropy_norm", 8),
-    )
-
-
-def _sql_doc_char_entropy() -> str:
-    cnts = ", ".join(
-        "sum(length(lt) - length(replace(lt, '" + c + "', '')))"
-        f" AS c{i}"
-        for i, c in enumerate(CHAR_DOMAIN)
-        if c != "'"
-    )
-    tot = " + ".join(f"c{i}" for i in range(len(CHAR_DOMAIN)))
-    ent = " + ".join(
-        f"CASE WHEN c{i} > 0 THEN -(c{i}::DOUBLE / nt::DOUBLE)"
-        f" * ln(c{i}::DOUBLE / nt::DOUBLE) ELSE 0.0 END"
-        for i in range(len(CHAR_DOMAIN))
-    )
-    return f"""
-WITH lowered AS (
-  SELECT source, lower(text) AS lt FROM documents
-  WHERE source IS NOT NULL),
-agg AS (
-  SELECT source, {cnts}
-  FROM lowered GROUP BY 1),
-tot AS (
-  SELECT *, {tot} AS nt FROM agg)
-SELECT source, nt::BIGINT AS n_chars,
-       {_sql_rne(f'({ent})', 'char_entropy', 8)},
-       {_sql_rne(f'({ent}) / {math.log(len(CHAR_DOMAIN))!r}',
-                 'entropy_norm', 8)}
-FROM tot WHERE nt > 0"""
-
-
-def q_events_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tukey-fence outlier audit per event_type — the robust
-    complement of the z-score anomaly card (fences at q1/q3 ±
-    1.5·IQR are median-family statistics a few wild values cannot
-    drag, unlike a mean/σ filter at the exact moment it matters).
-    Quantiles use Spark's exact sort-based ``percentile`` —
-    bit-identical contract to DuckDB's quantile_cont (the
-    events_value_quantiles device; at 100 TB swap percentile_approx
-    in the same shape) — then ONE broadcast join of the |types|-row
-    stats frame back to the scan for the exact fence counts."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "value"
-    ).filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
-    q = F.expr("percentile(value, array(0.25D, 0.75D))")
-    stats = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), q.alias("qs")
-    ).select(
-        "event_type",
-        "n",
-        F.element_at("qs", 1).alias("q1"),
-        F.element_at("qs", 2).alias("q3"),
-    )
-    lo = F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))
-    hi = F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))
-    j = ev.join(F.broadcast(stats), "event_type")
-    agg = j.groupBy("event_type", "n", "q1", "q3").agg(
-        F.sum(F.when(F.col("value") < lo, 1).otherwise(0)).alias(
-            "n_low"
-        ),
-        F.sum(F.when(F.col("value") > hi, 1).otherwise(0)).alias(
-            "n_high"
-        ),
-    )
-    return agg.select(
-        "event_type",
-        F.col("n").cast("long").alias("n"),
-        _rne(F.col("q1"), "q1", 6),
-        _rne(F.col("q3"), "q3", 6),
-        F.col("n_low").cast("long").alias("n_low"),
-        F.col("n_high").cast("long").alias("n_high"),
-        _rne(
-            (F.col("n_low") + F.col("n_high")).cast("double")
-            / F.col("n").cast("double"),
-            "outlier_share",
-            8,
-        ),
-    )
-
-
-def _sql_events_iqr_outliers() -> str:
-    return f"""
-WITH ev AS (
-  SELECT event_type, value FROM events
-  WHERE event_type IS NOT NULL AND value IS NOT NULL),
-stats AS (
-  SELECT event_type, count(*) AS n,
-         quantile_cont(value, 0.25) AS q1,
-         quantile_cont(value, 0.75) AS q3
-  FROM ev GROUP BY 1),
-agg AS (
-  SELECT e.event_type, s.n, s.q1, s.q3,
-         sum(CASE WHEN e.value < s.q1 - 1.5 * (s.q3 - s.q1)
-                  THEN 1 ELSE 0 END) AS n_low,
-         sum(CASE WHEN e.value > s.q3 + 1.5 * (s.q3 - s.q1)
-                  THEN 1 ELSE 0 END) AS n_high
-  FROM ev e JOIN stats s ON e.event_type = s.event_type
-  GROUP BY 1, 2, 3, 4)
-SELECT event_type, n::BIGINT AS n,
-       {_sql_rne('q1', 'q1', 6)},
-       {_sql_rne('q3', 'q3', 6)},
-       n_low::BIGINT AS n_low, n_high::BIGINT AS n_high,
-       {_sql_rne('(n_low + n_high)::DOUBLE / n::DOUBLE',
-                 'outlier_share', 8)}
-FROM agg"""
-
-
-def q_events_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-type co-occurrence lift over (user, day) baskets — which
-    behaviors travel together (lift > 1) or repel (lift < 1): the
-    type-level association view beside events_assoc_rules' itemset
-    rules and events_markov_transitions' sequential view. Baskets are
-    distinct (user, day, type) triples; the pair expansion self-joins
-    WITHIN a basket, so work is Σ per-basket |types|² — bounded by
-    the type-universe, never the corpus. lift = c12·B/(c1·c2) and
-    PMI = ln lift are exact-integer ratios with one ln; |types|²
-    output rows."""
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select(
-            "user_id",
-            F.to_date("ts").alias("day"),
-            "event_type",
-        )
-        .filter(
-            F.col("user_id").isNotNull()
-            & F.col("day").isNotNull()
-            & F.col("event_type").isNotNull()
-        )
-        .distinct()
-    )
-    baskets = ev.groupBy("user_id", "day").agg(
-        F.count(F.lit(1)).alias("sz")
-    )
-    n_baskets = baskets.agg(F.count(F.lit(1)).alias("b"))
-    singles = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c1"))
-    a = ev.select("user_id", "day", F.col("event_type").alias("t1"))
-    b = ev.select("user_id", "day", F.col("event_type").alias("t2"))
-    pairs = (
-        a.join(b, ["user_id", "day"])
-        .filter(F.col("t1") < F.col("t2"))
-        .groupBy("t1", "t2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-    )
-    j = (
-        pairs.join(
-            F.broadcast(singles.select(F.col("event_type").alias("t1"),
-                                       F.col("c1").alias("ca"))),
-            "t1",
-        )
-        .join(
-            F.broadcast(singles.select(F.col("event_type").alias("t2"),
-                                       F.col("c1").alias("cb"))),
-            "t2",
-        )
-        .crossJoin(F.broadcast(n_baskets))
-    )
-    lift = (
-        F.col("c12").cast("double")
-        * F.col("b").cast("double")
-        / (F.col("ca").cast("double") * F.col("cb").cast("double"))
-    )
-    return j.select(
-        "t1",
-        "t2",
-        F.col("c12").cast("long").alias("n_cooccur"),
-        _rne(lift, "lift", 8),
-        _rne(F.log(lift), "pmi", 8),
-    )
-
-
-def _sql_events_type_lift() -> str:
-    lift = "c12::DOUBLE * b::DOUBLE / (ca::DOUBLE * cb::DOUBLE)"
-    return f"""
-WITH ev AS (
-  SELECT DISTINCT user_id, ts::DATE AS day, event_type FROM events
-  WHERE user_id IS NOT NULL AND ts IS NOT NULL
-    AND event_type IS NOT NULL),
-nb AS (
-  SELECT count(*) AS b FROM (SELECT DISTINCT user_id, day FROM ev)),
-singles AS (SELECT event_type, count(*) AS c1 FROM ev GROUP BY 1),
-pairs AS (
-  SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS c12
-  FROM ev a JOIN ev b
-    ON a.user_id = b.user_id AND a.day = b.day
-    AND a.event_type < b.event_type
-  GROUP BY 1, 2),
-j AS (
-  SELECT p.t1, p.t2, p.c12, sa.c1 AS ca, sb.c1 AS cb, nb.b
-  FROM pairs p
-  JOIN singles sa ON sa.event_type = p.t1
-  JOIN singles sb ON sb.event_type = p.t2
-  CROSS JOIN nb)
-SELECT t1, t2, c12::BIGINT AS n_cooccur,
-       {_sql_rne(lift, 'lift', 8)},
-       {_sql_rne(f'ln({lift})', 'pmi', 8)}
-FROM j"""
-
-
-TREND_MIN_N = 8
-
-
-def q_ts_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear-trend OLS per symbol (close on time_idx): slope, R² and
-    the slope t-stat — the trend-strength screen beside the ADF
-    unit-root test (ADF asks 'does the level predict the change';
-    this asks 'is there a deterministic drift and how much variance
-    does it explain' — fracdiff/detrending decisions read both).
-    time_idx and the 1e-6-snapped close are integers, so ALL OLS
-    moments ride exact DECIMAL; slope/R²/t are identical closed-form
-    IEEE expressions (SSE via the Syy − b·Sxy_c identity). One
-    map-side groupBy on the symbol exchange; slope is reported per
-    DAY (×4 buckets) in price units."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    d = df.select(
-        "symbol",
-        F.col("time_idx").cast("decimal(38,0)").alias("x"),
-        F.floor(F.col("close") * 1e6 + F.lit(0.5))
-        .cast("decimal(38,0)")
-        .alias("y"),
-    )
-    agg = d.groupBy("symbol").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-    ).filter(F.col("n") >= TREND_MIN_N)
-    nd = F.col("n").cast("decimal(38,0)")
-    vx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    vy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    cov = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    n_ = F.col("n").cast("double")
-    b = F.when(vx > 0, cov / vx)
-    r2 = F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy))
-    sse_n2 = F.when(vx > 0, (vy - b * cov) / (n_ * (n_ - F.lit(2.0))))
-    t = F.when(sse_n2 > 0, b / F.sqrt(sse_n2 * n_ / vx))
-    return agg.select(
-        "symbol",
-        F.col("n").cast("long").alias("n"),
-        _rne(b * F.lit(4.0) / F.lit(1e6), "slope_per_day", 10),
-        _rne(r2, "r2", 8),
-        _rne(t, "trend_t", 8),
-    )
-
-
-def _sql_ts_trend_ols() -> str:
-    vx = "(n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE"
-    vy = "(n::DECIMAL(38,0) * syy - sy * sy)::DOUBLE"
-    cov = "(n::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE"
-    b = f"CASE WHEN {vx} > 0 THEN {cov} / {vx} END"
-    sse = (
-        f"CASE WHEN {vx} > 0 THEN ({vy} - ({b}) * {cov})"
-        f" / (n::DOUBLE * (n::DOUBLE - 2.0)) END"
-    )
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-d AS (
-  SELECT symbol, time_idx::DECIMAL(38,0) AS x,
-         floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS y
-  FROM filled),
-agg AS (
-  SELECT symbol, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
-  FROM d GROUP BY 1 HAVING count(*) >= {TREND_MIN_N})
-SELECT symbol, n::BIGINT AS n,
-       {_sql_rne(f'({b}) * 4.0 / 1000000.0', 'slope_per_day', 10)},
-       {_sql_rne(
-           f'CASE WHEN {vx} > 0 AND {vy} > 0 THEN ({cov}) * ({cov})'
-           f' / (({vx}) * ({vy})) END', 'r2', 8)},
-       {_sql_rne(
-           f'CASE WHEN {sse} > 0 THEN ({b})'
-           f' / sqrt(({sse}) * n::DOUBLE / ({vx})) END', 'trend_t', 8)}
-FROM agg"""
-
-
-def q_ts_drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drawdown-EPISODE statistics per symbol — count, mean/max
-    duration and mean/max depth of contiguous underwater spells: the
-    distributional view that ulcer (RMS) and underwater-duration
-    (longest spell) summarize away (two symbols with equal ulcer can
-    be 'many shallow dips' vs 'one crater' — opposite hedging
-    problems). The running peak is an exact integer cummax; episodes
-    are gaps-and-islands (difference of two row_numbers — all
-    integers) over the underwater flag; depths are snapped ratios
-    with exact DECIMAL episode minima. Two windows + two map-side
-    aggregates on the symbol exchange."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    w = (
-        Window.partitionBy("symbol")
-        .orderBy("time_idx")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    d = df.withColumn(
-        "qc",
-        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
-    ).withColumn("pk", F.max("qc").over(w)).filter(F.col("pk") > 0)
-    uw = d.filter(F.col("qc") < F.col("pk"))
-    wall = Window.partitionBy("symbol").orderBy("time_idx")
-    dd = (F.col("qc") - F.col("pk")).cast("double") / F.col("pk").cast(
-        "double"
-    )
-    ddq = F.floor(dd * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)")
-    # gaps-and-islands: underwater rows consecutive in the FULL grid
-    # share (time_idx - row_number-over-underwater)
-    uw = uw.withColumn(
-        "ep",
-        F.col("time_idx") - F.row_number().over(wall),
-    ).withColumn("ddq", ddq)
-    eps = uw.groupBy("symbol", "ep").agg(
-        F.count(F.lit(1)).alias("dur"),
-        F.min("ddq").alias("depth_q"),
-    )
-    agg = eps.groupBy("symbol").agg(
-        F.count(F.lit(1)).alias("n_episodes"),
-        F.sum("dur").alias("sdur"),
-        F.max("dur").alias("max_dur"),
-        F.sum("depth_q").alias("sdepth"),
-        F.min("depth_q").alias("min_depth_q"),
-    )
-    n_ = F.col("n_episodes").cast("double")
-    return agg.select(
-        "symbol",
-        F.col("n_episodes").cast("long").alias("n_episodes"),
-        _rne(F.col("sdur").cast("double") / n_, "mean_duration", 8),
-        F.col("max_dur").cast("long").alias("max_duration"),
-        _rne(
-            -F.col("sdepth").cast("double") / n_ / F.lit(1e9) * F.lit(100.0),
-            "mean_depth_pct",
-            8,
-        ),
-        _rne(
-            -F.col("min_depth_q").cast("double") / F.lit(1e9) * F.lit(100.0),
-            "max_depth_pct",
-            8,
-        ),
-    )
-
-
-def _sql_ts_drawdown_episodes() -> str:
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-d AS (
-  SELECT symbol, time_idx, qc,
-         max(qc) OVER (PARTITION BY symbol ORDER BY time_idx
-           ROWS UNBOUNDED PRECEDING) AS pk
-  FROM (SELECT symbol, time_idx,
-               floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
-        FROM filled)
-  QUALIFY pk > 0),
-uw AS (
-  SELECT symbol, time_idx,
-         floor((qc - pk)::DOUBLE / pk::DOUBLE * 1000000000.0 + 0.5)
-           ::DECIMAL(38,0) AS ddq,
-         time_idx - row_number() OVER (PARTITION BY symbol
-                                       ORDER BY time_idx) AS ep
-  FROM d WHERE qc < pk),
-eps AS (
-  SELECT symbol, ep, count(*) AS dur, min(ddq) AS depth_q
-  FROM uw GROUP BY 1, 2),
-agg AS (
-  SELECT symbol, count(*) AS n_episodes, sum(dur) AS sdur,
-         max(dur) AS max_dur, sum(depth_q) AS sdepth,
-         min(depth_q) AS min_depth_q
-  FROM eps GROUP BY 1)
-SELECT symbol, n_episodes::BIGINT AS n_episodes,
-       {_sql_rne('sdur::DOUBLE / n_episodes::DOUBLE',
-                 'mean_duration', 8)},
-       max_dur::BIGINT AS max_duration,
-       {_sql_rne(
-           '-(sdepth::DOUBLE) / n_episodes::DOUBLE / 1000000000.0'
-           ' * 100.0', 'mean_depth_pct', 8)},
-       {_sql_rne(
-           '-(min_depth_q::DOUBLE) / 1000000000.0 * 100.0',
-           'max_depth_pct', 8)}
-FROM agg"""
-
-
-def q_ts_volatility_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Volatility-clustering screen per symbol — the ACF of |returns|
-    at lags 1–3: returns themselves are near-white (ts_pacf shows it)
-    but their MAGNITUDES are persistent in real markets; |r|-ACF
-    significantly > 0 is the ARCH effect that justifies the
-    GARCH/EWMA-vol stack (and near 0 says a constant-vol model is
-    fine — the model-selection gate before ts_garch_vol). Same
-    exact-DECIMAL lag-moment device as ts_pacf, applied to |rq| on
-    the shared 1e-6-snapped relative-return frame; one window
-    projection + one map-side groupBy on the symbol exchange."""
-    d = _rel_returns(spark, sf_dir, 1e6, with_idx=True).withColumn(
-        "aq", F.abs(F.col("rq"))
-    )
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    for k in (1, 2, 3):
-        d = d.withColumn(f"l{k}", F.lag("aq", k).over(w))
-    aggs = [
-        F.count(F.lit(1)).alias("n"),
-        F.sum("aq").alias("s1"),
-        F.sum(F.col("aq") * F.col("aq")).alias("s2"),
-    ]
-    for k in (1, 2, 3):
-        lk = F.col(f"l{k}")
-        valid = lk.isNotNull()
-        aggs += [
-            F.sum(F.when(valid, 1).otherwise(0)).alias(f"nk{k}"),
-            F.sum(F.when(valid, F.col("aq") * lk)).alias(f"pk{k}"),
-            F.sum(F.when(valid, F.col("aq"))).alias(f"hk{k}"),
-            F.sum(F.when(valid, lk)).alias(f"tk{k}"),
-        ]
-    agg = d.groupBy("symbol").agg(*aggs).filter(
-        F.col("n") >= PACF_MIN_N
-    )
-    n_ = F.col("n").cast("double")
-    mu = F.col("s1").cast("double") / n_
-    den = F.col("s2").cast("double") - F.col("s1").cast("double") * mu
-    outs = ["symbol", F.col("n").cast("long").alias("n")]
-    for k in (1, 2, 3):
-        num = (
-            F.col(f"pk{k}").cast("double")
-            - mu
-            * (
-                F.col(f"hk{k}").cast("double")
-                + F.col(f"tk{k}").cast("double")
-            )
-            + F.col(f"nk{k}").cast("double") * mu * mu
-        )
-        outs.append(_rne(F.when(den > 0, num / den), f"acf{k}_abs", 8))
-    return agg.select(*outs)
-
-
-def _sql_ts_volatility_clustering() -> str:
-    mu = "s1::DOUBLE / n::DOUBLE"
-    den = f"s2::DOUBLE - s1::DOUBLE * ({mu})"
-    rho = {
-        k: (
-            f"CASE WHEN {den} > 0 THEN (pk{k}::DOUBLE - ({mu})"
-            f" * (hk{k}::DOUBLE + tk{k}::DOUBLE)"
-            f" + nk{k}::DOUBLE * ({mu}) * ({mu})) / ({den}) END"
-        )
-        for k in (1, 2, 3)
-    }
-    lag_cols = ",\n         ".join(
-        f"lag(aq, {k}) OVER (PARTITION BY symbol ORDER BY time_idx)"
-        f" AS l{k}"
-        for k in (1, 2, 3)
-    )
-    mom_cols = ",\n         ".join(
-        f"sum(CASE WHEN l{k} IS NOT NULL THEN 1 ELSE 0 END) AS nk{k},"
-        f" sum(CASE WHEN l{k} IS NOT NULL THEN aq * l{k} END) AS pk{k},"
-        f" sum(CASE WHEN l{k} IS NOT NULL THEN aq END) AS hk{k},"
-        f" sum(CASE WHEN l{k} IS NOT NULL THEN l{k} END) AS tk{k}"
-        for k in (1, 2, 3)
-    )
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-{_sql_rel_returns('1000000.0')},
-lagged AS (
-  SELECT symbol, aq,
-         {lag_cols}
-  FROM (SELECT symbol, time_idx, abs(rq) AS aq FROM ret)),
-agg AS (
-  SELECT symbol, count(*) AS n, sum(aq) AS s1, sum(aq * aq) AS s2,
-         {mom_cols}
-  FROM lagged GROUP BY 1 HAVING count(*) >= {PACF_MIN_N})
-SELECT symbol, n::BIGINT AS n,
-       {_sql_rne(rho[1], 'acf1_abs', 8)},
-       {_sql_rne(rho[2], 'acf2_abs', 8)},
-       {_sql_rne(rho[3], 'acf3_abs', 8)}
-FROM agg"""
-
-
-def q_emb_fisher_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fisher discriminant ratio of the labeled embedding corpus —
-    between-class vs within-class scatter (the one-number answer to
-    'are these labels linearly separable in this embedding space';
-    low Fisher predicts poor kNN/centroid classification BEFORE any
-    model is trained — reads next to emb_cluster_purity and
-    emb_triplet_margin). Scatter identities keep everything
-    aggregate-shaped: within = Σ‖x‖² − Σ_l ‖S_l‖²/n_l, between =
-    Σ_l ‖S_l‖²/n_l − ‖S‖²/N — one explode + one (label, dim)
-    exact-DECIMAL aggregate, NO per-pair or per-centroid join. The
-    per-(label,dim) and per-dim division terms snap to the 1e-6 grid
-    into DECIMAL sums (order-free); the F statistic scales by the
-    (N−K)/(K−1) dof ratio. Output is one row."""
-    emb = _emb(spark, sf_dir)
-    e = emb.select(
-        "label", F.posexplode("v").alias("dim", "x")
-    ).select(
-        "label",
-        "dim",
-        F.floor(F.col("x") * 1e6 + F.lit(0.5))
-        .cast("decimal(38,0)")
-        .alias("q"),
-    )
-    nl = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_l"))
-    ld = e.groupBy("label", "dim").agg(
-        F.sum("q").alias("s_ld"),
-        F.sum(F.col("q") * F.col("q")).alias("q2_ld"),
-    ).join(F.broadcast(nl), "label")
-    t_l = F.floor(
-        (F.col("s_ld") * F.col("s_ld")).cast("double")
-        / F.col("n_l").cast("double")
-        / F.lit(1e12)
-        * F.lit(1e6)
-        + F.lit(0.5)
-    ).cast("decimal(38,0)")
-    mid = ld.select(
-        "dim",
-        "s_ld",
-        F.col("q2_ld").alias("q2"),
-        t_l.alias("tl"),
-        "label",
-    )
-    dims = mid.groupBy("dim").agg(
-        F.sum("s_ld").alias("s_d"),
-        F.sum("q2").alias("q2_d"),
-        F.sum("tl").alias("tl_d"),
-    )
-    ntot = emb.agg(
-        F.count(F.lit(1)).alias("nn"),
-        F.countDistinct("label").alias("kk"),
-    )
-    t_g = F.floor(
-        (F.col("s_d") * F.col("s_d")).cast("double")
-        / F.col("nn").cast("double")
-        / F.lit(1e12)
-        * F.lit(1e6)
-        + F.lit(0.5)
-    ).cast("decimal(38,0)")
-    j = dims.crossJoin(F.broadcast(ntot)).select(
-        "nn",
-        "kk",
-        "q2_d",
-        "tl_d",
-        t_g.alias("tg"),
-    )
-    agg = j.groupBy("nn", "kk").agg(
-        F.sum("q2_d").alias("sq2"),
-        F.sum("tl_d").alias("stl"),
-        F.sum("tg").alias("stg"),
-    )
-    # units: q² terms are 1e12-scaled; tl/tg snapped at 1e6 of the
-    # 1e12-descaled value -> descale consistently
-    within = F.col("sq2").cast("double") / F.lit(1e12) - F.col(
-        "stl"
-    ).cast("double") / F.lit(1e6)
-    between = (
-        F.col("stl").cast("double") - F.col("stg").cast("double")
-    ) / F.lit(1e6)
-    n_ = F.col("nn").cast("double")
-    k_ = F.col("kk").cast("double")
-    fisher = F.when(
-        (within > 0) & (k_ > 1),
-        (between / (k_ - F.lit(1.0))) / (within / (n_ - k_)),
-    )
-    return agg.select(
-        F.col("nn").cast("long").alias("n_vectors"),
-        F.col("kk").cast("long").alias("n_labels"),
-        _rne(between, "between_scatter", 6),
-        _rne(within, "within_scatter", 6),
-        _rne(fisher, "fisher_f", 8),
-    )
-
-
-def _sql_emb_fisher_ratio() -> str:
-    return f"""
-WITH e AS (
-  SELECT label, i - 1 AS dim,
-         floor(embedding[i]::DOUBLE * 1000000.0 + 0.5)
-           ::DECIMAL(38,0) AS q
-  FROM embeddings,
-       LATERAL (SELECT unnest(generate_series(1, {EMB_DIM})) AS i)),
-nl AS (SELECT label, count(*) AS n_l FROM embeddings GROUP BY 1),
-ld AS (
-  SELECT e.label, e.dim, sum(q) AS s_ld, sum(q * q) AS q2_ld
-  FROM e GROUP BY 1, 2),
-mid AS (
-  SELECT ld.dim, ld.s_ld, ld.q2_ld,
-         floor((ld.s_ld * ld.s_ld)::DOUBLE / nl.n_l::DOUBLE / 1e12
-               * 1000000.0 + 0.5)::DECIMAL(38,0) AS tl
-  FROM ld JOIN nl ON ld.label = nl.label),
-dims AS (
-  SELECT dim, sum(s_ld) AS s_d, sum(q2_ld) AS q2_d, sum(tl) AS tl_d
-  FROM mid GROUP BY 1),
-nt AS (SELECT count(*) AS nn, count(DISTINCT label) AS kk
-       FROM embeddings),
-j AS (
-  SELECT nn, kk, q2_d, tl_d,
-         floor((s_d * s_d)::DOUBLE / nn::DOUBLE / 1e12
-               * 1000000.0 + 0.5)::DECIMAL(38,0) AS tg
-  FROM dims CROSS JOIN nt),
-agg AS (
-  SELECT nn, kk, sum(q2_d) AS sq2, sum(tl_d) AS stl, sum(tg) AS stg
-  FROM j GROUP BY 1, 2)
-SELECT nn::BIGINT AS n_vectors, kk::BIGINT AS n_labels,
-       {_sql_rne(
-           '(stl::DOUBLE - stg::DOUBLE) / 1000000.0',
-           'between_scatter', 6)},
-       {_sql_rne(
-           'sq2::DOUBLE / 1e12 - stl::DOUBLE / 1000000.0',
-           'within_scatter', 6)},
-       {_sql_rne(
-           'CASE WHEN sq2::DOUBLE / 1e12 - stl::DOUBLE / 1000000.0 > 0'
-           ' AND kk > 1 THEN'
-           ' ((stl::DOUBLE - stg::DOUBLE) / 1000000.0'
-           '  / (kk::DOUBLE - 1.0))'
-           ' / ((sq2::DOUBLE / 1e12 - stl::DOUBLE / 1000000.0)'
-           '    / (nn::DOUBLE - kk::DOUBLE)) END', 'fisher_f', 8)}
-FROM agg"""
-
-
-TAIL_Q = 0.1
-
-
-def q_ts_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lower-tail dependence for the top-k symbol pairs — do they
-    crash TOGETHER? λ = P(A below its own 10th percentile | B below
-    its) — the co-crash statistic a correlation matrix systematically
-    understates (Gaussian copulas have λ = 0 at any ρ < 1; portfolio
-    risk lives exactly there). Per-symbol thresholds use the exact
-    sort-based percentile on the snapped return (the quantile-family
-    device); the flagged series then pair-join k-bounded on time_idx
-    and every output is a ratio of exact integer counts. Reads next
-    to ts_symbol_corr_matrix / ts_spearman_corr."""
-    r = _resampled(spark, sf_dir).select("symbol", "time_idx", "close")
-    top = (
-        r.groupBy("symbol")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("symbol").asc())
-        .limit(CORR_MATRIX_TOP_K)
-        .select("symbol")
-    )
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    ret_raw = (
-        F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1
-    )
-    rets = (
-        r.join(F.broadcast(top), "symbol")
-        .withColumn(
-            "ret", F.floor(ret_raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-        )
-        .filter(F.col("ret").isNotNull())
-        .select("symbol", "time_idx", "ret")
-    )
-    thr = rets.groupBy("symbol").agg(
-        F.expr(f"percentile(ret, {TAIL_Q}D)").alias("q10")
-    )
-    flagged = rets.join(F.broadcast(thr), "symbol").select(
-        "symbol",
-        "time_idx",
-        (F.col("ret") <= F.col("q10")).cast("int").alias("fl"),
-    )
-    a = flagged.select(
-        F.col("symbol").alias("sym_a"), "time_idx", F.col("fl").alias("fa")
-    )
-    b = flagged.select(
-        F.col("symbol").alias("sym_b"), "time_idx", F.col("fl").alias("fb")
-    )
-    agg = (
-        a.join(b, "time_idx")
-        .filter(F.col("sym_a") < F.col("sym_b"))
-        .groupBy("sym_a", "sym_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_obs"),
-            F.sum("fa").alias("na"),
-            F.sum("fb").alias("nb"),
-            F.sum(F.col("fa") * F.col("fb")).alias("n_both"),
-        )
-        .filter((F.col("na") > 0) & (F.col("nb") > 0))
-    )
-    n_ = F.col("n_obs").cast("double")
-    lam = F.col("n_both").cast("double") / F.col("nb").cast("double")
-    lift = (
-        F.col("n_both").cast("double")
-        * n_
-        / (F.col("na").cast("double") * F.col("nb").cast("double"))
-    )
-    return agg.select(
-        "sym_a",
-        "sym_b",
-        F.col("n_obs").cast("long").alias("n_obs"),
-        F.col("n_both").cast("long").alias("n_both"),
-        _rne(lam, "tail_lambda", 8),
-        _rne(lift, "tail_lift", 8),
-    )
-
-
-def _sql_ts_tail_dependence() -> str:
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H},
-top AS (
-  SELECT symbol FROM (
-    SELECT symbol, count(*) AS n FROM idx GROUP BY 1
-    ORDER BY n DESC, symbol ASC LIMIT {CORR_MATRIX_TOP_K})),
-rets AS (
-  SELECT symbol, time_idx,
-         floor((close / nullif(lag(close) OVER (
-                PARTITION BY symbol ORDER BY time_idx), 0.0) - 1)
-              * 1000000.0 + 0.5) / 1000000.0 AS ret
-  FROM idx WHERE symbol IN (SELECT symbol FROM top)
-  QUALIFY ret IS NOT NULL),
-thr AS (
-  SELECT symbol, quantile_cont(ret, {TAIL_Q}) AS q10
-  FROM rets GROUP BY 1),
-flagged AS (
-  SELECT r.symbol, r.time_idx,
-         (r.ret <= t.q10)::INT AS fl
-  FROM rets r JOIN thr t ON r.symbol = t.symbol),
-agg AS (
-  SELECT a.symbol AS sym_a, b.symbol AS sym_b, count(*) AS n_obs,
-         sum(a.fl) AS na, sum(b.fl) AS nb, sum(a.fl * b.fl) AS n_both
-  FROM flagged a JOIN flagged b ON a.time_idx = b.time_idx
-    AND a.symbol < b.symbol
-  GROUP BY 1, 2 HAVING sum(a.fl) > 0 AND sum(b.fl) > 0)
-SELECT sym_a, sym_b, n_obs::BIGINT AS n_obs, n_both::BIGINT AS n_both,
-       {_sql_rne('n_both::DOUBLE / nb::DOUBLE', 'tail_lambda', 8)},
-       {_sql_rne(
-           'n_both::DOUBLE * n_obs::DOUBLE'
-           ' / (na::DOUBLE * nb::DOUBLE)', 'tail_lift', 8)}
-FROM agg"""
-
-
-def q_part_brand_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retail-price dispersion per brand — n/mean/CV/median/extremes
-    of p_retailprice in exact integer cents: the catalog-pricing
-    profile that flags brands whose price architecture drifted (a CV
-    jump = inconsistent pricing, a median≠mean gap = a skewed line).
-    Exact DECIMAL moments for mean/CV; the median uses the exact
-    sort-based percentile device. One map-side groupBy over the part
-    scan; |brands| rows."""
-    p = load_table(spark, sf_dir, "part").select(
-        "p_brand",
-        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
-        .cast("decimal(38,0)")
-        .alias("cents"),
-    ).filter(F.col("p_brand").isNotNull() & F.col("cents").isNotNull())
-    agg = p.groupBy("p_brand").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("s1"),
-        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
-        F.min("cents").alias("mn"),
-        F.max("cents").alias("mx"),
-        F.expr("percentile(cents, 0.5D)").alias("p50c"),
-    )
-    n_ = F.col("n").cast("double")
-    mean = F.col("s1").cast("double") / n_ / F.lit(100.0)
-    var = (
-        (
-            F.col("n").cast("decimal(38,0)") * F.col("s2")
-            - F.col("s1") * F.col("s1")
-        ).cast("double")
-        / (n_ * n_)
-        / F.lit(1e4)
-    )
-    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
-    return agg.select(
-        F.col("p_brand").alias("brand"),
-        F.col("n").cast("long").alias("n"),
-        _rne(mean, "mean_price", 6),
-        _rne(F.when(mean > 0, sd / mean), "cv", 8),
-        _rne(F.col("p50c") / F.lit(100.0), "median_price", 6),
-        _rne(F.col("mn").cast("double") / F.lit(100.0), "min_price", 2),
-        _rne(F.col("mx").cast("double") / F.lit(100.0), "max_price", 2),
-    )
-
-
-def _sql_part_brand_price_spread() -> str:
-    mean = "s1::DOUBLE / n::DOUBLE / 100.0"
-    var = (
-        "(n::DECIMAL(38,0) * s2 - s1 * s1)::DOUBLE"
-        " / (n::DOUBLE * n::DOUBLE) / 1e4"
-    )
-    sd = f"sqrt(greatest({var}, 0.0))"
-    return f"""
-WITH p AS (
-  SELECT p_brand,
-         floor(p_retailprice * 100 + 0.5)::DECIMAL(38,0) AS cents
-  FROM part WHERE p_brand IS NOT NULL AND p_retailprice IS NOT NULL),
-agg AS (
-  SELECT p_brand, count(*) AS n, sum(cents) AS s1,
-         sum(cents * cents) AS s2, min(cents) AS mn, max(cents) AS mx,
-         quantile_cont(cents, 0.5) AS p50c
-  FROM p GROUP BY 1)
-SELECT p_brand AS brand, n::BIGINT AS n,
-       {_sql_rne(mean, 'mean_price', 6)},
-       {_sql_rne(
-           f'CASE WHEN {mean} > 0 THEN {sd} / ({mean}) END', 'cv', 8)},
-       {_sql_rne('p50c / 100.0', 'median_price', 6)},
-       {_sql_rne('mn::DOUBLE / 100.0', 'min_price', 2)},
-       {_sql_rne('mx::DOUBLE / 100.0', 'max_price', 2)}
-FROM agg"""
-
-
-def q_customer_balance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Account-balance profile per market segment — n, exact mean,
-    negative-balance share, and p10/p50/p90 (exact sort-based
-    percentile; percentile_approx is the 100 TB swap-in): the
-    credit-risk mix behind tpch_q22's idle-balance query, segment by
-    segment. Money rides exact integer cents; one map-side groupBy;
-    |segments| rows."""
-    c = load_table(spark, sf_dir, "customer").select(
-        "c_mktsegment",
-        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents"),
-    ).filter(
-        F.col("c_mktsegment").isNotNull() & F.col("cents").isNotNull()
-    )
-    q = F.expr("percentile(cents, array(0.1D, 0.5D, 0.9D))")
-    agg = c.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s1"),
-        F.sum(F.when(F.col("cents") < 0, 1).otherwise(0)).alias("nneg"),
-        q.alias("qs"),
-    )
-    n_ = F.col("n").cast("double")
-    return agg.select(
-        F.col("c_mktsegment").alias("segment"),
-        F.col("n").cast("long").alias("n"),
-        _rne(F.col("s1").cast("double") / n_ / F.lit(100.0),
-             "mean_bal", 6),
-        _rne(F.col("nneg").cast("double") / n_, "pct_negative", 8),
-        _rne(F.element_at("qs", 1) / F.lit(100.0), "p10", 6),
-        _rne(F.element_at("qs", 2) / F.lit(100.0), "p50", 6),
-        _rne(F.element_at("qs", 3) / F.lit(100.0), "p90", 6),
-    )
-
-
-def _sql_customer_balance_profile() -> str:
-    return f"""
-WITH c AS (
-  SELECT c_mktsegment,
-         floor(c_acctbal * 100 + 0.5)::BIGINT AS cents
-  FROM customer
-  WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL),
-agg AS (
-  SELECT c_mktsegment, count(*) AS n,
-         sum(cents::DECIMAL(38,0)) AS s1,
-         sum(CASE WHEN cents < 0 THEN 1 ELSE 0 END) AS nneg,
-         quantile_cont(cents, 0.1) AS p10c,
-         quantile_cont(cents, 0.5) AS p50c,
-         quantile_cont(cents, 0.9) AS p90c
-  FROM c GROUP BY 1)
-SELECT c_mktsegment AS segment, n::BIGINT AS n,
-       {_sql_rne('s1::DOUBLE / n::DOUBLE / 100.0', 'mean_bal', 6)},
-       {_sql_rne('nneg::DOUBLE / n::DOUBLE', 'pct_negative', 8)},
-       {_sql_rne('p10c / 100.0', 'p10', 6)},
-       {_sql_rne('p50c / 100.0', 'p50', 6)},
-       {_sql_rne('p90c / 100.0', 'p90', 6)}
-FROM agg"""
-
-
-PREFIX_LEN = 64
-PREFIX_TOP_K = 20
-
-
-def q_doc_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boilerplate-prefix screen — document groups sharing an
-    identical lowercased 64-char prefix: the template/header
-    detector that catches scraped-site chrome, license headers and
-    form letters BEFORE near-dup hashing spends shingles on them
-    (exact-prefix grouping is the cheap first tier of the dedup
-    cascade; reads next to doc_exact_dup_groups, which needs the
-    WHOLE doc equal). Counts are exact; the top-20 cut is
-    TakeOrderedAndProject on the group aggregate; share divides by
-    one broadcast scalar. Output: ≤20 rows."""
-    docs = load_table(spark, sf_dir, "documents")
-    ntot = docs.agg(F.count(F.lit(1)).alias("nt"))
-    pref = docs.select(
-        F.lower(F.substring(F.col("text"), 1, PREFIX_LEN)).alias(
-            "prefix"
-        ),
-        "source",
-    ).filter(F.col("prefix").isNotNull() & (F.col("prefix") != ""))
-    grp = pref.groupBy("prefix").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("source").alias("n_sources"),
-    ).filter(F.col("n_docs") >= 2)
-    top = grp.orderBy(
-        F.col("n_docs").desc(), F.col("prefix").asc()
-    ).limit(PREFIX_TOP_K)
-    j = top.crossJoin(F.broadcast(ntot))
-    return j.select(
-        "prefix",
-        F.col("n_docs").cast("long").alias("n_docs"),
-        F.col("n_sources").cast("long").alias("n_sources"),
-        _rne(
-            F.col("n_docs").cast("double") / F.col("nt").cast("double"),
-            "share",
-            8,
-        ),
-    )
-
-
-def _sql_doc_prefix_boilerplate() -> str:
-    return f"""
-WITH nt AS (SELECT count(*) AS nt FROM documents),
-pref AS (
-  SELECT lower(substr(text, 1, {PREFIX_LEN})) AS prefix, source
-  FROM documents
-  WHERE text IS NOT NULL AND substr(text, 1, {PREFIX_LEN}) <> ''),
-grp AS (
-  SELECT prefix, count(*) AS n_docs,
-         count(DISTINCT source) AS n_sources
-  FROM pref GROUP BY 1 HAVING count(*) >= 2),
-top AS (
-  SELECT * FROM grp ORDER BY n_docs DESC, prefix ASC
-  LIMIT {PREFIX_TOP_K})
-SELECT prefix, n_docs::BIGINT AS n_docs, n_sources::BIGINT AS n_sources,
-       {_sql_rne('n_docs::DOUBLE / nt::DOUBLE', 'share', 8)}
-FROM top CROSS JOIN nt"""
-
-
-def q_ts_month_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Month-of-year return seasonality pooled across symbols — the
-    annual-calendar twin of ts_dow_seasonality ('sell in May',
-    January-effect class screens; a month whose |t| clears ~2 is a
-    candidate seasonal regressor). The bucket's calendar month comes
-    from one engine-neutral date construction (anchor date + integer
-    day index — month() numbering is 1–12 in both engines, unlike
-    dayofweek); returns ride the shared 1e-8-snapped `_rel_returns`
-    frame with exact DECIMAL moments; ≤12 output rows."""
-    d = _rel_returns(spark, sf_dir, 1e8, with_idx=True)
-    day_idx = F.expr("time_idx div 4").cast("int")
-    mon = F.month(F.date_add(F.lit("2000-01-01").cast("date"), day_idx))
-    agg = (
-        d.select(mon.alias("month"), "rq")
-        .groupBy("month")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("rq").alias("s1"),
-            F.sum(F.col("rq") * F.col("rq")).alias("s2"),
-        )
-    )
-    n_ = F.col("n").cast("double")
-    mean = F.col("s1").cast("double") / n_ / F.lit(1e8)
-    var = (
-        (
-            F.col("n").cast("decimal(38,0)") * F.col("s2")
-            - F.col("s1") * F.col("s1")
-        ).cast("double")
-        / (n_ * n_)
-        / F.lit(1e16)
-    )
-    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
-    t = F.when(sd > 0, mean / (sd / F.sqrt(n_)))
-    return agg.select(
-        F.col("month").cast("long").alias("month"),
-        F.col("n").cast("long").alias("n"),
-        _rne(mean, "mean_ret", 10),
-        _rne(t, "t_stat", 8),
-    )
-
-
-def _sql_ts_month_seasonality() -> str:
-    mean = "s1::DOUBLE / n::DOUBLE / 100000000.0"
-    var = (
-        "(n::DECIMAL(38,0) * s2 - s1 * s1)::DOUBLE"
-        " / (n::DOUBLE * n::DOUBLE) / 1e16"
-    )
-    sd = f"sqrt(greatest({var}, 0.0))"
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-{_sql_rel_returns('100000000.0')},
-agg AS (
-  SELECT month(DATE '2000-01-01'
-               + CAST(time_idx // 4 AS INT)) AS month,
-         count(*) AS n, sum(rq) AS s1, sum(rq * rq) AS s2
-  FROM ret GROUP BY 1)
-SELECT month::BIGINT AS month, n::BIGINT AS n,
-       {_sql_rne(mean, 'mean_ret', 10)},
-       {_sql_rne(
-           f'CASE WHEN {sd} > 0 THEN ({mean})'
-           f' / ({sd} / sqrt(n::DOUBLE)) END', 't_stat', 8)}
-FROM agg"""
-
-
-def q_ts_leverage_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leverage-effect screen per symbol — corr(r_t, |r|_{t+1}):
-    negative in equity-like markets (down moves raise NEXT-period
-    volatility more than up moves — the asymmetry that motivates
-    EGARCH/GJR over plain GARCH; the signed complement of
-    ts_volatility_clustering's |r|-ACF). One lead window on the
-    shared 1e-6-snapped return frame; five exact DECIMAL pair
-    moments; corr and its t are final IEEE expressions."""
-    d = _rel_returns(spark, sf_dir, 1e6, with_idx=True)
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    d = d.withColumn("y", F.abs(F.lead("rq", 1).over(w))).filter(
-        F.col("y").isNotNull()
-    )
-    agg = d.groupBy("symbol").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("rq").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("rq") * F.col("y")).alias("sxy"),
-        F.sum(F.col("rq") * F.col("rq")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-    ).filter(F.col("n") >= PACF_MIN_N)
-    nd = F.col("n").cast("decimal(38,0)")
-    cov = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    vx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    vy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    rho = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx) / F.sqrt(vy))
-    n_ = F.col("n").cast("double")
-    t = F.when(
-        F.lit(1.0) - rho * rho > 0,
-        rho * F.sqrt((n_ - F.lit(2.0)) / (F.lit(1.0) - rho * rho)),
-    )
-    return agg.select(
-        "symbol",
-        F.col("n").cast("long").alias("n"),
-        _rne(rho, "leverage_corr", 8),
-        _rne(t, "t_stat", 8),
-    )
-
-
-def _sql_ts_leverage_effect() -> str:
-    cov = "(n::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE"
-    vx = "(n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE"
-    vy = "(n::DECIMAL(38,0) * syy - sy * sy)::DOUBLE"
-    rho = (
-        f"CASE WHEN {vx} > 0 AND {vy} > 0 THEN {cov}"
-        f" / sqrt({vx}) / sqrt({vy}) END"
-    )
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-{_sql_rel_returns('1000000.0')},
-dl AS (
-  SELECT symbol, rq,
-         abs(lead(rq, 1) OVER (PARTITION BY symbol ORDER BY time_idx))
-           AS y
-  FROM ret QUALIFY y IS NOT NULL),
-agg AS (
-  SELECT symbol, count(*) AS n, sum(rq) AS sx, sum(y) AS sy,
-         sum(rq * y) AS sxy, sum(rq * rq) AS sxx, sum(y * y) AS syy
-  FROM dl GROUP BY 1 HAVING count(*) >= {PACF_MIN_N}),
-rh AS (SELECT symbol, n, {rho} AS rho FROM agg)
-SELECT symbol, n::BIGINT AS n,
-       {_sql_rne('rho', 'leverage_corr', 8)},
-       {_sql_rne(
-           'CASE WHEN 1.0 - rho * rho > 0 THEN rho'
-           ' * sqrt((n::DOUBLE - 2.0) / (1.0 - rho * rho)) END',
-           't_stat', 8)}
-FROM rh"""
-
-
-def q_emb_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-duplicate embedding groups — vectors identical on the
-    1e-6 grid, keyed by a portable signature hash of the snapped
-    coordinates: the cheap FIRST tier of the vector-dedup cascade
-    (emb_near_dup_pairs' LSH spends banding on pairs this groupBy
-    removes for free; the doc-side twin is doc_exact_dup_groups).
-    One in-row transform (snap → string-join → hash60, no explode)
-    + one groupBy. The output is the ALWAYS-NON-EMPTY summary row
-    (the media_ahash lesson: a fixture with zero dups must still
-    exercise the signature derivation in the cross-engine gate) —
-    total vectors, distinct signatures, dup groups/vectors, largest
-    group, and an XOR checksum of ALL signatures (order-free; a
-    one-bit divergence in either engine's snap→join→hash chain flips
-    it) — plus one row per dup group when they exist."""
-    emb = _emb(spark, sf_dir)
-    sig_str = F.concat_ws(
-        ",",
-        F.transform(
-            "v",
-            lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5))
-            .cast("long")
-            .cast("string"),
-        ),
-    )
-    d = emb.select(
-        "vec_id", "label", hash60(sig_str).alias("sig")
-    )
-    grp = d.groupBy("sig").agg(
-        F.count(F.lit(1)).alias("gs"),
-        F.min("vec_id").alias("keeper"),
-        F.countDistinct("label").alias("nl"),
-    )
-    dups = grp.filter(F.col("gs") >= 2).select(
-        F.lit("group").alias("row_type"),
-        F.col("sig").cast("long").alias("sig"),
-        F.col("gs").cast("long").alias("group_size"),
-        F.col("keeper").cast("long").alias("keeper_id"),
-        F.col("nl").cast("long").alias("n_labels"),
-    )
-    summary = grp.agg(
-        F.lit("summary").alias("row_type"),
-        # XOR-fold of signatures: order/partitioning-free
-        F.expr("bit_xor(sig)").cast("long").alias("sig"),
-        F.sum("gs").cast("long").alias("group_size"),
-        F.count(F.lit(1)).cast("long").alias("keeper_id"),
-        F.sum(F.when(F.col("gs") >= 2, F.col("gs")).otherwise(0))
-        .cast("long")
-        .alias("n_labels"),
-    )
-    return dups.unionAll(summary).select(
-        "row_type",
-        "sig",
-        "group_size",
-        "keeper_id",
-        "n_labels",
-    )
-
-
-def _sql_emb_exact_dup_groups() -> str:
-    sig = sql_hash60(
-        "array_to_string(list_transform(embedding,"
-        " x -> CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS BIGINT)"
-        "::VARCHAR), ',')"
-    )
-    return f"""
-WITH grp AS (
-  SELECT {sig} AS sig, count(*) AS gs, min(vec_id) AS keeper,
-         count(DISTINCT label) AS nl
-  FROM embeddings GROUP BY 1)
-SELECT 'group' AS row_type, sig::BIGINT AS sig,
-       gs::BIGINT AS group_size, keeper::BIGINT AS keeper_id,
-       nl::BIGINT AS n_labels
-FROM grp WHERE gs >= 2
-UNION ALL
-SELECT 'summary' AS row_type, bit_xor(sig)::BIGINT AS sig,
-       sum(gs)::BIGINT AS group_size, count(*)::BIGINT AS keeper_id,
-       sum(CASE WHEN gs >= 2 THEN gs ELSE 0 END)::BIGINT AS n_labels
-FROM grp"""
-
-
-def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Readability profile per source — mean words/sentence, mean
-    chars/word, and a deterministic Flesch-style score (206.835 −
-    1.015·wps − 84.6·(cpw/3) — chars-per-word/3 standing in for
-    syllables-per-word: a monotone proxy that needs no dictionary
-    and no regex dialect): the fluency screen between
-    doc_text_profile's raw counts and the LM-perplexity cards.
-    Sentences are counted with the replace-length trick on .!? (the
-    char-entropy device — no regex, engine-neutral); words/chars
-    come from the shared tokenizer. All sums exact integers; the
-    score is one final expression; docs with zero sentences count as
-    one sentence in both engines (greatest guard)."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("source").isNotNull()
-    )
-    toks = tokens(F.col("text"))
-    sent = None
-    for ch in ".!?":
-        c = F.length(F.col("text")) - F.length(
-            F.replace(F.col("text"), F.lit(ch))
-        )
-        sent = c if sent is None else sent + c
-    per = docs.select(
-        "source",
-        F.size(toks).alias("w"),
-        F.aggregate(
-            F.transform(toks, lambda t: F.length(t)),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ).alias("wc"),
-        F.greatest(sent, F.lit(1)).alias("s"),
-    ).filter(F.col("w") > 0)
-    agg = per.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("w").alias("tw"),
-        F.sum("wc").alias("twc"),
-        F.sum("s").alias("ts"),
-    )
-    wps = F.col("tw").cast("double") / F.col("ts").cast("double")
-    cpw = F.col("twc").cast("double") / F.col("tw").cast("double")
-    flesch = (
-        F.lit(206.835)
-        - F.lit(1.015) * wps
-        - F.lit(84.6) * (cpw / F.lit(3.0))
-    )
-    return agg.select(
-        "source",
-        F.col("n_docs").cast("long").alias("n_docs"),
-        _rne(wps, "words_per_sentence", 6),
-        _rne(cpw, "chars_per_word", 6),
-        _rne(flesch, "flesch_proxy", 6),
-    )
-
-
-def _sql_doc_readability() -> str:
-    sent = " + ".join(
-        f"(length(text) - length(replace(text, '{ch}', '')))"
-        for ch in ".!?"
-    )
-    return f"""
-WITH per AS (
-  SELECT source,
-         length({sql_tokens('text')}) AS w,
-         list_reduce(list_transform({sql_tokens('text')},
-                                    t -> length(t)),
-                     (a, b) -> a + b) AS wc,
-         greatest({sent}, 1) AS s
-  FROM documents WHERE source IS NOT NULL),
-agg AS (
-  SELECT source, count(*) AS n_docs, sum(w) AS tw, sum(wc) AS twc,
-         sum(s) AS ts
-  FROM per WHERE w > 0 GROUP BY 1)
-SELECT source, n_docs::BIGINT AS n_docs,
-       {_sql_rne('tw::DOUBLE / ts::DOUBLE', 'words_per_sentence', 6)},
-       {_sql_rne('twc::DOUBLE / tw::DOUBLE', 'chars_per_word', 6)},
-       {_sql_rne(
-           '206.835 - 1.015 * (tw::DOUBLE / ts::DOUBLE)'
-           ' - 84.6 * ((twc::DOUBLE / tw::DOUBLE) / 3.0)',
-           'flesch_proxy', 6)}
-FROM agg"""
-
-
-RET_DECAY_MAX_K = 14
-
-
-def q_events_retention_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retention-decay fit — pooled day-k retention rates for k =
-    1..14 with an exponential fit ln(r_k) = a + b·k → half-life =
-    −ln2/b: the one-number engagement summary on top of the cohort
-    matrix (and the principled way to size streaming state TTLs —
-    the half-life IS the state-retention knob). Only FULLY OBSERVABLE
-    users enter (first day ≤ max day − 14, one broadcast scalar) so
-    late cohorts can't bias the tail; rates are exact integer ratios,
-    their lns snap to the 1e-12 grid, and the OLS runs over a ≤14-row
-    frame. Output is one row."""
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select("user_id", F.to_date("ts").alias("day"))
-        .filter(F.col("user_id").isNotNull() & F.col("day").isNotNull())
-        .distinct()
-    )
-    mx = ev.agg(F.max("day").alias("mxd"))
-    first = ev.groupBy("user_id").agg(F.min("day").alias("fd"))
-    obs = first.crossJoin(F.broadcast(mx)).filter(
-        F.col("fd") <= F.date_sub(F.col("mxd"), RET_DECAY_MAX_K)
-    ).select("user_id", "fd")
-    nobs = obs.agg(F.count(F.lit(1)).alias("nu"))
-    act = ev.join(obs, "user_id").select(
-        "user_id", F.datediff(F.col("day"), F.col("fd")).alias("k")
-    ).filter((F.col("k") >= 1) & (F.col("k") <= RET_DECAY_MAX_K))
-    byk = act.groupBy("k").agg(
-        F.countDistinct("user_id").alias("uk")
-    ).crossJoin(F.broadcast(nobs))
-    lr = F.log(
-        F.col("uk").cast("double") / F.col("nu").cast("double")
-    )
-    pts = byk.filter(F.col("uk") > 0).select(
-        F.col("k").cast("decimal(38,0)").alias("x"),
-        F.floor(lr * F.lit(1e12) + F.lit(0.5))
-        .cast("decimal(38,0)")
-        .alias("yq"),
-        "nu",
-    )
-    agg = pts.groupBy("nu").agg(
-        F.count(F.lit(1)).alias("np"),
-        F.sum("x").alias("sx"),
-        F.sum("yq").alias("sy"),
-        F.sum(F.col("x") * F.col("yq")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
-    ).filter(F.col("np") >= 3)
-    nd = F.col("np").cast("decimal(38,0)")
-    vx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    vy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    cov = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    b = F.when(vx > 0, cov / vx / F.lit(1e12))
-    r2 = F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy))
-    half = F.when(b < 0, F.lit(-math.log(2.0)) / b)
-    return agg.select(
-        F.col("nu").cast("long").alias("n_users"),
-        F.col("np").cast("long").alias("k_points"),
-        _rne(b, "decay_rate", 10),
-        _rne(half, "halflife_days", 6),
-        _rne(r2, "r2", 8),
-    )
-
-
-def _sql_events_retention_decay() -> str:
-    k = RET_DECAY_MAX_K
-    vx = "(np::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE"
-    vy = "(np::DECIMAL(38,0) * syy - sy * sy)::DOUBLE"
-    cov = "(np::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE"
-    b = f"CASE WHEN {vx} > 0 THEN {cov} / {vx} / 1e12 END"
-    return f"""
-WITH a AS (
-  SELECT DISTINCT user_id, ts::DATE AS day FROM events
-  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-mx AS (SELECT max(day) AS mxd FROM a),
-first AS (SELECT user_id, min(day) AS fd FROM a GROUP BY 1),
-obs AS (
-  SELECT user_id, fd FROM first, mx
-  WHERE fd <= mxd - INTERVAL {k} DAY),
-nobs AS (SELECT count(*) AS nu FROM obs),
-act AS (
-  SELECT a.user_id, (a.day - o.fd) AS kk
-  FROM a JOIN obs o ON a.user_id = o.user_id
-  WHERE (a.day - o.fd) BETWEEN 1 AND {k}),
-byk AS (
-  SELECT kk, count(DISTINCT user_id) AS uk FROM act GROUP BY 1),
-pts AS (
-  SELECT kk::DECIMAL(38,0) AS x,
-         floor(ln(uk::DOUBLE / nu::DOUBLE) * 1000000000000.0 + 0.5)
-           ::DECIMAL(38,0) AS yq,
-         nu
-  FROM byk, nobs WHERE uk > 0),
-agg AS (
-  SELECT nu, count(*) AS np, sum(x) AS sx, sum(yq) AS sy,
-         sum(x * yq) AS sxy, sum(x * x) AS sxx, sum(yq * yq) AS syy
-  FROM pts GROUP BY 1 HAVING count(*) >= 3)
-SELECT nu::BIGINT AS n_users, np::BIGINT AS k_points,
-       {_sql_rne(b, 'decay_rate', 10)},
-       {_sql_rne(
-           f'CASE WHEN ({b}) < 0 THEN {-math.log(2.0)!r} / ({b}) END',
-           'halflife_days', 6)},
-       {_sql_rne(
-           f'CASE WHEN {vx} > 0 AND {vy} > 0 THEN ({cov}) * ({cov})'
-           f' / (({vx}) * ({vy})) END', 'r2', 8)}
-FROM agg"""
-
-
-STRESS_Q = 0.9
-
-
-def q_ts_stress_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlation breakdown under stress — pair correlations of the
-    top-k symbols computed SEPARATELY inside high-|market-move|
-    buckets (top decile of |equal-weight index return|) vs calm
-    buckets: diversification that exists in the calm regime and
-    vanishes under stress is THE classic portfolio failure, invisible
-    to the unconditional ts_symbol_corr_matrix. The market series is
-    the capm_beta device (exact DECIMAL mean of member closes,
-    calendar-bounded frame); the stress threshold is the exact
-    percentile of |market return|; per-(pair, regime) moments ride
-    exact DECIMAL through the k-bounded time join. Output: one row
-    per pair with both regime correlations and the difference."""
-    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
-    d = df.withColumn(
-        "qc",
-        F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"),
-    )
-    top = (
-        d.groupBy("symbol")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("symbol").asc())
-        .limit(CORR_MATRIX_TOP_K)
-        .select("symbol")
-    )
-    # equal-weight market index over ALL symbols (calendar-bounded)
-    mkt = d.groupBy("time_idx").agg(
-        F.sum("qc").alias("sq"), F.count(F.lit(1)).alias("nm")
-    )
-    mq = F.floor(
-        F.col("sq").cast("double") / F.col("nm").cast("double")
-        + F.lit(0.5)
-    ).cast("decimal(38,0)")
-    mkt = mkt.select("time_idx", mq.alias("mq"))
-    wm = Window.orderBy("time_idx")  # calendar-bounded frame
-    mret = (
-        (F.col("mq") - F.lag("mq", 1).over(wm)).cast("double")
-        / F.lag("mq", 1).over(wm).cast("double")
-    )
-    mkt = mkt.withColumn("mret", mret).filter(
-        F.col("mret").isNotNull()
-    )
-    thr = mkt.agg(
-        F.expr(f"percentile(abs(mret), {STRESS_Q}D)").alias("thr")
-    )
-    flags = mkt.crossJoin(F.broadcast(thr)).select(
-        "time_idx",
-        (F.abs(F.col("mret")) >= F.col("thr")).cast("int").alias(
-            "stress"
-        ),
-    )
-    w = Window.partitionBy("symbol").orderBy("time_idx")
-    rets = (
-        d.join(F.broadcast(top), "symbol")
-        .withColumn("l1", F.lag("qc", 1).over(w))
-        .filter(F.col("l1").isNotNull() & (F.col("l1") > 0))
-        .withColumn(
-            "rq",
-            F.floor(
-                (F.col("qc") - F.col("l1")).cast("double")
-                / F.col("l1").cast("double")
-                * F.lit(1e6)
-                + F.lit(0.5)
-            ).cast("decimal(38,0)"),
-        )
-        .join(flags, "time_idx")
-        .select("symbol", "time_idx", "rq", "stress")
-    )
-    a = rets.select(
-        F.col("symbol").alias("sym_a"),
-        "time_idx",
-        F.col("rq").alias("x"),
-        "stress",
-    )
-    b = rets.select(
-        F.col("symbol").alias("sym_b"), "time_idx", F.col("rq").alias("y")
-    )
-    agg = (
-        a.join(b, "time_idx")
-        .filter(F.col("sym_a") < F.col("sym_b"))
-        .groupBy("sym_a", "sym_b", "stress")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("y") * F.col("y")).alias("syy"),
-        )
-        .filter(F.col("n") >= 4)
-    )
-    nd = F.col("n").cast("decimal(38,0)")
-    cov = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    vx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    vy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    rho = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx) / F.sqrt(vy))
-    per = agg.select("sym_a", "sym_b", "stress", "n", rho.alias("rho"))
-    out = per.groupBy("sym_a", "sym_b").agg(
-        F.sum(F.when(F.col("stress") == 1, F.col("n"))).alias(
-            "n_stress"
-        ),
-        F.sum(F.when(F.col("stress") == 0, F.col("n"))).alias("n_calm"),
-        F.max(F.when(F.col("stress") == 1, F.col("rho"))).alias(
-            "corr_stress"
-        ),
-        F.max(F.when(F.col("stress") == 0, F.col("rho"))).alias(
-            "corr_calm"
-        ),
-    )
-    return out.select(
-        "sym_a",
-        "sym_b",
-        F.col("n_stress").cast("long").alias("n_stress"),
-        F.col("n_calm").cast("long").alias("n_calm"),
-        _rne(F.col("corr_stress"), "corr_stress", 8),
-        _rne(F.col("corr_calm"), "corr_calm", 8),
-        _rne(
-            F.col("corr_stress") - F.col("corr_calm"), "corr_shift", 8
-        ),
-    )
-
-
-def _sql_ts_stress_corr() -> str:
-    rho = (
-        "CASE WHEN (n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE > 0"
-        " AND (n::DECIMAL(38,0) * syy - sy * sy)::DOUBLE > 0 THEN"
-        " (n::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE"
-        " / sqrt((n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE)"
-        " / sqrt((n::DECIMAL(38,0) * syy - sy * sy)::DOUBLE) END"
-    )
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-q AS (
-  SELECT symbol, time_idx,
-         floor(close * 1000000.0 + 0.5)::DECIMAL(38,0) AS qc
-  FROM filled),
-top AS (
-  SELECT symbol FROM (
-    SELECT symbol, count(*) AS n FROM q GROUP BY 1
-    ORDER BY n DESC, symbol ASC LIMIT {CORR_MATRIX_TOP_K})),
-mkt AS (
-  SELECT time_idx,
-         floor(sum(qc)::DOUBLE / count(*)::DOUBLE + 0.5)
-           ::DECIMAL(38,0) AS mq
-  FROM q GROUP BY 1),
-mret AS (
-  SELECT time_idx,
-         (mq - lag(mq) OVER (ORDER BY time_idx))::DOUBLE
-           / (lag(mq) OVER (ORDER BY time_idx))::DOUBLE AS mret
-  FROM mkt QUALIFY mret IS NOT NULL),
-thr AS (SELECT quantile_cont(abs(mret), {STRESS_Q}) AS thr FROM mret),
-flags AS (
-  SELECT time_idx, (abs(mret) >= thr)::INT AS stress
-  FROM mret, thr),
-rets AS (
-  SELECT q.symbol, q.time_idx,
-         floor((qc - l1)::DOUBLE / l1::DOUBLE * 1000000.0 + 0.5)
-           ::DECIMAL(38,0) AS rq,
-         f.stress
-  FROM (SELECT symbol, time_idx, qc,
-               lag(qc, 1) OVER (PARTITION BY symbol ORDER BY time_idx)
-                 AS l1
-        FROM q WHERE symbol IN (SELECT symbol FROM top)) q
-  JOIN flags f ON q.time_idx = f.time_idx
-  WHERE l1 IS NOT NULL AND l1 > 0),
-agg AS (
-  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.stress,
-         count(*) AS n, sum(a.rq) AS sx, sum(b.rq) AS sy,
-         sum(a.rq * b.rq) AS sxy, sum(a.rq * a.rq) AS sxx,
-         sum(b.rq * b.rq) AS syy
-  FROM rets a JOIN rets b
-    ON a.time_idx = b.time_idx AND a.symbol < b.symbol
-  GROUP BY 1, 2, 3 HAVING count(*) >= 4),
-per AS (SELECT sym_a, sym_b, stress, n, {rho} AS rho FROM agg)
-SELECT sym_a, sym_b,
-       sum(CASE WHEN stress = 1 THEN n END)::BIGINT AS n_stress,
-       sum(CASE WHEN stress = 0 THEN n END)::BIGINT AS n_calm,
-       {_sql_rne(
-           'max(CASE WHEN stress = 1 THEN rho END)', 'corr_stress', 8)},
-       {_sql_rne(
-           'max(CASE WHEN stress = 0 THEN rho END)', 'corr_calm', 8)},
-       {_sql_rne(
-           'max(CASE WHEN stress = 1 THEN rho END)'
-           ' - max(CASE WHEN stress = 0 THEN rho END)',
-           'corr_shift', 8)}
-FROM per GROUP BY 1, 2"""
-
-
-def q_graph_cc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected-component size distribution of the user co-attendance
-    graph — the macro-structure card the per-node views (degree,
-    triangles, k-core) can't give: one giant component = one social
-    universe; many mid-size islands = segmented markets, and the
-    histogram is what a partitioner needs to co-locate communities.
-    Components come from the shared hash-min `connected_components`
-    operator (pointer-doubling label propagation, O(log diameter)
-    rounds, single-task union-find fast path below the edge
-    threshold — the doc_dup_clusters device on a different graph);
-    the oracle states the same fixpoint as a recursive reachability
-    CTE. Output: (component_size → n_components) — bounded by the
-    number of DISTINCT sizes, plus nodes-in-size for the share
-    column."""
-    from ..operators.dedup import connected_components
-
-    d = _coattendance(spark, sf_dir)
-    a = d.select(F.col("user_id").alias("u1"), "item")
-    b = d.select(F.col("user_id").alias("u2"), "item")
-    edges = (
-        a.join(b, "item")
-        .filter(F.col("u1") < F.col("u2"))
-        .select("u1", "u2")
-        .distinct()
-    )
-    comp = connected_components(edges, "u1", "u2")
-    sizes = comp.groupBy("component").agg(
-        F.count(F.lit(1)).alias("size")
-    )
-    ntot = sizes.agg(F.sum("size").alias("nt"))
-    hist = sizes.groupBy("size").agg(
-        F.count(F.lit(1)).alias("n_components")
-    ).crossJoin(F.broadcast(ntot))
-    return hist.select(
-        F.col("size").cast("long").alias("component_size"),
-        F.col("n_components").cast("long").alias("n_components"),
-        _rne(
-            (F.col("size") * F.col("n_components")).cast("double")
-            / F.col("nt").cast("double"),
-            "node_share",
-            8,
-        ),
-    )
-
-
-def _sql_graph_cc_sizes() -> str:
-    return f"""WITH RECURSIVE {SQL_COATTEND},
-pairs AS (
-  SELECT DISTINCT a.user_id AS u1, b.user_id AS u2
-  FROM dca a JOIN dca b ON a.item = b.item
-    AND a.user_id < b.user_id),
-edges AS (
-  SELECT u1 AS src, u2 AS dst FROM pairs
-  UNION
-  SELECT u2 AS src, u1 AS dst FROM pairs),
-r AS (
-  SELECT src AS node, src AS lbl FROM edges
-  UNION
-  SELECT e.dst AS node, r.lbl AS lbl FROM r JOIN edges e ON e.src = r.node),
-comp AS (SELECT node, min(lbl) AS component FROM r GROUP BY node),
-sizes AS (SELECT component, count(*) AS size FROM comp GROUP BY 1),
-nt AS (SELECT sum(size) AS nt FROM sizes)
-SELECT size::BIGINT AS component_size,
-       count(*)::BIGINT AS n_components,
-       {_sql_rne(
-           '(size * count(*))::DOUBLE / any_value(nt.nt)::DOUBLE',
-           'node_share', 8)}
-FROM sizes CROSS JOIN nt
-GROUP BY size"""
-
-
-def q_doc_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source duplication matrix — MinHash-LSH near-dup pairs
-    rolled up to (source_a, source_b): WHO copies WHOM, the
-    provenance view on top of doc_minhash_lsh_pairs' per-pair frame
-    (a feed pair with a fat off-diagonal cell means one scrapes the
-    other — drop the later crawl; the diagonal measures within-feed
-    redundancy). Reuses the banded candidate join verbatim (work ∝
-    Σdf², never all-pairs); the rollup adds one |sources|²-bounded
-    aggregate with exact counts and a share against the pair
-    total."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=NEAR_DUP_TAU)
-    src = docs.select("doc_id", "source")
-    j = (
-        pairs.join(
-            src.select(
-                F.col("doc_id").alias("id_i"),
-                F.col("source").alias("sa"),
-            ),
-            "id_i",
-        )
-        .join(
-            src.select(
-                F.col("doc_id").alias("id_j"),
-                F.col("source").alias("sb"),
-            ),
-            "id_j",
-        )
-        .select(
-            F.least("sa", "sb").alias("source_a"),
-            F.greatest("sa", "sb").alias("source_b"),
-        )
-    )
-    ntot = j.agg(F.count(F.lit(1)).alias("nt"))
-    agg = j.groupBy("source_a", "source_b").agg(
-        F.count(F.lit(1)).alias("n_pairs")
-    ).crossJoin(F.broadcast(ntot))
-    return agg.select(
-        "source_a",
-        "source_b",
-        F.col("n_pairs").cast("long").alias("n_pairs"),
-        _rne(
-            F.col("n_pairs").cast("double") / F.col("nt").cast("double"),
-            "pair_share",
-            8,
-        ),
-    )
-
-
-def _sql_doc_dup_source_matrix() -> str:
-    # the candidate+verify CTEs are the doc_minhash_lsh_pairs
-    # oracle's, reused verbatim via the shared fragment
-    return f"""WITH {_SQL_MINHASH_CAND_CTES},
-mpairs AS (
-  SELECT c.id_i, c.id_j
-  FROM cand c
-  JOIN sf x ON x.doc_id = c.id_i
-  JOIN sf y ON y.doc_id = c.id_j
-  WHERE {_sql_jaccard('x.sh', 'y.sh')} >= {NEAR_DUP_TAU}),
-src AS (SELECT doc_id, source FROM documents),
-m AS (
-  SELECT least(a.source, b.source) AS source_a,
-         greatest(a.source, b.source) AS source_b
-  FROM mpairs p
-  JOIN src a ON p.id_i = a.doc_id
-  JOIN src b ON p.id_j = b.doc_id),
-nt AS (SELECT count(*) AS nt FROM m)
-SELECT source_a, source_b, count(*)::BIGINT AS n_pairs,
-       {_sql_rne(
-           'count(*)::DOUBLE / any_value(nt.nt)::DOUBLE',
-           'pair_share', 8)}
-FROM m CROSS JOIN nt
-GROUP BY 1, 2"""
-
-
-def q_ts_round_price_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-number clustering audit — do raw tick prices pile up on
-    round cents? (Classic microstructure bias: humans quote round
-    levels; a synthetic/bot feed is uniform. The χ² against the
-    uniform last-two-cents-digit law is the screen.) Runs on the RAW
-    event feed (not the resampled grid — resampling destroys quote
-    granularity): digit = ⌊price·100⌋ mod 100 (exact integer off the
-    snapped cents), observed counts vs N/100 expected, per-digit
-    contribution + the round-digit (00/50/25/75) share. Output: 100
-    rows + the digit domain is fixed, never data-sized."""
-    ev = load_table(spark, sf_dir, "events").select(
-        F.floor(F.col("value") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents")
-    ).filter(F.col("cents").isNotNull() & (F.col("cents") >= 0))
-    d = ev.select((F.col("cents") % 100).alias("digit"))
-    cells = d.groupBy("digit").agg(F.count(F.lit(1)).alias("obs"))
-    nn = F.sum("obs").over(Window.partitionBy())
-    c = cells.select("digit", "obs", nn.alias("nn"))
-    e = F.col("nn").cast("double") / F.lit(100.0)
-    o = F.col("obs").cast("double")
-    return c.select(
-        F.col("digit").cast("long").alias("digit"),
-        F.col("obs").cast("long").alias("observed"),
-        _rne(e, "expected", 6),
-        _rne((o - e) * (o - e) / e, "chi2_contrib", 8),
-        _rne(o / F.col("nn").cast("double"), "share", 8),
-    )
-
-
-def _sql_ts_round_price_bias() -> str:
-    e = "nn::DOUBLE / 100.0"
-    return f"""
-WITH d AS (
-  SELECT (floor(value * 100 + 0.5)::BIGINT % 100) AS digit
-  FROM events
-  WHERE value IS NOT NULL AND floor(value * 100 + 0.5)::BIGINT >= 0),
-cells AS (SELECT digit, count(*) AS obs FROM d GROUP BY 1),
-tot AS (SELECT digit, obs, sum(obs) OVER () AS nn FROM cells)
-SELECT digit::BIGINT AS digit, obs::BIGINT AS observed,
-       {_sql_rne(e, 'expected', 6)},
-       {_sql_rne(
-           f'(obs::DOUBLE - ({e})) * (obs::DOUBLE - ({e})) / ({e})',
-           'chi2_contrib', 8)},
-       {_sql_rne('obs::DOUBLE / nn::DOUBLE', 'share', 8)}
-FROM tot"""
-
-
-def q_lineitem_brand_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Return-rate league table per brand — share of lineitems with
-    returnflag 'R', with a Wilson 95% lower bound so small-n brands
-    can't top the league on noise (the ranking statistic quality
-    teams actually sort by; the plain share is reported beside it).
-    part is a broadcast dim; counts are exact; the Wilson bound is
-    one closed-form IEEE expression. |brands| rows."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_returnflag"
-    )
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    j = li.join(
-        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
-    )
-    agg = j.groupBy("p_brand").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-        ).alias("r"),
-    )
-    n_ = F.col("n").cast("double")
-    ph = F.col("r").cast("double") / n_
-    z2 = F.lit(1.959963984540054**2)
-    wilson = (
-        ph
-        + z2 / (F.lit(2.0) * n_)
-        - F.sqrt(z2)
-        * F.sqrt(ph * (F.lit(1.0) - ph) / n_ + z2 / (F.lit(4.0) * n_ * n_))
-    ) / (F.lit(1.0) + z2 / n_)
-    return agg.select(
-        F.col("p_brand").alias("brand"),
-        F.col("n").cast("long").alias("n"),
-        F.col("r").cast("long").alias("n_returned"),
-        _rne(ph, "return_rate", 8),
-        _rne(wilson, "wilson_lb", 8),
-    )
-
-
-def _sql_lineitem_brand_returns() -> str:
-    z2 = 1.959963984540054**2
-    ph = "r::DOUBLE / n::DOUBLE"
-    wilson = (
-        f"(({ph}) + {z2!r} / (2.0 * n::DOUBLE)"
-        f" - sqrt({z2!r}) * sqrt(({ph}) * (1.0 - ({ph})) / n::DOUBLE"
-        f" + {z2!r} / (4.0 * n::DOUBLE * n::DOUBLE)))"
-        f" / (1.0 + {z2!r} / n::DOUBLE)"
-    )
-    return f"""
-WITH agg AS (
-  SELECT p.p_brand, count(*) AS n,
-         sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
-  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-  GROUP BY 1)
-SELECT p_brand AS brand, n::BIGINT AS n, r::BIGINT AS n_returned,
-       {_sql_rne(ph, 'return_rate', 8)},
-       {_sql_rne(wilson, 'wilson_lb', 8)}
-FROM agg"""
-
-
-def q_doc_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise vocabulary Jaccard between sources — which feeds
-    speak the same language (high overlap pairs are dedup-risk and
-    domain-mixture candidates; a near-zero row is a genuinely novel
-    domain — the source-level complement of doc_js_divergence's
-    distributional distance, on SETS instead of frequencies). One
-    distinct (source, term) frame; the intersection self-join keys on
-    term (work ∝ Σ per-term source-count², bounded by the SOURCE
-    universe, never the corpus); union sizes come from the exact
-    |A| + |B| − |A∩B| identity. |sources|² output rows."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("source").isNotNull()
-    )
-    st = (
-        docs.select(
-            "source", F.explode(tokens(F.col("text"))).alias("term")
-        )
-        .distinct()
-    )
-    vocab = st.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
-    a = st.select(F.col("source").alias("sa"), "term")
-    b = st.select(F.col("source").alias("sb"), "term")
-    inter = (
-        a.join(b, "term")
-        .filter(F.col("sa") < F.col("sb"))
-        .groupBy("sa", "sb")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    j = (
-        inter.join(
-            F.broadcast(
-                vocab.select(F.col("source").alias("sa"),
-                             F.col("v").alias("va"))
-            ),
-            "sa",
-        )
-        .join(
-            F.broadcast(
-                vocab.select(F.col("source").alias("sb"),
-                             F.col("v").alias("vb"))
-            ),
-            "sb",
-        )
-    )
-    uni = F.col("va") + F.col("vb") - F.col("inter")
-    return j.select(
-        F.col("sa").alias("source_a"),
-        F.col("sb").alias("source_b"),
-        F.col("inter").cast("long").alias("n_shared"),
-        _rne(
-            F.col("inter").cast("double") / uni.cast("double"),
-            "jaccard",
-            8,
-        ),
-    )
-
-
-def _sql_doc_source_vocab_overlap() -> str:
-    return f"""
-WITH st AS (
-  SELECT DISTINCT source, term
-  FROM (SELECT source, unnest({sql_tokens('text')}) AS term
-        FROM documents WHERE source IS NOT NULL)),
-vocab AS (SELECT source, count(*) AS v FROM st GROUP BY 1),
-inter AS (
-  SELECT a.source AS sa, b.source AS sb, count(*) AS inter
-  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
-  GROUP BY 1, 2)
-SELECT sa AS source_a, sb AS source_b, inter::BIGINT AS n_shared,
-       {_sql_rne(
-           'inter::DOUBLE / (va.v + vb.v - inter)::DOUBLE',
-           'jaccard', 8)}
-FROM inter
-JOIN vocab va ON va.source = sa
-JOIN vocab vb ON vb.source = sb"""
-
-
-def q_ts_intraday_vol_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Intraday volatility clock — mean |return| and share of total
-    absolute movement per 6h bucket-of-day, pooled across symbols
-    (which quarter of the day moves the market: the session-overlap
-    signature in FX/crypto, the execution-scheduling input for any
-    TWAP/VWAP split — reads next to ts_dow_seasonality on the weekly
-    axis). Bucket-of-day = time_idx mod 4, pure integer; |returns|
-    ride the shared 1e-8-snapped frame with exact DECIMAL sums; 4
-    output rows."""
-    d = _rel_returns(spark, sf_dir, 1e8, with_idx=True)
-    bod = F.col("time_idx") % 4
-    agg = (
-        d.select(bod.alias("bucket_of_day"), F.abs(F.col("rq")).alias("aq"))
-        .groupBy("bucket_of_day")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("aq").alias("sa"),
-        )
-    )
-    tot = F.sum("sa").over(Window.partitionBy())
-    c = agg.select(
-        "bucket_of_day", "n", "sa", tot.alias("ta")
-    )
-    n_ = F.col("n").cast("double")
-    return c.select(
-        F.col("bucket_of_day").cast("long").alias("bucket_of_day"),
-        F.col("n").cast("long").alias("n"),
-        _rne(F.col("sa").cast("double") / n_ / F.lit(1e8),
-             "mean_abs_ret", 10),
-        _rne(
-            F.col("sa").cast("double") / F.col("ta").cast("double"),
-            "movement_share",
-            8,
-        ),
-    )
-
-
-def _sql_ts_intraday_vol_profile() -> str:
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-{_sql_rel_returns('100000000.0')},
-agg AS (
-  SELECT time_idx % 4 AS bucket_of_day, count(*) AS n,
-         sum(abs(rq)) AS sa
-  FROM ret GROUP BY 1),
-tot AS (SELECT *, sum(sa) OVER () AS ta FROM agg)
-SELECT bucket_of_day::BIGINT AS bucket_of_day, n::BIGINT AS n,
-       {_sql_rne('sa::DOUBLE / n::DOUBLE / 100000000.0',
-                 'mean_abs_ret', 10)},
-       {_sql_rne('sa::DOUBLE / ta::DOUBLE', 'movement_share', 8)}
-FROM tot"""
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -24632,6 +1032,7 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_haar_energy": q_ts_haar_energy,  # never (r11 deferred -> r12 window)
         # ---- new r12 additions land here (positions 26-47) ----
         "stream_flagship_forecast": q_stream_flagship_forecast,  # never (r12)
+        "doc_bpe_merges": q_doc_bpe_merges,  # never (r12)
         # the three STRUCTURAL canaries stay inside the window
         # (test_gate_window_composition): one flagship, one wide
         # indicator battery, one LSH pair query — if the driver
@@ -25052,6 +1453,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "doc_bigram_lm_ppl": _sql_doc_bigram_lm_ppl(),
         "stream_garch_state": _sql_stream_garch_state(),
         "stream_flagship_forecast": _sql_stream_flagship(),
+        "doc_bpe_merges": _sql_doc_bpe_merges(),
         "ts_theta_forecast": _sql_ts_theta_forecast(),
         "media_ahash_near_dup": _sql_media_ahash_near_dup(),
         "graph_lpa_communities": _sql_graph_lpa_communities(),

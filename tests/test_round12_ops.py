@@ -68,3 +68,55 @@ def test_affine_scan_overflow_guard_raises(spark):
         big, "close", "symbol", "time_idx", alpha=0.5, term_scale=1e6
     ).collect()
     assert len(ok) == 1 and abs(ok[0]["ema_last"] - 1.0e10) < 1.0
+
+
+def test_doc_bpe_merges_matches_python_replay(spark):
+    """k=5 BPE merge rounds replayed in plain python (Counter pair
+    stats + left-to-right non-overlapping merge — Sennrich learn_bpe
+    semantics) must reproduce the engine's learned merge table
+    exactly, including the (weight desc, lhs asc, rhs asc) argmax
+    tie-break."""
+    import collections
+    import re
+
+    from big_data_stock_price_forecast_spark.functions.text import (
+        TOKEN_SPLIT_RE,
+    )
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_bpe_merges,
+    )
+
+    cnt: collections.Counter = collections.Counter()
+    for r in load_table(spark, SF, "documents").select("text").collect():
+        for t in re.split(TOKEN_SPLIT_RE, r["text"].lower()):
+            if t:
+                cnt[t] += 1
+    vocab = {tuple(w): c for w, c in cnt.items()}
+    want = []
+    for rnd in range(1, 6):
+        pc: collections.Counter = collections.Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        (a, b), wgt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((rnd, a, b, wgt))
+        new: dict = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k = tuple(out)
+            new[k] = new.get(k, 0) + c
+        vocab = new
+    got = [
+        (r["round"], r["lhs"], r["rhs"], r["weight"])
+        for r in q_doc_bpe_merges(spark, SF).orderBy("round").collect()
+    ]
+    assert got == want
