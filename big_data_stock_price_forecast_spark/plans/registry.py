@@ -641,6 +641,18 @@ from .registry_tpch import (  # noqa: F401
     q_tpch_q9_product_profit,
 )
 from .registry_ts import (  # noqa: F401
+    _sql_ts_corwin_schultz,
+    _sql_ts_dfa,
+    _sql_ts_jump_test,
+    _sql_ts_roll_spread,
+    _sql_ts_rolling_median,
+    _sql_ts_vwap_deviation,
+    q_ts_corwin_schultz,
+    q_ts_dfa,
+    q_ts_jump_test,
+    q_ts_roll_spread,
+    q_ts_rolling_median,
+    q_ts_vwap_deviation,
     SQL_TS_ATR,
     SQL_TS_CALENDAR,
     SQL_TS_DEDUP,
@@ -1033,6 +1045,12 @@ def all_queries() -> dict[str, QueryFn]:
         # ---- new r12 additions land here (positions 26-47) ----
         "stream_flagship_forecast": q_stream_flagship_forecast,  # never (r12)
         "doc_bpe_merges": q_doc_bpe_merges,  # never (r12)
+        "ts_jump_test": q_ts_jump_test,  # never (r12)
+        "ts_corwin_schultz": q_ts_corwin_schultz,  # never (r12)
+        "ts_roll_spread": q_ts_roll_spread,  # never (r12)
+        "ts_vwap_deviation": q_ts_vwap_deviation,  # never (r12)
+        "ts_dfa": q_ts_dfa,  # never (r12)
+        "ts_rolling_median": q_ts_rolling_median,  # never (r12)
         # the three STRUCTURAL canaries stay inside the window
         # (test_gate_window_composition): one flagship, one wide
         # indicator battery, one LSH pair query — if the driver
@@ -1454,6 +1472,12 @@ def _oracle_sql_map() -> dict[str, str]:
         "stream_garch_state": _sql_stream_garch_state(),
         "stream_flagship_forecast": _sql_stream_flagship(),
         "doc_bpe_merges": _sql_doc_bpe_merges(),
+        "ts_jump_test": _sql_ts_jump_test(),
+        "ts_corwin_schultz": _sql_ts_corwin_schultz(),
+        "ts_roll_spread": _sql_ts_roll_spread(),
+        "ts_vwap_deviation": _sql_ts_vwap_deviation(),
+        "ts_dfa": _sql_ts_dfa(),
+        "ts_rolling_median": _sql_ts_rolling_median(),
         "ts_theta_forecast": _sql_ts_theta_forecast(),
         "media_ahash_near_dup": _sql_media_ahash_near_dup(),
         "graph_lpa_communities": _sql_graph_lpa_communities(),

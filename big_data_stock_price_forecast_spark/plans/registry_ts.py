@@ -7732,3 +7732,559 @@ SELECT bucket_of_day::BIGINT AS bucket_of_day, n::BIGINT AS n,
                  'mean_abs_ret', 10)},
        {_sql_rne('sa::DOUBLE / ta::DOUBLE', 'movement_share', 8)}
 FROM tot"""
+
+
+def q_ts_jump_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Barndorff-Nielsen–Shephard jump diagnostic per symbol: realized
+    variance (Σr²) against bipower variation ((π/2)·Σ|r_t||r_{t-1}|) —
+    BV is jump-robust, so the relative jump measure
+    RJ = (RV−BV)/RV isolates the discontinuous share of total
+    variance (the quant screen run before fitting any continuous-vol
+    model). Same determinism device as ts_realized_vol: each per-row
+    term (r², |r_t||r_{t-1}|) snaps to the 1e-12 grid and sums in
+    exact DECIMAL; π enters once as the nearest-double literal in a
+    single IEEE expression on the snapped sums. One lag window on the
+    ts family's shared symbol exchange + one map-side aggregate."""
+    df = _filled(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    prev = F.lag("close", 1).over(w)
+    lr = F.when(
+        (F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)
+    )
+    d = df.select("symbol", "time_idx", lr.alias("lr")).filter(
+        F.col("lr").isNotNull()
+    )
+    lr_prev = F.lag("lr", 1).over(w)
+    snap12 = lambda e: (  # noqa: E731
+        F.floor(e * 1e12 + F.lit(0.5)) / 1e12
+    ).cast("decimal(30,12)")
+    terms = d.select(
+        "symbol",
+        snap12(F.col("lr") * F.col("lr")).alias("r2"),
+        snap12(F.abs(F.col("lr")) * F.abs(lr_prev)).alias("bp"),
+    )
+    agg = terms.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_rets"),
+        F.sum("r2").alias("srv"),
+        F.sum("bp").alias("sbp"),
+    ).filter(F.col("n_rets") >= 3)
+    rv = F.col("srv").cast("double")
+    bv = F.lit(math.pi / 2.0) * F.col("sbp").cast("double")
+    return agg.select(
+        "symbol",
+        F.col("n_rets").cast("long").alias("n_rets"),
+        _rne(rv, "rv", 10),
+        _rne(bv, "bv", 10),
+        _rne(F.when(rv > 0, (rv - bv) / rv), "rel_jump", 8),
+    )
+
+
+def _sql_ts_jump_test() -> str:
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+lr AS (
+  SELECT symbol, time_idx,
+         CASE WHEN close > 0 AND lag(close) OVER w > 0
+              THEN ln(close / lag(close) OVER w) END AS lr
+  FROM filled WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)),
+lr2 AS (
+  SELECT symbol, lr, lag(lr) OVER (PARTITION BY symbol ORDER BY time_idx) AS lrp
+  FROM (SELECT symbol, time_idx, lr FROM lr WHERE lr IS NOT NULL)),
+terms AS (
+  SELECT symbol,
+         CAST(floor(lr * lr * 1e12 + 0.5) / 1e12 AS DECIMAL(30,12)) AS r2,
+         CAST(floor(abs(lr) * abs(lrp) * 1e12 + 0.5) / 1e12
+              AS DECIMAL(30,12)) AS bp
+  FROM lr2),
+agg AS (
+  SELECT symbol, count(*) AS n_rets, sum(r2) AS srv, sum(bp) AS sbp
+  FROM terms GROUP BY 1 HAVING count(*) >= 3)
+SELECT symbol, n_rets::BIGINT AS n_rets,
+       {_sql_rne('srv::DOUBLE', 'rv', 10)},
+       {_sql_rne('(pi() / 2.0) * sbp::DOUBLE', 'bv', 10)},
+       {_sql_rne(
+           'CASE WHEN srv::DOUBLE > 0 THEN '
+           '(srv::DOUBLE - (pi() / 2.0) * sbp::DOUBLE) / srv::DOUBLE END',
+           'rel_jump', 8)}
+FROM agg"""
+
+
+def q_ts_corwin_schultz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corwin–Schultz (2012) bid-ask spread estimator from high/low
+    ranges: over each ADJACENT pair of real resampled bars (no
+    gap-fill — a ffilled bar has a stale zero range),
+    β = ln(H₁/L₁)² + ln(H₂/L₂)², γ = ln(max(H)/min(L))²,
+    α = (√(2β)−√β)/(3−2√2) − √(γ/(3−2√2)), S = 2(eᵅ−1)/(1+eᵅ); the
+    per-pair spread is floored at 0 (the paper's negative-estimate
+    convention) and averaged per symbol, with the raw-negative share
+    kept as a diagnostic. Per-pair values snap to the 1e-12 grid and
+    average in exact DECIMAL. One lag window + one aggregate on the
+    shared symbol exchange."""
+    r = _resampled(spark, sf_dir).select(
+        "symbol", "time_idx", "high", "low"
+    ).filter((F.col("high") > 0) & (F.col("low") > 0))
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    hp, lp = F.lag("high", 1).over(w), F.lag("low", 1).over(w)
+    d = r.select(
+        "symbol", "high", "low", hp.alias("hp"), lp.alias("lp")
+    ).filter(F.col("hp").isNotNull())
+    lhl = F.log(F.col("high") / F.col("low"))
+    lhlp = F.log(F.col("hp") / F.col("lp"))
+    beta = lhl * lhl + lhlp * lhlp
+    gw = F.log(
+        F.greatest(F.col("high"), F.col("hp"))
+        / F.least(F.col("low"), F.col("lp"))
+    )
+    gamma = gw * gw
+    den = F.lit(3.0 - 2.0 * math.sqrt(2.0))
+    alpha = (F.sqrt(F.lit(2.0) * beta) - F.sqrt(beta)) / den - F.sqrt(
+        gamma / den
+    )
+    s = F.lit(2.0) * (F.exp(alpha) - F.lit(1.0)) / (F.exp(alpha) + F.lit(1.0))
+    snap12 = lambda e: (  # noqa: E731
+        F.floor(e * 1e12 + F.lit(0.5)) / 1e12
+    ).cast("decimal(30,12)")
+    terms = d.select(
+        "symbol",
+        snap12(F.greatest(s, F.lit(0.0))).alias("sp"),
+        (s < 0).cast("long").alias("neg"),
+    )
+    agg = terms.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("sp").alias("ssp"),
+        F.sum("neg").alias("n_neg"),
+    ).filter(F.col("n_pairs") >= 2)
+    return agg.select(
+        "symbol",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        _rne(
+            F.col("ssp").cast("double") / F.col("n_pairs").cast("double"),
+            "cs_spread",
+            10,
+        ),
+        _rne(
+            F.col("n_neg").cast("double") / F.col("n_pairs").cast("double"),
+            "neg_share",
+            8,
+        ),
+    )
+
+
+def _sql_ts_corwin_schultz() -> str:
+    den = "(3.0 - 2.0 * sqrt(2.0))"
+    alpha = (
+        f"((sqrt(2.0 * beta) - sqrt(beta)) / {den}"
+        f" - sqrt(gamma / {den}))"
+    )
+    s = f"(2.0 * (exp({alpha}) - 1.0) / (exp({alpha}) + 1.0))"
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H},
+bars AS (
+  SELECT symbol, time_idx, high, low,
+         lag(high) OVER w AS hp, lag(low) OVER w AS lp
+  FROM idx WHERE high > 0 AND low > 0
+  WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)),
+bg AS (
+  SELECT symbol,
+         pow(ln(high / low), 2) + pow(ln(hp / lp), 2) AS beta,
+         pow(ln(greatest(high, hp) / least(low, lp)), 2) AS gamma
+  FROM bars WHERE hp IS NOT NULL),
+terms AS (
+  SELECT symbol,
+         CAST(floor(greatest({s}, 0.0) * 1e12 + 0.5) / 1e12
+              AS DECIMAL(30,12)) AS sp,
+         CASE WHEN {s} < 0 THEN 1 ELSE 0 END AS neg
+  FROM bg),
+agg AS (
+  SELECT symbol, count(*) AS n_pairs, sum(sp) AS ssp,
+         CAST(sum(neg) AS BIGINT) AS n_neg
+  FROM terms GROUP BY 1 HAVING count(*) >= 2)
+SELECT symbol, n_pairs::BIGINT AS n_pairs,
+       {_sql_rne('ssp::DOUBLE / n_pairs::DOUBLE', 'cs_spread', 10)},
+       {_sql_rne('n_neg::DOUBLE / n_pairs::DOUBLE', 'neg_share', 8)}
+FROM agg"""
+
+
+def q_ts_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll (1984) implied effective spread: under the bid-ask bounce
+    model, spread = 2·√(−cov(Δp_t, Δp_{t−1})); a non-negative first
+    autocovariance has no Roll solution and yields NULL (reported
+    alongside the autocovariance itself, which is the useful
+    diagnostic either way). Population autocovariance from exact
+    sums: Δp products snap to the 1e-10 grid and sum in DECIMAL, the
+    (Σxy − ΣxΣy/n)/n combination runs once on the snapped sums. One
+    lag window + one aggregate on the shared symbol exchange."""
+    df = _filled(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    dp = F.col("close") - F.lag("close", 1).over(w)
+    d = df.select("symbol", "time_idx", dp.alias("dp")).filter(
+        F.col("dp").isNotNull()
+    )
+    dpp = F.lag("dp", 1).over(w)
+    snap10 = lambda e: (  # noqa: E731
+        F.floor(e * 1e10 + F.lit(0.5)) / 1e10
+    ).cast("decimal(32,10)")
+    pairs = d.select(
+        "symbol",
+        snap10(F.col("dp") * dpp).alias("xy"),
+        snap10(F.col("dp")).alias("x"),
+        snap10(dpp).alias("y"),
+    ).filter(F.col("xy").isNotNull())
+    agg = pairs.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xy").alias("sxy"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    ).filter(F.col("n") >= 2)
+    nd = F.col("n").cast("double")
+    cov = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / nd
+    ) / nd
+    return agg.select(
+        "symbol",
+        F.col("n").cast("long").alias("n"),
+        _rne(cov, "autocov", 8),
+        _rne(
+            F.when(cov < 0, F.lit(2.0) * F.sqrt(-cov)), "roll_spread", 8
+        ),
+    )
+
+
+def _sql_ts_roll_spread() -> str:
+    cov = "((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE) / n::DOUBLE)"
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+dp AS (
+  SELECT symbol, time_idx,
+         close - lag(close) OVER (PARTITION BY symbol ORDER BY time_idx)
+           AS dp
+  FROM filled),
+pairs AS (
+  SELECT symbol,
+         CAST(floor(dp * lag(dp) OVER w * 1e10 + 0.5) / 1e10
+              AS DECIMAL(32,10)) AS xy,
+         CAST(floor(dp * 1e10 + 0.5) / 1e10 AS DECIMAL(32,10)) AS x,
+         CAST(floor(lag(dp) OVER w * 1e10 + 0.5) / 1e10
+              AS DECIMAL(32,10)) AS y
+  FROM (SELECT * FROM dp WHERE dp IS NOT NULL)
+  WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)),
+agg AS (
+  SELECT symbol, count(*) AS n, sum(xy) AS sxy, sum(x) AS sx,
+         sum(y) AS sy
+  FROM pairs WHERE xy IS NOT NULL GROUP BY 1 HAVING count(*) >= 2)
+SELECT symbol, n::BIGINT AS n,
+       {_sql_rne(cov, 'autocov', 8)},
+       {_sql_rne(
+           f'CASE WHEN {cov} < 0 THEN 2.0 * sqrt(-{cov}) END',
+           'roll_spread', 8)}
+FROM agg"""
+
+
+def q_ts_vwap_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(symbol, day) VWAP and mean |close/VWAP − 1|: the execution
+    benchmark every trading desk reconciles against, over the real
+    resampled buckets with the per-bucket row count as the volume
+    proxy (the tables' documented convention). The day VWAP is a
+    window aggregate over the (symbol, day) frame — no second join —
+    and rides the ts family's single symbol exchange. Determinism:
+    close·volume terms snap to the 1e-8 grid and sum in DECIMAL;
+    volume is integer; per-bucket deviations snap and average in
+    DECIMAL."""
+    r = _resampled(spark, sf_dir).select(
+        "symbol",
+        F.floor(F.col("time_idx") / RV_BUCKETS_PER_DAY)
+        .cast("long")
+        .alias("day"),
+        "close",
+        F.col("n_rows").cast("long").alias("vol"),
+    )
+    snap8 = lambda e: (  # noqa: E731
+        F.floor(e * 1e8 + F.lit(0.5)) / 1e8
+    ).cast("decimal(30,8)")
+    d = r.select(
+        "symbol", "day", "close", "vol", snap8(F.col("close") * F.col("vol")).alias("pv")
+    )
+    wd = Window.partitionBy("symbol", "day")
+    d = d.withColumn(
+        "vwap",
+        F.sum("pv").over(wd).cast("double")
+        / F.sum("vol").over(wd).cast("double"),
+    )
+    dev = snap8(F.abs(F.col("close") / F.col("vwap") - F.lit(1.0)))
+    agg = (
+        d.select("symbol", "day", "vwap", dev.alias("dev"))
+        .groupBy("symbol", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.first("vwap").alias("vwap"),
+            F.sum("dev").alias("sdev"),
+        )
+    )
+    return agg.select(
+        "symbol",
+        "day",
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        _rne(F.col("vwap"), "vwap", 8),
+        _rne(
+            F.col("sdev").cast("double")
+            / F.col("n_buckets").cast("double"),
+            "mean_abs_dev",
+            8,
+        ),
+    )
+
+
+def _sql_ts_vwap_deviation() -> str:
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H},
+d AS (
+  SELECT symbol,
+         CAST(floor(time_idx / {RV_BUCKETS_PER_DAY}) AS BIGINT) AS day,
+         close, n_rows::BIGINT AS vol,
+         CAST(floor(close * n_rows * 1e8 + 0.5) / 1e8
+              AS DECIMAL(30,8)) AS pv
+  FROM idx),
+v AS (
+  SELECT symbol, day, close,
+         (sum(pv) OVER w)::DOUBLE / (sum(vol) OVER w)::DOUBLE AS vwap
+  FROM d WINDOW w AS (PARTITION BY symbol, day)),
+dev AS (
+  SELECT symbol, day, vwap,
+         CAST(floor(abs(close / vwap - 1.0) * 1e8 + 0.5) / 1e8
+              AS DECIMAL(30,8)) AS dev
+  FROM v),
+agg AS (
+  SELECT symbol, day, count(*) AS n_buckets, first(vwap) AS vwap,
+         sum(dev) AS sdev
+  FROM dev GROUP BY 1, 2)
+SELECT symbol, day, n_buckets::BIGINT AS n_buckets,
+       {_sql_rne('vwap', 'vwap', 8)},
+       {_sql_rne('sdev::DOUBLE / n_buckets::DOUBLE', 'mean_abs_dev', 8)}
+FROM agg"""
+
+
+DFA_BOXES = (8, 16, 32)
+
+
+def q_ts_dfa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detrended fluctuation analysis per symbol — the scaling
+    exponent α that complements ts_hurst's R/S view (α≈0.5 random
+    walk, >0.5 persistent): integrate demeaned log returns into a
+    profile, split it into boxes of 8/16/32 (sized so even the smoke-scale
+    series carries ≥2 boxes of the largest size — no vacuous green), remove each box's OLS
+    line in closed form (residual SS = Syy − Sxy²/Sxx on exact
+    sums; Sxx is a literal per box size), and regress log₂F(n) on
+    log₂n over the three sizes. Determinism: returns snap to the
+    1e-12 grid so their mean is exact; the profile is an ordered
+    running sum (sequential fold — bitwise identical in both
+    engines); per-box sums snap profile values to the 1e-8 grid and
+    run in DECIMAL. The three box passes share one profile frame;
+    everything rides the symbol exchange."""
+    df = _filled(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    prev = F.lag("close", 1).over(w)
+    lr = F.when(
+        (F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)
+    )
+    snap12 = lambda e: (  # noqa: E731
+        F.floor(e * 1e12 + F.lit(0.5)) / 1e12
+    ).cast("decimal(30,12)")
+    d = df.select("symbol", "time_idx", snap12(lr).alias("r")).filter(
+        F.col("r").isNotNull()
+    )
+    wsym = Window.partitionBy("symbol")
+    d = d.withColumn(
+        "mr",
+        F.sum("r").over(wsym).cast("double")
+        / F.count(F.lit(1)).over(wsym).cast("double"),
+    )
+    wrun = (
+        Window.partitionBy("symbol")
+        .orderBy("time_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prof = d.select(
+        "symbol",
+        (F.row_number().over(w) - 1).alias("pos"),
+        F.sum(F.col("r").cast("double") - F.col("mr")).over(wrun).alias("y"),
+    )
+    snap8 = lambda e: (  # noqa: E731
+        F.floor(e * 1e8 + F.lit(0.5)) / 1e8
+    ).cast("decimal(30,8)")
+    fs = []
+    for nb in DFA_BOXES:
+        # per (symbol, box): closed-form OLS residual variance with
+        # x = 0..nb-1 (Sxx, Sx literals); partial tail boxes dropped
+        sx = nb * (nb - 1) / 2.0
+        sxx = (nb - 1) * nb * (2 * nb - 1) / 6.0
+        den = sxx - sx * sx / nb
+        box = prof.select(
+            "symbol",
+            F.floor(F.col("pos") / nb).cast("long").alias("box"),
+            (F.col("pos") % nb).cast("double").alias("x"),
+            "y",
+        )
+        bagg = box.groupBy("symbol", "box").agg(
+            F.count(F.lit(1)).alias("bn"),
+            F.sum(snap8(F.col("y"))).alias("sy"),
+            F.sum(snap8(F.col("y") * F.col("y"))).alias("syy"),
+            F.sum(snap8(F.col("x") * F.col("y"))).alias("sxy"),
+        ).filter(F.col("bn") == nb)
+        syd = F.col("sy").cast("double")
+        rss = (
+            F.col("syy").cast("double")
+            - syd * syd / F.lit(float(nb))
+            - (F.col("sxy").cast("double") - F.lit(sx / nb) * syd)
+            * (F.col("sxy").cast("double") - F.lit(sx / nb) * syd)
+            / F.lit(den)
+        )
+        f = bagg.groupBy("symbol").agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(snap8(rss / F.lit(float(nb)))).alias("srv"),
+        ).filter(F.col("k") >= 2).select(
+            "symbol",
+            F.sqrt(
+                F.col("srv").cast("double") / F.col("k").cast("double")
+            ).alias(f"f{nb}"),
+        )
+        fs.append(f)
+    out = fs[0].join(fs[1], "symbol").join(fs[2], "symbol")
+    # 3-point log-log OLS slope: alpha = Σ(u−ū)(v−v̄) / Σ(u−ū)²
+    us = [math.log2(nb) for nb in DFA_BOXES]
+    um = sum(us) / 3.0
+    duu = sum((u - um) ** 2 for u in us)
+    num = None
+    for nb, u in zip(DFA_BOXES, us):
+        t = F.lit((u - um) / duu) * F.log2(F.col(f"f{nb}"))
+        num = t if num is None else num + t
+    return out.select(
+        "symbol",
+        _rne(F.col("f8"), "f8", 10),
+        _rne(F.col("f16"), "f16", 10),
+        _rne(F.col("f32"), "f32", 10),
+        _rne(num, "alpha", 6),
+    )
+
+
+def _sql_ts_dfa() -> str:
+    box_ctes = []
+    joins = []
+    for nb in DFA_BOXES:
+        sx = nb * (nb - 1) / 2.0
+        sxx = (nb - 1) * nb * (2 * nb - 1) / 6.0
+        den = sxx - sx * sx / nb
+        rss = (
+            f"(syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / {float(nb)}"
+            f" - (sxy::DOUBLE - {sx / nb} * sy::DOUBLE)"
+            f" * (sxy::DOUBLE - {sx / nb} * sy::DOUBLE) / {den})"
+        )
+        box_ctes.append(
+            f"""b{nb} AS (
+  SELECT symbol, floor(pos / {nb})::BIGINT AS box, count(*) AS bn,
+         sum(CAST(floor(y * 1e8 + 0.5) / 1e8 AS DECIMAL(30,8))) AS sy,
+         sum(CAST(floor(y * y * 1e8 + 0.5) / 1e8 AS DECIMAL(30,8)))
+           AS syy,
+         sum(CAST(floor((pos % {nb}) * y * 1e8 + 0.5) / 1e8
+                  AS DECIMAL(30,8))) AS sxy
+  FROM prof GROUP BY 1, 2 HAVING count(*) = {nb}),
+f{nb} AS (
+  SELECT symbol,
+         sqrt(sum(CAST(floor({rss} / {float(nb)} * 1e8 + 0.5) / 1e8
+                       AS DECIMAL(30,8)))::DOUBLE / count(*)) AS f{nb}
+  FROM b{nb} GROUP BY 1 HAVING count(*) >= 2)"""
+        )
+        joins.append(f"f{nb}")
+    us = [math.log2(nb) for nb in DFA_BOXES]
+    um = sum(us) / 3.0
+    duu = sum((u - um) ** 2 for u in us)
+    alpha = " + ".join(
+        f"({(u - um) / duu}) * log2(f{nb})"
+        for nb, u in zip(DFA_BOXES, us)
+    )
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+lr AS (
+  SELECT symbol, time_idx,
+         CAST(floor(CASE WHEN close > 0 AND lag(close) OVER w > 0
+                    THEN ln(close / lag(close) OVER w) END * 1e12 + 0.5)
+              / 1e12 AS DECIMAL(30,12)) AS r
+  FROM filled WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)),
+rr AS (
+  SELECT symbol, time_idx, r,
+         (sum(r) OVER (PARTITION BY symbol))::DOUBLE
+           / (count(*) OVER (PARTITION BY symbol)) AS mr
+  FROM lr WHERE r IS NOT NULL),
+prof AS (
+  SELECT symbol,
+         row_number() OVER w - 1 AS pos,
+         sum(r::DOUBLE - mr) OVER (PARTITION BY symbol ORDER BY time_idx
+           ROWS UNBOUNDED PRECEDING) AS y
+  FROM rr WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)),
+{','.join(box_ctes)}
+SELECT symbol,
+       {_sql_rne('f8', 'f8', 10)},
+       {_sql_rne('f16', 'f16', 10)},
+       {_sql_rne('f32', 'f32', 10)},
+       {_sql_rne(alpha, 'alpha', 6)}
+FROM f8 JOIN f16 USING (symbol) JOIN f32 USING (symbol)"""
+
+
+def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling ORDER-STATISTIC smoothing — the robust counterpart of
+    the SMA/EMA family (W3/W4): exact 5-bucket rolling median and MAD
+    over the gap-filled closes, plus the robust z-score
+    (x − med)/(1.4826·MAD + ε) that survives the outliers a mean/std
+    z-score (A2) smears. Expressed as frame-collected lists sorted
+    in-expression (array_sort + element_at — pure selection, no float
+    accumulation, bitwise on both engines); emitted only where the
+    frame is full. One window frame on the shared symbol exchange."""
+    df = _filled(spark, sf_dir)
+    w5 = (
+        Window.partitionBy("symbol")
+        .orderBy("time_idx")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    d = df.select(
+        "symbol",
+        "time_idx",
+        "close",
+        F.collect_list("close").over(w5).alias("arr"),
+    ).filter(F.size("arr") == 5)
+    med = F.element_at(F.array_sort("arr"), 3)
+    d = d.withColumn("med5", med)
+    mad = F.element_at(
+        F.array_sort(
+            F.transform("arr", lambda v: F.abs(v - F.col("med5")))
+        ),
+        3,
+    )
+    d = d.withColumn("mad5", mad)
+    rz = (F.col("close") - F.col("med5")) / (
+        F.lit(1.4826) * F.col("mad5") + F.lit(1e-8)
+    )
+    return d.select(
+        "symbol",
+        "time_idx",
+        _rne(F.col("med5"), "med5", 8),
+        _rne(F.col("mad5"), "mad5", 8),
+        _rne(rz, "robust_z", 8),
+    )
+
+
+def _sql_ts_rolling_median() -> str:
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+d AS (
+  SELECT symbol, time_idx, close,
+         list(close) OVER (PARTITION BY symbol ORDER BY time_idx
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS arr
+  FROM filled),
+m AS (
+  SELECT symbol, time_idx, close,
+         list_sort(arr)[3] AS med5, arr
+  FROM d WHERE len(arr) = 5),
+mm AS (
+  SELECT symbol, time_idx, close, med5,
+         list_sort(list_transform(arr, v -> abs(v - med5)))[3] AS mad5
+  FROM m)
+SELECT symbol, time_idx,
+       {_sql_rne('med5', 'med5', 8)},
+       {_sql_rne('mad5', 'mad5', 8)},
+       {_sql_rne(
+           '(close - med5) / (1.4826 * mad5 + 1e-8)', 'robust_z', 8)}
+FROM mm"""

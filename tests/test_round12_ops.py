@@ -120,3 +120,248 @@ def test_doc_bpe_merges_matches_python_replay(spark):
         for r in q_doc_bpe_merges(spark, SF).orderBy("round").collect()
     ]
     assert got == want
+
+
+# ===================================== round-12 batch A (quant/ts)
+
+
+from tests.test_round11_ops import (  # noqa: E402
+    BASE_TS,
+    _plan,
+    _snap,
+    _write_series,
+)
+
+
+def test_ts_jump_test_planted_jump_replay(spark, tmp_path):
+    """A smooth geometric drift has BV ≈ RV (rel_jump ≈ 0); one large
+    isolated jump inflates RV but barely moves BV (rel_jump >> 0).
+    The RV/BV integer-grid sums replay exactly."""
+    import math as m
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_jump_test,
+    )
+
+    smooth = [100.0 * (1.002 ** i) for i in range(40)]
+    # one PERSISTENT level shift: a single large return, so BV's
+    # adjacent-|r| products stay small while RV takes the square
+    jumpy = [y * (1.5 if i >= 20 else 1.0) for i, y in enumerate(smooth)]
+    _write_series(spark, str(tmp_path), {
+        1: [[(0, y)] for y in smooth],
+        2: [[(0, y)] for y in jumpy],
+    })
+    got = {r["symbol"]: r for r in q_ts_jump_test(spark, str(tmp_path)).collect()}
+
+    def replay(ys):
+        lrs = [m.log(b / a) for a, b in zip(ys, ys[1:]) if a > 0 and b > 0]
+        r2 = sum(int(m.floor(r * r * 1e12 + 0.5)) for r in lrs)
+        bp = sum(
+            int(m.floor(abs(b) * abs(a) * 1e12 + 0.5))
+            for a, b in zip(lrs, lrs[1:])
+        )
+        rv, bv = r2 / 1e12, (m.pi / 2.0) * (bp / 1e12)
+        return _snap(rv, 10), _snap(bv, 10), _snap((rv - bv) / rv, 8)
+
+    for sym, ys in ((1, smooth), (2, jumpy)):
+        rv, bv, rj = replay(ys)
+        assert got[sym]["rv"] == rv and got[sym]["bv"] == bv
+        assert got[sym]["rel_jump"] == rj
+    # the (π/2) scaling is calibrated for Gaussian returns, so the
+    # deterministic drift sits at RJ = 1 − (π/2)(n−1)/n ≈ −0.57; the
+    # jump must lift RJ far above that floor and above zero
+    assert got[2]["rel_jump"] > 0.3
+    assert got[2]["rel_jump"] - got[1]["rel_jump"] > 0.5
+
+
+def test_ts_roll_spread_bounce_replay(spark, tmp_path):
+    """A pure bid-ask bounce (mid 100, spread s=2, alternating ±s/2)
+    has first autocovariance −s²/4, so the Roll estimator recovers s
+    exactly; a trending series with positive autocov yields NULL."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_roll_spread,
+    )
+
+    bounce = [100.0 + (1.0 if i % 2 == 0 else -1.0) for i in range(40)]
+    trend = [100.0 + 0.5 * i for i in range(40)]
+    _write_series(spark, str(tmp_path), {
+        1: [[(0, y)] for y in bounce],
+        2: [[(0, y)] for y in trend],
+    })
+    got = {r["symbol"]: r for r in
+           q_ts_roll_spread(spark, str(tmp_path)).collect()}
+    # a DETERMINISTIC alternation flips sides every tick, so
+    # cov = −s² (iid ±1 sides would give −s²/4) -> estimate 2s
+    assert abs(got[1]["roll_spread"] - 4.0) < 1e-6
+    assert got[1]["autocov"] < 0
+    # constant-increment trend: Δp is constant -> autocov exactly 0,
+    # no Roll solution
+    assert got[2]["roll_spread"] is None and got[2]["autocov"] == 0.0
+
+
+def test_ts_corwin_schultz_zero_range_and_spread(spark, tmp_path):
+    """Zero-range bars (H=L) give β=γ=0 -> spread 0; planted in-bucket
+    ranges produce a positive spread bounded by the range scale, and
+    neg_share counts the raw-negative estimates."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_corwin_schultz,
+    )
+
+    flat = {1: [[(0, 100.0)] for _ in range(12)]}
+    # symbol 2: each bucket has two ticks spanning [99, 101]
+    ranged = {2: [[(1, 99.0), (0, 101.0)] for _ in range(12)]}
+    _write_series(spark, str(tmp_path), {**flat, **ranged})
+    got = {r["symbol"]: r for r in
+           q_ts_corwin_schultz(spark, str(tmp_path)).collect()}
+    assert got[1]["cs_spread"] == 0.0 and got[1]["neg_share"] == 0.0
+    assert 0.0 < got[2]["cs_spread"] < 0.1
+    assert got[1]["n_pairs"] == 11
+
+
+def test_ts_vwap_deviation_replay(spark, tmp_path):
+    """Two-tick buckets with known volumes: day VWAP = Σ(close·n)/Σn
+    over the day's four buckets; the integer-grid replay is exact."""
+    import math as m
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_vwap_deviation,
+    )
+
+    closes = [100.0, 102.0, 98.0, 104.0]  # one day, 1 tick each + vols
+    buckets = [[(0, c)] * (i + 1) for i, c in enumerate(closes)]
+    # re-planted: bucket i has i+1 ticks all at close c (vol = i+1)
+    buckets = []
+    for i, c in enumerate(closes):
+        buckets.append([(j * 0.5, c) for j in range(i + 1)])
+    _write_series(spark, str(tmp_path), {1: buckets})
+    rows = {r["day"]: r for r in
+            q_ts_vwap_deviation(spark, str(tmp_path)).collect()}
+    # BASE_TS = 2024-01-01 06:00 -> bucket i has time_idx base+i with
+    # base = (epoch - 2000-01-01)/6h; day = floor(time_idx/4), so the
+    # four buckets straddle a midnight and split into two days
+    import datetime as dt
+    base = (
+        int(BASE_TS.replace(tzinfo=dt.timezone.utc).timestamp())
+        - 946684800
+    ) // 21600
+    by_day: dict = {}
+    for i, c in enumerate(closes):
+        by_day.setdefault((base + i) // 4, []).append((c, i + 1))
+    assert set(rows) == set(by_day) and len(rows) == 2
+    for day, cv in by_day.items():
+        pv = sum(int(m.floor(c * v * 1e8 + 0.5)) for c, v in cv)
+        vol = sum(v for _, v in cv)
+        vwap = (pv / 1e8) / vol
+        sdev = sum(
+            int(m.floor(abs(c / vwap - 1.0) * 1e8 + 0.5)) for c, _ in cv
+        )
+        r = rows[day]
+        assert r["n_buckets"] == len(cv)
+        assert r["vwap"] == _snap(vwap, 8)
+        assert r["mean_abs_dev"] == _snap((sdev / 1e8) / len(cv), 8)
+
+
+def test_ts_dfa_persistent_vs_alternating(spark, tmp_path):
+    """DFA separates persistence classes: a monotonic drift (maximally
+    persistent increments) scores α near the upper range; a strictly
+    alternating return series (anti-persistent) scores α near 0.
+    Numpy replays the box math to float tolerance."""
+    import numpy as np
+
+    from big_data_stock_price_forecast_spark.plans.registry import q_ts_dfa
+
+    n = 80
+    # slowly-accelerating drift: persistent increments with nonzero
+    # in-box curvature (a perfectly log-linear price detrends to a
+    # zero profile -> F(n)=0 -> NULL alpha, by design)
+    drift, p = [100.0], 100.0
+    for i in range(n - 1):
+        p = p * (1.0 + 0.005 + 0.0002 * i)
+        drift.append(p)
+    # alternating +1% / -1% returns around 100 (anti-persistent)
+    alt, p = [100.0], 100.0
+    for i in range(n - 1):
+        p = p * (1.01 if i % 2 == 0 else 1.0 / 1.01)
+        alt.append(p)
+    _write_series(spark, str(tmp_path), {
+        1: [[(0, y)] for y in drift],
+        2: [[(0, y)] for y in alt],
+    })
+    got = {r["symbol"]: r for r in q_ts_dfa(spark, str(tmp_path)).collect()}
+    assert got[1]["alpha"] > 1.0 > 0.4 > got[2]["alpha"]
+
+    def replay_f(ys, nb):
+        lrs = np.array([
+            np.floor(np.log(b / a) * 1e12 + 0.5) / 1e12
+            for a, b in zip(ys, ys[1:])
+        ])
+        y = np.cumsum(lrs - lrs.sum() / len(lrs))
+        k = len(y) // nb
+        rvs = []
+        for b in range(k):
+            seg = y[b * nb:(b + 1) * nb]
+            x = np.arange(nb, dtype=float)
+            sy, syy = seg.sum(), (seg * seg).sum()
+            sxy = (x * seg).sum()
+            sx, sxx = x.sum(), (x * x).sum()
+            den = sxx - sx * sx / nb
+            rss = syy - sy * sy / nb - (sxy - sx / nb * sy) ** 2 / den
+            rvs.append(rss / nb)
+        return float(np.sqrt(np.mean(rvs)))
+
+    for sym, ys in ((1, drift), (2, alt)):
+        for nb in (8, 16, 32):
+            assert abs(got[sym][f"f{nb}"] - replay_f(ys, nb)) < 1e-6
+
+
+def test_ts_rolling_median_replay(spark):
+    """Exact pandas replay on the real fixture: 5-bucket rolling
+    median / MAD / robust z over the gap-filled closes."""
+    import pandas as pd
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        _filled,
+        q_ts_rolling_median,
+    )
+
+    pdf = (
+        _filled(spark, SF)
+        .select("symbol", "time_idx", "close")
+        .toPandas()
+        .sort_values(["symbol", "time_idx"])
+    )
+    got = {
+        (r["symbol"], r["time_idx"]): (r["med5"], r["mad5"], r["robust_z"])
+        for r in q_ts_rolling_median(spark, SF).collect()
+    }
+    n_checked = 0
+    for sym, g in pdf.groupby("symbol"):
+        cs = g["close"].to_numpy()
+        ts = g["time_idx"].to_numpy()
+        for i in range(4, len(cs)):
+            arr = sorted(cs[i - 4:i + 1])
+            med = arr[2]
+            mad = sorted(abs(v - med) for v in cs[i - 4:i + 1])[2]
+            rz = (cs[i] - med) / (1.4826 * mad + 1e-8)
+            gm, gd, gz = got[(sym, ts[i])]
+            assert gm == _snap(med, 8) and gd == _snap(mad, 8)
+            assert gz == _snap(rz, 8)
+            n_checked += 1
+    assert n_checked == len(got) > 1000
+
+
+def test_round12a_no_python_no_cartesian(spark):
+    """Batch-A plan hygiene on the real fixture: no Python/Arrow
+    stages, no cartesian products."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        all_queries,
+    )
+
+    qs = all_queries()
+    for name in ("ts_jump_test", "ts_corwin_schultz", "ts_roll_spread",
+                 "ts_vwap_deviation", "ts_dfa", "ts_rolling_median"):
+        plan = _plan(qs[name](spark, SF))
+        assert "Python" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
