@@ -347,6 +347,10 @@ from .registry_common import (  # noqa: F401
     weighted_dist,
 )
 from .registry_emb import (  # noqa: F401
+    _sql_emb_jl_distortion,
+    _sql_emb_lloyd_step,
+    q_emb_jl_distortion,
+    q_emb_lloyd_step,
     EMB_BENCH_MOD,
     EMB_DECONTAM_TAU,
     EMB_DIM,
@@ -433,6 +437,8 @@ from .registry_emb import (  # noqa: F401
     q_win_vae_embed,
 )
 from .registry_events import (  # noqa: F401
+    _sql_events_type_user_jaccard,
+    q_events_type_user_jaccard,
     SQL_EVENTS_ASOF_JOIN,
     SQL_EVENTS_ASSOC,
     SQL_EVENTS_ATTRIBUTION,
@@ -535,6 +541,8 @@ from .registry_events import (  # noqa: F401
     q_events_zorder_cells,
 )
 from .registry_graph import (  # noqa: F401
+    _sql_graph_modularity,
+    q_graph_modularity,
     SQL_GRAPH_HITS,
     SQL_GRAPH_TRIANGLES,
     _sql_graph_adamic_adar,
@@ -847,7 +855,13 @@ from .registry_ts import (  # noqa: F401
 from .registry_doc import (  # noqa: F401
     SQL_DOC_BPE_MERGES,
     _sql_doc_bpe_merges,
+    _sql_doc_bpe_segment,
+    _sql_doc_garbage_score,
+    _sql_doc_length_quantiles,
     q_doc_bpe_merges,
+    q_doc_bpe_segment,
+    q_doc_garbage_score,
+    q_doc_length_quantiles,
     SQL_DOC_CONTAINMENT,
     SQL_DOC_EXACT_DUP,
     SQL_DOC_INCR,
@@ -1051,6 +1065,13 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_vwap_deviation": q_ts_vwap_deviation,  # never (r12)
         "ts_dfa": q_ts_dfa,  # never (r12)
         "ts_rolling_median": q_ts_rolling_median,  # never (r12)
+        "doc_bpe_segment": q_doc_bpe_segment,  # never (r12)
+        "doc_garbage_score": q_doc_garbage_score,  # never (r12)
+        "doc_length_quantiles": q_doc_length_quantiles,  # never (r12)
+        "emb_jl_distortion": q_emb_jl_distortion,  # never (r12)
+        "emb_lloyd_step": q_emb_lloyd_step,  # never (r12)
+        "graph_modularity": q_graph_modularity,  # never (r12)
+        "events_type_user_jaccard": q_events_type_user_jaccard,  # never (r12)
         # the three STRUCTURAL canaries stay inside the window
         # (test_gate_window_composition): one flagship, one wide
         # indicator battery, one LSH pair query — if the driver
@@ -1478,6 +1499,13 @@ def _oracle_sql_map() -> dict[str, str]:
         "ts_vwap_deviation": _sql_ts_vwap_deviation(),
         "ts_dfa": _sql_ts_dfa(),
         "ts_rolling_median": _sql_ts_rolling_median(),
+        "doc_bpe_segment": _sql_doc_bpe_segment(),
+        "doc_garbage_score": _sql_doc_garbage_score(),
+        "doc_length_quantiles": _sql_doc_length_quantiles(),
+        "emb_jl_distortion": _sql_emb_jl_distortion(),
+        "emb_lloyd_step": _sql_emb_lloyd_step(),
+        "graph_modularity": _sql_graph_modularity(),
+        "events_type_user_jaccard": _sql_events_type_user_jaccard(),
         "ts_theta_forecast": _sql_ts_theta_forecast(),
         "media_ahash_near_dup": _sql_media_ahash_near_dup(),
         "graph_lpa_communities": _sql_graph_lpa_communities(),

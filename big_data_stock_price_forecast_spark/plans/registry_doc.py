@@ -3868,3 +3868,242 @@ SELECT sa AS source_a, sb AS source_b, inter::BIGINT AS n_shared,
 FROM inter
 JOIN vocab va ON va.source = sa
 JOIN vocab vb ON vb.source = sb"""
+
+
+def q_doc_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the serving half of
+    doc_bpe_merges: run the same k=5 training rounds (vocabulary-
+    sized), keep each token's final segmentation, and score every
+    document by its piece count (the budget quantity an LLM-data
+    pipeline packs context windows by). The token stream joins the
+    segmented vocabulary on a broadcast (vocab ≪ corpus — the same
+    asymmetry the unigram-LM scorer exploits), so the corpus-sized
+    pass is one broadcast-join + one doc_id combine. All integer
+    arithmetic except the final pieces-per-token ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "tok",
+            F.array_join(F.split("tok", ""), " ").alias("word"),
+            "cnt",
+        )
+    )
+    for _ in range(BPE_ROUNDS):
+        syms = F.split("word", " ")
+        pairs = vocab.filter(F.size(syms) >= 2).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(syms) - 2),
+                    lambda i: F.struct(
+                        F.element_at(syms, i + 1).alias("lhs"),
+                        F.element_at(syms, i + 2).alias("rhs"),
+                    ),
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        best = (
+            pairs.groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("cnt").alias("weight"))
+            .orderBy(
+                F.col("weight").desc(),
+                F.col("lhs").asc(),
+                F.col("rhs").asc(),
+            )
+            .limit(1)
+            .localCheckpoint(eager=True)  # barrier per round (the
+            # doc_bpe_merges device): later rounds must not recompute
+            # earlier scans
+        )
+        vocab = vocab.crossJoin(F.broadcast(best)).select(
+            "tok",
+            F.replace(
+                F.col("word"),
+                F.concat(F.col("lhs"), F.lit(" "), F.col("rhs")),
+                F.concat(F.col("lhs"), F.col("rhs")),
+            ).alias("word"),
+            "cnt",
+        )
+    seg = vocab.select(
+        "tok", F.size(F.split("word", " ")).cast("long").alias("n_pieces")
+    )
+    per_doc = (
+        tok.join(F.broadcast(seg), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("n_pieces").alias("n_pieces"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        _rne(
+            F.col("n_pieces").cast("double") / F.col("n_tok").cast("double"),
+            "pieces_per_tok",
+            8,
+        ),
+    )
+
+
+def _sql_doc_bpe_segment() -> str:
+    ctes = [
+        f"tok AS (SELECT doc_id, unnest({sql_tokens('text')}) AS tok"
+        " FROM documents)",
+        "vocab0 AS (SELECT tok,"
+        " array_to_string(string_split(tok, ''), ' ') AS word,"
+        " count(*) AS cnt FROM tok GROUP BY tok)",
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        ctes.append(
+            f"""p{r} AS (
+  SELECT syms[i] AS lhs, syms[i+1] AS rhs, cnt
+  FROM (SELECT string_split(word, ' ') AS syms, cnt FROM vocab{r - 1}),
+       LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i))"""
+        )
+        ctes.append(
+            f"""best{r} AS (
+  SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS weight
+  FROM p{r} GROUP BY 1, 2
+  ORDER BY weight DESC, lhs ASC, rhs ASC LIMIT 1)"""
+        )
+        ctes.append(
+            f"""vocab{r} AS (
+  SELECT tok, replace(word, lhs || ' ' || rhs, lhs || rhs) AS word, cnt
+  FROM vocab{r - 1}, best{r})"""
+        )
+    ctes.append(
+        f"seg AS (SELECT tok, len(string_split(word, ' '))::BIGINT"
+        f" AS n_pieces FROM vocab{BPE_ROUNDS})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT doc_id, count(*)::BIGINT AS n_tok,
+       CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       {_sql_rne('sum(n_pieces)::DOUBLE / count(*)::DOUBLE',
+                 'pieces_per_tok', 8)}
+FROM tok JOIN seg USING (tok)
+GROUP BY 1"""
+    )
+
+
+GARBAGE_CONSONANTS = "bcdfghjklmnpqrstvwxz"
+
+
+def q_doc_garbage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR/garbage heuristics per document — the cheap pre-filter a
+    pretraining pipeline runs before any model-based quality score:
+    symbol ratio (non-alnum non-space), digit ratio, longest
+    lowercase-consonant run (OCR noise and base64 blobs produce runs
+    real words never do), and mixed alnum-token share. All string
+    expressions (regexp_replace lengths, regexp_extract_all run
+    scan) — one projection, no explode, no shuffle beyond the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    n = F.length(txt).cast("double")
+    n_sym = F.length(
+        F.regexp_replace(txt, r"[A-Za-z0-9\s]", "")
+    ).cast("double")
+    n_dig = F.length(F.regexp_replace(txt, r"[^0-9]", "")).cast("double")
+    runs = F.expr(
+        f"regexp_extract_all(lower(text), '[{GARBAGE_CONSONANTS}]+', 0)"
+    )
+    max_run = F.coalesce(
+        F.array_max(F.transform(runs, F.length)).cast("long"), F.lit(0)
+    )
+    toks = tokens(txt)
+    mixed = F.size(
+        F.filter(
+            toks,
+            lambda t: t.rlike("[a-z]") & t.rlike("[0-9]"),
+        )
+    ).cast("double")
+    n_tok = F.size(toks).cast("double")
+    return docs.select(
+        "doc_id",
+        _rne(F.when(n > 0, n_sym / n).otherwise(F.lit(0.0)), "sym_ratio", 8),
+        _rne(F.when(n > 0, n_dig / n).otherwise(F.lit(0.0)), "digit_ratio", 8),
+        max_run.alias("max_consonant_run"),
+        _rne(
+            F.when(n_tok > 0, mixed / n_tok).otherwise(F.lit(0.0)),
+            "mixed_tok_share",
+            8,
+        ),
+    )
+
+
+def _sql_doc_garbage_score() -> str:
+    sym = (
+        "CASE WHEN length(text) > 0 THEN "
+        "length(regexp_replace(text, '[A-Za-z0-9" + "\\s" + "]', '', 'g'))"
+        "::DOUBLE / length(text) ELSE 0.0 END"
+    )
+    dig = (
+        "CASE WHEN length(text) > 0 THEN "
+        "length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE"
+        " / length(text) ELSE 0.0 END"
+    )
+    toks = sql_tokens("text")
+    mixed = (
+        f"CASE WHEN len({toks}) > 0 THEN "
+        f"len(list_filter({toks}, t -> "
+        "regexp_matches(t, '[a-z]') AND regexp_matches(t, '[0-9]')))"
+        f"::DOUBLE / len({toks}) ELSE 0.0 END"
+    )
+    return f"""
+SELECT doc_id,
+       {_sql_rne(sym, 'sym_ratio', 8)},
+       {_sql_rne(dig, 'digit_ratio', 8)},
+       coalesce(list_max(list_transform(
+           regexp_extract_all(lower(text), '[{GARBAGE_CONSONANTS}]+', 0),
+           r -> length(r))), 0)::BIGINT AS max_consonant_run,
+       {_sql_rne(mixed, 'mixed_tok_share', 8)}
+FROM documents"""
+
+
+DOC_QUANTILES = (0.1, 0.5, 0.9)
+
+
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated length quantiles per source — the
+    distribution audit behind any length-based curation cut (Gopher's
+    length rules pick thresholds from exactly this view). Both
+    engines compute the same classical estimator (h = (n−1)p;
+    x_⌊h⌋ + (h−⌊h⌋)·(x_⌊h⌋₊₁ − x_⌊h⌋) on the sorted values — Spark
+    ``percentile``, DuckDB ``quantile_cont``), identical IEEE ops on
+    integer inputs, rounded on the shared grid. One aggregate; at
+    scale this is the sort-based percentile per group, never a global
+    sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    qs = ", ".join(str(q) for q in DOC_QUANTILES)
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(f"percentile(n_chars, array({qs}))").alias("qs"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        *[
+            _rne(F.element_at("qs", i + 1), f"p{int(q * 100)}", 6)
+            for i, q in enumerate(DOC_QUANTILES)
+        ],
+    )
+
+
+def _sql_doc_length_quantiles() -> str:
+    cols = ",\n       ".join(
+        _sql_rne(f"quantile_cont(n_chars, {q})", f"p{int(q * 100)}", 6)
+        for q in DOC_QUANTILES
+    )
+    return f"""
+SELECT source, count(*)::BIGINT AS n_docs,
+       {cols}
+FROM documents GROUP BY 1"""

@@ -2913,3 +2913,258 @@ SELECT 'summary' AS row_type, bit_xor(sig)::BIGINT AS sig,
        sum(gs)::BIGINT AS group_size, count(*)::BIGINT AS keeper_id,
        sum(CASE WHEN gs >= 2 THEN gs ELSE 0 END)::BIGINT AS n_labels
 FROM grp"""
+
+
+JL_OUT_DIM = 16
+JL_Q_MOD = 101
+JL_C_MOD = 13
+
+
+def _jl_signs() -> list:
+    """Deterministic ±1 sign matrix (JL_OUT_DIM x 64), derived from
+    md5 at plan-build time so Spark and DuckDB consume IDENTICAL
+    literals — no engine hash functions in the hot path."""
+    import hashlib
+
+    signs = []
+    for j in range(JL_OUT_DIM):
+        row = []
+        for i in range(64):
+            h = hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()
+            row.append(1.0 if int(h[-1], 16) % 2 == 0 else -1.0)
+        signs.append(row)
+    return signs
+
+
+def q_emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss distortion audit of a ±1 random-sign
+    projection 64→16 — the measurement behind 'can we ANN-search in a
+    4x cheaper space': project every corpus vector with a FIXED
+    hash-derived sign matrix (literals, identical in both engines),
+    then compare projected vs original pair distances over the
+    bounded query×candidate panel (vec_id mod 101 / mod 13 — the knn
+    suite's explicit-cost convention). Projections are left-assoc
+    64-term sign chains (bitwise cross-engine); the ratio
+    d₁₆/d₆₄ snaps to 1e-8 and averages in DECIMAL; min/max are exact
+    comparisons. At 100 TB the projection is a map-side expression —
+    the pair panel, not the corpus, bounds the join."""
+    emb = _emb(spark, sf_dir)
+    signs = _jl_signs()
+    scale = 1.0 / math.sqrt(float(JL_OUT_DIM))
+
+    def proj_cols(vcol):
+        cols = []
+        for j, row in enumerate(signs):
+            expr = None
+            for i, s in enumerate(row):
+                term = F.element_at(vcol, i + 1) * F.lit(s)
+                expr = term if expr is None else expr + term
+            cols.append((expr * F.lit(scale)).alias(f"p{j}"))
+        return cols
+
+    base = emb.select(
+        "vec_id", "v", *proj_cols(F.col("v"))
+    )
+    parr = F.array(*[F.col(f"p{j}") for j in range(JL_OUT_DIM)])
+    base = base.select("vec_id", "v", parr.alias("p"))
+    q = base.filter(F.col("vec_id") % JL_Q_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("p").alias("qp"),
+    )
+    c = base.filter(F.col("vec_id") % JL_C_MOD == 0)
+    from ..functions.distance import dist_l2_fixed
+
+    pairs = c.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    d64 = dist_l2_fixed(F.col("v"), F.col("qv"), 64)
+    d16 = dist_l2_fixed(F.col("p"), F.col("qp"), JL_OUT_DIM)
+    # exact-duplicate vectors have d64 = 0: no ratio (ANSI division)
+    r = pairs.select(
+        F.when(d64 > 0, d16 / d64).alias("ratio"),
+    ).filter(F.col("ratio").isNotNull())
+    snap8 = (F.floor(F.col("ratio") * 1e8 + F.lit(0.5)) / 1e8).cast(
+        "decimal(30,8)"
+    )
+    agg = r.select(F.col("ratio"), snap8.alias("rs")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("rs").alias("sr"),
+        F.min("ratio").alias("min_ratio"),
+        F.max("ratio").alias("max_ratio"),
+    )
+    return agg.select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        _rne(
+            F.col("sr").cast("double") / F.col("n_pairs").cast("double"),
+            "mean_ratio",
+            8,
+        ),
+        _rne(F.col("min_ratio"), "min_ratio", 8),
+        _rne(F.col("max_ratio"), "max_ratio", 8),
+    )
+
+
+def _sql_emb_jl_distortion() -> str:
+    signs = _jl_signs()
+    scale = 1.0 / math.sqrt(float(JL_OUT_DIM))
+    projs = []
+    for j, row in enumerate(signs):
+        chain = None
+        for i, s in enumerate(row):
+            term = f"v[{i + 1}] * ({s})"
+            chain = term if chain is None else f"({chain} + {term})"
+        projs.append(f"{chain} * {scale!r} AS p{j}")
+    plist = ", ".join(f"p{j}" for j in range(JL_OUT_DIM))
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pr AS (
+  SELECT vec_id, v, {', '.join(projs)} FROM base),
+pa AS (
+  SELECT vec_id, v, [{plist}] AS p FROM pr),
+q AS (
+  SELECT vec_id AS q_id, v AS qv, p AS qp FROM pa
+  WHERE vec_id % {JL_Q_MOD} = 0),
+c AS (SELECT * FROM pa WHERE vec_id % {JL_C_MOD} = 0),
+pairs AS (
+  SELECT CASE WHEN {_sql_l2('c.v', 'q.qv')} > 0
+              THEN {_sql_l2('c.p', 'q.qp')} / {_sql_l2('c.v', 'q.qv')}
+         END AS ratio
+  FROM c JOIN q ON c.vec_id <> q.q_id),
+r AS (SELECT ratio,
+             CAST(floor(ratio * 1e8 + 0.5) / 1e8 AS DECIMAL(30,8)) AS rs
+      FROM pairs WHERE ratio IS NOT NULL)
+SELECT count(*)::BIGINT AS n_pairs,
+       {_sql_rne('sum(rs)::DOUBLE / count(*)::DOUBLE', 'mean_ratio', 8)},
+       {_sql_rne('min(ratio)', 'min_ratio', 8)},
+       {_sql_rne('max(ratio)', 'max_ratio', 8)}
+FROM r"""
+
+
+def q_emb_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One bounded Lloyd iteration from the label centroids — the
+    k-means refinement step the IVF index build would run, with the
+    inertia drop measured (the monotone-descent invariant IS the
+    correctness check): assign each vector to its nearest exact
+    centroid (distance, label tie-break), recompute centroids as the
+    snapped-grid means of their assignments, re-assign, and report
+    inertia before/after. Centroids come from the 1e-6 integer-grid
+    DECIMAL device (order-free, bitwise cross-engine); distances are
+    sequential-fold L2; per-vector d² snaps to 1e-6 into DECIMAL
+    sums. Two assignment passes = two broadcast joins of k centroid
+    arrays against the corpus — linear in N, never quadratic."""
+    from ..functions.distance import dist_l2_fixed
+
+    emb = _emb(spark, sf_dir)
+
+    def centroids_of(df, label_col):
+        e = df.select(
+            F.col(label_col).alias("cl"), F.posexplode("v").alias("dim", "x")
+        ).select(
+            "cl",
+            "dim",
+            F.floor(F.col("x") * 1e6 + F.lit(0.5))
+            .cast("decimal(38,0)")
+            .alias("q"),
+        )
+        ld = e.groupBy("cl", "dim").agg(
+            F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        return ld.groupBy("cl").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "s", "n"))
+                ),
+                lambda t: t.getField("s").cast("double")
+                / t.getField("n").cast("double")
+                / F.lit(1e6),
+            ).alias("cvec")
+        )
+
+    def assign(df, cents):
+        d = df.crossJoin(
+            F.broadcast(cents.select(F.col("cl"), "cvec"))
+        ).withColumn("d2", dist_l2_fixed(F.col("v"), F.col("cvec"), 64))
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("d2").asc(), F.col("cl").asc()
+        )
+        return (
+            d.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "v", F.col("cl").alias("acl"), "d2")
+        )
+
+    snap6 = lambda c: (  # noqa: E731
+        F.floor(F.col(c) * F.col(c) * 1e6 + F.lit(0.5))
+    ).cast("decimal(38,0)")
+
+    c0 = centroids_of(emb, "label").localCheckpoint(eager=True)
+    a0 = assign(emb, c0).localCheckpoint(eager=True)
+    inertia0 = a0.select(snap6("d2").alias("i")).agg(
+        F.sum("i").alias("s0"), F.count(F.lit(1)).alias("n")
+    )
+    c1 = centroids_of(a0, "acl").localCheckpoint(eager=True)
+    a1 = assign(emb, c1)
+    inertia1 = a1.select("acl", snap6("d2").alias("i")).agg(
+        F.sum("i").alias("s1"),
+        F.countDistinct("acl").alias("k1"),
+    )
+    k0 = c0.agg(F.count(F.lit(1)).alias("k0"))
+    return (
+        inertia0.crossJoin(F.broadcast(inertia1))
+        .crossJoin(F.broadcast(k0))
+        .select(
+            F.col("n").cast("long").alias("n_vecs"),
+            F.col("k0").cast("long").alias("k0"),
+            F.col("k1").cast("long").alias("k1"),
+            _rne(F.col("s0").cast("double") / 1e6, "inertia0", 6),
+            _rne(F.col("s1").cast("double") / 1e6, "inertia1", 6),
+        )
+    )
+
+
+def _sql_emb_lloyd_step() -> str:
+    def cents(src, label, name):
+        return f"""{name}_e AS (
+  SELECT {label} AS cl, i AS dim,
+         CAST(floor(v[i] * 1e6 + 0.5) AS DECIMAL(38,0)) AS q
+  FROM {src}, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)),
+{name}_ld AS (
+  SELECT cl, dim, sum(q) AS s, count(*) AS n
+  FROM {name}_e GROUP BY 1, 2),
+{name} AS (
+  SELECT cl, list_transform(
+           list_sort(list(struct_pack(dim := dim, s := s, n := n))),
+           t -> t.s::DOUBLE / t.n::DOUBLE / 1e6) AS cvec
+  FROM {name}_ld GROUP BY 1)"""
+
+    def assign(cent, name):
+        return f"""{name}_d AS (
+  SELECT b.vec_id, b.v, c.cl,
+         {_sql_l2('b.v', 'c.cvec')} AS dd
+  FROM base b CROSS JOIN {cent} c),
+{name} AS (
+  SELECT vec_id, v, cl AS acl, dd * dd AS d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dd ASC, cl ASC) AS rk
+    FROM {name}_d) WHERE rk = 1)"""
+
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+{cents('base', 'label', 'c0')},
+{assign('c0', 'a0')},
+{cents('a0', 'acl', 'c1')},
+{assign('c1', 'a1')},
+i0 AS (
+  SELECT sum(CAST(floor(d2 * 1e6 + 0.5) AS DECIMAL(38,0))) AS s0,
+         count(*) AS n
+  FROM a0),
+i1 AS (
+  SELECT sum(CAST(floor(d2 * 1e6 + 0.5) AS DECIMAL(38,0))) AS s1,
+         count(DISTINCT acl) AS k1
+  FROM a1),
+k0 AS (SELECT count(*) AS k0 FROM c0)
+SELECT n::BIGINT AS n_vecs, k0::BIGINT AS k0, k1::BIGINT AS k1,
+       {_sql_rne('s0::DOUBLE / 1e6', 'inertia0', 6)},
+       {_sql_rne('s1::DOUBLE / 1e6', 'inertia1', 6)}
+FROM i0 CROSS JOIN i1 CROSS JOIN k0"""

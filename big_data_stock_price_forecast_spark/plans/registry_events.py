@@ -3358,3 +3358,67 @@ SELECT nu::BIGINT AS n_users, np::BIGINT AS k_points,
            f'CASE WHEN {vx} > 0 AND {vy} > 0 THEN ({cov}) * ({cov})'
            f' / (({vx}) * ({vy})) END', 'r2', 8)}
 FROM agg"""
+
+
+def q_events_type_user_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-audience overlap between event types: Jaccard of the
+    distinct user sets for every type pair (t1 < t2) — the audience-
+    segmentation view beside events_type_lift's basket co-occurrence
+    (lift asks 'do they happen together'; this asks 'do the same
+    PEOPLE do both'). Distinct (type, user) pairs self-join on the
+    user key (work = Σ per-user |types|², bounded by the type
+    universe, never the corpus); Jaccard is one IEEE division of
+    exact longs. Type pair count is |types|²/2 — tiny — so the
+    output is a complete matrix, no top-k cut needed."""
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select(
+        F.col("event_type").alias("t"), F.col("user_id").alias("u")
+    ).distinct()
+    a = tu.select(F.col("t").alias("t1"), "u")
+    b = tu.select(F.col("t").alias("t2"), "u")
+    inter = (
+        a.join(b, "u")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sizes = tu.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    out = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("t").alias("t1"),
+                                     F.col("n").alias("n1"))), "t1"
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("t").alias("t2"),
+                                     F.col("n").alias("n2"))), "t2"
+        )
+    )
+    return out.select(
+        "t1",
+        "t2",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("n_both").cast("long").alias("n_both"),
+        _rne(
+            F.col("n_both").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_both")).cast("double"),
+            "jaccard",
+            8,
+        ),
+    )
+
+
+def _sql_events_type_user_jaccard() -> str:
+    return f"""
+WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+inter AS (
+  SELECT a.t AS t1, b.t AS t2, count(*) AS n_both
+  FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+  GROUP BY 1, 2),
+sizes AS (SELECT t, count(*) AS n FROM tu GROUP BY 1)
+SELECT t1, t2, s1.n::BIGINT AS n1, s2.n::BIGINT AS n2,
+       n_both::BIGINT AS n_both,
+       {_sql_rne('n_both::DOUBLE / (s1.n + s2.n - n_both)::DOUBLE',
+                 'jaccard', 8)}
+FROM inter JOIN sizes s1 ON inter.t1 = s1.t
+           JOIN sizes s2 ON inter.t2 = s2.t"""

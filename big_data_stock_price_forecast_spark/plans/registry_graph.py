@@ -452,6 +452,16 @@ def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     per node is ONE label, never the history. The oracle unrolls the
     identical three rounds as chained CTEs. Item construction + df
     cap live in ``_coattendance`` (shared with adamic_adar/jaccard)."""
+    und, lab = _lpa_labels(spark, sf_dir)
+    return lab.select(
+        F.col("node").alias("user_id"), F.col("label").alias("community")
+    )
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str):
+    """(und, lab): the symmetric co-attendance edge list and the final
+    3-round LPA label per node — shared by q_graph_lpa_communities and
+    q_graph_modularity (one definition of the community structure)."""
     d = _coattendance(spark, sf_dir)
     a = d.select(F.col("user_id").alias("u"), "item")
     b = d.select(F.col("user_id").alias("v"), "item")
@@ -482,9 +492,7 @@ def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == 1)
             .select(F.col("dst").alias("node"), "label")
         )
-    return lab.select(
-        F.col("node").alias("user_id"), F.col("label").alias("community")
-    )
+    return und, lab
 
 
 def _sql_graph_lpa_communities() -> str:
@@ -923,3 +931,106 @@ SELECT size::BIGINT AS component_size,
            'node_share', 8)}
 FROM sizes CROSS JOIN nt
 GROUP BY size"""
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 3-round LPA partition — the quality
+    score that tells you whether the communities the cheap detector
+    found are real structure or noise: Q = Σ_c (e_c/m − (d_c/2m)²)
+    over the SAME df-capped co-attendance graph and the SAME label
+    chain as graph_lpa_communities (shared ``_lpa_labels`` — one
+    definition per engine). All counts are exact longs; each
+    community's term is a single IEEE expression snapped to the 1e-12
+    grid and summed in DECIMAL, so community iteration order cannot
+    perturb Q. Cost: two label joins over the edge list + one
+    community aggregate — nothing quadratic."""
+    und, lab = _lpa_labels(spark, sf_dir)
+    lu = lab.select(F.col("node").alias("u"), F.col("label").alias("cu"))
+    lv = lab.select(F.col("node").alias("v"), F.col("label").alias("cv"))
+    e = und.join(lu, "u").join(lv, "v")
+    m2 = e.agg(F.count(F.lit(1)).alias("m2"))  # 2m directed half-edges
+    deg = e.groupBy("u", "cu").agg(F.count(F.lit(1)).alias("deg"))
+    dsum = deg.groupBy("cu").agg(F.sum("deg").alias("dc"))
+    intra = (
+        e.filter(F.col("cu") == F.col("cv"))
+        .groupBy("cu")
+        .agg(F.count(F.lit(1)).alias("ec2"))  # intra counted both ways
+    )
+    terms = (
+        dsum.join(intra, "cu", "left")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "cu",
+            (
+                F.coalesce(F.col("ec2"), F.lit(0)).cast("double")
+                / F.col("m2").cast("double")
+                - (F.col("dc").cast("double") / F.col("m2").cast("double"))
+                * (F.col("dc").cast("double") / F.col("m2").cast("double"))
+            ).alias("t"),
+        )
+    )
+    snap12 = (F.floor(F.col("t") * 1e12 + F.lit(0.5)) / 1e12).cast(
+        "decimal(30,12)"
+    )
+    agg = terms.select(snap12.alias("ts")).agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum("ts").alias("q"),
+    )
+    n_nodes = lab.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        agg.crossJoin(F.broadcast(n_nodes))
+        .crossJoin(F.broadcast(m2))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            (F.col("m2") / 2).cast("long").alias("n_edges"),
+            F.col("n_communities").cast("long").alias("n_communities"),
+            _rne(F.col("q").cast("double"), "modularity", 10),
+        )
+    )
+
+
+def _sql_graph_modularity() -> str:
+    rounds = []
+    prev = "l0"
+    for r in range(1, LPA_ROUNDS + 1):
+        rounds.append(f"""
+m{r} AS (
+  SELECT e.v AS dst, l.label, count(*) AS cnt
+  FROM e JOIN {prev} l ON e.u = l.node GROUP BY 1, 2),
+l{r} AS (
+  SELECT dst AS node, label FROM (
+    SELECT dst, label,
+           row_number() OVER (PARTITION BY dst
+                              ORDER BY cnt DESC, label ASC) AS rk
+    FROM m{r})
+  WHERE rk = 1)""")
+        prev = f"l{r}"
+    body = ",".join(rounds)
+    return f"""
+WITH {SQL_COATTEND},
+e AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM dca a JOIN dca b ON a.item = b.item AND a.user_id <> b.user_id),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),{body},
+el AS (
+  SELECT e.u, e.v, lu.label AS cu, lv.label AS cv
+  FROM e JOIN l{LPA_ROUNDS} lu ON e.u = lu.node
+         JOIN l{LPA_ROUNDS} lv ON e.v = lv.node),
+tw AS (SELECT count(*) AS m2 FROM el),
+dsum AS (
+  SELECT cu, count(*) AS dc FROM el GROUP BY 1),
+intra AS (
+  SELECT cu, count(*) AS ec2 FROM el WHERE cu = cv GROUP BY 1),
+terms AS (
+  SELECT d.cu,
+         CAST(floor((coalesce(i.ec2, 0)::DOUBLE / tw.m2
+                     - (d.dc::DOUBLE / tw.m2) * (d.dc::DOUBLE / tw.m2))
+                    * 1e12 + 0.5) / 1e12 AS DECIMAL(30,12)) AS ts
+  FROM dsum d LEFT JOIN intra i USING (cu) CROSS JOIN tw),
+agg AS (
+  SELECT count(*) AS n_communities, sum(ts) AS q FROM terms)
+SELECT (SELECT count(*) FROM l{LPA_ROUNDS})::BIGINT AS n_nodes,
+       (SELECT m2 // 2 FROM tw)::BIGINT AS n_edges,
+       n_communities::BIGINT AS n_communities,
+       {_sql_rne('q::DOUBLE', 'modularity', 10)}
+FROM agg"""

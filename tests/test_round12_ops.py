@@ -365,3 +365,180 @@ def test_round12a_no_python_no_cartesian(spark):
         assert "FlatMapGroupsInPandas" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+# ============================== round-12 batch B (doc/emb/graph/events)
+
+
+def _write_docs(spark, path, docs):
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).coalesce(1).write.parquet(f"{path}/documents.parquet")
+
+
+def test_doc_bpe_segment_matches_replay(spark):
+    """Piece counts on the real fixture equal the python BPE replay:
+    train 5 merges (same argmax/tie-break as the merges test), apply
+    to the vocabulary, sum per doc."""
+    import collections
+    import re
+
+    from big_data_stock_price_forecast_spark.functions.text import (
+        TOKEN_SPLIT_RE,
+    )
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_bpe_segment,
+    )
+
+    doc_toks = {}
+    cnt: collections.Counter = collections.Counter()
+    for r in load_table(spark, SF, "documents").select(
+        "doc_id", "text"
+    ).collect():
+        ts = [t for t in re.split(TOKEN_SPLIT_RE, r["text"].lower()) if t]
+        doc_toks[r["doc_id"]] = ts
+        cnt.update(ts)
+    seg = {t: tuple(t) for t in cnt}
+    vocab = dict(cnt)
+    for _ in range(5):
+        pc: collections.Counter = collections.Counter()
+        for t, c in vocab.items():
+            syms = seg[t]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        (a, b), _w = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for t in seg:
+            syms, out, i = seg[t], [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seg[t] = tuple(out)
+    got = {r["doc_id"]: r for r in q_doc_bpe_segment(spark, SF).collect()}
+    assert len(got) == len(doc_toks)
+    for did, ts in doc_toks.items():
+        n_pieces = sum(len(seg[t]) for t in ts)
+        assert got[did]["n_tok"] == len(ts)
+        assert got[did]["n_pieces"] == n_pieces
+
+
+def test_doc_garbage_score_planted(spark, tmp_path):
+    """Planted garbage vs clean text: a base64-ish blob trips the
+    consonant-run and mixed-token detectors; clean prose stays low."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_garbage_score,
+    )
+
+    clean = "the quick brown fox jumps over the lazy dog again and again"
+    blob = "xK9fQz7 mnbvcxzlkjhgfdsq p0q1w2e3r4t5 @@##$$%%^^&&"
+    _write_docs(spark, str(tmp_path), [
+        (1, clean, "en", "a", len(clean)),
+        (2, blob, "en", "b", len(blob)),
+    ])
+    got = {r["doc_id"]: r for r in
+           q_doc_garbage_score(spark, str(tmp_path)).collect()}
+    assert got[1]["sym_ratio"] == 0.0
+    assert got[1]["max_consonant_run"] <= 3  # no run beyond 'ckbr'-ish
+    assert got[1]["mixed_tok_share"] == 0.0 and got[1]["digit_ratio"] == 0.0
+    assert got[2]["sym_ratio"] > 0.1
+    assert got[2]["max_consonant_run"] >= 10
+    assert got[2]["mixed_tok_share"] > 0.2
+    assert got[2]["digit_ratio"] > 0.1
+
+
+def test_doc_length_quantiles_interpolation(spark, tmp_path):
+    """Five known lengths: p50 picks the middle value exactly; p10/p90
+    land on the classical (n−1)p interpolation points."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_length_quantiles,
+    )
+
+    lens = [10, 20, 30, 40, 100]
+    _write_docs(spark, str(tmp_path), [
+        (i, "x", "en", "s", n) for i, n in enumerate(lens)
+    ])
+    r = q_doc_length_quantiles(spark, str(tmp_path)).collect()[0]
+    assert r["n_docs"] == 5 and r["p50"] == 30.0
+    # h = (5-1)*0.1 = 0.4 -> 10 + 0.4*(20-10) = 14 ; p90: h=3.6 -> 76
+    assert r["p10"] == _snap(14.0, 6)
+    assert r["p90"] == _snap(40 + 0.6 * 60, 6)
+
+
+def test_emb_jl_distortion_bounds(spark):
+    """On the real corpus the 64→16 sign projection must concentrate:
+    mean ratio within 25% of 1, extremes bounded away from 0/∞, and
+    the pair panel non-vacuous."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_emb_jl_distortion,
+    )
+
+    r = q_emb_jl_distortion(spark, SF).collect()[0]
+    assert r["n_pairs"] > 100
+    assert 0.75 < r["mean_ratio"] < 1.25
+    assert 0.2 < r["min_ratio"] <= r["max_ratio"] < 3.0
+
+
+def test_emb_lloyd_step_descends(spark):
+    """The Lloyd invariant: one reassign-recenter-reassign round can
+    only lower (or keep) the within-cluster inertia; cluster count
+    stays within k."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_emb_lloyd_step,
+    )
+
+    r = q_emb_lloyd_step(spark, SF).collect()[0]
+    assert r["n_vecs"] > 0 and 1 <= r["k1"] <= r["k0"]
+    # tolerance: centroids/d² are grid-snapped (1e-6), so descent
+    # holds up to one grid cell per vector
+    assert r["inertia1"] <= r["inertia0"] + 1e-4 * r["n_vecs"]
+
+
+def test_events_type_user_jaccard_planted(spark, tmp_path):
+    """Three types with known audiences: identical sets J=1, disjoint
+    sets J=0 row still emitted? (no — disjoint pairs have no inter
+    row; the planted overlap replays exactly)."""
+    import datetime as dt
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_events_type_user_jaccard,
+    )
+    from tests.test_round11_ops import _write_event_rows
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # type a: users 1-4; type b: users 3-6 (J = 2/6); type c: user 99
+    for u in (1, 2, 3, 4):
+        rows.append((eid, t0, u, "a", 1.0, "{}")); eid += 1
+    for u in (3, 4, 5, 6):
+        rows.append((eid, t0, u, "b", 1.0, "{}")); eid += 1
+    rows.append((eid, t0, 99, "c", 1.0, "{}"))
+    _write_event_rows(spark, str(tmp_path), rows)
+    got = {(r["t1"], r["t2"]): r for r in
+           q_events_type_user_jaccard(spark, str(tmp_path)).collect()}
+    assert set(got) == {("a", "b")}  # c shares no users
+    r = got[("a", "b")]
+    assert (r["n1"], r["n2"], r["n_both"]) == (4, 4, 2)
+    assert r["jaccard"] == _snap(2.0 / 6.0, 8)
+
+
+def test_graph_modularity_in_range_and_partition_consistent(spark):
+    """Q on the real fixture stays in the modularity range and the
+    community count matches the LPA query's distinct labels."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        all_queries,
+        q_graph_modularity,
+    )
+
+    r = q_graph_modularity(spark, SF).collect()[0]
+    assert -0.5 <= r["modularity"] <= 1.0
+    lpa = all_queries()["graph_lpa_communities"](spark, SF)
+    n_comm = lpa.select("community").distinct().count()
+    assert r["n_communities"] == n_comm
+    assert r["n_nodes"] == lpa.count()
