@@ -346,3 +346,106 @@ def extract_features(
     return media.mapInPandas(
         run, schema="media_id long, media_type string, features array<double>"
     )
+
+
+PHASH_COEFFS = 16  # 4x4 low-frequency block of the 8x8 cell-grid DCT
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 4
+PHASH_MAX_DIST = 3  # pigeonhole: any pair at hamming <= 3 shares a band
+
+
+def phash_dct_weights() -> list:
+    """Orthonormal 2D DCT-II weights for the 4x4 low-frequency block
+    over the 8x8 cell grid, as plain-float literals (plan-build-time
+    constants, identical in the Spark expression and the DuckDB
+    oracle). Entry [c][i]: coefficient index c = 4u+v, cell index
+    i = 8x+y."""
+    import math
+
+    ws = []
+    for u in range(4):
+        for v in range(4):
+            au = math.sqrt(1.0 / 8.0) if u == 0 else math.sqrt(2.0 / 8.0)
+            av = math.sqrt(1.0 / 8.0) if v == 0 else math.sqrt(2.0 / 8.0)
+            row = []
+            for x in range(8):
+                for y in range(8):
+                    row.append(
+                        au
+                        * av
+                        * math.cos((2 * x + 1) * u * math.pi / 16.0)
+                        * math.cos((2 * y + 1) * v * math.pi / 16.0)
+                    )
+            ws.append(row)
+    return ws
+
+
+def phash16_bands(media: DataFrame) -> DataFrame:
+    """Perceptual DCT hash (pHash) of each image payload as 4 4-bit
+    band values — the frequency-domain sibling of :func:`ahash_bands`
+    (aHash flips on local brightness; pHash thresholds low-frequency
+    DCT coefficients, so it survives uniform brightness/contrast
+    shifts that flip aHash bits). Same byte-stride 8x8 cell grid as
+    aHash, but the FLOAT cell means feed 16 fixed-literal DCT chains
+    (left-associated 64-term sums — bitwise identical cross-engine);
+    each coefficient bits against the median of the 15 non-DC
+    coefficients (the classic pHash threshold; DC joins the bit
+    vector and lands above the median by construction). The 4 bands
+    double as LSH blocking keys: any pair at hamming <= PHASH_MAX_DIST
+    = 3 shares an identical band (pigeonhole over 4 bands), so banded
+    candidate generation is exhaustive at the query threshold. One
+    JVM projection pass — no Python, no shuffle."""
+    n = F.col("meta.n_bytes")
+    b = (
+        media.filter(F.col("media_type") == "image")
+        .filter(n >= 1)
+        .select(
+            "media_id",
+            n.alias("n"),
+            F.hex(F.col("payload")).alias("hx"),
+        )
+        .withColumn(
+            "bytes",
+            F.expr(
+                "transform(sequence(0, cast(n - 1 as int)),"
+                " j -> cast(conv(substring(hx, 2 * j + 1, 2), 16, 10)"
+                " as bigint))"
+            ),
+        )
+        .withColumn(
+            "cells",
+            F.expr(
+                "transform(sequence(0, 63), i -> if("
+                " (i + 1) * n div 64 - i * n div 64 > 0,"
+                " cast(aggregate(slice(bytes, cast(i * n div 64 as int) + 1,"
+                "   cast((i + 1) * n div 64 - i * n div 64 as int)),"
+                "   0L, (acc, x) -> acc + x) as double)"
+                " / cast((i + 1) * n div 64 - i * n div 64 as double),"
+                " cast(0.0 as double)))"
+            ),
+        )
+    )
+    ws = phash_dct_weights()
+    coeffs = []
+    for c, row in enumerate(ws):
+        expr = None
+        for i, w in enumerate(row):
+            term = F.element_at("cells", i + 1) * F.lit(w)
+            expr = term if expr is None else expr + term
+        coeffs.append(expr.alias(f"c{c}"))
+    b = b.select("media_id", *coeffs)
+    med = F.element_at(
+        F.array_sort(F.array(*[F.col(f"c{c}") for c in range(1, 16)])), 8
+    )
+    b = b.withColumn("med", med)
+    bands = []
+    for k in range(PHASH_BANDS):
+        expr = None
+        for t in range(PHASH_BAND_BITS):
+            c = k * PHASH_BAND_BITS + t
+            bit = (F.col(f"c{c}") > F.col("med")).cast("long") * F.lit(
+                1 << t
+            )
+            expr = bit if expr is None else expr + bit
+        bands.append(expr.alias(f"band{k}"))
+    return b.select("media_id", *bands)

@@ -349,8 +349,10 @@ from .registry_common import (  # noqa: F401
 from .registry_emb import (  # noqa: F401
     _sql_emb_jl_distortion,
     _sql_emb_lloyd_step,
+    _sql_media_phash_near_dup,
     q_emb_jl_distortion,
     q_emb_lloyd_step,
+    q_media_phash_near_dup,
     EMB_BENCH_MOD,
     EMB_DECONTAM_TAU,
     EMB_DIM,
@@ -437,6 +439,8 @@ from .registry_emb import (  # noqa: F401
     q_win_vae_embed,
 )
 from .registry_events import (  # noqa: F401
+    _sql_events_mad_outliers,
+    q_events_mad_outliers,
     _sql_events_type_user_jaccard,
     q_events_type_user_jaccard,
     SQL_EVENTS_ASOF_JOIN,
@@ -650,6 +654,8 @@ from .registry_tpch import (  # noqa: F401
 )
 from .registry_ts import (  # noqa: F401
     _sql_ts_corwin_schultz,
+    _sql_ts_kendall_tau,
+    q_ts_kendall_tau,
     _sql_ts_dfa,
     _sql_ts_jump_test,
     _sql_ts_roll_spread,
@@ -971,6 +977,8 @@ from .registry_doc import (  # noqa: F401
     q_doc_zipf_fit,
 )
 from .registry_stream import (  # noqa: F401
+    _sql_stream_jump_state,
+    q_stream_jump_state,
     SQL_STREAM_ATTRIBUTION,
     SQL_STREAM_DEDUP,
     SQL_STREAM_EMA,
@@ -1072,6 +1080,10 @@ def all_queries() -> dict[str, QueryFn]:
         "emb_lloyd_step": q_emb_lloyd_step,  # never (r12)
         "graph_modularity": q_graph_modularity,  # never (r12)
         "events_type_user_jaccard": q_events_type_user_jaccard,  # never (r12)
+        "media_phash_near_dup": q_media_phash_near_dup,  # never (r12)
+        "events_mad_outliers": q_events_mad_outliers,  # never (r12)
+        "ts_kendall_tau": q_ts_kendall_tau,  # never (r12)
+        "stream_jump_state": q_stream_jump_state,  # never (r12)
         # the three STRUCTURAL canaries stay inside the window
         # (test_gate_window_composition): one flagship, one wide
         # indicator battery, one LSH pair query — if the driver
@@ -1506,6 +1518,10 @@ def _oracle_sql_map() -> dict[str, str]:
         "emb_lloyd_step": _sql_emb_lloyd_step(),
         "graph_modularity": _sql_graph_modularity(),
         "events_type_user_jaccard": _sql_events_type_user_jaccard(),
+        "media_phash_near_dup": _sql_media_phash_near_dup(),
+        "events_mad_outliers": _sql_events_mad_outliers(),
+        "ts_kendall_tau": _sql_ts_kendall_tau(),
+        "stream_jump_state": _sql_stream_jump_state(),
         "ts_theta_forecast": _sql_ts_theta_forecast(),
         "media_ahash_near_dup": _sql_media_ahash_near_dup(),
         "graph_lpa_communities": _sql_graph_lpa_communities(),

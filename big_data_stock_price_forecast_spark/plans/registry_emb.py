@@ -3168,3 +3168,161 @@ SELECT n::BIGINT AS n_vecs, k0::BIGINT AS k0, k1::BIGINT AS k1,
        {_sql_rne('s0::DOUBLE / 1e6', 'inertia0', 6)},
        {_sql_rne('s1::DOUBLE / 1e6', 'inertia1', 6)}
 FROM i0 CROSS JOIN i1 CROSS JOIN k0"""
+
+
+def q_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain perceptual near-dup pairs: 16-bit DCT pHash
+    per image payload (operators/multimodal.py phash16_bands — float
+    cell means through 16 fixed-literal DCT chains, median-of-non-DC
+    threshold) with pairs at hamming <= 3. Complements
+    media_ahash_near_dup: aHash flips on local brightness, pHash only
+    on low-frequency structure. Same two-tier output contract as the
+    aHash query — ('band', bi, n_buckets, cand_pairs) rows (non-empty
+    at every SF, the r10 anti-vacuous lesson) plus
+    ('pair', id_i, id_j, hamming) rows — and the same pigeonhole
+    guarantee: 4 bands of 4 bits make the banded candidate join
+    EXHAUSTIVE at the threshold, which the brute-force oracle proves.
+    Engine cost: candidates ∝ Σ per-band-bucket df², one JVM
+    projection pass for the hash, payload bytes never join."""
+    from ..operators.multimodal import (
+        PHASH_BANDS,
+        PHASH_MAX_DIST,
+        phash16_bands,
+    )
+
+    h = phash16_bands(_media(spark, sf_dir))
+    h = h.localCheckpoint(eager=True)  # 3 consumers: cand x2 + rejoin
+    cand = None
+    for k in range(PHASH_BANDS):
+        c = h.select(
+            "media_id", F.lit(k).alias("bi"), F.col(f"band{k}").alias("bv")
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    pairs = (
+        cand.alias("a")
+        .join(cand.alias("b"), ["bi", "bv"])
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("id_i"),
+            F.col("b.media_id").alias("id_j"),
+        )
+        .distinct()
+    )
+    ha = h.select(
+        F.col("media_id").alias("id_i"),
+        *[F.col(f"band{k}").alias(f"a{k}") for k in range(PHASH_BANDS)],
+    )
+    hb = h.select(
+        F.col("media_id").alias("id_j"),
+        *[F.col(f"band{k}").alias(f"b{k}") for k in range(PHASH_BANDS)],
+    )
+    ham = sum(
+        F.expr(f"bit_count(a{k} ^ b{k})") for k in range(PHASH_BANDS)
+    )
+    pair_rows = (
+        pairs.join(ha, "id_i")
+        .join(hb, "id_j")
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= PHASH_MAX_DIST)
+        .select(
+            F.lit("pair").alias("kind"),
+            F.col("id_i").alias("k1"),
+            F.col("id_j").alias("k2"),
+            F.col("hamming").alias("v"),
+        )
+    )
+    band_rows = (
+        cand.groupBy("bi", "bv")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .groupBy("bi")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.expr("df * (df - 1) div 2")).alias("cand_pairs"),
+        )
+        .select(
+            F.lit("band").alias("kind"),
+            F.col("bi").cast("long").alias("k1"),
+            F.col("n_buckets").cast("long").alias("k2"),
+            F.col("cand_pairs").cast("long").alias("v"),
+        )
+    )
+    return band_rows.unionByName(pair_rows)
+
+
+def _sql_media_phash_near_dup() -> str:
+    from ..operators.multimodal import (
+        PHASH_BANDS,
+        PHASH_BAND_BITS,
+        PHASH_MAX_DIST,
+        phash_dct_weights,
+    )
+
+    hexpos = "strpos('0123456789ABCDEF', substring(hx, ({pos})::BIGINT, 1))"
+    byte_hi = hexpos.format(pos="2 * j + 1")
+    byte_lo = hexpos.format(pos="2 * j + 2")
+    ws = phash_dct_weights()
+    coeff_cols = []
+    for c, row in enumerate(ws):
+        chain = None
+        for i, w in enumerate(row):
+            term = f"cl[{i + 1}] * ({w!r})"
+            chain = term if chain is None else f"({chain} + {term})"
+        coeff_cols.append(f"{chain} AS c{c}")
+    nondc = ", ".join(f"c{c}" for c in range(1, 16))
+    band_cols = []
+    for k in range(PHASH_BANDS):
+        parts = []
+        for t in range(PHASH_BAND_BITS):
+            c = k * PHASH_BAND_BITS + t
+            parts.append(
+                f"(CASE WHEN c{c} > med THEN 1::BIGINT ELSE 0::BIGINT END)"
+                f" * {1 << t}"
+            )
+        band_cols.append("(" + " + ".join(parts) + f")::BIGINT AS a{k}")
+    ham = " + ".join(
+        f"bit_count(xor(a.a{k}, b.a{k}))" for k in range(PHASH_BANDS)
+    )
+    band_unpivot = "\n  UNION ALL ".join(
+        f"SELECT media_id, {k} AS bi, a{k} AS bv FROM bands"
+        for k in range(PHASH_BANDS)
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         strlen(text)::BIGINT AS n
+  FROM documents WHERE doc_id % 3 = 0 AND strlen(text) >= 1),
+d AS (
+  SELECT media_id, n,
+         list_transform(range(0, n),
+           j -> ({byte_hi} - 1) * 16 + ({byte_lo} - 1)) AS bytes
+  FROM m),
+cells AS (
+  SELECT media_id,
+         list_transform(range(0, 64), i -> CASE WHEN
+             ((i + 1) * n) // 64 - (i * n) // 64 > 0
+           THEN coalesce(list_sum(
+               bytes[((i * n) // 64 + 1)::BIGINT
+                     : (((i + 1) * n) // 64)::BIGINT]), 0)::DOUBLE
+             / (((i + 1) * n) // 64 - (i * n) // 64)::DOUBLE
+           ELSE 0.0 END) AS cl
+  FROM d),
+co AS (
+  SELECT media_id, {', '.join(coeff_cols)} FROM cells),
+cm AS (
+  SELECT *, list_sort([{nondc}])[8] AS med FROM co),
+bands AS (
+  SELECT media_id, {', '.join(band_cols)} FROM cm),
+ub AS (
+  {band_unpivot}),
+bstats AS (SELECT bi, bv, count(*) AS df FROM ub GROUP BY 1, 2),
+brows AS (
+  SELECT 'band' AS kind, bi::BIGINT AS k1, count(*)::BIGINT AS k2,
+         sum(df * (df - 1) // 2)::BIGINT AS v
+  FROM bstats GROUP BY bi),
+prows AS (
+  SELECT 'pair' AS kind, id_i AS k1, id_j AS k2, hamming AS v FROM (
+    SELECT a.media_id AS id_i, b.media_id AS id_j,
+           ({ham})::BIGINT AS hamming
+    FROM bands a JOIN bands b ON a.media_id < b.media_id)
+  WHERE hamming <= {PHASH_MAX_DIST})
+SELECT * FROM brows UNION ALL SELECT * FROM prows"""

@@ -3422,3 +3422,68 @@ SELECT t1, t2, s1.n::BIGINT AS n1, s2.n::BIGINT AS n2,
                  'jaccard', 8)}
 FROM inter JOIN sizes s1 ON inter.t1 = s1.t
            JOIN sizes s2 ON inter.t2 = s2.t"""
+
+
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit per event type: exact median(value), MAD
+    (median absolute deviation), and the count/share of values beyond
+    the 3σ-equivalent robust fence (3·1.4826·MAD) — the batch sibling
+    of ts_rolling_median's robust z (a mean/std fence would let one
+    heavy tail drag its own threshold; the MAD fence doesn't). Two
+    exact interpolated-percentile aggregates (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, same classical estimator) with the
+    per-type medians broadcast back — never a global sort. Counts are
+    exact longs; med/mad round on the shared grid."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"), F.col("value").alias("v")
+    )
+    med = ev.groupBy("t").agg(
+        F.expr("percentile(v, 0.5)").alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = ev.join(F.broadcast(med), "t").select(
+        "t", "v", "med", "n", F.abs(F.col("v") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("t").agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    out = dev.join(F.broadcast(mad), "t")
+    fence = F.lit(3.0 * 1.4826) * F.col("mad")
+    agg = out.groupBy("t").agg(
+        F.first("n").alias("n"),
+        F.first("med").alias("med"),
+        F.first("mad").alias("mad"),
+        F.sum((F.col("ad") > fence).cast("long")).alias("n_out"),
+    )
+    return agg.select(
+        F.col("t").alias("event_type"),
+        F.col("n").cast("long").alias("n"),
+        _rne(F.col("med"), "med", 8),
+        _rne(F.col("mad"), "mad", 8),
+        F.col("n_out").cast("long").alias("n_outliers"),
+        _rne(
+            F.col("n_out").cast("double") / F.col("n").cast("double"),
+            "outlier_share",
+            8,
+        ),
+    )
+
+
+def _sql_events_mad_outliers() -> str:
+    return f"""
+WITH ev AS (SELECT event_type AS t, value AS v FROM events),
+med AS (
+  SELECT t, quantile_cont(v, 0.5) AS med, count(*) AS n
+  FROM ev GROUP BY 1),
+dev AS (
+  SELECT ev.t, v, med, n, abs(v - med) AS ad
+  FROM ev JOIN med USING (t)),
+mad AS (SELECT t, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1),
+agg AS (
+  SELECT t, first(n) AS n, first(med) AS med, first(mad) AS mad,
+         sum(CASE WHEN ad > 3.0 * 1.4826 * mad THEN 1 ELSE 0 END) AS n_out
+  FROM dev JOIN mad USING (t) GROUP BY t)
+SELECT t AS event_type, n::BIGINT AS n,
+       {_sql_rne('med', 'med', 8)},
+       {_sql_rne('mad', 'mad', 8)},
+       n_out::BIGINT AS n_outliers,
+       {_sql_rne('n_out::DOUBLE / n::DOUBLE', 'outlier_share', 8)}
+FROM agg"""

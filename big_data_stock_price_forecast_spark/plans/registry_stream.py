@@ -1129,3 +1129,69 @@ SELECT window_end, rank::BIGINT AS rank, symbol, n_rows,
        {_sql_rne('high', 'high', 8)},
        {_sql_rne('low', 'low', 8)}
 FROM rk"""
+
+
+def q_stream_jump_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ts_jump_test: realized variance and bipower
+    variation accumulate per symbol as INTEGER-grid sums in stream
+    state (streaming/ops.py jump_state_stream), so the drained totals
+    are bitwise the batch fold's regardless of micro-batch
+    partitioning — the RV/BV/relative-jump card a 24/7 risk monitor
+    keeps current on the raw tick feed (the garch_state_stream
+    convention: no resample, dedup folded into the event order). The
+    oracle replays the same grid-snapped sums over the
+    (ts, event_id)-ordered feed in exact DECIMAL."""
+    from ..streaming.ops import (
+        jump_state_stream,
+        run_available_now,
+        stream_events,
+    )
+
+    out = run_available_now(
+        jump_state_stream(stream_events(spark, sf_dir)),
+        "append",
+        state_partitions=8,
+    )
+    rv = F.col("rv_q").cast("double") / F.lit(1e12)
+    bv = F.lit(math.pi / 2.0) * F.col("bp_q").cast("double") / F.lit(1e12)
+    return out.filter(F.col("n_rets") >= 3).select(
+        "symbol",
+        F.col("n_rets").cast("long").alias("n_rets"),
+        _rne(rv, "rv", 10),
+        _rne(bv, "bv", 10),
+        _rne(F.when(rv > 0, (rv - bv) / rv), "rel_jump", 8),
+    )
+
+
+def _sql_stream_jump_state() -> str:
+    return f"""
+WITH rr AS (
+  SELECT user_id AS symbol, ts, event_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events),
+lr AS (
+  SELECT symbol, ts, event_id,
+         CASE WHEN value > 0 AND prev > 0
+              THEN ln(value / prev) END AS r
+  FROM rr WHERE prev IS NOT NULL),
+lr2 AS (
+  SELECT symbol, r,
+         lag(r) OVER (PARTITION BY symbol ORDER BY ts, event_id) AS rp
+  FROM (SELECT * FROM lr WHERE r IS NOT NULL)),
+agg AS (
+  SELECT symbol, count(*) AS n_rets,
+         sum(CAST(floor(r * r * 1e12 + 0.5) AS DECIMAL(38,0))) AS rv_q,
+         sum(CAST(floor(abs(r) * abs(rp) * 1e12 + 0.5)
+                  AS DECIMAL(38,0))) AS bp_q
+  FROM lr2 GROUP BY 1 HAVING count(*) >= 3)
+SELECT symbol, n_rets::BIGINT AS n_rets,
+       {_sql_rne('rv_q::DOUBLE / 1e12', 'rv', 10)},
+       {_sql_rne('(pi() / 2.0) * coalesce(bp_q, 0)::DOUBLE / 1e12',
+                 'bv', 10)},
+       {_sql_rne(
+           'CASE WHEN rv_q::DOUBLE / 1e12 > 0 THEN '
+           '(rv_q::DOUBLE / 1e12 - (pi() / 2.0) * '
+           'coalesce(bp_q, 0)::DOUBLE / 1e12) / (rv_q::DOUBLE / 1e12) END',
+           'rel_jump', 8)}
+FROM agg"""

@@ -8288,3 +8288,97 @@ SELECT symbol, time_idx,
        {_sql_rne(
            '(close - med5) / (1.4826 * mad5 + 1e-8)', 'robust_z', 8)}
 FROM mm"""
+
+
+KENDALL_WINDOW = 60
+
+
+def q_ts_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between close and volume over each symbol's last
+    60 buckets — the rank-correlation sibling of ts_spearman_corr
+    that survives ties and outliers by counting concordant/discordant
+    PAIRS instead of ranking values. The pair expansion is a
+    within-symbol self-join over the FIXED 60-row tail (≤1770 pairs
+    per symbol regardless of history length — the windowed-pair
+    convention that keeps the op linear in symbols at 100 TB).
+    All-integer counting; τ_b = (C−D)/√((n0−t_x)(n0−t_y)) is one IEEE
+    expression on exact longs."""
+    df = _filled_ohlc(spark, sf_dir).select(
+        "symbol", "time_idx", "close", "volume"
+    )
+    w = Window.partitionBy("symbol").orderBy(F.col("time_idx").desc())
+    tail = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KENDALL_WINDOW)
+        .select("symbol", "rn", "close", "volume")
+    )
+    a = tail.select(
+        "symbol",
+        F.col("rn").alias("i"),
+        F.col("close").alias("xi"),
+        F.col("volume").alias("yi"),
+    )
+    b = tail.select(
+        "symbol",
+        F.col("rn").alias("j"),
+        F.col("close").alias("xj"),
+        F.col("volume").alias("yj"),
+    )
+    pairs = a.join(b, "symbol").filter(F.col("i") < F.col("j"))
+    sx = F.signum(F.col("xj") - F.col("xi"))
+    sy = F.signum(F.col("yj") - F.col("yi"))
+    agg = pairs.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum((sx * sy > 0).cast("long")).alias("conc"),
+        F.sum((sx * sy < 0).cast("long")).alias("disc"),
+        F.sum((sx == 0).cast("long")).alias("tx"),
+        F.sum((sy == 0).cast("long")).alias("ty"),
+    ).filter(F.col("n0") >= 10)
+    den = F.sqrt(
+        (F.col("n0") - F.col("tx")).cast("double")
+        * (F.col("n0") - F.col("ty")).cast("double")
+    )
+    return agg.select(
+        "symbol",
+        F.col("n0").cast("long").alias("n_pairs"),
+        F.col("conc").cast("long").alias("concordant"),
+        F.col("disc").cast("long").alias("discordant"),
+        _rne(
+            F.when(
+                den > 0,
+                (F.col("conc") - F.col("disc")).cast("double") / den,
+            ),
+            "tau_b",
+            8,
+        ),
+    )
+
+
+def _sql_ts_kendall_tau() -> str:
+    den = "sqrt((n0 - tx)::DOUBLE * (n0 - ty)::DOUBLE)"
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED_OHLC},
+tail AS (
+  SELECT symbol, rn, close, volume FROM (
+    SELECT symbol, close, volume,
+           row_number() OVER (PARTITION BY symbol
+                              ORDER BY time_idx DESC) AS rn
+    FROM filled)
+  WHERE rn <= {KENDALL_WINDOW}),
+pairs AS (
+  SELECT a.symbol,
+         sign(b.close - a.close) AS sx,
+         sign(b.volume - a.volume) AS sy
+  FROM tail a JOIN tail b ON a.symbol = b.symbol AND a.rn < b.rn),
+agg AS (
+  SELECT symbol, count(*) AS n0,
+         sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS conc,
+         sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS disc,
+         sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS tx,
+         sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS ty
+  FROM pairs GROUP BY 1 HAVING count(*) >= 10)
+SELECT symbol, n0::BIGINT AS n_pairs, conc::BIGINT AS concordant,
+       disc::BIGINT AS discordant,
+       {_sql_rne(
+           f'CASE WHEN {den} > 0 THEN (conc - disc)::DOUBLE / {den} END',
+           'tau_b', 8)}
+FROM agg"""

@@ -519,6 +519,86 @@ def cusum_state_stream(
     )
 
 
+_JUMP_OUT = StructType(
+    [
+        StructField("symbol", LongType()),
+        StructField("n_rets", LongType()),
+        StructField("rv_q", LongType()),
+        StructField("bp_q", LongType()),
+    ]
+)
+_JUMP_STATE = StructType(
+    [
+        StructField("n_rets", LongType()),
+        StructField("prev", DoubleType()),
+        StructField("prev_absr", DoubleType()),
+        StructField("rv_q", LongType()),
+        StructField("bp_q", LongType()),
+    ]
+)
+
+
+def _jump_state_fn():
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs)).sort_values(["datetime", "event_id"])
+        n, prev, prev_absr, rv_q, bp_q = (
+            state.get if state.exists else (0, None, None, 0, 0)
+        )
+        for x in pdf["close"].to_numpy():
+            x = float(x)
+            if prev is not None and x > 0 and prev > 0:
+                r = math.log(x / prev)
+                rv_q += int(math.floor(r * r * 1e12 + 0.5))
+                if prev_absr is not None:
+                    bp_q += int(
+                        math.floor(abs(r) * prev_absr * 1e12 + 0.5)
+                    )
+                prev_absr = abs(r)
+                n += 1
+            prev = x
+        state.update((n, prev, prev_absr, rv_q, bp_q))
+        yield pd.DataFrame(
+            {
+                "symbol": [key[0]],
+                "n_rets": [n],
+                "rv_q": [rv_q],
+                "bp_q": [bp_q],
+            }
+        )
+
+    return fn
+
+
+def jump_state_stream(sdf: DataFrame) -> DataFrame:
+    """Per-symbol realized-variance / bipower-variation accumulators
+    as a custom stateful streaming operator — the incremental form of
+    ts_jump_test's BNS jump diagnostic, over the RAW event feed (the
+    garch_state_stream convention): state carries (count, last close,
+    last |r|, and the two INTEGER-GRID sums Σ⌊r²·10¹²⌉ and
+    Σ⌊|r_t||r_{t−1}|·10¹²⌉), so every micro-batch folds its
+    (datetime, event_id)-sorted rows with pure integer addition —
+    bitwise equal to the batch oracle's DECIMAL sums by construction,
+    with no float-accumulation drift no matter how many batches the
+    feed arrives in. The caller derives RV/BV/relative-jump from the
+    drained integer sums in one closed-form expression. Same
+    arrival-order precondition as :func:`ema_state_stream`."""
+    return (
+        sdf.withWatermark("datetime", "1 hour")
+        .groupBy("symbol")
+        .applyInPandasWithState(
+            _jump_state_fn(),
+            outputStructType=_JUMP_OUT,
+            stateStructType=_JUMP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 _FLAGW_OUT = StructType(
     [
         StructField("symbol", LongType()),

@@ -542,3 +542,177 @@ def test_graph_modularity_in_range_and_partition_consistent(spark):
     n_comm = lpa.select("community").distinct().count()
     assert r["n_communities"] == n_comm
     assert r["n_nodes"] == lpa.count()
+
+
+# ============================ round-12 batch C (media/events/stream)
+
+
+def test_media_phash_brightness_invariance(spark):
+    """pHash's reason to exist beside aHash: adding a constant to
+    every byte cell (uniform brightness shift) leaves all non-DC DCT
+    coefficients unchanged, so the 16-bit hash is identical. Checked
+    on the literal weight matrix: every non-DC row sums to ~0."""
+    from big_data_stock_price_forecast_spark.operators.multimodal import (
+        phash_dct_weights,
+    )
+
+    ws = phash_dct_weights()
+    # DC row: all-equal positive weights; non-DC rows sum to 0
+    assert all(w > 0 for w in ws[0])
+    for c in range(1, 16):
+        assert abs(sum(ws[c])) < 1e-9, c
+
+
+def test_media_phash_banding_is_exhaustive(spark):
+    """The engine's banded candidate join must find EXACTLY the pairs
+    the brute-force scan finds at hamming <= 3 (pigeonhole over 4
+    bands of 4 bits) — replayed in python on the real fixture."""
+    import itertools
+
+    from big_data_stock_price_forecast_spark.operators.multimodal import (
+        PHASH_BANDS,
+        phash16_bands,
+    )
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        _media,
+        q_media_phash_near_dup,
+    )
+
+    h = {
+        r["media_id"]: [r[f"band{k}"] for k in range(PHASH_BANDS)]
+        for r in phash16_bands(_media(spark, SF)).collect()
+    }
+    brute = set()
+    for (i, a), (j, b) in itertools.combinations(sorted(h.items()), 2):
+        d = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+        if d <= 3:
+            brute.add((i, j, d))
+    got = {
+        (r["k1"], r["k2"], r["v"])
+        for r in q_media_phash_near_dup(spark, SF).collect()
+        if r["kind"] == "pair"
+    }
+    assert got == brute
+    bands = [
+        r for r in q_media_phash_near_dup(spark, SF).collect()
+        if r["kind"] == "band"
+    ]
+    assert len(bands) == PHASH_BANDS  # non-vacuous at every SF
+
+
+def test_events_mad_outliers_planted(spark, tmp_path):
+    """Planted per-type distributions: a tight cluster with one huge
+    spike flags exactly one outlier; a symmetric spread flags none;
+    med/mad replay exactly."""
+    import datetime as dt
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_events_mad_outliers,
+    )
+    from tests.test_round11_ops import _write_event_rows
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for v in [10.0, 10.5, 11.0, 11.5, 12.0, 1000.0]:
+        rows.append((eid, t0, eid, "spiky", v, "{}")); eid += 1
+    for v in [1.0, 2.0, 3.0, 4.0, 5.0]:
+        rows.append((eid, t0, eid, "even", v, "{}")); eid += 1
+    _write_event_rows(spark, str(tmp_path), rows)
+    got = {r["event_type"]: r for r in
+           q_events_mad_outliers(spark, str(tmp_path)).collect()}
+    s = got["spiky"]
+    # sorted: 10,10.5,11,11.5,12,1000 -> med=(11+11.5)/2=11.25
+    assert s["med"] == _snap(11.25, 8)
+    # |v-med|: 1.25,0.75,0.25,0.25,0.75,988.75 -> sorted med=(.75+.75)/2
+    assert s["mad"] == _snap(0.75, 8)
+    assert s["n_outliers"] == 1 and s["n"] == 6
+    e = got["even"]
+    assert e["med"] == 3.0 and e["mad"] == 1.0 and e["n_outliers"] == 0
+
+
+def test_ts_kendall_tau_monotone_and_replay(spark, tmp_path):
+    """A strictly co-monotone (close, volume) tail gives τ_b = 1; an
+    anti-monotone one gives −1 (volume = bucket row count, planted
+    via per-bucket tick multiplicity)."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_kendall_tau,
+    )
+
+    # close rises 1..12 with volume rising (i+1 ticks per bucket)
+    up = [[(j * 0.4, float(10 + i)) for j in range(i + 1)]
+          for i in range(12)]
+    # close rises while volume falls
+    down = [[(j * 0.4, float(10 + i)) for j in range(12 - i)]
+            for i in range(12)]
+    _write_series(spark, str(tmp_path), {1: up, 2: down})
+    got = {r["symbol"]: r for r in
+           q_ts_kendall_tau(spark, str(tmp_path)).collect()}
+    assert got[1]["tau_b"] == 1.0 and got[1]["discordant"] == 0
+    assert got[2]["tau_b"] == -1.0 and got[2]["concordant"] == 0
+    assert got[1]["n_pairs"] == 12 * 11 // 2
+
+
+def test_stream_jump_state_matches_batch_fold(spark, tmp_path):
+    """The streamed integer-grid RV/BV sums across TWO micro-batches
+    equal one continuous python fold over the whole feed — the
+    no-float-drift contract of the integer state."""
+    import datetime as dt
+    import glob
+    import math as m
+    import os
+
+    from big_data_stock_price_forecast_spark.streaming.ops import (
+        jump_state_stream,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "symbol long, datetime timestamp, close double, event_id long"
+
+    def land(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / ("stage_" + name)))
+        part = glob.glob(str(tmp_path / ("stage_" + name) / "part-*"))[0]
+        os.rename(part, os.path.join(src, name + ".parquet"))
+
+    ys1 = [100.0, 101.0, 99.5, 0.0, 102.0]  # incl. an invalid close
+    ys2 = [103.0, 101.5, 104.0]
+    land([(1, t0 + dt.timedelta(minutes=i), y, i)
+          for i, y in enumerate(ys1)], "b0")
+    land([(1, t0 + dt.timedelta(minutes=10 + i), y, 10 + i)
+          for i, y in enumerate(ys2)], "b1")
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        jump_state_stream(sdf)
+        .writeStream.format("memory")
+        .queryName("jump_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    rows = spark.table("jump_t").collect()
+    spark.catalog.dropTempView("jump_t")
+    # one emission per micro-batch; the LAST carries the full fold
+    final = max(rows, key=lambda r: r["n_rets"])
+    n, prev, prev_absr, rv_q, bp_q = 0, None, None, 0, 0
+    for x in ys1 + ys2:
+        if prev is not None and x > 0 and prev > 0:
+            r = m.log(x / prev)
+            rv_q += int(m.floor(r * r * 1e12 + 0.5))
+            if prev_absr is not None:
+                bp_q += int(m.floor(abs(r) * prev_absr * 1e12 + 0.5))
+            prev_absr = abs(r)
+            n += 1
+        prev = x
+    assert (final["n_rets"], final["rv_q"], final["bp_q"]) == (n, rv_q, bp_q)
+    assert len(rows) >= 2  # state genuinely crossed micro-batches
