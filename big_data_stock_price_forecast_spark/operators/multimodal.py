@@ -349,9 +349,12 @@ def extract_features(
 
 
 PHASH_COEFFS = 16  # 4x4 low-frequency block of the 8x8 cell-grid DCT
-PHASH_BANDS = 4
-PHASH_BAND_BITS = 4
-PHASH_MAX_DIST = 3  # pigeonhole: any pair at hamming <= 3 shares a band
+PHASH_BANDS = 2
+PHASH_BAND_BITS = 8
+PHASH_MAX_DIST = 1  # pigeonhole: any pair at hamming <= 1 shares a band
+# (8-bit bands keep per-band buckets at up to 256 — the aHash band
+# width; 4-bit bands were measured to collapse into ~16 buckets and
+# Sum(df^2) candidate mass dominated the query at sf0.1)
 
 
 def phash_dct_weights() -> list:
@@ -404,27 +407,36 @@ def phash16_bands(media: DataFrame) -> DataFrame:
             n.alias("n"),
             F.hex(F.col("payload")).alias("hx"),
         )
-        .withColumn(
-            "bytes",
-            F.expr(
-                "transform(sequence(0, cast(n - 1 as int)),"
-                " j -> cast(conv(substring(hx, 2 * j + 1, 2), 16, 10)"
-                " as bigint))"
-            ),
-        )
+        # cell sums fold DIRECTLY over each cell's hex range (one
+        # O(n) pass total) instead of materializing an n-element byte
+        # array first: the intermediate array invited a 64x
+        # CollapseProject inlining blowup under interpreted eval and
+        # cost a multi-hundred-MB barrier to pin
         .withColumn(
             "cells",
             F.expr(
                 "transform(sequence(0, 63), i -> if("
                 " (i + 1) * n div 64 - i * n div 64 > 0,"
-                " cast(aggregate(slice(bytes, cast(i * n div 64 as int) + 1,"
-                "   cast((i + 1) * n div 64 - i * n div 64 as int)),"
-                "   0L, (acc, x) -> acc + x) as double)"
+                " cast(aggregate("
+                "   sequence(cast(i * n div 64 as int),"
+                "            cast((i + 1) * n div 64 as int) - 1),"
+                "   0L, (acc, j) ->"
+                "   acc + cast(conv(substring(hx, 2 * j + 1, 2), 16, 10)"
+                "   as bigint)) as double)"
                 " / cast((i + 1) * n div 64 - i * n div 64 as double),"
                 " cast(0.0 as double)))"
             ),
         )
     )
+    # pin the cell frame BEFORE the 16 coefficient chains reference
+    # it: CollapseProject would otherwise substitute the cell-fold
+    # expression into every one of the 1024 chain terms — measured 93s
+    # vs seconds at sf0.1. The frame is tiny (media_id + 64 doubles
+    # per image), so spreading it is a negligible shuffle, and the
+    # 16x64-node interpreted chains (HOF results never enter codegen)
+    # then run across the cluster instead of one inherited file-split
+    # partition.
+    b = b.select("media_id", "cells").localCheckpoint(eager=True)
     ws = phash_dct_weights()
     coeffs = []
     for c, row in enumerate(ws):

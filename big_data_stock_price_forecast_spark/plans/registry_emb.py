@@ -3174,14 +3174,18 @@ def q_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-domain perceptual near-dup pairs: 16-bit DCT pHash
     per image payload (operators/multimodal.py phash16_bands — float
     cell means through 16 fixed-literal DCT chains, median-of-non-DC
-    threshold) with pairs at hamming <= 3. Complements
+    threshold) with pairs at hamming <= 1 — the near-identical
+    tier. Complements
     media_ahash_near_dup: aHash flips on local brightness, pHash only
     on low-frequency structure. Same two-tier output contract as the
     aHash query — ('band', bi, n_buckets, cand_pairs) rows (non-empty
     at every SF, the r10 anti-vacuous lesson) plus
     ('pair', id_i, id_j, hamming) rows — and the same pigeonhole
-    guarantee: 4 bands of 4 bits make the banded candidate join
-    EXHAUSTIVE at the threshold, which the brute-force oracle proves.
+    guarantee: 2 bands of 8 bits make the banded candidate join
+    EXHAUSTIVE at the threshold (8-bit bands keep per-band buckets at
+    up to 256; a 4-bit-band variant measured ~16 buckets and a
+    Σdf²-dominated candidate join), which the brute-force oracle
+    proves.
     Engine cost: candidates ∝ Σ per-band-bucket df², one JVM
     projection pass for the hash, payload bytes never join."""
     from ..operators.multimodal import (

@@ -565,12 +565,14 @@ def test_media_phash_brightness_invariance(spark):
 
 def test_media_phash_banding_is_exhaustive(spark):
     """The engine's banded candidate join must find EXACTLY the pairs
-    the brute-force scan finds at hamming <= 3 (pigeonhole over 4
-    bands of 4 bits) — replayed in python on the real fixture."""
+    the brute-force scan finds at hamming <= PHASH_MAX_DIST
+    (pigeonhole over the band count) — replayed in python on the real
+    fixture."""
     import itertools
 
     from big_data_stock_price_forecast_spark.operators.multimodal import (
         PHASH_BANDS,
+        PHASH_MAX_DIST,
         phash16_bands,
     )
     from big_data_stock_price_forecast_spark.plans.registry import (
@@ -585,7 +587,7 @@ def test_media_phash_banding_is_exhaustive(spark):
     brute = set()
     for (i, a), (j, b) in itertools.combinations(sorted(h.items()), 2):
         d = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
-        if d <= 3:
+        if d <= PHASH_MAX_DIST:
             brute.add((i, j, d))
     got = {
         (r["k1"], r["k2"], r["v"])
