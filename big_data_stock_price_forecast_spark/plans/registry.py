@@ -571,6 +571,9 @@ from .registry_graph import (  # noqa: F401
     q_graph_triangle_count,
 )
 from .registry_tpch import (  # noqa: F401
+    BENFORD_EXPECTED,
+    _sql_orders_benford_law,
+    q_orders_benford_law,
     SQL_CUSTOMERS_NO_ORDERS,
     SQL_LINEITEM_ABC,
     SQL_ORDERS_COHORT_LTV,
@@ -655,7 +658,9 @@ from .registry_tpch import (  # noqa: F401
 from .registry_ts import (  # noqa: F401
     _sql_ts_corwin_schultz,
     _sql_ts_kendall_tau,
+    _sql_ts_price_staleness,
     q_ts_kendall_tau,
+    q_ts_price_staleness,
     _sql_ts_dfa,
     _sql_ts_jump_test,
     _sql_ts_roll_spread,
@@ -861,7 +866,10 @@ from .registry_ts import (  # noqa: F401
 from .registry_doc import (  # noqa: F401
     SQL_DOC_BPE_MERGES,
     _sql_doc_bpe_merges,
+    KN_DISCOUNT,
     _sql_doc_bpe_segment,
+    _sql_doc_kn_bigram_ppl,
+    q_doc_kn_bigram_ppl,
     _sql_doc_garbage_score,
     _sql_doc_length_quantiles,
     q_doc_bpe_merges,
@@ -1084,6 +1092,9 @@ def all_queries() -> dict[str, QueryFn]:
         "events_mad_outliers": q_events_mad_outliers,  # never (r12)
         "ts_kendall_tau": q_ts_kendall_tau,  # never (r12)
         "stream_jump_state": q_stream_jump_state,  # never (r12)
+        "doc_kn_bigram_ppl": q_doc_kn_bigram_ppl,  # never (r12)
+        "orders_benford_law": q_orders_benford_law,  # never (r12)
+        "ts_price_staleness": q_ts_price_staleness,  # never (r12)
         # the three STRUCTURAL canaries stay inside the window
         # (test_gate_window_composition): one flagship, one wide
         # indicator battery, one LSH pair query — if the driver
@@ -1522,6 +1533,9 @@ def _oracle_sql_map() -> dict[str, str]:
         "events_mad_outliers": _sql_events_mad_outliers(),
         "ts_kendall_tau": _sql_ts_kendall_tau(),
         "stream_jump_state": _sql_stream_jump_state(),
+        "doc_kn_bigram_ppl": _sql_doc_kn_bigram_ppl(),
+        "orders_benford_law": _sql_orders_benford_law(),
+        "ts_price_staleness": _sql_ts_price_staleness(),
         "ts_theta_forecast": _sql_ts_theta_forecast(),
         "media_ahash_near_dup": _sql_media_ahash_near_dup(),
         "graph_lpa_communities": _sql_graph_lpa_communities(),

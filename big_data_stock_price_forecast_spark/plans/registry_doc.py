@@ -4107,3 +4107,132 @@ def _sql_doc_length_quantiles() -> str:
 SELECT source, count(*)::BIGINT AS n_docs,
        {cols}
 FROM documents GROUP BY 1"""
+
+
+KN_DISCOUNT = 0.75
+
+
+def q_doc_kn_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram perplexity over the same
+    train/eval split as doc_bigram_lm_ppl — the standard LM smoothing
+    (absolute discount D=0.75 + continuation probability) that add-k
+    approximates badly: P(b|a) = max(c(a,b)−D,0)/c(a·) +
+    D·N₁₊(a·)/c(a·) · P_cont(b), P_cont(b) = N₁₊(·b)/|bigram types|;
+    an unseen context backs off to P_cont(b), an unseen word floors
+    at D/|types| (engine convention, identical in the oracle). Four
+    count aggregates over the train bigram stream (type-sized, never
+    token-sized past the first pass) joined onto the pre-aggregated
+    eval bigrams; each surprisal snaps to the 1e-9 grid and per-doc
+    sums ride exact DECIMAL (the bigram_lm device)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 5 == 0).alias("is_eval"),
+        tokens(F.col("text")).alias("toks"),
+    )
+    big = (
+        base.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "is_eval",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS a, toks[i] AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "is_eval", "p.a", "p.b")
+    )
+    train = big.filter(~F.col("is_eval"))
+    c2 = train.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("a").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    nb = c2.groupBy("b").agg(F.count(F.lit(1)).alias("n1b"))
+    tt = c2.agg(F.count(F.lit(1)).alias("tt"))
+    ev = (
+        big.filter(F.col("is_eval"))
+        .groupBy("doc_id", "a", "b")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    d = F.lit(KN_DISCOUNT)
+    j = (
+        ev.join(c2, ["a", "b"], "left")
+        .join(c1, "a", "left")
+        .join(nb, "b", "left")
+        .crossJoin(F.broadcast(tt))
+    )
+    pcont = F.col("n1b").cast("double") / F.col("tt").cast("double")
+    c1d = F.col("c1").cast("double")
+    p_seen_ctx = (
+        F.greatest(
+            F.coalesce(F.col("c2"), F.lit(0)).cast("double") - d, F.lit(0.0)
+        )
+        / c1d
+        + d * F.col("n1f").cast("double") / c1d
+        * F.coalesce(pcont, F.lit(0.0))
+    )
+    p = F.when(F.col("c1").isNotNull(), p_seen_ctx).otherwise(
+        F.coalesce(pcont, d / F.col("tt").cast("double"))
+    )
+    # the interpolated term can be exactly 0 only if pcont is 0 AND
+    # c2<=D with a seen context; floor identically on both sides
+    p = F.greatest(p, d / F.col("tt").cast("double") / F.lit(1e6))
+    bits = (
+        F.floor(-F.log(p) * F.col("m") * 1e9 + F.lit(0.5)) / 1e9
+    ).cast("decimal(24,9)")
+    agg = j.select("doc_id", F.col("m"), bits.alias("s")).groupBy(
+        "doc_id"
+    ).agg(F.sum("m").alias("n_big"), F.sum("s").alias("ssum"))
+    return agg.select(
+        "doc_id",
+        F.col("n_big").cast("long").alias("n_big"),
+        _rne(
+            F.exp(
+                F.col("ssum").cast("double") / F.col("n_big").cast("double")
+            ),
+            "kn_ppl",
+            6,
+        ),
+    )
+
+
+def _sql_doc_kn_bigram_ppl() -> str:
+    d = KN_DISCOUNT
+    return f"""
+WITH base AS (
+  SELECT doc_id, doc_id % 5 = 0 AS is_eval,
+         {sql_tokens('text')} AS toks
+  FROM documents),
+big AS (
+  SELECT doc_id, is_eval, toks[i] AS a, toks[i+1] AS b
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+  WHERE len(toks) >= 2),
+c2 AS (SELECT a, b, count(*) AS c2 FROM big WHERE NOT is_eval GROUP BY 1, 2),
+c1 AS (SELECT a, sum(c2) AS c1, count(*) AS n1f FROM c2 GROUP BY 1),
+nb AS (SELECT b, count(*) AS n1b FROM c2 GROUP BY 1),
+tt AS (SELECT count(*) AS tt FROM c2),
+ev AS (SELECT doc_id, a, b, count(*) AS m FROM big WHERE is_eval
+       GROUP BY 1, 2, 3),
+j AS (
+  SELECT ev.doc_id, ev.m,
+         CASE WHEN c1.c1 IS NOT NULL THEN
+           greatest(coalesce(c2.c2, 0)::DOUBLE - {d}, 0.0) / c1.c1::DOUBLE
+           + {d} * c1.n1f::DOUBLE / c1.c1::DOUBLE
+             * coalesce(nb.n1b::DOUBLE / tt.tt::DOUBLE, 0.0)
+         ELSE coalesce(nb.n1b::DOUBLE / tt.tt::DOUBLE,
+                       {d} / tt.tt::DOUBLE) END AS p0
+  FROM ev LEFT JOIN c2 USING (a, b)
+          LEFT JOIN c1 USING (a)
+          LEFT JOIN nb USING (b)
+          CROSS JOIN tt),
+s AS (
+  SELECT doc_id, m,
+         CAST(floor(-ln(greatest(p0,
+                (SELECT {d} / tt::DOUBLE / 1e6 FROM tt))) * m * 1e9 + 0.5)
+              / 1e9 AS DECIMAL(24,9)) AS s
+  FROM j)
+SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_big,
+       {_sql_rne('exp(sum(s)::DOUBLE / sum(m)::DOUBLE)', 'kn_ppl', 6)}
+FROM s GROUP BY 1"""

@@ -2398,3 +2398,71 @@ SELECT p_brand AS brand, n::BIGINT AS n, r::BIGINT AS n_returned,
        {_sql_rne(ph, 'return_rate', 8)},
        {_sql_rne(wilson, 'wilson_lb', 8)}
 FROM agg"""
+
+
+import math as _math
+
+BENFORD_EXPECTED = [
+    _math.log10(1.0 + 1.0 / digit) for digit in range(1, 10)
+]
+
+
+def q_orders_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the
+    data-quality/fraud screen a finance pipeline runs over any
+    organically-generated money column (fabricated or truncated
+    amounts bend the log-uniform digit curve). The first digit comes
+    from INTEGER cents via a string head (bigint-to-string is
+    engine-identical; no float log10, whose boundary behavior at
+    exact powers of ten differs across engines — the
+    events_user_lifespan lesson). Emits one row per digit with
+    observed/expected shares and the chi-square contribution;
+    expected shares are python-literal log10(1+1/d) constants."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    dig = F.substring(cents.cast("string"), 1, 1).cast("long")
+    agg = o.select(dig.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = agg.agg(F.sum("n").alias("tot"))
+    exp_map = F.element_at(
+        F.array(*[F.lit(e) for e in BENFORD_EXPECTED]),
+        F.col("digit").cast("int"),
+    )
+    j = agg.crossJoin(F.broadcast(tot)).withColumn("expected", exp_map)
+    share = F.col("n").cast("double") / F.col("tot").cast("double")
+    chi = (
+        (share - F.col("expected"))
+        * (share - F.col("expected"))
+        / F.col("expected")
+    )
+    return j.select(
+        F.col("digit").cast("long").alias("digit"),
+        F.col("n").cast("long").alias("n"),
+        _rne(share, "share", 8),
+        _rne(F.col("expected"), "expected", 8),
+        _rne(chi, "chi_term", 10),
+    )
+
+
+def _sql_orders_benford_law() -> str:
+    arr = ", ".join(repr(e) for e in BENFORD_EXPECTED)
+    return f"""
+WITH o AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+              AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0),
+agg AS (SELECT digit, count(*) AS n FROM o GROUP BY 1),
+tot AS (SELECT sum(n) AS tot FROM agg),
+j AS (
+  SELECT digit, n, ([{arr}])[digit::INT] AS expected,
+         n::DOUBLE / tot::DOUBLE AS share
+  FROM agg CROSS JOIN tot)
+SELECT digit::BIGINT AS digit, n::BIGINT AS n,
+       {_sql_rne('share', 'share', 8)},
+       {_sql_rne('expected', 'expected', 8)},
+       {_sql_rne('(share - expected) * (share - expected) / expected',
+                 'chi_term', 10)}
+FROM j"""

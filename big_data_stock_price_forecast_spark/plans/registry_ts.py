@@ -8382,3 +8382,73 @@ SELECT symbol, n0::BIGINT AS n_pairs, conc::BIGINT AS concordant,
            f'CASE WHEN {den} > 0 THEN (conc - disc)::DOUBLE / {den} END',
            'tau_b', 8)}
 FROM agg"""
+
+
+def q_ts_price_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stale-quote audit per symbol over the REAL resampled buckets
+    (ffilled rows would be artificially stale): share of buckets whose
+    close equals the previous bucket's, and the longest run of
+    consecutive equal closes (gaps-and-islands via a running
+    change-flag sum — one window pass, all-integer). The market-data
+    quality screen that catches dead feeds and over-aggressive
+    upstream dedup; reads next to ts_dup_quality and ts_gap_fill's
+    is_gap accounting."""
+    r = _resampled(spark, sf_dir).select("symbol", "time_idx", "close")
+    w = Window.partitionBy("symbol").orderBy("time_idx")
+    prev = F.lag("close", 1).over(w)
+    flat = (F.col("close") == prev).cast("long")
+    chg = F.when(prev.isNull() | (F.col("close") != prev), 1).otherwise(0)
+    d = r.select(
+        "symbol",
+        "time_idx",
+        F.coalesce(flat, F.lit(0)).alias("flat"),
+        chg.alias("chg"),
+    )
+    wrun = (
+        Window.partitionBy("symbol")
+        .orderBy("time_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("grp", F.sum("chg").over(wrun))
+    runs = d.groupBy("symbol", "grp").agg(F.count(F.lit(1)).alias("len"))
+    per = runs.groupBy("symbol").agg(F.max("len").alias("max_run"))
+    agg = d.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("flat").alias("n_flat"),
+    )
+    return agg.join(per, "symbol").select(
+        "symbol",
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("n_flat").cast("long").alias("n_flat"),
+        _rne(
+            F.col("n_flat").cast("double")
+            / F.col("n_buckets").cast("double"),
+            "flat_share",
+            8,
+        ),
+        F.col("max_run").cast("long").alias("max_flat_run"),
+    )
+
+
+def _sql_ts_price_staleness() -> str:
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H},
+d AS (
+  SELECT symbol, time_idx,
+         CASE WHEN close = lag(close) OVER w THEN 1 ELSE 0 END AS flat,
+         CASE WHEN lag(close) OVER w IS NULL
+                OR close <> lag(close) OVER w THEN 1 ELSE 0 END AS chg
+  FROM idx WINDOW w AS (PARTITION BY symbol ORDER BY time_idx)),
+g AS (
+  SELECT symbol, time_idx, flat,
+         sum(chg) OVER (PARTITION BY symbol ORDER BY time_idx
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM d),
+runs AS (SELECT symbol, grp, count(*) AS len FROM g GROUP BY 1, 2),
+per AS (SELECT symbol, max(len) AS max_run FROM runs GROUP BY 1),
+agg AS (
+  SELECT symbol, count(*) AS n_buckets, sum(flat) AS n_flat
+  FROM g GROUP BY 1)
+SELECT symbol, n_buckets::BIGINT AS n_buckets, n_flat::BIGINT AS n_flat,
+       {_sql_rne('n_flat::DOUBLE / n_buckets::DOUBLE', 'flat_share', 8)},
+       per.max_run::BIGINT AS max_flat_run
+FROM agg JOIN per USING (symbol)"""

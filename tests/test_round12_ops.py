@@ -718,3 +718,117 @@ def test_stream_jump_state_matches_batch_fold(spark, tmp_path):
         prev = x
     assert (final["n_rets"], final["rv_q"], final["bp_q"]) == (n, rv_q, bp_q)
     assert len(rows) >= 2  # state genuinely crossed micro-batches
+
+
+# ======================== round-12 batch D (KN LM, Benford, staleness)
+
+
+def test_doc_kn_bigram_ppl_matches_python_replay(spark):
+    """Interpolated Kneser–Ney replayed in plain python on the real
+    fixture split: discounted seen mass + continuation backoff +
+    unseen-context/word floors, surprisals on the 1e-9 integer grid."""
+    import collections
+    import math as m
+    import re
+
+    from big_data_stock_price_forecast_spark.functions.text import (
+        TOKEN_SPLIT_RE,
+    )
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        KN_DISCOUNT,
+        q_doc_kn_bigram_ppl,
+    )
+
+    docs = {
+        r["doc_id"]: [
+            t for t in re.split(TOKEN_SPLIT_RE, r["text"].lower()) if t
+        ]
+        for r in load_table(spark, SF, "documents").select(
+            "doc_id", "text"
+        ).collect()
+    }
+    c2: collections.Counter = collections.Counter()
+    for did, ts in docs.items():
+        if did % 5 != 0:
+            for a, b in zip(ts, ts[1:]):
+                c2[(a, b)] += 1
+    c1: collections.Counter = collections.Counter()
+    n1f: collections.Counter = collections.Counter()
+    n1b: collections.Counter = collections.Counter()
+    for (a, b), c in c2.items():
+        c1[a] += c
+        n1f[a] += 1
+        n1b[b] += 1
+    tt = len(c2)
+    d = KN_DISCOUNT
+    want = {}
+    for did, ts in docs.items():
+        if did % 5 != 0 or len(ts) < 2:
+            continue
+        ssum, n = 0, 0
+        for a, b in zip(ts, ts[1:]):
+            pc = n1b.get(b, 0) / tt
+            if a in c1:
+                p = max(c2.get((a, b), 0) - d, 0.0) / c1[a] + (
+                    d * n1f[a] / c1[a]
+                ) * pc
+            else:
+                p = pc if b in n1b else d / tt
+            p = max(p, d / tt / 1e6)
+            ssum += int(m.floor(-m.log(p) * 1e9 + 0.5))
+            n += 1
+        want[did] = (n, _snap(m.exp((ssum / 1e9) / n), 6))
+    got = {
+        r["doc_id"]: (r["n_big"], r["kn_ppl"])
+        for r in q_doc_kn_bigram_ppl(spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_orders_benford_planted(spark, tmp_path):
+    """Planted totals with known first digits; shares and chi terms
+    replay against the literal Benford expectations."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        BENFORD_EXPECTED,
+        q_orders_benford_law,
+    )
+
+    totals = [123.45, 19.99, 102.0, 940.10, 1.07, 55.0, 111.11, 9.81]
+    rows = [
+        (i, i % 3, "O", float(t), "1996-01-02", "1-URGENT", "c", 0, "x")
+        for i, t in enumerate(totals)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string,"
+        " o_clerk string, o_shippriority int, o_comment string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/orders.parquet")
+    got = {r["digit"]: r for r in
+           q_orders_benford_law(spark, str(tmp_path)).collect()}
+    import collections
+    cnt = collections.Counter(int(str(int(t * 100 + 0.5))[0]) for t in totals)
+    assert {d: r["n"] for d, r in got.items()} == dict(cnt)
+    for dig, r in got.items():
+        assert r["expected"] == _snap(BENFORD_EXPECTED[dig - 1], 8)
+        assert r["share"] == _snap(cnt[dig] / len(totals), 8)
+
+
+def test_ts_price_staleness_planted_runs(spark, tmp_path):
+    """Planted flat runs: closes [5,5,5,7,7,9] -> 3 flat transitions,
+    max run 3; an always-changing series scores zero."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_price_staleness,
+    )
+
+    stale = [5.0, 5.0, 5.0, 7.0, 7.0, 9.0]
+    fresh = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    _write_series(spark, str(tmp_path), {
+        1: [[(0, y)] for y in stale],
+        2: [[(0, y)] for y in fresh],
+    })
+    got = {r["symbol"]: r for r in
+           q_ts_price_staleness(spark, str(tmp_path)).collect()}
+    assert got[1]["n_flat"] == 3 and got[1]["max_flat_run"] == 3
+    assert got[1]["flat_share"] == _snap(3 / 6, 8)
+    assert got[2]["n_flat"] == 0 and got[2]["max_flat_run"] == 1
