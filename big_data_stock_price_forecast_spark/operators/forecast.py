@@ -81,7 +81,29 @@ def forecast_evaluate(
 
     # dim given -> flat codegen distance (bitwise equal to the fold);
     # essential for the global search where the pair join is wide
-    if dim is not None:
+    if metric == "cosine":
+        # z-scored CONSTANT windows (gap-fill runs) have ‖xs‖ = 0:
+        # cosine is undefined and ANSI division errors. Guard the
+        # denominator and rank such pairs last (-2 < any cosine);
+        # the oracle carries the identical CASE (NULL ordering
+        # differs between engines, a sentinel does not).
+        if dim is not None:
+            from ..functions.distance import dot_fixed, l2_norm_fixed
+
+            denom = l2_norm_fixed(F.col("m_xs"), dim) * l2_norm_fixed(
+                F.col("q_xs"), dim
+            )
+            num = dot_fixed(F.col("m_xs"), F.col("q_xs"), dim)
+        else:
+            from ..functions.distance import dot, l2_norm
+
+            denom = l2_norm(F.col("m_xs")) * l2_norm(F.col("q_xs"))
+            num = dot(F.col("m_xs"), F.col("q_xs"))
+        dist = F.when(denom > F.lit(0.0), num / denom).otherwise(
+            F.lit(-2.0)
+        )
+        desc = True
+    elif dim is not None:
         dist, desc = metric_expr_fixed(
             metric, F.col("m_xs"), F.col("q_xs"), dim
         )

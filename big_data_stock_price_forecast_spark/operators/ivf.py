@@ -224,23 +224,23 @@ def ivf_topk_from_assigned(
     queries = assigned.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
-    wq = Window.partitionBy("q_id").orderBy(
-        F.col("__cdist").asc(), F.col("label_c").asc()
-    )
-    probes = (
-        queries.crossJoin(
-            F.broadcast(
-                centroids.select(F.col("label").alias("label_c"), "cvec")
-            )
-        )
-        .withColumn(
-            "__cdist", dist_l2_fixed(F.col("qv"), F.col("cvec"), EMB_DIM)
-        )
-        .withColumn("__rk", F.row_number().over(wq))
-        .filter(F.col("__rk") <= nprobe)
-        .select("q_id", "qv", F.col("label_c").alias("list_id"))
+    return ivf_topk_for_queries(
+        assigned, centroids, queries, k=k, nprobe=nprobe
     )
 
+
+def ivf_topk_for_queries(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """:func:`ivf_topk_from_assigned` with an EXPLICIT (q_id, qv)
+    query frame — the eval cards pass their fixed deterministic
+    anchor budget here instead of a corpus-fraction modulus (whose
+    exact-GT panel would grow quadratically with the corpus)."""
+    probes = ivf_query_probes(centroids, queries, nprobe)
     w = Window.partitionBy("q_id").orderBy(
         F.col("dist").asc(), F.col("vec_id").asc()
     )

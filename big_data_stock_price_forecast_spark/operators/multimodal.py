@@ -384,7 +384,7 @@ def phash_dct_weights() -> list:
 
 
 def phash16_bands(media: DataFrame) -> DataFrame:
-    """Perceptual DCT hash (pHash) of each image payload as 4 4-bit
+    """Perceptual DCT hash (pHash) of each image payload as 2 8-bit
     band values — the frequency-domain sibling of :func:`ahash_bands`
     (aHash flips on local brightness; pHash thresholds low-frequency
     DCT coefficients, so it survives uniform brightness/contrast
@@ -393,11 +393,12 @@ def phash16_bands(media: DataFrame) -> DataFrame:
     (left-associated 64-term sums — bitwise identical cross-engine);
     each coefficient bits against the median of the 15 non-DC
     coefficients (the classic pHash threshold; DC joins the bit
-    vector and lands above the median by construction). The 4 bands
-    double as LSH blocking keys: any pair at hamming <= PHASH_MAX_DIST
-    = 3 shares an identical band (pigeonhole over 4 bands), so banded
-    candidate generation is exhaustive at the query threshold. One
-    JVM projection pass — no Python, no shuffle."""
+    vector and lands above the median by construction). The
+    PHASH_BANDS = 2 8-bit bands double as LSH blocking keys: any pair
+    at hamming <= PHASH_MAX_DIST = 1 shares an identical band
+    (pigeonhole over 2 bands), so banded candidate generation is
+    exhaustive at the query threshold. One JVM projection pass — no
+    Python, no shuffle."""
     n = F.col("meta.n_bytes")
     b = (
         media.filter(F.col("media_type") == "image")

@@ -65,6 +65,13 @@ class FlagshipParams:
     query_symbol_mod: int | None = None
     # candidate store strided per symbol like the W11 query cursor
     cand_stride: int = 1
+    # run the WHOLE pipeline on a deterministic symbol panel
+    # (symbol % symbol_mod == 0) — bounds the oracle-checked
+    # fullscale config (L=256/P=192) to a gate-sized panel while
+    # keeping every per-symbol semantic at the real window shape;
+    # per-symbol results are identical to the unfiltered run
+    # (the pipeline never crosses symbols before the search join)
+    symbol_mod: int | None = None
 
 
 def flagship_labeled(
@@ -75,8 +82,13 @@ def flagship_labeled(
     pre-fill half of :func:`flagship_windows`, exposed so serving-side
     consumers (the streaming flagship's deploy-time split boundary)
     share one definition."""
+    base = events_series(spark, sf_dir)
+    if p.symbol_mod is not None:
+        # partition-panel filter at the scan — at 100 TB this prunes
+        # before the one wide exchange, not after
+        base = base.filter(F.col("symbol") % p.symbol_mod == 0)
     series = dedup_keep_last(
-        events_series(spark, sf_dir).repartition("symbol"),
+        base.repartition("symbol"),
         ["symbol", "datetime"],
         "event_id",
     )

@@ -201,9 +201,13 @@ from .registry_common import (  # noqa: F401
     TEXTRANK_TOP_N,
     THETA_ALPHA,
     TREND_MIN_N,
+    ANCHOR_BUDGET,
+    IVF_Q_BUDGET,
+    JL_C_BUDGET,
+    JL_Q_BUDGET,
     TRIANGLE_TOP_EDGES,
-    TRIPLET_MOD,
     TRI_TOPK,
+    anchor_sample,
     VAR_BT_P,
     VAR_P,
     VOCAB_COVERAGE_KS,
@@ -359,7 +363,6 @@ from .registry_emb import (  # noqa: F401
     EMB_NEAR_DUP_TAU,
     KNN_METRICS,
     KNN_RECIP_K,
-    KNN_RECIP_MOD,
     SQL_EMB_ANN_LSH,
     SQL_EMB_BQ_HAMMING,
     SQL_EMB_CENTROID,
@@ -762,9 +765,14 @@ from .registry_ts import (  # noqa: F401
     _sql_ts_winsorize,
     _sql_ts_xsec_momentum,
     _ts_acf_parts,
+    FLAGSHIP_SWEEP_METRICS,
+    FULLSCALE_MAE_PARAMS,
+    _sql_flagship_metric_sweep,
     q_flagship,
+    q_flagship_fullscale_mae,
     q_flagship_global,
     q_flagship_loss_math,
+    q_flagship_metric_sweep,
     q_flagship_summary,
     q_ts_adf_unit_root,
     q_ts_amihud_illiq,
@@ -1366,6 +1374,8 @@ def all_queries() -> dict[str, QueryFn]:
         "media_frame_sample": q_media_frames,  # r5
         "media_thumbnail": q_media_thumbnail,  # r5
         "flagship_summary": q_flagship_summary,  # r5
+        "flagship_metric_sweep": q_flagship_metric_sweep,  # r13
+        "flagship_fullscale_mae": q_flagship_fullscale_mae,  # r13
         "flagship_loss_math": q_flagship_loss_math,  # r5
         "ts_dedup_keep_last": q_ts_dedup_keep_last,  # r5
         "ts_time_filter_7d": q_ts_time_filter,  # r5
@@ -1555,6 +1565,8 @@ def _oracle_sql_map() -> dict[str, str]:
             "count(*) AS n_queries FROM base"
         ),
         "flagship_global_mae": _flagship_oracle(GLOBAL_PARAMS),
+        "flagship_metric_sweep": _sql_flagship_metric_sweep(),
+        "flagship_fullscale_mae": _flagship_oracle(FULLSCALE_MAE_PARAMS),
         "flagship_loss_math": _sql_flagship_loss(),
         "ts_dedup_keep_last": SQL_TS_DEDUP,
         "ts_time_filter_7d": SQL_TS_TIME_FILTER,

@@ -1138,10 +1138,11 @@ IVF_NPROBE = 2
 def _sql_ivf_recall() -> str:
     l2 = _sql_l2("e.v", "q.qv")
     return f"""
-WITH ivf AS (SELECT q_id, vec_id FROM ({_sql_ivf_ann()})),
+WITH ivf AS (SELECT q_id, vec_id
+             FROM ({_sql_ivf_ann(_sql_anchor_clause(IVF_Q_BUDGET))})),
 emb2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q2 AS (SELECT vec_id AS q_id, v AS qv FROM emb2
-       WHERE vec_id % {KNN_QUERY_MOD} = 0),
+       {_sql_anchor_clause(IVF_Q_BUDGET)}),
 bf AS (
   SELECT q_id, vec_id FROM (
     SELECT q.q_id, e.vec_id,
@@ -1210,12 +1211,20 @@ assigned AS (
 )"""
 
 
-def _sql_ivf_ann() -> str:
+def _sql_ivf_ann(q_pick: str | None = None) -> str:
+    """``q_pick``: the query-panel CTE body after ``FROM emb`` —
+    default reproduces the production mod-strided panel byte-for-byte;
+    the recall eval passes the fixed anchor-budget clause."""
+    q_pick = (
+        q_pick
+        if q_pick is not None
+        else f"WHERE vec_id % {KNN_QUERY_MOD} = 0"
+    )
     l2_qc = _sql_l2("q.qv", "c.cvec")
     l2_aq = _sql_l2("a.v", "p.qv")
     return f"""
 WITH {_sql_ivf_base()},
-q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % {KNN_QUERY_MOD} = 0),
+q AS (SELECT vec_id AS q_id, v AS qv FROM emb {q_pick}),
 probes AS (
   SELECT q_id, qv, list_id FROM (
     SELECT q.q_id, q.qv, c.label AS list_id,
@@ -2756,7 +2765,44 @@ XSEC_N_Q = 5
 SLIDE_TOPN = 3
 
 
-TRIPLET_MOD = 7
+# Fixed deterministic anchor budgets for the embedding eval cards
+# (r12 verdict): a corpus-FRACTION sampler (vec_id % MOD) makes an
+# exact-GT panel quadratic in corpus size — the MOD dial must be
+# retuned as n grows. A fixed top-K-by-portable-hash budget makes
+# every panel O(n·K) (or O(K²) when both sides are budgeted) with K
+# constant at ANY corpus size, no semantic retuning ever. The pick is
+# a distributed TakeOrdered (per-partition top-K, K-row merge — no
+# full sort, no single-partition shuffle) on (hash60(vec_id), vec_id),
+# bitwise-identical in Spark and DuckDB (the events_hash_sample md5
+# device), so both engines select the SAME anchors.
+ANCHOR_BUDGET = 256  # triplet-margin anchors / reciprocity sample
+IVF_Q_BUDGET = 32  # IVF recall + probe-curve query panel
+JL_Q_BUDGET = 64  # JL-distortion query side
+JL_C_BUDGET = 512  # JL-distortion candidate side (panel ≤ Q·C fixed)
+
+
+def anchor_sample(
+    df: DataFrame, budget: int, cols=("vec_id", "v", "label"),
+    keep_hash: bool = False,
+) -> DataFrame:
+    """The ``budget`` rows with the smallest (hash60(vec_id), vec_id)
+    — the engine-wide FIXED-BUDGET anchor sampler (see the constants
+    block above). Corpora smaller than the budget are kept whole,
+    identically in both engines."""
+    h = hash60(F.col("vec_id").cast("string"))
+    out = (
+        df.select(*cols, h.alias("__h"))
+        .orderBy(F.col("__h").asc(), F.col("vec_id").asc())
+        .limit(budget)
+    )
+    return out if keep_hash else out.drop("__h")
+
+
+def _sql_anchor_clause(budget: int) -> str:
+    """ORDER BY/LIMIT suffix of the oracle's anchor pick — appended to
+    a ``SELECT ... FROM <src>`` over any CTE that carries vec_id."""
+    h = sql_hash60("CAST(vec_id AS VARCHAR)")
+    return f"ORDER BY {h}, vec_id LIMIT {budget}"
 
 
 DOW_ANCHOR = 5  # 2000-01-01 (the time_idx anchor) is a Saturday, Mon=0

@@ -717,13 +717,15 @@ def test_pacf_replay_and_alternation(spark, tmp_path):
 
 def test_knn_reciprocity_two_clusters_replay(spark, tmp_path):
     """Two tight 4-point clusters with k=5: within-cluster edges
-    reciprocate, the 2 cross-cluster picks mostly don't; replay the
-    exact top-5 graph in python."""
+    reciprocate, the 2 cross-cluster picks mostly don't; a far-off
+    outlier points AT the clusters but is never pointed back at
+    (reciprocity 0 for its label). Corpus < ANCHOR_BUDGET, so the
+    fixed-budget sampler keeps every row identically in both engines;
+    replay the exact top-5 graph in python."""
     import pandas as pd
 
     from big_data_stock_price_forecast_spark.plans.registry import (
         KNN_RECIP_K,
-        KNN_RECIP_MOD,
         q_emb_knn_reciprocity,
     )
 
@@ -731,24 +733,27 @@ def test_knn_reciprocity_two_clusters_replay(spark, tmp_path):
     rows = []
     pts = {}
     for i in range(4):  # cluster A (label 0) near +e1
-        vid = KNN_RECIP_MOD * (i + 1)
+        vid = 7 * (i + 1)
         v = [0.0] * dim
         v[0], v[1] = 1.0, 0.01 * (i + 1)
         rows.append((vid, v, 0)); pts[vid] = v
     for i in range(4):  # cluster B (label 1) near -e1
-        vid = KNN_RECIP_MOD * (i + 10)
+        vid = 7 * (i + 10)
         v = [0.0] * dim
         v[0], v[1] = -1.0, 0.013 * (i + 1)
         rows.append((vid, v, 1)); pts[vid] = v
-    # a non-sampled decoy (vec_id not divisible by the sample mod)
+    # a far-off outlier: its top-5 all point at the clusters, but no
+    # cluster point's top-5 reaches it -> label-9 reciprocity 0
     rows.append((3, [5.0] + [0.0] * (dim - 1), 9))
+    pts[3] = rows[-1][1]
     pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
     spark.createDataFrame(pdf).write.parquet(
         f"{tmp_path}/embeddings.parquet"
     )
     got = {r["label"]: r for r in
            q_emb_knn_reciprocity(spark, str(tmp_path)).collect()}
-    assert 9 not in got  # decoy not sampled
+    assert got[9]["n_edges"] == KNN_RECIP_K
+    assert got[9]["reciprocity"] == 0.0
 
     def d2(a, b):
         return sum((x - y) ** 2 for x, y in zip(a, b))
@@ -1016,12 +1021,13 @@ def datetime_floor_6h(t):
 
 def test_triplet_margin_clusters_and_mislabel(spark, tmp_path):
     """Well-separated label clusters give violation_rate 0 and a
-    positive margin (exact replay); a mislabeled point makes its
-    anchor's nearest neighbor cross the boundary -> violation."""
+    positive margin; a mislabeled pair makes every label-2 anchor's
+    nearest neighbor cross the boundary -> violation_rate 1. Corpus <
+    ANCHOR_BUDGET, so the fixed-budget sampler anchors EVERY row;
+    replay the full per-anchor dpos/dneg/margin math in python."""
     import pandas as pd
 
     from big_data_stock_price_forecast_spark.plans.registry import (
-        TRIPLET_MOD,
         q_emb_triplet_margin,
     )
 
@@ -1033,16 +1039,16 @@ def test_triplet_margin_clusters_and_mislabel(spark, tmp_path):
         return v
 
     rows = []
-    # label 0: cluster at +e1 (anchor = id 7, sampled)
-    rows.append((TRIPLET_MOD, vec(1.0, 0.0), 0))
+    # label 0: cluster at +e1
+    rows.append((7, vec(1.0, 0.0), 0))
     rows.append((1, vec(1.0, 0.05), 0))
     rows.append((2, vec(1.0, 0.10), 0))
-    # label 1: cluster at -e1 (anchor = id 14)
-    rows.append((2 * TRIPLET_MOD, vec(-1.0, 0.0), 1))
+    # label 1: cluster at -e1
+    rows.append((14, vec(-1.0, 0.0), 1))
     rows.append((4, vec(-1.0, 0.05), 1))
-    # label 2: anchor id 21 whose nearest SAME-label mate is far,
-    # while a label-0 point sits close -> violation
-    rows.append((3 * TRIPLET_MOD, vec(1.0, 0.2), 2))
+    # label 2: a "cluster" whose two members sit far apart, each
+    # closer to another label's cluster -> every anchor violates
+    rows.append((21, vec(1.0, 0.2), 2))
     rows.append((6, vec(-3.0, 0.0), 2))
     pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
     spark.createDataFrame(pdf).write.parquet(
@@ -1050,12 +1056,35 @@ def test_triplet_margin_clusters_and_mislabel(spark, tmp_path):
     )
     got = {r["label"]: r for r in
            q_emb_triplet_margin(spark, str(tmp_path)).collect()}
+
+    # python replay over ALL anchors (= all rows: corpus < budget)
+    def l2(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    per_label: dict[int, list[float]] = {}
+    for vid, v, lab in rows:
+        dpos = min(
+            (l2(v, w) for wid, w, wl in rows if wl == lab and wid != vid),
+            default=None,
+        )
+        dneg = min(
+            (l2(v, w) for wid, w, wl in rows if wl != lab),
+            default=None,
+        )
+        if dpos is None or dneg is None:
+            continue
+        per_label.setdefault(lab, []).append(
+            int(math.floor((dneg - dpos) * 1e9 + 0.5))
+        )
+    for lab, margins in per_label.items():
+        assert got[lab]["n_anchors"] == len(margins)
+        assert got[lab]["violation_rate"] == _snap(
+            sum(1 for m in margins if m < 0) / len(margins), 8
+        )
+        assert got[lab]["mean_margin"] == _snap(
+            float(sum(margins)) / len(margins) / 1e9, 8
+        )
     assert got[0]["violation_rate"] == 0.0
-    # replay label 0's margin: dpos = 0.05 (nearest same-label), dneg
-    # = 0.2 — the MISLABELED label-2 point at (1, 0.2) is the nearest
-    # other-label vector, closer than the -e1 cluster
-    exp = math.floor((0.2 - 0.05) * 1e9 + 0.5) / 1e9
-    assert got[0]["mean_margin"] == _snap(exp, 8)
     assert got[1]["violation_rate"] == 0.0
     assert got[2]["violation_rate"] == 1.0   # mislabeled cluster
     assert got[2]["mean_margin"] < 0
