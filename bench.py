@@ -129,6 +129,33 @@ def main() -> None:
     # page-cache noise on this shared box) — so the line carries a
     # representative min plus the observed band.
     extra_timings: dict[str, object] = {}
+
+    # min-of-2 for the slow tail (r12 verdict item 6): the box swings
+    # 1.5-2x on identical code, so any query over 5s gets a second
+    # run and the JSON records min + both runs under extra_timings —
+    # cross-round regressions on the heavy lines become attributable
+    # to plans, not scheduling. The headline `queries`/`value` stay
+    # single-first-run (comparable with BENCH_r01-r12).
+    slow = {n: t for n, t in timings.items() if t > 5.0}
+    if slow:
+        slow_runs: dict[str, object] = {}
+        qmap = all_queries()
+        for name, t1 in slow.items():
+            t0 = time.perf_counter()
+            try:
+                qmap[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:  # noqa: BLE001 — keep the first timing
+                continue
+            t2 = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()
+            slow_runs[name] = {"runs": [t1, t2], "min": min(t1, t2)}
+            print(f"# {name} rerun: {t2:.3f}s (min {min(t1, t2):.3f})",
+                  file=sys.stderr)
+        if slow_runs:
+            extra_timings["slow_query_runs"] = slow_runs
+
     try:
         from big_data_stock_price_forecast_spark.plans.flagship import (
             FlagshipParams,

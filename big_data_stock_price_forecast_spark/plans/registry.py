@@ -353,9 +353,13 @@ from .registry_common import (  # noqa: F401
 from .registry_emb import (  # noqa: F401
     _sql_emb_jl_distortion,
     _sql_emb_lloyd_step,
+    _sql_emb_lsh_recall,
+    _sql_emb_silhouette,
     _sql_media_phash_near_dup,
     q_emb_jl_distortion,
     q_emb_lloyd_step,
+    q_emb_lsh_recall,
+    q_emb_silhouette,
     q_media_phash_near_dup,
     EMB_BENCH_MOD,
     EMB_DECONTAM_TAU,
@@ -767,12 +771,18 @@ from .registry_ts import (  # noqa: F401
     _ts_acf_parts,
     FLAGSHIP_SWEEP_METRICS,
     FULLSCALE_MAE_PARAMS,
+    ROLLBETA_W,
+    TICK_BAR_N,
     _sql_flagship_metric_sweep,
+    _sql_ts_rolling_beta,
+    _sql_ts_tick_bars,
     q_flagship,
     q_flagship_fullscale_mae,
     q_flagship_global,
     q_flagship_loss_math,
     q_flagship_metric_sweep,
+    q_ts_rolling_beta,
+    q_ts_tick_bars,
     q_flagship_summary,
     q_ts_adf_unit_root,
     q_ts_amihud_illiq,
@@ -876,12 +886,16 @@ from .registry_doc import (  # noqa: F401
     _sql_doc_bpe_merges,
     KN_DISCOUNT,
     _sql_doc_bpe_segment,
+    _sql_doc_dup_inflation,
+    _sql_doc_tokenizer_fertility,
     _sql_doc_kn_bigram_ppl,
     q_doc_kn_bigram_ppl,
     _sql_doc_garbage_score,
     _sql_doc_length_quantiles,
     q_doc_bpe_merges,
     q_doc_bpe_segment,
+    q_doc_dup_inflation,
+    q_doc_tokenizer_fertility,
     q_doc_garbage_score,
     q_doc_length_quantiles,
     SQL_DOC_CONTAINMENT,
@@ -998,6 +1012,7 @@ from .registry_stream import (  # noqa: F401
     SQL_STREAM_ATTRIBUTION,
     SQL_STREAM_DEDUP,
     SQL_STREAM_EMA,
+    _sql_stream_tick_bars,
     SQL_STREAM_ENRICH,
     SQL_STREAM_GOLD_SINK,
     SQL_STREAM_INTERVAL_JOIN,
@@ -1018,6 +1033,7 @@ from .registry_stream import (  # noqa: F401
     q_stream_dedup_ingest,
     q_stream_dedup_keys,
     q_stream_ema_state,
+    q_stream_tick_bars,
     q_stream_enrich_join,
     q_stream_flagship_forecast,
     q_stream_garch_state,
@@ -1090,10 +1106,14 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_dfa": q_ts_dfa,  # never (r12)
         "ts_rolling_median": q_ts_rolling_median,  # never (r12)
         "doc_bpe_segment": q_doc_bpe_segment,  # never (r12)
+        "doc_tokenizer_fertility": q_doc_tokenizer_fertility,  # never (r13)
+        "doc_dup_inflation": q_doc_dup_inflation,  # never (r13)
         "doc_garbage_score": q_doc_garbage_score,  # never (r12)
         "doc_length_quantiles": q_doc_length_quantiles,  # never (r12)
         "emb_jl_distortion": q_emb_jl_distortion,  # never (r12)
         "emb_lloyd_step": q_emb_lloyd_step,  # never (r12)
+        "emb_silhouette": q_emb_silhouette,  # never (r13)
+        "emb_lsh_recall": q_emb_lsh_recall,  # never (r13)
         "graph_modularity": q_graph_modularity,  # never (r12)
         "events_type_user_jaccard": q_events_type_user_jaccard,  # never (r12)
         "media_phash_near_dup": q_media_phash_near_dup,  # never (r12)
@@ -1376,6 +1396,9 @@ def all_queries() -> dict[str, QueryFn]:
         "flagship_summary": q_flagship_summary,  # r5
         "flagship_metric_sweep": q_flagship_metric_sweep,  # r13
         "flagship_fullscale_mae": q_flagship_fullscale_mae,  # r13
+        "ts_tick_bars": q_ts_tick_bars,  # never (r13)
+        "ts_rolling_beta": q_ts_rolling_beta,  # never (r13)
+        "stream_tick_bars": q_stream_tick_bars,  # never (r13)
         "flagship_loss_math": q_flagship_loss_math,  # r5
         "ts_dedup_keep_last": q_ts_dedup_keep_last,  # r5
         "ts_time_filter_7d": q_ts_time_filter,  # r5
@@ -1533,10 +1556,14 @@ def _oracle_sql_map() -> dict[str, str]:
         "ts_dfa": _sql_ts_dfa(),
         "ts_rolling_median": _sql_ts_rolling_median(),
         "doc_bpe_segment": _sql_doc_bpe_segment(),
+        "doc_tokenizer_fertility": _sql_doc_tokenizer_fertility(),
+        "doc_dup_inflation": _sql_doc_dup_inflation(),
         "doc_garbage_score": _sql_doc_garbage_score(),
         "doc_length_quantiles": _sql_doc_length_quantiles(),
         "emb_jl_distortion": _sql_emb_jl_distortion(),
         "emb_lloyd_step": _sql_emb_lloyd_step(),
+        "emb_silhouette": _sql_emb_silhouette(),
+        "emb_lsh_recall": _sql_emb_lsh_recall(),
         "graph_modularity": _sql_graph_modularity(),
         "events_type_user_jaccard": _sql_events_type_user_jaccard(),
         "media_phash_near_dup": _sql_media_phash_near_dup(),
@@ -1567,6 +1594,9 @@ def _oracle_sql_map() -> dict[str, str]:
         "flagship_global_mae": _flagship_oracle(GLOBAL_PARAMS),
         "flagship_metric_sweep": _sql_flagship_metric_sweep(),
         "flagship_fullscale_mae": _flagship_oracle(FULLSCALE_MAE_PARAMS),
+        "ts_tick_bars": _sql_ts_tick_bars(),
+        "ts_rolling_beta": _sql_ts_rolling_beta(),
+        "stream_tick_bars": _sql_stream_tick_bars(),
         "flagship_loss_math": _sql_flagship_loss(),
         "ts_dedup_keep_last": SQL_TS_DEDUP,
         "ts_time_filter_7d": SQL_TS_TIME_FILTER,

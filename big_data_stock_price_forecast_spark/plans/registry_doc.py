@@ -1331,6 +1331,98 @@ SELECT md5(array_to_string({sql_tokens('text')}, ' ')) AS canon_sig,
 FROM documents GROUP BY 1"""
 
 
+def q_doc_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-level dedup KPI a curation pipeline budgets by:
+    what fraction of the TOKEN MASS sits in (normalized-)exact
+    duplicate groups, and how many tokens keep-one-per-group dedup
+    would actually remove (group mass minus the keeper's — the number
+    that becomes storage/compute savings, distinct from the doc-count
+    dup rate when duplicates skew long or short). Same canonical md5
+    signature as doc_normalized_dedup (ONE definition of 'duplicate'
+    engine-wide); keeper = min doc_id via arg-min, removable = group
+    token sum minus keeper's. Two map-side-combined aggregates over
+    exact integers — the canonical strings never shuffle, only their
+    hashes; one corpus row out."""
+    docs = _docs_parallel(spark, sf_dir)
+    sig = F.md5(F.concat_ws(" ", tokens(F.col("text"))))
+    per_doc = docs.select(
+        "doc_id",
+        sig.alias("canon_sig"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    grp = per_doc.groupBy("canon_sig").agg(
+        F.count(F.lit(1)).alias("gs"),
+        F.sum("n_tok").alias("g_tok"),
+        F.min_by("n_tok", "doc_id").alias("keeper_tok"),
+    )
+    dup = F.col("gs") >= 2
+    agg = grp.agg(
+        F.sum("gs").cast("long").alias("n_docs"),
+        F.sum(F.when(dup, F.col("gs")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_docs"),
+        F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias(
+            "n_dup_groups"
+        ),
+        F.sum("g_tok").cast("long").alias("total_tok"),
+        F.sum(F.when(dup, F.col("g_tok")).otherwise(0))
+        .cast("long")
+        .alias("dup_tok"),
+        F.sum(
+            F.when(dup, F.col("g_tok") - F.col("keeper_tok")).otherwise(0)
+        )
+        .cast("long")
+        .alias("removable_tok"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_dup_docs",
+        "n_dup_groups",
+        "total_tok",
+        "dup_tok",
+        "removable_tok",
+        _rne(
+            F.col("dup_tok").cast("double")
+            / F.col("total_tok").cast("double"),
+            "dup_token_share",
+            8,
+        ),
+        _rne(
+            F.col("removable_tok").cast("double")
+            / F.col("total_tok").cast("double"),
+            "dedup_savings",
+            8,
+        ),
+    )
+
+
+def _sql_doc_dup_inflation() -> str:
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id,
+         md5(array_to_string({sql_tokens('text')}, ' ')) AS canon_sig,
+         len({sql_tokens('text')})::BIGINT AS n_tok
+  FROM documents),
+grp AS (
+  SELECT canon_sig, count(*) AS gs, sum(n_tok) AS g_tok,
+         arg_min(n_tok, doc_id) AS keeper_tok
+  FROM per_doc GROUP BY 1)
+SELECT sum(gs)::BIGINT AS n_docs,
+       sum(CASE WHEN gs >= 2 THEN gs ELSE 0 END)::BIGINT AS n_dup_docs,
+       sum(CASE WHEN gs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+       sum(g_tok)::BIGINT AS total_tok,
+       sum(CASE WHEN gs >= 2 THEN g_tok ELSE 0 END)::BIGINT AS dup_tok,
+       sum(CASE WHEN gs >= 2 THEN g_tok - keeper_tok ELSE 0 END)::BIGINT
+         AS removable_tok,
+       {_sql_rne(
+           'sum(CASE WHEN gs >= 2 THEN g_tok ELSE 0 END)::DOUBLE'
+           ' / sum(g_tok)::DOUBLE', 'dup_token_share', 8)},
+       {_sql_rne(
+           'sum(CASE WHEN gs >= 2 THEN g_tok - keeper_tok ELSE 0 END)'
+           '::DOUBLE / sum(g_tok)::DOUBLE', 'dedup_savings', 8)}
+FROM grp"""
+
+
 def q_doc_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash sketch accuracy as a measured column — for every LSH
     candidate pair, the signature-agreement Jaccard estimate
@@ -3870,20 +3962,14 @@ JOIN vocab va ON va.source = sa
 JOIN vocab vb ON vb.source = sb"""
 
 
-def q_doc_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer APPLICATION — the serving half of
-    doc_bpe_merges: run the same k=5 training rounds (vocabulary-
-    sized), keep each token's final segmentation, and score every
-    document by its piece count (the budget quantity an LLM-data
-    pipeline packs context windows by). The token stream joins the
-    segmented vocabulary on a broadcast (vocab ≪ corpus — the same
-    asymmetry the unigram-LM scorer exploits), so the corpus-sized
-    pass is one broadcast-join + one doc_id combine. All integer
-    arithmetic except the final pieces-per-token ratio."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
-    )
+def _bpe_seg_from_tok(tok: DataFrame) -> DataFrame:
+    """(tok, n_pieces) after ``BPE_ROUNDS`` training rounds over the
+    token frame's vocabulary — the shared trainer behind
+    doc_bpe_segment and doc_tokenizer_fertility (one definition of
+    the merge order engine-wide; each round's argmax is a
+    localCheckpoint barrier so later rounds never recompute earlier
+    scans — the doc_bpe_merges device). ``tok`` needs a ``tok``
+    column; extra columns are ignored by the vocabulary build."""
     vocab = (
         tok.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -3916,9 +4002,7 @@ def q_doc_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("rhs").asc(),
             )
             .limit(1)
-            .localCheckpoint(eager=True)  # barrier per round (the
-            # doc_bpe_merges device): later rounds must not recompute
-            # earlier scans
+            .localCheckpoint(eager=True)
         )
         vocab = vocab.crossJoin(F.broadcast(best)).select(
             "tok",
@@ -3929,9 +4013,26 @@ def q_doc_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("word"),
             "cnt",
         )
-    seg = vocab.select(
+    return vocab.select(
         "tok", F.size(F.split("word", " ")).cast("long").alias("n_pieces")
     )
+
+
+def q_doc_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the serving half of
+    doc_bpe_merges: run the same k=5 training rounds (vocabulary-
+    sized), keep each token's final segmentation, and score every
+    document by its piece count (the budget quantity an LLM-data
+    pipeline packs context windows by). The token stream joins the
+    segmented vocabulary on a broadcast (vocab ≪ corpus — the same
+    asymmetry the unigram-LM scorer exploits), so the corpus-sized
+    pass is one broadcast-join + one doc_id combine. All integer
+    arithmetic except the final pieces-per-token ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    seg = _bpe_seg_from_tok(tok)
     per_doc = (
         tok.join(F.broadcast(seg), "tok")
         .groupBy("doc_id")
@@ -3952,10 +4053,12 @@ def q_doc_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_doc_bpe_segment() -> str:
+def _sql_bpe_seg_ctes(tok_cte: str) -> str:
+    """The shared BPE-training CTE chain (tok → vocab0..vocabK → seg)
+    over a caller-supplied ``tok`` CTE body — one SQL definition of
+    the merge order, mirroring :func:`_bpe_seg_from_tok`."""
     ctes = [
-        f"tok AS (SELECT doc_id, unnest({sql_tokens('text')}) AS tok"
-        " FROM documents)",
+        f"tok AS ({tok_cte})",
         "vocab0 AS (SELECT tok,"
         " array_to_string(string_split(tok, ''), ' ') AS word,"
         " count(*) AS cnt FROM tok GROUP BY tok)",
@@ -3982,14 +4085,80 @@ def _sql_doc_bpe_segment() -> str:
         f"seg AS (SELECT tok, len(string_split(word, ' '))::BIGINT"
         f" AS n_pieces FROM vocab{BPE_ROUNDS})"
     )
+    return ",\n".join(ctes)
+
+
+def _sql_doc_bpe_segment() -> str:
+    body = _sql_bpe_seg_ctes(
+        f"SELECT doc_id, unnest({sql_tokens('text')}) AS tok"
+        " FROM documents"
+    )
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + body
         + f"""
 SELECT doc_id, count(*)::BIGINT AS n_tok,
        CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
        {_sql_rne('sum(n_pieces)::DOUBLE / count(*)::DOUBLE',
                  'pieces_per_tok', 8)}
+FROM tok JOIN seg USING (tok)
+GROUP BY 1"""
+    )
+
+
+def q_doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — pieces per word under the
+    corpus-trained BPE segmentation, the standard cross-lingual
+    tokenizer-quality table (a language whose fertility is 2× pays 2×
+    the context budget and 2× the inference cost for the same text —
+    the number multilingual data pipelines balance vocab size by).
+    Same trainer as doc_bpe_segment (one merge-order definition); the
+    corpus-sized pass is one broadcast vocab join, then ONE
+    (lang)-keyed integer aggregate. Also emits distinct word types
+    per language — fertility on types vs runs separates 'hard
+    morphology' from 'frequent unknown words'."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    seg = _bpe_seg_from_tok(tok)
+    per_lang = (
+        tok.join(F.broadcast(seg), "tok")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.countDistinct("tok").alias("n_types"),
+            F.sum("n_pieces").alias("n_pieces"),
+        )
+    )
+    return per_lang.select(
+        "lang",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        _rne(
+            F.col("n_pieces").cast("double")
+            / F.col("n_words").cast("double"),
+            "fertility",
+            8,
+        ),
+    )
+
+
+def _sql_doc_tokenizer_fertility() -> str:
+    body = _sql_bpe_seg_ctes(
+        f"SELECT doc_id, lang, unnest({sql_tokens('text')}) AS tok"
+        " FROM documents"
+    )
+    return (
+        "WITH "
+        + body
+        + f"""
+SELECT lang, count(*)::BIGINT AS n_words,
+       count(DISTINCT tok)::BIGINT AS n_types,
+       CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       {_sql_rne('sum(n_pieces)::DOUBLE / count(*)::DOUBLE',
+                 'fertility', 8)}
 FROM tok JOIN seg USING (tok)
 GROUP BY 1"""
     )

@@ -3266,6 +3266,184 @@ SELECT n::BIGINT AS n_vecs, k0::BIGINT AS k0, k1::BIGINT AS k1,
 FROM i0 CROSS JOIN i1 CROSS JOIN k0"""
 
 
+def q_emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid) silhouette per label — THE standard
+    clustering-quality score, in its O(N·k) medoid-free form: for
+    every vector, a = distance to its OWN label centroid, b = the
+    nearest OTHER centroid; s = (b − a)/max(a, b) ∈ [−1, 1] (negative
+    s flags vectors closer to a foreign cluster — reads next to
+    emb_cluster_purity / emb_triplet_margin / emb_fisher_ratio as the
+    scale-free one). Centroids are the shared exact grid-snapped
+    quantizer (same contract as every IVF-family query); distances
+    the flat-codegen L2 (fold-bitwise); per-row s snaps to the 1e-9
+    grid into exact DECIMAL sums. ONE broadcast of k centroids
+    against the corpus + one map-side-combined aggregate — no window,
+    no pair frame, linear at any corpus size."""
+    from ..operators.ivf import EMB_DIM, label_centroids
+
+    emb = _emb(spark, sf_dir)
+    cent = label_centroids(emb)
+    from ..functions.distance import dist_l2_fixed
+
+    d = emb.crossJoin(
+        F.broadcast(cent.select(F.col("label").alias("clabel"), "cvec"))
+    ).select(
+        "vec_id",
+        "label",
+        "clabel",
+        dist_l2_fixed(F.col("v"), F.col("cvec"), EMB_DIM).alias("cd"),
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("cd"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("cd"))).alias(
+            "b"
+        ),
+    )
+    s = F.when(
+        F.greatest("a", "b") > 0,
+        (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+    ).otherwise(F.lit(0.0))
+    sq = F.floor(s * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)")
+    per = (
+        ab.filter(F.col("b").isNotNull())
+        .select("label", sq.alias("sq"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("sq").alias("ss"),
+            F.sum(F.when(F.col("sq") < 0, 1).otherwise(0)).alias(
+                "n_negative"
+            ),
+        )
+    )
+    return per.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_negative").cast("long").alias("n_negative"),
+        _rne(
+            F.col("ss").cast("double") / F.col("n").cast("double") / 1e9,
+            "mean_silhouette",
+            8,
+        ),
+    )
+
+
+def _sql_emb_silhouette() -> str:
+    return f"""
+WITH {_sql_ivf_base()},
+d AS (
+  SELECT e.vec_id, e.label, c.label AS clabel,
+         {_sql_l2('e.v', 'c.cvec')} AS cd
+  FROM emb e CROSS JOIN cent c),
+ab AS (
+  SELECT vec_id, label,
+         min(CASE WHEN clabel = label THEN cd END) AS a,
+         min(CASE WHEN clabel <> label THEN cd END) AS b
+  FROM d GROUP BY 1, 2),
+s AS (
+  SELECT label,
+         CAST(floor(CASE WHEN greatest(a, b) > 0
+                         THEN (b - a) / greatest(a, b) ELSE 0.0 END
+                    * 1e9 + 0.5) AS DECIMAL(38,0)) AS sq
+  FROM ab WHERE b IS NOT NULL)
+SELECT label::BIGINT AS label, count(*)::BIGINT AS n,
+       sum(CASE WHEN sq < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative,
+       {_sql_rne('sum(sq)::DOUBLE / count(*)::DOUBLE / 1e9',
+                 'mean_silhouette', 8)}
+FROM s GROUP BY 1"""
+
+
+def q_emb_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@k of the sign-LSH bucketed search against the
+    exact cosine top-k — the missing half of emb_ann_lsh_topk's
+    contract (the IVF path has emb_ivf_recall; a production index
+    swap needs BOTH measured on the same panel before choosing).
+    Queries ride the fixed deterministic anchor budget (exact-GT side
+    O(n·K), K constant — the r13 anchor rule); candidates share the
+    query's bucket (equi-join on one int key), exact cosine ranks
+    within the bucket with (cos DESC, id ASC) ties — identical in
+    both engines. Queries whose bucket holds fewer than k neighbors
+    (or none) simply score what the bucket gave them: recall IS the
+    cost of single-band LSH, that's the number this card reports."""
+    from ..functions.distance import dot_fixed, l2_norm_fixed
+
+    emb = _emb(spark, sf_dir)
+    q = (
+        anchor_sample(emb, IVF_Q_BUDGET, cols=("vec_id", "v"))
+        .localCheckpoint(eager=True)
+    )
+    lsh = ann_lsh_topk(emb, q, k=KNN_K).select(
+        "q_id", F.col("id").alias("vec_id")
+    )
+    qq = q.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    cos = dot_fixed(F.col("v"), F.col("qv"), 64) / (
+        l2_norm_fixed(F.col("v"), 64) * l2_norm_fixed(F.col("qv"), 64)
+    )
+    bf = (
+        emb.join(F.broadcast(qq))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("cos").desc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= KNN_K)
+        .select("q_id", "vec_id")
+    )
+    hits = bf.join(lsh, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return qq.select("q_id").join(hits, "q_id", "left").select(
+        "q_id",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        (
+            F.coalesce("n_hit", F.lit(0)).cast("double")
+            / F.lit(float(KNN_K))
+        ).alias("recall"),
+    )
+
+
+def _sql_emb_lsh_recall() -> str:
+    bucket = _sql_sign_bucket()
+    cos_lsh = (
+        f"{_sql_dot('e.v', 'q.qv')}"
+        f" / ({_sql_norm('e.v')} * {_sql_norm('q.qv')})"
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM emb),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b
+      {_sql_anchor_clause(IVF_Q_BUDGET)}),
+lsh AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY {cos_lsh} DESC, e.vec_id ASC) AS rank
+    FROM b e JOIN q ON e.bucket = q.bucket
+    WHERE e.vec_id <> q.q_id)
+  WHERE rank <= {KNN_K}),
+bf AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY {cos_lsh} DESC, e.vec_id ASC) AS rn
+    FROM emb e JOIN q ON e.vec_id <> q.q_id)
+  WHERE rn <= {KNN_K}),
+hits AS (
+  SELECT q_id, count(*) AS n_hit
+  FROM bf JOIN lsh USING (q_id, vec_id) GROUP BY 1)
+SELECT q.q_id, COALESCE(n_hit, 0) AS n_hit,
+       COALESCE(n_hit, 0)::DOUBLE / {float(KNN_K)} AS recall
+FROM q LEFT JOIN hits ON q.q_id = hits.q_id"""
+
+
 def q_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-domain perceptual near-dup pairs: 16-bit DCT pHash
     per image payload (operators/multimodal.py phash16_bands — float

@@ -41,7 +41,9 @@ from .registry_common import (  # noqa: F401
     sql_hash60,
 )
 from .registry_ts import (  # noqa: F401
+    TICK_BAR_N,
     _flagship_oracle_ctes,
+    _sql_ts_tick_bars,
 )
 
 
@@ -375,6 +377,31 @@ FROM lst""",
     ["symbol", "n_rows"],
     ["ema"],
 )
+
+
+def q_stream_tick_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ts_tick_bars: event-clock bars assembled in
+    per-symbol state (see streaming/ops.py tick_bar_stream — O(1)
+    state per symbol), each bar emitted the micro-batch its
+    TICK_BAR_N-th tick lands. The oracle is the batch tick-bar query
+    restricted to COMPLETE bars — exactly the stream's emission set
+    (the trailing partial bar stays in state, the drop-trailing
+    convention every streaming twin shares)."""
+    from ..streaming import run_available_now, stream_events, tick_bar_stream
+
+    out = run_available_now(
+        tick_bar_stream(stream_events(spark, sf_dir), n_bar=TICK_BAR_N),
+        "append",
+        state_partitions=8,
+    )
+    return out
+
+
+def _sql_stream_tick_bars() -> str:
+    return (
+        f"SELECT * FROM ({_sql_ts_tick_bars()})"
+        f" WHERE n_events = {TICK_BAR_N}"
+    )
 
 
 def q_stream_resume_delta(spark: SparkSession, sf_dir: str) -> DataFrame:

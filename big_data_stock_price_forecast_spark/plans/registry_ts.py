@@ -613,6 +613,201 @@ def q_flagship_metric_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+ROLLBETA_W = 28  # trailing return observations (7 days of 6h buckets)
+
+
+def q_ts_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling market beta per symbol — the time-varying twin of
+    ts_capm_beta (static betas hide regime shifts; the rolling series
+    is the production risk feature): per 6h bucket, OLS beta and
+    correlation of the symbol's return against the equal-weight
+    cross-sectional index return over the trailing ROLLBETA_W return
+    observations. Exactness: the index level is an exact-DECIMAL mean
+    (grid-snapped closes, one division per bucket), returns are
+    per-row doubles, and each window statistic is an EXACT integer
+    sum of 1e9-grid-snapped returns (order-free under any
+    partitioning — no float window accumulation), with the grid
+    factors cancelling in the beta ratio. The index frame is
+    bucket-count-sized (time-range/6h — small at ANY corpus width;
+    its lag window is one tiny task) and broadcast-joins back to the
+    symbol-partitioned return frame; the rolling frame is a
+    ROWS-bounded window on the symbol key."""
+    base = _filled(spark, sf_dir)
+    cq = F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)")
+    mkt = base.groupBy("time_idx").agg(
+        F.sum(cq).alias("sc"), F.count(F.lit(1)).alias("nsym")
+    )
+    wi = Window.orderBy("time_idx")
+    idx = (
+        F.col("sc").cast("double") / F.col("nsym").cast("double") / 1e6
+    )
+    mkt = mkt.select("time_idx", idx.alias("idx"))
+    lag_i = F.lag("idx").over(wi)
+    mkt = mkt.select(
+        "time_idx",
+        F.when(lag_i != 0, F.col("idx") / lag_i - 1).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    ws = Window.partitionBy("symbol").orderBy("time_idx")
+    lag_c = F.lag("close").over(ws)
+    y = base.select(
+        "symbol",
+        "time_idx",
+        F.when(lag_c != 0, F.col("close") / lag_c - 1).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    j = y.join(F.broadcast(mkt), "time_idx")
+    snap9 = lambda c: F.floor(  # noqa: E731
+        F.col(c) * F.lit(1e9) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    j = j.select("symbol", "time_idx", snap9("x").alias("xq"),
+                 snap9("y").alias("yq"))
+    wf = (
+        Window.partitionBy("symbol")
+        .orderBy("time_idx")
+        .rowsBetween(-(ROLLBETA_W - 1), 0)
+    )
+    stats = j.select(
+        "symbol",
+        "time_idx",
+        F.count(F.lit(1)).over(wf).alias("n"),
+        F.sum("xq").over(wf).alias("sx"),
+        F.sum("yq").over(wf).alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).over(wf).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).over(wf).alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).over(wf).alias("syy"),
+    ).filter(F.col("n") == ROLLBETA_W)
+    nd = F.lit(ROLLBETA_W).cast("decimal(38,0)")
+    cov_n = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx_n = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary_n = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    beta = F.when(varx_n > 0, cov_n / varx_n)
+    corr = F.when(
+        (varx_n > 0) & (vary_n > 0), cov_n / F.sqrt(varx_n * vary_n)
+    )
+    return stats.select(
+        "symbol",
+        "time_idx",
+        _rne(beta, "beta", 8),
+        _rne(corr, "corr", 8),
+    )
+
+
+def _sql_ts_rolling_beta() -> str:
+    w = ROLLBETA_W
+    return f"""
+WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+mkt0 AS (
+  SELECT time_idx,
+         sum(CAST(floor(close * 1e6 + 0.5) AS DECIMAL(38,0))) AS sc,
+         count(*) AS nsym
+  FROM filled GROUP BY 1),
+mkt1 AS (
+  SELECT time_idx, sc::DOUBLE / nsym::DOUBLE / 1e6 AS idx FROM mkt0),
+mkt AS (
+  SELECT time_idx,
+         CASE WHEN lag(idx) OVER (ORDER BY time_idx) <> 0
+              THEN idx / lag(idx) OVER (ORDER BY time_idx) - 1 END AS x
+  FROM mkt1
+  QUALIFY x IS NOT NULL),
+y AS (
+  SELECT symbol, time_idx,
+         CASE WHEN lag(close) OVER ws <> 0
+              THEN close / lag(close) OVER ws - 1 END AS y
+  FROM filled
+  WINDOW ws AS (PARTITION BY symbol ORDER BY time_idx)
+  QUALIFY y IS NOT NULL),
+jq AS (
+  SELECT symbol, y.time_idx,
+         CAST(floor(x * 1e9 + 0.5) AS DECIMAL(38,0)) AS xq,
+         CAST(floor(y * 1e9 + 0.5) AS DECIMAL(38,0)) AS yq
+  FROM y JOIN mkt ON y.time_idx = mkt.time_idx),
+stats AS (
+  SELECT symbol, time_idx,
+         count(*) OVER wf AS n,
+         sum(xq) OVER wf AS sx, sum(yq) OVER wf AS sy,
+         sum(xq * yq) OVER wf AS sxy,
+         sum(xq * xq) OVER wf AS sxx,
+         sum(yq * yq) OVER wf AS syy
+  FROM jq
+  WINDOW wf AS (PARTITION BY symbol ORDER BY time_idx
+                ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+  QUALIFY n = {w}),
+fin AS (
+  SELECT symbol, time_idx,
+         ({w}::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE AS cov_n,
+         ({w}::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE AS varx_n,
+         ({w}::DECIMAL(38,0) * syy - sy * sy)::DOUBLE AS vary_n
+  FROM stats)
+SELECT symbol, time_idx,
+       {_sql_rne('CASE WHEN varx_n > 0 THEN cov_n / varx_n END',
+                 'beta', 8)},
+       {_sql_rne(
+           'CASE WHEN varx_n > 0 AND vary_n > 0'
+           ' THEN cov_n / sqrt(varx_n * vary_n) END', 'corr', 8)}
+FROM fin"""
+
+
+TICK_BAR_N = 16
+
+
+def q_ts_tick_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-clock (tick) bars — the microstructure alternative to
+    wall-clock resampling: every bar holds exactly TICK_BAR_N ticks
+    per symbol (the trailing partial bar included, flagged by
+    n_events), so information flow per bar is constant and bar
+    DURATION becomes the signal (short bars = activity bursts; the
+    volume/dollar-bar family from the event-time sampling literature
+    is this same plan with a different cumulative key). One exchange
+    by symbol, one rank window ordered (datetime, event_id) — the
+    dedup tie-break order — then a map-side-combined OHLC aggregate
+    keyed on the integer arg-min/arg-max rank; span rides exact
+    epoch-microsecond integers. Ticks are the keep-last deduped
+    series (the engine-wide P5 contract — one tick per (symbol, ts),
+    so the rank order is total on datetime alone)."""
+    series = dedup_keep_last(
+        events_series(spark, sf_dir), ["symbol", "datetime"], "event_id"
+    )
+    w = Window.partitionBy("symbol").orderBy(F.col("datetime").asc())
+    # unix_micros needs an instant; NTZ->LTZ cast is micros-preserving
+    # under the UTC-pinned session (the events-family device)
+    ranked = series.select(
+        "symbol",
+        "close",
+        F.unix_micros(F.col("datetime").cast("timestamp")).alias("t_us"),
+        F.row_number().over(w).alias("rn"),
+    ).withColumn(
+        "bar_id", ((F.col("rn") - 1) / TICK_BAR_N).cast("long")
+    )
+    bars = ranked.groupBy("symbol", "bar_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min_by("close", "rn").alias("open"),
+        F.max("close").alias("high"),
+        F.min("close").alias("low"),
+        F.max_by("close", "rn").alias("close"),
+        (F.max("t_us") - F.min("t_us")).cast("long").alias("span_us"),
+    )
+    return bars.select(
+        "symbol", "bar_id", "n_events", "open", "high", "low", "close",
+        "span_us",
+    )
+
+
+def _sql_ts_tick_bars() -> str:
+    return f"""
+WITH {SQL_SERIES},
+ranked AS (
+  SELECT symbol, close, epoch_us(ts) AS t_us,
+         row_number() OVER (PARTITION BY symbol ORDER BY ts ASC) AS rn
+  FROM series)
+SELECT symbol, CAST(floor((rn - 1) / {TICK_BAR_N}) AS BIGINT) AS bar_id,
+       count(*)::BIGINT AS n_events,
+       arg_min(close, rn) AS open,
+       max(close) AS high, min(close) AS low,
+       arg_max(close, rn) AS close,
+       (max(t_us) - min(t_us))::BIGINT AS span_us
+FROM ranked
+GROUP BY 1, 2"""
+
+
 FULLSCALE_MAE_PARAMS = FlagshipParams(
     resample_every="10 minutes",
     step_seconds=600,

@@ -282,6 +282,104 @@ def ema_state_stream(sdf: DataFrame, span: int = 12) -> DataFrame:
     )
 
 
+_TICKBAR_OUT = StructType(
+    [
+        StructField("symbol", LongType()),
+        StructField("bar_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("open", DoubleType()),
+        StructField("high", DoubleType()),
+        StructField("low", DoubleType()),
+        StructField("close", DoubleType()),
+        StructField("span_us", LongType()),
+    ]
+)
+_TICKBAR_STATE = StructType(
+    [
+        StructField("n_total", LongType()),
+        StructField("b_open", DoubleType()),
+        StructField("b_high", DoubleType()),
+        StructField("b_low", DoubleType()),
+        StructField("b_close", DoubleType()),
+        StructField("t_min", LongType()),
+        StructField("t_max", LongType()),
+    ]
+)
+_TICKBAR_COLS = [
+    "symbol", "bar_id", "n_events", "open", "high", "low", "close",
+    "span_us",
+]
+
+
+def _tick_bar_state_fn(n_bar: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs)).sort_values(["datetime", "event_id"])
+        if state.exists:
+            n_total, o, h, lo, c, tmin, tmax = state.get
+        else:
+            n_total, o, h, lo, c, tmin, tmax = 0, None, None, None, None, None, None
+        out: list[tuple] = []
+        ts_ns = pdf["datetime"].to_numpy().astype("datetime64[ns]")
+        for ts, x in zip(ts_ns.astype("int64"), pdf["close"].to_numpy()):
+            t_us = int(ts) // 1000
+            x = float(x)
+            if n_total % n_bar == 0:
+                o = h = lo = c = x
+                tmin = tmax = t_us
+            else:
+                h = max(h, x)
+                lo = min(lo, x)
+                c = x
+                tmax = t_us
+            n_total += 1
+            if n_total % n_bar == 0:
+                out.append(
+                    (
+                        key[0],
+                        n_total // n_bar - 1,
+                        n_bar,
+                        o,
+                        h,
+                        lo,
+                        c,
+                        tmax - tmin,
+                    )
+                )
+        state.update((n_total, o, h, lo, c, tmin, tmax))
+        yield pd.DataFrame(out, columns=_TICKBAR_COLS)
+
+    return fn
+
+
+def tick_bar_stream(sdf: DataFrame, n_bar: int = 16) -> DataFrame:
+    """Event-clock (tick) bars as a custom stateful streaming operator
+    — the streaming twin of the batch ``ts_tick_bars`` query: per-key
+    state carries the tick count and the OPEN bar's running
+    OHLC/time-range; each micro-batch folds its (datetime, event_id)-
+    sorted rows in and a bar is emitted the moment its ``n_bar``-th
+    tick lands (the trailing partial bar stays in state — the same
+    drop-trailing convention as the batch query's HAVING filter).
+    State is O(1) per symbol regardless of uptime. Same arrival-order
+    oracle-equivalence precondition as :func:`ema_state_stream`
+    (time-ordered landing files; tick-unique (symbol, ts) — keep-last
+    dedup is an upstream landing concern)."""
+    return (
+        sdf.withWatermark("datetime", "1 hour")
+        .groupBy("symbol")
+        .applyInPandasWithState(
+            _tick_bar_state_fn(int(n_bar)),
+            outputStructType=_TICKBAR_OUT,
+            stateStructType=_TICKBAR_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 _GARCH_OUT = StructType(
     [
         StructField("symbol", LongType()),
