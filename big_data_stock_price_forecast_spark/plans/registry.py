@@ -773,8 +773,10 @@ from .registry_ts import (  # noqa: F401
     FULLSCALE_MAE_PARAMS,
     ROLLBETA_W,
     TICK_BAR_N,
+    VOLBAR_T_CENTS,
     _sql_flagship_metric_sweep,
     _sql_ts_rolling_beta,
+    _sql_ts_volume_bars,
     _sql_ts_tick_bars,
     q_flagship,
     q_flagship_fullscale_mae,
@@ -782,6 +784,7 @@ from .registry_ts import (  # noqa: F401
     q_flagship_loss_math,
     q_flagship_metric_sweep,
     q_ts_rolling_beta,
+    q_ts_volume_bars,
     q_ts_tick_bars,
     q_flagship_summary,
     q_ts_adf_unit_root,
@@ -1070,6 +1073,7 @@ _GATE_WINDOW_R13 = [
     "doc_dup_inflation",
     "ts_tick_bars",
     "ts_rolling_beta",
+    "ts_volume_bars",
     "stream_tick_bars",
     "doc_bpe_segment",
     # structural canaries (test_gate_window_composition)
@@ -1108,7 +1112,6 @@ _GATE_WINDOW_R13 = [
     "ts_indicators5",
     "ts_changepoint_meanshift",
     "ts_holt_winters",
-    "src_formats_roundtrip",
 ]
 
 
@@ -1463,6 +1466,7 @@ def all_queries() -> dict[str, QueryFn]:
         "flagship_fullscale_mae": q_flagship_fullscale_mae,  # r13
         "ts_tick_bars": q_ts_tick_bars,  # never (r13)
         "ts_rolling_beta": q_ts_rolling_beta,  # never (r13)
+        "ts_volume_bars": q_ts_volume_bars,  # never (r13)
         "stream_tick_bars": q_stream_tick_bars,  # never (r13)
         "flagship_loss_math": q_flagship_loss_math,  # r5
         "ts_dedup_keep_last": q_ts_dedup_keep_last,  # r5
@@ -1668,6 +1672,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "flagship_fullscale_mae": _flagship_oracle(FULLSCALE_MAE_PARAMS),
         "ts_tick_bars": _sql_ts_tick_bars(),
         "ts_rolling_beta": _sql_ts_rolling_beta(),
+        "ts_volume_bars": _sql_ts_volume_bars(),
         "stream_tick_bars": _sql_stream_tick_bars(),
         "flagship_loss_math": _sql_flagship_loss(),
         "ts_dedup_keep_last": SQL_TS_DEDUP,

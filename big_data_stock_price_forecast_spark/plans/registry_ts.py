@@ -613,6 +613,85 @@ def q_flagship_metric_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+VOLBAR_T_CENTS = 100_000  # notional per bar: 1000.00 in exact cents
+
+
+def q_ts_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Notional-clock (dollar/volume) bars — the other half of the
+    event-time sampling family beside ts_tick_bars: a tick belongs to
+    bar floor(cum_notional_before / T), so every bar carries ~T of
+    traded notional and bar COUNT adapts to activity (the sampling
+    scheme that stabilizes per-bar information content when tick
+    sizes vary — tick bars only fix the count). Exactness: notional
+    accumulates as integer CENTS (grid-snapped once per tick) through
+    a running window sum — order-free exact DECIMAL, so the bar
+    assignment is bitwise cross-engine; OHLC keys on the integer
+    rank, span on epoch-microsecond integers. Same one-exchange
+    per-symbol plan as tick bars."""
+    series = dedup_keep_last(
+        events_series(spark, sf_dir), ["symbol", "datetime"], "event_id"
+    )
+    w = Window.partitionBy("symbol").orderBy(F.col("datetime").asc())
+    vq = F.floor(F.col("close") * 100 + F.lit(0.5)).cast("decimal(38,0)")
+    ranked = series.select(
+        "symbol",
+        "close",
+        F.unix_micros(F.col("datetime").cast("timestamp")).alias("t_us"),
+        F.row_number().over(w).alias("rn"),
+        F.coalesce(
+            F.sum(vq).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("cum_before"),
+        vq.alias("vq"),
+    ).withColumn(
+        "bar_id",
+        F.floor(
+            F.col("cum_before").cast("double") / F.lit(VOLBAR_T_CENTS)
+        ).cast("long"),
+    )
+    bars = ranked.groupBy("symbol", "bar_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min_by("close", "rn").alias("open"),
+        F.max("close").alias("high"),
+        F.min("close").alias("low"),
+        F.max_by("close", "rn").alias("close"),
+        (F.sum("vq").cast("double") / 100).alias("notional"),
+        (F.max("t_us") - F.min("t_us")).cast("long").alias("span_us"),
+    )
+    return bars.select(
+        "symbol", "bar_id", "n_events", "open", "high", "low", "close",
+        _rne(F.col("notional"), "notional", 6),
+        "span_us",
+    )
+
+
+def _sql_ts_volume_bars() -> str:
+    return f"""
+WITH {SQL_SERIES},
+ranked AS (
+  SELECT symbol, close, epoch_us(ts) AS t_us,
+         row_number() OVER (PARTITION BY symbol ORDER BY ts ASC) AS rn,
+         COALESCE(sum(CAST(floor(close * 100 + 0.5) AS DECIMAL(38,0)))
+           OVER (PARTITION BY symbol ORDER BY ts ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0::DECIMAL(38,0)) AS cum_before,
+         CAST(floor(close * 100 + 0.5) AS DECIMAL(38,0)) AS vq
+  FROM series)
+SELECT symbol,
+       CAST(floor(cum_before::DOUBLE / {VOLBAR_T_CENTS}) AS BIGINT)
+         AS bar_id,
+       count(*)::BIGINT AS n_events,
+       arg_min(close, rn) AS open,
+       max(close) AS high, min(close) AS low,
+       arg_max(close, rn) AS close,
+       {_sql_rne('sum(vq)::DOUBLE / 100', 'notional', 6)},
+       (max(t_us) - min(t_us))::BIGINT AS span_us
+FROM ranked
+GROUP BY 1, 2"""
+
+
 ROLLBETA_W = 28  # trailing return observations (7 days of 6h buckets)
 
 

@@ -410,3 +410,43 @@ def test_tick_bar_stream_across_batches(spark, tmp_path):
     # batch 1 is not a bar multiple, so a bar spanned the boundary
     c1 = pdf.iloc[:half].groupby("user_id").size()
     assert any(int(c) % TICK_BAR_N != 0 for c in c1)
+
+
+def test_ts_volume_bars_replay(spark, tmp_path):
+    """Notional-clock assignment: a tick joins bar
+    floor(cum_cents_before / T); bars carry ~T notional each and the
+    whole partition replays exactly in integer cents."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        VOLBAR_T_CENTS,
+        q_ts_volume_bars,
+    )
+
+    closes = [round(300.0 + ((11 * i) % 17) * 10.0, 2) for i in range(30)]
+    rows = [
+        (i, BASE_TS + timedelta(minutes=5 * i), 1, "tick", c, "{}")
+        for i, c in enumerate(closes)
+    ]
+    _write_event_rows(spark, str(tmp_path), rows)
+    got = {r["bar_id"]: r for r in
+           q_ts_volume_bars(spark, str(tmp_path)).collect()}
+
+    bars = {}
+    cum = 0
+    for i, c in enumerate(closes):
+        bid = cum // VOLBAR_T_CENTS
+        bars.setdefault(bid, []).append((i, c))
+        cum += int(math.floor(c * 100 + 0.5))
+    assert set(got) == set(bars)
+    for bid, seg in bars.items():
+        r = got[bid]
+        vals = [c for _, c in seg]
+        assert r["n_events"] == len(seg)
+        assert r["open"] == vals[0] and r["close"] == vals[-1]
+        assert r["high"] == max(vals) and r["low"] == min(vals)
+        cents = sum(int(math.floor(c * 100 + 0.5)) for c in vals)
+        assert r["notional"] == _snap(cents / 100.0, 6)
+        idxs = [i for i, _ in seg]
+        assert r["span_us"] == (idxs[-1] - idxs[0]) * 300 * 1_000_000
+    # multiple bars actually formed, and every non-trailing bar
+    # crossed the threshold
+    assert len(bars) >= 2
