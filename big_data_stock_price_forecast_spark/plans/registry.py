@@ -889,6 +889,7 @@ from .registry_doc import (  # noqa: F401
     _sql_doc_bpe_merges,
     KN_DISCOUNT,
     _sql_doc_bpe_segment,
+    _sql_doc_dedup_threshold_sweep,
     _sql_doc_dup_inflation,
     _sql_doc_tokenizer_fertility,
     _sql_doc_kn_bigram_ppl,
@@ -897,6 +898,7 @@ from .registry_doc import (  # noqa: F401
     _sql_doc_length_quantiles,
     q_doc_bpe_merges,
     q_doc_bpe_segment,
+    q_doc_dedup_threshold_sweep,
     q_doc_dup_inflation,
     q_doc_tokenizer_fertility,
     q_doc_garbage_score,
@@ -1016,6 +1018,7 @@ from .registry_stream import (  # noqa: F401
     SQL_STREAM_DEDUP,
     SQL_STREAM_EMA,
     _sql_stream_tick_bars,
+    _sql_stream_volume_bars,
     SQL_STREAM_ENRICH,
     SQL_STREAM_GOLD_SINK,
     SQL_STREAM_INTERVAL_JOIN,
@@ -1037,6 +1040,7 @@ from .registry_stream import (  # noqa: F401
     q_stream_dedup_keys,
     q_stream_ema_state,
     q_stream_tick_bars,
+    q_stream_volume_bars,
     q_stream_enrich_join,
     q_stream_flagship_forecast,
     q_stream_garch_state,
@@ -1110,8 +1114,8 @@ _GATE_WINDOW_R13 = [
     "events_ab_bootstrap_ci",
     "ts_indicators4",
     "ts_indicators5",
-    "ts_changepoint_meanshift",
-    "ts_holt_winters",
+    "stream_volume_bars",
+    "doc_dedup_threshold_sweep",
 ]
 
 
@@ -1468,6 +1472,8 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_rolling_beta": q_ts_rolling_beta,  # never (r13)
         "ts_volume_bars": q_ts_volume_bars,  # never (r13)
         "stream_tick_bars": q_stream_tick_bars,  # never (r13)
+        "stream_volume_bars": q_stream_volume_bars,  # never (r13)
+        "doc_dedup_threshold_sweep": q_doc_dedup_threshold_sweep,  # never (r13)
         "flagship_loss_math": q_flagship_loss_math,  # r5
         "ts_dedup_keep_last": q_ts_dedup_keep_last,  # r5
         "ts_time_filter_7d": q_ts_time_filter,  # r5
@@ -1674,6 +1680,8 @@ def _oracle_sql_map() -> dict[str, str]:
         "ts_rolling_beta": _sql_ts_rolling_beta(),
         "ts_volume_bars": _sql_ts_volume_bars(),
         "stream_tick_bars": _sql_stream_tick_bars(),
+        "stream_volume_bars": _sql_stream_volume_bars(),
+        "doc_dedup_threshold_sweep": _sql_doc_dedup_threshold_sweep(),
         "flagship_loss_math": _sql_flagship_loss(),
         "ts_dedup_keep_last": SQL_TS_DEDUP,
         "ts_time_filter_7d": SQL_TS_TIME_FILTER,

@@ -1488,6 +1488,145 @@ def q_doc_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEDUP_SWEEP_T10S = (1, 2, 3, 4, 5, 6, 7, 8)  # tau = t/10
+
+
+def q_doc_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-threshold OPERATING CURVE — the table a curation
+    pipeline reads before committing to a Jaccard cutoff: for every
+    tau in 0.1..0.8, how many LSH candidate pairs the EXACT verify
+    would merge, how many the sketch estimate alone would merge, and
+    the sketch's precision/recall against the exact decision at that
+    tau (pick the cheapest tier whose precision clears policy). Every
+    threshold test is an EXACT INTEGER comparison — jac >= t/10 ⟺
+    10·|∩| >= t·|∪| and est >= t/10 ⟺ 10·n_eq >= t·k — so the curve
+    is bitwise cross-engine with no float thresholds. One candidate
+    frame (the shared banded-LSH device, never all-pairs) feeds all
+    8 thresholds via a literal explode + one keyed aggregate."""
+    from ..operators.dedup import (
+        MH_PERMS,
+        bucket_pairs_skew_safe,
+        lsh_band_keys,
+        minhash_signature,
+        shingle_sets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = shingle_sets(docs).localCheckpoint(eager=True)
+    sig = minhash_signature(base).localCheckpoint(eager=True)
+    banded = sig.select(
+        F.col("doc_id").alias("id"),
+        F.explode(lsh_band_keys("sig")).alias("bk"),
+    ).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    cand = (
+        bucket_pairs_skew_safe(banded, ["band", "key"], ["id"])
+        .select(F.col("p.a.id").alias("id_i"), F.col("p.b.id").alias("id_j"))
+        .distinct()
+    )
+    sh = base.select(F.col("doc_id").alias("id"), "sh")
+    sg = sig.select(F.col("doc_id").alias("id"), "sig")
+    n_eq = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_i"), F.col("sig_j"), lambda x, y: x == y),
+            lambda b: b,
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_i"), F.col("sh_j")))
+    pairs = (
+        cand.join(sh.withColumnsRenamed({"id": "id_i", "sh": "sh_i"}), "id_i")
+        .join(sh.withColumnsRenamed({"id": "id_j", "sh": "sh_j"}), "id_j")
+        .join(sg.withColumnsRenamed({"id": "id_i", "sig": "sig_i"}), "id_i")
+        .join(sg.withColumnsRenamed({"id": "id_j", "sig": "sig_j"}), "id_j")
+        .select(
+            inter.cast("long").alias("inter"),
+            (
+                F.size("sh_i") + F.size("sh_j") - inter
+            ).cast("long").alias("uni"),
+            n_eq.cast("long").alias("n_eq"),
+        )
+    )
+    e = pairs.select(
+        "inter",
+        "uni",
+        "n_eq",
+        F.explode(
+            F.array(*[F.lit(t) for t in DEDUP_SWEEP_T10S])
+        ).alias("t10"),
+    )
+    ex_hit = (10 * F.col("inter") >= F.col("t10") * F.col("uni")).cast(
+        "long"
+    )
+    est_hit = (10 * F.col("n_eq") >= F.col("t10") * MH_PERMS).cast("long")
+    agg = e.groupBy("t10").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(ex_hit).alias("n_exact"),
+        F.sum(est_hit).alias("n_est"),
+        F.sum(ex_hit * est_hit).alias("n_both"),
+    )
+    prec = F.when(
+        F.col("n_est") > 0,
+        F.col("n_both").cast("double") / F.col("n_est").cast("double"),
+    )
+    rec = F.when(
+        F.col("n_exact") > 0,
+        F.col("n_both").cast("double") / F.col("n_exact").cast("double"),
+    )
+    return agg.select(
+        (F.col("t10").cast("double") / 10).alias("tau"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_est").cast("long").alias("n_est"),
+        F.col("n_both").cast("long").alias("n_both"),
+        _rne(prec, "est_precision", 8),
+        _rne(rec, "est_recall", 8),
+    )
+
+
+def _sql_doc_dedup_threshold_sweep() -> str:
+    from ..operators.dedup import MH_PERMS
+
+    eq = (
+        f"len(list_filter(range(1, {MH_PERMS} + 1),"
+        f" i -> x.sig[i] = y.sig[i]))"
+    )
+    uni = "len(list_distinct(list_concat(x.sh, y.sh)))"
+    t10s = ", ".join(str(t) for t in DEDUP_SWEEP_T10S)
+    return f"""WITH {_SQL_MINHASH_CAND_CTES},
+pairs AS (
+  SELECT (len(x.sh) + len(y.sh) - {uni})::BIGINT AS inter,
+         {uni}::BIGINT AS uni,
+         CAST({eq} AS BIGINT) AS n_eq
+  FROM cand c
+  JOIN sigs x ON x.doc_id = c.id_i
+  JOIN sigs y ON y.doc_id = c.id_j),
+e AS (
+  SELECT p.*, t10 FROM pairs p,
+         LATERAL (SELECT unnest([{t10s}]) AS t10)),
+agg AS (
+  SELECT t10, count(*) AS n_candidates,
+         sum(CASE WHEN 10 * inter >= t10 * uni THEN 1 ELSE 0 END)
+           AS n_exact,
+         sum(CASE WHEN 10 * n_eq >= t10 * {MH_PERMS} THEN 1 ELSE 0 END)
+           AS n_est,
+         sum(CASE WHEN 10 * inter >= t10 * uni
+                   AND 10 * n_eq >= t10 * {MH_PERMS}
+                  THEN 1 ELSE 0 END) AS n_both
+  FROM e GROUP BY 1)
+SELECT t10::DOUBLE / 10 AS tau,
+       n_candidates::BIGINT AS n_candidates,
+       n_exact::BIGINT AS n_exact, n_est::BIGINT AS n_est,
+       n_both::BIGINT AS n_both,
+       {_sql_rne('CASE WHEN n_est > 0'
+                 ' THEN n_both::DOUBLE / n_est::DOUBLE END',
+                 'est_precision', 8)},
+       {_sql_rne('CASE WHEN n_exact > 0'
+                 ' THEN n_both::DOUBLE / n_exact::DOUBLE END',
+                 'est_recall', 8)}
+FROM agg"""
+
+
 def q_doc_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup verdict table — what a production pipeline
     actually emits: one row per document with its resolved cluster,

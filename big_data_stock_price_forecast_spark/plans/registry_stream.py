@@ -42,8 +42,10 @@ from .registry_common import (  # noqa: F401
 )
 from .registry_ts import (  # noqa: F401
     TICK_BAR_N,
+    VOLBAR_T_CENTS,
     _flagship_oracle_ctes,
     _sql_ts_tick_bars,
+    _sql_ts_volume_bars,
 )
 
 
@@ -402,6 +404,36 @@ def _sql_stream_tick_bars() -> str:
         f"SELECT * FROM ({_sql_ts_tick_bars()})"
         f" WHERE n_events = {TICK_BAR_N}"
     )
+
+
+def q_stream_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ts_volume_bars: notional-clock bars closed in
+    per-symbol state (streaming/ops.py volume_bar_stream — exact
+    integer-cents cumulative, O(1) open-bar state), each bar emitted
+    when a tick lands in a LATER bar index. Oracle = the batch
+    notional bars minus each symbol's trailing (max bar_id) bar — the
+    only bar the stream hasn't closed at end-of-data (bar indices may
+    skip, so 'trailing' is the max id, not count-1)."""
+    from ..streaming import run_available_now, stream_events, volume_bar_stream
+
+    out = run_available_now(
+        volume_bar_stream(
+            stream_events(spark, sf_dir), t_cents=VOLBAR_T_CENTS
+        ),
+        "append",
+        state_partitions=8,
+    )
+    return out.select(
+        "symbol", "bar_id", "n_events", "open", "high", "low", "close",
+        _rne(F.col("notional"), "notional", 6),
+        "span_us",
+    )
+
+
+def _sql_stream_volume_bars() -> str:
+    return f"""
+SELECT * FROM ({_sql_ts_volume_bars()})
+QUALIFY bar_id < max(bar_id) OVER (PARTITION BY symbol)"""
 
 
 def q_stream_resume_delta(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -355,6 +355,108 @@ def _tick_bar_state_fn(n_bar: int):
     return fn
 
 
+_VOLBAR_OUT = StructType(
+    [
+        StructField("symbol", LongType()),
+        StructField("bar_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("open", DoubleType()),
+        StructField("high", DoubleType()),
+        StructField("low", DoubleType()),
+        StructField("close", DoubleType()),
+        StructField("notional", DoubleType()),
+        StructField("span_us", LongType()),
+    ]
+)
+_VOLBAR_STATE = StructType(
+    [
+        StructField("cum_cents", LongType()),
+        StructField("bar_id", LongType()),
+        StructField("n", LongType()),
+        StructField("b_open", DoubleType()),
+        StructField("b_high", DoubleType()),
+        StructField("b_low", DoubleType()),
+        StructField("b_close", DoubleType()),
+        StructField("t_min", LongType()),
+        StructField("t_max", LongType()),
+        StructField("bar_cents", LongType()),
+    ]
+)
+_VOLBAR_COLS = [
+    "symbol", "bar_id", "n_events", "open", "high", "low", "close",
+    "notional", "span_us",
+]
+
+
+def _volume_bar_state_fn(t_cents: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs)).sort_values(["datetime", "event_id"])
+        if state.exists:
+            cum, bid, n, o, h, lo, c, tmin, tmax, bc = state.get
+        else:
+            cum, bid, n = 0, -1, 0
+            o = h = lo = c = None
+            tmin = tmax = bc = None
+        out: list[tuple] = []
+        ts_ns = pdf["datetime"].to_numpy().astype("datetime64[ns]")
+        for ts, x in zip(ts_ns.astype("int64"), pdf["close"].to_numpy()):
+            t_us = int(ts) // 1000
+            x = float(x)
+            vq = int(math.floor(x * 100 + 0.5))
+            nbid = cum // t_cents
+            if nbid != bid:
+                if bid >= 0:
+                    out.append(
+                        (key[0], bid, n, o, h, lo, c, bc / 100.0,
+                         tmax - tmin)
+                    )
+                bid, n = nbid, 1
+                o = h = lo = c = x
+                tmin = tmax = t_us
+                bc = vq
+            else:
+                n += 1
+                h = max(h, x)
+                lo = min(lo, x)
+                c = x
+                tmax = t_us
+                bc += vq
+            cum += vq
+        state.update((cum, bid, n, o, h, lo, c, tmin, tmax, bc))
+        yield pd.DataFrame(out, columns=_VOLBAR_COLS)
+
+    return fn
+
+
+def volume_bar_stream(sdf: DataFrame, t_cents: int = 100_000) -> DataFrame:
+    """Notional-clock (dollar/volume) bars as a custom stateful
+    streaming operator — the streaming twin of ``ts_volume_bars``:
+    per-key state carries the exact integer-cents cumulative notional
+    plus the OPEN bar's running OHLC/notional/time-range; a bar is
+    emitted the moment a tick lands whose bar index
+    (cum_cents_before // T) differs (bar indices may SKIP when one
+    tick jumps the cumulative past several thresholds — same ids as
+    the batch floor division). The trailing open bar stays in state,
+    so the emission set is the batch query's bars minus each symbol's
+    max bar_id. State is O(1) per symbol. Same arrival-order
+    precondition as :func:`ema_state_stream`."""
+    return (
+        sdf.withWatermark("datetime", "1 hour")
+        .groupBy("symbol")
+        .applyInPandasWithState(
+            _volume_bar_state_fn(int(t_cents)),
+            outputStructType=_VOLBAR_OUT,
+            stateStructType=_VOLBAR_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def tick_bar_stream(sdf: DataFrame, n_bar: int = 16) -> DataFrame:
     """Event-clock (tick) bars as a custom stateful streaming operator
     — the streaming twin of the batch ``ts_tick_bars`` query: per-key

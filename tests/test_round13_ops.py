@@ -450,3 +450,95 @@ def test_ts_volume_bars_replay(spark, tmp_path):
     # multiple bars actually formed, and every non-trailing bar
     # crossed the threshold
     assert len(bars) >= 2
+
+
+def test_dedup_threshold_sweep_monotone(spark):
+    """Raising tau can only shrink every count; candidates are
+    tau-independent; n_both <= min(n_exact, n_est); the curve is
+    non-vacuous at the loose end on the real corpus."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_doc_dedup_threshold_sweep,
+    )
+
+    rows = sorted(
+        q_doc_dedup_threshold_sweep(spark, SF).collect(),
+        key=lambda r: r["tau"],
+    )
+    assert [r["tau"] for r in rows] == [
+        _snap(t / 10, 6) for t in range(1, 9)
+    ]
+    n_cand = {r["n_candidates"] for r in rows}
+    assert len(n_cand) == 1 and n_cand.pop() > 0
+    prev_ex = prev_est = None
+    for r in rows:
+        assert r["n_both"] <= min(r["n_exact"], r["n_est"])
+        if prev_ex is not None:
+            assert r["n_exact"] <= prev_ex
+            assert r["n_est"] <= prev_est
+        prev_ex, prev_est = r["n_exact"], r["n_est"]
+    assert rows[0]["n_exact"] > 0  # tau=0.1 merges something
+
+
+def test_volume_bar_stream_across_batches(spark, tmp_path):
+    """Splitting the tick stream into two micro-batches equals the
+    batch notional bars minus each symbol's trailing bar — the
+    open-bar state (cum cents + running OHLC) carries across the
+    boundary."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        VOLBAR_T_CENTS,
+        q_ts_volume_bars,
+    )
+    from big_data_stock_price_forecast_spark.streaming import (
+        run_available_now,
+        volume_bar_stream,
+    )
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, SF, "events").filter(F.col("user_id") < 5)
+    pdf = ev.select("event_id", "ts", "user_id", "value").toPandas()
+    pdf = pdf.sort_values(["ts", "event_id"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    half = len(pdf) // 2
+    land = tmp_path / "land"
+    land.mkdir()
+    pdf.iloc[:half].to_parquet(land / "p0.parquet", index=False)
+    pdf.iloc[half:].to_parquet(land / "p1.parquet", index=False)
+    schema = spark.read.parquet(str(land)).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(land))
+        .select(
+            F.col("user_id").alias("symbol"),
+            F.col("ts").cast("timestamp").alias("datetime"),
+            F.col("value").alias("close"),
+            "event_id",
+        )
+    )
+    out = run_available_now(
+        volume_bar_stream(sdf, t_cents=VOLBAR_T_CENTS), "append"
+    )
+    got = sorted(
+        (r["symbol"], r["bar_id"], r["n_events"], r["open"], r["high"],
+         r["low"], r["close"], _snap(r["notional"], 6), r["span_us"])
+        for r in out.collect()
+    )
+    batch_dir = tmp_path / "batch"
+    batch_dir.mkdir()
+    full = pdf.copy()
+    full["event_type"] = "tick"
+    full["props"] = "{}"
+    spark.createDataFrame(
+        full[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    ).coalesce(1).write.parquet(f"{batch_dir}/events.parquet")
+    bars = q_ts_volume_bars(spark, str(batch_dir))
+    complete = bars.withColumn(
+        "__mx", F.max("bar_id").over(W.partitionBy("symbol"))
+    ).filter(F.col("bar_id") < F.col("__mx")).drop("__mx")
+    exp = sorted(
+        (r["symbol"], r["bar_id"], r["n_events"], r["open"], r["high"],
+         r["low"], r["close"], r["notional"], r["span_us"])
+        for r in complete.collect()
+    )
+    assert got == exp and len(got) > 0
