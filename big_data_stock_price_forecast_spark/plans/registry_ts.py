@@ -624,10 +624,16 @@ def q_ts_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheme that stabilizes per-bar information content when tick
     sizes vary — tick bars only fix the count). Exactness: notional
     accumulates as integer CENTS (grid-snapped once per tick) through
-    a running window sum — order-free exact DECIMAL, so the bar
-    assignment is bitwise cross-engine; OHLC keys on the integer
-    rank, span on epoch-microsecond integers. Same one-exchange
-    per-symbol plan as tick bars."""
+    a running window sum — order-free exact DECIMAL — and the bar
+    index is DECIMAL integral division (``cum_before div T``), never
+    a double: above 2^53 cents of per-symbol cumulative (~$90T — a
+    decade of a top symbol) a double quantizes and a boundary tick
+    lands one bar off, and the streaming twin's Python-int
+    ``cum // t_cents`` (streaming/ops.py) is already exact, so the
+    integral division is what keeps batch and stream bitwise-equal at
+    ANY scale (r13 verdict item 1). OHLC keys on the integer rank,
+    span on epoch-microsecond integers. Same one-exchange per-symbol
+    plan as tick bars."""
     series = dedup_keep_last(
         events_series(spark, sf_dir), ["symbol", "datetime"], "event_id"
     )
@@ -646,10 +652,11 @@ def q_ts_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cum_before"),
         vq.alias("vq"),
     ).withColumn(
+        # IntegralDivide on DECIMAL(38,0): exact floor for the
+        # non-negative cumulative at any scale (no double in the
+        # bar_id lineage)
         "bar_id",
-        F.floor(
-            F.col("cum_before").cast("double") / F.lit(VOLBAR_T_CENTS)
-        ).cast("long"),
+        F.expr(f"cum_before div {VOLBAR_T_CENTS}").cast("long"),
     )
     bars = ranked.groupBy("symbol", "bar_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
@@ -680,7 +687,8 @@ ranked AS (
          CAST(floor(close * 100 + 0.5) AS DECIMAL(38,0)) AS vq
   FROM series)
 SELECT symbol,
-       CAST(floor(cum_before::DOUBLE / {VOLBAR_T_CENTS}) AS BIGINT)
+       -- HUGEINT floor division: exact at any cumulative (no double)
+       CAST(CAST(cum_before AS HUGEINT) // {VOLBAR_T_CENTS} AS BIGINT)
          AS bar_id,
        count(*)::BIGINT AS n_events,
        arg_min(close, rn) AS open,
