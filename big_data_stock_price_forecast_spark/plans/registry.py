@@ -778,6 +778,9 @@ from .registry_ts import (  # noqa: F401
     _sql_ts_rolling_beta,
     _sql_ts_volume_bars,
     _sql_ts_tick_bars,
+    _sql_ts_imbalance_bars,
+    _sql_ts_vpin,
+    VPIN_W,
     q_flagship,
     q_flagship_fullscale_mae,
     q_flagship_global,
@@ -786,6 +789,8 @@ from .registry_ts import (  # noqa: F401
     q_ts_rolling_beta,
     q_ts_volume_bars,
     q_ts_tick_bars,
+    q_ts_imbalance_bars,
+    q_ts_vpin,
     q_flagship_summary,
     q_ts_adf_unit_root,
     q_ts_amihud_illiq,
@@ -1471,6 +1476,8 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_tick_bars": q_ts_tick_bars,  # never (r13)
         "ts_rolling_beta": q_ts_rolling_beta,  # never (r13)
         "ts_volume_bars": q_ts_volume_bars,  # never (r13)
+        "ts_imbalance_bars": q_ts_imbalance_bars,  # never (r14)
+        "ts_vpin": q_ts_vpin,  # never (r14)
         "stream_tick_bars": q_stream_tick_bars,  # never (r13)
         "stream_volume_bars": q_stream_volume_bars,  # never (r13)
         "doc_dedup_threshold_sweep": q_doc_dedup_threshold_sweep,  # never (r13)
@@ -1679,6 +1686,8 @@ def _oracle_sql_map() -> dict[str, str]:
         "ts_tick_bars": _sql_ts_tick_bars(),
         "ts_rolling_beta": _sql_ts_rolling_beta(),
         "ts_volume_bars": _sql_ts_volume_bars(),
+        "ts_imbalance_bars": _sql_ts_imbalance_bars(),
+        "ts_vpin": _sql_ts_vpin(),
         "stream_tick_bars": _sql_stream_tick_bars(),
         "stream_volume_bars": _sql_stream_volume_bars(),
         "doc_dedup_threshold_sweep": _sql_doc_dedup_threshold_sweep(),

@@ -895,6 +895,284 @@ FROM ranked
 GROUP BY 1, 2"""
 
 
+def q_ts_imbalance_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-IMBALANCE bars — the member of the event-time sampling
+    family (tick bars → volume bars → imbalance bars) that closes a
+    bar when accumulated signed tick flow |θ| crosses an
+    EMA-calibrated expectation, so bars end exactly when order flow
+    turns one-sided (the informed-trading arrival signal; the
+    reference's wall-clock resample, core/data/preprocess.py:99-122,
+    is the fixed-clock sibling). The boundary depends on every prior
+    bar's statistics — a true per-symbol recursion, ridden on the
+    engine's standard Arrow device (operators/bars.py; sequential
+    per symbol IS the semantics, parallel across symbols) with the
+    per-tick assignment emitted so the OHLC/imbalance aggregation
+    stays a map-side JVM groupBy. Exactness: θ and tick counts are
+    integers; the only float ops are the two bar-level EMAs and the
+    threshold product, evaluated in a pinned operand order the
+    recursive-CTE oracle replays bitwise (the Holt/Kalman contract).
+    The trailing partial bar is included (flagged by imbalance not
+    having crossed thr), matching ts_tick_bars."""
+    from ..operators.bars import imbalance_bar_ticks
+
+    series = dedup_keep_last(
+        events_series(spark, sf_dir), ["symbol", "datetime"], "event_id"
+    )
+    ticks = series.select(
+        "symbol",
+        F.unix_micros(F.col("datetime").cast("timestamp")).alias("t_us"),
+        "close",
+    )
+    assigned = imbalance_bar_ticks(ticks)
+    bars = assigned.groupBy("symbol", "bar_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min_by("close", "rn").alias("open"),
+        F.max("close").alias("high"),
+        F.min("close").alias("low"),
+        F.max_by("close", "rn").alias("close"),
+        F.sum("b").cast("long").alias("imbalance"),
+        F.min("thr").alias("thr_raw"),  # constant within a bar
+        (F.max("t_us") - F.min("t_us")).cast("long").alias("span_us"),
+    )
+    return bars.select(
+        "symbol", "bar_id", "n_events", "open", "high", "low", "close",
+        "imbalance",
+        _rne(F.col("thr_raw"), "thr", 6),
+        "span_us",
+    )
+
+
+def _sql_ts_imbalance_bars() -> str:
+    from ..operators.bars import IMB_SEED_EB, IMB_SEED_ET
+
+    # state carried per tick (post-tick): b, bar_id, theta, t_cur,
+    # closed, e_t, e_b, thr (post-close-update; the ACTIVE threshold
+    # for the tick's own bar is emitted separately as thr_out).
+    # Operand order below matches operators/bars.py line-for-line.
+    b_new = (
+        "(CASE WHEN r.close > p.close THEN 1"
+        " WHEN r.close < p.close THEN -1 ELSE p.b END)"
+    )
+    theta_new = f"((CASE WHEN p.closed THEN 0 ELSE p.theta END) + {b_new})"
+    tcur_new = "((CASE WHEN p.closed THEN 0 ELSE p.t_cur END) + 1)"
+    closed_new = f"(abs({theta_new})::DOUBLE >= p.thr)"
+    e_t_new = (
+        f"(CASE WHEN {closed_new} THEN 0.5 * {tcur_new} + 0.5 * p.e_t"
+        " ELSE p.e_t END)"
+    )
+    e_b_new = (
+        f"(CASE WHEN {closed_new} THEN"
+        f" 0.5 * ({theta_new}::DOUBLE / {tcur_new}) + 0.5 * p.e_b"
+        " ELSE p.e_b END)"
+    )
+    thr_new = (
+        f"(CASE WHEN {closed_new} THEN {e_t_new} * abs({e_b_new})"
+        " ELSE p.thr END)"
+    )
+    # every seed scalar is ::DOUBLE — DuckDB types bare x.y literals
+    # as DECIMAL and the seed row would fix the recursion's column
+    # types (found as scale-2 truncation of thr)
+    et0 = f"{IMB_SEED_ET!r}::DOUBLE"
+    eb0 = f"{IMB_SEED_EB!r}::DOUBLE"
+    thr0 = f"({et0} * abs({eb0}))"
+    return f"""
+WITH {SQL_SERIES},
+pre AS (
+  SELECT symbol, close, epoch_us(ts) AS t_us,
+         row_number() OVER (PARTITION BY symbol ORDER BY ts ASC) AS rn
+  FROM series)
+SELECT symbol, bar_id, count(*)::BIGINT AS n_events,
+       arg_min(close, rn) AS open,
+       max(close) AS high, min(close) AS low,
+       arg_max(close, rn) AS close,
+       sum(b)::BIGINT AS imbalance,
+       {_sql_rne('min(thr_out)', 'thr', 6)},
+       (max(t_us) - min(t_us))::BIGINT AS span_us
+FROM (
+  WITH RECURSIVE st AS (
+    SELECT symbol, rn, t_us, close,
+           1 AS b, 0::BIGINT AS bar_id,
+           1::BIGINT AS theta, 1::BIGINT AS t_cur,
+           (abs(1)::DOUBLE >= {thr0}) AS closed,
+           (CASE WHEN abs(1)::DOUBLE >= {thr0}
+             THEN 0.5 * 1 + 0.5 * {et0}
+             ELSE {et0} END) AS e_t,
+           (CASE WHEN abs(1)::DOUBLE >= {thr0}
+             THEN 0.5 * (1::DOUBLE / 1) + 0.5 * {eb0}
+             ELSE {eb0} END) AS e_b,
+           (CASE WHEN abs(1)::DOUBLE >= {thr0}
+             THEN (CASE WHEN abs(1)::DOUBLE >= {thr0}
+                   THEN 0.5 * 1 + 0.5 * {et0}
+                   ELSE {et0} END)
+                * abs(CASE WHEN abs(1)::DOUBLE >= {thr0}
+                   THEN 0.5 * (1::DOUBLE / 1) + 0.5 * {eb0}
+                   ELSE {eb0} END)
+             ELSE {thr0} END) AS thr,
+           {thr0} AS thr_out
+    FROM pre WHERE rn = 1
+    UNION ALL
+    SELECT r.symbol, r.rn, r.t_us, r.close,
+           {b_new} AS b,
+           (CASE WHEN p.closed THEN p.bar_id + 1 ELSE p.bar_id END)
+             AS bar_id,
+           {theta_new} AS theta,
+           {tcur_new} AS t_cur,
+           {closed_new} AS closed,
+           {e_t_new} AS e_t,
+           {e_b_new} AS e_b,
+           {thr_new} AS thr,
+           p.thr AS thr_out
+    FROM st p JOIN pre r ON r.symbol = p.symbol AND r.rn = p.rn + 1
+  )
+  SELECT * FROM st
+) ticks
+GROUP BY 1, 2"""
+
+
+VPIN_W = 8  # trailing volume buckets in the VPIN average
+
+
+def q_ts_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VPIN bucket toxicity — flow toxicity over the notional-clock
+    buckets of ts_volume_bars: each tick's notional is classified
+    buy/sell by the tick rule (sign of Δclose, carried through flat
+    ticks, seeded +1), each volume bucket scores
+    |buy − sell| / (buy + sell), and VPIN is the trailing-VPIN_W
+    bucket average — the standard order-flow-toxicity monitor built
+    ON TOP of the volume-bar sampling (the composition the r13
+    verdict asked for). Exactness end-to-end in integers: cents are
+    grid-snapped once per tick, the bucket index is DECIMAL integral
+    division (the ts_volume_bars device), buy/sell are DECIMAL sums,
+    per-bucket toxicity snaps to an exact 1e9 integer grid via
+    integral division, and the trailing average is an integer sum —
+    floats appear only in final display divisions, identical in both
+    engines. Scale: one symbol exchange (the rank/cumulative window),
+    one map-side bucket aggregate, one ROWS window over the
+    bucket-count-sized frame. Warm-up follows the
+    expanding-until-warm convention: every bucket emits, with the
+    average over min(seen, VPIN_W) trailing buckets and ``nw``
+    reporting the depth (the testdata's per-symbol tick depth is
+    SF-invariant, so a hard count==W gate would be vacuous at every
+    SF — and a live monitor wants the early readout anyway)."""
+    series = dedup_keep_last(
+        events_series(spark, sf_dir), ["symbol", "datetime"], "event_id"
+    )
+    w = Window.partitionBy("symbol").orderBy(F.col("datetime").asc())
+    vq = F.floor(F.col("close") * 100 + F.lit(0.5)).cast("decimal(38,0)")
+    d = F.col("close") - F.lag("close").over(w)
+    t = series.select(
+        "symbol",
+        "datetime",
+        vq.alias("vq"),
+        F.when(d > 0, 1).when(d < 0, -1).alias("sgn_raw"),
+        F.coalesce(
+            F.sum(vq).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("cum_before"),
+    )
+    t = t.select(
+        "symbol",
+        "vq",
+        F.coalesce(
+            F.last("sgn_raw", ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            F.lit(1),
+        ).alias("b"),
+        F.expr(f"cum_before div {VOLBAR_T_CENTS}").cast("long")
+        .alias("bar_id"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    pb = t.groupBy("symbol", "bar_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("b") == 1, F.col("vq")).otherwise(zero))
+        .cast("decimal(38,0)").alias("buyq"),
+        F.sum(F.when(F.col("b") == -1, F.col("vq")).otherwise(zero))
+        .cast("decimal(38,0)").alias("sellq"),
+    )
+    pb = pb.withColumn(
+        "toxq",
+        F.expr(
+            "CASE WHEN buyq + sellq > 0 THEN"
+            " CAST((abs(buyq - sellq) * 1000000000)"
+            " div (buyq + sellq) AS BIGINT) END"
+        ),
+    )
+    wv = (
+        Window.partitionBy("symbol")
+        .orderBy("bar_id")
+        .rowsBetween(-(VPIN_W - 1), 0)
+    )
+    roll = pb.select(
+        "symbol", "bar_id", "n_events", "buyq", "sellq", "toxq",
+        F.count(F.lit(1)).over(wv).cast("long").alias("nw"),
+        F.sum("toxq").over(wv).alias("stox"),
+    )
+    return roll.select(
+        "symbol", "bar_id", "n_events", "nw",
+        _rne(F.col("buyq").cast("double") / F.lit(100.0),
+             "buy_notional", 6),
+        _rne(F.col("sellq").cast("double") / F.lit(100.0),
+             "sell_notional", 6),
+        _rne(F.col("toxq").cast("double") / F.lit(1.0e9), "tox", 8),
+        _rne(
+            F.col("stox").cast("double")
+            / (F.col("nw").cast("double") * F.lit(1.0e9)),
+            "vpin", 8,
+        ),
+    )
+
+
+def _sql_ts_vpin() -> str:
+    return f"""
+WITH {SQL_SERIES},
+t AS (
+  SELECT symbol, ts,
+         CAST(floor(close * 100 + 0.5) AS DECIMAL(38,0)) AS vq,
+         CASE WHEN close > lag(close) OVER w THEN 1
+              WHEN close < lag(close) OVER w THEN -1 END AS sgn_raw,
+         COALESCE(sum(CAST(floor(close * 100 + 0.5) AS DECIMAL(38,0)))
+           OVER (PARTITION BY symbol ORDER BY ts ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0::DECIMAL(38,0)) AS cum_before
+  FROM series
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts ASC)),
+tb AS (
+  SELECT symbol, vq,
+         COALESCE(last_value(sgn_raw IGNORE NULLS) OVER (
+           PARTITION BY symbol ORDER BY ts ASC
+           ROWS UNBOUNDED PRECEDING), 1) AS b,
+         CAST(CAST(cum_before AS HUGEINT) // {VOLBAR_T_CENTS} AS BIGINT)
+           AS bar_id
+  FROM t),
+pb AS (
+  SELECT symbol, bar_id, count(*)::BIGINT AS n_events,
+         sum(CASE WHEN b = 1 THEN CAST(vq AS HUGEINT)
+             ELSE 0::HUGEINT END) AS buyq,
+         sum(CASE WHEN b = -1 THEN CAST(vq AS HUGEINT)
+             ELSE 0::HUGEINT END) AS sellq
+  FROM tb GROUP BY 1, 2),
+tox AS (
+  SELECT symbol, bar_id, n_events, buyq, sellq,
+         CASE WHEN buyq + sellq > 0 THEN
+           CAST((abs(buyq - sellq) * 1000000000)
+                // (buyq + sellq) AS BIGINT) END AS toxq
+  FROM pb),
+roll AS (
+  SELECT symbol, bar_id, n_events, buyq, sellq, toxq,
+         count(*) OVER wv::BIGINT AS nw, sum(toxq) OVER wv AS stox
+  FROM tox
+  WINDOW wv AS (PARTITION BY symbol ORDER BY bar_id ASC
+                ROWS BETWEEN {VPIN_W - 1} PRECEDING AND CURRENT ROW))
+SELECT symbol, bar_id, n_events, nw,
+       {_sql_rne('buyq::DOUBLE / 100.0', 'buy_notional', 6)},
+       {_sql_rne('sellq::DOUBLE / 100.0', 'sell_notional', 6)},
+       {_sql_rne('toxq::DOUBLE / 1000000000.0', 'tox', 8)},
+       {_sql_rne('stox::DOUBLE / (nw::DOUBLE * 1000000000.0)',
+                 'vpin', 8)}
+FROM roll"""
+
+
 FULLSCALE_MAE_PARAMS = FlagshipParams(
     resample_every="10 minutes",
     step_seconds=600,

@@ -82,3 +82,145 @@ def test_volume_bar_id_exact_above_2pow53(spark, tmp_path):
         assert r["open"] == vals[0] and r["close"] == vals[-1]
         cents = sum(int(math.floor(c * 100 + 0.5)) for c in vals)
         assert r["notional"] == _snap(cents / 100.0, 6)
+
+
+# ------------------------------------------- imbalance bars
+
+
+def _imb_replay(closes):
+    """Pure-Python replica of operators/bars.py — the recursion spec."""
+    e_t, e_b = 8.0, 1.0
+    thr = e_t * abs(e_b)
+    b, prev = 1, None
+    bid, theta, t_cur = 0, 0, 0
+    out = []  # per tick: (bar_id, b, thr_active)
+    for x in closes:
+        x = float(x)
+        if prev is not None:
+            if x > prev:
+                b = 1
+            elif x < prev:
+                b = -1
+        theta += b
+        t_cur += 1
+        out.append((bid, b, thr))
+        if float(abs(theta)) >= thr:
+            e_t = 0.5 * t_cur + 0.5 * e_t
+            e_b = 0.5 * (theta / t_cur) + 0.5 * e_b
+            thr = e_t * abs(e_b)
+            bid += 1
+            theta, t_cur = 0, 0
+        prev = x
+    return out
+
+
+def test_imbalance_bars_replay(spark, tmp_path):
+    """Bar boundaries, tick-rule carry-through-flats, and the
+    EMA-calibrated threshold all replay exactly: a long one-sided run
+    closes bar 0 at |theta| = 8, the recalibrated threshold then
+    differs from the seed, and a flat tick inherits the prior sign."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_imbalance_bars,
+    )
+
+    # bar 0: a MIXED run (2 downs among 10 ups) so theta=8 closes at
+    # T=12 with theta/T = 2/3 — the recalibrated thr (8.333...)
+    # differs from the seed; then a flat (carries +1) and a steady
+    # climb that closes bar 1 under the NEW threshold
+    steps = [1, 1, -1, 1, 1, -1, 1, 1, 1, 1, 1, 1]
+    closes = [100.0]
+    for s in steps[1:]:
+        closes.append(closes[-1] + s)
+    closes += [closes[-1]]  # flat -> carries +1
+    closes += [closes[-1] + 0.5 * (i + 1) for i in range(20)]
+    rows = [
+        (i, BASE_TS + timedelta(minutes=i), 3, "tick", c, "{}")
+        for i, c in enumerate(closes)
+    ]
+    _write_event_rows(spark, str(tmp_path), rows)
+    ticks = _imb_replay(closes)
+
+    bars = {}
+    for i, (bid, b, thr) in enumerate(ticks):
+        bars.setdefault(bid, []).append((i, closes[i], b, thr))
+    got = {r["bar_id"]: r for r in
+           q_ts_imbalance_bars(spark, str(tmp_path)).collect()}
+    assert set(got) == set(bars)
+    for bid, seg in bars.items():
+        r = got[bid]
+        vals = [c for _, c, _, _ in seg]
+        assert r["n_events"] == len(seg)
+        assert r["open"] == vals[0] and r["close"] == vals[-1]
+        assert r["high"] == max(vals) and r["low"] == min(vals)
+        assert r["imbalance"] == sum(b for _, _, b, _ in seg)
+        assert r["thr"] == _snap(seg[0][3], 6)
+        assert r["span_us"] == (seg[-1][0] - seg[0][0]) * 60 * 1_000_000
+    # the scenario is non-degenerate: >=2 bars, threshold adapted,
+    # and the flat tick carried the prior sign
+    assert len(bars) >= 3  # >=2 closed bars + the trailing partial
+    assert ticks[11][0] == 0 and ticks[12][0] == 1  # bar 0 closed at T=12
+    thrs = {seg[0][3] for seg in bars.values()}
+    assert len(thrs) >= 2 and 8.0 in thrs
+    assert ticks[12][1] == 1  # flat tick inherited +1
+
+
+def test_vpin_replay(spark, tmp_path):
+    """Buy/sell classification (tick rule with carry + seed),
+    notional-bucket split, exact 1e9-grid toxicity, and the
+    expanding-until-warm trailing average all replay in integers."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        VOLBAR_T_CENTS,
+        VPIN_W,
+        q_ts_vpin,
+    )
+
+    closes = [round(250.0 + ((7 * i) % 13) * 25.0, 2) for i in range(40)]
+    closes[5] = closes[4]  # a flat tick (carries prior sign)
+    rows = [
+        (i, BASE_TS + timedelta(minutes=2 * i), 9, "tick", c, "{}")
+        for i, c in enumerate(closes)
+    ]
+    _write_event_rows(spark, str(tmp_path), rows)
+
+    cum, b, prev = 0, 1, None
+    per_bar = {}
+    for c in closes:
+        vq = int(math.floor(c * 100 + 0.5))
+        if prev is not None:
+            if c > prev:
+                b = 1
+            elif c < prev:
+                b = -1
+        bid = cum // VOLBAR_T_CENTS
+        buy, sell, n = per_bar.get(bid, (0, 0, 0))
+        per_bar[bid] = (
+            buy + (vq if b == 1 else 0),
+            sell + (vq if b == -1 else 0),
+            n + 1,
+        )
+        cum += vq
+        prev = c
+    toxqs = []
+    expect = {}
+    for bid in sorted(per_bar):
+        buy, sell, n = per_bar[bid]
+        toxq = abs(buy - sell) * 10**9 // (buy + sell)
+        toxqs.append(toxq)
+        nw = min(len(toxqs), VPIN_W)
+        stox = sum(toxqs[-VPIN_W:])
+        expect[bid] = (n, nw, buy, sell, toxq,
+                       float(stox) / (float(nw) * 1e9))
+    got = {r["bar_id"]: r for r in q_ts_vpin(spark, str(tmp_path)).collect()}
+    assert set(got) == set(expect)
+    for bid, (n, nw, buy, sell, toxq, vpin) in expect.items():
+        r = got[bid]
+        assert r["n_events"] == n and r["nw"] == nw
+        assert r["buy_notional"] == _snap(buy / 100.0, 6)
+        assert r["sell_notional"] == _snap(sell / 100.0, 6)
+        assert r["tox"] == _snap(toxq / 1e9, 8)
+        assert r["vpin"] == _snap(vpin, 8)
+    # non-degenerate: several buckets, both sides traded somewhere,
+    # and at least one warm (full-window) row
+    assert len(expect) >= 3
+    assert any(v[2] > 0 and v[3] > 0 for v in expect.values())
+    assert any(v[1] == VPIN_W for v in expect.values())
