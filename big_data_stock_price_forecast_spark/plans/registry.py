@@ -1024,6 +1024,7 @@ from .registry_stream import (  # noqa: F401
     SQL_STREAM_EMA,
     _sql_stream_tick_bars,
     _sql_stream_volume_bars,
+    _sql_stream_rolling_beta,
     SQL_STREAM_ENRICH,
     SQL_STREAM_GOLD_SINK,
     SQL_STREAM_INTERVAL_JOIN,
@@ -1046,6 +1047,7 @@ from .registry_stream import (  # noqa: F401
     q_stream_ema_state,
     q_stream_tick_bars,
     q_stream_volume_bars,
+    q_stream_rolling_beta,
     q_stream_enrich_join,
     q_stream_flagship_forecast,
     q_stream_garch_state,
@@ -1480,6 +1482,7 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_vpin": q_ts_vpin,  # never (r14)
         "stream_tick_bars": q_stream_tick_bars,  # never (r13)
         "stream_volume_bars": q_stream_volume_bars,  # never (r13)
+        "stream_rolling_beta": q_stream_rolling_beta,  # never (r14)
         "doc_dedup_threshold_sweep": q_doc_dedup_threshold_sweep,  # never (r13)
         "flagship_loss_math": q_flagship_loss_math,  # r5
         "ts_dedup_keep_last": q_ts_dedup_keep_last,  # r5
@@ -1690,6 +1693,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "ts_vpin": _sql_ts_vpin(),
         "stream_tick_bars": _sql_stream_tick_bars(),
         "stream_volume_bars": _sql_stream_volume_bars(),
+        "stream_rolling_beta": _sql_stream_rolling_beta(),
         "doc_dedup_threshold_sweep": _sql_doc_dedup_threshold_sweep(),
         "flagship_loss_math": _sql_flagship_loss(),
         "ts_dedup_keep_last": SQL_TS_DEDUP,

@@ -40,12 +40,16 @@ from .registry_common import (  # noqa: F401
     require_utc,
     sql_hash60,
 )
+from .registry_common import _filled  # noqa: F401
 from .registry_ts import (  # noqa: F401
+    ROLLBETA_W,
     TICK_BAR_N,
     VOLBAR_T_CENTS,
     _flagship_oracle_ctes,
+    _sql_ts_rolling_beta,
     _sql_ts_tick_bars,
     _sql_ts_volume_bars,
+    rollbeta_mkt_returns,
 )
 
 
@@ -434,6 +438,48 @@ def _sql_stream_volume_bars() -> str:
     return f"""
 SELECT * FROM ({_sql_ts_volume_bars()})
 QUALIFY bar_id < max(bar_id) OVER (PARTITION BY symbol)"""
+
+
+def q_stream_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ts_rolling_beta — the two-input stream-static
+    pattern: the equal-weight index return per grid bucket is
+    BATCH-calibrated (rollbeta_mkt_returns over the offline filled
+    frame — it needs every symbol, so it cannot be a per-key fold;
+    the flagship train-store convention, bucket-count-sized driver
+    dict like the val_starts precedent) and shipped into the stateful
+    operator, while the per-symbol side streams: state resamples,
+    gap-fills and keeps a ROLLBETA_W-deep ring of exact 1e9-snapped
+    integer returns (streaming/ops.py rolling_beta_stream). Emissions
+    are bitwise the batch rows strictly below each symbol's trailing
+    in-flight bucket — the oracle's QUALIFY bound."""
+    from ..streaming import (
+        rolling_beta_stream,
+        run_available_now,
+        stream_events,
+    )
+
+    mkt_x = {
+        int(r["time_idx"]): float(r["x"])
+        for r in rollbeta_mkt_returns(_filled(spark, sf_dir)).collect()
+    }
+    out = run_available_now(
+        rolling_beta_stream(
+            stream_events(spark, sf_dir), mkt_x, w=ROLLBETA_W
+        ),
+        "append",
+        state_partitions=8,
+    )
+    return out.select(
+        "symbol", "time_idx",
+        _rne(F.col("beta"), "beta", 8),
+        _rne(F.col("corr"), "corr", 8),
+    )
+
+
+def _sql_stream_rolling_beta() -> str:
+    return f"""
+SELECT * FROM ({_sql_ts_rolling_beta()})
+QUALIFY time_idx < max(time_idx) OVER (PARTITION BY symbol)"""
 
 
 def q_stream_resume_delta(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -703,6 +703,29 @@ GROUP BY 1, 2"""
 ROLLBETA_W = 28  # trailing return observations (7 days of 6h buckets)
 
 
+def rollbeta_mkt_returns(base: DataFrame) -> DataFrame:
+    """Equal-weight cross-sectional index returns per grid bucket
+    (time_idx, x) from the filled frame — ONE definition shared by
+    the batch query and the streaming twin's calibration (the
+    _bpe_seg_from_tok convention: a shared builder so both engines'
+    inputs cannot drift). Exact-DECIMAL close mean per bucket, one
+    double division, lag-return over the bucket-count-sized frame."""
+    cq = F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)")
+    mkt = base.groupBy("time_idx").agg(
+        F.sum(cq).alias("sc"), F.count(F.lit(1)).alias("nsym")
+    )
+    wi = Window.orderBy("time_idx")
+    idx = (
+        F.col("sc").cast("double") / F.col("nsym").cast("double") / 1e6
+    )
+    mkt = mkt.select("time_idx", idx.alias("idx"))
+    lag_i = F.lag("idx").over(wi)
+    return mkt.select(
+        "time_idx",
+        F.when(lag_i != 0, F.col("idx") / lag_i - 1).alias("x"),
+    ).filter(F.col("x").isNotNull())
+
+
 def q_ts_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling market beta per symbol — the time-varying twin of
     ts_capm_beta (static betas hide regime shifts; the rolling series
@@ -720,20 +743,7 @@ def q_ts_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol-partitioned return frame; the rolling frame is a
     ROWS-bounded window on the symbol key."""
     base = _filled(spark, sf_dir)
-    cq = F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("decimal(38,0)")
-    mkt = base.groupBy("time_idx").agg(
-        F.sum(cq).alias("sc"), F.count(F.lit(1)).alias("nsym")
-    )
-    wi = Window.orderBy("time_idx")
-    idx = (
-        F.col("sc").cast("double") / F.col("nsym").cast("double") / 1e6
-    )
-    mkt = mkt.select("time_idx", idx.alias("idx"))
-    lag_i = F.lag("idx").over(wi)
-    mkt = mkt.select(
-        "time_idx",
-        F.when(lag_i != 0, F.col("idx") / lag_i - 1).alias("x"),
-    ).filter(F.col("x").isNotNull())
+    mkt = rollbeta_mkt_returns(base)
     ws = Window.partitionBy("symbol").orderBy("time_idx")
     lag_c = F.lag("close").over(ws)
     y = base.select(

@@ -969,6 +969,157 @@ def flagship_window_stream(
     )
 
 
+_ROLLBETA_OUT = StructType(
+    [
+        StructField("symbol", LongType()),
+        StructField("time_idx", LongType()),
+        StructField("beta", DoubleType()),
+        StructField("corr", DoubleType()),
+    ]
+)
+_ROLLBETA_STATE = StructType(
+    [
+        StructField("cur_end", LongType()),  # open bucket end, epoch µs
+        StructField("cur_dt", LongType()),  # keep-last cursor in bucket
+        StructField("cur_eid", LongType()),
+        StructField("cur_close", DoubleType()),
+        StructField("last_idx", LongType()),  # last closed grid idx
+        StructField("last_close", DoubleType()),  # its (ffilled) close
+        StructField("xring", ArrayType(LongType())),  # snapped index rets
+        StructField("yring", ArrayType(LongType())),  # snapped own rets
+    ]
+)
+
+
+def _rolling_beta_state_fn(mkt_x: dict, w: int, step_seconds: int):
+    step_us = step_seconds * 1_000_000
+    anchor_us = 946_684_800 * 1_000_000  # calendar.ANCHOR_EPOCH in µs
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        sym = key[0]
+        pdf = pd.concat(list(pdfs)).sort_values(["datetime", "event_id"])
+        if state.exists:
+            (cur_end, cur_dt, cur_eid, cur_close, last_idx, last_close,
+             xring, yring) = state.get
+            xring = list(xring) if xring is not None else []
+            yring = list(yring) if yring is not None else []
+        else:
+            cur_end = cur_dt = cur_eid = last_idx = None
+            cur_close = last_close = None
+            xring, yring = [], []
+        outs: list[tuple] = []
+
+        def push(idx: int, close: float) -> None:
+            # one closed (gap-filled) grid bucket: form this bucket's
+            # return against the previous grid close, pair it with the
+            # batch-calibrated index return, and score the trailing-w
+            # window from EXACT integer sums (the batch query's snap9
+            # discipline — no float accumulation across buckets)
+            nonlocal xring, yring, last_idx, last_close
+            x = mkt_x.get(idx)
+            y = None
+            if last_close is not None and last_close != 0:
+                y = close / last_close - 1
+            if x is not None and y is not None:
+                xring.append(int(math.floor(x * 1e9 + 0.5)))
+                yring.append(int(math.floor(y * 1e9 + 0.5)))
+                if len(xring) > w:
+                    xring = xring[-w:]
+                    yring = yring[-w:]
+                if len(xring) == w:
+                    sx, sy = sum(xring), sum(yring)
+                    sxy = sum(a * b for a, b in zip(xring, yring))
+                    sxx = sum(a * a for a in xring)
+                    syy = sum(b * b for b in yring)
+                    cov = float(w * sxy - sx * sy)
+                    varx = float(w * sxx - sx * sx)
+                    vary = float(w * syy - sy * sy)
+                    beta = cov / varx if varx > 0 else None
+                    corr = (
+                        cov / math.sqrt(varx * vary)
+                        if varx > 0 and vary > 0
+                        else None
+                    )
+                    outs.append((sym, idx, beta, corr))
+            last_idx, last_close = idx, close
+
+        dt = pdf["datetime"]
+        if getattr(dt.dtype, "tz", None) is not None:
+            dt = dt.dt.tz_convert("UTC").dt.tz_localize(None)
+        t_us = dt.to_numpy(dtype="datetime64[us]").astype("int64")
+        eids = pdf["event_id"].to_numpy()
+        closes = pdf["close"].to_numpy()
+        for t, eid, x in zip(t_us, eids, closes):
+            t, eid, x = int(t), int(eid), float(x)
+            # right-closed, right-labeled bucket (the batch resample
+            # convention): end = floor((ts - 1µs)/every)*every + every
+            b_end = ((t - 1) // step_us + 1) * step_us
+            if cur_end is None or b_end > cur_end:
+                if cur_end is not None:
+                    # close the open bucket, then ffill any gap
+                    # buckets strictly before the new one (they are
+                    # determined the moment a later tick lands)
+                    push((cur_end - anchor_us) // step_us, cur_close)
+                    new_idx = (b_end - anchor_us) // step_us
+                    for j in range(last_idx + 1, new_idx):
+                        push(j, last_close)
+                cur_end, cur_dt, cur_eid, cur_close = b_end, t, eid, x
+            elif b_end == cur_end:
+                # dedup keep-last + bucket-last in one
+                if (t, eid) >= (cur_dt, cur_eid):
+                    cur_dt, cur_eid, cur_close = t, eid, x
+        state.update(
+            (cur_end, cur_dt, cur_eid, cur_close, last_idx, last_close,
+             xring, yring)
+        )
+        if outs:
+            yield pd.DataFrame(
+                outs, columns=["symbol", "time_idx", "beta", "corr"]
+            )
+
+    return fn
+
+
+def rolling_beta_stream(
+    sdf: DataFrame,
+    mkt_x: dict,
+    w: int = 28,
+    step_seconds: int = 6 * 3600,
+) -> DataFrame:
+    """Rolling market beta as a custom stateful streaming operator —
+    the streaming twin of ``ts_rolling_beta`` in the two-input
+    stream-static pattern: the cross-sectional index return per grid
+    bucket (``mkt_x``: time_idx -> x) is BATCH-calibrated when the
+    offline frame is built (the flagship train-store convention — the
+    index needs every symbol, so it cannot be a per-key fold), while
+    the per-symbol side streams: state resamples raw ticks into
+    right-closed 6h buckets (keep-last within bucket), gap-fills with
+    the previous close, and keeps a ``w``-deep ring of EXACT
+    1e9-snapped integer returns — each closed bucket with a full ring
+    emits OLS beta and correlation against the index from integer
+    window sums, bitwise the batch query's values. State per symbol =
+    the open bucket + 2w longs, O(1) regardless of uptime. The
+    trailing in-flight bucket never closes, so the emission set is
+    the batch rows below each symbol's final grid bucket — the oracle
+    twin's QUALIFY bound. Same arrival-order precondition as
+    :func:`ema_state_stream` (time-ordered landing files)."""
+    return (
+        sdf.withWatermark("datetime", "1 hour")
+        .groupBy("symbol")
+        .applyInPandasWithState(
+            _rolling_beta_state_fn(dict(mkt_x), int(w), step_seconds),
+            outputStructType=_ROLLBETA_OUT,
+            stateStructType=_ROLLBETA_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,

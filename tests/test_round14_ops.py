@@ -224,3 +224,94 @@ def test_vpin_replay(spark, tmp_path):
     assert len(expect) >= 3
     assert any(v[2] > 0 and v[3] > 0 for v in expect.values())
     assert any(v[1] == VPIN_W for v in expect.values())
+
+
+def test_rolling_beta_stream_across_batches(spark, tmp_path):
+    """Splitting the tick stream into two micro-batches equals the
+    batch rolling beta minus each symbol's trailing grid bucket — the
+    open bucket, gap-fill cursor and the 28-deep integer return ring
+    all carry across the micro-batch boundary."""
+    from pyspark.sql import Window as W
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        ROLLBETA_W,
+        q_ts_rolling_beta,
+    )
+    from big_data_stock_price_forecast_spark.plans.registry_common import (
+        _filled,
+    )
+    from big_data_stock_price_forecast_spark.plans.registry_ts import (
+        rollbeta_mkt_returns,
+    )
+    from big_data_stock_price_forecast_spark.sources.tables import (
+        load_table,
+    )
+    from big_data_stock_price_forecast_spark.streaming import (
+        rolling_beta_stream,
+        run_available_now,
+    )
+
+    ev = load_table(spark, SF, "events").filter(F.col("user_id") < 5)
+    pdf = ev.select("event_id", "ts", "user_id", "value").toPandas()
+    pdf = pdf.sort_values(["ts", "event_id"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    half = len(pdf) // 2
+    land = tmp_path / "land"
+    land.mkdir()
+    pdf.iloc[:half].to_parquet(land / "p0.parquet", index=False)
+    pdf.iloc[half:].to_parquet(land / "p1.parquet", index=False)
+
+    batch_dir = tmp_path / "batch"
+    batch_dir.mkdir()
+    full = pdf.copy()
+    full["event_type"] = "tick"
+    full["props"] = "{}"
+    spark.createDataFrame(
+        full[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    ).coalesce(1).write.parquet(f"{batch_dir}/events.parquet")
+
+    # index calibrated from the SAME offline frame the batch query uses
+    mkt_x = {
+        int(r["time_idx"]): float(r["x"])
+        for r in rollbeta_mkt_returns(
+            _filled(spark, str(batch_dir))
+        ).collect()
+    }
+
+    schema = spark.read.parquet(str(land)).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(land))
+        .select(
+            F.col("user_id").alias("symbol"),
+            F.col("ts").cast("timestamp").alias("datetime"),
+            F.col("value").alias("close"),
+            "event_id",
+        )
+    )
+    out = run_available_now(
+        rolling_beta_stream(sdf, mkt_x, w=ROLLBETA_W), "append"
+    )
+    got = sorted(
+        (r["symbol"], r["time_idx"], _snap(r["beta"], 8),
+         _snap(r["corr"], 8))
+        for r in out.collect()
+    )
+    beta = q_ts_rolling_beta(spark, str(batch_dir))
+    complete = beta.withColumn(
+        "__mx", F.max("time_idx").over(W.partitionBy("symbol"))
+    ).filter(F.col("time_idx") < F.col("__mx")).drop("__mx")
+    exp = sorted(
+        (r["symbol"], r["time_idx"], r["beta"], r["corr"])
+        for r in complete.collect()
+    )
+    assert got == exp and len(got) > 0
+    # the state genuinely crossed the boundary: some symbol's first
+    # half ends mid-ring (emissions exist on both sides of the cut)
+    cut_us = int(pdf.iloc[half - 1]["ts"].value) // 1000
+    anchor = 946_684_800 * 1_000_000
+    cut_idx = (cut_us - anchor) // (6 * 3600 * 1_000_000)
+    assert any(t <= cut_idx for _, t, _, _ in got)
+    assert any(t > cut_idx for _, t, _, _ in got)
