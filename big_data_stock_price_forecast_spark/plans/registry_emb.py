@@ -2192,19 +2192,24 @@ def q_emb_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_recall = Σhits/(n_q·k) and mean_scanned = Σcand/n_q are
     single divisions of exact integers. Queries ride the FIXED
     deterministic anchor budget (exact-GT side O(n·K), K constant —
-    r12 verdict item 1), and the whole sweep computes the probed
-    candidate set ONCE at the widest nprobe with each candidate
-    tagged by its probe rank, localCheckpoint(eager)ed, so each
-    branch is a filter + top-k window over materialized rows — no
-    per-branch quantizer/assignment/distance recompute at all (r12
-    verdict item 4: relying on AQE ReusedExchange recomputed the
-    assignment per branch AND recompiled the flat 64-dim L2 codegen
-    three times — 40+ s every bench; the explicit materialization is
-    the pHash fix pattern. At layout scale the probed-list partition
-    pruning of ivf_probe_layout replaces the assignment join; the
-    one-time assignment materialization IS the index build)."""
-    from ..operators.ivf import EMB_DIM, assign_lists, label_centroids
-    from ..functions.distance import dist_l2_fixed
+    r12 verdict item 1). The sweep is ONE single-pass plan (r13
+    verdict item 2, the doc_dedup_threshold_sweep pattern): the
+    probed candidate set is computed once at the widest nprobe with
+    each candidate tagged by its probe rank, a literal nprobe explode
+    fans it over the thresholds, and one groupBy(nprobe) scores every
+    branch — replacing the r12 per-branch loop (3 filter+agg jobs +
+    an eager candidate checkpoint) with one job; the exact brute-force
+    panel rides along as a broadcast hit-marker join. Distances are
+    fold-shaped (dist_l2, bitwise the flat form): every frame here is
+    anchor-budget-bounded, and in a 340-query bench session the
+    codegen cache is long evicted, so the flat 64-term form paid a
+    multi-second janino recompile EVERY run while the interpreted
+    fold pays a per-row constant on budget-bounded rows. assign_lists
+    keeps its flat form — it is the production index build. (At
+    layout scale the probed-list partition pruning of ivf_probe_layout
+    replaces the assignment join.)"""
+    from ..functions.distance import dist_l2
+    from ..operators.ivf import assign_lists, label_centroids
 
     emb = _emb(spark, sf_dir)
     q = (
@@ -2213,14 +2218,14 @@ def q_emb_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     centroids = label_centroids(emb).localCheckpoint(eager=True)
-    assigned = assign_lists(emb, centroids).localCheckpoint(eager=True)
+    assigned = assign_lists(emb, centroids)
     bf = (
         emb.join(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             "vec_id",
-            dist_l2_fixed64(F.col("v"), F.col("qv")).alias("dist"),
+            dist_l2(F.col("v"), F.col("qv")).alias("dist"),
         )
         .withColumn(
             "rn",
@@ -2231,8 +2236,7 @@ def q_emb_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("rn") <= KNN_K)
-        .select("q_id", "vec_id")
-        .localCheckpoint(eager=True)
+        .select("q_id", "vec_id", F.lit(1).alias("__hit"))
     )
     # every query's centroid ranking up to the WIDEST nprobe, tagged
     # with probe_rk — an nprobe=j branch is `probe_rk <= j`
@@ -2246,9 +2250,7 @@ def q_emb_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 centroids.select(F.col("label").alias("label_c"), "cvec")
             )
         )
-        .withColumn(
-            "__cdist", dist_l2_fixed(F.col("qv"), F.col("cvec"), EMB_DIM)
-        )
+        .withColumn("__cdist", dist_l2(F.col("qv"), F.col("cvec")))
         .withColumn("probe_rk", F.row_number().over(wq))
         .filter(F.col("probe_rk") <= max_np)
         .select("q_id", "qv", F.col("label_c").alias("list_id"), "probe_rk")
@@ -2260,55 +2262,68 @@ def q_emb_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "vec_id",
             "probe_rk",
-            dist_l2_fixed(F.col("v"), F.col("qv"), EMB_DIM).alias("dist"),
+            dist_l2(F.col("v"), F.col("qv")).alias("dist"),
         )
-        .localCheckpoint(eager=True)
     )
-    wk = Window.partitionBy("q_id").orderBy(
+    sweep = cand.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(int(n)) for n in IVF_CURVE_NPROBES])
+        ).alias("nprobe"),
+    ).filter(F.col("probe_rk") <= F.col("nprobe"))
+    wk = Window.partitionBy("nprobe", "q_id").orderBy(
         F.col("dist").asc(), F.col("vec_id").asc()
     )
+    flagged = sweep.withColumn("rank", F.row_number().over(wk)).join(
+        F.broadcast(bf), ["q_id", "vec_id"], "left"
+    )
+    agg = flagged.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("total_scanned"),
+        F.sum(
+            F.when(
+                (F.col("rank") <= KNN_K) & (F.col("__hit") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("total_hits"),
+    )
+    # a literal left spine keeps one row per threshold even on a
+    # degenerate corpus (the r12 loop's agg-without-groupBy semantics)
+    nps = spark.createDataFrame(
+        [(int(n),) for n in IVF_CURVE_NPROBES], "nprobe int"
+    )
     n_q = q.agg(F.count(F.lit(1)).alias("n_queries"))
-    out = None
-    for np_ in IVF_CURVE_NPROBES:
-        c_np = cand.filter(F.col("probe_rk") <= np_)
-        ivf = (
-            c_np.withColumn("rank", F.row_number().over(wk))
-            .filter(F.col("rank") <= KNN_K)
-            .select("q_id", "vec_id")
-        )
-        hits = bf.join(ivf, ["q_id", "vec_id"]).agg(
-            F.count(F.lit(1)).alias("total_hits")
-        )
-        cand_n = c_np.agg(F.count(F.lit(1)).alias("total_scanned"))
-        row = (
-            n_q.crossJoin(hits)
-            .crossJoin(cand_n)
-            .select(
-                F.lit(np_).cast("long").alias("nprobe"),
-                F.col("n_queries").cast("long").alias("n_queries"),
-                F.col("total_hits").cast("long").alias("total_hits"),
-                F.col("total_scanned").cast("long").alias(
-                    "total_scanned"
+    return (
+        nps.join(F.broadcast(agg), "nprobe", "left")
+        .crossJoin(F.broadcast(n_q))
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.coalesce(F.col("total_hits"), F.lit(0))
+            .cast("long")
+            .alias("total_hits"),
+            F.coalesce(F.col("total_scanned"), F.lit(0))
+            .cast("long")
+            .alias("total_scanned"),
+            _rne(
+                F.coalesce(F.col("total_hits"), F.lit(0)).cast("double")
+                / (
+                    F.col("n_queries").cast("double")
+                    * F.lit(float(KNN_K))
                 ),
-                _rne(
-                    F.col("total_hits").cast("double")
-                    / (
-                        F.col("n_queries").cast("double")
-                        * F.lit(float(KNN_K))
-                    ),
-                    "mean_recall",
-                    8,
-                ),
-                _rne(
-                    F.col("total_scanned").cast("double")
-                    / F.col("n_queries").cast("double"),
-                    "mean_scanned",
-                    8,
-                ),
-            )
+                "mean_recall",
+                8,
+            ),
+            _rne(
+                F.coalesce(F.col("total_scanned"), F.lit(0)).cast(
+                    "double"
+                )
+                / F.col("n_queries").cast("double"),
+                "mean_scanned",
+                8,
+            ),
         )
-        out = row if out is None else out.unionAll(row)
-    return out
+    )
 
 
 def _sql_emb_ivf_probe_curve() -> str:

@@ -582,18 +582,36 @@ def q_flagship_metric_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     search metric swapped (forecast_evaluate is metric-parameterized;
     cosine ranks DESC as a similarity); the L2 branch is therefore
     bitwise-equal to flagship_summary (pytest-pinned). The branches
-    share the train-store/val-window lineage — at scale the window
-    build shuffles once and the per-metric rank joins reuse the
-    exchange (identical subtrees → ReuseExchange), so the sweep costs
-    ~3 rank joins, not 3 pipelines. Output: one row per metric.
-    (The kNN-level 5-metric surface incl. the mu/logvar-weighted
-    scorers lives in knn_topk_metrics; the flagship windows are
-    L=8 raw z-scored series, where the reference's split-32 latent
-    weighting has no analog.)"""
+    share the train-store/val-window lineage EXPLICITLY: the strided
+    train/val window frames are built once and
+    localCheckpoint(eager)ed, so each scorer branch is ONE rank join
+    + one aggregate over materialized rows — r12's ReuseExchange
+    reliance recomputed the window pipeline per branch locally
+    (BroadcastExchange subtrees don't reuse; the probe-curve lesson,
+    r13 verdict item 2), tripling the sweep's cost. Materialization
+    changes no value (the window fold is exact), so the L2 pin
+    holds. Output: one row per metric. (The kNN-level 5-metric
+    surface incl. the mu/logvar-weighted scorers lives in
+    knn_topk_metrics; the flagship windows are L=8 raw z-scored
+    series, where the reference's split-32 latent weighting has no
+    analog.)"""
+    from ..operators.forecast import forecast_evaluate
+    from .flagship import _flagship_train_val
+
+    p = FlagshipParams()
+    train_w, val_w = _flagship_train_val(spark, sf_dir, p)
+    val_w = val_w.localCheckpoint(eager=True)
     out = None
     for m in FLAGSHIP_SWEEP_METRICS:
-        df = flagship_per_query_mae(
-            spark, sf_dir, FlagshipParams(metric=m)
+        df = forecast_evaluate(
+            train_w,
+            val_w,
+            pred_window=p.pred_window,
+            k=p.k,
+            ensemble=p.ensemble,
+            metric=m,
+            within_symbol=p.within_symbol,
+            dim=p.L,
         )
         row = (
             df.select(_rne(F.col("mae"), "mae", 4))
