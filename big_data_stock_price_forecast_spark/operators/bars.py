@@ -56,6 +56,9 @@ IMB_SEED_ET = 8.0  # expected ticks per bar, seed
 IMB_SEED_EB = 1.0  # expected signed-tick mean, seed
 IMB_EMA_A = 0.5  # EMA weight for both bar-level calibrations
 
+RUN_SEED_ET = 8.0  # run bars: expected ticks per bar, seed
+RUN_SEED_EP = 0.5  # run bars: expected buy fraction, seed
+
 
 def imbalance_bar_ticks(
     df: DataFrame,
@@ -115,6 +118,87 @@ def imbalance_bar_ticks(
                 thr = e_t * abs(e_b)
                 bid += 1
                 theta, t_cur = 0, 0
+            prev = x
+        return pd.DataFrame(
+            {
+                part_col: pdf[part_col].to_numpy(),
+                "rn": range(1, n + 1),
+                ts_col: pdf[ts_col].to_numpy(),
+                close_col: closes,
+                "bar_id": bids,
+                "b": bs,
+                "thr": thrs,
+            }
+        )
+
+    return df.groupBy(part_col).applyInPandas(fn, schema=out_schema)
+
+
+def run_bar_ticks(
+    df: DataFrame,
+    part_col: str = "symbol",
+    ts_col: str = "t_us",
+    close_col: str = "close",
+) -> DataFrame:
+    """Assign every tick its RUN-bar index — the imbalance family's
+    one-sided member: where imbalance bars watch the NET signed flow
+    |Σb|, run bars watch the DOMINANT side's gross count
+    θ = max(n_up, n_down), closing when a run of same-side pressure
+    exceeds the EMA-calibrated expectation
+    thr = E_T · max(E_p, 1 − E_p) (E_T = EMA of closed-bar sizes,
+    E_p = EMA of closed-bar buy fractions; α = 0.5, seeds
+    E_T = 8.0, E_p = 0.5 → thr₀ = 4.0). Net-zero chop that never
+    closes an imbalance bar DOES close run bars once either side's
+    gross count accumulates — the two cards disagree exactly when
+    flow is two-sided, which is the diagnostic pair the sampling
+    literature uses. Same recursion device, same per-tick emission
+    contract (``rn``, ``bar_id``, ``b``, ``thr``) plus the open
+    bar's running ``n_up``/``n_dn``; same pinned operand order for
+    the recursive-CTE oracle.
+    """
+    out_schema = StructType(
+        [
+            StructField(part_col, df.schema[part_col].dataType),
+            StructField("rn", LongType()),
+            StructField(ts_col, LongType()),
+            StructField(close_col, DoubleType()),
+            StructField("bar_id", LongType()),
+            StructField("b", IntegerType()),
+            StructField("thr", DoubleType()),
+        ]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        closes = pdf[close_col].to_numpy()
+        key = pdf[part_col].iloc[0]
+        n = len(closes)
+        bids = [0] * n
+        bs = [0] * n
+        thrs = [0.0] * n
+        e_t, e_p = RUN_SEED_ET, RUN_SEED_EP
+        thr = e_t * max(e_p, 1.0 - e_p)
+        b, prev = 1, None
+        bid, n_up, n_dn = 0, 0, 0
+        for i in range(n):
+            x = float(closes[i])
+            if prev is not None:
+                if x > prev:
+                    b = 1
+                elif x < prev:
+                    b = -1
+            if b == 1:
+                n_up += 1
+            else:
+                n_dn += 1
+            bids[i], bs[i], thrs[i] = bid, b, thr
+            if float(max(n_up, n_dn)) >= thr:
+                t_cur = n_up + n_dn
+                e_t = 0.5 * t_cur + 0.5 * e_t
+                e_p = 0.5 * (n_up / t_cur) + 0.5 * e_p
+                thr = e_t * max(e_p, 1.0 - e_p)
+                bid += 1
+                n_up, n_dn = 0, 0
             prev = x
         return pd.DataFrame(
             {

@@ -779,6 +779,7 @@ from .registry_ts import (  # noqa: F401
     _sql_ts_volume_bars,
     _sql_ts_tick_bars,
     _sql_ts_imbalance_bars,
+    _sql_ts_run_bars,
     _sql_ts_vpin,
     VPIN_W,
     q_flagship,
@@ -790,6 +791,7 @@ from .registry_ts import (  # noqa: F401
     q_ts_volume_bars,
     q_ts_tick_bars,
     q_ts_imbalance_bars,
+    q_ts_run_bars,
     q_ts_vpin,
     q_flagship_summary,
     q_ts_adf_unit_root,
@@ -1025,6 +1027,10 @@ from .registry_stream import (  # noqa: F401
     _sql_stream_tick_bars,
     _sql_stream_volume_bars,
     _sql_stream_rolling_beta,
+    _sql_stream_imbalance_bars,
+    q_stream_imbalance_bars,
+    _sql_stream_run_bars,
+    q_stream_run_bars,
     SQL_STREAM_ENRICH,
     SQL_STREAM_GOLD_SINK,
     SQL_STREAM_INTERVAL_JOIN,
@@ -1061,68 +1067,72 @@ from .registry_stream import (  # noqa: F401
 )
 
 
-# Round-13 gate window (VERDICT r12 item 5): the driver hashes the
-# FIRST 50 entries of all_queries(). Composition: the 15 r13
-# new/changed entries (anchor-budget eval cards changed semantics and
-# must be re-proven; doc_bpe_segment was refactored onto the shared
-# trainer), the 3 structural canaries, and 32 heavy r7-r9
-# ANN/dedup/streaming entries back-filled for drift protection (their
-# last driver hash is the oldest among the heavy lines). Everything
-# else keeps its registration order (and its last-green tag) below.
-_GATE_WINDOW_R13 = [
-    # r13 new/changed
-    "emb_triplet_margin",
-    "emb_knn_reciprocity",
-    "emb_jl_distortion",
-    "emb_ivf_probe_curve",
-    "emb_ivf_recall",
-    "flagship_metric_sweep",
-    "flagship_fullscale_mae",
-    "emb_silhouette",
-    "emb_lsh_recall",
-    "doc_tokenizer_fertility",
-    "doc_dup_inflation",
-    "ts_tick_bars",
-    "ts_rolling_beta",
+# Round-14 gate window (rotation per VERDICT r13 item 4): the driver
+# hashes the FIRST 50 entries of all_queries(). Composition: the 11
+# r14 new/changed entries (6 new operators; ts_volume_bars +
+# stream_volume_bars changed bar_id arithmetic; emb_ivf_probe_curve +
+# flagship_metric_sweep were re-planned; ts_rolling_beta was
+# refactored onto the shared index builder) plus ts_tick_bars riding
+# along as the bar family's unchanged sibling, the 3 structural
+# canaries, and 35 back-fills chosen oldest-last-driver-green-first
+# (computed from the CORRECTNESS_r01-r13 union: the r04/r05 cohort is
+# the least-recently-re-gated mass), heaviest first within a round.
+# Everything else keeps its registration order and last-green tag.
+_GATE_WINDOW_R14 = [
+    # r14 new/changed
+    "ts_imbalance_bars",
+    "ts_vpin",
+    "ts_run_bars",
+    "stream_run_bars",
+    "stream_imbalance_bars",
+    "stream_rolling_beta",
     "ts_volume_bars",
-    "stream_tick_bars",
-    "doc_bpe_segment",
+    "stream_volume_bars",
+    "emb_ivf_probe_curve",
+    "flagship_metric_sweep",
+    "ts_rolling_beta",
+    "ts_tick_bars",
     # structural canaries (test_gate_window_composition)
     "flagship_forecast_mae",
     "ts_indicators",
     "doc_minhash_lsh_pairs",
-    # drift-protection back-fill: heavy r7-r9 ANN/dedup/streaming
-    "emb_bq_hamming_topk",
-    "emb_ivfpq_topk",
-    "emb_pq_adc_topk",
-    "emb_matryoshka_recall",
-    "emb_hard_negatives",
-    "emb_bench_decontam",
-    "emb_ood_score",
-    "emb_cluster_purity",
-    "doc_winnow_pairs",
-    "doc_bm25_topk",
-    "doc_edit_sim_pairs",
-    "doc_dup_ngram_spans",
-    "doc_minhash_pr_eval",
-    "doc_containment_pairs",
-    "doc_curation_decisions",
-    "doc_quality_filter",
-    "doc_dsir_importance",
-    "doc_ngram_novelty",
-    "doc_overlap_eval_pairs",
-    "doc_weighted_sample",
-    "stream_ann_ingest",
-    "stream_dedup_ingest",
-    "stream_gold_sink",
-    "stream_resume_delta",
-    "stream_resample_6h",
-    "graph_pagerank",
-    "events_ab_bootstrap_ci",
-    "ts_indicators4",
-    "ts_indicators5",
-    "stream_volume_bars",
-    "doc_dedup_threshold_sweep",
+    # drift-protection back-fill: oldest driver-green first (r04),
+    # then r05, heaviest first within each round
+    "ts_savgol",
+    "win_pca_embed",
+    "ts_incremental_upsert",
+    "win_dct_embed",
+    "ts_dropna_features",
+    "ts_feature_null_ratio",
+    "ts_train_val_split",
+    "doc_top_terms",
+    "events_rollup",
+    "emb_ann_lsh_topk",
+    "ts_numeric_profile",
+    "doc_text_profile",
+    "doc_simhash_pairs",
+    "tpch_q3_shipping",
+    "tpch_q4_priority",
+    "ts_recursive_battery",
+    "flagship_summary",
+    "emb_ivf_ann_topk",
+    "ts_indicators3",
+    "flagship_global_mae",
+    "knn_topk_metrics",
+    "flagship_loss_math",
+    "stream_sessionize",
+    "tpch_q18_big_orders",
+    "stream_ema_state",
+    "doc_ngram_jaccard_pairs",
+    "top_revenue_nations",
+    "doc_dup_clusters",
+    "ts_gap_fill",
+    "ts_resample_6h",
+    "stream_enrich_join",
+    "emb_near_dup_pairs",
+    "stream_dedup_keys",
+    "ts_windows_stats",
+    "ts_sma",
 ]
 
 
@@ -1150,58 +1160,58 @@ def all_queries() -> dict[str, QueryFn]:
         # the 25 r11-deferred entries first ('never' = no driver hash
         # yet; judge-verified oracle-exact at sf0.01 in VERDICT r11),
         # then new r12 additions, then the canaries.
-        "emb_isotropy": q_emb_isotropy,  # never (r11 deferred -> r12 window)
-        "ts_ema_scan": q_ts_ema_scan,  # never (r11 deferred -> r12 window)
-        "graph_jaccard_links": q_graph_jaccard_links,  # never (r11 deferred -> r12 window)
-        "ts_variance_ratio": q_ts_variance_ratio,  # never (r11 deferred -> r12 window)
-        "ts_capm_beta": q_ts_capm_beta,  # never (r11 deferred -> r12 window)
-        "ts_amihud_illiq": q_ts_amihud_illiq,  # never (r11 deferred -> r12 window)
-        "doc_lexical_diversity": q_doc_lexical_diversity,  # never (r11 deferred -> r12 window)
-        "emb_ivf_balance": q_emb_ivf_balance,  # never (r11 deferred -> r12 window)
-        "graph_triangle_count": q_graph_triangle_count,  # never (r11 deferred -> r12 window)
-        "ts_kyle_lambda": q_ts_kyle_lambda,  # never (r11 deferred -> r12 window)
-        "ts_garman_klass_vol": q_ts_garman_klass_vol,  # never (r11 deferred -> r12 window)
-        "ts_permutation_entropy": q_ts_permutation_entropy,  # never (r11 deferred -> r12 window)
-        "doc_js_divergence": q_doc_js_divergence,  # never (r11 deferred -> r12 window)
-        "ts_engle_granger": q_ts_engle_granger,  # never (r11 deferred -> r12 window)
-        "events_burstiness": q_events_burstiness,  # never (r11 deferred -> r12 window)
-        "ts_garch_scan": q_ts_garch_scan,  # never (r11 deferred -> r12 window)
-        "events_entropy_rate": q_events_entropy_rate,  # never (r11 deferred -> r12 window)
-        "part_price_elasticity": q_part_price_elasticity,  # never (r11 deferred -> r12 window)
-        "doc_heaps_law": q_doc_heaps_law,  # never (r11 deferred -> r12 window)
-        "emb_ivf_probe_curve": q_emb_ivf_probe_curve,  # never (r11 deferred -> r12 window)
-        "ts_runs_ztest": q_ts_runs_ztest,  # never (r11 deferred -> r12 window)
-        "doc_vocab_coverage": q_doc_vocab_coverage,  # never (r11 deferred -> r12 window)
-        "emb_centroid_margin": q_emb_centroid_margin,  # never (r11 deferred -> r12 window)
-        "ts_adf_unit_root": q_ts_adf_unit_root,  # never (r11 deferred -> r12 window)
-        "ts_haar_energy": q_ts_haar_energy,  # never (r11 deferred -> r12 window)
+        "emb_isotropy": q_emb_isotropy,  # r12 (r11 deferred)
+        "ts_ema_scan": q_ts_ema_scan,  # r12 (r11 deferred)
+        "graph_jaccard_links": q_graph_jaccard_links,  # r12 (r11 deferred)
+        "ts_variance_ratio": q_ts_variance_ratio,  # r12 (r11 deferred)
+        "ts_capm_beta": q_ts_capm_beta,  # r12 (r11 deferred)
+        "ts_amihud_illiq": q_ts_amihud_illiq,  # r12 (r11 deferred)
+        "doc_lexical_diversity": q_doc_lexical_diversity,  # r12 (r11 deferred)
+        "emb_ivf_balance": q_emb_ivf_balance,  # r12 (r11 deferred)
+        "graph_triangle_count": q_graph_triangle_count,  # r12 (r11 deferred)
+        "ts_kyle_lambda": q_ts_kyle_lambda,  # r12 (r11 deferred)
+        "ts_garman_klass_vol": q_ts_garman_klass_vol,  # r12 (r11 deferred)
+        "ts_permutation_entropy": q_ts_permutation_entropy,  # r12 (r11 deferred)
+        "doc_js_divergence": q_doc_js_divergence,  # r12 (r11 deferred)
+        "ts_engle_granger": q_ts_engle_granger,  # r12 (r11 deferred)
+        "events_burstiness": q_events_burstiness,  # r12 (r11 deferred)
+        "ts_garch_scan": q_ts_garch_scan,  # r12 (r11 deferred)
+        "events_entropy_rate": q_events_entropy_rate,  # r12 (r11 deferred)
+        "part_price_elasticity": q_part_price_elasticity,  # r12 (r11 deferred)
+        "doc_heaps_law": q_doc_heaps_law,  # r12 (r11 deferred)
+        "emb_ivf_probe_curve": q_emb_ivf_probe_curve,  # r12 (r11 deferred)
+        "ts_runs_ztest": q_ts_runs_ztest,  # r12 (r11 deferred)
+        "doc_vocab_coverage": q_doc_vocab_coverage,  # r12 (r11 deferred)
+        "emb_centroid_margin": q_emb_centroid_margin,  # r12 (r11 deferred)
+        "ts_adf_unit_root": q_ts_adf_unit_root,  # r12 (r11 deferred)
+        "ts_haar_energy": q_ts_haar_energy,  # r12 (r11 deferred)
         # ---- new r12 additions land here (positions 26-47) ----
-        "stream_flagship_forecast": q_stream_flagship_forecast,  # never (r12)
-        "doc_bpe_merges": q_doc_bpe_merges,  # never (r12)
-        "ts_jump_test": q_ts_jump_test,  # never (r12)
-        "ts_corwin_schultz": q_ts_corwin_schultz,  # never (r12)
-        "ts_roll_spread": q_ts_roll_spread,  # never (r12)
-        "ts_vwap_deviation": q_ts_vwap_deviation,  # never (r12)
-        "ts_dfa": q_ts_dfa,  # never (r12)
-        "ts_rolling_median": q_ts_rolling_median,  # never (r12)
-        "doc_bpe_segment": q_doc_bpe_segment,  # never (r12)
-        "doc_tokenizer_fertility": q_doc_tokenizer_fertility,  # never (r13)
-        "doc_dup_inflation": q_doc_dup_inflation,  # never (r13)
-        "doc_garbage_score": q_doc_garbage_score,  # never (r12)
-        "doc_length_quantiles": q_doc_length_quantiles,  # never (r12)
-        "emb_jl_distortion": q_emb_jl_distortion,  # never (r12)
-        "emb_lloyd_step": q_emb_lloyd_step,  # never (r12)
-        "emb_silhouette": q_emb_silhouette,  # never (r13)
-        "emb_lsh_recall": q_emb_lsh_recall,  # never (r13)
-        "graph_modularity": q_graph_modularity,  # never (r12)
-        "events_type_user_jaccard": q_events_type_user_jaccard,  # never (r12)
-        "media_phash_near_dup": q_media_phash_near_dup,  # never (r12)
-        "events_mad_outliers": q_events_mad_outliers,  # never (r12)
-        "ts_kendall_tau": q_ts_kendall_tau,  # never (r12)
-        "stream_jump_state": q_stream_jump_state,  # never (r12)
-        "doc_kn_bigram_ppl": q_doc_kn_bigram_ppl,  # never (r12)
-        "orders_benford_law": q_orders_benford_law,  # never (r12)
-        "ts_price_staleness": q_ts_price_staleness,  # never (r12)
+        "stream_flagship_forecast": q_stream_flagship_forecast,  # r12
+        "doc_bpe_merges": q_doc_bpe_merges,  # r12
+        "ts_jump_test": q_ts_jump_test,  # r12
+        "ts_corwin_schultz": q_ts_corwin_schultz,  # r12
+        "ts_roll_spread": q_ts_roll_spread,  # r12
+        "ts_vwap_deviation": q_ts_vwap_deviation,  # r12
+        "ts_dfa": q_ts_dfa,  # r12
+        "ts_rolling_median": q_ts_rolling_median,  # r12
+        "doc_bpe_segment": q_doc_bpe_segment,  # r12
+        "doc_tokenizer_fertility": q_doc_tokenizer_fertility,  # r13
+        "doc_dup_inflation": q_doc_dup_inflation,  # r13
+        "doc_garbage_score": q_doc_garbage_score,  # r12
+        "doc_length_quantiles": q_doc_length_quantiles,  # r12
+        "emb_jl_distortion": q_emb_jl_distortion,  # r12
+        "emb_lloyd_step": q_emb_lloyd_step,  # r12
+        "emb_silhouette": q_emb_silhouette,  # r13
+        "emb_lsh_recall": q_emb_lsh_recall,  # r13
+        "graph_modularity": q_graph_modularity,  # r12
+        "events_type_user_jaccard": q_events_type_user_jaccard,  # r12
+        "media_phash_near_dup": q_media_phash_near_dup,  # r12
+        "events_mad_outliers": q_events_mad_outliers,  # r12
+        "ts_kendall_tau": q_ts_kendall_tau,  # r12
+        "stream_jump_state": q_stream_jump_state,  # r12
+        "doc_kn_bigram_ppl": q_doc_kn_bigram_ppl,  # r12
+        "orders_benford_law": q_orders_benford_law,  # r12
+        "ts_price_staleness": q_ts_price_staleness,  # r12
         # the three STRUCTURAL canaries stay inside the window
         # (test_gate_window_composition): one flagship, one wide
         # indicator battery, one LSH pair query — if the driver
@@ -1475,15 +1485,18 @@ def all_queries() -> dict[str, QueryFn]:
         "flagship_summary": q_flagship_summary,  # r5
         "flagship_metric_sweep": q_flagship_metric_sweep,  # r13
         "flagship_fullscale_mae": q_flagship_fullscale_mae,  # r13
-        "ts_tick_bars": q_ts_tick_bars,  # never (r13)
-        "ts_rolling_beta": q_ts_rolling_beta,  # never (r13)
-        "ts_volume_bars": q_ts_volume_bars,  # never (r13)
+        "ts_tick_bars": q_ts_tick_bars,  # r13
+        "ts_rolling_beta": q_ts_rolling_beta,  # r13
+        "ts_volume_bars": q_ts_volume_bars,  # r13
         "ts_imbalance_bars": q_ts_imbalance_bars,  # never (r14)
         "ts_vpin": q_ts_vpin,  # never (r14)
-        "stream_tick_bars": q_stream_tick_bars,  # never (r13)
-        "stream_volume_bars": q_stream_volume_bars,  # never (r13)
+        "ts_run_bars": q_ts_run_bars,  # never (r14)
+        "stream_tick_bars": q_stream_tick_bars,  # r13
+        "stream_volume_bars": q_stream_volume_bars,  # r13
         "stream_rolling_beta": q_stream_rolling_beta,  # never (r14)
-        "doc_dedup_threshold_sweep": q_doc_dedup_threshold_sweep,  # never (r13)
+        "stream_imbalance_bars": q_stream_imbalance_bars,  # never (r14)
+        "stream_run_bars": q_stream_run_bars,  # never (r14)
+        "doc_dedup_threshold_sweep": q_doc_dedup_threshold_sweep,  # r13
         "flagship_loss_math": q_flagship_loss_math,  # r5
         "ts_dedup_keep_last": q_ts_dedup_keep_last,  # r5
         "ts_time_filter_7d": q_ts_time_filter,  # r5
@@ -1509,9 +1522,9 @@ def all_queries() -> dict[str, QueryFn]:
         "top_orders_per_customer": q_top_orders_per_customer,  # r5
         "customers_without_orders": q_customers_without_orders,  # r5
     }
-    # rotate the r13 gate window to the front (one mechanical list,
+    # rotate the r14 gate window to the front (one mechanical list,
     # registration tags untouched)
-    out = {n: base[n] for n in _GATE_WINDOW_R13}
+    out = {n: base[n] for n in _GATE_WINDOW_R14}
     for n, fn in base.items():
         if n not in out:
             out[n] = fn
@@ -1691,9 +1704,12 @@ def _oracle_sql_map() -> dict[str, str]:
         "ts_volume_bars": _sql_ts_volume_bars(),
         "ts_imbalance_bars": _sql_ts_imbalance_bars(),
         "ts_vpin": _sql_ts_vpin(),
+        "ts_run_bars": _sql_ts_run_bars(),
         "stream_tick_bars": _sql_stream_tick_bars(),
         "stream_volume_bars": _sql_stream_volume_bars(),
         "stream_rolling_beta": _sql_stream_rolling_beta(),
+        "stream_imbalance_bars": _sql_stream_imbalance_bars(),
+        "stream_run_bars": _sql_stream_run_bars(),
         "doc_dedup_threshold_sweep": _sql_doc_dedup_threshold_sweep(),
         "flagship_loss_math": _sql_flagship_loss(),
         "ts_dedup_keep_last": SQL_TS_DEDUP,

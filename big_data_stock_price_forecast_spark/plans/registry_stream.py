@@ -43,6 +43,8 @@ from .registry_common import (  # noqa: F401
 from .registry_common import _filled  # noqa: F401
 from .registry_ts import (  # noqa: F401
     ROLLBETA_W,
+    _sql_ts_imbalance_bars,
+    _sql_ts_run_bars,
     TICK_BAR_N,
     VOLBAR_T_CENTS,
     _flagship_oracle_ctes,
@@ -438,6 +440,61 @@ def _sql_stream_volume_bars() -> str:
     return f"""
 SELECT * FROM ({_sql_ts_volume_bars()})
 QUALIFY bar_id < max(bar_id) OVER (PARTITION BY symbol)"""
+
+
+def q_stream_imbalance_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ts_imbalance_bars (streaming/ops.py
+    imbalance_bar_stream): the closing tick emits its bar the moment
+    |θ| crosses the EMA-calibrated threshold, so the emission set is
+    exactly the batch query's CLOSED bars — the oracle reuses the
+    batch recursive CTE and keeps the bars whose own recursion flag
+    says they closed (no re-derivation from the rounded thr
+    output)."""
+    from ..streaming import (
+        imbalance_bar_stream,
+        run_available_now,
+        stream_events,
+    )
+
+    out = run_available_now(
+        imbalance_bar_stream(stream_events(spark, sf_dir)),
+        "append",
+        state_partitions=8,
+    )
+    return out.select(
+        "symbol", "bar_id", "n_events", "open", "high", "low", "close",
+        "imbalance",
+        _rne(F.col("thr"), "thr", 6),
+        "span_us",
+    )
+
+
+def _sql_stream_imbalance_bars() -> str:
+    return _sql_ts_imbalance_bars(closed_only=True)
+
+
+def q_stream_run_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ts_run_bars (streaming/ops.py
+    run_bar_stream) — the stream_imbalance_bars contract with the
+    one-sided gross-count trigger: emissions are the batch query's
+    CLOSED bars, read off the batch recursion's own closed flag."""
+    from ..streaming import run_available_now, run_bar_stream, stream_events
+
+    out = run_available_now(
+        run_bar_stream(stream_events(spark, sf_dir)),
+        "append",
+        state_partitions=8,
+    )
+    return out.select(
+        "symbol", "bar_id", "n_events", "open", "high", "low", "close",
+        "n_up", "n_dn",
+        _rne(F.col("thr"), "thr", 6),
+        "span_us",
+    )
+
+
+def _sql_stream_run_bars() -> str:
+    return _sql_ts_run_bars(closed_only=True)
 
 
 def q_stream_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -970,7 +970,7 @@ def q_ts_imbalance_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ts_imbalance_bars() -> str:
+def _sql_ts_imbalance_bars(closed_only: bool = False) -> str:
     from ..operators.bars import IMB_SEED_EB, IMB_SEED_ET
 
     # state carried per tick (post-tick): b, bar_id, theta, t_cur,
@@ -1054,7 +1054,143 @@ FROM (
   )
   SELECT * FROM st
 ) ticks
-GROUP BY 1, 2"""
+GROUP BY 1, 2{chr(10) + 'HAVING max(CASE WHEN closed THEN 1 ELSE 0 END) = 1'
+    if closed_only else ''}"""
+
+
+def q_ts_run_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-RUN bars — the one-sided sibling of ts_imbalance_bars:
+    the bar watches the DOMINANT side's gross count
+    θ = max(n_up, n_down) and closes when a same-side run exceeds
+    thr = E_T · max(E_p, 1−E_p) (EMA-calibrated size and buy-fraction
+    expectations, α=0.5, seeds 8.0/0.5 → thr₀=4). Net-zero two-sided
+    chop that never closes an imbalance bar DOES close run bars —
+    the pair disagrees exactly when flow is two-sided, which is the
+    sampling literature's diagnostic. Same Arrow recursion device
+    (operators/bars.py run_bar_ticks), same JVM-side OHLC groupBy,
+    same bitwise recursive-CTE oracle contract."""
+    from ..operators.bars import run_bar_ticks
+
+    series = dedup_keep_last(
+        events_series(spark, sf_dir), ["symbol", "datetime"], "event_id"
+    )
+    ticks = series.select(
+        "symbol",
+        F.unix_micros(F.col("datetime").cast("timestamp")).alias("t_us"),
+        "close",
+    )
+    assigned = run_bar_ticks(ticks)
+    bars = assigned.groupBy("symbol", "bar_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min_by("close", "rn").alias("open"),
+        F.max("close").alias("high"),
+        F.min("close").alias("low"),
+        F.max_by("close", "rn").alias("close"),
+        F.sum(F.when(F.col("b") == 1, 1).otherwise(0))
+        .cast("long").alias("n_up"),
+        F.sum(F.when(F.col("b") == -1, 1).otherwise(0))
+        .cast("long").alias("n_dn"),
+        F.min("thr").alias("thr_raw"),  # constant within a bar
+        (F.max("t_us") - F.min("t_us")).cast("long").alias("span_us"),
+    )
+    return bars.select(
+        "symbol", "bar_id", "n_events", "open", "high", "low", "close",
+        "n_up", "n_dn",
+        _rne(F.col("thr_raw"), "thr", 6),
+        "span_us",
+    )
+
+
+def _sql_ts_run_bars(closed_only: bool = False) -> str:
+    from ..operators.bars import RUN_SEED_EP, RUN_SEED_ET
+
+    # state (post-tick): b, bar_id, n_up, n_dn, closed, e_t, e_p, thr
+    # (post-close-update; the active threshold is emitted as thr_out).
+    # Operand order matches operators/bars.py run_bar_ticks; every
+    # seed scalar is ::DOUBLE (bare x.y literals type the recursion
+    # DECIMAL — the imbalance-bars lesson).
+    b_new = (
+        "(CASE WHEN r.close > p.close THEN 1"
+        " WHEN r.close < p.close THEN -1 ELSE p.b END)"
+    )
+    nup_new = (
+        f"((CASE WHEN p.closed THEN 0 ELSE p.n_up END)"
+        f" + (CASE WHEN {b_new} = 1 THEN 1 ELSE 0 END))"
+    )
+    ndn_new = (
+        f"((CASE WHEN p.closed THEN 0 ELSE p.n_dn END)"
+        f" + (CASE WHEN {b_new} = 1 THEN 0 ELSE 1 END))"
+    )
+    tcur_new = f"({nup_new} + {ndn_new})"
+    closed_new = f"(greatest({nup_new}, {ndn_new})::DOUBLE >= p.thr)"
+    e_t_new = (
+        f"(CASE WHEN {closed_new} THEN 0.5 * {tcur_new} + 0.5 * p.e_t"
+        " ELSE p.e_t END)"
+    )
+    e_p_new = (
+        f"(CASE WHEN {closed_new} THEN"
+        f" 0.5 * ({nup_new}::DOUBLE / {tcur_new}) + 0.5 * p.e_p"
+        " ELSE p.e_p END)"
+    )
+    thr_new = (
+        f"(CASE WHEN {closed_new} THEN"
+        f" {e_t_new} * greatest({e_p_new}, 1.0 - {e_p_new})"
+        " ELSE p.thr END)"
+    )
+    et0 = f"{RUN_SEED_ET!r}::DOUBLE"
+    ep0 = f"{RUN_SEED_EP!r}::DOUBLE"
+    thr0 = f"({et0} * greatest({ep0}, 1.0 - {ep0}))"
+    c0 = f"(greatest(1, 0)::DOUBLE >= {thr0})"
+    et1 = f"(CASE WHEN {c0} THEN 0.5 * 1 + 0.5 * {et0} ELSE {et0} END)"
+    ep1 = (
+        f"(CASE WHEN {c0} THEN 0.5 * (1::DOUBLE / 1) + 0.5 * {ep0}"
+        f" ELSE {ep0} END)"
+    )
+    return f"""
+WITH {SQL_SERIES},
+pre AS (
+  SELECT symbol, close, epoch_us(ts) AS t_us,
+         row_number() OVER (PARTITION BY symbol ORDER BY ts ASC) AS rn
+  FROM series)
+SELECT symbol, bar_id, count(*)::BIGINT AS n_events,
+       arg_min(close, rn) AS open,
+       max(close) AS high, min(close) AS low,
+       arg_max(close, rn) AS close,
+       sum(CASE WHEN b = 1 THEN 1 ELSE 0 END)::BIGINT AS n_up,
+       sum(CASE WHEN b = -1 THEN 1 ELSE 0 END)::BIGINT AS n_dn,
+       {_sql_rne('min(thr_out)', 'thr', 6)},
+       (max(t_us) - min(t_us))::BIGINT AS span_us
+FROM (
+  WITH RECURSIVE st AS (
+    SELECT symbol, rn, t_us, close,
+           1 AS b, 0::BIGINT AS bar_id,
+           1::BIGINT AS n_up, 0::BIGINT AS n_dn,
+           {c0} AS closed,
+           {et1} AS e_t,
+           {ep1} AS e_p,
+           (CASE WHEN {c0}
+             THEN {et1} * greatest({ep1}, 1.0 - {ep1})
+             ELSE {thr0} END) AS thr,
+           {thr0} AS thr_out
+    FROM pre WHERE rn = 1
+    UNION ALL
+    SELECT r.symbol, r.rn, r.t_us, r.close,
+           {b_new} AS b,
+           (CASE WHEN p.closed THEN p.bar_id + 1 ELSE p.bar_id END)
+             AS bar_id,
+           {nup_new} AS n_up,
+           {ndn_new} AS n_dn,
+           {closed_new} AS closed,
+           {e_t_new} AS e_t,
+           {e_p_new} AS e_p,
+           {thr_new} AS thr,
+           p.thr AS thr_out
+    FROM st p JOIN pre r ON r.symbol = p.symbol AND r.rn = p.rn + 1
+  )
+  SELECT * FROM st
+) ticks
+GROUP BY 1, 2{chr(10) + 'HAVING max(CASE WHEN closed THEN 1 ELSE 0 END) = 1'
+    if closed_only else ''}"""
 
 
 VPIN_W = 8  # trailing volume buckets in the VPIN average

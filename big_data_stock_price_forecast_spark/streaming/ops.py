@@ -41,6 +41,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -963,6 +964,256 @@ def flagship_window_stream(
             ),
             outputStructType=_FLAGW_OUT,
             stateStructType=_FLAGW_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_IMBBAR_OUT = StructType(
+    [
+        StructField("symbol", LongType()),
+        StructField("bar_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("open", DoubleType()),
+        StructField("high", DoubleType()),
+        StructField("low", DoubleType()),
+        StructField("close", DoubleType()),
+        StructField("imbalance", LongType()),
+        StructField("thr", DoubleType()),
+        StructField("span_us", LongType()),
+    ]
+)
+_IMBBAR_STATE = StructType(
+    [
+        StructField("prev_close", DoubleType()),
+        StructField("b", IntegerType()),  # last tick-rule sign
+        StructField("theta", LongType()),  # signed flow, open bar
+        StructField("t_cur", LongType()),  # ticks in open bar
+        StructField("e_t", DoubleType()),  # EMA of closed-bar sizes
+        StructField("e_b", DoubleType()),  # EMA of closed-bar theta/T
+        StructField("thr", DoubleType()),  # active threshold
+        StructField("bar_id", LongType()),
+        StructField("o", DoubleType()),
+        StructField("h", DoubleType()),
+        StructField("lo", DoubleType()),
+        StructField("c", DoubleType()),
+        StructField("t_min", LongType()),
+        StructField("t_max", LongType()),
+    ]
+)
+
+
+def _imbalance_bar_state_fn():
+    from ..operators.bars import IMB_SEED_EB, IMB_SEED_ET
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        sym = key[0]
+        pdf = pd.concat(list(pdfs)).sort_values(["datetime", "event_id"])
+        if state.exists:
+            (prev, b, theta, t_cur, e_t, e_b, thr, bid,
+             o, h, lo, c, tmin, tmax) = state.get
+        else:
+            prev = None
+            b, theta, t_cur, bid = 1, 0, 0, 0
+            e_t, e_b = IMB_SEED_ET, IMB_SEED_EB
+            thr = e_t * abs(e_b)
+            o = h = lo = c = None
+            tmin = tmax = None
+        outs: list[tuple] = []
+        ts_ns = pdf["datetime"].to_numpy().astype("datetime64[ns]")
+        for ts, x in zip(ts_ns.astype("int64"), pdf["close"].to_numpy()):
+            t_us = int(ts) // 1000
+            x = float(x)
+            if prev is not None:
+                if x > prev:
+                    b = 1
+                elif x < prev:
+                    b = -1
+                # Δ == 0 carries the previous sign
+            if t_cur == 0:
+                o = h = lo = c = x
+                tmin = tmax = t_us
+            else:
+                h = max(h, x)
+                lo = min(lo, x)
+                c = x
+                tmax = t_us
+            theta += b
+            t_cur += 1
+            if float(abs(theta)) >= thr:
+                # the closing tick EMITS the bar immediately (unlike
+                # the notional bars, whose closure is only known when
+                # a later tick lands), then recalibrates — operand
+                # order identical to operators/bars.py
+                outs.append(
+                    (sym, bid, t_cur, o, h, lo, c, theta, thr,
+                     tmax - tmin)
+                )
+                e_t = 0.5 * t_cur + 0.5 * e_t
+                e_b = 0.5 * (theta / t_cur) + 0.5 * e_b
+                thr = e_t * abs(e_b)
+                bid += 1
+                theta, t_cur = 0, 0
+            prev = x
+        state.update(
+            (prev, b, theta, t_cur, e_t, e_b, thr, bid,
+             o, h, lo, c, tmin, tmax)
+        )
+        if outs:
+            yield pd.DataFrame(outs, columns=[f.name for f in _IMBBAR_OUT])
+
+    return fn
+
+
+def imbalance_bar_stream(sdf: DataFrame) -> DataFrame:
+    """Tick-imbalance bars as a custom stateful streaming operator —
+    the streaming twin of ``ts_imbalance_bars`` and the natural HOME
+    of the operator (the boundary recursion is already a per-key
+    sequential fold, so streaming adds nothing but the state carry):
+    per-symbol state holds the tick-rule sign, the open bar's signed
+    flow θ / OHLC / time range, and the two bar-level EMA
+    calibrations; a bar is emitted the MOMENT its closing tick lands
+    (|θ| crosses the active threshold), then the threshold
+    recalibrates — float operand order identical to the batch Arrow
+    pass, so emissions are bitwise the batch query's CLOSED bars (the
+    trailing partial stays in state; closure is |imbalance| ≥ thr,
+    which the oracle reads off the recursion's own closed flag).
+    State is O(1) per symbol. Same arrival-order precondition as
+    :func:`ema_state_stream` (time-ordered landing files; tick-unique
+    (symbol, ts) — keep-last deduped upstream)."""
+    return (
+        sdf.withWatermark("datetime", "1 hour")
+        .groupBy("symbol")
+        .applyInPandasWithState(
+            _imbalance_bar_state_fn(),
+            outputStructType=_IMBBAR_OUT,
+            stateStructType=_IMBBAR_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_RUNBAR_OUT = StructType(
+    [
+        StructField("symbol", LongType()),
+        StructField("bar_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("open", DoubleType()),
+        StructField("high", DoubleType()),
+        StructField("low", DoubleType()),
+        StructField("close", DoubleType()),
+        StructField("n_up", LongType()),
+        StructField("n_dn", LongType()),
+        StructField("thr", DoubleType()),
+        StructField("span_us", LongType()),
+    ]
+)
+_RUNBAR_STATE = StructType(
+    [
+        StructField("prev_close", DoubleType()),
+        StructField("b", IntegerType()),
+        StructField("n_up", LongType()),  # open bar up-count
+        StructField("n_dn", LongType()),  # open bar down-count
+        StructField("e_t", DoubleType()),
+        StructField("e_p", DoubleType()),  # EMA of buy fraction
+        StructField("thr", DoubleType()),
+        StructField("bar_id", LongType()),
+        StructField("o", DoubleType()),
+        StructField("h", DoubleType()),
+        StructField("lo", DoubleType()),
+        StructField("c", DoubleType()),
+        StructField("t_min", LongType()),
+        StructField("t_max", LongType()),
+    ]
+)
+
+
+def _run_bar_state_fn():
+    from ..operators.bars import RUN_SEED_EP, RUN_SEED_ET
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        sym = key[0]
+        pdf = pd.concat(list(pdfs)).sort_values(["datetime", "event_id"])
+        if state.exists:
+            (prev, b, n_up, n_dn, e_t, e_p, thr, bid,
+             o, h, lo, c, tmin, tmax) = state.get
+        else:
+            prev = None
+            b, n_up, n_dn, bid = 1, 0, 0, 0
+            e_t, e_p = RUN_SEED_ET, RUN_SEED_EP
+            thr = e_t * max(e_p, 1.0 - e_p)
+            o = h = lo = c = None
+            tmin = tmax = None
+        outs: list[tuple] = []
+        ts_ns = pdf["datetime"].to_numpy().astype("datetime64[ns]")
+        for ts, x in zip(ts_ns.astype("int64"), pdf["close"].to_numpy()):
+            t_us = int(ts) // 1000
+            x = float(x)
+            if prev is not None:
+                if x > prev:
+                    b = 1
+                elif x < prev:
+                    b = -1
+            if n_up + n_dn == 0:
+                o = h = lo = c = x
+                tmin = tmax = t_us
+            else:
+                h = max(h, x)
+                lo = min(lo, x)
+                c = x
+                tmax = t_us
+            if b == 1:
+                n_up += 1
+            else:
+                n_dn += 1
+            if float(max(n_up, n_dn)) >= thr:
+                outs.append(
+                    (sym, bid, n_up + n_dn, o, h, lo, c, n_up, n_dn,
+                     thr, tmax - tmin)
+                )
+                t_cur = n_up + n_dn
+                e_t = 0.5 * t_cur + 0.5 * e_t
+                e_p = 0.5 * (n_up / t_cur) + 0.5 * e_p
+                thr = e_t * max(e_p, 1.0 - e_p)
+                bid += 1
+                n_up, n_dn = 0, 0
+            prev = x
+        state.update(
+            (prev, b, n_up, n_dn, e_t, e_p, thr, bid,
+             o, h, lo, c, tmin, tmax)
+        )
+        if outs:
+            yield pd.DataFrame(outs, columns=[f.name for f in _RUNBAR_OUT])
+
+    return fn
+
+
+def run_bar_stream(sdf: DataFrame) -> DataFrame:
+    """Tick-RUN bars as a custom stateful streaming operator — the
+    one-sided sibling of :func:`imbalance_bar_stream` (gross dominant-
+    side count vs net signed flow), identical contract: the closing
+    tick emits its bar immediately, the trailing partial stays in
+    state, float operand order matches the batch Arrow pass bitwise,
+    state is O(1) per symbol, and the oracle reads closure off the
+    batch recursion's own closed flag. Same arrival-order
+    precondition as :func:`ema_state_stream`."""
+    return (
+        sdf.withWatermark("datetime", "1 hour")
+        .groupBy("symbol")
+        .applyInPandasWithState(
+            _run_bar_state_fn(),
+            outputStructType=_RUNBAR_OUT,
+            stateStructType=_RUNBAR_STATE,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

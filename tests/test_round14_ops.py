@@ -94,6 +94,7 @@ def _imb_replay(closes):
     b, prev = 1, None
     bid, theta, t_cur = 0, 0, 0
     out = []  # per tick: (bar_id, b, thr_active)
+    closed = set()
     for x in closes:
         x = float(x)
         if prev is not None:
@@ -105,13 +106,14 @@ def _imb_replay(closes):
         t_cur += 1
         out.append((bid, b, thr))
         if float(abs(theta)) >= thr:
+            closed.add(bid)
             e_t = 0.5 * t_cur + 0.5 * e_t
             e_b = 0.5 * (theta / t_cur) + 0.5 * e_b
             thr = e_t * abs(e_b)
             bid += 1
             theta, t_cur = 0, 0
         prev = x
-    return out
+    return out, closed
 
 
 def test_imbalance_bars_replay(spark, tmp_path):
@@ -138,7 +140,7 @@ def test_imbalance_bars_replay(spark, tmp_path):
         for i, c in enumerate(closes)
     ]
     _write_event_rows(spark, str(tmp_path), rows)
-    ticks = _imb_replay(closes)
+    ticks, _ = _imb_replay(closes)
 
     bars = {}
     for i, (bid, b, thr) in enumerate(ticks):
@@ -315,3 +317,244 @@ def test_rolling_beta_stream_across_batches(spark, tmp_path):
     cut_idx = (cut_us - anchor) // (6 * 3600 * 1_000_000)
     assert any(t <= cut_idx for _, t, _, _ in got)
     assert any(t > cut_idx for _, t, _, _ in got)
+
+
+def test_imbalance_bar_stream_across_batches(spark, tmp_path):
+    """Splitting the tick stream into two micro-batches equals the
+    batch imbalance bars restricted to CLOSED bars — the tick-rule
+    sign, open-bar theta/OHLC and both EMA calibrations carry across
+    the boundary. The expected closed set comes from the pure-Python
+    replay (a bar is closed iff its last tick crossed the threshold —
+    NOT 'bar_id < max': a feed whose final tick closes a bar has a
+    closed max bar)."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_imbalance_bars,
+    )
+    from big_data_stock_price_forecast_spark.streaming import (
+        imbalance_bar_stream,
+        run_available_now,
+    )
+
+    # symbol 11: chop that closes several bars mid-stream; symbol 12:
+    # a monotone run whose FINAL tick closes its bar (max-bar edge)
+    closes_a = []
+    v = 200.0
+    for i in range(60):
+        v += 1.0 if (i * 5) % 7 < 4 else -1.0
+        closes_a.append(v)
+    closes_b = [300.0 + i for i in range(8)]  # theta hits 8 on tick 8
+    rows = [
+        (i, BASE_TS + timedelta(minutes=3 * i), 11, "tick", c, "{}")
+        for i, c in enumerate(closes_a)
+    ] + [
+        (1000 + i, BASE_TS + timedelta(minutes=5 * i), 12, "tick", c,
+         "{}")
+        for i, c in enumerate(closes_b)
+    ]
+
+    sdf_all = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    pdf = (
+        sdf_all.select("event_id", "ts", "user_id", "value")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    half = len(pdf) // 2
+    land = tmp_path / "land"
+    land.mkdir()
+    pdf.iloc[:half].to_parquet(land / "p0.parquet", index=False)
+    pdf.iloc[half:].to_parquet(land / "p1.parquet", index=False)
+
+    batch_dir = tmp_path / "batch"
+    batch_dir.mkdir()
+    _write_event_rows(spark, str(batch_dir), rows)
+
+    schema = spark.read.parquet(str(land)).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(land))
+        .select(
+            F.col("user_id").alias("symbol"),
+            F.col("ts").cast("timestamp").alias("datetime"),
+            F.col("value").alias("close"),
+            "event_id",
+        )
+    )
+    out = run_available_now(imbalance_bar_stream(sdf), "append")
+    got = sorted(map(tuple, out.collect()))
+
+    _, closed_a = _imb_replay(closes_a)
+    _, closed_b = _imb_replay(closes_b)
+    closed = {11: closed_a, 12: closed_b}
+    batch = q_ts_imbalance_bars(spark, str(batch_dir)).collect()
+    exp = sorted(
+        tuple(r) for r in batch if r["bar_id"] in closed[r["symbol"]]
+    )
+    assert got == exp and len(got) > 0
+    # the max-bar edge case actually occurred: symbol 12's final tick
+    # closed its (max) bar, so 'bar_id < max' would have dropped it
+    mx12 = max(r["bar_id"] for r in batch if r["symbol"] == 12)
+    assert mx12 in closed_b
+    # and a bar spanned the micro-batch boundary for symbol 11
+    n1 = int((pdf.iloc[:half]["user_id"] == 11).sum())
+    ticks_a, _ = _imb_replay(closes_a)
+    assert ticks_a[n1 - 1][0] == ticks_a[n1][0]
+
+
+# ------------------------------------------- run bars
+
+
+def _run_replay(closes):
+    """Pure-Python replica of operators/bars.py run_bar_ticks."""
+    e_t, e_p = 8.0, 0.5
+    thr = e_t * max(e_p, 1.0 - e_p)
+    b, prev = 1, None
+    bid, n_up, n_dn = 0, 0, 0
+    out = []  # per tick: (bar_id, b, thr_active)
+    closed = set()
+    for x in closes:
+        x = float(x)
+        if prev is not None:
+            if x > prev:
+                b = 1
+            elif x < prev:
+                b = -1
+        if b == 1:
+            n_up += 1
+        else:
+            n_dn += 1
+        out.append((bid, b, thr))
+        if float(max(n_up, n_dn)) >= thr:
+            closed.add(bid)
+            t_cur = n_up + n_dn
+            e_t = 0.5 * t_cur + 0.5 * e_t
+            e_p = 0.5 * (n_up / t_cur) + 0.5 * e_p
+            thr = e_t * max(e_p, 1.0 - e_p)
+            bid += 1
+            n_up, n_dn = 0, 0
+        prev = x
+    return out, closed
+
+
+def test_run_bars_replay(spark, tmp_path):
+    """Run-bar boundaries replay exactly, the threshold adapts off
+    the buy-fraction EMA, and the defining DIVERGENCE from imbalance
+    bars is exercised: perfectly alternating (net-zero) chop closes
+    run bars on gross same-side counts while the imbalance card's
+    |theta| never leaves {0, 1}."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_imbalance_bars,
+        q_ts_run_bars,
+    )
+
+    # alternating +1/-1 chop: theta oscillates 1,0,1,0,... (no
+    # imbalance close under thr0=8) but n_up/n_dn both climb — run
+    # bars close whenever the dominant side hits the threshold
+    closes = [500.0]
+    for i in range(39):
+        closes.append(closes[-1] + (1.0 if i % 2 == 0 else -1.0))
+    rows = [
+        (i, BASE_TS + timedelta(minutes=i), 21, "tick", c, "{}")
+        for i, c in enumerate(closes)
+    ]
+    _write_event_rows(spark, str(tmp_path), rows)
+    ticks, _ = _run_replay(closes)
+
+    bars = {}
+    for i, (bid, b, thr) in enumerate(ticks):
+        bars.setdefault(bid, []).append((i, closes[i], b, thr))
+    got = {r["bar_id"]: r for r in
+           q_ts_run_bars(spark, str(tmp_path)).collect()}
+    assert set(got) == set(bars)
+    for bid, seg in bars.items():
+        r = got[bid]
+        vals = [c for _, c, _, _ in seg]
+        assert r["n_events"] == len(seg)
+        assert r["open"] == vals[0] and r["close"] == vals[-1]
+        assert r["high"] == max(vals) and r["low"] == min(vals)
+        assert r["n_up"] == sum(1 for _, _, b, _ in seg if b == 1)
+        assert r["n_dn"] == sum(1 for _, _, b, _ in seg if b == -1)
+        assert r["thr"] == _snap(seg[0][3], 6)
+        assert r["span_us"] == (seg[-1][0] - seg[0][0]) * 60 * 1_000_000
+    # the divergence actually happened: several run bars closed while
+    # the imbalance card sees ONE open bar on the same feed
+    assert len(bars) >= 3
+    thrs = [seg[0][3] for _, seg in sorted(bars.items())]
+    assert len(set(thrs)) >= 2 and thrs[0] == 4.0
+    imb = q_ts_imbalance_bars(spark, str(tmp_path)).collect()
+    assert len(imb) == 1  # net-zero chop never crossed |theta| >= 8
+
+
+def test_run_bar_stream_across_batches(spark, tmp_path):
+    """Two micro-batches equal the batch run bars restricted to
+    CLOSED bars — sign, gross counts, OHLC and both EMAs carry across
+    the boundary (the imbalance-twin contract with the one-sided
+    trigger)."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_run_bars,
+    )
+    from big_data_stock_price_forecast_spark.streaming import (
+        run_available_now,
+        run_bar_stream,
+    )
+
+    closes = [700.0]
+    for i in range(50):
+        closes.append(closes[-1] + (1.0 if (i * 3) % 5 < 3 else -1.0))
+    rows = [
+        (i, BASE_TS + timedelta(minutes=4 * i), 31, "tick", c, "{}")
+        for i, c in enumerate(closes)
+    ]
+    sdf_all = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    pdf = (
+        sdf_all.select("event_id", "ts", "user_id", "value")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    half = len(pdf) // 2
+    land = tmp_path / "land"
+    land.mkdir()
+    pdf.iloc[:half].to_parquet(land / "p0.parquet", index=False)
+    pdf.iloc[half:].to_parquet(land / "p1.parquet", index=False)
+    batch_dir = tmp_path / "batch"
+    batch_dir.mkdir()
+    _write_event_rows(spark, str(batch_dir), rows)
+
+    schema = spark.read.parquet(str(land)).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(land))
+        .select(
+            F.col("user_id").alias("symbol"),
+            F.col("ts").cast("timestamp").alias("datetime"),
+            F.col("value").alias("close"),
+            "event_id",
+        )
+    )
+    out = run_available_now(run_bar_stream(sdf), "append")
+    # the raw operator emits unrounded thr; the registry query wraps
+    # it in _rne(6) — apply the same snap before comparing
+    got = sorted(
+        tuple(r)[:9] + (_snap(r["thr"], 6), r["span_us"])
+        for r in out.collect()
+    )
+    _, closed = _run_replay(closes)
+    batch = q_ts_run_bars(spark, str(batch_dir)).collect()
+    exp = sorted(tuple(r) for r in batch if r["bar_id"] in closed)
+    assert got == exp and len(got) >= 2
+    # a bar genuinely spanned the boundary
+    ticks, _ = _run_replay(closes)
+    assert ticks[half - 1][0] == ticks[half][0]
