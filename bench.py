@@ -92,6 +92,23 @@ def main() -> None:
         )
         run_available_now(ema_state_stream(state_in), "append")
 
+    def _drop_leaked_blocks(spark) -> None:
+        # localCheckpoint(eager) blocks (metric sweep's val frame, the
+        # probe curve's anchor/centroid frames, ...) stay pinned in the
+        # block manager until the lazy ContextCleaner notices the
+        # Python-side DataFrame died; over a 348-query session that
+        # residue is what the END of the bench measures (r14: the
+        # fullscale runs read 182-215s in-bench vs 71-110s isolated on
+        # the same code). Explicit unpersist after every query keeps
+        # late positions measuring their plan, not accumulated GC
+        # pressure.
+        try:
+            for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs()
+                             .values()):
+                jrdd.unpersist(False)
+        except Exception:  # noqa: BLE001 — hygiene must never fail a run
+            pass
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
@@ -114,6 +131,7 @@ def main() -> None:
         # this, pinned storage memory accumulates across the run and
         # late-position queries measure GC pressure, not their plan
         spark.catalog.clearCache()
+        _drop_leaked_blocks(spark)
 
     # BENCH-only: the reference's REAL window config (seq_len=256,
     # pred_window=192, k=5, stride=seq_len//4=64 — the notebooks/
@@ -150,6 +168,7 @@ def main() -> None:
                 continue
             t2 = round(time.perf_counter() - t0, 3)
             spark.catalog.clearCache()
+            _drop_leaked_blocks(spark)
             slow_runs[name] = {"runs": [t1, t2], "min": min(t1, t2)}
             print(f"# {name} rerun: {t2:.3f}s (min {min(t1, t2):.3f})",
                   file=sys.stderr)
@@ -161,6 +180,15 @@ def main() -> None:
             FlagshipParams,
             flagship_summary,
         )
+
+        # a clean block manager + one full GC before the headline
+        # timing: the fullscale runs are the bench's scale anchor and
+        # must not measure 348 queries of session residue
+        _drop_leaked_blocks(spark)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
 
         pfs = FlagshipParams(
             resample_every="10 minutes",

@@ -92,7 +92,6 @@ def imbalance_bar_ticks(
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col)
         closes = pdf[close_col].to_numpy()
-        key = pdf[part_col].iloc[0]
         n = len(closes)
         bids = [0] * n
         bs = [0] * n
@@ -171,7 +170,6 @@ def run_bar_ticks(
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col)
         closes = pdf[close_col].to_numpy()
-        key = pdf[part_col].iloc[0]
         n = len(closes)
         bids = [0] * n
         bs = [0] * n
