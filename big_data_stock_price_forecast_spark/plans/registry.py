@@ -1031,6 +1031,8 @@ from .registry_stream import (  # noqa: F401
     q_stream_imbalance_bars,
     _sql_stream_run_bars,
     q_stream_run_bars,
+    _sql_stream_vpin,
+    q_stream_vpin,
     SQL_STREAM_ENRICH,
     SQL_STREAM_GOLD_SINK,
     SQL_STREAM_INTERVAL_JOIN,
@@ -1068,13 +1070,13 @@ from .registry_stream import (  # noqa: F401
 
 
 # Round-14 gate window (rotation per VERDICT r13 item 4): the driver
-# hashes the FIRST 50 entries of all_queries(). Composition: the 11
-# r14 new/changed entries (6 new operators; ts_volume_bars +
+# hashes the FIRST 50 entries of all_queries(). Composition: the 12
+# r14 new/changed entries (7 new operators; ts_volume_bars +
 # stream_volume_bars changed bar_id arithmetic; emb_ivf_probe_curve +
 # flagship_metric_sweep were re-planned; ts_rolling_beta was
 # refactored onto the shared index builder) plus ts_tick_bars riding
 # along as the bar family's unchanged sibling, the 3 structural
-# canaries, and 35 back-fills chosen oldest-last-driver-green-first
+# canaries, and 34 back-fills chosen oldest-last-driver-green-first
 # (computed from the CORRECTNESS_r01-r13 union: the r04/r05 cohort is
 # the least-recently-re-gated mass), heaviest first within a round.
 # Everything else keeps its registration order and last-green tag.
@@ -1084,6 +1086,7 @@ _GATE_WINDOW_R14 = [
     "ts_vpin",
     "ts_run_bars",
     "stream_run_bars",
+    "stream_vpin",
     "stream_imbalance_bars",
     "stream_rolling_beta",
     "ts_volume_bars",
@@ -1132,7 +1135,6 @@ _GATE_WINDOW_R14 = [
     "emb_near_dup_pairs",
     "stream_dedup_keys",
     "ts_windows_stats",
-    "ts_sma",
 ]
 
 
@@ -1496,6 +1498,7 @@ def all_queries() -> dict[str, QueryFn]:
         "stream_rolling_beta": q_stream_rolling_beta,  # never (r14)
         "stream_imbalance_bars": q_stream_imbalance_bars,  # never (r14)
         "stream_run_bars": q_stream_run_bars,  # never (r14)
+        "stream_vpin": q_stream_vpin,  # never (r14)
         "doc_dedup_threshold_sweep": q_doc_dedup_threshold_sweep,  # r13
         "flagship_loss_math": q_flagship_loss_math,  # r5
         "ts_dedup_keep_last": q_ts_dedup_keep_last,  # r5
@@ -1710,6 +1713,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "stream_rolling_beta": _sql_stream_rolling_beta(),
         "stream_imbalance_bars": _sql_stream_imbalance_bars(),
         "stream_run_bars": _sql_stream_run_bars(),
+        "stream_vpin": _sql_stream_vpin(),
         "doc_dedup_threshold_sweep": _sql_doc_dedup_threshold_sweep(),
         "flagship_loss_math": _sql_flagship_loss(),
         "ts_dedup_keep_last": SQL_TS_DEDUP,

@@ -43,6 +43,8 @@ from .registry_common import (  # noqa: F401
 from .registry_common import _filled  # noqa: F401
 from .registry_ts import (  # noqa: F401
     ROLLBETA_W,
+    VPIN_W,
+    _sql_ts_vpin,
     _sql_ts_imbalance_bars,
     _sql_ts_run_bars,
     TICK_BAR_N,
@@ -471,6 +473,42 @@ def q_stream_imbalance_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_stream_imbalance_bars() -> str:
     return _sql_ts_imbalance_bars(closed_only=True)
+
+
+def q_stream_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ts_vpin (streaming/ops.py vpin_stream): the
+    live flow-toxicity alarm — volume buckets close in per-symbol
+    state, each emitting its 1e9-grid toxicity and the
+    expanding-until-warm trailing-VPIN_W average the moment a later
+    tick lands. Oracle = the batch VPIN minus each symbol's trailing
+    (max bar_id) open bucket, the volume-bar twin's bound."""
+    from ..streaming import run_available_now, stream_events, vpin_stream
+
+    out = run_available_now(
+        vpin_stream(
+            stream_events(spark, sf_dir),
+            t_cents=VOLBAR_T_CENTS,
+            w=VPIN_W,
+        ),
+        "append",
+        state_partitions=8,
+    )
+    denom = F.col("nw").cast("double") * F.lit(1.0e9)
+    return out.select(
+        "symbol", "bar_id", "n_events", "nw",
+        _rne(F.col("buy_c").cast("double") / F.lit(100.0),
+             "buy_notional", 6),
+        _rne(F.col("sell_c").cast("double") / F.lit(100.0),
+             "sell_notional", 6),
+        _rne(F.col("toxq").cast("double") / F.lit(1.0e9), "tox", 8),
+        _rne(F.col("stox").cast("double") / denom, "vpin", 8),
+    )
+
+
+def _sql_stream_vpin() -> str:
+    return f"""
+SELECT * FROM ({_sql_ts_vpin()})
+QUALIFY bar_id < max(bar_id) OVER (PARTITION BY symbol)"""
 
 
 def q_stream_run_bars(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1099,6 +1099,124 @@ def imbalance_bar_stream(sdf: DataFrame) -> DataFrame:
     )
 
 
+_VPIN_OUT = StructType(
+    [
+        StructField("symbol", LongType()),
+        StructField("bar_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("nw", LongType()),
+        StructField("buy_c", LongType()),
+        StructField("sell_c", LongType()),
+        StructField("toxq", LongType()),
+        StructField("stox", LongType()),
+    ]
+)
+_VPIN_STATE = StructType(
+    [
+        StructField("prev_close", DoubleType()),
+        StructField("b", IntegerType()),  # tick-rule sign, carried
+        StructField("cum", LongType()),  # exact cents cumulative
+        StructField("bar_id", LongType()),  # open bucket index
+        StructField("n", LongType()),  # open bucket tick count
+        StructField("buy_c", LongType()),  # open bucket buy cents
+        StructField("sell_c", LongType()),
+        StructField("ring", ArrayType(LongType())),  # last W toxq
+    ]
+)
+
+
+def _vpin_state_fn(t_cents: int, w: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        sym = key[0]
+        pdf = pd.concat(list(pdfs)).sort_values(["datetime", "event_id"])
+        if state.exists:
+            prev, b, cum, bid, n, buy, sell, ring = state.get
+            ring = list(ring) if ring is not None else []
+        else:
+            prev = None
+            b, cum, bid, n, buy, sell = 1, 0, -1, 0, 0, 0
+            ring = []
+        outs: list[tuple] = []
+
+        def close_bucket() -> None:
+            # the bucket's toxicity joins the ring and the bucket
+            # emits with the trailing average over min(seen, w)
+            nonlocal ring
+            vtot = buy + sell
+            toxq = (
+                abs(buy - sell) * 1_000_000_000 // vtot
+                if vtot > 0
+                else None
+            )
+            ring.append(toxq)
+            if len(ring) > w:
+                ring = ring[-w:]
+            live = [x for x in ring if x is not None]
+            stox = sum(live) if live else None
+            outs.append(
+                (sym, bid, n, len(ring), buy, sell, toxq, stox)
+            )
+
+        for x in pdf["close"].to_numpy():
+            x = float(x)
+            vq = int(math.floor(x * 100 + 0.5))
+            if prev is not None:
+                if x > prev:
+                    b = 1
+                elif x < prev:
+                    b = -1
+            nbid = cum // t_cents
+            if nbid != bid:
+                if bid >= 0:
+                    close_bucket()
+                bid, n, buy, sell = nbid, 0, 0, 0
+            n += 1
+            if b == 1:
+                buy += vq
+            else:
+                sell += vq
+            cum += vq
+            prev = x
+        state.update((prev, b, cum, bid, n, buy, sell, ring))
+        if outs:
+            yield pd.DataFrame(outs, columns=[f.name for f in _VPIN_OUT])
+
+    return fn
+
+
+def vpin_stream(
+    sdf: DataFrame, t_cents: int = 100_000, w: int = 8
+) -> DataFrame:
+    """VPIN bucket toxicity as a custom stateful streaming operator —
+    the streaming twin of ``ts_vpin`` and the form the monitor
+    actually runs in production (flow toxicity is a live alarm, not a
+    report): per-symbol state carries the exact integer-cents
+    cumulative (the volume-bar clock), the tick-rule sign, the OPEN
+    bucket's buy/sell cents split, and a ``w``-deep ring of
+    1e9-grid toxicity integers; a bucket emits the moment a tick
+    lands in a LATER bucket index, with the expanding-until-warm
+    trailing sum — all integer arithmetic identical to the batch
+    query's DECIMAL/HUGEINT divisions, so emissions are bitwise the
+    batch rows minus each symbol's trailing (max bar_id) open bucket.
+    State is O(w) per symbol. Same arrival-order precondition as
+    :func:`ema_state_stream`."""
+    return (
+        sdf.withWatermark("datetime", "1 hour")
+        .groupBy("symbol")
+        .applyInPandasWithState(
+            _vpin_state_fn(int(t_cents), int(w)),
+            outputStructType=_VPIN_OUT,
+            stateStructType=_VPIN_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 _RUNBAR_OUT = StructType(
     [
         StructField("symbol", LongType()),

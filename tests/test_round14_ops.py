@@ -558,3 +558,88 @@ def test_run_bar_stream_across_batches(spark, tmp_path):
     # a bar genuinely spanned the boundary
     ticks, _ = _run_replay(closes)
     assert ticks[half - 1][0] == ticks[half][0]
+
+
+def test_vpin_stream_across_batches(spark, tmp_path):
+    """Two micro-batches equal the batch VPIN minus each symbol's
+    trailing open bucket — the cents cumulative, tick-rule sign,
+    open-bucket buy/sell split and the toxicity ring all carry across
+    the micro-batch boundary."""
+    from pyspark.sql import Window as W
+
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        VOLBAR_T_CENTS,
+        VPIN_W,
+        q_ts_vpin,
+    )
+    from big_data_stock_price_forecast_spark.sources.tables import (
+        load_table,
+    )
+    from big_data_stock_price_forecast_spark.streaming import (
+        run_available_now,
+        vpin_stream,
+    )
+
+    ev = load_table(spark, SF, "events").filter(F.col("user_id") < 8)
+    pdf = ev.select("event_id", "ts", "user_id", "value").toPandas()
+    pdf = pdf.sort_values(["ts", "event_id"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    half = len(pdf) // 2
+    land = tmp_path / "land"
+    land.mkdir()
+    pdf.iloc[:half].to_parquet(land / "p0.parquet", index=False)
+    pdf.iloc[half:].to_parquet(land / "p1.parquet", index=False)
+    batch_dir = tmp_path / "batch"
+    batch_dir.mkdir()
+    full = pdf.copy()
+    full["event_type"] = "tick"
+    full["props"] = "{}"
+    spark.createDataFrame(
+        full[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    ).coalesce(1).write.parquet(f"{batch_dir}/events.parquet")
+
+    schema = spark.read.parquet(str(land)).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(land))
+        .select(
+            F.col("user_id").alias("symbol"),
+            F.col("ts").cast("timestamp").alias("datetime"),
+            F.col("value").alias("close"),
+            "event_id",
+        )
+    )
+    out = run_available_now(
+        vpin_stream(sdf, t_cents=VOLBAR_T_CENTS, w=VPIN_W), "append"
+    )
+    got = sorted(
+        (r["symbol"], r["bar_id"], r["n_events"], r["nw"],
+         _snap(r["buy_c"] / 100.0, 6), _snap(r["sell_c"] / 100.0, 6),
+         None if r["toxq"] is None else _snap(r["toxq"] / 1e9, 8),
+         None if r["stox"] is None
+         else _snap(r["stox"] / (float(r["nw"]) * 1e9), 8))
+        for r in out.collect()
+    )
+    vp = q_ts_vpin(spark, str(batch_dir))
+    complete = vp.withColumn(
+        "__mx", F.max("bar_id").over(W.partitionBy("symbol"))
+    ).filter(F.col("bar_id") < F.col("__mx")).drop("__mx")
+    exp = sorted(
+        (r["symbol"], r["bar_id"], r["n_events"], r["nw"],
+         r["buy_notional"], r["sell_notional"], r["tox"], r["vpin"])
+        for r in complete.collect()
+    )
+    assert got == exp and len(got) > 0
+    # a bucket genuinely spanned the boundary for some symbol: the
+    # first half's last tick is mid-bucket
+    import math as _m
+
+    cum = {}
+    for _, row in pdf.iloc[:half].iterrows():
+        u = int(row["user_id"])
+        cum[u] = cum.get(u, 0) + int(
+            _m.floor(float(row["value"]) * 100 + 0.5)
+        )
+    assert any(c % VOLBAR_T_CENTS != 0 for c in cum.values())
