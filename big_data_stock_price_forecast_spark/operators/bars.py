@@ -1,18 +1,20 @@
-"""Information-driven bar sampling: tick-imbalance bar assignment.
+"""Information-driven bar sampling: imbalance and run bars.
 
 Completes the event-time bar family (tick bars / volume bars live as
 pure DataFrame plans in plans/registry_ts.py — their bar index is a
 closed-form function of a running rank/cumulative): IMBALANCE bars
 close when the accumulated signed tick flow |θ| crosses an
-EMA-calibrated expectation, so the boundary depends on every prior
-bar's statistics — a genuine per-symbol recursion that cannot be a
-window function. It rides the engine's standard bounded-recursion
-device (one Arrow pass per symbol, exactly like the EMA/Holt/Kalman
-family in rolling.py): sequential within a symbol — which is the
-SEMANTICS, not a shortcut — and embarrassingly parallel across
-symbols, so the 100 TB posture is the same as every stateful ts
-operator: one exchange on the symbol key, per-task work linear in
-the symbol's tick count, no driver collection.
+EMA-calibrated expectation (RUN bars: the dominant side's gross
+count), so the boundary depends on every prior bar's statistics — a
+genuine per-symbol recursion that cannot be a window function. It
+rides the engine's standard bounded-recursion device (one Arrow pass
+per symbol, exactly like the EMA/Holt/Kalman family in rolling.py):
+sequential within a symbol — which is the SEMANTICS, not a shortcut —
+and embarrassingly parallel across symbols. The pass dedups
+(P5 keep-last), runs the recursion, AND folds the per-bar OHLC in
+one walk, emitting finished bars — so the whole operator is ONE
+exchange on the symbol key with bar-count Arrow output, per-task
+work linear in the symbol's tick count, no driver collection.
 
 Reference parity: the reference samples on the wall clock only
 (core/data/preprocess.py:99-122 resample); this operator is the
@@ -60,86 +62,109 @@ RUN_SEED_ET = 8.0  # run bars: expected ticks per bar, seed
 RUN_SEED_EP = 0.5  # run bars: expected buy fraction, seed
 
 
-def imbalance_bar_ticks(
+def imbalance_bars(
     df: DataFrame,
     part_col: str = "symbol",
     ts_col: str = "t_us",
     close_col: str = "close",
+    id_col: str = "event_id",
 ) -> DataFrame:
-    """Assign every tick its imbalance-bar index.
+    """Tick-imbalance bars, one row per bar (trailing partial
+    included).
 
-    Input: one row per tick with an epoch-microsecond ``ts_col``
-    (int64, unique per symbol) and a double ``close_col``. Output:
-    the same rows plus ``rn`` (1-based tick rank), ``bar_id``
-    (0-based), ``b`` (the tick-rule sign, ±1) and ``thr`` (the
-    threshold active for the tick's bar — constant within a bar).
-    Bar OHLC/imbalance aggregation stays JVM-side in the caller
-    (groupBy on the emitted assignment), so the Python pass carries
-    only the state the recursion genuinely needs.
+    Input: one row per RAW tick with an epoch-microsecond ``ts_col``
+    (int64), a double ``close_col`` and a tie-break ``id_col``. The
+    pass implements the engine-wide P5 keep-last dedup in-line
+    (sort by (ts, id), keep the last row per ts — identical to the
+    dedup_keep_last window form) and folds the OHLC/imbalance
+    aggregation into the SAME sequential walk the recursion already
+    makes, so the whole operator is ONE exchange on the symbol key:
+    FlatMapGroupsInPandas does not propagate the child partitioning,
+    so a JVM-side groupBy(symbol, bar_id) after a per-tick emission
+    would re-shuffle the full tick frame a second time (measured: a
+    third exchange in the executed plan) AND ship per-tick rows back
+    over Arrow — emitting finished bars ships bar-count rows and
+    shuffles nothing.
+
+    Output per bar: ``bar_id`` (0-based), ``n_events``, OHLC,
+    ``imbalance`` (θ at the bar's last tick), ``thr`` (the threshold
+    active for the bar — unrounded; callers round for display) and
+    ``span_us``.
     """
     out_schema = StructType(
         [
             StructField(part_col, df.schema[part_col].dataType),
-            StructField("rn", LongType()),
-            StructField(ts_col, LongType()),
-            StructField(close_col, DoubleType()),
             StructField("bar_id", LongType()),
-            StructField("b", IntegerType()),
+            StructField("n_events", LongType()),
+            StructField("open", DoubleType()),
+            StructField("high", DoubleType()),
+            StructField("low", DoubleType()),
+            StructField("close", DoubleType()),
+            StructField("imbalance", LongType()),
             StructField("thr", DoubleType()),
+            StructField("span_us", LongType()),
         ]
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col)
-        closes = pdf[close_col].to_numpy()
-        n = len(closes)
-        bids = [0] * n
-        bs = [0] * n
-        thrs = [0.0] * n
+        pdf = pdf.sort_values([ts_col, id_col])
+        pdf = pdf.drop_duplicates(subset=ts_col, keep="last")
+        key = pdf[part_col].iloc[0]
         e_t, e_b = IMB_SEED_ET, IMB_SEED_EB
         thr = e_t * abs(e_b)
         b, prev = 1, None
         bid, theta, t_cur = 0, 0, 0
-        for i in range(n):
-            x = float(closes[i])
+        o = h = lo = c = None
+        tmin = tmax = None
+        out: list[tuple] = []
+        for t_us, x in zip(
+            pdf[ts_col].to_numpy(), pdf[close_col].to_numpy()
+        ):
+            t_us, x = int(t_us), float(x)
             if prev is not None:
                 if x > prev:
                     b = 1
                 elif x < prev:
                     b = -1
                 # Δ == 0 carries the previous sign
+            if t_cur == 0:
+                o = h = lo = c = x
+                tmin = tmax = t_us
+            else:
+                h = max(h, x)
+                lo = min(lo, x)
+                c = x
+                tmax = t_us
             theta += b
             t_cur += 1
-            bids[i], bs[i], thrs[i] = bid, b, thr
             if float(abs(theta)) >= thr:
+                out.append(
+                    (key, bid, t_cur, o, h, lo, c, theta, thr,
+                     tmax - tmin)
+                )
                 e_t = 0.5 * t_cur + 0.5 * e_t
                 e_b = 0.5 * (theta / t_cur) + 0.5 * e_b
                 thr = e_t * abs(e_b)
                 bid += 1
                 theta, t_cur = 0, 0
             prev = x
-        return pd.DataFrame(
-            {
-                part_col: pdf[part_col].to_numpy(),
-                "rn": range(1, n + 1),
-                ts_col: pdf[ts_col].to_numpy(),
-                close_col: closes,
-                "bar_id": bids,
-                "b": bs,
-                "thr": thrs,
-            }
-        )
+        if t_cur > 0:  # trailing partial bar
+            out.append(
+                (key, bid, t_cur, o, h, lo, c, theta, thr, tmax - tmin)
+            )
+        return pd.DataFrame(out, columns=[f.name for f in out_schema])
 
     return df.groupBy(part_col).applyInPandas(fn, schema=out_schema)
 
 
-def run_bar_ticks(
+def run_bars(
     df: DataFrame,
     part_col: str = "symbol",
     ts_col: str = "t_us",
     close_col: str = "close",
+    id_col: str = "event_id",
 ) -> DataFrame:
-    """Assign every tick its RUN-bar index — the imbalance family's
+    """Tick-RUN bars, one row per bar — the imbalance family's
     one-sided member: where imbalance bars watch the NET signed flow
     |Σb|, run bars watch the DOMINANT side's gross count
     θ = max(n_up, n_down), closing when a run of same-side pressure
@@ -150,47 +175,62 @@ def run_bar_ticks(
     closes an imbalance bar DOES close run bars once either side's
     gross count accumulates — the two cards disagree exactly when
     flow is two-sided, which is the diagnostic pair the sampling
-    literature uses. Same recursion device, same per-tick emission
-    contract (``rn``, ``bar_id``, ``b``, ``thr``) plus the open
-    bar's running ``n_up``/``n_dn``; same pinned operand order for
-    the recursive-CTE oracle.
-    """
+    literature uses. Same one-exchange contract and in-line P5
+    keep-last as :func:`imbalance_bars`; same pinned operand order
+    for the recursive-CTE oracle."""
     out_schema = StructType(
         [
             StructField(part_col, df.schema[part_col].dataType),
-            StructField("rn", LongType()),
-            StructField(ts_col, LongType()),
-            StructField(close_col, DoubleType()),
             StructField("bar_id", LongType()),
-            StructField("b", IntegerType()),
+            StructField("n_events", LongType()),
+            StructField("open", DoubleType()),
+            StructField("high", DoubleType()),
+            StructField("low", DoubleType()),
+            StructField("close", DoubleType()),
+            StructField("n_up", LongType()),
+            StructField("n_dn", LongType()),
             StructField("thr", DoubleType()),
+            StructField("span_us", LongType()),
         ]
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col)
-        closes = pdf[close_col].to_numpy()
-        n = len(closes)
-        bids = [0] * n
-        bs = [0] * n
-        thrs = [0.0] * n
+        pdf = pdf.sort_values([ts_col, id_col])
+        pdf = pdf.drop_duplicates(subset=ts_col, keep="last")
+        key = pdf[part_col].iloc[0]
         e_t, e_p = RUN_SEED_ET, RUN_SEED_EP
         thr = e_t * max(e_p, 1.0 - e_p)
         b, prev = 1, None
         bid, n_up, n_dn = 0, 0, 0
-        for i in range(n):
-            x = float(closes[i])
+        o = h = lo = c = None
+        tmin = tmax = None
+        out: list[tuple] = []
+        for t_us, x in zip(
+            pdf[ts_col].to_numpy(), pdf[close_col].to_numpy()
+        ):
+            t_us, x = int(t_us), float(x)
             if prev is not None:
                 if x > prev:
                     b = 1
                 elif x < prev:
                     b = -1
+            if n_up + n_dn == 0:
+                o = h = lo = c = x
+                tmin = tmax = t_us
+            else:
+                h = max(h, x)
+                lo = min(lo, x)
+                c = x
+                tmax = t_us
             if b == 1:
                 n_up += 1
             else:
                 n_dn += 1
-            bids[i], bs[i], thrs[i] = bid, b, thr
             if float(max(n_up, n_dn)) >= thr:
+                out.append(
+                    (key, bid, n_up + n_dn, o, h, lo, c, n_up, n_dn,
+                     thr, tmax - tmin)
+                )
                 t_cur = n_up + n_dn
                 e_t = 0.5 * t_cur + 0.5 * e_t
                 e_p = 0.5 * (n_up / t_cur) + 0.5 * e_p
@@ -198,16 +238,11 @@ def run_bar_ticks(
                 bid += 1
                 n_up, n_dn = 0, 0
             prev = x
-        return pd.DataFrame(
-            {
-                part_col: pdf[part_col].to_numpy(),
-                "rn": range(1, n + 1),
-                ts_col: pdf[ts_col].to_numpy(),
-                close_col: closes,
-                "bar_id": bids,
-                "b": bs,
-                "thr": thrs,
-            }
-        )
+        if n_up + n_dn > 0:  # trailing partial bar
+            out.append(
+                (key, bid, n_up + n_dn, o, h, lo, c, n_up, n_dn, thr,
+                 tmax - tmin)
+            )
+        return pd.DataFrame(out, columns=[f.name for f in out_schema])
 
     return df.groupBy(part_col).applyInPandas(fn, schema=out_schema)

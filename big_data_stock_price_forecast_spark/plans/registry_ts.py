@@ -933,39 +933,36 @@ def q_ts_imbalance_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the fixed-clock sibling). The boundary depends on every prior
     bar's statistics — a true per-symbol recursion, ridden on the
     engine's standard Arrow device (operators/bars.py; sequential
-    per symbol IS the semantics, parallel across symbols) with the
-    per-tick assignment emitted so the OHLC/imbalance aggregation
-    stays a map-side JVM groupBy. Exactness: θ and tick counts are
-    integers; the only float ops are the two bar-level EMAs and the
-    threshold product, evaluated in a pinned operand order the
-    recursive-CTE oracle replays bitwise (the Holt/Kalman contract).
-    The trailing partial bar is included (flagged by imbalance not
-    having crossed thr), matching ts_tick_bars."""
-    from ..operators.bars import imbalance_bar_ticks
+    per symbol IS the semantics, parallel across symbols). The pass
+    dedups (P5 keep-last, in-line — identical to the window form),
+    runs the recursion and folds the OHLC in one walk, so the WHOLE
+    query is one exchange on the symbol key with bar-count Arrow
+    output (a JVM-side groupBy after a per-tick emission measured a
+    THIRD exchange — FlatMapGroupsInPandas doesn't propagate
+    partitioning). Exactness: θ and tick counts are integers; the
+    only float ops are the two bar-level EMAs and the threshold
+    product, evaluated in a pinned operand order the recursive-CTE
+    oracle replays bitwise (the Holt/Kalman contract). The trailing
+    partial bar is included (flagged by imbalance not having crossed
+    thr), matching ts_tick_bars."""
+    from ..operators.bars import imbalance_bars
 
-    series = dedup_keep_last(
-        events_series(spark, sf_dir), ["symbol", "datetime"], "event_id"
+    ev = load_table(spark, sf_dir, "events")
+    dt = F.col("ts")
+    if dict(ev.dtypes)["ts"] == "timestamp_ntz":
+        require_utc(spark)
+        dt = dt.cast("timestamp")
+    ticks = ev.select(
+        F.col("user_id").alias("symbol"),
+        F.unix_micros(dt).alias("t_us"),
+        F.col("value").alias("close"),
+        "event_id",
     )
-    ticks = series.select(
-        "symbol",
-        F.unix_micros(F.col("datetime").cast("timestamp")).alias("t_us"),
-        "close",
-    )
-    assigned = imbalance_bar_ticks(ticks)
-    bars = assigned.groupBy("symbol", "bar_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.min_by("close", "rn").alias("open"),
-        F.max("close").alias("high"),
-        F.min("close").alias("low"),
-        F.max_by("close", "rn").alias("close"),
-        F.sum("b").cast("long").alias("imbalance"),
-        F.min("thr").alias("thr_raw"),  # constant within a bar
-        (F.max("t_us") - F.min("t_us")).cast("long").alias("span_us"),
-    )
+    bars = imbalance_bars(ticks)
     return bars.select(
         "symbol", "bar_id", "n_events", "open", "high", "low", "close",
         "imbalance",
-        _rne(F.col("thr_raw"), "thr", 6),
+        _rne(F.col("thr"), "thr", 6),
         "span_us",
     )
 
@@ -1066,37 +1063,27 @@ def q_ts_run_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     expectations, α=0.5, seeds 8.0/0.5 → thr₀=4). Net-zero two-sided
     chop that never closes an imbalance bar DOES close run bars —
     the pair disagrees exactly when flow is two-sided, which is the
-    sampling literature's diagnostic. Same Arrow recursion device
-    (operators/bars.py run_bar_ticks), same JVM-side OHLC groupBy,
-    same bitwise recursive-CTE oracle contract."""
-    from ..operators.bars import run_bar_ticks
+    sampling literature's diagnostic. Same one-exchange Arrow device
+    (operators/bars.py run_bars — in-line P5 dedup + recursion + OHLC
+    fold in one walk), same bitwise recursive-CTE oracle contract."""
+    from ..operators.bars import run_bars
 
-    series = dedup_keep_last(
-        events_series(spark, sf_dir), ["symbol", "datetime"], "event_id"
+    ev = load_table(spark, sf_dir, "events")
+    dt = F.col("ts")
+    if dict(ev.dtypes)["ts"] == "timestamp_ntz":
+        require_utc(spark)
+        dt = dt.cast("timestamp")
+    ticks = ev.select(
+        F.col("user_id").alias("symbol"),
+        F.unix_micros(dt).alias("t_us"),
+        F.col("value").alias("close"),
+        "event_id",
     )
-    ticks = series.select(
-        "symbol",
-        F.unix_micros(F.col("datetime").cast("timestamp")).alias("t_us"),
-        "close",
-    )
-    assigned = run_bar_ticks(ticks)
-    bars = assigned.groupBy("symbol", "bar_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.min_by("close", "rn").alias("open"),
-        F.max("close").alias("high"),
-        F.min("close").alias("low"),
-        F.max_by("close", "rn").alias("close"),
-        F.sum(F.when(F.col("b") == 1, 1).otherwise(0))
-        .cast("long").alias("n_up"),
-        F.sum(F.when(F.col("b") == -1, 1).otherwise(0))
-        .cast("long").alias("n_dn"),
-        F.min("thr").alias("thr_raw"),  # constant within a bar
-        (F.max("t_us") - F.min("t_us")).cast("long").alias("span_us"),
-    )
+    bars = run_bars(ticks)
     return bars.select(
         "symbol", "bar_id", "n_events", "open", "high", "low", "close",
         "n_up", "n_dn",
-        _rne(F.col("thr_raw"), "thr", 6),
+        _rne(F.col("thr"), "thr", 6),
         "span_us",
     )
 

@@ -411,7 +411,7 @@ def test_imbalance_bar_stream_across_batches(spark, tmp_path):
 
 
 def _run_replay(closes):
-    """Pure-Python replica of operators/bars.py run_bar_ticks."""
+    """Pure-Python replica of operators/bars.py run_bars."""
     e_t, e_p = 8.0, 0.5
     thr = e_t * max(e_p, 1.0 - e_p)
     b, prev = 1, None
@@ -643,3 +643,28 @@ def test_vpin_stream_across_batches(spark, tmp_path):
             _m.floor(float(row["value"]) * 100 + 0.5)
         )
     assert any(c % VOLBAR_T_CENTS != 0 for c in cum.values())
+
+
+def test_bar_family_plan_shapes(spark):
+    """Pin the exchange counts of the information-driven bar family:
+    imbalance/run bars are ONE exchange (in-pass dedup + recursion +
+    OHLC fold — a JVM groupBy after per-tick emission would add a
+    third shuffle because FlatMapGroupsInPandas doesn't propagate
+    partitioning); the notional-clock queries are TWO (the keep-last
+    dedup window on (symbol, datetime), then the symbol-keyed
+    rank/cumulative windows + map-side aggregates)."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_imbalance_bars,
+        q_ts_run_bars,
+        q_ts_vpin,
+        q_ts_volume_bars,
+    )
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange ")
+
+    assert n_exchanges(q_ts_imbalance_bars(spark, SF)) == 1
+    assert n_exchanges(q_ts_run_bars(spark, SF)) == 1
+    assert n_exchanges(q_ts_vpin(spark, SF)) == 2
+    assert n_exchanges(q_ts_volume_bars(spark, SF)) == 2
