@@ -92,6 +92,84 @@ def main() -> None:
         )
         run_available_now(ema_state_stream(state_in), "append")
 
+    def _jvm_stats(spark) -> dict:
+        # block-manager / GC forensics for the headline runs (r14
+        # verdict item 1: the driver-box fullscale swung 87->115s on
+        # unchanged plans; these counters say whether a slow run was
+        # the PLAN or accumulated session residue / GC pressure)
+        out: dict = {}
+        try:
+            jvm = spark.sparkContext._jvm
+            mf = jvm.java.lang.management.ManagementFactory
+            heap = mf.getMemoryMXBean().getHeapMemoryUsage()
+            out["heap_used_mb"] = int(heap.getUsed() / (1024 * 1024))
+            gc_ms, gc_n = 0, 0
+            beans = mf.getGarbageCollectorMXBeans()
+            for i in range(beans.size()):
+                b = beans.get(i)
+                gc_ms += int(b.getCollectionTime())
+                gc_n += int(b.getCollectionCount())
+            out["gc_ms"] = gc_ms
+            out["gc_count"] = gc_n
+            out["persistent_rdds"] = int(
+                spark.sparkContext._jsc.getPersistentRDDs().size()
+            )
+        except Exception:  # noqa: BLE001 — forensics must never fail a run
+            pass
+        return out
+
+    def _run_fullscale(spark, sf_dir, n_runs, position):
+        """Timed fullscale runs with before/after JVM stats."""
+        from big_data_stock_price_forecast_spark.plans.flagship import (
+            FlagshipParams,
+            flagship_summary,
+        )
+
+        pfs = FlagshipParams(
+            resample_every="10 minutes",
+            step_seconds=600,
+            L=256,
+            pred_window=192,
+            k=5,
+            ensemble=2,
+            stride=64,
+        )
+        runs, stats = [], []
+        for i in range(n_runs):
+            pre = _jvm_stats(spark)
+            t0 = time.perf_counter()
+            flagship_summary(spark, sf_dir, pfs).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            post = _jvm_stats(spark)
+            runs.append(round(dt, 3))
+            stats.append(
+                {
+                    "position": position,
+                    "secs": round(dt, 3),
+                    "heap_used_mb_pre": pre.get("heap_used_mb"),
+                    "heap_used_mb_post": post.get("heap_used_mb"),
+                    "gc_ms_delta": (
+                        post.get("gc_ms", 0) - pre.get("gc_ms", 0)
+                    ),
+                    "gc_count_delta": (
+                        post.get("gc_count", 0) - pre.get("gc_count", 0)
+                    ),
+                    "persistent_rdds_pre": pre.get("persistent_rdds"),
+                }
+            )
+            print(
+                f"# flagship_fullscale [{position}] run"
+                f" {i + 1}/{n_runs}: {dt:.3f}s"
+                f" (gc {stats[-1]['gc_ms_delta']}ms,"
+                f" heap {pre.get('heap_used_mb')}->"
+                f"{post.get('heap_used_mb')}MB)",
+                file=sys.stderr,
+            )
+            spark.catalog.clearCache()
+        return runs, stats
+
     def _drop_leaked_blocks(spark) -> None:
         # localCheckpoint(eager) blocks (metric sweep's val frame, the
         # probe curve's anchor/centroid frames, ...) stay pinned in the
@@ -108,6 +186,32 @@ def main() -> None:
                 jrdd.unpersist(False)
         except Exception:  # noqa: BLE001 — hygiene must never fail a run
             pass
+
+    # position-A timing (r14 verdict item 1): the fullscale headline
+    # FIRST — right after warmup, before 350 queries of session
+    # residue — so a slow end-position min is attributable to the
+    # session, not the plan. Recorded separately; the committed
+    # headline min spans BOTH positions.
+    extra_timings: dict[str, object] = {}
+    fullscale_stats: list[dict] = []
+    first_runs: list[float] = []
+    try:
+        n_first = int(
+            os.environ.get("SPARK_GRAFT_FULLSCALE_FIRST_RUNS", "1")
+        )
+        if n_first > 0:
+            first_runs, st = _run_fullscale(
+                spark, sf_dir, n_first, "first"
+            )
+            fullscale_stats.extend(st)
+            spark.catalog.clearCache()
+            _drop_leaked_blocks(spark)
+    except Exception as e:  # noqa: BLE001
+        print(
+            f"# flagship_fullscale[first]: ERROR"
+            f" {type(e).__name__}: {str(e)[:300]}",
+            file=sys.stderr,
+        )
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -146,7 +250,6 @@ def main() -> None:
     # NOTES_r11 measured a 104-197s band on identical code (GC/
     # page-cache noise on this shared box) — so the line carries a
     # representative min plus the observed band.
-    extra_timings: dict[str, object] = {}
 
     # min-of-2 for the slow tail (r12 verdict item 6): the box swings
     # 1.5-2x on identical code, so any query over 5s gets a second
@@ -176,11 +279,6 @@ def main() -> None:
             extra_timings["slow_query_runs"] = slow_runs
 
     try:
-        from big_data_stock_price_forecast_spark.plans.flagship import (
-            FlagshipParams,
-            flagship_summary,
-        )
-
         # a clean block manager + one full GC before the headline
         # timing: the fullscale runs are the bench's scale anchor and
         # must not measure 348 queries of session residue
@@ -190,32 +288,23 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             pass
 
-        pfs = FlagshipParams(
-            resample_every="10 minutes",
-            step_seconds=600,
-            L=256,
-            pred_window=192,
-            k=5,
-            ensemble=2,
-            stride=64,
-        )
-        runs = []
         n_runs = int(os.environ.get("SPARK_GRAFT_FULLSCALE_RUNS", "3"))
-        for i in range(n_runs):
-            t0 = time.perf_counter()
-            flagship_summary(spark, sf_dir, pfs).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            runs.append(round(dt, 3))
-            print(
-                f"# flagship_fullscale run {i + 1}/{n_runs}: {dt:.3f}s",
-                file=sys.stderr,
+        runs, st = _run_fullscale(spark, sf_dir, n_runs, "end")
+        fullscale_stats.extend(st)
+        if runs or first_runs:
+            # headline min spans BOTH positions; the per-position
+            # bands are recorded so a driver-box regression is
+            # attributable (first ≈ end ⇒ plan; first ≪ end ⇒
+            # session residue; both high vs local ⇒ box load)
+            extra_timings["flagship_fullscale"] = min(
+                runs + first_runs
             )
-            spark.catalog.clearCache()
-        if runs:
-            extra_timings["flagship_fullscale"] = min(runs)
             extra_timings["flagship_fullscale_runs"] = runs
+            if first_runs:
+                extra_timings["flagship_fullscale_first_runs"] = (
+                    first_runs
+                )
+            extra_timings["flagship_fullscale_stats"] = fullscale_stats
     except Exception as e:  # noqa: BLE001
         errors["flagship_fullscale"] = f"{type(e).__name__}: {str(e)[:300]}"
 

@@ -48,7 +48,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     DoubleType,
-    IntegerType,
     LongType,
     StructField,
     StructType,

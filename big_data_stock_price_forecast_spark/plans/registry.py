@@ -781,6 +781,8 @@ from .registry_ts import (  # noqa: F401
     _sql_ts_imbalance_bars,
     _sql_ts_run_bars,
     _sql_ts_vpin,
+    _sql_ts_cusum_events,
+    _sql_ts_triple_barrier,
     VPIN_W,
     q_flagship,
     q_flagship_fullscale_mae,
@@ -793,6 +795,8 @@ from .registry_ts import (  # noqa: F401
     q_ts_imbalance_bars,
     q_ts_run_bars,
     q_ts_vpin,
+    q_ts_cusum_events,
+    q_ts_triple_barrier,
     q_flagship_summary,
     q_ts_adf_unit_root,
     q_ts_amihud_illiq,
@@ -1490,9 +1494,11 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_tick_bars": q_ts_tick_bars,  # r13
         "ts_rolling_beta": q_ts_rolling_beta,  # r13
         "ts_volume_bars": q_ts_volume_bars,  # r13
-        "ts_imbalance_bars": q_ts_imbalance_bars,  # never (r14)
-        "ts_vpin": q_ts_vpin,  # never (r14)
-        "ts_run_bars": q_ts_run_bars,  # never (r14)
+        "ts_imbalance_bars": q_ts_imbalance_bars,  # r14
+        "ts_vpin": q_ts_vpin,  # r14
+        "ts_run_bars": q_ts_run_bars,  # r14
+        "ts_cusum_events": q_ts_cusum_events,  # never (r15)
+        "ts_triple_barrier": q_ts_triple_barrier,  # never (r15)
         "stream_tick_bars": q_stream_tick_bars,  # r13
         "stream_volume_bars": q_stream_volume_bars,  # r13
         "stream_rolling_beta": q_stream_rolling_beta,  # never (r14)
@@ -1708,6 +1714,8 @@ def _oracle_sql_map() -> dict[str, str]:
         "ts_imbalance_bars": _sql_ts_imbalance_bars(),
         "ts_vpin": _sql_ts_vpin(),
         "ts_run_bars": _sql_ts_run_bars(),
+        "ts_cusum_events": _sql_ts_cusum_events(),
+        "ts_triple_barrier": _sql_ts_triple_barrier(),
         "stream_tick_bars": _sql_stream_tick_bars(),
         "stream_volume_bars": _sql_stream_volume_bars(),
         "stream_rolling_beta": _sql_stream_rolling_beta(),

@@ -1324,6 +1324,174 @@ SELECT symbol, bar_id, n_events, nw,
 FROM roll"""
 
 
+def q_ts_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric RESET-on-trigger CUSUM event filter (the AFML
+    getTEvents construction) on the 6h grid — event-trigger sampling,
+    the operator a real pipeline runs between the bar family and
+    model training: sample WHERE the path moved, not every row. The
+    reset is what distinguishes it from ``ts_cusum_alarms`` (whose
+    non-reset statistic has a closed running-sum-minus-running-min
+    window form): after a trigger the accumulator restarts at 0, so
+    the boundary depends on every prior trigger — the same genuine
+    per-symbol recursion as the imbalance-bar family, ridden on the
+    same Arrow device (operators/labeling.py; sequential per symbol
+    IS the semantics, parallel across symbols; event-count output).
+    The threshold is vol-calibrated ON-LINE: h = 4·EMA(|Δclose|)
+    (α = 1/8 — exact binary, seeded at the first |Δ| so the seed row
+    can never trigger). Pinned operand order end-to-end; the DuckDB
+    recursive-CTE oracle replays every double bitwise. UP is checked
+    before DOWN (pinned priority for the both-sides case); the
+    triggered side resets, the other carries (AFML convention).
+    Reference: the reference trains on every stride-1 window
+    (core/data/dataset.py); this is the event-sampled extension."""
+    from ..operators.labeling import cusum_events
+
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    ev = cusum_events(df)
+    return ev.select(
+        "symbol",
+        "time_idx",
+        "event_id",
+        "direction",
+        _rne(F.col("stat"), "stat", 6),
+        _rne(F.col("h"), "h", 6),
+        "entry",
+    )
+
+
+def _sql_cusum_events_inner() -> str:
+    """Recursive-CTE replay of operators/labeling.py cusum_events on
+    the ``filled`` frame: one subquery yielding the UNROUNDED event
+    rows (symbol, time_idx, event_id, direction, stat, h, entry) —
+    shared by the ts_cusum_events and ts_triple_barrier oracles."""
+    from ..operators.labeling import CUSUM_EVT_ALPHA, CUSUM_EVT_H
+
+    a = f"{CUSUM_EVT_ALPHA!r}::DOUBLE"
+    b = f"{1.0 - CUSUM_EVT_ALPHA!r}::DOUBLE"
+    hm = f"{CUSUM_EVT_H!r}::DOUBLE"
+    d = "(r.close - p.close)"
+    ema_new = (
+        f"(CASE WHEN p.ema IS NULL THEN abs({d})"
+        f" ELSE {a} * abs({d}) + {b} * p.ema END)"
+    )
+    h_new = f"({hm} * {ema_new})"
+    sp1 = f"(CASE WHEN (p.sp + {d}) > 0.0 THEN (p.sp + {d}) ELSE 0.0 END)"
+    sn1 = f"(CASE WHEN (p.sn + {d}) < 0.0 THEN (p.sn + {d}) ELSE 0.0 END)"
+    up = f"({sp1} > {h_new})"
+    dn = f"((NOT {up}) AND {sn1} < -{h_new})"
+    return f"""(
+  WITH RECURSIVE st AS (
+    SELECT f.symbol, f.time_idx, f.close,
+           CAST(NULL AS DOUBLE) AS ema,
+           0.0::DOUBLE AS sp, 0.0::DOUBLE AS sn,
+           0::BIGINT AS eid,
+           CAST(NULL AS VARCHAR) AS direction,
+           CAST(NULL AS DOUBLE) AS stat,
+           CAST(NULL AS DOUBLE) AS h
+    FROM filled f JOIN (
+      SELECT symbol, min(time_idx) AS mn FROM filled GROUP BY 1) m
+      ON f.symbol = m.symbol AND f.time_idx = m.mn
+    UNION ALL
+    SELECT r.symbol, r.time_idx, r.close,
+           {ema_new} AS ema,
+           (CASE WHEN {up} THEN 0.0 ELSE {sp1} END) AS sp,
+           (CASE WHEN {dn} THEN 0.0 ELSE {sn1} END) AS sn,
+           (p.eid + CASE WHEN {up} OR {dn} THEN 1 ELSE 0 END) AS eid,
+           (CASE WHEN {up} THEN 'up' WHEN {dn} THEN 'down' END)
+             AS direction,
+           (CASE WHEN {up} THEN {sp1} WHEN {dn} THEN {sn1} END)
+             AS stat,
+           {h_new} AS h
+    FROM st p JOIN filled r
+      ON r.symbol = p.symbol AND r.time_idx = p.time_idx + 1
+  )
+  SELECT symbol, time_idx, (eid - 1)::BIGINT AS event_id, direction,
+         stat, h, close AS entry
+  FROM st WHERE direction IS NOT NULL
+)"""
+
+
+def _sql_ts_cusum_events() -> str:
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED}
+SELECT symbol, time_idx, event_id, direction,
+       {_sql_rne('stat', 'stat', 6)},
+       {_sql_rne('h', 'h', 6)},
+       entry
+FROM {_sql_cusum_events_inner()} ev"""
+
+
+def q_ts_triple_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple-barrier labels for the CUSUM events — the label side of
+    the event-sampling pipeline (the reference's fixed-horizon future
+    window, notebooks/test.ipynb evaluate, is the vertical-barrier
+    degenerate case): horizontal barriers at entry ± 2·h (h = the
+    event's own vol-calibrated CUSUM threshold — the barrier width
+    rides the same on-line calibration), vertical barrier 16 grid
+    rows out. First touch decides: +1 upper / −1 lower / 0 timeout
+    (a same-row double-touch resolves UP — pinned). Shape: pure
+    DataFrame algebra on the J3 device — each event explodes into
+    ≤16 probe offsets and equi-joins the grid on (symbol, time_idx),
+    so join traffic is O(events·16), the grid side keeps its
+    hash(symbol) partitioning (subset of the join key) and only the
+    event-count side shuffles; first-touch resolves via conditional
+    min/min_by aggregates in ONE pass, no per-symbol cross product
+    anywhere (operators/labeling.py triple_barrier)."""
+    from ..operators.labeling import cusum_events, triple_barrier
+
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    ev = cusum_events(df)
+    tb = triple_barrier(df, ev)
+    return tb.select(
+        "symbol",
+        "time_idx",
+        "direction",
+        "entry",
+        "label",
+        "exit_idx",
+        "exit_px",
+        _rne(F.col("ret"), "ret", 6),
+    )
+
+
+def _sql_ts_triple_barrier() -> str:
+    from ..operators.labeling import TB_MULT, TB_V
+
+    m = f"{TB_MULT!r}::DOUBLE"
+    exit_px = (
+        "CASE WHEN label = 1 THEN up_px WHEN label = -1 THEN dn_px"
+        " ELSE last_px END"
+    )
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+ev AS (SELECT * FROM {_sql_cusum_events_inner()} e),
+pr AS (
+  SELECT e.symbol, e.time_idx AS t0, e.direction, e.entry,
+         e.entry + {m} * e.h AS up_b,
+         e.entry - {m} * e.h AS dn_b,
+         (g.time_idx - e.time_idx)::BIGINT AS off, g.close AS px
+  FROM ev e JOIN filled g ON g.symbol = e.symbol
+    AND g.time_idx > e.time_idx AND g.time_idx <= e.time_idx + {TB_V}),
+ag AS (
+  SELECT symbol, t0, direction, entry,
+         min(CASE WHEN px >= up_b THEN off END) AS up_off,
+         min(CASE WHEN px <= dn_b THEN off END) AS dn_off,
+         arg_min(px, CASE WHEN px >= up_b THEN off END) AS up_px,
+         arg_min(px, CASE WHEN px <= dn_b THEN off END) AS dn_px,
+         max(off) AS last_off, arg_max(px, off) AS last_px
+  FROM pr GROUP BY 1, 2, 3, 4),
+lab AS (
+  SELECT *, CASE WHEN up_off IS NOT NULL
+                   AND (dn_off IS NULL OR up_off <= dn_off) THEN 1
+                 WHEN dn_off IS NOT NULL THEN -1 ELSE 0 END AS label
+  FROM ag)
+SELECT symbol, t0 AS time_idx, direction, entry, label,
+       (t0 + CASE WHEN label = 1 THEN up_off
+                  WHEN label = -1 THEN dn_off
+                  ELSE last_off END)::BIGINT AS exit_idx,
+       {exit_px} AS exit_px,
+       {_sql_rne(f'({exit_px}) - entry', 'ret', 6)}
+FROM lab"""
+
+
 FULLSCALE_MAE_PARAMS = FlagshipParams(
     resample_every="10 minutes",
     step_seconds=600,

@@ -319,6 +319,11 @@ def _tick_bar_state_fn(n_bar: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         pdf = pd.concat(list(pdfs)).sort_values(["datetime", "event_id"])
+        # P5 keep-last inside the micro-batch — same in-line dedup as
+        # the batch family (operators/bars.py, SQL_SERIES); cross-batch
+        # duplicates remain an upstream landing concern (append mode
+        # cannot retract an already-emitted bar)
+        pdf = pdf.drop_duplicates(subset="datetime", keep="last")
         if state.exists:
             n_total, o, h, lo, c, tmin, tmax = state.get
         else:
@@ -396,6 +401,8 @@ def _volume_bar_state_fn(t_cents: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         pdf = pd.concat(list(pdfs)).sort_values(["datetime", "event_id"])
+        # P5 keep-last inside the micro-batch (see _tick_bar_state_fn)
+        pdf = pdf.drop_duplicates(subset="datetime", keep="last")
         if state.exists:
             cum, bid, n, o, h, lo, c, tmin, tmax, bc = state.get
         else:
@@ -443,8 +450,8 @@ def volume_bar_stream(sdf: DataFrame, t_cents: int = 100_000) -> DataFrame:
     tick jumps the cumulative past several thresholds — same ids as
     the batch floor division). The trailing open bar stays in state,
     so the emission set is the batch query's bars minus each symbol's
-    max bar_id. State is O(1) per symbol. Same arrival-order
-    precondition as :func:`ema_state_stream`."""
+    max bar_id. State is O(1) per symbol. Same arrival-order and
+    in-batch-dedup contract as :func:`tick_bar_stream`."""
     return (
         sdf.withWatermark("datetime", "1 hour")
         .groupBy("symbol")
@@ -468,8 +475,9 @@ def tick_bar_stream(sdf: DataFrame, n_bar: int = 16) -> DataFrame:
     drop-trailing convention as the batch query's HAVING filter).
     State is O(1) per symbol regardless of uptime. Same arrival-order
     oracle-equivalence precondition as :func:`ema_state_stream`
-    (time-ordered landing files; tick-unique (symbol, ts) — keep-last
-    dedup is an upstream landing concern)."""
+    (time-ordered landing files); in-batch duplicate (symbol, ts)
+    ticks are keep-last deduped (P5); cross-batch duplicates remain
+    an upstream landing concern (append mode cannot retract)."""
     return (
         sdf.withWatermark("datetime", "1 hour")
         .groupBy("symbol")
@@ -1014,6 +1022,10 @@ def _imbalance_bar_state_fn():
     ) -> Iterator[pd.DataFrame]:
         sym = key[0]
         pdf = pd.concat(list(pdfs)).sort_values(["datetime", "event_id"])
+        # P5 keep-last inside the micro-batch — matches the batch
+        # twin's in-line dedup (operators/bars.py:111) so a
+        # duplicate-bearing feed no longer diverges silently
+        pdf = pdf.drop_duplicates(subset="datetime", keep="last")
         if state.exists:
             (prev, b, theta, t_cur, e_t, e_b, thr, bid,
              o, h, lo, c, tmin, tmax) = state.get
@@ -1083,9 +1095,12 @@ def imbalance_bar_stream(sdf: DataFrame) -> DataFrame:
     pass, so emissions are bitwise the batch query's CLOSED bars (the
     trailing partial stays in state; closure is |imbalance| ≥ thr,
     which the oracle reads off the recursion's own closed flag).
-    State is O(1) per symbol. Same arrival-order precondition as
-    :func:`ema_state_stream` (time-ordered landing files; tick-unique
-    (symbol, ts) — keep-last deduped upstream)."""
+    State is O(1) per symbol. Arrival-order precondition as in
+    :func:`ema_state_stream` (time-ordered landing files); duplicate
+    (symbol, ts) ticks WITHIN a micro-batch are keep-last deduped
+    in-line (P5, matching the batch twin); duplicates arriving in a
+    LATER batch remain an upstream landing concern — append mode
+    cannot retract an already-emitted bar."""
     return (
         sdf.withWatermark("datetime", "1 hour")
         .groupBy("symbol")
@@ -1133,6 +1148,9 @@ def _vpin_state_fn(t_cents: int, w: int):
     ) -> Iterator[pd.DataFrame]:
         sym = key[0]
         pdf = pd.concat(list(pdfs)).sort_values(["datetime", "event_id"])
+        # P5 keep-last inside the micro-batch, BEFORE any cents
+        # accumulate — matches ts_vpin's deduped series input
+        pdf = pdf.drop_duplicates(subset="datetime", keep="last")
         if state.exists:
             prev, b, cum, bid, n, buy, sell, ring = state.get
             ring = list(ring) if ring is not None else []
@@ -1202,8 +1220,14 @@ def vpin_stream(
     trailing sum — all integer arithmetic identical to the batch
     query's DECIMAL/HUGEINT divisions, so emissions are bitwise the
     batch rows minus each symbol's trailing (max bar_id) open bucket.
-    State is O(w) per symbol. Same arrival-order precondition as
-    :func:`ema_state_stream`."""
+    (Bound: the streaming cents cumulative is int64 state — exact to
+    2^63−1 cents ≈ $9.2e16, far beyond the pinned 2^53 regime but
+    narrower than the batch twin's DECIMAL(38,0); past it the stream
+    would wrap where batch stays exact.) State is O(w) per symbol.
+    Arrival-order precondition as in :func:`ema_state_stream`;
+    in-batch duplicate ticks are keep-last deduped BEFORE any cents
+    accumulate (P5); cross-batch duplicates remain an upstream
+    landing concern."""
     return (
         sdf.withWatermark("datetime", "1 hour")
         .groupBy("symbol")
@@ -1262,6 +1286,8 @@ def _run_bar_state_fn():
     ) -> Iterator[pd.DataFrame]:
         sym = key[0]
         pdf = pd.concat(list(pdfs)).sort_values(["datetime", "event_id"])
+        # P5 keep-last inside the micro-batch (see imbalance twin)
+        pdf = pdf.drop_duplicates(subset="datetime", keep="last")
         if state.exists:
             (prev, b, n_up, n_dn, e_t, e_p, thr, bid,
              o, h, lo, c, tmin, tmax) = state.get
@@ -1323,8 +1349,8 @@ def run_bar_stream(sdf: DataFrame) -> DataFrame:
     tick emits its bar immediately, the trailing partial stays in
     state, float operand order matches the batch Arrow pass bitwise,
     state is O(1) per symbol, and the oracle reads closure off the
-    batch recursion's own closed flag. Same arrival-order
-    precondition as :func:`ema_state_stream`."""
+    batch recursion's own closed flag. Same arrival-order and
+    in-batch-dedup contract as :func:`imbalance_bar_stream`."""
     return (
         sdf.withWatermark("datetime", "1 hour")
         .groupBy("symbol")
