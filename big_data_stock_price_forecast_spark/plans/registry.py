@@ -1030,6 +1030,7 @@ from .registry_stream import (  # noqa: F401
     SQL_STREAM_EMA,
     _sql_stream_tick_bars,
     _sql_stream_volume_bars,
+    _sql_stream_cusum_events,
     _sql_stream_rolling_beta,
     _sql_stream_imbalance_bars,
     q_stream_imbalance_bars,
@@ -1059,6 +1060,7 @@ from .registry_stream import (  # noqa: F401
     q_stream_ema_state,
     q_stream_tick_bars,
     q_stream_volume_bars,
+    q_stream_cusum_events,
     q_stream_rolling_beta,
     q_stream_enrich_join,
     q_stream_flagship_forecast,
@@ -1073,72 +1075,72 @@ from .registry_stream import (  # noqa: F401
 )
 
 
-# Round-14 gate window (rotation per VERDICT r13 item 4): the driver
-# hashes the FIRST 50 entries of all_queries(). Composition: the 12
-# r14 new/changed entries (7 new operators; ts_volume_bars +
-# stream_volume_bars changed bar_id arithmetic; emb_ivf_probe_curve +
-# flagship_metric_sweep were re-planned; ts_rolling_beta was
-# refactored onto the shared index builder) plus ts_tick_bars riding
-# along as the bar family's unchanged sibling, the 3 structural
-# canaries, and 34 back-fills chosen oldest-last-driver-green-first
-# (computed from the CORRECTNESS_r01-r13 union: the r04/r05 cohort is
-# the least-recently-re-gated mass), heaviest first within a round.
+# Round-15 gate window (rotation per VERDICT r14 item 4): the driver
+# hashes the FIRST 50 entries of all_queries(). Composition: the 8
+# r15 new/changed entries (ts_cusum_events + ts_triple_barrier +
+# stream_cusum_events new; the five stateful bar/VPIN streaming twins
+# gained the in-batch P5 keep-last dedup), the 3 structural canaries,
+# and 39 back-fills chosen oldest-last-driver-green-first (computed
+# from the CORRECTNESS_r01-r14 union: the r05 cohort — 19 queries —
+# is now the least-recently-re-gated mass, then 20 of the r06
+# cohort), heaviest first (BENCH_LOCAL_r14 seconds) within a round.
 # Everything else keeps its registration order and last-green tag.
-_GATE_WINDOW_R14 = [
-    # r14 new/changed
-    "ts_imbalance_bars",
-    "ts_vpin",
-    "ts_run_bars",
+_GATE_WINDOW_R15 = [
+    # r15 new/changed
+    "ts_cusum_events",
+    "ts_triple_barrier",
+    "stream_cusum_events",
+    "stream_imbalance_bars",
     "stream_run_bars",
     "stream_vpin",
-    "stream_imbalance_bars",
-    "stream_rolling_beta",
-    "ts_volume_bars",
+    "stream_tick_bars",
     "stream_volume_bars",
-    "emb_ivf_probe_curve",
-    "flagship_metric_sweep",
-    "ts_rolling_beta",
-    "ts_tick_bars",
     # structural canaries (test_gate_window_composition)
     "flagship_forecast_mae",
     "ts_indicators",
     "doc_minhash_lsh_pairs",
-    # drift-protection back-fill: oldest driver-green first (r04),
-    # then r05, heaviest first within each round
-    "ts_savgol",
-    "win_pca_embed",
-    "ts_incremental_upsert",
-    "win_dct_embed",
-    "ts_dropna_features",
-    "ts_feature_null_ratio",
-    "ts_train_val_split",
-    "doc_top_terms",
-    "events_rollup",
-    "emb_ann_lsh_topk",
-    "ts_numeric_profile",
-    "doc_text_profile",
-    "doc_simhash_pairs",
-    "tpch_q3_shipping",
-    "tpch_q4_priority",
-    "ts_recursive_battery",
-    "flagship_summary",
-    "emb_ivf_ann_topk",
-    "ts_indicators3",
-    "flagship_global_mae",
-    "knn_topk_metrics",
-    "flagship_loss_math",
-    "stream_sessionize",
-    "tpch_q18_big_orders",
-    "stream_ema_state",
-    "doc_ngram_jaccard_pairs",
-    "top_revenue_nations",
-    "doc_dup_clusters",
-    "ts_gap_fill",
-    "ts_resample_6h",
-    "stream_enrich_join",
-    "emb_near_dup_pairs",
-    "stream_dedup_keys",
-    "ts_windows_stats",
+    # drift-protection back-fill: oldest driver-green first (all 19
+    # of r05), heaviest first within each round
+    "ts_sma",
+    "events_hash_sample",
+    "media_frame_sample",
+    "ts_resample_6h_trimmed",
+    "media_byte_features",
+    "ts_dup_quality",
+    "events_sessionize",
+    "top_orders_per_customer",
+    "events_json_agg",
+    "ts_delta_hist",
+    "ts_time_filter_7d",
+    "media_thumbnail",
+    "ts_dedup_keep_last",
+    "events_value_quantiles",
+    "customers_without_orders",
+    "emb_centroid_by_label",
+    "ts_calendar_time_idx",
+    "media_meta",
+    "doc_exact_dup_groups",
+    # then the 20 heaviest of r06
+    "stream_interval_join",
+    "emb_kmeans_refine",
+    "doc_bloom_decontam",
+    "doc_minhash_est_error",
+    "emb_semantic_dedup",
+    "doc_incremental_dups",
+    "ts_hypertable_rollup",
+    "doc_dedup_decisions",
+    "doc_decontam_overlap",
+    "emb_sq8_stats",
+    "doc_cms_heavy_hitters",
+    "tpch_q8_market_share",
+    "ts_anomaly_zscore",
+    "events_stratified_sample",
+    "doc_tfidf_topk",
+    "tpch_q7_nation_volume",
+    "events_hist_quantiles",
+    "tpch_q5_local_supplier",
+    "tpch_q12_late_lines",
+    "tpch_q10_returned_items",
 ]
 
 
@@ -1501,7 +1503,8 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_triple_barrier": q_ts_triple_barrier,  # never (r15)
         "stream_tick_bars": q_stream_tick_bars,  # r13
         "stream_volume_bars": q_stream_volume_bars,  # r13
-        "stream_rolling_beta": q_stream_rolling_beta,  # never (r14)
+        "stream_rolling_beta": q_stream_rolling_beta,  # r14
+        "stream_cusum_events": q_stream_cusum_events,  # never (r15)
         "stream_imbalance_bars": q_stream_imbalance_bars,  # never (r14)
         "stream_run_bars": q_stream_run_bars,  # never (r14)
         "stream_vpin": q_stream_vpin,  # never (r14)
@@ -1531,9 +1534,9 @@ def all_queries() -> dict[str, QueryFn]:
         "top_orders_per_customer": q_top_orders_per_customer,  # r5
         "customers_without_orders": q_customers_without_orders,  # r5
     }
-    # rotate the r14 gate window to the front (one mechanical list,
+    # rotate the r15 gate window to the front (one mechanical list,
     # registration tags untouched)
-    out = {n: base[n] for n in _GATE_WINDOW_R14}
+    out = {n: base[n] for n in _GATE_WINDOW_R15}
     for n, fn in base.items():
         if n not in out:
             out[n] = fn
@@ -1719,6 +1722,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "stream_tick_bars": _sql_stream_tick_bars(),
         "stream_volume_bars": _sql_stream_volume_bars(),
         "stream_rolling_beta": _sql_stream_rolling_beta(),
+        "stream_cusum_events": _sql_stream_cusum_events(),
         "stream_imbalance_bars": _sql_stream_imbalance_bars(),
         "stream_run_bars": _sql_stream_run_bars(),
         "stream_vpin": _sql_stream_vpin(),

@@ -50,6 +50,7 @@ from .registry_ts import (  # noqa: F401
     TICK_BAR_N,
     VOLBAR_T_CENTS,
     _flagship_oracle_ctes,
+    _sql_ts_cusum_events,
     _sql_ts_rolling_beta,
     _sql_ts_tick_bars,
     _sql_ts_volume_bars,
@@ -575,6 +576,43 @@ def _sql_stream_rolling_beta() -> str:
     return f"""
 SELECT * FROM ({_sql_ts_rolling_beta()})
 QUALIFY time_idx < max(time_idx) OVER (PARTITION BY symbol)"""
+
+
+def q_stream_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ts_cusum_events — the live event sampler
+    (events ARE alarms; a batch pass defeats them): per-symbol state
+    resamples ticks into right-closed 6h buckets, gap-fills with the
+    carried close, and walks each CLOSED bucket through the
+    reset-on-trigger CUSUM recursion in the batch pass's exact float
+    operand order (streaming/ops.py cusum_event_stream — the
+    rolling-beta bucket device under the labeling.py recursion).
+    Emissions are bitwise the batch events strictly below each
+    symbol's trailing in-flight grid bucket — the oracle bound (the
+    max filled time_idx is the one bucket the stream has not closed
+    at end-of-data; unlike the sparse event output, that bound must
+    come from the GRID, so the oracle joins the filled frame's
+    per-symbol max rather than QUALIFYing the event rows)."""
+    from ..streaming import (
+        cusum_event_stream,
+        run_available_now,
+        stream_events,
+    )
+
+    out = run_available_now(
+        cusum_event_stream(stream_events(spark, sf_dir)),
+        "append",
+        state_partitions=8,
+    )
+    return out.select(
+        "symbol", "time_idx", "event_id", "direction",
+        _rne(F.col("stat"), "stat", 6),
+        _rne(F.col("h"), "h", 6),
+        "entry",
+    )
+
+
+def _sql_stream_cusum_events() -> str:
+    return _sql_ts_cusum_events(closed_only=True)
 
 
 def q_stream_resume_delta(spark: SparkSession, sf_dir: str) -> DataFrame:

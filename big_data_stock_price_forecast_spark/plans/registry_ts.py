@@ -581,16 +581,18 @@ def q_flagship_metric_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each scorer branch is the full flagship evaluation with ONLY the
     search metric swapped (forecast_evaluate is metric-parameterized;
     cosine ranks DESC as a similarity); the L2 branch is therefore
-    bitwise-equal to flagship_summary (pytest-pinned). The branches
-    share the train-store/val-window lineage EXPLICITLY: the strided
-    train/val window frames are built once and
-    localCheckpoint(eager)ed, so each scorer branch is ONE rank join
-    + one aggregate over materialized rows — r12's ReuseExchange
-    reliance recomputed the window pipeline per branch locally
-    (BroadcastExchange subtrees don't reuse; the probe-curve lesson,
-    r13 verdict item 2), tripling the sweep's cost. Materialization
-    changes no value (the window fold is exact), so the L2 pin
-    holds. Output: one row per metric. (The kNN-level 5-metric
+    bitwise-equal to flagship_summary (pytest-pinned). Branch-shared
+    lineage, split by side: the VAL window frame (the broadcast query
+    set) is localCheckpoint(eager)ed — BroadcastExchange subtrees
+    don't reuse, so without it each branch recomputed the full window
+    pipeline (the probe-curve lesson, r13 verdict item 2). The TRAIN
+    side deliberately stays lazy: its branches end in the identical
+    shuffle subtree, which ReuseExchange shares across the three
+    scorers — measured r15 (sf0.1, warm, min-of-3): checkpointing
+    train_w too is ~1s SLOWER (6.5 vs 5.6 s; eager materialization
+    costs more than the already-shared recompute saves).
+    Materialization changes no value (the window fold is exact), so
+    the L2 pin holds. Output: one row per metric. (The kNN-level 5-metric
     surface incl. the mu/logvar-weighted scorers lives in
     knn_topk_metrics; the flagship windows are L=8 raw z-scored
     series, where the reference's split-32 latent weighting has no
@@ -1411,13 +1413,22 @@ def _sql_cusum_events_inner() -> str:
 )"""
 
 
-def _sql_ts_cusum_events() -> str:
+def _sql_ts_cusum_events(closed_only: bool = False) -> str:
+    # closed_only: the streaming twin's bound — events strictly below
+    # each symbol's trailing in-flight grid bucket (the max filled
+    # time_idx is the bucket the stream has not closed at end-of-data)
+    bound = (
+        "\nJOIN (SELECT symbol, max(time_idx) AS mx FROM filled"
+        " GROUP BY 1) mxx USING (symbol)\nWHERE ev.time_idx < mxx.mx"
+        if closed_only
+        else ""
+    )
     return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED}
-SELECT symbol, time_idx, event_id, direction,
+SELECT ev.symbol, ev.time_idx, event_id, direction,
        {_sql_rne('stat', 'stat', 6)},
        {_sql_rne('h', 'h', 6)},
        entry
-FROM {_sql_cusum_events_inner()} ev"""
+FROM {_sql_cusum_events_inner()} ev{bound}"""
 
 
 def q_ts_triple_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:

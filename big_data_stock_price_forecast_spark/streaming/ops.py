@@ -1364,6 +1364,143 @@ def run_bar_stream(sdf: DataFrame) -> DataFrame:
     )
 
 
+_CUSUMEVT_OUT = StructType(
+    [
+        StructField("symbol", LongType()),
+        StructField("time_idx", LongType()),
+        StructField("event_id", LongType()),
+        StructField("direction", StringType()),
+        StructField("stat", DoubleType()),
+        StructField("h", DoubleType()),
+        StructField("entry", DoubleType()),
+    ]
+)
+_CUSUMEVT_STATE = StructType(
+    [
+        StructField("cur_end", LongType()),  # open bucket end, epoch µs
+        StructField("cur_dt", LongType()),  # keep-last cursor in bucket
+        StructField("cur_eid", LongType()),
+        StructField("cur_close", DoubleType()),
+        StructField("last_idx", LongType()),  # last closed grid idx
+        StructField("last_close", DoubleType()),  # recursion's prev x
+        StructField("ema", DoubleType()),  # EMA of |Δclose| (nullable)
+        StructField("sp", DoubleType()),  # S+ accumulator
+        StructField("sn", DoubleType()),  # S- accumulator
+        StructField("eid", LongType()),  # events emitted so far
+    ]
+)
+
+
+def _cusum_event_state_fn(step_seconds: int):
+    from ..operators.labeling import CUSUM_EVT_ALPHA, CUSUM_EVT_H
+
+    a, b, hm = CUSUM_EVT_ALPHA, 1.0 - CUSUM_EVT_ALPHA, CUSUM_EVT_H
+    step_us = step_seconds * 1_000_000
+    anchor_us = 946_684_800 * 1_000_000  # calendar.ANCHOR_EPOCH in µs
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        sym = key[0]
+        pdf = pd.concat(list(pdfs)).sort_values(["datetime", "event_id"])
+        if state.exists:
+            (cur_end, cur_dt, cur_eid, cur_close, last_idx, last_close,
+             ema, sp, sn, eid) = state.get
+        else:
+            cur_end = cur_dt = cur_eid = last_idx = None
+            cur_close = last_close = ema = None
+            sp, sn, eid = 0.0, 0.0, 0
+        outs: list[tuple] = []
+
+        def push(idx: int, close: float) -> None:
+            # one closed (gap-filled) grid bucket through the CUSUM
+            # recursion — operand order identical to the batch Arrow
+            # pass (operators/labeling.py cusum_events); gap buckets
+            # arrive with the carried close (d = 0: the EMA decays,
+            # the accumulators hold — same as the batch filled frame)
+            nonlocal last_idx, last_close, ema, sp, sn, eid
+            if last_close is not None:
+                d = close - last_close
+                ema = abs(d) if ema is None else a * abs(d) + b * ema
+                h = hm * ema
+                sp = sp + d
+                sp = sp if sp > 0.0 else 0.0
+                sn = sn + d
+                sn = sn if sn < 0.0 else 0.0
+                if sp > h:
+                    outs.append((sym, idx, eid, "up", sp, h, close))
+                    eid += 1
+                    sp = 0.0
+                elif sn < -h:
+                    outs.append((sym, idx, eid, "down", sn, h, close))
+                    eid += 1
+                    sn = 0.0
+            last_idx, last_close = idx, close
+
+        dt = pdf["datetime"]
+        if getattr(dt.dtype, "tz", None) is not None:
+            dt = dt.dt.tz_convert("UTC").dt.tz_localize(None)
+        t_us = dt.to_numpy(dtype="datetime64[us]").astype("int64")
+        eids = pdf["event_id"].to_numpy()
+        closes = pdf["close"].to_numpy()
+        for t, tick_eid, x in zip(t_us, eids, closes):
+            t, tick_eid, x = int(t), int(tick_eid), float(x)
+            b_end = ((t - 1) // step_us + 1) * step_us
+            if cur_end is None or b_end > cur_end:
+                if cur_end is not None:
+                    push((cur_end - anchor_us) // step_us, cur_close)
+                    new_idx = (b_end - anchor_us) // step_us
+                    for j in range(last_idx + 1, new_idx):
+                        push(j, last_close)
+                cur_end, cur_dt, cur_eid, cur_close = b_end, t, tick_eid, x
+            elif b_end == cur_end:
+                # dedup keep-last + bucket-last in one
+                if (t, tick_eid) >= (cur_dt, cur_eid):
+                    cur_dt, cur_eid, cur_close = t, tick_eid, x
+        state.update(
+            (cur_end, cur_dt, cur_eid, cur_close, last_idx, last_close,
+             ema, sp, sn, eid)
+        )
+        if outs:
+            yield pd.DataFrame(
+                outs, columns=[f.name for f in _CUSUMEVT_OUT]
+            )
+
+    return fn
+
+
+def cusum_event_stream(
+    sdf: DataFrame, step_seconds: int = 6 * 3600
+) -> DataFrame:
+    """Reset-on-trigger symmetric CUSUM event filter as a custom
+    stateful streaming operator — the streaming twin of
+    ``ts_cusum_events`` and the form a live sampler runs (events ARE
+    alarms; waiting for a batch pass defeats them): per-symbol state
+    resamples raw ticks into right-closed grid buckets (keep-last
+    within bucket — the rolling-beta device), gap-fills with the
+    carried close, and walks each CLOSED bucket through the CUSUM
+    recursion (EMA-calibrated threshold, UP-before-DOWN pinned
+    priority, triggered side resets) in the batch pass's exact float
+    operand order — emissions are bitwise the batch events strictly
+    below each symbol's trailing in-flight bucket. State is O(1) per
+    symbol (the open bucket + 4 doubles + 2 longs). Same
+    arrival-order precondition as :func:`ema_state_stream`; in-bucket
+    duplicate ticks resolve keep-last by (ts, event_id)."""
+    return (
+        sdf.withWatermark("datetime", "1 hour")
+        .groupBy("symbol")
+        .applyInPandasWithState(
+            _cusum_event_state_fn(int(step_seconds)),
+            outputStructType=_CUSUMEVT_OUT,
+            stateStructType=_CUSUMEVT_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 _ROLLBETA_OUT = StructType(
     [
         StructField("symbol", LongType()),

@@ -516,3 +516,72 @@ def test_cusum_tb_plan_shapes(spark):
     # per-symbol cross product (the explode keeps the join equi-keyed)
     assert p2.count("Exchange ") <= 4
     assert "CartesianProduct" not in p2 and "NestedLoop" not in p2
+
+
+def test_cusum_event_stream_across_batches(spark, tmp_path):
+    """Two micro-batches equal the batch CUSUM events strictly below
+    each symbol's trailing in-flight grid bucket — the open-bucket
+    cursor, the gap-fill carry, the EMA threshold and both
+    accumulators all carry across the micro-batch boundary."""
+    from big_data_stock_price_forecast_spark.plans.registry import (
+        q_ts_cusum_events,
+    )
+    from big_data_stock_price_forecast_spark.plans.registry_common import (
+        _filled,
+    )
+    from big_data_stock_price_forecast_spark.sources.tables import (
+        load_table,
+    )
+    from big_data_stock_price_forecast_spark.streaming import (
+        cusum_event_stream,
+        run_available_now,
+    )
+
+    ev = load_table(spark, SF, "events").filter(F.col("user_id") < 8)
+    pdf = ev.select("event_id", "ts", "user_id", "value").toPandas()
+    pdf = pdf.sort_values(["ts", "event_id"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    half = len(pdf) // 2
+    land = tmp_path / "land"
+    land.mkdir()
+    pdf.iloc[:half].to_parquet(land / "p0.parquet", index=False)
+    pdf.iloc[half:].to_parquet(land / "p1.parquet", index=False)
+    batch_dir = tmp_path / "batch"
+    batch_dir.mkdir()
+    full = pdf.copy()
+    full["event_type"] = "tick"
+    full["props"] = "{}"
+    spark.createDataFrame(
+        full[["event_id", "ts", "user_id", "event_type", "value",
+              "props"]]
+    ).coalesce(1).write.parquet(f"{batch_dir}/events.parquet")
+
+    out = run_available_now(
+        cusum_event_stream(_tick_stream(spark, land)), "append"
+    )
+    got = sorted(
+        (r["symbol"], r["time_idx"], r["event_id"], r["direction"],
+         _snap(r["stat"], 6), _snap(r["h"], 6), r["entry"])
+        for r in out.collect()
+    )
+    batch = q_ts_cusum_events(spark, str(batch_dir))
+    mx = _filled(spark, str(batch_dir)).groupBy("symbol").agg(
+        F.max("time_idx").alias("mx")
+    )
+    exp = sorted(
+        (r["symbol"], r["time_idx"], r["event_id"], r["direction"],
+         r["stat"], r["h"], r["entry"])
+        for r in batch.join(mx, "symbol")
+        .filter(F.col("time_idx") < F.col("mx"))
+        .collect()
+    )
+    assert got == exp and len(got) > 0
+    # the boundary genuinely split a grid bucket mid-flight for some
+    # symbol (otherwise the state-carry proof is vacuous)
+    import pandas as _pd
+
+    step = 6 * 3600 * 1_000_000
+    t_last = int(
+        _pd.Timestamp(pdf.iloc[half - 1]["ts"]).value // 1000
+    )
+    assert t_last % step != 0
