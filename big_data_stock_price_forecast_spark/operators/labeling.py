@@ -216,3 +216,61 @@ def triple_barrier(
         exit_px.alias("exit_px"),
         (exit_px - F.col("entry")).alias("ret"),
     )
+
+
+def label_uniqueness(
+    labels: DataFrame,
+    part_col: str = "symbol",
+    idx_col: str = "time_idx",
+    v_steps: int = TB_V,
+) -> DataFrame:
+    """Average-uniqueness sample weights for triple-barrier labels
+    (the AFML overlapping-outcomes correction): two labels whose
+    spans (t0, exit] overlap share the same price path, so training
+    on both double-counts it. For each grid row t in a label's span,
+    the concurrency c_t is the number of labels covering t; the
+    label's uniqueness is the mean of 1/c_t over its span — 1.0 for
+    a label that shares no row, → 1/k under k-fold overlap.
+
+    Exactness: each 1/c_t snaps to the 1e9 integer grid
+    (floor(1e9/c + 0.5)) and sums as a long, so the per-label mean
+    is independent of aggregation order in both engines; the final
+    division is one float op rounded at emission by the caller.
+
+    Shape: spans explode into ≤``v_steps`` (key, time_idx) rows
+    (event-count·V, never series-sized), one groupBy counts
+    concurrency per grid row, one join-back + groupBy folds the
+    snapped reciprocals per label — all shuffles are event-sized,
+    co-keyed on (key, time_idx) with the span frame reused for both
+    sides."""
+    spans = (
+        labels.select(part_col, F.col(idx_col).alias("t0"), "exit_idx")
+        .withColumn(
+            "off", F.explode(F.sequence(F.lit(1), F.lit(int(v_steps))))
+        )
+        .withColumn(idx_col, F.col("t0") + F.col("off"))
+        .filter(F.col(idx_col) <= F.col("exit_idx"))
+        .select(part_col, "t0", idx_col)
+    )
+    conc = spans.groupBy(part_col, idx_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    j = spans.join(conc, on=[part_col, idx_col], how="inner")
+    inv_q = F.floor(
+        F.lit(1.0e9) / F.col("c").cast("double") + F.lit(0.5)
+    ).cast("long")
+    agg = j.groupBy(part_col, "t0").agg(
+        F.count(F.lit(1)).alias("n_span"),
+        F.sum(inv_q).alias("s_q"),
+        F.max("c").alias("max_conc"),
+    )
+    return agg.select(
+        part_col,
+        F.col("t0").alias(idx_col),
+        F.col("n_span").cast("long").alias("n_span"),
+        F.col("max_conc").cast("long").alias("max_conc"),
+        (
+            F.col("s_q").cast("double")
+            / (F.col("n_span").cast("double") * F.lit(1.0e9))
+        ).alias("uniqueness"),
+    )

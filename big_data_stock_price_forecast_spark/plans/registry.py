@@ -782,6 +782,7 @@ from .registry_ts import (  # noqa: F401
     _sql_ts_run_bars,
     _sql_ts_vpin,
     _sql_ts_cusum_events,
+    _sql_ts_label_uniqueness,
     _sql_ts_triple_barrier,
     VPIN_W,
     q_flagship,
@@ -796,6 +797,7 @@ from .registry_ts import (  # noqa: F401
     q_ts_run_bars,
     q_ts_vpin,
     q_ts_cusum_events,
+    q_ts_label_uniqueness,
     q_ts_triple_barrier,
     q_flagship_summary,
     q_ts_adf_unit_root,
@@ -1076,19 +1078,21 @@ from .registry_stream import (  # noqa: F401
 
 
 # Round-15 gate window (rotation per VERDICT r14 item 4): the driver
-# hashes the FIRST 50 entries of all_queries(). Composition: the 8
+# hashes the FIRST 50 entries of all_queries(). Composition: the 9
 # r15 new/changed entries (ts_cusum_events + ts_triple_barrier +
 # stream_cusum_events new; the five stateful bar/VPIN streaming twins
 # gained the in-batch P5 keep-last dedup), the 3 structural canaries,
-# and 39 back-fills chosen oldest-last-driver-green-first (computed
+# and 38 back-fills chosen oldest-last-driver-green-first (computed
 # from the CORRECTNESS_r01-r14 union: the r05 cohort — 19 queries —
 # is now the least-recently-re-gated mass, then 20 of the r06
-# cohort), heaviest first (BENCH_LOCAL_r14 seconds) within a round.
+# cohort — 19 of its 20 heaviest fit beside the 9th r15 entry),
+# heaviest first (BENCH_LOCAL_r14 seconds) within a round.
 # Everything else keeps its registration order and last-green tag.
 _GATE_WINDOW_R15 = [
     # r15 new/changed
     "ts_cusum_events",
     "ts_triple_barrier",
+    "ts_label_uniqueness",
     "stream_cusum_events",
     "stream_imbalance_bars",
     "stream_run_bars",
@@ -1120,7 +1124,7 @@ _GATE_WINDOW_R15 = [
     "ts_calendar_time_idx",
     "media_meta",
     "doc_exact_dup_groups",
-    # then the 20 heaviest of r06
+    # then the 19 heaviest of r06
     "stream_interval_join",
     "emb_kmeans_refine",
     "doc_bloom_decontam",
@@ -1140,7 +1144,6 @@ _GATE_WINDOW_R15 = [
     "events_hist_quantiles",
     "tpch_q5_local_supplier",
     "tpch_q12_late_lines",
-    "tpch_q10_returned_items",
 ]
 
 
@@ -1501,6 +1504,7 @@ def all_queries() -> dict[str, QueryFn]:
         "ts_run_bars": q_ts_run_bars,  # r14
         "ts_cusum_events": q_ts_cusum_events,  # never (r15)
         "ts_triple_barrier": q_ts_triple_barrier,  # never (r15)
+        "ts_label_uniqueness": q_ts_label_uniqueness,  # never (r15)
         "stream_tick_bars": q_stream_tick_bars,  # r13
         "stream_volume_bars": q_stream_volume_bars,  # r13
         "stream_rolling_beta": q_stream_rolling_beta,  # r14
@@ -1719,6 +1723,7 @@ def _oracle_sql_map() -> dict[str, str]:
         "ts_run_bars": _sql_ts_run_bars(),
         "ts_cusum_events": _sql_ts_cusum_events(),
         "ts_triple_barrier": _sql_ts_triple_barrier(),
+        "ts_label_uniqueness": _sql_ts_label_uniqueness(),
         "stream_tick_bars": _sql_stream_tick_bars(),
         "stream_volume_bars": _sql_stream_volume_bars(),
         "stream_rolling_beta": _sql_stream_rolling_beta(),

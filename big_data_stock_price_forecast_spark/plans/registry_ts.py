@@ -1464,16 +1464,16 @@ def q_ts_triple_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ts_triple_barrier() -> str:
+def _sql_tb_ctes() -> str:
+    """The triple-barrier CTE chain through ``lab`` (events → probe
+    join → first-touch aggregate → label) — shared by the
+    ts_triple_barrier and ts_label_uniqueness oracles. Expects
+    ``filled`` in scope; exposes lab(symbol, t0, direction, entry,
+    up/dn/last offsets+prices, label)."""
     from ..operators.labeling import TB_MULT, TB_V
 
     m = f"{TB_MULT!r}::DOUBLE"
-    exit_px = (
-        "CASE WHEN label = 1 THEN up_px WHEN label = -1 THEN dn_px"
-        " ELSE last_px END"
-    )
-    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
-ev AS (SELECT * FROM {_sql_cusum_events_inner()} e),
+    return f"""ev AS (SELECT * FROM {_sql_cusum_events_inner()} e),
 pr AS (
   SELECT e.symbol, e.time_idx AS t0, e.direction, e.entry,
          e.entry + {m} * e.h AS up_b,
@@ -1493,7 +1493,16 @@ lab AS (
   SELECT *, CASE WHEN up_off IS NOT NULL
                    AND (dn_off IS NULL OR up_off <= dn_off) THEN 1
                  WHEN dn_off IS NOT NULL THEN -1 ELSE 0 END AS label
-  FROM ag)
+  FROM ag)"""
+
+
+def _sql_ts_triple_barrier() -> str:
+    exit_px = (
+        "CASE WHEN label = 1 THEN up_px WHEN label = -1 THEN dn_px"
+        " ELSE last_px END"
+    )
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+{_sql_tb_ctes()}
 SELECT symbol, t0 AS time_idx, direction, entry, label,
        (t0 + CASE WHEN label = 1 THEN up_off
                   WHEN label = -1 THEN dn_off
@@ -1501,6 +1510,71 @@ SELECT symbol, t0 AS time_idx, direction, entry, label,
        {exit_px} AS exit_px,
        {_sql_rne(f'({exit_px}) - entry', 'ret', 6)}
 FROM lab"""
+
+
+def q_ts_label_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-uniqueness sample weights for the triple-barrier
+    labels — the AFML overlapping-outcomes correction and the last
+    member of the event-sampling pipeline (filter → label → weight):
+    labels whose (t0, exit] spans overlap share the same price path,
+    so each gets weight mean(1/concurrency) over its span (1.0 =
+    fully unique, 1/k under k-fold overlap) — what a trainer feeds
+    as sample_weight. Exactness: 1/c snaps to the 1e9 integer grid
+    and sums as a long, so the mean is aggregation-order-free in
+    both engines (operators/labeling.py label_uniqueness). Shape:
+    spans explode event-sized (≤16 rows each), one concurrency
+    groupBy + one join-back — every shuffle is event-count-sized,
+    nothing touches the corpus-sized grid."""
+    from ..operators.labeling import (
+        cusum_events,
+        label_uniqueness,
+        triple_barrier,
+    )
+
+    df = _filled(spark, sf_dir).select("symbol", "time_idx", "close")
+    labels = triple_barrier(df, cusum_events(df))
+    u = label_uniqueness(labels)
+    return u.select(
+        "symbol",
+        "time_idx",
+        "n_span",
+        "max_conc",
+        _rne(F.col("uniqueness"), "uniqueness", 6),
+    )
+
+
+def _sql_ts_label_uniqueness() -> str:
+    from ..operators.labeling import TB_V
+
+    return f"""WITH {SQL_SERIES}, {SQL_RES6H}, {SQL_FILLED},
+{_sql_tb_ctes()},
+lab2 AS (
+  SELECT symbol, t0,
+         (t0 + CASE WHEN label = 1 THEN up_off
+                    WHEN label = -1 THEN dn_off
+                    ELSE last_off END)::BIGINT AS exit_idx
+  FROM lab),
+spans AS (
+  SELECT l.symbol, l.t0, l.t0 + o.off AS time_idx
+  FROM lab2 l
+  JOIN (SELECT unnest(generate_series(1, {TB_V})) AS off) o
+    ON l.t0 + o.off <= l.exit_idx),
+conc AS (
+  SELECT symbol, time_idx, count(*)::BIGINT AS c
+  FROM spans GROUP BY 1, 2),
+uq AS (
+  SELECT s.symbol, s.t0,
+         count(*)::BIGINT AS n_span,
+         max(c.c)::BIGINT AS max_conc,
+         sum(CAST(floor(1000000000.0 / c.c::DOUBLE + 0.5) AS BIGINT))
+           AS s_q
+  FROM spans s JOIN conc c
+    ON c.symbol = s.symbol AND c.time_idx = s.time_idx
+  GROUP BY 1, 2)
+SELECT symbol, t0 AS time_idx, n_span, max_conc,
+       {_sql_rne('s_q::DOUBLE / (n_span::DOUBLE * 1000000000.0)',
+                 'uniqueness', 6)}
+FROM uq"""
 
 
 FULLSCALE_MAE_PARAMS = FlagshipParams(

@@ -585,3 +585,29 @@ def test_cusum_event_stream_across_batches(spark, tmp_path):
         _pd.Timestamp(pdf.iloc[half - 1]["ts"]).value // 1000
     )
     assert t_last % step != 0
+
+
+def test_label_uniqueness_weights(spark):
+    """Hand-computed overlap: two labels sharing half their spans
+    each get uniqueness 0.75; a non-overlapping label gets 1.0; the
+    snapped-reciprocal integer path is exact for these values."""
+    from big_data_stock_price_forecast_spark.operators.labeling import (
+        label_uniqueness,
+    )
+
+    labels = spark.createDataFrame(
+        [(1, 0, 4), (1, 2, 6), (1, 10, 12)],
+        "symbol long, time_idx long, exit_idx long",
+    )
+    got = sorted(
+        (r["symbol"], r["time_idx"], r["n_span"], r["max_conc"],
+         r["uniqueness"])
+        for r in label_uniqueness(labels).collect()
+    )
+    # spans: A=(1..4), B=(3..6), C=(11..12); rows 3,4 have c=2
+    exp = [
+        (1, 0, 4, 2, 0.75),
+        (1, 2, 4, 2, 0.75),
+        (1, 10, 2, 1, 1.0),
+    ]
+    assert got == exp
