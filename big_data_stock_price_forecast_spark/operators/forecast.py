@@ -30,6 +30,11 @@ from ..functions.distance import (
 )
 from ..functions.normalize import EPS, zscore_array
 
+#: widest unrolled distance that still beats the sequential fold —
+#: beyond this the flat chain's generated method is large enough that
+#: whole-stage codegen loses to the interpreted fold (measured, r15)
+_FLAT_DIM_MAX = 64
+
 
 def forecast_evaluate(
     train_w: DataFrame,
@@ -79,8 +84,14 @@ def forecast_evaluate(
     else:
         joined = train.join(F.broadcast(queries))
 
-    # dim given -> flat codegen distance (bitwise equal to the fold);
-    # essential for the global search where the pair join is wide
+    # dim given AND small -> flat codegen distance (bitwise equal to
+    # the fold; the knn-suite fold≡flat proof). The flat form only
+    # wins while the unrolled chain stays a small generated method:
+    # measured at dim=256 it is ~2x SLOWER than the interpreted
+    # sequential fold (r15: 4.6 s vs 2.4 s per 2M rows), so large
+    # dims route to the fold — same doubles either way.
+    if dim is not None and dim > _FLAT_DIM_MAX:
+        dim = None
     if metric == "cosine":
         # z-scored CONSTANT windows (gap-fill runs) have ‖xs‖ = 0:
         # cosine is undefined and ANSI division errors. Guard the

@@ -185,62 +185,74 @@ AHASH_BANDS = 8
 AHASH_BAND_BITS = 8
 
 
+def _cell_sums(payload: bytes) -> tuple["np.ndarray", "np.ndarray", int]:
+    """(per-cell byte sums int64[64], per-cell counts int64[64], total)
+    for the byte-stride 8x8 cell grid: cell i covers byte indices
+    [i*n div 64, (i+1)*n div 64). Exact integer arithmetic — identical
+    to the SQL fold regardless of evaluation order."""
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    n = arr.size
+    cs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(arr, out=cs[1:])
+    b = (np.arange(65, dtype=np.int64) * n) // 64
+    sums = cs[b[1:]] - cs[b[:-1]]
+    counts = b[1:] - b[:-1]
+    return sums, counts, int(cs[n])
+
+
 def ahash_bands(media: DataFrame) -> DataFrame:
     """Average-hash (aHash) of each image payload as 8×8-bit band
     values — the perceptual-hash near-dup key (a real pipeline
     computes it over the decoded 8×8 gray thumbnail; the byte-level
     stand-in keeps the exact operator shape): the payload is
     byte-stride "resized" to 64 cells (cell i = bytes j with
-    (j*64) div n = i), bit_i = (cell mean > global mean), evaluated
-    as the EXACT integer cross-product s_i·n > S·c_i — no float
-    enters the hash. The 64 bits pack into 8 8-bit bands that double
-    as the LSH blocking keys: by pigeonhole, any pair at hamming ≤ 7
-    shares at least one identical band, so band-equality candidate
-    generation is EXHAUSTIVE up to distance 7 and best-effort beyond
-    (the standard banded-LSH recall contract). One JVM-only
-    projection pass: hex codec + in-row list folds, no Python, no
-    shuffle."""
-    n = F.col("meta.n_bytes")
-    b = (
-        media.filter(F.col("media_type") == "image")
-        .filter(n >= 1)
-        .select(
-            "media_id",
-            n.alias("n"),
-            F.hex(F.col("payload")).alias("hx"),
-        )
-        .withColumn(
-            "bytes",
-            F.expr(
-                "transform(sequence(0, cast(n - 1 as int)),"
-                " j -> cast(conv(substring(hx, 2 * j + 1, 2), 16, 10)"
-                " as bigint))"
-            ),
-        )
-        .withColumn(
-            "S", F.expr("aggregate(bytes, 0L, (acc, x) -> acc + x)")
-        )
-        .withColumn(
-            "bits",
-            F.expr(
-                "transform(sequence(0, 63), i -> if("
-                " aggregate(slice(bytes, cast(i * n div 64 as int) + 1,"
-                "   cast((i + 1) * n div 64 - i * n div 64 as int)),"
-                "   0L, (acc, x) -> acc + x) * n"
-                " > S * ((i + 1) * n div 64 - i * n div 64),"
-                " 1L, 0L))"
-            ),
-        )
+    i*n div 64 <= j < (i+1)*n div 64), bit_i = (cell mean > global
+    mean), evaluated as the EXACT integer cross-product
+    s_i·n > S·c_i — no float enters the hash. The 64 bits pack into 8
+    8-bit bands that double as the LSH blocking keys: by pigeonhole,
+    any pair at hamming ≤ 7 shares at least one identical band, so
+    band-equality candidate generation is EXHAUSTIVE up to distance 7
+    and best-effort beyond (the standard banded-LSH recall contract).
+
+    One ``mapInArrow`` pass over (media_id, payload): the per-byte
+    work runs vectorized in NumPy (guide §4.2) — the previous
+    JVM-expression form decoded the payload through
+    ``conv(substring(hex(payload)))`` one byte at a time inside
+    interpreted higher-order folds, which was the dominant cost of
+    both near-dup queries. Integer sums are order-free, so the hash
+    is bit-identical to the fold (pinned by tests/test_round12_ops
+    and the DuckDB oracle)."""
+    import pyarrow as pa
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        out_names = ["media_id"] + [f"band{k}" for k in range(AHASH_BANDS)]
+        for batch in batches:
+            ids = batch.column("media_id")
+            pays = batch.column("payload")
+            n_rows = batch.num_rows
+            bands = np.zeros((n_rows, AHASH_BANDS), dtype=np.int64)
+            for r in range(n_rows):
+                sums, counts, total = _cell_sums(pays[r].as_py())
+                n = int(counts.sum())
+                bits = (sums * n > total * counts).astype(np.int64)
+                packed = bits.reshape(AHASH_BANDS, AHASH_BAND_BITS) << (
+                    np.arange(AHASH_BAND_BITS, dtype=np.int64)
+                )
+                bands[r] = packed.sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [ids] + [pa.array(bands[:, k]) for k in range(AHASH_BANDS)],
+                names=out_names,
+            )
+
+    schema = "media_id long, " + ", ".join(
+        f"band{k} long" for k in range(AHASH_BANDS)
     )
-    bands = [
-        F.expr(
-            f"aggregate(sequence(0, {AHASH_BAND_BITS - 1}), 0L,"
-            f" (acc, t) -> acc + bits[{k} * {AHASH_BAND_BITS} + t]"
-            f" * shiftleft(1L, t))"
-        ).alias(f"band{k}")
-        for k in range(AHASH_BANDS)
-    ]
-    return b.select("media_id", *bands)
+    return (
+        media.filter(F.col("media_type") == "image")
+        .filter(F.col("meta.n_bytes") >= 1)
+        .select("media_id", "payload")
+        .mapInArrow(run, schema=schema)
+    )
 
 
 def payload_signature(
@@ -397,68 +409,63 @@ def phash16_bands(media: DataFrame) -> DataFrame:
     PHASH_BANDS = 2 8-bit bands double as LSH blocking keys: any pair
     at hamming <= PHASH_MAX_DIST = 1 shares an identical band
     (pigeonhole over 2 bands), so banded candidate generation is
-    exhaustive at the query threshold. One JVM projection pass — no
-    Python, no shuffle."""
-    n = F.col("meta.n_bytes")
-    b = (
-        media.filter(F.col("media_type") == "image")
-        .filter(n >= 1)
-        .select(
-            "media_id",
-            n.alias("n"),
-            F.hex(F.col("payload")).alias("hx"),
-        )
-        # cell sums fold DIRECTLY over each cell's hex range (one
-        # O(n) pass total) instead of materializing an n-element byte
-        # array first: the intermediate array invited a 64x
-        # CollapseProject inlining blowup under interpreted eval and
-        # cost a multi-hundred-MB barrier to pin
-        .withColumn(
-            "cells",
-            F.expr(
-                "transform(sequence(0, 63), i -> if("
-                " (i + 1) * n div 64 - i * n div 64 > 0,"
-                " cast(aggregate("
-                "   sequence(cast(i * n div 64 as int),"
-                "            cast((i + 1) * n div 64 as int) - 1),"
-                "   0L, (acc, j) ->"
-                "   acc + cast(conv(substring(hx, 2 * j + 1, 2), 16, 10)"
-                "   as bigint)) as double)"
-                " / cast((i + 1) * n div 64 - i * n div 64 as double),"
-                " cast(0.0 as double)))"
-            ),
-        )
-    )
-    # pin the cell frame BEFORE the 16 coefficient chains reference
-    # it: CollapseProject would otherwise substitute the cell-fold
-    # expression into every one of the 1024 chain terms — measured 93s
-    # vs seconds at sf0.1. The frame is tiny (media_id + 64 doubles
-    # per image), so spreading it is a negligible shuffle, and the
-    # 16x64-node interpreted chains (HOF results never enter codegen)
-    # then run across the cluster instead of one inherited file-split
-    # partition.
-    b = b.select("media_id", "cells").localCheckpoint(eager=True)
-    ws = phash_dct_weights()
-    coeffs = []
-    for c, row in enumerate(ws):
-        expr = None
-        for i, w in enumerate(row):
-            term = F.element_at("cells", i + 1) * F.lit(w)
-            expr = term if expr is None else expr + term
-        coeffs.append(expr.alias(f"c{c}"))
-    b = b.select("media_id", *coeffs)
-    med = F.element_at(
-        F.array_sort(F.array(*[F.col(f"c{c}") for c in range(1, 16)])), 8
-    )
-    b = b.withColumn("med", med)
-    bands = []
-    for k in range(PHASH_BANDS):
-        expr = None
-        for t in range(PHASH_BAND_BITS):
-            c = k * PHASH_BAND_BITS + t
-            bit = (F.col(f"c{c}") > F.col("med")).cast("long") * F.lit(
-                1 << t
+    exhaustive at the query threshold.
+
+    One ``mapInArrow`` pass over (media_id, payload), like
+    :func:`ahash_bands` (guide §4.2). Bit-parity with the oracle's
+    unrolled SQL: the cell means are exact-integer sums divided once
+    (order-free), and each DCT coefficient accumulates its 64 terms
+    in the same left-associated order as the SQL chain — one IEEE
+    mul+add per term, vectorized ACROSS images, sequential WITHIN the
+    chain — so every double is bitwise identical. The previous
+    JVM-expression form paid an O(n_bytes) interpreted
+    ``conv(substring(hex))`` fold per image plus a 16×64-term
+    projection whose generated class failed janino compilation
+    (observed ``ERROR CodeGenerator`` → interpreted fallback) and a
+    localCheckpoint barrier; all three are gone."""
+    import pyarrow as pa
+
+    ws_t = np.ascontiguousarray(
+        np.array(phash_dct_weights(), dtype=np.float64).T
+    )  # [i, c]: cell index i -> coefficient c
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        out_names = ["media_id"] + [f"band{k}" for k in range(PHASH_BANDS)]
+        for batch in batches:
+            ids = batch.column("media_id")
+            pays = batch.column("payload")
+            n_rows = batch.num_rows
+            cells = np.zeros((n_rows, 64), dtype=np.float64)
+            for r in range(n_rows):
+                sums, counts, _total = _cell_sums(pays[r].as_py())
+                nz = counts > 0
+                cells[r, nz] = sums[nz].astype(np.float64) / counts[
+                    nz
+                ].astype(np.float64)
+            # left-assoc 64-term chains, identical fold order to the
+            # SQL: one vectorized mul+add per term across all rows
+            coeffs = cells[:, 0:1] * ws_t[0]
+            for i in range(1, 64):
+                coeffs += cells[:, i : i + 1] * ws_t[i]
+            med = np.sort(coeffs[:, 1:16], axis=1)[:, 7]
+            bits = (coeffs > med[:, None]).astype(np.int64)
+            bands = np.zeros((n_rows, PHASH_BANDS), dtype=np.int64)
+            for k in range(PHASH_BANDS):
+                sl = bits[:, k * PHASH_BAND_BITS : (k + 1) * PHASH_BAND_BITS]
+                bands[:, k] = (
+                    sl << np.arange(PHASH_BAND_BITS, dtype=np.int64)
+                ).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [ids] + [pa.array(bands[:, k]) for k in range(PHASH_BANDS)],
+                names=out_names,
             )
-            expr = bit if expr is None else expr + bit
-        bands.append(expr.alias(f"band{k}"))
-    return b.select("media_id", *bands)
+
+    schema = "media_id long, " + ", ".join(
+        f"band{k} long" for k in range(PHASH_BANDS)
+    )
+    return (
+        media.filter(F.col("media_type") == "image")
+        .filter(F.col("meta.n_bytes") >= 1)
+        .select("media_id", "payload")
+        .mapInArrow(run, schema=schema)
+    )
