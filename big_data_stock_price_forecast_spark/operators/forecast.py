@@ -35,6 +35,10 @@ from ..functions.normalize import EPS, zscore_array
 #: whole-stage codegen loses to the interpreted fold (measured, r15)
 _FLAT_DIM_MAX = 64
 
+#: future length past which the query payload is split out of the
+#: rank sort and re-attached post-top-k (see forecast_evaluate)
+_SPLIT_PRED_MIN = 64
+
 
 def forecast_evaluate(
     train_w: DataFrame,
@@ -76,13 +80,35 @@ def forecast_evaluate(
         F.col("xs").alias("q_xs"),
         F.col("future").alias("q_future"),
     )
+    # Wide futures only: the query's own (center, scale, future)
+    # payload is constant per query and re-attaches AFTER the top-k
+    # (guide §8: decide with small rows — carrying the q-side arrays
+    # through the rank sort doubled the sorted bytes for no decision
+    # value). The query panel is bounded by design (strided
+    # evaluation cursor), so materialize it ONCE: without the
+    # checkpoint each broadcast branch replays the whole upstream
+    # pipeline (measured: the rejoin's extra branch turned 2 full
+    # pipeline passes into 3). At smoke scale (short futures) the
+    # split's eager round trip costs more than the narrow sort saves,
+    # so it engages only past _SPLIT_PRED_MIN — both paths produce
+    # identical doubles (the payload join is a key-equality
+    # re-attachment of per-query constants).
+    split_payload = pred_window >= _SPLIT_PRED_MIN
+    if split_payload:
+        queries = queries.localCheckpoint(eager=True)
+        q_join = queries.select("q_symbol", "q_window_id", "q_xs")
+        q_payload = queries.select(
+            "q_symbol", "q_window_id", "q_center", "q_scale", "q_future"
+        )
+    else:
+        q_join = queries
 
     if within_symbol:
         joined = train.join(
-            queries, train.m_symbol == queries.q_symbol, "inner"
+            q_join, train.m_symbol == q_join.q_symbol, "inner"
         )
     else:
-        joined = train.join(F.broadcast(queries))
+        joined = train.join(F.broadcast(q_join))
 
     # dim given AND small -> flat codegen distance (bitwise equal to
     # the fold; the knn-suite fold≡flat proof). The flat form only
@@ -130,6 +156,12 @@ def forecast_evaluate(
     top = joined.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= ensemble
     )
+    if split_payload:
+        # re-attach the query payload to the ensemble rows only (2
+        # per query); broadcast keeps the match side's partitioning
+        top = top.join(
+            F.broadcast(q_payload), ["q_symbol", "q_window_id"]
+        )
 
     # re-standardize each match's future by the MATCH's stats and the
     # query's future by the QUERY's stats; explode both together so the

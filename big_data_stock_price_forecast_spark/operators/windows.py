@@ -53,6 +53,15 @@ def sliding_windows(
         *[F.col(c) for c in parts],
         F.col(idx_col).alias("window_id"),
         F.collect_list(v).over(w_cur).alias("__raw"),
+        # window SUM rides the same frame in the same Window pass and
+        # adds the frame's values in the same order the array fold
+        # did (Sum's update is coalesce(sum, 0.0) + x per buffered
+        # row, i.e. 0.0 + x1 + x2 + ... — bitwise the sequential left
+        # fold), but runs as a codegen'd declarative aggregate instead
+        # of an interpreted per-element lambda (guide §4.1). Rows
+        # whose frame holds a NULL can't desync: collect_list drops
+        # NULLs, so those rows fail the size == L guard below.
+        F.sum(v).over(w_cur).alias("__s"),
         *(
             [
                 F.collect_list(v)
@@ -64,10 +73,8 @@ def sliding_windows(
         ),
     ).filter(F.size("__raw") == L)
 
-    mean = (
-        F.aggregate("__raw", F.lit(0.0), lambda acc, x: acc + x) / F.lit(float(L))
-    )
-    out = out.withColumn("center", mean)
+    mean = F.col("__s") / F.lit(float(L))
+    out = out.withColumn("center", mean).drop("__s")
     var = (
         F.aggregate(
             "__raw",

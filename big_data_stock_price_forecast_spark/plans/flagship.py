@@ -87,8 +87,19 @@ def flagship_labeled(
         # partition-panel filter at the scan — at 100 TB this prunes
         # before the one wide exchange, not after
         base = base.filter(F.col("symbol") % p.symbol_mod == 0)
+    # the one wide exchange carries compact events, but everything
+    # DOWNSTREAM amplifies: gap fill explodes the grid ~10-60x and the
+    # window build another L+P x, so sizing this exchange by its own
+    # bytes (AQE coalescing) starves the pipeline — a 300 KB panel
+    # coalesced to 3 partitions and the whole L=256 build ran 3-wide
+    # (measured 21.8 s vs 7.3 s at full width, r15). An explicit
+    # partition count disables AQE coalescing for exactly this
+    # exchange; defaultParallelism = total cores is scale-adaptive
+    # (the per-symbol series count downstream always dwarfs it).
     series = dedup_keep_last(
-        base.repartition("symbol"),
+        base.repartition(
+            spark.sparkContext.defaultParallelism, "symbol"
+        ),
         ["symbol", "datetime"],
         "event_id",
     )
@@ -188,13 +199,19 @@ def flagship_step_errors(
 def _flagship_train_val(
     spark: SparkSession, sf_dir: str, p: FlagshipParams
 ) -> tuple[DataFrame, DataFrame]:
-    # repartition keeps the search join co-partitioned on symbol. The
-    # val branch rides a BroadcastExchange locally (small strided query
-    # set), which recomputes the upstream pipeline for that side; past
-    # the broadcast threshold Spark falls back to a sort-merge join
-    # whose two shuffle subtrees are identical, so at scale the
-    # pipeline is computed once and reused (ReuseExchange).
-    windows = flagship_windows(spark, sf_dir, p).repartition("symbol")
+    # the window frame is already clustered by hash(symbol) from the
+    # pipeline's one wide exchange (hash(symbol) satisfies clustering
+    # for every (symbol, ...) operator above it), so the search join
+    # is co-partitioned with NO further exchange — an explicit
+    # repartition("symbol") here would re-shuffle the built window
+    # ARRAYS whenever its partition count differed from the
+    # pipeline's (the §8 anti-pattern: heavy payload moved twice).
+    # The val branch rides a BroadcastExchange locally (small strided
+    # query set), which recomputes the upstream pipeline for that
+    # side; past the broadcast threshold Spark falls back to a
+    # sort-merge join whose two shuffle subtrees are identical, so at
+    # scale the pipeline is computed once and reused (ReuseExchange).
+    windows = flagship_windows(spark, sf_dir, p)
     train_w = windows.filter(F.col("split") == "train").drop("split")
     val_w = windows.filter(F.col("split") == "val").drop("split")
     if p.query_symbol_mod is not None:

@@ -40,21 +40,20 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # AQE's parallelism-first coalescing merges shuffle reads down
-        # to minPartitionSize (default 1 MiB); the floor is the BINDING
-        # constraint for small shuffles, and several pipelines here
-        # amplify heavily downstream of a tiny exchange (gap fill
-        # explodes ~64x, the L=256 window build ~448x, pair joins
-        # square), so a byte-sized floor decides their parallelism:
-        # with 64 KiB, the fullscale-mae symbol panel (~300 KB of
-        # deduped events) coalesced to 3 partitions and the whole
-        # window-build + search ran 3-wide (measured 21.8 s vs 7.3 s
-        # warm at 1 KiB, r15). At cluster scale the floor never binds —
-        # parallelism-first targets total/defaultParallelism, which is
-        # >> 1 KiB for any real shuffle — so the low floor only stops
-        # AQE from serializing small-input/heavy-downstream stages.
+        # to minPartitionSize (default 1 MiB); for MB-scale interactive
+        # inputs that serializes whole pipelines onto one core. A 64 KiB
+        # floor keeps small stages parallel; at cluster scale coalescing
+        # only ever MERGES map outputs, so a lower floor just means
+        # "don't merge tiny stages to death" — large shuffles still
+        # target the advisory size. Measured r15: a GLOBAL 1 KiB floor
+        # helped amplify-after-tiny-exchange pipelines 3x but cost the
+        # 300-query small tail ~+0.5 s each (more tasks x Arrow/worker
+        # setup), netting zero — pipelines that amplify heavily
+        # downstream (the flagship window build) instead pin their own
+        # exchange width explicitly (plans/flagship.py).
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("BDSPF_AQE_MIN_PARTITION", "1KB"),
+            os.environ.get("BDSPF_AQE_MIN_PARTITION", "64KB"),
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
