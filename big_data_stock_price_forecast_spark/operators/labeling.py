@@ -251,6 +251,10 @@ def label_uniqueness(
         .withColumn(idx_col, F.col("t0") + F.col("off"))
         .filter(F.col(idx_col) <= F.col("exit_idx"))
         .select(part_col, "t0", idx_col)
+        # two consumers (concurrency count + join-back): pin the
+        # event-sized span frame once instead of replaying the
+        # CUSUM/triple-barrier lineage per reference (r15)
+        .localCheckpoint(eager=True)
     )
     conc = spans.groupBy(part_col, idx_col).agg(
         F.count(F.lit(1)).alias("c")

@@ -619,6 +619,10 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u1") < F.col("u2"))
         .select("u1", "u2")
         .distinct()
+        # five consumers (two wedge sides, the closing join, both deg
+        # orientations): pin the df-capped edge list once instead of
+        # replaying the co-attendance self-join per reference
+        .localCheckpoint(eager=True)
     )
     wedge = edges.select(
         F.col("u1").alias("a"), F.col("u2").alias("b")
@@ -803,6 +807,8 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u1") != F.col("u2"))
         .select("u1", "u2")
         .distinct()
+        # two consumers (deg0 and the peel chain): pin once
+        .localCheckpoint(eager=True)
     )
     deg0 = edges.withColumn(
         "deg0", F.count(F.lit(1)).over(Window.partitionBy("u1"))
@@ -945,6 +951,9 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     perturb Q. Cost: two label joins over the edge list + one
     community aggregate — nothing quadratic."""
     und, lab = _lpa_labels(spark, sf_dir)
+    # three consumers (both edge-end label joins + n_nodes): pin the
+    # 3-round label chain once instead of replaying it per reference
+    lab = lab.localCheckpoint(eager=True)
     lu = lab.select(F.col("node").alias("u"), F.col("label").alias("cu"))
     lv = lab.select(F.col("node").alias("v"), F.col("label").alias("cv"))
     e = und.join(lu, "u").join(lv, "v")

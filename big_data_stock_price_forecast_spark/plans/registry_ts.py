@@ -3502,7 +3502,9 @@ def q_ts_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(FC_SEASON + 1),
         ),
     )
-    tagged = rows.join(counts, "symbol")
+    # two consumers (train reduce + test scoring): pin the tagged
+    # frame once instead of replaying the gap-fill lineage per branch
+    tagged = rows.join(counts, "symbol").localCheckpoint(eager=True)
     train = tagged.filter(F.col("rn") <= F.col("n_train"))
     grid = F.lit(1e6)
     snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
@@ -3557,22 +3559,31 @@ def q_ts_forecast_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
             "season", ((h - 1) % FC_SEASON + 1).cast("int")
         ).alias("seasonal"),
     )
-    methods = []
-    for m in ("naive", "drift", "seasonal"):
-        err = F.abs(F.col(m) - F.col("close"))
-        denom = F.abs(F.col(m)) + F.abs(F.col("close"))
-        methods.append(
-            fc.select(
-                "symbol",
-                F.lit(m).alias("method"),
-                snap(err).cast("decimal(18,6)").alias("abs_err"),
-                F.when(
-                    denom > 0, snap(2 * err / denom)
-                ).otherwise(F.lit(0.0)).cast("decimal(18,6)").alias("sm"),
-                "mase_scale",
-            )
-        )
-    union = methods[0].unionByName(methods[1]).unionByName(methods[2])
+    # one stack() pass instead of a 3-arm union that re-scored the fc
+    # frame per method — identical per-row expressions on identical
+    # yhat values, and the (symbol, method) aggregate is order-free
+    # (DECIMAL sums), so the fold is bitwise-neutral
+    stacked = fc.select(
+        "symbol",
+        "close",
+        "mase_scale",
+        F.expr(
+            "stack(3, 'naive', naive, 'drift', drift,"
+            " 'seasonal', seasonal) as (method, yhat)"
+        ),
+    )
+    err = F.abs(F.col("yhat") - F.col("close"))
+    denom = F.abs(F.col("yhat")) + F.abs(F.col("close"))
+    union = stacked.select(
+        "symbol",
+        "method",
+        snap(err).cast("decimal(18,6)").alias("abs_err"),
+        F.when(denom > 0, snap(2 * err / denom))
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,6)")
+        .alias("sm"),
+        "mase_scale",
+    )
     agg = union.groupBy("symbol", "method").agg(
         F.count(F.lit(1)).alias("n_test"),
         F.sum("abs_err").alias("sae"),
@@ -4459,74 +4470,82 @@ def q_ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
     dx = dx.withColumn("rn", F.row_number().over(w) - 1).localCheckpoint(
         eager=True
     )
-    per_size = []
-    for n in HURST_SIZES:
-        blk = dx.select(
+    # all four block sizes ride ONE grouped chain keyed (symbol, n,
+    # blk) — the shape the oracle already uses — instead of four
+    # unrolled per-size subplans (4x the shuffle stages for 1/4-sized
+    # groups each; per-group math is unchanged, so every double is
+    # identical)
+    blk = dx.select(
+        "symbol",
+        "time_idx",
+        "x",
+        F.explode(
+            F.array(*[F.lit(int(n)) for n in HURST_SIZES])
+        ).alias("n"),
+        "rn",
+    ).select(
+        "symbol",
+        "time_idx",
+        "x",
+        "n",
+        F.floor(F.col("rn") / F.col("n")).cast("long").alias("blk"),
+    )
+    nd = F.col("n").cast("double")
+    stats = (
+        blk.groupBy("symbol", "n", "blk")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("x").cast("decimal(18,6)")).alias("sx"),
+        )
+        .filter(F.col("cnt") == F.col("n"))
+        .select(
             "symbol",
-            "time_idx",
-            "x",
-            F.floor(F.col("rn") / n).cast("long").alias("blk"),
-        )
-        wb = Window.partitionBy("symbol", "blk")
-        stats = (
-            blk.groupBy("symbol", "blk")
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.sum(F.col("x").cast("decimal(18,6)")).alias("sx"),
-            )
-            .filter(F.col("cnt") == n)
-            .select(
-                "symbol",
-                "blk",
-                (F.col("sx").cast("double") / n).alias("mu"),
-            )
-        )
-        j = blk.join(stats, ["symbol", "blk"])
-        wcum = (
-            Window.partitionBy("symbol", "blk")
-            .orderBy("time_idx")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        dev = j.select(
-            "symbol",
+            "n",
             "blk",
-            (F.col("x") - F.col("mu")).alias("d"),
-            F.sum(F.col("x") - F.col("mu")).over(wcum).alias("z"),
+            (F.col("sx").cast("double") / nd).alias("mu"),
         )
-        rs = (
-            dev.groupBy("symbol", "blk")
-            .agg(
-                (F.max("z") - F.min("z")).alias("r"),
-                F.sqrt(
-                    F.sum(
-                        (
-                            F.floor(
-                                F.col("d") * F.col("d") * 1e12 + F.lit(0.5)
-                            )
-                            / 1e12
-                        ).cast("decimal(30,12)")
-                    ).cast("double")
-                    / n
-                ).alias("s"),
-            )
-            .filter(F.col("s") > 0)
-            .select(
-                "symbol", snap(F.col("r") / F.col("s")).alias("rs")
-            )
+    )
+    j = blk.join(stats, ["symbol", "n", "blk"])
+    wcum = (
+        Window.partitionBy("symbol", "n", "blk")
+        .orderBy("time_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = j.select(
+        "symbol",
+        "n",
+        "blk",
+        (F.col("x") - F.col("mu")).alias("d"),
+        F.sum(F.col("x") - F.col("mu")).over(wcum).alias("z"),
+    )
+    rs = (
+        dev.groupBy("symbol", "n", "blk")
+        .agg(
+            (F.max("z") - F.min("z")).alias("r"),
+            F.sqrt(
+                F.sum(
+                    (
+                        F.floor(
+                            F.col("d") * F.col("d") * 1e12 + F.lit(0.5)
+                        )
+                        / 1e12
+                    ).cast("decimal(30,12)")
+                ).cast("double")
+                / F.col("n").cast("double")
+            ).alias("s"),
         )
-        per_size.append(
-            rs.groupBy("symbol").agg(
-                F.lit(n).alias("n"),
-                F.count(F.lit(1)).alias("n_blocks"),
-                (
-                    F.sum(F.col("rs").cast("decimal(18,6)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("mean_rs"),
-            )
+        .filter(F.col("s") > 0)
+        .select(
+            "symbol", "n", snap(F.col("r") / F.col("s")).alias("rs")
         )
-    allsz = per_size[0]
-    for fr in per_size[1:]:
-        allsz = allsz.unionByName(fr)
+    )
+    allsz = rs.groupBy("symbol", "n").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        (
+            F.sum(F.col("rs").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_rs"),
+    )
     pts = allsz.filter(F.col("mean_rs") > 0).select(
         "symbol",
         snap(F.log2(F.col("n").cast("double"))).alias("lx"),
@@ -4729,7 +4748,9 @@ def q_ts_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("symbol").orderBy("time_idx")
     rows = df.withColumn("rn", F.row_number().over(w))
     n = rows.groupBy("symbol").agg(F.max("rn").alias("n"))
-    rows = rows.join(n, "symbol")
+    # six consumers (anchor + test per fold): pin the ranked frame
+    # once instead of replaying the resample/gap-fill lineage per arm
+    rows = rows.join(n, "symbol").localCheckpoint(eager=True)
     grid = F.lit(1e6)
     snap = lambda c: F.floor(c * grid + F.lit(0.5)) / grid  # noqa: E731
     out = None
@@ -4828,7 +4849,11 @@ def q_ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("trend").isNotNull())
     sr = (F.col("seasonal") + F.col("residual")).alias("sr")
     tr = (F.col("trend") + F.col("residual")).alias("tr")
-    base = dec.select("symbol", F.col("residual").alias("r"), sr, tr)
+    # two consumers (mean pass + deviation pass): pin the decomposed
+    # frame once instead of replaying the decomposition per pass
+    base = dec.select(
+        "symbol", F.col("residual").alias("r"), sr, tr
+    ).localCheckpoint(eager=True)
     # two-pass per column: mean via DECIMAL sums, then snapped squared
     # deviations in DECIMAL
     means = base.groupBy("symbol").agg(
@@ -9185,7 +9210,9 @@ def q_ts_dfa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol",
         (F.row_number().over(w) - 1).alias("pos"),
         F.sum(F.col("r").cast("double") - F.col("mr")).over(wrun).alias("y"),
-    )
+    # three consumers (one per box size): pin the profile once
+    # instead of replaying the return/demean/running-sum lineage
+    ).localCheckpoint(eager=True)
     snap8 = lambda e: (  # noqa: E731
         F.floor(e * 1e8 + F.lit(0.5)) / 1e8
     ).cast("decimal(30,8)")
