@@ -35,9 +35,18 @@ from ..functions.normalize import EPS, zscore_array
 #: whole-stage codegen loses to the interpreted fold (measured, r15)
 _FLAT_DIM_MAX = 64
 
-#: future length past which the query payload is split out of the
-#: rank sort and re-attached post-top-k (see forecast_evaluate)
+#: future length at or past which the query payload is split out of
+#: the rank sort and re-attached post-top-k (see forecast_evaluate)
 _SPLIT_PRED_MIN = 64
+
+#: payload-broadcast budget: the post-top-k re-attach join broadcasts
+#: the (center, scale, future) panel only while its raw bytes stay
+#: under this; a larger panel (scale: millions of strided queries)
+#: falls back to the planner's choice — a shuffle join on the query
+#: key — instead of forcing an executor-OOM-sized broadcast (r15
+#: advice). The panel is already localCheckpoint-materialized, so the
+#: row count is one cheap block-scan job.
+_PAYLOAD_BC_MAX_BYTES = 256 * 1024 * 1024
 
 
 def forecast_evaluate(
@@ -64,7 +73,7 @@ def forecast_evaluate(
     ``False`` searches globally (ConcatDataset-style; broadcast
     nested-loop of the small query set against all windows).
     """
-    train = train_w.filter(F.size("future") == pred_window).select(
+    train_full = train_w.filter(F.size("future") == pred_window).select(
         F.col("symbol").alias("m_symbol"),
         F.col("window_id").alias("m_window_id"),
         F.col("center").alias("m_center"),
@@ -72,6 +81,7 @@ def forecast_evaluate(
         F.col("xs").alias("m_xs"),
         F.col("future").alias("m_future"),
     )
+    train = train_full
     queries = val_w.filter(F.size("future") == pred_window).select(
         F.col("symbol").alias("q_symbol"),
         F.col("window_id").alias("q_window_id"),
@@ -90,7 +100,7 @@ def forecast_evaluate(
     # pipeline (measured: the rejoin's extra branch turned 2 full
     # pipeline passes into 3). At smoke scale (short futures) the
     # split's eager round trip costs more than the narrow sort saves,
-    # so it engages only past _SPLIT_PRED_MIN — both paths produce
+    # so it engages only at or past _SPLIT_PRED_MIN — both paths produce
     # identical doubles (the payload join is a key-equality
     # re-attachment of per-query constants).
     split_payload = pred_window >= _SPLIT_PRED_MIN
@@ -99,6 +109,16 @@ def forecast_evaluate(
         q_join = queries.select("q_symbol", "q_window_id", "q_xs")
         q_payload = queries.select(
             "q_symbol", "q_window_id", "q_center", "q_scale", "q_future"
+        )
+        # the MATCH payload gets the same §8 treatment: the rank sort
+        # decides with (keys, dist) only; (m_center, m_scale,
+        # m_future) re-attach to the `ensemble`-per-query survivors by
+        # key equality afterwards. Carrying the P-length m_future
+        # through every candidate pair multiplied the sorted/shuffled
+        # bytes ~30x for no decision value.
+        train = train_full.select("m_symbol", "m_window_id", "m_xs")
+        m_payload = train_full.select(
+            "m_symbol", "m_window_id", "m_center", "m_scale", "m_future"
         )
     else:
         q_join = queries
@@ -157,11 +177,24 @@ def forecast_evaluate(
         F.col("rank") <= ensemble
     )
     if split_payload:
-        # re-attach the query payload to the ensemble rows only (2
-        # per query); broadcast keeps the match side's partitioning
-        top = top.join(
-            F.broadcast(q_payload), ["q_symbol", "q_window_id"]
+        # re-attach the match payload first: the ensemble rows (a few
+        # per query) broadcast against the train branch, so the big
+        # side streams and nothing heavy shuffles; then the query
+        # payload — broadcast only while the panel fits the budget,
+        # past it the planner falls back to a key-equality shuffle
+        # join (same rows either way)
+        top = m_payload.join(
+            F.broadcast(
+                top.select(
+                    "q_symbol", "q_window_id", "m_symbol", "m_window_id"
+                )
+            ),
+            ["m_symbol", "m_window_id"],
         )
+        n_q = queries.count()
+        if n_q * (pred_window + 4) * 8 <= _PAYLOAD_BC_MAX_BYTES:
+            q_payload = F.broadcast(q_payload)
+        top = top.join(q_payload, ["q_symbol", "q_window_id"])
 
     # re-standardize each match's future by the MATCH's stats and the
     # query's future by the QUERY's stats; explode both together so the

@@ -37,7 +37,7 @@ from ..operators.cleaning import (
 from ..operators.forecast import error_summary, forecast_evaluate
 from ..operators.gapfill import fill_missing_time_idx
 from ..operators.resample import resample_ohlcv
-from ..operators.windows import sliding_windows
+from ..operators.windows import ARROW_BUILD_MIN_WIDTH, sliding_windows
 from ..sources.tables import events_series
 
 
@@ -216,23 +216,57 @@ def _flagship_train_val(
     val_w = windows.filter(F.col("split") == "val").drop("split")
     if p.query_symbol_mod is not None:
         val_w = val_w.filter(F.col("symbol") % p.query_symbol_mod == 0)
+
+    # The per-symbol first-window anchor (__w0/__t0) for the stride
+    # cursors. Two value-identical derivations:
+    # - JVM window build (small shapes): a min() window over the built
+    #   windows — free, the frame is still hash(symbol)-clustered.
+    # - Arrow build (wide shapes): the grouped Python pass drops
+    #   Catalyst's clustering knowledge, so the same min() window
+    #   would re-shuffle the built ARRAYS (§8: heavy payload moved
+    #   twice). Instead the anchor comes from the NARROW labeled grid:
+    #   gap fill densifies [min, max] per (symbol, split), so the
+    #   first complete window starts exactly at the split's min
+    #   time_idx (= min labeled time_idx — fill only inserts BETWEEN
+    #   min and max) whenever any complete window exists, and when
+    #   none exists the windows side is already empty, making the
+    #   anchor irrelevant. One tiny per-symbol aggregate, broadcast.
+    arrow_build = p.L + p.pred_window >= ARROW_BUILD_MIN_WIDTH
+    if arrow_build:
+        labeled = flagship_labeled(spark, sf_dir, p).select(
+            "symbol", "split", "time_idx"
+        )
     if p.cand_stride > 1:
-        train_w = (
-            train_w.withColumn(
+        if arrow_build:
+            t0 = (
+                labeled.filter(F.col("split") == "train")
+                .groupBy("symbol")
+                .agg(F.min("time_idx").alias("__t0"))
+            )
+            train_w = train_w.join(F.broadcast(t0), "symbol")
+        else:
+            train_w = train_w.withColumn(
                 "__t0", F.min("window_id").over(Window.partitionBy("symbol"))
             )
-            .filter((F.col("window_id") - F.col("__t0")) % p.cand_stride == 0)
-            .drop("__t0")
-        )
+        train_w = train_w.filter(
+            (F.col("window_id") - F.col("__t0")) % p.cand_stride == 0
+        ).drop("__t0")
     # strided evaluation cursor (W11): every `stride`-th window position
     # per symbol, position 0 = the symbol's first val window
-    val_w = (
-        val_w.withColumn(
+    if arrow_build:
+        w0 = (
+            labeled.filter(F.col("split") == "val")
+            .groupBy("symbol")
+            .agg(F.min("time_idx").alias("__w0"))
+        )
+        val_w = val_w.join(F.broadcast(w0), "symbol")
+    else:
+        val_w = val_w.withColumn(
             "__w0", F.min("window_id").over(Window.partitionBy("symbol"))
         )
-        .filter((F.col("window_id") - F.col("__w0")) % p.stride == 0)
-        .drop("__w0")
-    )
+    val_w = val_w.filter(
+        (F.col("window_id") - F.col("__w0")) % p.stride == 0
+    ).drop("__w0")
     return train_w, val_w
 
 

@@ -31,11 +31,19 @@ def get_spark(
     # local[N] runs every task inside the driver JVM, so this IS the
     # executor memory: 12g left 32 concurrent tasks ~230 MB of
     # execution memory each and the L=256 flagship rank sort spilled
-    # (measured 26.1 -> 19.4 s warm at 32g, r15). The 128 GiB harness
-    # box has room; a real cluster sizes executors separately.
-    driver_memory = driver_memory or os.environ.get(
-        "BDSPF_DRIVER_MEMORY", "32g"
-    )
+    # (measured 26.1 -> 19.4 s warm at 32g, r15). Capped at half the
+    # box's physical RAM so the library default still launches on
+    # hosts smaller than the 128 GiB harness (r15 advice);
+    # BDSPF_DRIVER_MEMORY overrides, clusters size executors
+    # separately.
+    driver_memory = driver_memory or os.environ.get("BDSPF_DRIVER_MEMORY")
+    if driver_memory is None:
+        try:
+            page = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+            half_gb = max(2, int(page / (2 * 1024**3)))
+        except (ValueError, OSError):
+            half_gb = 12
+        driver_memory = f"{min(32, half_gb)}g"
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("BDSPF_SHUFFLE_PARTITIONS", "32")
